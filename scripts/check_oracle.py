@@ -1,0 +1,59 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run oracle_sql.json
+in DuckDB over the sf tables, compare to the Spark parquet dumps.
+Usage: check_oracle.py <sfdir> <outdir>"""
+import sys, json, glob, os
+import duckdb
+import pyarrow.parquet as pq
+import pandas as pd
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+names = sorted(d for d in os.listdir(outdir) if os.path.isdir(f"{outdir}/{d}"))
+fails = []
+for name in names:
+    files = glob.glob(f"{outdir}/{name}/*.parquet")
+    spark_df = pd.concat([pq.read_table(f).to_pandas() for f in sorted(files)]) \
+        if files else pd.DataFrame()
+    if name not in oracle:
+        print(f"{name:24s} rows-only: {len(spark_df)} rows")
+        continue
+    try:
+        duck_df = con.sql(oracle[name]).df()
+    except Exception as e:
+        print(f"{name:24s} ORACLE SQL ERROR: {e}")
+        fails.append(name); continue
+    s = spark_df[sorted(spark_df.columns)].reset_index(drop=True)
+    d = duck_df[sorted(duck_df.columns)].reset_index(drop=True)
+    if list(s.columns) != list(d.columns):
+        print(f"{name:24s} SCHEMA MISMATCH spark={list(s.columns)} duck={list(d.columns)}")
+        fails.append(name); continue
+    if len(s) != len(d):
+        print(f"{name:24s} ROWCOUNT MISMATCH spark={len(s)} duck={len(d)}")
+        fails.append(name); continue
+    bad = []
+    for c in s.columns:
+        sc, dc = s[c], d[c]
+        try:
+            if sc.dtype.kind == 'f' or dc.dtype.kind == 'f':
+                import numpy as np
+                eq = ((sc.isna() & dc.isna()) |
+                      (sc.astype(float).round(9) == dc.astype(float).round(9)))
+            else:
+                eq = (sc.isna() & dc.isna()) | (sc.astype(str) == dc.astype(str))
+        except Exception as e:
+            bad.append((c, f"cmp-error {e}")); continue
+        if not eq.all():
+            i = int((~eq).idxmax())
+            bad.append((c, f"row {i}: spark={sc.iloc[i]!r} duck={dc.iloc[i]!r} ({int((~eq).sum())} diffs)"))
+    if bad:
+        print(f"{name:24s} VALUE MISMATCH: {bad[:3]}")
+        fails.append(name)
+    else:
+        print(f"{name:24s} OK ({len(s)} rows)")
+print(f"\n{len(names)-len(fails)}/{len(names)} pass; fails: {fails}")

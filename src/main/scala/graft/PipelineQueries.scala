@@ -1,0 +1,201 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.pipeline._
+
+/** LLM-training-data pipeline queries (SURVEY §2H) with DuckDB
+  * oracles. The heavy SQL (minhash/simhash) is generated from the
+  * same constants the Spark side uses, so both engines replay the
+  * identical hash family.
+  */
+object PipelineQueries {
+
+  // ---- shared oracle fragments ---------------------------------------
+  /** distinct word-3-gram shingles per doc (mirrors Dedup.shingles). */
+  private val SH =
+    """SELECT DISTINCT doc_id, shingle FROM (
+      | SELECT doc_id, unnest([array_to_string(ws[i:i+2], ' ')
+      |   for i in range(1, len(ws) - 1)]) AS shingle
+      | FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws
+      |       FROM documents) AS t) AS u""".stripMargin.replace("\n", " ")
+  /** md5-derived 32-bit shingle hash (mirrors Dedup.md5Int). */
+  private val H =
+    s"""SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h
+       | FROM ($SH) AS sh""".stripMargin.replace("\n", " ")
+
+  private val K = 16
+  private val BANDS = 8
+  private val ROWS = 2
+  /** minhash signature SQL — same affine family as minhashSignature. */
+  private val SIG = {
+    val cols = (0 until K).map { i =>
+      s"min((${2 * i + 1} * h + ${7919 * (i + 1)}) % 4294967311) AS mh$i"
+    }.mkString(", ")
+    s"SELECT doc_id, $cols FROM ($H) AS h GROUP BY doc_id"
+  }
+  /** banded bucket SQL for LSH (mirrors minhashCandidates). */
+  private val BANDED = (0 until BANDS).map { b =>
+    val cs = (0 until ROWS).map(r => s"mh${b * ROWS + r}").mkString(", ")
+    s"SELECT doc_id, $b AS band, md5(concat_ws(',', $cs)) AS bucket FROM sig"
+  }.mkString(" UNION ALL ")
+  private val PAIRS =
+    s"""SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+       | FROM banded AS l JOIN banded AS r
+       |  ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id""".stripMargin.replace("\n", " ")
+
+  /** cosine similarity SQL over double-cast embedding lists. */
+  private def cosSql(a: String, b: String) =
+    s"""(list_dot_product($a.embedding::DOUBLE[], $b.embedding::DOUBLE[]) /
+       | (sqrt(list_dot_product($a.embedding::DOUBLE[], $a.embedding::DOUBLE[])) *
+       |  sqrt(list_dot_product($b.embedding::DOUBLE[], $b.embedding::DOUBLE[]))))""".stripMargin.replace("\n", " ")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(Tables.documents(s, dir)).orderBy("doc_id")),
+    "dedup_minhash_sig" -> ((s, dir) =>
+      Dedup.minhashSignature(Tables.documents(s, dir), K).orderBy("doc_id")),
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashCandidates(
+        Dedup.minhashSignature(Tables.documents(s, dir), K), BANDS, ROWS)
+        .orderBy("doc_a", "doc_b")),
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhash(Tables.documents(s, dir)).orderBy("doc_id")),
+    "dedup_jaccard" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      // deterministic verification pair list: consecutive doc ids
+      val pairs = docs.select(col("doc_id").as("doc_a"))
+        .where(col("doc_a") < 100)
+        .withColumn("doc_b", col("doc_a") + 1)
+      Dedup.jaccardPairs(docs, pairs).orderBy("doc_a", "doc_b")
+    }),
+    "dedup_embed_cos" -> ((s, dir) =>
+      Similarity.cosineNearDup(Tables.embeddings(s, dir), 0.40)
+        .orderBy("id_a", "id_b")),
+    "sim_cosine_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.cosineTopK(emb, emb.where(col("vec_id") < 10), 5)
+        .orderBy("q_id", "rk")
+    }),
+    "sim_lsh_ann" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.lshAnn(emb, emb.where(col("vec_id") < 10), 5)
+        .orderBy("q_id", "rk")
+    }),
+    "text_langid" -> ((s, dir) =>
+      TextAnalysis.languageId(Tables.documents(s, dir)).orderBy("doc_id")),
+    "text_quality" -> ((s, dir) =>
+      TextAnalysis.quality(Tables.documents(s, dir)).orderBy("doc_id")),
+    "text_tokens" -> ((s, dir) =>
+      TextAnalysis.tokenCount(Tables.documents(s, dir)).orderBy("doc_id")),
+    "text_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(Tables.documents(s, dir)).orderBy("doc_id")),
+    "mm_meta" -> ((s, dir) =>
+      Multimodal.syntheticMedia(Tables.documents(s, dir))
+        .select("media_id", "kind", "meta_codec", "meta_bytes")
+        .orderBy("media_id"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT doc_id, md5(text) AS content_md5,
+        | row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS dup_rank,
+        | CAST(row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) > 1 AS INT) AS is_dup
+        | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "dedup_minhash_sig" -> s"$SIG ORDER BY doc_id",
+    "dedup_minhash" ->
+      s"WITH sig AS ($SIG), banded AS ($BANDED) $PAIRS ORDER BY doc_a, doc_b",
+    "dedup_simhash" -> {
+      val bitSums = (0 until 32).map { j =>
+        s"CAST(sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS b$j"
+      }.mkString(", ")
+      val fp = (0 until 32).map(j => s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END")
+        .mkString(" + ")
+      s"""SELECT doc_id, CAST($fp AS BIGINT) AS simhash_v
+         | FROM (SELECT doc_id, $bitSums FROM ($H) AS h GROUP BY doc_id) AS b
+         | ORDER BY doc_id""".stripMargin.replace("\n", " ")
+    },
+    "dedup_jaccard" ->
+      s"""WITH sh AS ($SH),
+         | pairs AS (SELECT doc_id AS doc_a, doc_id + 1 AS doc_b FROM documents
+         |           WHERE doc_id < 100),
+         | sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         | inter AS (SELECT p.doc_a, p.doc_b, count(*) AS inter_sz
+         |  FROM pairs AS p
+         |  JOIN sh AS a ON a.doc_id = p.doc_a
+         |  JOIN sh AS b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+         |  GROUP BY p.doc_a, p.doc_b)
+         | SELECT p.doc_a, p.doc_b,
+         |  round(coalesce(i.inter_sz, 0)::DOUBLE /
+         |    (sa.sz + sb.sz - coalesce(i.inter_sz, 0))::DOUBLE, 6) AS jaccard_v
+         | FROM pairs AS p
+         | LEFT JOIN inter AS i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+         | JOIN sz AS sa ON sa.doc_id = p.doc_a
+         | JOIN sz AS sb ON sb.doc_id = p.doc_b
+         | ORDER BY p.doc_a, p.doc_b""".stripMargin.replace("\n", " "),
+    "dedup_embed_cos" ->
+      s"""SELECT id_a, id_b, round(cos, 6) AS cos_v FROM (
+         | SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosSql("a", "b")} AS cos
+         | FROM embeddings AS a JOIN embeddings AS b ON a.vec_id < b.vec_id) AS t
+         | WHERE cos > 0.40 ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
+    "sim_cosine_topk" ->
+      s"""SELECT q_id, c_id, round(cos, 6) AS cos_v, rk FROM (
+         | SELECT q.vec_id AS q_id, c.vec_id AS c_id, ${cosSql("q", "c")} AS cos,
+         |  row_number() OVER (PARTITION BY q.vec_id
+         |    ORDER BY ${cosSql("q", "c")} DESC, c.vec_id ASC) AS rk
+         | FROM embeddings AS q JOIN embeddings AS c ON q.vec_id <> c.vec_id
+         | WHERE q.vec_id < 10) AS t
+         | WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin.replace("\n", " "),
+    "text_langid" -> {
+      val langs = Seq("en", "de", "fr", "es")
+      val lists = langs.map { l =>
+        val sw = TextAnalysis.stopwords(l).map(s => s"'$s'").mkString(", ")
+        s"len(list_filter(ws, x -> list_contains([$sw], x)))::DOUBLE / len(ws) AS score_$l"
+      }.mkString(", ")
+      s"""SELECT doc_id, lang,
+         | CASE WHEN greatest(score_en, score_de, score_fr, score_es) <= 0 THEN 'und'
+         |  WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en'
+         |  WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'
+         |  WHEN score_fr >= score_es THEN 'fr' ELSE 'es' END AS pred_lang,
+         | round(greatest(score_en, score_de, score_fr, score_es), 6) AS lang_score
+         | FROM (SELECT doc_id, lang, $lists
+         |  FROM (SELECT doc_id, lang, string_split_regex(lower(text), '\\s+') AS ws
+         |        FROM documents) AS t) AS sc ORDER BY doc_id""".stripMargin.replace("\n", " ")
+    },
+    "text_quality" -> {
+      val allSw = TextAnalysis.stopwords.values.flatten.toSeq.distinct
+        .map(s => s"'$s'").mkString(", ")
+      s"""SELECT doc_id, len(ws) AS n_words,
+         | round((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::DOUBLE
+         |   / length(text), 6) AS punct_ratio,
+         | round(len(list_filter(ws, x -> list_contains([$allSw], x)))::DOUBLE / len(ws), 6)
+         |   AS stopword_ratio,
+         | round(len(list_distinct(ws))::DOUBLE / len(ws), 6) AS distinct_ratio,
+         | round((least(length(text)::DOUBLE / 500.0, 1.0)
+         |   + len(list_distinct(ws))::DOUBLE / len(ws)
+         |   + least(len(list_filter(ws, x -> list_contains([$allSw], x)))::DOUBLE
+         |       / len(ws) * 4, 1.0)) / 3.0, 6) AS quality_score
+         | FROM (SELECT doc_id, text, string_split_regex(lower(text), '\\s+') AS ws
+         |       FROM documents) AS t ORDER BY doc_id""".stripMargin.replace("\n", " ")
+    },
+    "text_tokens" ->
+      """SELECT doc_id, len(ws) AS ws_tokens,
+        | CAST(list_sum(list_transform(ws,
+        |   w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS bpe_tokens
+        | FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws
+        |       FROM documents) AS t ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        | list_min(hs) AS fp_min, list_max(hs) AS fp_max, len(hs) AS fp_n
+        | FROM (SELECT doc_id,
+        |  [CAST('0x' || substr(md5(substr(text, i, 16)), 1, 8) AS BIGINT)
+        |   for i in generate_series(1, greatest(length(text) - 15, 1), 8)] AS hs
+        |  FROM documents) AS t ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "mm_meta" ->
+      """SELECT doc_id AS media_id,
+        | (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
+        | 'codec_' || CAST(doc_id % 4 AS VARCHAR) AS meta_codec,
+        | length(text)::BIGINT AS meta_bytes
+        | FROM documents ORDER BY media_id""".stripMargin.replace("\n", " ")
+  )
+}

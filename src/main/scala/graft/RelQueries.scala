@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational / warehouse queries (SURVEY §2G) — the Spark-first
+  * capability proof on the TPC-H-ish tables. Monetary aggregates go
+  * through DECIMAL so the sums are exact and match the oracle
+  * bit-for-bit regardless of partial-aggregation order.
+  *
+  * Scale notes per query in Scaladoc; dims (region, nation, and at
+  * real scale part/supplier) broadcast — verified in PlanSpec.
+  */
+object RelQueries {
+
+  private def dec2(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+  private def dec6(c: org.apache.spark.sql.Column) = c.cast("decimal(18,6)")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1 shape: one scan, map-side partial agg, 4-group output.
+    // The shipdate filter is pushed to the parquet scan.
+    "q1_agg" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .where(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base"),
+          sum(dec6(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          sum(dec6(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+            (lit(1) + col("l_tax")))).cast("double").as("sum_charge"),
+          round(avg("l_quantity"), 6).as("avg_qty"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // Q3 shape: selective dim filter → join → agg. customer side is
+    // filtered before the join; join keys shuffle-hash with AQE.
+    "q3_join" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+        .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val o = Tables.orders(s, dir)
+        .where(col("o_orderdate") < to_timestamp(lit("1998-03-15 00:00:00")))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val l = Tables.lineitem(s, dir)
+        .where(col("l_shipdate") > to_timestamp(lit("1998-03-15 00:00:00")))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(sum(dec6(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .cast("double").as("revenue"))
+        .select(col("l_orderkey"),
+          unix_timestamp(col("o_orderdate")).as("orderdate_s"), col("revenue"))
+        .orderBy("l_orderkey")
+    }),
+
+    // Q5 star shape: two broadcast dims (region, nation) + three fact
+    // joins. region/nation are broadcast explicitly — at 100 TB these
+    // stay < 1 MB while lineitem is the 100 TB side.
+    "q5_star" -> ((s, dir) => {
+      val r = Tables.region(s, dir).where(col("r_name") === "ASIA")
+      val n = Tables.nation(s, dir)
+      val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+      val o = Tables.orders(s, dir)
+        .where(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("o_orderdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+        .select("o_orderkey", "o_custkey")
+      val l = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(sum(dec6(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy("n_name")
+    }),
+
+    // semi/anti join pair: customers with a big order and no 'F'
+    // order. Both subqueries broadcast their (distinct-key) side.
+    "q_semi_anti" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).select("c_custkey", "c_name")
+      val big = Tables.orders(s, dir).where(col("o_totalprice") > 400000)
+        .select("o_custkey")
+      val f = Tables.orders(s, dir).where(col("o_orderstatus") === "F")
+        .select("o_custkey")
+      c.join(big, col("c_custkey") === big("o_custkey"), "left_semi")
+        .join(f, col("c_custkey") === f("o_custkey"), "left_anti")
+        .orderBy("c_custkey")
+    }),
+
+    // window rank per group: top-3 orders per customer. One shuffle
+    // on o_custkey; no global sort.
+    "q_window_rank" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, dir).select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 3)
+        .orderBy("o_custkey", "rk")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+        | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        | CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        | round(avg(l_quantity), 6) AS avg_qty, round(avg(l_discount), 6) AS avg_disc,
+        | count(*) AS count_order
+        | FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        | GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin.replace("\n", " "),
+    "q3_join" ->
+      """SELECT l.l_orderkey,
+        | CAST(floor(epoch(o.o_orderdate)) AS BIGINT) AS orderdate_s,
+        | CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        | FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        | JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        | WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        |  AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        | GROUP BY l.l_orderkey, o.o_orderdate ORDER BY l.l_orderkey""".stripMargin.replace("\n", " "),
+    "q5_star" ->
+      """SELECT n.n_name,
+        | CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        | FROM lineitem l
+        | JOIN orders o ON l.l_orderkey = o.o_orderkey
+        | JOIN customer c ON o.o_custkey = c.c_custkey
+        | JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+        | JOIN nation n ON c.c_nationkey = n.n_nationkey
+        | JOIN region r ON n.n_regionkey = r.r_regionkey
+        | WHERE r.r_name = 'ASIA'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        | GROUP BY n.n_name ORDER BY n.n_name""".stripMargin.replace("\n", " "),
+    "q_semi_anti" ->
+      """SELECT c_custkey, c_name FROM customer c
+        | WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |               AND o.o_totalprice > 400000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |                  AND o.o_orderstatus = 'F')
+        | ORDER BY c_custkey""".stripMargin.replace("\n", " "),
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        | FROM orders) t WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin.replace("\n", " ")
+  )
+}

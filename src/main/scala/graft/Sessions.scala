@@ -1,0 +1,18 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Standard session config shared by Verify, Bench and the specs. */
+object Sessions {
+  def builder(cpus: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // events.parquet is TIMESTAMP(NANOS); read as long + convert
+      // (see Tables.events)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // AQE on: runtime re-plan, skew-join handling, auto broadcast
+      .config("spark.sql.adaptive.enabled", "true")
+}

@@ -1,13 +1,28 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder
+  * prompt. Queries and their DuckDB oracles live in
+  * [[TsdbQueries]] (m3 function surface, SURVEY §2 A–F),
+  * [[RelQueries]] (warehouse suite, §2G) and
+  * [[PipelineQueries]] (training-data ops, §2H).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0: the Q5-star shape — scan + broadcast dims + agg. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    RelQueries.queries("q5_star")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    TsdbQueries.queries ++ RelQueries.queries ++ PipelineQueries.queries
+
+  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB
+    * on the same parquet tables. Omitted (rows-only check):
+    * ts_holt_winters (recursive smoothing), sim_lsh_ann (hyperplane
+    * weight table not practical in SQL). */
+  def oracleSql: Map[String, String] =
+    TsdbQueries.oracles ++ RelQueries.oracles ++ PipelineQueries.oracles
 }

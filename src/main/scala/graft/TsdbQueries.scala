@@ -1,0 +1,376 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tsdb._
+
+/** The m3 query-function surface (SURVEY §2 A–F) as named queries
+  * over the `events` table, each with a DuckDB oracle that encodes
+  * the exact same semantics.
+  *
+  * Conventions shared by Spark + oracle sides (SURVEY §5): buckets
+  * are bigint epoch seconds; float outputs round(…,6) (rates: 9);
+  * population moments; interpolated quantiles; every output ordered
+  * by its key columns; aggregate aliases identical on both sides.
+  */
+object TsdbQueries {
+  import Vectors.labels
+
+  private def samples(s: SparkSession, dir: String): DataFrame =
+    Vectors.samples(Tables.events(s, dir))
+  private def inst(s: SparkSession, dir: String): DataFrame =
+    Vectors.instant(samples(s, dir), "day")
+
+  // ---- shared oracle SQL fragments ------------------------------------
+  /** events → sample frame with day bucket (floor-epoch bigint). */
+  private val S =
+    """SELECT event_type AS name, user_id, ts, value, event_id,
+      | CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS bucket_s
+      | FROM events""".stripMargin.replace("\n", " ")
+  /** day-instant vector: last sample per (series, day), event_id tiebreak. */
+  private val INST =
+    s"""SELECT name, user_id, bucket_s, value FROM (
+       | SELECT name, user_id, bucket_s, value,
+       |  row_number() OVER (PARTITION BY name, user_id, bucket_s
+       |                     ORDER BY ts DESC, event_id DESC) AS rn
+       | FROM ($S) AS s) AS t WHERE rn = 1""".stripMargin.replace("\n", " ")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- §2A across-series aggregation --------------------------------
+    "ts_agg_by" -> ((s, dir) =>
+      SeriesAgg.basic(inst(s, dir), Seq("name")).orderBy("name", "bucket_s")),
+    "ts_spread_by" -> ((s, dir) =>
+      SeriesAgg.spread(inst(s, dir), Seq("name")).orderBy("name", "bucket_s")),
+    "ts_quantile_by" -> ((s, dir) =>
+      SeriesAgg.quantile(inst(s, dir), 0.9, Seq("name")).orderBy("name", "bucket_s")),
+    "ts_topk" -> ((s, dir) =>
+      SeriesAgg.take(inst(s, dir), 3, Seq("name"), Seq("user_id"), top = true)
+        .orderBy("name", "bucket_s", "user_id")),
+    "ts_bottomk" -> ((s, dir) =>
+      SeriesAgg.take(inst(s, dir), 3, Seq("name"), Seq("user_id"), top = false)
+        .orderBy("name", "bucket_s", "user_id")),
+    "ts_count_values" -> ((s, dir) =>
+      SeriesAgg.countValues(inst(s, dir), Seq("name"))
+        .orderBy("name", "bucket_s", "value_str")),
+    "ts_absent" -> ((s, dir) =>
+      SeriesAgg.absent(
+        inst(s, dir).where(col("name") === "purchase" && col("user_id") === 7 &&
+          col("value") > 150),
+        1704067200L, 1706572800L, 86400L).orderBy("bucket_s")),
+
+    // ---- §2B temporal -------------------------------------------------
+    "ts_over_time_aggs" -> ((s, dir) =>
+      Temporal.overTimeAggs(samples(s, dir)).orderBy("name", "user_id", "bucket_s")),
+    "ts_over_time_stddev" -> ((s, dir) =>
+      Temporal.overTimeStddev(samples(s, dir)).orderBy("name", "user_id", "bucket_s")),
+    "ts_last_over_time" -> ((s, dir) =>
+      Temporal.lastOverTime(samples(s, dir)).orderBy("name", "user_id", "bucket_s")),
+    "ts_quantile_over_time" -> ((s, dir) =>
+      Temporal.quantileOverTime(samples(s, dir), 0.5)
+        .orderBy("name", "user_id", "bucket_s")),
+    "ts_rate" -> ((s, dir) =>
+      Temporal.rateFrame(samples(s, dir)).orderBy("name", "user_id", "bucket_s")),
+    "ts_irate" -> ((s, dir) =>
+      Temporal.irateFrame(samples(s, dir)).orderBy("name", "user_id", "bucket_s")),
+    "ts_resets_changes" -> ((s, dir) =>
+      Temporal.resetsChanges(samples(s, dir)).orderBy("name", "user_id", "bucket_s")),
+    "ts_linreg" -> ((s, dir) =>
+      Temporal.linearRegression(samples(s, dir)).orderBy("name", "user_id", "bucket_s")),
+    "ts_holt_winters" -> ((s, dir) =>
+      Temporal.holtWinters(samples(s, dir), 0.3, 0.1)
+        .orderBy("name", "user_id", "bucket_s")),
+    "ts_timestamp" -> ((s, dir) =>
+      Temporal.timestampOp(samples(s, dir)).orderBy("event_id")),
+
+    // ---- §2C instant transforms ---------------------------------------
+    "ts_math" -> ((s, dir) =>
+      Transform.math(inst(s, dir)).orderBy("name", "user_id", "bucket_s")),
+    "ts_clamp" -> ((s, dir) =>
+      Transform.clamp(inst(s, dir), 50.0, 150.0).orderBy("name", "user_id", "bucket_s")),
+    "ts_round" -> ((s, dir) =>
+      Transform.roundTo(inst(s, dir), 5.0).orderBy("name", "user_id", "bucket_s")),
+    "ts_datetime" -> ((s, dir) =>
+      Transform.datetime(samples(s, dir)).orderBy("event_id")),
+    "ts_histogram_quantile" -> ((s, dir) =>
+      Transform.histogramQuantile(samples(s, dir), 0.9,
+        Seq(10, 25, 50, 100, 150, 200, 300, 600)).orderBy("name", "bucket_s")),
+    "ts_sort" -> ((s, dir) =>
+      Transform.sortSeries(inst(s, dir), desc = true, Seq("name", "user_id"))
+        .orderBy("bucket_s", "sort_rank")),
+
+    // ---- §2D binary / vector matching ---------------------------------
+    "ts_binary_arith" -> ((s, dir) => {
+      val i = inst(s, dir)
+      Binary.arithmetic(
+        i.where(col("name") === "purchase").drop("name"),
+        i.where(col("name") === "click").drop("name"),
+        Seq("user_id")).orderBy("user_id", "bucket_s")
+    }),
+    "ts_binary_cmp" -> ((s, dir) => {
+      val i = inst(s, dir)
+      Binary.comparison(
+        i.where(col("name") === "purchase").drop("name"),
+        i.where(col("name") === "click").drop("name"),
+        Seq("user_id")).orderBy("user_id", "bucket_s")
+    }),
+    "ts_binary_and" -> ((s, dir) => {
+      val i = inst(s, dir)
+      Binary.and(
+        i.where(col("name") === "purchase").drop("name"),
+        i.where(col("name") === "click" && col("value") > 120).drop("name"),
+        Seq("user_id")).orderBy("user_id", "bucket_s")
+    }),
+    "ts_binary_or" -> ((s, dir) => {
+      val i = inst(s, dir)
+      Binary.or(
+        i.where(col("name") === "purchase").drop("name"),
+        i.where(col("name") === "click").drop("name"),
+        Seq("user_id")).orderBy("user_id", "bucket_s", "value")
+    }),
+    "ts_binary_unless" -> ((s, dir) => {
+      val i = inst(s, dir)
+      Binary.unless(
+        i.where(col("name") === "purchase").drop("name"),
+        i.where(col("name") === "click" && col("value") > 120).drop("name"),
+        Seq("user_id")).orderBy("user_id", "bucket_s")
+    }),
+
+    // ---- §2E tags -----------------------------------------------------
+    "ts_label_join" -> ((s, dir) =>
+      Tags.labelJoin(inst(s, dir), "series_id", "/", Seq("name", "user_id"))
+        .orderBy("name", "user_id", "bucket_s")),
+    "ts_label_replace" -> ((s, dir) =>
+      Tags.labelReplace(inst(s, dir), "group", "g_$1", "name", "^(pur|cli)")
+        .orderBy("name", "user_id", "bucket_s")),
+
+    // ---- §2F downsampling ---------------------------------------------
+    "ds_rollup" -> ((s, dir) =>
+      Downsample.rollup(samples(s, dir), "hour").orderBy("name", "user_id", "bucket_s")),
+    "ds_multi_res" -> ((s, dir) =>
+      Downsample.multiResolution(samples(s, dir))
+        .orderBy("resolution", "name", "user_id", "bucket_s"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ts_agg_by" ->
+      s"""SELECT name, bucket_s, round(sum(value), 6) AS sum_v, min(value) AS min_v,
+         | max(value) AS max_v, round(avg(value), 6) AS avg_v, count(*) AS count_v
+         | FROM ($INST) AS i GROUP BY name, bucket_s ORDER BY name, bucket_s""".stripMargin.replace("\n", " "),
+    "ts_spread_by" ->
+      s"""SELECT name, bucket_s, round(stddev_pop(value), 6) AS stddev_v,
+         | round(var_pop(value), 6) AS var_v
+         | FROM ($INST) AS i GROUP BY name, bucket_s ORDER BY name, bucket_s""".stripMargin.replace("\n", " "),
+    "ts_quantile_by" ->
+      s"""SELECT name, bucket_s, round(quantile_cont(value, 0.9), 6) AS quantile_v
+         | FROM ($INST) AS i GROUP BY name, bucket_s ORDER BY name, bucket_s""".stripMargin.replace("\n", " "),
+    "ts_topk" ->
+      s"""SELECT name, user_id, bucket_s, value FROM (
+         | SELECT *, row_number() OVER (PARTITION BY name, bucket_s
+         |   ORDER BY value DESC, user_id ASC) AS rk FROM ($INST) AS i) AS t
+         | WHERE rk <= 3 ORDER BY name, bucket_s, user_id""".stripMargin.replace("\n", " "),
+    "ts_bottomk" ->
+      s"""SELECT name, user_id, bucket_s, value FROM (
+         | SELECT *, row_number() OVER (PARTITION BY name, bucket_s
+         |   ORDER BY value ASC, user_id ASC) AS rk FROM ($INST) AS i) AS t
+         | WHERE rk <= 3 ORDER BY name, bucket_s, user_id""".stripMargin.replace("\n", " "),
+    "ts_count_values" ->
+      s"""SELECT name, bucket_s, CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS value_str,
+         | count(*) AS count_v FROM ($INST) AS i
+         | GROUP BY name, bucket_s, value_str ORDER BY name, bucket_s, value_str""".stripMargin.replace("\n", " "),
+    "ts_absent" ->
+      s"""SELECT g.bucket_s, 1 AS absent_v
+         | FROM (SELECT unnest(generate_series(1704067200, 1706572800, 86400)) AS bucket_s) AS g
+         | WHERE g.bucket_s NOT IN (
+         |   SELECT DISTINCT bucket_s FROM ($INST) AS i
+         |   WHERE name = 'purchase' AND user_id = 7 AND value > 150)
+         | ORDER BY g.bucket_s""".stripMargin.replace("\n", " "),
+    "ts_over_time_aggs" ->
+      s"""SELECT name, user_id, bucket_s, round(sum(value), 6) AS sum_v,
+         | round(avg(value), 6) AS avg_v, min(value) AS min_v, max(value) AS max_v,
+         | count(*) AS count_v FROM ($S) AS s
+         | GROUP BY name, user_id, bucket_s ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),
+    "ts_over_time_stddev" ->
+      s"""SELECT name, user_id, bucket_s, round(stddev_pop(value), 6) AS stddev_v,
+         | round(var_pop(value), 6) AS stdvar_v FROM ($S) AS s
+         | GROUP BY name, user_id, bucket_s ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),
+    "ts_last_over_time" ->
+      s"SELECT name, user_id, bucket_s, value FROM ($INST) AS i ORDER BY name, user_id, bucket_s",
+    "ts_quantile_over_time" ->
+      s"""SELECT name, user_id, bucket_s, round(quantile_cont(value, 0.5), 6) AS quantile_v
+         | FROM ($S) AS s GROUP BY name, user_id, bucket_s
+         | ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),
+    "ts_rate" ->
+      s"""SELECT name, user_id, bucket_s, round(last_v - first_v, 6) AS delta_v,
+         | round(last_v - first_v + reset_adj, 6) AS increase_v,
+         | round((last_v - first_v + reset_adj) / 86400.0, 9) AS rate_v
+         | FROM (
+         |  SELECT name, user_id, bucket_s,
+         |   first(value ORDER BY ts, event_id) AS first_v,
+         |   last(value ORDER BY ts, event_id) AS last_v,
+         |   sum(CASE WHEN prev_v > value THEN prev_v - value ELSE 0 END) AS reset_adj
+         |  FROM (SELECT *, lag(value) OVER (PARTITION BY name, user_id, bucket_s
+         |        ORDER BY ts, event_id) AS prev_v FROM ($S) AS s) AS p
+         |  GROUP BY name, user_id, bucket_s) AS g
+         | ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),
+    "ts_irate" ->
+      s"""SELECT name, user_id, bucket_s, round(value - prev_v, 6) AS idelta_v,
+         | round(CASE WHEN floor(epoch(ts)) <> floor(epoch(prev_ts))
+         |   THEN (value - prev_v) / (floor(epoch(ts)) - floor(epoch(prev_ts))) END, 9) AS irate_v
+         | FROM (SELECT *,
+         |   lag(value) OVER w AS prev_v, lag(ts) OVER w AS prev_ts,
+         |   row_number() OVER (PARTITION BY name, user_id, bucket_s
+         |     ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM ($S) AS s
+         |  WINDOW w AS (PARTITION BY name, user_id, bucket_s ORDER BY ts, event_id)) AS t
+         | WHERE rn = 1 AND prev_v IS NOT NULL
+         | ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),
+    "ts_resets_changes" ->
+      s"""SELECT name, user_id, bucket_s,
+         | CAST(sum(CASE WHEN prev_v > value THEN 1 ELSE 0 END) AS BIGINT) AS resets_v,
+         | CAST(sum(CASE WHEN prev_v <> value THEN 1 ELSE 0 END) AS BIGINT) AS changes_v
+         | FROM (SELECT *, lag(value) OVER (PARTITION BY name, user_id, bucket_s
+         |       ORDER BY ts, event_id) AS prev_v FROM ($S) AS s) AS p
+         | GROUP BY name, user_id, bucket_s ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),
+    "ts_linreg" ->
+      s"""SELECT name, user_id, bucket_s, round(slope, 9) AS deriv_v,
+         | round(avg_v + slope * (90000.0 - avg_t), 6) AS predict_v
+         | FROM (
+         |  SELECT name, user_id, bucket_s,
+         |   CASE WHEN var_pop(t) > 0 THEN covar_pop(t, value) / var_pop(t) END AS slope,
+         |   avg(t) AS avg_t, avg(value) AS avg_v
+         |  FROM (SELECT name, user_id, bucket_s, value,
+         |        CAST(floor(epoch(ts)) - bucket_s AS DOUBLE) AS t FROM ($S) AS s) AS c
+         |  GROUP BY name, user_id, bucket_s) AS g
+         | ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),
+    "ts_timestamp" ->
+      s"""SELECT name, user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS value
+         | FROM ($S) AS s ORDER BY event_id""".stripMargin.replace("\n", " "),
+    "ts_math" ->
+      s"""SELECT name, user_id, bucket_s, round(abs(value), 6) AS abs_v,
+         | CAST(ceil(value) AS DOUBLE) AS ceil_v, CAST(floor(value) AS DOUBLE) AS floor_v,
+         | round(exp(value / 100.0), 6) AS exp_v, round(sqrt(abs(value)), 6) AS sqrt_v,
+         | round(CASE WHEN value > 0 THEN ln(value) END, 6) AS ln_v,
+         | round(CASE WHEN value > 0 THEN log2(value) END, 6) AS log2_v,
+         | round(CASE WHEN value > 0 THEN log10(value) END, 6) AS log10_v
+         | FROM ($INST) AS i ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),
+    "ts_clamp" ->
+      s"""SELECT name, user_id, bucket_s, round(greatest(value, 50.0), 6) AS clamp_min_v,
+         | round(least(value, 150.0), 6) AS clamp_max_v
+         | FROM ($INST) AS i ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),
+    "ts_round" ->
+      s"""SELECT name, user_id, bucket_s, round(round(value / 5.0) * 5.0, 6) AS round_v
+         | FROM ($INST) AS i ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),
+    "ts_datetime" ->
+      s"""SELECT name, user_id, event_id,
+         | dayofmonth(ts) AS day_of_month_v, dayofweek(ts) AS day_of_week_v,
+         | dayofmonth(last_day(ts)) AS days_in_month_v, hour(ts) AS hour_v,
+         | minute(ts) AS minute_v, month(ts) AS month_v, year(ts) AS year_v
+         | FROM ($S) AS s ORDER BY event_id""".stripMargin.replace("\n", " "),
+    "ts_histogram_quantile" -> {
+      val le = "CASE WHEN value <= 10 THEN 10.0 WHEN value <= 25 THEN 25.0 " +
+        "WHEN value <= 50 THEN 50.0 WHEN value <= 100 THEN 100.0 " +
+        "WHEN value <= 150 THEN 150.0 WHEN value <= 200 THEN 200.0 " +
+        "WHEN value <= 300 THEN 300.0 WHEN value <= 600 THEN 600.0 " +
+        "ELSE CAST('infinity' AS DOUBLE) END"
+      s"""SELECT name, bucket_s,
+         | round(CASE WHEN isinf(le) THEN lo
+         |   ELSE lo + (le - lo) * (q_rank - cum_prev) / (cum - cum_prev) END, 6) AS hq_v
+         | FROM (
+         |  SELECT *, 0.9 * total AS q_rank FROM (
+         |   SELECT name, bucket_s, le, c,
+         |    sum(c) OVER (PARTITION BY name, bucket_s ORDER BY le) AS cum,
+         |    coalesce(sum(c) OVER (PARTITION BY name, bucket_s ORDER BY le
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev,
+         |    coalesce(lag(le) OVER (PARTITION BY name, bucket_s ORDER BY le), 0.0) AS lo,
+         |    sum(c) OVER (PARTITION BY name, bucket_s) AS total
+         |   FROM (SELECT name, bucket_s, $le AS le, count(*) AS c FROM ($S) AS s
+         |         GROUP BY name, bucket_s, le) AS cnt) AS cm) AS r
+         | WHERE cum >= q_rank AND cum_prev < q_rank
+         | ORDER BY name, bucket_s""".stripMargin.replace("\n", " ")
+    },
+    "ts_sort" ->
+      s"""SELECT name, user_id, bucket_s, value,
+         | row_number() OVER (PARTITION BY bucket_s
+         |   ORDER BY value DESC, name ASC, user_id ASC) AS sort_rank
+         | FROM ($INST) AS i ORDER BY bucket_s, sort_rank""".stripMargin.replace("\n", " "),
+    "ts_binary_arith" ->
+      s"""SELECT l.user_id, l.bucket_s, round(l.value + r.value, 6) AS add_v,
+         | round(l.value - r.value, 6) AS sub_v, round(l.value * r.value, 6) AS mul_v,
+         | round(CASE WHEN r.value <> 0 THEN l.value / r.value END, 6) AS div_v,
+         | round(CASE WHEN r.value <> 0 THEN fmod(l.value, r.value) END, 6) AS mod_v,
+         | round(pow(l.value, r.value / 100.0), 6) AS pow_v
+         | FROM ($INST) AS l JOIN ($INST) AS r
+         |  ON l.user_id = r.user_id AND l.bucket_s = r.bucket_s
+         | WHERE l.name = 'purchase' AND r.name = 'click'
+         | ORDER BY l.user_id, l.bucket_s""".stripMargin.replace("\n", " "),
+    "ts_binary_cmp" ->
+      s"""SELECT l.user_id, l.bucket_s,
+         | CAST(l.value > r.value AS INT) AS gt_v, CAST(l.value >= r.value AS INT) AS ge_v,
+         | CAST(l.value < r.value AS INT) AS lt_v, CAST(l.value <= r.value AS INT) AS le_v,
+         | CAST(l.value = r.value AS INT) AS eq_v, CAST(l.value <> r.value AS INT) AS ne_v
+         | FROM ($INST) AS l JOIN ($INST) AS r
+         |  ON l.user_id = r.user_id AND l.bucket_s = r.bucket_s
+         | WHERE l.name = 'purchase' AND r.name = 'click'
+         | ORDER BY l.user_id, l.bucket_s""".stripMargin.replace("\n", " "),
+    "ts_binary_and" ->
+      s"""SELECT l.user_id, l.bucket_s, l.value FROM ($INST) AS l
+         | WHERE l.name = 'purchase' AND EXISTS (
+         |  SELECT 1 FROM ($INST) AS r WHERE r.name = 'click' AND r.value > 120
+         |   AND r.user_id = l.user_id AND r.bucket_s = l.bucket_s)
+         | ORDER BY l.user_id, l.bucket_s""".stripMargin.replace("\n", " "),
+    "ts_binary_or" ->
+      s"""SELECT user_id, bucket_s, value FROM (
+         | SELECT l.user_id, l.bucket_s, l.value FROM ($INST) AS l WHERE l.name = 'purchase'
+         | UNION ALL
+         | SELECT r.user_id, r.bucket_s, r.value FROM ($INST) AS r
+         |  WHERE r.name = 'click' AND NOT EXISTS (
+         |   SELECT 1 FROM ($INST) AS l2 WHERE l2.name = 'purchase'
+         |    AND l2.user_id = r.user_id AND l2.bucket_s = r.bucket_s)) AS u
+         | ORDER BY user_id, bucket_s, value""".stripMargin.replace("\n", " "),
+    "ts_binary_unless" ->
+      s"""SELECT l.user_id, l.bucket_s, l.value FROM ($INST) AS l
+         | WHERE l.name = 'purchase' AND NOT EXISTS (
+         |  SELECT 1 FROM ($INST) AS r WHERE r.name = 'click' AND r.value > 120
+         |   AND r.user_id = l.user_id AND r.bucket_s = l.bucket_s)
+         | ORDER BY l.user_id, l.bucket_s""".stripMargin.replace("\n", " "),
+    "ts_label_join" ->
+      s"""SELECT name, user_id, bucket_s, value,
+         | name || '/' || CAST(user_id AS VARCHAR) AS series_id
+         | FROM ($INST) AS i ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),
+    "ts_label_replace" ->
+      s"""SELECT name, user_id, bucket_s, value,
+         | CASE WHEN regexp_matches(name, '^(pur|cli)')
+         |      THEN regexp_replace(name, '^(pur|cli)', 'g_\\1') ELSE '' END AS "group"
+         | FROM ($INST) AS i ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),
+    "ds_rollup" ->
+      s"""SELECT name, user_id, bucket_s,
+         | last(value ORDER BY ts, event_id) AS last_v, min(value) AS min_v,
+         | max(value) AS max_v, round(avg(value), 6) AS mean_v,
+         | round(sum(value), 6) AS sum_v, count(*) AS count_v,
+         | round(stddev_pop(value), 6) AS stdev_v,
+         | round(quantile_cont(value, 0.5), 6) AS p50_v,
+         | round(quantile_cont(value, 0.95), 6) AS p95_v,
+         | round(quantile_cont(value, 0.99), 6) AS p99_v
+         | FROM (SELECT event_type AS name, user_id, ts, value, event_id,
+         |  CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_s FROM events) AS s
+         | GROUP BY name, user_id, bucket_s ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),
+    "ds_multi_res" -> {
+      val fine =
+        """SELECT name, user_id, bucket_s, sum(value) AS sum_v, count(*) AS count_v,
+          | min(value) AS min_v, max(value) AS max_v
+          | FROM (SELECT event_type AS name, user_id, value,
+          |  CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_s FROM events) AS s
+          | GROUP BY name, user_id, bucket_s""".stripMargin.replace("\n", " ")
+      s"""SELECT * FROM (
+         | SELECT name, user_id, '1h' AS resolution, bucket_s, round(sum_v, 6) AS sum_v,
+         |  count_v, min_v, max_v, round(sum_v / count_v, 6) AS mean_v FROM ($fine) AS f
+         | UNION ALL
+         | SELECT name, user_id, '1d' AS resolution,
+         |  CAST(floor(bucket_s / 86400) AS BIGINT) * 86400 AS bucket_s,
+         |  round(sum(sum_v), 6) AS sum_v, CAST(sum(count_v) AS BIGINT) AS count_v, min(min_v) AS min_v,
+         |  max(max_v) AS max_v, round(sum(sum_v) / sum(count_v), 6) AS mean_v
+         | FROM ($fine) AS f GROUP BY name, user_id, CAST(floor(bucket_s / 86400) AS BIGINT) * 86400
+         |) AS u ORDER BY resolution, name, user_id, bucket_s""".stripMargin.replace("\n", " ")
+    }
+  )
+}

@@ -1,0 +1,124 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication for large-scale training-data pipelines.
+  *
+  * Scale posture (SURVEY §4): the only all-pairs computation allowed
+  * is *within LSH candidate buckets*; every global step is a
+  * hash-groupBy with map-side combine. At 100 TB the flow is
+  * shingle→minhash (map-local explode + one groupBy per doc) →
+  * band buckets (groupBy band hash) → pair-join inside buckets only.
+  *
+  * Shared cross-engine hash primitive: the first 8 hex chars of
+  * md5, read as a 32-bit int (both Spark and DuckDB render md5 as
+  * lowercase hex), fed through independent affine hashes
+  * (a_i·x + b_i) mod p for the minhash family.
+  */
+object Dedup {
+
+  /** md5-based 32-bit content hash of a string column — identical in
+    * Spark (`conv`) and DuckDB (hex cast). */
+  def md5Int(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  private val P = 4294967311L // smallest prime > 2^32
+
+  /** Normalized word 3-gram shingles of `text`. */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
+    val words = split(lower(col("text")), "\\s+")
+    docs.select(
+      col("doc_id"),
+      explode(
+        // distinct shingles: sliding word n-grams
+        array_distinct(
+          filter(
+            transform(words, (_, i) =>
+              when(i <= size(words) - n,
+                concat_ws(" ", (0 until n).map(j => element_at(words, i + j + 1)): _*))),
+            _.isNotNull))).as("shingle"))
+  }
+
+  /** MinHash signature: k independent affine hashes over shingle
+    * hashes, min per doc. One explode + one groupBy — map-side
+    * combine keeps only k longs per doc. Seeds are fixed so the
+    * oracle can replay them. */
+  def minhashSignature(docs: DataFrame, k: Int = 16, n: Int = 3): DataFrame = {
+    val sh = shingles(docs, n).withColumn("h", md5Int(col("shingle")))
+    val aggs = (0 until k).map { i =>
+      val a = 2L * i + 1
+      val b = 7919L * (i + 1)
+      min(pmod(lit(a) * col("h") + lit(b), lit(P))).as(s"mh$i")
+    }
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH band-bucket candidate pairs from minhash signatures:
+    * signatures split into `bands` bands of `rows` hashes; docs
+    * sharing any band bucket become a candidate pair. The join is
+    * per-bucket (never all-pairs); output is distinct ordered pairs.
+    */
+  def minhashCandidates(sigs: DataFrame, bands: Int = 4, rows: Int = 4): DataFrame = {
+    val banded = (0 until bands).map { b =>
+      val bandCols = (0 until rows).map(r => col(s"mh${b * rows + r}"))
+      sigs.select(col("doc_id"), lit(b).as("band"),
+        md5(concat_ws(",", bandCols: _*)).as("bucket"))
+    }.reduce(_ unionByName _)
+    banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** SimHash: 64-bit fingerprint where bit j = sign of the sum over
+    * shingles of (±1 by bit j of the shingle hash). Near-dups have
+    * small hamming distance. Emits the fingerprint split in two
+    * 32-bit halves (exact-match blocking on either half = classic
+    * simhash blocking).
+    */
+  def simhash(docs: DataFrame, bits: Int = 32, n: Int = 3): DataFrame = {
+    val sh = shingles(docs, n).withColumn("h", md5Int(col("shingle")))
+    val bitSums = (0 until bits).map { j =>
+      sum(when(shiftright(col("h"), j) % 2 === 1, 1).otherwise(-1)).as(s"b$j")
+    }
+    val fp = (0 until bits).map { j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    sh.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), fp.as("simhash_v"))
+  }
+
+  /** Exact n-gram Jaccard similarity over a candidate pair list —
+    * the verification stage after LSH blocking. Shingle sets join
+    * through the (tiny) pair list, so cost is |candidates| · shingle
+    * overlap, never all-pairs. */
+  def jaccardPairs(docs: DataFrame, pairs: DataFrame, n: Int = 3): DataFrame = {
+    val sh = shingles(docs, n)
+    val szs = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val aSh = sh.toDF("doc_a", "shingle")
+    val bSh = sh.toDF("doc_b", "shingle")
+    val inter = pairs.join(aSh, "doc_a").join(bSh, Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter_sz"))
+    pairs
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(szs.toDF("doc_a", "sz_a"), "doc_a")
+      .join(szs.toDF("doc_b", "sz_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(coalesce(col("inter_sz"), lit(0L)).cast("double") /
+          (col("sz_a") + col("sz_b") - coalesce(col("inter_sz"), lit(0L))).cast("double"),
+          6).as("jaccard_v"))
+  }
+
+  /** Exact dedup: md5 content hash; rank within hash groups (keep
+    * rank 1, drop the rest). */
+  def exact(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("content_md5")).orderBy(col("doc_id"))
+    docs.select(col("doc_id"), md5(col("text")).as("content_md5"))
+      .withColumn("dup_rank", row_number().over(w).cast("long"))
+      .withColumn("is_dup", (col("dup_rank") > 1).cast("int"))
+  }
+}

@@ -1,0 +1,88 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns: image/audio/video as opaque `binary` payloads
+  * with typed metadata, plus the Spark-side plumbing for
+  * decode/feature-extract stages.
+  *
+  * The decode kernels themselves are STUBBED (this container has no
+  * image/audio libraries): [[decodeStub]] is a deterministic fake
+  * that "decodes" a payload to (width, height, n_frames) derived
+  * from its bytes. Everything around it — the schema, the batch
+  * iterator shape (mapPartitions over rows, the Scala analogue of
+  * the arrow-batched mapInPandas plumbing), partition sizing — is
+  * real and tested, so swapping a real decoder in is a one-function
+  * change.
+  *
+  * Scale posture: payloads are opaque and *never* shuffled — feature
+  * extraction is a map stage; only the (tiny) extracted metadata
+  * ever enters joins/aggregations. Partition sizing: binary columns
+  * dominate row size, so `spark.sql.files.maxPartitionBytes` governs
+  * decode parallelism, not row count.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),      // image|audio|video
+    StructField("payload", BinaryType, nullable = false),   // opaque bytes
+    StructField("meta_codec", StringType, nullable = true),
+    StructField("meta_bytes", LongType, nullable = false)))
+
+  /** Synthesize a deterministic media table from the documents table
+    * (payload = utf-8 bytes of the text — a stand-in for real blobs
+    * with realistic size skew). */
+  def syntheticMedia(docs: DataFrame): DataFrame = {
+    val kind = element_at(array(lit("image"), lit("audio"), lit("video")),
+      (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
+    docs.select(
+      col("doc_id").as("media_id"),
+      kind.as("kind"),
+      col("text").cast("binary").as("payload"),
+      concat(lit("codec_"), pmod(col("doc_id"), lit(4))).as("meta_codec"),
+      length(col("text")).cast("long").as("meta_bytes"))
+  }
+
+  /** STUB decode kernel: deterministic fake features from payload
+    * bytes. A real deployment replaces the body with an image/audio
+    * decode (the signature and batching stay identical). */
+  def decodeStub(payload: Array[Byte]): (Int, Int, Int) = {
+    val n = payload.length
+    val s = payload.foldLeft(17)((a, b) => a * 31 + (b & 0xff)) & 0x7fffffff
+    (64 + s % 1920, 64 + (s / 7) % 1080, 1 + n % 240)
+  }
+
+  /** Feature extraction: mapPartitions over payload batches (the
+    * iterator shape a real arrow-batched decoder needs: one
+    * initialization per partition, streaming rows, no collect). */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false),
+      StructField("meta_bytes", LongType, nullable = false)))
+    val rdd = media.select("media_id", "kind", "payload", "meta_bytes").rdd
+      .mapPartitions { rows =>
+        // per-partition init would open the decoder context here
+        rows.map { r =>
+          val (w, h, f) = decodeStub(r.getAs[Array[Byte]]("payload"))
+          Row(r.getLong(0), r.getString(1), w, h, f, r.getLong(3))
+        }
+      }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Frame sampling plan for video rows: every `stride`-th frame
+    * index as an array column — pure column algebra, the decode of
+    * each sampled frame being the stubbed stage. */
+  def sampleFrames(features: DataFrame, stride: Int = 30): DataFrame =
+    features.where(col("kind") === "video")
+      .select(col("media_id"), col("n_frames"),
+        sequence(lit(0), col("n_frames") - 1, lit(stride)).as("frame_idx"))
+}

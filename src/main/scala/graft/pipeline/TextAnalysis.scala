@@ -1,0 +1,99 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: language ID, quality
+  * scoring, token counting, fingerprinting. All pure column algebra
+  * (codegen, shuffle-free per document) — at 100 TB these run as a
+  * single map stage over the corpus.
+  */
+object TextAnalysis {
+
+  /** Stopword profiles per language for the n-gram/stopword-ratio
+    * language-ID heuristic. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "est", "que"),
+    "es" -> Seq("el", "la", "los", "que", "de", "un", "es", "por"))
+
+  private def words(c: Column): Column = split(lower(c), "\\s+")
+
+  /** Score for one language = fraction of words that are stopwords
+    * of that language. */
+  def langScore(c: Column, lang: String): Column = {
+    val sw = stopwords(lang)
+    val w = words(c)
+    size(filter(w, x => sw.map(s => x === s).reduce(_ || _))).cast("double") /
+      size(w).cast("double")
+  }
+
+  /** Language ID: argmax over language stopword scores; "und"
+    * (undetermined) when every score is 0 (e.g. zh — no latin
+    * stopwords). Deterministic tie-break: language order en,de,fr,es.
+    */
+  def languageId(docs: DataFrame): DataFrame = {
+    val langs = Seq("en", "de", "fr", "es")
+    val scored = langs.foldLeft(docs.select(col("doc_id"), col("lang"), col("text"))) {
+      (d, l) => d.withColumn(s"score_$l", langScore(col("text"), l))
+    }
+    val best = langs.map(l => struct(col(s"score_$l").as("s"), lit(l).as("l")))
+      .reduce((a, b) => when(b("s") > a("s"), b).otherwise(a))
+    scored
+      .withColumn("pred_lang", when(best("s") > 0, best("l")).otherwise(lit("und")))
+      .select(col("doc_id"), col("lang"), col("pred_lang"),
+        round(greatest(langs.map(l => col(s"score_$l")): _*), 6).as("lang_score"))
+  }
+
+  /** Quality scoring: length, punctuation ratio, stopword ratio,
+    * repetition (distinct-word ratio); composite in [0,1]. */
+  def quality(docs: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    val nChars = length(col("text")).cast("double")
+    val punct = (nChars - length(regexp_replace(col("text"), "[.,;:!?]", ""))) / nChars
+    val allSw = stopwords.values.flatten.toSeq.distinct
+    val swRatio = size(filter(w, x => allSw.map(s => x === s).reduce(_ || _)))
+      .cast("double") / size(w).cast("double")
+    val distinctRatio = size(array_distinct(w)).cast("double") / size(w).cast("double")
+    val lenScore = least(nChars / lit(500.0), lit(1.0))
+    docs.select(
+      col("doc_id"),
+      size(w).cast("long").as("n_words"),
+      round(punct, 6).as("punct_ratio"),
+      round(swRatio, 6).as("stopword_ratio"),
+      round(distinctRatio, 6).as("distinct_ratio"),
+      round((lenScore + distinctRatio + least(swRatio * 4, lit(1.0))) / 3.0, 6)
+        .as("quality_score"))
+  }
+
+  /** Token counting: whitespace tokens plus a BPE-ish subword
+    * estimate (word-initial + ~4-chars-per-subword pieces, the
+    * standard chars/4 heuristic refined by punctuation splits). */
+  def tokenCount(docs: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    // BPE-ish: every word costs ceil(len/4) pieces
+    val bpe = aggregate(w, lit(0L),
+      (acc, x) => acc + ceil(length(x).cast("double") / 4.0).cast("long"))
+    docs.select(
+      col("doc_id"),
+      size(w).cast("long").as("ws_tokens"),
+      bpe.as("bpe_tokens"))
+  }
+
+  /** Document fingerprint: rolling 16-char window hashes sampled at
+    * fixed stride (winnowing-style but deterministic stride so the
+    * oracle can replay it); emits min hash per document — a compact
+    * near-dup blocking key. */
+  def fingerprint(docs: DataFrame, win: Int = 16, stride: Int = 8): DataFrame = {
+    val n = length(col("text"))
+    val starts = sequence(lit(1), greatest(n - win + 1, lit(1)), lit(stride))
+    val grams = transform(starts, i => col("text").substr(i, lit(win)))
+    val gramHashes = transform(grams, g => Dedup.md5Int(g))
+    docs.select(
+      col("doc_id"),
+      array_min(gramHashes).as("fp_min"),
+      array_max(gramHashes).as("fp_max"),
+      size(gramHashes).cast("long").as("fp_n"))
+  }
+}

@@ -1,0 +1,72 @@
+package graft.tsdb
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Downsampling / rollup — the m3aggregator tier (reference:
+  * src/aggregator/aggregation/{gauge,counter,timer}.go and the
+  * resolution:retention storage policies in src/metrics/policy/).
+  *
+  * m3 rolls every series up into tumbling windows per resolution,
+  * keeping a fixed set of aggregations (Last, Min, Max, Mean, Sum,
+  * Count, SumSq, Stdev, and P50/P95/P99 for timers). Each policy is
+  * one groupBy at its resolution — map-side partial aggregation,
+  * shuffle only of per-group state; with time-partitioned input the
+  * shuffle keys are partition-local.
+  */
+object Downsample {
+
+  /** One rollup at a given resolution — the m3 timer aggregation set
+    * (src/aggregator/aggregation/timer.go). */
+  def rollup(samples: DataFrame, unit: String,
+             labelCols: Seq[String] = Vectors.labels): DataFrame =
+    samples
+      .withColumn("bucket_s", Vectors.bucketS(unit))
+      .groupBy((labelCols :+ "bucket_s").map(col): _*)
+      .agg(
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("last_v"),
+        min("value").as("min_v"),
+        max("value").as("max_v"),
+        round(avg("value"), 6).as("mean_v"),
+        round(sum("value"), 6).as("sum_v"),
+        count(lit(1)).as("count_v"),
+        round(stddev_pop("value"), 6).as("stdev_v"),
+        round(percentile(col("value"), lit(0.5)), 6).as("p50_v"),
+        round(percentile(col("value"), lit(0.95)), 6).as("p95_v"),
+        round(percentile(col("value"), lit(0.99)), 6).as("p99_v"))
+
+  /** Multi-resolution tiering — the m3 storage-policy stack
+    * (e.g. 10s:2d, 1m:30d, 1h:1y in src/metrics/policy/policy.go):
+    * the same series rolled up at several resolutions, unioned with
+    * a `resolution` tag. Coarser tiers aggregate the finer tier's
+    * output (sum/count/min/max compose; mean recomputed from them)
+    * instead of rescanning raw samples — at 100 TB only the finest
+    * tier ever reads raw data.
+    */
+  def multiResolution(samples: DataFrame,
+                      labelCols: Seq[String] = Vectors.labels): DataFrame = {
+    val fine = samples
+      .withColumn("bucket_s", Vectors.bucketS("hour"))
+      .groupBy((labelCols :+ "bucket_s").map(col): _*)
+      .agg(
+        sum("value").as("sum_v"), count(lit(1)).as("count_v"),
+        min("value").as("min_v"), max("value").as("max_v"))
+    val fineOut = fine.select(
+      (labelCols.map(col) :+ lit("1h").as("resolution") :+ col("bucket_s")) ++ Seq(
+        round(col("sum_v"), 6).as("sum_v"), col("count_v"),
+        col("min_v"), col("max_v"),
+        round(col("sum_v") / col("count_v"), 6).as("mean_v")): _*)
+    val coarse = fine
+      .withColumn("day_s", (floor(col("bucket_s") / 86400L) * 86400L).cast("long"))
+      .groupBy((labelCols :+ "day_s").map(col): _*)
+      .agg(
+        sum("sum_v").as("sum_v"), sum("count_v").as("count_v"),
+        min("min_v").as("min_v"), max("max_v").as("max_v"))
+      .select(
+        (labelCols.map(col) :+ lit("1d").as("resolution") :+ col("day_s").as("bucket_s")) ++ Seq(
+          round(col("sum_v"), 6).as("sum_v"), col("count_v"),
+          col("min_v"), col("max_v"),
+          round(col("sum_v") / col("count_v"), 6).as("mean_v")): _*)
+    fineOut.unionByName(coarse)
+  }
+}

@@ -1,0 +1,227 @@
+package graft.tsdb
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-series temporal operators — the m3 `temporal` function family
+  * (reference: src/query/functions/temporal/…go files) re-expressed as
+  * tumbling-window DataFrame aggregations.
+  *
+  * m3 evaluates these over a sliding lookback at step-aligned
+  * instants (src/query/functions/temporal/base.go); its aggregator
+  * tier computes the same functions over *tumbling* resolution
+  * windows (src/aggregator/aggregation). We implement the tumbling
+  * form — the semantics a batch engine over 100 TB of history
+  * actually runs — with exact, documented definitions below. Counter
+  * reset handling follows src/query/functions/temporal/rate.go:
+  * a decrease between consecutive samples is a reset, and the
+  * pre-reset value is added back when computing increase.
+  *
+  * Definitions per (series, window):
+  *  - delta     = last − first                       (gauge change)
+  *  - increase  = delta + Σ max(prev − cur, 0)       (reset-adjusted)
+  *  - rate      = increase / window_seconds
+  *  - irate     = (last − prev_last) / (ts_last − ts_prev) over the
+  *                final two samples; idelta = last − prev_last
+  *  - resets    = #(cur < prev);  changes = #(cur ≠ prev)
+  *  - deriv     = least-squares slope of (epoch_s, value)
+  *                (src/query/functions/temporal/linear_regression.go
+  *                 uses the same covariance formulation)
+  *  - predict_linear(h) = intercept + slope · (window_end + h)
+  *
+  * Scale: the lag() window shuffles once on the series key and sorts
+  * within partitions; every aggregate after that is map-side partial.
+  * All outputs are (labels…, bucket_s, metrics…) — small relative to
+  * input, safe to collect per window.
+  */
+object Temporal {
+  import Vectors.labels
+
+  private def secondsOf(unit: String): Long = unit match {
+    case "minute" => 60L
+    case "hour"   => 3600L
+    case "day"    => 86400L
+    case "week"   => 604800L
+    case u        => throw new IllegalArgumentException(s"unit $u")
+  }
+
+  /** Plain `*_over_time` aggregations (temporal/aggregation.go):
+    * sum, avg, min, max, count over each (series, window). */
+  def overTimeAggs(samples: DataFrame, unit: String = "day",
+                   labelCols: Seq[String] = labels): DataFrame =
+    samples
+      .withColumn("bucket_s", Vectors.bucketS(unit))
+      .groupBy((labelCols :+ "bucket_s").map(col): _*)
+      .agg(
+        round(sum("value"), 6).as("sum_v"),
+        round(avg("value"), 6).as("avg_v"),
+        min("value").as("min_v"),
+        max("value").as("max_v"),
+        count(lit(1)).as("count_v"))
+
+  /** stddev/stdvar_over_time — population moments, matching PromQL /
+    * m3 semantics (temporal/aggregation.go:50,53 use the population
+    * form). */
+  def overTimeStddev(samples: DataFrame, unit: String = "day",
+                     labelCols: Seq[String] = labels): DataFrame =
+    samples
+      .withColumn("bucket_s", Vectors.bucketS(unit))
+      .groupBy((labelCols :+ "bucket_s").map(col): _*)
+      .agg(
+        round(stddev_pop("value"), 6).as("stddev_v"),
+        round(var_pop("value"), 6).as("stdvar_v"))
+
+  /** last_over_time (temporal/aggregation.go:56) — deterministic on
+    * ts ties via event_id. */
+  def lastOverTime(samples: DataFrame, unit: String = "day",
+                   labelCols: Seq[String] = labels): DataFrame =
+    Vectors.instant(samples, unit, labelCols)
+
+  /** quantile_over_time (temporal/aggregation.go:59) — exact
+    * interpolated percentile (PromQL's linear interpolation). */
+  def quantileOverTime(samples: DataFrame, q: Double, unit: String = "day",
+                       labelCols: Seq[String] = labels): DataFrame =
+    samples
+      .withColumn("bucket_s", Vectors.bucketS(unit))
+      .groupBy((labelCols :+ "bucket_s").map(col): _*)
+      .agg(round(percentile(col("value"), lit(q)), 6).as("quantile_v"))
+
+  /** rate / increase / delta in one frame (temporal/rate.go). */
+  def rateFrame(samples: DataFrame, unit: String = "day",
+                labelCols: Seq[String] = labels): DataFrame = {
+    val winSecs = secondsOf(unit)
+    val bucketed = samples.withColumn("bucket_s", Vectors.bucketS(unit))
+    val w = Window.partitionBy((labelCols :+ "bucket_s").map(col): _*)
+      .orderBy(col("ts"), col("event_id"))
+    val withPrev = bucketed.withColumn("prev_v", lag("value", 1).over(w))
+    withPrev
+      .groupBy((labelCols :+ "bucket_s").map(col): _*)
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("first_v"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("last_v"),
+        sum(when(col("prev_v") > col("value"), col("prev_v") - col("value"))
+          .otherwise(lit(0.0))).as("reset_adj"))
+      .select(
+        (labelCols :+ "bucket_s").map(col) ++ Seq(
+          round(col("last_v") - col("first_v"), 6).as("delta_v"),
+          round(col("last_v") - col("first_v") + col("reset_adj"), 6).as("increase_v"),
+          round((col("last_v") - col("first_v") + col("reset_adj")) / lit(winSecs.toDouble), 9)
+            .as("rate_v")): _*)
+  }
+
+  /** irate / idelta (temporal/rate.go:36,40): instantaneous rate from
+    * the final two samples of each window. Windows with a single
+    * sample yield null. */
+  def irateFrame(samples: DataFrame, unit: String = "day",
+                 labelCols: Seq[String] = labels): DataFrame = {
+    val bucketed = samples.withColumn("bucket_s", Vectors.bucketS(unit))
+    val keys = (labelCols :+ "bucket_s").map(col)
+    val w = Window.partitionBy(keys: _*).orderBy(col("ts"), col("event_id"))
+    val wDesc = Window.partitionBy(keys: _*)
+      .orderBy(col("ts").desc, col("event_id").desc)
+    bucketed
+      .withColumn("prev_v", lag("value", 1).over(w))
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .withColumn("rn", row_number().over(wDesc))
+      .where(col("rn") === 1 && col("prev_v").isNotNull)
+      .select(keys ++ Seq(
+        round(col("value") - col("prev_v"), 6).as("idelta_v"),
+        round((col("value") - col("prev_v")) /
+          (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))).cast("double"), 9)
+          .as("irate_v")): _*)
+  }
+
+  /** resets + changes (temporal/functions.go:37,41). */
+  def resetsChanges(samples: DataFrame, unit: String = "day",
+                    labelCols: Seq[String] = labels): DataFrame = {
+    val bucketed = samples.withColumn("bucket_s", Vectors.bucketS(unit))
+    val keys = (labelCols :+ "bucket_s").map(col)
+    val w = Window.partitionBy(keys: _*).orderBy(col("ts"), col("event_id"))
+    bucketed
+      .withColumn("prev_v", lag("value", 1).over(w))
+      .groupBy(keys: _*)
+      .agg(
+        sum(when(col("prev_v") > col("value"), 1).otherwise(0)).as("resets_v"),
+        sum(when(col("prev_v") =!= col("value"), 1).otherwise(0)).as("changes_v"))
+  }
+
+  /** deriv + predict_linear (temporal/linear_regression.go):
+    * least-squares slope over (epoch seconds, value); prediction at
+    * window end + horizonS. Windows need ≥2 samples with distinct
+    * timestamps (var_pop(t) > 0), else null. */
+  def linearRegression(samples: DataFrame, horizonS: Long = 3600L,
+                       unit: String = "day",
+                       labelCols: Seq[String] = labels): DataFrame = {
+    val winSecs = secondsOf(unit)
+    val bucketed = samples
+      .withColumn("bucket_s", Vectors.bucketS(unit))
+      // t is *window-relative* seconds (second-truncated, identical
+      // floor semantics in Spark and DuckDB). Centering near 0 keeps
+      // the intercept well-conditioned: with absolute epoch seconds
+      // (~1.7e9) the intercept is a difference of ~1e5-magnitude
+      // terms and float noise survives round(…, 6).
+      .withColumn("t",
+        (unix_timestamp(col("ts")) - col("bucket_s")).cast("double"))
+    val keys = (labelCols :+ "bucket_s").map(col)
+    bucketed
+      .groupBy(keys: _*)
+      .agg(
+        covar_pop(col("t"), col("value")).as("cov_tv"),
+        var_pop(col("t")).as("var_t"),
+        avg(col("t")).as("avg_t"),
+        avg(col("value")).as("avg_v"))
+      .withColumn("slope",
+        when(col("var_t") > 0, col("cov_tv") / col("var_t")))
+      .select(keys ++ Seq(
+        round(col("slope"), 9).as("deriv_v"),
+        round(col("avg_v") +
+          col("slope") * (lit((winSecs + horizonS).toDouble) - col("avg_t")), 6)
+          .as("predict_v")): _*)
+  }
+
+  /** timestamp() (unconsolidated/timestamp.go:38): value := sample
+    * epoch seconds. */
+  def timestampOp(samples: DataFrame,
+                  labelCols: Seq[String] = labels): DataFrame =
+    samples.select(
+      (labelCols.map(col) :+ col("event_id")) ++ Seq(
+        unix_timestamp(col("ts")).as("value")): _*)
+
+  /** holt_winters(sf, tf) (temporal/holt_winters.go): double
+    * exponential smoothing per (series, window), returning the final
+    * smoothed level. Sequential recurrence — implemented as a
+    * higher-order `aggregate` over the in-window sample array so it
+    * stays distributed and codegen-friendly (the array is one
+    * window of one series: bounded, small). Not expressible in ANSI
+    * SQL → rows-only oracle.
+    *
+    * s0 = v0, b0 = v1 − v0;
+    * s_i = sf·v_i + (1−sf)(s_{i−1} + b_{i−1});
+    * b_i = tf(s_i − s_{i−1}) + (1−tf)·b_{i−1}.
+    */
+  def holtWinters(samples: DataFrame, sf: Double, tf: Double,
+                  unit: String = "day",
+                  labelCols: Seq[String] = labels): DataFrame = {
+    val bucketed = samples.withColumn("bucket_s", Vectors.bucketS(unit))
+    val keys = (labelCols :+ "bucket_s").map(col)
+    val collected = bucketed
+      .groupBy(keys: _*)
+      .agg(array_sort(collect_list(struct(col("ts"), col("event_id"), col("value"))))
+        .as("pts"))
+      .where(size(col("pts")) >= 2)
+    val vals = expr("transform(pts, p -> p.value)")
+    val smoothed = aggregate(
+      expr("slice(transform(pts, p -> p.value), 3, size(pts) - 2)"),
+      struct(
+        element_at(vals, 2).as("s"),
+        (element_at(vals, 2) - element_at(vals, 1)).as("b")),
+      (acc, v) => {
+        val s1 = lit(sf) * v + (lit(1.0) - lit(sf)) * (acc("s") + acc("b"))
+        val b1 = lit(tf) * (s1 - acc("s")) + (lit(1.0) - lit(tf)) * acc("b")
+        struct(s1.as("s"), b1.as("b"))
+      },
+      acc => acc("s"))
+    collected.select(keys :+ round(smoothed, 6).as("hw_v"): _*)
+  }
+}

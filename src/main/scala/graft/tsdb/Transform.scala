@@ -1,0 +1,110 @@
+package graft.tsdb
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Instant transforms — the m3 `linear` function family (reference:
+  * src/query/functions/linear/…go files): pure per-row column functions
+  * over an instant frame. All stay inside whole-stage codegen; none
+  * shuffles (except the explicit sort ops).
+  */
+object Transform {
+
+  /** abs/ceil/floor/exp/sqrt/ln/log2/log10 (linear/math.go).
+    * ln/log are guarded: m3 emits NaN for non-positive inputs; we
+    * emit null (SQL-comparable across engines). */
+  def math(instant: DataFrame): DataFrame =
+    instant.select(
+      col("name"), col("user_id"), col("bucket_s"),
+      round(abs(col("value")), 6).as("abs_v"),
+      ceil(col("value")).cast("double").as("ceil_v"),
+      floor(col("value")).cast("double").as("floor_v"),
+      round(exp(col("value") / lit(100.0)), 6).as("exp_v"),
+      round(sqrt(abs(col("value"))), 6).as("sqrt_v"),
+      round(when(col("value") > 0, log(col("value"))), 6).as("ln_v"),
+      round(when(col("value") > 0, log2(col("value"))), 6).as("log2_v"),
+      round(when(col("value") > 0, log10(col("value"))), 6).as("log10_v"))
+
+  /** clamp_min/clamp_max (linear/clamp.go). */
+  def clamp(instant: DataFrame, lo: Double, hi: Double): DataFrame =
+    instant.select(
+      col("name"), col("user_id"), col("bucket_s"),
+      round(greatest(col("value"), lit(lo)), 6).as("clamp_min_v"),
+      round(least(col("value"), lit(hi)), 6).as("clamp_max_v"))
+
+  /** round-to-multiple (linear/round.go:37): round(v / m) * m. */
+  def roundTo(instant: DataFrame, toNearest: Double): DataFrame =
+    instant.select(
+      col("name"), col("user_id"), col("bucket_s"),
+      round(round(col("value") / lit(toNearest), 0) * lit(toNearest), 6)
+        .as("round_v"))
+
+  /** PromQL datetime family (linear/datetime.go). day_of_week is
+    * PromQL-style: 0 = Sunday … 6 = Saturday. */
+  def datetime(samples: DataFrame): DataFrame =
+    samples.select(
+      col("name"), col("user_id"), col("event_id"),
+      dayofmonth(col("ts")).cast("long").as("day_of_month_v"),
+      (dayofweek(col("ts")) - lit(1)).cast("long").as("day_of_week_v"),
+      dayofmonth(last_day(col("ts"))).cast("long").as("days_in_month_v"),
+      hour(col("ts")).cast("long").as("hour_v"),
+      minute(col("ts")).cast("long").as("minute_v"),
+      month(col("ts")).cast("long").as("month_v"),
+      year(col("ts")).cast("long").as("year_v"))
+
+  /** sort/sort_desc (linear/sort.go): the series of an instant
+    * ordered by value. Emits the rank so the ordering is part of the
+    * comparable output (row order itself is not hashed). */
+  def sortSeries(instant: DataFrame, desc: Boolean,
+                 tiebreak: Seq[String]): DataFrame = {
+    val ord =
+      if (desc) col("value").desc +: tiebreak.map(col(_).asc)
+      else col("value").asc +: tiebreak.map(col(_).asc)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket_s")).orderBy(ord: _*)
+    instant.withColumn("sort_rank", row_number().over(w).cast("long"))
+  }
+
+  /** histogram_quantile(q) (linear/histogram_quantile.go): build
+    * cumulative le-buckets from raw sample values, then PromQL's
+    * linear interpolation within the target bucket:
+    *   q_rank = q · total;
+    *   target = lowest bucket with cum ≥ q_rank;
+    *   result = lo + (hi − lo) · (q_rank − cum_prev) / (cum − cum_prev)
+    * The +Inf bucket returns its lower bound (PromQL behavior).
+    *
+    * Buckets are synthesized from the gauge values (the testdata has
+    * no pre-bucketed histogram metric); boundaries are fixed so both
+    * engines build identical histograms.
+    */
+  def histogramQuantile(samples: DataFrame, q: Double,
+                        bounds: Seq[Double] = Seq(10, 25, 50, 100, 150, 200),
+                        unit: String = "day"): DataFrame = {
+    val bucketed = samples.withColumn("bucket_s", Vectors.bucketS(unit))
+    // assign each sample its le bucket upper bound (+Inf for overflow)
+    val withLe = bucketed.withColumn("le",
+      bounds.reverse.foldLeft(lit(Double.PositiveInfinity)) { (acc, b) =>
+        when(col("value") <= b, lit(b)).otherwise(acc)
+      })
+    val counts = withLe.groupBy("name", "bucket_s", "le")
+      .agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("name", "bucket_s").orderBy("le")
+    val cum = counts
+      .withColumn("cum", sum("c").over(w))
+      .withColumn("cum_prev", coalesce(lag("cum", 1).over(w), lit(0L)))
+      .withColumn("lo", coalesce(lag("le", 1).over(w), lit(0.0)))
+    val wTot = org.apache.spark.sql.expressions.Window
+      .partitionBy("name", "bucket_s")
+    val ranked = cum.withColumn("total", max("cum").over(wTot))
+      .withColumn("q_rank", lit(q) * col("total"))
+      .where(col("cum") >= col("q_rank") && col("cum_prev") < col("q_rank"))
+    ranked.select(
+      col("name"), col("bucket_s"),
+      round(
+        when(col("le") === Double.PositiveInfinity, col("lo"))
+          .otherwise(col("lo") + (col("le") - col("lo")) *
+            (col("q_rank") - col("cum_prev")) / (col("cum") - col("cum_prev"))),
+        6).as("hq_v"))
+  }
+}

@@ -1,0 +1,69 @@
+package graft.tsdb
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Canonical series frames — the m3 data model re-expressed as
+  * DataFrames.
+  *
+  * In m3 a series is a metric name plus a label set, and samples are
+  * (timestamp, float64) pairs (reference: src/query/models/tags.go,
+  * src/query/ts/values.go). Here a *sample frame* is any DataFrame
+  * with label columns + `ts` (timestamp) + `value` (double); an
+  * *instant frame* additionally has `bucket_s` (bigint, epoch seconds
+  * of the evaluation instant) instead of raw `ts`, one row per
+  * (series, instant) — the Spark analogue of m3's consolidated
+  * instant vector (src/query/ts/values.go consolidation uses the
+  * last sample in the lookback window).
+  *
+  * On the synthetic testdata the raw sample stream is
+  * `events.parquet`: name = event_type, labels = {user_id}.
+  *
+  * Scale notes: bucketing is `date_trunc`, a pure column op — with a
+  * dt=/hour= partitioned layout every (series, bucket) group lives
+  * inside one file partition, so the groupBy aggregations here are
+  * map-side-partial first and shuffle only the (tiny) per-group
+  * state. Per-series *ordered* window ops (lag etc., see Temporal)
+  * shuffle once on the series key; all downstream ops reuse that
+  * partitioning.
+  */
+object Vectors {
+
+  /** Default label columns of the events-derived series frame. */
+  val labels: Seq[String] = Seq("name", "user_id")
+
+  /** events → sample frame (name, user_id, ts, value, event_id).
+    * event_id rides along purely as the deterministic tiebreaker for
+    * "last sample wins" consolidation and top-k row_numbers.
+    */
+  def samples(events: DataFrame): DataFrame =
+    events.select(
+      col("event_type").as("name"),
+      col("user_id"),
+      col("ts"),
+      col("value"),
+      col("event_id"))
+
+  /** Epoch-seconds of `date_trunc(unit, ts)` — bigint bucket key.
+    * Emitting epoch seconds (not timestamps) keeps oracle comparison
+    * free of cross-engine timestamp codec differences. */
+  def bucketS(unit: String, ts: Column = col("ts")): Column =
+    unix_timestamp(date_trunc(unit, ts)).as("bucket_s")
+
+  /** Sample frame → instant frame at the given resolution: one row
+    * per (labels, bucket) with value = last sample in the bucket
+    * (gauge consolidation — m3 consolidates by Last:
+    * src/query/ts/values.go). Deterministic on timestamp ties via
+    * event_id.
+    *
+    * Shuffle-free partial agg: max_by keeps only one (ts,value) pair
+    * per group on the map side.
+    */
+  def instant(samples: DataFrame, unit: String = "day",
+              labelCols: Seq[String] = labels): DataFrame = {
+    samples
+      .withColumn("bucket_s", bucketS(unit))
+      .groupBy((labelCols :+ "bucket_s").map(col): _*)
+      .agg(max_by(col("value"), struct(col("ts"), col("event_id"))).as("value"))
+  }
+}
