@@ -42,14 +42,14 @@ object Similarity {
   }
 
   /** Random-hyperplane LSH bucket id: `planes` pseudo-random ±1
-    * hyperplanes derived from a fixed seed via a hash of (dim index,
-    * plane index) — deterministic, no stored model. Sign pattern of
-    * the projections = bucket key. */
-  def lshBucket(emb: Column, dim: Int, planes: Int): Column = {
+    * hyperplanes derived from a fixed (table-)seed via integer
+    * mixing of (plane, dim) — deterministic, no stored model. Sign
+    * pattern of the projections = bucket key. */
+  def lshBucket(emb: Column, dim: Int, planes: Int, seed: Long = 0L): Column = {
     val signs = (0 until planes).map { p =>
-      // pseudo-random ±1 weights: parity of md5 of (p, i)
       val proj = (0 until dim).map { i =>
-        val w = if (((p * 1315423911L + i * 2654435761L) >>> 7) % 2 == 0) 1.0 else -1.0
+        val w = if (((p * 1315423911L + i * 2654435761L + seed * 97531L) >>> 7) % 2 == 0)
+          1.0 else -1.0
         element_at(emb, i + 1) * lit(w)
       }.reduce(_ + _)
       when(proj >= 0, lit(1)).otherwise(lit(0)) * lit(1 << p)
@@ -57,16 +57,35 @@ object Similarity {
     signs.reduce(_ + _)
   }
 
-  /** LSH-bucketed ANN: candidates share a bucket; rank within
-    * bucket. Recall vs. cosineTopK is measured in the spec. */
+  /** Multi-table LSH ANN: `tables` independent bucketings (fewer
+    * planes each → wider buckets); candidates = docs sharing any
+    * table's bucket with the query; exact cosine re-rank on the
+    * candidate set only. Recall rises with tables, cost with
+    * 1/2^planes — the classic tradeoff; recall vs. cosineTopK is
+    * asserted in the spec.
+    *
+    * Scale: candidate generation is `tables` equi-joins on (table,
+    * bucket) — never all-pairs; at 100 TB the corpus side would be
+    * written bucketed-by(bucket) so each table's probe is a
+    * shuffle-free bucket join. */
   def lshAnn(corpus: DataFrame, queries: DataFrame, k: Int,
-             dim: Int = 64, planes: Int = 8): DataFrame = {
-    val q = queries.select(col("vec_id").as("q_id"), col("embedding").cast("array<double>").as("q_emb"),
-      lshBucket(col("embedding"), dim, planes).as("bucket"))
-    val c = corpus.select(col("vec_id").as("c_id"), col("embedding").cast("array<double>").as("c_emb"),
-      lshBucket(col("embedding"), dim, planes).as("bucket"))
-    val scored = c.join(q, "bucket")
+             dim: Int = 64, planes: Int = 4, tables: Int = 6): DataFrame = {
+    val qb = (0 until tables).map { t =>
+      queries.select(col("vec_id").as("q_id"), lit(t).as("tbl"),
+        lshBucket(col("embedding"), dim, planes, t).as("bucket"))
+    }.reduce(_ unionByName _)
+    val cb = (0 until tables).map { t =>
+      corpus.select(col("vec_id").as("c_id"), lit(t).as("tbl"),
+        lshBucket(col("embedding"), dim, planes, t).as("bucket"))
+    }.reduce(_ unionByName _)
+    val cands = cb.join(qb, Seq("tbl", "bucket"))
       .where(col("q_id") =!= col("c_id"))
+      .select("q_id", "c_id").distinct()
+    val q = queries.select(col("vec_id").as("q_id"),
+      col("embedding").cast("array<double>").as("q_emb"))
+    val c = corpus.select(col("vec_id").as("c_id"),
+      col("embedding").cast("array<double>").as("c_emb"))
+    val scored = cands.join(broadcast(q), "q_id").join(c, "c_id")
       .select(col("q_id"), col("c_id"),
         cosine(col("q_emb"), col("c_emb")).as("cos"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id").asc)

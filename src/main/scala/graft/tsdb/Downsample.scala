@@ -24,7 +24,7 @@ object Downsample {
       .withColumn("bucket_s", Vectors.bucketS(unit))
       .groupBy((labelCols :+ "bucket_s").map(col): _*)
       .agg(
-        max_by(col("value"), struct(col("ts"), col("event_id"))).as("last_v"),
+        max_by(col("value"), Vectors.lastKey).as("last_v"),
         min("value").as("min_v"),
         max("value").as("max_v"),
         round(avg("value"), 6).as("mean_v"),

@@ -98,8 +98,10 @@ object Temporal {
     withPrev
       .groupBy((labelCols :+ "bucket_s").map(col): _*)
       .agg(
-        min_by(col("value"), struct(col("ts"), col("event_id"))).as("first_v"),
-        max_by(col("value"), struct(col("ts"), col("event_id"))).as("last_v"),
+        // atomic packed ordering key keeps this hash-aggregable
+        // (see Vectors.lastKey)
+        min_by(col("value"), Vectors.lastKey).as("first_v"),
+        max_by(col("value"), Vectors.lastKey).as("last_v"),
         sum(when(col("prev_v") > col("value"), col("prev_v") - col("value"))
           .otherwise(lit(0.0))).as("reset_adj"))
       .select(

@@ -50,20 +50,32 @@ object Vectors {
   def bucketS(unit: String, ts: Column = col("ts")): Column =
     unix_timestamp(date_trunc(unit, ts)).as("bucket_s")
 
+  /** Packed per-bucket ordering key: (µs offset inside the bucket)
+    * · 2²⁶ + event_id. A single BIGINT that orders identically to
+    * (ts, event_id) — so max_by over it keeps a fully hash-aggregable
+    * (double, long) buffer. A struct ordering key instead demotes the
+    * whole aggregate to SortAggregate with a sort on both sides of
+    * the shuffle; an atomic key keeps HashAggregate + whole-stage
+    * codegen (asserted in PlanSpec).
+    *
+    * Range: day buckets → offset < 8.64e10, ×2²⁶ < 5.8e18 < 2⁶³.
+    * Exact while event_id < 2²⁶ per µs-tied pair — beyond that the
+    * pick remains a valid "one of the tied samples". */
+  def lastKey: Column =
+    (unix_micros(col("ts")) - col("bucket_s") * lit(1000000L)) * lit(1L << 26) +
+      pmod(col("event_id"), lit(1L << 26))
+
   /** Sample frame → instant frame at the given resolution: one row
     * per (labels, bucket) with value = last sample in the bucket
     * (gauge consolidation — m3 consolidates by Last:
     * src/query/ts/values.go). Deterministic on timestamp ties via
-    * event_id.
-    *
-    * Shuffle-free partial agg: max_by keeps only one (ts,value) pair
-    * per group on the map side.
+    * event_id (see [[lastKey]]).
     */
   def instant(samples: DataFrame, unit: String = "day",
               labelCols: Seq[String] = labels): DataFrame = {
     samples
       .withColumn("bucket_s", bucketS(unit))
       .groupBy((labelCols :+ "bucket_s").map(col): _*)
-      .agg(max_by(col("value"), struct(col("ts"), col("event_id"))).as("value"))
+      .agg(max_by(col("value"), lastKey).as("value"))
   }
 }

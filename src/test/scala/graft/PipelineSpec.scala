@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline._
+
+class PipelineSpec extends SparkSpec {
+
+  test("exact dedup flags planted duplicates") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "aaa bbb"), (2L, "ccc"), (3L, "aaa bbb"))
+      .toDF("doc_id", "text")
+    val r = Dedup.exact(docs).collect().map(x =>
+      x.getAs[Long]("doc_id") -> x.getAs[Int]("is_dup")).toMap
+    assert(r == Map(1L -> 0, 2L -> 0, 3L -> 1))
+  }
+
+  test("identical docs share full minhash signature; jaccard = 1") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "an entirely different sentence about spark engines here"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignature(docs, 8).collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val j = Dedup.jaccardPairs(docs, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((1L, 2L)) == 1.0)
+    assert(j((1L, 3L)) == 0.0)
+  }
+
+  test("simhash: identical docs equal, near docs close in hamming") {
+    val s = spark
+    import s.implicits._
+    val base = "spark streams join window aggregate shuffle partition " +
+      "broadcast filter project scan codegen stage task executor driver"
+    val docs = Seq((1L, base), (2L, base), (3L, "zz yy xx ww vv uu tt ss"))
+      .toDF("doc_id", "text")
+    val fp = Dedup.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(java.lang.Long.bitCount(fp(1L) ^ fp(3L)) > 4)
+  }
+
+  test("cosine top-k: self-similar vectors rank first") {
+    val s = spark
+    import s.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.cosineTopK(vecs, vecs.where(col("vec_id") === 1), 1)
+      .collect()(0)
+    assert(top.getAs[Long]("c_id") == 2L)
+  }
+
+  test("LSH ANN recall vs brute force on real embeddings") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.where(col("vec_id") < 20)
+    val exact = Similarity.cosineTopK(emb, q, 5).select("q_id", "c_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshAnn(emb, q, 5).select("q_id", "c_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall > 0.30, s"LSH recall $recall too low") // 6 tables x 4 planes
+  }
+
+  test("language id picks the stopword-dominant language") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "xx", "the cat and the dog is in a house that is big"),
+      (2L, "xx", "der hund und die katze ist nicht ein zu haus"),
+      (3L, "xx", "le chat et la maison les des un est que"),
+      (4L, "xx", "猫 狗 房 子")).toDF("doc_id", "lang", "text")
+    val r = TextAnalysis.languageId(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("pred_lang")).toMap
+    assert(r == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "und"))
+  }
+
+  test("token counts: whitespace + ceil(len/4) subwords") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "abcd efghi x")).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenCount(docs).collect()(0)
+    assert(r.getAs[Long]("ws_tokens") == 3L)
+    assert(r.getAs[Long]("bpe_tokens") == 1L + 2L + 1L)
+  }
+
+  test("multimodal: stub decode is deterministic, plumbing intact") {
+    val media = Multimodal.syntheticMedia(Tables.documents(spark, sf).limit(20))
+    val f1 = Multimodal.extractFeatures(media).collect()
+      .map(r => r.getLong(0) -> (r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    val f2 = Multimodal.extractFeatures(media).collect()
+      .map(r => r.getLong(0) -> (r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    assert(f1 == f2 && f1.size == 20)
+    val frames = Multimodal.sampleFrames(
+      Multimodal.extractFeatures(media)).collect()
+    assert(frames.forall(r => r.getAs[Seq[Int]]("frame_idx").nonEmpty))
+  }
+}

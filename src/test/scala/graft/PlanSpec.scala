@@ -1,0 +1,49 @@
+package graft
+
+/** Plan audits: the optimizations SURVEY §4 promises must be visible
+  * in the physical plan — pushed filters, pruned schemas, broadcast
+  * joins. These guard against regressions that correctness checks
+  * can't see. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q1_agg pushes the shipdate filter into the parquet scan") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("q1_agg prunes to the 7 needed columns") {
+    val p = plan("q1_agg")
+    assert(!p.contains("l_orderkey"), "scan reads unneeded key column")
+  }
+
+  test("q5_star broadcasts the dimension tables") {
+    val p = plan("q5_star")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("ts_agg_by stays whole-stage codegen through the aggregation") {
+    // AQE: codegen spans only appear in the finalized plan, so
+    // execute first
+    val df = SparkEntry.queries("ts_agg_by")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark whole-stage-codegen stages in plan dumps
+    assert(p.contains("*("), p.take(2000))
+    assert(!p.contains("SortAggregate"),
+      "consolidation should hash-aggregate, not sort: " + p.take(2000))
+  }
+
+  test("dedup_minhash candidate join is an equi-join, not a cartesian") {
+    val p = plan("dedup_minhash")
+    assert(!p.contains("CartesianProduct"), "LSH join degenerated to all-pairs")
+  }
+
+  test("text analysis is a single map stage (no exchange)") {
+    val p = plan("text_quality")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "per-document op should not shuffle")
+  }
+}

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.tsdb._
+
+/** Semantics specs for the TSDB operator families, on handcrafted
+  * frames where the expected values are computable by hand. */
+class TsdbSpec extends SparkSpec {
+  import java.sql.Timestamp
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val counterSamples = {
+    val s = spark
+    import s.implicits._
+    // one series, one day-bucket: counter goes 10 → 25 → 5 (reset) → 9
+    Seq(
+      ("c", 1L, ts("2024-01-01 00:00:00"), 10.0, 0L),
+      ("c", 1L, ts("2024-01-01 06:00:00"), 25.0, 1L),
+      ("c", 1L, ts("2024-01-01 12:00:00"), 5.0, 2L),
+      ("c", 1L, ts("2024-01-01 18:00:00"), 9.0, 3L)
+    ).toDF("name", "user_id", "ts", "value", "event_id")
+  }
+
+  test("rate family: delta/increase with counter reset") {
+    val r = Temporal.rateFrame(counterSamples).collect()(0)
+    assert(r.getAs[Double]("delta_v") == -1.0)         // 9 − 10
+    assert(r.getAs[Double]("increase_v") == 19.0)      // −1 + reset adj 20
+    assert(math.abs(r.getAs[Double]("rate_v") - 19.0 / 86400) < 1e-9)
+  }
+
+  test("irate: last two samples only") {
+    val r = Temporal.irateFrame(counterSamples).collect()(0)
+    assert(r.getAs[Double]("idelta_v") == 4.0)         // 9 − 5
+    assert(math.abs(r.getAs[Double]("irate_v") - 4.0 / 21600) < 1e-9) // round(…,9)
+  }
+
+  test("resets and changes") {
+    val r = Temporal.resetsChanges(counterSamples).collect()(0)
+    assert(r.getAs[Long]("resets_v") == 1L)
+    assert(r.getAs[Long]("changes_v") == 3L)
+  }
+
+  test("instant vector takes last sample in bucket deterministically") {
+    val r = Vectors.instant(counterSamples).collect()(0)
+    assert(r.getAs[Double]("value") == 9.0)
+  }
+
+  test("holt_winters matches the reference recurrence") {
+    val vals = Seq(10.0, 25.0, 5.0, 9.0)
+    val (sf0, tf0) = (0.3, 0.1)
+    var s0 = vals(1); var b = vals(1) - vals(0)
+    for (v <- vals.drop(2)) {
+      val s1 = sf0 * v + (1 - sf0) * (s0 + b)
+      b = tf0 * (s1 - s0) + (1 - tf0) * b
+      s0 = s1
+    }
+    val r = Temporal.holtWinters(counterSamples, sf0, tf0).collect()(0)
+    assert(math.abs(r.getAs[Double]("hw_v") - s0) < 1e-6)
+  }
+
+  test("deriv: least-squares slope on a perfect line") {
+    val s = spark
+    import s.implicits._
+    // value = 2·(hours since midnight) + 1 → slope 2/3600 per second
+    val line = (0 until 5).map { h =>
+      ("g", 1L, ts(f"2024-01-01 0$h:00:00"), 2.0 * h + 1, h.toLong)
+    }.toDF("name", "user_id", "ts", "value", "event_id")
+    val r = Temporal.linearRegression(line).collect()(0)
+    assert(math.abs(r.getAs[Double]("deriv_v") - 2.0 / 3600) < 1e-9)
+    // prediction at t = 25h from bucket start: 2·25 + 1
+    assert(math.abs(r.getAs[Double]("predict_v") - 51.0) < 1e-6)
+  }
+
+  test("topk is deterministic under value ties") {
+    val s = spark
+    import s.implicits._
+    val tied = Seq(
+      ("m", 1L, 0L, 5.0), ("m", 2L, 0L, 5.0), ("m", 3L, 0L, 5.0),
+      ("m", 4L, 0L, 5.0)).toDF("name", "user_id", "bucket_s", "value")
+    val got = SeriesAgg.take(tied, 3, Seq("name"), Seq("user_id"), top = true)
+      .select("user_id").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("binary and/or/unless set semantics") {
+    val s = spark
+    import s.implicits._
+    val l = Seq((1L, 0L, 10.0), (2L, 0L, 20.0)).toDF("user_id", "bucket_s", "value")
+    val r = Seq((2L, 0L, 99.0), (3L, 0L, 30.0)).toDF("user_id", "bucket_s", "value")
+    assert(Binary.and(l, r, Seq("user_id")).collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(Binary.unless(l, r, Seq("user_id")).collect().map(_.getLong(0)).toSeq == Seq(1L))
+    val or = Binary.or(l, r, Seq("user_id")).collect()
+      .map(x => (x.getLong(0), x.getDouble(2))).toMap
+    assert(or == Map(1L -> 10.0, 2L -> 20.0, 3L -> 30.0)) // lhs wins on 2
+  }
+
+  test("histogram_quantile interpolates within the target bucket") {
+    val s = spark
+    import s.implicits._
+    // 10 samples uniform in (0,100]: q=0.5 → rank 5 in bucket (0,50] of 5
+    val u = (1 to 10).map { i =>
+      ("h", 1L, ts("2024-01-01 00:00:00"), i * 10.0, i.toLong)
+    }.toDF("name", "user_id", "ts", "value", "event_id")
+    val r = Transform.histogramQuantile(u, 0.5, Seq(50.0, 100.0)).collect()(0)
+    assert(r.getAs[Double]("hq_v") == 50.0) // rank 5 = all of bucket 1
+  }
+
+  test("downsample multi-res: coarse tier composes from fine tier") {
+    val fineCoarse = Downsample.multiResolution(
+      Vectors.samples(Tables.events(spark, sf)))
+    val byRes = fineCoarse.groupBy("resolution")
+      .agg(sum("count_v").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byRes("1h") == byRes("1d")) // same samples counted once each
+  }
+}
