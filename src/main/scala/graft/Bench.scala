@@ -8,6 +8,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warmup: initialize codegen/parquet/shuffle machinery so the
+    // first timed query doesn't absorb ~5 s of session startup
+    Tables.all.foreach(t => Tables(spark, sfDir, t).limit(1).count())
+    spark.range(1000).selectExpr("sum(id)").collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -116,14 +116,14 @@ object PipelineQueries {
          | ORDER BY doc_id""".stripMargin.replace("\n", " ")
     },
     "dedup_jaccard" ->
-      s"""WITH sh AS ($SH),
+      s"""WITH sh AS (SELECT DISTINCT doc_id, h FROM ($H) AS hh),
          | pairs AS (SELECT doc_id AS doc_a, doc_id + 1 AS doc_b FROM documents
          |           WHERE doc_id < 100),
          | sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
          | inter AS (SELECT p.doc_a, p.doc_b, count(*) AS inter_sz
          |  FROM pairs AS p
          |  JOIN sh AS a ON a.doc_id = p.doc_a
-         |  JOIN sh AS b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+         |  JOIN sh AS b ON b.doc_id = p.doc_b AND b.h = a.h
          |  GROUP BY p.doc_a, p.doc_b)
          | SELECT p.doc_a, p.doc_b,
          |  round(coalesce(i.inter_sz, 0)::DOUBLE /

@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native codegen dot product over array<float> / array<double>
+  * columns.
+  *
+  * Why a custom Expression: the composable form
+  * `aggregate(zip_with(a, b, _*_), 0d, _+_)` evaluates its lambdas
+  * interpreted (higher-order functions don't participate in
+  * whole-stage codegen), which made brute-force cosine scoring the
+  * single most expensive operator in the engine (~60 s for 12.5M
+  * pairs at sf0.1). This expression generates a tight primitive loop
+  * instead — the preference order mandated by SURVEY §3: compose
+  * built-ins first, drop to a codegen Expression only where a
+  * profile shows the bottleneck.
+  *
+  * Float inputs are widened to double per element (exact), so
+  * results are bit-identical to the oracle's
+  * `list_dot_product(a::DOUBLE[], b::DOUBLE[])`.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def elemType(dt: DataType): DataType =
+    dt.asInstanceOf[ArrayType].elementType
+
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    elemType(left.dataType) match {
+      case FloatType =>
+        while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+      case DoubleType =>
+        while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+      case t => throw new IllegalArgumentException(s"unsupported element type $t")
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val getter = elemType(left.dataType) match {
+      case FloatType  => "getFloat"
+      case DoubleType => "getDouble"
+      case t => throw new IllegalArgumentException(s"unsupported element type $t")
+    }
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double s = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  s += (double) $a.$getter(i) * (double) $b.$getter(i);
+         |}
+         |${ev.value} = s;
+       """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExpressions {
+  /** Σ aᵢ·bᵢ as a codegen'd primitive loop. */
+  def dotNative(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

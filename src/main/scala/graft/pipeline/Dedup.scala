@@ -95,13 +95,20 @@ object Dedup {
   /** Exact n-gram Jaccard similarity over a candidate pair list —
     * the verification stage after LSH blocking. Shingle sets join
     * through the (tiny) pair list, so cost is |candidates| · shingle
-    * overlap, never all-pairs. */
+    * overlap, never all-pairs.
+    *
+    * Sets are compared by md5-derived 32-bit shingle hash, not the
+    * shingle string: the intersection join then shuffles 8-byte ints
+    * instead of ~20-byte strings. Hash collisions are md5-determined,
+    * hence identical in the oracle — the comparison stays exact
+    * cross-engine. */
   def jaccardPairs(docs: DataFrame, pairs: DataFrame, n: Int = 3): DataFrame = {
     val sh = shingles(docs, n)
+      .select(col("doc_id"), md5Int(col("shingle")).as("h")).distinct()
     val szs = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val aSh = sh.toDF("doc_a", "shingle")
-    val bSh = sh.toDF("doc_b", "shingle")
-    val inter = pairs.join(aSh, "doc_a").join(bSh, Seq("doc_b", "shingle"))
+    val aSh = sh.toDF("doc_a", "h")
+    val bSh = sh.toDF("doc_b", "h")
+    val inter = pairs.join(aSh, "doc_a").join(bSh, Seq("doc_b", "h"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter_sz"))
     pairs
       .join(inter, Seq("doc_a", "doc_b"), "left")

@@ -3,42 +3,60 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.VectorExpressions.dotNative
 
 /** Similarity search over an embedding column (`array<float>`).
   *
-  * Dot products stay inside whole-stage codegen via the higher-order
-  * functions `zip_with` + `aggregate` — no UDF, no RDD.
+  * Dot products use the native codegen [[graft.functions.DotProduct]]
+  * expression (float elements widened to double per element — exact,
+  * matching the oracle's `::DOUBLE[]` semantics). Norms are computed
+  * once per vector *before* any join, so an N·M scoring join does
+  * N·M dots, not 3·N·M.
   *
   * Scale posture: brute-force top-k is the small-N oracle / recall
-  * baseline; the production path is LSH bucketing (random-hyperplane
-  * signs) where candidate joins happen within buckets only. On a
-  * cluster the bucketed layout would be written bucketed-by(bucket)
-  * so repeated ANN queries co-locate without a shuffle.
+  * baseline; the production path is multi-table LSH bucketing
+  * (random-hyperplane signs) where candidate joins happen within
+  * buckets only. On a cluster the corpus would be written
+  * bucketed-by(bucket) so repeated ANN queries co-locate without a
+  * shuffle.
   */
 object Similarity {
 
-  /** Σ a_i·b_i over two float-array columns (codegen HOF). */
+  /** Σ a_i·b_i — composable HOF form, kept as the readable reference
+    * implementation; hot paths use [[dotNative]]. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  def norm(a: Column): Column = sqrt(dotNative(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column =
+    dotNative(a, b) / (norm(a) * norm(b))
+
+  /** (id, embedding, norm) projection — norms precomputed pre-join. */
+  private def withNorm(df: DataFrame, idAs: String, embAs: String,
+                       normAs: String): DataFrame =
+    df.select(col("vec_id").as(idAs), col("embedding").as(embAs),
+      sqrt(dotNative(col("embedding"), col("embedding"))).as(normAs))
+
+  private def scoreCos(embA: String, embB: String, normA: String,
+                       normB: String): Column =
+    dotNative(col(embA), col(embB)) / (col(normA) * col(normB))
 
   /** Brute-force cosine top-k neighbors for a query set: cross-join
     * queries × corpus (queries side is tiny → broadcast), rank per
     * query. */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("q_id"), col("embedding").cast("array<double>").as("q_emb"))
-    val c = corpus.select(col("vec_id").as("c_id"), col("embedding").cast("array<double>").as("c_emb"))
+    val q = withNorm(queries, "q_id", "q_emb", "q_norm")
+    val c = withNorm(corpus, "c_id", "c_emb", "c_norm")
     val scored = c.crossJoin(broadcast(q))
       .where(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
-        cosine(col("q_emb"), col("c_emb")).as("cos"))
+        scoreCos("q_emb", "c_emb", "q_norm", "c_norm").as("cos"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id").asc)
     scored.withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
-      .select(col("q_id"), col("c_id"), round(col("cos"), 6).as("cos_v"), col("rk").cast("long").as("rk"))
+      .select(col("q_id"), col("c_id"), round(col("cos"), 6).as("cos_v"),
+        col("rk").cast("long").as("rk"))
   }
 
   /** Random-hyperplane LSH bucket id: `planes` pseudo-random ±1
@@ -81,28 +99,27 @@ object Similarity {
     val cands = cb.join(qb, Seq("tbl", "bucket"))
       .where(col("q_id") =!= col("c_id"))
       .select("q_id", "c_id").distinct()
-    val q = queries.select(col("vec_id").as("q_id"),
-      col("embedding").cast("array<double>").as("q_emb"))
-    val c = corpus.select(col("vec_id").as("c_id"),
-      col("embedding").cast("array<double>").as("c_emb"))
+    val q = withNorm(queries, "q_id", "q_emb", "q_norm")
+    val c = withNorm(corpus, "c_id", "c_emb", "c_norm")
     val scored = cands.join(broadcast(q), "q_id").join(c, "c_id")
       .select(col("q_id"), col("c_id"),
-        cosine(col("q_emb"), col("c_emb")).as("cos"))
+        scoreCos("q_emb", "c_emb", "q_norm", "c_norm").as("cos"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id").asc)
     scored.withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
-      .select(col("q_id"), col("c_id"), round(col("cos"), 6).as("cos_v"), col("rk").cast("long").as("rk"))
+      .select(col("q_id"), col("c_id"), round(col("cos"), 6).as("cos_v"),
+        col("rk").cast("long").as("rk"))
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold.
     * Brute-force form (oracle); the LSH-blocked form reuses
     * lshBucket for the 100 TB path. */
   def cosineNearDup(corpus: DataFrame, threshold: Double): DataFrame = {
-    val a = corpus.select(col("vec_id").as("id_a"), col("embedding").cast("array<double>").as("emb_a"))
-    val b = corpus.select(col("vec_id").as("id_b"), col("embedding").cast("array<double>").as("emb_b"))
+    val a = withNorm(corpus, "id_a", "emb_a", "norm_a")
+    val b = withNorm(corpus, "id_b", "emb_b", "norm_b")
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        cosine(col("emb_a"), col("emb_b")).as("cos"))
+        scoreCos("emb_a", "emb_b", "norm_a", "norm_b").as("cos"))
       .where(col("cos") > threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_v"))
   }
