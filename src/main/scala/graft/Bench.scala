@@ -1,5 +1,21 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.collection.mutable
+
+/** Benchmark main: runs every SparkEntry query at SPARK_GRAFT_SF_DIR
+  * and prints one JSON line.
+  *
+  * Each query is fully *materialized* through the noop datasource
+  * sink (`format("noop")`) — unlike `.count()`, which lets Catalyst
+  * prune every computed column and reduces map-only queries to a
+  * parquet row count. With noop every expression in the projection
+  * actually evaluates, so map-stage queries (text_*, ts_math, …) are
+  * honestly measured.
+  *
+  * Failures are never swallowed: a failing query records -1 in the
+  * per-query map and its name in `errors`, so a regression shows up
+  * as an explicit marker instead of a suspiciously fast success.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -11,16 +27,24 @@ object Bench {
     // warmup: initialize codegen/parquet/shuffle machinery so the
     // first timed query doesn't absorb ~5 s of session startup
     Tables.all.foreach(t => Tables(spark, sfDir, t).limit(1).count())
-    spark.range(1000).selectExpr("sum(id)").collect()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    val errors = mutable.ArrayBuffer.empty[String]
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          errors += name
+          false
+        }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

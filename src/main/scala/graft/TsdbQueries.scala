@@ -36,6 +36,23 @@ object TsdbQueries {
        | FROM ($S) AS s) AS t WHERE rn = 1""".stripMargin.replace("\n", " ")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- fetch / series selection (the front door) --------------------
+    "ts_fetch_eq" -> ((s, dir) =>
+      Fetch(samples(s, dir),
+        Seq(Fetch.Matcher("name", Fetch.Eq, "purchase")),
+        startS = Some(1704067200L), endS = Some(1705276800L))
+        .select(col("name"), col("user_id"),
+          unix_timestamp(col("ts")).as("ts_s"), col("value"), col("event_id"))
+        .orderBy("event_id")),
+    "ts_fetch_regex" -> ((s, dir) =>
+      Fetch(samples(s, dir), Seq(
+        Fetch.Matcher("name", Fetch.Re, "(pur|cli).*"),
+        Fetch.Matcher("name", Fetch.NotRe, "cl.*k"),
+        Fetch.Matcher("user_id", Fetch.NotEq, "7")))
+        .select(col("name"), col("user_id"),
+          unix_timestamp(col("ts")).as("ts_s"), col("value"), col("event_id"))
+        .orderBy("event_id")),
+
     // ---- §2A across-series aggregation --------------------------------
     "ts_agg_by" -> ((s, dir) =>
       SeriesAgg.basic(inst(s, dir), Seq("name")).orderBy("name", "bucket_s")),
@@ -152,6 +169,19 @@ object TsdbQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "ts_fetch_eq" ->
+      s"""SELECT name, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, value, event_id
+         | FROM ($S) AS s
+         | WHERE name = 'purchase' AND floor(epoch(ts)) >= 1704067200
+         |  AND floor(epoch(ts)) < 1705276800
+         | ORDER BY event_id""".stripMargin.replace("\n", " "),
+    "ts_fetch_regex" ->
+      s"""SELECT name, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, value, event_id
+         | FROM ($S) AS s
+         | WHERE regexp_full_match(name, '(pur|cli).*')
+         |  AND NOT regexp_full_match(name, 'cl.*k')
+         |  AND user_id <> 7
+         | ORDER BY event_id""".stripMargin.replace("\n", " "),
     "ts_agg_by" ->
       s"""SELECT name, bucket_s, round(sum(value), 6) AS sum_v, min(value) AS min_v,
          | max(value) AS max_v, round(avg(value), 6) AS avg_v, count(*) AS count_v

@@ -1,0 +1,73 @@
+package graft.tsdb
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Series selection — the engine's front door, mirroring the m3
+  * fetch operator (reference: src/query/functions/fetch.go:43-48
+  * `FetchOp{Name, Range, Offset, Matchers}`) and its tag matcher
+  * model (src/query/models/matcher.go: MatchEqual / MatchNotEqual /
+  * MatchRegexp / MatchNotRegexp).
+  *
+  * Every m3/PromQL query begins with a matcher set
+  * (`metric{label=~"...", other!="..."}`); this is its DataFrame
+  * analogue: a conjunction of per-label predicates plus an optional
+  * time range and offset, applied directly on the sample frame.
+  *
+  * Semantics:
+  *  - EQ/NEQ compare natively (`col === value`), so Catalyst's
+  *    type coercion folds the string literal into the column type
+  *    and the predicate pushes down to the parquet scan
+  *    (`PushedFilters` — asserted in PlanSpec).
+  *  - Regex matchers are *fully anchored*, as in PromQL/m3
+  *    (src/query/models/matcher.go wraps patterns with ^(?:…)$):
+  *    `rlike("^(?:pat)$")` here, `regexp_full_match` in the oracle.
+  *    Non-string label columns are matched on their string rendering.
+  *  - `offset` (src/query/functions/lazy/base.go:33 OffsetType)
+  *    shifts the *data* window back by `offsetS` and re-stamps
+  *    samples at their evaluation time: rows with
+  *    ts ∈ [start−offset, end−offset) surface as ts + offset.
+  *
+  * Scale: the matcher conjunction is a single Filter node directly
+  * over the scan — EQ/NEQ reach parquet row-group pruning, the time
+  * bound prunes dt= partitions in a partitioned layout, and regex
+  * matchers evaluate in the same whole-stage-codegen map as the
+  * scan. No shuffle is introduced.
+  */
+object Fetch {
+
+  sealed trait Op
+  /** `label = "v"` — MatchEqual. */
+  case object Eq extends Op
+  /** `label != "v"` — MatchNotEqual. */
+  case object NotEq extends Op
+  /** `label =~ "re"` — MatchRegexp (fully anchored). */
+  case object Re extends Op
+  /** `label !~ "re"` — MatchNotRegexp (fully anchored). */
+  case object NotRe extends Op
+
+  final case class Matcher(label: String, op: Op, value: String)
+
+  /** Single matcher → boolean Column. */
+  def predicate(m: Matcher): Column = m.op match {
+    case Eq    => col(m.label) === lit(m.value)
+    case NotEq => col(m.label) =!= lit(m.value)
+    case Re    => col(m.label).cast("string").rlike(s"^(?:${m.value})$$")
+    case NotRe => !col(m.label).cast("string").rlike(s"^(?:${m.value})$$")
+  }
+
+  /** Apply a matcher conjunction + optional [startS, endS) epoch
+    * range + offset to a sample frame (labels…, ts, value, …). */
+  def apply(samples: DataFrame, matchers: Seq[Matcher],
+            startS: Option[Long] = None, endS: Option[Long] = None,
+            offsetS: Long = 0L): DataFrame = {
+    val shifted =
+      if (offsetS == 0L) samples
+      else samples.withColumn("ts", col("ts") + expr(s"INTERVAL $offsetS SECONDS"))
+    val timeBounds = Seq(
+      startS.map(s => col("ts") >= timestamp_seconds(lit(s))),
+      endS.map(e => col("ts") < timestamp_seconds(lit(e)))).flatten
+    (matchers.map(predicate) ++ timeBounds)
+      .foldLeft(shifted)((df, p) => df.where(p))
+  }
+}

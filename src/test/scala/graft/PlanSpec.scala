@@ -36,6 +36,18 @@ class PlanSpec extends SparkSpec {
       "consolidation should hash-aggregate, not sort: " + p.take(2000))
   }
 
+  test("ts_fetch_eq pushes the name matcher into the parquet scan") {
+    val p = plan("ts_fetch_eq")
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("EqualTo(event_type,purchase)"), pushed)
+  }
+
+  test("ts_fetch_regex pushes the NEQ matcher and stays shuffle-free") {
+    val p = plan("ts_fetch_regex")
+    assert(p.contains("Not(EqualTo(user_id,7))"), p)
+    assert(!p.contains("Exchange hashpartitioning"), "matcher filter should not shuffle")
+  }
+
   test("dedup_minhash candidate join is an equi-join, not a cartesian") {
     val p = plan("dedup_minhash")
     assert(!p.contains("CartesianProduct"), "LSH join degenerated to all-pairs")
