@@ -152,6 +152,66 @@ object TsdbQueries {
         Seq("user_id")).orderBy("user_id", "bucket_s")
     }),
 
+    "ts_agg_without" -> ((s, dir) => {
+      // 3-label frame (name, cohort, user_id); `without(user_id)`
+      // groups on the remaining (name, cohort)
+      val i = inst(s, dir).withColumn("cohort", pmod(col("user_id"), lit(10)))
+      SeriesAgg.basicWithout(i, Seq("user_id"), Seq("name", "cohort", "user_id"))
+        .orderBy("name", "cohort", "bucket_s")
+    }),
+    "ts_binary_ignoring" -> ((s, dir) => {
+      val i = inst(s, dir)
+      Binary.opIgnoring(
+        i.where(col("name") === "purchase"),
+        i.where(col("name") === "click"),
+        Seq("name"),
+        (l, r) => round(when(r =!= 0, l / r), 9), "ratio_v")
+        .orderBy("user_id", "bucket_s")
+    }),
+    "ts_binary_group_left" -> ((s, dir) => {
+      val i = inst(s, dir)
+      val byName = i.groupBy("name", "bucket_s").agg(sum("value").as("value"))
+      Binary.groupLeft(i, byName, Seq("name"),
+        (l, r) => round(l / r, 9), "share_v")
+        .orderBy("name", "user_id", "bucket_s")
+    }),
+    "ts_binary_filter" -> ((s, dir) => {
+      val i = inst(s, dir)
+      Binary.comparisonFilter(
+        i.where(col("name") === "purchase").drop("name"),
+        i.where(col("name") === "click").drop("name"),
+        Seq("user_id"), _ > _).orderBy("user_id", "bucket_s")
+    }),
+    "ts_binary_bool" -> ((s, dir) => {
+      val i = inst(s, dir)
+      Binary.comparisonBool(
+        i.where(col("name") === "purchase").drop("name"),
+        i.where(col("name") === "click").drop("name"),
+        Seq("user_id"), _ > _).orderBy("user_id", "bucket_s")
+    }),
+    "ts_scalar_time" -> ((s, dir) => {
+      val i = inst(s, dir).where(col("name") === "purchase")
+      val one = Scalar.scalarOf(i.where(col("user_id") === 7))
+      val multi = Scalar.scalarOf(i)
+        .withColumnRenamed("scalar_v", "scalar_multi_v")
+      i.join(one, "bucket_s").join(multi, "bucket_s")
+        .select(col("name"), col("user_id"), col("bucket_s"),
+          Scalar.timeCol.as("time_v"), col("scalar_v"), col("scalar_multi_v"),
+          round(col("value") / col("scalar_v"), 9).as("ratio_v"))
+        .orderBy("user_id", "bucket_s")
+    }),
+    "ts_offset" -> ((s, dir) => {
+      val cur = inst(s, dir).where(col("name") === "purchase")
+      val off = Vectors.instant(
+        Fetch(samples(s, dir),
+          Seq(Fetch.Matcher("name", Fetch.Eq, "purchase")), offsetS = 86400L))
+        .select(col("user_id"), col("bucket_s"), col("value").as("prev_v"))
+      cur.join(off, Seq("user_id", "bucket_s"))
+        .select(col("user_id"), col("bucket_s"), col("value"), col("prev_v"),
+          round(col("value") - col("prev_v"), 6).as("diff_v"))
+        .orderBy("user_id", "bucket_s")
+    }),
+
     // ---- §2E tags -----------------------------------------------------
     "ts_label_join" -> ((s, dir) =>
       Tags.labelJoin(inst(s, dir), "series_id", "/", Seq("name", "user_id"))
@@ -276,7 +336,8 @@ object TsdbQueries {
       s"""SELECT name, user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS value
          | FROM ($S) AS s ORDER BY event_id""".stripMargin.replace("\n", " "),
     "ts_math" ->
-      s"""SELECT name, user_id, bucket_s, round(abs(value), 6) AS abs_v,
+      s"""SELECT name, user_id, bucket_s, round(-value, 6) AS neg_v,
+         | round(abs(value), 6) AS abs_v,
          | CAST(ceil(value) AS DOUBLE) AS ceil_v, CAST(floor(value) AS DOUBLE) AS floor_v,
          | round(exp(value / 100.0), 6) AS exp_v, round(sqrt(abs(value)), 6) AS sqrt_v,
          | round(CASE WHEN value > 0 THEN ln(value) END, 6) AS ln_v,
@@ -362,6 +423,59 @@ object TsdbQueries {
          | WHERE l.name = 'purchase' AND NOT EXISTS (
          |  SELECT 1 FROM ($INST) AS r WHERE r.name = 'click' AND r.value > 120
          |   AND r.user_id = l.user_id AND r.bucket_s = l.bucket_s)
+         | ORDER BY l.user_id, l.bucket_s""".stripMargin.replace("\n", " "),
+    "ts_agg_without" ->
+      s"""SELECT name, user_id % 10 AS cohort, bucket_s,
+         | round(sum(value), 6) AS sum_v, min(value) AS min_v, max(value) AS max_v,
+         | round(avg(value), 6) AS avg_v, count(*) AS count_v
+         | FROM ($INST) AS i GROUP BY name, user_id % 10, bucket_s
+         | ORDER BY name, cohort, bucket_s""".stripMargin.replace("\n", " "),
+    "ts_binary_ignoring" ->
+      s"""SELECT l.user_id, l.bucket_s,
+         | round(CASE WHEN r.value <> 0 THEN l.value / r.value END, 9) AS ratio_v
+         | FROM ($INST) AS l JOIN ($INST) AS r
+         |  ON l.user_id = r.user_id AND l.bucket_s = r.bucket_s
+         | WHERE l.name = 'purchase' AND r.name = 'click'
+         | ORDER BY l.user_id, l.bucket_s""".stripMargin.replace("\n", " "),
+    "ts_binary_group_left" ->
+      s"""SELECT l.name, l.user_id, l.bucket_s, l.value,
+         | round(l.value / g.total, 9) AS share_v
+         | FROM ($INST) AS l JOIN (
+         |  SELECT name, bucket_s, sum(value) AS total FROM ($INST) AS i
+         |  GROUP BY name, bucket_s) AS g
+         |  ON l.name = g.name AND l.bucket_s = g.bucket_s
+         | ORDER BY l.name, l.user_id, l.bucket_s""".stripMargin.replace("\n", " "),
+    "ts_binary_filter" ->
+      s"""SELECT l.user_id, l.bucket_s, l.value
+         | FROM ($INST) AS l JOIN ($INST) AS r
+         |  ON l.user_id = r.user_id AND l.bucket_s = r.bucket_s
+         | WHERE l.name = 'purchase' AND r.name = 'click' AND l.value > r.value
+         | ORDER BY l.user_id, l.bucket_s""".stripMargin.replace("\n", " "),
+    "ts_binary_bool" ->
+      s"""SELECT l.user_id, l.bucket_s, CAST(l.value > r.value AS DOUBLE) AS value
+         | FROM ($INST) AS l JOIN ($INST) AS r
+         |  ON l.user_id = r.user_id AND l.bucket_s = r.bucket_s
+         | WHERE l.name = 'purchase' AND r.name = 'click'
+         | ORDER BY l.user_id, l.bucket_s""".stripMargin.replace("\n", " "),
+    "ts_scalar_time" ->
+      s"""WITH p AS (SELECT * FROM ($INST) AS i WHERE name = 'purchase'),
+         | one AS (SELECT bucket_s, CASE WHEN count(*) = 1 THEN min(value)
+         |   ELSE CAST('NaN' AS DOUBLE) END AS scalar_v
+         |  FROM p WHERE user_id = 7 GROUP BY bucket_s),
+         | multi AS (SELECT bucket_s, CASE WHEN count(*) = 1 THEN min(value)
+         |   ELSE CAST('NaN' AS DOUBLE) END AS scalar_multi_v
+         |  FROM p GROUP BY bucket_s)
+         | SELECT p.name, p.user_id, p.bucket_s, CAST(p.bucket_s AS DOUBLE) AS time_v,
+         |  one.scalar_v, multi.scalar_multi_v,
+         |  round(p.value / one.scalar_v, 9) AS ratio_v
+         | FROM p JOIN one USING (bucket_s) JOIN multi USING (bucket_s)
+         | ORDER BY p.user_id, p.bucket_s""".stripMargin.replace("\n", " "),
+    "ts_offset" ->
+      s"""SELECT l.user_id, l.bucket_s, l.value, r.value AS prev_v,
+         | round(l.value - r.value, 6) AS diff_v
+         | FROM ($INST) AS l JOIN ($INST) AS r
+         |  ON l.user_id = r.user_id AND l.bucket_s = r.bucket_s + 86400
+         | WHERE l.name = 'purchase' AND r.name = 'purchase'
          | ORDER BY l.user_id, l.bucket_s""".stripMargin.replace("\n", " "),
     "ts_label_join" ->
       s"""SELECT name, user_id, bucket_s, value,

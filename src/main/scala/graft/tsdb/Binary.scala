@@ -1,6 +1,6 @@
 package graft.tsdb
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Binary operations with vector matching — the m3 `binary` function
@@ -50,6 +50,57 @@ object Binary {
         (col("lv") <= col("rv")).cast("int").as("le_v"),
         (col("lv") === col("rv")).cast("int").as("eq_v"),
         (col("lv") =!= col("rv")).cast("int").as("ne_v")): _*)
+
+  /** PromQL `ignoring(...)` matching (binary/common.go:44-53
+    * `Without` flag; hashFunc with on=false at common.go:22-33): the
+    * join key is every label shared by both sides *except* the
+    * ignored set. One-to-one cardinality; output keys = the matching
+    * labels. */
+  def opIgnoring(lhs: DataFrame, rhs: DataFrame, ignored: Seq[String],
+                 op: (Column, Column) => Column, as: String): DataFrame = {
+    val on = (lhs.columns.toSet
+      .intersect(rhs.columns.toSet) -- ignored -- Set("value", "bucket_s"))
+      .toSeq.sorted
+    val keys = (on :+ "bucket_s").map(col)
+    val l = lhs.select(keys :+ col("value").as("lv"): _*)
+    val r = rhs.select(keys :+ col("value").as("rv"): _*)
+    l.join(r, on :+ "bucket_s")
+      .select(keys :+ op(col("lv"), col("rv")).as(as): _*)
+  }
+
+  /** Many-to-one `group_left` (binary/common.go:89-103
+    * CardManyToOne): every lhs sample joins the unique rhs series
+    * sharing the `on` labels at that instant; the lhs's full label
+    * set is preserved. `group_right` (CardOneToMany) is the mirror
+    * image — call with the sides swapped.
+    *
+    * Scale: the "one" side is pre-aggregated (≤ one row per on-group
+    * per instant — tiny), so AQE broadcasts it and the many side
+    * never shuffles. */
+  def groupLeft(lhs: DataFrame, rhs: DataFrame, on: Seq[String],
+                op: (Column, Column) => Column, as: String): DataFrame = {
+    val r = rhs.select((on :+ "bucket_s").map(col) :+ col("value").as("rv"): _*)
+    lhs.join(r, on :+ "bucket_s")
+      .withColumn(as, op(col("value"), col("rv")))
+      .drop("rv")
+  }
+
+  /** PromQL comparison *filter* semantics (binary/comparison.go:50):
+    * `lhs > rhs` keeps the matched lhs samples where the comparison
+    * holds — value stays the lhs value, non-matching pairs drop. */
+  def comparisonFilter(lhs: DataFrame, rhs: DataFrame, on: Seq[String],
+                       cmp: (Column, Column) => Column): DataFrame =
+    joined(lhs, rhs, on)
+      .where(cmp(col("lv"), col("rv")))
+      .select((on :+ "bucket_s").map(col) :+ col("lv").as("value"): _*)
+
+  /** `bool` modifier (binary/comparison.go:63): every matched pair is
+    * kept and the value becomes 1.0 / 0.0. */
+  def comparisonBool(lhs: DataFrame, rhs: DataFrame, on: Seq[String],
+                     cmp: (Column, Column) => Column): DataFrame =
+    joined(lhs, rhs, on)
+      .select((on :+ "bucket_s").map(col) :+
+        cmp(col("lv"), col("rv")).cast("double").as("value"): _*)
 
   /** lhs and rhs: lhs samples whose series exist in rhs at the same
     * instant (binary/and.go) — a left-semi join. */

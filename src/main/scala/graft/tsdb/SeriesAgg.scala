@@ -34,6 +34,12 @@ object SeriesAgg {
         round(avg("value"), 6).as("avg_v"),
         count(lit(1)).as("count_v"))
 
+  /** PromQL `without` grouping (aggregation/base.go:51 `Without
+    * bool`): aggregate grouping by every label *except* `drop`. */
+  def basicWithout(instant: DataFrame, drop: Seq[String],
+                   labelCols: Seq[String]): DataFrame =
+    basic(instant, labelCols.filterNot(drop.contains))
+
   /** stddev/var by labels — population moments per PromQL
     * (aggregation/function.go:38,41). */
   def spread(instant: DataFrame, by: Seq[String]): DataFrame =

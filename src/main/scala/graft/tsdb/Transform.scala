@@ -10,12 +10,14 @@ import org.apache.spark.sql.functions._
   */
 object Transform {
 
-  /** abs/ceil/floor/exp/sqrt/ln/log2/log10 (linear/math.go).
+  /** abs/ceil/floor/exp/sqrt/ln/log2/log10 (linear/math.go) plus
+    * unary negation (src/query/functions/lazy/base.go:36 UnaryType).
     * ln/log are guarded: m3 emits NaN for non-positive inputs; we
     * emit null (SQL-comparable across engines). */
   def math(instant: DataFrame): DataFrame =
     instant.select(
       col("name"), col("user_id"), col("bucket_s"),
+      round(-col("value"), 6).as("neg_v"),
       round(abs(col("value")), 6).as("abs_v"),
       ceil(col("value")).cast("double").as("ceil_v"),
       floor(col("value")).cast("double").as("floor_v"),
