@@ -35,6 +35,14 @@ object TsdbQueries {
        |                     ORDER BY ts DESC, event_id DESC) AS rn
        | FROM ($S) AS s) AS t WHERE rn = 1""".stripMargin.replace("\n", " ")
 
+  /** step-aligned instant grid for the sliding-window oracles:
+    * ends every 6h, covering (min_ts, max_ts + 1d]. */
+  private val GRID =
+    """SELECT unnest(generate_series(
+      | CAST(floor(epoch(min(ts)) / 21600) * 21600 + 21600 AS BIGINT),
+      | CAST(floor(epoch(max(ts)) / 21600) * 21600 + 86400 AS BIGINT),
+      | 21600)) AS bucket_s FROM events""".stripMargin.replace("\n", " ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- fetch / series selection (the front door) --------------------
     "ts_fetch_eq" -> ((s, dir) =>
@@ -98,6 +106,12 @@ object TsdbQueries {
         .orderBy("name", "user_id", "bucket_s")),
     "ts_timestamp" -> ((s, dir) =>
       Temporal.timestampOp(samples(s, dir)).orderBy("event_id")),
+    "ts_avg_sliding" -> ((s, dir) =>
+      Temporal.overTimeAggsSliding(samples(s, dir))
+        .orderBy("name", "user_id", "bucket_s")),
+    "ts_rate_sliding" -> ((s, dir) =>
+      Temporal.rateSliding(samples(s, dir))
+        .orderBy("name", "user_id", "bucket_s")),
 
     // ---- §2C instant transforms ---------------------------------------
     "ts_math" -> ((s, dir) =>
@@ -313,6 +327,36 @@ object TsdbQueries {
          |  FROM ($S) AS s
          |  WINDOW w AS (PARTITION BY name, user_id, bucket_s ORDER BY ts, event_id)) AS t
          | WHERE rn = 1 AND prev_v IS NOT NULL
+         | ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),
+    "ts_avg_sliding" ->
+      s"""SELECT s.name, s.user_id, g.bucket_s,
+         | round(sum(s.value), 6) AS sum_v, round(avg(s.value), 6) AS avg_v,
+         | min(s.value) AS min_v, max(s.value) AS max_v, count(*) AS count_v
+         | FROM ($S) AS s JOIN ($GRID) AS g
+         |  ON floor(epoch(s.ts)) >= g.bucket_s - 86400
+         |  AND floor(epoch(s.ts)) < g.bucket_s
+         | GROUP BY s.name, s.user_id, g.bucket_s
+         | ORDER BY s.name, s.user_id, g.bucket_s""".stripMargin.replace("\n", " "),
+    "ts_rate_sliding" ->
+      s"""WITH sl AS (SELECT *, lag(value) OVER w AS prev_v, lag(ts) OVER w AS prev_ts
+         |  FROM ($S) AS s
+         |  WINDOW w AS (PARTITION BY name, user_id ORDER BY ts, event_id)),
+         | j AS (SELECT sl.name, sl.user_id, sl.ts, sl.event_id, sl.value,
+         |   sl.prev_v, sl.prev_ts, g.bucket_s AS e
+         |  FROM sl JOIN ($GRID) AS g
+         |   ON floor(epoch(sl.ts)) >= g.bucket_s - 86400
+         |   AND floor(epoch(sl.ts)) < g.bucket_s)
+         | SELECT name, user_id, e AS bucket_s,
+         |  round(last_v - first_v, 6) AS delta_v,
+         |  round(last_v - first_v + reset_adj, 6) AS increase_v,
+         |  round((last_v - first_v + reset_adj) / 86400.0, 9) AS rate_v
+         | FROM (
+         |  SELECT name, user_id, e,
+         |   first(value ORDER BY ts, event_id) AS first_v,
+         |   last(value ORDER BY ts, event_id) AS last_v,
+         |   sum(CASE WHEN floor(epoch(prev_ts)) >= e - 86400 AND prev_v > value
+         |       THEN prev_v - value ELSE 0 END) AS reset_adj
+         |  FROM j GROUP BY name, user_id, e) AS agg
          | ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),
     "ts_resets_changes" ->
       s"""SELECT name, user_id, bucket_s,

@@ -182,6 +182,82 @@ object Temporal {
           .as("predict_v")): _*)
   }
 
+  /** Sliding-lookback evaluation at step-aligned instants — the
+    * m3/PromQL range-query semantics (temporal/base.go:133,166
+    * `stepSize`; per-step flush at base.go:267): each evaluation
+    * instant e (step-aligned) aggregates the samples of the lookback
+    * window ending at e. Implemented with Spark's sliding
+    * `window(ts, lookback, step)`: an Expand of lookback/step rows
+    * per sample (map-local, no shuffle), then one hash aggregation
+    * keyed on (series, window) — instants with no samples vanish,
+    * matching PromQL staleness. Boundary note: m3's window is
+    * (e−lookback, e]; Spark's canonical window bounds give
+    * [e−lookback, e) — a documented divergence, mirrored exactly by
+    * the oracle.
+    *
+    * Scale: expansion factor is lookback/step (4 at the defaults);
+    * at 100 TB the expansion stays inside the scan's map stage and
+    * partial aggregation collapses it before the single shuffle.
+    */
+  def overTimeAggsSliding(samples: DataFrame, lookbackS: Long = 86400L,
+                          stepS: Long = 21600L,
+                          labelCols: Seq[String] = labels): DataFrame =
+    samples
+      .groupBy(labelCols.map(col) :+
+        window(col("ts"), s"$lookbackS seconds", s"$stepS seconds").as("w"): _*)
+      .agg(
+        round(sum("value"), 6).as("sum_v"),
+        round(avg("value"), 6).as("avg_v"),
+        min("value").as("min_v"),
+        max("value").as("max_v"),
+        count(lit(1)).as("count_v"))
+      .select(labelCols.map(col) ++ Seq(
+        unix_timestamp(col("w.end")).as("bucket_s"),
+        col("sum_v"), col("avg_v"), col("min_v"), col("max_v"), col("count_v")): _*)
+
+  /** rate/increase/delta over sliding lookback windows (the PromQL
+    * range-vector form of [[rateFrame]]). The per-series lag is
+    * computed ONCE globally (one shuffle); after the window Expand,
+    * a consecutive-pair's reset counts toward a window iff the
+    * previous sample also lies inside it (prev_ts >= window start —
+    * the window is a contiguous range, so in-window adjacency equals
+    * global adjacency). First/last per window use a packed
+    * (µs-offset-in-window, event_id) bigint so the aggregation stays
+    * a HashAggregate. */
+  def rateSliding(samples: DataFrame, lookbackS: Long = 86400L,
+                  stepS: Long = 21600L,
+                  labelCols: Seq[String] = labels): DataFrame = {
+    val wSeries = Window.partitionBy(labelCols.map(col): _*)
+      .orderBy(col("ts"), col("event_id"))
+    val withPrev = samples
+      .withColumn("prev_v", lag("value", 1).over(wSeries))
+      .withColumn("prev_ts", lag("ts", 1).over(wSeries))
+    val expanded = withPrev
+      .select(col("*"),
+        window(col("ts"), s"$lookbackS seconds", s"$stepS seconds").as("w"))
+      .withColumn("bucket_s", unix_timestamp(col("w.end")))
+      // packed in-window ordering key (see Vectors.lastKey): exact
+      // while lookback < ~2^37 µs-offsets · 2^26 event_ids
+      .withColumn("ord_key",
+        (unix_micros(col("ts")) - unix_micros(col("w.start"))) * lit(1L << 26) +
+          pmod(col("event_id"), lit(1L << 26)))
+      .withColumn("reset_in_w",
+        when(col("prev_ts") >= col("w.start") && col("prev_v") > col("value"),
+          col("prev_v") - col("value")).otherwise(lit(0.0)))
+    expanded
+      .groupBy((labelCols :+ "bucket_s").map(col): _*)
+      .agg(
+        min_by(col("value"), col("ord_key")).as("first_v"),
+        max_by(col("value"), col("ord_key")).as("last_v"),
+        sum(col("reset_in_w")).as("reset_adj"))
+      .select(
+        (labelCols :+ "bucket_s").map(col) ++ Seq(
+          round(col("last_v") - col("first_v"), 6).as("delta_v"),
+          round(col("last_v") - col("first_v") + col("reset_adj"), 6).as("increase_v"),
+          round((col("last_v") - col("first_v") + col("reset_adj")) /
+            lit(lookbackS.toDouble), 9).as("rate_v")): _*)
+  }
+
   /** timestamp() (unconsolidated/timestamp.go:38): value := sample
     * epoch seconds. */
   def timestampOp(samples: DataFrame,
