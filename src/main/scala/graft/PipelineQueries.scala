@@ -44,6 +44,23 @@ object PipelineQueries {
        | FROM banded AS l JOIN banded AS r
        |  ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id""".stripMargin.replace("\n", " ")
 
+  /** LSH bucket id SQL — regenerates the identical hyperplane family
+    * as [[Similarity.lshBucket]] (same mixing, same literal ±1
+    * weights), so the oracle replays the bucketing exactly. */
+  private def lshBucketSql(planes: Int, seed: Int, dim: Int = 64): String =
+    Similarity.hyperplanes(dim, planes, seed).zipWithIndex.map { case (w, p) =>
+      val arr = w.map(d => if (d > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      s"(CASE WHEN list_dot_product(embedding::DOUBLE[], $arr) >= 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** multi-table banded bucket SQL over `embeddings`. */
+  private def lshBandedSql(tables: Int, planes: Int, idAs: String,
+                           where: String = ""): String =
+    (0 until tables).map { t =>
+      s"SELECT vec_id AS $idAs, $t AS tbl, ${lshBucketSql(planes, t)} AS bucket " +
+        s"FROM embeddings $where"
+    }.mkString(" UNION ALL ")
+
   /** cosine similarity SQL over double-cast embedding lists. */
   private def cosSql(a: String, b: String) =
     s"""(list_dot_product($a.embedding::DOUBLE[], $b.embedding::DOUBLE[]) /
@@ -71,6 +88,9 @@ object PipelineQueries {
     }),
     "dedup_embed_cos" -> ((s, dir) =>
       Similarity.cosineNearDup(Tables.embeddings(s, dir), 0.40)
+        .orderBy("id_a", "id_b")),
+    "dedup_embed_lsh" -> ((s, dir) =>
+      Similarity.cosineNearDupLsh(Tables.embeddings(s, dir), 0.40)
         .orderBy("id_a", "id_b")),
     "sim_cosine_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -138,6 +158,29 @@ object PipelineQueries {
          | SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosSql("a", "b")} AS cos
          | FROM embeddings AS a JOIN embeddings AS b ON a.vec_id < b.vec_id) AS t
          | WHERE cos > 0.40 ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
+    "dedup_embed_lsh" ->
+      s"""WITH banded AS (${lshBandedSql(6, 4, "vid")}),
+         | cands AS (SELECT DISTINCT l.vid AS id_a, r.vid AS id_b
+         |  FROM banded AS l JOIN banded AS r
+         |   ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.vid < r.vid)
+         | SELECT id_a, id_b, round(cos, 6) AS cos_v FROM (
+         |  SELECT id_a, id_b, ${cosSql("a", "b")} AS cos
+         |  FROM cands JOIN embeddings AS a ON a.vec_id = id_a
+         |   JOIN embeddings AS b ON b.vec_id = id_b) AS s
+         | WHERE cos > 0.40 ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
+    "sim_lsh_ann" ->
+      s"""WITH cb AS (${lshBandedSql(8, 4, "c_id")}),
+         | qb AS (${lshBandedSql(8, 4, "q_id", "WHERE vec_id < 10")}),
+         | cands AS (SELECT DISTINCT qb.q_id, cb.c_id
+         |  FROM cb JOIN qb ON cb.tbl = qb.tbl AND cb.bucket = qb.bucket
+         |  WHERE qb.q_id <> cb.c_id)
+         | SELECT q_id, c_id, round(cos, 6) AS cos_v, rk FROM (
+         |  SELECT q_id, c_id, cos,
+         |   row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rk
+         |  FROM (SELECT cands.q_id, cands.c_id, ${cosSql("q", "c")} AS cos
+         |   FROM cands JOIN embeddings AS q ON q.vec_id = cands.q_id
+         |    JOIN embeddings AS c ON c.vec_id = cands.c_id) AS sc) AS r
+         | WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin.replace("\n", " "),
     "sim_cosine_topk" ->
       s"""SELECT q_id, c_id, round(cos, 6) AS cos_v, rk FROM (
          | SELECT q.vec_id AS q_id, c.vec_id AS c_id, ${cosSql("q", "c")} AS cos,

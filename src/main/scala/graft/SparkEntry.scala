@@ -20,9 +20,7 @@ object SparkEntry {
     TsdbQueries.queries ++ RelQueries.queries ++ PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB
-    * on the same parquet tables. Omitted (rows-only check):
-    * ts_holt_winters (recursive smoothing), sim_lsh_ann (hyperplane
-    * weight table not practical in SQL). */
+    * on the same parquet tables. */
   def oracleSql: Map[String, String] =
     TsdbQueries.oracles ++ RelQueries.oracles ++ PipelineQueries.oracles
 }

@@ -59,20 +59,29 @@ object Similarity {
         col("rk").cast("long").as("rk"))
   }
 
-  /** Random-hyperplane LSH bucket id: `planes` pseudo-random ±1
-    * hyperplanes derived from a fixed (table-)seed via integer
-    * mixing of (plane, dim) — deterministic, no stored model. Sign
-    * pattern of the projections = bucket key. */
-  def lshBucket(emb: Column, dim: Int, planes: Int, seed: Long = 0L): Column = {
-    val signs = (0 until planes).map { p =>
-      val proj = (0 until dim).map { i =>
-        val w = if (((p * 1315423911L + i * 2654435761L + seed * 97531L) >>> 7) % 2 == 0)
+  /** Deterministic ±1 random-hyperplane weights for a (table-)seed —
+    * integer mixing of (plane, dim, seed); no stored model, so the
+    * DuckDB oracle can regenerate the identical planes. */
+  def hyperplanes(dim: Int, planes: Int, seed: Long): Seq[Seq[Double]] =
+    (0 until planes).map { p =>
+      (0 until dim).map { i =>
+        if (((p * 1315423911L + i * 2654435761L + seed * 97531L) >>> 7) % 2 == 0)
           1.0 else -1.0
-        element_at(emb, i + 1) * lit(w)
-      }.reduce(_ + _)
-      when(proj >= 0, lit(1)).otherwise(lit(0)) * lit(1 << p)
+      }
     }
-    signs.reduce(_ + _)
+
+  /** Random-hyperplane LSH bucket id: sign pattern of the `planes`
+    * projections. Each projection is ONE codegen [[dotNative]]
+    * against a *literal weight array* — the plan carries
+    * planes·dim doubles as data, not planes·dim expression nodes.
+    * (The previous unrolled form produced multi-MiB task binaries at
+    * dim=64 and exploded at realistic dims; this form is O(planes)
+    * expression nodes and works unchanged at dim=768+.) */
+  def lshBucket(emb: Column, dim: Int, planes: Int, seed: Long = 0L): Column = {
+    val embD = emb.cast("array<double>")
+    hyperplanes(dim, planes, seed).zipWithIndex.map { case (w, p) =>
+      when(dotNative(embD, typedLit(w)) >= 0, lit(1)).otherwise(lit(0)) * lit(1 << p)
+    }.reduce(_ + _)
   }
 
   /** Multi-table LSH ANN: `tables` independent bucketings (fewer
@@ -87,7 +96,7 @@ object Similarity {
     * written bucketed-by(bucket) so each table's probe is a
     * shuffle-free bucket join. */
   def lshAnn(corpus: DataFrame, queries: DataFrame, k: Int,
-             dim: Int = 64, planes: Int = 4, tables: Int = 6): DataFrame = {
+             dim: Int = 64, planes: Int = 4, tables: Int = 8): DataFrame = {
     val qb = (0 until tables).map { t =>
       queries.select(col("vec_id").as("q_id"), lit(t).as("tbl"),
         lshBucket(col("embedding"), dim, planes, t).as("bucket"))
@@ -111,9 +120,42 @@ object Similarity {
         col("rk").cast("long").as("rk"))
   }
 
+  /** LSH-blocked embedding near-duplicate pairs — the 100 TB path:
+    * candidates are pairs sharing any table's hyperplane bucket
+    * (per-bucket equi-join, never all-pairs), then exact cosine > τ
+    * on the candidate set only. Output = candidates ∩ threshold; the
+    * probabilistic recall (rising with `tables`, falling with
+    * distance) is the standard LSH trade — measured against the
+    * brute-force form in the spec.
+    *
+    * Scale: per-table candidate volume is Σ_bucket |bucket|²/2 ≈
+    * N²/2^planes partitioned across buckets; planes tunes the
+    * quadratic term down and the join key (tbl, bucket) shards it.
+    * Combine with exact-dedup-first so identical-content clusters
+    * never reach the bucket join. */
+  def cosineNearDupLsh(corpus: DataFrame, threshold: Double, dim: Int = 64,
+                       planes: Int = 4, tables: Int = 6): DataFrame = {
+    val banded = (0 until tables).map { t =>
+      corpus.select(col("vec_id"), lit(t).as("tbl"),
+        lshBucket(col("embedding"), dim, planes, t).as("bucket"))
+    }.reduce(_ unionByName _)
+    val cands = banded.as("l").join(banded.as("r"),
+        col("l.tbl") === col("r.tbl") && col("l.bucket") === col("r.bucket") &&
+          col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("id_a"), col("r.vec_id").as("id_b"))
+      .distinct()
+    val a = withNorm(corpus, "id_a", "emb_a", "norm_a")
+    val b = withNorm(corpus, "id_b", "emb_b", "norm_b")
+    cands.join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"),
+        scoreCos("emb_a", "emb_b", "norm_a", "norm_b").as("cos"))
+      .where(col("cos") > threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_v"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold.
-    * Brute-force form (oracle); the LSH-blocked form reuses
-    * lshBucket for the 100 TB path. */
+    * Brute-force form — the small-N recall oracle for
+    * [[cosineNearDupLsh]]; all-pairs, never the production path. */
   def cosineNearDup(corpus: DataFrame, threshold: Double): DataFrame = {
     val a = withNorm(corpus, "id_a", "emb_a", "norm_a")
     val b = withNorm(corpus, "id_b", "emb_b", "norm_b")

@@ -53,6 +53,11 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "LSH join degenerated to all-pairs")
   }
 
+  test("dedup_embed_lsh candidate join is an equi-join, not a cartesian") {
+    val p = plan("dedup_embed_lsh")
+    assert(!p.contains("CartesianProduct"), "LSH near-dup degenerated to all-pairs")
+  }
+
   test("text analysis is a single map stage (no exchange)") {
     val p = plan("text_quality")
     assert(!p.contains("Exchange hashpartitioning"),
