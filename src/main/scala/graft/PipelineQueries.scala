@@ -19,9 +19,11 @@ object PipelineQueries {
       |   for i in range(1, len(ws) - 1)]) AS shingle
       | FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws
       |       FROM documents) AS t) AS u""".stripMargin.replace("\n", " ")
-  /** md5-derived 32-bit shingle hash (mirrors Dedup.md5Int). */
+  /** md5-derived 32-bit shingle hash words (mirrors
+    * Dedup.shingleHashes): h = low word, h_hi = high word. */
   private val H =
-    s"""SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h
+    s"""SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h,
+       | CAST('0x' || substr(md5(shingle), 9, 8) AS BIGINT) AS h_hi
        | FROM ($SH) AS sh""".stripMargin.replace("\n", " ")
 
   private val K = 16
@@ -39,9 +41,10 @@ object PipelineQueries {
     val cs = (0 until ROWS).map(r => s"mh${b * ROWS + r}").mkString(", ")
     s"SELECT doc_id, $b AS band, md5(concat_ws(',', $cs)) AS bucket FROM sig"
   }.mkString(" UNION ALL ")
+  private val MAX_BUCKET = 1000
   private val PAIRS =
     s"""SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-       | FROM banded AS l JOIN banded AS r
+       | FROM capped AS l JOIN capped AS r
        |  ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id""".stripMargin.replace("\n", " ")
 
   /** LSH bucket id SQL — regenerates the identical hyperplane family
@@ -124,15 +127,25 @@ object PipelineQueries {
         | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "dedup_minhash_sig" -> s"$SIG ORDER BY doc_id",
     "dedup_minhash" ->
-      s"WITH sig AS ($SIG), banded AS ($BANDED) $PAIRS ORDER BY doc_a, doc_b",
+      s"""WITH sig AS ($SIG), banded AS ($BANDED),
+         | capped AS (SELECT doc_id, band, bucket FROM (
+         |  SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz FROM banded) AS z
+         |  WHERE bsz <= $MAX_BUCKET)
+         | $PAIRS ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " "),
     "dedup_simhash" -> {
-      val bitSums = (0 until 32).map { j =>
-        s"CAST(sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS b$j"
+      val bitSums = (0 until 64).map { j =>
+        val w = if (j < 32) "h" else "h_hi"
+        s"CAST(sum(CASE WHEN ($w >> ${j % 32}) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS b$j"
       }.mkString(", ")
-      val fp = (0 until 32).map(j => s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END")
+      def half(lo: Int) = (lo until lo + 32)
+        .map(j => s"CASE WHEN b$j > 0 THEN ${1L << (j % 32)} ELSE 0 END")
         .mkString(" + ")
-      s"""SELECT doc_id, CAST($fp AS BIGINT) AS simhash_v
-         | FROM (SELECT doc_id, $bitSums FROM ($H) AS h GROUP BY doc_id) AS b
+      s"""SELECT doc_id, fp_lo, fp_hi,
+         | CAST(fp_lo + (fp_hi - CASE WHEN fp_hi >= 2147483648 THEN 4294967296 ELSE 0 END)
+         |   * 4294967296 AS BIGINT) AS simhash_v
+         | FROM (SELECT doc_id, CAST(${half(0)} AS BIGINT) AS fp_lo,
+         |  CAST(${half(32)} AS BIGINT) AS fp_hi
+         |  FROM (SELECT doc_id, $bitSums FROM ($H) AS h GROUP BY doc_id) AS b) AS f
          | ORDER BY doc_id""".stripMargin.replace("\n", " ")
     },
     "dedup_jaccard" ->

@@ -1,8 +1,9 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication for large-scale training-data pipelines.
   *
@@ -41,12 +42,35 @@ object Dedup {
             _.isNotNull))).as("shingle"))
   }
 
+  /** Hashed distinct shingles per doc — (doc_id, h, h_hi), the stage
+    * shared by the minhash, simhash and jaccard families. `h` is the
+    * low 32 md5 bits, `h_hi` the next 32 (both as longs).
+    *
+    * Materialized once per (session, source plan, n) and reused
+    * across queries: in a pipeline run the four dedup operators all
+    * start from this frame, so the explode+md5 pass over the corpus
+    * happens once instead of four times. (On a cluster the same
+    * frame would be a written intermediate, bucketed by doc_id.) */
+  def shingleHashes(docs: DataFrame, n: Int = 3): DataFrame = {
+    val key = (docs.sparkSession, docs.queryExecution.analyzed.semanticHash(), n)
+    Dedup.shingleCache.getOrElseUpdate(key,
+      shingles(docs, n)
+        .select(col("doc_id"), md5(col("shingle")).as("m"))
+        .select(col("doc_id"),
+          conv(substring(col("m"), 1, 8), 16, 10).cast("long").as("h"),
+          conv(substring(col("m"), 9, 8), 16, 10).cast("long").as("h_hi"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+  }
+
+  private val shingleCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, Int, Int), DataFrame]
+
   /** MinHash signature: k independent affine hashes over shingle
     * hashes, min per doc. One explode + one groupBy — map-side
     * combine keeps only k longs per doc. Seeds are fixed so the
     * oracle can replay them. */
   def minhashSignature(docs: DataFrame, k: Int = 16, n: Int = 3): DataFrame = {
-    val sh = shingles(docs, n).withColumn("h", md5Int(col("shingle")))
+    val sh = shingleHashes(docs, n)
     val aggs = (0 until k).map { i =>
       val a = 2L * i + 1
       val b = 7919L * (i + 1)
@@ -60,13 +84,26 @@ object Dedup {
     * sharing any band bucket become a candidate pair. The join is
     * per-bucket (never all-pairs); output is distinct ordered pairs.
     */
-  def minhashCandidates(sigs: DataFrame, bands: Int = 4, rows: Int = 4): DataFrame = {
+  /** `maxBucket` is the hot-bucket guard: a bucket of c docs yields
+    * c²/2 pairs, so one boilerplate cluster (c in the millions at
+    * 100 TB) would quadratically explode the self-join on a single
+    * key. Buckets larger than the cap are dropped entirely — the
+    * standard LSH guard; exact dedup runs FIRST in a real pipeline,
+    * so an over-cap bucket is near-identical boilerplate whose
+    * members are already linked through other (smaller) buckets or
+    * the exact-hash stage. The cap is replayed in the oracle. */
+  def minhashCandidates(sigs: DataFrame, bands: Int = 4, rows: Int = 4,
+                        maxBucket: Int = 1000): DataFrame = {
     val banded = (0 until bands).map { b =>
       val bandCols = (0 until rows).map(r => col(s"mh${b * rows + r}"))
       sigs.select(col("doc_id"), lit(b).as("band"),
         md5(concat_ws(",", bandCols: _*)).as("bucket"))
     }.reduce(_ unionByName _)
-    banded.as("l").join(banded.as("r"),
+    val capped = banded
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("band", "bucket")))
+      .where(col("bsz") <= maxBucket)
+      .drop("bsz")
+    capped.as("l").join(capped.as("r"),
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
@@ -75,21 +112,29 @@ object Dedup {
 
   /** SimHash: 64-bit fingerprint where bit j = sign of the sum over
     * shingles of (±1 by bit j of the shingle hash). Near-dups have
-    * small hamming distance. Emits the fingerprint split in two
-    * 32-bit halves (exact-match blocking on either half = classic
-    * simhash blocking).
-    */
-  def simhash(docs: DataFrame, bits: Int = 32, n: Int = 3): DataFrame = {
-    val sh = shingles(docs, n).withColumn("h", md5Int(col("shingle")))
-    val bitSums = (0 until bits).map { j =>
-      sum(when(shiftright(col("h"), j) % 2 === 1, 1).otherwise(-1)).as(s"b$j")
+    * small hamming distance. Bits 0–31 come from the low md5 word,
+    * 32–63 from the high word. Emits the two 32-bit halves
+    * (`fp_lo`/`fp_hi` — exact-match blocking on either half = the
+    * classic simhash blocking) plus the combined signed 64-bit
+    * fingerprint. The combine uses an explicit sign adjustment
+    * (no shift-wrap), so it is ANSI-overflow-safe and identical in
+    * the oracle. */
+  def simhash(docs: DataFrame, n: Int = 3): DataFrame = {
+    val sh = shingleHashes(docs, n)
+    val bitSums = (0 until 64).map { j =>
+      val word = if (j < 32) col("h") else col("h_hi")
+      sum(when(shiftright(word, j % 32) % 2 === 1, 1).otherwise(-1)).as(s"b$j")
     }
-    val fp = (0 until bits).map { j =>
-      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    def half(lo: Int): Column = (lo until lo + 32).map { j =>
+      when(col(s"b$j") > 0, lit(1L << (j % 32))).otherwise(lit(0L))
     }.reduce(_ + _)
     sh.groupBy("doc_id")
       .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), fp.as("simhash_v"))
+      .select(col("doc_id"), half(0).as("fp_lo"), half(32).as("fp_hi"))
+      .select(col("doc_id"), col("fp_lo"), col("fp_hi"),
+        (col("fp_lo") +
+          (col("fp_hi") - when(col("fp_hi") >= lit(1L << 31), lit(1L << 32))
+            .otherwise(lit(0L))) * lit(1L << 32)).as("simhash_v"))
   }
 
   /** Exact n-gram Jaccard similarity over a candidate pair list —
@@ -103,8 +148,7 @@ object Dedup {
     * hence identical in the oracle — the comparison stays exact
     * cross-engine. */
   def jaccardPairs(docs: DataFrame, pairs: DataFrame, n: Int = 3): DataFrame = {
-    val sh = shingles(docs, n)
-      .select(col("doc_id"), md5Int(col("shingle")).as("h")).distinct()
+    val sh = shingleHashes(docs, n).select("doc_id", "h").distinct()
     val szs = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val aSh = sh.toDF("doc_a", "h")
     val bSh = sh.toDF("doc_b", "h")

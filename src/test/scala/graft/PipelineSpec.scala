@@ -42,9 +42,30 @@ class PipelineSpec extends SparkSpec {
     val docs = Seq((1L, base), (2L, base), (3L, "zz yy xx ww vv uu tt ss"))
       .toDF("doc_id", "text")
     val fp = Dedup.simhash(docs).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash_v")).toMap
     assert(fp(1L) == fp(2L))
     assert(java.lang.Long.bitCount(fp(1L) ^ fp(3L)) > 4)
+    // halves recombine into the signed 64-bit fingerprint
+    val row = Dedup.simhash(docs).where(col("doc_id") === 1).collect()(0)
+    val rebuilt = (row.getAs[Long]("fp_hi") << 32) | row.getAs[Long]("fp_lo")
+    assert(rebuilt == row.getAs[Long]("simhash_v"))
+  }
+
+  test("minhash hot-bucket cap bounds pair explosion on planted clusters") {
+    val s = spark
+    import s.implicits._
+    // 60 identical boilerplate docs + 4 distinct docs: uncapped LSH
+    // would emit 60*59/2 = 1770 boilerplate pairs through every band
+    val docs = ((1L to 60L).map(i => (i, "copy of the exact same boilerplate text here")) ++
+      Seq((101L, "first unique document about engines"),
+          (102L, "second unique document about windows"),
+          (103L, "third unique document about shuffles"),
+          (104L, "fourth unique document about buckets"))).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignature(docs, 16)
+    val capped = Dedup.minhashCandidates(sigs, 8, 2, maxBucket = 10).count()
+    val uncapped = Dedup.minhashCandidates(sigs, 8, 2, maxBucket = 1000000).count()
+    assert(uncapped >= 1770L, s"expected boilerplate pair explosion, got $uncapped")
+    assert(capped < 100L, s"cap should drop hot buckets, got $capped pairs")
   }
 
   test("cosine top-k: self-similar vectors rank first") {
