@@ -376,6 +376,34 @@ object TsdbQueries {
          |        CAST(floor(epoch(ts)) - bucket_s AS DOUBLE) AS t FROM ($S) AS s) AS c
          |  GROUP BY name, user_id, bucket_s) AS g
          | ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),
+    // holt_winters: the double-exponential recurrence replayed as a
+    // recursive CTE. Smoothing factors appear as (1 - sf)/(1 - tf)
+    // expressions, not folded literals, so both engines round the
+    // constant subtraction identically (it is an IEEE tie case).
+    "ts_holt_winters" ->
+      s"""WITH RECURSIVE
+         | o AS (SELECT name, user_id, bucket_s, value,
+         |   row_number() OVER (PARTITION BY name, user_id, bucket_s
+         |     ORDER BY ts, event_id) AS rn,
+         |   count(*) OVER (PARTITION BY name, user_id, bucket_s) AS cnt
+         |  FROM ($S) AS s),
+         | r AS (
+         |  SELECT o2.name, o2.user_id, o2.bucket_s, 2 AS rn, o2.cnt,
+         |   o2.value AS sm, o2.value - o1.value AS tr
+         |  FROM o AS o2 JOIN o AS o1
+         |   ON o1.name = o2.name AND o1.user_id = o2.user_id
+         |   AND o1.bucket_s = o2.bucket_s AND o1.rn = 1
+         |  WHERE o2.rn = 2
+         |  UNION ALL
+         |  SELECT r.name, r.user_id, r.bucket_s, r.rn + 1, r.cnt,
+         |   0.3 * o.value + (1 - 0.3) * (r.sm + r.tr) AS sm,
+         |   0.1 * ((0.3 * o.value + (1 - 0.3) * (r.sm + r.tr)) - r.sm)
+         |     + (1 - 0.1) * r.tr AS tr
+         |  FROM r JOIN o ON o.name = r.name AND o.user_id = r.user_id
+         |   AND o.bucket_s = r.bucket_s AND o.rn = r.rn + 1)
+         | SELECT name, user_id, bucket_s, round(sm, 6) AS hw_v
+         | FROM r WHERE rn = cnt
+         | ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),
     "ts_timestamp" ->
       s"""SELECT name, user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS value
          | FROM ($S) AS s ORDER BY event_id""".stripMargin.replace("\n", " "),
