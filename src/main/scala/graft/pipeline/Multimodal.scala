@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -55,27 +55,30 @@ object Multimodal {
     (64 + s % 1920, 64 + (s / 7) % 1080, 1 + n % 240)
   }
 
-  /** Feature extraction: mapPartitions over payload batches (the
-    * iterator shape a real arrow-batched decoder needs: one
-    * initialization per partition, streaming rows, no collect). */
+  /** Typed rows entering / leaving the decode stage. */
+  final case class MediaIn(media_id: Long, kind: String,
+                           payload: Array[Byte], meta_bytes: Long)
+  final case class MediaFeatures(media_id: Long, kind: String, width: Int,
+                                 height: Int, n_frames: Int, meta_bytes: Long)
+
+  /** Feature extraction: typed `Dataset.mapPartitions` over payload
+    * batches (the iterator shape a real arrow-batched decoder needs:
+    * one initialization per partition, streaming rows, no collect).
+    * Staying on the Dataset API — not `df.rdd` — keeps the stage
+    * inside the Catalyst plan, so upstream filters/pruning still
+    * push through and the object (de)serialization is codegen'd. */
   def extractFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
-    val outSchema = StructType(Seq(
-      StructField("media_id", LongType, nullable = false),
-      StructField("kind", StringType, nullable = false),
-      StructField("width", IntegerType, nullable = false),
-      StructField("height", IntegerType, nullable = false),
-      StructField("n_frames", IntegerType, nullable = false),
-      StructField("meta_bytes", LongType, nullable = false)))
-    val rdd = media.select("media_id", "kind", "payload", "meta_bytes").rdd
+    import spark.implicits._
+    media.select("media_id", "kind", "payload", "meta_bytes").as[MediaIn]
       .mapPartitions { rows =>
         // per-partition init would open the decoder context here
-        rows.map { r =>
-          val (w, h, f) = decodeStub(r.getAs[Array[Byte]]("payload"))
-          Row(r.getLong(0), r.getString(1), w, h, f, r.getLong(3))
+        rows.map { m =>
+          val (w, h, f) = decodeStub(m.payload)
+          MediaFeatures(m.media_id, m.kind, w, h, f, m.meta_bytes)
         }
       }
-    spark.createDataFrame(rdd, outSchema)
+      .toDF()
   }
 
   /** Frame sampling plan for video rows: every `stride`-th frame
