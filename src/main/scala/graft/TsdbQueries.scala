@@ -226,6 +226,20 @@ object TsdbQueries {
         .orderBy("user_id", "bucket_s")
     }),
 
+    // ---- PromQL front-end (graft.promql) ------------------------------
+    "pql_selector" -> ((s, dir) =>
+      graft.promql.PromQL.query(samples(s, dir), """purchase{user_id!="7"}""")
+        .orderBy("name", "user_id", "bucket_s")),
+    "pql_rate_sum" -> ((s, dir) =>
+      graft.promql.PromQL.query(samples(s, dir),
+        """sum by (name) (rate({name=~"(pur|cli).*"}[1d]))""")
+        .select(col("name"), col("bucket_s"), round(col("value"), 9).as("value"))
+        .orderBy("name", "bucket_s")),
+    "pql_abs_avg" -> ((s, dir) =>
+      graft.promql.PromQL.query(samples(s, dir), "avg by (name) (abs(purchase))")
+        .select(col("name"), col("bucket_s"), round(col("value"), 6).as("value"))
+        .orderBy("name", "bucket_s")),
+
     // ---- §2E tags -----------------------------------------------------
     "ts_label_join" -> ((s, dir) =>
       Tags.labelJoin(inst(s, dir), "series_id", "/", Seq("name", "user_id"))
@@ -496,6 +510,28 @@ object TsdbQueries {
          |  SELECT 1 FROM ($INST) AS r WHERE r.name = 'click' AND r.value > 120
          |   AND r.user_id = l.user_id AND r.bucket_s = l.bucket_s)
          | ORDER BY l.user_id, l.bucket_s""".stripMargin.replace("\n", " "),
+    "pql_selector" ->
+      s"""SELECT name, user_id, bucket_s, value FROM ($INST) AS i
+         | WHERE name = 'purchase' AND user_id <> 7
+         | ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),
+    "pql_rate_sum" ->
+      s"""SELECT name, bucket_s, round(sum(rate_r), 9) AS value FROM (
+         | SELECT name, user_id, bucket_s,
+         |  round((last_v - first_v + reset_adj) / 86400.0, 9) AS rate_r
+         | FROM (
+         |  SELECT name, user_id, bucket_s,
+         |   first(value ORDER BY ts, event_id) AS first_v,
+         |   last(value ORDER BY ts, event_id) AS last_v,
+         |   sum(CASE WHEN prev_v > value THEN prev_v - value ELSE 0 END) AS reset_adj
+         |  FROM (SELECT *, lag(value) OVER (PARTITION BY name, user_id, bucket_s
+         |        ORDER BY ts, event_id) AS prev_v FROM ($S) AS s
+         |        WHERE regexp_full_match(name, '(pur|cli).*')) AS p
+         |  GROUP BY name, user_id, bucket_s) AS g) AS r
+         | GROUP BY name, bucket_s ORDER BY name, bucket_s""".stripMargin.replace("\n", " "),
+    "pql_abs_avg" ->
+      s"""SELECT name, bucket_s, round(avg(abs(value)), 6) AS value
+         | FROM ($INST) AS i WHERE name = 'purchase'
+         | GROUP BY name, bucket_s ORDER BY name, bucket_s""".stripMargin.replace("\n", " "),
     "ts_agg_without" ->
       s"""SELECT name, user_id % 10 AS cohort, bucket_s,
          | round(sum(value), 6) AS sum_v, min(value) AS min_v, max(value) AS max_v,

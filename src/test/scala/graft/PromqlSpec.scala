@@ -1,0 +1,50 @@
+package graft
+
+import graft.promql.PromQL
+import graft.promql.PromQL._
+import graft.tsdb.Fetch
+
+class PromqlSpec extends SparkSpec {
+
+  test("parses selector with matchers, range and offset") {
+    val e = PromQL.parse("""purchase{user_id!="7",name=~"p.*"}[1h] offset 1d""")
+    assert(e == Selector(Some("purchase"),
+      Seq(Fetch.Matcher("user_id", Fetch.NotEq, "7"),
+        Fetch.Matcher("name", Fetch.Re, "p.*")),
+      Some("hour"), 86400L))
+  }
+
+  test("parses nested agg-over-function") {
+    val e = PromQL.parse("""sum by (name) (rate({name=~"x.*"}[1d]))""")
+    assert(e == Agg("sum", Some(Seq("name")), None,
+      Func("rate", Selector(None,
+        Seq(Fetch.Matcher("name", Fetch.Re, "x.*")), Some("day"), 0L))))
+  }
+
+  test("parses without-clause and transform chain") {
+    val e = PromQL.parse("avg without (user_id) (abs(purchase))")
+    assert(e == Agg("avg", None, Some(Seq("user_id")),
+      Func("abs", Selector(Some("purchase"), Nil, None, 0L))))
+  }
+
+  test("rejects malformed input") {
+    intercept[ParseException](PromQL.parse("rate(purchase)"))      // no range
+    intercept[ParseException](PromQL.parse("sum by name (x)"))     // missing parens
+    intercept[ParseException](PromQL.parse("""x{label~"v"}"""))    // bad op
+  }
+
+  test("end-to-end: rate sum equals API composition") {
+    val samples = tsdb.Vectors.samples(Tables.events(spark, sf))
+    val viaPql = PromQL.query(samples,
+      """sum by (name) (rate(purchase[1d]))""").collect()
+    val viaApi = tsdb.Temporal.rateFrame(
+      Fetch(samples, Seq(Fetch.Matcher("name", Fetch.Eq, "purchase"))))
+      .groupBy("name", "bucket_s")
+      .agg(org.apache.spark.sql.functions.sum("rate_v").as("value"))
+      .collect()
+    assert(viaPql.map(r => (r.getAs[String]("name"), r.getAs[Long]("bucket_s"),
+      r.getAs[Double]("value"))).toSet ==
+      viaApi.map(r => (r.getAs[String]("name"), r.getAs[Long]("bucket_s"),
+        r.getAs[Double]("value"))).toSet)
+  }
+}
