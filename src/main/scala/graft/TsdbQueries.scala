@@ -253,7 +253,19 @@ object TsdbQueries {
       Downsample.rollup(samples(s, dir), "hour").orderBy("name", "user_id", "bucket_s")),
     "ds_multi_res" -> ((s, dir) =>
       Downsample.multiResolution(samples(s, dir))
-        .orderBy("resolution", "name", "user_id", "bucket_s"))
+        .orderBy("resolution", "name", "user_id", "bucket_s")),
+    "ds_rules" -> ((s, dir) =>
+      Downsample.rollupRules(samples(s, dir), Seq(
+        Downsample.Rule("purchases_hourly",
+          Seq(Fetch.Matcher("name", Fetch.Eq, "purchase")),
+          "hour", Seq("sum", "count", "max")),
+        Downsample.Rule("clicks_daily",
+          Seq(Fetch.Matcher("name", Fetch.Eq, "click")),
+          "day", Seq("mean", "last")),
+        Downsample.Rule("all_daily",
+          Seq(Fetch.Matcher("name", Fetch.Re, ".*")),
+          "day", Seq("count"))))
+        .orderBy("rule", "name", "user_id", "bucket_s", "agg"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -606,6 +618,33 @@ object TsdbQueries {
          | FROM (SELECT event_type AS name, user_id, ts, value, event_id,
          |  CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_s FROM events) AS s
          | GROUP BY name, user_id, bucket_s ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),
+    "ds_rules" ->
+      s"""WITH hb AS (SELECT event_type AS name, user_id, ts, value, event_id,
+         |  CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_s FROM events),
+         | db AS (SELECT event_type AS name, user_id, ts, value, event_id,
+         |  CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS bucket_s FROM events),
+         | ph AS (SELECT name, user_id, bucket_s, round(sum(value), 6) AS sum_v,
+         |   CAST(count(*) AS DOUBLE) AS count_v, round(max(value), 6) AS max_v
+         |  FROM hb WHERE name = 'purchase' GROUP BY name, user_id, bucket_s),
+         | cd AS (SELECT name, user_id, bucket_s, round(avg(value), 6) AS mean_v,
+         |   round(last(value ORDER BY ts, event_id), 6) AS last_v
+         |  FROM db WHERE name = 'click' GROUP BY name, user_id, bucket_s),
+         | ad AS (SELECT name, user_id, bucket_s, CAST(count(*) AS DOUBLE) AS count_v
+         |  FROM db WHERE regexp_full_match(name, '.*') GROUP BY name, user_id, bucket_s)
+         | SELECT * FROM (
+         |  SELECT 'purchases_hourly' AS rule, 'hour' AS resolution, name, user_id,
+         |   bucket_s, 'sum' AS agg, sum_v AS value FROM ph
+         |  UNION ALL SELECT 'purchases_hourly', 'hour', name, user_id, bucket_s,
+         |   'count', count_v FROM ph
+         |  UNION ALL SELECT 'purchases_hourly', 'hour', name, user_id, bucket_s,
+         |   'max', max_v FROM ph
+         |  UNION ALL SELECT 'clicks_daily', 'day', name, user_id, bucket_s,
+         |   'mean', mean_v FROM cd
+         |  UNION ALL SELECT 'clicks_daily', 'day', name, user_id, bucket_s,
+         |   'last', last_v FROM cd
+         |  UNION ALL SELECT 'all_daily', 'day', name, user_id, bucket_s,
+         |   'count', count_v FROM ad) AS u
+         | ORDER BY rule, name, user_id, bucket_s, agg""".stripMargin.replace("\n", " "),
     "ds_multi_res" -> {
       val fine =
         """SELECT name, user_id, bucket_s, sum(value) AS sum_v, count(*) AS count_v,

@@ -35,6 +35,53 @@ object Downsample {
         round(percentile(col("value"), lit(0.95)), 6).as("p95_v"),
         round(percentile(col("value"), lit(0.99)), 6).as("p99_v"))
 
+  /** A downsampling rule: which series it applies to (tag matchers),
+    * at what resolution, keeping which aggregations — the Spark
+    * analogue of m3's mapping/rollup rules
+    * (src/cmd/services/m3coordinator/downsample applies per-metric
+    * rule sets; policies in src/metrics/policy/). */
+  final case class Rule(name: String, matchers: Seq[Fetch.Matcher],
+                        resolution: String, aggs: Seq[String])
+
+  /** Apply a rule set: each rule filters its matched series (via
+    * [[Fetch]] — pushdown-friendly), rolls up at its own resolution
+    * with exactly its aggregation set, and emits long-format rows
+    * (rule, resolution, labels…, bucket_s, agg, value) so
+    * heterogeneous rules union into one frame. A series matching
+    * several rules appears under each, like m3 applying every
+    * matching mapping rule.
+    *
+    * Scale: one scan per rule, each with its matcher pushed down; a
+    * planner could share one scan across rules with
+    * aggregate-filter, but per-rule scans parallelize trivially and
+    * prune to the rule's partitions. */
+  def rollupRules(samples: DataFrame, rules: Seq[Rule],
+                  labelCols: Seq[String] = Vectors.labels): DataFrame = {
+    require(rules.nonEmpty, "empty rule set")
+    val frames = rules.map { r =>
+      val bucketed = Fetch(samples, r.matchers)
+        .withColumn("bucket_s", Vectors.bucketS(r.resolution))
+      val aggExprs = r.aggs.map {
+        case "last"  => round(max_by(col("value"), Vectors.lastKey), 6).as("last")
+        case "min"   => round(min("value"), 6).as("min")
+        case "max"   => round(max("value"), 6).as("max")
+        case "mean"  => round(avg("value"), 6).as("mean")
+        case "sum"   => round(sum("value"), 6).as("sum")
+        case "count" => count(lit(1)).cast("double").as("count")
+        case a => throw new IllegalArgumentException(s"unknown agg $a")
+      }
+      val agged = bucketed
+        .groupBy((labelCols :+ "bucket_s").map(col): _*)
+        .agg(aggExprs.head, aggExprs.tail: _*)
+      val kv = r.aggs.flatMap(a => Seq(lit(a), col(a)))
+      agged.select(
+        (lit(r.name).as("rule") +: lit(r.resolution).as("resolution") +:
+          labelCols.map(col) :+ col("bucket_s")) :+
+          explode(map(kv: _*)).as(Seq("agg", "value")): _*)
+    }
+    frames.reduce(_ unionByName _)
+  }
+
   /** Multi-resolution tiering — the m3 storage-policy stack
     * (e.g. 10s:2d, 1m:30d, 1h:1y in src/metrics/policy/policy.go):
     * the same series rolled up at several resolutions, unioned with
