@@ -239,6 +239,21 @@ object TsdbQueries {
       graft.promql.PromQL.query(samples(s, dir), "avg by (name) (abs(purchase))")
         .select(col("name"), col("bucket_s"), round(col("value"), 6).as("value"))
         .orderBy("name", "bucket_s")),
+    "pql_topk" -> ((s, dir) =>
+      graft.promql.PromQL.query(samples(s, dir),
+        """topk by (name) (3, {name=~".*"})""")
+        .orderBy("name", "bucket_s", "user_id")),
+    "pql_quantile_ot" -> ((s, dir) =>
+      graft.promql.PromQL.query(samples(s, dir),
+        "quantile_over_time(0.5, purchase[1d])")
+        .select(col("name"), col("user_id"), col("bucket_s"),
+          round(col("value"), 6).as("value"))
+        .orderBy("name", "user_id", "bucket_s")),
+    "pql_binop" -> ((s, dir) =>
+      graft.promql.PromQL.query(samples(s, dir), "rate(purchase[1d]) * 86400")
+        .select(col("name"), col("user_id"), col("bucket_s"),
+          round(col("value"), 6).as("value"))
+        .orderBy("name", "user_id", "bucket_s")),
 
     // ---- §2E tags -----------------------------------------------------
     "ts_label_join" -> ((s, dir) =>
@@ -544,6 +559,29 @@ object TsdbQueries {
       s"""SELECT name, bucket_s, round(avg(abs(value)), 6) AS value
          | FROM ($INST) AS i WHERE name = 'purchase'
          | GROUP BY name, bucket_s ORDER BY name, bucket_s""".stripMargin.replace("\n", " "),
+    "pql_topk" ->
+      s"""SELECT name, user_id, bucket_s, value FROM (
+         | SELECT *, row_number() OVER (PARTITION BY name, bucket_s
+         |   ORDER BY value DESC, user_id ASC) AS rk FROM ($INST) AS i) AS t
+         | WHERE rk <= 3 ORDER BY name, bucket_s, user_id""".stripMargin.replace("\n", " "),
+    "pql_quantile_ot" ->
+      s"""SELECT name, user_id, bucket_s, round(quantile_cont(value, 0.5), 6) AS value
+         | FROM ($S) AS s WHERE name = 'purchase'
+         | GROUP BY name, user_id, bucket_s
+         | ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),
+    "pql_binop" ->
+      s"""SELECT name, user_id, bucket_s,
+         | round(round((last_v - first_v + reset_adj) / 86400.0, 9) * 86400, 6) AS value
+         | FROM (
+         |  SELECT name, user_id, bucket_s,
+         |   first(value ORDER BY ts, event_id) AS first_v,
+         |   last(value ORDER BY ts, event_id) AS last_v,
+         |   sum(CASE WHEN prev_v > value THEN prev_v - value ELSE 0 END) AS reset_adj
+         |  FROM (SELECT *, lag(value) OVER (PARTITION BY name, user_id, bucket_s
+         |        ORDER BY ts, event_id) AS prev_v FROM ($S) AS s
+         |        WHERE name = 'purchase') AS p
+         |  GROUP BY name, user_id, bucket_s) AS g
+         | ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),
     "ts_agg_without" ->
       s"""SELECT name, user_id % 10 AS cohort, bucket_s,
          | round(sum(value), 6) AS sum_v, min(value) AS min_v, max(value) AS max_v,

@@ -1,6 +1,7 @@
 package graft.promql
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.tsdb.{Fetch, Temporal, Vectors}
 
@@ -13,15 +14,22 @@ import graft.tsdb.{Fetch, Temporal, Vectors}
   *
   * Supported grammar (a deliberately small, real subset):
   * {{{
-  *   expr     := agg | func | selector
-  *   agg      := op ("by"|"without") "(" labels ")" "(" expr ")"
-  *             | op "(" expr ")"                      op ∈ sum avg min max count stddev
-  *   func     := name "(" expr ")"
-  *               temporal (arg must carry a range):  rate increase delta
+  *   expr     := unary (binop number)? | number binop unary
+  *   unary    := agg | func | selector
+  *   agg      := op clause? "(" (number ",")? expr ")"
+  *               op ∈ sum avg min max count stddev topk bottomk quantile
+  *               clause := ("by"|"without") "(" labels ")"
+  *   func     := name "(" args ")"   args mix one vector expr + numbers
+  *               temporal (arg carries a range): rate increase delta
   *                 resets changes deriv sum_over_time avg_over_time
-  *                 min_over_time max_over_time count_over_time last_over_time
-  *                 stddev_over_time
-  *               instant transforms: abs ceil floor exp sqrt ln log2 log10
+  *                 min_over_time max_over_time count_over_time
+  *                 last_over_time stddev_over_time
+  *                 quantile_over_time(q, x[1d]) predict_linear(x[1d], t)
+  *                 holt_winters(x[1d], sf, tf)
+  *               instant: abs ceil floor exp sqrt ln log2 log10
+  *                 clamp_min(x, s) clamp_max(x, s) round(x, m?)
+  *   binop    := + - * / > < >= <= == !=   (vector ∘ scalar;
+  *               comparisons filter, keeping the vector's values)
   *   selector := metric? ("{" matcher ("," matcher)* "}")? ("[" dur "]")?
   *               ("offset" dur)?
   *   matcher  := label ("="|"!="|"=~"|"!~") "quoted"
@@ -43,23 +51,43 @@ object PromQL {
                             matchers: Seq[Fetch.Matcher],
                             rangeUnit: Option[String],
                             offsetS: Long) extends Expr
-  final case class Func(name: String, arg: Expr) extends Expr
+  final case class Func(name: String, arg: Expr,
+                        params: Seq[Double] = Nil) extends Expr
   final case class Agg(op: String, by: Option[Seq[String]],
-                       without: Option[Seq[String]], arg: Expr) extends Expr
+                       without: Option[Seq[String]], arg: Expr,
+                       param: Option[Double] = None) extends Expr
+  /** vector ∘ scalar binary op; `scalarLeft` marks `number op vector`. */
+  final case class BinOp(op: String, arg: Expr, scalar: Double,
+                         scalarLeft: Boolean = false) extends Expr
 
-  private val aggOps = Set("sum", "avg", "min", "max", "count", "stddev")
+  private val aggOps = Set("sum", "avg", "min", "max", "count", "stddev",
+    "topk", "bottomk", "quantile")
+  private val paramAggs = Set("topk", "bottomk", "quantile")
   private val temporalFns = Set(
     "rate", "increase", "delta", "resets", "changes", "deriv",
     "sum_over_time", "avg_over_time", "min_over_time", "max_over_time",
-    "count_over_time", "last_over_time", "stddev_over_time")
+    "count_over_time", "last_over_time", "stddev_over_time",
+    "quantile_over_time", "predict_linear", "holt_winters")
   private val transformFns = Set(
-    "abs", "ceil", "floor", "exp", "sqrt", "ln", "log2", "log10")
+    "abs", "ceil", "floor", "exp", "sqrt", "ln", "log2", "log10",
+    "clamp_min", "clamp_max", "round")
+  private val binOps = Set("+", "-", "*", "/", ">", "<", ">=", "<=", "==", "!=")
+
+  // expected numeric-parameter count (arity beyond the vector arg)
+  private val fnParams: Map[String, Set[Int]] = Map(
+    "quantile_over_time" -> Set(1), "predict_linear" -> Set(1),
+    "holt_winters" -> Set(2), "clamp_min" -> Set(1), "clamp_max" -> Set(1),
+    "round" -> Set(0, 1)).withDefaultValue(Set(0))
 
   // ---------------- parser ----------------
   final class ParseException(msg: String) extends IllegalArgumentException(msg)
 
   private val tokenRe =
-    """\s*(=~|!~|!=|=|\(|\)|\{|\}|\[|\]|,|[0-9]+[smhdw]|[A-Za-z_][A-Za-z0-9_]*|"(?:[^"\\]|\\.)*")""".r
+    ("""\s*(=~|!~|!=|>=|<=|==|=|>|<|\+|-|\*|/|\(|\)|\{|\}|\[|\]|,""" +
+      """|[0-9]+[smhdw]|[0-9]+\.[0-9]+|[0-9]+|[A-Za-z_][A-Za-z0-9_]*""" +
+      """|"(?:[^"\\]|\\.)*")""").r
+
+  private def isNumber(t: String): Boolean = t.matches("""[0-9]+(\.[0-9]+)?""")
 
   private def tokenize(q: String): List[String] = {
     var rest = q
@@ -81,35 +109,77 @@ object PromQL {
   }
 
   private def validate(e: Expr): Unit = e match {
-    case Func(fn, s: Selector) if temporalFns(fn) =>
+    case Func(fn, s: Selector, ps) if temporalFns(fn) =>
       if (s.rangeUnit.isEmpty)
         throw new ParseException(s"$fn requires a range selector, e.g. x[1d]")
-    case Func(fn, _) if temporalFns(fn) =>
+      if (!fnParams(fn).contains(ps.length))
+        throw new ParseException(s"$fn takes ${fnParams(fn)} params, got ${ps.length}")
+    case Func(fn, _, _) if temporalFns(fn) =>
       throw new ParseException(s"$fn requires a plain range selector argument")
-    case Func(_, arg) => validate(arg)
-    case Agg(_, _, _, arg) => validate(arg)
+    case Func(fn, arg, ps) =>
+      if (!fnParams(fn).contains(ps.length))
+        throw new ParseException(s"$fn takes ${fnParams(fn)} params, got ${ps.length}")
+      validate(arg)
+    case Agg(op, _, _, arg, p) =>
+      if (paramAggs(op) && p.isEmpty)
+        throw new ParseException(s"$op requires a leading numeric parameter")
+      validate(arg)
+    case BinOp(_, arg, _, _) => validate(arg)
     case s: Selector =>
       if (s.rangeUnit.isDefined && s.metric.isEmpty && s.matchers.isEmpty)
         throw new ParseException("range selector needs a metric or matchers")
   }
 
   private def parseExpr(ts: List[String]): (Expr, List[String]) = ts match {
+    // scalar-first binary: number op vector
+    case n :: op :: rest0 if isNumber(n) && binOps(op) =>
+      val (e, rest1) = parseUnary(rest0)
+      (BinOp(op, e, n.toDouble, scalarLeft = true), rest1)
+    case _ =>
+      val (e, rest1) = parseUnary(ts)
+      rest1 match {
+        case op :: n :: rest2 if binOps(op) && isNumber(n) =>
+          (BinOp(op, e, n.toDouble), rest2)
+        case _ => (e, rest1)
+      }
+  }
+
+  private def parseUnary(ts: List[String]): (Expr, List[String]) = ts match {
     case op :: ("by" | "without") :: _ if aggOps(op) => parseAgg(ts)
     case op :: "(" :: _ if aggOps(op) => parseAgg(ts)
     case fn :: "(" :: _ if temporalFns(fn) || transformFns(fn) =>
-      val (arg, rest) = parseParen(ts.tail)
-      (Func(fn, arg), rest)
+      val (arg, params, rest) = parseArgs(ts.tail)
+      (Func(fn, arg, params), rest)
     case _ => parseSelector(ts)
   }
 
-  private def parseParen(ts: List[String]): (Expr, List[String]) = ts match {
-    case "(" :: rest0 =>
-      val (e, rest1) = parseExpr(rest0)
-      rest1 match {
-        case ")" :: rest2 => (e, rest2)
-        case other => throw new ParseException(s"expected ), got $other")
+  /** "(" arg-list ")": exactly one vector expr plus numeric params,
+    * in any position (PromQL puts φ/k first, horizons last). */
+  private def parseArgs(ts: List[String]): (Expr, Seq[Double], List[String]) = {
+    if (!ts.headOption.contains("("))
+      throw new ParseException(s"expected ( at $ts")
+    var rest = ts.tail
+    var vector: Option[Expr] = None
+    val nums = Seq.newBuilder[Double]
+    var done = false
+    while (!done) {
+      rest match {
+        case n :: ("," :: _ | ")" :: _) if isNumber(n) =>
+          nums += n.toDouble; rest = rest.tail
+        case _ =>
+          if (vector.isDefined)
+            throw new ParseException("multiple vector arguments")
+          val (e, r) = parseExpr(rest)
+          vector = Some(e); rest = r
       }
-    case other => throw new ParseException(s"expected (, got $other")
+      rest match {
+        case "," :: r => rest = r
+        case ")" :: r => rest = r; done = true
+        case other => throw new ParseException(s"expected , or ) at $other")
+      }
+    }
+    (vector.getOrElse(throw new ParseException("missing vector argument")),
+      nums.result(), rest)
   }
 
   private def parseAgg(ts: List[String]): (Expr, List[String]) = {
@@ -125,20 +195,32 @@ object PromQL {
         rest = r
       case _ =>
     }
-    val (arg, r2) = parseParen(rest)
-    (Agg(op, by, without, arg), r2)
+    if (!rest.headOption.contains("("))
+      throw new ParseException(s"expected ( after $op")
+    rest = rest.tail
+    var param: Option[Double] = None
+    rest match {
+      case n :: "," :: r if isNumber(n) => param = Some(n.toDouble); rest = r
+      case _ =>
+    }
+    val (arg, rest2) = parseExpr(rest)
+    rest2 match {
+      case ")" :: r => (Agg(op, by, without, arg, param), r)
+      case other => throw new ParseException(s"expected ), got $other")
+    }
   }
 
   private def parseLabelList(ts: List[String]): (Seq[String], List[String]) = {
-    require(ts.headOption.contains("("), s"expected ( in label list: $ts")
+    if (!ts.headOption.contains("("))
+      throw new ParseException(s"expected ( in label list: $ts")
     var rest = ts.tail
     val out = Seq.newBuilder[String]
     var done = false
     while (!done) rest match {
       case ")" :: r => rest = r; done = true
       case "," :: r => rest = r
-      case l :: r => out += l; rest = r
-      case Nil => throw new ParseException("unterminated label list")
+      case l :: r if l.matches("[A-Za-z_][A-Za-z0-9_]*") => out += l; rest = r
+      case other => throw new ParseException(s"bad label list at $other")
     }
     (out.result(), rest)
   }
@@ -231,9 +313,8 @@ object PromQL {
       // selector's range resolution (default day)
       Vectors.instant(fetchFor(sel, samples), sel.rangeUnit.getOrElse("day"))
 
-    case Func(fn, sel: Selector) if temporalFns(fn) =>
-      val unit = sel.rangeUnit.getOrElse(throw new ParseException(
-        s"$fn requires a range selector, e.g. x[1d]"))
+    case Func(fn, sel: Selector, ps) if temporalFns(fn) =>
+      val unit = sel.rangeUnit.get
       val in = fetchFor(sel, samples)
       val keep = (c: String) =>
         (Vectors.labels :+ "bucket_s").map(col) :+ col(c).as("value")
@@ -244,6 +325,13 @@ object PromQL {
         case "resets"    => Temporal.resetsChanges(in, unit).select(keep("resets_v"): _*)
         case "changes"   => Temporal.resetsChanges(in, unit).select(keep("changes_v"): _*)
         case "deriv"     => Temporal.linearRegression(in, unit = unit).select(keep("deriv_v"): _*)
+        case "predict_linear" =>
+          Temporal.linearRegression(in, horizonS = ps.head.toLong, unit = unit)
+            .select(keep("predict_v"): _*)
+        case "holt_winters" =>
+          Temporal.holtWinters(in, ps(0), ps(1), unit).select(keep("hw_v"): _*)
+        case "quantile_over_time" =>
+          Temporal.quantileOverTime(in, ps.head, unit).select(keep("quantile_v"): _*)
         case "sum_over_time"   => Temporal.overTimeAggs(in, unit).select(keep("sum_v"): _*)
         case "avg_over_time"   => Temporal.overTimeAggs(in, unit).select(keep("avg_v"): _*)
         case "min_over_time"   => Temporal.overTimeAggs(in, unit).select(keep("min_v"): _*)
@@ -254,10 +342,7 @@ object PromQL {
         case other => throw new ParseException(s"unknown temporal fn $other")
       }
 
-    case Func(fn, _) if temporalFns(fn) =>
-      throw new ParseException(s"$fn requires a plain range selector argument")
-
-    case Func(fn, arg) =>
+    case Func(fn, arg, ps) =>
       val in = evalExpr(arg, samples)
       val v = col("value")
       val out: Column = fn match {
@@ -269,11 +354,16 @@ object PromQL {
         case "ln"    => when(v > 0, log(v))
         case "log2"  => when(v > 0, log2(v))
         case "log10" => when(v > 0, log10(v))
+        case "clamp_min" => greatest(v, lit(ps.head))
+        case "clamp_max" => least(v, lit(ps.head))
+        case "round" =>
+          val m = ps.headOption.getOrElse(1.0)
+          round(v / lit(m), 0) * lit(m)
         case other => throw new ParseException(s"unknown function $other")
       }
       in.withColumn("value", out)
 
-    case Agg(op, by, without, arg) =>
+    case Agg(op, by, without, arg, param) =>
       val in = evalExpr(arg, samples)
       val labels = labelsOf(in)
       val kept = (by, without) match {
@@ -281,16 +371,53 @@ object PromQL {
         case (_, Some(w)) => labels.filterNot(w.contains)
         case _ => Seq.empty
       }
-      val keys = (kept :+ "bucket_s").map(col)
-      val agg: Column = op match {
-        case "sum"    => sum("value")
-        case "avg"    => avg("value")
-        case "min"    => min("value")
-        case "max"    => max("value")
-        case "count"  => count(lit(1)).cast("double")
-        case "stddev" => stddev_pop("value")
-        case other => throw new ParseException(s"unknown agg $other")
+      if (op == "topk" || op == "bottomk") {
+        // rank window per (kept labels, instant); remaining labels
+        // break value ties deterministically
+        val k = param.get.toInt
+        val rest = labels.filterNot(kept.contains)
+        val ord =
+          (if (op == "topk") col("value").desc else col("value").asc) +:
+            rest.map(col(_).asc)
+        val w = Window.partitionBy((kept :+ "bucket_s").map(col): _*)
+          .orderBy(ord: _*)
+        in.withColumn("rk", row_number().over(w))
+          .where(col("rk") <= k)
+          .drop("rk")
+      } else {
+        val keys = (kept :+ "bucket_s").map(col)
+        val agg: Column = op match {
+          case "sum"      => sum("value")
+          case "avg"      => avg("value")
+          case "min"      => min("value")
+          case "max"      => max("value")
+          case "count"    => count(lit(1)).cast("double")
+          case "stddev"   => stddev_pop("value")
+          case "quantile" => percentile(col("value"), lit(param.get))
+          case other => throw new ParseException(s"unknown agg $other")
+        }
+        in.groupBy(keys: _*).agg(agg.as("value"))
       }
-      in.groupBy(keys: _*).agg(agg.as("value"))
+
+    case BinOp(op, arg, s, scalarLeft) =>
+      val in = evalExpr(arg, samples)
+      val v = col("value")
+      val sc = lit(s)
+      val (l, r) = if (scalarLeft) (sc, v) else (v, sc)
+      op match {
+        case "+" => in.withColumn("value", l + r)
+        case "-" => in.withColumn("value", l - r)
+        case "*" => in.withColumn("value", l * r)
+        case "/" => in.withColumn("value", l / r)
+        // comparisons filter, keeping the vector's values
+        // (binary/comparison.go:50)
+        case ">"  => in.where(l > r)
+        case "<"  => in.where(l < r)
+        case ">=" => in.where(l >= r)
+        case "<=" => in.where(l <= r)
+        case "==" => in.where(l === r)
+        case "!=" => in.where(l =!= r)
+        case other => throw new ParseException(s"unknown operator $other")
+      }
   }
 }

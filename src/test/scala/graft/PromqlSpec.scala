@@ -27,10 +27,29 @@ class PromqlSpec extends SparkSpec {
       Func("abs", Selector(Some("purchase"), Nil, None, 0L))))
   }
 
+  test("parses numeric params, scalar binops, and param aggs") {
+    assert(PromQL.parse("topk by (name) (3, purchase)") ==
+      Agg("topk", Some(Seq("name")), None,
+        Selector(Some("purchase"), Nil, None, 0L), Some(3.0)))
+    assert(PromQL.parse("quantile_over_time(0.5, purchase[1d])") ==
+      Func("quantile_over_time",
+        Selector(Some("purchase"), Nil, Some("day"), 0L), Seq(0.5)))
+    assert(PromQL.parse("holt_winters(purchase[1d], 0.3, 0.1)") ==
+      Func("holt_winters",
+        Selector(Some("purchase"), Nil, Some("day"), 0L), Seq(0.3, 0.1)))
+    assert(PromQL.parse("purchase > 150") ==
+      BinOp(">", Selector(Some("purchase"), Nil, None, 0L), 150.0))
+    assert(PromQL.parse("2 * purchase") ==
+      BinOp("*", Selector(Some("purchase"), Nil, None, 0L), 2.0,
+        scalarLeft = true))
+  }
+
   test("rejects malformed input") {
     intercept[ParseException](PromQL.parse("rate(purchase)"))      // no range
     intercept[ParseException](PromQL.parse("sum by name (x)"))     // missing parens
     intercept[ParseException](PromQL.parse("""x{label~"v"}"""))    // bad op
+    intercept[ParseException](PromQL.parse("topk(purchase)"))      // missing k
+    intercept[ParseException](PromQL.parse("holt_winters(purchase[1d], 0.3)")) // arity
   }
 
   test("end-to-end: rate sum equals API composition") {
