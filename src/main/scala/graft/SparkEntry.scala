@@ -17,10 +17,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    TsdbQueries.queries ++ RelQueries.queries ++ PipelineQueries.queries
+    TsdbQueries.queries ++ RelQueries.queries ++ PipelineQueries.queries ++
+      GraphiteQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB
     * on the same parquet tables. */
   def oracleSql: Map[String, String] =
-    TsdbQueries.oracles ++ RelQueries.oracles ++ PipelineQueries.oracles
+    TsdbQueries.oracles ++ RelQueries.oracles ++ PipelineQueries.oracles ++
+      GraphiteQueries.oracles
 }

@@ -1,0 +1,145 @@
+package graft.graphite
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.tsdb.Vectors
+
+/** Graphite function library — a faithful subset of the reference's
+  * 139 builtins (src/query/graphite/native/builtin_functions.go),
+  * re-expressed as DataFrame transforms over a *path frame*:
+  * (path, bucket_s, value), one row per (dot-separated series path,
+  * resolution bucket).
+  *
+  * Graphite series are identified by dot paths; [[seriesFrame]]
+  * synthesizes them from the events table
+  * (`events.<type>.user<id>`), consolidated hourly. All functions
+  * below are per-series column/window algebra — the per-series
+  * window ops shuffle once on `path` and every downstream op reuses
+  * that partitioning; series-filter functions (highestMax,
+  * averageAbove) aggregate per series (tiny) and semi-join back.
+  */
+object Graphite {
+
+  /** events → graphite path frame at the given resolution. */
+  def seriesFrame(samples: DataFrame, unit: String = "hour"): DataFrame =
+    Vectors.instant(samples, unit)
+      .select(
+        concat(lit("events."), col("name"), lit(".user"), col("user_id"))
+          .as("path"),
+        col("bucket_s"), col("value"))
+
+  private def byPath = Window.partitionBy("path").orderBy("bucket_s")
+
+  /** aliasByNode(series, nodes…) (builtin_functions.go aliasByNode):
+    * keep only the given dot-path segments. */
+  def aliasByNode(df: DataFrame, nodes: Int*): DataFrame = {
+    val parts = split(col("path"), "\\.")
+    val kept = nodes.map(n => element_at(parts, n + 1))
+    df.withColumn("path", concat_ws(".", kept: _*))
+  }
+
+  /** scale(series, k) (builtin_functions.go:481). */
+  def scale(df: DataFrame, k: Double): DataFrame =
+    df.withColumn("value", col("value") * lit(k))
+
+  /** offset(series, k). */
+  def offsetSeries(df: DataFrame, k: Double): DataFrame =
+    df.withColumn("value", col("value") + lit(k))
+
+  /** absolute(series) (builtin_functions.go:474). */
+  def absolute(df: DataFrame): DataFrame =
+    df.withColumn("value", abs(col("value")))
+
+  /** derivative(series) (builtin_functions.go:1535): per-series
+    * difference vs the previous point (null for the first). */
+  def derivative(df: DataFrame): DataFrame =
+    df.withColumn("value", col("value") - lag("value", 1).over(byPath))
+
+  /** nonNegativeDerivative(series) (builtin_functions.go:1542):
+    * like derivative but counter-reset-aware — negative deltas
+    * become null. */
+  def nonNegativeDerivative(df: DataFrame): DataFrame =
+    df.withColumn("value", {
+      val d = col("value") - lag("value", 1).over(byPath)
+      when(d >= 0, d)
+    })
+
+  /** perSecond(series) (builtin_functions.go:543): non-negative
+    * delta divided by the bucket-seconds gap. */
+  def perSecond(df: DataFrame): DataFrame =
+    df.withColumn("value", {
+      val d = col("value") - lag("value", 1).over(byPath)
+      val dt = (col("bucket_s") - lag("bucket_s", 1).over(byPath)).cast("double")
+      when(d >= 0 && dt > 0, d / dt)
+    })
+
+  /** integral(series) (builtin_functions.go:1465): running sum. */
+  def integral(df: DataFrame): DataFrame =
+    df.withColumn("value",
+      sum("value").over(byPath.rowsBetween(Window.unboundedPreceding, 0)))
+
+  /** timeShift(series, shift) (builtin_functions.go:357): re-stamp
+    * each point `shiftS` seconds later (negative = earlier). */
+  def timeShift(df: DataFrame, shiftS: Long): DataFrame =
+    df.withColumn("bucket_s", col("bucket_s") + lit(shiftS))
+
+  /** movingAverage(series, window) (builtin_functions.go:2572) over
+    * the last `points` buckets of each series. */
+  def movingAverage(df: DataFrame, points: Int): DataFrame =
+    df.withColumn("value",
+      avg("value").over(byPath.rowsBetween(-(points - 1), 0)))
+
+  /** summarize(series, interval, func) (builtin_functions.go
+    * summarize): re-bucket to a coarser tumbling interval with the
+    * given consolidation. */
+  def summarize(df: DataFrame, intervalS: Long, how: String): DataFrame = {
+    val bucket = (floor(col("bucket_s") / intervalS) * intervalS)
+      .cast("long").as("bucket_s")
+    val agg: Column = how match {
+      case "sum" => sum("value")
+      case "avg" => avg("value")
+      case "min" => min("value")
+      case "max" => max("value")
+      case "last" => max_by(col("value"), col("bucket_s"))
+      case h => throw new IllegalArgumentException(s"unknown summarize fn $h")
+    }
+    df.groupBy(col("path"), bucket).agg(agg.as("value"))
+  }
+
+  /** highestMax(series, n) (builtin_functions.go:835): keep the n
+    * series with the largest maximum over the range. Deterministic
+    * on ties via path order. */
+  def highestMax(df: DataFrame, n: Int): DataFrame = {
+    val ranked = df.groupBy("path").agg(max("value").as("mx"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("mx").desc, col("path").asc)))
+      .where(col("rk") <= n)
+      .select("path")
+    df.join(ranked, Seq("path"), "left_semi")
+  }
+
+  /** averageAbove(series, n) (builtin_functions.go:272): keep series
+    * whose range-average exceeds n. */
+  def averageAbove(df: DataFrame, n: Double): DataFrame = {
+    val keep = df.groupBy("path").agg(avg("value").as("av"))
+      .where(col("av") > n).select("path")
+    df.join(keep, Seq("path"), "left_semi")
+  }
+
+  /** nPercentile(series, p) (builtin_functions.go:1556): each series
+    * flattened to its p-th percentile value. */
+  def nPercentile(df: DataFrame, p: Double): DataFrame =
+    df.groupBy("path")
+      .agg(percentile(col("value"), lit(p / 100.0)).as("value"))
+
+  /** sortByMaxima(series): rank series by their maximum, attached as
+    * a column (row order itself is not part of a frame's identity). */
+  def sortByMaxima(df: DataFrame): DataFrame = {
+    val ranked = df.groupBy("path").agg(max("value").as("mx"))
+      .withColumn("sort_rank", row_number().over(
+        Window.orderBy(col("mx").desc, col("path").asc)))
+      .select("path", "sort_rank")
+    df.join(ranked, "path")
+  }
+}
