@@ -15,4 +15,6 @@ object Sessions {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // AQE on: runtime re-plan, skew-join handling, auto broadcast
       .config("spark.sql.adaptive.enabled", "true")
+      // bucketed-table warehouse (SeriesStore tests) outside the repo
+      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
 }

@@ -1,0 +1,57 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Storage layout for the 100 TB path — the Spark-native replacement
+  * for the reference's custom storage engine (m3db's commit log /
+  * block store, which SURVEY §1 deliberately does not port).
+  *
+  * Samples are written as parquet, *partitioned by day* (`dt=`) and
+  * *bucketed by the series key* (name, user_id):
+  *
+  *  - *Partition pruning*: every time-bounded query (all of them —
+  *    m3 queries always carry a range) reads only the matching dt=
+  *    directories; the pruning shows up as `PartitionFilters` on the
+  *    scan (asserted in StoreSpec).
+  *  - *Bucketing*: per-series operators (the whole temporal family,
+  *    consolidation, binary vector matching) need a hash
+  *    distribution on the series key. Reading a bucketed table gives
+  *    Spark that distribution for free, so groupBy/window/join on
+  *    (name, user_id) runs with NO shuffle — at 1000 executors this
+  *    removes the single biggest exchange in every query (asserted
+  *    in StoreSpec: zero Exchange nodes in the bucketed agg plan).
+  *  - The in-bucket `sortBy` keeps files clustered by series, so
+  *    per-series scans are sequential reads.
+  *
+  * Uses `saveAsTable` (bucket metadata lives in the catalog; plain
+  * `save` cannot record bucketing). Bucket counts should be sized so
+  * a bucket's largest partition fits an executor: at 100 TB /
+  * 365 days / 1024 buckets ≈ 270 MB per (day, bucket) — right-sized.
+  */
+object SeriesStore {
+
+  /** Write a sample frame (name, user_id, ts, value, event_id) as a
+    * dt-partitioned, series-bucketed table. */
+  def write(samples: DataFrame, table: String, buckets: Int = 8): Unit =
+    samples
+      .withColumn("dt", to_date(col("ts")))
+      .write.mode("overwrite")
+      .partitionBy("dt")
+      .bucketBy(buckets, "name", "user_id")
+      .sortBy("name", "user_id")
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Read the table back; `fromDt`/`untilDt` bound the partitions
+    * read ([from, until) on the dt= key — prunes at planning time). */
+  def read(spark: SparkSession, table: String,
+           fromDt: Option[String] = None,
+           untilDt: Option[String] = None): DataFrame = {
+    val t = spark.table(table)
+    val bounded = Seq(
+      fromDt.map(d => col("dt") >= lit(d)),
+      untilDt.map(d => col("dt") < lit(d))).flatten
+    bounded.foldLeft(t)((df, p) => df.where(p))
+  }
+}
