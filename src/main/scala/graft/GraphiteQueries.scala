@@ -49,7 +49,17 @@ object GraphiteQueries {
     "gr_npercentile" -> ((s, dir) =>
       Graphite.nPercentile(Graphite.averageAbove(frame(s, dir), 100.0), 95.0)
         .select(col("path"), round(col("value"), 6).as("value"))
-        .orderBy("path"))
+        .orderBy("path")),
+    "gr_group_sum" -> ((s, dir) =>
+      Graphite.groupByNode(frame(s, dir), 1, "sum")
+        .select(col("path"), col("bucket_s"), round(col("value"), 6).as("value"))
+        .orderBy("path", "bucket_s")),
+    "gr_combine" -> ((s, dir) =>
+      Graphite.combineSeries(
+        Graphite.exclude(Graphite.maximumAbove(frame(s, dir), 150.0), "\\.user7$"),
+        "avg")
+        .select(col("path"), col("bucket_s"), round(col("value"), 6).as("value"))
+        .orderBy("bucket_s"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -89,6 +99,18 @@ object GraphiteQueries {
       s"""SELECT path, round(quantile_cont(value, 0.95), 6) AS value
          | FROM ($PF) AS p
          | GROUP BY path HAVING avg(value) > 100.0
-         | ORDER BY path""".stripMargin.replace("\n", " ")
+         | ORDER BY path""".stripMargin.replace("\n", " "),
+    "gr_group_sum" ->
+      s"""SELECT string_split(path, '.')[2] AS path, bucket_s,
+         | round(sum(value), 6) AS value FROM ($PF) AS p
+         | GROUP BY string_split(path, '.')[2], bucket_s
+         | ORDER BY path, bucket_s""".stripMargin.replace("\n", " "),
+    "gr_combine" ->
+      s"""SELECT 'avgSeries' AS path, bucket_s, round(avg(value), 6) AS value
+         | FROM ($PF) AS p
+         | WHERE NOT regexp_matches(path, '\\.user7$$')
+         |  AND path IN (SELECT path FROM ($PF) AS q
+         |               GROUP BY path HAVING max(value) > 150.0)
+         | GROUP BY bucket_s ORDER BY bucket_s""".stripMargin.replace("\n", " ")
   )
 }

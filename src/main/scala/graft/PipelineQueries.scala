@@ -64,6 +64,23 @@ object PipelineQueries {
         s"FROM embeddings $where"
     }.mkString(" UNION ALL ")
 
+  /** 64-bit simhash fingerprint SQL (mirrors Dedup.simhash). */
+  private val SIMHASH_FP: String = {
+    val bitSums = (0 until 64).map { j =>
+      val w = if (j < 32) "h" else "h_hi"
+      s"CAST(sum(CASE WHEN ($w >> ${j % 32}) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS b$j"
+    }.mkString(", ")
+    def half(lo: Int) = (lo until lo + 32)
+      .map(j => s"CASE WHEN b$j > 0 THEN ${1L << (j % 32)} ELSE 0 END")
+      .mkString(" + ")
+    s"""SELECT doc_id, fp_lo, fp_hi,
+       | CAST(fp_lo + (fp_hi - CASE WHEN fp_hi >= 2147483648 THEN 4294967296 ELSE 0 END)
+       |   * 4294967296 AS BIGINT) AS simhash_v
+       | FROM (SELECT doc_id, CAST(${half(0)} AS BIGINT) AS fp_lo,
+       |  CAST(${half(32)} AS BIGINT) AS fp_hi
+       |  FROM (SELECT doc_id, $bitSums FROM ($H) AS h GROUP BY doc_id) AS b) AS f""".stripMargin.replace("\n", " ")
+  }
+
   /** cosine similarity SQL over double-cast embedding lists. */
   private def cosSql(a: String, b: String) =
     s"""(list_dot_product($a.embedding::DOUBLE[], $b.embedding::DOUBLE[]) /
@@ -81,6 +98,9 @@ object PipelineQueries {
         .orderBy("doc_a", "doc_b")),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(Tables.documents(s, dir)).orderBy("doc_id")),
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashCandidates(Dedup.simhash(Tables.documents(s, dir)), 8)
+        .orderBy("doc_a", "doc_b")),
     "dedup_jaccard" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       // deterministic verification pair list: consecutive doc ids
@@ -132,22 +152,19 @@ object PipelineQueries {
          |  SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz FROM banded) AS z
          |  WHERE bsz <= $MAX_BUCKET)
          | $PAIRS ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " "),
-    "dedup_simhash" -> {
-      val bitSums = (0 until 64).map { j =>
-        val w = if (j < 32) "h" else "h_hi"
-        s"CAST(sum(CASE WHEN ($w >> ${j % 32}) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS b$j"
-      }.mkString(", ")
-      def half(lo: Int) = (lo until lo + 32)
-        .map(j => s"CASE WHEN b$j > 0 THEN ${1L << (j % 32)} ELSE 0 END")
-        .mkString(" + ")
-      s"""SELECT doc_id, fp_lo, fp_hi,
-         | CAST(fp_lo + (fp_hi - CASE WHEN fp_hi >= 2147483648 THEN 4294967296 ELSE 0 END)
-         |   * 4294967296 AS BIGINT) AS simhash_v
-         | FROM (SELECT doc_id, CAST(${half(0)} AS BIGINT) AS fp_lo,
-         |  CAST(${half(32)} AS BIGINT) AS fp_hi
-         |  FROM (SELECT doc_id, $bitSums FROM ($H) AS h GROUP BY doc_id) AS b) AS f
-         | ORDER BY doc_id""".stripMargin.replace("\n", " ")
-    },
+    "dedup_simhash" -> s"SELECT * FROM ($SIMHASH_FP) AS fp ORDER BY doc_id",
+    "dedup_simhash_pairs" ->
+      s"""WITH fp AS ($SIMHASH_FP),
+         | banded AS (
+         |  SELECT doc_id, simhash_v, 0 AS half, fp_lo AS block FROM fp
+         |  UNION ALL
+         |  SELECT doc_id, simhash_v, 1 AS half, fp_hi AS block FROM fp)
+         | SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+         |  CAST(bit_count(xor(l.simhash_v, r.simhash_v)) AS BIGINT) AS hamming_v
+         | FROM banded AS l JOIN banded AS r
+         |  ON l.half = r.half AND l.block = r.block AND l.doc_id < r.doc_id
+         | WHERE bit_count(xor(l.simhash_v, r.simhash_v)) <= 8
+         | ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " "),
     "dedup_jaccard" ->
       s"""WITH sh AS (SELECT DISTINCT doc_id, h FROM ($H) AS hh),
          | pairs AS (SELECT doc_id AS doc_a, doc_id + 1 AS doc_b FROM documents

@@ -254,6 +254,14 @@ object TsdbQueries {
         .select(col("name"), col("user_id"), col("bucket_s"),
           round(col("value"), 6).as("value"))
         .orderBy("name", "user_id", "bucket_s")),
+    "pql_vec_ratio" -> ((s, dir) =>
+      graft.promql.PromQL.query(samples(s, dir), "purchase / on (user_id) click")
+        .select(col("user_id"), col("bucket_s"), round(col("value"), 9).as("value"))
+        .orderBy("user_id", "bucket_s")),
+    "pql_vec_unless" -> ((s, dir) =>
+      graft.promql.PromQL.query(samples(s, dir),
+        "purchase unless on (user_id) (click > 120)")
+        .orderBy("user_id", "bucket_s")),
 
     // ---- §2E tags -----------------------------------------------------
     "ts_label_join" -> ((s, dir) =>
@@ -582,6 +590,18 @@ object TsdbQueries {
          |        WHERE name = 'purchase') AS p
          |  GROUP BY name, user_id, bucket_s) AS g
          | ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),
+    "pql_vec_ratio" ->
+      s"""SELECT l.user_id, l.bucket_s, round(l.value / r.value, 9) AS value
+         | FROM ($INST) AS l JOIN ($INST) AS r
+         |  ON l.user_id = r.user_id AND l.bucket_s = r.bucket_s
+         | WHERE l.name = 'purchase' AND r.name = 'click'
+         | ORDER BY l.user_id, l.bucket_s""".stripMargin.replace("\n", " "),
+    "pql_vec_unless" ->
+      s"""SELECT l.name, l.user_id, l.bucket_s, l.value FROM ($INST) AS l
+         | WHERE l.name = 'purchase' AND NOT EXISTS (
+         |  SELECT 1 FROM ($INST) AS r WHERE r.name = 'click' AND r.value > 120
+         |   AND r.user_id = l.user_id AND r.bucket_s = l.bucket_s)
+         | ORDER BY l.user_id, l.bucket_s""".stripMargin.replace("\n", " "),
     "ts_agg_without" ->
       s"""SELECT name, user_id % 10 AS cohort, bucket_s,
          | round(sum(value), 6) AS sum_v, min(value) AS min_v, max(value) AS max_v,

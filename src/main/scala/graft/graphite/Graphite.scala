@@ -133,6 +133,61 @@ object Graphite {
     df.groupBy("path")
       .agg(percentile(col("value"), lit(p / 100.0)).as("value"))
 
+  /** sumSeries / averageSeries (builtin_functions.go sumSeries,
+    * averageSeries): collapse all series into one, named after the
+    * combining function. */
+  def combineSeries(df: DataFrame, how: String): DataFrame = {
+    val agg: Column = how match {
+      case "sum" => sum("value")
+      case "avg" => avg("value")
+      case "min" => min("value")
+      case "max" => max("value")
+      case h => throw new IllegalArgumentException(s"unknown combine fn $h")
+    }
+    df.groupBy("bucket_s").agg(agg.as("value"))
+      .select(lit(s"${how}Series").as("path"), col("bucket_s"), col("value"))
+  }
+
+  /** groupByNode(series, node, func) (builtin_functions.go
+    * groupByNode): combine series sharing the given path segment. */
+  def groupByNode(df: DataFrame, node: Int, how: String): DataFrame = {
+    val seg = element_at(split(col("path"), "\\."), node + 1)
+    val agg: Column = how match {
+      case "sum" => sum("value")
+      case "avg" => avg("value")
+      case "min" => min("value")
+      case "max" => max("value")
+      case h => throw new IllegalArgumentException(s"unknown group fn $h")
+    }
+    df.groupBy(seg.as("path"), col("bucket_s")).agg(agg.as("value"))
+  }
+
+  /** exclude(series, pattern) / grep(series, pattern)
+    * (builtin_functions.go exclude, grep): drop / keep series whose
+    * path matches the regex (substring semantics, as in Graphite). */
+  def exclude(df: DataFrame, pattern: String): DataFrame =
+    df.where(!col("path").rlike(pattern))
+
+  def grep(df: DataFrame, pattern: String): DataFrame =
+    df.where(col("path").rlike(pattern))
+
+  /** maximumAbove(series, n) (builtin_functions.go maximumAbove):
+    * keep series whose maximum exceeds n. */
+  def maximumAbove(df: DataFrame, n: Double): DataFrame = {
+    val keep = df.groupBy("path").agg(max("value").as("mx"))
+      .where(col("mx") > n).select("path")
+    df.join(keep, Seq("path"), "left_semi")
+  }
+
+  /** limit(series, n) (builtin_functions.go limit): first n series
+    * in path order. */
+  def limitSeries(df: DataFrame, n: Int): DataFrame = {
+    val keep = df.select("path").distinct()
+      .withColumn("rk", row_number().over(Window.orderBy(col("path").asc)))
+      .where(col("rk") <= n).select("path")
+    df.join(keep, Seq("path"), "left_semi")
+  }
+
   /** sortByMaxima(series): rank series by their maximum, attached as
     * a column (row order itself is not part of a frame's identity). */
   def sortByMaxima(df: DataFrame): DataFrame = {

@@ -137,6 +137,29 @@ object Dedup {
             .otherwise(lit(0L))) * lit(1L << 32)).as("simhash_v"))
   }
 
+  /** SimHash near-dup candidate pairs: block on either 32-bit
+    * fingerprint half matching exactly (the classic simhash blocking
+    * — a pair within hamming distance ≤ 32 of a half must agree on
+    * some half only if its differing bits concentrate; half-blocking
+    * is the standard recall/cost point), then verify
+    * hamming(fp_a, fp_b) ≤ maxHamming via xor + bit_count.
+    * Bucketed equi-join — never all-pairs. */
+  def simhashCandidates(fps: DataFrame, maxHamming: Int = 8): DataFrame = {
+    val banded = fps
+      .select(col("doc_id"), col("simhash_v"), lit(0).as("half"),
+        col("fp_lo").as("block"))
+      .unionByName(fps.select(col("doc_id"), col("simhash_v"),
+        lit(1).as("half"), col("fp_hi").as("block")))
+    banded.as("l").join(banded.as("r"),
+        col("l.half") === col("r.half") && col("l.block") === col("r.block") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        bit_count(col("l.simhash_v").bitwiseXOR(col("r.simhash_v")))
+          .cast("long").as("hamming_v"))
+      .where(col("hamming_v") <= maxHamming)
+      .distinct()
+  }
+
   /** Exact n-gram Jaccard similarity over a candidate pair list —
     * the verification stage after LSH blocking. Shingle sets join
     * through the (tiny) pair list, so cost is |candidates| · shingle

@@ -59,6 +59,10 @@ object PromQL {
   /** vector ∘ scalar binary op; `scalarLeft` marks `number op vector`. */
   final case class BinOp(op: String, arg: Expr, scalar: Double,
                          scalarLeft: Boolean = false) extends Expr
+  /** vector ∘ vector binary op with optional on/ignoring matching. */
+  final case class VecBin(op: String, lhs: Expr, rhs: Expr,
+                          on: Option[Seq[String]] = None,
+                          ignoring: Option[Seq[String]] = None) extends Expr
 
   private val aggOps = Set("sum", "avg", "min", "max", "count", "stddev",
     "topk", "bottomk", "quantile")
@@ -72,6 +76,8 @@ object PromQL {
     "abs", "ceil", "floor", "exp", "sqrt", "ln", "log2", "log10",
     "clamp_min", "clamp_max", "round")
   private val binOps = Set("+", "-", "*", "/", ">", "<", ">=", "<=", "==", "!=")
+  private val vecOps = Set("+", "-", "*", "/", ">", "<", ">=", "<=",
+    "and", "or", "unless")
 
   // expected numeric-parameter count (arity beyond the vector arg)
   private val fnParams: Map[String, Set[Int]] = Map(
@@ -125,6 +131,7 @@ object PromQL {
         throw new ParseException(s"$op requires a leading numeric parameter")
       validate(arg)
     case BinOp(_, arg, _, _) => validate(arg)
+    case VecBin(_, lhs, rhs, _, _) => validate(lhs); validate(rhs)
     case s: Selector =>
       if (s.rangeUnit.isDefined && s.metric.isEmpty && s.matchers.isEmpty)
         throw new ParseException("range selector needs a metric or matchers")
@@ -140,11 +147,32 @@ object PromQL {
       rest1 match {
         case op :: n :: rest2 if binOps(op) && isNumber(n) =>
           (BinOp(op, e, n.toDouble), rest2)
+        case op :: rest2 if vecOps(op) =>
+          // optional on/ignoring matching clause, then a full
+          // (right-associative) expression as the rhs
+          var on: Option[Seq[String]] = None
+          var ig: Option[Seq[String]] = None
+          var rest3 = rest2
+          rest2 match {
+            case ("on" | "ignoring") :: "(" :: _ =>
+              val (labels, r) = parseLabelList(rest2.tail)
+              if (rest2.head == "on") on = Some(labels) else ig = Some(labels)
+              rest3 = r
+            case _ =>
+          }
+          val (rhs, rest4) = parseExpr(rest3)
+          (VecBin(op, e, rhs, on, ig), rest4)
         case _ => (e, rest1)
       }
   }
 
   private def parseUnary(ts: List[String]): (Expr, List[String]) = ts match {
+    case "(" :: rest0 =>
+      val (e, rest1) = parseExpr(rest0)
+      rest1 match {
+        case ")" :: rest2 => (e, rest2)
+        case other => throw new ParseException(s"expected ), got $other")
+      }
     case op :: ("by" | "without") :: _ if aggOps(op) => parseAgg(ts)
     case op :: "(" :: _ if aggOps(op) => parseAgg(ts)
     case fn :: "(" :: _ if temporalFns(fn) || transformFns(fn) =>
@@ -397,6 +425,36 @@ object PromQL {
           case other => throw new ParseException(s"unknown agg $other")
         }
         in.groupBy(keys: _*).agg(agg.as("value"))
+      }
+
+    case VecBin(op, lhsE, rhsE, onOpt, igOpt) =>
+      val l = evalExpr(lhsE, samples)
+      val r = evalExpr(rhsE, samples)
+      val shared = labelsOf(l).toSet.intersect(labelsOf(r).toSet)
+      val on: Seq[String] = onOpt.getOrElse(
+        (igOpt.map(ig => shared -- ig).getOrElse(shared)).toSeq.sorted)
+      op match {
+        case "and"    => graft.tsdb.Binary.and(l, r, on)
+        case "or"     => graft.tsdb.Binary.or(l, r, on)
+        case "unless" => graft.tsdb.Binary.unless(l, r, on)
+        case _ =>
+          val keys = (on :+ "bucket_s").map(col)
+          val lp = l.select(keys :+ col("value").as("lv"): _*)
+          val rp = r.select(keys :+ col("value").as("rv"): _*)
+          val j = lp.join(rp, on :+ "bucket_s")
+          val (lv, rv) = (col("lv"), col("rv"))
+          op match {
+            case "+" => j.select(keys :+ (lv + rv).as("value"): _*)
+            case "-" => j.select(keys :+ (lv - rv).as("value"): _*)
+            case "*" => j.select(keys :+ (lv * rv).as("value"): _*)
+            case "/" => j.select(keys :+ (lv / rv).as("value"): _*)
+            // vector-vector comparisons filter, keeping lhs values
+            case ">"  => j.where(lv > rv).select(keys :+ lv.as("value"): _*)
+            case "<"  => j.where(lv < rv).select(keys :+ lv.as("value"): _*)
+            case ">=" => j.where(lv >= rv).select(keys :+ lv.as("value"): _*)
+            case "<=" => j.where(lv <= rv).select(keys :+ lv.as("value"): _*)
+            case other => throw new ParseException(s"unknown vector op $other")
+          }
       }
 
     case BinOp(op, arg, s, scalarLeft) =>

@@ -32,8 +32,17 @@ import org.apache.spark.sql.functions._
 object SeriesStore {
 
   /** Write a sample frame (name, user_id, ts, value, event_id) as a
-    * dt-partitioned, series-bucketed table. */
-  def write(samples: DataFrame, table: String, buckets: Int = 8): Unit =
+    * dt-partitioned, series-bucketed table. Idempotent: drops a
+    * stale catalog entry AND any orphaned warehouse location (a
+    * fresh in-memory catalog does not know about directories a
+    * previous session left behind, and CTAS refuses to reuse them). */
+  def write(samples: DataFrame, table: String, buckets: Int = 8): Unit = {
+    val spark = samples.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     samples
       .withColumn("dt", to_date(col("ts")))
       .write.mode("overwrite")
@@ -42,6 +51,7 @@ object SeriesStore {
       .sortBy("name", "user_id")
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Read the table back; `fromDt`/`untilDt` bound the partitions
     * read ([from, until) on the dt= key — prunes at planning time). */
