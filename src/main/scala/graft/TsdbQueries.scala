@@ -591,7 +591,8 @@ object TsdbQueries {
          |  GROUP BY name, user_id, bucket_s) AS g
          | ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),
     "pql_vec_ratio" ->
-      s"""SELECT l.user_id, l.bucket_s, round(l.value / r.value, 9) AS value
+      s"""SELECT l.user_id, l.bucket_s,
+         | round(CASE WHEN r.value <> 0 THEN l.value / r.value END, 9) AS value
          | FROM ($INST) AS l JOIN ($INST) AS r
          |  ON l.user_id = r.user_id AND l.bucket_s = r.bucket_s
          | WHERE l.name = 'purchase' AND r.name = 'click'

@@ -447,7 +447,10 @@ object PromQL {
             case "+" => j.select(keys :+ (lv + rv).as("value"): _*)
             case "-" => j.select(keys :+ (lv - rv).as("value"): _*)
             case "*" => j.select(keys :+ (lv * rv).as("value"): _*)
-            case "/" => j.select(keys :+ (lv / rv).as("value"): _*)
+            // zero divisor → null (not PromQL's ±Inf): the engine's
+            // documented SQL-comparable divergence (Binary.arithmetic)
+            case "/" =>
+              j.select(keys :+ when(rv =!= 0, lv / rv).as("value"): _*)
             // vector-vector comparisons filter, keeping lhs values
             case ">"  => j.where(lv > rv).select(keys :+ lv.as("value"): _*)
             case "<"  => j.where(lv < rv).select(keys :+ lv.as("value"): _*)
@@ -466,7 +469,7 @@ object PromQL {
         case "+" => in.withColumn("value", l + r)
         case "-" => in.withColumn("value", l - r)
         case "*" => in.withColumn("value", l * r)
-        case "/" => in.withColumn("value", l / r)
+        case "/" => in.withColumn("value", when(r =!= 0, l / r))
         // comparisons filter, keeping the vector's values
         // (binary/comparison.go:50)
         case ">"  => in.where(l > r)
