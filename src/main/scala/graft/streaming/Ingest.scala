@@ -50,6 +50,67 @@ object Ingest {
         unix_timestamp(col("window.start")).as("bucket_s"),
         col("sum_v"), col("count_v"), col("min_v"), col("max_v"), col("avg_v"))
 
+  /** Sliding-lookback streaming evaluation — the streaming analogue
+    * of Temporal.overTimeAggsSliding (m3's step-aligned range
+    * queries, temporal/base.go): each step-aligned instant
+    * aggregates the lookback window ending there, flushed in append
+    * mode once the watermark passes the window end. State =
+    * lookback/step open windows per series — bounded. */
+  def slidingRollup(samples: DataFrame, lookback: String = "1 hour",
+                    step: String = "15 minutes",
+                    lateness: String = "30 minutes"): DataFrame =
+    samples
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), lookback, step), col("name"), col("user_id"))
+      .agg(
+        sum("value").as("sum_v"),
+        count(lit(1)).as("count_v"),
+        avg("value").as("avg_v"))
+      .select(
+        col("name"), col("user_id"),
+        unix_timestamp(col("window.end")).as("bucket_s"),
+        col("sum_v"), col("count_v"), col("avg_v"))
+
+  /** Streaming rule-based downsampling — m3's per-metric mapping
+    * rules applied on the write path (the m3aggregator deployment
+    * shape; src/cmd/services/m3coordinator/downsample): each rule
+    * filters its matched series via [[graft.tsdb.Fetch]] matchers,
+    * windows at its own resolution, and the rules union into one
+    * long-format append stream. Streaming-safe aggregate set only
+    * (sum/count/min/max/avg). */
+  def ruleRollup(samples: DataFrame,
+                 rules: Seq[graft.tsdb.Downsample.Rule],
+                 lateness: String = "30 minutes"): DataFrame = {
+    val frames = rules.map { r =>
+      val windowLen = r.resolution match {
+        case "minute" => "1 minute"
+        case "hour"   => "1 hour"
+        case "day"    => "1 day"
+        case res => throw new IllegalArgumentException(s"unit $res")
+      }
+      val aggExprs = r.aggs.map {
+        case "sum"   => sum("value").as("sum")
+        case "count" => count(lit(1)).cast("double").as("count")
+        case "min"   => min("value").as("min")
+        case "max"   => max("value").as("max")
+        case "mean"  => avg("value").as("mean")
+        case a => throw new IllegalArgumentException(
+          s"agg $a not streaming-safe (allowed: sum count min max mean)")
+      }
+      val kv = r.aggs.flatMap(a => Seq(lit(a), col(a)))
+      graft.tsdb.Fetch(samples, r.matchers)
+        .withWatermark("ts", lateness)
+        .groupBy(window(col("ts"), windowLen), col("name"), col("user_id"))
+        .agg(aggExprs.head, aggExprs.tail: _*)
+        .select(
+          lit(r.name).as("rule"), lit(r.resolution).as("resolution"),
+          col("name"), col("user_id"),
+          unix_timestamp(col("window.start")).as("bucket_s"),
+          explode(map(kv: _*)).as(Seq("agg", "value")))
+    }
+    frames.reduce(_ unionByName _)
+  }
+
   /** Stateful counter-reset tracking per series
     * (m3 counter semantics, src/aggregator/aggregation/counter.go +
     * the reset logic of src/query/functions/temporal/rate.go):

@@ -30,6 +30,65 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sliding rollup emits one row per covering step window") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[Ingest.Sample]
+    val q = Ingest.slidingRollup(mem.toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sliding_test").start()
+    try {
+      mem.addData(
+        Ingest.Sample("click", 1L, Timestamp.valueOf("2024-01-01 00:10:00"), 5.0))
+      q.processAllAvailable()
+      mem.addData( // push watermark far past every covering window
+        Ingest.Sample("click", 1L, Timestamp.valueOf("2024-01-01 06:00:00"), 1.0))
+      q.processAllAvailable()
+      val rows = s.sql(
+        "SELECT * FROM sliding_test WHERE bucket_s <= 1704070800").collect()
+      // 1h lookback / 15m step → the 00:10 sample closes 4 windows
+      // (ends 00:15, 00:30, 00:45, 01:00)
+      assert(rows.length == 4, rows.mkString(","))
+      assert(rows.forall(_.getAs[Double]("sum_v") == 5.0))
+    } finally q.stop()
+  }
+
+  test("rule rollup applies per-rule matchers, resolutions and agg sets") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val rules = Seq(
+      graft.tsdb.Downsample.Rule("clicks_hourly",
+        Seq(graft.tsdb.Fetch.Matcher("name", graft.tsdb.Fetch.Eq, "click")),
+        "hour", Seq("sum", "count")),
+      graft.tsdb.Downsample.Rule("all_daily",
+        Seq(graft.tsdb.Fetch.Matcher("name", graft.tsdb.Fetch.Re, ".*")),
+        "day", Seq("max")))
+    val mem = MemoryStream[Ingest.Sample]
+    val q = Ingest.ruleRollup(mem.toDF(), rules)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("rules_test").start()
+    try {
+      mem.addData(
+        Ingest.Sample("click", 1L, Timestamp.valueOf("2024-01-01 00:10:00"), 5.0),
+        Ingest.Sample("buy", 2L, Timestamp.valueOf("2024-01-01 00:20:00"), 9.0))
+      q.processAllAvailable()
+      mem.addData( // close both the hourly and the daily windows
+        Ingest.Sample("click", 1L, Timestamp.valueOf("2024-01-03 00:00:00"), 1.0))
+      q.processAllAvailable()
+      val rows = s.sql("SELECT rule, name, agg, value FROM rules_test").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3)))
+        .toSet
+      assert(rows.contains(("clicks_hourly", "click", "sum", 5.0)))
+      assert(rows.contains(("clicks_hourly", "click", "count", 1.0)))
+      assert(rows.contains(("all_daily", "click", "max", 5.0)))
+      assert(rows.contains(("all_daily", "buy", "max", 9.0)))
+      assert(!rows.exists { case (rule, name, _, _) =>
+        rule == "clicks_hourly" && name == "buy" }) // matcher filtered
+    } finally q.stop()
+  }
+
   test("counter tracking maintains cumulative + resets across batches") {
     val s = spark
     import s.implicits._
