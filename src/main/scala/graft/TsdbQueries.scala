@@ -106,6 +106,9 @@ object TsdbQueries {
         .orderBy("name", "user_id", "bucket_s")),
     "ts_timestamp" -> ((s, dir) =>
       Temporal.timestampOp(samples(s, dir)).orderBy("event_id")),
+    "ts_present_ot" -> ((s, dir) =>
+      Temporal.presentOverTime(samples(s, dir))
+        .orderBy("name", "user_id", "bucket_s")),
     "ts_avg_sliding" -> ((s, dir) =>
       Temporal.overTimeAggsSliding(samples(s, dir))
         .orderBy("name", "user_id", "bucket_s")),
@@ -125,6 +128,19 @@ object TsdbQueries {
     "ts_histogram_quantile" -> ((s, dir) =>
       Transform.histogramQuantile(samples(s, dir), 0.9,
         Seq(10, 25, 50, 100, 150, 200, 300, 600)).orderBy("name", "bucket_s")),
+    "ts_histogram_le" -> ((s, dir) => {
+      // synthesize cumulative le-bucket histogram series, then apply
+      // the le-label quantile (the PromQL pre-bucketed shape)
+      val bounds = Seq(10.0, 25.0, 50.0, 100.0, 150.0, 200.0, 300.0, 600.0)
+      val leFrame = samples(s, dir)
+        .withColumn("bucket_s", Vectors.bucketS("day"))
+        .withColumn("le", explode(typedLit(bounds :+ Double.PositiveInfinity)))
+        .where(col("value") <= col("le"))
+        .groupBy("name", "bucket_s", "le")
+        .agg(count(lit(1)).cast("double").as("value"))
+      Transform.histogramQuantileLe(leFrame, 0.9, Seq("name"))
+        .orderBy("name", "bucket_s")
+    }),
     "ts_sort" -> ((s, dir) =>
       Transform.sortSeries(inst(s, dir), desc = true, Seq("name", "user_id"))
         .orderBy("bucket_s", "sort_rank")),
@@ -377,6 +393,10 @@ object TsdbQueries {
          |  WINDOW w AS (PARTITION BY name, user_id, bucket_s ORDER BY ts, event_id)) AS t
          | WHERE rn = 1 AND prev_v IS NOT NULL
          | ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),
+    "ts_present_ot" ->
+      s"""SELECT name, user_id, bucket_s, 1.0 AS present_v FROM ($S) AS s
+         | GROUP BY name, user_id, bucket_s
+         | ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),
     "ts_avg_sliding" ->
       s"""SELECT s.name, s.user_id, g.bucket_s,
          | round(sum(s.value), 6) AS sum_v, round(avg(s.value), 6) AS avg_v,
@@ -458,6 +478,7 @@ object TsdbQueries {
          | FROM ($S) AS s ORDER BY event_id""".stripMargin.replace("\n", " "),
     "ts_math" ->
       s"""SELECT name, user_id, bucket_s, round(-value, 6) AS neg_v,
+         | CAST(sign(value) AS DOUBLE) AS sgn_v,
          | round(abs(value), 6) AS abs_v,
          | CAST(ceil(value) AS DOUBLE) AS ceil_v, CAST(floor(value) AS DOUBLE) AS floor_v,
          | round(exp(value / 100.0), 6) AS exp_v, round(sqrt(abs(value)), 6) AS sqrt_v,
@@ -500,6 +521,25 @@ object TsdbQueries {
          | WHERE cum >= q_rank AND cum_prev < q_rank
          | ORDER BY name, bucket_s""".stripMargin.replace("\n", " ")
     },
+    "ts_histogram_le" ->
+      s"""WITH le AS (
+         |  SELECT name, bucket_s, le, CAST(count(*) AS DOUBLE) AS cum
+         |  FROM (SELECT name, bucket_s, value,
+         |   unnest([10.0, 25.0, 50.0, 100.0, 150.0, 200.0, 300.0, 600.0,
+         |           CAST('infinity' AS DOUBLE)]) AS le
+         |   FROM ($S) AS s) AS t
+         |  WHERE value <= le GROUP BY name, bucket_s, le),
+         | w AS (SELECT name, bucket_s, le, cum,
+         |  coalesce(lag(cum) OVER win, 0.0) AS cum_prev,
+         |  coalesce(lag(le) OVER win, 0.0) AS lo,
+         |  max(cum) OVER (PARTITION BY name, bucket_s) AS total
+         |  FROM le WINDOW win AS (PARTITION BY name, bucket_s ORDER BY le))
+         | SELECT name, bucket_s,
+         |  round(CASE WHEN isinf(le) THEN lo
+         |   ELSE lo + (le - lo) * (q_rank - cum_prev) / (cum - cum_prev) END, 6) AS hq_v
+         | FROM (SELECT *, 0.9 * total AS q_rank FROM w) AS r
+         | WHERE cum >= q_rank AND cum_prev < q_rank
+         | ORDER BY name, bucket_s""".stripMargin.replace("\n", " "),
     "ts_sort" ->
       s"""SELECT name, user_id, bucket_s, value,
          | row_number() OVER (PARTITION BY bucket_s

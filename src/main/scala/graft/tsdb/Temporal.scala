@@ -78,6 +78,16 @@ object Temporal {
                    labelCols: Seq[String] = labels): DataFrame =
     Vectors.instant(samples, unit, labelCols)
 
+  /** present_over_time (PromQL's existence test over a range; the
+    * dual of absent): 1 for every (series, window) that contains at
+    * least one sample. */
+  def presentOverTime(samples: DataFrame, unit: String = "day",
+                      labelCols: Seq[String] = labels): DataFrame =
+    samples
+      .withColumn("bucket_s", Vectors.bucketS(unit))
+      .groupBy((labelCols :+ "bucket_s").map(col): _*)
+      .agg(max(lit(1.0)).as("present_v"))
+
   /** quantile_over_time (temporal/aggregation.go:59) — exact
     * interpolated percentile (PromQL's linear interpolation). */
   def quantileOverTime(samples: DataFrame, q: Double, unit: String = "day",

@@ -18,6 +18,7 @@ object Transform {
     instant.select(
       col("name"), col("user_id"), col("bucket_s"),
       round(-col("value"), 6).as("neg_v"),
+      signum(col("value")).as("sgn_v"),
       round(abs(col("value")), 6).as("abs_v"),
       ceil(col("value")).cast("double").as("ceil_v"),
       floor(col("value")).cast("double").as("floor_v"),
@@ -53,6 +54,34 @@ object Transform {
       minute(col("ts")).cast("long").as("minute_v"),
       month(col("ts")).cast("long").as("month_v"),
       year(col("ts")).cast("long").as("year_v"))
+
+  /** histogram_quantile over pre-bucketed cumulative `le` series —
+    * the actual PromQL/m3 input shape
+    * (linear/histogram_quantile.go:43 consumes series carrying an
+    * `le` label with cumulative bucket counts, as written by
+    * histogram instrumentation). Input frame:
+    * (groupCols…, bucket_s, le: double, value = cumulative count);
+    * output one interpolated quantile per (group, instant). The
+    * +Inf bucket returns its lower bound (PromQL behavior). */
+  def histogramQuantileLe(frame: DataFrame, q: Double,
+                          groupCols: Seq[String]): DataFrame = {
+    val keys = (groupCols :+ "bucket_s").map(col)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*).orderBy("le")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(keys: _*)
+    frame
+      .withColumn("cum_prev", coalesce(lag("value", 1).over(w), lit(0.0)))
+      .withColumn("lo", coalesce(lag("le", 1).over(w), lit(0.0)))
+      .withColumn("total", max("value").over(wAll))
+      .withColumn("q_rank", lit(q) * col("total"))
+      .where(col("value") >= col("q_rank") && col("cum_prev") < col("q_rank"))
+      .select(keys :+
+        round(
+          when(col("le") === Double.PositiveInfinity, col("lo"))
+            .otherwise(col("lo") + (col("le") - col("lo")) *
+              (col("q_rank") - col("cum_prev")) / (col("value") - col("cum_prev"))),
+          6).as("hq_v"): _*)
+  }
 
   /** sort/sort_desc (linear/sort.go): the series of an instant
     * ordered by value. Emits the rank so the ordering is part of the
