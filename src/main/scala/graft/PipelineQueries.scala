@@ -125,6 +125,21 @@ object PipelineQueries {
       Similarity.lshAnn(emb, emb.where(col("vec_id") < 10), 5)
         .orderBy("q_id", "rk")
     }),
+    "corpus_clusters" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashCandidates(
+        Dedup.minhashSignature(docs, K), BANDS, ROWS)
+      Corpus.dupClusters(docs.select("doc_id"), pairs).orderBy("doc_id")
+    }),
+    "corpus_split" -> ((s, dir) =>
+      Corpus.split(Tables.documents(s, dir)).orderBy("doc_id")),
+    "corpus_length_buckets" -> ((s, dir) =>
+      Corpus.lengthBuckets(Tables.documents(s, dir)).orderBy("doc_id")),
+    "corpus_decontam" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Corpus.decontaminate(docs, docs.where(col("doc_id") < 25), 0.5)
+        .orderBy("doc_id")
+    }),
     "text_langid" -> ((s, dir) =>
       TextAnalysis.languageId(Tables.documents(s, dir)).orderBy("doc_id")),
     "text_quality" -> ((s, dir) =>
@@ -219,6 +234,51 @@ object PipelineQueries {
          | FROM embeddings AS q JOIN embeddings AS c ON q.vec_id <> c.vec_id
          | WHERE q.vec_id < 10) AS t
          | WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin.replace("\n", " "),
+    "corpus_clusters" ->
+      s"""WITH RECURSIVE sig AS ($SIG), banded AS ($BANDED),
+         | capped AS (SELECT doc_id, band, bucket FROM (
+         |  SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz FROM banded) AS z
+         |  WHERE bsz <= $MAX_BUCKET),
+         | p AS ($PAIRS),
+         | edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+         |  UNION SELECT doc_b AS src, doc_a AS dst FROM p),
+         | reach(node, root) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.root FROM reach AS r JOIN edges AS e ON e.src = r.node)
+         | SELECT node AS doc_id, min(root) AS cluster_id,
+         |  CAST(min(root) = node AS INT) AS is_canonical
+         | FROM reach GROUP BY node ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "corpus_split" ->
+      """SELECT doc_id,
+        | CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100
+        |   AS bucket100,
+        | CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 10 THEN 'test'
+        |  WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 20 THEN 'val'
+        |  ELSE 'train' END AS split
+        | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "corpus_length_buckets" -> {
+      val qs = (1 until 10).map(i =>
+        s"quantile_cont(n_tokens, 0.$i) AS q$i").mkString(", ")
+      val cases = (1 until 10).map(i =>
+        s"(CASE WHEN n_tokens > q$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH toks AS (SELECT doc_id,
+         |  CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         | b AS (SELECT $qs FROM toks)
+         | SELECT doc_id, n_tokens, CAST(1 + $cases AS BIGINT) AS length_bucket
+         | FROM toks, b ORDER BY doc_id""".stripMargin.replace("\n", " ")
+    },
+    "corpus_decontam" ->
+      s"""WITH sh AS (SELECT DISTINCT doc_id, h FROM ($H) AS hh),
+         | bench AS (SELECT DISTINCT h FROM sh WHERE doc_id < 25),
+         | tot AS (SELECT doc_id, count(*) AS total FROM sh GROUP BY doc_id),
+         | hit AS (SELECT doc_id, count(*) AS hit FROM sh
+         |  WHERE h IN (SELECT h FROM bench) GROUP BY doc_id)
+         | SELECT t.doc_id,
+         |  round(coalesce(hit, 0)::DOUBLE / total, 6) AS overlap_ratio,
+         |  CAST(round(coalesce(hit, 0)::DOUBLE / total, 6) > 0.5 AS INT) AS contaminated
+         | FROM tot AS t LEFT JOIN hit USING (doc_id) ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "text_langid" -> {
       val langs = Seq("en", "de", "fr", "es")
       val lists = langs.map { l =>

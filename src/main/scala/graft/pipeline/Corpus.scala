@@ -1,0 +1,106 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-management operators for training-data pipelines: dup
+  * clustering, deterministic splits, length bucketing, benchmark
+  * decontamination. All compose with the Dedup/TextAnalysis family
+  * over the `documents` table.
+  */
+object Corpus {
+
+  /** Connected components over an undirected dup-pair list
+    * (doc_a, doc_b) — groups transitive near-duplicates into
+    * clusters so one canonical doc per cluster survives.
+    *
+    * Pregel-style min-label propagation on DataFrames: every doc
+    * starts labeled with its own id; each round joins the symmetric
+    * edge list and takes the min neighbor label; stops at fixpoint.
+    * Rounds needed = graph diameter (dup clusters are
+    * near-cliques from LSH blocking → 2-3 rounds in practice);
+    * `maxIter` bounds the worst case. Each round is one shuffle on
+    * doc id — no driver-side graph state.
+    */
+  def dupClusters(docs: DataFrame, pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min("cluster_id").as("nbr_min"))
+      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
+        .where(col("n.cluster_id") =!= col("o.cluster_id"))
+        .limit(1).count()
+      // materialize the new labels so the lineage does not grow
+      // unboundedly across iterations
+      labels = next.localCheckpoint(eager = true)
+      converged = changed == 0
+      i += 1
+    }
+    labels
+      .withColumn("is_canonical", (col("doc_id") === col("cluster_id")).cast("int"))
+  }
+
+  /** Deterministic train/val/test split by content-independent hash
+    * of the doc id — stable across runs and engines (md5 of the id's
+    * decimal rendering), weights in percent. */
+  def split(docs: DataFrame, valPct: Int = 10, testPct: Int = 10): DataFrame = {
+    val h = pmod(Dedup.md5Int(col("doc_id").cast("string")), lit(100L))
+    docs.select(col("doc_id"), h.as("bucket100"))
+      .withColumn("split",
+        when(col("bucket100") < testPct, "test")
+          .when(col("bucket100") < testPct + valPct, "val")
+          .otherwise("train"))
+  }
+
+  /** Length bucketing for batch packing: docs binned into
+    * ~equal-population buckets by token count. Bucket boundaries are
+    * the exact (interpolated) token-count percentiles — one
+    * distributed aggregation — and the assignment is a broadcast of
+    * the (nBuckets−1)-element boundary array; no global sort, no
+    * single-partition window (a plain ntile would funnel the corpus
+    * through one task). Ties land in the lower bucket. */
+  def lengthBuckets(docs: DataFrame, nBuckets: Int = 10): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      size(org.apache.spark.sql.functions.split(lower(col("text")), "\\s+"))
+        .cast("long").as("n_tokens"))
+    val qs = (1 until nBuckets).map(i => i.toDouble / nBuckets)
+    val bounds = toks.agg(
+      percentile(col("n_tokens"), typedlit(qs)).as("bs"))
+    toks.crossJoin(broadcast(bounds))
+      .select(col("doc_id"), col("n_tokens"),
+        (size(filter(col("bs"), b => col("n_tokens") > b)) + 1)
+          .cast("long").as("length_bucket"))
+  }
+
+  /** Benchmark decontamination: fraction of each document's distinct
+    * shingles that appear in the benchmark set's shingle universe;
+    * docs above `threshold` are flagged contaminated. The benchmark
+    * shingle set is distinct-hashed (small → broadcast semi-join
+    * side); cost is one pass over the corpus shingles. */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame,
+                    threshold: Double = 0.5, n: Int = 3): DataFrame = {
+    val docSh = Dedup.shingleHashes(docs, n).select("doc_id", "h").distinct()
+    val benchSh = Dedup.shingleHashes(benchmark, n).select("h").distinct()
+    val overlap = docSh.join(benchSh, Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("hit"))
+    docSh.groupBy("doc_id").agg(count(lit(1)).as("total"))
+      .join(overlap, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        round(coalesce(col("hit"), lit(0L)).cast("double") / col("total"), 6)
+          .as("overlap_ratio"))
+      .withColumn("contaminated",
+        (col("overlap_ratio") > threshold).cast("int"))
+  }
+}

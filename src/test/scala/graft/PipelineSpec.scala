@@ -91,6 +91,21 @@ class PipelineSpec extends SparkSpec {
     assert(recall > 0.55, s"LSH recall $recall too low") // 8 tables x 4 planes
   }
 
+  test("dup clustering follows transitive chains to one canonical doc") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 7L).map(Tuple1(_)).toDF("doc_id")
+    // chain 1-2-3-4 (multi-hop, no direct 1-4 edge) + pair 5-6 + singleton 7
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L))
+      .toDF("doc_a", "doc_b")
+    val r = Corpus.dupClusters(docs, pairs).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("cluster_id"), x.getAs[Int]("is_canonical"))).toMap
+    assert(r(1L) == (1L, 1) && r(2L) == (1L, 0) && r(3L) == (1L, 0) && r(4L) == (1L, 0))
+    assert(r(5L) == (5L, 1) && r(6L) == (5L, 0))
+    assert(r(7L) == (7L, 1))
+  }
+
   test("lshBucket handles dim=512 without plan blowup") {
     val s = spark
     import s.implicits._
