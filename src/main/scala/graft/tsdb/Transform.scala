@@ -85,15 +85,42 @@ object Transform {
 
   /** sort/sort_desc (linear/sort.go): the series of an instant
     * ordered by value. Emits the rank so the ordering is part of the
-    * comparable output (row order itself is not hashed). */
+    * comparable output (row order itself is not hashed).
+    *
+    * Distributed two-phase ranking — a plain
+    * `row_number over (partition by bucket_s)` puts *every series of
+    * an instant* in one task, a straggler at high series
+    * cardinality. Instead: (1) per-bucket value-range shards from
+    * exact percentiles (tiny, broadcast); equal values always land
+    * in the same shard, so tiebreak ordering stays intact;
+    * (2) row_number within (bucket, shard); (3) global rank = local
+    * rank + prefix count of the preceding shards (a buckets×shards
+    * frame, broadcast back). Identical output to the single-window
+    * form — validated by the unchanged oracle. */
   def sortSeries(instant: DataFrame, desc: Boolean,
-                 tiebreak: Seq[String]): DataFrame = {
-    val ord =
-      if (desc) col("value").desc +: tiebreak.map(col(_).asc)
-      else col("value").asc +: tiebreak.map(col(_).asc)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("bucket_s")).orderBy(ord: _*)
-    instant.withColumn("sort_rank", row_number().over(w).cast("long"))
+                 tiebreak: Seq[String], shards: Int = 32): DataFrame = {
+    val ordVal = if (desc) -col("value") else col("value")
+    val qs = (1 until shards).map(_.toDouble / shards)
+    val withOrd = instant.withColumn("_ord", ordVal)
+    val bounds = withOrd.groupBy("bucket_s")
+      .agg(percentile(col("_ord"), typedlit(qs)).as("_bs"))
+    val sharded = withOrd.join(broadcast(bounds), "bucket_s")
+      .withColumn("_shard", size(filter(col("_bs"), b => b < col("_ord"))))
+      .drop("_bs")
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket_s"), col("_shard"))
+      .orderBy(col("_ord").asc +: tiebreak.map(col(_).asc): _*)
+    val wPrefix = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket_s")).orderBy(col("_shard"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = sharded.groupBy("bucket_s", "_shard")
+      .agg(count(lit(1)).as("_cnt"))
+      .withColumn("_offset", coalesce(sum("_cnt").over(wPrefix), lit(0L)))
+      .drop("_cnt")
+    sharded.join(broadcast(offsets), Seq("bucket_s", "_shard"))
+      .withColumn("sort_rank",
+        (col("_offset") + row_number().over(wLocal)).cast("long"))
+      .drop("_ord", "_shard", "_offset")
   }
 
   /** histogram_quantile(q) (linear/histogram_quantile.go): build
