@@ -23,10 +23,19 @@ object Corpus {
     * doc id — no driver-side graph state.
     */
   def dupClusters(docs: DataFrame, pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // materialize the (possibly expensive — e.g. minhash-derived)
+    // pair lineage ONCE; every iteration's actions reuse the
+    // checkpointed edges instead of re-running the upstream pipeline
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
-    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .localCheckpoint(eager = true)
+    // only docs that appear in some pair participate in propagation —
+    // the iteration cost scales with the dup GRAPH, not the corpus;
+    // the (vast) singleton majority joins back once at the end
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .localCheckpoint(eager = true)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -34,21 +43,24 @@ object Corpus {
         .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min("cluster_id").as("nbr_min"))
+      // one materialization per round carries both the new label and
+      // the convergence flag — the changed-count is a cheap scan of
+      // the checkpoint, not a recomputation
       val next = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-            .as("cluster_id"))
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
-        .where(col("n.cluster_id") =!= col("o.cluster_id"))
-        .limit(1).count()
-      // materialize the new labels so the lineage does not grow
-      // unboundedly across iterations
-      labels = next.localCheckpoint(eager = true)
-      converged = changed == 0
+            .as("cluster_id"),
+          (coalesce(col("nbr_min"), col("cluster_id")) < col("cluster_id"))
+            .cast("int").as("_changed"))
+        .localCheckpoint(eager = true)
+      converged = next.where(col("_changed") === 1).limit(1).count() == 0
+      labels = next.drop("_changed")
       i += 1
     }
-    labels
+    docs.select("doc_id")
+      .join(broadcast(labels), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
       .withColumn("is_canonical", (col("doc_id") === col("cluster_id")).cast("int"))
   }
 
