@@ -59,7 +59,20 @@ object GraphiteQueries {
         Graphite.exclude(Graphite.maximumAbove(frame(s, dir), 150.0), "\\.user7$"),
         "avg")
         .select(col("path"), col("bucket_s"), round(col("value"), 6).as("value"))
-        .orderBy("bucket_s"))
+        .orderBy("bucket_s")),
+    // parsed graphite target strings (graphite.GraphiteParser)
+    "gq_expr" -> ((s, dir) =>
+      graphite.GraphiteParser.query(
+        Vectors.samples(Tables.events(s, dir)),
+        """summarize(exclude(events.*.user*, "user7$"), "1d", "sum")""")
+        .select(col("path"), col("bucket_s"), round(col("value"), 6).as("value"))
+        .orderBy("path", "bucket_s")),
+    "gq_expr2" -> ((s, dir) =>
+      graphite.GraphiteParser.query(
+        Vectors.samples(Tables.events(s, dir)),
+        "aliasByNode(highestMax(movingAverage(events.purchase.*, 3), 2), 1, 2)")
+        .select(col("path"), col("bucket_s"), round(col("value"), 6).as("value"))
+        .orderBy("path", "bucket_s"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -111,6 +124,25 @@ object GraphiteQueries {
          | WHERE NOT regexp_matches(path, '\\.user7$$')
          |  AND path IN (SELECT path FROM ($PF) AS q
          |               GROUP BY path HAVING max(value) > 150.0)
-         | GROUP BY bucket_s ORDER BY bucket_s""".stripMargin.replace("\n", " ")
+         | GROUP BY bucket_s ORDER BY bucket_s""".stripMargin.replace("\n", " "),
+    "gq_expr" ->
+      s"""SELECT path, CAST(floor(bucket_s / 86400) * 86400 AS BIGINT) AS bucket_s,
+         | round(sum(value), 6) AS value FROM ($PF) AS p
+         | WHERE NOT regexp_matches(path, 'user7$$')
+         | GROUP BY path, CAST(floor(bucket_s / 86400) * 86400 AS BIGINT)
+         | ORDER BY path, bucket_s""".stripMargin.replace("\n", " "),
+    "gq_expr2" ->
+      s"""WITH m AS (SELECT path, bucket_s,
+         |  avg(value) OVER (PARTITION BY path ORDER BY bucket_s
+         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS value
+         |  FROM ($PF) AS p
+         |  WHERE regexp_matches(path, '^events\\.purchase\\.[^.]*$$')),
+         | top AS (SELECT path FROM (
+         |  SELECT path, row_number() OVER (ORDER BY max(value) DESC, path ASC) AS rk
+         |  FROM m GROUP BY path) AS t WHERE rk <= 2)
+         | SELECT string_split(m.path, '.')[2] || '.' || string_split(m.path, '.')[3] AS path,
+         |  bucket_s, round(value, 6) AS value
+         | FROM m JOIN top ON m.path = top.path
+         | ORDER BY path, bucket_s""".stripMargin.replace("\n", " ")
   )
 }

@@ -106,6 +106,11 @@ object TsdbQueries {
         .orderBy("name", "user_id", "bucket_s")),
     "ts_timestamp" -> ((s, dir) =>
       Temporal.timestampOp(samples(s, dir)).orderBy("event_id")),
+    "ts_consolidate" -> ((s, dir) =>
+      Vectors.consolidate(samples(s, dir), "avg")
+        .select(col("name"), col("user_id"), col("bucket_s"),
+          round(col("value"), 6).as("value"))
+        .orderBy("name", "user_id", "bucket_s")),
     "ts_present_ot" -> ((s, dir) =>
       Temporal.presentOverTime(samples(s, dir))
         .orderBy("name", "user_id", "bucket_s")),
@@ -392,6 +397,10 @@ object TsdbQueries {
          |  FROM ($S) AS s
          |  WINDOW w AS (PARTITION BY name, user_id, bucket_s ORDER BY ts, event_id)) AS t
          | WHERE rn = 1 AND prev_v IS NOT NULL
+         | ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),
+    "ts_consolidate" ->
+      s"""SELECT name, user_id, bucket_s, round(avg(value), 6) AS value
+         | FROM ($S) AS s GROUP BY name, user_id, bucket_s
          | ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),
     "ts_present_ot" ->
       s"""SELECT name, user_id, bucket_s, 1.0 AS present_v FROM ($S) AS s

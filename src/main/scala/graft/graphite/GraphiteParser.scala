@@ -1,0 +1,162 @@
+package graft.graphite
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graphite target-expression front-end — parse query strings like
+  * `summarize(exclude(events.*.user*, "user7$"), "1d", "sum")` into
+  * the [[Graphite]] function library, mirroring the reference's
+  * native graphite engine (src/query/graphite/native: lexer.go /
+  * parser.go build an expression tree over builtin_functions.go;
+  * here the tree evaluates to DataFrame transforms).
+  *
+  * Grammar:
+  * {{{
+  *   target := func "(" arg ("," arg)* ")" | path
+  *   arg    := target | "quoted" | 'quoted' | number
+  *   path   := dotted glob (`*` matches within one segment)
+  * }}}
+  */
+object GraphiteParser {
+
+  sealed trait Node
+  final case class Path(glob: String) extends Node
+  final case class Call(fn: String, args: Seq[Arg]) extends Node
+
+  sealed trait Arg
+  final case class T(node: Node) extends Arg
+  final case class S(s: String) extends Arg
+  final case class N(d: Double) extends Arg
+
+  final class ParseException(msg: String) extends IllegalArgumentException(msg)
+
+  // the dotted-glob alternative comes before plain numbers would be
+  // ambiguous with it: match numbers first, then paths (function
+  // names lex as single-segment paths; a name is a call iff followed
+  // by an opening paren)
+  private val tokenRe =
+    ("""\s*(\(|\)|,|-?[0-9]+\.[0-9]+|-?[0-9]+(?![A-Za-z0-9_*.\-])""" +
+      """|[A-Za-z0-9_*.\-]+""" +
+      """|"[^"]*"|'[^']*')""").r
+
+  private def tokenize(q: String): List[String] = {
+    var rest = q
+    val out = List.newBuilder[String]
+    while (rest.trim.nonEmpty) {
+      tokenRe.findPrefixMatchOf(rest) match {
+        case Some(m) => out += m.group(1); rest = rest.substring(m.end)
+        case None => throw new ParseException(s"cannot tokenize at: $rest")
+      }
+    }
+    out.result()
+  }
+
+  def parse(target: String): Node = {
+    val (n, rest) = parseNode(tokenize(target))
+    if (rest.nonEmpty) throw new ParseException(s"trailing tokens: $rest")
+    n
+  }
+
+  private def parseNode(ts: List[String]): (Node, List[String]) = ts match {
+    case fn :: "(" :: rest0 if fn.matches("[A-Za-z_][A-Za-z0-9_]*") =>
+      var rest = rest0
+      val args = Seq.newBuilder[Arg]
+      var done = false
+      while (!done) {
+        rest match {
+          case ")" :: r => rest = r; done = true
+          case "," :: r => rest = r
+          case t :: _ =>
+            val (arg, r) = parseArg(rest)
+            args += arg; rest = r
+          case Nil => throw new ParseException("unterminated call")
+        }
+      }
+      (Call(fn, args.result()), rest)
+    case p :: rest if p.matches("[A-Za-z0-9_*.\\-]+") => (Path(p), rest)
+    case other => throw new ParseException(s"bad target at $other")
+  }
+
+  private def parseArg(ts: List[String]): (Arg, List[String]) = ts.head match {
+    case q if q.startsWith("\"") || q.startsWith("'") =>
+      (S(q.substring(1, q.length - 1)), ts.tail)
+    case n if n.matches("-?[0-9]+(\\.[0-9]+)?") => (N(n.toDouble), ts.tail)
+    case _ =>
+      val (node, rest) = parseNode(ts)
+      (T(node), rest)
+  }
+
+  private def durSeconds(d: String): Long = {
+    val n = d.dropRight(1).toLong
+    d.last match {
+      case 's' => n
+      case 'm' => n * 60
+      case 'h' => n * 3600
+      case 'd' => n * 86400
+      case 'w' => n * 604800
+      case u => throw new ParseException(s"bad duration unit $u")
+    }
+  }
+
+  /** Dot-glob → anchored regex (`*` matches within one segment). */
+  private def globRe(glob: String): String =
+    "^" + glob.split("\\.", -1)
+      .map(_.replace("*", "[^.]*")).mkString("\\.") + "$"
+
+  // ---------------- evaluator ----------------
+
+  /** Parse + evaluate `target` against a sample frame. */
+  def query(samples: DataFrame, target: String): DataFrame =
+    eval(parse(target), Graphite.seriesFrame(samples))
+
+  private def one(fn: String, args: Seq[Arg], base: DataFrame): DataFrame =
+    args match {
+      case Seq(T(n), _*) => eval(n, base)
+      case other => throw new ParseException(s"$fn needs a series argument, got $other")
+    }
+  private def num(fn: String, args: Seq[Arg], i: Int): Double = args(i) match {
+    case N(d) => d
+    case other => throw new ParseException(s"$fn arg $i must be a number, got $other")
+  }
+  private def str(fn: String, args: Seq[Arg], i: Int): String = args(i) match {
+    case S(s) => s
+    case other => throw new ParseException(s"$fn arg $i must be a string, got $other")
+  }
+
+  def eval(node: Node, base: DataFrame): DataFrame = node match {
+    case Path(glob) => base.where(col("path").rlike(globRe(glob)))
+    case Call(fn, args) =>
+      val in = one(fn, args, base)
+      fn match {
+        case "summarize" =>
+          Graphite.summarize(in, durSeconds(str(fn, args, 1)), str(fn, args, 2))
+        case "movingAverage" => Graphite.movingAverage(in, num(fn, args, 1).toInt)
+        case "aliasByNode" =>
+          Graphite.aliasByNode(in, args.tail.map {
+            case N(d) => d.toInt
+            case a => throw new ParseException(s"aliasByNode node must be int: $a")
+          }: _*)
+        case "scale"    => Graphite.scale(in, num(fn, args, 1))
+        case "offset"   => Graphite.offsetSeries(in, num(fn, args, 1))
+        case "absolute" => Graphite.absolute(in)
+        case "derivative" => Graphite.derivative(in)
+        case "nonNegativeDerivative" => Graphite.nonNegativeDerivative(in)
+        case "perSecond" => Graphite.perSecond(in)
+        case "integral"  => Graphite.integral(in)
+        case "timeShift" => Graphite.timeShift(in, durSeconds(str(fn, args, 1)))
+        case "highestMax" => Graphite.highestMax(in, num(fn, args, 1).toInt)
+        case "averageAbove" => Graphite.averageAbove(in, num(fn, args, 1))
+        case "maximumAbove" => Graphite.maximumAbove(in, num(fn, args, 1))
+        case "nPercentile" => Graphite.nPercentile(in, num(fn, args, 1))
+        case "sortByMaxima" => Graphite.sortByMaxima(in)
+        case "sumSeries" => Graphite.combineSeries(in, "sum")
+        case "averageSeries" => Graphite.combineSeries(in, "avg")
+        case "groupByNode" =>
+          Graphite.groupByNode(in, num(fn, args, 1).toInt, str(fn, args, 2))
+        case "exclude" => Graphite.exclude(in, str(fn, args, 1))
+        case "grep"    => Graphite.grep(in, str(fn, args, 1))
+        case "limit"   => Graphite.limitSeries(in, num(fn, args, 1).toInt)
+        case other => throw new ParseException(s"unknown graphite function $other")
+      }
+  }
+}

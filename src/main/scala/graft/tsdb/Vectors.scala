@@ -72,10 +72,26 @@ object Vectors {
     * event_id (see [[lastKey]]).
     */
   def instant(samples: DataFrame, unit: String = "day",
-              labelCols: Seq[String] = labels): DataFrame = {
+              labelCols: Seq[String] = labels): DataFrame =
+    consolidate(samples, "last", unit, labelCols)
+
+  /** Consolidation with an explicit function — m3's ConsolidationFunc
+    * set (src/query/ts/consolidators; Last/Min/Max/Sum/Avg/Count):
+    * how multiple samples in one step collapse to the instant value. */
+  def consolidate(samples: DataFrame, how: String, unit: String = "day",
+                  labelCols: Seq[String] = labels): DataFrame = {
+    val agg = how match {
+      case "last"  => max_by(col("value"), lastKey)
+      case "min"   => min("value")
+      case "max"   => max("value")
+      case "sum"   => sum("value")
+      case "avg"   => avg("value")
+      case "count" => count(lit(1)).cast("double")
+      case h => throw new IllegalArgumentException(s"unknown consolidation $h")
+    }
     samples
       .withColumn("bucket_s", bucketS(unit))
       .groupBy((labelCols :+ "bucket_s").map(col): _*)
-      .agg(max_by(col("value"), lastKey).as("value"))
+      .agg(agg.as("value"))
   }
 }

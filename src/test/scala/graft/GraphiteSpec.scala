@@ -37,6 +37,27 @@ class GraphiteSpec extends SparkSpec {
     assert(i(("events.a.user1", 7200L)) == 37.0)
   }
 
+  test("target parser builds the expected expression tree") {
+    import graft.graphite.GraphiteParser._
+    assert(parse("""summarize(exclude(events.*.user*, "user7$"), "1d", "sum")""") ==
+      Call("summarize", Seq(
+        T(Call("exclude", Seq(T(Path("events.*.user*")), S("user7$")))),
+        S("1d"), S("sum"))))
+    assert(parse("movingAverage(a.b, 3)") ==
+      Call("movingAverage", Seq(T(Path("a.b")), N(3.0))))
+    intercept[ParseException](parse("summarize(a.b"))
+    intercept[ParseException](parse("notAFunction(a.b)") match {
+      case c: Call => eval(c, frame); c
+    })
+  }
+
+  test("path globs match whole segments only") {
+    val r = graft.graphite.GraphiteParser.eval(
+      graft.graphite.GraphiteParser.parse("events.a.*"), frame)
+    assert(r.select("path").distinct().collect().map(_.getString(0)).toSet ==
+      Set("events.a.user1"))
+  }
+
   test("highestMax keeps exactly the top-n series") {
     val top = Graphite.highestMax(frame, 1).select("path").distinct()
       .collect().map(_.getString(0)).toSet
