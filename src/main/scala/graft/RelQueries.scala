@@ -35,6 +35,18 @@ object RelQueries {
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
 
+    // ROLLUP hierarchy (warehouse subtotal/grand-total shape): one
+    // scan, Expand for the grouping sets, hash agg — exact DECIMAL
+    // sums so partial-agg order cannot shift the totals.
+    "q_rollup" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
     // Q3 shape: selective dim filter → join → agg. customer side is
     // filtered before the join; join keys shuffle-hash with AQE.
     "q3_join" -> ((s, dir) => {
@@ -109,6 +121,12 @@ object RelQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | count(*) AS cnt
+        | FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        | ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin.replace("\n", " "),
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

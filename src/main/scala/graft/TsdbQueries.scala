@@ -275,6 +275,10 @@ object TsdbQueries {
         .select(col("name"), col("user_id"), col("bucket_s"),
           round(col("value"), 6).as("value"))
         .orderBy("name", "user_id", "bucket_s")),
+    "pql_label" -> ((s, dir) =>
+      graft.promql.PromQL.query(samples(s, dir),
+        """label_join(label_replace(purchase, "group", "g_$1", "name", "(pur).*"), "series", "/", "name", "user_id")""")
+        .orderBy("user_id", "bucket_s")),
     "pql_vec_ratio" -> ((s, dir) =>
       graft.promql.PromQL.query(samples(s, dir), "purchase / on (user_id) click")
         .select(col("user_id"), col("bucket_s"), round(col("value"), 9).as("value"))
@@ -639,6 +643,13 @@ object TsdbQueries {
          |        WHERE name = 'purchase') AS p
          |  GROUP BY name, user_id, bucket_s) AS g
          | ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),
+    "pql_label" ->
+      s"""SELECT name, user_id, bucket_s, value,
+         | CASE WHEN regexp_matches(name, '(pur).*')
+         |      THEN regexp_replace(name, '(pur).*', 'g_\\1') ELSE '' END AS "group",
+         | name || '/' || CAST(user_id AS VARCHAR) AS series
+         | FROM ($INST) AS i WHERE name = 'purchase'
+         | ORDER BY user_id, bucket_s""".stripMargin.replace("\n", " "),
     "pql_vec_ratio" ->
       s"""SELECT l.user_id, l.bucket_s,
          | round(CASE WHEN r.value <> 0 THEN l.value / r.value END, 9) AS value

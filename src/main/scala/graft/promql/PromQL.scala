@@ -52,7 +52,8 @@ object PromQL {
                             rangeUnit: Option[String],
                             offsetS: Long) extends Expr
   final case class Func(name: String, arg: Expr,
-                        params: Seq[Double] = Nil) extends Expr
+                        params: Seq[Double] = Nil,
+                        sparams: Seq[String] = Nil) extends Expr
   final case class Agg(op: String, by: Option[Seq[String]],
                        without: Option[Seq[String]], arg: Expr,
                        param: Option[Double] = None) extends Expr
@@ -74,7 +75,7 @@ object PromQL {
     "quantile_over_time", "predict_linear", "holt_winters")
   private val transformFns = Set(
     "abs", "ceil", "floor", "exp", "sqrt", "ln", "log2", "log10",
-    "clamp_min", "clamp_max", "round")
+    "clamp_min", "clamp_max", "round", "label_replace", "label_join")
   private val binOps = Set("+", "-", "*", "/", ">", "<", ">=", "<=", "==", "!=")
   private val vecOps = Set("+", "-", "*", "/", ">", "<", ">=", "<=",
     "and", "or", "unless")
@@ -84,6 +85,10 @@ object PromQL {
     "quantile_over_time" -> Set(1), "predict_linear" -> Set(1),
     "holt_winters" -> Set(2), "clamp_min" -> Set(1), "clamp_max" -> Set(1),
     "round" -> Set(0, 1)).withDefaultValue(Set(0))
+  // expected string-parameter count
+  private val fnSParams: Map[String, Set[Int]] = Map(
+    "label_replace" -> Set(4), "label_join" -> Set(2, 3, 4, 5))
+    .withDefaultValue(Set(0))
 
   // ---------------- parser ----------------
   final class ParseException(msg: String) extends IllegalArgumentException(msg)
@@ -115,16 +120,16 @@ object PromQL {
   }
 
   private def validate(e: Expr): Unit = e match {
-    case Func(fn, s: Selector, ps) if temporalFns(fn) =>
+    case Func(fn, s: Selector, ps, sps) if temporalFns(fn) =>
       if (s.rangeUnit.isEmpty)
         throw new ParseException(s"$fn requires a range selector, e.g. x[1d]")
-      if (!fnParams(fn).contains(ps.length))
-        throw new ParseException(s"$fn takes ${fnParams(fn)} params, got ${ps.length}")
-    case Func(fn, _, _) if temporalFns(fn) =>
+      if (!fnParams(fn).contains(ps.length) || !fnSParams(fn).contains(sps.length))
+        throw new ParseException(s"$fn: wrong arity (${ps.length} nums, ${sps.length} strings)")
+    case Func(fn, _, _, _) if temporalFns(fn) =>
       throw new ParseException(s"$fn requires a plain range selector argument")
-    case Func(fn, arg, ps) =>
-      if (!fnParams(fn).contains(ps.length))
-        throw new ParseException(s"$fn takes ${fnParams(fn)} params, got ${ps.length}")
+    case Func(fn, arg, ps, sps) =>
+      if (!fnParams(fn).contains(ps.length) || !fnSParams(fn).contains(sps.length))
+        throw new ParseException(s"$fn: wrong arity (${ps.length} nums, ${sps.length} strings)")
       validate(arg)
     case Agg(op, _, _, arg, p) =>
       if (paramAggs(op) && p.isEmpty)
@@ -176,24 +181,31 @@ object PromQL {
     case op :: ("by" | "without") :: _ if aggOps(op) => parseAgg(ts)
     case op :: "(" :: _ if aggOps(op) => parseAgg(ts)
     case fn :: "(" :: _ if temporalFns(fn) || transformFns(fn) =>
-      val (arg, params, rest) = parseArgs(ts.tail)
-      (Func(fn, arg, params), rest)
+      val (arg, params, sparams, rest) = parseArgs(ts.tail)
+      (Func(fn, arg, params, sparams), rest)
     case _ => parseSelector(ts)
   }
 
-  /** "(" arg-list ")": exactly one vector expr plus numeric params,
-    * in any position (PromQL puts φ/k first, horizons last). */
-  private def parseArgs(ts: List[String]): (Expr, Seq[Double], List[String]) = {
+  /** "(" arg-list ")": exactly one vector expr plus numeric and/or
+    * quoted-string params, in any position (PromQL puts φ/k first,
+    * horizons last, label_replace's strings after the vector). */
+  private def parseArgs(
+      ts: List[String]): (Expr, Seq[Double], Seq[String], List[String]) = {
     if (!ts.headOption.contains("("))
       throw new ParseException(s"expected ( at $ts")
     var rest = ts.tail
     var vector: Option[Expr] = None
     val nums = Seq.newBuilder[Double]
+    val strs = Seq.newBuilder[String]
     var done = false
     while (!done) {
       rest match {
         case n :: ("," :: _ | ")" :: _) if isNumber(n) =>
           nums += n.toDouble; rest = rest.tail
+        case q :: _ if q.startsWith("\"") =>
+          strs += q.substring(1, q.length - 1)
+            .replace("\\\"", "\"").replace("\\\\", "\\")
+          rest = rest.tail
         case _ =>
           if (vector.isDefined)
             throw new ParseException("multiple vector arguments")
@@ -207,7 +219,7 @@ object PromQL {
       }
     }
     (vector.getOrElse(throw new ParseException("missing vector argument")),
-      nums.result(), rest)
+      nums.result(), strs.result(), rest)
   }
 
   private def parseAgg(ts: List[String]): (Expr, List[String]) = {
@@ -341,7 +353,7 @@ object PromQL {
       // selector's range resolution (default day)
       Vectors.instant(fetchFor(sel, samples), sel.rangeUnit.getOrElse("day"))
 
-    case Func(fn, sel: Selector, ps) if temporalFns(fn) =>
+    case Func(fn, sel: Selector, ps, _) if temporalFns(fn) =>
       val unit = sel.rangeUnit.get
       val in = fetchFor(sel, samples)
       val keep = (c: String) =>
@@ -370,8 +382,12 @@ object PromQL {
         case other => throw new ParseException(s"unknown temporal fn $other")
       }
 
-    case Func(fn, arg, ps) =>
+    case Func(fn, arg, ps, sps) =>
       val in = evalExpr(arg, samples)
+      if (fn == "label_replace")
+        return graft.tsdb.Tags.labelReplace(in, sps(0), sps(1), sps(2), sps(3))
+      if (fn == "label_join")
+        return graft.tsdb.Tags.labelJoin(in, sps(0), sps(1), sps.drop(2))
       val v = col("value")
       val out: Column = fn match {
         case "abs"   => abs(v)
