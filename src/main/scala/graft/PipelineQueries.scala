@@ -144,6 +144,8 @@ object PipelineQueries {
       TextAnalysis.languageId(Tables.documents(s, dir)).orderBy("doc_id")),
     "text_quality" -> ((s, dir) =>
       TextAnalysis.quality(Tables.documents(s, dir)).orderBy("doc_id")),
+    "text_gopher" -> ((s, dir) =>
+      TextAnalysis.gopherQuality(Tables.documents(s, dir)).orderBy("doc_id")),
     "text_tokens" -> ((s, dir) =>
       TextAnalysis.tokenCount(Tables.documents(s, dir)).orderBy("doc_id")),
     "text_fingerprint" -> ((s, dir) =>
@@ -311,6 +313,25 @@ object PipelineQueries {
          | FROM (SELECT doc_id, text, string_split_regex(lower(text), '\\s+') AS ws
          |       FROM documents) AS t ORDER BY doc_id""".stripMargin.replace("\n", " ")
     },
+    "text_gopher" ->
+      """SELECT doc_id, mean_word_len, dup_line_frac, symbol_ratio, bullet_frac,
+        | CAST(mean_word_len >= 3 AND mean_word_len <= 10
+        |  AND dup_line_frac <= 0.3 AND symbol_ratio <= 0.1 AS INT) AS gopher_pass
+        | FROM (
+        |  SELECT doc_id,
+        |   round(list_sum(list_transform(ws, w -> length(w)))::DOUBLE / len(ws), 6)
+        |     AS mean_word_len,
+        |   round((len(lines) - len(list_distinct(lines)))::DOUBLE / len(lines), 6)
+        |     AS dup_line_frac,
+        |   round((length(text) - length(regexp_replace(text, '[#$%&@~^*]', '', 'g')))::DOUBLE
+        |     / len(ws), 6) AS symbol_ratio,
+        |   round(len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]')))::DOUBLE
+        |     / len(lines), 6) AS bullet_frac
+        |  FROM (SELECT doc_id, text,
+        |    string_split_regex(lower(text), '\s+') AS ws,
+        |    string_split(text, chr(10)) AS lines
+        |   FROM documents) AS t) AS q
+        | ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "text_tokens" ->
       """SELECT doc_id, len(ws) AS ws_tokens,
         | CAST(list_sum(list_transform(ws,

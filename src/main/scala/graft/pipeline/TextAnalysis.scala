@@ -81,6 +81,44 @@ object TextAnalysis {
       bpe.as("bpe_tokens"))
   }
 
+  /** Gopher/Dolma-style repetition + shape quality signals (the
+    * standard heuristic filter battery for web-scale corpora): mean
+    * word length, duplicate-line fraction, symbol-to-word ratio,
+    * bullet-line fraction, and the pass/fail flag with the classic
+    * thresholds (3 ≤ mean word len ≤ 10, dup lines ≤ 0.3,
+    * symbol ratio ≤ 0.1). Pure column algebra — one map stage. */
+  def gopherQuality(docs: DataFrame): DataFrame = {
+    val ws = col("ws")
+    val lines = col("lines")
+    val meanWordLen =
+      aggregate(ws, lit(0L), (acc, x) => acc + length(x)).cast("double") /
+        size(ws).cast("double")
+    val dupLineFrac =
+      (size(lines) - size(array_distinct(lines))).cast("double") /
+        size(lines).cast("double")
+    val symbolRatio =
+      (length(col("text")) -
+        length(regexp_replace(col("text"), "[#\\$%&@~\\^\\*]", "")))
+        .cast("double") / size(ws).cast("double")
+    val bulletFrac =
+      size(filter(lines, l => l.rlike("^\\s*[-\\*•]"))).cast("double") /
+        size(lines).cast("double")
+    docs
+      .select(col("doc_id"), col("text"),
+        split(lower(col("text")), "\\s+").as("ws"),
+        split(col("text"), "\n").as("lines"))
+      .select(
+        col("doc_id"),
+        round(meanWordLen, 6).as("mean_word_len"),
+        round(dupLineFrac, 6).as("dup_line_frac"),
+        round(symbolRatio, 6).as("symbol_ratio"),
+        round(bulletFrac, 6).as("bullet_frac"))
+      .withColumn("gopher_pass",
+        (col("mean_word_len") >= 3 && col("mean_word_len") <= 10 &&
+          col("dup_line_frac") <= 0.3 && col("symbol_ratio") <= 0.1)
+          .cast("int"))
+  }
+
   /** Document fingerprint: rolling 16-char window hashes sampled at
     * fixed stride (winnowing-style but deterministic stride so the
     * oracle can replay it); emits min hash per document — a compact

@@ -69,7 +69,7 @@ object PromQL {
     "topk", "bottomk", "quantile")
   private val paramAggs = Set("topk", "bottomk", "quantile")
   private val temporalFns = Set(
-    "rate", "increase", "delta", "resets", "changes", "deriv",
+    "rate", "increase", "delta", "irate", "idelta", "resets", "changes", "deriv",
     "sum_over_time", "avg_over_time", "min_over_time", "max_over_time",
     "count_over_time", "last_over_time", "stddev_over_time",
     "quantile_over_time", "predict_linear", "holt_winters")
@@ -362,6 +362,8 @@ object PromQL {
         case "rate"      => Temporal.rateFrame(in, unit).select(keep("rate_v"): _*)
         case "increase"  => Temporal.rateFrame(in, unit).select(keep("increase_v"): _*)
         case "delta"     => Temporal.rateFrame(in, unit).select(keep("delta_v"): _*)
+        case "irate"     => Temporal.irateFrame(in, unit).select(keep("irate_v"): _*)
+        case "idelta"    => Temporal.irateFrame(in, unit).select(keep("idelta_v"): _*)
         case "resets"    => Temporal.resetsChanges(in, unit).select(keep("resets_v"): _*)
         case "changes"   => Temporal.resetsChanges(in, unit).select(keep("changes_v"): _*)
         case "deriv"     => Temporal.linearRegression(in, unit = unit).select(keep("deriv_v"): _*)
