@@ -288,6 +288,17 @@ object TsdbQueries {
         "purchase unless on (user_id) (click > 120)")
         .orderBy("user_id", "bucket_s")),
 
+    // ---- M3QL front-end (graft.m3ql) ----------------------------------
+    "m3ql_agg" -> ((s, dir) =>
+      graft.m3ql.M3QL.query(samples(s, dir), "fetch name:* | avg name | >= 48.7")
+        .select(col("name"), col("bucket_s"), round(col("value"), 6).as("value"))
+        .orderBy("name", "bucket_s")),
+    "m3ql_fetch" -> ((s, dir) =>
+      graft.m3ql.M3QL.query(samples(s, dir), "fetch name:purchase user_id:7 | sqrt")
+        .select(col("name"), col("user_id"), col("bucket_s"),
+          round(col("value"), 6).as("value"))
+        .orderBy("bucket_s")),
+
     // ---- §2E tags -----------------------------------------------------
     "ts_label_join" -> ((s, dir) =>
       Tags.labelJoin(inst(s, dir), "series_id", "/", Seq("name", "user_id"))
@@ -716,6 +727,15 @@ object TsdbQueries {
          |  ON l.user_id = r.user_id AND l.bucket_s = r.bucket_s + 86400
          | WHERE l.name = 'purchase' AND r.name = 'purchase'
          | ORDER BY l.user_id, l.bucket_s""".stripMargin.replace("\n", " "),
+    "m3ql_agg" ->
+      s"""SELECT name, bucket_s, round(avg(value), 6) AS value
+         | FROM ($INST) AS i GROUP BY name, bucket_s
+         | HAVING avg(value) >= 48.7
+         | ORDER BY name, bucket_s""".stripMargin.replace("\n", " "),
+    "m3ql_fetch" ->
+      s"""SELECT name, user_id, bucket_s, round(sqrt(value), 6) AS value
+         | FROM ($INST) AS i WHERE name = 'purchase' AND user_id = 7
+         | ORDER BY bucket_s""".stripMargin.replace("\n", " "),
     "ts_label_join" ->
       s"""SELECT name, user_id, bucket_s, value,
          | name || '/' || CAST(user_id AS VARCHAR) AS series_id

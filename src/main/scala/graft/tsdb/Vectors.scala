@@ -65,6 +65,15 @@ object Vectors {
     (unix_micros(col("ts")) - col("bucket_s") * lit(1000000L)) * lit(1L << 26) +
       pmod(col("event_id"), lit(1L << 26))
 
+  /** Deterministic salt in [0, n) from the given columns — the
+    * standard guard for pathological label skew: aggregate first by
+    * (key, salt) for the heavy partial reduction, then by key alone
+    * over n small rows per key. Used when one label value dominates
+    * (SURVEY §4 skew note); spec-verified equal to the direct
+    * aggregation. */
+  def saltedKey(n: Int, cols: Column*): Column =
+    pmod(hash(cols: _*), lit(n))
+
   /** Sample frame → instant frame at the given resolution: one row
     * per (labels, bucket) with value = last sample in the bucket
     * (gauge consolidation — m3 consolidates by Last:

@@ -1,5 +1,32 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, round, sum}
+
+class SaltSpec extends SparkSpec {
+  test("salted two-phase aggregation equals direct aggregation") {
+    val samples = tsdb.Vectors.samples(Tables.events(spark, sf))
+    val direct = samples.groupBy("name").agg(sum("value").as("s"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val salted = samples
+      .withColumn("salt", tsdb.Vectors.saltedKey(8, col("user_id")))
+      .groupBy("name", "salt").agg(sum("value").as("ps"))
+      .groupBy("name").agg(sum("ps").as("s"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(direct.keySet == salted.keySet)
+    direct.foreach { case (k, v) =>
+      assert(math.abs(v - salted(k)) < 1e-3, s"$k: $v vs ${salted(k)}")
+    }
+  }
+
+  test("m3ql rejects malformed pipelines") {
+    import graft.m3ql.M3QL
+    val samples = tsdb.Vectors.samples(Tables.events(spark, sf))
+    intercept[M3QL.ParseException](M3QL.query(samples, "sum name"))
+    intercept[M3QL.ParseException](M3QL.query(samples, "fetch name:a | fetch name:b"))
+    intercept[M3QL.ParseException](M3QL.query(samples, "fetch noColon"))
+  }
+}
+
 import org.apache.spark.sql.functions._
 import graft.tsdb._
 
