@@ -120,6 +120,11 @@ object PipelineQueries {
       Similarity.cosineTopK(emb, emb.where(col("vec_id") < 10), 5)
         .orderBy("q_id", "rk")
     }),
+    "sim_ivf_ann" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfAnn(emb, emb.where(col("vec_id") < 10), 5)
+        .orderBy("q_id", "rk")
+    }),
     "sim_lsh_ann" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.lshAnn(emb, emb.where(col("vec_id") < 10), 5)
@@ -215,6 +220,31 @@ object PipelineQueries {
          |  FROM cands JOIN embeddings AS a ON a.vec_id = id_a
          |   JOIN embeddings AS b ON b.vec_id = id_b) AS s
          | WHERE cos > 0.40 ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
+    "sim_ivf_ann" ->
+      s"""WITH cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci,
+         |   embedding::DOUBLE[] AS cemb
+         |  FROM embeddings ORDER BY vec_id LIMIT 8),
+         | cd AS (SELECT e.vec_id, c.ci,
+         |   list_dot_product(c.cemb, c.cemb)
+         |    - 2 * list_dot_product(e.embedding::DOUBLE[], c.cemb) AS d
+         |  FROM embeddings AS e CROSS JOIN cents AS c),
+         | cellof AS (SELECT vec_id, ci AS cell FROM (
+         |  SELECT vec_id, ci, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY d ASC, ci ASC) AS rn FROM cd) AS t WHERE rn = 1),
+         | qprobe AS (SELECT vec_id AS q_id, ci AS cell FROM (
+         |  SELECT vec_id, ci, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY d ASC, ci ASC) AS rn FROM cd WHERE vec_id < 10) AS t
+         |  WHERE rn <= 2),
+         | cands AS (SELECT q.q_id, co.vec_id AS c_id
+         |  FROM qprobe AS q JOIN cellof AS co ON co.cell = q.cell
+         |  WHERE co.vec_id <> q.q_id)
+         | SELECT q_id, c_id, round(cos, 6) AS cos_v, rk FROM (
+         |  SELECT q_id, c_id, cos,
+         |   row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rk
+         |  FROM (SELECT cands.q_id, cands.c_id, ${cosSql("q", "c")} AS cos
+         |   FROM cands JOIN embeddings AS q ON q.vec_id = cands.q_id
+         |    JOIN embeddings AS c ON c.vec_id = cands.c_id) AS sc) AS r
+         | WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin.replace("\n", " "),
     "sim_lsh_ann" ->
       s"""WITH cb AS (${lshBandedSql(8, 4, "c_id")}),
          | qb AS (${lshBandedSql(8, 4, "q_id", "WHERE vec_id < 10")}),

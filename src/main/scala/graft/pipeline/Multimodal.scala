@@ -81,6 +81,23 @@ object Multimodal {
       .toDF()
   }
 
+  /** Resize planning: aspect-fit target dimensions for decoded
+    * media — the real geometry math (fit the (width, height) box
+    * into maxSide preserving aspect, never upscale); the pixel
+    * resample itself belongs to the stubbed decode kernel. Runs on
+    * the (tiny) feature frame, not payloads. */
+  def resizePlan(features: DataFrame, maxSide: Int = 512): DataFrame = {
+    val scale = least(
+      lit(maxSide.toDouble) / col("width"),
+      lit(maxSide.toDouble) / col("height"),
+      lit(1.0))
+    features.select(
+      col("media_id"), col("width"), col("height"),
+      round(col("width") * scale, 0).cast("int").as("out_width"),
+      round(col("height") * scale, 0).cast("int").as("out_height"),
+      round(scale, 6).as("scale"))
+  }
+
   /** Frame sampling plan for video rows: every `stride`-th frame
     * index as an array column — pure column algebra, the decode of
     * each sampled frame being the stubbed stage. */

@@ -120,6 +120,60 @@ object Similarity {
         col("rk").cast("long").as("rk"))
   }
 
+  /** IVF-style ANN: a coarse quantizer partitions the corpus into
+    * cells; queries probe only the `nprobe` nearest cells and exact
+    * cosine reranks within them — the inverted-file pattern behind
+    * FAISS-style indexes, as a bucketed equi-join.
+    *
+    * The quantizer here is deterministic *seeded selection* (the
+    * first k corpus vectors by id) rather than trained k-means, so
+    * the oracle can replay cell assignment exactly; swapping in
+    * trained centroids changes only the `centroids` frame. Cell
+    * assignment is argmin of ‖v−c‖² = argmin (c·c − 2 v·c); ties
+    * break to the lowest cell index (array_position takes the first
+    * minimum).
+    *
+    * Scale: assignment is a map stage against k broadcast centroid
+    * literals (k·dim doubles); the corpus would be written
+    * bucketed-by(cell), making each probe a pruned bucket join. */
+  def ivfAnn(corpus: DataFrame, queries: DataFrame, k: Int,
+             cells: Int = 8, nprobe: Int = 2): DataFrame = {
+    val cents: Array[Seq[Double]] = corpus
+      .orderBy("vec_id").limit(cells)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq)
+    def dists(emb: Column): Column = array(cents.map { c =>
+      val cc = c.map(x => x * x).sum
+      lit(cc) - lit(2.0) * dotNative(emb.cast("array<double>"), typedLit(c))
+    }: _*)
+    def cellOf(emb: Column): Column = {
+      val d = dists(emb)
+      (array_position(d, array_min(d)) - 1).cast("int")
+    }
+    val cb = corpus.select(col("vec_id").as("c_id"),
+      col("embedding").as("c_emb"), cellOf(col("embedding")).as("cell"))
+    // query side probes its nprobe nearest cells
+    val qb = queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"), dists(col("embedding")).as("qd"))
+      .select(col("q_id"), col("q_emb"),
+        explode(slice(array_sort(array(
+          (0 until cells).map(i =>
+            struct(element_at(col("qd"), i + 1).as("d"), lit(i).as("i"))): _*)),
+          1, nprobe)).as("probe"))
+      .select(col("q_id"), col("q_emb"), col("probe.i").as("cell"))
+    val scored = cb.join(broadcast(qb), Seq("cell"))
+      .where(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        (dotNative(col("q_emb"), col("c_emb")) /
+          (sqrt(dotNative(col("q_emb"), col("q_emb"))) *
+            sqrt(dotNative(col("c_emb"), col("c_emb"))))).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("q_id"), col("c_id"), round(col("cos"), 6).as("cos_v"),
+        col("rk").cast("long").as("rk"))
+  }
+
   /** LSH-blocked embedding near-duplicate pairs — the 100 TB path:
     * candidates are pairs sharing any table's hyperplane bucket
     * (per-bucket equi-join, never all-pairs), then exact cosine > τ

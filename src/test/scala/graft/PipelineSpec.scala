@@ -91,6 +91,18 @@ class PipelineSpec extends SparkSpec {
     assert(recall > 0.55, s"LSH recall $recall too low") // 8 tables x 4 planes
   }
 
+  test("resize plan aspect-fits without upscaling") {
+    val s = spark
+    import s.implicits._
+    val feats = Seq((1L, 2048, 1024), (2L, 100, 50))
+      .toDF("media_id", "width", "height")
+    val r = Multimodal.resizePlan(feats, 512).collect()
+      .map(x => x.getAs[Long]("media_id") ->
+        (x.getAs[Int]("out_width"), x.getAs[Int]("out_height"))).toMap
+    assert(r(1L) == (512, 256))  // downscaled, aspect kept
+    assert(r(2L) == (100, 50))   // never upscaled
+  }
+
   test("dup clustering follows transitive chains to one canonical doc") {
     val s = spark
     import s.implicits._
@@ -104,6 +116,18 @@ class PipelineSpec extends SparkSpec {
     assert(r(1L) == (1L, 1) && r(2L) == (1L, 0) && r(3L) == (1L, 0) && r(4L) == (1L, 0))
     assert(r(5L) == (5L, 1) && r(6L) == (5L, 0))
     assert(r(7L) == (7L, 1))
+  }
+
+  test("IVF ANN recall vs brute force on real embeddings") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.where(col("vec_id") < 20)
+    val exact = Similarity.cosineTopK(emb, q, 5).select("q_id", "c_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfAnn(emb, q, 5, cells = 8, nprobe = 3)
+      .select("q_id", "c_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall > 0.25, s"IVF recall $recall too low") // seeded quantizer, 3/8 cells
   }
 
   test("lshBucket handles dim=512 without plan blowup") {
