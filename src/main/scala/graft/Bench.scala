@@ -15,6 +15,11 @@ import scala.collection.mutable
   * Failures are never swallowed: a failing query records -1 in the
   * per-query map and its name in `errors`, so a regression shows up
   * as an explicit marker instead of a suspiciously fast success.
+  *
+  * Queries run in sorted-name order. Operators that share a
+  * materialized stage (the dedup family's hashed-shingle frame)
+  * charge that stage to whichever of them runs first — per-query
+  * numbers are order-dependent for that family; the total is not.
   */
 object Bench {
   def main(args: Array[String]): Unit = {

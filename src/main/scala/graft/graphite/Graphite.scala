@@ -133,6 +133,26 @@ object Graphite {
     df.groupBy("path")
       .agg(percentile(col("value"), lit(p / 100.0)).as("value"))
 
+  /** alias(series, name) (builtin_functions.go alias): rename every
+    * series to a constant display name. */
+  def alias(df: DataFrame, name: String): DataFrame =
+    df.withColumn("path", lit(name))
+
+  /** transformNull(series, default) (builtin_functions.go
+    * transformNull): replace null values (e.g. derivative heads)
+    * with a constant. */
+  def transformNull(df: DataFrame, default: Double = 0.0): DataFrame =
+    df.withColumn("value", coalesce(col("value"), lit(default)))
+
+  /** sortByName: rank series lexicographically by path, attached as
+    * a column (like sortByMaxima). */
+  def sortByName(df: DataFrame): DataFrame = {
+    val ranked = df.select("path").distinct()
+      .withColumn("sort_rank", row_number().over(
+        Window.orderBy(col("path").asc)))
+    df.join(ranked, "path")
+  }
+
   /** sumSeries / averageSeries (builtin_functions.go sumSeries,
     * averageSeries): collapse all series into one, named after the
     * combining function. */

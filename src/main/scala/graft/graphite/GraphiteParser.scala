@@ -153,6 +153,11 @@ object GraphiteParser {
         case "averageSeries" => Graphite.combineSeries(in, "avg")
         case "groupByNode" =>
           Graphite.groupByNode(in, num(fn, args, 1).toInt, str(fn, args, 2))
+        case "alias" => Graphite.alias(in, str(fn, args, 1))
+        case "transformNull" =>
+          Graphite.transformNull(in,
+            args.lift(1).collect { case N(d) => d }.getOrElse(0.0))
+        case "sortByName" => Graphite.sortByName(in)
         case "exclude" => Graphite.exclude(in, str(fn, args, 1))
         case "grep"    => Graphite.grep(in, str(fn, args, 1))
         case "limit"   => Graphite.limitSeries(in, num(fn, args, 1).toInt)

@@ -58,6 +58,21 @@ class GraphiteSpec extends SparkSpec {
       Set("events.a.user1"))
   }
 
+  test("alias, transformNull and sortByName via the parser") {
+    import graft.graphite.GraphiteParser
+    val d = GraphiteParser.eval(
+      GraphiteParser.parse("""alias(transformNull(derivative(events.a.user1), 0), "d")"""),
+      frame).collect()
+    assert(d.forall(_.getString(0) == "d"))
+    assert(d.map(r => r.getLong(1) -> r.getDouble(2)).toMap ==
+      Map(0L -> 0.0, 3600L -> 5.0, 7200L -> -3.0))
+    val sn = GraphiteParser.eval(
+      GraphiteParser.parse("sortByName(events.*.*)"), frame)
+      .select("path", "sort_rank").distinct().collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(sn == Map("events.a.user1" -> 1, "events.b.user2" -> 2))
+  }
+
   test("highestMax keeps exactly the top-n series") {
     val top = Graphite.highestMax(frame, 1).select("path").distinct()
       .collect().map(_.getString(0)).toSet
