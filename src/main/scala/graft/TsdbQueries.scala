@@ -114,6 +114,9 @@ object TsdbQueries {
     "ts_present_ot" -> ((s, dir) =>
       Temporal.presentOverTime(samples(s, dir))
         .orderBy("name", "user_id", "bucket_s")),
+    "ts_asof" -> ((s, dir) =>
+      Temporal.asOfInstant(samples(s, dir))
+        .orderBy("name", "user_id", "bucket_s")),
     "ts_avg_sliding" -> ((s, dir) =>
       Temporal.overTimeAggsSliding(samples(s, dir))
         .orderBy("name", "user_id", "bucket_s")),
@@ -421,6 +424,14 @@ object TsdbQueries {
       s"""SELECT name, user_id, bucket_s, 1.0 AS present_v FROM ($S) AS s
          | GROUP BY name, user_id, bucket_s
          | ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),
+    "ts_asof" ->
+      s"""SELECT s.name, s.user_id, g.bucket_s,
+         | last(s.value ORDER BY s.ts, s.event_id) AS value
+         | FROM ($S) AS s JOIN ($GRID) AS g
+         |  ON floor(epoch(s.ts)) >= g.bucket_s - 86400
+         |  AND floor(epoch(s.ts)) < g.bucket_s
+         | GROUP BY s.name, s.user_id, g.bucket_s
+         | ORDER BY s.name, s.user_id, g.bucket_s""".stripMargin.replace("\n", " "),
     "ts_avg_sliding" ->
       s"""SELECT s.name, s.user_id, g.bucket_s,
          | round(sum(s.value), 6) AS sum_v, round(avg(s.value), 6) AS avg_v,

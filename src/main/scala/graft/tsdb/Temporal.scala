@@ -225,6 +225,27 @@ object Temporal {
         unix_timestamp(col("w.end")).as("bucket_s"),
         col("sum_v"), col("avg_v"), col("min_v"), col("max_v"), col("count_v")): _*)
 
+  /** As-of instant vectors — m3's consolidated instant evaluation
+    * (src/query/ts/values.go: the value AT each step-aligned instant
+    * is the most recent sample within the lookback window, not a
+    * bucket aggregate). This is the classic time-series *as-of join*
+    * Spark has no native operator for, expressed Spark-first as a
+    * sliding-window "last": `window(ts, lookback, step)` Expand +
+    * `max_by` over a packed in-window ordering key — no join at all,
+    * one hash aggregation, map-local expansion. */
+  def asOfInstant(samples: DataFrame, lookbackS: Long = 86400L,
+                  stepS: Long = 21600L,
+                  labelCols: Seq[String] = labels): DataFrame =
+    samples
+      .select(col("*"),
+        window(col("ts"), s"$lookbackS seconds", s"$stepS seconds").as("w"))
+      .withColumn("bucket_s", unix_timestamp(col("w.end")))
+      .withColumn("ord_key",
+        (unix_micros(col("ts")) - unix_micros(col("w.start"))) * lit(1L << 26) +
+          pmod(col("event_id"), lit(1L << 26)))
+      .groupBy((labelCols :+ "bucket_s").map(col): _*)
+      .agg(max_by(col("value"), col("ord_key")).as("value"))
+
   /** rate/increase/delta over sliding lookback windows (the PromQL
     * range-vector form of [[rateFrame]]). The per-series lag is
     * computed ONCE globally (one shuffle); after the window Expand,

@@ -91,6 +91,13 @@ class PipelineSpec extends SparkSpec {
     assert(recall > 0.55, s"LSH recall $recall too low") // 8 tables x 4 planes
   }
 
+  test("dot_native is registered as a SQL function via extensions") {
+    val r = spark.sql(
+      "SELECT dot_native(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")
+      .collect()(0).getDouble(0)
+    assert(r == 32.0)
+  }
+
   test("resize plan aspect-fits without upscaling") {
     val s = spark
     import s.implicits._
