@@ -72,6 +72,12 @@ object GraphiteQueries {
         Vectors.samples(Tables.events(s, dir)),
         "aliasByNode(highestMax(movingAverage(events.purchase.*, 3), 2), 1, 2)")
         .select(col("path"), col("bucket_s"), round(col("value"), 6).as("value"))
+        .orderBy("path", "bucket_s")),
+    "gq_percent" -> ((s, dir) =>
+      graphite.GraphiteParser.query(
+        Vectors.samples(Tables.events(s, dir)),
+        "asPercent(events.purchase.*, sumSeries(events.purchase.*))")
+        .select(col("path"), col("bucket_s"), round(col("value"), 6).as("value"))
         .orderBy("path", "bucket_s"))
   )
 
@@ -131,6 +137,14 @@ object GraphiteQueries {
          | WHERE NOT regexp_matches(path, 'user7$$')
          | GROUP BY path, CAST(floor(bucket_s / 86400) * 86400 AS BIGINT)
          | ORDER BY path, bucket_s""".stripMargin.replace("\n", " "),
+    "gq_percent" ->
+      s"""WITH p AS (SELECT path, bucket_s, value FROM ($PF) AS f
+         |  WHERE regexp_matches(path, '^events\\.purchase\\.[^.]*$$')),
+         | tot AS (SELECT bucket_s, sum(value) AS t FROM p GROUP BY bucket_s)
+         | SELECT p.path, p.bucket_s,
+         |  round(CASE WHEN tot.t <> 0 THEN p.value / tot.t END * 100, 6) AS value
+         | FROM p JOIN tot ON p.bucket_s = tot.bucket_s
+         | ORDER BY p.path, p.bucket_s""".stripMargin.replace("\n", " "),
     "gq_expr2" ->
       s"""WITH m AS (SELECT path, bucket_s,
          |  avg(value) OVER (PARTITION BY path ORDER BY bucket_s

@@ -107,6 +107,22 @@ object Graphite {
     df.groupBy(col("path"), bucket).agg(agg.as("value"))
   }
 
+  /** divideSeries(dividends, divisor) (builtin_functions.go
+    * divideSeries): each dividend series divided pointwise by the
+    * single divisor series (divisor frames with several series must
+    * be combined first, as in Graphite). Zero divisor → null. */
+  def divideSeries(dividends: DataFrame, divisor: DataFrame): DataFrame = {
+    val d = divisor.select(col("bucket_s"), col("value").as("_div"))
+    dividends.join(broadcast(d), "bucket_s")
+      .withColumn("value", when(col("_div") =!= 0, col("value") / col("_div")))
+      .drop("_div")
+  }
+
+  /** asPercent(series, total) (builtin_functions.go asPercent):
+    * 100 · series / total, total being a single combined series. */
+  def asPercent(series: DataFrame, total: DataFrame): DataFrame =
+    divideSeries(series, total).withColumn("value", col("value") * 100.0)
+
   /** highestMax(series, n) (builtin_functions.go:835): keep the n
     * series with the largest maximum over the range. Deterministic
     * on ties via path order. */

@@ -125,6 +125,14 @@ object GraphiteParser {
 
   def eval(node: Node, base: DataFrame): DataFrame = node match {
     case Path(glob) => base.where(col("path").rlike(globRe(glob)))
+    // two-series functions take their second vector from args(1)
+    case Call(fn @ ("divideSeries" | "asPercent"), args) =>
+      val (a, b) = (args(0), args(1)) match {
+        case (T(x), T(y)) => (eval(x, base), eval(y, base))
+        case other => throw new ParseException(s"$fn needs two series args: $other")
+      }
+      if (fn == "divideSeries") Graphite.divideSeries(a, b)
+      else Graphite.asPercent(a, b)
     case Call(fn, args) =>
       val in = one(fn, args, base)
       fn match {
