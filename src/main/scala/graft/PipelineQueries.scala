@@ -64,6 +64,22 @@ object PipelineQueries {
         s"FROM embeddings $where"
     }.mkString(" UNION ALL ")
 
+  /** gopher signal inner SQL (mirrors TextAnalysis.gopherQuality). */
+  private val GOPHER_INNER =
+    """SELECT doc_id,
+      | round(list_sum(list_transform(ws, w -> length(w)))::DOUBLE / len(ws), 6)
+      |   AS mean_word_len,
+      | round((len(lines) - len(list_distinct(lines)))::DOUBLE / len(lines), 6)
+      |   AS dup_line_frac,
+      | round((length(text) - length(regexp_replace(text, '[#$%&@~^*]', '', 'g')))::DOUBLE
+      |   / len(ws), 6) AS symbol_ratio,
+      | round(len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]')))::DOUBLE
+      |   / len(lines), 6) AS bullet_frac
+      | FROM (SELECT doc_id, text,
+      |   string_split_regex(lower(text), '\s+') AS ws,
+      |   string_split(text, chr(10)) AS lines
+      |  FROM documents) AS t""".stripMargin.replace("\n", " ")
+
   /** 64-bit simhash fingerprint SQL (mirrors Dedup.simhash). */
   private val SIMHASH_FP: String = {
     val bitSums = (0 until 64).map { j =>
@@ -138,6 +154,12 @@ object PipelineQueries {
     }),
     "corpus_split" -> ((s, dir) =>
       Corpus.split(Tables.documents(s, dir)).orderBy("doc_id")),
+    "corpus_manifest" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashCandidates(
+        Dedup.minhashSignature(docs, K), BANDS, ROWS)
+      Corpus.manifest(docs, pairs).orderBy("doc_id")
+    }),
     "corpus_length_buckets" -> ((s, dir) =>
       Corpus.lengthBuckets(Tables.documents(s, dir)).orderBy("doc_id")),
     "corpus_decontam" -> ((s, dir) => {
@@ -281,6 +303,37 @@ object PipelineQueries {
          | SELECT node AS doc_id, min(root) AS cluster_id,
          |  CAST(min(root) = node AS INT) AS is_canonical
          | FROM reach GROUP BY node ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "corpus_manifest" ->
+      s"""WITH RECURSIVE
+         | gq AS (SELECT doc_id, CAST(mean_word_len >= 3 AND mean_word_len <= 10
+         |   AND dup_line_frac <= 0.3 AND symbol_ratio <= 0.1 AS INT) AS gopher_pass
+         |  FROM ($GOPHER_INNER) AS q),
+         | ex AS (SELECT doc_id,
+         |   row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS dup_rank
+         |  FROM documents),
+         | sig AS ($SIG), banded AS ($BANDED),
+         | capped AS (SELECT doc_id, band, bucket FROM (
+         |  SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz FROM banded) AS z
+         |  WHERE bsz <= $MAX_BUCKET),
+         | p AS ($PAIRS),
+         | edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+         |  UNION SELECT doc_b AS src, doc_a AS dst FROM p),
+         | reach(node, root) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.root FROM reach AS r JOIN edges AS e ON e.src = r.node),
+         | cl AS (SELECT node AS doc_id, CAST(min(root) = node AS INT) AS is_canonical
+         |  FROM reach GROUP BY node),
+         | sp AS (SELECT doc_id,
+         |  CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 10 THEN 'test'
+         |   WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 20 THEN 'val'
+         |   ELSE 'train' END AS split
+         |  FROM documents)
+         | SELECT gq.doc_id, gq.gopher_pass, ex.dup_rank, cl.is_canonical, sp.split,
+         |  CAST(gq.gopher_pass = 1 AND ex.dup_rank = 1 AND cl.is_canonical = 1 AS INT)
+         |   AS keep
+         | FROM gq JOIN ex USING (doc_id) JOIN cl USING (doc_id) JOIN sp USING (doc_id)
+         | ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "corpus_split" ->
       """SELECT doc_id,
         | CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100
@@ -344,23 +397,10 @@ object PipelineQueries {
          |       FROM documents) AS t ORDER BY doc_id""".stripMargin.replace("\n", " ")
     },
     "text_gopher" ->
-      """SELECT doc_id, mean_word_len, dup_line_frac, symbol_ratio, bullet_frac,
+      s"""SELECT doc_id, mean_word_len, dup_line_frac, symbol_ratio, bullet_frac,
         | CAST(mean_word_len >= 3 AND mean_word_len <= 10
         |  AND dup_line_frac <= 0.3 AND symbol_ratio <= 0.1 AS INT) AS gopher_pass
-        | FROM (
-        |  SELECT doc_id,
-        |   round(list_sum(list_transform(ws, w -> length(w)))::DOUBLE / len(ws), 6)
-        |     AS mean_word_len,
-        |   round((len(lines) - len(list_distinct(lines)))::DOUBLE / len(lines), 6)
-        |     AS dup_line_frac,
-        |   round((length(text) - length(regexp_replace(text, '[#$%&@~^*]', '', 'g')))::DOUBLE
-        |     / len(ws), 6) AS symbol_ratio,
-        |   round(len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]')))::DOUBLE
-        |     / len(lines), 6) AS bullet_frac
-        |  FROM (SELECT doc_id, text,
-        |    string_split_regex(lower(text), '\s+') AS ws,
-        |    string_split(text, chr(10)) AS lines
-        |   FROM documents) AS t) AS q
+        | FROM ($GOPHER_INNER) AS q
         | ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "text_tokens" ->
       """SELECT doc_id, len(ws) AS ws_tokens,

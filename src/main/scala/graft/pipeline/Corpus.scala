@@ -64,6 +64,25 @@ object Corpus {
       .withColumn("is_canonical", (col("doc_id") === col("cluster_id")).cast("int"))
   }
 
+  /** End-to-end training-set manifest — the whole curation pipeline
+    * composed into one keep/split decision per document: Gopher
+    * quality gate ∧ exact-dedup survivor ∧ near-dup cluster
+    * canonical, plus the deterministic split assignment. Each stage
+    * is the already-verified operator; the joins are all on doc_id
+    * (one shuffle key end to end). */
+  def manifest(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val g = TextAnalysis.gopherQuality(docs)
+      .select(col("doc_id"), col("gopher_pass"))
+    val e = Dedup.exact(docs).select(col("doc_id"), col("dup_rank"))
+    val c = dupClusters(docs.select("doc_id"), pairs)
+      .select(col("doc_id"), col("is_canonical"))
+    val sp = split(docs).select(col("doc_id"), col("split"))
+    g.join(e, "doc_id").join(c, "doc_id").join(sp, "doc_id")
+      .withColumn("keep",
+        (col("gopher_pass") === 1 && col("dup_rank") === 1 &&
+          col("is_canonical") === 1).cast("int"))
+  }
+
   /** Deterministic train/val/test split by content-independent hash
     * of the doc id — stable across runs and engines (md5 of the id's
     * decimal rendering), weights in percent. */
