@@ -73,6 +73,12 @@ object GraphiteQueries {
         "aliasByNode(highestMax(movingAverage(events.purchase.*, 3), 2), 1, 2)")
         .select(col("path"), col("bucket_s"), round(col("value"), 6).as("value"))
         .orderBy("path", "bucket_s")),
+    "gq_median" -> ((s, dir) =>
+      graphite.GraphiteParser.query(
+        Vectors.samples(Tables.events(s, dir)),
+        "movingMedian(removeAboveValue(events.purchase.*, 150), 3)")
+        .select(col("path"), col("bucket_s"), round(col("value"), 6).as("value"))
+        .orderBy("path", "bucket_s")),
     "gq_percent" -> ((s, dir) =>
       graphite.GraphiteParser.query(
         Vectors.samples(Tables.events(s, dir)),
@@ -136,6 +142,15 @@ object GraphiteQueries {
          | round(sum(value), 6) AS value FROM ($PF) AS p
          | WHERE NOT regexp_matches(path, 'user7$$')
          | GROUP BY path, CAST(floor(bucket_s / 86400) * 86400 AS BIGINT)
+         | ORDER BY path, bucket_s""".stripMargin.replace("\n", " "),
+    "gq_median" ->
+      s"""SELECT path, bucket_s,
+         | round(quantile_cont(v, 0.5) OVER (PARTITION BY path ORDER BY bucket_s
+         |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS value
+         | FROM (SELECT path, bucket_s,
+         |  CASE WHEN value <= 150 THEN value END AS v
+         |  FROM ($PF) AS f
+         |  WHERE regexp_matches(path, '^events\\.purchase\\.[^.]*$$')) AS t
          | ORDER BY path, bucket_s""".stripMargin.replace("\n", " "),
     "gq_percent" ->
       s"""WITH p AS (SELECT path, bucket_s, value FROM ($PF) AS f

@@ -85,10 +85,98 @@ object Graphite {
     df.withColumn("bucket_s", col("bucket_s") + lit(shiftS))
 
   /** movingAverage(series, window) (builtin_functions.go:2572) over
-    * the last `points` buckets of each series. */
+    * the last `points` buckets of each series; movingMedian /
+    * movingMax / movingMin are the same frame with a different
+    * aggregate (builtin_functions.go movingMedian etc.). */
   def movingAverage(df: DataFrame, points: Int): DataFrame =
     df.withColumn("value",
       avg("value").over(byPath.rowsBetween(-(points - 1), 0)))
+
+  def movingMedian(df: DataFrame, points: Int): DataFrame =
+    df.withColumn("value",
+      percentile(col("value"), lit(0.5)).over(byPath.rowsBetween(-(points - 1), 0)))
+
+  def movingMax(df: DataFrame, points: Int): DataFrame =
+    df.withColumn("value",
+      max("value").over(byPath.rowsBetween(-(points - 1), 0)))
+
+  def movingMin(df: DataFrame, points: Int): DataFrame =
+    df.withColumn("value",
+      min("value").over(byPath.rowsBetween(-(points - 1), 0)))
+
+  /** countSeries: number of series present at each instant. */
+  def countSeries(df: DataFrame): DataFrame =
+    df.groupBy("bucket_s").agg(count(lit(1)).cast("double").as("value"))
+      .select(lit("countSeries").as("path"), col("bucket_s"), col("value"))
+
+  /** currentAbove/currentBelow(series, n): keep series whose LAST
+    * value is above/below n (builtin_functions.go currentAbove). */
+  def currentAbove(df: DataFrame, n: Double): DataFrame =
+    filterByLast(df, _ > n)
+
+  def currentBelow(df: DataFrame, n: Double): DataFrame =
+    filterByLast(df, _ < n)
+
+  private def filterByLast(df: DataFrame, pred: Column => Column): DataFrame = {
+    val keep = df.groupBy("path")
+      .agg(max_by(col("value"), col("bucket_s")).as("lastv"))
+      .where(pred(col("lastv"))).select("path")
+    df.join(keep, Seq("path"), "left_semi")
+  }
+
+  /** averageBelow / minimumAbove: more series-filter predicates
+    * (builtin_functions.go averageBelow, minimumAbove). */
+  def averageBelow(df: DataFrame, n: Double): DataFrame = {
+    val keep = df.groupBy("path").agg(avg("value").as("av"))
+      .where(col("av") < n).select("path")
+    df.join(keep, Seq("path"), "left_semi")
+  }
+
+  def minimumAbove(df: DataFrame, n: Double): DataFrame = {
+    val keep = df.groupBy("path").agg(min("value").as("mn"))
+      .where(col("mn") > n).select("path")
+    df.join(keep, Seq("path"), "left_semi")
+  }
+
+  /** removeAboveValue / removeBelowValue: null out points beyond the
+    * bound (builtin_functions.go removeAboveValue). */
+  def removeAboveValue(df: DataFrame, n: Double): DataFrame =
+    df.withColumn("value", when(col("value") <= n, col("value")))
+
+  def removeBelowValue(df: DataFrame, n: Double): DataFrame =
+    df.withColumn("value", when(col("value") >= n, col("value")))
+
+  /** invert / logarithm / pow / squareRoot — pointwise math
+    * (builtin_functions.go invert, logarithm, pow, squareRoot). */
+  def invert(df: DataFrame): DataFrame =
+    df.withColumn("value", when(col("value") =!= 0, lit(1.0) / col("value")))
+
+  def logarithm(df: DataFrame, base: Double = 10.0): DataFrame =
+    df.withColumn("value",
+      when(col("value") > 0, log(col("value")) / math.log(base)))
+
+  def powSeries(df: DataFrame, k: Double): DataFrame =
+    df.withColumn("value", pow(col("value"), lit(k)))
+
+  def squareRoot(df: DataFrame): DataFrame =
+    df.withColumn("value", when(col("value") >= 0, sqrt(col("value"))))
+
+  /** offsetToZero: shift each series down by its own minimum
+    * (builtin_functions.go offsetToZero). */
+  def offsetToZero(df: DataFrame): DataFrame = {
+    val mins = df.groupBy("path").agg(min("value").as("_mn"))
+    df.join(broadcast(mins), "path")
+      .withColumn("value", col("value") - col("_mn"))
+      .drop("_mn")
+  }
+
+  /** keepLastValue: forward-fill nulls with the series' last
+    * non-null value (builtin_functions.go keepLastValue). */
+  def keepLastValue(df: DataFrame): DataFrame =
+    df.withColumn("value",
+      coalesce(col("value"),
+        last("value", ignoreNulls = true)
+          .over(byPath.rowsBetween(Window.unboundedPreceding, -1))))
 
   /** summarize(series, interval, func) (builtin_functions.go
     * summarize): re-bucket to a coarser tumbling interval with the

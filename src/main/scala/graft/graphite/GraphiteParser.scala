@@ -139,6 +139,27 @@ object GraphiteParser {
         case "summarize" =>
           Graphite.summarize(in, durSeconds(str(fn, args, 1)), str(fn, args, 2))
         case "movingAverage" => Graphite.movingAverage(in, num(fn, args, 1).toInt)
+        case "movingMedian" => Graphite.movingMedian(in, num(fn, args, 1).toInt)
+        case "movingMax" => Graphite.movingMax(in, num(fn, args, 1).toInt)
+        case "movingMin" => Graphite.movingMin(in, num(fn, args, 1).toInt)
+        case "countSeries" => Graphite.countSeries(in)
+        case "currentAbove" => Graphite.currentAbove(in, num(fn, args, 1))
+        case "currentBelow" => Graphite.currentBelow(in, num(fn, args, 1))
+        case "averageBelow" => Graphite.averageBelow(in, num(fn, args, 1))
+        case "minimumAbove" => Graphite.minimumAbove(in, num(fn, args, 1))
+        case "removeAboveValue" => Graphite.removeAboveValue(in, num(fn, args, 1))
+        case "removeBelowValue" => Graphite.removeBelowValue(in, num(fn, args, 1))
+        case "invert" => Graphite.invert(in)
+        case "logarithm" =>
+          Graphite.logarithm(in,
+            args.lift(1).collect { case N(d) => d }.getOrElse(10.0))
+        case "pow" => Graphite.powSeries(in, num(fn, args, 1))
+        case "squareRoot" => Graphite.squareRoot(in)
+        case "offsetToZero" => Graphite.offsetToZero(in)
+        case "keepLastValue" => Graphite.keepLastValue(in)
+        case "sumSeriesMin" => Graphite.combineSeries(in, "min")
+        case "minSeries" => Graphite.combineSeries(in, "min")
+        case "maxSeries" => Graphite.combineSeries(in, "max")
         case "aliasByNode" =>
           Graphite.aliasByNode(in, args.tail.map {
             case N(d) => d.toInt

@@ -73,6 +73,31 @@ class GraphiteSpec extends SparkSpec {
     assert(sn == Map("events.a.user1" -> 1, "events.b.user2" -> 2))
   }
 
+  test("pointwise and filter builtins behave per graphite semantics") {
+    import graft.graphite.GraphiteParser.{eval, parse}
+    // removeAboveValue nulls out, keepLastValue forward-fills
+    val filled = eval(parse(
+      "keepLastValue(removeAboveValue(events.a.user1, 14))"), frame)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(filled == Map(0L -> 10.0, 3600L -> 10.0, 7200L -> 12.0))
+    // movingMax over last 2 points
+    val mm = eval(parse("movingMax(events.a.user1, 2)"), frame)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(mm == Map(0L -> 10.0, 3600L -> 15.0, 7200L -> 15.0))
+    // currentAbove keeps series by their last value
+    val ca = eval(parse("currentAbove(events.*.*, 20)"), frame)
+      .select("path").distinct().collect().map(_.getString(0)).toSet
+    assert(ca == Set("events.b.user2"))
+    // offsetToZero shifts by per-series min
+    val oz = eval(parse("offsetToZero(events.b.user2)"), frame)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(oz == Map(0L -> 50.0, 3600L -> 0.0))
+    // countSeries counts per instant
+    val cs = eval(parse("countSeries(events.*.*)"), frame)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(cs == Map(0L -> 2.0, 3600L -> 2.0, 7200L -> 1.0))
+  }
+
   test("highestMax keeps exactly the top-n series") {
     val top = Graphite.highestMax(frame, 1).select("path").distinct()
       .collect().map(_.getString(0)).toSet
