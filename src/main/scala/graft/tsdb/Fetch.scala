@@ -48,12 +48,16 @@ object Fetch {
 
   final case class Matcher(label: String, op: Op, value: String)
 
-  /** Single matcher → boolean Column. */
-  def predicate(m: Matcher): Column = m.op match {
-    case Eq    => col(m.label) === lit(m.value)
-    case NotEq => col(m.label) =!= lit(m.value)
-    case Re    => col(m.label).cast("string").rlike(s"^(?:${m.value})$$")
-    case NotRe => !col(m.label).cast("string").rlike(s"^(?:${m.value})$$")
+  /** Single matcher → boolean Column. PromQL's reserved `__name__`
+    * label addresses the metric name column. */
+  def predicate(m: Matcher): Column = {
+    val label = if (m.label == "__name__") "name" else m.label
+    m.op match {
+      case Eq    => col(label) === lit(m.value)
+      case NotEq => col(label) =!= lit(m.value)
+      case Re    => col(label).cast("string").rlike(s"^(?:${m.value})$$")
+      case NotRe => !col(label).cast("string").rlike(s"^(?:${m.value})$$")
+    }
   }
 
   /** Apply a matcher conjunction + optional [startS, endS) epoch
