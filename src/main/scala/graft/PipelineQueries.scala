@@ -171,6 +171,8 @@ object PipelineQueries {
       TextAnalysis.languageId(Tables.documents(s, dir)).orderBy("doc_id")),
     "text_quality" -> ((s, dir) =>
       TextAnalysis.quality(Tables.documents(s, dir)).orderBy("doc_id")),
+    "text_redact" -> ((s, dir) =>
+      TextAnalysis.redactPii(Tables.documents(s, dir)).orderBy("doc_id")),
     "text_gopher" -> ((s, dir) =>
       TextAnalysis.gopherQuality(Tables.documents(s, dir)).orderBy("doc_id")),
     "text_tokens" -> ((s, dir) =>
@@ -395,6 +397,16 @@ object PipelineQueries {
          |       / len(ws) * 4, 1.0)) / 3.0, 6) AS quality_score
          | FROM (SELECT doc_id, text, string_split_regex(lower(text), '\\s+') AS ws
          |       FROM documents) AS t ORDER BY doc_id""".stripMargin.replace("\n", " ")
+    },
+    "text_redact" -> {
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+      val digitsRe = "[0-9][0-9][0-9][0-9][0-9][0-9][0-9]+"
+      s"""SELECT doc_id,
+         | md5(regexp_replace(regexp_replace(text, '$emailRe', '<EMAIL>', 'g'),
+         |   '$digitsRe', '<NUM>', 'g')) AS redacted_md5,
+         | CAST(len(string_split_regex(text, '$emailRe')) - 1 AS BIGINT) AS email_hits,
+         | CAST(len(string_split_regex(text, '$digitsRe')) - 1 AS BIGINT) AS digit_hits
+         | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")
     },
     "text_gopher" ->
       s"""SELECT doc_id, mean_word_len, dup_line_frac, symbol_ratio, bullet_frac,

@@ -119,6 +119,24 @@ object TextAnalysis {
           .cast("int"))
   }
 
+  /** PII scrubbing: redact email addresses and long digit runs
+    * (phone/account numbers) — the standard privacy pass before
+    * training. Conservative patterns chosen to behave identically
+    * under Java regex and RE2. Emits the redacted text's md5 (not
+    * the text — keeps outputs compact) plus per-kind hit counts. */
+  def redactPii(docs: DataFrame): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+    val digitsRe = "[0-9][0-9][0-9][0-9][0-9][0-9][0-9]+"
+    val redacted =
+      regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"),
+        digitsRe, "<NUM>")
+    docs.select(
+      col("doc_id"),
+      md5(redacted).as("redacted_md5"),
+      size(split(col("text"), emailRe, -1)).cast("long").minus(1).as("email_hits"),
+      size(split(col("text"), digitsRe, -1)).cast("long").minus(1).as("digit_hits"))
+  }
+
   /** Document fingerprint: rolling 16-char window hashes sampled at
     * fixed stride (winnowing-style but deterministic stride so the
     * oracle can replay it); emits min hash per document — a compact

@@ -111,6 +111,16 @@ object Ingest {
     frames.reduce(_ unionByName _)
   }
 
+  /** Ingest dedup for at-least-once delivery — duplicate writes of
+    * the same (series, timestamp) sample are dropped exactly like
+    * m3's write-path upsert semantics. State is bounded by the
+    * watermark horizon (`dropDuplicatesWithinWatermark`): one entry
+    * per distinct sample key until the watermark passes it. */
+  def dedupIngest(samples: DataFrame, lateness: String = "30 minutes"): DataFrame =
+    samples
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("name", "user_id", "ts")
+
   /** Stateful counter-reset tracking per series
     * (m3 counter semantics, src/aggregator/aggregation/counter.go +
     * the reset logic of src/query/functions/temporal/rate.go):

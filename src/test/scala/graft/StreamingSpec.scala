@@ -89,6 +89,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingest dedup drops at-least-once duplicates within the watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[Ingest.Sample]
+    val q = Ingest.dedupIngest(mem.toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_ingest_test").start()
+    try {
+      val sample = Ingest.Sample("click", 1L,
+        Timestamp.valueOf("2024-01-01 00:10:00"), 5.0)
+      mem.addData(sample, sample) // duplicate inside one batch
+      q.processAllAvailable()
+      mem.addData(sample)         // redelivery in a later batch
+      q.processAllAvailable()
+      val n = s.sql("SELECT count(*) FROM dedup_ingest_test").collect()(0).getLong(0)
+      assert(n == 1L, s"expected single deduped sample, got $n")
+    } finally q.stop()
+  }
+
   test("counter tracking maintains cumulative + resets across batches") {
     val s = spark
     import s.implicits._
