@@ -58,6 +58,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "LSH near-dup degenerated to all-pairs")
   }
 
+  test("graphite per-series window ops shuffle at most twice") {
+    // one exchange for the hourly consolidation (series, bucket key),
+    // one for the per-path window — and nothing more
+    val p = plan("gr_per_second")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 2, s"expected consolidation + window exchanges, got $exchanges")
+  }
+
+  test("corpus_decontam never degenerates to a cartesian product") {
+    val p = plan("corpus_decontam")
+    assert(!p.contains("CartesianProduct"), "decontamination join degenerated")
+  }
+
+  test("ts_asof is Expand + single hash aggregation (no join)") {
+    val p = plan("ts_asof")
+    assert(p.contains("Expand"), "sliding windows should Expand")
+    assert(!p.contains("Join"), "as-of must not join:\n" + p.take(1500))
+  }
+
   test("text analysis is a single map stage (no exchange)") {
     val p = plan("text_quality")
     assert(!p.contains("Exchange hashpartitioning"),
