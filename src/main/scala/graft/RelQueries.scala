@@ -47,6 +47,16 @@ object RelQueries {
         .orderBy(col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)),
 
+    // CUBE over two dimensions — all four grouping sets in one scan.
+    "q_cube" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
     // Q3 shape: selective dim filter → join → agg. customer side is
     // filtered before the join; join keys shuffle-hash with AQE.
     "q3_join" -> ((s, dir) => {
@@ -121,6 +131,12 @@ object RelQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | count(*) AS cnt
+        | FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        | ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin.replace("\n", " "),
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

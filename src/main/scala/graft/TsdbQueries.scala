@@ -282,6 +282,12 @@ object TsdbQueries {
       graft.promql.PromQL.query(samples(s, dir),
         """label_join(label_replace(purchase, "group", "g_$1", "name", "(pur).*"), "series", "/", "name", "user_id")""")
         .orderBy("user_id", "bucket_s")),
+    "pql_group_left" -> ((s, dir) =>
+      graft.promql.PromQL.query(samples(s, dir),
+        """{name=~".*"} / on (name) group_left sum by (name) ({name=~".*"})""")
+        .select(col("name"), col("user_id"), col("bucket_s"),
+          round(col("value"), 9).as("value"))
+        .orderBy("name", "user_id", "bucket_s")),
     "pql_vec_ratio" -> ((s, dir) =>
       graft.promql.PromQL.query(samples(s, dir), "purchase / on (user_id) click")
         .select(col("user_id"), col("bucket_s"), round(col("value"), 9).as("value"))
@@ -672,6 +678,14 @@ object TsdbQueries {
          | name || '/' || CAST(user_id AS VARCHAR) AS series
          | FROM ($INST) AS i WHERE name = 'purchase'
          | ORDER BY user_id, bucket_s""".stripMargin.replace("\n", " "),
+    "pql_group_left" ->
+      s"""SELECT l.name, l.user_id, l.bucket_s,
+         | round(CASE WHEN g.total <> 0 THEN l.value / g.total END, 9) AS value
+         | FROM ($INST) AS l JOIN (
+         |  SELECT name, bucket_s, sum(value) AS total FROM ($INST) AS i
+         |  GROUP BY name, bucket_s) AS g
+         |  ON l.name = g.name AND l.bucket_s = g.bucket_s
+         | ORDER BY l.name, l.user_id, l.bucket_s""".stripMargin.replace("\n", " "),
     "pql_vec_ratio" ->
       s"""SELECT l.user_id, l.bucket_s,
          | round(CASE WHEN r.value <> 0 THEN l.value / r.value END, 9) AS value

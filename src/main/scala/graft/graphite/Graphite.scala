@@ -79,6 +79,16 @@ object Graphite {
     df.withColumn("value",
       sum("value").over(byPath.rowsBetween(Window.unboundedPreceding, 0)))
 
+  /** integralByInterval(series, interval) (builtin_functions.go:1494):
+    * running sum that resets at each interval boundary. */
+  def integralByInterval(df: DataFrame, intervalS: Long): DataFrame = {
+    val iv = (floor(col("bucket_s") / intervalS) * intervalS).cast("long")
+    val w = Window.partitionBy(col("path"), iv.as("_iv"))
+      .orderBy("bucket_s")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.withColumn("value", sum("value").over(w))
+  }
+
   /** timeShift(series, shift) (builtin_functions.go:357): re-stamp
     * each point `shiftS` seconds later (negative = earlier). */
   def timeShift(df: DataFrame, shiftS: Long): DataFrame =

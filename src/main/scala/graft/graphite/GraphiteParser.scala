@@ -172,6 +172,8 @@ object GraphiteParser {
         case "nonNegativeDerivative" => Graphite.nonNegativeDerivative(in)
         case "perSecond" => Graphite.perSecond(in)
         case "integral"  => Graphite.integral(in)
+        case "integralByInterval" =>
+          Graphite.integralByInterval(in, durSeconds(str(fn, args, 1)))
         case "timeShift" => Graphite.timeShift(in, durSeconds(str(fn, args, 1)))
         case "highestMax" => Graphite.highestMax(in, num(fn, args, 1).toInt)
         case "averageAbove" => Graphite.averageAbove(in, num(fn, args, 1))

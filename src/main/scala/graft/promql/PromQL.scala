@@ -60,10 +60,13 @@ object PromQL {
   /** vector ∘ scalar binary op; `scalarLeft` marks `number op vector`. */
   final case class BinOp(op: String, arg: Expr, scalar: Double,
                          scalarLeft: Boolean = false) extends Expr
-  /** vector ∘ vector binary op with optional on/ignoring matching. */
+  /** vector ∘ vector binary op with optional on/ignoring matching
+    * and many-to-one cardinality (`group_left`/`group_right`). */
   final case class VecBin(op: String, lhs: Expr, rhs: Expr,
                           on: Option[Seq[String]] = None,
-                          ignoring: Option[Seq[String]] = None) extends Expr
+                          ignoring: Option[Seq[String]] = None,
+                          groupLeft: Boolean = false,
+                          groupRight: Boolean = false) extends Expr
 
   private val aggOps = Set("sum", "avg", "min", "max", "count", "stddev",
     "topk", "bottomk", "quantile")
@@ -136,7 +139,7 @@ object PromQL {
         throw new ParseException(s"$op requires a leading numeric parameter")
       validate(arg)
     case BinOp(_, arg, _, _) => validate(arg)
-    case VecBin(_, lhs, rhs, _, _) => validate(lhs); validate(rhs)
+    case VecBin(_, lhs, rhs, _, _, _, _) => validate(lhs); validate(rhs)
     case s: Selector =>
       if (s.rangeUnit.isDefined && s.metric.isEmpty && s.matchers.isEmpty)
         throw new ParseException("range selector needs a metric or matchers")
@@ -165,8 +168,14 @@ object PromQL {
               rest3 = r
             case _ =>
           }
+          var (gl, gr) = (false, false)
+          rest3 match {
+            case "group_left" :: r => gl = true; rest3 = r
+            case "group_right" :: r => gr = true; rest3 = r
+            case _ =>
+          }
           val (rhs, rest4) = parseExpr(rest3)
-          (VecBin(op, e, rhs, on, ig), rest4)
+          (VecBin(op, e, rhs, on, ig, gl, gr), rest4)
         case _ => (e, rest1)
       }
   }
@@ -445,12 +454,27 @@ object PromQL {
         in.groupBy(keys: _*).agg(agg.as("value"))
       }
 
-    case VecBin(op, lhsE, rhsE, onOpt, igOpt) =>
+    case VecBin(op, lhsE, rhsE, onOpt, igOpt, gl, gr) =>
       val l = evalExpr(lhsE, samples)
       val r = evalExpr(rhsE, samples)
       val shared = labelsOf(l).toSet.intersect(labelsOf(r).toSet)
       val on: Seq[String] = onOpt.getOrElse(
         (igOpt.map(ig => shared -- ig).getOrElse(shared)).toSeq.sorted)
+      if (gl || gr) {
+        // many-to-one: the many side keeps its full label set
+        // (binary/common.go CardManyToOne / CardOneToMany)
+        val (many, one) = if (gl) (l, r) else (r, l)
+        val fwd: (Column, Column) => Column = op match {
+          case "+" => _ + _
+          case "-" => _ - _
+          case "*" => _ * _
+          case "/" => (a, b) => when(b =!= 0, a / b)
+          case o => throw new ParseException(s"$o not valid with group_left/right")
+        }
+        val f: (Column, Column) => Column =
+          if (gl) fwd else (a, b) => fwd(b, a)
+        return graft.tsdb.Binary.groupLeft(many, one, on, f, "value")
+      }
       op match {
         case "and"    => graft.tsdb.Binary.and(l, r, on)
         case "or"     => graft.tsdb.Binary.or(l, r, on)

@@ -37,6 +37,14 @@ class GraphiteSpec extends SparkSpec {
     assert(i(("events.a.user1", 7200L)) == 37.0)
   }
 
+  test("integralByInterval resets at interval boundaries") {
+    // 2h intervals: buckets 0,3600 share one interval; 7200 starts anew
+    val i = Graphite.integralByInterval(frame, 7200L).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(i(("events.a.user1", 3600L)) == 25.0)
+    assert(i(("events.a.user1", 7200L)) == 12.0)
+  }
+
   test("target parser builds the expected expression tree") {
     import graft.graphite.GraphiteParser._
     assert(parse("""summarize(exclude(events.*.user*, "user7$"), "1d", "sum")""") ==
