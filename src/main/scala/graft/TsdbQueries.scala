@@ -282,6 +282,9 @@ object TsdbQueries {
       graft.promql.PromQL.query(samples(s, dir),
         """label_join(label_replace(purchase, "group", "g_$1", "name", "(pur).*"), "series", "/", "name", "user_id")""")
         .orderBy("user_id", "bucket_s")),
+    "pql_bool" -> ((s, dir) =>
+      graft.promql.PromQL.query(samples(s, dir), "purchase > bool 150")
+        .orderBy("name", "user_id", "bucket_s")),
     "pql_group_left" -> ((s, dir) =>
       graft.promql.PromQL.query(samples(s, dir),
         """{name=~".*"} / on (name) group_left sum by (name) ({name=~".*"})""")
@@ -678,6 +681,10 @@ object TsdbQueries {
          | name || '/' || CAST(user_id AS VARCHAR) AS series
          | FROM ($INST) AS i WHERE name = 'purchase'
          | ORDER BY user_id, bucket_s""".stripMargin.replace("\n", " "),
+    "pql_bool" ->
+      s"""SELECT name, user_id, bucket_s, CAST(value > 150 AS DOUBLE) AS value
+         | FROM ($INST) AS i WHERE name = 'purchase'
+         | ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),
     "pql_group_left" ->
       s"""SELECT l.name, l.user_id, l.bucket_s,
          | round(CASE WHEN g.total <> 0 THEN l.value / g.total END, 9) AS value

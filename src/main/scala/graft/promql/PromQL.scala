@@ -57,9 +57,11 @@ object PromQL {
   final case class Agg(op: String, by: Option[Seq[String]],
                        without: Option[Seq[String]], arg: Expr,
                        param: Option[Double] = None) extends Expr
-  /** vector ∘ scalar binary op; `scalarLeft` marks `number op vector`. */
+  /** vector ∘ scalar binary op; `scalarLeft` marks `number op vector`;
+    * `bool` marks the 0/1 modifier on comparisons. */
   final case class BinOp(op: String, arg: Expr, scalar: Double,
-                         scalarLeft: Boolean = false) extends Expr
+                         scalarLeft: Boolean = false,
+                         bool: Boolean = false) extends Expr
   /** vector ∘ vector binary op with optional on/ignoring matching
     * and many-to-one cardinality (`group_left`/`group_right`). */
   final case class VecBin(op: String, lhs: Expr, rhs: Expr,
@@ -138,7 +140,7 @@ object PromQL {
       if (paramAggs(op) && p.isEmpty)
         throw new ParseException(s"$op requires a leading numeric parameter")
       validate(arg)
-    case BinOp(_, arg, _, _) => validate(arg)
+    case BinOp(_, arg, _, _, _) => validate(arg)
     case VecBin(_, lhs, rhs, _, _, _, _) => validate(lhs); validate(rhs)
     case s: Selector =>
       if (s.rangeUnit.isDefined && s.metric.isEmpty && s.matchers.isEmpty)
@@ -153,6 +155,8 @@ object PromQL {
     case _ =>
       val (e, rest1) = parseUnary(ts)
       rest1 match {
+        case op :: "bool" :: n :: rest2 if binOps(op) && isNumber(n) =>
+          (BinOp(op, e, n.toDouble, bool = true), rest2)
         case op :: n :: rest2 if binOps(op) && isNumber(n) =>
           (BinOp(op, e, n.toDouble), rest2)
         case op :: rest2 if vecOps(op) =>
@@ -502,11 +506,25 @@ object PromQL {
           }
       }
 
-    case BinOp(op, arg, s, scalarLeft) =>
+    case BinOp(op, arg, s, scalarLeft, boolMod) =>
       val in = evalExpr(arg, samples)
       val v = col("value")
       val sc = lit(s)
       val (l, r) = if (scalarLeft) (sc, v) else (v, sc)
+      if (boolMod) {
+        // `bool` modifier: keep all samples, value := 1.0/0.0
+        // (binary/comparison.go:63)
+        val cmp: Column = op match {
+          case ">"  => l > r
+          case "<"  => l < r
+          case ">=" => l >= r
+          case "<=" => l <= r
+          case "==" => l === r
+          case "!=" => l =!= r
+          case o => throw new ParseException(s"bool invalid with $o")
+        }
+        return in.withColumn("value", cmp.cast("double"))
+      }
       op match {
         case "+" => in.withColumn("value", l + r)
         case "-" => in.withColumn("value", l - r)
