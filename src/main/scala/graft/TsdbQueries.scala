@@ -460,9 +460,9 @@ object TsdbQueries {
          |   ON floor(epoch(sl.ts)) >= g.bucket_s - 86400
          |   AND floor(epoch(sl.ts)) < g.bucket_s)
          | SELECT name, user_id, e AS bucket_s,
-         |  round(last_v - first_v, 6) AS delta_v,
-         |  round(last_v - first_v + reset_adj, 6) AS increase_v,
-         |  round((last_v - first_v + reset_adj) / 86400.0, 9) AS rate_v
+         |  round(last_v - first_v, 6) + 0.0 AS delta_v,
+         |  round(last_v - first_v + reset_adj, 6) + 0.0 AS increase_v,
+         |  round((last_v - first_v + reset_adj) / 86400.0, 9) + 0.0 AS rate_v
          | FROM (
          |  SELECT name, user_id, e,
          |   first(value ORDER BY ts, event_id) AS first_v,
