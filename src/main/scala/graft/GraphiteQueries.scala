@@ -84,6 +84,71 @@ object GraphiteQueries {
         Vectors.samples(Tables.events(s, dir)),
         "asPercent(events.purchase.*, sumSeries(events.purchase.*))")
         .select(col("path"), col("bucket_s"), round(col("value"), 6).as("value"))
+        .orderBy("path", "bucket_s")),
+    // ---- round-3 builtin additions ----
+    "gr_diff" -> ((s, dir) =>
+      Graphite.diffSeries(
+        frame(s, dir).where(col("path").rlike("^events\\.purchase\\.[^.]*$")))
+        .select(col("path"), col("bucket_s"), round(col("value"), 6).as("value"))
+        .orderBy("bucket_s")),
+    "gr_spread" -> ((s, dir) => {
+      val f42 = Graphite.scale(
+        frame(s, dir).where(col("path").rlike("^events\\.[^.]*\\.user42$")), 0.01)
+      Graphite.rangeOfSeries(f42)
+        .unionByName(Graphite.stddevSeries(f42))
+        .unionByName(Graphite.multiplySeries(f42))
+        .unionByName(Graphite.percentileOfSeries(f42, 90.0))
+        .select(col("path"), col("bucket_s"), round(col("value"), 6).as("value"))
+        .orderBy("path", "bucket_s")
+    }),
+    "gr_sort_total" -> ((s, dir) =>
+      Graphite.sortByTotal(
+        frame(s, dir).where(col("path").rlike("^events\\.purchase\\.[^.]*$")))
+        .select(col("path"), col("bucket_s"), round(col("value"), 6).as("value"),
+          col("sort_rank"))
+        .orderBy("sort_rank", "bucket_s")),
+    "gr_weighted" -> ((s, dir) => {
+      val f = frame(s, dir)
+      Graphite.weightedAverage(
+        f.where(col("path").rlike("^events\\.purchase\\.[^.]*$")),
+        f.where(col("path").rlike("^events\\.view\\.[^.]*$")), 2)
+        .select(col("path"), col("bucket_s"), round(col("value"), 6).as("value"))
+        .orderBy("bucket_s")
+    }),
+    "gr_ema" -> ((s, dir) =>
+      Graphite.exponentialMovingAverage(
+        frame(s, dir).where(col("path").rlike("^events\\.purchase\\.user1[^.]*$")), 5)
+        .select(col("path"), col("bucket_s"), round(col("value"), 6).as("value"))
+        .orderBy("path", "bucket_s")),
+    "gq_wild" -> ((s, dir) =>
+      graphite.GraphiteParser.query(
+        Vectors.samples(Tables.events(s, dir)),
+        """aggregateWithWildcards(events.*.user4*, "sum", 2)""")
+        .select(col("path"), col("bucket_s"), round(col("value"), 6).as("value"))
+        .orderBy("path", "bucket_s")),
+    "gq_moving2" -> ((s, dir) =>
+      graphite.GraphiteParser.query(
+        Vectors.samples(Tables.events(s, dir)),
+        "movingSum(delay(events.purchase.*, 2), 3)")
+        .select(col("path"), col("bucket_s"), round(col("value"), 6).as("value"))
+        .orderBy("path", "bucket_s")),
+    "gq_changed" -> ((s, dir) =>
+      graphite.GraphiteParser.query(
+        Vectors.samples(Tables.events(s, dir)),
+        "changed(removeAboveValue(events.view.*, 130))")
+        .select(col("path"), col("bucket_s"), col("value"))
+        .orderBy("path", "bucket_s")),
+    "gq_slice" -> ((s, dir) =>
+      graphite.GraphiteParser.query(
+        Vectors.samples(Tables.events(s, dir)),
+        """roundFunction(smartSummarize(timeSlice(events.purchase.*, 1704844800, 1705708800), "6h", "max"), 2)""")
+        .select(col("path"), col("bucket_s"), col("value"))
+        .orderBy("path", "bucket_s")),
+    "gq_hw" -> ((s, dir) =>
+      graphite.GraphiteParser.query(
+        Vectors.samples(Tables.events(s, dir)),
+        "holtWintersForecast(events.purchase.user1*)")
+        .select(col("path"), col("bucket_s"), round(col("value"), 6).as("value"))
         .orderBy("path", "bucket_s"))
   )
 
@@ -160,6 +225,153 @@ object GraphiteQueries {
          |  round(CASE WHEN tot.t <> 0 THEN p.value / tot.t END * 100, 6) AS value
          | FROM p JOIN tot ON p.bucket_s = tot.bucket_s
          | ORDER BY p.path, p.bucket_s""".stripMargin.replace("\n", " "),
+    "gr_diff" ->
+      s"""WITH p AS (SELECT path, bucket_s, value FROM ($PF) AS f
+         |  WHERE regexp_matches(path, '^events\\.purchase\\.[^.]*$$')),
+         | fp AS (SELECT min(path) AS f FROM p)
+         | SELECT 'diffSeries' AS path, bucket_s,
+         |  round(sum(CASE WHEN p.path = fp.f THEN value ELSE -value END), 6) AS value
+         | FROM p CROSS JOIN fp GROUP BY bucket_s
+         | ORDER BY bucket_s""".stripMargin.replace("\n", " "),
+    "gr_spread" ->
+      s"""WITH p AS (SELECT path, bucket_s, value * 0.01 AS value FROM ($PF) AS f
+         |  WHERE regexp_matches(path, '^events\\.[^.]*\\.user42$$'))
+         | SELECT * FROM (
+         |  SELECT 'rangeSeries' AS path, bucket_s,
+         |   round(max(value) - min(value), 6) AS value FROM p GROUP BY bucket_s
+         |  UNION ALL SELECT 'stddevSeries' AS path, bucket_s,
+         |   round(stddev_pop(value), 6) AS value FROM p GROUP BY bucket_s
+         |  UNION ALL SELECT 'multiplySeries' AS path, bucket_s,
+         |   round(product(value), 6) AS value FROM p GROUP BY bucket_s
+         |  UNION ALL SELECT 'percentileOfSeries' AS path, bucket_s,
+         |   round(quantile_cont(value, 0.9), 6) AS value FROM p GROUP BY bucket_s
+         | ) AS u ORDER BY path, bucket_s""".stripMargin.replace("\n", " "),
+    "gr_sort_total" ->
+      s"""WITH p AS (SELECT path, bucket_s, value FROM ($PF) AS f
+         |  WHERE regexp_matches(path, '^events\\.purchase\\.[^.]*$$')),
+         | r AS (SELECT path, row_number() OVER
+         |   (ORDER BY sum(value) DESC, path ASC) AS sort_rank
+         |  FROM p GROUP BY path)
+         | SELECT p.path, p.bucket_s, round(p.value, 6) AS value, r.sort_rank
+         | FROM p JOIN r USING (path)
+         | ORDER BY r.sort_rank, p.bucket_s""".stripMargin.replace("\n", " "),
+    "gr_weighted" ->
+      s"""WITH v AS (SELECT string_split(path, '.')[3] AS k, bucket_s, value
+         |   FROM ($PF) AS f
+         |   WHERE regexp_matches(path, '^events\\.purchase\\.[^.]*$$')),
+         | w AS (SELECT string_split(path, '.')[3] AS k, bucket_s, value
+         |   FROM ($PF) AS f
+         |   WHERE regexp_matches(path, '^events\\.view\\.[^.]*$$'))
+         | SELECT 'weightedAverage' AS path, v.bucket_s,
+         |  round(sum(v.value * w.value) /
+         |   (CASE WHEN sum(w.value) <> 0 THEN sum(w.value) END), 6) AS value
+         | FROM v JOIN w ON v.k = w.k AND v.bucket_s = w.bucket_s
+         | GROUP BY v.bucket_s ORDER BY v.bucket_s""".stripMargin.replace("\n", " "),
+    "gr_ema" ->
+      s"""WITH RECURSIVE o AS (
+         |  SELECT path, bucket_s, value,
+         |   row_number() OVER (PARTITION BY path ORDER BY bucket_s) AS rn
+         |  FROM ($PF) AS f
+         |  WHERE regexp_matches(path, '^events\\.purchase\\.user1[^.]*$$')),
+         | seed AS (SELECT path, avg(value) AS ema FROM o WHERE rn <= 5 GROUP BY path),
+         | rec AS (
+         |  SELECT o.path, o.rn, o.bucket_s, s.ema AS ema, round(s.ema, 6) AS outv
+         |  FROM o JOIN seed AS s USING (path) WHERE o.rn = 1
+         |  UNION ALL
+         |  SELECT o.path, o.rn, o.bucket_s,
+         |   (CAST(2 AS DOUBLE)/6) * o.value + (1 - CAST(2 AS DOUBLE)/6) * r.ema,
+         |   round((CAST(2 AS DOUBLE)/6) * o.value + (1 - CAST(2 AS DOUBLE)/6) * r.ema, 6)
+         |  FROM rec AS r JOIN o ON o.path = r.path AND o.rn = r.rn + 1)
+         | SELECT path, bucket_s, round(outv, 6) + 0.0 AS value FROM rec
+         | ORDER BY path, bucket_s""".stripMargin.replace("\n", " "),
+    "gq_wild" ->
+      s"""SELECT 'events.' || string_split(path, '.')[2] AS path, bucket_s,
+         | round(sum(value), 6) AS value FROM ($PF) AS f
+         | WHERE regexp_matches(path, '^events\\.[^.]*\\.user4[^.]*$$')
+         | GROUP BY string_split(path, '.')[2], bucket_s
+         | ORDER BY path, bucket_s""".stripMargin.replace("\n", " "),
+    "gq_moving2" ->
+      s"""SELECT path, bucket_s, round(
+         |  sum(lv) OVER (PARTITION BY path ORDER BY bucket_s
+         |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS value
+         | FROM (SELECT path, bucket_s,
+         |  lag(value, 2) OVER (PARTITION BY path ORDER BY bucket_s) AS lv
+         |  FROM ($PF) AS f
+         |  WHERE regexp_matches(path, '^events\\.purchase\\.[^.]*$$')) AS t
+         | ORDER BY path, bucket_s""".stripMargin.replace("\n", " "),
+    "gq_changed" ->
+      s"""SELECT path, bucket_s,
+         | CASE WHEN v IS NOT NULL AND pnn IS NOT NULL AND v <> pnn
+         |  THEN 1.0 ELSE 0.0 END AS value
+         | FROM (SELECT path, bucket_s, v,
+         |  last_value(v IGNORE NULLS) OVER (PARTITION BY path ORDER BY bucket_s
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pnn
+         |  FROM (SELECT path, bucket_s,
+         |   CASE WHEN value <= 130 THEN value END AS v FROM ($PF) AS f
+         |   WHERE regexp_matches(path, '^events\\.view\\.[^.]*$$')) AS a) AS b
+         | ORDER BY path, bucket_s""".stripMargin.replace("\n", " "),
+    "gq_slice" ->
+      s"""WITH p AS (SELECT path, bucket_s, value FROM ($PF) AS f
+         |  WHERE regexp_matches(path, '^events\\.purchase\\.[^.]*$$')),
+         | mn AS (SELECT min(bucket_s) AS m FROM p)
+         | SELECT path,
+         |  CAST(mn.m + floor((p.bucket_s - mn.m) / 21600) * 21600 AS BIGINT) AS bucket_s,
+         |  round(max(CASE WHEN p.bucket_s BETWEEN 1704844800 AND 1705708800
+         |   THEN value END), 2) AS value
+         | FROM p CROSS JOIN mn
+         | GROUP BY path, CAST(mn.m + floor((p.bucket_s - mn.m) / 21600) * 21600 AS BIGINT)
+         | ORDER BY path, bucket_s""".stripMargin.replace("\n", " "),
+    "gq_hw" ->
+      s"""WITH RECURSIVE o AS (
+         |  SELECT path, bucket_s, value,
+         |   row_number() OVER (PARTITION BY path ORDER BY bucket_s) AS rn
+         |  FROM ($PF) AS f
+         |  WHERE regexp_matches(path, '^events\\.purchase\\.user1[^.]*$$')),
+         | rec AS (
+         |  SELECT DISTINCT path, CAST(0 AS BIGINT) AS rn, CAST(NULL AS BIGINT) AS bucket_s,
+         |   CAST(NULL AS DOUBLE) AS value, CAST(NULL AS DOUBLE) AS icept,
+         |   CAST(0 AS DOUBLE) AS slope, CAST(NULL AS DOUBLE) AS next_pred,
+         |   CAST([] AS DOUBLE[]) AS seasonals, CAST([] AS DOUBLE[]) AS devs,
+         |   CAST(NULL AS DOUBLE) AS pred
+         |  FROM o
+         |  UNION ALL
+         |  SELECT o.path, o.rn, o.bucket_s, o.value,
+         |   CASE WHEN o.value IS NULL THEN NULL ELSE
+         |    CAST(0.1 AS DOUBLE)*(o.value - ls.last_seasonal)
+         |    + (1-CAST(0.1 AS DOUBLE))*(ls.last_icept + ls.last_slope) END,
+         |   CASE WHEN o.value IS NULL THEN CAST(0 AS DOUBLE) ELSE
+         |    CAST(0.0035 AS DOUBLE)*((CAST(0.1 AS DOUBLE)*(o.value - ls.last_seasonal)
+         |     + (1-CAST(0.1 AS DOUBLE))*(ls.last_icept + ls.last_slope)) - ls.last_icept)
+         |    + (1-CAST(0.0035 AS DOUBLE))*ls.last_slope END,
+         |   CASE WHEN o.value IS NULL THEN NULL ELSE
+         |    (CAST(0.1 AS DOUBLE)*(o.value - ls.last_seasonal)
+         |     + (1-CAST(0.1 AS DOUBLE))*(ls.last_icept + ls.last_slope))
+         |    + (CAST(0.0035 AS DOUBLE)*((CAST(0.1 AS DOUBLE)*(o.value - ls.last_seasonal)
+         |      + (1-CAST(0.1 AS DOUBLE))*(ls.last_icept + ls.last_slope)) - ls.last_icept)
+         |     + (1-CAST(0.0035 AS DOUBLE))*ls.last_slope)
+         |    + ls.next_last_seasonal END,
+         |   list_append(r.seasonals, CASE WHEN o.value IS NULL THEN CAST(0 AS DOUBLE) ELSE
+         |    CAST(0.1 AS DOUBLE)*(o.value - (CAST(0.1 AS DOUBLE)*(o.value - ls.last_seasonal)
+         |     + (1-CAST(0.1 AS DOUBLE))*(ls.last_icept + ls.last_slope)))
+         |    + (1-CAST(0.1 AS DOUBLE))*ls.last_seasonal END),
+         |   list_append(r.devs, CASE WHEN o.value IS NULL THEN CAST(0 AS DOUBLE) ELSE
+         |    CAST(0.1 AS DOUBLE)*abs(o.value - coalesce(ls.prediction, CAST(0 AS DOUBLE)))
+         |    + (1-CAST(0.1 AS DOUBLE))*ls.last_dev END),
+         |   ls.prediction
+         |  FROM rec AS r
+         |  JOIN o ON o.path = r.path AND o.rn = r.rn + 1
+         |  CROSS JOIN LATERAL (SELECT
+         |    CASE WHEN o.rn >= 25 THEN r.seasonals[o.rn - 24]
+         |     ELSE CAST(0 AS DOUBLE) END AS last_seasonal,
+         |    CASE WHEN o.rn >= 24 THEN r.seasonals[o.rn - 23]
+         |     ELSE CAST(0 AS DOUBLE) END AS next_last_seasonal,
+         |    CASE WHEN o.rn >= 25 THEN r.devs[o.rn - 24]
+         |     ELSE CAST(0 AS DOUBLE) END AS last_dev,
+         |    coalesce(r.icept, o.value) AS last_icept,
+         |    r.slope AS last_slope,
+         |    CASE WHEN o.rn = 1 THEN o.value ELSE r.next_pred END AS prediction) AS ls)
+         | SELECT path, bucket_s, round(pred, 6) + 0.0 AS value FROM rec
+         | WHERE rn >= 1 ORDER BY path, bucket_s""".stripMargin.replace("\n", " "),
     "gq_expr2" ->
       s"""WITH m AS (SELECT path, bucket_s,
          |  avg(value) OVER (PARTITION BY path ORDER BY bucket_s

@@ -21,9 +21,12 @@ import graft.tsdb.Vectors
   */
 object Graphite {
 
-  /** events → graphite path frame at the given resolution. */
-  def seriesFrame(samples: DataFrame, unit: String = "hour"): DataFrame =
-    Vectors.instant(samples, unit)
+  /** events → graphite path frame at the given resolution, with an
+    * optional consolidation function (graphite's consolidateBy; the
+    * default `last` mirrors m3's instant consolidation). */
+  def seriesFrame(samples: DataFrame, unit: String = "hour",
+                  how: String = "last"): DataFrame =
+    Vectors.consolidate(samples, how, unit)
       .select(
         concat(lit("events."), col("name"), lit(".user"), col("user_id"))
           .as("path"),
@@ -221,16 +224,139 @@ object Graphite {
   def asPercent(series: DataFrame, total: DataFrame): DataFrame =
     divideSeries(series, total).withColumn("value", col("value") * 100.0)
 
-  /** highestMax(series, n) (builtin_functions.go:835): keep the n
-    * series with the largest maximum over the range. Deterministic
-    * on ties via path order. */
-  def highestMax(df: DataFrame, n: Int): DataFrame = {
-    val ranked = df.groupBy("path").agg(max("value").as("mx"))
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("mx").desc, col("path").asc)))
-      .where(col("rk") <= n)
-      .select("path")
-    df.join(ranked, Seq("path"), "left_semi")
+  // ------------- two-phase series ranking (scale path) -------------
+
+  /** Global rank of a per-series reduced frame (path, _red) without a
+    * single-partition window: (1) percentile-shard on the reduced
+    * value (32 boundaries from one tiny agg, broadcast); (2)
+    * row_number within each shard; (3) global rank = local rank +
+    * prefix count of preceding shards (≤ shards rows). Null reduced
+    * values shard last and order last, preserving the `desc`-mode
+    * null placement of a plain `orderBy(desc)`. Same pattern as
+    * Transform.sortSeries — no task ever sees more than ~1/shards of
+    * the series. Returns (path, sort_rank). */
+  private[graphite] def rankReduced(reduced: DataFrame, desc: Boolean,
+                                    shards: Int = 32): DataFrame = {
+    val ord = if (desc) -col("_red") else col("_red")
+    val qs = (1 until shards).map(_.toDouble / shards)
+    val withOrd = reduced.withColumn("_ord", ord)
+    val bounds = withOrd.agg(
+      percentile(col("_ord"), typedlit(qs)).as("_bs"))
+    val sharded = withOrd.crossJoin(broadcast(bounds))
+      .withColumn("_shard",
+        when(col("_ord").isNull, lit(shards))
+          .otherwise(size(filter(col("_bs"), b => b < col("_ord")))))
+      .drop("_bs")
+    val wLocal = Window.partitionBy("_shard")
+      .orderBy(col("_ord").asc_nulls_last, col("path").asc)
+    val wPrefix = Window.orderBy("_shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sharded.groupBy("_shard")
+      .agg(count(lit(1)).as("_cnt"))
+      .withColumn("_offset", coalesce(sum("_cnt").over(wPrefix), lit(0L)))
+      .drop("_cnt")
+    sharded.join(broadcast(offsets), "_shard")
+      .withColumn("sort_rank",
+        (col("_offset") + row_number().over(wLocal)).cast("long"))
+      .select("path", "sort_rank")
+  }
+
+  /** Lexicographic rank of distinct paths, two-phase: shard by the
+    * leading path characters (order-preserving prefix), local
+    * row_number per shard, prefix-count offsets (≤ #prefixes rows,
+    * broadcast). Replaces the unpartitioned `Window.orderBy(path)`
+    * straggler. Returns (path, sort_rank). */
+  private[graphite] def rankPaths(paths: DataFrame): DataFrame = {
+    val sharded = paths.select("path").distinct()
+      .withColumn("_shard", substring(col("path"), 0, 2))
+    val wLocal = Window.partitionBy("_shard").orderBy(col("path").asc)
+    val wPrefix = Window.orderBy("_shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sharded.groupBy("_shard")
+      .agg(count(lit(1)).as("_cnt"))
+      .withColumn("_offset", coalesce(sum("_cnt").over(wPrefix), lit(0L)))
+      .drop("_cnt")
+    sharded.join(broadcast(offsets), "_shard")
+      .withColumn("sort_rank",
+        (col("_offset") + row_number().over(wLocal)).cast("long"))
+      .select("path", "sort_rank")
+  }
+
+  /** Per-series reducer for the highest/lowest/sortBy family —
+    * graphite's SeriesReducerApproach set (src/query/graphite/ts). */
+  private[graphite] def reducer(f: String): Column = f match {
+    case "avg" | "average"    => avg("value")
+    case "sum" | "total"      => sum("value")
+    case "max"                => max("value")
+    case "min"                => min("value")
+    case "last" | "current"   => max_by(col("value"), col("bucket_s"))
+    case "stddev" | "stdev"   => stddev_pop(col("value"))
+    case "median"             => percentile(col("value"), lit(0.5))
+    case "count"              => count(col("value")).cast("double")
+    case other => throw new IllegalArgumentException(s"unknown reducer $other")
+  }
+
+  private def reduceSeries(df: DataFrame, f: String): DataFrame =
+    df.groupBy("path").agg(reducer(f).as("_red"))
+
+  /** highest(series, n, f) (builtin_functions.go:817): keep the n
+    * series with the largest f-reduced value. Deterministic on ties
+    * via path order; two-phase rank (no global-window straggler). */
+  def highest(df: DataFrame, n: Int, f: String): DataFrame = {
+    val keep = rankReduced(reduceSeries(df, f), desc = true)
+      .where(col("sort_rank") <= n).select("path")
+    df.join(keep, Seq("path"), "left_semi")
+  }
+
+  /** lowest(series, n, f) (builtin_functions.go:874). */
+  def lowest(df: DataFrame, n: Int, f: String): DataFrame = {
+    val keep = rankReduced(reduceSeries(df, f), desc = false)
+      .where(col("sort_rank") <= n).select("path")
+    df.join(keep, Seq("path"), "left_semi")
+  }
+
+  /** highestMax(series, n) (builtin_functions.go:835). */
+  def highestMax(df: DataFrame, n: Int): DataFrame = highest(df, n, "max")
+
+  /** highestAverage / highestCurrent (builtin_functions.go:849,842). */
+  def highestAverage(df: DataFrame, n: Int): DataFrame = highest(df, n, "avg")
+  def highestCurrent(df: DataFrame, n: Int): DataFrame = highest(df, n, "last")
+
+  /** lowestAverage / lowestCurrent (builtin_functions.go:885,892). */
+  def lowestAverage(df: DataFrame, n: Int): DataFrame = lowest(df, n, "avg")
+  def lowestCurrent(df: DataFrame, n: Int): DataFrame = lowest(df, n, "last")
+
+  /** mostDeviant(series, n) (builtin_functions.go:867): the n series
+    * with the largest standard deviation. */
+  def mostDeviant(df: DataFrame, n: Int): DataFrame = highest(df, n, "stddev")
+
+  /** sortBy(series, fn, reverse) (builtin_functions.go:77): rank
+    * every series by the f-reduced value, attached as `sort_rank`. */
+  def sortBy(df: DataFrame, f: String, reverse: Boolean = false): DataFrame = {
+    val minFirst = f.startsWith("min")
+    val asc = if (reverse) !minFirst else minFirst
+    df.join(rankReduced(reduceSeries(df, f), desc = !asc), "path")
+  }
+
+  /** sortByTotal / sortByMinima (builtin_functions.go:130,208). */
+  def sortByTotal(df: DataFrame): DataFrame = sortBy(df, "sum")
+  def sortByMinima(df: DataFrame): DataFrame = sortBy(df, "min")
+
+  /** filterSeries(series, func, operator, n) (builtin_functions.go:
+    * 685): general reducer + comparison series filter. */
+  def filterSeries(df: DataFrame, f: String, op: String, n: Double): DataFrame = {
+    val red = col("_red")
+    val pred = op match {
+      case ">"  => red > n
+      case ">=" => red >= n
+      case "<"  => red < n
+      case "<=" => red <= n
+      case "="  | "==" => red === n
+      case "!=" => red =!= n
+      case other => throw new IllegalArgumentException(s"unknown operator $other")
+    }
+    val keep = reduceSeries(df, f).where(pred).select("path")
+    df.join(keep, Seq("path"), "left_semi")
   }
 
   /** averageAbove(series, n) (builtin_functions.go:272): keep series
@@ -258,28 +384,81 @@ object Graphite {
   def transformNull(df: DataFrame, default: Double = 0.0): DataFrame =
     df.withColumn("value", coalesce(col("value"), lit(default)))
 
-  /** sortByName: rank series lexicographically by path, attached as
-    * a column (like sortByMaxima). */
-  def sortByName(df: DataFrame): DataFrame = {
-    val ranked = df.select("path").distinct()
-      .withColumn("sort_rank", row_number().over(
-        Window.orderBy(col("path").asc)))
-    df.join(ranked, "path")
+  /** sortByName (builtin_functions.go:101): rank series
+    * lexicographically by path (two-phase prefix-shard rank). */
+  def sortByName(df: DataFrame): DataFrame =
+    df.join(rankPaths(df), "path")
+
+  /** Per-instant cross-series combine — the aggregate(series, fname)
+    * dispatch set (aggregation_functions.go:300): sum, avg, min, max,
+    * median, multiply, range, stddev (population), count, last (=
+    * value of the path-order-last series at each instant), diff (=
+    * first-in-path-order minus the sum of the rest). */
+  private def combineAgg(how: String): Column = how match {
+    case "sum" | "total"        => sum("value")
+    case "avg" | "average"      => avg("value")
+    case "min"                  => min("value")
+    case "max"                  => max("value")
+    case "median"               => percentile(col("value"), lit(0.5))
+    case "multiply"             => product(col("value"))
+    case "range" | "rangeOf"    => max("value") - min("value")
+    case "stddev" | "stdev"     => stddev_pop(col("value"))
+    case "count"                => count(col("value")).cast("double")
+    case "last" | "current"     => max_by(col("value"), col("path"))
+    case "diff" => sum(when(col("_first"), col("value"))
+      .otherwise(-col("value")))
+    case h => throw new IllegalArgumentException(s"unknown combine fn $h")
   }
 
-  /** sumSeries / averageSeries (builtin_functions.go sumSeries,
-    * averageSeries): collapse all series into one, named after the
-    * combining function. */
+  /** sumSeries / averageSeries / … (aggregation_functions.go:40-120):
+    * collapse all series into one, named after the combining
+    * function. */
   def combineSeries(df: DataFrame, how: String): DataFrame = {
-    val agg: Column = how match {
-      case "sum" => sum("value")
-      case "avg" => avg("value")
-      case "min" => min("value")
-      case "max" => max("value")
-      case h => throw new IllegalArgumentException(s"unknown combine fn $h")
-    }
-    df.groupBy("bucket_s").agg(agg.as("value"))
+    val prepared =
+      if (how == "diff")
+        df.crossJoin(broadcast(df.agg(min("path").as("_fp"))))
+          .withColumn("_first", col("path") === col("_fp"))
+      else df
+    prepared.groupBy("bucket_s").agg(combineAgg(how).as("value"))
       .select(lit(s"${how}Series").as("path"), col("bucket_s"), col("value"))
+  }
+
+  /** aggregate(series, fname) (aggregation_functions.go:300). */
+  def aggregateSeries(df: DataFrame, fname: String): DataFrame = {
+    val canon = fname match {
+      case "total" => "sum"
+      case "average" => "avg"
+      case "rangeOf" => "range"
+      case "current" => "last"
+      case "stdev" => "stddev"
+      case f => f
+    }
+    combineSeries(df, canon)
+  }
+
+  /** diffSeries / multiplySeries / rangeOfSeries / stddevSeries
+    * (aggregation_functions.go:49,74; :2212; :171). */
+  def diffSeries(df: DataFrame): DataFrame = combineSeries(df, "diff")
+  def multiplySeries(df: DataFrame): DataFrame = combineSeries(df, "multiply")
+  def rangeOfSeries(df: DataFrame): DataFrame = combineSeries(df, "range")
+  def stddevSeries(df: DataFrame): DataFrame = combineSeries(df, "stddev")
+
+  /** percentileOfSeries(series, p) (builtin_functions.go:1562): the
+    * interpolated p-th percentile across series at each instant. */
+  def percentileOfSeries(df: DataFrame, p: Double): DataFrame =
+    df.groupBy("bucket_s")
+      .agg(percentile(col("value"), lit(p / 100.0)).as("value"))
+      .select(lit("percentileOfSeries").as("path"), col("bucket_s"),
+        col("value"))
+
+  /** aggregateLine(series, f) (builtin_functions.go:2273): constant
+    * line at the f-reduced value of the path-order-first series. */
+  def aggregateLine(df: DataFrame, f: String): DataFrame = {
+    val firstPath = df.agg(min("path").as("_fp"))
+    val v = df.join(broadcast(firstPath), col("path") === col("_fp"))
+      .groupBy().agg(reducer(f).as("value"))
+    df.select("bucket_s").distinct().crossJoin(broadcast(v))
+      .select(lit("aggregateLine").as("path"), col("bucket_s"), col("value"))
   }
 
   /** groupByNode(series, node, func) (builtin_functions.go
@@ -314,21 +493,494 @@ object Graphite {
   }
 
   /** limit(series, n) (builtin_functions.go limit): first n series
-    * in path order. */
+    * in path order (two-phase prefix-shard rank). */
   def limitSeries(df: DataFrame, n: Int): DataFrame = {
-    val keep = df.select("path").distinct()
-      .withColumn("rk", row_number().over(Window.orderBy(col("path").asc)))
-      .where(col("rk") <= n).select("path")
+    val keep = rankPaths(df).where(col("sort_rank") <= n).select("path")
     df.join(keep, Seq("path"), "left_semi")
   }
 
   /** sortByMaxima(series): rank series by their maximum, attached as
     * a column (row order itself is not part of a frame's identity). */
-  def sortByMaxima(df: DataFrame): DataFrame = {
-    val ranked = df.groupBy("path").agg(max("value").as("mx"))
-      .withColumn("sort_rank", row_number().over(
-        Window.orderBy(col("mx").desc, col("path").asc)))
-      .select("path", "sort_rank")
-    df.join(ranked, "path")
+  def sortByMaxima(df: DataFrame): DataFrame =
+    df.join(rankReduced(reduceSeries(df, "max"), desc = true), "path")
+
+  // ------------- wildcard grouping family -------------
+
+  /** combineSeriesWithWildcards (aggregation_functions.go:420): group
+    * series by the path with the given segment positions removed,
+    * combining each group per instant. sumSeriesWithWildcards /
+    * averageSeriesWithWildcards / multiplySeriesWithWildcards /
+    * aggregateWithWildcards (aggregation_functions.go:334,345,358,
+    * 370) are the registered forms. */
+  def aggregateWithWildcards(df: DataFrame, how: String,
+                             positions: Seq[Int]): DataFrame = {
+    val parts = split(col("path"), "\\.")
+    val posLit = typedlit(positions)
+    val key = concat_ws(".",
+      filter(parts, (seg, i) => !array_contains(posLit, i)))
+    df.withColumn("path", key)
+      .groupBy("path", "bucket_s").agg(combineAgg(how).as("value"))
+  }
+
+  def sumSeriesWithWildcards(df: DataFrame, positions: Seq[Int]): DataFrame =
+    aggregateWithWildcards(df, "sum", positions)
+  def averageSeriesWithWildcards(df: DataFrame, positions: Seq[Int]): DataFrame =
+    aggregateWithWildcards(df, "avg", positions)
+  def multiplySeriesWithWildcards(df: DataFrame, positions: Seq[Int]): DataFrame =
+    aggregateWithWildcards(df, "multiply", positions)
+
+  /** groupByNodes(series, fn, nodes…) (aggregation_functions.go
+    * groupByNodes): keep only the given segments as the group key —
+    * the multi-node generalization of groupByNode. */
+  def groupByNodes(df: DataFrame, how: String, nodes: Seq[Int]): DataFrame = {
+    val parts = split(col("path"), "\\.")
+    val key = concat_ws(".", nodes.map(n => element_at(parts, n + 1)): _*)
+    df.withColumn("path", key)
+      .groupBy("path", "bucket_s").agg(combineAgg(how).as("value"))
+  }
+
+  // ------------- per-series window / pointwise additions -------------
+
+  /** changed(series) (builtin_functions.go:2301, common
+    * basic_functions.go:261): 1 when the value is non-null and
+    * differs from the last non-null value before it, else 0. */
+  def changed(df: DataFrame): DataFrame = {
+    val prevNonNull = last("value", ignoreNulls = true)
+      .over(byPath.rowsBetween(Window.unboundedPreceding, -1))
+    df.withColumn("value",
+      when(col("value").isNotNull && prevNonNull.isNotNull &&
+        col("value") =!= prevNonNull, lit(1.0)).otherwise(lit(0.0)))
+  }
+
+  /** stdev(series, points, windowTolerance) (builtin_functions.go:
+    * 2205, common/transform.go:211): moving population standard
+    * deviation over the last `points` rows; emitted only when the
+    * valid-point ratio reaches the tolerance. */
+  def stdev(df: DataFrame, points: Int,
+            windowTolerance: Double = 0.1): DataFrame = {
+    val w = byPath.rowsBetween(-(points - 1), 0)
+    val n = count(col("value")).over(w)
+    df.withColumn("value",
+      when(n > 0 && n.cast("double") / lit(points.toDouble) >= windowTolerance,
+        stddev_pop(col("value")).over(w)))
+  }
+
+  /** movingSum(series, points) (builtin_functions.go:2561). */
+  def movingSum(df: DataFrame, points: Int): DataFrame =
+    df.withColumn("value",
+      sum("value").over(byPath.rowsBetween(-(points - 1), 0)))
+
+  /** movingWindow(series, points, fn) (builtin_functions.go
+    * movingWindow): dispatch to the moving* family. */
+  def movingWindow(df: DataFrame, points: Int, how: String): DataFrame =
+    how match {
+      case "avg" | "average" => movingAverage(df, points)
+      case "sum"             => movingSum(df, points)
+      case "max"             => movingMax(df, points)
+      case "min"             => movingMin(df, points)
+      case "median"          => movingMedian(df, points)
+      case h => throw new IllegalArgumentException(s"unknown moving fn $h")
+    }
+
+  /** delay(series, steps) (builtin_functions.go:403): shift values
+    * down by `steps` rows per series, keeping timestamps. */
+  def delay(df: DataFrame, steps: Int): DataFrame =
+    df.withColumn("value", lag("value", steps).over(byPath))
+
+  /** interpolate(series) (builtin_functions.go:1376): linearly
+    * interpolate null gaps between non-null neighbours (time-weighted
+    * over the bucket axis; head/tail nulls stay null). */
+  def interpolate(df: DataFrame): DataFrame = {
+    val before = byPath.rowsBetween(Window.unboundedPreceding, -1)
+    val after = byPath.rowsBetween(1, Window.unboundedFollowing)
+    val prevV = last("value", ignoreNulls = true).over(before)
+    val prevB = last(when(col("value").isNotNull, col("bucket_s")),
+      ignoreNulls = true).over(before)
+    val nextV = first("value", ignoreNulls = true).over(after)
+    val nextB = first(when(col("value").isNotNull, col("bucket_s")),
+      ignoreNulls = true).over(after)
+    df.withColumn("value",
+      when(col("value").isNotNull, col("value"))
+        .when(prevV.isNotNull && nextV.isNotNull && nextB =!= prevB,
+          prevV + (nextV - prevV) *
+            (col("bucket_s") - prevB).cast("double") /
+            (nextB - prevB).cast("double")))
+  }
+
+  /** isNonNull(series) (builtin_functions.go:566). */
+  def isNonNull(df: DataFrame): DataFrame =
+    df.withColumn("value",
+      when(col("value").isNotNull, lit(1.0)).otherwise(lit(0.0)))
+
+  /** roundFunction(series, precision) (builtin_functions.go:617). */
+  def roundSeries(df: DataFrame, precision: Int): DataFrame =
+    df.withColumn("value", round(col("value"), precision))
+
+  /** scaleToSeconds(series, seconds) (builtin_functions.go:494):
+    * value · seconds / step. `stepS` is the frame resolution
+    * (seriesFrame consolidates hourly → 3600). */
+  def scaleToSeconds(df: DataFrame, seconds: Int,
+                     stepS: Long = 3600L): DataFrame =
+    df.withColumn("value",
+      col("value") * (lit(seconds.toDouble) / lit(stepS.toDouble)))
+
+  /** substr(series, start, stop) (builtin_functions.go:1793): keep
+    * path segments [start, stop) with graphite's negative indexing;
+    * stop = 0 means to-the-end. */
+  def substrSeries(df: DataFrame, start: Int, stop: Int = 0): DataFrame = {
+    val parts = split(col("path"), "\\.")
+    val n = size(parts)
+    val st = if (start >= 0) lit(start) else lit(start) + n
+    val sp = if (stop == 0) n else if (stop > 0) lit(stop) else lit(stop) + n
+    df.withColumn("path",
+      concat_ws(".", slice(parts, st + 1, greatest(sp - st, lit(0)))))
+  }
+
+  /** timeSlice(series, startS, endS) (builtin_functions.go:434):
+    * null out values outside the inclusive epoch-second range. */
+  def timeSlice(df: DataFrame, startS: Long, endS: Long): DataFrame =
+    df.withColumn("value",
+      when(col("bucket_s").between(startS, endS), col("value")))
+
+  /** sustainedAbove / sustainedBelow(series, n, interval)
+    * (builtin_functions.go:764,768): keep the value only once the
+    * comparison has held for `intervalS` seconds (= intervalS/stepS
+    * consecutive rows); otherwise emit the zero value
+    * (n − |n| above, n + |n| below). */
+  def sustainedAbove(df: DataFrame, n: Double, intervalS: Long,
+                     stepS: Long = 3600L): DataFrame =
+    sustainedCompare(df, col("value") >= n, n - math.abs(n),
+      (intervalS / stepS).toInt)
+
+  def sustainedBelow(df: DataFrame, n: Double, intervalS: Long,
+                     stepS: Long = 3600L): DataFrame =
+    sustainedCompare(df, col("value") <= n, n + math.abs(n),
+      (intervalS / stepS).toInt)
+
+  private def sustainedCompare(df: DataFrame, cond: Column,
+                               zeroValue: Double, minSteps: Int): DataFrame = {
+    val withRn = df.withColumn("_rn", row_number().over(byPath))
+    val lastFail = max(when(!coalesce(cond, lit(false)), col("_rn")))
+      .over(Window.partitionBy("path").orderBy("bucket_s")
+        .rowsBetween(Window.unboundedPreceding, 0))
+    withRn.withColumn("_streak", col("_rn") - coalesce(lastFail, lit(0)))
+      .withColumn("value",
+        when(col("_streak") >= minSteps, col("value")).otherwise(zeroValue))
+      .drop("_rn", "_streak")
+  }
+
+  /** removeAbovePercentile / removeBelowPercentile(series, p)
+    * (builtin_functions.go:2228,2240): null out points beyond the
+    * series' own p-th percentile. */
+  def removeAbovePercentile(df: DataFrame, p: Double): DataFrame = {
+    val cut = df.groupBy("path")
+      .agg(percentile(col("value"), lit(p / 100.0)).as("_cut"))
+    df.join(broadcast(cut), "path")
+      .withColumn("value", when(col("value") <= col("_cut"), col("value")))
+      .drop("_cut")
+  }
+
+  def removeBelowPercentile(df: DataFrame, p: Double): DataFrame = {
+    val cut = df.groupBy("path")
+      .agg(percentile(col("value"), lit(p / 100.0)).as("_cut"))
+    df.join(broadcast(cut), "path")
+      .withColumn("value", when(col("value") >= col("_cut"), col("value")))
+      .drop("_cut")
+  }
+
+  /** removeEmptySeries(series, xFilesFactor) (builtin_functions.go:
+    * 793): drop series whose non-null ratio is below the factor (and
+    * all-null series always). */
+  def removeEmptySeries(df: DataFrame, xFilesFactor: Double = 0.0): DataFrame = {
+    val keep = df.groupBy("path")
+      .agg(count(col("value")).as("_nn"), count(lit(1)).as("_n"))
+      .where(col("_nn") > 0 &&
+        col("_nn").cast("double") / col("_n") >= xFilesFactor)
+      .select("path")
+    df.join(keep, Seq("path"), "left_semi")
+  }
+
+  // ------------- grid-producing functions -------------
+
+  /** constantLine(value) (builtin_functions.go:299): a constant
+    * series over the input frame's bucket grid (the reference draws
+    * over the query range; the frame range is the batch analogue). */
+  def constantLine(base: DataFrame, value: Double,
+                   label: String = "constantLine"): DataFrame =
+    base.select("bucket_s").distinct()
+      .select(lit(label).as("path"), col("bucket_s"),
+        lit(value).as("value"))
+
+  /** threshold(value, label) (builtin_functions.go:2821). */
+  def threshold(base: DataFrame, value: Double,
+                label: String = ""): DataFrame =
+    constantLine(base, value, if (label.isEmpty) "threshold" else label)
+
+  /** identity(name) (builtin_functions.go:308): value = epoch
+    * seconds of each grid instant; timeFunction (alias `time`) is
+    * the same shape. */
+  def identitySeries(base: DataFrame, name: String): DataFrame =
+    base.select("bucket_s").distinct()
+      .select(lit(name).as("path"), col("bucket_s"),
+        col("bucket_s").cast("double").as("value"))
+
+  // ------------- re-consolidation / re-bucketing -------------
+
+  /** consolidateBy(series, fn) (builtin_functions.go:2714): re-derive
+    * the path frame from raw samples with the given consolidation
+    * function (graphite changes the render-time consolidation; the
+    * batch analogue re-consolidates the frame). Callers that hold
+    * samples use [[seriesFrame]]'s `how`; see GraphiteParser. */
+  def consolidateBy(samples: DataFrame, how: String,
+                    unit: String = "hour"): DataFrame =
+    seriesFrame(samples, unit, how)
+
+  /** hitcount(series, interval) (builtin_functions.go:1668): values
+    * are per-second rates; total hits per coarser interval =
+    * Σ value·stepS over the interval. */
+  def hitcount(df: DataFrame, intervalS: Long,
+               stepS: Long = 3600L): DataFrame = {
+    val bucket = (floor(col("bucket_s") / intervalS) * intervalS)
+      .cast("long").as("bucket_s")
+    df.groupBy(col("path"), bucket)
+      .agg(sum(col("value") * lit(stepS.toDouble)).as("value"))
+  }
+
+  /** smartSummarize(series, interval, func) (summarize.go:148):
+    * summarize aligned to the frame's start instant instead of epoch
+    * multiples. */
+  def smartSummarize(df: DataFrame, intervalS: Long, how: String): DataFrame = {
+    val start = df.agg(min("bucket_s").as("_start"))
+    val aligned = df.crossJoin(broadcast(start))
+      .withColumn("_b",
+        (col("_start") +
+          floor((col("bucket_s") - col("_start")) / intervalS) * intervalS)
+          .cast("long"))
+    aligned.groupBy(col("path"), col("_b").as("bucket_s"))
+      .agg(combineAgg(how).as("value"))
+  }
+
+  // ------------- cross-list functions -------------
+
+  /** weightedAverage(values, weights, node) (aggregation_functions
+    * .go:767): pair value and weight series sharing the node
+    * segment; one output series Σ v·w / Σ w per instant. */
+  def weightedAverage(values: DataFrame, weights: DataFrame,
+                      node: Int): DataFrame = {
+    val key = element_at(split(col("path"), "\\."), node + 1)
+    val v = values.select(key.as("_k"), col("bucket_s"),
+      col("value").as("_v"))
+    val w = weights.select(key.as("_k"), col("bucket_s"),
+      col("value").as("_w"))
+    v.join(w, Seq("_k", "bucket_s"))
+      .groupBy("bucket_s")
+      .agg((sum(col("_v") * col("_w")) /
+        when(sum(col("_w")) =!= 0, sum(col("_w")))).as("value"))
+      .select(lit("weightedAverage").as("path"), col("bucket_s"),
+        col("value"))
+  }
+
+  /** divideSeriesLists(dividends, divisors) (aggregation_functions
+    * .go:258): pair i-th dividend with i-th divisor in path order
+    * (two-phase path rank on both sides), divide pointwise. */
+  def divideSeriesLists(dividends: DataFrame, divisors: DataFrame): DataFrame = {
+    val a = dividends.join(rankPaths(dividends), "path")
+    val b = divisors.join(rankPaths(divisors), "path")
+      .select(col("sort_rank"), col("bucket_s"), col("value").as("_div"),
+        col("path").as("_dpath"))
+    a.join(b, Seq("sort_rank", "bucket_s"))
+      .withColumn("value",
+        when(col("_div") =!= 0, col("value") / col("_div")))
+      .withColumn("path",
+        concat(lit("divideSeries("), col("path"), lit(","),
+          col("_dpath"), lit(")")))
+      .select("path", "bucket_s", "value")
+  }
+
+  /** fallbackSeries(series, fallback) (builtin_functions.go:855):
+    * the fallback frame when the primary is empty (bounded 1-row
+    * count broadcast; no driver action). */
+  def fallbackSeries(df: DataFrame, fallback: DataFrame): DataFrame = {
+    val n = df.agg(count(lit(1)).as("_n"))
+    df.unionByName(
+      fallback.crossJoin(broadcast(n)).where(col("_n") === 0).drop("_n"))
+  }
+
+  /** group(series…) (builtin_functions.go:1431): flat union. */
+  def group(dfs: Seq[DataFrame]): DataFrame =
+    dfs.reduce(_.unionByName(_))
+
+  /** aliasSub(series, search, replace) (alias_functions.go:73). */
+  def aliasSub(df: DataFrame, search: String, replace: String): DataFrame =
+    df.withColumn("path", regexp_replace(col("path"), search, replace))
+
+  /** aliasByMetric(series) (alias_functions.go:38): last segment. */
+  def aliasByMetric(df: DataFrame): DataFrame =
+    df.withColumn("path", element_at(split(col("path"), "\\."), -1))
+
+  // ------------- sequential recurrences (fold per series) -------------
+
+  /** exponentialMovingAverage(series, points) (builtin_functions.go:
+    * 973): ema₀ = simple average of the first `points` values (0 if
+    * none); emaᵢ = c·vᵢ + (1−c)·emaᵢ₋₁ with c = 2/(points+1); null
+    * values emit null and leave the state unchanged. Sequential per
+    * series → higher-order `aggregate` fold over the collected
+    * series (one row per series, O(n) fold), like
+    * Temporal.holtWinters. Outputs round to 6 decimals as the
+    * reference does (roundTo). */
+  def exponentialMovingAverage(df: DataFrame, points: Int): DataFrame = {
+    val c = 2.0 / (points + 1.0)
+    val collected = df.groupBy("path")
+      .agg(array_sort(collect_list(struct(col("bucket_s"), col("value"))))
+        .as("pts"))
+      .withColumn("vals", expr("transform(pts, p -> p.value)"))
+      .withColumn("bks", expr("transform(pts, p -> p.bucket_s)"))
+    val firstVals = filter(slice(col("vals"), 1, points), v => v.isNotNull)
+    val seed = coalesce(
+      aggregate(firstVals, lit(0.0), (acc, v) => acc + v) /
+        when(size(firstVals) > 0, size(firstVals).cast("double")),
+      lit(0.0))
+    val folded = aggregate(
+      expr("slice(vals, 2, size(vals) - 1)"),
+      struct(seed.as("ema"), array(round(seed, 6)).as("out")),
+      (acc, v) => {
+        val ema1 = when(v.isNotNull,
+          lit(c) * v + lit(1.0 - c) * acc("ema"))
+          .otherwise(acc("ema"))
+        struct(ema1.as("ema"),
+          concat(acc("out"),
+            array(when(v.isNotNull, round(ema1, 6)))).as("out"))
+      },
+      acc => acc("out"))
+    collected
+      .select(col("path"), col("bks"), folded.as("emas"))
+      .select(col("path"),
+        explode(arrays_zip(col("bks"), col("emas"))).as("z"))
+      .select(col("path"), col("z.bks").as("bucket_s"),
+        col("z.emas").as("value"))
+  }
+
+  // ------------- Holt-Winters seasonal family -------------
+
+  private val hwAlpha = 0.1
+  private val hwBeta = 0.0035
+  private val hwGamma = 0.1
+
+  /** Holt-Winters seasonal analysis (builtin_functions.go:2108
+    * holtWintersAnalysis; α=0.1, β=0.0035, γ=0.1, season = one day =
+    * 86400/stepS rows): per-series triple-smoothing fold producing
+    * the one-step-ahead prediction and the seasonal deviation at
+    * each instant. Null actuals emit the pending prediction, zero
+    * the deviation, and reset intercept/slope state — exactly the
+    * reference's NaN branch. The reference bootstraps with one extra
+    * week of history (FetchWithBootstrap); the batch form starts
+    * cold on the frame (documented divergence: early points differ
+    * until a season of state accumulates).
+    *
+    * Returns (path, bucket_s, value, pred_v, dev_v). */
+  def hwAnalysis(df: DataFrame, stepS: Long = 3600L): DataFrame = {
+    val season = (86400L / stepS).toInt
+    val collected = df.groupBy("path")
+      .agg(array_sort(collect_list(struct(col("bucket_s"), col("value"))))
+        .as("pts"))
+      .withColumn("vals", expr("transform(pts, p -> p.value)"))
+      .withColumn("bks", expr("transform(pts, p -> p.bucket_s)"))
+    val zero = lit(0.0)
+    val folded = aggregate(
+      col("vals"),
+      struct(
+        lit(null).cast("double").as("icept"),
+        lit(0.0).as("slope"),
+        lit(null).cast("double").as("nextPred"),
+        array().cast("array<double>").as("seasonals"),
+        array().cast("array<double>").as("devs"),
+        array().cast("array<double>").as("preds")),
+      (acc, v) => {
+        val i = size(acc("preds"))
+        val lastSeasonal = when(i >= season,
+          coalesce(element_at(acc("seasonals"), i - season + 1), zero))
+          .otherwise(zero)
+        val nextLastSeasonal = when(i + 1 >= season,
+          coalesce(element_at(acc("seasonals"), i + 2 - season), zero))
+          .otherwise(zero)
+        val lastSeasonalDev = when(i >= season,
+          coalesce(element_at(acc("devs"), i - season + 1), zero))
+          .otherwise(zero)
+        val isFirst = i === 0
+        val lastIntercept =
+          when(isFirst, v).otherwise(coalesce(acc("icept"), v))
+        val lastSlope = when(isFirst, zero).otherwise(acc("slope"))
+        val prediction = when(isFirst, v).otherwise(acc("nextPred"))
+        val intercept = lit(hwAlpha) * (v - lastSeasonal) +
+          lit(1 - hwAlpha) * (lastIntercept + lastSlope)
+        val slope = lit(hwBeta) * (intercept - lastIntercept) +
+          lit(1 - hwBeta) * lastSlope
+        val seasonal = lit(hwGamma) * (v - intercept) +
+          lit(1 - hwGamma) * lastSeasonal
+        val deviation = lit(hwGamma) * abs(v - coalesce(prediction, zero)) +
+          lit(1 - hwGamma) * lastSeasonalDev
+        val isNull = v.isNull
+        struct(
+          when(isNull, lit(null).cast("double")).otherwise(intercept)
+            .as("icept"),
+          when(isNull, zero).otherwise(slope).as("slope"),
+          when(isNull, lit(null).cast("double"))
+            .otherwise(intercept + slope + nextLastSeasonal)
+            .as("nextPred"),
+          concat(acc("seasonals"),
+            array(when(isNull, zero).otherwise(seasonal))).as("seasonals"),
+          concat(acc("devs"),
+            array(when(isNull, zero).otherwise(deviation))).as("devs"),
+          concat(acc("preds"), array(prediction)).as("preds"))
+      },
+      acc => struct(acc("preds").as("preds"), acc("devs").as("devs")))
+    collected
+      .select(col("path"), col("bks"), col("vals"),
+        folded.getField("preds").as("preds"),
+        folded.getField("devs").as("devs"))
+      .select(col("path"),
+        explode(arrays_zip(col("bks"), col("vals"), col("preds"),
+          col("devs"))).as("z"))
+      .select(col("path"), col("z.bks").as("bucket_s"),
+        col("z.vals").as("value"), col("z.preds").as("pred_v"),
+        col("z.devs").as("dev_v"))
+  }
+
+  /** holtWintersForecast(series) (builtin_functions.go:1956). */
+  def holtWintersForecast(df: DataFrame, stepS: Long = 3600L): DataFrame =
+    hwAnalysis(df, stepS)
+      .select(col("path"), col("bucket_s"), col("pred_v").as("value"))
+
+  /** holtWintersConfidenceBands(series, delta) (builtin_functions
+    * .go:1979): forecast ± delta · deviation, two series per input
+    * (…ConfidenceLower / …ConfidenceUpper). */
+  def holtWintersConfidenceBands(df: DataFrame, delta: Double,
+                                 stepS: Long = 3600L): DataFrame = {
+    val a = hwAnalysis(df, stepS)
+    val band = (sign: Int) =>
+      when(col("pred_v").isNotNull && col("dev_v").isNotNull,
+        col("pred_v") + lit(sign * delta) * col("dev_v"))
+    a.select(
+      concat(lit("holtWintersConfidenceLower("), col("path"), lit(")"))
+        .as("path"),
+      col("bucket_s"), band(-1).as("value"))
+      .unionByName(a.select(
+        concat(lit("holtWintersConfidenceUpper("), col("path"), lit(")"))
+          .as("path"),
+        col("bucket_s"), band(1).as("value")))
+  }
+
+  /** holtWintersAberration(series, delta) (builtin_functions.go:
+    * 2024): how far the actual value strays outside the confidence
+    * band (0 inside the band or when the actual is null). */
+  def holtWintersAberration(df: DataFrame, delta: Double,
+                            stepS: Long = 3600L): DataFrame = {
+    val upper = col("pred_v") + lit(delta) * col("dev_v")
+    val lower = col("pred_v") - lit(delta) * col("dev_v")
+    hwAnalysis(df, stepS).select(col("path"), col("bucket_s"),
+      when(col("value").isNull, lit(0.0))
+        .when(upper.isNotNull && col("value") > upper, col("value") - upper)
+        .when(lower.isNotNull && col("value") < lower, col("value") - lower)
+        .otherwise(lit(0.0)).as("value"))
   }
 }

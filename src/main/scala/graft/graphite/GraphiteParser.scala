@@ -107,11 +107,12 @@ object GraphiteParser {
 
   /** Parse + evaluate `target` against a sample frame. */
   def query(samples: DataFrame, target: String): DataFrame =
-    eval(parse(target), Graphite.seriesFrame(samples))
+    eval(parse(target), Graphite.seriesFrame(samples), samples)
 
-  private def one(fn: String, args: Seq[Arg], base: DataFrame): DataFrame =
+  private def one(fn: String, args: Seq[Arg], base: DataFrame,
+                  samples: DataFrame): DataFrame =
     args match {
-      case Seq(T(n), _*) => eval(n, base)
+      case Seq(T(n), _*) => eval(n, base, samples)
       case other => throw new ParseException(s"$fn needs a series argument, got $other")
     }
   private def num(fn: String, args: Seq[Arg], i: Int): Double = args(i) match {
@@ -122,19 +123,96 @@ object GraphiteParser {
     case S(s) => s
     case other => throw new ParseException(s"$fn arg $i must be a string, got $other")
   }
+  private def optNum(args: Seq[Arg], i: Int, default: Double): Double =
+    args.lift(i).collect { case N(d) => d }.getOrElse(default)
+  private def optStr(args: Seq[Arg], i: Int, default: String): String =
+    args.lift(i).collect { case S(s) => s }.getOrElse(default)
+  /** graphite booleans lex as bare paths (`true`) or strings. */
+  private def optBool(args: Seq[Arg], i: Int, default: Boolean): Boolean =
+    args.lift(i).collect {
+      case T(Path("true")) | S("true") => true
+      case T(Path("false")) | S("false") => false
+    }.getOrElse(default)
+  private def intArgs(fn: String, args: Seq[Arg]): Seq[Int] =
+    args.map {
+      case N(d) => d.toInt
+      case a => throw new ParseException(s"$fn positions must be ints: $a")
+    }
 
-  def eval(node: Node, base: DataFrame): DataFrame = node match {
+  /** Functions over a series LIST: 1+ series args union into one
+    * frame (graphite's multiplePathSpecs). */
+  private val multiSeriesFns = Set(
+    "sumSeries", "averageSeries", "minSeries", "maxSeries",
+    "multiplySeries", "diffSeries", "rangeOfSeries", "stddevSeries",
+    "countSeries", "group")
+
+  def eval(node: Node, base: DataFrame,
+           samples: DataFrame = null): DataFrame = node match {
     case Path(glob) => base.where(col("path").rlike(globRe(glob)))
+    case Call(fn, args) if multiSeriesFns(fn) && args.nonEmpty =>
+      val frames = args.map {
+        case T(n) => eval(n, base, samples)
+        case other => throw new ParseException(s"$fn takes series args, got $other")
+      }
+      val in = frames.reduce(_.unionByName(_))
+      fn match {
+        case "sumSeries"      => Graphite.combineSeries(in, "sum")
+        case "averageSeries"  => Graphite.combineSeries(in, "avg")
+        case "minSeries"      => Graphite.combineSeries(in, "min")
+        case "maxSeries"      => Graphite.combineSeries(in, "max")
+        case "multiplySeries" => Graphite.multiplySeries(in)
+        case "diffSeries"     => Graphite.diffSeries(in)
+        case "rangeOfSeries"  => Graphite.rangeOfSeries(in)
+        case "stddevSeries"   => Graphite.stddevSeries(in)
+        case "countSeries"    => Graphite.countSeries(in)
+        case "group"          => in
+      }
     // two-series functions take their second vector from args(1)
-    case Call(fn @ ("divideSeries" | "asPercent"), args) =>
+    case Call(fn @ ("divideSeries" | "asPercent" | "divideSeriesLists" |
+                    "fallbackSeries" | "weightedAverage"), args) =>
       val (a, b) = (args(0), args(1)) match {
-        case (T(x), T(y)) => (eval(x, base), eval(y, base))
+        case (T(x), T(y)) => (eval(x, base, samples), eval(y, base, samples))
         case other => throw new ParseException(s"$fn needs two series args: $other")
       }
-      if (fn == "divideSeries") Graphite.divideSeries(a, b)
-      else Graphite.asPercent(a, b)
+      fn match {
+        case "divideSeries"      => Graphite.divideSeries(a, b)
+        case "asPercent"         => Graphite.asPercent(a, b)
+        case "divideSeriesLists" => Graphite.divideSeriesLists(a, b)
+        case "fallbackSeries"    => Graphite.fallbackSeries(a, b)
+        case "weightedAverage" =>
+          Graphite.weightedAverage(a, b, num(fn, args, 2).toInt)
+      }
+    // grid producers need no series argument
+    case Call("constantLine", args) =>
+      Graphite.constantLine(base, num("constantLine", args, 0))
+    case Call("threshold", args) =>
+      Graphite.threshold(base, num("threshold", args, 0),
+        optStr(args, 1, ""))
+    case Call("identity", args) =>
+      Graphite.identitySeries(base, str("identity", args, 0))
+    case Call(fn @ ("time" | "timeFunction"), args) =>
+      Graphite.identitySeries(base, str(fn, args, 0))
+    // re-consolidation needs the raw samples
+    case Call("consolidateBy", args) =>
+      if (samples == null)
+        throw new ParseException("consolidateBy needs a sample frame")
+      val how = str("consolidateBy", args, 1) match {
+        case "average" => "avg"
+        case h => h
+      }
+      eval(args(0) match {
+        case T(n) => n
+        case other => throw new ParseException(s"consolidateBy needs a series arg: $other")
+      }, Graphite.seriesFrame(samples, how = how), samples)
+    case Call("cumulative", args) =>
+      if (samples == null)
+        throw new ParseException("cumulative needs a sample frame")
+      eval(args(0) match {
+        case T(n) => n
+        case other => throw new ParseException(s"cumulative needs a series arg: $other")
+      }, Graphite.seriesFrame(samples, how = "sum"), samples)
     case Call(fn, args) =>
-      val in = one(fn, args, base)
+      val in = one(fn, args, base, samples)
       fn match {
         case "summarize" =>
           Graphite.summarize(in, durSeconds(str(fn, args, 1)), str(fn, args, 2))
@@ -157,14 +235,8 @@ object GraphiteParser {
         case "squareRoot" => Graphite.squareRoot(in)
         case "offsetToZero" => Graphite.offsetToZero(in)
         case "keepLastValue" => Graphite.keepLastValue(in)
-        case "sumSeriesMin" => Graphite.combineSeries(in, "min")
-        case "minSeries" => Graphite.combineSeries(in, "min")
-        case "maxSeries" => Graphite.combineSeries(in, "max")
         case "aliasByNode" =>
-          Graphite.aliasByNode(in, args.tail.map {
-            case N(d) => d.toInt
-            case a => throw new ParseException(s"aliasByNode node must be int: $a")
-          }: _*)
+          Graphite.aliasByNode(in, intArgs(fn, args.tail): _*)
         case "scale"    => Graphite.scale(in, num(fn, args, 1))
         case "offset"   => Graphite.offsetSeries(in, num(fn, args, 1))
         case "absolute" => Graphite.absolute(in)
@@ -180,18 +252,109 @@ object GraphiteParser {
         case "maximumAbove" => Graphite.maximumAbove(in, num(fn, args, 1))
         case "nPercentile" => Graphite.nPercentile(in, num(fn, args, 1))
         case "sortByMaxima" => Graphite.sortByMaxima(in)
-        case "sumSeries" => Graphite.combineSeries(in, "sum")
-        case "averageSeries" => Graphite.combineSeries(in, "avg")
         case "groupByNode" =>
-          Graphite.groupByNode(in, num(fn, args, 1).toInt, str(fn, args, 2))
+          Graphite.groupByNode(in, num(fn, args, 1).toInt,
+            optStr(args, 2, "avg") match {
+              case "average" => "avg"; case h => h
+            })
         case "alias" => Graphite.alias(in, str(fn, args, 1))
         case "transformNull" =>
-          Graphite.transformNull(in,
-            args.lift(1).collect { case N(d) => d }.getOrElse(0.0))
+          Graphite.transformNull(in, optNum(args, 1, 0.0))
         case "sortByName" => Graphite.sortByName(in)
         case "exclude" => Graphite.exclude(in, str(fn, args, 1))
         case "grep"    => Graphite.grep(in, str(fn, args, 1))
         case "limit"   => Graphite.limitSeries(in, num(fn, args, 1).toInt)
+        // ---- round-3 additions (the rest of the registry core) ----
+        case "aggregate" => Graphite.aggregateSeries(in, str(fn, args, 1))
+        case "aggregateLine" =>
+          Graphite.aggregateLine(in, optStr(args, 1, "avg") match {
+            case "average" => "avg"; case h => h
+          })
+        case "percentileOfSeries" =>
+          Graphite.percentileOfSeries(in, num(fn, args, 1))
+        case "sumSeriesWithWildcards" =>
+          Graphite.sumSeriesWithWildcards(in, intArgs(fn, args.tail))
+        case "averageSeriesWithWildcards" =>
+          Graphite.averageSeriesWithWildcards(in, intArgs(fn, args.tail))
+        case "multiplySeriesWithWildcards" =>
+          Graphite.multiplySeriesWithWildcards(in, intArgs(fn, args.tail))
+        case "aggregateWithWildcards" =>
+          Graphite.aggregateWithWildcards(in, str(fn, args, 1),
+            intArgs(fn, args.drop(2)))
+        case "groupByNodes" =>
+          Graphite.groupByNodes(in, str(fn, args, 1),
+            intArgs(fn, args.drop(2)))
+        case "changed" => Graphite.changed(in)
+        case "stdev" =>
+          Graphite.stdev(in, num(fn, args, 1).toInt, optNum(args, 2, 0.1))
+        case "movingSum" => Graphite.movingSum(in, num(fn, args, 1).toInt)
+        case "movingWindow" =>
+          Graphite.movingWindow(in, num(fn, args, 1).toInt,
+            optStr(args, 2, "avg"))
+        case "exponentialMovingAverage" =>
+          Graphite.exponentialMovingAverage(in, num(fn, args, 1).toInt)
+        case "delay" => Graphite.delay(in, num(fn, args, 1).toInt)
+        case "interpolate" => Graphite.interpolate(in)
+        case "isNonNull" => Graphite.isNonNull(in)
+        case "round" | "roundFunction" =>
+          Graphite.roundSeries(in, optNum(args, 1, 0.0).toInt)
+        case "scaleToSeconds" =>
+          Graphite.scaleToSeconds(in, num(fn, args, 1).toInt)
+        case "substr" =>
+          Graphite.substrSeries(in, optNum(args, 1, 0.0).toInt,
+            optNum(args, 2, 0.0).toInt)
+        case "timeSlice" =>
+          Graphite.timeSlice(in, num(fn, args, 1).toLong,
+            num(fn, args, 2).toLong)
+        case "sustainedAbove" =>
+          Graphite.sustainedAbove(in, num(fn, args, 1),
+            durSeconds(str(fn, args, 2)))
+        case "sustainedBelow" =>
+          Graphite.sustainedBelow(in, num(fn, args, 1),
+            durSeconds(str(fn, args, 2)))
+        case "removeAbovePercentile" =>
+          Graphite.removeAbovePercentile(in, num(fn, args, 1))
+        case "removeBelowPercentile" =>
+          Graphite.removeBelowPercentile(in, num(fn, args, 1))
+        case "removeEmptySeries" =>
+          Graphite.removeEmptySeries(in, optNum(args, 1, 0.0))
+        case "hitcount" =>
+          Graphite.hitcount(in, durSeconds(str(fn, args, 1)))
+        case "smartSummarize" =>
+          Graphite.smartSummarize(in, durSeconds(str(fn, args, 1)),
+            str(fn, args, 2) match { case "average" => "avg"; case h => h })
+        case "highest" =>
+          Graphite.highest(in, optNum(args, 1, 1.0).toInt,
+            optStr(args, 2, "avg"))
+        case "lowest" =>
+          Graphite.lowest(in, optNum(args, 1, 1.0).toInt,
+            optStr(args, 2, "avg"))
+        case "highestAverage" =>
+          Graphite.highestAverage(in, num(fn, args, 1).toInt)
+        case "highestCurrent" =>
+          Graphite.highestCurrent(in, num(fn, args, 1).toInt)
+        case "lowestAverage" =>
+          Graphite.lowestAverage(in, num(fn, args, 1).toInt)
+        case "lowestCurrent" =>
+          Graphite.lowestCurrent(in, num(fn, args, 1).toInt)
+        case "mostDeviant" =>
+          Graphite.mostDeviant(in, num(fn, args, 1).toInt)
+        case "sortBy" =>
+          Graphite.sortBy(in, optStr(args, 1, "avg"),
+            optBool(args, 2, default = false))
+        case "sortByTotal" => Graphite.sortByTotal(in)
+        case "sortByMinima" => Graphite.sortByMinima(in)
+        case "filterSeries" =>
+          Graphite.filterSeries(in, str(fn, args, 1), str(fn, args, 2),
+            num(fn, args, 3))
+        case "aliasSub" =>
+          Graphite.aliasSub(in, str(fn, args, 1), str(fn, args, 2))
+        case "aliasByMetric" => Graphite.aliasByMetric(in)
+        case "holtWintersForecast" => Graphite.holtWintersForecast(in)
+        case "holtWintersConfidenceBands" =>
+          Graphite.holtWintersConfidenceBands(in, optNum(args, 1, 3.0))
+        case "holtWintersAberration" =>
+          Graphite.holtWintersAberration(in, optNum(args, 1, 3.0))
         case other => throw new ParseException(s"unknown graphite function $other")
       }
   }

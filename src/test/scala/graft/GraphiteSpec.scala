@@ -77,8 +77,8 @@ class GraphiteSpec extends SparkSpec {
     val sn = GraphiteParser.eval(
       GraphiteParser.parse("sortByName(events.*.*)"), frame)
       .select("path", "sort_rank").distinct().collect()
-      .map(r => r.getString(0) -> r.getInt(1)).toMap
-    assert(sn == Map("events.a.user1" -> 1, "events.b.user2" -> 2))
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sn == Map("events.a.user1" -> 1L, "events.b.user2" -> 2L))
   }
 
   test("pointwise and filter builtins behave per graphite semantics") {
@@ -110,5 +110,156 @@ class GraphiteSpec extends SparkSpec {
     val top = Graphite.highestMax(frame, 1).select("path").distinct()
       .collect().map(_.getString(0)).toSet
     assert(top == Set("events.b.user2"))
+  }
+
+  // ---- round-3 builtin additions ----
+
+  test("substr slices path segments with negative indexing") {
+    import graft.graphite.GraphiteParser.{eval, parse}
+    def paths(q: String) = eval(parse(q), frame)
+      .select("path").distinct().collect().map(_.getString(0)).toSet
+    assert(paths("substr(events.a.user1, 1, 0)") == Set("a.user1"))
+    assert(paths("substr(events.a.user1, -2, 0)") == Set("a.user1"))
+    assert(paths("substr(events.a.user1, 0, 2)") == Set("events.a"))
+  }
+
+  test("timeSlice nulls values outside the inclusive range") {
+    import graft.graphite.GraphiteParser.{eval, parse}
+    val v = eval(parse("timeSlice(events.a.user1, 0, 3600)"), frame)
+      .collect().map(r => r.getLong(1) -> Option(r.get(2))).toMap
+    assert(v(0L).contains(10.0) && v(3600L).contains(15.0) && v(7200L).isEmpty)
+  }
+
+  test("grid producers draw over the frame's bucket grid") {
+    import graft.graphite.GraphiteParser.{eval, parse}
+    val t = eval(parse("""threshold(42, "cap")"""), frame)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(t.map(_._2).toSet == Set(0L, 3600L, 7200L))
+    assert(t.forall(x => x._1 == "cap" && x._3 == 42.0))
+    val id = eval(parse("""identity("t")"""), frame)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(id == Map(0L -> 0.0, 3600L -> 3600.0, 7200L -> 7200.0))
+  }
+
+  test("isNonNull, delay and interpolate handle null gaps") {
+    import graft.graphite.GraphiteParser.{eval, parse}
+    val nn = eval(parse("isNonNull(removeAboveValue(events.a.user1, 12))"), frame)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(nn == Map(0L -> 1.0, 3600L -> 0.0, 7200L -> 1.0))
+    val dl = eval(parse("delay(events.a.user1, 1)"), frame)
+      .collect().map(r => r.getLong(1) -> Option(r.get(2))).toMap
+    assert(dl(0L).isEmpty && dl(3600L).contains(10.0) && dl(7200L).contains(15.0))
+    // interpolate bridges the nulled-out middle point linearly
+    val ip = eval(parse("interpolate(removeAboveValue(events.a.user1, 12))"), frame)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(ip == Map(0L -> 10.0, 3600L -> 11.0, 7200L -> 12.0))
+  }
+
+  test("sustainedAbove only keeps values after the streak length") {
+    // threshold 9, 2h interval = 2 hourly rows sustained
+    val v = Graphite.sustainedAbove(frame, 9.0, 7200L)
+      .where(col("path") === "events.a.user1")
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(v == Map(0L -> 0.0, 3600L -> 15.0, 7200L -> 12.0))
+  }
+
+  test("rank family: highest/lowest by reducer, filterSeries") {
+    import graft.graphite.GraphiteParser.{eval, parse}
+    def paths(q: String) = eval(parse(q), frame)
+      .select("path").distinct().collect().map(_.getString(0)).toSet
+    assert(paths("""highest(events.*.*, 1, "current")""") == Set("events.b.user2"))
+    assert(paths("lowestAverage(events.*.*, 1)") == Set("events.a.user1"))
+    assert(paths("""filterSeries(events.*.*, "max", ">", 20)""") ==
+      Set("events.b.user2"))
+    assert(paths("mostDeviant(events.*.*, 1)") == Set("events.b.user2"))
+    val st = eval(parse("""sortBy(events.*.*, "sum", true)"""), frame)
+      .select("path", "sort_rank").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // reverse=true: ascending by sum → a.user1 (37) before b.user2 (150)
+    assert(st == Map("events.a.user1" -> 1L, "events.b.user2" -> 2L))
+  }
+
+  test("alias surgery and node grouping") {
+    import graft.graphite.GraphiteParser.{eval, parse}
+    val sub = eval(parse("""aliasSub(events.a.user1, "user", "u")"""), frame)
+      .select("path").distinct().collect().map(_.getString(0)).toSet
+    assert(sub == Set("events.a.u1"))
+    val met = eval(parse("aliasByMetric(events.*.*)"), frame)
+      .select("path").distinct().collect().map(_.getString(0)).toSet
+    assert(met == Set("user1", "user2"))
+    val gn = eval(parse("""groupByNodes(events.*.*, "sum", 0)"""), frame)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(gn(("events", 0L)) == 110.0)
+  }
+
+  test("hitcount and scaleToSeconds rescale by the step") {
+    val hc = Graphite.hitcount(frame, 7200L, 3600L)
+      .where(col("path") === "events.a.user1")
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(hc == Map(0L -> 25.0 * 3600.0, 7200L -> 12.0 * 3600.0))
+    val sc = Graphite.scaleToSeconds(frame, 60, 3600L)
+      .where(col("path") === "events.a.user1" && col("bucket_s") === 0L)
+      .collect().map(_.getDouble(2))
+    assert(sc.head == 10.0 * (60.0 / 3600.0))
+  }
+
+  test("fallbackSeries and divideSeriesLists pair frames") {
+    import graft.graphite.GraphiteParser.{eval, parse}
+    val fb = eval(parse("fallbackSeries(events.zzz.*, events.a.user1)"), frame)
+      .select("path").distinct().collect().map(_.getString(0)).toSet
+    assert(fb == Set("events.a.user1"))
+    val kept = eval(parse("fallbackSeries(events.b.user2, events.a.user1)"), frame)
+      .select("path").distinct().collect().map(_.getString(0)).toSet
+    assert(kept == Set("events.b.user2"))
+    val dl = eval(parse("divideSeriesLists(events.a.user1, events.a.user1)"), frame)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(dl == Map(0L -> 1.0, 3600L -> 1.0, 7200L -> 1.0))
+  }
+
+  test("consolidateBy re-derives the frame with the given function") {
+    val s = spark
+    import s.implicits._
+    val samples = Seq(
+      ("a", 1L, java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), 10.0, 1L),
+      ("a", 1L, java.sql.Timestamp.valueOf("2024-01-01 00:20:00"), 30.0, 2L))
+      .toDF("name", "user_id", "ts", "value", "event_id")
+    val mx = graft.graphite.GraphiteParser.query(samples,
+      """consolidateBy(events.a.user1, "max")""")
+      .collect().map(_.getDouble(2))
+    assert(mx.toSeq == Seq(30.0))
+    val cum = graft.graphite.GraphiteParser.query(samples,
+      "cumulative(events.a.user1)")
+      .collect().map(_.getDouble(2))
+    assert(cum.toSeq == Seq(40.0))
+  }
+
+  test("removeEmptySeries and percentile clamps") {
+    import graft.graphite.GraphiteParser.{eval, parse}
+    val re = eval(parse("removeEmptySeries(removeAboveValue(events.*.*, 60))"),
+      frame).select("path").distinct().collect().map(_.getString(0)).toSet
+    // b.user2 keeps one sub-60 value (50) → stays; a.user1 fully kept
+    assert(re == Set("events.a.user1", "events.b.user2"))
+    val rap = eval(parse("removeAbovePercentile(events.a.user1, 50)"), frame)
+      .collect().map(r => r.getLong(1) -> Option(r.get(2))).toMap
+    assert(rap(3600L).isEmpty, "above-median point must null out")
+  }
+
+  test("holt-winters bands contain the forecast; aberration is 0 inside") {
+    val f = frame
+    val bands = Graphite.holtWintersConfidenceBands(f, 3.0)
+    assert(bands.select("path").distinct().count() == 4)
+    val ab = Graphite.holtWintersAberration(f, 100.0)
+      .collect().map(_.getDouble(2))
+    assert(ab.forall(_ == 0.0), "wide delta: everything inside the band")
+  }
+
+  test("multi-series args union into one combine input") {
+    import graft.graphite.GraphiteParser.{eval, parse}
+    val sm = eval(parse("sumSeries(events.a.user1, events.b.user2)"), frame)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(sm == Map(0L -> 110.0, 3600L -> 65.0, 7200L -> 12.0))
+    val df = eval(parse("diffSeries(events.a.user1, events.b.user2)"), frame)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(df == Map(0L -> -90.0, 3600L -> -35.0, 7200L -> 12.0))
   }
 }
