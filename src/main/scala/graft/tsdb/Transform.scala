@@ -104,12 +104,18 @@ object Transform {
     val withOrd = instant.withColumn("_ord", ordVal)
     val bounds = withOrd.groupBy("bucket_s")
       .agg(percentile(col("_ord"), typedlit(qs)).as("_bs"))
+    // null values (possible after graphite transformNull-style ops)
+    // route to the LAST shard and order last within it — preserving
+    // the `orderBy(value.desc)` null placement of the single-window
+    // form (nulls last in both asc and desc here by convention).
     val sharded = withOrd.join(broadcast(bounds), "bucket_s")
-      .withColumn("_shard", size(filter(col("_bs"), b => b < col("_ord"))))
+      .withColumn("_shard",
+        when(col("_ord").isNull, lit(shards))
+          .otherwise(size(filter(col("_bs"), b => b < col("_ord")))))
       .drop("_bs")
     val wLocal = org.apache.spark.sql.expressions.Window
       .partitionBy(col("bucket_s"), col("_shard"))
-      .orderBy(col("_ord").asc +: tiebreak.map(col(_).asc): _*)
+      .orderBy(col("_ord").asc_nulls_last +: tiebreak.map(col(_).asc): _*)
     val wPrefix = org.apache.spark.sql.expressions.Window
       .partitionBy(col("bucket_s")).orderBy(col("_shard"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)

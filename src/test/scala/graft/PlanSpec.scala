@@ -82,4 +82,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"),
       "per-document op should not shuffle")
   }
+
+  test("graphite series ranks never window over the full frame") {
+    // Two-phase rank: the only Window nodes allowed are the
+    // shard-local row_number (partitioned by _shard) and the
+    // ≤shards-row prefix-offset window (ordered by _shard over an
+    // aggregation). A rank windowing the raw series frame — the old
+    // `row_number over orderBy(mx desc)` straggler — has no _shard.
+    for (q <- Seq("gr_sort_total", "gr_highest")) {
+      val offenders = plan(q).linesIterator
+        .filter(_.contains("windowspecdefinition"))
+        .filterNot(_.contains("_shard")).toList
+      assert(offenders.isEmpty,
+        s"$q windows outside the two-phase shard scheme:\n" +
+          offenders.mkString("\n"))
+    }
+  }
 }
