@@ -299,6 +299,50 @@ object TsdbQueries {
       graft.promql.PromQL.query(samples(s, dir),
         "purchase unless on (user_id) (click > 120)")
         .orderBy("user_id", "bucket_s")),
+    "pql_histogram" -> ((s, dir) =>
+      graft.promql.PromQL.query(samples(s, dir),
+        """histogram_quantile(0.9, {name="purchase"})""")
+        .orderBy("name", "bucket_s")),
+    "pql_absent" -> ((s, dir) =>
+      graft.promql.PromQL.query(samples(s, dir),
+        """absent({name="purchase", user_id="7"} > 150)""")
+        .orderBy("bucket_s")),
+    "pql_sort" -> ((s, dir) =>
+      graft.promql.PromQL.query(samples(s, dir),
+        """sort_desc(sum by (user_id) ({name="purchase"}))""")
+        .select(col("user_id"), col("bucket_s"),
+          round(col("value"), 6).as("value"), col("sort_rank"))
+        .orderBy("bucket_s", "sort_rank")),
+    "pql_rate_sliding" -> ((s, dir) =>
+      graft.promql.PromQL.query(samples(s, dir),
+        """rate({name="purchase"}[1d:6h])""")
+        .orderBy("name", "user_id", "bucket_s")),
+    "pql_count_values" -> ((s, dir) =>
+      graft.promql.PromQL.query(samples(s, dir),
+        """count_values("val", {name="purchase"})""")
+        .orderBy("name", "user_id", "bucket_s", "val")),
+    "pql_scalar" -> ((s, dir) =>
+      graft.promql.PromQL.query(samples(s, dir),
+        """{name="purchase"} / scalar({name="purchase", user_id="7"})""")
+        .select(col("name"), col("user_id"), col("bucket_s"),
+          round(col("value"), 9).as("value"))
+        .orderBy("user_id", "bucket_s")),
+    "pql_prec" -> ((s, dir) =>
+      graft.promql.PromQL.query(samples(s, dir),
+        """{name="purchase"} / on (user_id) {name="click"} * 100""")
+        .select(col("user_id"), col("bucket_s"),
+          round(col("value"), 9).as("value"))
+        .orderBy("user_id", "bucket_s")),
+    "pql_mod_pow" -> ((s, dir) =>
+      graft.promql.PromQL.query(samples(s, dir),
+        """{name="purchase"} ^ 2 % 7""")
+        .select(col("name"), col("user_id"), col("bucket_s"),
+          round(col("value"), 6).as("value"))
+        .orderBy("user_id", "bucket_s")),
+    "pql_time_fns" -> ((s, dir) =>
+      graft.promql.PromQL.query(samples(s, dir),
+        """hour(timestamp({name="purchase"}))""")
+        .orderBy("event_id")),
 
     // ---- M3QL front-end (graft.m3ql) ----------------------------------
     "m3ql_agg" -> ((s, dir) =>
@@ -706,6 +750,94 @@ object TsdbQueries {
          |  SELECT 1 FROM ($INST) AS r WHERE r.name = 'click' AND r.value > 120
          |   AND r.user_id = l.user_id AND r.bucket_s = l.bucket_s)
          | ORDER BY l.user_id, l.bucket_s""".stripMargin.replace("\n", " "),
+    "pql_histogram" -> {
+      val le = "CASE WHEN value <= 10 THEN 10.0 WHEN value <= 25 THEN 25.0 " +
+        "WHEN value <= 50 THEN 50.0 WHEN value <= 100 THEN 100.0 " +
+        "WHEN value <= 150 THEN 150.0 WHEN value <= 200 THEN 200.0 " +
+        "ELSE CAST('infinity' AS DOUBLE) END"
+      s"""SELECT name, bucket_s,
+         | round(CASE WHEN isinf(le) THEN lo
+         |   ELSE lo + (le - lo) * (q_rank - cum_prev) / (cum - cum_prev) END, 6) AS value
+         | FROM (
+         |  SELECT *, 0.9 * total AS q_rank FROM (
+         |   SELECT name, bucket_s, le, c,
+         |    sum(c) OVER (PARTITION BY name, bucket_s ORDER BY le) AS cum,
+         |    coalesce(sum(c) OVER (PARTITION BY name, bucket_s ORDER BY le
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev,
+         |    coalesce(lag(le) OVER (PARTITION BY name, bucket_s ORDER BY le), 0.0) AS lo,
+         |    sum(c) OVER (PARTITION BY name, bucket_s) AS total
+         |   FROM (SELECT name, bucket_s, $le AS le, count(*) AS c FROM ($S) AS s
+         |         WHERE name = 'purchase'
+         |         GROUP BY name, bucket_s, le) AS cnt) AS cm) AS r
+         | WHERE cum >= q_rank AND cum_prev < q_rank
+         | ORDER BY name, bucket_s""".stripMargin.replace("\n", " ")
+    },
+    "pql_absent" ->
+      s"""SELECT d.bucket_s, 1.0 AS value
+         | FROM (SELECT DISTINCT bucket_s FROM ($S) AS s) AS d
+         | WHERE d.bucket_s NOT IN (
+         |   SELECT DISTINCT bucket_s FROM ($INST) AS i
+         |   WHERE name = 'purchase' AND user_id = 7 AND value > 150)
+         | ORDER BY d.bucket_s""".stripMargin.replace("\n", " "),
+    "pql_sort" ->
+      s"""SELECT user_id, bucket_s, round(v, 6) AS value,
+         | row_number() OVER (PARTITION BY bucket_s
+         |   ORDER BY v DESC, user_id ASC) AS sort_rank
+         | FROM (SELECT user_id, bucket_s, sum(value) AS v FROM ($INST) AS i
+         |  WHERE name = 'purchase' GROUP BY user_id, bucket_s) AS t
+         | ORDER BY bucket_s, sort_rank""".stripMargin.replace("\n", " "),
+    "pql_rate_sliding" ->
+      s"""WITH sl AS (SELECT *, lag(value) OVER w AS prev_v, lag(ts) OVER w AS prev_ts
+         |  FROM (SELECT * FROM ($S) AS s0 WHERE name = 'purchase') AS s
+         |  WINDOW w AS (PARTITION BY name, user_id ORDER BY ts, event_id)),
+         | j AS (SELECT sl.name, sl.user_id, sl.ts, sl.event_id, sl.value,
+         |   sl.prev_v, sl.prev_ts, g.bucket_s AS e
+         |  FROM sl JOIN ($GRID) AS g
+         |   ON floor(epoch(sl.ts)) >= g.bucket_s - 86400
+         |   AND floor(epoch(sl.ts)) < g.bucket_s)
+         | SELECT name, user_id, e AS bucket_s,
+         |  round((last_v - first_v + reset_adj) / 86400.0, 9) + 0.0 AS value
+         | FROM (
+         |  SELECT name, user_id, e,
+         |   first(value ORDER BY ts, event_id) AS first_v,
+         |   last(value ORDER BY ts, event_id) AS last_v,
+         |   sum(CASE WHEN floor(epoch(prev_ts)) >= e - 86400 AND prev_v > value
+         |       THEN prev_v - value ELSE 0 END) AS reset_adj
+         |  FROM j GROUP BY name, user_id, e) AS agg
+         | ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),
+    "pql_count_values" ->
+      s"""SELECT name, user_id, bucket_s,
+         | CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS val,
+         | CAST(count(*) AS DOUBLE) AS value
+         | FROM ($INST) AS i WHERE name = 'purchase'
+         | GROUP BY name, user_id, bucket_s, val
+         | ORDER BY name, user_id, bucket_s, val""".stripMargin.replace("\n", " "),
+    "pql_scalar" ->
+      s"""WITH p AS (SELECT * FROM ($INST) AS i WHERE name = 'purchase'),
+         | sc AS (SELECT bucket_s, CASE WHEN count(*) = 1 THEN min(value)
+         |   ELSE CAST('NaN' AS DOUBLE) END AS s
+         |  FROM p WHERE user_id = 7 GROUP BY bucket_s)
+         | SELECT p.name, p.user_id, p.bucket_s,
+         |  round(CASE WHEN sc.s <> 0 THEN p.value / sc.s END, 9) AS value
+         | FROM p JOIN sc USING (bucket_s)
+         | ORDER BY p.user_id, p.bucket_s""".stripMargin.replace("\n", " "),
+    "pql_prec" ->
+      s"""SELECT l.user_id, l.bucket_s,
+         | round((CASE WHEN r.value <> 0 THEN l.value / r.value END) * 100, 9) AS value
+         | FROM ($INST) AS l JOIN ($INST) AS r
+         |  ON l.user_id = r.user_id AND l.bucket_s = r.bucket_s
+         | WHERE l.name = 'purchase' AND r.name = 'click'
+         | ORDER BY l.user_id, l.bucket_s""".stripMargin.replace("\n", " "),
+    "pql_mod_pow" ->
+      s"""SELECT name, user_id, bucket_s,
+         | round(fmod(pow(value, 2), 7), 6) AS value
+         | FROM ($INST) AS i WHERE name = 'purchase'
+         | ORDER BY user_id, bucket_s""".stripMargin.replace("\n", " "),
+    "pql_time_fns" ->
+      s"""SELECT event_type AS name, user_id, event_id,
+         | CAST(hour(ts) AS DOUBLE) AS value
+         | FROM events WHERE event_type = 'purchase'
+         | ORDER BY event_id""".stripMargin.replace("\n", " "),
     "ts_agg_without" ->
       s"""SELECT name, user_id % 10 AS cohort, bucket_s,
          | round(sum(value), 6) AS sum_v, min(value) AS min_v, max(value) AS max_v,

@@ -14,32 +14,45 @@ import graft.tsdb.{Fetch, Temporal, Vectors}
   *
   * Supported grammar (a deliberately small, real subset):
   * {{{
-  *   expr     := unary (binop number)? | number binop unary
-  *   unary    := agg | func | selector
+  *   expr     := binary expression over unary operands with PromQL
+  *               precedence: or < and/unless < comparisons < "+ -"
+  *               < "* / %" < "^" (left-assoc; ^ right-assoc);
+  *               comparisons accept `bool`; vector∘vector ops accept
+  *               on/ignoring + group_left/group_right; scalar
+  *               literals fold
+  *   unary    := agg | func | selector | number | "-" unary
+  *               | time() | vector(n)
   *   agg      := op clause? "(" (number ",")? expr ")"
-  *               op ∈ sum avg min max count stddev topk bottomk quantile
+  *               op ∈ sum avg min max count stddev topk bottomk
+  *                    quantile count_values("lbl", x)
   *               clause := ("by"|"without") "(" labels ")"
   *   func     := name "(" args ")"   args mix one vector expr + numbers
   *               temporal (arg carries a range): rate increase delta
   *                 resets changes deriv sum_over_time avg_over_time
   *                 min_over_time max_over_time count_over_time
-  *                 last_over_time stddev_over_time
+  *                 last_over_time stddev_over_time present_over_time
   *                 quantile_over_time(q, x[1d]) predict_linear(x[1d], t)
   *                 holt_winters(x[1d], sf, tf)
-  *               instant: abs ceil floor exp sqrt ln log2 log10
+  *               instant: abs ceil floor exp sqrt ln log2 log10 sgn
   *                 clamp_min(x, s) clamp_max(x, s) round(x, m?)
-  *   binop    := + - * / > < >= <= == !=   (vector ∘ scalar;
-  *               comparisons filter, keeping the vector's values)
-  *   selector := metric? ("{" matcher ("," matcher)* "}")? ("[" dur "]")?
-  *               ("offset" dur)?
+  *                 sort sort_desc timestamp histogram_quantile(q, x)
+  *                 absent scalar day_of_month day_of_week
+  *                 days_in_month hour minute month year
+  *   selector := metric? ("{" matcher ("," matcher)* "}")?
+  *               ("[" dur "]" | "[" dur ":" dur "]")? ("offset" dur)?
   *   matcher  := label ("="|"!="|"=~"|"!~") "quoted"
-  *   dur      := 1m 1h 1d 1w (tumbling resolution units)
+  *   dur      := 1m 1h 1d 1w (tumbling resolution units); the
+  *               two-part "[lookback:step]" subquery-style form takes
+  *               arbitrary durations and evaluates SLIDING windows
+  *               (m3's range-query step semantics,
+  *               src/query/functions/temporal/base.go:133,166)
   * }}}
   *
   * Evaluation model: selectors filter the sample frame via [[Fetch]]
   * (matchers push down to the scan); a bare selector consolidates to
   * the day-instant frame; temporal functions evaluate over tumbling
-  * windows of the selector's range; aggregations group on
+  * windows of the selector's range — or sliding lookback/step windows
+  * for the `[lookback:step]` form; aggregations group on
   * (kept labels, bucket_s). Result is always a frame
   * (labels…, bucket_s, value).
   */
@@ -50,13 +63,15 @@ object PromQL {
   final case class Selector(metric: Option[String],
                             matchers: Seq[Fetch.Matcher],
                             rangeUnit: Option[String],
-                            offsetS: Long) extends Expr
+                            offsetS: Long,
+                            sliding: Option[(Long, Long)] = None) extends Expr
   final case class Func(name: String, arg: Expr,
                         params: Seq[Double] = Nil,
                         sparams: Seq[String] = Nil) extends Expr
   final case class Agg(op: String, by: Option[Seq[String]],
                        without: Option[Seq[String]], arg: Expr,
-                       param: Option[Double] = None) extends Expr
+                       param: Option[Double] = None,
+                       sparam: Option[String] = None) extends Expr
   /** vector ∘ scalar binary op; `scalarLeft` marks `number op vector`;
     * `bool` marks the 0/1 modifier on comparisons. */
   final case class BinOp(op: String, arg: Expr, scalar: Double,
@@ -68,28 +83,52 @@ object PromQL {
                           on: Option[Seq[String]] = None,
                           ignoring: Option[Seq[String]] = None,
                           groupLeft: Boolean = false,
-                          groupRight: Boolean = false) extends Expr
+                          groupRight: Boolean = false,
+                          bool: Boolean = false) extends Expr
+  /** scalar literal (folds during parsing; a bare scalar query or a
+    * scalar func param consumes it). */
+  final case class NumLit(v: Double) extends Expr
+  /** time() — the evaluation instant as a value. */
+  case object TimeFn extends Expr
+  /** vector(n) — a constant one-series vector over the grid. */
+  final case class VectorFn(v: Double) extends Expr
 
   private val aggOps = Set("sum", "avg", "min", "max", "count", "stddev",
-    "topk", "bottomk", "quantile")
+    "topk", "bottomk", "quantile", "count_values")
   private val paramAggs = Set("topk", "bottomk", "quantile")
   private val temporalFns = Set(
     "rate", "increase", "delta", "irate", "idelta", "resets", "changes", "deriv",
     "sum_over_time", "avg_over_time", "min_over_time", "max_over_time",
     "count_over_time", "last_over_time", "stddev_over_time",
-    "quantile_over_time", "predict_linear", "holt_winters")
+    "present_over_time", "quantile_over_time", "predict_linear", "holt_winters")
+  /** temporal fns evaluable over sliding [lookback:step] windows
+    * (Temporal.rateSliding / overTimeAggsSliding). */
+  private val slidingFns = Set(
+    "rate", "increase", "delta", "sum_over_time", "avg_over_time",
+    "min_over_time", "max_over_time", "count_over_time")
   private val transformFns = Set(
-    "abs", "ceil", "floor", "exp", "sqrt", "ln", "log2", "log10",
-    "clamp_min", "clamp_max", "round", "label_replace", "label_join")
-  private val binOps = Set("+", "-", "*", "/", ">", "<", ">=", "<=", "==", "!=")
-  private val vecOps = Set("+", "-", "*", "/", ">", "<", ">=", "<=",
-    "and", "or", "unless")
+    "abs", "ceil", "floor", "exp", "sqrt", "ln", "log2", "log10", "sgn",
+    "clamp_min", "clamp_max", "round", "label_replace", "label_join",
+    "sort", "sort_desc", "timestamp", "histogram_quantile", "absent",
+    "scalar", "day_of_month", "day_of_week", "days_in_month", "hour",
+    "minute", "month", "year")
+
+  /** PromQL operator precedence (parse.go delegates to the upstream
+    * prometheus parser): or < and/unless < comparison < additive <
+    * multiplicative < power. All left-associative except `^`. */
+  private val precOf: Map[String, Int] = Map(
+    "or" -> 1, "and" -> 2, "unless" -> 2,
+    "==" -> 3, "!=" -> 3, "<=" -> 3, "<" -> 3, ">=" -> 3, ">" -> 3,
+    "+" -> 4, "-" -> 4, "*" -> 5, "/" -> 5, "%" -> 5, "^" -> 6)
+  private val setOps: Set[String] = Set("and", "or", "unless")
+  private val cmpOps: Set[String] = Set("==", "!=", "<=", "<", ">=", ">")
 
   // expected numeric-parameter count (arity beyond the vector arg)
   private val fnParams: Map[String, Set[Int]] = Map(
     "quantile_over_time" -> Set(1), "predict_linear" -> Set(1),
     "holt_winters" -> Set(2), "clamp_min" -> Set(1), "clamp_max" -> Set(1),
-    "round" -> Set(0, 1)).withDefaultValue(Set(0))
+    "round" -> Set(0, 1), "histogram_quantile" -> Set(1))
+    .withDefaultValue(Set(0))
   // expected string-parameter count
   private val fnSParams: Map[String, Set[Int]] = Map(
     "label_replace" -> Set(4), "label_join" -> Set(2, 3, 4, 5))
@@ -99,7 +138,7 @@ object PromQL {
   final class ParseException(msg: String) extends IllegalArgumentException(msg)
 
   private val tokenRe =
-    ("""\s*(=~|!~|!=|>=|<=|==|=|>|<|\+|-|\*|/|\(|\)|\{|\}|\[|\]|,""" +
+    ("""\s*(=~|!~|!=|>=|<=|==|=|>|<|\+|-|\*|/|%|\^|\(|\)|\{|\}|\[|\]|,|:""" +
       """|[0-9]+[smhdw]|[0-9]+\.[0-9]+|[0-9]+|[A-Za-z_][A-Za-z0-9_]*""" +
       """|"(?:[^"\\]|\\.)*")""").r
 
@@ -126,63 +165,100 @@ object PromQL {
 
   private def validate(e: Expr): Unit = e match {
     case Func(fn, s: Selector, ps, sps) if temporalFns(fn) =>
-      if (s.rangeUnit.isEmpty)
+      if (s.rangeUnit.isEmpty && s.sliding.isEmpty)
         throw new ParseException(s"$fn requires a range selector, e.g. x[1d]")
+      if (s.sliding.isDefined && !slidingFns(fn))
+        throw new ParseException(s"$fn does not support [lookback:step] windows")
       if (!fnParams(fn).contains(ps.length) || !fnSParams(fn).contains(sps.length))
         throw new ParseException(s"$fn: wrong arity (${ps.length} nums, ${sps.length} strings)")
     case Func(fn, _, _, _) if temporalFns(fn) =>
       throw new ParseException(s"$fn requires a plain range selector argument")
+    case Func(fn @ ("timestamp" | "histogram_quantile"), arg, _, _)
+        if !arg.isInstanceOf[Selector] =>
+      throw new ParseException(s"$fn requires a plain selector argument")
     case Func(fn, arg, ps, sps) =>
       if (!fnParams(fn).contains(ps.length) || !fnSParams(fn).contains(sps.length))
         throw new ParseException(s"$fn: wrong arity (${ps.length} nums, ${sps.length} strings)")
       validate(arg)
-    case Agg(op, _, _, arg, p) =>
+    case Agg(op, _, _, arg, p, sp) =>
       if (paramAggs(op) && p.isEmpty)
         throw new ParseException(s"$op requires a leading numeric parameter")
+      if (op == "count_values" && sp.isEmpty)
+        throw new ParseException("count_values requires a leading label string")
       validate(arg)
     case BinOp(_, arg, _, _, _) => validate(arg)
-    case VecBin(_, lhs, rhs, _, _, _, _) => validate(lhs); validate(rhs)
+    case VecBin(_, lhs, rhs, _, _, _, _, _) => validate(lhs); validate(rhs)
     case s: Selector =>
-      if (s.rangeUnit.isDefined && s.metric.isEmpty && s.matchers.isEmpty)
+      if ((s.rangeUnit.isDefined || s.sliding.isDefined) &&
+        s.metric.isEmpty && s.matchers.isEmpty)
         throw new ParseException("range selector needs a metric or matchers")
+    case NumLit(_) | TimeFn | VectorFn(_) =>
   }
 
-  private def parseExpr(ts: List[String]): (Expr, List[String]) = ts match {
-    // scalar-first binary: number op vector
-    case n :: op :: rest0 if isNumber(n) && binOps(op) =>
-      val (e, rest1) = parseUnary(rest0)
-      (BinOp(op, e, n.toDouble, scalarLeft = true), rest1)
-    case _ =>
-      val (e, rest1) = parseUnary(ts)
-      rest1 match {
-        case op :: "bool" :: n :: rest2 if binOps(op) && isNumber(n) =>
-          (BinOp(op, e, n.toDouble, bool = true), rest2)
-        case op :: n :: rest2 if binOps(op) && isNumber(n) =>
-          (BinOp(op, e, n.toDouble), rest2)
-        case op :: rest2 if vecOps(op) =>
-          // optional on/ignoring matching clause, then a full
-          // (right-associative) expression as the rhs
-          var on: Option[Seq[String]] = None
-          var ig: Option[Seq[String]] = None
-          var rest3 = rest2
-          rest2 match {
-            case ("on" | "ignoring") :: "(" :: _ =>
-              val (labels, r) = parseLabelList(rest2.tail)
-              if (rest2.head == "on") on = Some(labels) else ig = Some(labels)
-              rest3 = r
-            case _ =>
-          }
-          var (gl, gr) = (false, false)
-          rest3 match {
-            case "group_left" :: r => gl = true; rest3 = r
-            case "group_right" :: r => gr = true; rest3 = r
-            case _ =>
-          }
-          val (rhs, rest4) = parseExpr(rest3)
-          (VecBin(op, e, rhs, on, ig, gl, gr), rest4)
-        case _ => (e, rest1)
-      }
+  /** Precedence-climbing binary-expression parser (the ADVICE fix:
+    * `a / b * 100` must left-associate at equal precedence and `*`
+    * must bind tighter than `+`, exactly as PromQL). */
+  private def parseExpr(ts: List[String]): (Expr, List[String]) =
+    parseBin(ts, 1)
+
+  private def parseBin(ts: List[String],
+                       minPrec: Int): (Expr, List[String]) = {
+    var (lhs, rest) = parseUnary(ts)
+    var continue = true
+    while (continue) rest match {
+      case op :: r0 if precOf.get(op).exists(_ >= minPrec) =>
+        val prec = precOf(op)
+        var r = r0
+        var boolMod = false
+        r match {
+          case "bool" :: rr if cmpOps(op) => boolMod = true; r = rr
+          case _ =>
+        }
+        var on: Option[Seq[String]] = None
+        var ig: Option[Seq[String]] = None
+        r match {
+          case ("on" | "ignoring") :: "(" :: _ =>
+            val mode = r.head
+            val (labels, rr) = parseLabelList(r.tail)
+            if (mode == "on") on = Some(labels) else ig = Some(labels)
+            r = rr
+          case _ =>
+        }
+        var (gl, gr) = (false, false)
+        r match {
+          case "group_left" :: rr => gl = true; r = rr
+          case "group_right" :: rr => gr = true; r = rr
+          case _ =>
+        }
+        // ^ is right-associative: recurse at equal precedence
+        val nextMin = if (op == "^") prec else prec + 1
+        val (rhs, r2) = parseBin(r, nextMin)
+        lhs = mkBin(op, lhs, rhs, on, ig, gl, gr, boolMod)
+        rest = r2
+      case _ => continue = false
+    }
+    (lhs, rest)
   }
+
+  private def mkBin(op: String, l: Expr, r: Expr,
+                    on: Option[Seq[String]], ig: Option[Seq[String]],
+                    gl: Boolean, gr: Boolean, boolMod: Boolean): Expr =
+    (l, r) match {
+      case (NumLit(a), NumLit(b)) if !setOps(op) && !cmpOps(op) =>
+        NumLit(op match {
+          case "+" => a + b
+          case "-" => a - b
+          case "*" => a * b
+          case "/" => a / b
+          case "%" => a % b
+          case "^" => math.pow(a, b)
+        })
+      case (NumLit(a), e) if !setOps(op) =>
+        BinOp(op, e, a, scalarLeft = true, bool = boolMod)
+      case (e, NumLit(b)) if !setOps(op) =>
+        BinOp(op, e, b, bool = boolMod)
+      case (le, re) => VecBin(op, le, re, on, ig, gl, gr, boolMod)
+    }
 
   private def parseUnary(ts: List[String]): (Expr, List[String]) = ts match {
     case "(" :: rest0 =>
@@ -191,6 +267,16 @@ object PromQL {
         case ")" :: rest2 => (e, rest2)
         case other => throw new ParseException(s"expected ), got $other")
       }
+    case "-" :: rest0 =>
+      val (e, rest1) = parseUnary(rest0)
+      e match {
+        case NumLit(v) => (NumLit(-v), rest1)
+        case other => (BinOp("-", other, 0.0, scalarLeft = true), rest1)
+      }
+    case n :: rest if isNumber(n) => (NumLit(n.toDouble), rest)
+    case "time" :: "(" :: ")" :: rest => (TimeFn, rest)
+    case "vector" :: "(" :: n :: ")" :: rest if isNumber(n) =>
+      (VectorFn(n.toDouble), rest)
     case op :: ("by" | "without") :: _ if aggOps(op) => parseAgg(ts)
     case op :: "(" :: _ if aggOps(op) => parseAgg(ts)
     case fn :: "(" :: _ if temporalFns(fn) || transformFns(fn) =>
@@ -252,13 +338,16 @@ object PromQL {
       throw new ParseException(s"expected ( after $op")
     rest = rest.tail
     var param: Option[Double] = None
+    var sparam: Option[String] = None
     rest match {
       case n :: "," :: r if isNumber(n) => param = Some(n.toDouble); rest = r
+      case q :: "," :: r if q.startsWith("\"") =>
+        sparam = Some(q.substring(1, q.length - 1)); rest = r
       case _ =>
     }
     val (arg, rest2) = parseExpr(rest)
     rest2 match {
-      case ")" :: r => (Agg(op, by, without, arg, param), r)
+      case ")" :: r => (Agg(op, by, without, arg, param, sparam), r)
       case other => throw new ParseException(s"expected ), got $other")
     }
   }
@@ -311,7 +400,10 @@ object PromQL {
       case _ =>
     }
     var rangeUnit: Option[String] = None
+    var sliding: Option[(Long, Long)] = None
     rest match {
+      case "[" :: d :: ":" :: st :: "]" :: r =>
+        sliding = Some((durSeconds(d), durSeconds(st))); rest = r
       case "[" :: d :: "]" :: r => rangeUnit = Some(durUnit(d)); rest = r
       case _ =>
     }
@@ -320,7 +412,7 @@ object PromQL {
       case "offset" :: d :: r => offsetS = durSeconds(d); rest = r
       case _ =>
     }
-    (Selector(metric, matchers, rangeUnit, offsetS), rest)
+    (Selector(metric, matchers, rangeUnit, offsetS, sliding), rest)
   }
 
   private def durUnit(d: String): String = d match {
@@ -360,11 +452,44 @@ object PromQL {
     Fetch(samples, ms, offsetS = sel.offsetS)
   }
 
+  /** the dataset's observed day-instant grid — the batch analogue of
+    * the query range for grid-producing ops (absent, time, vector). */
+  private def grid(samples: DataFrame): DataFrame =
+    samples.select(Vectors.bucketS("day")).distinct()
+
   private def evalExpr(e: Expr, samples: DataFrame): DataFrame = e match {
+    case NumLit(v) =>
+      throw new ParseException(s"bare scalar $v is not a vector query")
+    case TimeFn =>
+      grid(samples).select(col("bucket_s"),
+        graft.tsdb.Scalar.timeCol.as("value"))
+    case VectorFn(v) =>
+      grid(samples).select(col("bucket_s"), lit(v).as("value"))
+
     case sel: Selector =>
       // bare selector: consolidate to the instant frame at the
       // selector's range resolution (default day)
       Vectors.instant(fetchFor(sel, samples), sel.rangeUnit.getOrElse("day"))
+
+    case Func(fn, sel: Selector, ps, _)
+        if temporalFns(fn) && sel.sliding.isDefined =>
+      // [lookback:step] → the m3 range-query sliding evaluation
+      // (temporal/base.go:133,166) via the Expand-based operators
+      val (lb, st) = sel.sliding.get
+      val in = fetchFor(sel, samples)
+      val keep = (c: String) =>
+        (Vectors.labels :+ "bucket_s").map(col) :+ col(c).as("value")
+      fn match {
+        case "rate"     => Temporal.rateSliding(in, lb, st).select(keep("rate_v"): _*)
+        case "increase" => Temporal.rateSliding(in, lb, st).select(keep("increase_v"): _*)
+        case "delta"    => Temporal.rateSliding(in, lb, st).select(keep("delta_v"): _*)
+        case "sum_over_time"   => Temporal.overTimeAggsSliding(in, lb, st).select(keep("sum_v"): _*)
+        case "avg_over_time"   => Temporal.overTimeAggsSliding(in, lb, st).select(keep("avg_v"): _*)
+        case "min_over_time"   => Temporal.overTimeAggsSliding(in, lb, st).select(keep("min_v"): _*)
+        case "max_over_time"   => Temporal.overTimeAggsSliding(in, lb, st).select(keep("max_v"): _*)
+        case "count_over_time" => Temporal.overTimeAggsSliding(in, lb, st).select(keep("count_v"): _*)
+        case other => throw new ParseException(s"$other has no sliding form")
+      }
 
     case Func(fn, sel: Selector, ps, _) if temporalFns(fn) =>
       val unit = sel.rangeUnit.get
@@ -394,16 +519,42 @@ object PromQL {
         case "count_over_time" => Temporal.overTimeAggs(in, unit).select(keep("count_v"): _*)
         case "last_over_time"  => Temporal.lastOverTime(in, unit)
         case "stddev_over_time" => Temporal.overTimeStddev(in, unit).select(keep("stddev_v"): _*)
+        case "present_over_time" => Temporal.presentOverTime(in, unit)
         case other => throw new ParseException(s"unknown temporal fn $other")
       }
 
+    // selector-consuming transforms (need samples, not an instant frame)
+    case Func("timestamp", sel: Selector, _, _) =>
+      Temporal.timestampOp(fetchFor(sel, samples))
+    case Func("histogram_quantile", sel: Selector, ps, _) =>
+      graft.tsdb.Transform.histogramQuantile(fetchFor(sel, samples), ps.head)
+        .withColumnRenamed("hq_v", "value")
+
     case Func(fn, arg, ps, sps) =>
       val in = evalExpr(arg, samples)
-      if (fn == "label_replace")
-        return graft.tsdb.Tags.labelReplace(in, sps(0), sps(1), sps(2), sps(3))
-      if (fn == "label_join")
-        return graft.tsdb.Tags.labelJoin(in, sps(0), sps(1), sps.drop(2))
+      fn match {
+        case "label_replace" =>
+          return graft.tsdb.Tags.labelReplace(in, sps(0), sps(1), sps(2), sps(3))
+        case "label_join" =>
+          return graft.tsdb.Tags.labelJoin(in, sps(0), sps(1), sps.drop(2))
+        case "sort" | "sort_desc" =>
+          return graft.tsdb.Transform.sortSeries(in, fn == "sort_desc",
+            labelsOf(in))
+        case "absent" =>
+          // the instants of the dataset grid where the argument
+          // matched nothing (aggregation/absent.go:36, grid-relative)
+          return grid(samples)
+            .join(in.select("bucket_s").distinct(), Seq("bucket_s"), "left_anti")
+            .select(col("bucket_s"), lit(1.0).as("value"))
+        case "scalar" =>
+          return graft.tsdb.Scalar.scalarOf(in)
+            .withColumnRenamed("scalar_v", "value")
+        case _ =>
+      }
       val v = col("value")
+      // datetime family: PromQL interprets the VALUE as epoch seconds
+      // (linear/datetime.go applies Go time fns to the float value)
+      val asTs = to_timestamp(v.cast("long"))
       val out: Column = fn match {
         case "abs"   => abs(v)
         case "ceil"  => ceil(v).cast("double")
@@ -413,16 +564,39 @@ object PromQL {
         case "ln"    => when(v > 0, log(v))
         case "log2"  => when(v > 0, log2(v))
         case "log10" => when(v > 0, log10(v))
+        case "sgn"   => signum(v)
         case "clamp_min" => greatest(v, lit(ps.head))
         case "clamp_max" => least(v, lit(ps.head))
         case "round" =>
           val m = ps.headOption.getOrElse(1.0)
           round(v / lit(m), 0) * lit(m)
+        case "day_of_month"  => dayofmonth(asTs).cast("double")
+        case "day_of_week"   => (dayofweek(asTs) - lit(1)).cast("double")
+        case "days_in_month" => dayofmonth(last_day(asTs)).cast("double")
+        case "hour"          => hour(asTs).cast("double")
+        case "minute"        => minute(asTs).cast("double")
+        case "month"         => month(asTs).cast("double")
+        case "year"          => year(asTs).cast("double")
         case other => throw new ParseException(s"unknown function $other")
       }
       in.withColumn("value", out)
 
-    case Agg(op, by, without, arg, param) =>
+    case Agg("count_values", by, without, arg, _, Some(lbl)) =>
+      // count_values("lbl", x): per-(labels, instant) count of each
+      // distinct value rendering (aggregation/count_values.go:37)
+      val in = evalExpr(arg, samples)
+      val labels = labelsOf(in)
+      val kept = (by, without) match {
+        case (Some(b), _) => labels.filter(b.contains)
+        case (_, Some(w)) => labels.filterNot(w.contains)
+        case _ => labels
+      }
+      graft.tsdb.SeriesAgg.countValues(in, kept)
+        .withColumnRenamed("value_str", lbl)
+        .withColumn("value", col("count_v").cast("double"))
+        .drop("count_v")
+
+    case Agg(op, by, without, arg, param, _) =>
       val in = evalExpr(arg, samples)
       val labels = labelsOf(in)
       val kept = (by, without) match {
@@ -458,7 +632,7 @@ object PromQL {
         in.groupBy(keys: _*).agg(agg.as("value"))
       }
 
-    case VecBin(op, lhsE, rhsE, onOpt, igOpt, gl, gr) =>
+    case VecBin(op, lhsE, rhsE, onOpt, igOpt, gl, gr, boolMod) =>
       val l = evalExpr(lhsE, samples)
       val r = evalExpr(rhsE, samples)
       val shared = labelsOf(l).toSet.intersect(labelsOf(r).toSet)
@@ -473,6 +647,8 @@ object PromQL {
           case "-" => _ - _
           case "*" => _ * _
           case "/" => (a, b) => when(b =!= 0, a / b)
+          case "%" => (a, b) => when(b =!= 0, a % b)
+          case "^" => pow(_, _)
           case o => throw new ParseException(s"$o not valid with group_left/right")
         }
         val f: (Column, Column) => Column =
@@ -483,26 +659,75 @@ object PromQL {
         case "and"    => graft.tsdb.Binary.and(l, r, on)
         case "or"     => graft.tsdb.Binary.or(l, r, on)
         case "unless" => graft.tsdb.Binary.unless(l, r, on)
+        // scalar-valued side (scalar()/time(): a label-less frame):
+        // broadcast it onto the vector per instant, keeping the
+        // vector's label set (PromQL vector∘scalar semantics)
+        case _ if labelsOf(l).isEmpty ^ labelsOf(r).isEmpty =>
+          val scalarLeft = labelsOf(l).isEmpty
+          val (vec, sc) = if (scalarLeft) (r, l) else (l, r)
+          val j = vec.join(
+            broadcast(sc.select(col("bucket_s"), col("value").as("_sc"))),
+            "bucket_s")
+          val (a, b) =
+            if (scalarLeft) (col("_sc"), col("value"))
+            else (col("value"), col("_sc"))
+          val cmp: Option[Column] = op match {
+            case ">"  => Some(a > b)
+            case "<"  => Some(a < b)
+            case ">=" => Some(a >= b)
+            case "<=" => Some(a <= b)
+            case "==" => Some(a === b)
+            case "!=" => Some(a =!= b)
+            case _ => None
+          }
+          val out = (cmp, boolMod) match {
+            case (Some(c), true)  => j.withColumn("value", c.cast("double"))
+            case (Some(c), false) => j.where(c)
+            case (None, _) => j.withColumn("value", op match {
+              case "+" => a + b
+              case "-" => a - b
+              case "*" => a * b
+              case "/" => when(b =!= 0, a / b)
+              case "%" => when(b =!= 0, a % b)
+              case "^" => pow(a, b)
+            })
+          }
+          out.drop("_sc")
         case _ =>
           val keys = (on :+ "bucket_s").map(col)
           val lp = l.select(keys :+ col("value").as("lv"): _*)
           val rp = r.select(keys :+ col("value").as("rv"): _*)
           val j = lp.join(rp, on :+ "bucket_s")
           val (lv, rv) = (col("lv"), col("rv"))
-          op match {
-            case "+" => j.select(keys :+ (lv + rv).as("value"): _*)
-            case "-" => j.select(keys :+ (lv - rv).as("value"): _*)
-            case "*" => j.select(keys :+ (lv * rv).as("value"): _*)
-            // zero divisor → null (not PromQL's ±Inf): the engine's
-            // documented SQL-comparable divergence (Binary.arithmetic)
-            case "/" =>
-              j.select(keys :+ when(rv =!= 0, lv / rv).as("value"): _*)
-            // vector-vector comparisons filter, keeping lhs values
-            case ">"  => j.where(lv > rv).select(keys :+ lv.as("value"): _*)
-            case "<"  => j.where(lv < rv).select(keys :+ lv.as("value"): _*)
-            case ">=" => j.where(lv >= rv).select(keys :+ lv.as("value"): _*)
-            case "<=" => j.where(lv <= rv).select(keys :+ lv.as("value"): _*)
-            case other => throw new ParseException(s"unknown vector op $other")
+          val cmp: Option[Column] = op match {
+            case ">"  => Some(lv > rv)
+            case "<"  => Some(lv < rv)
+            case ">=" => Some(lv >= rv)
+            case "<=" => Some(lv <= rv)
+            case "==" => Some(lv === rv)
+            case "!=" => Some(lv =!= rv)
+            case _ => None
+          }
+          (cmp, boolMod) match {
+            // `bool`: keep all matched pairs, value := 1.0/0.0
+            case (Some(c), true) =>
+              j.select(keys :+ c.cast("double").as("value"): _*)
+            // comparisons filter, keeping lhs values
+            case (Some(c), false) =>
+              j.where(c).select(keys :+ lv.as("value"): _*)
+            case (None, _) => op match {
+              case "+" => j.select(keys :+ (lv + rv).as("value"): _*)
+              case "-" => j.select(keys :+ (lv - rv).as("value"): _*)
+              case "*" => j.select(keys :+ (lv * rv).as("value"): _*)
+              // zero divisor → null (not PromQL's ±Inf): the engine's
+              // documented SQL-comparable divergence (Binary.arithmetic)
+              case "/" =>
+                j.select(keys :+ when(rv =!= 0, lv / rv).as("value"): _*)
+              case "%" =>
+                j.select(keys :+ when(rv =!= 0, lv % rv).as("value"): _*)
+              case "^" => j.select(keys :+ pow(lv, rv).as("value"): _*)
+              case other => throw new ParseException(s"unknown vector op $other")
+            }
           }
       }
 
@@ -530,6 +755,8 @@ object PromQL {
         case "-" => in.withColumn("value", l - r)
         case "*" => in.withColumn("value", l * r)
         case "/" => in.withColumn("value", when(r =!= 0, l / r))
+        case "%" => in.withColumn("value", when(r =!= 0, l % r))
+        case "^" => in.withColumn("value", pow(l, r))
         // comparisons filter, keeping the vector's values
         // (binary/comparison.go:50)
         case ">"  => in.where(l > r)

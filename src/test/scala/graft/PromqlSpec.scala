@@ -52,6 +52,44 @@ class PromqlSpec extends SparkSpec {
     intercept[ParseException](PromQL.parse("holt_winters(purchase[1d], 0.3)")) // arity
   }
 
+  test("binary operators follow PromQL precedence and associativity") {
+    val a = Selector(Some("a"), Nil, None, 0L)
+    val b = Selector(Some("b"), Nil, None, 0L)
+    val c = Selector(Some("c"), Nil, None, 0L)
+    // equal precedence is LEFT-associative: a / b * 100 = (a / b) * 100
+    assert(PromQL.parse("a / b * 100") ==
+      BinOp("*", VecBin("/", a, b), 100.0))
+    // * binds tighter than +: a + b * c = a + (b * c)
+    assert(PromQL.parse("a + b * c") ==
+      VecBin("+", a, VecBin("*", b, c)))
+    // comparisons bind looser than arithmetic: a > b + c = a > (b + c)
+    assert(PromQL.parse("a > b + c") ==
+      VecBin(">", a, VecBin("+", b, c)))
+    // ^ is right-associative and folds scalars: 2^3^2 = 2^(3^2) = 512
+    assert(PromQL.parse("a * 2 ^ 3 ^ 2") == BinOp("*", a, 512.0))
+    // set ops loosest: a and b or c = (a and b) or c
+    assert(PromQL.parse("a and b or c") ==
+      VecBin("or", VecBin("and", a, b), c))
+    // unary minus on a vector
+    assert(PromQL.parse("-a") == BinOp("-", a, 0.0, scalarLeft = true))
+    // % and ^ with scalars
+    assert(PromQL.parse("a ^ 2 % 7") ==
+      BinOp("%", BinOp("^", a, 2.0), 7.0))
+  }
+
+  test("sliding [lookback:step] ranges parse and validate") {
+    assert(PromQL.parse("rate(x[1d:6h])") ==
+      Func("rate", Selector(Some("x"), Nil, None, 0L,
+        sliding = Some((86400L, 21600L)))))
+    assert(PromQL.parse("avg_over_time(x[2h:30m])") ==
+      Func("avg_over_time", Selector(Some("x"), Nil, None, 0L,
+        sliding = Some((7200L, 1800L)))))
+    // irate has no sliding form in the engine
+    intercept[ParseException](PromQL.parse("irate(x[1d:6h])"))
+    // count_values needs its label string
+    intercept[ParseException](PromQL.parse("count_values(purchase)"))
+  }
+
   test("end-to-end: rate sum equals API composition") {
     val samples = tsdb.Vectors.samples(Tables.events(spark, sf))
     val viaPql = PromQL.query(samples,
