@@ -201,10 +201,14 @@ object PipelineQueries {
     "dedup_simhash" -> s"SELECT * FROM ($SIMHASH_FP) AS fp ORDER BY doc_id",
     "dedup_simhash_pairs" ->
       s"""WITH fp AS ($SIMHASH_FP),
-         | banded AS (
+         | banded0 AS (
          |  SELECT doc_id, simhash_v, 0 AS half, fp_lo AS block FROM fp
          |  UNION ALL
-         |  SELECT doc_id, simhash_v, 1 AS half, fp_hi AS block FROM fp)
+         |  SELECT doc_id, simhash_v, 1 AS half, fp_hi AS block FROM fp),
+         | banded AS (
+         |  SELECT doc_id, simhash_v, half, block FROM (
+         |   SELECT *, count(*) OVER (PARTITION BY half, block) AS bsz
+         |   FROM banded0) AS c WHERE bsz <= 1000)
          | SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
          |  CAST(bit_count(xor(l.simhash_v, r.simhash_v)) AS BIGINT) AS hamming_v
          | FROM banded AS l JOIN banded AS r

@@ -57,6 +57,13 @@ object Corpus {
       labels = next.drop("_changed")
       i += 1
     }
+    // a dup chain longer than maxIter rounds would return labels that
+    // are not the transitive closure — surface it instead of silently
+    // diverging from the recursive-CTE oracle
+    if (!converged)
+      throw new IllegalStateException(
+        s"dupClusters did not converge in $maxIter rounds — " +
+          "raise maxIter (rounds needed ≈ longest dup-chain diameter)")
     docs.select("doc_id")
       .join(broadcast(labels), Seq("doc_id"), "left")
       .select(col("doc_id"),

@@ -73,6 +73,17 @@ object Dedup {
   private val shingleCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, Int, Int), DataFrame]
 
+  /** Unpersist and forget every cached shingle frame. Call at the
+    * end of a pipeline run (Verify/Bench do): the cache is a
+    * process-global map, so without this a long-lived session pins
+    * storage memory for source frames it may never see again — and
+    * a source whose files were rewritten in place would be served
+    * stale shingles. */
+  def clearShingleCache(): Unit = {
+    shingleCache.values.foreach(_.unpersist(blocking = false))
+    shingleCache.clear()
+  }
+
   /** MinHash signature: k independent affine hashes over shingle
     * hashes, min per doc. One explode + one groupBy — map-side
     * combine keeps only k longs per doc. Seeds are fixed so the
@@ -151,14 +162,27 @@ object Dedup {
     * some half only if its differing bits concentrate; half-blocking
     * is the standard recall/cost point), then verify
     * hamming(fp_a, fp_b) ≤ maxHamming via xor + bit_count.
-    * Bucketed equi-join — never all-pairs. */
-  def simhashCandidates(fps: DataFrame, maxHamming: Int = 8): DataFrame = {
+    * Bucketed equi-join — never all-pairs.
+    *
+    * `maxBlock` is the hot-block guard, the exact analogue of
+    * [[minhashCandidates]]' `maxBucket`: a boilerplate-heavy corpus
+    * concentrates one fingerprint-half value over millions of docs
+    * and the half-block self-join goes quadratic on that single key.
+    * Over-cap blocks are dropped entirely (their members are
+    * near-identical boilerplate already linked through the exact
+    * stage); replayed in the oracle. */
+  def simhashCandidates(fps: DataFrame, maxHamming: Int = 8,
+                        maxBlock: Int = 1000): DataFrame = {
     val banded = fps
       .select(col("doc_id"), col("simhash_v"), lit(0).as("half"),
         col("fp_lo").as("block"))
       .unionByName(fps.select(col("doc_id"), col("simhash_v"),
         lit(1).as("half"), col("fp_hi").as("block")))
-    banded.as("l").join(banded.as("r"),
+    val capped = banded
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("half", "block")))
+      .where(col("bsz") <= maxBlock)
+      .drop("bsz")
+    capped.as("l").join(capped.as("r"),
         col("l.half") === col("r.half") && col("l.block") === col("r.block") &&
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),

@@ -68,6 +68,35 @@ class PipelineSpec extends SparkSpec {
     assert(capped < 100L, s"cap should drop hot buckets, got $capped pairs")
   }
 
+  test("simhash hot-block cap bounds pair explosion on planted clusters") {
+    val s = spark
+    import s.implicits._
+    // 60 identical boilerplate docs share BOTH fingerprint halves:
+    // uncapped half-block join emits ≥ 60*59/2 = 1770 pairs on one key
+    val docs = ((1L to 60L).map(i => (i, "copy of the exact same boilerplate text here")) ++
+      Seq((101L, "first unique document about engines"),
+          (102L, "second unique document about windows"))).toDF("doc_id", "text")
+    val fps = Dedup.simhash(docs)
+    val uncapped = Dedup.simhashCandidates(fps, 8, maxBlock = 1000000).count()
+    val capped = Dedup.simhashCandidates(fps, 8, maxBlock = 10).count()
+    assert(uncapped >= 1770L, s"expected boilerplate pair explosion, got $uncapped")
+    assert(capped < 100L, s"cap should drop hot blocks, got $capped pairs")
+  }
+
+  test("shingle cache re-registers after clearShingleCache") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "one two three four"), (2L, "five six seven eight"))
+      .toDF("doc_id", "text")
+    val before = Dedup.shingleHashes(docs)
+    assert(Dedup.shingleHashes(docs) eq before, "same plan must hit the cache")
+    Dedup.clearShingleCache()
+    val after = Dedup.shingleHashes(docs)
+    assert(!(after eq before), "cleared cache must rebuild the frame")
+    assert(after.count() == before.count())
+    Dedup.clearShingleCache()
+  }
+
   test("cosine top-k: self-similar vectors rank first") {
     val s = spark
     import s.implicits._
