@@ -182,6 +182,15 @@ object PipelineQueries {
     "mm_meta" -> ((s, dir) =>
       Multimodal.syntheticMedia(Tables.documents(s, dir))
         .select("media_id", "kind", "meta_codec", "meta_bytes")
+        .orderBy("media_id")),
+    "mm_decode" -> ((s, dir) =>
+      // real end-to-end image decode: encode genuine BMP bytes per
+      // doc, parse them back with the pure-JVM kernel; the oracle
+      // replays the doc_id-derived geometry arithmetic — any header
+      // mis-parse shows up as a dimension mismatch
+      Multimodal.extractFeatures(
+        Multimodal.syntheticBmpMedia(Tables.documents(s, dir)))
+        .select("media_id", "kind", "width", "height", "n_frames", "meta_bytes")
         .orderBy("media_id"))
   )
 
@@ -436,6 +445,14 @@ object PipelineQueries {
         | (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
         | 'codec_' || CAST(doc_id % 4 AS VARCHAR) AS meta_codec,
         | length(text)::BIGINT AS meta_bytes
+        | FROM documents ORDER BY media_id""".stripMargin.replace("\n", " "),
+    "mm_decode" ->
+      """SELECT doc_id AS media_id, 'image' AS kind,
+        | CAST(16 + doc_id % 64 AS INT) AS width,
+        | CAST(16 + doc_id % 48 AS INT) AS height,
+        | CAST(1 AS INT) AS n_frames,
+        | CAST(54 + (((16 + doc_id % 64) * 3 + 3) // 4 * 4)
+        |    * (16 + doc_id % 48) AS BIGINT) AS meta_bytes
         | FROM documents ORDER BY media_id""".stripMargin.replace("\n", " ")
   )
 }

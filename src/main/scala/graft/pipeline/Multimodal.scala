@@ -48,11 +48,79 @@ object Multimodal {
 
   /** STUB decode kernel: deterministic fake features from payload
     * bytes. A real deployment replaces the body with an image/audio
-    * decode (the signature and batching stay identical). */
+    * decode (the signature and batching stay identical). Kept for
+    * the audio/video kinds; the image kind has a REAL decoder —
+    * [[decodeBmp]]. */
   def decodeStub(payload: Array[Byte]): (Int, Int, Int) = {
     val n = payload.length
     val s = payload.foldLeft(17)((a, b) => a * 31 + (b & 0xff)) & 0x7fffffff
     (64 + s % 1920, 64 + (s / 7) % 1080, 1 + n % 240)
+  }
+
+  // ---- real image kernel: BMP (pure JVM, no codec libraries) ----
+
+  /** Write a real, well-formed 24-bit BMP: BITMAPFILEHEADER (14 B) +
+    * BITMAPINFOHEADER (40 B) + bottom-up pixel rows padded to 4-byte
+    * multiples, deterministic xorshift pixel noise from `seed`. */
+  def encodeBmp(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val rowSize = ((width * 3 + 3) / 4) * 4
+    val dataSize = rowSize * height
+    val fileSize = 54 + dataSize
+    val buf = java.nio.ByteBuffer.allocate(fileSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+    buf.putInt(fileSize).putShort(0).putShort(0).putInt(54)
+    buf.putInt(40).putInt(width).putInt(height)
+    buf.putShort(1).putShort(24)
+    buf.putInt(0).putInt(dataSize)
+    buf.putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var s = seed | 1L
+    while (buf.hasRemaining) {
+      s ^= s << 13; s ^= s >>> 7; s ^= s << 17
+      buf.put((s >>> 56).toByte)
+    }
+    buf.array()
+  }
+
+  /** REAL image decode: parse the BMP headers from the payload bytes
+    * — magic, little-endian dimension fields, bit depth — and check
+    * the pixel-array size is consistent with the declared geometry.
+    * Returns (width, height, bitsPerPixel); malformed input throws.
+    * (One genuinely decodable format keeps the whole media path
+    * honest end-to-end; other codecs stay behind [[decodeStub]].) */
+  def decodeBmp(payload: Array[Byte]): (Int, Int, Int) = {
+    require(payload.length >= 54 &&
+      payload(0) == 'B'.toByte && payload(1) == 'M'.toByte,
+      "not a BMP payload")
+    val buf = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val pixelOffset = buf.getInt(10)
+    val width = buf.getInt(18)
+    val height = buf.getInt(22)
+    val bpp = buf.getShort(28).toInt
+    require(width > 0 && height > 0 && bpp % 8 == 0, "bad BMP geometry")
+    val rowSize = ((width * bpp / 8 + 3) / 4) * 4
+    require(payload.length >= pixelOffset + rowSize * height,
+      "truncated BMP pixel array")
+    (width, height, bpp)
+  }
+
+  private def isBmp(payload: Array[Byte]): Boolean =
+    payload.length >= 54 &&
+      payload(0) == 'B'.toByte && payload(1) == 'M'.toByte
+
+  /** Synthetic media table whose image payloads are REAL encoded
+    * BMPs (dimensions derived from doc_id, so an oracle can replay
+    * the expected decode output without parsing bytes). */
+  def syntheticBmpMedia(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val w = 16 + (id % 64).toInt
+      val h = 16 + (id % 48).toInt
+      val payload = encodeBmp(w, h, id)
+      (id, "image", payload, "bmp24", payload.length.toLong)
+    }.toDF("media_id", "kind", "payload", "meta_codec", "meta_bytes")
   }
 
   /** Typed rows entering / leaving the decode stage. */
@@ -74,7 +142,13 @@ object Multimodal {
       .mapPartitions { rows =>
         // per-partition init would open the decoder context here
         rows.map { m =>
-          val (w, h, f) = decodeStub(m.payload)
+          val (w, h, f) =
+            if (m.kind == "image" && isBmp(m.payload)) {
+              // real kernel: parse the actual bytes; a still image
+              // is one frame
+              val (bw, bh, _) = decodeBmp(m.payload)
+              (bw, bh, 1)
+            } else decodeStub(m.payload)
           MediaFeatures(m.media_id, m.kind, w, h, f, m.meta_bytes)
         }
       }

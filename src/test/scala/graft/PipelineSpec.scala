@@ -200,6 +200,22 @@ class PipelineSpec extends SparkSpec {
     assert(r.getAs[Long]("bpe_tokens") == 1L + 2L + 1L)
   }
 
+  test("BMP kernel: encode→decode roundtrip, malformed input rejected") {
+    import graft.pipeline.Multimodal
+    val bytes = Multimodal.encodeBmp(37, 21, seed = 42L)
+    // 37 px * 3 B = 111 → padded row 112; 54-byte headers
+    assert(bytes.length == 54 + 112 * 21)
+    assert(Multimodal.decodeBmp(bytes) == ((37, 21, 24)))
+    // same dims, different seed → same geometry, different pixels
+    val other = Multimodal.encodeBmp(37, 21, seed = 7L)
+    assert(Multimodal.decodeBmp(other) == ((37, 21, 24)))
+    assert(!java.util.Arrays.equals(bytes, other))
+    intercept[IllegalArgumentException](
+      Multimodal.decodeBmp("not an image".getBytes))
+    intercept[IllegalArgumentException](
+      Multimodal.decodeBmp(bytes.take(100))) // truncated pixel array
+  }
+
   test("multimodal: stub decode is deterministic, plumbing intact") {
     val media = Multimodal.syntheticMedia(Tables.documents(spark, sf).limit(20))
     val f1 = Multimodal.extractFeatures(media).collect()
