@@ -21,6 +21,17 @@ object TsdbQueries {
   private def inst(s: SparkSession, dir: String): DataFrame =
     Vectors.instant(samples(s, dir), "day")
 
+  /** Once-per-(session, sf dir) SeriesStore table for the
+    * storage-path queries (idempotent write, catalog-cached). */
+  private val storeTables =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def storeTable(s: SparkSession, dir: String): String =
+    storeTables.getOrElseUpdate((s, dir), {
+      val t = "graft_store_" + Integer.toHexString(dir.hashCode)
+      graft.sources.SeriesStore.write(samples(s, dir), t, buckets = 8)
+      t
+    })
+
   // ---- shared oracle SQL fragments ------------------------------------
   /** events → sample frame with day bucket (floor-epoch bigint). */
   private val S =
@@ -366,6 +377,17 @@ object TsdbQueries {
     // ---- §2F downsampling ---------------------------------------------
     "ds_rollup" -> ((s, dir) =>
       Downsample.rollup(samples(s, dir), "hour").orderBy("name", "user_id", "bucket_s")),
+    // the same rollup THROUGH the storage layout: write once per
+    // (session, sf dir) as a dt-partitioned series-bucketed table,
+    // then aggregate the bucketed read — the scan's hash distribution
+    // on (name, user_id) satisfies the groupBy, so the plan carries
+    // ZERO hash exchanges (PlanSpec audits it). First call in a
+    // session pays the write; results are byte-identical to
+    // ds_rollup's direct path.
+    "store_rollup" -> ((s, dir) =>
+      Downsample.rollup(
+        graft.sources.SeriesStore.read(s, storeTable(s, dir)).drop("dt"), "hour")
+        .orderBy("name", "user_id", "bucket_s")),
     "ds_multi_res" -> ((s, dir) =>
       Downsample.multiResolution(samples(s, dir))
         .orderBy("resolution", "name", "user_id", "bucket_s")),
@@ -910,6 +932,18 @@ object TsdbQueries {
          |      THEN regexp_replace(name, '^(pur|cli)', 'g_\\1') ELSE '' END AS "group"
          | FROM ($INST) AS i ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),
     "ds_rollup" ->
+      s"""SELECT name, user_id, bucket_s,
+         | last(value ORDER BY ts, event_id) AS last_v, min(value) AS min_v,
+         | max(value) AS max_v, round(avg(value), 6) AS mean_v,
+         | round(sum(value), 6) AS sum_v, count(*) AS count_v,
+         | round(stddev_pop(value), 6) AS stdev_v,
+         | round(quantile_cont(value, 0.5), 6) AS p50_v,
+         | round(quantile_cont(value, 0.95), 6) AS p95_v,
+         | round(quantile_cont(value, 0.99), 6) AS p99_v
+         | FROM (SELECT event_type AS name, user_id, ts, value, event_id,
+         |  CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_s FROM events) AS s
+         | GROUP BY name, user_id, bucket_s ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),
+    "store_rollup" ->
       s"""SELECT name, user_id, bucket_s,
          | last(value ORDER BY ts, event_id) AS last_v, min(value) AS min_v,
          | max(value) AS max_v, round(avg(value), 6) AS mean_v,

@@ -83,6 +83,18 @@ class PlanSpec extends SparkSpec {
       "per-document op should not shuffle")
   }
 
+  test("store_rollup aggregates the bucketed table with zero hash exchanges") {
+    // end-to-end on the real sf data: the SeriesStore scan's bucket
+    // distribution on (name, user_id) must satisfy the rollup's
+    // groupBy (name, user_id, bucket_s) — subset rule — so the only
+    // exchange left is the output orderBy's range partitioning
+    val df = SparkEntry.queries("store_rollup")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"),
+      "bucketed scan should feed the rollup shuffle-free:\n" + p.take(2000))
+  }
+
   test("graphite series ranks never window over the full frame") {
     // Two-phase rank: the only Window nodes allowed are the
     // shard-local row_number (partitioned by _shard) and the
