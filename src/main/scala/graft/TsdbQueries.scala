@@ -360,6 +360,19 @@ object TsdbQueries {
       graft.m3ql.M3QL.query(samples(s, dir), "fetch name:* | avg name | >= 48.7")
         .select(col("name"), col("bucket_s"), round(col("value"), 6).as("value"))
         .orderBy("name", "bucket_s")),
+    "m3ql_macro" -> ((s, dir) =>
+      graft.m3ql.M3QL.query(samples(s, dir),
+        "hot = fetch name:* | sum name; hot | > 100 | log10")
+        .select(col("name"), col("bucket_s"), round(col("value"), 6).as("value"))
+        .orderBy("name", "bucket_s")),
+    "m3ql_multi" -> ((s, dir) =>
+      graft.m3ql.M3QL.query(samples(s, dir),
+        "fetch name:purchase | clamp min:50 max:150 | percentile 90 name | timeshift 3600")
+        .select(col("name"), col("bucket_s"), round(col("value"), 6).as("value"))
+        .orderBy("name", "bucket_s")),
+    "m3ql_top" -> ((s, dir) =>
+      graft.m3ql.M3QL.query(samples(s, dir), "fetch name:* | top 2 name")
+        .orderBy("name", "bucket_s", "user_id")),
     "m3ql_fetch" -> ((s, dir) =>
       graft.m3ql.M3QL.query(samples(s, dir), "fetch name:purchase user_id:7 | sqrt")
         .select(col("name"), col("user_id"), col("bucket_s"),
@@ -922,6 +935,22 @@ object TsdbQueries {
       s"""SELECT name, user_id, bucket_s, round(sqrt(value), 6) AS value
          | FROM ($INST) AS i WHERE name = 'purchase' AND user_id = 7
          | ORDER BY bucket_s""".stripMargin.replace("\n", " "),
+    "m3ql_macro" ->
+      s"""SELECT name, bucket_s, round(log10(v), 6) AS value
+         | FROM (SELECT name, bucket_s, sum(value) AS v FROM ($INST) AS i
+         |       GROUP BY name, bucket_s) AS t
+         | WHERE v > 100 ORDER BY name, bucket_s""".stripMargin.replace("\n", " "),
+    "m3ql_multi" ->
+      s"""SELECT name, bucket_s + 3600 AS bucket_s,
+         | round(quantile_cont(least(greatest(value, 50), 150), 0.9), 6) AS value
+         | FROM ($INST) AS i WHERE name = 'purchase'
+         | GROUP BY name, bucket_s
+         | ORDER BY name, bucket_s""".stripMargin.replace("\n", " "),
+    "m3ql_top" ->
+      s"""SELECT name, user_id, bucket_s, value FROM (
+         | SELECT *, row_number() OVER (PARTITION BY name, bucket_s
+         |   ORDER BY value DESC, user_id ASC) AS rk FROM ($INST) AS i) AS t
+         | WHERE rk <= 2 ORDER BY name, bucket_s, user_id""".stripMargin.replace("\n", " "),
     "ts_label_join" ->
       s"""SELECT name, user_id, bucket_s, value,
          | name || '/' || CAST(user_id AS VARCHAR) AS series_id

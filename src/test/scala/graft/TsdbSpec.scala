@@ -24,7 +24,38 @@ class SaltSpec extends SparkSpec {
     intercept[M3QL.ParseException](M3QL.query(samples, "sum name"))
     intercept[M3QL.ParseException](M3QL.query(samples, "fetch name:a | fetch name:b"))
     intercept[M3QL.ParseException](M3QL.query(samples, "fetch noColon"))
+    intercept[M3QL.ParseException](
+      M3QL.query(samples, "a = fetch name:x; b = fetch name:y")) // no main
+    intercept[M3QL.ParseException](
+      M3QL.query(samples, "m = m | abs; m")) // macro cycle
   }
+
+  test("m3ql macros splice and keepNaN retains null points") {
+    import graft.m3ql.M3QL
+    val s = spark
+    import s.implicits._
+    // one negative value: ln() nulls it; default pipelines DROP the
+    // null point (m3 KeepNaNs=false), `keepNaN` keeps the row
+    val samples = Seq(
+      ("m", 1L, ts("2024-01-01 01:00:00"), 10.0, 1L),
+      ("m", 1L, ts("2024-01-02 01:00:00"), -5.0, 2L))
+      .toDF("name", "user_id", "ts", "value", "event_id")
+    val dropped = M3QL.query(samples, "fetch name:m | ln")
+    assert(dropped.count() == 1)
+    val kept = M3QL.query(samples, "fetch name:m | ln | keepNaN")
+    assert(kept.count() == 2)
+    // macro splice: the macro body runs exactly as if inlined
+    val viaMacro = M3QL.query(samples,
+      "base = fetch name:m | abs; base | sqrt")
+      .select("bucket_s", "value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val inline = M3QL.query(samples, "fetch name:m | abs | sqrt")
+      .select("bucket_s", "value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaMacro == inline && viaMacro.size == 2)
+  }
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 }
 
 import org.apache.spark.sql.functions._
