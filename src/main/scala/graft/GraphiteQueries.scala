@@ -149,6 +149,18 @@ object GraphiteQueries {
         Vectors.samples(Tables.events(s, dir)),
         "holtWintersForecast(events.purchase.user1*)")
         .select(col("path"), col("bucket_s"), round(col("value"), 6).as("value"))
+        .orderBy("path", "bucket_s")),
+    "gq_legend" -> ((s, dir) =>
+      graphite.GraphiteParser.query(
+        Vectors.samples(Tables.events(s, dir)),
+        """legendValue(useSeriesAbove(events.purchase.*, 195, "purchase", "click"), "max")""")
+        .select(col("path"), col("bucket_s"), round(col("value"), 6).as("value"))
+        .orderBy("path", "bucket_s")),
+    "gq_cacti" -> ((s, dir) =>
+      graphite.GraphiteParser.query(
+        Vectors.samples(Tables.events(s, dir)),
+        "cactiStyle(events.signup.user1?)")
+        .select(col("path"), col("bucket_s"), round(col("value"), 6).as("value"))
         .orderBy("path", "bucket_s"))
   )
 
@@ -372,6 +384,36 @@ object GraphiteQueries {
          |    CASE WHEN o.rn = 1 THEN o.value ELSE r.next_pred END AS prediction) AS ls)
          | SELECT path, bucket_s, round(pred, 6) + 0.0 AS value FROM rec
          | WHERE rn >= 1 ORDER BY path, bucket_s""".stripMargin.replace("\n", " "),
+    "gq_legend" ->
+      s"""WITH p AS (SELECT path, bucket_s, value FROM ($PF) AS f
+         |  WHERE regexp_matches(path, '^events\\.purchase\\.[^.]*$$')),
+         | qual AS (SELECT replace(path, 'purchase', 'click') AS path
+         |  FROM (SELECT path, max(value) AS mx FROM p GROUP BY path) AS t
+         |  WHERE mx > 195),
+         | sel AS (SELECT f.path, f.bucket_s, f.value FROM ($PF) AS f
+         |  JOIN qual USING (path)),
+         | red AS (SELECT path, max(value) AS mx FROM sel GROUP BY path)
+         | SELECT sel.path || ' (max: ' || printf('%.3f', red.mx) || ')' AS path,
+         |  sel.bucket_s, round(sel.value, 6) AS value
+         | FROM sel JOIN red USING (path)
+         | ORDER BY path, bucket_s""".stripMargin.replace("\n", " "),
+    "gq_cacti" ->
+      s"""WITH f AS (SELECT path, bucket_s, value FROM ($PF) AS p
+         |  WHERE regexp_matches(path, '^events\\.signup\\.user1[^.]$$')),
+         | stats AS (SELECT path, arg_max(value, bucket_s) AS lastv,
+         |  max(value) AS mx, min(value) AS mn FROM f GROUP BY path),
+         | w AS (SELECT max(length(path)) AS wn,
+         |  max(length(CAST(CAST(trunc(lastv) AS BIGINT) AS VARCHAR)) + 3) AS wl,
+         |  max(length(CAST(CAST(trunc(mx) AS BIGINT) AS VARCHAR)) + 3) AS wx,
+         |  max(length(CAST(CAST(trunc(mn) AS BIGINT) AS VARCHAR)) + 3) AS wm
+         |  FROM stats)
+         | SELECT rpad(f.path, CAST(w.wn AS INT), ' ') ||
+         |  ' Current:' || rpad(printf('%.2f', s.lastv), CAST(w.wl AS INT), ' ') ||
+         |  ' Max:' || rpad(printf('%.2f', s.mx), CAST(w.wx AS INT), ' ') ||
+         |  ' Min:' || rpad(printf('%.2f', s.mn), CAST(w.wm AS INT), ' ') || ' ' AS path,
+         |  f.bucket_s, round(f.value, 6) AS value
+         | FROM f JOIN stats AS s USING (path) CROSS JOIN w
+         | ORDER BY path, bucket_s""".stripMargin.replace("\n", " "),
     "gq_expr2" ->
       s"""WITH m AS (SELECT path, bucket_s,
          |  avg(value) OVER (PARTITION BY path ORDER BY bucket_s

@@ -354,6 +354,10 @@ object TsdbQueries {
       graft.promql.PromQL.query(samples(s, dir),
         """hour(timestamp({name="purchase"}))""")
         .orderBy("event_id")),
+    "pql_at" -> ((s, dir) =>
+      graft.promql.PromQL.query(samples(s, dir),
+        """{name="purchase"} @ 1704855600""")
+        .orderBy("name", "user_id", "bucket_s")),
 
     // ---- M3QL front-end (graft.m3ql) ----------------------------------
     "m3ql_agg" -> ((s, dir) =>
@@ -873,6 +877,10 @@ object TsdbQueries {
          | CAST(hour(ts) AS DOUBLE) AS value
          | FROM events WHERE event_type = 'purchase'
          | ORDER BY event_id""".stripMargin.replace("\n", " "),
+    "pql_at" ->
+      s"""SELECT name, user_id, bucket_s, value FROM ($INST) AS i
+         | WHERE name = 'purchase' AND bucket_s = 1704844800
+         | ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),
     "ts_agg_without" ->
       s"""SELECT name, user_id % 10 AS cohort, bucket_s,
          | round(sum(value), 6) AS sum_v, min(value) AS min_v, max(value) AS max_v,

@@ -814,6 +814,83 @@ object Graphite {
   def aliasSub(df: DataFrame, search: String, replace: String): DataFrame =
     df.withColumn("path", regexp_replace(col("path"), search, replace))
 
+  /** legendValue(series, valueType) (builtin_functions.go:2631):
+    * rename each series to "name (type: %.3f-reduced)". */
+  def legendValue(df: DataFrame, valueType: String): DataFrame = {
+    val red = df.groupBy("path").agg(reducer(valueType).as("_red"))
+    df.join(broadcast(red), "path")
+      .withColumn("path",
+        concat(col("path"), lit(s" ($valueType: "),
+          format_string("%.3f", col("_red")), lit(")")))
+      .drop("_red")
+  }
+
+  /** dashed(series, dashLength) (builtin_functions.go dashed): a
+    * rendering hint — the data-layer effect is the rename the
+    * reference applies. */
+  def dashed(df: DataFrame, dashLength: Double = 5.0): DataFrame =
+    df.withColumn("path",
+      concat(lit("dashed("), col("path"), lit(", "),
+        format_string("%.3f", lit(dashLength)), lit(")")))
+
+  /** cactiStyle(series) (builtin_functions.go:2679): rename each
+    * series to the cacti legend "name Current:l Max:m Min:n " with
+    * every column left-justified to the list-wide width (the
+    * reference's %*s padding; stat width = integer digits + 3 for
+    * the ".xx"). */
+  def cactiStyle(df: DataFrame): DataFrame = {
+    val stats = df.groupBy("path").agg(
+      max_by(col("value"), col("bucket_s")).as("_last"),
+      max("value").as("_max"), min("value").as("_min"))
+    def fmt(c: Column): Column =
+      when(c.isNull, lit("nan")).otherwise(format_string("%.2f", c))
+    def statLen(c: Column): Column =
+      when(c.isNull, lit(4)).otherwise(length(format_string("%d",
+        c.cast("long"))) + lit(3))
+    val widths = stats.agg(
+      max(length(col("path"))).as("_wn"),
+      max(statLen(col("_last"))).as("_wl"),
+      max(statLen(col("_max"))).as("_wx"),
+      max(statLen(col("_min"))).as("_wm"))
+    df.join(broadcast(stats), "path")
+      .crossJoin(broadcast(widths))
+      .withColumn("path", concat(
+        rpad(col("path"), col("_wn").cast("int"), lit(" ")),
+        lit(" Current:"), rpad(fmt(col("_last")), col("_wl").cast("int"), lit(" ")),
+        lit(" Max:"), rpad(fmt(col("_max")), col("_wx").cast("int"), lit(" ")),
+        lit(" Min:"), rpad(fmt(col("_min")), col("_wm").cast("int"), lit(" ")),
+        lit(" ")))
+      .drop("_last", "_max", "_min", "_wn", "_wl", "_wx", "_wm")
+  }
+
+  /** powSeries(series…) (aggregation_functions.go:93): fold pow
+    * across the series in path order at each instant —
+    * ((v₁^v₂)^v₃)… per the reference's pairwise consolidation. */
+  def powSeries(df: DataFrame): DataFrame =
+    df.groupBy("bucket_s")
+      .agg(array_sort(collect_list(struct(col("path"), col("value"))))
+        .as("_pts"))
+      .select(lit("powSeries").as("path"), col("bucket_s"),
+        aggregate(
+          expr("slice(transform(_pts, p -> p.value), 2, size(_pts) - 1)"),
+          expr("_pts[0].value"),
+          (acc, v) => pow(acc, v)).as("value"))
+
+  /** useSeriesAbove(series, n, search, replace)
+    * (builtin_functions.go:149): take the series whose MAX exceeds
+    * n, substring-replace their names, and fetch those renamed
+    * series from the base frame (the reference re-evaluates each new
+    * name as a target; plain renamed fetches are the semantics that
+    * needs no sub-query machinery). */
+  def useSeriesAbove(df: DataFrame, base: DataFrame, n: Double,
+                     search: String, replace: String): DataFrame = {
+    val renamed = df.groupBy("path").agg(max("value").as("_mx"))
+      .where(col("_mx") > n)
+      .select(regexp_replace(col("path"),
+        java.util.regex.Pattern.quote(search), replace).as("path"))
+    base.join(renamed, Seq("path"), "left_semi")
+  }
+
   /** aliasByMetric(series) (alias_functions.go:38): last segment. */
   def aliasByMetric(df: DataFrame): DataFrame =
     df.withColumn("path", element_at(split(col("path"), "\\."), -1))

@@ -35,8 +35,8 @@ object GraphiteParser {
   // names lex as single-segment paths; a name is a call iff followed
   // by an opening paren)
   private val tokenRe =
-    ("""\s*(\(|\)|,|-?[0-9]+\.[0-9]+|-?[0-9]+(?![A-Za-z0-9_*.\-])""" +
-      """|[A-Za-z0-9_*.\-]+""" +
+    ("""\s*(\(|\)|,|-?[0-9]+\.[0-9]+|-?[0-9]+(?![A-Za-z0-9_*?.\-])""" +
+      """|[A-Za-z0-9_*?.\-]+""" +
       """|"[^"]*"|'[^']*')""").r
 
   private def tokenize(q: String): List[String] = {
@@ -73,7 +73,7 @@ object GraphiteParser {
         }
       }
       (Call(fn, args.result()), rest)
-    case p :: rest if p.matches("[A-Za-z0-9_*.\\-]+") => (Path(p), rest)
+    case p :: rest if p.matches("[A-Za-z0-9_*?.\\-]+") => (Path(p), rest)
     case other => throw new ParseException(s"bad target at $other")
   }
 
@@ -98,10 +98,11 @@ object GraphiteParser {
     }
   }
 
-  /** Dot-glob → anchored regex (`*` matches within one segment). */
+  /** Dot-glob → anchored regex (`*` any run, `?` one char — both
+    * within a segment). */
   private def globRe(glob: String): String =
     "^" + glob.split("\\.", -1)
-      .map(_.replace("*", "[^.]*")).mkString("\\.") + "$"
+      .map(_.replace("*", "[^.]*").replace("?", "[^.]")).mkString("\\.") + "$"
 
   // ---------------- evaluator ----------------
 
@@ -144,7 +145,7 @@ object GraphiteParser {
   private val multiSeriesFns = Set(
     "sumSeries", "averageSeries", "minSeries", "maxSeries",
     "multiplySeries", "diffSeries", "rangeOfSeries", "stddevSeries",
-    "countSeries", "group")
+    "countSeries", "group", "powSeries")
 
   def eval(node: Node, base: DataFrame,
            samples: DataFrame = null): DataFrame = node match {
@@ -166,6 +167,7 @@ object GraphiteParser {
         case "stddevSeries"   => Graphite.stddevSeries(in)
         case "countSeries"    => Graphite.countSeries(in)
         case "group"          => in
+        case "powSeries"      => Graphite.powSeries(in)
       }
     // two-series functions take their second vector from args(1)
     case Call(fn @ ("divideSeries" | "asPercent" | "divideSeriesLists" |
@@ -350,6 +352,15 @@ object GraphiteParser {
         case "aliasSub" =>
           Graphite.aliasSub(in, str(fn, args, 1), str(fn, args, 2))
         case "aliasByMetric" => Graphite.aliasByMetric(in)
+        case "legendValue" =>
+          Graphite.legendValue(in, str(fn, args, 1) match {
+            case "average" => "avg"; case h => h
+          })
+        case "cactiStyle" => Graphite.cactiStyle(in)
+        case "dashed" => Graphite.dashed(in, optNum(args, 1, 5.0))
+        case "useSeriesAbove" =>
+          Graphite.useSeriesAbove(in, base, num(fn, args, 1),
+            str(fn, args, 2), str(fn, args, 3))
         case "holtWintersForecast" => Graphite.holtWintersForecast(in)
         case "holtWintersConfidenceBands" =>
           Graphite.holtWintersConfidenceBands(in, optNum(args, 1, 3.0))

@@ -64,7 +64,8 @@ object PromQL {
                             matchers: Seq[Fetch.Matcher],
                             rangeUnit: Option[String],
                             offsetS: Long,
-                            sliding: Option[(Long, Long)] = None) extends Expr
+                            sliding: Option[(Long, Long)] = None,
+                            atS: Option[Long] = None) extends Expr
   final case class Func(name: String, arg: Expr,
                         params: Seq[Double] = Nil,
                         sparams: Seq[String] = Nil) extends Expr
@@ -138,7 +139,7 @@ object PromQL {
   final class ParseException(msg: String) extends IllegalArgumentException(msg)
 
   private val tokenRe =
-    ("""\s*(=~|!~|!=|>=|<=|==|=|>|<|\+|-|\*|/|%|\^|\(|\)|\{|\}|\[|\]|,|:""" +
+    ("""\s*(=~|!~|!=|>=|<=|==|=|>|<|\+|-|\*|/|%|\^|\(|\)|\{|\}|\[|\]|,|:|@""" +
       """|[0-9]+[smhdw]|[0-9]+\.[0-9]+|[0-9]+|[A-Za-z_][A-Za-z0-9_]*""" +
       """|"(?:[^"\\]|\\.)*")""").r
 
@@ -169,6 +170,8 @@ object PromQL {
         throw new ParseException(s"$fn requires a range selector, e.g. x[1d]")
       if (s.sliding.isDefined && !slidingFns(fn))
         throw new ParseException(s"$fn does not support [lookback:step] windows")
+      if (s.sliding.isDefined && s.atS.isDefined)
+        throw new ParseException("@ is not supported on sliding windows")
       if (!fnParams(fn).contains(ps.length) || !fnSParams(fn).contains(sps.length))
         throw new ParseException(s"$fn: wrong arity (${ps.length} nums, ${sps.length} strings)")
     case Func(fn, _, _, _) if temporalFns(fn) =>
@@ -408,11 +411,16 @@ object PromQL {
       case _ =>
     }
     var offsetS = 0L
-    rest match {
+    var atS: Option[Long] = None
+    // offset and @ accepted in either order (PromQL allows both)
+    var more = true
+    while (more) rest match {
       case "offset" :: d :: r => offsetS = durSeconds(d); rest = r
-      case _ =>
+      case "@" :: n :: r if isNumber(n) =>
+        atS = Some(n.toDouble.toLong); rest = r
+      case _ => more = false
     }
-    (Selector(metric, matchers, rangeUnit, offsetS, sliding), rest)
+    (Selector(metric, matchers, rangeUnit, offsetS, sliding, atS), rest)
   }
 
   private def durUnit(d: String): String = d match {
@@ -457,6 +465,15 @@ object PromQL {
   private def grid(samples: DataFrame): DataFrame =
     samples.select(Vectors.bucketS("day")).distinct()
 
+  /** `@ T`: keep only the instant bucket containing T (evaluated at
+    * the selector's resolution). */
+  private def atFilter(sel: Selector, df: DataFrame,
+                       unit: String): DataFrame =
+    sel.atS.fold(df) { t =>
+      df.where(col("bucket_s") ===
+        Vectors.bucketS(unit, timestamp_seconds(lit(t))))
+    }
+
   private def evalExpr(e: Expr, samples: DataFrame): DataFrame = e match {
     case NumLit(v) =>
       throw new ParseException(s"bare scalar $v is not a vector query")
@@ -468,8 +485,12 @@ object PromQL {
 
     case sel: Selector =>
       // bare selector: consolidate to the instant frame at the
-      // selector's range resolution (default day)
-      Vectors.instant(fetchFor(sel, samples), sel.rangeUnit.getOrElse("day"))
+      // selector's range resolution (default day); `@ T` pins the
+      // result to the instant bucket containing T (the batch
+      // analogue of PromQL's fixed evaluation timestamp)
+      atFilter(sel,
+        Vectors.instant(fetchFor(sel, samples), sel.rangeUnit.getOrElse("day")),
+        sel.rangeUnit.getOrElse("day"))
 
     case Func(fn, sel: Selector, ps, _)
         if temporalFns(fn) && sel.sliding.isDefined =>
@@ -496,7 +517,7 @@ object PromQL {
       val in = fetchFor(sel, samples)
       val keep = (c: String) =>
         (Vectors.labels :+ "bucket_s").map(col) :+ col(c).as("value")
-      fn match {
+      atFilter(sel, fn match {
         case "rate"      => Temporal.rateFrame(in, unit).select(keep("rate_v"): _*)
         case "increase"  => Temporal.rateFrame(in, unit).select(keep("increase_v"): _*)
         case "delta"     => Temporal.rateFrame(in, unit).select(keep("delta_v"): _*)
@@ -521,7 +542,7 @@ object PromQL {
         case "stddev_over_time" => Temporal.overTimeStddev(in, unit).select(keep("stddev_v"): _*)
         case "present_over_time" => Temporal.presentOverTime(in, unit)
         case other => throw new ParseException(s"unknown temporal fn $other")
-      }
+      }, unit)
 
     // selector-consuming transforms (need samples, not an instant frame)
     case Func("timestamp", sel: Selector, _, _) =>
