@@ -358,6 +358,11 @@ object TsdbQueries {
       graft.promql.PromQL.query(samples(s, dir),
         """{name="purchase"} @ 1704855600""")
         .orderBy("name", "user_id", "bucket_s")),
+    "pql_var" -> ((s, dir) =>
+      graft.promql.PromQL.query(samples(s, dir),
+        """var by (name) (stdvar_over_time({name="purchase"}[1d]) / 1000)""")
+        .select(col("name"), col("bucket_s"), round(col("value"), 6).as("value"))
+        .orderBy("name", "bucket_s")),
 
     // ---- M3QL front-end (graft.m3ql) ----------------------------------
     "m3ql_agg" -> ((s, dir) =>
@@ -881,6 +886,14 @@ object TsdbQueries {
       s"""SELECT name, user_id, bucket_s, value FROM ($INST) AS i
          | WHERE name = 'purchase' AND bucket_s = 1704844800
          | ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),
+    "pql_var" ->
+      s"""SELECT name, bucket_s, round(var_pop(sv), 6) AS value
+         | FROM (SELECT name, user_id, bucket_s,
+         |  round(var_pop(value), 6) / 1000 AS sv
+         |  FROM ($S) AS s WHERE name = 'purchase'
+         |  GROUP BY name, user_id, bucket_s) AS t
+         | GROUP BY name, bucket_s
+         | ORDER BY name, bucket_s""".stripMargin.replace("\n", " "),
     "ts_agg_without" ->
       s"""SELECT name, user_id % 10 AS cohort, bucket_s,
          | round(sum(value), 6) AS sum_v, min(value) AS min_v, max(value) AS max_v,

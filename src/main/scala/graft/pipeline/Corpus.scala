@@ -16,11 +16,12 @@ object Corpus {
     *
     * Pregel-style min-label propagation on DataFrames: every doc
     * starts labeled with its own id; each round joins the symmetric
-    * edge list and takes the min neighbor label; stops at fixpoint.
-    * Rounds needed = graph diameter (dup clusters are
-    * near-cliques from LSH blocking → 2-3 rounds in practice);
-    * `maxIter` bounds the worst case. Each round is one shuffle on
-    * doc id — no driver-side graph state.
+    * edge list, takes the min neighbor label, then POINTER-JUMPS
+    * (follows the candidate label one hop, label(label(x))) so label
+    * chains halve every round — rounds needed ≈ log(diameter), not
+    * diameter (dup clusters are near-cliques from LSH blocking →
+    * 2-3 rounds in practice); `maxIter` bounds the worst case. Each
+    * round is two joins on doc id — no driver-side graph state.
     */
   def dupClusters(docs: DataFrame, pairs: DataFrame, maxIter: Int = 10): DataFrame = {
     // materialize the (possibly expensive — e.g. minhash-derived)
@@ -46,12 +47,23 @@ object Corpus {
       // one materialization per round carries both the new label and
       // the convergence flag — the changed-count is a cheap scan of
       // the checkpoint, not a recomputation
-      val next = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
+      val stepped = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("cluster_id").as("_old"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("_cand"))
+      // pointer jump: candidate labels are themselves graph-node ids
+      // (mins of existing labels), so chasing one hop is a self-join;
+      // labels stay monotone-decreasing toward the same component-min
+      // fixpoint, just geometrically faster
+      val next = stepped.join(
+          labels.select(col("doc_id").as("_cand"),
+            col("cluster_id").as("_cand_lbl")),
+          Seq("_cand"), "left")
+        .select(col("doc_id"),
+          least(col("_cand"), coalesce(col("_cand_lbl"), col("_cand")))
             .as("cluster_id"),
-          (coalesce(col("nbr_min"), col("cluster_id")) < col("cluster_id"))
-            .cast("int").as("_changed"))
+          (least(col("_cand"), coalesce(col("_cand_lbl"), col("_cand"))) <
+            col("_old")).cast("int").as("_changed"))
         .localCheckpoint(eager = true)
       converged = next.where(col("_changed") === 1).limit(1).count() == 0
       labels = next.drop("_changed")

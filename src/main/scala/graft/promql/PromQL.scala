@@ -95,13 +95,14 @@ object PromQL {
   final case class VectorFn(v: Double) extends Expr
 
   private val aggOps = Set("sum", "avg", "min", "max", "count", "stddev",
-    "topk", "bottomk", "quantile", "count_values")
+    "var", "topk", "bottomk", "quantile", "count_values")
   private val paramAggs = Set("topk", "bottomk", "quantile")
   private val temporalFns = Set(
     "rate", "increase", "delta", "irate", "idelta", "resets", "changes", "deriv",
     "sum_over_time", "avg_over_time", "min_over_time", "max_over_time",
     "count_over_time", "last_over_time", "stddev_over_time",
-    "present_over_time", "quantile_over_time", "predict_linear", "holt_winters")
+    "stdvar_over_time", "present_over_time", "quantile_over_time",
+    "predict_linear", "holt_winters")
   /** temporal fns evaluable over sliding [lookback:step] windows
     * (Temporal.rateSliding / overTimeAggsSliding). */
   private val slidingFns = Set(
@@ -540,6 +541,7 @@ object PromQL {
         case "count_over_time" => Temporal.overTimeAggs(in, unit).select(keep("count_v"): _*)
         case "last_over_time"  => Temporal.lastOverTime(in, unit)
         case "stddev_over_time" => Temporal.overTimeStddev(in, unit).select(keep("stddev_v"): _*)
+        case "stdvar_over_time" => Temporal.overTimeStddev(in, unit).select(keep("stdvar_v"): _*)
         case "present_over_time" => Temporal.presentOverTime(in, unit)
         case other => throw new ParseException(s"unknown temporal fn $other")
       }, unit)
@@ -647,6 +649,7 @@ object PromQL {
           case "max"      => max("value")
           case "count"    => count(lit(1)).cast("double")
           case "stddev"   => stddev_pop("value")
+          case "var"      => var_pop("value")
           case "quantile" => percentile(col("value"), lit(param.get))
           case other => throw new ParseException(s"unknown agg $other")
         }
