@@ -95,6 +95,25 @@ class PlanSpec extends SparkSpec {
       "bucketed scan should feed the rollup shuffle-free:\n" + p.take(2000))
   }
 
+  test("pql sliding rate is Expand-based, no step-alignment join") {
+    val p = plan("pql_rate_sliding")
+    assert(p.contains("Expand"), "sliding windows should Expand")
+    assert(!p.contains("Join"), "sliding rate must not join:\n" + p.take(1500))
+    // one shuffle for the per-series lag window; the window agg reuses
+    // that (name, user_id) distribution — subset rule
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2, s"expected ≤2 hash exchanges, got $exchanges")
+  }
+
+  test("graphite holt-winters folds per series in bounded shuffles") {
+    // consolidation groupBy + collect_list groupBy(path); the fold
+    // itself is a projection — no joins, no extra exchanges
+    val p = plan("gq_hw")
+    assert(!p.contains("Join"), "HW fold must not join:\n" + p.take(1500))
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2, s"expected ≤2 hash exchanges, got $exchanges")
+  }
+
   test("graphite series ranks never window over the full frame") {
     // Two-phase rank: the only Window nodes allowed are the
     // shard-local row_number (partitioned by _shard) and the

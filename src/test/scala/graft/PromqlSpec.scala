@@ -90,6 +90,23 @@ class PromqlSpec extends SparkSpec {
     intercept[ParseException](PromQL.parse("count_values(purchase)"))
   }
 
+  test("README example queries parse and evaluate") {
+    val samples = tsdb.Vectors.samples(Tables.events(spark, sf))
+    val qs = Seq(
+      """rate({name="purchase"}[1d:6h])""",
+      """histogram_quantile(0.9, {name="purchase"})""",
+      """{name="purchase"} / scalar(purchase{user_id="7"} @ 1704855600)""")
+    qs.foreach { q =>
+      assert(PromQL.query(samples, q).limit(1).count() >= 0, q)
+    }
+    val gq = graft.graphite.GraphiteParser.query(samples,
+      """holtWintersConfidenceBands(smartSummarize(events.purchase.*, "6h", "max"), 3)""")
+    assert(gq.limit(1).count() >= 0)
+    val mq = graft.m3ql.M3QL.query(samples,
+      "hot = fetch name:* | sum name; hot | > 100 | log10")
+    assert(mq.limit(1).count() >= 0)
+  }
+
   test("end-to-end: rate sum equals API composition") {
     val samples = tsdb.Vectors.samples(Tables.events(spark, sf))
     val viaPql = PromQL.query(samples,
