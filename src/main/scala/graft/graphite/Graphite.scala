@@ -261,14 +261,37 @@ object Graphite {
       .select("path", "sort_rank")
   }
 
-  /** Lexicographic rank of distinct paths, two-phase: shard by the
-    * leading path characters (order-preserving prefix), local
-    * row_number per shard, prefix-count offsets (≤ #prefixes rows,
-    * broadcast). Replaces the unpartitioned `Window.orderBy(path)`
-    * straggler. Returns (path, sort_rank). */
+  /** Lexicographic rank of distinct paths, two-phase: shard by an
+    * order-preserving character prefix, local row_number per shard,
+    * prefix-count offsets (≤ #prefixes rows, broadcast). Replaces
+    * the unpartitioned `Window.orderBy(path)` straggler.
+    *
+    * Graphite namespaces share a common root (`events.…`), so a
+    * naive leading-2-chars shard would put EVERY path in one shard —
+    * the straggler back by another name. The shard key is therefore
+    * the two characters AFTER the list-wide longest common prefix
+    * (one 1-row min/max aggregate, broadcast; the common prefix of
+    * the whole set equals the common prefix of its min and max).
+    * Returns (path, sort_rank). */
   private[graphite] def rankPaths(paths: DataFrame): DataFrame = {
-    val sharded = paths.select("path").distinct()
-      .withColumn("_shard", substring(col("path"), 0, 2))
+    val distinctPaths = paths.select("path").distinct()
+    val mm = distinctPaths.agg(min("path").as("_mn"), max("path").as("_mx"))
+      .withColumn("_cpl", {
+        // longest common prefix length of (_mn, _mx) — scalar fold:
+        // acc advances to i only while every prefix up to i matched
+        val upTo = least(length(col("_mn")), length(col("_mx")))
+        aggregate(
+          sequence(lit(1), greatest(upTo, lit(1))),
+          lit(0),
+          (acc, i) => when(
+            acc === i - 1 &&
+              col("_mn").substr(lit(1), i) === col("_mx").substr(lit(1), i),
+            i).otherwise(acc))
+      })
+    val sharded = distinctPaths.crossJoin(broadcast(
+        mm.select(col("_cpl"))))
+      .withColumn("_shard", substring2(col("path"), col("_cpl") + 1, 2))
+      .drop("_cpl")
     val wLocal = Window.partitionBy("_shard").orderBy(col("path").asc)
     val wPrefix = Window.orderBy("_shard")
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -281,6 +304,10 @@ object Graphite {
         (col("_offset") + row_number().over(wLocal)).cast("long"))
       .select("path", "sort_rank")
   }
+
+  /** substring with Column arguments. */
+  private def substring2(str: Column, pos: Column, len: Int): Column =
+    str.substr(pos, lit(len))
 
   /** Per-series reducer for the highest/lowest/sortBy family —
     * graphite's SeriesReducerApproach set (src/query/graphite/ts). */

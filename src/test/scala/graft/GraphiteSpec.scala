@@ -253,6 +253,20 @@ class GraphiteSpec extends SparkSpec {
     assert(ab.forall(_ == 0.0), "wide delta: everything inside the band")
   }
 
+  test("sortByName ranks correctly when every path shares a root") {
+    val s = spark
+    import s.implicits._
+    // 40 paths all under the same root: the prefix shard must come
+    // from AFTER the common prefix or everything lands in one shard
+    val paths = (0 until 40).map(i => (f"events.m$i%02d.user1", 0L, 1.0))
+    val ranked = Graphite.sortByName(paths.toDF("path", "bucket_s", "value"))
+      .select("path", "sort_rank").distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = paths.map(_._1).sorted.zipWithIndex
+      .map { case (p, i) => p -> (i + 1L) }.toMap
+    assert(ranked == expected)
+  }
+
   test("multi-series args union into one combine input") {
     import graft.graphite.GraphiteParser.{eval, parse}
     val sm = eval(parse("sumSeries(events.a.user1, events.b.user2)"), frame)
