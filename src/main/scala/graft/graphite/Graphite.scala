@@ -981,6 +981,12 @@ object Graphite {
     * cold on the frame (documented divergence: early points differ
     * until a season of state accumulates).
     *
+    * Scale note: the fold builds per-step output arrays, so cost is
+    * O(points²) per SERIES ROW in array copies. Like the reference —
+    * which only ever evaluates a render range plus one bootstrap
+    * week — feed it a bounded time window (timeSlice / summarize
+    * first), not a whole-retention scan.
+    *
     * Returns (path, bucket_s, value, pred_v, dev_v). */
   def hwAnalysis(df: DataFrame, stepS: Long = 3600L): DataFrame = {
     val season = (86400L / stepS).toInt

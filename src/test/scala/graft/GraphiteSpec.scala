@@ -267,6 +267,23 @@ class GraphiteSpec extends SparkSpec {
     assert(ranked == expected)
   }
 
+  test("aggregate dispatches the full combine-fn name set") {
+    import graft.graphite.GraphiteParser.{eval, parse}
+    def vals(q: String) = eval(parse(q), frame)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(vals("""aggregate(events.*.*, "range")""") ==
+      Map(0L -> 90.0, 3600L -> 35.0, 7200L -> 0.0))
+    assert(vals("""aggregate(events.*.*, "last")""") ==
+      Map(0L -> 100.0, 3600L -> 50.0, 7200L -> 12.0))
+    assert(vals("""aggregate(events.*.*, "median")""") ==
+      Map(0L -> 55.0, 3600L -> 32.5, 7200L -> 12.0))
+    assert(vals("""aggregate(events.*.*, "diff")""") ==
+      Map(0L -> -90.0, 3600L -> -35.0, 7200L -> 12.0))
+    // aggregateLine draws the reduced first series across the grid
+    assert(vals("""aggregateLine(events.a.user1, "max")""") ==
+      Map(0L -> 15.0, 3600L -> 15.0, 7200L -> 15.0))
+  }
+
   test("multi-series args union into one combine input") {
     import graft.graphite.GraphiteParser.{eval, parse}
     val sm = eval(parse("sumSeries(events.a.user1, events.b.user2)"), frame)
