@@ -136,6 +136,11 @@ object PipelineQueries {
       Similarity.cosineTopK(emb, emb.where(col("vec_id") < 10), 5)
         .orderBy("q_id", "rk")
     }),
+    "sim_pq_ann" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.pqAnn(emb, emb.where(col("vec_id") < 10), 5)
+        .orderBy("q_id", "rk")
+    }),
     "sim_ivf_ann" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.ivfAnn(emb, emb.where(col("vec_id") < 10), 5)
@@ -257,6 +262,38 @@ object PipelineQueries {
          |  FROM cands JOIN embeddings AS a ON a.vec_id = id_a
          |   JOIN embeddings AS b ON b.vec_id = id_b) AS s
          | WHERE cos > 0.40 ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
+    "sim_pq_ann" -> {
+      val js = (0 until 8).mkString("[", ", ", "]")
+      s"""WITH books AS (
+         |  SELECT row_number() OVER (PARTITION BY j ORDER BY vec_id) - 1 AS c, j,
+         |   list_slice(embedding::DOUBLE[], j * 8 + 1, (j + 1) * 8) AS w
+         |  FROM (SELECT vec_id, embedding FROM embeddings
+         |        ORDER BY vec_id LIMIT 64) AS seed
+         |  CROSS JOIN (SELECT unnest($js) AS j) AS jss),
+         | sv AS (SELECT vec_id, j,
+         |   list_slice(embedding::DOUBLE[], j * 8 + 1, (j + 1) * 8) AS s
+         |  FROM embeddings
+         |  CROSS JOIN (SELECT unnest($js) AS j) AS jss),
+         | enc AS (SELECT vec_id, j, c AS code FROM (
+         |  SELECT sv.vec_id, sv.j, b.c,
+         |   row_number() OVER (PARTITION BY sv.vec_id, sv.j ORDER BY
+         |    (list_dot_product(b.w, b.w)
+         |     - 2 * list_dot_product(sv.s, b.w)) ASC, b.c ASC) AS rn
+         |  FROM sv JOIN books AS b USING (j)) AS t WHERE rn = 1),
+         | qd AS (SELECT sv.vec_id AS q_id, sv.j, b.c,
+         |   (list_dot_product(sv.s, sv.s)
+         |    - 2 * list_dot_product(sv.s, b.w))
+         |   + list_dot_product(b.w, b.w) AS d
+         |  FROM sv JOIN books AS b USING (j) WHERE sv.vec_id < 10),
+         | scored AS (SELECT qd.q_id, e.vec_id AS c_id, sum(qd.d) AS adc
+         |  FROM enc AS e JOIN qd ON qd.j = e.j AND qd.c = e.code
+         |  WHERE e.vec_id <> qd.q_id
+         |  GROUP BY qd.q_id, e.vec_id)
+         | SELECT q_id, c_id, round(adc, 6) + 0.0 AS adc_v, rk FROM (
+         |  SELECT q_id, c_id, adc, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY adc ASC, c_id ASC) AS rk FROM scored) AS r
+         | WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin.replace("\n", " ")
+    },
     "sim_ivf_ann" ->
       s"""WITH cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci,
          |   embedding::DOUBLE[] AS cemb

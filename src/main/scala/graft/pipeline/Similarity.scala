@@ -174,6 +174,78 @@ object Similarity {
         col("rk").cast("long").as("rk"))
   }
 
+  /** Product-quantization ANN with asymmetric distance computation
+    * (ADC) — the memory-compression layer of billion-scale indexes
+    * (PQ per Jégou et al. / the FAISS IVF-PQ pattern): vectors split
+    * into `m` subspaces; each subvector is encoded as the index of
+    * its nearest codeword in a per-subspace codebook of `ks`
+    * entries, so a dim-float vector becomes m small codes. Queries
+    * never touch corpus vectors: per (query, subspace, codeword) the
+    * exact subspace distance is computed once, and each candidate
+    * scores as Σ_j dist[j][code_j] — m lookups per pair instead of a
+    * dim-length dot.
+    *
+    * The codebook is a FRAME (broadcast joined), not inlined
+    * literals: m·ks inline distance expressions blow past the JVM
+    * codegen method limit (the same plan-size explosion the LSH
+    * literal-array rewrite removed), while the join form is one
+    * codegen'd dot per ROW and swaps trained codebooks in without a
+    * plan change. Codewords are deterministic seeded selection (the
+    * subvectors of the first `ks` corpus vectors), like [[ivfAnn]]'s
+    * quantizer, so the oracle replays encoding exactly; ties break
+    * to the lowest codeword index.
+    *
+    * Scale: encoding = one broadcast join over m·N subvector rows →
+    * min_by per (vector, subspace); the scored relation carries only
+    * (id, code) pairs — the corpus' float payload stays in storage.
+    * Composes with [[ivfAnn]] cells (encode within cells, probe then
+    * ADC-score) for the full IVF-PQ shape. Distances are L2 (ADC's
+    * native metric); the spec measures recall against exact L2
+    * top-k. */
+  def pqAnn(corpus: DataFrame, queries: DataFrame, k: Int,
+            dim: Int = 64, m: Int = 8, ks: Int = 64): DataFrame = {
+    val sub = dim / m
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // bounded driver collect (ks rows) — same pattern as the IVF seed
+    val seed: Array[Seq[Double]] = corpus
+      .orderBy("vec_id").limit(ks)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq)
+    val bdf = (for (c <- 0 until ks; j <- 0 until m)
+      yield (c, j, seed(c).slice(j * sub, (j + 1) * sub)))
+      .toDF("c", "j", "w")
+    def subvecs(df: DataFrame, idAs: String): DataFrame =
+      (0 until m).map { j =>
+        df.select(col("vec_id").as(idAs), lit(j).as("j"),
+          slice(col("embedding").cast("array<double>"), j * sub + 1, sub)
+            .as("s"))
+      }.reduce(_ unionByName _)
+    // encode: argmin_c ‖x_j − c‖² = argmin_c (c·c − 2 x_j·c);
+    // min_by over (d, c) breaks ties to the lowest codeword
+    val enc = subvecs(corpus, "c_id").join(broadcast(bdf), "j")
+      .select(col("c_id"), col("j"), col("c"),
+        (dotNative(col("w"), col("w")) -
+          lit(2.0) * dotNative(col("s"), col("w"))).as("d"))
+      .groupBy("c_id", "j")
+      .agg(min_by(col("c"), struct(col("d"), col("c"))).as("code"))
+    // per-(query, subspace, codeword) exact distance table
+    val qd = subvecs(queries, "q_id").join(broadcast(bdf), "j")
+      .select(col("q_id"), col("j").as("qj"), col("c").as("qc"),
+        ((dotNative(col("s"), col("s")) -
+          lit(2.0) * dotNative(col("s"), col("w"))) +
+          dotNative(col("w"), col("w"))).as("d"))
+    val scored = enc.join(broadcast(qd),
+        col("j") === col("qj") && col("code") === col("qc"))
+      .where(col("q_id") =!= col("c_id"))
+      .groupBy("q_id", "c_id").agg(sum("d").as("adc"))
+    val w = Window.partitionBy("q_id").orderBy(col("adc").asc, col("c_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("q_id"), col("c_id"), round(col("adc"), 6).as("adc_v"),
+        col("rk").cast("long").as("rk"))
+  }
+
   /** LSH-blocked embedding near-duplicate pairs — the 100 TB path:
     * candidates are pairs sharing any table's hyperplane bucket
     * (per-bucket equi-join, never all-pairs), then exact cosine > τ

@@ -154,6 +154,33 @@ class PipelineSpec extends SparkSpec {
     assert(r(7L) == (7L, 1))
   }
 
+  test("PQ ANN recall vs exact L2 on real embeddings") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorExpressions.dotNative
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.where(col("vec_id") < 10)
+    val pq = Similarity.pqAnn(emb, queries, 5)
+      .select("q_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact L2 top-5 baseline
+    val q = emb.select(col("vec_id").as("q_id"),
+      col("embedding").cast("array<double>").as("qe")).where(col("q_id") < 10)
+    val c = emb.select(col("vec_id").as("c_id"),
+      col("embedding").cast("array<double>").as("ce"))
+    val l2 = c.crossJoin(broadcast(q)).where(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        (dotNative(col("qe"), col("qe")) -
+          lit(2.0) * dotNative(col("qe"), col("ce")) +
+          dotNative(col("ce"), col("ce"))).as("d"))
+    val w = Window.partitionBy("q_id").orderBy(col("d").asc, col("c_id").asc)
+    val exact = l2.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 5).select("q_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = pq.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.25,
+      f"PQ(ADC, seeded codebooks) recall@5 vs exact L2: $recall%.2f")
+  }
+
   test("IVF ANN recall vs brute force on real embeddings") {
     val emb = Tables.embeddings(spark, sf)
     val q = emb.where(col("vec_id") < 20)
