@@ -161,7 +161,21 @@ object GraphiteQueries {
         Vectors.samples(Tables.events(s, dir)),
         "cactiStyle(events.signup.user1?)")
         .select(col("path"), col("bucket_s"), round(col("value"), 6).as("value"))
-        .orderBy("path", "bucket_s"))
+        .orderBy("path", "bucket_s")),
+    // carbon line-protocol roundtrip: render every event as a
+    // plaintext `path value epoch` line, parse through the Carbon
+    // source, consolidate hourly — the oracle computes the same
+    // aggregate from the table directly (parse ∘ render = identity)
+    "gr_carbon" -> ((s, dir) => {
+      val lines = Vectors.samples(Tables.events(s, dir)).select(
+        format_string("%s %s %d",
+          concat(lit("events."), col("name"), lit(".user"), col("user_id")),
+          col("value"),
+          unix_timestamp(col("ts"))).as("line"))
+      graft.sources.Carbon.toPathFrame(graft.sources.Carbon.parse(lines))
+        .select(col("path"), col("bucket_s"), round(col("value"), 6).as("value"))
+        .orderBy("path", "bucket_s")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -413,6 +427,13 @@ object GraphiteQueries {
          |  ' Min:' || rpad(printf('%.2f', s.mn), CAST(w.wm AS INT), ' ') || ' ' AS path,
          |  f.bucket_s, round(f.value, 6) AS value
          | FROM f JOIN stats AS s USING (path) CROSS JOIN w
+         | ORDER BY path, bucket_s""".stripMargin.replace("\n", " "),
+    "gr_carbon" ->
+      s"""SELECT 'events.' || event_type || '.user' || CAST(user_id AS VARCHAR) AS path,
+         | CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_s,
+         | round(avg(value), 6) AS value
+         | FROM events
+         | GROUP BY path, CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT)
          | ORDER BY path, bucket_s""".stripMargin.replace("\n", " "),
     "gq_expr2" ->
       s"""WITH m AS (SELECT path, bucket_s,
