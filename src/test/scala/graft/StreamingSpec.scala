@@ -109,6 +109,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("carbon lines parse + consolidate under readStream") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[String]
+    // the same column algebra as batch: parse → filter → hourly agg,
+    // complete mode (consolidation is an unbounded-state aggregation;
+    // production would watermark on ts like Ingest.startToMemory)
+    val q = graft.sources.Carbon.toPathFrame(
+        graft.sources.Carbon.parse(mem.toDF().toDF("line")))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("carbon_stream_test").start()
+    try {
+      mem.addData(
+        "m.a 10 1704067200",
+        "m.a 20 1704067800",
+        "m.a garbage 1704067800")
+      q.processAllAvailable()
+      val rows = s.sql("SELECT * FROM carbon_stream_test").collect()
+        .map(r => r.getLong(1) -> r.getDouble(2)).toMap
+      assert(rows == Map(1704067200L -> 15.0))
+    } finally q.stop()
+  }
+
   test("counter tracking maintains cumulative + resets across batches") {
     val s = spark
     import s.implicits._
