@@ -256,7 +256,7 @@ object GraphiteQueries {
          |  WHERE regexp_matches(path, '^events\\.purchase\\.[^.]*$$')),
          | fp AS (SELECT min(path) AS f FROM p)
          | SELECT 'diffSeries' AS path, bucket_s,
-         |  round(sum(CASE WHEN p.path = fp.f THEN value ELSE -value END), 6) AS value
+         |  round(sum(CASE WHEN p.path = fp.f THEN value ELSE -value END), 6) + 0.0 AS value
          | FROM p CROSS JOIN fp GROUP BY bucket_s
          | ORDER BY bucket_s""".stripMargin.replace("\n", " "),
     "gr_spread" ->
