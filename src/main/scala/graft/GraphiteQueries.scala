@@ -162,6 +162,12 @@ object GraphiteQueries {
         "cactiStyle(events.signup.user1?)")
         .select(col("path"), col("bucket_s"), round(col("value"), 6).as("value"))
         .orderBy("path", "bucket_s")),
+    "gq_apply" -> ((s, dir) =>
+      graphite.GraphiteParser.query(
+        Vectors.samples(Tables.events(s, dir)),
+        """applyByNode(events.*.user1?, 1, "sumSeries(%.*)", "%.total")""")
+        .select(col("path"), col("bucket_s"), round(col("value"), 6).as("value"))
+        .orderBy("path", "bucket_s")),
     // carbon line-protocol roundtrip: render every event as a
     // plaintext `path value epoch` line, parse through the Carbon
     // source, consolidate hourly — the oracle computes the same
@@ -427,6 +433,11 @@ object GraphiteQueries {
          |  ' Min:' || rpad(printf('%.2f', s.mn), CAST(w.wm AS INT), ' ') || ' ' AS path,
          |  f.bucket_s, round(f.value, 6) AS value
          | FROM f JOIN stats AS s USING (path) CROSS JOIN w
+         | ORDER BY path, bucket_s""".stripMargin.replace("\n", " "),
+    "gq_apply" ->
+      s"""SELECT 'events.' || string_split(path, '.')[2] || '.total' AS path,
+         | bucket_s, round(sum(value), 6) AS value FROM ($PF) AS f
+         | GROUP BY string_split(path, '.')[2], bucket_s
          | ORDER BY path, bucket_s""".stripMargin.replace("\n", " "),
     "gr_carbon" ->
       s"""SELECT 'events.' || event_type || '.user' || CAST(user_id AS VARCHAR) AS path,

@@ -213,6 +213,33 @@ object GraphiteParser {
         case T(n) => n
         case other => throw new ParseException(s"cumulative needs a series arg: $other")
       }, Graphite.seriesFrame(samples, how = "sum"), samples)
+    // sub-target template evaluation: one evaluated target per
+    // distinct node prefix (aggregation_functions.go:538). The
+    // prefix set is a bounded driver collect, exactly the reference's
+    // in-memory prefix map — capped so a runaway-cardinality
+    // namespace fails loudly instead of building a 10⁶-branch plan.
+    case Call("applyByNode", args) =>
+      val in = one("applyByNode", args, base, samples)
+      val nodeNum = num("applyByNode", args, 1).toInt
+      val template = str("applyByNode", args, 2)
+      val newName = optStr(args, 3, "")
+      val maxPrefixes = 128
+      val parts = split(col("path"), "\\.")
+      val prefixes = in
+        .where(size(parts) > nodeNum + 1)
+        .select(concat_ws(".", slice(parts, 1, nodeNum + 1)).as("p"))
+        .distinct().orderBy("p").limit(maxPrefixes + 1)
+        .collect().map(_.getString(0))
+      if (prefixes.length > maxPrefixes)
+        throw new ParseException(
+          s"applyByNode: more than $maxPrefixes node prefixes")
+      if (prefixes.isEmpty)
+        throw new ParseException("applyByNode: no matching prefixes")
+      prefixes.map { p =>
+        val sub = eval(parse(template.replace("%", p)), base, samples)
+        if (newName.isEmpty) sub
+        else sub.withColumn("path", lit(newName.replace("%", p)))
+      }.reduce(_ unionByName _)
     case Call(fn, args) =>
       val in = one(fn, args, base, samples)
       fn match {

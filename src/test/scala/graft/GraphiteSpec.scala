@@ -284,6 +284,20 @@ class GraphiteSpec extends SparkSpec {
       Map(0L -> 15.0, 3600L -> 15.0, 7200L -> 15.0))
   }
 
+  test("applyByNode re-evaluates the template per node prefix") {
+    import graft.graphite.GraphiteParser.{eval, parse}
+    // prefixes of node 1: events.a, events.b → sum each subtree
+    val r = eval(parse(
+      """applyByNode(events.*.*, 1, "sumSeries(%.*)", "%.sum")"""), frame)
+      .collect().map(x => (x.getString(0), x.getLong(1)) -> x.getDouble(2)).toMap
+    assert(r(("events.a.sum", 0L)) == 10.0)
+    assert(r(("events.a.sum", 7200L)) == 12.0)
+    assert(r(("events.b.sum", 3600L)) == 50.0)
+    // series with too few segments contribute no prefix
+    intercept[graft.graphite.GraphiteParser.ParseException](
+      eval(parse("""applyByNode(events.*.*, 5, "sumSeries(%.*)")"""), frame))
+  }
+
   test("multi-series args union into one combine input") {
     import graft.graphite.GraphiteParser.{eval, parse}
     val sm = eval(parse("sumSeries(events.a.user1, events.b.user2)"), frame)
