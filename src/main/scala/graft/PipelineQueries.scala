@@ -136,6 +136,11 @@ object PipelineQueries {
       Similarity.cosineTopK(emb, emb.where(col("vec_id") < 10), 5)
         .orderBy("q_id", "rk")
     }),
+    "sim_int8_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.cosineTopKQuantized(emb, emb.where(col("vec_id") < 10), 5)
+        .orderBy("q_id", "rk")
+    }),
     "sim_pq_ann" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.pqAnn(emb, emb.where(col("vec_id") < 10), 5)
@@ -262,6 +267,24 @@ object PipelineQueries {
          |  FROM cands JOIN embeddings AS a ON a.vec_id = id_a
          |   JOIN embeddings AS b ON b.vec_id = id_b) AS s
          | WHERE cos > 0.40 ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
+    "sim_int8_topk" ->
+      s"""WITH codes AS (SELECT vec_id,
+         |  list_transform(embedding::DOUBLE[], x -> CAST(round(x /
+         |   (greatest(list_max(list_transform(embedding::DOUBLE[],
+         |     y -> abs(y))), 1e-30) / 127.0)) AS DOUBLE)) AS c
+         |  FROM embeddings)
+         | SELECT q_id, c_id, round(cos, 6) AS cos_v, rk FROM (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |   list_dot_product(q.c, c.c) /
+         |    (sqrt(list_dot_product(q.c, q.c)) *
+         |     sqrt(list_dot_product(c.c, c.c))) AS cos,
+         |   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |    list_dot_product(q.c, c.c) /
+         |     (sqrt(list_dot_product(q.c, q.c)) *
+         |      sqrt(list_dot_product(c.c, c.c))) DESC, c.vec_id ASC) AS rk
+         |  FROM codes AS q JOIN codes AS c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 10) AS t
+         | WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin.replace("\n", " "),
     "sim_pq_ann" -> {
       val js = (0 until 8).mkString("[", ", ", "]")
       s"""WITH books AS (

@@ -246,6 +246,55 @@ object Similarity {
         col("rk").cast("long").as("rk"))
   }
 
+  /** Symmetric int8 scalar quantization — the near-exact compression
+    * sibling of [[pqAnn]]: per-vector scale = max|v|/127, codes =
+    * round(v/scale) as tinyint. A float32 corpus shrinks 4× while
+    * dot products stay within ~1% — the standard serving-layer
+    * trade before PQ's lossier 32×. Returns
+    * (vec_id, q_scale float, codes array<tinyint>).
+    *
+    * The scale materializes into its own column BEFORE the encode
+    * lambda references it (an inlined array_max would re-evaluate
+    * per element — the HOF re-evaluation trap). */
+  def quantizeInt8(df: DataFrame): DataFrame = {
+    val embD = col("embedding").cast("array<double>")
+    df.select(col("vec_id"), embD.as("_e"))
+      .withColumn("q_scale",
+        greatest(aggregate(col("_e"), lit(0.0),
+          (acc, v) => greatest(acc, abs(v))), lit(1e-30)) / lit(127.0))
+      .select(col("vec_id"), col("q_scale").cast("float").as("q_scale"),
+        transform(col("_e"), v => round(v / col("q_scale"), 0).cast("tinyint"))
+          .as("codes"))
+  }
+
+  /** Cosine top-k over int8-quantized vectors:
+    * dot(a, b) ≈ scale_a·scale_b·Σ qa·qb, norms from the quantized
+    * self-dots — the whole scoring join carries only codes+scale,
+    * never the float payload. Spec bounds the cosine error and the
+    * top-k overlap vs the exact form. */
+  def cosineTopKQuantized(corpus: DataFrame, queries: DataFrame,
+                          k: Int): DataFrame = {
+    def prep(df: DataFrame, idAs: String, p: String): DataFrame =
+      quantizeInt8(df).select(
+        col("vec_id").as(idAs),
+        col("q_scale").as(s"${p}_scale"),
+        col("codes").cast("array<double>").as(s"${p}_codes"))
+        .withColumn(s"${p}_norm",
+          sqrt(dotNative(col(s"${p}_codes"), col(s"${p}_codes"))))
+    val q = prep(queries, "q_id", "q")
+    val c = prep(corpus, "c_id", "c")
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        (dotNative(col("q_codes"), col("c_codes")) /
+          (col("q_norm") * col("c_norm"))).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("q_id"), col("c_id"), round(col("cos"), 6).as("cos_v"),
+        col("rk").cast("long").as("rk"))
+  }
+
   /** LSH-blocked embedding near-duplicate pairs — the 100 TB path:
     * candidates are pairs sharing any table's hyperplane bucket
     * (per-bucket equi-join, never all-pairs), then exact cosine > τ

@@ -181,6 +181,37 @@ class PipelineSpec extends SparkSpec {
       f"PQ(ADC, seeded codebooks) recall@5 vs exact L2: $recall%.2f")
   }
 
+  test("int8 quantization: bounded error, near-exact top-k") {
+    val emb = Tables.embeddings(spark, sf)
+    // reconstruction error ≤ scale/2 per element by construction
+    val qz = Similarity.quantizeInt8(emb)
+    val maxErr = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("e"))
+      .join(qz, "vec_id")
+      .select(aggregate(
+        zip_with(col("e"),
+          zip_with(col("codes").cast("array<double>"),
+            array_repeat(col("q_scale").cast("double"), size(col("codes"))),
+            (c, s) => c * s),
+          (v, r) => abs(v - r)),
+        lit(0.0), (acc, x) => greatest(acc, x)).as("err"))
+      .agg(max("err")).collect()(0).getDouble(0)
+    val maxScale = qz.agg(max(col("q_scale").cast("double")))
+      .collect()(0).getDouble(0)
+    assert(maxErr <= maxScale / 2 + 1e-9,
+      s"per-element error $maxErr exceeds scale/2 bound")
+    // quantized cosine top-5 nearly matches the exact top-5
+    val queries = emb.where(col("vec_id") < 10)
+    val exact = Similarity.cosineTopK(emb, queries, 5)
+      .select("q_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.cosineTopKQuantized(emb, queries, 5)
+      .select("q_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = exact.intersect(approx).size.toDouble / exact.size
+    assert(overlap >= 0.85, s"int8 top-5 overlap $overlap too low")
+  }
+
   test("IVF ANN recall vs brute force on real embeddings") {
     val emb = Tables.embeddings(spark, sf)
     val q = emb.where(col("vec_id") < 20)
