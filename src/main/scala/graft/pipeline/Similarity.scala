@@ -203,7 +203,8 @@ object Similarity {
     * native metric); the spec measures recall against exact L2
     * top-k. */
   def pqAnn(corpus: DataFrame, queries: DataFrame, k: Int,
-            dim: Int = 64, m: Int = 8, ks: Int = 64): DataFrame = {
+            dim: Int = 64, m: Int = 8, ks: Int = 64,
+            refine: Int = 0): DataFrame = {
     val sub = dim / m
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -212,21 +213,49 @@ object Similarity {
       .orderBy("vec_id").limit(ks)
       .select("embedding").collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toSeq)
-    val bdf = (for (c <- 0 until ks; j <- 0 until m)
-      yield (c, j, seed(c).slice(j * sub, (j + 1) * sub)))
-      .toDF("c", "j", "w")
+    var books: Seq[(Int, Int, Seq[Double])] =
+      for (c <- 0 until ks; j <- 0 until m)
+        yield (c, j, seed(c).slice(j * sub, (j + 1) * sub))
+    var bdf = books.toDF("c", "j", "w")
     def subvecs(df: DataFrame, idAs: String): DataFrame =
       (0 until m).map { j =>
         df.select(col("vec_id").as(idAs), lit(j).as("j"),
           slice(col("embedding").cast("array<double>"), j * sub + 1, sub)
             .as("s"))
       }.reduce(_ unionByName _)
+    val cs = subvecs(corpus, "c_id")
     // encode: argmin_c ‖x_j − c‖² = argmin_c (c·c − 2 x_j·c);
     // min_by over (d, c) breaks ties to the lowest codeword
-    val enc = subvecs(corpus, "c_id").join(broadcast(bdf), "j")
-      .select(col("c_id"), col("j"), col("c"),
-        (dotNative(col("w"), col("w")) -
-          lit(2.0) * dotNative(col("s"), col("w"))).as("d"))
+    def assign(extra: Column*): DataFrame =
+      cs.join(broadcast(bdf), "j")
+        .select(Seq(col("c_id"), col("j"), col("c"),
+          (dotNative(col("w"), col("w")) -
+            lit(2.0) * dotNative(col("s"), col("w"))).as("d")) ++ extra: _*)
+    // optional Lloyd refinement: recompute each codeword as the
+    // element-wise mean of its assigned subvectors (empty cells keep
+    // their seed). The training hook — the oracle path runs refine=0
+    // with the deterministic seed; refined recall uplift is
+    // spec-measured. Each round is one assignment join + a bounded
+    // (m·ks·sub values) collect.
+    for (_ <- 0 until refine) {
+      val assigned = assign(col("s"))
+        .groupBy("c_id", "j")
+        .agg(min_by(struct(col("c"), col("s")),
+          struct(col("d"), col("c"))).as("a"))
+        .select(col("j"), col("a.c").as("c"),
+          posexplode(col("a.s")).as(Seq("pos", "v")))
+      val means = assigned.groupBy("j", "c", "pos").agg(avg("v").as("mv"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case (k2, rows) =>
+          k2 -> rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq
+        }
+      books = books.map { case (c, j, w0) =>
+        (c, j, means.getOrElse((j, c), w0))
+      }
+      bdf = books.toDF("c", "j", "w")
+    }
+    val enc = assign()
       .groupBy("c_id", "j")
       .agg(min_by(col("c"), struct(col("d"), col("c"))).as("code"))
     // per-(query, subspace, codeword) exact distance table

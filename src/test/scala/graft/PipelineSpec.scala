@@ -179,6 +179,14 @@ class PipelineSpec extends SparkSpec {
     val recall = pq.intersect(exact).size.toDouble / exact.size
     assert(recall >= 0.25,
       f"PQ(ADC, seeded codebooks) recall@5 vs exact L2: $recall%.2f")
+    // one Lloyd refinement of the codebook must not hurt — and
+    // typically lifts — recall (the training hook)
+    val refined = Similarity.pqAnn(emb, queries, 5, refine = 2)
+      .select("q_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recallR = refined.intersect(exact).size.toDouble / exact.size
+    assert(recallR >= recall,
+      f"refined recall $recallR%.2f below seeded $recall%.2f")
   }
 
   test("int8 quantization: bounded error, near-exact top-k") {
