@@ -76,8 +76,12 @@ object Corpus {
       throw new IllegalStateException(
         s"dupClusters did not converge in $maxIter rounds — " +
           "raise maxIter (rounds needed ≈ longest dup-chain diameter)")
+    // plain equi-join on doc_id: labels has one row per doc in any
+    // dup pair — at a realistic dup fraction that is O(corpus), far
+    // beyond broadcast size, so let AQE pick the strategy (sort-merge
+    // at scale, broadcast only when the dup graph is genuinely tiny)
     docs.select("doc_id")
-      .join(broadcast(labels), Seq("doc_id"), "left")
+      .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
       .withColumn("is_canonical", (col("doc_id") === col("cluster_id")).cast("int"))

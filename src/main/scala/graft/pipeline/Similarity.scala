@@ -217,12 +217,16 @@ object Similarity {
       for (c <- 0 until ks; j <- 0 until m)
         yield (c, j, seed(c).slice(j * sub, (j + 1) * sub))
     var bdf = books.toDF("c", "j", "w")
+    // ONE scan of the embedding column per relation: slice the vector
+    // into its m subvectors in a single projection and posexplode —
+    // the old m-way union re-read the corpus m times in the encode
+    // stage (m columnar scans where one suffices at 100 TB)
     def subvecs(df: DataFrame, idAs: String): DataFrame =
-      (0 until m).map { j =>
-        df.select(col("vec_id").as(idAs), lit(j).as("j"),
-          slice(col("embedding").cast("array<double>"), j * sub + 1, sub)
-            .as("s"))
-      }.reduce(_ unionByName _)
+      df.select(col("vec_id").as(idAs),
+          col("embedding").cast("array<double>").as("_e"))
+        .select(col(idAs),
+          posexplode(array((0 until m).map(j =>
+            slice(col("_e"), j * sub + 1, sub)): _*)).as(Seq("j", "s")))
     val cs = subvecs(corpus, "c_id")
     // encode: argmin_c ‖x_j − c‖² = argmin_c (c·c − 2 x_j·c);
     // min_by over (d, c) breaks ties to the lowest codeword

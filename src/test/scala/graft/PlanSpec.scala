@@ -114,6 +114,36 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 2, s"expected ≤2 hash exchanges, got $exchanges")
   }
 
+  test("pq encode scans the embedding corpus once, not m times") {
+    // subvecs is posexplode over an in-row array of m slices — the
+    // old m-way union produced m full scans of the embedding column.
+    // The whole sim_pq_ann plan may read the table at most twice:
+    // corpus encode + query distance table.
+    val scans = plan("sim_pq_ann").linesIterator
+      .count(l => l.contains("Scan parquet") && l.contains("embeddings"))
+    assert(scans <= 2, s"expected ≤2 embeddings scans, got $scans")
+  }
+
+  test("dup-cluster label join follows the broadcast threshold (not forced)") {
+    // The final labels→corpus join must be a plain equi-join whose
+    // strategy AQE picks by size: labels is O(docs-in-any-dup-pair),
+    // which at 100 TB dwarfs any broadcast budget. A forced
+    // broadcast() hint would override autoBroadcastJoinThreshold=-1 —
+    // so with the threshold disabled the join must sort-merge.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val df = SparkEntry.queries("corpus_clusters")(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastHashJoin"),
+        "label join is forced-broadcast (OOM at scale):\n" + p.take(2000))
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        "expected a shuffle join under threshold=-1:\n" + p.take(2000))
+    } finally spark.conf.set(key, old)
+  }
+
   test("graphite series ranks never window over the full frame") {
     // Two-phase rank: the only Window nodes allowed are the
     // shard-local row_number (partitioned by _shard) and the
