@@ -28,12 +28,26 @@ object Ingest {
   case class CounterUpdate(name: String, user_id: Long, cumulative: Double, resets: Int)
   private case class CounterState(last: Double, cumulative: Double, resets: Int)
 
+  /** Rank-error budget for streaming percentiles. m3aggregator's
+    * timer P50/P95/P99 come from a Cormode–Muthukrishnan quantile
+    * sketch with defaultEps = 1e-3
+    * (src/aggregator/aggregation/quantile/cm/{stream.go,options.go});
+    * Spark's `approx_percentile` is the Greenwald–Khanna sketch with
+    * rank error ≤ 1/accuracy, so accuracy = 1000 gives the same
+    * guarantee. Both sketches merge partials, which is exactly what
+    * watermarked streaming aggregation needs (sketch state lives in
+    * the state store per open window, flushed at window close — the
+    * same shape as m3aggregator's per-window stream + flush). */
+  val PercentileAccuracy = 1000
+
   /** Tumbling-window rollup over a (possibly streaming) sample
-    * frame: identical aggregate set to Downsample.rollup minus the
-    * order-dependent ones (streaming-safe: sum/count/min/max/avg).
-    * With `withWatermark(ts, lateness)` upstream this runs in
-    * append mode and flushes each window once the watermark passes
-    * its end. */
+    * frame: the m3 timer aggregate set — sum/count/min/max/avg plus
+    * sketch-backed P50/P95/P99 (m3aggregator timer.go keeps exactly
+    * these quantiles by default). With `withWatermark(ts, lateness)`
+    * upstream this runs in append mode and flushes each window once
+    * the watermark passes its end. Accuracy bound: |rank(reported) −
+    * rank(exact)| ≤ n/[[PercentileAccuracy]] per window, matching
+    * the reference sketch's eps=1e-3. */
   def windowedRollup(samples: DataFrame, windowLen: String = "1 hour",
                      lateness: String = "30 minutes"): DataFrame =
     samples
@@ -44,11 +58,15 @@ object Ingest {
         count(lit(1)).as("count_v"),
         min("value").as("min_v"),
         max("value").as("max_v"),
-        avg("value").as("avg_v"))
+        avg("value").as("avg_v"),
+        percentile_approx(col("value"), lit(0.5), lit(PercentileAccuracy)).as("p50_v"),
+        percentile_approx(col("value"), lit(0.95), lit(PercentileAccuracy)).as("p95_v"),
+        percentile_approx(col("value"), lit(0.99), lit(PercentileAccuracy)).as("p99_v"))
       .select(
         col("name"), col("user_id"),
         unix_timestamp(col("window.start")).as("bucket_s"),
-        col("sum_v"), col("count_v"), col("min_v"), col("max_v"), col("avg_v"))
+        col("sum_v"), col("count_v"), col("min_v"), col("max_v"), col("avg_v"),
+        col("p50_v"), col("p95_v"), col("p99_v"))
 
   /** Sliding-lookback streaming evaluation — the streaming analogue
     * of Temporal.overTimeAggsSliding (m3's step-aligned range
@@ -76,8 +94,10 @@ object Ingest {
     * shape; src/cmd/services/m3coordinator/downsample): each rule
     * filters its matched series via [[graft.tsdb.Fetch]] matchers,
     * windows at its own resolution, and the rules union into one
-    * long-format append stream. Streaming-safe aggregate set only
-    * (sum/count/min/max/avg). */
+    * long-format append stream. Aggregate set: sum/count/min/max/
+    * mean plus sketch-backed p50/p95/p99 (every m3 timer policy
+    * carries these — src/metrics/policy/ defaults; sketch semantics
+    * per [[PercentileAccuracy]]). */
   def ruleRollup(samples: DataFrame,
                  rules: Seq[graft.tsdb.Downsample.Rule],
                  lateness: String = "30 minutes"): DataFrame = {
@@ -94,8 +114,11 @@ object Ingest {
         case "min"   => min("value").as("min")
         case "max"   => max("value").as("max")
         case "mean"  => avg("value").as("mean")
+        case p @ ("p50" | "p95" | "p99") =>
+          val q = p.drop(1).toDouble / 100.0
+          percentile_approx(col("value"), lit(q), lit(PercentileAccuracy)).as(p)
         case a => throw new IllegalArgumentException(
-          s"agg $a not streaming-safe (allowed: sum count min max mean)")
+          s"agg $a not streaming-safe (allowed: sum count min max mean p50 p95 p99)")
       }
       val kv = r.aggs.flatMap(a => Seq(lit(a), col(a)))
       graft.tsdb.Fetch(samples, r.matchers)

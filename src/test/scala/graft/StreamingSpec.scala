@@ -54,6 +54,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed rollup flushes sketch percentiles per window") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[Ingest.Sample]
+    val q = Ingest.startToMemory(s, mem.toDF(), "pctl_test")
+    try {
+      // 1..100 spread inside the 00:00 window
+      mem.addData((1 to 100).map(i => Ingest.Sample("timer", 1L,
+        Timestamp.valueOf(f"2024-01-01 00:${(i - 1) % 60}%02d:00"), i.toDouble)): _*)
+      q.processAllAvailable()
+      mem.addData( // watermark past window end + lateness → flush
+        Ingest.Sample("timer", 1L, Timestamp.valueOf("2024-01-01 02:00:00"), 1.0))
+      q.processAllAvailable()
+      val r = s.sql("SELECT * FROM pctl_test WHERE bucket_s = 1704067200").collect()(0)
+      // accuracy=1000 ⇒ rank error ≤ n/1000 = 0.1 ⇒ exact at n=100
+      assert(math.abs(r.getAs[Double]("p50_v") - 50.0) <= 1.0)
+      assert(math.abs(r.getAs[Double]("p95_v") - 95.0) <= 1.0)
+      assert(math.abs(r.getAs[Double]("p99_v") - 99.0) <= 1.0)
+    } finally q.stop()
+  }
+
+  test("streaming sketch percentiles track batch-exact within the rank bound") {
+    val s = spark
+    import s.implicits._
+    // windowedRollup is the same column algebra in batch: run it over
+    // n=1000 skewed values and bound it against Downsample.rollup's
+    // exact percentile on identical data. eps = 1/1000 ⇒ rank error
+    // ≤ 1 ⇒ the sketch value sits within one order statistic of exact.
+    val vals = (1 to 1000).map(i => math.pow(i.toDouble, 1.7))
+    val samples = vals.zipWithIndex.map { case (v, i) =>
+      Ingest.Sample("timer", 1L,
+        Timestamp.valueOf(f"2024-01-01 00:${i % 60}%02d:${(i / 60) % 60}%02d"), v)
+    }.toDS().toDF()
+    val approx = Ingest.windowedRollup(samples).collect()(0)
+    val sorted = vals.sorted
+    for ((p, c) <- Seq(0.5 -> "p50_v", 0.95 -> "p95_v", 0.99 -> "p99_v")) {
+      val rank = math.ceil(p * 1000).toInt
+      // exact ±1 order statistic (rank error ≤ n·eps = 1)
+      val lo = sorted(math.max(rank - 2, 0))
+      val hi = sorted(math.min(rank, 999))
+      val got = approx.getAs[Double](c)
+      assert(got >= lo && got <= hi, s"$c=$got outside [$lo,$hi]")
+    }
+  }
+
   test("rule rollup applies per-rule matchers, resolutions and agg sets") {
     val s = spark
     import s.implicits._
@@ -61,7 +107,7 @@ class StreamingSpec extends SparkSpec {
     val rules = Seq(
       graft.tsdb.Downsample.Rule("clicks_hourly",
         Seq(graft.tsdb.Fetch.Matcher("name", graft.tsdb.Fetch.Eq, "click")),
-        "hour", Seq("sum", "count")),
+        "hour", Seq("sum", "count", "p95")),
       graft.tsdb.Downsample.Rule("all_daily",
         Seq(graft.tsdb.Fetch.Matcher("name", graft.tsdb.Fetch.Re, ".*")),
         "day", Seq("max")))
@@ -82,6 +128,7 @@ class StreamingSpec extends SparkSpec {
         .toSet
       assert(rows.contains(("clicks_hourly", "click", "sum", 5.0)))
       assert(rows.contains(("clicks_hourly", "click", "count", 1.0)))
+      assert(rows.contains(("clicks_hourly", "click", "p95", 5.0)))
       assert(rows.contains(("all_daily", "click", "max", 5.0)))
       assert(rows.contains(("all_daily", "buy", "max", 9.0)))
       assert(!rows.exists { case (rule, name, _, _) =>
