@@ -358,6 +358,18 @@ object TsdbQueries {
       graft.promql.PromQL.query(samples(s, dir),
         """{name="purchase"} @ 1704855600""")
         .orderBy("name", "user_id", "bucket_s")),
+    // @ start() / @ end(): the dataset-range instants (parse.go's
+    // at-modifier forms); `or` stitches the two pinned evaluations
+    "pql_at_edge" -> ((s, dir) =>
+      graft.promql.PromQL.query(samples(s, dir),
+        """{name="purchase"} @ end() or {name="purchase"} @ start()""")
+        .orderBy("name", "user_id", "bucket_s")),
+    // compound duration [1h30m] = 5400 s: epoch-aligned tumbling
+    // windows evaluated via the sliding (step == lookback) path
+    "pql_compound" -> ((s, dir) =>
+      graft.promql.PromQL.query(samples(s, dir),
+        """sum_over_time({name="click"}[1h30m])""")
+        .orderBy("name", "user_id", "bucket_s")),
     "pql_var" -> ((s, dir) =>
       graft.promql.PromQL.query(samples(s, dir),
         """var by (name) (stdvar_over_time({name="purchase"}[1d]) / 1000)""")
@@ -886,6 +898,25 @@ object TsdbQueries {
       s"""SELECT name, user_id, bucket_s, value FROM ($INST) AS i
          | WHERE name = 'purchase' AND bucket_s = 1704844800
          | ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),
+    "pql_at_edge" ->
+      s"""SELECT name, user_id, bucket_s, value FROM ($INST) AS i
+         | WHERE name = 'purchase' AND (
+         |  bucket_s = (SELECT CAST(floor(epoch(date_trunc('day', max(ts)))) AS BIGINT) FROM events)
+         |  OR bucket_s = (SELECT CAST(floor(epoch(date_trunc('day', min(ts)))) AS BIGINT) FROM events))
+         | ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),
+    "pql_compound" ->
+      s"""WITH g AS (SELECT unnest(generate_series(
+         |  CAST(floor(epoch(min(ts)) / 5400) * 5400 + 5400 AS BIGINT),
+         |  CAST(floor(epoch(max(ts)) / 5400) * 5400 + 5400 AS BIGINT),
+         |  5400)) AS bucket_s FROM events)
+         | SELECT s.name, s.user_id, g.bucket_s,
+         |  round(sum(s.value), 6) + 0.0 AS value
+         | FROM ($S) AS s JOIN g
+         |  ON floor(epoch(s.ts)) >= g.bucket_s - 5400
+         |  AND floor(epoch(s.ts)) < g.bucket_s
+         | WHERE s.name = 'click'
+         | GROUP BY s.name, s.user_id, g.bucket_s
+         | ORDER BY s.name, s.user_id, g.bucket_s""".stripMargin.replace("\n", " "),
     "pql_var" ->
       s"""SELECT name, bucket_s, round(var_pop(sv), 6) AS value
          | FROM (SELECT name, user_id, bucket_s,

@@ -40,12 +40,16 @@ import graft.tsdb.{Fetch, Temporal, Vectors}
   *                 days_in_month hour minute month year
   *   selector := metric? ("{" matcher ("," matcher)* "}")?
   *               ("[" dur "]" | "[" dur ":" dur "]")? ("offset" dur)?
+  *               ("@" (epoch | "start()" | "end()"))?
   *   matcher  := label ("="|"!="|"=~"|"!~") "quoted"
-  *   dur      := 1m 1h 1d 1w (tumbling resolution units); the
-  *               two-part "[lookback:step]" subquery-style form takes
-  *               arbitrary durations and evaluates SLIDING windows
-  *               (m3's range-query step semantics,
-  *               src/query/functions/temporal/base.go:133,166)
+  *   dur      := one or more duration tokens summed ("1h30m" = 5400s,
+  *               parse.go compound durations). A range equal to a
+  *               calendar unit (1m 1h 1d 1w) evaluates as tumbling
+  *               date_trunc buckets; any other total evaluates as
+  *               epoch-aligned sliding windows with step == lookback.
+  *               The two-part "[lookback:step]" subquery-style form
+  *               evaluates SLIDING windows (m3's range-query step
+  *               semantics, src/query/functions/temporal/base.go:133,166)
   * }}}
   *
   * Evaluation model: selectors filter the sample frame via [[Fetch]]
@@ -60,12 +64,20 @@ object PromQL {
 
   // ---------------- AST ----------------
   sealed trait Expr
+  /** `@` modifier target: a fixed epoch, or the query range's
+    * start/end (parse.go accepts `@ <ts>`, `@ start()`, `@ end()`;
+    * in this batch model start/end are the dataset's observed time
+    * range — the same convention as [[grid]]). */
+  sealed trait At
+  final case class AtEpoch(s: Long) extends At
+  case object AtStart extends At
+  case object AtEnd extends At
   final case class Selector(metric: Option[String],
                             matchers: Seq[Fetch.Matcher],
                             rangeUnit: Option[String],
                             offsetS: Long,
                             sliding: Option[(Long, Long)] = None,
-                            atS: Option[Long] = None) extends Expr
+                            at: Option[At] = None) extends Expr
   final case class Func(name: String, arg: Expr,
                         params: Seq[Double] = Nil,
                         sparams: Seq[String] = Nil) extends Expr
@@ -170,8 +182,9 @@ object PromQL {
       if (s.rangeUnit.isEmpty && s.sliding.isEmpty)
         throw new ParseException(s"$fn requires a range selector, e.g. x[1d]")
       if (s.sliding.isDefined && !slidingFns(fn))
-        throw new ParseException(s"$fn does not support [lookback:step] windows")
-      if (s.sliding.isDefined && s.atS.isDefined)
+        throw new ParseException(
+          s"$fn does not support [lookback:step] / compound-duration windows")
+      if (s.sliding.isDefined && s.at.isDefined)
         throw new ParseException("@ is not supported on sliding windows")
       if (!fnParams(fn).contains(ps.length) || !fnSParams(fn).contains(sps.length))
         throw new ParseException(s"$fn: wrong arity (${ps.length} nums, ${sps.length} strings)")
@@ -196,6 +209,10 @@ object PromQL {
       if ((s.rangeUnit.isDefined || s.sliding.isDefined) &&
         s.metric.isEmpty && s.matchers.isEmpty)
         throw new ParseException("range selector needs a metric or matchers")
+      if (s.sliding.isDefined)
+        throw new ParseException(
+          "a [lookback:step] / compound-duration range selector must be " +
+            "the argument of a temporal function")
     case NumLit(_) | TimeFn | VectorFn(_) =>
   }
 
@@ -406,31 +423,68 @@ object PromQL {
     var rangeUnit: Option[String] = None
     var sliding: Option[(Long, Long)] = None
     rest match {
-      case "[" :: d :: ":" :: st :: "]" :: r =>
-        sliding = Some((durSeconds(d), durSeconds(st))); rest = r
-      case "[" :: d :: "]" :: r => rangeUnit = Some(durUnit(d)); rest = r
+      case "[" :: r0 =>
+        val (lb, r1) = parseDur(r0)
+        r1 match {
+          case ":" :: r2 =>
+            val (st, r3) = parseDur(r2)
+            r3 match {
+              case "]" :: r4 => sliding = Some((lb, st)); rest = r4
+              case other => throw new ParseException(s"expected ] at $other")
+            }
+          case "]" :: r2 =>
+            // a range matching a calendar resolution evaluates as the
+            // tumbling date_trunc bucket; any other total (compound
+            // durations like [1h30m], multiples like [2h]) evaluates
+            // as sliding windows with step == lookback — the same
+            // epoch-aligned tumbling windows, arbitrary length
+            namedUnit(lb) match {
+              case Some(u) => rangeUnit = Some(u)
+              case None    => sliding = Some((lb, lb))
+            }
+            rest = r2
+          case other => throw new ParseException(s"expected ] or : at $other")
+        }
       case _ =>
     }
     var offsetS = 0L
-    var atS: Option[Long] = None
+    var at: Option[At] = None
     // offset and @ accepted in either order (PromQL allows both)
     var more = true
     while (more) rest match {
-      case "offset" :: d :: r => offsetS = durSeconds(d); rest = r
+      case "offset" :: (d :: _) if d.matches("""[0-9]+[smhdw]""") =>
+        val (s, r) = parseDur(rest.tail); offsetS = s; rest = r
       case "@" :: n :: r if isNumber(n) =>
-        atS = Some(n.toDouble.toLong); rest = r
+        at = Some(AtEpoch(n.toDouble.toLong)); rest = r
+      case "@" :: "start" :: "(" :: ")" :: r => at = Some(AtStart); rest = r
+      case "@" :: "end" :: "(" :: ")" :: r => at = Some(AtEnd); rest = r
       case _ => more = false
     }
-    (Selector(metric, matchers, rangeUnit, offsetS, sliding, atS), rest)
+    (Selector(metric, matchers, rangeUnit, offsetS, sliding, at), rest)
   }
 
-  private def durUnit(d: String): String = d match {
-    case "1m" => "minute"
-    case "1h" => "hour"
-    case "1d" => "day"
-    case "1w" => "week"
-    case _ => throw new ParseException(
-      s"unsupported range $d (tumbling units: 1m 1h 1d 1w)")
+  /** one-or-more duration tokens summed: `1h30m` tokenizes as
+    * `1h`,`30m` and parses to 5400 s (parse.go accepts compound
+    * durations everywhere a duration is legal). */
+  private def parseDur(ts: List[String]): (Long, List[String]) = {
+    var rest = ts
+    var total = 0L
+    var any = false
+    while (rest.headOption.exists(_.matches("""[0-9]+[smhdw]"""))) {
+      total += durSeconds(rest.head); rest = rest.tail; any = true
+    }
+    if (!any) throw new ParseException(s"expected duration at $ts")
+    (total, rest)
+  }
+
+  /** seconds → the calendar resolution unit of [[Vectors.bucketS]],
+    * when one matches exactly. */
+  private def namedUnit(secs: Long): Option[String] = secs match {
+    case 60L     => Some("minute")
+    case 3600L   => Some("hour")
+    case 86400L  => Some("day")
+    case 604800L => Some("week")
+    case _       => None
   }
 
   private def durSeconds(d: String): Long = {
@@ -467,12 +521,23 @@ object PromQL {
     samples.select(Vectors.bucketS("day")).distinct()
 
   /** `@ T`: keep only the instant bucket containing T (evaluated at
-    * the selector's resolution). */
-  private def atFilter(sel: Selector, df: DataFrame,
-                       unit: String): DataFrame =
-    sel.atS.fold(df) { t =>
-      df.where(col("bucket_s") ===
-        Vectors.bucketS(unit, timestamp_seconds(lit(t))))
+    * the selector's resolution). `@ start()` / `@ end()` resolve T
+    * to the dataset's observed time range (the batch analogue of the
+    * query range, like [[grid]]) — computed as a one-row aggregate
+    * joined in via broadcast, so nothing is collected to the driver
+    * and the filter stays fully distributed. */
+  private def atFilter(sel: Selector, df: DataFrame, unit: String,
+                       samples: DataFrame): DataFrame =
+    sel.at.fold(df) {
+      case AtEpoch(t) =>
+        df.where(col("bucket_s") ===
+          Vectors.bucketS(unit, timestamp_seconds(lit(t))))
+      case bound =>
+        val b = samples
+          .agg((if (bound == AtStart) min(col("ts")) else max(col("ts")))
+            .as("_at_ts"))
+          .select(Vectors.bucketS(unit, col("_at_ts")).as("_at_b"))
+        df.join(broadcast(b), col("bucket_s") === col("_at_b")).drop("_at_b")
     }
 
   private def evalExpr(e: Expr, samples: DataFrame): DataFrame = e match {
@@ -491,7 +556,7 @@ object PromQL {
       // analogue of PromQL's fixed evaluation timestamp)
       atFilter(sel,
         Vectors.instant(fetchFor(sel, samples), sel.rangeUnit.getOrElse("day")),
-        sel.rangeUnit.getOrElse("day"))
+        sel.rangeUnit.getOrElse("day"), samples)
 
     case Func(fn, sel: Selector, ps, _)
         if temporalFns(fn) && sel.sliding.isDefined =>
@@ -544,7 +609,7 @@ object PromQL {
         case "stdvar_over_time" => Temporal.overTimeStddev(in, unit).select(keep("stdvar_v"): _*)
         case "present_over_time" => Temporal.presentOverTime(in, unit)
         case other => throw new ParseException(s"unknown temporal fn $other")
-      }, unit)
+      }, unit, samples)
 
     // selector-consuming transforms (need samples, not an instant frame)
     case Func("timestamp", sel: Selector, _, _) =>

@@ -90,6 +90,32 @@ class PromqlSpec extends SparkSpec {
     intercept[ParseException](PromQL.parse("count_values(purchase)"))
   }
 
+  test("@ start()/end() and compound durations parse") {
+    assert(PromQL.parse("x @ end()") ==
+      Selector(Some("x"), Nil, None, 0L, at = Some(AtEnd)))
+    assert(PromQL.parse("x @ start()") ==
+      Selector(Some("x"), Nil, None, 0L, at = Some(AtStart)))
+    assert(PromQL.parse("x @ 1704855600") ==
+      Selector(Some("x"), Nil, None, 0L, at = Some(AtEpoch(1704855600L))))
+    // compound tumbling range → sliding with step == lookback
+    assert(PromQL.parse("sum_over_time(x[1h30m])") ==
+      Func("sum_over_time", Selector(Some("x"), Nil, None, 0L,
+        sliding = Some((5400L, 5400L)))))
+    // a compound total equal to a calendar unit stays tumbling
+    assert(PromQL.parse("sum_over_time(x[60m])") ==
+      Func("sum_over_time", Selector(Some("x"), Nil, Some("hour"), 0L)))
+    // compound durations in [lookback:step] and offset
+    assert(PromQL.parse("rate(x[1d12h:1h30m]) ") ==
+      Func("rate", Selector(Some("x"), Nil, None, 0L,
+        sliding = Some((129600L, 5400L)))))
+    assert(PromQL.parse("x offset 1d12h") ==
+      Selector(Some("x"), Nil, None, 129600L))
+    // a bare compound-range selector has no tumbling evaluation
+    intercept[ParseException](PromQL.parse("x[1h30m]"))
+    // quantile_over_time has no sliding form → compound range rejected
+    intercept[ParseException](PromQL.parse("quantile_over_time(0.5, x[1h30m])"))
+  }
+
   test("README example queries parse and evaluate") {
     val samples = tsdb.Vectors.samples(Tables.events(spark, sf))
     val qs = Seq(
