@@ -201,6 +201,15 @@ object PipelineQueries {
       Multimodal.extractFeatures(
         Multimodal.syntheticBmpMedia(Tables.documents(s, dir)))
         .select("media_id", "kind", "width", "height", "n_frames", "meta_bytes")
+        .orderBy("media_id")),
+    "mm_audio" -> ((s, dir) =>
+      // real end-to-end audio decode, same shape as mm_decode:
+      // genuine RIFF/WAVE bytes per doc, parsed back by the pure-JVM
+      // kernel; the oracle replays the doc_id-derived geometry
+      Multimodal.extractAudioFeatures(
+        Multimodal.syntheticWavMedia(Tables.documents(s, dir)))
+        .select("media_id", "n_channels", "sample_rate", "n_samples",
+          "duration_ms", "meta_bytes")
         .orderBy("media_id"))
   )
 
@@ -513,6 +522,16 @@ object PipelineQueries {
         | CAST(1 AS INT) AS n_frames,
         | CAST(54 + (((16 + doc_id % 64) * 3 + 3) // 4 * 4)
         |    * (16 + doc_id % 48) AS BIGINT) AS meta_bytes
+        | FROM documents ORDER BY media_id""".stripMargin.replace("\n", " "),
+    "mm_audio" ->
+      """SELECT doc_id AS media_id,
+        | CAST(1 + doc_id % 2 AS INT) AS n_channels,
+        | ([8000, 16000, 22050, 44100])[CAST(doc_id % 4 + 1 AS INT)] AS sample_rate,
+        | CAST(256 + doc_id % 1024 AS BIGINT) AS n_samples,
+        | CAST((256 + doc_id % 1024) * 1000
+        |   // ([8000, 16000, 22050, 44100])[CAST(doc_id % 4 + 1 AS INT)] AS BIGINT)
+        |   AS duration_ms,
+        | CAST(44 + (256 + doc_id % 1024) * (1 + doc_id % 2) * 2 AS BIGINT) AS meta_bytes
         | FROM documents ORDER BY media_id""".stripMargin.replace("\n", " ")
   )
 }

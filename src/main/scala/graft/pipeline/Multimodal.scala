@@ -8,13 +8,14 @@ import org.apache.spark.sql.types._
   * with typed metadata, plus the Spark-side plumbing for
   * decode/feature-extract stages.
   *
-  * The decode kernels themselves are STUBBED (this container has no
-  * image/audio libraries): [[decodeStub]] is a deterministic fake
-  * that "decodes" a payload to (width, height, n_frames) derived
-  * from its bytes. Everything around it — the schema, the batch
-  * iterator shape (mapPartitions over rows, the Scala analogue of
-  * the arrow-batched mapInPandas plumbing), partition sizing — is
-  * real and tested, so swapping a real decoder in is a one-function
+  * Image ([[decodeBmp]]) and audio ([[decodeWav]]) have REAL
+  * pure-JVM decode kernels (encode→parse roundtrip, no codec
+  * libraries needed); video decode is STUBBED ([[decodeStub]], a
+  * deterministic fake — this container has no video libraries).
+  * Everything around the kernels — the schema, the batch iterator
+  * shape (mapPartitions over rows, the Scala analogue of the
+  * arrow-batched mapInPandas plumbing), partition sizing — is real
+  * and tested, so swapping a further decoder in is a one-function
   * change.
   *
   * Scale posture: payloads are opaque and *never* shuffled — feature
@@ -47,10 +48,10 @@ object Multimodal {
   }
 
   /** STUB decode kernel: deterministic fake features from payload
-    * bytes. A real deployment replaces the body with an image/audio
-    * decode (the signature and batching stay identical). Kept for
-    * the audio/video kinds; the image kind has a REAL decoder —
-    * [[decodeBmp]]. */
+    * bytes. A real deployment replaces the body with a codec call
+    * (the signature and batching stay identical). Kept for the video
+    * kind; image and audio have REAL decoders — [[decodeBmp]] and
+    * [[decodeWav]]. */
   def decodeStub(payload: Array[Byte]): (Int, Int, Int) = {
     val n = payload.length
     val s = payload.foldLeft(17)((a, b) => a * 31 + (b & 0xff)) & 0x7fffffff
@@ -121,6 +122,99 @@ object Multimodal {
       val payload = encodeBmp(w, h, id)
       (id, "image", payload, "bmp24", payload.length.toLong)
     }.toDF("media_id", "kind", "payload", "meta_codec", "meta_bytes")
+  }
+
+  // ---- real audio kernel: WAV/PCM16 (pure JVM, no codec libraries) ----
+
+  /** Write a real, well-formed RIFF/WAVE file: RIFF header (12 B) +
+    * canonical "fmt " PCM chunk (24 B) + "data" chunk header (8 B) +
+    * 16-bit little-endian samples of deterministic xorshift noise. */
+  def encodeWav(nChannels: Int, sampleRate: Int, nSamples: Int,
+                seed: Long): Array[Byte] = {
+    val dataSize = nSamples * nChannels * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+    buf.put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+    buf.putInt(16)                                   // PCM fmt chunk size
+    buf.putShort(1)                                  // audio format: PCM
+    buf.putShort(nChannels.toShort)
+    buf.putInt(sampleRate)
+    buf.putInt(sampleRate * nChannels * 2)           // byte rate
+    buf.putShort((nChannels * 2).toShort)            // block align
+    buf.putShort(16)                                 // bits per sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var s = seed | 1L
+    while (buf.hasRemaining) {
+      s ^= s << 13; s ^= s >>> 7; s ^= s << 17
+      buf.put((s >>> 56).toByte)
+    }
+    buf.array()
+  }
+
+  /** REAL audio decode: parse the RIFF/WAVE headers from the payload
+    * bytes (canonical chunk layout) — magic, PCM fmt fields, data
+    * size — cross-checking block-align/byte-rate consistency and
+    * that the sample data is present. Returns (nChannels,
+    * sampleRate, nSamples); malformed input throws. */
+  def decodeWav(payload: Array[Byte]): (Int, Int, Long) = {
+    def ascii(off: Int, s: String): Boolean =
+      s.indices.forall(i => payload(off + i) == s.charAt(i).toByte)
+    require(payload.length >= 44 && ascii(0, "RIFF") && ascii(8, "WAVE"),
+      "not a WAV payload")
+    val buf = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(ascii(12, "fmt ") && buf.getInt(16) == 16,
+      "missing canonical PCM fmt chunk")
+    require(buf.getShort(20) == 1, "not PCM audio")
+    val nCh = buf.getShort(22).toInt
+    val rate = buf.getInt(24)
+    val bits = buf.getShort(34).toInt
+    require(nCh > 0 && rate > 0 && bits == 16, "bad WAV geometry")
+    require(buf.getShort(32).toInt == nCh * 2, "inconsistent block align")
+    require(buf.getInt(28) == rate * nCh * 2, "inconsistent byte rate")
+    require(ascii(36, "data"), "missing data chunk")
+    val dataSize = buf.getInt(40)
+    require(dataSize >= 0 && payload.length >= 44 + dataSize &&
+      dataSize % (nCh * 2) == 0, "truncated WAV sample data")
+    (nCh, rate, dataSize.toLong / (nCh * 2))
+  }
+
+  /** Synthetic media table whose audio payloads are REAL encoded
+    * WAVs (geometry derived from doc_id, so an oracle can replay the
+    * expected decode output without parsing bytes). */
+  def syntheticWavMedia(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val nCh = 1 + (id % 2).toInt
+      val rate = Array(8000, 16000, 22050, 44100)((id % 4).toInt)
+      val n = 256 + (id % 1024).toInt
+      val payload = encodeWav(nCh, rate, n, id)
+      (id, "audio", payload, "pcm_s16le", payload.length.toLong)
+    }.toDF("media_id", "kind", "payload", "meta_codec", "meta_bytes")
+  }
+
+  /** Typed rows leaving the audio decode stage. */
+  final case class AudioFeatures(media_id: Long, n_channels: Int,
+                                 sample_rate: Int, n_samples: Long,
+                                 duration_ms: Long, meta_bytes: Long)
+
+  /** Audio feature extraction: the same per-partition iterator shape
+    * as [[extractFeatures]], with the REAL WAV kernel; duration is
+    * derived feature math (floor ms) on the decoded geometry. */
+  def extractAudioFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "kind", "payload", "meta_bytes").as[MediaIn]
+      .mapPartitions { rows =>
+        rows.map { m =>
+          val (nCh, rate, n) = decodeWav(m.payload)
+          AudioFeatures(m.media_id, nCh, rate, n,
+            n * 1000L / rate, m.meta_bytes)
+        }
+      }
+      .toDF()
   }
 
   /** Typed rows entering / leaving the decode stage. */

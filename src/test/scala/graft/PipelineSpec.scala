@@ -282,6 +282,22 @@ class PipelineSpec extends SparkSpec {
       Multimodal.decodeBmp(bytes.take(100))) // truncated pixel array
   }
 
+  test("WAV kernel: encode→decode roundtrip, malformed input rejected") {
+    import graft.pipeline.Multimodal
+    val bytes = Multimodal.encodeWav(2, 44100, 300, seed = 42L)
+    // 44-byte headers + 300 samples * 2 ch * 2 B
+    assert(bytes.length == 44 + 300 * 2 * 2)
+    assert(Multimodal.decodeWav(bytes) == ((2, 44100, 300L)))
+    // same geometry, different seed → same decode, different samples
+    val other = Multimodal.encodeWav(2, 44100, 300, seed = 7L)
+    assert(Multimodal.decodeWav(other) == ((2, 44100, 300L)))
+    assert(!java.util.Arrays.equals(bytes, other))
+    intercept[IllegalArgumentException](
+      Multimodal.decodeWav("not audio at all, nope".getBytes ++ new Array[Byte](44)))
+    intercept[IllegalArgumentException](
+      Multimodal.decodeWav(bytes.take(100))) // truncated sample data
+  }
+
   test("multimodal: stub decode is deterministic, plumbing intact") {
     val media = Multimodal.syntheticMedia(Tables.documents(spark, sf).limit(20))
     val f1 = Multimodal.extractFeatures(media).collect()
