@@ -39,7 +39,15 @@ object Bench {
     // triggers the idempotent write)
     SparkEntry.queries("store_rollup")(spark, sfDir)
     val errors = mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional CSV name filter (args) + repeat count (env) for
+    // profiling a family in steady state; the driver passes neither
+    val filter = args.headOption.map(_.split(",").toSet)
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => filter.forall(_.contains(n)) }
+    val results = (1 to repeat).flatMap(r => selected.map {
+      case (n, fn) => (if (repeat > 1) s"$n#$r" else n) -> fn
+    }).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
