@@ -71,6 +71,19 @@ object TsdbQueries {
         .select(col("name"), col("user_id"),
           unix_timestamp(col("ts")).as("ts_s"), col("value"), col("event_id"))
         .orderBy("event_id")),
+    "ts_fetch_restrict" -> ((s, dir) =>
+      // deployment-level RestrictByTag: the caller asks for purchase
+      // events of even-numbered users, but the restrict option
+      // OVERRIDES the same-label name matcher to view|cart and strips
+      // the name tag from the response (default strip set)
+      Fetch.withOptions(samples(s, dir),
+        Seq(Fetch.Matcher("name", Fetch.Eq, "purchase"),
+          Fetch.Matcher("user_id", Fetch.Re, "[0-9]*[02468]")),
+        Fetch.RestrictByTag(Seq(Fetch.Matcher("name", Fetch.Re, "view|cart"))),
+        startS = Some(1704067200L), endS = Some(1705276800L))
+        .select(col("user_id"), unix_timestamp(col("ts")).as("ts_s"),
+          col("value"), col("event_id"))
+        .orderBy("event_id")),
 
     // ---- §2A across-series aggregation --------------------------------
     "ts_agg_by" -> ((s, dir) =>
@@ -452,6 +465,14 @@ object TsdbQueries {
          | WHERE regexp_full_match(name, '(pur|cli).*')
          |  AND NOT regexp_full_match(name, 'cl.*k')
          |  AND user_id <> 7
+         | ORDER BY event_id""".stripMargin.replace("\n", " "),
+    "ts_fetch_restrict" ->
+      s"""SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, value, event_id
+         | FROM ($S) AS s
+         | WHERE regexp_full_match(CAST(user_id AS VARCHAR), '[0-9]*[02468]')
+         |  AND regexp_full_match(name, 'view|cart')
+         |  AND floor(epoch(ts)) >= 1704067200
+         |  AND floor(epoch(ts)) < 1705276800
          | ORDER BY event_id""".stripMargin.replace("\n", " "),
     "ts_agg_by" ->
       s"""SELECT name, bucket_s, round(sum(value), 6) AS sum_v, min(value) AS min_v,

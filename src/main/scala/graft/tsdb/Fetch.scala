@@ -60,6 +60,46 @@ object Fetch {
     }
   }
 
+  /** Restrict-by-tag fetch options (reference:
+    * src/query/storage/restrict_query_options.go:207-216
+    * `RestrictByTag{Restrict, Strip}`): `restrict` matchers are
+    * *override* matchers — a caller matcher on the same label is
+    * dropped and the restrict matcher applied instead
+    * (WithAppliedOptions, restrict_query_options.go:130-172);
+    * `strip` is the set of tag names removed from the response,
+    * defaulting to every restricted label when unset
+    * (GetFilterByNames, restrict_query_options.go:109-126). Used by
+    * m3 deployments to pin fetches to a tenant/cluster tag and hide
+    * that tag from results. */
+  final case class RestrictByTag(restrict: Seq[Matcher],
+                                 strip: Seq[String] = Nil) {
+    def stripNames: Seq[String] =
+      if (strip.nonEmpty) strip else restrict.map(_.label)
+  }
+
+  /** Merge caller matchers with restrict overrides: same-label
+    * caller matchers are overridden (dropped), restrict matchers
+    * appended — the n² loop of WithAppliedOptions as set algebra. */
+  def mergeRestrict(matchers: Seq[Matcher], r: RestrictByTag): Seq[Matcher] = {
+    val overridden = r.restrict.map(_.label).toSet
+    matchers.filterNot(m => overridden.contains(m.label)) ++ r.restrict
+  }
+
+  /** Fetch under restrict-by-tag options: the merged matcher set is
+    * applied, then the strip names are dropped from the response —
+    * the tags-as-columns analogue of `Tags.TagsWithoutKeys`
+    * (api/v1/handler/prometheus/common.go:591-607
+    * FilterSeriesByOptions). Dropping a column never adds a plan
+    * node beyond the projection already present, so the scale
+    * posture of `apply` (single pushed-down Filter) is unchanged. */
+  def withOptions(samples: DataFrame, matchers: Seq[Matcher],
+                  options: RestrictByTag,
+                  startS: Option[Long] = None, endS: Option[Long] = None,
+                  offsetS: Long = 0L): DataFrame =
+    apply(samples, mergeRestrict(matchers, options), startS, endS, offsetS)
+      .drop(options.stripNames
+        .map(l => if (l == "__name__") "name" else l): _*)
+
   /** Apply a matcher conjunction + optional [startS, endS) epoch
     * range + offset to a sample frame (labels…, ts, value, …). */
   def apply(samples: DataFrame, matchers: Seq[Matcher],

@@ -164,6 +164,27 @@ class TsdbSpec extends SparkSpec {
     assert(r.getAs[Double]("hq_v") == 50.0) // rank 5 = all of bucket 1
   }
 
+  test("restrict-by-tag overrides same-label matchers and strips tags") {
+    import Fetch.{Matcher, Eq, Re, RestrictByTag}
+    val caller = Seq(Matcher("name", Eq, "purchase"), Matcher("user_id", Eq, "7"))
+    val r = RestrictByTag(Seq(Matcher("name", Re, "view|cart")))
+    // same-label caller matcher dropped, restrict matcher appended
+    assert(Fetch.mergeRestrict(caller, r) ==
+      Seq(Matcher("user_id", Eq, "7"), Matcher("name", Re, "view|cart")))
+    // strip defaults to the restricted labels; explicit strip wins
+    assert(r.stripNames == Seq("name"))
+    assert(RestrictByTag(r.restrict, strip = Seq("user_id")).stripNames ==
+      Seq("user_id"))
+    // end-to-end: restricted fetch returns only view|cart rows and
+    // the name column is gone from the response
+    val out = Fetch.withOptions(Vectors.samples(Tables.events(spark, sf)),
+      caller.take(1), r)
+    assert(!out.columns.contains("name"))
+    val kept = Fetch(Vectors.samples(Tables.events(spark, sf)),
+      Seq(Matcher("name", Re, "view|cart")))
+    assert(out.count() == kept.count() && out.count() > 0)
+  }
+
   test("downsample multi-res: coarse tier composes from fine tier") {
     val fineCoarse = Downsample.multiResolution(
       Vectors.samples(Tables.events(spark, sf)))
