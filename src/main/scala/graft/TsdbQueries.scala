@@ -84,6 +84,21 @@ object TsdbQueries {
         .select(col("user_id"), unix_timestamp(col("ts")).as("ts_s"),
           col("value"), col("event_id"))
         .orderBy("event_id")),
+    "ts_complete_tags" -> ((s, dir) =>
+      // the /labels search surface: distinct (tag_name, tag_value)
+      // pairs of series matching name=~(pur|si).* in January
+      Fetch.completeTags(samples(s, dir),
+        Seq(Fetch.Matcher("name", Fetch.Re, "(pur|si).*")),
+        labelCols = Seq("name", "user_id"),
+        startS = Some(1704067200L), endS = Some(1706745600L))
+        .orderBy("tag_name", "tag_value")),
+    "ts_label_values" -> ((s, dir) =>
+      // label-values endpoint = completeTags filtered to one name
+      Fetch.completeTags(samples(s, dir),
+        Seq(Fetch.Matcher("user_id", Fetch.Re, "[0-9]")),
+        labelCols = Seq("name", "user_id"),
+        filterNames = Seq("name"))
+        .orderBy("tag_name", "tag_value")),
 
     // ---- §2A across-series aggregation --------------------------------
     "ts_agg_by" -> ((s, dir) =>
@@ -474,6 +489,23 @@ object TsdbQueries {
          |  AND floor(epoch(ts)) >= 1704067200
          |  AND floor(epoch(ts)) < 1705276800
          | ORDER BY event_id""".stripMargin.replace("\n", " "),
+    "ts_complete_tags" ->
+      s"""SELECT DISTINCT tag_name, tag_value FROM (
+         | SELECT 'name' AS tag_name, name AS tag_value FROM ($S) AS s1
+         |  WHERE regexp_full_match(name, '(pur|si).*')
+         |   AND floor(epoch(ts)) >= 1704067200 AND floor(epoch(ts)) < 1706745600
+         | UNION ALL
+         | SELECT 'user_id' AS tag_name, CAST(user_id AS VARCHAR) AS tag_value
+         |  FROM ($S) AS s2
+         |  WHERE regexp_full_match(name, '(pur|si).*')
+         |   AND floor(epoch(ts)) >= 1704067200 AND floor(epoch(ts)) < 1706745600
+         | ) AS u WHERE tag_value IS NOT NULL
+         | ORDER BY tag_name, tag_value""".stripMargin.replace("\n", " "),
+    "ts_label_values" ->
+      s"""SELECT DISTINCT 'name' AS tag_name, name AS tag_value FROM ($S) AS s
+         | WHERE regexp_full_match(CAST(user_id AS VARCHAR), '[0-9]')
+         |  AND name IS NOT NULL
+         | ORDER BY tag_name, tag_value""".stripMargin.replace("\n", " "),
     "ts_agg_by" ->
       s"""SELECT name, bucket_s, round(sum(value), 6) AS sum_v, min(value) AS min_v,
          | max(value) AS max_v, round(avg(value), 6) AS avg_v, count(*) AS count_v

@@ -100,6 +100,43 @@ object Fetch {
       .drop(options.stripNames
         .map(l => if (l == "__name__") "name" else l): _*)
 
+  /** Tag completion — the search surface behind m3's `/labels` and
+    * label-values endpoints (reference: src/query/storage/types.go:300
+    * `CompleteTagsQuery{CompleteNameOnly, FilterNameTags,
+    * TagMatchers, Start, End}`): after applying the matcher
+    * conjunction and time range, enumerate the distinct
+    * (tag_name, tag_value) pairs over the label columns —
+    * or just the tag names when `nameOnly`. `filterNames` keeps only
+    * the listed tags (label-values = completeTags filtered to one
+    * name, api/v1/handler/label_values.go).
+    *
+    * Scale: unpivot is a per-row explode (no shuffle); the single
+    * shuffle is the distinct, which partial-aggregates map-side —
+    * at 100 TB the exchange carries only the tag cardinality, not
+    * the samples. */
+  def completeTags(samples: DataFrame, matchers: Seq[Matcher],
+                   labelCols: Seq[String],
+                   nameOnly: Boolean = false,
+                   filterNames: Seq[String] = Nil,
+                   startS: Option[Long] = None,
+                   endS: Option[Long] = None): DataFrame = {
+    val names =
+      if (filterNames.nonEmpty) labelCols.filter(filterNames.contains)
+      else labelCols
+    require(names.nonEmpty, "no label columns left after FilterNameTags")
+    val fetched = apply(samples, matchers, startS, endS)
+    // m3 reports a name only when present on ≥1 matching series: a
+    // NULL label value models an absent tag, so filter it out before
+    // the distinct in both modes
+    val pairs = fetched.select(explode(array(names.map(n =>
+      struct(lit(n).as("tag_name"),
+        col(n).cast("string").as("tag_value"))): _*)).as("t"))
+      .select(col("t.tag_name"), col("t.tag_value"))
+      .where(col("tag_value").isNotNull)
+    if (nameOnly) pairs.select("tag_name").distinct()
+    else pairs.distinct()
+  }
+
   /** Apply a matcher conjunction + optional [startS, endS) epoch
     * range + offset to a sample frame (labels…, ts, value, …). */
   def apply(samples: DataFrame, matchers: Seq[Matcher],

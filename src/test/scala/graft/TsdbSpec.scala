@@ -185,6 +185,20 @@ class TsdbSpec extends SparkSpec {
     assert(out.count() == kept.count() && out.count() > 0)
   }
 
+  test("completeTags: nameOnly mode and FilterNameTags") {
+    import Fetch.{Matcher, Eq}
+    val s = Vectors.samples(Tables.events(spark, sf))
+    val nameOnly = Fetch.completeTags(s, Seq(Matcher("name", Eq, "view")),
+      labelCols = Seq("name", "user_id"), nameOnly = true)
+    assert(nameOnly.columns.toSeq == Seq("tag_name"))
+    assert(nameOnly.collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("name", "user_id"))
+    val filtered = Fetch.completeTags(s, Nil,
+      labelCols = Seq("name", "user_id"), filterNames = Seq("user_id"))
+    assert(filtered.select("tag_name").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("user_id"))
+  }
+
   test("downsample multi-res: coarse tier composes from fine tier") {
     val fineCoarse = Downsample.multiResolution(
       Vectors.samples(Tables.events(spark, sf)))
