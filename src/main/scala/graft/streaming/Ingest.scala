@@ -41,13 +41,21 @@ object Ingest {
   val PercentileAccuracy = 1000
 
   /** Tumbling-window rollup over a (possibly streaming) sample
-    * frame: the m3 timer aggregate set — sum/count/min/max/avg plus
-    * sketch-backed P50/P95/P99 (m3aggregator timer.go keeps exactly
-    * these quantiles by default). With `withWatermark(ts, lateness)`
-    * upstream this runs in append mode and flushes each window once
-    * the watermark passes its end. Accuracy bound: |rank(reported) −
-    * rank(exact)| ≤ n/[[PercentileAccuracy]] per window, matching
-    * the reference sketch's eps=1e-3. */
+    * frame: the FULL m3 aggregation-type set
+    * (src/metrics/aggregation/type.go:34-42 — Last, Min, Max, Mean,
+    * Median, Count, Sum, SumSq, Stdev, plus timer P50/P95/P99) in
+    * one pass. Every member is a streaming-safe declarative
+    * aggregate: `last_v` is latest-by-event-time (max_by, the gauge
+    * Last semantics of aggregation/gauge.go:75-80), `stdev_v`
+    * replays the reference's exact sumSq formula
+    * (aggregation/common.go:28-35: √((n·sumSq − sum²)/(n(n−1))),
+    * 0 when n ≤ 1; clamped at 0 against float cancellation), and
+    * median is P50 (type.go:221 dedups them). With
+    * `withWatermark(ts, lateness)` upstream this runs in append mode
+    * and flushes each window once the watermark passes its end.
+    * Percentile accuracy bound: |rank(reported) − rank(exact)| ≤
+    * n/[[PercentileAccuracy]] per window, matching the reference
+    * sketch's eps=1e-3. */
   def windowedRollup(samples: DataFrame, windowLen: String = "1 hour",
                      lateness: String = "30 minutes"): DataFrame =
     samples
@@ -59,6 +67,8 @@ object Ingest {
         min("value").as("min_v"),
         max("value").as("max_v"),
         avg("value").as("avg_v"),
+        max_by(col("value"), col("ts")).as("last_v"),
+        sum(col("value") * col("value")).as("sumsq_v"),
         percentile_approx(col("value"), lit(0.5), lit(PercentileAccuracy)).as("p50_v"),
         percentile_approx(col("value"), lit(0.95), lit(PercentileAccuracy)).as("p95_v"),
         percentile_approx(col("value"), lit(0.99), lit(PercentileAccuracy)).as("p99_v"))
@@ -66,6 +76,12 @@ object Ingest {
         col("name"), col("user_id"),
         unix_timestamp(col("window.start")).as("bucket_s"),
         col("sum_v"), col("count_v"), col("min_v"), col("max_v"), col("avg_v"),
+        col("last_v"), col("sumsq_v"),
+        when(col("count_v") > 1,
+          sqrt(greatest(lit(0.0),
+            (col("count_v") * col("sumsq_v") - col("sum_v") * col("sum_v")) /
+              (col("count_v") * (col("count_v") - 1)))))
+          .otherwise(lit(0.0)).as("stdev_v"),
         col("p50_v"), col("p95_v"), col("p99_v"))
 
   /** Sliding-lookback streaming evaluation — the streaming analogue
@@ -114,11 +130,17 @@ object Ingest {
         case "min"   => min("value").as("min")
         case "max"   => max("value").as("max")
         case "mean"  => avg("value").as("mean")
-        case p @ ("p50" | "p95" | "p99") =>
-          val q = p.drop(1).toDouble / 100.0
+        case "last"  => max_by(col("value"), col("ts")).as("last")
+        case "sum_sq" => sum(col("value") * col("value")).as("sum_sq")
+        // sample stdev (aggregation/common.go stdev, n≤1 → 0):
+        // stddev_samp is the numerically-stable central-moments form
+        case "stdev" => coalesce(stddev_samp(col("value")), lit(0.0)).as("stdev")
+        case p @ ("p50" | "p95" | "p99" | "median") =>
+          val q = if (p == "median") 0.5 else p.drop(1).toDouble / 100.0
           percentile_approx(col("value"), lit(q), lit(PercentileAccuracy)).as(p)
         case a => throw new IllegalArgumentException(
-          s"agg $a not streaming-safe (allowed: sum count min max mean p50 p95 p99)")
+          s"agg $a not streaming-safe (allowed: sum count min max mean " +
+            "last sum_sq stdev median p50 p95 p99)")
       }
       val kv = r.aggs.flatMap(a => Seq(lit(a), col(a)))
       graft.tsdb.Fetch(samples, r.matchers)

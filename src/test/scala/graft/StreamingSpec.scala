@@ -27,6 +27,41 @@ class StreamingSpec extends SparkSpec {
       assert(r.getAs[Double]("sum_v") == 12.0)
       assert(r.getAs[Long]("count_v") == 2L)
       assert(r.getAs[Long]("bucket_s") == 1704067200L)
+      // full m3 aggregation-type set: Last = latest by event time,
+      // SumSq, Stdev via the reference's sumSq formula
+      assert(r.getAs[Double]("last_v") == 7.0)
+      assert(r.getAs[Double]("sumsq_v") == 74.0) // 25 + 49
+      // sample stdev of {5,7} = √2
+      assert(math.abs(r.getAs[Double]("stdev_v") - math.sqrt(2.0)) < 1e-9)
+    } finally q.stop()
+  }
+
+  test("stdev/last/median rule aggregates flush per window") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val rules = Seq(graft.tsdb.Downsample.Rule("timers_hourly",
+      Seq(graft.tsdb.Fetch.Matcher("name", graft.tsdb.Fetch.Eq, "timer")),
+      "hour", Seq("last", "sum_sq", "stdev", "median")))
+    val mem = MemoryStream[Ingest.Sample]
+    val q = Ingest.ruleRollup(mem.toDF(), rules)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stdev_rule_test").start()
+    try {
+      mem.addData(
+        Ingest.Sample("timer", 1L, Timestamp.valueOf("2024-01-01 00:10:00"), 3.0),
+        Ingest.Sample("timer", 1L, Timestamp.valueOf("2024-01-01 00:20:00"), 9.0))
+      q.processAllAvailable()
+      mem.addData(
+        Ingest.Sample("timer", 1L, Timestamp.valueOf("2024-01-01 02:00:00"), 1.0))
+      q.processAllAvailable()
+      val got = s.sql(
+        "SELECT agg, value FROM stdev_rule_test WHERE bucket_s = 1704067200")
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(got("last") == 9.0)
+      assert(got("sum_sq") == 90.0)
+      assert(math.abs(got("stdev") - math.sqrt(18.0)) < 1e-9) // samp stdev {3,9}
+      assert(got("median") == 3.0 || got("median") == 9.0)
     } finally q.stop()
   }
 
