@@ -168,6 +168,14 @@ object GraphiteQueries {
         """applyByNode(events.*.user1?, 1, "sumSeries(%.*)", "%.total")""")
         .select(col("path"), col("bucket_s"), round(col("value"), 6).as("value"))
         .orderBy("path", "bucket_s")),
+    "gq_find" -> ((s, dir) =>
+      // /metrics/find expanding the 2nd level: the event-name nodes,
+      // all expandable (user leaves hang below), none terminal
+      Graphite.metricsFind(frame(s, dir), "events.*").orderBy("id")),
+    "gq_find_leaf" -> ((s, dir) =>
+      // expanding the leaf level under one subtree: user1/10..19
+      Graphite.metricsFind(frame(s, dir), "events.purchase.user1?")
+        .orderBy("id")),
     // carbon line-protocol roundtrip: render every event as a
     // plaintext `path value epoch` line, parse through the Carbon
     // source, consolidate hourly — the oracle computes the same
@@ -439,6 +447,24 @@ object GraphiteQueries {
          | bucket_s, round(sum(value), 6) AS value FROM ($PF) AS f
          | GROUP BY string_split(path, '.')[2], bucket_s
          | ORDER BY path, bucket_s""".stripMargin.replace("\n", " "),
+    "gq_find" ->
+      s"""SELECT id, text, CAST(max(leaf) AS INT) AS is_leaf,
+         | CAST(max(1 - leaf) AS INT) AS has_children FROM (
+         | SELECT array_to_string(string_split(path, '.')[1:2], '.') AS id,
+         |  string_split(path, '.')[2] AS text,
+         |  CASE WHEN len(string_split(path, '.')) = 2 THEN 1 ELSE 0 END AS leaf
+         | FROM (SELECT DISTINCT path FROM ($PF) AS f) AS p
+         | WHERE regexp_matches(path, '^events\\.[^.]*(\\..*)?$$')
+         | ) AS u GROUP BY id, text ORDER BY id""".stripMargin.replace("\n", " "),
+    "gq_find_leaf" ->
+      s"""SELECT id, text, CAST(max(leaf) AS INT) AS is_leaf,
+         | CAST(max(1 - leaf) AS INT) AS has_children FROM (
+         | SELECT array_to_string(string_split(path, '.')[1:3], '.') AS id,
+         |  string_split(path, '.')[3] AS text,
+         |  CASE WHEN len(string_split(path, '.')) = 3 THEN 1 ELSE 0 END AS leaf
+         | FROM (SELECT DISTINCT path FROM ($PF) AS f) AS p
+         | WHERE regexp_matches(path, '^events\\.purchase\\.user1[^.](\\..*)?$$')
+         | ) AS u GROUP BY id, text ORDER BY id""".stripMargin.replace("\n", " "),
     "gr_carbon" ->
       s"""SELECT 'events.' || event_type || '.user' || CAST(user_id AS VARCHAR) AS path,
          | CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_s,

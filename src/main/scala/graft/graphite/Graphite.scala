@@ -1093,4 +1093,34 @@ object Graphite {
         .when(lower.isNotNull && col("value") < lower, col("value") - lower)
         .otherwise(lit(0.0)).as("value"))
   }
+
+  /** The /metrics/find path-tree expansion (reference:
+    * api/v1/handler/graphite/find.go + find_parser.go — the
+    * terminated + child CompleteTags query pair): given a dot-glob
+    * `query` with N components, expand the N-th path level of the
+    * series tree. One row per distinct N-component prefix whose
+    * first N segments match the glob, flagged `is_leaf` (some series
+    * terminates exactly there — find_parser.go's terminatedQuery)
+    * and `has_children` (some series continues below — childQuery,
+    * the matcher cloned with MatchField on the last component). Both
+    * flags can be 1 (graphite's includeBothExpandableAndLeaf).
+    *
+    * Scale: glob filter is a pushdown-friendly rlike over the path
+    * column; the only shuffle is the distinct-prefix aggregation,
+    * carrying tree-node cardinality, not samples. */
+  def metricsFind(df: DataFrame, query: String): DataFrame = {
+    val n = query.split("\\.", -1).length
+    val glob = query.split("\\.", -1)
+      .map(_.replace("*", "[^.]*").replace("?", "[^.]")).mkString("\\.")
+    val seg = split(col("path"), "\\.")
+    df.select("path").distinct()
+      .where(col("path").rlike(s"^$glob(\\..*)?$$"))
+      .select(
+        array_join(slice(seg, 1, n), ".").as("id"),
+        element_at(seg, n).as("text"),
+        (size(seg) === n).cast("int").as("_leaf"))
+      .groupBy("id", "text")
+      .agg(max(col("_leaf")).as("is_leaf"),
+        max(lit(1) - col("_leaf")).as("has_children"))
+  }
 }

@@ -307,4 +307,22 @@ class GraphiteSpec extends SparkSpec {
       .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
     assert(df == Map(0L -> -90.0, 3600L -> -35.0, 7200L -> 12.0))
   }
+
+  test("metricsFind flags nodes that are both leaf and expandable") {
+    val s = spark
+    import s.implicits._
+    // a node can terminate a series AND have children below it
+    val mixed = Seq(
+      ("svc.api", 0L, 1.0),          // leaf at level 2
+      ("svc.api.latency", 0L, 2.0),  // …and expandable
+      ("svc.db.conns", 0L, 3.0))     // expandable only
+      .toDF("path", "bucket_s", "value")
+    val r = graft.graphite.Graphite.metricsFind(mixed, "svc.*").collect()
+      .map(x => x.getAs[String]("id") ->
+        (x.getAs[Int]("is_leaf"), x.getAs[Int]("has_children"))).toMap
+    assert(r == Map("svc.api" -> ((1, 1)), "svc.db" -> ((0, 1))))
+    // glob constrains the expanded level, segments match whole parts
+    val one = graft.graphite.Graphite.metricsFind(mixed, "svc.a*").collect()
+    assert(one.map(_.getAs[String]("text")).toSeq == Seq("api"))
+  }
 }
