@@ -99,6 +99,16 @@ object TsdbQueries {
         labelCols = Seq("name", "user_id"),
         filterNames = Seq("name"))
         .orderBy("tag_name", "tag_value")),
+    "ts_series_match" -> ((s, dir) =>
+      // /series with two match[] sets, unioned then deduped
+      Fetch.seriesMatch(samples(s, dir),
+        Seq(
+          Seq(Fetch.Matcher("name", Fetch.Eq, "purchase")),
+          Seq(Fetch.Matcher("name", Fetch.Re, "cl.*"),
+            Fetch.Matcher("user_id", Fetch.Re, "[0-9]*[02468]"))),
+        labelCols = Seq("name", "user_id"),
+        startS = Some(1704067200L), endS = Some(1706745600L))
+        .orderBy("name", "user_id")),
 
     // ---- §2A across-series aggregation --------------------------------
     "ts_agg_by" -> ((s, dir) =>
@@ -506,6 +516,17 @@ object TsdbQueries {
          | WHERE regexp_full_match(CAST(user_id AS VARCHAR), '[0-9]')
          |  AND name IS NOT NULL
          | ORDER BY tag_name, tag_value""".stripMargin.replace("\n", " "),
+    "ts_series_match" ->
+      s"""SELECT DISTINCT name, user_id FROM (
+         | SELECT name, user_id FROM ($S) AS s1
+         |  WHERE name = 'purchase'
+         |   AND floor(epoch(ts)) >= 1704067200 AND floor(epoch(ts)) < 1706745600
+         | UNION ALL
+         | SELECT name, user_id FROM ($S) AS s2
+         |  WHERE regexp_full_match(name, 'cl.*')
+         |   AND regexp_full_match(CAST(user_id AS VARCHAR), '[0-9]*[02468]')
+         |   AND floor(epoch(ts)) >= 1704067200 AND floor(epoch(ts)) < 1706745600
+         | ) AS u ORDER BY name, user_id""".stripMargin.replace("\n", " "),
     "ts_agg_by" ->
       s"""SELECT name, bucket_s, round(sum(value), 6) AS sum_v, min(value) AS min_v,
          | max(value) AS max_v, round(avg(value), 6) AS avg_v, count(*) AS count_v

@@ -137,6 +137,28 @@ object Fetch {
     else pairs.distinct()
   }
 
+  /** Series match — the /series endpoint (reference:
+    * src/query/storage/types.go:315 `SeriesMatchQuery{TagMatchers,
+    * Start, End}` via api/v1/handler/prometheus/remote/match.go):
+    * one matcher conjunction per `match[]` request parameter, the
+    * per-set results unioned; returns the distinct label sets of
+    * matching series.
+    *
+    * Scale: each set is a pushed-down fetch filter; the union is
+    * plan-level (no shuffle) and the single exchange is the
+    * distinct over series cardinality. */
+  def seriesMatch(samples: DataFrame, matcherSets: Seq[Seq[Matcher]],
+                  labelCols: Seq[String],
+                  startS: Option[Long] = None,
+                  endS: Option[Long] = None): DataFrame = {
+    require(matcherSets.nonEmpty, "at least one match[] set required")
+    matcherSets
+      .map(ms => apply(samples, ms, startS, endS)
+        .select(labelCols.map(col): _*))
+      .reduce(_ unionByName _)
+      .distinct()
+  }
+
   /** Apply a matcher conjunction + optional [startS, endS) epoch
     * range + offset to a sample frame (labels…, ts, value, …). */
   def apply(samples: DataFrame, matchers: Seq[Matcher],
