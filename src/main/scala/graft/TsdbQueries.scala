@@ -463,6 +463,13 @@ object TsdbQueries {
     "ds_multi_res" -> ((s, dir) =>
       Downsample.multiResolution(samples(s, dir))
         .orderBy("resolution", "name", "user_id", "bucket_s")),
+    "ds_restrict_type" -> ((s, dir) =>
+      // RestrictByType pinned to the aggregated 1d tier with a 21-day
+      // retention as of a fixed evaluation time — only buckets inside
+      // the policy's retention window belong to the namespace
+      Downsample.restrictByType(samples(s, dir),
+        Downsample.Aggregated("1d", 21L * 86400L), nowS = 1706745600L)
+        .orderBy("name", "user_id", "bucket_s")),
     "ds_rules" -> ((s, dir) =>
       Downsample.rollupRules(samples(s, dir), Seq(
         Downsample.Rule("purchases_hourly",
@@ -1154,6 +1161,24 @@ object TsdbQueries {
          |  max(max_v) AS max_v, round(sum(sum_v) / sum(count_v), 6) AS mean_v
          | FROM ($fine) AS f GROUP BY name, user_id, CAST(floor(bucket_s / 86400) AS BIGINT) * 86400
          |) AS u ORDER BY resolution, name, user_id, bucket_s""".stripMargin.replace("\n", " ")
+    },
+    "ds_restrict_type" -> {
+      val fine =
+        """SELECT name, user_id, bucket_s, sum(value) AS sum_v, count(*) AS count_v,
+          | min(value) AS min_v, max(value) AS max_v
+          | FROM (SELECT event_type AS name, user_id, value,
+          |  CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_s FROM events) AS s
+          | GROUP BY name, user_id, bucket_s""".stripMargin.replace("\n", " ")
+      s"""SELECT * FROM (
+         | SELECT name, user_id, '1d' AS resolution,
+         |  CAST(floor(bucket_s / 86400) AS BIGINT) * 86400 AS bucket_s,
+         |  round(sum(sum_v), 6) AS sum_v, CAST(sum(count_v) AS BIGINT) AS count_v,
+         |  min(min_v) AS min_v, max(max_v) AS max_v,
+         |  round(sum(sum_v) / sum(count_v), 6) AS mean_v
+         |  FROM ($fine) AS f
+         |  GROUP BY name, user_id, CAST(floor(bucket_s / 86400) AS BIGINT) * 86400
+         |) AS d WHERE bucket_s >= 1706745600 - 21 * 86400
+         | ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " ")
     }
   )
 }

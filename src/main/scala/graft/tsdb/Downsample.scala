@@ -116,4 +116,33 @@ object Downsample {
           round(col("sum_v") / col("count_v"), 6).as("mean_v")): _*)
     fineOut.unionByName(coarse)
   }
+
+  /** Metric-type restriction — the other half of m3's
+    * RestrictQueryOptions (reference: src/query/storage/types.go:197
+    * `RestrictByType{MetricsType, StoragePolicy}`, resolved to one
+    * cluster namespace by storage/m3/cluster_resolver.go:148-152
+    * instead of the default coverage-based fanout). `Unaggregated`
+    * reads the raw sample frame; `Aggregated(resolution,
+    * retentionS)` pins the fetch to that tier of the multi-res
+    * stack, with the policy retention enforced as a time floor
+    * (buckets older than now − retention are outside the namespace).
+    *
+    * Scale: the resolution filter prunes the tier union at plan time
+    * (both sides of the multi-res union carry a literal resolution,
+    * so Catalyst folds the non-matching branch to an empty scan);
+    * the retention bound prunes time partitions. */
+  sealed trait MetricsType
+  case object Unaggregated extends MetricsType
+  final case class Aggregated(resolution: String, retentionS: Long)
+    extends MetricsType
+
+  def restrictByType(samples: DataFrame, restrict: MetricsType, nowS: Long,
+                     labelCols: Seq[String] = Vectors.labels): DataFrame =
+    restrict match {
+      case Unaggregated => samples
+      case Aggregated(res, retS) =>
+        multiResolution(samples, labelCols)
+          .where(col("resolution") === res &&
+            col("bucket_s") >= lit(nowS - retS))
+    }
 }
