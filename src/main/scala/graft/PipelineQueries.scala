@@ -172,6 +172,13 @@ object PipelineQueries {
     }),
     "corpus_length_buckets" -> ((s, dir) =>
       Corpus.lengthBuckets(Tables.documents(s, dir)).orderBy("doc_id")),
+    "corpus_source_report" -> ((s, dir) =>
+      Corpus.sourceReport(Tables.documents(s, dir)).orderBy("source")),
+    "sim_knn_label" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.knnClassify(emb, emb.where(col("vec_id") < 10), 5)
+        .orderBy("q_id")
+    }),
     "corpus_decontam" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Corpus.decontaminate(docs, docs.where(col("doc_id") < 25), 0.5)
@@ -464,6 +471,49 @@ object PipelineQueries {
          |  FROM (SELECT doc_id, lang, string_split_regex(lower(text), '\\s+') AS ws
          |        FROM documents) AS t) AS sc ORDER BY doc_id""".stripMargin.replace("\n", " ")
     },
+    "corpus_source_report" -> {
+      val allSw = TextAnalysis.stopwords.values.flatten.toSeq.distinct
+        .map(s => s"'$s'").mkString(", ")
+      val langs = Seq("en", "de", "fr", "es")
+      val lists = langs.map { l =>
+        val sw = TextAnalysis.stopwords(l).map(s => s"'$s'").mkString(", ")
+        s"len(list_filter(ws, x -> list_contains([$sw], x)))::DOUBLE / len(ws) AS score_$l"
+      }.mkString(", ")
+      s"""WITH base AS (SELECT doc_id, source, text,
+         |  string_split_regex(lower(text), '\\s+') AS ws FROM documents),
+         | q AS (SELECT doc_id, round((least(length(text)::DOUBLE / 500.0, 1.0)
+         |   + len(list_distinct(ws))::DOUBLE / len(ws)
+         |   + least(len(list_filter(ws, x -> list_contains([$allSw], x)))::DOUBLE
+         |       / len(ws) * 4, 1.0)) / 3.0, 6) AS quality_score FROM base),
+         | e AS (SELECT doc_id, row_number() OVER (PARTITION BY md5(text)
+         |   ORDER BY doc_id) AS dup_rank FROM documents),
+         | sc AS (SELECT doc_id, $lists FROM base),
+         | l AS (SELECT doc_id,
+         |  CASE WHEN greatest(score_en, score_de, score_fr, score_es) <= 0 THEN 'und'
+         |   WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en'
+         |   WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'
+         |   WHEN score_fr >= score_es THEN 'fr' ELSE 'es' END AS pred_lang FROM sc)
+         | SELECT base.source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN e.dup_rank > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+         |  round(avg(q.quality_score), 6) AS mean_quality,
+         |  CAST(sum(CASE WHEN l.pred_lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en_docs
+         | FROM base JOIN q USING (doc_id) JOIN e USING (doc_id) JOIN l USING (doc_id)
+         | GROUP BY base.source ORDER BY base.source""".stripMargin.replace("\n", " ")
+    },
+    "sim_knn_label" ->
+      s"""SELECT q_id, label AS pred_label, votes FROM (
+         | SELECT q_id, label, votes, row_number() OVER (PARTITION BY q_id
+         |   ORDER BY votes DESC, label ASC) AS vrk FROM (
+         |  SELECT nn.q_id, lbl.label, count(*) AS votes FROM (
+         |   SELECT q_id, c_id FROM (
+         |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |     row_number() OVER (PARTITION BY q.vec_id
+         |       ORDER BY ${cosSql("q", "c")} DESC, c.vec_id ASC) AS rk
+         |    FROM embeddings AS q JOIN embeddings AS c ON q.vec_id <> c.vec_id
+         |    WHERE q.vec_id < 10) AS t WHERE rk <= 5) AS nn
+         |  JOIN embeddings AS lbl ON lbl.vec_id = nn.c_id
+         |  GROUP BY nn.q_id, lbl.label) AS v) AS w
+         | WHERE vrk = 1 ORDER BY q_id""".stripMargin.replace("\n", " "),
     "text_quality" -> {
       val allSw = TextAnalysis.stopwords.values.flatten.toSeq.distinct
         .map(s => s"'$s'").mkString(", ")

@@ -106,6 +106,27 @@ object Corpus {
           col("is_canonical") === 1).cast("int"))
   }
 
+  /** Per-source corpus audit — the "dataset card" aggregation every
+    * curation pipeline publishes: for each ingest source, document
+    * count, exact-duplicate count, mean quality score and
+    * detected-English count. Composes the verified per-doc operators
+    * (quality, exact dedup, language-ID), joined on doc_id — one
+    * shuffle key through the composition, then a final tiny
+    * aggregation keyed by source. */
+  def sourceReport(docs: DataFrame): DataFrame = {
+    val q = TextAnalysis.quality(docs).select(col("doc_id"), col("quality_score"))
+    val e = Dedup.exact(docs).select(col("doc_id"), col("dup_rank"))
+    val l = TextAnalysis.languageId(docs).select(col("doc_id"), col("pred_lang"))
+    docs.select("doc_id", "source")
+      .join(q, "doc_id").join(e, "doc_id").join(l, "doc_id")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum((col("dup_rank") > 1).cast("long")).as("dup_docs"),
+        round(avg("quality_score"), 6).as("mean_quality"),
+        sum((col("pred_lang") === "en").cast("long")).as("en_docs"))
+  }
+
   /** Deterministic train/val/test split by content-independent hash
     * of the doc id — stable across runs and engines (md5 of the id's
     * decimal rendering), weights in percent. */

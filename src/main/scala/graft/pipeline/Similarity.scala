@@ -59,6 +59,30 @@ object Similarity {
         col("rk").cast("long").as("rk"))
   }
 
+  /** kNN label classification — classification-by-retrieval over an
+    * embedding corpus (the standard label-propagation / probe step
+    * in embedding pipelines): each query's top-k cosine neighbors
+    * vote with their `label`; majority wins, ties break to the
+    * lowest label id (deterministic, oracle-replayable). Swap
+    * [[cosineTopK]] for any ANN variant emitting (q_id, c_id) to
+    * trade exactness for scale — the vote is the same plan.
+    *
+    * Scale: the vote is a groupBy over q×k rows (tiny) and the
+    * per-query rank windows over ≤ distinct-label rows — all the
+    * heavy lifting lives in the (already scale-audited) neighbor
+    * stage. */
+  def knnClassify(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val nn = cosineTopK(corpus, queries, k)
+    val votes = nn
+      .join(corpus.select(col("vec_id").as("c_id"), col("label")), "c_id")
+      .groupBy("q_id", "label").agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("votes").desc, col("label").asc)
+    votes.withColumn("_vrk", row_number().over(w))
+      .where(col("_vrk") === 1)
+      .select(col("q_id"), col("label").as("pred_label"), col("votes"))
+  }
+
   /** Deterministic ±1 random-hyperplane weights for a (table-)seed —
     * integer mixing of (plane, dim, seed); no stored model, so the
     * DuckDB oracle can regenerate the identical planes. */
