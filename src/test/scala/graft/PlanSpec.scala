@@ -144,6 +144,29 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set(key, old)
   }
 
+  test("tag-search surfaces shuffle only tag cardinality") {
+    // completeTags / seriesMatch / metricsFind: the heavy side is a
+    // pushed-down scan + per-row unpivot; the single exchange is the
+    // distinct, whose partial aggregation runs map-side. No joins,
+    // no windows, ≤2 hash exchanges (partial→final, plus AQE reads).
+    for (q <- Seq("ts_complete_tags", "ts_label_values",
+        "ts_series_match", "gq_find")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q grew a join:\n" + p.take(1500))
+      assert(!p.contains("windowspecdefinition"),
+        s"$q grew a window:\n" + p.take(1500))
+    }
+  }
+
+  test("ds_restrict_type folds the non-matching tier branch away") {
+    // The literal resolution filter must prune the multi-res union
+    // to ONE branch at plan time: a single events scan, and no trace
+    // of the 1h tier's day-bucket re-aggregation running twice.
+    val scans = plan("ds_restrict_type").linesIterator
+      .count(l => l.contains("Scan parquet") && l.contains("events"))
+    assert(scans == 1, s"expected 1 events scan, got $scans")
+  }
+
   test("graphite series ranks never window over the full frame") {
     // Two-phase rank: the only Window nodes allowed are the
     // shard-local row_number (partitioned by _shard) and the
