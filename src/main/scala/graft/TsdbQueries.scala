@@ -1098,7 +1098,7 @@ object TsdbQueries {
          | last(value ORDER BY ts, event_id) AS last_v, min(value) AS min_v,
          | max(value) AS max_v, round(avg(value), 6) AS mean_v,
          | round(sum(value), 6) AS sum_v, count(*) AS count_v,
-         | round(stddev_pop(value), 6) AS stdev_v,
+         | round(coalesce(stddev_samp(value), 0), 6) AS stdev_v,
          | round(quantile_cont(value, 0.5), 6) AS p50_v,
          | round(quantile_cont(value, 0.95), 6) AS p95_v,
          | round(quantile_cont(value, 0.99), 6) AS p99_v
@@ -1110,7 +1110,7 @@ object TsdbQueries {
          | last(value ORDER BY ts, event_id) AS last_v, min(value) AS min_v,
          | max(value) AS max_v, round(avg(value), 6) AS mean_v,
          | round(sum(value), 6) AS sum_v, count(*) AS count_v,
-         | round(stddev_pop(value), 6) AS stdev_v,
+         | round(coalesce(stddev_samp(value), 0), 6) AS stdev_v,
          | round(quantile_cont(value, 0.5), 6) AS p50_v,
          | round(quantile_cont(value, 0.95), 6) AS p95_v,
          | round(quantile_cont(value, 0.99), 6) AS p99_v

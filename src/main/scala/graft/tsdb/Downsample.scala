@@ -17,7 +17,12 @@ import org.apache.spark.sql.functions._
 object Downsample {
 
   /** One rollup at a given resolution — the m3 timer aggregation set
-    * (src/aggregator/aggregation/timer.go). */
+    * (src/aggregator/aggregation/timer.go). Stdev here is SAMPLE
+    * stdev with 0 for single-sample windows, replaying
+    * aggregation/common.go:28 √((n·sumSq − sum²)/(n(n−1))) — the
+    * aggregator's write-path semantics; the PromQL query-side
+    * stddev/stdvar (SeriesAgg/Temporal) stay population per
+    * Prometheus. */
   def rollup(samples: DataFrame, unit: String,
              labelCols: Seq[String] = Vectors.labels): DataFrame =
     samples
@@ -30,7 +35,7 @@ object Downsample {
         round(avg("value"), 6).as("mean_v"),
         round(sum("value"), 6).as("sum_v"),
         count(lit(1)).as("count_v"),
-        round(stddev_pop("value"), 6).as("stdev_v"),
+        round(coalesce(stddev_samp("value"), lit(0.0)), 6).as("stdev_v"),
         round(percentile(col("value"), lit(0.5)), 6).as("p50_v"),
         round(percentile(col("value"), lit(0.95)), 6).as("p95_v"),
         round(percentile(col("value"), lit(0.99)), 6).as("p99_v"))
