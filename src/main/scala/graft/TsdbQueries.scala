@@ -480,7 +480,10 @@ object TsdbQueries {
           "day", Seq("mean", "last")),
         Downsample.Rule("all_daily",
           Seq(Fetch.Matcher("name", Fetch.Re, ".*")),
-          "day", Seq("count"))))
+          "day", Seq("count")),
+        Downsample.Rule("errors_daily",
+          Seq(Fetch.Matcher("name", Fetch.Eq, "error")),
+          "day", Seq("stdev", "p95", "sum_sq"))))
         .orderBy("rule", "name", "user_id", "bucket_s", "agg"))
   )
 
@@ -1129,7 +1132,12 @@ object TsdbQueries {
          |   round(last(value ORDER BY ts, event_id), 6) AS last_v
          |  FROM db WHERE name = 'click' GROUP BY name, user_id, bucket_s),
          | ad AS (SELECT name, user_id, bucket_s, CAST(count(*) AS DOUBLE) AS count_v
-         |  FROM db WHERE regexp_full_match(name, '.*') GROUP BY name, user_id, bucket_s)
+         |  FROM db WHERE regexp_full_match(name, '.*') GROUP BY name, user_id, bucket_s),
+         | ed AS (SELECT name, user_id, bucket_s,
+         |   round(coalesce(stddev_samp(value), 0), 6) AS stdev_v,
+         |   round(quantile_cont(value, 0.95), 6) AS p95_v,
+         |   round(sum(value * value), 6) AS sumsq_v
+         |  FROM db WHERE name = 'error' GROUP BY name, user_id, bucket_s)
          | SELECT * FROM (
          |  SELECT 'purchases_hourly' AS rule, 'hour' AS resolution, name, user_id,
          |   bucket_s, 'sum' AS agg, sum_v AS value FROM ph
@@ -1142,7 +1150,13 @@ object TsdbQueries {
          |  UNION ALL SELECT 'clicks_daily', 'day', name, user_id, bucket_s,
          |   'last', last_v FROM cd
          |  UNION ALL SELECT 'all_daily', 'day', name, user_id, bucket_s,
-         |   'count', count_v FROM ad) AS u
+         |   'count', count_v FROM ad
+         |  UNION ALL SELECT 'errors_daily', 'day', name, user_id, bucket_s,
+         |   'stdev', stdev_v FROM ed
+         |  UNION ALL SELECT 'errors_daily', 'day', name, user_id, bucket_s,
+         |   'p95', p95_v FROM ed
+         |  UNION ALL SELECT 'errors_daily', 'day', name, user_id, bucket_s,
+         |   'sum_sq', sumsq_v FROM ed) AS u
          | ORDER BY rule, name, user_id, bucket_s, agg""".stripMargin.replace("\n", " "),
     "ds_multi_res" -> {
       val fine =

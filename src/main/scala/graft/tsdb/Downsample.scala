@@ -73,6 +73,16 @@ object Downsample {
         case "mean"  => round(avg("value"), 6).as("mean")
         case "sum"   => round(sum("value"), 6).as("sum")
         case "count" => count(lit(1)).cast("double").as("count")
+        // the aggregator's expensive set (isExpensive,
+        // aggregation/common.go:37): sample stdev (n≤1→0), sumSq,
+        // and exact interpolated percentiles in batch
+        case "stdev" =>
+          round(coalesce(stddev_samp("value"), lit(0.0)), 6).as("stdev")
+        case "sum_sq" =>
+          round(sum(col("value") * col("value")), 6).as("sum_sq")
+        case p @ ("p50" | "p95" | "p99" | "median") =>
+          val q = if (p == "median") 0.5 else p.drop(1).toDouble / 100.0
+          round(percentile(col("value"), lit(q)), 6).as(p)
         case a => throw new IllegalArgumentException(s"unknown agg $a")
       }
       val agged = bucketed
