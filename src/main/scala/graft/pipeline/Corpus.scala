@@ -10,6 +10,15 @@ import org.apache.spark.sql.functions._
   */
 object Corpus {
 
+  /** Frees the block-manager storage behind a `localCheckpoint`ed
+    * frame (the checkpoint plan is a [[org.apache.spark.sql.execution.LogicalRDD]]
+    * wrapping the persisted rows). Safe only once nothing will read
+    * the frame again — the RDD is unrecoverable after this. */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(blocking = false))
+
   /** Connected components over an undirected dup-pair list
     * (doc_a, doc_b) — groups transitive near-duplicates into
     * clusters so one canonical doc per cluster survives.
@@ -66,9 +75,14 @@ object Corpus {
             col("_old")).cast("int").as("_changed"))
         .localCheckpoint(eager = true)
       converged = next.where(col("_changed") === 1).limit(1).count() == 0
+      // `next` is materialized — the previous round's checkpoint
+      // blocks are dead weight from here on; free them instead of
+      // pinning maxIter tables of storage for the session lifetime
+      freeCheckpoint(labels)
       labels = next.drop("_changed")
       i += 1
     }
+    freeCheckpoint(edges)
     // a dup chain longer than maxIter rounds would return labels that
     // are not the transitive closure — surface it instead of silently
     // diverging from the recursive-CTE oracle

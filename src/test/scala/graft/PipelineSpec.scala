@@ -154,6 +154,24 @@ class PipelineSpec extends SparkSpec {
     assert(r(7L) == (7L, 1))
   }
 
+  test("dup clustering frees intermediate checkpoint blocks") {
+    val s = spark
+    import s.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val docs = (1L to 9L).map(Tuple1(_)).toDF("doc_id")
+    // a 6-hop chain forces several propagation rounds → several
+    // intermediate checkpoints that must all be released
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L))
+      .toDF("doc_a", "doc_b")
+    val r = Corpus.dupClusters(docs, pairs)
+    assert(r.where(col("cluster_id") === 1L).count() == 7)
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // only the final label table may stay pinned (the returned frame
+    // still reads it); edges + per-round checkpoints must be freed
+    assert(after <= before + 1,
+      s"dupClusters leaked checkpoint blocks: $before -> $after persistent RDDs")
+  }
+
   test("PQ ANN recall vs exact L2 on real embeddings") {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.VectorExpressions.dotNative
