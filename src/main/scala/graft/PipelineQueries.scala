@@ -184,6 +184,17 @@ object PipelineQueries {
       Corpus.decontaminate(docs, docs.where(col("doc_id") < 25), 0.5)
         .orderBy("doc_id")
     }),
+    "dedup_spans" -> ((s, dir) =>
+      Dedup.spanDedup(Tables.documents(s, dir)).orderBy("doc_id")),
+    "sim_kmeans" -> ((s, dir) =>
+      Similarity.kmeans(Tables.embeddings(s, dir)).orderBy("vec_id")),
+    "corpus_mixture" -> ((s, dir) =>
+      Corpus.mixtureSample(Tables.documents(s, dir),
+        Map("src0" -> 300, "src1" -> 200, "src2" -> 100),
+        defaultPermille = 25, budgetTokens = 2000L)
+        .orderBy("doc_id")),
+    "text_entropy" -> ((s, dir) =>
+      TextAnalysis.unigramEntropy(Tables.documents(s, dir)).orderBy("doc_id")),
     "text_langid" -> ((s, dir) =>
       TextAnalysis.languageId(Tables.documents(s, dir)).orderBy("doc_id")),
     "text_quality" -> ((s, dir) =>
@@ -455,6 +466,70 @@ object PipelineQueries {
          |  round(coalesce(hit, 0)::DOUBLE / total, 6) AS overlap_ratio,
          |  CAST(round(coalesce(hit, 0)::DOUBLE / total, 6) > 0.5 AS INT) AS contaminated
          | FROM tot AS t LEFT JOIN hit USING (doc_id) ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "dedup_spans" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws
+        |  FROM documents),
+        | spans AS (SELECT doc_id,
+        |  unnest(range(0, (len(ws) - 1) // 10 + 1)) AS span_idx,
+        |  unnest([array_to_string(ws[i * 10 + 1 : i * 10 + 10], ' ')
+        |          for i in range(0, (len(ws) - 1) // 10 + 1)]) AS span
+        |  FROM w),
+        | ranked AS (SELECT doc_id, span_idx,
+        |  CASE WHEN row_number() OVER (PARTITION BY md5(span)
+        |    ORDER BY doc_id, span_idx) > 1 THEN 1 ELSE 0 END AS dup
+        |  FROM spans)
+        | SELECT doc_id, count(*) AS n_spans,
+        |  CAST(sum(dup) AS BIGINT) AS dup_spans,
+        |  round(sum(dup)::DOUBLE / count(*), 6) AS dup_span_frac
+        | FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "sim_kmeans" -> {
+      def assignSql(cents: String) =
+        s"""SELECT vec_id, ci AS cluster FROM (
+           | SELECT e.vec_id, c.ci, row_number() OVER (PARTITION BY e.vec_id
+           |   ORDER BY (list_dot_product(c.cemb, c.cemb)
+           |     - 2 * list_dot_product(e.embedding::DOUBLE[], c.cemb)) ASC,
+           |    c.ci ASC) AS rn
+           | FROM embeddings AS e CROSS JOIN $cents AS c) AS t WHERE rn = 1""".stripMargin.replace("\n", " ")
+      s"""WITH cents0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci,
+         |   embedding::DOUBLE[] AS cemb
+         |  FROM embeddings ORDER BY vec_id LIMIT 8),
+         | a0 AS (${assignSql("cents0")}),
+         | mexp AS (SELECT a0.cluster, j, (e.embedding::DOUBLE[])[j] AS v
+         |  FROM a0 JOIN embeddings AS e USING (vec_id)
+         |  CROSS JOIN (SELECT unnest(range(1, 65)) AS j) AS js),
+         | means AS (SELECT cluster, list(mv ORDER BY j) AS memb FROM (
+         |  SELECT cluster, j, avg(v) AS mv FROM mexp GROUP BY cluster, j) AS g
+         |  GROUP BY cluster),
+         | cents1 AS (SELECT c0.ci, coalesce(m.memb, c0.cemb) AS cemb
+         |  FROM cents0 AS c0 LEFT JOIN means AS m ON m.cluster = c0.ci),
+         | a1 AS (${assignSql("cents1")})
+         | SELECT vec_id, cluster FROM a1 ORDER BY vec_id""".stripMargin.replace("\n", " ")
+    },
+    "corpus_mixture" ->
+      """WITH toks AS (SELECT doc_id, source,
+        |  CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        | tot AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+        |  FROM toks GROUP BY source),
+        | w AS (SELECT * FROM (VALUES ('src0', 300), ('src1', 200), ('src2', 100))
+        |  AS t(source, permille))
+        | SELECT t.doc_id, t.source, t.n_tokens,
+        |  CAST('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |    % 1000000 AS bucket_ppm,
+        |  CAST(CAST('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |    % 1000000 * tot.src_tokens * 1000 <
+        |   coalesce(w.permille, 25)::BIGINT * 2000 * 1000000 AS INT) AS sampled
+        | FROM toks AS t JOIN tot USING (source) LEFT JOIN w USING (source)
+        | ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "text_entropy" ->
+      """SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+        | count(*) AS distinct_words,
+        | round(ln(CAST(sum(c) AS DOUBLE))
+        |  - sum(c * ln(c::DOUBLE)) / CAST(sum(c) AS DOUBLE), 6) AS entropy
+        | FROM (SELECT doc_id, w, count(*) AS c FROM (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w
+        |  FROM documents) AS u GROUP BY doc_id, w) AS g
+        | GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "text_langid" -> {
       val langs = Seq("en", "de", "fr", "es")
       val lists = langs.map { l =>

@@ -173,6 +173,40 @@ object Corpus {
           .cast("long").as("length_bucket"))
   }
 
+  /** Source-mixture sampling under a token budget — the data-mixing
+    * step of training-set assembly: each ingest source gets a target
+    * share (permille of `budgetTokens`), its acceptance fraction is
+    * target / its actual token mass (clamped at keep-everything),
+    * and docs are kept by a content-independent hash draw so the
+    * sample is deterministic, reproducible and engine-portable.
+    *
+    * The accept test is INTEGER-EXACT: keep doc iff
+    * `bucket_ppm · src_tokens · 1000 < permille · budget · 10⁶`
+    * (both sides ≤ ~10¹⁶ — no float threshold, so two engines can
+    * never disagree on a boundary row).
+    *
+    * Scale: token counting is a map stage; per-source totals are a
+    * tiny aggregate broadcast back onto the corpus; the draw is a
+    * per-row hash — one small shuffle total, no sort, no sampling
+    * state on the driver. */
+  def mixtureSample(docs: DataFrame, weightsPermille: Map[String, Int],
+                    defaultPermille: Int, budgetTokens: Long): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("source"),
+      size(org.apache.spark.sql.functions.split(lower(col("text")), "\\s+"))
+        .cast("long").as("n_tokens"))
+    val totals = toks.groupBy("source").agg(sum("n_tokens").as("src_tokens"))
+    toks.join(broadcast(totals), "source")
+      .withColumn("permille",
+        coalesce(element_at(typedlit(weightsPermille), col("source")),
+          lit(defaultPermille)).cast("long"))
+      .withColumn("bucket_ppm",
+        pmod(Dedup.md5Int(col("doc_id").cast("string")), lit(1000000L)))
+      .withColumn("sampled",
+        (col("bucket_ppm") * col("src_tokens") * lit(1000L) <
+          col("permille") * lit(budgetTokens) * lit(1000000L)).cast("int"))
+      .select("doc_id", "source", "n_tokens", "bucket_ppm", "sampled")
+  }
+
   /** Benchmark decontamination: fraction of each document's distinct
     * shingles that appear in the benchmark set's shingle universe;
     * docs above `threshold` are flagged contaminated. The benchmark

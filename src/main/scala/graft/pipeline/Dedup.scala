@@ -219,6 +219,42 @@ object Dedup {
           6).as("jaccard_v"))
   }
 
+  /** Span-level exact dedup — the "exact substring" pass of modern
+    * curation pipelines (duplicate 50-gram removal à la Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better"),
+    * restated over fixed non-overlapping word windows so the unit of
+    * dedup is a hashable key instead of a suffix array: each doc is
+    * chunked into `k`-word spans, a span is a duplicate if the same
+    * word sequence appeared earlier in the corpus (global first
+    * occurrence by (doc_id, span_idx) keeps ownership
+    * deterministic), and each doc reports its duplicated-span
+    * fraction — the signal a trainer uses to drop or trim
+    * boilerplate-heavy docs that exact whole-doc dedup misses.
+    *
+    * Scale: one projection chunks the doc (no shuffle), the
+    * first-occurrence rank is a window over md5(span) — hash
+    * partitioned by span content, the same distribution profile as
+    * the shingle family — and the per-doc rollup is a groupBy doc_id.
+    * Never all-pairs; no driver state. */
+  def spanDedup(docs: DataFrame, k: Int = 10): DataFrame = {
+    val ws = col("ws")
+    val spans = docs
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("ws"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0L), floor((size(ws) - 1) / lit(k)).cast("long")),
+          i => array_join(slice(ws, (i * k + 1).cast("int"), lit(k)), " ")))
+          .as(Seq("span_idx", "span")))
+    val w = Window.partitionBy("smd5").orderBy("doc_id", "span_idx")
+    spans.withColumn("smd5", md5(col("span")))
+      .withColumn("dup", (row_number().over(w) > 1).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum("dup").as("dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("dup_spans"),
+        round(col("dup_spans").cast("double") / col("n_spans"), 6)
+          .as("dup_span_frac"))
+  }
+
   /** Exact dedup: md5 content hash; rank within hash groups (keep
     * rank 1, drop the rest). */
   def exact(docs: DataFrame): DataFrame = {

@@ -198,6 +198,53 @@ object Similarity {
         col("rk").cast("long").as("rk"))
   }
 
+  /** Lloyd k-means over the embedding corpus — the semantic
+    * clustering step of curation pipelines (domain discovery,
+    * cluster-balanced sampling, SemDeDup-style semantic dedup) and
+    * the trained form of [[ivfAnn]]'s coarse quantizer.
+    *
+    * Init is deterministic seeded selection (the first k vectors by
+    * id — the same oracle-replayable convention as ivfAnn/pqAnn);
+    * each of the `iters` Lloyd rounds assigns every vector to its
+    * nearest centroid (argmin ‖v−c‖² via c·c − 2 v·c, ties to the
+    * lowest cell) and recomputes centroids as element-wise means.
+    * Empty cells keep their previous centroid.
+    *
+    * Scale: centroids are a k-row FRAME broadcast into the
+    * assignment join (k·N intermediate rows, collapsed by map-side
+    * min_by before any shuffle); the mean recompute is
+    * posexplode + two hash aggregations keyed by (cluster, pos) then
+    * cluster — fully distributed, nothing returns to the driver. The
+    * iteration composes plans (no checkpoint): intended for the
+    * small `iters` a curation pass uses; checkpoint between rounds
+    * if you push it to tens of iterations. */
+  def kmeans(corpus: DataFrame, k: Int = 8, iters: Int = 1): DataFrame = {
+    val emb = corpus.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("e"))
+    val seedW = Window.orderBy("vec_id") // k rows — not a full-frame window
+    var cents: DataFrame = emb.orderBy("vec_id").limit(k)
+      .select((row_number().over(seedW) - 1).as("ci"), col("e").as("cemb"))
+    def assignTo(cs: DataFrame): DataFrame =
+      emb.crossJoin(broadcast(cs))
+        .select(col("vec_id"), col("e"), col("ci"),
+          (dotNative(col("cemb"), col("cemb")) -
+            lit(2.0) * dotNative(col("e"), col("cemb"))).as("d"))
+        .groupBy("vec_id")
+        .agg(min_by(col("ci"), struct(col("d"), col("ci"))).as("cluster"),
+          first(col("e")).as("e"))
+    for (_ <- 0 until iters) {
+      val means = assignTo(cents)
+        .select(col("cluster"), posexplode(col("e")).as(Seq("pos", "v")))
+        .groupBy("cluster", "pos").agg(avg("v").as("mv"))
+        .groupBy("cluster")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
+          s => s.getField("mv")).as("memb"))
+      cents = cents.join(means, cents("ci") === means("cluster"), "left")
+        .select(col("ci"), coalesce(col("memb"), col("cemb")).as("cemb"))
+    }
+    assignTo(cents).select(col("vec_id"), col("cluster"))
+  }
+
   /** Product-quantization ANN with asymmetric distance computation
     * (ADC) — the memory-compression layer of billion-scale indexes
     * (PQ per Jégou et al. / the FAISS IVF-PQ pattern): vectors split

@@ -152,4 +152,25 @@ object TextAnalysis {
       array_max(gramHashes).as("fp_max"),
       size(gramHashes).cast("long").as("fp_n"))
   }
+
+  /** Unigram entropy per document — the information-density quality
+    * signal (near-zero for boilerplate/repetition, ln(vocab) for
+    * maximally varied text; used alongside the Gopher shape filters
+    * to catch low-entropy spam that passes length checks). Computed
+    * as H = ln n − (Σ c·ln c)/n over per-word counts c, so one pass
+    * of aggregation suffices — no per-doc probability vector is
+    * materialized.
+    *
+    * Scale: explode + two hash aggregations — (doc_id, word) then
+    * doc_id, both map-side-combining; no window, no driver state. */
+  def unigramEntropy(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_words"), count(lit(1)).as("distinct_words"),
+        (log(sum("c").cast("double")) -
+          sum(col("c").cast("double") * log(col("c").cast("double"))) /
+            sum("c").cast("double")).as("ent"))
+      .select(col("doc_id"), col("n_words"), col("distinct_words"),
+        round(col("ent"), 6).as("entropy"))
 }

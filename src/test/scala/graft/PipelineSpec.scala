@@ -154,6 +154,68 @@ class PipelineSpec extends SparkSpec {
     assert(r(7L) == (7L, 1))
   }
 
+  test("span dedup charges later docs for repeated word windows") {
+    val s = spark
+    import s.implicits._
+    // doc 2 repeats doc 1's first 4-word span verbatim; doc 3 is fresh
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta other words"),
+      (3L, "totally unrelated span of words here"))
+      .toDF("doc_id", "text")
+    val r = Dedup.spanDedup(docs, k = 4).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_spans"), x.getAs[Long]("dup_spans"))).toMap
+    // each doc = 6 words → spans of 4 + trailing 2
+    assert(r(1L) == (2L, 0L))
+    assert(r(2L) == (2L, 1L)) // its first span appeared in doc 1
+    assert(r(3L) == (2L, 0L))
+  }
+
+  test("kmeans separates well-spaced blobs and converges assignment") {
+    val s = spark
+    import s.implicits._
+    // two tight blobs far apart in 4-d; seeds (vec_id 0,1) land one
+    // per blob, so one Lloyd round must keep blob membership intact
+    val blobA = Seq(0L, 2L, 4L).map(i => (i, Seq(10.0f, 10f, 10f, 10f)
+      .zipWithIndex.map { case (v, j) => v + (i + j) * 0.01f }))
+    val blobB = Seq(1L, 3L, 5L).map(i => (i, Seq(-10.0f, -10f, -10f, -10f)
+      .zipWithIndex.map { case (v, j) => v - (i + j) * 0.01f }))
+    val emb = (blobA ++ blobB).toDF("vec_id", "embedding")
+    val r = Similarity.kmeans(emb, k = 2, iters = 2).collect()
+      .map(x => x.getAs[Long]("vec_id") -> x.getAs[Int]("cluster")).toMap
+    assert(Set(0L, 2L, 4L).map(r) == Set(0))
+    assert(Set(1L, 3L, 5L).map(r) == Set(1))
+  }
+
+  test("mixture sampling is deterministic and respects weight order") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 200L).map(i =>
+      (i, if (i % 2 == 0) "srcA" else "srcB", "w " * 50)).toDF("doc_id", "source", "text")
+    // srcA gets 10× srcB's share of the same budget
+    val m = Corpus.mixtureSample(docs, Map("srcA" -> 500), defaultPermille = 50,
+      budgetTokens = 2000L)
+    val kept = m.groupBy("source").agg(sum("sampled").as("k")).collect()
+      .map(x => x.getString(0) -> x.getAs[Long]("k")).toMap
+    assert(kept("srcA") > kept("srcB"), s"weights not respected: $kept")
+    // deterministic draw: same inputs → identical sample
+    val again = Corpus.mixtureSample(docs, Map("srcA" -> 500), 50, 2000L)
+      .collect().map(r => r.getLong(0) -> r.getInt(4)).toMap
+    m.collect().foreach(r => assert(again(r.getLong(0)) == r.getInt(4)))
+  }
+
+  test("unigram entropy: repetition scores 0, uniform text scores ln k") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "spam spam spam spam"), (2L, "a b c d"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.unigramEntropy(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Double]("entropy")).toMap
+    assert(r(1L) == 0.0)
+    assert(math.abs(r(2L) - math.log(4.0)) < 1e-6)
+  }
+
   test("dup clustering frees intermediate checkpoint blocks") {
     val s = spark
     import s.implicits._
