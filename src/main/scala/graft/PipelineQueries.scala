@@ -97,6 +97,32 @@ object PipelineQueries {
        |  FROM (SELECT doc_id, $bitSums FROM ($H) AS h GROUP BY doc_id) AS b) AS f""".stripMargin.replace("\n", " ")
   }
 
+  /** k-means CTE chain (seeded init + one Lloyd round), shared by the
+    * sim_kmeans and dedup_semantic oracles — mirrors
+    * [[Similarity.kmeans]](k=8, iters=1) exactly. */
+  private lazy val KMEANS_CTES: String = {
+    def assignSql(cents: String) =
+      s"""SELECT vec_id, ci AS cluster FROM (
+         | SELECT e.vec_id, c.ci, row_number() OVER (PARTITION BY e.vec_id
+         |   ORDER BY (list_dot_product(c.cemb, c.cemb)
+         |     - 2 * list_dot_product(e.embedding::DOUBLE[], c.cemb)) ASC,
+         |    c.ci ASC) AS rn
+         | FROM embeddings AS e CROSS JOIN $cents AS c) AS t WHERE rn = 1""".stripMargin.replace("\n", " ")
+    s"""cents0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci,
+       |   embedding::DOUBLE[] AS cemb
+       |  FROM embeddings ORDER BY vec_id LIMIT 8),
+       | a0 AS (${assignSql("cents0")}),
+       | mexp AS (SELECT a0.cluster, j, (e.embedding::DOUBLE[])[j] AS v
+       |  FROM a0 JOIN embeddings AS e USING (vec_id)
+       |  CROSS JOIN (SELECT unnest(range(1, 65)) AS j) AS js),
+       | means AS (SELECT cluster, list(mv ORDER BY j) AS memb FROM (
+       |  SELECT cluster, j, avg(v) AS mv FROM mexp GROUP BY cluster, j) AS g
+       |  GROUP BY cluster),
+       | cents1 AS (SELECT c0.ci, coalesce(m.memb, c0.cemb) AS cemb
+       |  FROM cents0 AS c0 LEFT JOIN means AS m ON m.cluster = c0.ci),
+       | a1 AS (${assignSql("cents1")})""".stripMargin.replace("\n", " ")
+  }
+
   /** cosine similarity SQL over double-cast embedding lists. */
   private def cosSql(a: String, b: String) =
     s"""(list_dot_product($a.embedding::DOUBLE[], $b.embedding::DOUBLE[]) /
@@ -188,6 +214,11 @@ object PipelineQueries {
       Dedup.spanDedup(Tables.documents(s, dir)).orderBy("doc_id")),
     "sim_kmeans" -> ((s, dir) =>
       Similarity.kmeans(Tables.embeddings(s, dir)).orderBy("vec_id")),
+    "dedup_semantic" -> ((s, dir) =>
+      Similarity.semanticNearDup(Tables.embeddings(s, dir), 0.40)
+        .orderBy("id_a", "id_b")),
+    "corpus_vocab" -> ((s, dir) =>
+      Corpus.vocabulary(Tables.documents(s, dir)).orderBy("rank")),
     "corpus_mixture" -> ((s, dir) =>
       Corpus.mixtureSample(Tables.documents(s, dir),
         Map("src0" -> 300, "src1" -> 200, "src2" -> 100),
@@ -482,29 +513,27 @@ object PipelineQueries {
         |  CAST(sum(dup) AS BIGINT) AS dup_spans,
         |  round(sum(dup)::DOUBLE / count(*), 6) AS dup_span_frac
         | FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " "),
-    "sim_kmeans" -> {
-      def assignSql(cents: String) =
-        s"""SELECT vec_id, ci AS cluster FROM (
-           | SELECT e.vec_id, c.ci, row_number() OVER (PARTITION BY e.vec_id
-           |   ORDER BY (list_dot_product(c.cemb, c.cemb)
-           |     - 2 * list_dot_product(e.embedding::DOUBLE[], c.cemb)) ASC,
-           |    c.ci ASC) AS rn
-           | FROM embeddings AS e CROSS JOIN $cents AS c) AS t WHERE rn = 1""".stripMargin.replace("\n", " ")
-      s"""WITH cents0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci,
-         |   embedding::DOUBLE[] AS cemb
-         |  FROM embeddings ORDER BY vec_id LIMIT 8),
-         | a0 AS (${assignSql("cents0")}),
-         | mexp AS (SELECT a0.cluster, j, (e.embedding::DOUBLE[])[j] AS v
-         |  FROM a0 JOIN embeddings AS e USING (vec_id)
-         |  CROSS JOIN (SELECT unnest(range(1, 65)) AS j) AS js),
-         | means AS (SELECT cluster, list(mv ORDER BY j) AS memb FROM (
-         |  SELECT cluster, j, avg(v) AS mv FROM mexp GROUP BY cluster, j) AS g
-         |  GROUP BY cluster),
-         | cents1 AS (SELECT c0.ci, coalesce(m.memb, c0.cemb) AS cemb
-         |  FROM cents0 AS c0 LEFT JOIN means AS m ON m.cluster = c0.ci),
-         | a1 AS (${assignSql("cents1")})
-         | SELECT vec_id, cluster FROM a1 ORDER BY vec_id""".stripMargin.replace("\n", " ")
-    },
+    "sim_kmeans" ->
+      s"WITH $KMEANS_CTES SELECT vec_id, cluster FROM a1 ORDER BY vec_id",
+    "dedup_semantic" ->
+      s"""WITH $KMEANS_CTES
+         | SELECT id_a, id_b, cluster, round(cos, 6) AS cos_v FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, x.cluster AS cluster,
+         |   ${cosSql("a", "b")} AS cos
+         |  FROM a1 AS x JOIN a1 AS y
+         |   ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+         |  JOIN embeddings AS a ON a.vec_id = x.vec_id
+         |  JOIN embeddings AS b ON b.vec_id = y.vec_id) AS t
+         | WHERE cos > 0.40 ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
+    "corpus_vocab" ->
+      """WITH stats AS (SELECT w AS word, count(*) AS tf,
+        |  count(DISTINCT doc_id) AS df
+        |  FROM (SELECT doc_id,
+        |    unnest(string_split_regex(lower(text), '\s+')) AS w
+        |   FROM documents) AS u GROUP BY w)
+        | SELECT word, tf, df,
+        |  row_number() OVER (ORDER BY tf DESC, word ASC) AS rank
+        | FROM stats ORDER BY tf DESC, word ASC LIMIT 100""".stripMargin.replace("\n", " "),
     "corpus_mixture" ->
       """WITH toks AS (SELECT doc_id, source,
         |  CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n_tokens

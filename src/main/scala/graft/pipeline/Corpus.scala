@@ -207,6 +207,32 @@ object Corpus {
       .select("doc_id", "source", "n_tokens", "bucket_ppm", "sampled")
   }
 
+  /** Corpus vocabulary table — the word-frequency statistics a
+    * tokenizer-training (BPE/unigram-LM) pass starts from, and the
+    * df side of tf-idf: per word, total occurrences and
+    * document frequency, top `topN` by count (ties to the
+    * lexicographically first word — deterministic).
+    *
+    * Scale: explode + one hash aggregation per statistic, then the
+    * global top-N via orderBy+limit — Spark plans that as
+    * TakeOrdered (per-partition heaps merged on the driver, N rows),
+    * NOT a single-partition row_number window; the rank column is
+    * computed over the already-reduced N rows. */
+  def vocabulary(docs: DataFrame, topN: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs.select(col("doc_id"),
+      explode(org.apache.spark.sql.functions.split(lower(col("text")), "\\s+"))
+        .as("word"))
+    val stats = words.groupBy("word").agg(
+      count(lit(1)).as("tf"),
+      countDistinct(col("doc_id")).as("df"))
+    val top = stats.orderBy(col("tf").desc, col("word").asc).limit(topN)
+    // rank over the N surviving rows only (tiny frame)
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(col("tf").desc, col("word").asc))
+        .cast("long"))
+  }
+
   /** Benchmark decontamination: fraction of each document's distinct
     * shingles that appear in the benchmark set's shingle universe;
     * docs above `threshold` are flagged contaminated. The benchmark

@@ -245,6 +245,36 @@ object Similarity {
     assignTo(cents).select(col("vec_id"), col("cluster"))
   }
 
+  /** SemDeDup-style semantic near-duplicate pairs: cluster the
+    * corpus with [[kmeans]], then search for cosine-near pairs
+    * WITHIN clusters only (Abbas et al., "SemDeDup" — semantic
+    * duplicates are overwhelmingly co-located in embedding-space
+    * clusters, so the cross-cluster quadratic term is dropped
+    * entirely). The within-cluster join is the scale path's whole
+    * point: Σ_c |c|²/2 pairs instead of N²/2, sharded by cluster id
+    * — with balanced clusters that is a k× cost reduction before any
+    * LSH refinement inside oversized cells.
+    *
+    * Output: (id_a, id_b, cluster, cos_v) for pairs above
+    * `threshold`, ordered ids. Norms precompute before the join
+    * (the [[cosineNearDup]] convention). */
+  def semanticNearDup(corpus: DataFrame, threshold: Double, k: Int = 8,
+                      iters: Int = 1): DataFrame = {
+    val asg = kmeans(corpus, k, iters)
+    val sided = corpus.join(asg, "vec_id")
+    def side(p: String) = sided.select(
+      col("vec_id").as(s"id_$p"), col("cluster"),
+      col("embedding").as(s"emb_$p"),
+      sqrt(dotNative(col("embedding"), col("embedding"))).as(s"norm_$p"))
+    side("a").join(side("b"), Seq("cluster"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("cluster"),
+        scoreCos("emb_a", "emb_b", "norm_a", "norm_b").as("cos"))
+      .where(col("cos") > threshold)
+      .select(col("id_a"), col("id_b"), col("cluster"),
+        round(col("cos"), 6).as("cos_v"))
+  }
+
   /** Product-quantization ANN with asymmetric distance computation
     * (ADC) — the memory-compression layer of billion-scale indexes
     * (PQ per Jégou et al. / the FAISS IVF-PQ pattern): vectors split

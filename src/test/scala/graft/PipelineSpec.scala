@@ -188,6 +188,34 @@ class PipelineSpec extends SparkSpec {
     assert(Set(1L, 3L, 5L).map(r) == Set(1))
   }
 
+  test("semantic near-dup finds co-clustered pairs, skips cross-cluster") {
+    val s = spark
+    import s.implicits._
+    // blob A holds a genuine near-dup pair (0,2); blob B's members are
+    // mutually near; any A↔B pair is anti-correlated (cos < 0)
+    val emb = Seq(
+      (0L, Seq(1.0f, 0f, 0f, 0f)), (2L, Seq(0.999f, 0.04f, 0f, 0f)),
+      (1L, Seq(-1.0f, 0f, 0f, 0f)), (3L, Seq(-0.999f, -0.04f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.semanticNearDup(emb, 0.9, k = 2, iters = 1)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 2L)))
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.exists { case (a, b) => (a % 2) != (b % 2) },
+      s"cross-cluster pair leaked: $pairs")
+  }
+
+  test("vocabulary ranks by frequency with lexicographic tie-break") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "b b b a a c"), (2L, "a c")).toDF("doc_id", "text")
+    val r = Corpus.vocabulary(docs, topN = 2).collect()
+      .map(x => (x.getAs[String]("word"), x.getAs[Long]("tf"),
+        x.getAs[Long]("df"), x.getAs[Long]("rank")))
+    // a: tf=3 df=2; b: tf=3 df=1; c: tf=2 df=2 — tie a/b breaks to a
+    assert(r.toSeq == Seq(("a", 3L, 2L, 1L), ("b", 3L, 1L, 2L)))
+  }
+
   test("mixture sampling is deterministic and respects weight order") {
     val s = spark
     import s.implicits._
