@@ -167,6 +167,41 @@ class PlanSpec extends SparkSpec {
     assert(scans == 1, s"expected 1 events scan, got $scans")
   }
 
+  test("span dedup windows by span hash, never cartesian") {
+    val p = plan("dedup_spans")
+    assert(!p.contains("CartesianProduct"), "span dedup joined all-pairs")
+    // the first-occurrence rank must partition by the span hash —
+    // an unpartitioned window would funnel the corpus through one task
+    val win = p.linesIterator.find(_.contains("windowspecdefinition")).getOrElse("")
+    assert(win.contains("smd5"), s"rank not partitioned by span hash: $win")
+  }
+
+  test("kmeans assignment broadcasts the centroid frame") {
+    val df = SparkEntry.queries("sim_kmeans")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // centroids arrive via broadcast (k rows against the corpus scan);
+    // a shuffled join here would exchange the whole corpus per round
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(2000))
+    assert(!p.contains("CartesianProduct"), "assignment degenerated to cartesian")
+  }
+
+  test("mixture sampling broadcasts the per-source totals") {
+    val p = plan("corpus_mixture")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("vocabulary top-N is TakeOrdered, not a global sort or window") {
+    val p = plan("corpus_vocab")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("semantic near-dup joins within clusters only (equi-join on cluster)") {
+    val p = plan("dedup_semantic")
+    assert(!p.contains("CartesianProduct"),
+      "SemDeDup pair join degenerated to all-pairs")
+  }
+
   test("graphite series ranks never window over the full frame") {
     // Two-phase rank: the only Window nodes allowed are the
     // shard-local row_number (partitioned by _shard) and the
