@@ -226,6 +226,9 @@ object PipelineQueries {
         .orderBy("doc_id")),
     "text_entropy" -> ((s, dir) =>
       TextAnalysis.unigramEntropy(Tables.documents(s, dir)).orderBy("doc_id")),
+    "text_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidfKeywords(Tables.documents(s, dir))
+        .orderBy("doc_id", "rk")),
     "text_langid" -> ((s, dir) =>
       TextAnalysis.languageId(Tables.documents(s, dir)).orderBy("doc_id")),
     "text_quality" -> ((s, dir) =>
@@ -550,6 +553,19 @@ object PipelineQueries {
         |   coalesce(w.permille, 25)::BIGINT * 2000 * 1000000 AS INT) AS sampled
         | FROM toks AS t JOIN tot USING (source) LEFT JOIN w USING (source)
         | ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "text_tfidf" ->
+      """WITH w AS (SELECT doc_id,
+        |  unnest(string_split_regex(lower(text), '\s+')) AS word FROM documents),
+        | tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY doc_id, word),
+        | df AS (SELECT word, count(DISTINCT doc_id) AS df FROM w GROUP BY word),
+        | n AS (SELECT count(*) AS n_docs FROM documents)
+        | SELECT doc_id, word, tf, df, round(tfidf, 6) AS tfidf_v, rk FROM (
+        |  SELECT tf.doc_id, tf.word, tf.tf, df.df,
+        |   tf.tf * ln(n.n_docs::DOUBLE / df.df) AS tfidf,
+        |   row_number() OVER (PARTITION BY tf.doc_id
+        |     ORDER BY tf.tf * ln(n.n_docs::DOUBLE / df.df) DESC, tf.word ASC) AS rk
+        |  FROM tf JOIN df USING (word) CROSS JOIN n) AS t
+        | WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin.replace("\n", " "),
     "text_entropy" ->
       """SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
         | count(*) AS distinct_words,

@@ -153,6 +153,34 @@ object TextAnalysis {
       size(gramHashes).cast("long").as("fp_n"))
   }
 
+  /** Top-k tf-idf keywords per document — the classic IR salience
+    * op (keyword extraction, sparse retrieval features, dataset-card
+    * topic summaries): tfidf = tf · ln(N ⁄ df), ranked per doc with
+    * ties to the lexicographically first word.
+    *
+    * Scale: tf and df are hash aggregations over the exploded word
+    * stream; N arrives as a one-row broadcast frame (no driver
+    * collect); the rank windows per doc_id — the same distribution
+    * the tf aggregation already produced. */
+  def tfidfKeywords(docs: DataFrame, topK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = docs.select(col("doc_id"), explode(words(col("text"))).as("word"))
+    val tf = w.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = w.select("doc_id", "word").distinct()
+      .groupBy("word").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "word").crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")))
+    val rankW = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("word").asc)
+    scored.withColumn("rk", row_number().over(rankW).cast("long"))
+      .where(col("rk") <= topK)
+      .select(col("doc_id"), col("word"), col("tf"), col("df"),
+        round(col("tfidf"), 6).as("tfidf_v"), col("rk"))
+  }
+
   /** Unigram entropy per document — the information-density quality
     * signal (near-zero for boilerplate/repetition, ln(vocab) for
     * maximally varied text; used alongside the Gopher shape filters

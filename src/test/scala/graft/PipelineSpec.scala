@@ -233,6 +233,21 @@ class PipelineSpec extends SparkSpec {
     m.collect().foreach(r => assert(again(r.getLong(0)) == r.getInt(4)))
   }
 
+  test("tfidf ranks rare distinctive words above corpus-wide ones") {
+    val s = spark
+    import s.implicits._
+    // "quantum" appears only in doc 1; "the" is everywhere (idf = 0)
+    val docs = Seq(
+      (1L, "the quantum engine the the"),
+      (2L, "the ordinary engine the"),
+      (3L, "the plain text the")).toDF("doc_id", "text")
+    val top1 = TextAnalysis.tfidfKeywords(docs, topK = 1).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("word")).toMap
+    assert(top1(1L) == "quantum")
+    assert(top1(2L) == "ordinary")
+    assert(top1(3L) == "plain")
+  }
+
   test("unigram entropy: repetition scores 0, uniform text scores ln k") {
     val s = spark
     import s.implicits._
