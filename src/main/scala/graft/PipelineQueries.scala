@@ -254,6 +254,15 @@ object PipelineQueries {
         Multimodal.syntheticBmpMedia(Tables.documents(s, dir)))
         .select("media_id", "kind", "width", "height", "n_frames", "meta_bytes")
         .orderBy("media_id")),
+    "mm_video" -> ((s, dir) =>
+      // real end-to-end video decode, same shape as mm_decode/mm_audio:
+      // genuine RIFF/AVI bytes per doc, parsed back by the pure-JVM
+      // kernel; the oracle replays the doc_id-derived geometry
+      Multimodal.extractVideoFeatures(
+        Multimodal.syntheticAviMedia(Tables.documents(s, dir)))
+        .select("media_id", "width", "height", "n_frames", "fps",
+          "duration_ms", "meta_bytes")
+        .orderBy("media_id")),
     "mm_audio" -> ((s, dir) =>
       // real end-to-end audio decode, same shape as mm_decode:
       // genuine RIFF/WAVE bytes per doc, parsed back by the pure-JVM
@@ -692,6 +701,18 @@ object PipelineQueries {
         | CAST(1 AS INT) AS n_frames,
         | CAST(54 + (((16 + doc_id % 64) * 3 + 3) // 4 * 4)
         |    * (16 + doc_id % 48) AS BIGINT) AS meta_bytes
+        | FROM documents ORDER BY media_id""".stripMargin.replace("\n", " "),
+    "mm_video" ->
+      """SELECT doc_id AS media_id,
+        | CAST(8 + doc_id % 16 AS INT) AS width,
+        | CAST(8 + doc_id % 12 AS INT) AS height,
+        | CAST(4 + doc_id % 28 AS INT) AS n_frames,
+        | ([10, 20, 25, 50])[CAST(doc_id % 4 + 1 AS INT)] AS fps,
+        | CAST((4 + doc_id % 28) * 1000
+        |   // ([10, 20, 25, 50])[CAST(doc_id % 4 + 1 AS INT)] AS BIGINT)
+        |   AS duration_ms,
+        | CAST(100 + (4 + doc_id % 28) *
+        |   (8 + (8 + doc_id % 16) * (8 + doc_id % 12) * 3) AS BIGINT) AS meta_bytes
         | FROM documents ORDER BY media_id""".stripMargin.replace("\n", " "),
     "mm_audio" ->
       """SELECT doc_id AS media_id,

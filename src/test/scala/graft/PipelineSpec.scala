@@ -421,6 +421,26 @@ class PipelineSpec extends SparkSpec {
       Multimodal.decodeWav(bytes.take(100))) // truncated sample data
   }
 
+  test("AVI kernel: encode→decode roundtrip, malformed input rejected") {
+    import graft.pipeline.Multimodal
+    val bytes = Multimodal.encodeAvi(16, 12, 25, 8, seed = 42L)
+    // 100-byte headers + 8 frames * (8 B chunk header + RGB24 frame)
+    assert(bytes.length == 100 + 8 * (8 + 16 * 12 * 3))
+    assert(Multimodal.decodeAvi(bytes) == ((16, 12, 8, 25)))
+    // same geometry, different seed → same decode, different pixels
+    val other = Multimodal.encodeAvi(16, 12, 25, 8, seed = 7L)
+    assert(Multimodal.decodeAvi(other) == ((16, 12, 8, 25)))
+    assert(!java.util.Arrays.equals(bytes, other))
+    intercept[IllegalArgumentException](
+      Multimodal.decodeAvi("definitely not a video".getBytes ++ new Array[Byte](100)))
+    intercept[IllegalArgumentException](
+      Multimodal.decodeAvi(bytes.take(150))) // truncated frame data
+    // corrupt the movi list size field → inconsistency must be caught
+    val corrupt = bytes.clone()
+    corrupt(92) = (corrupt(92) ^ 0x01).toByte
+    intercept[IllegalArgumentException](Multimodal.decodeAvi(corrupt))
+  }
+
   test("multimodal: stub decode is deterministic, plumbing intact") {
     val media = Multimodal.syntheticMedia(Tables.documents(spark, sf).limit(20))
     val f1 = Multimodal.extractFeatures(media).collect()
