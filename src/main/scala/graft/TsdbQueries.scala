@@ -396,6 +396,12 @@ object TsdbQueries {
       graft.promql.PromQL.query(samples(s, dir),
         """{name="purchase"} @ 1704855600""")
         .orderBy("name", "user_id", "bucket_s")),
+    // negative offset (look FORWARD — parse.go accepts `offset -2m`):
+    // tomorrow's samples re-stamped onto today's instant buckets
+    "pql_neg_offset" -> ((s, dir) =>
+      graft.promql.PromQL.query(samples(s, dir),
+        """{name="purchase"} offset -1d""")
+        .orderBy("name", "user_id", "bucket_s")),
     // @ start() / @ end(): the dataset-range instants (parse.go's
     // at-modifier forms); `or` stitches the two pinned evaluations
     "pql_at_edge" -> ((s, dir) =>
@@ -981,6 +987,10 @@ object TsdbQueries {
     "pql_at" ->
       s"""SELECT name, user_id, bucket_s, value FROM ($INST) AS i
          | WHERE name = 'purchase' AND bucket_s = 1704844800
+         | ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),
+    "pql_neg_offset" ->
+      s"""SELECT name, user_id, bucket_s - 86400 AS bucket_s, value
+         | FROM ($INST) AS i WHERE name = 'purchase'
          | ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),
     "pql_at_edge" ->
       s"""SELECT name, user_id, bucket_s, value FROM ($INST) AS i

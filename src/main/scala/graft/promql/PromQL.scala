@@ -454,6 +454,10 @@ object PromQL {
     while (more) rest match {
       case "offset" :: (d :: _) if d.matches("""[0-9]+[smhdw]""") =>
         val (s, r) = parseDur(rest.tail); offsetS = s; rest = r
+      // negative offset looks FORWARD (upstream parse.go accepts it:
+      // parse_test.go `up offset -2m` parses without error)
+      case "offset" :: "-" :: (d :: _) if d.matches("""[0-9]+[smhdw]""") =>
+        val (s, r) = parseDur(rest.tail.tail); offsetS = -s; rest = r
       case "@" :: n :: r if isNumber(n) =>
         at = Some(AtEpoch(n.toDouble.toLong)); rest = r
       case "@" :: "start" :: "(" :: ")" :: r => at = Some(AtStart); rest = r

@@ -110,6 +110,11 @@ class PromqlSpec extends SparkSpec {
         sliding = Some((129600L, 5400L)))))
     assert(PromQL.parse("x offset 1d12h") ==
       Selector(Some("x"), Nil, None, 129600L))
+    // negative offset looks forward (upstream accepts `offset -2m`)
+    assert(PromQL.parse("x offset -1d") ==
+      Selector(Some("x"), Nil, None, -86400L))
+    assert(PromQL.parse("x offset -1d12h") ==
+      Selector(Some("x"), Nil, None, -129600L))
     // a bare compound-range selector has no tumbling evaluation
     intercept[ParseException](PromQL.parse("x[1h30m]"))
     // quantile_over_time has no sliding form → compound range rejected
