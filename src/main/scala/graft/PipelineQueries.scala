@@ -219,6 +219,9 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")),
     "corpus_vocab" -> ((s, dir) =>
       Corpus.vocabulary(Tables.documents(s, dir)).orderBy("rank")),
+    "corpus_overlap" -> ((s, dir) =>
+      Corpus.sourceOverlap(Tables.documents(s, dir))
+        .orderBy("src_a", "src_b")),
     "corpus_mixture" -> ((s, dir) =>
       Corpus.mixtureSample(Tables.documents(s, dir),
         Map("src0" -> 300, "src1" -> 200, "src2" -> 100),
@@ -499,6 +502,21 @@ object PipelineQueries {
          | SELECT doc_id, n_tokens, CAST(1 + $cases AS BIGINT) AS length_bucket
          | FROM toks, b ORDER BY doc_id""".stripMargin.replace("\n", " ")
     },
+    "corpus_overlap" ->
+      s"""WITH sh AS (SELECT DISTINCT d.source, hh.h
+         |  FROM ($H) AS hh JOIN documents AS d USING (doc_id)),
+         | tot AS (SELECT source, count(*) AS total FROM sh GROUP BY source),
+         | shared AS (SELECT l.source AS src_a, r.source AS src_b,
+         |   count(*) AS shared
+         |  FROM sh AS l JOIN sh AS r ON l.h = r.h AND l.source < r.source
+         |  GROUP BY l.source, r.source)
+         | SELECT s.src_a, s.src_b, s.shared,
+         |  round(s.shared::DOUBLE /
+         |    (ta.total + tb.total - s.shared)::DOUBLE, 6) AS jaccard_v
+         | FROM shared AS s
+         | JOIN tot AS ta ON ta.source = s.src_a
+         | JOIN tot AS tb ON tb.source = s.src_b
+         | ORDER BY s.src_a, s.src_b""".stripMargin.replace("\n", " "),
     "corpus_decontam" ->
       s"""WITH sh AS (SELECT DISTINCT doc_id, h FROM ($H) AS hh),
          | bench AS (SELECT DISTINCT h FROM sh WHERE doc_id < 25),

@@ -141,6 +141,36 @@ object Corpus {
         sum((col("pred_lang") === "en").cast("long")).as("en_docs"))
   }
 
+  /** Cross-source overlap matrix — the provenance artifact of a
+    * dataset card: for every source pair, how much shingle content
+    * they share (distinct-shingle intersection + Jaccard). High
+    * off-diagonal cells mean two ingest feeds crawl the same
+    * upstream — the signal that drives source-level dedup ordering
+    * and mixture-weight corrections.
+    *
+    * Scale: the per-source distinct shingle set reuses the shared
+    * hashed-shingle stage; the intersection is an equi-join on the
+    * shingle hash (a shingle contributes at most |sources|² pair
+    * rows, so the join is bounded by sources² per key — sources
+    * number hundreds, not millions); totals broadcast back onto the
+    * (≤ sources²)-row matrix. */
+  def sourceOverlap(docs: DataFrame, n: Int = 3): DataFrame = {
+    val sh = Dedup.shingleHashes(docs, n)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .select("source", "h").distinct()
+    val totals = sh.groupBy("source").agg(count(lit(1)).as("total"))
+    val shared = sh.toDF("src_a", "h").join(sh.toDF("src_b", "h"), "h")
+      .where(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("shared"))
+    shared
+      .join(broadcast(totals.toDF("src_a", "total_a")), "src_a")
+      .join(broadcast(totals.toDF("src_b", "total_b")), "src_b")
+      .select(col("src_a"), col("src_b"), col("shared"),
+        round(col("shared").cast("double") /
+          (col("total_a") + col("total_b") - col("shared")).cast("double"), 6)
+          .as("jaccard_v"))
+  }
+
   /** Deterministic train/val/test split by content-independent hash
     * of the doc id — stable across runs and engines (md5 of the id's
     * decimal rendering), weights in percent. */

@@ -205,6 +205,21 @@ class PipelineSpec extends SparkSpec {
       s"cross-cluster pair leaked: $pairs")
   }
 
+  test("source overlap matrix: shared crawl shows, disjoint sources don't") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "srcA", "the quick brown fox jumps over the lazy dog"),
+      (2L, "srcB", "the quick brown fox jumps over the lazy dog"),
+      (3L, "srcC", "completely different material about spark engines"))
+      .toDF("doc_id", "source", "text")
+    val m = Corpus.sourceOverlap(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("shared"), r.getAs[Double]("jaccard_v"))).toMap
+    assert(m(("srcA", "srcB"))._2 == 1.0) // identical shingle sets
+    assert(!m.contains(("srcA", "srcC")) || m(("srcA", "srcC"))._1 == 0L)
+  }
+
   test("vocabulary ranks by frequency with lexicographic tie-break") {
     val s = spark
     import s.implicits._
