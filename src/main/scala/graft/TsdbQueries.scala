@@ -27,7 +27,10 @@ object TsdbQueries {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
   private def storeTable(s: SparkSession, dir: String): String =
     storeTables.getOrElseUpdate((s, dir), {
-      val t = "graft_store_" + Integer.toHexString(dir.hashCode)
+      // md5-derived name: String.hashCode collides easily across sf
+      // dirs, and a name clash would silently serve another dir's data
+      val t = "graft_store_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
       graft.sources.SeriesStore.write(samples(s, dir), t, buckets = 8)
       t
     })

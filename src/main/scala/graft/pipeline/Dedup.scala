@@ -60,7 +60,10 @@ object Dedup {
     * happens once instead of four times. (On a cluster the same
     * frame would be a written intermediate, bucketed by doc_id.) */
   def shingleHashes(docs: DataFrame, n: Int = 3): DataFrame = {
-    val key = (docs.sparkSession, docs.queryExecution.analyzed.semanticHash(), n)
+    // key on the CANONICALIZED plan, not a 32-bit hash of it — two
+    // different sources can collide in a hash, and a collision here
+    // would silently serve one source's shingles for the other
+    val key = (docs.sparkSession, docs.queryExecution.analyzed.canonicalized, n)
     Dedup.shingleCache.getOrElseUpdate(key,
       shingles(docs, n)
         .select(col("doc_id"), md5(col("shingle")).as("m"))
@@ -70,8 +73,8 @@ object Dedup {
         .persist(StorageLevel.MEMORY_AND_DISK))
   }
 
-  private val shingleCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, Int, Int), DataFrame]
+  private val shingleCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int), DataFrame]
 
   /** Unpersist and forget every cached shingle frame. Call at the
     * end of a pipeline run (Verify/Bench do): the cache is a
