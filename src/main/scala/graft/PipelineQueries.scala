@@ -29,6 +29,9 @@ object PipelineQueries {
   private val K = 16
   private val BANDS = 8
   private val ROWS = 2
+  /** fixed query term set for the BM25 retrieval op (chosen from the
+    * synthetic vocab so tf/df are non-degenerate). */
+  private val BM25_TERMS = Seq("vector", "stream", "hash")
   /** minhash signature SQL — same affine family as minhashSignature. */
   private val SIG = {
     val cols = (0 until K).map { i =>
@@ -232,6 +235,20 @@ object PipelineQueries {
     "text_tfidf" -> ((s, dir) =>
       TextAnalysis.tfidfKeywords(Tables.documents(s, dir))
         .orderBy("doc_id", "rk")),
+    "text_perplexity" -> ((s, dir) =>
+      TextAnalysis.unigramCrossEntropy(Tables.documents(s, dir))
+        .orderBy("doc_id")),
+    "text_bigram" -> ((s, dir) =>
+      TextAnalysis.bigramCrossEntropy(Tables.documents(s, dir))
+        .orderBy("doc_id")),
+    "text_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25(Tables.documents(s, dir), BM25_TERMS)
+        .orderBy("doc_id")),
+    "text_c4" -> ((s, dir) =>
+      TextAnalysis.c4Filters(Tables.documents(s, dir)).orderBy("doc_id")),
+    "corpus_dsir" -> ((s, dir) =>
+      Corpus.dsirWeights(Tables.documents(s, dir), col("doc_id") < 25)
+        .orderBy("doc_id")),
     "text_langid" -> ((s, dir) =>
       TextAnalysis.languageId(Tables.documents(s, dir)).orderBy("doc_id")),
     "text_quality" -> ((s, dir) =>
@@ -593,6 +610,90 @@ object PipelineQueries {
         |     ORDER BY tf.tf * ln(n.n_docs::DOUBLE / df.df) DESC, tf.word ASC) AS rk
         |  FROM tf JOIN df USING (word) CROSS JOIN n) AS t
         | WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin.replace("\n", " "),
+    "text_perplexity" ->
+      """WITH wd AS (SELECT doc_id,
+        |  unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents),
+        | c AS (SELECT w, count(*) AS c FROM wd GROUP BY w),
+        | t AS (SELECT sum(c) AS n_total, count(*) AS vocab FROM c),
+        | lm AS (SELECT w, ln((c + 1)::DOUBLE / (n_total + vocab)::DOUBLE)
+        |   AS logp FROM c, t)
+        | SELECT doc_id, count(*) AS n_words,
+        |  round(-avg(logp), 6) AS cross_entropy,
+        |  round(exp(-avg(logp)), 6) AS ppl
+        | FROM wd JOIN lm USING (w) GROUP BY doc_id
+        | ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "text_bigram" ->
+      """WITH wd AS (SELECT doc_id,
+        |  string_split_regex(lower(text), '\s+') AS ws FROM documents),
+        | bi AS (SELECT doc_id,
+        |  unnest([ws[i] || ' ' || ws[i + 1] for i in range(1, len(ws))]) AS bg
+        |  FROM wd WHERE len(ws) >= 2),
+        | c12 AS (SELECT bg, count(*) AS c12 FROM bi GROUP BY bg),
+        | c1 AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c12) AS c1
+        |  FROM c12 GROUP BY 1),
+        | v AS (SELECT count(DISTINCT w) AS vocab FROM
+        |  (SELECT unnest(ws) AS w FROM wd) AS u),
+        | lm AS (SELECT bg,
+        |  ln((c12 + 1)::DOUBLE / (c1 + vocab)::DOUBLE) AS logp
+        |  FROM c12 JOIN c1 ON split_part(c12.bg, ' ', 1) = c1.w1 CROSS JOIN v)
+        | SELECT doc_id, count(*) AS n_bigrams,
+        |  round(-avg(logp), 6) AS cross_entropy,
+        |  round(exp(-avg(logp)), 6) AS ppl
+        | FROM bi JOIN lm USING (bg) GROUP BY doc_id
+        | ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "text_bm25" -> {
+      val tfs = BM25_TERMS.map(t =>
+        s"len(list_filter(ws, x -> x = '$t'))::BIGINT AS tf_$t").mkString(", ")
+      val dfs = BM25_TERMS.map(t =>
+        s"sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS df_$t").mkString(", ")
+      val score = BM25_TERMS.map(t =>
+        s"""ln(1.0 + (n_docs - df_$t + 0.5) / (df_$t + 0.5))
+           | * (tf_$t * 2.2) / (tf_$t + 1.2 * (0.25 + 0.75 * dl / avgdl))"""
+          .stripMargin.replace("\n", " ")).mkString(" + ")
+      s"""WITH base AS (SELECT doc_id, len(ws)::BIGINT AS dl, $tfs
+         |  FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
+         |        FROM documents) AS t),
+         | stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl, $dfs FROM base)
+         | SELECT doc_id, dl, ${BM25_TERMS.map(t => s"tf_$t").mkString(", ")},
+         |  round($score, 6) AS bm25_v
+         | FROM base, stats
+         | WHERE ${BM25_TERMS.map(t => s"tf_$t").mkString(" + ")} > 0
+         | ORDER BY doc_id""".stripMargin.replace("\n", " ")
+    },
+    "text_c4" ->
+      """SELECT doc_id, n_words, n_sentences,
+        | round(n_words::DOUBLE / n_sentences, 6) AS words_per_sentence,
+        | has_brace, has_bad_phrase,
+        | CAST(n_words >= 50 AND has_brace = 0 AND has_bad_phrase = 0 AS INT)
+        |   AS c4_pass
+        | FROM (SELECT doc_id,
+        |  len(string_split_regex(lower(text), '\s+'))::BIGINT AS n_words,
+        |  len(list_filter(string_split_regex(text, '[.!?]'),
+        |    s -> length(trim(s)) > 0))::BIGINT AS n_sentences,
+        |  CAST(contains(text, '{') AS INT) AS has_brace,
+        |  CAST(contains(lower(text), 'lorem ipsum')
+        |    OR contains(lower(text), 'javascript')
+        |    OR contains(lower(text), 'cookie')
+        |    OR contains(lower(text), 'privacy policy')
+        |    OR contains(lower(text), 'terms of use') AS INT) AS has_bad_phrase
+        | FROM documents) AS t ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "corpus_dsir" ->
+      """WITH bw AS (SELECT doc_id, doc_id < 25 AS tgt,
+        |  CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % 64 AS b
+        |  FROM (SELECT doc_id,
+        |   unnest(string_split_regex(lower(text), '\s+')) AS w
+        |   FROM documents) AS u),
+        | bc AS (SELECT b, count(*) AS cs,
+        |  sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct FROM bw GROUP BY b),
+        | tot AS (SELECT sum(cs) AS ns, sum(ct) AS nt FROM bc),
+        | lr AS (SELECT b,
+        |  ln((ct + 1)::DOUBLE / (nt + 64)::DOUBLE)
+        |   - ln((cs + 1)::DOUBLE / (ns + 64)::DOUBLE) AS lr FROM bc, tot)
+        | SELECT doc_id, count(*) AS n_words,
+        |  round(sum(lr), 6) AS dsir_logweight,
+        |  round(avg(lr), 6) AS dsir_mean
+        | FROM bw JOIN lr USING (b) GROUP BY doc_id
+        | ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "text_entropy" ->
       """SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
         | count(*) AS distinct_words,

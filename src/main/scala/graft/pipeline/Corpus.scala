@@ -282,4 +282,42 @@ object Corpus {
       .withColumn("contaminated",
         (col("overlap_ratio") > threshold).cast("int"))
   }
+
+  /** DSIR importance weights (Xie et al.: Data Selection via
+    * Importance Resampling): score every corpus document by how much
+    * more likely its hashed n-gram features are under a TARGET
+    * distribution (here: a benchmark-like subset selected by `isTarget`)
+    * than under the corpus itself —
+    * log w(d) = Σ_w [ln p_t(b(w)) − ln p_s(b(w))] with words hashed
+    * into `buckets` feature buckets (md5-derived, so the oracle replays
+    * the bucketing exactly) and add-one smoothing on both sides.
+    * Sampling ∝ w then selects target-like training data.
+    *
+    * Scale: one exploded word stream feeds ONE hash aggregation that
+    * computes source and target bucket counts together (the target
+    * indicator is a column, not a second scan); the log-ratio table is
+    * ≤ `buckets` rows — broadcast back onto the word stream; final
+    * per-doc aggregation keys on doc_id. No window, no driver state. */
+  def dsirWeights(docs: DataFrame, isTarget: org.apache.spark.sql.Column,
+                  buckets: Int = 64): DataFrame = {
+    val bw = docs.select(col("doc_id"), isTarget.as("tgt"),
+      explode(org.apache.spark.sql.functions.split(lower(col("text")), "\\s+"))
+        .as("w"))
+      .select(col("doc_id"), col("tgt"),
+        pmod(Dedup.md5Int(col("w")), lit(buckets.toLong)).as("b"))
+    val bc = bw.groupBy("b").agg(
+      count(lit(1)).as("cs"),
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"))
+    val tot = bc.agg(sum("cs").as("ns"), sum("ct").as("nt"))
+    val lr = bc.crossJoin(broadcast(tot)).select(col("b"),
+      (log((col("ct") + 1).cast("double") / (col("nt") + buckets).cast("double")) -
+        log((col("cs") + 1).cast("double") / (col("ns") + buckets).cast("double")))
+        .as("lr"))
+    bw.join(broadcast(lr), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("lr").as("logw"), avg("lr").as("mlr"))
+      .select(col("doc_id"), col("n_words"),
+        round(col("logw"), 6).as("dsir_logweight"),
+        round(col("mlr"), 6).as("dsir_mean"))
+  }
 }

@@ -181,6 +181,137 @@ object TextAnalysis {
         round(col("tfidf"), 6).as("tfidf_v"), col("rk"))
   }
 
+  /** Unigram-LM cross-entropy per document — the perplexity quality
+    * filter (CCNet/RedPajama style: score each document under a
+    * language model trained on the corpus itself; low cross-entropy =
+    * in-distribution text, high = noise/outliers). The LM is the
+    * add-one-smoothed unigram MLE: p(w) = (c_w + 1) / (N + V) over
+    * corpus word count N and vocab size V.
+    *
+    * Scale: two hash aggregations build the LM ((word, c) + a one-row
+    * totals frame broadcast onto it); scoring is an equi-join of the
+    * exploded word stream on `word` (AQE broadcasts the LM when the
+    * vocab fits) followed by a per-doc hash aggregation. No window,
+    * no driver state — at 100 TB the LM is itself a distributed
+    * frame, never collected. */
+  def unigramCrossEntropy(docs: DataFrame): DataFrame = {
+    val wd = docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
+    val counts = wd.groupBy("w").agg(count(lit(1)).as("c"))
+    val totals = counts.agg(sum("c").as("n_total"), count(lit(1)).as("vocab"))
+    val lm = counts.crossJoin(broadcast(totals))
+      .select(col("w"),
+        log((col("c") + 1).cast("double") /
+          (col("n_total") + col("vocab")).cast("double")).as("logp"))
+    wd.join(lm, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), (avg("logp") * -1).as("xent"))
+      .select(col("doc_id"), col("n_words"),
+        round(col("xent"), 6).as("cross_entropy"),
+        round(exp(col("xent")), 6).as("ppl"))
+  }
+
+  /** Bigram-LM cross-entropy per document — the conditional-LM form
+    * of the perplexity filter: p(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V)
+    * with context counts c(w1) summed from the bigram table and V the
+    * corpus unigram vocab. Closer to CCNet's KenLM filter than the
+    * unigram form: repetitive word soup scores well under a unigram LM
+    * but poorly here unless the *transitions* are also typical.
+    *
+    * Scale: bigrams form MAP-SIDE — `transform(sequence(...))` over
+    * the word array builds "w1 w2" strings with zero shuffle (no
+    * self-join, no per-doc window); then the same
+    * aggregate-join-aggregate shape as the unigram LM, all keyed by
+    * bigram string. Documents with fewer than two words drop out (no
+    * transitions to score). */
+  def bigramCrossEntropy(docs: DataFrame): DataFrame = {
+    val ws = words(col("text"))
+    val n = size(ws)
+    val bigrams = when(n >= 2,
+      transform(sequence(lit(1), n - 1),
+        i => concat(element_at(ws, i), lit(" "), element_at(ws, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val bi = docs.select(col("doc_id"), explode(bigrams).as("bg"))
+    val c12 = bi.groupBy("bg").agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum("c12").as("c1"))
+    val vocab = docs.select(explode(ws).as("w")).agg(
+      count_distinct(col("w")).as("vocab"))
+    val lm = c12.withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(c1, "w1").crossJoin(broadcast(vocab))
+      .select(col("bg"),
+        log((col("c12") + 1).cast("double") /
+          (col("c1") + col("vocab")).cast("double")).as("logp"))
+    bi.join(lm, "bg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), (avg("logp") * -1).as("xent"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("xent"), 6).as("cross_entropy"),
+        round(exp(col("xent")), 6).as("ppl"))
+  }
+
+  /** BM25 scoring against a fixed query term set — the sparse
+    * retrieval primitive (dataset search, decontamination probes,
+    * relevance-weighted sampling). Standard Robertson/Lucene form:
+    * idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)), tf saturation k1,
+    * length normalization b against the mean document length.
+    *
+    * Scale: per-term tf and dl compute map-side from the word array
+    * (no explode — the query term set is tiny and fixed); corpus
+    * stats (N, avgdl, per-term df) reduce to ONE row broadcast back;
+    * scoring is another map stage. Two stages total, one tiny
+    * broadcast — no shuffle proportional to the corpus. */
+  def bm25(docs: DataFrame, terms: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms == terms.distinct, "terms must be distinct")
+    val ws = words(col("text"))
+    val base = docs.select(
+      col("doc_id") +: size(ws).cast("long").as("dl") +:
+        terms.map(t => size(filter(ws, _ === t)).cast("long").as(s"tf_$t")): _*)
+    val statCols = count(lit(1)).as("n_docs") +: avg("dl").as("avgdl") +:
+      terms.map(t => sum((col(s"tf_$t") > 0).cast("long")).as(s"df_$t"))
+    val stats = base.agg(statCols.head, statCols.tail: _*)
+    val score = terms.map { t =>
+      val idf = log(lit(1.0) +
+        (col("n_docs") - col(s"df_$t") + 0.5) / (col(s"df_$t") + 0.5))
+      idf * (col(s"tf_$t") * (k1 + 1)) /
+        (col(s"tf_$t") + (col("dl") / col("avgdl") * b + (1 - b)) * k1)
+    }.reduce(_ + _)
+    base.crossJoin(broadcast(stats))
+      .where(terms.map(t => col(s"tf_$t")).reduce(_ + _) > 0)
+      .select(col("doc_id") +: col("dl") +:
+        terms.map(t => col(s"tf_$t")) :+ round(score, 6).as("bm25_v"): _*)
+  }
+
+  /** C4-style heuristic filter battery (Raffel et al.): sentence
+    * count via terminal-punctuation splits, mean words per sentence,
+    * curly-brace / lorem-ipsum / policy-boilerplate flags, and a
+    * composite pass. On the synthetic corpus (punctuation-free word
+    * soup) the phrase flags are identically 0 and every doc is one
+    * "sentence" — the columns are kept faithful to the published
+    * rules anyway; the composite gates on the signals that do vary
+    * here (word count + flags), with the sentence-count gate exposed
+    * as its own column. One map stage, shuffle-free. */
+  def c4Filters(docs: DataFrame, minWords: Int = 50): DataFrame = {
+    val low = lower(col("text"))
+    val w = words(col("text"))
+    val sentences = filter(split(col("text"), "[.!?]"),
+      s => length(trim(s)) > 0)
+    val hasPhrase = Seq("lorem ipsum", "javascript", "cookie",
+      "privacy policy", "terms of use")
+      .map(p => low.contains(p)).reduce(_ || _)
+    docs.select(
+      col("doc_id"),
+      size(w).cast("long").as("n_words"),
+      size(sentences).cast("long").as("n_sentences"),
+      round(size(w).cast("double") / size(sentences).cast("double"), 6)
+        .as("words_per_sentence"),
+      col("text").contains("{").cast("int").as("has_brace"),
+      hasPhrase.cast("int").as("has_bad_phrase"))
+      .withColumn("c4_pass",
+        (col("n_words") >= minWords && col("has_brace") === 0 &&
+          col("has_bad_phrase") === 0).cast("int"))
+  }
+
   /** Unigram entropy per document — the information-density quality
     * signal (near-zero for boilerplate/repetition, ln(vocab) for
     * maximally varied text; used alongside the Gopher shape filters

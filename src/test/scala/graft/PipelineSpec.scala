@@ -274,6 +274,80 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(r(2L) - math.log(4.0)) < 1e-6)
   }
 
+  test("unigram LM cross-entropy: common words score cheaper than rare") {
+    val s = spark
+    import s.implicits._
+    // corpus counts: a=5, b=1 → N=6, V=2; p(a)=(5+1)/8, p(b)=(1+1)/8
+    val docs = Seq((1L, "a a a a"), (2L, "a b")).toDF("doc_id", "text")
+    val r = TextAnalysis.unigramCrossEntropy(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Double]("cross_entropy")).toMap
+    assert(math.abs(r(1L) - -math.log(0.75)) < 1e-6)
+    assert(math.abs(r(2L) - -(math.log(0.75) + math.log(0.25)) / 2) < 1e-6)
+    assert(r(2L) > r(1L), "doc with the rare word must score higher")
+  }
+
+  test("bigram LM cross-entropy scores transitions, not just words") {
+    val s = spark
+    import s.implicits._
+    // c12: aa=2, ab=1, ba=1; c1: a=3, b=1; V=2
+    // p(a|a)=3/5, p(b|a)=2/5, p(a|b)=2/3
+    val docs = Seq((1L, "a a a"), (2L, "a b a")).toDF("doc_id", "text")
+    val r = TextAnalysis.bigramCrossEntropy(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Double]("cross_entropy")).toMap
+    assert(math.abs(r(1L) - -math.log(0.6)) < 1e-6)
+    assert(math.abs(r(2L) - -(math.log(0.4) + math.log(2.0 / 3)) / 2) < 1e-6)
+    // single-word docs have no transitions and drop out
+    val one = Seq((9L, "solo")).toDF("doc_id", "text")
+    assert(TextAnalysis.bigramCrossEntropy(one).count() == 0)
+  }
+
+  test("bm25: tf raises score, length normalization lowers it, misses drop") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "x y"),                 // tf=1, dl=2
+      (2L, "x y y y y y y y y y"), // tf=1, dl=10 → length-penalized
+      (3L, "x x y"),               // tf=2 → saturated boost
+      (4L, "y y")).toDF("doc_id", "text")
+    val r = TextAnalysis.bm25(docs, Seq("x")).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Double]("bm25_v")).toMap
+    assert(!r.contains(4L), "doc without any query term must drop")
+    assert(r(1L) > r(2L), "same tf, longer doc must score lower")
+    assert(r(3L) > r(1L), "higher tf must score higher")
+  }
+
+  test("c4 filters flag braces and boilerplate phrases, gate on words") {
+    val s = spark
+    import s.implicits._
+    val long = ("w " * 60).trim
+    val docs = Seq(
+      (1L, long),                          // clean, 60 words → pass
+      (2L, long + " {"),                   // brace → fail
+      (3L, long + " lorem ipsum dolor"),   // phrase → fail
+      (4L, "short doc. two sentences!")).toDF("doc_id", "text")
+    val r = TextAnalysis.c4Filters(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Int]("c4_pass"), x.getAs[Long]("n_sentences"))).toMap
+    assert(r(1L)._1 == 1 && r(2L)._1 == 0 && r(3L)._1 == 0)
+    assert(r(4L)._1 == 0, "short doc fails the word-count gate")
+    assert(r(4L)._2 == 2, "sentence split on terminal punctuation")
+  }
+
+  test("dsir weights favor target-like documents") {
+    val s = spark
+    import s.implicits._
+    // target doc is all "aaa" (bucket 7); "bbb" (bucket 38) never
+    // appears in the target → docs of "aaa" must outweigh docs of "bbb"
+    val docs = Seq(
+      (1L, "aaa aaa aaa"), // the target
+      (2L, "aaa aaa aaa"),
+      (3L, "bbb bbb bbb")).toDF("doc_id", "text")
+    val r = Corpus.dsirWeights(docs, col("doc_id") === 1L).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Double]("dsir_logweight")).toMap
+    assert(r(2L) > r(3L),
+      s"target-like doc must outweigh off-target: ${r(2L)} vs ${r(3L)}")
+  }
+
   test("dup clustering frees intermediate checkpoint blocks") {
     val s = spark
     import s.implicits._

@@ -202,6 +202,41 @@ class PlanSpec extends SparkSpec {
       "SemDeDup pair join degenerated to all-pairs")
   }
 
+  test("bm25 and c4 stay map-side: no per-doc shuffle, tiny stats broadcast") {
+    // bm25: per-term tf/dl compute from the word array in one map
+    // stage; the only aggregation is the one-row corpus stats frame
+    // (SinglePartition exchange), broadcast back — never a hash
+    // shuffle of the corpus, never an explode-join on words.
+    val p = plan("text_bm25")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "bm25 must not shuffle the corpus:\n" + p.take(2000))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "corpus stats should broadcast:\n" + p.take(2000))
+    // c4 is a pure map stage
+    assert(!plan("text_c4").contains("Exchange hashpartitioning"),
+      "c4 filters must not shuffle")
+  }
+
+  test("LM scoring joins on word/bigram keys, never cartesian") {
+    for (q <- Seq("text_perplexity", "text_bigram")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q degenerated to all-pairs:\n" + p.take(2000))
+      // bigram formation is map-side (Generate explode over an in-row
+      // array) — no per-doc window, no position self-join
+      assert(!p.contains("windowspecdefinition"),
+        s"$q should not window:\n" + p.take(2000))
+    }
+  }
+
+  test("dsir broadcasts the bounded log-ratio table") {
+    // the lr frame is ≤ buckets (64) rows by construction — the join
+    // back onto the word stream must be a broadcast hash join
+    val p = plan("corpus_dsir")
+    assert(p.contains("BroadcastHashJoin"),
+      "lr join should broadcast:\n" + p.take(2000))
+  }
+
   test("graphite series ranks never window over the full frame") {
     // Two-phase rank: the only Window nodes allowed are the
     // shard-local row_number (partitioned by _shard) and the
