@@ -32,6 +32,30 @@ object Profile {
     }
     t("minhash_sig")(pipeline.Dedup.minhashSignature(docs, 16).count())
     t("simhash")(pipeline.Dedup.simhash(docs).count())
+    // bigram-LM stage breakdown (ws projected first — see
+    // TextAnalysis.bigramCrossEntropy)
+    val base = docs.select(col("doc_id"),
+      split(lower(col("text")), "\\s+").as("ws"))
+    val n = size(col("ws"))
+    val bigrams = when(n >= 2,
+      transform(sequence(lit(1), n - 1),
+        i => concat(element_at(col("ws"), i), lit(" "),
+          element_at(col("ws"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    t("bigram.explode")(base.select(col("doc_id"), explode(bigrams).as("bg")).count())
+    val tfd = base.select(col("doc_id"), explode(bigrams).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("tf"))
+    t("bigram.tfd")(tfd.count())
+    t("bigram.c12")(tfd.groupBy("bg").agg(sum("tf")).count())
+    t("bigram.full") {
+      val df = pipeline.TextAnalysis.bigramCrossEntropy(docs)
+      df.write.format("noop").mode("overwrite").save(); df.count()
+    }
+    println(pipeline.TextAnalysis.bigramCrossEntropy(docs)
+      .queryExecution.executedPlan.toString.linesIterator
+      .filter(l => l.contains("Exchange") || l.contains("Reused") ||
+        l.contains("Scan parquet") || l.contains("Join") || l.contains("Generate"))
+      .mkString("\n"))
     spark.stop()
   }
 }

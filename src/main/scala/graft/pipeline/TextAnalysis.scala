@@ -195,16 +195,20 @@ object TextAnalysis {
     * no driver state — at 100 TB the LM is itself a distributed
     * frame, never collected. */
   def unigramCrossEntropy(docs: DataFrame): DataFrame = {
-    val wd = docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
-    val counts = wd.groupBy("w").agg(count(lit(1)).as("c"))
+    // per-doc tf first (see bigramCrossEntropy): downstream stages run
+    // over distinct (doc, word) rows, never the raw token stream
+    val tfd = docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val counts = tfd.groupBy("w").agg(sum("tf").as("c"))
     val totals = counts.agg(sum("c").as("n_total"), count(lit(1)).as("vocab"))
     val lm = counts.crossJoin(broadcast(totals))
       .select(col("w"),
         log((col("c") + 1).cast("double") /
           (col("n_total") + col("vocab")).cast("double")).as("logp"))
-    wd.join(lm, "w")
+    tfd.join(lm, "w")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_words"), (avg("logp") * -1).as("xent"))
+      .agg(sum("tf").as("n_words"),
+        (sum(col("tf") * col("logp")) / sum("tf") * -1).as("xent"))
       .select(col("doc_id"), col("n_words"),
         round(col("xent"), 6).as("cross_entropy"),
         round(exp(col("xent")), 6).as("ppl"))
@@ -224,26 +228,37 @@ object TextAnalysis {
     * bigram string. Documents with fewer than two words drop out (no
     * transitions to score). */
   def bigramCrossEntropy(docs: DataFrame): DataFrame = {
-    val ws = words(col("text"))
-    val n = size(ws)
+    // project the word array ONCE before indexing into it: writing
+    // element_at(split(text), i) inside the transform lambda would
+    // re-split the document for every bigram element — O(n²) per doc
+    // (measured 10× on the bench corpus)
+    val base = docs.select(col("doc_id"), words(col("text")).as("ws"))
+    val n = size(col("ws"))
     val bigrams = when(n >= 2,
       transform(sequence(lit(1), n - 1),
-        i => concat(element_at(ws, i), lit(" "), element_at(ws, i + 1))))
+        i => concat(element_at(col("ws"), i), lit(" "),
+          element_at(col("ws"), i + 1))))
       .otherwise(array().cast("array<string>"))
-    val bi = docs.select(col("doc_id"), explode(bigrams).as("bg"))
-    val c12 = bi.groupBy("bg").agg(count(lit(1)).as("c12"))
+    // per-doc tf first: every downstream stage (corpus counts, LM
+    // join, final per-doc aggregation) then runs over DISTINCT
+    // (doc, bigram) rows — the token-occurrence stream never crosses
+    // a shuffle, and the groupBy partial-combines it map-side
+    val tfd = base.select(col("doc_id"), explode(bigrams).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("tf"))
+    val c12 = tfd.groupBy("bg").agg(sum("tf").as("c12"))
     val c1 = c12.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
       .agg(sum("c12").as("c1"))
-    val vocab = docs.select(explode(ws).as("w")).agg(
+    val vocab = docs.select(explode(words(col("text"))).as("w")).agg(
       count_distinct(col("w")).as("vocab"))
     val lm = c12.withColumn("w1", substring_index(col("bg"), " ", 1))
       .join(c1, "w1").crossJoin(broadcast(vocab))
       .select(col("bg"),
         log((col("c12") + 1).cast("double") /
           (col("c1") + col("vocab")).cast("double")).as("logp"))
-    bi.join(lm, "bg")
+    tfd.join(lm, "bg")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), (avg("logp") * -1).as("xent"))
+      .agg(sum("tf").as("n_bigrams"),
+        (sum(col("tf") * col("logp")) / sum("tf") * -1).as("xent"))
       .select(col("doc_id"), col("n_bigrams"),
         round(col("xent"), 6).as("cross_entropy"),
         round(exp(col("xent")), 6).as("ppl"))
