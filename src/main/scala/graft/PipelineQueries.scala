@@ -249,6 +249,8 @@ object PipelineQueries {
     "corpus_dsir" -> ((s, dir) =>
       Corpus.dsirWeights(Tables.documents(s, dir), col("doc_id") < 25)
         .orderBy("doc_id")),
+    "corpus_bpe" -> ((s, dir) =>
+      TextAnalysis.bpePairStats(Tables.documents(s, dir)).orderBy("rank")),
     "text_langid" -> ((s, dir) =>
       TextAnalysis.languageId(Tables.documents(s, dir)).orderBy("doc_id")),
     "text_quality" -> ((s, dir) =>
@@ -694,6 +696,17 @@ object PipelineQueries {
         |  round(avg(lr), 6) AS dsir_mean
         | FROM bw JOIN lr USING (b) GROUP BY doc_id
         | ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "corpus_bpe" ->
+      """WITH wf AS (SELECT word, count(*) AS wc FROM
+        |  (SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
+        |   FROM documents) AS u GROUP BY word),
+        | p AS (SELECT wc, unnest([substr(word, i, 2)
+        |   for i in range(1, length(word))]) AS pair
+        |  FROM wf WHERE length(word) >= 2)
+        | SELECT pair, CAST(sum(wc) AS BIGINT) AS pair_count,
+        |  row_number() OVER (ORDER BY sum(wc) DESC, pair ASC) AS rank
+        | FROM p GROUP BY pair
+        | ORDER BY pair_count DESC, pair ASC LIMIT 50""".stripMargin.replace("\n", " "),
     "text_entropy" ->
       """SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
         | count(*) AS distinct_words,

@@ -327,6 +327,35 @@ object TextAnalysis {
           col("has_bad_phrase") === 0).cast("int"))
   }
 
+  /** BPE merge-pair statistics — the first round of byte-pair-encoding
+    * tokenizer training: count adjacent character pairs across the
+    * corpus and rank them (the top pair is the first merge a BPE
+    * trainer would perform). Uses the standard trick of counting over
+    * DISTINCT words weighted by word frequency, so the pair stage
+    * scales with vocabulary, not corpus size.
+    *
+    * Scale: word-frequency hash aggregation (map-side combining over
+    * the token stream) → pair formation map-side over the distinct
+    * vocab (substr over a projected word column — no re-splitting) →
+    * pair hash aggregation → global top-N via TakeOrdered; the rank
+    * windows only the N surviving rows. */
+  def bpePairStats(docs: DataFrame, topN: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wf = docs.select(explode(words(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+    val pairs = when(length(col("word")) >= 2,
+      transform(sequence(lit(1), length(col("word")) - 1),
+        i => col("word").substr(i, lit(2))))
+      .otherwise(array().cast("array<string>"))
+    wf.select(col("wc"), explode(pairs).as("pair"))
+      .groupBy("pair").agg(sum("wc").as("pair_count"))
+      .orderBy(col("pair_count").desc, col("pair").asc).limit(topN)
+      .withColumn("rank",
+        row_number().over(
+          Window.orderBy(col("pair_count").desc, col("pair").asc))
+          .cast("long"))
+  }
+
   /** Unigram entropy per document — the information-density quality
     * signal (near-zero for boilerplate/repetition, ln(vocab) for
     * maximally varied text; used alongside the Gopher shape filters

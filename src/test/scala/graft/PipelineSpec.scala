@@ -348,6 +348,19 @@ class PipelineSpec extends SparkSpec {
       s"target-like doc must outweigh off-target: ${r(2L)} vs ${r(3L)}")
   }
 
+  test("bpe pair stats weight by word frequency, rank deterministically") {
+    val s = spark
+    import s.implicits._
+    // "aaab" twice: pairs aa,aa,ab per occurrence-weighted distinct
+    // word → aa: 2·2=4, ab: 1·2=2; "xy" once → xy: 1
+    val docs = Seq((1L, "aaab xy"), (2L, "aaab")).toDF("doc_id", "text")
+    val r = TextAnalysis.bpePairStats(docs).collect()
+      .map(x => (x.getAs[String]("pair"), x.getAs[Long]("pair_count"),
+        x.getAs[Long]("rank")))
+    assert(r.head == ("aa", 4L, 1L), s"top pair wrong: ${r.head}")
+    assert(r.map(_._1).toSet == Set("aa", "ab", "xy"))
+  }
+
   test("dup clustering frees intermediate checkpoint blocks") {
     val s = spark
     import s.implicits._

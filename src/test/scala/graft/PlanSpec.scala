@@ -192,8 +192,10 @@ class PlanSpec extends SparkSpec {
   }
 
   test("vocabulary top-N is TakeOrdered, not a global sort or window") {
-    val p = plan("corpus_vocab")
-    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    for (q <- Seq("corpus_vocab", "corpus_bpe")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q: " + p.take(2000))
+    }
   }
 
   test("semantic near-dup joins within clusters only (equi-join on cluster)") {
@@ -227,6 +229,20 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("windowspecdefinition"),
         s"$q should not window:\n" + p.take(2000))
     }
+  }
+
+  test("bigram formation indexes a projected array, not re-split text") {
+    // the O(n²) trap: element_at(split(text), i) inside the transform
+    // lambda re-splits the document per element. The word array must
+    // be projected once, so no Generate node may contain a split()
+    // call inside element_at.
+    val offenders = plan("text_bigram").linesIterator
+      .filter(_.contains("Generate"))
+      .filter(_.contains("element_at(split("))
+      .toList
+    assert(offenders.isEmpty,
+      "bigram explode re-splits the text per element:\n" +
+        offenders.mkString("\n"))
   }
 
   test("dsir broadcasts the bounded log-ratio table") {
