@@ -300,22 +300,28 @@ object Corpus {
     * per-doc aggregation keys on doc_id. No window, no driver state. */
   def dsirWeights(docs: DataFrame, isTarget: org.apache.spark.sql.Column,
                   buckets: Int = 64): DataFrame = {
-    val bw = docs.select(col("doc_id"), isTarget.as("tgt"),
+    // per-doc bucket counts first: the token stream partial-combines
+    // map-side and every downstream stage (bucket totals, the scoring
+    // join) runs over distinct (doc, bucket) rows — ≤ buckets per doc
+    val dbc = docs.select(col("doc_id"), isTarget.as("tgt"),
       explode(org.apache.spark.sql.functions.split(lower(col("text")), "\\s+"))
         .as("w"))
-      .select(col("doc_id"), col("tgt"),
+      .groupBy(col("doc_id"), col("tgt"),
         pmod(Dedup.md5Int(col("w")), lit(buckets.toLong)).as("b"))
-    val bc = bw.groupBy("b").agg(
-      count(lit(1)).as("cs"),
-      sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"))
+      .agg(count(lit(1)).as("cnt"))
+    val bc = dbc.groupBy("b").agg(
+      sum("cnt").as("cs"),
+      sum(when(col("tgt"), col("cnt")).otherwise(0L)).as("ct"))
     val tot = bc.agg(sum("cs").as("ns"), sum("ct").as("nt"))
     val lr = bc.crossJoin(broadcast(tot)).select(col("b"),
       (log((col("ct") + 1).cast("double") / (col("nt") + buckets).cast("double")) -
         log((col("cs") + 1).cast("double") / (col("ns") + buckets).cast("double")))
         .as("lr"))
-    bw.join(broadcast(lr), "b")
+    dbc.join(broadcast(lr), "b")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_words"), sum("lr").as("logw"), avg("lr").as("mlr"))
+      .agg(sum("cnt").as("n_words"),
+        sum(col("cnt") * col("lr")).as("logw"),
+        (sum(col("cnt") * col("lr")) / sum("cnt")).as("mlr"))
       .select(col("doc_id"), col("n_words"),
         round(col("logw"), 6).as("dsir_logweight"),
         round(col("mlr"), 6).as("dsir_mean"))
