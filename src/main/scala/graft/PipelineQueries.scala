@@ -217,6 +217,11 @@ object PipelineQueries {
       Dedup.spanDedup(Tables.documents(s, dir)).orderBy("doc_id")),
     "sim_kmeans" -> ((s, dir) =>
       Similarity.kmeans(Tables.embeddings(s, dir)).orderBy("vec_id")),
+    "sim_centroid_label" -> ((s, dir) =>
+      Similarity.centroidClassify(Tables.embeddings(s, dir),
+        col("vec_id") >= 100).orderBy("vec_id")),
+    "corpus_domains" -> ((s, dir) =>
+      Similarity.domainReport(Tables.embeddings(s, dir)).orderBy("cluster")),
     "dedup_semantic" -> ((s, dir) =>
       Similarity.semanticNearDup(Tables.embeddings(s, dir), 0.40)
         .orderBy("id_a", "id_b")),
@@ -564,6 +569,35 @@ object PipelineQueries {
         | FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "sim_kmeans" ->
       s"WITH $KMEANS_CTES SELECT vec_id, cluster FROM a1 ORDER BY vec_id",
+    "sim_centroid_label" ->
+      """WITH cents AS (SELECT cl, list(mv ORDER BY j) AS cemb FROM (
+        |  SELECT label AS cl, j, avg(v) AS mv FROM (
+        |   SELECT label, j, (embedding::DOUBLE[])[j] AS v
+        |   FROM embeddings CROSS JOIN
+        |    (SELECT unnest(range(1, 65)) AS j) AS js
+        |   WHERE vec_id >= 100) AS x GROUP BY label, j) AS g GROUP BY cl),
+        | scored AS (SELECT e.vec_id, e.label, c.cl,
+        |   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |    (list_dot_product(c.cemb, c.cemb)
+        |     - 2 * list_dot_product(e.embedding::DOUBLE[], c.cemb)) ASC,
+        |    c.cl ASC) AS rn
+        |  FROM embeddings AS e CROSS JOIN cents AS c WHERE e.vec_id < 100)
+        | SELECT vec_id, label, cl AS pred_label,
+        |  CAST(label = cl AS INT) AS correct
+        | FROM scored WHERE rn = 1 ORDER BY vec_id""".stripMargin.replace("\n", " "),
+    "corpus_domains" ->
+      s"""WITH $KMEANS_CTES,
+         | counts AS (SELECT a1.cluster, e.label, count(*) AS cnt
+         |  FROM a1 JOIN embeddings AS e USING (vec_id)
+         |  GROUP BY a1.cluster, e.label),
+         | ranked AS (SELECT cluster, label, cnt,
+         |   row_number() OVER (PARTITION BY cluster
+         |     ORDER BY cnt DESC, label ASC) AS rn,
+         |   sum(cnt) OVER (PARTITION BY cluster) AS n_vecs
+         |  FROM counts)
+         | SELECT cluster, CAST(n_vecs AS BIGINT) AS n_vecs,
+         |  label AS top_label, round(cnt::DOUBLE / n_vecs, 6) AS top_frac
+         | FROM ranked WHERE rn = 1 ORDER BY cluster""".stripMargin.replace("\n", " "),
     "dedup_semantic" ->
       s"""WITH $KMEANS_CTES
          | SELECT id_a, id_b, cluster, round(cos, 6) AS cos_v FROM (

@@ -245,6 +245,59 @@ object Similarity {
     assignTo(cents).select(col("vec_id"), col("cluster"))
   }
 
+  /** Nearest-class-centroid (Rocchio) classification over labeled
+    * embeddings — the cheap linear baseline for corpus labeling
+    * (domain tagging, quality-tier assignment) when a kNN vote
+    * ([[knnClassify]]) is too expensive: train rows collapse to one
+    * centroid per label, eval rows take the argmin-L² label
+    * (c·c − 2 v·c, ties to the lowest label).
+    *
+    * Scale: centroids build with posexplode + two hash aggregations
+    * (the [[kmeans]] mean machinery) into a ≤|labels|-row frame that
+    * BROADCASTS into the scoring join; the |labels|·N intermediate
+    * collapses by map-side min_by before the per-vector shuffle.
+    * Training data never moves — only its per-label means do. */
+  def centroidClassify(corpus: DataFrame,
+                       isTrain: org.apache.spark.sql.Column): DataFrame = {
+    val emb = corpus.select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("e"), isTrain.as("tr"))
+    val cents = emb.where(col("tr"))
+      .select(col("label").as("cl"), posexplode(col("e")).as(Seq("pos", "v")))
+      .groupBy("cl", "pos").agg(avg("v").as("mv"))
+      .groupBy("cl")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
+        s => s.getField("mv")).as("cemb"))
+    emb.where(!col("tr"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("cl"),
+        (dotNative(col("cemb"), col("cemb")) -
+          lit(2.0) * dotNative(col("e"), col("cemb"))).as("d"))
+      .groupBy("vec_id", "label")
+      .agg(min_by(col("cl"), struct(col("d"), col("cl"))).as("pred_label"))
+      .select(col("vec_id"), col("label"), col("pred_label"),
+        (col("label") === col("pred_label")).cast("int").as("correct"))
+  }
+
+  /** Domain-discovery report over [[kmeans]] clusters: per-cluster
+    * size, majority label and purity — the dataset-card view of a
+    * semantic clustering (how coherent are the discovered domains,
+    * which label dominates each). Cluster/label counts are one hash
+    * aggregation; the majority pick windows the ≤ k·|labels|-row
+    * count frame partitioned by cluster — never the corpus. */
+  def domainReport(corpus: DataFrame, k: Int = 8, iters: Int = 1): DataFrame = {
+    val counts = corpus.select("vec_id", "label")
+      .join(kmeans(corpus, k, iters), "vec_id")
+      .groupBy("cluster", "label").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("cluster")
+      .orderBy(col("cnt").desc, col("label").asc)
+    counts.withColumn("rn", row_number().over(w))
+      .withColumn("n_vecs", sum("cnt").over(Window.partitionBy("cluster")))
+      .where(col("rn") === 1)
+      .select(col("cluster"), col("n_vecs"),
+        col("label").as("top_label"),
+        round(col("cnt").cast("double") / col("n_vecs"), 6).as("top_frac"))
+  }
+
   /** SemDeDup-style semantic near-duplicate pairs: cluster the
     * corpus with [[kmeans]], then search for cosine-near pairs
     * WITHIN clusters only (Abbas et al., "SemDeDup" — semantic

@@ -361,6 +361,38 @@ class PipelineSpec extends SparkSpec {
     assert(r.map(_._1).toSet == Set("aa", "ab", "xy"))
   }
 
+  test("centroid classifier recovers planted blob labels") {
+    val s = spark
+    import s.implicits._
+    // two separable blobs on axes; eval rows (ids 0,1) sit near their
+    // own blob's centroid and must classify correctly
+    val rows = Seq(
+      (0L, Array(0.9f, 0.1f), 0), (1L, Array(0.1f, 0.9f), 1),
+      (10L, Array(1.0f, 0.0f), 0), (11L, Array(0.8f, 0.2f), 0),
+      (12L, Array(0.0f, 1.0f), 1), (13L, Array(0.2f, 0.8f), 1))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val r = Similarity.centroidClassify(emb, col("vec_id") >= 10).collect()
+      .map(x => x.getAs[Long]("vec_id") ->
+        (x.getAs[Int]("pred_label"), x.getAs[Int]("correct"))).toMap
+    assert(r.size == 2)
+    assert(r(0L) == (0, 1) && r(1L) == (1, 1), s"misclassified: $r")
+  }
+
+  test("domain report: coherent blobs yield pure clusters") {
+    val s = spark
+    import s.implicits._
+    // k=2 on two tight blobs whose labels match the blob → purity 1.0
+    val rows = Seq(
+      (0L, Array(1.0f, 0.0f), 7), (1L, Array(0.0f, 1.0f), 3),
+      (2L, Array(0.9f, 0.1f), 7), (3L, Array(0.1f, 0.9f), 3))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val r = Similarity.domainReport(emb, k = 2, iters = 1).collect()
+    assert(r.length == 2)
+    assert(r.forall(_.getAs[Double]("top_frac") == 1.0),
+      "blob clusters should be label-pure")
+    assert(r.map(_.getAs[Int]("top_label")).toSet == Set(7, 3))
+  }
+
   test("dup clustering frees intermediate checkpoint blocks") {
     val s = spark
     import s.implicits._

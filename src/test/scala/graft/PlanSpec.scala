@@ -176,6 +176,14 @@ class PlanSpec extends SparkSpec {
     assert(win.contains("smd5"), s"rank not partitioned by span hash: $win")
   }
 
+  test("centroid classifier broadcasts the per-label centroid frame") {
+    val p = plan("sim_centroid_label")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "centroids should broadcast into scoring:\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct"),
+      "scoring must not be a cartesian product")
+  }
+
   test("kmeans assignment broadcasts the centroid frame") {
     val df = SparkEntry.queries("sim_kmeans")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
