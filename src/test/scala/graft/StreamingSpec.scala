@@ -215,6 +215,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateless text ops run unchanged under readStream") {
+    // the quality/filter family is pure column algebra — the same
+    // operator objects run on a stream in append mode with no
+    // rewrite, the write-path form of a streaming curation pipeline
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = Seq(
+      (1L, ("w " * 60).trim),
+      (2L, "short doc with { brace")) // fails the C4 gate
+    val q = pipeline.TextAnalysis.c4Filters(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("text_stream_test").start()
+    try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+      val streamed = s.sql("SELECT doc_id, c4_pass FROM text_stream_test")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val batch = pipeline.TextAnalysis.c4Filters(docs.toDF("doc_id", "text"))
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("c4_pass")).toMap
+      assert(streamed == batch && streamed == Map(1L -> 1, 2L -> 0))
+    } finally q.stop()
+  }
+
   test("counter tracking maintains cumulative + resets across batches") {
     val s = spark
     import s.implicits._
