@@ -298,7 +298,30 @@ object PipelineQueries {
         Multimodal.syntheticWavMedia(Tables.documents(s, dir)))
         .select("media_id", "n_channels", "sample_rate", "n_samples",
           "duration_ms", "meta_bytes")
-        .orderBy("media_id"))
+        .orderBy("media_id")),
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionSignals(Tables.documents(s, dir))
+        .orderBy("doc_id")),
+    "corpus_canonical" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashCandidates(
+        Dedup.minhashSignature(docs, K), BANDS, ROWS)
+      Corpus.canonicalPick(docs, pairs).orderBy("doc_id")
+    }),
+    "corpus_pack" -> ((s, dir) =>
+      Corpus.packSequences(Tables.documents(s, dir)).orderBy("doc_id")),
+    "dedup_incremental" -> ((s, dir) =>
+      // even doc_ids play the already-ingested history, odd ids the
+      // arriving batch — fraction-independent so every SF exercises
+      // both novel and history-hit paths
+      Dedup.incremental(Tables.documents(s, dir), col("doc_id") % 2 === 1)
+        .orderBy("doc_id")),
+    "corpus_decontam_embed" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.decontaminateEmbed(
+        emb.where(col("vec_id") >= 25), emb.where(col("vec_id") < 25), 0.40)
+        .orderBy("vec_id")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -889,6 +912,104 @@ object PipelineQueries {
         |   // ([8000, 16000, 22050, 44100])[CAST(doc_id % 4 + 1 AS INT)] AS BIGINT)
         |   AS duration_ms,
         | CAST(44 + (256 + doc_id % 1024) * (1 + doc_id % 2) * 2 AS BIGINT) AS meta_bytes
-        | FROM documents ORDER BY media_id""".stripMargin.replace("\n", " ")
+        | FROM documents ORDER BY media_id""".stripMargin.replace("\n", " "),
+    "text_repetition" ->
+      """WITH wd AS (SELECT doc_id,
+        |  string_split_regex(lower(text), '\s+') AS ws FROM documents),
+        | tot AS (SELECT doc_id, length(array_to_string(ws, '')) AS tot_chars
+        |  FROM wd),
+        | bi AS (SELECT doc_id,
+        |  unnest([ws[i] || ' ' || ws[i + 1] for i in range(1, len(ws))]) AS g
+        |  FROM wd WHERE len(ws) >= 2),
+        | bc AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY doc_id, g),
+        | top2 AS (SELECT doc_id, c * length(replace(g, ' ', '')) AS chars2
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY c DESC, g ASC) AS rn FROM bc) AS z WHERE rn = 1),
+        | tri AS (SELECT doc_id,
+        |  unnest([ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]
+        |    for i in range(1, len(ws) - 1)]) AS g
+        |  FROM wd WHERE len(ws) >= 3),
+        | tc AS (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY doc_id, g),
+        | dup3 AS (SELECT doc_id, sum(c * length(replace(g, ' ', ''))) AS chars3
+        |  FROM tc WHERE c >= 2 GROUP BY doc_id)
+        | SELECT t.doc_id, CAST(t.tot_chars AS BIGINT) AS tot_chars,
+        |  round(coalesce(chars2, 0)::DOUBLE / t.tot_chars, 6) AS top_bigram_frac,
+        |  round(coalesce(chars3, 0)::DOUBLE / t.tot_chars, 6) AS dup_trigram_frac
+        | FROM tot AS t LEFT JOIN top2 USING (doc_id)
+        | LEFT JOIN dup3 USING (doc_id) ORDER BY doc_id"""
+        .stripMargin.replace("\n", " "),
+    "corpus_canonical" -> {
+      val allSw = TextAnalysis.stopwords.values.flatten.toSeq.distinct
+        .map(s => s"'$s'").mkString(", ")
+      s"""WITH RECURSIVE sig AS ($SIG), banded AS ($BANDED),
+         | capped AS (SELECT doc_id, band, bucket FROM (
+         |  SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz FROM banded) AS z
+         |  WHERE bsz <= $MAX_BUCKET),
+         | p AS ($PAIRS),
+         | edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+         |  UNION SELECT doc_b AS src, doc_a AS dst FROM p),
+         | reach(node, root) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.root FROM reach AS r JOIN edges AS e ON e.src = r.node),
+         | cl AS (SELECT node AS doc_id, min(root) AS cluster_id
+         |  FROM reach GROUP BY node),
+         | q AS (SELECT doc_id,
+         |  round((least(length(text)::DOUBLE / 500.0, 1.0)
+         |   + len(list_distinct(ws))::DOUBLE / len(ws)
+         |   + least(len(list_filter(ws, x -> list_contains([$allSw], x)))::DOUBLE
+         |       / len(ws) * 4, 1.0)) / 3.0, 6) AS quality_score
+         |  FROM (SELECT doc_id, text, string_split_regex(lower(text), '\\s+') AS ws
+         |        FROM documents) AS t),
+         | r AS (SELECT cl.doc_id, cl.cluster_id, q.quality_score,
+         |   row_number() OVER (PARTITION BY cl.cluster_id
+         |     ORDER BY q.quality_score DESC, cl.doc_id ASC) AS rn
+         |  FROM cl JOIN q USING (doc_id))
+         | SELECT doc_id, cluster_id, quality_score,
+         |  CAST(rn = 1 AS INT) AS keep_best
+         | FROM r ORDER BY doc_id""".stripMargin.replace("\n", " ")
+    },
+    "corpus_pack" ->
+      """WITH toks AS (SELECT doc_id,
+        |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 8
+        |    AS shard,
+        |  CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        | o AS (SELECT doc_id, shard, n_tokens,
+        |  sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS end_off FROM toks)
+        | SELECT doc_id, shard, n_tokens,
+        |  CAST(end_off - n_tokens AS BIGINT) AS start_off,
+        |  CAST(floor((end_off - n_tokens) / 512.0) AS BIGINT) AS first_seq,
+        |  CAST(floor((end_off - 1) / 512.0) AS BIGINT) AS last_seq
+        | FROM o ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "dedup_incremental" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS h, doc_id % 2 AS is_new
+        |  FROM documents),
+        | seen AS (SELECT DISTINCT h FROM h WHERE is_new = 0),
+        | nw AS (SELECT doc_id, h,
+        |   row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rk
+        |  FROM h WHERE is_new = 1)
+        | SELECT nw.doc_id, CAST(rk AS BIGINT) AS batch_rank,
+        |  CAST(s.h IS NULL AS INT) AS novel,
+        |  CAST(s.h IS NULL AND rk = 1 AS INT) AS keep
+        | FROM nw LEFT JOIN seen AS s ON nw.h = s.h ORDER BY nw.doc_id"""
+        .stripMargin.replace("\n", " "),
+    "corpus_decontam_embed" ->
+      s"""WITH cb AS (${lshBandedSql(6, 4, "c_id", "WHERE vec_id >= 25")}),
+         | bb AS (${lshBandedSql(6, 4, "b_id", "WHERE vec_id < 25")}),
+         | cands AS (SELECT DISTINCT c_id, b_id FROM cb JOIN bb
+         |  ON cb.tbl = bb.tbl AND cb.bucket = bb.bucket),
+         | hits AS (SELECT c_id, max(cos) AS max_cos, count(*) AS n_hits FROM (
+         |   SELECT c_id, ${cosSql("a", "b")} AS cos
+         |   FROM cands JOIN embeddings AS a ON a.vec_id = c_id
+         |    JOIN embeddings AS b ON b.vec_id = b_id) AS s
+         |  WHERE cos > 0.40 GROUP BY c_id)
+         | SELECT e.vec_id, round(coalesce(max_cos, 0), 6) AS max_bench_cos,
+         |  CAST(coalesce(n_hits, 0) AS BIGINT) AS n_bench_hits,
+         |  CAST(max_cos IS NOT NULL AS INT) AS contaminated
+         | FROM (SELECT vec_id FROM embeddings WHERE vec_id >= 25) AS e
+         | LEFT JOIN hits ON hits.c_id = e.vec_id ORDER BY e.vec_id"""
+        .stripMargin.replace("\n", " ")
   )
 }

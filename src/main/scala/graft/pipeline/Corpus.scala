@@ -326,4 +326,60 @@ object Corpus {
         round(col("logw"), 6).as("dsir_logweight"),
         round(col("mlr"), 6).as("dsir_mean"))
   }
+
+  /** Quality-ranked survivor selection within near-dup clusters —
+    * the "keep best, not first" curation policy: instead of
+    * [[dupClusters]]'s min-id canonical, each cluster keeps its
+    * highest-quality member (ties broken by lowest doc_id). This is
+    * what production pipelines actually ship: near-dup groups
+    * collapse to the cleanest copy, not an arbitrary one.
+    *
+    * Scale: cluster labels come from the verified [[dupClusters]]
+    * iteration; the ranking window partitions by cluster_id —
+    * clusters are near-cliques from LSH blocking (tiny), singletons
+    * are 1-row partitions, so no window partition ever outgrows a
+    * dup cluster. One doc_id-keyed join + one bounded window. */
+  def canonicalPick(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cl = dupClusters(docs.select("doc_id"), pairs)
+      .select("doc_id", "cluster_id")
+    val q = TextAnalysis.quality(docs).select("doc_id", "quality_score")
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    cl.join(q, "doc_id")
+      .withColumn("keep_best", (row_number().over(w) === 1).cast("int"))
+  }
+
+  /** Concat-and-chunk sequence packing — the last mile of a
+    * training-data pipeline: documents are concatenated in doc_id
+    * order within a deterministic shard and chunked into fixed
+    * `ctxTokens`-sized training sequences (the GPT-style packing
+    * where a doc may straddle a window boundary). Emits each doc's
+    * token-offset interval and the first/last sequence index it
+    * lands in, so a loader can seek straight to any sequence.
+    *
+    * Scale: ONE running-sum window per shard, never a global sort —
+    * the shard is an md5 bucket of doc_id, and nShards is chosen so
+    * a shard's token stream fits an executor (at 100 TB you run
+    * nShards ≈ 10⁴–10⁵; the default 8 matches the test corpus).
+    * Sequence indices are shard-local by construction, so shards
+    * pack fully independently — embarrassingly parallel. */
+  def packSequences(docs: DataFrame, ctxTokens: Int = 512,
+                    nShards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"),
+      pmod(Dedup.md5Int(col("doc_id").cast("string")), lit(nShards.toLong))
+        .as("shard"),
+      size(org.apache.spark.sql.functions.split(lower(col("text")), "\\s+"))
+        .cast("long").as("n_tokens"))
+    val endOff = sum("n_tokens")
+      .over(Window.partitionBy("shard").orderBy("doc_id"))
+    toks.withColumn("end_off", endOff)
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        (col("end_off") - col("n_tokens")).as("start_off"),
+        floor((col("end_off") - col("n_tokens")).cast("double") / ctxTokens)
+          .cast("long").as("first_seq"),
+        floor((col("end_off") - 1).cast("double") / ctxTokens)
+          .cast("long").as("last_seq"))
+  }
 }

@@ -266,4 +266,31 @@ object Dedup {
       .withColumn("dup_rank", row_number().over(w).cast("long"))
       .withColumn("is_dup", (col("dup_rank") > 1).cast("int"))
   }
+
+  /** Incremental (snapshot-over-snapshot) exact dedup: the arriving
+    * batch (`isNew` true) is checked against the content hashes of
+    * everything already ingested — a doc survives only if its hash is
+    * novel vs history AND it is the first occurrence within its own
+    * batch. This is how a continuously-crawled corpus dedups each
+    * drop without re-deduping the accumulated 100 TB.
+    *
+    * Scale: history collapses to DISTINCT hashes (far smaller than
+    * history itself); the probe is one hash-keyed equi-join — AQE
+    * picks sort-merge when history is big, broadcast when the seen
+    * set is genuinely small. The within-batch window partitions by
+    * content hash (bounded by the batch's dup multiplicity). Nothing
+    * rescans history's text. */
+  def incremental(docs: DataFrame, isNew: Column): DataFrame = {
+    val hashed = docs.select(col("doc_id"), md5(col("text")).as("h"),
+      isNew.cast("int").as("is_new"))
+    val seen = hashed.where(col("is_new") === 0).select("h").distinct()
+      .withColumn("_seen", lit(1))
+    val w = Window.partitionBy("h").orderBy("doc_id")
+    hashed.where(col("is_new") === 1)
+      .withColumn("batch_rank", row_number().over(w).cast("long"))
+      .join(seen, Seq("h"), "left")
+      .select(col("doc_id"), col("batch_rank"),
+        col("_seen").isNull.cast("int").as("novel"),
+        (col("_seen").isNull && col("batch_rank") === 1).cast("int").as("keep"))
+  }
 }

@@ -515,6 +515,44 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_v"))
   }
 
+  /** Embedding-space benchmark decontamination: flags every corpus
+    * vector whose cosine to ANY benchmark vector exceeds the
+    * threshold — the semantic complement of the shingle-overlap
+    * decontamination in [[Corpus.decontaminate]] (catches
+    * paraphrased eval leakage that n-gram overlap misses).
+    *
+    * Scale: candidates come from the same multi-table hyperplane-LSH
+    * bucketing as [[cosineNearDupLsh]], but CROSS-table — corpus
+    * buckets equi-join benchmark buckets, so the work is
+    * |bucket-collisions|, never |corpus|×|benchmark|; exact cosine
+    * verifies candidates only, and the per-vector verdict is a
+    * hash aggregation keyed by vec_id joined back on vec_id. */
+  def decontaminateEmbed(corpus: DataFrame, benchmark: DataFrame,
+                         threshold: Double, dim: Int = 64, planes: Int = 4,
+                         tables: Int = 6): DataFrame = {
+    def banded(df: DataFrame, idAs: String) = (0 until tables).map { t =>
+      df.select(col("vec_id").as(idAs), lit(t).as("tbl"),
+        lshBucket(col("embedding"), dim, planes, t).as("bucket"))
+    }.reduce(_ unionByName _)
+    val cands = banded(corpus, "c_id")
+      .join(banded(benchmark, "b_id"), Seq("tbl", "bucket"))
+      .select("c_id", "b_id").distinct()
+    val c = withNorm(corpus, "c_id", "emb_c", "norm_c")
+    val b = withNorm(benchmark, "b_id", "emb_b", "norm_b")
+    val hits = cands.join(c, "c_id").join(b, "b_id")
+      .select(col("c_id"),
+        scoreCos("emb_c", "emb_b", "norm_c", "norm_b").as("cos"))
+      .where(col("cos") > threshold)
+      .groupBy("c_id")
+      .agg(max("cos").as("max_cos"), count(lit(1)).as("n_hits"))
+    corpus.select(col("vec_id"))
+      .join(hits.withColumnRenamed("c_id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(round(col("max_cos"), 6), lit(0.0)).as("max_bench_cos"),
+        coalesce(col("n_hits"), lit(0L)).as("n_bench_hits"),
+        col("max_cos").isNotNull.cast("int").as("contaminated"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold.
     * Brute-force form — the small-N recall oracle for
     * [[cosineNearDupLsh]]; all-pairs, never the production path. */

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text analysis for training-data pipelines: language ID, quality
@@ -376,4 +377,51 @@ object TextAnalysis {
             sum("c").cast("double")).as("ent"))
       .select(col("doc_id"), col("n_words"), col("distinct_words"),
         round(col("ent"), 6).as("entropy"))
+
+  /** Gopher repetition signals (Rae et al. 2021 §A1.1, restated):
+    * the fraction of word characters covered by the single most
+    * frequent bigram, and by all trigrams that occur more than once.
+    * Occurrence-weighted — overlapping occurrences each count, so a
+    * pathologically repetitive doc can exceed 1.0; that is the
+    * thresholding convention web-corpus filters use (the classic
+    * cuts: top-2-gram ≤ 0.20, dup-3-gram ≤ 0.18). Complements
+    * [[gopherQuality]]'s duplicate-line fraction.
+    *
+    * Scale: explode → per-(doc, ngram) counts (hash agg with
+    * map-side partial combine) → per-doc top-1 window / sum, all
+    * keyed by doc_id — no corpus-wide state, no broadcast, and the
+    * ngram stream never crosses a shuffle un-aggregated. */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    // project the word array once before indexing (same O(n²) trap
+    // as bigramCrossEntropy: element_at(split(...), i) in a lambda
+    // would re-split the doc per element)
+    val base = docs.select(col("doc_id"), words(col("text")).as("ws"))
+    val n = size(col("ws"))
+    def grams(k: Int) =
+      when(n >= k, transform(sequence(lit(1), n - (k - 1)),
+        i => concat_ws(" ",
+          (0 until k).map(j => element_at(col("ws"), i + j)): _*)))
+        .otherwise(array().cast("array<string>"))
+    // denominator: characters inside words (whitespace excluded)
+    val tot = base.select(col("doc_id"),
+      aggregate(col("ws"), lit(0L), (a, x) => a + length(x)).as("tot_chars"))
+    val gramChars = (c: Column) => length(translate(c, " ", ""))
+    val top2 = base.select(col("doc_id"), explode(grams(2)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("c").desc, col("g").asc)))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), (col("c") * gramChars(col("g"))).as("chars2"))
+    val dup3 = base.select(col("doc_id"), explode(grams(3)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .where(col("c") >= 2)
+      .groupBy("doc_id")
+      .agg(sum(col("c") * gramChars(col("g"))).as("chars3"))
+    tot.join(top2, Seq("doc_id"), "left").join(dup3, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("tot_chars"),
+        round(coalesce(col("chars2"), lit(0L)).cast("double") /
+          col("tot_chars"), 6).as("top_bigram_frac"),
+        round(coalesce(col("chars3"), lit(0L)).cast("double") /
+          col("tot_chars"), 6).as("dup_trigram_frac"))
+  }
 }

@@ -575,6 +575,87 @@ class PipelineSpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.decodeAvi(corrupt))
   }
 
+  test("repetition signals: planted repeats score high, distinct text low") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "a b a b a b"), (2L, "one two three four"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionSignals(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Double]("top_bigram_frac"),
+          x.getAs[Double]("dup_trigram_frac"))).toMap
+    // doc 1: "a b"×3 covers 6/6 word chars; trigrams "a b a"×2 and
+    // "b a b"×2 cover 12/6 — occurrence-weighted > 1 by design
+    assert(r(1L) == ((1.0, 2.0)))
+    // doc 2: all bigrams unique → top covers "onetwo" = 6 of 15 chars
+    assert(r(2L) == ((0.4, 0.0)))
+  }
+
+  test("canonical pick keeps the highest-quality cluster member") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "short txt"),
+      (2L, "the quick brown fox jumps over that lazy dog and keeps " +
+        "running far away today"),
+      (3L, "short txt again"),
+      (4L, "unrelated solo document"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val r = Corpus.canonicalPick(docs, pairs).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("cluster_id"), x.getAs[Int]("keep_best")))).toMap
+    // 1-2-3 are one transitive cluster labeled by its min id
+    assert(Seq(1L, 2L, 3L).forall(r(_)._1 == 1L))
+    assert(r(4L) == ((4L, 1)))
+    // the survivor is the highest-quality doc (2), not the min-id doc
+    assert(r(2L)._2 == 1 && r(1L)._2 == 0 && r(3L)._2 == 0)
+  }
+
+  test("sequence packing: contiguous offsets, straddling doc spans two seqs") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "w w w"), (2L, "w w w"), (3L, "w w w"))
+      .toDF("doc_id", "text")
+    val r = Corpus.packSequences(docs, ctxTokens = 4, nShards = 1).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("start_off"), x.getAs[Long]("first_seq"),
+          x.getAs[Long]("last_seq")))).toMap
+    assert(r(1L) == ((0L, 0L, 0L))) // tokens 0..2 inside seq 0
+    assert(r(2L) == ((3L, 0L, 1L))) // tokens 3..5 straddle seqs 0-1
+    assert(r(3L) == ((6L, 1L, 2L))) // tokens 6..8 straddle seqs 1-2
+  }
+
+  test("incremental dedup: novel-vs-history and first-in-batch") {
+    val s = spark
+    import s.implicits._
+    // history = even ids {x, y}; arriving batch = odd ids {x, z, z}
+    val docs = Seq((1L, "x"), (2L, "x"), (3L, "z"), (4L, "y"), (5L, "z"))
+      .toDF("doc_id", "text")
+    val r = Dedup.incremental(docs, col("doc_id") % 2 === 1).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Int]("novel"), x.getAs[Int]("keep")))).toMap
+    assert(r.keySet == Set(1L, 3L, 5L)) // only the batch is emitted
+    assert(r(1L) == ((0, 0))) // "x" already ingested (doc 2)
+    assert(r(3L) == ((1, 1))) // first novel "z" survives
+    assert(r(5L) == ((1, 0))) // within-batch dup of doc 3
+  }
+
+  test("embedding decontamination flags near-bench vectors only") {
+    val s = spark
+    import s.implicits._
+    val bench = Seq((1L, Array(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Array(0.9f, 0.1f, 0f, 0f)), // ~0.994 cosine to the bench vec
+      (11L, Array(0f, 0f, 1f, 0f)))     // orthogonal
+      .toDF("vec_id", "embedding")
+    val r = Similarity.decontaminateEmbed(corpus, bench, 0.8, dim = 4)
+      .collect().map(x => x.getAs[Long]("vec_id") ->
+        x.getAs[Int]("contaminated")).toMap
+    assert(r(10L) == 1 && r(11L) == 0)
+    assert(r.size == 2) // every corpus vector gets a verdict row
+  }
+
   test("multimodal: stub decode is deterministic, plumbing intact") {
     val media = Multimodal.syntheticMedia(Tables.documents(spark, sf).limit(20))
     val f1 = Multimodal.extractFeatures(media).collect()

@@ -276,4 +276,46 @@ class PlanSpec extends SparkSpec {
           offenders.mkString("\n"))
     }
   }
+
+  test("repetition signals: projected-array ngrams, doc-keyed shuffles only") {
+    val p = plan("text_repetition")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // same O(n²) guard as text_bigram: the explode must index a
+    // projected word array, never re-split the text per element
+    val offenders = p.linesIterator.filter(_.contains("Generate"))
+      .filter(_.contains("element_at(split(")).toList
+    assert(offenders.isEmpty,
+      "ngram explode re-splits the text per element:\n" +
+        offenders.mkString("\n"))
+  }
+
+  test("sequence packing windows by shard, never unpartitioned") {
+    val offenders = plan("corpus_pack").linesIterator
+      .filter(_.contains("windowspecdefinition"))
+      .filterNot(_.contains("shard")).toList
+    assert(offenders.isEmpty,
+      "packing window not sharded (would funnel the corpus through " +
+        "one task):\n" + offenders.mkString("\n"))
+  }
+
+  test("incremental dedup probes history by hash equi-join, no cartesian") {
+    val p = plan("dedup_incremental")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("embedding decontam candidates come from the bucket equi-join") {
+    val p = plan("corpus_decontam_embed")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("canonical pick windows within dup clusters only") {
+    val offenders = plan("corpus_canonical").linesIterator
+      .filter(_.contains("windowspecdefinition"))
+      .filterNot(_.contains("cluster_id")).toList
+    assert(offenders.isEmpty,
+      "canonical rank must partition by cluster_id:\n" +
+        offenders.mkString("\n"))
+  }
 }
