@@ -321,7 +321,14 @@ object PipelineQueries {
       Similarity.decontaminateEmbed(
         emb.where(col("vec_id") >= 25), emb.where(col("vec_id") < 25), 0.40)
         .orderBy("vec_id")
-    })
+    }),
+    "dedup_bloom" -> ((s, dir) =>
+      // same even/odd history/batch split as dedup_incremental, but
+      // the probe goes through the fixed-size bloom bitmap
+      Dedup.bloomDedup(Tables.documents(s, dir), col("doc_id") % 2 === 1)
+        .orderBy("doc_id")),
+    "text_normalize" -> ((s, dir) =>
+      TextAnalysis.normalize(Tables.documents(s, dir)).orderBy("doc_id"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -1010,6 +1017,40 @@ object PipelineQueries {
          |  CAST(max_cos IS NOT NULL AS INT) AS contaminated
          | FROM (SELECT vec_id FROM embeddings WHERE vec_id >= 25) AS e
          | LEFT JOIN hits ON hits.c_id = e.vec_id ORDER BY e.vec_id"""
-        .stripMargin.replace("\n", " ")
+        .stripMargin.replace("\n", " "),
+    "dedup_bloom" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS h, doc_id % 2 AS is_new
+        |  FROM documents),
+        | hist AS (SELECT DISTINCT h FROM h WHERE is_new = 0),
+        | ks AS (SELECT unnest([0, 1, 2, 3, 4]) AS i),
+        | bpos AS (SELECT CAST('0x' || substr(md5(h || '#' || i), 1, 8)
+        |    AS BIGINT) % 65536 AS pos FROM hist CROSS JOIN ks),
+        | bloom AS (SELECT pos // 32 AS word_idx,
+        |   bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+        |  FROM bpos GROUP BY 1),
+        | probe AS (SELECT doc_id, h, CAST('0x' || substr(md5(h || '#' || i),
+        |    1, 8) AS BIGINT) % 65536 AS pos
+        |  FROM h CROSS JOIN ks WHERE is_new = 1),
+        | hits AS (SELECT doc_id, min(CASE WHEN (coalesce(bits, 0) &
+        |    (CAST(1 AS BIGINT) << CAST(pos % 32 AS INT))) <> 0
+        |   THEN 1 ELSE 0 END) AS might_dup
+        |  FROM probe LEFT JOIN bloom ON probe.pos // 32 = bloom.word_idx
+        |  GROUP BY doc_id)
+        | SELECT b.doc_id, might_dup,
+        |  CAST(s.h IS NULL AS INT) AS novel,
+        |  CAST(might_dup = 1 AND s.h IS NULL AS INT) AS false_pos
+        | FROM (SELECT doc_id, h FROM h WHERE is_new = 1) AS b
+        | JOIN hits USING (doc_id) LEFT JOIN hist AS s ON b.h = s.h
+        | ORDER BY b.doc_id""".stripMargin.replace("\n", " "),
+    "text_normalize" ->
+      """WITH n AS (SELECT doc_id, text,
+        |  trim(regexp_replace(regexp_replace(lower(text),
+        |   '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+        |  FROM documents)
+        | SELECT doc_id, norm AS norm_text,
+        |  CAST(length(norm) AS INT) AS n_chars_norm,
+        |  CAST(norm <> text AS INT) AS changed,
+        |  md5(norm) AS norm_md5
+        | FROM n ORDER BY doc_id""".stripMargin.replace("\n", " ")
   )
 }

@@ -127,7 +127,28 @@ object RelQueries {
         .withColumn("rk", row_number().over(w).cast("long"))
         .where(col("rk") <= 3)
         .orderBy("o_custkey", "rk")
-    })
+    }),
+
+    // gap-based sessionization of the event stream via Spark's native
+    // session_window: events of one user merge while consecutive gaps
+    // stay under 30 min; window.end = last event + gap. The SAME
+    // groupBy runs under readStream with a watermark (Structured
+    // Streaming plans it as a merging-sessions aggregation), which is
+    // why this uses session_window and not a lag/cumsum window: one
+    // shuffle on user_id, session merge is per-key sort-local, no
+    // global sort — at 100 TB sessions never cross partitions.
+    // Micros precision end-to-end: the oracle replays the gap rule on
+    // epoch_ns//1000, so sub-second timestamps round-trip exactly.
+    "q_sessionize" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 6).as("sum_value"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("session_start_us"),
+          unix_micros(col("session_window.end")).as("session_end_us"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "session_start_us"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -188,6 +209,22 @@ object RelQueries {
         | SELECT o_custkey, o_orderkey, o_totalprice,
         |  row_number() OVER (PARTITION BY o_custkey
         |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
-        | FROM orders) t WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin.replace("\n", " ")
+        | FROM orders) t WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin.replace("\n", " "),
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, value
+        |  FROM events),
+        | g AS (SELECT user_id, us, value,
+        |  CASE WHEN lag(us) OVER w IS NULL
+        |        OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END
+        |   AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        | s AS (SELECT user_id, us, value,
+        |  sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+        |   ROWS UNBOUNDED PRECEDING) AS sid FROM g)
+        | SELECT user_id, min(us) AS session_start_us,
+        |  max(us) + 1800000000 AS session_end_us,
+        |  count(*) AS n_events, round(sum(value), 6) AS sum_value
+        | FROM s GROUP BY user_id, sid
+        | ORDER BY user_id, session_start_us""".stripMargin.replace("\n", " ")
   )
 }

@@ -293,4 +293,81 @@ object Dedup {
         col("_seen").isNull.cast("int").as("novel"),
         (col("_seen").isNull && col("batch_rank") === 1).cast("int").as("keep"))
   }
+
+  /** Bloom-filter bits (default 2^16) and hash count for
+    * [[bloomFilter]]/[[bloomDedup]]. Words are 32-bit (stored in
+    * longs) so the oracle's `1 << (pos % 32)` can never shift into
+    * the sign bit in either engine. */
+  val BloomBits = 1 << 16
+  val BloomK    = 5
+
+  /** Bit position `i` of content hash `h`: first 8 hex chars of
+    * md5(h # i) as an int, mod `mBits`. Engine-portable — DuckDB
+    * replays it with the same md5/hex-cast idiom as [[md5Int]]. */
+  private def bloomPos(h: Column, i: Int, mBits: Int): Column =
+    conv(substring(md5(concat(h, lit(s"#$i"))), 1, 8), 16, 10)
+      .cast("long") % mBits
+
+  /** Build a Bloom filter over the DISTINCT content hashes of
+    * `history` as a (word_idx, bits) table of at most mBits/32 rows
+    * — a fixed-size summary regardless of history size. This is the
+    * 100 TB form of the incremental-dedup probe: instead of shipping
+    * the full seen-hash set into a join against every arriving
+    * batch, history collapses once into a ~KB bitmap that broadcasts
+    * for free; the batch probe then never touches history at all.
+    * (m3 uses the same trick per fileset: a bloom filter gates which
+    * volumes a series seek opens — reference
+    * src/dbnode/persist/fs/bloom_filter.go, seek.go.)
+    *
+    * Built with one hash aggregation: explode each hash into its k
+    * bit positions, `bit_or` the masks per word. */
+  def bloomFilter(history: DataFrame, mBits: Int = BloomBits,
+                  k: Int = BloomK): DataFrame = {
+    val hashed = history.select(md5(col("text")).as("h")).distinct()
+    hashed
+      .select(explode(array((0 until k).map(i =>
+        bloomPos(col("h"), i, mBits)): _*)).as("pos"))
+      .groupBy(expr("pos div 32").as("word_idx"))
+      .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))"))
+        .as("bits"))
+  }
+
+  /** Probe the arriving batch (`isNew` true) against a Bloom filter
+    * of history: `might_dup` = all k bits set (no false negatives),
+    * `novel` = exact anti-check vs history hashes, `false_pos` =
+    * bloom said dup but the doc is genuinely novel. The exact check
+    * exists here to ACCOUNT for the false-positive rate; a production
+    * pipeline keeps only the bloom probe (map-side against the
+    * broadcast bitmap) and routes the small might-dup stream into the
+    * exact join.
+    *
+    * The `broadcast` hint on the filter is bounded by construction:
+    * ≤ mBits/32 rows (2048 at the default) whatever the data size. */
+  def bloomDedup(docs: DataFrame, isNew: Column, mBits: Int = BloomBits,
+                 k: Int = BloomK): DataFrame = {
+    val hashed = docs.select(col("doc_id"), md5(col("text")).as("h"),
+      isNew.cast("int").as("is_new"))
+    val bloom = bloomFilter(docs.where(isNew.cast("int") === 0), mBits, k)
+    val probes = hashed.where(col("is_new") === 1)
+      .select(col("doc_id"), col("h"),
+        explode(array((0 until k).map(i =>
+          bloomPos(col("h"), i, mBits)): _*)).as("pos"))
+      .withColumn("word_idx", expr("pos div 32"))
+      .withColumn("mask",
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))"))
+    val hits = probes.join(broadcast(bloom), Seq("word_idx"), "left")
+      .withColumn("hit",
+        (coalesce(col("bits"), lit(0L)).bitwiseAND(col("mask")) =!= 0)
+          .cast("int"))
+      .groupBy("doc_id").agg(min(col("hit")).as("might_dup"))
+    val seen = hashed.where(col("is_new") === 0).select("h").distinct()
+      .withColumn("_seen", lit(1))
+    hashed.where(col("is_new") === 1)
+      .join(seen, Seq("h"), "left")
+      .join(hits, Seq("doc_id"))
+      .select(col("doc_id"), col("might_dup"),
+        col("_seen").isNull.cast("int").as("novel"),
+        (col("might_dup") === 1 && col("_seen").isNull).cast("int")
+          .as("false_pos"))
+  }
 }

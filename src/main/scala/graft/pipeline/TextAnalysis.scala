@@ -424,4 +424,23 @@ object TextAnalysis {
         round(coalesce(col("chars3"), lit(0L)).cast("double") /
           col("tot_chars"), 6).as("dup_trigram_frac"))
   }
+
+  /** CCNet/Dolma-style dedup normalization: lowercase, strip
+    * non-alphanumerics to spaces, collapse runs of whitespace, trim.
+    * `norm_md5` is the content hash of the NORMALIZED text — the key
+    * modern pipelines dedup on, so that case/punctuation variants of
+    * the same document collapse to one hash (CCNet §3.1 normalizes
+    * before paragraph hashing for exactly this reason). Pure column
+    * algebra: one codegen map stage, no shuffle, 100 TB-safe by
+    * construction. The regexes stay inside ASCII classes so Java
+    * (Spark) and RE2 (DuckDB oracle) agree byte-for-byte. */
+  def normalize(docs: DataFrame): DataFrame = {
+    val collapsed = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9\\s]", " "),
+      "\\s+", " "))
+    docs.select(col("doc_id"), collapsed.as("norm_text"),
+      length(collapsed).as("n_chars_norm"),
+      (collapsed =!= col("text")).cast("int").as("changed"),
+      md5(collapsed).as("norm_md5"))
+  }
 }

@@ -667,4 +667,57 @@ class PipelineSpec extends SparkSpec {
       Multimodal.extractFeatures(media)).collect()
     assert(frames.forall(r => r.getAs[Seq[Int]]("frame_idx").nonEmpty))
   }
+
+  test("bloom dedup: no false negatives; filter stays fixed-size") {
+    val s = spark
+    import s.implicits._
+    // history = even ids {x, y}; batch = odd ids {x (true dup), z, w}
+    val docs = Seq((1L, "x"), (2L, "x"), (3L, "z"), (4L, "y"), (5L, "w"))
+      .toDF("doc_id", "text")
+    val r = Dedup.bloomDedup(docs, col("doc_id") % 2 === 1).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Int]("might_dup"), x.getAs[Int]("novel"),
+          x.getAs[Int]("false_pos")))).toMap
+    assert(r.keySet == Set(1L, 3L, 5L)) // only the batch is emitted
+    // a genuine history dup can NEVER be missed (bloom property)
+    assert(r(1L)._1 == 1 && r(1L)._2 == 0 && r(1L)._3 == 0)
+    // novel docs are novel; might_dup may be 0 or 1 (false positive),
+    // but false_pos must equal might_dup ∧ novel
+    assert(Seq(3L, 5L).forall(id =>
+      r(id)._2 == 1 && r(id)._3 == (r(id)._1 min r(id)._2)))
+    // the filter itself is bounded by mBits/32 words whatever the input
+    assert(Dedup.bloomFilter(docs).count() <= Dedup.BloomBits / 32)
+  }
+
+  test("bloom filter false-positive rate is small on real hashes") {
+    // sf docs: even = history, odd = batch; at ~250 hashes in a
+    // 65536-bit / 5-hash filter the expected FP rate is < 1e-8 —
+    // assert the observed count is (generously) under 1% of the batch
+    val r = Dedup.bloomDedup(Tables.documents(spark, sf),
+      col("doc_id") % 2 === 1)
+    val n = r.count()
+    val fp = r.where(col("false_pos") === 1).count()
+    assert(fp.toDouble / n < 0.01, s"fp=$fp of $n")
+  }
+
+  test("normalize: idempotent, collapses case/punct variants to one hash") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "The Quick, Brown Fox!"),
+      (2L, "the   quick brown--fox"),
+      (3L, "a different document")).toDF("doc_id", "text")
+    val n1 = TextAnalysis.normalize(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[String]("norm_text"), x.getAs[String]("norm_md5")))).toMap
+    assert(n1(1L)._1 == "the quick brown fox")
+    assert(n1(1L)._2 == n1(2L)._2) // variants share the dedup hash
+    assert(n1(3L)._2 != n1(1L)._2)
+    // idempotence: normalizing the normalized text is the identity
+    val again = TextAnalysis.normalize(
+      TextAnalysis.normalize(docs).select(col("doc_id"),
+        col("norm_text").as("text"))).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("norm_text")).toMap
+    assert(again == n1.view.mapValues(_._1).toMap)
+  }
 }

@@ -318,4 +318,29 @@ class PlanSpec extends SparkSpec {
       "canonical rank must partition by cluster_id:\n" +
         offenders.mkString("\n"))
   }
+
+  test("bloom probe joins the fixed-size bitmap broadcast, no cartesian") {
+    val p = plan("dedup_bloom")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // the word-idx probe must be the broadcast side (≤ mBits/32 rows)
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("text normalize is a single map stage — no exchange") {
+    val p = plan("text_normalize")
+    assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
+  }
+
+  test("sessionize shuffles on user_id only; sessions merge sort-locally") {
+    val p = plan("q_sessionize")
+    // one hash exchange for the session aggregation (plus the final
+    // presentation sort's range exchange) — never a cartesian or a
+    // per-session reshuffle
+    val hashEx = p.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n" +
+      p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
 }

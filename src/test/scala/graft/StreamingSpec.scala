@@ -252,4 +252,34 @@ class StreamingSpec extends SparkSpec {
     assert(out.cumulative == 24.0) // +15, reset(+5), +4
     assert(out.resets == 1)
   }
+
+  test("session_window groupBy runs under readStream with a watermark") {
+    // the q_sessionize aggregation verbatim, on a stream: merging-
+    // sessions state per user, closed sessions flush in append mode
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val q = mem.toDF().toDF("user_id", "ts", "value")
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 6).as("sum_value"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_stream_test").start()
+    try {
+      mem.addData(
+        (1L, Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+        (1L, Timestamp.valueOf("2024-01-01 00:10:00"), 2.0),  // merges
+        (1L, Timestamp.valueOf("2024-01-01 02:00:00"), 4.0))  // new session
+      q.processAllAvailable()
+      // advance the watermark far enough to close both sessions
+      mem.addData((9L, Timestamp.valueOf("2024-01-02 00:00:00"), 0.0))
+      q.processAllAvailable()
+      val rows = s.sql(
+        "SELECT n_events, sum_value FROM sess_stream_test ORDER BY 1")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+      assert(rows == List((1L, 4.0), (2L, 3.0)))
+    } finally q.stop()
+  }
 }
