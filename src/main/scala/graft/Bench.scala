@@ -64,6 +64,7 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     pipeline.Dedup.clearShingleCache()
+    pipeline.Corpus.clearClusterCache()
     spark.stop()
   }
 }

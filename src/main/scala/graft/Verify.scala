@@ -38,6 +38,7 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     pipeline.Dedup.clearShingleCache()
+    pipeline.Corpus.clearClusterCache()
     spark.stop()
   }
 }

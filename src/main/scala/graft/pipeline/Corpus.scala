@@ -33,6 +33,38 @@ object Corpus {
     * round is two joins on doc id — no driver-side graph state.
     */
   def dupClusters(docs: DataFrame, pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // the iterative propagation is the most expensive stage in the
+    // corpus family and three operators consume its labels (clusters,
+    // canonical pick, manifest) — run it once per (docs, pairs)
+    // LINEAGE and share the persisted result. Keyed on canonicalized
+    // plans (not plan hashes) for the same collision-safety as the
+    // shingle cache; a throw inside the loop caches nothing. On a
+    // cluster this frame is the written intermediate every downstream
+    // curation stage reads.
+    val ids = docs.select("doc_id")
+    val key = (ids.sparkSession,
+      ids.queryExecution.analyzed.canonicalized,
+      pairs.queryExecution.analyzed.canonicalized)
+    clusterCache.getOrElseUpdate(key,
+      computeDupClusters(ids, pairs, maxIter)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
+  private val clusterCache = scala.collection.concurrent.TrieMap.empty[
+    (org.apache.spark.sql.SparkSession,
+     org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+     org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), DataFrame]
+
+  /** Unpersist and forget every cached cluster-label frame — same
+    * lifecycle contract as [[Dedup.clearShingleCache]] (Verify/Bench
+    * call both at shutdown). */
+  def clearClusterCache(): Unit = {
+    clusterCache.values.foreach(_.unpersist(blocking = false))
+    clusterCache.clear()
+  }
+
+  private def computeDupClusters(docs: DataFrame, pairs: DataFrame,
+                                 maxIter: Int): DataFrame = {
     // materialize the (possibly expensive — e.g. minhash-derived)
     // pair lineage ONCE; every iteration's actions reuse the
     // checkpointed edges instead of re-running the upstream pipeline

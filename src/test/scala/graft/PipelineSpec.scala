@@ -405,9 +405,11 @@ class PipelineSpec extends SparkSpec {
     val r = Corpus.dupClusters(docs, pairs)
     assert(r.where(col("cluster_id") === 1L).count() == 7)
     val after = spark.sparkContext.getPersistentRDDs.size
-    // only the final label table may stay pinned (the returned frame
-    // still reads it); edges + per-round checkpoints must be freed
-    assert(after <= before + 1,
+    // only the final label table and the shared result cache may stay
+    // pinned (the returned frame still reads the former; the latter
+    // is the cross-operator reuse persist); edges + per-round
+    // checkpoints must be freed
+    assert(after <= before + 2,
       s"dupClusters leaked checkpoint blocks: $before -> $after persistent RDDs")
   }
 

@@ -134,6 +134,11 @@ class PlanSpec extends SparkSpec {
     val old = spark.conf.get(key)
     try {
       spark.conf.set(key, "-1")
+      // the cluster-label result is cached across operators with its
+      // plan compiled at first use — drop it so this query re-plans
+      // under the threshold override (and again after, so later tests
+      // re-plan under the default conf)
+      pipeline.Corpus.clearClusterCache()
       val df = SparkEntry.queries("corpus_clusters")(spark, sf)
       df.collect()
       val p = df.queryExecution.executedPlan.toString
@@ -141,7 +146,10 @@ class PlanSpec extends SparkSpec {
         "label join is forced-broadcast (OOM at scale):\n" + p.take(2000))
       assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
         "expected a shuffle join under threshold=-1:\n" + p.take(2000))
-    } finally spark.conf.set(key, old)
+    } finally {
+      spark.conf.set(key, old)
+      pipeline.Corpus.clearClusterCache()
+    }
   }
 
   test("tag-search surfaces shuffle only tag cardinality") {
