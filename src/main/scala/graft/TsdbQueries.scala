@@ -87,6 +87,16 @@ object TsdbQueries {
         .select(col("user_id"), unix_timestamp(col("ts")).as("ts_s"),
           col("value"), col("event_id"))
         .orderBy("event_id")),
+    "ts_fetch_limit" -> ((s, dir) =>
+      // ReturnedSeriesLimit=12: whole-series truncation by sorted
+      // identity, with the TotalSeries/Limited response signals
+      Fetch.withSeriesLimit(
+        Fetch(samples(s, dir),
+          Seq(Fetch.Matcher("name", Fetch.Re, "(pur|cli).*"))), 12)
+        .select(col("name"), col("user_id"),
+          unix_timestamp(col("ts")).as("ts_s"), col("value"),
+          col("event_id"), col("total_series"), col("limited"))
+        .orderBy("event_id")),
     "ts_complete_tags" -> ((s, dir) =>
       // the /labels search surface: distinct (tag_name, tag_value)
       // pairs of series matching name=~(pur|si).* in January
@@ -517,6 +527,18 @@ object TsdbQueries {
          |  AND regexp_full_match(name, 'view|cart')
          |  AND floor(epoch(ts)) >= 1704067200
          |  AND floor(epoch(ts)) < 1705276800
+         | ORDER BY event_id""".stripMargin.replace("\n", " "),
+    "ts_fetch_limit" ->
+      s"""WITH f AS (SELECT name, user_id, ts, value, event_id
+         |  FROM ($S) AS s WHERE regexp_full_match(name, '(pur|cli).*')),
+         | ident AS (SELECT DISTINCT name, user_id FROM f),
+         | kept AS (SELECT name, user_id FROM ident
+         |  ORDER BY name, user_id LIMIT 12),
+         | st AS (SELECT count(*) AS total_series FROM ident)
+         | SELECT f.name, f.user_id,
+         |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, value, event_id,
+         |  total_series, CAST(total_series > 12 AS INT) AS limited
+         | FROM f JOIN kept USING (name, user_id) CROSS JOIN st
          | ORDER BY event_id""".stripMargin.replace("\n", " "),
     "ts_complete_tags" ->
       s"""SELECT DISTINCT tag_name, tag_value FROM (

@@ -173,4 +173,43 @@ object Fetch {
     (matchers.map(predicate) ++ timeBounds)
       .foldLeft(shifted)((df, p) => df.where(p))
   }
+
+  /** Returned-series limit — m3's ReturnedSeriesLimit fetch option
+    * (reference: src/query/storage/types.go:113-128 FetchOptions
+    * {SeriesLimit, ReturnedSeriesLimit, RequireExhaustive}).
+    * Truncation is at WHOLE-series granularity: rendering stops
+    * before series limit+1, never mid-series
+    * (api/v1/handler/prometheus/native/common.go:262-265), and the
+    * response carries {TotalSeries, Limited}
+    * (handleroptions.ReturnedDataLimited, read_common.go:272-285).
+    * m3 keeps series in storage-arrival order; a distributed engine
+    * needs a deterministic rule, so the kept set is the first
+    * `limit` series by sorted identity (name, user_id).
+    *
+    * `requireExhaustive` mirrors RequireExhaustive (types.go:127):
+    * a truncated result is an ERROR, not a silent partial answer —
+    * the check is a one-row aggregate collect, documented bounded.
+    *
+    * Scale: series identities collapse to a distinct frame (series
+    * cardinality, not sample count); the kept set is a distributed
+    * top-N (TakeOrdered — no global sort, no unpartitioned window)
+    * that semi-joins back onto the samples; total/limited ride a
+    * one-row broadcast crossJoin. */
+  def withSeriesLimit(fetched: DataFrame, limit: Int,
+                      requireExhaustive: Boolean = false): DataFrame = {
+    val ident = fetched.select("name", "user_id").distinct()
+    val kept = ident.orderBy("name", "user_id").limit(limit)
+    val stats = ident.agg(count(lit(1)).as("total_series"))
+      .withColumn("limited", (col("total_series") > limit).cast("int"))
+    if (requireExhaustive) {
+      val t = stats.collect()(0)
+      if (t.getAs[Int]("limited") == 1)
+        throw new IllegalStateException(
+          s"query exceeds ReturnedSeriesLimit=$limit " +
+            s"(total ${t.getAs[Long]("total_series")} series) " +
+            "with RequireExhaustive set")
+    }
+    fetched.join(kept, Seq("name", "user_id"), "left_semi")
+      .crossJoin(broadcast(stats))
+  }
 }

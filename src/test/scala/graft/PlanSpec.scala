@@ -340,6 +340,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
   }
 
+  test("series limit is a distributed top-N, not a global sort/window") {
+    val p = plan("ts_fetch_limit")
+    assert(p.contains("TakeOrderedAndProject"),
+      "kept-series selection should plan as TakeOrdered:\n" + p.take(2000))
+    assert(!p.contains("windowspecdefinition"),
+      "series limit must not use an unpartitioned window:\n" + p.take(2000))
+  }
+
   test("sessionize shuffles on user_id only; sessions merge sort-locally") {
     val p = plan("q_sessionize")
     // one hash exchange for the session aggregation (plus the final

@@ -207,4 +207,36 @@ class TsdbSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(byRes("1h") == byRes("1d")) // same samples counted once each
   }
+
+  test("series limit truncates whole series; RequireExhaustive throws") {
+    val s = Vectors.samples(Tables.events(spark, sf))
+    val fetched = Fetch(s, Seq(Fetch.Matcher("name", Fetch.Re, ".*")))
+    val total = fetched.select("name", "user_id").distinct().count()
+    assert(total > 3) // the limit below must actually bite
+    val lim = Fetch.withSeriesLimit(fetched, 3)
+    // exactly the first 3 identities by sorted (name, user_id) survive,
+    // each with ALL its samples (whole-series truncation)
+    val keptIds = lim.select("name", "user_id").distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    val expect = fetched.select("name", "user_id").distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.take(3).toSeq
+    assert(keptIds == expect)
+    val perSeries = fetched.groupBy("name", "user_id").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val limPerSeries = lim.groupBy("name", "user_id").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(limPerSeries.forall { case (k, n) => perSeries(k) == n })
+    // response metadata
+    val meta = lim.select("total_series", "limited").distinct().collect()
+    assert(meta.length == 1 && meta(0).getLong(0) == total &&
+      meta(0).getInt(1) == 1)
+    // RequireExhaustive refuses the truncated result…
+    intercept[IllegalStateException] {
+      Fetch.withSeriesLimit(fetched, 3, requireExhaustive = true)
+    }
+    // …but passes when the limit doesn't bite
+    val ok = Fetch.withSeriesLimit(fetched, total.toInt + 1,
+      requireExhaustive = true)
+    assert(ok.select("limited").distinct().collect()(0).getInt(0) == 0)
+  }
 }
