@@ -97,6 +97,16 @@ object TsdbQueries {
           unix_timestamp(col("ts")).as("ts_s"), col("value"),
           col("event_id"), col("total_series"), col("limited"))
         .orderBy("event_id")),
+    "ts_fetch_dp_limit" -> ((s, dir) =>
+      // ReturnedDatapointsLimit=600: keep the longest sorted-identity
+      // prefix of whole series within the datapoint budget
+      Fetch.withDatapointsLimit(
+        Fetch(samples(s, dir),
+          Seq(Fetch.Matcher("name", Fetch.Re, "(pur|cli).*"))), 600L)
+        .select(col("name"), col("user_id"),
+          unix_timestamp(col("ts")).as("ts_s"), col("value"),
+          col("event_id"), col("total_datapoints"), col("limited"))
+        .orderBy("event_id")),
     "ts_complete_tags" -> ((s, dir) =>
       // the /labels search surface: distinct (tag_name, tag_value)
       // pairs of series matching name=~(pur|si).* in January
@@ -538,6 +548,19 @@ object TsdbQueries {
          | SELECT f.name, f.user_id,
          |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, value, event_id,
          |  total_series, CAST(total_series > 12 AS INT) AS limited
+         | FROM f JOIN kept USING (name, user_id) CROSS JOIN st
+         | ORDER BY event_id""".stripMargin.replace("\n", " "),
+    "ts_fetch_dp_limit" ->
+      s"""WITH f AS (SELECT name, user_id, ts, value, event_id
+         |  FROM ($S) AS s WHERE regexp_full_match(name, '(pur|cli).*')),
+         | c AS (SELECT name, user_id, count(*) AS n FROM f GROUP BY 1, 2),
+         | cum AS (SELECT name, user_id, sum(n) OVER (ORDER BY name, user_id
+         |   ROWS UNBOUNDED PRECEDING) AS cumn FROM c),
+         | kept AS (SELECT name, user_id FROM cum WHERE cumn <= 600),
+         | st AS (SELECT count(*) AS total_datapoints FROM f)
+         | SELECT f.name, f.user_id,
+         |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, value, event_id,
+         |  total_datapoints, CAST(total_datapoints > 600 AS INT) AS limited
          | FROM f JOIN kept USING (name, user_id) CROSS JOIN st
          | ORDER BY event_id""".stripMargin.replace("\n", " "),
     "ts_complete_tags" ->

@@ -212,4 +212,54 @@ object Fetch {
     fetched.join(kept, Seq("name", "user_id"), "left_semi")
       .crossJoin(broadcast(stats))
   }
+
+  /** Returned-datapoints limit — the second returned-data budget in
+    * m3's FetchOptions (types.go:124 ReturnedDatapointsLimit;
+    * native/common.go:266-269 stops rendering before the first
+    * series whose datapoints would exceed the budget — truncation is
+    * again whole-series, in render order). With the deterministic
+    * sorted-identity order this means: keep the longest prefix of
+    * series whose cumulative sample count fits `budget`.
+    *
+    * Scale: the prefix sum runs over the per-series COUNTS frame
+    * (series cardinality), and even there never as one global
+    * window: counts range-repartition by identity, each shard
+    * computes a local running sum, and shard offsets come from a
+    * numShards-row frame (the corpus_pack discipline). Shard
+    * boundaries are sampling-dependent; prefix sums are
+    * boundary-invariant, so the result is deterministic. */
+  def withDatapointsLimit(fetched: DataFrame, budget: Long,
+                          requireExhaustive: Boolean = false,
+                          shards: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = fetched.groupBy("name", "user_id")
+      .agg(count(lit(1)).as("_n"))
+      .repartitionByRange(shards, col("name"), col("user_id"))
+      .withColumn("_shard", spark_partition_id())
+    val localCum = counts.withColumn("_local_cum",
+      sum("_n").over(Window.partitionBy("_shard")
+        .orderBy("name", "user_id")))
+    // shard totals: ≤ `shards` rows — the bounded bounds-frame that
+    // may window/broadcast freely
+    val offsets = counts.groupBy("_shard").agg(sum("_n").as("_tot"))
+      .withColumn("_offset",
+        coalesce(sum("_tot").over(Window.orderBy("_shard")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("_shard", "_offset")
+    val cum = localCum.join(broadcast(offsets), "_shard")
+      .withColumn("_cum", col("_local_cum") + col("_offset"))
+    val kept = cum.where(col("_cum") <= budget).select("name", "user_id")
+    val stats = fetched.agg(count(lit(1)).as("total_datapoints"))
+      .withColumn("limited", (col("total_datapoints") > budget).cast("int"))
+    if (requireExhaustive) {
+      val t = stats.collect()(0)
+      if (t.getAs[Int]("limited") == 1)
+        throw new IllegalStateException(
+          s"query exceeds ReturnedDatapointsLimit=$budget " +
+            s"(total ${t.getAs[Long]("total_datapoints")} datapoints) " +
+            "with RequireExhaustive set")
+    }
+    fetched.join(kept, Seq("name", "user_id"), "left_semi")
+      .crossJoin(broadcast(stats))
+  }
 }

@@ -348,6 +348,15 @@ class PlanSpec extends SparkSpec {
       "series limit must not use an unpartitioned window:\n" + p.take(2000))
   }
 
+  test("datapoints limit windows per shard, never the full series frame") {
+    val offenders = plan("ts_fetch_dp_limit").linesIterator
+      .filter(_.contains("windowspecdefinition"))
+      .filterNot(l => l.contains("_shard") || l.contains("_tot")).toList
+    assert(offenders.isEmpty,
+      "prefix sum must shard-partition (or run on the tiny offsets " +
+        "frame):\n" + offenders.mkString("\n"))
+  }
+
   test("sessionize shuffles on user_id only; sessions merge sort-locally") {
     val p = plan("q_sessionize")
     // one hash exchange for the session aggregation (plus the final

@@ -239,4 +239,29 @@ class TsdbSpec extends SparkSpec {
       requireExhaustive = true)
     assert(ok.select("limited").distinct().collect()(0).getInt(0) == 0)
   }
+
+  test("datapoints limit keeps the longest whole-series prefix in budget") {
+    val s = Vectors.samples(Tables.events(spark, sf))
+    val fetched = Fetch(s, Seq(Fetch.Matcher("name", Fetch.Re, ".*")))
+    val perSeries = fetched.groupBy("name", "user_id").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val sortedIds = perSeries.keys.toSeq.sorted
+    val budget = perSeries(sortedIds.head) + perSeries(sortedIds(1))
+    // reference prefix: single-threaded cumsum over sorted identities
+    var acc = 0L
+    val expect = sortedIds.takeWhile { id => acc += perSeries(id); acc <= budget }
+    val lim = Fetch.withDatapointsLimit(fetched, budget, shards = 4)
+    val keptIds = lim.select("name", "user_id").distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(keptIds == expect,
+      s"two-phase prefix sum diverged: $keptIds vs $expect")
+    // whole-series retention + metadata
+    val limPerSeries = lim.groupBy("name", "user_id").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(limPerSeries.forall { case (k, n) => perSeries(k) == n })
+    assert(lim.select("limited").distinct().collect()(0).getInt(0) == 1)
+    intercept[IllegalStateException] {
+      Fetch.withDatapointsLimit(fetched, budget, requireExhaustive = true)
+    }
+  }
 }
