@@ -328,7 +328,10 @@ object PipelineQueries {
       Dedup.bloomDedup(Tables.documents(s, dir), col("doc_id") % 2 === 1)
         .orderBy("doc_id")),
     "text_normalize" -> ((s, dir) =>
-      TextAnalysis.normalize(Tables.documents(s, dir)).orderBy("doc_id"))
+      TextAnalysis.normalize(Tables.documents(s, dir)).orderBy("doc_id")),
+    "corpus_shuffle" -> ((s, dir) =>
+      Corpus.shuffleOrder(Tables.documents(s, dir), seed = 7L)
+        .orderBy("doc_id"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -1051,6 +1054,14 @@ object PipelineQueries {
         |  CAST(length(norm) AS INT) AS n_chars_norm,
         |  CAST(norm <> text AS INT) AS changed,
         |  md5(norm) AS norm_md5
-        | FROM n ORDER BY doc_id""".stripMargin.replace("\n", " ")
+        | FROM n ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "corpus_shuffle" ->
+      """WITH r AS (SELECT doc_id,
+        |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#shuffle#7'),
+        |   1, 8) AS BIGINT) AS rnd FROM documents)
+        | SELECT doc_id, rnd % 8 AS shard,
+        |  CAST(row_number() OVER (PARTITION BY rnd % 8
+        |   ORDER BY rnd, doc_id) - 1 AS BIGINT) AS position, rnd
+        | FROM r ORDER BY doc_id""".stripMargin.replace("\n", " ")
   )
 }

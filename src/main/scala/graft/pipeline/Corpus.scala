@@ -414,4 +414,32 @@ object Corpus {
         floor((col("end_off") - 1).cast("double") / ctxTokens)
           .cast("long").as("last_seq"))
   }
+
+  /** Deterministic training-order shuffle — the final pass of every
+    * data pipeline: docs get a pseudorandom but REPRODUCIBLE global
+    * order (seeded md5 rank), materialized as (shard, position)
+    * coordinates a training loader streams in shard-major order.
+    *
+    * Shuffling 100 TB is exactly where a naive global `orderBy`
+    * dies, so the permutation is two-level, like packing: the md5
+    * rank hash-assigns each doc to a shard (uniform by
+    * construction), and each shard orders ONLY its own docs by rank
+    * — a shard-partitioned window, never a global sort. Shard-major
+    * + position-minor traversal then visits docs in an order that is
+    * (a) deterministic in the seed, (b) uniform, (c) produced with
+    * one hash shuffle. A different seed reshuffles every epoch.
+    *
+    * Ties cannot happen: rank collisions fall back to doc_id in the
+    * window order, keeping the permutation total. */
+  def shuffleOrder(docs: DataFrame, seed: Long = 0L,
+                   nShards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = Dedup.md5Int(concat(col("doc_id").cast("string"),
+      lit(s"#shuffle#$seed")))
+    val w = Window.partitionBy("shard").orderBy("rnd", "doc_id")
+    docs.select(col("doc_id"), rnd.as("rnd"))
+      .withColumn("shard", pmod(col("rnd"), lit(nShards.toLong)))
+      .withColumn("position", (row_number().over(w) - 1).cast("long"))
+      .select("doc_id", "shard", "position", "rnd")
+  }
 }

@@ -722,4 +722,28 @@ class PipelineSpec extends SparkSpec {
       .map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("norm_text")).toMap
     assert(again == n1.view.mapValues(_._1).toMap)
   }
+
+  test("shuffle order: total permutation, seed-reproducible, seed-sensitive") {
+    val docs = Tables.documents(spark, sf)
+    val n = docs.count()
+    val a = Corpus.shuffleOrder(docs, seed = 1L).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("shard"), r.getAs[Long]("position")))).toMap
+    // (shard, position) is a bijection over the corpus
+    assert(a.size == n && a.values.toSet.size == n)
+    // positions are dense per shard: 0..count-1
+    val perShard = a.values.groupBy(_._1)
+    assert(perShard.forall { case (_, ps) =>
+      ps.map(_._2).toSet == (0L until ps.size).toSet })
+    // same seed reproduces; a different seed moves most docs
+    val a2 = Corpus.shuffleOrder(docs, seed = 1L).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("shard"), r.getAs[Long]("position")))).toMap
+    assert(a2 == a)
+    val b = Corpus.shuffleOrder(docs, seed = 2L).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("shard"), r.getAs[Long]("position")))).toMap
+    val moved = a.keys.count(k => a(k) != b(k))
+    assert(moved > n * 0.8, s"only $moved of $n docs moved on reseed")
+  }
 }

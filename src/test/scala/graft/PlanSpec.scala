@@ -348,6 +348,14 @@ class PlanSpec extends SparkSpec {
       "series limit must not use an unpartitioned window:\n" + p.take(2000))
   }
 
+  test("training shuffle windows per shard — no global sort of the corpus") {
+    val offenders = plan("corpus_shuffle").linesIterator
+      .filter(_.contains("windowspecdefinition"))
+      .filterNot(_.contains("shard")).toList
+    assert(offenders.isEmpty,
+      "shuffle position must partition by shard:\n" + offenders.mkString("\n"))
+  }
+
   test("datapoints limit windows per shard, never the full series frame") {
     val offenders = plan("ts_fetch_dp_limit").linesIterator
       .filter(_.contains("windowspecdefinition"))
