@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.pipeline.{Dedup, TextAnalysis}
+
+/** Property-based checks (scalacheck generators, spark-evaluated):
+  * invariants that hold for ALL inputs, not just the hand-picked spec
+  * cases — each property batches its generated cases into one frame
+  * so a check is a handful of Spark jobs, not hundreds. */
+class PropertySpec extends SparkSpec {
+
+  private val params = SCTest.Parameters.default.withMinSuccessfulTests(5)
+
+  private def check(p: Prop): Unit = {
+    val r = SCTest.check(params, p)
+    assert(r.passed, r.status.toString)
+  }
+
+  /** Non-empty printable-ASCII strings without md5-hostile length. */
+  private val asciiDoc: Gen[String] =
+    Gen.chooseNum(1, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(32.toChar, 126.toChar)).map(_.mkString))
+
+  test("property: bloom filter never false-negatives a genuine dup") {
+    val s = spark
+    import s.implicits._
+    check(Prop.forAll(Gen.listOfN(25, asciiDoc)) { texts =>
+      val distinctTexts = texts.distinct
+      // history = the set once; batch = the same set again plus fresh
+      // strings guaranteed disjoint (suffix no history doc can have)
+      val fresh = distinctTexts.zipWithIndex.map {
+        case (t, i) => t + s"#fresh$i"
+      }
+      val n = distinctTexts.size
+      val docs = (distinctTexts ++ distinctTexts ++ fresh).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val r = Dedup.bloomDedup(docs, col("doc_id") >= n).collect()
+        .map(x => x.getAs[Long]("doc_id") ->
+          ((x.getAs[Int]("might_dup"), x.getAs[Int]("novel")))).toMap
+      // every repeated doc must be flagged (no false negatives)…
+      val repeats = (n until 2 * n).forall(i => r(i.toLong) == ((1, 0)))
+      // …and novel verdicts are exact regardless of bloom noise
+      val freshOk = (2 * n until 2 * n + fresh.size)
+        .forall(i => r(i.toLong)._2 == 1)
+      repeats && freshOk
+    })
+  }
+
+  test("property: normalize is idempotent and collapses case/punct variants") {
+    val s = spark
+    import s.implicits._
+    val wordGen = Gen.chooseNum(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.choose('a', 'z')).map(_.mkString))
+    val docGen = Gen.chooseNum(1, 10).flatMap(n => Gen.listOfN(n, wordGen))
+    check(Prop.forAll(Gen.listOfN(10, docGen)) { wordLists =>
+      // variant: random case flips + punctuation joins of the same words
+      val rows = wordLists.zipWithIndex.flatMap { case (ws, i) =>
+        val base = ws.mkString(" ")
+        val variant = ws.map(_.zipWithIndex.map { case (c, j) =>
+          if ((i + j) % 2 == 0) c.toUpper else c
+        }.mkString).mkString(if (i % 2 == 0) ", " else " -- ")
+        Seq((i * 2L, base), (i * 2L + 1, variant))
+      }
+      val docs = rows.toDF("doc_id", "text")
+      val n1 = TextAnalysis.normalize(docs)
+      val once = n1.collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("norm_text"), r.getAs[String]("norm_md5")))).toMap
+      val twice = TextAnalysis.normalize(
+        n1.select(col("doc_id"), col("norm_text").as("text"))).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("norm_text")).toMap
+      val idempotent = twice == once.view.mapValues(_._1).toMap
+      val collapses = wordLists.indices.forall(i =>
+        once(i * 2L)._2 == once(i * 2L + 1)._2)
+      idempotent && collapses
+    })
+  }
+
+  test("property: shuffle order is a bijection for any seed and shard count") {
+    val s = spark
+    import s.implicits._
+    check(Prop.forAll(Gen.chooseNum(1L, 1000000L),
+      Gen.chooseNum(1, 16)) { (seed, shards) =>
+      val docs = (0L until 64L).map(Tuple1(_)).toDF("doc_id")
+      val r = graft.pipeline.Corpus.shuffleOrder(docs, seed, shards).collect()
+        .map(x => (x.getAs[Long]("shard"), x.getAs[Long]("position")))
+      r.length == 64 && r.distinct.length == 64 &&
+        r.forall { case (sh, _) => sh >= 0 && sh < shards }
+    })
+  }
+}

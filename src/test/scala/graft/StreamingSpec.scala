@@ -253,6 +253,46 @@ class StreamingSpec extends SparkSpec {
     assert(out.resets == 1)
   }
 
+  test("bloom history probe dedups arriving micro-batches") {
+    // the streaming role dedup_bloom is built for: history accumulates
+    // across batches, each arriving batch probes the fixed-size bloom
+    // of everything before it via foreachBatch — the loop a
+    // continuously-crawled corpus runs on every drop
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    var history: Option[org.apache.spark.sql.DataFrame] = None
+    val results = scala.collection.concurrent.TrieMap.empty[Long, (Int, Int)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val b = batch.localCheckpoint(true)
+        history match {
+          case Some(h) =>
+            val union = h.withColumn("is_new", lit(0))
+              .unionByName(b.withColumn("is_new", lit(1)))
+            pipeline.Dedup.bloomDedup(union, col("is_new") === 1)
+              .collect().foreach(r => results(r.getAs[Long]("doc_id")) =
+                (r.getAs[Int]("might_dup"), r.getAs[Int]("novel")))
+            history = Some(h.unionByName(b).localCheckpoint(true))
+          case None => // first drop seeds history; nothing to probe
+            history = Some(b)
+        }
+      }.start()
+    try {
+      mem.addData((1L, "alpha"), (2L, "beta"))
+      q.processAllAvailable()
+      mem.addData((3L, "alpha"), (4L, "gamma")) // 3 repeats history doc 1
+      q.processAllAvailable()
+      assert(results(3L) == ((1, 0))) // flagged, genuinely not novel
+      assert(results(4L)._2 == 1)     // fresh doc stays novel
+      mem.addData((5L, "gamma"))      // dup of a SECOND-batch doc
+      q.processAllAvailable()
+      assert(results(5L) == ((1, 0))) // history grew across batches
+    } finally q.stop()
+  }
+
   test("session_window groupBy runs under readStream with a watermark") {
     // the q_sessionize aggregation verbatim, on a stream: merging-
     // sessions state per user, closed sessions flush in append mode
