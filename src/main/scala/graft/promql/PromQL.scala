@@ -50,6 +50,11 @@ import graft.tsdb.{Fetch, Temporal, Vectors}
   *               The two-part "[lookback:step]" subquery-style form
   *               evaluates SLIDING windows (m3's range-query step
   *               semantics, src/query/functions/temporal/base.go:133,166)
+  *   subquery := func "[" dur ":" dur "]"  (upstream SubqueryExpr) —
+  *               postfix on a temporal-function result; must be the
+  *               argument of sum/avg/min/max/count_over_time: the
+  *               inner fn evaluates at every step with its own range,
+  *               the outer aggregates each trailing lookback of steps
   * }}}
   *
   * Evaluation model: selectors filter the sample frame via [[Fetch]]
@@ -98,6 +103,13 @@ object PromQL {
                           groupLeft: Boolean = false,
                           groupRight: Boolean = false,
                           bool: Boolean = false) extends Expr
+  /** PromQL subquery — `expr[lookback:step]` over a non-selector
+    * expression (upstream promql/parser SubqueryExpr, which m3's
+    * embedded parser accepts): the inner expression is evaluated on
+    * the step grid, and the enclosing `*_over_time` function then
+    * aggregates each trailing `lookback` of those step values. */
+  final case class Subquery(arg: Expr, lookbackS: Long,
+                            stepS: Long) extends Expr
   /** scalar literal (folds during parsing; a bare scalar query or a
     * scalar func param consumes it). */
   final case class NumLit(v: Double) extends Expr
@@ -120,6 +132,11 @@ object PromQL {
   private val slidingFns = Set(
     "rate", "increase", "delta", "sum_over_time", "avg_over_time",
     "min_over_time", "max_over_time", "count_over_time")
+  /** `*_over_time` fns accepted OVER a subquery (outer aggregation is
+    * one per-series trailing range window over the inner step grid). */
+  private val subqueryOuterFns = Set(
+    "sum_over_time", "avg_over_time", "min_over_time", "max_over_time",
+    "count_over_time")
   private val transformFns = Set(
     "abs", "ceil", "floor", "exp", "sqrt", "ln", "log2", "log10", "sgn",
     "clamp_min", "clamp_max", "round", "label_replace", "label_join",
@@ -188,6 +205,35 @@ object PromQL {
         throw new ParseException("@ is not supported on sliding windows")
       if (!fnParams(fn).contains(ps.length) || !fnSParams(fn).contains(sps.length))
         throw new ParseException(s"$fn: wrong arity (${ps.length} nums, ${sps.length} strings)")
+    case Func(fn, sq: Subquery, ps, sps) =>
+      if (!subqueryOuterFns(fn))
+        throw new ParseException(s"$fn does not accept a subquery argument")
+      if (!fnParams(fn).contains(ps.length) || !fnSParams(fn).contains(sps.length))
+        throw new ParseException(s"$fn: wrong arity over a subquery")
+      if (sq.lookbackS < sq.stepS)
+        throw new ParseException("subquery lookback must be >= step")
+      sq.arg match {
+        case Func(ifn, s: Selector, _, _)
+            if temporalFns(ifn) && slidingFns(ifn) =>
+          if (s.rangeUnit.isEmpty && s.sliding.isEmpty)
+            throw new ParseException(
+              s"$ifn inside a subquery requires a range selector")
+          if (s.sliding.exists(x => x._1 != x._2))
+            throw new ParseException("nested subqueries are not supported")
+          if (s.at.isDefined)
+            throw new ParseException("@ is not supported inside a subquery")
+        case Func(ifn, _, _, _) =>
+          throw new ParseException(
+            s"$ifn is not evaluable inside a subquery " +
+              "(sliding-capable temporal functions only)")
+        case _ =>
+          throw new ParseException(
+            "a subquery body must be a temporal function over a range " +
+              "selector, e.g. rate(x[1d])[3d:6h]")
+      }
+    case _: Subquery =>
+      throw new ParseException(
+        "a subquery must be the argument of an *_over_time function")
     case Func(fn, _, _, _) if temporalFns(fn) =>
       throw new ParseException(s"$fn requires a plain range selector argument")
     case Func(fn @ ("timestamp" | "histogram_quantile"), arg, _, _)
@@ -281,11 +327,34 @@ object PromQL {
       case (le, re) => VecBin(op, le, re, on, ig, gl, gr, boolMod)
     }
 
+  /** Postfix `[lookback:step]` after a non-selector operand → a
+    * [[Subquery]] (selector ranges parse inside [[parseSelector]];
+    * this handles `rate(x[1d])[3d:6h]` and `( … )[3d:6h]`). */
+  private def subqueryPostfix(e: Expr,
+                              ts: List[String]): (Expr, List[String]) =
+    ts match {
+      case "[" :: r0 =>
+        val (lb, r1) = parseDur(r0)
+        r1 match {
+          case ":" :: r2 =>
+            val (st, r3) = parseDur(r2)
+            r3 match {
+              case "]" :: r4 => (Subquery(e, lb, st), r4)
+              case other =>
+                throw new ParseException(s"expected ] at $other")
+            }
+          case other =>
+            throw new ParseException(
+              s"a subquery range needs an explicit :step — got $other")
+        }
+      case _ => (e, ts)
+    }
+
   private def parseUnary(ts: List[String]): (Expr, List[String]) = ts match {
     case "(" :: rest0 =>
       val (e, rest1) = parseExpr(rest0)
       rest1 match {
-        case ")" :: rest2 => (e, rest2)
+        case ")" :: rest2 => subqueryPostfix(e, rest2)
         case other => throw new ParseException(s"expected ), got $other")
       }
     case "-" :: rest0 =>
@@ -298,11 +367,13 @@ object PromQL {
     case "time" :: "(" :: ")" :: rest => (TimeFn, rest)
     case "vector" :: "(" :: n :: ")" :: rest if isNumber(n) =>
       (VectorFn(n.toDouble), rest)
-    case op :: ("by" | "without") :: _ if aggOps(op) => parseAgg(ts)
-    case op :: "(" :: _ if aggOps(op) => parseAgg(ts)
+    case op :: ("by" | "without") :: _ if aggOps(op) =>
+      val (e, rest) = parseAgg(ts); subqueryPostfix(e, rest)
+    case op :: "(" :: _ if aggOps(op) =>
+      val (e, rest) = parseAgg(ts); subqueryPostfix(e, rest)
     case fn :: "(" :: _ if temporalFns(fn) || transformFns(fn) =>
       val (arg, params, sparams, rest) = parseArgs(ts.tail)
-      (Func(fn, arg, params, sparams), rest)
+      subqueryPostfix(Func(fn, arg, params, sparams), rest)
     case _ => parseSelector(ts)
   }
 
@@ -513,6 +584,35 @@ object PromQL {
   private def labelsOf(df: DataFrame): Seq[String] =
     df.columns.toSeq.filterNot(Set("bucket_s", "value", "ts", "event_id"))
 
+  /** calendar-resolution unit name → seconds (inverse of namedUnit). */
+  private def unitSecs(u: String): Long = u match {
+    case "minute" => 60L
+    case "hour"   => 3600L
+    case "day"    => 86400L
+    case "week"   => 604800L
+    case other => throw new ParseException(s"unknown range unit $other")
+  }
+
+  /** Sliding [lookback:step] evaluation of a temporal fn over a
+    * fetched sample frame — shared by the direct `x[lb:st]` form and
+    * the subquery inner evaluation. */
+  private def slidingEval(fn: String, in: DataFrame, lb: Long,
+                          st: Long): DataFrame = {
+    val keep = (c: String) =>
+      (Vectors.labels :+ "bucket_s").map(col) :+ col(c).as("value")
+    fn match {
+      case "rate"     => Temporal.rateSliding(in, lb, st).select(keep("rate_v"): _*)
+      case "increase" => Temporal.rateSliding(in, lb, st).select(keep("increase_v"): _*)
+      case "delta"    => Temporal.rateSliding(in, lb, st).select(keep("delta_v"): _*)
+      case "sum_over_time"   => Temporal.overTimeAggsSliding(in, lb, st).select(keep("sum_v"): _*)
+      case "avg_over_time"   => Temporal.overTimeAggsSliding(in, lb, st).select(keep("avg_v"): _*)
+      case "min_over_time"   => Temporal.overTimeAggsSliding(in, lb, st).select(keep("min_v"): _*)
+      case "max_over_time"   => Temporal.overTimeAggsSliding(in, lb, st).select(keep("max_v"): _*)
+      case "count_over_time" => Temporal.overTimeAggsSliding(in, lb, st).select(keep("count_v"): _*)
+      case other => throw new ParseException(s"$other has no sliding form")
+    }
+  }
+
   private def fetchFor(sel: Selector, samples: DataFrame): DataFrame = {
     val ms = sel.metric.map(m => Fetch.Matcher("name", Fetch.Eq, m)).toSeq ++
       sel.matchers
@@ -567,20 +667,34 @@ object PromQL {
       // [lookback:step] → the m3 range-query sliding evaluation
       // (temporal/base.go:133,166) via the Expand-based operators
       val (lb, st) = sel.sliding.get
-      val in = fetchFor(sel, samples)
-      val keep = (c: String) =>
-        (Vectors.labels :+ "bucket_s").map(col) :+ col(c).as("value")
-      fn match {
-        case "rate"     => Temporal.rateSliding(in, lb, st).select(keep("rate_v"): _*)
-        case "increase" => Temporal.rateSliding(in, lb, st).select(keep("increase_v"): _*)
-        case "delta"    => Temporal.rateSliding(in, lb, st).select(keep("delta_v"): _*)
-        case "sum_over_time"   => Temporal.overTimeAggsSliding(in, lb, st).select(keep("sum_v"): _*)
-        case "avg_over_time"   => Temporal.overTimeAggsSliding(in, lb, st).select(keep("avg_v"): _*)
-        case "min_over_time"   => Temporal.overTimeAggsSliding(in, lb, st).select(keep("min_v"): _*)
-        case "max_over_time"   => Temporal.overTimeAggsSliding(in, lb, st).select(keep("max_v"): _*)
-        case "count_over_time" => Temporal.overTimeAggsSliding(in, lb, st).select(keep("count_v"): _*)
-        case other => throw new ParseException(s"$other has no sliding form")
+      slidingEval(fn, fetchFor(sel, samples), lb, st)
+
+    case Func(fn, Subquery(Func(ifn, sel: Selector, _, _), lb, st), _, _) =>
+      // subquery: the inner temporal fn evaluates at every `st` step
+      // using ITS OWN range — exactly the sliding machinery with
+      // (inner range, subquery step) — and the outer *_over_time
+      // aggregates each trailing `lb` of those step values with ONE
+      // per-series range window over the step grid (no re-fetch, no
+      // join; the window's RANGE frame is (t−lb, t] in seconds).
+      val innerLb = sel.rangeUnit.map(unitSecs)
+        .orElse(sel.sliding.map(_._1))
+        .getOrElse(throw new ParseException(
+          s"$ifn inside a subquery requires a range selector"))
+      val inner = slidingEval(ifn, fetchFor(sel, samples), innerLb, st)
+      val w = Window.partitionBy(Vectors.labels.map(col): _*)
+        .orderBy(col("bucket_s")).rangeBetween(-(lb - 1), 0)
+      val outer = fn match {
+        case "sum_over_time"   => round(sum("value").over(w), 6)
+        case "avg_over_time"   => round(avg("value").over(w), 6)
+        case "min_over_time"   => min("value").over(w)
+        case "max_over_time"   => max("value").over(w)
+        case "count_over_time" => count(lit(1)).over(w).cast("double")
+        case other =>
+          throw new ParseException(s"$other does not accept a subquery")
       }
+      inner.withColumn("_sq_v", outer)
+        .select((Vectors.labels :+ "bucket_s").map(col) :+
+          col("_sq_v").as("value"): _*)
 
     case Func(fn, sel: Selector, ps, _) if temporalFns(fn) =>
       val unit = sel.rangeUnit.get

@@ -121,6 +121,31 @@ class PromqlSpec extends SparkSpec {
     intercept[ParseException](PromQL.parse("quantile_over_time(0.5, x[1h30m])"))
   }
 
+  test("subqueries parse over function results; invalid forms rejected") {
+    assert(PromQL.parse("max_over_time(rate(x[1d])[3d:6h])") ==
+      Func("max_over_time",
+        Subquery(Func("rate",
+          Selector(Some("x"), Nil, Some("day"), 0L)), 259200L, 21600L)))
+    // parenthesized body and compound durations in the subquery range
+    assert(PromQL.parse("sum_over_time((rate(x[1d]))[1d12h:6h])") ==
+      Func("sum_over_time",
+        Subquery(Func("rate",
+          Selector(Some("x"), Nil, Some("day"), 0L)), 129600L, 21600L)))
+    // bare subquery: must be consumed by an *_over_time function
+    intercept[ParseException](PromQL.parse("rate(x[1d])[3d:6h]"))
+    // outer fn must accept range vectors of step values
+    intercept[ParseException](PromQL.parse("abs(rate(x[1d])[3d:6h])"))
+    // inner fn must be sliding-capable
+    intercept[ParseException](PromQL.parse("max_over_time(irate(x[1d])[3d:6h])"))
+    // nested subqueries unsupported
+    intercept[ParseException](
+      PromQL.parse("max_over_time(rate(x[1d:6h])[3d:6h])"))
+    // lookback must cover at least one step
+    intercept[ParseException](PromQL.parse("max_over_time(rate(x[1d])[1h:6h])"))
+    // a subquery range without :step stays an error (not a selector range)
+    intercept[ParseException](PromQL.parse("max_over_time(rate(x[1d])[3d])"))
+  }
+
   test("README example queries parse and evaluate") {
     val samples = tsdb.Vectors.samples(Tables.events(spark, sf))
     val qs = Seq(
