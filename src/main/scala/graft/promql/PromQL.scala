@@ -212,24 +212,29 @@ object PromQL {
         throw new ParseException(s"$fn: wrong arity over a subquery")
       if (sq.lookbackS < sq.stepS)
         throw new ParseException("subquery lookback must be >= step")
-      sq.arg match {
-        case Func(ifn, s: Selector, _, _)
-            if temporalFns(ifn) && slidingFns(ifn) =>
-          if (s.rangeUnit.isEmpty && s.sliding.isEmpty)
-            throw new ParseException(
-              s"$ifn inside a subquery requires a range selector")
-          if (s.sliding.exists(x => x._1 != x._2))
-            throw new ParseException("nested subqueries are not supported")
-          if (s.at.isDefined)
-            throw new ParseException("@ is not supported inside a subquery")
-        case Func(ifn, _, _, _) =>
+      def checkInner(ifn: String, s: Selector): Unit = {
+        if (!temporalFns(ifn) || !slidingFns(ifn))
           throw new ParseException(
             s"$ifn is not evaluable inside a subquery " +
               "(sliding-capable temporal functions only)")
+        if (s.rangeUnit.isEmpty && s.sliding.isEmpty)
+          throw new ParseException(
+            s"$ifn inside a subquery requires a range selector")
+        if (s.sliding.exists(x => x._1 != x._2))
+          throw new ParseException("nested subqueries are not supported")
+        if (s.at.isDefined)
+          throw new ParseException("@ is not supported inside a subquery")
+      }
+      sq.arg match {
+        case Func(ifn, s: Selector, _, _) => checkInner(ifn, s)
+        case Agg(op, _, _, Func(ifn, s: Selector, _, _), _, _)
+            if !Set("topk", "bottomk", "count_values")(op) =>
+          checkInner(ifn, s)
         case _ =>
           throw new ParseException(
             "a subquery body must be a temporal function over a range " +
-              "selector, e.g. rate(x[1d])[3d:6h]")
+              "selector, optionally inside a plain aggregation — e.g. " +
+              "rate(x[1d])[3d:6h] or sum(rate(x[1d]))[3d:6h]")
       }
     case _: Subquery =>
       throw new ParseException(
@@ -669,19 +674,33 @@ object PromQL {
       val (lb, st) = sel.sliding.get
       slidingEval(fn, fetchFor(sel, samples), lb, st)
 
-    case Func(fn, Subquery(Func(ifn, sel: Selector, _, _), lb, st), _, _) =>
+    case Func(fn, Subquery(body, lb, st), _, _) =>
       // subquery: the inner temporal fn evaluates at every `st` step
       // using ITS OWN range — exactly the sliding machinery with
-      // (inner range, subquery step) — and the outer *_over_time
-      // aggregates each trailing `lb` of those step values with ONE
-      // per-series range window over the step grid (no re-fetch, no
-      // join; the window's RANGE frame is (t−lb, t] in seconds).
-      val innerLb = sel.rangeUnit.map(unitSecs)
-        .orElse(sel.sliding.map(_._1))
-        .getOrElse(throw new ParseException(
-          s"$ifn inside a subquery requires a range selector"))
-      val inner = slidingEval(ifn, fetchFor(sel, samples), innerLb, st)
-      val w = Window.partitionBy(Vectors.labels.map(col): _*)
+      // (inner range, subquery step), optionally re-aggregated by an
+      // enclosing Agg (the `max_over_time(sum(rate(...))[1h:5m])`
+      // alerting idiom) — and the outer *_over_time aggregates each
+      // trailing `lb` of those step values with ONE range window per
+      // surviving label set over the step grid (no re-fetch, no
+      // join; the window's RANGE frame is (t−lb, t] in seconds). A
+      // fully-aggregated body (no kept labels) windows one frame of
+      // grid-size rows — bounded by range/step by construction.
+      def innerLbOf(ifn: String, sel: Selector): Long =
+        sel.rangeUnit.map(unitSecs).orElse(sel.sliding.map(_._1))
+          .getOrElse(throw new ParseException(
+            s"$ifn inside a subquery requires a range selector"))
+      val stepped = body match {
+        case Func(ifn, sel: Selector, _, _) =>
+          slidingEval(ifn, fetchFor(sel, samples), innerLbOf(ifn, sel), st)
+        case Agg(op, by, wo, Func(ifn, sel: Selector, ips, isps), p, sp) =>
+          val slid = sel.copy(rangeUnit = None,
+            sliding = Some((innerLbOf(ifn, sel), st)))
+          evalExpr(Agg(op, by, wo, Func(ifn, slid, ips, isps), p, sp), samples)
+        case other => throw new ParseException(
+          s"unsupported subquery body $other")
+      }
+      val labels = labelsOf(stepped)
+      val w = Window.partitionBy(labels.map(col): _*)
         .orderBy(col("bucket_s")).rangeBetween(-(lb - 1), 0)
       val outer = fn match {
         case "sum_over_time"   => round(sum("value").over(w), 6)
@@ -692,8 +711,8 @@ object PromQL {
         case other =>
           throw new ParseException(s"$other does not accept a subquery")
       }
-      inner.withColumn("_sq_v", outer)
-        .select((Vectors.labels :+ "bucket_s").map(col) :+
+      stepped.withColumn("_sq_v", outer)
+        .select((labels :+ "bucket_s").map(col) :+
           col("_sq_v").as("value"): _*)
 
     case Func(fn, sel: Selector, ps, _) if temporalFns(fn) =>

@@ -144,6 +144,15 @@ class PromqlSpec extends SparkSpec {
     intercept[ParseException](PromQL.parse("max_over_time(rate(x[1d])[1h:6h])"))
     // a subquery range without :step stays an error (not a selector range)
     intercept[ParseException](PromQL.parse("max_over_time(rate(x[1d])[3d])"))
+    // aggregated body: sum(rate(...)) steps then windows
+    assert(PromQL.parse("max_over_time(sum by (name) (rate(x[1d]))[3d:6h])") ==
+      Func("max_over_time",
+        Subquery(Agg("sum", Some(Seq("name")), None,
+          Func("rate", Selector(Some("x"), Nil, Some("day"), 0L))),
+          259200L, 21600L)))
+    // ranked aggs produce per-row ranks, not step series → rejected
+    intercept[ParseException](
+      PromQL.parse("max_over_time(topk(3, rate(x[1d]))[3d:6h])"))
   }
 
   test("README example queries parse and evaluate") {
