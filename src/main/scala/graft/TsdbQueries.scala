@@ -403,6 +403,11 @@ object TsdbQueries {
         .select(col("name"), col("bucket_s"),
           round(col("value"), 9).as("value"))
         .orderBy("name", "bucket_s")),
+    "pql_subquery_q" -> ((s, dir) =>
+      // P90 of the per-step rate over each trailing 3d of steps
+      graft.promql.PromQL.query(samples(s, dir),
+        """quantile_over_time(0.9, rate({name="purchase"}[1d])[3d:6h])""")
+        .orderBy("name", "user_id", "bucket_s")),
     "pql_count_values" -> ((s, dir) =>
       graft.promql.PromQL.query(samples(s, dir),
         """count_values("val", {name="purchase"})""")
@@ -1034,6 +1039,30 @@ object TsdbQueries {
          | SELECT name, user_id, bucket_s,
          |  max(value) OVER (PARTITION BY name, user_id ORDER BY bucket_s
          |   RANGE BETWEEN 259199 PRECEDING AND CURRENT ROW) AS value
+         | FROM rv
+         | ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),
+    "pql_subquery_q" ->
+      s"""WITH sl AS (SELECT *, lag(value) OVER w AS prev_v, lag(ts) OVER w AS prev_ts
+         |  FROM (SELECT * FROM ($S) AS s0 WHERE name = 'purchase') AS s
+         |  WINDOW w AS (PARTITION BY name, user_id ORDER BY ts, event_id)),
+         | j AS (SELECT sl.name, sl.user_id, sl.ts, sl.event_id, sl.value,
+         |   sl.prev_v, sl.prev_ts, g.bucket_s AS e
+         |  FROM sl JOIN ($GRID) AS g
+         |   ON floor(epoch(sl.ts)) >= g.bucket_s - 86400
+         |   AND floor(epoch(sl.ts)) < g.bucket_s),
+         | rv AS (SELECT name, user_id, e AS bucket_s,
+         |  round((last_v - first_v + reset_adj) / 86400.0, 9) + 0.0 AS value
+         | FROM (
+         |  SELECT name, user_id, e,
+         |   first(value ORDER BY ts, event_id) AS first_v,
+         |   last(value ORDER BY ts, event_id) AS last_v,
+         |   sum(CASE WHEN floor(epoch(prev_ts)) >= e - 86400 AND prev_v > value
+         |       THEN prev_v - value ELSE 0 END) AS reset_adj
+         |  FROM j GROUP BY name, user_id, e) AS agg)
+         | SELECT name, user_id, bucket_s,
+         |  round(quantile_cont(value, 0.9) OVER (PARTITION BY name, user_id
+         |   ORDER BY bucket_s
+         |   RANGE BETWEEN 259199 PRECEDING AND CURRENT ROW), 6) AS value
          | FROM rv
          | ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),
     "pql_subquery_agg" ->

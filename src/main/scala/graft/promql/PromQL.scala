@@ -133,10 +133,14 @@ object PromQL {
     "rate", "increase", "delta", "sum_over_time", "avg_over_time",
     "min_over_time", "max_over_time", "count_over_time")
   /** `*_over_time` fns accepted OVER a subquery (outer aggregation is
-    * one per-series trailing range window over the inner step grid). */
+    * one per-series trailing range window over the inner step grid).
+    * last/present are degenerate-but-correct: the outer evaluates
+    * exactly at the inner's emitted steps, so the window's latest
+    * value IS the current row's. */
   private val subqueryOuterFns = Set(
     "sum_over_time", "avg_over_time", "min_over_time", "max_over_time",
-    "count_over_time")
+    "count_over_time", "stddev_over_time", "stdvar_over_time",
+    "quantile_over_time", "last_over_time", "present_over_time")
   private val transformFns = Set(
     "abs", "ceil", "floor", "exp", "sqrt", "ln", "log2", "log10", "sgn",
     "clamp_min", "clamp_max", "round", "label_replace", "label_join",
@@ -674,7 +678,7 @@ object PromQL {
       val (lb, st) = sel.sliding.get
       slidingEval(fn, fetchFor(sel, samples), lb, st)
 
-    case Func(fn, Subquery(body, lb, st), _, _) =>
+    case Func(fn, Subquery(body, lb, st), ps, _) =>
       // subquery: the inner temporal fn evaluates at every `st` step
       // using ITS OWN range — exactly the sliding machinery with
       // (inner range, subquery step), optionally re-aggregated by an
@@ -703,11 +707,17 @@ object PromQL {
       val w = Window.partitionBy(labels.map(col): _*)
         .orderBy(col("bucket_s")).rangeBetween(-(lb - 1), 0)
       val outer = fn match {
-        case "sum_over_time"   => round(sum("value").over(w), 6)
-        case "avg_over_time"   => round(avg("value").over(w), 6)
-        case "min_over_time"   => min("value").over(w)
-        case "max_over_time"   => max("value").over(w)
-        case "count_over_time" => count(lit(1)).over(w).cast("double")
+        case "sum_over_time"    => round(sum("value").over(w), 6)
+        case "avg_over_time"    => round(avg("value").over(w), 6)
+        case "min_over_time"    => min("value").over(w)
+        case "max_over_time"    => max("value").over(w)
+        case "count_over_time"  => count(lit(1)).over(w).cast("double")
+        case "stddev_over_time" => round(stddev_pop("value").over(w), 6)
+        case "stdvar_over_time" => round(var_pop("value").over(w), 6)
+        case "quantile_over_time" =>
+          round(percentile(col("value"), lit(ps.head)).over(w), 6)
+        case "last_over_time"    => col("value")
+        case "present_over_time" => lit(1.0)
         case other =>
           throw new ParseException(s"$other does not accept a subquery")
       }

@@ -153,6 +153,14 @@ class PromqlSpec extends SparkSpec {
     // ranked aggs produce per-row ranks, not step series → rejected
     intercept[ParseException](
       PromQL.parse("max_over_time(topk(3, rate(x[1d]))[3d:6h])"))
+    // the full *_over_time outer family, incl. parameterized quantile
+    assert(PromQL.parse("quantile_over_time(0.9, rate(x[1d])[3d:6h])") ==
+      Func("quantile_over_time",
+        Subquery(Func("rate",
+          Selector(Some("x"), Nil, Some("day"), 0L)), 259200L, 21600L),
+        Seq(0.9)))
+    assert(PromQL.parse("stddev_over_time(rate(x[1d])[3d:6h])")
+      .isInstanceOf[Func])
   }
 
   test("README example queries parse and evaluate") {
