@@ -340,6 +340,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
   }
 
+  test("subquery reads the samples once — no re-fetch, no alignment join") {
+    for (q <- Seq("pql_subquery", "pql_subquery_q")) {
+      val p = plan(q)
+      val scans = p.linesIterator.count(_.contains("Scan parquet"))
+      assert(scans == 1,
+        s"$q should scan events exactly once, got $scans:\n" + p.take(2000))
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        s"$q outer must be a window, not a join:\n" + p.take(2000))
+    }
+  }
+
   test("series limit is a distributed top-N, not a global sort/window") {
     val p = plan("ts_fetch_limit")
     assert(p.contains("TakeOrderedAndProject"),
