@@ -331,7 +331,18 @@ object PipelineQueries {
       TextAnalysis.normalize(Tables.documents(s, dir)).orderBy("doc_id")),
     "corpus_shuffle" -> ((s, dir) =>
       Corpus.shuffleOrder(Tables.documents(s, dir), seed = 7L)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+    "mm_phash" -> ((s, dir) =>
+      // perceptual image hash over genuinely decoded BMP pixels; the
+      // oracle replays the ENTIRE path bit-exactly in SQL — the
+      // encoder's xorshift64 pixel stream (recursive CTE with
+      // HUGEINT-emulated wrapping shifts), the padded bottom-up row
+      // layout, the 8x8 cell sums and the integer threshold
+      Multimodal.imageHashes(
+        Multimodal.syntheticBmpMedia(Tables.documents(s, dir)))
+        .select(col("media_id"), col("width"), col("height"),
+          format_string("%016x", col("phash")).as("phash_hex"))
+        .orderBy("media_id"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -1062,6 +1073,49 @@ object PipelineQueries {
         | SELECT doc_id, rnd % 8 AS shard,
         |  CAST(row_number() OVER (PARTITION BY rnd % 8
         |   ORDER BY rnd, doc_id) - 1 AS BIGINT) AS position, rnd
-        | FROM r ORDER BY doc_id""".stripMargin.replace("\n", " ")
+        | FROM r ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    // exact replay of Multimodal.encodeBmp + aHash: xorshift64 with
+    // wrapping << emulated via HUGEINT multiply mod 2^64; byte k of the
+    // pixel array = state_k >> 56; padded bottom-up rows; integer cell
+    // sums; bit c = 64*cellsum >= total
+    "mm_phash" ->
+      """WITH RECURSIVE sz AS (SELECT doc_id AS media_id,
+        |  CAST(16 + doc_id % 64 AS INT) AS w,
+        |  CAST(16 + doc_id % 48 AS INT) AS h,
+        |  CAST(((16 + doc_id % 64) * 3 + 3) // 4 * 4 AS INT) AS row_size
+        | FROM documents),
+        | lim AS (SELECT *, row_size * h AS data_size FROM sz),
+        | chain(media_id, k, s) AS (
+        |  SELECT media_id, 0, CAST(media_id AS UBIGINT) | 1 FROM lim
+        |  UNION ALL
+        |  SELECT c.media_id, c.k + 1,
+        |   (SELECT xor(xor(b, b >> 7), CAST((CAST(xor(b, b >> 7) AS HUGEINT)
+        |      * 131072) % 18446744073709551616 AS UBIGINT))
+        |    FROM (SELECT xor(c.s, CAST((CAST(c.s AS HUGEINT) * 8192)
+        |      % 18446744073709551616 AS UBIGINT)) AS b) AS t)
+        |  FROM chain AS c JOIN lim ON lim.media_id = c.media_id
+        |  WHERE c.k < lim.data_size),
+        | bytes AS (SELECT media_id, k - 1 AS pos,
+        |   CAST(s >> 56 AS BIGINT) AS b FROM chain WHERE k >= 1),
+        | px AS (SELECT b.media_id, b.pos // lim.row_size AS y,
+        |   (b.pos % lim.row_size) // 3 AS x, b.b
+        |  FROM bytes AS b JOIN lim ON lim.media_id = b.media_id
+        |  WHERE (b.pos % lim.row_size) < lim.w * 3),
+        | cells AS (SELECT px.media_id,
+        |   ((px.y * 8) // lim.h) * 8 + ((px.x * 8) // lim.w) AS cell,
+        |   sum(px.b) AS cellsum
+        |  FROM px JOIN lim ON lim.media_id = px.media_id
+        |  GROUP BY 1, 2),
+        | bits AS (SELECT media_id, cell, cellsum,
+        |   sum(cellsum) OVER (PARTITION BY media_id) AS total FROM cells),
+        | ph AS (SELECT media_id,
+        |   bit_or(CASE WHEN 64 * cellsum >= total
+        |     THEN CAST(1 AS UBIGINT) << CAST(cell AS INT)
+        |     ELSE CAST(0 AS UBIGINT) END) AS phash
+        |  FROM bits GROUP BY media_id)
+        | SELECT lim.media_id, lim.w AS width, lim.h AS height,
+        |  lpad(lower(hex(ph.phash)), 16, '0') AS phash_hex
+        | FROM ph JOIN lim ON lim.media_id = ph.media_id
+        | ORDER BY lim.media_id""".stripMargin.replace("\n", " ")
   )
 }

@@ -111,6 +111,75 @@ object Multimodal {
     payload.length >= 54 &&
       payload(0) == 'B'.toByte && payload(1) == 'M'.toByte
 
+  /** Average-hash (aHash) perceptual fingerprint over the DECODED
+    * pixel array of a 24-bit BMP: the image maps onto an 8×8 cell
+    * grid, bit c = "cell c is at least as bright as the image
+    * average". Near-identical images land within small hamming
+    * distance, which is what image dedup at corpus scale blocks on —
+    * content hashing (md5) catches only byte-identical files.
+    *
+    * INTEGER-exact by construction: cell brightness is the SUM of
+    * byte values (not a float mean) and the threshold comparison is
+    * `64·cellsum ≥ Σ cellsums` — no float boundary for a 1-ulp
+    * cross-engine divergence to flip a bit, so the DuckDB oracle
+    * replays the hash bit-for-bit (incl. the xorshift64 pixel
+    * stream of the synthetic encoder). Rows are taken in STORED
+    * (bottom-up) order; the vertical flip is consistent across all
+    * images, so distances are unaffected. */
+  def aHash(payload: Array[Byte]): Long = {
+    val (w, h, bpp) = decodeBmp(payload)
+    require(bpp == 24, "aHash expects a 24-bit BMP")
+    val off = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(10)
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    val cellSums = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = off + y * rowSize + x * 3
+        cellSums((y * 8 / h) * 8 + (x * 8 / w)) +=
+          (payload(p) & 0xff) + (payload(p + 1) & 0xff) +
+            (payload(p + 2) & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    val total = cellSums.sum
+    (0 until 64).foldLeft(0L)((acc, c) =>
+      if (64L * cellSums(c) >= total) acc | (1L << c) else acc)
+  }
+
+  final case class ImageHash(media_id: Long, width: Int, height: Int,
+                             phash: Long)
+
+  /** Per-image perceptual hashes — typed mapPartitions like
+    * [[extractFeatures]] (byte decoding is genuinely imperative);
+    * one map stage, no shuffle. */
+  def imageHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .map { case (id, payload) =>
+        val (w, h, _) = decodeBmp(payload)
+        ImageHash(id, w, h, aHash(payload))
+      }.toDF()
+  }
+
+  /** Perceptual near-dup candidate pairs over image hashes — reuses
+    * the simhash half-block machinery verbatim (same fingerprint
+    * shape, same hot-block cap, same xor/bit_count verify): blocking
+    * on either 32-bit half, never all-pairs. */
+  def imageNearDups(media: DataFrame, maxHamming: Int = 8,
+                    maxBlock: Int = 1000): DataFrame = {
+    val fps = imageHashes(media).select(
+      col("media_id").as("doc_id"),
+      col("phash").as("simhash_v"),
+      col("phash").bitwiseAND(lit(0xffffffffL)).as("fp_lo"),
+      shiftrightunsigned(col("phash"), 32).as("fp_hi"))
+    Dedup.simhashCandidates(fps, maxHamming, maxBlock)
+  }
+
   /** Synthetic media table whose image payloads are REAL encoded
     * BMPs (dimensions derived from doc_id, so an oracle can replay
     * the expected decode output without parsing bytes). */

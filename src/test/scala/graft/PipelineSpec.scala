@@ -723,6 +723,33 @@ class PipelineSpec extends SparkSpec {
     assert(again == n1.view.mapValues(_._1).toMap)
   }
 
+  test("perceptual hash: stable under small edits, far for distinct images") {
+    val s = spark
+    import s.implicits._
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val base = Multimodal.encodeBmp(32, 32, seed = 42L)
+    // tiny edit: nudge a handful of pixel bytes by +1 (brightness
+    // ripple far below any cell threshold)
+    val edited = base.clone()
+    for (i <- 0 until 5)
+      edited(54 + i * 97) = ((edited(54 + i * 97) + 1) & 0xff).toByte
+    // NB seed goes through `| 1` in the encoder — 42 and 43 would be
+    // the SAME stream; 45 is genuinely distinct
+    val other = Multimodal.encodeBmp(32, 32, seed = 45L)
+    val hBase = Multimodal.aHash(base)
+    assert(Multimodal.aHash(base.clone()) == hBase) // deterministic
+    assert(hamming(hBase, Multimodal.aHash(edited)) <= 4,
+      "small pixel edit moved the hash too far")
+    assert(hamming(hBase, Multimodal.aHash(other)) >= 8,
+      "distinct noise images hashed too close")
+    // the near-dup blocking finds the planted perturbed pair
+    val media = Seq((1L, base), (2L, edited), (3L, other))
+      .toDF("media_id", "payload")
+    val pairs = Multimodal.imageNearDups(media, maxHamming = 4).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs.contains((1L, 2L)) && !pairs.exists(_._2 == 3L))
+  }
+
   test("shuffle order: total permutation, seed-reproducible, seed-sensitive") {
     val docs = Tables.documents(spark, sf)
     val n = docs.count()
