@@ -342,6 +342,14 @@ object PipelineQueries {
         Multimodal.syntheticBmpMedia(Tables.documents(s, dir)))
         .select(col("media_id"), col("width"), col("height"),
           format_string("%016x", col("phash")).as("phash_hex"))
+        .orderBy("media_id")),
+    "mm_audio_fp" -> ((s, dir) =>
+      // energy-envelope audio fingerprint over decoded PCM16 — same
+      // bit-exact xorshift-replay oracle pattern as mm_phash
+      Multimodal.audioFingerprints(
+        Multimodal.syntheticWavMedia(Tables.documents(s, dir)))
+        .select(col("media_id"), col("n_channels"), col("n_samples"),
+          format_string("%016x", col("afp")).as("afp_hex"))
         .orderBy("media_id"))
   )
 
@@ -1116,6 +1124,47 @@ object PipelineQueries {
         | SELECT lim.media_id, lim.w AS width, lim.h AS height,
         |  lpad(lower(hex(ph.phash)), 16, '0') AS phash_hex
         | FROM ph JOIN lim ON lim.media_id = ph.media_id
+        | ORDER BY lim.media_id""".stripMargin.replace("\n", " "),
+    "mm_audio_fp" ->
+      """WITH RECURSIVE lim AS (SELECT doc_id AS media_id,
+        |  CAST(1 + doc_id % 2 AS INT) AS n_ch,
+        |  CAST(256 + doc_id % 1024 AS BIGINT) AS n_samples,
+        |  CAST((256 + doc_id % 1024) * (1 + doc_id % 2) AS BIGINT)
+        |   AS total_s,
+        |  CAST((256 + doc_id % 1024) * (1 + doc_id % 2) * 2 AS BIGINT)
+        |   AS data_size
+        | FROM documents),
+        | chain(media_id, k, s) AS (
+        |  SELECT media_id, 0, CAST(media_id AS UBIGINT) | 1 FROM lim
+        |  UNION ALL
+        |  SELECT c.media_id, c.k + 1,
+        |   (SELECT xor(xor(b, b >> 7), CAST((CAST(xor(b, b >> 7) AS HUGEINT)
+        |      * 131072) % 18446744073709551616 AS UBIGINT))
+        |    FROM (SELECT xor(c.s, CAST((CAST(c.s AS HUGEINT) * 8192)
+        |      % 18446744073709551616 AS UBIGINT)) AS b) AS t)
+        |  FROM chain AS c JOIN lim ON lim.media_id = c.media_id
+        |  WHERE c.k < lim.data_size),
+        | bytes AS (SELECT media_id, k - 1 AS pos,
+        |   CAST(s >> 56 AS BIGINT) AS b FROM chain WHERE k >= 1),
+        | smp AS (SELECT media_id, pos // 2 AS k,
+        |   sum(CASE WHEN pos % 2 = 0 THEN b ELSE 256 * b END) AS v_raw
+        |  FROM bytes GROUP BY 1, 2),
+        | sv AS (SELECT media_id, k,
+        |   abs(CASE WHEN v_raw >= 32768 THEN v_raw - 65536 ELSE v_raw END)
+        |    AS v FROM smp),
+        | wins AS (SELECT sv.media_id, (sv.k * 64) // lim.total_s AS w,
+        |   sum(sv.v) AS winsum
+        |  FROM sv JOIN lim ON lim.media_id = sv.media_id GROUP BY 1, 2),
+        | bits AS (SELECT media_id, w, winsum,
+        |   sum(winsum) OVER (PARTITION BY media_id) AS total FROM wins),
+        | fp AS (SELECT media_id,
+        |   bit_or(CASE WHEN 64 * winsum >= total
+        |     THEN CAST(1 AS UBIGINT) << CAST(w AS INT)
+        |     ELSE CAST(0 AS UBIGINT) END) AS afp
+        |  FROM bits GROUP BY media_id)
+        | SELECT lim.media_id, lim.n_ch AS n_channels, lim.n_samples,
+        |  lpad(lower(hex(fp.afp)), 16, '0') AS afp_hex
+        | FROM fp JOIN lim ON lim.media_id = fp.media_id
         | ORDER BY lim.media_id""".stripMargin.replace("\n", " ")
   )
 }

@@ -166,18 +166,62 @@ object Multimodal {
       }.toDF()
   }
 
-  /** Perceptual near-dup candidate pairs over image hashes — reuses
+  /** Near-dup candidate pairs over ANY (media_id, 64-bit fp) frame —
     * the simhash half-block machinery verbatim (same fingerprint
     * shape, same hot-block cap, same xor/bit_count verify): blocking
     * on either 32-bit half, never all-pairs. */
+  def fingerprintNearDups(fps: DataFrame, fpCol: String,
+                          maxHamming: Int = 8,
+                          maxBlock: Int = 1000): DataFrame =
+    Dedup.simhashCandidates(
+      fps.select(
+        col("media_id").as("doc_id"),
+        col(fpCol).as("simhash_v"),
+        col(fpCol).bitwiseAND(lit(0xffffffffL)).as("fp_lo"),
+        shiftrightunsigned(col(fpCol), 32).as("fp_hi")),
+      maxHamming, maxBlock)
+
+  /** Perceptual image near-dups (blocked, never all-pairs). */
   def imageNearDups(media: DataFrame, maxHamming: Int = 8,
-                    maxBlock: Int = 1000): DataFrame = {
-    val fps = imageHashes(media).select(
-      col("media_id").as("doc_id"),
-      col("phash").as("simhash_v"),
-      col("phash").bitwiseAND(lit(0xffffffffL)).as("fp_lo"),
-      shiftrightunsigned(col("phash"), 32).as("fp_hi"))
-    Dedup.simhashCandidates(fps, maxHamming, maxBlock)
+                    maxBlock: Int = 1000): DataFrame =
+    fingerprintNearDups(imageHashes(media), "phash", maxHamming, maxBlock)
+
+  /** Energy-envelope audio fingerprint over DECODED PCM16 samples —
+    * the audio analogue of [[aHash]]: the interleaved sample stream
+    * maps onto 64 windows, bit w = "window w carries at least the
+    * average energy" (energy = Σ |sample|, an integer — the same
+    * no-float-boundary discipline as aHash, so the oracle replays it
+    * bit-exactly from the xorshift stream). Matches time-aligned
+    * near-identical audio; a shifted copy needs an alignment search
+    * on top, exactly as for real chromaprints. */
+  def audioFingerprint(payload: Array[Byte]): Long = {
+    val (nCh, _, nSamples) = decodeWav(payload)
+    val total = (nSamples * nCh).toInt
+    val winSums = new Array[Long](64)
+    var k = 0
+    while (k < total) {
+      val p = 44 + 2 * k
+      val v = (payload(p) & 0xff) | (payload(p + 1).toInt << 8)
+      winSums(k * 64 / total) += math.abs(v)
+      k += 1
+    }
+    val tot = winSums.sum
+    (0 until 64).foldLeft(0L)((a, w) =>
+      if (64L * winSums(w) >= tot) a | (1L << w) else a)
+  }
+
+  final case class AudioFp(media_id: Long, n_channels: Int,
+                           n_samples: Long, afp: Long)
+
+  /** Per-clip audio fingerprints — typed map, one stage, no shuffle. */
+  def audioFingerprints(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .map { case (id, payload) =>
+        val (nCh, _, nSamples) = decodeWav(payload)
+        AudioFp(id, nCh, nSamples, audioFingerprint(payload))
+      }.toDF()
   }
 
   /** Synthetic media table whose image payloads are REAL encoded

@@ -750,6 +750,27 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)) && !pairs.exists(_._2 == 3L))
   }
 
+  test("audio fingerprint: stable under tiny sample edits, far otherwise") {
+    val s = spark
+    import s.implicits._
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val base = Multimodal.encodeWav(1, 16000, 512, seed = 101L)
+    val edited = base.clone()
+    for (i <- 0 until 5) // nudge a few LOW bytes: sub-audible ripple
+      edited(44 + i * 101 * 2) = ((edited(44 + i * 101 * 2) + 1) & 0xff).toByte
+    val other = Multimodal.encodeWav(1, 16000, 512, seed = 103L)
+    val hBase = Multimodal.audioFingerprint(base)
+    assert(hamming(hBase, Multimodal.audioFingerprint(edited)) <= 4)
+    assert(hamming(hBase, Multimodal.audioFingerprint(other)) >= 8)
+    val media = Seq((1L, base), (2L, edited), (3L, other))
+      .toDF("media_id", "payload")
+    val pairs = Multimodal.fingerprintNearDups(
+      Multimodal.audioFingerprints(media).withColumnRenamed("afp", "fp"),
+      "fp", maxHamming = 4).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs.contains((1L, 2L)) && !pairs.exists(_._2 == 3L))
+  }
+
   test("shuffle order: total permutation, seed-reproducible, seed-sensitive") {
     val docs = Tables.documents(spark, sf)
     val n = docs.count()
