@@ -350,6 +350,14 @@ object PipelineQueries {
         Multimodal.syntheticWavMedia(Tables.documents(s, dir)))
         .select(col("media_id"), col("n_channels"), col("n_samples"),
           format_string("%016x", col("afp")).as("afp_hex"))
+        .orderBy("media_id")),
+    "mm_video_fp" -> ((s, dir) =>
+      // brightness-envelope video fingerprint over the capped frame
+      // stream — completes the image/audio/video fingerprint family
+      Multimodal.videoFingerprints(
+        Multimodal.syntheticAviMedia(Tables.documents(s, dir)))
+        .select(col("media_id"), col("width"), col("height"),
+          col("n_frames"), format_string("%016x", col("vfp")).as("vfp_hex"))
         .orderBy("media_id"))
   )
 
@@ -1164,6 +1172,41 @@ object PipelineQueries {
         |  FROM bits GROUP BY media_id)
         | SELECT lim.media_id, lim.n_ch AS n_channels, lim.n_samples,
         |  lpad(lower(hex(fp.afp)), 16, '0') AS afp_hex
+        | FROM fp JOIN lim ON lim.media_id = fp.media_id
+        | ORDER BY lim.media_id""".stripMargin.replace("\n", " "),
+    "mm_video_fp" ->
+      """WITH RECURSIVE lim AS (SELECT doc_id AS media_id,
+        |  CAST(8 + doc_id % 16 AS INT) AS w,
+        |  CAST(8 + doc_id % 12 AS INT) AS h,
+        |  CAST(4 + doc_id % 28 AS INT) AS n_frames,
+        |  least(CAST((8 + doc_id % 16) * (8 + doc_id % 12) * 3
+        |    * (4 + doc_id % 28) AS BIGINT), 4096) AS total_b
+        | FROM documents),
+        | chain(media_id, k, s) AS (
+        |  SELECT media_id, 0, CAST(media_id AS UBIGINT) | 1 FROM lim
+        |  UNION ALL
+        |  SELECT c.media_id, c.k + 1,
+        |   (SELECT xor(xor(b, b >> 7), CAST((CAST(xor(b, b >> 7) AS HUGEINT)
+        |      * 131072) % 18446744073709551616 AS UBIGINT))
+        |    FROM (SELECT xor(c.s, CAST((CAST(c.s AS HUGEINT) * 8192)
+        |      % 18446744073709551616 AS UBIGINT)) AS b) AS t)
+        |  FROM chain AS c JOIN lim ON lim.media_id = c.media_id
+        |  WHERE c.k < lim.total_b),
+        | bytes AS (SELECT media_id, k - 1 AS pos,
+        |   CAST(s >> 56 AS BIGINT) AS b FROM chain WHERE k >= 1),
+        | wins AS (SELECT b.media_id, (b.pos * 64) // lim.total_b AS wn,
+        |   sum(b.b) AS winsum
+        |  FROM bytes AS b JOIN lim ON lim.media_id = b.media_id
+        |  GROUP BY 1, 2),
+        | bits AS (SELECT media_id, wn, winsum,
+        |   sum(winsum) OVER (PARTITION BY media_id) AS total FROM wins),
+        | fp AS (SELECT media_id,
+        |   bit_or(CASE WHEN 64 * winsum >= total
+        |     THEN CAST(1 AS UBIGINT) << CAST(wn AS INT)
+        |     ELSE CAST(0 AS UBIGINT) END) AS vfp
+        |  FROM bits GROUP BY media_id)
+        | SELECT lim.media_id, lim.w AS width, lim.h AS height,
+        |  lim.n_frames, lpad(lower(hex(fp.vfp)), 16, '0') AS vfp_hex
         | FROM fp JOIN lim ON lim.media_id = fp.media_id
         | ORDER BY lim.media_id""".stripMargin.replace("\n", " ")
   )

@@ -210,6 +210,49 @@ object Multimodal {
       if (64L * winSums(w) >= tot) a | (1L << w) else a)
   }
 
+  /** Prefix cap for [[videoFingerprint]]: bounded work per clip
+    * regardless of clip length (real fingerprinters sample the first
+    * seconds / keyframes, not every byte of a 2-hour file) — and it
+    * bounds the oracle's xorshift replay depth. */
+  val VideoFpPrefixBytes = 4096
+
+  /** Brightness-envelope video fingerprint over DECODED RGB24 frame
+    * bytes — the video analogue of [[audioFingerprint]]: the (capped)
+    * frame-data stream maps onto 64 windows, bit = window at least
+    * as bright as average (integer byte sums; bit-exact oracle).
+    * The stream is continuous across frames in STORED order, so the
+    * envelope captures temporal + coarse spatial structure. */
+  def videoFingerprint(payload: Array[Byte]): Long = {
+    val (w, h, nFrames, _) = decodeAvi(payload)
+    val frameSize = w * h * 3
+    val total = math.min(nFrames.toLong * frameSize,
+      VideoFpPrefixBytes.toLong).toInt
+    val winSums = new Array[Long](64)
+    var k = 0
+    while (k < total) {
+      val p = 100 + (k / frameSize) * (8 + frameSize) + 8 + (k % frameSize)
+      winSums((k.toLong * 64 / total).toInt) += (payload(p) & 0xff)
+      k += 1
+    }
+    val tot = winSums.sum
+    (0 until 64).foldLeft(0L)((a, c) =>
+      if (64L * winSums(c) >= tot) a | (1L << c) else a)
+  }
+
+  final case class VideoFp(media_id: Long, width: Int, height: Int,
+                           n_frames: Int, vfp: Long)
+
+  /** Per-clip video fingerprints — typed map, one stage, no shuffle. */
+  def videoFingerprints(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .map { case (id, payload) =>
+        val (w, h, n, _) = decodeAvi(payload)
+        VideoFp(id, w, h, n, videoFingerprint(payload))
+      }.toDF()
+  }
+
   final case class AudioFp(media_id: Long, n_channels: Int,
                            n_samples: Long, afp: Long)
 

@@ -771,6 +771,27 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)) && !pairs.exists(_._2 == 3L))
   }
 
+  test("video fingerprint: stable under small frame edits, far otherwise") {
+    val s = spark
+    import s.implicits._
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val base = Multimodal.encodeAvi(12, 12, 10, 8, seed = 201L)
+    val edited = base.clone()
+    for (i <- 0 until 5) // nudge a few pixels inside the first frame
+      edited(108 + i * 79) = ((edited(108 + i * 79) + 1) & 0xff).toByte
+    val other = Multimodal.encodeAvi(12, 12, 10, 8, seed = 203L)
+    val hBase = Multimodal.videoFingerprint(base)
+    assert(hamming(hBase, Multimodal.videoFingerprint(edited)) <= 4)
+    assert(hamming(hBase, Multimodal.videoFingerprint(other)) >= 8)
+    val media = Seq((1L, base), (2L, edited), (3L, other))
+      .toDF("media_id", "payload")
+    val pairs = Multimodal.fingerprintNearDups(
+      Multimodal.videoFingerprints(media).withColumnRenamed("vfp", "fp"),
+      "fp", maxHamming = 4).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs.contains((1L, 2L)) && !pairs.exists(_._2 == 3L))
+  }
+
   test("shuffle order: total permutation, seed-reproducible, seed-sensitive") {
     val docs = Tables.documents(spark, sf)
     val n = docs.count()
