@@ -227,6 +227,15 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")),
     "corpus_vocab" -> ((s, dir) =>
       Corpus.vocabulary(Tables.documents(s, dir)).orderBy("rank")),
+    "corpus_zipf" -> ((s, dir) =>
+      Corpus.zipfFit(Tables.documents(s, dir))),
+    "corpus_cluster_stats" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashCandidates(
+        Dedup.minhashSignature(docs, K), BANDS, ROWS)
+      Corpus.clusterSizeStats(docs.select("doc_id"), pairs)
+        .orderBy("cluster_size")
+    }),
     "corpus_overlap" -> ((s, dir) =>
       Corpus.sourceOverlap(Tables.documents(s, dir))
         .orderBy("src_a", "src_b")),
@@ -677,6 +686,39 @@ object PipelineQueries {
         | SELECT word, tf, df,
         |  row_number() OVER (ORDER BY tf DESC, word ASC) AS rank
         | FROM stats ORDER BY tf DESC, word ASC LIMIT 100""".stripMargin.replace("\n", " "),
+    "corpus_zipf" ->
+      """WITH stats AS (SELECT w AS word, count(*) AS tf
+        |  FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+        |   FROM documents) AS u GROUP BY w),
+        | top AS (SELECT tf,
+        |   row_number() OVER (ORDER BY tf DESC, word ASC) AS rank
+        |  FROM stats ORDER BY tf DESC, word ASC LIMIT 100),
+        | pts AS (SELECT ln(rank::DOUBLE) AS x, ln(tf::DOUBLE) AS y FROM top)
+        | SELECT count(*) AS n_words,
+        |  round(regr_slope(y, x), 6) AS zipf_slope,
+        |  round(regr_intercept(y, x), 6) AS intercept,
+        |  round(regr_r2(y, x), 6) AS r2
+        | FROM pts""".stripMargin.replace("\n", " "),
+    "corpus_cluster_stats" ->
+      s"""WITH RECURSIVE sig AS ($SIG), banded AS ($BANDED),
+         | capped AS (SELECT doc_id, band, bucket FROM (
+         |  SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz FROM banded) AS z
+         |  WHERE bsz <= $MAX_BUCKET),
+         | p AS ($PAIRS),
+         | edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+         |  UNION SELECT doc_b AS src, doc_a AS dst FROM p),
+         | reach(node, root) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.root FROM reach AS r JOIN edges AS e ON e.src = r.node),
+         | cl AS (SELECT node AS doc_id, min(root) AS cluster_id
+         |  FROM reach GROUP BY node),
+         | szs AS (SELECT cluster_id, count(*) AS cluster_size
+         |  FROM cl GROUP BY cluster_id)
+         | SELECT cluster_size, count(*) AS n_clusters,
+         |  CAST(sum(cluster_size) AS BIGINT) AS n_docs,
+         |  CAST(sum(cluster_size - 1) AS BIGINT) AS docs_removable
+         | FROM szs GROUP BY cluster_size ORDER BY cluster_size""".stripMargin.replace("\n", " "),
     "corpus_mixture" ->
       """WITH toks AS (SELECT doc_id, source,
         |  CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n_tokens

@@ -148,8 +148,78 @@ object RelQueries {
           unix_micros(col("session_window.start")).as("session_start_us"),
           unix_micros(col("session_window.end")).as("session_end_us"),
           col("n_events"), col("sum_value"))
-        .orderBy("user_id", "session_start_us"))
+        .orderBy("user_id", "session_start_us")),
+
+    // ordered-step funnel over the event stream (view → click →
+    // purchase, each step's timestamp strictly after the previous
+    // step's FIRST occurrence — the product-analytics conversion
+    // query). Each stage is a filtered hash aggregation plus an
+    // equi-join on user_id: one shuffle key end-to-end, stage count
+    // fixed by the funnel definition — no per-user event arrays, no
+    // window over the raw stream, so skewed users cost only their
+    // aggregation rows. The final counts are 3 one-row aggregates
+    // unioned (driver-safe by construction).
+    "q_funnel" -> ((s, dir) =>
+      funnel(Tables.events(s, dir), Seq("view", "click", "purchase"))),
+
+    // weekly cohort retention: cohort = Monday-truncated week of a
+    // user's first event; one row per (cohort, week offset) with the
+    // distinct active users and the retention fraction. Two hash
+    // aggregations (first-event per user; distinct user-weeks) and
+    // one equi-join, all on user_id — the (user, week) frame is
+    // already distinct when counted, so no count-distinct expand; the
+    // cohort-size join keys on the ≤|weeks| cohort frame. Weeks
+    // chosen because both engines truncate to Monday, making the
+    // bucket boundary engine-portable.
+    "q_retention" -> ((s, dir) => retention(Tables.events(s, dir)))
   )
+
+  /** Ordered-step funnel: per user, the first timestamp of each step
+    * strictly after the previous step's first occurrence; output is
+    * one row per step with the users reaching it. */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    val e = events.select("user_id", "event_type", "ts")
+    // fold: stage k's frame is (user_id, t_k); each iteration is a
+    // filtered hash agg + equi-join, all keyed on user_id
+    val reached = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (step, _)) =>
+        val hits = e.where(col("event_type") === step)
+        val afterPrev = prev match {
+          case None => hits.groupBy("user_id").agg(min("ts").as("t"))
+          case Some(pf) => hits
+            .join(pf.select(col("user_id"), col("t").as("t_prev")), "user_id")
+            .where(col("ts") > col("t_prev"))
+            .groupBy("user_id").agg(min("ts").as("t"))
+        }
+        Some(afterPrev)
+    }.flatten
+    reached.zip(steps).zipWithIndex.map { case ((df, name), i) =>
+      df.agg(count(lit(1)).as("users"))
+        .select(lit(i + 1).as("step"), lit(name).as("stage"), col("users"))
+    }.reduce(_ union _).orderBy("step")
+  }
+
+  /** Weekly cohort retention — see the `q_retention` entry Scaladoc. */
+  def retention(events: DataFrame): DataFrame = {
+    val e = events
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+    val first = e.groupBy("user_id").agg(min("wk").as("cohort"))
+    val active = e.distinct()
+      .join(first, "user_id")
+      .groupBy(col("cohort"),
+        (datediff(col("wk"), col("cohort")) / 7).cast("int")
+          .as("week_offset"))
+      .agg(count(lit(1)).as("active_users"))
+    val sizes = first.groupBy("cohort")
+      .agg(count(lit(1)).as("cohort_users"))
+    active.join(sizes, "cohort")
+      .select(
+        unix_seconds(col("cohort")).as("cohort_week_s"),
+        col("week_offset"), col("active_users"), col("cohort_users"),
+        round(col("active_users").cast("double") / col("cohort_users"), 6)
+          .as("retention"))
+      .orderBy("cohort_week_s", "week_offset")
+  }
 
   val oracles: Map[String, String] = Map(
     "q_cube" ->
@@ -225,6 +295,36 @@ object RelQueries {
         |  max(us) + 1800000000 AS session_end_us,
         |  count(*) AS n_events, round(sum(value), 6) AS sum_value
         | FROM s GROUP BY user_id, sid
-        | ORDER BY user_id, session_start_us""".stripMargin.replace("\n", " ")
+        | ORDER BY user_id, session_start_us""".stripMargin.replace("\n", " "),
+    "q_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        | c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN v ON v.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+        | p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN c ON c.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+        | SELECT 1 AS step, 'view' AS stage, count(*) AS users FROM v
+        | UNION ALL
+        | SELECT 2 AS step, 'click' AS stage, count(*) AS users FROM c
+        | UNION ALL
+        | SELECT 3 AS step, 'purchase' AS stage, count(*) AS users FROM p
+        | ORDER BY step""".stripMargin.replace("\n", " "),
+    "q_retention" ->
+      """WITH e AS (SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+        | f AS (SELECT user_id, min(wk) AS cohort FROM e GROUP BY user_id),
+        | a AS (SELECT f.cohort,
+        |   CAST(date_diff('day', f.cohort, d.wk) // 7 AS INT) AS week_offset,
+        |   count(*) AS active_users
+        |  FROM (SELECT DISTINCT user_id, wk FROM e) AS d
+        |  JOIN f ON f.user_id = d.user_id
+        |  GROUP BY 1, 2),
+        | sz AS (SELECT cohort, count(*) AS cohort_users FROM f GROUP BY cohort)
+        | SELECT CAST(floor(epoch(a.cohort)) AS BIGINT) AS cohort_week_s,
+        |  a.week_offset, a.active_users, sz.cohort_users,
+        |  round(a.active_users::DOUBLE / sz.cohort_users, 6) AS retention
+        | FROM a JOIN sz ON sz.cohort = a.cohort
+        | ORDER BY cohort_week_s, week_offset""".stripMargin.replace("\n", " ")
   )
 }

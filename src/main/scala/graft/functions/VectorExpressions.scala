@@ -54,14 +54,21 @@ case class DotProduct(left: Expression, right: Expression)
       case DoubleType => "getDouble"
       case t => throw new IllegalArgumentException(s"unsupported element type $t")
     }
+    // fresh names per instantiation: the same expression appearing
+    // twice in one codegen stage (e.g. |c|² − 2·e·c in the centroid
+    // classifier) would otherwise redeclare `n`/`s`/`i` and knock the
+    // whole stage back to interpreted execution
+    val n = ctx.freshName("dpN")
+    val s = ctx.freshName("dpSum")
+    val i = ctx.freshName("dpI")
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double s = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  s += (double) $a.$getter(i) * (double) $b.$getter(i);
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (double) $a.$getter($i) * (double) $b.$getter($i);
          |}
-         |${ev.value} = s;
+         |${ev.value} = $s;
        """.stripMargin)
   }
 

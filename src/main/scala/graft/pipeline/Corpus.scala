@@ -295,6 +295,61 @@ object Corpus {
         .cast("long"))
   }
 
+  /** Zipf rank-frequency fit over the top-N vocabulary — the
+    * dataset-card "does this corpus look like natural language"
+    * check (natural text fits ln tf ≈ a + s·ln rank with s near −1;
+    * template/boilerplate corpora flatten toward 0). Least-squares
+    * on the log-log points: slope = cov(x,y)/var(x), intercept from
+    * the means, r² = cov²/(var·var) — the same closed forms DuckDB's
+    * regr_* aggregates use, so the oracle replays them exactly.
+    *
+    * Scale: everything after [[vocabulary]]'s hash aggregation runs
+    * on the N surviving rows (one tiny final aggregate) — corpus
+    * cost is the one explode+groupBy pass vocabulary already pays. */
+  def zipfFit(docs: DataFrame, topN: Int = 100): DataFrame = {
+    val pts = vocabulary(docs, topN)
+      .select(log(col("rank").cast("double")).as("x"),
+        log(col("tf").cast("double")).as("y"))
+    pts.agg(
+        count(lit(1)).as("n_words"),
+        covar_pop(col("x"), col("y")).as("_cxy"),
+        var_pop(col("x")).as("_vx"),
+        var_pop(col("y")).as("_vy"),
+        avg(col("x")).as("_mx"),
+        avg(col("y")).as("_my"))
+      .select(
+        col("n_words"),
+        round(col("_cxy") / col("_vx"), 6).as("zipf_slope"),
+        round(col("_my") - col("_cxy") / col("_vx") * col("_mx"), 6)
+          .as("intercept"),
+        // r² undefined when tf is constant (var_y = 0): null, not a
+        // divide-by-zero — vx > 0 always (ranks 1..N are distinct)
+        round(when(col("_vy") === 0d, lit(null))
+          .otherwise(col("_cxy") * col("_cxy") / (col("_vx") * col("_vy"))),
+          6).as("r2"))
+  }
+
+  /** Dup-cluster size distribution — the dedup summary a dataset
+    * card reports (how many pairs/triples/blobs, how many docs the
+    * near-dup graph would remove). One row per observed cluster
+    * size with the cluster count, docs covered, and docs dedup
+    * would drop (size − 1 per cluster).
+    *
+    * Scale: reuses the shared [[dupClusters]] label frame (computed
+    * once per lineage), then two hash aggregations — cluster_id →
+    * size, size → counts. The second aggregate's key space is
+    * ≤ max cluster size: tiny by construction. */
+  def clusterSizeStats(docs: DataFrame, pairs: DataFrame,
+                       maxIter: Int = 10): DataFrame = {
+    val labels = dupClusters(docs, pairs, maxIter)
+    labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(
+        count(lit(1)).as("n_clusters"),
+        sum(col("cluster_size")).as("n_docs"),
+        sum(col("cluster_size") - 1).as("docs_removable"))
+      .orderBy("cluster_size")
+  }
+
   /** Benchmark decontamination: fraction of each document's distinct
     * shingles that appear in the benchmark set's shingle universe;
     * docs above `threshold` are flagged contaminated. The benchmark

@@ -815,4 +815,104 @@ class PipelineSpec extends SparkSpec {
     val moved = a.keys.count(k => a(k) != b(k))
     assert(moved > n * 0.8, s"only $moved of $n docs moved on reseed")
   }
+
+  test("two DotProducts in one projection stay codegen-compiled") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.VectorExpressions.dotNative
+    val df = Seq((Array(1f, 2f), Array(3f, 4f)))
+      .toDF("a", "b")
+    // with fallback disabled a codegen compile error (e.g. the fixed
+    // local-variable collision between the two instances) would throw
+    // instead of silently running interpreted
+    s.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val r = df.select(
+        (dotNative(col("a"), col("a")) - dotNative(col("a"), col("b")))
+          .as("d")).collect().head.getDouble(0)
+      assert(r == (1.0 + 4.0) - (3.0 + 8.0))
+    } finally s.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
+  test("zipf fit: exact power law recovers its slope; flat corpus → 0") {
+    val s = spark
+    import s.implicits._
+    // tf(rank) = round(1000 · rank^-0.8): log-log linear up to the
+    // integer rounding, so the fitted slope lands within a few
+    // percent of -0.8 and r² near 1
+    val words = (1 to 30).flatMap { r =>
+      val tf = math.round(1000 * math.pow(r, -0.8)).toInt
+      Seq.fill(tf)(s"w$r")
+    }
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val row = Corpus.zipfFit(docs, topN = 30).collect().head
+    assert(row.getAs[Long]("n_words") == 30L)
+    val slope = row.getAs[Double]("zipf_slope")
+    assert(math.abs(slope - (-0.8)) < 0.05, s"slope $slope")
+    assert(row.getAs[Double]("r2") > 0.99)
+    // uniform frequencies: var(y)=0 → slope 0
+    val flat = Seq((1L, (1 to 20).flatMap(i =>
+      Seq.fill(5)(s"u$i")).mkString(" "))).toDF("doc_id", "text")
+    val fr = Corpus.zipfFit(flat, topN = 20).collect().head
+    assert(fr.getAs[Double]("zipf_slope") == 0.0)
+  }
+
+  test("cluster size stats: planted 3+2+singletons histogram") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 10L).map(i => Tuple1(i)).toDF("doc_id")
+    // one triple {1,2,3} (chained — transitivity required), one pair
+    // {4,5}; 6..10 singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val r = Corpus.clusterSizeStats(docs, pairs).collect()
+      .map(x => x.getAs[Long]("cluster_size") ->
+        ((x.getAs[Long]("n_clusters"), x.getAs[Long]("n_docs"),
+          x.getAs[Long]("docs_removable")))).toMap
+    assert(r == Map(1L -> ((5L, 5L, 0L)), 2L -> ((1L, 2L, 1L)),
+      3L -> ((1L, 3L, 2L))))
+  }
+
+  test("funnel steps are ordered: later-step events before step 1 don't count") {
+    val s = spark
+    import s.implicits._
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val events = Seq(
+      // user 1 completes the funnel in order
+      (1L, "view", ts(0)), (1L, "click", ts(1)), (1L, "purchase", ts(2)),
+      // user 2 clicks BEFORE first view — click must not count
+      (2L, "click", ts(0)), (2L, "view", ts(1)),
+      // user 3 views only
+      (3L, "view", ts(0)),
+      // user 4 purchases without ever viewing — no step counts
+      (4L, "purchase", ts(0)))
+      .toDF("user_id", "event_type", "ts")
+    val r = RelQueries.funnel(events, Seq("view", "click", "purchase"))
+      .collect().map(x => x.getAs[Int]("step") -> x.getAs[Long]("users"))
+      .toMap
+    assert(r == Map(1 -> 3L, 2 -> 1L, 3 -> 1L))
+  }
+
+  test("retention: two cohorts, offsets count distinct active users") {
+    val s = spark
+    import s.implicits._
+    // weeks: 2024-01-01 (Mon) and 2024-01-08; user 1 active both
+    // weeks, user 2 only week 0, user 3 first appears week 1
+    val t = (d: Int) => java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    val events = Seq(
+      (1L, t(1)), (1L, t(2)), (1L, t(9)),
+      (2L, t(3)),
+      (3L, t(8)))
+      .toDF("user_id", "ts").withColumn("event_type", lit("view"))
+    val r = RelQueries.retention(events).collect()
+      .map(x => (x.getAs[Long]("cohort_week_s"), x.getAs[Int]("week_offset"))
+        -> ((x.getAs[Long]("active_users"), x.getAs[Long]("cohort_users"),
+             x.getAs[Double]("retention")))).toMap
+    val w0 = java.time.LocalDate.of(2024, 1, 1)
+      .atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond
+    val w1 = w0 + 7 * 86400
+    assert(r == Map(
+      (w0, 0) -> ((2L, 2L, 1.0)), // users 1,2 in week 0
+      (w0, 1) -> ((1L, 2L, 0.5)), // user 1 returns
+      (w1, 0) -> ((1L, 1L, 1.0)))) // user 3's own cohort
+  }
 }
