@@ -387,4 +387,33 @@ class PlanSpec extends SparkSpec {
       p.take(2000))
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
+
+  test("funnel shuffles on user_id only — no event arrays, no windows") {
+    val p = plan("q_funnel")
+    // every hash exchange must key on user_id (plus the final 3-row
+    // step ordering); a window or collect_list over the raw stream
+    // would be the skewed-user trap
+    val exs = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toList
+    assert(exs.forall(_.contains("user_id")), exs.mkString("\n"))
+    assert(!p.contains("WindowExec") && !p.contains("collect_list"),
+      p.take(2000))
+  }
+
+  test("retention aggregates without a count-distinct Expand") {
+    val p = plan("q_retention")
+    // the (user, week) frame is distinct-ed BEFORE counting, so no
+    // count(DISTINCT) Expand stage should appear
+    assert(!p.contains("Expand"), p.take(2000))
+  }
+
+  test("cluster size stats reuse the shared label frame (InMemory scan)") {
+    pipeline.Corpus.clearClusterCache()
+    // prime the cache the way a pipeline run would: clusters first
+    SparkEntry.queries("corpus_clusters")(spark, sf).collect()
+    val p = plan("corpus_cluster_stats")
+    assert(p.contains("InMemoryTableScan"),
+      "cluster stats recomputed label propagation instead of reading " +
+        "the shared cached frame:\n" + p.take(2000))
+  }
 }
