@@ -229,6 +229,8 @@ object PipelineQueries {
       Corpus.vocabulary(Tables.documents(s, dir)).orderBy("rank")),
     "corpus_zipf" -> ((s, dir) =>
       Corpus.zipfFit(Tables.documents(s, dir))),
+    "corpus_card" -> ((s, dir) =>
+      Corpus.card(Tables.documents(s, dir))),
     "corpus_cluster_stats" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val pairs = Dedup.minhashCandidates(
@@ -699,6 +701,28 @@ object PipelineQueries {
         |  round(regr_intercept(y, x), 6) AS intercept,
         |  round(regr_r2(y, x), 6) AS r2
         | FROM pts""".stripMargin.replace("\n", " "),
+    "corpus_card" ->
+      s"""WITH base AS (SELECT count(*) AS n_docs,
+         |  count(DISTINCT source) AS n_sources,
+         |  CAST(sum(len(string_split_regex(text, '\\s+'))) AS BIGINT)
+         |    AS n_tokens FROM documents),
+         | ex AS (SELECT round(avg(CASE WHEN rn > 1 THEN 1.0 ELSE 0.0 END), 6)
+         |    AS exact_dup_frac FROM
+         |  (SELECT row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+         |     AS rn FROM documents) AS t),
+         | gq AS (SELECT round(avg(CASE WHEN mean_word_len >= 3
+         |     AND mean_word_len <= 10 AND dup_line_frac <= 0.3
+         |     AND symbol_ratio <= 0.1 THEN 1.0 ELSE 0.0 END), 6)
+         |    AS gopher_pass_frac FROM ($GOPHER_INNER) AS q),
+         | vstats AS (SELECT w AS word, count(*) AS tf
+         |  FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+         |   FROM documents) AS u GROUP BY w),
+         | vtop AS (SELECT tf,
+         |   row_number() OVER (ORDER BY tf DESC, word ASC) AS rank
+         |  FROM vstats ORDER BY tf DESC, word ASC LIMIT 100),
+         | z AS (SELECT round(regr_slope(ln(tf::DOUBLE), ln(rank::DOUBLE)), 6)
+         |    AS zipf_slope FROM vtop)
+         | SELECT * FROM base, ex, gq, z""".stripMargin.replace("\n", " "),
     "corpus_cluster_stats" ->
       s"""WITH RECURSIVE sig AS ($SIG), banded AS ($BANDED),
          | capped AS (SELECT doc_id, band, bucket FROM (

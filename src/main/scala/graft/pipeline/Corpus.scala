@@ -350,6 +350,31 @@ object Corpus {
       .orderBy("cluster_size")
   }
 
+  /** One-row dataset card — the summary block a corpus release ships
+    * with, composed from the individually-verified operators: corpus
+    * size (docs / whitespace tokens / sources), exact-duplicate
+    * fraction, Gopher quality pass rate, and the Zipf slope health
+    * check.
+    *
+    * Scale: four independent single-row aggregates (each one hash
+    * aggregation over the corpus or, for zipf, over the top-N vocab)
+    * cross-joined at one row each — no corpus-side join, no window
+    * wider than [[Dedup.exact]]'s per-content-hash rank. */
+  def card(docs: DataFrame): DataFrame = {
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("source")).as("n_sources"),
+      sum(size(org.apache.spark.sql.functions.split(col("text"), "\\s+"))
+        .cast("long")).as("n_tokens"))
+    val dup = Dedup.exact(docs).agg(
+      round(avg(col("is_dup").cast("double")), 6).as("exact_dup_frac"))
+    val gq = TextAnalysis.gopherQuality(docs).agg(
+      round(avg(col("gopher_pass").cast("double")), 6).as("gopher_pass_frac"))
+    val zipf = zipfFit(docs).select(col("zipf_slope"))
+    base.crossJoin(broadcast(dup)).crossJoin(broadcast(gq))
+      .crossJoin(broadcast(zipf))
+  }
+
   /** Benchmark decontamination: fraction of each document's distinct
     * shingles that appear in the benchmark set's shingle universe;
     * docs above `threshold` are flagged contaminated. The benchmark

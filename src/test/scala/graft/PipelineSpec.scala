@@ -857,6 +857,23 @@ class PipelineSpec extends SparkSpec {
     assert(fr.getAs[Double]("zipf_slope") == 0.0)
   }
 
+  test("dataset card: planted corpus with one exact dup and known tokens") {
+    val s = spark
+    import s.implicits._
+    val good = "the quick brown fox jumps over the lazy dog again"
+    val docs = Seq(
+      (1L, good, "web"),
+      (2L, good, "web"),            // exact dup of doc 1
+      (3L, "#### $$$$ %%%% @@@@", "books")) // fails gopher symbol ratio
+      .toDF("doc_id", "text", "source")
+    val r = Corpus.card(docs).collect().head
+    assert(r.getAs[Long]("n_docs") == 3L)
+    assert(r.getAs[Long]("n_sources") == 2L)
+    assert(r.getAs[Long]("n_tokens") == 10L + 10L + 4L)
+    assert(r.getAs[Double]("exact_dup_frac") == 0.333333)
+    assert(r.getAs[Double]("gopher_pass_frac") == 0.666667)
+  }
+
   test("cluster size stats: planted 3+2+singletons histogram") {
     val s = spark
     import s.implicits._
