@@ -171,8 +171,36 @@ object RelQueries {
     // cohort-size join keys on the ≤|weeks| cohort frame. Weeks
     // chosen because both engines truncate to Monday, making the
     // bucket boundary engine-portable.
-    "q_retention" -> ((s, dir) => retention(Tables.events(s, dir)))
+    "q_retention" -> ((s, dir) => retention(Tables.events(s, dir))),
+
+    // top-N 3-step event-type paths (path analysis: what do users do
+    // next?). The path triple forms with two leads over the per-user
+    // event order — the window partitions on user_id exactly like
+    // sessionize's merge (per-user, sort-local, bounded by one user's
+    // events), then a hash aggregation on the path string and a
+    // global top-N that plans as TakeOrdered — no full-frame rank.
+    // event_id breaks timestamp ties so the order is total and the
+    // oracle replays it.
+    "q_event_paths" -> ((s, dir) => eventPaths(Tables.events(s, dir)))
   )
+
+  /** Top-`topN` 3-step event-type paths across users. */
+  def eventPaths(events: DataFrame, topN: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val paths = events
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("e2", lead("event_type", 1).over(w))
+      .withColumn("e3", lead("event_type", 2).over(w))
+      .where(col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3"))
+        .as("path"))
+    val counted = paths.groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path").asc).limit(topN)
+    counted.withColumn("rk",
+      row_number().over(Window.orderBy(col("n").desc, col("path").asc))
+        .cast("long"))
+  }
 
   /** Ordered-step funnel: per user, the first timestamp of each step
     * strictly after the previous step's first occurrence; output is
@@ -325,6 +353,18 @@ object RelQueries {
         |  a.week_offset, a.active_users, sz.cohort_users,
         |  round(a.active_users::DOUBLE / sz.cohort_users, 6) AS retention
         | FROM a JOIN sz ON sz.cohort = a.cohort
-        | ORDER BY cohort_week_s, week_offset""".stripMargin.replace("\n", " ")
+        | ORDER BY cohort_week_s, week_offset""".stripMargin.replace("\n", " "),
+    "q_event_paths" ->
+      """WITH seq AS (SELECT
+        |   event_type AS e1,
+        |   lead(event_type, 1) OVER w AS e2,
+        |   lead(event_type, 2) OVER w AS e3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        | p AS (SELECT e1 || '>' || e2 || '>' || e3 AS path, count(*) AS n
+        |  FROM seq WHERE e3 IS NOT NULL GROUP BY 1)
+        | SELECT path, n,
+        |  row_number() OVER (ORDER BY n DESC, path ASC) AS rk
+        | FROM p ORDER BY n DESC, path ASC LIMIT 10""".stripMargin.replace("\n", " ")
   )
 }

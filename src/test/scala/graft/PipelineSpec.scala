@@ -909,6 +909,22 @@ class PipelineSpec extends SparkSpec {
     assert(r == Map(1 -> 3L, 2 -> 1L, 3 -> 1L))
   }
 
+  test("event paths: triples form per user in time order, ranked by count") {
+    val s = spark
+    import s.implicits._
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // user 1: a b c d → paths a>b>c, b>c>d ; user 2: a b c → a>b>c
+    val events = Seq(
+      (1L, 1L, "a", ts(0)), (1L, 2L, "b", ts(1)),
+      (1L, 3L, "c", ts(2)), (1L, 4L, "d", ts(3)),
+      (2L, 5L, "a", ts(0)), (2L, 6L, "b", ts(1)), (2L, 7L, "c", ts(2)))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val r = RelQueries.eventPaths(events).collect()
+      .map(x => (x.getAs[String]("path"), x.getAs[Long]("n"),
+        x.getAs[Long]("rk")))
+    assert(r.toSeq == Seq(("a>b>c", 2L, 1L), ("b>c>d", 1L, 2L)))
+  }
+
   test("retention: two cohorts, offsets count distinct active users") {
     val s = spark
     import s.implicits._
