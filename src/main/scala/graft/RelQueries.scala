@@ -173,6 +173,15 @@ object RelQueries {
     // bucket boundary engine-portable.
     "q_retention" -> ((s, dir) => retention(Tables.events(s, dir))),
 
+    // daily + 7-day rolling active users (DAU/WAU): the distinct
+    // (user, day) frame fans out to the ≤7 window-end days it
+    // contributes to (a bounded map-side multiplier — no sliding
+    // count-distinct window, no self-join on the raw stream), then
+    // distinct + per-day hash counts. Partial leading windows are
+    // reported (standard), trailing fan-out past the last observed
+    // day is dropped.
+    "q_active_users" -> ((s, dir) => rollingActive(Tables.events(s, dir))),
+
     // top-N 3-step event-type paths (path analysis: what do users do
     // next?). The path triple forms with two leads over the per-user
     // event order — the window partitions on user_id exactly like
@@ -183,6 +192,30 @@ object RelQueries {
     // oracle replays it.
     "q_event_paths" -> ((s, dir) => eventPaths(Tables.events(s, dir)))
   )
+
+  /** DAU + rolling `windowDays`-day active users per day. */
+  def rollingActive(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    val days = events
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val dau = days.groupBy("day").agg(count(lit(1)).as("dau"))
+    // fan each active (user, day) out to the window-end days it
+    // counts toward; re-distinct because one user often appears in
+    // several source days of the same window
+    val maxDay = days.agg(max("day").as("max_day"))
+    val wau = days
+      .select(col("user_id"),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("off"),
+        col("day"))
+      .select(col("user_id"), expr("date_add(day, off)").as("wday"))
+      .crossJoin(broadcast(maxDay))
+      .where(col("wday") <= col("max_day"))
+      .select(col("user_id"), col("wday")).distinct()
+      .groupBy(col("wday").as("day")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, "day")
+      .select(unix_seconds(col("day").cast("timestamp")).as("day_s"),
+        col("dau"), col("wau"))
+      .orderBy("day_s")
+  }
 
   /** Top-`topN` 3-step event-type paths across users. */
   def eventPaths(events: DataFrame, topN: Int = 10): DataFrame = {
@@ -354,6 +387,18 @@ object RelQueries {
         |  round(a.active_users::DOUBLE / sz.cohort_users, 6) AS retention
         | FROM a JOIN sz ON sz.cohort = a.cohort
         | ORDER BY cohort_week_s, week_offset""".stripMargin.replace("\n", " "),
+    "q_active_users" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |  FROM events),
+        | dau AS (SELECT day, count(*) AS dau FROM days GROUP BY day),
+        | fan AS (SELECT DISTINCT user_id, day + CAST(o AS INT) AS wday
+        |  FROM days CROSS JOIN (SELECT unnest(range(0, 7)) AS o) AS os
+        |  WHERE day + CAST(o AS INT) <= (SELECT max(day) FROM days)),
+        | wau AS (SELECT wday AS day, count(*) AS wau FROM fan GROUP BY wday)
+        | SELECT CAST(floor(epoch(dau.day::TIMESTAMP)) AS BIGINT) AS day_s,
+        |  dau.dau, wau.wau
+        | FROM dau JOIN wau ON wau.day = dau.day
+        | ORDER BY day_s""".stripMargin.replace("\n", " "),
     "q_event_paths" ->
       """WITH seq AS (SELECT
         |   event_type AS e1,

@@ -909,6 +909,27 @@ class PipelineSpec extends SparkSpec {
     assert(r == Map(1 -> 3L, 2 -> 1L, 3 -> 1L))
   }
 
+  test("rolling active users: WAU unions the trailing window, DAU doesn't") {
+    val s = spark
+    import s.implicits._
+    val t = (d: Int) => java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    // user 1 on days 1 and 3 (counts once in each window), user 2 on
+    // day 1 only, user 3 on day 9 (outside day 3's 7-day reach)
+    val events = Seq((1L, t(1)), (1L, t(3)), (2L, t(1)), (3L, t(9)))
+      .toDF("user_id", "ts")
+    val r = RelQueries.rollingActive(events).collect()
+      .map(x => x.getAs[Long]("day_s") ->
+        ((x.getAs[Long]("dau"), x.getAs[Long]("wau")))).toMap
+    val d = (day: Int) => java.time.LocalDate.of(2024, 1, day)
+      .atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond
+    // day 1: users {1,2} both daily and weekly; day 3: DAU {1} but
+    // WAU still {1,2} (day-1 actives reach through day 7); day 9:
+    // DAU {3}, WAU {1,3} (user 1's day-3 activity reaches day 9)
+    assert(r(d(1)) == ((2L, 2L)))
+    assert(r(d(3)) == ((1L, 2L)))
+    assert(r(d(9)) == ((1L, 2L)))
+  }
+
   test("event paths: triples form per user in time order, ranked by count") {
     val s = spark
     import s.implicits._
