@@ -173,6 +173,48 @@ object RelQueries {
     // bucket boundary engine-portable.
     "q_retention" -> ((s, dir) => retention(Tables.events(s, dir))),
 
+    // Q17 shape: per-group threshold applied back to the detail rows
+    // (decorrelated form of TPC-H's correlated avg subquery). The
+    // per-part average is its own hash aggregation joined back on
+    // l_partkey — Catalyst's standard decorrelation; one shuffle key
+    // for both sides, AQE picks the join strategy. The brand filter
+    // broadcasts the small part side and prunes before the threshold
+    // join. DECIMAL sum keeps the final figure exact.
+    "q17_small_qty" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val parts = Tables.part(s, dir)
+        .where(col("p_brand") === "Brand#1").select("p_partkey")
+      val filtered = li.join(broadcast(parts),
+        col("l_partkey") === col("p_partkey"))
+      val thr = filtered.groupBy("l_partkey")
+        .agg((avg("l_quantity") * 0.2).as("thr"))
+      filtered.join(thr, "l_partkey")
+        .where(col("l_quantity") < col("thr"))
+        .agg(round(sum(dec2(col("l_extendedprice"))).cast("double") / 7.0, 6)
+          .as("avg_yearly"))
+    }),
+
+    // Q15 shape: argmax over an aggregate (top supplier by revenue).
+    // Revenue is one hash aggregation; the max is a one-row frame
+    // broadcast back — the two-pass argmax that avoids any global
+    // sort or rank window over the aggregate. DECIMAL revenue makes
+    // the equality join exact (no float-epsilon ties).
+    "q15_top_supplier" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1996-04-01 00:00:00")))
+        .groupBy("l_suppkey")
+        .agg(sum(dec6(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("total_revenue"))
+      val top = rev.agg(max("total_revenue").as("max_rev"))
+      rev.join(broadcast(top), col("total_revenue") === col("max_rev"))
+        .join(Tables.supplier(s, dir),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("total_revenue").cast("double").as("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
     // daily + 7-day rolling active users (DAU/WAU): the distinct
     // (user, day) frame fans out to the ≤7 window-end days it
     // contributes to (a bounded map-side multiplier — no sliding
@@ -387,6 +429,29 @@ object RelQueries {
         |  round(a.active_users::DOUBLE / sz.cohort_users, 6) AS retention
         | FROM a JOIN sz ON sz.cohort = a.cohort
         | ORDER BY cohort_week_s, week_offset""".stripMargin.replace("\n", " "),
+    "q17_small_qty" ->
+      """WITH f AS (SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |  WHERE p.p_brand = 'Brand#1'),
+        | thr AS (SELECT l_partkey, 0.2 * avg(l_quantity) AS thr
+        |  FROM f GROUP BY l_partkey)
+        | SELECT round(CAST(sum(CAST(f.l_extendedprice AS DECIMAL(18,2)))
+        |   AS DOUBLE) / 7.0, 6) AS avg_yearly
+        | FROM f JOIN thr ON thr.l_partkey = f.l_partkey
+        | WHERE f.l_quantity < thr.thr""".stripMargin.replace("\n", " "),
+    "q15_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+        |    AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |   AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        | SELECT s.s_suppkey, s.s_name,
+        |  CAST(rev.total_revenue AS DOUBLE) AS total_revenue
+        | FROM rev JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+        | WHERE rev.total_revenue = (SELECT max(total_revenue) FROM rev)
+        | ORDER BY s.s_suppkey""".stripMargin.replace("\n", " "),
     "q_active_users" ->
       """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
         |  FROM events),

@@ -388,6 +388,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("q15 argmax broadcasts the one-row max — no rank window") {
+    val p = plan("q15_top_supplier")
+    assert(!p.contains("WindowExec"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("funnel shuffles on user_id only — no event arrays, no windows") {
     val p = plan("q_funnel")
     // every hash exchange must key on user_id (plus the final 3-row
