@@ -532,7 +532,26 @@ object TsdbQueries {
         Downsample.Rule("errors_daily",
           Seq(Fetch.Matcher("name", Fetch.Eq, "error")),
           "day", Seq("stdev", "p95", "sum_sq"))))
-        .orderBy("rule", "name", "user_id", "bucket_s", "agg"))
+        .orderBy("rule", "name", "user_id", "bucket_s", "agg")),
+
+    // influx line-protocol roundtrip: render every event as a line
+    // (`<measurement>,user_id=<uid> value=<v> <epoch-ns>`), parse
+    // through the InfluxLine source (field fan-out names the series
+    // `<measurement>_value` per the reference's write handler),
+    // consolidate hourly. The oracle computes the same aggregate
+    // from the table directly — parse ∘ render = identity, doubles
+    // round-trip exactly through Double.toString.
+    "ts_influx" -> ((s, dir) => {
+      val lines = Vectors.samples(Tables.events(s, dir)).select(
+        format_string("%s,user_id=%d value=%s %d",
+          col("name"), col("user_id"), col("value"),
+          unix_micros(col("ts")) * 1000).as("line"))
+      graft.sources.InfluxLine
+        .toSampleFrame(graft.sources.InfluxLine.parse(lines), Seq("user_id"))
+        .select(col("name"), col("user_id").cast("long").as("user_id"),
+          col("bucket_s"), round(col("value"), 6).as("value"))
+        .orderBy("name", "user_id", "bucket_s")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -1343,6 +1362,12 @@ object TsdbQueries {
          |  GROUP BY name, user_id, CAST(floor(bucket_s / 86400) AS BIGINT) * 86400
          |) AS d WHERE bucket_s >= 1706745600 - 21 * 86400
          | ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " ")
-    }
+    },
+    "ts_influx" ->
+      """SELECT event_type || '_value' AS name, user_id,
+        | CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_s,
+        | round(avg(value), 6) AS value
+        | FROM events GROUP BY 1, 2, 3
+        | ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " ")
   )
 }
