@@ -551,6 +551,29 @@ object TsdbQueries {
         .select(col("name"), col("user_id").cast("long").as("user_id"),
           col("bucket_s"), round(col("value"), 6).as("value"))
         .orderBy("name", "user_id", "bucket_s")
+    }),
+
+    // JSON write-request roundtrip: render every event as the
+    // coordinator's JSON write body ({"tags": {__name__, user_id},
+    // "timestamp": "<epoch.millis>", "value": v}), parse through the
+    // JsonWrite source, consolidate hourly. Zero-valued samples are
+    // excluded on BOTH sides: the reference's validator rejects
+    // value == 0 (write.go:76 validate:"nonzero"), so the oracle
+    // filters them too — the quirk is part of the contract.
+    "ts_json_write" -> ((s, dir) => {
+      val lines = Vectors.samples(Tables.events(s, dir)).select(
+        to_json(struct(
+          map(lit("__name__"), col("name"),
+            lit("user_id"), col("user_id").cast("string")).as("tags"),
+          format_string("%d.%03d", unix_timestamp(col("ts")),
+            ((unix_micros(col("ts")) % 1000000L) / 1000L).cast("long"))
+            .as("timestamp"),
+          col("value"))).as("line"))
+      graft.sources.JsonWrite
+        .toSampleFrame(graft.sources.JsonWrite.parse(lines), Seq("user_id"))
+        .select(col("name"), col("user_id").cast("long").as("user_id"),
+          col("bucket_s"), round(col("value"), 6).as("value"))
+        .orderBy("name", "user_id", "bucket_s")
     })
   )
 
@@ -1368,6 +1391,13 @@ object TsdbQueries {
         | CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_s,
         | round(avg(value), 6) AS value
         | FROM events GROUP BY 1, 2, 3
+        | ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),
+    "ts_json_write" ->
+      """SELECT event_type AS name, user_id,
+        | CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_s,
+        | round(avg(value), 6) AS value
+        | FROM events WHERE value <> 0
+        | GROUP BY 1, 2, 3
         | ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " ")
   )
 }
