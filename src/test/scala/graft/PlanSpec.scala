@@ -388,6 +388,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("ingest roundtrips parse map-side: one hash exchange each") {
+    for (q <- Seq("ts_influx", "ts_json_write")) {
+      val p = plan(q)
+      val hashEx = p.linesIterator
+        .count(_.contains("Exchange hashpartitioning"))
+      assert(hashEx == 1,
+        s"$q: parsing must be a pure map stage feeding ONE " +
+          s"consolidation shuffle, got $hashEx exchanges:\n" + p.take(2000))
+    }
+  }
+
   test("q15 argmax broadcasts the one-row max — no rank window") {
     val p = plan("q15_top_supplier")
     assert(!p.contains("WindowExec"), p.take(2000))
