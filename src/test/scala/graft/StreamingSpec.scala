@@ -2,6 +2,7 @@ package graft
 
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, expr}
 import graft.streaming.Ingest
 
 class StreamingSpec extends SparkSpec {
@@ -212,6 +213,43 @@ class StreamingSpec extends SparkSpec {
       val rows = s.sql("SELECT * FROM carbon_stream_test").collect()
         .map(r => r.getLong(1) -> r.getDouble(2)).toMap
       assert(rows == Map(1704067200L -> 15.0))
+    } finally q.stop()
+  }
+
+  test("influx wire → rules → rollup runs end-to-end under readStream") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[String]
+    // the full m3 write path: line protocol in, per-rule watermarked
+    // windowed aggregates out — all one streaming plan
+    val samples = graft.sources.InfluxLine.parse(mem.toDF().toDF("line"))
+      .where(!col("malformed"))
+      .select(col("name"),
+        expr("try_element_at(tags, 'user_id')").cast("long").as("user_id"),
+        col("ts"), col("value"))
+    val rules = Seq(graft.tsdb.Downsample.Rule("cpu_hourly",
+      Seq(graft.tsdb.Fetch.Matcher("name", graft.tsdb.Fetch.Re, "cpu_.*")),
+      "hour", Seq("sum", "count")))
+    val q = Ingest.ruleRollup(samples, rules, lateness = "10 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("influx_rules_test").start()
+    try {
+      mem.addData(
+        "cpu,user_id=1 usage=10.0 1704067200000000000",  // 00:00
+        "cpu,user_id=1 usage=20.0 1704068100000000000",  // 00:15
+        "mem,user_id=1 used=99.0 1704067200000000000",   // filtered by rule
+        "cpu,user_id=1 usage=1.0 1704074400000000000")   // 02:00 → watermark
+      q.processAllAvailable()
+      mem.addData("cpu,user_id=1 usage=5.0 1704078000000000000") // advance
+      q.processAllAvailable()
+      val rows = s.sql("SELECT * FROM influx_rules_test").collect()
+        .map(r => (r.getAs[String]("name"), r.getAs[Long]("bucket_s"),
+          r.getAs[String]("agg")) -> r.getAs[Double]("value")).toMap
+      // hour 00:00 flushed once the watermark passed its end
+      assert(rows(("cpu_usage", 1704067200L, "sum")) == 30.0)
+      assert(rows(("cpu_usage", 1704067200L, "count")) == 2.0)
+      assert(!rows.keys.exists(_._1 == "mem_used"), "rule matcher leaked")
     } finally q.stop()
   }
 
