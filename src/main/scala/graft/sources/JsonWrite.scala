@@ -41,23 +41,30 @@ object JsonWrite {
       .select(
         from_json(col(lineCol),
           org.apache.spark.sql.types.StructType.fromDDL(SCHEMA)).as("_p"))
-      .select(
-        col("_p.tags").as("tags"),
+      // stage the timestamp parse so the float-regex and try_cast
+      // each evaluate once per row, not once per consumer
+      .select(col("_p"),
         {
           val tsS = col("_p.timestamp")
           when(tsS.rlike(FLOAT),
             // float epoch seconds, fraction rounded to ms
             timestamp_millis(round(tsS.cast("double") * 1000, 0).cast("long")))
             .otherwise(expr("try_cast(_p.timestamp AS timestamp)"))
-            .as("ts")
-        },
+            .as("_ts")
+        })
+      .select(
+        col("_p.tags").as("tags"),
+        col("_ts").as("ts"),
         col("_p.value").as("value"),
-        (col("_p").isNull ||
-          col("_p.tags").isNull || size(map_keys(col("_p.tags"))) === 0 ||
-          col("_p.timestamp").isNull ||
-          (!col("_p.timestamp").rlike(FLOAT) &&
-            expr("try_cast(_p.timestamp AS timestamp)").isNull) ||
-          col("_p.value").isNull || col("_p.value") === 0.0)
+        // always-true non-deterministic guard: stops downstream
+        // filter pushdown from substituting the from_json tree into
+        // the condition and re-parsing every line per consumer (same
+        // plan blow-up as [[InfluxLine]]; see the note there)
+        when(spark_partition_id() >= 0,
+          col("_p").isNull ||
+            col("_p.tags").isNull || size(map_keys(col("_p.tags"))) === 0 ||
+            col("_ts").isNull ||
+            col("_p.value").isNull || col("_p.value") === 0.0)
           .as("malformed"))
   }
 
