@@ -49,7 +49,13 @@ object Carbon {
         when(lower(valS).isin("nan", "-nan"), lit(Double.NaN))
           .when(valS.rlike(floatRe), valS.cast("double"))
           .as("value"),
-        (!matched || !valOk || !tsOk).as("malformed"))
+        // always-true non-deterministic guard: stops downstream
+        // filter pushdown from substituting the parse regexes into
+        // consumers' conditions (the plan-tree blow-up documented in
+        // [[InfluxLine]] — here defensive: toPathFrame is the only
+        // in-repo consumer and its filter stays above this projection)
+        when(spark_partition_id() >= 0, !matched || !valOk || !tsOk)
+          .as("malformed"))
   }
 
   /** Well-formed lines consolidated to an hourly graphite path frame
