@@ -232,7 +232,11 @@ object RelQueries {
     // global top-N that plans as TakeOrdered — no full-frame rank.
     // event_id breaks timestamp ties so the order is total and the
     // oracle replays it.
-    "q_event_paths" -> ((s, dir) => eventPaths(Tables.events(s, dir)))
+    "q_event_paths" -> ((s, dir) => eventPaths(Tables.events(s, dir))),
+
+    // funnel time-to-convert (see funnelLatency Scaladoc)
+    "q_funnel_latency" -> ((s, dir) =>
+      funnelLatency(Tables.events(s, dir), Seq("view", "click", "purchase")))
   )
 
   /** DAU + rolling `windowDays`-day active users per day. */
@@ -277,14 +281,13 @@ object RelQueries {
         .cast("long"))
   }
 
-  /** Ordered-step funnel: per user, the first timestamp of each step
-    * strictly after the previous step's first occurrence; output is
-    * one row per step with the users reaching it. */
-  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+  /** Per-stage (user_id, first-qualifying-ts) frames for an ordered
+    * funnel — each stage is a filtered hash agg + equi-join, all
+    * keyed on user_id. */
+  private def funnelStages(events: DataFrame,
+                           steps: Seq[String]): Seq[DataFrame] = {
     val e = events.select("user_id", "event_type", "ts")
-    // fold: stage k's frame is (user_id, t_k); each iteration is a
-    // filtered hash agg + equi-join, all keyed on user_id
-    val reached = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+    steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
       case (prev, (step, _)) =>
         val hits = e.where(col("event_type") === step)
         val afterPrev = prev match {
@@ -296,10 +299,39 @@ object RelQueries {
         }
         Some(afterPrev)
     }.flatten
-    reached.zip(steps).zipWithIndex.map { case ((df, name), i) =>
-      df.agg(count(lit(1)).as("users"))
-        .select(lit(i + 1).as("step"), lit(name).as("stage"), col("users"))
+  }
+
+  /** Ordered-step funnel: per user, the first timestamp of each step
+    * strictly after the previous step's first occurrence; output is
+    * one row per step with the users reaching it. */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    funnelStages(events, steps).zip(steps).zipWithIndex.map {
+      case ((df, name), i) =>
+        df.agg(count(lit(1)).as("users"))
+          .select(lit(i + 1).as("step"), lit(name).as("stage"), col("users"))
     }.reduce(_ union _).orderBy("step")
+  }
+
+  /** Time-to-convert for funnel completers: first-step → last-step
+    * latency stats (count, mean, min/max, exact median). The median
+    * is an exact single-group percentile — its buffer holds the
+    * COMPLETERS' latencies (a small fraction of users by
+    * construction); an unbounded deployment swaps in the mergeable
+    * `approx_percentile` sketch exactly as the streaming rollup
+    * does. */
+  def funnelLatency(events: DataFrame, steps: Seq[String]): DataFrame = {
+    val stages = funnelStages(events, steps)
+    val latency = stages.head.select(col("user_id"), col("t").as("t_first"))
+      .join(stages.last.select(col("user_id"), col("t").as("t_last")),
+        "user_id")
+      .select(((unix_micros(col("t_last")) - unix_micros(col("t_first")))
+        .cast("double") / 1e6).as("s"))
+    latency.agg(
+      count(lit(1)).as("completers"),
+      round(avg("s"), 6).as("mean_s"),
+      round(min("s"), 6).as("min_s"),
+      round(max("s"), 6).as("max_s"),
+      round(percentile(col("s"), lit(0.5)), 6).as("median_s"))
   }
 
   /** Weekly cohort retention — see the `q_retention` entry Scaladoc. */
@@ -464,6 +496,22 @@ object RelQueries {
         |  dau.dau, wau.wau
         | FROM dau JOIN wau ON wau.day = dau.day
         | ORDER BY day_s""".stripMargin.replace("\n", " "),
+    "q_funnel_latency" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        | c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN v ON v.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+        | p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN c ON c.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id),
+        | lat AS (SELECT (epoch_ns(p.t3) // 1000 - epoch_ns(v.t1) // 1000)
+        |    / 1e6 AS s
+        |  FROM v JOIN p ON p.user_id = v.user_id)
+        | SELECT count(*) AS completers, round(avg(s), 6) AS mean_s,
+        |  round(min(s), 6) AS min_s, round(max(s), 6) AS max_s,
+        |  round(quantile_cont(s, 0.5), 6) AS median_s
+        | FROM lat""".stripMargin.replace("\n", " "),
     "q_event_paths" ->
       """WITH seq AS (SELECT
         |   event_type AS e1,

@@ -946,6 +946,26 @@ class PipelineSpec extends SparkSpec {
     assert(r.toSeq == Seq(("a>b>c", 2L, 1L), ("b>c>d", 1L, 2L)))
   }
 
+  test("funnel latency: stats over completers only, first→last step") {
+    val s = spark
+    import s.implicits._
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val events = Seq(
+      // user 1 converts in 2 min; user 2 in 4 min
+      (1L, "view", ts(0)), (1L, "click", ts(1)), (1L, "purchase", ts(2)),
+      (2L, "view", ts(10)), (2L, "click", ts(12)), (2L, "purchase", ts(14)),
+      // user 3 never purchases — excluded
+      (3L, "view", ts(0)), (3L, "click", ts(5)))
+      .toDF("user_id", "event_type", "ts")
+    val r = RelQueries.funnelLatency(events, Seq("view", "click", "purchase"))
+      .collect().head
+    assert(r.getAs[Long]("completers") == 2L)
+    assert(r.getAs[Double]("min_s") == 120.0)
+    assert(r.getAs[Double]("max_s") == 240.0)
+    assert(r.getAs[Double]("mean_s") == 180.0)
+    assert(r.getAs[Double]("median_s") == 180.0)
+  }
+
   test("retention: two cohorts, offsets count distinct active users") {
     val s = spark
     import s.implicits._
