@@ -16,6 +16,10 @@ object Sessions {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // AQE on: runtime re-plan, skew-join handling, auto broadcast
       .config("spark.sql.adaptive.enabled", "true")
+      // write timestamps as INT64 micros: INT96 is deprecated and
+      // carries no usable min/max stats, which would defeat ts
+      // row-group/page pruning on the SeriesStore layout
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       // bucketed-table warehouse (SeriesStore tests) outside the repo
       .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
 }

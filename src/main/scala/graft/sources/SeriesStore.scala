@@ -21,8 +21,18 @@ import org.apache.spark.sql.functions._
   *    (name, user_id) runs with NO shuffle — at 1000 executors this
   *    removes the single biggest exchange in every query (asserted
   *    in StoreSpec: zero Exchange nodes in the bucketed agg plan).
-  *  - The in-bucket `sortBy` keeps files clustered by series, so
-  *    per-series scans are sequential reads.
+  *  - The in-bucket `sortBy (name, user_id, ts)` keeps files
+  *    clustered by series AND time-ordered within each series. Two
+  *    wins: per-series scans are sequential reads, and the parquet
+  *    min/max statistics become tight — a row group (or page, via
+  *    the column index) inside one series' run covers a narrow ts
+  *    span, so sub-day time-range predicates skip most of the file
+  *    at read time (measured in StoreSpec: a 5 % ts window reads
+  *    ~21 % of rows — row-group granularity — instead of the 100 %
+  *    the series-only sort reads).
+  *    This is the intra-day analogue of the dt= partition pruning —
+  *    the same role m3db's time-windowed blocks play
+  *    (/root/reference/src/dbnode/storage/block/block.go).
   *
   * Uses `saveAsTable` (bucket metadata lives in the catalog; plain
   * `save` cannot record bucketing). Bucket counts should be sized so
@@ -48,7 +58,7 @@ object SeriesStore {
       .write.mode("overwrite")
       .partitionBy("dt")
       .bucketBy(buckets, "name", "user_id")
-      .sortBy("name", "user_id")
+      .sortBy("name", "user_id", "ts")
       .format("parquet")
       .saveAsTable(table)
   }

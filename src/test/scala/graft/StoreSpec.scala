@@ -40,6 +40,62 @@ class StoreSpec extends SparkSpec {
       "bucketed distribution should satisfy the aggregation:\n" + plan.take(2000))
   }
 
+  test("in-bucket ts sort lets a narrow time range skip most of the file") {
+    import spark.implicits._
+    // Enough rows for many row groups; shrink the row-group budget so
+    // the layout effect is visible at spec scale (prod uses defaults).
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val oldBlock = hconf.get("parquet.block.size")
+    hconf.setInt("parquet.block.size", 64 * 1024)
+    try {
+      val n = 200000L
+      val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      // time is a PERMUTATION of the row id (48271 is coprime to n), so
+      // every input split carries the full day — otherwise split order
+      // confounds the measurement (file-level stats would prune both
+      // layouts identically). Few series → long in-file series runs
+      // relative to the shrunken row groups.
+      val samples = spark.range(n).select(
+        concat(lit("m"), (col("id") % 4).cast("string")).as("name"),
+        (col("id") % 4).as("user_id"),
+        timestamp_millis(lit(base) + (col("id") * 48271L % n) * (86400000L / n)).as("ts"),
+        rand(7).as("value"),
+        col("id").as("event_id"))
+      def scannedRows(table: String): Long = {
+        val lo = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+        val hi = java.sql.Timestamp.valueOf("2024-01-01 11:12:00") // 5 % of the day
+        val q = spark.table(table).where(col("ts") >= lit(lo) && col("ts") < lit(hi))
+        q.collect()
+        q.queryExecution.executedPlan.collectLeaves()
+          .map(_.metrics("numOutputRows").value).sum
+      }
+      SeriesStore.write(samples, "graft_store_tsorted", buckets = 4)
+      // the pre-r4 layout: series-sorted only, ts unordered in-file
+      spark.sql("DROP TABLE IF EXISTS graft_store_unsorted")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), "graft_store_unsorted")
+      val fs = loc.getFileSystem(hconf)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      samples.withColumn("dt", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("dt")
+        .bucketBy(4, "name", "user_id").sortBy("name", "user_id")
+        .format("parquet").saveAsTable("graft_store_unsorted")
+      val sorted = scannedRows("graft_store_tsorted")
+      val unsorted = scannedRows("graft_store_unsorted")
+      info(s"5% ts window scanned $sorted/$n rows ts-sorted, $unsorted/$n series-only")
+      // 5 % window: the ts-clustered layout skips whole row groups via
+      // min/max stats; the series-only sort leaves every row group
+      // spanning the full day, so nothing is skipped.
+      assert(sorted < n * 35 / 100,
+        s"ts-sorted layout read $sorted of $n rows — stats not pruning")
+      assert(sorted < unsorted / 2,
+        s"expected ts clustering to beat series-only sort: $sorted vs $unsorted")
+    } finally {
+      if (oldBlock == null) hconf.unset("parquet.block.size")
+      else hconf.set("parquet.block.size", oldBlock)
+    }
+  }
+
   test("self-join on the series key runs shuffle-free") {
     val l = SeriesStore.read(spark, table).groupBy("name", "user_id")
       .agg(max("value").as("mx"))
