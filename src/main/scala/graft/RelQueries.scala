@@ -215,6 +215,33 @@ object RelQueries {
         .orderBy("s_suppkey")
     }),
 
+    // Q18 shape: HAVING over a large aggregation, detail joined back
+    // (large-volume customers). The per-order quantity sum is ONE
+    // hash aggregation on l_orderkey; because that frame already
+    // carries sum_qty, TPC-H's re-aggregation after the IN-subquery
+    // disappears — the filtered agg (0.1 % of orders survive > 300)
+    // joins orders on the same key, then customer. The final
+    // ordering is a top-K (TakeOrderedAndProject under the limit) —
+    // no global sort of the join result. At 100 TB: lineitem agg and
+    // the orders join share one shuffle key; the surviving-orders
+    // side is small enough that AQE broadcasts the customer join's
+    // build side after the runtime size is known.
+    "q18_big_orders" -> ((s, dir) => {
+      val big = Tables.lineitem(s, dir)
+        .groupBy("l_orderkey")
+        .agg(round(sum("l_quantity"), 6).as("sum_qty"))
+        .where(col("sum_qty") > 300)
+      big.join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("o_orderdate_us"),
+          round(col("o_totalprice"), 2).as("o_totalprice"),
+          col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderdate_us"),
+          col("o_orderkey"))
+        .limit(100)
+    }),
+
     // daily + 7-day rolling active users (DAU/WAU): the distinct
     // (user, day) frame fans out to the ≤7 window-end days it
     // contributes to (a bounded map-side multiplier — no sliding
@@ -484,6 +511,18 @@ object RelQueries {
         | FROM rev JOIN supplier s ON s.s_suppkey = rev.l_suppkey
         | WHERE rev.total_revenue = (SELECT max(total_revenue) FROM rev)
         | ORDER BY s.s_suppkey""".stripMargin.replace("\n", " "),
+    "q18_big_orders" ->
+      """WITH big AS (SELECT l_orderkey, round(sum(l_quantity), 6) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING round(sum(l_quantity), 6) > 300)
+        | SELECT c.c_name, c.c_custkey, o.o_orderkey,
+        |  epoch_us(o.o_orderdate) AS o_orderdate_us,
+        |  round(o.o_totalprice, 2) AS o_totalprice, b.sum_qty
+        | FROM big b
+        | JOIN orders o ON o.o_orderkey = b.l_orderkey
+        | JOIN customer c ON c.c_custkey = o.o_custkey
+        | ORDER BY o_totalprice DESC, o_orderdate_us, o_orderkey
+        | LIMIT 100""".stripMargin.replace("\n", " "),
     "q_active_users" ->
       """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
         |  FROM events),
