@@ -208,6 +208,11 @@ object PipelineQueries {
       Similarity.knnClassify(emb, emb.where(col("vec_id") < 10), 5)
         .orderBy("q_id")
     }),
+    "sim_hard_neg" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.hardNegatives(emb, emb.where(col("vec_id") < 10), 5)
+        .orderBy("q_id", "rk")
+    }),
     "corpus_decontam" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Corpus.decontaminate(docs, docs.where(col("doc_id") < 25), 0.5)
@@ -935,6 +940,16 @@ object PipelineQueries {
          |  JOIN embeddings AS lbl ON lbl.vec_id = nn.c_id
          |  GROUP BY nn.q_id, lbl.label) AS v) AS w
          | WHERE vrk = 1 ORDER BY q_id""".stripMargin.replace("\n", " "),
+    "sim_hard_neg" ->
+      s"""SELECT q_id, c_id, neg_label, round(cos, 6) AS cos_v, rk FROM (
+         | SELECT q.vec_id AS q_id, c.vec_id AS c_id, c.label AS neg_label,
+         |  ${cosSql("q", "c")} AS cos,
+         |  row_number() OVER (PARTITION BY q.vec_id
+         |    ORDER BY ${cosSql("q", "c")} DESC, c.vec_id ASC) AS rk
+         | FROM embeddings AS q JOIN embeddings AS c
+         |  ON q.vec_id <> c.vec_id AND q.label <> c.label
+         | WHERE q.vec_id < 10) AS r
+         | WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin.replace("\n", " "),
     "text_quality" -> {
       val allSw = TextAnalysis.stopwords.values.flatten.toSeq.distinct
         .map(s => s"'$s'").mkString(", ")

@@ -25,7 +25,7 @@ object Dedup {
   def md5Int(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
-  private val P = 4294967311L // smallest prime > 2^32
+  private[graft] val P = 4294967311L // smallest prime > 2^32
 
   /** Normalized word 3-gram shingles of `text`.
     *

@@ -83,6 +83,38 @@ object Similarity {
       .select(col("q_id"), col("label").as("pred_label"), col("votes"))
   }
 
+  /** Hard-negative mining — the retrieval step of contrastive /
+    * triplet-loss training-data pipelines: for each query, the top-k
+    * most-cosine-similar corpus vectors whose `label` DIFFERS from
+    * the query's (near in embedding space, wrong class — the
+    * negatives that actually move an embedding model). Composition:
+    * neighbor scoring ∘ label anti-filter ∘ per-query top-k; at
+    * corpus scale swap the brute scorer for [[lshAnn]]/[[ivfAnn]]
+    * candidate pairs — the filter and rank stages are the same plan.
+    *
+    * Scale: queries broadcast (bounded probe batch, same contract as
+    * [[cosineTopK]]); the label filter runs BEFORE the rank window,
+    * so dense same-label neighborhoods never enter the window input;
+    * the window partitions by q_id — no global sort. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = withNorm(queries, "q_id", "q_emb", "q_norm")
+      .join(queries.select(col("vec_id").as("q_id"),
+        col("label").as("q_label")), "q_id")
+    val c = withNorm(corpus, "c_id", "c_emb", "c_norm")
+      .join(corpus.select(col("vec_id").as("c_id"),
+        col("label").as("neg_label")), "c_id")
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("q_id") =!= col("c_id") &&
+        col("q_label") =!= col("neg_label"))
+      .select(col("q_id"), col("c_id"), col("neg_label"),
+        scoreCos("q_emb", "c_emb", "q_norm", "c_norm").as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("q_id"), col("c_id"), col("neg_label"),
+        round(col("cos"), 6).as("cos_v"), col("rk").cast("long").as("rk"))
+  }
+
   /** Deterministic ±1 random-hyperplane weights for a (table-)seed —
     * integer mixing of (plane, dim, seed); no stored model, so the
     * DuckDB oracle can regenerate the identical planes. */
