@@ -146,6 +146,13 @@ object PipelineQueries {
     "dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashCandidates(Dedup.simhash(Tables.documents(s, dir)), 8)
         .orderBy("doc_a", "doc_b")),
+    "dedup_simhash_multi" -> ((s, dir) =>
+      // exact-recall multi-index blocking: 5 fields ⇒ every pair
+      // within hamming 4 guaranteed (the 2-half scheme is
+      // probabilistic there)
+      Dedup.simhashCandidatesMulti(
+        Dedup.simhash(Tables.documents(s, dir)), 4, 5)
+        .orderBy("doc_a", "doc_b")),
     "dedup_jaccard" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       // deterministic verification pair list: consecutive doc ids
@@ -407,6 +414,28 @@ object PipelineQueries {
          |  ON l.half = r.half AND l.block = r.block AND l.doc_id < r.doc_id
          | WHERE bit_count(xor(l.simhash_v, r.simhash_v)) <= 8
          | ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " "),
+    "dedup_simhash_multi" -> {
+      // 5 bit fields of the 64-bit fingerprint (12,12,12,12,16 wide);
+      // DuckDB's >> on BIGINT is arithmetic, but masking to the field
+      // width makes it equal the logical shift for lo+w <= 64
+      val fields = (0 until 5).map { b =>
+        val lo = b * 12
+        val w = if (b == 4) 16 else 12
+        s"SELECT doc_id, simhash_v, $b AS half, (simhash_v >> $lo) & ${(1L << w) - 1} AS block FROM fp"
+      }.mkString(" UNION ALL ")
+      s"""WITH fp AS ($SIMHASH_FP),
+         | banded0 AS ($fields),
+         | banded AS (
+         |  SELECT doc_id, simhash_v, half, block FROM (
+         |   SELECT *, count(*) OVER (PARTITION BY half, block) AS bsz
+         |   FROM banded0) AS c WHERE bsz <= 1000)
+         | SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+         |  CAST(bit_count(xor(l.simhash_v, r.simhash_v)) AS BIGINT) AS hamming_v
+         | FROM banded AS l JOIN banded AS r
+         |  ON l.half = r.half AND l.block = r.block AND l.doc_id < r.doc_id
+         | WHERE bit_count(xor(l.simhash_v, r.simhash_v)) <= 4
+         | ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " ")
+    },
     "dedup_jaccard" ->
       s"""WITH sh AS (SELECT DISTINCT doc_id, h FROM ($H) AS hh),
          | pairs AS (SELECT doc_id AS doc_a, doc_id + 1 AS doc_b FROM documents

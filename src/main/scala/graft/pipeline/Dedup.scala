@@ -181,6 +181,40 @@ object Dedup {
         col("fp_lo").as("block"))
       .unionByName(fps.select(col("doc_id"), col("simhash_v"),
         lit(1).as("half"), col("fp_hi").as("block")))
+    blockedPairs(banded, maxHamming, maxBlock)
+  }
+
+  /** Multi-index simhash blocking — the EXACT-recall variant of
+    * [[simhashCandidates]]: the 64-bit fingerprint splits into
+    * `blocks` bit fields (64/blocks wide, last field takes the
+    * remainder) and pairs agreeing on ANY field are candidates.
+    * Pigeonhole: h differing bits can dirty at most h fields, so
+    * with blocks ≥ maxHamming+1 every pair within the hamming bound
+    * is guaranteed found — the standard multi-index Hamming search
+    * (the recall the 2-half scheme only reaches probabilistically
+    * when diffs spread across both halves). Cost: `blocks`× the
+    * banded rows and proportionally smaller (hotter) blocks — the
+    * hot-block cap matters more here, same guard replayed in the
+    * oracle. Needs only (doc_id, simhash_v). */
+  def simhashCandidatesMulti(fps: DataFrame, maxHamming: Int = 4,
+                             blocks: Int = 5,
+                             maxBlock: Int = 1000): DataFrame = {
+    require(blocks >= 2 && blocks <= 64, s"blocks out of range: $blocks")
+    val width = 64 / blocks
+    val banded = (0 until blocks).map { b =>
+      val lo = b * width
+      val w = if (b == blocks - 1) 64 - lo else width
+      fps.select(col("doc_id"), col("simhash_v"), lit(b).as("half"),
+        shiftrightunsigned(col("simhash_v"), lo)
+          .bitwiseAND(lit((1L << w) - 1)).as("block"))
+    }.reduce(_ unionByName _)
+    blockedPairs(banded, maxHamming, maxBlock)
+  }
+
+  /** Shared candidate stage of the simhash family: hot-block cap,
+    * self-join within (half, block), xor/bit_count verify. */
+  private def blockedPairs(banded: DataFrame, maxHamming: Int,
+                           maxBlock: Int): DataFrame = {
     val capped = banded
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy("half", "block")))
       .where(col("bsz") <= maxBlock)

@@ -186,6 +186,18 @@ object Multimodal {
                     maxBlock: Int = 1000): DataFrame =
     fingerprintNearDups(imageHashes(media), "phash", maxHamming, maxBlock)
 
+  /** Guaranteed-recall fingerprint near-dups: multi-index blocking
+    * with maxHamming+1 fields — every pair within the hamming bound
+    * is found (pigeonhole; see [[Dedup.simhashCandidatesMulti]]),
+    * where the 2-half scheme misses pairs whose diffs straddle both
+    * halves. The right default for tight image-phash thresholds. */
+  def fingerprintNearDupsExact(fps: DataFrame, fpCol: String,
+                               maxHamming: Int = 4,
+                               maxBlock: Int = 1000): DataFrame =
+    Dedup.simhashCandidatesMulti(
+      fps.select(col("media_id").as("doc_id"), col(fpCol).as("simhash_v")),
+      maxHamming, maxHamming + 1, maxBlock)
+
   /** Energy-envelope audio fingerprint over DECODED PCM16 samples —
     * the audio analogue of [[aHash]]: the interleaved sample stream
     * maps onto 64 windows, bit w = "window w carries at least the

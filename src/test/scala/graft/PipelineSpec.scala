@@ -792,6 +792,29 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)) && !pairs.exists(_._2 == 3L))
   }
 
+  test("multi-index blocking guarantees recall where half-blocking misses") {
+    val s = spark
+    import s.implicits._
+    // planted pair at hamming 2 with one diff in EACH 32-bit half:
+    // neither half matches exactly → the 2-half scheme cannot see it;
+    // 3+ fields guarantee it (pigeonhole: 2 diffs < 3 fields)
+    val a = 0x0123456789abcdefL
+    val b = a ^ (1L << 7) ^ (1L << 47)
+    val far = 0x7edcba9876543210L
+    val fps = Seq((1L, a), (2L, b), (3L, far)).toDF("doc_id", "simhash_v")
+    val withHalves = fps.select(col("doc_id"), col("simhash_v"),
+      col("simhash_v").bitwiseAND(lit(0xffffffffL)).as("fp_lo"),
+      shiftrightunsigned(col("simhash_v"), 32).as("fp_hi"))
+    val halfPairs = Dedup.simhashCandidates(withHalves, maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multiPairs = Dedup.simhashCandidatesMulti(fps, maxHamming = 4, blocks = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!halfPairs.contains((1L, 2L)),
+      "expected the straddling pair to escape half-blocking")
+    assert(multiPairs == Set((1L, 2L)),
+      s"multi-index must find exactly the planted pair: $multiPairs")
+  }
+
   test("shuffle order: total permutation, seed-reproducible, seed-sensitive") {
     val docs = Tables.documents(spark, sf)
     val n = docs.count()

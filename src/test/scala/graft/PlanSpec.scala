@@ -418,6 +418,33 @@ class PlanSpec extends SparkSpec {
       p.take(2000))
   }
 
+  test("q18 ranks with a bounded top-K, never a global sort") {
+    val p = plan("q18_big_orders")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    // exactly one aggregation over lineitem (the HAVING frame is
+    // reused as the semi filter — no re-aggregation after the join)
+    val aggs = p.linesIterator.count(l =>
+      l.contains("HashAggregate") && l.contains("l_quantity"))
+    assert(aggs <= 2, s"expected one partial+final agg pair, plan:\n" +
+      p.take(2000)) // partial + final of the single groupBy
+  }
+
+  test("hard negatives filter labels BEFORE the rank window") {
+    val df = SparkEntry.queries("sim_hard_neg")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // queries side broadcasts; the window partitions by q_id
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // the label inequality must sit in the join/filter stage, not
+    // after the window — a Filter node below Window referencing both
+    // labels
+    val winIdx = p.indexOf("Window")
+    val filterIdx = p.indexOf("q_label")
+    assert(filterIdx > winIdx && winIdx > 0,
+      "label filter should appear below the window in the plan dump " +
+        "(plans print top-down):\n" + p.take(3000))
+  }
+
   test("retention aggregates without a count-distinct Expand") {
     val p = plan("q_retention")
     // the (user, week) frame is distinct-ed BEFORE counting, so no
