@@ -220,6 +220,11 @@ object PipelineQueries {
       Similarity.hardNegatives(emb, emb.where(col("vec_id") < 10), 5)
         .orderBy("q_id", "rk")
     }),
+    "sim_dim_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.dimRecall(emb, emb.where(col("vec_id") < 10), 5, 32)
+        .orderBy("q_id")
+    }),
     "corpus_decontam" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Corpus.decontaminate(docs, docs.where(col("doc_id") < 25), 0.5)
@@ -969,6 +974,26 @@ object PipelineQueries {
          |  JOIN embeddings AS lbl ON lbl.vec_id = nn.c_id
          |  GROUP BY nn.q_id, lbl.label) AS v) AS w
          | WHERE vrk = 1 ORDER BY q_id""".stripMargin.replace("\n", " "),
+    "sim_dim_recall" -> {
+      def cosSlice(a: String, b: String, d: Int) =
+        s"""(list_dot_product($a.embedding[1:$d]::DOUBLE[], $b.embedding[1:$d]::DOUBLE[]) /
+           | (sqrt(list_dot_product($a.embedding[1:$d]::DOUBLE[], $a.embedding[1:$d]::DOUBLE[])) *
+           |  sqrt(list_dot_product($b.embedding[1:$d]::DOUBLE[], $b.embedding[1:$d]::DOUBLE[]))))""".stripMargin.replace("\n", " ")
+      def topk(cos: String) =
+        s"""SELECT q_id, c_id FROM (
+           | SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+           |  row_number() OVER (PARTITION BY q.vec_id
+           |    ORDER BY $cos DESC, c.vec_id ASC) AS rk
+           | FROM embeddings AS q JOIN embeddings AS c ON q.vec_id <> c.vec_id
+           | WHERE q.vec_id < 10) AS t WHERE rk <= 5""".stripMargin.replace("\n", " ")
+      s"""WITH fullk AS (${topk(cosSql("q", "c"))}),
+         | trunck AS (${topk(cosSlice("q", "c", 32))})
+         | SELECT f.q_id, count(t.c_id) AS overlap,
+         |  round(count(t.c_id) / 5.0, 6) AS recall
+         | FROM fullk AS f LEFT JOIN trunck AS t
+         |  ON t.q_id = f.q_id AND t.c_id = f.c_id
+         | GROUP BY f.q_id ORDER BY f.q_id""".stripMargin.replace("\n", " ")
+    },
     "sim_hard_neg" ->
       s"""SELECT q_id, c_id, neg_label, round(cos, 6) AS cos_v, rk FROM (
          | SELECT q.vec_id AS q_id, c.vec_id AS c_id, c.label AS neg_label,

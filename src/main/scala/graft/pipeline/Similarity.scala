@@ -115,6 +115,33 @@ object Similarity {
         round(col("cos"), 6).as("cos_v"), col("rk").cast("long").as("rk"))
   }
 
+  /** Dimension-truncation recall — the matryoshka / index-sizing
+    * measurement: how much of the full-dimension top-k survives when
+    * the index keeps only the first `dims` embedding components.
+    * Emits (q_id, overlap, recall) where overlap = |topk_full ∩
+    * topk_truncated| — the number every dim-reduction decision
+    * (cheaper ANN index, matryoshka prefix, PQ subspace count) is
+    * made against.
+    *
+    * Scale: two [[cosineTopK]] passes (each plan-audited: broadcast
+    * queries, per-q_id window) + an equi-join of two q×k frames —
+    * the comparison stage is negligible next to the scoring it
+    * measures. */
+  def dimRecall(corpus: DataFrame, queries: DataFrame, k: Int,
+                dims: Int): DataFrame = {
+    def truncate(df: DataFrame): DataFrame =
+      df.withColumn("embedding", slice(col("embedding"), 1, dims))
+    val full = cosineTopK(corpus, queries, k).select("q_id", "c_id")
+    val trunc = cosineTopK(truncate(corpus), truncate(queries), k)
+      .select(col("q_id"), col("c_id").as("_tc"))
+    full.join(trunc,
+        full("q_id") === trunc("q_id") && col("c_id") === col("_tc"), "left")
+      .groupBy(full("q_id").as("q_id"))
+      .agg(count(col("_tc")).as("overlap"))
+      .select(col("q_id"), col("overlap"),
+        round(col("overlap") / lit(k.toDouble), 6).as("recall"))
+  }
+
   /** Deterministic ±1 random-hyperplane weights for a (table-)seed —
     * integer mixing of (plane, dim, seed); no stored model, so the
     * DuckDB oracle can regenerate the identical planes. */
