@@ -508,6 +508,19 @@ object TsdbQueries {
       Downsample.rollup(
         graft.sources.SeriesStore.read(s, storeTable(s, dir)).drop("dt"), "hour")
         .orderBy("name", "user_id", "bucket_s")),
+    // PromQL text evaluated END-TO-END over the bucketed store — the
+    // full integration a reference user runs: parse → fetch from the
+    // physical layout → rate → sum. The per-series rate stage reads
+    // its (name, user_id) distribution from the buckets (no exchange
+    // before the window — PlanSpec audits it); only the final
+    // sum by (name) shuffles. Byte-identical to pql_rate_sum's
+    // direct-path results, same oracle.
+    "store_pql" -> ((s, dir) =>
+      graft.promql.PromQL.query(
+        graft.sources.SeriesStore.read(s, storeTable(s, dir)).drop("dt"),
+        """sum by (name) (rate({name=~"(pur|cli).*"}[1d]))""")
+        .select(col("name"), col("bucket_s"), round(col("value"), 9).as("value"))
+        .orderBy("name", "bucket_s")),
     "ds_multi_res" -> ((s, dir) =>
       Downsample.multiResolution(samples(s, dir))
         .orderBy("resolution", "name", "user_id", "bucket_s")),
@@ -577,7 +590,7 @@ object TsdbQueries {
     })
   )
 
-  val oracles: Map[String, String] = Map(
+  val oracles: Map[String, String] = withSharedOracles(Map(
     "ts_fetch_eq" ->
       s"""SELECT name, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, value, event_id
          | FROM ($S) AS s
@@ -1399,5 +1412,12 @@ object TsdbQueries {
         | FROM events WHERE value <> 0
         | GROUP BY 1, 2, 3
         | ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " ")
-  )
+  ))
+
+  /** Oracle entries that are verbatim copies of another query's SQL —
+    * store_pql runs the same PromQL text over the bucketed store, so
+    * byte-identical results mean the physical layout changes nothing
+    * but the plan. */
+  private def withSharedOracles(m: Map[String, String]): Map[String, String] =
+    m + ("store_pql" -> m("pql_rate_sum"))
 }

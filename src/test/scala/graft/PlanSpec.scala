@@ -95,6 +95,26 @@ class PlanSpec extends SparkSpec {
       "bucketed scan should feed the rollup shuffle-free:\n" + p.take(2000))
   }
 
+  test("store_pql: the rate window reads its distribution from the buckets") {
+    // PromQL text over the bucketed store: the per-series lag/rate
+    // stage must NOT shuffle (bucket distribution satisfies the
+    // window's partitioning); the only hash exchange left is the
+    // final sum by (name, bucket_s)
+    val df = SparkEntry.queries("store_pql")(spark, sf)
+    df.collect()
+    // an executed AdaptiveSparkPlan prints final AND initial plans —
+    // count exchanges in the final section only
+    val full = df.queryExecution.executedPlan.toString
+    val p = full.split("== Initial Plan ==").head
+    val exchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toList
+    assert(exchanges.size <= 1,
+      s"expected at most the final-agg exchange, got:\n${exchanges.mkString("\n")}")
+    assert(exchanges.forall(!_.contains("user_id")),
+      "per-series stage shuffled despite the bucketed layout:\n" +
+        exchanges.mkString("\n"))
+  }
+
   test("pql sliding rate is Expand-based, no step-alignment join") {
     val p = plan("pql_rate_sliding")
     assert(p.contains("Expand"), "sliding windows should Expand")
