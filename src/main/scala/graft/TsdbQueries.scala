@@ -508,6 +508,21 @@ object TsdbQueries {
       Downsample.rollup(
         graft.sources.SeriesStore.read(s, storeTable(s, dir)).drop("dt"), "hour")
         .orderBy("name", "user_id", "bucket_s")),
+    // time-bounded matcher fetch THROUGH the store: dt bounds prune
+    // whole day partitions at planning time, the residual ts range
+    // pushes into the scan where the in-bucket (name, user_id, ts)
+    // sort makes row-group stats tight (StoreSpec measures ~5× fewer
+    // rows read for narrow windows), and the name matcher prunes
+    // series-major row groups. Same rows as a direct fetch — the
+    // oracle filters the raw events.
+    "store_fetch" -> ((s, dir) =>
+      Fetch(graft.sources.SeriesStore.read(s, storeTable(s, dir),
+          fromDt = Some("2024-01-03"), untilDt = Some("2024-01-10")).drop("dt"),
+        Seq(Fetch.Matcher("name", Fetch.Eq, "purchase")),
+        startS = Some(1704240000L), endS = Some(1704844800L))
+        .select(col("name"), col("user_id"),
+          unix_timestamp(col("ts")).as("ts_s"), col("value"), col("event_id"))
+        .orderBy("event_id")),
     // PromQL text evaluated END-TO-END over the bucketed store — the
     // full integration a reference user runs: parse → fetch from the
     // physical layout → rate → sum. The per-series rate stage reads
@@ -596,6 +611,12 @@ object TsdbQueries {
          | FROM ($S) AS s
          | WHERE name = 'purchase' AND floor(epoch(ts)) >= 1704067200
          |  AND floor(epoch(ts)) < 1705276800
+         | ORDER BY event_id""".stripMargin.replace("\n", " "),
+    "store_fetch" ->
+      s"""SELECT name, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, value, event_id
+         | FROM ($S) AS s
+         | WHERE name = 'purchase' AND floor(epoch(ts)) >= 1704240000
+         |  AND floor(epoch(ts)) < 1704844800
          | ORDER BY event_id""".stripMargin.replace("\n", " "),
     "ts_fetch_regex" ->
       s"""SELECT name, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, value, event_id

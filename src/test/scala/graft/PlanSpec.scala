@@ -95,6 +95,18 @@ class PlanSpec extends SparkSpec {
       "bucketed scan should feed the rollup shuffle-free:\n" + p.take(2000))
   }
 
+  test("store_fetch prunes partitions AND pushes the residual ts range") {
+    val df = SparkEntry.queries("store_fetch")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("dt"), s"dt bounds not pruning partitions: $pf")
+    assert(p.contains("PushedFilters: [IsNotNull(name), EqualTo(name,purchase)") ||
+      p.contains("EqualTo(name,purchase)"), p.take(2000))
+    // the ts range must reach the scan (row-group stats pruning needs it)
+    assert(p.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("ts")), p.take(2000))
+  }
+
   test("store_pql: the rate window reads its distribution from the buckets") {
     // PromQL text over the bucketed store: the per-series lag/rate
     // stage must NOT shuffle (bucket distribution satisfies the
