@@ -85,6 +85,22 @@ object GraphiteQueries {
         "asPercent(events.purchase.*, sumSeries(events.purchase.*))")
         .select(col("path"), col("bucket_s"), round(col("value"), 6).as("value"))
         .orderBy("path", "bucket_s")),
+    // shift/derivative chain: timeShift → counter-aware derivative →
+    // offset → absolute, all through the target-string parser
+    "gq_shift_chain" -> ((s, dir) =>
+      graphite.GraphiteParser.query(
+        Vectors.samples(Tables.events(s, dir)),
+        """absolute(offset(nonNegativeDerivative(timeShift(events.purchase.*, "1d")), -5))""")
+        .select(col("path"), col("bucket_s"), round(col("value"), 6).as("value"))
+        .orderBy("path", "bucket_s")),
+    // gap-repair chain: null-out spikes, carry last value forward,
+    // default the still-null prefix — the standard dashboard cleanup
+    "gq_keeplast" -> ((s, dir) =>
+      graphite.GraphiteParser.query(
+        Vectors.samples(Tables.events(s, dir)),
+        """transformNull(keepLastValue(removeAboveValue(events.purchase.*, 120)), -1)""")
+        .select(col("path"), col("bucket_s"), round(col("value"), 6).as("value"))
+        .orderBy("path", "bucket_s")),
     // ---- round-3 builtin additions ----
     "gr_diff" -> ((s, dir) =>
       Graphite.diffSeries(
@@ -265,6 +281,24 @@ object GraphiteQueries {
          |  round(CASE WHEN tot.t <> 0 THEN p.value / tot.t END * 100, 6) AS value
          | FROM p JOIN tot ON p.bucket_s = tot.bucket_s
          | ORDER BY p.path, p.bucket_s""".stripMargin.replace("\n", " "),
+    "gq_shift_chain" ->
+      s"""WITH p AS (SELECT path, bucket_s + 86400 AS bucket_s, value FROM ($PF) AS f
+         |  WHERE regexp_matches(path, '^events\\.purchase\\.[^.]*$$')),
+         | d AS (SELECT path, bucket_s,
+         |  value - lag(value) OVER (PARTITION BY path ORDER BY bucket_s) AS dv
+         |  FROM p)
+         | SELECT path, bucket_s,
+         |  round(abs((CASE WHEN dv >= 0 THEN dv END) - 5), 6) AS value
+         | FROM d ORDER BY path, bucket_s""".stripMargin.replace("\n", " "),
+    "gq_keeplast" ->
+      s"""WITH p AS (SELECT path, bucket_s,
+         |  CASE WHEN value <= 120 THEN value END AS v FROM ($PF) AS f
+         |  WHERE regexp_matches(path, '^events\\.purchase\\.[^.]*$$')),
+         | k AS (SELECT path, bucket_s, coalesce(v,
+         |   last_value(v IGNORE NULLS) OVER (PARTITION BY path ORDER BY bucket_s
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) AS v FROM p)
+         | SELECT path, bucket_s, round(coalesce(v, -1), 6) AS value
+         | FROM k ORDER BY path, bucket_s""".stripMargin.replace("\n", " "),
     "gr_diff" ->
       s"""WITH p AS (SELECT path, bucket_s, value FROM ($PF) AS f
          |  WHERE regexp_matches(path, '^events\\.purchase\\.[^.]*$$')),
