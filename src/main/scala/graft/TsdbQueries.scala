@@ -485,6 +485,13 @@ object TsdbQueries {
         .select(col("name"), col("user_id"), col("bucket_s"),
           round(col("value"), 6).as("value"))
         .orderBy("bucket_s")),
+    // value-transform chain: the pointwise stages not yet under an
+    // oracle (sqrt-guard, ceil, neg) ahead of a min aggregation
+    "m3ql_transform" -> ((s, dir) =>
+      graft.m3ql.M3QL.query(samples(s, dir),
+        "fetch name:click | sqrt | ceil | neg | min name")
+        .select(col("name"), col("bucket_s"), round(col("value"), 6).as("value"))
+        .orderBy("name", "bucket_s")),
 
     // ---- §2E tags -----------------------------------------------------
     "ts_label_join" -> ((s, dir) =>
@@ -1302,6 +1309,11 @@ object TsdbQueries {
          | FROM (SELECT name, bucket_s, sum(value) AS v FROM ($INST) AS i
          |       GROUP BY name, bucket_s) AS t
          | WHERE v > 100 ORDER BY name, bucket_s""".stripMargin.replace("\n", " "),
+    "m3ql_transform" ->
+      s"""SELECT name, bucket_s,
+         | round(min(-ceil(sqrt(CASE WHEN value >= 0 THEN value END))), 6) AS value
+         | FROM ($INST) AS i WHERE name = 'click'
+         | GROUP BY name, bucket_s ORDER BY name, bucket_s""".stripMargin.replace("\n", " "),
     "m3ql_multi" ->
       s"""SELECT name, bucket_s + 3600 AS bucket_s,
          | round(quantile_cont(least(greatest(value, 50), 150), 0.9), 6) AS value
