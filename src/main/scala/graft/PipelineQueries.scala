@@ -232,6 +232,9 @@ object PipelineQueries {
     }),
     "dedup_spans" -> ((s, dir) =>
       Dedup.spanDedup(Tables.documents(s, dir)).orderBy("doc_id")),
+    "corpus_chunks" -> ((s, dir) =>
+      Corpus.chunk(Tables.documents(s, dir), 64, 16)
+        .orderBy("doc_id", "chunk_idx")),
     "sim_kmeans" -> ((s, dir) =>
       Similarity.kmeans(Tables.embeddings(s, dir)).orderBy("vec_id")),
     "sim_centroid_label" -> ((s, dir) =>
@@ -974,6 +977,17 @@ object PipelineQueries {
          |  JOIN embeddings AS lbl ON lbl.vec_id = nn.c_id
          |  GROUP BY nn.q_id, lbl.label) AS v) AS w
          | WHERE vrk = 1 ORDER BY q_id""".stripMargin.replace("\n", " "),
+    "corpus_chunks" ->
+      """WITH t AS (SELECT doc_id,
+        |  string_split_regex(lower(text), '\s+') AS toks FROM documents),
+        | n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+        | s AS (SELECT doc_id, toks, n,
+        |  unnest(range(0, greatest(CAST(ceil((n - 64) / 48.0) AS BIGINT) * 48, 0) + 1, 48)) AS start
+        |  FROM n)
+        | SELECT doc_id, start // 48 AS chunk_idx, start AS start_tok,
+        |  least(64, n - start) AS n_tok,
+        |  md5(array_to_string(toks[start + 1 : start + 64], ' ')) AS chunk_md5
+        | FROM s ORDER BY doc_id, chunk_idx""".stripMargin.replace("\n", " "),
     "sim_dim_recall" -> {
       def cosSlice(a: String, b: String, d: Int) =
         s"""(list_dot_product($a.embedding[1:$d]::DOUBLE[], $b.embedding[1:$d]::DOUBLE[]) /

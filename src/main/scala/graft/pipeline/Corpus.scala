@@ -495,6 +495,40 @@ object Corpus {
           .cast("long").as("last_seq"))
   }
 
+  /** Sliding-window chunker — the context-window preparation stage
+    * of RAG / long-document pretraining pipelines. The complement of
+    * [[packSequences]]: packing concatenates SHORT docs into budget
+    * bins; chunking splits LONG docs into fixed-`window` token
+    * slices whose starts step by `window - overlap` (the final
+    * window covers the tail and may be short). Chunk ids are
+    * (doc_id, chunk_idx) — stable across runs.
+    *
+    * Scale: one projection + posexplode, NO shuffle; per-doc fan-out
+    * is ceil(max(n-window,0)/stride)+1 rows, linear in the corpus
+    * token count. The words array is projected before the slice
+    * (the inlined-split trap recorded in BASELINE.md). */
+  def chunk(docs: DataFrame, window: Int = 64, overlap: Int = 16): DataFrame = {
+    require(overlap >= 0 && overlap < window,
+      s"overlap must be in [0, window): $overlap / $window")
+    val stride = window - overlap
+    docs
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.split(lower(col("text")), "\\s+")
+          .as("_toks"))
+      .withColumn("_n", size(col("_toks")).cast("long"))
+      .withColumn("_maxs", greatest(
+        (ceil((col("_n") - window).cast("double") / stride) * stride)
+          .cast("long"), lit(0L)))
+      .select(col("doc_id"), col("_toks"), col("_n"),
+        posexplode(sequence(lit(0L), col("_maxs"), lit(stride.toLong))))
+      .select(col("doc_id"),
+        col("pos").cast("long").as("chunk_idx"),
+        col("col").as("start_tok"),
+        least(lit(window.toLong), col("_n") - col("col")).as("n_tok"),
+        md5(array_join(
+          slice(col("_toks"), col("col") + 1, lit(window)), " ")).as("chunk_md5"))
+  }
+
   /** Deterministic training-order shuffle — the final pass of every
     * data pipeline: docs get a pseudorandom but REPRODUCIBLE global
     * order (seeded md5 rank), materialized as (shard, position)

@@ -477,6 +477,18 @@ class PlanSpec extends SparkSpec {
         "(plans print top-down):\n" + p.take(3000))
   }
 
+  test("chunker is map-side only — no exchange, words array projected") {
+    val df = SparkEntry.queries("corpus_chunks")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    val body = p.split("== Initial Plan ==").head
+    assert(!body.contains("Exchange hashpartitioning"),
+      "chunking must not shuffle:\n" + body.take(2000))
+    // the split runs ONCE into _toks — not inlined into the slice
+    // (the O(n²) re-split trap recorded in BASELINE.md)
+    assert(body.linesIterator.count(_.contains("split(lower")) <= 1,
+      "words array re-split per consumer:\n" + body.take(2000))
+  }
+
   test("retention aggregates without a count-distinct Expand") {
     val p = plan("q_retention")
     // the (user, week) frame is distinct-ed BEFORE counting, so no
