@@ -278,6 +278,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("chunker runs unchanged under readStream (stateless fan-out)") {
+    // posexplode fan-out is stateless — arriving long docs chunk in
+    // append mode with the batch operator verbatim
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = Seq((1L, ("tok " * 100).trim), (2L, "tiny doc"))
+    val q = pipeline.Corpus.chunk(mem.toDF().toDF("doc_id", "text"), 64, 16)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("chunk_stream_test").start()
+    try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+      val streamed = s.sql(
+          "SELECT doc_id, chunk_idx, n_tok, chunk_md5 FROM chunk_stream_test")
+        .collect().map(_.toSeq).toSet
+      val batch = pipeline.Corpus.chunk(docs.toDF("doc_id", "text"), 64, 16)
+        .select("doc_id", "chunk_idx", "n_tok", "chunk_md5")
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      // 100 tokens, window 64, stride 48 → starts 0 and 48
+      assert(streamed.count(_.head == 1L) == 2)
+    } finally q.stop()
+  }
+
   test("counter tracking maintains cumulative + resets across batches") {
     val s = spark
     import s.implicits._
