@@ -63,6 +63,44 @@ object SeriesStore {
       .saveAsTable(table)
   }
 
+  /** Compact a dt range in place — the analogue of m3db's background
+    * compaction (/root/reference/src/dbnode/storage/compaction): a
+    * long-running ingest lands many small files per (day, bucket)
+    * (one per writing task per batch); compaction rewrites each
+    * touched day to exactly ONE file per bucket, time-sorted.
+    *
+    * Mechanics: snapshot the range (localCheckpoint truncates the
+    * lineage so Spark allows overwriting the table being read),
+    * then `repartition(buckets, name, user_id)` — the SAME
+    * murmur3-pmod assignment bucketing uses, so every task holds
+    * exactly one bucket's rows and writes exactly one file — and
+    * dynamic partition overwrite replaces only the touched days.
+    * Readers keep the bucket distribution (zero-exchange per-series
+    * ops) and gain back the row-group stats a fragmented layout
+    * erodes. StoreSpec measures: files per day collapse to
+    * `buckets`, rows byte-identical, reads still exchange-free. */
+  def compact(spark: SparkSession, table: String,
+              fromDt: Option[String] = None,
+              untilDt: Option[String] = None,
+              buckets: Int = 8): Unit = {
+    val snap = read(spark, table, fromDt, untilDt).localCheckpoint(true)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val cols = spark.table(table).columns // insertInto is positional
+      snap
+        .repartition(buckets, col("name"), col("user_id"))
+        .sortWithinPartitions("name", "user_id", "ts")
+        .select(cols.map(col): _*)
+        .write.mode("overwrite").insertInto(table)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+
   /** Read the table back; `fromDt`/`untilDt` bound the partitions
     * read ([from, until) on the dt= key — prunes at planning time). */
   def read(spark: SparkSession, table: String,

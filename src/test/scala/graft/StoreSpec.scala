@@ -96,6 +96,46 @@ class StoreSpec extends SparkSpec {
     }
   }
 
+  test("compaction collapses a fragmented day to one file per bucket") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-02-01 00:00:00").getTime
+    val day = spark.range(8000L).select(
+      concat(lit("m"), (col("id") % 6).cast("string")).as("name"),
+      (col("id") % 6).as("user_id"),
+      timestamp_millis(lit(base) + (col("id") * 48271L % 8000L) * 10000L).as("ts"),
+      rand(11).as("value"),
+      col("id").as("event_id"))
+    // fragment: 8 writer tasks × 4 buckets → up to 32 files for the day
+    SeriesStore.write(day.repartition(8), "graft_store_compact", buckets = 4)
+    def dayFiles: Int = {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"),
+        "graft_store_compact/dt=2024-02-01")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(loc).count(_.getPath.getName.endsWith(".parquet"))
+    }
+    def rowSet = spark.table("graft_store_compact")
+      .select("name", "user_id", "ts", "value", "event_id")
+      .collect().map(_.toSeq).toSet
+    val before = dayFiles
+    val rowsBefore = rowSet
+    SeriesStore.compact(spark, "graft_store_compact", buckets = 4)
+    val after = dayFiles
+    info(s"day files $before → $after")
+    assert(before > 4, s"fixture not fragmented: $before files")
+    // ≤ one file per bucket (a bucket no series hashes into writes none)
+    assert(after <= 4 && after < before,
+      s"expected at most one file per bucket, got $after (was $before)")
+    assert(rowSet == rowsBefore, "compaction changed the data")
+    // bucket metadata survives the rewrite: per-series agg still free
+    val agged = spark.table("graft_store_compact")
+      .groupBy("name", "user_id").agg(sum("value"))
+    agged.collect()
+    assert(!agged.queryExecution.executedPlan.toString
+      .contains("Exchange hashpartitioning"),
+      "compacted table lost its bucket distribution")
+  }
+
   test("self-join on the series key runs shuffle-free") {
     val l = SeriesStore.read(spark, table).groupBy("name", "user_id")
       .agg(max("value").as("mx"))
