@@ -126,6 +126,57 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: chunker covers every token exactly once per window step") {
+    val s = spark
+    import s.implicits._
+    // words 1-5 chars, docs 1-200 words; window 16, overlap 4
+    val wordsGen = Gen.chooseNum(1, 200).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(1, 5).flatMap(w =>
+        Gen.listOfN(w, Gen.alphaLowerChar).map(_.mkString))))
+    check(Prop.forAll(Gen.listOfN(10, wordsGen)) { docsWords =>
+      val docs = docsWords.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val chunks = pipeline.Corpus.chunk(docs, window = 16, overlap = 4)
+        .collect()
+        .groupBy(_.getAs[Long]("doc_id")).view
+        .mapValues(_.sortBy(_.getAs[Long]("chunk_idx"))).toMap
+      docsWords.zipWithIndex.forall { case (ws, i) =>
+        val n = ws.length
+        val cs = chunks(i.toLong)
+        val starts = cs.map(_.getAs[Long]("start_tok"))
+        val ends = cs.map(r => r.getAs[Long]("start_tok") + r.getAs[Long]("n_tok"))
+        starts.head == 0L &&                              // starts at 0
+        ends.max == n &&                                  // covers the tail
+        starts.sliding(2).forall {                        // fixed stride
+          case Array(a, b) => b - a == 12; case _ => true } &&
+        cs.forall(r => r.getAs[Long]("n_tok") > 0)        // no empty chunk
+      }
+    })
+  }
+
+  test("property: multi-index blocking finds EVERY pair within the bound") {
+    val s = spark
+    import s.implicits._
+    // random 64-bit fps + perturbed twins at hamming ≤ 4 with diff
+    // positions drawn anywhere in the word — the pigeonhole guarantee
+    // says blocks=5 must find every such pair, wherever the diffs land
+    val pairGen = for {
+      fp <- Gen.chooseNum(Long.MinValue, Long.MaxValue)
+      k <- Gen.chooseNum(1, 4)
+      bits <- Gen.pick(k, 0 until 64)
+    } yield (fp, bits.foldLeft(fp)((v, b) => v ^ (1L << b)))
+    check(Prop.forAll(Gen.listOfN(12, pairGen)) { pairs =>
+      val fps = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
+        Seq((2L * i, a), (2L * i + 1, b))
+      }.toDF("doc_id", "simhash_v")
+      val found = Dedup.simhashCandidatesMulti(fps, maxHamming = 4, blocks = 5)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+      pairs.indices.forall(i => found.contains((2L * i, 2L * i + 1)))
+    })
+  }
+
   test("property: influx parse never errors and flags rather than drops") {
     val s = spark
     import s.implicits._
