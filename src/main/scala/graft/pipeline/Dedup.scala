@@ -85,6 +85,8 @@ object Dedup {
   def clearShingleCache(): Unit = {
     shingleCache.values.foreach(_.unpersist(blocking = false))
     shingleCache.clear()
+    simhashCache.values.foreach(_.unpersist(blocking = false))
+    simhashCache.clear()
   }
 
   /** MinHash signature: k independent affine hashes over shingle
@@ -142,6 +144,19 @@ object Dedup {
     * (no shift-wrap), so it is ANSI-overflow-safe and identical in
     * the oracle. */
   def simhash(docs: DataFrame, n: Int = 3): DataFrame = {
+    // the 64-bit-sum aggregation is the family's expensive stage and
+    // three queries consume the fingerprints (simhash, half-block
+    // pairs, multi-index pairs) — share it per (docs, n) lineage,
+    // same contract as the shingle cache (cleared with it)
+    val key = (docs.sparkSession, docs.queryExecution.analyzed.canonicalized, n)
+    simhashCache.getOrElseUpdate(key,
+      computeSimhash(docs, n).persist(StorageLevel.MEMORY_AND_DISK))
+  }
+
+  private val simhashCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int), DataFrame]
+
+  private def computeSimhash(docs: DataFrame, n: Int): DataFrame = {
     val sh = shingleHashes(docs, n)
     val bitSums = (0 until 64).map { j =>
       val word = if (j < 32) col("h") else col("h_hi")
