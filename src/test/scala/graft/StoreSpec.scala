@@ -136,6 +136,36 @@ class StoreSpec extends SparkSpec {
       "compacted table lost its bucket distribution")
   }
 
+  test("corpus store writes split-partitioned, shard-disjoint ordered files") {
+    import graft.pipeline.{Corpus, Dedup}
+    val docs = Tables.documents(spark, sf)
+    val pairs = Dedup.minhashCandidates(Dedup.minhashSignature(docs))
+    val man = Corpus.manifest(docs, pairs)
+    val order = Corpus.shuffleOrder(docs, seed = 7L)
+    val path = "/tmp/graft-warehouse/corpus_store_spec"
+    val kept = graft.sources.CorpusStore.write(docs, man, order, path)
+    assert(kept == man.where(col("keep") === 1).count())
+    val back = graft.sources.CorpusStore.read(spark, path)
+      .select(col("shard"), col("position"),
+        input_file_name().as("file"), col("split"))
+      .collect()
+    // split dirs exist (partition column round-trips)
+    assert(back.map(_.getAs[String]("split")).toSet.contains("train"))
+    // within a split, a shard never straddles two files...
+    val shardFiles = back
+      .groupBy(r => (r.getAs[String]("split"), r.getAs[Long]("shard")))
+      .map { case (_, rs) => rs.map(_.getAs[String]("file")).toSet.size }
+    assert(shardFiles.forall(_ == 1), "shard split across files in a split")
+    // ...and every file is (shard, position)-sorted on disk
+    // (parquet preserves row order per file)
+    val sorted = back.groupBy(_.getAs[String]("file")).forall { case (_, rs) =>
+      val ks = rs.map(r => (r.getAs[Long]("shard"), r.getAs[Long]("position")))
+      ks.sameElements(ks.sortBy(identity))
+    }
+    assert(sorted, "file rows not in (shard, position) order")
+    Dedup.clearShingleCache(); Corpus.clearClusterCache()
+  }
+
   test("self-join on the series key runs shuffle-free") {
     val l = SeriesStore.read(spark, table).groupBy("name", "user_id")
       .agg(max("value").as("mx"))
