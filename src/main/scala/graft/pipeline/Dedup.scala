@@ -214,14 +214,20 @@ object Dedup {
   def simhashCandidatesMulti(fps: DataFrame, maxHamming: Int = 4,
                              blocks: Int = 5,
                              maxBlock: Int = 1000): DataFrame = {
-    require(blocks >= 2 && blocks <= 64, s"blocks out of range: $blocks")
+    require(blocks >= 1 && blocks <= 64, s"blocks out of range: $blocks")
+    // the whole point of this variant is the pigeonhole guarantee;
+    // blocks ≤ maxHamming would silently degrade to probabilistic
+    // recall (diffs can dirty every field) — reject at call time
+    require(blocks > maxHamming,
+      s"exact recall needs blocks > maxHamming: $blocks <= $maxHamming")
     val width = 64 / blocks
     val banded = (0 until blocks).map { b =>
       val lo = b * width
       val w = if (b == blocks - 1) 64 - lo else width
+      val mask = if (w == 64) -1L else (1L << w) - 1 // 1L<<64 wraps to 1
       fps.select(col("doc_id"), col("simhash_v"), lit(b).as("half"),
         shiftrightunsigned(col("simhash_v"), lo)
-          .bitwiseAND(lit((1L << w) - 1)).as("block"))
+          .bitwiseAND(lit(mask)).as("block"))
     }.reduce(_ unionByName _)
     blockedPairs(banded, maxHamming, maxBlock)
   }

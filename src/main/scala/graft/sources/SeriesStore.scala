@@ -88,9 +88,12 @@ object SeriesStore {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
       val cols = spark.table(table).columns // insertInto is positional
+      // no manual sort: a partitioned+bucketed insert REQUIRES
+      // ordering (dt, bucket-id, name, user_id, ts) and the write
+      // path adds that sort itself — the table's sortBy metadata is
+      // what produces the time-sorted files
       snap
         .repartition(buckets, col("name"), col("user_id"))
-        .sortWithinPartitions("name", "user_id", "ts")
         .select(cols.map(col): _*)
         .write.mode("overwrite").insertInto(table)
     } finally {

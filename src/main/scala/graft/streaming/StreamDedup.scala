@@ -49,8 +49,7 @@ object StreamDedup {
         when(i <= size(ws) - n,
           concat_ws(" ", (0 until n).map(j => element_at(ws, i + j + 1)): _*))),
       _.isNotNull))
-    transform(grams, g =>
-      conv(substring(md5(g), 1, 8), 16, 10).cast("long"))
+    transform(grams, g => Dedup.md5Int(g))
   }
 
   /** Append the k per-row minhashes `mh0..mh{k-1}` to `docs`
@@ -76,7 +75,12 @@ object StreamDedup {
     * structs are exploded map-side; no aggregation. */
   def bandKeys(docs: DataFrame, k: Int = 16, n: Int = 3,
                bands: Int = 4, rows: Int = 4): DataFrame = {
-    val sigs = rowSignature(docs, k, n)
+    // docs too short for a single n-gram have all-null minhashes;
+    // left in, they'd all share the constant md5("") bucket (every
+    // band) and pair quadratically with each other — the batch
+    // pipeline drops shingle-less docs implicitly (no rows survive
+    // the explode), so mirror that drop here
+    val sigs = rowSignature(docs, k, n).where(col("mh0").isNotNull)
     val bandStructs = array((0 until bands).map { b =>
       val bandCols = (b * rows until b * rows + rows).map(i => col(s"mh$i"))
       struct(lit(b).as("band"),

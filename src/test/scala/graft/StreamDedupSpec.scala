@@ -37,6 +37,20 @@ class StreamDedupSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"banding must not shuffle:\n$plan")
   }
 
+  test("shingle-less short docs never band (no constant-bucket flood)") {
+    val s = spark
+    import s.implicits._
+    // <n words → no shingles → all-null minhashes; these must be
+    // dropped before banding, mirroring the batch pipeline's
+    // implicit drop — otherwise every short doc shares md5("")
+    // buckets and pairs quadratically
+    val docs = Seq((1L, "ok"), (2L, "error 42"), (3L, "a b"))
+      .toDF("doc_id", "text")
+    assert(StreamDedup.bandKeys(docs).count() == 0)
+    val full = docsFrame
+    assert(StreamDedup.bandKeys(full).count() == full.count() * 4)
+  }
+
   test("streaming self-join finds cross-batch near-dups within the horizon") {
     val s = spark
     import s.implicits._
