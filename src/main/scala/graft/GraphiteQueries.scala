@@ -101,6 +101,21 @@ object GraphiteQueries {
         """transformNull(keepLastValue(removeAboveValue(events.purchase.*, 120)), -1)""")
         .select(col("path"), col("bucket_s"), round(col("value"), 6).as("value"))
         .orderBy("path", "bucket_s")),
+    // per-second-rate integration: total hits per day (value·stepS
+    // summed into coarser buckets)
+    "gq_hitcount" -> ((s, dir) =>
+      graphite.GraphiteParser.query(
+        Vectors.samples(Tables.events(s, dir)),
+        """hitcount(events.purchase.*, "1d")""")
+        .select(col("path"), col("bucket_s"), round(col("value"), 6).as("value"))
+        .orderBy("path", "bucket_s")),
+    // running sum resetting at each day boundary
+    "gq_integral_by" -> ((s, dir) =>
+      graphite.GraphiteParser.query(
+        Vectors.samples(Tables.events(s, dir)),
+        """integralByInterval(events.purchase.*, "1d")""")
+        .select(col("path"), col("bucket_s"), round(col("value"), 6).as("value"))
+        .orderBy("path", "bucket_s")),
     // ---- round-3 builtin additions ----
     "gr_diff" -> ((s, dir) =>
       Graphite.diffSeries(
@@ -281,6 +296,20 @@ object GraphiteQueries {
          |  round(CASE WHEN tot.t <> 0 THEN p.value / tot.t END * 100, 6) AS value
          | FROM p JOIN tot ON p.bucket_s = tot.bucket_s
          | ORDER BY p.path, p.bucket_s""".stripMargin.replace("\n", " "),
+    "gq_hitcount" ->
+      s"""WITH p AS (SELECT path, bucket_s, value FROM ($PF) AS f
+         |  WHERE regexp_matches(path, '^events\\.purchase\\.[^.]*$$'))
+         | SELECT path, (bucket_s // 86400) * 86400 AS bucket_s,
+         |  round(sum(value * 3600), 6) AS value
+         | FROM p GROUP BY path, (bucket_s // 86400) * 86400
+         | ORDER BY path, bucket_s""".stripMargin.replace("\n", " "),
+    "gq_integral_by" ->
+      s"""WITH p AS (SELECT path, bucket_s, value FROM ($PF) AS f
+         |  WHERE regexp_matches(path, '^events\\.purchase\\.[^.]*$$'))
+         | SELECT path, bucket_s,
+         |  round(sum(value) OVER (PARTITION BY path, bucket_s // 86400
+         |   ORDER BY bucket_s ROWS UNBOUNDED PRECEDING), 6) AS value
+         | FROM p ORDER BY path, bucket_s""".stripMargin.replace("\n", " "),
     "gq_shift_chain" ->
       s"""WITH p AS (SELECT path, bucket_s + 86400 AS bucket_s, value FROM ($PF) AS f
          |  WHERE regexp_matches(path, '^events\\.purchase\\.[^.]*$$')),
