@@ -45,6 +45,56 @@ class GraphiteSpec extends SparkSpec {
     assert(i(("events.a.user1", 7200L)) == 12.0)
   }
 
+  test("variant builtins: combiners, filters, selectors, moving forms") {
+    import graft.graphite.GraphiteParser._
+    // bucket → value, path-agnostic (combined-series naming varies)
+    def byBucket(q: String): Map[Long, Double] = eval(parse(q), frame)
+      .select("bucket_s", "value")
+      .collect().flatMap(r => Option(r.get(1))
+        .map(v => r.getLong(0) -> v.asInstanceOf[Double])).toMap
+    def series(q: String): Set[String] = eval(parse(q), frame)
+      .select("path").distinct().collect().map(_.getString(0)).toSet
+
+    // combiners (a: 10,15,12 / b: 100,50)
+    assert(byBucket("averageSeries(events.*.*)") ==
+      Map(0L -> 55.0, 3600L -> 32.5, 7200L -> 12.0))
+    assert(byBucket("minSeries(events.*.*)") ==
+      Map(0L -> 10.0, 3600L -> 15.0, 7200L -> 12.0))
+    assert(byBucket("maxSeries(events.*.*)") ==
+      Map(0L -> 100.0, 3600L -> 50.0, 7200L -> 12.0))
+    // binary series math: joins on shared buckets, null-safe divisor
+    assert(byBucket("divideSeries(events.a.user1, events.b.user2)") ==
+      Map(0L -> 0.1, 3600L -> 0.3))
+    // pointwise transforms
+    assert(byBucket("pow(events.b.user2, 2)") ==
+      Map(0L -> 10000.0, 3600L -> 2500.0))
+    assert(byBucket("squareRoot(pow(events.b.user2, 2))") ==
+      Map(0L -> 100.0, 3600L -> 50.0))
+    assert(byBucket("invert(events.b.user2)") ==
+      Map(0L -> 0.01, 3600L -> 0.02))
+    assert(byBucket("logarithm(events.b.user2, 10)") ==
+      Map(0L -> 2.0, 3600L -> math.log(50.0) / math.log(10.0)))
+    // per-series threshold selectors
+    assert(series("averageBelow(events.*.*, 20)") == Set("events.a.user1"))
+    assert(series("currentBelow(events.*.*, 20)") == Set("events.a.user1"))
+    assert(series("minimumAbove(events.*.*, 20)") == Set("events.b.user2"))
+    assert(series("highestCurrent(events.*.*, 1)") == Set("events.b.user2"))
+    assert(series("lowestCurrent(events.*.*, 1)") == Set("events.a.user1"))
+    assert(series("highestAverage(events.*.*, 1)") == Set("events.b.user2"))
+    assert(series("""grep(events.*.*, "user1")""") == Set("events.a.user1"))
+    assert(series("limit(events.*.*, 1)").size == 1)
+    assert(series("group(events.a.user1, events.b.user2)") ==
+      Set("events.a.user1", "events.b.user2"))
+    // value filters null out, never drop rows
+    val rb = eval(parse("removeBelowValue(events.a.user1, 13)"), frame).collect()
+    assert(rb.length == 3 && rb.count(_.get(2) == null) == 2)
+    // moving windows over the last k points
+    assert(byBucket("movingMin(events.a.user1, 2)") ==
+      Map(0L -> 10.0, 3600L -> 10.0, 7200L -> 12.0))
+    assert(byBucket("""movingWindow(events.a.user1, 2, "max")""") ==
+      Map(0L -> 10.0, 3600L -> 15.0, 7200L -> 15.0))
+  }
+
   test("target parser builds the expected expression tree") {
     import graft.graphite.GraphiteParser._
     assert(parse("""summarize(exclude(events.*.user*, "user7$"), "1d", "sum")""") ==
