@@ -95,6 +95,43 @@ class GraphiteSpec extends SparkSpec {
       Map(0L -> 10.0, 3600L -> 15.0, 7200L -> 15.0))
   }
 
+  test("variant builtins: wildcards aggregation, pow fold, percentile and sustained filters, ranks, render names") {
+    import graft.graphite.GraphiteParser._
+    def byBucket(q: String): Map[Long, Double] = eval(parse(q), frame)
+      .select("bucket_s", "value")
+      .collect().flatMap(r => Option(r.get(1))
+        .map(v => r.getLong(0) -> v.asInstanceOf[Double])).toMap
+    def series(q: String): Set[String] = eval(parse(q), frame)
+      .select("path").distinct().collect().map(_.getString(0)).toSet
+
+    // wildcards aggregation drops the given path segments, groups the rest
+    assert(series("sumSeriesWithWildcards(events.*.*, 2)") ==
+      Set("events.a", "events.b"))
+    assert(byBucket("averageSeriesWithWildcards(events.*.*, 1, 2)") ==
+      Map(0L -> 55.0, 3600L -> 32.5, 7200L -> 12.0))
+    assert(byBucket("multiplySeriesWithWildcards(events.*.*, 1, 2)") ==
+      Map(0L -> 1000.0, 3600L -> 750.0, 7200L -> 12.0))
+    // powSeries folds v1^v2 across series in path order at each instant
+    assert(byBucket("powSeries(events.*.*)") ==
+      Map(0L -> math.pow(10.0, 100.0), 3600L -> math.pow(15.0, 50.0),
+        7200L -> 12.0))
+    // percentile(0.5) of (10,15,12) interpolates to 12; below nulls out
+    val rb = eval(parse("removeBelowPercentile(events.a.user1, 50)"), frame)
+      .collect()
+    assert(rb.length == 3 && rb.count(_.get(2) == null) == 1)
+    // 2h sustain at step 1h = 2 consecutive points <= n required
+    assert(byBucket("""sustainedBelow(events.a.user1, 10, "1h")""") ==
+      Map(0L -> 10.0, 3600L -> 20.0, 7200L -> 20.0))
+    // rank-by-min attaches sort_rank: a(min 10) before b(min 50)
+    val ranks = eval(parse("sortByMinima(events.*.*)"), frame)
+      .select("path", "sort_rank").distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ranks == Map("events.a.user1" -> 1L, "events.b.user2" -> 2L))
+    // dashed is a render hint: the data-layer effect is the rename
+    assert(series("dashed(events.a.user1)") ==
+      Set("dashed(events.a.user1, 5.000)"))
+  }
+
   test("target parser builds the expected expression tree") {
     import graft.graphite.GraphiteParser._
     assert(parse("""summarize(exclude(events.*.user*, "user7$"), "1d", "sum")""") ==
