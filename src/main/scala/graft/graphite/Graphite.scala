@@ -738,6 +738,22 @@ object Graphite {
       .select(lit(label).as("path"), col("bucket_s"),
         lit(value).as("value"))
 
+  /** randomWalk(name, step=60) (builtin_functions.go:2253, registered
+    * under the "randomWalk" alias at :3055): a synthetic series over
+    * the input frame's bucket-grid span, one uniform draw in
+    * [-0.5, 0.5) per step. The reference seeds from the wall clock —
+    * every run is a different valid draw of the same process — so the
+    * seed here derives from the series name instead, keeping runs
+    * reproducible (and spec-assertable) while remaining a legal draw. */
+  def randomWalk(base: DataFrame, name: String, stepS: Long = 60L): DataFrame = {
+    require(stepS > 0, s"non-positive step size $stepS")
+    base.agg(min("bucket_s").as("_lo"), max("bucket_s").as("_hi"))
+      .select(explode(sequence(col("_lo"), col("_hi"), lit(stepS)))
+        .as("bucket_s"))
+      .select(lit(name).as("path"), col("bucket_s"),
+        (rand(name.hashCode.toLong) - 0.5).as("value"))
+  }
+
   /** threshold(value, label) (builtin_functions.go:2821). */
   def threshold(base: DataFrame, value: Double,
                 label: String = ""): DataFrame =

@@ -194,6 +194,9 @@ object GraphiteParser {
       Graphite.identitySeries(base, str("identity", args, 0))
     case Call(fn @ ("time" | "timeFunction"), args) =>
       Graphite.identitySeries(base, str(fn, args, 0))
+    case Call("randomWalk", args) =>
+      Graphite.randomWalk(base, str("randomWalk", args, 0),
+        optNum(args, 1, 60.0).toLong)
     // re-consolidation needs the raw samples
     case Call("consolidateBy", args) =>
       if (samples == null)
@@ -264,7 +267,9 @@ object GraphiteParser {
         case "squareRoot" => Graphite.squareRoot(in)
         case "offsetToZero" => Graphite.offsetToZero(in)
         case "keepLastValue" => Graphite.keepLastValue(in)
-        case "aliasByNode" =>
+        // aliasByTags is a registered alias of aliasByNode in the
+        // reference (builtin_functions.go:3050)
+        case "aliasByNode" | "aliasByTags" =>
           Graphite.aliasByNode(in, intArgs(fn, args.tail): _*)
         case "scale"    => Graphite.scale(in, num(fn, args, 1))
         case "offset"   => Graphite.offsetSeries(in, num(fn, args, 1))

@@ -132,6 +132,22 @@ class GraphiteSpec extends SparkSpec {
       Set("dashed(events.a.user1, 5.000)"))
   }
 
+  test("randomWalk generates the grid; aliasByTags aliases aliasByNode") {
+    import graft.graphite.GraphiteParser._
+    // one draw per step across the frame's bucket span, all in [-0.5, 0.5)
+    val rw = eval(parse("""randomWalk("rw", 3600)"""), frame).collect()
+    assert(rw.map(_.getLong(1)).sorted.toSeq == Seq(0L, 3600L, 7200L))
+    assert(rw.forall(r => r.getString(0) == "rw" &&
+      r.getDouble(2) >= -0.5 && r.getDouble(2) < 0.5))
+    // name-derived seed: the draw is reproducible across evaluations
+    val rw2 = eval(parse("""randomWalk("rw", 3600)"""), frame).collect()
+    assert(rw.map(_.getDouble(2)).toSeq == rw2.map(_.getDouble(2)).toSeq)
+    assert(eval(parse("randomWalk('rw')"), frame).count() == 121)
+    val byTags = eval(parse("aliasByTags(events.*.*, 1, 2)"), frame)
+      .select("path").distinct().collect().map(_.getString(0)).toSet
+    assert(byTags == Set("a.user1", "b.user2"))
+  }
+
   test("target parser builds the expected expression tree") {
     import graft.graphite.GraphiteParser._
     assert(parse("""summarize(exclude(events.*.user*, "user7$"), "1d", "sum")""") ==
