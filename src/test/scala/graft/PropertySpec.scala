@@ -177,6 +177,70 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: two-phase series rank equals the naive global rank") {
+    val s = spark
+    import s.implicits._
+    // random frames with shared paths, null values, and value ties —
+    // the cases where a sharded rank could diverge from a plain
+    // orderBy (null shard placement, tie ordering across shards)
+    val rowGen = for {
+      p <- Gen.chooseNum(1, 25).map(i => s"m.s$i")
+      b <- Gen.chooseNum(0, 5)
+      v <- Gen.option(Gen.chooseNum(-21, 21).map(_.toDouble / 7))
+    } yield (p, b.toLong * 3600L, v)
+    check(Prop.forAll(Gen.listOfN(120, rowGen)) { rows =>
+      val df = rows.toDF("path", "bucket_s", "value")
+      val got = graft.graphite.Graphite.sortByMaxima(df)
+        .select("path", "sort_rank").distinct()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // naive oracle: per-path max (nulls ignored), rank desc with
+      // all-null series last, path asc as the tiebreak
+      val expected = rows.groupBy(_._1).toSeq
+        .map { case (p, rs) =>
+          val vs = rs.flatMap(_._3)
+          (p, if (vs.isEmpty) None else Some(vs.max))
+        }
+        .sortBy { case (p, ov) => (ov.isEmpty, ov.map(-_).getOrElse(0.0), p) }
+        .zipWithIndex.map { case ((p, _), i) => p -> (i + 1).toLong }.toMap
+      got == expected
+    })
+  }
+
+  test("property: pointer-jump dup clustering equals a local union-find") {
+    val s = spark
+    import s.implicits._
+    val n = 30
+    val edgeGen = for {
+      a <- Gen.chooseNum(0L, n - 1L)
+      d <- Gen.chooseNum(1L, 4L)
+    } yield (a, math.min(a + d, n - 1L))
+    check(Prop.forAll(Gen.listOfN(20, edgeGen)) { es =>
+      val edges = es.filter(e => e._1 != e._2)
+      val docs = (0L until n).toDF("doc_id")
+      val pairs =
+        if (edges.isEmpty) Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+        else edges.toDF("doc_a", "doc_b")
+      graft.pipeline.Corpus.clearClusterCache()
+      val got = graft.pipeline.Corpus.dupClusters(docs, pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // local union-find oracle
+      val parent = Array.tabulate(n.toInt)(identity)
+      def find(x: Int): Int = {
+        var r = x; while (parent(r) != r) r = parent(r); r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // canonical label = min member id of the component
+      val minLabel = (0 until n.toInt).groupBy(find)
+        .flatMap { case (_, ms) => ms.map(_ -> ms.min) }
+      val expected = (0 until n.toInt)
+        .map(i => i.toLong -> minLabel(i).toLong).toMap
+      got == expected
+    })
+  }
+
   test("property: influx parse never errors and flags rather than drops") {
     val s = spark
     import s.implicits._
