@@ -242,6 +242,33 @@ object RelQueries {
         .limit(100)
     }),
 
+    // Q21 shape: "suppliers who alone kept a finished order waiting"
+    // — the classic double-correlated EXISTS / NOT EXISTS over the
+    // same fact table, decorrelated Spark-first into ONE per-order
+    // aggregation (distinct suppliers, distinct R-flag suppliers)
+    // joined back on the fact key: EXISTS(other supplier) becomes
+    // n_supp > 1, NOT EXISTS(other R supplier) becomes n_r_supp = 1.
+    // One extra hash agg + equi-join instead of two correlated
+    // re-scans of lineitem; the oracle runs the textbook EXISTS form,
+    // so the rewrite is cross-engine verified. Final top-N is
+    // TakeOrdered over the per-supplier counts.
+    "q21_waiting" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val stats = li.groupBy("l_orderkey").agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
+          .as("n_r_supp"))
+      li.where(col("l_returnflag") === "R")
+        .join(stats.where(col("n_supp") > 1 && col("n_r_supp") === 1),
+          "l_orderkey")
+        .join(Tables.orders(s, dir).where(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    }),
+
     // daily + 7-day rolling active users (DAU/WAU): the distinct
     // (user, day) frame fans out to the ≤7 window-end days it
     // contributes to (a bounded map-side multiplier — no sliding
@@ -522,6 +549,24 @@ object RelQueries {
         | JOIN orders o ON o.o_orderkey = b.l_orderkey
         | JOIN customer c ON c.c_custkey = o.o_custkey
         | ORDER BY o_totalprice DESC, o_orderdate_us, o_orderkey
+        | LIMIT 100""".stripMargin.replace("\n", " "),
+    // the textbook correlated form — deliberately NOT the Spark
+    // side's aggregation rewrite, so the decorrelation itself is
+    // what the cross-engine compare proves
+    "q21_waiting" ->
+      """SELECT s.s_name, count(*) AS numwait
+        | FROM supplier s
+        | JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        | JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        | WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |   WHERE l2.l_orderkey = l1.l_orderkey
+        |    AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |   WHERE l3.l_orderkey = l1.l_orderkey
+        |    AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R')
+        | GROUP BY s.s_name
+        | ORDER BY numwait DESC, s.s_name
         | LIMIT 100""".stripMargin.replace("\n", " "),
     "q_active_users" ->
       """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day

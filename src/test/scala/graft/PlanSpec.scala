@@ -246,6 +246,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q21 decorrelates to equi-joins: no cartesian, top-N as TakeOrdered") {
+    val p = plan("q21_waiting")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "correlated EXISTS must decorrelate to equi-joins:\n" + p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"),
+      "final top-100 should plan as TakeOrdered:\n" + p.take(2000))
+  }
+
   test("semantic near-dup joins within clusters only (equi-join on cluster)") {
     val p = plan("dedup_semantic")
     assert(!p.contains("CartesianProduct"),
