@@ -269,6 +269,25 @@ object RelQueries {
         .limit(100)
     }),
 
+    // Q19 shape: an OR-of-ANDs predicate spanning both join sides.
+    // Catalyst extracts the common p_partkey equi-key from the
+    // disjunction — the join stays a broadcast hash join (part is
+    // dimension-sized), the disjunction evaluates as a post-join
+    // filter, and the quantity bounds (common to no branch) stay
+    // un-pushed by design. Plan-audited: never a nested-loop join.
+    "q19_disjunct" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir), col("p_partkey") === col("l_partkey"))
+        .where(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30)))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"))),
+
     // daily + 7-day rolling active users (DAU/WAU): the distinct
     // (user, day) frame fans out to the ≤7 window-end days it
     // contributes to (a bounded map-side multiplier — no sliding
@@ -550,6 +569,15 @@ object RelQueries {
         | JOIN customer c ON c.c_custkey = o.o_custkey
         | ORDER BY o_totalprice DESC, o_orderdate_us, o_orderkey
         | LIMIT 100""".stripMargin.replace("\n", " "),
+    "q19_disjunct" ->
+      """SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+        | FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        | WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+        |    AND l.l_quantity BETWEEN 1 AND 11)
+        |  OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+        |    AND l.l_quantity BETWEEN 10 AND 20)
+        |  OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+        |    AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin.replace("\n", " "),
     // the textbook correlated form — deliberately NOT the Spark
     // side's aggregation rewrite, so the decorrelation itself is
     // what the cross-engine compare proves

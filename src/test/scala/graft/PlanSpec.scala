@@ -254,6 +254,14 @@ class PlanSpec extends SparkSpec {
       "final top-100 should plan as TakeOrdered:\n" + p.take(2000))
   }
 
+  test("q19 extracts the equi-key from the disjunction: hash join, no nested loop") {
+    val p = plan("q19_disjunct")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      "OR-of-ANDs must still join on the extracted p_partkey key:\n" + p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "disjunctive predicate degenerated the join:\n" + p.take(2000))
+  }
+
   test("semantic near-dup joins within clusters only (equi-join on cluster)") {
     val p = plan("dedup_semantic")
     assert(!p.contains("CartesianProduct"),
