@@ -37,6 +37,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rollup resumes exactly-once from a checkpoint across a restart") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-ck").toString
+    val (ck, out) = (s"$base/ck", s"$base/out")
+    val mem = MemoryStream[Ingest.Sample]
+    def start() = Ingest.windowedRollup(mem.toDF())
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ck)
+      .outputMode("append").start()
+    // run 1: open the 00:00 window, then kill the query with the
+    // window still open — its state lives only in the checkpoint
+    val q1 = start()
+    try {
+      mem.addData(
+        Ingest.Sample("click", 1L, Timestamp.valueOf("2024-01-01 00:10:00"), 5.0),
+        Ingest.Sample("click", 1L, Timestamp.valueOf("2024-01-01 00:20:00"), 7.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // run 2: a NEW query from the same checkpoint must restore the
+    // open window's state, absorb one more pre-watermark sample, and
+    // flush the window exactly once when the watermark passes
+    val q2 = start()
+    try {
+      mem.addData(
+        Ingest.Sample("click", 1L, Timestamp.valueOf("2024-01-01 00:40:00"), 3.0),
+        Ingest.Sample("click", 1L, Timestamp.valueOf("2024-01-01 02:00:00"), 1.0))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val rows = s.read.parquet(out).where(col("bucket_s") === 1704067200L).collect()
+    assert(rows.length == 1, s"closed window must flush exactly once: ${rows.toSeq}")
+    // 5+7 from before the restart, +3 absorbed after — one window row
+    assert(rows(0).getAs[Double]("sum_v") == 15.0)
+    assert(rows(0).getAs[Long]("count_v") == 3L)
+  }
+
   test("stdev/last/median rule aggregates flush per window") {
     val s = spark
     import s.implicits._
