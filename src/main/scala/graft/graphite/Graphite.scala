@@ -183,13 +183,33 @@ object Graphite {
       .drop("_mn")
   }
 
-  /** keepLastValue: forward-fill nulls with the series' last
-    * non-null value (builtin_functions.go keepLastValue). */
-  def keepLastValue(df: DataFrame): DataFrame =
-    df.withColumn("value",
-      coalesce(col("value"),
-        last("value", ignoreNulls = true)
-          .over(byPath.rowsBetween(Window.unboundedPreceding, -1))))
+  /** keepLastValue(series, limit=-1): forward-fill nulls with the
+    * series' last non-null value; a positive `limit` fills only gap
+    * runs of at most that many consecutive nulls (longer gaps stay
+    * null — builtin_functions.go:576, default at :2911). Leading
+    * nulls have no source value and stay null in both engines.
+    *
+    * The limited form groups each gap with its preceding non-null
+    * row (running non-null count), so the run-length window
+    * partitions per gap — bounded by one gap's length, never the
+    * series. */
+  def keepLastValue(df: DataFrame, limit: Int = -1): DataFrame =
+    if (limit < 0)
+      df.withColumn("value",
+        coalesce(col("value"),
+          last("value", ignoreNulls = true)
+            .over(byPath.rowsBetween(Window.unboundedPreceding, -1))))
+    else {
+      val wGap = Window.partitionBy("path", "_grp")
+      df.withColumn("_grp",
+          count(col("value")).over(byPath.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("_run", sum(col("value").isNull.cast("long")).over(wGap))
+        .withColumn("_head", max(col("value")).over(wGap))
+        .withColumn("value",
+          when(col("value").isNotNull, col("value"))
+            .when(col("_run") <= limit, col("_head")))
+        .drop("_grp", "_run", "_head")
+    }
 
   /** summarize(series, interval, func) (builtin_functions.go
     * summarize): re-bucket to a coarser tumbling interval with the

@@ -124,6 +124,17 @@ object GraphiteParser {
     case S(s) => s
     case other => throw new ParseException(s"$fn arg $i must be a string, got $other")
   }
+  /** moving-family window: a point count (`3`) or a duration string
+    * (`"5h"` — the reference converts via the series step; instant
+    * frames here consolidate on the 3600 s grid, the same fixed step
+    * sustainedAbove/Below assume). */
+  private def windowPoints(fn: String, args: Seq[Arg], i: Int): Int =
+    args(i) match {
+      case N(d) => d.toInt
+      case S(s) => math.max(1, (durSeconds(s) / 3600L).toInt)
+      case other =>
+        throw new ParseException(s"$fn arg $i must be a number or duration, got $other")
+    }
   private def optNum(args: Seq[Arg], i: Int, default: Double): Double =
     args.lift(i).collect { case N(d) => d }.getOrElse(default)
   private def optStr(args: Seq[Arg], i: Int, default: String): String =
@@ -248,10 +259,10 @@ object GraphiteParser {
       fn match {
         case "summarize" =>
           Graphite.summarize(in, durSeconds(str(fn, args, 1)), str(fn, args, 2))
-        case "movingAverage" => Graphite.movingAverage(in, num(fn, args, 1).toInt)
-        case "movingMedian" => Graphite.movingMedian(in, num(fn, args, 1).toInt)
-        case "movingMax" => Graphite.movingMax(in, num(fn, args, 1).toInt)
-        case "movingMin" => Graphite.movingMin(in, num(fn, args, 1).toInt)
+        case "movingAverage" => Graphite.movingAverage(in, windowPoints(fn, args, 1))
+        case "movingMedian" => Graphite.movingMedian(in, windowPoints(fn, args, 1))
+        case "movingMax" => Graphite.movingMax(in, windowPoints(fn, args, 1))
+        case "movingMin" => Graphite.movingMin(in, windowPoints(fn, args, 1))
         case "countSeries" => Graphite.countSeries(in)
         case "currentAbove" => Graphite.currentAbove(in, num(fn, args, 1))
         case "currentBelow" => Graphite.currentBelow(in, num(fn, args, 1))
@@ -266,7 +277,8 @@ object GraphiteParser {
         case "pow" => Graphite.powSeries(in, num(fn, args, 1))
         case "squareRoot" => Graphite.squareRoot(in)
         case "offsetToZero" => Graphite.offsetToZero(in)
-        case "keepLastValue" => Graphite.keepLastValue(in)
+        case "keepLastValue" =>
+          Graphite.keepLastValue(in, optNum(args, 1, -1.0).toInt)
         // aliasByTags is a registered alias of aliasByNode in the
         // reference (builtin_functions.go:3050)
         case "aliasByNode" | "aliasByTags" =>
@@ -321,9 +333,9 @@ object GraphiteParser {
         case "changed" => Graphite.changed(in)
         case "stdev" =>
           Graphite.stdev(in, num(fn, args, 1).toInt, optNum(args, 2, 0.1))
-        case "movingSum" => Graphite.movingSum(in, num(fn, args, 1).toInt)
+        case "movingSum" => Graphite.movingSum(in, windowPoints(fn, args, 1))
         case "movingWindow" =>
-          Graphite.movingWindow(in, num(fn, args, 1).toInt,
+          Graphite.movingWindow(in, windowPoints(fn, args, 1),
             optStr(args, 2, "avg"))
         case "exponentialMovingAverage" =>
           Graphite.exponentialMovingAverage(in, num(fn, args, 1).toInt)

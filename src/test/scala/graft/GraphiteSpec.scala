@@ -132,6 +132,34 @@ class GraphiteSpec extends SparkSpec {
       Set("dashed(events.a.user1, 5.000)"))
   }
 
+  test("keepLastValue limit fills only short gaps; moving windows take durations") {
+    import graft.graphite.GraphiteParser._
+    val s = spark
+    import s.implicits._
+    // one series with a 1-gap, a 2-gap, and a trailing null
+    val gaps = Seq[(String, Long, Option[Double])](
+      ("m.a", 0L, Some(1.0)), ("m.a", 3600L, None), ("m.a", 7200L, Some(3.0)),
+      ("m.a", 10800L, None), ("m.a", 14400L, None), ("m.a", 18000L, Some(6.0)),
+      ("m.a", 21600L, None))
+      .map { case (p, b, v) => (p, b, v.map(Double.box).orNull) }
+      .toDF("path", "bucket_s", "value")
+    def vals(q: String): Seq[Any] = eval(parse(q), gaps)
+      .orderBy("bucket_s").collect().map(_.get(2)).toSeq
+    // limit 1: the single-null gap and the trailing run (length 1)
+    // fill; the 2-gap stays null (builtin_functions.go:576 semantics)
+    assert(vals("keepLastValue(m.a, 1)") ==
+      Seq(1.0, 1.0, 3.0, null, null, 6.0, 6.0))
+    // default -1 fills every gap
+    assert(vals("keepLastValue(m.a)") ==
+      Seq(1.0, 1.0, 3.0, 3.0, 3.0, 6.0, 6.0))
+    // duration windows convert on the hourly grid: "2h" = 2 points
+    val byNum = eval(parse("movingMin(events.a.user1, 2)"), frame)
+      .select("bucket_s", "value").collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    val byDur = eval(parse("""movingMin(events.a.user1, "2h")"""), frame)
+      .select("bucket_s", "value").collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    assert(byNum == byDur && byNum.nonEmpty)
+  }
+
   test("randomWalk generates the grid; aliasByTags aliases aliasByNode") {
     import graft.graphite.GraphiteParser._
     // one draw per step across the frame's bucket span, all in [-0.5, 0.5)
