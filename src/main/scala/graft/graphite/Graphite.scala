@@ -62,10 +62,20 @@ object Graphite {
   /** nonNegativeDerivative(series) (builtin_functions.go:1542):
     * like derivative but counter-reset-aware — negative deltas
     * become null. */
-  def nonNegativeDerivative(df: DataFrame): DataFrame =
+  /** nonNegativeDerivative(series, maxValue=NaN)
+    * (builtin_functions.go:1542): per-step delta, negatives null —
+    * unless `maxValue` is given and the new value fits under it, in
+    * which case the delta is read as a counter wrap:
+    * (maxValue − prev) + value + 1. */
+  def nonNegativeDerivative(df: DataFrame,
+                            maxValue: Double = Double.NaN): DataFrame =
     df.withColumn("value", {
-      val d = col("value") - lag("value", 1).over(byPath)
-      when(d >= 0, d)
+      val prev = lag("value", 1).over(byPath)
+      val d = col("value") - prev
+      if (maxValue.isNaN) when(d >= 0, d)
+      else when(d >= 0, d)
+        .when(lit(maxValue) >= col("value"),
+          lit(maxValue) - prev + col("value") + 1.0)
     })
 
   /** perSecond(series) (builtin_functions.go:543): non-negative
@@ -293,9 +303,20 @@ object Graphite {
     * (one 1-row min/max aggregate, broadcast; the common prefix of
     * the whole set equals the common prefix of its min and max).
     * Returns (path, sort_rank). */
-  private[graphite] def rankPaths(paths: DataFrame): DataFrame = {
+  /** Digit runs left-padded to fixed width so lexicographic order on
+    * the key IS natural order (`t2` before `t10`); runs beyond 12
+    * digits fall back to lexicographic. Equal-key paths (`a1`/`a01`)
+    * tie-break on the raw path for determinism. */
+  private def naturalKey(p: Column): Column =
+    array_join(transform(
+      split(p, "(?<=\\D)(?=\\d)|(?<=\\d)(?=\\D)"),
+      t => when(t.rlike("^\\d+$"), lpad(t, 12, "0")).otherwise(t)), "")
+
+  private[graphite] def rankPaths(paths: DataFrame, natural: Boolean = false,
+                                  desc: Boolean = false): DataFrame = {
     val distinctPaths = paths.select("path").distinct()
-    val mm = distinctPaths.agg(min("path").as("_mn"), max("path").as("_mx"))
+      .withColumn("_key", if (natural) naturalKey(col("path")) else col("path"))
+    val mm = distinctPaths.agg(min("_key").as("_mn"), max("_key").as("_mx"))
       .withColumn("_cpl", {
         // longest common prefix length of (_mn, _mx) — scalar fold:
         // acc advances to i only while every prefix up to i matched
@@ -310,10 +331,13 @@ object Graphite {
       })
     val sharded = distinctPaths.crossJoin(broadcast(
         mm.select(col("_cpl"))))
-      .withColumn("_shard", substring2(col("path"), col("_cpl") + 1, 2))
+      .withColumn("_shard", substring2(col("_key"), col("_cpl") + 1, 2))
       .drop("_cpl")
-    val wLocal = Window.partitionBy("_shard").orderBy(col("path").asc)
-    val wPrefix = Window.orderBy("_shard")
+    val wLocal = Window.partitionBy("_shard").orderBy(
+      if (desc) col("_key").desc else col("_key").asc,
+      if (desc) col("path").desc else col("path").asc)
+    val wPrefix = Window
+      .orderBy(if (desc) col("_shard").desc else col("_shard").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = sharded.groupBy("_shard")
       .agg(count(lit(1)).as("_cnt"))
@@ -431,10 +455,13 @@ object Graphite {
   def transformNull(df: DataFrame, default: Double = 0.0): DataFrame =
     df.withColumn("value", coalesce(col("value"), lit(default)))
 
-  /** sortByName (builtin_functions.go:101): rank series
-    * lexicographically by path (two-phase prefix-shard rank). */
-  def sortByName(df: DataFrame): DataFrame =
-    df.join(rankPaths(df), "path")
+  /** sortByName(series, natural=false, reverse=false)
+    * (builtin_functions.go:101, defaults at :3001): rank series by
+    * path (two-phase prefix-shard rank); `natural` compares embedded
+    * digit runs numerically, `reverse` inverts the order. */
+  def sortByName(df: DataFrame, natural: Boolean = false,
+                 reverse: Boolean = false): DataFrame =
+    df.join(rankPaths(df, natural, reverse), "path")
 
   /** Per-instant cross-series combine — the aggregate(series, fname)
     * dispatch set (aggregation_functions.go:300): sum, avg, min, max,
@@ -634,10 +661,16 @@ object Graphite {
   def delay(df: DataFrame, steps: Int): DataFrame =
     df.withColumn("value", lag("value", steps).over(byPath))
 
-  /** interpolate(series) (builtin_functions.go:1376): linearly
-    * interpolate null gaps between non-null neighbours (time-weighted
-    * over the bucket axis; head/tail nulls stay null). */
-  def interpolate(df: DataFrame): DataFrame = {
+  /** interpolate(series, limit=-1) (builtin_functions.go:1376):
+    * linearly interpolate null gaps between non-null neighbours
+    * (time-weighted over the bucket axis; head/tail nulls stay
+    * null). A non-negative `limit` fills only gap runs of at most
+    * that many nulls — the observable effect of the reference's
+    * consecutive-NaN counter (longer runs anchor on a NaN and emit
+    * NaN, i.e. stay null). Same per-gap grouping as
+    * [[keepLastValue]]: the run-length window is bounded by one
+    * gap's length. */
+  def interpolate(df: DataFrame, limit: Int = -1): DataFrame = {
     val before = byPath.rowsBetween(Window.unboundedPreceding, -1)
     val after = byPath.rowsBetween(1, Window.unboundedFollowing)
     val prevV = last("value", ignoreNulls = true).over(before)
@@ -646,12 +679,21 @@ object Graphite {
     val nextV = first("value", ignoreNulls = true).over(after)
     val nextB = first(when(col("value").isNotNull, col("bucket_s")),
       ignoreNulls = true).over(after)
-    df.withColumn("value",
-      when(col("value").isNotNull, col("value"))
-        .when(prevV.isNotNull && nextV.isNotNull && nextB =!= prevB,
-          prevV + (nextV - prevV) *
-            (col("bucket_s") - prevB).cast("double") /
-            (nextB - prevB).cast("double")))
+    val fill = when(col("value").isNotNull, col("value"))
+      .when(prevV.isNotNull && nextV.isNotNull && nextB =!= prevB,
+        prevV + (nextV - prevV) *
+          (col("bucket_s") - prevB).cast("double") /
+          (nextB - prevB).cast("double"))
+    if (limit < 0) df.withColumn("value", fill)
+    else {
+      val wGap = Window.partitionBy("path", "_grp")
+      df.withColumn("_grp",
+          count(col("value")).over(byPath.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("_run", sum(col("value").isNull.cast("long")).over(wGap))
+        .withColumn("value",
+          when(col("value").isNotNull || col("_run") <= limit, fill))
+        .drop("_grp", "_run")
+    }
   }
 
   /** isNonNull(series) (builtin_functions.go:566). */

@@ -287,7 +287,8 @@ object GraphiteParser {
         case "offset"   => Graphite.offsetSeries(in, num(fn, args, 1))
         case "absolute" => Graphite.absolute(in)
         case "derivative" => Graphite.derivative(in)
-        case "nonNegativeDerivative" => Graphite.nonNegativeDerivative(in)
+        case "nonNegativeDerivative" =>
+          Graphite.nonNegativeDerivative(in, optNum(args, 1, Double.NaN))
         case "perSecond" => Graphite.perSecond(in)
         case "integral"  => Graphite.integral(in)
         case "integralByInterval" =>
@@ -306,7 +307,9 @@ object GraphiteParser {
         case "alias" => Graphite.alias(in, str(fn, args, 1))
         case "transformNull" =>
           Graphite.transformNull(in, optNum(args, 1, 0.0))
-        case "sortByName" => Graphite.sortByName(in)
+        case "sortByName" =>
+          Graphite.sortByName(in, optBool(args, 1, default = false),
+            optBool(args, 2, default = false))
         case "exclude" => Graphite.exclude(in, str(fn, args, 1))
         case "grep"    => Graphite.grep(in, str(fn, args, 1))
         case "limit"   => Graphite.limitSeries(in, num(fn, args, 1).toInt)
@@ -340,7 +343,8 @@ object GraphiteParser {
         case "exponentialMovingAverage" =>
           Graphite.exponentialMovingAverage(in, num(fn, args, 1).toInt)
         case "delay" => Graphite.delay(in, num(fn, args, 1).toInt)
-        case "interpolate" => Graphite.interpolate(in)
+        case "interpolate" =>
+          Graphite.interpolate(in, optNum(args, 1, -1.0).toInt)
         case "isNonNull" => Graphite.isNonNull(in)
         case "round" | "roundFunction" =>
           Graphite.roundSeries(in, optNum(args, 1, 0.0).toInt)

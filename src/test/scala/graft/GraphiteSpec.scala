@@ -160,6 +160,43 @@ class GraphiteSpec extends SparkSpec {
     assert(byNum == byDur && byNum.nonEmpty)
   }
 
+  test("counter wrap, interpolate limit, natural/reverse name sort") {
+    import graft.graphite.GraphiteParser._
+    val s = spark
+    import s.implicits._
+    // counter wraps at maxValue=255: 250 -> 3 reads as (255-250)+3+1
+    val ctr = Seq(("c.a", 0L, 250.0), ("c.a", 3600L, 3.0), ("c.a", 7200L, 9.0))
+      .toDF("path", "bucket_s", "value")
+    val nn = eval(parse("nonNegativeDerivative(c.a, 255)"), ctr)
+      .orderBy("bucket_s").collect().map(_.get(2)).toSeq
+    assert(nn == Seq(null, 9.0, 6.0))
+    // without maxValue the reset stays null
+    val nn0 = eval(parse("nonNegativeDerivative(c.a)"), ctr)
+      .orderBy("bucket_s").collect().map(_.get(2)).toSeq
+    assert(nn0 == Seq(null, null, 6.0))
+    // interpolate limit: 1-gap fills linearly, 2-gap stays null
+    val gaps = Seq[(String, Long, Option[Double])](
+      ("m.a", 0L, Some(1.0)), ("m.a", 3600L, None), ("m.a", 7200L, Some(3.0)),
+      ("m.a", 10800L, None), ("m.a", 14400L, None), ("m.a", 18000L, Some(6.0)))
+      .map { case (p, b, v) => (p, b, v.map(Double.box).orNull) }
+      .toDF("path", "bucket_s", "value")
+    val ip = eval(parse("interpolate(m.a, 1)"), gaps)
+      .orderBy("bucket_s").collect().map(_.get(2)).toSeq
+    assert(ip == Seq(1.0, 2.0, 3.0, null, null, 6.0))
+    // natural sort ranks t2 before t10; reverse inverts
+    val nat = Seq(("n.t10", 0L, 1.0), ("n.t2", 0L, 1.0), ("n.t1", 0L, 1.0))
+      .toDF("path", "bucket_s", "value")
+    def ranks(q: String): Map[String, Long] = eval(parse(q), nat)
+      .select("path", "sort_rank").distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ranks("sortByName(n.*)") ==
+      Map("n.t1" -> 1L, "n.t10" -> 2L, "n.t2" -> 3L))
+    assert(ranks("sortByName(n.*, true)") ==
+      Map("n.t1" -> 1L, "n.t2" -> 2L, "n.t10" -> 3L))
+    assert(ranks("sortByName(n.*, true, true)") ==
+      Map("n.t10" -> 1L, "n.t2" -> 2L, "n.t1" -> 3L))
+  }
+
   test("randomWalk generates the grid; aliasByTags aliases aliasByNode") {
     import graft.graphite.GraphiteParser._
     // one draw per step across the frame's bucket span, all in [-0.5, 0.5)
