@@ -256,10 +256,15 @@ object GraphiteQueries {
          | FROM ($PF) AS p JOIN ranked AS r ON p.path = r.path
          | WHERE r.sort_rank <= 5
          | ORDER BY r.sort_rank, p.bucket_s""".stripMargin.replace("\n", " "),
+    // graphite's GetPercentile: rank = ceil(p/100·(n+1)) clamped to
+    // [1, n] over the sorted values — NOT the interpolated quantile
     "gr_npercentile" ->
-      s"""SELECT path, round(quantile_cont(value, 0.95), 6) AS value
-         | FROM ($PF) AS p
-         | GROUP BY path HAVING avg(value) > 100.0
+      s"""WITH s AS (SELECT path, list_sort(list(value)) AS l,
+         |   count(value) AS n, avg(value) AS m
+         |  FROM ($PF) AS p GROUP BY path)
+         | SELECT path, round(l[CAST(GREATEST(LEAST(
+         |   ceil(0.95 * (n + 1)), n), 1) AS INT)], 6) AS value
+         | FROM s WHERE m > 100.0
          | ORDER BY path""".stripMargin.replace("\n", " "),
     "gr_group_sum" ->
       s"""SELECT string_split(path, '.')[2] AS path, bucket_s,
@@ -279,15 +284,21 @@ object GraphiteQueries {
          | WHERE NOT regexp_matches(path, 'user7$$')
          | GROUP BY path, CAST(floor(bucket_s / 86400) * 86400 AS BIGINT)
          | ORDER BY path, bucket_s""".stripMargin.replace("\n", " "),
+    // movingMedianHelper takes sorted-window[k/2] (the upper median
+    // for even non-null counts), not the midpoint quantile
     "gq_median" ->
-      s"""SELECT path, bucket_s,
-         | round(quantile_cont(v, 0.5) OVER (PARTITION BY path ORDER BY bucket_s
-         |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS value
-         | FROM (SELECT path, bucket_s,
+      s"""WITH t AS (SELECT path, bucket_s,
          |  CASE WHEN value <= 150 THEN value END AS v
          |  FROM ($PF) AS f
-         |  WHERE regexp_matches(path, '^events\\.purchase\\.[^.]*$$')) AS t
-         | ORDER BY path, bucket_s""".stripMargin.replace("\n", " "),
+         |  WHERE regexp_matches(path, '^events\\.purchase\\.[^.]*$$')),
+         | w AS (SELECT path, bucket_s, list_sort(list_filter(
+         |   list(v) OVER (PARTITION BY path ORDER BY bucket_s
+         |     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+         |   x -> x IS NOT NULL)) AS ls FROM t)
+         | SELECT path, bucket_s,
+         |  round(CASE WHEN len(ls) > 0
+         |   THEN ls[CAST(len(ls) // 2 AS INT) + 1] END, 6) AS value
+         | FROM w ORDER BY path, bucket_s""".stripMargin.replace("\n", " "),
     "gq_percent" ->
       s"""WITH p AS (SELECT path, bucket_s, value FROM ($PF) AS f
          |  WHERE regexp_matches(path, '^events\\.purchase\\.[^.]*$$')),

@@ -59,9 +59,6 @@ object Graphite {
   def derivative(df: DataFrame): DataFrame =
     df.withColumn("value", col("value") - lag("value", 1).over(byPath))
 
-  /** nonNegativeDerivative(series) (builtin_functions.go:1542):
-    * like derivative but counter-reset-aware — negative deltas
-    * become null. */
   /** nonNegativeDerivative(series, maxValue=NaN)
     * (builtin_functions.go:1542): per-step delta, negatives null —
     * unless `maxValue` is given and the new value fits under it, in
@@ -115,9 +112,18 @@ object Graphite {
     df.withColumn("value",
       avg("value").over(byPath.rowsBetween(-(points - 1), 0)))
 
+  /** movingMedian (builtin_functions.go:2358 movingMedianHelper):
+    * the reference takes sorted-window[k/2] — the UPPER median for
+    * even non-null counts, not the midpoint average its own
+    * medianSeries uses. collect_list skips nulls, so k is the
+    * non-null count; the array is bounded by the window size. */
   def movingMedian(df: DataFrame, points: Int): DataFrame =
-    df.withColumn("value",
-      percentile(col("value"), lit(0.5)).over(byPath.rowsBetween(-(points - 1), 0)))
+    df.withColumn("value", {
+      val arr = sort_array(collect_list(col("value"))
+        .over(byPath.rowsBetween(-(points - 1), 0)))
+      when(size(arr) > 0,
+        element_at(arr, (size(arr) / 2).cast("int") + 1))
+    })
 
   def movingMax(df: DataFrame, points: Int): DataFrame =
     df.withColumn("value",
@@ -438,11 +444,39 @@ object Graphite {
     df.join(keep, Seq("path"), "left_semi")
   }
 
+  /** Exact replay of the reference's GetPercentile
+    * (common/percentiles.go:61): fractional rank p/100·(n+1) over
+    * the sorted non-null values, rounded UP to the next whole rank
+    * when not interpolating (clamped to [1, n]); linear
+    * interpolation toward the next value otherwise. NOTE Spark's
+    * `percentile` interpolates over (n−1) ranks — a different
+    * convention; graphite parity needs this one. */
+  private[graphite] def getPercentile(sortedArr: Column, p: Double,
+                                      interpolate: Boolean = false): Column = {
+    val n = size(sortedArr)
+    val fr = lit(p / 100.0) * (n + 1).cast("double")
+    val rank0 = floor(fr)
+    val frac = fr - rank0
+    val rank = (if (interpolate) rank0 else rank0 + ceil(frac)).cast("int")
+    val idx = greatest(least(rank, n), lit(1))
+    val base = element_at(sortedArr, idx)
+    val out =
+      if (!interpolate) base
+      else {
+        val next = element_at(sortedArr, greatest(least(rank + 1, n), lit(1)))
+        when(rank =!= n, base + frac * (next - base)).otherwise(base)
+      }
+    when(n > 0, out)
+  }
+
   /** nPercentile(series, p) (builtin_functions.go:1556): each series
-    * flattened to its p-th percentile value. */
+    * flattened to its p-th percentile value (GetPercentile with
+    * interpolate=false — NOT the interpolated quantile). The
+    * aggregation array is one series' non-null points, the same
+    * bound the reference holds in memory per series. */
   def nPercentile(df: DataFrame, p: Double): DataFrame =
     df.groupBy("path")
-      .agg(percentile(col("value"), lit(p / 100.0)).as("value"))
+      .agg(getPercentile(sort_array(collect_list(col("value"))), p).as("value"))
 
   /** alias(series, name) (builtin_functions.go alias): rename every
     * series to a constant display name. */
@@ -517,11 +551,16 @@ object Graphite {
   def rangeOfSeries(df: DataFrame): DataFrame = combineSeries(df, "range")
   def stddevSeries(df: DataFrame): DataFrame = combineSeries(df, "stddev")
 
-  /** percentileOfSeries(series, p) (builtin_functions.go:1562): the
-    * interpolated p-th percentile across series at each instant. */
-  def percentileOfSeries(df: DataFrame, p: Double): DataFrame =
+  /** percentileOfSeries(series, p, interpolate=false)
+    * (builtin_functions.go:1562, default at :2971): the p-th
+    * percentile across series at each instant — GetPercentile
+    * semantics, optionally interpolated. The per-instant array is
+    * bounded by the series count of the selection. */
+  def percentileOfSeries(df: DataFrame, p: Double,
+                         interpolate: Boolean = false): DataFrame =
     df.groupBy("bucket_s")
-      .agg(percentile(col("value"), lit(p / 100.0)).as("value"))
+      .agg(getPercentile(sort_array(collect_list(col("value"))), p,
+        interpolate).as("value"))
       .select(lit("percentileOfSeries").as("path"), col("bucket_s"),
         col("value"))
 
@@ -760,10 +799,12 @@ object Graphite {
 
   /** removeAbovePercentile / removeBelowPercentile(series, p)
     * (builtin_functions.go:2228,2240): null out points beyond the
-    * series' own p-th percentile. */
+    * series' own p-th percentile — the cutoff is GetPercentile
+    * (exclusive rank, via common.RemoveByPercentile -> NPercentile),
+    * not the interpolated quantile. */
   def removeAbovePercentile(df: DataFrame, p: Double): DataFrame = {
     val cut = df.groupBy("path")
-      .agg(percentile(col("value"), lit(p / 100.0)).as("_cut"))
+      .agg(getPercentile(sort_array(collect_list(col("value"))), p).as("_cut"))
     df.join(broadcast(cut), "path")
       .withColumn("value", when(col("value") <= col("_cut"), col("value")))
       .drop("_cut")
@@ -771,7 +812,7 @@ object Graphite {
 
   def removeBelowPercentile(df: DataFrame, p: Double): DataFrame = {
     val cut = df.groupBy("path")
-      .agg(percentile(col("value"), lit(p / 100.0)).as("_cut"))
+      .agg(getPercentile(sort_array(collect_list(col("value"))), p).as("_cut"))
     df.join(broadcast(cut), "path")
       .withColumn("value", when(col("value") >= col("_cut"), col("value")))
       .drop("_cut")

@@ -320,7 +320,8 @@ object GraphiteParser {
             case "average" => "avg"; case h => h
           })
         case "percentileOfSeries" =>
-          Graphite.percentileOfSeries(in, num(fn, args, 1))
+          Graphite.percentileOfSeries(in, num(fn, args, 1),
+            optBool(args, 2, default = false))
         case "sumSeriesWithWildcards" =>
           Graphite.sumSeriesWithWildcards(in, intArgs(fn, args.tail))
         case "averageSeriesWithWildcards" =>
