@@ -181,7 +181,21 @@ object GraphiteParser {
         case "powSeries"      => Graphite.powSeries(in)
       }
     // two-series functions take their second vector from args(1)
-    case Call(fn @ ("divideSeries" | "asPercent" | "divideSeriesLists" |
+    // asPercent's total may be a series, a constant, or omitted
+    // (= the sum of the input series — builtin_functions.go:1072,
+    // default total nil at :2854)
+    case Call("asPercent", args) =>
+      val in = one("asPercent", args, base, samples)
+      args.lift(1) match {
+        case Some(T(n)) => Graphite.asPercent(in, eval(n, base, samples))
+        case Some(N(d)) =>
+          in.withColumn("value",
+            when(lit(d) =!= 0.0, col("value") / lit(d) * 100.0))
+        case None => Graphite.asPercent(in, Graphite.combineSeries(in, "sum"))
+        case Some(other) =>
+          throw new ParseException(s"asPercent total must be a series or number, got $other")
+      }
+    case Call(fn @ ("divideSeries" | "divideSeriesLists" |
                     "fallbackSeries" | "weightedAverage"), args) =>
       val (a, b) = (args(0), args(1)) match {
         case (T(x), T(y)) => (eval(x, base, samples), eval(y, base, samples))
@@ -189,7 +203,6 @@ object GraphiteParser {
       }
       fn match {
         case "divideSeries"      => Graphite.divideSeries(a, b)
-        case "asPercent"         => Graphite.asPercent(a, b)
         case "divideSeriesLists" => Graphite.divideSeriesLists(a, b)
         case "fallbackSeries"    => Graphite.fallbackSeries(a, b)
         case "weightedAverage" =>

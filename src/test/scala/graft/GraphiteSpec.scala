@@ -197,6 +197,25 @@ class GraphiteSpec extends SparkSpec {
       Map("n.t10" -> 1L, "n.t2" -> 2L, "n.t1" -> 3L))
   }
 
+  test("asPercent accepts a constant total or none (sum of inputs)") {
+    import graft.graphite.GraphiteParser._
+    def byKey(q: String): Map[(String, Long), Double] = eval(parse(q), frame)
+      .collect().flatMap(r => Option(r.get(2))
+        .map(v => (r.getString(0), r.getLong(1)) -> v.asInstanceOf[Double])).toMap
+    // constant total: plain scale (a: 10,15,12 over 200)
+    val const = byKey("asPercent(events.a.user1, 200)")
+    assert(const(("events.a.user1", 0L)) == 5.0 &&
+      const(("events.a.user1", 3600L)) == 7.5)
+    // omitted total = percent of the instant-wise sum of the inputs
+    val defTot = eval(parse("asPercent(events.*.*)"), frame)
+      .select("bucket_s", "value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).sum).toMap
+    // per instant the percentages must sum to 100 (7200 has 1 series)
+    assert(defTot.keySet == Set(0L, 3600L, 7200L) &&
+      defTot.values.forall(s => math.abs(s - 100.0) < 1e-9))
+  }
+
   test("randomWalk generates the grid; aliasByTags aliases aliasByNode") {
     import graft.graphite.GraphiteParser._
     // one draw per step across the frame's bucket span, all in [-0.5, 0.5)
