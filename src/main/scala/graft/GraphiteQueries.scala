@@ -358,7 +358,9 @@ object GraphiteQueries {
          |  UNION ALL SELECT 'multiplySeries' AS path, bucket_s,
          |   round(product(value), 6) AS value FROM p GROUP BY bucket_s
          |  UNION ALL SELECT 'percentileOfSeries' AS path, bucket_s,
-         |   round(quantile_cont(value, 0.9), 6) AS value FROM p GROUP BY bucket_s
+         |   round(l[CAST(GREATEST(LEAST(ceil(0.9 * (n + 1)), n), 1) AS INT)], 6)
+         |    AS value FROM (SELECT bucket_s, list_sort(list(value)) AS l,
+         |     count(value) AS n FROM p GROUP BY bucket_s) AS ps
          | ) AS u ORDER BY path, bucket_s""".stripMargin.replace("\n", " "),
     "gr_sort_total" ->
       s"""WITH p AS (SELECT path, bucket_s, value FROM ($PF) AS f

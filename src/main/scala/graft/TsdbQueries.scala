@@ -57,6 +57,73 @@ object TsdbQueries {
       | CAST(floor(epoch(max(ts)) / 21600) * 21600 + 86400 AS BIGINT),
       | 21600)) AS bucket_s FROM events""".stripMargin.replace("\n", " ")
 
+  /** DuckDB replay of the Prometheus extrapolated rate
+    * (temporal/rate.go:150 standardRateFunc; mirror of
+    * Temporal.extrapolatedRate). The input relation `g` must carry
+    * the group keys plus first_v, last_v, first_us, last_us, n_s,
+    * corr, rs (range start s) and re (range end s); emits delta_r /
+    * increase_r / rate_r for a `win`-second window. */
+  private def extrapSql(g: String, keys: String, win: Long): String =
+    s"""(WITH eg AS (SELECT *, (last_us - first_us) / 1e6 AS si,
+       |   ((last_us - first_us) / 1e6) / (n_s - 1) AS avgd,
+       |   last_v - first_v + corr AS res,
+       |   first_us / 1e6 - rs AS d0, re - last_us / 1e6 AS dend
+       |  FROM $g AS g0),
+       | ex AS (SELECT *, 1.1 * avgd AS thr,
+       |   CASE WHEN res > 0 AND first_v >= 0 THEN LEAST(d0, si * first_v / res)
+       |        ELSE d0 END AS dz FROM eg)
+       | SELECT $keys,
+       |  CASE WHEN n_s >= 2 AND si > 0 THEN (last_v - first_v) *
+       |   (si + CASE WHEN d0 < thr THEN d0 ELSE avgd / 2 END
+       |       + CASE WHEN dend < thr THEN dend ELSE avgd / 2 END) / si END AS delta_r,
+       |  CASE WHEN n_s >= 2 AND si > 0 THEN res *
+       |   (si + CASE WHEN dz < thr THEN dz ELSE avgd / 2 END
+       |       + CASE WHEN dend < thr THEN dend ELSE avgd / 2 END) / si END AS increase_r,
+       |  CASE WHEN n_s >= 2 AND si > 0 THEN res *
+       |   (si + CASE WHEN dz < thr THEN dz ELSE avgd / 2 END
+       |       + CASE WHEN dend < thr THEN dend ELSE avgd / 2 END) / si / $win.0 END AS rate_r
+       | FROM ex)""".stripMargin.replace("\n", " ")
+
+  /** Tumbling per-day rate aggregates over the sample source in the
+    * shape [[extrapSql]] consumes; `srcFilter` optionally restricts
+    * the samples. */
+  private def rateAggDay(srcFilter: String): String =
+    s"""(SELECT name, user_id, bucket_s,
+       |  CAST(bucket_s AS DOUBLE) AS rs, CAST(bucket_s + 86400 AS DOUBLE) AS re,
+       |  first(value ORDER BY ts, event_id) AS first_v,
+       |  last(value ORDER BY ts, event_id) AS last_v,
+       |  epoch_us(min(ts)) AS first_us, epoch_us(max(ts)) AS last_us,
+       |  count(*) AS n_s,
+       |  sum(CASE WHEN prev_v > value THEN prev_v ELSE 0 END) AS corr
+       | FROM (SELECT *, lag(value) OVER (PARTITION BY name, user_id, bucket_s
+       |       ORDER BY ts, event_id) AS prev_v
+       |      FROM (SELECT * FROM ($S) AS s0 $srcFilter) AS s1) AS p
+       | GROUP BY name, user_id, bucket_s)""".stripMargin.replace("\n", " ")
+
+  /** Sliding 1d/6h extrapolated rate relation per (name, user_id,
+    * window end) — the stage shared by the sliding-rate + subquery
+    * oracles. */
+  private def slidingRateRel(srcFilter: String): String =
+    s"""(WITH sl AS (SELECT *, lag(value) OVER w AS prev_v, lag(ts) OVER w AS prev_ts
+       |  FROM (SELECT * FROM ($S) AS s0 $srcFilter) AS s
+       |  WINDOW w AS (PARTITION BY name, user_id ORDER BY ts, event_id)),
+       | j AS (SELECT sl.name, sl.user_id, sl.ts, sl.event_id, sl.value,
+       |   sl.prev_v, sl.prev_ts, g.bucket_s AS e
+       |  FROM sl JOIN ($GRID) AS g
+       |   ON floor(epoch(sl.ts)) >= g.bucket_s - 86400
+       |   AND floor(epoch(sl.ts)) < g.bucket_s),
+       | ag AS (SELECT name, user_id, e AS bucket_s,
+       |   CAST(e - 86400 AS DOUBLE) AS rs, CAST(e AS DOUBLE) AS re,
+       |   first(value ORDER BY ts, event_id) AS first_v,
+       |   last(value ORDER BY ts, event_id) AS last_v,
+       |   epoch_us(min(ts)) AS first_us, epoch_us(max(ts)) AS last_us,
+       |   count(*) AS n_s,
+       |   sum(CASE WHEN floor(epoch(prev_ts)) >= e - 86400 AND prev_v > value
+       |       THEN prev_v ELSE 0 END) AS corr
+       |  FROM j GROUP BY name, user_id, e)
+       | SELECT name, user_id, bucket_s, delta_r, increase_r, rate_r
+       | FROM ${extrapSql("ag", "name, user_id, bucket_s", 86400)} AS x)""".stripMargin.replace("\n", " ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- fetch / series selection (the front door) --------------------
     "ts_fetch_eq" -> ((s, dir) =>
@@ -741,17 +808,11 @@ object TsdbQueries {
          | FROM ($S) AS s GROUP BY name, user_id, bucket_s
          | ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),
     "ts_rate" ->
-      s"""SELECT name, user_id, bucket_s, round(last_v - first_v, 6) AS delta_v,
-         | round(last_v - first_v + reset_adj, 6) AS increase_v,
-         | round((last_v - first_v + reset_adj) / 86400.0, 9) AS rate_v
-         | FROM (
-         |  SELECT name, user_id, bucket_s,
-         |   first(value ORDER BY ts, event_id) AS first_v,
-         |   last(value ORDER BY ts, event_id) AS last_v,
-         |   sum(CASE WHEN prev_v > value THEN prev_v - value ELSE 0 END) AS reset_adj
-         |  FROM (SELECT *, lag(value) OVER (PARTITION BY name, user_id, bucket_s
-         |        ORDER BY ts, event_id) AS prev_v FROM ($S) AS s) AS p
-         |  GROUP BY name, user_id, bucket_s) AS g
+      s"""SELECT name, user_id, bucket_s,
+         | round(delta_r, 6) + 0.0 AS delta_v,
+         | round(increase_r, 6) + 0.0 AS increase_v,
+         | round(rate_r, 9) + 0.0 AS rate_v
+         | FROM ${extrapSql(rateAggDay(""), "name, user_id, bucket_s", 86400)} AS t
          | ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),
     "ts_irate" ->
       s"""SELECT name, user_id, bucket_s, round(value - prev_v, 6) AS idelta_v,
@@ -791,25 +852,11 @@ object TsdbQueries {
          | GROUP BY s.name, s.user_id, g.bucket_s
          | ORDER BY s.name, s.user_id, g.bucket_s""".stripMargin.replace("\n", " "),
     "ts_rate_sliding" ->
-      s"""WITH sl AS (SELECT *, lag(value) OVER w AS prev_v, lag(ts) OVER w AS prev_ts
-         |  FROM ($S) AS s
-         |  WINDOW w AS (PARTITION BY name, user_id ORDER BY ts, event_id)),
-         | j AS (SELECT sl.name, sl.user_id, sl.ts, sl.event_id, sl.value,
-         |   sl.prev_v, sl.prev_ts, g.bucket_s AS e
-         |  FROM sl JOIN ($GRID) AS g
-         |   ON floor(epoch(sl.ts)) >= g.bucket_s - 86400
-         |   AND floor(epoch(sl.ts)) < g.bucket_s)
-         | SELECT name, user_id, e AS bucket_s,
-         |  round(last_v - first_v, 6) + 0.0 AS delta_v,
-         |  round(last_v - first_v + reset_adj, 6) + 0.0 AS increase_v,
-         |  round((last_v - first_v + reset_adj) / 86400.0, 9) + 0.0 AS rate_v
-         | FROM (
-         |  SELECT name, user_id, e,
-         |   first(value ORDER BY ts, event_id) AS first_v,
-         |   last(value ORDER BY ts, event_id) AS last_v,
-         |   sum(CASE WHEN floor(epoch(prev_ts)) >= e - 86400 AND prev_v > value
-         |       THEN prev_v - value ELSE 0 END) AS reset_adj
-         |  FROM j GROUP BY name, user_id, e) AS agg
+      s"""SELECT name, user_id, bucket_s,
+         | round(delta_r, 6) + 0.0 AS delta_v,
+         | round(increase_r, 6) + 0.0 AS increase_v,
+         | round(rate_r, 9) + 0.0 AS rate_v
+         | FROM ${slidingRateRel("")} AS rv
          | ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),
     "ts_resets_changes" ->
       s"""SELECT name, user_id, bucket_s,
@@ -974,18 +1021,11 @@ object TsdbQueries {
          | WHERE name = 'purchase' AND user_id <> 7
          | ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),
     "pql_rate_sum" ->
-      s"""SELECT name, bucket_s, round(sum(rate_r), 9) AS value FROM (
-         | SELECT name, user_id, bucket_s,
-         |  round((last_v - first_v + reset_adj) / 86400.0, 9) AS rate_r
-         | FROM (
-         |  SELECT name, user_id, bucket_s,
-         |   first(value ORDER BY ts, event_id) AS first_v,
-         |   last(value ORDER BY ts, event_id) AS last_v,
-         |   sum(CASE WHEN prev_v > value THEN prev_v - value ELSE 0 END) AS reset_adj
-         |  FROM (SELECT *, lag(value) OVER (PARTITION BY name, user_id, bucket_s
-         |        ORDER BY ts, event_id) AS prev_v FROM ($S) AS s
-         |        WHERE regexp_full_match(name, '(pur|cli).*')) AS p
-         |  GROUP BY name, user_id, bucket_s) AS g) AS r
+      s"""SELECT name, bucket_s, round(sum(rate_v), 9) AS value FROM (
+         | SELECT name, user_id, bucket_s, round(rate_r, 9) AS rate_v
+         | FROM ${extrapSql(
+            rateAggDay("WHERE regexp_full_match(name, '(pur|cli).*')"),
+            "name, user_id, bucket_s", 86400)} AS t) AS r
          | GROUP BY name, bucket_s ORDER BY name, bucket_s""".stripMargin.replace("\n", " "),
     "pql_abs_avg" ->
       s"""SELECT name, bucket_s, round(avg(abs(value)), 6) AS value
@@ -1003,16 +1043,9 @@ object TsdbQueries {
          | ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),
     "pql_binop" ->
       s"""SELECT name, user_id, bucket_s,
-         | round(round((last_v - first_v + reset_adj) / 86400.0, 9) * 86400, 6) AS value
-         | FROM (
-         |  SELECT name, user_id, bucket_s,
-         |   first(value ORDER BY ts, event_id) AS first_v,
-         |   last(value ORDER BY ts, event_id) AS last_v,
-         |   sum(CASE WHEN prev_v > value THEN prev_v - value ELSE 0 END) AS reset_adj
-         |  FROM (SELECT *, lag(value) OVER (PARTITION BY name, user_id, bucket_s
-         |        ORDER BY ts, event_id) AS prev_v FROM ($S) AS s
-         |        WHERE name = 'purchase') AS p
-         |  GROUP BY name, user_id, bucket_s) AS g
+         | round(round(rate_r, 9) * 86400, 6) AS value
+         | FROM ${extrapSql(rateAggDay("WHERE name = 'purchase'"),
+            "name, user_id, bucket_s", 86400)} AS t
          | ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),
     "pql_label" ->
       s"""SELECT name, user_id, bucket_s, value,
@@ -1083,65 +1116,22 @@ object TsdbQueries {
          |  WHERE name = 'purchase' GROUP BY user_id, bucket_s) AS t
          | ORDER BY bucket_s, sort_rank""".stripMargin.replace("\n", " "),
     "pql_rate_sliding" ->
-      s"""WITH sl AS (SELECT *, lag(value) OVER w AS prev_v, lag(ts) OVER w AS prev_ts
-         |  FROM (SELECT * FROM ($S) AS s0 WHERE name = 'purchase') AS s
-         |  WINDOW w AS (PARTITION BY name, user_id ORDER BY ts, event_id)),
-         | j AS (SELECT sl.name, sl.user_id, sl.ts, sl.event_id, sl.value,
-         |   sl.prev_v, sl.prev_ts, g.bucket_s AS e
-         |  FROM sl JOIN ($GRID) AS g
-         |   ON floor(epoch(sl.ts)) >= g.bucket_s - 86400
-         |   AND floor(epoch(sl.ts)) < g.bucket_s)
-         | SELECT name, user_id, e AS bucket_s,
-         |  round((last_v - first_v + reset_adj) / 86400.0, 9) + 0.0 AS value
-         | FROM (
-         |  SELECT name, user_id, e,
-         |   first(value ORDER BY ts, event_id) AS first_v,
-         |   last(value ORDER BY ts, event_id) AS last_v,
-         |   sum(CASE WHEN floor(epoch(prev_ts)) >= e - 86400 AND prev_v > value
-         |       THEN prev_v - value ELSE 0 END) AS reset_adj
-         |  FROM j GROUP BY name, user_id, e) AS agg
+      s"""SELECT name, user_id, bucket_s, round(rate_r, 9) + 0.0 AS value
+         | FROM ${slidingRateRel("WHERE name = 'purchase'")} AS rv
          | ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),
     "pql_subquery" ->
-      s"""WITH sl AS (SELECT *, lag(value) OVER w AS prev_v, lag(ts) OVER w AS prev_ts
-         |  FROM (SELECT * FROM ($S) AS s0 WHERE name = 'purchase') AS s
-         |  WINDOW w AS (PARTITION BY name, user_id ORDER BY ts, event_id)),
-         | j AS (SELECT sl.name, sl.user_id, sl.ts, sl.event_id, sl.value,
-         |   sl.prev_v, sl.prev_ts, g.bucket_s AS e
-         |  FROM sl JOIN ($GRID) AS g
-         |   ON floor(epoch(sl.ts)) >= g.bucket_s - 86400
-         |   AND floor(epoch(sl.ts)) < g.bucket_s),
-         | rv AS (SELECT name, user_id, e AS bucket_s,
-         |  round((last_v - first_v + reset_adj) / 86400.0, 9) + 0.0 AS value
-         | FROM (
-         |  SELECT name, user_id, e,
-         |   first(value ORDER BY ts, event_id) AS first_v,
-         |   last(value ORDER BY ts, event_id) AS last_v,
-         |   sum(CASE WHEN floor(epoch(prev_ts)) >= e - 86400 AND prev_v > value
-         |       THEN prev_v - value ELSE 0 END) AS reset_adj
-         |  FROM j GROUP BY name, user_id, e) AS agg)
+      s"""WITH rv AS (SELECT name, user_id, bucket_s,
+         |  round(rate_r, 9) + 0.0 AS value
+         | FROM ${slidingRateRel("WHERE name = 'purchase'")} AS r)
          | SELECT name, user_id, bucket_s,
          |  max(value) OVER (PARTITION BY name, user_id ORDER BY bucket_s
          |   RANGE BETWEEN 259199 PRECEDING AND CURRENT ROW) AS value
          | FROM rv
          | ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),
     "pql_subquery_q" ->
-      s"""WITH sl AS (SELECT *, lag(value) OVER w AS prev_v, lag(ts) OVER w AS prev_ts
-         |  FROM (SELECT * FROM ($S) AS s0 WHERE name = 'purchase') AS s
-         |  WINDOW w AS (PARTITION BY name, user_id ORDER BY ts, event_id)),
-         | j AS (SELECT sl.name, sl.user_id, sl.ts, sl.event_id, sl.value,
-         |   sl.prev_v, sl.prev_ts, g.bucket_s AS e
-         |  FROM sl JOIN ($GRID) AS g
-         |   ON floor(epoch(sl.ts)) >= g.bucket_s - 86400
-         |   AND floor(epoch(sl.ts)) < g.bucket_s),
-         | rv AS (SELECT name, user_id, e AS bucket_s,
-         |  round((last_v - first_v + reset_adj) / 86400.0, 9) + 0.0 AS value
-         | FROM (
-         |  SELECT name, user_id, e,
-         |   first(value ORDER BY ts, event_id) AS first_v,
-         |   last(value ORDER BY ts, event_id) AS last_v,
-         |   sum(CASE WHEN floor(epoch(prev_ts)) >= e - 86400 AND prev_v > value
-         |       THEN prev_v - value ELSE 0 END) AS reset_adj
-         |  FROM j GROUP BY name, user_id, e) AS agg)
+      s"""WITH rv AS (SELECT name, user_id, bucket_s,
+         |  round(rate_r, 9) + 0.0 AS value
+         | FROM ${slidingRateRel("WHERE name = 'purchase'")} AS r)
          | SELECT name, user_id, bucket_s,
          |  round(quantile_cont(value, 0.9) OVER (PARTITION BY name, user_id
          |   ORDER BY bucket_s
@@ -1149,24 +1139,10 @@ object TsdbQueries {
          | FROM rv
          | ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),
     "pql_subquery_agg" ->
-      s"""WITH sl AS (SELECT *, lag(value) OVER w AS prev_v, lag(ts) OVER w AS prev_ts
-         |  FROM (SELECT * FROM ($S) AS s0
-         |   WHERE regexp_full_match(name, '(pur|cli).*')) AS s
-         |  WINDOW w AS (PARTITION BY name, user_id ORDER BY ts, event_id)),
-         | j AS (SELECT sl.name, sl.user_id, sl.ts, sl.event_id, sl.value,
-         |   sl.prev_v, sl.prev_ts, g.bucket_s AS e
-         |  FROM sl JOIN ($GRID) AS g
-         |   ON floor(epoch(sl.ts)) >= g.bucket_s - 86400
-         |   AND floor(epoch(sl.ts)) < g.bucket_s),
-         | rv AS (SELECT name, user_id, e AS bucket_s,
-         |  round((last_v - first_v + reset_adj) / 86400.0, 9) + 0.0 AS value
-         | FROM (
-         |  SELECT name, user_id, e,
-         |   first(value ORDER BY ts, event_id) AS first_v,
-         |   last(value ORDER BY ts, event_id) AS last_v,
-         |   sum(CASE WHEN floor(epoch(prev_ts)) >= e - 86400 AND prev_v > value
-         |       THEN prev_v - value ELSE 0 END) AS reset_adj
-         |  FROM j GROUP BY name, user_id, e) AS agg),
+      s"""WITH rv AS (SELECT name, user_id, bucket_s,
+         |  round(rate_r, 9) + 0.0 AS value
+         | FROM ${slidingRateRel(
+            "WHERE regexp_full_match(name, '(pur|cli).*')")} AS r),
          | sm AS (SELECT name, bucket_s, sum(value) AS value
          |  FROM rv GROUP BY name, bucket_s)
          | SELECT name, bucket_s,

@@ -1,6 +1,6 @@
 package graft.tsdb
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -13,14 +13,16 @@ import org.apache.spark.sql.functions._
   * tier computes the same functions over *tumbling* resolution
   * windows (src/aggregator/aggregation). We implement the tumbling
   * form — the semantics a batch engine over 100 TB of history
-  * actually runs — with exact, documented definitions below. Counter
-  * reset handling follows src/query/functions/temporal/rate.go:
-  * a decrease between consecutive samples is a reset, and the
-  * pre-reset value is added back when computing increase.
+  * actually runs — with exact, documented definitions below. The
+  * rate family replays src/query/functions/temporal/rate.go's
+  * standardRateFunc exactly: a decrease between consecutive samples
+  * is a reset contributing the whole previous value, and the
+  * observed delta extrapolates toward the window boundaries (see
+  * [[Temporal.extrapolatedRate]]).
   *
   * Definitions per (series, window):
-  *  - delta     = last − first                       (gauge change)
-  *  - increase  = delta + Σ max(prev − cur, 0)       (reset-adjusted)
+  *  - delta     = (last − first) extrapolated        (gauge change)
+  *  - increase  = (delta + Σ prev at resets) extrapolated, zero-clamped
   *  - rate      = increase / window_seconds
   *  - irate     = (last − prev_last) / (ts_last − ts_prev) over the
   *                final two samples; idelta = last − prev_last
@@ -97,7 +99,42 @@ object Temporal {
       .groupBy((labelCols :+ "bucket_s").map(col): _*)
       .agg(round(percentile(col("value"), lit(q)), 6).as("quantile_v"))
 
-  /** rate / increase / delta in one frame (temporal/rate.go). */
+  /** The Prometheus extrapolated rate family — exact replay of
+    * standardRateFunc (temporal/rate.go:150) from the per-window
+    * aggregates (first/last value, first/last sample micros, sample
+    * count, counter correction = Σ prev at each reset):
+    * the observed delta extrapolates toward the window boundaries
+    * when the first/last samples sit within 1.1 average sample
+    * spacings of them (half a spacing otherwise), the counter form
+    * additionally clamps the start extrapolation at the counter's
+    * projected zero point, and windows with fewer than two samples
+    * (or a zero sampled interval) yield null — rate.go's NaN.
+    * Returns (delta, increase, rate) columns. */
+  private def extrapolatedRate(rangeStart: Column, rangeEnd: Column,
+                               winSecs: Long): (Column, Column, Column) = {
+    val firstS = col("first_us").cast("double") / 1e6
+    val lastS = col("last_us").cast("double") / 1e6
+    // (last−first)/1e6, NOT last/1e6 − first/1e6: the oracle computes
+    // the difference first and the two orders differ in the last ulp
+    val si = (col("last_us") - col("first_us")).cast("double") / 1e6
+    val avgDur = si / (col("n_samples") - 1).cast("double")
+    val thr = avgDur * 1.1
+    val res = col("last_v") - col("first_v") + col("corr")
+    val d0 = firstS - rangeStart.cast("double")
+    val dEnd = rangeEnd.cast("double") - lastS
+    val dz = when(res > 0 && col("first_v") >= 0,
+      least(d0, si * col("first_v") / res)).otherwise(d0)
+    def ext(ds: Column) = si +
+      when(ds < thr, ds).otherwise(avgDur / 2) +
+      when(dEnd < thr, dEnd).otherwise(avgDur / 2)
+    val ok = col("n_samples") >= 2 && si > 0
+    (when(ok, (col("last_v") - col("first_v")) * ext(d0) / si),
+     when(ok, res * ext(dz) / si),
+     when(ok, res * ext(dz) / si / winSecs))
+  }
+
+  /** rate / increase / delta in one frame (temporal/rate.go) —
+    * Prometheus extrapolation semantics, see [[extrapolatedRate]]. */
   def rateFrame(samples: DataFrame, unit: String = "day",
                 labelCols: Seq[String] = labels): DataFrame = {
     val winSecs = secondsOf(unit)
@@ -105,21 +142,26 @@ object Temporal {
     val w = Window.partitionBy((labelCols :+ "bucket_s").map(col): _*)
       .orderBy(col("ts"), col("event_id"))
     val withPrev = bucketed.withColumn("prev_v", lag("value", 1).over(w))
-    withPrev
+    val agg = withPrev
       .groupBy((labelCols :+ "bucket_s").map(col): _*)
       .agg(
         // atomic packed ordering key keeps this hash-aggregable
         // (see Vectors.lastKey)
         min_by(col("value"), Vectors.lastKey).as("first_v"),
         max_by(col("value"), Vectors.lastKey).as("last_v"),
-        sum(when(col("prev_v") > col("value"), col("prev_v") - col("value"))
-          .otherwise(lit(0.0))).as("reset_adj"))
-      .select(
-        (labelCols :+ "bucket_s").map(col) ++ Seq(
-          round(col("last_v") - col("first_v"), 6).as("delta_v"),
-          round(col("last_v") - col("first_v") + col("reset_adj"), 6).as("increase_v"),
-          round((col("last_v") - col("first_v") + col("reset_adj")) / lit(winSecs.toDouble), 9)
-            .as("rate_v")): _*)
+        min(unix_micros(col("ts"))).as("first_us"),
+        max(unix_micros(col("ts"))).as("last_us"),
+        count(lit(1)).as("n_samples"),
+        // rate.go:183 — a reset contributes the whole previous value
+        sum(when(col("prev_v") > col("value"), col("prev_v"))
+          .otherwise(lit(0.0))).as("corr"))
+    val (d, i, r) =
+      extrapolatedRate(col("bucket_s"), col("bucket_s") + winSecs, winSecs)
+    agg.select(
+      (labelCols :+ "bucket_s").map(col) ++ Seq(
+        round(d, 6).as("delta_v"),
+        round(i, 6).as("increase_v"),
+        round(r, 9).as("rate_v")): _*)
   }
 
   /** irate / idelta (temporal/rate.go:36,40): instantaneous rate from
@@ -273,20 +315,25 @@ object Temporal {
         (unix_micros(col("ts")) - unix_micros(col("w.start"))) * lit(1L << 26) +
           pmod(col("event_id"), lit(1L << 26)))
       .withColumn("reset_in_w",
+        // rate.go:183 — a reset contributes the whole previous value
         when(col("prev_ts") >= col("w.start") && col("prev_v") > col("value"),
-          col("prev_v") - col("value")).otherwise(lit(0.0)))
-    expanded
+          col("prev_v")).otherwise(lit(0.0)))
+    val agg = expanded
       .groupBy((labelCols :+ "bucket_s").map(col): _*)
       .agg(
         min_by(col("value"), col("ord_key")).as("first_v"),
         max_by(col("value"), col("ord_key")).as("last_v"),
-        sum(col("reset_in_w")).as("reset_adj"))
-      .select(
-        (labelCols :+ "bucket_s").map(col) ++ Seq(
-          round(col("last_v") - col("first_v"), 6).as("delta_v"),
-          round(col("last_v") - col("first_v") + col("reset_adj"), 6).as("increase_v"),
-          round((col("last_v") - col("first_v") + col("reset_adj")) /
-            lit(lookbackS.toDouble), 9).as("rate_v")): _*)
+        min(unix_micros(col("ts"))).as("first_us"),
+        max(unix_micros(col("ts"))).as("last_us"),
+        count(lit(1)).as("n_samples"),
+        sum(col("reset_in_w")).as("corr"))
+    val (d, i, r) = extrapolatedRate(
+      col("bucket_s") - lookbackS, col("bucket_s"), lookbackS)
+    agg.select(
+      (labelCols :+ "bucket_s").map(col) ++ Seq(
+        round(d, 6).as("delta_v"),
+        round(i, 6).as("increase_v"),
+        round(r, 9).as("rate_v")): _*)
   }
 
   /** timestamp() (unconsolidated/timestamp.go:38): value := sample

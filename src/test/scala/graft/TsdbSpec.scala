@@ -80,11 +80,27 @@ class TsdbSpec extends SparkSpec {
     ).toDF("name", "user_id", "ts", "value", "event_id")
   }
 
-  test("rate family: delta/increase with counter reset") {
+  test("rate family: extrapolated delta/increase with counter reset") {
+    // rate.go:150 hand-check — samples at 0/6/12/18h in a 24h window:
+    // si=64800 s, avg spacing 21600, threshold 23760; d0=0 and
+    // dEnd=21600 both under it → extrapolate to the full window,
+    // factor 86400/64800 = 4/3. Reset 25→5 contributes prev=25:
+    // res = 9−10+25 = 24; zero-point clamp inactive (d0=0).
     val r = Temporal.rateFrame(counterSamples).collect()(0)
-    assert(r.getAs[Double]("delta_v") == -1.0)         // 9 − 10
-    assert(r.getAs[Double]("increase_v") == 19.0)      // −1 + reset adj 20
-    assert(math.abs(r.getAs[Double]("rate_v") - 19.0 / 86400) < 1e-9)
+    assert(r.getAs[Double]("delta_v") == -1.333333)    // (9−10)·4/3, round 6
+    assert(r.getAs[Double]("increase_v") == 32.0)      // 24·4/3
+    assert(math.abs(r.getAs[Double]("rate_v") - 32.0 / 86400) < 1e-9)
+  }
+
+  test("rate family: single-sample windows yield null (rate.go NaN)") {
+    val s = spark
+    import s.implicits._
+    val one = Seq(("c", 1L, ts("2024-01-01 03:00:00"), 7.0, 0L))
+      .toDF("name", "user_id", "ts", "value", "event_id")
+    val r = Temporal.rateFrame(one).collect()(0)
+    assert(r.isNullAt(r.fieldIndex("rate_v")) &&
+      r.isNullAt(r.fieldIndex("delta_v")) &&
+      r.isNullAt(r.fieldIndex("increase_v")))
   }
 
   test("irate: last two samples only") {
