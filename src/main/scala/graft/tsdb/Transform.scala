@@ -72,12 +72,17 @@ object Transform {
     frame
       .withColumn("cum_prev", coalesce(lag("value", 1).over(w), lit(0.0)))
       .withColumn("lo", coalesce(lag("le", 1).over(w), lit(0.0)))
+      .withColumn("_first", lag("le", 1).over(w).isNull)
       .withColumn("total", max("value").over(wAll))
       .withColumn("q_rank", lit(q) * col("total"))
       .where(col("value") >= col("q_rank") && col("cum_prev") < col("q_rank"))
       .select(keys :+
         round(
           when(col("le") === Double.PositiveInfinity, col("lo"))
+            // histogram_quantile.go:239 — a first bucket with a
+            // non-positive bound returns the bound itself (no
+            // interpolation from an assumed 0 start)
+            .when(col("_first") && col("le") <= 0, col("le"))
             .otherwise(col("lo") + (col("le") - col("lo")) *
               (col("q_rank") - col("cum_prev")) / (col("value") - col("cum_prev"))),
           6).as("hq_v"): _*)

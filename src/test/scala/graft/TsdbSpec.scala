@@ -180,6 +180,23 @@ class TsdbSpec extends SparkSpec {
     assert(r.getAs[Double]("hq_v") == 50.0) // rank 5 = all of bucket 1
   }
 
+  test("histogram_quantile: non-positive first bucket returns its bound") {
+    val s = spark
+    import s.implicits._
+    // histogram_quantile.go:239 — a first bucket with le <= 0 can't
+    // interpolate from an assumed 0 start; the bound itself returns
+    val le = Seq(
+      ("h", 0L, -1.0, 4.0),
+      ("h", 0L, 2.0, 8.0),
+      ("h", 0L, Double.PositiveInfinity, 10.0))
+      .toDF("name", "bucket_s", "le", "value")
+    val q2 = Transform.histogramQuantileLe(le, 0.2, Seq("name")).collect()(0)
+    assert(q2.getAs[Double]("hq_v") == -1.0) // rank 2 lands in (-inf,-1]
+    // and a rank past the first bucket still interpolates normally
+    val q7 = Transform.histogramQuantileLe(le, 0.7, Seq("name")).collect()(0)
+    assert(q7.getAs[Double]("hq_v") == -1.0 + 3.0 * (7.0 - 4.0) / 4.0)
+  }
+
   test("restrict-by-tag overrides same-label matchers and strips tags") {
     import Fetch.{Matcher, Eq, Re, RestrictByTag}
     val caller = Seq(Matcher("name", Eq, "purchase"), Matcher("user_id", Eq, "7"))
