@@ -104,34 +104,46 @@ object Graphite {
   def timeShift(df: DataFrame, shiftS: Long): DataFrame =
     df.withColumn("bucket_s", col("bucket_s") + lit(shiftS))
 
-  /** movingAverage(series, window) (builtin_functions.go:2572) over
-    * the last `points` buckets of each series; movingMedian /
-    * movingMax / movingMin are the same frame with a different
-    * aggregate (builtin_functions.go movingMedian etc.). */
-  def movingAverage(df: DataFrame, points: Int): DataFrame =
-    df.withColumn("value",
-      avg("value").over(byPath.rowsBetween(-(points - 1), 0)))
+  /** movingAverage(series, window, xff) (builtin_functions.go:2572)
+    * over the last `points` buckets of each series; movingMedian /
+    * movingMax / movingMin / movingSum are the same frame with a
+    * different aggregate (builtin_functions.go movingMedian etc.).
+    *
+    * The moving family's xFilesFactor gate (builtin_functions.go:897
+    * effectiveXFF): a window's output is null unless its non-null
+    * fraction of the nominal window size reaches the factor; the
+    * registered default 0 keeps every window. */
+  private def movingXff(points: Int, xff: Double, out: Column): Column =
+    if (xff <= 0.0) out
+    else {
+      val nn = count(col("value")).over(byPath.rowsBetween(-(points - 1), 0))
+      when(nn.cast("double") / points >= xff, out)
+    }
+
+  def movingAverage(df: DataFrame, points: Int, xff: Double = 0.0): DataFrame =
+    df.withColumn("value", movingXff(points, xff,
+      avg("value").over(byPath.rowsBetween(-(points - 1), 0))))
 
   /** movingMedian (builtin_functions.go:2358 movingMedianHelper):
     * the reference takes sorted-window[k/2] — the UPPER median for
     * even non-null counts, not the midpoint average its own
     * medianSeries uses. collect_list skips nulls, so k is the
     * non-null count; the array is bounded by the window size. */
-  def movingMedian(df: DataFrame, points: Int): DataFrame =
+  def movingMedian(df: DataFrame, points: Int, xff: Double = 0.0): DataFrame =
     df.withColumn("value", {
       val arr = sort_array(collect_list(col("value"))
         .over(byPath.rowsBetween(-(points - 1), 0)))
-      when(size(arr) > 0,
-        element_at(arr, (size(arr) / 2).cast("int") + 1))
+      movingXff(points, xff, when(size(arr) > 0,
+        element_at(arr, (size(arr) / 2).cast("int") + 1)))
     })
 
-  def movingMax(df: DataFrame, points: Int): DataFrame =
-    df.withColumn("value",
-      max("value").over(byPath.rowsBetween(-(points - 1), 0)))
+  def movingMax(df: DataFrame, points: Int, xff: Double = 0.0): DataFrame =
+    df.withColumn("value", movingXff(points, xff,
+      max("value").over(byPath.rowsBetween(-(points - 1), 0))))
 
-  def movingMin(df: DataFrame, points: Int): DataFrame =
-    df.withColumn("value",
-      min("value").over(byPath.rowsBetween(-(points - 1), 0)))
+  def movingMin(df: DataFrame, points: Int, xff: Double = 0.0): DataFrame =
+    df.withColumn("value", movingXff(points, xff,
+      min("value").over(byPath.rowsBetween(-(points - 1), 0))))
 
   /** countSeries: number of series present at each instant. */
   def countSeries(df: DataFrame): DataFrame =
@@ -679,19 +691,20 @@ object Graphite {
   }
 
   /** movingSum(series, points) (builtin_functions.go:2561). */
-  def movingSum(df: DataFrame, points: Int): DataFrame =
-    df.withColumn("value",
-      sum("value").over(byPath.rowsBetween(-(points - 1), 0)))
+  def movingSum(df: DataFrame, points: Int, xff: Double = 0.0): DataFrame =
+    df.withColumn("value", movingXff(points, xff,
+      sum("value").over(byPath.rowsBetween(-(points - 1), 0))))
 
   /** movingWindow(series, points, fn) (builtin_functions.go
     * movingWindow): dispatch to the moving* family. */
-  def movingWindow(df: DataFrame, points: Int, how: String): DataFrame =
+  def movingWindow(df: DataFrame, points: Int, how: String,
+                   xff: Double = 0.0): DataFrame =
     how match {
-      case "avg" | "average" => movingAverage(df, points)
-      case "sum"             => movingSum(df, points)
-      case "max"             => movingMax(df, points)
-      case "min"             => movingMin(df, points)
-      case "median"          => movingMedian(df, points)
+      case "avg" | "average" => movingAverage(df, points, xff)
+      case "sum"             => movingSum(df, points, xff)
+      case "max"             => movingMax(df, points, xff)
+      case "min"             => movingMin(df, points, xff)
+      case "median"          => movingMedian(df, points, xff)
       case h => throw new IllegalArgumentException(s"unknown moving fn $h")
     }
 

@@ -272,10 +272,18 @@ object GraphiteParser {
       fn match {
         case "summarize" =>
           Graphite.summarize(in, durSeconds(str(fn, args, 1)), str(fn, args, 2))
-        case "movingAverage" => Graphite.movingAverage(in, windowPoints(fn, args, 1))
-        case "movingMedian" => Graphite.movingMedian(in, windowPoints(fn, args, 1))
-        case "movingMax" => Graphite.movingMax(in, windowPoints(fn, args, 1))
-        case "movingMin" => Graphite.movingMin(in, windowPoints(fn, args, 1))
+        case "movingAverage" =>
+          Graphite.movingAverage(in, windowPoints(fn, args, 1),
+            optNum(args, 2, 0.0))
+        case "movingMedian" =>
+          Graphite.movingMedian(in, windowPoints(fn, args, 1),
+            optNum(args, 2, 0.0))
+        case "movingMax" =>
+          Graphite.movingMax(in, windowPoints(fn, args, 1),
+            optNum(args, 2, 0.0))
+        case "movingMin" =>
+          Graphite.movingMin(in, windowPoints(fn, args, 1),
+            optNum(args, 2, 0.0))
         case "countSeries" => Graphite.countSeries(in)
         case "currentAbove" => Graphite.currentAbove(in, num(fn, args, 1))
         case "currentBelow" => Graphite.currentBelow(in, num(fn, args, 1))
@@ -350,10 +358,12 @@ object GraphiteParser {
         case "changed" => Graphite.changed(in)
         case "stdev" =>
           Graphite.stdev(in, num(fn, args, 1).toInt, optNum(args, 2, 0.1))
-        case "movingSum" => Graphite.movingSum(in, windowPoints(fn, args, 1))
+        case "movingSum" =>
+          Graphite.movingSum(in, windowPoints(fn, args, 1),
+            optNum(args, 2, 0.0))
         case "movingWindow" =>
           Graphite.movingWindow(in, windowPoints(fn, args, 1),
-            optStr(args, 2, "avg"))
+            optStr(args, 2, "avg"), optNum(args, 3, 0.0))
         case "exponentialMovingAverage" =>
           Graphite.exponentialMovingAverage(in, num(fn, args, 1).toInt)
         case "delay" => Graphite.delay(in, num(fn, args, 1).toInt)

@@ -158,6 +158,11 @@ class GraphiteSpec extends SparkSpec {
     val byDur = eval(parse("""movingMin(events.a.user1, "2h")"""), frame)
       .select("bucket_s", "value").collect().map(r => r.getLong(0) -> r.get(1)).toMap
     assert(byNum == byDur && byNum.nonEmpty)
+    // xFilesFactor: the head window holds 1 of 2 nominal points
+    // (0.5 < 0.9) → null; full windows pass the gate
+    val xff = eval(parse("movingMin(events.a.user1, 2, 0.9)"), frame)
+      .select("bucket_s", "value").collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(xff == Map(0L -> None, 3600L -> Some(10.0), 7200L -> Some(12.0)))
   }
 
   test("counter wrap, interpolate limit, natural/reverse name sort") {
