@@ -239,21 +239,37 @@ object Graphite {
         .drop("_grp", "_run", "_head")
     }
 
-  /** summarize(series, interval, func) (builtin_functions.go
-    * summarize): re-bucket to a coarser tumbling interval with the
-    * given consolidation. */
+  /** Within-series re-bucketing aggregate — the full
+    * SafeAggregationFns set (common/aggregation.go:70) over one
+    * series' interval. Unlike [[combineAgg]] (the cross-series
+    * combine), `last` here is the latest NON-NULL sample in time
+    * (SafeLast) and `diff` is the first non-null minus the sum of
+    * the rest (SafeDiff = 2·first − total). */
+  private def summarizeAgg(how: String): Column = {
+    val nnKey = when(col("value").isNotNull, col("bucket_s"))
+    how match {
+      case "sum" | "total"    => sum("value")
+      case "avg" | "average"  => avg("value")
+      case "min"              => min("value")
+      case "max"              => max("value")
+      case "median"           => percentile(col("value"), lit(0.5))
+      case "multiply"         => product(col("value"))
+      case "range"            => max("value") - min("value")
+      case "stddev" | "stdev" => stddev_pop(col("value"))
+      case "count"            => count(col("value")).cast("double")
+      case "last" | "current" => max_by(col("value"), nnKey)
+      case "diff"             => min_by(col("value"), nnKey) * 2 - sum("value")
+      case h => throw new IllegalArgumentException(s"unknown summarize fn $h")
+    }
+  }
+
+  /** summarize(series, interval, func) (summarize.go:35): re-bucket
+    * to a coarser tumbling interval (epoch-aligned — the reference's
+    * alignToFrom=false default) with the given consolidation. */
   def summarize(df: DataFrame, intervalS: Long, how: String): DataFrame = {
     val bucket = (floor(col("bucket_s") / intervalS) * intervalS)
       .cast("long").as("bucket_s")
-    val agg: Column = how match {
-      case "sum" => sum("value")
-      case "avg" => avg("value")
-      case "min" => min("value")
-      case "max" => max("value")
-      case "last" => max_by(col("value"), col("bucket_s"))
-      case h => throw new IllegalArgumentException(s"unknown summarize fn $h")
-    }
-    df.groupBy(col("path"), bucket).agg(agg.as("value"))
+    df.groupBy(col("path"), bucket).agg(summarizeAgg(how).as("value"))
   }
 
   /** divideSeries(dividends, divisor) (builtin_functions.go
@@ -907,7 +923,9 @@ object Graphite {
 
   /** smartSummarize(series, interval, func) (summarize.go:148):
     * summarize aligned to the frame's start instant instead of epoch
-    * multiples. */
+    * multiples. Same within-series aggregate set as [[summarize]]
+    * (the previous combineAgg reuse made `last` pick by path — a
+    * constant within one series' group — instead of by time). */
   def smartSummarize(df: DataFrame, intervalS: Long, how: String): DataFrame = {
     val start = df.agg(min("bucket_s").as("_start"))
     val aligned = df.crossJoin(broadcast(start))
@@ -916,7 +934,7 @@ object Graphite {
           floor((col("bucket_s") - col("_start")) / intervalS) * intervalS)
           .cast("long"))
     aligned.groupBy(col("path"), col("_b").as("bucket_s"))
-      .agg(combineAgg(how).as("value"))
+      .agg(summarizeAgg(how).as("value"))
   }
 
   // ------------- cross-list functions -------------

@@ -221,6 +221,27 @@ class GraphiteSpec extends SparkSpec {
       defTot.values.forall(s => math.abs(s - 100.0) < 1e-9))
   }
 
+  test("summarize supports the full SafeAggregationFns set, time-ordered") {
+    import graft.graphite.GraphiteParser._
+    def one(q: String): Map[Long, Double] = eval(parse(q), frame)
+      .where(col("path").contains("a.user1") ||
+        col("path").startsWith("summarize"))
+      .select("bucket_s", "value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // a.user1 = (0→10, 3600→15, 7200→12); one 1d bucket
+    assert(one("""summarize(events.a.user1, "1d", "last")""") == Map(0L -> 12.0))
+    assert(one("""summarize(events.a.user1, "1d", "median")""") == Map(0L -> 12.0))
+    // SafeDiff = first − Σrest = 10 − 15 − 12
+    assert(one("""summarize(events.a.user1, "1d", "diff")""") == Map(0L -> -17.0))
+    assert(one("""summarize(events.a.user1, "1d", "range")""") == Map(0L -> 5.0))
+    assert(one("""summarize(events.a.user1, "1d", "count")""") == Map(0L -> 3.0))
+    assert(one("""summarize(events.a.user1, "1d", "multiply")""") ==
+      Map(0L -> 1800.0))
+    // smartSummarize last is time-ordered too (start-aligned buckets)
+    assert(one("""smartSummarize(events.a.user1, "2h", "last")""") ==
+      Map(0L -> 15.0, 7200L -> 12.0))
+  }
+
   test("randomWalk generates the grid; aliasByTags aliases aliasByNode") {
     import graft.graphite.GraphiteParser._
     // one draw per step across the frame's bucket span, all in [-0.5, 0.5)
