@@ -116,6 +116,20 @@ object GraphiteQueries {
         """integralByInterval(events.purchase.*, "1d")""")
         .select(col("path"), col("bucket_s"), round(col("value"), 6).as("value"))
         .orderBy("path", "bucket_s")),
+    // time-ordered last within epoch-aligned day buckets (SafeLast)
+    "gq_sum_last" -> ((s, dir) =>
+      graphite.GraphiteParser.query(
+        Vectors.samples(Tables.events(s, dir)),
+        """summarize(events.purchase.*, "1d", "last")""")
+        .select(col("path"), col("bucket_s"), round(col("value"), 6).as("value"))
+        .orderBy("path", "bucket_s")),
+    // xFilesFactor gate: windows under 3/4 non-null density null out
+    "gq_moving_xff" -> ((s, dir) =>
+      graphite.GraphiteParser.query(
+        Vectors.samples(Tables.events(s, dir)),
+        "movingAverage(events.purchase.*, 4, 0.75)")
+        .select(col("path"), col("bucket_s"), round(col("value"), 6).as("value"))
+        .orderBy("path", "bucket_s")),
     // ---- round-3 builtin additions ----
     "gr_diff" -> ((s, dir) =>
       Graphite.diffSeries(
@@ -256,6 +270,22 @@ object GraphiteQueries {
          | FROM ($PF) AS p JOIN ranked AS r ON p.path = r.path
          | WHERE r.sort_rank <= 5
          | ORDER BY r.sort_rank, p.bucket_s""".stripMargin.replace("\n", " "),
+    "gq_sum_last" ->
+      s"""SELECT path, CAST(floor(bucket_s / 86400) * 86400 AS BIGINT) AS bucket_s,
+         | round(arg_max(value, bucket_s), 6) AS value
+         | FROM ($PF) AS p
+         | WHERE regexp_matches(path, '^events\\.purchase\\.[^.]*$$')
+         | GROUP BY path, CAST(floor(bucket_s / 86400) * 86400 AS BIGINT)
+         | ORDER BY path, bucket_s""".stripMargin.replace("\n", " "),
+    "gq_moving_xff" ->
+      s"""SELECT path, bucket_s,
+         | CASE WHEN CAST(count(value) OVER w AS DOUBLE) / 4 >= 0.75
+         |  THEN round(avg(value) OVER w, 6) END AS value
+         | FROM ($PF) AS p
+         | WHERE regexp_matches(path, '^events\\.purchase\\.[^.]*$$')
+         | WINDOW w AS (PARTITION BY path ORDER BY bucket_s
+         |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+         | ORDER BY path, bucket_s""".stripMargin.replace("\n", " "),
     // graphite's GetPercentile: rank = ceil(p/100·(n+1)) clamped to
     // [1, n] over the sorted values — NOT the interpolated quantile
     "gr_npercentile" ->
