@@ -221,23 +221,31 @@ object Graphite {
     * row (running non-null count), so the run-length window
     * partitions per gap — bounded by one gap's length, never the
     * series. */
+  /** Groups each null gap with its preceding non-null row (_grp =
+    * running non-null count), attaching the gap's run length (_run)
+    * and the group's one non-null value (_head) — the shared stage
+    * of keepLastValue's and interpolate's limit forms. The per-gap
+    * window is bounded by one gap's length, never the series. */
+  private def withGapRuns(df: DataFrame): DataFrame = {
+    val wGap = Window.partitionBy("path", "_grp")
+    df.withColumn("_grp",
+        count(col("value")).over(byPath.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("_run", sum(col("value").isNull.cast("long")).over(wGap))
+      .withColumn("_head", max(col("value")).over(wGap))
+  }
+
   def keepLastValue(df: DataFrame, limit: Int = -1): DataFrame =
     if (limit < 0)
       df.withColumn("value",
         coalesce(col("value"),
           last("value", ignoreNulls = true)
             .over(byPath.rowsBetween(Window.unboundedPreceding, -1))))
-    else {
-      val wGap = Window.partitionBy("path", "_grp")
-      df.withColumn("_grp",
-          count(col("value")).over(byPath.rowsBetween(Window.unboundedPreceding, 0)))
-        .withColumn("_run", sum(col("value").isNull.cast("long")).over(wGap))
-        .withColumn("_head", max(col("value")).over(wGap))
+    else
+      withGapRuns(df)
         .withColumn("value",
           when(col("value").isNotNull, col("value"))
             .when(col("_run") <= limit, col("_head")))
         .drop("_grp", "_run", "_head")
-    }
 
   /** Within-series re-bucketing aggregate — the full
     * SafeAggregationFns set (common/aggregation.go:70) over one
@@ -288,6 +296,13 @@ object Graphite {
   def asPercent(series: DataFrame, total: DataFrame): DataFrame =
     divideSeries(series, total).withColumn("value", col("value") * 100.0)
 
+  /** asPercent with a constant total (builtin_functions.go:1186
+    * float64 case): plain scale, zero divisor → null like
+    * [[divideSeries]]. */
+  def asPercent(series: DataFrame, total: Double): DataFrame =
+    series.withColumn("value",
+      when(lit(total) =!= 0.0, col("value") / lit(total) * 100.0))
+
   // ------------- two-phase series ranking (scale path) -------------
 
   /** Global rank of a per-series reduced frame (path, _red) without a
@@ -337,14 +352,19 @@ object Graphite {
     * (one 1-row min/max aggregate, broadcast; the common prefix of
     * the whole set equals the common prefix of its min and max).
     * Returns (path, sort_rank). */
-  /** Digit runs left-padded to fixed width so lexicographic order on
-    * the key IS natural order (`t2` before `t10`); runs beyond 12
-    * digits fall back to lexicographic. Equal-key paths (`a1`/`a01`)
-    * tie-break on the raw path for determinism. */
+  /** The reference's natural-sort key (ts/series.go:120
+    * digitsPrefixed = %010d after Atoi): digit runs are
+    * leading-zero-normalized then left-padded to AT LEAST 10 — never
+    * truncated, so longer numbers still order after shorter ones.
+    * Equal-key paths (`a1`/`a01`) tie-break on the raw path for
+    * determinism (the reference's sort.Stable). */
   private def naturalKey(p: Column): Column =
     array_join(transform(
       split(p, "(?<=\\D)(?=\\d)|(?<=\\d)(?=\\D)"),
-      t => when(t.rlike("^\\d+$"), lpad(t, 12, "0")).otherwise(t)), "")
+      t => when(t.rlike("^\\d+$"), {
+        val n = regexp_replace(t, "^0+(?=\\d)", "")
+        when(length(n) < 10, lpad(n, 10, "0")).otherwise(n)
+      }).otherwise(t)), "")
 
   private[graphite] def rankPaths(paths: DataFrame, natural: Boolean = false,
                                   desc: Boolean = false): DataFrame = {
@@ -753,15 +773,11 @@ object Graphite {
           (col("bucket_s") - prevB).cast("double") /
           (nextB - prevB).cast("double"))
     if (limit < 0) df.withColumn("value", fill)
-    else {
-      val wGap = Window.partitionBy("path", "_grp")
-      df.withColumn("_grp",
-          count(col("value")).over(byPath.rowsBetween(Window.unboundedPreceding, 0)))
-        .withColumn("_run", sum(col("value").isNull.cast("long")).over(wGap))
+    else
+      withGapRuns(df)
         .withColumn("value",
           when(col("value").isNotNull || col("_run") <= limit, fill))
-        .drop("_grp", "_run")
-    }
+        .drop("_grp", "_run", "_head")
   }
 
   /** isNonNull(series) (builtin_functions.go:566). */

@@ -86,16 +86,25 @@ object GraphiteParser {
       (T(node), rest)
   }
 
-  private def durSeconds(d: String): Long = {
-    val n = d.dropRight(1).toLong
-    d.last match {
-      case 's' => n
-      case 'm' => n * 60
-      case 'h' => n * 3600
-      case 'd' => n * 86400
-      case 'w' => n * 604800
-      case u => throw new ParseException(s"bad duration unit $u")
-    }
+  /** Duration strings per the reference's ParseInterval grammar
+    * (common/basic_functions.go:294): number + unit prefix with any
+    * trailing letters tolerated, so "10min", "1hour", "30sec",
+    * "2mon" all parse. Bare "m" (= minutes) is additionally accepted
+    * for the single-char shorthand existing targets use. */
+  private val durRe = "([0-9]+)(s|min|mon|m|h|d|w|y)([a-z]*)".r
+  private def durSeconds(d: String): Long = d.trim.toLowerCase match {
+    case durRe(n, unit, _) =>
+      val mult = unit match {
+        case "s"         => 1L
+        case "m" | "min" => 60L
+        case "h"         => 3600L
+        case "d"         => 86400L
+        case "w"         => 604800L
+        case "mon"       => 2592000L
+        case "y"         => 31536000L
+      }
+      n.toLong * mult
+    case other => throw new ParseException(s"bad duration $other")
   }
 
   /** Dot-glob → anchored regex (`*` any run, `?` one char — both
@@ -188,9 +197,7 @@ object GraphiteParser {
       val in = one("asPercent", args, base, samples)
       args.lift(1) match {
         case Some(T(n)) => Graphite.asPercent(in, eval(n, base, samples))
-        case Some(N(d)) =>
-          in.withColumn("value",
-            when(lit(d) =!= 0.0, col("value") / lit(d) * 100.0))
+        case Some(N(d)) => Graphite.asPercent(in, d)
         case None => Graphite.asPercent(in, Graphite.combineSeries(in, "sum"))
         case Some(other) =>
           throw new ParseException(s"asPercent total must be a series or number, got $other")

@@ -200,6 +200,23 @@ class GraphiteSpec extends SparkSpec {
       Map("n.t1" -> 1L, "n.t2" -> 2L, "n.t10" -> 3L))
     assert(ranks("sortByName(n.*, true, true)") ==
       Map("n.t10" -> 1L, "n.t2" -> 2L, "n.t1" -> 3L))
+    // digit runs past the pad width are never truncated, matching
+    // the reference's %010d key exactly: short runs order by
+    // magnitude (0005 first), while runs longer than 10 digits
+    // compare lexicographically against each other — the reference's
+    // own behavior, replayed bug-for-bug ('12345…' < '98765…')
+    val big = Seq(("m.1234567890123", 0L, 1.0), ("m.987654321098", 0L, 1.0),
+      ("m.0005", 0L, 1.0)).toDF("path", "bucket_s", "value")
+    val br = graft.graphite.Graphite.sortByName(big, natural = true)
+      .select("path", "sort_rank").distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(br == Map("m.0005" -> 1L, "m.1234567890123" -> 2L,
+      "m.987654321098" -> 3L))
+    // duration strings accept the reference's worded units
+    assert(eval(parse("""movingMin(events.a.user1, "120min")"""), frame).count() ==
+      eval(parse("""movingMin(events.a.user1, "2h")"""), frame).count())
+    intercept[ParseException](
+      eval(parse("""movingMin(events.a.user1, "2fortnights")"""), frame))
   }
 
   test("asPercent accepts a constant total or none (sum of inputs)") {
