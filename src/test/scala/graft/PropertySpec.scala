@@ -241,6 +241,56 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: extrapolated rate matches a local replay of rate.go") {
+    val s = spark
+    import s.implicits._
+    // random windows: 1-8 samples at distinct offsets in one UTC day,
+    // values crossing zero so every branch (reset correction,
+    // zero-point clamp, <2-sample null) is exercised
+    val dayStartMs = 1704067200000L // 2024-01-01 00:00 UTC
+    val sampleGen = for {
+      n <- Gen.chooseNum(1, 8)
+      offs <- Gen.pick(n, 0 until 86400 by 97)
+      vals <- Gen.listOfN(n, Gen.chooseNum(-100, 1000).map(_ / 7.0))
+    } yield offs.toSeq.sorted.zip(vals)
+    // plain-Scala replay of temporal/rate.go:150 standardRateFunc
+    def local(pts: Seq[(Int, Double)]): (Option[Double], Option[Double]) = {
+      if (pts.size < 2) return (None, None)
+      val si = (pts.last._1 - pts.head._1).toDouble
+      if (si <= 0) return (None, None)
+      val avg = si / (pts.size - 1)
+      val thr = 1.1 * avg
+      val corr = pts.sliding(2).collect {
+        case Seq(a, b) if b._2 < a._2 => a._2
+      }.sum
+      val res = pts.last._2 - pts.head._2 + corr
+      val d0 = pts.head._1.toDouble
+      val dEnd = 86400.0 - pts.last._1
+      val dz = if (res > 0 && pts.head._2 >= 0)
+        math.min(d0, si * pts.head._2 / res) else d0
+      def ext(ds: Double) = si +
+        (if (ds < thr) ds else avg / 2) + (if (dEnd < thr) dEnd else avg / 2)
+      (Some((pts.last._2 - pts.head._2) * ext(d0) / si),
+       Some(res * ext(dz) / si))
+    }
+    check(Prop.forAll(sampleGen) { pts =>
+      val df = pts.zipWithIndex.map { case ((o, v), i) =>
+        ("c", 1L, new java.sql.Timestamp(dayStartMs + o * 1000L), v, i.toLong)
+      }.toDF("name", "user_id", "ts", "value", "event_id")
+      val r = graft.tsdb.Temporal.rateFrame(df).collect()(0)
+      def got(c: String): Option[Double] =
+        if (r.isNullAt(r.fieldIndex(c))) None else Some(r.getAs[Double](c))
+      val (d, i) = local(pts)
+      def close(a: Option[Double], b: Option[Double], tol: Double) = (a, b) match {
+        case (None, None) => true
+        case (Some(x), Some(y)) => math.abs(x - y) < tol
+        case _ => false
+      }
+      close(got("delta_v"), d, 1.1e-6) && close(got("increase_v"), i, 1.1e-6) &&
+        close(got("rate_v"), i.map(_ / 86400), 1.5e-9)
+    })
+  }
+
   test("property: influx parse never errors and flags rather than drops") {
     val s = spark
     import s.implicits._
