@@ -161,6 +161,13 @@ object PipelineQueries {
         .withColumn("doc_b", col("doc_a") + 1)
       Dedup.jaccardPairs(docs, pairs).orderBy("doc_a", "doc_b")
     }),
+    "dedup_containment" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = docs.select(col("doc_id").as("doc_a"))
+        .where(col("doc_a") < 100)
+        .withColumn("doc_b", col("doc_a") + 1)
+      Dedup.containmentPairs(docs, pairs).orderBy("doc_a", "doc_b")
+    }),
     "dedup_embed_cos" -> ((s, dir) =>
       Similarity.cosineNearDup(Tables.embeddings(s, dir), 0.40)
         .orderBy("id_a", "id_b")),
@@ -457,6 +464,24 @@ object PipelineQueries {
          | SELECT p.doc_a, p.doc_b,
          |  round(coalesce(i.inter_sz, 0)::DOUBLE /
          |    (sa.sz + sb.sz - coalesce(i.inter_sz, 0))::DOUBLE, 6) AS jaccard_v
+         | FROM pairs AS p
+         | LEFT JOIN inter AS i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+         | JOIN sz AS sa ON sa.doc_id = p.doc_a
+         | JOIN sz AS sb ON sb.doc_id = p.doc_b
+         | ORDER BY p.doc_a, p.doc_b""".stripMargin.replace("\n", " "),
+    "dedup_containment" ->
+      s"""WITH sh AS (SELECT DISTINCT doc_id, h FROM ($H) AS hh),
+         | pairs AS (SELECT doc_id AS doc_a, doc_id + 1 AS doc_b FROM documents
+         |           WHERE doc_id < 100),
+         | sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         | inter AS (SELECT p.doc_a, p.doc_b, count(*) AS inter_sz
+         |  FROM pairs AS p
+         |  JOIN sh AS a ON a.doc_id = p.doc_a
+         |  JOIN sh AS b ON b.doc_id = p.doc_b AND b.h = a.h
+         |  GROUP BY p.doc_a, p.doc_b)
+         | SELECT p.doc_a, p.doc_b,
+         |  round(coalesce(i.inter_sz, 0)::DOUBLE / sa.sz::DOUBLE, 6) AS contain_a,
+         |  round(coalesce(i.inter_sz, 0)::DOUBLE / sb.sz::DOUBLE, 6) AS contain_b
          | FROM pairs AS p
          | LEFT JOIN inter AS i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
          | JOIN sz AS sa ON sa.doc_id = p.doc_a

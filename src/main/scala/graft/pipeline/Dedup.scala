@@ -277,6 +277,31 @@ object Dedup {
           6).as("jaccard_v"))
   }
 
+  /** Asymmetric shingle containment — the near-dup signal Jaccard
+    * misses: a short document fully quoted inside a long one scores
+    * |A∩B|/|A| ≈ 1 while the pair's Jaccard stays low. Reports
+    * containment in both directions per candidate pair; curation
+    * drops the contained side. Same bounded machinery as
+    * [[jaccardPairs]]: candidate pairs only, the intersection an
+    * equi-join on the 8-byte shingle hash. */
+  def containmentPairs(docs: DataFrame, pairs: DataFrame,
+                       n: Int = 3): DataFrame = {
+    val sh = shingleHashes(docs, n).select("doc_id", "h").distinct()
+    val szs = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = pairs.join(sh.toDF("doc_a", "h"), "doc_a")
+      .join(sh.toDF("doc_b", "h"), Seq("doc_b", "h"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter_sz"))
+    pairs
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(szs.toDF("doc_a", "sz_a"), "doc_a")
+      .join(szs.toDF("doc_b", "sz_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(coalesce(col("inter_sz"), lit(0L)).cast("double") /
+          col("sz_a"), 6).as("contain_a"),
+        round(coalesce(col("inter_sz"), lit(0L)).cast("double") /
+          col("sz_b"), 6).as("contain_b"))
+  }
+
   /** Span-level exact dedup — the "exact substring" pass of modern
     * curation pipelines (duplicate 50-gram removal à la Lee et al.,
     * "Deduplicating Training Data Makes Language Models Better"),

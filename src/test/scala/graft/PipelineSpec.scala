@@ -34,6 +34,23 @@ class PipelineSpec extends SparkSpec {
     assert(j((1L, 3L)) == 0.0)
   }
 
+  test("containment flags a quoted subset that jaccard underrates") {
+    val s = spark
+    import s.implicits._
+    // doc 2 is a strict prefix of doc 1: every one of its shingles
+    // is contained (contain_b = 1) while jaccard is only 3/7
+    val docs = Seq(
+      (1L, "one two three four five six seven eight nine"),
+      (2L, "one two three four five"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val r = Dedup.containmentPairs(docs, pairs).collect()(0)
+    assert(r.getAs[Double]("contain_b") == 1.0)
+    assert(r.getAs[Double]("contain_a") == math.rint(3.0 / 7 * 1e6) / 1e6)
+    val j = Dedup.jaccardPairs(docs, pairs).collect()(0).getDouble(2)
+    assert(j < 0.5, s"jaccard underrates the subset: $j")
+  }
+
   test("simhash: identical docs equal, near docs close in hamming") {
     val s = spark
     import s.implicits._
