@@ -1316,9 +1316,9 @@ object TsdbQueries {
          | max(value) AS max_v, round(avg(value), 6) AS mean_v,
          | round(sum(value), 6) AS sum_v, count(*) AS count_v,
          | round(coalesce(stddev_samp(value), 0), 6) AS stdev_v,
-         | round(quantile_cont(value, 0.5), 6) AS p50_v,
-         | round(quantile_cont(value, 0.95), 6) AS p95_v,
-         | round(quantile_cont(value, 0.99), 6) AS p99_v
+         | round(list_sort(list(value))[CAST(GREATEST(ceil(0.5 * count(*)), 1) AS INT)], 6) AS p50_v,
+         | round(list_sort(list(value))[CAST(GREATEST(ceil(0.95 * count(*)), 1) AS INT)], 6) AS p95_v,
+         | round(list_sort(list(value))[CAST(GREATEST(ceil(0.99 * count(*)), 1) AS INT)], 6) AS p99_v
          | FROM (SELECT event_type AS name, user_id, ts, value, event_id,
          |  CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_s FROM events) AS s
          | GROUP BY name, user_id, bucket_s ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),
@@ -1328,9 +1328,9 @@ object TsdbQueries {
          | max(value) AS max_v, round(avg(value), 6) AS mean_v,
          | round(sum(value), 6) AS sum_v, count(*) AS count_v,
          | round(coalesce(stddev_samp(value), 0), 6) AS stdev_v,
-         | round(quantile_cont(value, 0.5), 6) AS p50_v,
-         | round(quantile_cont(value, 0.95), 6) AS p95_v,
-         | round(quantile_cont(value, 0.99), 6) AS p99_v
+         | round(list_sort(list(value))[CAST(GREATEST(ceil(0.5 * count(*)), 1) AS INT)], 6) AS p50_v,
+         | round(list_sort(list(value))[CAST(GREATEST(ceil(0.95 * count(*)), 1) AS INT)], 6) AS p95_v,
+         | round(list_sort(list(value))[CAST(GREATEST(ceil(0.99 * count(*)), 1) AS INT)], 6) AS p99_v
          | FROM (SELECT event_type AS name, user_id, ts, value, event_id,
          |  CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_s FROM events) AS s
          | GROUP BY name, user_id, bucket_s ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),
@@ -1349,7 +1349,7 @@ object TsdbQueries {
          |  FROM db WHERE regexp_full_match(name, '.*') GROUP BY name, user_id, bucket_s),
          | ed AS (SELECT name, user_id, bucket_s,
          |   round(coalesce(stddev_samp(value), 0), 6) AS stdev_v,
-         |   round(quantile_cont(value, 0.95), 6) AS p95_v,
+         |   round(list_sort(list(value))[CAST(GREATEST(ceil(0.95 * count(*)), 1) AS INT)], 6) AS p95_v,
          |   round(sum(value * value), 6) AS sumsq_v
          |  FROM db WHERE name = 'error' GROUP BY name, user_id, bucket_s)
          | SELECT * FROM (

@@ -1,6 +1,6 @@
 package graft.tsdb
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Downsampling / rollup — the m3aggregator tier (reference:
@@ -15,6 +15,17 @@ import org.apache.spark.sql.functions._
   * shuffle keys are partition-local.
   */
 object Downsample {
+
+  /** The aggregator's timer-quantile rule (quantile/cm/stream.go:249):
+    * the sample at 1-based rank ceil(q·n) over the sorted window — a
+    * real stream element, never an interpolated midpoint (the CM
+    * sketch can only return values it has seen). The window array is
+    * one (series, resolution window)'s samples — the same bound the
+    * aggregator's sketch holds. */
+  private def rankQuantile(q: Double): Column = {
+    val arr = sort_array(collect_list(col("value")))
+    element_at(arr, greatest(ceil(lit(q) * size(arr)).cast("int"), lit(1)))
+  }
 
   /** One rollup at a given resolution — the m3 timer aggregation set
     * (src/aggregator/aggregation/timer.go). Stdev here is SAMPLE
@@ -36,9 +47,9 @@ object Downsample {
         round(sum("value"), 6).as("sum_v"),
         count(lit(1)).as("count_v"),
         round(coalesce(stddev_samp("value"), lit(0.0)), 6).as("stdev_v"),
-        round(percentile(col("value"), lit(0.5)), 6).as("p50_v"),
-        round(percentile(col("value"), lit(0.95)), 6).as("p95_v"),
-        round(percentile(col("value"), lit(0.99)), 6).as("p99_v"))
+        round(rankQuantile(0.5), 6).as("p50_v"),
+        round(rankQuantile(0.95), 6).as("p95_v"),
+        round(rankQuantile(0.99), 6).as("p99_v"))
 
   /** A downsampling rule: which series it applies to (tag matchers),
     * at what resolution, keeping which aggregations — the Spark
@@ -75,14 +86,15 @@ object Downsample {
         case "count" => count(lit(1)).cast("double").as("count")
         // the aggregator's expensive set (isExpensive,
         // aggregation/common.go:37): sample stdev (n≤1→0), sumSq,
-        // and exact interpolated percentiles in batch
+        // and nearest-rank percentiles (the CM-sketch convention —
+        // see [[rankQuantile]])
         case "stdev" =>
           round(coalesce(stddev_samp("value"), lit(0.0)), 6).as("stdev")
         case "sum_sq" =>
           round(sum(col("value") * col("value")), 6).as("sum_sq")
         case p @ ("p50" | "p95" | "p99" | "median") =>
           val q = if (p == "median") 0.5 else p.drop(1).toDouble / 100.0
-          round(percentile(col("value"), lit(q)), 6).as(p)
+          round(rankQuantile(q), 6).as(p)
         case a => throw new IllegalArgumentException(s"unknown agg $a")
       }
       val agged = bucketed
