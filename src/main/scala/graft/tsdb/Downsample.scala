@@ -35,7 +35,12 @@ object Downsample {
     * stddev/stdvar (SeriesAgg/Temporal) stay population per
     * Prometheus. */
   def rollup(samples: DataFrame, unit: String,
-             labelCols: Seq[String] = Vectors.labels): DataFrame =
+             labelCols: Seq[String] = Vectors.labels): DataFrame = {
+    // ONE sorted window array feeds all three quantile ranks — three
+    // rankQuantile aggregates would hold three copies of the window
+    // per group in the aggregation hash map
+    def rq(q: Double) = element_at(col("_vs"),
+      greatest(ceil(lit(q) * size(col("_vs"))).cast("int"), lit(1)))
     samples
       .withColumn("bucket_s", Vectors.bucketS(unit))
       .groupBy((labelCols :+ "bucket_s").map(col): _*)
@@ -47,9 +52,15 @@ object Downsample {
         round(sum("value"), 6).as("sum_v"),
         count(lit(1)).as("count_v"),
         round(coalesce(stddev_samp("value"), lit(0.0)), 6).as("stdev_v"),
-        round(rankQuantile(0.5), 6).as("p50_v"),
-        round(rankQuantile(0.95), 6).as("p95_v"),
-        round(rankQuantile(0.99), 6).as("p99_v"))
+        sort_array(collect_list(col("value"))).as("_vs"))
+      .select(
+        (labelCols :+ "bucket_s").map(col) ++ Seq(
+          col("last_v"), col("min_v"), col("max_v"), col("mean_v"),
+          col("sum_v"), col("count_v"), col("stdev_v"),
+          round(rq(0.5), 6).as("p50_v"),
+          round(rq(0.95), 6).as("p95_v"),
+          round(rq(0.99), 6).as("p99_v")): _*)
+  }
 
   /** A downsampling rule: which series it applies to (tag matchers),
     * at what resolution, keeping which aggregations — the Spark
