@@ -87,14 +87,19 @@ object GraphiteParser {
   }
 
   /** Duration strings per the reference's ParseInterval grammar
-    * (common/basic_functions.go:294): number + unit prefix with any
-    * trailing letters tolerated, so "10min", "1hour", "30sec",
-    * "2mon" all parse. Bare "m" (= minutes) is additionally accepted
-    * for the single-char shorthand existing targets use. */
-  private val durRe = "([0-9]+)(s|min|mon|m|h|d|w|y)([a-z]*)".r
-  private def durSeconds(d: String): Long = d.trim.toLowerCase match {
-    case durRe(n, unit, _) =>
-      val mult = unit match {
+    * (common/basic_functions.go:186,294): each `[+-]?N unit` run in
+    * the string contributes signed seconds and the runs SUM, so
+    * "10min", "-1h", "+2d", "1h30min" and "1hour" (trailing letters
+    * tolerated) all parse, matching `reInterval =
+    * ([+-]?[0-9]+)(s|min|h|d|w|mon|y)`. Bare "m" (= minutes) is
+    * additionally accepted for the single-char shorthand existing
+    * targets use. */
+  private val durRe = "([+-]?[0-9]+)(s|min|mon|m|h|d|w|y)([a-z]*)".r
+  private def durSeconds(d: String): Long = {
+    val runs = durRe.findAllMatchIn(d.trim.toLowerCase).toList
+    if (runs.isEmpty) throw new ParseException(s"bad duration $d")
+    runs.map { m =>
+      val mult = m.group(2) match {
         case "s"         => 1L
         case "m" | "min" => 60L
         case "h"         => 3600L
@@ -103,8 +108,8 @@ object GraphiteParser {
         case "mon"       => 2592000L
         case "y"         => 31536000L
       }
-      n.toLong * mult
-    case other => throw new ParseException(s"bad duration $other")
+      m.group(1).toLong * mult
+    }.sum
   }
 
   /** Dot-glob → anchored regex (`*` any run, `?` one char — both
@@ -115,14 +120,28 @@ object GraphiteParser {
 
   // ---------------- evaluator ----------------
 
-  /** Parse + evaluate `target` against a sample frame. */
-  def query(samples: DataFrame, target: String): DataFrame =
-    eval(parse(target), Graphite.seriesFrame(samples), samples)
+  /** Consolidation grid steps — the `date_trunc` units
+    * [[graft.tsdb.Vectors.bucketS]] accepts, with their step in
+    * seconds. The unit picked at [[query]] time defines the series'
+    * actual step, which the moving-window family uses to convert
+    * duration windows to point counts (the reference derives points
+    * from `series.MillisPerStep()` — builtin_functions.go:2572). */
+  private val unitStep = Map(
+    "second" -> 1L, "minute" -> 60L, "hour" -> 3600L, "day" -> 86400L)
+  private def stepOf(unit: String): Long =
+    unitStep.getOrElse(unit,
+      throw new ParseException(s"unknown consolidation unit $unit"))
+
+  /** Parse + evaluate `target` against a sample frame, consolidated
+    * on the `unit` grid (default hourly). */
+  def query(samples: DataFrame, target: String,
+            unit: String = "hour"): DataFrame =
+    eval(parse(target), Graphite.seriesFrame(samples, unit), samples, unit)
 
   private def one(fn: String, args: Seq[Arg], base: DataFrame,
-                  samples: DataFrame): DataFrame =
+                  samples: DataFrame, unit: String): DataFrame =
     args match {
-      case Seq(T(n), _*) => eval(n, base, samples)
+      case Seq(T(n), _*) => eval(n, base, samples, unit)
       case other => throw new ParseException(s"$fn needs a series argument, got $other")
     }
   private def num(fn: String, args: Seq[Arg], i: Int): Double = args(i) match {
@@ -134,13 +153,16 @@ object GraphiteParser {
     case other => throw new ParseException(s"$fn arg $i must be a string, got $other")
   }
   /** moving-family window: a point count (`3`) or a duration string
-    * (`"5h"` — the reference converts via the series step; instant
-    * frames here consolidate on the 3600 s grid, the same fixed step
-    * sustainedAbove/Below assume). */
-  private def windowPoints(fn: String, args: Seq[Arg], i: Int): Int =
+    * (`"5h"`), converted via the frame's actual consolidation step —
+    * the reference derives points from the series' MillisPerStep
+    * (builtin_functions.go:2572). A duration below one step rounds
+    * up to a 1-point window, same as the reference's integer divide
+    * floor-then-min(1). */
+  private def windowPoints(fn: String, args: Seq[Arg], i: Int,
+                           unit: String): Int =
     args(i) match {
       case N(d) => d.toInt
-      case S(s) => math.max(1, (durSeconds(s) / 3600L).toInt)
+      case S(s) => math.max(1, (durSeconds(s) / stepOf(unit)).toInt)
       case other =>
         throw new ParseException(s"$fn arg $i must be a number or duration, got $other")
     }
@@ -168,11 +190,12 @@ object GraphiteParser {
     "countSeries", "group", "powSeries")
 
   def eval(node: Node, base: DataFrame,
-           samples: DataFrame = null): DataFrame = node match {
+           samples: DataFrame = null,
+           unit: String = "hour"): DataFrame = node match {
     case Path(glob) => base.where(col("path").rlike(globRe(glob)))
     case Call(fn, args) if multiSeriesFns(fn) && args.nonEmpty =>
       val frames = args.map {
-        case T(n) => eval(n, base, samples)
+        case T(n) => eval(n, base, samples, unit)
         case other => throw new ParseException(s"$fn takes series args, got $other")
       }
       val in = frames.reduce(_.unionByName(_))
@@ -194,9 +217,9 @@ object GraphiteParser {
     // (= the sum of the input series — builtin_functions.go:1072,
     // default total nil at :2854)
     case Call("asPercent", args) =>
-      val in = one("asPercent", args, base, samples)
+      val in = one("asPercent", args, base, samples, unit)
       args.lift(1) match {
-        case Some(T(n)) => Graphite.asPercent(in, eval(n, base, samples))
+        case Some(T(n)) => Graphite.asPercent(in, eval(n, base, samples, unit))
         case Some(N(d)) => Graphite.asPercent(in, d)
         case None => Graphite.asPercent(in, Graphite.combineSeries(in, "sum"))
         case Some(other) =>
@@ -205,7 +228,8 @@ object GraphiteParser {
     case Call(fn @ ("divideSeries" | "divideSeriesLists" |
                     "fallbackSeries" | "weightedAverage"), args) =>
       val (a, b) = (args(0), args(1)) match {
-        case (T(x), T(y)) => (eval(x, base, samples), eval(y, base, samples))
+        case (T(x), T(y)) =>
+          (eval(x, base, samples, unit), eval(y, base, samples, unit))
         case other => throw new ParseException(s"$fn needs two series args: $other")
       }
       fn match {
@@ -239,21 +263,21 @@ object GraphiteParser {
       eval(args(0) match {
         case T(n) => n
         case other => throw new ParseException(s"consolidateBy needs a series arg: $other")
-      }, Graphite.seriesFrame(samples, how = how), samples)
+      }, Graphite.seriesFrame(samples, unit, how), samples, unit)
     case Call("cumulative", args) =>
       if (samples == null)
         throw new ParseException("cumulative needs a sample frame")
       eval(args(0) match {
         case T(n) => n
         case other => throw new ParseException(s"cumulative needs a series arg: $other")
-      }, Graphite.seriesFrame(samples, how = "sum"), samples)
+      }, Graphite.seriesFrame(samples, unit, "sum"), samples, unit)
     // sub-target template evaluation: one evaluated target per
     // distinct node prefix (aggregation_functions.go:538). The
     // prefix set is a bounded driver collect, exactly the reference's
     // in-memory prefix map — capped so a runaway-cardinality
     // namespace fails loudly instead of building a 10⁶-branch plan.
     case Call("applyByNode", args) =>
-      val in = one("applyByNode", args, base, samples)
+      val in = one("applyByNode", args, base, samples, unit)
       val nodeNum = num("applyByNode", args, 1).toInt
       val template = str("applyByNode", args, 2)
       val newName = optStr(args, 3, "")
@@ -270,26 +294,26 @@ object GraphiteParser {
       if (prefixes.isEmpty)
         throw new ParseException("applyByNode: no matching prefixes")
       prefixes.map { p =>
-        val sub = eval(parse(template.replace("%", p)), base, samples)
+        val sub = eval(parse(template.replace("%", p)), base, samples, unit)
         if (newName.isEmpty) sub
         else sub.withColumn("path", lit(newName.replace("%", p)))
       }.reduce(_ unionByName _)
     case Call(fn, args) =>
-      val in = one(fn, args, base, samples)
+      val in = one(fn, args, base, samples, unit)
       fn match {
         case "summarize" =>
           Graphite.summarize(in, durSeconds(str(fn, args, 1)), str(fn, args, 2))
         case "movingAverage" =>
-          Graphite.movingAverage(in, windowPoints(fn, args, 1),
+          Graphite.movingAverage(in, windowPoints(fn, args, 1, unit),
             optNum(args, 2, 0.0))
         case "movingMedian" =>
-          Graphite.movingMedian(in, windowPoints(fn, args, 1),
+          Graphite.movingMedian(in, windowPoints(fn, args, 1, unit),
             optNum(args, 2, 0.0))
         case "movingMax" =>
-          Graphite.movingMax(in, windowPoints(fn, args, 1),
+          Graphite.movingMax(in, windowPoints(fn, args, 1, unit),
             optNum(args, 2, 0.0))
         case "movingMin" =>
-          Graphite.movingMin(in, windowPoints(fn, args, 1),
+          Graphite.movingMin(in, windowPoints(fn, args, 1, unit),
             optNum(args, 2, 0.0))
         case "countSeries" => Graphite.countSeries(in)
         case "currentAbove" => Graphite.currentAbove(in, num(fn, args, 1))
@@ -321,7 +345,15 @@ object GraphiteParser {
         case "integral"  => Graphite.integral(in)
         case "integralByInterval" =>
           Graphite.integralByInterval(in, durSeconds(str(fn, args, 1)))
-        case "timeShift" => Graphite.timeShift(in, durSeconds(str(fn, args, 1)))
+        // builtin_functions.go:355: no sign implies minus (shift back
+        // in time); the series then shifts by -1 * interval, so "1h"
+        // and "-1h" both re-stamp points one hour later and "+1h"
+        // re-stamps them one hour earlier.
+        case "timeShift" =>
+          val raw = str(fn, args, 1).trim
+          val signed =
+            if (raw.startsWith("+") || raw.startsWith("-")) raw else "-" + raw
+          Graphite.timeShift(in, -durSeconds(signed))
         case "highestMax" => Graphite.highestMax(in, num(fn, args, 1).toInt)
         case "averageAbove" => Graphite.averageAbove(in, num(fn, args, 1))
         case "maximumAbove" => Graphite.maximumAbove(in, num(fn, args, 1))
@@ -366,10 +398,10 @@ object GraphiteParser {
         case "stdev" =>
           Graphite.stdev(in, num(fn, args, 1).toInt, optNum(args, 2, 0.1))
         case "movingSum" =>
-          Graphite.movingSum(in, windowPoints(fn, args, 1),
+          Graphite.movingSum(in, windowPoints(fn, args, 1, unit),
             optNum(args, 2, 0.0))
         case "movingWindow" =>
-          Graphite.movingWindow(in, windowPoints(fn, args, 1),
+          Graphite.movingWindow(in, windowPoints(fn, args, 1, unit),
             optStr(args, 2, "avg"), optNum(args, 3, 0.0))
         case "exponentialMovingAverage" =>
           Graphite.exponentialMovingAverage(in, num(fn, args, 1).toInt)

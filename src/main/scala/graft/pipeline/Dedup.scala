@@ -142,7 +142,15 @@ object Dedup {
     * classic simhash blocking) plus the combined signed 64-bit
     * fingerprint. The combine uses an explicit sign adjustment
     * (no shift-wrap), so it is ANSI-overflow-safe and identical in
-    * the oracle. */
+    * the oracle.
+    *
+    * CACHING CONTRACT (same as [[shingleHashes]]): the result is
+    * persisted and memoized per (session, canonicalized source plan,
+    * n) with no size bound, and stays pinned until
+    * [[clearShingleCache]] — so a source whose files are rewritten
+    * in place behind an identical plan is served stale fingerprints
+    * until the cache is cleared. Callers that need a fresh,
+    * side-effect-free computation use [[simhashUncached]]. */
   def simhash(docs: DataFrame, n: Int = 3): DataFrame = {
     // the 64-bit-sum aggregation is the family's expensive stage and
     // three queries consume the fingerprints (simhash, half-block
@@ -150,13 +158,16 @@ object Dedup {
     // same contract as the shingle cache (cleared with it)
     val key = (docs.sparkSession, docs.queryExecution.analyzed.canonicalized, n)
     simhashCache.getOrElseUpdate(key,
-      computeSimhash(docs, n).persist(StorageLevel.MEMORY_AND_DISK))
+      simhashUncached(docs, n).persist(StorageLevel.MEMORY_AND_DISK))
   }
 
   private val simhashCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int), DataFrame]
 
-  private def computeSimhash(docs: DataFrame, n: Int): DataFrame = {
+  /** [[simhash]] without the persist + memoization side effects: a
+    * pure plan over the (cached) shingle frame, recomputed per call.
+    * Use when the underlying files may change within a session. */
+  def simhashUncached(docs: DataFrame, n: Int = 3): DataFrame = {
     val sh = shingleHashes(docs, n)
     val bitSums = (0 until 64).map { j =>
       val word = if (j < 32) col("h") else col("h_hi")

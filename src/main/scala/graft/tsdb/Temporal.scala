@@ -22,7 +22,11 @@ import org.apache.spark.sql.functions._
   *
   * Definitions per (series, window):
   *  - delta     = (last − first) extrapolated        (gauge change)
-  *  - increase  = (delta + Σ prev at resets) extrapolated, zero-clamped
+  *  - increase  = (delta + Σ prev at resets) extrapolated; only the
+  *                start-boundary extrapolation is clamped, at the
+  *                counter's projected zero point (standardRateFunc's
+  *                durationToZero rule) — the result itself is not
+  *                clamped at zero
   *  - rate      = increase / window_seconds
   *  - irate     = (last − prev_last) / (ts_last − ts_prev) over the
   *                final two samples; idelta = last − prev_last

@@ -275,6 +275,46 @@ class GraphiteSpec extends SparkSpec {
     assert(byTags == Set("a.user1", "b.user2"))
   }
 
+  test("timeShift signs and compound durations per ParseInterval") {
+    import graft.graphite.GraphiteParser.{eval, parse}
+    def buckets(q: String): Seq[Long] = eval(parse(q), frame)
+      .select("bucket_s").collect().map(_.getLong(0)).sorted.toSeq
+    // no sign implies minus (builtin_functions.go:355): "1h" and
+    // "-1h" both draw past data at present time = re-stamp +3600
+    assert(buckets("""timeShift(events.a.user1, "1h")""") ==
+      Seq(3600L, 7200L, 10800L))
+    assert(buckets("""timeShift(events.a.user1, "-1h")""") ==
+      Seq(3600L, 7200L, 10800L))
+    // explicit plus shifts forward in time = re-stamp earlier
+    assert(buckets("""timeShift(events.a.user1, "+1h")""") ==
+      Seq(-3600L, 0L, 3600L))
+    // compound intervals sum their runs (ParseInterval
+    // FindAllString) — and the implied minus is a string prepend, so
+    // it negates only the FIRST run: "1h30min" → "-1h30min" →
+    // −3600 + 1800 = −1800 → re-stamp +1800, exactly the reference
+    assert(buckets("""timeShift(events.a.user1, "1h30min")""") ==
+      Seq(1800L, 5400L, 9000L))
+    intercept[graft.graphite.GraphiteParser.ParseException](
+      eval(parse("""timeShift(events.a.user1, "nope")"""), frame))
+  }
+
+  test("moving-window durations convert via the frame's grid step") {
+    import graft.graphite.GraphiteParser.{eval, parse}
+    def vals(q: String, unit: String = "hour"): Map[Long, Double] =
+      eval(parse(q), frame, null, unit)
+        .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    // "2h" on the hourly grid = 2 points — same result as the count form
+    assert(vals("""movingMax(events.a.user1, "2h")""") ==
+      vals("movingMax(events.a.user1, 2)"))
+    // the same duration on a minute grid is 120 points — here the
+    // fixture only has 3 rows so it degenerates to the running max
+    assert(vals("""movingMax(events.a.user1, "2h")""", "minute") ==
+      Map(0L -> 10.0, 3600L -> 15.0, 7200L -> 15.0))
+    // sub-step durations round up to one point, never zero
+    assert(vals("""movingMax(events.a.user1, "30min")""") ==
+      vals("movingMax(events.a.user1, 1)"))
+  }
+
   test("target parser builds the expected expression tree") {
     import graft.graphite.GraphiteParser._
     assert(parse("""summarize(exclude(events.*.user*, "user7$"), "1d", "sum")""") ==
