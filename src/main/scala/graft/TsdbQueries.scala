@@ -676,6 +676,32 @@ object TsdbQueries {
         .select(col("name"), col("user_id").cast("long").as("user_id"),
           col("bucket_s"), round(col("value"), 6).as("value"))
         .orderBy("name", "user_id", "bucket_s")
+    }),
+
+    // prometheus remote-write roundtrip — the coordinator's PRIMARY
+    // write path (write.go NewPromWriteHandler), over the pre-parsed
+    // frame (protobuf wire format out of scope): every event becomes
+    // one (labels[], ts, value) request row with __name__ + user_id
+    // labels, a map-tags `write` op upserts dc=east onto every
+    // series (the M3-Map-Tags-JSON header), parse validates the
+    // label sets, consolidation hands off hourly. The oracle
+    // computes the same aggregate from the table directly with the
+    // constant dc column — parse ∘ render = identity on valid sets.
+    "ts_prom_write" -> ((s, dir) => {
+      val req = Vectors.samples(Tables.events(s, dir)).select(
+        array(
+          struct(lit("__name__").as("name"), col("name").as("value")),
+          struct(lit("user_id").as("name"),
+            col("user_id").cast("string").as("value"))).as("labels"),
+        col("ts"), col("value"))
+      val mapped = graft.sources.PromWrite.mapTags(req,
+        Seq(graft.sources.PromWrite.WriteTag("dc", "east")))
+      graft.sources.PromWrite
+        .toSampleFrame(graft.sources.PromWrite.parse(mapped),
+          Seq("user_id", "dc"))
+        .select(col("name"), col("user_id").cast("long").as("user_id"),
+          col("dc"), col("bucket_s"), round(col("value"), 6).as("value"))
+        .orderBy("name", "user_id", "bucket_s")
     })
   )
 
@@ -1420,6 +1446,12 @@ object TsdbQueries {
         | round(avg(value), 6) AS value
         | FROM events WHERE value <> 0
         | GROUP BY 1, 2, 3
+        | ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),
+    "ts_prom_write" ->
+      """SELECT event_type AS name, user_id, 'east' AS dc,
+        | CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_s,
+        | round(avg(value), 6) AS value
+        | FROM events GROUP BY 1, 2, 3, 4
         | ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " ")
   ))
 
