@@ -636,6 +636,29 @@ object TsdbQueries {
           "day", Seq("stdev", "p95", "sum_sq"))))
         .orderBy("rule", "name", "user_id", "bucket_s", "agg")),
 
+    // rollup TARGETS (rollup_target.go:42): aggregate across a tag
+    // subset, emit under a NEW metric name — the "sum all hosts into
+    // service_requests_total" form. Three shapes: GroupBy [] (all
+    // dims dropped, one literal-named series), GroupBy [user_id]
+    // with the {{ .MetricName }} template (per-user series renamed
+    // from the original), ExcludeBy [user_id] (drop the user dim,
+    // keep the rest). Dropped dims surface as null columns so the
+    // heterogeneous targets union and stay Fetch-able.
+    "ds_rollup_target" -> ((s, dir) =>
+      Downsample.rollupTargets(samples(s, dir), Seq(
+        Downsample.RollupRule("svc_rollup",
+          Seq(Fetch.Matcher("name", Fetch.Re, "(purchase|click)")),
+          Seq(
+            Downsample.RollupTarget("service_events_total",
+              Downsample.GroupBy, Nil, Seq("sum", "count"), "day"),
+            Downsample.RollupTarget("{{ .MetricName }}_by_user",
+              Downsample.GroupBy, Seq("user_id"), Seq("sum"), "day"))),
+        Downsample.RollupRule("errors_rollup",
+          Seq(Fetch.Matcher("name", Fetch.Eq, "error")),
+          Seq(Downsample.RollupTarget("errors_all", Downsample.ExcludeBy,
+            Seq("user_id"), Seq("count", "p95"), "day")))))
+        .orderBy("rule", "name", "user_id", "bucket_s", "agg")),
+
     // influx line-protocol roundtrip: render every event as a line
     // (`<measurement>,user_id=<uid> value=<v> <epoch-ns>`), parse
     // through the InfluxLine source (field fan-out names the series
@@ -1397,6 +1420,31 @@ object TsdbQueries {
          |   'p95', p95_v FROM ed
          |  UNION ALL SELECT 'errors_daily', 'day', name, user_id, bucket_s,
          |   'sum_sq', sumsq_v FROM ed) AS u
+         | ORDER BY rule, name, user_id, bucket_s, agg""".stripMargin.replace("\n", " "),
+    "ds_rollup_target" ->
+      s"""WITH db AS (SELECT event_type AS name, user_id, value,
+         |  CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS bucket_s FROM events),
+         | t1 AS (SELECT bucket_s, round(sum(value), 6) AS sum_v,
+         |   CAST(count(*) AS DOUBLE) AS count_v
+         |  FROM db WHERE regexp_full_match(name, '(purchase|click)') GROUP BY bucket_s),
+         | t2 AS (SELECT name, user_id, bucket_s, round(sum(value), 6) AS sum_v
+         |  FROM db WHERE regexp_full_match(name, '(purchase|click)')
+         |  GROUP BY name, user_id, bucket_s),
+         | t3 AS (SELECT bucket_s, CAST(count(*) AS DOUBLE) AS count_v,
+         |   round(list_sort(list(value))[CAST(GREATEST(ceil(0.95 * count(*)), 1) AS INT)], 6) AS p95_v
+         |  FROM db WHERE name = 'error' GROUP BY bucket_s)
+         | SELECT * FROM (
+         |  SELECT 'svc_rollup' AS rule, 'day' AS resolution,
+         |   'service_events_total' AS name, CAST(NULL AS BIGINT) AS user_id,
+         |   bucket_s, 'sum' AS agg, sum_v AS value FROM t1
+         |  UNION ALL SELECT 'svc_rollup', 'day', 'service_events_total',
+         |   CAST(NULL AS BIGINT), bucket_s, 'count', count_v FROM t1
+         |  UNION ALL SELECT 'svc_rollup', 'day', name || '_by_user', user_id,
+         |   bucket_s, 'sum', sum_v FROM t2
+         |  UNION ALL SELECT 'errors_rollup', 'day', 'errors_all',
+         |   CAST(NULL AS BIGINT), bucket_s, 'count', count_v FROM t3
+         |  UNION ALL SELECT 'errors_rollup', 'day', 'errors_all',
+         |   CAST(NULL AS BIGINT), bucket_s, 'p95', p95_v FROM t3) AS u
          | ORDER BY rule, name, user_id, bucket_s, agg""".stripMargin.replace("\n", " "),
     "ds_multi_res" -> {
       val fine =

@@ -82,32 +82,35 @@ object Downsample {
     * planner could share one scan across rules with
     * aggregate-filter, but per-rule scans parallelize trivially and
     * prune to the rule's partitions. */
+  /** The rule-set aggregation vocabulary — the m3 aggregation-type
+    * set (metrics/aggregation/type.go) incl. the aggregator's
+    * "expensive" set (isExpensive, aggregation/common.go:37): sample
+    * stdev (n≤1→0), sumSq, and nearest-rank percentiles/median
+    * replaying the CM-sketch rule (see [[rankQuantile]]). */
+  private def ruleAgg(a: String): Column = a match {
+    case "last"  => round(max_by(col("value"), Vectors.lastKey), 6).as("last")
+    case "min"   => round(min("value"), 6).as("min")
+    case "max"   => round(max("value"), 6).as("max")
+    case "mean"  => round(avg("value"), 6).as("mean")
+    case "sum"   => round(sum("value"), 6).as("sum")
+    case "count" => count(lit(1)).cast("double").as("count")
+    case "stdev" =>
+      round(coalesce(stddev_samp("value"), lit(0.0)), 6).as("stdev")
+    case "sum_sq" =>
+      round(sum(col("value") * col("value")), 6).as("sum_sq")
+    case p @ ("p50" | "p95" | "p99" | "median") =>
+      val q = if (p == "median") 0.5 else p.drop(1).toDouble / 100.0
+      round(rankQuantile(q), 6).as(p)
+    case a => throw new IllegalArgumentException(s"unknown agg $a")
+  }
+
   def rollupRules(samples: DataFrame, rules: Seq[Rule],
                   labelCols: Seq[String] = Vectors.labels): DataFrame = {
     require(rules.nonEmpty, "empty rule set")
     val frames = rules.map { r =>
       val bucketed = Fetch(samples, r.matchers)
         .withColumn("bucket_s", Vectors.bucketS(r.resolution))
-      val aggExprs = r.aggs.map {
-        case "last"  => round(max_by(col("value"), Vectors.lastKey), 6).as("last")
-        case "min"   => round(min("value"), 6).as("min")
-        case "max"   => round(max("value"), 6).as("max")
-        case "mean"  => round(avg("value"), 6).as("mean")
-        case "sum"   => round(sum("value"), 6).as("sum")
-        case "count" => count(lit(1)).cast("double").as("count")
-        // the aggregator's expensive set (isExpensive,
-        // aggregation/common.go:37): sample stdev (n≤1→0), sumSq,
-        // and nearest-rank percentiles (the CM-sketch convention —
-        // see [[rankQuantile]])
-        case "stdev" =>
-          round(coalesce(stddev_samp("value"), lit(0.0)), 6).as("stdev")
-        case "sum_sq" =>
-          round(sum(col("value") * col("value")), 6).as("sum_sq")
-        case p @ ("p50" | "p95" | "p99" | "median") =>
-          val q = if (p == "median") 0.5 else p.drop(1).toDouble / 100.0
-          round(rankQuantile(q), 6).as(p)
-        case a => throw new IllegalArgumentException(s"unknown agg $a")
-      }
+      val aggExprs = r.aggs.map(ruleAgg)
       val agged = bucketed
         .groupBy((labelCols :+ "bucket_s").map(col): _*)
         .agg(aggExprs.head, aggExprs.tail: _*)
@@ -115,6 +118,114 @@ object Downsample {
       agged.select(
         (lit(r.name).as("rule") +: lit(r.resolution).as("resolution") +:
           labelCols.map(col) :+ col("bucket_s")) :+
+          explode(map(kv: _*)).as(Seq("agg", "value")): _*)
+    }
+    frames.reduce(_ unionByName _)
+  }
+
+  /** Rollup-TARGET rules — the m3 rollup rule proper
+    * (src/metrics/rules/rollup_target.go:42 rollupTarget{Pipeline,
+    * StoragePolicies}; pipeline RollupOp, metrics/pipeline/type.go:
+    * 195): unlike a mapping [[Rule]] (which keeps the original
+    * series identity), a rollup target aggregates ACROSS a tag
+    * subset and emits under a NEW metric name — "sum all hosts into
+    * service_requests_total".
+    *
+    * `rollupType` mirrors pipeline/type.go:188:
+    *  - [[GroupBy]] keeps EXACTLY the listed tags as dimensions; a
+    *    series missing one of them does not match
+    *    (active_ruleset.go:585 res>0 → no match — here: a null tag
+    *    column fails the presence test);
+    *  - [[ExcludeBy]] drops the listed tags and keeps the rest
+    *    (active_ruleset.go:589).
+    *
+    * `newName` is a literal, or may contain the single supported
+    * template variable `{{ .MetricName }}` substituted with the
+    * original metric name (type.go:241-260 NewRollupOp — more than
+    * one occurrence or any other template rejects; type.go:274
+    * NewName).
+    */
+  sealed trait RollupType
+  case object GroupBy extends RollupType
+  case object ExcludeBy extends RollupType
+
+  final case class RollupTarget(newName: String,
+                                rollupType: RollupType,
+                                tags: Seq[String],
+                                aggs: Seq[String],
+                                resolution: String)
+
+  final case class RollupRule(name: String, matchers: Seq[Fetch.Matcher],
+                              targets: Seq[RollupTarget])
+
+  private val MetricNameVar = "{{ .MetricName }}"
+
+  /** newName column per NewRollupOp's template rules. */
+  private def newNameCol(newName: String): Column =
+    if (newName.contains("{{") || newName.contains("}}")) {
+      if (newName.sliding(MetricNameVar.length).count(_ == MetricNameVar) > 1)
+        throw new IllegalArgumentException(
+          s"rollup contained template variable metric name more than once: $newName")
+      val stripped = newName.replaceFirst(
+        java.util.regex.Pattern.quote(MetricNameVar), "")
+      if (stripped.contains("{{") || stripped.contains("}}"))
+        throw new IllegalArgumentException(
+          s"rollup contained template tags but variables not resolved: $newName")
+      val i = newName.indexOf(MetricNameVar)
+      concat(lit(newName.substring(0, i)), col("name"),
+        lit(newName.substring(i + MetricNameVar.length)))
+    } else lit(newName)
+
+  /** Apply rollup-target rules: each (rule, target) filters its
+    * matched series, aggregates across the non-kept dimensions at
+    * the target resolution with the target's aggregation set, and
+    * emits long-format rows (rule, resolution, name=newName,
+    * labels…, bucket_s, agg, value) — dropped dimensions are null
+    * columns, so heterogeneous targets union into one frame and the
+    * renamed series remain fetchable through [[Fetch]] matchers on
+    * (name, kept tags).
+    *
+    * Scale: each target is ONE hash aggregation with map-side
+    * combine — grouping by FEWER keys than the raw series identity
+    * only shrinks the shuffle; the new-name column is a literal or
+    * a concat over `name`, never a join. */
+  def rollupTargets(samples: DataFrame, rules: Seq[RollupRule],
+                    labelCols: Seq[String] = Vectors.labels): DataFrame = {
+    require(rules.nonEmpty && rules.forall(_.targets.nonEmpty),
+      "empty rollup rule/target set")
+    val dims = labelCols.filterNot(_ == "name")
+    val types = samples.schema.fields.map(f => f.name -> f.dataType).toMap
+    val frames = for { r <- rules; t <- r.targets } yield {
+      t.tags.foreach(tag => require(dims.contains(tag),
+        s"rollup tag $tag is not a dimension (have: ${dims.mkString(",")})"))
+      val kept = t.rollupType match {
+        case GroupBy   => dims.filter(t.tags.contains)
+        case ExcludeBy => dims.filterNot(t.tags.contains)
+      }
+      val matched = Fetch(samples, r.matchers)
+      // GroupBy: every listed dimension must be PRESENT on the series
+      val present = t.rollupType match {
+        case GroupBy => kept.foldLeft(matched)((df, c) =>
+          df.where(col(c).isNotNull))
+        case ExcludeBy => matched
+      }
+      val nn = newNameCol(t.newName)
+      val bucketed = present
+        .withColumn("_rollup_name", nn)
+        .withColumn("bucket_s", Vectors.bucketS(t.resolution))
+      val aggExprs = t.aggs.map(ruleAgg)
+      val agged = bucketed
+        .groupBy(("_rollup_name" +: kept :+ "bucket_s").map(col): _*)
+        .agg(aggExprs.head, aggExprs.tail: _*)
+      val labelOut = labelCols.map {
+        case "name"                  => col("_rollup_name").as("name")
+        case c if kept.contains(c)   => col(c)
+        case c => lit(null).cast(types(c)).as(c)
+      }
+      val kv = t.aggs.flatMap(a => Seq(lit(a), col(a)))
+      agged.select(
+        (lit(r.name).as("rule") +: lit(t.resolution).as("resolution") +:
+          labelOut :+ col("bucket_s")) :+
           explode(map(kv: _*)).as(Seq("agg", "value")): _*)
     }
     frames.reduce(_ unionByName _)

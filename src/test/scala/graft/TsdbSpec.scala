@@ -241,6 +241,52 @@ class TsdbSpec extends SparkSpec {
     assert(byRes("1h") == byRes("1d")) // same samples counted once each
   }
 
+  test("rollup targets rename, drop dims, and stay fetchable") {
+    val s = spark
+    import s.implicits._
+    // two series of metric m (users 1,2), one of n (user 1); user_id
+    // null on one extra m row to exercise the GroupBy presence rule
+    val samples = Seq(
+      ("m", Option(1L), 0L, 10.0), ("m", Option(2L), 0L, 20.0),
+      ("m", Option.empty[Long], 0L, 70.0), ("n", Option(1L), 0L, 5.0))
+      .toDF("name", "user_id", "ts_s", "value")
+      .select(col("name"), col("user_id"),
+        timestamp_seconds(col("ts_s")).as("ts"), col("value"),
+        monotonically_increasing_id().as("event_id"))
+    val out = Downsample.rollupTargets(samples, Seq(
+      Downsample.RollupRule("r", Seq(Fetch.Matcher("name", Fetch.Eq, "m")),
+        Seq(
+          Downsample.RollupTarget("m_total", Downsample.GroupBy,
+            Nil, Seq("sum"), "day"),
+          Downsample.RollupTarget("{{ .MetricName }}_by_user",
+            Downsample.GroupBy, Seq("user_id"), Seq("sum"), "day"),
+          Downsample.RollupTarget("m_excl", Downsample.ExcludeBy,
+            Seq("user_id"), Seq("count"), "day")))))
+    val rows = out.collect().map(r => (r.getString(2),
+      Option(r.get(3)).map(_.asInstanceOf[Long]),
+      r.getString(5), r.getDouble(6))).toSet
+    assert(rows == Set(
+      // GroupBy []: everything (incl. the null-user row) into one series
+      ("m_total", None, "sum", 100.0),
+      // GroupBy [user_id]: the null-user row fails the presence rule
+      // (active_ruleset.go:585 — a missing grouped-by tag = no match)
+      ("m_by_user", Some(1L), "sum", 10.0),
+      ("m_by_user", Some(2L), "sum", 20.0),
+      // ExcludeBy [user_id]: always matches, null-user row included
+      ("m_excl", None, "count", 3.0)))
+    // renamed series are fetchable through the ordinary matcher path
+    val fetched = Fetch(out, Seq(Fetch.Matcher("name", Fetch.Eq, "m_total")))
+    assert(fetched.count() == 1)
+    // template validation per NewRollupOp (pipeline/type.go:241-260)
+    intercept[IllegalArgumentException](Downsample.rollupTargets(samples,
+      Seq(Downsample.RollupRule("r", Nil, Seq(Downsample.RollupTarget(
+        "{{ .MetricName }}_{{ .MetricName }}", Downsample.GroupBy,
+        Nil, Seq("sum"), "day"))))))
+    intercept[IllegalArgumentException](Downsample.rollupTargets(samples,
+      Seq(Downsample.RollupRule("r", Nil, Seq(Downsample.RollupTarget(
+        "{{ .Other }}_x", Downsample.GroupBy, Nil, Seq("sum"), "day"))))))
+  }
+
   test("series limit truncates whole series; RequireExhaustive throws") {
     val s = Vectors.samples(Tables.events(spark, sf))
     val fetched = Fetch(s, Seq(Fetch.Matcher("name", Fetch.Re, ".*")))
