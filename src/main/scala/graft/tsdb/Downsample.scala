@@ -19,13 +19,39 @@ object Downsample {
   /** The aggregator's timer-quantile rule (quantile/cm/stream.go:249):
     * the sample at 1-based rank ceil(q·n) over the sorted window — a
     * real stream element, never an interpolated midpoint (the CM
-    * sketch can only return values it has seen). The window array is
-    * one (series, resolution window)'s samples — the same bound the
-    * aggregator's sketch holds. */
+    * sketch can only return values it has seen).
+    *
+    * MEMORY: this EXACT form buffers one (series, window)'s samples
+    * in the aggregation hash map — O(samples-per-window) per group,
+    * NOT the eps-bounded state the reference's CM sketch holds (a
+    * hot 100 Hz timer in an hourly window is 360k doubles in one
+    * buffer). It is the oracle gate's replay; the scale path is
+    * [[SketchAccuracy]] → `percentile_approx`, the same eps-bounded
+    * trade the streaming side already makes (m3 CM eps=1e-3 ≈
+    * accuracy 1000). */
   private def rankQuantile(q: Double): Column = {
     val arr = sort_array(collect_list(col("value")))
     element_at(arr, greatest(ceil(lit(q) * size(arr)).cast("int"), lit(1)))
   }
+
+  /** Percentile execution mode for the batch rollup paths.
+    * [[Exact]] replays the nearest-rank rule verbatim (unbounded
+    * per-group state — correct, and what the DuckDB oracle checks);
+    * [[SketchAccuracy]] bounds per-group state with Spark's
+    * mergeable KLL-style `percentile_approx` sketch at the given
+    * accuracy (rank error ≤ n/accuracy) — the default 1000 matches
+    * the aggregator's CM sketch eps=1e-3 (cm/types.go defaults),
+    * exactly the parity the streaming rollup already runs. At 100 TB
+    * with skewed series, use the sketch. */
+  sealed trait PercentileMode
+  case object Exact extends PercentileMode
+  final case class SketchAccuracy(accuracy: Int = 1000) extends PercentileMode
+
+  private def quantileAgg(q: Double, mode: PercentileMode): Column =
+    mode match {
+      case Exact => rankQuantile(q)
+      case SketchAccuracy(acc) => percentile_approx(col("value"), lit(q), lit(acc))
+    }
 
   /** One rollup at a given resolution — the m3 timer aggregation set
     * (src/aggregator/aggregation/timer.go). Stdev here is SAMPLE
@@ -35,12 +61,24 @@ object Downsample {
     * stddev/stdvar (SeriesAgg/Temporal) stay population per
     * Prometheus. */
   def rollup(samples: DataFrame, unit: String,
-             labelCols: Seq[String] = Vectors.labels): DataFrame = {
-    // ONE sorted window array feeds all three quantile ranks — three
-    // rankQuantile aggregates would hold three copies of the window
-    // per group in the aggregation hash map
-    def rq(q: Double) = element_at(col("_vs"),
-      greatest(ceil(lit(q) * size(col("_vs"))).cast("int"), lit(1)))
+             labelCols: Seq[String] = Vectors.labels,
+             percentiles: PercentileMode = Exact): DataFrame = {
+    // ONE per-group quantile buffer feeds all three ranks: the
+    // sorted window array in Exact mode (three rankQuantile
+    // aggregates would hold three copies), the single merged sketch
+    // in SketchAccuracy mode (percentile_approx over an array of
+    // percentages)
+    val quantileBuf = percentiles match {
+      case Exact => sort_array(collect_list(col("value"))).as("_vs")
+      case SketchAccuracy(acc) =>
+        percentile_approx(col("value"),
+          array(lit(0.5), lit(0.95), lit(0.99)), lit(acc)).as("_vs")
+    }
+    def rq(i: Int, q: Double) = percentiles match {
+      case Exact => element_at(col("_vs"),
+        greatest(ceil(lit(q) * size(col("_vs"))).cast("int"), lit(1)))
+      case SketchAccuracy(_) => element_at(col("_vs"), i)
+    }
     samples
       .withColumn("bucket_s", Vectors.bucketS(unit))
       .groupBy((labelCols :+ "bucket_s").map(col): _*)
@@ -52,14 +90,14 @@ object Downsample {
         round(sum("value"), 6).as("sum_v"),
         count(lit(1)).as("count_v"),
         round(coalesce(stddev_samp("value"), lit(0.0)), 6).as("stdev_v"),
-        sort_array(collect_list(col("value"))).as("_vs"))
+        quantileBuf)
       .select(
         (labelCols :+ "bucket_s").map(col) ++ Seq(
           col("last_v"), col("min_v"), col("max_v"), col("mean_v"),
           col("sum_v"), col("count_v"), col("stdev_v"),
-          round(rq(0.5), 6).as("p50_v"),
-          round(rq(0.95), 6).as("p95_v"),
-          round(rq(0.99), 6).as("p99_v")): _*)
+          round(rq(1, 0.5), 6).as("p50_v"),
+          round(rq(2, 0.95), 6).as("p95_v"),
+          round(rq(3, 0.99), 6).as("p99_v")): _*)
   }
 
   /** A downsampling rule: which series it applies to (tag matchers),
@@ -87,7 +125,7 @@ object Downsample {
     * "expensive" set (isExpensive, aggregation/common.go:37): sample
     * stdev (n≤1→0), sumSq, and nearest-rank percentiles/median
     * replaying the CM-sketch rule (see [[rankQuantile]]). */
-  private def ruleAgg(a: String): Column = a match {
+  private def ruleAgg(a: String, mode: PercentileMode): Column = a match {
     case "last"  => round(max_by(col("value"), Vectors.lastKey), 6).as("last")
     case "min"   => round(min("value"), 6).as("min")
     case "max"   => round(max("value"), 6).as("max")
@@ -100,17 +138,18 @@ object Downsample {
       round(sum(col("value") * col("value")), 6).as("sum_sq")
     case p @ ("p50" | "p95" | "p99" | "median") =>
       val q = if (p == "median") 0.5 else p.drop(1).toDouble / 100.0
-      round(rankQuantile(q), 6).as(p)
+      round(quantileAgg(q, mode), 6).as(p)
     case a => throw new IllegalArgumentException(s"unknown agg $a")
   }
 
   def rollupRules(samples: DataFrame, rules: Seq[Rule],
-                  labelCols: Seq[String] = Vectors.labels): DataFrame = {
+                  labelCols: Seq[String] = Vectors.labels,
+                  percentiles: PercentileMode = Exact): DataFrame = {
     require(rules.nonEmpty, "empty rule set")
     val frames = rules.map { r =>
       val bucketed = Fetch(samples, r.matchers)
         .withColumn("bucket_s", Vectors.bucketS(r.resolution))
-      val aggExprs = r.aggs.map(ruleAgg)
+      val aggExprs = r.aggs.map(ruleAgg(_, percentiles))
       val agged = bucketed
         .groupBy((labelCols :+ "bucket_s").map(col): _*)
         .agg(aggExprs.head, aggExprs.tail: _*)
@@ -190,7 +229,8 @@ object Downsample {
     * only shrinks the shuffle; the new-name column is a literal or
     * a concat over `name`, never a join. */
   def rollupTargets(samples: DataFrame, rules: Seq[RollupRule],
-                    labelCols: Seq[String] = Vectors.labels): DataFrame = {
+                    labelCols: Seq[String] = Vectors.labels,
+                    percentiles: PercentileMode = Exact): DataFrame = {
     require(rules.nonEmpty && rules.forall(_.targets.nonEmpty),
       "empty rollup rule/target set")
     val dims = labelCols.filterNot(_ == "name")
@@ -213,7 +253,7 @@ object Downsample {
       val bucketed = present
         .withColumn("_rollup_name", nn)
         .withColumn("bucket_s", Vectors.bucketS(t.resolution))
-      val aggExprs = t.aggs.map(ruleAgg)
+      val aggExprs = t.aggs.map(ruleAgg(_, percentiles))
       val agged = bucketed
         .groupBy(("_rollup_name" +: kept :+ "bucket_s").map(col): _*)
         .agg(aggExprs.head, aggExprs.tail: _*)

@@ -287,6 +287,45 @@ class TsdbSpec extends SparkSpec {
         "{{ .Other }}_x", Downsample.GroupBy, Nil, Seq("sum"), "day"))))))
   }
 
+  test("sketch percentiles bound rank error vs exact on a skewed window") {
+    val s = spark
+    import s.implicits._
+    // one hot series with 20k samples in a single hourly window (the
+    // skew shape that makes the exact collect_list buffer dangerous
+    // at scale) — value == rank by construction, so rank error reads
+    // directly off the value difference
+    val n = 20000
+    val rows = (1 to n).map(i => ("hot", 1L, (i % 3600).toLong, i.toDouble)) :+
+      (("cold", 2L, 0L, 1.0))
+    val samples = rows.toDF("name", "user_id", "off", "value")
+      .select(col("name"), col("user_id"),
+        timestamp_seconds(col("off")).as("ts"), col("value"),
+        monotonically_increasing_id().as("event_id"))
+    val exact = Downsample.rollup(samples, "hour")
+      .where($"name" === "hot").head()
+    val sketch = Downsample.rollup(samples, "hour",
+      percentiles = Downsample.SketchAccuracy(1000))
+      .where($"name" === "hot").head()
+    for (c <- Seq("p50_v", "p95_v", "p99_v")) {
+      val ex = exact.getAs[Double](c)
+      val sk = sketch.getAs[Double](c)
+      // percentile_approx at accuracy 1000 ⇒ rank error ≤ n/1000
+      assert(math.abs(ex - sk) <= n / 1000.0 + 1, s"$c: exact=$ex sketch=$sk")
+      // and the sketch returns a REAL sample, the CM-sketch property
+      assert(sk == math.floor(sk) && sk >= 1 && sk <= n)
+    }
+    // non-percentile aggregates are identical across modes
+    for (c <- Seq("sum_v", "count_v", "min_v", "max_v", "stdev_v"))
+      assert(exact.getAs[Any](c) == sketch.getAs[Any](c))
+    // the rule vocabulary takes the same mode
+    val viaRules = Downsample.rollupRules(samples,
+      Seq(Downsample.Rule("r", Seq(Fetch.Matcher("name", Fetch.Eq, "hot")),
+        "hour", Seq("p99"))),
+      percentiles = Downsample.SketchAccuracy(1000))
+      .head().getAs[Double]("value")
+    assert(math.abs(viaRules - exact.getAs[Double]("p99_v")) <= n / 1000.0 + 1)
+  }
+
   test("series limit truncates whole series; RequireExhaustive throws") {
     val s = Vectors.samples(Tables.events(spark, sf))
     val fetched = Fetch(s, Seq(Fetch.Matcher("name", Fetch.Re, ".*")))
