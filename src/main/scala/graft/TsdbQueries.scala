@@ -613,6 +613,17 @@ object TsdbQueries {
     "ds_multi_res" -> ((s, dir) =>
       Downsample.multiResolution(samples(s, dir))
         .orderBy("resolution", "name", "user_id", "bucket_s")),
+    // an ARBITRARY policy stack (policy.go:45): 10m:14d, 1h:30d,
+    // 1d:365d as of a fixed evaluation time — 1h composes from the
+    // 10m tier, 1d from the 1h tier (only the 10m tier reads raw
+    // samples), and each tier's retention trims its own history
+    "ds_policy_stack" -> ((s, dir) =>
+      Downsample.policyStack(samples(s, dir), Seq(
+        Downsample.Policy("10m", 14L * 86400L),
+        Downsample.Policy("1h", 30L * 86400L),
+        Downsample.Policy("1d", 365L * 86400L)),
+        nowS = Some(1706745600L))
+        .orderBy("resolution", "name", "user_id", "bucket_s")),
     "ds_restrict_type" -> ((s, dir) =>
       // RestrictByType pinned to the aggregated 1d tier with a 21-day
       // retention as of a fixed evaluation time — only buckets inside
@@ -1462,6 +1473,37 @@ object TsdbQueries {
          |  round(sum(sum_v), 6) AS sum_v, CAST(sum(count_v) AS BIGINT) AS count_v, min(min_v) AS min_v,
          |  max(max_v) AS max_v, round(sum(sum_v) / sum(count_v), 6) AS mean_v
          | FROM ($fine) AS f GROUP BY name, user_id, CAST(floor(bucket_s / 86400) AS BIGINT) * 86400
+         |) AS u ORDER BY resolution, name, user_id, bucket_s""".stripMargin.replace("\n", " ")
+    },
+    "ds_policy_stack" -> {
+      val f10 =
+        """SELECT event_type AS name, user_id,
+          | CAST(floor(epoch(ts) / 600) AS BIGINT) * 600 AS bucket_s,
+          | sum(value) AS sum_v, count(*) AS count_v,
+          | min(value) AS min_v, max(value) AS max_v
+          | FROM events GROUP BY 1, 2, 3""".stripMargin.replace("\n", " ")
+      val f1h =
+        s"""SELECT name, user_id,
+           | CAST(floor(bucket_s / 3600) AS BIGINT) * 3600 AS bucket_s,
+           | sum(sum_v) AS sum_v, CAST(sum(count_v) AS BIGINT) AS count_v,
+           | min(min_v) AS min_v, max(max_v) AS max_v
+           | FROM ($f10) AS f10 GROUP BY 1, 2, 3""".stripMargin.replace("\n", " ")
+      val f1d =
+        s"""SELECT name, user_id,
+           | CAST(floor(bucket_s / 86400) AS BIGINT) * 86400 AS bucket_s,
+           | sum(sum_v) AS sum_v, CAST(sum(count_v) AS BIGINT) AS count_v,
+           | min(min_v) AS min_v, max(max_v) AS max_v
+           | FROM ($f1h) AS f1h GROUP BY 1, 2, 3""".stripMargin.replace("\n", " ")
+      def tier(src: String, res: String, retD: Long) =
+        s"""SELECT name, user_id, '$res' AS resolution, bucket_s,
+           | round(sum_v, 6) AS sum_v, count_v, min_v, max_v,
+           | round(sum_v / count_v, 6) AS mean_v
+           | FROM ($src) AS t
+           | WHERE bucket_s >= 1706745600 - $retD * 86400""".stripMargin.replace("\n", " ")
+      s"""SELECT * FROM (
+         | ${tier(f10, "10m", 14)}
+         | UNION ALL ${tier(f1h, "1h", 30)}
+         | UNION ALL ${tier(f1d, "1d", 365)}
          |) AS u ORDER BY resolution, name, user_id, bucket_s""".stripMargin.replace("\n", " ")
     },
     "ds_restrict_type" -> {

@@ -271,40 +271,94 @@ object Downsample {
     frames.reduce(_ unionByName _)
   }
 
-  /** Multi-resolution tiering — the m3 storage-policy stack
-    * (e.g. 10s:2d, 1m:30d, 1h:1y in src/metrics/policy/policy.go):
-    * the same series rolled up at several resolutions, unioned with
-    * a `resolution` tag. Coarser tiers aggregate the finer tier's
-    * output (sum/count/min/max compose; mean recomputed from them)
-    * instead of rescanning raw samples — at 100 TB only the finest
-    * tier ever reads raw data.
+  /** A storage policy `resolution:retention` (reference:
+    * src/metrics/policy/policy.go:45 `Policy{resolution, retention}`,
+    * e.g. 10s:2d, 1m:30d, 1h:1y). Resolution is a fixed-width
+    * duration string (`10s`, `1m`, `10m`, `1h`, `1d`, `1w`) — m3
+    * resolutions are durations, never calendar units. A retention of
+    * `Long.MaxValue` means no time floor. */
+  final case class Policy(resolution: String, retentionS: Long = Long.MaxValue)
+
+  private val resUnitS =
+    Map("s" -> 1L, "m" -> 60L, "min" -> 60L, "h" -> 3600L,
+      "d" -> 86400L, "w" -> 604800L)
+  private val resRe = "([0-9]+)(s|min|m|h|d|w)".r
+
+  /** Parse a policy resolution string to seconds. */
+  private[tsdb] def resolutionS(r: String): Long = r match {
+    case resRe(n, u) => n.toLong * resUnitS(u)
+    case _ => throw new IllegalArgumentException(s"bad resolution: $r")
+  }
+
+  /** Multi-resolution tiering over an arbitrary policy stack — the
+    * m3 storage-policy stack (policy.go:45): the same series rolled
+    * up at several resolutions, unioned with a `resolution` tag.
+    * Each coarser tier aggregates the output of the FINEST earlier
+    * tier whose resolution divides its own (sum/count/min/max
+    * compose; mean recomputed from them) instead of rescanning raw
+    * samples — at 100 TB only tiers with no divisible finer tier
+    * ever read raw data. When `nowS` is given, each tier's policy
+    * retention is enforced as a time floor (buckets older than
+    * now − retention are outside that tier's namespace).
     */
-  def multiResolution(samples: DataFrame,
-                      labelCols: Seq[String] = Vectors.labels): DataFrame = {
-    val fine = samples
-      .withColumn("bucket_s", Vectors.bucketS("hour"))
-      .groupBy((labelCols :+ "bucket_s").map(col): _*)
-      .agg(
-        sum("value").as("sum_v"), count(lit(1)).as("count_v"),
-        min("value").as("min_v"), max("value").as("max_v"))
-    val fineOut = fine.select(
-      (labelCols.map(col) :+ lit("1h").as("resolution") :+ col("bucket_s")) ++ Seq(
-        round(col("sum_v"), 6).as("sum_v"), col("count_v"),
-        col("min_v"), col("max_v"),
-        round(col("sum_v") / col("count_v"), 6).as("mean_v")): _*)
-    val coarse = fine
-      .withColumn("day_s", (floor(col("bucket_s") / 86400L) * 86400L).cast("long"))
-      .groupBy((labelCols :+ "day_s").map(col): _*)
-      .agg(
-        sum("sum_v").as("sum_v"), sum("count_v").as("count_v"),
-        min("min_v").as("min_v"), max("max_v").as("max_v"))
-      .select(
-        (labelCols.map(col) :+ lit("1d").as("resolution") :+ col("day_s").as("bucket_s")) ++ Seq(
+  def policyStack(samples: DataFrame, policies: Seq[Policy],
+                  nowS: Option[Long] = None,
+                  labelCols: Seq[String] = Vectors.labels): DataFrame = {
+    require(policies.nonEmpty, "empty policy stack")
+    val sorted = policies.map(p => (resolutionS(p.resolution), p))
+      .sortBy(_._1)
+    require(sorted.map(_._1).distinct.size == sorted.size,
+      "duplicate resolutions in policy stack")
+    val keys = (labelCols :+ "bucket_s").map(col)
+    // (resS, internal frame): labels…, bucket_s, UNROUNDED sum_v,
+    // count_v, min_v, max_v — rounding happens only at the output
+    // edge so coarser tiers compose exact partials.
+    var tiers = Vector.empty[(Long, DataFrame)]
+    val outs = sorted.map { case (resS, p) =>
+      val internal = tiers.filter { case (fs, _) => resS % fs == 0 }
+        .lastOption match {
+        case Some((_, finer)) =>
+          finer
+            .withColumn("bucket_s",
+              (floor(col("bucket_s") / resS) * resS).cast("long"))
+            .groupBy(keys: _*)
+            .agg(
+              sum("sum_v").as("sum_v"), sum("count_v").as("count_v"),
+              min("min_v").as("min_v"), max("max_v").as("max_v"))
+        case None =>
+          samples
+            .withColumn("bucket_s",
+              (floor(unix_timestamp(col("ts")) / resS) * resS).cast("long"))
+            .groupBy(keys: _*)
+            .agg(
+              sum("value").as("sum_v"), count(lit(1)).as("count_v"),
+              min("value").as("min_v"), max("value").as("max_v"))
+      }
+      tiers = tiers :+ (resS, internal)
+      val trimmed = nowS match {
+        case Some(now) if p.retentionS != Long.MaxValue =>
+          internal.where(col("bucket_s") >= lit(now - p.retentionS))
+        case _ => internal
+      }
+      trimmed.select(
+        (labelCols.map(col) :+ lit(p.resolution).as("resolution") :+
+          col("bucket_s")) ++ Seq(
           round(col("sum_v"), 6).as("sum_v"), col("count_v"),
           col("min_v"), col("max_v"),
           round(col("sum_v") / col("count_v"), 6).as("mean_v")): _*)
-    fineOut.unionByName(coarse)
+    }
+    outs.reduce(_ unionByName _)
   }
+
+  /** The default two-tier stack (1h, 1d) — the shape the restrict
+    * and multi-res oracle queries pin. */
+  val DefaultStack: Seq[Policy] = Seq(Policy("1h"), Policy("1d"))
+
+  /** Two-tier multi-resolution rollup — [[policyStack]] over
+    * [[DefaultStack]], kept as the named entry point. */
+  def multiResolution(samples: DataFrame,
+                      labelCols: Seq[String] = Vectors.labels): DataFrame =
+    policyStack(samples, DefaultStack, None, labelCols)
 
   /** Metric-type restriction — the other half of m3's
     * RestrictQueryOptions (reference: src/query/storage/types.go:197
@@ -326,11 +380,12 @@ object Downsample {
     extends MetricsType
 
   def restrictByType(samples: DataFrame, restrict: MetricsType, nowS: Long,
-                     labelCols: Seq[String] = Vectors.labels): DataFrame =
+                     labelCols: Seq[String] = Vectors.labels,
+                     policies: Seq[Policy] = DefaultStack): DataFrame =
     restrict match {
       case Unaggregated => samples
       case Aggregated(res, retS) =>
-        multiResolution(samples, labelCols)
+        policyStack(samples, policies, None, labelCols)
           .where(col("resolution") === res &&
             col("bucket_s") >= lit(nowS - retS))
     }

@@ -187,8 +187,12 @@ object Fetch {
     * `limit` series by sorted identity (name, user_id).
     *
     * `requireExhaustive` mirrors RequireExhaustive (types.go:127):
-    * a truncated result is an ERROR, not a silent partial answer —
-    * the check is a one-row aggregate collect, documented bounded.
+    * a truncated result is an ERROR, not a silent partial answer.
+    * The check is LAZY — a `raise_error` folded into the one-row
+    * stats frame, so it fires when the result plan executes (fail
+    * at sink, like m3 failing the fetch) and the fetch still scans
+    * ONCE; an eager collect here would run a second full count
+    * before the result plan.
     *
     * Scale: series identities collapse to a distinct frame (series
     * cardinality, not sample count); the kept set is a distributed
@@ -200,18 +204,22 @@ object Fetch {
     val ident = fetched.select("name", "user_id").distinct()
     val kept = ident.orderBy("name", "user_id").limit(limit)
     val stats = ident.agg(count(lit(1)).as("total_series"))
-      .withColumn("limited", (col("total_series") > limit).cast("int"))
-    if (requireExhaustive) {
-      val t = stats.collect()(0)
-      if (t.getAs[Int]("limited") == 1)
-        throw new IllegalStateException(
-          s"query exceeds ReturnedSeriesLimit=$limit " +
-            s"(total ${t.getAs[Long]("total_series")} series) " +
-            "with RequireExhaustive set")
-    }
+      .withColumn("limited", exhaustiveCheck(requireExhaustive,
+        (col("total_series") > limit).cast("int"),
+        concat(lit(s"query exceeds ReturnedSeriesLimit=$limit (total "),
+          col("total_series").cast("string"),
+          lit(" series) with RequireExhaustive set"))))
     fetched.join(kept, Seq("name", "user_id"), "left_semi")
       .crossJoin(broadcast(stats))
   }
+
+  /** The lazy RequireExhaustive gate: `limited` passes through, but
+    * when the exhaustive contract is requested and violated the plan
+    * raises at evaluation time — one scan, no eager pre-count. */
+  private def exhaustiveCheck(requireExhaustive: Boolean, limited: Column,
+                              msg: Column): Column =
+    if (!requireExhaustive) limited
+    else when(limited === 1, raise_error(msg).cast("int")).otherwise(limited)
 
   /** Returned-datapoints limit — the second returned-data budget in
     * m3's FetchOptions (types.go:124 ReturnedDatapointsLimit;
@@ -250,15 +258,11 @@ object Fetch {
       .withColumn("_cum", col("_local_cum") + col("_offset"))
     val kept = cum.where(col("_cum") <= budget).select("name", "user_id")
     val stats = fetched.agg(count(lit(1)).as("total_datapoints"))
-      .withColumn("limited", (col("total_datapoints") > budget).cast("int"))
-    if (requireExhaustive) {
-      val t = stats.collect()(0)
-      if (t.getAs[Int]("limited") == 1)
-        throw new IllegalStateException(
-          s"query exceeds ReturnedDatapointsLimit=$budget " +
-            s"(total ${t.getAs[Long]("total_datapoints")} datapoints) " +
-            "with RequireExhaustive set")
-    }
+      .withColumn("limited", exhaustiveCheck(requireExhaustive,
+        (col("total_datapoints") > budget).cast("int"),
+        concat(lit(s"query exceeds ReturnedDatapointsLimit=$budget (total "),
+          col("total_datapoints").cast("string"),
+          lit(" datapoints) with RequireExhaustive set"))))
     fetched.join(kept, Seq("name", "user_id"), "left_semi")
       .crossJoin(broadcast(stats))
   }

@@ -241,6 +241,37 @@ class TsdbSpec extends SparkSpec {
     assert(byRes("1h") == byRes("1d")) // same samples counted once each
   }
 
+  test("policy stack: arbitrary tiers compose and trim retention") {
+    val s = Vectors.samples(Tables.events(spark, sf))
+    // each tier of the stack must equal a direct single-policy
+    // rollup from raw — including 90s, which divides no finer tier
+    // and falls back to the raw scan, and 1h, which composes 10m∘1m
+    def direct(res: String) =
+      Downsample.policyStack(s, Seq(Downsample.Policy(res)))
+        .drop("resolution")
+    val stack = Downsample.policyStack(s, Seq(
+      Downsample.Policy("1m"), Downsample.Policy("10m"),
+      Downsample.Policy("90s"), Downsample.Policy("1h")))
+    for (res <- Seq("1m", "90s", "10m", "1h")) {
+      val got = stack.where(col("resolution") === res).drop("resolution")
+      val want = direct(res)
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"tier $res diverged from its direct rollup")
+    }
+    // retention floors each tier independently as of nowS
+    val now = 1706745600L
+    val trimmed = Downsample.policyStack(s, Seq(
+      Downsample.Policy("1h", 7L * 86400L),
+      Downsample.Policy("1d", 30L * 86400L)), nowS = Some(now))
+    val minByRes = trimmed.groupBy("resolution")
+      .agg(min("bucket_s").as("m")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(minByRes("1h") >= now - 7L * 86400L)
+    assert(minByRes("1d") >= now - 30L * 86400L)
+    assert(minByRes("1d") < now - 7L * 86400L,
+      "the coarser tier should retain older history than the fine tier")
+  }
+
   test("rollup targets rename, drop dims, and stay fetchable") {
     val s = spark
     import s.implicits._
@@ -348,10 +379,13 @@ class TsdbSpec extends SparkSpec {
     val meta = lim.select("total_series", "limited").distinct().collect()
     assert(meta.length == 1 && meta(0).getLong(0) == total &&
       meta(0).getInt(1) == 1)
-    // RequireExhaustive refuses the truncated result…
-    intercept[IllegalStateException] {
-      Fetch.withSeriesLimit(fetched, 3, requireExhaustive = true)
-    }
+    // RequireExhaustive refuses the truncated result — LAZILY: the
+    // call builds a single-scan plan and the error fires when it
+    // executes (fail at sink), not via an eager second count
+    val lazyLim = Fetch.withSeriesLimit(fetched, 3, requireExhaustive = true)
+    val ex = intercept[Throwable] { lazyLim.collect() }
+    assert(messageChain(ex).exists(_.contains("ReturnedSeriesLimit=3")),
+      s"expected the RequireExhaustive raise, got: $ex")
     // …but passes when the limit doesn't bite
     val ok = Fetch.withSeriesLimit(fetched, total.toInt + 1,
       requireExhaustive = true)
@@ -378,8 +412,15 @@ class TsdbSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(limPerSeries.forall { case (k, n) => perSeries(k) == n })
     assert(lim.select("limited").distinct().collect()(0).getInt(0) == 1)
-    intercept[IllegalStateException] {
-      Fetch.withDatapointsLimit(fetched, budget, requireExhaustive = true)
-    }
+    val lazyLim = Fetch.withDatapointsLimit(fetched, budget,
+      requireExhaustive = true)
+    val ex = intercept[Throwable] { lazyLim.collect() }
+    assert(messageChain(ex).exists(_.contains(s"ReturnedDatapointsLimit=$budget")),
+      s"expected the RequireExhaustive raise, got: $ex")
   }
+
+  /** Walk the cause chain — Spark wraps executor/broadcast raises. */
+  private def messageChain(t: Throwable): Seq[String] =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+      .flatMap(e => Option(e.getMessage)).toSeq
 }
