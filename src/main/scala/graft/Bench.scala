@@ -65,6 +65,7 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     pipeline.Dedup.clearShingleCache()
     pipeline.Corpus.clearClusterCache()
+    tsdb.Downsample.clearTierCache()
     spark.stop()
   }
 }

@@ -39,6 +39,7 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     pipeline.Dedup.clearShingleCache()
     pipeline.Corpus.clearClusterCache()
+    tsdb.Downsample.clearTierCache()
     spark.stop()
   }
 }

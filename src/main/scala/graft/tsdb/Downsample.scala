@@ -309,16 +309,38 @@ object Downsample {
       .sortBy(_._1)
     require(sorted.map(_._1).distinct.size == sorted.size,
       "duplicate resolutions in policy stack")
+    // composition edges from resolutions alone: tier i composes from
+    // the FINEST earlier tier that divides it (else raw)
+    val resList = sorted.map(_._1)
+    val sourceOf: Seq[Option[Int]] = resList.zipWithIndex.map {
+      case (r, i) => (0 until i).filter(j => r % resList(j) == 0).lastOption
+    }
+    val isSource = sourceOf.flatten.toSet
+    // one retention floor pushed into the SHARED raw scan: anything
+    // older than now − max(retention) is outside every tier (each
+    // tier still trims by its own bucket floor below, so boundary
+    // buckets stay exact — a sample with ts < now−maxRet can only
+    // land in buckets that every tier trims)
+    val floored = nowS match {
+      case Some(now) if sorted.forall(_._2.retentionS != Long.MaxValue) =>
+        val maxRet = sorted.map(_._2.retentionS).max
+        samples.where(col("ts") >= timestamp_seconds(lit(now - maxRet)))
+      case _ => samples
+    }
     val keys = (labelCols :+ "bucket_s").map(col)
     // (resS, internal frame): labels…, bucket_s, UNROUNDED sum_v,
     // count_v, min_v, max_v — rounding happens only at the output
-    // edge so coarser tiers compose exact partials.
-    var tiers = Vector.empty[(Long, DataFrame)]
-    val outs = sorted.map { case (resS, p) =>
-      val internal = tiers.filter { case (fs, _) => resS % fs == 0 }
-        .lastOption match {
-        case Some((_, finer)) =>
-          finer
+    // edge so coarser tiers compose exact partials. Tiers that feed
+    // a coarser tier are persisted: without it Catalyst pushes each
+    // tier's retention filter into its own copy of the fine
+    // aggregation, the branches stop being shareable, and the raw
+    // scan + fine rollup run once PER TIER. Call [[clearTierCache]]
+    // after materializing (same contract as the shingle cache).
+    var tiers = Vector.empty[DataFrame]
+    val outs = sorted.zipWithIndex.map { case ((resS, p), i) =>
+      val internal0 = sourceOf(i) match {
+        case Some(j) =>
+          tiers(j)
             .withColumn("bucket_s",
               (floor(col("bucket_s") / resS) * resS).cast("long"))
             .groupBy(keys: _*)
@@ -326,7 +348,7 @@ object Downsample {
               sum("sum_v").as("sum_v"), sum("count_v").as("count_v"),
               min("min_v").as("min_v"), max("max_v").as("max_v"))
         case None =>
-          samples
+          floored
             .withColumn("bucket_s",
               (floor(unix_timestamp(col("ts")) / resS) * resS).cast("long"))
             .groupBy(keys: _*)
@@ -334,7 +356,13 @@ object Downsample {
               sum("value").as("sum_v"), count(lit(1)).as("count_v"),
               min("value").as("min_v"), max("value").as("max_v"))
       }
-      tiers = tiers :+ (resS, internal)
+      val internal =
+        if (isSource(i)) {
+          val c = internal0.persist()
+          Downsample.synchronized { tierCache += c }
+          c
+        } else internal0
+      tiers = tiers :+ internal
       val trimmed = nowS match {
         case Some(now) if p.retentionS != Long.MaxValue =>
           internal.where(col("bucket_s") >= lit(now - p.retentionS))
@@ -349,6 +377,18 @@ object Downsample {
     }
     outs.reduce(_ unionByName _)
   }
+
+  private val tierCache =
+    scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  /** Free the composition-source tiers persisted by [[policyStack]]
+    * (call after materializing, like Dedup.clearShingleCache). */
+  def clearTierCache(): Unit = synchronized {
+    tierCache.foreach(_.unpersist(blocking = false))
+    tierCache.clear()
+  }
+
+  private[graft] def cachedTierCount: Int = synchronized(tierCache.size)
 
   /** The default two-tier stack (1h, 1d) — the shape the restrict
     * and multi-res oracle queries pin. */

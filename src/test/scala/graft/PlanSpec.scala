@@ -207,6 +207,25 @@ class PlanSpec extends SparkSpec {
     assert(scans == 1, s"expected 1 events scan, got $scans")
   }
 
+  test("ds_policy_stack: composed tiers share cached partials") {
+    // 10m|1h and 1h|1d, so the 1h and 1d tiers must compose from
+    // the finer tier's partials, not rescan raw events. Catalyst
+    // pushes each tier's retention filter into its own copy of the
+    // subtree, so sharing has to come from the tier cache: every
+    // branch reads an InMemoryTableScan, and exactly the two
+    // composition-source tiers (10m, 1h) are persisted.
+    tsdb.Downsample.clearTierCache()
+    val p = plan("ds_policy_stack")
+    assert(p.contains("InMemoryTableScan"),
+      "tiers not cache-shared:\n" + p.take(2000))
+    assert(tsdb.Downsample.cachedTierCount == 2)
+    // the raw scan carries the now − max(retention) floor: buckets
+    // older than every tier's retention never leave the parquet scan
+    assert(p.contains(">= 2023-02-01 00:00:00"),
+      "missing the max-retention floor on the raw scan")
+    tsdb.Downsample.clearTierCache()
+  }
+
   test("span dedup windows by span hash, never cartesian") {
     val p = plan("dedup_spans")
     assert(!p.contains("CartesianProduct"), "span dedup joined all-pairs")

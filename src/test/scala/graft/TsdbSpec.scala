@@ -270,6 +270,7 @@ class TsdbSpec extends SparkSpec {
     assert(minByRes("1d") >= now - 30L * 86400L)
     assert(minByRes("1d") < now - 7L * 86400L,
       "the coarser tier should retain older history than the fine tier")
+    Downsample.clearTierCache()
   }
 
   test("rollup targets rename, drop dims, and stay fetchable") {
