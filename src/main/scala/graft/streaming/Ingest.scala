@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -118,40 +118,104 @@ object Ingest {
                  rules: Seq[graft.tsdb.Downsample.Rule],
                  lateness: String = "30 minutes"): DataFrame = {
     val frames = rules.map { r =>
-      val windowLen = r.resolution match {
-        case "minute" => "1 minute"
-        case "hour"   => "1 hour"
-        case "day"    => "1 day"
-        case res => throw new IllegalArgumentException(s"unit $res")
-      }
-      val aggExprs = r.aggs.map {
-        case "sum"   => sum("value").as("sum")
-        case "count" => count(lit(1)).cast("double").as("count")
-        case "min"   => min("value").as("min")
-        case "max"   => max("value").as("max")
-        case "mean"  => avg("value").as("mean")
-        case "last"  => max_by(col("value"), col("ts")).as("last")
-        case "sum_sq" => sum(col("value") * col("value")).as("sum_sq")
-        // sample stdev (aggregation/common.go stdev, n≤1 → 0):
-        // stddev_samp is the numerically-stable central-moments form
-        case "stdev" => coalesce(stddev_samp(col("value")), lit(0.0)).as("stdev")
-        case p @ ("p50" | "p95" | "p99" | "median") =>
-          val q = if (p == "median") 0.5 else p.drop(1).toDouble / 100.0
-          percentile_approx(col("value"), lit(q), lit(PercentileAccuracy)).as(p)
-        case a => throw new IllegalArgumentException(
-          s"agg $a not streaming-safe (allowed: sum count min max mean " +
-            "last sum_sq stdev median p50 p95 p99)")
-      }
+      val aggExprs = r.aggs.map(streamAgg)
       val kv = r.aggs.flatMap(a => Seq(lit(a), col(a)))
       graft.tsdb.Fetch(samples, r.matchers)
         .withWatermark("ts", lateness)
-        .groupBy(window(col("ts"), windowLen), col("name"), col("user_id"))
+        .groupBy(window(col("ts"), windowLen(r.resolution)),
+          col("name"), col("user_id"))
         .agg(aggExprs.head, aggExprs.tail: _*)
         .select(
           lit(r.name).as("rule"), lit(r.resolution).as("resolution"),
           col("name"), col("user_id"),
           unix_timestamp(col("window.start")).as("bucket_s"),
           explode(map(kv: _*)).as(Seq("agg", "value")))
+    }
+    frames.reduce(_ unionByName _)
+  }
+
+  private def windowLen(resolution: String): String = resolution match {
+    case "minute" => "1 minute"
+    case "hour"   => "1 hour"
+    case "day"    => "1 day"
+    case res => throw new IllegalArgumentException(s"unit $res")
+  }
+
+  /** The streaming-safe aggregation vocabulary — the batch rule set
+    * minus exact percentiles (sketch-backed per
+    * [[PercentileAccuracy]]). Sample stdev (aggregation/common.go
+    * stdev, n≤1 → 0) uses stddev_samp, the numerically-stable
+    * central-moments form. */
+  private def streamAgg(a: String): Column = a match {
+    case "sum"   => sum("value").as("sum")
+    case "count" => count(lit(1)).cast("double").as("count")
+    case "min"   => min("value").as("min")
+    case "max"   => max("value").as("max")
+    case "mean"  => avg("value").as("mean")
+    case "last"  => max_by(col("value"), col("ts")).as("last")
+    case "sum_sq" => sum(col("value") * col("value")).as("sum_sq")
+    case "stdev" => coalesce(stddev_samp(col("value")), lit(0.0)).as("stdev")
+    case p @ ("p50" | "p95" | "p99" | "median") =>
+      val q = if (p == "median") 0.5 else p.drop(1).toDouble / 100.0
+      percentile_approx(col("value"), lit(q), lit(PercentileAccuracy)).as(p)
+    case a => throw new IllegalArgumentException(
+      s"agg $a not streaming-safe (allowed: sum count min max mean " +
+        "last sum_sq stdev median p50 p95 p99)")
+  }
+
+  /** Streaming rollup TARGETS — the aggregator's rollup-rule form
+    * (src/metrics/rules/rollup_target.go:42 applied on the ingest
+    * path: m3 computes rollup targets in the STREAMING aggregator,
+    * batch replay is the derived form): aggregate across a tag
+    * subset per window, emit under the new metric name. Semantics
+    * identical to [[graft.tsdb.Downsample.rollupTargets]] (GroupBy
+    * presence rule, ExcludeBy drop, `{{ .MetricName }}` template,
+    * null columns for dropped dims) so the append stream unions
+    * into the same long-format frame and a batch replay of the same
+    * input is row-identical up to sketch-vs-exact percentiles.
+    *
+    * Scale: one windowed stateful aggregation per (rule, target),
+    * state = one row per (new series, open window) — strictly
+    * SMALLER cardinality than the pre-rollup series set; the
+    * watermark bounds open windows. */
+  def targetRollup(samples: DataFrame,
+                   rules: Seq[graft.tsdb.Downsample.RollupRule],
+                   labelCols: Seq[String] = graft.tsdb.Vectors.labels,
+                   lateness: String = "30 minutes"): DataFrame = {
+    import graft.tsdb.{Downsample, Fetch}
+    require(rules.nonEmpty && rules.forall(_.targets.nonEmpty),
+      "empty rollup rule/target set")
+    val dims = labelCols.filterNot(_ == "name")
+    val types = samples.schema.fields.map(f => f.name -> f.dataType).toMap
+    val frames = for { r <- rules; t <- r.targets } yield {
+      t.tags.foreach(tag => require(dims.contains(tag),
+        s"rollup tag $tag is not a dimension (have: ${dims.mkString(",")})"))
+      val kept = t.rollupType match {
+        case Downsample.GroupBy   => dims.filter(t.tags.contains)
+        case Downsample.ExcludeBy => dims.filterNot(t.tags.contains)
+      }
+      val matched = Fetch(samples, r.matchers)
+      val present = t.rollupType match {
+        case Downsample.GroupBy => kept.foldLeft(matched)((df, c) =>
+          df.where(col(c).isNotNull))
+        case Downsample.ExcludeBy => matched
+      }
+      val aggExprs = t.aggs.map(streamAgg)
+      val kv = t.aggs.flatMap(a => Seq(lit(a), col(a)))
+      present
+        .withColumn("_rollup_name", Downsample.newNameCol(t.newName))
+        .withWatermark("ts", lateness)
+        .groupBy(window(col("ts"), windowLen(t.resolution)) +:
+          col("_rollup_name") +: kept.map(col): _*)
+        .agg(aggExprs.head, aggExprs.tail: _*)
+        .select(
+          (lit(r.name).as("rule") +: lit(t.resolution).as("resolution") +:
+            labelCols.map {
+              case "name"                => col("_rollup_name").as("name")
+              case c if kept.contains(c) => col(c)
+              case c => lit(null).cast(types(c)).as(c)
+            } :+ unix_timestamp(col("window.start")).as("bucket_s")) :+
+            explode(map(kv: _*)).as(Seq("agg", "value")): _*)
     }
     frames.reduce(_ unionByName _)
   }

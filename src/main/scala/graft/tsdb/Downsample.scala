@@ -199,8 +199,9 @@ object Downsample {
 
   private val MetricNameVar = "{{ .MetricName }}"
 
-  /** newName column per NewRollupOp's template rules. */
-  private def newNameCol(newName: String): Column =
+  /** newName column per NewRollupOp's template rules (shared with
+    * the streaming rollup-target path). */
+  private[graft] def newNameCol(newName: String): Column =
     if (newName.contains("{{") || newName.contains("}}")) {
       if (newName.sliding(MetricNameVar.length).count(_ == MetricNameVar) > 1)
         throw new IllegalArgumentException(

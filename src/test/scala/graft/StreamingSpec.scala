@@ -423,4 +423,68 @@ class StreamingSpec extends SparkSpec {
       assert(rows == List((1L, 4.0), (2L, 3.0)))
     } finally q.stop()
   }
+
+  test("streaming rollup targets match the batch replay row-for-row") {
+    import graft.tsdb.{Downsample, Fetch}
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val rules = Seq(Downsample.RollupRule("svc",
+      Seq(Fetch.Matcher("name", Fetch.Re, "(m|n)")),
+      Seq(
+        Downsample.RollupTarget("events_total", Downsample.GroupBy,
+          Nil, Seq("sum", "count"), "hour"),
+        Downsample.RollupTarget("{{ .MetricName }}_by_user",
+          Downsample.GroupBy, Seq("user_id"), Seq("sum"), "hour"),
+        Downsample.RollupTarget("all_excl", Downsample.ExcludeBy,
+          Seq("user_id"), Seq("max"), "hour"))))
+    val mem = MemoryStream[Ingest.Sample]
+    val q = Ingest.targetRollup(mem.toDF(), rules)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("target_rollup_test").start()
+    try {
+      val inWindow = Seq(
+        ("m", 1L, "2024-01-01 00:10:00", 3.0),
+        ("m", 2L, "2024-01-01 00:20:00", 5.0),
+        ("n", 1L, "2024-01-01 00:40:00", 7.0))
+      mem.addData(inWindow.map { case (n, u, t, v) =>
+        Ingest.Sample(n, u, Timestamp.valueOf(t), v) }: _*)
+      q.processAllAvailable()
+      // push the watermark past the window so it flushes
+      mem.addData(Ingest.Sample("m", 1L,
+        Timestamp.valueOf("2024-01-01 03:00:00"), 1.0))
+      q.processAllAvailable()
+      def canon(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+        (r.getString(0), r.getString(1), r.getString(2),
+          Option(r.get(3)).map(_.toString).getOrElse("∅"),
+          r.getLong(4), r.getString(5), r.getDouble(6))
+      }.sorted.toSeq
+      val streamed = canon(s.sql(
+        """SELECT rule, resolution, name, user_id, bucket_s, agg, value
+          | FROM target_rollup_test WHERE bucket_s = 1704067200"""
+          .stripMargin).collect())
+      // batch replay of the SAME closed-window samples through
+      // Downsample.rollupTargets — identical long-format rows
+      val batchIn = inWindow.toDF("name", "user_id", "ts_s", "value")
+        .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+      val batch = canon(Downsample.rollupTargets(batchIn, rules,
+        labelCols = Seq("name", "user_id"))
+        .select("rule", "resolution", "name", "user_id",
+          "bucket_s", "agg", "value").collect())
+      assert(streamed == batch,
+        s"stream/batch divergence:\n$streamed\nvs\n$batch")
+      // spot-check the collapse semantics: GroupBy [] folds both
+      // metrics into one literal-named series; ExcludeBy [user_id]
+      // (the only dim) likewise collapses across users and metrics
+      val m = streamed.map(t => (t._3, t._6) -> t._7).toMap
+      assert(m(("events_total", "sum")) == 15.0)
+      assert(m(("events_total", "count")) == 3.0)
+      assert(m(("all_excl", "max")) == 7.0)
+      // the template target keeps user_id: one series per (metric, user)
+      val byUser = streamed.filter(t => t._3 == "m_by_user" && t._6 == "sum")
+        .map(t => t._4 -> t._7).toMap
+      assert(byUser == Map("1" -> 3.0, "2" -> 5.0))
+      assert(m(("n_by_user", "sum")) == 7.0)
+    } finally q.stop()
+  }
 }
