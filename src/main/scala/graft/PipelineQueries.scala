@@ -45,10 +45,34 @@ object PipelineQueries {
     s"SELECT doc_id, $b AS band, md5(concat_ws(',', $cs)) AS bucket FROM sig"
   }.mkString(" UNION ALL ")
   private val MAX_BUCKET = 1000
+  private val MIN_AGREE = 8
+
+  /** The cluster family's shared dup-graph edges: band candidates
+    * verified by signature agreement (est. Jaccard >= MIN_AGREE/K).
+    * All four consumers build the IDENTICAL lineage so the cluster
+    * label cache (keyed on canonicalized plans) is shared. */
+  private def verifiedPairs(docs: org.apache.spark.sql.DataFrame) = {
+    val sigs = Dedup.minhashSignatureCached(docs, K)
+    Dedup.verifyCandidates(sigs,
+      Dedup.minhashCandidates(sigs, BANDS, ROWS), MIN_AGREE, K)
+  }
   private val PAIRS =
     s"""SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
        | FROM capped AS l JOIN capped AS r
        |  ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id""".stripMargin.replace("\n", " ")
+
+  /** signature-agreement verification SQL (mirrors
+    * Dedup.verifyCandidates: est. Jaccard = agree/K >= MIN_AGREE/K). */
+  private val VERIFIED = {
+    val agree = (0 until K)
+      .map(i => s"(CASE WHEN l.mh$i = r.mh$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""SELECT doc_a, doc_b FROM (
+       | SELECT p.doc_a, p.doc_b, $agree AS agree
+       | FROM p JOIN sig AS l ON p.doc_a = l.doc_id
+       |  JOIN sig AS r ON p.doc_b = r.doc_id) AS z
+       | WHERE agree >= $MIN_AGREE""".stripMargin.replace("\n", " ")
+  }
 
   /** LSH bucket id SQL — regenerates the identical hyperplane family
     * as [[Similarity.lshBucket]] (same mixing, same literal ±1
@@ -201,17 +225,14 @@ object PipelineQueries {
     }),
     "corpus_clusters" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val pairs = Dedup.minhashCandidates(
-        Dedup.minhashSignature(docs, K), BANDS, ROWS)
-      Corpus.dupClusters(docs.select("doc_id"), pairs).orderBy("doc_id")
+      Corpus.dupClusters(docs.select("doc_id"), verifiedPairs(docs))
+        .orderBy("doc_id")
     }),
     "corpus_split" -> ((s, dir) =>
       Corpus.split(Tables.documents(s, dir)).orderBy("doc_id")),
     "corpus_manifest" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val pairs = Dedup.minhashCandidates(
-        Dedup.minhashSignature(docs, K), BANDS, ROWS)
-      Corpus.manifest(docs, pairs).orderBy("doc_id")
+      Corpus.manifest(docs, verifiedPairs(docs)).orderBy("doc_id")
     }),
     "corpus_length_buckets" -> ((s, dir) =>
       Corpus.lengthBuckets(Tables.documents(s, dir)).orderBy("doc_id")),
@@ -260,9 +281,7 @@ object PipelineQueries {
       Corpus.card(Tables.documents(s, dir))),
     "corpus_cluster_stats" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val pairs = Dedup.minhashCandidates(
-        Dedup.minhashSignature(docs, K), BANDS, ROWS)
-      Corpus.clusterSizeStats(docs.select("doc_id"), pairs)
+      Corpus.clusterSizeStats(docs.select("doc_id"), verifiedPairs(docs))
         .orderBy("cluster_size")
     }),
     "corpus_overlap" -> ((s, dir) =>
@@ -342,9 +361,7 @@ object PipelineQueries {
         .orderBy("doc_id")),
     "corpus_canonical" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val pairs = Dedup.minhashCandidates(
-        Dedup.minhashSignature(docs, K), BANDS, ROWS)
-      Corpus.canonicalPick(docs, pairs).orderBy("doc_id")
+      Corpus.canonicalPick(docs, verifiedPairs(docs)).orderBy("doc_id")
     }),
     "corpus_pack" -> ((s, dir) =>
       Corpus.packSequences(Tables.documents(s, dir)).orderBy("doc_id")),
@@ -603,9 +620,9 @@ object PipelineQueries {
          | capped AS (SELECT doc_id, band, bucket FROM (
          |  SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz FROM banded) AS z
          |  WHERE bsz <= $MAX_BUCKET),
-         | p AS ($PAIRS),
-         | edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
-         |  UNION SELECT doc_b AS src, doc_a AS dst FROM p),
+         | p AS ($PAIRS), v AS ($VERIFIED),
+         | edges AS (SELECT doc_a AS src, doc_b AS dst FROM v
+         |  UNION SELECT doc_b AS src, doc_a AS dst FROM v),
          | reach(node, root) AS (
          |  SELECT doc_id, doc_id FROM documents
          |  UNION
@@ -625,9 +642,9 @@ object PipelineQueries {
          | capped AS (SELECT doc_id, band, bucket FROM (
          |  SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz FROM banded) AS z
          |  WHERE bsz <= $MAX_BUCKET),
-         | p AS ($PAIRS),
-         | edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
-         |  UNION SELECT doc_b AS src, doc_a AS dst FROM p),
+         | p AS ($PAIRS), v AS ($VERIFIED),
+         | edges AS (SELECT doc_a AS src, doc_b AS dst FROM v
+         |  UNION SELECT doc_b AS src, doc_a AS dst FROM v),
          | reach(node, root) AS (
          |  SELECT doc_id, doc_id FROM documents
          |  UNION
@@ -795,9 +812,9 @@ object PipelineQueries {
          | capped AS (SELECT doc_id, band, bucket FROM (
          |  SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz FROM banded) AS z
          |  WHERE bsz <= $MAX_BUCKET),
-         | p AS ($PAIRS),
-         | edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
-         |  UNION SELECT doc_b AS src, doc_a AS dst FROM p),
+         | p AS ($PAIRS), v AS ($VERIFIED),
+         | edges AS (SELECT doc_a AS src, doc_b AS dst FROM v
+         |  UNION SELECT doc_b AS src, doc_a AS dst FROM v),
          | reach(node, root) AS (
          |  SELECT doc_id, doc_id FROM documents
          |  UNION
@@ -1156,9 +1173,9 @@ object PipelineQueries {
          | capped AS (SELECT doc_id, band, bucket FROM (
          |  SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz FROM banded) AS z
          |  WHERE bsz <= $MAX_BUCKET),
-         | p AS ($PAIRS),
-         | edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
-         |  UNION SELECT doc_b AS src, doc_a AS dst FROM p),
+         | p AS ($PAIRS), v AS ($VERIFIED),
+         | edges AS (SELECT doc_a AS src, doc_b AS dst FROM v
+         |  UNION SELECT doc_b AS src, doc_a AS dst FROM v),
          | reach(node, root) AS (
          |  SELECT doc_id, doc_id FROM documents
          |  UNION

@@ -32,7 +32,7 @@ object Corpus {
     * 2-3 rounds in practice); `maxIter` bounds the worst case. Each
     * round is two joins on doc id — no driver-side graph state.
     */
-  def dupClusters(docs: DataFrame, pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def dupClusters(docs: DataFrame, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     // the iterative propagation is the most expensive stage in the
     // corpus family and three operators consume its labels (clusters,
     // canonical pick, manifest) — run it once per (docs, pairs)
@@ -340,7 +340,7 @@ object Corpus {
     * size, size → counts. The second aggregate's key space is
     * ≤ max cluster size: tiny by construction. */
   def clusterSizeStats(docs: DataFrame, pairs: DataFrame,
-                       maxIter: Int = 10): DataFrame = {
+                       maxIter: Int = 20): DataFrame = {
     val labels = dupClusters(docs, pairs, maxIter)
     labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
       .groupBy("cluster_size").agg(

@@ -87,6 +87,8 @@ object Dedup {
     shingleCache.clear()
     simhashCache.values.foreach(_.unpersist(blocking = false))
     simhashCache.clear()
+    minhashSigCache.values.foreach(_.unpersist(blocking = false))
+    minhashSigCache.clear()
   }
 
   /** MinHash signature: k independent affine hashes over shingle
@@ -101,6 +103,50 @@ object Dedup {
       min(pmod(lit(a) * col("h") + lit(b), lit(P))).as(s"mh$i")
     }
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Cached minhash signatures — the cluster family (candidate
+    * banding + signature verification) reads the signature frame
+    * three times per plan, and five queries share it. Same caching
+    * contract as [[simhash]] (persisted per (session, canonicalized
+    * source plan, k, n), cleared by [[clearShingleCache]]); use
+    * [[minhashSignature]] for a fresh, side-effect-free frame. */
+  def minhashSignatureCached(docs: DataFrame, k: Int = 16,
+                             n: Int = 3): DataFrame = {
+    val key = (docs.sparkSession,
+      docs.queryExecution.analyzed.canonicalized, k, n)
+    minhashSigCache.getOrElseUpdate(key,
+      minhashSignature(docs, k, n).persist(StorageLevel.MEMORY_AND_DISK))
+  }
+
+  private val minhashSigCache = scala.collection.concurrent.TrieMap.empty[
+    (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      Int, Int), DataFrame]
+
+  /** Signature-agreement verification for band candidates — the
+    * precision repair that keeps the dup graph scale-stable. Band
+    * buckets only gate recall; their false-positive rate rides the
+    * in-bucket density, so candidate count grows ~quadratically with
+    * corpus density at fixed (bands, rows) — the 10× scale rehearsal
+    * measured 3.9k → 429k candidate pairs for 10× docs, densifying
+    * the dup graph until clustering stopped converging. The fraction
+    * of agreeing minhash components is an unbiased Jaccard estimate
+    * (each component agrees with probability exactly J), so
+    * `minAgree/k` ≈ the Jaccard floor; cost is two equi-joins at
+    * signature width over the candidate set — never the corpus. */
+  def verifyCandidates(sigs: DataFrame, pairs: DataFrame,
+                       minAgree: Int = 8, k: Int = 16): DataFrame = {
+    val l = sigs.select(col("doc_id").as("doc_a") +:
+      (0 until k).map(i => col(s"mh$i").as(s"_la$i")): _*)
+    val r = sigs.select(col("doc_id").as("doc_b") +:
+      (0 until k).map(i => col(s"mh$i").as(s"_ra$i")): _*)
+    val agree = (0 until k)
+      .map(i => when(col(s"_la$i") === col(s"_ra$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs.join(l, "doc_a").join(r, "doc_b")
+      .withColumn("agree", agree)
+      .where(col("agree") >= minAgree)
+      .select("doc_a", "doc_b", "agree")
   }
 
   /** LSH band-bucket candidate pairs from minhash signatures:

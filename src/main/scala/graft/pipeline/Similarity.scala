@@ -167,6 +167,20 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  /** Density-derived hyperplane count: explicit `planes > 0` wins;
+    * otherwise target ~32 vectors per bucket per table with a floor
+    * of 4 planes (the floor is what the sf0.01 oracle gate — and
+    * every corpus below ~512 vectors — resolves to). The count() is
+    * one bounded job over the vector table; at 100 TB the corpus
+    * row count is a catalog statistic. */
+  private def derivePlanes(planes: Int, corpus: DataFrame): Int =
+    if (planes > 0) planes
+    else {
+      val n = corpus.count()
+      math.max(4,
+        math.ceil(math.log((n / 32.0).max(1.0)) / math.log(2.0)).toInt)
+    }
+
   /** Multi-table LSH ANN: `tables` independent bucketings (fewer
     * planes each → wider buckets); candidates = docs sharing any
     * table's bucket with the query; exact cosine re-rank on the
@@ -550,15 +564,23 @@ object Similarity {
     * brute-force form in the spec.
     *
     * Scale: per-table candidate volume is Σ_bucket |bucket|²/2 ≈
-    * N²/2^planes partitioned across buckets; planes tunes the
-    * quadratic term down and the join key (tbl, bucket) shards it.
-    * Combine with exact-dedup-first so identical-content clusters
-    * never reach the bucket join. */
+    * N²/2^planes partitioned across buckets — so a FIXED plane count
+    * is quadratic in corpus size (the 10× scale rehearsal measured
+    * 58× runtime at planes=4: buckets held 10× the vectors, pair
+    * joins 100×). `planes <= 0` (the default) derives the count from
+    * corpus density, targeting ~32 vectors per bucket per table
+    * (one bounded count() job); recall for strong near-dups stays
+    * high through the `tables` OR while candidate volume stays
+    * ~linear. Pass an explicit plane count to pin the bucket family
+    * (the sf0.01 oracle gate resolves to 4, the fixed-count
+    * behavior, at its corpus size). Combine with exact-dedup-first
+    * so identical-content clusters never reach the bucket join. */
   def cosineNearDupLsh(corpus: DataFrame, threshold: Double, dim: Int = 64,
-                       planes: Int = 4, tables: Int = 6): DataFrame = {
+                       planes: Int = 0, tables: Int = 6): DataFrame = {
+    val pl = derivePlanes(planes, corpus)
     val banded = (0 until tables).map { t =>
       corpus.select(col("vec_id"), lit(t).as("tbl"),
-        lshBucket(col("embedding"), dim, planes, t).as("bucket"))
+        lshBucket(col("embedding"), dim, pl, t).as("bucket"))
     }.reduce(_ unionByName _)
     val cands = banded.as("l").join(banded.as("r"),
         col("l.tbl") === col("r.tbl") && col("l.bucket") === col("r.bucket") &&
