@@ -670,6 +670,38 @@ object TsdbQueries {
             Seq("user_id"), Seq("count", "p95"), "day")))))
         .orderBy("rule", "name", "user_id", "bucket_s", "agg")),
 
+    // m3 rule tag-filter grammar (metrics/filters): glob patterns
+    // with {alternation}, ? single-char, trailing *, and ! negation,
+    // compiled to the same anchored-regex matcher conjunction every
+    // fetch uses
+    "ds_rule_filter" -> ((s, dir) =>
+      Fetch(samples(s, dir),
+        Fetch.tagsFilter("name:{purchase,click}* user_id:!1?"))
+        .select(col("name"), col("user_id"),
+          unix_timestamp(col("ts")).as("ts_s"), col("value"), col("event_id"))
+        .orderBy("event_id")),
+
+    // rollup pipelines (pipeline ops before the RollupOp,
+    // metrics/transformation): Increase → sum (counter-delta daily
+    // total), PerSecond → max (peak rate), Add → last (running sum
+    // sampled at window close), each per ORIGINAL series then
+    // aggregated across users under the templated new name
+    "ds_rollup_pipeline" -> ((s, dir) =>
+      Downsample.rollupTargets(samples(s, dir), Seq(
+        Downsample.RollupRule("pipe",
+          Seq(Fetch.Matcher("name", Fetch.Re, "(purchase|click)")),
+          Seq(
+            Downsample.RollupTarget("{{ .MetricName }}_inc_daily",
+              Downsample.GroupBy, Seq("user_id"), Seq("sum"), "day",
+              transforms = Seq("Increase")),
+            Downsample.RollupTarget("{{ .MetricName }}_rate_daily",
+              Downsample.GroupBy, Seq("user_id"), Seq("max"), "day",
+              transforms = Seq("PerSecond")),
+            Downsample.RollupTarget("{{ .MetricName }}_cum_daily",
+              Downsample.GroupBy, Seq("user_id"), Seq("last"), "day",
+              transforms = Seq("Add"))))))
+        .orderBy("rule", "name", "user_id", "bucket_s", "agg")),
+
     // influx line-protocol roundtrip: render every event as a line
     // (`<measurement>,user_id=<uid> value=<v> <epoch-ns>`), parse
     // through the InfluxLine source (field fan-out names the series
@@ -1456,6 +1488,41 @@ object TsdbQueries {
          |   CAST(NULL AS BIGINT), bucket_s, 'count', count_v FROM t3
          |  UNION ALL SELECT 'errors_rollup', 'day', 'errors_all',
          |   CAST(NULL AS BIGINT), bucket_s, 'p95', p95_v FROM t3) AS u
+         | ORDER BY rule, name, user_id, bucket_s, agg""".stripMargin.replace("\n", " "),
+    "ds_rule_filter" ->
+      s"""SELECT name, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         | value, event_id
+         | FROM ($S) AS s
+         | WHERE regexp_full_match(name, '(?:purchase|click).*')
+         |  AND NOT regexp_full_match(CAST(user_id AS VARCHAR), '1.')
+         | ORDER BY event_id""".stripMargin.replace("\n", " "),
+    "ds_rollup_pipeline" ->
+      s"""WITH m AS (SELECT event_type AS name, user_id, ts, value, event_id
+         |  FROM events WHERE regexp_full_match(event_type, '(purchase|click)')),
+         | t AS (SELECT name, user_id, ts, value, event_id,
+         |   CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS bucket_s,
+         |   lag(value) OVER w AS pv, lag(ts) OVER w AS pts
+         |  FROM m WINDOW w AS (PARTITION BY name, user_id ORDER BY ts, event_id)),
+         | inc AS (SELECT name, user_id, bucket_s, value - pv AS v FROM t
+         |  WHERE pts IS NOT NULL AND pts < ts AND value - pv >= 0),
+         | rate AS (SELECT name, user_id, bucket_s,
+         |   (value - pv) / ((epoch_us(ts) - epoch_us(pts)) / 1000000.0) AS v
+         |  FROM t WHERE pts IS NOT NULL AND pts < ts AND value - pv >= 0),
+         | cum AS (SELECT name, user_id, ts, event_id, bucket_s,
+         |   sum(value) OVER (PARTITION BY name, user_id ORDER BY ts, event_id
+         |    ROWS UNBOUNDED PRECEDING) AS v
+         |  FROM t)
+         | SELECT * FROM (
+         |  SELECT 'pipe' AS rule, 'day' AS resolution,
+         |   name || '_inc_daily' AS name, user_id, bucket_s,
+         |   'sum' AS agg, round(sum(v), 6) AS value
+         |  FROM inc GROUP BY name, user_id, bucket_s
+         |  UNION ALL SELECT 'pipe', 'day', name || '_rate_daily', user_id,
+         |   bucket_s, 'max', round(max(v), 6)
+         |  FROM rate GROUP BY name, user_id, bucket_s
+         |  UNION ALL SELECT 'pipe', 'day', name || '_cum_daily', user_id,
+         |   bucket_s, 'last', round(last(v ORDER BY ts, event_id), 6)
+         |  FROM cum GROUP BY name, user_id, bucket_s) AS u
          | ORDER BY rule, name, user_id, bucket_s, agg""".stripMargin.replace("\n", " "),
     "ds_multi_res" -> {
       val fine =

@@ -192,7 +192,81 @@ object Downsample {
                                 rollupType: RollupType,
                                 tags: Seq[String],
                                 aggs: Seq[String],
-                                resolution: String)
+                                resolution: String,
+                                transforms: Seq[String] = Nil)
+
+  /** Pipeline transformation ops — the stage of a rollup pipeline
+    * that precedes the RollupOp (reference:
+    * src/metrics/transformation/type.go:39 Absolute | PerSecond |
+    * Increase | Add | Reset, applied per ORIGINAL series in pipeline
+    * order by the aggregator). Each is a per-series window op over
+    * event time:
+    *  - Absolute (unary.go:35): |v|, stateless.
+    *  - Add (unary.go:46): running sum per series; NaN contributes
+    *    zero (42 + NaN = 42).
+    *  - PerSecond (binary.go:54): (curr−prev)/Δseconds; the
+    *    datapoint is DROPPED (emptyDatapoint) when there is no
+    *    previous point, timestamps are non-increasing, either value
+    *    is NaN, or the diff is negative.
+    *  - Increase (binary.go:71): curr−prev with NaN prev treated as
+    *    0; dropped on no-prev / non-increasing ts / NaN curr /
+    *    negative diff.
+    *  - Reset (unary_multi.go:46): every datapoint additionally
+    *    emits a zero at ts + resolution/2 — the spacing trick that
+    *    makes a downstream sum-of-increases see each window's total
+    *    exactly once.
+    *
+    * Ordering ties: the aggregator consumes an arrival-ordered
+    * stream; a distributed replay needs a total order, so the window
+    * sorts by (ts, event_id) when `event_id` exists, ts alone
+    * otherwise — and the binary ops' strict time-increase rule then
+    * drops same-timestamp successors deterministically. */
+  private def applyTransform(df: DataFrame, op: String,
+                             labelCols: Seq[String], resS: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val order =
+      if (df.columns.contains("event_id")) Seq(col("ts"), col("event_id"))
+      else Seq(col("ts"))
+    val w = Window.partitionBy(labelCols.map(col): _*).orderBy(order: _*)
+    op match {
+      case "Absolute" => df.withColumn("value", abs(col("value")))
+      case "Add" =>
+        df.withColumn("value",
+          sum(when(isnan(col("value")), lit(0.0)).otherwise(col("value")))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      case "PerSecond" | "Increase" =>
+        val stepped = df
+          .withColumn("_pv", lag("value", 1).over(w))
+          .withColumn("_pts", lag("ts", 1).over(w))
+        val prevV =
+          if (op == "Increase")
+            when(isnan(col("_pv")), lit(0.0)).otherwise(col("_pv"))
+          else col("_pv")
+        val diff = col("value") - prevV
+        val v =
+          if (op == "PerSecond")
+            diff / ((unix_micros(col("ts")) - unix_micros(col("_pts"))) /
+              lit(1000000.0))
+          else diff
+        val keep = col("_pts").isNotNull && col("_pts") < col("ts") &&
+          !isnan(col("value")) && diff >= 0 &&
+          (if (op == "PerSecond") !isnan(col("_pv")) else lit(true))
+        stepped.where(keep).withColumn("value", v).drop("_pv", "_pts")
+      case "Reset" =>
+        val half = math.max(resS * 500000L, 1L) // µs; ≥ 1 like the reference
+        df.withColumn("_dp", explode(array(
+            struct(col("ts"), col("value")),
+            struct(timestamp_micros(unix_micros(col("ts")) + half).as("ts"),
+              lit(0.0).as("value")))))
+          .withColumn("ts", col("_dp.ts"))
+          .withColumn("value", col("_dp.value"))
+          .drop("_dp")
+      case t => throw new IllegalArgumentException(s"unknown transformation $t")
+    }
+  }
+
+  private val unitSeconds =
+    Map("minute" -> 60L, "hour" -> 3600L, "day" -> 86400L)
 
   final case class RollupRule(name: String, matchers: Seq[Fetch.Matcher],
                               targets: Seq[RollupTarget])
@@ -245,11 +319,16 @@ object Downsample {
       }
       val matched = Fetch(samples, r.matchers)
       // GroupBy: every listed dimension must be PRESENT on the series
-      val present = t.rollupType match {
+      val present0 = t.rollupType match {
         case GroupBy => kept.foldLeft(matched)((df, c) =>
           df.where(col(c).isNotNull))
         case ExcludeBy => matched
       }
+      // pipeline transformation ops run per ORIGINAL series, in
+      // pipeline order, before the rollup aggregation
+      val present = t.transforms.foldLeft(present0)((df, op) =>
+        applyTransform(df, op, labelCols,
+          unitSeconds.getOrElse(t.resolution, 3600L)))
       val nn = newNameCol(t.newName)
       val bucketed = present
         .withColumn("_rollup_name", nn)

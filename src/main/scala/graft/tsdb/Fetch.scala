@@ -48,6 +48,91 @@ object Fetch {
 
   final case class Matcher(label: String, op: Op, value: String)
 
+  /** Parse an m3 rule tag-filter string into a matcher conjunction —
+    * the rule-matching grammar of the aggregation/rollup rule sets
+    * (reference: src/metrics/filters/tags_filter.go
+    * ParseTagFilterValueMap + filter.go NewFilter): space-separated
+    * `tag:pattern` pairs, duplicate tags rejected; a leading `!`
+    * negates the pattern; patterns support `?` (any one char),
+    * `[a-z]`/`[abc]` single-char ranges, `{a,b}` alternation, and at
+    * most ONE `*` wildcard — as prefix (`*pat`), suffix (`pat*`) or
+    * middle (`a*b`) — except the contains form `*pat*`
+    * (filter.go:147 newWildcardFilter's exhaustive shapes; anything
+    * else is errInvalidFilterPattern). Each pattern compiles to one
+    * fully-anchored regex [[Matcher]] ([[Re]]/[[NotRe]], or
+    * [[Eq]]/[[NotEq]] when the pattern is literal), so the filter
+    * rides the same scan-adjacent predicate as every other fetch. */
+  def tagsFilter(filter: String): Seq[Matcher] = {
+    val pairs = filter.trim.split(" ").filter(_.nonEmpty)
+    val seen = scala.collection.mutable.Set.empty[String]
+    pairs.toSeq.map { p =>
+      val items = p.split(":", -1)
+      require(items.length == 2, s"invalid filter $p: expecting tag pattern pairs")
+      val Array(tag, pat0) = items
+      require(tag.nonEmpty, s"invalid filter $p: empty tag name")
+      require(pat0.nonEmpty, s"invalid filter $p: empty filter pattern")
+      require(seen.add(tag), s"invalid filter $filter: duplicate tag $tag found")
+      val (negate, pat) =
+        if (pat0.startsWith("!")) {
+          require(pat0.length > 1, s"invalid filter pattern: $pat0")
+          (true, pat0.drop(1))
+        } else (false, pat0)
+      val (re, literal) = globToRegex(pat)
+      (negate, literal) match {
+        case (false, Some(v)) => Matcher(tag, Eq, v)
+        case (true, Some(v))  => Matcher(tag, NotEq, v)
+        case (false, None)    => Matcher(tag, Re, re)
+        case (true, None)     => Matcher(tag, NotRe, re)
+      }
+    }
+  }
+
+  /** One glob pattern → (regex, Some(literal) when no glob chars).
+    * Wildcard-shape validation replays newWildcardFilter exactly. */
+  private def globToRegex(pat: String): (String, Option[String]) = {
+    val wIdx = pat.indexOf('*')
+    val shapeOk =
+      if (wIdx == -1) true
+      else if (pat == "*") true
+      else {
+        val second = pat.indexOf('*', wIdx + 1)
+        if (second == -1) true // prefix, suffix or single middle wildcard
+        else wIdx == 0 && second == pat.length - 1 && pat.length > 2 // *pat*
+      }
+    require(shapeOk, s"invalid filter pattern defined: $pat")
+    // per-char escaping (not \Q…\E): the regex must parse in BOTH
+    // Spark's Java engine and the DuckDB/RE2 oracle replay
+    def esc(c: Char): String =
+      if (c.isLetterOrDigit || c == '_') c.toString else "\\" + c
+    val sb = new StringBuilder
+    var literal = true
+    var i = 0
+    while (i < pat.length) {
+      pat.charAt(i) match {
+        case '*' => sb.append(".*"); literal = false; i += 1
+        case '?' => sb.append('.'); literal = false; i += 1
+        case '[' =>
+          val end = pat.indexOf(']', i + 1)
+          require(end > i, s"invalid filter pattern defined: $pat")
+          val body = pat.substring(i + 1, end)
+          require(body.nonEmpty && body.forall(c =>
+            c.isLetterOrDigit || c == '-'), s"invalid filter pattern defined: $pat")
+          sb.append('[').append(body).append(']'); literal = false
+          i = end + 1
+        case '{' =>
+          val end = pat.indexOf('}', i + 1)
+          require(end > i, s"invalid filter pattern defined: $pat")
+          val alts = pat.substring(i + 1, end).split(",", -1)
+          sb.append(alts.map(_.flatMap(esc)).mkString("(?:", "|", ")"))
+          literal = false
+          i = end + 1
+        case c =>
+          sb.append(esc(c)); i += 1
+      }
+    }
+    (sb.toString, if (literal) Some(pat) else None)
+  }
+
   /** Single matcher → boolean Column. PromQL's reserved `__name__`
     * label addresses the metric name column. */
   def predicate(m: Matcher): Column = {

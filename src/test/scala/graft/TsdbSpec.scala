@@ -273,6 +273,59 @@ class TsdbSpec extends SparkSpec {
     Downsample.clearTierCache()
   }
 
+  test("pipeline transforms: Absolute, Reset's half-resolution zero, Increase drops") {
+    val s = spark
+    import s.implicits._
+    val samples = Seq(
+      ("m", 1L, 600L, 5.0), ("m", 1L, 1200L, -3.0))
+      .toDF("name", "user_id", "ts_s", "value")
+      .select(col("name"), col("user_id"),
+        timestamp_seconds(col("ts_s")).as("ts"), col("value"),
+        monotonically_increasing_id().as("event_id"))
+    def run(transforms: Seq[String], aggs: Seq[String]) =
+      Downsample.rollupTargets(samples, Seq(
+        Downsample.RollupRule("r", Seq(Fetch.Matcher("name", Fetch.Eq, "m")),
+          Seq(Downsample.RollupTarget("out", Downsample.GroupBy,
+            Seq("user_id"), aggs, "hour", transforms = transforms)))))
+        .collect().map(r => r.getAs[String]("agg") -> r.getAs[Double]("value"))
+        .toMap
+    // Absolute: |5| + |−3| = 8
+    assert(run(Seq("Absolute"), Seq("sum"))("sum") == 8.0)
+    // Reset doubles the datapoints (zero at ts + res/2 stays in the
+    // hour bucket) and leaves the sum untouched
+    val reset = run(Seq("Reset"), Seq("count", "sum"))
+    assert(reset("count") == 4.0 && reset("sum") == 2.0)
+    // Increase: no-prev first point dropped; the −8 diff dropped →
+    // empty frame (matches binary.go's emptyDatapoint on both rules)
+    assert(run(Seq("Increase"), Seq("sum")).isEmpty)
+    // Add: running sum {5, 2}, last = 2
+    assert(run(Seq("Add"), Seq("last"))("last") == 2.0)
+  }
+
+  test("m3 tag-filter grammar compiles to anchored matchers") {
+    import Fetch._
+    assert(tagsFilter("name:purchase") == Seq(Matcher("name", Eq, "purchase")))
+    assert(tagsFilter("name:!purchase") ==
+      Seq(Matcher("name", NotEq, "purchase")))
+    assert(tagsFilter("name:pur* user_id:!{3,7}") == Seq(
+      Matcher("name", Re, "pur.*"),
+      Matcher("user_id", NotRe, "(?:3|7)")))
+    assert(tagsFilter("name:p?r[a-z]hase") ==
+      Seq(Matcher("name", Re, "p.r[a-z]hase")))
+    // the contains form and the mid-wildcard form are both legal
+    assert(tagsFilter("name:*cha*") == Seq(Matcher("name", Re, ".*cha.*")))
+    assert(tagsFilter("name:pu*se") == Seq(Matcher("name", Re, "pu.*se")))
+    // newWildcardFilter's invalid shapes and the parse rules throw
+    intercept[IllegalArgumentException](tagsFilter("name:a*b*c"))
+    intercept[IllegalArgumentException](tagsFilter("name:x name:y"))
+    intercept[IllegalArgumentException](tagsFilter("name:"))
+    intercept[IllegalArgumentException](tagsFilter(":pat"))
+    intercept[IllegalArgumentException](tagsFilter("name:!"))
+    // regex metachars in literals are escaped (RE2-compatible, no \\Q)
+    val m = tagsFilter("name:a.b*").head
+    assert(m == Matcher("name", Re, "a\\.b.*"))
+  }
+
   test("rollup targets rename, drop dims, and stay fetchable") {
     val s = spark
     import s.implicits._
