@@ -257,6 +257,99 @@ object Ingest {
       }
   }
 
+  /** Streaming pipeline transformation ops — the aggregator's
+    * transformation stage on the INGEST path, where m3 actually
+    * computes it (reference: src/metrics/transformation/, applied by
+    * the aggregator's elem tick before the rollup aggregation;
+    * semantics per-op identical to the batch
+    * [[graft.tsdb.Downsample.RollupTarget]] transforms):
+    *  - Absolute: stateless |v| map.
+    *  - Reset: stateless 2-datapoint flatMap (the half-resolution
+    *    zero; unary_multi.go:46).
+    *  - Add / PerSecond / Increase: per-series state via
+    *    flatMapGroupsWithState — Add carries the NaN-as-zero running
+    *    sum, the binary ops carry (prev ts, prev value) and DROP
+    *    datapoints per binary.go (no prev / non-increasing ts / NaN
+    *    / negative diff).
+    *
+    * Ordering: within a micro-batch the group sorts by event time
+    * (ties by value, like [[counterTrack]]); across batches the
+    * state carries the previous point. A datapoint arriving after a
+    * later one was processed in an earlier batch is dropped by the
+    * strict time-increase rule — bound reordering with the
+    * upstream watermark, exactly like the aggregator's lateness
+    * window.
+    *
+    * Scale: state is ONE small struct per series (not per window);
+    * the shuffle keys on series hash — the same always-on shape as
+    * [[counterTrack]]. */
+  def transformStream(samples: Dataset[Sample], op: String,
+                      resolution: String = "hour"): Dataset[Sample] = {
+    import samples.sparkSession.implicits._
+    op match {
+      case "Absolute" => samples.map(s => s.copy(value = math.abs(s.value)))
+      case "Reset" =>
+        val halfMs = math.max(unitSecondsOf(resolution) * 500L, 1L)
+        samples.flatMap(s => Seq(s,
+          s.copy(ts = new java.sql.Timestamp(s.ts.getTime + halfMs),
+            value = 0.0)))
+      case "Add" | "PerSecond" | "Increase" =>
+        samples
+          .groupByKey(s => (s.name, s.user_id))
+          // state = (prev ts µs, prev value, running sum); a plain
+          // tuple so the state encoder stays primitive
+          .flatMapGroupsWithState[(Long, Double, Double), Sample](
+            OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+            case ((name, uid), it, state: GroupState[(Long, Double, Double)]) =>
+              val sorted = it.toSeq.sortBy(s => (s.ts.getTime, s.value))
+              val init = state.getOption.getOrElse(
+                (Long.MinValue, Double.NaN, 0.0))
+              val out = Seq.newBuilder[Sample]
+              val end = sorted.foldLeft(init) { case (st @ (lastTs, lastV, runSum), s) =>
+                // full µs precision (getTime is ms; the sub-ms part
+                // lives in getNanos) — PerSecond divides by this
+                val tsMicros = s.ts.getTime * 1000L +
+                  (s.ts.getNanos / 1000) % 1000
+                op match {
+                  case "Add" =>
+                    val sum = runSum + (if (s.value.isNaN) 0.0 else s.value)
+                    out += s.copy(value = sum)
+                    (tsMicros, s.value, sum)
+                  case _ =>
+                    val hasPrev = lastTs != Long.MinValue
+                    val prevV =
+                      if (op == "Increase" && lastV.isNaN) 0.0 else lastV
+                    val diff = s.value - prevV
+                    val keep = hasPrev && lastTs < tsMicros &&
+                      !s.value.isNaN && diff >= 0 &&
+                      (op == "Increase" || !lastV.isNaN)
+                    if (keep) {
+                      val v =
+                        if (op == "PerSecond")
+                          diff / ((tsMicros - lastTs) / 1000000.0)
+                        else diff
+                      out += s.copy(value = v)
+                    }
+                    // prev always advances to the current datapoint
+                    // (matching the batch lag replay: a same-ts
+                    // successor is dropped but still becomes prev)
+                    (tsMicros, s.value, runSum)
+                }
+              }
+              state.update(end)
+              out.result().iterator
+          }
+      case t => throw new IllegalArgumentException(s"unknown transformation $t")
+    }
+  }
+
+  private def unitSecondsOf(resolution: String): Long = resolution match {
+    case "minute" => 60L
+    case "hour"   => 3600L
+    case "day"    => 86400L
+    case r => throw new IllegalArgumentException(s"unit $r")
+  }
+
   /** End-to-end streaming pipeline wiring (source → rollup → memory
     * sink), used by the spec; in production the source/sink lines
     * are kafka/parquet instead of rate/memory. */

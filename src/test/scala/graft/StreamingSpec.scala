@@ -424,6 +424,64 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming transforms carry state across batches, match batch semantics") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[Ingest.Sample]
+    val q = Ingest.transformStream(mem.toDS(), "Increase")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("transform_stream_test").start()
+    try {
+      // batch 1: first point dropped (no prev), then +2
+      mem.addData(
+        Ingest.Sample("c", 1L, Timestamp.valueOf("2024-01-01 00:00:10"), 5.0),
+        Ingest.Sample("c", 1L, Timestamp.valueOf("2024-01-01 00:00:20"), 7.0))
+      q.processAllAvailable()
+      // batch 2: prev carried ACROSS the batch boundary (+3), then a
+      // counter reset (negative diff) dropped, then +4 from the reset
+      mem.addData(
+        Ingest.Sample("c", 1L, Timestamp.valueOf("2024-01-01 00:00:30"), 10.0),
+        Ingest.Sample("c", 1L, Timestamp.valueOf("2024-01-01 00:00:40"), 1.0),
+        Ingest.Sample("c", 1L, Timestamp.valueOf("2024-01-01 00:00:50"), 5.0))
+      q.processAllAvailable()
+      val got = s.sql("SELECT value FROM transform_stream_test ORDER BY ts")
+        .collect().map(_.getDouble(0)).toSeq
+      assert(got == Seq(2.0, 3.0, 4.0), got)
+    } finally q.stop()
+    // PerSecond over the same shape: diffs divided by the 10 s gaps
+    val mem2 = MemoryStream[Ingest.Sample]
+    val q2 = Ingest.transformStream(mem2.toDS(), "PerSecond")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("persecond_stream_test").start()
+    try {
+      mem2.addData(
+        Ingest.Sample("c", 1L, Timestamp.valueOf("2024-01-01 00:00:10"), 5.0),
+        Ingest.Sample("c", 1L, Timestamp.valueOf("2024-01-01 00:00:20"), 7.0),
+        Ingest.Sample("c", 1L, Timestamp.valueOf("2024-01-01 00:00:40"), 13.0))
+      q2.processAllAvailable()
+      val got = s.sql("SELECT value FROM persecond_stream_test ORDER BY ts")
+        .collect().map(_.getDouble(0)).toSeq
+      assert(got == Seq(0.2, 0.3), got)
+    } finally q2.stop()
+    // Add: running sum; Absolute/Reset: stateless forms
+    val mem3 = MemoryStream[Ingest.Sample]
+    val q3 = Ingest.transformStream(mem3.toDS(), "Add")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("add_stream_test").start()
+    try {
+      mem3.addData(
+        Ingest.Sample("c", 1L, Timestamp.valueOf("2024-01-01 00:00:10"), 5.0))
+      q3.processAllAvailable()
+      mem3.addData(
+        Ingest.Sample("c", 1L, Timestamp.valueOf("2024-01-01 00:00:20"), 2.0))
+      q3.processAllAvailable()
+      val got = s.sql("SELECT value FROM add_stream_test ORDER BY ts")
+        .collect().map(_.getDouble(0)).toSeq
+      assert(got == Seq(5.0, 7.0), got)
+    } finally q3.stop()
+  }
+
   test("streaming rollup targets match the batch replay row-for-row") {
     import graft.tsdb.{Downsample, Fetch}
     val s = spark
