@@ -96,8 +96,13 @@ object GraphiteParser {
     * targets use. */
   private val durRe = "([+-]?[0-9]+)(s|min|mon|m|h|d|w|y)([a-z]*)".r
   private def durSeconds(d: String): Long = {
-    val runs = durRe.findAllMatchIn(d.trim.toLowerCase).toList
+    val trimmed = d.trim.toLowerCase
+    val runs = durRe.findAllMatchIn(trimmed).toList
     if (runs.isEmpty) throw new ParseException(s"bad duration $d")
+    // the runs must COVER the input — findAllMatchIn alone would
+    // silently skip embedded garbage ("1.5h" → the 5h run only)
+    if (runs.map(_.matched).mkString != trimmed)
+      throw new ParseException(s"bad duration $d")
     runs.map { m =>
       val mult = m.group(2) match {
         case "s"         => 1L
@@ -412,7 +417,7 @@ object GraphiteParser {
         case "round" | "roundFunction" =>
           Graphite.roundSeries(in, optNum(args, 1, 0.0).toInt)
         case "scaleToSeconds" =>
-          Graphite.scaleToSeconds(in, num(fn, args, 1).toInt)
+          Graphite.scaleToSeconds(in, num(fn, args, 1).toInt, stepOf(unit))
         case "substr" =>
           Graphite.substrSeries(in, optNum(args, 1, 0.0).toInt,
             optNum(args, 2, 0.0).toInt)
@@ -421,10 +426,10 @@ object GraphiteParser {
             num(fn, args, 2).toLong)
         case "sustainedAbove" =>
           Graphite.sustainedAbove(in, num(fn, args, 1),
-            durSeconds(str(fn, args, 2)))
+            durSeconds(str(fn, args, 2)), stepOf(unit))
         case "sustainedBelow" =>
           Graphite.sustainedBelow(in, num(fn, args, 1),
-            durSeconds(str(fn, args, 2)))
+            durSeconds(str(fn, args, 2)), stepOf(unit))
         case "removeAbovePercentile" =>
           Graphite.removeAbovePercentile(in, num(fn, args, 1))
         case "removeBelowPercentile" =>
@@ -432,7 +437,8 @@ object GraphiteParser {
         case "removeEmptySeries" =>
           Graphite.removeEmptySeries(in, optNum(args, 1, 0.0))
         case "hitcount" =>
-          Graphite.hitcount(in, durSeconds(str(fn, args, 1)))
+          Graphite.hitcount(in, durSeconds(str(fn, args, 1)),
+            stepOf(unit))
         case "smartSummarize" =>
           Graphite.smartSummarize(in, durSeconds(str(fn, args, 1)),
             str(fn, args, 2) match { case "average" => "avg"; case h => h })
@@ -472,11 +478,14 @@ object GraphiteParser {
         case "useSeriesAbove" =>
           Graphite.useSeriesAbove(in, base, num(fn, args, 1),
             str(fn, args, 2), str(fn, args, 3))
-        case "holtWintersForecast" => Graphite.holtWintersForecast(in)
+        case "holtWintersForecast" =>
+          Graphite.holtWintersForecast(in, stepOf(unit))
         case "holtWintersConfidenceBands" =>
-          Graphite.holtWintersConfidenceBands(in, optNum(args, 1, 3.0))
+          Graphite.holtWintersConfidenceBands(in, optNum(args, 1, 3.0),
+            stepOf(unit))
         case "holtWintersAberration" =>
-          Graphite.holtWintersAberration(in, optNum(args, 1, 3.0))
+          Graphite.holtWintersAberration(in, optNum(args, 1, 3.0),
+            stepOf(unit))
         case other => throw new ParseException(s"unknown graphite function $other")
       }
   }

@@ -156,12 +156,17 @@ object PromWrite {
     def nameOf(l: Column) = l.getField("name")
     def valueOf(l: Column) = l.getField("value")
 
+    // the literal limit is a BYTE budget (the reference checks
+    // len([]byte) against serialize.DefaultMaxTagLiteralLength), so
+    // octet_length, not character length — a multi-byte UTF-8 value
+    // must fail at the same point the wire format would
     val nonEmpty = size(ls) > 0
     val namesOk = forall(ls, l =>
-      length(nameOf(l)) > 0 && length(nameOf(l)) <= maxTagLiteralLength)
+      length(nameOf(l)) > 0 &&
+        octet_length(nameOf(l)) <= maxTagLiteralLength)
     val valuesOk = forall(ls, l =>
       (if (allowTagValueEmpty) lit(true) else length(valueOf(l)) > 0) &&
-        length(valueOf(l)) <= maxTagLiteralLength)
+        octet_length(valueOf(l)) <= maxTagLiteralLength)
     val dupOk =
       if (allowTagNameDuplicates) lit(true)
       else size(array_distinct(transform(ls, nameOf(_)))) === size(ls)
@@ -330,7 +335,14 @@ object PromWrite {
         opts.downsampleMappingRules
       else defaultRules
     val down =
-      if (rules.isEmpty) samples.limit(0) // no rules configured at all
+      if (rules.isEmpty)
+        // no rules configured at all — still emit the rollup long
+        // format (a zero-row frame over zero-row input), so callers
+        // that union/write the downsampled frame unconditionally see
+        // ONE schema in every branch
+        Downsample.rollupRules(samples.limit(0),
+          Seq(Downsample.Rule("disabled", Nil, "hour", Seq("sum"))),
+          labelCols)
       else {
         val d = Downsample.rollupRules(samples, rules, labelCols)
         if (shouldDownsample(opts, downsamplerEnabled)) d else d.limit(0)

@@ -188,6 +188,14 @@ object Ingest {
     val dims = labelCols.filterNot(_ == "name")
     val types = samples.schema.fields.map(f => f.name -> f.dataType).toMap
     val frames = for { r <- rules; t <- r.targets } yield {
+      // the batch-replay contract must not silently weaken: pipeline
+      // transforms need per-series state, so they run UPSTREAM via
+      // [[transformStream]] (typed Dataset), not inside this
+      // untyped windowing — reject rather than aggregate raw values
+      // under a rule that promises transformed ones
+      require(t.transforms.isEmpty,
+        s"target ${t.newName}: apply pipeline transforms upstream with " +
+          s"transformStream(${t.transforms.mkString(",")}) before targetRollup")
       t.tags.foreach(tag => require(dims.contains(tag),
         s"rollup tag $tag is not a dimension (have: ${dims.mkString(",")})"))
       val kept = t.rollupType match {
@@ -301,15 +309,17 @@ object Ingest {
           .flatMapGroupsWithState[(Long, Double, Double), Sample](
             OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
             case ((name, uid), it, state: GroupState[(Long, Double, Double)]) =>
-              val sorted = it.toSeq.sortBy(s => (s.ts.getTime, s.value))
+              // sort at full µs precision (getTime is ms-truncated) —
+              // the keep/state logic compares µs, so a ms-precision
+              // sort could process sub-ms-spaced samples out of order
+              def micros(t: java.sql.Timestamp): Long =
+                t.getTime * 1000L + (t.getNanos / 1000) % 1000
+              val sorted = it.toSeq.sortBy(s => (micros(s.ts), s.value))
               val init = state.getOption.getOrElse(
                 (Long.MinValue, Double.NaN, 0.0))
               val out = Seq.newBuilder[Sample]
               val end = sorted.foldLeft(init) { case (st @ (lastTs, lastV, runSum), s) =>
-                // full µs precision (getTime is ms; the sub-ms part
-                // lives in getNanos) — PerSecond divides by this
-                val tsMicros = s.ts.getTime * 1000L +
-                  (s.ts.getNanos / 1000) % 1000
+                val tsMicros = micros(s.ts)
                 op match {
                   case "Add" =>
                     val sum = runSum + (if (s.value.isNaN) 0.0 else s.value)

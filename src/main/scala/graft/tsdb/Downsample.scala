@@ -389,8 +389,9 @@ object Downsample {
       .sortBy(_._1)
     require(sorted.map(_._1).distinct.size == sorted.size,
       "duplicate resolutions in policy stack")
-    // composition edges from resolutions alone: tier i composes from
-    // the FINEST earlier tier that divides it (else raw)
+    // composition edges from resolutions alone: tier i composes
+    // from the COARSEST earlier tier that divides it (lastOption of
+    // the ascending-sorted divisors — fewest rows; else raw)
     val resList = sorted.map(_._1)
     val sourceOf: Seq[Option[Int]] = resList.zipWithIndex.map {
       case (r, i) => (0 until i).filter(j => r % resList(j) == 0).lastOption
@@ -436,12 +437,7 @@ object Downsample {
               sum("value").as("sum_v"), count(lit(1)).as("count_v"),
               min("value").as("min_v"), max("value").as("max_v"))
       }
-      val internal =
-        if (isSource(i)) {
-          val c = internal0.persist()
-          Downsample.synchronized { tierCache += c }
-          c
-        } else internal0
+      val internal = if (isSource(i)) tierMemo(internal0) else internal0
       tiers = tiers :+ internal
       val trimmed = nowS match {
         case Some(now) if p.retentionS != Long.MaxValue =>
@@ -458,17 +454,27 @@ object Downsample {
     outs.reduce(_ unionByName _)
   }
 
-  private val tierCache =
-    scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  /** Memoized per (session, canonicalized tier plan) like the
+    * shingle/simhash caches, so repeated policyStack calls (every
+    * multiResolution / restrictByType routes here) reuse one
+    * persisted copy instead of pinning a fresh partial per call. */
+  private def tierMemo(df: DataFrame): DataFrame = {
+    val key = (df.sparkSession, df.queryExecution.analyzed.canonicalized)
+    tierCache.getOrElseUpdate(key, df.persist())
+  }
+
+  private val tierCache = scala.collection.concurrent.TrieMap.empty[
+    (org.apache.spark.sql.SparkSession,
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), DataFrame]
 
   /** Free the composition-source tiers persisted by [[policyStack]]
     * (call after materializing, like Dedup.clearShingleCache). */
-  def clearTierCache(): Unit = synchronized {
-    tierCache.foreach(_.unpersist(blocking = false))
+  def clearTierCache(): Unit = {
+    tierCache.values.foreach(_.unpersist(blocking = false))
     tierCache.clear()
   }
 
-  private[graft] def cachedTierCount: Int = synchronized(tierCache.size)
+  private[graft] def cachedTierCount: Int = tierCache.size
 
   /** The default two-tier stack (1h, 1d) — the shape the restrict
     * and multi-res oracle queries pin. */

@@ -288,23 +288,33 @@ object Fetch {
                       requireExhaustive: Boolean = false): DataFrame = {
     val ident = fetched.select("name", "user_id").distinct()
     val kept = ident.orderBy("name", "user_id").limit(limit)
-    val stats = ident.agg(count(lit(1)).as("total_series"))
-      .withColumn("limited", exhaustiveCheck(requireExhaustive,
-        (col("total_series") > limit).cast("int"),
-        concat(lit(s"query exceeds ReturnedSeriesLimit=$limit (total "),
-          col("total_series").cast("string"),
-          lit(" series) with RequireExhaustive set"))))
+    val stats = exhaustiveGate(
+      ident.agg(count(lit(1)).as("total_series"))
+        .withColumn("limited", (col("total_series") > limit).cast("int")),
+      requireExhaustive,
+      concat(lit(s"query exceeds ReturnedSeriesLimit=$limit (total "),
+        col("total_series").cast("string"),
+        lit(" series) with RequireExhaustive set")))
     fetched.join(kept, Seq("name", "user_id"), "left_semi")
       .crossJoin(broadcast(stats))
   }
 
-  /** The lazy RequireExhaustive gate: `limited` passes through, but
-    * when the exhaustive contract is requested and violated the plan
-    * raises at evaluation time — one scan, no eager pre-count. */
-  private def exhaustiveCheck(requireExhaustive: Boolean, limited: Column,
-                              msg: Column): Column =
-    if (!requireExhaustive) limited
-    else when(limited === 1, raise_error(msg).cast("int")).otherwise(limited)
+  /** The lazy RequireExhaustive gate: when the exhaustive contract
+    * is requested and violated, the plan raises at evaluation time —
+    * one scan, no eager pre-count. The raise lives in a row-level
+    * FILTER on the one-row stats frame, not a projected column: a
+    * projection-only gate would be dropped by column pruning
+    * whenever the caller selects away the `limited` column, and a
+    * filter on the joined rows would never evaluate when the kept
+    * set is empty (a budget smaller than the first series) — the
+    * stats filter runs whenever the broadcast side builds, in every
+    * one of those shapes (spec-covered). */
+  private def exhaustiveGate(stats: DataFrame, requireExhaustive: Boolean,
+                             msg: Column): DataFrame =
+    if (!requireExhaustive) stats
+    else stats.where(
+      when(col("limited") === 1, raise_error(msg).cast("boolean"))
+        .otherwise(lit(true)))
 
   /** Returned-datapoints limit — the second returned-data budget in
     * m3's FetchOptions (types.go:124 ReturnedDatapointsLimit;
@@ -342,12 +352,13 @@ object Fetch {
     val cum = localCum.join(broadcast(offsets), "_shard")
       .withColumn("_cum", col("_local_cum") + col("_offset"))
     val kept = cum.where(col("_cum") <= budget).select("name", "user_id")
-    val stats = fetched.agg(count(lit(1)).as("total_datapoints"))
-      .withColumn("limited", exhaustiveCheck(requireExhaustive,
-        (col("total_datapoints") > budget).cast("int"),
-        concat(lit(s"query exceeds ReturnedDatapointsLimit=$budget (total "),
-          col("total_datapoints").cast("string"),
-          lit(" datapoints) with RequireExhaustive set"))))
+    val stats = exhaustiveGate(
+      fetched.agg(count(lit(1)).as("total_datapoints"))
+        .withColumn("limited", (col("total_datapoints") > budget).cast("int")),
+      requireExhaustive,
+      concat(lit(s"query exceeds ReturnedDatapointsLimit=$budget (total "),
+        col("total_datapoints").cast("string"),
+        lit(" datapoints) with RequireExhaustive set")))
     fetched.join(kept, Seq("name", "user_id"), "left_semi")
       .crossJoin(broadcast(stats))
   }

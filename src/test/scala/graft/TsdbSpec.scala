@@ -440,6 +440,13 @@ class TsdbSpec extends SparkSpec {
     val ex = intercept[Throwable] { lazyLim.collect() }
     assert(messageChain(ex).exists(_.contains("ReturnedSeriesLimit=3")),
       s"expected the RequireExhaustive raise, got: $ex")
+    // …even when the caller prunes away the stats columns — the gate
+    // is a Filter on the stats frame, so ColumnPruning can't drop it
+    val pruned = Fetch.withSeriesLimit(fetched, 3, requireExhaustive = true)
+      .select("name", "user_id", "value")
+    val ex2 = intercept[Throwable] { pruned.collect() }
+    assert(messageChain(ex2).exists(_.contains("ReturnedSeriesLimit=3")),
+      s"pruned select silently skipped the gate: $ex2")
     // …but passes when the limit doesn't bite
     val ok = Fetch.withSeriesLimit(fetched, total.toInt + 1,
       requireExhaustive = true)
@@ -471,6 +478,13 @@ class TsdbSpec extends SparkSpec {
     val ex = intercept[Throwable] { lazyLim.collect() }
     assert(messageChain(ex).exists(_.contains(s"ReturnedDatapointsLimit=$budget")),
       s"expected the RequireExhaustive raise, got: $ex")
+    // budget below the FIRST series: the kept set (and so the joined
+    // result) is empty — the gate must still fire, which is why it
+    // filters the stats frame rather than the joined rows
+    val tiny = Fetch.withDatapointsLimit(fetched, 1, requireExhaustive = true)
+    val ex2 = intercept[Throwable] { tiny.collect() }
+    assert(messageChain(ex2).exists(_.contains("ReturnedDatapointsLimit=1")),
+      s"empty kept set silently skipped the gate: $ex2")
   }
 
   /** Walk the cause chain — Spark wraps executor/broadcast raises. */
