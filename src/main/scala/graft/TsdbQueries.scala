@@ -670,6 +670,26 @@ object TsdbQueries {
             Seq("user_id"), Seq("count", "p95"), "day")))))
         .orderBy("rule", "name", "user_id", "bucket_s", "agg")),
 
+    // KeepOriginal write routing (rules/rollup.go:122): purchases
+    // are consumed by a default rollup rule (dropped from the
+    // unaggregated path), clicks by a keepOriginal rule (pass
+    // through), everything unmatched passes through
+    "ds_rollup_keep" -> ((s, dir) =>
+      Downsample.rollupRoute(samples(s, dir), Seq(
+        Downsample.RollupRule("drop_purchases",
+          Seq(Fetch.Matcher("name", Fetch.Eq, "purchase")),
+          Seq(Downsample.RollupTarget("purchases_total",
+            Downsample.GroupBy, Nil, Seq("sum"), "day"))),
+        Downsample.RollupRule("keep_clicks",
+          Seq(Fetch.Matcher("name", Fetch.Eq, "click")),
+          Seq(Downsample.RollupTarget("clicks_total",
+            Downsample.GroupBy, Nil, Seq("sum"), "day")),
+          keepOriginal = true)))
+        .original
+        .select(col("name"), col("user_id"),
+          unix_timestamp(col("ts")).as("ts_s"), col("value"), col("event_id"))
+        .orderBy("event_id")),
+
     // m3 rule tag-filter grammar (metrics/filters): glob patterns
     // with {alternation}, ? single-char, trailing *, and ! negation,
     // compiled to the same anchored-regex matcher conjunction every
@@ -1489,6 +1509,12 @@ object TsdbQueries {
          |  UNION ALL SELECT 'errors_rollup', 'day', 'errors_all',
          |   CAST(NULL AS BIGINT), bucket_s, 'p95', p95_v FROM t3) AS u
          | ORDER BY rule, name, user_id, bucket_s, agg""".stripMargin.replace("\n", " "),
+    "ds_rollup_keep" ->
+      s"""SELECT name, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         | value, event_id
+         | FROM ($S) AS s
+         | WHERE NOT (name = 'purchase')
+         | ORDER BY event_id""".stripMargin.replace("\n", " "),
     "ds_rule_filter" ->
       s"""SELECT name, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
          | value, event_id

@@ -268,8 +268,40 @@ object Downsample {
   private val unitSeconds =
     Map("minute" -> 60L, "hour" -> 3600L, "day" -> 86400L)
 
+  /** `keepOriginal` is the rollup rule's write-routing flag
+    * (reference: src/metrics/rules/rollup.go:122 rollupRuleSnapshot
+    * keepOriginal, carried to MatchResult — match_result.go:69): by
+    * default a metric consumed by a rollup rule stops flowing to the
+    * unaggregated path; keepOriginal=true writes the original series
+    * alongside the rollup output. */
   final case class RollupRule(name: String, matchers: Seq[Fetch.Matcher],
-                              targets: Seq[RollupTarget])
+                              targets: Seq[RollupTarget],
+                              keepOriginal: Boolean = false)
+
+  final case class RollupRouted(original: DataFrame, rolled: DataFrame)
+
+  /** Apply rollup rules WITH their write routing: `rolled` is
+    * [[rollupTargets]]' long-format output; `original` is the
+    * unaggregated pass-through — every series except those matched
+    * by a rule whose keepOriginal is false (the default drop).
+    * A series matched only by keepOriginal rules, or by no rule,
+    * passes through. Null tag values don't match a filter (so they
+    * are kept), replaying the tag-presence rule.
+    *
+    * Scale: the drop set is a pure predicate disjunction on the scan
+    * — no join, pushdown-eligible like every Fetch matcher. */
+  def rollupRoute(samples: DataFrame, rules: Seq[RollupRule],
+                  labelCols: Seq[String] = Vectors.labels,
+                  percentiles: PercentileMode = Exact): RollupRouted = {
+    val dropPred = rules.filterNot(_.keepOriginal)
+      .flatMap(r => r.matchers.map(Fetch.predicate).reduceOption(_ && _))
+      .reduceOption(_ || _)
+    val original = dropPred match {
+      case Some(p) => samples.where(!coalesce(p, lit(false)))
+      case None    => samples
+    }
+    RollupRouted(original, rollupTargets(samples, rules, labelCols, percentiles))
+  }
 
   private val MetricNameVar = "{{ .MetricName }}"
 
