@@ -108,6 +108,16 @@ object Downsample {
   final case class Rule(name: String, matchers: Seq[Fetch.Matcher],
                         resolution: String, aggs: Seq[String])
 
+  object Rule {
+    /** A mapping rule from its config-form filter string — how m3
+      * rule sets actually declare matchers (`filter: "app:foo*
+      * env:production"`; rules/mapping.go rawFilter →
+      * filters.NewTagsFilter), parsed by [[Fetch.tagsFilter]]. */
+    def fromFilter(name: String, filter: String, resolution: String,
+                   aggs: Seq[String]): Rule =
+      Rule(name, Fetch.tagsFilter(filter), resolution, aggs)
+  }
+
   /** Apply a rule set: each rule filters its matched series (via
     * [[Fetch]] — pushdown-friendly), rolls up at its own resolution
     * with exactly its aggregation set, and emits long-format rows
@@ -277,6 +287,15 @@ object Downsample {
   final case class RollupRule(name: String, matchers: Seq[Fetch.Matcher],
                               targets: Seq[RollupTarget],
                               keepOriginal: Boolean = false)
+
+  object RollupRule {
+    /** A rollup rule from its config-form filter string
+      * (rules/rollup.go:125 ValidateTagsFilter(rawFilter)). */
+    def fromFilter(name: String, filter: String,
+                   targets: Seq[RollupTarget],
+                   keepOriginal: Boolean = false): RollupRule =
+      RollupRule(name, Fetch.tagsFilter(filter), targets, keepOriginal)
+  }
 
   final case class RollupRouted(original: DataFrame, rolled: DataFrame)
 

@@ -324,6 +324,14 @@ class TsdbSpec extends SparkSpec {
     // regex metachars in literals are escaped (RE2-compatible, no \\Q)
     val m = tagsFilter("name:a.b*").head
     assert(m == Matcher("name", Re, "a\\.b.*"))
+    // rules construct from the config-form filter string
+    val rule = Downsample.Rule.fromFilter("r", "name:pur*", "hour", Seq("sum"))
+    assert(rule.matchers == Seq(Matcher("name", Re, "pur.*")))
+    val rr = Downsample.RollupRule.fromFilter("rr", "name:{a,b}",
+      Seq(Downsample.RollupTarget("t", Downsample.GroupBy, Nil,
+        Seq("sum"), "day")), keepOriginal = true)
+    assert(rr.matchers == Seq(Matcher("name", Re, "(?:a|b)")) &&
+      rr.keepOriginal)
   }
 
   test("rollup targets rename, drop dims, and stay fetchable") {
