@@ -58,11 +58,45 @@ object Bench {
         }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    // Full per-query timings go to a file; stdout carries a COMPACT
+    // one-line JSON. The harness that collects bench output keeps only
+    // the last ~2000 chars of the run log, so a 6 KB line with all
+    // 200+ queries gets its head truncated and can never be parsed —
+    // the printed line must stay well under that cap (headline subset,
+    // 3-decimal precision) while the file keeps full precision.
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "/root/repo/BENCH_FULL.json")
+    val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"errors":$errJson,"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
+      (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"[bench] full dump failed: ${e.getMessage}") }
+    // one headline query per operator family (A0..H); ~45 entries
+    // keeps the printed line ≈1.2 KB
+    val headline = Seq(
+      "q1_agg", "q3_join", "q5_star", "q18_big_orders", "q21_waiting",
+      "q_sessionize", "q_window_rank", "q_funnel",
+      "ts_fetch_eq", "ts_fetch_regex", "ts_rate", "ts_agg_by",
+      "ts_quantile_over_time", "ts_binary_group_left", "ts_asof",
+      "ts_influx", "ts_prom_write", "ts_series_match",
+      "pql_subquery", "pql_group_left", "pql_histogram", "pql_topk",
+      "m3ql_agg", "gr_moving_avg", "gr_summarize", "gq_apply", "gr_carbon",
+      "ds_rollup", "ds_policy_stack", "ds_rollup_target",
+      "store_rollup", "store_pql",
+      "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_embed_lsh",
+      "sim_cosine_topk", "sim_ivf_ann", "sim_pq_ann",
+      "text_langid", "text_gopher", "text_tfidf",
+      "corpus_clusters", "corpus_pack", "corpus_decontam",
+      "mm_phash", "mm_video_fp")
+    val byName = results.toMap
+    val qsHead = headline.flatMap(n => byName.get(n).map(v =>
+        "\"" + n + "\":" + BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)))
+      .mkString("{", ",", "}")
+    val totalR = BigDecimal(total).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    println(s"""{"metric":"total","value":$totalR,"unit":"sec","queries":$qsHead,"n_queries":${results.size},"errors":$errJson,"sf":"$sfDir","full":"$fullPath"}""")
     pipeline.Dedup.clearShingleCache()
     pipeline.Corpus.clearClusterCache()
     tsdb.Downsample.clearTierCache()
