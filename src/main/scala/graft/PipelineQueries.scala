@@ -387,6 +387,12 @@ object PipelineQueries {
     "corpus_shuffle" -> ((s, dir) =>
       Corpus.shuffleOrder(Tables.documents(s, dir), seed = 7L)
         .orderBy("doc_id")),
+    "corpus_curriculum" -> ((s, dir) =>
+      Corpus.curriculum(Tables.documents(s, dir), stages = 4, seed = 3L)
+        .orderBy("doc_id")),
+    "text_classifier" -> ((s, dir) =>
+      TextAnalysis.qualityClassifier(Tables.documents(s, dir))
+        .orderBy("doc_id")),
     "mm_phash" -> ((s, dir) =>
       // perceptual image hash over genuinely decoded BMP pixels; the
       // oracle replays the ENTIRE path bit-exactly in SQL — the
@@ -1281,6 +1287,41 @@ object PipelineQueries {
         |  CAST(row_number() OVER (PARTITION BY rnd % 8
         |   ORDER BY rnd, doc_id) - 1 AS BIGINT) AS position, rnd
         | FROM r ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    // stage = contiguous block of the exact (n_chars, doc_id) rank;
+    // within-stage order = the same seeded md5 (shard, position)
+    // coordinates corpus_shuffle uses
+    "corpus_curriculum" ->
+      """WITH r AS (SELECT doc_id, n_chars,
+        |  row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS rk,
+        |  count(*) OVER () AS n,
+        |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#curriculum#3'),
+        |   1, 8) AS BIGINT) AS rnd FROM documents),
+        | s AS (SELECT doc_id, n_chars, rnd,
+        |  CAST((rk * 4) // n AS INT) AS stage FROM r)
+        | SELECT doc_id, n_chars, stage, rnd % 8 AS shard,
+        |  CAST(row_number() OVER (PARTITION BY stage, rnd % 8
+        |   ORDER BY rnd, doc_id) - 1 AS BIGINT) AS position
+        | FROM s ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    // the engine's md5-derived weight vector rebuilt inline, the
+    // token fold as a sequential list_reduce (same left-to-right
+    // association as Spark's aggregate HOF)
+    "text_classifier" -> {
+      val dim = 256
+      s"""WITH w AS (SELECT list(wv ORDER BY i) AS arr FROM (
+         |  SELECT i, (CAST('0x' || substr(md5('w' || i), 1, 8) AS BIGINT)
+         |   % 1000000) / 1e6 - 0.5 AS wv FROM range($dim) t(i)) AS g),
+         | d AS (SELECT doc_id,
+         |  string_split_regex(lower(text), '\\s+') AS toks FROM documents),
+         | sc AS (SELECT doc_id, len(toks) AS n_tokens,
+         |  list_reduce(list_transform(toks, t -> arr[
+         |    CAST(CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % $dim AS INT)
+         |     + 1]), (a, b) -> a + b) / len(toks) AS raw
+         |  FROM d, w)
+         | SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  round(1 / (1 + exp(-raw)), 6) AS quality_score,
+         |  CAST(raw >= 0 AS INT) AS keep
+         | FROM sc ORDER BY doc_id""".stripMargin.replace("\n", " ")
+    },
     // exact replay of Multimodal.encodeBmp + aHash: xorshift64 with
     // wrapping << emulated via HUGEINT multiply mod 2^64; byte k of the
     // pixel array = state_k >> 56; padded bottom-up rows; integer cell

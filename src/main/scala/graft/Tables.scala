@@ -21,19 +21,26 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (see [[Sessions]]),
-    * so `ts` arrives as nanos-since-epoch LONG; convert to a
-    * microsecond TimestampType here (lossless: the generator writes
-    * µs-precision values). */
+  /** `ts` normalization across the generator's parquet shapes. The
+    * driver has written events.parquet as TIMESTAMP(NANOS) (Spark's
+    * vectorized reader rejects it; Sessions set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` so it arrives as
+    * nanos-since-epoch LONG) and as TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) (arrives as TIMESTAMP_NTZ). Both are
+    * UTC wall-clock microsecond values; normalize to TimestampType
+    * so every downstream unix_micros/window/date_trunc sees one type
+    * (sessions run in UTC, so the NTZ cast is value-identical). */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
     val raw = apply(spark, dir, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def lineitem(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "orders")

@@ -631,6 +631,18 @@ object TsdbQueries {
       Downsample.restrictByType(samples(s, dir),
         Downsample.Aggregated("1d", 21L * 86400L), nowS = 1706745600L)
         .orderBy("name", "user_id", "bucket_s")),
+    // automatic namespace resolution (cluster_resolver.go:142): as of
+    // Feb 1 with a 7d raw retention, a Jan-11 query start outruns both
+    // the unaggregated namespace and the 10m:14d tier; the FINEST
+    // covering aggregated policy (1h:30d) wins, its retention floors
+    // the namespace, and the query range bounds the result
+    "ds_auto_res" -> ((s, dir) =>
+      Downsample.fetchAuto(samples(s, dir), 7L * 86400L, Seq(
+        Downsample.Policy("10m", 14L * 86400L),
+        Downsample.Policy("1h", 30L * 86400L),
+        Downsample.Policy("1d", 365L * 86400L)),
+        nowS = 1706745600L, startS = 1704931200L)
+        .orderBy("name", "user_id", "bucket_s")),
     "ds_rules" -> ((s, dir) =>
       Downsample.rollupRules(samples(s, dir), Seq(
         Downsample.Rule("purchases_hourly",
@@ -1598,6 +1610,29 @@ object TsdbQueries {
          | UNION ALL ${tier(f1h, "1h", 30)}
          | UNION ALL ${tier(f1d, "1d", 365)}
          |) AS u ORDER BY resolution, name, user_id, bucket_s""".stripMargin.replace("\n", " ")
+    },
+    "ds_auto_res" -> {
+      // the resolved 1h:30d tier, composed 10m→1h exactly like the
+      // engine's policy stack, retention-floored and range-bounded
+      val f10 =
+        """SELECT event_type AS name, user_id,
+          | CAST(floor(epoch(ts) / 600) AS BIGINT) * 600 AS bucket_s,
+          | sum(value) AS sum_v, count(*) AS count_v,
+          | min(value) AS min_v, max(value) AS max_v
+          | FROM events GROUP BY 1, 2, 3""".stripMargin.replace("\n", " ")
+      val f1h =
+        s"""SELECT name, user_id,
+           | CAST(floor(bucket_s / 3600) AS BIGINT) * 3600 AS bucket_s,
+           | sum(sum_v) AS sum_v, CAST(sum(count_v) AS BIGINT) AS count_v,
+           | min(min_v) AS min_v, max(max_v) AS max_v
+           | FROM ($f10) AS f10 GROUP BY 1, 2, 3""".stripMargin.replace("\n", " ")
+      s"""SELECT name, user_id, '1h' AS resolution, bucket_s,
+         | round(sum_v, 6) AS sum_v, count_v, min_v, max_v,
+         | round(sum_v / count_v, 6) AS mean_v
+         | FROM ($f1h) AS t
+         | WHERE bucket_s >= 1706745600 - 30 * 86400
+         |  AND bucket_s >= 1704931200 AND bucket_s < 1706745600
+         | ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " ")
     },
     "ds_restrict_type" -> {
       val fine =

@@ -556,4 +556,54 @@ object Corpus {
       .withColumn("position", (row_number().over(w) - 1).cast("long"))
       .select("doc_id", "shard", "position", "rnd")
   }
+
+  /** Curriculum staging — the difficulty-ordered training schedule
+    * (curriculum learning as data pipelines run it: easiest docs
+    * first; difficulty here = doc length, the standard short→long
+    * proxy). Docs rank globally by (n_chars, doc_id); stage k of
+    * `stages` is the contiguous rank block [k·N/stages,
+    * (k+1)·N/stages); WITHIN a stage the order is a seeded md5
+    * shuffle in (shard, position) coordinates — same two-level form
+    * as [[shuffleOrder]] — so the loader streams stage-major,
+    * shard-major, position-minor and each stage arrives iid.
+    *
+    * Scale: the global rank is the same two-phase shard pattern as
+    * the graphite sort family — percentile bounds broadcast,
+    * shard-local windows, broadcast prefix offsets — and the
+    * within-stage windows partition by (stage, shard), never one
+    * stage-wide (let alone corpus-wide) partition. N arrives as a
+    * one-row broadcast, not a driver collect. */
+  def curriculum(docs: DataFrame, stages: Int = 4, seed: Long = 0L,
+                 nShards: Int = 8, rankShards: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qs = (1 until rankShards).map(_.toDouble / rankShards)
+    val base = docs.select(col("doc_id"), col("n_chars"))
+    // approx bounds are enough: they only balance the shards, the
+    // rank itself stays exact whatever the cut points
+    val bounds = base.agg(
+      approx_percentile(col("n_chars"), typedlit(qs), lit(1000)).as("_bs"),
+      count(lit(1)).as("_n"))
+    val sharded = base.crossJoin(broadcast(bounds))
+      .withColumn("_rshard", size(filter(col("_bs"), b => b < col("n_chars"))))
+      .drop("_bs")
+    val wLocal = Window.partitionBy("_rshard").orderBy("n_chars", "doc_id")
+    val wPrefix = Window.orderBy("_rshard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sharded.groupBy("_rshard")
+      .agg(count(lit(1)).as("_cnt"))
+      .withColumn("_offset", coalesce(sum("_cnt").over(wPrefix), lit(0L)))
+      .drop("_cnt")
+    val rnd = Dedup.md5Int(concat(col("doc_id").cast("string"),
+      lit(s"#curriculum#$seed")))
+    val wStage = Window.partitionBy("stage", "shard").orderBy("rnd", "doc_id")
+    sharded.join(broadcast(offsets), Seq("_rshard"))
+      .withColumn("_rank",
+        col("_offset") + row_number().over(wLocal) - 1)
+      .withColumn("stage",
+        expr(s"(_rank * $stages) div _n").cast("int"))
+      .withColumn("rnd", rnd)
+      .withColumn("shard", pmod(col("rnd"), lit(nShards.toLong)))
+      .withColumn("position", (row_number().over(wStage) - 1).cast("long"))
+      .select("doc_id", "n_chars", "stage", "shard", "position")
+  }
 }

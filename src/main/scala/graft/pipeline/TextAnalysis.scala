@@ -367,6 +367,44 @@ object TextAnalysis {
     *
     * Scale: explode + two hash aggregations — (doc_id, word) then
     * doc_id, both map-side-combining; no window, no driver state. */
+  /** Deterministic hashed-feature weight vector — the model shape a
+    * fastText-style linear quality classifier trains (hashing-trick
+    * bag of words; the "quality classifier" filter of Brown et al.
+    * 2020 §A / the CCNet+fastText stack, restated). Weights here
+    * derive from md5(seed‖bucket) so both engines can rebuild the
+    * identical model; a TRAINED vector drops in unchanged — the
+    * hashing, scoring and plan shape are the production pieces. */
+  def classifierWeights(dim: Int = 256, seed: String = "w"): Seq[Double] =
+    (0 until dim).map { i =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest((seed + i).getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex, 16) % 1000000L) / 1e6 - 0.5
+    }
+
+  /** Linear quality classifier over hashed token features:
+    * bucket(t) = md5₃₂(t) mod dim, raw = mean bucket weight over
+    * the token stream (duplicates count), score = σ(raw),
+    * keep = raw ≥ 0.
+    *
+    * Scale: the model ships as a LITERAL array in the plan (the
+    * broadcast-as-literal rewrite the LSH planes use) and scoring
+    * is one hash + one array index per token inside a sequential
+    * fold — a single codegen map stage: no explode, no join, no
+    * shuffle, nothing per-token ever leaves the task. */
+  def qualityClassifier(docs: DataFrame, dim: Int = 256): DataFrame = {
+    val w = typedLit(classifierWeights(dim))
+    val bucket = (t: Column) =>
+      (conv(substring(md5(t), 1, 8), 16, 10).cast("long") % dim + 1).cast("int")
+    val raw = aggregate(words(col("text")), lit(0.0),
+      (acc, t) => acc + element_at(w, bucket(t))) /
+      size(words(col("text"))).cast("double")
+    docs.select(col("doc_id"),
+      size(words(col("text"))).cast("long").as("n_tokens"),
+      round(lit(1.0) / (lit(1.0) + exp(-raw)), 6).as("quality_score"),
+      (raw >= 0).cast("int").as("keep"))
+  }
+
   def unigramEntropy(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))

@@ -566,4 +566,77 @@ object Downsample {
           .where(col("resolution") === res &&
             col("bucket_s") >= lit(nowS - retS))
     }
+
+  /** Whether the resolved namespace covers the whole query range or
+    * only its tail (reference: src/dbnode/storage/index/convert +
+    * src/query/storage/consolidators QueryFanoutType — surfaced so
+    * callers can warn exactly like the coordinator's partial-range
+    * header). */
+  sealed trait RangeCoverage
+  case object CoversAll extends RangeCoverage
+  case object CoversPartial extends RangeCoverage
+
+  /** Automatic namespace resolution for a query window — the
+    * coordinator's logical plan (reference: src/query/storage/m3/
+    * cluster_resolver.go:142 resolveClusterNamespacesForQueryLogicalPlan,
+    * single-cluster form with fanout optimization on, so a namespace
+    * "covers the range" iff `now − retention ≤ start`):
+    *
+    *  1. if the unaggregated namespace's retention covers the query
+    *     start, fetch raw and stop — it necessarily has every metric
+    *     at the finest grain (cluster_resolver.go:166-171);
+    *  2. else, of the aggregated policies whose retention covers the
+    *     start, take the FINEST resolution (the sort at
+    *     cluster_resolver.go:205 `resolvedNamespacesByResolutionAsc`);
+    *  3. else, no namespace covers the range: take the LONGEST
+    *     retention aggregated policy, but prefer unaggregated when
+    *     its retention is at least as long (`completedAttrs.Retention
+    *     <= unaggregatedAttrs.Retention` at cluster_resolver.go:257)
+    *     — complete data at the most granular resolution wins a tie.
+    */
+  def resolveTier(unaggRetentionS: Long, policies: Seq[Policy],
+                  nowS: Long, startS: Long): (MetricsType, RangeCoverage) = {
+    require(policies.nonEmpty, "empty policy stack")
+    def covers(retS: Long) = retS == Long.MaxValue || nowS - retS <= startS
+    if (covers(unaggRetentionS)) (Unaggregated, CoversAll)
+    else {
+      val covering = policies.filter(p => covers(p.retentionS))
+      if (covering.nonEmpty) {
+        val finest = covering.minBy(p => resolutionS(p.resolution))
+        (Aggregated(finest.resolution, finest.retentionS), CoversAll)
+      } else {
+        val longest = policies.maxBy(_.retentionS)
+        if (unaggRetentionS >= longest.retentionS)
+          (Unaggregated, CoversPartial)
+        else (Aggregated(longest.resolution, longest.retentionS),
+          CoversPartial)
+      }
+    }
+  }
+
+  /** Fetch routed through [[resolveTier]] — the un-restricted query
+    * path a coordinator user actually hits: the namespace is chosen
+    * from the query start, the namespace's retention floors the
+    * scan, and the query range bounds the result. Raw fetches keep
+    * the sample schema; aggregated fetches return the tier's rollup
+    * schema (same frame [[restrictByType]] pins explicitly).
+    *
+    * Scale: tier choice is plan-time scalar math — the routed plan
+    * carries ONE branch (no runtime union of namespaces), so the
+    * aggregated path keeps policyStack's single-raw-scan composition
+    * and the raw path is just a filtered scan. */
+  def fetchAuto(samples: DataFrame, unaggRetentionS: Long,
+                policies: Seq[Policy], nowS: Long, startS: Long,
+                labelCols: Seq[String] = Vectors.labels): DataFrame =
+    resolveTier(unaggRetentionS, policies, nowS, startS) match {
+      case (Unaggregated, _) =>
+        val floorS = math.max(startS,
+          if (unaggRetentionS == Long.MaxValue) Long.MinValue
+          else nowS - unaggRetentionS)
+        samples.where(col("ts") >= timestamp_seconds(lit(floorS)) &&
+          col("ts") < timestamp_seconds(lit(nowS)))
+      case (agg: Aggregated, _) =>
+        restrictByType(samples, agg, nowS, labelCols, policies)
+          .where(col("bucket_s") >= lit(startS) && col("bucket_s") < lit(nowS))
+    }
 }

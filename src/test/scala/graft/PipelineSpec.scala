@@ -856,6 +856,57 @@ class PipelineSpec extends SparkSpec {
     assert(moved > n * 0.8, s"only $moved of $n docs moved on reseed")
   }
 
+  test("curriculum: contiguous difficulty stages, iid within-stage shuffle") {
+    val docs = Tables.documents(spark, sf)
+    val n = docs.count()
+    val rows = Corpus.curriculum(docs, stages = 4, seed = 3L).collect()
+    assert(rows.length == n)
+    // stage sizes differ by at most 1 (contiguous rank blocks)
+    val sizes = rows.groupBy(_.getAs[Int]("stage")).view.mapValues(_.length)
+    assert(sizes.keySet == Set(0, 1, 2, 3))
+    assert(sizes.values.max - sizes.values.min <= 1)
+    // stages respect difficulty: every doc in stage k is no longer
+    // than every doc in stage k+1, modulo ties at the cut
+    val byStage = rows.groupBy(_.getAs[Int]("stage")).view
+      .mapValues(_.map(_.getAs[Long]("n_chars"))).toMap
+    for (k <- 0 to 2)
+      assert(byStage(k).max <= byStage(k + 1).min ||
+        byStage(k).max == byStage(k + 1).min,
+        s"stage $k overlaps stage ${k + 1} beyond ties")
+    // (stage, shard, position) is a dense total order within shards
+    val perShard = rows.groupBy(r =>
+      (r.getAs[Int]("stage"), r.getAs[Long]("shard")))
+    assert(perShard.forall { case (_, rs) =>
+      rs.map(_.getAs[Long]("position")).toSet == (0L until rs.size).toSet })
+    // reproducible
+    val again = Corpus.curriculum(docs, stages = 4, seed = 3L).collect()
+    assert(again.map(_.toSeq).toSet == rows.map(_.toSeq).toSet)
+  }
+
+  test("quality classifier: deterministic model, bounded scores, keep=sign") {
+    val s = spark
+    import s.implicits._
+    // weights replay the md5 formula and sit in [-0.5, 0.5)
+    val w = TextAnalysis.classifierWeights(256)
+    assert(w.length == 256 && w.forall(x => x >= -0.5 && x < 0.5))
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest("w0".getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    assert(w(0) == (java.lang.Long.parseLong(hex, 16) % 1000000L) / 1e6 - 0.5)
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityClassifier(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Double]("quality_score"), x.getAs[Int]("keep")))).toMap
+    // identical text → identical score; scores are valid sigmoids
+    assert(r(1L) == r(2L))
+    assert(r.values.forall { case (sc, k) =>
+      sc > 0.0 && sc < 1.0 && (k == 1) == (sc >= 0.5) })
+    // single codegen map stage: no exchange anywhere in the plan
+    val plan = TextAnalysis.qualityClassifier(Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"classifier plan shuffles:\n$plan")
+  }
+
   test("two DotProducts in one projection stay codegen-compiled") {
     val s = spark
     import s.implicits._

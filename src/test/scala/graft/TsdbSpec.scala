@@ -273,6 +273,60 @@ class TsdbSpec extends SparkSpec {
     Downsample.clearTierCache()
   }
 
+  test("resolveTier replays the cluster_resolver decision table") {
+    import Downsample._
+    val now = 1000000L
+    val stack = Seq(Policy("10m", 100L), Policy("1h", 500L),
+      Policy("1d", 2000L))
+    // 1. unaggregated retention covers the start → raw, full range
+    //    (cluster_resolver_test.go FanoutUnaggregatedCoversRange shapes)
+    assert(resolveTier(400L, stack, now, now - 300L) ==
+      ((Unaggregated, CoversAll)))
+    // 2. raw outrun → FINEST covering aggregated policy, not just any
+    assert(resolveTier(200L, stack, now, now - 450L) ==
+      ((Aggregated("1h", 500L), CoversAll)))
+    //    start inside only the coarsest tier's retention
+    assert(resolveTier(200L, stack, now, now - 1500L) ==
+      ((Aggregated("1d", 2000L), CoversAll)))
+    // 3. nothing covers → longest-retention aggregated, partial range
+    assert(resolveTier(200L, stack, now, now - 5000L) ==
+      ((Aggregated("1d", 2000L), CoversPartial)))
+    //    ...but unaggregated preferred when its retention is >= the
+    //    longest aggregated (Retention <= unaggregated at :257)
+    assert(resolveTier(2000L, stack, now, now - 5000L) ==
+      ((Unaggregated, CoversPartial)))
+    assert(resolveTier(3000L, stack, now, now - 5000L) ==
+      ((Unaggregated, CoversPartial)))
+    // unbounded retention always covers
+    assert(resolveTier(200L, Seq(Policy("1h")), now, 0L) ==
+      ((Aggregated("1h", Long.MaxValue), CoversAll)))
+  }
+
+  test("fetchAuto routes to the resolved tier and bounds the range") {
+    val s = Vectors.samples(Tables.events(spark, sf))
+    val now = 1706745600L
+    val stack = Seq(
+      Downsample.Policy("10m", 14L * 86400L),
+      Downsample.Policy("1h", 30L * 86400L),
+      Downsample.Policy("1d", 365L * 86400L))
+    // aggregated route: equals the explicitly-pinned 1h tier over the
+    // same stack, bounded to [start, now)
+    val start = 1704931200L
+    val auto = Downsample.fetchAuto(s, 7L * 86400L, stack, now, start)
+    val pinned = Downsample.restrictByType(s,
+      Downsample.Aggregated("1h", 30L * 86400L), now, policies = stack)
+      .where(col("bucket_s") >= start && col("bucket_s") < now)
+    assert(auto.exceptAll(pinned).isEmpty && pinned.exceptAll(auto).isEmpty)
+    // raw route: recent start stays on the sample schema, floored at
+    // max(start, now − retention)
+    val recent = Downsample.fetchAuto(s, 7L * 86400L, stack, now,
+      now - 3L * 86400L)
+    assert(recent.columns.toSeq == s.columns.toSeq)
+    val minTs = recent.agg(min(unix_timestamp(col("ts")))).collect()(0).getLong(0)
+    assert(minTs >= now - 3L * 86400L)
+    Downsample.clearTierCache()
+  }
+
   test("pipeline transforms: Absolute, Reset's half-resolution zero, Increase drops") {
     val s = spark
     import s.implicits._
