@@ -319,8 +319,11 @@ object Graphite {
     val ord = if (desc) -col("_red") else col("_red")
     val qs = (1 until shards).map(_.toDouble / shards)
     val withOrd = reduced.withColumn("_ord", ord)
+    // sketch bounds: shard balance only — the rank stays exact
+    // whatever the cut points, and exact percentile would buffer
+    // every distinct value in one aggregation state
     val bounds = withOrd.agg(
-      percentile(col("_ord"), typedlit(qs)).as("_bs"))
+      approx_percentile(col("_ord"), typedlit(qs), lit(1000)).as("_bs"))
     val sharded = withOrd.crossJoin(broadcast(bounds))
       .withColumn("_shard",
         when(col("_ord").isNull, lit(shards))

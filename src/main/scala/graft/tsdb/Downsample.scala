@@ -593,11 +593,19 @@ object Downsample {
     *     its retention is at least as long (`completedAttrs.Retention
     *     <= unaggregatedAttrs.Retention` at cluster_resolver.go:257)
     *     — complete data at the most granular resolution wins a tie.
+    *
+    * `relatedStartsS` replays RelatedQueryOptions
+    * (cluster_resolver.go:98-107): a query issued alongside others
+    * (the split panels of one dashboard) selects its namespace from
+    * the EARLIEST related start so all of them read the same tier —
+    * only selection widens; the fetch itself stays range-bounded.
     */
   def resolveTier(unaggRetentionS: Long, policies: Seq[Policy],
-                  nowS: Long, startS: Long): (MetricsType, RangeCoverage) = {
+                  nowS: Long, startS: Long,
+                  relatedStartsS: Seq[Long] = Nil): (MetricsType, RangeCoverage) = {
     require(policies.nonEmpty, "empty policy stack")
-    def covers(retS: Long) = retS == Long.MaxValue || nowS - retS <= startS
+    val selS = (startS +: relatedStartsS).min
+    def covers(retS: Long) = retS == Long.MaxValue || nowS - retS <= selS
     if (covers(unaggRetentionS)) (Unaggregated, CoversAll)
     else {
       val covering = policies.filter(p => covers(p.retentionS))

@@ -107,8 +107,11 @@ object Transform {
     val ordVal = if (desc) -col("value") else col("value")
     val qs = (1 until shards).map(_.toDouble / shards)
     val withOrd = instant.withColumn("_ord", ordVal)
+    // sketch bounds: they only balance the shards (the local window
+    // + prefix offsets keep the rank exact whatever the cut points),
+    // and the exact form would buffer every distinct value per bucket
     val bounds = withOrd.groupBy("bucket_s")
-      .agg(percentile(col("_ord"), typedlit(qs)).as("_bs"))
+      .agg(approx_percentile(col("_ord"), typedlit(qs), lit(1000)).as("_bs"))
     // null values (possible after graphite transformNull-style ops)
     // route to the LAST shard and order last within it — preserving
     // the `orderBy(value.desc)` null placement of the single-window

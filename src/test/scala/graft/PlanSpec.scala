@@ -207,6 +207,35 @@ class PlanSpec extends SparkSpec {
     assert(scans == 1, s"expected 1 events scan, got $scans")
   }
 
+  test("ds_auto_res routes to ONE tier branch (no namespace union)") {
+    // tier choice is plan-time scalar math: the routed plan must
+    // carry a single events scan (the resolved 1h tier composed from
+    // the cached 10m partials — one raw read), never a runtime union
+    // of candidate namespaces
+    tsdb.Downsample.clearTierCache()
+    val p = plan("ds_auto_res")
+    val scans = p.linesIterator
+      .count(l => l.contains("Scan parquet") && l.contains("events"))
+    assert(scans == 1, s"expected 1 events scan, got $scans:\n" + p.take(2000))
+    assert(!p.contains("Union"), "auto resolution unioned namespaces")
+    tsdb.Downsample.clearTierCache()
+  }
+
+  test("corpus_curriculum windows only on shard keys, never the corpus") {
+    // the rank is two-phase: every windowspecdefinition partitions by
+    // a shard column; the only unpartitioned window is the 32-row
+    // prefix-offset frame (identified by its _rshard order key)
+    val analyzed = SparkEntry.queries("corpus_curriculum")(spark, sf)
+      .queryExecution.analyzed.toString
+    val winLines = analyzed.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty)
+    winLines.foreach { l =>
+      assert(l.contains("_rshard") || l.contains("stage"),
+        s"window not shard-partitioned: $l")
+    }
+  }
+
   test("ds_policy_stack: composed tiers share cached partials") {
     // 10m|1h and 1h|1d, so the 1h and 1d tiers must compose from
     // the finer tier's partials, not rescan raw events. Catalyst

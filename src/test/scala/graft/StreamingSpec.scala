@@ -313,6 +313,26 @@ class StreamingSpec extends SparkSpec {
         .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("c4_pass")).toMap
       assert(streamed == batch && streamed == Map(1L -> 1, 2L -> 0))
     } finally q.stop()
+    // the hashed-feature classifier is the same class of pure
+    // projection (literal-array model, sequential fold) — stream
+    // scores must be bit-equal to batch scores
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = pipeline.TextAnalysis.qualityClassifier(
+      mem2.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("classifier_stream_test").start()
+    try {
+      mem2.addData(docs: _*)
+      q2.processAllAvailable()
+      val streamed = s.sql(
+        "SELECT doc_id, quality_score, keep FROM classifier_stream_test")
+        .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getInt(2)))).toMap
+      val batch = pipeline.TextAnalysis.qualityClassifier(
+        docs.toDF("doc_id", "text"))
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Double]("quality_score"), r.getAs[Int]("keep")))).toMap
+      assert(streamed == batch)
+    } finally q2.stop()
   }
 
   test("chunker runs unchanged under readStream (stateless fan-out)") {

@@ -300,6 +300,12 @@ class TsdbSpec extends SparkSpec {
     // unbounded retention always covers
     assert(resolveTier(200L, Seq(Policy("1h")), now, 0L) ==
       ((Aggregated("1h", Long.MaxValue), CoversAll)))
+    // related-query widening (cluster_resolver.go:98-107): a related
+    // panel starting earlier drags namespace selection coarser so
+    // both queries read the same tier
+    assert(resolveTier(400L, stack, now, now - 300L,
+      relatedStartsS = Seq(now - 450L)) ==
+      ((Aggregated("1h", 500L), CoversAll)))
   }
 
   test("fetchAuto routes to the resolved tier and bounds the range") {
