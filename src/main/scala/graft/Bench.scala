@@ -84,12 +84,13 @@ object Bench {
       "ts_influx", "ts_prom_write", "ts_series_match",
       "pql_subquery", "pql_group_left", "pql_histogram", "pql_topk",
       "m3ql_agg", "gr_moving_avg", "gr_summarize", "gq_apply", "gr_carbon",
-      "ds_rollup", "ds_policy_stack", "ds_rollup_target",
+      "ds_rollup", "ds_policy_stack", "ds_rollup_target", "ds_auto_res",
       "store_rollup", "store_pql",
       "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_embed_lsh",
       "sim_cosine_topk", "sim_ivf_ann", "sim_pq_ann",
-      "text_langid", "text_gopher", "text_tfidf",
+      "text_langid", "text_gopher", "text_tfidf", "text_classifier",
       "corpus_clusters", "corpus_pack", "corpus_decontam",
+      "corpus_curriculum",
       "mm_phash", "mm_video_fp")
     val byName = results.toMap
     val qsHead = headline.flatMap(n => byName.get(n).map(v =>

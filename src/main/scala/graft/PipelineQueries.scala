@@ -390,6 +390,8 @@ object PipelineQueries {
     "corpus_curriculum" -> ((s, dir) =>
       Corpus.curriculum(Tables.documents(s, dir), stages = 4, seed = 3L)
         .orderBy("doc_id")),
+    "corpus_source_kl" -> ((s, dir) =>
+      Corpus.sourceKl(Tables.documents(s, dir)).orderBy("source")),
     "text_classifier" -> ((s, dir) =>
       TextAnalysis.qualityClassifier(Tables.documents(s, dir))
         .orderBy("doc_id")),
@@ -1302,6 +1304,19 @@ object PipelineQueries {
         |  CAST(row_number() OVER (PARTITION BY stage, rnd % 8
         |   ORDER BY rnd, doc_id) - 1 AS BIGINT) AS position
         | FROM s ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "corpus_source_kl" ->
+      """WITH sw AS (SELECT source, w, count(*) AS c_sw FROM (
+        |   SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS w
+        |   FROM documents) AS u GROUP BY source, w),
+        | cw AS (SELECT w, sum(c_sw) AS c_w FROM sw GROUP BY w),
+        | ns AS (SELECT source, sum(c_sw) AS n_s FROM sw GROUP BY source),
+        | nt AS (SELECT sum(c_w) AS n_total FROM cw)
+        | SELECT source, CAST(max(n_s) AS BIGINT) AS n_words,
+        |  count(*) AS vocab,
+        |  round(sum((c_sw / n_s) * ln((c_sw / n_s) / (c_w / n_total))), 6)
+        |   AS kl
+        | FROM sw JOIN cw USING (w) JOIN ns USING (source), nt
+        | GROUP BY source ORDER BY source""".stripMargin.replace("\n", " "),
     // the engine's md5-derived weight vector rebuilt inline, the
     // token fold as a sequential list_reduce (same left-to-right
     // association as Spark's aggregate HOF)

@@ -173,6 +173,40 @@ object Corpus {
         sum((col("pred_lang") === "en").cast("long")).as("en_docs"))
   }
 
+  /** Per-source distribution shift: unigram KL(source ‖ corpus) —
+    * the data-mixing diagnostic that ranks how far each ingest feed
+    * sits from the blended distribution (a complement to DSIR's
+    * per-doc importance weights: DSIR reweights docs toward a
+    * target, this scores whole feeds for mixture design). Every
+    * source word occurs in the corpus distribution by construction,
+    * so the divergence is finite without smoothing.
+    *
+    * Scale: one explode feeding a (source, word) hash aggregation —
+    * map-side combined, so token occurrences never cross a shuffle
+    * un-aggregated; the corpus marginal re-aggregates the SAME
+    * distinct-key frame (vocab-sized, not corpus-sized); the join is
+    * an equi-join on word carrying ≤ |vocab|·|sources| rows. */
+  def sourceKl(docs: DataFrame): DataFrame = {
+    val sw = docs.select(col("source"),
+      explode(org.apache.spark.sql.functions.split(lower(col("text")), "\\s+"))
+        .as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c_sw"))
+    val cw = sw.groupBy("w").agg(sum("c_sw").as("c_w"))
+    val totals = sw.groupBy("source").agg(sum("c_sw").as("n_s"))
+    val nTotal = cw.agg(sum("c_w").as("n_total"))
+    sw.join(cw, "w")
+      .join(broadcast(totals), "source")
+      .crossJoin(broadcast(nTotal))
+      .groupBy("source")
+      .agg(
+        max("n_s").as("n_words"),
+        count(lit(1)).as("vocab"),
+        round(sum(
+          (col("c_sw") / col("n_s")) *
+            log((col("c_sw") / col("n_s")) / (col("c_w") / col("n_total")))),
+          6).as("kl"))
+  }
+
   /** Cross-source overlap matrix — the provenance artifact of a
     * dataset card: for every source pair, how much shingle content
     * they share (distinct-shingle intersection + Jaccard). High

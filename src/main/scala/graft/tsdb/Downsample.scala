@@ -635,8 +635,9 @@ object Downsample {
     * and the raw path is just a filtered scan. */
   def fetchAuto(samples: DataFrame, unaggRetentionS: Long,
                 policies: Seq[Policy], nowS: Long, startS: Long,
-                labelCols: Seq[String] = Vectors.labels): DataFrame =
-    resolveTier(unaggRetentionS, policies, nowS, startS) match {
+                labelCols: Seq[String] = Vectors.labels,
+                relatedStartsS: Seq[Long] = Nil): DataFrame =
+    resolveTier(unaggRetentionS, policies, nowS, startS, relatedStartsS) match {
       case (Unaggregated, _) =>
         val floorS = math.max(startS,
           if (unaggRetentionS == Long.MaxValue) Long.MinValue

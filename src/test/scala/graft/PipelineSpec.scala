@@ -883,6 +883,27 @@ class PipelineSpec extends SparkSpec {
     assert(again.map(_.toSeq).toSet == rows.map(_.toSeq).toSet)
   }
 
+  test("source KL: zero for a uniform split, positive for a skewed feed") {
+    val s = spark
+    import s.implicits._
+    // two sources with IDENTICAL word distributions → each equals the
+    // corpus marginal → KL exactly 0 for both
+    val same = Seq((1L, "a a b", "s1"), (2L, "a a b", "s2"))
+      .toDF("doc_id", "text", "source")
+    val r0 = Corpus.sourceKl(same).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(r0 == Map("s1" -> 0.0, "s2" -> 0.0))
+    // skewed feed: s1={a}, s2={b} over corpus {a:1, b:1} →
+    // KL = 1·ln(1/0.5) = ln 2 for each
+    val skew = Seq((1L, "a", "s1"), (2L, "b", "s2"))
+      .toDF("doc_id", "text", "source")
+    val r1 = Corpus.sourceKl(skew).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val ln2 = BigDecimal(math.log(2)).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r1 == Map("s1" -> ln2, "s2" -> ln2))
+  }
+
   test("quality classifier: deterministic model, bounded scores, keep=sign") {
     val s = spark
     import s.implicits._
