@@ -406,6 +406,15 @@ object PipelineQueries {
         .select(col("media_id"), col("width"), col("height"),
           format_string("%016x", col("phash")).as("phash_hex"))
         .orderBy("media_id")),
+    "mm_resize" -> ((s, dir) =>
+      // nearest-neighbor thumbnail over genuinely decoded BMP pixels,
+      // re-encoded as a real BMP; the integer index math means the
+      // oracle replays the resample over the same xorshift byte
+      // stream and pins every output byte via the position-weighted
+      // checksum
+      Multimodal.resizeImages(
+        Multimodal.syntheticBmpMedia(Tables.documents(s, dir)))
+        .orderBy("media_id")),
     "mm_audio_fp" -> ((s, dir) =>
       // energy-envelope audio fingerprint over decoded PCM16 — same
       // bit-exact xorshift-replay oracle pattern as mm_phash
@@ -1379,6 +1388,44 @@ object PipelineQueries {
         | SELECT lim.media_id, lim.w AS width, lim.h AS height,
         |  lpad(lower(hex(ph.phash)), 16, '0') AS phash_hex
         | FROM ph JOIN lim ON lim.media_id = ph.media_id
+        | ORDER BY lim.media_id""".stripMargin.replace("\n", " "),
+    // same xorshift byte chain as mm_phash; output pixel (x, y, c)
+    // reads source byte ((y*h)//12)*row_size + ((x*w)//16)*3 + c and
+    // contributes (out_rowpos+1)*byte to the checksum (out row size
+    // 48 = 16*3, no padding at this geometry)
+    "mm_resize" ->
+      """WITH RECURSIVE sz AS (SELECT doc_id AS media_id,
+        |  CAST(16 + doc_id % 64 AS INT) AS w,
+        |  CAST(16 + doc_id % 48 AS INT) AS h,
+        |  CAST(((16 + doc_id % 64) * 3 + 3) // 4 * 4 AS INT) AS row_size
+        | FROM documents),
+        | lim AS (SELECT *, row_size * h AS data_size FROM sz),
+        | chain(media_id, k, s) AS (
+        |  SELECT media_id, 0, CAST(media_id AS UBIGINT) | 1 FROM lim
+        |  UNION ALL
+        |  SELECT c.media_id, c.k + 1,
+        |   (SELECT xor(xor(b, b >> 7), CAST((CAST(xor(b, b >> 7) AS HUGEINT)
+        |      * 131072) % 18446744073709551616 AS UBIGINT))
+        |    FROM (SELECT xor(c.s, CAST((CAST(c.s AS HUGEINT) * 8192)
+        |      % 18446744073709551616 AS UBIGINT)) AS b) AS t)
+        |  FROM chain AS c JOIN lim ON lim.media_id = c.media_id
+        |  WHERE c.k < lim.data_size),
+        | bytes AS (SELECT media_id, k - 1 AS pos,
+        |   CAST(s >> 56 AS BIGINT) AS b FROM chain WHERE k >= 1),
+        | outpx AS (SELECT lim.media_id,
+        |   oy.i * 48 + ox.i * 3 + cc.i + 1 AS wgt,
+        |   ((oy.i * lim.h) // 12) * lim.row_size
+        |    + ((ox.i * lim.w) // 16) * 3 + cc.i AS spos
+        |  FROM lim, range(12) AS oy(i), range(16) AS ox(i),
+        |   range(3) AS cc(i)),
+        | terms AS (SELECT o.media_id, o.wgt * b.b AS term
+        |  FROM outpx AS o JOIN bytes AS b
+        |   ON b.media_id = o.media_id AND b.pos = o.spos)
+        | SELECT lim.media_id, lim.w AS width, lim.h AS height,
+        |  16 AS out_w, 12 AS out_h, CAST(54 + 48 * 12 AS BIGINT) AS out_bytes,
+        |  CAST(sum(t.term) AS BIGINT) AS checksum
+        | FROM terms AS t JOIN lim ON lim.media_id = t.media_id
+        | GROUP BY lim.media_id, lim.w, lim.h
         | ORDER BY lim.media_id""".stripMargin.replace("\n", " "),
     "mm_audio_fp" ->
       """WITH RECURSIVE lim AS (SELECT doc_id AS media_id,

@@ -166,6 +166,84 @@ object Multimodal {
       }.toDF()
   }
 
+  /** Nearest-neighbor resize of a 24-bit BMP to (ow, oh) — the
+    * thumbnail / input-normalization step of an image pipeline.
+    * INTEGER-exact: the source index for output (x, y) is
+    * ((x·w) / ow, (y·h) / oh) in integer math and bytes are copied
+    * untouched, so there is no interpolation arithmetic for a
+    * cross-engine ulp to diverge on and the oracle replays the
+    * resampling bit-for-bit. Returns a real, well-formed BMP
+    * re-encoded at the new geometry (headers + row padding). */
+  def resizeBmp(payload: Array[Byte], ow: Int, oh: Int): Array[Byte] = {
+    val (w, h, bpp) = decodeBmp(payload)
+    require(bpp == 24, "resize expects a 24-bit BMP")
+    require(ow > 0 && oh > 0, "bad target geometry")
+    val off = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(10)
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    val oRowSize = ((ow * 3 + 3) / 4) * 4
+    val dataSize = oRowSize * oh
+    val out = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte)
+    out.putInt(54 + dataSize).putShort(0).putShort(0).putInt(54)
+    out.putInt(40).putInt(ow).putInt(oh)
+    out.putShort(1).putShort(24)
+    out.putInt(0).putInt(dataSize)
+    out.putInt(2835).putInt(2835).putInt(0).putInt(0)
+    val arr = out.array()
+    var y = 0
+    while (y < oh) {
+      val sy = y * h / oh
+      var x = 0
+      while (x < ow) {
+        val sx = x * w / ow
+        val s = off + sy * rowSize + sx * 3
+        val d = 54 + y * oRowSize + x * 3
+        arr(d) = payload(s); arr(d + 1) = payload(s + 1)
+        arr(d + 2) = payload(s + 2)
+        x += 1
+      }
+      y += 1
+    }
+    arr
+  }
+
+  final case class ResizedImage(media_id: Long, width: Int, height: Int,
+                                out_w: Int, out_h: Int, out_bytes: Long,
+                                checksum: Long)
+
+  /** Per-image nearest-neighbor thumbnails — typed mapPartitions
+    * like [[imageHashes]] (byte resampling is genuinely imperative);
+    * one map stage, no shuffle. The position-weighted pixel checksum
+    * Σ (rowpos+1)·byte over the RESIZED pixel array pins every byte
+    * of the resample to the oracle (a plain sum would miss pixel
+    * permutations). */
+  def resizeImages(media: DataFrame, ow: Int = 16, oh: Int = 12): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .map { case (id, payload) =>
+        val (w, h, _) = decodeBmp(payload)
+        val resized = resizeBmp(payload, ow, oh)
+        val (rw, rh, rbpp) = decodeBmp(resized) // roundtrip sanity
+        require(rw == ow && rh == oh && rbpp == 24, "resize roundtrip")
+        val oRowSize = ((ow * 3 + 3) / 4) * 4
+        var sum = 0L
+        var y = 0
+        while (y < oh) {
+          var x = 0
+          while (x < ow * 3) {
+            val pos = y * oRowSize + x
+            sum += (pos + 1).toLong * (resized(54 + pos) & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        ResizedImage(id, w, h, ow, oh, resized.length.toLong, sum)
+      }.toDF()
+  }
+
   /** Near-dup candidate pairs over ANY (media_id, 64-bit fp) frame —
     * the simhash half-block machinery verbatim (same fingerprint
     * shape, same hot-block cap, same xor/bit_count verify): blocking

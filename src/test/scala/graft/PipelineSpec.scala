@@ -767,6 +767,31 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)) && !pairs.exists(_._2 == 3L))
   }
 
+  test("resize: real BMP out, exact nearest-neighbor sampling, idempotent") {
+    // 2x2 source with known bytes → 1x1 resize must pick pixel (0,0)
+    // exactly (sx = 0*2/1 = 0, sy = 0)
+    val src = Multimodal.encodeBmp(2, 2, seed = 7L)
+    val one = Multimodal.resizeBmp(src, 1, 1)
+    assert(Multimodal.decodeBmp(one) == ((1, 1, 24)))
+    val off = java.nio.ByteBuffer.wrap(src)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(10)
+    assert(one(54) == src(off) && one(55) == src(off + 1) &&
+      one(56) == src(off + 2))
+    // roundtrip at the query geometry; identity resize copies pixels
+    val big = Multimodal.encodeBmp(40, 30, seed = 11L)
+    val thumb = Multimodal.resizeBmp(big, 16, 12)
+    assert(Multimodal.decodeBmp(thumb) == ((16, 12, 24)))
+    assert(thumb.length == 54 + 48 * 12)
+    val same = Multimodal.resizeBmp(big, 40, 30)
+    assert(same.toSeq == big.toSeq, "identity resize must be a byte copy")
+    // upscale repeats source pixels (still pure index math)
+    val up = Multimodal.resizeBmp(src, 4, 4)
+    assert(Multimodal.decodeBmp(up) == ((4, 4, 24)))
+    // resizing the thumb again is deterministic
+    assert(Multimodal.resizeBmp(thumb, 8, 8).toSeq ==
+      Multimodal.resizeBmp(thumb, 8, 8).toSeq)
+  }
+
   test("audio fingerprint: stable under tiny sample edits, far otherwise") {
     val s = spark
     import s.implicits._
