@@ -93,8 +93,10 @@ object ScaleUp {
       .withColumn("l_orderkey", shift("l_orderkey", sOrd))
       .withColumn("l_partkey", shift("l_partkey", sPart))
       .withColumn("l_suppkey", shift("l_suppkey", sSupp)), "lineitem", 32)
-    // ts stays LongType nanos here (read under nanosAsLong) — the
-    // scaled copy stores BIGINT and Tables.events converts on read
+    // ts passes through in whatever physical shape the source dir
+    // carries (LongType nanos under nanosAsLong, or TIMESTAMP_NTZ
+    // for the MICROS form) — Tables.events normalizes on read either
+    // way, so the scaled copy needs no conversion here
     write(rep(read("events"))
       .withColumn("event_id", shift("event_id", sEvt))
       .withColumn("user_id", shift("user_id", sUser)), "events", 32)

@@ -367,6 +367,17 @@ object TextAnalysis {
     *
     * Scale: explode + two hash aggregations — (doc_id, word) then
     * doc_id, both map-side-combining; no window, no driver state. */
+  def unigramEntropy(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_words"), count(lit(1)).as("distinct_words"),
+        (log(sum("c").cast("double")) -
+          sum(col("c").cast("double") * log(col("c").cast("double"))) /
+            sum("c").cast("double")).as("ent"))
+      .select(col("doc_id"), col("n_words"), col("distinct_words"),
+        round(col("ent"), 6).as("entropy"))
+
   /** Deterministic hashed-feature weight vector — the model shape a
     * fastText-style linear quality classifier trains (hashing-trick
     * bag of words; the "quality classifier" filter of Brown et al.
@@ -404,17 +415,6 @@ object TextAnalysis {
       round(lit(1.0) / (lit(1.0) + exp(-raw)), 6).as("quality_score"),
       (raw >= 0).cast("int").as("keep"))
   }
-
-  def unigramEntropy(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
-      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(sum("c").as("n_words"), count(lit(1)).as("distinct_words"),
-        (log(sum("c").cast("double")) -
-          sum(col("c").cast("double") * log(col("c").cast("double"))) /
-            sum("c").cast("double")).as("ent"))
-      .select(col("doc_id"), col("n_words"), col("distinct_words"),
-        round(col("ent"), 6).as("entropy"))
 
   /** Gopher repetition signals (Rae et al. 2021 §A1.1, restated):
     * the fraction of word characters covered by the single most

@@ -597,8 +597,13 @@ object Downsample {
     * `relatedStartsS` replays RelatedQueryOptions
     * (cluster_resolver.go:98-107): a query issued alongside others
     * (the split panels of one dashboard) selects its namespace from
-    * the EARLIEST related start so all of them read the same tier —
-    * only selection widens; the fetch itself stays range-bounded.
+    * the EARLIEST related start so all of them read the same tier.
+    * The fetch itself stays bounded to the query's own range, but —
+    * faithfully to the reference, which passes
+    * namespaceSelectionStart into the logical plan wholesale — the
+    * coverage signal is ALSO judged at the widened start, so a
+    * widened query can report CoversPartial even when its own range
+    * is fully retained.
     */
   def resolveTier(unaggRetentionS: Long, policies: Seq[Policy],
                   nowS: Long, startS: Long,

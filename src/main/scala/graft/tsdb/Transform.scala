@@ -96,8 +96,10 @@ object Transform {
     * `row_number over (partition by bucket_s)` puts *every series of
     * an instant* in one task, a straggler at high series
     * cardinality. Instead: (1) per-bucket value-range shards from
-    * exact percentiles (tiny, broadcast); equal values always land
-    * in the same shard, so tiebreak ordering stays intact;
+    * approx-percentile sketch bounds (tiny, broadcast; bounds only
+    * balance shards — the rank below is exact for any cut points);
+    * equal values always land in the same shard, so tiebreak
+    * ordering stays intact;
     * (2) row_number within (bucket, shard); (3) global rank = local
     * rank + prefix count of the preceding shards (a buckets×shards
     * frame, broadcast back). Identical output to the single-window
