@@ -610,6 +610,17 @@ object TsdbQueries {
         """sum by (name) (rate({name=~"(pur|cli).*"}[1d]))""")
         .select(col("name"), col("bucket_s"), round(col("value"), 9).as("value"))
         .orderBy("name", "bucket_s")),
+    // Graphite target text evaluated END-TO-END over the bucketed
+    // store — the third front door over the physical layout
+    // (store_fetch = matchers, store_pql = PromQL, this = graphite):
+    // path-tree expansion, wildcard match and summarize all read the
+    // bucketed frame; byte-identical to the direct-path evaluation
+    "store_graphite" -> ((s, dir) =>
+      graft.graphite.GraphiteParser.query(
+        graft.sources.SeriesStore.read(s, storeTable(s, dir)).drop("dt"),
+        """summarize(events.purchase.*, "1d", "sum")""")
+        .select(col("path"), col("bucket_s"), round(col("value"), 6).as("value"))
+        .orderBy("path", "bucket_s")),
     "ds_multi_res" -> ((s, dir) =>
       Downsample.multiResolution(samples(s, dir))
         .orderBy("resolution", "name", "user_id", "bucket_s")),
@@ -816,6 +827,23 @@ object TsdbQueries {
          | WHERE name = 'purchase' AND floor(epoch(ts)) >= 1704240000
          |  AND floor(epoch(ts)) < 1704844800
          | ORDER BY event_id""".stripMargin.replace("\n", " "),
+    // the hourly purchase path frame summarized to 1d — identical to
+    // the direct-path gr_summarize convention, restricted to the
+    // wildcard's matches
+    "store_graphite" ->
+      """WITH pf AS (
+        | SELECT 'events.' || name || '.user' || CAST(user_id AS VARCHAR) AS path,
+        |  bucket_s, value FROM (
+        |  SELECT name, user_id, bucket_s, value FROM (
+        |   SELECT event_type AS name, user_id, value,
+        |    CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_s,
+        |    row_number() OVER (PARTITION BY event_type, user_id,
+        |      date_trunc('hour', ts) ORDER BY ts DESC, event_id DESC) AS rn
+        |   FROM events WHERE event_type = 'purchase') AS t WHERE rn = 1) AS i)
+        | SELECT path, CAST(floor(bucket_s / 86400) * 86400 AS BIGINT) AS bucket_s,
+        |  round(sum(value), 6) AS value FROM pf
+        | GROUP BY path, CAST(floor(bucket_s / 86400) * 86400 AS BIGINT)
+        | ORDER BY path, bucket_s""".stripMargin.replace("\n", " "),
     "ts_fetch_regex" ->
       s"""SELECT name, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, value, event_id
          | FROM ($S) AS s

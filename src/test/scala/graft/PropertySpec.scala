@@ -22,6 +22,67 @@ class PropertySpec extends SparkSpec {
     Gen.chooseNum(1, 60).flatMap(n =>
       Gen.listOfN(n, Gen.choose(32.toChar, 126.toChar)).map(_.mkString))
 
+  test("property: resize roundtrips geometry; identity resize is a copy") {
+    // pure JVM property — no Spark jobs needed
+    val geom = for {
+      w <- Gen.chooseNum(1, 48); h <- Gen.chooseNum(1, 40)
+      ow <- Gen.chooseNum(1, 32); oh <- Gen.chooseNum(1, 32)
+      seed <- Gen.chooseNum(1L, Long.MaxValue)
+    } yield (w, h, ow, oh, seed)
+    check(Prop.forAll(geom) { case (w, h, ow, oh, seed) =>
+      val src = pipeline.Multimodal.encodeBmp(w, h, seed)
+      val out = pipeline.Multimodal.resizeBmp(src, ow, oh)
+      val decoded = pipeline.Multimodal.decodeBmp(out)
+      val idemp = pipeline.Multimodal.resizeBmp(out, ow, oh)
+      decoded == ((ow, oh, 24)) &&
+        out.length == 54 + ((ow * 3 + 3) / 4) * 4 * oh &&
+        // resizing at the same geometry again is pixel-stable
+        idemp.drop(54).zipWithIndex.forall { case (b, i) =>
+          // padding bytes may differ (source padding is xorshift
+          // noise, re-encode pads zero) — compare pixel bytes only
+          val oRow = ((ow * 3 + 3) / 4) * 4
+          (i % oRow) >= ow * 3 || b == out(54 + i)
+        }
+    })
+  }
+
+  test("property: resolveTier picks a covering tier iff one exists") {
+    import tsdb.Downsample._
+    val gen = for {
+      unagg <- Gen.chooseNum(1L, 3000L)
+      rets <- Gen.listOfN(3, Gen.chooseNum(1L, 3000L))
+      age <- Gen.chooseNum(1L, 4000L)
+    } yield (unagg, rets, age)
+    val resS = Map("10m" -> 600L, "1h" -> 3600L, "1d" -> 86400L)
+    check(Prop.forAll(gen) { case (unagg, rets, age) =>
+      val now = 10000L
+      val policies = Seq("10m", "1h", "1d").zip(rets)
+        .map { case (r, ret) => Policy(r, ret) }
+      val start = now - age
+      val (tier, cov) = resolveTier(unagg, policies, now, start)
+      val anyCovers = (unagg +: rets).exists(now - _ <= start)
+      val tierCovers = tier match {
+        case Unaggregated => now - unagg <= start
+        case Aggregated(_, ret) => now - ret <= start
+      }
+      // coverage flag is truthful, and CoversAll implies the chosen
+      // tier actually retains the start
+      (cov == CoversAll) == anyCovers &&
+        (cov == CoversPartial || tierCovers) && {
+          // optimality: when covered, no FINER covering policy exists
+          // than the chosen aggregated tier (unaggregated is finest)
+          tier match {
+            case Aggregated(res, _) if cov == CoversAll =>
+              val finerCovering = policies.filter(p =>
+                now - p.retentionS <= start &&
+                  resS(p.resolution) < resS(res))
+              finerCovering.isEmpty && now - unagg > start
+            case _ => true
+          }
+        }
+    })
+  }
+
   test("property: bloom filter never false-negatives a genuine dup") {
     val s = spark
     import s.implicits._
