@@ -654,6 +654,18 @@ object TsdbQueries {
         Downsample.Policy("1d", 365L * 86400L)),
         nowS = 1706745600L, startS = 1704931200L)
         .orderBy("name", "user_id", "bucket_s")),
+    // the OTHER resolveTier branch: a 3-day query start sits inside
+    // the 7d raw retention, so the unaggregated namespace wins and
+    // the fetch is the plain bounded sample scan
+    "ds_auto_res_raw" -> ((s, dir) =>
+      Downsample.fetchAuto(samples(s, dir), 7L * 86400L, Seq(
+        Downsample.Policy("10m", 14L * 86400L),
+        Downsample.Policy("1h", 30L * 86400L),
+        Downsample.Policy("1d", 365L * 86400L)),
+        nowS = 1706745600L, startS = 1706486400L)
+        .select(col("name"), col("user_id"),
+          unix_timestamp(col("ts")).as("ts_s"), col("value"), col("event_id"))
+        .orderBy("event_id")),
     "ds_rules" -> ((s, dir) =>
       Downsample.rollupRules(samples(s, dir), Seq(
         Downsample.Rule("purchases_hourly",
@@ -1662,6 +1674,12 @@ object TsdbQueries {
          |  AND bucket_s >= 1704931200 AND bucket_s < 1706745600
          | ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " ")
     },
+    "ds_auto_res_raw" ->
+      s"""SELECT name, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         | value, event_id
+         | FROM ($S) AS s
+         | WHERE epoch(ts) >= 1706486400 AND epoch(ts) < 1706745600
+         | ORDER BY event_id""".stripMargin.replace("\n", " "),
     "ds_restrict_type" -> {
       val fine =
         """SELECT name, user_id, bucket_s, sum(value) AS sum_v, count(*) AS count_v,

@@ -207,6 +207,24 @@ class PlanSpec extends SparkSpec {
     assert(scans == 1, s"expected 1 events scan, got $scans")
   }
 
+  test("store_graphite: consolidation reads its distribution from the buckets") {
+    // graphite text over the bucketed store: the last-per-hour
+    // consolidation window partitions by (name, user_id), which the
+    // bucket layout already satisfies — the only hash exchange left
+    // is the path-level summarize aggregation
+    val df = SparkEntry.queries("store_graphite")(spark, sf)
+    df.collect()
+    val full = df.queryExecution.executedPlan.toString
+    val p = full.split("== Initial Plan ==").head
+    val exchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toList
+    assert(exchanges.size <= 1,
+      s"expected at most the summarize exchange, got:\n${exchanges.mkString("\n")}")
+    assert(exchanges.forall(!_.contains("user_id")),
+      "consolidation shuffled despite the bucketed layout:\n" +
+        exchanges.mkString("\n"))
+  }
+
   test("ds_auto_res routes to ONE tier branch (no namespace union)") {
     // tier choice is plan-time scalar math: the routed plan must
     // carry a single events scan (the resolved 1h tier composed from
