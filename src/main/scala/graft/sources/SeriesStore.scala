@@ -115,4 +115,39 @@ object SeriesStore {
       untilDt.map(d => col("dt") < lit(d))).flatten
     bounded.foldLeft(t)((df, p) => df.where(p))
   }
+
+  /** Append one micro-batch to the layout (creating the table on the
+    * first batch): same dt partitioning, bucket hash and in-bucket
+    * time sort as [[write]], so readers keep zero-exchange
+    * per-series plans across appended data. */
+  def appendBatch(batch: DataFrame, table: String, buckets: Int = 8): Unit = {
+    val withDt = batch.withColumn("dt", to_date(col("ts")))
+    val mode =
+      if (batch.sparkSession.catalog.tableExists(table)) "append"
+      else "errorifexists"
+    withDt.write.mode(mode)
+      .partitionBy("dt")
+      .bucketBy(buckets, "name", "user_id")
+      .sortBy("name", "user_id", "ts")
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** Continuous ingest into the bucketed layout — m3db's commit-log →
+    * flush path restated over Structured Streaming: each micro-batch
+    * appends bucketed, time-sorted files under its dt partitions via
+    * [[appendBatch]] (exactly-once per batch under the checkpoint).
+    * Small files accumulate one-per-bucket-per-batch — m3db's
+    * flush-per-block behavior — and [[compact]] is the background
+    * pass that folds a day back to one file per bucket. */
+  def streamWrite(samples: DataFrame, table: String,
+                  checkpoint: String,
+                  buckets: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
+    samples.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        appendBatch(batch, table, buckets)
+      }
+      .start()
 }

@@ -136,6 +136,60 @@ class StoreSpec extends SparkSpec {
       "compacted table lost its bucket distribution")
   }
 
+  test("streaming ingest appends to the layout; compact folds the batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    def rows(from: Int, until: Int) = (from until until).map(i =>
+      (s"m${i % 4}", (i % 4).toLong,
+        new java.sql.Timestamp(base + i * 60000L), i * 1.5, i.toLong))
+    val tbl = "graft_store_stream"
+    spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_stream_store").toString
+    val mem = MemoryStream[(String, Long, java.sql.Timestamp, Double, Long)]
+    val q = SeriesStore.streamWrite(
+      mem.toDF().toDF("name", "user_id", "ts", "value", "event_id"),
+      tbl, ckpt, buckets = 4)
+    try {
+      // three micro-batches = three flushes into the same day
+      mem.addData(rows(0, 300): _*); q.processAllAvailable()
+      mem.addData(rows(300, 600): _*); q.processAllAvailable()
+      mem.addData(rows(600, 900): _*); q.processAllAvailable()
+    } finally q.stop()
+    // stream-ingested rows == the one-shot batch write of the same data
+    val streamed = SeriesStore.read(spark, tbl)
+      .select("name", "user_id", "ts", "value", "event_id")
+    val batchDf = rows(0, 900)
+      .toDF("name", "user_id", "ts", "value", "event_id")
+    assert(streamed.count() == 900)
+    assert(streamed.exceptAll(batchDf).isEmpty &&
+      batchDf.exceptAll(streamed).isEmpty,
+      "stream-ingested table diverged from the batch write")
+    // bucket distribution holds across appended batches: per-series
+    // agg reads the union of flushes with no exchange
+    val agged = SeriesStore.read(spark, tbl)
+      .groupBy("name", "user_id").agg(sum("value"))
+    agged.collect()
+    assert(!agged.queryExecution.executedPlan.toString
+      .contains("Exchange hashpartitioning"),
+      "appended batches broke the bucket distribution")
+    // flush-per-batch fragments (≥ one file per batch per bucket hit);
+    // compact folds the day back to ≤ one file per bucket
+    def dayFiles: Int = {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), s"$tbl/dt=2024-03-01")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(loc).count(_.getPath.getName.endsWith(".parquet"))
+    }
+    val before = dayFiles
+    assert(before > 4, s"expected flush-per-batch fragmentation, got $before")
+    SeriesStore.compact(spark, tbl, buckets = 4)
+    assert(dayFiles <= 4, "compaction did not fold the streamed flushes")
+    assert(SeriesStore.read(spark, tbl).count() == 900)
+  }
+
   test("corpus store writes split-partitioned, shard-disjoint ordered files") {
     import graft.pipeline.{Corpus, Dedup}
     val docs = Tables.documents(spark, sf)
