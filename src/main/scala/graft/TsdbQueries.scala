@@ -654,6 +654,18 @@ object TsdbQueries {
         Downsample.Policy("1d", 365L * 86400L)),
         nowS = 1706745600L, startS = 1704931200L)
         .orderBy("name", "user_id", "bucket_s")),
+    // the resolved namespace served AS SERIES: the 1h tier's mean
+    // becomes the datapoints, timestamped at the bucket — the form
+    // the query engine consumes regardless of which tier won
+    "ds_auto_series" -> ((s, dir) =>
+      Downsample.fetchAutoSeries(samples(s, dir), 7L * 86400L, Seq(
+        Downsample.Policy("10m", 14L * 86400L),
+        Downsample.Policy("1h", 30L * 86400L),
+        Downsample.Policy("1d", 365L * 86400L)),
+        nowS = 1706745600L, startS = 1704931200L)
+        .select(col("name"), col("user_id"),
+          unix_timestamp(col("ts")).as("ts_s"), col("value"))
+        .orderBy("name", "user_id", "ts_s")),
     // the OTHER resolveTier branch: a 3-day query start sits inside
     // the 7d raw retention, so the unaggregated namespace wins and
     // the fetch is the plain bounded sample scan
@@ -1680,6 +1692,21 @@ object TsdbQueries {
          | FROM ($S) AS s
          | WHERE epoch(ts) >= 1706486400 AND epoch(ts) < 1706745600
          | ORDER BY event_id""".stripMargin.replace("\n", " "),
+    "ds_auto_series" -> {
+      val f10 =
+        """SELECT event_type AS name, user_id,
+          | CAST(floor(epoch(ts) / 600) AS BIGINT) * 600 AS bucket_s,
+          | sum(value) AS sum_v, count(*) AS count_v
+          | FROM events GROUP BY 1, 2, 3""".stripMargin.replace("\n", " ")
+      s"""SELECT name, user_id,
+         | CAST(floor(bucket_s / 3600) AS BIGINT) * 3600 AS ts_s,
+         | round(sum(sum_v) / sum(count_v), 6) AS value
+         | FROM ($f10) AS f10
+         | GROUP BY 1, 2, CAST(floor(bucket_s / 3600) AS BIGINT) * 3600
+         | HAVING CAST(floor(bucket_s / 3600) AS BIGINT) * 3600 >= 1704931200
+         |  AND CAST(floor(bucket_s / 3600) AS BIGINT) * 3600 < 1706745600
+         | ORDER BY name, user_id, ts_s""".stripMargin.replace("\n", " ")
+    },
     "ds_restrict_type" -> {
       val fine =
         """SELECT name, user_id, bucket_s, sum(value) AS sum_v, count(*) AS count_v,

@@ -653,4 +653,35 @@ object Downsample {
         restrictByType(samples, agg, nowS, labelCols, policies)
           .where(col("bucket_s") >= lit(startS) && col("bucket_s") < lit(nowS))
     }
+
+  /** Resolved-namespace fetch surfaced as SERIES — how the
+    * coordinator actually serves data out of an aggregated
+    * namespace: the tier's stored aggregate (the namespace's
+    * configured aggregation type; mean is m3's gauge default)
+    * becomes the series datapoints, timestamped at the bucket, so
+    * the query engine runs unchanged over whichever namespace
+    * resolution picked. Both routes return the same
+    * (labels…, ts, value) schema. */
+  def fetchAutoSeries(samples: DataFrame, unaggRetentionS: Long,
+                      policies: Seq[Policy], nowS: Long, startS: Long,
+                      aggType: String = "mean",
+                      labelCols: Seq[String] = Vectors.labels,
+                      relatedStartsS: Seq[Long] = Nil): DataFrame = {
+    val fetched = fetchAuto(samples, unaggRetentionS, policies, nowS, startS,
+      labelCols, relatedStartsS)
+    val cols = labelCols.map(col)
+    if (fetched.columns.contains("resolution")) {
+      val v = aggType match {
+        case "mean" => col("mean_v")
+        case "sum" => col("sum_v")
+        case "min" => col("min_v")
+        case "max" => col("max_v")
+        case "count" => col("count_v").cast("double")
+        case other =>
+          throw new IllegalArgumentException(s"unknown agg type: $other")
+      }
+      fetched.select(cols :+ timestamp_seconds(col("bucket_s")).as("ts") :+
+        v.as("value"): _*)
+    } else fetched.select(cols :+ col("ts") :+ col("value"): _*)
+  }
 }

@@ -330,6 +330,23 @@ class TsdbSpec extends SparkSpec {
     assert(recent.columns.toSeq == s.columns.toSeq)
     val minTs = recent.agg(min(unix_timestamp(col("ts")))).collect()(0).getLong(0)
     assert(minTs >= now - 3L * 86400L)
+    // series form: BOTH routes present the same (labels, ts, value)
+    // schema, so the query engine composes with either
+    val aggSeries = Downsample.fetchAutoSeries(s, 7L * 86400L, stack,
+      now, start)
+    val rawSeries = Downsample.fetchAutoSeries(s, 7L * 86400L, stack,
+      now, now - 3L * 86400L)
+    assert(aggSeries.columns.toSeq == rawSeries.columns.toSeq &&
+      aggSeries.columns.toSeq == Seq("name", "user_id", "ts", "value"))
+    // the aggregated series replays the tier's mean per bucket
+    val one = aggSeries.limit(1).collect()(0)
+    val direct = Downsample.restrictByType(s,
+      Downsample.Aggregated("1h", 30L * 86400L), now, policies = stack)
+      .where(col("name") === one.getString(0) &&
+        col("user_id") === one.getLong(1) &&
+        col("bucket_s") === one.getTimestamp(2).getTime / 1000)
+      .collect()(0)
+    assert(one.getDouble(3) == direct.getAs[Double]("mean_v"))
     Downsample.clearTierCache()
   }
 
