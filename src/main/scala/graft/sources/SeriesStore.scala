@@ -121,10 +121,20 @@ object SeriesStore {
     * time sort as [[write]], so readers keep zero-exchange
     * per-series plans across appended data. */
   def appendBatch(batch: DataFrame, table: String, buckets: Int = 8): Unit = {
+    val spark = batch.sparkSession
     val withDt = batch.withColumn("dt", to_date(col("ts")))
-    val mode =
-      if (batch.sparkSession.catalog.tableExists(table)) "append"
-      else "errorifexists"
+    val exists = spark.catalog.tableExists(table)
+    if (!exists) {
+      // a location left behind without a metastore entry (a prior
+      // JVM's warehouse) is unreadable garbage — clear it so the
+      // create succeeds, same as [[write]]; an EXISTING table is
+      // never touched (restart-append relies on it)
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+    val mode = if (exists) "append" else "errorifexists"
     withDt.write.mode(mode)
       .partitionBy("dt")
       .bucketBy(buckets, "name", "user_id")
