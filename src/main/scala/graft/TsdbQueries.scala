@@ -621,6 +621,15 @@ object TsdbQueries {
         """summarize(events.purchase.*, "1d", "sum")""")
         .select(col("path"), col("bucket_s"), round(col("value"), 6).as("value"))
         .orderBy("path", "bucket_s")),
+    // ...and M3QL, closing the set: every query front end the engine
+    // carries (matcher fetch, PromQL, Graphite, M3QL) runs over the
+    // physical layout, byte-identical to its direct path
+    "store_m3ql" -> ((s, dir) =>
+      graft.m3ql.M3QL.query(
+        graft.sources.SeriesStore.read(s, storeTable(s, dir)).drop("dt"),
+        "fetch name:* | avg name | >= 48.7")
+        .select(col("name"), col("bucket_s"), round(col("value"), 6).as("value"))
+        .orderBy("name", "bucket_s")),
     "ds_multi_res" -> ((s, dir) =>
       Downsample.multiResolution(samples(s, dir))
         .orderBy("resolution", "name", "user_id", "bucket_s")),
@@ -1448,6 +1457,11 @@ object TsdbQueries {
          | WHERE l.name = 'purchase' AND r.name = 'purchase'
          | ORDER BY l.user_id, l.bucket_s""".stripMargin.replace("\n", " "),
     "m3ql_agg" ->
+      s"""SELECT name, bucket_s, round(avg(value), 6) AS value
+         | FROM ($INST) AS i GROUP BY name, bucket_s
+         | HAVING avg(value) >= 48.7
+         | ORDER BY name, bucket_s""".stripMargin.replace("\n", " "),
+    "store_m3ql" ->
       s"""SELECT name, bucket_s, round(avg(value), 6) AS value
          | FROM ($INST) AS i GROUP BY name, bucket_s
          | HAVING avg(value) >= 48.7
