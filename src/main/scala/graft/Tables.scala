@@ -50,5 +50,19 @@ object Tables {
   def nation(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "region")
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
+
+  /** Same drift insurance as [[events]]: the generator has shipped
+    * `embedding` as list<float>; if a regeneration ever widens it to
+    * list<double>, normalize back so every sim_/dedup_ operator (and
+    * the codegen DotProduct, which is Float-typed) sees one type. */
+  def embeddings(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val raw = apply(spark, dir, "embeddings")
+    raw.schema("embedding").dataType match {
+      case ArrayType(DoubleType, _) =>
+        raw.withColumn("embedding",
+          org.apache.spark.sql.functions.col("embedding").cast("array<float>"))
+      case _ => raw
+    }
+  }
 }
