@@ -392,6 +392,10 @@ object PipelineQueries {
         .orderBy("doc_id")),
     "corpus_source_kl" -> ((s, dir) =>
       Corpus.sourceKl(Tables.documents(s, dir)).orderBy("source")),
+    "corpus_temperature" -> ((s, dir) =>
+      Corpus.temperatureMixture(Tables.documents(s, dir)).orderBy("source")),
+    "text_novelty" -> ((s, dir) =>
+      TextAnalysis.noveltyScore(Tables.documents(s, dir)).orderBy("doc_id")),
     "text_classifier" -> ((s, dir) =>
       TextAnalysis.qualityClassifier(Tables.documents(s, dir))
         .orderBy("doc_id")),
@@ -1313,6 +1317,31 @@ object PipelineQueries {
         |  CAST(row_number() OVER (PARTITION BY stage, rnd % 8
         |   ORDER BY rnd, doc_id) - 1 AS BIGINT) AS position
         | FROM s ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "corpus_temperature" ->
+      """WITH s AS (SELECT source,
+        |  CAST(sum(len(string_split_regex(lower(text), '\s+'))) AS BIGINT)
+        |   AS tokens FROM documents GROUP BY source),
+        | t AS (SELECT CAST(sum(tokens) AS BIGINT) AS total,
+        |  sum(sqrt(tokens)) AS psum FROM s)
+        | SELECT source, tokens,
+        |  round(tokens / t.total, 6) AS natural_share,
+        |  round(sqrt(tokens) / t.psum, 6) AS temp_share,
+        |  round(sqrt(tokens) / t.psum * t.total / tokens, 6) AS epochs
+        | FROM s, t ORDER BY source""".stripMargin.replace("\n", " "),
+    "text_novelty" ->
+      s"""WITH sh AS (SELECT DISTINCT doc_id, h, h_hi FROM ($H) AS hh),
+         | per AS (SELECT doc_id, count(*) AS n_shingles FROM sh
+         |         GROUP BY doc_id),
+         | uniq AS (SELECT min(doc_id) AS doc_id FROM sh
+         |          GROUP BY h, h_hi HAVING count(*) = 1),
+         | nov AS (SELECT doc_id, count(*) AS n_novel FROM uniq
+         |         GROUP BY doc_id)
+         | SELECT d.doc_id, coalesce(per.n_shingles, 0) AS n_shingles,
+         |  coalesce(nov.n_novel, 0) AS n_novel,
+         |  round(coalesce(nov.n_novel, 0) / per.n_shingles, 6) AS novelty
+         | FROM documents AS d
+         | LEFT JOIN per USING (doc_id) LEFT JOIN nov USING (doc_id)
+         | ORDER BY d.doc_id""".stripMargin.replace("\n", " "),
     "corpus_source_kl" ->
       """WITH sw AS (SELECT source, w, count(*) AS c_sw FROM (
         |   SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS w

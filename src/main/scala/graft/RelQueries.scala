@@ -269,6 +269,131 @@ object RelQueries {
         .limit(100)
     }),
 
+    // Q6 shape: the pure-pushdown scan — every predicate (date
+    // range, discount band, quantity cap) reaches the parquet
+    // reader as a PushedFilter, so at 100 TB the scan touches only
+    // row groups whose min/max stats intersect the ranges; the
+    // aggregate is one map-side-partial sum, zero joins, zero
+    // wide shuffles. Plan-audited in PlanSpec.
+    "q6_forecast" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00")) &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(
+          sum(dec6(col("l_extendedprice") * col("l_discount")))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))),
+
+    // Q4 shape (adapted: the schema has no commit/receipt dates, so
+    // the "late line item" predicate is l_shipdate > o_orderdate):
+    // a correlated EXISTS decorrelated to ONE left-semi hash join
+    // on orderkey — the extra non-equi conjunct rides along as the
+    // join condition, so no secondary filter pass and no duplicate
+    // counting (semi join emits each order at most once, where an
+    // inner join + distinct would shuffle the multiplicity).
+    "q4_priority" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .where(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("o_orderdate") < to_timestamp(lit("1996-04-01 00:00:00")))
+      val l = Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate")
+      o.join(l, col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Q13 shape (customer order-count distribution): left outer
+    // join so zero-order customers survive with count 0, then a
+    // second aggregation over the per-customer counts. The first
+    // groupBy reuses the join's custkey hash partitioning (no
+    // second exchange of the wide frame); the distribution agg
+    // reduces customers-sized input to a handful of rows.
+    "q13_custdist" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .where(col("o_orderpriority") =!= "1-URGENT")
+        .select("o_orderkey", "o_custkey")
+      Tables.customer(s, dir).select("c_custkey")
+        .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // Q14 shape (promo revenue share): conditional aggregation over
+    // one lineitem⋈part join — both the promo numerator and the
+    // total denominator come out of a single pass (CASE inside the
+    // sums), never two scans. DECIMAL sums, the 100·promo⁄total
+    // division in double at the very end.
+    "q14_promo" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1996-03-01 00:00:00")))
+        .join(Tables.part(s, dir).select("p_partkey", "p_type"),
+          col("p_partkey") === col("l_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO",
+            dec6(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .otherwise(dec6(lit(0)))).cast("double").as("promo_revenue"),
+          sum(dec6(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .cast("double").as("total_revenue"))
+        .select(
+          round(lit(100.0) * col("promo_revenue") / col("total_revenue"), 6)
+            .as("promo_pct"),
+          col("promo_revenue"), col("total_revenue"))),
+
+    // Q10 shape (returned-item ranking): facts filter before the
+    // joins (returnflag pushed to the lineitem scan, the quarter to
+    // orders), nation broadcasts, and the global top-20 plans as
+    // TakeOrdered (per-partition heaps merged on the driver — no
+    // single-partition sort of the full customer frame).
+    "q10_returns" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir).where(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val o = Tables.orders(s, dir)
+        .where(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("o_orderdate") < to_timestamp(lit("1996-04-01 00:00:00")))
+        .select("o_orderkey", "o_custkey")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(sum(dec6(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // Q22 shape (adapted: no phone column, so the cohort is keyed
+    // by nation, and "idle" means no LARGE order — every customer
+    // here has some order): customers above the average positive
+    // balance with no order over 400 000. The scalar-subquery
+    // threshold is a one-row broadcast, and the comparison is
+    // cross-multiplied into exact DECIMAL arithmetic (bal·cnt >
+    // total) — no floating average as a filter boundary, so two
+    // engines cannot disagree on a borderline customer. The
+    // no-large-orders test is one anti hash join whose build side
+    // pre-filters to the large orders; sums are DECIMAL-exact.
+    "q22_idle" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val stats = c.where(col("c_acctbal") > 0)
+        .agg(sum(dec2(col("c_acctbal"))).as("total_bal"),
+          count(lit(1)).as("n_pos"))
+      c.crossJoin(broadcast(stats))
+        .where(dec2(col("c_acctbal")) * col("n_pos") > col("total_bal"))
+        .join(Tables.orders(s, dir).where(col("o_totalprice") > 400000)
+            .select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("numcust"),
+          sum(dec2(col("c_acctbal"))).cast("double").as("totacctbal"))
+        .orderBy("c_nationkey")
+    }),
+
     // Q19 shape: an OR-of-ANDs predicate spanning both join sides.
     // Catalyst extracts the common p_partkey equi-key from the
     // disjunction — the join stays a broadcast hash join (part is
@@ -569,6 +694,71 @@ object RelQueries {
         | JOIN customer c ON c.c_custkey = o.o_custkey
         | ORDER BY o_totalprice DESC, o_orderdate_us, o_orderkey
         | LIMIT 100""".stripMargin.replace("\n", " "),
+    "q6_forecast" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
+        |   AS DOUBLE) AS revenue, count(*) AS n_items
+        | FROM lineitem
+        | WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin.replace("\n", " "),
+    // the textbook correlated EXISTS — the Spark side's semi-join
+    // decorrelation is what the compare proves
+    "q4_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        | FROM orders o
+        | WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |   WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+        | GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin.replace("\n", " "),
+    "q13_custdist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |  FROM customer c LEFT OUTER JOIN orders o
+        |   ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        |  GROUP BY c.c_custkey) AS t
+        | GROUP BY c_count
+        | ORDER BY custdist DESC, c_count DESC""".stripMargin.replace("\n", " "),
+    "q14_promo" ->
+      """SELECT round(100.0 * promo_revenue / total_revenue, 6) AS promo_pct,
+        |  promo_revenue, total_revenue FROM (
+        |  SELECT
+        |   CAST(sum(CASE WHEN p.p_type = 'PROMO'
+        |    THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))
+        |    ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS promo_revenue,
+        |   CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+        |    AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |  WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |   AND l.l_shipdate < TIMESTAMP '1996-03-01 00:00:00') AS t""".stripMargin.replace("\n", " "),
+    "q10_returns" ->
+      """SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+        |  CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+        |   AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        | FROM lineitem l
+        | JOIN orders o ON l.l_orderkey = o.o_orderkey
+        | JOIN customer c ON o.o_custkey = c.c_custkey
+        | JOIN nation n ON c.c_nationkey = n.n_nationkey
+        | WHERE l.l_returnflag = 'R'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        | GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+        | ORDER BY revenue DESC, c.c_custkey LIMIT 20""".stripMargin.replace("\n", " "),
+    // the scalar-subquery form; the Spark side's broadcast stats
+    // frame + exact cross-multiplied DECIMAL threshold must agree
+    "q22_idle" ->
+      """WITH stats AS (SELECT
+        |   sum(CAST(c_acctbal AS DECIMAL(18,2))) AS total_bal,
+        |   count(*) AS n_pos
+        |  FROM customer WHERE c_acctbal > 0)
+        | SELECT c.c_nationkey, count(*) AS numcust,
+        |  CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        | FROM customer c, stats
+        | WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) * stats.n_pos > stats.total_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        | GROUP BY c.c_nationkey ORDER BY c.c_nationkey""".stripMargin.replace("\n", " "),
     "q19_disjunct" ->
       """SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
         | FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey

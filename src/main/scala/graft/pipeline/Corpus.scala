@@ -303,6 +303,41 @@ object Corpus {
       .select("doc_id", "source", "n_tokens", "bucket_ppm", "sampled")
   }
 
+  /** Temperature-scaled mixture design — the step BEFORE
+    * [[mixtureSample]]: given only the corpus, derive the per-source
+    * sampling weights. Natural sampling (share ∝ tokens) lets one
+    * giant crawl drown curated sources; temperature α < 1 flattens
+    * the distribution (share ∝ tokensᵅ — the multilingual/mixture
+    * convention of the T5/PaLM lineage). α is fixed at ½ so the
+    * power is `sqrt`, which is correctly rounded in IEEE-754 —
+    * both engines compute bit-identical shares (a general `pow`
+    * may differ in the last ulp across math libraries). `epochs` =
+    * temp_share · total ⁄ tokens is how many passes over each
+    * source one budget-filling epoch of the mixture implies — the
+    * standard over-sampling diagnostic (epochs ≫ 1 on a small
+    * source warns of memorization).
+    *
+    * Scale: token counting is a map stage into a sources-sized hash
+    * aggregate; the two normalizers come back as a one-row broadcast
+    * (no driver collect, no window over an unpartitioned frame). */
+  def temperatureMixture(docs: DataFrame): DataFrame = {
+    val perSrc = docs
+      .select(col("source"),
+        size(org.apache.spark.sql.functions.split(lower(col("text")), "\\s+"))
+          .cast("long").as("tok"))
+      .groupBy("source").agg(sum("tok").as("tokens"))
+    val norms = perSrc.agg(
+      sum("tokens").as("total"),
+      sum(sqrt(col("tokens").cast("double"))).as("psum"))
+    perSrc.crossJoin(broadcast(norms))
+      .select(col("source"), col("tokens"),
+        round(col("tokens") / col("total"), 6).as("natural_share"),
+        round(sqrt(col("tokens").cast("double")) / col("psum"), 6)
+          .as("temp_share"),
+        round(sqrt(col("tokens").cast("double")) / col("psum") *
+          col("total") / col("tokens"), 6).as("epochs"))
+  }
+
   /** Corpus vocabulary table — the word-frequency statistics a
     * tokenizer-training (BPE/unigram-LM) pass starts from, and the
     * df side of tf-idf: per word, total occurrences and

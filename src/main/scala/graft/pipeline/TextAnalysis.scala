@@ -154,6 +154,42 @@ object TextAnalysis {
       size(gramHashes).cast("long").as("fp_n"))
   }
 
+  /** Per-document n-gram novelty — the memorization-risk /
+    * information-content signal used to rank training data: the
+    * fraction of a document's distinct word-3-gram shingles that
+    * appear in NO other document. Low novelty means the document is
+    * mostly assembled from content repeated elsewhere in the corpus
+    * (boilerplate, templates, near-dup fragments the pairwise dedup
+    * family may not have clustered); high novelty marks unique text
+    * worth up-weighting.
+    *
+    * Scale: starts from the shared hashed-shingle stage (one
+    * explode+md5 pass per corpus, reused by the whole dedup family).
+    * The key trick is join-free uniqueness: a shingle with
+    * corpus-frequency 1 belongs to exactly one document, so
+    * `min(doc_id)` inside the frequency aggregation IS that
+    * document — novel counts come from re-aggregating the
+    * frequency frame, never joining the corpus-sized shingle stream
+    * against itself. Two hash aggregations + a per-doc join of two
+    * doc-sized frames; nothing shuffles shingle strings. */
+  def noveltyScore(docs: DataFrame): DataFrame = {
+    val sh = Dedup.shingleHashes(docs)
+      .select(col("doc_id"), col("h"), col("h_hi")).distinct()
+    val per = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val novel = sh.groupBy("h", "h_hi")
+      .agg(count(lit(1)).as("cf"), min("doc_id").as("doc_id"))
+      .where(col("cf") === 1)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+    docs.select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        round(coalesce(col("n_novel"), lit(0L)) / col("n_shingles"), 6)
+          .as("novelty"))
+  }
+
   /** Top-k tf-idf keywords per document — the classic IR salience
     * op (keyword extraction, sparse retrieval features, dataset-card
     * topic summaries): tfidf = tf · ln(N ⁄ df), ranked per doc with

@@ -1126,4 +1126,41 @@ class PipelineSpec extends SparkSpec {
       (w0, 1) -> ((1L, 2L, 0.5)), // user 1 returns
       (w1, 0) -> ((1L, 1L, 1.0)))) // user 3's own cohort
   }
+
+  test("novelty: duplicated docs score 0, unique doc 1, short doc null") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "an entirely different sentence about spark engines here"),
+      (4L, "too short")) // < 3 words → no shingles
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.noveltyScore(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_shingles"), x.getAs[Long]("n_novel"),
+          Option(x.getAs[java.lang.Double]("novelty"))))).toMap
+    assert(r(1L)._1 == 7L && r(1L)._2 == 0L && r(1L)._3.contains(0.0))
+    assert(r(2L) == r(1L))
+    assert(r(3L)._1 == 6L && r(3L)._2 == 6L && r(3L)._3.contains(1.0))
+    assert(r(4L) == ((0L, 0L, None)))
+    Dedup.clearShingleCache()
+  }
+
+  test("temperature mixture: sqrt flattening, epochs invert the shares") {
+    val s = spark
+    import s.implicits._
+    // source a: 9 tokens, source b: 1 token → natural 0.9/0.1,
+    // sqrt-tempered 3/(3+1)=0.75 / 0.25
+    val docs = Seq(
+      (1L, "w w w w w w w w w", "a"),
+      (2L, "x", "b"))
+      .toDF("doc_id", "text", "source")
+    val r = Corpus.temperatureMixture(docs).collect()
+      .map(x => x.getAs[String]("source") ->
+        ((x.getAs[Long]("tokens"), x.getAs[Double]("natural_share"),
+          x.getAs[Double]("temp_share"), x.getAs[Double]("epochs")))).toMap
+    assert(r("a") == ((9L, 0.9, 0.75, 0.833333)))
+    assert(r("b") == ((1L, 0.1, 0.25, 2.5)))
+  }
 }

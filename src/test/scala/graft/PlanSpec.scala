@@ -320,6 +320,44 @@ class PlanSpec extends SparkSpec {
       "final top-100 should plan as TakeOrdered:\n" + p.take(2000))
   }
 
+  test("q6 pushes every predicate to the scan and joins nothing") {
+    // the PushedFilters list exceeds the default 100-char metadata
+    // elision, so widen it for this dump
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    val p = try plan("q6_forecast")
+      finally spark.conf.unset("spark.sql.maxMetadataStringLength")
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate") &&
+      pushed.contains("LessThan(l_shipdate") &&
+      pushed.contains("GreaterThanOrEqual(l_discount,0.05)") &&
+      pushed.contains("LessThanOrEqual(l_discount,0.07)") &&
+      pushed.contains("LessThan(l_quantity,24.0)"), pushed)
+    assert(!p.contains("Join"), "Q6 is a pure scan-agg:\n" + p.take(2000))
+  }
+
+  test("q4 EXISTS plans as one left-semi join carrying the date conjunct") {
+    val p = plan("q4_priority")
+    assert(p.contains("LeftSemi"), "EXISTS must be a semi join:\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "non-equi conjunct degenerated the join:\n" + p.take(2000))
+  }
+
+  test("q10 top-20 plans as TakeOrdered, nation broadcasts") {
+    val p = plan("q10_returns")
+    assert(p.contains("TakeOrderedAndProject"),
+      "global top-20 should be per-partition heaps:\n" + p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q22 threshold is a broadcast, no-large-orders is an anti join") {
+    val p = plan("q22_idle")
+    assert(p.contains("LeftAnti"), "NOT EXISTS must be an anti join:\n" + p.take(2000))
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters"))
+      .mkString("\n")
+    assert(pushed.contains("GreaterThan(o_totalprice,400000"),
+      "anti-join build side must pre-filter at the scan:\n" + pushed)
+  }
+
   test("q19 extracts the equi-key from the disjunction: hash join, no nested loop") {
     val p = plan("q19_disjunct")
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
