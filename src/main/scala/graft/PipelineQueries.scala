@@ -394,6 +394,9 @@ object PipelineQueries {
       Corpus.sourceKl(Tables.documents(s, dir)).orderBy("source")),
     "corpus_temperature" -> ((s, dir) =>
       Corpus.temperatureMixture(Tables.documents(s, dir)).orderBy("source")),
+    "corpus_sample" -> ((s, dir) =>
+      Corpus.stratifiedSample(Tables.documents(s, dir), k = 10, seed = 0L)
+        .orderBy("source", "rk")),
     "text_novelty" -> ((s, dir) =>
       TextAnalysis.noveltyScore(Tables.documents(s, dir)).orderBy("doc_id")),
     "text_classifier" -> ((s, dir) =>
@@ -1328,6 +1331,17 @@ object PipelineQueries {
         |  round(sqrt(tokens) / t.psum, 6) AS temp_share,
         |  round(sqrt(tokens) / t.psum * t.total / tokens, 6) AS epochs
         | FROM s, t ORDER BY source""".stripMargin.replace("\n", " "),
+    // single per-source rank — the engine's two-phase salted form
+    // must agree exactly (per-stratum top-k covers the global top-k)
+    "corpus_sample" ->
+      """SELECT doc_id, source, rk FROM (
+        | SELECT doc_id, source,
+        |  CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY rnd, doc_id) AS BIGINT) AS rk
+        | FROM (SELECT doc_id, source,
+        |   CAST('0x' || substr(md5(doc_id || ':0'), 1, 8) AS BIGINT) AS rnd
+        |  FROM documents) AS h) AS t
+        | WHERE rk <= 10 ORDER BY source, rk""".stripMargin.replace("\n", " "),
     "text_novelty" ->
       s"""WITH sh AS (SELECT DISTINCT doc_id, h, h_hi FROM ($H) AS hh),
          | per AS (SELECT doc_id, count(*) AS n_shingles FROM sh

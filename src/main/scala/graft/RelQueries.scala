@@ -306,10 +306,12 @@ object RelQueries {
 
     // Q13 shape (customer order-count distribution): left outer
     // join so zero-order customers survive with count 0, then a
-    // second aggregation over the per-customer counts. The first
-    // groupBy reuses the join's custkey hash partitioning (no
-    // second exchange of the wide frame); the distribution agg
-    // reduces customers-sized input to a handful of rows.
+    // second aggregation over the per-customer counts. At warehouse
+    // scale both sides shuffle on custkey, so the per-customer
+    // groupBy reuses the join's partitioning (no second exchange of
+    // the wide frame); at test SF AQE broadcasts the customer side
+    // instead — either way the distribution agg reduces a
+    // customers-sized frame to a handful of rows.
     "q13_custdist" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
         .where(col("o_orderpriority") =!= "1-URGENT")

@@ -338,6 +338,32 @@ object Corpus {
           col("total") / col("tokens"), 6).as("epochs"))
   }
 
+  /** Deterministic stratified sample — k docs per source by seeded
+    * hash rank (eval-set / human-review-batch construction: every
+    * source is represented regardless of size, and the draw is
+    * reproducible and engine-portable, no RNG state).
+    *
+    * Scale: the naive form is one rank window per source — a giant
+    * source becomes a single straggler task. So the rank is
+    * two-phase: docs first rank within (source, salt) sub-strata
+    * (32-way hash salt, each task bounded by its stratum) and only
+    * the ≤ 32·k per-stratum survivors enter the per-source window.
+    * Equivalent to the single global per-source rank: an element
+    * outside its stratum's top k cannot be in the source's top k. */
+  def stratifiedSample(docs: DataFrame, k: Int = 10, seed: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val salted = docs.select(col("doc_id"), col("source"))
+      .withColumn("rnd", Dedup.md5Int(
+        concat(col("doc_id").cast("string"), lit(":"), lit(seed.toString))))
+      .withColumn("salt", pmod(col("rnd"), lit(32L)))
+    val w1 = Window.partitionBy("source", "salt")
+      .orderBy(col("rnd"), col("doc_id"))
+    val w2 = Window.partitionBy("source").orderBy(col("rnd"), col("doc_id"))
+    salted.withColumn("r1", row_number().over(w1)).where(col("r1") <= k)
+      .withColumn("rk", row_number().over(w2)).where(col("rk") <= k)
+      .select(col("doc_id"), col("source"), col("rk").cast("long").as("rk"))
+  }
+
   /** Corpus vocabulary table — the word-frequency statistics a
     * tokenizer-training (BPE/unigram-LM) pass starts from, and the
     * df side of tf-idf: per word, total occurrences and

@@ -1147,6 +1147,30 @@ class PipelineSpec extends SparkSpec {
     Dedup.clearShingleCache()
   }
 
+  test("stratified sample: two-phase rank equals the global per-source rank") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 300L).map(i => (i, s"doc $i", s"src${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    val r = Corpus.stratifiedSample(docs, k = 5, seed = 7L).collect()
+      .map(x => (x.getAs[String]("source"), x.getAs[Long]("rk")) ->
+        x.getAs[Long]("doc_id")).toMap
+    // every source yields exactly k rows with ranks 1..k
+    assert(r.keys.groupBy(_._1).values.forall(_.toSeq.sortBy(_._2)
+      .map(_._2) == (1L to 5L)))
+    // the naive single-window form must pick the identical docs
+    import org.apache.spark.sql.expressions.Window
+    val rnd = Dedup.md5Int(concat(col("doc_id").cast("string"),
+      lit(":"), lit("7")))
+    val naive = docs.withColumn("rnd", rnd)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy(col("rnd"), col("doc_id"))))
+      .where(col("rk") <= 5).collect()
+      .map(x => (x.getAs[String]("source"), x.getAs[Int]("rk").toLong) ->
+        x.getAs[Long]("doc_id")).toMap
+    assert(r == naive)
+  }
+
   test("temperature mixture: sqrt flattening, epochs invert the shares") {
     val s = spark
     import s.implicits._
