@@ -42,7 +42,8 @@ object GraphiteQueries {
         .select(col("path"), col("bucket_s"), round(col("value"), 6).as("value"))
         .orderBy("path", "bucket_s")),
     "gr_highest" -> ((s, dir) =>
-      Graphite.sortByMaxima(Graphite.highestMax(frame(s, dir), 5))
+      // sortByMaxima∘highestMax, fused: one reduce+rank, one join
+      Graphite.highestRanked(frame(s, dir), 5, "max")
         .select(col("path"), col("bucket_s"), col("value"),
           col("sort_rank").cast("long").as("sort_rank"))
         .orderBy("sort_rank", "bucket_s")),

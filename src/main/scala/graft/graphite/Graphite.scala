@@ -668,6 +668,21 @@ object Graphite {
   def sortByMaxima(df: DataFrame): DataFrame =
     df.join(rankReduced(reduceSeries(df, "max"), desc = true), "path")
 
+  /** Fusion of `sortBy<f>(highest(series, n, f))` — the common
+    * dashboard composition ("top n, ordered"). Composed naively it
+    * reduces and ranks the series set TWICE and re-evaluates the
+    * input frame for each phase (4 source scans); but the global
+    * ranks of the top n are exactly 1..n under the same comparator,
+    * so one reduce + one rank serves both the keep-filter and the
+    * attached rank: the n-row ranked keep list broadcasts onto the
+    * single output join. Row-identical to the composition
+    * (spec-proven), half the scans, one rank phase instead of two. */
+  def highestRanked(df: DataFrame, n: Int, f: String): DataFrame = {
+    val keep = rankReduced(reduceSeries(df, f), desc = true)
+      .where(col("sort_rank") <= n)
+    df.join(broadcast(keep), "path")
+  }
+
   // ------------- wildcard grouping family -------------
 
   /** combineSeriesWithWildcards (aggregation_functions.go:420): group

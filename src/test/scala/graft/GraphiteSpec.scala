@@ -382,6 +382,18 @@ class GraphiteSpec extends SparkSpec {
     assert(top == Set("events.b.user2"))
   }
 
+  test("highestRanked fusion is row-identical to sortByMaxima∘highestMax") {
+    for (n <- Seq(1, 2, 5)) {
+      val fused = Graphite.highestRanked(frame, n, "max")
+        .select("path", "bucket_s", "value", "sort_rank")
+        .collect().map(_.toSeq).toSet
+      val composed = Graphite.sortByMaxima(Graphite.highestMax(frame, n))
+        .select("path", "bucket_s", "value", "sort_rank")
+        .collect().map(_.toSeq).toSet
+      assert(fused == composed, s"n=$n")
+    }
+  }
+
   // ---- round-3 builtin additions ----
 
   test("substr slices path segments with negative indexing") {
