@@ -304,6 +304,42 @@ object RelQueries {
         .orderBy("o_orderpriority")
     }),
 
+    // Q7 shape (nation-pair trade volume by year): the same dim
+    // table joins the fact twice under two aliases (supplier's
+    // nation vs customer's nation) — both broadcast; the pair
+    // filter ((A,B) or (B,A)) evaluates after the two cheap
+    // broadcast joins, never as a join condition that would
+    // degenerate to a nested loop. One hash agg on the
+    // (nation, nation, year) triple.
+    "q7_volume" -> ((s, dir) => {
+      val n1 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+      Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+          "l_shipdate")
+        .join(Tables.supplier(s, dir).select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir).select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+        .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+        .where((col("supp_nation") === "NATION_1" &&
+            col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" &&
+            col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum(dec6(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .cast("double").as("volume"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
     // Q13 shape (customer order-count distribution): left outer
     // join so zero-order customers survive with count 0, then a
     // second aggregation over the per-customer counts. At warehouse
@@ -714,6 +750,22 @@ object RelQueries {
         |  AND EXISTS (SELECT 1 FROM lineitem l
         |   WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
         | GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin.replace("\n", " "),
+    "q7_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l.l_shipdate) AS INT) AS l_year,
+        |  CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+        |   AS DECIMAL(18,6))) AS DOUBLE) AS volume
+        | FROM lineitem l
+        | JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        | JOIN orders o ON l.l_orderkey = o.o_orderkey
+        | JOIN customer c ON o.o_custkey = c.c_custkey
+        | JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        | JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        | WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        | GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin.replace("\n", " "),
     "q13_custdist" ->
       """SELECT c_count, count(*) AS custdist FROM (
         |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
