@@ -397,6 +397,8 @@ object PipelineQueries {
     "corpus_sample" -> ((s, dir) =>
       Corpus.stratifiedSample(Tables.documents(s, dir), k = 10, seed = 0L)
         .orderBy("source", "rk")),
+    "corpus_pack_stats" -> ((s, dir) =>
+      Corpus.packStats(Tables.documents(s, dir)).orderBy("shard")),
     "text_novelty" -> ((s, dir) =>
       TextAnalysis.noveltyScore(Tables.documents(s, dir)).orderBy("doc_id")),
     "text_classifier" -> ((s, dir) =>
@@ -1331,6 +1333,26 @@ object PipelineQueries {
         |  round(sqrt(tokens) / t.psum, 6) AS temp_share,
         |  round(sqrt(tokens) / t.psum * t.total / tokens, 6) AS epochs
         | FROM s, t ORDER BY source""".stripMargin.replace("\n", " "),
+    "corpus_pack_stats" ->
+      """WITH toks AS (SELECT doc_id,
+        |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 8
+        |    AS shard,
+        |  CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        | o AS (SELECT doc_id, shard, n_tokens,
+        |  sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS end_off FROM toks),
+        | p AS (SELECT doc_id, shard, n_tokens,
+        |  CAST(floor((end_off - n_tokens) / 512.0) AS BIGINT) AS first_seq,
+        |  CAST(floor((end_off - 1) / 512.0) AS BIGINT) AS last_seq FROM o)
+        | SELECT shard, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS tokens,
+        |  CAST(max(last_seq) + 1 AS BIGINT) AS n_seqs,
+        |  CAST(sum(CASE WHEN first_seq <> last_seq THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS straddlers,
+        |  round(sum(n_tokens) / (CAST(max(last_seq) + 1 AS BIGINT) * 512.0), 6)
+        |    AS fill_ratio
+        | FROM p GROUP BY shard ORDER BY shard""".stripMargin.replace("\n", " "),
     // single per-source rank — the engine's two-phase salted form
     // must agree exactly (per-stratum top-k covers the global top-k)
     "corpus_sample" ->

@@ -590,6 +590,33 @@ object Corpus {
           .cast("long").as("last_seq"))
   }
 
+  /** Packing-efficiency report — the operational readout of
+    * [[packSequences]] pipelines: per shard, how many fixed-size
+    * training sequences the token mass fills, the fill ratio (concat
+    * packing pads only each shard's final partial sequence, so
+    * waste = one tail per shard), and how many docs straddle a
+    * sequence boundary (the attention-contamination proxy teams
+    * monitor when deciding between concat and first-fit packing).
+    *
+    * Scale: a shards-sized hash aggregation over the pack frame —
+    * the per-shard running sum is already computed there; nothing
+    * new shuffles. */
+  def packStats(docs: DataFrame, ctxTokens: Int = 512,
+                nShards: Int = 8): DataFrame = {
+    packSequences(docs, ctxTokens, nShards)
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("tokens"),
+        (max("last_seq") + 1).as("n_seqs"),
+        sum((col("first_seq") =!= col("last_seq")).cast("long"))
+          .as("straddlers"))
+      .select(col("shard"), col("n_docs"), col("tokens"), col("n_seqs"),
+        col("straddlers"),
+        round(col("tokens") / (col("n_seqs") * ctxTokens), 6)
+          .as("fill_ratio"))
+  }
+
   /** Sliding-window chunker — the context-window preparation stage
     * of RAG / long-document pretraining pipelines. The complement of
     * [[packSequences]]: packing concatenates SHORT docs into budget
