@@ -31,7 +31,9 @@ object TsdbQueries {
       // dirs, and a name clash would silently serve another dir's data
       val t = "graft_store_" + java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
-      graft.sources.SeriesStore.write(samples(s, dir), t, buckets = 8)
+      val sm = samples(s, dir)
+      val (buckets, gran) = graft.sources.SeriesStore.layoutFor(sm)
+      graft.sources.SeriesStore.write(sm, t, buckets, gran)
       t
     })
 

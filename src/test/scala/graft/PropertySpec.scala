@@ -352,6 +352,26 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: novelty counts bound and zero-out under duplication") {
+    val s = spark
+    import s.implicits._
+    // small vocab forces cross-doc shingle collisions
+    val wordsGen = Gen.chooseNum(3, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "dd", "ee")).map(_.mkString(" ")))
+    check(Prop.forAll(Gen.listOfN(8, wordsGen)) { texts =>
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+      // doc 100 duplicates doc 0: both must score novelty 0
+      val frame = (docs :+ ((100L, texts.head))).toDF("doc_id", "text")
+      val r = TextAnalysis.noveltyScore(frame).collect()
+        .map(x => x.getAs[Long]("doc_id") ->
+          ((x.getAs[Long]("n_shingles"), x.getAs[Long]("n_novel")))).toMap
+      Dedup.clearShingleCache()
+      r.values.forall { case (ns, nn) => nn <= ns } &&
+        r(0L)._2 == 0L && r(100L)._2 == 0L
+    })
+  }
+
   test("property: influx parse never errors and flags rather than drops") {
     val s = spark
     import s.implicits._

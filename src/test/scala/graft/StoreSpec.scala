@@ -30,6 +30,24 @@ class StoreSpec extends SparkSpec {
     assert(!scanned.contains("2024-01-20"), "unpruned partition in scan")
   }
 
+  test("adaptive layout: coarse granularity, read floors the lower bound") {
+    val samples = Vectors.samples(Tables.events(spark, sf))
+    // month-partitioned table: a mid-month fromDt must still read
+    // the partition containing it (pruning, not exact row bound)
+    SeriesStore.write(samples, "graft_store_month", buckets = 4,
+      granularity = "month")
+    val full = samples.count()
+    val got = SeriesStore.read(spark, "graft_store_month",
+      fromDt = Some("2024-01-15")).count()
+    val janOn = samples.where(col("ts") >= lit("2024-01-01")).count()
+    assert(got == janOn, s"expected the full January partition: $got vs $janOn")
+    assert(got <= full)
+    // layoutFor: tiny volumes choose few buckets and coarse dt;
+    // the spec corpus is far below 50k rows per (day, bucket)
+    val (b, g) = SeriesStore.layoutFor(samples)
+    assert(b == 8 && g != "day", s"($b, $g)")
+  }
+
   test("per-series aggregation on the bucketed table runs shuffle-free") {
     val agged = SeriesStore.read(spark, table)
       .groupBy("name", "user_id")
