@@ -424,6 +424,15 @@ object PipelineQueries {
       Multimodal.resizeImages(
         Multimodal.syntheticBmpMedia(Tables.documents(s, dir)))
         .orderBy("media_id")),
+    "mm_resample" -> ((s, dir) =>
+      // PCM16 length normalization to 200 frames over genuinely
+      // decoded WAVs, re-encoded as real WAVs; integer frame index
+      // math → the oracle replays the resample over the same
+      // xorshift byte stream, position-weighted checksum pins every
+      // output byte
+      Multimodal.resampleAudio(
+        Multimodal.syntheticWavMedia(Tables.documents(s, dir)))
+        .orderBy("media_id")),
     "mm_audio_fp" -> ((s, dir) =>
       // energy-envelope audio fingerprint over decoded PCM16 — same
       // bit-exact xorshift-replay oracle pattern as mm_phash
@@ -1491,6 +1500,41 @@ object PipelineQueries {
         |  CAST(sum(t.term) AS BIGINT) AS checksum
         | FROM terms AS t JOIN lim ON lim.media_id = t.media_id
         | GROUP BY lim.media_id, lim.w, lim.h
+        | ORDER BY lim.media_id""".stripMargin.replace("\n", " "),
+    "mm_resample" ->
+      """WITH RECURSIVE lim AS (SELECT doc_id AS media_id,
+        |  CAST(1 + doc_id % 2 AS INT) AS n_ch,
+        |  CAST(256 + doc_id % 1024 AS BIGINT) AS n_samples,
+        |  CAST((1 + doc_id % 2) * 2 AS BIGINT) AS block,
+        |  CAST((256 + doc_id % 1024) * (1 + doc_id % 2) * 2 AS BIGINT)
+        |   AS data_size
+        | FROM documents),
+        | chain(media_id, k, s) AS (
+        |  SELECT media_id, 0, CAST(media_id AS UBIGINT) | 1 FROM lim
+        |  UNION ALL
+        |  SELECT c.media_id, c.k + 1,
+        |   (SELECT xor(xor(b, b >> 7), CAST((CAST(xor(b, b >> 7) AS HUGEINT)
+        |      * 131072) % 18446744073709551616 AS UBIGINT))
+        |    FROM (SELECT xor(c.s, CAST((CAST(c.s AS HUGEINT) * 8192)
+        |      % 18446744073709551616 AS UBIGINT)) AS b) AS t)
+        |  FROM chain AS c JOIN lim ON lim.media_id = c.media_id
+        |  WHERE c.k < lim.data_size),
+        | bytes AS (SELECT media_id, k - 1 AS pos,
+        |   CAST(s >> 56 AS BIGINT) AS b FROM chain WHERE k >= 1),
+        | outb AS (SELECT lim.media_id,
+        |   j.i * lim.block + cc.i + 1 AS wgt,
+        |   ((j.i * lim.n_samples) // 200) * lim.block + cc.i AS spos
+        |  FROM lim, range(200) AS j(i), range(4) AS cc(i)
+        |  WHERE cc.i < lim.block),
+        | terms AS (SELECT o.media_id, o.wgt * b.b AS term
+        |  FROM outb AS o JOIN bytes AS b
+        |   ON b.media_id = o.media_id AND b.pos = o.spos)
+        | SELECT lim.media_id, lim.n_ch AS n_channels,
+        |  lim.n_samples AS in_frames, 200 AS out_frames,
+        |  CAST(44 + 200 * lim.block AS BIGINT) AS out_bytes,
+        |  CAST(sum(t.term) AS BIGINT) AS checksum
+        | FROM terms AS t JOIN lim ON lim.media_id = t.media_id
+        | GROUP BY lim.media_id, lim.n_ch, lim.n_samples, lim.block
         | ORDER BY lim.media_id""".stripMargin.replace("\n", " "),
     "mm_audio_fp" ->
       """WITH RECURSIVE lim AS (SELECT doc_id AS media_id,

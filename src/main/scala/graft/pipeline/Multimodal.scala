@@ -442,6 +442,71 @@ object Multimodal {
     }.toDF("media_id", "kind", "payload", "meta_codec", "meta_bytes")
   }
 
+  /** Nearest-neighbor PCM16 frame resample of a WAV payload to
+    * exactly `outFrames` frames — the audio analogue of
+    * [[resizeBmp]] and the length-normalization step of audio ML
+    * pipelines (fixed-window models consume equal-length clips).
+    * INTEGER-exact: output frame j copies source frame
+    * (j·n) ⁄ outFrames byte-for-byte (all channels), so there is no
+    * interpolation arithmetic for a cross-engine ulp to diverge on
+    * and the oracle replays the resample bit-for-bit. Returns a
+    * real, well-formed WAV at the same channel count and nominal
+    * rate. */
+  def resampleWav(payload: Array[Byte], outFrames: Int): Array[Byte] = {
+    require(outFrames > 0, "bad target length")
+    val (nCh, rate, n) = decodeWav(payload)
+    val block = nCh * 2
+    val dataSize = outFrames * block
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+    buf.put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+    buf.putInt(16).putShort(1).putShort(nCh.toShort).putInt(rate)
+    buf.putInt(rate * block).putShort(block.toShort).putShort(16)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    val arr = buf.array()
+    var j = 0
+    while (j < outFrames) {
+      val sj = (j.toLong * n / outFrames).toInt
+      var c = 0
+      while (c < block) {
+        arr(44 + j * block + c) = payload(44 + sj * block + c)
+        c += 1
+      }
+      j += 1
+    }
+    arr
+  }
+
+  final case class ResampledAudio(media_id: Long, n_channels: Int,
+                                  in_frames: Long, out_frames: Int,
+                                  out_bytes: Long, checksum: Long)
+
+  /** Per-clip length normalization — typed mapPartitions like
+    * [[resizeImages]] (byte resampling is genuinely imperative);
+    * one map stage, no shuffle. The position-weighted byte checksum
+    * Σ (datapos+1)·byte over the RESAMPLED data pins every byte of
+    * the resample to the oracle. */
+  def resampleAudio(media: DataFrame, outFrames: Int = 200): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .map { case (id, payload) =>
+        val (nCh, _, n) = decodeWav(payload)
+        val out = resampleWav(payload, outFrames)
+        val (rCh, _, rn) = decodeWav(out) // roundtrip sanity
+        require(rCh == nCh && rn == outFrames, "resample roundtrip")
+        var sum = 0L
+        var p = 0
+        val dataSize = outFrames * nCh * 2
+        while (p < dataSize) {
+          sum += (p + 1).toLong * (out(44 + p) & 0xff)
+          p += 1
+        }
+        ResampledAudio(id, nCh, n, outFrames, out.length.toLong, sum)
+      }.toDF()
+  }
+
   /** Typed rows leaving the audio decode stage. */
   final case class AudioFeatures(media_id: Long, n_channels: Int,
                                  sample_rate: Int, n_samples: Long,

@@ -1127,6 +1127,27 @@ class PipelineSpec extends SparkSpec {
       (w1, 0) -> ((1L, 1L, 1.0)))) // user 3's own cohort
   }
 
+  test("WAV resample: identity copy, roundtrip geometry, exact frames") {
+    val src = pipeline.Multimodal.encodeWav(2, 16000, 300, 42L)
+    // identity resample (same frame count) copies the data verbatim
+    val same = pipeline.Multimodal.resampleWav(src, 300)
+    assert(same.drop(44).sameElements(src.drop(44)))
+    // downsample: every output frame is some source frame, geometry
+    // re-decodes at the target length
+    val down = pipeline.Multimodal.resampleWav(src, 100)
+    assert(pipeline.Multimodal.decodeWav(down) == ((2, 16000, 100L)))
+    val block = 4
+    (0 until 100).foreach { j =>
+      val sj = j * 300 / 100
+      (0 until block).foreach { c =>
+        assert(down(44 + j * block + c) == src(44 + sj * block + c))
+      }
+    }
+    // upsample past the source length repeats frames, never reads OOB
+    val up = pipeline.Multimodal.resampleWav(src, 450)
+    assert(pipeline.Multimodal.decodeWav(up) == ((2, 16000, 450L)))
+  }
+
   test("novelty: duplicated docs score 0, unique doc 1, short doc null") {
     val s = spark
     import s.implicits._
