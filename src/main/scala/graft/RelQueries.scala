@@ -340,6 +340,46 @@ object RelQueries {
         .orderBy("supp_nation", "cust_nation", "l_year")
     }),
 
+    // Q8 shape (national market share): the deepest join topology
+    // in the suite — fact → part filter, orders, customer, then the
+    // nation dim TWICE (customer side anchors the region filter,
+    // supplier side carries the share nation) plus region, all four
+    // dim frames broadcast. Numerator and denominator come from one
+    // pass (CASE inside the DECIMAL sums, grouped by order year) —
+    // the same single-scan conditional-ratio discipline as Q14.
+    "q8_share" -> ((s, dir) => {
+      val vol = dec6(col("l_extendedprice") * (lit(1) - col("l_discount")))
+      val cn = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("cn_key"), col("n_regionkey"))
+      val sn = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir).where(col("p_type") === "PROMO")
+          .select("p_partkey"), col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, dir)
+          .where(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+            col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+          .select("o_orderkey", "o_custkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir).select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(cn), col("c_nationkey") === col("cn_key"))
+        .join(broadcast(Tables.region(s, dir).where(col("r_name") === "AMERICA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .join(Tables.supplier(s, dir).select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(sn), col("s_nationkey") === col("sn_key"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_1", vol)
+            .otherwise(dec6(lit(0)))).cast("double").as("nation_volume"),
+          sum(vol).cast("double").as("total_volume"))
+        .select(col("o_year"),
+          round(col("nation_volume") / col("total_volume"), 6).as("mkt_share"),
+          col("nation_volume"), col("total_volume"))
+        .orderBy("o_year")
+    }),
+
     // Q13 shape (customer order-count distribution): left outer
     // join so zero-order customers survive with count 0, then a
     // second aggregation over the per-customer counts. At warehouse
@@ -766,6 +806,30 @@ object RelQueries {
         |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
         |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
         | GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin.replace("\n", " "),
+    "q8_share" ->
+      """WITH rows_ AS (
+        |  SELECT o.o_orderdate,
+        |   CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))
+        |    AS vol, sn.n_name AS supp_nation
+        |  FROM lineitem l
+        |  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |  JOIN region r ON cn.n_regionkey = r.r_regionkey
+        |   AND r.r_name = 'AMERICA'
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |  WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |   AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+        | agg AS (SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |  CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN vol
+        |   ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS nation_volume,
+        |  CAST(sum(vol) AS DOUBLE) AS total_volume
+        |  FROM rows_ GROUP BY 1)
+        | SELECT o_year, round(nation_volume / total_volume, 6) AS mkt_share,
+        |  nation_volume, total_volume
+        | FROM agg ORDER BY o_year""".stripMargin.replace("\n", " "),
     "q13_custdist" ->
       """SELECT c_count, count(*) AS custdist FROM (
         |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
