@@ -399,6 +399,8 @@ object PipelineQueries {
         .orderBy("source", "rk")),
     "corpus_pack_stats" -> ((s, dir) =>
       Corpus.packStats(Tables.documents(s, dir)).orderBy("shard")),
+    "corpus_funnel" -> ((s, dir) =>
+      Corpus.filterFunnel(Tables.documents(s, dir)).orderBy("stage")),
     "text_novelty" -> ((s, dir) =>
       TextAnalysis.noveltyScore(Tables.documents(s, dir)).orderBy("doc_id")),
     "text_classifier" -> ((s, dir) =>
@@ -1342,6 +1344,51 @@ object PipelineQueries {
         |  round(sqrt(tokens) / t.psum, 6) AS temp_share,
         |  round(sqrt(tokens) / t.psum * t.total / tokens, 6) AS epochs
         | FROM s, t ORDER BY source""".stripMargin.replace("\n", " "),
+    "corpus_funnel" ->
+      s"""WITH tok AS (SELECT doc_id,
+         |  len(string_split_regex(lower(text), '\\s+'))::BIGINT AS tok
+         |  FROM documents),
+         | c4 AS (SELECT doc_id,
+         |  CAST(n_words >= 50 AND has_brace = 0 AND has_bad_phrase = 0 AS INT)
+         |   AS c4_pass FROM (SELECT doc_id,
+         |   len(string_split_regex(lower(text), '\\s+'))::BIGINT AS n_words,
+         |   CAST(contains(text, '{') AS INT) AS has_brace,
+         |   CAST(contains(lower(text), 'lorem ipsum')
+         |     OR contains(lower(text), 'javascript')
+         |     OR contains(lower(text), 'cookie')
+         |     OR contains(lower(text), 'privacy policy')
+         |     OR contains(lower(text), 'terms of use') AS INT) AS has_bad_phrase
+         |  FROM documents) AS t),
+         | gp AS (SELECT doc_id,
+         |  CAST(mean_word_len >= 3 AND mean_word_len <= 10
+         |   AND dup_line_frac <= 0.3 AND symbol_ratio <= 0.1 AS INT)
+         |   AS gopher_pass FROM ($GOPHER_INNER) AS q),
+         | dd AS (SELECT doc_id, CASE WHEN row_number() OVER (
+         |   PARTITION BY md5(text) ORDER BY doc_id) > 1 THEN 1 ELSE 0 END
+         |   AS is_dup FROM documents),
+         | f AS (SELECT tok.doc_id, tok.tok, c4.c4_pass, gp.gopher_pass,
+         |   dd.is_dup FROM tok JOIN c4 USING (doc_id)
+         |  JOIN gp USING (doc_id) JOIN dd USING (doc_id)),
+         | one AS (SELECT count(*) AS d0, CAST(sum(tok) AS BIGINT) AS t0,
+         |  CAST(sum(CASE WHEN c4_pass = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+         |  CAST(sum(CASE WHEN c4_pass = 1 THEN tok ELSE 0 END) AS BIGINT) AS t1,
+         |  CAST(sum(CASE WHEN c4_pass = 1 AND gopher_pass = 1
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+         |  CAST(sum(CASE WHEN c4_pass = 1 AND gopher_pass = 1
+         |    THEN tok ELSE 0 END) AS BIGINT) AS t2,
+         |  CAST(sum(CASE WHEN c4_pass = 1 AND gopher_pass = 1 AND is_dup = 0
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+         |  CAST(sum(CASE WHEN c4_pass = 1 AND gopher_pass = 1 AND is_dup = 0
+         |    THEN tok ELSE 0 END) AS BIGINT) AS t3 FROM f)
+         | SELECT stage, stage_name, docs, tokens,
+         |  round(docs / d0, 6) AS doc_frac,
+         |  round(tokens / t0, 6) AS token_frac FROM (
+         |  SELECT 0 AS stage, 'all' AS stage_name, d0 AS docs, t0 AS tokens,
+         |   d0, t0 FROM one
+         |  UNION ALL SELECT 1, 'c4', d1, t1, d0, t0 FROM one
+         |  UNION ALL SELECT 2, 'c4_gopher', d2, t2, d0, t0 FROM one
+         |  UNION ALL SELECT 3, 'c4_gopher_dedup', d3, t3, d0, t0 FROM one)
+         |  AS u ORDER BY stage""".stripMargin.replace("\n", " "),
     "corpus_pack_stats" ->
       """WITH toks AS (SELECT doc_id,
         |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 8

@@ -338,6 +338,48 @@ object Corpus {
           col("total") / col("tokens"), 6).as("epochs"))
   }
 
+  /** Curation filter funnel — the dataset-card artifact that answers
+    * "where did the tokens go": docs and tokens surviving each
+    * cumulative stage of the standard cleaning order (C4 battery →
+    * Gopher shape filters → exact dedup), with fractions against the
+    * raw corpus. The stage ORDER matters operationally (dedup after
+    * quality filtering dedups a smaller corpus) and the funnel makes
+    * the cost of each choice visible.
+    *
+    * Scale: three doc-sized flag frames (each a single map/window
+    * stage) equi-join on doc_id, then ONE global aggregation to a
+    * single row that unpivots to four stage rows — the whole funnel
+    * adds one one-row shuffle over the flags it composes. */
+  def filterFunnel(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      size(org.apache.spark.sql.functions.split(lower(col("text")), "\\s+"))
+        .cast("long").as("tok"))
+    val c4 = TextAnalysis.c4Filters(docs).select(col("doc_id"), col("c4_pass"))
+    val gp = TextAnalysis.gopherQuality(docs)
+      .select(col("doc_id"), col("gopher_pass"))
+    val dd = Dedup.exact(docs).select(col("doc_id"), col("is_dup"))
+    val f = tok.join(c4, "doc_id").join(gp, "doc_id").join(dd, "doc_id")
+    val s1 = col("c4_pass") === 1
+    val s2 = s1 && col("gopher_pass") === 1
+    val s3 = s2 && col("is_dup") === 0
+    f.agg(
+        count(lit(1)).as("d0"), sum("tok").as("t0"),
+        sum(when(s1, 1L).otherwise(0L)).as("d1"),
+        sum(when(s1, col("tok")).otherwise(0L)).as("t1"),
+        sum(when(s2, 1L).otherwise(0L)).as("d2"),
+        sum(when(s2, col("tok")).otherwise(0L)).as("t2"),
+        sum(when(s3, 1L).otherwise(0L)).as("d3"),
+        sum(when(s3, col("tok")).otherwise(0L)).as("t3"))
+      .selectExpr(
+        "stack(4, 0, 'all', d0, t0, 1, 'c4', d1, t1," +
+          " 2, 'c4_gopher', d2, t2, 3, 'c4_gopher_dedup', d3, t3)" +
+          " as (stage, stage_name, docs, tokens)",
+        "d0", "t0")
+      .select(col("stage"), col("stage_name"), col("docs"), col("tokens"),
+        round(col("docs") / col("d0"), 6).as("doc_frac"),
+        round(col("tokens") / col("t0"), 6).as("token_frac"))
+  }
+
   /** Deterministic stratified sample — k docs per source by seeded
     * hash rank (eval-set / human-review-batch construction: every
     * source is represented regardless of size, and the draw is
