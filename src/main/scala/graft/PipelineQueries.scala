@@ -397,6 +397,9 @@ object PipelineQueries {
     "corpus_sample" -> ((s, dir) =>
       Corpus.stratifiedSample(Tables.documents(s, dir), k = 10, seed = 0L)
         .orderBy("source", "rk")),
+    "corpus_select" -> ((s, dir) =>
+      Corpus.budgetSelect(Tables.documents(s, dir), budgetTokens = 25000L)
+        .orderBy("rank")),
     "corpus_pack_stats" -> ((s, dir) =>
       Corpus.packStats(Tables.documents(s, dir)).orderBy("shard")),
     "corpus_funnel" -> ((s, dir) =>
@@ -1409,6 +1412,31 @@ object PipelineQueries {
         |  round(sum(n_tokens) / (CAST(max(last_seq) + 1 AS BIGINT) * 512.0), 6)
         |    AS fill_ratio
         | FROM p GROUP BY shard ORDER BY shard""".stripMargin.replace("\n", " "),
+    // one global (quality desc, doc_id) walk with a running token
+    // sum — the engine's two-phase shard rank + prefix offsets must
+    // reproduce this single window exactly
+    "corpus_select" -> {
+      val allSw = TextAnalysis.stopwords.values.flatten.toSeq.distinct
+        .map(s => s"'$s'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, text,
+         |   string_split_regex(lower(text), '\\s+') AS ws FROM documents),
+         | q AS (SELECT doc_id,
+         |   round((least(length(text)::DOUBLE / 500.0, 1.0)
+         |    + len(list_distinct(ws))::DOUBLE / len(ws)
+         |    + least(len(list_filter(ws, x -> list_contains([$allSw], x)))::DOUBLE
+         |        / len(ws) * 4, 1.0)) / 3.0, 6) AS quality_score,
+         |   CAST(list_sum(list_transform(ws,
+         |     w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_tokens
+         |  FROM t),
+         | r AS (SELECT doc_id, quality_score, n_tokens,
+         |   CAST(row_number() OVER (ORDER BY quality_score DESC, doc_id)
+         |     AS BIGINT) AS rank,
+         |   CAST(sum(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
+         |     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM q)
+         | SELECT doc_id, quality_score, n_tokens, rank, cum_tokens,
+         |  CAST(cum_tokens - n_tokens < 25000 AS INT) AS selected
+         | FROM r ORDER BY rank""".stripMargin.replace("\n", " ")
+    },
     // single per-source rank — the engine's two-phase salted form
     // must agree exactly (per-stratum top-k covers the global top-k)
     "corpus_sample" ->

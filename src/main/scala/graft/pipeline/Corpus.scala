@@ -770,4 +770,55 @@ object Corpus {
       .withColumn("position", (row_number().over(wStage) - 1).cast("long"))
       .select("doc_id", "n_chars", "stage", "shard", "position")
   }
+
+  /** Token-budget selection — the "best N tokens" curation step:
+    * rank every doc by (quality_score desc, doc_id), walk the
+    * ranking accumulating BPE-ish token counts, and keep each doc
+    * whose running total BEFORE it is still under the budget (the
+    * greedy prefix; the last kept doc may overshoot, matching how
+    * budgeted data selection is actually run). Emits every doc with
+    * its global rank, inclusive cumulative tokens, and the selected
+    * flag, so the survivor set AND the cut line are both auditable.
+    *
+    * Scale: quality and token count evaluate in ONE map stage over
+    * the corpus (no self-join of derived frames); the global rank
+    * and the global running token sum both use the two-phase shard
+    * pattern — approx quality bounds broadcast to balance shards,
+    * shard-local windows for rank and cumsum, and per-shard prefix
+    * offsets (rows AND tokens) broadcast back. Nothing global-sorts
+    * or global-windows the corpus; bounds are approximate but the
+    * rank and cumsum stay exact whatever the cut points. */
+  def budgetSelect(docs: DataFrame, budgetTokens: Long,
+                   rankShards: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(
+      col("doc_id"),
+      TextAnalysis.qualityScoreCol(col("text")).as("quality_score"),
+      TextAnalysis.bpeTokensCol(col("text")).as("n_tokens"))
+    // rank key ascends, so shard on the NEGATED quality score
+    val qs = (1 until rankShards).map(_.toDouble / rankShards)
+    val bounds = base.agg(
+      approx_percentile(-col("quality_score"), typedlit(qs), lit(1000))
+        .as("_bs"))
+    val sharded = base.crossJoin(broadcast(bounds))
+      .withColumn("_key", -col("quality_score"))
+      .withColumn("_rshard", size(filter(col("_bs"), b => b < col("_key"))))
+      .drop("_bs")
+    val wLocal = Window.partitionBy("_rshard").orderBy("_key", "doc_id")
+    val wCum = wLocal.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrefix = Window.orderBy("_rshard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sharded.groupBy("_rshard")
+      .agg(count(lit(1)).as("_cnt"), sum("n_tokens").as("_tok"))
+      .withColumn("_roff", coalesce(sum("_cnt").over(wPrefix), lit(0L)))
+      .withColumn("_toff", coalesce(sum("_tok").over(wPrefix), lit(0L)))
+      .select("_rshard", "_roff", "_toff")
+    sharded.join(broadcast(offsets), Seq("_rshard"))
+      .withColumn("rank", col("_roff") + row_number().over(wLocal))
+      .withColumn("cum_tokens", col("_toff") + sum("n_tokens").over(wCum))
+      .withColumn("selected",
+        (col("cum_tokens") - col("n_tokens") < budgetTokens).cast("int"))
+      .select("doc_id", "quality_score", "n_tokens", "rank",
+        "cum_tokens", "selected")
+  }
 }

@@ -19,7 +19,31 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "et", "les", "des", "un", "est", "que"),
     "es" -> Seq("el", "la", "los", "que", "de", "un", "es", "por"))
 
-  private def words(c: Column): Column = split(lower(c), "\\s+")
+  private[pipeline] def words(c: Column): Column = split(lower(c), "\\s+")
+
+  /** The composite quality score of [[quality]] as a bare column
+    * expression over a `text` column — exposed so selection operators
+    * (e.g. [[Corpus.budgetSelect]]) can evaluate it in the SAME map
+    * stage as their other per-doc signals instead of joining the
+    * quality frame back on doc_id (a pointless corpus-wide shuffle at
+    * 100 TB). */
+  private[pipeline] def qualityScoreCol(text: Column): Column = {
+    val w = words(text)
+    val nChars = length(text).cast("double")
+    val allSw = stopwords.values.flatten.toSeq.distinct
+    val swRatio = size(filter(w, x => allSw.map(s => x === s).reduce(_ || _)))
+      .cast("double") / size(w).cast("double")
+    val distinctRatio = size(array_distinct(w)).cast("double") / size(w).cast("double")
+    val lenScore = least(nChars / lit(500.0), lit(1.0))
+    round((lenScore + distinctRatio + least(swRatio * 4, lit(1.0))) / 3.0, 6)
+  }
+
+  /** BPE-ish token count of [[tokenCount]] as a bare column
+    * expression — same single-map-stage composition rationale as
+    * [[qualityScoreCol]]. */
+  private[pipeline] def bpeTokensCol(text: Column): Column =
+    aggregate(words(text), lit(0L),
+      (acc, x) => acc + ceil(length(x).cast("double") / 4.0).cast("long"))
 
   /** Score for one language = fraction of words that are stopwords
     * of that language. */
@@ -57,15 +81,13 @@ object TextAnalysis {
     val swRatio = size(filter(w, x => allSw.map(s => x === s).reduce(_ || _)))
       .cast("double") / size(w).cast("double")
     val distinctRatio = size(array_distinct(w)).cast("double") / size(w).cast("double")
-    val lenScore = least(nChars / lit(500.0), lit(1.0))
     docs.select(
       col("doc_id"),
       size(w).cast("long").as("n_words"),
       round(punct, 6).as("punct_ratio"),
       round(swRatio, 6).as("stopword_ratio"),
       round(distinctRatio, 6).as("distinct_ratio"),
-      round((lenScore + distinctRatio + least(swRatio * 4, lit(1.0))) / 3.0, 6)
-        .as("quality_score"))
+      qualityScoreCol(col("text")).as("quality_score"))
   }
 
   /** Token counting: whitespace tokens plus a BPE-ish subword
@@ -73,13 +95,11 @@ object TextAnalysis {
     * standard chars/4 heuristic refined by punctuation splits). */
   def tokenCount(docs: DataFrame): DataFrame = {
     val w = words(col("text"))
-    // BPE-ish: every word costs ceil(len/4) pieces
-    val bpe = aggregate(w, lit(0L),
-      (acc, x) => acc + ceil(length(x).cast("double") / 4.0).cast("long"))
     docs.select(
       col("doc_id"),
       size(w).cast("long").as("ws_tokens"),
-      bpe.as("bpe_tokens"))
+      // BPE-ish: every word costs ceil(len/4) pieces
+      bpeTokensCol(col("text")).as("bpe_tokens"))
   }
 
   /** Gopher/Dolma-style repetition + shape quality signals (the

@@ -908,6 +908,40 @@ class PipelineSpec extends SparkSpec {
     assert(again.map(_.toSeq).toSet == rows.map(_.toSeq).toSet)
   }
 
+  test("budgetSelect: greedy quality prefix, exact two-phase rank + cumsum") {
+    val docs = Tables.documents(spark, sf)
+    val n = docs.count()
+    val rows = Corpus.budgetSelect(docs, budgetTokens = 25000L).collect()
+    assert(rows.length == n)
+    // rank is a dense global permutation
+    assert(rows.map(_.getAs[Long]("rank")).toSet == (1L to n).toSet)
+    val byRank = rows.sortBy(_.getAs[Long]("rank"))
+    // the ranking descends by quality (doc_id breaks ties)
+    byRank.sliding(2).foreach { case Array(a, b) =>
+      val (qa, qb) = (a.getAs[Double]("quality_score"),
+        b.getAs[Double]("quality_score"))
+      assert(qa > qb || (qa == qb &&
+        a.getAs[Long]("doc_id") < b.getAs[Long]("doc_id")))
+    }
+    // cum_tokens is the exact running sum in rank order
+    var run = 0L
+    byRank.foreach { r =>
+      run += r.getAs[Long]("n_tokens")
+      assert(r.getAs[Long]("cum_tokens") == run)
+    }
+    // selected is the greedy prefix: kept iff the total BEFORE the
+    // doc is under budget — so selection is a rank prefix, every
+    // kept doc started under budget, and the first dropped one not
+    val sel = byRank.takeWhile(_.getAs[Int]("selected") == 1)
+    assert(byRank.drop(sel.length).forall(_.getAs[Int]("selected") == 0))
+    assert(sel.nonEmpty && sel.length < n)
+    assert(sel.last.getAs[Long]("cum_tokens") -
+      sel.last.getAs[Long]("n_tokens") < 25000L)
+    val firstOut = byRank(sel.length)
+    assert(firstOut.getAs[Long]("cum_tokens") -
+      firstOut.getAs[Long]("n_tokens") >= 25000L)
+  }
+
   test("source KL: zero for a uniform split, positive for a skewed feed") {
     val s = spark
     import s.implicits._

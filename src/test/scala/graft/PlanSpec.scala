@@ -254,6 +254,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("corpus_select windows only on shard keys, never the corpus") {
+    // same two-phase contract as curriculum: every corpus-sized
+    // window partitions by _rshard; the only unpartitioned window is
+    // the ≤32-row prefix-offset frame (ordered by _rshard)
+    val analyzed = SparkEntry.queries("corpus_select")(spark, sf)
+      .queryExecution.analyzed.toString
+    val winLines = analyzed.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty)
+    winLines.foreach { l =>
+      assert(l.contains("_rshard"), s"window not shard-partitioned: $l")
+    }
+  }
+
   test("ds_policy_stack: composed tiers share cached partials") {
     // 10m|1h and 1h|1d, so the 1h and 1d tiers must compose from
     // the finer tier's partials, not rescan raw events. Catalyst
