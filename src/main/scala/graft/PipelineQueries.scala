@@ -230,6 +230,10 @@ object PipelineQueries {
     }),
     "corpus_split" -> ((s, dir) =>
       Corpus.split(Tables.documents(s, dir)).orderBy("doc_id")),
+    "corpus_split_leakage" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Corpus.splitLeakage(docs, verifiedPairs(docs)).orderBy("cluster_id")
+    }),
     "corpus_manifest" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Corpus.manifest(docs, verifiedPairs(docs)).orderBy("doc_id")
@@ -701,6 +705,32 @@ object PipelineQueries {
          |   AS keep
          | FROM gq JOIN ex USING (doc_id) JOIN cl USING (doc_id) JOIN sp USING (doc_id)
          | ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "corpus_split_leakage" ->
+      s"""WITH RECURSIVE sig AS ($SIG), banded AS ($BANDED),
+         | capped AS (SELECT doc_id, band, bucket FROM (
+         |  SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz FROM banded) AS z
+         |  WHERE bsz <= $MAX_BUCKET),
+         | p AS ($PAIRS), v AS ($VERIFIED),
+         | edges AS (SELECT doc_a AS src, doc_b AS dst FROM v
+         |  UNION SELECT doc_b AS src, doc_a AS dst FROM v),
+         | reach(node, root) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.root FROM reach AS r JOIN edges AS e ON e.src = r.node),
+         | cl AS (SELECT node AS doc_id, min(root) AS cluster_id
+         |  FROM reach GROUP BY node),
+         | sp AS (SELECT doc_id,
+         |  CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 10 THEN 'test'
+         |   WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 20 THEN 'val'
+         |   ELSE 'train' END AS split
+         |  FROM documents),
+         | g AS (SELECT cluster_id, count(*) AS n_docs,
+         |   list_sort(list_distinct(list(split))) AS sps
+         |  FROM cl JOIN sp USING (doc_id) GROUP BY cluster_id)
+         | SELECT cluster_id, n_docs, CAST(len(sps) AS INT) AS n_splits,
+         |  array_to_string(sps, ',') AS splits
+         | FROM g WHERE len(sps) > 1
+         | ORDER BY cluster_id""".stripMargin.replace("\n", " "),
     "corpus_split" ->
       """SELECT doc_id,
         | CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100

@@ -771,6 +771,36 @@ object Corpus {
       .select("doc_id", "n_chars", "stage", "shard", "position")
   }
 
+  /** Split-leakage audit — near-dup clusters that straddle the
+    * train/val/test boundary. Random by-doc splits leak: a train doc
+    * whose near-duplicate sits in test inflates eval scores, so
+    * cluster-aware splitting (or this audit over an existing split)
+    * is a standard release gate. One row per straddling cluster with
+    * its size and the splits it touches.
+    *
+    * Scale: reuses the shared persisted cluster-label frame (the
+    * expensive propagation runs once per lineage across clusters /
+    * canonical / manifest / this audit); the split assignment is a
+    * pure hash of doc_id computed ON the label frame — no join back
+    * to the corpus — and the aggregation state per cluster is
+    * bounded by the 3 split names, never cluster size. */
+  def splitLeakage(docs: DataFrame, pairs: DataFrame,
+                   valPct: Int = 10, testPct: Int = 10): DataFrame = {
+    val labels = dupClusters(docs.select("doc_id"), pairs)
+    val h = pmod(Dedup.md5Int(col("doc_id").cast("string")), lit(100L))
+    val sp = when(h < testPct, "test")
+      .when(h < testPct + valPct, "val").otherwise("train")
+    labels
+      .withColumn("split", sp)
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_docs"),
+        array_sort(collect_set("split")).as("_sps"))
+      .withColumn("n_splits", size(col("_sps")))
+      .where(col("n_splits") > 1)
+      .select(col("cluster_id"), col("n_docs"), col("n_splits"),
+        concat_ws(",", col("_sps")).as("splits"))
+  }
+
   /** Token-budget selection — the "best N tokens" curation step:
     * rank every doc by (quality_score desc, doc_id), walk the
     * ranking accumulating BPE-ish token counts, and keep each doc

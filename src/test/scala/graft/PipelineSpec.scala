@@ -908,6 +908,23 @@ class PipelineSpec extends SparkSpec {
     assert(again.map(_.toSeq).toSet == rows.map(_.toSeq).toSet)
   }
 
+  test("splitLeakage reports exactly the clusters straddling splits") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 40L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = (1L to 39L by 2).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val splits = Corpus.split(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val expected = (1L to 39L by 2).map { i =>
+      (i, Seq(i, i + 1).map(splits).distinct.sorted)
+    }.filter(_._2.size > 1).toMap
+    val got = Corpus.splitLeakage(docs, pairs).collect()
+      .map(r => r.getAs[Long]("cluster_id") ->
+        r.getAs[String]("splits").split(",").toSeq).toMap
+    assert(expected.nonEmpty, "planted ids never straddle — regen test ids")
+    assert(got == expected)
+  }
+
   test("budgetSelect: greedy quality prefix, exact two-phase rank + cumsum") {
     val docs = Tables.documents(spark, sf)
     val n = docs.count()
