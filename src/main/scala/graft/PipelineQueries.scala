@@ -279,6 +279,10 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")),
     "corpus_vocab" -> ((s, dir) =>
       Corpus.vocabulary(Tables.documents(s, dir)).orderBy("rank")),
+    "corpus_heaps" -> ((s, dir) =>
+      Corpus.heapsFit(Tables.documents(s, dir))),
+    "corpus_lang_mismatch" -> ((s, dir) =>
+      TextAnalysis.langMismatch(Tables.documents(s, dir)).orderBy("source")),
     "corpus_zipf" -> ((s, dir) =>
       Corpus.zipfFit(Tables.documents(s, dir))),
     "corpus_card" -> ((s, dir) =>
@@ -842,6 +846,40 @@ object PipelineQueries {
         | SELECT word, tf, df,
         |  row_number() OVER (ORDER BY tf DESC, word ASC) AS rank
         | FROM stats ORDER BY tf DESC, word ASC LIMIT 100""".stripMargin.replace("\n", " "),
+    "corpus_heaps" ->
+      """WITH pts AS (SELECT ln(len(ws)::DOUBLE) AS x,
+        |  ln(len(list_distinct(ws))::DOUBLE) AS y
+        | FROM (SELECT string_split_regex(lower(text), '\s+') AS ws
+        |       FROM documents) AS t)
+        | SELECT count(*) AS n_docs,
+        |  round(regr_slope(y, x), 6) AS heaps_beta,
+        |  round(exp(regr_intercept(y, x)), 6) AS heaps_k,
+        |  round(regr_r2(y, x), 6) AS r2
+        | FROM pts""".stripMargin.replace("\n", " "),
+    "corpus_lang_mismatch" -> {
+      val langs = Seq("en", "de", "fr", "es")
+      val lists = langs.map { l =>
+        val sw = TextAnalysis.stopwords(l).map(s => s"'$s'").mkString(", ")
+        s"len(list_filter(ws, x -> list_contains([$sw], x)))::DOUBLE / len(ws) AS score_$l"
+      }.mkString(", ")
+      s"""WITH sc AS (SELECT source, lang, $lists
+         |  FROM (SELECT source, lang, string_split_regex(lower(text), '\\s+') AS ws
+         |        FROM documents) AS t),
+         | pred AS (SELECT source, lang,
+         |  CASE WHEN greatest(score_en, score_de, score_fr, score_es) <= 0 THEN 'und'
+         |   WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en'
+         |   WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'
+         |   WHEN score_fr >= score_es THEN 'fr' ELSE 'es' END AS pred_lang
+         |  FROM sc)
+         | SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN pred_lang = 'und' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_und,
+         |  CAST(sum(CASE WHEN pred_lang <> 'und' AND pred_lang <> lang
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+         |  round(sum(CASE WHEN pred_lang <> 'und' AND pred_lang <> lang
+         |    THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS mismatch_rate
+         | FROM pred GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")
+    },
     "corpus_zipf" ->
       """WITH stats AS (SELECT w AS word, count(*) AS tf
         |  FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS w

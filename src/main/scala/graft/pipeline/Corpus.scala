@@ -771,6 +771,40 @@ object Corpus {
       .select("doc_id", "n_chars", "stage", "shard", "position")
   }
 
+  /** Heaps'-law fit — vocabulary growth V ≈ K·nᵝ, the companion
+    * dataset-card check to [[zipfFit]]: natural language shows
+    * β ≈ 0.4–0.6 (vocabulary grows sub-linearly in document length);
+    * template/boilerplate corpora give β near 0 or 1. Fit is
+    * least-squares on the per-doc (ln n_tokens, ln n_distinct)
+    * cloud. One map stage over the corpus + ONE six-accumulator
+    * aggregation — the regression algebra never leaves the
+    * aggregate, so cost is a scan regardless of corpus size.
+    * β undefined when every doc has the same length (var x = 0):
+    * null, not a divide-by-zero. */
+  def heapsFit(docs: DataFrame): DataFrame = {
+    val w = TextAnalysis.words(col("text"))
+    val pts = docs.select(
+      log(size(w).cast("double")).as("x"),
+      log(size(array_distinct(w)).cast("double")).as("y"))
+    pts.agg(
+        count(lit(1)).as("n_docs"),
+        covar_pop(col("x"), col("y")).as("_cxy"),
+        var_pop(col("x")).as("_vx"),
+        var_pop(col("y")).as("_vy"),
+        avg(col("x")).as("_mx"),
+        avg(col("y")).as("_my"))
+      .select(
+        col("n_docs"),
+        round(when(col("_vx") === 0d, lit(null))
+          .otherwise(col("_cxy") / col("_vx")), 6).as("heaps_beta"),
+        round(when(col("_vx") === 0d, lit(null))
+          .otherwise(exp(col("_my") - col("_cxy") / col("_vx") * col("_mx"))),
+          6).as("heaps_k"),
+        round(when(col("_vx") === 0d || col("_vy") === 0d, lit(null))
+          .otherwise(col("_cxy") * col("_cxy") / (col("_vx") * col("_vy"))),
+          6).as("r2"))
+  }
+
   /** Split-leakage audit — near-dup clusters that straddle the
     * train/val/test boundary. Random by-doc splits leak: a train doc
     * whose near-duplicate sits in test inflates eval scores, so

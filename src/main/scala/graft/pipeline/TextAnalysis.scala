@@ -71,6 +71,33 @@ object TextAnalysis {
         round(greatest(langs.map(l => col(s"score_$l")): _*), 6).as("lang_score"))
   }
 
+  /** Per-source declared-vs-predicted language audit — the metadata
+    * trust check run before believing a feed's own `lang` tags (web
+    * crawls routinely mislabel): for each source, how many docs the
+    * stopword language-ID contradicts (predicted a DIFFERENT known
+    * language) and how many it can't call at all (`und`). Same
+    * single map stage as [[languageId]] followed by a sources-sized
+    * hash aggregation — per-group state is three counters. */
+  def langMismatch(docs: DataFrame): DataFrame = {
+    val langs = Seq("en", "de", "fr", "es")
+    val scored = langs.foldLeft(
+      docs.select(col("source"), col("lang"), col("text"))) {
+      (d, l) => d.withColumn(s"score_$l", langScore(col("text"), l))
+    }
+    val best = langs.map(l => struct(col(s"score_$l").as("s"), lit(l).as("l")))
+      .reduce((a, b) => when(b("s") > a("s"), b).otherwise(a))
+    scored
+      .withColumn("pred_lang", when(best("s") > 0, best("l")).otherwise(lit("und")))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("pred_lang") === "und", 1L).otherwise(0L)).as("n_und"),
+        sum(when(col("pred_lang") =!= "und" &&
+          col("pred_lang") =!= col("lang"), 1L).otherwise(0L)).as("n_mismatch"))
+      .withColumn("mismatch_rate",
+        round(col("n_mismatch").cast("double") / col("n_docs"), 6))
+  }
+
   /** Quality scoring: length, punctuation ratio, stopword ratio,
     * repetition (distinct-word ratio); composite in [0,1]. */
   def quality(docs: DataFrame): DataFrame = {

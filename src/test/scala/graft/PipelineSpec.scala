@@ -908,6 +908,41 @@ class PipelineSpec extends SparkSpec {
     assert(again.map(_.toSeq).toSet == rows.map(_.toSeq).toSet)
   }
 
+  test("heapsFit recovers an exact power law; degenerate var guarded") {
+    val s = spark
+    import s.implicits._
+    // two points lying exactly on V = n^0.5: (4,2) and (16,4)
+    val docs = Seq(
+      (1L, "a a b b"),
+      (2L, "a a a a b b b b c c c c d d d d")).toDF("doc_id", "text")
+    val r = Corpus.heapsFit(docs).collect()(0)
+    assert(r.getAs[Long]("n_docs") == 2L)
+    assert(math.abs(r.getAs[Double]("heaps_beta") - 0.5) < 1e-6)
+    assert(math.abs(r.getAs[Double]("heaps_k") - 1.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("r2") - 1.0) < 1e-6)
+    // all docs the same length → var x = 0 → null fit, no crash
+    val const = Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
+    val c = Corpus.heapsFit(const).collect()(0)
+    assert(c.isNullAt(c.fieldIndex("heaps_beta")))
+  }
+
+  test("langMismatch counts contradictions and unknowns per source") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the cat and the dog of a to", "en", "feedA"),   // en, agrees
+      (2L, "der hund und die katze ist nicht", "en", "feedA"), // de vs en
+      (3L, "zzz qqq xxx", "en", "feedA"),                   // und
+      (4L, "le chat et la tour est que", "fr", "feedB"))    // fr, agrees
+      .toDF("doc_id", "text", "lang", "source")
+    val r = TextAnalysis.langMismatch(docs).collect()
+      .map(x => x.getAs[String]("source") ->
+        (x.getAs[Long]("n_docs"), x.getAs[Long]("n_und"),
+          x.getAs[Long]("n_mismatch"))).toMap
+    assert(r("feedA") == ((3L, 1L, 1L)))
+    assert(r("feedB") == ((1L, 0L, 0L)))
+  }
+
   test("splitLeakage reports exactly the clusters straddling splits") {
     val s = spark
     import s.implicits._
