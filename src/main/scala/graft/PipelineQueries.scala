@@ -252,6 +252,11 @@ object PipelineQueries {
       Similarity.hardNegatives(emb, emb.where(col("vec_id") < 10), 5)
         .orderBy("q_id", "rk")
     }),
+    "sim_rp_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.rpRecall(emb, emb.where(col("vec_id") < 10), 5,
+        dimIn = 64, dOut = 16).orderBy("q_id")
+    }),
     "sim_dim_recall" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.dimRecall(emb, emb.where(col("vec_id") < 10), 5, 32)
@@ -1138,6 +1143,36 @@ object PipelineQueries {
         |  least(64, n - start) AS n_tok,
         |  md5(array_to_string(toks[start + 1 : start + 64], ' ')) AS chunk_md5
         | FROM s ORDER BY doc_id, chunk_idx""".stripMargin.replace("\n", " "),
+    // the engine's ±1 projection matrix regenerated as literal
+    // arrays — projected vectors in a CTE so the matrix is embedded
+    // once, then the same topk-overlap shape as sim_dim_recall
+    "sim_rp_recall" -> {
+      val projList = pipeline.Similarity.rpWeights(64, 16, 0L).map(w =>
+        s"list_dot_product(embedding::DOUBLE[], [${w.mkString(", ")}])")
+        .mkString(", ")
+      def cosP(a: String, b: String) =
+        s"""(list_dot_product($a.p, $b.p) /
+           | (sqrt(list_dot_product($a.p, $a.p)) *
+           |  sqrt(list_dot_product($b.p, $b.p))))""".stripMargin.replace("\n", " ")
+      s"""WITH pr AS (SELECT vec_id, [$projList] AS p FROM embeddings),
+         | fullk AS (SELECT q_id, c_id FROM (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |   row_number() OVER (PARTITION BY q.vec_id
+         |     ORDER BY ${cosSql("q", "c")} DESC, c.vec_id ASC) AS rk
+         |  FROM embeddings AS q JOIN embeddings AS c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 10) AS t WHERE rk <= 5),
+         | projk AS (SELECT q_id, c_id FROM (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |   row_number() OVER (PARTITION BY q.vec_id
+         |     ORDER BY ${cosP("q", "c")} DESC, c.vec_id ASC) AS rk
+         |  FROM pr AS q JOIN pr AS c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 10) AS t WHERE rk <= 5)
+         | SELECT f.q_id, count(t.c_id) AS overlap,
+         |  round(count(t.c_id) / 5.0, 6) AS recall
+         | FROM fullk AS f LEFT JOIN projk AS t
+         |  ON t.q_id = f.q_id AND t.c_id = f.c_id
+         | GROUP BY f.q_id ORDER BY f.q_id""".stripMargin.replace("\n", " ")
+    },
     "sim_dim_recall" -> {
       def cosSlice(a: String, b: String, d: Int) =
         s"""(list_dot_product($a.embedding[1:$d]::DOUBLE[], $b.embedding[1:$d]::DOUBLE[]) /

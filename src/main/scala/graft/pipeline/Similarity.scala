@@ -142,6 +142,56 @@ object Similarity {
         round(col("overlap") / lit(k.toDouble), 6).as("recall"))
   }
 
+  /** Random-projection (Johnson–Lindenstrauss) recall — the other
+    * dimension-reduction measurement next to [[dimRecall]]'s
+    * truncation: project every vector through a deterministic ±1
+    * matrix (the dense-JL construction via [[rpWeights]] — NOT the
+    * LSH [[hyperplanes]] generator, whose entries are a function of
+    * (167·p + 177·i) mod 256 alone, making every row a translate of
+    * one periodic byte sequence: harmless for bucket hashing,
+    * ruinous as a projection basis — measured overlap@5 0.08 at
+    * dOut=32 vs genuine JL behavior from the mixed generator) down
+    * to `dOut` dims, and report per-query top-k overlap
+    * between projected-space and full-space cosine rankings. The
+    * 1/√dOut JL scale factor cancels inside cosine and is omitted.
+    *
+    * Scale: the projection is `dOut` codegen [[dotNative]] calls per
+    * vector against literal weight arrays — one map stage, O(dOut)
+    * expression nodes — and both rankings reuse the
+    * broadcast-queries [[cosineTopK]]; nothing new shuffles. */
+  def rpRecall(corpus: DataFrame, queries: DataFrame, k: Int,
+               dimIn: Int, dOut: Int, seed: Long = 0L): DataFrame = {
+    val planes = rpWeights(dimIn, dOut, seed)
+    def project(df: DataFrame): DataFrame =
+      df.withColumn("embedding", array(planes.map(w =>
+        dotNative(col("embedding").cast("array<double>"), typedLit(w))): _*))
+    val full = cosineTopK(corpus, queries, k).select("q_id", "c_id")
+    val proj = cosineTopK(project(corpus), project(queries), k)
+      .select(col("q_id"), col("c_id").as("_pc"))
+    full.join(proj,
+        full("q_id") === proj("q_id") && col("c_id") === col("_pc"), "left")
+      .groupBy(full("q_id").as("q_id"))
+      .agg(count(col("_pc")).as("overlap"))
+      .select(col("q_id"), col("overlap"),
+        round(col("overlap") / lit(k.toDouble), 6).as("recall"))
+  }
+
+  /** Deterministic ±1 JL projection entries: splitmix64-finalized
+    * mix of (plane, dim, seed), so entries are pairwise-independent
+    * for practical purposes (unlike [[hyperplanes]], see
+    * [[rpRecall]]). No stored model — the oracle embeds the
+    * regenerated rows as literal arrays. */
+  def rpWeights(dim: Int, planes: Int, seed: Long): Seq[Seq[Double]] =
+    (0 until planes).map { p =>
+      (0 until dim).map { i =>
+        var z = seed + p * 0x9E3779B97F4A7C15L + i * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z ^= z >>> 31
+        if ((z & 1L) == 0L) 1.0 else -1.0
+      }
+    }
+
   /** Deterministic ±1 random-hyperplane weights for a (table-)seed —
     * integer mixing of (plane, dim, seed); no stored model, so the
     * DuckDB oracle can regenerate the identical planes. */

@@ -908,6 +908,28 @@ class PipelineSpec extends SparkSpec {
     assert(again.map(_.toSeq).toSet == rows.map(_.toSeq).toSet)
   }
 
+  test("rpRecall: projection preserves neighbors better as dOut grows") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.where(col("vec_id") < 10)
+    def mean(dOut: Int): Double = {
+      val rows = Similarity.rpRecall(emb, q, 5, dimIn = 64, dOut = dOut)
+        .collect()
+      assert(rows.length == 10)
+      rows.foreach { r =>
+        val o = r.getAs[Long]("overlap")
+        assert(o >= 0 && o <= 5)
+      }
+      rows.map(_.getAs[Double]("recall")).sum / rows.length
+    }
+    // this corpus's cosines concentrate (synthetic near-uniform
+    // vectors), so absolute overlap@5 is inherently modest — the
+    // JL property under test is the dOut trend, not a high ceiling
+    val lo = mean(4)
+    val hi = mean(128)
+    assert(hi > lo + 0.1, s"recall did not improve with dims: d4=$lo d128=$hi")
+    assert(lo < 0.2, s"4-dim projection should scramble top-5: $lo")
+  }
+
   test("heapsFit recovers an exact power law; degenerate var guarded") {
     val s = spark
     import s.implicits._
