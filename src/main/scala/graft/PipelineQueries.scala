@@ -165,6 +165,9 @@ object PipelineQueries {
       Dedup.minhashCandidates(
         Dedup.minhashSignature(Tables.documents(s, dir), K), BANDS, ROWS)
         .orderBy("doc_a", "doc_b")),
+    "dedup_minhash_est" -> ((s, dir) =>
+      Dedup.minhashEstimate(Tables.documents(s, dir), K, BANDS, ROWS)
+        .orderBy("doc_a", "doc_b")),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(Tables.documents(s, dir)).orderBy("doc_id")),
     "dedup_simhash_pairs" -> ((s, dir) =>
@@ -520,6 +523,35 @@ object PipelineQueries {
          |  ON l.half = r.half AND l.block = r.block AND l.doc_id < r.doc_id
          | WHERE bit_count(xor(l.simhash_v, r.simhash_v)) <= 4
          | ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " ")
+    },
+    "dedup_minhash_est" -> {
+      val agree = (0 until K)
+        .map(i => s"(CASE WHEN l.mh$i = r.mh$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH sig AS ($SIG), banded AS ($BANDED),
+         | capped AS (SELECT doc_id, band, bucket FROM (
+         |  SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz FROM banded) AS z
+         |  WHERE bsz <= $MAX_BUCKET),
+         | p AS ($PAIRS),
+         | est AS (SELECT p.doc_a, p.doc_b, $agree AS agree
+         |  FROM p JOIN sig AS l ON p.doc_a = l.doc_id
+         |   JOIN sig AS r ON p.doc_b = r.doc_id),
+         | sh AS (SELECT DISTINCT doc_id, h FROM ($H) AS hh),
+         | sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         | inter AS (SELECT p.doc_a, p.doc_b, count(*) AS inter_sz FROM p
+         |  JOIN sh AS a ON a.doc_id = p.doc_a
+         |  JOIN sh AS b ON b.doc_id = p.doc_b AND b.h = a.h
+         |  GROUP BY p.doc_a, p.doc_b),
+         | ja AS (SELECT p.doc_a, p.doc_b,
+         |  round(coalesce(i.inter_sz, 0)::DOUBLE /
+         |    (sa.sz + sb.sz - coalesce(i.inter_sz, 0))::DOUBLE, 6) AS jaccard_v
+         |  FROM p LEFT JOIN inter AS i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+         |  JOIN sz AS sa ON sa.doc_id = p.doc_a
+         |  JOIN sz AS sb ON sb.doc_id = p.doc_b)
+         | SELECT e.doc_a, e.doc_b, round(e.agree / $K.0, 6) AS est_jaccard,
+         |  ja.jaccard_v, round(abs(e.agree / $K.0 - ja.jaccard_v), 6) AS abs_err
+         | FROM est AS e JOIN ja ON ja.doc_a = e.doc_a AND ja.doc_b = e.doc_b
+         | ORDER BY e.doc_a, e.doc_b""".stripMargin.replace("\n", " ")
     },
     "dedup_jaccard" ->
       s"""WITH sh AS (SELECT DISTINCT doc_id, h FROM ($H) AS hh),

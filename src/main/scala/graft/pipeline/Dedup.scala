@@ -317,6 +317,33 @@ object Dedup {
     * instead of ~20-byte strings. Hash collisions are md5-determined,
     * hence identical in the oracle — the comparison stays exact
     * cross-engine. */
+  /** MinHash estimator calibration — the accuracy report behind
+    * choosing K: for every LSH candidate pair, the signature
+    * estimate (agree/K — the unbiased MinHash Jaccard estimator)
+    * next to the exact shingle Jaccard and the absolute error. Run
+    * on a sample before fixing K/bands/rows for a corpus; stddev of
+    * the estimator is √(J(1−J)/K), so the observed error column
+    * directly validates the configured signature width.
+    *
+    * Scale: candidates from the capped band-bucket join (never
+    * all-pairs); the estimate rides the signature frame already in
+    * the shared cache; the exact Jaccard runs only on the candidate
+    * set — this is the one place brute-force shingle intersection is
+    * affordable BECAUSE the pair list is LSH-bounded. */
+  def minhashEstimate(docs: DataFrame, k: Int = 16, bands: Int = 4,
+                      rows: Int = 4, n: Int = 3): DataFrame = {
+    val sigs = minhashSignatureCached(docs, k, n)
+    val cands = minhashCandidates(sigs, bands, rows)
+    val est = verifyCandidates(sigs, cands, minAgree = 0, k = k)
+    val exact = jaccardPairs(docs, cands, n)
+    est.join(exact, Seq("doc_a", "doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("agree").cast("double") / k, 6).as("est_jaccard"),
+        col("jaccard_v"),
+        round(abs(col("agree").cast("double") / k - col("jaccard_v")), 6)
+          .as("abs_err"))
+  }
+
   def jaccardPairs(docs: DataFrame, pairs: DataFrame, n: Int = 3): DataFrame = {
     val sh = shingleHashes(docs, n).select("doc_id", "h").distinct()
     val szs = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))

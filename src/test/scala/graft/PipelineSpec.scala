@@ -908,6 +908,33 @@ class PipelineSpec extends SparkSpec {
     assert(again.map(_.toSeq).toSet == rows.map(_.toSeq).toSet)
   }
 
+  test("minhashEstimate: exact on identical docs, bounded error on sf") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again today"),
+      (3L, "a totally different document about distributed query engines"))
+      .toDF("doc_id", "text")
+    val planted = Dedup.minhashEstimate(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r).toMap
+    val dup = planted((1L, 2L))
+    assert(dup.getAs[Double]("est_jaccard") == 1.0)
+    assert(dup.getAs[Double]("jaccard_v") == 1.0)
+    assert(dup.getAs[Double]("abs_err") == 0.0)
+    // estimator theory: stddev = sqrt(J(1-J)/K) <= 0.125 at K=16;
+    // candidate pairs skew to high J, so mean |err| stays well under
+    // a 1.6-sigma envelope
+    val rows = Dedup.minhashEstimate(Tables.documents(spark, sf)).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val e = r.getAs[Double]("est_jaccard")
+      assert(e >= 0.0 && e <= 1.0)
+    }
+    val meanErr = rows.map(_.getAs[Double]("abs_err")).sum / rows.length
+    assert(meanErr < 0.2, s"mean estimator error too large: $meanErr")
+  }
+
   test("rpRecall: projection preserves neighbors better as dOut grows") {
     val emb = Tables.embeddings(spark, sf)
     val q = emb.where(col("vec_id") < 10)
