@@ -255,6 +255,8 @@ object PipelineQueries {
       Similarity.hardNegatives(emb, emb.where(col("vec_id") < 10), 5)
         .orderBy("q_id", "rk")
     }),
+    "sim_embed_stats" -> ((s, dir) =>
+      Similarity.embedStats(Tables.embeddings(s, dir)).orderBy("dim")),
     "sim_rp_recall" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.rpRecall(emb, emb.where(col("vec_id") < 10), 5,
@@ -1175,6 +1177,15 @@ object PipelineQueries {
         |  least(64, n - start) AS n_tok,
         |  md5(array_to_string(toks[start + 1 : start + 64], ' ')) AS chunk_md5
         | FROM s ORDER BY doc_id, chunk_idx""".stripMargin.replace("\n", " "),
+    "sim_embed_stats" ->
+      """SELECT i AS dim,
+        | round(avg(embedding[i]::DOUBLE), 6) AS mean_v,
+        | round(stddev_pop(embedding[i]::DOUBLE), 6) AS std_v,
+        | round(min(embedding[i]::DOUBLE), 6) AS min_v,
+        | round(max(embedding[i]::DOUBLE), 6) AS max_v
+        | FROM embeddings CROSS JOIN
+        |  (SELECT unnest(generate_series(1, 64)) AS i) AS d
+        | GROUP BY i ORDER BY dim""".stripMargin.replace("\n", " "),
     // the engine's ±1 projection matrix regenerated as literal
     // arrays — projected vectors in a CTE so the matrix is embedded
     // once, then the same topk-overlap shape as sim_dim_recall

@@ -176,6 +176,27 @@ object Similarity {
         round(col("overlap") / lit(k.toDouble), 6).as("recall"))
   }
 
+  /** Per-dimension embedding QA stats — the dataset-card check run
+    * before trusting an embedding column: mean/std/min/max per
+    * coordinate surfaces dead dims (std 0), un-centered encoders
+    * (|mean| ≫ 0) and clipped or exploding coordinates, any of
+    * which silently degrade every cosine op downstream. `dim` is
+    * 1-based to match SQL list indexing.
+    *
+    * Scale: the posexplode is map-side and hash aggregation
+    * pre-combines per partition, so the shuffle carries at most
+    * `dim` rows per task regardless of corpus size — the explode
+    * never reaches the exchange. */
+  def embedStats(emb: DataFrame): DataFrame =
+    emb.select(posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("pos", "v")))
+      .groupBy((col("pos") + 1).cast("long").as("dim"))
+      .agg(
+        round(avg("v"), 6).as("mean_v"),
+        round(stddev_pop(col("v")), 6).as("std_v"),
+        round(min("v"), 6).as("min_v"),
+        round(max("v"), 6).as("max_v"))
+
   /** Deterministic ±1 JL projection entries: splitmix64-finalized
     * mix of (plane, dim, seed), so entries are pairwise-independent
     * for practical purposes (unlike [[hyperplanes]], see

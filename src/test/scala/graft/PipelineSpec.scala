@@ -908,6 +908,22 @@ class PipelineSpec extends SparkSpec {
     assert(again.map(_.toSeq).toSet == rows.map(_.toSeq).toSet)
   }
 
+  test("embedStats: per-dim moments on planted vectors; dead dim visible") {
+    val s = spark
+    import s.implicits._
+    val emb = Seq(
+      (1L, Array(1.0f, 2.0f, 7.0f)),
+      (2L, Array(3.0f, 4.0f, 7.0f))).toDF("vec_id", "embedding")
+    val r = Similarity.embedStats(emb).collect()
+      .map(x => x.getAs[Long]("dim") -> x).toMap
+    assert(r(1L).getAs[Double]("mean_v") == 2.0)
+    assert(r(1L).getAs[Double]("std_v") == 1.0)
+    assert(r(1L).getAs[Double]("min_v") == 1.0)
+    assert(r(2L).getAs[Double]("max_v") == 4.0)
+    // the dead dimension announces itself: std exactly 0
+    assert(r(3L).getAs[Double]("std_v") == 0.0)
+  }
+
   test("minhashEstimate: exact on identical docs, bounded error on sf") {
     val s = spark
     import s.implicits._
