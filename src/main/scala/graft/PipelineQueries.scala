@@ -257,6 +257,10 @@ object PipelineQueries {
     }),
     "sim_embed_stats" -> ((s, dir) =>
       Similarity.embedStats(Tables.embeddings(s, dir)).orderBy("dim")),
+    "sim_norm_outliers" -> ((s, dir) =>
+      Similarity.normOutliers(Tables.embeddings(s, dir)).orderBy("vec_id")),
+    "corpus_boilerplate" -> ((s, dir) =>
+      Corpus.boilerplate(Tables.documents(s, dir)).orderBy("rank")),
     "sim_rp_recall" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.rpRecall(emb, emb.where(col("vec_id") < 10), 5,
@@ -1177,6 +1181,24 @@ object PipelineQueries {
         |  least(64, n - start) AS n_tok,
         |  md5(array_to_string(toks[start + 1 : start + 64], ' ')) AS chunk_md5
         | FROM s ORDER BY doc_id, chunk_idx""".stripMargin.replace("\n", " "),
+    "sim_norm_outliers" ->
+      """WITH n AS (SELECT vec_id,
+        |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+        |    AS nv FROM embeddings),
+        | st AS (SELECT avg(nv) AS m, stddev_pop(nv) AS s FROM n)
+        | SELECT vec_id, round(nv, 6) AS norm,
+        |  round((nv - m) / s, 6) AS z_score,
+        |  CAST(abs(round((nv - m) / s, 6)) > 2.0 AS INT) AS is_outlier
+        | FROM n, st ORDER BY vec_id""".stripMargin.replace("\n", " "),
+    "corpus_boilerplate" ->
+      s"""WITH by_sh AS (SELECT shingle, count(*) AS df,
+         |  min(doc_id) AS example_doc FROM ($SH) AS sh GROUP BY shingle),
+         | top AS (SELECT shingle, df, example_doc,
+         |  CAST(row_number() OVER (ORDER BY df DESC, shingle ASC) AS BIGINT)
+         |    AS rank
+         |  FROM by_sh ORDER BY df DESC, shingle ASC LIMIT 50)
+         | SELECT rank, shingle, df, example_doc FROM top
+         | ORDER BY rank""".stripMargin.replace("\n", " "),
     "sim_embed_stats" ->
       """SELECT i AS dim,
         | round(avg(embedding[i]::DOUBLE), 6) AS mean_v,

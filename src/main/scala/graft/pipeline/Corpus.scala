@@ -771,6 +771,30 @@ object Corpus {
       .select("doc_id", "n_chars", "stage", "shard", "position")
   }
 
+  /** Boilerplate mining — the top-N most widely shared word
+    * n-grams with their document frequency and an example doc: the
+    * discovery view behind span dedup and C4's policy-phrase list
+    * (nav bars, cookie banners, license headers all surface here
+    * first). Counterpart of `text_novelty`, which scores docs by how
+    * few OTHER docs share their shingles.
+    *
+    * Scale: rides [[Dedup.shingles]]' per-doc-distinct explode, so
+    * the group-by counts docs directly (no distinct over
+    * occurrences); per-shingle state is two counters + a min; the
+    * global top-N compiles to TakeOrdered, never a full sort. */
+  def boilerplate(docs: DataFrame, topN: Int = 50, n: Int = 3): DataFrame = {
+    val byShingle = Dedup.shingles(docs, n)
+      .groupBy("shingle")
+      .agg(count(lit(1)).as("df"), min("doc_id").as("example_doc"))
+    import org.apache.spark.sql.expressions.Window
+    byShingle
+      .orderBy(col("df").desc, col("shingle").asc)
+      .limit(topN)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("df").desc, col("shingle").asc)).cast("long"))
+      .select("rank", "shingle", "df", "example_doc")
+  }
+
   /** Heaps'-law fit — vocabulary growth V ≈ K·nᵝ, the companion
     * dataset-card check to [[zipfFit]]: natural language shows
     * β ≈ 0.4–0.6 (vocabulary grows sub-linearly in document length);

@@ -176,6 +176,28 @@ object Similarity {
         round(col("overlap") / lit(k.toDouble), 6).as("recall"))
   }
 
+  /** Per-vector norm outliers — the row-level companion to
+    * [[embedStats]]: L2 norm, corpus z-score, and the |z| > zMax
+    * flag. Truncated inputs, failed encodes (near-zero norm) and
+    * un-normalized mixtures show up here before they poison
+    * similarity search. Flag compares the ROUNDED z-score so the
+    * boundary is engine-stable.
+    *
+    * Scale: one codegen map stage for norms, a one-row broadcast of
+    * (mean, std), and a second map stage — nothing shuffles the
+    * vector payload. */
+  def normOutliers(emb: DataFrame, zMax: Double = 2.0): DataFrame = {
+    val embD = col("embedding").cast("array<double>")
+    val base = emb.select(col("vec_id"),
+      sqrt(dotNative(embD, embD)).as("_norm"))
+    val stats = base.agg(avg("_norm").as("_m"), stddev_pop(col("_norm")).as("_s"))
+    base.crossJoin(broadcast(stats))
+      .withColumn("z_score", round((col("_norm") - col("_m")) / col("_s"), 6))
+      .select(col("vec_id"), round(col("_norm"), 6).as("norm"),
+        col("z_score"),
+        (abs(col("z_score")) > zMax).cast("int").as("is_outlier"))
+  }
+
   /** Per-dimension embedding QA stats — the dataset-card check run
     * before trusting an embedding column: mean/std/min/max per
     * coordinate surfaces dead dims (std 0), un-centered encoders

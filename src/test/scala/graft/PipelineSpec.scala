@@ -908,6 +908,34 @@ class PipelineSpec extends SparkSpec {
     assert(again.map(_.toSeq).toSet == rows.map(_.toSeq).toSet)
   }
 
+  test("boilerplate surfaces the planted shared n-gram first") {
+    val s = spark
+    import s.implicits._
+    val banner = "subscribe to our newsletter"
+    val docs = (1L to 6L).map(i =>
+      (i, s"unique words $i${i} here $banner end")).toDF("doc_id", "text")
+    val top = Corpus.boilerplate(docs, topN = 4).collect()
+    // the four banner shingles share df=6 and outrank everything else
+    assert(top.map(_.getAs[Long]("df")).forall(_ == 6L))
+    assert(top.map(_.getAs[String]("shingle")).contains("subscribe to our"))
+    assert(top.map(_.getAs[Long]("example_doc")).forall(_ == 1L))
+    assert(top.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("normOutliers flags the planted extreme-norm vector") {
+    val s = spark
+    import s.implicits._
+    val emb = ((1L to 20L).map(i => (i, Array(1.0f, 0.0f))) :+
+      (21L, Array(100.0f, 0.0f))).toDF("vec_id", "embedding")
+    val r = Similarity.normOutliers(emb).collect()
+      .map(x => x.getAs[Long]("vec_id") -> x).toMap
+    assert(r(21L).getAs[Int]("is_outlier") == 1)
+    assert(r(21L).getAs[Double]("norm") == 100.0)
+    assert((1L to 20L).forall(i => r(i).getAs[Int]("is_outlier") == 0))
+    // z-scores center: the 20 identical vectors sit below mean
+    assert(r(1L).getAs[Double]("z_score") < 0)
+  }
+
   test("embedStats: per-dim moments on planted vectors; dead dim visible") {
     val s = spark
     import s.implicits._
