@@ -333,7 +333,13 @@ object Dedup {
   def minhashEstimate(docs: DataFrame, k: Int = 16, bands: Int = 4,
                       rows: Int = 4, n: Int = 3): DataFrame = {
     val sigs = minhashSignatureCached(docs, k, n)
+    // the pair list feeds BOTH the estimate join and the exact
+    // Jaccard's three shingle joins — left as a view, Catalyst
+    // re-expands the whole band-bucket subtree per reference (the
+    // measured plan held 54 corpus scans). It is LSH-bounded and
+    // tiny, so materialize it once.
     val cands = minhashCandidates(sigs, bands, rows)
+      .localCheckpoint(eager = true)
     val est = verifyCandidates(sigs, cands, minAgree = 0, k = k)
     val exact = jaccardPairs(docs, cands, n)
     est.join(exact, Seq("doc_a", "doc_b"))
