@@ -168,6 +168,12 @@ object PipelineQueries {
     "dedup_minhash_est" -> ((s, dir) =>
       Dedup.minhashEstimate(Tables.documents(s, dir), K, BANDS, ROWS)
         .orderBy("doc_a", "doc_b")),
+    "dedup_threshold_curve" -> ((s, dir) =>
+      Dedup.thresholdCurve(Tables.documents(s, dir), K, BANDS, ROWS)),
+    "corpus_growth" -> ((s, dir) =>
+      Corpus.growthCurve(Tables.documents(s, dir))),
+    "sim_cos_hist" -> ((s, dir) =>
+      Similarity.cosineHistogram(Tables.embeddings(s, dir))),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(Tables.documents(s, dir)).orderBy("doc_id")),
     "dedup_simhash_pairs" -> ((s, dir) =>
@@ -529,6 +535,63 @@ object PipelineQueries {
          |  ON l.half = r.half AND l.block = r.block AND l.doc_id < r.doc_id
          | WHERE bit_count(xor(l.simhash_v, r.simhash_v)) <= 4
          | ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " ")
+    },
+    "dedup_threshold_curve" -> {
+      s"""WITH sig AS ($SIG), banded AS ($BANDED),
+         | capped AS (SELECT doc_id, band, bucket FROM (
+         |  SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz FROM banded) AS z
+         |  WHERE bsz <= $MAX_BUCKET),
+         | p AS ($PAIRS),
+         | sh AS (SELECT DISTINCT doc_id, h FROM ($H) AS hh),
+         | sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         | inter AS (SELECT p.doc_a, p.doc_b, count(*) AS inter_sz FROM p
+         |  JOIN sh AS a ON a.doc_id = p.doc_a
+         |  JOIN sh AS b ON b.doc_id = p.doc_b AND b.h = a.h
+         |  GROUP BY p.doc_a, p.doc_b),
+         | ja AS (SELECT p.doc_a, p.doc_b,
+         |  round(coalesce(i.inter_sz, 0)::DOUBLE /
+         |    (sa.sz + sb.sz - coalesce(i.inter_sz, 0))::DOUBLE, 6) AS jaccard_v
+         |  FROM p LEFT JOIN inter AS i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+         |  JOIN sz AS sa ON sa.doc_id = p.doc_a
+         |  JOIN sz AS sb ON sb.doc_id = p.doc_b),
+         | tl AS (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold),
+         | np AS (SELECT threshold, count(*) AS n_pairs FROM ja, tl
+         |  WHERE jaccard_v >= threshold GROUP BY threshold),
+         | nd AS (SELECT threshold, count(*) AS n_docs FROM (
+         |  SELECT DISTINCT threshold, d FROM (
+         |   SELECT threshold, unnest([doc_a, doc_b]) AS d FROM ja, tl
+         |   WHERE jaccard_v >= threshold) AS u) AS v GROUP BY threshold)
+         | SELECT tl.threshold, coalesce(np.n_pairs, 0) AS n_pairs,
+         |  coalesce(nd.n_docs, 0) AS n_docs
+         | FROM tl LEFT JOIN np USING (threshold) LEFT JOIN nd USING (threshold)
+         | ORDER BY tl.threshold""".stripMargin.replace("\n", " ")
+    },
+    "corpus_growth" ->
+      """WITH f AS (SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) > 1
+        |    AS INT) AS is_dup FROM documents),
+        | b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+        | g AS (SELECT least(((doc_id - lo) * 10) // (hi - lo + 1), 9) AS bucket,
+        |  count(*) AS n_docs, CAST(sum(is_dup) AS BIGINT) AS n_dups
+        |  FROM f, b GROUP BY 1)
+        | SELECT bucket, n_docs, n_dups,
+        |  round(n_dups::DOUBLE / n_docs, 6) AS dup_frac,
+        |  round((sum(n_dups) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING))::DOUBLE
+        |   / (sum(n_docs) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)), 6)
+        |   AS cum_dup_frac
+        | FROM g ORDER BY bucket""".stripMargin.replace("\n", " "),
+    "sim_cos_hist" -> {
+      val cosAdj =
+        """(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+          | (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+          |  sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))))""".stripMargin.replace("\n", " ")
+      s"""WITH p AS (SELECT round($cosAdj, 6) AS c
+         |  FROM embeddings AS a JOIN embeddings AS b ON b.vec_id = a.vec_id + 1)
+         | SELECT CAST(least(floor((c + 1.0) * 10), 19) AS BIGINT) AS bin,
+         |  round(CAST(least(floor((c + 1.0) * 10), 19) AS BIGINT) / 10.0 - 1.0, 1)
+         |    AS bin_lo,
+         |  count(*) AS n_pairs
+         | FROM p GROUP BY 1, 2 ORDER BY bin""".stripMargin.replace("\n", " ")
     },
     "dedup_minhash_est" -> {
       val agree = (0 until K)

@@ -771,6 +771,43 @@ object Corpus {
       .select("doc_id", "n_chars", "stage", "shard", "position")
   }
 
+  /** Corpus-growth duplication curve — the "marginal value of more
+    * data" card: docs bucketed by arrival order (equal-width doc_id
+    * ranges — ids are the ingest sequence), each bucket's exact-dup
+    * count against everything that arrived BEFORE it, with the
+    * cumulative dup fraction. A rising curve quantifies how fast a
+    * feed exhausts its novelty — the signal behind stopping
+    * crawls or re-weighting sources. Bucket assignment is integer
+    * division end to end (no float boundaries).
+    *
+    * Scale: first-occurrence flags are the exact-dedup hash window
+    * (partitioned by content hash, bounded by duplicate-set size);
+    * buckets aggregate to `buckets` rows and the cumulative window
+    * runs over those rows only. */
+  def growthCurve(docs: DataFrame, buckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val flagged = docs.select(col("doc_id"), md5(col("text")).as("_h"))
+      .withColumn("is_dup",
+        (row_number().over(
+          Window.partitionBy("_h").orderBy("doc_id")) > 1).cast("int"))
+    val bounds = docs.agg(min("doc_id").as("_lo"), max("doc_id").as("_hi"))
+    val wCum = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        least(expr(s"((doc_id - _lo) * $buckets) div (_hi - _lo + 1)"),
+          lit(buckets - 1L)).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("is_dup").cast("long").as("n_dups"))
+      .withColumn("dup_frac",
+        round(col("n_dups").cast("double") / col("n_docs"), 6))
+      .withColumn("cum_dup_frac",
+        round(sum("n_dups").over(wCum).cast("double") /
+          sum("n_docs").over(wCum), 6))
+      .select("bucket", "n_docs", "n_dups", "dup_frac", "cum_dup_frac")
+      .orderBy("bucket")
+  }
+
   /** Boilerplate mining — the top-N most widely shared word
     * n-grams with their document frequency and an example doc: the
     * discovery view behind span dedup and C4's policy-phrase list

@@ -350,6 +350,47 @@ object Dedup {
           .as("abs_err"))
   }
 
+  /** Dedup threshold-sensitivity curve — how many candidate pairs
+    * and touched docs survive each Jaccard cutoff: the tuning
+    * artifact behind choosing τ (too low merges topical neighbors,
+    * too high misses boilerplate variants), reported over the same
+    * capped LSH candidate set the production dedup joins on.
+    *
+    * Scale: one [[jaccardPairs]] pass over the LSH-bounded pair
+    * list; the curve is a thresholds×pairs explode of that TINY
+    * frame (never the corpus) and two hash aggregations. */
+  def thresholdCurve(docs: DataFrame, k: Int = 16, bands: Int = 4,
+                     rows: Int = 4, n: Int = 3,
+                     taus: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9))
+      : DataFrame = {
+    val sigs = minhashSignatureCached(docs, k, n)
+    val cands = minhashCandidates(sigs, bands, rows)
+      .localCheckpoint(eager = true)
+    // scored pairs feed two aggregations — materialize the (tiny,
+    // LSH-bounded) frame once, same rationale as the cands cut
+    val jac = jaccardPairs(docs, cands, n).localCheckpoint(eager = true)
+    val tl = docs.sparkSession.range(1)
+      .select(explode(typedlit(taus)).as("threshold"))
+    val byTau = jac.crossJoin(broadcast(tl))
+      .where(col("jaccard_v") >= col("threshold"))
+    val nPairs = byTau.groupBy("threshold")
+      .agg(count(lit(1)).as("n_pairs"))
+    // touched docs per threshold via a distinct over stacked
+    // (threshold, doc) rows — per-group state stays a counter,
+    // never a collected list
+    val nDocs = byTau
+      .select(col("threshold"),
+        explode(array(col("doc_a"), col("doc_b"))).as("d"))
+      .distinct()
+      .groupBy("threshold").agg(count(lit(1)).as("n_docs"))
+    tl.join(nPairs, Seq("threshold"), "left")
+      .join(nDocs, Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+      .orderBy("threshold")
+  }
+
   def jaccardPairs(docs: DataFrame, pairs: DataFrame, n: Int = 3): DataFrame = {
     val sh = shingleHashes(docs, n).select("doc_id", "h").distinct()
     val szs = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))

@@ -176,6 +176,35 @@ object Similarity {
         round(col("overlap") / lit(k.toDouble), 6).as("recall"))
   }
 
+  /** Cosine-geometry histogram — the corpus-shape card for an
+    * embedding column: cosines of a deterministic adjacent-id pair
+    * sample bucketed into 0.1-wide bins over [−1, 1]. A healthy
+    * encoder spreads mass; a collapsed one (all cosines ≈ 1) or a
+    * concentrated one (narrow band, the regime where top-k rankings
+    * destabilize — see sim_rp_recall) is visible at a glance.
+    * Binning uses the ROUNDED cosine so bin edges are
+    * engine-stable; empty bins are omitted.
+    *
+    * Scale: the sample is one hash equi-join on vec_id (adjacent
+    * ids), linear in the corpus — never an all-pairs product — and
+    * the histogram is a ≤20-key aggregation. */
+  def cosineHistogram(emb: DataFrame): DataFrame = {
+    val a = withNorm(emb, "a_id", "a_emb", "a_norm")
+    val b = withNorm(emb, "b_id", "b_emb", "b_norm")
+      .withColumn("_join_id", col("b_id") - 1)
+    val cosR = round(
+      scoreCos("a_emb", "b_emb", "a_norm", "b_norm"), 6)
+    a.join(b, col("a_id") === col("_join_id"))
+      .select(cosR.as("c"))
+      .withColumn("bin",
+        least(floor((col("c") + 1.0) * 10), lit(19.0)).cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(col("bin"),
+        round(col("bin") / 10.0 - 1.0, 1).as("bin_lo"), col("n_pairs"))
+      .orderBy("bin")
+  }
+
   /** Per-vector norm outliers — the row-level companion to
     * [[embedStats]]: L2 norm, corpus z-score, and the |z| > zMax
     * flag. Truncated inputs, failed encodes (near-zero norm) and

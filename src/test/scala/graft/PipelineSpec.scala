@@ -908,6 +908,50 @@ class PipelineSpec extends SparkSpec {
     assert(again.map(_.toSeq).toSet == rows.map(_.toSeq).toSet)
   }
 
+  test("thresholdCurve is monotone non-increasing in tau") {
+    val rows = Dedup.thresholdCurve(Tables.documents(spark, sf)).collect()
+    assert(rows.length == 5)
+    assert(rows.map(_.getAs[Double]("threshold")).toSeq ==
+      Seq(0.5, 0.6, 0.7, 0.8, 0.9))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("n_pairs") >= b.getAs[Long]("n_pairs"))
+      assert(a.getAs[Long]("n_docs") >= b.getAs[Long]("n_docs"))
+    }
+    // a pair touches two docs, and doc counts can't exceed 2×pairs
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") <= 2 * r.getAs[Long]("n_pairs"))
+    }
+  }
+
+  test("growthCurve: planted duplicate lands in the later bucket") {
+    val s = spark
+    import s.implicits._
+    // 20 docs, doc 15 repeats doc 3's content; buckets of 2
+    val docs = (1L to 20L).map(i =>
+      (i, if (i == 15L) "content 3" else s"content $i")).toDF("doc_id", "text")
+    val rows = Corpus.growthCurve(docs, buckets = 10).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == 20L)
+    val byBucket = rows.map(r => r.getAs[Long]("bucket") -> r).toMap
+    // doc 15 → bucket ((15-1)*10) div 20 = 7
+    assert(byBucket(7L).getAs[Long]("n_dups") == 1L)
+    assert(rows.map(_.getAs[Long]("n_dups")).sum == 1L)
+    // cumulative fraction at the last bucket = 1/20
+    val last = rows.maxBy(_.getAs[Long]("bucket"))
+    assert(last.getAs[Double]("cum_dup_frac") == 0.05)
+  }
+
+  test("cosineHistogram: identical adjacent vectors land in the top bin") {
+    val s = spark
+    import s.implicits._
+    val emb = (1L to 10L).map(i => (i, Array(1.0f, 2.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val rows = Similarity.cosineHistogram(emb).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Long]("bin") == 19L)
+    assert(rows(0).getAs[Double]("bin_lo") == 0.9)
+    assert(rows(0).getAs[Long]("n_pairs") == 9L)
+  }
+
   test("boilerplate surfaces the planted shared n-gram first") {
     val s = spark
     import s.implicits._
