@@ -396,7 +396,17 @@ object Dedup {
     val szs = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val aSh = sh.toDF("doc_a", "h")
     val bSh = sh.toDF("doc_b", "h")
-    val inter = pairs.join(aSh, "doc_a").join(bSh, Seq("doc_b", "h"))
+    // pairs are candidate-bounded by contract (LSH buckets or an
+    // explicit verification list), so BOTH shingle sides semi-filter
+    // against a broadcast of the pair doc ids before the
+    // intersection join — without this the (doc_b, h) equi-join
+    // shuffles the whole corpus-sized shingle frame to intersect a
+    // handful of candidate docs
+    val aFilt = aSh.join(broadcast(pairs.select("doc_a").distinct()),
+      Seq("doc_a"), "leftsemi")
+    val bFilt = bSh.join(broadcast(pairs.select("doc_b").distinct()),
+      Seq("doc_b"), "leftsemi")
+    val inter = pairs.join(aFilt, "doc_a").join(bFilt, Seq("doc_b", "h"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter_sz"))
     pairs
       .join(inter, Seq("doc_a", "doc_b"), "left")
@@ -419,8 +429,14 @@ object Dedup {
                        n: Int = 3): DataFrame = {
     val sh = shingleHashes(docs, n).select("doc_id", "h").distinct()
     val szs = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = pairs.join(sh.toDF("doc_a", "h"), "doc_a")
-      .join(sh.toDF("doc_b", "h"), Seq("doc_b", "h"))
+    // same candidate-bounded semi-filter as jaccardPairs: intersect
+    // only the pair docs' shingles, never shuffle the full frame
+    val aFilt = sh.toDF("doc_a", "h")
+      .join(broadcast(pairs.select("doc_a").distinct()), Seq("doc_a"), "leftsemi")
+    val bFilt = sh.toDF("doc_b", "h")
+      .join(broadcast(pairs.select("doc_b").distinct()), Seq("doc_b"), "leftsemi")
+    val inter = pairs.join(aFilt, "doc_a")
+      .join(bFilt, Seq("doc_b", "h"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter_sz"))
     pairs
       .join(inter, Seq("doc_a", "doc_b"), "left")
