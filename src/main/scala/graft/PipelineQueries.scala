@@ -174,6 +174,14 @@ object PipelineQueries {
       Corpus.growthCurve(Tables.documents(s, dir))),
     "sim_cos_hist" -> ((s, dir) =>
       Similarity.cosineHistogram(Tables.embeddings(s, dir))),
+    "sim_recall_curve" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.recallCurve(emb, emb.where(col("vec_id") < 10))
+    }),
+    "corpus_dup_sources" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Corpus.dupSources(docs, verifiedPairs(docs))
+    }),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(Tables.documents(s, dir)).orderBy("doc_id")),
     "dedup_simhash_pairs" -> ((s, dir) =>
@@ -580,6 +588,56 @@ object PipelineQueries {
         |   / (sum(n_docs) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)), 6)
         |   AS cum_dup_frac
         | FROM g ORDER BY bucket""".stripMargin.replace("\n", " "),
+    "sim_recall_curve" ->
+      s"""WITH cb AS (${lshBandedSql(8, 4, "c_id")}),
+         | qb AS (${lshBandedSql(8, 4, "q_id", "WHERE vec_id < 10")}),
+         | cands AS (SELECT DISTINCT qb.q_id, cb.c_id
+         |  FROM cb JOIN qb ON cb.tbl = qb.tbl AND cb.bucket = qb.bucket
+         |  WHERE qb.q_id <> cb.c_id),
+         | annk AS (SELECT q_id, c_id, rk AS rk_a FROM (
+         |  SELECT q_id, c_id,
+         |   row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rk
+         |  FROM (SELECT cands.q_id, cands.c_id, ${cosSql("q", "c")} AS cos
+         |   FROM cands JOIN embeddings AS q ON q.vec_id = cands.q_id
+         |    JOIN embeddings AS c ON c.vec_id = cands.c_id) AS sc) AS r
+         |  WHERE rk <= 20),
+         | fullk AS (SELECT q_id, c_id, rk AS rk_f FROM (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |   row_number() OVER (PARTITION BY q.vec_id
+         |     ORDER BY ${cosSql("q", "c")} DESC, c.vec_id ASC) AS rk
+         |  FROM embeddings AS q JOIN embeddings AS c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 10) AS t WHERE rk <= 20),
+         | kl AS (SELECT unnest([1, 5, 10, 20]) AS k),
+         | ov AS (SELECT k, f.q_id, count(*) AS overlap
+         |  FROM fullk AS f JOIN annk AS a
+         |   ON a.q_id = f.q_id AND a.c_id = f.c_id, kl
+         |  WHERE rk_f <= k AND rk_a <= k GROUP BY k, f.q_id),
+         | grid AS (SELECT k, vec_id AS q_id FROM embeddings, kl
+         |  WHERE vec_id < 10)
+         | SELECT grid.k, grid.q_id, coalesce(ov.overlap, 0) AS overlap,
+         |  round(coalesce(ov.overlap, 0) / grid.k, 6) AS recall
+         | FROM grid LEFT JOIN ov ON ov.k = grid.k AND ov.q_id = grid.q_id
+         | ORDER BY grid.k, grid.q_id""".stripMargin.replace("\n", " "),
+    "corpus_dup_sources" ->
+      s"""WITH RECURSIVE sig AS ($SIG), banded AS ($BANDED),
+         | capped AS (SELECT doc_id, band, bucket FROM (
+         |  SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz FROM banded) AS z
+         |  WHERE bsz <= $MAX_BUCKET),
+         | p AS ($PAIRS), v AS ($VERIFIED),
+         | edges AS (SELECT doc_a AS src, doc_b AS dst FROM v
+         |  UNION SELECT doc_b AS src, doc_a AS dst FROM v),
+         | reach(node, root) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.root FROM reach AS r JOIN edges AS e ON e.src = r.node),
+         | cl AS (SELECT node AS doc_id, min(root) AS cluster_id
+         |  FROM reach GROUP BY node)
+         | SELECT cs.source AS source_first, ds.source AS source_dup,
+         |  count(*) AS n_dups
+         | FROM cl JOIN documents AS ds ON ds.doc_id = cl.doc_id
+         |  JOIN documents AS cs ON cs.doc_id = cl.cluster_id
+         | WHERE cl.doc_id <> cl.cluster_id
+         | GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " "),
     "sim_cos_hist" -> {
       val cosAdj =
         """(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /

@@ -771,6 +771,30 @@ object Corpus {
       .select("doc_id", "n_chars", "stage", "shard", "position")
   }
 
+  /** Cross-source duplicate attribution — who copies whom: every
+    * non-canonical member of a near-dup cluster counted into a
+    * (canonical's source, duplicate's source) matrix. Syndication,
+    * mirror feeds and self-reposting all separate here, and the
+    * matrix decides which feed to dedup FIRST (drop the habitual
+    * copier, keep the origin). Canonical = the cluster label
+    * (lowest doc_id), matching `corpus_clusters`.
+    *
+    * Scale: reuses the shared persisted cluster-label frame; the two
+    * source lookups are equi-joins of the label frame against the
+    * (doc_id, source) projection; the matrix aggregation is
+    * ≤ sources². */
+  def dupSources(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val labels = dupClusters(docs.select("doc_id"), pairs)
+    val src = docs.select(col("doc_id"), col("source"))
+    val canonSrc = src.toDF("cluster_id", "source_first")
+    labels.where(col("doc_id") =!= col("cluster_id"))
+      .join(src.toDF("doc_id", "source_dup"), "doc_id")
+      .join(canonSrc, "cluster_id")
+      .groupBy("source_first", "source_dup")
+      .agg(count(lit(1)).as("n_dups"))
+      .orderBy("source_first", "source_dup")
+  }
+
   /** Corpus-growth duplication curve — the "marginal value of more
     * data" card: docs bucketed by arrival order (equal-width doc_id
     * ranges — ids are the ingest sequence), each bucket's exact-dup

@@ -339,6 +339,41 @@ object Similarity {
         col("rk").cast("long").as("rk"))
   }
 
+  /** ANN recall calibration curve — recall@k of the LSH index
+    * against the exact ranking, per query and k: the similarity-side
+    * companion of the dedup threshold curve, and the artifact
+    * tables/planes/k actually get tuned against (recall@1 high +
+    * recall@20 low means the index finds heads but starves deep
+    * candidate lists, and vice versa).
+    *
+    * Scale: one exact ranking + one LSH ranking at max(ks) — both
+    * already scale-audited — joined on (q_id, c_id); the curve is a
+    * ks×overlap explode of that queries×k-bounded frame. Zero-hit
+    * (k, query) cells survive via the grid left-join. */
+  def recallCurve(corpus: DataFrame, queries: DataFrame,
+                  ks: Seq[Int] = Seq(1, 5, 10, 20),
+                  dim: Int = 64, planes: Int = 4, tables: Int = 8)
+      : DataFrame = {
+    val kMax = ks.max
+    val full = cosineTopK(corpus, queries, kMax)
+      .select(col("q_id"), col("c_id"), col("rk").as("rk_f"))
+    val ann = lshAnn(corpus, queries, kMax, dim, planes, tables)
+      .select(col("q_id"), col("c_id"), col("rk").as("rk_a"))
+    val joined = full.join(ann, Seq("q_id", "c_id"))
+    val kl = corpus.sparkSession.range(1)
+      .select(explode(typedlit(ks)).as("k"))
+    val grid = queries.select(col("vec_id").as("q_id"))
+      .crossJoin(broadcast(kl))
+    val ov = joined.crossJoin(broadcast(kl))
+      .where(col("rk_f") <= col("k") && col("rk_a") <= col("k"))
+      .groupBy("k", "q_id").agg(count(lit(1)).as("overlap"))
+    grid.join(ov, Seq("k", "q_id"), "left")
+      .select(col("k"), col("q_id"),
+        coalesce(col("overlap"), lit(0L)).as("overlap"),
+        round(coalesce(col("overlap"), lit(0L)) / col("k"), 6).as("recall"))
+      .orderBy("k", "q_id")
+  }
+
   /** IVF-style ANN: a coarse quantizer partitions the corpus into
     * cells; queries probe only the `nprobe` nearest cells and exact
     * cosine reranks within them — the inverted-file pattern behind

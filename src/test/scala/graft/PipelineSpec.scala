@@ -908,6 +908,38 @@ class PipelineSpec extends SparkSpec {
     assert(again.map(_.toSeq).toSet == rows.map(_.toSeq).toSet)
   }
 
+  test("recallCurve: grid complete, overlap bounded, consistent with lshAnn") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.where(col("vec_id") < 10)
+    val rows = Similarity.recallCurve(emb, q).collect()
+    assert(rows.length == 40) // 4 k-values × 10 queries
+    rows.foreach { r =>
+      val (k, o) = (r.getAs[Int]("k"), r.getAs[Long]("overlap"))
+      assert(o >= 0 && o <= k)
+      assert(r.getAs[Double]("recall") == o.toDouble / k)
+    }
+    // overlap@k is non-decreasing in k per query (prefix property)
+    rows.groupBy(_.getAs[Long]("q_id")).values.foreach { qs =>
+      val byK = qs.sortBy(_.getAs[Int]("k")).map(_.getAs[Long]("overlap"))
+      byK.sliding(2).foreach { case Array(a, b) => assert(a <= b) }
+    }
+  }
+
+  test("dupSources attributes a planted cross-source near-dup cluster") {
+    val s = spark
+    import s.implicits._
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, text, "feedA"), (2L, text, "feedB"), (3L, text, "feedB"),
+      (4L, "something else entirely unrelated to the clones", "feedC"))
+      .toDF("doc_id", "text", "source")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val r = Corpus.dupSources(docs, pairs).collect()
+      .map(x => (x.getAs[String]("source_first"),
+        x.getAs[String]("source_dup")) -> x.getAs[Long]("n_dups")).toMap
+    assert(r == Map(("feedA", "feedB") -> 2L))
+  }
+
   test("thresholdCurve is monotone non-increasing in tau") {
     val rows = Dedup.thresholdCurve(Tables.documents(spark, sf)).collect()
     assert(rows.length == 5)
