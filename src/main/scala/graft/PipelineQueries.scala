@@ -174,6 +174,14 @@ object PipelineQueries {
       Corpus.growthCurve(Tables.documents(s, dir))),
     "sim_cos_hist" -> ((s, dir) =>
       Similarity.cosineHistogram(Tables.embeddings(s, dir))),
+    "sim_nprobe_curve" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.nprobeCurve(emb, emb.where(col("vec_id") < 10))
+    }),
+    "dedup_bucket_stats" -> ((s, dir) =>
+      Dedup.bucketStats(
+        Dedup.minhashSignatureCached(Tables.documents(s, dir), K),
+        BANDS, ROWS)),
     "sim_recall_curve" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.recallCurve(emb, emb.where(col("vec_id") < 10))
@@ -588,6 +596,62 @@ object PipelineQueries {
         |   / (sum(n_docs) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)), 6)
         |   AS cum_dup_frac
         | FROM g ORDER BY bucket""".stripMargin.replace("\n", " "),
+    "sim_nprobe_curve" ->
+      s"""WITH cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci,
+         |   embedding::DOUBLE[] AS cemb
+         |  FROM embeddings ORDER BY vec_id LIMIT 8),
+         | cd AS (SELECT e.vec_id, c.ci,
+         |   list_dot_product(c.cemb, c.cemb)
+         |    - 2 * list_dot_product(e.embedding::DOUBLE[], c.cemb) AS d
+         |  FROM embeddings AS e CROSS JOIN cents AS c),
+         | cellof AS (SELECT vec_id, ci AS cell FROM (
+         |  SELECT vec_id, ci, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY d ASC, ci ASC) AS rn FROM cd) AS t WHERE rn = 1),
+         | qp AS (SELECT vec_id AS q_id, ci AS cell, rn FROM (
+         |  SELECT vec_id, ci, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY d ASC, ci ASC) AS rn FROM cd WHERE vec_id < 10) AS t
+         |  WHERE rn <= 8),
+         | np AS (SELECT unnest([1, 2, 4, 8]) AS nprobe),
+         | cands AS (SELECT DISTINCT np.nprobe, q.q_id, co.vec_id AS c_id
+         |  FROM qp AS q JOIN cellof AS co ON co.cell = q.cell, np
+         |  WHERE q.rn <= np.nprobe AND co.vec_id <> q.q_id),
+         | annk AS (SELECT nprobe, q_id, c_id FROM (
+         |  SELECT nprobe, q_id, c_id, row_number() OVER (
+         |    PARTITION BY nprobe, q_id ORDER BY cos DESC, c_id ASC) AS rk
+         |  FROM (SELECT cands.nprobe, cands.q_id, cands.c_id,
+         |    ${cosSql("q", "c")} AS cos
+         |   FROM cands JOIN embeddings AS q ON q.vec_id = cands.q_id
+         |    JOIN embeddings AS c ON c.vec_id = cands.c_id) AS sc) AS r
+         |  WHERE rk <= 5),
+         | fullk AS (SELECT q_id, c_id FROM (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |   row_number() OVER (PARTITION BY q.vec_id
+         |     ORDER BY ${cosSql("q", "c")} DESC, c.vec_id ASC) AS rk
+         |  FROM embeddings AS q JOIN embeddings AS c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 10) AS t WHERE rk <= 5),
+         | ov AS (SELECT nprobe, f.q_id, count(*) AS overlap
+         |  FROM fullk AS f JOIN annk AS a
+         |   ON a.q_id = f.q_id AND a.c_id = f.c_id
+         |  GROUP BY nprobe, f.q_id),
+         | grid AS (SELECT nprobe, vec_id AS q_id FROM embeddings, np
+         |  WHERE vec_id < 10)
+         | SELECT grid.nprobe, grid.q_id, coalesce(ov.overlap, 0) AS overlap,
+         |  round(coalesce(ov.overlap, 0) / 5.0, 6) AS recall
+         | FROM grid LEFT JOIN ov
+         |  ON ov.nprobe = grid.nprobe AND ov.q_id = grid.q_id
+         | ORDER BY grid.nprobe, grid.q_id""".stripMargin.replace("\n", " "),
+    "dedup_bucket_stats" ->
+      s"""WITH sig AS ($SIG), banded AS ($BANDED),
+         | bs AS (SELECT band, bucket, count(*) AS bsz FROM banded
+         |  GROUP BY 1, 2)
+         | SELECT band, count(*) AS n_buckets,
+         |  CAST(sum(bsz) AS BIGINT) AS n_docs,
+         |  CAST(max(bsz) AS BIGINT) AS max_bucket,
+         |  CAST(sum(CASE WHEN bsz >= 2 THEN bsz ELSE 0 END) AS BIGINT)
+         |    AS colliding_docs,
+         |  CAST(sum(CASE WHEN bsz > $MAX_BUCKET THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS over_cap
+         | FROM bs GROUP BY band ORDER BY band""".stripMargin.replace("\n", " "),
     "sim_recall_curve" ->
       s"""WITH cb AS (${lshBandedSql(8, 4, "c_id")}),
          | qb AS (${lshBandedSql(8, 4, "q_id", "WHERE vec_id < 10")}),

@@ -162,13 +162,42 @@ object Dedup {
     * so an over-cap bucket is near-identical boilerplate whose
     * members are already linked through other (smaller) buckets or
     * the exact-hash stage. The cap is replayed in the oracle. */
-  def minhashCandidates(sigs: DataFrame, bands: Int = 4, rows: Int = 4,
-                        maxBucket: Int = 1000): DataFrame = {
-    val banded = (0 until bands).map { b =>
+  /** Band-bucket assignment shared by the candidate join and the
+    * index-health report: bucket = md5 over the band's hash row. */
+  private def bandedBuckets(sigs: DataFrame, bands: Int,
+                            rows: Int): DataFrame =
+    (0 until bands).map { b =>
       val bandCols = (0 until rows).map(r => col(s"mh${b * rows + r}"))
       sigs.select(col("doc_id"), lit(b).as("band"),
         md5(concat_ws(",", bandCols: _*)).as("bucket"))
     }.reduce(_ unionByName _)
+
+  /** LSH index-health report — per band: bucket count, docs, the
+    * largest bucket, docs in candidate-producing (≥2) buckets, and
+    * buckets over the hot cap (which the guard drops). This is the
+    * ops card bands×rows and the cap get tuned against: collision
+    * mass ≈ pair-join cost, over-cap count ≈ recall paid to the
+    * guard.
+    *
+    * Scale: two hash aggregations over the banded frame (state per
+    * bucket/band is counters only); never forms pairs. */
+  def bucketStats(sigs: DataFrame, bands: Int = 4, rows: Int = 4,
+                  maxBucket: Int = 1000): DataFrame =
+    bandedBuckets(sigs, bands, rows)
+      .groupBy("band", "bucket").agg(count(lit(1)).as("bsz"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum("bsz").cast("long").as("n_docs"),
+        max("bsz").as("max_bucket"),
+        sum(when(col("bsz") >= 2, col("bsz")).otherwise(0L))
+          .cast("long").as("colliding_docs"),
+        sum(when(col("bsz") > maxBucket, 1L).otherwise(0L))
+          .cast("long").as("over_cap"))
+      .orderBy("band")
+
+  def minhashCandidates(sigs: DataFrame, bands: Int = 4, rows: Int = 4,
+                        maxBucket: Int = 1000): DataFrame = {
+    val banded = bandedBuckets(sigs, bands, rows)
     val capped = banded
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy("band", "bucket")))
       .where(col("bsz") <= maxBucket)

@@ -374,6 +374,37 @@ object Similarity {
       .orderBy("k", "q_id")
   }
 
+  /** IVF probe-depth calibration curve — recall@k of [[ivfAnn]]
+    * against the exact ranking as nprobe grows: the depth/latency
+    * trade every IVF deployment tunes (each probed cell costs a
+    * bucket join; the curve shows where extra cells stop buying
+    * recall). Fixed k, one row per (nprobe, query).
+    *
+    * Scale: one exact ranking + one [[ivfAnn]] per probe depth
+    * (each a map-stage assignment + pruned cell join); the curve
+    * aggregation is queries×|nprobes|-bounded. */
+  def nprobeCurve(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+                  cells: Int = 8,
+                  nprobes: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    val full = cosineTopK(corpus, queries, k).select("q_id", "c_id")
+    val parts = nprobes.map { np =>
+      ivfAnn(corpus, queries, k, cells, np)
+        .select(lit(np).as("nprobe"), col("q_id"), col("c_id"))
+    }.reduce(_ unionByName _)
+    val nl = corpus.sparkSession.range(1)
+      .select(explode(typedlit(nprobes)).as("nprobe"))
+    val grid = queries.select(col("vec_id").as("q_id"))
+      .crossJoin(broadcast(nl))
+    val ov = parts.join(full, Seq("q_id", "c_id"))
+      .groupBy("nprobe", "q_id").agg(count(lit(1)).as("overlap"))
+    grid.join(ov, Seq("nprobe", "q_id"), "left")
+      .select(col("nprobe"), col("q_id"),
+        coalesce(col("overlap"), lit(0L)).as("overlap"),
+        round(coalesce(col("overlap"), lit(0L)) / lit(k.toDouble), 6)
+          .as("recall"))
+      .orderBy("nprobe", "q_id")
+  }
+
   /** IVF-style ANN: a coarse quantizer partitions the corpus into
     * cells; queries probe only the `nprobe` nearest cells and exact
     * cosine reranks within them — the inverted-file pattern behind

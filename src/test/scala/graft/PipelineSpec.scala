@@ -908,6 +908,43 @@ class PipelineSpec extends SparkSpec {
     assert(again.map(_.toSeq).toSet == rows.map(_.toSeq).toSet)
   }
 
+  test("nprobeCurve: recall non-decreasing in probe depth, full at all cells") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.where(col("vec_id") < 10)
+    val rows = Similarity.nprobeCurve(emb, q).collect()
+    assert(rows.length == 40)
+    // per query, overlap grows with probe depth (candidate sets nest)
+    rows.groupBy(_.getAs[Long]("q_id")).values.foreach { qs =>
+      val byNp = qs.sortBy(_.getAs[Int]("nprobe")).map(_.getAs[Long]("overlap"))
+      byNp.sliding(2).foreach { case Array(a, b) => assert(a <= b) }
+    }
+    // probing every cell = scanning the whole corpus = exact top-k
+    rows.filter(_.getAs[Int]("nprobe") == 8)
+      .foreach(r => assert(r.getAs[Double]("recall") == 1.0))
+  }
+
+  test("bucketStats: per-band doc totals and planted mega-bucket cap") {
+    val s = spark
+    import s.implicits._
+    val docs = Tables.documents(spark, sf)
+    val sigs = Dedup.minhashSignature(docs, 16)
+    val n = docs.count()
+    val stats = Dedup.bucketStats(sigs, 8, 2).collect()
+    assert(stats.length == 8)
+    stats.foreach { r =>
+      assert(r.getAs[Long]("n_docs") == n) // every doc lands in a bucket per band
+      assert(r.getAs[Long]("max_bucket") >= 1L)
+      assert(r.getAs[Long]("colliding_docs") <= n)
+      assert(r.getAs[Long]("over_cap") == 0L)
+    }
+    // identical docs collide: planted 3-way dup shows a bucket of ≥3
+    val clones = (1L to 3L).map(i => (i, "same text in every clone here"))
+      .toDF("doc_id", "text")
+    val cs = Dedup.bucketStats(Dedup.minhashSignature(clones, 16), 8, 2)
+      .collect()
+    cs.foreach(r => assert(r.getAs[Long]("max_bucket") == 3L))
+  }
+
   test("recallCurve: grid complete, overlap bounded, consistent with lshAnn") {
     val emb = Tables.embeddings(spark, sf)
     val q = emb.where(col("vec_id") < 10)
