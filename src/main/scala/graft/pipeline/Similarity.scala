@@ -387,12 +387,49 @@ object Similarity {
                   cells: Int = 8,
                   nprobes: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
     val full = cosineTopK(corpus, queries, k).select("q_id", "c_id")
-    val parts = nprobes.map { np =>
-      ivfAnn(corpus, queries, k, cells, np)
-        .select(lit(np).as("nprobe"), col("q_id"), col("c_id"))
-    }.reduce(_ unionByName _)
+    // ONE corpus cell assignment + ONE probe ranking serve every
+    // depth (candidate sets nest: depth p = probe ranks 1..p) —
+    // invoking ivfAnn per depth would re-assign the corpus
+    // |nprobes| times
+    val npMax = nprobes.max
+    val cents: Array[Seq[Double]] = corpus
+      .orderBy("vec_id").limit(cells)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq)
+    def dists(emb: Column): Column = array(cents.map { c =>
+      val cc = c.map(x => x * x).sum
+      lit(cc) - lit(2.0) * dotNative(emb.cast("array<double>"), typedLit(c))
+    }: _*)
+    def cellOf(emb: Column): Column = {
+      val d = dists(emb)
+      (array_position(d, array_min(d)) - 1).cast("int")
+    }
+    val cb = corpus.select(col("vec_id").as("c_id"),
+      col("embedding").as("c_emb"), cellOf(col("embedding")).as("cell"))
+    val qb = queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"), dists(col("embedding")).as("qd"))
+      .select(col("q_id"), col("q_emb"),
+        posexplode(slice(array_sort(array(
+          (0 until cells).map(i =>
+            struct(element_at(col("qd"), i + 1).as("d"), lit(i).as("i"))): _*)),
+          1, npMax)).as(Seq("pos", "probe")))
+      .select(col("q_id"), col("q_emb"),
+        (col("pos") + 1).as("probe_rank"), col("probe.i").as("cell"))
+    val cand = cb.join(broadcast(qb), Seq("cell"))
+      .where(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), col("probe_rank"),
+        (dotNative(col("q_emb"), col("c_emb")) /
+          (sqrt(dotNative(col("q_emb"), col("q_emb"))) *
+            sqrt(dotNative(col("c_emb"), col("c_emb"))))).as("cos"))
     val nl = corpus.sparkSession.range(1)
       .select(explode(typedlit(nprobes)).as("nprobe"))
+    val wNp = Window.partitionBy("nprobe", "q_id")
+      .orderBy(col("cos").desc, col("c_id").asc)
+    val parts = cand.crossJoin(broadcast(nl))
+      .where(col("probe_rank") <= col("nprobe"))
+      .withColumn("rk", row_number().over(wNp))
+      .where(col("rk") <= k)
+      .select(col("nprobe"), col("q_id"), col("c_id"))
     val grid = queries.select(col("vec_id").as("q_id"))
       .crossJoin(broadcast(nl))
     val ov = parts.join(full, Seq("q_id", "c_id"))
