@@ -357,6 +357,8 @@ object PipelineQueries {
         .orderBy("doc_id")),
     "corpus_bpe" -> ((s, dir) =>
       TextAnalysis.bpePairStats(Tables.documents(s, dir)).orderBy("rank")),
+    "corpus_bpe_train" -> ((s, dir) =>
+      TextAnalysis.bpeTrain(Tables.documents(s, dir), rounds = 8)),
     "text_langid" -> ((s, dir) =>
       TextAnalysis.languageId(Tables.documents(s, dir)).orderBy("doc_id")),
     "text_quality" -> ((s, dir) =>
@@ -1276,6 +1278,41 @@ object PipelineQueries {
         |  round(avg(lr), 6) AS dsir_mean
         | FROM bw JOIN lr USING (b) GROUP BY doc_id
         | ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    // all 8 greedy merge rounds replayed: per round, the pair count
+    // over the current vocab, the lexicographic-tie-broken argmax,
+    // and the delimiter-owning replace() rewrite — bit-identical to
+    // the engine because both replaces scan left-to-right
+    // non-overlapping
+    "corpus_bpe_train" -> {
+      val R = 8
+      val base =
+        """SELECT freq, ' ' || array_to_string(
+          |  [substring(w, i, 1) for i in range(1, length(w) + 1)], '  ')
+          |  || ' ' AS repr
+          | FROM (SELECT w, count(*) AS freq FROM (
+          |   SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+          |   FROM documents) AS u
+          |  WHERE length(w) > 0 GROUP BY w) AS b""".stripMargin.replace("\n", " ")
+      val stages = (1 to R).map { i =>
+        s"""p$i AS (SELECT p.a AS a, p.b AS b, sum(freq) AS pfreq FROM (
+           |  SELECT freq, unnest([{'a': syms[i], 'b': syms[i+1]}
+           |    for i in range(1, len(syms))]) AS p
+           |  FROM (SELECT freq, string_split(trim(repr), '  ') AS syms
+           |        FROM v${i - 1}) AS t
+           |  WHERE len(syms) >= 2) AS u GROUP BY 1, 2),
+           | t$i AS (SELECT a, b, pfreq FROM p$i
+           |  ORDER BY pfreq DESC, a ASC, b ASC LIMIT 1),
+           | v$i AS (SELECT freq,
+           |  replace(repr, ' ' || t.a || '  ' || t.b || ' ',
+           |    ' ' || t.a || t.b || ' ') AS repr
+           |  FROM v${i - 1}, t$i AS t)""".stripMargin.replace("\n", " ")
+      }.mkString(", ")
+      val tops = (1 to R).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS round, a AS sym_a, b AS sym_b, " +
+          s"a || b AS merged, CAST(pfreq AS BIGINT) AS pair_freq FROM t$i")
+        .mkString(" UNION ALL ")
+      s"WITH v0 AS ($base), $stages SELECT * FROM ($tops) AS m ORDER BY round"
+    },
     "corpus_bpe" ->
       """WITH wf AS (SELECT word, count(*) AS wc FROM
         |  (SELECT unnest(string_split_regex(lower(text), '\s+')) AS word

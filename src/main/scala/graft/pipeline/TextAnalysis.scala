@@ -440,6 +440,70 @@ object TextAnalysis {
           .cast("long"))
   }
 
+  /** Multi-round BPE tokenizer training — the real iterative form of
+    * [[bpePairStats]] (which reports only the first round's pair
+    * table): `rounds` greedy merges, each picking the corpus's most
+    * frequent adjacent symbol pair (frequency-weighted over the
+    * distinct-word vocabulary, ties to lexicographic pair order) and
+    * rewriting the vocabulary before the next count. Emits the merge
+    * table — (round, sym_a, sym_b, merged, pair_freq) — which IS the
+    * trained tokenizer artifact BPE implementations ship.
+    *
+    * Symbol sequences are encoded as strings with every symbol
+    * owning its delimiters (` a  b ` → merge = one literal
+    * `replace`), so the left-to-right non-overlapping scan of both
+    * engines' replace() reproduces BPE's greedy merge exactly —
+    * including the `aaa → (aa)a` overlap convention — and the
+    * DuckDB oracle replays all rounds bit-for-bit.
+    *
+    * Scale: every round is one map stage + one pair aggregation over
+    * the VOCABULARY (distinct words × freq — corpus text is touched
+    * once, at vocabulary build), a one-row driver collect of the
+    * winning pair (same bounded pattern as the IVF/PQ seeds), and a
+    * checkpointed rewrite so plans stay flat across rounds. */
+  def bpeTrain(docs: DataFrame, rounds: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    val chars = transform(sequence(lit(1), length(col("w"))),
+      i => col("w").substr(i, lit(1)))
+    var vocab = docs
+      .select(explode(words(col("text"))).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(col("freq"),
+        concat(lit(" "), concat_ws("  ", chars), lit(" ")).as("repr"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, String, Long)]
+    var round = 1
+    var done = false
+    while (round <= rounds && !done) {
+      val syms = split(trim(col("repr")), "  ")
+      val top = vocab
+        .select(col("freq"), syms.as("syms"))
+        .where(size(col("syms")) >= 2)
+        .select(col("freq"), explode(
+          transform(sequence(lit(0), size(col("syms")) - 2),
+            i => struct(element_at(col("syms"), i + 1).as("a"),
+              element_at(col("syms"), i + 2).as("b")))).as("p"))
+        .groupBy(col("p.a"), col("p.b")).agg(sum("freq").as("pfreq"))
+        .orderBy(col("pfreq").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b) = (top(0).getAs[String]("a"), top(0).getAs[String]("b"))
+        val pf = top(0).getAs[Long]("pfreq")
+        merges += ((round.toLong, a, b, a + b, pf))
+        vocab = vocab.withColumn("repr",
+          replace(col("repr"), lit(s" $a  $b "), lit(s" $a$b ")))
+          .localCheckpoint(true)
+        round += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("round", "sym_a", "sym_b", "merged", "pair_freq")
+      .orderBy("round")
+  }
+
   /** Unigram entropy per document — the information-density quality
     * signal (near-zero for boilerplate/repetition, ln(vocab) for
     * maximally varied text; used alongside the Gopher shape filters

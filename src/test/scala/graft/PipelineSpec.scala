@@ -908,6 +908,25 @@ class PipelineSpec extends SparkSpec {
     assert(again.map(_.toSeq).toSet == rows.map(_.toSeq).toSet)
   }
 
+  test("bpeTrain: greedy overlap, lexicographic ties, early stop") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "aaa aaa abab")).toDF("doc_id", "text")
+    val m = TextAnalysis.bpeTrain(docs, rounds = 8).collect()
+      .map(r => (r.getAs[Long]("round"), r.getAs[String]("sym_a"),
+        r.getAs[String]("sym_b"), r.getAs[String]("merged"),
+        r.getAs[Long]("pair_freq")))
+    // r1: (a,a)=4 from aaa×2 (two overlapping pairs count; merge is
+    //     greedy left: aaa → (aa)a). r2: tie (aa,a)=2 vs (a,b)=2 →
+    //     lexicographic a wins. r3: (aa,a)=2. r4: (ab,ab)=1.
+    // r5: no pairs remain → stops at 4 merges.
+    assert(m.toSeq == Seq(
+      (1L, "a", "a", "aa", 4L),
+      (2L, "a", "b", "ab", 2L),
+      (3L, "aa", "a", "aaa", 2L),
+      (4L, "ab", "ab", "abab", 1L)))
+  }
+
   test("nprobeCurve: recall non-decreasing in probe depth, full at all cells") {
     val emb = Tables.embeddings(spark, sf)
     val q = emb.where(col("vec_id") < 10)
