@@ -27,7 +27,7 @@ object TextAnalysis {
     * stage as their other per-doc signals instead of joining the
     * quality frame back on doc_id (a pointless corpus-wide shuffle at
     * 100 TB). */
-  private[pipeline] def qualityScoreCol(text: Column): Column = {
+  private[graft] def qualityScoreCol(text: Column): Column = {
     val w = words(text)
     val nChars = length(text).cast("double")
     val allSw = stopwords.values.flatten.toSeq.distinct
@@ -41,7 +41,7 @@ object TextAnalysis {
   /** BPE-ish token count of [[tokenCount]] as a bare column
     * expression — same single-map-stage composition rationale as
     * [[qualityScoreCol]]. */
-  private[pipeline] def bpeTokensCol(text: Column): Column =
+  private[graft] def bpeTokensCol(text: Column): Column =
     aggregate(words(text), lit(0L),
       (acc, x) => acc + ceil(length(x).cast("double") / 4.0).cast("long"))
 
