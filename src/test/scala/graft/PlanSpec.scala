@@ -630,6 +630,36 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Expand"), p.take(2000))
   }
 
+  test("embed stats: explode collapses map-side before the exchange") {
+    // partial HashAggregate must sit below the dim-key exchange so
+    // the shuffle carries ≤64 rows per task, never the exploded rows
+    val p = plan("sim_embed_stats")
+    val lines = p.linesIterator.toSeq
+    val exchange = lines.indexWhere(_.contains("Exchange hashpartitioning"))
+    val partial = lines.indexWhere(l =>
+      l.contains("HashAggregate") && l.contains("partial"))
+    assert(exchange >= 0 && partial > exchange,
+      s"no partial aggregate under the exchange:\n$p")
+  }
+
+  test("threshold curve: candidate list is a materialized scan, not a re-expansion") {
+    // the LSH pair subtree must appear as checkpointed RDD scans —
+    // if it re-expanded per consumer the plan held 54 parquet scans
+    val p = plan("dedup_threshold_curve")
+    assert(p.contains("Scan ExistingRDD"), p)
+    val parquetScans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(parquetScans <= 6, s"pair subtree re-expanded: $parquetScans scans")
+  }
+
+  test("nprobe curve: one corpus assignment serves every probe depth") {
+    // cell assignment scans the embeddings parquet a bounded number
+    // of times (corpus side + query side + exact ranking), not once
+    // per probe depth
+    val p = plan("sim_nprobe_curve")
+    val parquetScans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(parquetScans <= 6, s"assignment re-ran per depth: $parquetScans scans")
+  }
+
   test("cluster size stats reuse the shared label frame (InMemory scan)") {
     pipeline.Corpus.clearClusterCache()
     // prime the cache the way a pipeline run would: clusters first
