@@ -372,6 +372,42 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: budgetSelect equals the naive single-window walk") {
+    val s = spark
+    import s.implicits._
+    // random word-salad docs + a random budget: the two-phase shard
+    // rank + prefix token offsets must reproduce one global
+    // (quality desc, doc_id) cumsum exactly, ties and all
+    val wordGen = Gen.oneOf("alpha", "beta", "gamma", "the", "of", "zz")
+    val docGen = Gen.chooseNum(1, 12)
+      .flatMap(n => Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+    val caseGen = for {
+      texts <- Gen.listOfN(40, docGen)
+      budget <- Gen.chooseNum(5L, 120L)
+    } yield (texts, budget)
+    check(Prop.forAll(caseGen) { case (texts, budget) =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.pipeline.Corpus.budgetSelect(docs, budget)
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("rank"), r.getAs[Long]("cum_tokens"),
+            r.getAs[Int]("selected"))).toMap
+      // naive oracle over the collected (quality, tokens) pairs
+      val qt = TextAnalysis.quality(docs)
+        .join(TextAnalysis.tokenCount(docs), "doc_id")
+        .select("doc_id", "quality_score", "bpe_tokens").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      var cum = 0L
+      val expected = qt.sortBy { case (id, q, _) => (-q, id) }.zipWithIndex
+        .map { case ((id, _, tok), i) =>
+          val before = cum; cum += tok
+          id -> ((i + 1).toLong, cum, if (before < budget) 1 else 0)
+        }.toMap
+      got == expected
+    })
+  }
+
   test("property: influx parse never errors and flags rather than drops") {
     val s = spark
     import s.implicits._
