@@ -408,6 +408,64 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: bpeTrain equals a local greedy BPE reference") {
+    val s = spark
+    import s.implicits._
+    // small-alphabet words maximize merge collisions, overlap runs
+    // (aaa…) and ties — the cases where the string-replace encoding
+    // could diverge from true symbol-list BPE
+    val wordGen = Gen.chooseNum(1, 6)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString))
+    val docGen = Gen.chooseNum(1, 8)
+      .flatMap(n => Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+    check(Prop.forAll(Gen.listOfN(12, docGen)) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = TextAnalysis.bpeTrain(docs, rounds = 5).collect()
+        .map(r => (r.getAs[Long]("round"), r.getAs[String]("sym_a"),
+          r.getAs[String]("sym_b"), r.getAs[Long]("pair_freq"))).toSeq
+      // local reference: symbol lists + greedy left-to-right merge
+      var vocab: Map[List[String], Long] = texts
+        .flatMap(_.toLowerCase.split("\\s+")).filter(_.nonEmpty)
+        .groupBy(identity).map { case (w, ws) =>
+          w.toList.map(_.toString) -> ws.size.toLong
+        }
+      val expected = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, String, String, Long)]
+      var round = 1L
+      var stop = false
+      while (round <= 5 && !stop) {
+        val counts = scala.collection.mutable.Map
+          .empty[(String, String), Long]
+        vocab.foreach { case (syms, f) =>
+          syms.sliding(2).foreach {
+            case List(x, y) => counts((x, y)) = counts.getOrElse((x, y), 0L) + f
+            case _ =>
+          }
+        }
+        if (counts.isEmpty) stop = true
+        else {
+          val maxC = counts.values.max
+          val ((a, b), pf) = counts.toSeq.filter(_._2 == maxC)
+            .minBy { case ((x, y), _) => (x, y) }
+          expected += ((round, a, b, pf))
+          vocab = vocab.map { case (syms, f) =>
+            val out = scala.collection.mutable.ListBuffer.empty[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+                out += a + b; i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            out.toList -> f
+          }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+          round += 1
+        }
+      }
+      got == expected.toSeq
+    })
+  }
+
   test("property: influx parse never errors and flags rather than drops") {
     val s = spark
     import s.implicits._
