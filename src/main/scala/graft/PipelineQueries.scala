@@ -455,6 +455,8 @@ object PipelineQueries {
     "text_classifier" -> ((s, dir) =>
       TextAnalysis.qualityClassifier(Tables.documents(s, dir))
         .orderBy("doc_id")),
+    "text_classifier_train" -> ((s, dir) =>
+      TextAnalysis.trainClassifier(Tables.documents(s, dir))),
     "mm_phash" -> ((s, dir) =>
       // perceptual image hash over genuinely decoded BMP pixels; the
       // oracle replays the ENTIRE path bit-exactly in SQL — the
@@ -1868,6 +1870,39 @@ object PipelineQueries {
     // the engine's md5-derived weight vector rebuilt inline, the
     // token fold as a sequential list_reduce (same left-to-right
     // association as Spark's aggregate HOF)
+    // all GD rounds unrolled: per round, the per-doc logit against
+    // the previous weight table, the sigmoid, the per-bucket
+    // gradient, and the weight update — round 1 is exp-free by
+    // construction (w0 = 0 ⇒ p = 0.5)
+    "text_classifier_train" -> {
+      val (dim, rounds, lr) = (64, 3, 1.0)
+      val base =
+        s"""SELECT doc_id, CAST(lang = 'en' AS DOUBLE) AS y,
+           | string_split_regex(lower(text), '\\s+') AS ws FROM documents""".stripMargin.replace("\n", " ")
+      val feats =
+        s"""SELECT doc_id, any_value(y) AS y, j,
+           | count(*)::DOUBLE / any_value(n) AS x FROM (
+           |  SELECT doc_id, y, len(ws)::DOUBLE AS n,
+           |   CAST(CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % $dim AS INT) AS j
+           |  FROM (SELECT doc_id, y, ws, unnest(ws) AS t FROM base) AS u) AS v
+           | GROUP BY doc_id, j""".stripMargin.replace("\n", " ")
+      val roundsSql = (1 to rounds).map { r =>
+        s"""z$r AS (SELECT f.doc_id, sum(f.x * w${r - 1}.w) AS z
+           |  FROM f JOIN w${r - 1} ON w${r - 1}.j = f.j GROUP BY f.doc_id),
+           | p$r AS (SELECT doc_id, 1.0 / (1.0 + exp(-z)) AS p FROM z$r),
+           | g$r AS (SELECT f.j, sum(f.x * (p$r.p - f.y)) AS g
+           |  FROM f JOIN p$r USING (doc_id) GROUP BY f.j),
+           | w$r AS (SELECT w${r - 1}.j,
+           |  w${r - 1}.w - $lr * coalesce(g$r.g, 0) / nd.n AS w
+           |  FROM w${r - 1} LEFT JOIN g$r ON g$r.j = w${r - 1}.j, nd)""".stripMargin.replace("\n", " ")
+      }.mkString(", ")
+      s"""WITH base AS ($base), f AS ($feats),
+         | nd AS (SELECT count(*)::DOUBLE AS n FROM documents),
+         | w0 AS (SELECT CAST(unnest(range($dim)) AS INT) AS j, 0.0 AS w),
+         | $roundsSql
+         | SELECT j, round(w, 6) AS weight FROM w$rounds
+         | ORDER BY j""".stripMargin.replace("\n", " ")
+    },
     "text_classifier" -> {
       val dim = 256
       s"""WITH w AS (SELECT list(wv ORDER BY i) AS arr FROM (

@@ -563,6 +563,75 @@ object TextAnalysis {
       (raw >= 0).cast("int").as("keep"))
   }
 
+  /** Logistic-regression classifier TRAINING over hashing-trick
+    * bag-of-words features — the trained form of
+    * [[qualityClassifier]] (which ships a fixed weight vector), and
+    * the loop behind every fastText-style quality/language filter in
+    * production curation stacks: full-batch gradient descent,
+    * `rounds` epochs, on features x_j = (tokens hashing to bucket j)
+    * / n_tokens and any boolean `label` column expression (default
+    * lang = 'en'; in practice the teacher signal is a heuristic gate
+    * or LLM judgment being distilled). Emits the trained weight
+    * vector as (j, weight) rows — the shippable artifact
+    * [[qualityClassifier]] plugs in unchanged. On THIS corpus the
+    * default task is at-prior by construction (the lang tags are
+    * metadata uncorrelated with the word-salad text — the trainer
+    * correctly converges toward the prior), so the oracle gate
+    * exercises the numerical replay while the spec proves learning
+    * on a separable planted set.
+    *
+    * Round 1 is exp-free by construction (w₀ = 0 ⇒ every p = 0.5),
+    * and the DuckDB oracle replays all rounds unrolled; cross-engine
+    * float drift stays orders of magnitude under the 6-decimal
+    * output rounding for this depth.
+    *
+    * Scale: the sparse feature frame builds in one explode +
+    * map-side-combining aggregation and is materialized once
+    * (bounded by docs × distinct buckets ≤ docs·dim); each round is
+    * one broadcast-literal scoring aggregation + one ≤dim-row
+    * gradient collect (the same bounded driver pattern as the BPE
+    * trainer and the IVF seeds) — corpus text is touched once. */
+  def trainClassifier(docs: DataFrame, dim: Int = 64, rounds: Int = 3,
+                      lr: Double = 1.0,
+                      label: Column = col("lang") === "en"): DataFrame = {
+    val spark = docs.sparkSession
+    val bucket = (t: Column) =>
+      (conv(substring(md5(t), 1, 8), 16, 10).cast("long") % dim).cast("int")
+    val base = docs.select(col("doc_id"),
+      label.cast("double").as("y"),
+      words(col("text")).as("ws"))
+    val feats = base
+      .select(col("doc_id"), col("y"),
+        size(col("ws")).cast("double").as("n"), explode(col("ws")).as("t"))
+      .groupBy(col("doc_id"), col("y"), col("n"), bucket(col("t")).as("j"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("doc_id"), col("y"), col("j"),
+        (col("c").cast("double") / col("n")).as("x"))
+      .localCheckpoint(true)
+    val nDocs = docs.count().toDouble
+    val w = Array.fill(dim)(0.0)
+    for (_ <- 1 to rounds) {
+      val wl = typedlit(w.toSeq)
+      val p = feats
+        .groupBy("doc_id", "y")
+        .agg(sum(col("x") * element_at(wl, col("j") + 1)).as("z"))
+        .select(col("doc_id"),
+          (lit(1.0) / (lit(1.0) + exp(-col("z")))).as("p"))
+      val grad = feats.join(p, "doc_id")
+        .groupBy("j").agg(sum(col("x") * (col("p") - col("y"))).as("g"))
+        .collect()
+      grad.foreach { r =>
+        val j = r.getAs[Int]("j")
+        w(j) -= lr * r.getAs[Double]("g") / nDocs
+      }
+    }
+    import spark.implicits._
+    // HALF_UP to match both engines' round-half-away-from-zero
+    w.toSeq.zipWithIndex.map { case (v, j) =>
+      (j, BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toDF("j", "weight").orderBy("j")
+  }
+
   /** Gopher repetition signals (Rae et al. 2021 §A1.1, restated):
     * the fraction of word characters covered by the single most
     * frequent bigram, and by all trigrams that occur more than once.

@@ -908,6 +908,37 @@ class PipelineSpec extends SparkSpec {
     assert(again.map(_.toSeq).toSet == rows.map(_.toSeq).toSet)
   }
 
+  test("trainClassifier learns a separable planted vocabulary") {
+    val s = spark
+    import s.implicits._
+    val docs = ((1 to 20).map(i => (i.toLong, "good nice fine", "en")) ++
+      (21 to 40).map(i => (i.toLong, "bad awful poor", "x")))
+      .toDF("doc_id", "text", "lang")
+    val w = TextAnalysis.trainClassifier(docs, rounds = 10, lr = 5.0)
+      .collect().map(r => r.getAs[Int]("j") -> r.getAs[Double]("weight"))
+      .toMap
+    def bucketOf(t: String): Int = spark.range(1)
+      .select((conv(substring(md5(lit(t)), 1, 8), 16, 10)
+        .cast("long") % 64).cast("int")).head.getInt(0)
+    // positive-class words push positive, negative-class negative;
+    // untouched buckets stay exactly 0 (no bias leaks elsewhere)
+    Seq("good", "nice", "fine").foreach(t => assert(w(bucketOf(t)) > 0.5))
+    Seq("bad", "awful", "poor").foreach(t => assert(w(bucketOf(t)) < -0.5))
+    val touched = Seq("good", "nice", "fine", "bad", "awful", "poor")
+      .map(bucketOf).toSet
+    w.foreach { case (j, v) => if (!touched(j)) assert(v == 0.0) }
+    // the learned vector separates the training set perfectly
+    val wl = typedlit((0 until 64).map(j => w(j)))
+    val ws = split(lower(col("text")), "\\s+")
+    val bucketC = (t: org.apache.spark.sql.Column) =>
+      (conv(substring(md5(t), 1, 8), 16, 10).cast("long") % 64 + 1).cast("int")
+    val z = aggregate(ws, lit(0.0), (a, t) => a + element_at(wl, bucketC(t)))
+    val acc = docs
+      .select(((z >= 0) === (col("lang") === "en")).cast("int").as("ok"))
+      .agg(avg("ok")).head.getDouble(0)
+    assert(acc == 1.0)
+  }
+
   test("bpeTrain: greedy overlap, lexicographic ties, early stop") {
     val s = spark
     import s.implicits._
