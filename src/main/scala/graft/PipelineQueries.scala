@@ -150,6 +150,54 @@ object PipelineQueries {
        | a1 AS (${assignSql("cents1")})""".stripMargin.replace("\n", " ")
   }
 
+  /** kmeans-inertia oracle: Lloyd iterations 0..2 with per-vector
+    * (cluster, d²) labels, inertia sums and moved counts. */
+  private lazy val KMEANS_INERTIA_SQL: String = {
+    def d2(e: String, c: String) =
+      s"""(list_dot_product($e.embedding::DOUBLE[], $e.embedding::DOUBLE[])
+         | + list_dot_product($c.cemb, $c.cemb)
+         | - 2 * list_dot_product($e.embedding::DOUBLE[], $c.cemb))""".stripMargin.replace("\n", " ")
+    def labelsSql(cents: String) =
+      s"""SELECT vec_id, cluster, d2 FROM (
+         | SELECT e.vec_id, c.ci AS cluster, ${d2("e", "c")} AS d2,
+         |  row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY ${d2("e", "c")} ASC, c.ci ASC) AS rn
+         | FROM embeddings AS e CROSS JOIN $cents AS c) AS t
+         | WHERE rn = 1""".stripMargin.replace("\n", " ")
+    def meansSql(labels: String) =
+      s"""SELECT cluster, list(mv ORDER BY j) AS memb FROM (
+         | SELECT cluster, j, avg(v) AS mv FROM (
+         |  SELECT $labels.cluster, j, (e.embedding::DOUBLE[])[j] AS v
+         |  FROM $labels JOIN embeddings AS e USING (vec_id)
+         |  CROSS JOIN (SELECT unnest(range(1, 65)) AS j) AS js) AS x
+         | GROUP BY cluster, j) AS g GROUP BY cluster""".stripMargin.replace("\n", " ")
+    s"""WITH cents0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci,
+       |   embedding::DOUBLE[] AS cemb
+       |  FROM embeddings ORDER BY vec_id LIMIT 8),
+       | l0 AS (${labelsSql("cents0")}),
+       | m0 AS (${meansSql("l0")}),
+       | cents1 AS (SELECT c.ci, coalesce(m.memb, c.cemb) AS cemb
+       |  FROM cents0 AS c LEFT JOIN m0 AS m ON m.cluster = c.ci),
+       | l1 AS (${labelsSql("cents1")}),
+       | m1 AS (${meansSql("l1")}),
+       | cents2 AS (SELECT c.ci, coalesce(m.memb, c.cemb) AS cemb
+       |  FROM cents1 AS c LEFT JOIN m1 AS m ON m.cluster = c.ci),
+       | l2 AS (${labelsSql("cents2")})
+       | SELECT * FROM (
+       |  SELECT CAST(0 AS BIGINT) AS iter,
+       |   round((SELECT sum(d2) FROM l0), 6) AS inertia,
+       |   CAST(NULL AS BIGINT) AS moved
+       |  UNION ALL SELECT 1,
+       |   round((SELECT sum(d2) FROM l1), 6),
+       |   (SELECT count(*) FROM l1 JOIN l0 USING (vec_id)
+       |    WHERE l1.cluster <> l0.cluster)
+       |  UNION ALL SELECT 2,
+       |   round((SELECT sum(d2) FROM l2), 6),
+       |   (SELECT count(*) FROM l2 JOIN l1 USING (vec_id)
+       |    WHERE l2.cluster <> l1.cluster)) AS r
+       | ORDER BY iter""".stripMargin.replace("\n", " ")
+  }
+
   /** cosine similarity SQL over double-cast embedding lists. */
   private def cosSql(a: String, b: String) =
     s"""(list_dot_product($a.embedding::DOUBLE[], $b.embedding::DOUBLE[]) /
@@ -174,6 +222,8 @@ object PipelineQueries {
       Corpus.growthCurve(Tables.documents(s, dir))),
     "sim_cos_hist" -> ((s, dir) =>
       Similarity.cosineHistogram(Tables.embeddings(s, dir))),
+    "sim_kmeans_inertia" -> ((s, dir) =>
+      Similarity.kmeansInertia(Tables.embeddings(s, dir))),
     "sim_nprobe_curve" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.nprobeCurve(emb, emb.where(col("vec_id") < 10))
@@ -600,6 +650,7 @@ object PipelineQueries {
         |   / (sum(n_docs) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)), 6)
         |   AS cum_dup_frac
         | FROM g ORDER BY bucket""".stripMargin.replace("\n", " "),
+    "sim_kmeans_inertia" -> KMEANS_INERTIA_SQL,
     "sim_nprobe_curve" ->
       s"""WITH cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci,
          |   embedding::DOUBLE[] AS cemb

@@ -543,6 +543,66 @@ object Similarity {
     assignTo(cents).select(col("vec_id"), col("cluster"))
   }
 
+  /** k-means convergence curve — per Lloyd iteration: total
+    * within-cluster squared distance (inertia) and how many vectors
+    * changed cluster. The elbow/convergence artifact k and the
+    * iteration budget get chosen against; inertia is non-increasing
+    * in exact arithmetic, so an uptick flags numerical trouble.
+    * Same deterministic seeding as [[kmeans]].
+    *
+    * Scale: per iteration, assignment is the same broadcast-centroid
+    * map stage as [[kmeans]]; the narrow (vec_id, cluster, d²) label
+    * frame is materialized once per round (the written intermediate
+    * a real cluster run keeps anyway) and serves the inertia sum,
+    * the moved count and the mean recompute; driver state is one
+    * scalar pair per iteration. */
+  def kmeansInertia(corpus: DataFrame, k: Int = 8,
+                    iters: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    val emb = corpus.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("e"))
+    val seedW = Window.orderBy("vec_id") // k rows — not a full-frame window
+    var cents: DataFrame = emb.orderBy("vec_id").limit(k)
+      .select((row_number().over(seedW) - 1).as("ci"), col("e").as("cemb"))
+    var prev: Option[DataFrame] = None
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Double, Option[Long])]
+    for (t <- 0 until iters) {
+      val labels = emb.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("ci"),
+          (dotNative(col("e"), col("e")) +
+            dotNative(col("cemb"), col("cemb")) -
+            lit(2.0) * dotNative(col("e"), col("cemb"))).as("d2"))
+        .groupBy("vec_id")
+        .agg(min_by(struct(col("ci").as("c"), col("d2").as("d")),
+          struct(col("d2"), col("ci"))).as("best"))
+        .select(col("vec_id"), col("best.c").as("cluster"),
+          col("best.d").as("d2"))
+        .localCheckpoint(true)
+      val inertia = labels.agg(sum("d2")).head.getDouble(0)
+      val moved = prev.map(p => labels
+        .join(p.select(col("vec_id"), col("cluster").as("_pc")), "vec_id")
+        .where(col("cluster") =!= col("_pc")).count())
+      out += ((t.toLong, inertia, moved))
+      prev = Some(labels)
+      if (t < iters - 1) {
+        val means = labels.join(emb, "vec_id")
+          .select(col("cluster"), posexplode(col("e")).as(Seq("pos", "v")))
+          .groupBy("cluster", "pos").agg(avg("v").as("mv"))
+          .groupBy("cluster")
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
+            s => s.getField("mv")).as("memb"))
+        cents = cents.join(means, cents("ci") === means("cluster"), "left")
+          .select(col("ci"), coalesce(col("memb"), col("cemb")).as("cemb"))
+      }
+    }
+    import spark.implicits._
+    out.toSeq.map { case (t, in, mv) =>
+      (t, BigDecimal(in).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        mv)
+    }.toDF("iter", "inertia", "moved").orderBy("iter")
+  }
+
   /** Nearest-class-centroid (Rocchio) classification over labeled
     * embeddings — the cheap linear baseline for corpus labeling
     * (domain tagging, quality-tier assignment) when a kNN vote

@@ -908,6 +908,22 @@ class PipelineSpec extends SparkSpec {
     assert(again.map(_.toSeq).toSet == rows.map(_.toSeq).toSet)
   }
 
+  test("kmeansInertia: non-increasing inertia, moved counts sane") {
+    val rows = Similarity.kmeansInertia(Tables.embeddings(spark, sf))
+      .collect().sortBy(_.getAs[Long]("iter"))
+    assert(rows.length == 3)
+    assert(rows(0).isNullAt(rows(0).fieldIndex("moved")))
+    // Lloyd monotonicity: inertia never increases
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Double]("inertia") <=
+        a.getAs[Double]("inertia") + 1e-6)
+    }
+    // the first recompute must actually move something
+    assert(rows(1).getAs[Long]("moved") > 0)
+    // movement shrinks (or holds) as Lloyd converges
+    assert(rows(2).getAs[Long]("moved") <= rows(1).getAs[Long]("moved"))
+  }
+
   test("trainClassifier learns a separable planted vocabulary") {
     val s = spark
     import s.implicits._
