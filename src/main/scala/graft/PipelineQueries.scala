@@ -218,6 +218,9 @@ object PipelineQueries {
         .orderBy("doc_a", "doc_b")),
     "dedup_threshold_curve" -> ((s, dir) =>
       Dedup.thresholdCurve(Tables.documents(s, dir), K, BANDS, ROWS)),
+    "dedup_lsh_recall" -> ((s, dir) =>
+      Dedup.lshRecall(Tables.documents(s, dir), col("doc_id") < 200,
+        K, BANDS, ROWS)),
     "corpus_growth" -> ((s, dir) =>
       Corpus.growthCurve(Tables.documents(s, dir))),
     "sim_cos_hist" -> ((s, dir) =>
@@ -605,6 +608,42 @@ object PipelineQueries {
          |  ON l.half = r.half AND l.block = r.block AND l.doc_id < r.doc_id
          | WHERE bit_count(xor(l.simhash_v, r.simhash_v)) <= 4
          | ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " ")
+    },
+    "dedup_lsh_recall" -> {
+      s"""WITH sig AS ($SIG), banded AS ($BANDED),
+         | capped AS (SELECT doc_id, band, bucket FROM (
+         |  SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz FROM banded) AS z
+         |  WHERE bsz <= $MAX_BUCKET),
+         | cands AS ($PAIRS),
+         | ids AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+         | pp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM ids AS a JOIN ids AS b ON a.doc_id < b.doc_id),
+         | sh AS (SELECT DISTINCT doc_id, h FROM ($H) AS hh),
+         | sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         | inter AS (SELECT pp.doc_a, pp.doc_b, count(*) AS inter_sz FROM pp
+         |  JOIN sh AS a ON a.doc_id = pp.doc_a
+         |  JOIN sh AS b ON b.doc_id = pp.doc_b AND b.h = a.h
+         |  GROUP BY pp.doc_a, pp.doc_b),
+         | ja AS (SELECT pp.doc_a, pp.doc_b,
+         |  round(coalesce(i.inter_sz, 0)::DOUBLE /
+         |    (sa.sz + sb.sz - coalesce(i.inter_sz, 0))::DOUBLE, 6) AS jaccard_v
+         |  FROM pp LEFT JOIN inter AS i ON i.doc_a = pp.doc_a AND i.doc_b = pp.doc_b
+         |  JOIN sz AS sa ON sa.doc_id = pp.doc_a
+         |  JOIN sz AS sb ON sb.doc_id = pp.doc_b),
+         | tl AS (SELECT unnest([0.5, 0.7, 0.9]) AS threshold),
+         | jc AS (SELECT ja.doc_a, ja.doc_b, ja.jaccard_v,
+         |  CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |  FROM ja LEFT JOIN cands AS c
+         |   ON c.doc_a = ja.doc_a AND c.doc_b = ja.doc_b),
+         | g AS (SELECT threshold, count(*) AS n_true,
+         |  CAST(sum(hit) AS BIGINT) AS n_found
+         |  FROM jc, tl WHERE jc.jaccard_v >= threshold GROUP BY threshold)
+         | SELECT tl.threshold, coalesce(g.n_true, 0) AS n_true,
+         |  coalesce(g.n_found, 0) AS n_found,
+         |  CASE WHEN coalesce(g.n_true, 0) = 0 THEN NULL
+         |   ELSE round(g.n_found / g.n_true, 6) END AS recall
+         | FROM tl LEFT JOIN g USING (threshold)
+         | ORDER BY tl.threshold""".stripMargin.replace("\n", " ")
     },
     "dedup_threshold_curve" -> {
       s"""WITH sig AS ($SIG), banded AS ($BANDED),

@@ -195,6 +195,48 @@ object Dedup {
           .cast("long").as("over_cap"))
       .orderBy("band")
 
+  /** LSH candidate-generation recall — the missing third of the
+    * index-tuning triptych next to [[bucketStats]] (cost) and
+    * [[minhashEstimate]] (precision): of the pairs whose EXACT
+    * Jaccard clears τ, how many did the production band-bucket join
+    * actually surface? Ground truth needs all-pairs exact Jaccard,
+    * so it is computed only within a caller-bounded probe subset
+    * (the standard sampled-recall audit); the candidate side is the
+    * full production join, caps included — so cap-dropped pairs
+    * correctly count as misses.
+    *
+    * Scale: the all-pairs product exists only over the probe subset
+    * (|probe|²/2, bounded by contract); candidates and scored pairs
+    * are materialized once; the curve is a ≤|taus|-key aggregation. */
+  def lshRecall(docs: DataFrame, probe: Column, k: Int = 16,
+                bands: Int = 4, rows: Int = 4, n: Int = 3,
+                taus: Seq[Double] = Seq(0.5, 0.7, 0.9)): DataFrame = {
+    val sigs = minhashSignatureCached(docs, k, n)
+    val cands = minhashCandidates(sigs, bands, rows)
+      .withColumn("_hit", lit(1L))
+      .localCheckpoint(eager = true)
+    val ids = docs.where(probe).select("doc_id")
+    val pairs = ids.toDF("doc_a").crossJoin(ids.toDF("doc_b"))
+      .where(col("doc_a") < col("doc_b"))
+      .localCheckpoint(eager = true)
+    val jac = jaccardPairs(docs, pairs, n)
+    val tl = docs.sparkSession.range(1)
+      .select(explode(typedlit(taus)).as("threshold"))
+    val byTau = jac.crossJoin(broadcast(tl))
+      .where(col("jaccard_v") >= col("threshold"))
+      .join(cands, Seq("doc_a", "doc_b"), "left")
+      .groupBy("threshold")
+      .agg(count(lit(1)).as("n_true"),
+        coalesce(sum("_hit"), lit(0L)).as("n_found"))
+    tl.join(byTau, Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_found"), lit(0L)).as("n_found"),
+        when(coalesce(col("n_true"), lit(0L)) === 0, lit(null))
+          .otherwise(round(col("n_found") / col("n_true"), 6)).as("recall"))
+      .orderBy("threshold")
+  }
+
   def minhashCandidates(sigs: DataFrame, bands: Int = 4, rows: Int = 4,
                         maxBucket: Int = 1000): DataFrame = {
     val banded = bandedBuckets(sigs, bands, rows)

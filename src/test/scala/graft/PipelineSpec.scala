@@ -1043,6 +1043,30 @@ class PipelineSpec extends SparkSpec {
     assert(r == Map(("feedA", "feedB") -> 2L))
   }
 
+  test("lshRecall: identical planted pairs always found; bounds hold") {
+    val s = spark
+    import s.implicits._
+    val clone = "the quick brown fox jumps over the lazy dog again today ok"
+    val docs = ((1L to 4L).map(i => (i, clone)) ++
+      (5L to 30L).map(i => (i, s"unrelated document number $i with its own words $i$i")))
+      .toDF("doc_id", "text")
+    val rows = Dedup.lshRecall(docs, col("doc_id") <= 30).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val (t, f) = (r.getAs[Long]("n_true"), r.getAs[Long]("n_found"))
+      assert(f <= t)
+      // identical docs share every band bucket — the 6 clone pairs
+      // are always candidates, so recall is 1 wherever truth exists
+      assert(t >= 6)
+      assert(r.getAs[Double]("recall") == 1.0)
+    }
+    // n_true non-increasing in tau
+    rows.sortBy(_.getAs[Double]("threshold")).sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("n_true") >= b.getAs[Long]("n_true"))
+    }
+  }
+
   test("thresholdCurve is monotone non-increasing in tau") {
     val rows = Dedup.thresholdCurve(Tables.documents(spark, sf)).collect()
     assert(rows.length == 5)
