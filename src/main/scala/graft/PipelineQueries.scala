@@ -510,6 +510,10 @@ object PipelineQueries {
         .orderBy("doc_id")),
     "text_classifier_train" -> ((s, dir) =>
       TextAnalysis.trainClassifier(Tables.documents(s, dir))),
+    "mm_channel_stats" -> ((s, dir) =>
+      Multimodal.channelStats(
+        Multimodal.syntheticBmpMedia(Tables.documents(s, dir)))
+        .orderBy("media_id")),
     "mm_phash" -> ((s, dir) =>
       // perceptual image hash over genuinely decoded BMP pixels; the
       // oracle replays the ENTIRE path bit-exactly in SQL — the
@@ -2010,6 +2014,42 @@ object PipelineQueries {
          |  CAST(raw >= 0 AS INT) AS keep
          | FROM sc ORDER BY doc_id""".stripMargin.replace("\n", " ")
     },
+    // same xorshift chain as mm_phash; per-byte channel = column
+    // index mod 3 (BGR), padding bytes excluded; integer-exact sums
+    "mm_channel_stats" ->
+      """WITH RECURSIVE sz AS (SELECT doc_id AS media_id,
+        |  CAST(16 + doc_id % 64 AS INT) AS w,
+        |  CAST(16 + doc_id % 48 AS INT) AS h,
+        |  CAST(((16 + doc_id % 64) * 3 + 3) // 4 * 4 AS INT) AS row_size
+        | FROM documents),
+        | lim AS (SELECT *, row_size * h AS data_size FROM sz),
+        | chain(media_id, k, s) AS (
+        |  SELECT media_id, 0, CAST(media_id AS UBIGINT) | 1 FROM lim
+        |  UNION ALL
+        |  SELECT c.media_id, c.k + 1,
+        |   (SELECT xor(xor(b, b >> 7), CAST((CAST(xor(b, b >> 7) AS HUGEINT)
+        |      * 131072) % 18446744073709551616 AS UBIGINT))
+        |    FROM (SELECT xor(c.s, CAST((CAST(c.s AS HUGEINT) * 8192)
+        |      % 18446744073709551616 AS UBIGINT)) AS b) AS t)
+        |  FROM chain AS c JOIN lim ON lim.media_id = c.media_id
+        |  WHERE c.k < lim.data_size),
+        | bytes AS (SELECT media_id, k - 1 AS pos,
+        |   CAST(s >> 56 AS BIGINT) AS b FROM chain WHERE k >= 1),
+        | pxc AS (SELECT b.media_id, (b.pos % lim.row_size) % 3 AS ch, b.b
+        |  FROM bytes AS b JOIN lim ON lim.media_id = b.media_id
+        |  WHERE (b.pos % lim.row_size) < lim.w * 3),
+        | sums AS (SELECT media_id,
+        |   CAST(sum(CASE WHEN ch = 0 THEN b END) AS BIGINT) AS sum_b,
+        |   CAST(sum(CASE WHEN ch = 1 THEN b END) AS BIGINT) AS sum_g,
+        |   CAST(sum(CASE WHEN ch = 2 THEN b END) AS BIGINT) AS sum_r
+        |  FROM pxc GROUP BY media_id)
+        | SELECT lim.media_id, lim.w AS width, lim.h AS height,
+        |  s.sum_b, s.sum_g, s.sum_r,
+        |  round(s.sum_b::DOUBLE / (lim.w * lim.h), 6) AS mean_b,
+        |  round(s.sum_g::DOUBLE / (lim.w * lim.h), 6) AS mean_g,
+        |  round(s.sum_r::DOUBLE / (lim.w * lim.h), 6) AS mean_r
+        | FROM sums AS s JOIN lim ON lim.media_id = s.media_id
+        | ORDER BY lim.media_id""".stripMargin.replace("\n", " "),
     // exact replay of Multimodal.encodeBmp + aHash: xorshift64 with
     // wrapping << emulated via HUGEINT multiply mod 2^64; byte k of the
     // pixel array = state_k >> 56; padded bottom-up rows; integer cell

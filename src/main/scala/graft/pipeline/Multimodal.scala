@@ -244,6 +244,51 @@ object Multimodal {
       }.toDF()
   }
 
+  /** Per-channel image statistics over the DECODED pixel array —
+    * the normalization card image ML prep needs (per-channel
+    * mean/std feed every normalize transform) and the cheap
+    * broken-decode detector (a channel mean pinned at 0 or 255
+    * flags truncated or constant frames). Sums are integer-exact
+    * over the unsigned bytes (BGR order, padding skipped), so the
+    * oracle replays them bit-for-bit over the synthetic encoder's
+    * xorshift stream; means are derived from the sums.
+    *
+    * Scale: typed mapPartitions at the binary-decode boundary (the
+    * one justified non-Catalyst stage, same as the other decode
+    * ops) — one pass per payload, six accumulators, no shuffle. */
+  def channelStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .map { case (id, payload) =>
+        val (w, h, bpp) = decodeBmp(payload)
+        val rowSize = ((w * bpp / 8 + 3) / 4) * 4
+        val off = java.nio.ByteBuffer.wrap(payload)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(10)
+        var sb = 0L; var sg = 0L; var sr = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = off + y * rowSize + x * 3
+            sb += payload(p) & 0xff
+            sg += payload(p + 1) & 0xff
+            sr += payload(p + 2) & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        (id, w, h, sb, sg, sr)
+      }
+      .toDF("media_id", "width", "height", "sum_b", "sum_g", "sum_r")
+      .withColumn("_n", (col("width") * col("height")).cast("double"))
+      .select(col("media_id"), col("width"), col("height"),
+        col("sum_b"), col("sum_g"), col("sum_r"),
+        round(col("sum_b") / col("_n"), 6).as("mean_b"),
+        round(col("sum_g") / col("_n"), 6).as("mean_g"),
+        round(col("sum_r") / col("_n"), 6).as("mean_r"))
+  }
+
   /** Near-dup candidate pairs over ANY (media_id, 64-bit fp) frame —
     * the simhash half-block machinery verbatim (same fingerprint
     * shape, same hot-block cap, same xor/bit_count verify): blocking

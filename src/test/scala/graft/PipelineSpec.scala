@@ -908,6 +908,28 @@ class PipelineSpec extends SparkSpec {
     assert(again.map(_.toSeq).toSet == rows.map(_.toSeq).toSet)
   }
 
+  test("channelStats: hand-built BMP gives exact per-channel sums") {
+    val s = spark
+    import s.implicits._
+    // 2×1 24-bit BMP, pixels (B,G,R) = (10,20,30) and (50,60,70)
+    val w = 2; val h = 1; val rowSize = 8
+    val buf = java.nio.ByteBuffer.allocate(54 + rowSize * h)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+    buf.putInt(54 + rowSize * h).putShort(0).putShort(0).putInt(54)
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+    buf.putInt(0).putInt(rowSize * h)
+    buf.putInt(2835).putInt(2835).putInt(0).putInt(0)
+    buf.put(Array[Byte](10, 20, 30, 50, 60, 70, 0, 0))
+    val media = Seq((1L, buf.array())).toDF("media_id", "payload")
+    val r = Multimodal.channelStats(media).collect()(0)
+    assert(r.getAs[Long]("sum_b") == 60L)
+    assert(r.getAs[Long]("sum_g") == 80L)
+    assert(r.getAs[Long]("sum_r") == 100L)
+    assert(r.getAs[Double]("mean_g") == 40.0)
+    assert(r.getAs[Int]("width") == 2 && r.getAs[Int]("height") == 1)
+  }
+
   test("kmeansInertia: non-increasing inertia, moved counts sane") {
     val rows = Similarity.kmeansInertia(Tables.embeddings(spark, sf))
       .collect().sortBy(_.getAs[Long]("iter"))
