@@ -225,6 +225,8 @@ object PipelineQueries {
       Corpus.growthCurve(Tables.documents(s, dir))),
     "sim_cos_hist" -> ((s, dir) =>
       Similarity.cosineHistogram(Tables.embeddings(s, dir))),
+    "sim_pq_distortion" -> ((s, dir) =>
+      Similarity.pqDistortion(Tables.embeddings(s, dir))),
     "sim_kmeans_inertia" -> ((s, dir) =>
       Similarity.kmeansInertia(Tables.embeddings(s, dir))),
     "sim_nprobe_curve" -> ((s, dir) => {
@@ -911,6 +913,26 @@ object PipelineQueries {
          |  FROM codes AS q JOIN codes AS c ON q.vec_id <> c.vec_id
          |  WHERE q.vec_id < 10) AS t
          | WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin.replace("\n", " "),
+    "sim_pq_distortion" -> {
+      val js = (0 until 8).mkString("[", ", ", "]")
+      s"""WITH books AS (
+         |  SELECT row_number() OVER (PARTITION BY j ORDER BY vec_id) - 1 AS c, j,
+         |   list_slice(embedding::DOUBLE[], j * 8 + 1, (j + 1) * 8) AS w
+         |  FROM (SELECT vec_id, embedding FROM embeddings
+         |        ORDER BY vec_id LIMIT 64) AS seed
+         |  CROSS JOIN (SELECT unnest($js) AS j) AS jss),
+         | sv AS (SELECT vec_id, j,
+         |   list_slice(embedding::DOUBLE[], j * 8 + 1, (j + 1) * 8) AS s
+         |  FROM embeddings
+         |  CROSS JOIN (SELECT unnest($js) AS j) AS jss),
+         | err AS (SELECT sv.vec_id, sv.j,
+         |   min(list_dot_product(b.w, b.w)
+         |    - 2 * list_dot_product(sv.s, b.w)
+         |    + list_dot_product(sv.s, sv.s)) AS errmin
+         |  FROM sv JOIN books AS b USING (j) GROUP BY sv.vec_id, sv.j)
+         | SELECT j, count(*) AS n_vecs, round(avg(errmin), 6) AS mse
+         | FROM err GROUP BY j ORDER BY j""".stripMargin.replace("\n", " ")
+    },
     "sim_pq_ann" -> {
       val js = (0 until 8).mkString("[", ", ", "]")
       s"""WITH books AS (

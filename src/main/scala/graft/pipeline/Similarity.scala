@@ -714,6 +714,46 @@ object Similarity {
     * ADC-score) for the full IVF-PQ shape. Distances are L2 (ADC's
     * native metric); the spec measures recall against exact L2
     * top-k. */
+  /** PQ quantization-distortion report — per subspace: the mean
+    * squared error between each subvector and its nearest codeword
+    * (‖x_j − c‖² via the same c·c − 2x·c + x·x algebra the encoder
+    * ranks on). THE tuning artifact for m and ks: distortion
+    * concentrated in one subspace means that dimension block carries
+    * structure the codebook can't express; total MSE tracks the ADC
+    * scoring error against exact L2. Deterministic seed codebooks,
+    * matching [[pqAnn]]'s oracle path.
+    *
+    * Scale: one sliced-projection scan of the corpus (the pqAnn
+    * encode shape), a broadcast codebook join, and two hash
+    * aggregations — per-group state is one running min / mean. */
+  def pqDistortion(corpus: DataFrame, dim: Int = 64, m: Int = 8,
+                   ks: Int = 64): DataFrame = {
+    val sub = dim / m
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val seed: Array[Seq[Double]] = corpus
+      .orderBy("vec_id").limit(ks)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq)
+    val bdf = (for (c <- 0 until ks; j <- 0 until m)
+      yield (c, j, seed(c).slice(j * sub, (j + 1) * sub)))
+      .toDF("c", "j", "w")
+    val cs = corpus
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("_e"))
+      .select(col("vec_id"),
+        posexplode(array((0 until m).map(j =>
+          slice(col("_e"), j * sub + 1, sub)): _*)).as(Seq("j", "s")))
+    cs.join(broadcast(bdf), "j")
+      .select(col("vec_id"), col("j"),
+        (dotNative(col("w"), col("w")) -
+          lit(2.0) * dotNative(col("s"), col("w")) +
+          dotNative(col("s"), col("s"))).as("err"))
+      .groupBy("vec_id", "j").agg(min("err").as("errmin"))
+      .groupBy("j")
+      .agg(count(lit(1)).as("n_vecs"), round(avg("errmin"), 6).as("mse"))
+      .orderBy("j")
+  }
+
   def pqAnn(corpus: DataFrame, queries: DataFrame, k: Int,
             dim: Int = 64, m: Int = 8, ks: Int = 64,
             refine: Int = 0): DataFrame = {

@@ -908,6 +908,21 @@ class PipelineSpec extends SparkSpec {
     assert(again.map(_.toSeq).toSet == rows.map(_.toSeq).toSet)
   }
 
+  test("pqDistortion: zero for codebook members, positive elsewhere") {
+    val emb = Tables.embeddings(spark, sf)
+    val rows = Similarity.pqDistortion(emb).collect()
+    assert(rows.length == 8)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_vecs") == 500L)
+      assert(r.getAs[Double]("mse") > 0.0) // corpus ⊋ codebook seeds
+    }
+    // a corpus that IS the codebook reconstructs itself exactly
+    val seedOnly = emb.where(col("vec_id") < 64)
+    Similarity.pqDistortion(seedOnly, ks = 64).collect().foreach { r =>
+      assert(math.abs(r.getAs[Double]("mse")) < 1e-6)
+    }
+  }
+
   test("channelStats: hand-built BMP gives exact per-channel sums") {
     val s = spark
     import s.implicits._
