@@ -227,6 +227,11 @@ object PipelineQueries {
       Similarity.cosineHistogram(Tables.embeddings(s, dir))),
     "sim_pq_distortion" -> ((s, dir) =>
       Similarity.pqDistortion(Tables.embeddings(s, dir))),
+    "sim_ivfpq_ann" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfpqAnn(emb, emb.where(col("vec_id") < 10), 5)
+        .orderBy("q_id", "rk")
+    }),
     "sim_kmeans_inertia" -> ((s, dir) =>
       Similarity.kmeansInertia(Tables.embeddings(s, dir))),
     "sim_nprobe_curve" -> ((s, dir) => {
@@ -913,6 +918,63 @@ object PipelineQueries {
          |  FROM codes AS q JOIN codes AS c ON q.vec_id <> c.vec_id
          |  WHERE q.vec_id < 10) AS t
          | WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin.replace("\n", " "),
+    // IVF-PQ composed: cells + residual PQ + per-(query, cell) ADC —
+    // centroids/cellof/qprobe from the ivf oracle, residual lists as
+    // element-wise comprehensions, codebooks from the first 32
+    // residuals, encoding and ADC exactly as the engine
+    "sim_ivfpq_ann" -> {
+      val js = (0 until 8).mkString("[", ", ", "]")
+      val resid = "[ (e.embedding::DOUBLE[])[i] - co.cemb[i] for i in range(1, 65) ]"
+      s"""WITH cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+         |   embedding::DOUBLE[] AS cemb
+         |  FROM embeddings ORDER BY vec_id LIMIT 8),
+         | cd AS (SELECT e.vec_id, c.cell,
+         |   list_dot_product(c.cemb, c.cemb)
+         |    - 2 * list_dot_product(e.embedding::DOUBLE[], c.cemb) AS d
+         |  FROM embeddings AS e CROSS JOIN cents AS c),
+         | cellof AS (SELECT vec_id, cell FROM (
+         |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY d ASC, cell ASC) AS rn FROM cd) AS t WHERE rn = 1),
+         | cres AS (SELECT e.vec_id, cf.cell, $resid AS r
+         |  FROM embeddings AS e JOIN cellof AS cf ON cf.vec_id = e.vec_id
+         |  JOIN cents AS co ON co.cell = cf.cell),
+         | books AS (SELECT
+         |   row_number() OVER (PARTITION BY j ORDER BY vec_id) - 1 AS c, j,
+         |   list_slice(r, j * 8 + 1, (j + 1) * 8) AS w
+         |  FROM (SELECT vec_id, r FROM cres ORDER BY vec_id LIMIT 32) AS seed
+         |  CROSS JOIN (SELECT unnest($js) AS j) AS jss),
+         | csv2 AS (SELECT vec_id, cell, j, list_slice(r, j * 8 + 1, (j + 1) * 8) AS s
+         |  FROM cres CROSS JOIN (SELECT unnest($js) AS j) AS jss),
+         | enc AS (SELECT vec_id, cell, j, c AS code FROM (
+         |  SELECT sv.vec_id, sv.cell, sv.j, b.c,
+         |   row_number() OVER (PARTITION BY sv.vec_id, sv.j ORDER BY
+         |    (list_dot_product(b.w, b.w)
+         |     - 2 * list_dot_product(sv.s, b.w)) ASC, b.c ASC) AS rn
+         |  FROM csv2 AS sv JOIN books AS b USING (j)) AS t WHERE rn = 1),
+         | qprobe AS (SELECT vec_id AS q_id, cell FROM (
+         |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY d ASC, cell ASC) AS rn FROM cd WHERE vec_id < 10) AS t
+         |  WHERE rn <= 2),
+         | qres AS (SELECT q.q_id, q.cell, $resid AS r
+         |  FROM qprobe AS q JOIN embeddings AS e ON e.vec_id = q.q_id
+         |  JOIN cents AS co ON co.cell = q.cell),
+         | qsv AS (SELECT q_id, cell, j, list_slice(r, j * 8 + 1, (j + 1) * 8) AS s
+         |  FROM qres CROSS JOIN (SELECT unnest($js) AS j) AS jss),
+         | adc AS (SELECT qsv.q_id, qsv.cell, qsv.j, b.c,
+         |   (list_dot_product(qsv.s, qsv.s)
+         |    - 2 * list_dot_product(qsv.s, b.w)
+         |    + list_dot_product(b.w, b.w)) AS d
+         |  FROM qsv JOIN books AS b USING (j)),
+         | scored AS (SELECT adc.q_id, enc.vec_id AS c_id, sum(adc.d) AS adc
+         |  FROM enc JOIN adc ON adc.cell = enc.cell AND adc.j = enc.j
+         |   AND adc.c = enc.code
+         |  WHERE enc.vec_id <> adc.q_id
+         |  GROUP BY adc.q_id, enc.vec_id)
+         | SELECT q_id, c_id, round(adc, 6) + 0.0 AS adc_v, rk FROM (
+         |  SELECT q_id, c_id, adc, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY adc ASC, c_id ASC) AS rk FROM scored) AS r
+         | WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin.replace("\n", " ")
+    },
     "sim_pq_distortion" -> {
       val js = (0 until 8).mkString("[", ", ", "]")
       s"""WITH books AS (

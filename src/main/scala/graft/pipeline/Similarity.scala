@@ -754,6 +754,106 @@ object Similarity {
       .orderBy("j")
   }
 
+  /** Composed IVF-PQ index — the FAISS IndexIVFPQ shape, built from
+    * the two verified halves: a coarse quantizer prunes the search
+    * to `nprobe` cells, and within cells vectors are PQ-encoded on
+    * their RESIDUAL (x − centroid), the detail that makes IVF-PQ
+    * beat flat PQ (residuals concentrate near zero, so the same
+    * codebook budget spends its resolution where the data is).
+    * Scoring is per-(query, probed-cell) asymmetric distance against
+    * the query's residual in that cell. Deterministic seeds
+    * throughout (first `cells` vectors as centroids, first `ks`
+    * vectors' residuals as codewords) so the oracle replays
+    * assignment, encoding and ADC exactly.
+    *
+    * Scale: cell assignment + residual + encoding are one map-stage
+    * pass against broadcast centroid/codebook frames; scoring joins
+    * corpus codes to the ADC table on (cell, j, code) — candidates
+    * only ever come from probed cells, and the corpus float payload
+    * never reaches the scoring join (codes only, the PQ compression
+    * contract). */
+  def ivfpqAnn(corpus: DataFrame, queries: DataFrame, k: Int,
+               dim: Int = 64, cells: Int = 8, nprobe: Int = 2,
+               m: Int = 8, ks: Int = 32): DataFrame = {
+    val sub = dim / m
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents: Array[Seq[Double]] = corpus
+      .orderBy("vec_id").limit(cells)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq)
+    def dists(emb: Column): Column = array(cents.map { c =>
+      val cc = c.map(x => x * x).sum
+      lit(cc) - lit(2.0) * dotNative(emb.cast("array<double>"), typedLit(c))
+    }: _*)
+    def cellOf(emb: Column): Column = {
+      val d = dists(emb)
+      (array_position(d, array_min(d)) - 1).cast("int")
+    }
+    val centsDf = cents.zipWithIndex
+      .map { case (c, i) => (i, c) }.toSeq.toDF("cell", "cemb")
+    def residual(e: Column): Column =
+      zip_with(e, col("cemb"), (a, b) => a - b)
+    // corpus: cell + residual
+    val cb = corpus
+      .select(col("vec_id").as("c_id"),
+        col("embedding").cast("array<double>").as("e"),
+        cellOf(col("embedding")).as("cell"))
+      .join(broadcast(centsDf), "cell")
+      .select(col("c_id"), col("cell"), residual(col("e")).as("r"))
+    // codebooks: residuals of the first ks vectors (bounded collect)
+    val seedRes: Array[Seq[Double]] = cb
+      .orderBy("c_id").limit(ks)
+      .select("r").collect()
+      .map(_.getSeq[Double](0))
+    val bdf = (for ((r, c) <- seedRes.zipWithIndex.toSeq; j <- 0 until m)
+      yield (c, j, r.slice(j * sub, (j + 1) * sub))).toDF("c", "j", "w")
+    // encode corpus residuals: argmin codeword per subspace
+    val codes = cb
+      .select(col("c_id"), col("cell"),
+        posexplode(array((0 until m).map(j =>
+          slice(col("r"), j * sub + 1, sub)): _*)).as(Seq("j", "s")))
+      .join(broadcast(bdf), "j")
+      .select(col("c_id"), col("cell"), col("j"), col("c"),
+        (dotNative(col("w"), col("w")) -
+          lit(2.0) * dotNative(col("s"), col("w"))).as("d"))
+      .groupBy("c_id", "cell", "j")
+      .agg(min_by(col("c"), struct(col("d"), col("c"))).as("code"))
+    // queries: nprobe nearest cells, residual per probed cell,
+    // per-(query, cell, j, codeword) ADC table
+    val qb = queries
+      .select(col("vec_id").as("q_id"),
+        col("embedding").cast("array<double>").as("qe"),
+        dists(col("embedding")).as("qd"))
+      .select(col("q_id"), col("qe"),
+        explode(slice(array_sort(array(
+          (0 until cells).map(i =>
+            struct(element_at(col("qd"), i + 1).as("d"), lit(i).as("i"))): _*)),
+          1, nprobe)).as("probe"))
+      .select(col("q_id"), col("qe"), col("probe.i").as("cell"))
+      .join(broadcast(centsDf), "cell")
+      .select(col("q_id"), col("cell"), residual(col("qe")).as("rq"))
+    val adc = qb
+      .select(col("q_id"), col("cell"),
+        posexplode(array((0 until m).map(j =>
+          slice(col("rq"), j * sub + 1, sub)): _*)).as(Seq("j", "s")))
+      .join(broadcast(bdf), "j")
+      .select(col("q_id"), col("cell"), col("j"), col("c"),
+        (dotNative(col("s"), col("s")) -
+          lit(2.0) * dotNative(col("s"), col("w")) +
+          dotNative(col("w"), col("w"))).as("d"))
+    val scored = codes.join(broadcast(adc),
+        codes("cell") === adc("cell") && codes("j") === adc("j") &&
+          codes("code") === adc("c"))
+      .where(col("q_id") =!= col("c_id"))
+      .groupBy("q_id", "c_id").agg(sum("d").as("adc"))
+    val w = Window.partitionBy("q_id").orderBy(col("adc").asc, col("c_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("q_id"), col("c_id"), round(col("adc"), 6).as("adc_v"),
+        col("rk").cast("long").as("rk"))
+  }
+
   def pqAnn(corpus: DataFrame, queries: DataFrame, k: Int,
             dim: Int = 64, m: Int = 8, ks: Int = 64,
             refine: Int = 0): DataFrame = {

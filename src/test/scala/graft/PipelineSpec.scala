@@ -908,6 +908,27 @@ class PipelineSpec extends SparkSpec {
     assert(again.map(_.toSeq).toSet == rows.map(_.toSeq).toSet)
   }
 
+  test("ivfpqAnn: candidates confined to probed cells, nonzero recall") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.where(col("vec_id") < 10)
+    val got = Similarity.ivfpqAnn(emb, q, 5).collect()
+    assert(got.length == 50)
+    // every returned candidate must live in a probed cell: the
+    // plain IVF index with a huge k enumerates exactly those
+    val cellCands = Similarity.ivfAnn(emb, q, 100000, cells = 8, nprobe = 2)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).toSet
+    got.foreach { r =>
+      assert(cellCands((r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))))
+    }
+    // the compressed index still finds true neighbors: overlap@5
+    // with exact cosine is well above zero across the query set
+    val exact = Similarity.cosineTopK(emb, q, 5)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).toSet
+    val hits = got.count(r =>
+      exact((r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))))
+    assert(hits > 5, s"ivfpq found only $hits/50 exact neighbors")
+  }
+
   test("pqDistortion: zero for codebook members, positive elsewhere") {
     val emb = Tables.embeddings(spark, sf)
     val rows = Similarity.pqDistortion(emb).collect()
