@@ -660,6 +660,22 @@ class PlanSpec extends SparkSpec {
     assert(parquetScans <= 6, s"assignment re-ran per depth: $parquetScans scans")
   }
 
+  test("ivfpq scoring joins codes, never a corpus cartesian") {
+    val p = plan("sim_ivfpq_ann")
+    assert(!p.contains("CartesianProduct"), s"cartesian in ivfpq:\n$p")
+    // centroid/codebook/ADC sides broadcast into the joins
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("lshRecall cartesians only the bounded probe subset") {
+    // the all-pairs product must be the probe ids (filtered scans),
+    // never the corpus: every cartesian input subtree carries the
+    // probe pushdown
+    val p = plan("dedup_lsh_recall")
+    val cartesians = p.linesIterator.count(_.contains("CartesianProduct"))
+    assert(cartesians <= 1, s"$cartesians cartesians:\n$p")
+  }
+
   test("cluster size stats reuse the shared label frame (InMemory scan)") {
     pipeline.Corpus.clearClusterCache()
     // prime the cache the way a pipeline run would: clusters first
