@@ -128,6 +128,15 @@ object TsdbQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- fetch / series selection (the front door) --------------------
+    "ts_postings" -> ((s, dir) =>
+      Index.postings(samples(s, dir), Seq("name", "user_id"))
+        .orderBy("label", "value")),
+    "ts_index_route" -> ((s, dir) =>
+      Index.indexMatch(samples(s, dir),
+        Seq(Fetch.Matcher("name", Fetch.Re, "(pur|cli).*"),
+          Fetch.Matcher("user_id", Fetch.NotEq, "7"),
+          Fetch.Matcher("user_id", Fetch.Re, "[0-9]*[13579]")),
+        labelCols = Seq("name", "user_id"))),
     "ts_fetch_eq" -> ((s, dir) =>
       Fetch(samples(s, dir),
         Seq(Fetch.Matcher("name", Fetch.Eq, "purchase")),
@@ -936,6 +945,24 @@ object TsdbQueries {
          | WHERE regexp_full_match(CAST(user_id AS VARCHAR), '[0-9]')
          |  AND name IS NOT NULL
          | ORDER BY tag_name, tag_value""".stripMargin.replace("\n", " "),
+    "ts_postings" ->
+      s"""WITH series AS (SELECT DISTINCT name,
+         |  CAST(user_id AS VARCHAR) AS user_id FROM ($S) AS s)
+         | SELECT label, value, n_series FROM (
+         |  SELECT 'name' AS label, name AS value, count(*) AS n_series
+         |   FROM series GROUP BY name
+         |  UNION ALL
+         |  SELECT 'user_id' AS label, user_id AS value, count(*) AS n_series
+         |   FROM series GROUP BY user_id) AS p
+         | ORDER BY label, value""".stripMargin.replace("\n", " "),
+    // the index route must land on exactly the direct-scan series set
+    "ts_index_route" ->
+      s"""SELECT DISTINCT name, CAST(user_id AS VARCHAR) AS user_id
+         | FROM ($S) AS s
+         | WHERE regexp_full_match(name, '(pur|cli).*')
+         |  AND CAST(user_id AS VARCHAR) <> '7'
+         |  AND regexp_full_match(CAST(user_id AS VARCHAR), '[0-9]*[13579]')
+         | ORDER BY name, user_id""".stripMargin.replace("\n", " "),
     "ts_series_match" ->
       s"""SELECT DISTINCT name, user_id FROM (
          | SELECT name, user_id FROM ($S) AS s1

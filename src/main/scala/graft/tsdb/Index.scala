@@ -1,0 +1,78 @@
+package graft.tsdb
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** m3ninx restated — the inverted index the dbnode consults for
+  * label matching (/root/reference/src/m3ninx: segment terms
+  * dictionaries + postings lists, FST-regex over terms) — as
+  * relational frames. The direct route ([[Fetch]]) pushes matcher
+  * predicates into the sample scan; THIS route resolves matchers
+  * against the index frames (built here by one series-level
+  * distinct; a cluster deployment maintains them incrementally, so
+  * resolution reads no sample rows at all): regexes evaluate over
+  * the TERMS DICTIONARY (distinct (label, value) pairs — m3ninx
+  * runs its regex automaton over the FST's term space for exactly
+  * this reason), and the surviving terms' postings intersect down
+  * to the series set.
+  *
+  * Scale: the terms dictionary and postings frames are orders of
+  * magnitude smaller than the sample store and are exactly what a
+  * cluster deployment maintains incrementally next to the bucketed
+  * layout; a matcher touches |terms(label)| rows for the regex and
+  * |matched postings| rows for the intersection — series-count
+  * work, never datapoint-count work. Matcher intersection is a
+  * chain of set intersections on the series key.
+  */
+object Index {
+
+  /** Postings-size table — one row per (label, value) term with its
+    * posting-list size: m3's index-cardinality view (the operational
+    * answer to "which label explodes my index"). */
+  def postings(samples: DataFrame, labelCols: Seq[String]): DataFrame = {
+    val series = samples
+      .select(labelCols.map(c => col(c).cast("string").as(c)): _*)
+      .distinct()
+    labelCols.map { l =>
+      series.groupBy(col(l).as("value"))
+        .agg(count(lit(1)).as("n_series"))
+        .select(lit(l).as("label"), col("value"), col("n_series"))
+    }.reduce(_ unionByName _)
+  }
+
+  private def termPredicate(m: Fetch.Matcher): Column = m.op match {
+    case Fetch.Eq    => col("value") === lit(m.value)
+    case Fetch.NotEq => col("value") =!= lit(m.value)
+    case Fetch.Re    => col("value").rlike(s"^(?:${m.value})$$")
+    case Fetch.NotRe => !col("value").rlike(s"^(?:${m.value})$$")
+  }
+
+  /** Resolve a matcher conjunction through the index: per matcher, a
+    * terms-dictionary scan selects the matching values (the regex
+    * runs over distinct terms, not rows), a semi-join pulls that
+    * term's postings, and the per-matcher series sets intersect.
+    * Returns the matched series identities — byte-equal to the
+    * direct scan route, without reading a single sample row. */
+  def indexMatch(samples: DataFrame, matchers: Seq[Fetch.Matcher],
+                 labelCols: Seq[String]): DataFrame = {
+    require(matchers.nonEmpty, "index route needs at least one matcher")
+    val series = samples
+      .select(labelCols.map(c => col(c).cast("string").as(c)): _*)
+      .distinct()
+    val post = labelCols.map { l =>
+      series.select(lit(l).as("label"), col(l).as("value"),
+        struct(labelCols.map(col): _*).as("sid"))
+    }.reduce(_ unionByName _)
+    val terms = post.select("label", "value").distinct()
+    val perMatcher = matchers.map { m =>
+      val label = if (m.label == "__name__") "name" else m.label
+      val matchedTerms = terms
+        .where(col("label") === label && termPredicate(m))
+      post.join(broadcast(matchedTerms), Seq("label", "value"), "leftsemi")
+        .select("sid")
+    }
+    perMatcher.reduce(_ intersect _)
+      .select(col("sid.*"))
+      .orderBy(labelCols.map(col): _*)
+  }
+}

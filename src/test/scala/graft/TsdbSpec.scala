@@ -80,6 +80,37 @@ class TsdbSpec extends SparkSpec {
     ).toDF("name", "user_id", "ts", "value", "event_id")
   }
 
+  test("index route equals the direct-scan matcher route") {
+    val samples = Vectors.samples(Tables.events(spark, sf))
+    val sets: Seq[Seq[Fetch.Matcher]] = Seq(
+      Seq(Fetch.Matcher("name", Fetch.Eq, "purchase")),
+      Seq(Fetch.Matcher("name", Fetch.Re, "cl.*"),
+        Fetch.Matcher("user_id", Fetch.Re, "[0-9]*[02468]")),
+      Seq(Fetch.Matcher("name", Fetch.NotEq, "purchase"),
+        Fetch.Matcher("user_id", Fetch.NotRe, "1.*")),
+      Seq(Fetch.Matcher("user_id", Fetch.Eq, "999983")))
+    sets.foreach { ms =>
+      val viaIndex = Index.indexMatch(samples, ms, Seq("name", "user_id"))
+        .collect().map(_.toSeq).toSet
+      val direct = samples
+        .where(ms.map(Fetch.predicate).reduce(_ && _))
+        .select(col("name").cast("string"), col("user_id").cast("string"))
+        .distinct().collect().map(_.toSeq).toSet
+      assert(viaIndex == direct, s"matcher set $ms diverged")
+    }
+  }
+
+  test("postings sizes sum to series count per label") {
+    val samples = Vectors.samples(Tables.events(spark, sf))
+    val nSeries = samples.select("name", "user_id").distinct().count()
+    val p = Index.postings(samples, Seq("name", "user_id")).collect()
+    Seq("name", "user_id").foreach { l =>
+      val tot = p.filter(_.getAs[String]("label") == l)
+        .map(_.getAs[Long]("n_series")).sum
+      assert(tot == nSeries, s"label $l postings don't cover the series")
+    }
+  }
+
   test("rate family: extrapolated delta/increase with counter reset") {
     // rate.go:150 hand-check — samples at 0/6/12/18h in a 24h window:
     // si=64800 s, avg spacing 21600, threshold 23760; d0=0 and
