@@ -137,6 +137,15 @@ object TsdbQueries {
           Fetch.Matcher("user_id", Fetch.NotEq, "7"),
           Fetch.Matcher("user_id", Fetch.Re, "[0-9]*[13579]")),
         labelCols = Seq("name", "user_id"))),
+    "ts_index_fetch" -> ((s, dir) =>
+      Index.indexFetch(samples(s, dir),
+        Seq(Fetch.Matcher("name", Fetch.Re, "(pur|cli).*"),
+          Fetch.Matcher("user_id", Fetch.Re, "[0-9]*[13579]")),
+        Seq("name", "user_id"),
+        startS = Some(1704067200L), endS = Some(1705276800L))
+        .select(col("name"), col("user_id"),
+          unix_timestamp(col("ts")).as("ts_s"), col("value"), col("event_id"))
+        .orderBy("event_id")),
     "ts_fetch_eq" -> ((s, dir) =>
       Fetch(samples(s, dir),
         Seq(Fetch.Matcher("name", Fetch.Eq, "purchase")),
@@ -859,6 +868,13 @@ object TsdbQueries {
   )
 
   val oracles: Map[String, String] = withSharedOracles(Map(
+    "ts_index_fetch" ->
+      s"""SELECT name, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, value, event_id
+         | FROM ($S) AS s
+         | WHERE regexp_full_match(name, '(pur|cli).*')
+         |  AND regexp_full_match(CAST(user_id AS VARCHAR), '[0-9]*[13579]')
+         |  AND floor(epoch(ts)) >= 1704067200 AND floor(epoch(ts)) < 1705276800
+         | ORDER BY event_id""".stripMargin.replace("\n", " "),
     "ts_fetch_eq" ->
       s"""SELECT name, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, value, event_id
          | FROM ($S) AS s

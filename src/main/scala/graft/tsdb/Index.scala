@@ -75,4 +75,26 @@ object Index {
       .select(col("sid.*"))
       .orderBy(labelCols.map(col): _*)
   }
+
+  /** Index-backed fetch — the two-step read a maintained index
+    * enables: matchers resolve to a series set through
+    * [[indexMatch]] (series-cardinality work), then ONE semi-join
+    * prunes the sample scan to those series. Same result as pushing
+    * the predicates into the scan ([[Fetch]]), but the regex work
+    * never touches a sample row and the scan-side predicate is an
+    * equi-join a bucketed layout satisfies without a shuffle. */
+  def indexFetch(samples: DataFrame, matchers: Seq[Fetch.Matcher],
+                 labelCols: Seq[String], startS: Option[Long] = None,
+                 endS: Option[Long] = None): DataFrame = {
+    val sids = indexMatch(samples, matchers, labelCols)
+      .select(labelCols.map(c => col(c).as(s"_i_$c")): _*)
+    val joinCond = labelCols.map(c =>
+      col(c).cast("string") === col(s"_i_$c")).reduce(_ && _)
+    val bounded = samples
+      .where(startS.map(s => unix_timestamp(col("ts")) >= s)
+        .getOrElse(lit(true)))
+      .where(endS.map(e => unix_timestamp(col("ts")) < e)
+        .getOrElse(lit(true)))
+    bounded.join(broadcast(sids), joinCond, "leftsemi")
+  }
 }
