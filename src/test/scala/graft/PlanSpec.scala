@@ -676,6 +676,12 @@ class PlanSpec extends SparkSpec {
     assert(cartesians <= 1, s"$cartesians cartesians:\n$p")
   }
 
+  test("index fetch prunes the scan with a broadcast semi-join") {
+    val p = plan("ts_index_fetch")
+    assert(p.contains("LeftSemi") && p.contains("Broadcast"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("cluster size stats reuse the shared label frame (InMemory scan)") {
     pipeline.Corpus.clearClusterCache()
     // prime the cache the way a pipeline run would: clusters first

@@ -466,6 +466,36 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: index route equals direct scan for random matcher sets") {
+    val s = spark
+    import s.implicits._
+    val base = graft.tsdb.Vectors.samples(
+      graft.Tables.events(s, "/root/testdata/sf0.001"))
+    val names = Seq("purchase", "click", "view", "signup", "error")
+    val mGen = for {
+      eqName <- Gen.option(Gen.oneOf(names))
+      reName <- Gen.option(Gen.oneOf("p.*", "c.*", "(pur|cli).*", ".*e.*"))
+      reUser <- Gen.option(Gen.oneOf("[0-9]*[02468]", "1.*", "[0-9]+"))
+      neqUser <- Gen.option(Gen.chooseNum(0, 20).map(_.toString))
+    } yield {
+      import graft.tsdb.Fetch._
+      (eqName.map(v => Matcher("name", Eq, v)).toSeq ++
+        reName.map(v => Matcher("name", Re, v)).toSeq ++
+        reUser.map(v => Matcher("user_id", Re, v)).toSeq ++
+        neqUser.map(v => Matcher("user_id", NotEq, v)).toSeq)
+    }
+    check(Prop.forAll(mGen.suchThat(_.nonEmpty)) { ms =>
+      val viaIndex = graft.tsdb.Index
+        .indexMatch(base, ms, Seq("name", "user_id"))
+        .collect().map(_.toSeq).toSet
+      val direct = base
+        .where(ms.map(graft.tsdb.Fetch.predicate).reduce(_ && _))
+        .select(col("name").cast("string"), col("user_id").cast("string"))
+        .distinct().collect().map(_.toSeq).toSet
+      viaIndex == direct
+    })
+  }
+
   test("property: influx parse never errors and flags rather than drops") {
     val s = spark
     import s.implicits._
