@@ -509,6 +509,7 @@ object RelQueries {
     // event_id breaks timestamp ties so the order is total and the
     // oracle replays it.
     "q_event_paths" -> ((s, dir) => eventPaths(Tables.events(s, dir))),
+    "q_transitions" -> ((s, dir) => transitionMatrix(Tables.events(s, dir))),
 
     // funnel time-to-convert (see funnelLatency Scaladoc)
     "q_funnel_latency" -> ((s, dir) =>
@@ -555,6 +556,32 @@ object RelQueries {
     counted.withColumn("rk",
       row_number().over(Window.orderBy(col("n").desc, col("path").asc))
         .cast("long"))
+  }
+
+  /** First-order Markov transition matrix over per-user event
+    * sequences — the user-journey model behind "what happens after X"
+    * product analytics and journey simulation: for every ordered
+    * (event, next event) adjacency within a user's stream, the count
+    * and the row-normalized transition probability
+    * P(next | current). Self-transitions count like any other (their
+    * prevalence is itself the retry/refresh signal).
+    *
+    * Scale: one lag window per user (the sessionize shuffle key —
+    * state is one row), then a ≤|event_types|² aggregation; the
+    * normalizer is a window over the ≤|event_types| row groups,
+    * never the event stream. */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wSrc = Window.partitionBy("src")
+    events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type").as("src"))
+      .withColumn("dst", lead("src", 1).over(w))
+      .where(col("dst").isNotNull)
+      .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n") / sum("n").over(wSrc), 6))
+      .orderBy("src", "dst")
   }
 
   /** Per-stage (user_id, first-qualifying-ts) frames for an ordered
@@ -932,6 +959,16 @@ object RelQueries {
         |  round(min(s), 6) AS min_s, round(max(s), 6) AS max_s,
         |  round(quantile_cont(s, 0.5), 6) AS median_s
         | FROM lat""".stripMargin.replace("\n", " "),
+    "q_transitions" ->
+      """WITH seq AS (SELECT event_type AS src,
+        |  lead(event_type, 1) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS dst
+        | FROM events),
+        | t AS (SELECT src, dst, count(*) AS n FROM seq
+        |  WHERE dst IS NOT NULL GROUP BY src, dst)
+        | SELECT src, dst, n,
+        |  round(n::DOUBLE / sum(n) OVER (PARTITION BY src), 6) AS p
+        | FROM t ORDER BY src, dst""".stripMargin.replace("\n", " "),
     "q_event_paths" ->
       """WITH seq AS (SELECT
         |   event_type AS e1,

@@ -1523,6 +1523,31 @@ class PipelineSpec extends SparkSpec {
     assert(r.toSeq == Seq(("a>b>c", 2L, 1L), ("b>c>d", 1L, 2L)))
   }
 
+  test("transition matrix: per-src probabilities sum to 1, counts exact") {
+    val s = spark
+    import s.implicits._
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // user 1: a b a b ; user 2: a a c — transitions:
+    // a>b ×2, b>a ×1, a>a ×1, a>c ×1
+    val events = Seq(
+      (1L, 1L, "a", ts(0)), (1L, 2L, "b", ts(1)),
+      (1L, 3L, "a", ts(2)), (1L, 4L, "b", ts(3)),
+      (2L, 5L, "a", ts(0)), (2L, 6L, "a", ts(1)), (2L, 7L, "c", ts(2)))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val r = RelQueries.transitionMatrix(events).collect()
+      .map(x => (x.getAs[String]("src"), x.getAs[String]("dst")) ->
+        (x.getAs[Long]("n"), x.getAs[Double]("p"))).toMap
+    assert(r(("a", "b")) == ((2L, 0.5)))
+    assert(r(("a", "a")) == ((1L, 0.25)))
+    assert(r(("a", "c")) == ((1L, 0.25)))
+    assert(r(("b", "a")) == ((1L, 1.0)))
+    // rows are a proper distribution per src
+    r.keys.map(_._1).toSeq.distinct.foreach { src =>
+      val tot = r.collect { case ((s2, _), (_, p)) if s2 == src => p }.sum
+      assert(math.abs(tot - 1.0) < 1e-9)
+    }
+  }
+
   test("funnel latency: stats over completers only, first→last step") {
     val s = spark
     import s.implicits._
