@@ -146,6 +146,11 @@ object TsdbQueries {
         .select(col("name"), col("user_id"),
           unix_timestamp(col("ts")).as("ts_s"), col("value"), col("event_id"))
         .orderBy("event_id")),
+    "ts_index_tags" -> ((s, dir) =>
+      Index.indexCompleteTags(samples(s, dir),
+        Seq(Fetch.Matcher("name", Fetch.Re, "(pur|si).*")),
+        labelCols = Seq("name", "user_id"))
+        .orderBy("tag_name", "tag_value")),
     "ts_fetch_eq" -> ((s, dir) =>
       Fetch(samples(s, dir),
         Seq(Fetch.Matcher("name", Fetch.Eq, "purchase")),
@@ -868,6 +873,15 @@ object TsdbQueries {
   )
 
   val oracles: Map[String, String] = withSharedOracles(Map(
+    "ts_index_tags" ->
+      s"""WITH m AS (SELECT DISTINCT name, CAST(user_id AS VARCHAR) AS user_id
+         |  FROM ($S) AS s WHERE regexp_full_match(name, '(pur|si).*'))
+         | SELECT DISTINCT tag_name, tag_value FROM (
+         |  SELECT 'name' AS tag_name, name AS tag_value FROM m
+         |  UNION ALL
+         |  SELECT 'user_id' AS tag_name, user_id AS tag_value FROM m) AS u
+         | WHERE tag_value IS NOT NULL
+         | ORDER BY tag_name, tag_value""".stripMargin.replace("\n", " "),
     "ts_index_fetch" ->
       s"""SELECT name, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, value, event_id
          | FROM ($S) AS s

@@ -76,6 +76,24 @@ object Index {
       .orderBy(labelCols.map(col): _*)
   }
 
+  /** Index-served tag completion — m3 answers CompleteTags FROM the
+    * index (src/m3ninx aggregated-terms queries; the /labels search
+    * surface never touches sample blocks): matchers resolve to a
+    * series set via [[indexMatch]], and the result is the distinct
+    * (tag_name, tag_value) pairs present on those series — all of it
+    * series-cardinality work over the index frames. Time bounds are
+    * the one thing this route cannot see (m3's index is
+    * block-per-time-window; this single-table restatement indexes
+    * ALL time), so the scan route remains the bounded-window form. */
+  def indexCompleteTags(samples: DataFrame, matchers: Seq[Fetch.Matcher],
+                        labelCols: Seq[String]): DataFrame =
+    indexMatch(samples, matchers, labelCols)
+      .select(explode(array(labelCols.map(n =>
+        struct(lit(n).as("tag_name"), col(n).as("tag_value"))): _*)).as("t"))
+      .select(col("t.tag_name"), col("t.tag_value"))
+      .where(col("tag_value").isNotNull)
+      .distinct()
+
   /** Index-backed fetch — the two-step read a maintained index
     * enables: matchers resolve to a series set through
     * [[indexMatch]] (series-cardinality work), then ONE semi-join
