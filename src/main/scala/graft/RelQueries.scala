@@ -510,6 +510,7 @@ object RelQueries {
     // oracle replays it.
     "q_event_paths" -> ((s, dir) => eventPaths(Tables.events(s, dir))),
     "q_transitions" -> ((s, dir) => transitionMatrix(Tables.events(s, dir))),
+    "q_session_stats" -> ((s, dir) => sessionStats(Tables.events(s, dir))),
 
     // funnel time-to-convert (see funnelLatency Scaladoc)
     "q_funnel_latency" -> ((s, dir) =>
@@ -556,6 +557,31 @@ object RelQueries {
     counted.withColumn("rk",
       row_number().over(Window.orderBy(col("n").desc, col("path").asc))
         .cast("long"))
+  }
+
+  /** Session summary card — the engagement panel over the
+    * session_window frame: session/user counts, events per session
+    * and duration percentiles (durations carry session_window's
+    * trailing gap, consistently in both engines). Exact interpolated
+    * percentiles follow the funnel-latency precedent: the buffer
+    * holds sessions, already orders of magnitude smaller than
+    * events; swap `approx_percentile` in for unbounded deployments.
+    */
+  def sessionStats(events: DataFrame, gap: String = "30 minutes"): DataFrame = {
+    val sessions = events
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("n_events"),
+        ((unix_micros(col("session_window.end")) -
+          unix_micros(col("session_window.start"))).cast("double") / 1e6)
+          .as("dur_s"))
+    sessions.agg(
+      count(lit(1)).as("n_sessions"),
+      countDistinct("user_id").as("n_users"),
+      round(avg("n_events"), 6).as("avg_events"),
+      round(percentile(col("n_events"), lit(0.5)), 6).as("median_events"),
+      round(percentile(col("dur_s"), lit(0.5)), 6).as("median_dur_s"),
+      round(percentile(col("dur_s"), lit(0.9)), 6).as("p90_dur_s"))
   }
 
   /** First-order Markov transition matrix over per-user event
@@ -959,6 +985,26 @@ object RelQueries {
         |  round(min(s), 6) AS min_s, round(max(s), 6) AS max_s,
         |  round(quantile_cont(s, 0.5), 6) AS median_s
         | FROM lat""".stripMargin.replace("\n", " "),
+    "q_session_stats" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events),
+        | g AS (SELECT user_id, us,
+        |  CASE WHEN lag(us) OVER w IS NULL
+        |        OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END
+        |   AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        | s AS (SELECT user_id, us,
+        |  sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+        |   ROWS UNBOUNDED PRECEDING) AS sid FROM g),
+        | sess AS (SELECT user_id, count(*) AS n_events,
+        |  (max(us) + 1800000000 - min(us))::DOUBLE / 1e6 AS dur_s
+        |  FROM s GROUP BY user_id, sid)
+        | SELECT count(*) AS n_sessions,
+        |  count(DISTINCT user_id) AS n_users,
+        |  round(avg(n_events), 6) AS avg_events,
+        |  round(quantile_cont(n_events, 0.5), 6) AS median_events,
+        |  round(quantile_cont(dur_s, 0.5), 6) AS median_dur_s,
+        |  round(quantile_cont(dur_s, 0.9), 6) AS p90_dur_s
+        | FROM sess""".stripMargin.replace("\n", " "),
     "q_transitions" ->
       """WITH seq AS (SELECT event_type AS src,
         |  lead(event_type, 1) OVER (PARTITION BY user_id

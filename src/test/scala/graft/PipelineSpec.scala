@@ -1523,6 +1523,28 @@ class PipelineSpec extends SparkSpec {
     assert(r.toSeq == Seq(("a>b>c", 2L, 1L), ("b>c>d", 1L, 2L)))
   }
 
+  test("sessionStats: hand-built sessions give exact counts and medians") {
+    val s = spark
+    import s.implicits._
+    val ts = (h: Int, m: Int) =>
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // user 1: two sessions (3 events, then 1 after a >30min gap);
+    // user 2: one 2-event session
+    val events = Seq(
+      (1L, 1L, "a", ts(10, 0)), (1L, 2L, "b", ts(10, 10)),
+      (1L, 3L, "c", ts(10, 20)),
+      (1L, 4L, "d", ts(12, 0)),
+      (2L, 5L, "a", ts(10, 0)), (2L, 6L, "b", ts(10, 5)))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val r = RelQueries.sessionStats(events).collect()(0)
+    assert(r.getAs[Long]("n_sessions") == 3L)
+    assert(r.getAs[Long]("n_users") == 2L)
+    assert(r.getAs[Double]("avg_events") == 2.0)         // (3+1+2)/3
+    assert(r.getAs[Double]("median_events") == 2.0)
+    // durations incl. the 30min tail: 50, 30, 35 min → median 35*60
+    assert(r.getAs[Double]("median_dur_s") == 2100.0)
+  }
+
   test("transition matrix: per-src probabilities sum to 1, counts exact") {
     val s = spark
     import s.implicits._
