@@ -379,6 +379,8 @@ object PipelineQueries {
       Corpus.heapsFit(Tables.documents(s, dir))),
     "corpus_lang_mismatch" -> ((s, dir) =>
       TextAnalysis.langMismatch(Tables.documents(s, dir)).orderBy("source")),
+    "corpus_lang_confusion" -> ((s, dir) =>
+      TextAnalysis.langConfusion(Tables.documents(s, dir))),
     "corpus_zipf" -> ((s, dir) =>
       Corpus.zipfFit(Tables.documents(s, dir))),
     "corpus_card" -> ((s, dir) =>
@@ -1266,6 +1268,24 @@ object PipelineQueries {
         |  round(exp(regr_intercept(y, x)), 6) AS heaps_k,
         |  round(regr_r2(y, x), 6) AS r2
         | FROM pts""".stripMargin.replace("\n", " "),
+    "corpus_lang_confusion" -> {
+      val langs = Seq("en", "de", "fr", "es")
+      val lists = langs.map { l =>
+        val sw = TextAnalysis.stopwords(l).map(s => s"'$s'").mkString(", ")
+        s"len(list_filter(ws, x -> list_contains([$sw], x)))::DOUBLE / len(ws) AS score_$l"
+      }.mkString(", ")
+      s"""WITH sc AS (SELECT lang, $lists
+         |  FROM (SELECT lang, string_split_regex(lower(text), '\\s+') AS ws
+         |        FROM documents) AS t),
+         | pred AS (SELECT lang,
+         |  CASE WHEN greatest(score_en, score_de, score_fr, score_es) <= 0 THEN 'und'
+         |   WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en'
+         |   WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'
+         |   WHEN score_fr >= score_es THEN 'fr' ELSE 'es' END AS pred_lang
+         |  FROM sc)
+         | SELECT lang, pred_lang, count(*) AS n FROM pred
+         | GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin.replace("\n", " ")
+    },
     "corpus_lang_mismatch" -> {
       val langs = Seq("en", "de", "fr", "es")
       val lists = langs.map { l =>

@@ -98,6 +98,27 @@ object TextAnalysis {
         round(col("n_mismatch").cast("double") / col("n_docs"), 6))
   }
 
+  /** Declared×predicted language confusion matrix — the per-pair
+    * view behind [[langMismatch]]'s per-source rates: one row per
+    * (declared, predicted) combination with its count, the standard
+    * eval artifact for any classifier and the fastest way to see
+    * WHICH languages the stopword heuristic conflates (de/nl-style
+    * confusions land off-diagonal; scripts with no latin stopwords
+    * pile into the `und` column). Same single map stage, aggregation
+    * keyed by ≤|langs|² pairs. */
+  def langConfusion(docs: DataFrame): DataFrame = {
+    val langs = Seq("en", "de", "fr", "es")
+    val scored = langs.foldLeft(docs.select(col("lang"), col("text"))) {
+      (d, l) => d.withColumn(s"score_$l", langScore(col("text"), l))
+    }
+    val best = langs.map(l => struct(col(s"score_$l").as("s"), lit(l).as("l")))
+      .reduce((a, b) => when(b("s") > a("s"), b).otherwise(a))
+    scored
+      .withColumn("pred_lang", when(best("s") > 0, best("l")).otherwise(lit("und")))
+      .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "pred_lang")
+  }
+
   /** Quality scoring: length, punctuation ratio, stopword ratio,
     * repetition (distinct-word ratio); composite in [0,1]. */
   def quality(docs: DataFrame): DataFrame = {

@@ -1280,6 +1280,22 @@ class PipelineSpec extends SparkSpec {
     assert(c.isNullAt(c.fieldIndex("heaps_beta")))
   }
 
+  test("langConfusion: planted diagonal and off-diagonal cells") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the cat and the dog of a to", "en"),
+      (2L, "the cat and the dog of a to", "en"),
+      (3L, "der hund und die katze ist nicht", "en"), // de text tagged en
+      (4L, "zzz qqq", "zh"))
+      .toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.langConfusion(docs).collect()
+      .map(x => (x.getAs[String]("lang"), x.getAs[String]("pred_lang")) ->
+        x.getAs[Long]("n")).toMap
+    assert(r == Map(("en", "en") -> 2L, ("en", "de") -> 1L,
+      ("zh", "und") -> 1L))
+  }
+
   test("langMismatch counts contradictions and unknowns per source") {
     val s = spark
     import s.implicits._
