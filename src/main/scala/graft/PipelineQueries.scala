@@ -223,6 +223,8 @@ object PipelineQueries {
         K, BANDS, ROWS)),
     "corpus_growth" -> ((s, dir) =>
       Corpus.growthCurve(Tables.documents(s, dir))),
+    "corpus_vocab_growth" -> ((s, dir) =>
+      Corpus.vocabGrowth(Tables.documents(s, dir))),
     "sim_cos_hist" -> ((s, dir) =>
       Similarity.cosineHistogram(Tables.embeddings(s, dir))),
     "sim_pq_distortion" -> ((s, dir) =>
@@ -688,6 +690,23 @@ object PipelineQueries {
          | FROM tl LEFT JOIN np USING (threshold) LEFT JOIN nd USING (threshold)
          | ORDER BY tl.threshold""".stripMargin.replace("\n", " ")
     },
+    "corpus_vocab_growth" ->
+      """WITH b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+        | bw AS (SELECT least(((doc_id - lo) * 10) // (hi - lo + 1), 9) AS bucket,
+        |  unnest(string_split_regex(lower(text), '\s+')) AS w
+        |  FROM documents, b),
+        | fs AS (SELECT bucket, count(*) AS n_new_words FROM (
+        |  SELECT w, min(bucket) AS bucket FROM bw GROUP BY w) AS f
+        |  GROUP BY bucket),
+        | tk AS (SELECT bucket, count(*) AS n_tokens FROM bw GROUP BY bucket)
+        | SELECT tk.bucket, tk.n_tokens,
+        |  coalesce(fs.n_new_words, 0) AS n_new_words,
+        |  sum(coalesce(fs.n_new_words, 0)) OVER (ORDER BY tk.bucket
+        |   ROWS UNBOUNDED PRECEDING) AS vocab_cum,
+        |  round(coalesce(fs.n_new_words, 0)::DOUBLE / tk.n_tokens, 6)
+        |   AS novelty_rate
+        | FROM tk LEFT JOIN fs USING (bucket)
+        | ORDER BY tk.bucket""".stripMargin.replace("\n", " "),
     "corpus_growth" ->
       """WITH f AS (SELECT doc_id,
         |  CAST(row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) > 1

@@ -832,6 +832,39 @@ object Corpus {
       .orderBy("bucket")
   }
 
+  /** Vocabulary-growth curve by arrival order — the token-novelty
+    * complement of [[growthCurve]]'s duplicate curve: per arrival
+    * bucket, how many words appear for the FIRST time, the running
+    * vocabulary size, and new-words-per-token (the novelty rate a
+    * crawl's marginal value decays by — the empirical, in-order form
+    * of the Heaps exponent). Same integer-exact bucket math as
+    * growthCurve.
+    *
+    * Scale: one explode + per-word min-bucket aggregation (map-side
+    * combining, state = one min per word) + a `buckets`-row cumsum
+    * window; nothing sorts the corpus. */
+  def vocabGrowth(docs: DataFrame, buckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bounds = docs.agg(min("doc_id").as("_lo"), max("doc_id").as("_hi"))
+    val bucketed = docs.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        least(expr(s"((doc_id - _lo) * $buckets) div (_hi - _lo + 1)"),
+          lit(buckets - 1L)).cast("long"))
+      .select(col("bucket"), explode(TextAnalysis.words(col("text"))).as("w"))
+    val firstSeen = bucketed.groupBy("w").agg(min("bucket").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_new_words"))
+    val tokens = bucketed.groupBy("bucket").agg(count(lit(1)).as("n_tokens"))
+    val wCum = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tokens.join(firstSeen, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_tokens"),
+        coalesce(col("n_new_words"), lit(0L)).as("n_new_words"))
+      .withColumn("vocab_cum", sum("n_new_words").over(wCum))
+      .withColumn("novelty_rate",
+        round(col("n_new_words").cast("double") / col("n_tokens"), 6))
+      .orderBy("bucket")
+  }
+
   /** Boilerplate mining — the top-N most widely shared word
     * n-grams with their document frequency and an example doc: the
     * discovery view behind span dedup and C4's policy-phrase list

@@ -1140,6 +1140,20 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("vocabGrowth: first-seen attribution and monotone cumulative vocab") {
+    val s = spark
+    import s.implicits._
+    // buckets of 2 docs: "a b" introduces {a,b}; repeats add nothing;
+    // doc 5 introduces {c}
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "b a"), (4L, "a a"),
+      (5L, "c a"), (6L, "b c")).toDF("doc_id", "text")
+    val rows = Corpus.vocabGrowth(docs, buckets = 3).collect()
+      .sortBy(_.getAs[Long]("bucket"))
+    assert(rows.map(_.getAs[Long]("n_new_words")).toSeq == Seq(2L, 0L, 1L))
+    assert(rows.map(_.getAs[Long]("vocab_cum")).toSeq == Seq(2L, 2L, 3L))
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum == 12L)
+  }
+
   test("growthCurve: planted duplicate lands in the later bucket") {
     val s = spark
     import s.implicits._
