@@ -511,6 +511,7 @@ object RelQueries {
     "q_event_paths" -> ((s, dir) => eventPaths(Tables.events(s, dir))),
     "q_transitions" -> ((s, dir) => transitionMatrix(Tables.events(s, dir))),
     "q_session_stats" -> ((s, dir) => sessionStats(Tables.events(s, dir))),
+    "q_user_activity" -> ((s, dir) => userActivity(Tables.events(s, dir))),
 
     // funnel time-to-convert (see funnelLatency Scaladoc)
     "q_funnel_latency" -> ((s, dir) =>
@@ -557,6 +558,31 @@ object RelQueries {
     counted.withColumn("rk",
       row_number().over(Window.orderBy(col("n").desc, col("path").asc))
         .cast("long"))
+  }
+
+  /** User-activity concentration card — the power-user panel: events
+    * per user at p50/p90/p99 plus the share of ALL events produced
+    * by users at or above the p90 activity level. Concentration is
+    * threshold-based (count ≥ exact p90), not rank-based, so no
+    * global user ranking is ever materialized — percentile buffers
+    * hold per-user counts (users ≪ events; approx_percentile swap
+    * for unbounded deployments, as elsewhere). */
+  def userActivity(events: DataFrame): DataFrame = {
+    val perUser = events.groupBy("user_id").agg(count(lit(1)).as("n"))
+    val stats = perUser.agg(
+      count(lit(1)).as("n_users"),
+      sum("n").as("_tot"),
+      round(percentile(col("n"), lit(0.5)), 6).as("p50_events"),
+      percentile(col("n"), lit(0.9)).as("_p90"),
+      round(percentile(col("n"), lit(0.99)), 6).as("p99_events"))
+    perUser.crossJoin(broadcast(stats))
+      .groupBy("n_users", "_tot", "p50_events", "_p90", "p99_events")
+      .agg(sum(when(col("n") >= col("_p90"), col("n")).otherwise(0L))
+        .as("_topSum"))
+      .select(col("n_users"), col("p50_events"),
+        round(col("_p90"), 6).as("p90_events"), col("p99_events"),
+        round(col("_topSum").cast("double") / col("_tot"), 6)
+          .as("top_share"))
   }
 
   /** Session summary card — the engagement panel over the
@@ -985,6 +1011,19 @@ object RelQueries {
         |  round(min(s), 6) AS min_s, round(max(s), 6) AS max_s,
         |  round(quantile_cont(s, 0.5), 6) AS median_s
         | FROM lat""".stripMargin.replace("\n", " "),
+    "q_user_activity" ->
+      """WITH pu AS (SELECT user_id, count(*) AS n FROM events
+        |  GROUP BY user_id),
+        | st AS (SELECT count(*) AS n_users, sum(n) AS tot,
+        |  round(quantile_cont(n, 0.5), 6) AS p50_events,
+        |  quantile_cont(n, 0.9) AS p90,
+        |  round(quantile_cont(n, 0.99), 6) AS p99_events FROM pu)
+        | SELECT st.n_users, st.p50_events,
+        |  round(st.p90, 6) AS p90_events, st.p99_events,
+        |  round(sum(CASE WHEN pu.n >= st.p90 THEN pu.n ELSE 0 END)::DOUBLE
+        |   / st.tot, 6) AS top_share
+        | FROM pu, st
+        | GROUP BY st.n_users, st.tot, st.p50_events, st.p90, st.p99_events""".stripMargin.replace("\n", " "),
     "q_session_stats" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events),
         | g AS (SELECT user_id, us,

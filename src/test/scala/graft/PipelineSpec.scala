@@ -1553,6 +1553,21 @@ class PipelineSpec extends SparkSpec {
     assert(r.toSeq == Seq(("a>b>c", 2L, 1L), ("b>c>d", 1L, 2L)))
   }
 
+  test("userActivity: planted concentration computes exactly") {
+    val s = spark
+    import s.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    // 9 users × 1 event, 1 user × 11 events → 20 total; p90 of
+    // counts {1×9, 11} = 2.0 (interpolated) → top set = the whale
+    val events = ((1L to 9L).map(u => (u, u, "a", ts0)) ++
+      (1L to 11L).map(i => (10L, 100L + i, "a", ts0)))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val r = RelQueries.userActivity(events).collect()(0)
+    assert(r.getAs[Long]("n_users") == 10L)
+    assert(r.getAs[Double]("p50_events") == 1.0)
+    assert(r.getAs[Double]("top_share") == 0.55) // 11/20
+  }
+
   test("sessionStats: hand-built sessions give exact counts and medians") {
     val s = spark
     import s.implicits._
