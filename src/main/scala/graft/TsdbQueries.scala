@@ -146,6 +146,8 @@ object TsdbQueries {
         .select(col("name"), col("user_id"),
           unix_timestamp(col("ts")).as("ts_s"), col("value"), col("event_id"))
         .orderBy("event_id")),
+    "ts_cardinality" -> ((s, dir) =>
+      Index.cardinality(samples(s, dir), Seq("name", "user_id"))),
     "ts_index_tags" -> ((s, dir) =>
       Index.indexCompleteTags(samples(s, dir),
         Seq(Fetch.Matcher("name", Fetch.Re, "(pur|si).*")),
@@ -873,6 +875,19 @@ object TsdbQueries {
   )
 
   val oracles: Map[String, String] = withSharedOracles(Map(
+    "ts_cardinality" ->
+      s"""WITH series AS (SELECT DISTINCT name,
+         |  CAST(user_id AS VARCHAR) AS user_id FROM ($S) AS s),
+         | pl AS (SELECT 'name' AS label, count(DISTINCT name) AS n_values
+         |   FROM series
+         |  UNION ALL
+         |  SELECT 'user_id' AS label, count(DISTINCT user_id) AS n_values
+         |   FROM series)
+         | SELECT (SELECT count(*) FROM series) AS n_series,
+         |  (SELECT count(*) FROM pl) AS n_labels,
+         |  t.label AS top_label, t.n_values AS top_label_values
+         | FROM (SELECT label, n_values FROM pl
+         |  ORDER BY n_values DESC, label ASC LIMIT 1) AS t""".stripMargin.replace("\n", " "),
     "ts_index_tags" ->
       s"""WITH m AS (SELECT DISTINCT name, CAST(user_id AS VARCHAR) AS user_id
          |  FROM ($S) AS s WHERE regexp_full_match(name, '(pur|si).*'))

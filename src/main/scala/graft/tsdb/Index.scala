@@ -40,6 +40,25 @@ object Index {
     }.reduce(_ unionByName _)
   }
 
+  /** One-row index cardinality summary — the capacity-planning view
+    * (m3 operators watch exactly these numbers: total series, label
+    * names, and the worst-cardinality label that is about to blow up
+    * the index): n_series, n_labels, the max per-label value count
+    * and which label owns it (ties to the lexicographically first). */
+  def cardinality(samples: DataFrame, labelCols: Seq[String]): DataFrame = {
+    val p = postings(samples, labelCols)
+    val series = samples
+      .select(labelCols.map(c => col(c).cast("string").as(c)): _*)
+      .distinct()
+    val perLabel = p.groupBy("label").agg(count(lit(1)).as("n_values"))
+    series.agg(count(lit(1)).as("n_series"))
+      .crossJoin(perLabel.agg(count(lit(1)).as("n_labels")))
+      .crossJoin(perLabel.orderBy(col("n_values").desc, col("label").asc)
+        .limit(1)
+        .select(col("label").as("top_label"),
+          col("n_values").as("top_label_values")))
+  }
+
   private def termPredicate(m: Fetch.Matcher): Column = m.op match {
     case Fetch.Eq    => col("value") === lit(m.value)
     case Fetch.NotEq => col("value") =!= lit(m.value)
