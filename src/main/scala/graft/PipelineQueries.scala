@@ -317,6 +317,10 @@ object PipelineQueries {
     }),
     "corpus_split" -> ((s, dir) =>
       Corpus.split(Tables.documents(s, dir)).orderBy("doc_id")),
+    "corpus_dedup_savings" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Corpus.dedupSavings(docs, verifiedPairs(docs))
+    }),
     "corpus_split_leakage" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Corpus.splitLeakage(docs, verifiedPairs(docs)).orderBy("cluster_id")
@@ -1140,6 +1144,33 @@ object PipelineQueries {
          |   AS keep
          | FROM gq JOIN ex USING (doc_id) JOIN cl USING (doc_id) JOIN sp USING (doc_id)
          | ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "corpus_dedup_savings" ->
+      s"""WITH RECURSIVE sig AS ($SIG), banded AS ($BANDED),
+         | capped AS (SELECT doc_id, band, bucket FROM (
+         |  SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz FROM banded) AS z
+         |  WHERE bsz <= $MAX_BUCKET),
+         | p AS ($PAIRS), v AS ($VERIFIED),
+         | edges AS (SELECT doc_a AS src, doc_b AS dst FROM v
+         |  UNION SELECT doc_b AS src, doc_a AS dst FROM v),
+         | reach(node, root) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.root FROM reach AS r JOIN edges AS e ON e.src = r.node),
+         | cl AS (SELECT node AS doc_id,
+         |  CAST(min(root) <> node AS INT) AS removable
+         |  FROM reach GROUP BY node),
+         | tk AS (SELECT doc_id, CAST(list_sum(list_transform(
+         |   string_split_regex(lower(text), '\\s+'),
+         |   w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS tok
+         |  FROM documents)
+         | SELECT count(*) AS n_docs,
+         |  CAST(sum(cl.removable) AS BIGINT) AS n_removable,
+         |  round(sum(cl.removable)::DOUBLE / count(*), 6) AS doc_frac,
+         |  CAST(sum(tk.tok) AS BIGINT) AS tokens_total,
+         |  CAST(sum(tk.tok * cl.removable) AS BIGINT) AS tokens_removable,
+         |  round(sum(tk.tok * cl.removable)::DOUBLE / sum(tk.tok), 6)
+         |   AS token_frac
+         | FROM cl JOIN tk USING (doc_id)""".stripMargin.replace("\n", " "),
     "corpus_split_leakage" ->
       s"""WITH RECURSIVE sig AS ($SIG), banded AS ($BANDED),
          | capped AS (SELECT doc_id, band, bucket FROM (

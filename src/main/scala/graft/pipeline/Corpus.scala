@@ -832,6 +832,37 @@ object Corpus {
       .orderBy("bucket")
   }
 
+  /** Dedup savings card — what running the near-dup plan actually
+    * buys: docs and BPE tokens held by non-canonical cluster members
+    * (the removable mass), as a one-row summary with fractions. The
+    * number the "is fuzzy dedup worth the compute" decision is made
+    * on, and the headline a dataset card quotes next to the exact-dup
+    * fraction.
+    *
+    * Scale: rides the shared cluster-label frame; token counts
+    * evaluate in the documents scan; one join on doc_id + a one-row
+    * aggregation. */
+  def dedupSavings(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val labels = dupClusters(docs.select("doc_id"), pairs)
+      .select(col("doc_id"),
+        (col("doc_id") =!= col("cluster_id")).cast("int").as("_removable"))
+    docs.select(col("doc_id"),
+        TextAnalysis.bpeTokensCol(col("text")).as("_tok"))
+      .join(labels, "doc_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("_removable").cast("long").as("n_removable"),
+        sum("_tok").cast("long").as("tokens_total"),
+        sum(col("_tok") * col("_removable")).cast("long")
+          .as("tokens_removable"))
+      .select(col("n_docs"), col("n_removable"),
+        round(col("n_removable").cast("double") / col("n_docs"), 6)
+          .as("doc_frac"),
+        col("tokens_total"), col("tokens_removable"),
+        round(col("tokens_removable").cast("double") / col("tokens_total"), 6)
+          .as("token_frac"))
+  }
+
   /** Vocabulary-growth curve by arrival order — the token-novelty
     * complement of [[growthCurve]]'s duplicate curve: per arrival
     * bucket, how many words appear for the FIRST time, the running

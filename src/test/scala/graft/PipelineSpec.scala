@@ -1327,6 +1327,22 @@ class PipelineSpec extends SparkSpec {
     assert(r("feedB") == ((1L, 0L, 0L)))
   }
 
+  test("dedupSavings counts non-canonical docs and their tokens") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "aa bb cc dd"),   // canonical of {1,2}
+      (2L, "aa bb cc dd"),   // removable: 4 tokens
+      (3L, "standalone doc here")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val r = Corpus.dedupSavings(docs, pairs).collect()(0)
+    assert(r.getAs[Long]("n_docs") == 3L)
+    assert(r.getAs[Long]("n_removable") == 1L)
+    assert(r.getAs[Long]("tokens_removable") == 4L)
+    assert(math.abs(r.getAs[Double]("token_frac") -
+      4.0 / r.getAs[Long]("tokens_total")) < 1e-6)
+  }
+
   test("splitLeakage reports exactly the clusters straddling splits") {
     val s = spark
     import s.implicits._
