@@ -347,6 +347,8 @@ object PipelineQueries {
       Similarity.embedStats(Tables.embeddings(s, dir)).orderBy("dim")),
     "sim_norm_outliers" -> ((s, dir) =>
       Similarity.normOutliers(Tables.embeddings(s, dir)).orderBy("vec_id")),
+    "sim_label_balance" -> ((s, dir) =>
+      Similarity.labelBalance(Tables.embeddings(s, dir))),
     "corpus_boilerplate" -> ((s, dir) =>
       Corpus.boilerplate(Tables.documents(s, dir)).orderBy("rank")),
     "sim_rp_recall" -> ((s, dir) => {
@@ -1653,6 +1655,13 @@ object PipelineQueries {
         |  least(64, n - start) AS n_tok,
         |  md5(array_to_string(toks[start + 1 : start + 64], ' ')) AS chunk_md5
         | FROM s ORDER BY doc_id, chunk_idx""".stripMargin.replace("\n", " "),
+    "sim_label_balance" ->
+      """WITH c AS (SELECT label, count(*) AS n FROM embeddings
+        |  GROUP BY label),
+        | t AS (SELECT sum(n) AS tot, count(*) AS k FROM c)
+        | SELECT label, n, round(n / tot, 6) AS share,
+        |  round(n * k / tot, 6) AS vs_uniform
+        | FROM c, t ORDER BY label""".stripMargin.replace("\n", " "),
     "sim_norm_outliers" ->
       """WITH n AS (SELECT vec_id,
         |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))

@@ -205,6 +205,24 @@ object Similarity {
       .orderBy("bin")
   }
 
+  /** Label-balance card — class skew over a labeled embedding corpus
+    * (per label: count, share, and the share×|labels| imbalance
+    * ratio vs uniform). Skew here silently biases every downstream
+    * consumer — kNN votes, centroid classifiers, cluster purity,
+    * hard-negative mining — so the card is read before any of them.
+    *
+    * Scale: one hash aggregation to ≤|labels| rows + a one-row
+    * broadcast total. */
+  def labelBalance(emb: DataFrame): DataFrame = {
+    val counts = emb.groupBy("label").agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum("n").as("_tot"), count(lit(1)).as("_k"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("label"), col("n"),
+        round(col("n") / col("_tot"), 6).as("share"),
+        round(col("n") * col("_k") / col("_tot"), 6).as("vs_uniform"))
+      .orderBy("label")
+  }
+
   /** Per-vector norm outliers — the row-level companion to
     * [[embedStats]]: L2 norm, corpus z-score, and the |z| > zMax
     * flag. Truncated inputs, failed encodes (near-zero norm) and

@@ -1197,6 +1197,20 @@ class PipelineSpec extends SparkSpec {
     assert(top.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("labelBalance: shares sum to 1, planted skew visible") {
+    val s = spark
+    import s.implicits._
+    val emb = ((1L to 8L).map(i => (i, Array(1.0f), 0)) ++
+      (9L to 10L).map(i => (i, Array(1.0f), 1)))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.labelBalance(emb).collect()
+      .map(x => x.getAs[Int]("label") -> x).toMap
+    assert(r(0).getAs[Double]("share") == 0.8)
+    assert(r(0).getAs[Double]("vs_uniform") == 1.6) // 0.8 × 2 labels
+    assert(r(1).getAs[Double]("vs_uniform") == 0.4)
+    assert(math.abs(r.values.map(_.getAs[Double]("share")).sum - 1.0) < 1e-9)
+  }
+
   test("normOutliers flags the planted extreme-norm vector") {
     val s = spark
     import s.implicits._
