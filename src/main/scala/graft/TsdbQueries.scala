@@ -209,6 +209,14 @@ object TsdbQueries {
         labelCols = Seq("name", "user_id"),
         startS = Some(1704067200L), endS = Some(1706745600L))
         .orderBy("tag_name", "tag_value")),
+    "ts_label_names" -> ((s, dir) =>
+      // the /labels names-only surface (CompleteTags nameOnly):
+      // label names present on ≥1 series matching the conjunction
+      Fetch.completeTags(samples(s, dir),
+        Seq(Fetch.Matcher("name", Fetch.Re, "(pur|si).*")),
+        labelCols = Seq("name", "user_id"), nameOnly = true,
+        startS = Some(1704067200L), endS = Some(1706745600L))
+        .orderBy("tag_name")),
     "ts_label_values" -> ((s, dir) =>
       // label-values endpoint = completeTags filtered to one name
       Fetch.completeTags(samples(s, dir),
@@ -985,6 +993,16 @@ object TsdbQueries {
          |   AND floor(epoch(ts)) >= 1704067200 AND floor(epoch(ts)) < 1706745600
          | ) AS u WHERE tag_value IS NOT NULL
          | ORDER BY tag_name, tag_value""".stripMargin.replace("\n", " "),
+    "ts_label_names" ->
+      s"""SELECT DISTINCT tag_name FROM (
+         | SELECT 'name' AS tag_name FROM ($S) AS s1
+         |  WHERE regexp_full_match(name, '(pur|si).*')
+         |   AND floor(epoch(ts)) >= 1704067200 AND floor(epoch(ts)) < 1706745600
+         | UNION ALL
+         | SELECT 'user_id' AS tag_name FROM ($S) AS s2
+         |  WHERE regexp_full_match(name, '(pur|si).*') AND user_id IS NOT NULL
+         |   AND floor(epoch(ts)) >= 1704067200 AND floor(epoch(ts)) < 1706745600)
+         | AS u ORDER BY tag_name""".stripMargin.replace("\n", " "),
     "ts_label_values" ->
       s"""SELECT DISTINCT 'name' AS tag_name, name AS tag_value FROM ($S) AS s
          | WHERE regexp_full_match(CAST(user_id AS VARCHAR), '[0-9]')
