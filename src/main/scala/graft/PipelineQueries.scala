@@ -225,6 +225,8 @@ object PipelineQueries {
       Corpus.growthCurve(Tables.documents(s, dir))),
     "corpus_vocab_growth" -> ((s, dir) =>
       Corpus.vocabGrowth(Tables.documents(s, dir))),
+    "corpus_token_hist" -> ((s, dir) =>
+      Corpus.tokenHistogram(Tables.documents(s, dir))),
     "sim_cos_hist" -> ((s, dir) =>
       Similarity.cosineHistogram(Tables.embeddings(s, dir))),
     "sim_pq_distortion" -> ((s, dir) =>
@@ -696,6 +698,15 @@ object PipelineQueries {
          | FROM tl LEFT JOIN np USING (threshold) LEFT JOIN nd USING (threshold)
          | ORDER BY tl.threshold""".stripMargin.replace("\n", " ")
     },
+    "corpus_token_hist" ->
+      """WITH t AS (SELECT CAST(list_sum(list_transform(
+        |   string_split_regex(lower(text), '\s+'),
+        |   w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS t
+        |  FROM documents)
+        | SELECT CAST(floor(log2(t)) AS BIGINT) AS bucket,
+        |  CAST(pow(2.0, floor(log2(t))) AS BIGINT) AS bucket_lo,
+        |  count(*) AS n_docs
+        | FROM t WHERE t > 0 GROUP BY 1, 2 ORDER BY bucket""".stripMargin.replace("\n", " "),
     "corpus_vocab_growth" ->
       """WITH b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
         | bw AS (SELECT least(((doc_id - lo) * 10) // (hi - lo + 1), 9) AS bucket,

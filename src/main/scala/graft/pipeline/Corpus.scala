@@ -863,6 +863,24 @@ object Corpus {
           .as("token_frac"))
   }
 
+  /** Log₂ token-length histogram — the sequence-length planning
+    * card (context-window choice, packing efficiency and truncation
+    * loss all read off this shape; percentile buckets answer "where
+    * are the cuts", this answers "what does the distribution look
+    * like"). Bucket = ⌊log₂ tokens⌋ — safe cross-engine for integer
+    * inputs: log₂ is IEEE-exact at powers of two and more than 1 ulp
+    * from an integer everywhere else, so the floor can't flip.
+    *
+    * Scale: one map stage + a ≤64-key aggregation. */
+  def tokenHistogram(docs: DataFrame): DataFrame =
+    docs.select(TextAnalysis.bpeTokensCol(col("text")).as("t"))
+      .where(col("t") > 0)
+      .withColumn("bucket", floor(log2(col("t"))).cast("long"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_docs"))
+      .withColumn("bucket_lo", pow(lit(2.0), col("bucket")).cast("long"))
+      .select("bucket", "bucket_lo", "n_docs")
+      .orderBy("bucket")
+
   /** Vocabulary-growth curve by arrival order — the token-novelty
     * complement of [[growthCurve]]'s duplicate curve: per arrival
     * bucket, how many words appear for the FIRST time, the running

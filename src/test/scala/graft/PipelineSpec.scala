@@ -1140,6 +1140,22 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("tokenHistogram: planted docs land in exact power-of-two buckets") {
+    val s = spark
+    import s.implicits._
+    // bpe tokens = ceil(len/4) per word: "aaaa" = 1 token;
+    // doc A: 1 token → bucket 0; doc B: 4 tokens → bucket 2;
+    // doc C: 7 tokens → bucket 2
+    val docs = Seq(
+      (1L, "aaaa"),
+      (2L, "aaaa aaaa aaaa aaaa"),
+      (3L, "aaaa aaaa aaaa aaaa aaaa aaaa aaaa")).toDF("doc_id", "text")
+    val r = Corpus.tokenHistogram(docs).collect()
+      .map(x => x.getAs[Long]("bucket") ->
+        (x.getAs[Long]("bucket_lo"), x.getAs[Long]("n_docs"))).toMap
+    assert(r == Map(0L -> ((1L, 1L)), 2L -> ((4L, 2L))))
+  }
+
   test("vocabGrowth: first-seen attribution and monotone cumulative vocab") {
     val s = spark
     import s.implicits._
