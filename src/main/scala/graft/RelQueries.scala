@@ -512,6 +512,7 @@ object RelQueries {
     "q_transitions" -> ((s, dir) => transitionMatrix(Tables.events(s, dir))),
     "q_session_stats" -> ((s, dir) => sessionStats(Tables.events(s, dir))),
     "q_user_activity" -> ((s, dir) => userActivity(Tables.events(s, dir))),
+    "q_gap_stats" -> ((s, dir) => gapStats(Tables.events(s, dir))),
 
     // funnel time-to-convert (see funnelLatency Scaladoc)
     "q_funnel_latency" -> ((s, dir) =>
@@ -558,6 +559,32 @@ object RelQueries {
     counted.withColumn("rk",
       row_number().over(Window.orderBy(col("n").desc, col("path").asc))
         .cast("long"))
+  }
+
+  /** Inter-event gap distribution — the card the session gap
+    * parameter is TUNED from (the 30-minute convention is exactly a
+    * valley in this distribution): per consecutive same-user event
+    * pair, the gap in seconds, summarized as p50/p90/p99 plus the
+    * fraction of gaps exceeding the candidate session gap. One row.
+    *
+    * Scale: one lag window per user (sessionize's shuffle key), then
+    * a single aggregation; percentile buffers hold gaps (= events −
+    * users rows — same order as the event count; swap
+    * approx_percentile for unbounded deployments as elsewhere). */
+  def gapStats(events: DataFrame, gapS: Long = 1800L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        unix_timestamp(col("ts")).as("s"))
+      .withColumn("gap", col("s") - lag("s", 1).over(w))
+      .where(col("gap").isNotNull)
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        round(percentile(col("gap"), lit(0.5)), 6).as("p50_gap_s"),
+        round(percentile(col("gap"), lit(0.9)), 6).as("p90_gap_s"),
+        round(percentile(col("gap"), lit(0.99)), 6).as("p99_gap_s"),
+        round(avg((col("gap") > gapS).cast("int")), 6).as("frac_over_gap"))
   }
 
   /** User-activity concentration card — the power-user panel: events
@@ -1011,6 +1038,18 @@ object RelQueries {
         |  round(min(s), 6) AS min_s, round(max(s), 6) AS max_s,
         |  round(quantile_cont(s, 0.5), 6) AS median_s
         | FROM lat""".stripMargin.replace("\n", " "),
+    "q_gap_stats" ->
+      """WITH g AS (SELECT
+        |  floor(epoch(ts)) - lag(floor(epoch(ts))) OVER (
+        |   PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        | FROM events)
+        | SELECT count(*) AS n_gaps,
+        |  round(quantile_cont(gap, 0.5), 6) AS p50_gap_s,
+        |  round(quantile_cont(gap, 0.9), 6) AS p90_gap_s,
+        |  round(quantile_cont(gap, 0.99), 6) AS p99_gap_s,
+        |  round(avg(CASE WHEN gap > 1800 THEN 1.0 ELSE 0.0 END), 6)
+        |   AS frac_over_gap
+        | FROM g WHERE gap IS NOT NULL""".stripMargin.replace("\n", " "),
     "q_user_activity" ->
       """WITH pu AS (SELECT user_id, count(*) AS n FROM events
         |  GROUP BY user_id),

@@ -1599,6 +1599,22 @@ class PipelineSpec extends SparkSpec {
     assert(r.toSeq == Seq(("a>b>c", 2L, 1L), ("b>c>d", 1L, 2L)))
   }
 
+  test("gapStats: planted gaps give exact percentiles and over-gap frac") {
+    val s = spark
+    import s.implicits._
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 ${10 + m / 60}%02d:${m % 60}%02d:00")
+    // user 1 gaps: 60s, 60s, 3600s; user 2 gap: 120s
+    val events = Seq(
+      (1L, 1L, "a", ts(0)), (1L, 2L, "a", ts(1)), (1L, 3L, "a", ts(2)),
+      (1L, 4L, "a", ts(62)),
+      (2L, 5L, "a", ts(0)), (2L, 6L, "a", ts(2)))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val r = RelQueries.gapStats(events).collect()(0)
+    assert(r.getAs[Long]("n_gaps") == 4L)
+    assert(r.getAs[Double]("p50_gap_s") == 90.0) // {60,60,120,3600} interp
+    assert(r.getAs[Double]("frac_over_gap") == 0.25)
+  }
+
   test("userActivity: planted concentration computes exactly") {
     val s = spark
     import s.implicits._
