@@ -513,6 +513,7 @@ object RelQueries {
     "q_session_stats" -> ((s, dir) => sessionStats(Tables.events(s, dir))),
     "q_user_activity" -> ((s, dir) => userActivity(Tables.events(s, dir))),
     "q_gap_stats" -> ((s, dir) => gapStats(Tables.events(s, dir))),
+    "q_cohort_ltv" -> ((s, dir) => cohortValue(Tables.events(s, dir))),
 
     // funnel time-to-convert (see funnelLatency Scaladoc)
     "q_funnel_latency" -> ((s, dir) =>
@@ -735,6 +736,38 @@ object RelQueries {
         col("week_offset"), col("active_users"), col("cohort_users"),
         round(col("active_users").cast("double") / col("cohort_users"), 6)
           .as("retention"))
+      .orderBy("cohort_week_s", "week_offset")
+  }
+
+  /** Cohort cumulative-value curve — the LTV panel next to
+    * [[retention]]: per (signup-week cohort, week offset), the
+    * running total of event value produced by the cohort divided by
+    * its size — "what is a week-N user worth so far", the number
+    * acquisition spend is justified against. Same UTC week-trunc
+    * conventions as retention; the cumulative window runs over the
+    * ≤offsets rows per cohort, never the event stream. */
+  def cohortValue(events: DataFrame, maxOffset: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = events.select(col("user_id"), col("value"),
+      date_trunc("week", col("ts")).as("wk"))
+    val first = e.groupBy("user_id").agg(min("wk").as("cohort"))
+    val weekly = e.join(first, "user_id")
+      .groupBy(col("cohort"),
+        (datediff(col("wk"), col("cohort")) / 7).cast("int")
+          .as("week_offset"))
+      .agg(sum("value").as("_v"))
+      .where(col("week_offset") <= maxOffset)
+    val sizes = first.groupBy("cohort")
+      .agg(count(lit(1)).as("cohort_users"))
+    val wCum = Window.partitionBy("cohort").orderBy("week_offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    weekly.join(sizes, "cohort")
+      .withColumn("_cum", sum("_v").over(wCum))
+      .select(
+        unix_seconds(col("cohort")).as("cohort_week_s"),
+        col("week_offset"), col("cohort_users"),
+        round(col("_cum"), 6).as("cum_value"),
+        round(col("_cum") / col("cohort_users"), 6).as("ltv_per_user"))
       .orderBy("cohort_week_s", "week_offset")
   }
 
@@ -1038,6 +1071,24 @@ object RelQueries {
         |  round(min(s), 6) AS min_s, round(max(s), 6) AS max_s,
         |  round(quantile_cont(s, 0.5), 6) AS median_s
         | FROM lat""".stripMargin.replace("\n", " "),
+    "q_cohort_ltv" ->
+      """WITH e AS (SELECT user_id, value, date_trunc('week', ts) AS wk
+        |  FROM events),
+        | f AS (SELECT user_id, min(wk) AS cohort FROM e GROUP BY user_id),
+        | wv AS (SELECT f.cohort,
+        |   CAST(date_diff('day', f.cohort, e.wk) // 7 AS INT) AS week_offset,
+        |   sum(e.value) AS v
+        |  FROM e JOIN f ON f.user_id = e.user_id
+        |  GROUP BY 1, 2 HAVING CAST(date_diff('day', f.cohort, e.wk) // 7 AS INT) <= 4),
+        | sz AS (SELECT cohort, count(*) AS cohort_users FROM f GROUP BY cohort),
+        | c AS (SELECT wv.cohort, wv.week_offset, sz.cohort_users,
+        |   sum(wv.v) OVER (PARTITION BY wv.cohort ORDER BY wv.week_offset
+        |    ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM wv JOIN sz ON sz.cohort = wv.cohort)
+        | SELECT CAST(floor(epoch(cohort)) AS BIGINT) AS cohort_week_s,
+        |  week_offset, cohort_users, round(cum, 6) AS cum_value,
+        |  round(cum / cohort_users, 6) AS ltv_per_user
+        | FROM c ORDER BY cohort_week_s, week_offset""".stripMargin.replace("\n", " "),
     "q_gap_stats" ->
       """WITH g AS (SELECT
         |  floor(epoch(ts)) - lag(floor(epoch(ts))) OVER (

@@ -1599,6 +1599,25 @@ class PipelineSpec extends SparkSpec {
     assert(r.toSeq == Seq(("a>b>c", 2L, 1L), ("b>c>d", 1L, 2L)))
   }
 
+  test("cohortValue: cumulative LTV per planted cohort") {
+    val s = spark
+    import s.implicits._
+    val ts = (d: Int) => java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d 12:00:00")
+    // 2024-01-01 is a Monday: users 1,2 join week 0; user 1 spends
+    // 10 in week 0 and 5 in week 1; user 2 spends 2 in week 0
+    val events = Seq(
+      (1L, 1L, "purchase", 10.0, ts(0)),
+      (1L, 2L, "purchase", 5.0, ts(7)),
+      (2L, 3L, "purchase", 2.0, ts(1)))
+      .toDF("user_id", "event_id", "event_type", "value", "ts")
+    val rows = RelQueries.cohortValue(events).collect()
+      .map(r => r.getAs[Int]("week_offset") ->
+        (r.getAs[Double]("cum_value"), r.getAs[Double]("ltv_per_user")))
+      .toMap
+    assert(rows(0) == ((12.0, 6.0)))
+    assert(rows(1) == ((17.0, 8.5)))
+  }
+
   test("gapStats: planted gaps give exact percentiles and over-gap frac") {
     val s = spark
     import s.implicits._
