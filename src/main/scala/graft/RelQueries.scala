@@ -514,6 +514,9 @@ object RelQueries {
     "q_user_activity" -> ((s, dir) => userActivity(Tables.events(s, dir))),
     "q_gap_stats" -> ((s, dir) => gapStats(Tables.events(s, dir))),
     "q_cohort_ltv" -> ((s, dir) => cohortValue(Tables.events(s, dir))),
+    "q_session_funnel" -> ((s, dir) =>
+      sessionFunnel(Tables.events(s, dir), Seq("view", "click", "purchase"))
+        .orderBy("step")),
 
     // funnel time-to-convert (see funnelLatency Scaladoc)
     "q_funnel_latency" -> ((s, dir) =>
@@ -737,6 +740,56 @@ object RelQueries {
         round(col("active_users").cast("double") / col("cohort_users"), 6)
           .as("retention"))
       .orderBy("cohort_week_s", "week_offset")
+  }
+
+  /** Session-scoped ordered funnel — conversion WITHIN one session:
+    * the user-scoped funnel (q_funnel) credits a purchase days after
+    * the view; product teams usually ask the stricter question, so
+    * steps here must occur in order inside the same gap-bounded
+    * session. Sessions come from the same lag/cumsum rule the
+    * sessionize oracle uses; per step, the count of sessions that
+    * reached it and the fraction of step-1 sessions.
+    *
+    * Scale: session labeling is one per-user window pass
+    * (sessionize's shuffle key); each step is a filtered min
+    * aggregation + equi-join keyed on (user, session) — the funnel
+    * machinery applied at session granularity. */
+  def sessionFunnel(events: DataFrame, steps: Seq[String],
+                    gapS: Long = 1800L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    val labeled = events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("s"))
+      .withColumn("_new",
+        when(lag("s", 1).over(w).isNull ||
+          col("s") - lag("s", 1).over(w) >= gapS, 1).otherwise(0))
+      .withColumn("sid", sum("_new").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val stages = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (step, _)) =>
+        val hits = labeled.where(col("event_type") === step)
+        val reached = prev match {
+          case None =>
+            hits.groupBy("user_id", "sid").agg(min("s").as("t"))
+          case Some(p) =>
+            hits.join(p.select(col("user_id"), col("sid"),
+                col("t").as("_pt")), Seq("user_id", "sid"))
+              .where(col("s") > col("_pt"))
+              .groupBy("user_id", "sid").agg(min("s").as("t"))
+        }
+        Some(reached)
+    }.flatten
+    val counts = stages.zip(steps).map { case (df, step) =>
+      df.agg(count(lit(1)).as("n_sessions"))
+        .select(lit(step).as("step"), col("n_sessions"))
+    }.reduce(_ unionByName _)
+    val base = counts.where(col("step") === steps.head)
+      .select(col("n_sessions").as("_base"))
+    counts.crossJoin(broadcast(base))
+      .select(col("step"), col("n_sessions"),
+        round(col("n_sessions").cast("double") / col("_base"), 6)
+          .as("frac_of_first"))
   }
 
   /** Cohort cumulative-value curve — the LTV panel next to
@@ -1071,6 +1124,32 @@ object RelQueries {
         |  round(min(s), 6) AS min_s, round(max(s), 6) AS max_s,
         |  round(quantile_cont(s, 0.5), 6) AS median_s
         | FROM lat""".stripMargin.replace("\n", " "),
+    "q_session_funnel" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |  floor(epoch(ts)) AS s FROM events),
+        | g AS (SELECT *, CASE WHEN lag(s) OVER w IS NULL
+        |    OR s - lag(s) OVER w >= 1800 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)),
+        | l AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
+        |   ORDER BY s, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM g),
+        | s1 AS (SELECT user_id, sid, min(s) AS t FROM l
+        |  WHERE event_type = 'view' GROUP BY user_id, sid),
+        | s2 AS (SELECT l.user_id, l.sid, min(l.s) AS t FROM l
+        |  JOIN s1 ON s1.user_id = l.user_id AND s1.sid = l.sid
+        |  WHERE l.event_type = 'click' AND l.s > s1.t
+        |  GROUP BY l.user_id, l.sid),
+        | s3 AS (SELECT l.user_id, l.sid, min(l.s) AS t FROM l
+        |  JOIN s2 ON s2.user_id = l.user_id AND s2.sid = l.sid
+        |  WHERE l.event_type = 'purchase' AND l.s > s2.t
+        |  GROUP BY l.user_id, l.sid),
+        | c AS (SELECT 'view' AS step, (SELECT count(*) FROM s1) AS n_sessions
+        |  UNION ALL SELECT 'click', (SELECT count(*) FROM s2)
+        |  UNION ALL SELECT 'purchase', (SELECT count(*) FROM s3))
+        | SELECT step, n_sessions,
+        |  round(n_sessions::DOUBLE /
+        |   (SELECT n_sessions FROM c WHERE step = 'view'), 6)
+        |   AS frac_of_first
+        | FROM c ORDER BY step""".stripMargin.replace("\n", " "),
     "q_cohort_ltv" ->
       """WITH e AS (SELECT user_id, value, date_trunc('week', ts) AS wk
         |  FROM events),

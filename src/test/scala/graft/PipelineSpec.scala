@@ -1599,6 +1599,27 @@ class PipelineSpec extends SparkSpec {
     assert(r.toSeq == Seq(("a>b>c", 2L, 1L), ("b>c>d", 1L, 2L)))
   }
 
+  test("sessionFunnel: cross-session steps don't convert, in-session do") {
+    val s = spark
+    import s.implicits._
+    val ts = (h: Int, m: Int) =>
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val events = Seq(
+      // user 1: full funnel inside one session
+      (1L, 1L, "view", ts(10, 0)), (1L, 2L, "click", ts(10, 5)),
+      (1L, 3L, "purchase", ts(10, 10)),
+      // user 2: view in session 1, click+purchase in a LATER session
+      // — click/purchase must NOT credit (no view in their session)
+      (2L, 4L, "view", ts(10, 0)),
+      (2L, 5L, "click", ts(13, 0)), (2L, 6L, "purchase", ts(13, 5)))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val r = RelQueries
+      .sessionFunnel(events, Seq("view", "click", "purchase")).collect()
+      .map(x => x.getAs[String]("step") -> x.getAs[Long]("n_sessions"))
+      .toMap
+    assert(r == Map("view" -> 2L, "click" -> 1L, "purchase" -> 1L))
+  }
+
   test("cohortValue: cumulative LTV per planted cohort") {
     val s = spark
     import s.implicits._
