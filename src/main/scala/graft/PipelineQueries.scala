@@ -227,6 +227,10 @@ object PipelineQueries {
       Corpus.vocabGrowth(Tables.documents(s, dir))),
     "corpus_token_hist" -> ((s, dir) =>
       Corpus.tokenHistogram(Tables.documents(s, dir))),
+    "corpus_quality_drift" -> ((s, dir) =>
+      Corpus.qualityDrift(Tables.documents(s, dir))),
+    "sim_embed_drift" -> ((s, dir) =>
+      Similarity.embedDrift(Tables.embeddings(s, dir))),
     "sim_cos_hist" -> ((s, dir) =>
       Similarity.cosineHistogram(Tables.embeddings(s, dir))),
     "sim_pq_distortion" -> ((s, dir) =>
@@ -698,6 +702,42 @@ object PipelineQueries {
          | FROM tl LEFT JOIN np USING (threshold) LEFT JOIN nd USING (threshold)
          | ORDER BY tl.threshold""".stripMargin.replace("\n", " ")
     },
+    "corpus_quality_drift" -> {
+      val allSw = TextAnalysis.stopwords.values.flatten.toSeq.distinct
+        .map(s => s"'$s'").mkString(", ")
+      s"""WITH b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+         | q AS (SELECT source,
+         |  least(((doc_id - lo) * 5) // (hi - lo + 1), 4) AS bucket,
+         |  round((least(length(text)::DOUBLE / 500.0, 1.0)
+         |   + len(list_distinct(ws))::DOUBLE / len(ws)
+         |   + least(len(list_filter(ws, x -> list_contains([$allSw], x)))::DOUBLE
+         |       / len(ws) * 4, 1.0)) / 3.0, 6) AS qs
+         |  FROM (SELECT doc_id, source, text,
+         |    string_split_regex(lower(text), '\\s+') AS ws FROM documents), b),
+         | g AS (SELECT source, bucket, count(*) AS n_docs,
+         |   round(avg(qs), 6) AS mean_quality FROM q GROUP BY 1, 2),
+         | base AS (SELECT source, mean_quality AS q0 FROM g WHERE bucket = 0)
+         | SELECT g.source, g.bucket, g.n_docs, g.mean_quality,
+         |  round(g.mean_quality - base.q0, 6) AS drift_vs_first
+         | FROM g LEFT JOIN base ON base.source = g.source
+         | ORDER BY g.source, g.bucket""".stripMargin.replace("\n", " ")
+    },
+    "sim_embed_drift" ->
+      """WITH m AS (SELECT (min(vec_id) + max(vec_id)) / 2.0 AS mid
+        |  FROM embeddings),
+        | x AS (SELECT vec_id <= m.mid AS first_half, j,
+        |  (embedding::DOUBLE[])[j] AS v
+        |  FROM embeddings, m CROSS JOIN
+        |   (SELECT unnest(generate_series(1, 64)) AS j) AS d),
+        | g AS (SELECT j AS dim,
+        |  round(avg(CASE WHEN first_half THEN v END), 6) AS mean_a,
+        |  round(avg(CASE WHEN NOT first_half THEN v END), 6) AS mean_b,
+        |  stddev_pop(v) AS sd FROM x GROUP BY j)
+        | SELECT dim, mean_a, mean_b,
+        |  round(mean_b - mean_a, 6) AS delta,
+        |  CASE WHEN sd = 0 THEN NULL
+        |   ELSE round((mean_b - mean_a) / sd, 6) END AS drift_z
+        | FROM g ORDER BY dim""".stripMargin.replace("\n", " "),
     "corpus_token_hist" ->
       """WITH t AS (SELECT CAST(list_sum(list_transform(
         |   string_split_regex(lower(text), '\s+'),

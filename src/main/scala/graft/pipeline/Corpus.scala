@@ -832,6 +832,34 @@ object Corpus {
       .orderBy("bucket")
   }
 
+  /** Per-source quality drift — is a feed degrading: mean quality
+    * score per (source, arrival bucket), with the bucket-0 baseline
+    * and the delta attached to every row. The monitoring card that
+    * catches a crawler rot or an upstream format change long before
+    * aggregate corpus quality moves. Integer-exact arrival buckets
+    * as in [[growthCurve]].
+    *
+    * Scale: quality evaluates in the scan (one map stage); the
+    * aggregation is ≤ sources×buckets keys; the baseline join is
+    * against the bucket-0 slice of that tiny frame. */
+  def qualityDrift(docs: DataFrame, buckets: Int = 5): DataFrame = {
+    val bounds = docs.agg(min("doc_id").as("_lo"), max("doc_id").as("_hi"))
+    val scored = docs.crossJoin(broadcast(bounds))
+      .select(col("source"),
+        least(expr(s"((doc_id - _lo) * $buckets) div (_hi - _lo + 1)"),
+          lit(buckets - 1L)).cast("long").as("bucket"),
+        TextAnalysis.qualityScoreCol(col("text")).as("q"))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"), round(avg("q"), 6).as("mean_quality"))
+    val base = scored.where(col("bucket") === 0)
+      .select(col("source"), col("mean_quality").as("_q0"))
+    scored.join(base, Seq("source"), "left")
+      .select(col("source"), col("bucket"), col("n_docs"),
+        col("mean_quality"),
+        round(col("mean_quality") - col("_q0"), 6).as("drift_vs_first"))
+      .orderBy("source", "bucket")
+  }
+
   /** Dedup savings card — what running the near-dup plan actually
     * buys: docs and BPE tokens held by non-canonical cluster members
     * (the removable mass), as a one-row summary with fractions. The

@@ -205,6 +205,35 @@ object Similarity {
       .orderBy("bin")
   }
 
+  /** Embedding drift between two corpus halves — encoder-version /
+    * distribution-shift detection: per dimension, the mean in the
+    * first half of the id range vs the second, the delta, and a
+    * z-like score (delta over the pooled std). A re-encoded or
+    * drifted feed shows coordinated per-dim shifts long before
+    * downstream recall drops. Split = id midpoint (arrival order),
+    * the same convention as the corpus drift cards.
+    *
+    * Scale: same partial-aggregating posexplode as [[embedStats]] —
+    * the shuffle carries ≤dim rows per task. */
+  def embedDrift(emb: DataFrame): DataFrame = {
+    val mid = emb.agg(((min("vec_id") + max("vec_id")) / 2).as("_mid"))
+    emb.crossJoin(broadcast(mid))
+      .select((col("vec_id") <= col("_mid")).as("_first"),
+        posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("pos", "v")))
+      .groupBy((col("pos") + 1).cast("long").as("dim"))
+      .agg(
+        round(avg(when(col("_first"), col("v"))), 6).as("mean_a"),
+        round(avg(when(!col("_first"), col("v"))), 6).as("mean_b"),
+        stddev_pop(col("v")).as("_sd"))
+      .select(col("dim"), col("mean_a"), col("mean_b"),
+        round(col("mean_b") - col("mean_a"), 6).as("delta"),
+        round(when(col("_sd") === 0d, lit(null))
+          .otherwise((col("mean_b") - col("mean_a")) / col("_sd")), 6)
+          .as("drift_z"))
+      .orderBy("dim")
+  }
+
   /** Label-balance card — class skew over a labeled embedding corpus
     * (per label: count, share, and the share×|labels| imbalance
     * ratio vs uniform). Skew here silently biases every downstream

@@ -1357,6 +1357,34 @@ class PipelineSpec extends SparkSpec {
     assert(r("feedB") == ((1L, 0L, 0L)))
   }
 
+  test("embedDrift: planted second-half shift shows in delta and z") {
+    val s = spark
+    import s.implicits._
+    val emb = ((1L to 10L).map(i => (i, Array(0.0f, 1.0f))) ++
+      (11L to 20L).map(i => (i, Array(2.0f, 1.0f))))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.embedDrift(emb).collect()
+      .map(x => x.getAs[Long]("dim") -> x).toMap
+    assert(r(1L).getAs[Double]("delta") == 2.0)
+    assert(r(1L).getAs[Double]("mean_a") == 0.0)
+    assert(r(1L).getAs[Double]("mean_b") == 2.0)
+    assert(r(1L).getAs[Double]("drift_z") == 2.0) // sd_pop = 1.0
+    // the constant dim: zero delta, null z (sd = 0)
+    assert(r(2L).getAs[Double]("delta") == 0.0)
+    assert(r(2L).isNullAt(r(2L).fieldIndex("drift_z")))
+  }
+
+  test("qualityDrift: per-source buckets with bucket-0 baseline") {
+    val docs = Tables.documents(spark, sf)
+    val rows = Corpus.qualityDrift(docs).collect()
+    assert(rows.nonEmpty)
+    rows.filter(_.getAs[Long]("bucket") == 0L).foreach { r =>
+      assert(r.getAs[Double]("drift_vs_first") == 0.0)
+    }
+    // doc counts cover the corpus exactly
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
+  }
+
   test("dedupSavings counts non-canonical docs and their tokens") {
     val s = spark
     import s.implicits._
