@@ -150,6 +150,34 @@ object PipelineQueries {
        | a1 AS (${assignSql("cents1")})""".stripMargin.replace("\n", " ")
   }
 
+  /** BPE training stages v0..v{rounds} with per-round argmax t_i —
+    * shared by the train and encode oracles. */
+  private def bpeStagesSql(rounds: Int): String = {
+    val base =
+      """SELECT freq, ' ' || array_to_string(
+        |  [substring(w, i, 1) for i in range(1, length(w) + 1)], '  ')
+        |  || ' ' AS repr
+        | FROM (SELECT w, count(*) AS freq FROM (
+        |   SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+        |   FROM documents) AS u
+        |  WHERE length(w) > 0 GROUP BY w) AS b""".stripMargin.replace("\n", " ")
+    val stages = (1 to rounds).map { i =>
+      s"""p$i AS (SELECT p.a AS a, p.b AS b, sum(freq) AS pfreq FROM (
+         |  SELECT freq, unnest([{'a': syms[i], 'b': syms[i+1]}
+         |    for i in range(1, len(syms))]) AS p
+         |  FROM (SELECT freq, string_split(trim(repr), '  ') AS syms
+         |        FROM v${i - 1}) AS t
+         |  WHERE len(syms) >= 2) AS u GROUP BY 1, 2),
+         | t$i AS (SELECT a, b, pfreq FROM p$i
+         |  ORDER BY pfreq DESC, a ASC, b ASC LIMIT 1),
+         | v$i AS (SELECT freq,
+         |  replace(repr, ' ' || t.a || '  ' || t.b || ' ',
+         |    ' ' || t.a || t.b || ' ') AS repr
+         |  FROM v${i - 1}, t$i AS t)""".stripMargin.replace("\n", " ")
+    }.mkString(", ")
+    s"v0 AS ($base), $stages"
+  }
+
   /** kmeans-inertia oracle: Lloyd iterations 0..2 with per-vector
     * (cluster, d²) labels, inertia sums and moved counts. */
   private lazy val KMEANS_INERTIA_SQL: String = {
@@ -435,6 +463,8 @@ object PipelineQueries {
       TextAnalysis.bpePairStats(Tables.documents(s, dir)).orderBy("rank")),
     "corpus_bpe_train" -> ((s, dir) =>
       TextAnalysis.bpeTrain(Tables.documents(s, dir), rounds = 8)),
+    "corpus_bpe_encode" -> ((s, dir) =>
+      TextAnalysis.bpeEncode(Tables.documents(s, dir), rounds = 8)),
     "text_langid" -> ((s, dir) =>
       TextAnalysis.languageId(Tables.documents(s, dir)).orderBy("doc_id")),
     "text_quality" -> ((s, dir) =>
@@ -1588,33 +1618,34 @@ object PipelineQueries {
     // non-overlapping
     "corpus_bpe_train" -> {
       val R = 8
-      val base =
-        """SELECT freq, ' ' || array_to_string(
-          |  [substring(w, i, 1) for i in range(1, length(w) + 1)], '  ')
-          |  || ' ' AS repr
-          | FROM (SELECT w, count(*) AS freq FROM (
-          |   SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
-          |   FROM documents) AS u
-          |  WHERE length(w) > 0 GROUP BY w) AS b""".stripMargin.replace("\n", " ")
-      val stages = (1 to R).map { i =>
-        s"""p$i AS (SELECT p.a AS a, p.b AS b, sum(freq) AS pfreq FROM (
-           |  SELECT freq, unnest([{'a': syms[i], 'b': syms[i+1]}
-           |    for i in range(1, len(syms))]) AS p
-           |  FROM (SELECT freq, string_split(trim(repr), '  ') AS syms
-           |        FROM v${i - 1}) AS t
-           |  WHERE len(syms) >= 2) AS u GROUP BY 1, 2),
-           | t$i AS (SELECT a, b, pfreq FROM p$i
-           |  ORDER BY pfreq DESC, a ASC, b ASC LIMIT 1),
-           | v$i AS (SELECT freq,
-           |  replace(repr, ' ' || t.a || '  ' || t.b || ' ',
-           |    ' ' || t.a || t.b || ' ') AS repr
-           |  FROM v${i - 1}, t$i AS t)""".stripMargin.replace("\n", " ")
-      }.mkString(", ")
       val tops = (1 to R).map(i =>
         s"SELECT CAST($i AS BIGINT) AS round, a AS sym_a, b AS sym_b, " +
           s"a || b AS merged, CAST(pfreq AS BIGINT) AS pair_freq FROM t$i")
         .mkString(" UNION ALL ")
-      s"WITH v0 AS ($base), $stages SELECT * FROM ($tops) AS m ORDER BY round"
+      s"WITH ${bpeStagesSql(R)} SELECT * FROM ($tops) AS m ORDER BY round"
+    },
+    // training replayed (same stages), then the merge table applied
+    // to the word stream as the same ordered replace chain
+    "corpus_bpe_encode" -> {
+      val R = 8
+      val repr0 =
+        """' ' || array_to_string(
+          | [substring(w, i, 1) for i in range(1, length(w) + 1)], '  ')
+          | || ' '""".stripMargin.replace("\n", " ")
+      val reprN = (1 to R).foldLeft(s"($repr0)") { (c, i) =>
+        s"replace($c, ' ' || t$i.a || '  ' || t$i.b || ' ', ' ' || t$i.a || t$i.b || ' ')"
+      }
+      val tJoin = (1 to R).map(i => s"t$i").mkString(", ")
+      s"""WITH ${bpeStagesSql(R)},
+         | wtok AS (SELECT doc_id,
+         |   unnest(string_split_regex(lower(text), '\\s+')) AS w
+         |  FROM documents),
+         | enc AS (SELECT doc_id,
+         |   len(string_split(trim($reprN), '  ')) AS k
+         |  FROM wtok, $tJoin WHERE length(w) > 0)
+         | SELECT doc_id, count(*) AS n_words,
+         |  CAST(sum(k) AS BIGINT) AS bpe_tokens
+         | FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " ")
     },
     "corpus_bpe" ->
       """WITH wf AS (SELECT word, count(*) AS wc FROM

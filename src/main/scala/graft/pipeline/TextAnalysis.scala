@@ -525,6 +525,36 @@ object TextAnalysis {
       .orderBy("round")
   }
 
+  /** BPE tokenizer APPLICATION — the encode side completing
+    * [[bpeTrain]]: the trained merge table (collected — ≤rounds rows,
+    * the shipped artifact) applies to every word as the same ordered
+    * sequence of delimiter-owning string replaces the trainer used,
+    * and the per-doc token count is what the corpus costs under the
+    * TRAINED tokenizer (vs the chars/4 heuristic of [[tokenCount]]).
+    *
+    * Scale: training cost as in [[bpeTrain]]; encoding is one
+    * explode + a map-stage replace chain (rounds literal replaces)
+    * + one per-doc aggregation — the merge table rides the plan as
+    * literals, no join. */
+  def bpeEncode(docs: DataFrame, rounds: Int = 8): DataFrame = {
+    val merges = bpeTrain(docs, rounds).collect()
+      .sortBy(_.getAs[Long]("round"))
+      .map(r => (r.getAs[String]("sym_a"), r.getAs[String]("sym_b")))
+    val chars = transform(sequence(lit(1), length(col("w"))),
+      i => col("w").substr(i, lit(1)))
+    val repr0 = concat(lit(" "), concat_ws("  ", chars), lit(" "))
+    val reprN = merges.foldLeft(repr0) { case (c, (a, b)) =>
+      replace(c, lit(s" $a  $b "), lit(s" $a$b "))
+    }
+    docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .where(length(col("w")) > 0)
+      .select(col("doc_id"),
+        size(split(trim(reprN), "  ")).cast("long").as("k"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("k").as("bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** Unigram entropy per document — the information-density quality
     * signal (near-zero for boilerplate/repetition, ln(vocab) for
     * maximally varied text; used alongside the Gopher shape filters

@@ -1013,6 +1013,21 @@ class PipelineSpec extends SparkSpec {
     assert(acc == 1.0)
   }
 
+  test("bpeEncode: trained merges shrink token counts correctly") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "aaa aaa abab")).toDF("doc_id", "text")
+    // trained merges (see bpeTrain spec): aa, ab, aaa, abab →
+    // "aaa" encodes to 1 token, "abab" to 1 token
+    val r = TextAnalysis.bpeEncode(docs, rounds = 8).collect()(0)
+    assert(r.getAs[Long]("n_words") == 3L)
+    assert(r.getAs[Long]("bpe_tokens") == 3L)
+    // with fewer rounds the merges stop early: at rounds = 1 only
+    // (a,a)→aa exists, so aaa → (aa)a = 2 tokens, abab → 4 chars
+    val r1 = TextAnalysis.bpeEncode(docs, rounds = 1).collect()(0)
+    assert(r1.getAs[Long]("bpe_tokens") == 2L + 2L + 4L)
+  }
+
   test("bpeTrain: greedy overlap, lexicographic ties, early stop") {
     val s = spark
     import s.implicits._
