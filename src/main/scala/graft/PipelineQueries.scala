@@ -385,6 +385,13 @@ object PipelineQueries {
       Similarity.labelBalance(Tables.embeddings(s, dir))),
     "corpus_boilerplate" -> ((s, dir) =>
       Corpus.boilerplate(Tables.documents(s, dir)).orderBy("rank")),
+    "sim_pq_refined" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      // one Lloyd refinement round on the codebooks — the trained
+      // path of pqAnn, previously spec-only, now oracle-gated
+      Similarity.pqAnn(emb, emb.where(col("vec_id") < 10), 5, refine = 1)
+        .orderBy("q_id", "rk")
+    }),
     "sim_rp_recall" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.rpRecall(emb, emb.where(col("vec_id") < 10), 5,
@@ -1102,6 +1109,52 @@ object PipelineQueries {
          |  FROM sv JOIN books AS b USING (j) GROUP BY sv.vec_id, sv.j)
          | SELECT j, count(*) AS n_vecs, round(avg(errmin), 6) AS mse
          | FROM err GROUP BY j ORDER BY j""".stripMargin.replace("\n", " ")
+    },
+    // one Lloyd refinement round replayed: encode with the seed
+    // books, recompute each codeword as the element-wise mean of its
+    // assigned subvectors (empty cells keep the seed), then the
+    // standard encode + ADC against the refined books
+    "sim_pq_refined" -> {
+      val js = (0 until 8).mkString("[", ", ", "]")
+      def encSql(books: String) =
+        s"""SELECT vec_id, j, c AS code FROM (
+           | SELECT sv.vec_id, sv.j, b.c,
+           |  row_number() OVER (PARTITION BY sv.vec_id, sv.j ORDER BY
+           |   (list_dot_product(b.w, b.w)
+           |    - 2 * list_dot_product(sv.s, b.w)) ASC, b.c ASC) AS rn
+           | FROM sv JOIN $books AS b USING (j)) AS t WHERE rn = 1""".stripMargin.replace("\n", " ")
+      s"""WITH books0 AS (
+         |  SELECT row_number() OVER (PARTITION BY j ORDER BY vec_id) - 1 AS c, j,
+         |   list_slice(embedding::DOUBLE[], j * 8 + 1, (j + 1) * 8) AS w
+         |  FROM (SELECT vec_id, embedding FROM embeddings
+         |        ORDER BY vec_id LIMIT 64) AS seed
+         |  CROSS JOIN (SELECT unnest($js) AS j) AS jss),
+         | sv AS (SELECT vec_id, j,
+         |   list_slice(embedding::DOUBLE[], j * 8 + 1, (j + 1) * 8) AS s
+         |  FROM embeddings
+         |  CROSS JOIN (SELECT unnest($js) AS j) AS jss),
+         | enc0 AS (${encSql("books0")}),
+         | m1 AS (SELECT j, c, list(mv ORDER BY pos) AS memb FROM (
+         |  SELECT e.j, e.code AS c, pos, avg(sv.s[pos]) AS mv
+         |  FROM enc0 AS e JOIN sv ON sv.vec_id = e.vec_id AND sv.j = e.j
+         |  CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS pos) AS ps
+         |  GROUP BY e.j, e.code, pos) AS g GROUP BY j, c),
+         | books AS (SELECT b0.c, b0.j, coalesce(m1.memb, b0.w) AS w
+         |  FROM books0 AS b0 LEFT JOIN m1 ON m1.j = b0.j AND m1.c = b0.c),
+         | enc AS (${encSql("books")}),
+         | qd AS (SELECT sv.vec_id AS q_id, sv.j, b.c,
+         |   (list_dot_product(sv.s, sv.s)
+         |    - 2 * list_dot_product(sv.s, b.w))
+         |   + list_dot_product(b.w, b.w) AS d
+         |  FROM sv JOIN books AS b USING (j) WHERE sv.vec_id < 10),
+         | scored AS (SELECT qd.q_id, e.vec_id AS c_id, sum(qd.d) AS adc
+         |  FROM enc AS e JOIN qd ON qd.j = e.j AND qd.c = e.code
+         |  WHERE e.vec_id <> qd.q_id
+         |  GROUP BY qd.q_id, e.vec_id)
+         | SELECT q_id, c_id, round(adc, 6) + 0.0 AS adc_v, rk FROM (
+         |  SELECT q_id, c_id, adc, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY adc ASC, c_id ASC) AS rk FROM scored) AS r
+         | WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin.replace("\n", " ")
     },
     "sim_pq_ann" -> {
       val js = (0 until 8).mkString("[", ", ", "]")
