@@ -39,6 +39,16 @@ for name in names:
     bad = []
     for c in s.columns:
         sc, dc = s[c], d[c]
+        # The driver hashes the RENDERING, not the values: an int64 Spark
+        # column vs a HUGEINT/float DuckDB column renders 31 vs 31.0 and
+        # hash-mismatches even when numerically identical (round 6's one
+        # red row, corpus_vocab_growth). Flag any int-vs-float kind split
+        # before comparing values.
+        if {sc.dtype.kind, dc.dtype.kind} == {'i', 'f'} and not (
+                sc.isna().any() or dc.isna().any()):
+            bad.append((c, f"RENDER-TYPE split spark={sc.dtype} duck={dc.dtype}"
+                           " (int vs float renders 31 vs 31.0 at the gate)"))
+            continue
         try:
             if sc.dtype.kind == 'f' or dc.dtype.kind == 'f':
                 import numpy as np

@@ -795,8 +795,8 @@ object PipelineQueries {
         | tk AS (SELECT bucket, count(*) AS n_tokens FROM bw GROUP BY bucket)
         | SELECT tk.bucket, tk.n_tokens,
         |  coalesce(fs.n_new_words, 0) AS n_new_words,
-        |  sum(coalesce(fs.n_new_words, 0)) OVER (ORDER BY tk.bucket
-        |   ROWS UNBOUNDED PRECEDING) AS vocab_cum,
+        |  CAST(sum(coalesce(fs.n_new_words, 0)) OVER (ORDER BY tk.bucket
+        |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_cum,
         |  round(coalesce(fs.n_new_words, 0)::DOUBLE / tk.n_tokens, 6)
         |   AS novelty_rate
         | FROM tk LEFT JOIN fs USING (bucket)
