@@ -151,7 +151,14 @@ object PipelineQueries {
   }
 
   /** BPE training stages v0..v{rounds} with per-round argmax t_i —
-    * shared by the train and encode oracles. */
+    * shared by the train and encode oracles. Each t_i carries a
+    * sentinel ('','',-1) fallback so a corpus with fewer than
+    * `rounds` distinct merges leaves t_i non-empty (the encode
+    * oracle cross-joins all t_i — an empty one would annihilate the
+    * result where the engine just early-stops); the sentinel's
+    * replace pattern is four consecutive spaces, which never occurs
+    * in a repr, so it rewrites nothing. Train filters sentinels out
+    * (pfreq > 0) to mirror the engine's early stop. */
   private def bpeStagesSql(rounds: Int): String = {
     val base =
       """SELECT freq, ' ' || array_to_string(
@@ -168,7 +175,9 @@ object PipelineQueries {
          |  FROM (SELECT freq, string_split(trim(repr), '  ') AS syms
          |        FROM v${i - 1}) AS t
          |  WHERE len(syms) >= 2) AS u GROUP BY 1, 2),
-         | t$i AS (SELECT a, b, pfreq FROM p$i
+         | t$i AS (SELECT a, b, pfreq FROM (
+         |   SELECT a, b, pfreq FROM p$i
+         |   UNION ALL SELECT '', '', -1) AS w$i
          |  ORDER BY pfreq DESC, a ASC, b ASC LIMIT 1),
          | v$i AS (SELECT freq,
          |  replace(repr, ' ' || t.a || '  ' || t.b || ' ',
@@ -1673,7 +1682,8 @@ object PipelineQueries {
       val R = 8
       val tops = (1 to R).map(i =>
         s"SELECT CAST($i AS BIGINT) AS round, a AS sym_a, b AS sym_b, " +
-          s"a || b AS merged, CAST(pfreq AS BIGINT) AS pair_freq FROM t$i")
+          s"a || b AS merged, CAST(pfreq AS BIGINT) AS pair_freq FROM t$i " +
+          "WHERE pfreq > 0")
         .mkString(" UNION ALL ")
       s"WITH ${bpeStagesSql(R)} SELECT * FROM ($tops) AS m ORDER BY round"
     },

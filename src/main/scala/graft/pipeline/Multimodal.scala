@@ -262,6 +262,9 @@ object Multimodal {
     media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
       .map { case (id, payload) =>
         val (w, h, bpp) = decodeBmp(payload)
+        // the pixel walk below strides 3 bytes/pixel — reject any
+        // other depth loudly rather than mis-summing it silently
+        require(bpp == 24, s"channelStats expects 24bpp BMP, got $bpp (media_id=$id)")
         val rowSize = ((w * bpp / 8 + 3) / 4) * 4
         val off = java.nio.ByteBuffer.wrap(payload)
           .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(10)

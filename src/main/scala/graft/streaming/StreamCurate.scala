@@ -37,12 +37,19 @@ object StreamCurate {
       .withColumn("n_tokens", TextAnalysis.bpeTokensCol(col("text")))
       .where(col("quality_score") >= minQuality)
       .withColumn("content_hash", md5(col("text")))
-    // watermark-bounded state on a stream; plain dropDuplicates on a
-    // batch frame (the within-watermark form is streaming-only), so
-    // the same curate() replays over a backfill
+    // watermark-bounded state on a stream; on a batch frame (the
+    // within-watermark form is streaming-only) keep the DETERMINISTIC
+    // earliest arrival per hash — plain dropDuplicates keeps an
+    // arbitrary partition-order row, so a backfill replay could keep
+    // a different doc than the live stream did
     if (gated.isStreaming)
       gated.withWatermark("ts", lateness)
         .dropDuplicatesWithinWatermark("content_hash")
-    else gated.dropDuplicates("content_hash")
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("content_hash").orderBy(col("ts"), col("doc_id"))
+      gated.withColumn("_rn", row_number().over(w))
+        .where(col("_rn") === 1).drop("_rn")
+    }
   }
 }

@@ -34,7 +34,12 @@ object Index {
       .select(labelCols.map(c => col(c).cast("string").as(c)): _*)
       .distinct()
     labelCols.map { l =>
-      series.groupBy(col(l).as("value"))
+      // a NULL label value is an ABSENT term, not a term: m3ninx's
+      // terms dictionary only holds present values (and the oracle's
+      // count(DISTINCT x) skips NULLs) — same guard as
+      // indexCompleteTags' tag_value IS NOT NULL
+      series.where(col(l).isNotNull)
+        .groupBy(col(l).as("value"))
         .agg(count(lit(1)).as("n_series"))
         .select(lit(l).as("label"), col("value"), col("n_series"))
     }.reduce(_ unionByName _)
@@ -79,8 +84,10 @@ object Index {
       .select(labelCols.map(c => col(c).cast("string").as(c)): _*)
       .distinct()
     val post = labelCols.map { l =>
-      series.select(lit(l).as("label"), col(l).as("value"),
-        struct(labelCols.map(col): _*).as("sid"))
+      // NULL terms never enter the postings frame (see postings())
+      series.where(col(l).isNotNull)
+        .select(lit(l).as("label"), col(l).as("value"),
+          struct(labelCols.map(col): _*).as("sid"))
     }.reduce(_ unionByName _)
     val terms = post.select("label", "value").distinct()
     val perMatcher = matchers.map { m =>

@@ -63,8 +63,26 @@ class StreamCurateSpec extends SparkSpec {
     val plan = StreamCurate.curate(docs)
       .queryExecution.analyzed.toString
     // no aggregation anywhere: scoring is projection-only, and the
-    // batch plan shows the dedup as a Deduplicate node, not Aggregate
+    // batch dedup is the deterministic earliest-row pick (row_number
+    // over the hash, ordered by arrival) — not an arbitrary-row
+    // Deduplicate, so a backfill replay keeps the same doc the live
+    // stream kept
     assert(!plan.contains("Aggregate"), s"scoring must stay map-side:\n$plan")
-    assert(plan.contains("Deduplicate"), plan)
+    assert(plan.contains("row_number"), plan)
+  }
+
+  test("batch backfill keeps the deterministic earliest arrival per hash") {
+    val s = spark
+    import s.implicits._
+    // same content at three timestamps, shuffled input order: the
+    // keeper must be the earliest (ts, doc_id), not partition luck
+    val docs = Seq(
+      (9L, Timestamp.valueOf("2024-01-01 00:05:00"), good),
+      (2L, Timestamp.valueOf("2024-01-01 00:01:00"), good),
+      (5L, Timestamp.valueOf("2024-01-01 00:01:00"), good))
+      .toDF("doc_id", "ts", "text").repartition(4)
+    val kept = StreamCurate.curate(docs).select("doc_id").collect()
+      .map(_.getLong(0)).toSeq
+    assert(kept == Seq(2L), s"got $kept")
   }
 }
