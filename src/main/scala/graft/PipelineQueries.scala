@@ -74,6 +74,21 @@ object PipelineQueries {
        | WHERE agree >= $MIN_AGREE""".stripMargin.replace("\n", " ")
   }
 
+  /** Once-per-(session, sf dir) VectorStore table for the persisted
+    * ANN queries — same idempotent catalog-cached pattern as
+    * TsdbQueries' SeriesStore table; md5-derived name so sf dirs
+    * never collide. Built with the sim_ivf_ann/sim_ivfpq_ann default
+    * parameters so the stored routes are byte-comparable. */
+  private val vecTables =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def vecTable(s: SparkSession, dir: String): String =
+    vecTables.getOrElseUpdate((s, dir), {
+      val t = "graft_vec_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+      graft.sources.VectorStore.build(Tables.embeddings(s, dir), t)
+      t
+    })
+
   /** LSH bucket id SQL — regenerates the identical hyperplane family
     * as [[Similarity.lshBucket]] (same mixing, same literal ±1
     * weights), so the oracle replays the bucketing exactly. */
@@ -346,6 +361,26 @@ object PipelineQueries {
     "sim_ivf_ann" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.ivfAnn(emb, emb.where(col("vec_id") < 10), 5)
+        .orderBy("q_id", "rk")
+    }),
+    // the same IVF search THROUGH the persisted index: first call in
+    // a session pays the build (cell-partitioned table + model
+    // sidecar), then every query is a pruned partition read — no
+    // per-query corpus assignment. Byte-identical to sim_ivf_ann's
+    // direct path, same oracle; VectorStoreSpec audits the
+    // PartitionFilters pruning.
+    "store_ann" -> ((s, dir) => {
+      val q = Tables.embeddings(s, dir).where(col("vec_id") < 10)
+      graft.sources.VectorStore.ivfAnn(s, vecTable(s, dir), q, 5)
+        .orderBy("q_id", "rk")
+    }),
+    // ...and the IVF-PQ route over the same stored layout: probed
+    // cells read ONLY (vec_id, codes) — the embedding column never
+    // leaves storage — ADC-scored against the persisted codebook.
+    // Byte-identical to sim_ivfpq_ann, same oracle.
+    "store_ivfpq" -> ((s, dir) => {
+      val q = Tables.embeddings(s, dir).where(col("vec_id") < 10)
+      graft.sources.VectorStore.ivfpqAnn(s, vecTable(s, dir), q, 5)
         .orderBy("q_id", "rk")
     }),
     "sim_lsh_ann" -> ((s, dir) => {
@@ -630,7 +665,15 @@ object PipelineQueries {
         .orderBy("media_id"))
   )
 
-  val oracles: Map[String, String] = Map(
+  /** The stored ANN routes are byte-identical to their direct paths
+    * by construction, so they share the direct paths' oracle SQL
+    * verbatim — the strongest possible equivalence statement the
+    * gate can check. */
+  lazy val oracles: Map[String, String] = oracleBase ++ Map(
+    "store_ann" -> oracleBase("sim_ivf_ann"),
+    "store_ivfpq" -> oracleBase("sim_ivfpq_ann"))
+
+  private val oracleBase: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT doc_id, md5(text) AS content_md5,
         | row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS dup_rank,

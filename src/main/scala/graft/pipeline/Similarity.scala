@@ -489,6 +489,74 @@ object Similarity {
       .orderBy("nprobe", "q_id")
   }
 
+  // ---- shared IVF/PQ building blocks ---------------------------------
+  // One source of truth for cell assignment, probing, residual PQ
+  // encoding and ADC scoring: the direct paths ([[ivfAnn]],
+  // [[ivfpqAnn]]) and the persisted layout
+  // ([[graft.sources.VectorStore]]) compose the SAME expressions, so
+  // the stored route is byte-identical to the direct route by
+  // construction (the store specs and the store_ann/store_ivfpq
+  // oracles pin it).
+
+  /** Deterministic seeded coarse quantizer — the first `cells`
+    * corpus vectors by id (bounded collect: cells·dim doubles). */
+  private[graft] def seedCentroids(corpus: DataFrame,
+                                   cells: Int): Array[Seq[Double]] =
+    corpus.orderBy("vec_id").limit(cells)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq)
+
+  /** Per-cell ‖v−c‖² ranking array (up to the constant ‖v‖²):
+    * c·c − 2 v·c per centroid literal — a pure map expression. */
+  private[graft] def centroidDists(cents: Array[Seq[Double]])(emb: Column): Column =
+    array(cents.map { c =>
+      val cc = c.map(x => x * x).sum
+      lit(cc) - lit(2.0) * dotNative(emb.cast("array<double>"), typedLit(c))
+    }: _*)
+
+  /** argmin cell id; ties to the lowest index (array_position takes
+    * the first minimum). */
+  private[graft] def cellAssign(cents: Array[Seq[Double]])(emb: Column): Column = {
+    val d = centroidDists(cents)(emb)
+    (array_position(d, array_min(d)) - 1).cast("int")
+  }
+
+  /** nprobe nearest cells from a precomputed distance array column —
+    * an array of (d, i) structs sorted ascending, sliced to nprobe. */
+  private[graft] def probeFromDists(qd: Column, cells: Int,
+                                    nprobe: Int): Column =
+    slice(array_sort(array(
+      (0 until cells).map(i =>
+        struct(element_at(qd, i + 1).as("d"), lit(i).as("i"))): _*)),
+      1, nprobe)
+
+  /** Query probe + in-cell exact cosine rerank over ANY
+    * (c_id, c_emb, cell) corpus frame — the direct path hands it a
+    * freshly-assigned frame, the stored layout hands it the pruned
+    * bucketed read. */
+  private[graft] def ivfProbeScore(cb: DataFrame, queries: DataFrame,
+                                   cents: Array[Seq[Double]], k: Int,
+                                   nprobe: Int): DataFrame = {
+    val cells = cents.length
+    val qb = queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"),
+      centroidDists(cents)(col("embedding")).as("qd"))
+      .select(col("q_id"), col("q_emb"),
+        explode(probeFromDists(col("qd"), cells, nprobe)).as("probe"))
+      .select(col("q_id"), col("q_emb"), col("probe.i").as("cell"))
+    val scored = cb.join(broadcast(qb), Seq("cell"))
+      .where(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        (dotNative(col("q_emb"), col("c_emb")) /
+          (sqrt(dotNative(col("q_emb"), col("q_emb"))) *
+            sqrt(dotNative(col("c_emb"), col("c_emb"))))).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("q_id"), col("c_id"), round(col("cos"), 6).as("cos_v"),
+        col("rk").cast("long").as("rk"))
+  }
+
   /** IVF-style ANN: a coarse quantizer partitions the corpus into
     * cells; queries probe only the `nprobe` nearest cells and exact
     * cosine reranks within them — the inverted-file pattern behind
@@ -503,44 +571,17 @@ object Similarity {
     * minimum).
     *
     * Scale: assignment is a map stage against k broadcast centroid
-    * literals (k·dim doubles); the corpus would be written
-    * bucketed-by(cell), making each probe a pruned bucket join. */
+    * literals (k·dim doubles). This path re-assigns the corpus per
+    * query; [[graft.sources.VectorStore]] persists the assignment as
+    * a cell-partitioned layout so each probe is a PRUNED partition
+    * read — same result, zero per-query assignment work. */
   def ivfAnn(corpus: DataFrame, queries: DataFrame, k: Int,
              cells: Int = 8, nprobe: Int = 2): DataFrame = {
-    val cents: Array[Seq[Double]] = corpus
-      .orderBy("vec_id").limit(cells)
-      .select("embedding").collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toSeq)
-    def dists(emb: Column): Column = array(cents.map { c =>
-      val cc = c.map(x => x * x).sum
-      lit(cc) - lit(2.0) * dotNative(emb.cast("array<double>"), typedLit(c))
-    }: _*)
-    def cellOf(emb: Column): Column = {
-      val d = dists(emb)
-      (array_position(d, array_min(d)) - 1).cast("int")
-    }
+    val cents = seedCentroids(corpus, cells)
     val cb = corpus.select(col("vec_id").as("c_id"),
-      col("embedding").as("c_emb"), cellOf(col("embedding")).as("cell"))
-    // query side probes its nprobe nearest cells
-    val qb = queries.select(col("vec_id").as("q_id"),
-      col("embedding").as("q_emb"), dists(col("embedding")).as("qd"))
-      .select(col("q_id"), col("q_emb"),
-        explode(slice(array_sort(array(
-          (0 until cells).map(i =>
-            struct(element_at(col("qd"), i + 1).as("d"), lit(i).as("i"))): _*)),
-          1, nprobe)).as("probe"))
-      .select(col("q_id"), col("q_emb"), col("probe.i").as("cell"))
-    val scored = cb.join(broadcast(qb), Seq("cell"))
-      .where(col("q_id") =!= col("c_id"))
-      .select(col("q_id"), col("c_id"),
-        (dotNative(col("q_emb"), col("c_emb")) /
-          (sqrt(dotNative(col("q_emb"), col("q_emb"))) *
-            sqrt(dotNative(col("c_emb"), col("c_emb"))))).as("cos"))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id").asc)
-    scored.withColumn("rk", row_number().over(w))
-      .where(col("rk") <= k)
-      .select(col("q_id"), col("c_id"), round(col("cos"), 6).as("cos_v"),
-        col("rk").cast("long").as("rk"))
+      col("embedding").as("c_emb"),
+      cellAssign(cents)(col("embedding")).as("cell"))
+    ivfProbeScore(cb, queries, cents, k, nprobe)
   }
 
   /** Lloyd k-means over the embedding corpus — the semantic
@@ -824,40 +865,56 @@ object Similarity {
                m: Int = 8, ks: Int = 32): DataFrame = {
     val sub = dim / m
     val spark = corpus.sparkSession
-    import spark.implicits._
-    val cents: Array[Seq[Double]] = corpus
-      .orderBy("vec_id").limit(cells)
-      .select("embedding").collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toSeq)
-    def dists(emb: Column): Column = array(cents.map { c =>
-      val cc = c.map(x => x * x).sum
-      lit(cc) - lit(2.0) * dotNative(emb.cast("array<double>"), typedLit(c))
-    }: _*)
-    def cellOf(emb: Column): Column = {
-      val d = dists(emb)
-      (array_position(d, array_min(d)) - 1).cast("int")
-    }
-    val centsDf = cents.zipWithIndex
-      .map { case (c, i) => (i, c) }.toSeq.toDF("cell", "cemb")
-    def residual(e: Column): Column =
-      zip_with(e, col("cemb"), (a, b) => a - b)
-    // corpus: cell + residual
-    val cb = corpus
-      .select(col("vec_id").as("c_id"),
-        col("embedding").cast("array<double>").as("e"),
-        cellOf(col("embedding")).as("cell"))
-      .join(broadcast(centsDf), "cell")
-      .select(col("c_id"), col("cell"), residual(col("e")).as("r"))
+    val cents = seedCentroids(corpus, cells)
+    val centsDf = centroidFrame(spark, cents)
+    val cb = residualFrame(corpus, cents, centsDf)
     // codebooks: residuals of the first ks vectors (bounded collect)
     val seedRes: Array[Seq[Double]] = cb
       .orderBy("c_id").limit(ks)
       .select("r").collect()
       .map(_.getSeq[Double](0))
-    val bdf = (for ((r, c) <- seedRes.zipWithIndex.toSeq; j <- 0 until m)
-      yield (c, j, r.slice(j * sub, (j + 1) * sub))).toDF("c", "j", "w")
-    // encode corpus residuals: argmin codeword per subspace
-    val codes = cb
+    val bdf = pqCodebookFrame(spark, seedRes, m, sub)
+    val codes = pqEncode(cb, bdf, m, sub)
+    ivfpqScore(codes, queries, cents, centsDf, bdf, k, m, sub, nprobe)
+  }
+
+  /** (cell, cemb) centroid frame — broadcast joined wherever a
+    * residual is formed. */
+  private[graft] def centroidFrame(spark: org.apache.spark.sql.SparkSession,
+                                   cents: Array[Seq[Double]]): DataFrame = {
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c) }.toSeq.toDF("cell", "cemb")
+  }
+
+  /** Corpus cell assignment + residual (x − centroid): the frame PQ
+    * encoding runs over. */
+  private[graft] def residualFrame(corpus: DataFrame,
+                                   cents: Array[Seq[Double]],
+                                   centsDf: DataFrame): DataFrame =
+    corpus
+      .select(col("vec_id").as("c_id"),
+        col("embedding").cast("array<double>").as("e"),
+        cellAssign(cents)(col("embedding")).as("cell"))
+      .join(broadcast(centsDf), "cell")
       .select(col("c_id"), col("cell"),
+        zip_with(col("e"), col("cemb"), (a, b) => a - b).as("r"))
+
+  /** (c, j, w) codebook frame from seed residuals — one row per
+    * (codeword, subspace). */
+  private[graft] def pqCodebookFrame(spark: org.apache.spark.sql.SparkSession,
+                                     seedRes: Array[Seq[Double]],
+                                     m: Int, sub: Int): DataFrame = {
+    import spark.implicits._
+    (for ((r, c) <- seedRes.zipWithIndex.toSeq; j <- 0 until m)
+      yield (c, j, r.slice(j * sub, (j + 1) * sub))).toDF("c", "j", "w")
+  }
+
+  /** Encode residuals: argmin codeword per (vector, subspace) —
+    * one broadcast codebook join + min_by, ties to the lowest
+    * codeword index. Returns (c_id, cell, j, code). */
+  private[graft] def pqEncode(cb: DataFrame, bdf: DataFrame,
+                              m: Int, sub: Int): DataFrame =
+    cb.select(col("c_id"), col("cell"),
         posexplode(array((0 until m).map(j =>
           slice(col("r"), j * sub + 1, sub)): _*)).as(Seq("j", "s")))
       .join(broadcast(bdf), "j")
@@ -866,20 +923,27 @@ object Similarity {
           lit(2.0) * dotNative(col("s"), col("w"))).as("d"))
       .groupBy("c_id", "cell", "j")
       .agg(min_by(col("c"), struct(col("d"), col("c"))).as("code"))
-    // queries: nprobe nearest cells, residual per probed cell,
-    // per-(query, cell, j, codeword) ADC table
+
+  /** Probe + ADC scoring over ANY (c_id, cell, j, code) codes frame —
+    * direct path or the stored layout's exploded codes column: the
+    * query's per-(cell, j, codeword) exact distances broadcast
+    * against corpus codes; candidates only come from probed cells
+    * and the corpus float payload never reaches the join. */
+  private[graft] def ivfpqScore(codes: DataFrame, queries: DataFrame,
+                                cents: Array[Seq[Double]], centsDf: DataFrame,
+                                bdf: DataFrame, k: Int, m: Int, sub: Int,
+                                nprobe: Int): DataFrame = {
+    val cells = cents.length
     val qb = queries
       .select(col("vec_id").as("q_id"),
         col("embedding").cast("array<double>").as("qe"),
-        dists(col("embedding")).as("qd"))
+        centroidDists(cents)(col("embedding")).as("qd"))
       .select(col("q_id"), col("qe"),
-        explode(slice(array_sort(array(
-          (0 until cells).map(i =>
-            struct(element_at(col("qd"), i + 1).as("d"), lit(i).as("i"))): _*)),
-          1, nprobe)).as("probe"))
+        explode(probeFromDists(col("qd"), cells, nprobe)).as("probe"))
       .select(col("q_id"), col("qe"), col("probe.i").as("cell"))
       .join(broadcast(centsDf), "cell")
-      .select(col("q_id"), col("cell"), residual(col("qe")).as("rq"))
+      .select(col("q_id"), col("cell"),
+        zip_with(col("qe"), col("cemb"), (a, b) => a - b).as("rq"))
     val adc = qb
       .select(col("q_id"), col("cell"),
         posexplode(array((0 until m).map(j =>

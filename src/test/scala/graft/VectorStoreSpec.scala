@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.Similarity
+import graft.sources.VectorStore
+
+/** Plan + parity audits for the persisted ANN layout: stored results
+  * must be byte-identical to the direct paths, and the stored scan
+  * must actually prune unprobed cells at planning time. */
+class VectorStoreSpec extends SparkSpec {
+
+  private lazy val emb = Tables.embeddings(spark, sf)
+  private lazy val table: String = {
+    VectorStore.build(emb, "graft_vec_spec")
+    "graft_vec_spec"
+  }
+  private def queries = emb.where(col("vec_id") < 10)
+
+  test("stored IVF search is byte-identical to the direct path") {
+    val direct = Similarity.ivfAnn(emb, queries, 5)
+      .orderBy("q_id", "rk").collect().toSeq
+    val stored = VectorStore.ivfAnn(spark, table, queries, 5)
+      .orderBy("q_id", "rk").collect().toSeq
+    assert(stored == direct)
+  }
+
+  test("stored IVF-PQ search is byte-identical to the direct path") {
+    val direct = Similarity.ivfpqAnn(emb, queries, 5)
+      .orderBy("q_id", "rk").collect().toSeq
+    val stored = VectorStore.ivfpqAnn(spark, table, queries, 5)
+      .orderBy("q_id", "rk").collect().toSeq
+    assert(stored == direct)
+  }
+
+  /** The corpus-table FileScan lines of a plan (AQE wraps the tree,
+    * so match plan-string lines; each scan renders on one line). */
+  private def corpusScanLines(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.executedPlan.toString.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains(table) &&
+        !l.contains(table + "_model"))
+      .toSeq
+
+  test("probed read prunes cell partitions at planning time") {
+    // nprobe=1 with a single query probes exactly one cell; the scan
+    // must carry a static cell-IN partition filter and read a single
+    // partition's files
+    val one = emb.where(col("vec_id") === 0)
+    val df = VectorStore.ivfAnn(spark, table, one, 3, nprobe = 1)
+    df.collect()
+    val scans = corpusScanLines(df)
+    assert(scans.nonEmpty,
+      df.queryExecution.executedPlan.toString.take(2000))
+    assert(scans.exists(l => l.contains("PartitionFilters") &&
+      l.split("PartitionFilters")(1).takeWhile(_ != ']').contains("cell")),
+      s"expected cell partition filters: ${scans.mkString}")
+  }
+
+  test("PQ search reads codes only — the embedding column stays in storage") {
+    val df = VectorStore.ivfpqAnn(spark, table, queries, 5)
+    df.collect()
+    val scans = corpusScanLines(df)
+    assert(scans.nonEmpty)
+    scans.foreach { l =>
+      val read = l.split("ReadSchema").lift(1).getOrElse(l)
+      assert(!read.contains("embedding"),
+        s"PQ route must not read the float payload: $l")
+    }
+  }
+
+  test("the model sidecar is the bounded build artifact") {
+    val mdl = spark.table(table + "_model")
+    assert(mdl.where(col("kind") === "centroid").count() == 8)
+    assert(mdl.where(col("kind") === "codeword").count() == 32 * 8)
+  }
+}
