@@ -710,6 +710,24 @@ object TsdbQueries {
         .select(col("name"), col("user_id"),
           unix_timestamp(col("ts")).as("ts_s"), col("value"))
         .orderBy("name", "user_id", "ts_s")),
+    // multi-namespace FANOUT (fanoutStorage, storage/fanout/
+    // storage.go:50 + mustStitchWithUnaggregated, cluster_resolver
+    // .go:484): same resolution as ds_auto_series — the 1h:30d tier
+    // wins the Jan-11 start — but a 2-day rollup latency narrows the
+    // tier to buckets before Jan 30 00:00 (dataAvailableUntil,
+    // truncated to the resolution); the unaggregated namespace serves
+    // [Jan 30, Feb 1) raw, and the stitched union is the result.
+    // Two pruned branches, never a full double-scan.
+    "ds_fanout" -> ((s, dir) =>
+      Downsample.fetchFanoutSeries(samples(s, dir), 7L * 86400L, Seq(
+        Downsample.Policy("10m", 14L * 86400L),
+        Downsample.Policy("1h", 30L * 86400L),
+        Downsample.Policy("1d", 365L * 86400L)),
+        nowS = 1706745600L, startS = 1704931200L, aggLatencyS = 2L * 86400L)
+        .select(col("name"), col("user_id"),
+          unix_timestamp(col("ts")).as("ts_s"),
+          round(col("value"), 6).as("value"))
+        .orderBy("name", "user_id", "ts_s", "value")),
     // the OTHER resolveTier branch: a 3-day query start sits inside
     // the 7d raw retention, so the unaggregated namespace wins and
     // the fetch is the plain bounded sample scan
@@ -1798,6 +1816,35 @@ object TsdbQueries {
          | FROM ($S) AS s
          | WHERE epoch(ts) >= 1706486400 AND epoch(ts) < 1706745600
          | ORDER BY event_id""".stripMargin.replace("\n", " "),
+    "ds_fanout" -> {
+      // stitched fanout: the 1h tier (composed 10m→1h like the
+      // engine) serves buckets in [start, availUntil), the raw
+      // namespace serves [availUntil, now); availUntil = now − 2d
+      // lands on a bucket edge so the branches are time-disjoint
+      val f10 =
+        """SELECT event_type AS name, user_id,
+          | CAST(floor(epoch(ts) / 600) AS BIGINT) * 600 AS bucket_s,
+          | sum(value) AS sum_v, count(*) AS count_v
+          | FROM events GROUP BY 1, 2, 3""".stripMargin.replace("\n", " ")
+      val agg =
+        s"""SELECT name, user_id,
+           | CAST(floor(bucket_s / 3600) AS BIGINT) * 3600 AS ts_s,
+           | round(sum(sum_v) / sum(count_v), 6) AS value
+           | FROM ($f10) AS f10
+           | GROUP BY 1, 2, CAST(floor(bucket_s / 3600) AS BIGINT) * 3600
+           | HAVING CAST(floor(bucket_s / 3600) AS BIGINT) * 3600
+           |   >= 1706745600 - 30 * 86400
+           |  AND CAST(floor(bucket_s / 3600) AS BIGINT) * 3600 >= 1704931200
+           |  AND CAST(floor(bucket_s / 3600) AS BIGINT) * 3600 < 1706572800""".stripMargin.replace("\n", " ")
+      val raw =
+        """SELECT event_type AS name, user_id,
+          | CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+          | round(value, 6) AS value
+          | FROM events
+          | WHERE epoch(ts) >= 1706572800 AND epoch(ts) < 1706745600""".stripMargin.replace("\n", " ")
+      s"""SELECT * FROM (($agg) UNION ALL ($raw)) AS u
+         | ORDER BY name, user_id, ts_s, value""".stripMargin.replace("\n", " ")
+    },
     "ds_auto_series" -> {
       val f10 =
         """SELECT event_type AS name, user_id,

@@ -670,18 +670,75 @@ object Downsample {
     val fetched = fetchAuto(samples, unaggRetentionS, policies, nowS, startS,
       labelCols, relatedStartsS)
     val cols = labelCols.map(col)
-    if (fetched.columns.contains("resolution")) {
-      val v = aggType match {
-        case "mean" => col("mean_v")
-        case "sum" => col("sum_v")
-        case "min" => col("min_v")
-        case "max" => col("max_v")
-        case "count" => col("count_v").cast("double")
-        case other =>
-          throw new IllegalArgumentException(s"unknown agg type: $other")
-      }
+    if (fetched.columns.contains("resolution"))
       fetched.select(cols :+ timestamp_seconds(col("bucket_s")).as("ts") :+
-        v.as("value"): _*)
-    } else fetched.select(cols :+ col("ts") :+ col("value"): _*)
+        tierValue(aggType).as("value"): _*)
+    else fetched.select(cols :+ col("ts") :+ col("value"): _*)
   }
+
+  /** The tier column serving as series datapoints for a namespace's
+    * configured aggregation type (mean is m3's gauge default). */
+  private def tierValue(aggType: String) = aggType match {
+    case "mean" => col("mean_v")
+    case "sum" => col("sum_v")
+    case "min" => col("min_v")
+    case "max" => col("max_v")
+    case "count" => col("count_v").cast("double")
+    case other =>
+      throw new IllegalArgumentException(s"unknown agg type: $other")
+  }
+
+  /** Multi-namespace fanout fetch — the reference can serve ONE query
+    * from SEVERAL namespaces and stitch the responses (fanoutStorage,
+    * src/query/storage/fanout/storage.go:50, over the multi-namespace
+    * return of cluster_resolver.go:142): when the resolved aggregated
+    * namespace's rollups lag behind `now` by a data latency, its
+    * response is NARROWED to the buckets that exist
+    * (cluster_resolver.go:364 `dataAvailableUntil = now − latency`
+    * truncated to the resolution) and the unaggregated namespace is
+    * added, narrowed to START at that same boundary
+    * (`mustStitchWithUnaggregated`, cluster_resolver.go:484;
+    * narrowQueryOpts, storage.go:923) — rolled-up-old ∪ raw-recent in
+    * one result.
+    *
+    * The boundary lands on a bucket edge by construction (truncated
+    * to the tier resolution), so the two branches are time-disjoint
+    * and the union IS the series merge — the consolidator's
+    * cross-namespace series dedup has nothing to drop. With no
+    * latency (or a raw-covered start) this degrades to exactly the
+    * single-namespace [[fetchAutoSeries]] route, byte-identically.
+    *
+    * Scale: two PRUNED branches, not a double-scan — the aggregated
+    * branch's bucket range pushes through the rollup's grouping
+    * column to its scan, and the raw branch carries a pushed-down
+    * ts >= boundary predicate covering only `latency` worth of
+    * samples (PlanSpec audits both). */
+  def fetchFanoutSeries(samples: DataFrame, unaggRetentionS: Long,
+                        policies: Seq[Policy], nowS: Long, startS: Long,
+                        aggLatencyS: Long = 0L, aggType: String = "mean",
+                        labelCols: Seq[String] = Vectors.labels,
+                        relatedStartsS: Seq[Long] = Nil): DataFrame =
+    resolveTier(unaggRetentionS, policies, nowS, startS, relatedStartsS) match {
+      case (agg: Aggregated, _) if aggLatencyS > 0 &&
+          ((nowS - aggLatencyS) / resolutionS(agg.resolution)) *
+            resolutionS(agg.resolution) < nowS =>
+        val resS = resolutionS(agg.resolution)
+        val availS = ((nowS - aggLatencyS) / resS) * resS
+        val cols = labelCols.map(col)
+        val aggSeries = restrictByType(samples, agg, nowS, labelCols, policies)
+          .where(col("bucket_s") >= lit(startS) && col("bucket_s") < lit(availS))
+          .select(cols :+ timestamp_seconds(col("bucket_s")).as("ts") :+
+            tierValue(aggType).as("value"): _*)
+        val rawStartS = Seq(availS, startS,
+          if (unaggRetentionS == Long.MaxValue) Long.MinValue
+          else nowS - unaggRetentionS).max
+        val raw = samples
+          .where(col("ts") >= timestamp_seconds(lit(rawStartS)) &&
+            col("ts") < timestamp_seconds(lit(nowS)))
+          .select(cols :+ col("ts") :+ col("value"): _*)
+        aggSeries.unionByName(raw)
+      case _ =>
+        fetchAutoSeries(samples, unaggRetentionS, policies, nowS, startS,
+          aggType, labelCols, relatedStartsS)
+    }
 }

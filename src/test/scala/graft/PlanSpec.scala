@@ -239,6 +239,24 @@ class PlanSpec extends SparkSpec {
     tsdb.Downsample.clearTierCache()
   }
 
+  test("ds_fanout stitches exactly two pruned branches") {
+    // the fanout union must carry exactly TWO events scans — the
+    // rolled-up branch (one raw read via the cached 10m partials) and
+    // the raw-recent branch — each time-bounded; never a third scan
+    // or an unbounded raw read
+    tsdb.Downsample.clearTierCache()
+    val p = plan("ds_fanout")
+    val scans = p.linesIterator
+      .count(l => l.contains("Scan parquet") && l.contains("events"))
+    assert(scans == 2, s"expected 2 pruned events scans, got $scans:\n" + p.take(2000))
+    assert(p.contains("Union"), "fanout should union the two namespaces")
+    // the raw branch is bounded to [availUntil, now) — the filter
+    // must appear above its scan (1706572800 = Jan 30 00:00 boundary)
+    assert(p.contains("2024-01-30") || p.contains("1706572800"),
+      "raw branch not narrowed to the stitch boundary:\n" + p.take(3000))
+    tsdb.Downsample.clearTierCache()
+  }
+
   test("corpus_curriculum windows only on shard keys, never the corpus") {
     // the rank is two-phase: every windowspecdefinition partitions by
     // a shard column; the only unpartitioned window is the 32-row

@@ -381,6 +381,38 @@ class TsdbSpec extends SparkSpec {
     Downsample.clearTierCache()
   }
 
+  test("fanout fetch stitches at the latency boundary; zero latency degrades to the single route") {
+    val s = Vectors.samples(Tables.events(spark, sf))
+    val now = 1706745600L
+    val start = 1704931200L
+    val stack = Seq(
+      Downsample.Policy("10m", 14L * 86400L),
+      Downsample.Policy("1h", 30L * 86400L),
+      Downsample.Policy("1d", 365L * 86400L))
+    // no latency → byte-identical to the single-namespace series route
+    val single = Downsample.fetchAutoSeries(s, 7L * 86400L, stack, now, start)
+      .orderBy("name", "user_id", "ts").collect().toSeq
+    val fan0 = Downsample.fetchFanoutSeries(s, 7L * 86400L, stack, now, start)
+      .orderBy("name", "user_id", "ts").collect().toSeq
+    assert(fan0 == single)
+    // 2-day latency → aggregated buckets stop at the boundary, raw
+    // rows cover [boundary, now); the branches are time-disjoint
+    val boundary = now - 2L * 86400L
+    val fan = Downsample.fetchFanoutSeries(s, 7L * 86400L, stack, now, start,
+      aggLatencyS = 2L * 86400L)
+    val aggMax = fan.where(unix_timestamp(col("ts")) % 3600 === 0 &&
+      unix_timestamp(col("ts")) < boundary).count()
+    val rawRows = fan.where(unix_timestamp(col("ts")) >= boundary).count()
+    assert(aggMax > 0 && rawRows > 0)
+    assert(fan.where(unix_timestamp(col("ts")) >= now).count() == 0)
+    // raw branch carries the raw sample values: every post-boundary
+    // row exists verbatim in the bounded sample frame
+    val rawExpect = s.where(unix_timestamp(col("ts")) >= boundary &&
+      unix_timestamp(col("ts")) < now).count()
+    assert(rawRows == rawExpect)
+    Downsample.clearTierCache()
+  }
+
   test("pipeline transforms: Absolute, Reset's half-resolution zero, Increase drops") {
     val s = spark
     import s.implicits._
