@@ -105,26 +105,49 @@ object TsdbQueries {
   /** Sliding 1d/6h extrapolated rate relation per (name, user_id,
     * window end) — the stage shared by the sliding-rate + subquery
     * oracles. */
-  private def slidingRateRel(srcFilter: String): String =
+  private def slidingRateRel(srcFilter: String,
+                             rightClosed: Boolean = false): String = {
+    // default: Spark's canonical [e−lb, e) second-floor membership;
+    // Prometheus parity: exact µs bounds (e−lb, e]. The parity grid
+    // starts one step earlier — a sample landing EXACTLY on a
+    // step-aligned µs belongs to the window ending at its own
+    // instant; an unused extra instant joins to nothing (inner join)
+    val member =
+      if (rightClosed)
+        """ON epoch_us(sl.ts) > (g.bucket_s - 86400) * 1000000
+          | AND epoch_us(sl.ts) <= g.bucket_s * 1000000""".stripMargin.replace("\n", " ")
+      else
+        """ON floor(epoch(sl.ts)) >= g.bucket_s - 86400
+          | AND floor(epoch(sl.ts)) < g.bucket_s""".stripMargin.replace("\n", " ")
+    val prevMember =
+      if (rightClosed) "epoch_us(prev_ts) > (e - 86400) * 1000000"
+      else "floor(epoch(prev_ts)) >= e - 86400"
+    val grid =
+      if (rightClosed)
+        """SELECT unnest(generate_series(
+          | CAST(floor(epoch(min(ts)) / 21600) * 21600 AS BIGINT),
+          | CAST(floor(epoch(max(ts)) / 21600) * 21600 + 86400 AS BIGINT),
+          | 21600)) AS bucket_s FROM events""".stripMargin.replace("\n", " ")
+      else GRID
     s"""(WITH sl AS (SELECT *, lag(value) OVER w AS prev_v, lag(ts) OVER w AS prev_ts
        |  FROM (SELECT * FROM ($S) AS s0 $srcFilter) AS s
        |  WINDOW w AS (PARTITION BY name, user_id ORDER BY ts, event_id)),
        | j AS (SELECT sl.name, sl.user_id, sl.ts, sl.event_id, sl.value,
        |   sl.prev_v, sl.prev_ts, g.bucket_s AS e
-       |  FROM sl JOIN ($GRID) AS g
-       |   ON floor(epoch(sl.ts)) >= g.bucket_s - 86400
-       |   AND floor(epoch(sl.ts)) < g.bucket_s),
+       |  FROM sl JOIN ($grid) AS g
+       |   $member),
        | ag AS (SELECT name, user_id, e AS bucket_s,
        |   CAST(e - 86400 AS DOUBLE) AS rs, CAST(e AS DOUBLE) AS re,
        |   first(value ORDER BY ts, event_id) AS first_v,
        |   last(value ORDER BY ts, event_id) AS last_v,
        |   epoch_us(min(ts)) AS first_us, epoch_us(max(ts)) AS last_us,
        |   count(*) AS n_s,
-       |   sum(CASE WHEN floor(epoch(prev_ts)) >= e - 86400 AND prev_v > value
+       |   sum(CASE WHEN $prevMember AND prev_v > value
        |       THEN prev_v ELSE 0 END) AS corr
        |  FROM j GROUP BY name, user_id, e)
        | SELECT name, user_id, bucket_s, delta_r, increase_r, rate_r
        | FROM ${extrapSql("ag", "name, user_id, bucket_s", 86400)} AS x)""".stripMargin.replace("\n", " ")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- fetch / series selection (the front door) --------------------
@@ -296,6 +319,12 @@ object TsdbQueries {
         .orderBy("name", "user_id", "bucket_s")),
     "ts_rate_sliding" -> ((s, dir) =>
       Temporal.rateSliding(samples(s, dir))
+        .orderBy("name", "user_id", "bucket_s")),
+    // the Prometheus bound-parity twin: (e−lookback, e] windows
+    // (temporal/base.go:133) via the −1µs assignment shift — results
+    // diff-identical to a live Prometheus/m3 at the boundaries
+    "ts_rate_sliding_promql" -> ((s, dir) =>
+      Temporal.rateSliding(samples(s, dir), rightClosed = true)
         .orderBy("name", "user_id", "bucket_s")),
 
     // ---- §2C instant transforms ---------------------------------------
@@ -1152,6 +1181,13 @@ object TsdbQueries {
          | round(increase_r, 6) + 0.0 AS increase_v,
          | round(rate_r, 9) + 0.0 AS rate_v
          | FROM ${slidingRateRel("")} AS rv
+         | ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),
+    "ts_rate_sliding_promql" ->
+      s"""SELECT name, user_id, bucket_s,
+         | round(delta_r, 6) + 0.0 AS delta_v,
+         | round(increase_r, 6) + 0.0 AS increase_v,
+         | round(rate_r, 9) + 0.0 AS rate_v
+         | FROM ${slidingRateRel("", rightClosed = true)} AS rv
          | ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),
     "ts_resets_changes" ->
       s"""SELECT name, user_id, bucket_s,

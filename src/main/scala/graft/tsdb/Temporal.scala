@@ -248,8 +248,13 @@ object Temporal {
     * keyed on (series, window) — instants with no samples vanish,
     * matching PromQL staleness. Boundary note: m3's window is
     * (e−lookback, e]; Spark's canonical window bounds give
-    * [e−lookback, e) — a documented divergence, mirrored exactly by
-    * the oracle.
+    * [e−lookback, e) — the default here, mirrored exactly by the
+    * oracle. `rightClosed = true` selects Prometheus bound PARITY:
+    * timestamps are integral microseconds, so shifting the
+    * window-assignment timestamp by −1µs turns [e−lookback, e) into
+    * exactly (e−lookback, e] (see [[windowTs]]) — anyone diffing
+    * results against a live Prometheus/m3 gets identical boundary
+    * samples.
     *
     * Scale: expansion factor is lookback/step (4 at the defaults);
     * at 100 TB the expansion stays inside the scan's map stage and
@@ -257,10 +262,12 @@ object Temporal {
     */
   def overTimeAggsSliding(samples: DataFrame, lookbackS: Long = 86400L,
                           stepS: Long = 21600L,
-                          labelCols: Seq[String] = labels): DataFrame =
+                          labelCols: Seq[String] = labels,
+                          rightClosed: Boolean = false): DataFrame =
     samples
       .groupBy(labelCols.map(col) :+
-        window(col("ts"), s"$lookbackS seconds", s"$stepS seconds").as("w"): _*)
+        window(windowTs(rightClosed), s"$lookbackS seconds",
+          s"$stepS seconds").as("w"): _*)
       .agg(
         round(sum("value"), 6).as("sum_v"),
         round(avg("value"), 6).as("avg_v"),
@@ -270,6 +277,19 @@ object Temporal {
       .select(labelCols.map(col) ++ Seq(
         unix_timestamp(col("w.end")).as("bucket_s"),
         col("sum_v"), col("avg_v"), col("min_v"), col("max_v"), col("count_v")): _*)
+
+  /** The timestamp used for sliding-window ASSIGNMENT. m3/PromQL
+    * windows are right-closed `(e−lookback, e]`
+    * (temporal/base.go:133); Spark's `window()` is left-closed
+    * `[e−lookback, e)`. Timestamps are integral microseconds, so
+    * `ts − 1µs ∈ [e−lookback, e)  ⟺  ts ∈ (e−lookback, e]` — the
+    * parity mode is a pure input transform, not a different plan.
+    * Only assignment shifts: real sample timestamps still feed the
+    * extrapolation math (first_us/last_us), exactly as m3 evaluates
+    * true sample times against the window bounds. */
+  private def windowTs(rightClosed: Boolean): Column =
+    if (rightClosed) col("ts") - expr("INTERVAL 1 MICROSECOND")
+    else col("ts")
 
   /** As-of instant vectors — m3's consolidated instant evaluation
     * (src/query/ts/values.go: the value AT each step-aligned instant
@@ -281,13 +301,16 @@ object Temporal {
     * one hash aggregation, map-local expansion. */
   def asOfInstant(samples: DataFrame, lookbackS: Long = 86400L,
                   stepS: Long = 21600L,
-                  labelCols: Seq[String] = labels): DataFrame =
+                  labelCols: Seq[String] = labels,
+                  rightClosed: Boolean = false): DataFrame =
     samples
       .select(col("*"),
-        window(col("ts"), s"$lookbackS seconds", s"$stepS seconds").as("w"))
+        window(windowTs(rightClosed), s"$lookbackS seconds",
+          s"$stepS seconds").as("w"))
       .withColumn("bucket_s", unix_timestamp(col("w.end")))
       .withColumn("ord_key",
-        (unix_micros(col("ts")) - unix_micros(col("w.start"))) * lit(1L << 26) +
+        (unix_micros(windowTs(rightClosed)) - unix_micros(col("w.start"))) *
+          lit(1L << 26) +
           pmod(col("event_id"), lit(1L << 26)))
       .groupBy((labelCols :+ "bucket_s").map(col): _*)
       .agg(max_by(col("value"), col("ord_key")).as("value"))
@@ -303,24 +326,30 @@ object Temporal {
     * a HashAggregate. */
   def rateSliding(samples: DataFrame, lookbackS: Long = 86400L,
                   stepS: Long = 21600L,
-                  labelCols: Seq[String] = labels): DataFrame = {
+                  labelCols: Seq[String] = labels,
+                  rightClosed: Boolean = false): DataFrame = {
     val wSeries = Window.partitionBy(labelCols.map(col): _*)
       .orderBy(col("ts"), col("event_id"))
     val withPrev = samples
+      // tsw: the window-ASSIGNMENT timestamp (see windowTs) — shifted
+      // −1µs in Prometheus bound-parity mode; real ts still feeds the
+      // extrapolation's first_us/last_us below
+      .withColumn("tsw", windowTs(rightClosed))
       .withColumn("prev_v", lag("value", 1).over(wSeries))
-      .withColumn("prev_ts", lag("ts", 1).over(wSeries))
+      .withColumn("prev_tsw", lag("tsw", 1).over(wSeries))
     val expanded = withPrev
       .select(col("*"),
-        window(col("ts"), s"$lookbackS seconds", s"$stepS seconds").as("w"))
+        window(col("tsw"), s"$lookbackS seconds", s"$stepS seconds").as("w"))
       .withColumn("bucket_s", unix_timestamp(col("w.end")))
       // packed in-window ordering key (see Vectors.lastKey): exact
       // while lookback < ~2^37 µs-offsets · 2^26 event_ids
       .withColumn("ord_key",
-        (unix_micros(col("ts")) - unix_micros(col("w.start"))) * lit(1L << 26) +
+        (unix_micros(col("tsw")) - unix_micros(col("w.start"))) * lit(1L << 26) +
           pmod(col("event_id"), lit(1L << 26)))
       .withColumn("reset_in_w",
-        // rate.go:183 — a reset contributes the whole previous value
-        when(col("prev_ts") >= col("w.start") && col("prev_v") > col("value"),
+        // rate.go:183 — a reset contributes the whole previous value;
+        // membership uses the same assignment timestamp as the window
+        when(col("prev_tsw") >= col("w.start") && col("prev_v") > col("value"),
           col("prev_v")).otherwise(lit(0.0)))
     val agg = expanded
       .groupBy((labelCols :+ "bucket_s").map(col): _*)
