@@ -310,6 +310,22 @@ object PipelineQueries {
       val docs = Tables.documents(s, dir)
       Corpus.dupSources(docs, verifiedPairs(docs))
     }),
+    // paragraph-level dedup over a deterministically paragraphized
+    // corpus: the generator ships single-line docs, so the query
+    // rebuilds each as blank-line-separated 12-word paragraphs (the
+    // syntheticBmpMedia pattern — synthesize the container, exercise
+    // the real decode/split path) before the CCNet-style
+    // split → normalize → hash → first-occurrence pipeline runs
+    "dedup_paragraphs" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val ws = split(col("text"), "\\s+")
+      val para = docs.select(col("doc_id"),
+        array_join(transform(
+          sequence(lit(0L), floor((size(ws) - 1) / lit(12)).cast("long")),
+          i => array_join(slice(ws, (i * 12 + 1).cast("int"), lit(12)), " ")),
+          "\n\n").as("text"))
+      Dedup.paragraphDedup(para).orderBy("doc_id")
+    }),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(Tables.documents(s, dir)).orderBy("doc_id")),
     "dedup_simhash_pairs" -> ((s, dir) =>
@@ -1430,6 +1446,29 @@ object PipelineQueries {
          |  round(coalesce(hit, 0)::DOUBLE / total, 6) AS overlap_ratio,
          |  CAST(round(coalesce(hit, 0)::DOUBLE / total, 6) > 0.5 AS INT) AS contaminated
          | FROM tot AS t LEFT JOIN hit USING (doc_id) ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    // paragraphize exactly like the query (12-word chunks of the
+    // RAW-case words joined by blank lines, re-split by the engine),
+    // then replay the normalize → md5 → first-occurrence pipeline
+    "dedup_paragraphs" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws
+        |  FROM documents),
+        | paras AS (SELECT doc_id,
+        |  unnest(range(0, (len(ws) - 1) // 12 + 1)) AS para_idx,
+        |  unnest([array_to_string(ws[i * 12 + 1 : i * 12 + 12], ' ')
+        |          for i in range(0, (len(ws) - 1) // 12 + 1)]) AS para
+        |  FROM w),
+        | norm AS (SELECT doc_id, para_idx,
+        |  trim(regexp_replace(regexp_replace(lower(para),
+        |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS n
+        |  FROM paras),
+        | ranked AS (SELECT doc_id, para_idx,
+        |  CASE WHEN row_number() OVER (PARTITION BY md5(n)
+        |    ORDER BY doc_id, para_idx) > 1 THEN 1 ELSE 0 END AS dup
+        |  FROM norm WHERE length(n) > 0)
+        | SELECT doc_id, count(*) AS n_paras,
+        |  CAST(sum(dup) AS BIGINT) AS dup_paras,
+        |  round(sum(dup)::DOUBLE / count(*), 6) AS dup_para_frac
+        | FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "dedup_spans" ->
       """WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws
         |  FROM documents),

@@ -556,6 +556,41 @@ object Dedup {
           .as("dup_span_frac"))
   }
 
+  /** Paragraph-level exact dedup — CCNet §3.1's unit of dedup
+    * (paragraphs, not documents: boilerplate headers/footers repeat
+    * across pages whose bodies differ, so whole-doc hashing misses
+    * them). Documents split on blank lines (`delimiter`), each
+    * paragraph runs the SAME normalization the doc-level
+    * [[TextAnalysis.normalize]] hashes (lowercase / strip
+    * non-alphanumerics / collapse whitespace — one shared column
+    * expression, so paragraph and doc hashing cannot drift), empty
+    * paragraphs drop, and a paragraph is a duplicate iff its
+    * normalized hash appeared earlier in the corpus (global first
+    * occurrence by (doc_id, para_idx) — deterministic ownership,
+    * same convention as [[spanDedup]]). Per-doc output: paragraph
+    * count, duplicated-paragraph count and fraction — the trim/drop
+    * signal CCNet feeds its pipeline.
+    *
+    * Scale: the split is a projection; the first-occurrence rank is
+    * a window over md5(paragraph) — hash-distributed by content like
+    * the span family, never all-pairs; the rollup is one groupBy. */
+  def paragraphDedup(docs: DataFrame,
+                     delimiter: String = "\\n\\s*\\n"): DataFrame = {
+    val paras = docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), delimiter)).as(Seq("para_idx", "para")))
+      .withColumn("norm", TextAnalysis.normalizeCol(col("para")))
+      .where(length(col("norm")) > 0)
+      .withColumn("pmd5", md5(col("norm")))
+    val w = Window.partitionBy("pmd5").orderBy("doc_id", "para_idx")
+    paras.withColumn("dup", (row_number().over(w) > 1).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_paras"), sum("dup").as("dup_paras"))
+      .select(col("doc_id"), col("n_paras"), col("dup_paras"),
+        round(col("dup_paras").cast("double") / col("n_paras"), 6)
+          .as("dup_para_frac"))
+  }
+
   /** Exact dedup: md5 content hash; rank within hash groups (keep
     * rank 1, drop the rest). */
   def exact(docs: DataFrame): DataFrame = {

@@ -739,10 +739,17 @@ object TextAnalysis {
     * algebra: one codegen map stage, no shuffle, 100 TB-safe by
     * construction. The regexes stay inside ASCII classes so Java
     * (Spark) and RE2 (DuckDB oracle) agree byte-for-byte. */
-  def normalize(docs: DataFrame): DataFrame = {
-    val collapsed = trim(regexp_replace(
-      regexp_replace(lower(col("text")), "[^a-z0-9\\s]", " "),
+  /** The CCNet/Dolma normalization as a column: lowercase, strip
+    * non-alphanumerics to spaces, collapse whitespace runs, trim —
+    * shared by [[normalize]] and the paragraph-level dedup
+    * ([[Dedup.paragraphDedup]]), which normalizes each paragraph
+    * before hashing exactly as CCNet §3.1 does. */
+  def normalizeCol(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9\\s]", " "),
       "\\s+", " "))
+
+  def normalize(docs: DataFrame): DataFrame = {
+    val collapsed = normalizeCol(col("text"))
     docs.select(col("doc_id"), collapsed.as("norm_text"),
       length(collapsed).as("n_chars_norm"),
       (collapsed =!= col("text")).cast("int").as("changed"),
