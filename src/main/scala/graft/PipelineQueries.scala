@@ -74,6 +74,81 @@ object PipelineQueries {
        | WHERE agree >= $MIN_AGREE""".stripMargin.replace("\n", " ")
   }
 
+  /** Unigram-LM trainer oracle — replays [[Unigram.train]] exactly:
+    * seed substring frequencies, then per round an UNROLLED greedy
+    * longest-match segmentation (`steps` map passes; the engine's
+    * vocab-literal coalesce is the join+row_number here — no ties
+    * possible: equal-length matches at one position are the same
+    * string), usage counts with zero-fill, and the weakest-multi
+    * prune with a data-derived LIMIT so the oracle degrades exactly
+    * like the engine when the corpus seeds fewer pieces. */
+  private def unigramOracleSql(seedMulti: Int = 16, pieceMax: Int = 4,
+                               rounds: Int = 3, prune: Int = 3,
+                               steps: Int = 12): String = {
+    val subsUnion = (1 to pieceMax).map { l =>
+      s"""SELECT freq, unnest([substr(word, i, $l)
+         | for i in range(1, length(word) - ${l - 1} + 1)]) AS piece
+         | FROM wf WHERE length(word) >= $l""".stripMargin.replace("\n", " ")
+    }.mkString(" UNION ALL ")
+    // AS MATERIALIZED on the step chain: DuckDB inlines CTEs by
+    // default, and the m_i → s_i → m_{i-1} chain would re-expand
+    // (and re-open the parquet) exponentially with the unroll depth
+    // — the SQL mirror of the CollapseProject trap the engine
+    // checkpoints away
+    def segCtes(tag: String, vocab: String): (String, String) = {
+      val ctes = (0 until steps).map { i =>
+        s"""m${tag}_$i AS MATERIALIZED (SELECT word, freq, pos, piece FROM (
+           | SELECT s.word, s.freq, s.pos, v.piece,
+           |  row_number() OVER (PARTITION BY s.word, s.pos
+           |    ORDER BY length(v.piece) DESC) AS rn
+           | FROM s${tag}_$i AS s JOIN $vocab AS v
+           |  ON substr(s.word, s.pos, length(v.piece)) = v.piece) AS t
+           | WHERE rn = 1),
+           | s${tag}_${i + 1} AS MATERIALIZED (SELECT word, freq,
+           |  pos + length(piece) AS pos FROM m${tag}_$i
+           |  WHERE pos + length(piece) <= length(word))""".stripMargin.replace("\n", " ")
+      }.mkString(", ")
+      val emitted = (0 until steps)
+        .map(i => s"SELECT freq, piece FROM m${tag}_$i")
+        .mkString(" UNION ALL ")
+      (s"s${tag}_0 AS MATERIALIZED (SELECT word, freq, 1 AS pos FROM wf), $ctes",
+        emitted)
+    }
+    val roundCtes = (1 to rounds).map { r =>
+      val (seg, emitted) = segCtes(s"r$r", s"vocab$r")
+      s"""$seg,
+         | cnt$r AS MATERIALIZED (SELECT v.piece, coalesce(sum(m.freq), 0) AS usage
+         |  FROM vocab$r AS v LEFT JOIN ($emitted) AS m ON m.piece = v.piece
+         |  GROUP BY v.piece),
+         | vocab${r + 1} AS MATERIALIZED (SELECT piece FROM chars UNION ALL
+         |  (SELECT piece FROM cnt$r WHERE length(piece) > 1
+         |   ORDER BY usage DESC, piece ASC
+         |   LIMIT greatest(0, (SELECT count(*) FROM cnt$r
+         |     WHERE length(piece) > 1) - $prune)))""".stripMargin.replace("\n", " ")
+    }.mkString(", ")
+    val (fseg, femitted) = segCtes("f", s"vocab${rounds + 1}")
+    s"""WITH wf AS MATERIALIZED (SELECT word, count(*) AS freq FROM (
+       |  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+       |  FROM documents) AS u WHERE length(word) > 0 GROUP BY word),
+       | subs AS MATERIALIZED (SELECT piece, sum(freq) AS usage
+       |  FROM ($subsUnion) AS su GROUP BY piece),
+       | chars AS MATERIALIZED (SELECT piece FROM subs WHERE length(piece) = 1),
+       | vocab1 AS MATERIALIZED (SELECT piece FROM chars UNION ALL
+       |  (SELECT piece FROM subs WHERE length(piece) > 1
+       |   ORDER BY usage DESC, piece ASC LIMIT $seedMulti)),
+       | $roundCtes,
+       | $fseg,
+       | fj AS (SELECT v.piece, coalesce(sum(m.freq), 0) AS usage
+       |  FROM vocab${rounds + 1} AS v LEFT JOIN ($femitted) AS m
+       |   ON m.piece = v.piece GROUP BY v.piece),
+       | tot AS (SELECT sum(usage) AS t, count(*) AS v FROM fj)
+       | SELECT piece, CAST(length(piece) AS BIGINT) AS n_chars,
+       |  CAST(usage AS BIGINT) AS usage,
+       |  round(ln((usage + 1)::DOUBLE / (t + v)), 6) AS logp,
+       |  row_number() OVER (ORDER BY usage DESC, piece ASC) AS rank
+       | FROM fj, tot ORDER BY rank""".stripMargin.replace("\n", " ")
+  }
+
   /** Once-per-(session, sf dir) VectorStore table for the persisted
     * ANN queries — same idempotent catalog-cached pattern as
     * TsdbQueries' SeriesStore table; md5-derived name so sf dirs
@@ -530,6 +605,11 @@ object PipelineQueries {
       TextAnalysis.bpePairStats(Tables.documents(s, dir)).orderBy("rank")),
     "corpus_bpe_train" -> ((s, dir) =>
       TextAnalysis.bpeTrain(Tables.documents(s, dir), rounds = 8)),
+    // SentencePiece-style unigram-LM trainer: over-complete substring
+    // seed pruned down over EM-style rounds (greedy longest-match
+    // E-step — integer control path, fully oracle-replayable)
+    "corpus_unigram_train" -> ((s, dir) =>
+      Unigram.train(Tables.documents(s, dir))),
     "corpus_bpe_encode" -> ((s, dir) =>
       TextAnalysis.bpeEncode(Tables.documents(s, dir), rounds = 8)),
     "text_langid" -> ((s, dir) =>
@@ -1755,6 +1835,7 @@ object PipelineQueries {
         |  round(avg(lr), 6) AS dsir_mean
         | FROM bw JOIN lr USING (b) GROUP BY doc_id
         | ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "corpus_unigram_train" -> unigramOracleSql(),
     // all 8 greedy merge rounds replayed: per round, the pair count
     // over the current vocab, the lexicographic-tie-broken argmax,
     // and the delimiter-owning replace() rewrite — bit-identical to

@@ -1885,4 +1885,32 @@ class PipelineSpec extends SparkSpec {
     assert(r("a") == ((9L, 0.9, 0.75, 0.833333)))
     assert(r("b") == ((1L, 0.1, 0.25, 2.5)))
   }
+
+  test("unigram trainer: exact coverage, chars never pruned, prune arithmetic") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "abab abab cdcd"), (2L, "abab cdcd cdcd"), (3L, "abab xyx"))
+      .toDF("doc_id", "text")
+    val v = Unigram.train(docs, seedMulti = 4, rounds = 2, prunePerRound = 1)
+      .collect()
+    // greedy segmentation covers every word exactly: total characters
+    // reassembled from (usage × piece length) equals the corpus total
+    val covered = v.map(r => r.getAs[Long]("usage") * r.getAs[Long]("n_chars")).sum
+    assert(covered == "ababababcdcd".length + "ababcdcdcdcd".length +
+      "ababxyx".length)
+    // every corpus character survives training
+    val pieces = v.map(_.getAs[String]("piece")).toSet
+    assert(Set("a", "b", "c", "d", "x", "y").subsetOf(pieces))
+    // 4 multi-char seeds − 2 rounds × 1 prune = 2 multi-char pieces
+    assert(v.count(_.getAs[Long]("n_chars") > 1) == 2)
+    // greedy longest-match: every "abab" word consumes the 4-char
+    // piece whole (usage 4 = its corpus frequency), every "cdcd"
+    // splits into two "cd" pieces (usage 6 = 3 words × 2) — "cd"
+    // tops the ranking
+    val byPiece = v.map(r => r.getAs[String]("piece") ->
+      ((r.getAs[Long]("usage"), r.getAs[Long]("rank")))).toMap
+    assert(byPiece("cd") == ((6L, 1L)), byPiece.toString)
+    assert(byPiece("abab")._1 == 4L, byPiece.toString)
+  }
 }
