@@ -71,12 +71,37 @@ object Index {
     case Fetch.NotRe => !col("value").rlike(s"^(?:${m.value})$$")
   }
 
+  /** Postings-size-ordered matcher plan: the index of each matcher,
+    * smallest matched-postings-list first (ties keep the original
+    * order) — m3ninx intersects postings lists in size order for
+    * exactly this reason (the first, smallest set bounds every later
+    * intersection's work). Sizes are summed over the matched terms'
+    * posting-list lengths: series-cardinality work against the index
+    * frames, ONE bounded job (|matchers| result rows), never a
+    * sample-row read. */
+  private[graft] def matcherOrder(post: DataFrame, terms: DataFrame,
+                                  matchers: Seq[Fetch.Matcher]): Seq[Int] = {
+    val matched = matchers.zipWithIndex.map { case (m, i) =>
+      val label = if (m.label == "__name__") "name" else m.label
+      terms.where(col("label") === label && termPredicate(m))
+        .select(lit(i).as("mi"), col("label"), col("value"))
+    }.reduce(_ unionByName _)
+    val sizes: Map[Int, Long] = post
+      .join(broadcast(matched), Seq("label", "value"))
+      .groupBy("mi").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    matchers.indices.sortBy(i => (sizes.getOrElse(i, 0L), i))
+  }
+
   /** Resolve a matcher conjunction through the index: per matcher, a
     * terms-dictionary scan selects the matching values (the regex
     * runs over distinct terms, not rows), a semi-join pulls that
-    * term's postings, and the per-matcher series sets intersect.
-    * Returns the matched series identities — byte-equal to the
-    * direct scan route, without reading a single sample row. */
+    * term's postings, and the per-matcher series sets intersect —
+    * SMALLEST postings list first ([[matcherOrder]], m3ninx's
+    * size-ordered intersection). Returns the matched series
+    * identities — byte-equal to the direct scan route (intersection
+    * is order-insensitive; ordering only shapes the plan), without
+    * reading a single sample row. */
   def indexMatch(samples: DataFrame, matchers: Seq[Fetch.Matcher],
                  labelCols: Seq[String]): DataFrame = {
     require(matchers.nonEmpty, "index route needs at least one matcher")
@@ -90,7 +115,10 @@ object Index {
           struct(labelCols.map(col): _*).as("sid"))
     }.reduce(_ unionByName _)
     val terms = post.select("label", "value").distinct()
-    val perMatcher = matchers.map { m =>
+    val ordered =
+      if (matchers.size > 1) matcherOrder(post, terms, matchers).map(matchers)
+      else matchers
+    val perMatcher = ordered.map { m =>
       val label = if (m.label == "__name__") "name" else m.label
       val matchedTerms = terms
         .where(col("label") === label && termPredicate(m))

@@ -100,6 +100,31 @@ class TsdbSpec extends SparkSpec {
     }
   }
 
+  test("matcher intersection plans smallest postings list first") {
+    val samples = Vectors.samples(Tables.events(spark, sf))
+    val series = samples
+      .select(col("name").cast("string").as("name"),
+        col("user_id").cast("string").as("user_id")).distinct()
+    val post = Seq("name", "user_id").map { l =>
+      series.where(col(l).isNotNull)
+        .select(lit(l).as("label"), col(l).as("value"))
+    }.reduce(_ unionByName _)
+      .withColumn("sid", lit(1))
+    val terms = post.select("label", "value").distinct()
+    // a broad name regex (hundreds of postings) vs one exact user id
+    // (a handful): m3ninx intersects smallest-first, so the exact
+    // matcher must be planned ahead of the regex regardless of the
+    // order the query wrote them in
+    val ms = Seq(
+      Fetch.Matcher("name", Fetch.Re, ".*"),
+      Fetch.Matcher("user_id", Fetch.Eq,
+        series.orderBy("user_id").limit(1).collect()(0).getString(1)))
+    assert(Index.matcherOrder(post, terms, ms) == Seq(1, 0))
+    assert(Index.matcherOrder(post, terms, ms.reverse) == Seq(0, 1))
+    // equal sizes keep the written order (stable tie-break)
+    assert(Index.matcherOrder(post, terms, Seq(ms.head, ms.head)) == Seq(0, 1))
+  }
+
   test("postings sizes sum to series count per label") {
     val samples = Vectors.samples(Tables.events(spark, sf))
     val nSeries = samples.select("name", "user_id").distinct().count()
