@@ -9,7 +9,7 @@ object Explain {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
     val spark = Sessions.builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")).getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    Sessions.tune(spark, "ERROR")
     val df = SparkEntry.queries(name)(spark, sfDir)
     if (args.contains("formatted")) df.explain("formatted")
     else println(df.queryExecution.executedPlan.toString)

@@ -8,7 +8,7 @@ object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")).getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    Sessions.tune(spark)
     val docs = Tables.documents(spark, sfDir)
     docs.count()
     def t(name: String)(f: => Long): Unit = {

@@ -42,7 +42,7 @@ object ScaleUp {
     require(args.length == 3, "usage: ScaleUp <srcDir> <dstDir> <n>")
     val spark = Sessions.builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    Sessions.tune(spark)
     scale(spark, args(0), args(1), args(2).toInt)
     spark.stop()
   }

@@ -4,7 +4,27 @@ import org.apache.spark.sql.SparkSession
 
 /** Standard session config shared by Verify, Bench and the specs. */
 object Sessions {
-  def builder(cpus: String): SparkSession.Builder =
+  /** Post-creation log tuning, called by every main and the spec
+    * base right after `setLogLevel` (it must run AFTER the context
+    * starts — Spark re-initializes log4j at startup and discards
+    * earlier per-logger levels). Every unpartitioned window in this
+    * codebase is a provably BOUNDED frame (k centroid seeds, shard
+    * counts, ≤10 buckets, top-N post-limit — audited in PlanSpec's
+    * window tests), so the WindowExec single-partition warning
+    * carries no signal here, and ~80 copies of it per run bury real
+    * defects in the bench log. Constant partition keys don't help:
+    * the optimizer folds foldable keys away and the warning fires
+    * anyway (verified on Spark 4.1). A genuinely unbounded window is
+    * caught where it is visible — the PlanSpec shard-key audits. */
+  def tune(spark: SparkSession, logLevel: String = "WARN"): SparkSession = {
+    spark.sparkContext.setLogLevel(logLevel)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
+    spark
+  }
+
+  def builder(cpus: String): SparkSession.Builder = {
     SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)
       .master(s"local[$cpus]")
@@ -22,4 +42,5 @@ object Sessions {
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       // bucketed-table warehouse (SeriesStore tests) outside the repo
       .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
+  }
 }

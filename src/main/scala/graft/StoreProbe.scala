@@ -8,7 +8,7 @@ object StoreProbe {
     val dir = args.headOption.getOrElse("/tmp/sf1x")
     val spark = Sessions.builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    Sessions.tune(spark)
     def t(name: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime()
       f

@@ -13,7 +13,7 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 object SparkSpec {
   lazy val session: SparkSession = {
     val s = Sessions.builder("4").appName("graft-test").getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
+    Sessions.tune(s)
     s
   }
 }
