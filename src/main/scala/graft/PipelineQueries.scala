@@ -82,9 +82,10 @@ object PipelineQueries {
     * string), usage counts with zero-fill, and the weakest-multi
     * prune with a data-derived LIMIT so the oracle degrades exactly
     * like the engine when the corpus seeds fewer pieces. */
+  /** (train SQL, encode SQL) sharing the training-CTE prefix. */
   private def unigramOracleSql(seedMulti: Int = 16, pieceMax: Int = 4,
                                rounds: Int = 3, prune: Int = 3,
-                               steps: Int = 12): String = {
+                               steps: Int = 12): (String, String) = {
     val subsUnion = (1 to pieceMax).map { l =>
       s"""SELECT freq, unnest([substr(word, i, $l)
          | for i in range(1, length(word) - ${l - 1} + 1)]) AS piece
@@ -127,26 +128,46 @@ object PipelineQueries {
          |     WHERE length(piece) > 1) - $prune)))""".stripMargin.replace("\n", " ")
     }.mkString(", ")
     val (fseg, femitted) = segCtes("f", s"vocab${rounds + 1}")
-    s"""WITH wf AS MATERIALIZED (SELECT word, count(*) AS freq FROM (
-       |  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
-       |  FROM documents) AS u WHERE length(word) > 0 GROUP BY word),
-       | subs AS MATERIALIZED (SELECT piece, sum(freq) AS usage
-       |  FROM ($subsUnion) AS su GROUP BY piece),
-       | chars AS MATERIALIZED (SELECT piece FROM subs WHERE length(piece) = 1),
-       | vocab1 AS MATERIALIZED (SELECT piece FROM chars UNION ALL
-       |  (SELECT piece FROM subs WHERE length(piece) > 1
-       |   ORDER BY usage DESC, piece ASC LIMIT $seedMulti)),
-       | $roundCtes,
-       | $fseg,
-       | fj AS (SELECT v.piece, coalesce(sum(m.freq), 0) AS usage
-       |  FROM vocab${rounds + 1} AS v LEFT JOIN ($femitted) AS m
-       |   ON m.piece = v.piece GROUP BY v.piece),
-       | tot AS (SELECT sum(usage) AS t, count(*) AS v FROM fj)
-       | SELECT piece, CAST(length(piece) AS BIGINT) AS n_chars,
-       |  CAST(usage AS BIGINT) AS usage,
-       |  round(ln((usage + 1)::DOUBLE / (t + v)), 6) AS logp,
-       |  row_number() OVER (ORDER BY usage DESC, piece ASC) AS rank
-       | FROM fj, tot ORDER BY rank""".stripMargin.replace("\n", " ")
+    val prefix =
+      s"""wf AS MATERIALIZED (SELECT word, count(*) AS freq FROM (
+         |  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+         |  FROM documents) AS u WHERE length(word) > 0 GROUP BY word),
+         | subs AS MATERIALIZED (SELECT piece, sum(freq) AS usage
+         |  FROM ($subsUnion) AS su GROUP BY piece),
+         | chars AS MATERIALIZED (SELECT piece FROM subs WHERE length(piece) = 1),
+         | vocab1 AS MATERIALIZED (SELECT piece FROM chars UNION ALL
+         |  (SELECT piece FROM subs WHERE length(piece) > 1
+         |   ORDER BY usage DESC, piece ASC LIMIT $seedMulti)),
+         | $roundCtes,
+         | $fseg""".stripMargin.replace("\n", " ")
+    val train =
+      s"""WITH $prefix,
+         | fj AS (SELECT v.piece, coalesce(sum(m.freq), 0) AS usage
+         |  FROM vocab${rounds + 1} AS v LEFT JOIN ($femitted) AS m
+         |   ON m.piece = v.piece GROUP BY v.piece),
+         | tot AS (SELECT sum(usage) AS t, count(*) AS v FROM fj)
+         | SELECT piece, CAST(length(piece) AS BIGINT) AS n_chars,
+         |  CAST(usage AS BIGINT) AS usage,
+         |  round(ln((usage + 1)::DOUBLE / (t + v)), 6) AS logp,
+         |  row_number() OVER (ORDER BY usage DESC, piece ASC) AS rank
+         | FROM fj, tot ORDER BY rank""".stripMargin.replace("\n", " ")
+    // encode: pieces-per-word from the final segmentation (each m
+    // step emits one piece per surviving word), joined to doc words
+    val encEmitted = (0 until steps)
+      .map(i => s"SELECT word FROM mf_$i")
+      .mkString(" UNION ALL ")
+    val encode =
+      s"""WITH $prefix,
+         | pw AS (SELECT word, count(*) AS word_pieces
+         |  FROM ($encEmitted) AS e GROUP BY word),
+         | dw AS (SELECT doc_id,
+         |  unnest(string_split_regex(lower(text), '\\s+')) AS word
+         |  FROM documents)
+         | SELECT dw.doc_id, count(*) AS n_words,
+         |  CAST(sum(pw.word_pieces) AS BIGINT) AS unigram_tokens
+         | FROM dw JOIN pw ON pw.word = dw.word
+         | GROUP BY dw.doc_id ORDER BY dw.doc_id""".stripMargin.replace("\n", " ")
+    (train, encode)
   }
 
   /** Once-per-(session, sf dir) VectorStore table for the persisted
@@ -610,6 +631,11 @@ object PipelineQueries {
     // E-step — integer control path, fully oracle-replayable)
     "corpus_unigram_train" -> ((s, dir) =>
       Unigram.train(Tables.documents(s, dir))),
+    // ...and its APPLICATION: tokenize the corpus with the trained
+    // vocab — per-word piece costs computed once on the distinct
+    // word table, broadcast back to the exploded doc words
+    "corpus_unigram_encode" -> ((s, dir) =>
+      Unigram.encode(Tables.documents(s, dir))),
     "corpus_bpe_encode" -> ((s, dir) =>
       TextAnalysis.bpeEncode(Tables.documents(s, dir), rounds = 8)),
     "text_langid" -> ((s, dir) =>
@@ -1835,7 +1861,8 @@ object PipelineQueries {
         |  round(avg(lr), 6) AS dsir_mean
         | FROM bw JOIN lr USING (b) GROUP BY doc_id
         | ORDER BY doc_id""".stripMargin.replace("\n", " "),
-    "corpus_unigram_train" -> unigramOracleSql(),
+    "corpus_unigram_train" -> unigramOracleSql()._1,
+    "corpus_unigram_encode" -> unigramOracleSql()._2,
     // all 8 greedy merge rounds replayed: per round, the pair count
     // over the current vocab, the lexicographic-tie-broken argmax,
     // and the delimiter-owning replace() rewrite — bit-identical to

@@ -72,23 +72,22 @@ object Unigram {
     emitted.get.groupBy("piece").agg(sum("freq").as("usage"))
   }
 
-  /** Train: seed = every corpus character plus the `seedMulti` most
-    * frequent multi-character substrings (length ≤ `pieceMax`,
-    * occurrence-weighted by word frequency, ties to the
-    * lexicographically first); each round segments, counts and drops
-    * the `prunePerRound` weakest multi-char pieces (characters are
-    * never pruned — they guarantee coverage). Output: the final
-    * vocabulary with usage counts under it and the smoothed
-    * log-probability round(ln((usage+1)/(total+|V|)), 6) — the
-    * unigram LM artifact, one row per piece. */
-  def train(docs: DataFrame, seedMulti: Int = 16, pieceMax: Int = 4,
-            rounds: Int = 3, prunePerRound: Int = 3,
-            maxSteps: Int = 12): DataFrame = {
-    val wf = docs
+  /** The distinct word-frequency table every stage counts over. */
+  private def wordFreq(docs: DataFrame): DataFrame =
+    docs
       .select(explode(split(lower(col("text")), "\\s+")).as("word"))
       .where(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .localCheckpoint(true)
+
+  /** The prune-loop proper: returns the FINAL vocabulary (the
+    * bounded model artifact — collected once per round, ≤ seedMulti
+    * + |charset| strings). Shared by [[train]] (which reports it
+    * with usage + log-probs) and [[encode]] (which applies it). */
+  private[graft] def trainVocab(wf: DataFrame, seedMulti: Int,
+                                pieceMax: Int, rounds: Int,
+                                prunePerRound: Int,
+                                maxSteps: Int): Seq[String] = {
     val maxLen = wf.agg(max(length(col("word")))).head().getInt(0)
     require(maxLen <= maxSteps,
       s"word length $maxLen exceeds the $maxSteps-step segmentation unroll")
@@ -117,6 +116,24 @@ object Unigram {
         .sortBy(p => (-usage.getOrElse(p, 0L), p))
       vocab = chars ++ multi.dropRight(math.min(prunePerRound, multi.size))
     }
+    vocab
+  }
+
+  /** Train: seed = every corpus character plus the `seedMulti` most
+    * frequent multi-character substrings (length ≤ `pieceMax`,
+    * occurrence-weighted by word frequency, ties to the
+    * lexicographically first); each round segments, counts and drops
+    * the `prunePerRound` weakest multi-char pieces (characters are
+    * never pruned — they guarantee coverage). Output: the final
+    * vocabulary with usage counts under it and the smoothed
+    * log-probability round(ln((usage+1)/(total+|V|)), 6) — the
+    * unigram LM artifact, one row per piece. */
+  def train(docs: DataFrame, seedMulti: Int = 16, pieceMax: Int = 4,
+            rounds: Int = 3, prunePerRound: Int = 3,
+            maxSteps: Int = 12): DataFrame = {
+    val wf = wordFreq(docs)
+    val vocab = trainVocab(wf, seedMulti, pieceMax, rounds, prunePerRound,
+      maxSteps)
     val finalCounts = segmentCounts(wf, vocab, pieceMax, maxSteps)
     val spark = docs.sparkSession
     import spark.implicits._
@@ -136,5 +153,45 @@ object Unigram {
           .partitionBy(lit(1))  // bounded |V|-row frame
           .orderBy(col("usage").desc, col("piece").asc)).cast("long"))
       .orderBy("rank")
+  }
+
+  /** Tokenizer APPLICATION — the corpus_bpe_encode companion: train
+    * the vocabulary (same prune loop), then tokenize every document
+    * with it. Per-word piece counts are computed ONCE on the
+    * distinct word table (the same greedy segmentation, counting
+    * pieces per word instead of usage per piece) and joined back to
+    * the exploded doc words — the corpus text is touched once, and
+    * the per-word cost table is vocabulary-sized (broadcast side).
+    * Output per doc: word count and unigram token count. */
+  def encode(docs: DataFrame, seedMulti: Int = 16, pieceMax: Int = 4,
+             rounds: Int = 3, prunePerRound: Int = 3,
+             maxSteps: Int = 12): DataFrame = {
+    val wf = wordFreq(docs)
+    val vocab = trainVocab(wf, seedMulti, pieceMax, rounds, prunePerRound,
+      maxSteps)
+    // per-word piece count under the final vocab: same unrolled
+    // greedy walk, grouped by word
+    var cur = wf.select(col("word")).withColumn("pos", lit(1))
+    var emitted: Option[DataFrame] = None
+    for (_ <- 1 to maxSteps) {
+      val m = cur.withColumn("piece", longestMatch(vocab, pieceMax))
+        .where(col("piece").isNotNull)
+        .localCheckpoint(true)
+      val e = m.select(col("word"))
+      emitted = Some(emitted.map(_.unionAll(e)).getOrElse(e))
+      cur = m.where(col("pos") + length(col("piece")) <= length(col("word")))
+        .select(col("word"), (col("pos") + length(col("piece"))).as("pos"))
+    }
+    val perWord = emitted.get.groupBy("word")
+      .agg(count(lit(1)).as("word_pieces"))
+    docs
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "\\s+")).as("word"))
+      .where(length(col("word")) > 0)
+      .join(broadcast(perWord), Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum("word_pieces").as("unigram_tokens"))
+      .orderBy("doc_id")
   }
 }
