@@ -757,6 +757,23 @@ object TsdbQueries {
           unix_timestamp(col("ts")).as("ts_s"),
           round(col("value"), 6).as("value"))
         .orderBy("name", "user_id", "ts_s", "value")),
+    // ...and the same stitched fanout THROUGH the physical layout:
+    // both namespace branches read the dt-partitioned bucketed store
+    // (the raw-recent branch's [Jan 30, Feb 1) bound prunes to two
+    // dt= days at planning time), byte-identical to ds_fanout's
+    // direct path, same oracle
+    "store_fanout" -> ((s, dir) =>
+      Downsample.fetchFanoutSeries(
+        graft.sources.SeriesStore.read(s, storeTable(s, dir)).drop("dt"),
+        7L * 86400L, Seq(
+          Downsample.Policy("10m", 14L * 86400L),
+          Downsample.Policy("1h", 30L * 86400L),
+          Downsample.Policy("1d", 365L * 86400L)),
+        nowS = 1706745600L, startS = 1704931200L, aggLatencyS = 2L * 86400L)
+        .select(col("name"), col("user_id"),
+          unix_timestamp(col("ts")).as("ts_s"),
+          round(col("value"), 6).as("value"))
+        .orderBy("name", "user_id", "ts_s", "value")),
     // the OTHER resolveTier branch: a 3-day query start sits inside
     // the 7d raw retention, so the unaggregated namespace wins and
     // the fetch is the plain bounded sample scan
@@ -1940,5 +1957,6 @@ object TsdbQueries {
     * byte-identical results mean the physical layout changes nothing
     * but the plan. */
   private def withSharedOracles(m: Map[String, String]): Map[String, String] =
-    m + ("store_pql" -> m("pql_rate_sum"))
+    m + ("store_pql" -> m("pql_rate_sum"),
+      "store_fanout" -> m("ds_fanout"))
 }

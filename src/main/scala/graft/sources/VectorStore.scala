@@ -129,6 +129,55 @@ object VectorStore {
       .select(col("probe.i").as("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
 
+  /** Append a batch of arriving vectors to an EXISTING index — the
+    * incremental maintenance path a continuously-embedding corpus
+    * needs (FAISS `add()` restated in storage terms, and the vector
+    * twin of [[SeriesStore.appendBatch]]): new vectors are assigned
+    * cells and PQ-encoded against the PERSISTED model (the index
+    * does not retrain on append — exactly FAISS semantics; retrain =
+    * [[build]]), then land under their cell= partitions. Every
+    * existing query plan is unchanged: searches see old + new rows
+    * through the same pruned partition read. */
+  def appendBatch(batch: DataFrame, table: String): Unit = {
+    val spark = batch.sparkSession
+    val dim = tableProp(spark, table, PropDim)
+    val m = tableProp(spark, table, PropM)
+    val sub = dim / m
+    val cents = loadCentroids(spark, table)
+    val centsDf = Similarity.centroidFrame(spark, cents)
+    val bdf = spark.table(table + "_model")
+      .where(col("kind") === "codeword")
+      .select(col("idx").as("c"), col("j"), col("w"))
+    val cb = Similarity.residualFrame(batch, cents, centsDf)
+    val codesArr = Similarity.pqEncode(cb, bdf, m, sub)
+      .groupBy("c_id")
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("code")))),
+        x => x("code")).as("codes"))
+    val cols = spark.table(table).columns // insertInto is positional
+    batch.select(col("vec_id"), col("embedding"),
+        Similarity.cellAssign(cents)(col("embedding")).as("cell"))
+      .join(codesArr.withColumnRenamed("c_id", "vec_id"), Seq("vec_id"))
+      .repartition(col("cell"))
+      .select(cols.map(col): _*)
+      .write.mode("append")
+      .format("parquet")
+      .insertInto(table)
+  }
+
+  /** Continuous vector ingest into the index — Structured Streaming
+    * micro-batches through [[appendBatch]] (exactly-once per batch
+    * under the checkpoint), the same shape as
+    * [[SeriesStore.streamWrite]]. */
+  def streamWrite(vectors: DataFrame, table: String,
+                  checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        appendBatch(batch, table)
+      }
+      .start()
+
   /** IVF search over the stored layout: probe cells → pruned
     * partition read → exact cosine rerank. Byte-identical to
     * [[Similarity.ivfAnn]] on the same corpus (same centroids — they

@@ -67,6 +67,29 @@ class VectorStoreSpec extends SparkSpec {
     }
   }
 
+  test("appendBatch extends the index under the FROZEN persisted model") {
+    val old = emb.where(col("vec_id") % 2 === 0)
+    val fresh = emb.where(col("vec_id") % 2 === 1)
+    VectorStore.build(old, "graft_vec_app")
+    VectorStore.appendBatch(fresh, "graft_vec_app")
+    val t = spark.table("graft_vec_app")
+    assert(t.count() == emb.count())
+    // appended rows carry full PQ codes
+    assert(t.where(size(col("codes")) =!= 8).count() == 0)
+    // FAISS add() semantics: appends do NOT retrain — the search
+    // equals the direct probe-score under the BUILD-time centroids
+    // applied to the whole (old ∪ new) corpus
+    val cents = Similarity.seedCentroids(old, 8)
+    val cb = emb.select(col("vec_id").as("c_id"),
+      col("embedding").as("c_emb"),
+      Similarity.cellAssign(cents)(col("embedding")).as("cell"))
+    val expect = Similarity.ivfProbeScore(cb, queries, cents, 5, 2)
+      .orderBy("q_id", "rk").collect().toSeq
+    val got = VectorStore.ivfAnn(spark, "graft_vec_app", queries, 5)
+      .orderBy("q_id", "rk").collect().toSeq
+    assert(got == expect)
+  }
+
   test("the model sidecar is the bounded build artifact") {
     val mdl = spark.table(table + "_model")
     assert(mdl.where(col("kind") === "centroid").count() == 8)
