@@ -164,6 +164,34 @@ object VectorStore {
       .insertInto(table)
   }
 
+  /** Compact the index in place — the vector twin of
+    * [[SeriesStore.compact]]: every [[appendBatch]] lands one file
+    * per written cell per batch, so a long-running ingest fragments
+    * the cell partitions into small files whose open/footer cost
+    * erodes the pruned read. Snapshot (localCheckpoint truncates the
+    * lineage so Spark allows overwriting the table being read),
+    * repartition by cell — one task holds one cell's rows, writes
+    * one file — and dynamic-overwrite only the touched partitions.
+    * Row set byte-identical; searches keep their pruned plans. */
+  def compact(spark: SparkSession, table: String): Unit = {
+    val snap = spark.table(table).localCheckpoint(true)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val cols = spark.table(table).columns // insertInto is positional
+      snap.repartition(col("cell"))
+        .select(cols.map(col): _*)
+        .write.mode("overwrite").insertInto(table)
+    } finally {
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None =>
+          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+
   /** Continuous vector ingest into the index — Structured Streaming
     * micro-batches through [[appendBatch]] (exactly-once per batch
     * under the checkpoint), the same shape as

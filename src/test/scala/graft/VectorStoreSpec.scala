@@ -90,6 +90,28 @@ class VectorStoreSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("compact folds appended fragments to one file per cell, rows identical") {
+    val old = emb.where(col("vec_id") % 2 === 0)
+    VectorStore.build(old, "graft_vec_cmp")
+    // three appends fragment every written cell
+    (0 until 3).foreach { i =>
+      VectorStore.appendBatch(
+        emb.where(col("vec_id") % 2 === 1 && col("vec_id") % 6 === 2 * i + 1),
+        "graft_vec_cmp")
+    }
+    val before = spark.table("graft_vec_cmp").orderBy("vec_id")
+      .collect().map(_.toSeq).toSeq
+    VectorStore.compact(spark, "graft_vec_cmp")
+    val after = spark.table("graft_vec_cmp").orderBy("vec_id")
+      .collect().map(_.toSeq).toSeq
+    assert(after == before)
+    // one parquet file per cell directory
+    val loc = new java.io.File("/tmp/graft-warehouse/graft_vec_cmp")
+    val perCell = loc.listFiles().filter(_.getName.startsWith("cell="))
+      .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(perCell.nonEmpty && perCell.forall(_._2 == 1), perCell.toSeq.toString)
+  }
+
   test("the model sidecar is the bounded build artifact") {
     val mdl = spark.table(table + "_model")
     assert(mdl.where(col("kind") === "centroid").count() == 8)
