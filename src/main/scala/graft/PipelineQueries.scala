@@ -575,6 +575,12 @@ object PipelineQueries {
         col("vec_id") >= 100).orderBy("vec_id")),
     "corpus_domains" -> ((s, dir) =>
       Similarity.domainReport(Tables.embeddings(s, dir)).orderBy("cluster")),
+    // D4's diversification phase (Tirumala et al. 2023): after
+    // SemDeDup (dedup_semantic), drop each cluster's most
+    // prototypical quarter — the boilerplate core near-dup removal
+    // can't see
+    "corpus_d4" -> ((s, dir) =>
+      Similarity.d4Select(Tables.embeddings(s, dir)).orderBy("vec_id")),
     "dedup_semantic" -> ((s, dir) =>
       Similarity.semanticNearDup(Tables.embeddings(s, dir), 0.40)
         .orderBy("id_a", "id_b")),
@@ -1593,6 +1599,26 @@ object PipelineQueries {
         | FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "sim_kmeans" ->
       s"WITH $KMEANS_CTES SELECT vec_id, cluster FROM a1 ORDER BY vec_id",
+    // D4 prototypicality: same clustering CTEs, full squared
+    // distance to the trained centroid, per-cluster rank on the
+    // rounded distance, bottom dropFrac dropped
+    "corpus_d4" ->
+      s"""WITH $KMEANS_CTES,
+         | d AS (SELECT a1.vec_id, a1.cluster,
+         |   round(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+         |     + list_dot_product(c.cemb, c.cemb)
+         |     - 2 * list_dot_product(e.embedding::DOUBLE[], c.cemb), 6) AS d2_v
+         |  FROM a1 JOIN embeddings AS e USING (vec_id)
+         |  JOIN cents1 AS c ON c.ci = a1.cluster),
+         | r AS (SELECT vec_id, cluster, d2_v,
+         |   row_number() OVER (PARTITION BY cluster
+         |     ORDER BY d2_v ASC, vec_id ASC) AS proto_rank,
+         |   count(*) OVER (PARTITION BY cluster) AS n_vecs
+         |  FROM d)
+         | SELECT vec_id, cluster, d2_v, proto_rank,
+         |  CAST(n_vecs AS BIGINT) AS n_vecs,
+         |  CAST(proto_rank > floor(0.25 * n_vecs) AS INT) AS kept
+         | FROM r ORDER BY vec_id""".stripMargin.replace("\n", " "),
     "sim_centroid_label" ->
       """WITH cents AS (SELECT cl, list(mv ORDER BY j) AS cemb FROM (
         |  SELECT label AS cl, j, avg(v) AS mv FROM (

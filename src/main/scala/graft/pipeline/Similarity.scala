@@ -605,21 +605,35 @@ object Similarity {
     * small `iters` a curation pass uses; checkpoint between rounds
     * if you push it to tens of iterations. */
   def kmeans(corpus: DataFrame, k: Int = 8, iters: Int = 1): DataFrame = {
-    val emb = corpus.select(col("vec_id"),
+    val emb = kmEmb(corpus)
+    kmAssign(emb, kmeansCentroids(corpus, k, iters))
+      .select(col("vec_id"), col("cluster"))
+  }
+
+  private def kmEmb(corpus: DataFrame): DataFrame =
+    corpus.select(col("vec_id"),
       col("embedding").cast("array<double>").as("e"))
+
+  private def kmAssign(emb: DataFrame, cs: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(cs))
+      .select(col("vec_id"), col("e"), col("ci"),
+        (dotNative(col("cemb"), col("cemb")) -
+          lit(2.0) * dotNative(col("e"), col("cemb"))).as("d"))
+      .groupBy("vec_id")
+      .agg(min_by(col("ci"), struct(col("d"), col("ci"))).as("cluster"),
+        first(col("e")).as("e"))
+
+  /** The trained (ci, cemb) centroid frame of [[kmeans]] — exposed
+    * so selection operators (D4 prototypicality) can rank against
+    * the SAME centroids the assignment used. */
+  private[graft] def kmeansCentroids(corpus: DataFrame, k: Int,
+                                     iters: Int): DataFrame = {
+    val emb = kmEmb(corpus)
     val seedW = Window.orderBy("vec_id") // k rows — not a full-frame window
     var cents: DataFrame = emb.orderBy("vec_id").limit(k)
       .select((row_number().over(seedW) - 1).as("ci"), col("e").as("cemb"))
-    def assignTo(cs: DataFrame): DataFrame =
-      emb.crossJoin(broadcast(cs))
-        .select(col("vec_id"), col("e"), col("ci"),
-          (dotNative(col("cemb"), col("cemb")) -
-            lit(2.0) * dotNative(col("e"), col("cemb"))).as("d"))
-        .groupBy("vec_id")
-        .agg(min_by(col("ci"), struct(col("d"), col("ci"))).as("cluster"),
-          first(col("e")).as("e"))
     for (_ <- 0 until iters) {
-      val means = assignTo(cents)
+      val means = kmAssign(emb, cents)
         .select(col("cluster"), posexplode(col("e")).as(Seq("pos", "v")))
         .groupBy("cluster", "pos").agg(avg("v").as("mv"))
         .groupBy("cluster")
@@ -628,7 +642,49 @@ object Similarity {
       cents = cents.join(means, cents("ci") === means("cluster"), "left")
         .select(col("ci"), coalesce(col("memb"), col("cemb")).as("cemb"))
     }
-    assignTo(cents).select(col("vec_id"), col("cluster"))
+    cents
+  }
+
+  /** D4-style prototypicality pruning (Tirumala et al. 2023,
+    * "D4: Improving LLM Pretraining via Document De-Duplication and
+    * Diversification") — the step AFTER SemDeDup
+    * ([[semanticNearDup]]): cluster the embedding space, then drop
+    * the most PROTOTYPICAL `dropFrac` of each cluster (the points
+    * closest to their centroid — the templated/boilerplate core that
+    * survives near-dup removal), keeping the diverse tail. Same
+    * seeded k-means as the rest of the family, so the oracle replays
+    * clustering verbatim; prototypicality ranks on the ROUNDED full
+    * squared distance (ties to the lowest vec_id) so both engines
+    * rank identical keys.
+    *
+    * Scale: one broadcast-centroid assignment pass (map-side min_by
+    * before the per-vector shuffle), distance is the same pass's
+    * column algebra, and the rank windows partition by cluster —
+    * never the corpus unpartitioned. */
+  def d4Select(corpus: DataFrame, dropFrac: Double = 0.25, k: Int = 8,
+               iters: Int = 1): DataFrame = {
+    val cents = kmeansCentroids(corpus, k, iters)
+    val d = kmEmb(corpus).crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("e"), col("ci"),
+        (dotNative(col("cemb"), col("cemb")) -
+          lit(2.0) * dotNative(col("e"), col("cemb"))).as("dd"),
+        (dotNative(col("e"), col("e")) +
+          dotNative(col("cemb"), col("cemb")) -
+          lit(2.0) * dotNative(col("e"), col("cemb"))).as("d2full"))
+      .groupBy("vec_id")
+      .agg(min_by(struct(col("ci").as("c"), col("d2full").as("d2")),
+        struct(col("dd"), col("ci"))).as("best"))
+      .select(col("vec_id"), col("best.c").as("cluster"),
+        round(col("best.d2"), 6).as("d2_v"))
+    val wRank = Window.partitionBy("cluster")
+      .orderBy(col("d2_v").asc, col("vec_id").asc)
+    val wSize = Window.partitionBy("cluster")
+    d.withColumn("proto_rank", row_number().over(wRank).cast("long"))
+      .withColumn("n_vecs", count(lit(1)).over(wSize))
+      .select(col("vec_id"), col("cluster"), col("d2_v"), col("proto_rank"),
+        col("n_vecs"),
+        (col("proto_rank") > floor(lit(dropFrac) * col("n_vecs")))
+          .cast("int").as("kept"))
   }
 
   /** k-means convergence curve — per Lloyd iteration: total
