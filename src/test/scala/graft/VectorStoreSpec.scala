@@ -90,6 +90,39 @@ class VectorStoreSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("streaming vector ingest appends under the frozen model") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val old = emb.where(col("vec_id") % 2 === 0)
+    VectorStore.build(old, "graft_vec_stream")
+    val fresh = emb.where(col("vec_id") % 2 === 1)
+      .select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toSeq
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_vec_stream").toString
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = VectorStore.streamWrite(
+      mem.toDF().toDF("vec_id", "embedding"), "graft_vec_stream", ckpt)
+    try {
+      val (b1, b2) = fresh.splitAt(fresh.size / 2)
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table("graft_vec_stream").count() == emb.count())
+    // searches see streamed + built rows identically to a one-shot
+    // frozen-model assignment of the whole corpus
+    val cents = Similarity.seedCentroids(old, 8)
+    val cb = emb.select(col("vec_id").as("c_id"),
+      col("embedding").as("c_emb"),
+      Similarity.cellAssign(cents)(col("embedding")).as("cell"))
+    val expect = Similarity.ivfProbeScore(cb, queries, cents, 5, 2)
+      .orderBy("q_id", "rk").collect().toSeq
+    val got = VectorStore.ivfAnn(spark, "graft_vec_stream", queries, 5)
+      .orderBy("q_id", "rk").collect().toSeq
+    assert(got == expect)
+  }
+
   test("compact folds appended fragments to one file per cell, rows identical") {
     val old = emb.where(col("vec_id") % 2 === 0)
     VectorStore.build(old, "graft_vec_cmp")
