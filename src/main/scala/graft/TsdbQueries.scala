@@ -720,6 +720,16 @@ object TsdbQueries {
     // the unaggregated namespace and the 10m:14d tier; the FINEST
     // covering aggregated policy (1h:30d) wins, its retention floors
     // the namespace, and the query range bounds the result
+    // RestrictByTypes (plural): raw + pinned 1d:21d tier resolved
+    // independently and unioned, each row tagged by its namespace's
+    // resolution — the one-query raw-vs-rollup comparison
+    "ds_restrict_types" -> ((s, dir) =>
+      Downsample.restrictByTypes(samples(s, dir), Seq(
+        Downsample.Unaggregated,
+        Downsample.Aggregated("1d", 21L * 86400L)), nowS = 1706745600L)
+        .select(col("name"), col("user_id"), col("resolution"), col("ts_s"),
+          round(col("value"), 6).as("value"))
+        .orderBy("resolution", "name", "user_id", "ts_s", "value")),
     "ds_auto_res" -> ((s, dir) =>
       Downsample.fetchAuto(samples(s, dir), 7L * 86400L, Seq(
         Downsample.Policy("10m", 14L * 86400L),
@@ -1869,6 +1879,29 @@ object TsdbQueries {
          | FROM ($S) AS s
          | WHERE epoch(ts) >= 1706486400 AND epoch(ts) < 1706745600
          | ORDER BY event_id""".stripMargin.replace("\n", " "),
+    "ds_restrict_types" -> {
+      val raw =
+        """SELECT event_type AS name, user_id, 'raw' AS resolution,
+          | CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+          | round(value, 6) AS value FROM events""".stripMargin.replace("\n", " ")
+      val fine =
+        """SELECT name, user_id, bucket_s, sum(value) AS sum_v,
+          | count(*) AS count_v
+          | FROM (SELECT event_type AS name, user_id, value,
+          |  CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_s
+          |  FROM events) AS s
+          | GROUP BY name, user_id, bucket_s""".stripMargin.replace("\n", " ")
+      val tier =
+        s"""SELECT * FROM (
+           | SELECT name, user_id, '1d' AS resolution,
+           |  CAST(floor(bucket_s / 86400) AS BIGINT) * 86400 AS ts_s,
+           |  round(sum(sum_v) / sum(count_v), 6) AS value
+           |  FROM ($fine) AS f
+           |  GROUP BY name, user_id, CAST(floor(bucket_s / 86400) AS BIGINT) * 86400
+           |) AS d WHERE ts_s >= 1706745600 - 21 * 86400""".stripMargin.replace("\n", " ")
+      s"""SELECT * FROM (($raw) UNION ALL ($tier)) AS u
+         | ORDER BY resolution, name, user_id, ts_s, value""".stripMargin.replace("\n", " ")
+    },
     "ds_fanout" -> {
       // stitched fanout: the 1h tier (composed 10m→1h like the
       // engine) serves buckets in [start, availUntil), the raw

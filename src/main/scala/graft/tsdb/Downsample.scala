@@ -567,6 +567,37 @@ object Downsample {
             col("bucket_s") >= lit(nowS - retS))
     }
 
+  /** Multi-type restriction — RestrictByTypes, the PLURAL form
+    * (`storage/m3/cluster_resolver.go:459`
+    * resolveClusterNamespacesForQueryWithTypesRestrictQueryOptions):
+    * each restriction resolves independently exactly like
+    * [[restrictByType]] and the namespaces APPEND — the one-query
+    * raw-vs-rollup comparison surface. Results are served as series
+    * on the common (labels…, resolution, ts_s, value) schema, each
+    * row tagged by its namespace's resolution attribute ('raw' for
+    * unaggregated) the way the reference attaches namespace
+    * attributes to each result in the list.
+    *
+    * Scale: each branch keeps its own pruned single-tier plan (the
+    * literal resolution filter folds the other tiers away, as
+    * ds_restrict_type's PlanSpec shows); the union adds no shuffle. */
+  def restrictByTypes(samples: DataFrame, restricts: Seq[MetricsType],
+                      nowS: Long, aggType: String = "mean",
+                      labelCols: Seq[String] = Vectors.labels,
+                      policies: Seq[Policy] = DefaultStack): DataFrame = {
+    require(restricts.nonEmpty, "RestrictByTypes needs at least one restriction")
+    val cols = labelCols.map(col)
+    restricts.map {
+      case Unaggregated =>
+        samples.select(cols :+ lit("raw").as("resolution") :+
+          unix_timestamp(col("ts")).as("ts_s") :+ col("value"): _*)
+      case agg: Aggregated =>
+        restrictByType(samples, agg, nowS, labelCols, policies)
+          .select(cols :+ col("resolution") :+
+            col("bucket_s").as("ts_s") :+ tierValue(aggType).as("value"): _*)
+    }.reduce(_ unionByName _)
+  }
+
   /** Whether the resolved namespace covers the whole query range or
     * only its tail (reference: src/dbnode/storage/index/convert +
     * src/query/storage/consolidators QueryFanoutType — surfaced so
