@@ -638,11 +638,16 @@ object Downsample {
     */
   def resolveTier(unaggRetentionS: Long, policies: Seq[Policy],
                   nowS: Long, startS: Long,
-                  relatedStartsS: Seq[Long] = Nil): (MetricsType, RangeCoverage) = {
+                  relatedStartsS: Seq[Long] = Nil,
+                  fanoutAggregated: Boolean = true): (MetricsType, RangeCoverage) = {
     require(policies.nonEmpty, "empty policy stack")
     val selS = (startS +: relatedStartsS).min
     def covers(retS: Long) = retS == Long.MaxValue || nowS - retS <= selS
     if (covers(unaggRetentionS)) (Unaggregated, CoversAll)
+    // FanoutAggregated = FanoutForceDisable (cluster_resolver.go:175):
+    // aggregated namespaces are out of contention entirely — the raw
+    // namespace serves whatever it has, flagged partial
+    else if (!fanoutAggregated) (Unaggregated, CoversPartial)
     else {
       val covering = policies.filter(p => covers(p.retentionS))
       if (covering.nonEmpty) {

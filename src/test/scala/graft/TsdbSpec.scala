@@ -359,6 +359,11 @@ class TsdbSpec extends SparkSpec {
     // related-query widening (cluster_resolver.go:98-107): a related
     // panel starting earlier drags namespace selection coarser so
     // both queries read the same tier
+    // FanoutForceDisable: aggregated tiers out of contention — raw
+    // serves the uncovered range, flagged partial
+    assert(resolveTier(200L, stack, now, now - 1500L,
+      fanoutAggregated = false) ==
+      ((Downsample.Unaggregated, Downsample.CoversPartial)))
     assert(resolveTier(400L, stack, now, now - 300L,
       relatedStartsS = Seq(now - 450L)) ==
       ((Aggregated("1h", 500L), CoversAll)))
