@@ -723,6 +723,10 @@ object PipelineQueries {
         .orderBy("doc_id")),
     "corpus_source_kl" -> ((s, dir) =>
       Corpus.sourceKl(Tables.documents(s, dir)).orderBy("source")),
+    // DoReMi one-round domain reweighting: excess loss between the
+    // engine's own reference (unigram) and proxy (bigram) LMs
+    "corpus_doremi" -> ((s, dir) =>
+      Corpus.doremiWeights(Tables.documents(s, dir)).orderBy("source")),
     "corpus_temperature" -> ((s, dir) =>
       Corpus.temperatureMixture(Tables.documents(s, dir)).orderBy("source")),
     "corpus_sample" -> ((s, dir) =>
@@ -1834,6 +1838,43 @@ object PipelineQueries {
         |  round(exp(-avg(logp)), 6) AS ppl
         | FROM bi JOIN lm USING (bg) GROUP BY doc_id
         | ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "corpus_doremi" ->
+      """WITH wd AS (SELECT doc_id,
+        |  unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents),
+        | c AS (SELECT w, count(*) AS c FROM wd GROUP BY w),
+        | t AS (SELECT sum(c) AS n_total, count(*) AS vocab FROM c),
+        | ulm AS (SELECT w, ln((c + 1)::DOUBLE / (n_total + vocab)::DOUBLE)
+        |   AS logp FROM c, t),
+        | uni AS (SELECT doc_id, count(*) AS n_words,
+        |  round(-avg(logp), 6) AS xu
+        |  FROM wd JOIN ulm USING (w) GROUP BY doc_id),
+        | wsd AS (SELECT doc_id,
+        |  string_split_regex(lower(text), '\s+') AS ws FROM documents),
+        | bgr AS (SELECT doc_id,
+        |  unnest([ws[i] || ' ' || ws[i + 1] for i in range(1, len(ws))]) AS bg
+        |  FROM wsd WHERE len(ws) >= 2),
+        | c12 AS (SELECT bg, count(*) AS c12 FROM bgr GROUP BY bg),
+        | c1 AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c12) AS c1
+        |  FROM c12 GROUP BY 1),
+        | blm AS (SELECT bg,
+        |  ln((c12 + 1)::DOUBLE / (c1 + vocab)::DOUBLE) AS logp
+        |  FROM c12 JOIN c1 ON split_part(c12.bg, ' ', 1) = c1.w1
+        |  CROSS JOIN t),
+        | bi AS (SELECT doc_id, round(-avg(logp), 6) AS xb
+        |  FROM bgr JOIN blm USING (bg) GROUP BY doc_id),
+        | ag AS (SELECT d.source, count(*) AS n_docs,
+        |  sum(uni.n_words) AS tokens, avg(uni.xu - bi.xb) AS mean_excess
+        |  FROM documents AS d JOIN uni ON uni.doc_id = d.doc_id
+        |  JOIN bi ON bi.doc_id = d.doc_id GROUP BY d.source),
+        | tt AS (SELECT sum(tokens) AS t FROM ag),
+        | z AS (SELECT source, n_docs, tokens, mean_excess,
+        |  tokens::DOUBLE / t * exp(mean_excess) AS z FROM ag, tt),
+        | zn AS (SELECT sum(z) AS sz, count(*) AS k FROM z)
+        | SELECT source, n_docs, CAST(tokens AS BIGINT) AS tokens,
+        |  round(mean_excess, 6) AS mean_excess,
+        |  round(z / sz, 6) AS doremi_weight,
+        |  round(z / sz * 0.8 + 0.2 / k, 6) AS smoothed_weight
+        | FROM z, zn ORDER BY source""".stripMargin.replace("\n", " "),
     "text_bm25" -> {
       val tfs = BM25_TERMS.map(t =>
         s"len(list_filter(ws, x -> x = '$t'))::BIGINT AS tf_$t").mkString(", ")

@@ -338,6 +338,46 @@ object Corpus {
           col("total") / col("tokens"), 6).as("epochs"))
   }
 
+  /** DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining")
+    * restated with the engine's own LMs: DoReMi weights domains by
+    * EXCESS LOSS — how much better a stronger proxy model does than
+    * the reference on each domain (high excess = learnable headroom,
+    * upweight). Reference = the corpus unigram LM, proxy = the
+    * bigram LM (strictly better-informed, same training corpus), so
+    * per-doc excess = unigram − bigram cross-entropy, both already
+    * per-doc-rounded by their operators — the two engines aggregate
+    * IDENTICAL inputs. One multiplicative-weights round: domain
+    * weight ∝ token_share · exp(mean excess), normalized, then
+    * smoothed with uniform mass exactly as the paper's final step
+    * ((1−s)·w + s/k).
+    *
+    * Scale: the two LM scorings are the existing
+    * aggregate-join-aggregate shapes; everything after is a
+    * sources-sized aggregation with two one-row broadcasts. */
+  def doremiWeights(docs: DataFrame, smoothing: Double = 0.2): DataFrame = {
+    val uni = TextAnalysis.unigramCrossEntropy(docs)
+      .select(col("doc_id"), col("n_words"), col("cross_entropy").as("xu"))
+    val bi = TextAnalysis.bigramCrossEntropy(docs)
+      .select(col("doc_id"), col("cross_entropy").as("xb"))
+    val agg = docs.select("doc_id", "source")
+      .join(uni, "doc_id").join(bi, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_words").as("tokens"),
+        avg(col("xu") - col("xb")).as("mean_excess"))
+    val tot = agg.agg(sum("tokens").as("t"))
+    val z = agg.crossJoin(broadcast(tot))
+      .withColumn("z",
+        col("tokens").cast("double") / col("t") * exp(col("mean_excess")))
+    val zn = z.agg(sum("z").as("sz"), count(lit(1)).as("k"))
+    z.crossJoin(broadcast(zn))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        round(col("mean_excess"), 6).as("mean_excess"),
+        round(col("z") / col("sz"), 6).as("doremi_weight"),
+        round(col("z") / col("sz") * (1 - smoothing) +
+          lit(smoothing) / col("k"), 6).as("smoothed_weight"))
+  }
+
   /** Curation filter funnel — the dataset-card artifact that answers
     * "where did the tokens go": docs and tokens surviving each
     * cumulative stage of the standard cleaning order (C4 battery →

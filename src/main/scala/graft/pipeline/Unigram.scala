@@ -72,6 +72,18 @@ object Unigram {
     emitted.get.groupBy("piece").agg(sum("freq").as("usage"))
   }
 
+  /** Segmentation steps actually needed: every step consumes at
+    * least one character, so maxLen steps always complete — running
+    * the full declared unroll would spend (maxSteps − maxLen) empty
+    * jobs per pass (the oracle's extra unrolled CTEs are free; Spark
+    * jobs are not). One bounded aggregate. */
+  private def effectiveSteps(wf: DataFrame, maxSteps: Int): Int = {
+    val maxLen = wf.agg(max(length(col("word")))).head().getInt(0)
+    require(maxLen <= maxSteps,
+      s"word length $maxLen exceeds the $maxSteps-step segmentation unroll")
+    maxLen
+  }
+
   /** The distinct word-frequency table every stage counts over. */
   private def wordFreq(docs: DataFrame): DataFrame =
     docs
@@ -88,9 +100,7 @@ object Unigram {
                                 pieceMax: Int, rounds: Int,
                                 prunePerRound: Int,
                                 maxSteps: Int): Seq[String] = {
-    val maxLen = wf.agg(max(length(col("word")))).head().getInt(0)
-    require(maxLen <= maxSteps,
-      s"word length $maxLen exceeds the $maxSteps-step segmentation unroll")
+    val steps = effectiveSteps(wf, maxSteps)
     // substring seed frequencies: every start position of every
     // length ≤ pieceMax, weighted by word frequency
     val subs = (1 to pieceMax).map { l =>
@@ -108,7 +118,7 @@ object Unigram {
       .select("piece").collect().map(_.getString(0)).toSeq
     var vocab: Seq[String] = chars ++ seed
     for (_ <- 1 to rounds) {
-      val counts = segmentCounts(wf, vocab, pieceMax, maxSteps)
+      val counts = segmentCounts(wf, vocab, pieceMax, steps)
       // bounded collect: |vocab| rows — unused pieces count 0
       val usage: Map[String, Long] = counts.collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -134,7 +144,8 @@ object Unigram {
     val wf = wordFreq(docs)
     val vocab = trainVocab(wf, seedMulti, pieceMax, rounds, prunePerRound,
       maxSteps)
-    val finalCounts = segmentCounts(wf, vocab, pieceMax, maxSteps)
+    val finalCounts = segmentCounts(wf, vocab, pieceMax,
+      effectiveSteps(wf, maxSteps))
     val spark = docs.sparkSession
     import spark.implicits._
     val vdf = vocab.toDF("piece")
@@ -173,7 +184,7 @@ object Unigram {
     // greedy walk, grouped by word
     var cur = wf.select(col("word")).withColumn("pos", lit(1))
     var emitted: Option[DataFrame] = None
-    for (_ <- 1 to maxSteps) {
+    for (_ <- 1 to effectiveSteps(wf, maxSteps)) {
       val m = cur.withColumn("piece", longestMatch(vocab, pieceMax))
         .where(col("piece").isNotNull)
         .localCheckpoint(true)
