@@ -185,6 +185,20 @@ object PipelineQueries {
       t
     })
 
+  /** Once-per-(session, sf dir) MinHashStore index over the first
+    * 400 docs — the persisted-LSH probe queries' history. */
+  private val mhTables =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def mhTable(s: SparkSession, dir: String): String =
+    mhTables.getOrElseUpdate((s, dir), {
+      val t = "graft_mh_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+      graft.sources.MinHashStore.build(
+        Tables.documents(s, dir).where(col("doc_id") < 400), t,
+        K, BANDS, ROWS)
+      t
+    })
+
   /** LSH bucket id SQL — regenerates the identical hyperplane family
     * as [[Similarity.lshBucket]] (same mixing, same literal ±1
     * weights), so the oracle replays the bucketing exactly. */
@@ -421,6 +435,16 @@ object PipelineQueries {
           i => array_join(slice(ws, (i * 12 + 1).cast("int"), lit(12)), " ")),
           "\n\n").as("text"))
       Dedup.paragraphDedup(para).orderBy("doc_id")
+    }),
+    // incremental FUZZY dedup against the persisted LSH index: the
+    // arriving batch (doc_id >= 400) probes the banded postings +
+    // signature sidecar built over history (doc_id < 400) — history
+    // text never read, batch-sized work only
+    "store_dedup_probe" -> ((s, dir) => {
+      val batch = Tables.documents(s, dir).where(col("doc_id") >= 400)
+      graft.sources.MinHashStore.probe(s, mhTable(s, dir), batch,
+        MIN_AGREE)
+        .orderBy("doc_a", "doc_b")
     }),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(Tables.documents(s, dir)).orderBy("doc_id")),
@@ -1585,6 +1609,30 @@ object PipelineQueries {
         |  CAST(sum(dup) AS BIGINT) AS dup_paras,
         |  round(sum(dup)::DOUBLE / count(*), 6) AS dup_para_frac
         | FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    // persisted-LSH probe: signatures are per-doc independent, so
+    // one sig CTE over all docs split by the history boundary
+    // replays the stored index + fresh batch exactly; the hot-bucket
+    // cap counts HISTORY postings only (the stored bsz)
+    "store_dedup_probe" -> {
+      val agree = (0 until K)
+        .map(i => s"(CASE WHEN l.mh$i = r.mh$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH sig AS ($SIG),
+         | banded AS ($BANDED),
+         | hb AS (SELECT * FROM banded WHERE doc_id < 400),
+         | bb AS (SELECT * FROM banded WHERE doc_id >= 400),
+         | hsz AS (SELECT band, bucket, count(*) AS bsz FROM hb GROUP BY 1, 2),
+         | cands AS (SELECT DISTINCT h.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM hb AS h JOIN hsz ON hsz.band = h.band AND hsz.bucket = h.bucket
+         |  JOIN bb AS b ON b.band = h.band AND b.bucket = h.bucket
+         |  WHERE hsz.bsz <= $MAX_BUCKET)
+         | SELECT doc_a, doc_b, CAST(agree AS BIGINT) AS agree,
+         |  round(agree / ${K}.0, 6) AS est_jaccard
+         | FROM (SELECT c.doc_a, c.doc_b, $agree AS agree
+         |  FROM cands AS c JOIN sig AS l ON c.doc_a = l.doc_id
+         |  JOIN sig AS r ON c.doc_b = r.doc_id) AS v
+         | WHERE agree >= $MIN_AGREE ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " ")
+    },
     "dedup_spans" ->
       """WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws
         |  FROM documents),

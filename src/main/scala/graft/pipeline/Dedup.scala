@@ -162,10 +162,12 @@ object Dedup {
     * so an over-cap bucket is near-identical boilerplate whose
     * members are already linked through other (smaller) buckets or
     * the exact-hash stage. The cap is replayed in the oracle. */
-  /** Band-bucket assignment shared by the candidate join and the
-    * index-health report: bucket = md5 over the band's hash row. */
-  private def bandedBuckets(sigs: DataFrame, bands: Int,
-                            rows: Int): DataFrame =
+  /** Band-bucket assignment shared by the candidate join, the
+    * index-health report and the persisted LSH index
+    * ([[graft.sources.MinHashStore]]): bucket = md5 over the band's
+    * hash row. */
+  private[graft] def bandedBuckets(sigs: DataFrame, bands: Int,
+                                   rows: Int): DataFrame =
     (0 until bands).map { b =>
       val bandCols = (0 until rows).map(r => col(s"mh${b * rows + r}"))
       sigs.select(col("doc_id"), lit(b).as("band"),
