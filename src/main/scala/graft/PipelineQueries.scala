@@ -82,10 +82,12 @@ object PipelineQueries {
     * string), usage counts with zero-fill, and the weakest-multi
     * prune with a data-derived LIMIT so the oracle degrades exactly
     * like the engine when the corpus seeds fewer pieces. */
-  /** (train SQL, encode SQL) sharing the training-CTE prefix. */
+  /** (train SQL, encode SQL, shared training prefix incl. the
+    * per-word piece-cost CTE) — the prefix is reused verbatim by the
+    * fertility card's oracle. */
   private def unigramOracleSql(seedMulti: Int = 16, pieceMax: Int = 4,
                                rounds: Int = 3, prune: Int = 3,
-                               steps: Int = 12): (String, String) = {
+                               steps: Int = 12): (String, String, String) = {
     val subsUnion = (1 to pieceMax).map { l =>
       s"""SELECT freq, unnest([substr(word, i, $l)
          | for i in range(1, length(word) - ${l - 1} + 1)]) AS piece
@@ -156,10 +158,12 @@ object PipelineQueries {
     val encEmitted = (0 until steps)
       .map(i => s"SELECT word FROM mf_$i")
       .mkString(" UNION ALL ")
-    val encode =
-      s"""WITH $prefix,
+    val prefixWithPw =
+      s"""$prefix,
          | pw AS (SELECT word, count(*) AS word_pieces
-         |  FROM ($encEmitted) AS e GROUP BY word),
+         |  FROM ($encEmitted) AS e GROUP BY word)""".stripMargin.replace("\n", " ")
+    val encode =
+      s"""WITH $prefixWithPw,
          | dw AS (SELECT doc_id,
          |  unnest(string_split_regex(lower(text), '\\s+')) AS word
          |  FROM documents)
@@ -167,7 +171,7 @@ object PipelineQueries {
          |  CAST(sum(pw.word_pieces) AS BIGINT) AS unigram_tokens
          | FROM dw JOIN pw ON pw.word = dw.word
          | GROUP BY dw.doc_id ORDER BY dw.doc_id""".stripMargin.replace("\n", " ")
-    (train, encode)
+    (train, encode, prefixWithPw)
   }
 
   /** Once-per-(session, sf dir) VectorStore table for the persisted
@@ -666,6 +670,9 @@ object PipelineQueries {
     // word table, broadcast back to the exploded doc words
     "corpus_unigram_encode" -> ((s, dir) =>
       Unigram.encode(Tables.documents(s, dir))),
+    // the two trained tokenizers compared: per-language fertility
+    "corpus_fertility" -> ((s, dir) =>
+      Corpus.tokenizerFertility(Tables.documents(s, dir)).orderBy("lang")),
     "corpus_bpe_encode" -> ((s, dir) =>
       TextAnalysis.bpeEncode(Tables.documents(s, dir), rounds = 8)),
     "text_langid" -> ((s, dir) =>
@@ -1978,6 +1985,7 @@ object PipelineQueries {
         | ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "corpus_unigram_train" -> unigramOracleSql()._1,
     "corpus_unigram_encode" -> unigramOracleSql()._2,
+    // corpus_fertility registered below next to the BPE oracles
     // all 8 greedy merge rounds replayed: per round, the pair count
     // over the current vocab, the lexicographic-tie-broken argmax,
     // and the delimiter-owning replace() rewrite — bit-identical to
@@ -1991,6 +1999,47 @@ object PipelineQueries {
           "WHERE pfreq > 0")
         .mkString(" UNION ALL ")
       s"WITH ${bpeStagesSql(R)} SELECT * FROM ($tops) AS m ORDER BY round"
+    },
+    // both trained tokenizers replayed end-to-end, reduced to the
+    // per-language fertility card: BPE's merge-replace chain and the
+    // unigram prune loop's per-word piece costs, joined on the doc
+    "corpus_fertility" -> {
+      val R = 8
+      val repr0 =
+        """' ' || array_to_string(
+          | [substring(w, i, 1) for i in range(1, length(w) + 1)], '  ')
+          | || ' '""".stripMargin.replace("\n", " ")
+      val reprN = (1 to R).foldLeft(s"($repr0)") { (c, i) =>
+        s"replace($c, ' ' || t$i.a || '  ' || t$i.b || ' ', ' ' || t$i.a || t$i.b || ' ')"
+      }
+      val tJoin = (1 to R).map(i => s"t$i").mkString(", ")
+      s"""WITH ${bpeStagesSql(R)},
+         | wtok AS (SELECT doc_id,
+         |   unnest(string_split_regex(lower(text), '\\s+')) AS w
+         |  FROM documents),
+         | benc AS (SELECT doc_id, count(*) AS n_words,
+         |   CAST(sum(k) AS BIGINT) AS bpe_tokens FROM
+         |  (SELECT doc_id, len(string_split(trim($reprN), '  ')) AS k
+         |   FROM wtok, $tJoin WHERE length(w) > 0) AS e GROUP BY doc_id),
+         | ${unigramOracleSql()._3},
+         | dw AS (SELECT doc_id,
+         |  unnest(string_split_regex(lower(text), '\\s+')) AS word
+         |  FROM documents),
+         | uenc AS (SELECT dw.doc_id,
+         |  CAST(sum(pw.word_pieces) AS BIGINT) AS unigram_tokens
+         |  FROM dw JOIN pw ON pw.word = dw.word GROUP BY dw.doc_id)
+         | SELECT d.lang, count(*) AS n_docs,
+         |  CAST(sum(benc.n_words) AS BIGINT) AS words,
+         |  CAST(sum(benc.bpe_tokens) AS BIGINT) AS bpe_tokens,
+         |  CAST(sum(uenc.unigram_tokens) AS BIGINT) AS unigram_tokens,
+         |  round(sum(benc.bpe_tokens)::DOUBLE / sum(benc.n_words), 6)
+         |   AS bpe_fertility,
+         |  round(sum(uenc.unigram_tokens)::DOUBLE / sum(benc.n_words), 6)
+         |   AS unigram_fertility
+         | FROM documents AS d
+         | JOIN benc ON benc.doc_id = d.doc_id
+         | JOIN uenc ON uenc.doc_id = d.doc_id
+         | GROUP BY d.lang ORDER BY d.lang""".stripMargin.replace("\n", " ")
     },
     // training replayed (same stages), then the merge table applied
     // to the word stream as the same ordered replace chain

@@ -378,6 +378,40 @@ object Corpus {
           lit(smoothing) / col("k"), 6).as("smoothed_weight"))
   }
 
+  /** Tokenizer fertility card — tokens-per-word by language for BOTH
+    * trained tokenizers (BPE merges vs the unigram-LM prune loop):
+    * THE standard tokenizer-evaluation artifact (fertility; parity
+    * across languages is what multilingual tokenizer papers tune),
+    * and the direct comparison of the two training algorithms this
+    * engine ships. High fertility on a language = its text shatters
+    * into more pieces = more compute per word and worse effective
+    * context — the signal that sends a language's data share up or a
+    * vocabulary budget rises.
+    *
+    * Scale: both encoders already do their work on bounded
+    * vocabularies (merges collect R rows, the unigram vocab ≤ seed +
+    * charset); this card joins their per-doc outputs (doc-sized,
+    * id-keyed) and reduces per language. */
+  def tokenizerFertility(docs: DataFrame): DataFrame = {
+    val bpe = TextAnalysis.bpeEncode(docs)
+      .select(col("doc_id"), col("n_words"), col("bpe_tokens"))
+    val uni = Unigram.encode(docs)
+      .select(col("doc_id"), col("unigram_tokens"))
+    docs.select("doc_id", "lang")
+      .join(bpe, "doc_id").join(uni, "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("words"),
+        sum("bpe_tokens").as("bpe_tokens"),
+        sum("unigram_tokens").as("unigram_tokens"))
+      .select(col("lang"), col("n_docs"), col("words"),
+        col("bpe_tokens"), col("unigram_tokens"),
+        round(col("bpe_tokens").cast("double") / col("words"), 6)
+          .as("bpe_fertility"),
+        round(col("unigram_tokens").cast("double") / col("words"), 6)
+          .as("unigram_fertility"))
+  }
+
   /** Curation filter funnel — the dataset-card artifact that answers
     * "where did the tokens go": docs and tokens surviving each
     * cumulative stage of the standard cleaning order (C4 battery →
