@@ -130,7 +130,7 @@ object Bench {
       "ds_rollup", "ds_policy_stack", "ds_rollup_target", "ds_auto_res",
       "ds_fanout", "store_rollup", "store_pql", "store_ann", "store_ivfpq",
       "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_embed_lsh",
-      "dedup_paragraphs",
+      "dedup_paragraphs", "store_dedup_probe", "corpus_fertility",
       "sim_cosine_topk", "sim_ivf_ann", "sim_pq_ann",
       "text_langid", "text_gopher", "text_tfidf", "text_classifier",
       "corpus_clusters", "corpus_pack", "corpus_decontam",

@@ -90,6 +90,16 @@ class VectorStoreSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("stored search parity holds across k and nprobe settings") {
+    for (k <- Seq(3, 7); np <- Seq(1, 3)) {
+      val direct = Similarity.ivfAnn(emb, queries, k, nprobe = np)
+        .orderBy("q_id", "rk").collect().toSeq
+      val stored = VectorStore.ivfAnn(spark, table, queries, k, np)
+        .orderBy("q_id", "rk").collect().toSeq
+      assert(stored == direct, s"k=$k nprobe=$np diverged")
+    }
+  }
+
   test("streaming vector ingest appends under the frozen model") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
