@@ -450,6 +450,10 @@ object PipelineQueries {
         MIN_AGREE)
         .orderBy("doc_a", "doc_b")
     }),
+    // the span-REMOVAL transformation (Lee et al.: drop duplicated
+    // spans, keep the doc): emits the cleaned text itself
+    "dedup_spans_remove" -> ((s, dir) =>
+      Dedup.spanDedupRemove(Tables.documents(s, dir)).orderBy("doc_id")),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(Tables.documents(s, dir)).orderBy("doc_id")),
     "dedup_simhash_pairs" -> ((s, dir) =>
@@ -1640,6 +1644,29 @@ object PipelineQueries {
          |  JOIN sig AS r ON c.doc_b = r.doc_id) AS v
          | WHERE agree >= $MIN_AGREE ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " ")
     },
+    "dedup_spans_remove" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws
+        |  FROM documents),
+        | spans AS (SELECT doc_id,
+        |  unnest(range(0, (len(ws) - 1) // 10 + 1)) AS span_idx,
+        |  unnest([array_to_string(ws[i * 10 + 1 : i * 10 + 10], ' ')
+        |          for i in range(0, (len(ws) - 1) // 10 + 1)]) AS span
+        |  FROM w),
+        | ranked AS (SELECT doc_id, span_idx, span,
+        |  row_number() OVER (PARTITION BY md5(span)
+        |    ORDER BY doc_id, span_idx) AS rk
+        |  FROM spans),
+        | re AS (SELECT doc_id, count(*) AS n_spans,
+        |  CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS kept_spans,
+        |  coalesce(string_agg(CASE WHEN rk = 1 THEN span END, ' '
+        |    ORDER BY span_idx), '') AS clean_text
+        |  FROM ranked GROUP BY doc_id)
+        | SELECT d.doc_id, coalesce(re.n_spans, 0) AS n_spans,
+        |  coalesce(re.kept_spans, 0) AS kept_spans,
+        |  coalesce(re.clean_text, '') AS clean_text
+        | FROM (SELECT doc_id FROM documents) AS d
+        | LEFT JOIN re USING (doc_id) ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "dedup_spans" ->
       """WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws
         |  FROM documents),

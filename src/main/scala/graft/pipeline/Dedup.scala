@@ -593,6 +593,47 @@ object Dedup {
           .as("dup_para_frac"))
   }
 
+  /** Span REMOVAL — the transformation [[spanDedup]] only measures
+    * (Lee et al. remove duplicated 50-grams, not whole documents):
+    * each doc's globally-duplicated spans (same word sequence seen
+    * earlier by (doc_id, span_idx) order) are DROPPED and the
+    * surviving spans reassemble into the cleaned text — the curated
+    * artifact a trainer actually consumes. Reassembly is the
+    * normalized-token form (single spaces, the same token stream the
+    * spans were cut from); a fully-duplicated doc survives as an
+    * empty string rather than vanishing, so downstream counts stay
+    * doc-aligned.
+    *
+    * Scale: identical shape to [[spanDedup]] (hash-distributed rank
+    * over md5(span)) plus one per-doc reassembly aggregation —
+    * collect_list is bounded by the doc's own span count. */
+  def spanDedupRemove(docs: DataFrame, k: Int = 10): DataFrame = {
+    val ws = col("ws")
+    val spans = docs
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("ws"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0L), floor((size(ws) - 1) / lit(k)).cast("long")),
+          i => array_join(slice(ws, (i * k + 1).cast("int"), lit(k)), " ")))
+          .as(Seq("span_idx", "span")))
+    val w = Window.partitionBy("smd5").orderBy("doc_id", "span_idx")
+    val kept = spans.withColumn("smd5", md5(col("span")))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("keep", col("rk") === 1)
+    val re = kept
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("keep").cast("long")).as("kept_spans"),
+        array_join(transform(array_sort(collect_list(
+          when(col("keep"), struct(col("span_idx"), col("span"))))),
+          x => x("span")), " ").as("clean_text"))
+    docs.select("doc_id").join(re, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("kept_spans"), lit(0L)).as("kept_spans"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Exact dedup: md5 content hash; rank within hash groups (keep
     * rank 1, drop the rest). */
   def exact(docs: DataFrame): DataFrame = {
