@@ -87,7 +87,7 @@ object PipelineQueries {
     * fertility card's oracle. */
   private def unigramOracleSql(seedMulti: Int = 16, pieceMax: Int = 4,
                                rounds: Int = 3, prune: Int = 3,
-                               steps: Int = 12): (String, String, String) = {
+                               steps: Int = 24): (String, String, String) = {
     val subsUnion = (1 to pieceMax).map { l =>
       s"""SELECT freq, unnest([substr(word, i, $l)
          | for i in range(1, length(word) - ${l - 1} + 1)]) AS piece

@@ -140,7 +140,7 @@ object Unigram {
     * unigram LM artifact, one row per piece. */
   def train(docs: DataFrame, seedMulti: Int = 16, pieceMax: Int = 4,
             rounds: Int = 3, prunePerRound: Int = 3,
-            maxSteps: Int = 12): DataFrame = {
+            maxSteps: Int = 24): DataFrame = {
     val wf = wordFreq(docs)
     val vocab = trainVocab(wf, seedMulti, pieceMax, rounds, prunePerRound,
       maxSteps)
@@ -176,7 +176,7 @@ object Unigram {
     * Output per doc: word count and unigram token count. */
   def encode(docs: DataFrame, seedMulti: Int = 16, pieceMax: Int = 4,
              rounds: Int = 3, prunePerRound: Int = 3,
-             maxSteps: Int = 12): DataFrame = {
+             maxSteps: Int = 24): DataFrame = {
     val wf = wordFreq(docs)
     val vocab = trainVocab(wf, seedMulti, pieceMax, rounds, prunePerRound,
       maxSteps)
