@@ -652,6 +652,11 @@ object PipelineQueries {
     "text_bigram" -> ((s, dir) =>
       TextAnalysis.bigramCrossEntropy(Tables.documents(s, dir))
         .orderBy("doc_id")),
+    "text_kn" -> ((s, dir) =>
+      TextAnalysis.knBigramCrossEntropy(Tables.documents(s, dir))
+        .orderBy("doc_id")),
+    "text_readability" -> ((s, dir) =>
+      TextAnalysis.readability(Tables.documents(s, dir)).orderBy("doc_id")),
     "text_bm25" -> ((s, dir) =>
       TextAnalysis.bm25(Tables.documents(s, dir), BM25_TERMS)
         .orderBy("doc_id")),
@@ -1920,6 +1925,42 @@ object PipelineQueries {
         |  round(exp(-avg(logp)), 6) AS ppl
         | FROM bi JOIN lm USING (bg) GROUP BY doc_id
         | ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "text_kn" ->
+      """WITH wd AS (SELECT doc_id,
+        |  string_split_regex(lower(text), '\s+') AS ws FROM documents),
+        | bi AS (SELECT doc_id,
+        |  unnest([ws[i] || ' ' || ws[i + 1] for i in range(1, len(ws))]) AS bg
+        |  FROM wd WHERE len(ws) >= 2),
+        | c12 AS (SELECT bg, split_part(bg, ' ', 1) AS w1,
+        |  split_part(bg, ' ', 2) AS w2, count(*) AS c12
+        |  FROM bi GROUP BY bg),
+        | fwd AS (SELECT w1, sum(c12) AS c1, count(*) AS n_fwd
+        |  FROM c12 GROUP BY w1),
+        | bwd AS (SELECT w2, count(*) AS n_bwd FROM c12 GROUP BY w2),
+        | t AS (SELECT count(*) AS t_types FROM c12),
+        | lm AS (SELECT bg,
+        |  ln(greatest(c12 - 0.75, 0.0) / c1 +
+        |   0.75 * n_fwd / c1 * (n_bwd::DOUBLE / t_types)) AS logp
+        |  FROM c12 JOIN fwd USING (w1) JOIN bwd USING (w2) CROSS JOIN t)
+        | SELECT doc_id, count(*) AS n_bigrams,
+        |  round(-avg(logp), 6) AS cross_entropy,
+        |  round(exp(-avg(logp)), 6) AS ppl
+        | FROM bi JOIN lm USING (bg) GROUP BY doc_id
+        | ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "text_readability" ->
+      """WITH b AS (SELECT doc_id,
+        |  greatest(len(regexp_extract_all(lower(text), '[^\s]+')), 1)::DOUBLE AS w,
+        |  greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::DOUBLE AS s,
+        |  greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)::DOUBLE AS syl,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9]'))::DOUBLE AS c
+        | FROM documents)
+        | SELECT doc_id, w::BIGINT AS n_words, s::BIGINT AS n_sents,
+        |  syl::BIGINT AS n_syllables, c::BIGINT AS n_chars,
+        |  floor((206.835 - 1.015 * (w / s) - 84.6 * (syl / w)) * 1000000.0)
+        |   / 1000000.0 AS flesch,
+        |  floor((4.71 * (c / w) + 0.5 * (w / s) - 21.43) * 1000000.0)
+        |   / 1000000.0 AS ari
+        | FROM b ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "corpus_doremi" ->
       """WITH wd AS (SELECT doc_id,
         |  unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents),

@@ -520,7 +520,9 @@ object RelQueries {
 
     // funnel time-to-convert (see funnelLatency Scaladoc)
     "q_funnel_latency" -> ((s, dir) =>
-      funnelLatency(Tables.events(s, dir), Seq("view", "click", "purchase")))
+      funnelLatency(Tables.events(s, dir), Seq("view", "click", "purchase"))),
+
+    "q_pagerank" -> ((s, dir) => pageRank(Tables.events(s, dir)))
   )
 
   /** DAU + rolling `windowDays`-day active users per day. */
@@ -665,6 +667,69 @@ object RelQueries {
       .groupBy("src", "dst").agg(count(lit(1)).as("n"))
       .withColumn("p", round(col("n") / sum("n").over(wSrc), 6))
       .orderBy("src", "dst")
+  }
+
+  /** Damped PageRank over the event-type transition digraph — the
+    * graph-centrality companion to [[transitionMatrix]] (which event
+    * types sit at the center of user flows, with edge weights =
+    * observed transition counts). Standard iteration, `iters` rounds
+    * from uniform:
+    *
+    *   PR'(j) = (1−d)/N + d·( Σ_i PR(i)·w_ij + dangling_mass/N )
+    *
+    * where w_ij = n_ij / out_i and nodes with no outgoing transition
+    * spread their mass uniformly (the dangling correction, so total
+    * mass stays 1 every round — asserted in the spec).
+    *
+    * Scale: the transition-count aggregation touches the event stream
+    * ONCE (hash agg keyed (src,dst), map-side combined); every
+    * iteration after that joins node/edge frames whose size is the
+    * event-type vocabulary, not the stream. Each round is
+    * localCheckpointed so the unrolled 5-round plan stays linear (pr
+    * feeds both the contribution join and the dangling sum — without
+    * the checkpoint the lineage doubles per round). At 100 TB the
+    * node set is still the type vocabulary; nothing collects to the
+    * driver. */
+  def pageRank(events: DataFrame, iters: Int = 5,
+               damping: Double = 0.85): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val edges = events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type").as("src"))
+      .withColumn("dst", lead("src", 1).over(w))
+      .where(col("dst").isNotNull)
+      .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = true)
+    val out = edges.groupBy("src").agg(sum("n").as("out_n"))
+    val nodes = events.select(col("event_type").as("node")).distinct()
+      .localCheckpoint(eager = true)
+    val nCnt = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
+      .localCheckpoint(eager = true)
+    val d = lit(damping)
+    var pr = nodes.crossJoin(broadcast(nCnt))
+      .select(col("node"), (lit(1.0) / col("n_nodes")).as("pr"))
+    for (_ <- 0 until iters) {
+      val contrib = edges.join(out, "src")
+        .join(pr.select(col("node").as("src"), col("pr")), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("pr") * col("n") / col("out_n")).as("c"))
+      val dangling = pr
+        .join(out.select(col("src").as("node")), Seq("node"), "left_anti")
+        .agg(coalesce(sum("pr"), lit(0.0)).as("dm"))
+      pr = nodes.join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(dangling)).crossJoin(broadcast(nCnt))
+        .select(col("node"),
+          // (1.0 - d) spelled as the same subtraction the oracle SQL
+          // performs — a pre-folded 0.15 literal is 1 ulp away from
+          // 1.0 − 0.85 in binary and the engines must agree bit-for-bit
+          ((lit(1.0) - d) / col("n_nodes") +
+            d * (coalesce(col("c"), lit(0.0)) + col("dm") / col("n_nodes")))
+            .as("pr"))
+        .localCheckpoint(eager = true)
+    }
+    pr.select(col("node"), round(col("pr"), 6).as("pr"))
+      .orderBy(col("pr").desc, col("node").asc)
   }
 
   /** Per-stage (user_id, first-qualifying-ts) frames for an ordered
@@ -1234,6 +1299,35 @@ object RelQueries {
         |  FROM seq WHERE e3 IS NOT NULL GROUP BY 1)
         | SELECT path, n,
         |  row_number() OVER (ORDER BY n DESC, path ASC) AS rk
-        | FROM p ORDER BY n DESC, path ASC LIMIT 10""".stripMargin.replace("\n", " ")
+        | FROM p ORDER BY n DESC, path ASC LIMIT 10""".stripMargin.replace("\n", " "),
+    "q_pagerank" -> {
+      // 5 unrolled damped-PageRank rounds; each round MATERIALIZED so
+      // DuckDB doesn't inline the previous round's CTE once per
+      // reference (the same CTE-inlining blowup the BPE oracle hit)
+      val rounds = (1 to 5).map { r =>
+        val p = s"p${r - 1}"
+        s"""c$r AS (SELECT e.dst AS node, sum(p.pr * e.n / o.out_n) AS c
+           | FROM e JOIN o USING (src) JOIN $p p ON p.node = e.src
+           | GROUP BY e.dst),
+           | d$r AS (SELECT coalesce(sum(pr), 0.0) AS dm FROM $p
+           | WHERE node NOT IN (SELECT src FROM o)),
+           | p$r AS MATERIALIZED (SELECT nd.node,
+           | (1.0 - 0.85) / nn.n_nodes
+           |  + 0.85 * (coalesce(c.c, 0.0) + d$r.dm / nn.n_nodes) AS pr
+           | FROM nd LEFT JOIN c$r c ON c.node = nd.node, d$r, nn)"""
+          .stripMargin.replace("\n", " ")
+      }.mkString(", ")
+      s"""WITH e AS MATERIALIZED (SELECT src, dst, count(*) AS n FROM (
+         |  SELECT event_type AS src, lead(event_type) OVER (
+         |   PARTITION BY user_id ORDER BY ts, event_id) AS dst FROM events) t
+         |  WHERE dst IS NOT NULL GROUP BY src, dst),
+         | o AS (SELECT src, sum(n) AS out_n FROM e GROUP BY src),
+         | nd AS MATERIALIZED (SELECT DISTINCT event_type AS node FROM events),
+         | nn AS (SELECT count(*)::DOUBLE AS n_nodes FROM nd),
+         | p0 AS (SELECT node, 1.0 / n_nodes AS pr FROM nd, nn),
+         | $rounds
+         | SELECT node, round(pr, 6) AS pr FROM p5
+         | ORDER BY pr DESC, node ASC""".stripMargin.replace("\n", " ")
+    }
   )
 }

@@ -369,6 +369,110 @@ object TextAnalysis {
         round(exp(col("xent")), 6).as("ppl"))
   }
 
+  /** Readability battery per document — Flesch Reading Ease and the
+    * Automated Readability Index, the two classic shallow-parse
+    * scores corpus-curation recipes bucket web text by (grade-level
+    * stratification, child-directed-content detection). Syllables are
+    * approximated by vowel-group count (`[aeiouy]+` runs), the
+    * standard cheap estimator; sentences by terminal-punctuation runs
+    * (`[.!?]+`), both floored at 1 so fragments score rather than
+    * divide by zero.
+    *
+    *   flesch = 206.835 − 1.015·(W/S) − 84.6·(Syl/W)
+    *   ari    = 4.71·(C/W) + 0.5·(W/S) − 21.43   (C = alnum chars)
+    *
+    * Scale: pure per-row column algebra (three regexp_extract_all
+    * counts + arithmetic) — one codegen'd map stage, no shuffle, no
+    * joins; composes into the same stage as the other quality
+    * signals. */
+  def readability(docs: DataFrame): DataFrame = {
+    val w = greatest(
+      size(regexp_extract_all(lower(col("text")), lit("[^\\s]+"), lit(0))),
+      lit(1)).cast("double")
+    val s = greatest(
+      size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))),
+      lit(1)).cast("double")
+    val syl = greatest(
+      size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0))),
+      lit(1)).cast("double")
+    val chars = size(
+      regexp_extract_all(col("text"), lit("[A-Za-z0-9]"), lit(0)))
+      .cast("double")
+    // floor-truncate at 1e-6 instead of round(…, 6): the score is a
+    // ratio of small integers, which lands on exact .5 boundaries at
+    // the 7th decimal often enough that Spark's shortest-string
+    // HALF_UP and DuckDB's raw-double rounding disagree (seen on ari
+    // at sf0.01); floor on the identical double has no halfway case
+    val trunc6 = (c: Column) => floor(c * lit(1000000.0)) / lit(1000000.0)
+    docs.select(col("doc_id"),
+      w.cast("long").as("n_words"), s.cast("long").as("n_sents"),
+      syl.cast("long").as("n_syllables"), chars.cast("long").as("n_chars"),
+      trunc6(lit(206.835) - lit(1.015) * (w / s) - lit(84.6) * (syl / w))
+        .as("flesch"),
+      trunc6(lit(4.71) * (chars / w) + lit(0.5) * (w / s) - lit(21.43))
+        .as("ari"))
+  }
+
+  /** Interpolated Kneser-Ney bigram-LM cross-entropy per document —
+    * the smoother CCNet's actual KenLM filter uses (Kneser & Ney
+    * 1995), next to [[bigramCrossEntropy]]'s add-one form. Absolute
+    * discount D is taken off every seen bigram and the freed mass
+    * backs off to the CONTINUATION unigram — how many distinct
+    * contexts a word follows, not how often it occurs — so
+    * high-count-single-context tokens (boilerplate, "Francisco")
+    * stop inflating the backoff:
+    *
+    *   P(w2|w1) = max(c12 − D, 0)/c1 + D·N1+(w1·)/c1 · N1+(·w2)/T
+    *
+    * with N1+(w1·)/N1+(·w2) the distinct-successor/-predecessor type
+    * counts and T the total number of distinct bigram types. Scoring
+    * the training corpus itself means every scored bigram is seen, so
+    * no unseen-context branch is needed.
+    *
+    * Scale: identical shape to [[bigramCrossEntropy]] — map-side
+    * bigram formation over the pre-projected word array, then hash
+    * aggregations on bigram/word keys; the type-count frames N1+ are
+    * one extra `count(*)` on aggregations already present, and T is a
+    * one-row broadcast. No window, no driver state.
+    *
+    * Reference anchor: the m3 quality path has no LM, this is a
+    * training-data addition (CCNet §4.3 perplexity filtering). */
+  def knBigramCrossEntropy(docs: DataFrame, discount: Double = 0.75): DataFrame = {
+    val base = docs.select(col("doc_id"), words(col("text")).as("ws"))
+    val n = size(col("ws"))
+    val bigrams = when(n >= 2,
+      transform(sequence(lit(1), n - 1),
+        i => concat(element_at(col("ws"), i), lit(" "),
+          element_at(col("ws"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val tfd = base.select(col("doc_id"), explode(bigrams).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("tf"))
+    // one row per distinct bigram TYPE — so count(*) by w1 is exactly
+    // N1+(w1·) and count(*) by w2 is N1+(·w2), for free next to the
+    // token-count sums the discounted term needs
+    val c12 = tfd.groupBy("bg").agg(sum("tf").as("c12"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+    val fwd = c12.groupBy("w1")
+      .agg(sum("c12").as("c1"), count(lit(1)).as("n_fwd"))
+    val bwd = c12.groupBy("w2").agg(count(lit(1)).as("n_bwd"))
+    val types = c12.agg(count(lit(1)).as("t_types"))
+    val d = lit(discount)
+    val lm = c12.join(fwd, "w1").join(bwd, "w2")
+      .crossJoin(broadcast(types))
+      .select(col("bg"), log(
+        greatest(col("c12") - d, lit(0.0)) / col("c1") +
+          d * col("n_fwd") / col("c1") *
+          (col("n_bwd").cast("double") / col("t_types"))).as("logp"))
+    tfd.join(lm, "bg")
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_bigrams"),
+        (sum(col("tf") * col("logp")) / sum("tf") * -1).as("xent"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("xent"), 6).as("cross_entropy"),
+        round(exp(col("xent")), 6).as("ppl"))
+  }
+
   /** BM25 scoring against a fixed query term set — the sparse
     * retrieval primitive (dataset search, decontamination probes,
     * relevance-weighted sampling). Standard Robertson/Lucene form:

@@ -318,6 +318,26 @@ class PipelineSpec extends SparkSpec {
     assert(TextAnalysis.bigramCrossEntropy(one).count() == 0)
   }
 
+  test("Kneser-Ney bigram LM: discount + continuation backoff, sums to 1") {
+    val s = spark
+    import s.implicits._
+    // c12: aa=2 ab=1 ba=1; fwd: a→(c1=3,n=2) b→(c1=1,n=1);
+    // bwd: a←2 b←1; T=3, D=0.75
+    //   P(a|a) = 1.25/3 + .75·(2/3)·(2/3) = 0.75
+    //   P(b|a) = 0.25/3 + .75·(2/3)·(1/3) = 0.25   (context a sums to 1)
+    //   P(a|b) = 0.25/1 + .75·(1/1)·(2/3) = 0.75
+    val docs = Seq((1L, "a a a"), (2L, "a b a")).toDF("doc_id", "text")
+    val r = TextAnalysis.knBigramCrossEntropy(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Double]("cross_entropy")).toMap
+    assert(math.abs(r(1L) - -math.log(0.75)) < 1e-6)
+    assert(math.abs(r(2L) - -(math.log(0.25) + math.log(0.75)) / 2) < 1e-6)
+    // the continuation backoff is what separates KN from the add-one
+    // bigram LM: under add-one, P(a|b)=2/3 < 0.75 — "a" is a cheap
+    // continuation here because it follows BOTH contexts
+    val one = Seq((9L, "solo")).toDF("doc_id", "text")
+    assert(TextAnalysis.knBigramCrossEntropy(one).count() == 0)
+  }
+
   test("bm25: tf raises score, length normalization lowers it, misses drop") {
     val s = spark
     import s.implicits._
@@ -1758,6 +1778,50 @@ class PipelineSpec extends SparkSpec {
       val tot = r.collect { case ((s2, _), (_, p)) if s2 == src => p }.sum
       assert(math.abs(tot - 1.0) < 1e-9)
     }
+  }
+
+  test("pagerank: dangling mass redistributed, total mass 1, sinks win") {
+    val s = spark
+    import s.implicits._
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // user 1: a b c ; user 2: a b — edges a>b ×2, b>c ×1; c dangling
+    val events = Seq(
+      (1L, 1L, "a", ts(0)), (1L, 2L, "b", ts(1)), (1L, 3L, "c", ts(2)),
+      (2L, 4L, "a", ts(0)), (2L, 5L, "b", ts(1)))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    // one round by hand: base 0.15/3 = 0.05, dangling share
+    // 0.85·(1/3)/3 = 0.0944..; a gets no inflow, b and c get 1/3 each
+    val r1 = RelQueries.pageRank(events, iters = 1).collect()
+      .map(x => x.getAs[String]("node") -> x.getAs[Double]("pr")).toMap
+    assert(math.abs(r1("a") - (0.05 + 0.85 / 9)) < 1e-6)
+    assert(math.abs(r1("b") - (0.05 + 0.85 * (1.0 / 3 + 1.0 / 9))) < 1e-6)
+    assert(r1("b") == r1("c"))
+    // default 5 rounds: still a distribution, and the flow sink (c,
+    // fed by everything via b) outranks the source a
+    val r5 = RelQueries.pageRank(events).collect()
+      .map(x => x.getAs[String]("node") -> x.getAs[Double]("pr")).toMap
+    assert(math.abs(r5.values.sum - 1.0) < 1e-5)
+    assert(r5("c") > r5("a"))
+  }
+
+  test("readability: known counts give the textbook Flesch/ARI values") {
+    val s = spark
+    import s.implicits._
+    // 6 words, 2 sentences, 6 vowel groups, 18 alnum chars
+    val docs = Seq((1L, "The cat sat. The dog ran!"), (2L, "x"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.readability(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Long]("n_words") == 6L)
+    assert(r(1L).getAs[Long]("n_sents") == 2L)
+    assert(r(1L).getAs[Long]("n_syllables") == 6L)
+    assert(r(1L).getAs[Long]("n_chars") == 18L)
+    // 2e-6 tolerance: outputs are floor-truncated at 1e-6, not rounded
+    assert(math.abs(r(1L).getAs[Double]("flesch") - 119.19) < 2e-6)
+    assert(math.abs(r(1L).getAs[Double]("ari") - -5.8) < 2e-6)
+    // fragments: zero sentences/syllables floor at 1, no divide-by-zero
+    assert(r(2L).getAs[Long]("n_sents") == 1L)
+    assert(math.abs(r(2L).getAs[Double]("flesch") - 121.22) < 2e-6)
   }
 
   test("funnel latency: stats over completers only, first→last step") {
