@@ -657,6 +657,10 @@ object PipelineQueries {
         .orderBy("doc_id")),
     "text_readability" -> ((s, dir) =>
       TextAnalysis.readability(Tables.documents(s, dir)).orderBy("doc_id")),
+    "corpus_hll" -> ((s, dir) =>
+      Sketches.hllDistinct(Tables.documents(s, dir))),
+    "corpus_cms" -> ((s, dir) =>
+      Sketches.cmsHeavyHitters(Tables.documents(s, dir))),
     "text_bm25" -> ((s, dir) =>
       TextAnalysis.bm25(Tables.documents(s, dir), BM25_TERMS)
         .orderBy("doc_id")),
@@ -1961,6 +1965,59 @@ object PipelineQueries {
         |  floor((4.71 * (c / w) + 0.5 * (w / s) - 21.43) * 1000000.0)
         |   / 1000000.0 AS ari
         | FROM b ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "corpus_hll" ->
+      """WITH tok AS (SELECT source,
+        |  unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents),
+        | hx AS (SELECT source, md5(w) AS h FROM tok),
+        | rk AS (SELECT source, CAST('0x' || substr(h, 1, 2) AS BIGINT) AS idx,
+        |  CASE WHEN length(regexp_replace(substr(h, 3, 13), '^0+', '')) = 0
+        |   THEN 53
+        |   ELSE (13 - length(regexp_replace(substr(h, 3, 13), '^0+', ''))) * 4
+        |    + (CASE substr(regexp_replace(substr(h, 3, 13), '^0+', ''), 1, 1)
+        |       WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+        |       WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+        |       WHEN '7' THEN 1 ELSE 0 END) + 1 END AS rr
+        |  FROM hx),
+        | regs AS (SELECT source, idx, max(rr) AS mj FROM rk
+        |  GROUP BY source, idx),
+        | per AS (SELECT source, count(*) AS used_registers,
+        |  sum(1::BIGINT << CAST(53 - mj AS INT)) AS s_int
+        |  FROM regs GROUP BY source),
+        | ex AS (SELECT source, count(DISTINCT w) AS exact_distinct
+        |  FROM tok GROUP BY source),
+        | calc AS (SELECT per.source, used_registers,
+        |  256 - used_registers AS v_zero,
+        |  0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 9007199254740992.0
+        |   / (s_int + (256 - used_registers) * 9007199254740992::BIGINT)
+        |   AS raw, exact_distinct
+        |  FROM per JOIN ex ON ex.source = per.source),
+        | fin AS (SELECT source, used_registers, v_zero, raw,
+        |  CASE WHEN raw <= 2.5 * 256.0 AND v_zero > 0
+        |   THEN 256.0 * ln(256.0 / v_zero) ELSE raw END AS est,
+        |  exact_distinct FROM calc)
+        | SELECT source, used_registers, v_zero, round(raw, 6) AS e_raw,
+        |  round(est, 6) AS estimate, exact_distinct,
+        |  round((est - exact_distinct) / exact_distinct, 6) AS rel_err
+        | FROM fin ORDER BY source""".stripMargin.replace("\n", " "),
+    "corpus_cms" ->
+      """WITH tok AS (SELECT
+        |  unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents),
+        | sal AS (SELECT unnest([0, 1, 2, 3]) AS salt),
+        | sk AS (SELECT salt,
+        |  CAST('0x' || substr(md5(salt::VARCHAR || ':' || w), 1, 8) AS BIGINT)
+        |   % 256 AS bucket, count(*) AS c
+        |  FROM tok CROSS JOIN sal GROUP BY 1, 2),
+        | top AS (SELECT w, count(*) AS exact_c FROM tok GROUP BY w
+        |  ORDER BY exact_c DESC, w ASC LIMIT 20),
+        | probe AS (SELECT top.w, top.exact_c, min(sk.c) AS est_c
+        |  FROM top CROSS JOIN sal
+        |  JOIN sk ON sk.salt = sal.salt AND sk.bucket =
+        |   CAST('0x' || substr(md5(sal.salt::VARCHAR || ':' || top.w), 1, 8)
+        |    AS BIGINT) % 256
+        |  GROUP BY top.w, top.exact_c)
+        | SELECT w AS word, exact_c, est_c, est_c - exact_c AS over_c,
+        |  row_number() OVER (ORDER BY exact_c DESC, w ASC) AS rk
+        | FROM probe ORDER BY rk""".stripMargin.replace("\n", " "),
     "corpus_doremi" ->
       """WITH wd AS (SELECT doc_id,
         |  unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents),

@@ -1,0 +1,147 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Mergeable distributed sketches — the fixed-size summaries a 100 TB
+  * corpus audit actually ships between stages instead of exact state:
+  * HyperLogLog distinct counts (Flajolet et al. 2007) and Count-Min
+  * frequency estimates (Cormode & Muthukrishnan 2005). Both are built
+  * as tiny aggregation frames keyed by (register | row,bucket), so the
+  * shuffle after map-side partial aggregation is bounded by the sketch
+  * size — never by the token stream — and sketch union is just another
+  * max/sum aggregation over the same keys.
+  *
+  * Engine-portable determinism: every hash is md5-derived (the repo
+  * convention — never a JVM-specific hash), ranks come from pure
+  * string/integer algebra on the hex digest (no floating log2 whose
+  * libm rounding could differ between engines), and the HLL harmonic
+  * sum is computed as an exact BIGINT sum of powers of two before the
+  * single double division.
+  *
+  * Reference anchor: the reference summarizes fileset membership with
+  * bloom filters (src/dbnode/persist/fs/bloom — restated as
+  * `dedup_bloom`) but has no distinct/frequency sketch; these close
+  * that gap for corpus audits (vocabulary size per source, heavy-hitter
+  * tokens) where exact counting would shuffle the full key space.
+  */
+object Sketches {
+
+  /** Number of HLL registers (2^8) — fixed so the oracle SQL and the
+    * spec share the constant. */
+  val HLL_M = 256
+
+  /** Leading-zero-bit rank of the 52-bit value held in 13 hex chars,
+    * plus 1 — via string algebra only: count leading '0' hex chars,
+    * then the intra-char zeros of the first nonzero hex digit. */
+  private def hexRank(s13: Column): Column = {
+    val stripped = regexp_replace(s13, "^0+", "")
+    val z = lit(13) - length(stripped)
+    val first = substring(stripped, 1, 1)
+    val extra = when(first === "1", 3)
+      .when(first.isin("2", "3"), 2)
+      .when(first.isin("4", "5", "6", "7"), 1)
+      .otherwise(0)
+    when(z === 13, lit(53)).otherwise(z * 4 + extra + lit(1))
+  }
+
+  /** HyperLogLog distinct-word estimate per source, next to the exact
+    * count it approximates. Register index = first md5 byte (m=256,
+    * p=8); rank = leading-zero count of the next 52 bits + 1; the
+    * standard bias-corrected estimator with the linear-counting
+    * small-range correction (Flajolet et al. 2007 §4):
+    *
+    *   E = α_m·m² / Σ_j 2^(−M_j),   E ≤ 2.5m ∧ V>0 → m·ln(m/V)
+    *
+    * The harmonic sum is computed exactly: Σ 2^(53−M_j) as BIGINT
+    * (≤ 256·2^52 < 2^63), divided once — double summation order can
+    * differ between engines by an ulp, integer summation cannot.
+    *
+    * Scale: the registers frame is ≤ m rows per source no matter the
+    * corpus size, and `max(rank)` partial-aggregates map-side — the
+    * shuffle carries at most sources×m rows. Merging shards or
+    * appending a day's data is the same max-by-register aggregation
+    * (spec-pinned), which is the whole point of shipping a sketch. */
+  /** The register frame (source, idx, mj) — the sketch itself.
+    * Merging two sketches (shards, days, sources) is
+    * `union.groupBy(source, idx).agg(max(mj))`; spec-pinned equal to
+    * rebuilding from the concatenated corpus. */
+  private[graft] def hllRegisters(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("source"),
+      explode(TextAnalysis.words(col("text"))).as("w"))
+    val h = md5(col("w"))
+    tok.select(col("source"),
+      conv(substring(h, 1, 2), 16, 10).cast("int").as("idx"),
+      hexRank(substring(h, 3, 13)).as("rank"))
+      .groupBy("source", "idx").agg(max("rank").as("mj"))
+  }
+
+  def hllDistinct(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("source"),
+      explode(TextAnalysis.words(col("text"))).as("w"))
+    val regs = hllRegisters(docs)
+    val per = regs.groupBy("source")
+      .agg(count(lit(1)).as("used_registers"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - mj AS INT))"))
+          .as("s_int"))
+    val exact = tok.groupBy("source")
+      .agg(count_distinct(col("w")).as("exact_distinct"))
+    // empty registers hold value 0 and contribute 2^(-0)=1 each to
+    // the harmonic sum — i.e. 2^53 in the integer scaling
+    val vZero = lit(HLL_M) - col("used_registers")
+    val sFull = col("s_int") + vZero * lit(9007199254740992L)
+    // the raw-estimate expression is spelled identically in the oracle
+    // SQL — same literals, same operator order, bit-identical doubles
+    val raw = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) *
+      lit(65536.0) * lit(9007199254740992.0) / sFull
+    val est = when(raw <= lit(2.5) * lit(256.0) && vZero > 0,
+      lit(256.0) * log(lit(256.0) / vZero)).otherwise(raw)
+    per.join(exact, "source")
+      .select(col("source"), col("used_registers"),
+        vZero.as("v_zero"), round(raw, 6).as("e_raw"),
+        round(est, 6).as("estimate"), col("exact_distinct"),
+        round((est - col("exact_distinct")) / col("exact_distinct"), 6)
+          .as("rel_err"))
+      .orderBy("source")
+  }
+
+  /** Count-Min heavy-hitter estimates: a d=4 × w=256 sketch of the
+    * corpus token stream, then the top-`topK` exact tokens probed
+    * through it — estimate = min over the d salted rows, which can
+    * only OVERcount (collisions add, never subtract; `over_c >= 0` is
+    * asserted in the spec and visible per row in the output).
+    *
+    * Scale: the sketch is a groupBy (salt, bucket) over the
+    * salt-replicated token stream — d·w = 1024 distinct keys, so
+    * map-side combine collapses each task's contribution to ≤1024
+    * rows regardless of stream size; the probe side is a ≤topK-row
+    * frame joined against the broadcast sketch. The exact top-k here
+    * is the calibration target (TakeOrdered, no full sort); a pure
+    * production path would keep only the sketch. */
+  def cmsHeavyHitters(docs: DataFrame, topK: Int = 20): DataFrame = {
+    val tok = docs.select(
+      explode(TextAnalysis.words(col("text"))).as("w"))
+      .localCheckpoint(eager = true)
+    val salts = explode(sequence(lit(0), lit(3))).as("salt")
+    def bucket(w: Column, salt: Column): Column =
+      conv(substring(md5(concat(salt.cast("string"), lit(":"), w)), 1, 8),
+        16, 10).cast("long") % 256
+    val sketch = tok.select(col("w"), salts)
+      .select(col("salt"), bucket(col("w"), col("salt")).as("bucket"))
+      .groupBy("salt", "bucket").agg(count(lit(1)).as("c"))
+    val top = tok.groupBy("w").agg(count(lit(1)).as("exact_c"))
+      .orderBy(col("exact_c").desc, col("w").asc).limit(topK)
+    val probed = top.select(col("w"), col("exact_c"), salts)
+      .select(col("w"), col("exact_c"), col("salt"),
+        bucket(col("w"), col("salt")).as("bucket"))
+      .join(broadcast(sketch), Seq("salt", "bucket"))
+      .groupBy("w", "exact_c").agg(min("c").as("est_c"))
+    val rk = Window.orderBy(col("exact_c").desc, col("w").asc) // ≤topK rows
+    probed
+      .select(col("w").as("word"), col("exact_c"), col("est_c"),
+        (col("est_c") - col("exact_c")).as("over_c"),
+        row_number().over(rk).cast("long").as("rk"))
+      .orderBy("rk")
+  }
+}

@@ -1780,6 +1780,54 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("hll sketch: estimate tracks exact, duplication-invariant, max-merge") {
+    val s = spark
+    import s.implicits._
+    // ~600 distinct tokens across two sources (>> m=256 registers)
+    val docs = (0 until 60).map { i =>
+      (i.toLong, s"src${i % 2}",
+        (0 until 10).map(j => s"tok_${i}_$j").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val r = Sketches.hllDistinct(docs).collect()
+    assert(r.length == 2)
+    r.foreach { row =>
+      assert(row.getAs[Long]("exact_distinct") == 300L)
+      // HLL standard error at m=256 is ~6.5%; allow 3σ
+      assert(math.abs(row.getAs[Double]("rel_err")) < 0.2,
+        s"rel_err ${row.getAs[Double]("rel_err")}")
+    }
+    // duplication invariance: the sketch counts DISTINCT values, so
+    // unioning the corpus with itself must not move a single register
+    val doubled = docs.union(docs.withColumn("doc_id", col("doc_id") + 100))
+    assert(Sketches.hllDistinct(doubled).collect().toSeq ==
+      r.toSeq)
+    // mergeability: max-merging per-half sketches == sketch of the whole
+    val (a, b) = (docs.where($"doc_id" < 30), docs.where($"doc_id" >= 30))
+    val merged = Sketches.hllRegisters(a).union(Sketches.hllRegisters(b))
+      .groupBy("source", "idx").agg(max("mj").as("mj"))
+    val whole = Sketches.hllRegisters(docs)
+    assert(merged.except(whole).count() == 0 &&
+      whole.except(merged).count() == 0)
+  }
+
+  test("cms sketch: one-sided overcount, exact on sparse streams") {
+    val s = spark
+    import s.implicits._
+    // heavy token "hot" ×40, others light — few distinct, sparse buckets
+    val docs = Seq(
+      (1L, ("hot " * 40).trim),
+      (2L, "cold mild warm cool cold mild hot")).toDF("doc_id", "text")
+    val r = Sketches.cmsHeavyHitters(docs, topK = 5).collect()
+    val hot = r.find(_.getAs[String]("word") == "hot").get
+    assert(hot.getAs[Long]("rk") == 1L)
+    assert(hot.getAs[Long]("exact_c") == 41L)
+    r.foreach { row =>
+      assert(row.getAs[Long]("over_c") >= 0L, "CMS must never undercount")
+      // 6 distinct tokens into 256 buckets: no collisions expected
+      assert(row.getAs[Long]("over_c") == 0L)
+    }
+  }
+
   test("pagerank: dangling mass redistributed, total mass 1, sinks win") {
     val s = spark
     import s.implicits._
