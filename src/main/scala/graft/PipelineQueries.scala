@@ -661,6 +661,10 @@ object PipelineQueries {
       Sketches.hllDistinct(Tables.documents(s, dir))),
     "corpus_cms" -> ((s, dir) =>
       Sketches.cmsHeavyHitters(Tables.documents(s, dir))),
+    "corpus_pmi" -> ((s, dir) =>
+      TextAnalysis.pmiCollocations(Tables.documents(s, dir))),
+    "dedup_winnow" -> ((s, dir) =>
+      Dedup.winnowPairs(Tables.documents(s, dir))),
     "text_bm25" -> ((s, dir) =>
       TextAnalysis.bm25(Tables.documents(s, dir), BM25_TERMS)
         .orderBy("doc_id")),
@@ -2018,6 +2022,56 @@ object PipelineQueries {
         | SELECT w AS word, exact_c, est_c, est_c - exact_c AS over_c,
         |  row_number() OVER (ORDER BY exact_c DESC, w ASC) AS rk
         | FROM probe ORDER BY rk""".stripMargin.replace("\n", " "),
+    "corpus_pmi" ->
+      """WITH wd AS (SELECT
+        |  string_split_regex(lower(text), '\s+') AS ws FROM documents),
+        | bi AS (SELECT
+        |  unnest([ws[i] || ' ' || ws[i + 1] for i in range(1, len(ws))]) AS bg
+        |  FROM wd WHERE len(ws) >= 2),
+        | c12 AS (SELECT bg, count(*) AS c12 FROM bi GROUP BY bg),
+        | uni AS (SELECT unnest(ws) AS w FROM wd),
+        | uc AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+        | nt AS (SELECT sum(c) AS n_tok FROM uc),
+        | bt AS (SELECT sum(c12) AS n_bg FROM c12),
+        | sc AS (SELECT bg AS bigram, c12.c12 AS c12, u1.c AS c1, u2.c AS c2,
+        |  ln(c12.c12::DOUBLE / n_bg / (u1.c::DOUBLE / n_tok)
+        |   / (u2.c::DOUBLE / n_tok)) AS pmi
+        |  FROM c12
+        |  JOIN uc u1 ON u1.w = split_part(bg, ' ', 1)
+        |  JOIN uc u2 ON u2.w = split_part(bg, ' ', 2)
+        |  CROSS JOIN nt CROSS JOIN bt
+        |  WHERE c12.c12 >= 5)
+        | SELECT bigram, c12, c1, c2, round(pmi, 6) AS pmi_v,
+        |  row_number() OVER (ORDER BY pmi DESC, bigram ASC) AS rk
+        | FROM sc ORDER BY pmi DESC, bigram ASC LIMIT 20"""
+        .stripMargin.replace("\n", " "),
+    "dedup_winnow" ->
+      """WITH nt AS (SELECT doc_id,
+        |  regexp_replace(lower(text), '\s+', '', 'g') AS t FROM documents),
+        | bs AS (SELECT doc_id, t, len(t) - 4 AS np FROM nt
+        |  WHERE len(t) - 4 >= 4),
+        | g AS (SELECT doc_id, np, t,
+        |  unnest([i for i in range(1, np + 1)]) AS pos FROM bs),
+        | gh AS (SELECT doc_id, np, pos,
+        |  CAST('0x' || substr(md5(substr(t, pos, 5)), 1, 8) AS BIGINT) AS h
+        |  FROM g),
+        | sel AS (SELECT doc_id, np, pos,
+        |  max({'nh': -h, 'p': pos}) OVER (PARTITION BY doc_id ORDER BY pos
+        |   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS pick
+        |  FROM gh),
+        | fp AS (SELECT DISTINCT doc_id, -(pick.nh) AS fp_h FROM sel
+        |  WHERE pos <= np - 3),
+        | hot AS (SELECT fp_h FROM (SELECT fp_h, count(*) AS nd FROM fp
+        |  GROUP BY fp_h) x WHERE nd <= 50),
+        | cp AS (SELECT fp.doc_id, fp.fp_h FROM fp JOIN hot USING (fp_h)),
+        | pr AS (SELECT f1.doc_id AS a, f2.doc_id AS b, count(*) AS shared
+        |  FROM cp f1 JOIN cp f2 ON f1.fp_h = f2.fp_h
+        |   AND f1.doc_id < f2.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        | SELECT a, b, shared,
+        |  row_number() OVER (ORDER BY shared DESC, a, b) AS rk
+        | FROM pr ORDER BY shared DESC, a, b LIMIT 20"""
+        .stripMargin.replace("\n", " "),
     "corpus_doremi" ->
       """WITH wd AS (SELECT doc_id,
         |  unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents),

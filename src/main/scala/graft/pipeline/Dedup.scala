@@ -636,6 +636,62 @@ object Dedup {
 
   /** Exact dedup: md5 content hash; rank within hash groups (keep
     * rank 1, drop the rest). */
+  /** Winnowing fingerprint overlap — the MOSS local-fingerprinting
+    * algorithm (Schleimer, Wilkerson & Aiken, SIGMOD 2003): char
+    * `k`-grams of the whitespace-stripped lowercase text are hashed,
+    * every window of `win` consecutive hashes selects its minimum
+    * (rightmost on ties — the "robust winnowing" rule, so identical
+    * regions select identical positions), and the distinct selected
+    * hashes are the document's fingerprint set. Guarantees: any shared
+    * substring of length ≥ k+win−1 produces at least one shared
+    * fingerprint, with density 2/(win+1) — position-robust where the
+    * fixed word-window [[spanDedup]] shifts by one token and misses.
+    * Output: doc pairs ranked by shared fingerprint count.
+    *
+    * Scale: gram formation and hashing are map-side over the
+    * pre-projected normalized string; min-selection is a per-doc
+    * ordered window (partitioned by doc_id — the sessionize shuffle
+    * shape, bounded frames of `win` rows); the pair join runs over
+    * fingerprint HASHES with the same hot-key cap as the LSH bucket
+    * joins (a boilerplate fingerprint shared by >`maxDocsPerFp` docs
+    * is dropped and counted against recall, never joined N²). The
+    * rightmost-min rule rides a lexicographic struct max ((−h, pos)),
+    * one window pass, no self-join. */
+  def winnowPairs(docs: DataFrame, k: Int = 5, win: Int = 4,
+                  maxDocsPerFp: Int = 50, topK: Int = 20): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      regexp_replace(lower(col("text")), "\\s+", "").as("t"))
+      .withColumn("np", length(col("t")) - (k - 1))
+      .where(col("np") >= win) // need ≥1 full window
+    val grams = base.select(col("doc_id"), col("np"),
+      posexplode(transform(sequence(lit(1), col("np")),
+        i => conv(substring(md5(col("t").substr(i, lit(k))), 1, 8), 16, 10)
+          .cast("long"))).as(Seq("p0", "h")))
+      .select(col("doc_id"), col("np"), (col("p0") + 1).as("pos"), col("h"))
+    val wW = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, win - 1)
+    val fps = grams
+      .withColumn("pick", max(struct((-col("h")).as("nh"),
+        col("pos").as("p"))).over(wW))
+      .where(col("pos") <= col("np") - (win - 1)) // full windows only
+      .select(col("doc_id"), (-col("pick.nh")).as("fp_h")).distinct()
+    val hot = fps.groupBy("fp_h").agg(count(lit(1)).as("nd"))
+      .where(col("nd") <= maxDocsPerFp)
+    val capped = fps.join(hot.select("fp_h"), "fp_h")
+    val pairs = capped.select(col("fp_h"), col("doc_id").as("a"))
+      .join(capped.select(col("fp_h"), col("doc_id").as("b")), "fp_h")
+      .where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= 2)
+    val rkW = Window.orderBy(col("shared").desc, col("a").asc,
+      col("b").asc) // ≤topK rows
+    pairs.orderBy(col("shared").desc, col("a").asc, col("b").asc)
+      .limit(topK)
+      .select(col("a"), col("b"), col("shared"),
+        row_number().over(rkW).cast("long").as("rk"))
+      .orderBy("rk")
+  }
+
   def exact(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("content_md5")).orderBy(col("doc_id"))
     docs.select(col("doc_id"), md5(col("text")).as("content_md5"))

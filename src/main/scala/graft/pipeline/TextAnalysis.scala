@@ -473,6 +473,58 @@ object TextAnalysis {
         round(exp(col("xent")), 6).as("ppl"))
   }
 
+  /** Top-k adjacent-bigram collocations by pointwise mutual
+    * information — the classic phrase-mining signal (Church & Hanks
+    * 1990; word2vec's phrase pass uses the same score):
+    *
+    *   pmi = ln( p(w1 w2) / (p(w1)·p(w2)) )
+    *
+    * with p() as token frequencies over the corpus and a `minCount`
+    * floor on the joint count so one-off juxtapositions of two rare
+    * words (which maximize PMI trivially) never surface.
+    *
+    * Scale: bigram and unigram counts are the same two hash
+    * aggregations the LM family runs (map-side bigram formation, no
+    * position self-join); the unigram frame joins back TWICE on the
+    * bigram's split halves — both equi-joins on word keys, AQE
+    * broadcasts when the vocab fits; totals are one-row broadcasts.
+    * The score stays in ratio form (c/B over c/N products), never
+    * integer products that would overflow at corpus scale. Top-k is
+    * TakeOrdered — no full sort, rank window only over the k
+    * survivors. */
+  def pmiCollocations(docs: DataFrame, minCount: Int = 5,
+                      topK: Int = 20): DataFrame = {
+    val base = docs.select(col("doc_id"), words(col("text")).as("ws"))
+    val n = size(col("ws"))
+    val bigrams = when(n >= 2,
+      transform(sequence(lit(1), n - 1),
+        i => concat(element_at(col("ws"), i), lit(" "),
+          element_at(col("ws"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val c12 = base.select(explode(bigrams).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c12"))
+    val uni = docs.select(explode(words(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val nTot = uni.agg(sum("c").as("n_tok"))
+    val bTot = c12.agg(sum("c12").as("n_bg"))
+    val scored = c12.where(col("c12") >= minCount)
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(nTot)).crossJoin(broadcast(bTot))
+      .select(col("bg").as("bigram"), col("c12"), col("c1"), col("c2"),
+        log(col("c12").cast("double") / col("n_bg") /
+          (col("c1").cast("double") / col("n_tok")) /
+          (col("c2").cast("double") / col("n_tok"))).as("pmi"))
+    val top = scored.orderBy(col("pmi").desc, col("bigram").asc).limit(topK)
+    val rkW = Window.orderBy(col("pmi").desc, col("bigram").asc) // ≤topK rows
+    top.select(col("bigram"), col("c12"), col("c1"), col("c2"),
+      round(col("pmi"), 6).as("pmi_v"),
+      row_number().over(rkW).cast("long").as("rk"))
+      .orderBy("rk")
+  }
+
   /** BM25 scoring against a fixed query term set — the sparse
     * retrieval primitive (dataset search, decontamination probes,
     * relevance-weighted sampling). Standard Robertson/Lucene form:

@@ -1780,6 +1780,45 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("pmi collocations: min-count floor, textbook score, rare pairs capped") {
+    val s = spark
+    import s.implicits._
+    // "new york" ×5 adjacent; "york new" only ×4 (falls below floor)
+    val docs = Seq(
+      (1L, "new york new york new york new york new york"),
+      (2L, "x y")).toDF("doc_id", "text")
+    val r = TextAnalysis.pmiCollocations(docs).collect()
+    assert(r.map(_.getAs[String]("bigram")).toSeq == Seq("new york"))
+    val row = r.head
+    assert(row.getAs[Long]("c12") == 5L)
+    assert(row.getAs[Long]("c1") == 5L && row.getAs[Long]("c2") == 5L)
+    // N=12 tokens, B=10 bigrams: ln((5/10) / ((5/12)·(5/12)))
+    val expect = math.log((5.0 / 10) / ((5.0 / 12) * (5.0 / 12)))
+    assert(math.abs(row.getAs[Double]("pmi_v") - expect) < 1e-6)
+  }
+
+  test("winnowing: identical docs share all fingerprints, substring guarantee") {
+    val s = spark
+    import s.implicits._
+    val common = "thequickbrownfoxjumpsoverthelazydog"
+    val docs = Seq(
+      (1L, common),
+      (2L, common),                       // identical → all fps shared
+      (3L, s"XXXXXXXXXX${common}YYYYYYYYYY"), // embedded → ≥1 shared (k+w−1=8)
+      (4L, "completely unrelated stream of other characters here"))
+      .toDF("doc_id", "text")
+    val r = Dedup.winnowPairs(docs).collect()
+      .map(x => (x.getAs[Long]("a"), x.getAs[Long]("b")) ->
+        x.getAs[Long]("shared")).toMap
+    assert(r.contains((1L, 2L)), "identical docs must pair")
+    // the embedded common substring must surface against both copies
+    assert(r.contains((1L, 3L)) && r.contains((2L, 3L)))
+    assert(r((1L, 3L)) == r((2L, 3L)), "same overlap, same count")
+    assert(r((1L, 2L)) >= r((1L, 3L)), "full copy shares at least as much")
+    assert(!r.keys.exists(p => p._1 == 4L || p._2 == 4L),
+      "unrelated doc must not pair")
+  }
+
   test("hll sketch: estimate tracks exact, duplication-invariant, max-merge") {
     val s = spark
     import s.implicits._
