@@ -665,6 +665,11 @@ object PipelineQueries {
       TextAnalysis.pmiCollocations(Tables.documents(s, dir))),
     "dedup_winnow" -> ((s, dir) =>
       Dedup.winnowPairs(Tables.documents(s, dir))),
+    "sketch_quantile" -> ((s, dir) =>
+      Sketches.quantileSketch(Tables.events(s, dir))),
+    "sim_rrf" -> ((s, dir) =>
+      Similarity.rrfFusion(Tables.documents(s, dir),
+        Tables.embeddings(s, dir))),
     "text_bm25" -> ((s, dir) =>
       TextAnalysis.bm25(Tables.documents(s, dir), BM25_TERMS)
         .orderBy("doc_id")),
@@ -2072,6 +2077,69 @@ object PipelineQueries {
         |  row_number() OVER (ORDER BY shared DESC, a, b) AS rk
         | FROM pr ORDER BY shared DESC, a, b LIMIT 20"""
         .stripMargin.replace("\n", " "),
+    "sketch_quantile" ->
+      """WITH st AS (SELECT min(value) AS lo, max(value) AS hi,
+        |  count(*) AS n,
+        |  quantile_cont(value, [0.5, 0.9, 0.95, 0.99]) AS ex FROM events),
+        | bs AS (SELECT CASE WHEN hi = lo THEN 0 ELSE
+        |  least(floor((value - lo) / ((hi - lo) / 256.0)), 255)::INT END
+        |  AS bin FROM events, st),
+        | hist AS (SELECT bin, count(*) AS c FROM bs GROUP BY bin),
+        | cumt AS (SELECT bin, c, sum(c) OVER (ORDER BY bin
+        |  ROWS UNBOUNDED PRECEDING) AS cum FROM hist),
+        | ps AS (SELECT i, p FROM (VALUES (1, 0.5::DOUBLE),
+        |  (2, 0.9::DOUBLE), (3, 0.95::DOUBLE), (4, 0.99::DOUBLE))
+        |  AS t(i, p)),
+        | tgt AS (SELECT p, p * (n - 1) + 1 AS r, lo, hi, ex[i] AS exact_q
+        |  FROM ps, st),
+        | pick AS (SELECT tgt.p, tgt.r, tgt.lo, tgt.hi, tgt.exact_q,
+        |  c.bin, c.c, c.cum FROM tgt JOIN cumt c
+        |  ON c.cum >= tgt.r AND (c.cum - c.c) < tgt.r),
+        | est AS (SELECT p, CASE WHEN hi = lo THEN lo ELSE
+        |  lo + (hi - lo) / 256.0 * (bin + (r - (cum - c)) / c) END AS est,
+        |  exact_q FROM pick)
+        | SELECT p, round(est, 6) AS est_q, round(exact_q, 6) AS exact_v,
+        |  round(est - exact_q, 6) AS err FROM est ORDER BY p"""
+        .stripMargin.replace("\n", " "),
+    "sim_rrf" ->
+      s"""WITH wd AS (SELECT doc_id,
+         |  string_split_regex(lower(text), '\\s+') AS ws FROM documents),
+         | tf AS (SELECT doc_id, w, count(*) AS tf FROM
+         |  (SELECT doc_id, unnest(ws) AS w FROM wd) z GROUP BY doc_id, w),
+         | dl AS (SELECT doc_id, len(ws)::BIGINT AS dl FROM wd),
+         | st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+         | dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+         | qt AS (SELECT doc_id AS q_id, w FROM tf WHERE doc_id < 10),
+         | terms AS (SELECT qt.q_id, tf.doc_id AS c_id,
+         |  ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+         |   * (tf.tf * 2.2)
+         |   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl)) AS term
+         |  FROM qt JOIN tf ON tf.w = qt.w AND tf.doc_id <> qt.q_id
+         |  JOIN dfq ON dfq.w = qt.w
+         |  JOIN dl ON dl.doc_id = tf.doc_id
+         |  CROSS JOIN st),
+         | sc AS (SELECT q_id, c_id, round(sum(term), 6) AS bm25_v
+         |  FROM terms GROUP BY q_id, c_id),
+         | ss AS (SELECT q_id, c_id, s_rk FROM (SELECT q_id, c_id,
+         |  row_number() OVER (PARTITION BY q_id
+         |   ORDER BY bm25_v DESC, c_id ASC) AS s_rk FROM sc) z
+         |  WHERE s_rk <= 20),
+         | dn AS (SELECT q_id, c_id, d_rk FROM (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |   row_number() OVER (PARTITION BY q.vec_id
+         |    ORDER BY ${cosSql("q", "c")} DESC, c.vec_id ASC) AS d_rk
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 10) z WHERE d_rk <= 20),
+         | fu AS (SELECT coalesce(ss.q_id, dn.q_id) AS q_id,
+         |  coalesce(ss.c_id, dn.c_id) AS c_id,
+         |  coalesce(ss.s_rk, 0) AS s_rk, coalesce(dn.d_rk, 0) AS d_rk,
+         |  coalesce(1.0 / (60 + ss.s_rk), 0.0)
+         |   + coalesce(1.0 / (60 + dn.d_rk), 0.0) AS rrf
+         |  FROM ss FULL JOIN dn ON dn.q_id = ss.q_id AND dn.c_id = ss.c_id)
+         | SELECT q_id, c_id, s_rk, d_rk, round(rrf, 6) AS rrf_v, rk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |   ORDER BY rrf DESC, c_id ASC) AS rk FROM fu) z
+         | WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin.replace("\n", " "),
     "corpus_doremi" ->
       """WITH wd AS (SELECT doc_id,
         |  unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents),

@@ -59,6 +59,47 @@ object Similarity {
         col("rk").cast("long").as("rk"))
   }
 
+  /** Reciprocal-rank fusion of sparse (BM25 more-like-this) and dense
+    * (cosine top-k) retrieval — the standard hybrid-retrieval merge
+    * (Cormack et al. 2009, the default fusion in every RAG stack):
+    *
+    *   rrf(d) = Σ_r 1/(kq + rank_r(d))
+    *
+    * over the two rankings, docs absent from a list contribute 0 for
+    * it. The corpus rows are linked to their embedding rows by id
+    * (doc_id = vec_id — the documents table's embedding column).
+    *
+    * Determinism: ranks are integers and the fused score is a
+    * two-term sum in fixed written order — bit-identical across
+    * engines; ties break by candidate id.
+    *
+    * Scale: both input rankings are already scale-audited operators
+    * ([[TextAnalysis.moreLikeThis]]'s posting join, [[cosineTopK]] —
+    * swap in any ANN variant emitting (q_id, c_id, rk) for the dense
+    * leg); the fusion itself is a full-outer join of two q×topK-row
+    * frames and a rank window over ≤2·topK rows per query. */
+  def rrfFusion(docs: DataFrame, emb: DataFrame, nQueries: Int = 10,
+                kq: Int = 60, topK: Int = 20, out: Int = 10): DataFrame = {
+    val sparse = TextAnalysis
+      .moreLikeThis(docs, col("doc_id") < nQueries, topK)
+      .select(col("q_id"), col("c_id"), col("s_rk"))
+    val dense = cosineTopK(emb, emb.where(col("vec_id") < nQueries), topK)
+      .select(col("q_id"), col("c_id"), col("rk").as("d_rk"))
+    val fused = sparse.join(dense, Seq("q_id", "c_id"), "full_outer")
+      .select(col("q_id"), col("c_id"),
+        coalesce(col("s_rk"), lit(0L)).as("s_rk"),
+        coalesce(col("d_rk"), lit(0L)).as("d_rk"),
+        (coalesce(lit(1.0) / (lit(kq) + col("s_rk")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kq) + col("d_rk")), lit(0.0))).as("rrf"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("rrf").desc, col("c_id").asc)
+    fused.withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= out)
+      .select(col("q_id"), col("c_id"), col("s_rk"), col("d_rk"),
+        round(col("rrf"), 6).as("rrf_v"), col("rk"))
+      .orderBy("q_id", "rk")
+  }
+
   /** kNN label classification — classification-by-retrieval over an
     * embedding corpus (the standard label-propagation / probe step
     * in embedding pipelines): each query's top-k cosine neighbors

@@ -106,6 +106,57 @@ object Sketches {
       .orderBy("source")
   }
 
+  /** Equi-width histogram quantile sketch over `events.value` — the
+    * mergeable form of the percentile aggregations the reference's
+    * aggregator ships (P50/P95/P99 timer gauges): 256 fixed-width
+    * bins over the observed [lo, hi] range, quantiles read back by
+    * uniform interpolation inside the covering bin, next to the exact
+    * percentile it approximates. Continuous rank r = p·(n−1)+1, the
+    * same definition `percentile`/`quantile_cont` interpolate with,
+    * so sketch error is purely binning error.
+    *
+    * Scale: bin assignment is a map-side expression; the histogram is
+    * a ≤256-key hash aggregation (map-side combined — the shuffle
+    * carries bins, not values); merging shards is adding histograms.
+    * The cumulative window runs over the ≤256-row frame only. The
+    * exact column is the calibration target (single-group exact
+    * percentile — the same documented approx swap note as
+    * q_session_stats applies for unbounded deployments). */
+  def quantileSketch(events: DataFrame, bins: Int = 256): DataFrame = {
+    val st = events.agg(min("value").as("lo"), max("value").as("hi"),
+      count(lit(1)).as("n"),
+      percentile(col("value"),
+        array(lit(0.5), lit(0.9), lit(0.95), lit(0.99))).as("exact"))
+      .localCheckpoint(eager = true)
+    val width = (col("hi") - col("lo")) / lit(bins.toDouble)
+    val binned = events.crossJoin(broadcast(st))
+      .select(when(col("hi") === col("lo"), lit(0)).otherwise(
+        least(floor((col("value") - col("lo")) / width),
+          lit(bins - 1)).cast("int")).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("c"))
+    val cumW = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow) // ≤bins rows
+    val cum = binned.withColumn("cum", sum("c").over(cumW))
+    val ps = st.select(col("lo"), col("hi"), col("n"), col("exact"),
+      posexplode(array(lit(0.5), lit(0.9), lit(0.95), lit(0.99)))
+        .as(Seq("pi", "p")))
+      .select(col("p"), (col("p") * (col("n") - 1) + 1).as("r"),
+        col("lo"), col("hi"),
+        element_at(col("exact"), col("pi") + 1).as("exact_q"))
+    val est = ps.join(cum,
+        col("cum") >= col("r") && (col("cum") - col("c")) < col("r"))
+      .select(col("p"),
+        when(col("hi") === col("lo"), col("lo")).otherwise(
+          col("lo") + (col("hi") - col("lo")) / lit(bins.toDouble) *
+            (col("bin") + (col("r") - (col("cum") - col("c"))) / col("c")))
+          .as("est"),
+        col("exact_q"))
+    est.select(col("p"), round(col("est"), 6).as("est_q"),
+      round(col("exact_q"), 6).as("exact_v"),
+      round(col("est") - col("exact_q"), 6).as("err"))
+      .orderBy("p")
+  }
+
   /** Count-Min heavy-hitter estimates: a d=4 × w=256 sketch of the
     * corpus token stream, then the top-`topK` exact tokens probed
     * through it — estimate = min over the d salted rows, which can

@@ -473,6 +473,58 @@ object TextAnalysis {
         round(exp(col("xent")), 6).as("ppl"))
   }
 
+  /** More-like-this sparse retrieval: every document whose `isQuery`
+    * predicate holds retrieves its BM25 top-`topK` neighbors from the
+    * corpus through the inverted-index join — the DAAT
+    * (document-at-a-time) shape a distributed sparse retriever runs:
+    * query terms equi-join the (doc, term, tf) posting frame, term
+    * contributions aggregate per (query, candidate). Same Robertson
+    * constants as [[bm25]] (k1=1.2, b=0.75); query terms are the
+    * DISTINCT words of the query doc (query-side tf intentionally
+    * unweighted — the classic MLT simplification).
+    *
+    * Determinism note: the per-pair score is a groupBy SUM of double
+    * term contributions, whose order is engine-dependent — so the
+    * rank orders by the ROUNDED score (exact duplicate docs produce
+    * identical term multisets whose sums can differ in the last ulp
+    * across engines/runs; rounding collapses them, doc_id breaks the
+    * tie).
+    *
+    * Scale: postings and df are the tf aggregations the LM family
+    * already runs; the candidate join is an equi-join on the term key
+    * (never all-pairs — only docs sharing a term meet), and the final
+    * aggregation is keyed (q_id, c_id). Per-query rank windows
+    * partition by q_id. */
+  def moreLikeThis(docs: DataFrame, isQuery: Column,
+                   topK: Int = 20): DataFrame = {
+    val tf = docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = true)
+    val dl = docs.select(col("doc_id"),
+      size(words(col("text"))).cast("long").as("dl"))
+    val st = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val qt = tf.where(isQuery).select(col("doc_id").as("q_id"), col("w"))
+    val terms = qt
+      .join(tf.withColumnRenamed("doc_id", "c_id"), "w")
+      .where(col("c_id") =!= col("q_id"))
+      .join(df, "w")
+      .join(dl.withColumnRenamed("doc_id", "c_id"), "c_id")
+      .crossJoin(broadcast(st))
+      .select(col("q_id"), col("c_id"),
+        (log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))) *
+          (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) +
+            lit(0.75) * col("dl") / col("avgdl")))).as("term"))
+    val sc = terms.groupBy("q_id", "c_id")
+      .agg(round(sum("term"), 6).as("bm25_v"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("bm25_v").desc, col("c_id").asc)
+    sc.withColumn("s_rk", row_number().over(w).cast("long"))
+      .where(col("s_rk") <= topK)
+  }
+
   /** Top-k adjacent-bigram collocations by pointwise mutual
     * information — the classic phrase-mining signal (Church & Hanks
     * 1990; word2vec's phrase pass uses the same score):

@@ -1780,6 +1780,56 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("quantile sketch: within one bin of exact, degenerate range exact") {
+    val s = spark
+    import s.implicits._
+    val events = (1 to 100).map(i => (i.toLong, i.toDouble))
+      .toDF("event_id", "value")
+    val r = Sketches.quantileSketch(events).collect()
+    assert(r.length == 4)
+    // error ≤ bin width + inter-value spacing (integers: spacing 1 —
+    // the sketch places the quantile inside the covering bin, while
+    // the exact interpolates between adjacent order statistics)
+    val width = 99.0 / 256
+    r.foreach { row =>
+      assert(math.abs(row.getAs[Double]("err")) <= width + 1.0,
+        s"p=${row.getAs[Double]("p")} err=${row.getAs[Double]("err")}")
+    }
+    // p50 exact is 50.5 (continuous rank 0.5·99+1)
+    val p50 = r.find(_.getAs[Double]("p") == 0.5).get
+    assert(p50.getAs[Double]("exact_v") == 50.5)
+    // all-equal stream: sketch collapses to the single value, zero error
+    val flat = (1 to 10).map(i => (i.toLong, 7.0)).toDF("event_id", "value")
+    Sketches.quantileSketch(flat).collect().foreach { row =>
+      assert(row.getAs[Double]("est_q") == 7.0)
+      assert(row.getAs[Double]("err") == 0.0)
+    }
+  }
+
+  test("rrf fusion: sparse-only and dense-only hits both fuse, ranks add") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((0L, "apple banana"), (1L, "apple banana"),
+      (2L, "cherry plum")).toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f), 0), (1L, Seq(0.0f, 1.0f), 0),
+      (2L, Seq(1.0f, 0.0f), 0)).toDF("vec_id", "embedding", "label")
+    val r = Similarity.rrfFusion(docs, emb, nQueries = 1).collect()
+    assert(r.forall(_.getAs[Long]("q_id") == 0L))
+    val byC = r.map(x => x.getAs[Long]("c_id") -> x).toMap
+    // c1: sparse rank 1 (only term-sharing doc) + dense rank 2 (cos 0)
+    assert(byC(1L).getAs[Long]("s_rk") == 1L)
+    assert(byC(1L).getAs[Long]("d_rk") == 2L)
+    // c2: no shared terms → sparse-absent (0), dense rank 1 (cos 1)
+    assert(byC(2L).getAs[Long]("s_rk") == 0L)
+    assert(byC(2L).getAs[Long]("d_rk") == 1L)
+    assert(math.abs(byC(1L).getAs[Double]("rrf_v") -
+      (1.0 / 61 + 1.0 / 62)) < 1e-6)
+    assert(math.abs(byC(2L).getAs[Double]("rrf_v") - 1.0 / 61) < 1e-6)
+    // two lists beat one: c1 outranks c2
+    assert(byC(1L).getAs[Long]("rk") == 1L && byC(2L).getAs[Long]("rk") == 2L)
+  }
+
   test("pmi collocations: min-count floor, textbook score, rare pairs capped") {
     val s = spark
     import s.implicits._
