@@ -670,6 +670,9 @@ object PipelineQueries {
     "sim_rrf" -> ((s, dir) =>
       Similarity.rrfFusion(Tables.documents(s, dir),
         Tables.embeddings(s, dir))),
+    "text_calibration" -> ((s, dir) =>
+      TextAnalysis.calibration(Tables.documents(s, dir),
+        col("lang") === "en")),
     "text_bm25" -> ((s, dir) =>
       TextAnalysis.bm25(Tables.documents(s, dir), BM25_TERMS)
         .orderBy("doc_id")),
@@ -2922,6 +2925,30 @@ object PipelineQueries {
          |  round(1 / (1 + exp(-raw)), 6) AS quality_score,
          |  CAST(raw >= 0 AS INT) AS keep
          | FROM sc ORDER BY doc_id""".stripMargin.replace("\n", " ")
+    },
+    "text_calibration" -> {
+      val dim = 256
+      s"""WITH w AS (SELECT list(wv ORDER BY i) AS arr FROM (
+         |  SELECT i, (CAST('0x' || substr(md5('w' || i), 1, 8) AS BIGINT)
+         |   % 1000000) / 1e6 - 0.5 AS wv FROM range($dim) t(i)) AS g),
+         | d AS (SELECT doc_id, lang,
+         |  string_split_regex(lower(text), '\\s+') AS toks FROM documents),
+         | sc AS (SELECT round(1 / (1 + exp(-(
+         |  list_reduce(list_transform(toks, t -> arr[
+         |    CAST(CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % $dim AS INT)
+         |     + 1]), (a, b) -> a + b) / len(toks)))), 6) AS conf,
+         |  CAST(lang = 'en' AS INT) AS y FROM d, w),
+         | b AS (SELECT CAST(least(floor(conf * 10), 9) AS INT) AS bin,
+         |  conf, y FROM sc),
+         | per AS (SELECT bin, count(*) AS n, avg(conf) AS conf_raw,
+         |  avg(y) AS acc_raw FROM b GROUP BY bin),
+         | tot AS (SELECT sum(n) AS n_tot,
+         |  sum(abs(conf_raw - acc_raw) * n) AS wsum FROM per)
+         | SELECT bin, n, round(conf_raw, 6) AS mean_conf,
+         |  round(acc_raw, 6) AS pos_rate,
+         |  round(abs(conf_raw - acc_raw), 6) AS gap,
+         |  round(wsum / n_tot, 6) AS ece
+         | FROM per, tot ORDER BY bin""".stripMargin.replace("\n", " ")
     },
     // same xorshift chain as mm_phash; per-byte channel = column
     // index mod 3 (BGR), padding bytes excluded; integer-exact sums

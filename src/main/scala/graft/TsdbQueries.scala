@@ -301,6 +301,9 @@ object TsdbQueries {
     "ts_holt_winters" -> ((s, dir) =>
       Temporal.holtWinters(samples(s, dir), 0.3, 0.1)
         .orderBy("name", "user_id", "bucket_s")),
+    "ts_anomaly" -> ((s, dir) =>
+      Temporal.anomalyFrame(samples(s, dir))
+        .orderBy("name", "user_id", "bucket_s")),
     "ts_timestamp" -> ((s, dir) =>
       Temporal.timestampOp(samples(s, dir)).orderBy("event_id")),
     "ts_consolidate" -> ((s, dir) =>
@@ -1262,6 +1265,26 @@ object TsdbQueries {
          | SELECT name, user_id, bucket_s, round(sm, 6) AS hw_v
          | FROM r WHERE rn = cnt
          | ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),
+    // rolling z-score anomaly flags: the flag compares the ROUNDED
+    // |z| so windowed-stddev ulp drift can't flip a boundary point
+    "ts_anomaly" ->
+      s"""WITH c AS (SELECT name, user_id,
+         |  CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_s,
+         |  avg(value) AS v FROM ($S) AS s GROUP BY 1, 2, 3),
+         | st AS (SELECT name, user_id, bucket_s, v,
+         |  count(*) OVER wpre AS n_prev, avg(v) OVER wpre AS mean_raw,
+         |  stddev_pop(v) OVER wpre AS std_raw
+         |  FROM c WINDOW wpre AS (PARTITION BY name, user_id
+         |   ORDER BY bucket_s ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+         | SELECT name, user_id, bucket_s, round(v, 6) AS v, n_prev,
+         |  round(mean_raw, 6) AS mean_v,
+         |  round(CASE WHEN n_prev >= 6 AND std_raw > 0
+         |   THEN (v - mean_raw) / std_raw END, 6) AS z_v,
+         |  coalesce(CAST(round(abs(CASE WHEN n_prev >= 6 AND std_raw > 0
+         |   THEN (v - mean_raw) / std_raw END), 6) > 3.0 AS INT), 0)
+         |   AS anomaly
+         | FROM st ORDER BY name, user_id, bucket_s"""
+        .stripMargin.replace("\n", " "),
     "ts_timestamp" ->
       s"""SELECT name, user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS value
          | FROM ($S) AS s ORDER BY event_id""".stripMargin.replace("\n", " "),

@@ -809,17 +809,57 @@ object TextAnalysis {
     * is one hash + one array index per token inside a sequential
     * fold — a single codegen map stage: no explode, no join, no
     * shuffle, nothing per-token ever leaves the task. */
-  def qualityClassifier(docs: DataFrame, dim: Int = 256): DataFrame = {
+  /** The classifier's raw mean-bucket-weight score as a bare column
+    * over `text` — shared by [[qualityClassifier]] and
+    * [[calibration]] so the scored probability cannot drift between
+    * the scorer and its calibration audit. */
+  private[graft] def classifierRaw(text: Column, dim: Int = 256): Column = {
     val w = typedLit(classifierWeights(dim))
     val bucket = (t: Column) =>
       (conv(substring(md5(t), 1, 8), 16, 10).cast("long") % dim + 1).cast("int")
-    val raw = aggregate(words(col("text")), lit(0.0),
+    aggregate(words(text), lit(0.0),
       (acc, t) => acc + element_at(w, bucket(t))) /
-      size(words(col("text"))).cast("double")
+      size(words(text)).cast("double")
+  }
+
+  def qualityClassifier(docs: DataFrame, dim: Int = 256): DataFrame = {
+    val raw = classifierRaw(col("text"), dim)
     docs.select(col("doc_id"),
       size(words(col("text"))).cast("long").as("n_tokens"),
       round(lit(1.0) / (lit(1.0) + exp(-raw)), 6).as("quality_score"),
       (raw >= 0).cast("int").as("keep"))
+  }
+
+  /** Reliability diagram + expected calibration error for the quality
+    * classifier against a boolean `label` teacher signal — the audit
+    * every trained-filter deployment runs before trusting scores as
+    * probabilities (Guo et al. 2017's ECE): predictions bucket into
+    * `bins` equal-width confidence bins; per bin the mean confidence
+    * is compared to the empirical positive rate, and
+    * ECE = Σ_b n_b/N · |acc_b − conf_b| rides along on every row.
+    *
+    * Scale: scoring is the classifier's one codegen map stage (the
+    * label is evaluated in the SAME stage — no join back on doc_id);
+    * the aggregation is keyed by ≤`bins` buckets, and the ECE rollup
+    * is a one-row broadcast over the bins frame. */
+  def calibration(docs: DataFrame, label: Column,
+                  bins: Int = 10, dim: Int = 256): DataFrame = {
+    val conf = round(
+      lit(1.0) / (lit(1.0) + exp(-classifierRaw(col("text"), dim))), 6)
+    val binned = docs.select(
+      least(floor(conf * bins), lit(bins - 1)).cast("int").as("bin"),
+      conf.as("conf"), label.cast("int").as("y"))
+    val per = binned.groupBy("bin").agg(count(lit(1)).as("n"),
+      avg("conf").as("conf_raw"), avg("y").as("acc_raw"))
+    val tot = per.agg(sum("n").as("n_tot"),
+      sum(abs(col("conf_raw") - col("acc_raw")) * col("n")).as("wsum"))
+    per.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n"),
+        round(col("conf_raw"), 6).as("mean_conf"),
+        round(col("acc_raw"), 6).as("pos_rate"),
+        round(abs(col("conf_raw") - col("acc_raw")), 6).as("gap"),
+        round(col("wsum") / col("n_tot"), 6).as("ece"))
+      .orderBy("bin")
   }
 
   /** Logistic-regression classifier TRAINING over hashing-trick

@@ -413,4 +413,45 @@ object Temporal {
       acc => acc("s"))
     collected.select(keys :+ round(smoothed, 6).as("hw_v"): _*)
   }
+
+  /** Rolling z-score anomaly flags per series — the alert rule every
+    * m3/Prometheus deployment writes by hand
+    * (`abs(x - avg_over_time(x[w])) > 3 * stddev_over_time(x[w])`)
+    * restated as one operator: consolidate to `unit` buckets (avg),
+    * then score each bucket against the mean/stddev of its trailing
+    * `lookback` OBSERVED buckets (rows-frame, like the Graphite
+    * moving family — gaps don't stretch the baseline), flag when
+    * |z| > `zThresh`. Buckets with fewer than `minPrev` trailing
+    * points or a zero-variance baseline emit NULL z and flag 0 —
+    * no division blow-ups, no cold-start alerts.
+    *
+    * Determinism: the flag compares the ROUNDED |z| (the
+    * sim_norm_outliers convention) so cross-engine ulp drift in the
+    * windowed stddev can't flip a boundary point.
+    *
+    * Scale: one consolidation hash-agg, then a single per-series
+    * ordered window on the sessionize shuffle key — bounded frames of
+    * `lookback` rows; no joins, no driver state. */
+  def anomalyFrame(samples: DataFrame, unit: String = "hour",
+                   lookback: Int = 24, minPrev: Int = 6,
+                   zThresh: Double = 3.0): DataFrame = {
+    val keys = (labels :+ "bucket_s").map(col)
+    val consolidated = samples
+      .withColumn("bucket_s", Vectors.bucketS(unit))
+      .groupBy(keys: _*).agg(avg("value").as("v"))
+    val w = Window.partitionBy(labels.map(col): _*).orderBy("bucket_s")
+      .rowsBetween(-lookback, -1)
+    val st = consolidated
+      .withColumn("n_prev", count(lit(1)).over(w))
+      .withColumn("mean_raw", avg("v").over(w))
+      .withColumn("std_raw", stddev_pop("v").over(w))
+    val z = when(col("n_prev") >= minPrev && col("std_raw") > 0,
+      (col("v") - col("mean_raw")) / col("std_raw"))
+    st.select(labels.map(col) :+ col("bucket_s") :+
+      round(col("v"), 6).as("v") :+ col("n_prev") :+
+      round(col("mean_raw"), 6).as("mean_v") :+
+      round(z, 6).as("z_v") :+
+      coalesce((round(abs(z), 6) > zThresh).cast("int"), lit(0))
+        .as("anomaly"): _*)
+  }
 }

@@ -1780,6 +1780,31 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("calibration: bins partition the corpus, ece is the weighted gap") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma", "en"), (2L, "delta epsilon", "en"),
+      (3L, "zeta eta theta iota", "de"), (4L, "kappa", "de"),
+      (5L, "lambda mu nu xi omicron", "en"), (6L, "pi rho sigma", "de"))
+      .toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.calibration(docs, col("lang") === "en").collect()
+    assert(r.map(_.getAs[Long]("n")).sum == 6L)
+    r.foreach { row =>
+      val (conf, acc) = (row.getAs[Double]("mean_conf"),
+        row.getAs[Double]("pos_rate"))
+      assert(conf >= 0.0 && conf <= 1.0 && acc >= 0.0 && acc <= 1.0)
+      assert(math.abs(row.getAs[Double]("gap") -
+        math.abs(conf - acc)) < 2e-6)
+    }
+    // ece column is constant and equals the n-weighted mean gap
+    val eces = r.map(_.getAs[Double]("ece")).distinct
+    assert(eces.length == 1)
+    val manual = r.map(x => x.getAs[Long]("n") * x.getAs[Double]("gap")).sum /
+      r.map(_.getAs[Long]("n")).sum
+    assert(math.abs(eces.head - manual) < 1e-5)
+  }
+
   test("quantile sketch: within one bin of exact, degenerate range exact") {
     val s = spark
     import s.implicits._

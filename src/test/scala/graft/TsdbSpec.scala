@@ -189,6 +189,35 @@ class TsdbSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("hw_v") - s0) < 1e-6)
   }
 
+  test("anomaly: spike flags after warmup, cold start and normals don't") {
+    val s = spark
+    import s.implicits._
+    // hours 0..23 alternate 10/12 (baseline mean 11, pop std 1),
+    // hour 24 spikes to 100 → z = 89
+    val pts = (0 until 24).map { h =>
+      ("m", 1L, ts(f"2024-01-01 $h%02d:00:00"),
+        if (h % 2 == 0) 10.0 else 12.0, h.toLong)
+    } :+ (("m", 1L, ts("2024-01-02 00:00:00"), 100.0, 24L))
+    val samples = pts.toDF("name", "user_id", "ts", "value", "event_id")
+    val r = Temporal.anomalyFrame(samples).collect()
+      .map(x => x.getAs[Long]("bucket_s") -> x).toMap.values
+      .toSeq.sortBy(_.getAs[Long]("bucket_s"))
+    val spike = r.last
+    assert(spike.getAs[Double]("v") == 100.0)
+    assert(spike.getAs[Long]("n_prev") == 24L)
+    assert(math.abs(spike.getAs[Double]("z_v") - 89.0) < 1e-6)
+    assert(spike.getAs[Int]("anomaly") == 1)
+    // cold start: fewer than 6 trailing points → no z, no flag
+    r.take(6).foreach { row =>
+      assert(row.isNullAt(row.fieldIndex("z_v")))
+      assert(row.getAs[Int]("anomaly") == 0)
+    }
+    // steady alternation: |z| = 1 well under the threshold
+    val mid = r(10)
+    assert(math.abs(math.abs(mid.getAs[Double]("z_v")) - 1.0) < 1e-6)
+    assert(mid.getAs[Int]("anomaly") == 0)
+  }
+
   test("deriv: least-squares slope on a perfect line") {
     val s = spark
     import s.implicits._
