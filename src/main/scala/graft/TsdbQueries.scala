@@ -304,6 +304,9 @@ object TsdbQueries {
     "ts_anomaly" -> ((s, dir) =>
       Temporal.anomalyFrame(samples(s, dir))
         .orderBy("name", "user_id", "bucket_s")),
+    "ts_seasonal" -> ((s, dir) =>
+      Temporal.seasonalFrame(samples(s, dir))
+        .orderBy("name", "user_id", "bucket_s")),
     "ts_timestamp" -> ((s, dir) =>
       Temporal.timestampOp(samples(s, dir)).orderBy("event_id")),
     "ts_consolidate" -> ((s, dir) =>
@@ -1284,6 +1287,26 @@ object TsdbQueries {
          |   THEN (v - mean_raw) / std_raw END), 6) > 3.0 AS INT), 0)
          |   AS anomaly
          | FROM st ORDER BY name, user_id, bucket_s"""
+        .stripMargin.replace("\n", " "),
+    "ts_seasonal" ->
+      s"""WITH c AS (SELECT name, user_id,
+         |  CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_s,
+         |  avg(value) AS v FROM ($S) AS s GROUP BY 1, 2, 3),
+         | h AS (SELECT *, (bucket_s % 86400) // 3600 AS hod FROM c),
+         | p AS (SELECT name, user_id, hod, avg(v) AS prof_raw,
+         |  stddev_pop(v) AS std_raw, count(*) AS n_hod
+         |  FROM h GROUP BY 1, 2, 3)
+         | SELECT h.name, h.user_id, h.bucket_s, h.hod, round(h.v, 6) AS v,
+         |  p.n_hod, round(p.prof_raw, 6) AS prof_v,
+         |  round(h.v - p.prof_raw, 6) AS resid_v,
+         |  round(CASE WHEN p.n_hod >= 4 AND p.std_raw > 0
+         |   THEN (h.v - p.prof_raw) / p.std_raw END, 6) AS z_v,
+         |  coalesce(CAST(round(abs(CASE WHEN p.n_hod >= 4 AND p.std_raw > 0
+         |   THEN (h.v - p.prof_raw) / p.std_raw END), 6) > 3.0 AS INT), 0)
+         |   AS seasonal_anomaly
+         | FROM h JOIN p ON p.name = h.name AND p.user_id = h.user_id
+         |  AND p.hod = h.hod
+         | ORDER BY h.name, h.user_id, h.bucket_s"""
         .stripMargin.replace("\n", " "),
     "ts_timestamp" ->
       s"""SELECT name, user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS value

@@ -454,4 +454,40 @@ object Temporal {
       coalesce((round(abs(z), 6) > zThresh).cast("int"), lit(0))
         .as("anomaly"): _*)
   }
+
+  /** Hour-of-day seasonal baseline + residual z-score per series —
+    * the diurnal companion to [[anomalyFrame]]: a metric that is
+    * *normal for 3 AM* should not alert just because it differs from
+    * the trailing window that straddled the evening peak. Profile =
+    * in-sample mean/stddev of the series' hourly buckets grouped by
+    * hour-of-day; each bucket scores against its own hour's profile,
+    * with the same min-points / zero-variance / rounded-|z| guards.
+    *
+    * Scale: two hash aggregations (consolidation, then the ≤24-key
+    * per-series profile) and one equi-join back on
+    * (series, hour-of-day) — both keyed by series labels, so the join
+    * co-locates with the consolidation shuffle; no windows, no driver
+    * state. */
+  def seasonalFrame(samples: DataFrame, minPts: Int = 4,
+                    zThresh: Double = 3.0): DataFrame = {
+    val cons = samples
+      .withColumn("bucket_s", Vectors.bucketS("hour"))
+      .groupBy((labels :+ "bucket_s").map(col): _*).agg(avg("value").as("v"))
+      .withColumn("hod",
+        floor((col("bucket_s") % 86400) / 3600).cast("long"))
+    val keys = labels :+ "hod"
+    val prof = cons.groupBy(keys.map(col): _*)
+      .agg(avg("v").as("prof_raw"), stddev_pop("v").as("std_raw"),
+        count(lit(1)).as("n_hod"))
+    val z = when(col("n_hod") >= minPts && col("std_raw") > 0,
+      (col("v") - col("prof_raw")) / col("std_raw"))
+    cons.join(prof, keys)
+      .select(labels.map(col) :+ col("bucket_s") :+ col("hod") :+
+        round(col("v"), 6).as("v") :+ col("n_hod") :+
+        round(col("prof_raw"), 6).as("prof_v") :+
+        round(col("v") - col("prof_raw"), 6).as("resid_v") :+
+        round(z, 6).as("z_v") :+
+        coalesce((round(abs(z), 6) > zThresh).cast("int"), lit(0))
+          .as("seasonal_anomaly"): _*)
+  }
 }

@@ -565,4 +565,39 @@ class StreamingSpec extends SparkSpec {
       assert(m(("n_by_user", "sum")) == 7.0)
     } finally q.stop()
   }
+
+  test("streaming hll registers equal the batch sketch of all arrived data") {
+    // the batch register build (explode → md5 → groupBy max) is
+    // streaming-safe BY CONSTRUCTION — the same operator runs as a
+    // stateful max aggregation in complete mode, so sketch
+    // maintenance over an ingest stream needs no second code path;
+    // this pins the cross-batch parity
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String)]
+    val docs = mem.toDF().toDF("doc_id", "source", "text")
+    val q = graft.pipeline.Sketches.hllRegisters(docs)
+      .writeStream.format("memory").queryName("hll_regs")
+      .outputMode("complete").start()
+    try {
+      mem.addData((1L, "a", "alpha beta gamma delta"),
+        (2L, "b", "epsilon zeta"))
+      q.processAllAvailable()
+      // later batch adds new tokens to source a and repeats old ones
+      // (repeats must not move a register — max is idempotent)
+      mem.addData((3L, "a", "alpha beta eta theta iota"),
+        (4L, "b", "epsilon zeta"))
+      q.processAllAvailable()
+      val streamed = s.sql("SELECT source, idx, mj FROM hll_regs")
+        .collect().map(_.toSeq).toSet
+      val batch = graft.pipeline.Sketches.hllRegisters(Seq(
+        (1L, "a", "alpha beta gamma delta"), (2L, "b", "epsilon zeta"),
+        (3L, "a", "alpha beta eta theta iota"), (4L, "b", "epsilon zeta"))
+        .toDF("doc_id", "source", "text"))
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
 }

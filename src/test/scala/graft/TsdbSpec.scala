@@ -218,6 +218,40 @@ class TsdbSpec extends SparkSpec {
     assert(mid.getAs[Int]("anomaly") == 0)
   }
 
+  test("seasonal: per-hour profile, in-sample spike flags, constant hour null") {
+    val s = spark
+    import s.implicits._
+    // 21 days: hour 0 alternates 10/12 except day 20 = 200;
+    // hour 1 constant 50 (zero variance → null z)
+    val pts = (0 until 21).flatMap { d =>
+      val day = f"2024-01-${d + 1}%02d"
+      Seq(
+        ("m", 1L, ts(s"$day 00:00:00"),
+          if (d == 20) 200.0 else if (d % 2 == 0) 10.0 else 12.0,
+          d.toLong * 2),
+        ("m", 1L, ts(s"$day 01:00:00"), 50.0, d.toLong * 2 + 1))
+    }
+    val samples = pts.toDF("name", "user_id", "ts", "value", "event_id")
+    val r = Temporal.seasonalFrame(samples).collect()
+    val h0 = r.filter(_.getAs[Long]("hod") == 0L)
+    val h1 = r.filter(_.getAs[Long]("hod") == 1L)
+    assert(h0.forall(_.getAs[Long]("n_hod") == 21L))
+    // hour-0 profile: (10·10 + 10·12 + 200)/21 = 20
+    assert(h0.forall(_.getAs[Double]("prof_v") == 20.0))
+    val spike = h0.find(_.getAs[Double]("v") == 200.0).get
+    // var = (10·100 + 10·64 + 180²)/21 → z = 180/std ≈ 4.47
+    val std = math.sqrt((10 * 100.0 + 10 * 64.0 + 180.0 * 180.0) / 21)
+    assert(math.abs(spike.getAs[Double]("z_v") - 180.0 / std) < 1e-5)
+    assert(spike.getAs[Int]("seasonal_anomaly") == 1)
+    assert(h0.count(_.getAs[Int]("seasonal_anomaly") == 1) == 1)
+    // constant hour: residual 0, z null, never flagged
+    h1.foreach { row =>
+      assert(row.getAs[Double]("resid_v") == 0.0)
+      assert(row.isNullAt(row.fieldIndex("z_v")))
+      assert(row.getAs[Int]("seasonal_anomaly") == 0)
+    }
+  }
+
   test("deriv: least-squares slope on a perfect line") {
     val s = spark
     import s.implicits._
