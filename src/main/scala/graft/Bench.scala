@@ -130,8 +130,10 @@ object Bench {
       "ds_rollup", "ds_policy_stack", "ds_rollup_target", "ds_auto_res",
       "ds_fanout", "store_rollup", "store_pql", "store_ann", "store_ivfpq",
       "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_embed_lsh",
-      "dedup_paragraphs", "store_dedup_probe", "corpus_fertility",
-      "sim_cosine_topk", "sim_ivf_ann", "sim_pq_ann",
+      "dedup_paragraphs", "dedup_winnow", "store_dedup_probe",
+      "corpus_fertility", "corpus_hll",
+      "sim_cosine_topk", "sim_ivf_ann", "sim_pq_ann", "sim_rrf",
+      "ts_anomaly",
       "text_langid", "text_gopher", "text_tfidf", "text_classifier",
       "corpus_clusters", "corpus_pack", "corpus_decontam",
       "corpus_curriculum", "corpus_unigram_train",
