@@ -700,6 +700,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("dedup_winnow pair join is hash-keyed, never cartesian") {
+    val p = plan("dedup_winnow")
+    assert(!p.contains("CartesianProduct"),
+      "fingerprint pair join degenerated to all-pairs:\n" + p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "fingerprint pair join degenerated to nested loop:\n" + p.take(2000))
+  }
+
+  test("sim_rrf: posting join equi-keyed, corpus stats broadcast") {
+    val p = plan("sim_rrf")
+    assert(!p.contains("CartesianProduct"),
+      "sparse posting join degenerated to all-pairs:\n" + p.take(2000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "one-row corpus stats should broadcast:\n" + p.take(2000))
+  }
+
+  test("corpus_hll registers hash-aggregate with map-side combine") {
+    val p = plan("corpus_hll")
+    // partial_max before the exchange = the register frame shrinks to
+    // ≤ sources×256 rows per task before any shuffle
+    assert(p.contains("partial_max"),
+      "register build lost its map-side combine:\n" + p.take(3000))
+    assert(!p.contains("SortAggregate"),
+      "register build demoted to sort aggregation:\n" + p.take(2000))
+  }
+
   test("cluster size stats reuse the shared label frame (InMemory scan)") {
     pipeline.Corpus.clearClusterCache()
     // prime the cache the way a pipeline run would: clusters first
