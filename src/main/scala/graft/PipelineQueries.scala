@@ -673,6 +673,8 @@ object PipelineQueries {
     "text_calibration" -> ((s, dir) =>
       TextAnalysis.calibration(Tables.documents(s, dir),
         col("lang") === "en")),
+    "dedup_suffix_spectrum" -> ((s, dir) =>
+      Dedup.suffixSpectrum(Tables.documents(s, dir))),
     "text_bm25" -> ((s, dir) =>
       TextAnalysis.bm25(Tables.documents(s, dir), BM25_TERMS)
         .orderBy("doc_id")),
@@ -2080,6 +2082,40 @@ object PipelineQueries {
         |  row_number() OVER (ORDER BY shared DESC, a, b) AS rk
         | FROM pr ORDER BY shared DESC, a, b LIMIT 20"""
         .stripMargin.replace("\n", " "),
+    "dedup_suffix_spectrum" -> {
+      // 6 hash-doubling rounds, each MATERIALIZED (the CTE is
+      // referenced by the next round AND its own stats leg —
+      // unchecked inlining doubles the tree per round, the
+      // BPE-oracle blowup class)
+      val steps = Seq(1, 2, 4, 8, 16, 32)
+      val rounds = steps.zipWithIndex.map { case (st, i) =>
+        s"""p${i + 1} AS MATERIALIZED (SELECT doc_id, pos,
+           | CAST('0x' || substr(md5(g::VARCHAR || ':' ||
+           |  coalesce((lead(g, $st) OVER (
+           |   PARTITION BY doc_id ORDER BY pos))::VARCHAR, 'END')),
+           |  1, 15) AS BIGINT) AS g
+           | FROM p$i)""".stripMargin.replace("\n", " ")
+      }.mkString(", ")
+      val stats = Seq(1, 2, 4, 8, 16, 32, 64).zipWithIndex
+        .map { case (l, i) =>
+          s"""SELECT CAST($l AS BIGINT) AS prefix_len,
+             | CAST(sum(cnt) AS BIGINT) AS n_suffixes,
+             | CAST(count(*) AS BIGINT) AS n_groups,
+             | CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)
+             |  AS n_dup_suffixes,
+             | CAST(max(cnt) AS BIGINT) AS max_group
+             | FROM (SELECT g, count(*) AS cnt FROM p$i GROUP BY g) g$i"""
+            .stripMargin.replace("\n", " ")
+        }.mkString(" UNION ALL ")
+      s"""WITH p0 AS MATERIALIZED (SELECT doc_id, pos,
+         |  CAST(ascii(substr(text, pos, 1)) AS BIGINT) AS g FROM (
+         |  SELECT doc_id, text,
+         |   unnest([i for i in range(1, len(text) + 1)]) AS pos
+         |  FROM documents) z),
+         | $rounds
+         | SELECT * FROM ($stats) s ORDER BY prefix_len"""
+        .stripMargin.replace("\n", " ")
+    },
     "sketch_quantile" ->
       """WITH st AS (SELECT min(value) AS lo, max(value) AS hi,
         |  count(*) AS n,

@@ -692,6 +692,78 @@ object Dedup {
       .orderBy("rk")
   }
 
+  /** Exact-substring repetition spectrum via hash prefix-doubling —
+    * the audit under Lee et al.'s "Deduplicating Training Data Makes
+    * Language Models Better" (suffix-array exact-substring dedup),
+    * restated for its actual question: how much verbatim duplication
+    * exists at each match length. The spectrum needs only the
+    * EQUALITY structure of suffix prefixes, not their order, so the
+    * Manber-Myers doubling runs on group ids instead of ranks:
+    *
+    *   g_1[p] = char code at p;  g_2d[p] = md5(g_d[p] : g_d[p+d])
+    *
+    * Two suffixes share g_d ⟺ they share a prefix of min(d, 64)
+    * chars (up to md5 collisions — 128-bit ids make that
+    * vanishing, and both engines hash identically so any collision
+    * is at least deterministic). Output per depth {1,2,4,8,16,32,64}:
+    * distinct prefix groups, suffixes sitting in a repeated group,
+    * and the largest group — the numbers that set span-dedup
+    * thresholds. Depth 64 is the documented practical bound (Lee et
+    * al. match ~50 tokens); ties beyond 64 chars stay grouped, which
+    * only OVERcounts deep repetition, never misses it.
+    *
+    * Scale: rows = total corpus characters, but each round is ONE
+    * per-doc ordered window (`lead(g, step)`) + a hash projection —
+    * no joins, no global ranks, no corpus-wide window; the stats are
+    * map-side-combining aggregations on the group id. Spectra over
+    * disjoint doc shards are additive (group ids are content-derived,
+    * shard-independent), so the 100 TB form shards the corpus and
+    * adds. Char codes project inside the scan stage — the text column
+    * never crosses a shuffle. */
+  def suffixSpectrum(docs: DataFrame): DataFrame = {
+    // group ids are 60-bit md5 truncations carried as LONGs — ~4×
+    // less shuffle/cache traffic than hex strings across the 6
+    // rounds; collisions at 10⁷ suffixes are ~4e-5 (birthday over
+    // 2^61) and md5-deterministic, so both engines would agree even
+    // on one
+    var cur = docs
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), length(col("text"))),
+          i => ascii(col("text").substr(i, lit(1))).cast("long")))
+          .as(Seq("_p0", "g")))
+      .select(col("doc_id"), (col("_p0") + 1).as("pos"), col("g"))
+      .localCheckpoint(eager = true)
+    def stats(len: Int, f: DataFrame): DataFrame =
+      f.groupBy("g").agg(count(lit(1)).as("cnt"))
+        .agg(sum("cnt").as("n_suffixes"),
+          count(lit(1)).as("n_groups"),
+          sum(when(col("cnt") > 1, col("cnt")).otherwise(0L))
+            .as("n_dup_suffixes"),
+          max("cnt").as("max_group"))
+        .select(lit(len.toLong).as("prefix_len"), col("n_suffixes"),
+          col("n_groups"), col("n_dup_suffixes"), col("max_group"))
+    // each round frame is freed as soon as its successor and its own
+    // 1-row stats are materialized — without this, 7 corpus-character-
+    // sized checkpoints pile up in the block manager at once and the
+    // later rounds run against eviction/spill pressure
+    var spectra = Seq(stats(1, cur).localCheckpoint(eager = true))
+    for (step <- Seq(1, 2, 4, 8, 16, 32)) {
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val prev = cur
+      cur = cur
+        .withColumn("_g2", lead("g", step).over(w))
+        .select(col("doc_id"), col("pos"),
+          conv(substring(md5(concat(col("g").cast("string"), lit(":"),
+            coalesce(col("_g2").cast("string"), lit("END")))), 1, 15),
+            16, 10).cast("long").as("g"))
+        .localCheckpoint(eager = true)
+      Corpus.freeCheckpoint(prev)
+      spectra = spectra :+ stats(step * 2, cur).localCheckpoint(eager = true)
+    }
+    Corpus.freeCheckpoint(cur)
+    spectra.reduce(_ union _).orderBy("prefix_len")
+  }
+
   def exact(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("content_md5")).orderBy(col("doc_id"))
     docs.select(col("doc_id"), md5(col("text")).as("content_md5"))

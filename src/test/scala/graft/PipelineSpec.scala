@@ -1872,6 +1872,27 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(row.getAs[Double]("pmi_v") - expect) < 1e-6)
   }
 
+  test("suffix spectrum: prefix-depth group structure on a planted corpus") {
+    val s = spark
+    import s.implicits._
+    // two copies of "abab" + "xy": 10 suffixes total
+    // depth 1: groups a×4 b×4 x×1 y×1 → 4 groups, 8 dup suffixes
+    // depth 2: ab×4 ba×2 b×2 xy×1 y×1 → 5 groups
+    // depth 4+: abab×2 bab×2 ab×2 b×2 xy×1 y×1 → 6 groups, max 2
+    val docs = Seq((1L, "abab"), (2L, "abab"), (3L, "xy"))
+      .toDF("doc_id", "text")
+    val r = Dedup.suffixSpectrum(docs).collect()
+      .map(x => x.getAs[Long]("prefix_len") ->
+        (x.getAs[Long]("n_suffixes"), x.getAs[Long]("n_groups"),
+          x.getAs[Long]("n_dup_suffixes"), x.getAs[Long]("max_group"))).toMap
+    assert(r.keySet == Set(1L, 2L, 4L, 8L, 16L, 32L, 64L))
+    assert(r(1L) == ((10L, 4L, 8L, 4L)))
+    assert(r(2L) == ((10L, 5L, 8L, 4L)))
+    assert(r(4L) == ((10L, 6L, 8L, 2L)))
+    // no prefix exceeds 4 chars: deeper levels are fixed points
+    Seq(8L, 16L, 32L, 64L).foreach(l => assert(r(l) == r(4L)))
+  }
+
   test("winnowing: identical docs share all fingerprints, substring guarantee") {
     val s = spark
     import s.implicits._
