@@ -12,6 +12,27 @@ import graft.pipeline._
 object PipelineQueries {
 
   // ---- shared oracle fragments ---------------------------------------
+  /** The suffix hash-doubling CTE chain p0..p6 (mirrors
+    * Dedup.suffixBase + 6 × Dedup.suffixRound): 60-bit md5 group ids
+    * over every (doc, char position), depth 1→64. Shared by the
+    * spectrum and repeats oracles. */
+  private val SUFFIX_ROUNDS: String = {
+    val rounds = Seq(1, 2, 4, 8, 16, 32).zipWithIndex
+      .map { case (st, i) =>
+        s"""p${i + 1} AS MATERIALIZED (SELECT doc_id, pos,
+           | CAST('0x' || substr(md5(g::VARCHAR || ':' ||
+           |  coalesce((lead(g, $st) OVER (
+           |   PARTITION BY doc_id ORDER BY pos))::VARCHAR, 'END')),
+           |  1, 15) AS BIGINT) AS g
+           | FROM p$i)""".stripMargin.replace("\n", " ")
+      }.mkString(", ")
+    s"""p0 AS MATERIALIZED (SELECT doc_id, pos,
+       |  CAST(ascii(substr(text, pos, 1)) AS BIGINT) AS g FROM (
+       |  SELECT doc_id, text,
+       |   unnest([i for i in range(1, len(text) + 1)]) AS pos
+       |  FROM documents) z),
+       | $rounds""".stripMargin.replace("\n", " ")
+  }
   /** distinct word-3-gram shingles per doc (mirrors Dedup.shingles). */
   private val SH =
     """SELECT DISTINCT doc_id, shingle FROM (
@@ -675,6 +696,9 @@ object PipelineQueries {
         col("lang") === "en")),
     "dedup_suffix_spectrum" -> ((s, dir) =>
       Dedup.suffixSpectrum(Tables.documents(s, dir))),
+    "dedup_suffix_repeats" -> ((s, dir) =>
+      Dedup.suffixRepeats(Tables.documents(s, dir))),
+    "dedup_lsh_design" -> ((s, _) => Dedup.lshDesign(s)),
     "text_bm25" -> ((s, dir) =>
       TextAnalysis.bm25(Tables.documents(s, dir), BM25_TERMS)
         .orderBy("doc_id")),
@@ -2087,15 +2111,6 @@ object PipelineQueries {
       // referenced by the next round AND its own stats leg —
       // unchecked inlining doubles the tree per round, the
       // BPE-oracle blowup class)
-      val steps = Seq(1, 2, 4, 8, 16, 32)
-      val rounds = steps.zipWithIndex.map { case (st, i) =>
-        s"""p${i + 1} AS MATERIALIZED (SELECT doc_id, pos,
-           | CAST('0x' || substr(md5(g::VARCHAR || ':' ||
-           |  coalesce((lead(g, $st) OVER (
-           |   PARTITION BY doc_id ORDER BY pos))::VARCHAR, 'END')),
-           |  1, 15) AS BIGINT) AS g
-           | FROM p$i)""".stripMargin.replace("\n", " ")
-      }.mkString(", ")
       val stats = Seq(1, 2, 4, 8, 16, 32, 64).zipWithIndex
         .map { case (l, i) =>
           s"""SELECT CAST($l AS BIGINT) AS prefix_len,
@@ -2107,14 +2122,51 @@ object PipelineQueries {
              | FROM (SELECT g, count(*) AS cnt FROM p$i GROUP BY g) g$i"""
             .stripMargin.replace("\n", " ")
         }.mkString(" UNION ALL ")
-      s"""WITH p0 AS MATERIALIZED (SELECT doc_id, pos,
-         |  CAST(ascii(substr(text, pos, 1)) AS BIGINT) AS g FROM (
-         |  SELECT doc_id, text,
-         |   unnest([i for i in range(1, len(text) + 1)]) AS pos
-         |  FROM documents) z),
-         | $rounds
+      s"""WITH $SUFFIX_ROUNDS
          | SELECT * FROM ($stats) s ORDER BY prefix_len"""
         .stripMargin.replace("\n", " ")
+    },
+    "dedup_suffix_repeats" ->
+      s"""WITH $SUFFIX_ROUNDS,
+         | g1 AS (SELECT g, count(*) AS grp_size,
+         |  count(DISTINCT doc_id) AS n_docs, min(doc_id) AS doc_id
+         |  FROM p6 GROUP BY g HAVING count(*) > 1),
+         | g2 AS (SELECT g1.g, g1.grp_size, g1.n_docs, g1.doc_id,
+         |  min(p6.pos) AS pos FROM g1 JOIN p6 ON p6.g = g1.g
+         |   AND p6.doc_id = g1.doc_id GROUP BY 1, 2, 3, 4),
+         | t AS (SELECT grp_size, n_docs, doc_id, pos FROM g2
+         |  ORDER BY grp_size DESC, doc_id, pos LIMIT 10)
+         | SELECT t.grp_size, t.n_docs, t.doc_id, t.pos,
+         |  substr(d.text, t.pos::INT, 64) AS snippet,
+         |  row_number() OVER (ORDER BY t.grp_size DESC, t.doc_id, t.pos)
+         |   AS rk
+         | FROM t JOIN documents d ON d.doc_id = t.doc_id ORDER BY rk"""
+        .stripMargin.replace("\n", " "),
+    "dedup_lsh_design" -> {
+      // t^r / (1-t^r)^b as explicit multiplication chains (no pow —
+      // libm rounding is not cross-engine stable); same chains the
+      // Spark side folds
+      val branches = Seq((1, 16), (2, 8), (4, 4), (8, 2), (16, 1))
+        .map { case (b, r) =>
+          val tr = List.fill(r)("t").mkString(" * ")
+          val q = s"(1.0 - ($tr))"
+          val qb = List.fill(b)(q).mkString(" * ")
+          s"SELECT $b AS bands, $r AS rows_per_band, t, 1.0 - ($qb) AS p FROM grid"
+        }.mkString(" UNION ALL ")
+      s"""WITH grid AS (SELECT (i + 0.5) / 100.0 AS t FROM range(100) g(i)),
+         | c AS ($branches),
+         | a AS (SELECT bands, rows_per_band,
+         |  round(sum(CASE WHEN t < 0.5 THEN p * 0.01 ELSE 0.0 END), 6)
+         |   AS fp_area,
+         |  round(sum(CASE WHEN t >= 0.5 THEN (1.0 - p) * 0.01
+         |   ELSE 0.0 END), 6) AS fn_area,
+         |  round(min(CASE WHEN round(p, 6) >= 0.5 THEN t END), 6) AS t_half
+         |  FROM c GROUP BY 1, 2)
+         | SELECT bands, rows_per_band, fp_area, fn_area,
+         |  round(fp_area + fn_area, 6) AS cost, t_half,
+         |  row_number() OVER (ORDER BY round(fp_area + fn_area, 6) ASC,
+         |   bands ASC) AS rk
+         | FROM a ORDER BY rk""".stripMargin.replace("\n", " ")
     },
     "sketch_quantile" ->
       """WITH st AS (SELECT min(value) AS lo, max(value) AS hi,

@@ -720,19 +720,34 @@ object Dedup {
     * shard-independent), so the 100 TB form shards the corpus and
     * adds. Char codes project inside the scan stage — the text column
     * never crosses a shuffle. */
+  /** One hash-doubling round: g' = md5₆₀(g : g[pos+step]), END
+    * sentinel past the doc tail. Shared by [[suffixSpectrum]] and
+    * [[suffixRepeats]] so the group-id family cannot drift. */
+  private def suffixRound(cur: DataFrame, step: Int): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    cur.withColumn("_g2", lead("g", step).over(w))
+      .select(col("doc_id"), col("pos"),
+        conv(substring(md5(concat(col("g").cast("string"), lit(":"),
+          coalesce(col("_g2").cast("string"), lit("END")))), 1, 15),
+          16, 10).cast("long").as("g"))
+  }
+
+  /** Level-0 suffix frame: one row per (doc, char position), group
+    * id = the char's code point. Text never leaves the scan stage. */
+  private def suffixBase(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"),
+      posexplode(transform(sequence(lit(1), length(col("text"))),
+        i => ascii(col("text").substr(i, lit(1))).cast("long")))
+        .as(Seq("_p0", "g")))
+    .select(col("doc_id"), (col("_p0") + 1).as("pos"), col("g"))
+
   def suffixSpectrum(docs: DataFrame): DataFrame = {
     // group ids are 60-bit md5 truncations carried as LONGs — ~4×
     // less shuffle/cache traffic than hex strings across the 6
     // rounds; collisions at 10⁷ suffixes are ~4e-5 (birthday over
     // 2^61) and md5-deterministic, so both engines would agree even
     // on one
-    var cur = docs
-      .select(col("doc_id"),
-        posexplode(transform(sequence(lit(1), length(col("text"))),
-          i => ascii(col("text").substr(i, lit(1))).cast("long")))
-          .as(Seq("_p0", "g")))
-      .select(col("doc_id"), (col("_p0") + 1).as("pos"), col("g"))
-      .localCheckpoint(eager = true)
+    var cur = suffixBase(docs).localCheckpoint(eager = true)
     def stats(len: Int, f: DataFrame): DataFrame =
       f.groupBy("g").agg(count(lit(1)).as("cnt"))
         .agg(sum("cnt").as("n_suffixes"),
@@ -748,20 +763,102 @@ object Dedup {
     // later rounds run against eviction/spill pressure
     var spectra = Seq(stats(1, cur).localCheckpoint(eager = true))
     for (step <- Seq(1, 2, 4, 8, 16, 32)) {
-      val w = Window.partitionBy("doc_id").orderBy("pos")
       val prev = cur
-      cur = cur
-        .withColumn("_g2", lead("g", step).over(w))
-        .select(col("doc_id"), col("pos"),
-          conv(substring(md5(concat(col("g").cast("string"), lit(":"),
-            coalesce(col("_g2").cast("string"), lit("END")))), 1, 15),
-            16, 10).cast("long").as("g"))
-        .localCheckpoint(eager = true)
+      cur = suffixRound(cur, step).localCheckpoint(eager = true)
       Corpus.freeCheckpoint(prev)
       spectra = spectra :+ stats(step * 2, cur).localCheckpoint(eager = true)
     }
     Corpus.freeCheckpoint(cur)
     spectra.reduce(_ union _).orderBy("prefix_len")
+  }
+
+  /** Top-`topK` deepest repeated substrings with attribution — the
+    * actionable companion to [[suffixSpectrum]]: the depth-64 groups
+    * with more than one member, ranked by group size, each carrying
+    * its doc spread and a 64-char snippet from the lexicographically
+    * first exemplar — the "what exactly is being repeated" readout
+    * (boilerplate banners, license headers, injected templates) that
+    * turns the spectrum's counts into dedup rules.
+    *
+    * Scale: the same 6 hash-doubling rounds (round frames freed as
+    * they're superseded), then one group aggregation with a struct-
+    * min exemplar (hash-aggregable — no window over the group), a
+    * TakeOrdered top-k, and a ≤topK-row join back to the text. */
+  def suffixRepeats(docs: DataFrame, topK: Int = 10): DataFrame = {
+    var cur = suffixBase(docs).localCheckpoint(eager = true)
+    for (step <- Seq(1, 2, 4, 8, 16, 32)) {
+      val prev = cur
+      cur = suffixRound(cur, step).localCheckpoint(eager = true)
+      Corpus.freeCheckpoint(prev)
+    }
+    val groups = cur.groupBy("g")
+      .agg(count(lit(1)).as("grp_size"),
+        count_distinct(col("doc_id")).as("n_docs"),
+        min(struct(col("doc_id"), col("pos"))).as("ex"))
+      .where(col("grp_size") > 1)
+    val top = groups
+      .orderBy(col("grp_size").desc, col("ex.doc_id").asc,
+        col("ex.pos").asc)
+      .limit(topK)
+      .select(col("grp_size"), col("n_docs"),
+        col("ex.doc_id").as("doc_id"), col("ex.pos").cast("long").as("pos"))
+      // ≤topK rows — materialize BEFORE freeing the round frame the
+      // lazy plan would otherwise still need
+      .localCheckpoint(eager = true)
+    Corpus.freeCheckpoint(cur)
+    val rkW = Window.orderBy(col("grp_size").desc, col("doc_id").asc,
+      col("pos").asc) // ≤topK rows
+    top.join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .select(col("grp_size"), col("n_docs"), col("doc_id"), col("pos"),
+        col("text").substr(col("pos").cast("int"), lit(64)).as("snippet"),
+        row_number().over(rkW).cast("long").as("rk"))
+      .orderBy("rk")
+  }
+
+  /** MinHash-LSH parameter design table — the S-curve analysis
+    * (Leskovec/Rajaraman/Ullman, MMDS ch.3) that picks (bands, rows)
+    * BEFORE building the index the other calibration ops audit after
+    * the fact: for every (b, r) factorization of the k=16 signature
+    * budget, the candidate probability at similarity t is
+    * P(t) = 1 − (1 − t^r)^b; integrating P below the target
+    * threshold gives expected false-positive area, 1−P above it the
+    * false-negative area, and their sum ranks the configs. The
+    * midpoint-rule grid (t = (i+0.5)/100) avoids the threshold
+    * boundary exactly.
+    *
+    * Determinism: t^r and (·)^b are explicit left-folded
+    * multiplication chains, not `pow` — libm pow is not guaranteed
+    * correctly rounded and the two engines must agree bit-for-bit;
+    * areas round before the cost sum so ranking compares settled
+    * values.
+    *
+    * Scale: a 5-config × 100-point literal grid — the op is O(1) in
+    * corpus size by construction (it designs the index, it doesn't
+    * read the data). */
+  def lshDesign(spark: SparkSession, tau: Double = 0.5): DataFrame = {
+    val configs = Seq((1, 16), (2, 8), (4, 4), (8, 2), (16, 1))
+    val grid = spark.range(100)
+      .select(((col("id").cast("double") + 0.5) / 100.0).as("t"))
+    val frames = configs.map { case (b, r) =>
+      val tr = (1 to r).map(_ => col("t")).reduce(_ * _)
+      val q = lit(1.0) - tr
+      val qb = (1 to b).map(_ => q).reduce(_ * _)
+      grid.select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+        col("t"), (lit(1.0) - qb).as("p"))
+    }.reduce(_ union _)
+    val agg = frames.groupBy("bands", "rows_per_band").agg(
+      round(sum(when(col("t") < tau, col("p") * 0.01).otherwise(0.0)), 6)
+        .as("fp_area"),
+      round(sum(when(col("t") >= tau, (lit(1.0) - col("p")) * 0.01)
+        .otherwise(0.0)), 6).as("fn_area"),
+      round(min(when(round(col("p"), 6) >= 0.5, col("t"))), 6)
+        .as("t_half"))
+      .withColumn("cost", round(col("fp_area") + col("fn_area"), 6))
+    val rkW = Window.orderBy(col("cost").asc, col("bands").asc) // 5 rows
+    agg.select(col("bands"), col("rows_per_band"), col("fp_area"),
+      col("fn_area"), col("cost"), col("t_half"),
+      row_number().over(rkW).cast("long").as("rk"))
+      .orderBy("rk")
   }
 
   def exact(docs: DataFrame): DataFrame = {

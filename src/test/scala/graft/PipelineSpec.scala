@@ -1893,6 +1893,63 @@ class PipelineSpec extends SparkSpec {
     Seq(8L, 16L, 32L, 64L).foreach(l => assert(r(l) == r(4L)))
   }
 
+  test("lsh design: balanced bands win at tau=0.5, extremes penalized") {
+    val r = Dedup.lshDesign(spark).collect()
+      .map(x => (x.getAs[Int]("bands"), x.getAs[Int]("rows_per_band")) -> x)
+      .toMap
+    assert(r.size == 5)
+    // b=1 (pure AND): crushes FP but misses most true pairs above tau
+    assert(r((1, 16)).getAs[Double]("fn_area") >
+      r((4, 4)).getAs[Double]("fn_area"))
+    // b=16 (pure OR): catches everything, floods FP
+    assert(r((16, 1)).getAs[Double]("fp_area") >
+      r((4, 4)).getAs[Double]("fp_area"))
+    // rank order matches an independent recomputation of the integral;
+    // round like the operator — (1,16) and (16,1) have EXACTLY
+    // symmetric costs (t ↔ 1−t on the symmetric midpoint grid), so
+    // raw float sums differ only in ulps and the bands tie-break must
+    // decide, not summation noise
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val costs = Seq((1, 16), (2, 8), (4, 4), (8, 2), (16, 1)).map {
+      case (b, rr) =>
+        val ts = (0 until 100).map(i => (i + 0.5) / 100.0)
+        def p(t: Double) = 1 - math.pow(1 - math.pow(t, rr), b)
+        val fp = ts.filter(_ < 0.5).map(p(_) * 0.01).sum
+        val fn = ts.filter(_ >= 0.5).map(t => (1 - p(t)) * 0.01).sum
+        (b, rr) -> r6(r6(fp) + r6(fn))
+    }.toMap
+    val expectOrder = costs.toSeq.sortBy { case ((b, _), c) => (c, b) }
+      .map(_._1)
+    val gotOrder = r.values.toSeq.sortBy(_.getAs[Long]("rk"))
+      .map(x => (x.getAs[Int]("bands"), x.getAs[Int]("rows_per_band")))
+    assert(gotOrder == expectOrder, s"got $gotOrder expected $expectOrder")
+    // S-curve midpoint moves right as r grows
+    assert(r((1, 16)).getAs[Double]("t_half") >
+      r((16, 1)).getAs[Double]("t_half"))
+    // cost is consistent with its parts
+    r.values.foreach { row =>
+      assert(math.abs(row.getAs[Double]("cost") -
+        (row.getAs[Double]("fp_area") + row.getAs[Double]("fn_area"))) < 2e-6)
+    }
+  }
+
+  test("suffix repeats: exemplar attribution and snippets on planted dups") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "abab"), (2L, "abab"), (3L, "xy"))
+      .toDF("doc_id", "text")
+    val r = Dedup.suffixRepeats(docs).collect()
+    // four repeated suffix groups (abab, bab, ab, b), each ×2 docs,
+    // exemplar always doc 1, positions 1..4
+    assert(r.length == 4)
+    assert(r.forall(_.getAs[Long]("grp_size") == 2L))
+    assert(r.forall(_.getAs[Long]("n_docs") == 2L))
+    assert(r.forall(_.getAs[Long]("doc_id") == 1L))
+    assert(r.map(x => x.getAs[Long]("rk") -> x.getAs[String]("snippet"))
+      .toMap == Map(1L -> "abab", 2L -> "bab", 3L -> "ab", 4L -> "b"))
+  }
+
   test("winnowing: identical docs share all fingerprints, substring guarantee") {
     val s = spark
     import s.implicits._

@@ -566,6 +566,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming z-score: cross-batch ring state, warmup guard, spike flags") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import graft.streaming.Ingest.Sample
+    val ts = (m: Int) =>
+      java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val pts = (0 until 7).map(i =>
+      Sample("m", 1L, ts(i), if (i % 2 == 0) 1.0 else 3.0)) :+
+      Sample("m", 1L, ts(7), 100.0)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Sample]
+    val q = graft.streaming.StreamAnomaly.zScores(mem.toDS())
+      .writeStream.format("memory").queryName("stream_z")
+      .outputMode("append").start()
+    try {
+      // split mid-history: state must carry the ring across batches
+      mem.addData(pts.take(4): _*)
+      q.processAllAvailable()
+      mem.addData(pts.drop(4): _*)
+      q.processAllAvailable()
+      val r = s.sql("SELECT * FROM stream_z ORDER BY ts").collect()
+      assert(r.length == 8)
+      // first 6 points: fewer than minPrev trailing → NaN z, no flag
+      r.take(6).foreach { row =>
+        assert(row.getAs[Double]("z_v").isNaN)
+        assert(row.getAs[Int]("anomaly") == 0)
+      }
+      // point 7 scores against [1,3,1,3,1,3]: mean 2, std 1 → z = −1
+      assert(math.abs(r(6).getAs[Double]("z_v") - -1.0) < 1e-6)
+      assert(r(6).getAs[Int]("anomaly") == 0)
+      // point 8 (value 100) against the 7-point ring: z ≈ 99.1, flagged
+      val buf = pts.take(7).map(_.value)
+      val mean = buf.sum / 7
+      val std = math.sqrt(buf.map(v => (v - mean) * (v - mean)).sum / 7)
+      assert(math.abs(r(7).getAs[Double]("z_v") - (100.0 - mean) / std) < 1e-4)
+      assert(r(7).getAs[Int]("anomaly") == 1)
+    } finally q.stop()
+  }
+
   test("streaming hll registers equal the batch sketch of all arrived data") {
     // the batch register build (explode → md5 → groupBy max) is
     // streaming-safe BY CONSTRUCTION — the same operator runs as a
