@@ -522,7 +522,8 @@ object RelQueries {
     "q_funnel_latency" -> ((s, dir) =>
       funnelLatency(Tables.events(s, dir), Seq("view", "click", "purchase"))),
 
-    "q_pagerank" -> ((s, dir) => pageRank(Tables.events(s, dir)))
+    "q_pagerank" -> ((s, dir) => pageRank(Tables.events(s, dir))),
+    "q_ab_test" -> ((s, dir) => abTest(Tables.events(s, dir)))
   )
 
   /** DAU + rolling `windowDays`-day active users per day. */
@@ -730,6 +731,45 @@ object RelQueries {
     }
     pr.select(col("node"), round(col("pr"), 6).as("pr"))
       .orderBy(col("pr").desc, col("node").asc)
+  }
+
+  /** Two-proportion A/B significance card — the experiment-readout
+    * query every event warehouse serves: per-variant user conversion
+    * (≥1 `target` event), rate difference, pooled standard error and
+    * the z statistic, flagged at the 1.96 two-sided 95% bound. The
+    * variant split here is the deterministic `user_id % 2` (a stand-in
+    * for the hash-bucket assignment a real experiment framework
+    * writes); the significance flag compares the ROUNDED z so a
+    * boundary experiment can't flip across engines.
+    *
+    * Scale: two distinct-user aggregations + a user-keyed left join,
+    * then a 2-row → 1-row conditional aggregation; no windows. */
+  def abTest(events: DataFrame, target: String = "purchase"): DataFrame = {
+    val users = events.select(col("user_id")).distinct()
+      .select(col("user_id"), pmod(col("user_id"), lit(2)).as("v"))
+    val conv = events.where(col("event_type") === target)
+      .select("user_id").distinct().withColumn("c", lit(1L))
+    val per = users.join(conv, Seq("user_id"), "left")
+      .groupBy("v").agg(count(lit(1)).as("n"),
+        sum(coalesce(col("c"), lit(0L))).as("cv"))
+    val card = per.agg(
+      sum(when(col("v") === 0, col("n"))).as("a_users"),
+      sum(when(col("v") === 0, col("cv"))).as("a_conv"),
+      sum(when(col("v") === 1, col("n"))).as("b_users"),
+      sum(when(col("v") === 1, col("cv"))).as("b_conv"))
+    val ra = col("a_conv").cast("double") / col("a_users")
+    val rb = col("b_conv").cast("double") / col("b_users")
+    val p = (col("a_conv") + col("b_conv")).cast("double") /
+      (col("a_users") + col("b_users"))
+    val se = sqrt(p * (lit(1.0) - p) *
+      (lit(1.0) / col("a_users") + lit(1.0) / col("b_users")))
+    val z = when(se > 0, (rb - ra) / se)
+    card.select(col("a_users"), col("a_conv"), round(ra, 6).as("a_rate"),
+      col("b_users"), col("b_conv"), round(rb, 6).as("b_rate"),
+      round(rb - ra, 6).as("rate_diff"), round(se, 6).as("pooled_se"),
+      round(z, 6).as("z_v"),
+      coalesce((abs(round(z, 6)) > 1.96).cast("int"), lit(0))
+        .as("significant"))
   }
 
   /** Per-stage (user_id, first-qualifying-ts) frames for an ordered
@@ -1328,6 +1368,33 @@ object RelQueries {
          | $rounds
          | SELECT node, round(pr, 6) AS pr FROM p5
          | ORDER BY pr DESC, node ASC""".stripMargin.replace("\n", " ")
-    }
+    },
+    "q_ab_test" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        | uv AS (SELECT user_id, user_id % 2 AS v FROM u),
+        | cv AS (SELECT DISTINCT user_id, 1 AS c FROM events
+        |  WHERE event_type = 'purchase'),
+        | per AS (SELECT v, count(*) AS n,
+        |  CAST(sum(coalesce(c, 0)) AS BIGINT) AS conv
+        |  FROM uv LEFT JOIN cv USING (user_id) GROUP BY v),
+        | card AS (SELECT
+        |  CAST(sum(CASE WHEN v = 0 THEN n END) AS BIGINT) AS a_users,
+        |  CAST(sum(CASE WHEN v = 0 THEN conv END) AS BIGINT) AS a_conv,
+        |  CAST(sum(CASE WHEN v = 1 THEN n END) AS BIGINT) AS b_users,
+        |  CAST(sum(CASE WHEN v = 1 THEN conv END) AS BIGINT) AS b_conv
+        |  FROM per),
+        | calc AS (SELECT *,
+        |  a_conv::DOUBLE / a_users AS ra, b_conv::DOUBLE / b_users AS rb,
+        |  sqrt((a_conv + b_conv)::DOUBLE / (a_users + b_users)
+        |   * (1.0 - (a_conv + b_conv)::DOUBLE / (a_users + b_users))
+        |   * (1.0 / a_users + 1.0 / b_users)) AS se
+        |  FROM card)
+        | SELECT a_users, a_conv, round(ra, 6) AS a_rate,
+        |  b_users, b_conv, round(rb, 6) AS b_rate,
+        |  round(rb - ra, 6) AS rate_diff, round(se, 6) AS pooled_se,
+        |  round(CASE WHEN se > 0 THEN (rb - ra) / se END, 6) AS z_v,
+        |  coalesce(CAST(abs(round(CASE WHEN se > 0
+        |   THEN (rb - ra) / se END, 6)) > 1.96 AS INT), 0) AS significant
+        | FROM calc""".stripMargin.replace("\n", " ")
   )
 }

@@ -157,6 +157,26 @@ object Sketches {
       .orderBy("p")
   }
 
+  /** Fixed-bounds equi-width histogram over a `value` column — the
+    * form of [[quantileSketch]]'s binning a STREAM can maintain
+    * (bounds must be declared up front on an unbounded input, exactly
+    * as production metric pipelines configure them). Batch and
+    * streaming share this one code path: on a streaming frame the
+    * groupBy becomes a stateful count in complete/update mode, and
+    * the streamed cells are spec-pinned equal to the batch histogram
+    * of all arrived data. Out-of-range values clamp to the edge bins
+    * (visible there, never dropped silently). Merging shards or days
+    * is adding cell counts. */
+  def histogram(values: DataFrame, lo: Double, hi: Double,
+                bins: Int = 256): DataFrame = {
+    val width = (hi - lo) / bins
+    val bin = least(greatest(
+      floor((col("value") - lit(lo)) / lit(width)), lit(0)),
+      lit(bins - 1)).cast("int")
+    values.select(bin.as("bin")).groupBy("bin")
+      .agg(count(lit(1)).as("c"))
+  }
+
   /** Count-Min heavy-hitter estimates: a d=4 × w=256 sketch of the
     * corpus token stream, then the top-`topK` exact tokens probed
     * through it — estimate = min over the d salted rows, which can

@@ -2020,6 +2020,30 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("ab test: textbook z on a hand split, boundary not significant") {
+    val s = spark
+    import s.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    // users 1..8; purchases by 2,4,6 (variant 0) and 1 (variant 1)
+    val events = ((1L to 8L).map(u => (u * 10, u, "view", ts0)) ++
+      Seq(2L, 4L, 6L, 1L).map(u => (u * 100, u, "purchase", ts0)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val r = RelQueries.abTest(events).collect()(0)
+    assert(r.getAs[Long]("a_users") == 4L && r.getAs[Long]("a_conv") == 3L)
+    assert(r.getAs[Long]("b_users") == 4L && r.getAs[Long]("b_conv") == 1L)
+    // p = 0.5 → se = sqrt(0.25·0.5) = 0.353553, z = −0.5/se = −1.414214
+    assert(math.abs(r.getAs[Double]("z_v") - -1.414214) < 1e-6)
+    assert(r.getAs[Int]("significant") == 0)
+    // a lopsided split clears the 1.96 bound
+    val big = ((1L to 40L).map(u => (u * 10, u, "view", ts0)) ++
+      (1L to 40L).filter(_ % 2 == 0).map(u => (u * 100, u, "purchase", ts0)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val r2 = RelQueries.abTest(big).collect()(0)
+    assert(r2.getAs[Double]("a_rate") == 1.0)
+    assert(r2.getAs[Double]("b_rate") == 0.0)
+    assert(r2.getAs[Int]("significant") == 1)
+  }
+
   test("pagerank: dangling mass redistributed, total mass 1, sinks win") {
     val s = spark
     import s.implicits._

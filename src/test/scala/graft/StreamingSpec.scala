@@ -606,6 +606,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming histogram cells equal the batch histogram, clamped edges") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Double]
+    val vals = mem.toDF().toDF("value")
+    val q = graft.pipeline.Sketches.histogram(vals, 0.0, 100.0, bins = 10)
+      .writeStream.format("memory").queryName("hist_cells")
+      .outputMode("complete").start()
+    try {
+      mem.addData(5.0, 15.0, 15.5, 95.0)
+      q.processAllAvailable()
+      // later batch adds cells and an out-of-range value (clamps to
+      // the top bin instead of silently dropping)
+      mem.addData(16.0, 250.0, -3.0)
+      q.processAllAvailable()
+      val streamed = s.sql("SELECT bin, c FROM hist_cells")
+        .collect().map(_.toSeq).toSet
+      val batch = graft.pipeline.Sketches.histogram(
+        Seq(5.0, 15.0, 15.5, 95.0, 16.0, 250.0, -3.0).toDF("value"),
+        0.0, 100.0, bins = 10).collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      val cells = streamed.map(r => r.head.asInstanceOf[Int] ->
+        r(1).asInstanceOf[Long]).toMap
+      assert(cells(1) == 3L) // 15.0, 15.5, 16.0
+      assert(cells(9) == 2L) // 95.0 + clamped 250.0
+      assert(cells(0) == 2L) // 5.0 + clamped −3.0
+    } finally q.stop()
+  }
+
   test("streaming hll registers equal the batch sketch of all arrived data") {
     // the batch register build (explode → md5 → groupBy max) is
     // streaming-safe BY CONSTRUCTION — the same operator runs as a
