@@ -496,6 +496,70 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: winnowing substring guarantee on random noise carriers") {
+    val s = spark
+    import s.implicits._
+    // a 30-char common substring planted inside random non-space
+    // noise must always pair the two carriers (k+w−1 = 8 ≪ 30,
+    // interior windows select identical hashes regardless of the
+    // prefix alignment)
+    val noSpace = Gen.choose(33.toChar, 126.toChar)
+    val caseGen = for {
+      common <- Gen.listOfN(30, noSpace).map(_.mkString)
+      p1 <- Gen.chooseNum(0, 25).flatMap(n => Gen.listOfN(n, noSpace))
+      s1 <- Gen.chooseNum(0, 25).flatMap(n => Gen.listOfN(n, noSpace))
+      p2 <- Gen.chooseNum(0, 25).flatMap(n => Gen.listOfN(n, noSpace))
+      s2 <- Gen.chooseNum(0, 25).flatMap(n => Gen.listOfN(n, noSpace))
+    } yield (p1.mkString + common + s1.mkString,
+      p2.mkString + common + s2.mkString)
+    check(Prop.forAll(caseGen) { case (a, b) =>
+      val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+      Dedup.winnowPairs(docs).collect()
+        .exists(r => r.getAs[Long]("a") == 1L && r.getAs[Long]("b") == 2L)
+    })
+  }
+
+  test("property: hll registers are duplication-invariant and merge by max") {
+    val s = spark
+    import s.implicits._
+    import graft.pipeline.Sketches
+    val wordGen = Gen.chooseNum(5, 40).flatMap(n => Gen.listOfN(n,
+      Gen.chooseNum(0, 500).map(i => s"w$i")))
+    check(Prop.forAll(Gen.listOfN(3, wordGen)) { cases =>
+      // one source per generated case — a single frame, few jobs
+      val docs = cases.zipWithIndex.map { case (ws, i) =>
+        (i.toLong, s"src$i", ws.mkString(" "))
+      }.toDF("doc_id", "source", "text")
+      val base = Sketches.hllRegisters(docs).collect().map(_.toSeq).toSet
+      val doubled = Sketches.hllRegisters(
+        docs.union(docs.withColumn("doc_id", col("doc_id") + 100)))
+        .collect().map(_.toSeq).toSet
+      base == doubled
+    })
+  }
+
+  test("property: suffix spectrum is monotone in depth, mass-conserving") {
+    val s = spark
+    import s.implicits._
+    check(Prop.forAll(Gen.listOfN(4, asciiDoc)) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val r = Dedup.suffixSpectrum(docs).collect()
+        .sortBy(_.getAs[Long]("prefix_len"))
+      val total = texts.map(_.length).sum.toLong
+      // total suffix mass is the char count at every depth; groups can
+      // only split as depth grows, repeated mass can only shrink
+      r.forall(_.getAs[Long]("n_suffixes") == total) &&
+        r.toSeq.sliding(2).forall {
+          case Seq(lo, hi) =>
+            hi.getAs[Long]("n_groups") >= lo.getAs[Long]("n_groups") &&
+              hi.getAs[Long]("n_dup_suffixes") <=
+                lo.getAs[Long]("n_dup_suffixes")
+          case _ => true
+        }
+    })
+  }
+
   test("property: influx parse never errors and flags rather than drops") {
     val s = spark
     import s.implicits._
