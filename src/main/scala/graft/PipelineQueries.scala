@@ -699,6 +699,8 @@ object PipelineQueries {
     "dedup_suffix_repeats" -> ((s, dir) =>
       Dedup.suffixRepeats(Tables.documents(s, dir))),
     "dedup_lsh_design" -> ((s, _) => Dedup.lshDesign(s)),
+    "sim_retrieval_eval" -> ((s, dir) =>
+      Similarity.retrievalEval(Tables.embeddings(s, dir))),
     "text_bm25" -> ((s, dir) =>
       TextAnalysis.bm25(Tables.documents(s, dir), BM25_TERMS)
         .orderBy("doc_id")),
@@ -2142,6 +2144,32 @@ object PipelineQueries {
          |   AS rk
          | FROM t JOIN documents d ON d.doc_id = t.doc_id ORDER BY rk"""
         .stripMargin.replace("\n", " "),
+    "sim_retrieval_eval" ->
+      s"""WITH top AS (SELECT q_id, c_id, rk FROM (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |   row_number() OVER (PARTITION BY q.vec_id
+         |    ORDER BY ${cosSql("q", "c")} DESC, c.vec_id ASC) AS rk
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 10) z WHERE rk <= 10),
+         | wl AS (SELECT t.q_id, ql.label AS q_lab,
+         |  CAST(cl.label = ql.label AS INT) AS rel, t.rk
+         |  FROM top t JOIN embeddings ql ON ql.vec_id = t.q_id
+         |  JOIN embeddings cl ON cl.vec_id = t.c_id),
+         | lc AS (SELECT label, count(*) AS n_lab FROM embeddings
+         |  GROUP BY label),
+         | pq AS (SELECT w.q_id, w.q_lab,
+         |  CAST(sum(w.rel) AS BIGINT) AS rel_found,
+         |  min(CASE WHEN w.rel = 1 THEN w.rk END) AS first_rel
+         |  FROM wl w GROUP BY 1, 2),
+         | pq2 AS (SELECT pq.*, lc.n_lab - 1 AS total_rel FROM pq
+         |  JOIN lc ON lc.label = pq.q_lab)
+         | SELECT count(*) AS n_queries,
+         |  round(avg(round(rel_found::DOUBLE / 10, 6)), 6) AS p_at_k,
+         |  round(avg(round(coalesce(1.0 / first_rel, 0.0), 6)), 6) AS mrr,
+         |  round(avg(round(CASE WHEN total_rel > 0
+         |   THEN least(rel_found, total_rel)::DOUBLE / total_rel END, 6)),
+         |   6) AS recall_at_k
+         | FROM pq2""".stripMargin.replace("\n", " "),
     "dedup_lsh_design" -> {
       // t^r / (1-t^r)^b as explicit multiplication chains (no pow —
       // libm rounding is not cross-engine stable); same chains the

@@ -59,6 +59,51 @@ object Similarity {
         col("rk").cast("long").as("rk"))
   }
 
+  /** Retrieval-quality card against label ground truth — the eval
+    * loop that closes the ANN family (MTEB-style protocol): each
+    * query vector's relevant set is every OTHER vector sharing its
+    * `label`; the dense top-k is scored as precision@k, MRR and
+    * recall@k, averaged over queries (queries whose label has no
+    * other member are excluded from recall, standard practice). Swap
+    * any ANN variant emitting (q_id, c_id, rk) for [[cosineTopK]] to
+    * measure ITS quality with the same card.
+    *
+    * Determinism: per-query metrics round before the mean (the
+    * corpus_doremi convention) so cross-engine summation-order ulps
+    * can't reach the rounded card.
+    *
+    * Scale: two broadcast-sized label joins on the q×k neighbor
+    * frame + one per-label count; the heavy lifting stays in the
+    * (already scale-audited) neighbor stage. */
+  def retrievalEval(emb: DataFrame, k: Int = 10,
+                    nQueries: Int = 10): DataFrame = {
+    val labels = emb.select(col("vec_id"), col("label"))
+    val top = cosineTopK(emb, emb.where(col("vec_id") < nQueries), k)
+    val withRel = top
+      .join(labels.select(col("vec_id").as("q_id"),
+        col("label").as("q_lab")), "q_id")
+      .join(labels.select(col("vec_id").as("c_id"),
+        col("label").as("c_lab")), "c_id")
+      .withColumn("rel", (col("q_lab") === col("c_lab")).cast("int"))
+    val labCounts = labels.groupBy("label")
+      .agg(count(lit(1)).as("n_lab"))
+      .select(col("label").as("q_lab"), col("n_lab"))
+    val perQ = withRel.groupBy("q_id", "q_lab")
+      .agg(sum("rel").as("rel_found"),
+        min(when(col("rel") === 1, col("rk"))).as("first_rel"))
+      .join(labCounts, "q_lab")
+      .withColumn("total_rel", col("n_lab") - 1)
+    perQ.agg(
+      count(lit(1)).as("n_queries"),
+      round(avg(round(col("rel_found").cast("double") / k, 6)), 6)
+        .as("p_at_k"),
+      round(avg(round(coalesce(lit(1.0) / col("first_rel"), lit(0.0)), 6)),
+        6).as("mrr"),
+      round(avg(round(when(col("total_rel") > 0,
+        least(col("rel_found"), col("total_rel")).cast("double") /
+          col("total_rel")), 6)), 6).as("recall_at_k"))
+  }
+
   /** Reciprocal-rank fusion of sparse (BM25 more-like-this) and dense
     * (cosine top-k) retrieval — the standard hybrid-retrieval merge
     * (Cormack et al. 2009, the default fusion in every RAG stack):

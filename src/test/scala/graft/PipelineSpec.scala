@@ -1831,6 +1831,21 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("retrieval eval: textbook P@k/MRR/recall on a two-label plant") {
+    val s = spark
+    import s.implicits._
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f), 1), (1L, Seq(0.9f, 0.1f), 1),
+      (2L, Seq(0.0f, 1.0f), 2), (3L, Seq(0.1f, 0.9f), 2))
+      .toDF("vec_id", "embedding", "label")
+    // query 0 (label 1), k=2: top-2 = [1 (relevant, rank 1), 3 (not)]
+    val r = Similarity.retrievalEval(emb, k = 2, nQueries = 1).collect()(0)
+    assert(r.getAs[Long]("n_queries") == 1L)
+    assert(r.getAs[Double]("p_at_k") == 0.5)
+    assert(r.getAs[Double]("mrr") == 1.0)
+    assert(r.getAs[Double]("recall_at_k") == 1.0)
+  }
+
   test("rrf fusion: sparse-only and dense-only hits both fuse, ranks add") {
     val s = spark
     import s.implicits._
