@@ -224,6 +224,21 @@ object PipelineQueries {
       t
     })
 
+  /** Once-per-(session, sf dir) SketchStore register table over the
+    * full corpus — built in TWO halves via build + append so the
+    * stored path always exercises the read-time max-merge. */
+  private val sketchTables =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def sketchTable(s: SparkSession, dir: String): String =
+    sketchTables.getOrElseUpdate((s, dir), {
+      val t = "graft_hll_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+      val docs = Tables.documents(s, dir)
+      graft.sources.SketchStore.build(docs.where(col("doc_id") < 250), t)
+      graft.sources.SketchStore.append(docs.where(col("doc_id") >= 250), t)
+      t
+    })
+
   /** LSH bucket id SQL — regenerates the identical hyperplane family
     * as [[Similarity.lshBucket]] (same mixing, same literal ±1
     * weights), so the oracle replays the bucketing exactly. */
@@ -701,6 +716,14 @@ object PipelineQueries {
     "dedup_lsh_design" -> ((s, _) => Dedup.lshDesign(s)),
     "sim_retrieval_eval" -> ((s, dir) =>
       Similarity.retrievalEval(Tables.embeddings(s, dir))),
+    "corpus_signal_corr" -> ((s, dir) =>
+      TextAnalysis.signalCorrelation(Tables.documents(s, dir))),
+    // distinct estimate served from the PERSISTED register table
+    // (built in two appended halves — the read-time max-merge is
+    // always on the path); byte-identical to corpus_hll, same oracle
+    "store_hll" -> ((s, dir) =>
+      graft.sources.SketchStore.estimate(s, sketchTable(s, dir),
+        Tables.documents(s, dir))),
     "text_bm25" -> ((s, dir) =>
       TextAnalysis.bm25(Tables.documents(s, dir), BM25_TERMS)
         .orderBy("doc_id")),
@@ -887,7 +910,8 @@ object PipelineQueries {
     * gate can check. */
   lazy val oracles: Map[String, String] = oracleBase ++ Map(
     "store_ann" -> oracleBase("sim_ivf_ann"),
-    "store_ivfpq" -> oracleBase("sim_ivfpq_ann"))
+    "store_ivfpq" -> oracleBase("sim_ivfpq_ann"),
+    "store_hll" -> oracleBase("corpus_hll"))
 
   private val oracleBase: Map[String, String] = Map(
     "dedup_exact" ->
@@ -2144,6 +2168,32 @@ object PipelineQueries {
          |   AS rk
          | FROM t JOIN documents d ON d.doc_id = t.doc_id ORDER BY rk"""
         .stripMargin.replace("\n", " "),
+    "corpus_signal_corr" -> {
+      val allSw = TextAnalysis.stopwords.values.flatten.toSeq.distinct
+        .map(s => s"'$s'").mkString(", ")
+      s"""WITH pd AS (SELECT doc_id,
+         |  round((least(length(text)::DOUBLE / 500.0, 1.0)
+         |   + len(list_distinct(ws))::DOUBLE / len(ws)
+         |   + least(len(list_filter(ws, x -> list_contains([$allSw], x)))::DOUBLE
+         |       / len(ws) * 4, 1.0)) / 3.0, 6) AS q,
+         |  round(ln(greatest(n_chars, 1)::DOUBLE), 6) AS len_ln
+         |  FROM (SELECT doc_id, text, n_chars,
+         |   string_split_regex(lower(text), '\\s+') AS ws
+         |   FROM documents) AS t),
+         | wd AS (SELECT doc_id,
+         |  unnest(string_split_regex(lower(text), '\\s+')) AS w FROM documents),
+         | c AS (SELECT w, count(*) AS c FROM wd GROUP BY w),
+         | tt AS (SELECT sum(c) AS n_total, count(*) AS vocab FROM c),
+         | lm AS (SELECT w, ln((c + 1)::DOUBLE / (n_total + vocab)::DOUBLE)
+         |   AS logp FROM c, tt),
+         | x AS (SELECT doc_id, round(-avg(logp), 6) AS x
+         |  FROM wd JOIN lm USING (w) GROUP BY doc_id)
+         | SELECT count(*) AS n_docs,
+         |  round(corr(q, x), 6) AS r_quality_xent,
+         |  round(corr(q, len_ln), 6) AS r_quality_len,
+         |  round(corr(x, len_ln), 6) AS r_xent_len
+         | FROM pd JOIN x USING (doc_id)""".stripMargin.replace("\n", " ")
+    },
     "sim_retrieval_eval" ->
       s"""WITH top AS (SELECT q_id, c_id, rk FROM (
          |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,

@@ -21,6 +21,14 @@ object Sessions {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
+    // freeing a localCheckpoint (the suffix-spectrum round frames,
+    // Corpus.freeCheckpoint) warns that the truncated lineage can't
+    // be recomputed — which is the POINT of the call (nothing reads
+    // the frame again, by construction); one warning per freed round
+    // per query otherwise floods the bench log
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
     spark
   }
 

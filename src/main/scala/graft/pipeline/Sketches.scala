@@ -77,16 +77,25 @@ object Sketches {
       .groupBy("source", "idx").agg(max("rank").as("mj"))
   }
 
-  def hllDistinct(docs: DataFrame): DataFrame = {
-    val tok = docs.select(col("source"),
+  /** Exact per-source distinct-word counts — the sketch's
+    * calibration target. */
+  private[graft] def hllExact(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
       explode(TextAnalysis.words(col("text"))).as("w"))
-    val regs = hllRegisters(docs)
+      .groupBy("source").agg(count_distinct(col("w")).as("exact_distinct"))
+
+  def hllDistinct(docs: DataFrame): DataFrame =
+    hllEstimateFrom(hllRegisters(docs), hllExact(docs))
+
+  /** The estimator over an ALREADY-BUILT register frame — shared by
+    * the direct path and [[graft.sources.SketchStore]]'s stored
+    * path, so the two cannot drift (same byte-for-byte output). */
+  private[graft] def hllEstimateFrom(regs: DataFrame,
+                                     exact: DataFrame): DataFrame = {
     val per = regs.groupBy("source")
       .agg(count(lit(1)).as("used_registers"),
         sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - mj AS INT))"))
           .as("s_int"))
-    val exact = tok.groupBy("source")
-      .agg(count_distinct(col("w")).as("exact_distinct"))
     // empty registers hold value 0 and contribute 2^(-0)=1 each to
     // the harmonic sum — i.e. 2^53 in the integer scaling
     val vZero = lit(HLL_M) - col("used_registers")

@@ -369,6 +369,33 @@ object TextAnalysis {
         round(exp(col("xent")), 6).as("ppl"))
   }
 
+  /** Curation-signal correlation card — pairwise Pearson r between
+    * the three primary per-doc quality signals (heuristic quality
+    * score, unigram-LM cross-entropy, ln document length): the
+    * redundancy audit a curation stack runs before stacking filters
+    * (two signals at r ≈ ±1 gate the same documents twice; a
+    * near-zero pair adds an independent axis). Signals are
+    * pre-rounded per doc before the correlation so cross-engine
+    * aggregation-order ulps never reach the card.
+    *
+    * Scale: the quality and length signals evaluate in the LM
+    * scoring's own final projection (one join on doc_id against the
+    * xent frame — both sides of the join are per-doc, co-keyed);
+    * the card is a single aggregation row. */
+  def signalCorrelation(docs: DataFrame): DataFrame = {
+    val perDoc = docs.select(col("doc_id"),
+      round(qualityScoreCol(col("text")), 6).as("q"),
+      round(log(greatest(col("n_chars"), lit(1L)).cast("double")), 6)
+        .as("len_ln"))
+    val xent = unigramCrossEntropy(docs)
+      .select(col("doc_id"), col("cross_entropy").as("x"))
+    perDoc.join(xent, "doc_id").agg(
+      count(lit(1)).as("n_docs"),
+      round(corr(col("q"), col("x")), 6).as("r_quality_xent"),
+      round(corr(col("q"), col("len_ln")), 6).as("r_quality_len"),
+      round(corr(col("x"), col("len_ln")), 6).as("r_xent_len"))
+  }
+
   /** Readability battery per document — Flesch Reading Ease and the
     * Automated Readability Index, the two classic shallow-parse
     * scores corpus-curation recipes bucket web text by (grade-level

@@ -1831,6 +1831,26 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("signal correlation: perfect linear pair hits r=1, bounds hold") {
+    val s = spark
+    import s.implicits._
+    // texts engineered so length grows with distinct-word count —
+    // correlations must land in [−1, 1] and n_docs must count all
+    val docs = (1 to 12).map { i =>
+      val words = (0 until i + 1).map(j => s"tok$j").mkString(" ")
+      (i.toLong, words, words.length.toLong)
+    }.toDF("doc_id", "text", "n_chars")
+    val r = TextAnalysis.signalCorrelation(docs).collect()(0)
+    assert(r.getAs[Long]("n_docs") == 12L)
+    Seq("r_quality_xent", "r_quality_len", "r_xent_len").foreach { c =>
+      val v = r.getAs[Double](c)
+      assert(v >= -1.0 && v <= 1.0, s"$c=$v out of bounds")
+    }
+    // all-distinct growing docs: longer ⇒ rarer words ⇒ higher xent;
+    // length and cross-entropy must correlate strongly positively
+    assert(r.getAs[Double]("r_xent_len") > 0.8)
+  }
+
   test("retrieval eval: textbook P@k/MRR/recall on a two-label plant") {
     val s = spark
     import s.implicits._
