@@ -68,6 +68,33 @@ object PipelineQueries {
   private val MAX_BUCKET = 1000
   private val MIN_AGREE = 8
 
+  /** Shared CTE prefix for the CCNet tercile oracles: the
+    * text_bigram per-doc ppl (rounded 6, matching
+    * TextAnalysis.bigramCrossEntropy), joined to the doc's language
+    * and ranked 0-based by (ppl, doc_id) within it. */
+  private val CCNET_CTES =
+    """wd AS (SELECT doc_id,
+      |  string_split_regex(lower(text), '\s+') AS ws FROM documents),
+      | bi AS (SELECT doc_id,
+      |  unnest([ws[i] || ' ' || ws[i + 1] for i in range(1, len(ws))]) AS bg
+      |  FROM wd WHERE len(ws) >= 2),
+      | c12 AS (SELECT bg, count(*) AS c12 FROM bi GROUP BY bg),
+      | c1 AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c12) AS c1
+      |  FROM c12 GROUP BY 1),
+      | v AS (SELECT count(DISTINCT w) AS vocab FROM
+      |  (SELECT unnest(ws) AS w FROM wd) AS u),
+      | lm AS (SELECT bg,
+      |  ln((c12 + 1)::DOUBLE / (c1 + vocab)::DOUBLE) AS logp
+      |  FROM c12 JOIN c1 ON split_part(c12.bg, ' ', 1) = c1.w1 CROSS JOIN v),
+      | ppl AS (SELECT doc_id, round(exp(-avg(logp)), 6) AS ppl
+      |  FROM bi JOIN lm USING (bg) GROUP BY doc_id),
+      | r AS (SELECT d.doc_id, d.lang, ppl.ppl,
+      |  row_number() OVER (PARTITION BY d.lang
+      |    ORDER BY ppl.ppl, d.doc_id) - 1 AS rk,
+      |  count(*) OVER (PARTITION BY d.lang) AS n
+      |  FROM documents AS d JOIN ppl ON ppl.doc_id = d.doc_id)"""
+      .stripMargin.replace("\n", " ")
+
   /** The cluster family's shared dup-graph edges: band candidates
     * verified by signature agreement (est. Jaccard >= MIN_AGREE/K).
     * All four consumers build the IDENTICAL lineage so the cluster
@@ -836,6 +863,12 @@ object PipelineQueries {
       Corpus.doremiWeights(Tables.documents(s, dir)).orderBy("source")),
     "corpus_temperature" -> ((s, dir) =>
       Corpus.temperatureMixture(Tables.documents(s, dir)).orderBy("source")),
+    // CCNet head/middle/tail perplexity terciles per language
+    "corpus_ccnet" -> ((s, dir) =>
+      Corpus.ccnetBuckets(Tables.documents(s, dir)).orderBy("doc_id")),
+    "corpus_ccnet_stats" -> ((s, dir) =>
+      Corpus.ccnetStats(Tables.documents(s, dir))
+        .orderBy("lang", "ccnet_bucket")),
     "corpus_sample" -> ((s, dir) =>
       Corpus.stratifiedSample(Tables.documents(s, dir), k = 10, seed = 0L)
         .orderBy("source", "rk")),
@@ -2346,6 +2379,26 @@ object PipelineQueries {
         |  round(z / sz, 6) AS doremi_weight,
         |  round(z / sz * 0.8 + 0.2 / k, 6) AS smoothed_weight
         | FROM z, zn ORDER BY source""".stripMargin.replace("\n", " "),
+    // CCNet terciles: the text_bigram ppl CTEs, then a 0-based
+    // (ppl, doc_id) rank within language; tercile = (3*rank) // n —
+    // the same integer bucketing the engine computes (for k=3 this
+    // equals ntile(3)'s remainder placement)
+    "corpus_ccnet" ->
+      s"""WITH $CCNET_CTES
+         | SELECT doc_id, lang, ppl,
+         |  CASE (rk * 3) // n WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+         |   ELSE 'tail' END AS ccnet_bucket
+         | FROM r ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "corpus_ccnet_stats" ->
+      s"""WITH $CCNET_CTES,
+         | b AS (SELECT lang, ppl,
+         |  CASE (rk * 3) // n WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+         |   ELSE 'tail' END AS ccnet_bucket FROM r)
+         | SELECT lang, ccnet_bucket, count(*) AS n_docs,
+         |  round(min(ppl), 6) AS min_ppl, round(avg(ppl), 6) AS mean_ppl,
+         |  round(max(ppl), 6) AS max_ppl
+         | FROM b GROUP BY lang, ccnet_bucket
+         | ORDER BY lang, ccnet_bucket""".stripMargin.replace("\n", " "),
     "text_bm25" -> {
       val tfs = BM25_TERMS.map(t =>
         s"len(list_filter(ws, x -> x = '$t'))::BIGINT AS tf_$t").mkString(", ")

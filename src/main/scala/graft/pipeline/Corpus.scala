@@ -1154,4 +1154,69 @@ object Corpus {
       .select("doc_id", "quality_score", "n_tokens", "rank",
         "cum_tokens", "selected")
   }
+
+  /** CCNet-style perplexity partition (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data" §4.3): per LANGUAGE, split documents into equal
+    * head/middle/tail terciles by language-model perplexity — head =
+    * the lowest-perplexity (most Wikipedia-like) third, the slice
+    * CCNet keeps by default; tail = the noisiest third. The LM is
+    * the engine's bigram model ([[TextAnalysis.bigramCrossEntropy]],
+    * the conditional form closest to CCNet's KenLM); its per-doc ppl
+    * is already rounded, so both engines tercile IDENTICAL keys.
+    * Tercile index = `(3·rank) div n` on the 0-based (ppl, doc_id)
+    * rank within the language — integer arithmetic end to end, and
+    * for k=3 it reproduces SQL ntile's remainder placement exactly.
+    * Documents under two words have no transitions to score and drop
+    * out, as in [[TextAnalysis.bigramCrossEntropy]].
+    *
+    * Scale: the LM scoring is the existing aggregate-join-aggregate
+    * shape; the per-language rank is the two-phase shard pattern of
+    * [[budgetSelect]] with `lang` prepended to every key — approx
+    * per-language ppl bounds broadcast to balance shards,
+    * (lang, shard)-local windows, per-shard prefix offsets broadcast
+    * back (the offset frame is langs × shards rows). No language —
+    * let alone the corpus — is ever one window partition. */
+  def ccnetBuckets(docs: DataFrame, rankShards: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ppl = TextAnalysis.bigramCrossEntropy(docs)
+      .select(col("doc_id"), col("ppl"))
+    val base = docs.select(col("doc_id"), col("lang")).join(ppl, "doc_id")
+    val qs = (1 until rankShards).map(_.toDouble / rankShards)
+    val bounds = base.groupBy("lang").agg(
+      approx_percentile(col("ppl"), typedlit(qs), lit(1000)).as("_bs"),
+      count(lit(1)).as("_n"))
+    val sharded = base.join(broadcast(bounds), "lang")
+      .withColumn("_rshard", size(filter(col("_bs"), b => b < col("ppl"))))
+      .drop("_bs")
+    val wLocal = Window.partitionBy("lang", "_rshard").orderBy("ppl", "doc_id")
+    val wPrefix = Window.partitionBy("lang").orderBy("_rshard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sharded.groupBy("lang", "_rshard")
+      .agg(count(lit(1)).as("_cnt"))
+      .withColumn("_offset", coalesce(sum("_cnt").over(wPrefix), lit(0L)))
+      .drop("_cnt")
+    sharded.join(broadcast(offsets), Seq("lang", "_rshard"))
+      .withColumn("_rank",
+        col("_offset") + row_number().over(wLocal) - 1)
+      .withColumn("_bucket", expr("(_rank * 3) div _n").cast("int"))
+      .select(col("doc_id"), col("lang"), col("ppl"),
+        when(col("_bucket") === 0, "head")
+          .when(col("_bucket") === 1, "middle")
+          .otherwise("tail").as("ccnet_bucket"))
+  }
+
+  /** The dataset-card summary of [[ccnetBuckets]] — per (language,
+    * tercile): document count and the perplexity range/mean, the
+    * table CCNet publishes per language to justify its head cutoff
+    * (and the sanity check that terciles are equal-sized ±1).
+    *
+    * Scale: a languages×3-row aggregation over the bucket frame. */
+  def ccnetStats(docs: DataFrame): DataFrame =
+    ccnetBuckets(docs)
+      .groupBy("lang", "ccnet_bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        round(min("ppl"), 6).as("min_ppl"),
+        round(avg("ppl"), 6).as("mean_ppl"),
+        round(max("ppl"), 6).as("max_ppl"))
 }

@@ -2276,4 +2276,38 @@ class PipelineSpec extends SparkSpec {
     assert(byPiece("cd") == ((6L, 1L)), byPiece.toString)
     assert(byPiece("abab")._1 == 4L, byPiece.toString)
   }
+
+  test("ccnet buckets: equal per-language terciles ordered by ppl") {
+    val docs = Tables.documents(spark, sf)
+    val rows = Corpus.ccnetBuckets(docs).collect()
+    // every doc with >= 2 words is bucketed exactly once
+    val scorable = TextAnalysis.bigramCrossEntropy(docs).count()
+    assert(rows.length == scorable)
+    assert(rows.map(_.getAs[String]("ccnet_bucket")).toSet
+      .subsetOf(Set("head", "middle", "tail")))
+    val order = Map("head" -> 0, "middle" -> 1, "tail" -> 2)
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, ls) =>
+      // tercile sizes differ by at most one, larger terciles first
+      val sizes = ls.groupBy(_.getAs[String]("ccnet_bucket"))
+        .view.mapValues(_.length).toMap
+      val inOrder = order.keys.toSeq.sortBy(order)
+        .map(b => sizes.getOrElse(b, 0))
+      assert(inOrder.max - inOrder.min <= 1, s"$lang sizes $sizes")
+      assert(inOrder == inOrder.sorted.reverse, s"$lang sizes $sizes")
+      // buckets partition the (ppl, doc_id) order: sorting the
+      // language by the rank key must sort its bucket indices
+      val sorted = ls.sortBy(r =>
+        (r.getAs[Double]("ppl"), r.getAs[Long]("doc_id")))
+        .map(r => order(r.getAs[String]("ccnet_bucket"))).toSeq
+      assert(sorted == sorted.sorted, s"$lang buckets out of order")
+    }
+    // the stats card aggregates the same frame
+    val stats = Corpus.ccnetStats(docs).collect()
+    val statN = stats.map(_.getAs[Long]("n_docs")).sum
+    assert(statN == rows.length)
+    stats.foreach { r =>
+      assert(r.getAs[Double]("min_ppl") <= r.getAs[Double]("mean_ppl") &&
+        r.getAs[Double]("mean_ppl") <= r.getAs[Double]("max_ppl"))
+    }
+  }
 }
