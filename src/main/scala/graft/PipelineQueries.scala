@@ -866,6 +866,11 @@ object PipelineQueries {
     // CCNet head/middle/tail perplexity terciles per language
     "corpus_ccnet" -> ((s, dir) =>
       Corpus.ccnetBuckets(Tables.documents(s, dir)).orderBy("doc_id")),
+    // UniMax water-filling: budget + epoch cap chosen so the corpus
+    // splits into capped small languages and one uncapped big one
+    "corpus_unimax" -> ((s, dir) =>
+      Corpus.unimaxAllocate(Tables.documents(s, dir),
+        budgetTokens = 40000L, epochCap = 2).orderBy("rank")),
     "corpus_ccnet_stats" -> ((s, dir) =>
       Corpus.ccnetStats(Tables.documents(s, dir))
         .orderBy("lang", "ccnet_bucket")),
@@ -2389,6 +2394,32 @@ object PipelineQueries {
          |  CASE (rk * 3) // n WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
          |   ELSE 'tail' END AS ccnet_bucket
          | FROM r ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    // UniMax: ascending-size water-filling with integer comparisons;
+    // capped set kept a contiguous prefix by the running min
+    "corpus_unimax" ->
+      """WITH pl AS (SELECT lang,
+        |  sum(len(string_split_regex(lower(text), '\s+')))::BIGINT AS tokens
+        |  FROM documents GROUP BY lang),
+        | r AS (SELECT lang, tokens,
+        |  row_number() OVER (ORDER BY tokens, lang) AS rank,
+        |  count(*) OVER () AS n,
+        |  coalesce(sum(tokens) OVER (ORDER BY tokens, lang
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx
+        |  FROM pl),
+        | c AS (SELECT *, CAST(min(CASE WHEN tokens * 2 * (n - rank + 1)
+        |    <= 40000 - 2 * pfx THEN 1 ELSE 0 END)
+        |   OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING) AS INT) AS capped
+        |  FROM r),
+        | t AS (SELECT *, sum(capped) OVER () AS t,
+        |  sum(capped * tokens) OVER () AS st FROM c),
+        | q AS (SELECT lang, tokens, rank, capped,
+        |  CAST(CASE WHEN capped = 1 THEN tokens * 2
+        |   ELSE (40000 - 2 * st) // greatest(n - t, 1) END AS BIGINT)
+        |   AS quota_tokens FROM t)
+        | SELECT lang, tokens, rank, capped, quota_tokens,
+        |  round(quota_tokens::DOUBLE / tokens, 6) AS epochs,
+        |  round(quota_tokens::DOUBLE / 40000, 6) AS budget_share
+        | FROM q ORDER BY rank""".stripMargin.replace("\n", " "),
     "corpus_ccnet_stats" ->
       s"""WITH $CCNET_CTES,
          | b AS (SELECT lang, ppl,

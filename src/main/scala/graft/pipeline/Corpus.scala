@@ -1206,6 +1206,67 @@ object Corpus {
           .otherwise("tail").as("ccnet_bucket"))
   }
 
+  /** UniMax language allocation (Chung et al. 2023, "UniMax: Fairer
+    * and More Effective Language Sampling for Large-Scale
+    * Multilingual Pretraining"): given a token budget B and an
+    * epoch cap N, visit languages in ASCENDING corpus-size order;
+    * each takes min(its full N epochs, an equal share of whatever
+    * budget remains) — small languages are fully served up to N
+    * epochs, the leftover spreads uniformly over the big ones. The
+    * standard water-filling identity makes the capped set a PREFIX
+    * of the ascending order, so the sequential loop collapses to
+    * prefix sums: language at rank i (of n) is capped iff
+    * `cᵢ·N·(n−i+1) ≤ B − N·Σ_{j<i} cⱼ` held at every rank ≤ i
+    * (a running min keeps the prefix contiguous); uncapped quota =
+    * `(B − N·S_t) div (n−t)` with t capped languages holding S_t
+    * tokens. Integer arithmetic end to end — cross-multiplied
+    * comparisons, floor-div shares — so two engines can never
+    * disagree on a boundary language. Every uncapped language gets
+    * the IDENTICAL floor share (a sequential loop would dribble the
+    * < n−t remainder tokens onto later languages; dropping that
+    * redistribution keeps the op order-free and costs under one
+    * token per language).
+    *
+    * Scale: token counting is a map stage into a languages-sized
+    * hash aggregate; every window after that is over the bounded
+    * per-language table (constant partition key pins the frame —
+    * languages number in the hundreds, never corpus-scale). */
+  def unimaxAllocate(docs: DataFrame, budgetTokens: Long,
+                     epochCap: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cap = epochCap.toLong
+    val perLang = docs.select(col("lang"),
+      size(org.apache.spark.sql.functions.split(lower(col("text")), "\\s+"))
+        .cast("long").as("tok"))
+      .groupBy("lang").agg(sum("tok").as("tokens"))
+    val wRank = Window.partitionBy(lit(1)).orderBy("tokens", "lang")
+    val wPrefix = wRank.rowsBetween(Window.unboundedPreceding, -1)
+    val wRunMin = wRank.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val wAll = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perLang
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .withColumn("_prefix", coalesce(sum("tokens").over(wPrefix), lit(0L)))
+      .withColumn("_cond",
+        (col("tokens") * cap * (col("_n") - col("rank") + 1) <=
+          lit(budgetTokens) - lit(cap) * col("_prefix")).cast("int"))
+      .withColumn("capped", min("_cond").over(wRunMin))
+      .withColumn("_t", sum("capped").over(wAll))
+      .withColumn("_st", sum(col("capped") * col("tokens")).over(wAll))
+      .withColumn("quota_tokens",
+        when(col("capped") === 1, col("tokens") * cap)
+          .otherwise(expr(s"(${budgetTokens}L - ${cap}L * _st)" +
+            " div greatest(_n - _t, 1L)")))
+      .select(col("lang"), col("tokens"), col("rank"), col("capped"),
+        col("quota_tokens"),
+        round(col("quota_tokens").cast("double") / col("tokens"), 6)
+          .as("epochs"),
+        round(col("quota_tokens").cast("double") / budgetTokens, 6)
+          .as("budget_share"))
+  }
+
   /** The dataset-card summary of [[ccnetBuckets]] — per (language,
     * tercile): document count and the perplexity range/mean, the
     * table CCNet publishes per language to justify its head cutoff

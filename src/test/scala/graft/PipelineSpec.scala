@@ -2277,6 +2277,71 @@ class PipelineSpec extends SparkSpec {
     assert(byPiece("abab")._1 == 4L, byPiece.toString)
   }
 
+  test("unimax: prefix-sum water-filling matches the sequential loop") {
+    val docs = Tables.documents(spark, sf)
+    val cap = 2L
+    val budget = 45000L
+    val rows = Corpus.unimaxAllocate(docs, budget, cap.toInt).collect()
+      .sortBy(_.getAs[Long]("rank"))
+    // reference: UniMax's own sequential algorithm, ascending order
+    val langs = rows.map(r =>
+      r.getAs[String]("lang") -> r.getAs[Long]("tokens"))
+    assert(langs.map(_._2).toSeq == langs.map(_._2).toSeq.sorted)
+    // sequential water-filling; uncapped shares equalized as the
+    // operator documents (no remainder dribble)
+    var remaining = budget
+    var k = langs.length
+    val expected = langs.map { case (lang, c) =>
+      val quota = math.min(c * cap, remaining / k)
+      remaining -= quota; k -= 1
+      lang -> quota
+    }.toMap
+    rows.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val capped = r.getAs[Int]("capped")
+      if (capped == 1)
+        assert(r.getAs[Long]("quota_tokens") == expected(lang),
+          s"$lang: got ${r.getAs[Long]("quota_tokens")} want ${expected(lang)}")
+      assert((capped == 1) ==
+        (r.getAs[Long]("quota_tokens") == r.getAs[Long]("tokens") * cap))
+      assert(r.getAs[Double]("epochs") <= cap + 1e-9)
+    }
+    // capped languages form a prefix of the ascending order
+    val cappedSeq = rows.map(_.getAs[Int]("capped")).toSeq
+    assert(cappedSeq == cappedSeq.sorted.reverse)
+    assert(cappedSeq.contains(1) && cappedSeq.contains(0),
+      "constants should exercise both branches")
+    // uncapped languages share the leftover equally (floor), and the
+    // allocation exhausts the budget up to the dropped remainder
+    val uncapped = rows.filter(_.getAs[Int]("capped") == 0)
+      .map(_.getAs[Long]("quota_tokens")).toSeq
+    assert(uncapped.distinct.size <= 1)
+    val spent = rows.map(_.getAs[Long]("quota_tokens")).sum
+    assert(spent <= budget && budget - spent < langs.length)
+  }
+
+  test("unimax: several uncapped languages split the leftover equally") {
+    val s = spark
+    import s.implicits._
+    // tiny langs a,b get their 2 epochs; c,d,e split the rest
+    val mk = (n: Int) => Seq.fill(n)("w").mkString(" ")
+    val docs = Seq(
+      (1L, mk(10), "aa"), (2L, mk(20), "bb"),
+      (3L, mk(500), "cc"), (4L, mk(600), "dd"), (5L, mk(700), "ee"))
+      .toDF("doc_id", "text", "lang")
+    val rows = Corpus.unimaxAllocate(docs, budgetTokens = 1000L,
+      epochCap = 2).collect().sortBy(_.getAs[Long]("rank"))
+    val byLang = rows.map(r => r.getAs[String]("lang") ->
+      ((r.getAs[Int]("capped"), r.getAs[Long]("quota_tokens")))).toMap
+    // a: 10*2*5=100 <= 1000 capped; b: 20*2*4=160 <= 980 capped;
+    // c: 500*2*3=3000 > 940 uncapped -> leftover 1000-2*30=940,
+    // share 940 div 3 = 313 for c, d, e alike
+    assert(byLang("aa") == ((1, 20L)), byLang.toString)
+    assert(byLang("bb") == ((1, 40L)), byLang.toString)
+    Seq("cc", "dd", "ee").foreach(l =>
+      assert(byLang(l) == ((0, 313L)), byLang.toString))
+  }
+
   test("ccnet buckets: equal per-language terciles ordered by ppl") {
     val docs = Tables.documents(spark, sf)
     val rows = Corpus.ccnetBuckets(docs).collect()
