@@ -68,6 +68,38 @@ object PipelineQueries {
   private val MAX_BUCKET = 1000
   private val MIN_AGREE = 8
 
+  /** Unrolled power-iteration oracle for sim_pca_power: covariance
+    * from the 1-based unnested embedding table (rounded 6dp exactly
+    * like the engine), then R chained (w_r, v_r) CTE pairs with the
+    * engine's per-round 9dp normalization. */
+  private val PCA_ROUNDS = 8
+  private val PCA_CTES = {
+    // chained CTEs referenced more than once MUST be MATERIALIZED:
+    // DuckDB inlines plain CTEs, so 8 chained rounds would otherwise
+    // re-evaluate the whole prefix exponentially
+    val rounds = (1 to PCA_ROUNDS).map { r =>
+      s"""w$r AS MATERIALIZED (SELECT c.i, sum(c.c * v.vj) AS w
+         | FROM c JOIN v${r - 1} AS v ON v.j = c.j GROUP BY c.i),
+         | v$r AS MATERIALIZED (SELECT i AS j,
+         |  round(w / (SELECT sqrt(sum(w * w)) FROM w$r), 9) AS vj
+         |  FROM w$r)""".stripMargin.replace("\n", " ")
+    }.mkString(", ")
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       | js AS (SELECT unnest(range(1, 65)) AS k),
+       | x AS MATERIALIZED (SELECT vec_id, k, emb[k] AS v
+       |  FROM e CROSS JOIN js),
+       | mu AS MATERIALIZED (SELECT k, round(avg(v), 6) AS m, count(*) AS n
+       |  FROM x GROUP BY k),
+       | s AS (SELECT a.k AS i, b.k AS j, sum(a.v * b.v) AS s
+       |  FROM x AS a JOIN x AS b USING (vec_id) GROUP BY 1, 2),
+       | c AS MATERIALIZED (SELECT s.i, s.j,
+       |  round(s.s / mi.n - mi.m * mj.m, 6) AS c
+       |  FROM s JOIN mu AS mi ON mi.k = s.i JOIN mu AS mj ON mj.k = s.j),
+       | v0 AS MATERIALIZED (SELECT k AS j, round(1 / sqrt(64.0), 9) AS vj
+       |  FROM js),
+       | $rounds""".stripMargin.replace("\n", " ")
+  }
+
   /** Shared CTE prefix for the CCNet tercile oracles: the
     * text_bigram per-doc ppl (rounded 6, matching
     * TextAnalysis.bigramCrossEntropy), joined to the doc's language
@@ -630,6 +662,10 @@ object PipelineQueries {
     }),
     "sim_embed_stats" -> ((s, dir) =>
       Similarity.embedStats(Tables.embeddings(s, dir)).orderBy("dim")),
+    // top principal component by 8 rounds of power iteration over
+    // the 6dp-rounded covariance (both engines iterate the same C)
+    "sim_pca_power" -> ((s, dir) =>
+      Similarity.pcaPower(Tables.embeddings(s, dir)).orderBy("pos")),
     "sim_norm_outliers" -> ((s, dir) =>
       Similarity.normOutliers(Tables.embeddings(s, dir)).orderBy("vec_id")),
     "sim_label_balance" -> ((s, dir) =>
@@ -2394,6 +2430,17 @@ object PipelineQueries {
          |  CASE (rk * 3) // n WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
          |   ELSE 'tail' END AS ccnet_bucket
          | FROM r ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "sim_pca_power" ->
+      s"""WITH $PCA_CTES,
+         | lam AS (SELECT sum(c.c * a.vj * b.vj) AS lam FROM c
+         |  JOIN v$PCA_ROUNDS AS a ON a.j = c.i
+         |  JOIN v$PCA_ROUNDS AS b ON b.j = c.j),
+         | tr AS (SELECT sum(c) AS tr FROM c WHERE i = j)
+         | SELECT (v.j - 1)::BIGINT AS pos, v.vj AS loading,
+         |  round(lam.lam, 6) AS eigenvalue,
+         |  round(lam.lam / tr.tr, 6) AS var_explained
+         | FROM v$PCA_ROUNDS AS v, lam, tr ORDER BY pos"""
+        .stripMargin.replace("\n", " "),
     // UniMax: ascending-size water-filling with integer comparisons;
     // capped set kept a contiguous prefix by the running min
     "corpus_unimax" ->

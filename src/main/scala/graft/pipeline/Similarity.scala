@@ -1312,6 +1312,74 @@ object Similarity {
         col("max_cos").isNotNull.cast("int").as("contaminated"))
   }
 
+  /** Top principal component of the embedding cloud by distributed
+    * power iteration — the spectrum probe behind embedding
+    * whitening/debiasing (a dominant component with high explained
+    * variance is the classic "rogue dimension" of sentence-embedding
+    * spaces; All-but-the-Top, Mu & Viswanath 2018, removes exactly
+    * this vector). Two corpus map stages: per-dim means, and the
+    * per-row outer product flattened MAP-SIDE (`transform×transform`
+    * → one posexplode into a hash aggregate — the shuffle carries
+    * d² partial sums per partition, never n·d² element rows). The
+    * d²-row covariance `C = S/n − μμᵀ` is the bounded model artifact
+    * (rounded 6dp so both engines iterate IDENTICAL matrices), local-
+    * checkpointed once; the corpus is never touched again. Power
+    * iteration then runs as `rounds` broadcast joins on the d²-row
+    * frame: w = C·v, v = round(w/‖w‖₂, 9) — per-round rounding pins
+    * the iterate cross-engine (aggregation-order ulps are 1e-15
+    * relative, nine decimals is far coarser). v₀ = 1/√d uniform —
+    * deterministic, and never orthogonal to the top component of a
+    * covariance with nonnegative diagonal dominance in practice;
+    * after R rounds both engines hold the same vector by
+    * construction (this is "power iteration after R rounds", not
+    * "the eigenvector to machine precision"). λ = vᵀCv (Rayleigh),
+    * explained variance = λ / tr(C).
+    *
+    * Scale: O(n·d²) flops in one pass — the irreducible covariance
+    * cost — with d²-bounded shuffle and driver state; the iteration
+    * is d²-row joins with d-row broadcast sides, corpus-free. */
+  def pcaPower(corpus: DataFrame, rounds: Int = 8,
+               dim: Int = 64): DataFrame = {
+    val spark = corpus.sparkSession
+    val emb = corpus.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("e"))
+    val mu = emb.select(posexplode(col("e")).as(Seq("k", "v")))
+      .groupBy("k")
+      .agg(round(avg("v"), 6).as("m"), count(lit(1)).as("n"))
+    val cov = emb
+      .select(posexplode(flatten(transform(col("e"),
+        vi => transform(col("e"), vj => vi * vj)))).as(Seq("idx", "p")))
+      .groupBy(expr(s"idx div $dim").cast("int").as("i"),
+        pmod(col("idx"), lit(dim)).cast("int").as("j"))
+      .agg(sum("p").as("s"))
+      .join(broadcast(mu.toDF("i", "mi", "n")), "i")
+      .join(broadcast(mu.select(col("k").as("j"), col("m").as("mj"))), "j")
+      .select(col("i"), col("j"),
+        round(col("s") / col("n") - col("mi") * col("mj"), 6).as("c"))
+      .localCheckpoint(eager = true)
+    var v: DataFrame = spark.range(dim)
+      .select(col("id").cast("int").as("j"),
+        round(lit(1.0 / math.sqrt(dim)), 9).as("vj"))
+    for (_ <- 1 to rounds) {
+      val w = cov.join(broadcast(v), "j")
+        .groupBy("i").agg(sum(col("c") * col("vj")).as("w"))
+      val nrm = w.agg(sqrt(sum(col("w") * col("w"))).as("nw"))
+      v = w.crossJoin(broadcast(nrm))
+        .select(col("i").as("j"), round(col("w") / col("nw"), 9).as("vj"))
+        .localCheckpoint(eager = true)
+    }
+    val scal = cov
+      .join(broadcast(v.toDF("i", "vi")), "i")
+      .join(broadcast(v.toDF("j", "vjj")), "j")
+      .agg(sum(col("c") * col("vi") * col("vjj")).as("lam"))
+      .crossJoin(broadcast(
+        cov.where(col("i") === col("j")).agg(sum("c").as("tr"))))
+      .select(round(col("lam"), 6).as("eigenvalue"),
+        round(col("lam") / col("tr"), 6).as("var_explained"))
+    v.select(col("j").cast("long").as("pos"), col("vj").as("loading"))
+      .crossJoin(broadcast(scal))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold.
     * Brute-force form — the small-N recall oracle for
     * [[cosineNearDupLsh]]; all-pairs, never the production path. */

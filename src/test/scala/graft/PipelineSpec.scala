@@ -2277,6 +2277,41 @@ class PipelineSpec extends SparkSpec {
     assert(byPiece("abab")._1 == 4L, byPiece.toString)
   }
 
+  test("pca power iteration finds a planted dominant axis") {
+    val s = spark
+    import s.implicits._
+    // variance concentrated on axis 1 (values ±4), noise on axis 3;
+    // axes 0 and 2 are constant (zero variance)
+    val vecs = Seq(
+      (1L, Array(0.0f, 4.0f, 1.0f, 0.5f)),
+      (2L, Array(0.0f, -4.0f, 1.0f, -0.5f)),
+      (3L, Array(0.0f, 4.0f, 1.0f, -0.5f)),
+      (4L, Array(0.0f, -4.0f, 1.0f, 0.5f)),
+      (5L, Array(0.0f, 2.0f, 1.0f, 0.25f)),
+      (6L, Array(0.0f, -2.0f, 1.0f, -0.25f))).toDF("vec_id", "embedding")
+    val rows = Similarity.pcaPower(vecs, rounds = 12, dim = 4).collect()
+      .sortBy(_.getAs[Long]("pos"))
+    assert(rows.length == 4)
+    val v = rows.map(_.getAs[Double]("loading"))
+    // unit vector dominated by the planted axis
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-6)
+    assert(math.abs(v(1)) > 0.99, v.toSeq.toString)
+    assert(math.abs(v(0)) < 1e-6 && math.abs(v(2)) < 1e-6)
+    // eigenvalue = the dominant variance; explained share near 1
+    val lam = rows.head.getAs[Double]("eigenvalue")
+    val ve = rows.head.getAs[Double]("var_explained")
+    // var(axis1) = mean(4^2*4 + 2^2*2)/6 = 12; tr adds axis3's 0.1875
+    assert(math.abs(lam - 12.0) < 0.05, lam.toString)
+    assert(ve > 0.97 && ve <= 1.0, ve.toString)
+    // real embeddings: sane spectrum card
+    val real = Similarity.pcaPower(Tables.embeddings(spark, sf)).collect()
+    assert(real.length == 64)
+    assert(math.abs(real.map(_.getAs[Double]("loading"))
+      .map(x => x * x).sum - 1.0) < 1e-6)
+    val rv = real.head.getAs[Double]("var_explained")
+    assert(rv > 0.0 && rv <= 1.0)
+  }
+
   test("unimax: prefix-sum water-filling matches the sequential loop") {
     val docs = Tables.documents(spark, sf)
     val cap = 2L
