@@ -666,6 +666,9 @@ object PipelineQueries {
     // the 6dp-rounded covariance (both engines iterate the same C)
     "sim_pca_power" -> ((s, dir) =>
       Similarity.pcaPower(Tables.embeddings(s, dir)).orderBy("pos")),
+    // All-but-the-Top: center + remove the dominant component
+    "sim_abtt" -> ((s, dir) =>
+      Similarity.allButTop(Tables.embeddings(s, dir)).orderBy("vec_id")),
     "sim_norm_outliers" -> ((s, dir) =>
       Similarity.normOutliers(Tables.embeddings(s, dir)).orderBy("vec_id")),
     "sim_label_balance" -> ((s, dir) =>
@@ -2441,6 +2444,19 @@ object PipelineQueries {
          |  round(lam.lam / tr.tr, 6) AS var_explained
          | FROM v$PCA_ROUNDS AS v, lam, tr ORDER BY pos"""
         .stripMargin.replace("\n", " "),
+    "sim_abtt" ->
+      s"""WITH $PCA_CTES,
+         | muv AS (SELECT list(m ORDER BY k) AS mu FROM mu),
+         | vv AS (SELECT list(vj ORDER BY j) AS v FROM v$PCA_ROUNDS),
+         | per AS (SELECT e.vec_id,
+         |  [e.emb[i] - muv.mu[i] for i in range(1, 65)] AS xc
+         |  FROM e, muv),
+         | p2 AS (SELECT vec_id, list_dot_product(xc, vv.v) AS proj,
+         |  list_dot_product(xc, xc) AS d2 FROM per, vv)
+         | SELECT vec_id, round(proj, 6) AS proj_v,
+         |  round(sqrt(d2), 6) AS norm_centered,
+         |  round(sqrt(greatest(d2 - proj * proj, 0.0)), 6) AS norm_abtt
+         | FROM p2 ORDER BY vec_id""".stripMargin.replace("\n", " "),
     // UniMax: ascending-size water-filling with integer comparisons;
     // capped set kept a contiguous prefix by the running min
     "corpus_unimax" ->

@@ -1338,8 +1338,11 @@ object Similarity {
     * Scale: O(n·d²) flops in one pass — the irreducible covariance
     * cost — with d²-bounded shuffle and driver state; the iteration
     * is d²-row joins with d-row broadcast sides, corpus-free. */
-  def pcaPower(corpus: DataFrame, rounds: Int = 8,
-               dim: Int = 64): DataFrame = {
+  /** The PCA machinery shared by [[pcaPower]] and [[allButTop]]:
+    * per-dim means (rounded 6dp), the checkpointed d²-row covariance,
+    * and the top component after `rounds` power-iteration rounds. */
+  private def pcaParts(corpus: DataFrame, rounds: Int,
+                       dim: Int): (DataFrame, DataFrame, DataFrame) = {
     val spark = corpus.sparkSession
     val emb = corpus.select(col("vec_id"),
       col("embedding").cast("array<double>").as("e"))
@@ -1368,6 +1371,12 @@ object Similarity {
         .select(col("i").as("j"), round(col("w") / col("nw"), 9).as("vj"))
         .localCheckpoint(eager = true)
     }
+    (mu, cov, v)
+  }
+
+  def pcaPower(corpus: DataFrame, rounds: Int = 8,
+               dim: Int = 64): DataFrame = {
+    val (_, cov, v) = pcaParts(corpus, rounds, dim)
     val scal = cov
       .join(broadcast(v.toDF("i", "vi")), "i")
       .join(broadcast(v.toDF("j", "vjj")), "j")
@@ -1378,6 +1387,42 @@ object Similarity {
         round(col("lam") / col("tr"), 6).as("var_explained"))
     v.select(col("j").cast("long").as("pos"), col("vj").as("loading"))
       .crossJoin(broadcast(scal))
+  }
+
+  /** All-but-the-Top embedding correction (Mu & Viswanath 2018):
+    * center each vector and remove its projection on the dominant
+    * component from [[pcaPower]] — the standard isotropy fix that
+    * measurably improves cosine-similarity quality on anisotropic
+    * encoder outputs. Emitted per vector: the projection coordinate,
+    * the centered norm, and the corrected norm (Pythagoras:
+    * ‖x'‖² = ‖x−μ‖² − proj², asserted in spec), so downstream ops
+    * can both apply the fix and audit how much mass the rogue
+    * direction held.
+    *
+    * Scale: μ and v assemble into ONE broadcast row (d-element
+    * arrays — the bounded model artifact); the per-vector math is a
+    * fixed-order [[dotNative]] fold, map-only — the corpus never
+    * shuffles. */
+  def allButTop(corpus: DataFrame, rounds: Int = 8,
+                dim: Int = 64): DataFrame = {
+    val (mu, _, v) = pcaParts(corpus, rounds, dim)
+    val muRow = mu.groupBy().agg(
+      transform(array_sort(collect_list(struct(col("k"), col("m")))),
+        s => s.getField("m")).as("mu"))
+    val vRow = v.groupBy().agg(
+      transform(array_sort(collect_list(struct(col("j"), col("vj")))),
+        s => s.getField("vj")).as("top"))
+    corpus.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("e"))
+      .crossJoin(broadcast(muRow)).crossJoin(broadcast(vRow))
+      .withColumn("xc", zip_with(col("e"), col("mu"), (x, m) => x - m))
+      .select(col("vec_id"),
+        dotNative(col("xc"), col("top")).as("proj"),
+        dotNative(col("xc"), col("xc")).as("d2"))
+      .select(col("vec_id"), round(col("proj"), 6).as("proj_v"),
+        round(sqrt(col("d2")), 6).as("norm_centered"),
+        round(sqrt(greatest(col("d2") - col("proj") * col("proj"),
+          lit(0.0))), 6).as("norm_abtt"))
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold.

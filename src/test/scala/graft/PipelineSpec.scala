@@ -2310,6 +2310,21 @@ class PipelineSpec extends SparkSpec {
       .map(x => x * x).sum - 1.0) < 1e-6)
     val rv = real.head.getAs[Double]("var_explained")
     assert(rv > 0.0 && rv <= 1.0)
+    // all-but-the-top on the planted data: removing the dominant
+    // axis leaves only the noise axis's mass (Pythagoras holds)
+    val abtt = Similarity.allButTop(vecs, rounds = 12, dim = 4).collect()
+    abtt.foreach { r =>
+      val (p, nc, na) = (r.getAs[Double]("proj_v"),
+        r.getAs[Double]("norm_centered"), r.getAs[Double]("norm_abtt"))
+      assert(math.abs(na * na + p * p - nc * nc) < 1e-4, r.toString)
+      assert(na <= nc)
+    }
+    // removing the dominant component strips almost all of doc 1's
+    // centered mass (axis 1 ±4 dominates; only ~the noise axis's
+    // ±0.5 remains, less the slight axis-1/axis-3 correlation tilt)
+    val d1 = abtt.find(_.getAs[Long]("vec_id") == 1L).get
+    assert(d1.getAs[Double]("norm_centered") > 3.9, d1.toString)
+    assert(d1.getAs[Double]("norm_abtt") < 0.55, d1.toString)
   }
 
   test("unimax: prefix-sum water-filling matches the sequential loop") {
