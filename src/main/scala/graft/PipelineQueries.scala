@@ -905,6 +905,10 @@ object PipelineQueries {
     // CCNet head/middle/tail perplexity terciles per language
     "corpus_ccnet" -> ((s, dir) =>
       Corpus.ccnetBuckets(Tables.documents(s, dir)).orderBy("doc_id")),
+    // PSI distribution drift: second arrival half vs first
+    "corpus_psi" -> ((s, dir) =>
+      Corpus.psiDrift(Tables.documents(s, dir))
+        .orderBy("source", "bucket")),
     // UniMax water-filling: budget + epoch cap chosen so the corpus
     // splits into capped small languages and one uncapped big one
     "corpus_unimax" -> ((s, dir) =>
@@ -2457,6 +2461,47 @@ object PipelineQueries {
          |  round(sqrt(d2), 6) AS norm_centered,
          |  round(sqrt(greatest(d2 - proj * proj, 0.0)), 6) AS norm_abtt
          | FROM p2 ORDER BY vec_id""".stripMargin.replace("\n", " "),
+    "corpus_psi" -> {
+      val allSw = TextAnalysis.stopwords.values.flatten.toSeq.distinct
+        .map(s => s"'$s'").mkString(", ")
+      s"""WITH base AS (SELECT doc_id, source,
+         |  string_split_regex(lower(text), '\\s+') AS ws, text
+         |  FROM documents),
+         | bd AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi
+         |  FROM documents),
+         | q AS (SELECT doc_id, source,
+         |  round((least(length(text)::DOUBLE / 500.0, 1.0)
+         |   + len(list_distinct(ws))::DOUBLE / len(ws)
+         |   + least(len(list_filter(ws, x -> list_contains([$allSw], x)))::DOUBLE
+         |       / len(ws) * 4, 1.0)) / 3.0, 6) AS qs FROM base),
+         | s AS (SELECT source,
+         |  least(((doc_id - lo) * 2) // (hi - lo + 1), 1) AS half,
+         |  least(CAST(floor(qs * 10) AS BIGINT), 9) AS bucket FROM q, bd),
+         | c AS (SELECT source, bucket,
+         |  CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_ref,
+         |  CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_cur
+         |  FROM s GROUP BY 1, 2),
+         | grid AS (SELECT source, bucket FROM
+         |  (SELECT DISTINCT source FROM documents)
+         |  CROSS JOIN (SELECT unnest(range(0, 10)) AS bucket)),
+         | g AS (SELECT grid.source, grid.bucket,
+         |  coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+         |  FROM grid LEFT JOIN c USING (source, bucket)),
+         | t AS (SELECT source, bucket, n_ref, n_cur,
+         |  (n_ref + 1)::DOUBLE
+         |    / (sum(n_ref) OVER (PARTITION BY source) + 10) AS p,
+         |  (n_cur + 1)::DOUBLE
+         |    / (sum(n_cur) OVER (PARTITION BY source) + 10) AS q
+         |  FROM g)
+         | SELECT source, bucket, n_ref, n_cur, round(p, 6) AS ref_share,
+         |  round(q, 6) AS cur_share,
+         |  round((p - q) * ln(p / q), 6) AS psi_term,
+         |  round(sum((p - q) * ln(p / q)) OVER (PARTITION BY source), 6)
+         |   AS psi
+         | FROM t ORDER BY source, bucket""".stripMargin.replace("\n", " ")
+    },
     // UniMax: ascending-size water-filling with integer comparisons;
     // capped set kept a contiguous prefix by the running min
     "corpus_unimax" ->

@@ -1206,6 +1206,53 @@ object Corpus {
           .otherwise("tail").as("ccnet_bucket"))
   }
 
+  /** Population Stability Index drift card — THE standard
+    * distribution-shift monitor of production ML (PSI =
+    * Σ_b (p_b − q_b)·ln(p_b/q_b) over score buckets; rule-of-thumb
+    * alarms at 0.1/0.25): per source, the quality-score distribution
+    * of the SECOND arrival half compared against the first, catching
+    * shape changes [[qualityDrift]]'s mean-tracking misses (a feed
+    * whose mean holds while its tails fatten). Buckets are
+    * equal-width over the score's [0,1] range (the per-doc score is
+    * pre-rounded, so bucket assignment is identical cross-engine);
+    * shares are Laplace-smoothed ((n_b+1)/(N+B)) over the DENSE
+    * bucket grid so empty bins stay finite and deterministic. The
+    * per-bucket term and the per-source total emit together — the
+    * card is auditable down to which score band moved.
+    *
+    * Scale: scoring and half/bucket assignment evaluate in ONE map
+    * stage over the corpus (the doc_id bounds arrive as a one-row
+    * broadcast), into a sources×buckets hash aggregate; every window
+    * after that is over the bounded aggregated grid. */
+  def psiDrift(docs: DataFrame, buckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bounds = docs.agg(min("doc_id").as("_lo"), max("doc_id").as("_hi"))
+    val scored = docs.crossJoin(broadcast(bounds))
+      .select(col("source"),
+        least(expr("((doc_id - _lo) * 2) div (_hi - _lo + 1)"), lit(1L))
+          .as("half"),
+        least(floor(TextAnalysis.qualityScoreCol(col("text")) * buckets)
+          .cast("long"), lit(buckets - 1L)).as("bucket"))
+    val counts = scored.groupBy("source", "bucket")
+      .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("n_cur"))
+    val g = counts.select("source").distinct()
+      .select(col("source"),
+        explode(sequence(lit(0L), lit(buckets - 1L))).as("bucket"))
+      .join(counts, Seq("source", "bucket"), "left")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+    val wSrc = Window.partitionBy("source") // sources×buckets rows
+    val p = (col("n_ref") + 1).cast("double") /
+      (sum("n_ref").over(wSrc) + buckets)
+    val q = (col("n_cur") + 1).cast("double") /
+      (sum("n_cur").over(wSrc) + buckets)
+    g.withColumn("_t", (p - q) * log(p / q))
+      .select(col("source"), col("bucket"), col("n_ref"), col("n_cur"),
+        round(p, 6).as("ref_share"), round(q, 6).as("cur_share"),
+        round(col("_t"), 6).as("psi_term"),
+        round(sum("_t").over(wSrc), 6).as("psi"))
+  }
+
   /** UniMax language allocation (Chung et al. 2023, "UniMax: Fairer
     * and More Effective Language Sampling for Large-Scale
     * Multilingual Pretraining"): given a token budget B and an

@@ -2327,6 +2327,42 @@ class PipelineSpec extends SparkSpec {
     assert(d1.getAs[Double]("norm_abtt") < 0.55, d1.toString)
   }
 
+  test("psi: zero for identical halves, positive and additive on drift") {
+    val s = spark
+    import s.implicits._
+    // the half split is global on the doc_id range (1..8 -> ids 1-4
+    // first half, 5-8 second): source A repeats its texts across the
+    // two halves (identical distributions -> every term 0); B's
+    // second half shifts to stopword-soup scores
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "A"), (2L, "one two", "A"),
+      (3L, "x", "B"), (4L, "y", "B"),
+      (5L, "alpha beta gamma delta", "A"), (6L, "one two", "A"),
+      (7L, "the of and to in a is it you that the of and", "B"),
+      (8L, "the of and to in a is it you that the of and more", "B"))
+      .toDF("doc_id", "text", "source")
+    val rows = Corpus.psiDrift(docs).collect()
+    assert(rows.length == 2 * 10)
+    val aPsi = rows.filter(_.getAs[String]("source") == "A")
+      .map(_.getAs[Double]("psi")).distinct
+    assert(aPsi.toSeq == Seq(0.0), aPsi.toSeq.toString)
+    val b = rows.filter(_.getAs[String]("source") == "B")
+    assert(b.head.getAs[Double]("psi") > 0.0)
+    // psi is the sum of its terms; every term is nonnegative
+    rows.groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
+      val terms = rs.map(_.getAs[Double]("psi_term"))
+      assert(terms.forall(_ >= 0.0))
+      assert(math.abs(terms.sum - rs.head.getAs[Double]("psi")) < 1e-4)
+      // smoothed shares each sum to 1 over the dense grid
+      assert(math.abs(rs.map(_.getAs[Double]("ref_share")).sum - 1.0) < 1e-4)
+      assert(math.abs(rs.map(_.getAs[Double]("cur_share")).sum - 1.0) < 1e-4)
+    }
+    // real corpus: one row per (source, bucket), all psi finite >= 0
+    val real = Corpus.psiDrift(Tables.documents(spark, sf)).collect()
+    assert(real.forall(r => r.getAs[Double]("psi") >= 0.0 &&
+      !r.getAs[Double]("psi").isNaN))
+  }
+
   test("unimax: prefix-sum water-filling matches the sequential loop") {
     val docs = Tables.documents(spark, sf)
     val cap = 2L
