@@ -100,6 +100,30 @@ object PipelineQueries {
        | $rounds""".stripMargin.replace("\n", " ")
   }
 
+  /** Deflation suffix for the spectral-gap oracle: λ₁ from the
+    * converged v, C₂ = C − λ₁vvᵀ (both factors rounded exactly like
+    * the engine), then the same unrolled rounds on C₂ under the u
+    * prefix. */
+  private val PCA2_CTES = {
+    val rounds2 = (1 to PCA_ROUNDS).map { r =>
+      val prev = if (r == 1) "u0" else s"u${r - 1}"
+      s"""uw$r AS MATERIALIZED (SELECT c2.i, sum(c2.c * v.vj) AS w
+         | FROM c2 JOIN $prev AS v ON v.j = c2.j GROUP BY c2.i),
+         | u$r AS MATERIALIZED (SELECT i AS j,
+         |  round(w / (SELECT sqrt(sum(w * w)) FROM uw$r), 9) AS vj
+         |  FROM uw$r)""".stripMargin.replace("\n", " ")
+    }.mkString(", ")
+    s"""lam1 AS MATERIALIZED (SELECT round(sum(c.c * a.vj * b.vj), 6) AS l1
+       | FROM c JOIN v$PCA_ROUNDS AS a ON a.j = c.i
+       | JOIN v$PCA_ROUNDS AS b ON b.j = c.j),
+       | c2 AS MATERIALIZED (SELECT c.i, c.j,
+       |  round(c.c - lam1.l1 * a.vj * b.vj, 6) AS c
+       |  FROM c JOIN v$PCA_ROUNDS AS a ON a.j = c.i
+       |  JOIN v$PCA_ROUNDS AS b ON b.j = c.j, lam1),
+       | u0 AS (SELECT k AS j, round(1 / sqrt(64.0), 9) AS vj FROM js),
+       | $rounds2""".stripMargin.replace("\n", " ")
+  }
+
   /** Shared CTE prefix for the CCNet tercile oracles: the
     * text_bigram per-doc ppl (rounded 6, matching
     * TextAnalysis.bigramCrossEntropy), joined to the doc's language
@@ -669,6 +693,9 @@ object PipelineQueries {
     // All-but-the-Top: center + remove the dominant component
     "sim_abtt" -> ((s, dir) =>
       Similarity.allButTop(Tables.embeddings(s, dir)).orderBy("vec_id")),
+    // spectral gap: second component via Hotelling deflation
+    "sim_pca_gap" -> ((s, dir) =>
+      Similarity.pcaSpectrum(Tables.embeddings(s, dir)).orderBy("pos")),
     "sim_norm_outliers" -> ((s, dir) =>
       Similarity.normOutliers(Tables.embeddings(s, dir)).orderBy("vec_id")),
     "sim_label_balance" -> ((s, dir) =>
@@ -2448,6 +2475,18 @@ object PipelineQueries {
          |  round(lam.lam / tr.tr, 6) AS var_explained
          | FROM v$PCA_ROUNDS AS v, lam, tr ORDER BY pos"""
         .stripMargin.replace("\n", " "),
+    "sim_pca_gap" ->
+      s"""WITH $PCA_CTES, $PCA2_CTES,
+         | lam2 AS (SELECT round(sum(c2.c * a.vj * b.vj), 6) AS l2
+         |  FROM c2 JOIN u$PCA_ROUNDS AS a ON a.j = c2.i
+         |  JOIN u$PCA_ROUNDS AS b ON b.j = c2.j),
+         | orth AS (SELECT round(abs(sum(a.vj * b.vj)), 6) AS orthogonality
+         |  FROM v$PCA_ROUNDS AS a JOIN u$PCA_ROUNDS AS b ON b.j = a.j)
+         | SELECT (u.j - 1)::BIGINT AS pos, u.vj AS loading2,
+         |  lam1.l1 AS eigenvalue1, lam2.l2 AS eigenvalue2,
+         |  round(lam2.l2 / lam1.l1, 6) AS gap_ratio, orth.orthogonality
+         | FROM u$PCA_ROUNDS AS u, lam1, lam2, orth
+         | ORDER BY pos""".stripMargin.replace("\n", " "),
     "sim_abtt" ->
       s"""WITH $PCA_CTES,
          | muv AS (SELECT list(m ORDER BY k) AS mu FROM mu),

@@ -1360,6 +1360,14 @@ object Similarity {
       .select(col("i"), col("j"),
         round(col("s") / col("n") - col("mi") * col("mj"), 6).as("c"))
       .localCheckpoint(eager = true)
+    (mu, cov, powerIterate(cov, rounds, dim))
+  }
+
+  /** `rounds` power-iteration rounds on a (i, j, c) matrix frame from
+    * the uniform 1/√d start, per-round 9dp normalization. */
+  private def powerIterate(cov: DataFrame, rounds: Int,
+                           dim: Int): DataFrame = {
+    val spark = cov.sparkSession
     var v: DataFrame = spark.range(dim)
       .select(col("id").cast("int").as("j"),
         round(lit(1.0 / math.sqrt(dim)), 9).as("vj"))
@@ -1371,8 +1379,16 @@ object Similarity {
         .select(col("i").as("j"), round(col("w") / col("nw"), 9).as("vj"))
         .localCheckpoint(eager = true)
     }
-    (mu, cov, v)
+    v
   }
+
+  /** Rounded Rayleigh quotient vᵀMv of a component against a matrix
+    * frame. */
+  private def rayleigh(mat: DataFrame, v: DataFrame,
+                       as: String): DataFrame =
+    mat.join(broadcast(v.toDF("i", "vi")), "i")
+      .join(broadcast(v.toDF("j", "vjj")), "j")
+      .agg(round(sum(col("c") * col("vi") * col("vjj")), 6).as(as))
 
   def pcaPower(corpus: DataFrame, rounds: Int = 8,
                dim: Int = 64): DataFrame = {
@@ -1387,6 +1403,46 @@ object Similarity {
         round(col("lam") / col("tr"), 6).as("var_explained"))
     v.select(col("j").cast("long").as("pos"), col("vj").as("loading"))
       .crossJoin(broadcast(scal))
+  }
+
+  /** Second principal component by Hotelling deflation — the
+    * spectral-gap card completing [[pcaPower]]: deflate
+    * C₂ = C − λ₁·v₁v₁ᵀ (both factors pre-rounded, so two engines
+    * deflate the IDENTICAL matrix), power-iterate C₂ the same R
+    * rounds, and report λ₂, the gap ratio λ₂/λ₁ (how dominant the
+    * rogue direction really is — the number that decides whether
+    * All-but-the-Top should remove one component or several), and
+    * |v₁·v₂| as the orthogonality audit (near 0 when R rounds have
+    * converged; a drifting value flags an unresolved near-degenerate
+    * pair rather than failing silently).
+    *
+    * Scale: one extra d²-row join over the checkpointed covariance
+    * to deflate, then the same corpus-free d²×d-broadcast iteration;
+    * the corpus is still touched exactly once (inside
+    * [[pcaParts]]). */
+  def pcaSpectrum(corpus: DataFrame, rounds: Int = 8,
+                  dim: Int = 64): DataFrame = {
+    val (_, cov, v1) = pcaParts(corpus, rounds, dim)
+    val lam1 = rayleigh(cov, v1, "l1")
+    val cov2 = cov
+      .join(broadcast(v1.toDF("i", "vi")), "i")
+      .join(broadcast(v1.toDF("j", "vjj")), "j")
+      .crossJoin(broadcast(lam1))
+      .select(col("i"), col("j"),
+        round(col("c") - col("l1") * col("vi") * col("vjj"), 6).as("c"))
+      .localCheckpoint(eager = true)
+    val v2 = powerIterate(cov2, rounds, dim)
+    val lam2 = rayleigh(cov2, v2, "l2")
+    val orth = v1.toDF("j", "v1j")
+      .join(v2.toDF("j", "v2j"), "j")
+      .agg(round(abs(sum(col("v1j") * col("v2j"))), 6).as("orthogonality"))
+    v2.select(col("j").cast("long").as("pos"), col("vj").as("loading2"))
+      .crossJoin(broadcast(lam1)).crossJoin(broadcast(lam2))
+      .crossJoin(broadcast(orth))
+      .select(col("pos"), col("loading2"),
+        col("l1").as("eigenvalue1"), col("l2").as("eigenvalue2"),
+        round(col("l2") / col("l1"), 6).as("gap_ratio"),
+        col("orthogonality"))
   }
 
   /** All-but-the-Top embedding correction (Mu & Viswanath 2018):

@@ -2325,6 +2325,17 @@ class PipelineSpec extends SparkSpec {
     val d1 = abtt.find(_.getAs[Long]("vec_id") == 1L).get
     assert(d1.getAs[Double]("norm_centered") > 3.9, d1.toString)
     assert(d1.getAs[Double]("norm_abtt") < 0.55, d1.toString)
+    // spectral gap: second component is the (near-)noise axis,
+    // orthogonal to the first, with a small gap ratio
+    val spec2 = Similarity.pcaSpectrum(vecs, rounds = 12, dim = 4).collect()
+      .sortBy(_.getAs[Long]("pos"))
+    val v2 = spec2.map(_.getAs[Double]("loading2"))
+    assert(math.abs(v2.map(x => x * x).sum - 1.0) < 1e-6)
+    val h = spec2.head
+    assert(h.getAs[Double]("eigenvalue1") > h.getAs[Double]("eigenvalue2"))
+    assert(h.getAs[Double]("eigenvalue2") > 0.0)
+    assert(h.getAs[Double]("gap_ratio") < 0.05, h.toString)
+    assert(h.getAs[Double]("orthogonality") < 1e-3, h.toString)
   }
 
   test("psi: zero for identical halves, positive and additive on drift") {
