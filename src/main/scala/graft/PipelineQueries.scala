@@ -616,6 +616,22 @@ object PipelineQueries {
       Similarity.cosineTopKQuantized(emb, emb.where(col("vec_id") < 10), 5)
         .orderBy("q_id", "rk")
     }),
+    // 1-bit compression tier: sign-packed words, Hamming candidates,
+    // exact cosine re-rank of the bounded survivor set
+    "sim_binary_quant" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.binaryHammingTopK(emb, emb.where(col("vec_id") < 10), 5)
+        .orderBy("q_id", "rk")
+    }),
+    // Dirichlet-smoothed query-likelihood retrieval — the LM scoring
+    // alternative to BM25 over the same inverted-index join
+    "text_ql" -> ((s, dir) =>
+      TextAnalysis.queryLikelihood(Tables.documents(s, dir),
+        col("doc_id") < 10).orderBy("q_id", "s_rk")),
+    // weighted reservoir sample (A-ES): per-source top-n by ln(u)/w
+    "corpus_reservoir" -> ((s, dir) =>
+      Corpus.reservoirSample(Tables.documents(s, dir))
+        .orderBy("source", "rk")),
     "sim_pq_ann" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.pqAnn(emb, emb.where(col("vec_id") < 10), 5)
@@ -1433,6 +1449,71 @@ object PipelineQueries {
          |  FROM codes AS q JOIN codes AS c ON q.vec_id <> c.vec_id
          |  WHERE q.vec_id < 10) AS t
          | WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin.replace("\n", " "),
+    // sign-pattern Hamming replayed dimension-wise (the packed-word
+    // bit_count(xor) of the engine counts exactly the sign
+    // disagreements), then exact-cosine re-rank of the 20 candidates
+    "sim_binary_quant" ->
+      s"""WITH d AS (SELECT unnest(generate_series(1, 64)) AS j),
+         | qv AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe
+         |  FROM embeddings WHERE vec_id < 10),
+         | ham AS (SELECT q_id, c.vec_id AS c_id,
+         |   CAST(sum(CASE WHEN (qe[j] > 0) <>
+         |     ((c.embedding::DOUBLE[])[j] > 0) THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS hamming
+         |  FROM qv CROSS JOIN embeddings AS c CROSS JOIN d
+         |  WHERE c.vec_id <> qv.q_id GROUP BY 1, 2),
+         | cand AS (SELECT q_id, c_id, hamming FROM (
+         |   SELECT q_id, c_id, hamming, row_number() OVER (PARTITION BY q_id
+         |     ORDER BY hamming ASC, c_id ASC) AS crk FROM ham) AS z
+         |  WHERE crk <= 20),
+         | fin AS (SELECT cand.q_id, cand.c_id, cand.hamming,
+         |   ${cosSql("a", "b")} AS cos
+         |  FROM cand JOIN embeddings AS a ON a.vec_id = cand.q_id
+         |   JOIN embeddings AS b ON b.vec_id = cand.c_id)
+         | SELECT q_id, c_id, hamming, round(cos, 6) AS cos_v, rk FROM (
+         |  SELECT q_id, c_id, hamming, cos, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rk
+         |  FROM fin) AS t
+         | WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin.replace("\n", " "),
+    // Dirichlet QL in the same sparse decomposition as the engine:
+    // matched-term sum + n_q·ln(μ/(dl+μ)) background, μ = 2000
+    "text_ql" ->
+      """WITH wd AS (SELECT doc_id,
+        |  string_split_regex(lower(text), '\s+') AS ws FROM documents),
+        | tf AS (SELECT doc_id, w, count(*) AS tf FROM
+        |  (SELECT doc_id, unnest(ws) AS w FROM wd) z GROUP BY doc_id, w),
+        | dl AS (SELECT doc_id, len(ws)::BIGINT AS dl FROM wd),
+        | tot AS (SELECT CAST(sum(tf) AS BIGINT) AS n_tok FROM tf),
+        | ctf AS (SELECT w, CAST(sum(tf) AS BIGINT) AS ctf
+        |  FROM tf GROUP BY w),
+        | qt AS (SELECT doc_id AS q_id, w FROM tf WHERE doc_id < 10),
+        | nq AS (SELECT q_id, count(*) AS n_q FROM qt GROUP BY q_id),
+        | terms AS (SELECT qt.q_id, tf.doc_id AS c_id,
+        |   ln(1.0 + (tf.tf * n_tok) / (2000.0 * ctf.ctf)) AS term
+        |  FROM qt JOIN tf ON tf.w = qt.w AND tf.doc_id <> qt.q_id
+        |  JOIN ctf ON ctf.w = qt.w CROSS JOIN tot),
+        | sc AS (SELECT q_id, c_id, sum(term) AS m
+        |  FROM terms GROUP BY q_id, c_id),
+        | fin AS (SELECT sc.q_id, sc.c_id,
+        |   round(sc.m + nq.n_q * ln(2000.0 / (dl.dl + 2000.0)), 6) AS ql_v
+        |  FROM sc JOIN dl ON dl.doc_id = sc.c_id
+        |   JOIN nq ON nq.q_id = sc.q_id)
+        | SELECT q_id, c_id, ql_v, s_rk FROM (
+        |  SELECT q_id, c_id, ql_v, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY ql_v DESC, c_id ASC) AS s_rk FROM fin) AS t
+        | WHERE s_rk <= 20 ORDER BY q_id, s_rk""".stripMargin.replace("\n", " "),
+    // A-ES weighted reservoir: key = ln(md5-uniform)/n_chars, rounded
+    // to 6 before ranking (libm ln ulp), per-source top-10
+    "corpus_reservoir" ->
+      """WITH k AS (SELECT source, doc_id, n_chars,
+        |  round(ln((CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8)
+        |    AS BIGINT) + 1) / 4294967296.0) / n_chars, 6) AS res_key
+        | FROM documents)
+        | SELECT source, doc_id, n_chars, res_key, rk FROM (
+        |  SELECT source, doc_id, n_chars, res_key, row_number() OVER (
+        |    PARTITION BY source ORDER BY res_key DESC, doc_id ASC) AS rk
+        |  FROM k) AS t
+        | WHERE rk <= 10 ORDER BY source, rk""".stripMargin.replace("\n", " "),
     // IVF-PQ composed: cells + residual PQ + per-(query, cell) ADC —
     // centroids/cellof/qprobe from the ivf oracle, residual lists as
     // element-wise comprehensions, codebooks from the first 32

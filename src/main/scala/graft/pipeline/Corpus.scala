@@ -303,6 +303,47 @@ object Corpus {
       .select("doc_id", "source", "n_tokens", "bucket_ppm", "sampled")
   }
 
+  /** Deterministic weighted reservoir sample — Efraimidis & Spirakis
+    * (2006) algorithm A-ES, the distributed form of "sample n docs
+    * per source with probability ∝ weight without replacement": each
+    * doc draws a hash-uniform u ∈ (0,1] and keys on ln(u)/w (the
+    * log-domain form of u^(1/w), monotone-equivalent and stable for
+    * tiny weights); the per-source top-n by key IS the weighted
+    * sample. Weight here is `n_chars` — longer docs proportionally
+    * likelier, the byte-budget convention. u derives from md5 of the
+    * doc id, so the draw is reproducible across engines and runs
+    * (same convention as [[mixtureSample]]'s permille draw).
+    *
+    * Determinism: keys round to 6 decimals before ranking (ln differs
+    * in the last ulp across libm implementations), doc_id breaks
+    * ties.
+    *
+    * Scale: a per-row hash + two bounded rank phases — docs first
+    * take a LOCAL top-n within (source, md5-shard), so no window ever
+    * sorts a whole source; the global rank re-ranks only the
+    * sources × shards × n survivors. This is exactly how a
+    * 1000-executor reservoir runs: per-partition heaps, then a
+    * driver-sized merge. */
+  def reservoirSample(docs: DataFrame, n: Int = 10,
+                      shards: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = (Dedup.md5Int(col("doc_id").cast("string")) + lit(1L)) /
+      lit(4294967296.0)
+    val base = docs.select(col("source"), col("doc_id"), col("n_chars"),
+      round(log(u) / col("n_chars"), 6).as("res_key"),
+      pmod(Dedup.md5Int(concat(lit("shard:"), col("doc_id").cast("string"))),
+        lit(shards.toLong)).as("_shard"))
+    val wLocal = Window.partitionBy("source", "_shard")
+      .orderBy(col("res_key").desc, col("doc_id").asc)
+    val locals = base.withColumn("_lrk", row_number().over(wLocal))
+      .where(col("_lrk") <= n)
+    val wGlobal = Window.partitionBy("source")
+      .orderBy(col("res_key").desc, col("doc_id").asc)
+    locals.withColumn("rk", row_number().over(wGlobal).cast("long"))
+      .where(col("rk") <= n)
+      .select("source", "doc_id", "n_chars", "res_key", "rk")
+  }
+
   /** Temperature-scaled mixture design — the step BEFORE
     * [[mixtureSample]]: given only the corpus, derive the per-source
     * sampling weights. Natural sampling (share ∝ tokens) lets one

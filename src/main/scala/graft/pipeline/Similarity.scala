@@ -1233,6 +1233,63 @@ object Similarity {
         col("rk").cast("long").as("rk"))
   }
 
+  /** Binary (1-bit) quantization + Hamming re-rank — the most
+    * aggressive compression tier after [[quantizeInt8]] (8 bit) and
+    * [[pqAnn]] (sub-byte): each dimension keeps only its SIGN, so a
+    * 64-dim float vector becomes two 32-bit words (32× smaller), and
+    * the candidate metric is the Hamming distance between sign
+    * patterns — a monotone proxy for angle (cos θ ≈ cos(π·h/d) under
+    * the hyperplane-LSH argument; the same geometry
+    * [[lshBucket]] exploits, evaluated exhaustively instead of
+    * bucketed). Stage 1 ranks the corpus by packed-word Hamming
+    * (bit_count over XOR — two ints per vector are ALL that moves);
+    * stage 2 re-ranks only the `k·oversample` survivors with exact
+    * float cosine.
+    *
+    * Packing folds each 32-dim half big-endian as acc·2+bit — no
+    * 64-bit shift, so the words stay far from long overflow under
+    * ANSI arithmetic.
+    *
+    * Scale: the Hamming scan carries 8 bytes/vector (the point of
+    * binary quantization: the sign sketch of a 100 TB float corpus
+    * fits hot storage); queries broadcast; the float payload is
+    * touched only for the bounded candidate set via an equi-join on
+    * c_id. Per-query windows partition by q_id. */
+  def binaryHammingTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                        oversample: Int = 4): DataFrame = {
+    def packWord(arr: Column): Column =
+      aggregate(arr, lit(0L),
+        (acc, v) => acc * 2 + when(v > 0, 1L).otherwise(0L))
+    def signWords(df: DataFrame, idAs: String, p: String): DataFrame = {
+      val e = col("embedding").cast("array<double>")
+      df.select(col("vec_id").as(idAs),
+        packWord(slice(e, 1, 32)).as(s"${p}_hi"),
+        packWord(slice(e, 33, 32)).as(s"${p}_lo"))
+    }
+    val q = signWords(queries, "q_id", "q")
+    val c = signWords(corpus, "c_id", "c")
+    val ham = c.crossJoin(broadcast(q))
+      .where(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        (bit_count(col("q_hi").bitwiseXOR(col("c_hi"))) +
+          bit_count(col("q_lo").bitwiseXOR(col("c_lo"))))
+          .cast("long").as("hamming"))
+    val wCand = Window.partitionBy("q_id")
+      .orderBy(col("hamming").asc, col("c_id").asc)
+    val cand = ham.withColumn("_crk", row_number().over(wCand))
+      .where(col("_crk") <= k * oversample)
+    val qf = withNorm(queries, "q_id", "q_emb", "q_norm")
+    val cf = withNorm(corpus, "c_id", "c_emb", "c_norm")
+    val scored = cand.join(broadcast(qf), "q_id").join(cf, "c_id")
+      .select(col("q_id"), col("c_id"), col("hamming"),
+        scoreCos("q_emb", "c_emb", "q_norm", "c_norm").as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+      .select(col("q_id"), col("c_id"), col("hamming"),
+        round(col("cos"), 6).as("cos_v"), col("rk"))
+  }
+
   /** LSH-blocked embedding near-duplicate pairs — the 100 TB path:
     * candidates are pairs sharing any table's hyperplane bucket
     * (per-bucket equi-join, never all-pairs), then exact cosine > τ

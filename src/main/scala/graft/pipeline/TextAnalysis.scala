@@ -552,6 +552,65 @@ object TextAnalysis {
       .where(col("s_rk") <= topK)
   }
 
+  /** Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    * Lafferty 2001) — the language-model companion to
+    * [[moreLikeThis]]'s BM25: rank candidates by
+    * p(q|d) = Π_t p(t|d) with p(t|d) = (tf + μ·p(t|C)) / (dl + μ),
+    * evaluated in the rank-equivalent sparse decomposition
+    *
+    *   score(q,d) = Σ_{t∈q, tf(t,d)>0} ln(1 + tf·N/(μ·ctf))
+    *              + n_q · ln(μ / (dl + μ))
+    *
+    * so only posting-MATCHED (query, candidate) pairs ever meet in
+    * the join — the absent-term background mass folds into the
+    * per-candidate length term (the standard DAAT decomposition that
+    * makes smoothed LM retrieval an inverted-index problem instead
+    * of dense |Q|×|C| scoring). Query terms are the DISTINCT words
+    * of each query doc (the MLT convention, query-side tf
+    * unweighted); candidates must share ≥1 term — a zero-match doc
+    * carries only background mass and is not retrieved (documented
+    * divergence from the dense form, which could rank a very short
+    * zero-match doc above a long matched one).
+    *
+    * Determinism: like [[moreLikeThis]], the per-pair score is a
+    * double SUM whose order is engine-dependent, so the rank orders
+    * by the ROUNDED score with c_id as tie-break.
+    *
+    * Scale: identical shape to [[moreLikeThis]] — postings/ctf are
+    * corpus-vocabulary aggregations, the candidate join is an
+    * equi-join on the term key, N is a one-row broadcast, and the
+    * per-query rank windows partition by q_id. */
+  def queryLikelihood(docs: DataFrame, isQuery: Column,
+                      mu: Double = 2000.0, topK: Int = 20): DataFrame = {
+    val tf = docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = true)
+    val dl = docs.select(col("doc_id"),
+      size(words(col("text"))).cast("long").as("dl"))
+    val tot = tf.agg(sum("tf").as("n_tok"))
+    val ctf = tf.groupBy("w").agg(sum("tf").as("ctf"))
+    val qt = tf.where(isQuery).select(col("doc_id").as("q_id"), col("w"))
+    val nq = qt.groupBy("q_id").agg(count(lit(1)).as("n_q"))
+    val matched = qt
+      .join(tf.withColumnRenamed("doc_id", "c_id"), "w")
+      .where(col("c_id") =!= col("q_id"))
+      .join(ctf, "w")
+      .crossJoin(broadcast(tot))
+      .select(col("q_id"), col("c_id"),
+        log(lit(1.0) +
+          (col("tf") * col("n_tok")) / (lit(mu) * col("ctf"))).as("term"))
+    val sc = matched.groupBy("q_id", "c_id").agg(sum("term").as("m"))
+      .join(dl.withColumnRenamed("doc_id", "c_id"), "c_id")
+      .join(broadcast(nq), "q_id")
+      .select(col("q_id"), col("c_id"),
+        round(col("m") +
+          col("n_q") * log(lit(mu) / (col("dl") + lit(mu))), 6).as("ql_v"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("ql_v").desc, col("c_id").asc)
+    sc.withColumn("s_rk", row_number().over(w).cast("long"))
+      .where(col("s_rk") <= topK)
+  }
+
   /** Top-k adjacent-bigram collocations by pointwise mutual
     * information — the classic phrase-mining signal (Church & Hanks
     * 1990; word2vec's phrase pass uses the same score):

@@ -516,6 +516,74 @@ class PipelineSpec extends SparkSpec {
     assert(overlap >= 0.85, s"int8 top-5 overlap $overlap too low")
   }
 
+  test("binary quantization: sign-pattern hamming exact, cosine re-rank") {
+    val s = spark
+    import s.implicits._
+    val vecs = Seq(
+      (0L, Array.fill(64)(1.0f)),                                // query
+      (1L, Array.tabulate(64)(i => if (i < 32) -1.0f else 1.0f)), // ham 32
+      (2L, Array.fill(64)(-1.0f)),                               // ham 64
+      (3L, Array.fill(64)(0.9f)))                                // ham 0
+      .toDF("vec_id", "embedding")
+    val r = Similarity.binaryHammingTopK(
+      vecs, vecs.where(col("vec_id") === 0), k = 3).collect()
+    val ham = r.map(x => x.getAs[Long]("c_id") -> x.getAs[Long]("hamming")).toMap
+    assert(ham == Map(3L -> 0L, 1L -> 32L, 2L -> 64L))
+    // re-rank is by exact cosine: the scaled-parallel vector wins
+    val byRank = r.sortBy(_.getAs[Long]("rk")).map(_.getAs[Long]("c_id")).toSeq
+    assert(byRank == Seq(3L, 1L, 2L))
+    // on real embeddings the 1-bit tier still recovers most of top-5
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.where(col("vec_id") < 10)
+    val exact = Similarity.cosineTopK(emb, q, 5).select("q_id", "c_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    // 1-bit sketches are coarse: recall rises with the candidate
+    // oversample (the serving-time knob) — check the trend and the
+    // deeper tier's floor
+    def overlapAt(os: Int): Double = {
+      val approx = Similarity.binaryHammingTopK(emb, q, 5, oversample = os)
+        .select("q_id", "c_id")
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      exact.intersect(approx).size.toDouble / exact.size
+    }
+    val (o4, o16) = (overlapAt(4), overlapAt(16))
+    assert(o16 >= o4, s"deeper candidates lost recall: $o4 -> $o16")
+    assert(o16 >= 0.5, s"binary top-5 overlap $o16 at oversample=16 too low")
+  }
+
+  test("query likelihood: only matched candidates retrieved, ranked by score") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (0L, "apple banana"), (1L, "apple apple apple"),
+      (2L, "banana banana"), (3L, "cherry cherry"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.queryLikelihood(docs, col("doc_id") === 0)
+      .collect()
+    // cherry-only doc shares no query term → not retrieved
+    assert(r.map(_.getAs[Long]("c_id")).toSet == Set(1L, 2L))
+    val byRank = r.sortBy(_.getAs[Long]("s_rk"))
+    assert(byRank.map(_.getAs[Double]("ql_v")).toSeq ==
+      byRank.map(_.getAs[Double]("ql_v")).sortBy(-_).toSeq)
+  }
+
+  test("reservoir sample: shard count never changes the sample") {
+    val docs = Tables.documents(spark, sf)
+    val one = Corpus.reservoirSample(docs, n = 10, shards = 1)
+      .orderBy("source", "rk").collect().map(_.toSeq)
+    val many = Corpus.reservoirSample(docs, n = 10, shards = 8)
+      .orderBy("source", "rk").collect().map(_.toSeq)
+    assert(one.toSeq == many.toSeq)
+    // per-source sample size = min(n, source size)
+    val sizes = Corpus.reservoirSample(docs, n = 10, shards = 8)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val srcSizes = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((src, n) <- srcSizes)
+      assert(sizes(src) == math.min(10L, n), s"source $src sample ${sizes(src)}")
+  }
+
   test("IVF ANN recall vs brute force on real embeddings") {
     val emb = Tables.embeddings(spark, sf)
     val q = emb.where(col("vec_id") < 20)
