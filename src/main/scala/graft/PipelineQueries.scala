@@ -435,6 +435,61 @@ object PipelineQueries {
     s"v0 AS ($base), $stages"
   }
 
+  /** MMR oracle: dense top-poolK pool + poolK² pairwise sims, then
+    * the k greedy picks unrolled as sel1..selK CTEs. Scoring is in
+    * exact integer tenth-micro units (λ = p/10, score = p·rel₆ −
+    * (10−p)·sim₆ over the 6-decimal integers) — a float λ·rel −
+    * (1−λ)·sim lands exactly ON .5 at the 7th decimal routinely and
+    * the two engines' round() disagree there. */
+  private def mmrOracleSql(k: Int, poolK: Int, lamNum: Int): String = {
+    val om = 10 - lamNum
+    val rounds = (2 to k).map { r =>
+      s"""p$r AS (SELECT q_id, c_id, rel_v, mmr_v,
+         |   CAST($r AS BIGINT) AS step FROM (
+         |  SELECT cand.q_id, cand.c_id, cand.rel_v,
+         |   ($lamNum * cand.rel_i - $om * ms.max_sim_i) / 10000000.0
+         |     AS mmr_v,
+         |   row_number() OVER (PARTITION BY cand.q_id
+         |     ORDER BY $lamNum * cand.rel_i - $om * ms.max_sim_i
+         |      DESC, cand.c_id ASC) AS r
+         |  FROM cand JOIN (
+         |    SELECT s2.q_id, s2.a_id AS c_id, max(s2.sim_i) AS max_sim_i
+         |    FROM sims s2 JOIN sel${r - 1} s
+         |     ON s.q_id = s2.q_id AND s.c_id = s2.b_id
+         |    GROUP BY 1, 2) AS ms
+         |   ON ms.q_id = cand.q_id AND ms.c_id = cand.c_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} sx
+         |    WHERE sx.q_id = cand.q_id AND sx.c_id = cand.c_id)) AS z$r
+         | WHERE r = 1),
+         | sel$r AS (SELECT * FROM sel${r - 1}
+         |  UNION ALL SELECT * FROM p$r)""".stripMargin.replace("\n", " ")
+    }.mkString(", ")
+    s"""WITH cand AS (SELECT q_id, c_id, rel_v,
+       |   CAST(round(rel_v * 1000000.0, 0) AS BIGINT) AS rel_i FROM (
+       |  SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+       |   round(${cosSql("a", "b")}, 6) AS rel_v,
+       |   row_number() OVER (PARTITION BY a.vec_id
+       |     ORDER BY ${cosSql("a", "b")} DESC, b.vec_id ASC) AS rk
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+       |  WHERE a.vec_id < 10) AS t WHERE rk <= $poolK),
+       | sims AS (SELECT l.q_id, l.c_id AS a_id, r.c_id AS b_id,
+       |   CAST(round(round(${cosSql("a", "b")}, 6) * 1000000.0, 0)
+       |     AS BIGINT) AS sim_i
+       |  FROM cand l JOIN cand r ON l.q_id = r.q_id AND l.c_id <> r.c_id
+       |  JOIN embeddings a ON a.vec_id = l.c_id
+       |  JOIN embeddings b ON b.vec_id = r.c_id),
+       | sel1 AS (SELECT q_id, c_id, rel_v,
+       |   ($lamNum * rel_i) / 10000000.0 AS mmr_v,
+       |   CAST(1 AS BIGINT) AS step FROM (
+       |  SELECT q_id, c_id, rel_v, rel_i,
+       |   row_number() OVER (PARTITION BY q_id
+       |    ORDER BY rel_i DESC, c_id ASC) AS r FROM cand) AS z1
+       |  WHERE r = 1),
+       | $rounds
+       | SELECT q_id, c_id, rel_v, mmr_v, step FROM sel$k
+       | ORDER BY q_id, step""".stripMargin.replace("\n", " ")
+  }
+
   /** kmeans-inertia oracle: Lloyd iterations 0..2 with per-vector
     * (cluster, d²) labels, inertia sums and moved counts. */
   private lazy val KMEANS_INERTIA_SQL: String = {
@@ -628,6 +683,18 @@ object PipelineQueries {
     "text_ql" -> ((s, dir) =>
       TextAnalysis.queryLikelihood(Tables.documents(s, dir),
         col("doc_id") < 10).orderBy("q_id", "s_rk")),
+    // vector-space model: L2-normalized tf-idf cosine over the
+    // df-pruned vocabulary, same DAAT posting join
+    "sim_sparse_cos" -> ((s, dir) =>
+      TextAnalysis.sparseCosineTopK(Tables.documents(s, dir),
+        col("doc_id") < 10).orderBy("q_id", "s_rk")),
+    // MMR diversity re-rank of the dense top-20 pool: greedy
+    // λ·rel − (1−λ)·max-sim selection, bounded frames per round
+    "sim_mmr" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.mmrRerank(emb, emb.where(col("vec_id") < 10))
+        .orderBy("q_id", "step")
+    }),
     // weighted reservoir sample (A-ES): per-source top-n by ln(u)/w
     "corpus_reservoir" -> ((s, dir) =>
       Corpus.reservoirSample(Tables.documents(s, dir))
@@ -1501,6 +1568,35 @@ object PipelineQueries {
         | SELECT q_id, c_id, ql_v, s_rk FROM (
         |  SELECT q_id, c_id, ql_v, row_number() OVER (PARTITION BY q_id
         |    ORDER BY ql_v DESC, c_id ASC) AS s_rk FROM fin) AS t
+        | WHERE s_rk <= 20 ORDER BY q_id, s_rk""".stripMargin.replace("\n", " "),
+    "sim_mmr" -> mmrOracleSql(k = 5, poolK = 20, lamNum = 7),
+    // VSM: tf·ln(N/df) over the df≤10% vocabulary, L2 norms, DAAT
+    // posting join, rounded-cosine rank
+    "sim_sparse_cos" ->
+      """WITH wd AS (SELECT doc_id,
+        |  string_split_regex(lower(text), '\s+') AS ws FROM documents),
+        | tf AS (SELECT doc_id, w, count(*) AS tf FROM
+        |  (SELECT doc_id, unnest(ws) AS w FROM wd) z GROUP BY doc_id, w),
+        | nd AS (SELECT count(*) AS n_docs FROM documents),
+        | kept AS (SELECT w, count(*) AS df FROM tf GROUP BY w
+        |  HAVING count(*) <= (SELECT n_docs FROM nd) * 0.1),
+        | wts AS (SELECT tf.doc_id, tf.w,
+        |   tf.tf * ln(nd.n_docs::DOUBLE / kept.df) AS wt
+        |  FROM tf JOIN kept ON kept.w = tf.w CROSS JOIN nd),
+        | nrm AS (SELECT doc_id, sqrt(sum(wt * wt)) AS nrm
+        |  FROM wts GROUP BY doc_id),
+        | dots AS (SELECT qw.doc_id AS q_id, cw.doc_id AS c_id,
+        |   sum(qw.wt * cw.wt) AS dot
+        |  FROM wts qw JOIN wts cw
+        |   ON cw.w = qw.w AND cw.doc_id <> qw.doc_id
+        |  WHERE qw.doc_id < 10 GROUP BY 1, 2),
+        | sc AS (SELECT d.q_id, d.c_id,
+        |   round(d.dot / (qn.nrm * cn.nrm), 6) AS cos_v
+        |  FROM dots d JOIN nrm qn ON qn.doc_id = d.q_id
+        |   JOIN nrm cn ON cn.doc_id = d.c_id)
+        | SELECT q_id, c_id, cos_v, s_rk FROM (
+        |  SELECT q_id, c_id, cos_v, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY cos_v DESC, c_id ASC) AS s_rk FROM sc) AS t
         | WHERE s_rk <= 20 ORDER BY q_id, s_rk""".stripMargin.replace("\n", " "),
     // A-ES weighted reservoir: key = ln(md5-uniform)/n_chars, rounded
     // to 6 before ranking (libm ln ulp), per-source top-10

@@ -1290,6 +1290,86 @@ object Similarity {
         round(col("cos"), 6).as("cos_v"), col("rk"))
   }
 
+  /** Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998)
+    * — the diversity-aware selection layer over any top-k retriever:
+    * from each query's `poolK` dense-cosine candidates, greedily pick
+    * `k` by
+    *
+    *   mmr(c) = λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)
+    *
+    * (step 1 is pure relevance — the max over the empty set is 0 by
+    * convention). The training-data reading: `rel` = similarity to a
+    * prototype, `sim` = redundancy among picks — the same
+    * select-diverse-examples shape D4/SemDeDup optimize globally,
+    * here per query.
+    *
+    * Determinism: rel and the pairwise sims round to 6 BEFORE any
+    * selection, and the mmr score itself is computed in EXACT
+    * integer tenth-micro units — λ must be a rational p/10, and
+    * score = p·rel₆ − (10−p)·sim₆ over the 6-decimal integers. A
+    * float λ·rel − (1−λ)·sim over 6-decimal inputs lands exactly ON
+    * .5 at the 7th decimal routinely (0.7·x has 7 decimals), where
+    * Spark's decimal-string HALF_UP and DuckDB's binary rounding
+    * disagree — measured, not hypothetical. Integer scoring has no
+    * rounding anywhere; the reported mmr_v = score/10⁷ divides
+    * identically on both engines.
+    *
+    * Scale: selection is inherently sequential in k, but every round
+    * touches only BOUNDED frames — the q×poolK candidate pool and
+    * its poolK² pairwise-sim frame, both checkpointed once; rounds
+    * compose anti-join → bounded max-agg → per-query top-1 window.
+    * The corpus-sized work all lives in the candidate stage
+    * ([[cosineTopK]] here; any ANN variant emitting
+    * (q_id, c_id, cos_v) drops in). */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+                poolK: Int = 20, lambda: Double = 0.7): DataFrame = {
+    val lamNum = math.round(lambda * 10).toInt
+    require(lamNum / 10.0 == lambda && lamNum >= 0 && lamNum <= 10,
+      s"lambda must be a tenth-rational in [0,1], got $lambda")
+    def micro(c: Column): Column = round(c * lit(1e6), 0).cast("long")
+    val cand = cosineTopK(corpus, queries, poolK)
+      .select(col("q_id"), col("c_id"), col("cos_v").as("rel_v"),
+        micro(col("cos_v")).as("rel_i"))
+      .localCheckpoint(eager = true)
+    val ca = withNorm(corpus, "a_id", "a_emb", "a_norm")
+    val cb = withNorm(corpus, "b_id", "b_emb", "b_norm")
+    val sims = cand.select(col("q_id"), col("c_id").as("a_id"))
+      .join(cand.select(col("q_id"), col("c_id").as("b_id")), "q_id")
+      .where(col("a_id") =!= col("b_id"))
+      .join(ca, "a_id").join(cb, "b_id")
+      .select(col("q_id"), col("a_id"), col("b_id"),
+        micro(round(scoreCos("a_emb", "b_emb", "a_norm", "b_norm"), 6))
+          .as("sim_i"))
+      .localCheckpoint(eager = true)
+    val w1 = Window.partitionBy("q_id")
+      .orderBy(col("rel_i").desc, col("c_id").asc)
+    var selected = cand.withColumn("_r", row_number().over(w1))
+      .where(col("_r") === 1)
+      .select(col("q_id"), col("c_id"), col("rel_v"),
+        (lit(lamNum.toLong) * col("rel_i") / lit(1e7)).as("mmr_v"),
+        lit(1L).as("step"))
+    for (step <- 2 to k) {
+      val rem = cand.join(selected.select(col("q_id"), col("c_id")),
+        Seq("q_id", "c_id"), "left_anti")
+      val ms = sims.withColumnRenamed("a_id", "c_id")
+        .join(selected.select(col("q_id"), col("c_id").as("b_id")),
+          Seq("q_id", "b_id"))
+        .groupBy("q_id", "c_id").agg(max("sim_i").as("max_sim_i"))
+      val scored = rem.join(ms, Seq("q_id", "c_id"))
+        .withColumn("mmr_i", lit(lamNum.toLong) * col("rel_i") -
+          lit((10 - lamNum).toLong) * col("max_sim_i"))
+      val wS = Window.partitionBy("q_id")
+        .orderBy(col("mmr_i").desc, col("c_id").asc)
+      val pick = scored.withColumn("_r", row_number().over(wS))
+        .where(col("_r") === 1)
+        .select(col("q_id"), col("c_id"), col("rel_v"),
+          (col("mmr_i") / lit(1e7)).as("mmr_v"),
+          lit(step.toLong).as("step"))
+      selected = selected.unionByName(pick).localCheckpoint(eager = true)
+    }
+    selected
+  }
+
   /** LSH-blocked embedding near-duplicate pairs — the 100 TB path:
     * candidates are pairs sharing any table's hyperplane bucket
     * (per-bucket equi-join, never all-pairs), then exact cosine > τ

@@ -611,6 +611,62 @@ object TextAnalysis {
       .where(col("s_rk") <= topK)
   }
 
+  /** Sparse tf-idf cosine retrieval — the vector-space member of the
+    * retrieval triple ([[moreLikeThis]] = probabilistic BM25,
+    * [[queryLikelihood]] = smoothed LM, this = Salton's VSM): docs
+    * become L2-normalized tf·ln(N/df) vectors over a df-PRUNED
+    * vocabulary and rank by cosine. The pruning (terms in more than
+    * `dfCapFrac` of docs are dropped from every vector) is part of
+    * the operator's semantics, not an approximation knob: ultra-
+    * common terms carry ~zero idf weight but dominate the posting
+    * join's candidate volume — the classic stop-term economics of
+    * inverted indexes.
+    *
+    * Determinism: dot products and norms are double SUMS (order
+    * engine-dependent), so the cosine rounds to 6 before ranking,
+    * c_id breaks ties.
+    *
+    * Scale: same DAAT shape as the other two retrievers — weights
+    * are vocabulary-keyed aggregations, candidates meet on the term
+    * equi-join (the df cap bounds each posting list to
+    * dfCapFrac·N), norms join back per doc, rank windows per
+    * query. */
+  def sparseCosineTopK(docs: DataFrame, isQuery: Column, topK: Int = 20,
+                       dfCapFrac: Double = 0.1): DataFrame = {
+    val tf = docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = true)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val kept = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .where(col("df") <= col("n_docs") * lit(dfCapFrac))
+    val wts = tf.join(kept, "w")
+      .select(col("doc_id"), col("w"),
+        (col("tf") * log(col("n_docs").cast("double") / col("df")))
+          .as("wt"))
+      .localCheckpoint(eager = true)
+    val norms = wts.groupBy("doc_id")
+      .agg(sqrt(sum(col("wt") * col("wt"))).as("nrm"))
+    val qw = wts.where(isQuery)
+      .select(col("doc_id").as("q_id"), col("w"), col("wt").as("q_wt"))
+    val dots = qw
+      .join(wts.select(col("doc_id").as("c_id"), col("w"),
+        col("wt").as("c_wt")), "w")
+      .where(col("c_id") =!= col("q_id"))
+      .groupBy("q_id", "c_id").agg(sum(col("q_wt") * col("c_wt")).as("dot"))
+    val sc = dots
+      .join(norms.select(col("doc_id").as("q_id"), col("nrm").as("q_nrm")),
+        "q_id")
+      .join(norms.select(col("doc_id").as("c_id"), col("nrm").as("c_nrm")),
+        "c_id")
+      .select(col("q_id"), col("c_id"),
+        round(col("dot") / (col("q_nrm") * col("c_nrm")), 6).as("cos_v"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos_v").desc, col("c_id").asc)
+    sc.withColumn("s_rk", row_number().over(w).cast("long"))
+      .where(col("s_rk") <= topK)
+  }
+
   /** Top-k adjacent-bigram collocations by pointwise mutual
     * information — the classic phrase-mining signal (Church & Hanks
     * 1990; word2vec's phrase pass uses the same score):

@@ -584,6 +584,47 @@ class PipelineSpec extends SparkSpec {
       assert(sizes(src) == math.min(10L, n), s"source $src sample ${sizes(src)}")
   }
 
+  test("MMR re-rank: exact duplicate candidate demoted below diverse one") {
+    val s = spark
+    import s.implicits._
+    def v(x: Float, y: Float): Array[Float] = {
+      val a = Array.fill(64)(0.0f); a(0) = x; a(1) = y; a
+    }
+    val vecs = Seq(
+      (0L, v(1.0f, 0.0f)),      // query
+      (1L, v(0.99f, 0.141f)),   // most relevant
+      (2L, v(0.99f, 0.141f)),   // exact duplicate of 1
+      (3L, v(0.97f, -0.243f)))  // slightly less relevant, diverse
+      .toDF("vec_id", "embedding")
+    val r = Similarity.mmrRerank(vecs, vecs.where(col("vec_id") === 0),
+      k = 3, poolK = 3).collect()
+    val order = r.sortBy(_.getAs[Long]("step")).map(_.getAs[Long]("c_id")).toSeq
+    // pure relevance would give (1, 2, 3); MMR's redundancy penalty
+    // (sim(1,2) = 1) pushes the duplicate to last place
+    assert(order == Seq(1L, 3L, 2L), s"MMR pick order $order")
+  }
+
+  test("sparse tf-idf cosine: identical docs at cos 1, df cap prunes terms") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (0L, "alpha beta"), (1L, "alpha beta"),
+      (2L, "alpha gamma"), (3L, "delta delta"))
+      .toDF("doc_id", "text")
+    val loose = TextAnalysis.sparseCosineTopK(docs, col("doc_id") === 0,
+      dfCapFrac = 0.9).collect()
+    val byId = loose.map(x =>
+      x.getAs[Long]("c_id") -> x.getAs[Double]("cos_v")).toMap
+    assert(byId(1L) == 1.0)           // identical doc
+    assert(byId.contains(2L))          // shares alpha
+    assert(!byId.contains(3L))         // no shared term
+    // cap at 50%: alpha (df=3 of 4) drops from every vector, so doc 2
+    // no longer shares anything with the query
+    val tight = TextAnalysis.sparseCosineTopK(docs, col("doc_id") === 0,
+      dfCapFrac = 0.5).collect()
+    assert(tight.map(_.getAs[Long]("c_id")).toSet == Set(1L))
+  }
+
   test("IVF ANN recall vs brute force on real embeddings") {
     val emb = Tables.embeddings(spark, sf)
     val q = emb.where(col("vec_id") < 20)
