@@ -435,6 +435,48 @@ object PipelineQueries {
     s"v0 AS ($base), $stages"
   }
 
+  /** WordPiece training stages: like [[bpeStagesSql]] but each
+    * round's argmax maximizes pfreq/(count(a)·count(b)) — integer
+    * counts divided as doubles, bit-identical across engines; the
+    * sentinel row keeps empty rounds from annihilating the rewrite
+    * chain (filtered by pfreq > 0 at emission). */
+  private def wordpieceStagesSql(rounds: Int): String = {
+    val base =
+      """SELECT freq, ' ' || array_to_string(
+        |  [substring(w, i, 1) for i in range(1, length(w) + 1)], '  ')
+        |  || ' ' AS repr
+        | FROM (SELECT w, count(*) AS freq FROM (
+        |   SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+        |   FROM documents) AS u
+        |  WHERE length(w) > 0 GROUP BY w) AS b""".stripMargin.replace("\n", " ")
+    val stages = (1 to rounds).map { i =>
+      s"""wc$i AS (SELECT s, sum(freq) AS c FROM (
+         |  SELECT freq, unnest(string_split(trim(repr), '  ')) AS s
+         |  FROM wv${i - 1}) AS u GROUP BY s),
+         | wp$i AS (SELECT p.a AS a, p.b AS b, sum(freq) AS pfreq FROM (
+         |  SELECT freq, unnest([{'a': syms[i], 'b': syms[i+1]}
+         |    for i in range(1, len(syms))]) AS p
+         |  FROM (SELECT freq, string_split(trim(repr), '  ') AS syms
+         |        FROM wv${i - 1}) AS t
+         |  WHERE len(syms) >= 2) AS u GROUP BY 1, 2),
+         | wt$i AS (SELECT a, b, pfreq, score FROM (
+         |   SELECT w.a, w.b, w.pfreq,
+         |    w.pfreq::DOUBLE / (ca.c::DOUBLE * cb.c::DOUBLE) AS score
+         |   FROM wp$i AS w JOIN wc$i AS ca ON ca.s = w.a
+         |    JOIN wc$i AS cb ON cb.s = w.b
+         |   UNION ALL SELECT '', '', -1, -1.0) AS z$i
+         |  ORDER BY score DESC, a ASC, b ASC LIMIT 1),
+         | wv$i AS MATERIALIZED (SELECT freq,
+         |  replace(repr, ' ' || t.a || '  ' || t.b || ' ',
+         |    ' ' || t.a || t.b || ' ') AS repr
+         |  FROM wv${i - 1}, wt$i AS t)""".stripMargin.replace("\n", " ")
+    }.mkString(", ")
+    // MATERIALIZED is load-bearing: every round references wv(i-1)
+    // THREE times (symbol counts, pair counts, rewrite) and DuckDB
+    // inlines plain CTEs — 3^rounds scans exhausts the fd limit
+    s"wv0 AS MATERIALIZED ($base), $stages"
+  }
+
   /** MMR oracle: dense top-poolK pool + poolK² pairwise sims, then
     * the k greedy picks unrolled as sel1..selK CTEs. Scoring is in
     * exact integer tenth-micro units (λ = p/10, score = p·rel₆ −
@@ -912,6 +954,9 @@ object PipelineQueries {
       TextAnalysis.bpePairStats(Tables.documents(s, dir)).orderBy("rank")),
     "corpus_bpe_train" -> ((s, dir) =>
       TextAnalysis.bpeTrain(Tables.documents(s, dir), rounds = 8)),
+    // WordPiece: same merge loop, likelihood-scored argmax
+    "corpus_wordpiece_train" -> ((s, dir) =>
+      TextAnalysis.wordpieceTrain(Tables.documents(s, dir), rounds = 8)),
     // SentencePiece-style unigram-LM trainer: over-complete substring
     // seed pruned down over EM-style rounds (greedy longest-match
     // E-step — integer control path, fully oracle-replayable)
@@ -2815,6 +2860,18 @@ object PipelineQueries {
     // and the delimiter-owning replace() rewrite — bit-identical to
     // the engine because both replaces scan left-to-right
     // non-overlapping
+    // all 8 likelihood-scored merge rounds replayed: per round the
+    // symbol counts, the pair counts, the score argmax with
+    // lexicographic tie-break, and the same delimiter-owning rewrite
+    "corpus_wordpiece_train" -> {
+      val R = 8
+      val tops = (1 to R).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS round, a AS sym_a, b AS sym_b, " +
+          s"a || b AS merged, CAST(pfreq AS BIGINT) AS pair_freq, " +
+          s"round(score, 9) AS score_v FROM wt$i WHERE pfreq > 0")
+        .mkString(" UNION ALL ")
+      s"WITH ${wordpieceStagesSql(R)} SELECT * FROM ($tops) AS m ORDER BY round"
+    },
     "corpus_bpe_train" -> {
       val R = 8
       val tops = (1 to R).map(i =>

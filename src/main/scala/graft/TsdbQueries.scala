@@ -307,6 +307,11 @@ object TsdbQueries {
     "ts_seasonal" -> ((s, dir) =>
       Temporal.seasonalFrame(samples(s, dir))
         .orderBy("name", "user_id", "bucket_s")),
+    // STL-lite: centered-MA trend, hour-of-day seasonal of the
+    // detrended values, remainder
+    "ts_stl" -> ((s, dir) =>
+      Temporal.stlFrame(samples(s, dir))
+        .orderBy("name", "user_id", "bucket_s")),
     "ts_timestamp" -> ((s, dir) =>
       Temporal.timestampOp(samples(s, dir)).orderBy("event_id")),
     "ts_consolidate" -> ((s, dir) =>
@@ -1307,6 +1312,28 @@ object TsdbQueries {
          | FROM h JOIN p ON p.name = h.name AND p.user_id = h.user_id
          |  AND p.hod = h.hod
          | ORDER BY h.name, h.user_id, h.bucket_s"""
+        .stripMargin.replace("\n", " "),
+    "ts_stl" ->
+      s"""WITH c AS (SELECT name, user_id,
+         |  CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_s,
+         |  avg(value) AS v FROM ($S) AS s GROUP BY 1, 2, 3),
+         | h AS (SELECT *, (bucket_s % 86400) // 3600 AS hod FROM c),
+         | t AS (SELECT *, count(*) OVER wtr AS n_win,
+         |   avg(v) OVER wtr AS tr FROM h
+         |  WINDOW wtr AS (PARTITION BY name, user_id ORDER BY bucket_s
+         |   ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+         | t2 AS (SELECT name, user_id, bucket_s, hod, v,
+         |   CASE WHEN n_win = 25 THEN tr END AS trend_raw FROM t),
+         | sdet AS (SELECT name, user_id, hod,
+         |   avg(v - trend_raw) AS seas_raw FROM t2
+         |  WHERE trend_raw IS NOT NULL GROUP BY 1, 2, 3)
+         | SELECT t2.name, t2.user_id, t2.bucket_s, t2.hod,
+         |  round(t2.v, 6) AS v, round(t2.trend_raw, 6) AS trend_v,
+         |  round(sdet.seas_raw, 6) AS seasonal_v,
+         |  round(t2.v - t2.trend_raw - sdet.seas_raw, 6) AS resid_v
+         | FROM t2 LEFT JOIN sdet ON sdet.name = t2.name
+         |  AND sdet.user_id = t2.user_id AND sdet.hod = t2.hod
+         | ORDER BY t2.name, t2.user_id, t2.bucket_s"""
         .stripMargin.replace("\n", " "),
     "ts_timestamp" ->
       s"""SELECT name, user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS value

@@ -875,6 +875,85 @@ object TextAnalysis {
       .orderBy("round")
   }
 
+  /** Multi-round WordPiece tokenizer training — the third trained
+    * tokenizer beside [[bpeTrain]] and the unigram trainer: same
+    * greedy merge loop and delimiter-owning vocabulary rewrite as
+    * BPE, but each round's winner maximizes the LIKELIHOOD score
+    *
+    *   score(a,b) = count(ab) / (count(a) · count(b))
+    *
+    * (Schuster & Nakajima 2012; the BERT tokenizer's training rule)
+    * instead of raw pair frequency — a pair of rare symbols that
+    * almost always co-occur merges before a frequent-but-independent
+    * pair. Symbol counts are frequency-weighted over the current
+    * vocabulary, recomputed each round. Ties break lexicographic on
+    * (a, b); the score divides EXACT integer counts as doubles, so
+    * both engines compute bit-identical keys (the `##` continuation
+    * prefix is a presentation detail of shipped vocab files, not of
+    * the merge table). Emits (round, sym_a, sym_b, merged,
+    * pair_freq, score_v).
+    *
+    * Scale: as [[bpeTrain]] — per round one symbol-count aggregation
+    * and one pair aggregation over the distinct-word vocabulary
+    * (corpus text touched once, at vocabulary build), a one-row
+    * driver collect (the artifact), checkpointed rewrite. count(a)
+    * and count(b) multiply as doubles: at corpus scale their long
+    * product would overflow. */
+  def wordpieceTrain(docs: DataFrame, rounds: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    val chars = transform(sequence(lit(1), length(col("w"))),
+      i => col("w").substr(i, lit(1)))
+    var vocab = docs
+      .select(explode(words(col("text"))).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(col("freq"),
+        concat(lit(" "), concat_ws("  ", chars), lit(" ")).as("repr"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, String, Long, Double)]
+    var round = 1
+    var done = false
+    while (round <= rounds && !done) {
+      val syms = split(trim(col("repr")), "  ")
+      val base = vocab.select(col("freq"), syms.as("syms"))
+      val symCount = base
+        .select(col("freq"), explode(col("syms")).as("s"))
+        .groupBy("s").agg(sum("freq").as("c"))
+      val top = base
+        .where(size(col("syms")) >= 2)
+        .select(col("freq"), explode(
+          transform(sequence(lit(0), size(col("syms")) - 2),
+            i => struct(element_at(col("syms"), i + 1).as("a"),
+              element_at(col("syms"), i + 2).as("b")))).as("p"))
+        .groupBy(col("p.a"), col("p.b")).agg(sum("freq").as("pfreq"))
+        .join(symCount.select(col("s").as("a"), col("c").as("ca")), "a")
+        .join(symCount.select(col("s").as("b"), col("c").as("cb")), "b")
+        .withColumn("score", col("pfreq").cast("double") /
+          (col("ca").cast("double") * col("cb").cast("double")))
+        .orderBy(col("score").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b) = (top(0).getAs[String]("a"), top(0).getAs[String]("b"))
+        merges += ((round.toLong, a, b, a + b,
+          top(0).getAs[Long]("pfreq"), top(0).getAs[Double]("score")))
+        vocab = vocab.withColumn("repr",
+          replace(col("repr"), lit(s" $a  $b "), lit(s" $a$b ")))
+          .localCheckpoint(true)
+        round += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq
+      .toDF("round", "sym_a", "sym_b", "merged", "pair_freq", "score_raw")
+      .select(col("round"), col("sym_a"), col("sym_b"), col("merged"),
+        col("pair_freq"),
+        org.apache.spark.sql.functions.round(col("score_raw"), 9)
+          .as("score_v"))
+      .orderBy("round")
+  }
+
   /** BPE tokenizer APPLICATION — the encode side completing
     * [[bpeTrain]]: the trained merge table (collected — ≤rounds rows,
     * the shipped artifact) applies to every word as the same ordered

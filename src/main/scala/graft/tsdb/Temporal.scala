@@ -490,4 +490,46 @@ object Temporal {
         coalesce((round(abs(z), 6) > zThresh).cast("int"), lit(0))
           .as("seasonal_anomaly"): _*)
   }
+
+  /** STL-lite additive decomposition per series — v = trend +
+    * seasonal + remainder (Cleveland et al.'s STL restated as the
+    * two-pass moving-average form a batch engine runs): trend is the
+    * centered ±`halfWin`-hour moving average (defined only where the
+    * full 2·halfWin+1 window exists — no half-window edge estimates,
+    * matching the classic decompose() convention of dropping ends),
+    * seasonal is the hour-of-day mean of the DETRENDED values, and
+    * the remainder is what neither explains. [[seasonalFrame]]
+    * z-scores against a raw hour-of-day profile; this separates the
+    * trend first, so a drifting series doesn't smear its drift into
+    * the seasonal profile.
+    *
+    * Scale: consolidation is the standard hash aggregation; the
+    * trend window shuffles once on the series key (the Temporal
+    * family's partitioning, reused by the ordered frame); the
+    * seasonal profile is a (series × 24)-row aggregation joined
+    * back. No global sort, no unbounded window. */
+  def stlFrame(samples: DataFrame, halfWin: Int = 12): DataFrame = {
+    val cons = samples
+      .withColumn("bucket_s", Vectors.bucketS("hour"))
+      .groupBy((labels :+ "bucket_s").map(col): _*).agg(avg("value").as("v"))
+      .withColumn("hod",
+        floor((col("bucket_s") % 86400) / 3600).cast("long"))
+    val w = Window.partitionBy(labels.map(col): _*).orderBy("bucket_s")
+      .rowsBetween(-halfWin, halfWin)
+    val det = cons
+      .withColumn("n_win", count(lit(1)).over(w))
+      .withColumn("trend_raw",
+        when(col("n_win") === 2 * halfWin + 1, avg("v").over(w)))
+      .withColumn("det", col("v") - col("trend_raw"))
+    val seas = det.where(col("trend_raw").isNotNull)
+      .groupBy((labels :+ "hod").map(col): _*)
+      .agg(avg("det").as("seas_raw"))
+    det.join(seas, labels :+ "hod", "left")
+      .select(labels.map(col) :+ col("bucket_s") :+ col("hod") :+
+        round(col("v"), 6).as("v") :+
+        round(col("trend_raw"), 6).as("trend_v") :+
+        round(col("seas_raw"), 6).as("seasonal_v") :+
+        round(col("v") - col("trend_raw") - col("seas_raw"), 6)
+          .as("resid_v"): _*)
+  }
 }

@@ -584,6 +584,24 @@ class PipelineSpec extends SparkSpec {
       assert(sizes(src) == math.min(10L, n), s"source $src sample ${sizes(src)}")
   }
 
+  test("wordpiece vs bpe: likelihood argmax beats raw frequency") {
+    val s = spark
+    import s.implicits._
+    // pair (a,b) is frequent but its symbols are everywhere;
+    // (x,y) is rarer but x and y occur ONLY together
+    val docs = Seq.fill(10)("ab").zipWithIndex.map { case (t, i) =>
+      (i.toLong, t)
+    } ++ Seq((10L, "xy"), (11L, "xy"), (12L, "ba"), (13L, "ba"))
+    val df = docs.toDF("doc_id", "text")
+    val bpe = TextAnalysis.bpeTrain(df, rounds = 1).collect()
+    assert(bpe(0).getAs[String]("merged") == "ab") // freq 10 wins
+    val wp = TextAnalysis.wordpieceTrain(df, rounds = 1).collect()
+    // score(x,y) = 2/(2·2) = 0.5 > score(a,b) = 10/(12·12)
+    assert(wp(0).getAs[String]("merged") == "xy",
+      s"wordpiece picked ${wp(0).getAs[String]("merged")}")
+    assert(wp(0).getAs[Long]("pair_freq") == 2L)
+  }
+
   test("MMR re-rank: exact duplicate candidate demoted below diverse one") {
     val s = spark
     import s.implicits._

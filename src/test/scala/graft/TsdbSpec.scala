@@ -80,6 +80,28 @@ class TsdbSpec extends SparkSpec {
     ).toDF("name", "user_id", "ts", "value", "event_id")
   }
 
+  test("STL decomposition: linear series gives exact trend, zero residual") {
+    val s = spark
+    import s.implicits._
+    val base = ts("2024-01-01 00:00:00").getTime
+    val rows = (0 until 120).map { i =>
+      ("m", 1L, new Timestamp(base + i * 3600L * 1000), i.toDouble, i.toLong)
+    }
+    val r = Temporal.stlFrame(rows.toDF("name", "user_id", "ts", "value",
+      "event_id")).orderBy("bucket_s").collect()
+    assert(r.length == 120)
+    // edges (first/last 12 hours) have no full centered window
+    assert(r.take(12).forall(_.isNullAt(r(0).fieldIndex("trend_v"))))
+    assert(r.takeRight(12).forall(_.isNullAt(r(0).fieldIndex("trend_v"))))
+    // interior: the 25-point centered MA of a linear ramp IS the ramp,
+    // so trend == v, seasonal == 0, residual == 0
+    val interior = r.slice(12, 108)
+    assert(interior.forall(x =>
+      x.getAs[Double]("trend_v") == x.getAs[Double]("v")))
+    assert(interior.forall(x => math.abs(x.getAs[Double]("seasonal_v")) < 1e-9))
+    assert(interior.forall(x => math.abs(x.getAs[Double]("resid_v")) < 1e-9))
+  }
+
   test("index route equals the direct-scan matcher route") {
     val samples = Vectors.samples(Tables.events(spark, sf))
     val sets: Seq[Seq[Fetch.Matcher]] = Seq(
