@@ -21,6 +21,21 @@ object TsdbQueries {
   private def inst(s: SparkSession, dir: String): DataFrame =
     Vectors.instant(samples(s, dir), "day")
 
+  /** Once-per-(session, sf dir) ZOrderStore table (same lifecycle as
+    * [[storeTable]]). Kept lean: props stays out of the layout. */
+  private val zorderTables =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def zorderTable(s: SparkSession, dir: String): String =
+    zorderTables.getOrElseUpdate((s, dir), {
+      val t = "graft_zstore_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+      val ev = Tables.events(s, dir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      graft.sources.ZOrderStore.write(ev, t,
+        graft.sources.ZOrderStore.layoutFor(ev))
+      t
+    })
+
   /** Once-per-(session, sf dir) SeriesStore table for the
     * storage-path queries (idempotent write, catalog-cached). */
   private val storeTables =
@@ -664,6 +679,23 @@ object TsdbQueries {
     // rows read for narrow windows), and the name matcher prunes
     // series-major row groups. Same rows as a direct fetch — the
     // oracle filters the raw events.
+    // 2-D pruned box fetch through the z-ordered layout: covering
+    // z-cells prune partitions at planning time, exact box bounds
+    // remain as residual predicates; box derived from the recorded
+    // grid extents (3/10..7/10 of days × 2/10..8/10 of users)
+    "store_zorder" -> ((s, dir) => {
+      val t = zorderTable(s, dir)
+      val l = graft.sources.ZOrderStore.layoutOf(s, t)
+      val dFrom = l.minDay + l.daySpan * 3 / 10
+      val dUntil = math.max(dFrom + 1, l.minDay + l.daySpan * 7 / 10)
+      val uFrom = l.minUser + l.userSpan * 2 / 10
+      val uUntil = math.max(uFrom + 1, l.minUser + l.userSpan * 8 / 10)
+      graft.sources.ZOrderStore.fetchBox(s, t, dFrom, dUntil, uFrom, uUntil)
+        .select(col("event_id"),
+          graft.sources.ZOrderStore.epochDay(col("ts")).as("day"),
+          col("user_id"), col("event_type"), col("value"))
+        .orderBy("event_id")
+    }),
     "store_fetch" -> ((s, dir) =>
       Fetch(graft.sources.SeriesStore.read(s, storeTable(s, dir),
           fromDt = Some("2024-01-03"), untilDt = Some("2024-01-10")).drop("dt"),
@@ -1010,6 +1042,29 @@ object TsdbQueries {
          |  AND floor(epoch(ts)) < 1704844800
          | ORDER BY event_id""".stripMargin.replace("\n", " "),
     // the hourly purchase path frame summarized to 1d — identical to
+    // the layout is invisible to semantics: the box fetch through
+    // the z-ordered store equals a plain filtered scan; the box
+    // bounds replay the engine's integer arithmetic over the extents
+    "store_zorder" ->
+      """WITH b AS (SELECT
+        |  min(CAST(floor(epoch(ts) / 86400) AS BIGINT)) AS mnd,
+        |  max(CAST(floor(epoch(ts) / 86400) AS BIGINT)) AS mxd,
+        |  min(user_id) AS mnu, max(user_id) AS mxu FROM events),
+        | bb AS (SELECT
+        |  mnd + (mxd - mnd + 1) * 3 // 10 AS dfrom,
+        |  greatest(mnd + (mxd - mnd + 1) * 7 // 10,
+        |   mnd + (mxd - mnd + 1) * 3 // 10 + 1) AS duntil,
+        |  mnu + (mxu - mnu + 1) * 2 // 10 AS ufrom,
+        |  greatest(mnu + (mxu - mnu + 1) * 8 // 10,
+        |   mnu + (mxu - mnu + 1) * 2 // 10 + 1) AS uuntil FROM b)
+        | SELECT e.event_id,
+        |  CAST(floor(epoch(e.ts) / 86400) AS BIGINT) AS day,
+        |  e.user_id, e.event_type, e.value
+        | FROM events AS e, bb
+        | WHERE CAST(floor(epoch(e.ts) / 86400) AS BIGINT) >= bb.dfrom
+        |  AND CAST(floor(epoch(e.ts) / 86400) AS BIGINT) < bb.duntil
+        |  AND e.user_id >= bb.ufrom AND e.user_id < bb.uuntil
+        | ORDER BY e.event_id""".stripMargin.replace("\n", " "),
     // the direct-path gr_summarize convention, restricted to the
     // wildcard's matches
     "store_graphite" ->

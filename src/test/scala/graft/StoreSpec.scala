@@ -238,6 +238,39 @@ class StoreSpec extends SparkSpec {
     Dedup.clearShingleCache(); Corpus.clearClusterCache()
   }
 
+  test("z-order store: box fetch parity and 2-D partition pruning") {
+    import graft.sources.ZOrderStore
+    val ev = Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val layout = ZOrderStore.layoutFor(ev)
+    ZOrderStore.write(ev, "graft_zstore_spec", layout)
+    val l = ZOrderStore.layoutOf(spark, "graft_zstore_spec")
+    assert(l == layout, "layout round-trip through table properties")
+    val dFrom = l.minDay + l.daySpan * 3 / 10
+    val dUntil = math.max(dFrom + 1, l.minDay + l.daySpan * 7 / 10)
+    val uFrom = l.minUser + l.userSpan * 2 / 10
+    val uUntil = math.max(uFrom + 1, l.minUser + l.userSpan * 8 / 10)
+    val boxed = ZOrderStore.fetchBox(spark, "graft_zstore_spec",
+      dFrom, dUntil, uFrom, uUntil)
+    // byte-parity with the direct filtered scan
+    val direct = ev.where(
+      ZOrderStore.epochDay(col("ts")) >= dFrom &&
+        ZOrderStore.epochDay(col("ts")) < dUntil &&
+        col("user_id") >= uFrom && col("user_id") < uUntil)
+    val a = boxed.drop("zcell").collect().map(_.toSeq).toSet
+    val b = direct.collect().map(_.toSeq).toSet
+    assert(a == b, s"parity: store ${a.size} vs direct ${b.size}")
+    // the scan prunes on zcell at planning time...
+    val plan = boxed.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("zcell"), s"expected zcell partition filters: $pf")
+    // ...reading strictly fewer files than the table holds — a box
+    // bounded in BOTH dimensions cannot need the full grid
+    val all = spark.table("graft_zstore_spec").inputFiles.length
+    val read = boxed.inputFiles.length
+    assert(read < all, s"no pruning: $read of $all files")
+  }
+
   test("self-join on the series key runs shuffle-free") {
     val l = SeriesStore.read(spark, table).groupBy("name", "user_id")
       .agg(max("value").as("mx"))
