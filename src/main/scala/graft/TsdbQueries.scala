@@ -327,6 +327,13 @@ object TsdbQueries {
     "ts_stl" -> ((s, dir) =>
       Temporal.stlFrame(samples(s, dir))
         .orderBy("name", "user_id", "bucket_s")),
+    // M4 visualization downsampling: first/min/max/last per bucket
+    "ts_m4" -> ((s, dir) =>
+      Temporal.m4Frame(samples(s, dir))
+        .orderBy("name", "user_id", "bucket_s")),
+    // m3tsz timestamp delta-of-delta cost card per series
+    "ts_tsz_cost" -> ((s, dir) =>
+      Temporal.tszCost(samples(s, dir)).orderBy("name", "user_id")),
     "ts_timestamp" -> ((s, dir) =>
       Temporal.timestampOp(samples(s, dir)).orderBy("event_id")),
     "ts_consolidate" -> ((s, dir) =>
@@ -1390,6 +1397,48 @@ object TsdbQueries {
          |  AND sdet.user_id = t2.user_id AND sdet.hod = t2.hod
          | ORDER BY t2.name, t2.user_id, t2.bucket_s"""
         .stripMargin.replace("\n", " "),
+    "ts_m4" ->
+      s"""SELECT name, user_id, bucket_s, count(*) AS n,
+         | round(first(value ORDER BY ts, event_id), 6) AS v_first,
+         | round(min(value), 6) AS v_min, round(max(value), 6) AS v_max,
+         | round(last(value ORDER BY ts, event_id), 6) AS v_last
+         | FROM ($S) AS s GROUP BY name, user_id, bucket_s
+         | ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),
+    // the m3tsz seconds-unit scheme replayed: 1/9/12/16/36-bit costs
+    // by dod bucket, 64-bit first stamp, second dod against Δ₀=0
+    "ts_tsz_cost" ->
+      s"""WITH o AS (SELECT name, user_id, ts, event_id,
+         |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM ($S) AS s),
+         | d AS (SELECT name, user_id, ts, event_id,
+         |   ts_s - lag(ts_s) OVER wseq AS dd FROM o
+         |  WINDOW wseq AS (PARTITION BY name, user_id
+         |   ORDER BY ts, event_id)),
+         | d2 AS (SELECT name, user_id, dd,
+         |   dd - coalesce(lag(dd) OVER wseq2, 0) AS dod FROM d
+         |  WINDOW wseq2 AS (PARTITION BY name, user_id
+         |   ORDER BY ts, event_id)),
+         | b AS (SELECT name, user_id,
+         |   CASE WHEN dd IS NULL THEN 64 WHEN dod = 0 THEN 1
+         |    WHEN dod BETWEEN -64 AND 63 THEN 9
+         |    WHEN dod BETWEEN -256 AND 255 THEN 12
+         |    WHEN dod BETWEEN -2048 AND 2047 THEN 16
+         |    ELSE 36 END AS bits FROM d2)
+         | SELECT name, user_id, count(*) AS n_samples,
+         |  CAST(sum(CASE WHEN bits = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_zero,
+         |  CAST(sum(CASE WHEN bits = 9 THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_b7,
+         |  CAST(sum(CASE WHEN bits = 12 THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_b9,
+         |  CAST(sum(CASE WHEN bits = 16 THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_b12,
+         |  CAST(sum(CASE WHEN bits = 36 THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_default,
+         |  CAST(sum(bits) AS BIGINT) AS total_bits,
+         |  round(sum(bits)::DOUBLE / count(*), 6) AS bits_per_sample,
+         |  round(64.0 * count(*) / sum(bits), 6) AS vs_raw64
+         | FROM b GROUP BY name, user_id
+         | ORDER BY name, user_id""".stripMargin.replace("\n", " "),
     "ts_timestamp" ->
       s"""SELECT name, user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS value
          | FROM ($S) AS s ORDER BY event_id""".stripMargin.replace("\n", " "),

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-management operators for training-data pipelines: dup
@@ -324,13 +324,20 @@ object Corpus {
     * sources × shards × n survivors. This is exactly how a
     * 1000-executor reservoir runs: per-partition heaps, then a
     * driver-sized merge. */
+  /** The A-ES draw key as a bare column — shared by the batch
+    * sampler and [[graft.streaming.StreamReservoir]] so the two
+    * paths can never drift. */
+  def resKeyCol: Column = {
+    val u = (Dedup.md5Int(col("doc_id").cast("string")) + lit(1L)) /
+      lit(4294967296.0)
+    round(log(u) / col("n_chars"), 6)
+  }
+
   def reservoirSample(docs: DataFrame, n: Int = 10,
                       shards: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val u = (Dedup.md5Int(col("doc_id").cast("string")) + lit(1L)) /
-      lit(4294967296.0)
     val base = docs.select(col("source"), col("doc_id"), col("n_chars"),
-      round(log(u) / col("n_chars"), 6).as("res_key"),
+      resKeyCol.as("res_key"),
       pmod(Dedup.md5Int(concat(lit("shard:"), col("doc_id").cast("string"))),
         lit(shards.toLong)).as("_shard"))
     val wLocal = Window.partitionBy("source", "_shard")

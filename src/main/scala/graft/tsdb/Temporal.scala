@@ -491,6 +491,74 @@ object Temporal {
           .as("seasonal_anomaly"): _*)
   }
 
+  /** M4 downsampling (Jugel et al., VLDB 2014) — the visualization
+    * aggregation: per (series, bucket) keep the FOUR samples a
+    * pixel-column of a line chart can render — first, last, min, max
+    * — which reproduces the full-resolution rendering exactly while
+    * shrinking the transfer by |bucket|/4. First/last pick by the
+    * packed [[Vectors.lastKey]] bigint (ts, event_id ordering inside
+    * one hash-aggregable buffer — the consolidation family's
+    * SortAggregate dodge).
+    *
+    * Scale: ONE hash aggregation with map-side partial combine —
+    * min_by/max_by/min/max all fold associatively; no window, no
+    * per-series sort. */
+  def m4Frame(samples: DataFrame, unit: String = "day"): DataFrame = {
+    val b = samples.withColumn("bucket_s", Vectors.bucketS(unit))
+    b.groupBy((labels :+ "bucket_s").map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        round(min_by(col("value"), Vectors.lastKey), 6).as("v_first"),
+        round(min("value"), 6).as("v_min"),
+        round(max("value"), 6).as("v_max"),
+        round(max_by(col("value"), Vectors.lastKey), 6).as("v_last"))
+  }
+
+  /** m3tsz timestamp-compression cost model — the reference's
+    * delta-of-delta time encoder restated as an analyzable metric
+    * (scheme constants from src/dbnode/encoding/scheme.go:42-53:
+    * zero bucket 1 bit; 7/9/12-bit value buckets behind 2/3/4-bit
+    * opcodes; 32-bit default behind the 4-bit opcode — the
+    * seconds-unit scheme of NewTimeEncodingScheme), i.e. per sample:
+    * dod = 0 → 1 bit, |dod| < 2⁶ → 9, < 2⁸ → 12, < 2¹¹ → 16, else
+    * 36. The first sample of a series carries the full 64-bit stamp
+    * and the second's dod measures against Δ₀ = 0 (the cost-model
+    * simplification of the encoder's block-start first write). The
+    * output is the compression planner's card: how regular each
+    * series' arrival cadence is, and what the at-rest timestamp
+    * stream would cost.
+    *
+    * Scale: two lags over the series-keyed ordered window (the
+    * Temporal family's one shuffle) + one per-series hash
+    * aggregation. */
+  def tszCost(samples: DataFrame): DataFrame = {
+    val w = Window.partitionBy(labels.map(col): _*)
+      .orderBy("ts", "event_id")
+    val ts_s = unix_timestamp(col("ts"))
+    val withDod = samples
+      .withColumn("_d", ts_s - lag(ts_s, 1).over(w))
+      .withColumn("_dod", col("_d") - coalesce(lag(col("_d"), 1).over(w),
+        lit(0L)))
+    val bits = when(col("_d").isNull, 64L)
+      .when(col("_dod") === 0, 1L)
+      .when(col("_dod") >= -64 && col("_dod") <= 63, 9L)
+      .when(col("_dod") >= -256 && col("_dod") <= 255, 12L)
+      .when(col("_dod") >= -2048 && col("_dod") <= 2047, 16L)
+      .otherwise(36L)
+    withDod.withColumn("_bits", bits)
+      .groupBy(labels.map(col): _*)
+      .agg(count(lit(1)).as("n_samples"),
+        sum((col("_bits") === 1).cast("long")).as("n_zero"),
+        sum((col("_bits") === 9).cast("long")).as("n_b7"),
+        sum((col("_bits") === 12).cast("long")).as("n_b9"),
+        sum((col("_bits") === 16).cast("long")).as("n_b12"),
+        sum((col("_bits") === 36).cast("long")).as("n_default"),
+        sum("_bits").as("total_bits"))
+      .withColumn("bits_per_sample",
+        round(col("total_bits").cast("double") / col("n_samples"), 6))
+      .withColumn("vs_raw64",
+        round(lit(64.0) * col("n_samples") / col("total_bits"), 6))
+  }
+
   /** STL-lite additive decomposition per series — v = trend +
     * seasonal + remainder (Cleveland et al.'s STL restated as the
     * two-pass moving-average form a batch engine runs): trend is the

@@ -80,6 +80,41 @@ class TsdbSpec extends SparkSpec {
     ).toDF("name", "user_id", "ts", "value", "event_id")
   }
 
+  test("M4 downsampling keeps first/min/max/last per bucket") {
+    val r = Temporal.m4Frame(counterSamples).collect()
+    assert(r.length == 1)
+    val x = r(0)
+    assert(x.getAs[Long]("n") == 4)
+    assert(x.getAs[Double]("v_first") == 10.0)
+    assert(x.getAs[Double]("v_min") == 5.0)
+    assert(x.getAs[Double]("v_max") == 25.0)
+    assert(x.getAs[Double]("v_last") == 9.0)
+  }
+
+  test("m3tsz cost model: regular cadence compresses to ~1 bit/sample") {
+    val s = spark
+    import s.implicits._
+    val base = ts("2024-01-01 00:00:00").getTime
+    // regular 10 s cadence: 64 (first) + 9 (first delta) + 1·3 (dod=0)
+    val regular = (0 until 5).map(i =>
+      ("r", 1L, new Timestamp(base + i * 10000L), 1.0, i.toLong))
+    // one 5000 s gap: its dod = 4990 falls in the 36-bit default bucket
+    val irregular = regular :+
+      (("r", 2L, new Timestamp(base), 1.0, 10L)) :+
+      (("r", 2L, new Timestamp(base + 10000L), 1.0, 11L)) :+
+      (("r", 2L, new Timestamp(base + 5010000L), 1.0, 12L))
+    val r = Temporal.tszCost(irregular
+      .toDF("name", "user_id", "ts", "value", "event_id"))
+      .collect().map(x => x.getAs[Long]("user_id") -> x).toMap
+    val reg = r(1L)
+    assert(reg.getAs[Long]("total_bits") == 64 + 9 + 1 + 1 + 1)
+    assert(reg.getAs[Long]("n_zero") == 3 && reg.getAs[Long]("n_b7") == 1)
+    val irr = r(2L)
+    assert(irr.getAs[Long]("n_default") == 1,
+      s"expected one 36-bit sample: $irr")
+    assert(irr.getAs[Long]("total_bits") == 64 + 9 + 36)
+  }
+
   test("STL decomposition: linear series gives exact trend, zero residual") {
     val s = spark
     import s.implicits._
