@@ -339,6 +339,42 @@ object PipelineQueries {
         s"FROM embeddings $where"
     }.mkString(" UNION ALL ")
 
+  /** multi-probe oracle: per-plane margins as a literal-array union,
+    * base bucket + smallest-|margin| single-bit flips, candidate
+    * bucket join, exact re-rank — the engine's relational probe
+    * formulation replayed verbatim. */
+  private def multiProbeOracleSql(k: Int, planes: Int, probes: Int,
+                                  dim: Int = 64, seed: Int = 0): String = {
+    val qm = Similarity.hyperplanes(dim, planes, seed).zipWithIndex
+      .map { case (w, p) =>
+        val arr = w.map(d => if (d > 0) "1.0" else "-1.0")
+          .mkString("[", ",", "]")
+        s"SELECT vec_id AS q_id, $p AS p, ${1 << p} AS pw, " +
+          s"list_dot_product(embedding::DOUBLE[], $arr) AS m " +
+          "FROM embeddings WHERE vec_id < 10"
+      }.mkString(" UNION ALL ")
+    s"""WITH qm AS ($qm),
+       | qb AS (SELECT q_id, CAST(sum(CASE WHEN m >= 0 THEN pw ELSE 0 END)
+       |   AS INT) AS b FROM qm GROUP BY q_id),
+       | fl AS (SELECT q_id, pw FROM (SELECT q_id, pw, row_number() OVER (
+       |   PARTITION BY q_id ORDER BY abs(m) ASC, p ASC) AS r FROM qm) AS z
+       |  WHERE r <= $probes),
+       | pr AS (SELECT q_id, b AS bucket FROM qb
+       |  UNION ALL SELECT fl.q_id, CAST(xor(qb.b, fl.pw) AS INT) AS bucket
+       |  FROM fl JOIN qb ON qb.q_id = fl.q_id),
+       | cb AS (SELECT vec_id AS c_id, ${lshBucketSql(planes, seed)} AS bucket
+       |  FROM embeddings),
+       | cand AS (SELECT DISTINCT pr.q_id, cb.c_id FROM cb
+       |  JOIN pr ON pr.bucket = cb.bucket WHERE cb.c_id <> pr.q_id)
+       | SELECT q_id, c_id, round(cos, 6) AS cos_v, rk FROM (
+       |  SELECT cand.q_id, cand.c_id, ${cosSql("a", "b")} AS cos,
+       |   row_number() OVER (PARTITION BY cand.q_id
+       |    ORDER BY ${cosSql("a", "b")} DESC, cand.c_id ASC) AS rk
+       |  FROM cand JOIN embeddings AS a ON a.vec_id = cand.q_id
+       |   JOIN embeddings AS b ON b.vec_id = cand.c_id) AS t
+       | WHERE rk <= $k ORDER BY q_id, rk""".stripMargin.replace("\n", " ")
+  }
+
   /** gopher signal inner SQL (mirrors TextAnalysis.gopherQuality). */
   private val GOPHER_INNER =
     """SELECT doc_id,
@@ -713,6 +749,16 @@ object PipelineQueries {
       Similarity.cosineTopKQuantized(emb, emb.where(col("vec_id") < 10), 5)
         .orderBy("q_id", "rk")
     }),
+    // multi-probe LSH: one narrow bucketing, smallest-|margin| bit
+    // flips as extra probes — lshAnn's recall at 1/tables the index
+    "sim_multiprobe" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.multiProbeAnn(emb, emb.where(col("vec_id") < 10), 5)
+        .orderBy("q_id", "rk")
+    }),
+    // operational skew audit of the md5 shard hash
+    "corpus_shard_balance" -> ((s, dir) =>
+      Corpus.shardBalance(Tables.documents(s, dir)).orderBy("shard")),
     // 1-bit compression tier: sign-packed words, Hamming candidates,
     // exact cosine re-rank of the bounded survivor set
     "sim_binary_quant" -> ((s, dir) => {
@@ -1615,6 +1661,21 @@ object PipelineQueries {
         |    ORDER BY ql_v DESC, c_id ASC) AS s_rk FROM fin) AS t
         | WHERE s_rk <= 20 ORDER BY q_id, s_rk""".stripMargin.replace("\n", " "),
     "sim_mmr" -> mmrOracleSql(k = 5, poolK = 20, lamNum = 7),
+    "sim_multiprobe" -> multiProbeOracleSql(k = 5, planes = 8, probes = 3),
+    "corpus_shard_balance" ->
+      """WITH per AS (SELECT
+        |  CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8) AS BIGINT) % 32
+        |    AS shard,
+        |  len(string_split_regex(lower(text), '\s+'))::BIGINT AS toks
+        | FROM documents),
+        | g AS (SELECT shard, count(*) AS n_docs,
+        |   CAST(sum(toks) AS BIGINT) AS n_tokens FROM per GROUP BY shard),
+        | t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS t_docs,
+        |   CAST(sum(n_tokens) AS BIGINT) AS t_toks FROM g)
+        | SELECT shard, n_docs, n_tokens,
+        |  round(n_docs * 32 / t_docs::DOUBLE - 1.0, 6) AS doc_dev,
+        |  round(n_tokens * 32 / t_toks::DOUBLE - 1.0, 6) AS token_dev
+        | FROM g, t ORDER BY shard""".stripMargin.replace("\n", " "),
     // VSM: tf·ln(N/df) over the df≤10% vocabulary, L2 norms, DAAT
     // posting join, rounded-cosine rank
     "sim_sparse_cos" ->

@@ -351,6 +351,34 @@ object Corpus {
       .select("source", "doc_id", "n_chars", "res_key", "rk")
   }
 
+  /** Shard-balance card — the operational skew audit for every
+    * md5-sharded path in this library (the rank shards, the
+    * SpaceSaving tables, the training-shuffle shards): per shard,
+    * doc and token counts plus the fractional deviation from a
+    * perfectly even spread. A healthy hash shows |dev| ≲ a few
+    * percent; a hot shard here is the early warning before a
+    * straggler task is (the AQE skew-join threshold catches joins,
+    * but stateful/window paths only rebalance if YOU see this).
+    *
+    * Scale: one map stage into a shards-sized hash aggregation;
+    * totals are a one-row broadcast. */
+  def shardBalance(docs: DataFrame, shards: Int = 32): DataFrame = {
+    val per = docs.select(
+      pmod(Dedup.md5Int(col("doc_id").cast("string")),
+        lit(shards.toLong)).as("shard"),
+      size(org.apache.spark.sql.functions.split(lower(col("text")), "\\s+"))
+        .cast("long").as("toks"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
+    val tot = per.agg(sum("n_docs").as("t_docs"), sum("n_tokens").as("t_toks"))
+    per.crossJoin(broadcast(tot))
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        round(col("n_docs") * lit(shards.toLong) /
+          col("t_docs").cast("double") - 1.0, 6).as("doc_dev"),
+        round(col("n_tokens") * lit(shards.toLong) /
+          col("t_toks").cast("double") - 1.0, 6).as("token_dev"))
+  }
+
   /** Temperature-scaled mixture design — the step BEFORE
     * [[mixtureSample]]: given only the corpus, derive the per-source
     * sampling weights. Natural sampling (share ∝ tokens) lets one

@@ -472,6 +472,64 @@ object Similarity {
         col("rk").cast("long").as("rk"))
   }
 
+  /** Multi-probe LSH ANN (Lv et al., VLDB 2007) — the memory-lean
+    * alternative to [[lshAnn]]'s table multiplication: ONE bucketing
+    * with more planes (narrower buckets), and each query probes its
+    * base bucket plus the `probes` single-bit perturbations obtained
+    * by flipping the hyperplanes with the SMALLEST |margin| — the
+    * planes the query sits closest to, exactly where a true neighbor
+    * most likely landed on the other side. Same recall lever as
+    * extra tables at 1/tables the index storage (the first-order
+    * probe sequence; deeper perturbation sets extend the same
+    * frame).
+    *
+    * Margins compute RELATIONALLY — a planes-way literal-array
+    * union ranked per query — so the probe choice is an ordinary
+    * window rank (|margin| asc, plane asc) both engines replay; no
+    * array-of-struct sorting in the plan.
+    *
+    * Scale: the corpus carries one (c_id, bucket) frame (at 100 TB:
+    * written bucketed-by(bucket), same as lshAnn's note); the probe
+    * frame is queries × (probes+1) rows broadcast into the bucket
+    * equi-join; exact re-rank touches only the candidate set. */
+  def multiProbeAnn(corpus: DataFrame, queries: DataFrame, k: Int,
+                    dim: Int = 64, planes: Int = 8, probes: Int = 3,
+                    seed: Long = 0L): DataFrame = {
+    val ws = hyperplanes(dim, planes, seed)
+    val qm = ws.zipWithIndex.map { case (w, p) =>
+      queries.select(col("vec_id").as("q_id"), lit(p).as("p"),
+        lit(1 << p).as("pw"),
+        dotNative(col("embedding").cast("array<double>"), typedLit(w))
+          .as("m"))
+    }.reduce(_ unionByName _)
+    val base = qm.groupBy("q_id")
+      .agg(sum(when(col("m") >= 0, col("pw")).otherwise(0))
+        .cast("int").as("b"))
+    val wR = Window.partitionBy("q_id")
+      .orderBy(abs(col("m")).asc, col("p").asc)
+    val flips = qm.withColumn("r", row_number().over(wR))
+      .where(col("r") <= probes).select("q_id", "pw")
+    val probeBuckets = base.select(col("q_id"), col("b").as("bucket"))
+      .unionByName(flips.join(base, "q_id")
+        .select(col("q_id"),
+          col("b").bitwiseXOR(col("pw")).cast("int").as("bucket")))
+    val cb = corpus.select(col("vec_id").as("c_id"),
+      lshBucket(col("embedding"), dim, planes, seed).as("bucket"))
+    val cands = cb.join(broadcast(probeBuckets), "bucket")
+      .where(col("q_id") =!= col("c_id"))
+      .select("q_id", "c_id").distinct()
+    val q = withNorm(queries, "q_id", "q_emb", "q_norm")
+    val c = withNorm(corpus, "c_id", "c_emb", "c_norm")
+    val scored = cands.join(broadcast(q), "q_id").join(c, "c_id")
+      .select(col("q_id"), col("c_id"),
+        scoreCos("q_emb", "c_emb", "q_norm", "c_norm").as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("q_id"), col("c_id"), round(col("cos"), 6).as("cos_v"),
+        col("rk").cast("long").as("rk"))
+  }
+
   /** ANN recall calibration curve — recall@k of the LSH index
     * against the exact ranking, per query and k: the similarity-side
     * companion of the dedup threshold curve, and the artifact

@@ -643,6 +643,34 @@ class PipelineSpec extends SparkSpec {
     assert(tight.map(_.getAs[Long]("c_id")).toSet == Set(1L))
   }
 
+  test("multi-probe LSH: probing near-margin flips only adds recall") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.where(col("vec_id") < 10)
+    val exact = Similarity.cosineTopK(emb, q, 5).select("q_id", "c_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // spec corpus is tiny — grid scaled down (16 buckets) so buckets
+    // aren't single-vector; the oracle-gate run uses planes = 8
+    def recallAt(probes: Int): Double = {
+      val got = Similarity.multiProbeAnn(emb, q, 5, planes = 4,
+        probes = probes).select("q_id", "c_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      exact.intersect(got).size.toDouble / exact.size
+    }
+    val (r0, r3) = (recallAt(0), recallAt(3))
+    assert(r3 >= r0, s"probing lost recall: $r0 -> $r3")
+    assert(r3 > 0.3, s"multi-probe recall $r3 too low")
+  }
+
+  test("shard balance: totals conserved, md5 spread near-even") {
+    val docs = Tables.documents(spark, sf)
+    val r = Corpus.shardBalance(docs).collect()
+    assert(r.length == 32)
+    assert(r.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    // md5 is a good hash: no shard should be wildly off even at the
+    // spec corpus size (50 docs / 32 shards is the worst case here)
+    assert(r.map(x => math.abs(x.getAs[Double]("doc_dev"))).max < 5.0)
+  }
+
   test("IVF ANN recall vs brute force on real embeddings") {
     val emb = Tables.embeddings(spark, sf)
     val q = emb.where(col("vec_id") < 20)
