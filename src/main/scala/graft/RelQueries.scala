@@ -514,6 +514,8 @@ object RelQueries {
     "q_user_activity" -> ((s, dir) => userActivity(Tables.events(s, dir))),
     "q_gap_stats" -> ((s, dir) => gapStats(Tables.events(s, dir))),
     "q_cohort_ltv" -> ((s, dir) => cohortValue(Tables.events(s, dir))),
+    // RFM quintile segmentation over the event stream
+    "q_rfm" -> ((s, dir) => rfm(Tables.events(s, dir)).orderBy("user_id")),
     "q_session_funnel" -> ((s, dir) =>
       sessionFunnel(Tables.events(s, dir), Seq("view", "click", "purchase"))
         .orderBy("step")),
@@ -929,7 +931,95 @@ object RelQueries {
       .orderBy("cohort_week_s", "week_offset")
   }
 
+  /** RFM customer segmentation — the classic marketing-analytics
+    * card: per user, Recency (days since last event, against the
+    * corpus max ts), Frequency (event count), Monetary (DECIMAL-sum
+    * value, so the rank key is bit-exact cross-engine), each scored
+    * into integer quintiles 1..5 (higher = better) by the
+    * `(5·rank) div n` integer rule the CCNet terciles use — no
+    * ntile, no float boundaries. rfm_code packs the three digits.
+    *
+    * Scale: the per-user rollup is one hash aggregation; each
+    * quintile rank runs the budgetSelect two-phase shard pattern
+    * (approx bounds broadcast for balance, shard-local windows,
+    * prefix offsets broadcast back) — no global sort at any user
+    * cardinality. */
+  def rfm(events: DataFrame, rankShards: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mx = events.agg(max("ts").as("mx"))
+    val per = events.groupBy("user_id")
+      .agg(max("ts").as("last_ts"), count(lit(1)).as("frequency"),
+        sum(dec2(col("value"))).cast("double").as("monetary"))
+      .crossJoin(broadcast(mx))
+      .select(col("user_id"),
+        floor((unix_timestamp(col("mx")) - unix_timestamp(col("last_ts")))
+          / lit(86400.0)).cast("long").as("recency_days"),
+        col("frequency"), col("monetary"))
+      .localCheckpoint(eager = true)
+    val nUsers = per.agg(count(lit(1)).as("_n"))
+    def score(df: DataFrame, key: org.apache.spark.sql.Column,
+              as: String): DataFrame = {
+      val qs = (1 until rankShards).map(_.toDouble / rankShards)
+      val bounds = df.agg(
+        approx_percentile(key.cast("double"), typedlit(qs), lit(1000))
+          .as("_bs"))
+      val sharded = df.crossJoin(broadcast(bounds))
+        .withColumn("_key", key.cast("double"))
+        .withColumn("_rshard", size(filter(col("_bs"), b => b < col("_key"))))
+        .drop("_bs")
+      val wLocal = Window.partitionBy("_rshard")
+        .orderBy(col("_key"), col("user_id"))
+      val wPrefix = Window.orderBy("_rshard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = sharded.groupBy("_rshard")
+        .agg(count(lit(1)).as("_cnt"))
+        .withColumn("_roff", coalesce(sum("_cnt").over(wPrefix), lit(0L)))
+        .select("_rshard", "_roff")
+      sharded.join(broadcast(offsets), Seq("_rshard"))
+        .crossJoin(broadcast(nUsers))
+        .withColumn("_rank",
+          col("_roff") + row_number().over(wLocal) - 1)
+        .withColumn(as, expr("(_rank * 5) div _n").cast("long") + 1)
+        .drop("_key", "_rshard", "_roff", "_rank", "_n")
+    }
+    val scored = score(score(score(per,
+      -col("recency_days"), "r_score"),
+      col("frequency"), "f_score"),
+      col("monetary"), "m_score")
+    scored.select(col("user_id"), col("recency_days"), col("frequency"),
+      col("monetary"), col("r_score"), col("f_score"), col("m_score"),
+      (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+        .as("rfm_code"))
+  }
+
   val oracles: Map[String, String] = Map(
+    // quintiles replayed with the same (5·rank0) div n integer rule;
+    // monetary ranks on the DECIMAL-exact sum
+    "q_rfm" ->
+      """WITH mxx AS (SELECT CAST(floor(epoch(max(ts))) AS BIGINT) AS mxs
+        |  FROM events),
+        | per AS (SELECT user_id,
+        |   CAST(floor((mxs - CAST(floor(epoch(max(ts))) AS BIGINT))
+        |     / 86400.0) AS BIGINT) AS recency_days,
+        |   count(*) AS frequency,
+        |   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+        |  FROM events, mxx GROUP BY user_id, mxs),
+        | n AS (SELECT count(*) AS nu FROM per),
+        | r AS (SELECT user_id, (row_number() OVER (
+        |    ORDER BY -recency_days ASC, user_id ASC) - 1) * 5 // nu + 1
+        |   AS r_score FROM per, n),
+        | f AS (SELECT user_id, (row_number() OVER (
+        |    ORDER BY frequency ASC, user_id ASC) - 1) * 5 // nu + 1
+        |   AS f_score FROM per, n),
+        | m AS (SELECT user_id, (row_number() OVER (
+        |    ORDER BY monetary ASC, user_id ASC) - 1) * 5 // nu + 1
+        |   AS m_score FROM per, n)
+        | SELECT per.user_id, per.recency_days, per.frequency, per.monetary,
+        |  r.r_score, f.f_score, m.m_score,
+        |  r.r_score * 100 + f.f_score * 10 + m.m_score AS rfm_code
+        | FROM per JOIN r USING (user_id) JOIN f USING (user_id)
+        |  JOIN m USING (user_id)
+        | ORDER BY per.user_id""".stripMargin.replace("\n", " "),
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

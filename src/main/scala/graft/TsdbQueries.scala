@@ -327,6 +327,14 @@ object TsdbQueries {
     "ts_stl" -> ((s, dir) =>
       Temporal.stlFrame(samples(s, dir))
         .orderBy("name", "user_id", "bucket_s")),
+    // CUSUM level-shift detection via the prefix-sum identity
+    "ts_cusum" -> ((s, dir) =>
+      Temporal.cusumFrame(samples(s, dir))
+        .orderBy("name", "user_id", "bucket_s")),
+    // SAX symbolization: z-normalize, day PAA, quartile alphabet
+    "ts_sax" -> ((s, dir) =>
+      Temporal.saxFrame(samples(s, dir))
+        .orderBy("name", "user_id", "day_s")),
     // M4 visualization downsampling: first/min/max/last per bucket
     "ts_m4" -> ((s, dir) =>
       Temporal.m4Frame(samples(s, dir))
@@ -1396,6 +1404,48 @@ object TsdbQueries {
          | FROM t2 LEFT JOIN sdet ON sdet.name = t2.name
          |  AND sdet.user_id = t2.user_id AND sdet.hod = t2.hod
          | ORDER BY t2.name, t2.user_id, t2.bucket_s"""
+        .stripMargin.replace("\n", " "),
+    // the sequential CUSUM recursion replayed as the same prefix-sum
+    // identity: S = P - min(0, running-min P)
+    "ts_cusum" ->
+      s"""WITH c AS (SELECT name, user_id,
+         |  CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_s,
+         |  avg(value) AS v FROM ($S) AS s GROUP BY 1, 2, 3),
+         | st AS (SELECT name, user_id, avg(v) AS mu,
+         |   stddev_pop(v) AS sigma FROM c GROUP BY 1, 2),
+         | p AS (SELECT c.name, c.user_id, c.bucket_s, c.v, st.sigma,
+         |   sum(c.v - st.mu - 0.5 * st.sigma) OVER wrun AS pp
+         |  FROM c JOIN st ON st.name = c.name AND st.user_id = c.user_id
+         |  WINDOW wrun AS (PARTITION BY c.name, c.user_id
+         |   ORDER BY c.bucket_s ROWS UNBOUNDED PRECEDING)),
+         | sx AS (SELECT name, user_id, bucket_s, v, sigma,
+         |   pp - least(min(pp) OVER wrun2, 0.0) AS ss
+         |  FROM p WINDOW wrun2 AS (PARTITION BY name, user_id
+         |   ORDER BY bucket_s ROWS UNBOUNDED PRECEDING))
+         | SELECT name, user_id, bucket_s, round(v, 6) AS v,
+         |  round(ss, 6) AS cusum_v,
+         |  CAST(round(ss, 6) > round(4.0 * sigma, 6) AS INT) AS alarm
+         | FROM sx ORDER BY name, user_id, bucket_s"""
+        .stripMargin.replace("\n", " "),
+    "ts_sax" ->
+      s"""WITH c AS (SELECT name, user_id,
+         |  CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_s,
+         |  avg(value) AS v FROM ($S) AS s GROUP BY 1, 2, 3),
+         | st AS (SELECT name, user_id, avg(v) AS mu,
+         |   stddev_pop(v) AS sigma FROM c GROUP BY 1, 2),
+         | paa AS (SELECT c.name, c.user_id,
+         |   CAST(c.bucket_s - c.bucket_s % 86400 AS BIGINT) AS day_s,
+         |   count(*) AS n_hours,
+         |   round(avg(CASE WHEN st.sigma > 0
+         |     THEN (c.v - st.mu) / st.sigma ELSE 0.0 END), 6) AS paa_v
+         |  FROM c JOIN st ON st.name = c.name AND st.user_id = c.user_id
+         |  GROUP BY 1, 2, 3)
+         | SELECT name, user_id, day_s, n_hours, paa_v,
+         |  CAST(CASE WHEN paa_v < -0.6745 THEN 0 WHEN paa_v < 0.0 THEN 1
+         |   WHEN paa_v < 0.6745 THEN 2 ELSE 3 END AS BIGINT) AS symbol,
+         |  chr(97 + CASE WHEN paa_v < -0.6745 THEN 0 WHEN paa_v < 0.0 THEN 1
+         |   WHEN paa_v < 0.6745 THEN 2 ELSE 3 END) AS sax_char
+         | FROM paa ORDER BY name, user_id, day_s"""
         .stripMargin.replace("\n", " "),
     "ts_m4" ->
       s"""SELECT name, user_id, bucket_s, count(*) AS n,

@@ -559,6 +559,76 @@ object Temporal {
         round(lit(64.0) * col("n_samples") / col("total_bits"), 6))
   }
 
+  /** CUSUM changepoint detection per series (Page 1954) — the
+    * classic sequential level-shift detector, restated as WINDOW
+    * algebra via the prefix-sum identity: the one-sided recursion
+    * S_i = max(0, S_{i−1} + x_i − μ − kσ) equals P_i − min(0,
+    * min_{j≤i} P_j) for P = prefix sum of (x − μ − kσ), so the
+    * sequential loop becomes two running aggregates over the
+    * series-keyed ordered frame. μ/σ are in-sample per series
+    * (the ts_anomaly convention); alarm when the ROUNDED statistic
+    * clears h·σ — the standard (k, h) = (0.5, 4) tuning.
+    *
+    * Scale: one consolidation hash-agg, a per-series stats join, two
+    * running windows on the one series-keyed sort. No recursion, no
+    * state. */
+  def cusumFrame(samples: DataFrame, k: Double = 0.5,
+                 h: Double = 4.0): DataFrame = {
+    val cons = samples
+      .withColumn("bucket_s", Vectors.bucketS("hour"))
+      .groupBy((labels :+ "bucket_s").map(col): _*).agg(avg("value").as("v"))
+    val stats = cons.groupBy(labels.map(col): _*)
+      .agg(avg("v").as("mu"), stddev_pop("v").as("sigma"))
+    val w = Window.partitionBy(labels.map(col): _*).orderBy("bucket_s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withP = cons.join(stats, labels)
+      .withColumn("_dev", col("v") - col("mu") - lit(k) * col("sigma"))
+      .withColumn("_p", sum("_dev").over(w))
+    withP
+      .withColumn("_s", col("_p") - least(min("_p").over(w), lit(0.0)))
+      .select(labels.map(col) :+ col("bucket_s") :+
+        round(col("v"), 6).as("v") :+
+        round(col("_s"), 6).as("cusum_v") :+
+        (round(col("_s"), 6) > round(lit(h) * col("sigma"), 6))
+          .cast("int").as("alarm"): _*)
+  }
+
+  /** SAX symbolization per series (Lin, Keogh et al. 2003 —
+    * "Symbolic Aggregate approXimation"): z-normalize the hourly
+    * series in-sample, PAA-average each DAY's 24 z-values, then
+    * quantize by the standard normal quartile breakpoints
+    * (−0.6745, 0, 0.6745) into a 4-letter alphabet a..d — the
+    * discrete representation motif mining / anomaly grammars
+    * consume. Zero-variance series emit the flat middle symbol.
+    * Breakpoint compares use the ROUNDED PAA value, so engine ulp
+    * drift cannot flip a symbol at a boundary.
+    *
+    * Scale: two hash aggregations (hourly consolidation, then day
+    * PAA) + a per-series stats join — no windows at all. */
+  def saxFrame(samples: DataFrame): DataFrame = {
+    val cons = samples
+      .withColumn("bucket_s", Vectors.bucketS("hour"))
+      .groupBy((labels :+ "bucket_s").map(col): _*).agg(avg("value").as("v"))
+    val stats = cons.groupBy(labels.map(col): _*)
+      .agg(avg("v").as("mu"), stddev_pop("v").as("sigma"))
+    val z = when(col("sigma") > 0, (col("v") - col("mu")) / col("sigma"))
+      .otherwise(lit(0.0))
+    val paa = cons.join(stats, labels)
+      .withColumn("day_s", (col("bucket_s") - pmod(col("bucket_s"),
+        lit(86400L))).cast("long"))
+      .withColumn("_z", z)
+      .groupBy((labels :+ "day_s").map(col): _*)
+      .agg(count(lit(1)).as("n_hours"), round(avg("_z"), 6).as("paa_v"))
+    val sym = when(col("paa_v") < -0.6745, 0)
+      .when(col("paa_v") < 0.0, 1)
+      .when(col("paa_v") < 0.6745, 2)
+      .otherwise(3)
+    paa.withColumn("symbol", sym.cast("long"))
+      .withColumn("sax_char",
+        element_at(typedlit(Seq("a", "b", "c", "d")),
+          col("symbol").cast("int") + 1))
+  }
+
   /** STL-lite additive decomposition per series — v = trend +
     * seasonal + remainder (Cleveland et al.'s STL restated as the
     * two-pass moving-average form a batch engine runs): trend is the

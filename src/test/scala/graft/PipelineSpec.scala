@@ -1760,6 +1760,23 @@ class PipelineSpec extends SparkSpec {
       3L -> ((1L, 3L, 2L))))
   }
 
+  test("RFM: scores follow recency/frequency/monetary order") {
+    val s = spark
+    import s.implicits._
+    val day = (d: Int) => java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    // u1: 10 recent high-value events; u2: 5 mid; u3: 1 old small
+    val events =
+      (0 until 10).map(i => (1L, day(10), 100.0, (10 + i).toLong)) ++
+        (0 until 5).map(i => (2L, day(8), 10.0, (20 + i).toLong)) ++
+        Seq((3L, day(1), 1.0, 30L))
+    val df = events.toDF("user_id", "ts", "value", "event_id")
+      .withColumn("event_type", lit("purchase"))
+    val r = RelQueries.rfm(df).collect()
+      .map(x => x.getAs[Long]("user_id") -> x.getAs[Long]("rfm_code")).toMap
+    // 3 users → quintile ranks (0,1,2)·5 div 3 + 1 = (1, 2, 4)
+    assert(r == Map(1L -> 444L, 2L -> 222L, 3L -> 111L), s"codes $r")
+  }
+
   test("funnel steps are ordered: later-step events before step 1 don't count") {
     val s = spark
     import s.implicits._

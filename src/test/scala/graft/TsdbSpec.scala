@@ -80,6 +80,45 @@ class TsdbSpec extends SparkSpec {
     ).toDF("name", "user_id", "ts", "value", "event_id")
   }
 
+  test("CUSUM: flat prefix stays silent, level shift alarms") {
+    val s = spark
+    import s.implicits._
+    val base = ts("2024-01-01 00:00:00").getTime
+    val rows = (0 until 70).map { i =>
+      val v = if (i < 50) 0.0 else 10.0
+      ("m", 1L, new Timestamp(base + i * 3600L * 1000), v, i.toLong)
+    }
+    val r = Temporal.cusumFrame(rows.toDF("name", "user_id", "ts", "value",
+      "event_id")).orderBy("bucket_s").collect()
+    assert(r.take(50).forall(_.getAs[Int]("alarm") == 0),
+      "alarm before the shift")
+    assert(r.last.getAs[Int]("alarm") == 1, "no alarm after the shift")
+    // statistic is non-negative by construction
+    assert(r.forall(_.getAs[Double]("cusum_v") >= 0.0))
+  }
+
+  test("SAX: low days map to low letters, flat series to the middle") {
+    val s = spark
+    import s.implicits._
+    val base = ts("2024-01-01 00:00:00").getTime
+    val wavy = (0 until 96).map { i =>
+      val v = if (i < 48) 0.0 else 100.0   // 2 low days then 2 high days
+      ("w", 1L, new Timestamp(base + i * 3600L * 1000), v, i.toLong)
+    }
+    val flat = (0 until 48).map { i =>
+      ("f", 2L, new Timestamp(base + i * 3600L * 1000), 7.0, (100 + i).toLong)
+    }
+    val r = Temporal.saxFrame((wavy ++ flat)
+      .toDF("name", "user_id", "ts", "value", "event_id"))
+      .orderBy("name", "day_s").collect()
+    val w = r.filter(_.getAs[String]("name") == "w")
+      .map(_.getAs[String]("sax_char")).toSeq
+    assert(w == Seq("a", "a", "d", "d"), s"wavy symbols $w")
+    val f = r.filter(_.getAs[String]("name") == "f")
+      .map(_.getAs[String]("sax_char")).toSeq
+    assert(f.forall(_ == "c"), s"flat symbols $f") // z = 0 → middle
+  }
+
   test("M4 downsampling keeps first/min/max/last per bucket") {
     val r = Temporal.m4Frame(counterSamples).collect()
     assert(r.length == 1)
