@@ -375,6 +375,106 @@ object PipelineQueries {
        | WHERE rk <= $k ORDER BY q_id, rk""".stripMargin.replace("\n", " ")
   }
 
+  /** probe-depth calibration oracle: margins/base/flips as in the
+    * multi-probe oracle, candidates tagged with their min entry
+    * depth, per-depth branch filters entry ≤ p and counts top-k hits
+    * against the exact ranking. */
+  private def probeCurveOracleSql(k: Int, nq: Int, planes: Int,
+                                  maxProbes: Int, dim: Int = 64,
+                                  seed: Int = 0): String = {
+    val qm = Similarity.hyperplanes(dim, planes, seed).zipWithIndex
+      .map { case (w, p) =>
+        val arr = w.map(d => if (d > 0) "1.0" else "-1.0")
+          .mkString("[", ",", "]")
+        s"SELECT vec_id AS q_id, $p AS p, ${1 << p} AS pw, " +
+          s"list_dot_product(embedding::DOUBLE[], $arr) AS m " +
+          s"FROM embeddings WHERE vec_id < $nq"
+      }.mkString(" UNION ALL ")
+    val branches = (0 to maxProbes).map { p =>
+      s"""SELECT CAST($p AS BIGINT) AS probes,
+         | (SELECT count(*) FROM sc WHERE entry <= $p) AS n_cand,
+         | (SELECT CAST(count(*) AS BIGINT) FROM (
+         |   SELECT q_id, c_id FROM (SELECT q_id, c_id, row_number()
+         |     OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rk
+         |    FROM sc WHERE entry <= $p) AS z$p WHERE rk <= $k) AS t$p
+         |  JOIN ex USING (q_id, c_id)) AS n_hits""".stripMargin
+        .replace("\n", " ")
+    }.mkString(" UNION ALL ")
+    s"""WITH qm AS ($qm),
+       | qb AS (SELECT q_id, CAST(sum(CASE WHEN m >= 0 THEN pw ELSE 0 END)
+       |   AS INT) AS b FROM qm GROUP BY q_id),
+       | fl AS (SELECT q_id, pw, r FROM (SELECT q_id, pw, row_number()
+       |   OVER (PARTITION BY q_id ORDER BY abs(m) ASC, p ASC) AS r
+       |  FROM qm) AS z WHERE r <= $maxProbes),
+       | pr AS (SELECT q_id, b AS bucket, 0 AS depth FROM qb
+       |  UNION ALL SELECT fl.q_id, CAST(xor(qb.b, fl.pw) AS INT), fl.r
+       |  FROM fl JOIN qb ON qb.q_id = fl.q_id),
+       | cb AS (SELECT vec_id AS c_id, ${lshBucketSql(planes, seed)} AS bucket
+       |  FROM embeddings),
+       | cand AS (SELECT pr.q_id, cb.c_id, min(pr.depth) AS entry FROM cb
+       |  JOIN pr ON pr.bucket = cb.bucket WHERE cb.c_id <> pr.q_id
+       |  GROUP BY 1, 2),
+       | sc AS (SELECT cand.q_id, cand.c_id, cand.entry,
+       |   ${cosSql("a", "b")} AS cos
+       |  FROM cand JOIN embeddings AS a ON a.vec_id = cand.q_id
+       |   JOIN embeddings AS b ON b.vec_id = cand.c_id),
+       | ex AS (SELECT q_id, c_id FROM (
+       |  SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+       |   row_number() OVER (PARTITION BY a.vec_id
+       |    ORDER BY ${cosSql("a", "b")} DESC, b.vec_id ASC) AS rk
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+       |  WHERE a.vec_id < $nq) AS e WHERE rk <= $k)
+       | SELECT probes, n_cand, n_hits,
+       |  round(n_hits / ${(nq * k).toDouble}, 6) AS recall_k
+       | FROM ($branches) AS u ORDER BY probes""".stripMargin
+      .replace("\n", " ")
+  }
+
+  /** bloom FPR curve oracle: the dedup_bloom pipeline replayed per
+    * candidate size, reduced to the one-row census + the classical
+    * (1 − e^(−kn/m))^k prediction. */
+  private def bloomFprOracleSql(sizes: Seq[Int], k: Int): String = {
+    val ks = (0 until k).mkString("[", ", ", "]")
+    val perSize = sizes.map { m =>
+      s"""bp$m AS (SELECT CAST('0x' || substr(md5(h || '#' || i), 1, 8)
+         |    AS BIGINT) % $m AS pos FROM hist CROSS JOIN ks),
+         | bl$m AS (SELECT pos // 32 AS word_idx,
+         |   bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+         |  FROM bp$m GROUP BY 1),
+         | pb$m AS (SELECT doc_id, h, CAST('0x' || substr(md5(h || '#' || i),
+         |    1, 8) AS BIGINT) % $m AS pos
+         |  FROM h CROSS JOIN ks WHERE is_new = 1),
+         | ht$m AS (SELECT doc_id, h, min(CASE WHEN (coalesce(bits, 0) &
+         |    (CAST(1 AS BIGINT) << CAST(pos % 32 AS INT))) <> 0
+         |   THEN 1 ELSE 0 END) AS might_dup
+         |  FROM pb$m LEFT JOIN bl$m ON pb$m.pos // 32 = bl$m.word_idx
+         |  GROUP BY doc_id, h),
+         | ag$m AS (SELECT count(*) AS n_probes,
+         |   CAST(sum(CASE WHEN s.h IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_novel,
+         |   CAST(sum(CASE WHEN might_dup = 1 AND s.h IS NULL
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+         |  FROM ht$m LEFT JOIN hist AS s ON ht$m.h = s.h)""".stripMargin
+        .replace("\n", " ")
+    }.mkString(", ")
+    val branches = sizes.map { m =>
+      s"""SELECT CAST($m AS BIGINT) AS m_bits,
+         | (SELECT count(*) FROM hist) AS n_history,
+         | n_probes, n_novel, n_false_pos,
+         | round(n_false_pos / n_novel::DOUBLE, 6) AS measured_fpr,
+         | round(pow(1.0 - exp(-$k.0 * (SELECT count(*) FROM hist)
+         |   / $m.0), $k.0), 6) AS theory_fpr
+         | FROM ag$m""".stripMargin.replace("\n", " ")
+    }.mkString(" UNION ALL ")
+    s"""WITH h AS (SELECT doc_id, md5(text) AS h, doc_id % 2 AS is_new
+       |  FROM documents),
+       | hist AS (SELECT DISTINCT h FROM h WHERE is_new = 0),
+       | ks AS (SELECT unnest($ks) AS i),
+       | $perSize
+       | SELECT * FROM ($branches) AS u ORDER BY m_bits""".stripMargin
+      .replace("\n", " ")
+  }
+
   /** gopher signal inner SQL (mirrors TextAnalysis.gopherQuality). */
   private val GOPHER_INNER =
     """SELECT doc_id,
@@ -759,6 +859,17 @@ object PipelineQueries {
     // operational skew audit of the md5 shard hash
     "corpus_shard_balance" -> ((s, dir) =>
       Corpus.shardBalance(Tables.documents(s, dir)).orderBy("shard")),
+    // probe-depth calibration for the multi-probe index (nested
+    // candidate sets: one probe join, per-depth entry filters)
+    "sim_probe_curve" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.probeCurve(emb, emb.where(col("vec_id") < 10))
+        .orderBy("probes")
+    }),
+    // bloom sizing card: measured FPR vs (1 - e^(-kn/m))^k per size
+    "sketch_bloom_fpr" -> ((s, dir) =>
+      Dedup.bloomFprCurve(Tables.documents(s, dir), col("doc_id") % 2 === 1)
+        .orderBy("m_bits")),
     // 1-bit compression tier: sign-packed words, Hamming candidates,
     // exact cosine re-rank of the bounded survivor set
     "sim_binary_quant" -> ((s, dir) => {
@@ -1662,6 +1773,10 @@ object PipelineQueries {
         | WHERE s_rk <= 20 ORDER BY q_id, s_rk""".stripMargin.replace("\n", " "),
     "sim_mmr" -> mmrOracleSql(k = 5, poolK = 20, lamNum = 7),
     "sim_multiprobe" -> multiProbeOracleSql(k = 5, planes = 8, probes = 3),
+    "sim_probe_curve" ->
+      probeCurveOracleSql(k = 5, nq = 10, planes = 8, maxProbes = 3),
+    "sketch_bloom_fpr" ->
+      bloomFprOracleSql(Seq(1 << 12, 1 << 14, 1 << 16), k = 5),
     "corpus_shard_balance" ->
       """WITH per AS (SELECT
         |  CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8) AS BIGINT) % 32

@@ -327,6 +327,14 @@ object TsdbQueries {
     "ts_stl" -> ((s, dir) =>
       Temporal.stlFrame(samples(s, dir))
         .orderBy("name", "user_id", "bucket_s")),
+    // (time × log2-value) heatmap census
+    "ts_heatmap" -> ((s, dir) =>
+      Temporal.heatmapFrame(samples(s, dir))
+        .orderBy("name", "bucket_s", "vb")),
+    // multi-window SLO burn-rate alerts per service name
+    "ts_burn_rate" -> ((s, dir) =>
+      Temporal.burnRateFrame(samples(s, dir))
+        .orderBy("name", "bucket_s")),
     // CUSUM level-shift detection via the prefix-sum identity
     "ts_cusum" -> ((s, dir) =>
       Temporal.cusumFrame(samples(s, dir))
@@ -1405,6 +1413,32 @@ object TsdbQueries {
          |  AND sdet.user_id = t2.user_id AND sdet.hod = t2.hod
          | ORDER BY t2.name, t2.user_id, t2.bucket_s"""
         .stripMargin.replace("\n", " "),
+    "ts_heatmap" ->
+      """WITH h AS (SELECT event_type AS name,
+        |  CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS bucket_s,
+        |  CAST(floor(log2(value)) AS BIGINT) AS vb
+        | FROM events WHERE value > 0)
+        | SELECT name, bucket_s, vb, count(*) AS n, pow(2.0, vb) AS v_lo
+        | FROM h GROUP BY 1, 2, 3
+        | ORDER BY name, bucket_s, vb""".stripMargin.replace("\n", " "),
+    "ts_burn_rate" ->
+      """WITH d AS (SELECT event_type AS name,
+        |  CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS bucket_s,
+        |  count(*) AS n,
+        |  CAST(sum(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS bad
+        | FROM events GROUP BY 1, 2),
+        | wdw AS (SELECT name, bucket_s, n, bad,
+        |   sum(n) OVER wtr AS n_long, sum(bad) OVER wtr AS bad_long
+        |  FROM d WINDOW wtr AS (PARTITION BY name ORDER BY bucket_s
+        |   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        | SELECT name, bucket_s, n, bad,
+        |  round(bad / n::DOUBLE / 0.1, 6) AS short_burn,
+        |  round(bad_long / n_long::DOUBLE / 0.1, 6) AS long_burn,
+        |  CAST(round(bad / n::DOUBLE / 0.1, 6) > 1.0
+        |   AND round(bad_long / n_long::DOUBLE / 0.1, 6) > 1.0 AS INT)
+        |   AS alert
+        | FROM wdw ORDER BY name, bucket_s""".stripMargin.replace("\n", " "),
     // the sequential CUSUM recursion replayed as the same prefix-sum
     // identity: S = P - min(0, running-min P)
     "ts_cusum" ->

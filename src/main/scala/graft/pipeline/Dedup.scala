@@ -971,4 +971,40 @@ object Dedup {
         (col("might_dup") === 1 && col("_seen").isNull).cast("int")
           .as("false_pos"))
   }
+
+  /** Bloom sizing calibration — the card that justifies a filter
+    * size BEFORE a 100 TB history collapses into it: for each
+    * candidate m, build the [[bloomFilter]] over history, probe the
+    * batch, and put the MEASURED false-positive rate next to the
+    * classical prediction (1 − e^(−k·n/m))^k. A measured rate far
+    * off theory means the hash family is misbehaving (correlated
+    * positions); a theory rate above budget at the affordable m says
+    * to shard the filter (m3's per-fileset split —
+    * src/dbnode/persist/fs/bloom_filter.go gets exactly this
+    * per-volume sizing from its index builder).
+    *
+    * Scale: per size, one bounded filter build (≤ m/32 words) + the
+    * broadcast probe [[bloomDedup]] runs; the history hash count is
+    * one aggregate shared across sizes. */
+  def bloomFprCurve(docs: DataFrame, isNew: Column,
+                    sizes: Seq[Int] = Seq(1 << 12, 1 << 14, 1 << 16),
+                    k: Int = BloomK): DataFrame = {
+    val nHist = docs.where(isNew.cast("int") === 0)
+      .select(md5(col("text")).as("h")).distinct()
+      .agg(count(lit(1)).as("n_history"))
+      .localCheckpoint(eager = true)
+    sizes.map { m =>
+      bloomDedup(docs, isNew, m, k)
+        .agg(count(lit(1)).as("n_probes"),
+          sum("novel").cast("long").as("n_novel"),
+          sum("false_pos").cast("long").as("n_false_pos"))
+        .crossJoin(broadcast(nHist))
+        .select(lit(m.toLong).as("m_bits"), col("n_history"),
+          col("n_probes"), col("n_novel"), col("n_false_pos"),
+          round(col("n_false_pos") / col("n_novel").cast("double"), 6)
+            .as("measured_fpr"),
+          round(pow(lit(1.0) - exp(lit(-k.toDouble) * col("n_history")
+            / lit(m.toDouble)), lit(k.toDouble)), 6).as("theory_fpr"))
+    }.reduce(_ unionByName _)
+  }
 }

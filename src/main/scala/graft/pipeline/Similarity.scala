@@ -530,6 +530,73 @@ object Similarity {
         col("rk").cast("long").as("rk"))
   }
 
+  /** Probe-depth calibration for [[multiProbeAnn]] — the
+    * [[nprobeCurve]] of the multi-probe family: recall@k and
+    * candidate volume per probe depth 0..maxProbes, the table the
+    * probes knob is tuned against. Candidate sets NEST (depth p's
+    * buckets ⊆ depth p+1's), so everything computes once at max
+    * depth with each candidate tagged by its ENTRY depth (min probe
+    * rank that found it); depth p's ranking just filters entry ≤ p —
+    * no re-probing per depth. Hit counts are integers; recall is one
+    * int/(nq·k) division, engine-identical.
+    *
+    * Scale: one probe join + one scoring join at max depth (both the
+    * multiProbeAnn shapes); per-depth work is a rank window over the
+    * bounded candidate frame. */
+  def probeCurve(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+                 maxProbes: Int = 3, dim: Int = 64, planes: Int = 8,
+                 seed: Long = 0L): DataFrame = {
+    val ws = hyperplanes(dim, planes, seed)
+    val qm = ws.zipWithIndex.map { case (w, p) =>
+      queries.select(col("vec_id").as("q_id"), lit(p).as("p"),
+        lit(1 << p).as("pw"),
+        dotNative(col("embedding").cast("array<double>"), typedLit(w))
+          .as("m"))
+    }.reduce(_ unionByName _)
+    val base = qm.groupBy("q_id")
+      .agg(sum(when(col("m") >= 0, col("pw")).otherwise(0))
+        .cast("int").as("b"))
+    val wR = Window.partitionBy("q_id")
+      .orderBy(abs(col("m")).asc, col("p").asc)
+    val flips = qm.withColumn("r", row_number().over(wR))
+      .where(col("r") <= maxProbes)
+      .join(base, "q_id")
+      .select(col("q_id"),
+        col("b").bitwiseXOR(col("pw")).cast("int").as("bucket"),
+        col("r").as("depth"))
+    val probeBuckets = base
+      .select(col("q_id"), col("b").as("bucket"), lit(0).as("depth"))
+      .unionByName(flips)
+    val cb = corpus.select(col("vec_id").as("c_id"),
+      lshBucket(col("embedding"), dim, planes, seed).as("bucket"))
+    val cand = cb.join(broadcast(probeBuckets), "bucket")
+      .where(col("q_id") =!= col("c_id"))
+      .groupBy("q_id", "c_id").agg(min("depth").as("entry"))
+    val q = withNorm(queries, "q_id", "q_emb", "q_norm")
+    val c = withNorm(corpus, "c_id", "c_emb", "c_norm")
+    val scored = cand.join(broadcast(q), "q_id").join(c, "c_id")
+      .select(col("q_id"), col("c_id"), col("entry"),
+        scoreCos("q_emb", "c_emb", "q_norm", "c_norm").as("cos"))
+      .localCheckpoint(eager = true)
+    val exact = cosineTopK(corpus, queries, k)
+      .select(col("q_id"), col("c_id")).withColumn("_ex", lit(1))
+      .localCheckpoint(eager = true)
+    val nq = queries.count()
+    (0 to maxProbes).map { p =>
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("cos").desc, col("c_id").asc)
+      val top = scored.where(col("entry") <= p)
+        .withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      val hits = top.join(exact, Seq("q_id", "c_id"), "left")
+        .agg(coalesce(sum("_ex"), lit(0)).cast("long").as("n_hits"))
+      val cands = scored.where(col("entry") <= p)
+        .agg(count(lit(1)).as("n_cand"))
+      hits.crossJoin(cands)
+        .select(lit(p.toLong).as("probes"), col("n_cand"), col("n_hits"),
+          round(col("n_hits") / lit((nq * k).toDouble), 6).as("recall_k"))
+    }.reduce(_ unionByName _)
+  }
+
   /** ANN recall calibration curve — recall@k of the LSH index
     * against the exact ranking, per query and k: the similarity-side
     * companion of the dedup threshold curve, and the artifact

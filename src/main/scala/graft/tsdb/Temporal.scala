@@ -559,6 +559,61 @@ object Temporal {
         round(lit(64.0) * col("n_samples") / col("total_bits"), 6))
   }
 
+  /** Observability heatmap frame — the (time bucket × log₂ value
+    * bucket) census a latency/value heatmap renders (the Grafana
+    * heatmap panel's input shape; exponential buckets are the
+    * convention because latencies span decades). Emits per
+    * (series-name, bucket_s, value-bucket): count + the bucket's
+    * lower bound (2^vb, exact in IEEE for any integer exponent).
+    * Non-positive values are outside the log domain and drop (the
+    * histogram families treat them the same way).
+    *
+    * Scale: one map stage into a hash aggregation keyed by the
+    * (name, time, bucket) triple — the same cardinality the
+    * rendered heatmap has. */
+  def heatmapFrame(samples: DataFrame, unit: String = "day"): DataFrame =
+    samples.where(col("value") > 0)
+      .withColumn("bucket_s", Vectors.bucketS(unit))
+      .withColumn("vb", floor(log2(col("value"))).cast("long"))
+      .groupBy(col("name"), col("bucket_s"), col("vb"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("v_lo", pow(lit(2.0), col("vb")))
+
+  /** Multi-window SLO burn-rate alerts (the Google SRE Workbook
+    * ch. 5 pattern): per service (series name) and day, the error
+    * fraction (value > `threshold` = bad) over the short window
+    * (the day itself) and the long window (trailing `longWin` days),
+    * each divided by the error budget; page when BOTH exceed 1 —
+    * the short window for responsiveness, the long one so a brief
+    * blip can't page. Counts are integers end to end; the two
+    * ratios are single int/int divisions, so both engines compute
+    * identical doubles and the alert compares the ROUNDED rates.
+    *
+    * Scale: one daily hash aggregation per (name, day) + one
+    * bounded trailing window over the per-day frame (rows, not
+    * events). */
+  def burnRateFrame(samples: DataFrame, threshold: Double = 100.0,
+                    errBudget: Double = 0.1,
+                    longWin: Int = 7): DataFrame = {
+    val daily = samples
+      .withColumn("bucket_s", Vectors.bucketS("day"))
+      .groupBy(col("name"), col("bucket_s"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("value") > threshold).cast("long")).as("bad"))
+    val w = Window.partitionBy("name").orderBy("bucket_s")
+      .rowsBetween(-(longWin - 1), Window.currentRow)
+    daily
+      .withColumn("n_long", sum("n").over(w))
+      .withColumn("bad_long", sum("bad").over(w))
+      .select(col("name"), col("bucket_s"), col("n"), col("bad"),
+        round(col("bad") / col("n").cast("double") / lit(errBudget), 6)
+          .as("short_burn"),
+        round(col("bad_long") / col("n_long").cast("double")
+          / lit(errBudget), 6).as("long_burn"))
+      .withColumn("alert",
+        (col("short_burn") > 1.0 && col("long_burn") > 1.0).cast("int"))
+  }
+
   /** CUSUM changepoint detection per series (Page 1954) — the
     * classic sequential level-shift detector, restated as WINDOW
     * algebra via the prefix-sum identity: the one-sided recursion

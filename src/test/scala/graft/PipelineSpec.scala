@@ -661,6 +661,33 @@ class PipelineSpec extends SparkSpec {
     assert(r3 > 0.3, s"multi-probe recall $r3 too low")
   }
 
+  test("probe curve: recall and candidate volume grow with depth") {
+    val emb = Tables.embeddings(spark, sf)
+    val r = Similarity.probeCurve(emb, emb.where(col("vec_id") < 10),
+      planes = 4).orderBy("probes").collect()
+    val rec = r.map(_.getAs[Double]("recall_k")).toSeq
+    val cand = r.map(_.getAs[Long]("n_cand")).toSeq
+    assert(rec == rec.sorted, s"recall not monotone: $rec")
+    assert(cand == cand.sorted, s"candidates not monotone: $cand")
+    assert(rec.last > rec.head || rec.head == 1.0,
+      s"probing never helped: $rec")
+  }
+
+  test("bloom FPR curve: theory decreases with size, no false negatives") {
+    val docs = Tables.documents(spark, sf)
+    val r = Dedup.bloomFprCurve(docs, col("doc_id") % 2 === 1)
+      .orderBy("m_bits").collect()
+    val theory = r.map(_.getAs[Double]("theory_fpr")).toSeq
+    assert(theory == theory.sorted.reverse, s"theory not decreasing: $theory")
+    r.foreach { x =>
+      val m = x.getAs[Double]("measured_fpr")
+      assert(m >= 0.0 && m <= 1.0)
+      // every true dup must be caught (no false negatives): probes −
+      // novel = true dups, all of which must be in might_dup
+      assert(x.getAs[Long]("n_false_pos") <= x.getAs[Long]("n_novel"))
+    }
+  }
+
   test("shard balance: totals conserved, md5 spread near-even") {
     val docs = Tables.documents(spark, sf)
     val r = Corpus.shardBalance(docs).collect()

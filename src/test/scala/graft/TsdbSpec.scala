@@ -80,6 +80,45 @@ class TsdbSpec extends SparkSpec {
     ).toDF("name", "user_id", "ts", "value", "event_id")
   }
 
+  test("heatmap buckets are exact powers of two") {
+    val s = spark
+    import s.implicits._
+    val base = ts("2024-01-01 00:00:00").getTime
+    val rows = Seq(0.5, 1.0, 3.0, 4.0, 7.9, 200.0, -5.0, 0.0).zipWithIndex
+      .map { case (v, i) => ("m", 1L, new Timestamp(base + i * 1000L), v, i.toLong) }
+    val r = Temporal.heatmapFrame(rows
+      .toDF("name", "user_id", "ts", "value", "event_id")).collect()
+      .map(x => x.getAs[Long]("vb") -> (x.getAs[Long]("n"), x.getAs[Double]("v_lo")))
+      .toMap
+    // -5 and 0 drop (log domain); 0.5→vb -1, 1→0, 3→1, {4, 7.9}→2, 200→7
+    assert(r == Map(-1L -> ((1L, 0.5)), 0L -> ((1L, 1.0)),
+      1L -> ((1L, 2.0)), 2L -> ((2L, 4.0)), 7L -> ((1L, 128.0))), s"$r")
+  }
+
+  test("burn rate pages only when short AND long windows exceed budget") {
+    val s = spark
+    import s.implicits._
+    val base = ts("2024-01-01 00:00:00").getTime
+    // 7 clean days (10 events each, none bad), then one day fully bad:
+    // short burn = 1/0.1 = 10 > 1; the 7-day window covers days 1..7
+    // = 70 events, 10 bad → long burn = 10/70/0.1 ≈ 1.428571 > 1
+    val rows = (0 until 8).flatMap { d =>
+      (0 until 10).map { i =>
+        val v = if (d == 7) 200.0 else 1.0
+        ("svc", 1L, new Timestamp(base + (d * 86400L + i) * 1000L), v,
+          (d * 10 + i).toLong)
+      }
+    }
+    val r = Temporal.burnRateFrame(rows
+      .toDF("name", "user_id", "ts", "value", "event_id"))
+      .orderBy("bucket_s").collect()
+    assert(r.take(7).forall(_.getAs[Int]("alert") == 0))
+    val last = r.last
+    assert(last.getAs[Double]("short_burn") == 10.0)
+    assert(last.getAs[Double]("long_burn") == 1.428571)
+    assert(last.getAs[Int]("alert") == 1)
+  }
+
   test("CUSUM: flat prefix stays silent, level shift alarms") {
     val s = spark
     import s.implicits._
