@@ -430,6 +430,43 @@ object PipelineQueries {
       .replace("\n", " ")
   }
 
+  /** farthest-first oracle: k−1 unrolled argmax rounds, each
+    * maintaining the running min-d² frame incrementally (least of
+    * the previous frame and the distance to the new pick) — min is
+    * association-free, so the engine's full-fold recomputation and
+    * this incremental chain agree bit-for-bit. */
+  private def farthestOracleSql(k: Int): String = {
+    def d2(x: String, c: String) =
+      s"(list_dot_product($x.e, $x.e) + list_dot_product($c.e, $c.e)" +
+        s" - 2 * list_dot_product($x.e, $c.e))"
+    val stages = (1 until k).map { r =>
+      val roll = if (r < k - 1)
+        s""", m${r + 1} AS (SELECT m$r.vec_id,
+           |  least(m$r.md, ${d2("x", "c")}) AS md
+           | FROM m$r JOIN base AS x ON x.vec_id = m$r.vec_id
+           | CROSS JOIN e$r AS c)""".stripMargin.replace("\n", " ")
+      else ""
+      s"""p$r AS (SELECT vec_id, md FROM m$r
+         | ORDER BY md DESC, vec_id ASC LIMIT 1),
+         | e$r AS (SELECT b.vec_id, b.e FROM base AS b
+         |  JOIN p$r ON p$r.vec_id = b.vec_id)$roll""".stripMargin
+        .replace("\n", " ")
+    }.mkString(", ")
+    val rows = (1 until k).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS rk, vec_id, round(md, 6) AS min_d2 " +
+        s"FROM p$r").mkString(" UNION ALL ")
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e
+       |  FROM embeddings),
+       | c0 AS (SELECT vec_id, e FROM base ORDER BY vec_id LIMIT 1),
+       | m1 AS (SELECT x.vec_id, ${d2("x", "c")} AS md
+       |  FROM base AS x CROSS JOIN c0 AS c),
+       | $stages
+       | SELECT * FROM (
+       |  SELECT CAST(0 AS BIGINT) AS rk, (SELECT vec_id FROM c0) AS vec_id,
+       |   CAST(NULL AS DOUBLE) AS min_d2
+       |  UNION ALL $rows) AS u ORDER BY rk""".stripMargin.replace("\n", " ")
+  }
+
   /** bloom FPR curve oracle: the dedup_bloom pipeline replayed per
     * candidate size, reduced to the one-row census + the classical
     * (1 − e^(−kn/m))^k prediction. */
@@ -870,6 +907,11 @@ object PipelineQueries {
     "sketch_bloom_fpr" -> ((s, dir) =>
       Dedup.bloomFprCurve(Tables.documents(s, dir), col("doc_id") % 2 === 1)
         .orderBy("m_bits")),
+    // deterministic k-center seeding: farthest-first traversal with
+    // the k-center radius sequence as the diagnostic
+    "sim_farthest_init" -> ((s, dir) =>
+      Similarity.farthestFirstInit(Tables.embeddings(s, dir))
+        .orderBy("rk")),
     // 1-bit compression tier: sign-packed words, Hamming candidates,
     // exact cosine re-rank of the bounded survivor set
     "sim_binary_quant" -> ((s, dir) => {
@@ -1777,6 +1819,7 @@ object PipelineQueries {
       probeCurveOracleSql(k = 5, nq = 10, planes = 8, maxProbes = 3),
     "sketch_bloom_fpr" ->
       bloomFprOracleSql(Seq(1 << 12, 1 << 14, 1 << 16), k = 5),
+    "sim_farthest_init" -> farthestOracleSql(k = 8),
     "corpus_shard_balance" ->
       """WITH per AS (SELECT
         |  CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8) AS BIGINT) % 32

@@ -516,6 +516,9 @@ object RelQueries {
     "q_cohort_ltv" -> ((s, dir) => cohortValue(Tables.events(s, dir))),
     // RFM quintile segmentation over the event stream
     "q_rfm" -> ((s, dir) => rfm(Tables.events(s, dir)).orderBy("user_id")),
+    // market-basket support/confidence/lift over (user, day) baskets
+    "q_lift" -> ((s, dir) =>
+      basketLift(Tables.events(s, dir)).orderBy("a", "b")),
     "q_session_funnel" -> ((s, dir) =>
       sessionFunnel(Tables.events(s, dir), Seq("view", "click", "purchase"))
         .orderBy("step")),
@@ -931,6 +934,46 @@ object RelQueries {
       .orderBy("cohort_week_s", "week_offset")
   }
 
+  /** Market-basket association pairs — support / confidence / lift
+    * over (user, day) baskets of event types (the transaction-mining
+    * classic; PMI's corpus twin lives in TextAnalysis, this is the
+    * behavioral-events form with the lift normalization retailers
+    * tune against). lift > 1 = the pair co-occurs more than
+    * independence predicts. Counts are integers end to end; the
+    * ratios divide through doubles with the basket total as a
+    * one-row broadcast.
+    *
+    * Scale: basket formation is a distinct + hash agg; the pair join
+    * is per-basket (items² within a basket, bounded by the event-type
+    * vocabulary, never cross-basket); event-type pairs are a tiny
+    * output. */
+  def basketLift(events: DataFrame, minSupport: Int = 5): DataFrame = {
+    val day = floor(unix_timestamp(col("ts")).cast("double") / 86400.0)
+      .cast("long")
+    val items = events
+      .select(col("user_id"), day.as("d"), col("event_type")).distinct()
+    val nb = items.select("user_id", "d").distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val ca = items.groupBy("event_type").agg(count(lit(1)).as("c"))
+    val pairs = items.select(col("user_id"), col("d"),
+      col("event_type").as("a"))
+      .join(items.select(col("user_id"), col("d"),
+        col("event_type").as("b")), Seq("user_id", "d"))
+      .where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+      .where(col("c_ab") >= minSupport)
+    pairs
+      .join(ca.select(col("event_type").as("a"), col("c").as("c_a")), "a")
+      .join(ca.select(col("event_type").as("b"), col("c").as("c_b")), "b")
+      .crossJoin(broadcast(nb))
+      .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"),
+        col("n_baskets"),
+        round(col("c_ab") / col("c_a").cast("double"), 6).as("conf_a_b"),
+        round((col("n_baskets").cast("double") * col("c_ab")) /
+          (col("c_a").cast("double") * col("c_b").cast("double")), 6)
+          .as("lift"))
+  }
+
   /** RFM customer segmentation — the classic marketing-analytics
     * card: per user, Recency (days since last event, against the
     * corpus max ts), Frequency (event count), Monetary (DECIMAL-sum
@@ -993,6 +1036,26 @@ object RelQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_lift" ->
+      """WITH it AS (SELECT DISTINCT user_id,
+        |  CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d, event_type
+        | FROM events),
+        | nb AS (SELECT count(*) AS n_baskets FROM (
+        |  SELECT DISTINCT user_id, d FROM it) AS z),
+        | ca AS (SELECT event_type, count(*) AS c FROM it GROUP BY 1),
+        | pr AS (SELECT l.event_type AS a, r.event_type AS b,
+        |   count(*) AS c_ab
+        |  FROM it AS l JOIN it AS r ON l.user_id = r.user_id
+        |   AND l.d = r.d AND l.event_type < r.event_type
+        |  GROUP BY 1, 2 HAVING count(*) >= 5)
+        | SELECT pr.a, pr.b, pr.c_ab, ca1.c AS c_a, ca2.c AS c_b,
+        |  nb.n_baskets,
+        |  round(pr.c_ab / ca1.c::DOUBLE, 6) AS conf_a_b,
+        |  round((nb.n_baskets::DOUBLE * pr.c_ab)
+        |   / (ca1.c::DOUBLE * ca2.c::DOUBLE), 6) AS lift
+        | FROM pr JOIN ca AS ca1 ON ca1.event_type = pr.a
+        |  JOIN ca AS ca2 ON ca2.event_type = pr.b CROSS JOIN nb
+        | ORDER BY a, b""".stripMargin.replace("\n", " "),
     // quintiles replayed with the same (5·rank0) div n integer rule;
     // monetary ranks on the DECIMAL-exact sum
     "q_rfm" ->

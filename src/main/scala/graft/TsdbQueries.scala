@@ -327,6 +327,10 @@ object TsdbQueries {
     "ts_stl" -> ((s, dir) =>
       Temporal.stlFrame(samples(s, dir))
         .orderBy("name", "user_id", "bucket_s")),
+    // fleet-level shape outliers: series whose diurnal profile
+    // deviates most from the equal-weight global profile
+    "ts_profile_outliers" -> ((s, dir) =>
+      Temporal.profileOutliers(samples(s, dir)).orderBy("rk")),
     // (time × log2-value) heatmap census
     "ts_heatmap" -> ((s, dir) =>
       Temporal.heatmapFrame(samples(s, dir))
@@ -1413,6 +1417,25 @@ object TsdbQueries {
          |  AND sdet.user_id = t2.user_id AND sdet.hod = t2.hod
          | ORDER BY t2.name, t2.user_id, t2.bucket_s"""
         .stripMargin.replace("\n", " "),
+    "ts_profile_outliers" ->
+      s"""WITH c AS (SELECT name, user_id,
+         |  CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_s,
+         |  avg(value) AS v FROM ($S) AS s GROUP BY 1, 2, 3),
+         | pf AS (SELECT name, user_id, (bucket_s % 86400) // 3600 AS hod,
+         |   avg(v) AS ph FROM c GROUP BY 1, 2, 3),
+         | sm AS (SELECT name, user_id, avg(v) AS sm FROM c GROUP BY 1, 2),
+         | sh AS (SELECT pf.name, pf.user_id, pf.hod,
+         |   pf.ph / sm.sm AS shape
+         |  FROM pf JOIN sm ON sm.name = pf.name AND sm.user_id = pf.user_id
+         |  WHERE sm.sm <> 0),
+         | g AS (SELECT hod, round(avg(shape), 6) AS g FROM sh GROUP BY hod),
+         | d AS (SELECT sh.name, sh.user_id, count(*) AS n_hods,
+         |   round(sum((sh.shape - g.g) * (sh.shape - g.g)), 6) AS dist
+         |  FROM sh JOIN g ON g.hod = sh.hod GROUP BY 1, 2)
+         | SELECT name, user_id, n_hods, dist, rk FROM (
+         |  SELECT name, user_id, n_hods, dist, row_number() OVER (
+         |    ORDER BY dist DESC, name ASC, user_id ASC) AS rk FROM d) AS z
+         | WHERE rk <= 10 ORDER BY rk""".stripMargin.replace("\n", " "),
     "ts_heatmap" ->
       """WITH h AS (SELECT event_type AS name,
         |  CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS bucket_s,

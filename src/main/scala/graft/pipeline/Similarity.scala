@@ -530,6 +530,53 @@ object Similarity {
         col("rk").cast("long").as("rk"))
   }
 
+  /** Farthest-first traversal seeding (Gonzalez 1985) — the
+    * DETERMINISTIC k-means++-family initializer (k-means++ samples
+    * ∝ D²; farthest-first takes the argmax — the 2-approximation for
+    * k-center, and the standard deterministic seeding when
+    * reproducibility matters more than the ++ guarantee): start at
+    * the min-id vector, then k−1 rounds of "pick the point farthest
+    * (min-L2² to the chosen set) from everything chosen", ties to
+    * vec_id. Emits (rk, vec_id, min_d2) — min_d2 is the k-center
+    * radius sequence, the diagnostic for "how many centers does this
+    * corpus actually need" (a sharp drop at r means r centers
+    * suffice). Already-chosen points self-exclude (their min-d² is
+    * 0).
+    *
+    * Scale: each round is ONE map stage over the corpus (≤ chosen
+    * literal-array dot products per row) + a 1-row TakeOrdered
+    * collect; driver state = k vectors (the artifact), the
+    * IVF-seed/bpeTrain bounded pattern. */
+  def farthestFirstInit(corpus: DataFrame, k: Int = 8): DataFrame = {
+    val spark = corpus.sparkSession
+    val base = corpus.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("e"))
+      .localCheckpoint(eager = true)
+    val first = base.orderBy("vec_id").limit(1).collect()(0)
+    var chosen = Seq((first.getLong(0), first.getSeq[Double](1)))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Option[Double])]
+    out += ((0L, chosen.head._1, None))
+    for (r <- 1 until k) {
+      def d2(c: Seq[Double]) = {
+        val lc = typedLit(c)
+        dotNative(col("e"), col("e")) + dotNative(lc, lc) -
+          lit(2.0) * dotNative(col("e"), lc)
+      }
+      val md = chosen.map(c => d2(c._2)).reduce(least(_, _))
+      val top = base.select(col("vec_id"), md.as("md"))
+        .orderBy(col("md").desc, col("vec_id").asc).limit(1).collect()(0)
+      val id = top.getLong(0)
+      out += ((r.toLong, id, Some(top.getDouble(1))))
+      chosen = chosen :+ ((id,
+        base.where(col("vec_id") === id).collect()(0).getSeq[Double](1)))
+    }
+    import spark.implicits._
+    out.toSeq.toDF("rk", "vec_id", "min_d2_raw")
+      .select(col("rk"), col("vec_id"),
+        round(col("min_d2_raw"), 6).as("min_d2"))
+      .orderBy("rk")
+  }
+
   /** Probe-depth calibration for [[multiProbeAnn]] — the
     * [[nprobeCurve]] of the multi-probe family: recall@k and
     * candidate volume per probe depth 0..maxProbes, the table the

@@ -559,6 +559,47 @@ object Temporal {
         round(lit(64.0) * col("n_samples") / col("total_bits"), 6))
   }
 
+  /** Series-shape outliers — which series' diurnal SHAPE deviates
+    * most from the fleet's: per series, the hour-of-day profile
+    * normalized by the series mean (scale-free — a big service and a
+    * small one with the same rhythm coincide), the global profile as
+    * the equal-weight mean of series shapes, and the L2² distance
+    * between them, top-k by ROUNDED distance. The fleet-level
+    * companion of [[seasonalFrame]] (which scores points within one
+    * series; this ranks whole series against the fleet) — the
+    * "which metric behaves unlike the others" triage view.
+    *
+    * Scale: two hash aggregations + a 24-row broadcast join; top-k
+    * is TakeOrdered (no global sort), the rank windows only the k
+    * survivors. Zero-mean series are shape-undefined and drop. */
+  def profileOutliers(samples: DataFrame, topK: Int = 10): DataFrame = {
+    val cons = samples
+      .withColumn("bucket_s", Vectors.bucketS("hour"))
+      .groupBy((labels :+ "bucket_s").map(col): _*).agg(avg("value").as("v"))
+      .withColumn("hod",
+        floor((col("bucket_s") % 86400) / 3600).cast("long"))
+    val prof = cons.groupBy((labels :+ "hod").map(col): _*)
+      .agg(avg("v").as("ph"))
+    val smean = cons.groupBy(labels.map(col): _*).agg(avg("v").as("sm"))
+    val shape = prof.join(smean, labels)
+      .where(col("sm") =!= 0)
+      .select(labels.map(col) :+ col("hod") :+
+        (col("ph") / col("sm")).as("shape"): _*)
+    val global = shape.groupBy("hod")
+      .agg(round(avg("shape"), 6).as("g"))
+    val dist = shape.join(broadcast(global), "hod")
+      .groupBy(labels.map(col): _*)
+      .agg(count(lit(1)).as("n_hods"),
+        round(sum((col("shape") - col("g")) * (col("shape") - col("g"))), 6)
+          .as("dist"))
+    val top = dist
+      .orderBy(col("dist").desc, col("name").asc, col("user_id").asc)
+      .limit(topK)
+    val w = Window.orderBy(col("dist").desc, col("name").asc,
+      col("user_id").asc) // ≤ topK rows
+    top.withColumn("rk", row_number().over(w).cast("long"))
+  }
+
   /** Observability heatmap frame — the (time bucket × log₂ value
     * bucket) census a latency/value heatmap renders (the Grafana
     * heatmap panel's input shape; exponential buckets are the

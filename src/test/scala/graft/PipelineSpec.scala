@@ -1787,6 +1787,48 @@ class PipelineSpec extends SparkSpec {
       3L -> ((1L, 3L, 2L))))
   }
 
+  test("farthest-first seeding: planted far point picked first, radius shrinks") {
+    val s = spark
+    import s.implicits._
+    def v(x: Float, y: Float): Array[Float] = {
+      val a = Array.fill(64)(0.0f); a(0) = x; a(1) = y; a
+    }
+    // a tight cluster near the origin and one far outlier
+    val vecs = Seq(
+      (0L, v(0.0f, 0.0f)), (1L, v(0.1f, 0.0f)), (2L, v(0.0f, 0.1f)),
+      (3L, v(10.0f, 10.0f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.farthestFirstInit(vecs, k = 3)
+      .orderBy("rk").collect()
+    assert(r(0).getLong(1) == 0L)       // min-id start
+    assert(r(1).getLong(1) == 3L)       // the outlier is farthest
+    // the k-center radius sequence never grows
+    val radii = r.drop(1).map(_.getAs[Double]("min_d2")).toSeq
+    assert(radii == radii.sorted.reverse, s"radii grew: $radii")
+  }
+
+  test("basket lift: perfect co-occurrence lifts, independence doesn't") {
+    val s = spark
+    import s.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def day(d: Int) = new java.sql.Timestamp(ts0.getTime + d * 86400000L)
+    // baskets 0-4: A, B, C together; baskets 5-9: C only
+    val events =
+      (0 until 5).flatMap(d => Seq(
+        (d.toLong, day(d), "A", 1.0, (d * 3).toLong),
+        (d.toLong, day(d), "B", 1.0, (d * 3 + 1).toLong),
+        (d.toLong, day(d), "C", 1.0, (d * 3 + 2).toLong))) ++
+        (5 until 10).map(d => (d.toLong, day(d), "C", 1.0, (100 + d).toLong))
+    val df = events.toDF("user_id", "ts", "event_type", "value", "event_id")
+    val r = RelQueries.basketLift(df, minSupport = 5).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getAs[Double]("lift"))
+      .toMap
+    // A and B co-occur perfectly in half the baskets: lift = 10·5/(5·5)
+    assert(r(("A", "B")) == 2.0, s"$r")
+    // C is everywhere: knowing A says nothing about C
+    assert(r(("A", "C")) == 1.0 && r(("B", "C")) == 1.0, s"$r")
+  }
+
   test("RFM: scores follow recency/frequency/monetary order") {
     val s = spark
     import s.implicits._

@@ -80,6 +80,28 @@ class TsdbSpec extends SparkSpec {
     ).toDF("name", "user_id", "ts", "value", "event_id")
   }
 
+  test("profile outliers: the inverted-rhythm series ranks first") {
+    val s = spark
+    import s.implicits._
+    val base = ts("2024-01-01 00:00:00").getTime
+    // three series peak at noon; one peaks at midnight (inverted)
+    val rows = (0 until 4).flatMap { u =>
+      (0 until 48).map { h =>
+        val hod = h % 24
+        val peak = if (u == 3) (hod + 12) % 24 else hod
+        val v = 10.0 + (if (peak == 12) 100.0 else 0.0)
+        ("m", u.toLong, new Timestamp(base + h * 3600L * 1000), v,
+          (u * 100 + h).toLong)
+      }
+    }
+    val r = Temporal.profileOutliers(rows
+      .toDF("name", "user_id", "ts", "value", "event_id"))
+      .orderBy("rk").collect()
+    assert(r(0).getAs[Long]("user_id") == 3L,
+      s"expected the inverted series first: ${r.toSeq}")
+    assert(r(0).getAs[Double]("dist") > r(1).getAs[Double]("dist"))
+  }
+
   test("heatmap buckets are exact powers of two") {
     val s = spark
     import s.implicits._
