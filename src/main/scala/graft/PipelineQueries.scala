@@ -924,6 +924,10 @@ object PipelineQueries {
     "text_ql" -> ((s, dir) =>
       TextAnalysis.queryLikelihood(Tables.documents(s, dir),
         col("doc_id") < 10).orderBy("q_id", "s_rk")),
+    // Rocchio PRF: top-5 expansion terms from the BM25 top-10 pool
+    "text_rocchio" -> ((s, dir) =>
+      TextAnalysis.rocchioExpansion(Tables.documents(s, dir),
+        col("doc_id") < 10).orderBy("q_id", "rk")),
     // vector-space model: L2-normalized tf-idf cosine over the
     // df-pruned vocabulary, same DAAT posting join
     "sim_sparse_cos" -> ((s, dir) =>
@@ -1786,6 +1790,44 @@ object PipelineQueries {
          |    PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rk
          |  FROM fin) AS t
          | WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin.replace("\n", " "),
+    // the MLT top-10 pool replayed, then per-query top-5 NEW terms
+    // by pooled tf·idf weight (anti-join against the query's own
+    // terms)
+    "text_rocchio" ->
+      """WITH wd AS (SELECT doc_id,
+        |  string_split_regex(lower(text), '\s+') AS ws FROM documents),
+        | tf AS (SELECT doc_id, w, count(*) AS tf FROM
+        |  (SELECT doc_id, unnest(ws) AS w FROM wd) z GROUP BY doc_id, w),
+        | dl AS (SELECT doc_id, len(ws)::BIGINT AS dl FROM wd),
+        | st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        | dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+        | qt AS (SELECT doc_id AS q_id, w FROM tf WHERE doc_id < 10),
+        | terms AS (SELECT qt.q_id, tf.doc_id AS c_id,
+        |  ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        |   * (tf.tf * 2.2)
+        |   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl)) AS term
+        |  FROM qt JOIN tf ON tf.w = qt.w AND tf.doc_id <> qt.q_id
+        |  JOIN dfq ON dfq.w = qt.w
+        |  JOIN dl ON dl.doc_id = tf.doc_id
+        |  CROSS JOIN st),
+        | sc AS (SELECT q_id, c_id, round(sum(term), 6) AS bm25_v
+        |  FROM terms GROUP BY q_id, c_id),
+        | ss AS (SELECT q_id, c_id FROM (SELECT q_id, c_id,
+        |  row_number() OVER (PARTITION BY q_id
+        |   ORDER BY bm25_v DESC, c_id ASC) AS s_rk FROM sc) z
+        |  WHERE s_rk <= 10),
+        | pool AS (SELECT ss.q_id, tf.w,
+        |   round(sum(tf.tf * ln(st.n_docs::DOUBLE / dfq.df)), 6) AS weight
+        |  FROM ss JOIN tf ON tf.doc_id = ss.c_id
+        |   JOIN dfq ON dfq.w = tf.w CROSS JOIN st
+        |  GROUP BY 1, 2),
+        | fresh AS (SELECT pool.q_id, pool.w, pool.weight FROM pool
+        |  WHERE NOT EXISTS (SELECT 1 FROM qt
+        |   WHERE qt.q_id = pool.q_id AND qt.w = pool.w))
+        | SELECT q_id, w AS term, weight, rk FROM (
+        |  SELECT q_id, w, weight, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY weight DESC, w ASC) AS rk FROM fresh) AS t
+        | WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin.replace("\n", " "),
     // Dirichlet QL in the same sparse decomposition as the engine:
     // matched-term sum + n_q·ln(μ/(dl+μ)) background, μ = 2000
     "text_ql" ->

@@ -519,6 +519,8 @@ object RelQueries {
     // market-basket support/confidence/lift over (user, day) baskets
     "q_lift" -> ((s, dir) =>
       basketLift(Tables.events(s, dir)).orderBy("a", "b")),
+    // activity concentration: Gini + top-1%/10% shares
+    "q_gini" -> ((s, dir) => giniCard(Tables.events(s, dir))),
     "q_session_funnel" -> ((s, dir) =>
       sessionFunnel(Tables.events(s, dir), Seq("view", "click", "purchase"))
         .orderBy("step")),
@@ -934,6 +936,67 @@ object RelQueries {
       .orderBy("cohort_week_s", "week_offset")
   }
 
+  /** Activity-concentration card — Gini coefficient + top-share
+    * slices over per-user event counts (the "1% of users generate
+    * X% of load" capacity/abuse view). Gini from the exact rank
+    * identity G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over ascending
+    * (count, user_id) ranks — every sum is an exact integer, the
+    * final expression divides two exact integers per term, so the
+    * rounded card is engine-identical. Top p% shares use integer
+    * ceil boundaries.
+    *
+    * Scale: per-user counts are one hash agg; the global rank is the
+    * budgetSelect two-phase shard pattern (approx bounds broadcast,
+    * shard-local windows + prefix offsets) — no global sort. */
+  def giniCard(events: DataFrame, rankShards: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = events.groupBy("user_id").agg(count(lit(1)).as("x"))
+      .localCheckpoint(eager = true)
+    val qs = (1 until rankShards).map(_.toDouble / rankShards)
+    val bounds = per.agg(
+      approx_percentile(col("x").cast("double"), typedlit(qs), lit(1000))
+        .as("_bs"))
+    val sharded = per.crossJoin(broadcast(bounds))
+      .withColumn("_key", col("x").cast("double"))
+      .withColumn("_rshard", size(filter(col("_bs"), b => b < col("_key"))))
+      .drop("_bs")
+    val wLocal = Window.partitionBy("_rshard")
+      .orderBy(col("_key"), col("user_id"))
+    val wPrefix = Window.orderBy("_rshard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sharded.groupBy("_rshard").agg(count(lit(1)).as("_cnt"))
+      .withColumn("_roff", coalesce(sum("_cnt").over(wPrefix), lit(0L)))
+      .select("_rshard", "_roff")
+    val ranked = sharded.join(broadcast(offsets), Seq("_rshard"))
+      .withColumn("rnk", col("_roff") + row_number().over(wLocal))
+      .select("user_id", "x", "rnk")
+    // rnk·x summed through DECIMAL(38): the per-term product fits a
+    // long, the SUM would not at extreme scale (DuckDB's HUGEINT and
+    // this decimal both convert to the same correctly-rounded double)
+    val withTot = ranked.crossJoin(broadcast(ranked.agg(
+      count(lit(1)).as("_n"), sum("x").as("_tot"))))
+      .withColumn("_k1", greatest(lit(1L), expr("(_n + 99) div 100")))
+      .withColumn("_k10", greatest(lit(1L), expr("(_n + 9) div 10")))
+    withTot.agg(
+      max("_n").as("n_users"),
+      max("_tot").as("n_events"),
+      sum((col("rnk") * col("x")).cast("decimal(38,0)")).cast("double")
+        .as("_s1"),
+      sum(when(col("rnk") > col("_n") - col("_k1"), col("x"))
+        .otherwise(0L)).as("_t1"),
+      sum(when(col("rnk") > col("_n") - col("_k10"), col("x"))
+        .otherwise(0L)).as("_t10"))
+      .select(col("n_users"), col("n_events"),
+        round(lit(2.0) * col("_s1") /
+          (col("n_users").cast("double") * col("n_events")) -
+          (col("n_users") + 1) / col("n_users").cast("double"), 6)
+          .as("gini"),
+        round(col("_t1") / col("n_events").cast("double"), 6)
+          .as("top1_share"),
+        round(col("_t10") / col("n_events").cast("double"), 6)
+          .as("top10_share"))
+  }
+
   /** Market-basket association pairs — support / confidence / lift
     * over (user, day) baskets of event types (the transaction-mining
     * classic; PMI's corpus twin lives in TextAnalysis, this is the
@@ -1036,6 +1099,30 @@ object RelQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // exact rank identity over ascending (count, user) — products
+    // summed through HUGEINT, converted once to double like the
+    // engine's decimal(38) path
+    "q_gini" ->
+      """WITH per AS (SELECT user_id, count(*) AS x FROM events
+        |  GROUP BY user_id),
+        | rk AS (SELECT user_id, x, row_number() OVER (
+        |   ORDER BY x ASC, user_id ASC) AS rnk FROM per),
+        | t AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS tot
+        |  FROM per),
+        | k AS (SELECT n, tot, greatest(1, (n + 99) // 100) AS k1,
+        |   greatest(1, (n + 9) // 10) AS k10 FROM t),
+        | agg AS (SELECT CAST(sum(rnk * x) AS DOUBLE) AS s1,
+        |   CAST(sum(CASE WHEN rnk > k.n - k.k1 THEN x ELSE 0 END)
+        |    AS BIGINT) AS t1,
+        |   CAST(sum(CASE WHEN rnk > k.n - k.k10 THEN x ELSE 0 END)
+        |    AS BIGINT) AS t10
+        |  FROM rk, k GROUP BY k.n, k.tot, k.k1, k.k10)
+        | SELECT k.n AS n_users, k.tot AS n_events,
+        |  round(2.0 * agg.s1 / (k.n::DOUBLE * k.tot)
+        |   - (k.n + 1) / k.n::DOUBLE, 6) AS gini,
+        |  round(agg.t1 / k.tot::DOUBLE, 6) AS top1_share,
+        |  round(agg.t10 / k.tot::DOUBLE, 6) AS top10_share
+        | FROM agg, k""".stripMargin.replace("\n", " "),
     "q_lift" ->
       """WITH it AS (SELECT DISTINCT user_id,
         |  CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d, event_type

@@ -327,6 +327,9 @@ object TsdbQueries {
     "ts_stl" -> ((s, dir) =>
       Temporal.stlFrame(samples(s, dir))
         .orderBy("name", "user_id", "bucket_s")),
+    // per-series completeness: coverage fraction, gap census
+    "ts_coverage" -> ((s, dir) =>
+      Temporal.coverageFrame(samples(s, dir)).orderBy("name", "user_id")),
     // fleet-level shape outliers: series whose diurnal profile
     // deviates most from the equal-weight global profile
     "ts_profile_outliers" -> ((s, dir) =>
@@ -1417,6 +1420,25 @@ object TsdbQueries {
          |  AND sdet.user_id = t2.user_id AND sdet.hod = t2.hod
          | ORDER BY t2.name, t2.user_id, t2.bucket_s"""
         .stripMargin.replace("\n", " "),
+    "ts_coverage" ->
+      s"""WITH c AS (SELECT name, user_id,
+         |  CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_s
+         | FROM ($S) AS s GROUP BY 1, 2, 3),
+         | g AS (SELECT name, user_id, bucket_s,
+         |   (bucket_s - lag(bucket_s) OVER wseq) / 3600 - 1 AS gap
+         |  FROM c WINDOW wseq AS (PARTITION BY name, user_id
+         |   ORDER BY bucket_s))
+         | SELECT name, user_id, count(*) AS present_buckets,
+         |  min(bucket_s) AS first_s, max(bucket_s) AS last_s,
+         |  CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap_hours,
+         |  CAST(sum(CASE WHEN gap > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_gaps,
+         |  CAST((max(bucket_s) - min(bucket_s)) / 3600 + 1 AS BIGINT)
+         |   AS span_buckets,
+         |  round(count(*) / CAST((max(bucket_s) - min(bucket_s)) / 3600 + 1
+         |    AS BIGINT)::DOUBLE, 6) AS coverage
+         | FROM g GROUP BY name, user_id
+         | ORDER BY name, user_id""".stripMargin.replace("\n", " "),
     "ts_profile_outliers" ->
       s"""WITH c AS (SELECT name, user_id,
          |  CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_s,

@@ -611,6 +611,49 @@ object TextAnalysis {
       .where(col("s_rk") <= topK)
   }
 
+  /** Rocchio pseudo-relevance feedback — the query-EXPANSION stage
+    * of the sparse-retrieval stack (Rocchio 1971; the "PRF" baseline
+    * every IR system compares against): assume the BM25 top-`fbDocs`
+    * of [[moreLikeThis]] are relevant, pool their terms, and emit
+    * each query's top-`expandK` NEW terms by summed tf·ln(N/df)
+    * weight — the expanded-query table a second retrieval pass
+    * consumes (compose with [[bm25]]/[[moreLikeThis]] to rerun).
+    * Terms already in the query are excluded (the expansion is the
+    * delta, per the Rocchio β term with α handled by the original
+    * query).
+    *
+    * Determinism: per-(query, term) weights are double sums → rank
+    * by the ROUNDED weight, term string as tie-break.
+    *
+    * Scale: rides the existing MLT retrieval (posting equi-joins);
+    * the feedback pool is queries × fbDocs rows joined back to the
+    * tf frame on c_id; per-query rank windows partition by q_id. */
+  def rocchioExpansion(docs: DataFrame, isQuery: Column,
+                       fbDocs: Int = 10, expandK: Int = 5): DataFrame = {
+    val tf = docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = true)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val fb = moreLikeThis(docs, isQuery, fbDocs)
+      .select(col("q_id"), col("c_id"))
+    val qTerms = tf.where(isQuery)
+      .select(col("doc_id").as("q_id"), col("w"), lit(1).as("_in_q"))
+    val pooled = fb
+      .join(tf.withColumnRenamed("doc_id", "c_id"), "c_id")
+      .join(df, "w")
+      .crossJoin(broadcast(nDocs))
+      .groupBy("q_id", "w")
+      .agg(round(sum(col("tf") *
+        log(col("n_docs").cast("double") / col("df"))), 6).as("weight"))
+    val fresh = pooled.join(qTerms, Seq("q_id", "w"), "left_anti")
+    val wR = Window.partitionBy("q_id")
+      .orderBy(col("weight").desc, col("w").asc)
+    fresh.withColumn("rk", row_number().over(wR).cast("long"))
+      .where(col("rk") <= expandK)
+      .select(col("q_id"), col("w").as("term"), col("weight"), col("rk"))
+  }
+
   /** Sparse tf-idf cosine retrieval — the vector-space member of the
     * retrieval triple ([[moreLikeThis]] = probabilistic BM25,
     * [[queryLikelihood]] = smoothed LM, this = Salton's VSM): docs

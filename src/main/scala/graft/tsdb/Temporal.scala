@@ -559,6 +559,38 @@ object Temporal {
         round(lit(64.0) * col("n_samples") / col("total_bits"), 6))
   }
 
+  /** Series-completeness card — the per-series coverage audit an
+    * operator reads before trusting any windowed result (m3's
+    * per-series block-completeness view restated): over hour
+    * buckets, the span between first and last sample, how many
+    * buckets actually hold data, the coverage fraction, the longest
+    * gap, and the count of gaps — a series at 40% coverage makes a
+    * 24-point moving average a lie, and this card is where that
+    * shows first.
+    *
+    * Scale: one consolidation hash-agg, one lag on the series-keyed
+    * ordered frame, one per-series aggregation. */
+  def coverageFrame(samples: DataFrame): DataFrame = {
+    val cons = samples
+      .withColumn("bucket_s", Vectors.bucketS("hour"))
+      .groupBy((labels :+ "bucket_s").map(col): _*)
+      .agg(count(lit(1)).as("_n"))
+    val w = Window.partitionBy(labels.map(col): _*).orderBy("bucket_s")
+    cons
+      .withColumn("_gap",
+        (col("bucket_s") - lag("bucket_s", 1).over(w)) / 3600 - 1)
+      .groupBy(labels.map(col): _*)
+      .agg(count(lit(1)).as("present_buckets"),
+        min("bucket_s").as("first_s"), max("bucket_s").as("last_s"),
+        coalesce(max("_gap"), lit(0L)).cast("long").as("max_gap_hours"),
+        sum((col("_gap") > 0).cast("long")).cast("long").as("n_gaps"))
+      .withColumn("span_buckets",
+        ((col("last_s") - col("first_s")) / 3600 + 1).cast("long"))
+      .withColumn("coverage",
+        round(col("present_buckets") /
+          col("span_buckets").cast("double"), 6))
+  }
+
   /** Series-shape outliers — which series' diurnal SHAPE deviates
     * most from the fleet's: per series, the hour-of-day profile
     * normalized by the series mean (scale-free — a big service and a

@@ -1787,6 +1787,38 @@ class PipelineSpec extends SparkSpec {
       3L -> ((1L, 3L, 2L))))
   }
 
+  test("rocchio expansion surfaces co-occurring terms, never query terms") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (0L, "apple"),                       // query: one term
+      (1L, "apple banana"), (2L, "apple banana"),
+      (3L, "apple banana cherry"),
+      (4L, "durian durian durian"))        // shares nothing
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.rocchioExpansion(docs, col("doc_id") === 0,
+      fbDocs = 3, expandK = 2).collect()
+    val terms = r.map(_.getAs[String]("term")).toSet
+    assert(terms.contains("banana"), s"expected banana in $terms")
+    assert(!terms.contains("apple"), "query term must not expand")
+    assert(!terms.contains("durian"), "unretrieved doc's term leaked")
+  }
+
+  test("gini card: equal users score 0, a dominant user concentrates") {
+    val s = spark
+    import s.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def mk(counts: Seq[Int]) = counts.zipWithIndex.flatMap { case (c, u) =>
+      (0 until c).map(i => (u.toLong, t0, "e", 1.0, (u * 1000 + i).toLong))
+    }.toDF("user_id", "ts", "event_type", "value", "event_id")
+    val eq = RelQueries.giniCard(mk(Seq(5, 5, 5, 5))).collect()(0)
+    assert(eq.getAs[Double]("gini") == 0.0)
+    val skew = RelQueries.giniCard(mk(Seq(1, 1, 1, 97))).collect()(0)
+    // ranks 1..4, S1 = 1+2+3+4·97 = 394: G = 2·394/400 − 5/4 = 0.72
+    assert(skew.getAs[Double]("gini") == 0.72, skew.toString)
+    assert(skew.getAs[Double]("top1_share") == 0.97)
+  }
+
   test("farthest-first seeding: planted far point picked first, radius shrinks") {
     val s = spark
     import s.implicits._

@@ -80,6 +80,21 @@ class TsdbSpec extends SparkSpec {
     ).toDF("name", "user_id", "ts", "value", "event_id")
   }
 
+  test("coverage card counts gaps and span exactly") {
+    val s = spark
+    import s.implicits._
+    val base = ts("2024-01-01 00:00:00").getTime
+    val rows = Seq(0, 1, 2, 5).map(h =>
+      ("m", 1L, new Timestamp(base + h * 3600L * 1000), 1.0, h.toLong))
+    val r = Temporal.coverageFrame(rows
+      .toDF("name", "user_id", "ts", "value", "event_id")).collect()(0)
+    assert(r.getAs[Long]("present_buckets") == 4)
+    assert(r.getAs[Long]("span_buckets") == 6)
+    assert(r.getAs[Double]("coverage") == 0.666667)
+    assert(r.getAs[Long]("max_gap_hours") == 2)   // hours 3-4 missing
+    assert(r.getAs[Long]("n_gaps") == 1)
+  }
+
   test("profile outliers: the inverted-rhythm series ranks first") {
     val s = spark
     import s.implicits._
