@@ -521,6 +521,9 @@ object RelQueries {
       basketLift(Tables.events(s, dir)).orderBy("a", "b")),
     // activity concentration: Gini + top-1%/10% shares
     "q_gini" -> ((s, dir) => giniCard(Tables.events(s, dir))),
+    // growth accounting: daily new vs returning actives
+    "q_new_returning" -> ((s, dir) =>
+      newVsReturning(Tables.events(s, dir)).orderBy("day_s")),
     "q_session_funnel" -> ((s, dir) =>
       sessionFunnel(Tables.events(s, dir), Seq("view", "click", "purchase"))
         .orderBy("step")),
@@ -936,6 +939,30 @@ object RelQueries {
       .orderBy("cohort_week_s", "week_offset")
   }
 
+  /** New-vs-returning daily split — the growth-accounting view next
+    * to [[rollingActive]]'s DAU/WAU: per day, active users, users
+    * seen for the FIRST time that day, returning = active − new, and
+    * the new fraction. A product whose new share collapses is
+    * coasting on retention; one whose returning share collapses is a
+    * leaky bucket.
+    *
+    * Scale: first-seen is one per-user min-day aggregation joined
+    * back on (user, day); both sides are hash aggs on the same day
+    * grain. */
+  def newVsReturning(events: DataFrame): DataFrame = {
+    val day = floor(unix_timestamp(col("ts")).cast("double") / 86400.0)
+      .cast("long")
+    val active = events.select(col("user_id"), day.as("d")).distinct()
+    val firstSeen = active.groupBy("user_id").agg(min("d").as("first_d"))
+    active.join(firstSeen, "user_id")
+      .groupBy(col("d").as("day_s"))
+      .agg(count(lit(1)).as("dau"),
+        sum((col("d") === col("first_d")).cast("long")).as("new_users"))
+      .withColumn("returning", col("dau") - col("new_users"))
+      .withColumn("pct_new",
+        round(col("new_users") / col("dau").cast("double"), 6))
+  }
+
   /** Activity-concentration card — Gini coefficient + top-share
     * slices over per-user event counts (the "1% of users generate
     * X% of load" capacity/abuse view). Gini from the exact rank
@@ -1099,6 +1126,19 @@ object RelQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_new_returning" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+        |  CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d FROM events),
+        | f AS (SELECT user_id, min(d) AS first_d FROM a GROUP BY user_id)
+        | SELECT a.d AS day_s, count(*) AS dau,
+        |  CAST(sum(CASE WHEN a.d = f.first_d THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS new_users,
+        |  count(*) - CAST(sum(CASE WHEN a.d = f.first_d THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS returning,
+        |  round(CAST(sum(CASE WHEN a.d = f.first_d THEN 1 ELSE 0 END)
+        |   AS BIGINT) / count(*)::DOUBLE, 6) AS pct_new
+        | FROM a JOIN f ON f.user_id = a.user_id
+        | GROUP BY a.d ORDER BY day_s""".stripMargin.replace("\n", " "),
     // exact rank identity over ascending (count, user) — products
     // summed through HUGEINT, converted once to double like the
     // engine's decimal(38) path
