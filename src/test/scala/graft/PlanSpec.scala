@@ -726,6 +726,61 @@ class PlanSpec extends SparkSpec {
       "register build demoted to sort aggregation:\n" + p.take(2000))
   }
 
+  test("q_rfm windows only on shard keys, never all users") {
+    // three quintile ranks, each two-phase: every corpus-sized window
+    // partitions by _rshard; the unpartitioned frames are the 32-row
+    // prefix-offset windows (ordered by _rshard)
+    val analyzed = SparkEntry.queries("q_rfm")(spark, sf)
+      .queryExecution.analyzed.toString
+    val winLines = analyzed.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty)
+    winLines.foreach { l =>
+      assert(l.contains("_rshard"), s"window not shard-partitioned: $l")
+    }
+  }
+
+  test("q_gini windows only on shard keys, never all users") {
+    val analyzed = SparkEntry.queries("q_gini")(spark, sf)
+      .queryExecution.analyzed.toString
+    val winLines = analyzed.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty)
+    winLines.foreach { l =>
+      assert(l.contains("_rshard"), s"window not shard-partitioned: $l")
+    }
+  }
+
+  test("cusum/stl/coverage windows partition by the series key") {
+    Seq("ts_cusum", "ts_stl", "ts_coverage").foreach { q =>
+      val analyzed = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.analyzed.toString
+      val winLines = analyzed.linesIterator
+        .filter(_.contains("windowspecdefinition")).toSeq
+      assert(winLines.nonEmpty, s"$q has no windows?")
+      winLines.foreach { l =>
+        assert(l.contains("name"), s"$q window not series-keyed: $l")
+      }
+    }
+  }
+
+  test("mmr selection rounds window per query, pool frames broadcast-bounded") {
+    // selection rounds materialize through localCheckpoint, so the
+    // final plan is a union over checkpointed BOUNDED frames
+    // (LogicalRDD scans) — the corpus-sized windows never reach the
+    // final plan; any residual window must still be per-query
+    val analyzed = SparkEntry.queries("sim_mmr")(spark, sf)
+      .queryExecution.analyzed.toString
+    val winLines = analyzed.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    winLines.foreach { l =>
+      assert(l.contains("q_id"), s"mmr window not per-query: $l")
+    }
+    assert(analyzed.contains("LogicalRDD") || winLines.nonEmpty,
+      "expected checkpointed selection rounds or per-query windows:\n" +
+        analyzed.take(2000))
+  }
+
   test("cluster size stats reuse the shared label frame (InMemory scan)") {
     pipeline.Corpus.clearClusterCache()
     // prime the cache the way a pipeline run would: clusters first
