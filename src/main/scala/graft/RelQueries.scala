@@ -499,6 +499,7 @@ object RelQueries {
     // reported (standard), trailing fan-out past the last observed
     // day is dropped.
     "q_active_users" -> ((s, dir) => rollingActive(Tables.events(s, dir))),
+    "q_stickiness" -> ((s, dir) => stickiness(Tables.events(s, dir))),
 
     // top-N 3-step event-type paths (path analysis: what do users do
     // next?). The path triple forms with two leads over the per-user
@@ -557,6 +558,39 @@ object RelQueries {
     dau.join(wau, "day")
       .select(unix_seconds(col("day").cast("timestamp")).as("day_s"),
         col("dau"), col("wau"))
+      .orderBy("day_s")
+  }
+
+  /** DAU/MAU stickiness — the product-health ratio (how much of the
+    * monthly audience shows up on a given day): DAU and the rolling
+    * `windowDays`-day active-user count share [[rollingActive]]'s
+    * fan-out shape — each distinct (user, day) fans to the ≤window
+    * window-end days it counts toward, then one distinct + count per
+    * day — so the rolling distinct needs no count-distinct window
+    * (which Spark cannot express) and no per-day rescan.
+    *
+    * Scale: the corpus reduces to distinct (user, day) first (one
+    * hash aggregation); the fan-out is bounded by window·|that
+    * frame|, all map-side, then two day-keyed counts and a tiny
+    * day-level join. */
+  def stickiness(events: DataFrame, windowDays: Int = 28): DataFrame = {
+    val days = events
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val dau = days.groupBy("day").agg(count(lit(1)).as("dau"))
+    val maxDay = days.agg(max("day").as("max_day"))
+    val mau = days
+      .select(col("user_id"),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("off"),
+        col("day"))
+      .select(col("user_id"), expr("date_add(day, off)").as("wday"))
+      .crossJoin(broadcast(maxDay))
+      .where(col("wday") <= col("max_day"))
+      .select(col("user_id"), col("wday")).distinct()
+      .groupBy(col("wday").as("day")).agg(count(lit(1)).as("mau"))
+    dau.join(mau, "day")
+      .select(unix_seconds(col("day").cast("timestamp")).as("day_s"),
+        col("dau"), col("mau"),
+        round(col("dau") / col("mau").cast("double"), 6).as("stickiness"))
       .orderBy("day_s")
   }
 
@@ -1492,6 +1526,19 @@ object RelQueries {
         | SELECT CAST(floor(epoch(dau.day::TIMESTAMP)) AS BIGINT) AS day_s,
         |  dau.dau, wau.wau
         | FROM dau JOIN wau ON wau.day = dau.day
+        | ORDER BY day_s""".stripMargin.replace("\n", " "),
+    "q_stickiness" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |  FROM events),
+        | dau AS (SELECT day, count(*) AS dau FROM days GROUP BY day),
+        | fan AS (SELECT DISTINCT user_id, day + CAST(o AS INT) AS wday
+        |  FROM days CROSS JOIN (SELECT unnest(range(0, 28)) AS o) AS os
+        |  WHERE day + CAST(o AS INT) <= (SELECT max(day) FROM days)),
+        | mau AS (SELECT wday AS day, count(*) AS mau FROM fan GROUP BY wday)
+        | SELECT CAST(floor(epoch(dau.day::TIMESTAMP)) AS BIGINT) AS day_s,
+        |  dau.dau, mau.mau, round(dau.dau / mau.mau::DOUBLE, 6)
+        |   AS stickiness
+        | FROM dau JOIN mau ON mau.day = dau.day
         | ORDER BY day_s""".stripMargin.replace("\n", " "),
     "q_funnel_latency" ->
       """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events

@@ -357,6 +357,18 @@ object TsdbQueries {
     // m3tsz timestamp delta-of-delta cost card per series
     "ts_tsz_cost" -> ((s, dir) =>
       Temporal.tszCost(samples(s, dir)).orderBy("name", "user_id")),
+    // sample ACF at hour-bucket lags 1..8 per series
+    "ts_acf" -> ((s, dir) =>
+      Temporal.acfFrame(samples(s, dir))
+        .orderBy("name", "user_id", "lag_k")),
+    // lead-lag cross-correlation between fleet-summed metric names
+    "ts_xcorr" -> ((s, dir) =>
+      Temporal.xcorrFrame(samples(s, dir))
+        .orderBy("name_a", "name_b", "lag_k")),
+    // median/MAD modified z-score robust outliers per series
+    "ts_mad" -> ((s, dir) =>
+      Temporal.madFrame(samples(s, dir))
+        .orderBy("name", "user_id", "bucket_s")),
     "ts_timestamp" -> ((s, dir) =>
       Temporal.timestampOp(samples(s, dir)).orderBy("event_id")),
     "ts_consolidate" -> ((s, dir) =>
@@ -1419,6 +1431,69 @@ object TsdbQueries {
          | FROM t2 LEFT JOIN sdet ON sdet.name = t2.name
          |  AND sdet.user_id = t2.user_id AND sdet.hod = t2.hod
          | ORDER BY t2.name, t2.user_id, t2.bucket_s"""
+        .stripMargin.replace("\n", " "),
+    "ts_acf" ->
+      s"""WITH c AS (SELECT name, user_id,
+         |  CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_s,
+         |  avg(value) AS v FROM ($S) AS s GROUP BY 1, 2, 3),
+         | st AS (SELECT name, user_id, avg(v) AS mu, var_pop(v) AS varp,
+         |   count(*) AS n_b FROM c GROUP BY 1, 2),
+         | ks AS (SELECT unnest(range(1, 9)) AS lag_k),
+         | pr AS (SELECT l.name, l.user_id, ks.lag_k,
+         |   (l.v - st.mu) * (r.v - st.mu) AS p, st.varp, st.n_b
+         |  FROM c l CROSS JOIN ks
+         |  JOIN c r ON r.name = l.name AND r.user_id = l.user_id
+         |   AND r.bucket_s = l.bucket_s + ks.lag_k * 3600
+         |  JOIN st ON st.name = l.name AND st.user_id = l.user_id
+         |  WHERE st.varp > 0)
+         | SELECT name, user_id, CAST(lag_k AS INT) AS lag_k,
+         |  count(*) AS n_pairs,
+         |  round(sum(p) / (max(varp) * max(n_b)), 6) AS acf_v
+         | FROM pr GROUP BY 1, 2, 3
+         | ORDER BY name, user_id, lag_k""".stripMargin.replace("\n", " "),
+    "ts_xcorr" ->
+      s"""WITH c AS (SELECT name,
+         |  CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_s,
+         |  sum(value) AS v FROM ($S) AS s GROUP BY 1, 2),
+         | ks AS (SELECT unnest(range(-6, 7)) AS lag_k),
+         | pr AS (SELECT a.name AS name_a, b.name AS name_b, ks.lag_k,
+         |   a.v AS x, b.v AS y
+         |  FROM c a CROSS JOIN ks
+         |  JOIN c b ON b.bucket_s = a.bucket_s + ks.lag_k * 3600
+         |   AND a.name < b.name),
+         | m AS (SELECT name_a, name_b, lag_k, count(*) AS n,
+         |   sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx,
+         |   sum(y*y) AS syy, sum(x*y) AS sxy
+         |  FROM pr GROUP BY 1, 2, 3)
+         | SELECT name_a, name_b, CAST(lag_k AS INT) AS lag_k, n,
+         |  round(CASE WHEN (n*sxx - sx*sx) * (n*syy - sy*sy) > 0
+         |   THEN (n*sxy - sx*sy) /
+         |    sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)) END, 6) AS r_v
+         | FROM m ORDER BY name_a, name_b, lag_k"""
+        .stripMargin.replace("\n", " "),
+    "ts_mad" ->
+      s"""WITH c AS (SELECT name, user_id,
+         |  CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_s,
+         |  avg(value) AS v FROM ($S) AS s GROUP BY 1, 2, 3),
+         | md AS (SELECT name, user_id, quantile_cont(v, 0.5) AS med
+         |  FROM c GROUP BY 1, 2),
+         | wm AS (SELECT c.*, md.med FROM c
+         |  JOIN md ON md.name = c.name AND md.user_id = c.user_id),
+         | ma AS (SELECT name, user_id,
+         |   quantile_cont(abs(v - med), 0.5) AS mad
+         |  FROM wm GROUP BY 1, 2),
+         | z AS (SELECT wm.name, wm.user_id, wm.bucket_s,
+         |   round(wm.v, 6) AS v6, round(wm.med, 6) AS med6,
+         |   round(ma.mad, 6) AS mad6, CASE WHEN round(ma.mad, 6) > 0
+         |    THEN 0.6745 * (round(wm.v, 6) - round(wm.med, 6))
+         |      / round(ma.mad, 6) END AS zr
+         |  FROM wm JOIN ma ON ma.name = wm.name AND ma.user_id = wm.user_id)
+         | SELECT name, user_id, bucket_s, v6 AS v,
+         |  med6 AS med_v, mad6 AS mad_v,
+         |  floor(zr * 1000000) / 1000000 AS z_v,
+         |  coalesce(CAST(floor(abs(zr) * 1000000) / 1000000 > 3.5 AS INT),
+         |   0) AS outlier
+         | FROM z ORDER BY name, user_id, bucket_s"""
         .stripMargin.replace("\n", " "),
     "ts_coverage" ->
       s"""WITH c AS (SELECT name, user_id,

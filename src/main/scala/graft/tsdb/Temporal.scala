@@ -798,4 +798,127 @@ object Temporal {
         round(col("v") - col("trend_raw") - col("seas_raw"), 6)
           .as("resid_v"): _*)
   }
+
+  /** Sample autocorrelation function per series at hour-bucket lags
+    * 1..`maxLag` — the periodicity detector behind every seasonal
+    * model above (a diurnal metric shows the acf_24 spike that
+    * justifies hod-profiling; a memoryless one decays immediately):
+    *
+    *   acf(k) = Σ_t (v_t − μ)(v_{t+k} − μ) / Σ_t (v_t − μ)²
+    *
+    * with μ and the denominator over the WHOLE consolidated series
+    * (the standard biased estimator — denominators shared across
+    * lags, so acf is a proper positive-semidefinite sequence).
+    * Lags are calendar buckets, not row offsets: a gapped hour
+    * drops its pairs instead of silently shifting the lag the way a
+    * row-`lag()` window would.
+    *
+    * Scale: consolidation is the one corpus-sized hash aggregation;
+    * the pair stage is ONE equi-join of the consolidated frame
+    * against its maxLag-fanned self on (series, bucket+k·3600) —
+    * series-keyed, co-located with the consolidation shuffle; the
+    * moment frame is a per-series row joined back on the same key. */
+  def acfFrame(samples: DataFrame, maxLag: Int = 8): DataFrame = {
+    val cons = samples
+      .withColumn("bucket_s", Vectors.bucketS("hour"))
+      .groupBy((labels :+ "bucket_s").map(col): _*).agg(avg("value").as("v"))
+    val st = cons.groupBy(labels.map(col): _*)
+      .agg(avg("v").as("mu"), var_pop("v").as("varp"),
+        count(lit(1)).as("n_b"))
+    val fanned = cons
+      .withColumn("lag_k", explode(sequence(lit(1), lit(maxLag))))
+      .withColumn("b_r", col("bucket_s") + col("lag_k") * 3600L)
+    val r = cons.select(labels.map(col) :+ col("bucket_s").as("b_r") :+
+      col("v").as("v_r"): _*)
+    fanned.join(r, labels :+ "b_r")
+      .join(st, labels)
+      .where(col("varp") > 0)
+      .groupBy((labels :+ "lag_k").map(col): _*)
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum((col("v") - col("mu")) * (col("v_r") - col("mu"))) /
+          (max("varp") * max("n_b")), 6).as("acf_v"))
+  }
+
+  /** Lead-lag cross-correlation between metric NAMES — the
+    * "which metric moves first" card (a capacity metric leading an
+    * error metric by two hours is an actionable alert ordering):
+    * per ordered name pair (a < b) and lag k ∈ −maxLag..maxLag,
+    * Pearson r between fleet-summed a(t) and b(t+k) over the
+    * aligned hour buckets, via the single-pass moment identity
+    * r = (nΣxy − ΣxΣy) / √((nΣx² − (Σx)²)(nΣy² − (Σy)²)) with
+    * per-(pair, lag) means (overlap windows differ by lag).
+    *
+    * Scale: the corpus reduces to (name, hour) in one hash
+    * aggregation — everything after operates on |names|·|hours|
+    * rows; the pair-lag join fans that bounded frame by the
+    * (2·maxLag+1) lag set and |names| pair fan, still nowhere near
+    * corpus size. No windows, no driver state. */
+  def xcorrFrame(samples: DataFrame, maxLag: Int = 6): DataFrame = {
+    val cons = samples
+      .withColumn("bucket_s", Vectors.bucketS("hour"))
+      .groupBy("name", "bucket_s").agg(sum("value").as("v"))
+    val fanned = cons
+      .withColumn("lag_k",
+        explode(sequence(lit(-maxLag), lit(maxLag))))
+      .withColumn("b_r", col("bucket_s") + col("lag_k") * 3600L)
+      .select(col("name").as("name_a"), col("lag_k"), col("b_r"),
+        col("v").as("x"))
+    val r = cons.select(col("name").as("name_b"), col("bucket_s").as("b_r"),
+      col("v").as("y"))
+    val m = fanned.join(r, Seq("b_r"))
+      .where(col("name_a") < col("name_b"))
+      .groupBy("name_a", "name_b", "lag_k")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+    val den = (col("n") * col("sxx") - col("sx") * col("sx")) *
+      (col("n") * col("syy") - col("sy") * col("sy"))
+    m.select(col("name_a"), col("name_b"), col("lag_k"), col("n"),
+      round(when(den > 0,
+        (col("n") * col("sxy") - col("sx") * col("sy")) / sqrt(den)), 6)
+        .as("r_v"))
+  }
+
+  /** Robust per-series outliers via the median/MAD modified z-score
+    * (Iglewicz & Hoaglin 1993): med = median(v), MAD =
+    * median(|v − med|), z = 0.6745·(v − med)/MAD, outlier when
+    * trunc₆(|z|) > `thresh`. z is computed from the 6-decimal
+    * ROUNDED v/med/MAD (the displayed columns) so both engines
+    * divide bitwise-identical doubles, then floor-TRUNCATED at 1e-6
+    * rather than rounded: quarter-median quotients land exactly ON
+    * the .5 of the 7th decimal (measured: 0.6745·(−8.94)/12 =
+    * −0.5025025), where Spark's shortest-string HALF_UP and DuckDB's
+    * binary-value rounding disagree; floor of the identical double
+    * has no halfway case (the [[TextAnalysis]] readability fix).
+    * The robust twin of [[anomalyFrame]]'s mean/stddev z: a burst of
+    * true outliers inflates a stddev enough to hide itself, but
+    * moves neither median. A zero MAD (over half the buckets
+    * identical) yields NULL z and flag 0 — the guard, not an error.
+    *
+    * Scale: consolidation hash-aggregates corpus→(series, hour);
+    * the two exact medians are per-SERIES grouped percentiles over
+    * the bounded consolidated frame (≈ span-hours rows per group —
+    * swap percentile_approx here if series grow unbounded), joined
+    * back on the series key, co-located throughout. */
+  def madFrame(samples: DataFrame, thresh: Double = 3.5): DataFrame = {
+    val cons = samples
+      .withColumn("bucket_s", Vectors.bucketS("hour"))
+      .groupBy((labels :+ "bucket_s").map(col): _*).agg(avg("value").as("v"))
+    val med = cons.groupBy(labels.map(col): _*)
+      .agg(percentile(col("v"), lit(0.5)).as("med"))
+    val withMed = cons.join(med, labels)
+    val mad = withMed.groupBy(labels.map(col): _*)
+      .agg(percentile(abs(col("v") - col("med")), lit(0.5)).as("mad"))
+    val (vR, medR, madR) =
+      (round(col("v"), 6), round(col("med"), 6), round(col("mad"), 6))
+    val z = when(madR > 0, lit(0.6745) * (vR - medR) / madR)
+    val trunc6 = (c: Column) => floor(c * lit(1000000.0)) / lit(1000000.0)
+    withMed.join(mad, labels)
+      .select(labels.map(col) :+ col("bucket_s") :+
+        vR.as("v") :+ medR.as("med_v") :+ madR.as("mad_v") :+
+        trunc6(z).as("z_v") :+
+        coalesce((trunc6(abs(z)) > thresh).cast("int"), lit(0))
+          .as("outlier"): _*)
+  }
 }

@@ -1919,6 +1919,28 @@ class PipelineSpec extends SparkSpec {
     assert(r(d(9)) == ((1L, 2L)))
   }
 
+  test("stickiness: MAU accumulates the trailing window, ratio divides") {
+    val s = spark
+    import s.implicits._
+    val t = (d: Int) => java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    // users 1,2 on day 1; user 1 again on day 3 — within one 28-day
+    // window, so MAU is the running distinct {1,2} on every observed
+    // day while DAU drops to 1 on day 3
+    val events = Seq((1L, t(1)), (2L, t(1)), (1L, t(3)))
+      .toDF("user_id", "ts")
+    val r = RelQueries.stickiness(events).collect()
+      .map(x => x.getAs[Long]("day_s") ->
+        ((x.getAs[Long]("dau"), x.getAs[Long]("mau"),
+          x.getAs[Double]("stickiness")))).toMap
+    val d = (day: Int) => java.time.LocalDate.of(2024, 1, day)
+      .atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond
+    assert(r(d(1)) == ((2L, 2L, 1.0)))
+    assert(r(d(3)) == ((1L, 2L, 0.5)))
+    // fan-out past the last observed day is dropped: only days with
+    // DAU rows appear (the dau-mau join is inner on observed days)
+    assert(r.keySet == Set(d(1), d(3)))
+  }
+
   test("event paths: triples form per user in time order, ranked by count") {
     val s = spark
     import s.implicits._

@@ -751,6 +751,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("acf/xcorr/mad/stickiness are pure agg+join — zero windows") {
+    // the whole point of these shapes: calendar-bucket self-joins and
+    // map-side fan-outs instead of ordered windows or count-distinct
+    // windows, so nothing needs a per-series global sort
+    Seq("ts_acf", "ts_xcorr", "ts_mad", "q_stickiness").foreach { q =>
+      val analyzed = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.analyzed.toString
+      assert(!analyzed.contains("windowspecdefinition"),
+        s"$q unexpectedly plans a window")
+    }
+  }
+
   test("cusum/stl/coverage windows partition by the series key") {
     Seq("ts_cusum", "ts_stl", "ts_coverage").foreach { q =>
       val analyzed = SparkEntry.queries(q)(spark, sf)

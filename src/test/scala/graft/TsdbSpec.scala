@@ -173,6 +173,70 @@ class TsdbSpec extends SparkSpec {
     assert(r.forall(_.getAs[Double]("cusum_v") >= 0.0))
   }
 
+  test("ACF: alternating series gives the exact biased-estimator comb") {
+    val s = spark
+    import s.implicits._
+    val base = ts("2024-01-01 00:00:00").getTime
+    // 0,2,0,2,… over 48 hours: μ=1, σ²_pop=1 exactly, so
+    // acf(k) = (−1)^k·(n−k)/n with n=48 — the textbook comb
+    val rows = (0 until 48).map { i =>
+      ("m", 1L, new Timestamp(base + i * 3600L * 1000),
+        if (i % 2 == 0) 0.0 else 2.0, i.toLong)
+    }
+    val r = Temporal.acfFrame(rows.toDF("name", "user_id", "ts", "value",
+      "event_id")).collect()
+      .map(x => x.getAs[Int]("lag_k") ->
+        ((x.getAs[Long]("n_pairs"), x.getAs[Double]("acf_v")))).toMap
+    (1 to 8).foreach { k =>
+      val exp = BigDecimal(math.pow(-1, k) * (48.0 - k) / 48.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r(k) == ((48L - k, exp)), s"lag $k: got ${r(k)}")
+    }
+  }
+
+  test("xcorr: a 2-hour-shifted copy peaks at exactly lag 2") {
+    val s = spark
+    import s.implicits._
+    val base = ts("2024-01-01 00:00:00").getTime
+    val pat = Array(3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7, 9, 3)
+    val f = (t: Int) => pat(((t % 16) + 16) % 16).toDouble
+    // b(t) = a(t−2): pairs (a(t), b(t+k)) align perfectly at k=2
+    val rows = (0 until 48).flatMap { i =>
+      val t = new Timestamp(base + i * 3600L * 1000)
+      Seq(("a", 1L, t, f(i), i.toLong * 2),
+        ("b", 1L, t, f(i - 2), i.toLong * 2 + 1))
+    }
+    val r = Temporal.xcorrFrame(rows.toDF("name", "user_id", "ts", "value",
+      "event_id")).collect()
+      .map(x => x.getAs[Int]("lag_k") -> x.getAs[Double]("r_v")).toMap
+    assert(r(2) == 1.0, s"shift lag not perfect: ${r(2)}")
+    assert(r.filter(_._1 != 2).values.forall(_ < 1.0),
+      "another lag ties the true shift")
+  }
+
+  test("MAD outliers: one spike flags, alternation scores exactly") {
+    val s = spark
+    import s.implicits._
+    val base = ts("2024-01-01 00:00:00").getTime
+    // 10,12 ×5 then 1000: med=12, MAD=2 exactly; the spike's z is huge
+    // while the stddev-z of the same series would be diluted by it
+    val vals = Seq(10.0, 12.0, 10.0, 12.0, 10.0, 12.0, 10.0, 12.0,
+      10.0, 12.0, 1000.0)
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      ("m", 1L, new Timestamp(base + i * 3600L * 1000), v, i.toLong)
+    }
+    val r = Temporal.madFrame(rows.toDF("name", "user_id", "ts", "value",
+      "event_id")).orderBy("bucket_s").collect()
+    assert(r.forall(_.getAs[Double]("med_v") == 12.0))
+    assert(r.forall(_.getAs[Double]("mad_v") == 2.0))
+    assert(r.last.getAs[Int]("outlier") == 1)
+    assert(r.last.getAs[Double]("z_v") > 300.0)
+    assert(r.init.forall(_.getAs[Int]("outlier") == 0))
+    // z of the 10-buckets: 0.6745·(10−12)/2 = −0.6745 (exact double)
+    assert(r.filter(_.getAs[Double]("v") == 10.0)
+      .forall(_.getAs[Double]("z_v") == -0.6745))
+  }
+
   test("SAX: low days map to low letters, flat series to the middle") {
     val s = spark
     import s.implicits._
