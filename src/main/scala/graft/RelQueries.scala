@@ -525,6 +525,9 @@ object RelQueries {
     // growth accounting: daily new vs returning actives
     "q_new_returning" -> ((s, dir) =>
       newVsReturning(Tables.events(s, dir)).orderBy("day_s")),
+    // first-touch revenue attribution by acquisition event type
+    "q_attribution" -> ((s, dir) =>
+      firstTouch(Tables.events(s, dir)).orderBy("channel")),
     "q_session_funnel" -> ((s, dir) =>
       sessionFunnel(Tables.events(s, dir), Seq("view", "click", "purchase"))
         .orderBy("step")),
@@ -592,6 +595,43 @@ object RelQueries {
         col("dau"), col("mau"),
         round(col("dau") / col("mau").cast("double"), 6).as("stickiness"))
       .orderBy("day_s")
+  }
+
+  /** First-touch revenue attribution: each user's lifetime purchase
+    * value is credited to the event TYPE of their very first event
+    * (the acquisition-channel proxy this schema offers) — the
+    * marketing-mix card next to [[cohortValue]]'s when-curve. Per
+    * channel: users acquired, buyers among them, attributed value
+    * and its share of the total.
+    *
+    * The first event resolves in three hash steps — min(ts) per
+    * user, min(event_id) at that ts, then the type lookup — instead
+    * of a min_by over a (ts, event_id) struct: a struct ordering key
+    * demotes the aggregate to SortAggregate (the [[graft.tsdb.Vectors]]
+    * packed-key note), and three user-keyed hash aggs/joins co-locate
+    * on one shuffle.
+    *
+    * Scale: everything is user-keyed until the final ≤|event-type|
+    * channel aggregation; the grand total joins back as a one-row
+    * broadcast. */
+  def firstTouch(events: DataFrame): DataFrame = {
+    val t0 = events.groupBy("user_id").agg(min("ts").as("ts"))
+    val e0 = events.join(t0, Seq("user_id", "ts"))
+      .groupBy("user_id", "ts").agg(min("event_id").as("event_id"))
+    val channel = events.join(e0, Seq("user_id", "ts", "event_id"))
+      .select(col("user_id"), col("event_type").as("channel"))
+    val purch = events.where(col("event_type") === "purchase")
+      .groupBy("user_id").agg(sum("value").as("pv"))
+    val agg = channel.join(purch, Seq("user_id"), "left")
+      .groupBy("channel")
+      .agg(count(lit(1)).as("users"), count(col("pv")).as("buyers"),
+        round(coalesce(sum("pv"), lit(0.0)), 6).as("attributed_value"))
+    val tot = agg.agg(sum("attributed_value").as("tot"))
+    agg.crossJoin(broadcast(tot))
+      .select(col("channel"), col("users"), col("buyers"),
+        col("attributed_value"),
+        round(when(col("tot") > 0, col("attributed_value") / col("tot")), 6)
+          .as("value_share"))
   }
 
   /** Top-`topN` 3-step event-type paths across users. */
@@ -1600,6 +1640,26 @@ object RelQueries {
         |  week_offset, cohort_users, round(cum, 6) AS cum_value,
         |  round(cum / cohort_users, 6) AS ltv_per_user
         | FROM c ORDER BY cohort_week_s, week_offset""".stripMargin.replace("\n", " "),
+    "q_attribution" ->
+      """WITH t0 AS (SELECT user_id, min(ts) AS ts FROM events
+        |  GROUP BY user_id),
+        | e0 AS (SELECT e.user_id, e.ts, min(e.event_id) AS event_id
+        |  FROM events e JOIN t0 ON t0.user_id = e.user_id
+        |   AND t0.ts = e.ts GROUP BY 1, 2),
+        | ch AS (SELECT e.user_id, e.event_type AS channel FROM events e
+        |  JOIN e0 ON e0.user_id = e.user_id AND e0.ts = e.ts
+        |   AND e0.event_id = e.event_id),
+        | p AS (SELECT user_id, sum(value) AS pv FROM events
+        |  WHERE event_type = 'purchase' GROUP BY user_id),
+        | a AS (SELECT ch.channel, count(*) AS users, count(p.pv) AS buyers,
+        |   round(coalesce(sum(p.pv), 0), 6) AS attributed_value
+        |  FROM ch LEFT JOIN p ON p.user_id = ch.user_id GROUP BY 1)
+        | SELECT channel, users, buyers, attributed_value,
+        |  round(CASE WHEN t.tot > 0
+        |   THEN attributed_value / t.tot END, 6) AS value_share
+        | FROM a CROSS JOIN
+        |  (SELECT sum(attributed_value) AS tot FROM a) t
+        | ORDER BY channel""".stripMargin.replace("\n", " "),
     "q_gap_stats" ->
       """WITH g AS (SELECT
         |  floor(epoch(ts)) - lag(floor(epoch(ts))) OVER (

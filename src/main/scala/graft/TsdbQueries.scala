@@ -369,6 +369,16 @@ object TsdbQueries {
     "ts_mad" -> ((s, dir) =>
       Temporal.madFrame(samples(s, dir))
         .orderBy("name", "user_id", "bucket_s")),
+    // Wang-Hyndman trend/seasonal strength card per fleet metric
+    "ts_strength" -> ((s, dir) =>
+      Temporal.strengthFrame(samples(s, dir)).orderBy("name")),
+    // Theil-Sen robust trend slope/intercept per series (day buckets)
+    "ts_theil_sen" -> ((s, dir) =>
+      Temporal.theilSenFrame(samples(s, dir)).orderBy("name", "user_id")),
+    // one-step forecast backtest: naive/snaive24/drift MAE+RMSE
+    "ts_forecast_eval" -> ((s, dir) =>
+      Temporal.forecastEvalFrame(samples(s, dir))
+        .orderBy("name", "user_id", "method")),
     "ts_timestamp" -> ((s, dir) =>
       Temporal.timestampOp(samples(s, dir)).orderBy("event_id")),
     "ts_consolidate" -> ((s, dir) =>
@@ -1495,6 +1505,77 @@ object TsdbQueries {
          |   0) AS outlier
          | FROM z ORDER BY name, user_id, bucket_s"""
         .stripMargin.replace("\n", " "),
+    "ts_strength" ->
+      s"""WITH c AS (SELECT name,
+         |  CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_s,
+         |  sum(value) AS v FROM ($S) AS s GROUP BY 1, 2),
+         | h AS (SELECT *, (bucket_s % 86400) // 3600 AS hod FROM c),
+         | t AS (SELECT *, count(*) OVER wtr AS n_win,
+         |   avg(v) OVER wtr AS tr FROM h
+         |  WINDOW wtr AS (PARTITION BY name ORDER BY bucket_s
+         |   ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+         | t2 AS (SELECT name, bucket_s, hod, v,
+         |   CASE WHEN n_win = 25 THEN tr END AS trend_raw FROM t),
+         | sdet AS (SELECT name, hod,
+         |   avg(v - trend_raw) AS seas_raw FROM t2
+         |  WHERE trend_raw IS NOT NULL GROUP BY 1, 2),
+         | j AS (SELECT t2.name, t2.v, t2.trend_raw,
+         |   sdet.seas_raw FROM t2 JOIN sdet ON sdet.name = t2.name
+         |   AND sdet.hod = t2.hod
+         |  WHERE t2.trend_raw IS NOT NULL),
+         | a AS (SELECT name, count(*) AS n_b,
+         |   var_pop(v - trend_raw - seas_raw) AS vr,
+         |   var_pop(v - seas_raw) AS vds,
+         |   var_pop(v - trend_raw) AS vdt FROM j GROUP BY 1)
+         | SELECT name, n_b,
+         |  round(CASE WHEN vds > 0
+         |   THEN greatest(0, 1 - vr / vds) END, 6) AS trend_strength,
+         |  round(CASE WHEN vdt > 0
+         |   THEN greatest(0, 1 - vr / vdt) END, 6) AS seasonal_strength
+         | FROM a ORDER BY name""".stripMargin.replace("\n", " "),
+    "ts_theil_sen" ->
+      s"""WITH c AS (SELECT name, user_id,
+         |  CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS bucket_s,
+         |  avg(value) AS v FROM ($S) AS s GROUP BY 1, 2, 3),
+         | dd AS (SELECT *, bucket_s // 86400 AS d FROM c),
+         | pr AS (SELECT l.name, l.user_id,
+         |   (r.v - l.v) / CAST(r.d - l.d AS DOUBLE) AS q
+         |  FROM dd l JOIN dd r ON r.name = l.name
+         |   AND r.user_id = l.user_id AND r.d > l.d),
+         | sl AS (SELECT name, user_id, count(*) AS n_pairs,
+         |   quantile_cont(q, 0.5) AS slope FROM pr GROUP BY 1, 2),
+         | ic AS (SELECT dd.name, dd.user_id, count(*) AS n_days,
+         |   max(sl.n_pairs) AS n_pairs, max(sl.slope) AS slope,
+         |   quantile_cont(dd.v - sl.slope * dd.d, 0.5) AS icept
+         |  FROM dd JOIN sl ON sl.name = dd.name
+         |   AND sl.user_id = dd.user_id GROUP BY 1, 2)
+         | SELECT name, user_id, n_days, n_pairs,
+         |  floor(slope * 1000000) / 1000000 AS slope_d,
+         |  floor(icept * 1000000) / 1000000 AS icept_v
+         | FROM ic ORDER BY name, user_id""".stripMargin.replace("\n", " "),
+    "ts_forecast_eval" ->
+      s"""WITH c AS (SELECT name, user_id,
+         |  CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_s,
+         |  avg(value) AS v FROM ($S) AS s GROUP BY 1, 2, 3),
+         | j AS (SELECT c.name, c.user_id, c.v,
+         |   l1.v AS v1, l2.v AS v2, l24.v AS v24 FROM c
+         |  LEFT JOIN c l1 ON l1.name = c.name AND l1.user_id = c.user_id
+         |   AND l1.bucket_s = c.bucket_s - 3600
+         |  LEFT JOIN c l2 ON l2.name = c.name AND l2.user_id = c.user_id
+         |   AND l2.bucket_s = c.bucket_s - 7200
+         |  LEFT JOIN c l24 ON l24.name = c.name AND l24.user_id = c.user_id
+         |   AND l24.bucket_s = c.bucket_s - 86400),
+         | p AS (SELECT name, user_id, 'naive' AS method, v, v1 AS pred
+         |   FROM j WHERE v1 IS NOT NULL
+         |  UNION ALL SELECT name, user_id, 'snaive24', v, v24
+         |   FROM j WHERE v24 IS NOT NULL
+         |  UNION ALL SELECT name, user_id, 'drift', v, v1 + (v1 - v2)
+         |   FROM j WHERE v1 IS NOT NULL AND v2 IS NOT NULL)
+         | SELECT name, user_id, method, count(*) AS n,
+         |  round(avg(abs(v - pred)), 6) AS mae,
+         |  round(sqrt(avg((v - pred) * (v - pred))), 6) AS rmse
+         | FROM p GROUP BY 1, 2, 3
+         | ORDER BY name, user_id, method""".stripMargin.replace("\n", " "),
     "ts_coverage" ->
       s"""WITH c AS (SELECT name, user_id,
          |  CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_s

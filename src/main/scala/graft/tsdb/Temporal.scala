@@ -774,13 +774,22 @@ object Temporal {
     * family's partitioning, reused by the ordered frame); the
     * seasonal profile is a (series × 24)-row aggregation joined
     * back. No global sort, no unbounded window. */
-  def stlFrame(samples: DataFrame, halfWin: Int = 12): DataFrame = {
+  /** Raw (unrounded) STL components shared by [[stlFrame]] and
+    * [[strengthFrame]]: per consolidated hour bucket, `v`,
+    * `trend_raw` (defined only on full ±halfWin windows) and
+    * `seas_raw` (hour-of-day mean of the detrended values).
+    * `keys` + `consolidate` pick the series identity: per-series
+    * (labels, avg) for the decomposition view, fleet-per-name
+    * (name, sum) where a dense series is required. */
+  private def stlRaw(samples: DataFrame, halfWin: Int,
+                     keys: Seq[String] = labels,
+                     consolidate: Column = avg(col("value"))): DataFrame = {
     val cons = samples
       .withColumn("bucket_s", Vectors.bucketS("hour"))
-      .groupBy((labels :+ "bucket_s").map(col): _*).agg(avg("value").as("v"))
+      .groupBy((keys :+ "bucket_s").map(col): _*).agg(consolidate.as("v"))
       .withColumn("hod",
         floor((col("bucket_s") % 86400) / 3600).cast("long"))
-    val w = Window.partitionBy(labels.map(col): _*).orderBy("bucket_s")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy("bucket_s")
       .rowsBetween(-halfWin, halfWin)
     val det = cons
       .withColumn("n_win", count(lit(1)).over(w))
@@ -788,16 +797,19 @@ object Temporal {
         when(col("n_win") === 2 * halfWin + 1, avg("v").over(w)))
       .withColumn("det", col("v") - col("trend_raw"))
     val seas = det.where(col("trend_raw").isNotNull)
-      .groupBy((labels :+ "hod").map(col): _*)
+      .groupBy((keys :+ "hod").map(col): _*)
       .agg(avg("det").as("seas_raw"))
-    det.join(seas, labels :+ "hod", "left")
+    det.join(seas, keys :+ "hod", "left")
+  }
+
+  def stlFrame(samples: DataFrame, halfWin: Int = 12): DataFrame =
+    stlRaw(samples, halfWin)
       .select(labels.map(col) :+ col("bucket_s") :+ col("hod") :+
         round(col("v"), 6).as("v") :+
         round(col("trend_raw"), 6).as("trend_v") :+
         round(col("seas_raw"), 6).as("seasonal_v") :+
         round(col("v") - col("trend_raw") - col("seas_raw"), 6)
           .as("resid_v"): _*)
-  }
 
   /** Sample autocorrelation function per series at hour-bucket lags
     * 1..`maxLag` — the periodicity detector behind every seasonal
@@ -920,5 +932,132 @@ object Temporal {
         trunc6(z).as("z_v") :+
         coalesce((trunc6(abs(z)) > thresh).cast("int"), lit(0))
           .as("outlier"): _*)
+  }
+
+  /** Trend / seasonal strength per series (Wang, Smith & Hyndman
+    * 2006, the feasts::feat_stl measures): over the buckets where
+    * the [[stlFrame]] decomposition is complete,
+    *
+    *   F_trend = max(0, 1 − Var(R)/Var(v − S))
+    *   F_seas  = max(0, 1 − Var(R)/Var(v − T))
+    *
+    * — the one-number-per-metric answers to "is there a trend worth
+    * predict_linear" / "is hod-profiling justified", reducing ts_stl's
+    * per-bucket frame to a rankable card. Computed on the FLEET-summed
+    * per-name series (the [[xcorrFrame]] consolidation): the measure
+    * requires a full ±halfWin trend window somewhere, and individual
+    * (name, user) series are too sparse for one at ANY data scale —
+    * per-user sampling density doesn't grow with corpus size, so a
+    * per-series strength card would be structurally empty, not
+    * small-data empty. Zero variance in a denominator yields NULL.
+    *
+    * Scale: [[stlRaw]]'s consolidation + one name-keyed window, then
+    * ONE hash aggregation of three variances to a per-name row. */
+  def strengthFrame(samples: DataFrame, halfWin: Int = 12): DataFrame = {
+    val full = stlRaw(samples, halfWin, Seq("name"), sum(col("value")))
+      .where(col("trend_raw").isNotNull && col("seas_raw").isNotNull)
+      .withColumn("resid", col("v") - col("trend_raw") - col("seas_raw"))
+    full.groupBy("name")
+      .agg(count(lit(1)).as("n_b"),
+        var_pop(col("resid")).as("vr"),
+        var_pop(col("v") - col("seas_raw")).as("vds"),
+        var_pop(col("v") - col("trend_raw")).as("vdt"))
+      .select(col("name"), col("n_b"),
+        round(when(col("vds") > 0,
+          greatest(lit(0.0), lit(1.0) - col("vr") / col("vds"))), 6)
+          .as("trend_strength"),
+        round(when(col("vdt") > 0,
+          greatest(lit(0.0), lit(1.0) - col("vr") / col("vdt"))), 6)
+          .as("seasonal_strength"))
+  }
+
+  /** Theil-Sen robust trend per series: slope = median over all
+    * day-bucket pairs of (v_j − v_i)/(d_j − d_i), intercept =
+    * median(v − slope·d) (Sen 1968) — the estimator deriv/
+    * predict_linear users reach for when one outlier day would drag
+    * a least-squares fit (29.3% breakdown point vs 0%).
+    *
+    * Consolidation is to DAYS deliberately: the pair set is
+    * quadratic in the series SPAN, so the resolution is chosen
+    * where span² stays bounded (a year = 66k pairs/series) — the
+    * hourly twin would be 38M pairs/series-year. Everything after
+    * consolidation is bitwise-identical double algebra on both
+    * engines (quotients of identical consolidated values, exact
+    * median interpolation), so outputs floor-truncate at 1e-6 —
+    * pair quotients of 2-decimal averages land exactly ON rounding
+    * midpoints (the ts_mad lesson).
+    *
+    * Scale: corpus → (series, day) in one hash aggregation; the
+    * pair stage is a series-keyed self-equi-join (co-located, output
+    * bounded by span²/2 per series); two exact grouped medians over
+    * bounded frames. No windows, no driver state. */
+  def theilSenFrame(samples: DataFrame): DataFrame = {
+    val cons = samples
+      .withColumn("bucket_s", Vectors.bucketS("day"))
+      .groupBy((labels :+ "bucket_s").map(col): _*).agg(avg("value").as("v"))
+      .withColumn("d", (col("bucket_s") / 86400L).cast("long"))
+    val r = cons.select(labels.map(col) :+ col("d").as("d_r") :+
+      col("v").as("v_r"): _*)
+    val sl = cons.join(r, labels).where(col("d_r") > col("d"))
+      .select(labels.map(col) :+
+        ((col("v_r") - col("v")) / (col("d_r") - col("d")).cast("double"))
+          .as("q"): _*)
+      .groupBy(labels.map(col): _*)
+      .agg(count(lit(1)).as("n_pairs"), percentile(col("q"), lit(0.5))
+        .as("slope"))
+    val trunc6 = (c: Column) => floor(c * lit(1000000.0)) / lit(1000000.0)
+    cons.join(sl, labels)
+      .groupBy(labels.map(col): _*)
+      .agg(count(lit(1)).as("n_days"), max("n_pairs").as("n_pairs"),
+        max("slope").as("slope_raw"),
+        percentile(col("v") - col("slope") * col("d"), lit(0.5))
+          .as("icept_raw"))
+      .select(labels.map(col) :+ col("n_days") :+ col("n_pairs") :+
+        trunc6(col("slope_raw")).as("slope_d") :+
+        trunc6(col("icept_raw")).as("icept_v"): _*)
+  }
+
+  /** One-step-ahead forecast backtest per series — the "should you
+    * trust predict_linear here" card: for each hour bucket, score
+    * three textbook baselines against the actual,
+    *
+    *   naive    v̂(t) = v(t−1h)
+    *   snaive24 v̂(t) = v(t−24h)   (the seasonal naive)
+    *   drift    v̂(t) = v(t−1h) + (v(t−1h) − v(t−2h))
+    *
+    * and report per (series, method): n scored buckets, MAE, RMSE.
+    * A diurnal series shows snaive24 beating naive (the
+    * model-selection signal ts_acf hints at); drift beating naive
+    * flags momentum. Lags are CALENDAR joins, not row offsets —
+    * a gap drops the scored bucket rather than silently comparing
+    * against the wrong hour (same stance as [[acfFrame]]).
+    *
+    * Scale: one consolidation hash agg, three series-keyed
+    * self-equi-joins of the bounded consolidated frame (co-located
+    * on the series key), one unpivot + one aggregation. */
+  def forecastEvalFrame(samples: DataFrame): DataFrame = {
+    val cons = samples
+      .withColumn("bucket_s", Vectors.bucketS("hour"))
+      .groupBy((labels :+ "bucket_s").map(col): _*).agg(avg("value").as("v"))
+    def lagged(off: Long, as: String) =
+      cons.select(labels.map(col) :+ (col("bucket_s") + off).as("bucket_s") :+
+        col("v").as(as): _*)
+    val k = labels :+ "bucket_s"
+    val j = cons
+      .join(lagged(3600L, "v1"), k, "left")
+      .join(lagged(7200L, "v2"), k, "left")
+      .join(lagged(86400L, "v24"), k, "left")
+    val preds = j.select(labels.map(col) :+ col("v") :+
+      explode(map(
+        lit("naive"), col("v1"),
+        lit("snaive24"), col("v24"),
+        lit("drift"), when(col("v2").isNotNull,
+          col("v1") + (col("v1") - col("v2")))))
+        .as(Seq("method", "pred")): _*)
+      .where(col("pred").isNotNull)
+    preds.groupBy((labels :+ "method").map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        round(avg(abs(col("v") - col("pred"))), 6).as("mae"),
+        round(sqrt(avg(pow(col("v") - col("pred"), 2))), 6).as("rmse"))
   }
 }

@@ -1941,6 +1941,30 @@ class PipelineSpec extends SparkSpec {
     assert(r.keySet == Set(d(1), d(3)))
   }
 
+  test("first-touch attribution: ties break on event_id, value credits") {
+    val s = spark
+    import s.implicits._
+    val t = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // u1 signs up then buys 10+20; u2 views, never buys; u3 has TWO
+    // events at the identical first timestamp — the lower event_id
+    // ('signup', id 5) must win the channel, then buys 30
+    val events = Seq(
+      (1L, 1L, "signup", t(0), 0.0), (1L, 2L, "purchase", t(5), 10.0),
+      (1L, 3L, "purchase", t(9), 20.0),
+      (2L, 4L, "view", t(1), 0.0),
+      (3L, 5L, "signup", t(2), 0.0), (3L, 6L, "click", t(2), 0.0),
+      (3L, 7L, "purchase", t(8), 30.0))
+      .toDF("user_id", "event_id", "event_type", "ts", "value")
+    val r = RelQueries.firstTouch(events).collect()
+      .map(x => x.getAs[String]("channel") ->
+        ((x.getAs[Long]("users"), x.getAs[Long]("buyers"),
+          x.getAs[Double]("attributed_value"),
+          x.getAs[Double]("value_share")))).toMap
+    assert(r("signup") == ((2L, 2L, 60.0, 1.0)))
+    assert(r("view") == ((1L, 0L, 0.0, 0.0)))
+    assert(r.keySet == Set("signup", "view"))
+  }
+
   test("event paths: triples form per user in time order, ranked by count") {
     val s = spark
     import s.implicits._

@@ -755,7 +755,8 @@ class PlanSpec extends SparkSpec {
     // the whole point of these shapes: calendar-bucket self-joins and
     // map-side fan-outs instead of ordered windows or count-distinct
     // windows, so nothing needs a per-series global sort
-    Seq("ts_acf", "ts_xcorr", "ts_mad", "q_stickiness").foreach { q =>
+    Seq("ts_acf", "ts_xcorr", "ts_mad", "q_stickiness",
+        "ts_theil_sen", "ts_forecast_eval", "q_attribution").foreach { q =>
       val analyzed = SparkEntry.queries(q)(spark, sf)
         .queryExecution.analyzed.toString
       assert(!analyzed.contains("windowspecdefinition"),
@@ -764,7 +765,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("cusum/stl/coverage windows partition by the series key") {
-    Seq("ts_cusum", "ts_stl", "ts_coverage").foreach { q =>
+    Seq("ts_cusum", "ts_stl", "ts_coverage", "ts_strength").foreach { q =>
       val analyzed = SparkEntry.queries(q)(spark, sf)
         .queryExecution.analyzed.toString
       val winLines = analyzed.linesIterator

@@ -237,6 +237,79 @@ class TsdbSpec extends SparkSpec {
       .forall(_.getAs[Double]("z_v") == -0.6745))
   }
 
+  test("strength: a pure ramp is all trend; a square day-wave is seasonal") {
+    val s = spark
+    import s.implicits._
+    val base = ts("2024-01-01 00:00:00").getTime
+    val mk = (name: String, f: Int => Double) => (0 until 96).map { i =>
+      (name, 1L, new Timestamp(base + i * 3600L * 1000), f(i),
+        i.toLong)
+    }
+    // ramp: the centered moving average of a line IS the line, so
+    // residual variance is 0 → trend strength exactly 1; the
+    // detrended series is identically 0 → Var(v−trend)=0 → seasonal
+    // strength NULL (the guard, not 0)
+    // wave: 0/100 split by hour-of-day plus a period-16 pseudo-noise
+    // floor — without the noise BOTH strengths are exactly 1 (a
+    // noiseless wave has zero residual), so the noise is what makes
+    // the two measures discriminate
+    val pat = Array(3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7, 9, 3)
+    val rows = mk("ramp", i => 3.0 * i + 7.0) ++
+      mk("wave", i =>
+        (if (i % 24 < 12) 0.0 else 100.0) + pat(i % 16).toDouble)
+    val r = Temporal.strengthFrame(rows.toDF("name", "user_id", "ts",
+      "value", "event_id")).collect()
+      .map(x => x.getAs[String]("name") -> x).toMap
+    assert(r("ramp").getAs[Double]("trend_strength") == 1.0)
+    assert(r("ramp").isNullAt(r("ramp").fieldIndex("seasonal_strength")))
+    val w = r("wave")
+    assert(w.getAs[Double]("seasonal_strength") > 0.9)
+    assert(w.getAs[Double]("seasonal_strength") >
+      w.getAs[Double]("trend_strength"))
+  }
+
+  test("Theil-Sen: one wild day cannot drag the median slope") {
+    val s = spark
+    import s.implicits._
+    val base = ts("2024-01-01 00:00:00").getTime
+    // v = 2·day + 5 except day 4 = 1000: 36 of 45 pair slopes are
+    // exactly 2, so the median slope and intercept are untouched —
+    // the least-squares fit would be dragged by ~+20/day
+    val rows = (0 until 10).map { d =>
+      val v = if (d == 4) 1000.0 else 2.0 * d + 5.0
+      ("m", 1L, new Timestamp(base + d * 86400L * 1000 + 43200000L), v,
+        d.toLong)
+    }
+    val r = Temporal.theilSenFrame(rows.toDF("name", "user_id", "ts",
+      "value", "event_id")).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_days") == 10L)
+    assert(r.head.getAs[Long]("n_pairs") == 45L)
+    assert(r.head.getAs[Double]("slope_d") == 2.0)
+    // icept = median(v − 2·(epoch-day index)); the day index is the
+    // absolute epoch day, so recover the planted 5.0 by adding back
+    val d0 = base / 1000 / 86400
+    assert(r.head.getAs[Double]("icept_v") + 2.0 * d0 == 5.0)
+  }
+
+  test("forecast eval: seasonal-naive is exact on a 24h-periodic series") {
+    val s = spark
+    import s.implicits._
+    val base = ts("2024-01-01 00:00:00").getTime
+    val rows = (0 until 72).map { i =>
+      ("m", 1L, new Timestamp(base + i * 3600L * 1000),
+        (i % 24).toDouble, i.toLong)
+    }
+    val r = Temporal.forecastEvalFrame(rows.toDF("name", "user_id", "ts",
+      "value", "event_id")).collect()
+      .map(x => x.getAs[String]("method") ->
+        ((x.getAs[Long]("n"), x.getAs[Double]("mae")))).toMap
+    assert(r("snaive24") == ((48L, 0.0)), s"snaive: ${r("snaive24")}")
+    assert(r("naive")._1 == 71L)
+    assert(r("naive")._2 > 0.0)
+    assert(r("drift")._1 == 70L)
+  }
+
   test("SAX: low days map to low letters, flat series to the middle") {
     val s = spark
     import s.implicits._
