@@ -1127,6 +1127,8 @@ object PipelineQueries {
     "sim_rrf" -> ((s, dir) =>
       Similarity.rrfFusion(Tables.documents(s, dir),
         Tables.embeddings(s, dir))),
+    "text_classifier_eval" -> ((s, dir) =>
+      TextAnalysis.classifierEval(Tables.documents(s, dir))),
     "text_calibration" -> ((s, dir) =>
       TextAnalysis.calibration(Tables.documents(s, dir),
         col("lang") === "en")),
@@ -3841,6 +3843,48 @@ object PipelineQueries {
          |  round(abs(conf_raw - acc_raw), 6) AS gap,
          |  round(wsum / n_tot, 6) AS ece
          | FROM per, tot ORDER BY bin""".stripMargin.replace("\n", " ")
+    },
+    "text_classifier_eval" -> {
+      val dim = 256
+      s"""WITH w AS (SELECT list(wv ORDER BY i) AS arr FROM (
+         |  SELECT i, (CAST('0x' || substr(md5('w' || i), 1, 8) AS BIGINT)
+         |   % 1000000) / 1e6 - 0.5 AS wv FROM range($dim) t(i)) AS g),
+         | d AS (SELECT doc_id, lang,
+         |  string_split_regex(lower(text), '\\s+') AS toks FROM documents
+         |  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+         |   AS BIGINT) % 5 = 0),
+         | sc AS (SELECT round(1 / (1 + exp(-(
+         |  list_reduce(list_transform(toks, t -> arr[
+         |    CAST(CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % $dim AS INT)
+         |     + 1]), (a, b) -> a + b) / len(toks)))), 6) AS s,
+         |  CAST(lang = 'en' AS BIGINT) AS y FROM d, w),
+         | bys AS (SELECT s, count(*) AS c, sum(y) AS p FROM sc GROUP BY s),
+         | rk AS (SELECT p, c, coalesce(sum(c) OVER (ORDER BY s
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+         |  FROM bys),
+         | rs AS (SELECT sum(p * (2 * cb + c + 1)) AS sum2 FROM rk),
+         | cf AS (SELECT count(*) AS n_test,
+         |   CAST(sum(y) AS BIGINT) AS pos,
+         |   CAST(sum(CASE WHEN s >= 0.5 AND y = 1
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |   CAST(sum(CASE WHEN s >= 0.5 AND y = 0
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |   CAST(sum(CASE WHEN s < 0.5 AND y = 0
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+         |   CAST(sum(CASE WHEN s < 0.5 AND y = 1
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS fn
+         |  FROM sc)
+         | SELECT n_test, pos, n_test - pos AS neg, tp, fp, tn, fn,
+         |  round((tp + tn) / n_test::DOUBLE, 6) AS accuracy,
+         |  round(CASE WHEN tp + fp > 0
+         |   THEN tp / (tp + fp)::DOUBLE END, 6) AS prec,
+         |  round(CASE WHEN pos > 0 THEN tp / pos::DOUBLE END, 6) AS recall,
+         |  round(CASE WHEN tp * 2 + fp + fn > 0
+         |   THEN tp * 2 / (tp * 2 + fp + fn)::DOUBLE END, 6) AS f1,
+         |  round(CASE WHEN pos > 0 AND n_test - pos > 0
+         |   THEN (sum2 - pos * (pos + 1))::DOUBLE
+         |    / (2.0 * pos * (n_test - pos)) END, 6) AS auc
+         | FROM cf, rs""".stripMargin.replace("\n", " ")
     },
     // same xorshift chain as mm_phash; per-byte channel = column
     // index mod 3 (BGR), padding bytes excluded; integer-exact sums

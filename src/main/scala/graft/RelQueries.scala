@@ -528,6 +528,8 @@ object RelQueries {
     // first-touch revenue attribution by acquisition event type
     "q_attribution" -> ((s, dir) =>
       firstTouch(Tables.events(s, dir)).orderBy("channel")),
+    // censoring-honest k-day survival (retention half-life card)
+    "q_survival" -> ((s, dir) => survival(Tables.events(s, dir))),
     "q_session_funnel" -> ((s, dir) =>
       sessionFunnel(Tables.events(s, dir), Seq("view", "click", "purchase"))
         .orderBy("step")),
@@ -632,6 +634,38 @@ object RelQueries {
         col("attributed_value"),
         round(when(col("tot") > 0, col("attributed_value") / col("tot")), 6)
           .as("value_share"))
+  }
+
+  /** Censoring-honest k-day survival — "what fraction of users are
+    * still active k days after their first event", the retention
+    * half-life card behind every cohort chart. The Kaplan-Meier
+    * honesty point: a user whose first event is within k days of the
+    * observation window's end CANNOT have been observed surviving k
+    * days, so they are excluded from day-k's denominator instead of
+    * silently counted as churned (right-censoring). Surviving at k =
+    * last-activity ≥ k days after first.
+    *
+    * Scale: one per-user hash aggregation (first/last day), a ≤
+    * `maxDays` map-side fan-out of that bounded frame, one ≤maxDays
+    * aggregation; the window edge joins as a one-row broadcast. */
+  def survival(events: DataFrame, maxDays: Int = 14): DataFrame = {
+    val u = events.groupBy("user_id")
+      .agg(to_date(min("ts")).as("f"), to_date(max("ts")).as("l"))
+      .select(col("user_id"), col("f"),
+        datediff(col("l"), col("f")).as("life"))
+    val w = events.agg(to_date(max("ts")).as("w_day"))
+    u.crossJoin(broadcast(w))
+      .select(col("life"),
+        explode(sequence(lit(1), lit(maxDays))).as("k"),
+        datediff(col("w_day"), col("f")).as("observable"))
+      .where(col("observable") >= col("k"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("eligible"),
+        sum((col("life") >= col("k")).cast("long")).as("surviving"))
+      .select(col("k"), col("eligible"), col("surviving"),
+        round(col("surviving") / col("eligible").cast("double"), 6)
+          .as("survival_rate"))
+      .orderBy("k")
   }
 
   /** Top-`topN` 3-step event-type paths across users. */
@@ -1660,6 +1694,22 @@ object RelQueries {
         | FROM a CROSS JOIN
         |  (SELECT sum(attributed_value) AS tot FROM a) t
         | ORDER BY channel""".stripMargin.replace("\n", " "),
+    "q_survival" ->
+      """WITH u AS (SELECT user_id, CAST(min(ts) AS DATE) AS f,
+        |  date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE))
+        |   AS life FROM events GROUP BY user_id),
+        | w AS (SELECT CAST(max(ts) AS DATE) AS w_day FROM events),
+        | fan AS (SELECT u.life, CAST(ks.k AS INT) AS k,
+        |   date_diff('day', u.f, w.w_day) AS observable
+        |  FROM u CROSS JOIN (SELECT unnest(range(1, 15)) AS k) ks
+        |  CROSS JOIN w)
+        | SELECT k, count(*) AS eligible,
+        |  CAST(sum(CASE WHEN life >= k THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS surviving,
+        |  round(sum(CASE WHEN life >= k THEN 1 ELSE 0 END)
+        |   / count(*)::DOUBLE, 6) AS survival_rate
+        | FROM fan WHERE observable >= k GROUP BY k
+        | ORDER BY k""".stripMargin.replace("\n", " "),
     "q_gap_stats" ->
       """WITH g AS (SELECT
         |  floor(epoch(ts)) - lag(floor(epoch(ts))) OVER (

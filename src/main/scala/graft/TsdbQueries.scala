@@ -1001,6 +1001,28 @@ object TsdbQueries {
         .orderBy("name", "user_id", "bucket_s")
     }),
 
+    // Prometheus text exposition-format roundtrip: render every event
+    // as a scrape line (name{user="N"} value ts-ms) salted with HELP/
+    // TYPE comments and one malformed line per partition — comments
+    // skip, malformed drops-and-counts, samples consolidate hourly
+    "ts_exposition" -> ((s, dir) => {
+      val ev = Vectors.samples(Tables.events(s, dir))
+      val lines = ev.select(
+        format_string("%s{user=\"%d\"} %s %d",
+          col("name"), col("user_id"), col("value"),
+          unix_millis(col("ts"))).as("line"))
+        .unionAll(ev.limit(3).select(
+          format_string("# HELP %s synthetic scrape", col("name"))
+            .as("line")))
+        .unionAll(ev.limit(2).select(
+          lit("bad_line{user=} oops").as("line")))
+      graft.sources.Exposition
+        .toSeriesFrame(graft.sources.Exposition.parse(lines), "user")
+        .select(col("name"), col("user").cast("long").as("user_id"),
+          col("bucket_s"), round(col("value"), 6).as("value"))
+        .orderBy("name", "user_id", "bucket_s")
+    }),
+
     // JSON write-request roundtrip: render every event as the
     // coordinator's JSON write body ({"tags": {__name__, user_id},
     // "timestamp": "<epoch.millis>", "value": v}), parse through the
@@ -2428,6 +2450,12 @@ object TsdbQueries {
     },
     "ts_influx" ->
       """SELECT event_type || '_value' AS name, user_id,
+        | CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_s,
+        | round(avg(value), 6) AS value
+        | FROM events GROUP BY 1, 2, 3
+        | ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),
+    "ts_exposition" ->
+      """SELECT event_type AS name, user_id,
         | CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_s,
         | round(avg(value), 6) AS value
         | FROM events GROUP BY 1, 2, 3

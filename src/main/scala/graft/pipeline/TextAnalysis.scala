@@ -1126,6 +1126,70 @@ object TextAnalysis {
       .orderBy("bin")
   }
 
+  /** Held-out evaluation card for the quality classifier — the
+    * companion [[calibration]] answers "are the scores honest
+    * probabilities", this answers "does the ranking discriminate":
+    * on the deterministic md5 test split (doc_id % `testMod` == 0,
+    * the [[graft.pipeline.Corpus]] split convention, so train-side
+    * tooling can hold the same docs out), one row with the 0.5
+    * confusion counts, accuracy / precision / recall / F1, and
+    * rank-sum ROC-AUC with proper tie handling:
+    *
+    *   AUC = (Σ_pos avgRank − P(P+1)/2) / (P·N)
+    *
+    * computed over the DISTINCT-score frame in 2×-scaled integer
+    * arithmetic (rank2 = 2·cumBefore + cnt + 1, so tie midpoints
+    * never touch floats) — both engines divide the same integers.
+    *
+    * Scale: scoring is the classifier's one codegen map stage; the
+    * AUC frame is keyed by distinct ROUNDED scores, ≤ 1e6+1 rows by
+    * construction (6-decimal sigmoid), so the running-count window
+    * is over a bounded frame (constant partition key pins it); the
+    * confusion counts are one aggregation. Degenerate splits (P=0 or
+    * N=0) yield NULL auc/precision/recall rather than a division
+    * error. */
+  def classifierEval(docs: DataFrame, label: Column = col("lang") === "en",
+                     dim: Int = 256, testMod: Int = 5): DataFrame = {
+    val conf = round(
+      lit(1.0) / (lit(1.0) + exp(-classifierRaw(col("text"), dim))), 6)
+    val test = docs
+      .where(conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+        16, 10).cast("long") % testMod === 0)
+      .select(conf.as("s"), label.cast("long").as("y"))
+    val byScore = test.groupBy("s")
+      .agg(count(lit(1)).as("c"), sum("y").as("p"))
+    val w = Window.partitionBy(lit(1)).orderBy("s") // bounded ≤1e6+1 rows
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val rankSum = byScore
+      .withColumn("cb", coalesce(sum("c").over(w), lit(0L)))
+      .agg(sum(col("p") * (lit(2L) * col("cb") + col("c") + 1L))
+        .as("sum2"))
+    val conf05 = test.agg(
+      count(lit(1)).as("n_test"), sum("y").as("pos"),
+      sum((col("s") >= 0.5 && col("y") === 1L).cast("long")).as("tp"),
+      sum((col("s") >= 0.5 && col("y") === 0L).cast("long")).as("fp"),
+      sum((col("s") < 0.5 && col("y") === 0L).cast("long")).as("tn"),
+      sum((col("s") < 0.5 && col("y") === 1L).cast("long")).as("fn"))
+    val neg = col("n_test") - col("pos")
+    conf05.crossJoin(broadcast(rankSum))
+      .select(col("n_test"), col("pos"), neg.as("neg"),
+        col("tp"), col("fp"), col("tn"), col("fn"),
+        round((col("tp") + col("tn")) / col("n_test").cast("double"), 6)
+          .as("accuracy"),
+        round(when(col("tp") + col("fp") > 0,
+          col("tp") / (col("tp") + col("fp")).cast("double")), 6)
+          .as("prec"),
+        round(when(col("pos") > 0,
+          col("tp") / col("pos").cast("double")), 6).as("recall"),
+        round(when(col("tp") * 2 + col("fp") + col("fn") > 0,
+          col("tp") * 2 / (col("tp") * 2 + col("fp") + col("fn"))
+            .cast("double")), 6).as("f1"),
+        round(when(col("pos") > 0 && neg > 0,
+          (col("sum2") - col("pos") * (col("pos") + 1))
+            .cast("double") / (lit(2.0) * col("pos") * neg)), 6)
+          .as("auc"))
+  }
+
   /** Logistic-regression classifier TRAINING over hashing-trick
     * bag-of-words features — the trained form of
     * [[qualityClassifier]] (which ships a fixed weight vector), and

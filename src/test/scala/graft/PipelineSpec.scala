@@ -1965,6 +1965,56 @@ class PipelineSpec extends SparkSpec {
     assert(r.keySet == Set("signup", "view"))
   }
 
+  test("survival: censored users leave the denominator, not the numerator") {
+    val s = spark
+    import s.implicits._
+    val t = (d: Int) => java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    // u1: active days 1→3 (life 2); u2: day 10 only (life 0) — u2's
+    // first event sits AT the window edge, so it is observable for 0
+    // days and must never enter any day-k denominator
+    val events = Seq((1L, t(1)), (1L, t(3)), (2L, t(10)))
+      .toDF("user_id", "ts")
+    val r = RelQueries.survival(events).collect()
+      .map(x => x.getAs[Int]("k") ->
+        ((x.getAs[Long]("eligible"), x.getAs[Long]("surviving"),
+          x.getAs[Double]("survival_rate")))).toMap
+    assert(r.keySet == (1 to 9).toSet) // u1 observable for 9 days
+    assert(r(1) == ((1L, 1L, 1.0)))
+    assert(r(2) == ((1L, 1L, 1.0)))
+    assert(r(3) == ((1L, 0L, 0.0)))
+    assert(r(9) == ((1L, 0L, 0.0)))
+  }
+
+  test("classifier eval: rank-sum AUC matches the brute-force pairwise") {
+    val s = spark
+    import s.implicits._
+    val docs = Tables.documents(spark, sf)
+    val r = TextAnalysis.classifierEval(docs).collect()(0)
+    // recompute every piece brute-force from the same split
+    val test = docs.where(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 5 === 0)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+    val scored = TextAnalysis.qualityClassifier(
+      docs.where(conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+        16, 10).cast("long") % 5 === 0)).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        x.getAs[Double]("quality_score")).toMap
+    val ys = test.map(x =>
+      scored(x.getAs[Long]("doc_id")) -> (x.getAs[String]("lang") == "en"))
+    val pos = ys.filter(_._2).map(_._1)
+    val neg = ys.filter(!_._2).map(_._1)
+    assert(r.getAs[Long]("n_test") == ys.length.toLong)
+    assert(r.getAs[Long]("pos") == pos.length.toLong)
+    val wins = (for (p <- pos; n <- neg)
+      yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+    val bruteAuc = BigDecimal(wins / (pos.length.toDouble * neg.length))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("auc") == bruteAuc,
+      s"rank-sum ${r.getAs[Double]("auc")} vs brute $bruteAuc")
+    assert(r.getAs[Long]("tp") + r.getAs[Long]("fn") == pos.length.toLong)
+  }
+
   test("event paths: triples form per user in time order, ranked by count") {
     val s = spark
     import s.implicits._
