@@ -1298,6 +1298,10 @@ object PipelineQueries {
       Multimodal.channelStats(
         Multimodal.syntheticBmpMedia(Tables.documents(s, dir)))
         .orderBy("media_id")),
+    "mm_blur" -> ((s, dir) =>
+      Multimodal.blurStats(
+        Multimodal.syntheticBmpMedia(Tables.documents(s, dir)))
+        .orderBy("media_id")),
     "mm_phash" -> ((s, dir) =>
       // perceptual image hash over genuinely decoded BMP pixels; the
       // oracle replays the ENTIRE path bit-exactly in SQL — the
@@ -3886,6 +3890,57 @@ object PipelineQueries {
          |    / (2.0 * pos * (n_test - pos)) END, 6) AS auc
          | FROM cf, rs""".stripMargin.replace("\n", " ")
     },
+    // same xorshift chain; integer grayscale (b+g+r)//3 per pixel,
+    // 4-neighbor Laplacian via self-joins (inner joins on all four
+    // neighbors ARE the interior filter), exact integer variance
+    "mm_blur" ->
+      """WITH RECURSIVE sz AS (SELECT doc_id AS media_id,
+        |  CAST(16 + doc_id % 64 AS INT) AS w,
+        |  CAST(16 + doc_id % 48 AS INT) AS h,
+        |  CAST(((16 + doc_id % 64) * 3 + 3) // 4 * 4 AS INT) AS row_size
+        | FROM documents),
+        | lim AS (SELECT *, row_size * h AS data_size FROM sz),
+        | chain(media_id, k, s) AS (
+        |  SELECT media_id, 0, CAST(media_id AS UBIGINT) | 1 FROM lim
+        |  UNION ALL
+        |  SELECT c.media_id, c.k + 1,
+        |   (SELECT xor(xor(b, b >> 7), CAST((CAST(xor(b, b >> 7) AS HUGEINT)
+        |      * 131072) % 18446744073709551616 AS UBIGINT))
+        |    FROM (SELECT xor(c.s, CAST((CAST(c.s AS HUGEINT) * 8192)
+        |      % 18446744073709551616 AS UBIGINT)) AS b) AS t)
+        |  FROM chain AS c JOIN lim ON lim.media_id = c.media_id
+        |  WHERE c.k < lim.data_size),
+        | bytes AS (SELECT media_id, k - 1 AS pos,
+        |   CAST(s >> 56 AS BIGINT) AS b FROM chain WHERE k >= 1),
+        | pxb AS (SELECT b.media_id,
+        |   CAST((b.pos % lim.row_size) // 3 AS INT) AS x,
+        |   CAST(b.pos // lim.row_size AS INT) AS y, b.b
+        |  FROM bytes AS b JOIN lim ON lim.media_id = b.media_id
+        |  WHERE (b.pos % lim.row_size) < lim.w * 3),
+        | g AS (SELECT media_id, x, y,
+        |   CAST(sum(b) // 3 AS BIGINT) AS gv FROM pxb GROUP BY 1, 2, 3),
+        | lap AS (SELECT c.media_id,
+        |   4 * c.gv - l.gv - r.gv - u.gv - d.gv AS lp
+        |  FROM g c
+        |  JOIN g l ON l.media_id = c.media_id AND l.x = c.x - 1
+        |   AND l.y = c.y
+        |  JOIN g r ON r.media_id = c.media_id AND r.x = c.x + 1
+        |   AND r.y = c.y
+        |  JOIN g u ON u.media_id = c.media_id AND u.x = c.x
+        |   AND u.y = c.y - 1
+        |  JOIN g d ON d.media_id = c.media_id AND d.x = c.x
+        |   AND d.y = c.y + 1),
+        | st AS (SELECT media_id, CAST(count(*) AS BIGINT) AS n,
+        |   CAST(sum(lp) AS BIGINT) AS sl,
+        |   CAST(sum(lp * lp) AS BIGINT) AS sl2 FROM lap GROUP BY 1)
+        | SELECT lim.media_id, lim.w AS width, lim.h AS height,
+        |  st.n AS n_interior,
+        |  floor((st.n * st.sl2 - st.sl * st.sl)::DOUBLE
+        |   / (st.n * st.n) * 1000000) / 1000000 AS lap_var,
+        |  CAST(floor((st.n * st.sl2 - st.sl * st.sl)::DOUBLE
+        |   / (st.n * st.n) * 1000000) / 1000000 < 50.0 AS INT) AS blurry
+        | FROM st JOIN lim ON lim.media_id = st.media_id
+        | ORDER BY lim.media_id""".stripMargin.replace("\n", " "),
     // same xorshift chain as mm_phash; per-byte channel = column
     // index mod 3 (BGR), padding bytes excluded; integer-exact sums
     "mm_channel_stats" ->

@@ -292,6 +292,70 @@ object Multimodal {
         round(col("sum_r") / col("_n"), 6).as("mean_r"))
   }
 
+  /** Variance-of-Laplacian sharpness per image — the standard
+    * blurry-image gate (OpenCV's classic blur detector restated):
+    * integer grayscale g = (b+g+r)/3 per pixel, 4-neighbor Laplacian
+    * lap = 4·g(x,y) − g(x±1,y) − g(x,y±1) over INTERIOR pixels, and
+    * Var(lap) — a sharp image has strong second derivatives, a blurred
+    * one doesn't. `blurry` flags rounded Var(lap) < `thresh`.
+    *
+    * Everything to the variance is exact integer arithmetic
+    * (|lap| ≤ 1020, n ≤ 10⁴ ⇒ n·Σlap² and (Σlap)² both < 2⁵³), so
+    * Var = (n·Σlap² − (Σlap)²)/n² divides identical integers on both
+    * engines. Typed mapPartitions at the binary-decode boundary like
+    * [[channelStats]] (no Catalyst expression decodes a container);
+    * per-image work is w·h ints, no shuffle. */
+  def blurStats(media: DataFrame, thresh: Double = 50.0): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .map { case (id, payload) =>
+        val (w, h, bpp) = decodeBmp(payload)
+        require(bpp == 24, s"blurStats expects 24bpp BMP, got $bpp (media_id=$id)")
+        val rowSize = ((w * bpp / 8 + 3) / 4) * 4
+        val off = java.nio.ByteBuffer.wrap(payload)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(10)
+        val gray = Array.ofDim[Int](h, w)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = off + y * rowSize + x * 3
+            gray(y)(x) = ((payload(p) & 0xff) + (payload(p + 1) & 0xff) +
+              (payload(p + 2) & 0xff)) / 3
+            x += 1
+          }
+          y += 1
+        }
+        var n = 0L; var sl = 0L; var sl2 = 0L
+        y = 1
+        while (y < h - 1) {
+          var x = 1
+          while (x < w - 1) {
+            val lap = 4 * gray(y)(x) - gray(y)(x - 1) - gray(y)(x + 1) -
+              gray(y - 1)(x) - gray(y + 1)(x)
+            n += 1; sl += lap; sl2 += lap.toLong * lap
+            x += 1
+          }
+          y += 1
+        }
+        (id, w, h, n, sl, sl2)
+      }
+      .toDF("media_id", "width", "height", "n_interior",
+        "sum_lap", "sum_lap2")
+      // floor-truncate, not round: a ratio of exact integers can land
+      // exactly ON a 7th-decimal .5 where the engines' rounding modes
+      // split (the Temporal.madFrame lesson); floor of the identical
+      // double has no halfway case
+      .withColumn("lap_var", floor(
+        (col("n_interior") * col("sum_lap2") -
+          col("sum_lap") * col("sum_lap")).cast("double") /
+          (col("n_interior") * col("n_interior")) * 1000000.0) / 1000000.0)
+      .select(col("media_id"), col("width"), col("height"),
+        col("n_interior"), col("lap_var"),
+        (col("lap_var") < thresh).cast("int").as("blurry"))
+  }
+
   /** Near-dup candidate pairs over ANY (media_id, 64-bit fp) frame —
     * the simhash half-block machinery verbatim (same fingerprint
     * shape, same hot-block cap, same xor/bit_count verify): blocking

@@ -942,6 +942,26 @@ class PipelineSpec extends SparkSpec {
     assert(again == n1.view.mapValues(_._1).toMap)
   }
 
+  test("blur stats: flat image flags blurry, noise image is sharp") {
+    val s = spark
+    import s.implicits._
+    val noise = Multimodal.encodeBmp(32, 24, seed = 42L)
+    // flatten the pixel data in place: constant gray → every
+    // Laplacian is exactly 0 → variance 0 → blurry
+    val flat = noise.clone()
+    val off = java.nio.ByteBuffer.wrap(flat)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(10)
+    for (i <- off until flat.length) flat(i) = 100.toByte
+    val media = Seq((1L, noise), (2L, flat)).toDF("media_id", "payload")
+    val r = Multimodal.blurStats(media).collect()
+      .map(x => x.getAs[Long]("media_id") -> x).toMap
+    assert(r(1).getAs[Long]("n_interior") == 30L * 22L)
+    assert(r(1).getAs[Double]("lap_var") > 50.0)
+    assert(r(1).getAs[Int]("blurry") == 0)
+    assert(r(2).getAs[Double]("lap_var") == 0.0)
+    assert(r(2).getAs[Int]("blurry") == 1)
+  }
+
   test("perceptual hash: stable under small edits, far for distinct images") {
     val s = spark
     import s.implicits._
