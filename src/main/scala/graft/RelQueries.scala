@@ -530,6 +530,8 @@ object RelQueries {
       firstTouch(Tables.events(s, dir)).orderBy("channel")),
     // censoring-honest k-day survival (retention half-life card)
     "q_survival" -> ((s, dir) => survival(Tables.events(s, dir))),
+    // semi-structured JSON props extraction + per-type numeric stats
+    "q_props_stats" -> ((s, dir) => propsStats(Tables.events(s, dir))),
     "q_session_funnel" -> ((s, dir) =>
       sessionFunnel(Tables.events(s, dir), Seq("view", "click", "purchase"))
         .orderBy("step")),
@@ -666,6 +668,51 @@ object RelQueries {
         round(col("surviving") / col("eligible").cast("double"), 6)
           .as("survival_rate"))
       .orderBy("k")
+  }
+
+  /** Semi-structured property extraction — every event pipeline
+    * carries a JSON props column, and extracting typed values out of
+    * it WITHOUT a pre-declared schema is the bread-and-butter
+    * semi-structured query: `get_json_object` (codegen'd JSON path,
+    * no UDF) pulls `$.k` as a nullable long, then per-type count /
+    * presence / sum / min / max / avg / exact p50. Missing or
+    * non-numeric properties surface as NULLs (counted by n − n_k),
+    * not errors. p50 of integers interpolates to at worst a .5 —
+    * exactly representable, so round(…, 6) has no midpoint case.
+    *
+    * Scale: extraction is one codegen map stage fused into the scan.
+    * The p50 is EXACT without per-group sort state: integer
+    * properties live on a discrete domain, so the median computes
+    * from (type, k)-distinct COUNTS + a cumulative rank over that
+    * bounded frame — `percentile(k, 0.5)` here went 9× for 10× data
+    * (each of the 5 type groups buffers every value); the count
+    * shape is one extra hash agg and a |domain|-bounded window, and
+    * reproduces quantile_cont's midpoint interpolation exactly. */
+  def propsStats(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kcol = get_json_object(col("props"), "$.k").cast("long")
+    val base = events.select(col("event_type"), kcol.as("k"))
+    val agg = base.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), count(col("k")).as("n_k"),
+        sum("k").as("sum_k"), min("k").as("min_k"), max("k").as("max_k"),
+        round(avg("k"), 6).as("avg_k"))
+    val byK = base.where(col("k").isNotNull)
+      .groupBy("event_type", "k").agg(count(lit(1)).as("c"))
+    val cum = byK
+      .withColumn("cum",
+        sum("c").over(Window.partitionBy("event_type").orderBy("k")))
+      .withColumn("nk", sum("c").over(Window.partitionBy("event_type")))
+    // quantile_cont(0.5) rank r = (n+1)/2; median = mean of the
+    // values at ranks ⌊r⌋ and ⌈r⌉ (equal when n is odd)
+    val r = (col("nk") + 1) / lit(2.0)
+    val med = cum.groupBy("event_type")
+      .agg(min(when(col("cum") >= floor(r), col("k"))).as("v_lo"),
+        min(when(col("cum") >= ceil(r), col("k"))).as("v_hi"))
+    agg.join(med, Seq("event_type"), "left")
+      .select(col("event_type"), col("n"), col("n_k"), col("sum_k"),
+        col("min_k"), col("max_k"), col("avg_k"),
+        round((col("v_lo") + col("v_hi")) / 2.0, 6).as("p50_k"))
+      .orderBy("event_type")
   }
 
   /** Top-`topN` 3-step event-type paths across users. */
@@ -1710,6 +1757,16 @@ object RelQueries {
         |   / count(*)::DOUBLE, 6) AS survival_rate
         | FROM fan WHERE observable >= k GROUP BY k
         | ORDER BY k""".stripMargin.replace("\n", " "),
+    "q_props_stats" ->
+      """SELECT event_type, count(*) AS n, count(k) AS n_k,
+        | CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k,
+        | max(k) AS max_k, round(avg(k), 6) AS avg_k,
+        | round(quantile_cont(k, 0.5), 6) AS p50_k
+        | FROM (SELECT event_type,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events) AS e
+        | GROUP BY event_type ORDER BY event_type"""
+        .stripMargin.replace("\n", " "),
     "q_gap_stats" ->
       """WITH g AS (SELECT
         |  floor(epoch(ts)) - lag(floor(epoch(ts))) OVER (

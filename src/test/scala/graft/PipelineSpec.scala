@@ -2035,6 +2035,25 @@ class PipelineSpec extends SparkSpec {
     assert(r.getAs[Long]("tp") + r.getAs[Long]("fn") == pos.length.toLong)
   }
 
+  test("props stats: missing keys and bad JSON are NULLs, not errors") {
+    val s = spark
+    import s.implicits._
+    val events = Seq(
+      ("a", """{"k": 10}"""), ("a", """{"k": 20}"""),
+      ("a", """{"other": 1}"""),  // key absent → null k
+      ("b", "not json at all"),   // malformed → null k
+      ("b", """{"k": 7}"""))
+      .toDF("event_type", "props")
+    val r = RelQueries.propsStats(events).collect()
+      .map(x => x.getAs[String]("event_type") -> x).toMap
+    assert(r("a").getAs[Long]("n") == 3L)
+    assert(r("a").getAs[Long]("n_k") == 2L)
+    assert(r("a").getAs[Double]("p50_k") == 15.0) // interpolated .0
+    assert(r("a").getAs[Long]("sum_k") == 30L)
+    assert(r("b").getAs[Long]("n_k") == 1L)
+    assert(r("b").getAs[Double]("avg_k") == 7.0)
+  }
+
   test("event paths: triples form per user in time order, ranked by count") {
     val s = spark
     import s.implicits._

@@ -253,6 +253,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("exposition scrape lines parse + consolidate under readStream") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[String]
+    // the live scrape-tail claim in Exposition's scaladoc: the same
+    // column algebra as batch, complete-mode consolidation
+    val q = graft.sources.Exposition.toSeriesFrame(
+        graft.sources.Exposition.parse(mem.toDF().toDF("line")), "user")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("expo_stream_test").start()
+    try {
+      mem.addData(
+        "# TYPE m gauge",
+        "m{user=\"1\"} 10 1704067200000",
+        "m{user=\"1\"} 20 1704067800000",
+        "m{user=\"1\"} untimestamped-garbage")
+      q.processAllAvailable()
+      val rows = s.sql("SELECT * FROM expo_stream_test").collect()
+        .map(r => r.getAs[Long]("bucket_s") -> r.getAs[Double]("value"))
+        .toMap
+      assert(rows == Map(1704067200L -> 15.0))
+    } finally q.stop()
+  }
+
   test("influx wire → rules → rollup runs end-to-end under readStream") {
     val s = spark
     import s.implicits._
