@@ -372,6 +372,9 @@ object TsdbQueries {
     // Wang-Hyndman trend/seasonal strength card per fleet metric
     "ts_strength" -> ((s, dir) =>
       Temporal.strengthFrame(samples(s, dir)).orderBy("name")),
+    // counter/gauge type inference from raw-sample monotonicity
+    "ts_type_infer" -> ((s, dir) =>
+      Temporal.typeInferFrame(samples(s, dir)).orderBy("name")),
     // Theil-Sen robust trend slope/intercept per series (day buckets)
     "ts_theil_sen" -> ((s, dir) =>
       Temporal.theilSenFrame(samples(s, dir)).orderBy("name", "user_id")),
@@ -1527,6 +1530,22 @@ object TsdbQueries {
          |   0) AS outlier
          | FROM z ORDER BY name, user_id, bucket_s"""
         .stripMargin.replace("\n", " "),
+    "ts_type_infer" ->
+      s"""WITH d AS (SELECT name, user_id,
+         |  value - lag(value) OVER (PARTITION BY name, user_id
+         |   ORDER BY ts, event_id) AS dv FROM ($S) AS s),
+         | nn AS (SELECT * FROM d WHERE dv IS NOT NULL),
+         | a AS (SELECT name, count(DISTINCT user_id) AS n_series,
+         |   count(*) AS n_deltas,
+         |   CAST(sum(CASE WHEN dv >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS nonneg_deltas,
+         |   CAST(sum(CASE WHEN dv < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS resets FROM nn GROUP BY 1)
+         | SELECT name, n_series, n_deltas, nonneg_deltas, resets,
+         |  round(nonneg_deltas / n_deltas::DOUBLE, 6) AS nonneg_frac,
+         |  CASE WHEN round(nonneg_deltas / n_deltas::DOUBLE, 6) >= 0.95
+         |   THEN 'counter' ELSE 'gauge' END AS inferred_type
+         | FROM a ORDER BY name""".stripMargin.replace("\n", " "),
     "ts_strength" ->
       s"""WITH c AS (SELECT name,
          |  CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_s,

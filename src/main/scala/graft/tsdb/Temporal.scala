@@ -934,6 +934,37 @@ object Temporal {
           .as("outlier"): _*)
   }
 
+  /** Metric-type inference per metric NAME — counter or gauge from
+    * raw-sample monotonicity, the property every rollup-policy choice
+    * hangs on (a counter wants rate()+sum rollups, a gauge wants
+    * last/avg; m3's aggregation-type metadata declares this, and this
+    * card recovers it from data when the declaration is missing or
+    * distrusted): per series, consecutive raw deltas in (ts,
+    * event_id) order; per name, the pooled fraction of non-negative
+    * deltas and the reset count; `counter` when the ROUNDED fraction
+    * ≥ `thresh` (counters are monotone except resets), else `gauge`.
+    *
+    * Scale: one per-series ordered window on the series shuffle key
+    * (the sessionize/gap-stats shape) + one ≤|names| aggregation. */
+  def typeInferFrame(samples: DataFrame, thresh: Double = 0.95): DataFrame = {
+    val w = Window.partitionBy(labels.map(col): _*)
+      .orderBy("ts", "event_id")
+    val deltas = samples
+      .withColumn("_d", col("value") - lag("value", 1).over(w))
+      .where(col("_d").isNotNull)
+    val frac = col("nonneg_deltas") / col("n_deltas").cast("double")
+    deltas.groupBy("name")
+      .agg(count_distinct(col("user_id")).as("n_series"),
+        count(lit(1)).as("n_deltas"),
+        sum((col("_d") >= 0).cast("long")).as("nonneg_deltas"),
+        sum((col("_d") < 0).cast("long")).as("resets"))
+      .select(col("name"), col("n_series"), col("n_deltas"),
+        col("nonneg_deltas"), col("resets"),
+        round(frac, 6).as("nonneg_frac"),
+        when(round(frac, 6) >= thresh, lit("counter"))
+          .otherwise(lit("gauge")).as("inferred_type"))
+  }
+
   /** Trend / seasonal strength per series (Wang, Smith & Hyndman
     * 2006, the feasts::feat_stl measures): over the buckets where
     * the [[stlFrame]] decomposition is complete,

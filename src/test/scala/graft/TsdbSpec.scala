@@ -237,6 +237,30 @@ class TsdbSpec extends SparkSpec {
       .forall(_.getAs[Double]("z_v") == -0.6745))
   }
 
+  test("type inference: monotone-with-reset is counter, noise is gauge") {
+    val s = spark
+    import s.implicits._
+    val base = ts("2024-01-01 00:00:00").getTime
+    val pat = Array(5, 2, 9, 1, 7, 3, 8, 4)
+    // counter: cumulative sum that resets once at i=20 (process
+    // restart) — 1 negative delta in 29 keeps frac ≥ 0.95;
+    // gauge: the raw noise pattern — deltas alternate sign
+    val rows = (0 until 30).flatMap { i =>
+      val t = new Timestamp(base + i * 60000L)
+      Seq(
+        ("requests", 1L, t, if (i < 20) i * 10.0 else (i - 20) * 10.0,
+          i.toLong * 2),
+        ("temp", 1L, t, pat(i % 8).toDouble, i.toLong * 2 + 1))
+    }
+    val r = Temporal.typeInferFrame(rows.toDF("name", "user_id", "ts",
+      "value", "event_id")).collect()
+      .map(x => x.getAs[String]("name") -> x).toMap
+    assert(r("requests").getAs[String]("inferred_type") == "counter")
+    assert(r("requests").getAs[Long]("resets") == 1L)
+    assert(r("temp").getAs[String]("inferred_type") == "gauge")
+    assert(r("temp").getAs[Long]("n_deltas") == 29L)
+  }
+
   test("strength: a pure ramp is all trend; a square day-wave is seasonal") {
     val s = spark
     import s.implicits._
