@@ -1114,6 +1114,11 @@ object PipelineQueries {
         .orderBy("doc_id")),
     "text_readability" -> ((s, dir) =>
       TextAnalysis.readability(Tables.documents(s, dir)).orderBy("doc_id")),
+    // inclusion-exclusion overlap from register algebra (|A∩B| from
+    // 256 ints/pair), exact intersection as calibration column
+    "corpus_hll_overlap" -> ((s, dir) =>
+      Sketches.hllOverlap(Tables.documents(s, dir))
+        .orderBy("source_a", "source_b")),
     "corpus_hll" -> ((s, dir) =>
       Sketches.hllDistinct(Tables.documents(s, dir))),
     "corpus_cms" -> ((s, dir) =>
@@ -2660,6 +2665,71 @@ object PipelineQueries {
         |  round(est, 6) AS estimate, exact_distinct,
         |  round((est - exact_distinct) / exact_distinct, 6) AS rel_err
         | FROM fin ORDER BY source""".stripMargin.replace("\n", " "),
+    "corpus_hll_overlap" ->
+      """WITH tok AS (SELECT source,
+        |  unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents),
+        | hx AS (SELECT source, md5(w) AS h FROM tok),
+        | rk AS (SELECT source, CAST('0x' || substr(h, 1, 2) AS BIGINT) AS idx,
+        |  CASE WHEN length(regexp_replace(substr(h, 3, 13), '^0+', '')) = 0
+        |   THEN 53
+        |   ELSE (13 - length(regexp_replace(substr(h, 3, 13), '^0+', ''))) * 4
+        |    + (CASE substr(regexp_replace(substr(h, 3, 13), '^0+', ''), 1, 1)
+        |       WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+        |       WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+        |       WHEN '7' THEN 1 ELSE 0 END) + 1 END AS rr
+        |  FROM hx),
+        | regs AS (SELECT source, idx, max(rr) AS mj FROM rk
+        |  GROUP BY source, idx),
+        | est1 AS (SELECT source,
+        |  count(*) AS used,
+        |  sum(1::BIGINT << CAST(53 - mj AS INT)) AS s_int FROM regs
+        |  GROUP BY source),
+        | estv AS (SELECT source,
+        |  CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0) * 65536.0
+        |    * 9007199254740992.0 / (s_int + (256 - used)
+        |    * 9007199254740992::BIGINT)) <= 2.5 * 256.0 AND 256 - used > 0
+        |   THEN 256.0 * ln(256.0 / (256 - used))
+        |   ELSE 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0
+        |    * 9007199254740992.0 / (s_int + (256 - used)
+        |    * 9007199254740992::BIGINT) END AS est FROM est1),
+        | pr AS (SELECT l.source AS source_a, r.source AS source_b,
+        |   l.est AS est_a, r.est AS est_b
+        |  FROM estv l JOIN estv r ON l.source < r.source),
+        | ur AS (SELECT p.source_a, p.source_b, g.idx, max(g.mj) AS mj
+        |  FROM pr p JOIN regs g
+        |   ON g.source = p.source_a OR g.source = p.source_b
+        |  GROUP BY 1, 2, 3),
+        | ue AS (SELECT source_a, source_b, count(*) AS used,
+        |  sum(1::BIGINT << CAST(53 - mj AS INT)) AS s_int FROM ur
+        |  GROUP BY 1, 2),
+        | uev AS (SELECT source_a, source_b,
+        |  CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0) * 65536.0
+        |    * 9007199254740992.0 / (s_int + (256 - used)
+        |    * 9007199254740992::BIGINT)) <= 2.5 * 256.0 AND 256 - used > 0
+        |   THEN 256.0 * ln(256.0 / (256 - used))
+        |   ELSE 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0
+        |    * 9007199254740992.0 / (s_int + (256 - used)
+        |    * 9007199254740992::BIGINT) END AS est_union FROM ue),
+        | voc AS (SELECT DISTINCT source, w FROM tok),
+        | xi AS (SELECT l.source AS source_a, r.source AS source_b,
+        |   count(*) AS exact_inter
+        |  FROM voc l JOIN voc r ON l.w = r.w AND l.source < r.source
+        |  GROUP BY 1, 2),
+        | fin AS (SELECT pr.source_a, pr.source_b, pr.est_a, pr.est_b,
+        |   uev.est_union,
+        |   greatest(0.0, pr.est_a + pr.est_b - uev.est_union) AS inter,
+        |   coalesce(xi.exact_inter, 0) AS exact_inter
+        |  FROM pr JOIN uev ON uev.source_a = pr.source_a
+        |   AND uev.source_b = pr.source_b
+        |  LEFT JOIN xi ON xi.source_a = pr.source_a
+        |   AND xi.source_b = pr.source_b)
+        | SELECT source_a, source_b, round(est_a, 6) AS est_a,
+        |  round(est_b, 6) AS est_b, round(est_union, 6) AS est_union,
+        |  round(inter, 6) AS est_inter,
+        |  round(inter / est_union, 6) AS jaccard_est,
+        |  CAST(exact_inter AS BIGINT) AS exact_inter
+        | FROM fin ORDER BY source_a, source_b"""
+        .stripMargin.replace("\n", " "),
     "corpus_cms" ->
       """WITH tok AS (SELECT
         |  unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents),

@@ -87,25 +87,99 @@ object Sketches {
   def hllDistinct(docs: DataFrame): DataFrame =
     hllEstimateFrom(hllRegisters(docs), hllExact(docs))
 
+  /** Cross-source vocabulary overlap from SKETCH ALGEBRA — the
+    * 100 TB form of corpus_overlap's exact word join: HLL registers
+    * are unions under per-register max, so |A∪B| estimates from
+    * 256 integers per pair and |A∩B| follows by inclusion-exclusion
+    * (est_a + est_b − est_union, clamped at 0 — the estimator can go
+    * slightly negative on near-disjoint sources), with the exact
+    * intersection alongside as the calibration target. The point is
+    * the access pattern: exact pairwise overlap joins the corpora,
+    * sketch overlap joins sources×256 register rows — sketches ship,
+    * corpora don't.
+    *
+    * Scale: one register build (map-side max-combine, ≤ sources·m
+    * rows shuffled), the pair algebra is on that bounded frame; only
+    * the calibration column touches the corpus again (drop `exact`
+    * consumers in production and nothing corpus-sized remains). */
+  def hllOverlap(docs: DataFrame): DataFrame = {
+    val regs = hllRegisters(docs)
+    val perSrc = regs.groupBy("source")
+      .agg(count(lit(1)).as("used"), sum(sIntTerm).as("s_int"))
+    val single = perSrc.select(col("source"),
+      hllEst(col("used"), col("s_int"))._2.as("est"))
+    val pairs = single.as("l")
+      .join(single.as("r"), col("l.source") < col("r.source"))
+      .select(col("l.source").as("source_a"),
+        col("r.source").as("source_b"),
+        col("l.est").as("est_a"), col("r.est").as("est_b"))
+    val ids = pairs.select("source_a", "source_b")
+    val tagged = ids
+      .join(regs.withColumnRenamed("source", "source_a"), "source_a")
+      .select(col("source_a"), col("source_b"), col("idx"), col("mj"))
+      .unionAll(ids
+        .join(regs.withColumnRenamed("source", "source_b"), "source_b")
+        .select(col("source_a"), col("source_b"), col("idx"), col("mj")))
+    val perPair = tagged
+      .groupBy("source_a", "source_b", "idx").agg(max("mj").as("mj"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("used"), sum(sIntTerm).as("s_int"))
+    val withU = pairs.join(perPair
+      .select(col("source_a"), col("source_b"),
+        hllEst(col("used"), col("s_int"))._2.as("est_union")),
+      Seq("source_a", "source_b"))
+    val vocab = docs.select(col("source"),
+      explode(TextAnalysis.words(col("text"))).as("w")).distinct()
+    val exactInter = vocab.as("l")
+      .join(vocab.as("r"),
+        col("l.w") === col("r.w") && col("l.source") < col("r.source"))
+      .groupBy(col("l.source").as("source_a"),
+        col("r.source").as("source_b"))
+      .agg(count(lit(1)).as("exact_inter"))
+    val inter = greatest(lit(0.0),
+      col("est_a") + col("est_b") - col("est_union"))
+    withU.join(exactInter, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        round(col("est_a"), 6).as("est_a"),
+        round(col("est_b"), 6).as("est_b"),
+        round(col("est_union"), 6).as("est_union"),
+        round(inter, 6).as("est_inter"),
+        round(inter / col("est_union"), 6).as("jaccard_est"),
+        coalesce(col("exact_inter"), lit(0L)).as("exact_inter"))
+  }
+
   /** The estimator over an ALREADY-BUILT register frame — shared by
     * the direct path and [[graft.sources.SketchStore]]'s stored
     * path, so the two cannot drift (same byte-for-byte output). */
-  private[graft] def hllEstimateFrom(regs: DataFrame,
-                                     exact: DataFrame): DataFrame = {
-    val per = regs.groupBy("source")
-      .agg(count(lit(1)).as("used_registers"),
-        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - mj AS INT))"))
-          .as("s_int"))
+  /** The exact-integer harmonic-sum term per register row — summed
+    * per sketch into `s_int`. */
+  private def sIntTerm: Column =
+    expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - mj AS INT))")
+
+  /** The bias-corrected estimator over (used_registers, s_int) —
+    * (raw, corrected) columns; shared by the per-source estimate,
+    * the stored-sketch path and the pair-union overlap so the
+    * expression (spelled identically in every oracle) cannot drift. */
+  private def hllEst(used: Column, sInt: Column): (Column, Column) = {
     // empty registers hold value 0 and contribute 2^(-0)=1 each to
     // the harmonic sum — i.e. 2^53 in the integer scaling
-    val vZero = lit(HLL_M) - col("used_registers")
-    val sFull = col("s_int") + vZero * lit(9007199254740992L)
+    val vZero = lit(HLL_M) - used
+    val sFull = sInt + vZero * lit(9007199254740992L)
     // the raw-estimate expression is spelled identically in the oracle
     // SQL — same literals, same operator order, bit-identical doubles
     val raw = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) *
       lit(65536.0) * lit(9007199254740992.0) / sFull
     val est = when(raw <= lit(2.5) * lit(256.0) && vZero > 0,
       lit(256.0) * log(lit(256.0) / vZero)).otherwise(raw)
+    (raw, est)
+  }
+
+  private[graft] def hllEstimateFrom(regs: DataFrame,
+                                     exact: DataFrame): DataFrame = {
+    val per = regs.groupBy("source")
+      .agg(count(lit(1)).as("used_registers"), sum(sIntTerm).as("s_int"))
+    val vZero = lit(HLL_M) - col("used_registers")
+    val (raw, est) = hllEst(col("used_registers"), col("s_int"))
     per.join(exact, "source")
       .select(col("source"), col("used_registers"),
         vZero.as("v_zero"), round(raw, 6).as("e_raw"),

@@ -2035,6 +2035,36 @@ class PipelineSpec extends SparkSpec {
     assert(r.getAs[Long]("tp") + r.getAs[Long]("fn") == pos.length.toLong)
   }
 
+  test("hll overlap: identical sources give jaccard 1, disjoint give 0") {
+    val s = spark
+    import s.implicits._
+    val wordsOf = (seed: Int, n: Int) =>
+      (0 until n).map(i => s"w${seed}_$i").mkString(" ")
+    // twin/clone share EVERY word → union registers = each side's
+    // registers → est_inter = est_a exactly, jaccard exactly 1;
+    // alien is word-disjoint from both
+    val docs = Seq(
+      (1L, "twin", wordsOf(1, 400)), (2L, "clone", wordsOf(1, 400)),
+      (3L, "alien", wordsOf(2, 400)))
+      .toDF("doc_id", "source", "text")
+    val r = Sketches.hllOverlap(docs).collect()
+      .map(x => (x.getAs[String]("source_a"), x.getAs[String]("source_b"))
+        -> x).toMap
+    val twin = r(("clone", "twin"))
+    assert(twin.getAs[Double]("jaccard_est") == 1.0)
+    assert(twin.getAs[Long]("exact_inter") == 400L)
+    assert(twin.getAs[Double]("est_inter") ==
+      twin.getAs[Double]("est_a"))
+    val alien = r(("alien", "twin"))
+    assert(alien.getAs[Long]("exact_inter") == 0L)
+    // inclusion-exclusion on disjoint sketches: small |estimator
+    // noise|, clamped non-negative
+    assert(alien.getAs[Double]("est_inter") >= 0.0)
+    assert(alien.getAs[Double]("est_inter") < 100.0)
+    // m=256 ⇒ ~6.5 % std error; 25 % is a generous 4σ bound
+    assert(math.abs(twin.getAs[Double]("est_a") - 400.0) < 100.0)
+  }
+
   test("props stats: missing keys and bad JSON are NULLs, not errors") {
     val s = spark
     import s.implicits._
