@@ -375,6 +375,11 @@ object TsdbQueries {
     // counter/gauge type inference from raw-sample monotonicity
     "ts_type_infer" -> ((s, dir) =>
       Temporal.typeInferFrame(samples(s, dir)).orderBy("name")),
+    // PromQL alert FOR-duration: pending vs firing after 3 sustained
+    // calendar-contiguous buckets over threshold
+    "ts_alert_for" -> ((s, dir) =>
+      Temporal.alertForFrame(samples(s, dir))
+        .orderBy("name", "user_id", "bucket_s")),
     // Theil-Sen robust trend slope/intercept per series (day buckets)
     "ts_theil_sen" -> ((s, dir) =>
       Temporal.theilSenFrame(samples(s, dir)).orderBy("name", "user_id")),
@@ -1529,6 +1534,21 @@ object TsdbQueries {
          |  coalesce(CAST(floor(abs(zr) * 1000000) / 1000000 > 3.5 AS INT),
          |   0) AS outlier
          | FROM z ORDER BY name, user_id, bucket_s"""
+        .stripMargin.replace("\n", " "),
+    "ts_alert_for" ->
+      s"""WITH c AS (SELECT name, user_id,
+         |  CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_s,
+         |  avg(value) AS v FROM ($S) AS s GROUP BY 1, 2, 3),
+         | p AS (SELECT name, user_id, bucket_s, round(v, 6) AS v,
+         |  CAST(round(v, 6) > 50.0 AS INT) AS pending FROM c),
+         | r AS (SELECT *, sum(pending) OVER wf AS run,
+         |   bucket_s - lag(bucket_s, 2) OVER wo AS span FROM p
+         |  WINDOW wf AS (PARTITION BY name, user_id ORDER BY bucket_s
+         |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+         |  wo AS (PARTITION BY name, user_id ORDER BY bucket_s))
+         | SELECT name, user_id, bucket_s, v, pending,
+         |  coalesce(CAST(run = 3 AND span = 7200 AS INT), 0) AS firing
+         | FROM r ORDER BY name, user_id, bucket_s"""
         .stripMargin.replace("\n", " "),
     "ts_type_infer" ->
       s"""WITH d AS (SELECT name, user_id,

@@ -934,6 +934,38 @@ object Temporal {
           .as("outlier"): _*)
   }
 
+  /** Alert `FOR`-duration evaluation — the rule-engine semantics on
+    * top of every threshold query (a Prometheus/m3 alert fires only
+    * after its condition holds CONTINUOUSLY for the `for:` window;
+    * the coordinator's rule evaluation replays exactly this): per
+    * series hourly bucket, `pending` = condition true now,
+    * `firing` = condition true in this and the `forBuckets−1`
+    * preceding CALENDAR-CONTIGUOUS buckets — a gap resets the clock
+    * (condition unknown ≠ condition true, the conservative reading),
+    * exactly like a restarted Prometheus resets pending alerts.
+    *
+    * Scale: consolidation + one per-series ordered window (bounded
+    * ±forBuckets frame) on the consolidation shuffle key. */
+  def alertForFrame(samples: DataFrame, thresh: Double = 50.0,
+                    forBuckets: Int = 3): DataFrame = {
+    val cons = samples
+      .withColumn("bucket_s", Vectors.bucketS("hour"))
+      .groupBy((labels :+ "bucket_s").map(col): _*).agg(avg("value").as("v"))
+    val w = Window.partitionBy(labels.map(col): _*).orderBy("bucket_s")
+    val wk = w.rowsBetween(-(forBuckets - 1), 0)
+    val cond = (round(col("v"), 6) > thresh).cast("int")
+    cons
+      .withColumn("pending", cond)
+      .withColumn("_run", sum("pending").over(wk))
+      .withColumn("_span",
+        col("bucket_s") - lag("bucket_s", forBuckets - 1).over(w))
+      .select(labels.map(col) :+ col("bucket_s") :+
+        round(col("v"), 6).as("v") :+ col("pending") :+
+        coalesce((col("_run") === forBuckets &&
+          col("_span") === (forBuckets - 1) * 3600L).cast("int"), lit(0))
+          .as("firing"): _*)
+  }
+
   /** Metric-type inference per metric NAME — counter or gauge from
     * raw-sample monotonicity, the property every rollup-policy choice
     * hangs on (a counter wants rate()+sum rollups, a gauge wants

@@ -237,6 +237,30 @@ class TsdbSpec extends SparkSpec {
       .forall(_.getAs[Double]("z_v") == -0.6745))
   }
 
+  test("alert FOR: fires only after 3 contiguous hot buckets; gaps reset") {
+    val s = spark
+    import s.implicits._
+    val base = ts("2024-01-01 00:00:00").getTime
+    // hours 0,1 hot (2 < for-window), 2 cold, 3,4,5 hot (fires at 5),
+    // then a GAP (6 missing) and hot 7,8 — contiguity broken, and the
+    // run restarted at 7 has only 2 buckets: no fire
+    val hot = Map(0 -> 99.0, 1 -> 99.0, 2 -> 1.0, 3 -> 99.0, 4 -> 99.0,
+      5 -> 99.0, 7 -> 99.0, 8 -> 99.0)
+    val rows = hot.toSeq.map { case (i, v) =>
+      ("m", 1L, new Timestamp(base + i * 3600L * 1000), v, i.toLong)
+    }
+    val r = Temporal.alertForFrame(rows.toDF("name", "user_id", "ts",
+      "value", "event_id")).orderBy("bucket_s").collect()
+      .map(x => ((x.getAs[Long]("bucket_s") - base / 1000) / 3600).toInt ->
+        ((x.getAs[Int]("pending"), x.getAs[Int]("firing")))).toMap
+    assert(r(0) == ((1, 0)) && r(1) == ((1, 0)), "pending before FOR")
+    assert(r(2) == ((0, 0)))
+    assert(r(3) == ((1, 0)) && r(4) == ((1, 0)))
+    assert(r(5) == ((1, 1)), "third contiguous hot bucket fires")
+    assert(r(7) == ((1, 0)) && r(8) == ((1, 0)),
+      "gap resets the FOR clock")
+  }
+
   test("type inference: monotone-with-reset is counter, noise is gauge") {
     val s = spark
     import s.implicits._
