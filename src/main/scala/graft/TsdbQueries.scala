@@ -380,6 +380,9 @@ object TsdbQueries {
     "ts_alert_for" -> ((s, dir) =>
       Temporal.alertForFrame(samples(s, dir))
         .orderBy("name", "user_id", "bucket_s")),
+    // rollup information-loss audit per name × coarse resolution
+    "ds_rollup_loss" -> ((s, dir) =>
+      Temporal.rollupLossFrame(samples(s, dir)).orderBy("name", "res_s")),
     // Theil-Sen robust trend slope/intercept per series (day buckets)
     "ts_theil_sen" -> ((s, dir) =>
       Temporal.theilSenFrame(samples(s, dir)).orderBy("name", "user_id")),
@@ -1534,6 +1537,25 @@ object TsdbQueries {
          |  coalesce(CAST(floor(abs(zr) * 1000000) / 1000000 > 3.5 AS INT),
          |   0) AS outlier
          | FROM z ORDER BY name, user_id, bucket_s"""
+        .stripMargin.replace("\n", " "),
+    "ds_rollup_loss" ->
+      s"""WITH c AS (SELECT name, user_id,
+         |  CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_s,
+         |  avg(value) AS v FROM ($S) AS s GROUP BY 1, 2, 3),
+         | rs AS (SELECT unnest([14400, 86400]) AS res_s),
+         | pb AS (SELECT c.name, c.user_id, rs.res_s,
+         |   c.bucket_s - c.bucket_s % rs.res_s AS cb,
+         |   count(*) AS n, sum(v) AS sv, sum(v * v) AS s2,
+         |   max(v) - min(v) AS spread
+         |  FROM c CROSS JOIN rs GROUP BY 1, 2, 3, 4),
+         | pd AS (SELECT *, sqrt(greatest(0.0,
+         |   s2 / n - (sv / n) * (sv / n))) AS rms_dev FROM pb)
+         | SELECT name, CAST(res_s AS BIGINT) AS res_s,
+         |  count(*) AS n_buckets,
+         |  round(avg(spread), 6) AS avg_spread,
+         |  round(max(spread), 6) AS max_spread,
+         |  round(avg(rms_dev), 6) AS avg_rms_dev
+         | FROM pd GROUP BY 1, 2 ORDER BY name, res_s"""
         .stripMargin.replace("\n", " "),
     "ts_alert_for" ->
       s"""WITH c AS (SELECT name, user_id,

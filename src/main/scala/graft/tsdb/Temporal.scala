@@ -934,6 +934,50 @@ object Temporal {
           .as("outlier"): _*)
   }
 
+  /** Rollup information-loss audit — what a retention tier throws
+    * away: for each coarse resolution a policy stack might store
+    * (default 4 h and 1 d over the hourly consolidation), the
+    * within-coarse-bucket spread of the fine values (max−min) and the
+    * mean |fine − coarse avg| per metric name. A name with near-zero
+    * spread downsamples for free; a spiky one tells the operator the
+    * coarse tier will hide incidents — the number to read BEFORE
+    * choosing [[graft.tsdb.Downsample]] policies, not after.
+    *
+    * Scale: the hourly consolidation hash agg, then per resolution
+    * one aggregation keyed by (series, coarse bucket) — coarse keys
+    * are arithmetic on bucket_s, co-partitioned with the
+    * consolidation — and a ≤|names| rollup; the union across
+    * resolutions is over those tiny frames. Zero windows, zero
+    * joins. Within-bucket RMS deviation comes from single-pass
+    * moments (Σv, Σv², n), not a mean-join. */
+  def rollupLossFrame(samples: DataFrame,
+                      resolutions: Seq[Long] = Seq(4 * 3600L, 86400L))
+  : DataFrame = {
+    val cons = samples
+      .withColumn("bucket_s", Vectors.bucketS("hour"))
+      .groupBy((labels :+ "bucket_s").map(col): _*).agg(avg("value").as("v"))
+    resolutions.map { res =>
+      val perBucket = cons
+        .withColumn("cb", col("bucket_s") - col("bucket_s") % res)
+        .groupBy((labels :+ "cb").map(col): _*)
+        .agg(count(lit(1)).as("n"), sum("v").as("s"),
+          sum(col("v") * col("v")).as("s2"),
+          (max("v") - min("v")).as("spread"))
+        .withColumn("rms_dev",
+          sqrt(greatest(lit(0.0),
+            col("s2") / col("n") - (col("s") / col("n")) *
+              (col("s") / col("n")))))
+      perBucket.groupBy("name")
+        .agg(count(lit(1)).as("n_buckets"),
+          round(avg("spread"), 6).as("avg_spread"),
+          round(max("spread"), 6).as("max_spread"),
+          round(avg("rms_dev"), 6).as("avg_rms_dev"))
+        .withColumn("res_s", lit(res))
+    }.reduce(_ unionAll _)
+      .select(col("name"), col("res_s"), col("n_buckets"),
+        col("avg_spread"), col("max_spread"), col("avg_rms_dev"))
+  }
+
   /** Alert `FOR`-duration evaluation — the rule-engine semantics on
     * top of every threshold query (a Prometheus/m3 alert fires only
     * after its condition holds CONTINUOUSLY for the `for:` window;

@@ -237,6 +237,29 @@ class TsdbSpec extends SparkSpec {
       .forall(_.getAs[Double]("z_v") == -0.6745))
   }
 
+  test("rollup loss: flat series loses nothing, alternation loses spread") {
+    val s = spark
+    import s.implicits._
+    val base = ts("2024-01-01 00:00:00").getTime
+    // 48 h: flat 10.0 vs alternating 0/2 — the alternating series has
+    // within-bucket spread 2 and RMS deviation exactly 1 at BOTH
+    // resolutions (0,2 alternation: mean 1, var 1)
+    val rows = (0 until 48).flatMap { i =>
+      val t = new Timestamp(base + i * 3600L * 1000)
+      Seq(("flat", 1L, t, 10.0, i.toLong * 2),
+        ("alt", 1L, t, if (i % 2 == 0) 0.0 else 2.0, i.toLong * 2 + 1))
+    }
+    val r = Temporal.rollupLossFrame(rows.toDF("name", "user_id", "ts",
+      "value", "event_id")).collect()
+      .map(x => (x.getAs[String]("name"), x.getAs[Long]("res_s")) ->
+        ((x.getAs[Long]("n_buckets"), x.getAs[Double]("avg_spread"),
+          x.getAs[Double]("avg_rms_dev")))).toMap
+    assert(r(("flat", 14400L)) == ((12L, 0.0, 0.0)))
+    assert(r(("flat", 86400L)) == ((2L, 0.0, 0.0)))
+    assert(r(("alt", 14400L)) == ((12L, 2.0, 1.0)))
+    assert(r(("alt", 86400L)) == ((2L, 2.0, 1.0)))
+  }
+
   test("alert FOR: fires only after 3 contiguous hot buckets; gaps reset") {
     val s = spark
     import s.implicits._
