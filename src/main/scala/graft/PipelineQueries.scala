@@ -1336,6 +1336,11 @@ object PipelineQueries {
       Multimodal.resampleAudio(
         Multimodal.syntheticWavMedia(Tables.documents(s, dir)))
         .orderBy("media_id")),
+    // silence/clipping/RMS curation gates over decoded PCM16
+    "mm_audio_quality" -> ((s, dir) =>
+      Multimodal.audioQuality(
+        Multimodal.syntheticWavMedia(Tables.documents(s, dir)))
+        .orderBy("media_id")),
     "mm_audio_fp" -> ((s, dir) =>
       // energy-envelope audio fingerprint over decoded PCM16 — same
       // bit-exact xorshift-replay oracle pattern as mm_phash
@@ -4162,6 +4167,49 @@ object PipelineQueries {
         |  CAST(sum(t.term) AS BIGINT) AS checksum
         | FROM terms AS t JOIN lim ON lim.media_id = t.media_id
         | GROUP BY lim.media_id, lim.n_ch, lim.n_samples, lim.block
+        | ORDER BY lim.media_id""".stripMargin.replace("\n", " "),
+    "mm_audio_quality" ->
+      """WITH RECURSIVE lim AS (SELECT doc_id AS media_id,
+        |  CAST(1 + doc_id % 2 AS INT) AS n_ch,
+        |  CAST(256 + doc_id % 1024 AS BIGINT) AS n_samples,
+        |  CAST((256 + doc_id % 1024) * (1 + doc_id % 2) AS BIGINT)
+        |   AS total_s,
+        |  CAST((256 + doc_id % 1024) * (1 + doc_id % 2) * 2 AS BIGINT)
+        |   AS data_size
+        | FROM documents),
+        | chain(media_id, k, s) AS (
+        |  SELECT media_id, 0, CAST(media_id AS UBIGINT) | 1 FROM lim
+        |  UNION ALL
+        |  SELECT c.media_id, c.k + 1,
+        |   (SELECT xor(xor(b, b >> 7), CAST((CAST(xor(b, b >> 7) AS HUGEINT)
+        |      * 131072) % 18446744073709551616 AS UBIGINT))
+        |    FROM (SELECT xor(c.s, CAST((CAST(c.s AS HUGEINT) * 8192)
+        |      % 18446744073709551616 AS UBIGINT)) AS b) AS t)
+        |  FROM chain AS c JOIN lim ON lim.media_id = c.media_id
+        |  WHERE c.k < lim.data_size),
+        | bytes AS (SELECT media_id, k - 1 AS pos,
+        |   CAST(s >> 56 AS BIGINT) AS b FROM chain WHERE k >= 1),
+        | smp AS (SELECT media_id, pos // 2 AS k,
+        |   sum(CASE WHEN pos % 2 = 0 THEN b ELSE 256 * b END) AS v_raw
+        |  FROM bytes GROUP BY 1, 2),
+        | sv AS (SELECT media_id,
+        |   abs(CASE WHEN v_raw >= 32768 THEN v_raw - 65536 ELSE v_raw END)
+        |    AS v FROM smp),
+        | ag AS (SELECT media_id, count(*) AS n_samples,
+        |   CAST(sum(CASE WHEN v < 1000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_silent,
+        |   CAST(sum(CASE WHEN v >= 32700 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clipped,
+        |   CAST(sum(v * v) AS BIGINT) AS sum_sq FROM sv GROUP BY 1)
+        | SELECT lim.media_id, lim.n_ch AS n_channels, ag.n_samples,
+        |  ag.n_silent, ag.n_clipped,
+        |  floor(ag.n_silent::DOUBLE / ag.n_samples * 1000000) / 1000000
+        |   AS silence_frac,
+        |  floor(ag.n_clipped::DOUBLE / ag.n_samples * 1000000) / 1000000
+        |   AS clip_frac,
+        |  floor(sqrt(ag.sum_sq::DOUBLE / ag.n_samples) * 1000000) / 1000000
+        |   AS rms_level
+        | FROM ag JOIN lim ON lim.media_id = ag.media_id
         | ORDER BY lim.media_id""".stripMargin.replace("\n", " "),
     "mm_audio_fp" ->
       """WITH RECURSIVE lim AS (SELECT doc_id AS media_id,

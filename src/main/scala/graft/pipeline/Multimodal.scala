@@ -455,6 +455,51 @@ object Multimodal {
       }.toDF()
   }
 
+  /** Audio quality gates per clip — the standard pre-training audio
+    * curation checks (a silent or clipped recording is a wasted
+    * training token, and both are cheap integer tests over PCM16):
+    * silence fraction (|s| < `silenceThresh`), clipping fraction
+    * (|s| ≥ `clipThresh`, near full-scale ±32767), and RMS level.
+    * Everything to the divisions is exact integer arithmetic
+    * (Σ|s|² ≤ n·2³⁰ < 2⁵³ for any realistic clip), fractions and RMS
+    * floor-truncate at 1e-6 — ratios of exact integers land on
+    * rounding midpoints (the established trunc₆ discipline).
+    *
+    * Scale: typed map at the decode boundary, one pass per clip, no
+    * shuffle. */
+  def audioQuality(media: DataFrame, silenceThresh: Int = 1000,
+                   clipThresh: Int = 32700): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .map { case (id, payload) =>
+        val (nCh, _, nSamples) = decodeWav(payload)
+        val total = (nSamples * nCh).toInt
+        var silent = 0L; var clipped = 0L; var s2 = 0L
+        var k = 0
+        while (k < total) {
+          val p = 44 + 2 * k
+          val raw = (payload(p) & 0xff) | (payload(p + 1).toInt << 8)
+          val v = math.abs(if (raw >= 32768) raw - 65536 else raw)
+          if (v < silenceThresh) silent += 1
+          if (v >= clipThresh) clipped += 1
+          s2 += v.toLong * v
+          k += 1
+        }
+        (id, nCh, total.toLong, silent, clipped, s2)
+      }
+      .toDF("media_id", "n_channels", "n_samples", "n_silent",
+        "n_clipped", "sum_sq")
+      .select(col("media_id"), col("n_channels"), col("n_samples"),
+        col("n_silent"), col("n_clipped"),
+        (floor(col("n_silent").cast("double") / col("n_samples")
+          * 1000000.0) / 1000000.0).as("silence_frac"),
+        (floor(col("n_clipped").cast("double") / col("n_samples")
+          * 1000000.0) / 1000000.0).as("clip_frac"),
+        (floor(sqrt(col("sum_sq").cast("double") / col("n_samples"))
+          * 1000000.0) / 1000000.0).as("rms_level"))
+  }
+
   final case class AudioFp(media_id: Long, n_channels: Int,
                            n_samples: Long, afp: Long)
 

@@ -2035,6 +2035,32 @@ class PipelineSpec extends SparkSpec {
     assert(r.getAs[Long]("tp") + r.getAs[Long]("fn") == pos.length.toLong)
   }
 
+  test("audio quality: silence and clipping flag exactly") {
+    val s = spark
+    import s.implicits._
+    val noise = Multimodal.encodeWav(1, 8000, 100, seed = 42L)
+    // silent: all-zero samples; clipped: all full-scale +32767
+    // (little-endian 0xFF 0x7F)
+    val silent = noise.clone()
+    for (i <- 44 until silent.length) silent(i) = 0
+    val clipped = noise.clone()
+    var i = 44
+    while (i < clipped.length) {
+      clipped(i) = 0xff.toByte; clipped(i + 1) = 0x7f.toByte; i += 2
+    }
+    val media = Seq((1L, noise), (2L, silent), (3L, clipped))
+      .toDF("media_id", "payload")
+    val r = Multimodal.audioQuality(media).collect()
+      .map(x => x.getAs[Long]("media_id") -> x).toMap
+    assert(r(2).getAs[Double]("silence_frac") == 1.0)
+    assert(r(2).getAs[Double]("rms_level") == 0.0)
+    assert(r(2).getAs[Double]("clip_frac") == 0.0)
+    assert(r(3).getAs[Double]("clip_frac") == 1.0)
+    assert(r(3).getAs[Double]("rms_level") == 32767.0)
+    assert(r(1).getAs[Long]("n_samples") == 100L)
+    assert(r(1).getAs[Double]("clip_frac") < 1.0)
+  }
+
   test("hll overlap: identical sources give jaccard 1, disjoint give 0") {
     val s = spark
     import s.implicits._
