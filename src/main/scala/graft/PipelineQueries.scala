@@ -1336,6 +1336,11 @@ object PipelineQueries {
       Multimodal.resampleAudio(
         Multimodal.syntheticWavMedia(Tables.documents(s, dir)))
         .orderBy("media_id")),
+    // brightness-delta scene-change card over decoded frame prefix
+    "mm_video_quality" -> ((s, dir) =>
+      Multimodal.videoQuality(
+        Multimodal.syntheticAviMedia(Tables.documents(s, dir)))
+        .orderBy("media_id")),
     // silence/clipping/RMS curation gates over decoded PCM16
     "mm_audio_quality" -> ((s, dir) =>
       Multimodal.audioQuality(
@@ -4252,6 +4257,51 @@ object PipelineQueries {
         |  lpad(lower(hex(fp.afp)), 16, '0') AS afp_hex
         | FROM fp JOIN lim ON lim.media_id = fp.media_id
         | ORDER BY lim.media_id""".stripMargin.replace("\n", " "),
+    "mm_video_quality" ->
+      """WITH RECURSIVE lim AS (SELECT doc_id AS media_id,
+        |  CAST(8 + doc_id % 16 AS INT) AS w,
+        |  CAST(8 + doc_id % 12 AS INT) AS h,
+        |  CAST(4 + doc_id % 28 AS INT) AS n_frames,
+        |  CAST((8 + doc_id % 16) * (8 + doc_id % 12) * 3 AS BIGINT) AS fs,
+        |  least(CAST(4 + doc_id % 28 AS BIGINT),
+        |   4096 // ((8 + doc_id % 16) * (8 + doc_id % 12) * 3))
+        |   AS use_frames
+        | FROM documents),
+        | lim2 AS (SELECT *, use_frames * fs AS total_b FROM lim),
+        | chain(media_id, k, s) AS (
+        |  SELECT media_id, 0, CAST(media_id AS UBIGINT) | 1 FROM lim2
+        |  UNION ALL
+        |  SELECT c.media_id, c.k + 1,
+        |   (SELECT xor(xor(b, b >> 7), CAST((CAST(xor(b, b >> 7) AS HUGEINT)
+        |      * 131072) % 18446744073709551616 AS UBIGINT))
+        |    FROM (SELECT xor(c.s, CAST((CAST(c.s AS HUGEINT) * 8192)
+        |      % 18446744073709551616 AS UBIGINT)) AS b) AS t)
+        |  FROM chain AS c JOIN lim2 ON lim2.media_id = c.media_id
+        |  WHERE c.k < lim2.total_b),
+        | bytes AS (SELECT media_id, k - 1 AS pos,
+        |   CAST(s >> 56 AS BIGINT) AS b FROM chain WHERE k >= 1),
+        | fsum AS (SELECT b.media_id, b.pos // lim2.fs AS f,
+        |   sum(b.b) AS fs_sum
+        |  FROM bytes AS b JOIN lim2 ON lim2.media_id = b.media_id
+        |  GROUP BY 1, 2),
+        | dl AS (SELECT media_id, f,
+        |   abs(fs_sum - lag(fs_sum) OVER (PARTITION BY media_id
+        |    ORDER BY f)) AS d FROM fsum),
+        | ag AS (SELECT dl.media_id,
+        |   CAST(coalesce(sum(dl.d), 0) AS BIGINT) AS sum_abs,
+        |   CAST(coalesce(sum(CASE WHEN dl.d > 10 * lim2.fs
+        |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS scene_changes
+        |  FROM dl JOIN lim2 ON lim2.media_id = dl.media_id
+        |  WHERE dl.d IS NOT NULL GROUP BY 1)
+        | SELECT lim2.media_id, lim2.w AS width, lim2.h AS height,
+        |  lim2.n_frames, lim2.use_frames AS frames_scored,
+        |  CASE WHEN lim2.use_frames > 1 THEN
+        |   floor(coalesce(ag.sum_abs, 0)::DOUBLE
+        |    / ((lim2.use_frames - 1) * lim2.fs) * 1000000) / 1000000
+        |  ELSE 0.0 END AS avg_delta,
+        |  coalesce(ag.scene_changes, 0) AS scene_changes
+        | FROM lim2 LEFT JOIN ag ON ag.media_id = lim2.media_id
+        | ORDER BY lim2.media_id""".stripMargin.replace("\n", " "),
     "mm_video_fp" ->
       """WITH RECURSIVE lim AS (SELECT doc_id AS media_id,
         |  CAST(8 + doc_id % 16 AS INT) AS w,

@@ -441,6 +441,57 @@ object Multimodal {
       if (64L * winSums(c) >= tot) a | (1L << c) else a)
   }
 
+  /** Video quality / scene-change card — the trio-closing check next
+    * to [[blurStats]] (image) and [[audioQuality]] (audio): per-frame
+    * brightness sums over the full frames inside the
+    * [[VideoFpPrefixBytes]] cap, consecutive-frame deltas, and a
+    * scene change wherever |Δsum| > `sceneThresh`·frameSize — an
+    * INTEGER comparison (per-byte mean delta over the threshold), no
+    * float boundary anywhere; a static clip scores zero changes and
+    * near-zero avg delta, a hard cut spikes. avg_delta reports the
+    * per-byte mean |Δ|, floor-truncated at 1e-6 (ratio of exact
+    * integers). */
+  def videoQuality(media: DataFrame, sceneThresh: Int = 10): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .map { case (id, payload) =>
+        val (w, h, nFrames, _) = decodeAvi(payload)
+        val frameSize = w * h * 3
+        val useFrames =
+          math.min(nFrames.toLong, VideoFpPrefixBytes.toLong / frameSize)
+            .toInt
+        val sums = new Array[Long](math.max(useFrames, 0))
+        var f = 0
+        while (f < useFrames) {
+          val base = 100 + f * (8 + frameSize) + 8
+          var i = 0; var s = 0L
+          while (i < frameSize) { s += payload(base + i) & 0xff; i += 1 }
+          sums(f) = s
+          f += 1
+        }
+        var sumAbs = 0L; var changes = 0L
+        var k = 1
+        while (k < useFrames) {
+          val d = math.abs(sums(k) - sums(k - 1))
+          sumAbs += d
+          if (d > sceneThresh.toLong * frameSize) changes += 1
+          k += 1
+        }
+        (id, w, h, nFrames, useFrames.toLong, sumAbs, changes,
+          frameSize.toLong)
+      }
+      .toDF("media_id", "width", "height", "n_frames", "frames_scored",
+        "_sum_abs", "scene_changes", "_fs")
+      .select(col("media_id"), col("width"), col("height"),
+        col("n_frames"), col("frames_scored"),
+        when(col("frames_scored") > 1,
+          floor(col("_sum_abs").cast("double") /
+            ((col("frames_scored") - 1) * col("_fs")) * 1000000.0)
+            / 1000000.0).otherwise(lit(0.0)).as("avg_delta"),
+        col("scene_changes"))
+  }
+
   final case class VideoFp(media_id: Long, width: Int, height: Int,
                            n_frames: Int, vfp: Long)
 

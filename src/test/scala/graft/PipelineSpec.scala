@@ -2035,6 +2035,30 @@ class PipelineSpec extends SparkSpec {
     assert(r.getAs[Long]("tp") + r.getAs[Long]("fn") == pos.length.toLong)
   }
 
+  test("video quality: static clip scores zero changes, hard cuts spike") {
+    val s = spark
+    import s.implicits._
+    val base = Multimodal.encodeAvi(8, 8, 10, 6, seed = 42L)
+    val frameSize = 8 * 8 * 3
+    def setFrame(p: Array[Byte], f: Int, v: Byte): Unit = {
+      val off = 100 + f * (8 + frameSize) + 8
+      java.util.Arrays.fill(p, off, off + frameSize, v)
+    }
+    val static = base.clone()
+    for (f <- 0 until 6) setFrame(static, f, 50.toByte)
+    // cuts: black/white alternation — every consecutive pair is a cut
+    val cuts = base.clone()
+    for (f <- 0 until 6) setFrame(cuts, f, if (f % 2 == 0) 0 else 255.toByte)
+    val media = Seq((1L, static), (2L, cuts)).toDF("media_id", "payload")
+    val r = Multimodal.videoQuality(media).collect()
+      .map(x => x.getAs[Long]("media_id") -> x).toMap
+    assert(r(1).getAs[Double]("avg_delta") == 0.0)
+    assert(r(1).getAs[Long]("scene_changes") == 0L)
+    assert(r(2).getAs[Long]("frames_scored") == 6L)
+    assert(r(2).getAs[Long]("scene_changes") == 5L)
+    assert(r(2).getAs[Double]("avg_delta") == 255.0)
+  }
+
   test("audio quality: silence and clipping flag exactly") {
     val s = spark
     import s.implicits._
