@@ -383,6 +383,10 @@ object TsdbQueries {
     // rollup information-loss audit per name × coarse resolution
     "ds_rollup_loss" -> ((s, dir) =>
       Temporal.rollupLossFrame(samples(s, dir)).orderBy("name", "res_s")),
+    // bounded linear gap interpolation over the calendar spine
+    "ts_interpolate" -> ((s, dir) =>
+      Temporal.interpolateFrame(samples(s, dir))
+        .orderBy("name", "user_id", "bucket_s")),
     // Theil-Sen robust trend slope/intercept per series (day buckets)
     "ts_theil_sen" -> ((s, dir) =>
       Temporal.theilSenFrame(samples(s, dir)).orderBy("name", "user_id")),
@@ -1537,6 +1541,41 @@ object TsdbQueries {
          |  coalesce(CAST(floor(abs(zr) * 1000000) / 1000000 > 3.5 AS INT),
          |   0) AS outlier
          | FROM z ORDER BY name, user_id, bucket_s"""
+        .stripMargin.replace("\n", " "),
+    "ts_interpolate" ->
+      s"""WITH c AS (SELECT name, user_id,
+         |  CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_s,
+         |  avg(value) AS v FROM ($S) AS s GROUP BY 1, 2, 3),
+         | sp AS (SELECT name, user_id, min(bucket_s) AS b0,
+         |   max(bucket_s) AS b1 FROM c GROUP BY 1, 2),
+         | grid AS (SELECT sp.name, sp.user_id,
+         |   CAST(g.b AS BIGINT) AS bucket_s
+         |  FROM sp, unnest(range(sp.b0, sp.b1 + 3600, 3600)) AS g(b)),
+         | j AS (SELECT grid.name, grid.user_id, grid.bucket_s, c.v
+         |  FROM grid LEFT JOIN c ON c.name = grid.name
+         |   AND c.user_id = grid.user_id AND c.bucket_s = grid.bucket_s),
+         | w AS (SELECT *,
+         |   last_value(v IGNORE NULLS) OVER wp AS pv,
+         |   last_value(CASE WHEN v IS NOT NULL THEN bucket_s END
+         |    IGNORE NULLS) OVER wp AS pb,
+         |   first_value(v IGNORE NULLS) OVER wn AS nv,
+         |   first_value(CASE WHEN v IS NOT NULL THEN bucket_s END
+         |    IGNORE NULLS) OVER wn AS nb
+         |  FROM j WINDOW wp AS (PARTITION BY name, user_id
+         |   ORDER BY bucket_s
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |  wn AS (PARTITION BY name, user_id ORDER BY bucket_s
+         |   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+         | f AS (SELECT *, CASE WHEN v IS NOT NULL THEN v
+         |   WHEN pv IS NOT NULL AND nv IS NOT NULL
+         |    AND (nb - pb) / 3600 - 1 <= 6
+         |   THEN pv + (nv - pv) * ((bucket_s - pb)::DOUBLE / (nb - pb))
+         |   END AS vf FROM w)
+         | SELECT name, user_id, bucket_s,
+         |  floor(v * 1000000) / 1000000 AS v,
+         |  floor(vf * 1000000) / 1000000 AS v_filled,
+         |  CAST(v IS NULL AND vf IS NOT NULL AS INT) AS filled
+         | FROM f ORDER BY name, user_id, bucket_s"""
         .stripMargin.replace("\n", " "),
     "ds_rollup_loss" ->
       s"""WITH c AS (SELECT name, user_id,

@@ -44,8 +44,10 @@ import org.apache.spark.sql.functions._
   */
 object Exposition {
 
-  private val LINE =
-    "^([a-zA-Z_:][a-zA-Z0-9_:]*)(?:\\{(.*)\\})? +([^ ]+)(?: +(-?[0-9]+))? *$"
+  // separators are runs of spaces OR tabs (the Go scanner accepts
+  // both between tokens)
+  private val LINE = "^([a-zA-Z_:][a-zA-Z0-9_:]*)(?:\\{(.*)\\})?" +
+    "[ \\t]+([^ \\t]+)(?:[ \\t]+(-?[0-9]+))?[ \\t]*$"
   private val COMMA = ",(?=(?:[^\"]*\"[^\"]*\")*[^\"]*$)"
   private val LABEL = "^([a-zA-Z_][a-zA-Z0-9_]*)=\"(.*)\"$"
   private val FLOAT =

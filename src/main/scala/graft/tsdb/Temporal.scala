@@ -934,6 +934,58 @@ object Temporal {
           .as("outlier"): _*)
   }
 
+  /** Gap interpolation over the calendar spine — the repair step
+    * between keepLastValue's LOCF (the PromQL lookback semantics,
+    * already in the Graphite family) and dropping gapped windows
+    * (the [[acfFrame]] stance): every series expands to its FULL
+    * hourly span, and missing buckets fill by linear interpolation
+    * between the nearest real neighbors — but only across gaps of at
+    * most `maxGapBuckets` missing buckets (inventing hours of data
+    * across an outage is how dashboards lie); longer gaps and edges
+    * stay NULL with `filled` = 0. Both v and v_filled floor-truncate
+    * at 1e-6: interpolation midpoints ((a+b)/2 of 6-decimal values)
+    * land exactly ON the 7th-decimal .5.
+    *
+    * Scale: consolidation hash agg, ONE lead() window over the REAL
+    * points (frame = actual data, not the spine), then each real
+    * point map-side EXPLODES its own gap — the dense spine is
+    * generated already knowing both neighbors, so there is no
+    * spine-sized join or window at all. (Two rejected shapes,
+    * measured at sf0.1: first/last-ignoreNulls over a
+    * `(1, unboundedFollowing)` frame recomputes the frame per spine
+    * row — O(span²)/series, 102 s; spine left-join + running-count
+    * segment index + two prev/next equi-joins — three spine-sized
+    * shuffles, 11.7 s; this shape ~2 s.) */
+  def interpolateFrame(samples: DataFrame,
+                       maxGapBuckets: Int = 6): DataFrame = {
+    val cons = samples
+      .withColumn("bucket_s", Vectors.bucketS("hour"))
+      .groupBy((labels :+ "bucket_s").map(col): _*).agg(avg("value").as("v"))
+    val wOrd = Window.partitionBy(labels.map(col): _*).orderBy("bucket_s")
+    val withNext = cons
+      .withColumn("nb", lead("bucket_s", 1).over(wOrd))
+      .withColumn("nv", lead("v", 1).over(wOrd))
+    // each real point emits itself (off = 0) plus its trailing gap
+    // buckets (off = 1 .. gap); the LAST point has no next → just
+    // itself (sequence(0, 0))
+    val gap = coalesce(((col("nb") - col("bucket_s")) / 3600L - 1)
+      .cast("long"), lit(0L))
+    val fan = withNext
+      .withColumn("off", explode(sequence(lit(0L), gap)))
+      .withColumn("b_out", col("bucket_s") + col("off") * 3600L)
+    val gapOk = gap <= maxGapBuckets
+    val interp = col("v") + (col("nv") - col("v")) *
+      ((col("b_out") - col("bucket_s")) / (col("nb") - col("bucket_s")))
+    val trunc6 = (c: Column) => floor(c * lit(1000000.0)) / lit(1000000.0)
+    val vOut = when(col("off") === 0, col("v"))
+    val filled = when(col("off") === 0, col("v"))
+      .when(gapOk, interp)
+    fan.select(labels.map(col) :+ col("b_out").as("bucket_s") :+
+      trunc6(vOut).as("v") :+
+      trunc6(filled).as("v_filled") :+
+      (col("off") > 0 && filled.isNotNull).cast("int").as("filled"): _*)
+  }
+
   /** Rollup information-loss audit — what a retention tier throws
     * away: for each coarse resolution a policy stack might store
     * (default 4 h and 1 d over the hourly consolidation), the

@@ -37,6 +37,13 @@ class ExpositionSpec extends SparkSpec {
     assert(rows(2).getAs[Double]("value") == 42.5)
   }
 
+  test("tab separators parse like spaces") {
+    val rows = parseAll("m{a=\"1\"}\t42\t1704067200000")
+    assert(rows.length == 1 && !rows(0).getAs[Boolean]("malformed"))
+    assert(rows(0).getAs[Double]("value") == 42.0)
+    assert(tags(rows(0)) == Map("a" -> "1"))
+  }
+
   test("comments and blank lines are dropped before parsing") {
     val rows = parseAll(
       "# HELP up Whether the target is up.",

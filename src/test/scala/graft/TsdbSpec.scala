@@ -237,6 +237,30 @@ class TsdbSpec extends SparkSpec {
       .forall(_.getAs[Double]("z_v") == -0.6745))
   }
 
+  test("interpolate: short gaps fill linearly, long gaps stay NULL") {
+    val s = spark
+    import s.implicits._
+    val base = ts("2024-01-01 00:00:00").getTime
+    // values at hours 0, 3 (gap of 2 ≤ maxGap → fill), then 20
+    // (gap of 16 > 6 → stays NULL)
+    val pts = Map(0 -> 10.0, 3 -> 40.0, 20 -> 100.0)
+    val rows = pts.toSeq.map { case (i, v) =>
+      ("m", 1L, new Timestamp(base + i * 3600L * 1000), v, i.toLong)
+    }
+    val r = Temporal.interpolateFrame(rows.toDF("name", "user_id", "ts",
+      "value", "event_id")).orderBy("bucket_s").collect()
+      .map(x => ((x.getAs[Long]("bucket_s") - base / 1000) / 3600).toInt ->
+        ((Option(x.get(x.fieldIndex("v_filled"))),
+          x.getAs[Int]("filled")))).toMap
+    assert(r.size == 21, "spine covers the full span")
+    assert(r(0) == ((Some(10.0), 0)))
+    assert(r(1) == ((Some(20.0), 1)), "hour 1 interpolates 10→40")
+    assert(r(2) == ((Some(30.0), 1)))
+    assert(r(3) == ((Some(40.0), 0)))
+    assert(r(10) == ((None, 0)), "16-hour gap is not invented")
+    assert(r(20) == ((Some(100.0), 0)))
+  }
+
   test("rollup loss: flat series loses nothing, alternation loses spread") {
     val s = spark
     import s.implicits._
