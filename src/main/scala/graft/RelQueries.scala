@@ -532,6 +532,8 @@ object RelQueries {
     "q_survival" -> ((s, dir) => survival(Tables.events(s, dir))),
     // semi-structured JSON props extraction + per-type numeric stats
     "q_props_stats" -> ((s, dir) => propsStats(Tables.events(s, dir))),
+    // day-over-day churn of the top-k users-by-value leaderboard
+    "q_topk_churn" -> ((s, dir) => topkChurn(Tables.events(s, dir))),
     "q_session_funnel" -> ((s, dir) =>
       sessionFunnel(Tables.events(s, dir), Seq("view", "click", "purchase"))
         .orderBy("step")),
@@ -713,6 +715,49 @@ object RelQueries {
         col("min_k"), col("max_k"), col("avg_k"),
         round((col("v_lo") + col("v_hi")) / 2.0, 6).as("p50_k"))
       .orderBy("event_type")
+  }
+
+  /** Day-over-day churn of the top-`k` users-by-value leaderboard —
+    * the stability card behind every "top accounts" dashboard (a
+    * leaderboard that reshuffles daily is noise, one that never moves
+    * is saturation): per day, the k highest daily-value users
+    * (DECIMAL-exact sums, event_id-free deterministic tie-break on
+    * user_id), then per consecutive-day pair the retained / entered /
+    * exited counts via a self-join on (user, day+1).
+    *
+    * Scale: the corpus reduces to (day, user) sums in one hash agg;
+    * the rank is a per-DAY window whose frame is that day's active
+    * users (swap the two-phase shard rank if a single day's users
+    * outgrow a partition — noted, not needed at this shape); the
+    * churn join is on the ≤ days·k ranked frame only. */
+  def topkChurn(events: DataFrame, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .select(to_date(col("ts")).as("day"), col("user_id"),
+        col("value").cast("decimal(18,2)").as("v"))
+      .groupBy("day", "user_id").agg(sum("v").as("dv"))
+    val w = Window.partitionBy("day")
+      .orderBy(col("dv").desc, col("user_id").asc)
+    val top = daily.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("day"), col("user_id"))
+    val nxt = top.select(expr("date_add(day, -1)").as("day"),
+      col("user_id").as("user_next"))
+    val retained = top.join(nxt,
+      top("day") === nxt("day") && col("user_id") === col("user_next"))
+      .groupBy(top("day")).agg(count(lit(1)).as("retained"))
+    val sizes = top.groupBy("day").agg(count(lit(1)).as("n_top"))
+    val nextSizes = sizes.select(expr("date_add(day, -1)").as("day"),
+      col("n_top").as("n_top_next"))
+    sizes.join(nextSizes, Seq("day"))
+      .join(retained, Seq("day"), "left")
+      .select(unix_seconds(col("day").cast("timestamp")).as("day_s"),
+        col("n_top"), col("n_top_next"),
+        coalesce(col("retained"), lit(0L)).as("retained"),
+        (col("n_top_next") - coalesce(col("retained"), lit(0L)))
+          .as("entered"),
+        (col("n_top") - coalesce(col("retained"), lit(0L))).as("exited"))
+      .orderBy("day_s")
   }
 
   /** Top-`topN` 3-step event-type paths across users. */
@@ -1757,6 +1802,27 @@ object RelQueries {
         |   / count(*)::DOUBLE, 6) AS survival_rate
         | FROM fan WHERE observable >= k GROUP BY k
         | ORDER BY k""".stripMargin.replace("\n", " "),
+    "q_topk_churn" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day, user_id,
+        |  sum(CAST(value AS DECIMAL(18,2))) AS dv FROM events
+        |  GROUP BY 1, 2),
+        | top AS (SELECT day, user_id FROM (SELECT *,
+        |   row_number() OVER (PARTITION BY day
+        |    ORDER BY dv DESC, user_id ASC) AS rk FROM daily) AS z
+        |  WHERE rk <= 10),
+        | ret AS (SELECT t.day, count(*) AS retained
+        |  FROM top t JOIN top n ON n.day = t.day + 1
+        |   AND n.user_id = t.user_id GROUP BY t.day),
+        | sz AS (SELECT day, count(*) AS n_top FROM top GROUP BY day),
+        | nsz AS (SELECT day - 1 AS day, n_top AS n_top_next FROM sz)
+        | SELECT CAST(floor(epoch(sz.day::TIMESTAMP)) AS BIGINT) AS day_s,
+        |  sz.n_top, nsz.n_top_next,
+        |  coalesce(ret.retained, 0) AS retained,
+        |  nsz.n_top_next - coalesce(ret.retained, 0) AS entered,
+        |  sz.n_top - coalesce(ret.retained, 0) AS exited
+        | FROM sz JOIN nsz ON nsz.day = sz.day
+        | LEFT JOIN ret ON ret.day = sz.day
+        | ORDER BY day_s""".stripMargin.replace("\n", " "),
     "q_props_stats" ->
       """SELECT event_type, count(*) AS n, count(k) AS n_k,
         | CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k,

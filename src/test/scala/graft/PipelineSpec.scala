@@ -2035,6 +2035,27 @@ class PipelineSpec extends SparkSpec {
     assert(r.getAs[Long]("tp") + r.getAs[Long]("fn") == pos.length.toLong)
   }
 
+  test("topk churn: retained/entered/exited partition the leaderboards") {
+    val s = spark
+    import s.implicits._
+    val t = (d: Int, h: Int) =>
+      java.sql.Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    // k=2: day1 top = {1, 2} (values 100, 50); day2 top = {2, 3}
+    // (users 1 drops to 1.0, 3 surges) → retained {2}, entered {3},
+    // exited {1}
+    val events = Seq(
+      (1L, t(1, 1), 100.0), (2L, t(1, 2), 50.0), (3L, t(1, 3), 10.0),
+      (1L, t(2, 1), 1.0), (2L, t(2, 2), 60.0), (3L, t(2, 3), 70.0))
+      .toDF("user_id", "ts", "value")
+    val r = RelQueries.topkChurn(events, k = 2).collect()
+    assert(r.length == 1) // only day1 has a next day
+    assert(r(0).getAs[Long]("n_top") == 2L)
+    assert(r(0).getAs[Long]("n_top_next") == 2L)
+    assert(r(0).getAs[Long]("retained") == 1L)
+    assert(r(0).getAs[Long]("entered") == 1L)
+    assert(r(0).getAs[Long]("exited") == 1L)
+  }
+
   test("video quality: static clip scores zero changes, hard cuts spike") {
     val s = spark
     import s.implicits._
