@@ -52,6 +52,42 @@ object TsdbQueries {
       t
     })
 
+  /** Scrape-archive store: exposition lines (as rendered by the
+    * ts_exposition roundtrip, comments + malformed included) parsed
+    * and WRITTEN into the SeriesStore layout once per (session, dir)
+    * — the batch form of "a fleet of Prometheis scrapes into the
+    * warehouse". */
+  private val scrapeStoreTables =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def scrapeStoreTable(s: SparkSession, dir: String): String =
+    scrapeStoreTables.getOrElseUpdate((s, dir), {
+      val t = "graft_scrape_" + java.security.MessageDigest
+        .getInstance("MD5").digest(dir.getBytes("UTF-8"))
+        .take(6).map("%02x".format(_)).mkString
+      val ev = Vectors.samples(Tables.events(s, dir))
+      val lines = ev.select(
+        format_string("%s{user=\"%d\"} %s %d",
+          col("name"), col("user_id"), col("value"),
+          unix_millis(col("ts"))).as("line"))
+        .unionAll(ev.limit(3).select(
+          format_string("# HELP %s synthetic scrape", col("name"))
+            .as("line")))
+        .unionAll(ev.limit(2).select(
+          lit("bad_line{user=} oops").as("line")))
+      val parsed = graft.sources.Exposition.parse(lines)
+        .where(!col("malformed") && col("ts").isNotNull)
+        .withColumn("_kv", filter(col("tags"),
+          x => x.getField("tag_name") === "user"))
+        .where(size(col("_kv")) === 1)
+        .select(col("name"),
+          element_at(col("_kv"), 1).getField("tag_value")
+            .cast("long").as("user_id"),
+          col("ts"), col("value"))
+      val (buckets, gran) = graft.sources.SeriesStore.layoutFor(parsed)
+      graft.sources.SeriesStore.write(parsed, t, buckets, gran)
+      t
+    })
+
   // ---- shared oracle SQL fragments ------------------------------------
   /** events → sample frame with day bucket (floor-epoch bigint). */
   private val S =
@@ -1035,6 +1071,21 @@ object TsdbQueries {
         .toSeriesFrame(graft.sources.Exposition.parse(lines), "user")
         .select(col("name"), col("user").cast("long").as("user_id"),
           col("bucket_s"), round(col("value"), 6).as("value"))
+        .orderBy("name", "user_id", "bucket_s")
+    }),
+
+    // scrape archive → at-rest layout → query, END-TO-END: the
+    // parsed exposition samples are WRITTEN into the dt-partitioned
+    // series-bucketed SeriesStore layout and the consolidation reads
+    // back THROUGH it — byte-identical to ts_exposition's direct
+    // path (same oracle), with the hourly agg reading its series
+    // distribution from the buckets
+    "store_scrape" -> ((s, dir) => {
+      val t = scrapeStoreTable(s, dir)
+      graft.sources.SeriesStore.read(s, t).drop("dt")
+        .groupBy(col("name"), col("user_id"),
+          Vectors.bucketS("hour").as("bucket_s"))
+        .agg(round(avg("value"), 6).as("value"))
         .orderBy("name", "user_id", "bucket_s")
     }),
 
@@ -2581,5 +2632,6 @@ object TsdbQueries {
     * but the plan. */
   private def withSharedOracles(m: Map[String, String]): Map[String, String] =
     m + ("store_pql" -> m("pql_rate_sum"),
-      "store_fanout" -> m("ds_fanout"))
+      "store_fanout" -> m("ds_fanout"),
+      "store_scrape" -> m("ts_exposition"))
 }

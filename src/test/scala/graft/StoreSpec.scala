@@ -48,6 +48,21 @@ class StoreSpec extends SparkSpec {
     assert(b == 8 && g != "day", s"($b, $g)")
   }
 
+  test("hourly consolidation over the bucketed table runs shuffle-free") {
+    // the store_scrape shape: grouping on (series keys + derived
+    // bucket) — HashPartitioning(name, user_id) satisfies the
+    // superset clustering, so no exchange before the aggregate
+    val agged = SeriesStore.read(spark, table)
+      .groupBy(col("name"), col("user_id"),
+        graft.tsdb.Vectors.bucketS("hour").as("bucket_s"))
+      .agg(avg("value").as("v"))
+    agged.collect()
+    val plan = agged.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "bucketed distribution should satisfy the superset grouping:\n" +
+        plan.take(2000))
+  }
+
   test("per-series aggregation on the bucketed table runs shuffle-free") {
     val agged = SeriesStore.read(spark, table)
       .groupBy("name", "user_id")
