@@ -534,6 +534,8 @@ object RelQueries {
     "q_props_stats" -> ((s, dir) => propsStats(Tables.events(s, dir))),
     // day-over-day churn of the top-k users-by-value leaderboard
     "q_topk_churn" -> ((s, dir) => topkChurn(Tables.events(s, dir))),
+    // Lorenz decile table: value share by user-value decile
+    "q_pareto" -> ((s, dir) => pareto(Tables.events(s, dir))),
     "q_session_funnel" -> ((s, dir) =>
       sessionFunnel(Tables.events(s, dir), Seq("view", "click", "purchase"))
         .orderBy("step")),
@@ -758,6 +760,62 @@ object RelQueries {
           .as("entered"),
         (col("n_top") - coalesce(col("retained"), lit(0L))).as("exited"))
       .orderBy("day_s")
+  }
+
+  /** Lorenz decile table — the distribution behind [[giniCard]]'s
+    * single number: users ranked by lifetime value (DESC,
+    * deterministic user_id tie-break), cut into value deciles by the
+    * same integer `(rank·10) div n` rule as [[rfm]] (no ntile, no
+    * float boundaries), each decile reporting its user count, exact
+    * DECIMAL value, share and cumulative share — "decile 1 holds
+    * X % of revenue" read directly.
+    *
+    * Scale: per-user sums in one hash agg; the global DESC rank runs
+    * the two-phase shard pattern (approx_percentile bounds route to
+    * shards, exact rank = shard offset + local row_number — no
+    * global sort); decile aggregation is a ≤10-key agg and the
+    * cumulative share windows over those 10 rows (constant partition
+    * key pins the bounded frame). Shares divide decimal-exact sums
+    * cast to double, floor-truncated at 1e-6. */
+  def pareto(events: DataFrame, rankShards: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = events.groupBy("user_id")
+      .agg(sum(col("value").cast("decimal(18,2)")).as("vd"))
+      .withColumn("v", col("vd").cast("double"))
+      .localCheckpoint(eager = true)
+    val n = per.agg(count(lit(1)).as("_n"))
+    val grand = per.agg(sum("vd").cast("double").as("_g"))
+    val qs = (1 until rankShards).map(_.toDouble / rankShards)
+    val bounds = per.agg(
+      approx_percentile(col("v"), typedlit(qs), lit(1000)).as("_bs"))
+    val sharded = per.crossJoin(broadcast(bounds))
+      .withColumn("_rshard", size(filter(col("_bs"), b => b < col("v"))))
+      .drop("_bs")
+    // DESC rank: offsets accumulate from the TOP shard downward
+    val wLocal = Window.partitionBy("_rshard")
+      .orderBy(col("v").desc, col("user_id").asc)
+    val wPrefix = Window.orderBy(col("_rshard").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sharded.groupBy("_rshard")
+      .agg(count(lit(1)).as("_cnt"))
+      .withColumn("_roff", coalesce(sum("_cnt").over(wPrefix), lit(0L)))
+      .select("_rshard", "_roff")
+    val trunc6 = (c: org.apache.spark.sql.Column) =>
+      floor(c * lit(1000000.0)) / lit(1000000.0)
+    val ranked = sharded.join(broadcast(offsets), Seq("_rshard"))
+      .crossJoin(broadcast(n))
+      .withColumn("_rank", col("_roff") + row_number().over(wLocal) - 1)
+      .withColumn("decile", expr("(_rank * 10) div _n").cast("long") + 1)
+    val wCum = Window.partitionBy(lit(1)).orderBy("decile") // ≤10 rows
+    ranked.groupBy("decile")
+      .agg(count(lit(1)).as("users"), sum("vd").as("vdec"))
+      .withColumn("cumdec", sum("vdec").over(wCum))
+      .crossJoin(broadcast(grand))
+      .select(col("decile"), col("users"),
+        trunc6(col("vdec").cast("double")).as("value"),
+        trunc6(col("vdec").cast("double") / col("_g")).as("share"),
+        trunc6(col("cumdec").cast("double") / col("_g")).as("cum_share"))
+      .orderBy("decile")
   }
 
   /** Top-`topN` 3-step event-type paths across users. */
@@ -1802,6 +1860,27 @@ object RelQueries {
         |   / count(*)::DOUBLE, 6) AS survival_rate
         | FROM fan WHERE observable >= k GROUP BY k
         | ORDER BY k""".stripMargin.replace("\n", " "),
+    "q_pareto" ->
+      """WITH per AS (SELECT user_id,
+        |  sum(CAST(value AS DECIMAL(18,2))) AS vd FROM events
+        |  GROUP BY user_id),
+        | rk AS (SELECT vd, row_number() OVER (
+        |   ORDER BY CAST(vd AS DOUBLE) DESC, user_id) - 1 AS r,
+        |  count(*) OVER () AS n FROM per),
+        | dd AS (SELECT (r * 10) // n + 1 AS decile, vd FROM rk),
+        | ag AS (SELECT decile, count(*) AS users, sum(vd) AS vdec
+        |  FROM dd GROUP BY decile),
+        | tot AS (SELECT CAST(sum(vd) AS DOUBLE) AS g FROM per),
+        | cs AS (SELECT decile, users, vdec,
+        |  sum(vdec) OVER (ORDER BY decile) AS cumdec FROM ag)
+        | SELECT CAST(decile AS BIGINT) AS decile, users,
+        |  floor(CAST(vdec AS DOUBLE) * 1000000) / 1000000 AS value,
+        |  floor(CAST(vdec AS DOUBLE) / tot.g * 1000000) / 1000000
+        |   AS share,
+        |  floor(CAST(cumdec AS DOUBLE) / tot.g * 1000000) / 1000000
+        |   AS cum_share
+        | FROM cs CROSS JOIN tot ORDER BY decile"""
+        .stripMargin.replace("\n", " "),
     "q_topk_churn" ->
       """WITH daily AS (SELECT CAST(ts AS DATE) AS day, user_id,
         |  sum(CAST(value AS DECIMAL(18,2))) AS dv FROM events

@@ -2035,6 +2035,26 @@ class PipelineSpec extends SparkSpec {
     assert(r.getAs[Long]("tp") + r.getAs[Long]("fn") == pos.length.toLong)
   }
 
+  test("pareto: deciles partition users, shares sum to 1, top holds most") {
+    val s = spark
+    import s.implicits._
+    val t = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    // 20 users: user i has value 100·i — decile 1 = the two biggest
+    val events = (1 to 20).map(i => (i.toLong, t, 100.0 * i))
+      .toDF("user_id", "ts", "value")
+    val r = RelQueries.pareto(events).orderBy("decile").collect()
+    assert(r.length == 10)
+    assert(r.forall(_.getAs[Long]("users") == 2L))
+    val total = (1 to 20).map(_ * 100.0).sum
+    assert(r.head.getAs[Double]("value") == 100.0 * (20 + 19))
+    assert(r.head.getAs[Double]("share") ==
+      math.floor(100.0 * 39 / total * 1e6) / 1e6)
+    assert(r.last.getAs[Double]("cum_share") == 1.0)
+    // shares strictly decrease down the deciles
+    val shares = r.map(_.getAs[Double]("share"))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a > b })
+  }
+
   test("topk churn: retained/entered/exited partition the leaderboards") {
     val s = spark
     import s.implicits._
