@@ -1307,6 +1307,11 @@ object PipelineQueries {
       Multimodal.blurStats(
         Multimodal.syntheticBmpMedia(Tables.documents(s, dir)))
         .orderBy("media_id")),
+    // byte-histogram Shannon entropy: flat/synthetic image detector
+    "mm_entropy" -> ((s, dir) =>
+      Multimodal.imageEntropy(
+        Multimodal.syntheticBmpMedia(Tables.documents(s, dir)))
+        .orderBy("media_id")),
     "mm_phash" -> ((s, dir) =>
       // perceptual image hash over genuinely decoded BMP pixels; the
       // oracle replays the ENTIRE path bit-exactly in SQL — the
@@ -3970,6 +3975,42 @@ object PipelineQueries {
          |    / (2.0 * pos * (n_test - pos)) END, 6) AS auc
          | FROM cf, rs""".stripMargin.replace("\n", " ")
     },
+    // same xorshift chain as mm_blur; byte-value counts → entropy
+    // spelled identically to the Scala loop (p·(ln p / ln 2))
+    "mm_entropy" ->
+      """WITH RECURSIVE sz AS (SELECT doc_id AS media_id,
+        |  CAST(16 + doc_id % 64 AS INT) AS w,
+        |  CAST(16 + doc_id % 48 AS INT) AS h,
+        |  CAST(((16 + doc_id % 64) * 3 + 3) // 4 * 4 AS INT) AS row_size
+        | FROM documents),
+        | lim AS (SELECT *, row_size * h AS data_size FROM sz),
+        | chain(media_id, k, s) AS (
+        |  SELECT media_id, 0, CAST(media_id AS UBIGINT) | 1 FROM lim
+        |  UNION ALL
+        |  SELECT c.media_id, c.k + 1,
+        |   (SELECT xor(xor(b, b >> 7), CAST((CAST(xor(b, b >> 7) AS HUGEINT)
+        |      * 131072) % 18446744073709551616 AS UBIGINT))
+        |    FROM (SELECT xor(c.s, CAST((CAST(c.s AS HUGEINT) * 8192)
+        |      % 18446744073709551616 AS UBIGINT)) AS b) AS t)
+        |  FROM chain AS c JOIN lim ON lim.media_id = c.media_id
+        |  WHERE c.k < lim.data_size),
+        | bytes AS (SELECT media_id, k - 1 AS pos,
+        |   CAST(s >> 56 AS BIGINT) AS b FROM chain WHERE k >= 1),
+        | pxb AS (SELECT b.media_id, b.b
+        |  FROM bytes AS b JOIN lim ON lim.media_id = b.media_id
+        |  WHERE (b.pos % lim.row_size) < lim.w * 3),
+        | e AS (SELECT media_id, b, count(*) AS c FROM pxb GROUP BY 1, 2),
+        | nn AS (SELECT media_id, CAST(sum(c) AS DOUBLE) AS n,
+        |   count(*) AS distinct_bytes FROM e GROUP BY 1),
+        | hh AS (SELECT e.media_id,
+        |   -sum((e.c / nn.n) * (ln(e.c / nn.n) / ln(2))) AS hbits
+        |  FROM e JOIN nn ON nn.media_id = e.media_id GROUP BY 1)
+        | SELECT lim.media_id, lim.w AS width, lim.h AS height,
+        |  CAST(nn.distinct_bytes AS BIGINT) AS distinct_bytes,
+        |  floor(hh.hbits * 1000000) / 1000000 AS entropy_bits
+        | FROM lim JOIN nn ON nn.media_id = lim.media_id
+        | JOIN hh ON hh.media_id = lim.media_id
+        | ORDER BY lim.media_id""".stripMargin.replace("\n", " "),
     // same xorshift chain; integer grayscale (b+g+r)//3 per pixel,
     // 4-neighbor Laplacian via self-joins (inner joins on all four
     // neighbors ARE the interior filter), exact integer variance

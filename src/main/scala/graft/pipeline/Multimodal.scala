@@ -356,6 +356,50 @@ object Multimodal {
         (col("lap_var") < thresh).cast("int").as("blurry"))
   }
 
+  /** Byte-histogram Shannon entropy per image — the cheap
+    * flat/synthetic-image detector next to [[blurStats]] (a
+    * single-color banner scores 0 bits, a photo ~7.5+, a screenshot
+    * in between — the thresholds multimodal curation stacks cut on):
+    * counts over the 256 pixel-byte values (padding excluded,
+    * integer-exact), H = −Σ (c/n)·log₂(c/n) floor-truncated at 1e-6.
+    * One decode-bounded pass; the per-image state is 256 longs. */
+  def imageEntropy(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .map { case (id, payload) =>
+        val (w, h, bpp) = decodeBmp(payload)
+        require(bpp == 24, s"imageEntropy expects 24bpp BMP (media_id=$id)")
+        val rowSize = ((w * bpp / 8 + 3) / 4) * 4
+        val off = java.nio.ByteBuffer.wrap(payload)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(10)
+        val counts = new Array[Long](256)
+        var y = 0
+        while (y < h) {
+          var i = 0
+          while (i < w * 3) {
+            counts((payload(off + y * rowSize + i) & 0xff).toInt) += 1
+            i += 1
+          }
+          y += 1
+        }
+        val n = (w.toLong * h * 3).toDouble
+        var hBits = 0.0
+        var b = 0
+        while (b < 256) {
+          if (counts(b) > 0) {
+            val p = counts(b) / n
+            hBits -= p * (math.log(p) / math.log(2.0))
+          }
+          b += 1
+        }
+        val distinct = counts.count(_ > 0).toLong
+        (id, w, h, distinct, math.floor(hBits * 1e6) / 1e6)
+      }
+      .toDF("media_id", "width", "height", "distinct_bytes",
+        "entropy_bits")
+  }
+
   /** Near-dup candidate pairs over ANY (media_id, 64-bit fp) frame —
     * the simhash half-block machinery verbatim (same fingerprint
     * shape, same hot-block cap, same xor/bit_count verify): blocking

@@ -2076,6 +2076,31 @@ class PipelineSpec extends SparkSpec {
     assert(r(0).getAs[Long]("exited") == 1L)
   }
 
+  test("image entropy: flat image scores 0 bits, two-tone scores 1") {
+    val s = spark
+    import s.implicits._
+    val noise = Multimodal.encodeBmp(32, 32, seed = 42L)
+    val off = java.nio.ByteBuffer.wrap(noise)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(10)
+    val rowSize = ((32 * 3 + 3) / 4) * 4
+    val flat = noise.clone()
+    for (i <- off until flat.length) flat(i) = 7.toByte
+    // two-tone: alternate pixel bytes 0/255 INSIDE rows only (padding
+    // bytes are excluded from the histogram, so keep them out)
+    val duo = noise.clone()
+    for (y <- 0 until 32; i <- 0 until 32 * 3)
+      duo(off + y * rowSize + i) = (if (i % 2 == 0) 0 else 255).toByte
+    val media = Seq((1L, noise), (2L, flat), (3L, duo))
+      .toDF("media_id", "payload")
+    val r = Multimodal.imageEntropy(media).collect()
+      .map(x => x.getAs[Long]("media_id") -> x).toMap
+    assert(r(2).getAs[Double]("entropy_bits") == 0.0)
+    assert(r(2).getAs[Long]("distinct_bytes") == 1L)
+    assert(r(3).getAs[Double]("entropy_bits") == 1.0)
+    assert(r(3).getAs[Long]("distinct_bytes") == 2L)
+    assert(r(1).getAs[Double]("entropy_bits") > 7.0, "noise is high-H")
+  }
+
   test("video quality: static clip scores zero changes, hard cuts spike") {
     val s = spark
     import s.implicits._
