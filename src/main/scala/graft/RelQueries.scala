@@ -1908,7 +1908,7 @@ object RelQueries {
         | max(k) AS max_k, round(avg(k), 6) AS avg_k,
         | round(quantile_cont(k, 0.5), 6) AS p50_k
         | FROM (SELECT event_type,
-        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |  FROM events) AS e
         | GROUP BY event_type ORDER BY event_type"""
         .stripMargin.replace("\n", " "),

@@ -1790,7 +1790,7 @@ object TsdbQueries {
     "ts_heatmap" ->
       """WITH h AS (SELECT event_type AS name,
         |  CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS bucket_s,
-        |  CAST(floor(log2(value)) AS BIGINT) AS vb
+        |  CAST(floor(round(log2(value), 9)) AS BIGINT) AS vb
         | FROM events WHERE value > 0)
         | SELECT name, bucket_s, vb, count(*) AS n, pow(2.0, vb) AS v_lo
         | FROM h GROUP BY 1, 2, 3

@@ -39,10 +39,11 @@ object ZOrderStore {
     def daySpan: Long = maxDay - minDay + 1
     def userSpan: Long = maxUser - minUser + 1
     def dayCell(day: Long): Int =
-      math.min(cellsPerDim - 1L, (day - minDay) * cellsPerDim / daySpan).toInt
+      math.max(0L, math.min(cellsPerDim - 1L,
+        (day - minDay) * cellsPerDim / daySpan)).toInt
     def userCell(user: Long): Int =
-      math.min(cellsPerDim - 1L,
-        (user - minUser) * cellsPerDim / userSpan).toInt
+      math.max(0L, math.min(cellsPerDim - 1L,
+        (user - minUser) * cellsPerDim / userSpan)).toInt
     /** Bit-interleave (day cell odd bits, user cell even bits). */
     def z(tb: Int, ub: Int): Int =
       (0 until bits).map { i =>

@@ -639,7 +639,11 @@ object Temporal {
     * (series-name, bucket_s, value-bucket): count + the bucket's
     * lower bound (2^vb, exact in IEEE for any integer exponent).
     * Non-positive values are outside the log domain and drop (the
-    * histogram families treat them the same way).
+    * histogram families treat them the same way). log2 is rounded
+    * to 9 decimals before the floor: Spark computes log(x)/log(2)
+    * while libm (DuckDB) has a fused log2, so a value a few ulps
+    * from a power of two could otherwise land in different buckets
+    * per engine.
     *
     * Scale: one map stage into a hash aggregation keyed by the
     * (name, time, bucket) triple — the same cardinality the
@@ -647,7 +651,7 @@ object Temporal {
   def heatmapFrame(samples: DataFrame, unit: String = "day"): DataFrame =
     samples.where(col("value") > 0)
       .withColumn("bucket_s", Vectors.bucketS(unit))
-      .withColumn("vb", floor(log2(col("value"))).cast("long"))
+      .withColumn("vb", floor(round(log2(col("value")), 9)).cast("long"))
       .groupBy(col("name"), col("bucket_s"), col("vb"))
       .agg(count(lit(1)).as("n"))
       .withColumn("v_lo", pow(lit(2.0), col("vb")))

@@ -284,6 +284,17 @@ class StoreSpec extends SparkSpec {
     val all = spark.table("graft_zstore_spec").inputFiles.length
     val read = boxed.inputFiles.length
     assert(read < all, s"no pruning: $read of $all files")
+    // out-of-extent box bounds clamp into the grid: a dayFrom far
+    // below minDay must not enumerate negative cells or explode the
+    // z-id list, and parity still holds
+    assert(l.dayCell(l.minDay - 1000000L) == 0 &&
+      l.userCell(l.minUser - 1000000L) == 0, "below-extent cells clamp to 0")
+    val wide = ZOrderStore.fetchBox(spark, "graft_zstore_spec",
+      l.minDay - 1000000L, dUntil, l.minUser - 1000000L, uUntil)
+    val directWide = ev.where(
+      ZOrderStore.epochDay(col("ts")) < dUntil && col("user_id") < uUntil)
+    assert(wide.drop("zcell").collect().map(_.toSeq).toSet ==
+      directWide.collect().map(_.toSeq).toSet, "below-extent box parity")
   }
 
   test("self-join on the series key runs shuffle-free") {
