@@ -104,7 +104,13 @@ object Bench {
     // 200+ queries gets its head truncated and can never be parsed —
     // the printed line must stay well under that cap (headline subset,
     // 3-decimal precision) while the file keeps full precision.
-    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "/root/repo/BENCH_FULL.json")
+    // a FILTERED probe run must never overwrite the pinned full-suite
+    // record (round-7 advice: a single-query scratch run once clobbered
+    // it) — name filters divert to a scratch file unless overridden
+    val defaultFull =
+      if (filter.isEmpty) "/root/repo/BENCH_FULL.json"
+      else "/tmp/BENCH_PROBE.json"
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", defaultFull)
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // every pass's raw timings ride along for adjudication

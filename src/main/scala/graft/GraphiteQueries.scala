@@ -74,6 +74,16 @@ object GraphiteQueries {
         "aliasByNode(highestMax(movingAverage(events.purchase.*, 3), 2), 1, 2)")
         .select(col("path"), col("bucket_s"), round(col("value"), 6).as("value"))
         .orderBy("path", "bucket_s")),
+    // registered short aliases (builtin_functions.go:3049
+    // MustRegisterAliasedFunction): sum/max/min/abs parse to their
+    // canonical builtins through the alias table
+    "gq_aliases" -> ((s, dir) =>
+      graphite.GraphiteParser.query(
+        Vectors.samples(Tables.events(s, dir)),
+        "group(abs(offset(sum(events.purchase.*), -5000)), " +
+          "max(events.purchase.*), min(events.view.*))")
+        .select(col("path"), col("bucket_s"), round(col("value"), 6).as("value"))
+        .orderBy("path", "bucket_s")),
     "gq_median" -> ((s, dir) =>
       graphite.GraphiteParser.query(
         Vectors.samples(Tables.events(s, dir)),
@@ -314,6 +324,24 @@ object GraphiteQueries {
          | round(sum(value), 6) AS value FROM ($PF) AS p
          | WHERE NOT regexp_matches(path, 'user7$$')
          | GROUP BY path, CAST(floor(bucket_s / 86400) * 86400 AS BIGINT)
+         | ORDER BY path, bucket_s""".stripMargin.replace("\n", " "),
+    "gq_aliases" ->
+      s"""WITH pf AS ($PF),
+         | su AS (SELECT 'sumSeries' AS path, bucket_s,
+         |   abs(sum(value) - 5000) AS value FROM pf
+         |  WHERE regexp_matches(path, '^events\\.purchase\\.[^.]*$$')
+         |  GROUP BY bucket_s),
+         | mx AS (SELECT 'maxSeries' AS path, bucket_s,
+         |   max(value) AS value FROM pf
+         |  WHERE regexp_matches(path, '^events\\.purchase\\.[^.]*$$')
+         |  GROUP BY bucket_s),
+         | mn AS (SELECT 'minSeries' AS path, bucket_s,
+         |   min(value) AS value FROM pf
+         |  WHERE regexp_matches(path, '^events\\.view\\.[^.]*$$')
+         |  GROUP BY bucket_s)
+         | SELECT path, bucket_s, round(value, 6) AS value
+         | FROM (SELECT * FROM su UNION ALL SELECT * FROM mx
+         |       UNION ALL SELECT * FROM mn) AS u
          | ORDER BY path, bucket_s""".stripMargin.replace("\n", " "),
     // movingMedianHelper takes sorted-window[k/2] (the upper median
     // for even non-null counts), not the midpoint quantile

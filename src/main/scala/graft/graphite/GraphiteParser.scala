@@ -57,8 +57,18 @@ object GraphiteParser {
     n
   }
 
+  /** Registered short aliases (builtin_functions.go:3049-3058
+    * MustRegisterAliasedFunction) — normalized at parse time so the
+    * evaluator dispatches on one canonical name. aliasByTags/
+    * roundFunction/time are matched inline where they dispatch. */
+  private val fnAlias = Map(
+    "abs" -> "absolute", "avg" -> "averageSeries", "log" -> "logarithm",
+    "max" -> "maxSeries", "min" -> "minSeries", "sum" -> "sumSeries",
+    "randomWalkFunction" -> "randomWalk")
+
   private def parseNode(ts: List[String]): (Node, List[String]) = ts match {
-    case fn :: "(" :: rest0 if fn.matches("[A-Za-z_][A-Za-z0-9_]*") =>
+    case fn0 :: "(" :: rest0 if fn0.matches("[A-Za-z_][A-Za-z0-9_]*") =>
+      val fn = fnAlias.getOrElse(fn0, fn0)
       var rest = rest0
       val args = Seq.newBuilder[Arg]
       var done = false

@@ -603,6 +603,24 @@ class GraphiteSpec extends SparkSpec {
     assert(df == Map(0L -> -90.0, 3600L -> -35.0, 7200L -> 12.0))
   }
 
+  test("registered short aliases dispatch to their canonical builtins") {
+    import graft.graphite.GraphiteParser.{eval, parse}
+    // sum/max/min/abs/avg (builtin_functions.go:3049) must evaluate
+    // exactly like their long forms
+    for ((short, long) <- Seq(
+        "sum" -> "sumSeries", "max" -> "maxSeries", "min" -> "minSeries",
+        "avg" -> "averageSeries")) {
+      val a = eval(parse(s"$short(events.a.user1, events.b.user2)"), frame)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      val b = eval(parse(s"$long(events.a.user1, events.b.user2)"), frame)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(a == b, s"$short != $long")
+    }
+    val ab = eval(parse("abs(offset(events.a.user1, -14))"), frame)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(ab == Map(0L -> 4.0, 3600L -> 1.0, 7200L -> 2.0))
+  }
+
   test("metricsFind flags nodes that are both leaf and expandable") {
     val s = spark
     import s.implicits._
