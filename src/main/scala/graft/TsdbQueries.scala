@@ -110,6 +110,133 @@ object TsdbQueries {
       | CAST(floor(epoch(max(ts)) / 21600) * 21600 + 86400 AS BIGINT),
       | 21600)) AS bucket_s FROM events""".stripMargin.replace("\n", " ")
 
+  /** Exact bit length of a non-negative BIGINT in SQL via the
+    * binary-string length — the mirror of Temporal.bitLen (DuckDB's
+    * bin() of an integer prints no leading zeros). */
+  private def sqlBitLen(x: String): String =
+    s"CAST(CASE WHEN ($x) = 0 THEN 0 ELSE length(bin($x)) END AS BIGINT)"
+
+  /** Smallest m3tsz multiplier m in [curMax, 6] making v·10^m
+    * integral (1e-6 tolerance — mirror of Temporal.tszValueCost's
+    * multOf), else -1. */
+  private def sqlMult(v: String, curMax: String): String =
+    (0 to 6).map { m =>
+      val scaled = s"(($v) * 1${"0" * m}.0)"
+      s"WHEN ($curMax) <= $m AND abs($scaled - round($scaled)) < 1e-6 THEN $m"
+    }.mkString("CASE ", " ", " ELSE -1 END")
+
+  /** DuckDB replay of the m3tsz int-mode VALUE encoder: a recursive
+    * CTE steps the encoder state (started, maxmult, sig tracker,
+    * intval, bit count) through each (series, day-block)'s points in
+    * (ts, event_id) order — the SQL twin of Temporal.tszValueCost's
+    * aggregate() fold, branch for branch. */
+  private lazy val tszValueCostOracle: String = {
+    val firstBits =
+      """1 + (CASE WHEN sig0 > 0 THEN 8 ELSE 1 END)
+        | + (CASE WHEN m > 0 THEN 4 ELSE 1 END) + 1 + sig0""".stripMargin
+    s"""WITH RECURSIVE pts AS (
+       | SELECT name, user_id, value,
+       |  CAST(floor(epoch(ts) / 86400) AS BIGINT) AS block,
+       |  row_number() OVER (PARTITION BY name, user_id,
+       |    CAST(floor(epoch(ts) / 86400) AS BIGINT)
+       |   ORDER BY ts, event_id) AS idx
+       | FROM ($S) AS s WHERE value IS NOT NULL),
+       |cnt AS (SELECT name, user_id, block, max(idx) AS n
+       |  FROM pts GROUP BY 1, 2, 3),
+       |rec AS (
+       | SELECT name, user_id, block, idx,
+       |  CAST(CASE WHEN m = -1 THEN 0 ELSE 1 END AS BIGINT) AS started,
+       |  CAST(CASE WHEN m = -1 THEN 0 ELSE m END AS BIGINT) AS maxmult,
+       |  CAST(CASE WHEN m = -1 THEN 0 ELSE sig0 END AS BIGINT) AS numsig,
+       |  CAST(0 AS BIGINT) AS curhi, CAST(0 AS BIGINT) AS nlower,
+       |  CAST(CASE WHEN m = -1 THEN 0 ELSE val END AS BIGINT) AS intval,
+       |  CAST(CASE WHEN m = -1 THEN 0 ELSE $firstBits END AS BIGINT) AS bits,
+       |  CAST(0 AS BIGINT) AS nrep,
+       |  CAST(CASE WHEN m = -1 THEN 0 WHEN sig0 > 0 THEN 1 ELSE 0 END
+       |   AS BIGINT) AS nsigupd,
+       |  CAST(CASE WHEN m = -1 THEN 0 WHEN m > 0 THEN 1 ELSE 0 END
+       |   AS BIGINT) AS nmultupd,
+       |  CAST(CASE WHEN m = -1 THEN 1 ELSE 0 END AS BIGINT) AS nbad
+       | FROM (SELECT *, ${sqlBitLen("abs(val)")} AS sig0 FROM
+       |   (SELECT *, CAST(round(value * power(10.0, m)) AS BIGINT) AS val
+       |    FROM (SELECT *, ${sqlMult("value", "0")} AS m
+       |          FROM pts WHERE idx = 1) AS z1) AS z2) AS z3
+       | UNION ALL
+       | SELECT name, user_id, block, idx,
+       |  CAST(CASE WHEN m = -1 THEN started ELSE 1 END AS BIGINT),
+       |  CAST(CASE WHEN m = -1 THEN maxmult WHEN started = 0 THEN m
+       |   WHEN isrep THEN maxmult WHEN multup THEN m
+       |   ELSE maxmult END AS BIGINT),
+       |  CAST(CASE WHEN m = -1 THEN numsig WHEN started = 0 THEN sig0
+       |   WHEN isrep THEN numsig ELSE newsig END AS BIGINT),
+       |  CAST(CASE WHEN m = -1 OR started = 0 OR isrep THEN curhi
+       |   ELSE curhi2 END AS BIGINT),
+       |  CAST(CASE WHEN m = -1 OR isrep THEN nlower WHEN started = 0 THEN 0
+       |   ELSE nlower2 END AS BIGINT),
+       |  CAST(CASE WHEN m = -1 THEN intval WHEN started = 0 THEN val
+       |   WHEN isrep THEN intval ELSE val END AS BIGINT),
+       |  CAST(bits + CASE WHEN m = -1 THEN 0
+       |   WHEN started = 0 THEN $firstBits
+       |   WHEN isrep THEN 2
+       |   WHEN needupd THEN 3
+       |    + (CASE WHEN sigchanged THEN
+       |        (CASE WHEN newsig = 0 THEN 2 ELSE 8 END) ELSE 1 END)
+       |    + (CASE WHEN multup THEN 4 ELSE 1 END) + 1 + newsig
+       |   ELSE 2 + numsig END AS BIGINT),
+       |  CAST(nrep + CASE WHEN m != -1 AND started = 1 AND isrep
+       |   THEN 1 ELSE 0 END AS BIGINT),
+       |  CAST(nsigupd + CASE WHEN m = -1 THEN 0
+       |   WHEN started = 0 THEN (CASE WHEN sig0 > 0 THEN 1 ELSE 0 END)
+       |   WHEN isrep THEN 0
+       |   WHEN needupd AND sigchanged THEN 1 ELSE 0 END AS BIGINT),
+       |  CAST(nmultupd + CASE WHEN m = -1 THEN 0
+       |   WHEN started = 0 THEN (CASE WHEN m > 0 THEN 1 ELSE 0 END)
+       |   WHEN isrep THEN 0
+       |   WHEN multup THEN 1 ELSE 0 END AS BIGINT),
+       |  CAST(nbad + CASE WHEN m = -1 THEN 1 ELSE 0 END AS BIGINT)
+       | FROM (SELECT *, (sigchanged OR multup) AS needupd FROM
+       |  (SELECT *, (numsig != newsig) AS sigchanged,
+       |    (m > maxmult) AS multup FROM
+       |  (SELECT *,
+       |    CASE WHEN growing THEN nsig WHEN collapse THEN curhi2
+       |     ELSE numsig END AS newsig,
+       |    CASE WHEN collapse THEN 0 ELSE nlower1 END AS nlower2 FROM
+       |  (SELECT *, (dropping AND nlower1 >= 5) AS collapse FROM
+       |  (SELECT *,
+       |    CASE WHEN dropping THEN (CASE WHEN nlower = 0 THEN nsig
+       |     ELSE greatest(curhi, nsig) END) ELSE curhi END AS curhi2,
+       |    CASE WHEN growing THEN nlower WHEN dropping THEN nlower + 1
+       |     ELSE 0 END AS nlower1 FROM
+       |  (SELECT *, (nsig > numsig) AS growing,
+       |    (NOT (nsig > numsig) AND numsig - nsig >= 3) AS dropping FROM
+       |  (SELECT *, ${sqlBitLen("adiff")} AS nsig,
+       |    ${sqlBitLen("abs(val)")} AS sig0 FROM
+       |  (SELECT *, abs(intval - val) AS adiff,
+       |    (intval - val = 0 AND m = maxmult) AS isrep FROM
+       |  (SELECT *, CAST(round(v * power(10.0, m)) AS BIGINT) AS val FROM
+       |  (SELECT *, ${sqlMult("v", "maxmult")} AS m FROM
+       |  (SELECT r.name, r.user_id, r.block, p.idx, p.value AS v,
+       |    r.started, r.maxmult, r.numsig, r.curhi, r.nlower, r.intval,
+       |    r.bits, r.nrep, r.nsigupd, r.nmultupd, r.nbad
+       |   FROM rec r JOIN pts p ON p.name = r.name
+       |    AND p.user_id = r.user_id AND p.block = r.block
+       |    AND p.idx = r.idx + 1) AS t0) AS t1) AS t2) AS t3) AS t4)
+       |    AS t5) AS t6) AS t7) AS t8) AS t9) AS t10),
+       |last AS (SELECT r.* FROM rec r JOIN cnt c ON c.name = r.name
+       |  AND c.user_id = r.user_id AND c.block = r.block AND r.idx = c.n)
+       |SELECT name, user_id, CAST(sum(idx) AS BIGINT) AS n_samples,
+       | count(*) AS n_blocks, CAST(sum(nrep) AS BIGINT) AS n_repeat,
+       | CAST(sum(nsigupd) AS BIGINT) AS n_sig_update,
+       | CAST(sum(nmultupd) AS BIGINT) AS n_mult_update,
+       | CAST(max(maxmult) AS BIGINT) AS max_mult,
+       | CAST(sum(bits) AS BIGINT) AS total_bits,
+       | CAST(sum(nbad) AS BIGINT) AS n_unconvertible,
+       | round(sum(bits)::DOUBLE / sum(idx), 6) AS bits_per_sample,
+       | round(64.0 * sum(idx) / sum(bits), 6) AS vs_raw64
+       |FROM last GROUP BY name, user_id ORDER BY name, user_id"""
+      .stripMargin.replace("\n", " ")
+  }
+
   /** DuckDB replay of the Prometheus extrapolated rate
     * (temporal/rate.go:150 standardRateFunc; mirror of
     * Temporal.extrapolatedRate). The input relation `g` must carry
@@ -390,6 +517,10 @@ object TsdbQueries {
     "ts_m4" -> ((s, dir) =>
       Temporal.m4Frame(samples(s, dir))
         .orderBy("name", "user_id", "bucket_s")),
+    // m3tsz VALUE cost card: the int-optimized diff encoder's exact
+    // control-bit accounting per (series, day block)
+    "ts_tsz_value_cost" -> ((s, dir) =>
+      Temporal.tszValueCost(samples(s, dir)).orderBy("name", "user_id")),
     // m3tsz timestamp delta-of-delta cost card per series
     "ts_tsz_cost" -> ((s, dir) =>
       Temporal.tszCost(samples(s, dir)).orderBy("name", "user_id")),
@@ -1862,6 +1993,11 @@ object TsdbQueries {
          | round(last(value ORDER BY ts, event_id), 6) AS v_last
          | FROM ($S) AS s GROUP BY name, user_id, bucket_s
          | ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),
+    // m3tsz int-mode value encoder replayed step-by-step: a recursive
+    // CTE carries the encoder state (maxmult, sig tracker, intval)
+    // across each block's points, mirroring Temporal.tszValueCost's
+    // aggregate() fold bit-for-bit
+    "ts_tsz_value_cost" -> tszValueCostOracle,
     // the m3tsz seconds-unit scheme replayed: 1/9/12/16/36-bit costs
     // by dod bucket, 64-bit first stamp, second dod against Δ₀=0
     "ts_tsz_cost" ->

@@ -559,6 +559,183 @@ object Temporal {
         round(lit(64.0) * col("n_samples") / col("total_bits"), 6))
   }
 
+  /** Exact bit length of a non-negative long via the binary-string
+    * length — integer-exact in both engines (no floor(log2) ulp
+    * risk), and a CONSTANT-size expression tree: the or-smear +
+    * popcount alternative doubles the operand subtree 6 times, which
+    * inside the tszValueCost fold ballooned the serialized plan to
+    * 155 MB task binaries. */
+  private def bitLen(x: Column): Column =
+    when(x === 0L, 0L).otherwise(length(bin(x)).cast("long"))
+
+  /** m3tsz VALUE-compression cost model — the int-optimized value
+    * encoder's exact control-bit stream accounting
+    * (src/dbnode/encoding/m3tsz/encoder.go:112-260,
+    * int_sig_bits_tracker.go:35-97, m3tsz.go:78 convertToIntFloat),
+    * the companion to [[tszCost]]'s timestamp half. m3tsz's
+    * innovation over Gorilla XOR is detecting floats with fixed
+    * decimal precision and diff-encoding them as scaled integers:
+    * per value, the smallest multiplier 10^m (m ∈ [curMax, 6], never
+    * shrinking) making v·10^m integral (tolerance 1e-6 restates the
+    * encoder's Nextafter modf checks — both engines compute the same
+    * doubles, so the test is deterministic); then per sample
+    *   repeat (diff=0, same mult)       → 2 bits
+    *   sig/mult update                  → 3 + (1|2|8) + (1|4) + 1 + newSig
+    *   no-update                        → 1 + 1 + NumSig
+    * where NumSig tracks via the reference's hysteresis (grow
+    * immediately; shrink only after 5 consecutive diffs ≥3 bits
+    * below, to the highest of them — sigDiffThreshold=3,
+    * sigRepeatThreshold=5). The first value of each block writes the
+    * int-mode opcode + sig + mult + sign + value bits. Encoding is
+    * per (series, UTC-day block) — m3 encodes per block, so state
+    * resets at block boundaries and blocks encode independently (the
+    * property that makes the at-rest format seekable). Values that
+    * fail int conversion (none in this corpus at any SF — ScaleUp
+    * preserves 2-decimal values) are counted in `n_unconvertible`
+    * and skipped rather than modeled as float-mode transitions.
+    *
+    * Scale: one window stage (running-max mult + lag — all codegen'd
+    * column algebra: a mult upgrade never shrinks, so the chosen
+    * multiplier is a prefix max and the whole diff chain flattens to
+    * per-row expressions), one per-(series, block) hash aggregation
+    * into sorted arrays of 3-field step descriptors, and a SMALL
+    * `aggregate()` fold carrying only the sig-tracker hysteresis —
+    * the one truly sequential piece. aggregate() is CodegenFallback
+    * (interpreted per element), so the fold tree must stay tiny: the
+    * first cut folded the full encoder per element and ran 6.2 s at
+    * sf0.1; this split runs ~1 s. */
+  def tszValueCost(samples: DataFrame): DataFrame = {
+    val block = floor(unix_timestamp(col("ts")).cast("double") / 86400.0)
+      .cast("long")
+    // smallest multiplier making v·10^m integral, stateless: a
+    // passing m keeps passing at m+1 (×10 keeps an integer integral;
+    // the ulp residual grows ×10 but stays ≪ 1e-6), so the encoder's
+    // "smallest m ≥ curMax" equals max(prefix max of m0, m0)
+    def m0(v: Column): Column =
+      (0 to 6).foldRight(lit(-1L)) { case (m, rest) =>
+        val scaled = v * math.pow(10, m)
+        when(abs(scaled - round(scaled, 0)) < 1e-6, lit(m.toLong))
+          .otherwise(rest)
+      }
+    val rows0 = samples.where(col("value").isNotNull)
+      .withColumn("block", block)
+      .withColumn("m0", m0(col("value")))
+    // unconvertible values: the encoder skip leaves state untouched,
+    // so the diff chain runs over convertible rows only
+    val bad = rows0.where(col("m0") === -1L)
+      .groupBy("name", "user_id", "block")
+      .agg(count(lit(1)).as("nbad"))
+    val w = Window.partitionBy("name", "user_id", "block")
+      .orderBy("ts", "event_id")
+    val good = rows0.where(col("m0") =!= -1L)
+      .withColumn("mult",
+        max("m0").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("val", round(col("value") *
+        pow(lit(10.0), col("mult").cast("double")), 0).cast("long"))
+      .withColumn("prevval", lag("val", 1).over(w))
+      .withColumn("prevmult", lag("mult", 1).over(w))
+    val first = col("prevval").isNull
+    val diff = col("prevval") - col("val")
+    // kind 0 = block's first write, 1 = repeat (2 bits), 2 = diff step
+    val kind = when(first, 0L)
+      .when(diff === 0 && col("mult") === col("prevmult"), 1L)
+      .otherwise(2L)
+    val sigv = when(first, bitLen(abs(col("val"))))
+      .when(kind === 1L, 0L).otherwise(bitLen(abs(diff)))
+    val multup = when(first, col("mult") > 0)
+      .otherwise(col("mult") > col("prevmult"))
+    val perBlock = good
+      .select(col("name"), col("user_id"), col("block"), col("ts"),
+        col("event_id"), col("mult"), kind.as("kind"), sigv.as("sigv"),
+        multup.as("multup"))
+      .groupBy("name", "user_id", "block")
+      .agg(count(lit(1)).as("n_good"),
+        max("mult").as("maxmult"),
+        array_sort(collect_list(struct(col("ts"), col("event_id"),
+          col("kind"), col("sigv"), col("multup")))).as("pts"))
+
+    val zero = struct(
+      lit(0L).as("numsig"), lit(0L).as("curhi"), lit(0L).as("nlower"),
+      lit(0L).as("bits"), lit(0L).as("nrep"), lit(0L).as("nsigupd"),
+      lit(0L).as("nmultupd"))
+    // the sig-tracker fold (int_sig_bits_tracker.go TrackNewSig):
+    // growth is immediate; a run of ≥5 diffs ≥3 bits below collapses
+    // to the run's highest; NumLowerSig survives a growth step
+    // untouched (the reference quirk)
+    def step(acc: Column, x: Column): Column = {
+      val k = x.getField("kind")
+      val sig = x.getField("sigv")
+      val mu = x.getField("multup")
+      val firstSt = struct(
+        sig.as("numsig"), lit(0L).as("curhi"), lit(0L).as("nlower"),
+        (acc.getField("bits") + lit(1L) +
+          when(sig > 0, 8L).otherwise(1L) +
+          when(mu, 4L).otherwise(1L) + 1L + sig).as("bits"),
+        acc.getField("nrep").as("nrep"),
+        (acc.getField("nsigupd") + when(sig > 0, 1L).otherwise(0L))
+          .as("nsigupd"),
+        (acc.getField("nmultupd") + when(mu, 1L).otherwise(0L))
+          .as("nmultupd"))
+      val repSt = struct(
+        acc.getField("numsig").as("numsig"),
+        acc.getField("curhi").as("curhi"),
+        acc.getField("nlower").as("nlower"),
+        (acc.getField("bits") + 2L).as("bits"),
+        (acc.getField("nrep") + 1L).as("nrep"),
+        acc.getField("nsigupd").as("nsigupd"),
+        acc.getField("nmultupd").as("nmultupd"))
+      val growing = sig > acc.getField("numsig")
+      val dropping = !growing && (acc.getField("numsig") - sig >= 3L)
+      val curhi2 = when(dropping,
+        when(acc.getField("nlower") === 0, sig)
+          .otherwise(greatest(acc.getField("curhi"), sig)))
+        .otherwise(acc.getField("curhi"))
+      val nlower1 = when(growing, acc.getField("nlower"))
+        .when(dropping, acc.getField("nlower") + 1L).otherwise(lit(0L))
+      val collapse = dropping && nlower1 >= 5L
+      val newSig = when(growing, sig)
+        .when(collapse, curhi2).otherwise(acc.getField("numsig"))
+      val nlower2 = when(collapse, 0L).otherwise(nlower1)
+      val sigChanged = acc.getField("numsig") =!= newSig
+      val stepBits = when(mu || sigChanged,
+        lit(3L) + when(sigChanged, when(newSig === 0, 2L).otherwise(8L))
+          .otherwise(1L) + when(mu, 4L).otherwise(1L) + 1L + newSig)
+        .otherwise(lit(2L) + acc.getField("numsig"))
+      val stepSt = struct(
+        newSig.as("numsig"), curhi2.as("curhi"), nlower2.as("nlower"),
+        (acc.getField("bits") + stepBits).as("bits"),
+        acc.getField("nrep").as("nrep"),
+        (acc.getField("nsigupd") + when(sigChanged, 1L).otherwise(0L))
+          .as("nsigupd"),
+        (acc.getField("nmultupd") + when(mu, 1L).otherwise(0L))
+          .as("nmultupd"))
+      when(k === 0L, firstSt).when(k === 1L, repSt).otherwise(stepSt)
+    }
+
+    val folded = perBlock
+      .withColumn("st", aggregate(col("pts"), zero, step))
+      .select(col("name"), col("user_id"), col("block"),
+        col("n_good"), col("maxmult"),
+        col("st.bits").as("bits"), col("st.nrep").as("nrep"),
+        col("st.nsigupd").as("nsigupd"), col("st.nmultupd").as("nmultupd"))
+    folded.join(bad, Seq("name", "user_id", "block"), "full_outer")
+      .groupBy("name", "user_id")
+      .agg(
+        sum(coalesce(col("n_good"), lit(0L)) +
+          coalesce(col("nbad"), lit(0L))).as("n_samples"),
+        count(lit(1)).as("n_blocks"),
+        sum(coalesce(col("nrep"), lit(0L))).as("n_repeat"),
+        sum(coalesce(col("nsigupd"), lit(0L))).as("n_sig_update"),
+        sum(coalesce(col("nmultupd"), lit(0L))).as("n_mult_update"),
+        max(coalesce(col("maxmult"), lit(0L))).as("max_mult"),
+        sum(coalesce(col("bits"), lit(0L))).as("total_bits"),
+        sum(coalesce(col("nbad"), lit(0L))).as("n_unconvertible"))
+      .withColumn("bits_per_sample",
+        round(col("total_bits").cast("double") / col("n_samples"), 6))
+      .withColumn("vs_raw64",
+        round(lit(64.0) * col("n_samples") / col("total_bits"), 6))
+  }
+
   /** Series-completeness card — the per-series coverage audit an
     * operator reads before trusting any windowed result (m3's
     * per-series block-completeness view restated): over hour

@@ -80,6 +80,39 @@ class TsdbSpec extends SparkSpec {
     ).toDF("name", "user_id", "ts", "value", "event_id")
   }
 
+  test("m3tsz value-cost fold replays the int encoder bit-for-bit") {
+    val s = spark
+    import s.implicits._
+    // hand-computed against encoder.go:112-260 + the sig tracker:
+    //  5.00  first: intMode(1) + sigUpd(8: sig 0→3) + noMultUpd(1)
+    //        + sign(1) + 3            = 14
+    //  5.00  repeat                   = 2
+    //  5.25  mult 0→2, val 5→525, |diff|=520 (10 bits, grows):
+    //        3 + sigUpd 8 + multUpd 4 + 1 + 10 = 26
+    //  5.26..5.29  |diff|=1 (1 bit, ≥3 below 10): four no-updates
+    //        at (1+1+10) = 12 each    = 48
+    //  5.30  fifth low diff → tracker collapses to the run's highest
+    //        (1): 3 + 8 + 1 + 1 + 1   = 14
+    //  6.30  |diff|=100 (7 bits, grows): 3 + 8 + 1 + 1 + 7 = 20
+    //  next-day 5.00: fresh block, first-value write again = 14
+    val base = Seq(5.00, 5.00, 5.25, 5.26, 5.27, 5.28, 5.29, 5.30, 6.30)
+      .zipWithIndex.map { case (v, i) =>
+        ("m", 1L, new Timestamp(
+          ts("2024-01-01 01:00:00").getTime + i * 60000L), v, i.toLong)
+      } :+ (("m", 1L, ts("2024-01-02 01:00:00"), 5.00, 9L))
+    val r = Temporal.tszValueCost(
+      base.toDF("name", "user_id", "ts", "value", "event_id")).collect()(0)
+    assert(r.getAs[Long]("n_samples") == 10)
+    assert(r.getAs[Long]("n_blocks") == 2)
+    assert(r.getAs[Long]("n_repeat") == 1)
+    assert(r.getAs[Long]("n_sig_update") == 5)  // 4 in block 1 + day-2 first
+    assert(r.getAs[Long]("n_mult_update") == 1)
+    assert(r.getAs[Long]("max_mult") == 2)
+    assert(r.getAs[Long]("total_bits") == 138)
+    assert(r.getAs[Long]("n_unconvertible") == 0)
+    assert(r.getAs[Double]("bits_per_sample") == 13.8)
+  }
+
   test("coverage card counts gaps and span exactly") {
     val s = spark
     import s.implicits._
