@@ -1075,6 +1075,12 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")),
     "corpus_vocab" -> ((s, dir) =>
       Corpus.vocabulary(Tables.documents(s, dir)).orderBy("rank")),
+    // interpolated Kneser-Ney bigram LM: top bigrams with the full
+    // factorization, and per-doc self-perplexity under that model
+    "corpus_kn_lm" -> ((s, dir) =>
+      Corpus.knBigramLm(Tables.documents(s, dir))),
+    "corpus_kn_ppl" -> ((s, dir) =>
+      Corpus.knPerplexity(Tables.documents(s, dir))),
     "corpus_heaps" -> ((s, dir) =>
       Corpus.heapsFit(Tables.documents(s, dir))),
     "corpus_lang_mismatch" -> ((s, dir) =>
@@ -2434,6 +2440,75 @@ object PipelineQueries {
          |  JOIN embeddings AS a ON a.vec_id = x.vec_id
          |  JOIN embeddings AS b ON b.vec_id = y.vec_id) AS t
          | WHERE cos > 0.40 ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
+    // interpolated Kneser-Ney bigram LM: D = n1/(n1+2*n2);
+    // p_kn(w|u) = max(c-D,0)/c_u + D*N1+(u.)/c_u * N1+(.w)/types —
+    // the same fixed rational expression of exact integer counts
+    // Corpus.knBigramLm computes
+    "corpus_kn_lm" ->
+      s"""WITH arr AS (SELECT doc_id,
+         |  string_split_regex(lower(text), '\\s+') AS a FROM documents),
+         | bg AS (SELECT doc_id, unnest(a[1:len(a)-1]) AS u,
+         |   unnest(a[2:len(a)]) AS w FROM arr WHERE len(a) >= 2),
+         | cuw AS (SELECT u, w, count(*) AS c_uw FROM bg GROUP BY 1, 2),
+         | pu AS (SELECT u, CAST(sum(c_uw) AS BIGINT) AS c_u,
+         |   count(*) AS nplus_u FROM cuw GROUP BY 1),
+         | pw AS (SELECT w, count(*) AS nplus_w FROM cuw GROUP BY 1),
+         | g AS (SELECT
+         |   CAST(sum(CASE WHEN c_uw = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |   CAST(sum(CASE WHEN c_uw = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         |   count(*) AS n_types FROM cuw),
+         | top AS (SELECT * FROM cuw
+         |   ORDER BY c_uw DESC, u ASC, w ASC LIMIT 100)
+         | SELECT t.u, t.w, t.c_uw, pu.c_u, pu.nplus_u, pw.nplus_w,
+         |  g.n_types,
+         |  round((CASE WHEN g.n1 + 2 * g.n2 = 0 THEN 0.0
+         |   ELSE g.n1::DOUBLE / (g.n1 + 2 * g.n2)::DOUBLE END), 6) AS discount,
+         |  round((CASE WHEN g.n1 + 2 * g.n2 = 0 THEN 0.0
+         |   ELSE g.n1::DOUBLE / (g.n1 + 2 * g.n2)::DOUBLE END)
+         |    * pu.nplus_u::DOUBLE / pu.c_u::DOUBLE, 6) AS lambda_u,
+         |  round(pw.nplus_w::DOUBLE / g.n_types::DOUBLE, 6) AS p_cont,
+         |  round(greatest(t.c_uw::DOUBLE
+         |     - (CASE WHEN g.n1 + 2 * g.n2 = 0 THEN 0.0
+         |   ELSE g.n1::DOUBLE / (g.n1 + 2 * g.n2)::DOUBLE END), 0.0)
+         |    / pu.c_u::DOUBLE
+         |   + (CASE WHEN g.n1 + 2 * g.n2 = 0 THEN 0.0
+         |   ELSE g.n1::DOUBLE / (g.n1 + 2 * g.n2)::DOUBLE END)
+         |    * pu.nplus_u::DOUBLE / pu.c_u::DOUBLE
+         |    * (pw.nplus_w::DOUBLE / g.n_types::DOUBLE), 6) AS p_kn
+         | FROM top t JOIN pu ON pu.u = t.u JOIN pw ON pw.w = t.w
+         | CROSS JOIN g
+         | ORDER BY t.c_uw DESC, t.u ASC, t.w ASC"""
+        .stripMargin.replace("\n", " "),
+    "corpus_kn_ppl" ->
+      s"""WITH arr AS (SELECT doc_id,
+         |  string_split_regex(lower(text), '\\s+') AS a FROM documents),
+         | bg AS (SELECT doc_id, unnest(a[1:len(a)-1]) AS u,
+         |   unnest(a[2:len(a)]) AS w FROM arr WHERE len(a) >= 2),
+         | cuw AS (SELECT u, w, count(*) AS c_uw FROM bg GROUP BY 1, 2),
+         | pu AS (SELECT u, CAST(sum(c_uw) AS BIGINT) AS c_u,
+         |   count(*) AS nplus_u FROM cuw GROUP BY 1),
+         | pw AS (SELECT w, count(*) AS nplus_w FROM cuw GROUP BY 1),
+         | g AS (SELECT
+         |   CAST(sum(CASE WHEN c_uw = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |   CAST(sum(CASE WHEN c_uw = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         |   count(*) AS n_types FROM cuw),
+         | model AS (SELECT c.u, c.w, log2(
+         |   greatest(c.c_uw::DOUBLE
+         |      - (CASE WHEN g.n1 + 2 * g.n2 = 0 THEN 0.0
+         |   ELSE g.n1::DOUBLE / (g.n1 + 2 * g.n2)::DOUBLE END), 0.0)
+         |     / pu.c_u::DOUBLE
+         |    + (CASE WHEN g.n1 + 2 * g.n2 = 0 THEN 0.0
+         |   ELSE g.n1::DOUBLE / (g.n1 + 2 * g.n2)::DOUBLE END)
+         |     * pu.nplus_u::DOUBLE / pu.c_u::DOUBLE
+         |     * (pw.nplus_w::DOUBLE / g.n_types::DOUBLE)) AS lp
+         |  FROM cuw c JOIN pu ON pu.u = c.u JOIN pw ON pw.w = c.w
+         |  CROSS JOIN g)
+         | SELECT doc_id, count(*) AS n_bigrams,
+         |  round(-avg(lp), 6) AS cross_entropy_bits,
+         |  round(power(2.0, -avg(lp)), 6) AS ppl
+         | FROM bg JOIN model m ON m.u = bg.u AND m.w = bg.w
+         | GROUP BY doc_id ORDER BY doc_id"""
+        .stripMargin.replace("\n", " "),
     "corpus_vocab" ->
       """WITH stats AS (SELECT w AS word, count(*) AS tf,
         |  count(DISTINCT doc_id) AS df

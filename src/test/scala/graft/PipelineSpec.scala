@@ -5,6 +5,31 @@ import graft.pipeline._
 
 class PipelineSpec extends SparkSpec {
 
+  test("Kneser-Ney bigram LM matches the hand-computed factorization") {
+    val s = spark
+    import s.implicits._
+    // bigrams: (a,b)x2, (b,a)x1, (a,c)x1 → n1=2 n2=1 → D=0.5, types=3
+    // p(b|a) = 1.5/3 + 0.5·2/3·(1/3) = 0.611111
+    // p(a|b) = 0.5/1 + 0.5·1/1·(1/3) = 0.666667
+    // p(c|a) = 0.5/3 + 0.5·2/3·(1/3) = 0.277778
+    val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val lm = Corpus.knBigramLm(docs).collect()
+      .map(r => (r.getAs[String]("u"), r.getAs[String]("w")) ->
+        (r.getAs[Long]("c_uw"), r.getAs[Double]("discount"),
+          r.getAs[Double]("p_kn"))).toMap
+    assert(lm(("a", "b")) == ((2L, 0.5, 0.611111)))
+    assert(lm(("b", "a")) == ((1L, 0.5, 0.666667)))
+    assert(lm(("a", "c")) == ((1L, 0.5, 0.277778)))
+    // doc 2 has the single bigram (a,c): H = −log2(0.277778…),
+    // ppl = 2^H = exactly 1/p = 3.6
+    val ppl = Corpus.knPerplexity(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("cross_entropy_bits"),
+          r.getAs[Double]("ppl"))).toMap
+    assert(ppl(2L) == ((1L, 1.847997, 3.6)))
+    assert(ppl(1L)._1 == 3L)
+  }
+
   test("exact dedup flags planted duplicates") {
     val s = spark
     import s.implicits._
