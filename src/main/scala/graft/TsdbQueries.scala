@@ -52,6 +52,18 @@ object TsdbQueries {
       t
     })
 
+  /** Once-per-(session, sf dir) m3tsz block store — samples encoded
+    * into per-(series, day) binary blobs (sources.TszStore). */
+  private val tszTables =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def tszTable(s: SparkSession, dir: String): String =
+    tszTables.getOrElseUpdate((s, dir), {
+      val t = "graft_tsz_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+      graft.sources.TszStore.write(samples(s, dir), t)
+      t
+    })
+
   /** Scrape-archive store: exposition lines (as rendered by the
     * ts_exposition roundtrip, comments + malformed included) parsed
     * and WRITTEN into the SeriesStore layout once per (session, dir)
@@ -917,6 +929,20 @@ object TsdbQueries {
     // z-cells prune partitions at planning time, exact box bounds
     // remain as residual predicates; box derived from the recorded
     // grid extents (3/10..7/10 of days × 2/10..8/10 of users)
+    // m3tsz at-rest blocks: encode → persist → decode → hourly census
+    // byte-exact vs the raw events (integer cents keep the comparison
+    // order-insensitive and float-exact — round-trip exactness is the
+    // claim under test)
+    "store_tsz" -> ((s, dir) => {
+      val cents = round(col("value") * 100, 0).cast("long")
+      graft.sources.TszStore.readDecoded(s, tszTable(s, dir))
+        .withColumn("bucket_s", Vectors.bucketS("hour"))
+        .groupBy("name", "user_id", "bucket_s")
+        .agg(count(lit(1)).as("n"),
+          sum(cents).as("sum_c"), min(cents).as("min_c"),
+          max(cents).as("max_c"))
+        .orderBy("name", "user_id", "bucket_s")
+    }),
     "store_zorder" -> ((s, dir) => {
       val t = zorderTable(s, dir)
       val l = graft.sources.ZOrderStore.layoutOf(s, t)
@@ -1312,6 +1338,19 @@ object TsdbQueries {
          | WHERE name = 'purchase' AND floor(epoch(ts)) >= 1704240000
          |  AND floor(epoch(ts)) < 1704844800
          | ORDER BY event_id""".stripMargin.replace("\n", " "),
+    // the m3tsz store is invisible to semantics: hourly count +
+    // integer-cent sum/min/max over DECODED blocks equal the same
+    // census over raw events — the round-trip-exactness oracle
+    "store_tsz" ->
+      s"""SELECT name, user_id,
+         | CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT)
+         |  AS bucket_s,
+         | count(*) AS n,
+         | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_c,
+         | min(CAST(round(value * 100) AS BIGINT)) AS min_c,
+         | max(CAST(round(value * 100) AS BIGINT)) AS max_c
+         | FROM ($S) AS s GROUP BY 1, 2, 3
+         | ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),
     // the hourly purchase path frame summarized to 1d — identical to
     // the layout is invisible to semantics: the box fetch through
     // the z-ordered store equals a plain filtered scan; the box
