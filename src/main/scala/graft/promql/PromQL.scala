@@ -1003,5 +1003,13 @@ object PromQL {
         case "!=" => in.where(l =!= r)
         case other => throw new ParseException(s"unknown operator $other")
       }
+
+    // a bare subquery is a RANGE vector — PromQL rejects it as an
+    // instant query too ("expression type range vector"); the parser
+    // only builds Subquery under an *_over_time Func, so this arm is
+    // reachable only from a malformed top-level like `x[3d:6h]`
+    case Subquery(_, _, _) =>
+      throw new ParseException(
+        "bare subquery is a range vector; wrap it in an *_over_time function")
   }
 }

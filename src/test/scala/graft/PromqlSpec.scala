@@ -50,6 +50,10 @@ class PromqlSpec extends SparkSpec {
     intercept[ParseException](PromQL.parse("""x{label~"v"}"""))    // bad op
     intercept[ParseException](PromQL.parse("topk(purchase)"))      // missing k
     intercept[ParseException](PromQL.parse("holt_winters(purchase[1d], 0.3)")) // arity
+    // a bare subquery is a range vector, not an instant query
+    intercept[ParseException](
+      PromQL.query(tsdb.Vectors.samples(Tables.events(spark, sf)),
+        "purchase[3d:6h]"))
   }
 
   test("binary operators follow PromQL precedence and associativity") {
