@@ -145,6 +145,53 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  /** Margin-based parallel-pair mining (Artetxe & Schwenk 2019 —
+    * the LASER/CCMatrix bitext-mining criterion): a candidate pair
+    * (x, y) scores by its cosine RELATIVE to each side's local
+    * neighborhood density,
+    *
+    *   margin(x,y) = cos(x,y) / ((avgₖNN_B(x) + avgₖNN_A(y)) / 2)
+    *
+    * (the "ratio" margin), which suppresses hub vectors that are
+    * near everything — raw-cosine thresholds mine hubs, margins
+    * don't. Sides here are two label classes of the embedding
+    * corpus (the bitext analogue: two languages' sentence
+    * embeddings). For each of the `nQ` lowest-id side-A probes:
+    * its best side-B candidate, the margin factorization, and the
+    * accept flag (margin > threshold, 1.05 ≈ the CCMatrix working
+    * point). Margins divide ROUNDED cosines so both engines build
+    * the ratio from identical inputs.
+    *
+    * Scale: the probe pattern of the other retrieval cards
+    * (probe × corpus linear scans, broadcast probes). FULL-corpus
+    * mining at 100 TB swaps the brute-force neighbor lists for
+    * [[lshAnn]]/[[ivfAnn]] candidate generation and keeps this
+    * margin algebra over the candidate pairs. */
+  def marginMining(emb: DataFrame, nQ: Int = 10, k: Int = 4,
+                   threshold: Double = 1.05,
+                   labelA: Int = 0, labelB: Int = 1): DataFrame = {
+    val a = emb.where(col("label") === labelA)
+    val b = emb.where(col("label") === labelB)
+    val probes = a.orderBy("vec_id").limit(nQ)
+    val fwd = cosineTopK(b, probes, k)
+    val avgFwd = fwd.groupBy("q_id").agg(avg("cos_v").as("avg_fwd"))
+    val best = fwd.where(col("rk") === 1)
+      .select(col("q_id"), col("c_id"), col("cos_v"))
+    val ys = b.join(
+      broadcast(best.select(col("c_id").as("vec_id")).distinct()), "vec_id")
+    val avgBwd = cosineTopK(a, ys, k)
+      .groupBy("q_id").agg(avg("cos_v").as("avg_bwd"))
+      .withColumnRenamed("q_id", "c_id")
+    val margin = col("cos_v") / ((col("avg_fwd") + col("avg_bwd")) / 2)
+    best.join(broadcast(avgFwd), "q_id").join(broadcast(avgBwd), "c_id")
+      .select(col("q_id"), col("c_id"), col("cos_v"),
+        round(col("avg_fwd"), 6).as("avg_fwd"),
+        round(col("avg_bwd"), 6).as("avg_bwd"),
+        round(margin, 6).as("margin"),
+        (margin > threshold).as("accepted"))
+      .orderBy("q_id")
+  }
+
   /** kNN label classification — classification-by-retrieval over an
     * embedding corpus (the standard label-propagation / probe step
     * in embedding pipelines): each query's top-k cosine neighbors

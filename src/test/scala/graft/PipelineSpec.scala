@@ -2445,6 +2445,32 @@ class PipelineSpec extends SparkSpec {
     assert(r.getAs[Double]("recall_at_k") == 1.0)
   }
 
+  test("margin mining accepts a true pair and suppresses a weak hub match") {
+    val s = spark
+    import s.implicits._
+    val emb = Seq(
+      // side A (label 0): x1 has a true pair in B; x2 sits inside a
+      // dense B neighborhood where no candidate stands out
+      (0L, Seq(1.0f, 0.0f), 0), (1L, Seq(0.70711f, 0.70711f), 0),
+      // side B (label 1): y≈x1 (the pair) + three near-x2 fillers
+      (10L, Seq(0.9995f, 0.0316f), 1), (11L, Seq(0.75f, 0.6614f), 1),
+      (12L, Seq(0.6614f, 0.75f), 1), (13L, Seq(0.8f, 0.6f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.marginMining(emb, nQ = 2, k = 3, threshold = 1.1)
+      .collect()
+      .map(x => x.getAs[Long]("q_id") ->
+        (x.getAs[Long]("c_id"), x.getAs[Double]("margin"),
+          x.getAs[Boolean]("accepted"))).toMap
+    // x1's best is the true pair at cos≈1 against a diluted
+    // neighborhood (margin ≈ 1.17) → accepted
+    assert(r(0L)._1 == 10L && r(0L)._3, s"true pair rejected: ${r(0L)}")
+    assert(r(0L)._2 > 1.1)
+    // x2's best (filler 11, lower-id tiebreak over the symmetric 12)
+    // barely beats its dense neighborhood (margin ≈ 1.07) → suppressed
+    assert(r(1L)._1 == 11L && !r(1L)._3, s"hub match accepted: ${r(1L)}")
+    assert(r(1L)._2 < 1.1)
+  }
+
   test("rrf fusion: sparse-only and dense-only hits both fuse, ranks add") {
     val s = spark
     import s.implicits._
