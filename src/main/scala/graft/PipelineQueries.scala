@@ -753,6 +753,38 @@ object PipelineQueries {
        | ORDER BY iter""".stripMargin.replace("\n", " ")
   }
 
+  /** The logistic-GD training chain (mirror of
+    * TextAnalysis.trainClassifier): base/feats CTEs + one unrolled
+    * z/p/g/w block per round — shared by the weights oracle and the
+    * EL2N scoring oracle. */
+  private def classifierTrainCtes(dim: Int = 64, rounds: Int = 3,
+                                  lr: Double = 1.0): String = {
+    val base =
+      s"""SELECT doc_id, CAST(lang = 'en' AS DOUBLE) AS y,
+         | string_split_regex(lower(text), '\\s+') AS ws FROM documents""".stripMargin.replace("\n", " ")
+    val feats =
+      s"""SELECT doc_id, any_value(y) AS y, j,
+         | count(*)::DOUBLE / any_value(n) AS x FROM (
+         |  SELECT doc_id, y, len(ws)::DOUBLE AS n,
+         |   CAST(CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % $dim AS INT) AS j
+         |  FROM (SELECT doc_id, y, ws, unnest(ws) AS t FROM base) AS u) AS v
+         | GROUP BY doc_id, j""".stripMargin.replace("\n", " ")
+    val roundsSql = (1 to rounds).map { r =>
+      s"""z$r AS (SELECT f.doc_id, sum(f.x * w${r - 1}.w) AS z
+         |  FROM f JOIN w${r - 1} ON w${r - 1}.j = f.j GROUP BY f.doc_id),
+         | p$r AS (SELECT doc_id, 1.0 / (1.0 + exp(-z)) AS p FROM z$r),
+         | g$r AS (SELECT f.j, sum(f.x * (p$r.p - f.y)) AS g
+         |  FROM f JOIN p$r USING (doc_id) GROUP BY f.j),
+         | w$r AS (SELECT w${r - 1}.j,
+         |  w${r - 1}.w - $lr * coalesce(g$r.g, 0) / nd.n AS w
+         |  FROM w${r - 1} LEFT JOIN g$r ON g$r.j = w${r - 1}.j, nd)""".stripMargin.replace("\n", " ")
+    }.mkString(", ")
+    s"""base AS ($base), f AS ($feats),
+       | nd AS (SELECT count(*)::DOUBLE AS n FROM documents),
+       | w0 AS (SELECT CAST(unnest(range($dim)) AS INT) AS j, 0.0 AS w),
+       | $roundsSql""".stripMargin.replace("\n", " ")
+  }
+
   /** cosine similarity SQL over double-cast embedding lists. */
   private def cosSql(a: String, b: String) =
     s"""(list_dot_product($a.embedding::DOUBLE[], $b.embedding::DOUBLE[]) /
@@ -1309,6 +1341,10 @@ object PipelineQueries {
         .orderBy("doc_id")),
     "text_classifier_train" -> ((s, dir) =>
       TextAnalysis.trainClassifier(Tables.documents(s, dir))),
+    // EL2N-style pruning-score deciles per source (error norm under
+    // the trained classifier's rounded weights)
+    "corpus_el2n" -> ((s, dir) =>
+      TextAnalysis.pruningScores(Tables.documents(s, dir))),
     "mm_channel_stats" -> ((s, dir) =>
       Multimodal.channelStats(
         Multimodal.syntheticBmpMedia(Tables.documents(s, dir)))
@@ -3975,35 +4011,29 @@ object PipelineQueries {
     // the previous weight table, the sigmoid, the per-bucket
     // gradient, and the weight update — round 1 is exp-free by
     // construction (w0 = 0 ⇒ p = 0.5)
-    "text_classifier_train" -> {
-      val (dim, rounds, lr) = (64, 3, 1.0)
-      val base =
-        s"""SELECT doc_id, CAST(lang = 'en' AS DOUBLE) AS y,
-           | string_split_regex(lower(text), '\\s+') AS ws FROM documents""".stripMargin.replace("\n", " ")
-      val feats =
-        s"""SELECT doc_id, any_value(y) AS y, j,
-           | count(*)::DOUBLE / any_value(n) AS x FROM (
-           |  SELECT doc_id, y, len(ws)::DOUBLE AS n,
-           |   CAST(CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % $dim AS INT) AS j
-           |  FROM (SELECT doc_id, y, ws, unnest(ws) AS t FROM base) AS u) AS v
-           | GROUP BY doc_id, j""".stripMargin.replace("\n", " ")
-      val roundsSql = (1 to rounds).map { r =>
-        s"""z$r AS (SELECT f.doc_id, sum(f.x * w${r - 1}.w) AS z
-           |  FROM f JOIN w${r - 1} ON w${r - 1}.j = f.j GROUP BY f.doc_id),
-           | p$r AS (SELECT doc_id, 1.0 / (1.0 + exp(-z)) AS p FROM z$r),
-           | g$r AS (SELECT f.j, sum(f.x * (p$r.p - f.y)) AS g
-           |  FROM f JOIN p$r USING (doc_id) GROUP BY f.j),
-           | w$r AS (SELECT w${r - 1}.j,
-           |  w${r - 1}.w - $lr * coalesce(g$r.g, 0) / nd.n AS w
-           |  FROM w${r - 1} LEFT JOIN g$r ON g$r.j = w${r - 1}.j, nd)""".stripMargin.replace("\n", " ")
-      }.mkString(", ")
-      s"""WITH base AS ($base), f AS ($feats),
-         | nd AS (SELECT count(*)::DOUBLE AS n FROM documents),
-         | w0 AS (SELECT CAST(unnest(range($dim)) AS INT) AS j, 0.0 AS w),
-         | $roundsSql
-         | SELECT j, round(w, 6) AS weight FROM w$rounds
-         | ORDER BY j""".stripMargin.replace("\n", " ")
-    },
+    "text_classifier_train" ->
+      s"""WITH ${classifierTrainCtes()}
+         | SELECT j, round(w, 6) AS weight FROM w3
+         | ORDER BY j""".stripMargin.replace("\n", " "),
+    // score every doc with the ROUNDED trained weights, bucket the
+    // error norm |p - y| into rounded-score deciles per source
+    "corpus_el2n" ->
+      s"""WITH ${classifierTrainCtes()},
+         | wr AS (SELECT j, round(w, 6) AS w FROM w3),
+         | yb AS (SELECT doc_id, source,
+         |   CAST(lang = 'en' AS DOUBLE) AS y FROM documents),
+         | z AS (SELECT f.doc_id, sum(f.x * wr.w) AS z
+         |  FROM f JOIN wr ON wr.j = f.j GROUP BY f.doc_id),
+         | sc AS (SELECT yb.source,
+         |   CAST(round(abs(1.0 / (1.0 + exp(-z.z)) - yb.y) * 1000000)
+         |    AS BIGINT) AS e6
+         |  FROM z JOIN yb USING (doc_id)),
+         | b AS (SELECT source,
+         |   least(CAST(floor(e6 / 100000) AS BIGINT), 9) AS bucket, e6
+         |  FROM sc)
+         | SELECT source, bucket, count(*) AS n,
+         |  floor(sum(e6)::DOUBLE / count(*)) / 1000000.0 AS avg_el2n
+         | FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " "),
     "text_classifier" -> {
       val dim = 256
       s"""WITH w AS (SELECT list(wv ORDER BY i) AS arr FROM (

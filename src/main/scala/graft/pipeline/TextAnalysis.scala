@@ -1259,6 +1259,58 @@ object TextAnalysis {
     }.toDF("j", "weight").orderBy("j")
   }
 
+  /** EL2N-style data-pruning scores (Paul et al. 2021, "Deep
+    * Learning on a Data Diet", restated for the engine's hashed
+    * linear classifier): after [[trainClassifier]]'s logistic GD,
+    * each doc's error norm |p − y| IS the pruning signal — examples
+    * the model already fits (score ≈ 0) teach little, the hardest
+    * tail is disproportionately label noise; curation keeps the
+    * middle. Emits the per-(source, score-decile) census a pruning
+    * decision reads. Scores are computed from the ROUNDED published
+    * weights and deciles cut on the ROUNDED score (floor(round·10)),
+    * so both engines bucket identical keys.
+    *
+    * Scale: training is [[trainClassifier]] (bounded ≤dim driver
+    * state); scoring is one feature explode + hash agg per doc with
+    * the dim-entry weight vector broadcast as a literal — no joins,
+    * no windows. */
+  def pruningScores(docs: DataFrame, dim: Int = 64, rounds: Int = 3,
+                    label: Column = col("lang") === "en"): DataFrame = {
+    val wRows = trainClassifier(docs, dim, rounds, label = label).collect()
+    val w = Array.fill(dim)(0.0)
+    wRows.foreach(r => w(r.getAs[Int]("j")) = r.getAs[Double]("weight"))
+    val wl = typedlit(w.toSeq)
+    val bucket = (t: Column) =>
+      (conv(substring(md5(t), 1, 8), 16, 10).cast("long") % dim).cast("int")
+    val feats = docs.select(col("doc_id"), col("source"),
+        label.cast("double").as("y"), words(col("text")).as("ws"))
+      .select(col("doc_id"), col("source"), col("y"),
+        size(col("ws")).cast("double").as("n"), explode(col("ws")).as("t"))
+      .groupBy(col("doc_id"), col("source"), col("y"), col("n"),
+        bucket(col("t")).as("j"))
+      .agg(count(lit(1)).as("c"))
+    val el2n = abs(lit(1.0) / (lit(1.0) + exp(-col("z"))) - col("y"))
+    // integer micro-units: exact cross-engine sums regardless of
+    // per-group addition order (a rounded-double avg split a midpoint)
+    feats
+      .groupBy("doc_id", "source", "y")
+      .agg(sum(col("c").cast("double") / col("n") *
+        element_at(wl, col("j") + 1)).as("z"))
+      .select(col("source"),
+        round(el2n * 1000000, 0).cast("long").as("e6"))
+      .withColumn("bucket",
+        least(floor(col("e6") / 100000).cast("long"), lit(9L)))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n"),
+        // floor-trunc, not round: sum(e6)/n lands on exact .5 micro
+        // midpoints (integer sums over even n), which the engines'
+        // different round() implementations split — floor of the
+        // identical quotient double cannot (madFrame discipline)
+        (floor(sum("e6").cast("double") / count(lit(1))) / 1000000.0)
+          .as("avg_el2n"))
+      .orderBy("source", "bucket")
+  }
+
   /** Gopher repetition signals (Rae et al. 2021 §A1.1, restated):
     * the fraction of word characters covered by the single most
     * frequent bigram, and by all trigrams that occur more than once.

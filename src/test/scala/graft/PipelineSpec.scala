@@ -2445,6 +2445,21 @@ class PipelineSpec extends SparkSpec {
     assert(r.getAs[Double]("recall_at_k") == 1.0)
   }
 
+  test("EL2N pruning deciles partition the corpus with in-bucket means") {
+    val docs = Tables.documents(spark, sf)
+    val r = TextAnalysis.pruningScores(docs).collect()
+    val total = r.map(_.getAs[Long]("n")).sum
+    assert(total == docs.count(), "every doc lands in exactly one bucket")
+    r.foreach { row =>
+      val b = row.getAs[Long]("bucket")
+      val m = row.getAs[Double]("avg_el2n")
+      assert(b >= 0 && b <= 9)
+      // bucket 9 also holds the capped e6 = 1e6 row, hence <=
+      assert(m >= b / 10.0 - 1e-6 && m <= (b + 1) / 10.0 + 1e-6,
+        s"bucket $b mean $m out of range")
+    }
+  }
+
   test("margin mining accepts a true pair and suppresses a weak hub match") {
     val s = spark
     import s.implicits._
