@@ -917,6 +917,10 @@ object PipelineQueries {
     // classes (the CCMatrix bitext criterion)
     "sim_margin_mining" -> ((s, dir) =>
       Similarity.marginMining(Tables.embeddings(s, dir))),
+    // BERTopic c-TF-IDF: top keywords per embedding-label cluster
+    "corpus_ctfidf" -> ((s, dir) =>
+      Similarity.clusterKeywords(
+        Tables.documents(s, dir), Tables.embeddings(s, dir))),
     "sim_int8_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.cosineTopKQuantized(emb, emb.where(col("vec_id") < 10), 5)
@@ -2181,6 +2185,28 @@ object PipelineQueries {
          |   FROM cands JOIN embeddings AS q ON q.vec_id = cands.q_id
          |    JOIN embeddings AS c ON c.vec_id = cands.c_id) AS sc) AS r
          | WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin.replace("\n", " "),
+    // c-TF-IDF: tf(t,c)/words(c) · ln(1 + A/f(t)) per cluster term,
+    // ranked by the ROUNDED weight
+    "corpus_ctfidf" ->
+      s"""WITH lab AS (SELECT d.doc_id, e.label, d.text
+         |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+         | tc AS (SELECT label, t, count(*) AS tf FROM (
+         |   SELECT label,
+         |    unnest(string_split_regex(lower(text), '\\s+')) AS t
+         |   FROM lab) AS u GROUP BY 1, 2),
+         | pc AS (SELECT label, CAST(sum(tf) AS BIGINT) AS words_c
+         |  FROM tc GROUP BY 1),
+         | pt AS (SELECT t, CAST(sum(tf) AS BIGINT) AS f_t
+         |  FROM tc GROUP BY 1),
+         | g AS (SELECT sum(words_c)::DOUBLE / count(*) AS a_words FROM pc),
+         | sc AS (SELECT tc.label, tc.t, tc.tf, pt.f_t,
+         |   round(tc.tf::DOUBLE / pc.words_c::DOUBLE
+         |    * ln(1.0 + g.a_words / pt.f_t::DOUBLE), 9) AS w
+         |  FROM tc JOIN pc USING (label) JOIN pt USING (t) CROSS JOIN g)
+         | SELECT label, t, tf, f_t, w, rk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY label
+         |    ORDER BY w DESC, t ASC) AS rk FROM sc) AS z
+         | WHERE rk <= 5 ORDER BY label, rk""".stripMargin.replace("\n", " "),
     // ratio margin over ROUNDED cosines: rank by raw cos, round for
     // the ratio so both engines divide identical inputs
     "sim_margin_mining" ->

@@ -192,6 +192,51 @@ object Similarity {
       .orderBy("q_id")
   }
 
+  /** c-TF-IDF cluster keywords (Grootendorst 2022, BERTopic §3.2 —
+    * the topic-labeling step every embedding-cluster pipeline runs
+    * after clustering): treat each cluster as ONE meta-document and
+    * weight terms by
+    *
+    *   W(t,c) = tf(t,c)/words(c) · ln(1 + A / f(t))
+    *
+    * with A = mean words per cluster and f(t) the term's corpus
+    * count — a class-based tf-idf whose top terms ARE the cluster's
+    * human-readable label. Clusters here are the embedding label
+    * classes (doc_id = vec_id links the tables); ranks order by the
+    * ROUNDED weight (term asc tiebreak) so ulp-divergent products
+    * can't flip ranks across engines.
+    *
+    * Scale: one doc⋈label join, one explode into a (cluster, term)
+    * hash count, two skinny re-aggregations (per-cluster totals,
+    * per-term corpus counts — broadcast back), and a per-cluster
+    * rank window over the cluster's term census (partitioned by
+    * cluster; no global window). */
+  def clusterKeywords(docs: DataFrame, emb: DataFrame,
+                      topN: Int = 5): DataFrame = {
+    val labeled = docs.select(col("doc_id"), col("text"))
+      .join(emb.select(col("vec_id").as("doc_id"), col("label")), "doc_id")
+    val tc = labeled
+      .select(col("label"), explode(
+        org.apache.spark.sql.functions.split(lower(col("text")), "\\s+"))
+        .as("t"))
+      .groupBy("label", "t").agg(count(lit(1)).as("tf"))
+    val perC = tc.groupBy("label").agg(sum("tf").as("words_c"))
+    val perT = tc.groupBy("t").agg(sum("tf").as("f_t"))
+    val glob = perC.agg(
+      (sum("words_c").cast("double") / count(lit(1))).as("a_words"))
+    val w = col("tf").cast("double") / col("words_c").cast("double") *
+      log(lit(1.0) + col("a_words") / col("f_t").cast("double"))
+    val scored = tc.join(broadcast(perC), "label")
+      .join(perT, "t").crossJoin(broadcast(glob))
+      .select(col("label"), col("t"), col("tf"), col("f_t"),
+        round(w, 9).as("w"))
+    val rk = Window.partitionBy("label")
+      .orderBy(col("w").desc, col("t").asc)
+    scored.withColumn("rk", row_number().over(rk).cast("long"))
+      .where(col("rk") <= topN)
+      .orderBy("label", "rk")
+  }
+
   /** kNN label classification — classification-by-retrieval over an
     * embedding corpus (the standard label-propagation / probe step
     * in embedding pipelines): each query's top-k cosine neighbors

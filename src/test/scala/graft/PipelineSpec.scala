@@ -2445,6 +2445,24 @@ class PipelineSpec extends SparkSpec {
     assert(r.getAs[Double]("recall_at_k") == 1.0)
   }
 
+  test("c-TF-IDF ranks the cluster-specific term above shared filler") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (0L, "apple apple the the"), (1L, "apple the the"),
+      (2L, "rocket the the"), (3L, "rocket rocket the"))
+      .toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f), 0), (1L, Seq(0.9f, 0.1f), 0),
+      (2L, Seq(0.0f, 1.0f), 1), (3L, Seq(0.1f, 0.9f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val top = Similarity.clusterKeywords(docs, emb, topN = 1).collect()
+      .map(r => r.getAs[Int]("label") -> r.getAs[String]("t")).toMap
+    // "the" is frequent everywhere → low idf; the cluster-specific
+    // term wins each cluster
+    assert(top == Map(0 -> "apple", 1 -> "rocket"))
+  }
+
   test("EL2N pruning deciles partition the corpus with in-bucket means") {
     val docs = Tables.documents(spark, sf)
     val r = TextAnalysis.pruningScores(docs).collect()
