@@ -272,9 +272,14 @@ object TszStore {
 
   /** (name, user_id, block, n, ts_bits, val_bits, blk) — one encoded
     * row per (series, UTC-day). */
-  def blockFrame(samples: DataFrame): DataFrame = {
-    val spark = samples.sparkSession
+  def blockFrame(samples0: DataFrame): DataFrame = {
+    val spark = samples0.sparkSession
     import spark.implicits._
+    // streamed frames (Ingest.Sample) carry no event_id; the
+    // tiebreak only orders same-timestamp points inside a block
+    val samples =
+      if (samples0.columns.contains("event_id")) samples0
+      else samples0.withColumn("event_id", lit(0L))
     val ds = samples.where(col("value").isNotNull)
       .select(col("name"), col("user_id"),
         floor(unix_timestamp(col("ts")).cast("double") / 86400.0)
@@ -307,6 +312,71 @@ object TszStore {
       .sortBy("name", "user_id", "block")
       .format("parquet")
       .saveAsTable(table)
+  }
+
+  /** Append one micro-batch as encoded blocks. A (series, day) split
+    * across micro-batches lands MULTIPLE blobs under one block key —
+    * m3db's pre-compaction block versions; [[readDecoded]] decodes
+    * and unions all of them, [[compact]] folds each key back to one
+    * blob. */
+  def appendBatch(batch: DataFrame, table: String, buckets: Int = 8): Unit = {
+    val spark = batch.sparkSession
+    val exists = spark.catalog.tableExists(table)
+    if (!exists) {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+    val mode = if (exists) "append" else "errorifexists"
+    blockFrame(batch).write.mode(mode)
+      .bucketBy(buckets, "name", "user_id")
+      .sortBy("name", "user_id", "block")
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** Continuous ingest — m3db's commit-log → flush path over
+    * Structured Streaming: each micro-batch encodes and appends its
+    * blocks (exactly-once per batch under the checkpoint). */
+  def streamWrite(samples: DataFrame, table: String, checkpoint: String,
+                  buckets: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
+    samples.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        appendBatch(batch, table, buckets)
+      }
+      .start()
+
+  /** Background compaction (m3db src/dbnode/storage/compaction,
+    * restated for blocks): decode every blob of each (series, block)
+    * key, merge the points in time order, re-encode to exactly ONE
+    * blob. Same-timestamp points from different blobs merge in
+    * (ts, value) order — the point SET is preserved exactly; only
+    * the intra-second byte order may differ from the batch path.
+    * localCheckpoint snapshots the merge so the table being read can
+    * be overwritten. */
+  def compact(spark: SparkSession, table: String, buckets: Int = 8): Unit = {
+    import spark.implicits._
+    val merged = spark.table(table)
+      .select(col("name"), col("user_id"), col("block"), col("n"),
+        col("blk"))
+      .as[(String, Long, Long, Int, Array[Byte])]
+      .groupByKey(t => (t._1, t._2, t._3))
+      .mapGroups { (key: (String, Long, Long),
+                    it: Iterator[(String, Long, Long, Int, Array[Byte])]) =>
+        val pts = it.flatMap(t => Tsz.decodeBlock(t._5, t._4))
+          .toArray.sortBy(p => (p._1, p._2))
+        val (bytes, tsBits, valBits) = Tsz.encodeBlock(pts)
+        (key._1, key._2, key._3, pts.length, tsBits, valBits, bytes)
+      }
+      .toDF("name", "user_id", "block", "n", "ts_bits", "val_bits", "blk")
+      .localCheckpoint(true)
+    val cols = spark.table(table).columns
+    merged.repartition(buckets, col("name"), col("user_id"))
+      .select(cols.map(col): _*)
+      .write.mode("overwrite").insertInto(table)
   }
 
   /** Decode the stored blocks back to a sample frame

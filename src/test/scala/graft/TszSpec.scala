@@ -51,6 +51,47 @@ class TszSpec extends SparkSpec {
     assert(bad.isEmpty, s"bits mismatch on ${bad.take(3).mkString(", ")}")
   }
 
+  test("streamed ingest + compaction equal the batch path exactly") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Ingest
+    val mem = MemoryStream[Ingest.Sample]
+    val ck = java.nio.file.Files.createTempDirectory("graft-tsz-ck").toString
+    spark.sql("DROP TABLE IF EXISTS graft_tsz_stream")
+    val q = TszStore.streamWrite(mem.toDF(), "graft_tsz_stream", ck)
+    try {
+      // one (series, day) split across TWO micro-batches
+      mem.addData(
+        Ingest.Sample("m", 1L, ts("2024-01-01 01:00:00"), 5.0),
+        Ingest.Sample("m", 1L, ts("2024-01-01 02:00:00"), 7.25))
+      q.processAllAvailable()
+      mem.addData(
+        Ingest.Sample("m", 1L, ts("2024-01-01 03:00:00"), 7.25),
+        Ingest.Sample("m", 1L, ts("2024-01-02 01:00:00"), 9.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val blobs = spark.table("graft_tsz_stream")
+      .groupBy("block").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(blobs.values.exists(_ > 1) || blobs.size == 2,
+      s"expected split-day blobs: $blobs")
+    // pre-compaction: all points decode across the block versions
+    def pts() = TszStore.readDecoded(spark, "graft_tsz_stream")
+      .collect().map(r => (r.getAs[java.sql.Timestamp]("ts").getTime,
+        r.getAs[Double]("value"))).sorted.toSeq
+    val before = pts()
+    assert(before.map(_._2) == Seq(5.0, 7.25, 7.25, 9.0))
+    TszStore.compact(spark, "graft_tsz_stream")
+    // post-compaction: ONE blob per block key, same point set
+    val counts = spark.table("graft_tsz_stream")
+      .groupBy("name", "user_id", "block").count()
+      .collect().map(_.getLong(3))
+    assert(counts.forall(_ == 1L), "compaction must fold to one blob per key")
+    assert(pts() == before, "compaction must preserve the point set")
+  }
+
   test("store round-trips the sf sample stream through parquet blocks") {
     val samples = tsdb.Vectors.samples(Tables.events(spark, sf))
     TszStore.write(samples, "graft_tsz_spec")
