@@ -529,6 +529,10 @@ object TsdbQueries {
     "ts_m4" -> ((s, dir) =>
       Temporal.m4Frame(samples(s, dir))
         .orderBy("name", "user_id", "bucket_s")),
+    // SAX-bucketed motif discovery: top-10 closest z-normalized
+    // 4h-subsequence pairs (word blocking + exact verify)
+    "ts_motifs" -> ((s, dir) =>
+      Temporal.motifFrame(samples(s, dir)).orderBy("rk")),
     // m3tsz VALUE cost card: the int-optimized diff encoder's exact
     // control-bit accounting per (series, day block)
     "ts_tsz_value_cost" -> ((s, dir) =>
@@ -2032,6 +2036,54 @@ object TsdbQueries {
          | round(last(value ORDER BY ts, event_id), 6) AS v_last
          | FROM ($S) AS s GROUP BY name, user_id, bucket_s
          | ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),
+    // SAX word blocking + fixed-order z-norm distance verify; same
+    // freeze-then-derive discipline as ts_sax
+    "ts_motifs" -> {
+      val sym = (z: String) =>
+        s"""CASE WHEN $z < -0.6745 THEN 'a' WHEN $z < 0.0 THEN 'b'
+           | WHEN $z < 0.6745 THEN 'c' ELSE 'd' END""".stripMargin.replace("\n", " ")
+      s"""WITH c AS (SELECT name, user_id,
+         |  CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS bucket_s,
+         |  round(avg(value), 6) AS v FROM ($S) AS s GROUP BY 1, 2, 3),
+         | ld AS (SELECT name, user_id, bucket_s, v AS v0,
+         |   lead(v, 1) OVER wo AS v1, lead(v, 2) OVER wo AS v2,
+         |   lead(v, 3) OVER wo AS v3,
+         |   lead(bucket_s, 1) OVER wo AS b1, lead(bucket_s, 2) OVER wo AS b2,
+         |   lead(bucket_s, 3) OVER wo AS b3
+         |  FROM c WINDOW wo AS (PARTITION BY name, user_id ORDER BY bucket_s)),
+         | sub0 AS (SELECT *, (((v0 + v1) + v2) + v3) / 4 AS mu FROM ld
+         |  WHERE b1 = bucket_s + 86400 AND b2 = bucket_s + 172800
+         |   AND b3 = bucket_s + 259200 AND v0 IS NOT NULL
+         |   AND v1 IS NOT NULL AND v2 IS NOT NULL AND v3 IS NOT NULL),
+         | sub1 AS (SELECT *, sqrt(((((v0 - mu) * (v0 - mu)
+         |    + (v1 - mu) * (v1 - mu)) + (v2 - mu) * (v2 - mu))
+         |    + (v3 - mu) * (v3 - mu)) / 4) AS sig FROM sub0),
+         | subz AS (SELECT name, user_id, bucket_s AS start_s,
+         |   round((v0 - mu) / sig, 6) AS z0, round((v1 - mu) / sig, 6) AS z1,
+         |   round((v2 - mu) / sig, 6) AS z2, round((v3 - mu) / sig, 6) AS z3
+         |  FROM sub1 WHERE sig > 0),
+         | wd AS (SELECT *, ${sym("z0")} || ${sym("z1")} || ${sym("z2")}
+         |   || ${sym("z3")} AS word FROM subz),
+         | capped AS (SELECT * FROM (SELECT *,
+         |   count(*) OVER (PARTITION BY name, word) AS bsz FROM wd) AS zz
+         |  WHERE bsz <= 200),
+         | pr AS (SELECT a.name, a.user_id AS a_user, a.start_s AS a_start,
+         |   b.user_id AS b_user, b.start_s AS b_start, a.word,
+         |   round(sqrt((((a.z0 - b.z0) * (a.z0 - b.z0)
+         |     + (a.z1 - b.z1) * (a.z1 - b.z1))
+         |     + (a.z2 - b.z2) * (a.z2 - b.z2))
+         |     + (a.z3 - b.z3) * (a.z3 - b.z3)), 6) AS dist
+         |  FROM capped a JOIN capped b ON b.name = a.name
+         |   AND b.word = a.word AND (a.user_id < b.user_id
+         |    OR (a.user_id = b.user_id
+         |        AND a.start_s + 345600 <= b.start_s))),
+         | top AS (SELECT * FROM pr ORDER BY dist, name, a_user, a_start,
+         |   b_user, b_start LIMIT 10)
+         | SELECT name, a_user, a_start, b_user, b_start, word, dist,
+         |  row_number() OVER (ORDER BY dist, name, a_user, a_start,
+         |   b_user, b_start) AS rk
+         | FROM top ORDER BY rk""".stripMargin.replace("\n", " ")
+    },
     // m3tsz int-mode value encoder replayed step-by-step: a recursive
     // CTE carries the encoder state (maxmult, sig tracker, intval)
     // across each block's points, mirroring Temporal.tszValueCost's

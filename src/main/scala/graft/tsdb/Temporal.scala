@@ -938,6 +938,90 @@ object Temporal {
           col("symbol").cast("int") + 1))
   }
 
+  /** SAX-bucketed motif discovery (Lin/Keogh/Lonardi/Patel 2002 —
+    * the "find the repeated shape" primitive behind matrix-profile
+    * tooling, restated as candidate generation + exact verify): over
+    * the daily frame (hours are too sparse below sf1 to form
+    * contiguous runs), every contiguous `m`-day subsequence
+    * z-normalizes LOCALLY, maps to a SAX word (the saxFrame
+    * breakpoints), and candidate pairs = subsequences sharing
+    * (metric name, word) — the classic hash-bucket blocking, same
+    * shape as the dedup family's LSH banding, with hot buckets
+    * capped. Exact z-normalized Euclidean distance verifies each
+    * candidate; same-series pairs within `m` days are excluded
+    * (the matrix-profile trivial-match rule). Emits the top-10
+    * closest pairs.
+    *
+    * Determinism: daily values freeze at round 6, the local
+    * μ/σ/z chain is fixed-order arithmetic over those identical
+    * doubles, z re-freezes at round 6 before the distance, and
+    * ranks order by (rounded dist, ids).
+    *
+    * Scale: one consolidation hash-agg, one lead-window stage on
+    * the series-keyed frame, a capped self-join on (name, word) —
+    * never all-pairs — and a global top-10 via orderBy·limit (rank
+    * window only over the ≤10 survivors). */
+  def motifFrame(samples: DataFrame, m: Int = 4,
+                 maxBucket: Int = 200): DataFrame = {
+    val stepS = 86400L
+    val cons = samples
+      .withColumn("bucket_s", Vectors.bucketS("day"))
+      .groupBy((labels :+ "bucket_s").map(col): _*)
+      .agg(round(avg("value"), 6).as("v"))
+    val w = Window.partitionBy(labels.map(col): _*).orderBy("bucket_s")
+    val withLeads = (1 until m).foldLeft(
+      cons.withColumn("v0", col("v"))) { (df, k) =>
+      df.withColumn(s"v$k", lead("v", k).over(w))
+        .withColumn(s"b$k", lead("bucket_s", k).over(w))
+    }
+    val contiguous = (1 until m)
+      .map(k => col(s"b$k") === col("bucket_s") + k * stepS)
+      .reduce(_ && _)
+    val vs = (0 until m).map(k => col(s"v$k"))
+    val mu = vs.reduce(_ + _) / m
+    val sig = sqrt(vs.map(x => (x - mu) * (x - mu)).reduce(_ + _) / m)
+    val subs0 = withLeads.where(contiguous && vs.map(_.isNotNull).reduce(_ && _))
+      .withColumn("_mu", mu).withColumn("_sig", sig)
+      .where(col("_sig") > 0)
+    val subs = (0 until m).foldLeft(subs0) { (df, k) =>
+      df.withColumn(s"z$k",
+        round((col(s"v$k") - col("_mu")) / col("_sig"), 6))
+    }
+    val symOf = (z: Column) => when(z < -0.6745, "a")
+      .when(z < 0.0, "b").when(z < 0.6745, "c").otherwise("d")
+    val worded = subs.withColumn("word",
+      concat((0 until m).map(k => symOf(col(s"z$k"))): _*))
+      .select((Seq(col("name"), col("user_id"),
+        col("bucket_s").as("start_s"), col("word")) ++
+        (0 until m).map(k => col(s"z$k"))): _*)
+    val capped = worded.withColumn("_bsz",
+      count(lit(1)).over(Window.partitionBy("name", "word")))
+      .where(col("_bsz") <= maxBucket).drop("_bsz")
+    def side(p: String) = capped.select(
+      (Seq(col("name"), col("user_id").as(s"${p}_user"),
+        col("start_s").as(s"${p}_start"), col("word")) ++
+        (0 until m).map(k => col(s"z$k").as(s"${p}_z$k"))): _*)
+    val pairs = side("a").join(side("b"), Seq("name", "word"))
+      .where(col("a_user") < col("b_user") ||
+        (col("a_user") === col("b_user") &&
+          col("a_start") + m * stepS <= col("b_start")))
+    val d2 = (0 until m)
+      .map(k => (col(s"a_z$k") - col(s"b_z$k")) *
+        (col(s"a_z$k") - col(s"b_z$k")))
+      .reduce(_ + _)
+    val top = pairs
+      .select(col("name"), col("a_user"), col("a_start"),
+        col("b_user"), col("b_start"), col("word"),
+        round(sqrt(d2), 6).as("dist"))
+      .orderBy(col("dist").asc, col("name").asc, col("a_user").asc,
+        col("a_start").asc, col("b_user").asc, col("b_start").asc)
+      .limit(10)
+    top.withColumn("rk", row_number().over(
+      Window.orderBy(col("dist").asc, col("name").asc, col("a_user").asc,
+        col("a_start").asc, col("b_user").asc, col("b_start").asc))
+      .cast("long"))
+  }
+
   /** STL-lite additive decomposition per series — v = trend +
     * seasonal + remainder (Cleveland et al.'s STL restated as the
     * two-pass moving-average form a batch engine runs): trend is the

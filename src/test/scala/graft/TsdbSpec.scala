@@ -80,6 +80,35 @@ class TsdbSpec extends SparkSpec {
     ).toDF("name", "user_id", "ts", "value", "event_id")
   }
 
+  test("motif discovery pairs z-identical shapes at distance zero") {
+    val s = spark
+    import s.implicits._
+    val day = 86400L * 1000
+    val base = ts("2024-01-01 12:00:00").getTime
+    // two series with the same rising shape at different scales:
+    // z-normalization makes them identical → dist 0, word "abcd"...
+    val rows =
+      Seq(1.0, 2.0, 3.0, 4.0).zipWithIndex.map { case (v, i) =>
+        ("m", 1L, new Timestamp(base + i * day), v, i.toLong)
+      } ++ Seq(10.0, 20.0, 30.0, 40.0).zipWithIndex.map { case (v, i) =>
+        ("m", 2L, new Timestamp(base + i * day), v, (10 + i).toLong)
+      }
+    val r = Temporal.motifFrame(rows
+      .toDF("name", "user_id", "ts", "value", "event_id")).collect()
+    assert(r.length == 1, s"expected one motif pair: ${r.toSeq}")
+    val m = r(0)
+    assert(m.getAs[Long]("a_user") == 1L && m.getAs[Long]("b_user") == 2L)
+    assert(m.getAs[Double]("dist") == 0.0)
+    assert(m.getAs[String]("word").length == 4)
+    // trivial-match exclusion: one series alone (overlapping windows
+    // only) yields no pairs
+    val solo = Seq(1.0, 2.0, 3.0, 4.0, 1.0, 2.0).zipWithIndex.map {
+      case (v, i) => ("m", 1L, new Timestamp(base + i * day), v, i.toLong)
+    }
+    assert(Temporal.motifFrame(solo
+      .toDF("name", "user_id", "ts", "value", "event_id")).count() == 0)
+  }
+
   test("m3tsz value-cost fold replays the int encoder bit-for-bit") {
     val s = spark
     import s.implicits._
