@@ -681,6 +681,91 @@ object Corpus {
       .orderBy(col("c_uw").desc, col("u").asc, col("w").asc)
   }
 
+  /** Per-document trigram triples (u, v, w) — map-side like
+    * [[bigramPairs]]. */
+  private def trigramTriples(docs: DataFrame): DataFrame = {
+    val a = org.apache.spark.sql.functions.split(lower(col("text")), "\\s+")
+    docs.select(col("doc_id"), a.as("a"))
+      .where(size(col("a")) >= 3)
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("a"), lit(1), size(col("a")) - 2).as("u"),
+        slice(col("a"), lit(2), size(col("a")) - 2).as("v"),
+        slice(col("a"), lit(3), size(col("a")) - 2).as("w"))).as("p"))
+      .select(col("doc_id"), col("p.u").as("u"), col("p.v").as("v"),
+        col("p.w").as("w"))
+  }
+
+  /** Trigram interpolated Kneser-Ney — the full recursive form
+    * (Chen & Goodman 1998 eq. 18: highest order uses raw counts,
+    * every lower order uses CONTINUATION counts — "how many distinct
+    * contexts precede this n-gram", the Kneser-Ney insight that
+    * 'Francisco' is frequent but only ever follows 'San'):
+    *
+    *   p₃(w|u,v) = max(c(u,v,w)−D₃,0)/c(u,v·) + λ₃(u,v)·p₂(w|v)
+    *   p₂(w|v)   = max(N₁₊(·vw)−D₂,0)/N₁₊(·v·) + λ₂(v)·p₁(w)
+    *   p₁(w)     = N₁₊(·w)/‖bigram types‖
+    *
+    * with λ₃ = D₃·N₁₊(uv·)/c(u,v·), λ₂ = D₂·N₁₊(v·)/N₁₊(·v·), and
+    * each order's discount from its own count-of-counts
+    * (D = n₁/(n₁+2n₂); over raw trigram counts for D₃, over the
+    * continuation counts N₁₊(·vw) for D₂; 0 when the order has no
+    * singleton/doubleton types). Every factor is an exact integer,
+    * so p is one cross-engine-identical rational expression. Emits
+    * the top-N trigrams by count with the full factorization.
+    *
+    * Scale: one trigram explode into a (u,v,w) hash count, then
+    * skinny re-aggregations of that count table (per-(u,v), the
+    * continuation tables per (v,w)/(v)/(w), two 3-value globals) —
+    * all type-level — and broadcast joins onto the top-N rows. */
+  def knTrigramLm(docs: DataFrame, topN: Int = 100): DataFrame = {
+    val c3 = trigramTriples(docs).groupBy("u", "v", "w")
+      .agg(count(lit(1)).as("c_uvw"))
+    val hist = c3.groupBy("u", "v").agg(sum("c_uvw").as("c_uv"),
+      count(lit(1)).as("nplus_uv"))
+    // continuation layer: N1+(·vw) = distinct u preceding (v,w)
+    val cont = c3.groupBy("v", "w").agg(count(lit(1)).as("n_vw"))
+    val contV = cont.groupBy("v").agg(sum("n_vw").as("n_v_dot"),
+      count(lit(1)).as("nplus_v"))
+    // bigram continuation for the unigram layer: N1+(·w), ‖bigram types‖
+    val bg = bigramPairs(docs).groupBy("u", "w")
+      .agg(count(lit(1)).as("c_uw"))
+    val perW = bg.groupBy("w").agg(count(lit(1)).as("nplus_w"))
+    val nTypes = bg.agg(count(lit(1)).as("n_types"))
+    val g3 = c3.agg(
+      sum((col("c_uvw") === 1).cast("long")).as("n1_3"),
+      sum((col("c_uvw") === 2).cast("long")).as("n2_3"))
+    val g2 = cont.agg(
+      sum((col("n_vw") === 1).cast("long")).as("n1_2"),
+      sum((col("n_vw") === 2).cast("long")).as("n2_2"))
+    def disc(n1: Column, n2: Column): Column =
+      when(n1 + lit(2L) * n2 === 0L, lit(0.0))
+        .otherwise(n1.cast("double") / (n1 + lit(2L) * n2).cast("double"))
+    val d3 = disc(col("n1_3"), col("n2_3"))
+    val d2 = disc(col("n1_2"), col("n2_2"))
+    val p1 = col("nplus_w").cast("double") / col("n_types").cast("double")
+    val p2 = greatest(col("n_vw").cast("double") - d2, lit(0.0)) /
+      col("n_v_dot").cast("double") +
+      d2 * col("nplus_v").cast("double") / col("n_v_dot").cast("double") * p1
+    val p3 = greatest(col("c_uvw").cast("double") - d3, lit(0.0)) /
+      col("c_uv").cast("double") +
+      d3 * col("nplus_uv").cast("double") / col("c_uv").cast("double") * p2
+    val top = c3.orderBy(col("c_uvw").desc, col("u").asc, col("v").asc,
+      col("w").asc).limit(topN)
+    top.join(broadcast(hist), Seq("u", "v"))
+      .join(broadcast(cont), Seq("v", "w"))
+      .join(broadcast(contV), "v")
+      .join(broadcast(perW), "w")
+      .crossJoin(broadcast(nTypes))
+      .crossJoin(broadcast(g3)).crossJoin(broadcast(g2))
+      .select(col("u"), col("v"), col("w"), col("c_uvw"), col("c_uv"),
+        col("n_vw"), col("n_v_dot"),
+        round(d3, 6).as("d3"), round(d2, 6).as("d2"),
+        round(p2, 9).as("p2_backoff"),
+        round(p3, 9).as("p_kn3"))
+      .orderBy(col("c_uvw").desc, col("u").asc, col("v").asc,
+        col("w").asc)
+  }
+
   /** Per-document cross-entropy under the corpus's own interpolated
     * Kneser-Ney bigram LM ([[knBigramLm]]) — the CCNet §3.2 quality
     * signal computed with a real smoothed LM instead of a proxy:

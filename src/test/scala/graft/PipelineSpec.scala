@@ -30,6 +30,25 @@ class PipelineSpec extends SparkSpec {
     assert(ppl(1L)._1 == 3L)
   }
 
+  test("trigram KN backs off through continuation counts, hand-checked") {
+    val s = spark
+    import s.implicits._
+    // trigrams: (a,b,c)x2, (b,c,a), (c,a,b), (a,b,d) → D3 = 3/5
+    // continuation layer: every (v,w) preceded by one context → D2 = 1
+    // p2(c|b) = max(1−1,0)/2 + 1·(2/2)·p1(c)=0.25 → 0.25
+    // p3(c|a,b) = 1.4/3 + 0.6·(2/3)·0.25 = 0.566666667
+    val docs = Seq((1L, "a b c a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val r = Corpus.knTrigramLm(docs).collect()
+      .map(x => (x.getAs[String]("u"), x.getAs[String]("v"),
+        x.getAs[String]("w")) -> x).toMap
+    val abc = r(("a", "b", "c"))
+    assert(abc.getAs[Long]("c_uvw") == 2L)
+    assert(abc.getAs[Double]("d3") == 0.6)
+    assert(abc.getAs[Double]("d2") == 1.0)
+    assert(abc.getAs[Double]("p2_backoff") == 0.25)
+    assert(abc.getAs[Double]("p_kn3") == 0.566666667)
+  }
+
   test("exact dedup flags planted duplicates") {
     val s = spark
     import s.implicits._
