@@ -794,6 +794,32 @@ class PlanSpec extends SparkSpec {
         analyzed.take(2000))
   }
 
+  test("ts_motifs blocks on the word key — equi join, never cartesian") {
+    val p = plan("ts_motifs")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("Join [name") || p.contains("BroadcastHashJoin"),
+      "expected an equi join on (name, word):\n" + p.take(2000))
+    // the global rank only runs over the ≤10 orderBy·limit survivors
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("tsz value cost: windows partition by the block key, no cartesian") {
+    val p = plan("ts_tsz_value_cost")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("windowspecdefinition(name"),
+      "expected block-keyed windows:\n" + p.take(2000))
+  }
+
+  test("kn perplexity joins the model on (u, w) — no cartesian blowup") {
+    val p = plan("corpus_kn_ppl")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the one-row global-stats frame rides a broadcast nested loop;
+    // the occurrence⋈model join itself must be hash-keyed
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      "expected a hash/sort-merge equi join for occ ⋈ model:\n" +
+        p.take(2000))
+  }
+
   test("cluster size stats reuse the shared label frame (InMemory scan)") {
     pipeline.Corpus.clearClusterCache()
     // prime the cache the way a pipeline run would: clusters first
