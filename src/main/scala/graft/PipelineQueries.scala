@@ -917,6 +917,10 @@ object PipelineQueries {
     // classes (the CCMatrix bitext criterion)
     "sim_margin_mining" -> ((s, dir) =>
       Similarity.marginMining(Tables.embeddings(s, dir))),
+    // the margin-mining SCALE path: every side-A vector mined over
+    // LSH candidate neighborhoods (CCMatrix's production trade)
+    "sim_margin_lsh" -> ((s, dir) =>
+      Similarity.marginMiningLsh(Tables.embeddings(s, dir))),
     // BERTopic c-TF-IDF: top keywords per embedding-label cluster
     "corpus_ctfidf" -> ((s, dir) =>
       Similarity.clusterKeywords(
@@ -2188,6 +2192,36 @@ object PipelineQueries {
          |   FROM cands JOIN embeddings AS q ON q.vec_id = cands.q_id
          |    JOIN embeddings AS c ON c.vec_id = cands.c_id) AS sc) AS r
          | WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin.replace("\n", " "),
+    // LSH-candidate margin mining: banded buckets on both sides,
+    // exact re-score per candidate, candidate-set top-k denominators
+    "sim_margin_lsh" ->
+      s"""WITH ab AS (${lshBandedSql(8, 4, "a_id", "WHERE label = 0")}),
+         | bb AS (${lshBandedSql(8, 4, "b_id", "WHERE label = 1")}),
+         | cand AS (SELECT DISTINCT ab.a_id, bb.b_id
+         |  FROM ab JOIN bb ON bb.tbl = ab.tbl AND bb.bucket = ab.bucket),
+         | sc AS (SELECT cand.a_id, cand.b_id, ${cosSql("qa", "qb")} AS cos
+         |  FROM cand JOIN embeddings AS qa ON qa.vec_id = cand.a_id
+         |   JOIN embeddings AS qb ON qb.vec_id = cand.b_id),
+         | rk AS (SELECT a_id, b_id,
+         |   CAST(round(cos * 1000000) AS BIGINT) AS cos6,
+         |   row_number() OVER (PARTITION BY a_id
+         |     ORDER BY cos DESC, b_id ASC) AS rk_f,
+         |   row_number() OVER (PARTITION BY b_id
+         |     ORDER BY cos DESC, a_id ASC) AS rk_b FROM sc),
+         | favg AS (SELECT a_id, sum(cos6)::DOUBLE / count(*) AS f6 FROM rk
+         |  WHERE rk_f <= 4 GROUP BY a_id),
+         | bavg AS (SELECT b_id, sum(cos6)::DOUBLE / count(*) AS b6 FROM rk
+         |  WHERE rk_b <= 4 GROUP BY b_id),
+         | best AS (SELECT a_id, b_id, cos6 FROM rk WHERE rk_f = 1)
+         | SELECT best.a_id, best.b_id,
+         |  best.cos6 / 1000000.0 AS cos_v,
+         |  favg.f6 / 1000000.0 AS avg_fwd,
+         |  bavg.b6 / 1000000.0 AS avg_bwd,
+         |  round(best.cos6 / ((favg.f6 + bavg.b6) / 2), 6) AS margin,
+         |  (best.cos6 / ((favg.f6 + bavg.b6) / 2)) > 1.05 AS accepted
+         | FROM best JOIN favg ON favg.a_id = best.a_id
+         | JOIN bavg ON bavg.b_id = best.b_id
+         | ORDER BY best.a_id""".stripMargin.replace("\n", " "),
     // c-TF-IDF: tf(t,c)/words(c) · ln(1 + A/f(t)) per cluster term,
     // ranked by the ROUNDED weight
     "corpus_ctfidf" ->

@@ -192,6 +192,68 @@ object Similarity {
       .orderBy("q_id")
   }
 
+  /** Full-corpus margin mining over LSH candidates — the scale path
+    * [[marginMining]] documents, made real: EVERY side-A vector is a
+    * source (not a probe subset), candidates are cross-side pairs
+    * sharing any of `tables` hyperplane bucketings (the lshAnn
+    * blocking), and both margin denominators are top-k averages over
+    * the CANDIDATE sets — so cost is linear in candidate pairs,
+    * never |A|×|B|. Candidate top-k is a lower bound on true top-k;
+    * that approximation is precisely CCMatrix's production trade
+    * (FAISS ANN neighborhoods, Schwenk et al. 2021 §3).
+    *
+    * Scale: the banded-bucket equi-join generates candidates (hot
+    * buckets stay bounded by the density-derived plane count), one
+    * exact re-score per candidate pair, two partitioned rank windows
+    * (per source, per candidate) and two skinny averages joined
+    * back. */
+  def marginMiningLsh(emb: DataFrame, k: Int = 4, threshold: Double = 1.05,
+                      tables: Int = 8, planes: Int = 4,
+                      labelA: Int = 0, labelB: Int = 1): DataFrame = {
+    val dim = 64
+    val a = withNorm(emb.where(col("label") === labelA),
+      "a_id", "a_emb", "a_norm")
+    val b = withNorm(emb.where(col("label") === labelB),
+      "b_id", "b_emb", "b_norm")
+    def banded(df: DataFrame, id: String, embC: String) =
+      (0 until tables).map { t =>
+        df.select(col(id), lit(t).as("tbl"),
+          lshBucket(col(embC), dim, planes, t).as("bucket"))
+      }.reduce(_ unionByName _)
+    val cand = banded(a, "a_id", "a_emb")
+      .join(banded(b, "b_id", "b_emb"), Seq("tbl", "bucket"))
+      .select("a_id", "b_id").distinct()
+    val scored = cand.join(a, "a_id").join(b, "b_id")
+      .select(col("a_id"), col("b_id"),
+        scoreCos("a_emb", "b_emb", "a_norm", "b_norm").as("cos"))
+    val wf = Window.partitionBy("a_id")
+      .orderBy(col("cos").desc, col("b_id").asc)
+    val wb = Window.partitionBy("b_id")
+      .orderBy(col("cos").desc, col("a_id").asc)
+    // integer micro-units for the denominators: an avg of rounded
+    // doubles lands on exact .5 micro midpoints the engines' round()
+    // implementations split (same lesson as corpus_el2n)
+    val ranked = scored
+      .withColumn("cos6", round(col("cos") * 1000000, 0).cast("long"))
+      .withColumn("rk_f", row_number().over(wf))
+      .withColumn("rk_b", row_number().over(wb))
+    val favg = ranked.where(col("rk_f") <= k).groupBy("a_id")
+      .agg((sum("cos6").cast("double") / count(lit(1))).as("f6"))
+    val bavg = ranked.where(col("rk_b") <= k).groupBy("b_id")
+      .agg((sum("cos6").cast("double") / count(lit(1))).as("b6"))
+    val best = ranked.where(col("rk_f") === 1)
+      .select(col("a_id"), col("b_id"), col("cos6"))
+    val margin = col("cos6") / ((col("f6") + col("b6")) / 2)
+    best.join(favg, "a_id").join(bavg, "b_id")
+      .select(col("a_id"), col("b_id"),
+        (col("cos6") / 1000000.0).as("cos_v"),
+        (col("f6") / 1000000.0).as("avg_fwd"),
+        (col("b6") / 1000000.0).as("avg_bwd"),
+        round(margin, 6).as("margin"),
+        (margin > threshold).as("accepted"))
+      .orderBy("a_id")
+  }
+
   /** c-TF-IDF cluster keywords (Grootendorst 2022, BERTopic §3.2 —
     * the topic-labeling step every embedding-cluster pipeline runs
     * after clustering): treat each cluster as ONE meta-document and
