@@ -142,11 +142,28 @@ object TsdbQueries {
     * intval, bit count) through each (series, day-block)'s points in
     * (ts, event_id) order — the SQL twin of Temporal.tszValueCost's
     * aggregate() fold, branch for branch. */
-  private lazy val tszValueCostOracle: String = {
+  private lazy val tszValueCostOracle: String =
+    s"""WITH RECURSIVE $tszValueChainCtes
+       |SELECT name, user_id, CAST(sum(idx) AS BIGINT) AS n_samples,
+       | count(*) AS n_blocks, CAST(sum(nrep) AS BIGINT) AS n_repeat,
+       | CAST(sum(nsigupd) AS BIGINT) AS n_sig_update,
+       | CAST(sum(nmultupd) AS BIGINT) AS n_mult_update,
+       | CAST(max(maxmult) AS BIGINT) AS max_mult,
+       | CAST(sum(bits) AS BIGINT) AS total_bits,
+       | CAST(sum(nbad) AS BIGINT) AS n_unconvertible,
+       | round(sum(bits)::DOUBLE / sum(idx), 6) AS bits_per_sample,
+       | round(64.0 * sum(idx) / sum(bits), 6) AS vs_raw64
+       |FROM last GROUP BY name, user_id ORDER BY name, user_id"""
+      .stripMargin.replace("\n", " ")
+
+  /** The recursive value-encoder chain up to `last` (one row per
+    * block carrying the final encoder state) — shared by the cost
+    * card's oracle and store_tsz_stats'. */
+  private lazy val tszValueChainCtes: String = {
     val firstBits =
       """1 + (CASE WHEN sig0 > 0 THEN 8 ELSE 1 END)
         | + (CASE WHEN m > 0 THEN 4 ELSE 1 END) + 1 + sig0""".stripMargin
-    s"""WITH RECURSIVE pts AS (
+    s"""pts AS (
        | SELECT name, user_id, value,
        |  CAST(floor(epoch(ts) / 86400) AS BIGINT) AS block,
        |  row_number() OVER (PARTITION BY name, user_id,
@@ -235,17 +252,7 @@ object TsdbQueries {
        |    AND p.idx = r.idx + 1) AS t0) AS t1) AS t2) AS t3) AS t4)
        |    AS t5) AS t6) AS t7) AS t8) AS t9) AS t10),
        |last AS (SELECT r.* FROM rec r JOIN cnt c ON c.name = r.name
-       |  AND c.user_id = r.user_id AND c.block = r.block AND r.idx = c.n)
-       |SELECT name, user_id, CAST(sum(idx) AS BIGINT) AS n_samples,
-       | count(*) AS n_blocks, CAST(sum(nrep) AS BIGINT) AS n_repeat,
-       | CAST(sum(nsigupd) AS BIGINT) AS n_sig_update,
-       | CAST(sum(nmultupd) AS BIGINT) AS n_mult_update,
-       | CAST(max(maxmult) AS BIGINT) AS max_mult,
-       | CAST(sum(bits) AS BIGINT) AS total_bits,
-       | CAST(sum(nbad) AS BIGINT) AS n_unconvertible,
-       | round(sum(bits)::DOUBLE / sum(idx), 6) AS bits_per_sample,
-       | round(64.0 * sum(idx) / sum(bits), 6) AS vs_raw64
-       |FROM last GROUP BY name, user_id ORDER BY name, user_id"""
+       |  AND c.user_id = r.user_id AND c.block = r.block AND r.idx = c.n)"""
       .stripMargin.replace("\n", " ")
   }
 
@@ -947,6 +954,19 @@ object TsdbQueries {
           max(cents).as("max_c"))
         .orderBy("name", "user_id", "bucket_s")
     }),
+    // per-series at-rest size card read from the STORED tsz table's
+    // metadata columns — the oracle recomputes both halves (micros
+    // dod buckets + the int-diff value chain) independently from raw
+    // events, so a codec/metadata drift cannot hide
+    "store_tsz_stats" -> ((s, dir) =>
+      s.table(tszTable(s, dir))
+        .groupBy("name", "user_id")
+        .agg(sum("n").as("n_samples"), count(lit(1)).as("n_blocks"),
+          sum("ts_bits").as("ts_bits"), sum("val_bits").as("val_bits"))
+        .withColumn("total_bits", col("ts_bits") + col("val_bits"))
+        .withColumn("vs_raw128",
+          round(lit(128.0) * col("n_samples") / col("total_bits"), 6))
+        .orderBy("name", "user_id")),
     "store_zorder" -> ((s, dir) => {
       val t = zorderTable(s, dir)
       val l = graft.sources.ZOrderStore.layoutOf(s, t)
@@ -1342,6 +1362,44 @@ object TsdbQueries {
          | WHERE name = 'purchase' AND floor(epoch(ts)) >= 1704240000
          |  AND floor(epoch(ts)) < 1704844800
          | ORDER BY event_id""".stripMargin.replace("\n", " "),
+    // independent recomputation of BOTH stored bit totals: the value
+    // chain via the shared recursive CTE, the timestamp half via two
+    // lags per block under the Microsecond dod scheme (1/9/12/16/68)
+    "store_tsz_stats" ->
+      s"""WITH RECURSIVE $tszValueChainCtes,
+         | us AS (SELECT name, user_id,
+         |   CAST(floor(epoch(ts) / 86400) AS BIGINT) AS block,
+         |   epoch_us(ts) AS us, ts, event_id FROM ($S) AS s
+         |  WHERE value IS NOT NULL),
+         | dd AS (SELECT name, user_id, block, ts, event_id,
+         |   us - lag(us) OVER wp AS d FROM us
+         |  WINDOW wp AS (PARTITION BY name, user_id, block
+         |   ORDER BY ts, event_id)),
+         | d2 AS (SELECT name, user_id, d,
+         |   d - coalesce(lag(d) OVER wp2, 0) AS dod FROM dd
+         |  WINDOW wp2 AS (PARTITION BY name, user_id, block
+         |   ORDER BY ts, event_id)),
+         | tsb AS (SELECT name, user_id,
+         |   CASE WHEN d IS NULL THEN 64 WHEN dod = 0 THEN 1
+         |    WHEN dod BETWEEN -64 AND 63 THEN 9
+         |    WHEN dod BETWEEN -256 AND 255 THEN 12
+         |    WHEN dod BETWEEN -2048 AND 2047 THEN 16
+         |    ELSE 68 END AS bits FROM d2),
+         | tsum AS (SELECT name, user_id,
+         |   CAST(sum(bits) AS BIGINT) AS ts_bits FROM tsb GROUP BY 1, 2),
+         | vsum AS (SELECT name, user_id,
+         |   CAST(sum(idx) AS BIGINT) AS n_samples,
+         |   count(*) AS n_blocks,
+         |   CAST(sum(bits) AS BIGINT) AS val_bits
+         |  FROM last GROUP BY 1, 2)
+         | SELECT v.name, v.user_id, v.n_samples, v.n_blocks,
+         |  t.ts_bits, v.val_bits,
+         |  CAST(t.ts_bits + v.val_bits AS BIGINT) AS total_bits,
+         |  round(128.0 * v.n_samples / (t.ts_bits + v.val_bits), 6)
+         |   AS vs_raw128
+         | FROM vsum v JOIN tsum t ON t.name = v.name
+         |  AND t.user_id = v.user_id
+         | ORDER BY v.name, v.user_id""".stripMargin.replace("\n", " "),
     // the m3tsz store is invisible to semantics: hourly count +
     // integer-cent sum/min/max over DECODED blocks equal the same
     // census over raw events — the round-trip-exactness oracle
