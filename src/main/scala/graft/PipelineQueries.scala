@@ -785,6 +785,52 @@ object PipelineQueries {
        | $roundsSql""".stripMargin.replace("\n", " ")
   }
 
+  /** Shared trigram-KN oracle pieces: the count-table CTE chain and
+    * the per-order probability expressions (Chen & Goodman eq. 18),
+    * used by the corpus_kn3_lm and corpus_kn3_ppl oracles. */
+  private lazy val kn3Dd3: String =
+    """(CASE WHEN g3.n1_3 + 2 * g3.n2_3 = 0 THEN 0.0
+      | ELSE g3.n1_3::DOUBLE / (g3.n1_3 + 2 * g3.n2_3)::DOUBLE
+      | END)""".stripMargin.replace("\n", " ")
+  private lazy val kn3Dd2: String =
+    """(CASE WHEN g2.n1_2 + 2 * g2.n2_2 = 0 THEN 0.0
+      | ELSE g2.n1_2::DOUBLE / (g2.n1_2 + 2 * g2.n2_2)::DOUBLE
+      | END)""".stripMargin.replace("\n", " ")
+  private lazy val kn3P2: String =
+    s"""(greatest(ct.n_vw::DOUBLE - $kn3Dd2, 0.0) / cv.n_v_dot::DOUBLE
+       | + $kn3Dd2 * cv.nplus_v::DOUBLE / cv.n_v_dot::DOUBLE
+       |   * (pw.nplus_w::DOUBLE / nt.n_types::DOUBLE))""".stripMargin.replace("\n", " ")
+  private def kn3P3(t: String): String =
+    s"""(greatest($t.c_uvw::DOUBLE - $kn3Dd3, 0.0) / h.c_uv::DOUBLE
+       | + $kn3Dd3 * h.nplus_uv::DOUBLE / h.c_uv::DOUBLE * $kn3P2)""".stripMargin.replace("\n", " ")
+  private lazy val kn3Ctes: String =
+    s"""arr AS (SELECT doc_id,
+       |  string_split_regex(lower(text), '\\s+') AS a FROM documents),
+       | tg AS (SELECT doc_id, unnest(a[1:len(a)-2]) AS u,
+       |   unnest(a[2:len(a)-1]) AS v, unnest(a[3:len(a)]) AS w
+       |  FROM arr WHERE len(a) >= 3),
+       | c3 AS (SELECT u, v, w, count(*) AS c_uvw FROM tg GROUP BY 1, 2, 3),
+       | hist AS (SELECT u, v, CAST(sum(c_uvw) AS BIGINT) AS c_uv,
+       |   count(*) AS nplus_uv FROM c3 GROUP BY 1, 2),
+       | cont AS (SELECT v, w, count(*) AS n_vw FROM c3 GROUP BY 1, 2),
+       | cv0 AS (SELECT v, CAST(sum(n_vw) AS BIGINT) AS n_v_dot,
+       |   count(*) AS nplus_v FROM cont GROUP BY 1),
+       | bg AS (SELECT u, w, count(*) AS c_uw FROM (
+       |   SELECT unnest(a[1:len(a)-1]) AS u, unnest(a[2:len(a)]) AS w
+       |   FROM arr WHERE len(a) >= 2) AS z GROUP BY 1, 2),
+       | pw AS (SELECT w, count(*) AS nplus_w FROM bg GROUP BY 1),
+       | nt AS (SELECT count(*) AS n_types FROM bg),
+       | g3 AS (SELECT
+       |   CAST(sum(CASE WHEN c_uvw = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n1_3,
+       |   CAST(sum(CASE WHEN c_uvw = 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n2_3 FROM c3),
+       | g2 AS (SELECT
+       |   CAST(sum(CASE WHEN n_vw = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n1_2,
+       |   CAST(sum(CASE WHEN n_vw = 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n2_2 FROM cont)""".stripMargin.replace("\n", " ")
+
   /** cosine similarity SQL over double-cast embedding lists. */
   private def cosSql(a: String, b: String) =
     s"""(list_dot_product($a.embedding::DOUBLE[], $b.embedding::DOUBLE[]) /
@@ -1126,6 +1172,8 @@ object PipelineQueries {
     // full recursive trigram KN with continuation-count backoff
     "corpus_kn3_lm" -> ((s, dir) =>
       Corpus.knTrigramLm(Tables.documents(s, dir))),
+    "corpus_kn3_ppl" -> ((s, dir) =>
+      Corpus.knTrigramPerplexity(Tables.documents(s, dir))),
     "corpus_kn_ppl" -> ((s, dir) =>
       Corpus.knPerplexity(Tables.documents(s, dir))),
     "corpus_heaps" -> ((s, dir) =>
@@ -2576,62 +2624,39 @@ object PipelineQueries {
          |  JOIN embeddings AS a ON a.vec_id = x.vec_id
          |  JOIN embeddings AS b ON b.vec_id = y.vec_id) AS t
          | WHERE cos > 0.40 ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
+    // per-doc perplexity under the trigram KN: the same type-level
+    // model tables, one (u,v,w → log2 p) model frame, occurrence join
+    "corpus_kn3_ppl" -> {
+      s"""WITH $kn3Ctes,
+         | model AS (SELECT c3.u, c3.v, c3.w, log2(${kn3P3("c3")}) AS lp
+         |  FROM c3 JOIN hist h ON h.u = c3.u AND h.v = c3.v
+         |  JOIN cont ct ON ct.v = c3.v AND ct.w = c3.w
+         |  JOIN cv0 cv ON cv.v = c3.v JOIN pw ON pw.w = c3.w
+         |  CROSS JOIN nt CROSS JOIN g3 CROSS JOIN g2)
+         | SELECT tg.doc_id, count(*) AS n_trigrams,
+         |  round(-avg(m.lp), 6) AS cross_entropy_bits,
+         |  round(power(2.0, -avg(m.lp)), 6) AS ppl
+         | FROM tg JOIN model m ON m.u = tg.u AND m.v = tg.v
+         |  AND m.w = tg.w
+         | GROUP BY tg.doc_id ORDER BY tg.doc_id"""
+        .stripMargin.replace("\n", " ")
+    },
     // trigram KN: raw counts at the top order, continuation counts
     // below (Chen & Goodman eq. 18), per-order discounts
-    "corpus_kn3_lm" -> {
-      val dd3 =
-        """(CASE WHEN g3.n1_3 + 2 * g3.n2_3 = 0 THEN 0.0
-          | ELSE g3.n1_3::DOUBLE / (g3.n1_3 + 2 * g3.n2_3)::DOUBLE
-          | END)""".stripMargin.replace("\n", " ")
-      val dd2 =
-        """(CASE WHEN g2.n1_2 + 2 * g2.n2_2 = 0 THEN 0.0
-          | ELSE g2.n1_2::DOUBLE / (g2.n1_2 + 2 * g2.n2_2)::DOUBLE
-          | END)""".stripMargin.replace("\n", " ")
-      val p2 =
-        s"""(greatest(ct.n_vw::DOUBLE - $dd2, 0.0) / cv.n_v_dot::DOUBLE
-           | + $dd2 * cv.nplus_v::DOUBLE / cv.n_v_dot::DOUBLE
-           |   * (pw.nplus_w::DOUBLE / nt.n_types::DOUBLE))""".stripMargin.replace("\n", " ")
-      s"""WITH arr AS (SELECT doc_id,
-         |  string_split_regex(lower(text), '\\s+') AS a FROM documents),
-         | tg AS (SELECT unnest(a[1:len(a)-2]) AS u,
-         |   unnest(a[2:len(a)-1]) AS v, unnest(a[3:len(a)]) AS w
-         |  FROM arr WHERE len(a) >= 3),
-         | c3 AS (SELECT u, v, w, count(*) AS c_uvw FROM tg GROUP BY 1, 2, 3),
-         | hist AS (SELECT u, v, CAST(sum(c_uvw) AS BIGINT) AS c_uv,
-         |   count(*) AS nplus_uv FROM c3 GROUP BY 1, 2),
-         | cont AS (SELECT v, w, count(*) AS n_vw FROM c3 GROUP BY 1, 2),
-         | cv0 AS (SELECT v, CAST(sum(n_vw) AS BIGINT) AS n_v_dot,
-         |   count(*) AS nplus_v FROM cont GROUP BY 1),
-         | bg AS (SELECT u, w, count(*) AS c_uw FROM (
-         |   SELECT unnest(a[1:len(a)-1]) AS u, unnest(a[2:len(a)]) AS w
-         |   FROM arr WHERE len(a) >= 2) AS z GROUP BY 1, 2),
-         | pw AS (SELECT w, count(*) AS nplus_w FROM bg GROUP BY 1),
-         | nt AS (SELECT count(*) AS n_types FROM bg),
-         | g3 AS (SELECT
-         |   CAST(sum(CASE WHEN c_uvw = 1 THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n1_3,
-         |   CAST(sum(CASE WHEN c_uvw = 2 THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n2_3 FROM c3),
-         | g2 AS (SELECT
-         |   CAST(sum(CASE WHEN n_vw = 1 THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n1_2,
-         |   CAST(sum(CASE WHEN n_vw = 2 THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n2_2 FROM cont),
+    "corpus_kn3_lm" ->
+      s"""WITH $kn3Ctes,
          | top AS (SELECT * FROM c3
          |   ORDER BY c_uvw DESC, u ASC, v ASC, w ASC LIMIT 100)
          | SELECT t.u, t.v, t.w, t.c_uvw, h.c_uv, ct.n_vw, cv.n_v_dot,
-         |  round($dd3, 6) AS d3, round($dd2, 6) AS d2,
-         |  round($p2, 9) AS p2_backoff,
-         |  round(greatest(t.c_uvw::DOUBLE - $dd3, 0.0) / h.c_uv::DOUBLE
-         |   + $dd3 * h.nplus_uv::DOUBLE / h.c_uv::DOUBLE * $p2, 9)
-         |   AS p_kn3
+         |  round($kn3Dd3, 6) AS d3, round($kn3Dd2, 6) AS d2,
+         |  round($kn3P2, 9) AS p2_backoff,
+         |  round(${kn3P3("t")}, 9) AS p_kn3
          | FROM top t JOIN hist h ON h.u = t.u AND h.v = t.v
          | JOIN cont ct ON ct.v = t.v AND ct.w = t.w
          | JOIN cv0 cv ON cv.v = t.v JOIN pw ON pw.w = t.w
          | CROSS JOIN nt CROSS JOIN g3 CROSS JOIN g2
          | ORDER BY t.c_uvw DESC, t.u ASC, t.v ASC, t.w ASC"""
-        .stripMargin.replace("\n", " ")
-    },
+        .stripMargin.replace("\n", " "),
     // interpolated Kneser-Ney bigram LM: D = n1/(n1+2*n2);
     // p_kn(w|u) = max(c-D,0)/c_u + D*N1+(u.)/c_u * N1+(.w)/types —
     // the same fixed rational expression of exact integer counts

@@ -766,6 +766,61 @@ object Corpus {
         col("w").asc)
   }
 
+  /** Per-document cross-entropy under the TRIGRAM interpolated KN
+    * ([[knTrigramLm]]) — the higher-order twin of [[knPerplexity]]:
+    * a sharper quality signal (trigram context catches scrambled or
+    * templated text a bigram model scores fluent). Self-evaluation:
+    * every test trigram exists in training, no OOV branch.
+    *
+    * Scale: the same type-level model tables as [[knTrigramLm]]
+    * pre-join into ONE (u,v,w → log₂p) frame; the trigram occurrence
+    * stream shuffles once into that join, then one per-doc
+    * aggregate. */
+  def knTrigramPerplexity(docs: DataFrame): DataFrame = {
+    val occ = trigramTriples(docs)
+    val c3 = occ.groupBy("u", "v", "w").agg(count(lit(1)).as("c_uvw"))
+    val hist = c3.groupBy("u", "v").agg(sum("c_uvw").as("c_uv"),
+      count(lit(1)).as("nplus_uv"))
+    val cont = c3.groupBy("v", "w").agg(count(lit(1)).as("n_vw"))
+    val contV = cont.groupBy("v").agg(sum("n_vw").as("n_v_dot"),
+      count(lit(1)).as("nplus_v"))
+    val bg = bigramPairs(docs).groupBy("u", "w")
+      .agg(count(lit(1)).as("c_uw"))
+    val perW = bg.groupBy("w").agg(count(lit(1)).as("nplus_w"))
+    val nTypes = bg.agg(count(lit(1)).as("n_types"))
+    val g3 = c3.agg(
+      sum((col("c_uvw") === 1).cast("long")).as("n1_3"),
+      sum((col("c_uvw") === 2).cast("long")).as("n2_3"))
+    val g2 = cont.agg(
+      sum((col("n_vw") === 1).cast("long")).as("n1_2"),
+      sum((col("n_vw") === 2).cast("long")).as("n2_2"))
+    def disc(n1: Column, n2: Column): Column =
+      when(n1 + lit(2L) * n2 === 0L, lit(0.0))
+        .otherwise(n1.cast("double") / (n1 + lit(2L) * n2).cast("double"))
+    val d3 = disc(col("n1_3"), col("n2_3"))
+    val d2 = disc(col("n1_2"), col("n2_2"))
+    val p1 = col("nplus_w").cast("double") / col("n_types").cast("double")
+    val p2 = greatest(col("n_vw").cast("double") - d2, lit(0.0)) /
+      col("n_v_dot").cast("double") +
+      d2 * col("nplus_v").cast("double") / col("n_v_dot").cast("double") * p1
+    val p3 = greatest(col("c_uvw").cast("double") - d3, lit(0.0)) /
+      col("c_uv").cast("double") +
+      d3 * col("nplus_uv").cast("double") / col("c_uv").cast("double") * p2
+    val model = c3.join(hist, Seq("u", "v")).join(cont, Seq("v", "w"))
+      .join(contV, "v").join(perW, "w")
+      .crossJoin(broadcast(nTypes))
+      .crossJoin(broadcast(g3)).crossJoin(broadcast(g2))
+      .select(col("u"), col("v"), col("w"), log2(p3).as("lp"))
+    occ.join(model, Seq("u", "v", "w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        (-avg(col("lp"))).as("_h"))
+      .select(col("doc_id"), col("n_trigrams"),
+        round(col("_h"), 6).as("cross_entropy_bits"),
+        round(pow(lit(2.0), col("_h")), 6).as("ppl"))
+      .orderBy("doc_id")
+  }
+
   /** Per-document cross-entropy under the corpus's own interpolated
     * Kneser-Ney bigram LM ([[knBigramLm]]) — the CCNet §3.2 quality
     * signal computed with a real smoothed LM instead of a proxy:
