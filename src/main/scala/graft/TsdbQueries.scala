@@ -20,6 +20,13 @@ object TsdbQueries {
     Vectors.samples(Tables.events(s, dir))
   private def inst(s: SparkSession, dir: String): DataFrame =
     Vectors.instant(samples(s, dir), "day")
+  /** Float-salted samples (Spark twin of the SALTED oracle relation):
+    * every 7th event's value + π fails int conversion at any
+    * multiplier ≤ 6, driving the tsz codec's float-XOR paths. */
+  private def saltedSamples(s: SparkSession, dir: String): DataFrame =
+    samples(s, dir).withColumn("value",
+      when(col("event_id") % 7 === 0, col("value") + math.Pi)
+        .otherwise(col("value")))
 
   /** Once-per-(session, sf dir) ZOrderStore table (same lifecycle as
     * [[storeTable]]). Kept lean: props stays out of the layout. */
@@ -61,6 +68,18 @@ object TsdbQueries {
       val t = "graft_tsz_" + java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
       graft.sources.TszStore.write(samples(s, dir), t)
+      t
+    })
+
+  /** Float-salted m3tsz block store — the same layout encoded from
+    * [[saltedSamples]], so blocks mix int-diff and float-XOR spans. */
+  private val tszFloatTables =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def tszFloatTable(s: SparkSession, dir: String): String =
+    tszFloatTables.getOrElseUpdate((s, dir), {
+      val t = "graft_tszf_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+      graft.sources.TszStore.write(saltedSamples(s, dir), t)
       t
     })
 
@@ -106,6 +125,18 @@ object TsdbQueries {
     """SELECT event_type AS name, user_id, ts, value, event_id,
       | CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS bucket_s
       | FROM events""".stripMargin.replace("\n", " ")
+  /** Float-salted sample frame: every 7th event's value gains +π and
+    * becomes non-convertible under any multiplier ≤ 6 — the corpus
+    * that drives the tsz float-XOR paths. Both engines add the same
+    * two doubles (pi() is the nearest IEEE double in DuckDB and
+    * scala.math.Pi in Spark — identical bits), so the salt is
+    * deterministic and cross-engine exact. */
+  private val SALTED =
+    s"""SELECT name, user_id, ts,
+       | CASE WHEN event_id % 7 = 0 THEN value + pi() ELSE value END
+       |  AS value, event_id, bucket_s
+       | FROM ($S) AS s0""".stripMargin.replace("\n", " ")
+
   /** day-instant vector: last sample per (series, day), event_id tiebreak. */
   private val INST =
     s"""SELECT name, user_id, bucket_s, value FROM (
@@ -129,28 +160,37 @@ object TsdbQueries {
     s"CAST(CASE WHEN ($x) = 0 THEN 0 ELSE length(bin($x)) END AS BIGINT)"
 
   /** Smallest m3tsz multiplier m in [curMax, 6] making v·10^m
-    * integral (1e-6 tolerance — mirror of Temporal.tszValueCost's
-    * multOf), else -1. */
+    * integral (1e-6 tolerance + the 1e13 maxOptInt cap + the
+    * nonzero-rounding guard — mirror of Temporal.tszValueCost's
+    * per-m conversion probe and Tsz.convertToIntFloat), else -1
+    * (= float-XOR mode). NaN/±Inf fail abs(scaled) < 1e13 on every
+    * branch and land at -1. */
   private def sqlMult(v: String, curMax: String): String =
     (0 to 6).map { m =>
       val scaled = s"(($v) * 1${"0" * m}.0)"
-      s"WHEN ($curMax) <= $m AND abs($scaled - round($scaled)) < 1e-6 THEN $m"
+      s"""WHEN ($curMax) <= $m AND abs($scaled) < 1e13
+         | AND abs($scaled - round($scaled)) < 1e-6
+         | AND (($v) = 0 OR round($scaled) != 0) THEN $m"""
+        .stripMargin.replace("\n", " ")
     }.mkString("CASE ", " ", " ELSE -1 END")
 
-  /** DuckDB replay of the m3tsz int-mode VALUE encoder: a recursive
-    * CTE steps the encoder state (started, maxmult, sig tracker,
-    * intval, bit count) through each (series, day-block)'s points in
+  /** DuckDB replay of the m3tsz VALUE encoder (int diffs + the
+    * float-XOR fallback): a recursive CTE steps the encoder state
+    * (mode flag, prev float value, maxmult, sig tracker, intval, bit
+    * count) through each (series, day-block)'s points in
     * (ts, event_id) order — the SQL twin of Temporal.tszValueCost's
-    * aggregate() fold, branch for branch. */
-  private lazy val tszValueCostOracle: String =
-    s"""WITH RECURSIVE $tszValueChainCtes
+    * aggregate() fold, branch for branch, including the worst-case
+    * (79-bit) modeling of non-repeat XOR writes. */
+  private def tszValueCostOracle(src: String): String =
+    s"""WITH RECURSIVE ${tszValueChainCtes(src)}
        |SELECT name, user_id, CAST(sum(idx) AS BIGINT) AS n_samples,
        | count(*) AS n_blocks, CAST(sum(nrep) AS BIGINT) AS n_repeat,
        | CAST(sum(nsigupd) AS BIGINT) AS n_sig_update,
        | CAST(sum(nmultupd) AS BIGINT) AS n_mult_update,
-       | CAST(max(maxmult) AS BIGINT) AS max_mult,
+       | CAST(max(mmseen) AS BIGINT) AS max_mult,
        | CAST(sum(bits) AS BIGINT) AS total_bits,
-       | CAST(sum(nbad) AS BIGINT) AS n_unconvertible,
+       | CAST(sum(nfloat) AS BIGINT) AS n_unconvertible,
+       | CAST(sum(ntrans) AS BIGINT) AS n_float_transition,
        | round(sum(bits)::DOUBLE / sum(idx), 6) AS bits_per_sample,
        | round(64.0 * sum(idx) / sum(bits), 6) AS vs_raw64
        |FROM last GROUP BY name, user_id ORDER BY name, user_id"""
@@ -158,8 +198,11 @@ object TsdbQueries {
 
   /** The recursive value-encoder chain up to `last` (one row per
     * block carrying the final encoder state) — shared by the cost
-    * card's oracle and store_tsz_stats'. */
-  private lazy val tszValueChainCtes: String = {
+    * card's oracles (plain + float-salted) and store_tsz_stats'.
+    * Float-repeat detection restates IEEE bit equality as value +
+    * reciprocal equality (NaN = NaN is true in DuckDB; 1/x splits
+    * ±0.0, which never reaches float mode anyway). */
+  private def tszValueChainCtes(src: String): String = {
     val firstBits =
       """1 + (CASE WHEN sig0 > 0 THEN 8 ELSE 1 END)
         | + (CASE WHEN m > 0 THEN 4 ELSE 1 END) + 1 + sig0""".stripMargin
@@ -169,63 +212,71 @@ object TsdbQueries {
        |  row_number() OVER (PARTITION BY name, user_id,
        |    CAST(floor(epoch(ts) / 86400) AS BIGINT)
        |   ORDER BY ts, event_id) AS idx
-       | FROM ($S) AS s WHERE value IS NOT NULL),
+       | FROM ($src) AS s WHERE value IS NOT NULL),
        |cnt AS (SELECT name, user_id, block, max(idx) AS n
        |  FROM pts GROUP BY 1, 2, 3),
        |rec AS (
        | SELECT name, user_id, block, idx,
-       |  CAST(CASE WHEN m = -1 THEN 0 ELSE 1 END AS BIGINT) AS started,
+       |  CAST(CASE WHEN m = -1 THEN 1 ELSE 0 END AS BIGINT) AS isfloat,
+       |  CAST(CASE WHEN m = -1 THEN value ELSE 0 END AS DOUBLE) AS prevv,
        |  CAST(CASE WHEN m = -1 THEN 0 ELSE m END AS BIGINT) AS maxmult,
+       |  CAST(CASE WHEN m = -1 THEN 0 ELSE m END AS BIGINT) AS mmseen,
        |  CAST(CASE WHEN m = -1 THEN 0 ELSE sig0 END AS BIGINT) AS numsig,
        |  CAST(0 AS BIGINT) AS curhi, CAST(0 AS BIGINT) AS nlower,
        |  CAST(CASE WHEN m = -1 THEN 0 ELSE val END AS BIGINT) AS intval,
-       |  CAST(CASE WHEN m = -1 THEN 0 ELSE $firstBits END AS BIGINT) AS bits,
+       |  CAST(CASE WHEN m = -1 THEN 65 ELSE $firstBits END AS BIGINT)
+       |   AS bits,
        |  CAST(0 AS BIGINT) AS nrep,
        |  CAST(CASE WHEN m = -1 THEN 0 WHEN sig0 > 0 THEN 1 ELSE 0 END
        |   AS BIGINT) AS nsigupd,
        |  CAST(CASE WHEN m = -1 THEN 0 WHEN m > 0 THEN 1 ELSE 0 END
        |   AS BIGINT) AS nmultupd,
-       |  CAST(CASE WHEN m = -1 THEN 1 ELSE 0 END AS BIGINT) AS nbad
+       |  CAST(CASE WHEN m = -1 THEN 1 ELSE 0 END AS BIGINT) AS nfloat,
+       |  CAST(CASE WHEN m = -1 THEN 1 ELSE 0 END AS BIGINT) AS ntrans
        | FROM (SELECT *, ${sqlBitLen("abs(val)")} AS sig0 FROM
-       |   (SELECT *, CAST(round(value * power(10.0, m)) AS BIGINT) AS val
+       |   (SELECT *, CASE WHEN m = -1 THEN 0 ELSE
+       |      CAST(round(value * power(10.0, m)) AS BIGINT) END AS val
        |    FROM (SELECT *, ${sqlMult("value", "0")} AS m
        |          FROM pts WHERE idx = 1) AS z1) AS z2) AS z3
        | UNION ALL
        | SELECT name, user_id, block, idx,
-       |  CAST(CASE WHEN m = -1 THEN started ELSE 1 END AS BIGINT),
-       |  CAST(CASE WHEN m = -1 THEN maxmult WHEN started = 0 THEN m
-       |   WHEN isrep THEN maxmult WHEN multup THEN m
-       |   ELSE maxmult END AS BIGINT),
-       |  CAST(CASE WHEN m = -1 THEN numsig WHEN started = 0 THEN sig0
-       |   WHEN isrep THEN numsig ELSE newsig END AS BIGINT),
-       |  CAST(CASE WHEN m = -1 OR started = 0 OR isrep THEN curhi
-       |   ELSE curhi2 END AS BIGINT),
-       |  CAST(CASE WHEN m = -1 OR isrep THEN nlower WHEN started = 0 THEN 0
-       |   ELSE nlower2 END AS BIGINT),
-       |  CAST(CASE WHEN m = -1 THEN intval WHEN started = 0 THEN val
-       |   WHEN isrep THEN intval ELSE val END AS BIGINT),
-       |  CAST(bits + CASE WHEN m = -1 THEN 0
-       |   WHEN started = 0 THEN $firstBits
+       |  CAST(CASE WHEN m = -1 THEN 1 ELSE 0 END AS BIGINT),
+       |  CAST(CASE WHEN m = -1 THEN v ELSE prevv END AS DOUBLE),
+       |  CAST(CASE WHEN m = -1 THEN
+       |    (CASE WHEN isfloat = 1 THEN maxmult ELSE 0 END)
+       |   WHEN isrep THEN maxmult
+       |   ELSE greatest(maxmult, m) END AS BIGINT),
+       |  CAST(CASE WHEN m = -1 OR isrep THEN mmseen
+       |   ELSE greatest(mmseen, m) END AS BIGINT),
+       |  CAST(CASE WHEN m = -1 OR isrep THEN numsig ELSE newsig END
+       |   AS BIGINT),
+       |  CAST(CASE WHEN m = -1 OR isrep THEN curhi ELSE curhi2 END
+       |   AS BIGINT),
+       |  CAST(CASE WHEN m = -1 OR isrep THEN nlower ELSE nlower2 END
+       |   AS BIGINT),
+       |  CAST(CASE WHEN m = -1 OR isrep THEN intval ELSE val END
+       |   AS BIGINT),
+       |  CAST(bits + CASE
+       |   WHEN m = -1 THEN (CASE WHEN frep THEN 2
+       |    WHEN isfloat = 0 THEN 67 ELSE 79 END)
        |   WHEN isrep THEN 2
        |   WHEN needupd THEN 3
        |    + (CASE WHEN sigchanged THEN
        |        (CASE WHEN newsig = 0 THEN 2 ELSE 8 END) ELSE 1 END)
-       |    + (CASE WHEN multup THEN 4 ELSE 1 END) + 1 + newsig
+       |    + (CASE WHEN multwrite THEN 4 ELSE 1 END) + 1 + newsig
        |   ELSE 2 + numsig END AS BIGINT),
-       |  CAST(nrep + CASE WHEN m != -1 AND started = 1 AND isrep
+       |  CAST(nrep + CASE WHEN (m = -1 AND frep)
+       |   OR (m != -1 AND isrep) THEN 1 ELSE 0 END AS BIGINT),
+       |  CAST(nsigupd + CASE WHEN m != -1 AND NOT isrep AND sigchanged
        |   THEN 1 ELSE 0 END AS BIGINT),
-       |  CAST(nsigupd + CASE WHEN m = -1 THEN 0
-       |   WHEN started = 0 THEN (CASE WHEN sig0 > 0 THEN 1 ELSE 0 END)
-       |   WHEN isrep THEN 0
-       |   WHEN needupd AND sigchanged THEN 1 ELSE 0 END AS BIGINT),
-       |  CAST(nmultupd + CASE WHEN m = -1 THEN 0
-       |   WHEN started = 0 THEN (CASE WHEN m > 0 THEN 1 ELSE 0 END)
-       |   WHEN isrep THEN 0
-       |   WHEN multup THEN 1 ELSE 0 END AS BIGINT),
-       |  CAST(nbad + CASE WHEN m = -1 THEN 1 ELSE 0 END AS BIGINT)
-       | FROM (SELECT *, (sigchanged OR multup) AS needupd FROM
+       |  CAST(nmultupd + CASE WHEN m != -1 AND NOT isrep AND multwrite
+       |   THEN 1 ELSE 0 END AS BIGINT),
+       |  CAST(nfloat + CASE WHEN m = -1 THEN 1 ELSE 0 END AS BIGINT),
+       |  CAST(ntrans + CASE WHEN m = -1 AND isfloat = 0 THEN 1 ELSE 0 END
+       |   AS BIGINT)
+       | FROM (SELECT *, (sigchanged OR multwrite) AS needupd FROM
        |  (SELECT *, (numsig != newsig) AS sigchanged,
-       |    (m > maxmult) AS multup FROM
+       |    (m > maxmult OR isfloat = 1) AS multwrite FROM
        |  (SELECT *,
        |    CASE WHEN growing THEN nsig WHEN collapse THEN curhi2
        |     ELSE numsig END AS newsig,
@@ -238,15 +289,18 @@ object TsdbQueries {
        |     ELSE 0 END AS nlower1 FROM
        |  (SELECT *, (nsig > numsig) AS growing,
        |    (NOT (nsig > numsig) AND numsig - nsig >= 3) AS dropping FROM
-       |  (SELECT *, ${sqlBitLen("adiff")} AS nsig,
-       |    ${sqlBitLen("abs(val)")} AS sig0 FROM
+       |  (SELECT *, ${sqlBitLen("adiff")} AS nsig FROM
        |  (SELECT *, abs(intval - val) AS adiff,
-       |    (intval - val = 0 AND m = maxmult) AS isrep FROM
-       |  (SELECT *, CAST(round(v * power(10.0, m)) AS BIGINT) AS val FROM
+       |    (isfloat = 0 AND intval - val = 0 AND m = maxmult) AS isrep,
+       |    (isfloat = 1 AND v = prevv AND (1.0 / v) = (1.0 / prevv))
+       |     AS frep FROM
+       |  (SELECT *, CASE WHEN m = -1 THEN 0 ELSE
+       |     CAST(round(v * power(10.0, m)) AS BIGINT) END AS val FROM
        |  (SELECT *, ${sqlMult("v", "maxmult")} AS m FROM
        |  (SELECT r.name, r.user_id, r.block, p.idx, p.value AS v,
-       |    r.started, r.maxmult, r.numsig, r.curhi, r.nlower, r.intval,
-       |    r.bits, r.nrep, r.nsigupd, r.nmultupd, r.nbad
+       |    r.isfloat, r.prevv, r.maxmult, r.mmseen, r.numsig, r.curhi,
+       |    r.nlower, r.intval, r.bits, r.nrep, r.nsigupd, r.nmultupd,
+       |    r.nfloat, r.ntrans
        |   FROM rec r JOIN pts p ON p.name = r.name
        |    AND p.user_id = r.user_id AND p.block = r.block
        |    AND p.idx = r.idx + 1) AS t0) AS t1) AS t2) AS t3) AS t4)
@@ -544,6 +598,11 @@ object TsdbQueries {
     // control-bit accounting per (series, day block)
     "ts_tsz_value_cost" -> ((s, dir) =>
       Temporal.tszValueCost(samples(s, dir)).orderBy("name", "user_id")),
+    // the same card over the float-salted corpus: int→float→int
+    // transitions, float repeats, worst-case XOR accounting
+    "ts_tsz_value_cost_float" -> ((s, dir) =>
+      Temporal.tszValueCost(saltedSamples(s, dir))
+        .orderBy("name", "user_id")),
     // m3tsz timestamp delta-of-delta cost card per series
     "ts_tsz_cost" -> ((s, dir) =>
       Temporal.tszCost(samples(s, dir)).orderBy("name", "user_id")),
@@ -952,6 +1011,19 @@ object TsdbQueries {
         .agg(count(lit(1)).as("n"),
           sum(cents).as("sum_c"), min(cents).as("min_c"),
           max(cents).as("max_c"))
+        .orderBy("name", "user_id", "bucket_s")
+    }),
+    // the float-salted store: decode must return the exact salted
+    // doubles through the XOR path (micro-units keep the census
+    // integer-exact on both engines)
+    "store_tsz_float" -> ((s, dir) => {
+      val micros = round(col("value") * 1e6, 0).cast("long")
+      graft.sources.TszStore.readDecoded(s, tszFloatTable(s, dir))
+        .withColumn("bucket_s", Vectors.bucketS("hour"))
+        .groupBy("name", "user_id", "bucket_s")
+        .agg(count(lit(1)).as("n"),
+          sum(micros).as("sum_u"), min(micros).as("min_u"),
+          max(micros).as("max_u"))
         .orderBy("name", "user_id", "bucket_s")
     }),
     // per-series at-rest size card read from the STORED tsz table's
@@ -1366,7 +1438,7 @@ object TsdbQueries {
     // chain via the shared recursive CTE, the timestamp half via two
     // lags per block under the Microsecond dod scheme (1/9/12/16/68)
     "store_tsz_stats" ->
-      s"""WITH RECURSIVE $tszValueChainCtes,
+      s"""WITH RECURSIVE ${tszValueChainCtes(S)},
          | us AS (SELECT name, user_id,
          |   CAST(floor(epoch(ts) / 86400) AS BIGINT) AS block,
          |   epoch_us(ts) AS us, ts, event_id FROM ($S) AS s
@@ -1411,7 +1483,20 @@ object TsdbQueries {
          | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_c,
          | min(CAST(round(value * 100) AS BIGINT)) AS min_c,
          | max(CAST(round(value * 100) AS BIGINT)) AS max_c
-         | FROM ($S) AS s GROUP BY 1, 2, 3
+         | FROM ($S) AS s WHERE value IS NOT NULL GROUP BY 1, 2, 3
+         | ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),
+    // the float-salted blocks decode to the exact salted doubles —
+    // micro-unit census over raw salted events (null filter matches
+    // blockFrame's input filter)
+    "store_tsz_float" ->
+      s"""SELECT name, user_id,
+         | CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT)
+         |  AS bucket_s,
+         | count(*) AS n,
+         | CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_u,
+         | min(CAST(round(value * 1e6) AS BIGINT)) AS min_u,
+         | max(CAST(round(value * 1e6) AS BIGINT)) AS max_u
+         | FROM ($SALTED) AS s WHERE value IS NOT NULL GROUP BY 1, 2, 3
          | ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),
     // the hourly purchase path frame summarized to 1d — identical to
     // the layout is invisible to semantics: the box fetch through
@@ -2146,7 +2231,11 @@ object TsdbQueries {
     // CTE carries the encoder state (maxmult, sig tracker, intval)
     // across each block's points, mirroring Temporal.tszValueCost's
     // aggregate() fold bit-for-bit
-    "ts_tsz_value_cost" -> tszValueCostOracle,
+    "ts_tsz_value_cost" -> tszValueCostOracle(S),
+    // the same recursive encoder replay over the float-salted
+    // samples: every 7th event carries +π and exercises the
+    // int→float→int transitions and the worst-case XOR accounting
+    "ts_tsz_value_cost_float" -> tszValueCostOracle(SALTED),
     // the m3tsz seconds-unit scheme replayed: 1/9/12/16/36-bit costs
     // by dod bucket, 64-bit first stamp, second dod against Δ₀=0
     "ts_tsz_cost" ->

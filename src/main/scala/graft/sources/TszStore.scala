@@ -9,18 +9,35 @@ import org.apache.spark.sql.functions._
   * defaultTimeEncodingSchemes[Microsecond]: the 7/9/12-bit dod
   * buckets behind 10/110/1110 opcodes with a 64-bit default behind
   * 1111 — micros keep the round trip exact where the seconds scheme
-  * would truncate), values through the int-optimized diff encoder
-  * (encoder.go:112-260, int_sig_bits_tracker.go) — the SAME state
-  * machine `Temporal.tszValueCost` costs, so the cost card is this
-  * codec's exact bit accounting (asserted in TszSpec).
+  * would truncate), values through the full int-optimized encoder
+  * state machine (encoder.go:112-260, int_sig_bits_tracker.go)
+  * INCLUDING the float-XOR fallback (encoder.go:119-177
+  * writeFloatVal / writeNextValue, float_encoder_iterator.go): a
+  * value that fails int conversion flips the block into Gorilla XOR
+  * mode (update+noRepeat+floatMode opcodes, full 64-bit first float,
+  * then zero/contained/uncontained XOR writes), and a later
+  * convertible value flips back through the int-update branch with
+  * the forced multiplier rewrite (encoder.go:236 writeIntSigMult's
+  * floatChanged arm). The int half is the SAME state machine
+  * `Temporal.tszValueCost` costs, so on int-convertible corpora the
+  * cost card is this codec's exact bit accounting (asserted in
+  * TszSpec); float-mode writes the card models as worst-case (it
+  * cannot see IEEE bit patterns from SQL).
   *
-  * Deviations, both documented at the call sites: (1) the first
-  * sample writes a full 64-bit stamp and the second's dod measures
-  * against Δ₀ = 0 — the cost model's block-header simplification,
-  * self-consistent between encode and decode; (2) values that fail
-  * int conversion throw instead of falling back to float-XOR mode
-  * (nothing in the corpus hits it at any SF; a silent float path
-  * would diverge from the cost card unnoticed).
+  * Deviations, documented here and asserted in TszSpec: (1) the
+  * first sample writes a full 64-bit stamp and the second's dod
+  * measures against Δ₀ = 0 — the cost model's block-header
+  * simplification, self-consistent between encode and decode;
+  * (2) int conversion uses the 1e-6 residual tolerance (the
+  * deterministic restatement of convertToIntFloat's Modf/Nextafter
+  * probes, m3tsz.go:78) plus the reference's 1e13 maxOptInt cap;
+  * (3) a nonzero value whose scaled rounding is 0 (subnormals) stays
+  * in float mode rather than lossily converting to 0 — the one spot
+  * where the reference accepts precision loss and this codec does
+  * not. The sign conventions are the reference's wire format:
+  * the first int value is stored as a diff from 0 with the inverted
+  * sign bit (encoder.go:131 negDiff), so decode is uniformly
+  * `intVal += (bit == opcodeNegative ? +mag : -mag)`.
   *
   * The codec is deliberately imperative Scala (bit twiddling has no
   * declarative form); it runs per (series, block) inside mapGroups,
@@ -66,19 +83,31 @@ object Tsz {
   }
 
   private val MaxMult = 6
+  private val MaxOptInt = 1e13 // m3tsz.go:68 maxOptInt
+  private val MaxInt = Long.MaxValue.toDouble
+  private val MinInt = Long.MinValue.toDouble
 
-  /** Smallest multiplier in [curMax, 6] making v·10^m integral —
-    * the 1e-6-tolerance mirror of Temporal.tszValueCost.m0 (rint vs
-    * HALF_UP is immaterial: the tolerance keeps scaled values ≫1e-6
-    * away from .5 boundaries). -1 = not int-convertible. */
-  private def multOf(v: Double, curMax: Int): Int = {
+  /** convertToIntFloat (m3tsz.go:78): smallest multiplier in
+    * [curMax, 6] making v·10^m integral under the 1e-6 residual
+    * tolerance (the deterministic mirror of the reference's
+    * Modf/Nextafter probes — the tolerance keeps scaled values ≫1e-6
+    * away from .5 boundaries on this data model) and under the 1e13
+    * maxOptInt cap. Returns (scaledVal, mult, isFloat); isFloat
+    * means "encode this value in XOR mode". NaN/±Inf fail every
+    * probe and land in float mode; a nonzero value rounding to 0
+    * (subnormal) is kept float rather than lossily zeroed (documented
+    * codec deviation #3). */
+  private def convertToIntFloat(v: Double, curMax: Int): (Double, Int, Boolean) = {
     var m = curMax
     while (m <= MaxMult) {
       val scaled = v * math.pow(10, m)
-      if (math.abs(scaled - math.rint(scaled)) < 1e-6) return m
+      if (math.abs(scaled) >= MaxOptInt) return (v, 0, true) // cap: larger m only grows
+      val r = math.rint(scaled)
+      if (math.abs(scaled - r) < 1e-6 && (v == 0.0 || r != 0.0))
+        return (r, m, false)
       m += 1
     }
-    -1
+    (v, 0, true)
   }
 
   private def numSig(x: Long): Int =
@@ -87,9 +116,16 @@ object Tsz {
   private def signExtend(v: Long, bits: Int): Long =
     (v << (64 - bits)) >> (64 - bits)
 
+  private def leadTrail(v: Long): (Int, Int) =
+    if (v == 0L) (64, 0) // encoding.go:35 LeadingAndTrailingZeros(0)
+    else (java.lang.Long.numberOfLeadingZeros(v),
+      java.lang.Long.numberOfTrailingZeros(v))
+
   /** Encode one block. `pts` = (tsMicros, value) in time order.
     * Returns (bytes, tsBits, valBits); tsBits + valBits = total
-    * stream bits. Throws on a non-int-convertible value. */
+    * stream bits. Values that fail int conversion encode through the
+    * float-XOR path (bit-exact round trip incl. NaN payloads, ±Inf,
+    * subnormals, −0.0 — raw IEEE bits throughout). */
   def encodeBlock(pts: Array[(Long, Double)]): (Array[Byte], Long, Long) = {
     val w = new BitWriter(math.max(64, pts.length * 4))
     var tsBits = 0L
@@ -100,7 +136,36 @@ object Tsz {
     var sigT = 0      // tracker NumSig
     var curHi = 0     // tracker CurHighestLowerSig
     var nLower = 0    // tracker NumLowerSig
-    var intVal = 0L
+    var intVal = 0.0  // current int val, scaled (float64 like the reference)
+    var isFloat = false
+    var prevFloatBits = 0L
+    var prevXOR = 0L
+
+    // float_encoder_iterator.go:70 writeFullFloat
+    def writeFullFloat(bits: Long): Unit = {
+      w.writeBits(bits, 64); prevFloatBits = bits; prevXOR = bits
+    }
+    // float_encoder_iterator.go:77-105 writeNextFloat + writeXOR
+    def writeNextFloat(bits: Long): Unit = {
+      val xor = prevFloatBits ^ bits
+      if (xor == 0L) w.writeBit(0) // opcodeZeroValueXOR
+      else {
+        val (pl, pt) = leadTrail(prevXOR)
+        val cl = java.lang.Long.numberOfLeadingZeros(xor)
+        val ct = java.lang.Long.numberOfTrailingZeros(xor)
+        if (cl >= pl && ct >= pt) {
+          w.writeBits(0x2, 2) // opcodeContainedValueXOR
+          w.writeBits(xor >>> pt, 64 - pl - pt)
+        } else {
+          w.writeBits(0x3, 2) // opcodeUncontainedValueXOR
+          w.writeBits(cl.toLong, 6)
+          val nm = 64 - cl - ct
+          w.writeBits((nm - 1).toLong, 6)
+          w.writeBits(xor >>> ct, nm)
+        }
+      }
+      prevXOR = xor; prevFloatBits = bits
+    }
 
     // WriteIntSig (int_sig_bits_tracker.go:49): update marker + the
     // new count when it changed, bare no-update bit otherwise
@@ -111,6 +176,28 @@ object Tsz {
         else { w.writeBit(1); w.writeBits((sig - 1).toLong, 6) }
       } else w.writeBit(0)
       sigT = sig
+    }
+
+    // writeIntSigMult (encoder.go:236): sig first, then the mult —
+    // written when it GREW, or rewritten unchanged when only the
+    // float mode flipped (the annotation-peek rule; with WriteIntSig
+    // having set NumSig=sig, a float→int step always lands in one of
+    // the two update arms, which is what lets the decoder keep no
+    // out-of-band mult state across float spans)
+    def writeIntSigMult(sig: Int, mult: Int, floatChanged: Boolean): Unit = {
+      writeIntSig(sig)
+      if (mult > maxMult) {
+        w.writeBit(1); w.writeBits(mult.toLong, 3); maxMult = mult
+      } else if (maxMult == mult && floatChanged) {
+        w.writeBit(1); w.writeBits(maxMult.toLong, 3)
+      } else w.writeBit(0)
+    }
+
+    // WriteIntValDiff (int_sig_bits_tracker.go:35): sign bit
+    // (opcodeNegative = "add at decode") then NumSig magnitude bits
+    def writeIntValDiff(mag: Long, neg: Boolean): Unit = {
+      w.writeBit(if (neg) 1L else 0L)
+      w.writeBits(mag, sigT)
     }
 
     // TrackNewSig (int_sig_bits_tracker.go:70): grow immediately,
@@ -152,41 +239,56 @@ object Tsz {
       prevTs = ts
       tsBits += w.bits - t0
 
-      // ---- value half (int-optimized diff encoder) ----
+      // ---- value half (int-optimized encoder with float fallback) ----
       val v0 = w.bits
-      val m = multOf(v, maxMult)
-      require(m >= 0, s"value $v not int-convertible at mult<=6 " +
-        "(float-XOR fallback deliberately unimplemented)")
-      val sv = math.rint(v * math.pow(10, m)).toLong
+      val (cv, m, isF) = convertToIntFloat(v, if (i == 0) 0 else maxMult)
       if (i == 0) {
-        w.writeBit(0) // opcodeIntMode
-        val sig = numSig(math.abs(sv))
-        writeIntSig(sig)
-        if (m > 0) { w.writeBit(1); w.writeBits(m.toLong, 3); maxMult = m }
-        else w.writeBit(0)
-        w.writeBit(if (sv < 0) 1L else 0L)
-        w.writeBits(math.abs(sv), sigT)
-        intVal = sv
-      } else {
-        val diff = intVal - sv
-        if (diff == 0L && m == maxMult) {
-          w.writeBit(0); w.writeBit(1) // opcodeUpdate + opcodeRepeat
+        // writeFirstValue (encoder.go:112)
+        if (isF) {
+          w.writeBit(1) // opcodeFloatMode
+          writeFullFloat(java.lang.Double.doubleToRawLongBits(v))
+          isFloat = true; maxMult = m
         } else {
-          val nsig = numSig(math.abs(diff))
-          val newSig = trackNewSig(nsig)
-          if (m > maxMult || sigT != newSig) {
-            w.writeBit(0); w.writeBit(0); w.writeBit(0) // upd, noRep, int
-            writeIntSig(newSig)
-            if (m > maxMult) { w.writeBit(1); w.writeBits(m.toLong, 3); maxMult = m }
-            else w.writeBit(0)
-            w.writeBit(if (diff < 0) 1L else 0L)
-            w.writeBits(math.abs(diff), sigT)
+          w.writeBit(0) // opcodeIntMode
+          intVal = cv
+          val mag = math.abs(cv).toLong
+          writeIntSigMult(numSig(mag), m, floatChanged = false)
+          writeIntValDiff(mag, neg = cv >= 0) // encoder.go:131 inverted first sign
+        }
+      } else {
+        val valDiff = if (isF) 0.0 else intVal - cv
+        if (isF || valDiff >= MaxInt || valDiff <= MinInt) {
+          // writeFloatVal (encoder.go:169); the overflow arm is
+          // unreachable under the 1e13 cap but kept for fidelity
+          val bits = java.lang.Double.doubleToRawLongBits(cv)
+          if (!isFloat) {
+            w.writeBit(0); w.writeBit(0); w.writeBit(1) // upd, noRep, float
+            writeFullFloat(bits); isFloat = true; maxMult = m
+          } else if (bits == prevFloatBits) {
+            w.writeBit(0); w.writeBit(1) // upd, repeat
           } else {
             w.writeBit(1) // opcodeNoUpdate
-            w.writeBit(if (diff < 0) 1L else 0L)
-            w.writeBits(math.abs(diff), sigT)
+            writeNextFloat(bits)
           }
-          intVal = sv
+        } else if (valDiff == 0.0 && !isFloat && m == maxMult) {
+          w.writeBit(0); w.writeBit(1) // opcodeUpdate + opcodeRepeat
+        } else {
+          // writeIntVal (encoder.go:199)
+          val neg = valDiff < 0
+          val diffMag = math.abs(valDiff).toLong
+          val nsig = numSig(diffMag)
+          val newSig = trackNewSig(nsig)
+          val floatChanged = isFloat
+          if (m > maxMult || sigT != newSig || floatChanged) {
+            w.writeBit(0); w.writeBit(0); w.writeBit(0) // upd, noRep, int
+            writeIntSigMult(newSig, m, floatChanged)
+            writeIntValDiff(diffMag, neg)
+            isFloat = false
+          } else {
+            w.writeBit(1) // opcodeNoUpdate
+            writeIntValDiff(diffMag, neg)
+          }
+          intVal = cv
         }
       }
       valBits += w.bits - v0
@@ -195,7 +297,12 @@ object Tsz {
     (w.toBytes, tsBits, valBits)
   }
 
-  /** Decode a block of `n` points — the exact mirror. */
+  /** Decode a block of `n` points — the exact mirror of
+    * [[encodeBlock]] (iterator.go:108-211 readFirstValue /
+    * readNextValue / readIntSigMult / readIntValDiff +
+    * float_encoder_iterator.go:107-170 readFullFloat /
+    * readNextFloat). Raw IEEE bits flow through float mode, so NaN
+    * payloads and −0.0 survive. */
   def decodeBlock(bytes: Array[Byte], n: Int): Array[(Long, Double)] = {
     val r = new BitReader(bytes)
     val out = new Array[(Long, Double)](n)
@@ -203,17 +310,43 @@ object Tsz {
     var prevDelta = 0L
     var mult = 0
     var sig = 0
-    var intVal = 0L
+    var intVal = 0.0
+    var isFloat = false
+    var prevFloatBits = 0L
+    var prevXOR = 0L
 
-    def readIntSig(): Unit =
-      if (r.readBit() == 1L) {
+    def readIntSigMult(): Unit = {
+      if (r.readBit() == 1L)
         sig = if (r.readBit() == 0L) 0 else (r.readBits(6) + 1).toInt
-      }
+      if (r.readBit() == 1L) mult = r.readBits(3).toInt
+    }
 
-    def readSignedDiff(): Long = {
-      val neg = r.readBit() == 1L
-      val mag = r.readBits(sig)
-      if (neg) -mag else mag
+    // sign convention per iterator.go:195 readIntValDiff:
+    // opcodeNegative means ADD (the first value starts from 0)
+    def readIntValDiff(): Unit = {
+      val add = r.readBit() == 1L
+      val mag = r.readBits(sig).toDouble
+      intVal += (if (add) mag else -mag)
+    }
+
+    def readFullFloat(): Unit = {
+      prevFloatBits = r.readBits(64); prevXOR = prevFloatBits
+    }
+
+    def readNextFloat(): Unit = {
+      if (r.readBit() == 0L) prevXOR = 0L // zero XOR: bits unchanged
+      else if (r.readBit() == 0L) { // contained
+        val (pl, pt) = leadTrail(prevXOR)
+        val nm = 64 - pl - pt
+        prevXOR = r.readBits(nm) << pt
+        prevFloatBits ^= prevXOR
+      } else { // uncontained
+        val cl = r.readBits(6).toInt
+        val nm = r.readBits(6).toInt + 1
+        val ct = 64 - cl - nm
+        prevXOR = r.readBits(nm) << ct
+        prevFloatBits ^= prevXOR
+      }
     }
 
     var i = 0
@@ -232,22 +365,23 @@ object Tsz {
       }
       // ---- value ----
       if (i == 0) {
-        require(r.readBit() == 0L, "float-mode block (unsupported)")
-        readIntSig()
-        if (r.readBit() == 1L) mult = r.readBits(3).toInt
-        intVal = readSignedDiff() // first value: sign + magnitude
+        if (r.readBit() == 1L) { readFullFloat(); isFloat = true }
+        else { readIntSigMult(); readIntValDiff() }
       } else {
-        val b0 = r.readBit()
-        if (b0 == 1L) intVal -= readSignedDiff() // noUpdate step
-        else if (r.readBit() == 1L) () // repeat: state unchanged
-        else {
-          require(r.readBit() == 0L, "float-mode transition (unsupported)")
-          readIntSig()
-          if (r.readBit() == 1L) mult = r.readBits(3).toInt
-          intVal -= readSignedDiff()
+        if (r.readBit() == 0L) { // opcodeUpdate
+          if (r.readBit() == 1L) () // repeat: state unchanged
+          else if (r.readBit() == 1L) { readFullFloat(); isFloat = true }
+          else { readIntSigMult(); readIntValDiff(); isFloat = false }
+        } else { // opcodeNoUpdate
+          if (isFloat) readNextFloat()
+          else readIntValDiff()
         }
       }
-      out(i) = (prevTs, intVal.toDouble / math.pow(10, mult))
+      val value =
+        if (isFloat) java.lang.Double.longBitsToDouble(prevFloatBits)
+        else if (mult == 0) intVal
+        else intVal / math.pow(10, mult)
+      out(i) = (prevTs, value)
       i += 1
     }
     out

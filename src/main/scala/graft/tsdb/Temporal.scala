@@ -568,168 +568,214 @@ object Temporal {
   private def bitLen(x: Column): Column =
     when(x === 0L, 0L).otherwise(length(bin(x)).cast("long"))
 
-  /** m3tsz VALUE-compression cost model — the int-optimized value
-    * encoder's exact control-bit stream accounting
+  /** m3tsz VALUE-compression cost model — the full value-encoder
+    * state machine's control-bit stream accounting
     * (src/dbnode/encoding/m3tsz/encoder.go:112-260,
     * int_sig_bits_tracker.go:35-97, m3tsz.go:78 convertToIntFloat),
     * the companion to [[tszCost]]'s timestamp half. m3tsz's
     * innovation over Gorilla XOR is detecting floats with fixed
     * decimal precision and diff-encoding them as scaled integers:
-    * per value, the smallest multiplier 10^m (m ∈ [curMax, 6], never
-    * shrinking) making v·10^m integral (tolerance 1e-6 restates the
-    * encoder's Nextafter modf checks — both engines compute the same
-    * doubles, so the test is deterministic); then per sample
-    *   repeat (diff=0, same mult)       → 2 bits
+    * per value, the smallest multiplier 10^m (m ∈ [curMax, 6])
+    * making v·10^m integral (tolerance 1e-6 restates the encoder's
+    * Nextafter modf checks — both engines compute the same doubles,
+    * so the test is deterministic — plus the reference's 1e13
+    * maxOptInt cap and the codec's nonzero-rounding guard, all
+    * REchecked at the effective multiplier, not assumed from a
+    * prefix max); then per sample
+    *   repeat (diff=0, int mode, same mult) → 2 bits
     *   sig/mult update                  → 3 + (1|2|8) + (1|4) + 1 + newSig
     *   no-update                        → 1 + 1 + NumSig
     * where NumSig tracks via the reference's hysteresis (grow
     * immediately; shrink only after 5 consecutive diffs ≥3 bits
     * below, to the highest of them — sigDiffThreshold=3,
     * sigRepeatThreshold=5). The first value of each block writes the
-    * int-mode opcode + sig + mult + sign + value bits. Encoding is
-    * per (series, UTC-day block) — m3 encodes per block, so state
-    * resets at block boundaries and blocks encode independently (the
-    * property that makes the at-rest format seekable). Values that
-    * fail int conversion (none in this corpus at any SF — ScaleUp
-    * preserves 2-decimal values) are counted in `n_unconvertible`
-    * and skipped rather than modeled as float-mode transitions.
+    * int-mode opcode + sig + mult + sign + value bits. Values that
+    * fail int conversion take the float-XOR path exactly as the
+    * codec does (encoder.go:169 writeFloatVal): first-of-block float
+    * = 1+64, int→float transition = 3+64 (and curMax resets to 0 —
+    * why the multiplier is fold STATE here, not a window prefix
+    * max), float repeat = 2 (bit-equality restated as value + 1/x
+    * equality so ±0.0 and NaN agree across engines), and any other
+    * float write is modeled at the XOR WORST CASE 1+2+6+6+64 = 79
+    * bits (float_encoder_iterator.go:85 uncontained with 64
+    * meaningful bits — IEEE bit patterns are not visible to SQL, so
+    * the card upper-bounds them; TszSpec pins card == codec when
+    * n_unconvertible = 0 and card ≥ codec otherwise). A later
+    * convertible value flips back through the update arm with the
+    * forced 4-bit mult rewrite (encoder.go:236). Encoding is per
+    * (series, UTC-day block) — m3 encodes per block, so state resets
+    * at block boundaries and blocks encode independently (the
+    * property that makes the at-rest format seekable).
     *
-    * Scale: one window stage (running-max mult + lag — all codegen'd
-    * column algebra: a mult upgrade never shrinks, so the chosen
-    * multiplier is a prefix max and the whole diff chain flattens to
-    * per-row expressions), one per-(series, block) hash aggregation
-    * into sorted arrays of 3-field step descriptors, and a SMALL
-    * `aggregate()` fold carrying only the sig-tracker hysteresis —
-    * the one truly sequential piece. aggregate() is CodegenFallback
-    * (interpreted per element), so the fold tree must stay tiny: the
-    * first cut folded the full encoder per element and ran 6.2 s at
-    * sf0.1; this split runs ~1 s. */
+    * Scale: one per-(series, block) hash aggregation into sorted
+    * arrays of (ts, event_id, v), and ONE `aggregate()` fold carrying
+    * the full encoder state (mode, mult, sig tracker, int val, prev
+    * float) — the truly sequential piece, constant expression size
+    * per element. aggregate() is CodegenFallback (interpreted per
+    * element), so the fold tree stays flat column algebra: ~1-2 s at
+    * sf0.1. */
   def tszValueCost(samples: DataFrame): DataFrame = {
     val block = floor(unix_timestamp(col("ts")).cast("double") / 86400.0)
       .cast("long")
-    // smallest multiplier making v·10^m integral, stateless: a
-    // passing m keeps passing at m+1 (×10 keeps an integer integral;
-    // the ulp residual grows ×10 but stays ≪ 1e-6), so the encoder's
-    // "smallest m ≥ curMax" equals max(prefix max of m0, m0)
-    def m0(v: Column): Column =
-      (0 to 6).foldRight(lit(-1L)) { case (m, rest) =>
-        val scaled = v * math.pow(10, m)
-        when(abs(scaled - round(scaled, 0)) < 1e-6, lit(m.toLong))
-          .otherwise(rest)
-      }
-    val rows0 = samples.where(col("value").isNotNull)
+    // everything that depends only on v precomputes in this
+    // codegen'd projection, keeping the interpreted fold tiny: bit m
+    // of `mask` = "v converts at multiplier m" (tolerance + 1e13 cap
+    // + nonzero guard, checked at each m independently), `vals[m+1]`
+    // = round(v·10^m) — the fold just picks the lowest set bit ≥ its
+    // maxMult state
+    val v = col("value")
+    val mask = (0 to 6).map { mi =>
+      val scaled = v * math.pow(10, mi)
+      when(abs(scaled) < 1e13 &&
+        abs(scaled - round(scaled, 0)) < 1e-6 &&
+        (v === 0.0 || round(scaled, 0) =!= 0.0),
+        lit(1L << mi)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val vals = array((0 to 6).map { mi =>
+      val scaled = v * math.pow(10, mi)
+      // bounded before the ANSI cast: a float-mode value (NaN/Inf/
+      // ≥1e13) must not throw in this eager projection — its slot is
+      // never read (the mask bit is clear)
+      when(abs(scaled) < 1e13, round(scaled, 0).cast("long"))
+        .otherwise(lit(0L))
+    }: _*)
+    val perBlock = samples.where(col("value").isNotNull)
       .withColumn("block", block)
-      .withColumn("m0", m0(col("value")))
-    // unconvertible values: the encoder skip leaves state untouched,
-    // so the diff chain runs over convertible rows only
-    val bad = rows0.where(col("m0") === -1L)
       .groupBy("name", "user_id", "block")
-      .agg(count(lit(1)).as("nbad"))
-    val w = Window.partitionBy("name", "user_id", "block")
-      .orderBy("ts", "event_id")
-    val good = rows0.where(col("m0") =!= -1L)
-      .withColumn("mult",
-        max("m0").over(w.rowsBetween(Window.unboundedPreceding, 0)))
-      .withColumn("val", round(col("value") *
-        pow(lit(10.0), col("mult").cast("double")), 0).cast("long"))
-      .withColumn("prevval", lag("val", 1).over(w))
-      .withColumn("prevmult", lag("mult", 1).over(w))
-    val first = col("prevval").isNull
-    val diff = col("prevval") - col("val")
-    // kind 0 = block's first write, 1 = repeat (2 bits), 2 = diff step
-    val kind = when(first, 0L)
-      .when(diff === 0 && col("mult") === col("prevmult"), 1L)
-      .otherwise(2L)
-    val sigv = when(first, bitLen(abs(col("val"))))
-      .when(kind === 1L, 0L).otherwise(bitLen(abs(diff)))
-    val multup = when(first, col("mult") > 0)
-      .otherwise(col("mult") > col("prevmult"))
-    val perBlock = good
-      .select(col("name"), col("user_id"), col("block"), col("ts"),
-        col("event_id"), col("mult"), kind.as("kind"), sigv.as("sigv"),
-        multup.as("multup"))
-      .groupBy("name", "user_id", "block")
-      .agg(count(lit(1)).as("n_good"),
-        max("mult").as("maxmult"),
+      .agg(count(lit(1)).as("n"),
         array_sort(collect_list(struct(col("ts"), col("event_id"),
-          col("kind"), col("sigv"), col("multup")))).as("pts"))
+          v.as("v"), mask.as("mask"), vals.as("vals")))).as("pts"))
 
     val zero = struct(
+      lit(0L).as("started"), lit(0L).as("isfloat"),
+      lit(0.0).as("prevv"), lit(0L).as("maxmult"), lit(0L).as("mmseen"),
       lit(0L).as("numsig"), lit(0L).as("curhi"), lit(0L).as("nlower"),
-      lit(0L).as("bits"), lit(0L).as("nrep"), lit(0L).as("nsigupd"),
-      lit(0L).as("nmultupd"))
-    // the sig-tracker fold (int_sig_bits_tracker.go TrackNewSig):
-    // growth is immediate; a run of ≥5 diffs ≥3 bits below collapses
-    // to the run's highest; NumLowerSig survives a growth step
-    // untouched (the reference quirk)
+      lit(0L).as("intval"), lit(0L).as("bits"), lit(0L).as("nrep"),
+      lit(0L).as("nsigupd"), lit(0L).as("nmultupd"),
+      lit(0L).as("nfloat"), lit(0L).as("ntrans"))
+
+    // one encoder step (encoder.go:144 writeNextValue, branch for
+    // branch); each CASE arm is constant-size column algebra
     def step(acc: Column, x: Column): Column = {
-      val k = x.getField("kind")
-      val sig = x.getField("sigv")
-      val mu = x.getField("multup")
+      val v = x.getField("v")
+      val st = (f: String) => acc.getField(f)
+      // convertToIntFloat at the CURRENT maxMult state: the lowest
+      // mask bit ≥ maxmult (bit trick: avail & -avail isolates it;
+      // its bit length - 1 is the offset), avail = 0 → float mode.
+      // Division stands in for a variable shift (shiftright takes
+      // only literal counts); exact for these 7-bit masks
+      val avail = (x.getField("mask").cast("double") /
+        pow(lit(2.0), st("maxmult").cast("double"))).cast("long")
+      val isF = avail === 0L
+      val m = st("maxmult") + bitLen(avail.bitwiseAND(-avail)) - 1L
+      val vl = element_at(x.getField("vals"),
+        greatest(m + 1L, lit(1L)).cast("int"))
+      val keep = (f: String) => st(f).as(f)
+
+      // ---- float-mode arms ----
+      // repeat: value bit-equality restated engine-portably (1/x
+      // distinguishes ±0.0; NaN = NaN is true in Spark and DuckDB)
+      val fRepeat = st("isfloat") === 1L && v === st("prevv") &&
+        (lit(1.0) / v) === (lit(1.0) / st("prevv"))
+      val floatSt = struct(
+        lit(1L).as("started"), lit(1L).as("isfloat"),
+        when(fRepeat, st("prevv")).otherwise(v).as("prevv"),
+        when(st("isfloat") === 1L, st("maxmult")).otherwise(0L)
+          .as("maxmult"),
+        keep("mmseen"), keep("numsig"), keep("curhi"), keep("nlower"),
+        keep("intval"),
+        (st("bits") + when(st("started") === 0L, 65L) // 1 + full float
+          .when(fRepeat, 2L)                          // upd + repeat
+          .when(st("isfloat") === 0L, 67L)            // 3 + full float
+          .otherwise(79L)).as("bits"),                // worst-case XOR
+        (st("nrep") + when(fRepeat, 1L).otherwise(0L)).as("nrep"),
+        keep("nsigupd"), keep("nmultupd"),
+        (st("nfloat") + 1L).as("nfloat"), // every float-mode value
+        (st("ntrans") + when(st("started") === 0L || st("isfloat") === 0L,
+          1L).otherwise(0L)).as("ntrans"))
+
+      // ---- int-mode arms ----
+      val sig0 = bitLen(abs(vl))
       val firstSt = struct(
-        sig.as("numsig"), lit(0L).as("curhi"), lit(0L).as("nlower"),
-        (acc.getField("bits") + lit(1L) +
-          when(sig > 0, 8L).otherwise(1L) +
-          when(mu, 4L).otherwise(1L) + 1L + sig).as("bits"),
-        acc.getField("nrep").as("nrep"),
-        (acc.getField("nsigupd") + when(sig > 0, 1L).otherwise(0L))
-          .as("nsigupd"),
-        (acc.getField("nmultupd") + when(mu, 1L).otherwise(0L))
-          .as("nmultupd"))
+        lit(1L).as("started"), lit(0L).as("isfloat"),
+        lit(0.0).as("prevv"), m.as("maxmult"), m.as("mmseen"),
+        sig0.as("numsig"), lit(0L).as("curhi"), lit(0L).as("nlower"),
+        vl.as("intval"),
+        (st("bits") + lit(1L) + when(sig0 > 0, 8L).otherwise(1L) +
+          when(m > 0, 4L).otherwise(1L) + 1L + sig0).as("bits"),
+        keep("nrep"),
+        (st("nsigupd") + when(sig0 > 0, 1L).otherwise(0L)).as("nsigupd"),
+        (st("nmultupd") + when(m > 0, 1L).otherwise(0L)).as("nmultupd"),
+        keep("nfloat"), keep("ntrans"))
+      val isRep = st("isfloat") === 0L && st("intval") === vl &&
+        m === st("maxmult")
       val repSt = struct(
-        acc.getField("numsig").as("numsig"),
-        acc.getField("curhi").as("curhi"),
-        acc.getField("nlower").as("nlower"),
-        (acc.getField("bits") + 2L).as("bits"),
-        (acc.getField("nrep") + 1L).as("nrep"),
-        acc.getField("nsigupd").as("nsigupd"),
-        acc.getField("nmultupd").as("nmultupd"))
-      val growing = sig > acc.getField("numsig")
-      val dropping = !growing && (acc.getField("numsig") - sig >= 3L)
+        lit(1L).as("started"), keep("isfloat"), keep("prevv"),
+        keep("maxmult"), keep("mmseen"), keep("numsig"), keep("curhi"),
+        keep("nlower"), keep("intval"),
+        (st("bits") + 2L).as("bits"),
+        (st("nrep") + 1L).as("nrep"),
+        keep("nsigupd"), keep("nmultupd"), keep("nfloat"), keep("ntrans"))
+      // the sig-tracker step (int_sig_bits_tracker.go TrackNewSig):
+      // growth is immediate; a run of ≥5 diffs ≥3 bits below
+      // collapses to the run's highest; NumLowerSig survives a
+      // growth step untouched (the reference quirk)
+      val nsig = bitLen(abs(st("intval") - vl))
+      val growing = nsig > st("numsig")
+      val dropping = !growing && (st("numsig") - nsig >= 3L)
       val curhi2 = when(dropping,
-        when(acc.getField("nlower") === 0, sig)
-          .otherwise(greatest(acc.getField("curhi"), sig)))
-        .otherwise(acc.getField("curhi"))
-      val nlower1 = when(growing, acc.getField("nlower"))
-        .when(dropping, acc.getField("nlower") + 1L).otherwise(lit(0L))
+        when(st("nlower") === 0, nsig)
+          .otherwise(greatest(st("curhi"), nsig)))
+        .otherwise(st("curhi"))
+      val nlower1 = when(growing, st("nlower"))
+        .when(dropping, st("nlower") + 1L).otherwise(lit(0L))
       val collapse = dropping && nlower1 >= 5L
-      val newSig = when(growing, sig)
-        .when(collapse, curhi2).otherwise(acc.getField("numsig"))
+      val newSig = when(growing, nsig)
+        .when(collapse, curhi2).otherwise(st("numsig"))
       val nlower2 = when(collapse, 0L).otherwise(nlower1)
-      val sigChanged = acc.getField("numsig") =!= newSig
-      val stepBits = when(mu || sigChanged,
+      val sigChanged = st("numsig") =!= newSig
+      val floatChanged = st("isfloat") === 1L
+      val multUp = m > st("maxmult")
+      // float→int always rewrites the mult (encoder.go:236's forced
+      // arm fires whenever mult didn't grow, since WriteIntSig has
+      // already set NumSig = sig)
+      val multWrite = multUp || floatChanged
+      val stepBits = when(multWrite || sigChanged,
         lit(3L) + when(sigChanged, when(newSig === 0, 2L).otherwise(8L))
-          .otherwise(1L) + when(mu, 4L).otherwise(1L) + 1L + newSig)
-        .otherwise(lit(2L) + acc.getField("numsig"))
+          .otherwise(1L) + when(multWrite, 4L).otherwise(1L) +
+          1L + newSig)
+        .otherwise(lit(2L) + st("numsig"))
       val stepSt = struct(
+        lit(1L).as("started"), lit(0L).as("isfloat"), keep("prevv"),
+        greatest(st("maxmult"), m).as("maxmult"),
+        greatest(st("mmseen"), m).as("mmseen"),
         newSig.as("numsig"), curhi2.as("curhi"), nlower2.as("nlower"),
-        (acc.getField("bits") + stepBits).as("bits"),
-        acc.getField("nrep").as("nrep"),
-        (acc.getField("nsigupd") + when(sigChanged, 1L).otherwise(0L))
-          .as("nsigupd"),
-        (acc.getField("nmultupd") + when(mu, 1L).otherwise(0L))
-          .as("nmultupd"))
-      when(k === 0L, firstSt).when(k === 1L, repSt).otherwise(stepSt)
+        vl.as("intval"),
+        (st("bits") + stepBits).as("bits"),
+        keep("nrep"),
+        (st("nsigupd") + when(sigChanged, 1L).otherwise(0L)).as("nsigupd"),
+        (st("nmultupd") + when(multWrite, 1L).otherwise(0L))
+          .as("nmultupd"),
+        keep("nfloat"), keep("ntrans"))
+      when(isF, floatSt)
+        .when(st("started") === 0L, firstSt)
+        .when(isRep, repSt)
+        .otherwise(stepSt)
     }
 
-    val folded = perBlock
+    perBlock
       .withColumn("st", aggregate(col("pts"), zero, step))
-      .select(col("name"), col("user_id"), col("block"),
-        col("n_good"), col("maxmult"),
-        col("st.bits").as("bits"), col("st.nrep").as("nrep"),
-        col("st.nsigupd").as("nsigupd"), col("st.nmultupd").as("nmultupd"))
-    folded.join(bad, Seq("name", "user_id", "block"), "full_outer")
       .groupBy("name", "user_id")
       .agg(
-        sum(coalesce(col("n_good"), lit(0L)) +
-          coalesce(col("nbad"), lit(0L))).as("n_samples"),
+        sum("n").as("n_samples"),
         count(lit(1)).as("n_blocks"),
-        sum(coalesce(col("nrep"), lit(0L))).as("n_repeat"),
-        sum(coalesce(col("nsigupd"), lit(0L))).as("n_sig_update"),
-        sum(coalesce(col("nmultupd"), lit(0L))).as("n_mult_update"),
-        max(coalesce(col("maxmult"), lit(0L))).as("max_mult"),
-        sum(coalesce(col("bits"), lit(0L))).as("total_bits"),
-        sum(coalesce(col("nbad"), lit(0L))).as("n_unconvertible"))
+        sum(col("st.nrep")).as("n_repeat"),
+        sum(col("st.nsigupd")).as("n_sig_update"),
+        sum(col("st.nmultupd")).as("n_mult_update"),
+        max(col("st.mmseen")).as("max_mult"),
+        sum(col("st.bits")).as("total_bits"),
+        sum(col("st.nfloat")).as("n_unconvertible"),
+        sum(col("st.ntrans")).as("n_float_transition"))
       .withColumn("bits_per_sample",
         round(col("total_bits").cast("double") / col("n_samples"), 6))
       .withColumn("vs_raw64",

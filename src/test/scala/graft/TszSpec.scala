@@ -35,6 +35,45 @@ class TszSpec extends SparkSpec {
     assert(tsBits + valBits < pts.length * 128L)
   }
 
+  test("float-XOR fallback round-trips adversarial values bit-exactly") {
+    // int→float→int mode flips mid-block, XOR repeats, ±Inf, a
+    // NaN payload, a subnormal, the 1e13 maxOptInt cap boundary, a
+    // 7-decimal value no multiplier ≤ 6 can convert
+    val nanPayload = java.lang.Double.longBitsToDouble(0x7ff800000000beefL)
+    val pts = Array[(Long, Double)](
+      (1700000000000000L, 5.0),             // int mode start
+      (1700000000000700L, 5.25),            // mult upgrade inside int mode
+      (1700000000001400L, math.Pi),         // int → float transition
+      (1700000000002100L, math.Pi),         // float repeat (bit-equal)
+      (1700000000002800L, math.E),          // XOR uncontained write
+      (1700000000003500L, math.E + 1e-9),   // XOR after XOR
+      (1700000000004200L, Double.PositiveInfinity),
+      (1700000000004900L, Double.NegativeInfinity),
+      (1700000000005600L, nanPayload),      // NaN carries its payload
+      (1700000000006300L, nanPayload),      // NaN repeat (same raw bits)
+      (1700000000007000L, Double.MinPositiveValue), // subnormal stays float
+      (1700000000007700L, 42.5),            // float → int (forced mult rewrite)
+      (1700000000008400L, 42.5),            // int repeat after the flip
+      (1700000000009100L, 1.0e13),          // ≥ maxOptInt cap → float again
+      (1700000000009800L, 9999999999999.0), // < cap → int, 44-bit sig
+      (1700000000010500L, 0.1234567))       // 7 decimals → float
+    val (bytes, tsBits, valBits) = Tsz.encodeBlock(pts)
+    assert(bytes.length.toLong * 8 >= tsBits + valBits)
+    val back = Tsz.decodeBlock(bytes, pts.length)
+    val raw = (d: Double) => java.lang.Double.doubleToRawLongBits(d)
+    pts.indices.foreach { i =>
+      assert(back(i)._1 == pts(i)._1, s"ts mismatch at $i")
+      assert(raw(back(i)._2) == raw(pts(i)._2),
+        s"bits mismatch at $i: ${pts(i)._2} -> ${back(i)._2}")
+    }
+    // −0.0 converts to int 0 and decodes +0.0 — the reference does the
+    // same (convertToIntFloat's Modf quick path returns (−0.0, int)
+    // and uint64(int64(−0.0)) drops the sign); value-equal, not
+    // bit-equal, is the contract there
+    val z = Tsz.decodeBlock(Tsz.encodeBlock(Array((1L, -0.0)))._1, 1)
+    assert(z(0)._2 == 0.0)
+  }
+
   test("value-half bits equal the tszValueCost card per series") {
     val s = spark
     import s.implicits._
@@ -49,6 +88,42 @@ class TszSpec extends SparkSpec {
     assert(enc.keySet == cards.keySet)
     val bad = enc.collect { case (k, v) if cards(k) != v => (k, v, cards(k)) }
     assert(bad.isEmpty, s"bits mismatch on ${bad.take(3).mkString(", ")}")
+  }
+
+  test("float-salted corpus: card upper-bounds codec bits, store round-trips") {
+    val s = spark
+    import s.implicits._
+    // every 7th event becomes non-convertible (value + π has no
+    // finite decimal multiplier ≤ 6) — int→float→int flips inside
+    // real blocks
+    val salted = tsdb.Vectors.samples(Tables.events(spark, sf))
+      .withColumn("value",
+        when(col("event_id") % 7 === 0, col("value") + math.Pi)
+          .otherwise(col("value")))
+    val cards = Temporal.tszValueCost(salted)
+      .select("name", "user_id", "total_bits", "n_unconvertible")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(cards.values.map(_._2).sum > 0, "salt must hit float mode")
+    val enc = TszStore.blockFrame(salted)
+      .groupBy("name", "user_id").agg(sum("val_bits").as("vb"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(enc.keySet == cards.keySet)
+    // worst-case XOR modeling: card ≥ actual everywhere, exact would
+    // need IEEE bit patterns SQL cannot see (documented at the card)
+    val under = enc.collect { case (k, v) if cards(k)._1 < v => k }
+    assert(under.isEmpty, s"card under actual bits on $under")
+    // the decoded store census equals the salted raw census exactly
+    // (micro-units: both sides the same doubles)
+    val micros = round(col("value") * 1e6, 0).cast("long")
+    def census(df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)), sum(micros), min(micros), max(micros))
+        .collect()(0).toSeq
+    TszStore.write(salted, "graft_tsz_float_spec")
+    val back = TszStore.readDecoded(spark, "graft_tsz_float_spec")
+    assert(census(back) == census(salted))
   }
 
   test("streamed ingest + compaction equal the batch path exactly") {
