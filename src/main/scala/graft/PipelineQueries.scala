@@ -796,13 +796,20 @@ object PipelineQueries {
     """(CASE WHEN g2.n1_2 + 2 * g2.n2_2 = 0 THEN 0.0
       | ELSE g2.n1_2::DOUBLE / (g2.n1_2 + 2 * g2.n2_2)::DOUBLE
       | END)""".stripMargin.replace("\n", " ")
+  private lazy val kn3P1: String =
+    "(pw.nplus_w::DOUBLE / nt.n_types::DOUBLE)"
   private lazy val kn3P2: String =
     s"""(greatest(ct.n_vw::DOUBLE - $kn3Dd2, 0.0) / cv.n_v_dot::DOUBLE
        | + $kn3Dd2 * cv.nplus_v::DOUBLE / cv.n_v_dot::DOUBLE
-       |   * (pw.nplus_w::DOUBLE / nt.n_types::DOUBLE))""".stripMargin.replace("\n", " ")
+       |   * $kn3P1)""".stripMargin.replace("\n", " ")
+  /** λ₃ with the SRILM pruned-mass rule: the discount share of the
+    * RETAINED types plus the whole pruned singleton mass. */
+  private lazy val kn3Lam3: String =
+    s"""(($kn3Dd3 * h.nplus_uv::DOUBLE + h.c_pruned::DOUBLE)
+       | / h.c_uv::DOUBLE)""".stripMargin.replace("\n", " ")
   private def kn3P3(t: String): String =
     s"""(greatest($t.c_uvw::DOUBLE - $kn3Dd3, 0.0) / h.c_uv::DOUBLE
-       | + $kn3Dd3 * h.nplus_uv::DOUBLE / h.c_uv::DOUBLE * $kn3P2)""".stripMargin.replace("\n", " ")
+       | + $kn3Lam3 * $kn3P2)""".stripMargin.replace("\n", " ")
   private lazy val kn3Ctes: String =
     s"""arr AS (SELECT doc_id,
        |  string_split_regex(lower(text), '\\s+') AS a FROM documents),
@@ -811,8 +818,13 @@ object PipelineQueries {
        |  FROM arr WHERE len(a) >= 3),
        | c3 AS (SELECT u, v, w, count(*) AS c_uvw FROM tg GROUP BY 1, 2, 3),
        | hist AS (SELECT u, v, CAST(sum(c_uvw) AS BIGINT) AS c_uv,
-       |   count(*) AS nplus_uv FROM c3 GROUP BY 1, 2),
-       | cont AS (SELECT v, w, count(*) AS n_vw FROM c3 GROUP BY 1, 2),
+       |   CAST(sum(CASE WHEN c_uvw >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS nplus_uv,
+       |   CAST(sum(CASE WHEN c_uvw < 2 THEN c_uvw ELSE 0 END) AS BIGINT)
+       |    AS c_pruned
+       |  FROM c3 GROUP BY 1, 2),
+       | c3p AS (SELECT * FROM c3 WHERE c_uvw >= 2),
+       | cont AS (SELECT v, w, count(*) AS n_vw FROM c3p GROUP BY 1, 2),
        | cv0 AS (SELECT v, CAST(sum(n_vw) AS BIGINT) AS n_v_dot,
        |   count(*) AS nplus_v FROM cont GROUP BY 1),
        | bg AS (SELECT u, w, count(*) AS c_uw FROM (
@@ -2626,29 +2638,44 @@ object PipelineQueries {
          | WHERE cos > 0.40 ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
     // per-doc perplexity under the trigram KN: the same type-level
     // model tables, one (u,v,w → log2 p) model frame, occurrence join
+    // scoring with the PRUNED model: a trigram absent from c3p
+    // backs off to λ₃·p₂, p₂ itself degrading λ₂·p₁ → p₁ when the
+    // continuation layer lost (v,w) / v — the left-join chain mirrors
+    // Corpus.knTrigramPerplexity branch for branch
     "corpus_kn3_ppl" -> {
-      s"""WITH $kn3Ctes,
-         | model AS (SELECT c3.u, c3.v, c3.w, log2(${kn3P3("c3")}) AS lp
-         |  FROM c3 JOIN hist h ON h.u = c3.u AND h.v = c3.v
-         |  JOIN cont ct ON ct.v = c3.v AND ct.w = c3.w
-         |  JOIN cv0 cv ON cv.v = c3.v JOIN pw ON pw.w = c3.w
-         |  CROSS JOIN nt CROSS JOIN g3 CROSS JOIN g2)
+      val p2chain =
+        s"""(CASE WHEN ct.n_vw IS NOT NULL THEN $kn3P2
+           | WHEN cv.n_v_dot IS NOT NULL THEN
+           |  $kn3Dd2 * cv.nplus_v::DOUBLE / cv.n_v_dot::DOUBLE * $kn3P1
+           | ELSE $kn3P1 END)""".stripMargin.replace("\n", " ")
+      val p3 =
+        s"""(CASE WHEN t.c_uvw IS NOT NULL THEN
+           |  greatest(t.c_uvw::DOUBLE - $kn3Dd3, 0.0) / h.c_uv::DOUBLE
+           |   + $kn3Lam3 * $p2chain
+           | ELSE $kn3Lam3 * $p2chain END)""".stripMargin.replace("\n", " ")
+      s"""WITH $kn3Ctes
          | SELECT tg.doc_id, count(*) AS n_trigrams,
-         |  round(-avg(m.lp), 6) AS cross_entropy_bits,
-         |  round(power(2.0, -avg(m.lp)), 6) AS ppl
-         | FROM tg JOIN model m ON m.u = tg.u AND m.v = tg.v
-         |  AND m.w = tg.w
+         |  round(-avg(log2($p3)), 6) AS cross_entropy_bits,
+         |  round(power(2.0, -avg(log2($p3))), 6) AS ppl
+         | FROM tg JOIN hist h ON h.u = tg.u AND h.v = tg.v
+         |  LEFT JOIN c3p t ON t.u = tg.u AND t.v = tg.v AND t.w = tg.w
+         |  LEFT JOIN cont ct ON ct.v = tg.v AND ct.w = tg.w
+         |  LEFT JOIN cv0 cv ON cv.v = tg.v
+         |  JOIN pw ON pw.w = tg.w
+         |  CROSS JOIN nt CROSS JOIN g3 CROSS JOIN g2
          | GROUP BY tg.doc_id ORDER BY tg.doc_id"""
         .stripMargin.replace("\n", " ")
     },
-    // trigram KN: raw counts at the top order, continuation counts
-    // below (Chen & Goodman eq. 18), per-order discounts
+    // trigram KN with singleton pruning: raw counts at the top order,
+    // continuation counts below (Chen & Goodman eq. 18), per-order
+    // discounts, pruned mass in λ₃ — top-100 RETAINED trigrams
     "corpus_kn3_lm" ->
       s"""WITH $kn3Ctes,
-         | top AS (SELECT * FROM c3
+         | top AS (SELECT * FROM c3p
          |   ORDER BY c_uvw DESC, u ASC, v ASC, w ASC LIMIT 100)
          | SELECT t.u, t.v, t.w, t.c_uvw, h.c_uv, ct.n_vw, cv.n_v_dot,
          |  round($kn3Dd3, 6) AS d3, round($kn3Dd2, 6) AS d2,
+         |  round($kn3Lam3, 9) AS lam3,
          |  round($kn3P2, 9) AS p2_backoff,
          |  round(${kn3P3("t")}, 9) AS p_kn3
          | FROM top t JOIN hist h ON h.u = t.u AND h.v = t.v

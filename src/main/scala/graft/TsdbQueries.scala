@@ -137,6 +137,23 @@ object TsdbQueries {
        |  AS value, event_id, bucket_s
        | FROM ($S) AS s0""".stripMargin.replace("\n", " ")
 
+  /** The shard → dump-file-position permutation for the
+    * ts_interpolate coordinate dump: Spark's HashPartitioning sends
+    * shard k to partition pmod(Murmur3Hash(k, seed=42), 32), Verify's
+    * coalesce(1) concatenates partitions in index order, and the
+    * oracle replays that file order with this embedded CASE (the
+    * permutation is a 32-entry constant of Spark's published hash,
+    * pinned by a PlanSpec test against spark_partition_id). */
+  private lazy val interpFileOrder: String = {
+    val perm = (0 until 32).map { k =>
+      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32
+        .hashLong(k.toLong, 42)
+      ((h % 32) + 32) % 32
+    }
+    (0 until 32).map(k => s"WHEN $k THEN ${perm(k)}")
+      .mkString("CASE shard ", " ", " END")
+  }
+
   /** day-instant vector: last sample per (series, day), event_id tiebreak. */
   private val INST =
     s"""SELECT name, user_id, bucket_s, value FROM (
@@ -632,10 +649,19 @@ object TsdbQueries {
     // rollup information-loss audit per name × coarse resolution
     "ds_rollup_loss" -> ((s, dir) =>
       Temporal.rollupLossFrame(samples(s, dir)).orderBy("name", "res_s")),
-    // bounded linear gap interpolation over the calendar spine
+    // bounded linear gap interpolation over the calendar spine —
+    // emitted in (shard, shard-local order) coordinates, NOT a
+    // global sort: the dense spine IS corpus-sized output, and a
+    // total order over it was this suite's one 100×-hostile output
+    // step (r8 verdict, 7.3× at 10×). Shard = portable md5 of the
+    // series key; hash-repartition + per-partition sort replaces the
+    // sample+range+sort of orderBy, and total order is left to the
+    // reader (the corpus_shuffle discipline). The dump concatenates
+    // the hash-partition files in partition-index order, which the
+    // oracle replays via the embedded murmur permutation
+    // (interpFileOrder).
     "ts_interpolate" -> ((s, dir) =>
-      Temporal.interpolateFrame(samples(s, dir))
-        .orderBy("name", "user_id", "bucket_s")),
+      Temporal.interpolateFrame(samples(s, dir), shards = Some(32))),
     // Theil-Sen robust trend slope/intercept per series (day buckets)
     "ts_theil_sen" -> ((s, dir) =>
       Temporal.theilSenFrame(samples(s, dir)).orderBy("name", "user_id")),
@@ -965,6 +991,15 @@ object TsdbQueries {
         "fetch name:click | sqrt | ceil | neg | min name")
         .select(col("name"), col("bucket_s"), round(col("value"), 6).as("value"))
         .orderBy("name", "bucket_s")),
+    // nested sub-pipeline argument (grammar.peg:40 Nesting): each
+    // series as a percentage of the fleet-wide per-name sum — the
+    // divide-by-aggregate composition a flat pipe chain cannot say
+    "m3ql_nested" -> ((s, dir) =>
+      graft.m3ql.M3QL.query(samples(s, dir),
+        "fetch name:* | asPercent (fetch name:* | sum name)")
+        .select(col("name"), col("user_id"), col("bucket_s"),
+          round(col("value"), 6).as("value"))
+        .orderBy("name", "user_id", "bucket_s")),
 
     // ---- §2E tags -----------------------------------------------------
     "ts_label_join" -> ((s, dir) =>
@@ -1942,8 +1977,10 @@ object TsdbQueries {
          | SELECT name, user_id, bucket_s,
          |  floor(v * 1000000) / 1000000 AS v,
          |  floor(vf * 1000000) / 1000000 AS v_filled,
-         |  CAST(v IS NULL AND vf IS NOT NULL AS INT) AS filled
-         | FROM f ORDER BY name, user_id, bucket_s"""
+         |  CAST(v IS NULL AND vf IS NOT NULL AS INT) AS filled,
+         |  CAST('0x' || substr(md5(name || '|' || CAST(user_id AS VARCHAR)),
+         |   1, 8) AS BIGINT) % 32 AS shard
+         | FROM f ORDER BY $interpFileOrder, shard, name, user_id, bucket_s"""
         .stripMargin.replace("\n", " "),
     "ds_rollup_loss" ->
       s"""WITH c AS (SELECT name, user_id,
@@ -2662,6 +2699,20 @@ object TsdbQueries {
          | round(min(-ceil(sqrt(CASE WHEN value >= 0 THEN value END))), 6) AS value
          | FROM ($INST) AS i WHERE name = 'click'
          | GROUP BY name, bucket_s ORDER BY name, bucket_s""".stripMargin.replace("\n", " "),
+    // nested divide-by-aggregate: left instant ⋈ per-name sum on the
+    // shared (name, bucket); null at zero denominators drops (no
+    // keepNaN in the script)
+    "m3ql_nested" ->
+      s"""WITH l AS (SELECT name, user_id, bucket_s, value
+         |  FROM ($INST) AS i),
+         | r AS (SELECT name, bucket_s, sum(value) AS rv
+         |  FROM ($INST) AS i GROUP BY 1, 2)
+         | SELECT l.name, l.user_id, l.bucket_s,
+         |  round(100.0 * l.value / r.rv, 6) AS value
+         | FROM l JOIN r ON r.name = l.name AND r.bucket_s = l.bucket_s
+         | WHERE r.rv != 0
+         | ORDER BY l.name, l.user_id, l.bucket_s"""
+        .stripMargin.replace("\n", " "),
     "m3ql_multi" ->
       s"""SELECT name, bucket_s + 3600 AS bucket_s,
          | round(quantile_cont(least(greatest(value, 50), 150), 0.9), 6) AS value

@@ -28,8 +28,17 @@ import graft.tsdb.{Fetch, Vectors}
   *             | "keepNaN" bool?                 keep null points (the
   *               m3 KeepNaNs result option; pipelines DROP null values
   *               at the end by default, `keepNaN` retains them)
+  *             | "divide" "(" pipeline ")"       nested sub-pipeline
+  *             | "asPercent" "(" pipeline ")"    (grammar.peg:40
+  *               Nesting <- LParenthesis Pipeline RParenthesis — a
+  *               parenthesized pipeline as a function argument);
+  *               joins on the shared label columns + bucket, value =
+  *               l/r (×100 for asPercent), null at r = 0
   *             | macroName                       splices the macro
   * }}}
+  *
+  * `;`, `|` and whitespace split at paren depth 0 only, so a nested
+  * pipeline may itself contain pipes, macros and further nesting.
   *
   * `fetch` evaluates to the day-instant frame of the matched series;
   * downstream stages transform (labels…, bucket_s, value).
@@ -54,7 +63,7 @@ object M3QL {
 
   def query(samples: DataFrame, q: String): DataFrame = {
     // macro definitions: `name = pipeline ; … ; main-pipeline`
-    val parts = q.split(";").map(_.trim).filter(_.nonEmpty)
+    val parts = splitTop(q, ';')
     val (defs, mains) = parts.partition(_.matches("^[A-Za-z_][A-Za-z0-9_]*\\s*=.*"))
     if (mains.length != 1)
       throw new ParseException(s"expected exactly one main pipeline, got ${mains.length}")
@@ -62,20 +71,50 @@ object M3QL {
       val Array(name, body) = d.split("=", 2)
       name.trim -> stagesOf(body)
     }.toMap
-    val stages = expand(stagesOf(mains.head), macros, depth = 0)
-    val result = stages
-      .foldLeft(Option.empty[DataFrame]) { (acc, stage) =>
-        Some(evalStage(stage, acc, samples))
-      }
-      .getOrElse(throw new ParseException("empty pipeline"))
+    val (result, stages) = runPipeline(stagesOf(mains.head), samples, macros)
     // m3's KeepNaNs result option: null points drop from the response
     // unless the pipeline carries `keepNaN` (api/v1/.../common.go:278)
     if (stages.exists(_.split("\\s+").headOption.contains("keepNaN"))) result
     else result.where(col("value").isNotNull)
   }
 
+  /** expand macros and fold the stage list — the shared evaluator for
+    * the main pipeline and every nested `( pipeline )` argument. */
+  private def runPipeline(raw: List[String], samples: DataFrame,
+                          macros: Map[String, List[String]])
+  : (DataFrame, List[String]) = {
+    val stages = expand(raw, macros, depth = 0)
+    val result = stages
+      .foldLeft(Option.empty[DataFrame]) { (acc, stage) =>
+        Some(evalStage(stage, acc, samples, macros))
+      }
+      .getOrElse(throw new ParseException("empty pipeline"))
+    (result, stages)
+  }
+
+  /** split on `sep` at paren depth 0 only (grammar.peg:40 Nesting: a
+    * parenthesized pipeline is opaque to the outer splitter); throws
+    * on unbalanced parentheses. */
+  private def splitTop(s: String, sep: Char): List[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach { c =>
+      if (c == '(') { depth += 1; cur += c }
+      else if (c == ')') {
+        depth -= 1
+        if (depth < 0) throw new ParseException("unbalanced ')'")
+        cur += c
+      } else if (c == sep && depth == 0) { out += cur.toString; cur.clear() }
+      else cur += c
+    }
+    if (depth != 0) throw new ParseException("unbalanced '('")
+    out += cur.toString
+    out.toList.map(_.trim).filter(_.nonEmpty)
+  }
+
   private def stagesOf(pipeline: String): List[String] =
-    pipeline.split("\\|").map(_.trim).filter(_.nonEmpty).toList
+    splitTop(pipeline, '|')
 
   /** splice macro references (a stage that is exactly a macro name)
     * with the macro's stage list, recursively with a cycle guard. */
@@ -97,8 +136,50 @@ object M3QL {
     (kw.map { a => val Array(k, v) = a.split(":", 2); k -> v }.toMap, pos)
   }
 
+  /** Stages taking a nested `( pipeline )` argument (grammar.peg:40):
+    * the nested pipeline evaluates independently (its own fetch, its
+    * own macros/nesting), joins on the shared label columns +
+    * bucket_s, and the values combine pointwise. */
+  private val nestedOps = Set("divide", "asPercent")
+
+  private def evalNested(op: String, rest: String, in: DataFrame,
+                         samples: DataFrame,
+                         macros: Map[String, List[String]]): DataFrame = {
+    // the whole remainder must be ONE balanced ( pipeline ) group
+    if (!rest.startsWith("("))
+      throw new ParseException(s"$op takes a nested ( pipeline ) argument")
+    var depth = 0
+    var close = -1
+    rest.zipWithIndex.foreach { case (c, i) =>
+      if (close < 0) {
+        if (c == '(') depth += 1
+        else if (c == ')') { depth -= 1; if (depth == 0) close = i }
+      }
+    }
+    if (close < 0) throw new ParseException("unbalanced '('")
+    if (close != rest.length - 1)
+      throw new ParseException(
+        s"$op takes exactly one ( pipeline ) argument, got trailing " +
+          s"'${rest.substring(close + 1).trim}'")
+    val (right, _) =
+      runPipeline(stagesOf(rest.substring(1, close)), samples, macros)
+    val keys = labelsOf(in).intersect(labelsOf(right)) :+ "bucket_s"
+    val rr = right.select(keys.map(col) :+ col("value").as("_rv"): _*)
+    val q = when(col("_rv") =!= 0, col("value") / col("_rv") *
+      (if (op == "asPercent") lit(100.0) else lit(1.0)))
+    in.join(rr, keys).withColumn("value", q).drop("_rv")
+  }
+
   private def evalStage(stage: String, acc: Option[DataFrame],
-                        samples: DataFrame): DataFrame = {
+                        samples: DataFrame,
+                        macros: Map[String, List[String]]): DataFrame = {
+    val head = stage.takeWhile(c => !c.isWhitespace && c != '(')
+    if (nestedOps(head)) {
+      val in = acc.getOrElse(
+        throw new ParseException(s"$head cannot start a pipeline"))
+      return evalNested(head, stage.drop(head.length).trim, in,
+        samples, macros)
+    }
     val toks = stage.split("\\s+").toList
     (toks, acc) match {
       case ("fetch" :: args, None) =>

@@ -40,14 +40,16 @@ object Corpus {
     // plans (not plan hashes) for the same collision-safety as the
     // shingle cache; a throw inside the loop caches nothing. On a
     // cluster this frame is the written intermediate every downstream
-    // curation stage reads.
+    // curation stage reads — persisted DISK_ONLY accordingly (same
+    // residency discipline as Dedup.shingleHashes: a corpus-sized
+    // frame must not pin unified storage memory for the session).
     val ids = docs.select("doc_id")
     val key = (ids.sparkSession,
       ids.queryExecution.analyzed.canonicalized,
       pairs.queryExecution.analyzed.canonicalized)
     clusterCache.getOrElseUpdate(key,
       computeDupClusters(ids, pairs, maxIter)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
   }
 
   private val clusterCache = scala.collection.concurrent.TrieMap.empty[
@@ -699,38 +701,94 @@ object Corpus {
     * (Chen & Goodman 1998 eq. 18: highest order uses raw counts,
     * every lower order uses CONTINUATION counts — "how many distinct
     * contexts precede this n-gram", the Kneser-Ney insight that
-    * 'Francisco' is frequent but only ever follows 'San'):
+    * 'Francisco' is frequent but only ever follows 'San'), with the
+    * KenLM-standard minimum-count PRUNING of trigram singletons
+    * (`--prune 0 0 1`): trigram types with c < minCount leave the
+    * model, and their mass rides the backoff weight — the SRILM
+    * pruned-mass rule, which keeps the distribution EXACTLY
+    * normalized:
     *
-    *   p₃(w|u,v) = max(c(u,v,w)−D₃,0)/c(u,v·) + λ₃(u,v)·p₂(w|v)
-    *   p₂(w|v)   = max(N₁₊(·vw)−D₂,0)/N₁₊(·v·) + λ₂(v)·p₁(w)
-    *   p₁(w)     = N₁₊(·w)/‖bigram types‖
+    *   retained: p₃(w|u,v) = max(c(u,v,w)−D₃,0)/c(u,v·) + λ₃·p₂(w|v)
+    *   pruned:   p₃(w|u,v) = λ₃(u,v)·p₂(w|v)
+    *   λ₃(u,v)  = (D₃·N≥(uv·) + Σ_{pruned w} c(u,v,w)) / c(u,v·)
+    *   p₂(w|v)  = max(N₁₊(·vw)−D₂,0)/N₁₊(·v·) + λ₂(v)·p₁(w)
+    *   p₁(w)    = N₁₊(·w)/‖bigram types‖
     *
-    * with λ₃ = D₃·N₁₊(uv·)/c(u,v·), λ₂ = D₂·N₁₊(v·)/N₁₊(·v·), and
-    * each order's discount from its own count-of-counts
-    * (D = n₁/(n₁+2n₂); over raw trigram counts for D₃, over the
-    * continuation counts N₁₊(·vw) for D₂; 0 when the order has no
-    * singleton/doubleton types). Every factor is an exact integer,
-    * so p is one cross-engine-identical rational expression. Emits
-    * the top-N trigrams by count with the full factorization.
+    * where N≥(uv·) counts RETAINED types, c(u,v·) keeps the TRUE
+    * denominator, the continuation layer builds from the PRUNED
+    * table (if (v,w) or v lost every retained trigram, p₂ falls to
+    * λ₂·p₁ and then p₁ — each step normalized), and discounts come
+    * from raw counts-of-counts per KenLM (D₃ over raw trigram
+    * counts, D₂ over the pruned continuation counts). Every factor
+    * is an exact integer, so p is one cross-engine-identical
+    * rational expression. Emits the top-N RETAINED trigrams with the
+    * full factorization.
     *
-    * Scale: one trigram explode into a (u,v,w) hash count, then
-    * skinny re-aggregations of that count table (per-(u,v), the
-    * continuation tables per (v,w)/(v)/(w), two 3-value globals) —
-    * all type-level — and broadcast joins onto the top-N rows. */
-  def knTrigramLm(docs: DataFrame, topN: Int = 100): DataFrame = {
-    val c3 = trigramTriples(docs).groupBy("u", "v", "w")
-      .agg(count(lit(1)).as("c_uvw"))
+    * Scale: the one O(tokens) pass is the trigram hash count; with
+    * singleton pruning every downstream TYPE table (the model join
+    * frame, the continuation tables) stops growing linearly with
+    * tokens — trigram singletons are the ~linear-growth tail
+    * (measured 4.8× at 10× unpruned in r8; the pruned tables grow
+    * with repeated-trigram types only). */
+  def knTrigramLm(docs: DataFrame, topN: Int = 100,
+                  minCount: Int = 2): DataFrame = {
+    val t = kn3Tables(docs, minCount)
+    val top = t.c3p.orderBy(col("c_uvw").desc, col("u").asc,
+      col("v").asc, col("w").asc).limit(topN)
+    top.join(broadcast(t.hist), Seq("u", "v"))
+      .join(broadcast(t.cont), Seq("v", "w"))
+      .join(broadcast(t.contV), "v")
+      .join(broadcast(t.perW), "w")
+      .crossJoin(broadcast(t.nTypes))
+      .crossJoin(broadcast(t.g3)).crossJoin(broadcast(t.g2))
+      .select(col("u"), col("v"), col("w"), col("c_uvw"), col("c_uv"),
+        col("n_vw"), col("n_v_dot"),
+        round(t.d3, 6).as("d3"), round(t.d2, 6).as("d2"),
+        round(t.lam3, 9).as("lam3"),
+        round(t.p2Retained, 9).as("p2_backoff"),
+        round(t.p3Retained, 9).as("p_kn3"))
+      .orderBy(col("c_uvw").desc, col("u").asc, col("v").asc,
+        col("w").asc)
+  }
+
+  /** The kn3 model tables + probability expressions shared by
+    * [[knTrigramLm]] and [[knTrigramPerplexity]]. */
+  private case class Kn3Tables(
+    c3p: DataFrame, hist: DataFrame, cont: DataFrame, contV: DataFrame,
+    perW: DataFrame, nTypes: DataFrame, g3: DataFrame, g2: DataFrame,
+    d3: Column, d2: Column, lam3: Column, p1: Column,
+    p2Retained: Column, p3Retained: Column)
+
+  private def kn3Tables(docs: DataFrame, minCount: Int,
+                        occ: Option[DataFrame] = None): Kn3Tables = {
+    // the count tables are TYPE-level (small) but feed 4-7 consumers
+    // each — lazily localCheckpoint so the corpus-sized explode+count
+    // runs ONCE per query instead of once per consumer (blocks are
+    // freed with the frame by the ContextCleaner, not session-pinned).
+    // A caller that already materialized the occurrence stream (the
+    // perplexity scorer) passes it in, saving one more corpus pass.
+    val c3 = occ.getOrElse(trigramTriples(docs)).groupBy("u", "v", "w")
+      .agg(count(lit(1)).as("c_uvw")).localCheckpoint(false)
+    // per-context stats over the FULL count table: true denominator,
+    // retained-type count, and the pruned mass that moves to λ₃
     val hist = c3.groupBy("u", "v").agg(sum("c_uvw").as("c_uv"),
-      count(lit(1)).as("nplus_uv"))
-    // continuation layer: N1+(·vw) = distinct u preceding (v,w)
-    val cont = c3.groupBy("v", "w").agg(count(lit(1)).as("n_vw"))
+      sum(when(col("c_uvw") >= minCount, 1L).otherwise(0L))
+        .as("nplus_uv"),
+      sum(when(col("c_uvw") < minCount, col("c_uvw")).otherwise(0L))
+        .as("c_pruned"))
+    val c3p = c3.where(col("c_uvw") >= minCount)
+    // continuation layer from the PRUNED table: N1+(·vw) = distinct
+    // retained u preceding (v,w)
+    val cont = c3p.groupBy("v", "w").agg(count(lit(1)).as("n_vw"))
     val contV = cont.groupBy("v").agg(sum("n_vw").as("n_v_dot"),
       count(lit(1)).as("nplus_v"))
     // bigram continuation for the unigram layer: N1+(·w), ‖bigram types‖
     val bg = bigramPairs(docs).groupBy("u", "w")
-      .agg(count(lit(1)).as("c_uw"))
+      .agg(count(lit(1)).as("c_uw")).localCheckpoint(false)
     val perW = bg.groupBy("w").agg(count(lit(1)).as("nplus_w"))
     val nTypes = bg.agg(count(lit(1)).as("n_types"))
+    // discounts from RAW counts-of-counts (KenLM computes D before
+    // pruning) for D₃; the pruned continuation table for D₂
     val g3 = c3.agg(
       sum((col("c_uvw") === 1).cast("long")).as("n1_3"),
       sum((col("c_uvw") === 2).cast("long")).as("n2_3"))
@@ -746,24 +804,12 @@ object Corpus {
     val p2 = greatest(col("n_vw").cast("double") - d2, lit(0.0)) /
       col("n_v_dot").cast("double") +
       d2 * col("nplus_v").cast("double") / col("n_v_dot").cast("double") * p1
+    val lam3 = (d3 * col("nplus_uv").cast("double") +
+      col("c_pruned").cast("double")) / col("c_uv").cast("double")
     val p3 = greatest(col("c_uvw").cast("double") - d3, lit(0.0)) /
-      col("c_uv").cast("double") +
-      d3 * col("nplus_uv").cast("double") / col("c_uv").cast("double") * p2
-    val top = c3.orderBy(col("c_uvw").desc, col("u").asc, col("v").asc,
-      col("w").asc).limit(topN)
-    top.join(broadcast(hist), Seq("u", "v"))
-      .join(broadcast(cont), Seq("v", "w"))
-      .join(broadcast(contV), "v")
-      .join(broadcast(perW), "w")
-      .crossJoin(broadcast(nTypes))
-      .crossJoin(broadcast(g3)).crossJoin(broadcast(g2))
-      .select(col("u"), col("v"), col("w"), col("c_uvw"), col("c_uv"),
-        col("n_vw"), col("n_v_dot"),
-        round(d3, 6).as("d3"), round(d2, 6).as("d2"),
-        round(p2, 9).as("p2_backoff"),
-        round(p3, 9).as("p_kn3"))
-      .orderBy(col("c_uvw").desc, col("u").asc, col("v").asc,
-        col("w").asc)
+      col("c_uv").cast("double") + lam3 * p2
+    Kn3Tables(c3p, hist, cont, contV, perW, nTypes, g3, g2,
+      d3, d2, lam3, p1, p2, p3)
   }
 
   /** Per-document cross-entropy under the TRIGRAM interpolated KN
@@ -776,45 +822,38 @@ object Corpus {
     * pre-join into ONE (u,v,w → log₂p) frame; the trigram occurrence
     * stream shuffles once into that join, then one per-doc
     * aggregate. */
-  def knTrigramPerplexity(docs: DataFrame): DataFrame = {
-    val occ = trigramTriples(docs)
-    val c3 = occ.groupBy("u", "v", "w").agg(count(lit(1)).as("c_uvw"))
-    val hist = c3.groupBy("u", "v").agg(sum("c_uvw").as("c_uv"),
-      count(lit(1)).as("nplus_uv"))
-    val cont = c3.groupBy("v", "w").agg(count(lit(1)).as("n_vw"))
-    val contV = cont.groupBy("v").agg(sum("n_vw").as("n_v_dot"),
-      count(lit(1)).as("nplus_v"))
-    val bg = bigramPairs(docs).groupBy("u", "w")
-      .agg(count(lit(1)).as("c_uw"))
-    val perW = bg.groupBy("w").agg(count(lit(1)).as("nplus_w"))
-    val nTypes = bg.agg(count(lit(1)).as("n_types"))
-    val g3 = c3.agg(
-      sum((col("c_uvw") === 1).cast("long")).as("n1_3"),
-      sum((col("c_uvw") === 2).cast("long")).as("n2_3"))
-    val g2 = cont.agg(
-      sum((col("n_vw") === 1).cast("long")).as("n1_2"),
-      sum((col("n_vw") === 2).cast("long")).as("n2_2"))
-    def disc(n1: Column, n2: Column): Column =
-      when(n1 + lit(2L) * n2 === 0L, lit(0.0))
-        .otherwise(n1.cast("double") / (n1 + lit(2L) * n2).cast("double"))
-    val d3 = disc(col("n1_3"), col("n2_3"))
-    val d2 = disc(col("n1_2"), col("n2_2"))
-    val p1 = col("nplus_w").cast("double") / col("n_types").cast("double")
-    val p2 = greatest(col("n_vw").cast("double") - d2, lit(0.0)) /
-      col("n_v_dot").cast("double") +
-      d2 * col("nplus_v").cast("double") / col("n_v_dot").cast("double") * p1
-    val p3 = greatest(col("c_uvw").cast("double") - d3, lit(0.0)) /
-      col("c_uv").cast("double") +
-      d3 * col("nplus_uv").cast("double") / col("c_uv").cast("double") * p2
-    val model = c3.join(hist, Seq("u", "v")).join(cont, Seq("v", "w"))
-      .join(contV, "v").join(perW, "w")
-      .crossJoin(broadcast(nTypes))
-      .crossJoin(broadcast(g3)).crossJoin(broadcast(g2))
-      .select(col("u"), col("v"), col("w"), log2(p3).as("lp"))
-    occ.join(model, Seq("u", "v", "w"))
+  def knTrigramPerplexity(docs: DataFrame, minCount: Int = 2): DataFrame = {
+    val occ = trigramTriples(docs).localCheckpoint(false)
+    val t = kn3Tables(docs, minCount, occ = Some(occ.drop("doc_id")))
+    // self-evaluation with a PRUNED model: every test trigram has a
+    // context row in `hist` (built from the full count table), but a
+    // pruned singleton is absent from c3p/cont and scores through
+    // the backoff chain — λ₃·p₂, with p₂ itself degrading to λ₂·p₁
+    // (v retained, (v,w) not) and to p₁ (v fully pruned). Only the
+    // PRUNED tables enter the scoring joins; the full trigram type
+    // table never ships past its two skinny aggregations.
+    val scored = occ
+      .join(t.hist, Seq("u", "v"))
+      .join(t.c3p.select(col("u"), col("v"), col("w"), col("c_uvw")),
+        Seq("u", "v", "w"), "left")
+      .join(t.cont, Seq("v", "w"), "left")
+      .join(t.contV, Seq("v"), "left")
+      .join(t.perW, Seq("w"))
+      .crossJoin(broadcast(t.nTypes))
+      .crossJoin(broadcast(t.g3)).crossJoin(broadcast(t.g2))
+    val p2Chain = when(col("n_vw").isNotNull, t.p2Retained)
+      .when(col("n_v_dot").isNotNull,
+        t.d2 * col("nplus_v").cast("double") /
+          col("n_v_dot").cast("double") * t.p1)
+      .otherwise(t.p1)
+    val p3 = when(col("c_uvw").isNotNull,
+      greatest(col("c_uvw").cast("double") - t.d3, lit(0.0)) /
+        col("c_uv").cast("double") + t.lam3 * p2Chain)
+      .otherwise(t.lam3 * p2Chain)
+    scored
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_trigrams"),
-        (-avg(col("lp"))).as("_h"))
+        (-avg(log2(p3))).as("_h"))
       .select(col("doc_id"), col("n_trigrams"),
         round(col("_h"), 6).as("cross_entropy_bits"),
         round(pow(lit(2.0), col("_h")), 6).as("ppl"))

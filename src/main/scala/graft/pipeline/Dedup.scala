@@ -57,8 +57,13 @@ object Dedup {
     * Materialized once per (session, source plan, n) and reused
     * across queries: in a pipeline run the four dedup operators all
     * start from this frame, so the explode+md5 pass over the corpus
-    * happens once instead of four times. (On a cluster the same
-    * frame would be a written intermediate, bucketed by doc_id.) */
+    * happens once instead of four times. Persisted DISK_ONLY — the
+    * cluster restatement of "a written intermediate, bucketed by
+    * doc_id": a corpus-sized frame must never squat on unified
+    * storage memory for a whole long-lived session, where it
+    * competes with every later query's execution memory (the r8
+    * full-suite pass-2 `dedup_winnow` 31 s spike); local columnar
+    * batches re-read at page-cache speed. */
   def shingleHashes(docs: DataFrame, n: Int = 3): DataFrame = {
     // key on the CANONICALIZED plan, not a 32-bit hash of it — two
     // different sources can collide in a hash, and a collision here
@@ -70,7 +75,7 @@ object Dedup {
         .select(col("doc_id"),
           conv(substring(col("m"), 1, 8), 16, 10).cast("long").as("h"),
           conv(substring(col("m"), 9, 8), 16, 10).cast("long").as("h_hi"))
-        .persist(StorageLevel.MEMORY_AND_DISK))
+        .persist(StorageLevel.DISK_ONLY))
   }
 
   private val shingleCache = scala.collection.concurrent.TrieMap
@@ -116,7 +121,7 @@ object Dedup {
     val key = (docs.sparkSession,
       docs.queryExecution.analyzed.canonicalized, k, n)
     minhashSigCache.getOrElseUpdate(key,
-      minhashSignature(docs, k, n).persist(StorageLevel.MEMORY_AND_DISK))
+      minhashSignature(docs, k, n).persist(StorageLevel.DISK_ONLY))
   }
 
   private val minhashSigCache = scala.collection.concurrent.TrieMap.empty[
@@ -277,7 +282,7 @@ object Dedup {
     // same contract as the shingle cache (cleared with it)
     val key = (docs.sparkSession, docs.queryExecution.analyzed.canonicalized, n)
     simhashCache.getOrElseUpdate(key,
-      simhashUncached(docs, n).persist(StorageLevel.MEMORY_AND_DISK))
+      simhashUncached(docs, n).persist(StorageLevel.DISK_ONLY))
   }
 
   private val simhashCache = scala.collection.concurrent.TrieMap

@@ -511,7 +511,8 @@ object Downsample {
     * persisted copy instead of pinning a fresh partial per call. */
   private def tierMemo(df: DataFrame): DataFrame = {
     val key = (df.sparkSession, df.queryExecution.analyzed.canonicalized)
-    tierCache.getOrElseUpdate(key, df.persist())
+    tierCache.getOrElseUpdate(key,
+      df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
   }
 
   private val tierCache = scala.collection.concurrent.TrieMap.empty[

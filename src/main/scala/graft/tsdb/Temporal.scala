@@ -1268,14 +1268,43 @@ object Temporal {
     * segment index + two prev/next equi-joins — three spine-sized
     * shuffles, 11.7 s; this shape ~2 s.) */
   def interpolateFrame(samples: DataFrame,
-                       maxGapBuckets: Int = 6): DataFrame = {
+                       maxGapBuckets: Int = 6,
+                       shards: Option[Int] = None): DataFrame = {
     val cons = samples
       .withColumn("bucket_s", Vectors.bucketS("hour"))
       .groupBy((labels :+ "bucket_s").map(col): _*).agg(avg("value").as("v"))
-    val wOrd = Window.partitionBy(labels.map(col): _*).orderBy("bucket_s")
-    val withNext = cons
-      .withColumn("nb", lead("bucket_s", 1).over(wOrd))
-      .withColumn("nv", lead("v", 1).over(wOrd))
+    // With `shards`, the output carries (shard, shard-local order)
+    // coordinates instead of implying any total order — the
+    // corpus_shuffle discipline for corpus-sized output. ONE
+    // user-pinned hash repartition (AQE leaves explicit counts
+    // alone) is reused by the window itself: partitionBy(shard)
+    // requires exactly that partitioning, the window's physical sort
+    // is (shard, series, bucket), and the generator preserves it —
+    // so the dump order falls out of the window shuffle with no
+    // extra exchange and no global range sort. lead() crossing a
+    // series boundary inside a shard is masked back to null (the
+    // per-series window's semantics, spec-pinned).
+    val withNext = shards match {
+      case None =>
+        val wOrd = Window.partitionBy(labels.map(col): _*)
+          .orderBy("bucket_s")
+        cons
+          .withColumn("nb", lead("bucket_s", 1).over(wOrd))
+          .withColumn("nv", lead("v", 1).over(wOrd))
+      case Some(n) =>
+        val sh = pmod(graft.pipeline.Dedup.md5Int(
+          concat(col("name"), lit("|"), col("user_id").cast("string"))),
+          lit(n.toLong))
+        val wS = Window.partitionBy("shard")
+          .orderBy((labels :+ "bucket_s").map(col): _*)
+        val sameSeries = labels.map(l =>
+          lead(col(l), 1).over(wS) === col(l)).reduce(_ && _)
+        cons.withColumn("shard", sh)
+          .repartition(n, col("shard"))
+          .withColumn("nb",
+            when(sameSeries, lead("bucket_s", 1).over(wS)))
+          .withColumn("nv", when(sameSeries, lead("v", 1).over(wS)))
+    }
     // each real point emits itself (off = 0) plus its trailing gap
     // buckets (off = 1 .. gap); the LAST point has no next → just
     // itself (sequence(0, 0))
@@ -1291,10 +1320,11 @@ object Temporal {
     val vOut = when(col("off") === 0, col("v"))
     val filled = when(col("off") === 0, col("v"))
       .when(gapOk, interp)
-    fan.select(labels.map(col) :+ col("b_out").as("bucket_s") :+
+    val base = labels.map(col) :+ col("b_out").as("bucket_s") :+
       trunc6(vOut).as("v") :+
       trunc6(filled).as("v_filled") :+
-      (col("off") > 0 && filled.isNotNull).cast("int").as("filled"): _*)
+      (col("off") > 0 && filled.isNotNull).cast("int").as("filled")
+    fan.select(base ++ shards.map(_ => col("shard")): _*)
   }
 
   /** Rollup information-loss audit — what a retention tier throws

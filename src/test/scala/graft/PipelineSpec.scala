@@ -34,11 +34,12 @@ class PipelineSpec extends SparkSpec {
     val s = spark
     import s.implicits._
     // trigrams: (a,b,c)x2, (b,c,a), (c,a,b), (a,b,d) → D3 = 3/5
-    // continuation layer: every (v,w) preceded by one context → D2 = 1
+    // UNPRUNED (minCount=1): continuation layer has every (v,w)
+    // preceded by one context → D2 = 1
     // p2(c|b) = max(1−1,0)/2 + 1·(2/2)·p1(c)=0.25 → 0.25
     // p3(c|a,b) = 1.4/3 + 0.6·(2/3)·0.25 = 0.566666667
     val docs = Seq((1L, "a b c a b c"), (2L, "a b d")).toDF("doc_id", "text")
-    val r = Corpus.knTrigramLm(docs).collect()
+    val r = Corpus.knTrigramLm(docs, minCount = 1).collect()
       .map(x => (x.getAs[String]("u"), x.getAs[String]("v"),
         x.getAs[String]("w")) -> x).toMap
     val abc = r(("a", "b", "c"))
@@ -47,6 +48,25 @@ class PipelineSpec extends SparkSpec {
     assert(abc.getAs[Double]("d2") == 1.0)
     assert(abc.getAs[Double]("p2_backoff") == 0.25)
     assert(abc.getAs[Double]("p_kn3") == 0.566666667)
+    // PRUNED (default minCount=2): singletons leave the model, their
+    // mass rides λ₃ (SRILM pruned-mass rule). Retained = {(a,b,c):2}
+    // only; hist(a,b): c_uv=3, retained 1, pruned mass 1;
+    // cont = {(b,c):1} → D2 = 1; p2(c|b) = 0 + 1·(1/1)·(1/4) = 0.25;
+    // λ₃(a,b) = (0.6·1 + 1)/3; p3 = 1.4/3 + (1.6/3)·0.25 = 0.6 exact
+    val p = Corpus.knTrigramLm(docs).collect()
+    assert(p.length == 1, "only the retained trigram stays in the model")
+    val pr = p(0)
+    assert(pr.getAs[String]("u") == "a" && pr.getAs[String]("w") == "c")
+    assert(pr.getAs[Double]("lam3") ==
+      math.rint((0.6 * 1 + 1) / 3.0 * 1e9) / 1e9)
+    assert(pr.getAs[Double]("p_kn3") == 0.6)
+    // pruned perplexity: every trigram scores (backoff for the
+    // singletons), normalization intact
+    val ppl = Corpus.knTrigramPerplexity(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("n_trigrams"))
+      .toMap
+    assert(ppl == Map(1L -> 4L, 2L -> 1L),
+      "pruned trigrams must still score through the backoff chain")
   }
 
   test("exact dedup flags planted duplicates") {

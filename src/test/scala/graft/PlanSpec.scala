@@ -803,11 +803,64 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
 
-  test("tsz value cost: windows partition by the block key, no cartesian") {
+  test("tsz value cost: one block-keyed hash agg + fold, no window, no cartesian") {
     val p = plan("ts_tsz_value_cost")
     assert(!p.contains("CartesianProduct"), p.take(2000))
-    assert(p.contains("windowspecdefinition(name"),
-      "expected block-keyed windows:\n" + p.take(2000))
+    // the r9 stateful rewrite (float fallback) dropped the window
+    // stage: the whole encoder folds per block inside aggregate(),
+    // fed by ONE collect_list hash aggregation — a window here would
+    // mean the prefix-max shortcut crept back (wrong once a float
+    // transition can reset curMax)
+    assert(!p.contains("windowspecdefinition"),
+      "unexpected window stage:\n" + p.take(2000))
+    assert(p.contains("collect_list"), p.take(2000))
+  }
+
+  test("ts_interpolate emits shard coordinates — no global sort of the spine") {
+    val p = plan("ts_interpolate")
+    // the corpus-sized dense spine must never range-sort: hash
+    // repartition + per-partition sort only (r8 verdict item 3)
+    assert(!p.contains("rangepartitioning"),
+      "global range sort over the spine:\n" + p.take(2000))
+    assert(p.contains("hashpartitioning(shard"),
+      "expected shard hash repartition:\n" + p.take(2000))
+    assert(p.contains("Sort [shard"),
+      "expected the shard-local sort:\n" + p.take(2000))
+    assert(!p.contains("global=true"),
+      "sort must be partition-local:\n" + p.take(2000))
+  }
+
+  test("interpolate dump order: md5 shard → murmur partition permutation") {
+    import org.apache.spark.sql.functions.{col, spark_partition_id}
+    // the oracle's embedded CASE replays Spark's HashPartitioning
+    // (pmod(Murmur3Hash(k, 42), 32)) — pin the actual partition ids
+    val got = spark.range(0, 32).select(col("id").as("shard"))
+      .repartition(32, col("shard"))
+      .select(col("shard"), spark_partition_id().as("p"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val want = (0L until 32L).map { k =>
+      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(k, 42)
+      k -> (((h % 32) + 32) % 32)
+    }.toMap
+    assert(got == want, s"permutation drifted: $got vs $want")
+  }
+
+  test("family caches persist DISK_ONLY — no session-long storage-memory squat") {
+    // the r8 driver artifact's pass-2 dedup_winnow spike: every
+    // corpus-sized family cache stayed MEMORY_AND_DISK-resident for
+    // the whole suite, competing with later queries' execution
+    // memory. The caches must land on local disk (page-cache-speed
+    // re-reads, zero unified-memory footprint).
+    import org.apache.spark.storage.StorageLevel
+    pipeline.Dedup.clearShingleCache()
+    val docs = Tables.documents(spark, sf)
+    val sh = pipeline.Dedup.shingleHashes(docs)
+    assert(sh.storageLevel == StorageLevel.DISK_ONLY, sh.storageLevel)
+    val sig = pipeline.Dedup.minhashSignatureCached(docs)
+    assert(sig.storageLevel == StorageLevel.DISK_ONLY, sig.storageLevel)
+    val sim = pipeline.Dedup.simhash(docs)
+    assert(sim.storageLevel == StorageLevel.DISK_ONLY, sim.storageLevel)
+    pipeline.Dedup.clearShingleCache()
   }
 
   test("kn perplexity joins the model on (u, w) — no cartesian blowup") {

@@ -28,6 +28,63 @@ class SaltSpec extends SparkSpec {
       M3QL.query(samples, "a = fetch name:x; b = fetch name:y")) // no main
     intercept[M3QL.ParseException](
       M3QL.query(samples, "m = m | abs; m")) // macro cycle
+    // nesting (grammar.peg:40) malformed forms
+    intercept[M3QL.ParseException](M3QL.query(samples,
+      "fetch name:a | divide (fetch name:b | sum")) // unbalanced '('
+    intercept[M3QL.ParseException](M3QL.query(samples,
+      "fetch name:a | divide fetch name:b")) // missing parens
+    intercept[M3QL.ParseException](M3QL.query(samples,
+      "fetch name:a | divide (fetch name:b) (fetch name:c)")) // two args
+    intercept[M3QL.ParseException](M3QL.query(samples,
+      "divide (fetch name:b | sum)")) // nested op cannot start
+    intercept[M3QL.ParseException](M3QL.query(samples,
+      "fetch name:a | asPercent (sum name)")) // nested must fetch
+  }
+
+  test("interpolate sharded coordinates equal the per-series window output") {
+    // the shard-partitioned window (one shuffle, partition-local
+    // sort) must produce the exact row SET of the per-series window —
+    // in particular lead() must not leak across a series boundary
+    // inside a shard (the masking under test)
+    val samples = tsdb.Vectors.samples(Tables.events(spark, sf))
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("name", "user_id", "bucket_s", "v", "v_filled", "filled")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val plain = key(tsdb.Temporal.interpolateFrame(samples))
+    val sharded = key(tsdb.Temporal.interpolateFrame(samples,
+      shards = Some(32)))
+    assert(sharded == plain)
+  }
+
+  test("m3ql nested sub-pipelines: divide/asPercent, macros inside nesting") {
+    import graft.m3ql.M3QL
+    val s = spark
+    import s.implicits._
+    val samples = Seq(
+      ("a", 1L, ts("2024-01-01 01:00:00"), 10.0, 1L),
+      ("a", 2L, ts("2024-01-01 02:00:00"), 30.0, 2L),
+      ("b", 1L, ts("2024-01-01 03:00:00"), 5.0, 3L),
+      ("z", 1L, ts("2024-01-01 04:00:00"), 0.0, 4L))
+      .toDF("name", "user_id", "ts", "value", "event_id")
+    // per-series share of the per-day all-series total (keys
+    // intersect = name? no — right aggregates away user_id, keys =
+    // (name, bucket_s)): a=10/40, a=30/40 against name-a's sum
+    val r = M3QL.query(samples,
+      "fetch name:* | asPercent (fetch name:* | sum name)")
+      .select("name", "user_id", "value")
+      .collect().map(x => (x.getString(0), x.getLong(1)) -> x.getDouble(2))
+      .toMap
+    assert(r(("a", 1L)) == 25.0 && r(("a", 2L)) == 75.0)
+    assert(r(("b", 1L)) == 100.0)
+    assert(!r.contains(("z", 1L)), "0/0 must drop (null, no keepNaN)")
+    // divide by a nested MACRO pipeline; pipes inside parens must not
+    // split the outer stage
+    val d = M3QL.query(samples,
+      "tot = fetch name:a | sum name; fetch name:a | divide (tot | scale 2)")
+      .select("name", "user_id", "value")
+      .collect().map(x => (x.getString(0), x.getLong(1)) -> x.getDouble(2))
+      .toMap
+    assert(d(("a", 1L)) == 0.125 && d(("a", 2L)) == 0.375)
   }
 
   test("m3ql macros splice and keepNaN retains null points") {
