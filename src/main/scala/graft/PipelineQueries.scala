@@ -2304,36 +2304,39 @@ object PipelineQueries {
          |  SELECT *, row_number() OVER (PARTITION BY label
          |    ORDER BY w DESC, t ASC) AS rk FROM sc) AS z
          | WHERE rk <= 5 ORDER BY label, rk""".stripMargin.replace("\n", " "),
-    // ratio margin over ROUNDED cosines: rank by raw cos, round for
-    // the ratio so both engines divide identical inputs
+    // ratio margin in integer micro-units: rank by raw cos, the
+    // denominators average micro-cosines (sum(cos6)/count) so both
+    // engines divide identical doubles and `accepted` derives from
+    // the same unrounded margin (the marginMiningLsh discipline)
     "sim_margin_mining" ->
       s"""WITH a AS (SELECT * FROM embeddings WHERE label = 0),
          | b AS (SELECT * FROM embeddings WHERE label = 1),
          | p AS (SELECT * FROM a ORDER BY vec_id LIMIT 10),
          | fwd AS (SELECT p.vec_id AS q_id, c.vec_id AS c_id,
-         |   round(${cosSql("p", "c")}, 6) AS cos_v,
+         |   CAST(round(round(${cosSql("p", "c")}, 6) * 1000000)
+         |    AS BIGINT) AS cos6,
          |   row_number() OVER (PARTITION BY p.vec_id
          |     ORDER BY ${cosSql("p", "c")} DESC, c.vec_id ASC) AS rk
          |  FROM p JOIN b AS c ON p.vec_id <> c.vec_id),
-         | favg AS (SELECT q_id, avg(cos_v) AS avg_fwd FROM fwd
-         |   WHERE rk <= 4 GROUP BY q_id),
-         | best AS (SELECT q_id, c_id, cos_v FROM fwd WHERE rk = 1),
+         | favg AS (SELECT q_id, sum(cos6)::DOUBLE / count(*) AS f6
+         |   FROM fwd WHERE rk <= 4 GROUP BY q_id),
+         | best AS (SELECT q_id, c_id, cos6 FROM fwd WHERE rk = 1),
          | ys AS (SELECT DISTINCT c_id FROM best),
          | bwd AS (SELECT y.c_id AS y_id,
-         |   round(${cosSql("yb", "a2")}, 6) AS cos_v,
+         |   CAST(round(round(${cosSql("yb", "a2")}, 6) * 1000000)
+         |    AS BIGINT) AS cos6,
          |   row_number() OVER (PARTITION BY y.c_id
          |     ORDER BY ${cosSql("yb", "a2")} DESC, a2.vec_id ASC) AS rk
          |  FROM ys AS y JOIN b AS yb ON yb.vec_id = y.c_id
          |  JOIN a AS a2 ON a2.vec_id <> y.c_id),
-         | bavg AS (SELECT y_id AS c_id, avg(cos_v) AS avg_bwd FROM bwd
-         |   WHERE rk <= 4 GROUP BY y_id)
-         | SELECT best.q_id, best.c_id, best.cos_v,
-         |  round(favg.avg_fwd, 6) AS avg_fwd,
-         |  round(bavg.avg_bwd, 6) AS avg_bwd,
-         |  round(best.cos_v / ((favg.avg_fwd + bavg.avg_bwd) / 2), 6)
-         |   AS margin,
-         |  (best.cos_v / ((favg.avg_fwd + bavg.avg_bwd) / 2)) > 1.05
-         |   AS accepted
+         | bavg AS (SELECT y_id AS c_id, sum(cos6)::DOUBLE / count(*)
+         |   AS b6 FROM bwd WHERE rk <= 4 GROUP BY y_id)
+         | SELECT best.q_id, best.c_id,
+         |  best.cos6 / 1000000.0 AS cos_v,
+         |  favg.f6 / 1000000.0 AS avg_fwd,
+         |  bavg.b6 / 1000000.0 AS avg_bwd,
+         |  round(best.cos6 / ((favg.f6 + bavg.b6) / 2), 6) AS margin,
+         |  (best.cos6 / ((favg.f6 + bavg.b6) / 2)) > 1.05 AS accepted
          | FROM best JOIN favg ON favg.q_id = best.q_id
          | JOIN bavg ON bavg.c_id = best.c_id
          | ORDER BY best.q_id""".stripMargin.replace("\n", " "),

@@ -71,6 +71,20 @@ object TsdbQueries {
       t
     })
 
+  /** Once-per-(session, sf dir) block-segmented m3ninx index table
+    * (Index.writeBlockSegments): postings partitioned by UTC-day
+    * block, so time-bounded index queries prune segments at planning
+    * time. */
+  private val idxTables =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def idxTable(s: SparkSession, dir: String): String =
+    idxTables.getOrElseUpdate((s, dir), {
+      val t = "graft_idx_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+      Index.writeBlockSegments(samples(s, dir), t, Seq("name", "user_id"))
+      t
+    })
+
   /** Float-salted m3tsz block store — the same layout encoded from
     * [[saltedSamples]], so blocks mix int-diff and float-XOR spans. */
   private val tszFloatTables =
@@ -443,6 +457,17 @@ object TsdbQueries {
       Index.indexCompleteTags(samples(s, dir),
         Seq(Fetch.Matcher("name", Fetch.Re, "(pur|si).*")),
         labelCols = Seq("name", "user_id"))
+        .orderBy("tag_name", "tag_value")),
+    // time-bounded tag completion served from the block-segmented
+    // at-rest index (m3ninx per-block segments): day partitions
+    // outside [19725, 19732) prune at planning time; byte-equal to
+    // the scan route over the same bounds (spec + this oracle)
+    "ts_index_tags_range" -> ((s, dir) =>
+      Index.boundedCompleteTags(s.table(idxTable(s, dir)),
+        Seq(Fetch.Matcher("name", Fetch.Re, "(pur|cli).*"),
+          Fetch.Matcher("user_id", Fetch.Re, "[0-9]*[13579]")),
+        labelCols = Seq("name", "user_id"),
+        fromBlock = 19725L, untilBlock = 19732L)
         .orderBy("tag_name", "tag_value")),
     "ts_fetch_eq" -> ((s, dir) =>
       Fetch(samples(s, dir),
@@ -1457,6 +1482,23 @@ object TsdbQueries {
          |  AND regexp_full_match(CAST(user_id AS VARCHAR), '[0-9]*[13579]')
          |  AND floor(epoch(ts)) >= 1704067200 AND floor(epoch(ts)) < 1705276800
          | ORDER BY event_id""".stripMargin.replace("\n", " "),
+    // the scan-route replay of the block-segmented index completion:
+    // distinct matching series PRESENT in day blocks [19725, 19732)
+    "ts_index_tags_range" ->
+      s"""WITH m AS (SELECT DISTINCT name,
+         |  CAST(user_id AS VARCHAR) AS user_id
+         |  FROM ($S) AS s
+         |  WHERE regexp_full_match(name, '(pur|cli).*')
+         |   AND regexp_full_match(CAST(user_id AS VARCHAR),
+         |    '[0-9]*[13579]')
+         |   AND floor(epoch(ts) / 86400) >= 19725
+         |   AND floor(epoch(ts) / 86400) < 19732)
+         | SELECT DISTINCT tag_name, tag_value FROM (
+         |  SELECT 'name' AS tag_name, name AS tag_value FROM m
+         |  UNION ALL
+         |  SELECT 'user_id' AS tag_name, user_id AS tag_value FROM m) AS u
+         | WHERE tag_value IS NOT NULL
+         | ORDER BY tag_name, tag_value""".stripMargin.replace("\n", " "),
     "ts_fetch_eq" ->
       s"""SELECT name, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, value, event_id
          | FROM ($S) AS s

@@ -159,8 +159,12 @@ object Similarity {
     * embeddings). For each of the `nQ` lowest-id side-A probes:
     * its best side-B candidate, the margin factorization, and the
     * accept flag (margin > threshold, 1.05 ≈ the CCMatrix working
-    * point). Margins divide ROUNDED cosines so both engines build
-    * the ratio from identical inputs.
+    * point). Denominators average in integer MICRO-UNITS
+    * (sum(cos6)/count, the [[marginMiningLsh]]/corpus_el2n lesson):
+    * avg() of rounded doubles lands on exact .5 micro midpoints the
+    * engines' round() implementations split, and the accept flag
+    * derives from the same unrounded margin expression the oracle
+    * computes.
     *
     * Scale: the probe pattern of the other retrieval cards
     * (probe × corpus linear scans, broadcast probes). FULL-corpus
@@ -173,20 +177,24 @@ object Similarity {
     val a = emb.where(col("label") === labelA)
     val b = emb.where(col("label") === labelB)
     val probes = a.orderBy("vec_id").limit(nQ)
-    val fwd = cosineTopK(b, probes, k)
-    val avgFwd = fwd.groupBy("q_id").agg(avg("cos_v").as("avg_fwd"))
+    val cos6 = round(col("cos_v") * 1000000, 0).cast("long")
+    val fwd = cosineTopK(b, probes, k).withColumn("cos6", cos6)
+    val avgFwd = fwd.groupBy("q_id")
+      .agg((sum("cos6").cast("double") / count(lit(1))).as("f6"))
     val best = fwd.where(col("rk") === 1)
-      .select(col("q_id"), col("c_id"), col("cos_v"))
+      .select(col("q_id"), col("c_id"), col("cos6"))
     val ys = b.join(
       broadcast(best.select(col("c_id").as("vec_id")).distinct()), "vec_id")
-    val avgBwd = cosineTopK(a, ys, k)
-      .groupBy("q_id").agg(avg("cos_v").as("avg_bwd"))
+    val avgBwd = cosineTopK(a, ys, k).withColumn("cos6", cos6)
+      .groupBy("q_id")
+      .agg((sum("cos6").cast("double") / count(lit(1))).as("b6"))
       .withColumnRenamed("q_id", "c_id")
-    val margin = col("cos_v") / ((col("avg_fwd") + col("avg_bwd")) / 2)
+    val margin = col("cos6") / ((col("f6") + col("b6")) / 2)
     best.join(broadcast(avgFwd), "q_id").join(broadcast(avgBwd), "c_id")
-      .select(col("q_id"), col("c_id"), col("cos_v"),
-        round(col("avg_fwd"), 6).as("avg_fwd"),
-        round(col("avg_bwd"), 6).as("avg_bwd"),
+      .select(col("q_id"), col("c_id"),
+        (col("cos6") / 1000000.0).as("cos_v"),
+        (col("f6") / 1000000.0).as("avg_fwd"),
+        (col("b6") / 1000000.0).as("avg_bwd"),
         round(margin, 6).as("margin"),
         (margin > threshold).as("accepted"))
       .orderBy("q_id")

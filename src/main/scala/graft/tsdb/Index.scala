@@ -135,13 +135,97 @@ object Index {
     * surface never touches sample blocks): matchers resolve to a
     * series set via [[indexMatch]], and the result is the distinct
     * (tag_name, tag_value) pairs present on those series — all of it
-    * series-cardinality work over the index frames. Time bounds are
-    * the one thing this route cannot see (m3's index is
-    * block-per-time-window; this single-table restatement indexes
-    * ALL time), so the scan route remains the bounded-window form. */
+    * series-cardinality work over the index frames. This form
+    * indexes ALL time; time-bounded completion goes through the
+    * block-segmented at-rest layout ([[writeBlockSegments]] /
+    * [[boundedCompleteTags]]). */
   def indexCompleteTags(samples: DataFrame, matchers: Seq[Fetch.Matcher],
                         labelCols: Seq[String]): DataFrame =
     indexMatch(samples, matchers, labelCols)
+      .select(explode(array(labelCols.map(n =>
+        struct(lit(n).as("tag_name"), col(n).as("tag_value"))): _*)).as("t"))
+      .select(col("t.tag_name"), col("t.tag_value"))
+      .where(col("tag_value").isNotNull)
+      .distinct()
+
+  /** Block-segmented at-rest index — m3ninx's
+    * block-per-time-window segments (/root/reference/src/m3ninx:
+    * per-block segment readers; the index the dbnode consults is a
+    * SEQUENCE of time-blocked segments, and a bounded query opens
+    * only the overlapping blocks) restated as a block-PARTITIONED
+    * postings table: one row per (block, label, value, sid), block =
+    * UTC day (the TszStore convention). A time-bounded matcher query
+    * prunes blocks at PLANNING time (partition pruning — the
+    * dt-prune a 1000-block index needs; PlanSpec audits the
+    * PartitionFilters) and never opens an out-of-range segment.
+    *
+    * Scale: the table is (series-block presence) × labels — index
+    * cardinality, orders of magnitude under datapoint cardinality;
+    * a cluster maintains it incrementally per closed block exactly
+    * like m3ninx seals per-block segments. */
+  def writeBlockSegments(samples: DataFrame, table: String,
+                         labelCols: Seq[String]): Unit = {
+    val spark = samples.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    val block = floor(unix_timestamp(col("ts")).cast("double") / 86400.0)
+      .cast("long")
+    val seg = samples.withColumn("block", block)
+      .select(labelCols.map(c => col(c).cast("string").as(c)) :+
+        col("block"): _*)
+      .distinct()
+    labelCols.map { l =>
+      // NULL terms never enter a segment (same rule as postings())
+      seg.where(col(l).isNotNull)
+        .select(lit(l).as("label"), col(l).as("value"),
+          struct(labelCols.map(col): _*).as("sid"), col("block"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").format("parquet")
+      .partitionBy("block")
+      .saveAsTable(table)
+  }
+
+  /** Time-bounded matcher resolution over the block-segmented
+    * index: blocks outside [fromBlock, untilBlock) prune at the
+    * scan (m3ninx: only overlapping segments open), then the
+    * standard size-ordered terms/postings intersection runs over
+    * the surviving segments' union. With per-series constant tags,
+    * intersect-within-block-then-union-blocks (m3's order) equals
+    * intersect-over-the-bounded-union — the cheaper form. */
+  def boundedMatch(post0: DataFrame, matchers: Seq[Fetch.Matcher],
+                   labelCols: Seq[String],
+                   fromBlock: Long, untilBlock: Long): DataFrame = {
+    require(matchers.nonEmpty, "index route needs at least one matcher")
+    val post = post0
+      .where(col("block") >= fromBlock && col("block") < untilBlock)
+    val terms = post.select("label", "value").distinct()
+    val ordered =
+      if (matchers.size > 1)
+        matcherOrder(post.select("label", "value"), terms, matchers)
+          .map(matchers)
+      else matchers
+    val perMatcher = ordered.map { m =>
+      val label = if (m.label == "__name__") "name" else m.label
+      val matchedTerms = terms
+        .where(col("label") === label && termPredicate(m))
+      post.join(broadcast(matchedTerms), Seq("label", "value"), "leftsemi")
+        .select("sid")
+    }
+    perMatcher.reduce(_ intersect _).select(col("sid.*"))
+  }
+
+  /** Time-bounded tag completion from the block-segmented index —
+    * the /labels form m3 serves from per-block index segments:
+    * byte-equal to the scan route over the same time bounds
+    * (spec-pinned), but resolved entirely against pruned index
+    * partitions. */
+  def boundedCompleteTags(post: DataFrame, matchers: Seq[Fetch.Matcher],
+                          labelCols: Seq[String],
+                          fromBlock: Long, untilBlock: Long): DataFrame =
+    boundedMatch(post, matchers, labelCols, fromBlock, untilBlock)
       .select(explode(array(labelCols.map(n =>
         struct(lit(n).as("tag_name"), col(n).as("tag_value"))): _*)).as("t"))
       .select(col("t.tag_name"), col("t.tag_value"))

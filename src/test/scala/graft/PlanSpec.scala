@@ -845,6 +845,18 @@ class PlanSpec extends SparkSpec {
     assert(got == want, s"permutation drifted: $got vs $want")
   }
 
+  test("bounded index route prunes day-block partitions at planning time") {
+    // the m3ninx block-segment contract: a time-bounded index query
+    // opens ONLY overlapping segments — the block partition filter
+    // must reach the file scan (PartitionFilters), not a post-scan
+    // Filter over all partitions
+    val p = plan("ts_index_tags_range")
+    assert(p.contains("PartitionFilters: [") &&
+      p.replaceAll("(?s).*PartitionFilters: \\[", "").take(200)
+        .contains("block"),
+      "expected the block bounds as partition filters:\n" + p.take(3000))
+  }
+
   test("family caches persist DISK_ONLY — no session-long storage-memory squat") {
     // the r8 driver artifact's pass-2 dedup_winnow spike: every
     // corpus-sized family cache stayed MEMORY_AND_DISK-resident for

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.{col, round, sum}
+import org.apache.spark.sql.functions.{col, lit, round, sum}
 
 class SaltSpec extends SparkSpec {
   test("salted two-phase aggregation equals direct aggregation") {
@@ -39,6 +39,35 @@ class SaltSpec extends SparkSpec {
       "divide (fetch name:b | sum)")) // nested op cannot start
     intercept[M3QL.ParseException](M3QL.query(samples,
       "fetch name:a | asPercent (sum name)")) // nested must fetch
+  }
+
+  test("block-segmented index honors time bounds, byte-equal to scan route") {
+    import graft.tsdb.{Fetch, Index}
+    val samples = tsdb.Vectors.samples(Tables.events(spark, sf))
+    Index.writeBlockSegments(samples, "graft_idx_spec", Seq("name", "user_id"))
+    val ms = Seq(Fetch.Matcher("name", Fetch.Re, "(pur|cli).*"),
+      Fetch.Matcher("user_id", Fetch.Re, "[0-9]*[13579]"))
+    val (f, u) = (19725L, 19732L)
+    def tagSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    val viaIndex = tagSet(Index.boundedCompleteTags(
+      spark.table("graft_idx_spec"), ms, Seq("name", "user_id"), f, u)
+      .select("tag_name", "tag_value"))
+    // the scan route: push matchers + the same second bounds into
+    // the sample scan, then complete tags from the survivors
+    val scanSeries = Fetch(samples, ms,
+      startS = Some(f * 86400), endS = Some(u * 86400))
+      .select(col("name").cast("string").as("name"),
+        col("user_id").cast("string").as("user_id")).distinct()
+    val viaScan = tagSet(
+      scanSeries.select(lit("name").as("tag_name"), col("name").as("tag_value"))
+        .unionByName(scanSeries.select(lit("user_id").as("tag_name"),
+          col("user_id").as("tag_value")))
+        .distinct())
+    assert(viaIndex == viaScan && viaIndex.nonEmpty)
+    // a window with no blocks resolves to the empty tag set
+    assert(Index.boundedCompleteTags(spark.table("graft_idx_spec"), ms,
+      Seq("name", "user_id"), 1L, 2L).count() == 0)
   }
 
   test("interpolate sharded coordinates equal the per-series window output") {
