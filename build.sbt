@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // the box carries 128 GiB and local[32] is a single JVM: 8g was
+  // the round-1 conservative floor and became the binding constraint
+  // at the 100x scale probe (AGGREGATE_OUT_OF_MEMORY in the suffix
+  // family); 32g leaves headroom for the driver's own tooling
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

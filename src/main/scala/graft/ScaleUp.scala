@@ -109,13 +109,19 @@ object ScaleUp {
               concat(w, lit("r"), col("_r"))).otherwise(w)), " ")))
       .withColumn("n_chars", length(col("text")).cast("long")),
       "documents", 8)
+    // rotation is modular in the dimension so factors beyond dim
+    // stay valid (n=100 > 64 dims broke the raw slice); replicas a
+    // full dim apart re-align exactly (rotations form a cycle) —
+    // acceptable for scale probes, labels still replica-local
     write(rep(read("embeddings"))
       .withColumn("vec_id", shift("vec_id", sVec))
+      .withColumn("_rot", pmod(col("_r"), size(col("embedding"))))
       .withColumn("embedding",
-        when(col("_r") === 0, col("embedding")).otherwise(concat(
-          slice(col("embedding"), col("_r") + 1,
-            size(col("embedding")) - col("_r")),
-          slice(col("embedding"), lit(1), col("_r")))))
+        when(col("_rot") === 0, col("embedding")).otherwise(concat(
+          slice(col("embedding"), col("_rot") + 1,
+            size(col("embedding")) - col("_rot")),
+          slice(col("embedding"), lit(1), col("_rot")))))
+      .drop("_rot")
       .withColumn("label",
         (col("label") + col("_r") * 1000).cast("int")), "embeddings", 4)
   }

@@ -725,18 +725,6 @@ object Dedup {
     * shard-independent), so the 100 TB form shards the corpus and
     * adds. Char codes project inside the scan stage — the text column
     * never crosses a shuffle. */
-  /** One hash-doubling round: g' = md5₆₀(g : g[pos+step]), END
-    * sentinel past the doc tail. Shared by [[suffixSpectrum]] and
-    * [[suffixRepeats]] so the group-id family cannot drift. */
-  private def suffixRound(cur: DataFrame, step: Int): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    cur.withColumn("_g2", lead("g", step).over(w))
-      .select(col("doc_id"), col("pos"),
-        conv(substring(md5(concat(col("g").cast("string"), lit(":"),
-          coalesce(col("_g2").cast("string"), lit("END")))), 1, 15),
-          16, 10).cast("long").as("g"))
-  }
-
   /** Level-0 suffix frame: one row per (doc, char position), group
     * id = the char's code point. Text never leaves the scan stage. */
   private def suffixBase(docs: DataFrame): DataFrame = docs
@@ -746,15 +734,41 @@ object Dedup {
         .as(Seq("_p0", "g")))
     .select(col("doc_id"), (col("_p0") + 1).as("pos"), col("g"))
 
+  /** All doubling depths in ONE lineage — columns g1..g64, each
+    * round g' = md5₆₀(g : g[pos+step]) with an END sentinel past the
+    * doc tail. The six lead() windows share one partitioning and one
+    * ordering, so the whole chain plans as ONE exchange + ONE sort +
+    * six codegen'd window stages (the r9 rewrite: the per-round
+    * localCheckpoint chain re-sorted 7 corpus-character-sized frames
+    * and ran 1099 s at the 100× probe; this shape sorts once).
+    * Group ids are 60-bit md5 truncations carried as LONGs —
+    * collisions at 10⁸ suffixes are birthday-negligible over 2^61
+    * and md5-deterministic, so both engines would agree even on
+    * one. */
+  private def suffixChain(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    def next(g: Column, step: Int): Column =
+      conv(substring(md5(concat(g.cast("string"), lit(":"),
+        coalesce(lead(g, step).over(w).cast("string"), lit("END")))),
+        1, 15), 16, 10).cast("long")
+    suffixBase(docs)
+      .withColumn("g1", col("g"))
+      .withColumn("g2", next(col("g1"), 1))
+      .withColumn("g4", next(col("g2"), 2))
+      .withColumn("g8", next(col("g4"), 4))
+      .withColumn("g16", next(col("g8"), 8))
+      .withColumn("g32", next(col("g16"), 16))
+      .withColumn("g64", next(col("g32"), 32))
+      .drop("g")
+  }
+
   def suffixSpectrum(docs: DataFrame): DataFrame = {
-    // group ids are 60-bit md5 truncations carried as LONGs — ~4×
-    // less shuffle/cache traffic than hex strings across the 6
-    // rounds; collisions at 10⁷ suffixes are ~4e-5 (birthday over
-    // 2^61) and md5-deterministic, so both engines would agree even
-    // on one
-    var cur = suffixBase(docs).localCheckpoint(eager = true)
-    def stats(len: Int, f: DataFrame): DataFrame =
-      f.groupBy("g").agg(count(lit(1)).as("cnt"))
+    // one materialization of the whole depth family (~90 B/row),
+    // then each depth's stats is a map-side-combining scan of it;
+    // freed once the 7-row union is pinned
+    val f = suffixChain(docs).localCheckpoint(eager = true)
+    def stats(len: Int, gcol: String): DataFrame =
+      f.groupBy(col(gcol).as("g")).agg(count(lit(1)).as("cnt"))
         .agg(sum("cnt").as("n_suffixes"),
           count(lit(1)).as("n_groups"),
           sum(when(col("cnt") > 1, col("cnt")).otherwise(0L))
@@ -762,19 +776,13 @@ object Dedup {
           max("cnt").as("max_group"))
         .select(lit(len.toLong).as("prefix_len"), col("n_suffixes"),
           col("n_groups"), col("n_dup_suffixes"), col("max_group"))
-    // each round frame is freed as soon as its successor and its own
-    // 1-row stats are materialized — without this, 7 corpus-character-
-    // sized checkpoints pile up in the block manager at once and the
-    // later rounds run against eviction/spill pressure
-    var spectra = Seq(stats(1, cur).localCheckpoint(eager = true))
-    for (step <- Seq(1, 2, 4, 8, 16, 32)) {
-      val prev = cur
-      cur = suffixRound(cur, step).localCheckpoint(eager = true)
-      Corpus.freeCheckpoint(prev)
-      spectra = spectra :+ stats(step * 2, cur).localCheckpoint(eager = true)
-    }
-    Corpus.freeCheckpoint(cur)
-    spectra.reduce(_ union _).orderBy("prefix_len")
+    val out = Seq(1 -> "g1", 2 -> "g2", 4 -> "g4", 8 -> "g8",
+      16 -> "g16", 32 -> "g32", 64 -> "g64")
+      .map { case (l, c) => stats(l, c) }
+      .reduce(_ union _).orderBy("prefix_len")
+      .localCheckpoint(eager = true) // 7 rows
+    Corpus.freeCheckpoint(f)
+    out
   }
 
   /** Top-`topK` deepest repeated substrings with attribution — the
@@ -785,18 +793,16 @@ object Dedup {
     * (boilerplate banners, license headers, injected templates) that
     * turns the spectrum's counts into dedup rules.
     *
-    * Scale: the same 6 hash-doubling rounds (round frames freed as
-    * they're superseded), then one group aggregation with a struct-
-    * min exemplar (hash-aggregable — no window over the group), a
-    * TakeOrdered top-k, and a ≤topK-row join back to the text. */
+    * Scale: the same single-sort depth chain ([[suffixChain]] — here
+    * only g64 is consumed and NOTHING materializes: the chain streams
+    * straight into the group aggregation), one group aggregation with
+    * a struct-min exemplar (hash-aggregable — no window over the
+    * group), a TakeOrdered top-k, and a ≤topK-row join back to the
+    * text. */
   def suffixRepeats(docs: DataFrame, topK: Int = 10): DataFrame = {
-    var cur = suffixBase(docs).localCheckpoint(eager = true)
-    for (step <- Seq(1, 2, 4, 8, 16, 32)) {
-      val prev = cur
-      cur = suffixRound(cur, step).localCheckpoint(eager = true)
-      Corpus.freeCheckpoint(prev)
-    }
-    val groups = cur.groupBy("g")
+    val groups = suffixChain(docs)
+      .select(col("doc_id"), col("pos"), col("g64").as("g"))
+      .groupBy("g")
       .agg(count(lit(1)).as("grp_size"),
         count_distinct(col("doc_id")).as("n_docs"),
         min(struct(col("doc_id"), col("pos"))).as("ex"))
@@ -807,10 +813,6 @@ object Dedup {
       .limit(topK)
       .select(col("grp_size"), col("n_docs"),
         col("ex.doc_id").as("doc_id"), col("ex.pos").cast("long").as("pos"))
-      // ≤topK rows — materialize BEFORE freeing the round frame the
-      // lazy plan would otherwise still need
-      .localCheckpoint(eager = true)
-    Corpus.freeCheckpoint(cur)
     val rkW = Window.orderBy(col("grp_size").desc, col("doc_id").asc,
       col("pos").asc) // ≤topK rows
     top.join(docs.select(col("doc_id"), col("text")), "doc_id")

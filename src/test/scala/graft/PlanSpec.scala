@@ -845,6 +845,19 @@ class PlanSpec extends SparkSpec {
     assert(got == want, s"permutation drifted: $got vs $want")
   }
 
+  test("suffix chain sorts the char stream once — stacked windows share it") {
+    // the r9 rewrite: six lead() windows on one (doc, pos)
+    // partitioning+ordering plan as ONE exchange + ONE sort + six
+    // window stages; a per-round re-sort chain is what ran 1099 s at
+    // the 100x probe
+    val p = plan("dedup_suffix_repeats")
+    val sorts = "Sort \\[doc_id".r.findAllIn(p).length
+    assert(sorts == 1,
+      s"expected ONE (doc, pos) sort, got $sorts:\n" + p.take(2500))
+    val wins = "Window \\[".r.findAllIn(p).length
+    assert(wins >= 6, s"expected the 6 stacked windows, got $wins")
+  }
+
   test("bounded index route prunes day-block partitions at planning time") {
     // the m3ninx block-segment contract: a time-bounded index query
     // opens ONLY overlapping segments — the block partition filter
