@@ -2742,15 +2742,18 @@ object TsdbQueries {
          | FROM ($INST) AS i WHERE name = 'click'
          | GROUP BY name, bucket_s ORDER BY name, bucket_s""".stripMargin.replace("\n", " "),
     // nested divide-by-aggregate: left instant ⋈ per-name sum on the
-    // shared (name, bucket); null at zero denominators drops (no
-    // keepNaN in the script)
+    // shared (name, bucket); the denominator rounds to 6 BEFORE the
+    // division (float-sum last-ulp varies with summation order even
+    // across DuckDB thread schedules — dividing rounded inputs makes
+    // the quotient bit-identical); null at zero denominators drops
+    // (no keepNaN in the script)
     "m3ql_nested" ->
       s"""WITH l AS (SELECT name, user_id, bucket_s, value
          |  FROM ($INST) AS i),
-         | r AS (SELECT name, bucket_s, sum(value) AS rv
+         | r AS (SELECT name, bucket_s, round(sum(value), 6) AS rv
          |  FROM ($INST) AS i GROUP BY 1, 2)
          | SELECT l.name, l.user_id, l.bucket_s,
-         |  round(100.0 * l.value / r.rv, 6) AS value
+         |  round(l.value / r.rv * 100.0, 6) AS value
          | FROM l JOIN r ON r.name = l.name AND r.bucket_s = l.bucket_s
          | WHERE r.rv != 0
          | ORDER BY l.name, l.user_id, l.bucket_s"""

@@ -164,7 +164,14 @@ object M3QL {
     val (right, _) =
       runPipeline(stagesOf(rest.substring(1, close)), samples, macros)
     val keys = labelsOf(in).intersect(labelsOf(right)) :+ "bucket_s"
-    val rr = right.select(keys.map(col) :+ col("value").as("_rv"): _*)
+    // the denominator rounds to 6 decimals BEFORE dividing — an
+    // aggregate denominator is a float sum whose last ulp varies
+    // with summation order (across engines AND across DuckDB thread
+    // schedules), and an unrounded quotient then flips 6-decimal
+    // midpoints; dividing rounded inputs makes the quotient
+    // bit-identical everywhere (the marginMining discipline)
+    val rr = right.select(keys.map(col) :+
+      round(col("value"), 6).as("_rv"): _*)
     val q = when(col("_rv") =!= 0, col("value") / col("_rv") *
       (if (op == "asPercent") lit(100.0) else lit(1.0)))
     in.join(rr, keys).withColumn("value", q).drop("_rv")
