@@ -232,6 +232,25 @@ object GraphiteQueries {
       // expanding the leaf level under one subtree: user1/10..19
       Graphite.metricsFind(frame(s, dir), "events.purchase.user1?")
         .orderBy("id")),
+    // extended glob dialect (glob.go:94-180) through the target
+    // parser: {a,b} alternation and [0-9] character ranges
+    "gq_glob_brace" -> ((s, dir) =>
+      graphite.GraphiteParser.query(
+        Vectors.samples(Tables.events(s, dir)),
+        """summarize(events.{purchase,signup}.*, "1d", "sum")""")
+        .select(col("path"), col("bucket_s"), round(col("value"), 6).as("value"))
+        .orderBy("path", "bucket_s")),
+    "gq_glob_range" -> ((s, dir) =>
+      graphite.GraphiteParser.query(
+        Vectors.samples(Tables.events(s, dir)),
+        "events.*.user[0-2]?")
+        .select(col("path"), col("bucket_s"), round(col("value"), 6).as("value"))
+        .orderBy("path", "bucket_s")),
+    // `**` match-all through /metrics/find (find_parser.go:109):
+    // one whole-path regex, nodes at the last query level or deeper,
+    // every node assumed expandable
+    "gq_find_matchall" -> ((s, dir) =>
+      Graphite.metricsFind(frame(s, dir), "events.**").orderBy("id")),
     // carbon line-protocol roundtrip: render every event as a
     // plaintext `path value epoch` line, parse through the Carbon
     // source, consolidate hourly — the oracle computes the same
@@ -600,6 +619,25 @@ object GraphiteQueries {
          | FROM (SELECT DISTINCT path FROM ($PF) AS f) AS p
          | WHERE regexp_matches(path, '^events\\.purchase\\.user1[^.](\\..*)?$$')
          | ) AS u GROUP BY id, text ORDER BY id""".stripMargin.replace("\n", " "),
+    "gq_glob_brace" ->
+      s"""SELECT path, CAST(floor(bucket_s / 86400) * 86400 AS BIGINT) AS bucket_s,
+         | round(sum(value), 6) AS value FROM ($PF) AS p
+         | WHERE regexp_matches(path, '^events\\.(purchase|signup)\\.[^.]*$$')
+         | GROUP BY path, CAST(floor(bucket_s / 86400) * 86400 AS BIGINT)
+         | ORDER BY path, bucket_s""".stripMargin.replace("\n", " "),
+    "gq_glob_range" ->
+      s"""SELECT path, bucket_s, round(value, 6) AS value FROM ($PF) AS p
+         | WHERE regexp_matches(path, '^events\\.[^.]*\\.user[0-2][^.]$$')
+         | ORDER BY path, bucket_s""".stripMargin.replace("\n", " "),
+    "gq_find_matchall" ->
+      s"""SELECT DISTINCT seg AS id, seg AS text, CAST(0 AS INT) AS is_leaf,
+         | CAST(1 AS INT) AS has_children FROM (
+         |  SELECT string_split(path, '.')[2] AS seg
+         |   FROM (SELECT DISTINCT path FROM ($PF) AS f) AS p
+         |  UNION
+         |  SELECT string_split(path, '.')[3] AS seg
+         |   FROM (SELECT DISTINCT path FROM ($PF) AS g) AS q
+         | ) AS u ORDER BY id""".stripMargin.replace("\n", " "),
     "gr_carbon" ->
       s"""SELECT 'events.' || event_type || '.user' || CAST(user_id AS VARCHAR) AS path,
          | CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_s,

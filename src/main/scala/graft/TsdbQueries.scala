@@ -1025,6 +1025,14 @@ object TsdbQueries {
         .select(col("name"), col("user_id"), col("bucket_s"),
           round(col("value"), 6).as("value"))
         .orderBy("name", "user_id", "bucket_s")),
+    // extended glob dialect in fetch matchers — {a,b} alternation +
+    // [0-9] ranges, the GlobSymbols the m3ql grammar passes through
+    // (grammar.peg.go:1493) with graphite glob.go conversion
+    "m3ql_glob" -> ((s, dir) =>
+      graft.m3ql.M3QL.query(samples(s, dir),
+        "fetch name:{purchase,signup} user_id:1? | sum name")
+        .select(col("name"), col("bucket_s"), round(col("value"), 6).as("value"))
+        .orderBy("name", "bucket_s")),
 
     // ---- §2E tags -----------------------------------------------------
     "ts_label_join" -> ((s, dir) =>
@@ -2749,7 +2757,7 @@ object TsdbQueries {
     // (no keepNaN in the script)
     "m3ql_nested" ->
       s"""WITH l AS (SELECT name, user_id, bucket_s, value
-         |  FROM ($INST) AS i),
+         |  FROM ($INST) AS i WHERE value IS NOT NULL),
          | r AS (SELECT name, bucket_s, round(sum(value), 6) AS rv
          |  FROM ($INST) AS i GROUP BY 1, 2)
          | SELECT l.name, l.user_id, l.bucket_s,
@@ -2758,6 +2766,13 @@ object TsdbQueries {
          | WHERE r.rv != 0
          | ORDER BY l.name, l.user_id, l.bucket_s"""
         .stripMargin.replace("\n", " "),
+    "m3ql_glob" ->
+      s"""SELECT name, bucket_s, round(sum(value), 6) AS value
+         | FROM ($INST) AS i
+         | WHERE name IN ('purchase', 'signup')
+         |  AND regexp_matches(CAST(user_id AS VARCHAR), '^1[^.]$$')
+         | GROUP BY name, bucket_s
+         | ORDER BY name, bucket_s""".stripMargin.replace("\n", " "),
     "m3ql_multi" ->
       s"""SELECT name, bucket_s + 3600 AS bucket_s,
          | round(quantile_cont(least(greatest(value, 50), 150), 0.9), 6) AS value

@@ -1293,18 +1293,36 @@ object Graphite {
     * column; the only shuffle is the distinct-prefix aggregation,
     * carrying tree-node cardinality, not samples. */
   def metricsFind(df: DataFrame, query: String): DataFrame = {
-    val n = query.split("\\.", -1).length
-    val glob = query.split("\\.", -1)
-      .map(_.replace("*", "[^.]*").replace("?", "[^.]")).mkString("\\.")
     val seg = split(col("path"), "\\.")
-    df.select("path").distinct()
-      .where(col("path").rlike(s"^$glob(\\..*)?$$"))
-      .select(
-        array_join(slice(seg, 1, n), ".").as("id"),
-        element_at(seg, n).as("text"),
-        (size(seg) === n).cast("int").as("_leaf"))
-      .groupBy("id", "text")
-      .agg(max(col("_leaf")).as("is_leaf"),
-        max(lit(1) - col("_leaf")).as("has_children"))
+    if (query.contains("**")) {
+      // `**` mode (find_parser.go:109-133): the query translates to
+      // ONE anchored whole-path regex (m3_wrapper.go:114-137,
+      // StarStarUnterminatedTranslatedQuery) and the result set is
+      // the distinct path segments at the last query level OR DEEPER
+      // of every matching series; every node is assumed expandable
+      // (is_leaf=0/has_children=1 — the reference skips the per-node
+      // leaf check for `**`, find_parser.go comment at :110).
+      val n = Glob.splitSegments(query).length
+      val re = Glob.anchored(query, allowMatchAll = true)
+      df.select("path").distinct()
+        .where(col("path").rlike(re))
+        .select(posexplode(seg))
+        .where(col("pos") >= lit(n - 1))
+        .select(col("col").as("id"), col("col").as("text"),
+          lit(0).as("is_leaf"), lit(1).as("has_children"))
+        .distinct()
+    } else {
+      val n = Glob.splitSegments(query).length
+      val glob = Glob.toRegex(query)
+      df.select("path").distinct()
+        .where(col("path").rlike(s"^$glob(\\..*)?$$"))
+        .select(
+          array_join(slice(seg, 1, n), ".").as("id"),
+          element_at(seg, n).as("text"),
+          (size(seg) === n).cast("int").as("_leaf"))
+        .groupBy("id", "text")
+        .agg(max(col("_leaf")).as("is_leaf"),
+          max(lit(1) - col("_leaf")).as("has_children"))
+    }
   }
 }

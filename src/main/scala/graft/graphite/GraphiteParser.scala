@@ -34,10 +34,15 @@ object GraphiteParser {
   // ambiguous with it: match numbers first, then paths (function
   // names lex as single-segment paths; a name is a call iff followed
   // by an opening paren)
+  // path atoms cover the extended glob dialect ([[Glob]]): the bare
+  // identifier/pattern runes, backslash escapes, and atomic `{...}` /
+  // `[...]` groups (so the commas INSIDE an alternation never reach
+  // the argument-separator comma rule). Quoted strings match first —
+  // `'` is a valid identifier rune but a leading quote means string.
   private val tokenRe =
-    ("""\s*(\(|\)|,|-?[0-9]+\.[0-9]+|-?[0-9]+(?![A-Za-z0-9_*?.\-])""" +
-      """|[A-Za-z0-9_*?.\-]+""" +
-      """|"[^"]*"|'[^']*')""").r
+    ("""\s*(\(|\)|,|"[^"]*"|'[^']*'""" +
+      """|-?[0-9]+\.[0-9]+|-?[0-9]+(?![A-Za-z0-9_*?.{\[\-])""" +
+      """|(?:[A-Za-z0-9_*?.$|<>%#/:~\-]|\\.|\{[^{}()\s]*\}|\[[^\]\[(),\s]*\])+)""").r
 
   private def tokenize(q: String): List[String] = {
     var rest = q
@@ -83,7 +88,11 @@ object GraphiteParser {
         }
       }
       (Call(fn, args.result()), rest)
-    case p :: rest if p.matches("[A-Za-z0-9_*?.\\-]+") => (Path(p), rest)
+    // a path token is anything the lexer's path-atom rule produced:
+    // identifier/pattern runes, escapes, and {…}/[…] groups
+    case p :: rest if p.matches(
+      """(?:[A-Za-z0-9_*?.$|<>%#/:~\-]|\\.|\{[^{}]*\}|\[[^\]\[]*\])+""") =>
+      (Path(p), rest)
     case other => throw new ParseException(s"bad target at $other")
   }
 
@@ -127,11 +136,13 @@ object GraphiteParser {
     }.sum
   }
 
-  /** Dot-glob → anchored regex (`*` any run, `?` one char — both
-    * within a segment). */
+  /** Dot-glob → anchored regex via the shared extended translator
+    * ([[Glob]], restating glob.go:94-180): `*`/`?` within a segment,
+    * `{a,b}` alternation, `[a-z]` ranges, `\` escapes, and `**`
+    * spanning separators (AllowMatchAll — the reference's graphite
+    * storage wrapper enables it, m3_wrapper.go:123). */
   private def globRe(glob: String): String =
-    "^" + glob.split("\\.", -1)
-      .map(_.replace("*", "[^.]*").replace("?", "[^.]")).mkString("\\.") + "$"
+    Glob.anchored(glob, allowMatchAll = true)
 
   // ---------------- evaluator ----------------
 

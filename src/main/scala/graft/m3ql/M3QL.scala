@@ -53,10 +53,11 @@ object M3QL {
     "log2", "log10", "sgn", "neg")
   private val cmpOps = Set("<", "<=", ">", ">=", "==", "!=")
 
-  /** glob pattern → anchored regex (`*` matches within a segment,
-    * per the graphite-style patterns m3ql uses). */
-  private def globRe(glob: String): String =
-    "^" + glob.split("\\.", -1).map(_.replace("*", "[^.]*")).mkString("\\.") + "$"
+  // glob translation is shared with the graphite route
+  // (graft.graphite.Glob) — the reference m3ql grammar passes the
+  // same GlobSymbols set `* ? { } [ ] , ^ $` through its pattern rule
+  // (src/query/parser/m3ql/grammar.peg.go:1493) and the conversion
+  // dialect is graphite's glob.go.
 
   private def labelsOf(df: DataFrame): Seq[String] =
     df.columns.toSeq.filterNot(Set("bucket_s", "value", "ts", "event_id"))
@@ -193,8 +194,14 @@ object M3QL {
         val matchers = args.map { a =>
           a.split(":", 2) match {
             case Array(label, pattern) =>
-              if (pattern.contains("*"))
-                Fetch.Matcher(label, Fetch.Re, globRe(pattern).drop(1).dropRight(1))
+              // Fetch.Re anchors internally (^(?:…)$), so the body is
+              // passed unanchored; a non-regexed pattern stays an Eq
+              // matcher unless it carries escapes (then the regex body
+              // holds the unescaped literal semantics).
+              val (body, regexed) =
+                graft.graphite.Glob.toRegexFlagged(pattern)
+              if (regexed || pattern.contains('\\'))
+                Fetch.Matcher(label, Fetch.Re, body)
               else Fetch.Matcher(label, Fetch.Eq, pattern)
             case _ => throw new ParseException(s"bad matcher $a (label:pattern)")
           }
