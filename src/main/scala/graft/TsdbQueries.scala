@@ -985,6 +985,43 @@ object TsdbQueries {
         """var by (name) (stdvar_over_time({name="purchase"}[1d]) / 1000)""")
         .select(col("name"), col("bucket_s"), round(col("value"), 6).as("value"))
         .orderBy("name", "bucket_s")),
+    // upstream-engine function tail (m3 reaches the full upstream
+    // prometheus set through its embedded engine,
+    // src/query/server/query.go:1380): absent_over_time, the group
+    // aggregator, sort_by_label(_desc), two-sided clamp, the trig
+    // family with the atan2 operator, deg/rad, pi()
+    "pql_absent_ot" -> ((s, dir) =>
+      graft.promql.PromQL.query(samples(s, dir),
+        """absent_over_time({name="signup", user_id="3"}[1d])""")
+        .orderBy("bucket_s")),
+    "pql_group" -> ((s, dir) =>
+      graft.promql.PromQL.query(samples(s, dir),
+        """group by (name) ({name=~"purchase|view"})""")
+        .orderBy("name", "bucket_s")),
+    "pql_sort_label" -> ((s, dir) =>
+      graft.promql.PromQL.query(samples(s, dir),
+        """sort_by_label_desc(sum by (user_id) ({name="purchase"}), "user_id")""")
+        .select(col("user_id"), col("bucket_s"),
+          round(col("value"), 6).as("value"), col("sort_rank"))
+        .orderBy("bucket_s", "sort_rank")),
+    "pql_clamp" -> ((s, dir) =>
+      graft.promql.PromQL.query(samples(s, dir),
+        """clamp(sum by (user_id) ({name="purchase"}), 80, 120)""")
+        .select(col("user_id"), col("bucket_s"),
+          round(col("value"), 6).as("value"))
+        .orderBy("user_id", "bucket_s")),
+    "pql_trig" -> ((s, dir) =>
+      graft.promql.PromQL.query(samples(s, dir),
+        """deg(sum by (name) ({name=~"purchase|view"}) atan2 100) % pi()""")
+        .select(col("name"), col("bucket_s"),
+          round(col("value"), 6).as("value"))
+        .orderBy("name", "bucket_s")),
+    "pql_trig2" -> ((s, dir) =>
+      graft.promql.PromQL.query(samples(s, dir),
+        """cos(asin(sin(rad({name="click"})) / 2))""")
+        .select(col("name"), col("user_id"), col("bucket_s"),
+          round(col("value"), 6).as("value"))
+        .orderBy("user_id", "bucket_s")),
 
     // ---- M3QL front-end (graft.m3ql) ----------------------------------
     "m3ql_agg" -> ((s, dir) =>
@@ -2672,6 +2709,43 @@ object TsdbQueries {
          |  GROUP BY name, user_id, bucket_s) AS t
          | GROUP BY name, bucket_s
          | ORDER BY name, bucket_s""".stripMargin.replace("\n", " "),
+    "pql_absent_ot" ->
+      s"""SELECT d.bucket_s, 1.0 AS value
+         | FROM (SELECT DISTINCT bucket_s FROM ($S) AS s) AS d
+         | WHERE d.bucket_s NOT IN (
+         |   SELECT DISTINCT bucket_s FROM ($S) AS s2
+         |   WHERE name = 'signup' AND user_id = 3)
+         | ORDER BY d.bucket_s""".stripMargin.replace("\n", " "),
+    "pql_group" ->
+      s"""SELECT name, bucket_s, 1.0 AS value FROM ($INST) AS i
+         | WHERE regexp_full_match(name, 'purchase|view')
+         | GROUP BY name, bucket_s
+         | ORDER BY name, bucket_s""".stripMargin.replace("\n", " "),
+    "pql_sort_label" ->
+      s"""SELECT user_id, bucket_s, round(v, 6) AS value,
+         | dense_rank() OVER (ORDER BY CAST(user_id AS VARCHAR) DESC)
+         |   AS sort_rank
+         | FROM (SELECT user_id, bucket_s, sum(value) AS v FROM ($INST) AS i
+         |  WHERE name = 'purchase' GROUP BY user_id, bucket_s) AS t
+         | ORDER BY bucket_s, sort_rank""".stripMargin.replace("\n", " "),
+    "pql_clamp" ->
+      s"""SELECT user_id, bucket_s,
+         | round(least(greatest(v, 80), 120), 6) AS value
+         | FROM (SELECT user_id, bucket_s, sum(value) AS v FROM ($INST) AS i
+         |  WHERE name = 'purchase' GROUP BY user_id, bucket_s) AS t
+         | ORDER BY user_id, bucket_s""".stripMargin.replace("\n", " "),
+    "pql_trig" ->
+      s"""SELECT name, bucket_s,
+         | round(degrees(atan2(v, 100.0)) % pi(), 6) AS value
+         | FROM (SELECT name, bucket_s, sum(value) AS v FROM ($INST) AS i
+         |  WHERE regexp_full_match(name, 'purchase|view')
+         |  GROUP BY name, bucket_s) AS t
+         | ORDER BY name, bucket_s""".stripMargin.replace("\n", " "),
+    "pql_trig2" ->
+      s"""SELECT name, user_id, bucket_s,
+         | round(cos(asin(sin(radians(value)) / 2)), 6) AS value
+         | FROM ($INST) AS i WHERE name = 'click'
+         | ORDER BY user_id, bucket_s""".stripMargin.replace("\n", " "),
     "ts_agg_without" ->
       s"""SELECT name, user_id % 10 AS cohort, bucket_s,
          | round(sum(value), 6) AS sum_v, min(value) AS min_v, max(value) AS max_v,

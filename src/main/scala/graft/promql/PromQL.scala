@@ -119,14 +119,14 @@ object PromQL {
   final case class VectorFn(v: Double) extends Expr
 
   private val aggOps = Set("sum", "avg", "min", "max", "count", "stddev",
-    "var", "topk", "bottomk", "quantile", "count_values")
+    "var", "topk", "bottomk", "quantile", "count_values", "group")
   private val paramAggs = Set("topk", "bottomk", "quantile")
   private val temporalFns = Set(
     "rate", "increase", "delta", "irate", "idelta", "resets", "changes", "deriv",
     "sum_over_time", "avg_over_time", "min_over_time", "max_over_time",
     "count_over_time", "last_over_time", "stddev_over_time",
-    "stdvar_over_time", "present_over_time", "quantile_over_time",
-    "predict_linear", "holt_winters")
+    "stdvar_over_time", "present_over_time", "absent_over_time",
+    "quantile_over_time", "predict_linear", "holt_winters")
   /** temporal fns evaluable over sliding [lookback:step] windows
     * (Temporal.rateSliding / overTimeAggsSliding). */
   private val slidingFns = Set(
@@ -143,10 +143,16 @@ object PromQL {
     "quantile_over_time", "last_over_time", "present_over_time")
   private val transformFns = Set(
     "abs", "ceil", "floor", "exp", "sqrt", "ln", "log2", "log10", "sgn",
-    "clamp_min", "clamp_max", "round", "label_replace", "label_join",
-    "sort", "sort_desc", "timestamp", "histogram_quantile", "absent",
+    "clamp_min", "clamp_max", "clamp", "round", "label_replace",
+    "label_join", "sort", "sort_desc", "sort_by_label",
+    "sort_by_label_desc", "timestamp", "histogram_quantile", "absent",
     "scalar", "day_of_month", "day_of_week", "days_in_month", "hour",
-    "minute", "month", "year")
+    "minute", "month", "year",
+    // upstream-engine trig family (m3 reaches the full upstream
+    // function set through its embedded prometheus engine —
+    // src/query/server/query.go:1380)
+    "sin", "cos", "tan", "asin", "acos", "atan",
+    "sinh", "cosh", "tanh", "asinh", "acosh", "atanh", "deg", "rad")
 
   /** PromQL operator precedence (parse.go delegates to the upstream
     * prometheus parser): or < and/unless < comparison < additive <
@@ -154,7 +160,8 @@ object PromQL {
   private val precOf: Map[String, Int] = Map(
     "or" -> 1, "and" -> 2, "unless" -> 2,
     "==" -> 3, "!=" -> 3, "<=" -> 3, "<" -> 3, ">=" -> 3, ">" -> 3,
-    "+" -> 4, "-" -> 4, "*" -> 5, "/" -> 5, "%" -> 5, "^" -> 6)
+    "+" -> 4, "-" -> 4, "*" -> 5, "/" -> 5, "%" -> 5, "atan2" -> 5,
+    "^" -> 6)
   private val setOps: Set[String] = Set("and", "or", "unless")
   private val cmpOps: Set[String] = Set("==", "!=", "<=", "<", ">=", ">")
 
@@ -162,11 +169,13 @@ object PromQL {
   private val fnParams: Map[String, Set[Int]] = Map(
     "quantile_over_time" -> Set(1), "predict_linear" -> Set(1),
     "holt_winters" -> Set(2), "clamp_min" -> Set(1), "clamp_max" -> Set(1),
-    "round" -> Set(0, 1), "histogram_quantile" -> Set(1))
+    "clamp" -> Set(2), "round" -> Set(0, 1), "histogram_quantile" -> Set(1))
     .withDefaultValue(Set(0))
   // expected string-parameter count
   private val fnSParams: Map[String, Set[Int]] = Map(
-    "label_replace" -> Set(4), "label_join" -> Set(2, 3, 4, 5))
+    "label_replace" -> Set(4), "label_join" -> Set(2, 3, 4, 5),
+    "sort_by_label" -> Set(1, 2, 3, 4, 5),
+    "sort_by_label_desc" -> Set(1, 2, 3, 4, 5))
     .withDefaultValue(Set(0))
 
   // ---------------- parser ----------------
@@ -328,6 +337,7 @@ object PromQL {
           case "/" => a / b
           case "%" => a % b
           case "^" => math.pow(a, b)
+          case "atan2" => math.atan2(a, b)
         })
       case (NumLit(a), e) if !setOps(op) =>
         BinOp(op, e, a, scalarLeft = true, bool = boolMod)
@@ -374,6 +384,9 @@ object PromQL {
       }
     case n :: rest if isNumber(n) => (NumLit(n.toDouble), rest)
     case "time" :: "(" :: ")" :: rest => (TimeFn, rest)
+    // pi() is a scalar constant (upstream functions.go funcPi) —
+    // folds like a literal
+    case "pi" :: "(" :: ")" :: rest => (NumLit(math.Pi), rest)
     case "vector" :: "(" :: n :: ")" :: rest if isNumber(n) =>
       (VectorFn(n.toDouble), rest)
     case op :: ("by" | "without") :: _ if aggOps(op) =>
@@ -725,6 +738,20 @@ object PromQL {
         .select((labels :+ "bucket_s").map(col) :+
           col("_sq_v").as("value"): _*)
 
+    // absent_over_time (upstream functions.go funcAbsentOverTime,
+    // reachable from m3 via the embedded engine): the instants of the
+    // dataset's range-unit grid where the selector matched NO samples
+    // in the whole window — grid-relative like absent, label-less
+    case Func("absent_over_time", sel: Selector, _, _) =>
+      val unit = sel.rangeUnit.get
+      val in = fetchFor(sel, samples)
+      atFilter(sel,
+        samples.select(Vectors.bucketS(unit)).distinct()
+          .join(in.select(Vectors.bucketS(unit)).distinct(),
+            Seq("bucket_s"), "left_anti")
+          .select(col("bucket_s"), lit(1.0).as("value")),
+        unit, samples)
+
     case Func(fn, sel: Selector, ps, _) if temporalFns(fn) =>
       val unit = sel.rangeUnit.get
       val in = fetchFor(sel, samples)
@@ -775,6 +802,18 @@ object PromQL {
         case "sort" | "sort_desc" =>
           return graft.tsdb.Transform.sortSeries(in, fn == "sort_desc",
             labelsOf(in))
+        case "sort_by_label" | "sort_by_label_desc" =>
+          // upstream functions.go funcSortByLabel(Desc): labels
+          // compare as STRINGS ("10" < "2"), remaining labels break
+          // ties
+          return graft.tsdb.Transform.sortByLabel(in, sps,
+            fn.endsWith("_desc"), labelsOf(in))
+        case "clamp" =>
+          // two-sided clamp (upstream functions.go funcClamp);
+          // min > max yields the empty vector
+          return if (ps(0) > ps(1)) in.where(lit(false))
+          else in.withColumn("value",
+            least(greatest(col("value"), lit(ps(0))), lit(ps(1))))
         case "absent" =>
           // the instants of the dataset grid where the argument
           // matched nothing (aggregation/absent.go:36, grid-relative)
@@ -812,6 +851,22 @@ object PromQL {
         case "minute"        => minute(asTs).cast("double")
         case "month"         => month(asTs).cast("double")
         case "year"          => year(asTs).cast("double")
+        // trig family (upstream functions.go; Go math NaN-outside-
+        // domain conventions are Spark's too — asin(2)=NaN etc.)
+        case "sin"   => sin(v)
+        case "cos"   => cos(v)
+        case "tan"   => tan(v)
+        case "asin"  => asin(v)
+        case "acos"  => acos(v)
+        case "atan"  => atan(v)
+        case "sinh"  => sinh(v)
+        case "cosh"  => cosh(v)
+        case "tanh"  => tanh(v)
+        case "asinh" => asinh(v)
+        case "acosh" => acosh(v)
+        case "atanh" => atanh(v)
+        case "deg"   => degrees(v)
+        case "rad"   => radians(v)
         case other => throw new ParseException(s"unknown function $other")
       }
       in.withColumn("value", out)
@@ -863,6 +918,10 @@ object PromQL {
           case "stddev"   => stddev_pop("value")
           case "var"      => var_pop("value")
           case "quantile" => percentile(col("value"), lit(param.get))
+          // upstream `group` aggregator: 1.0 per present group
+          // (prometheus aggregations; m3 reaches it via the embedded
+          // engine)
+          case "group"    => max(lit(1.0))
           case other => throw new ParseException(s"unknown agg $other")
         }
         in.groupBy(keys: _*).agg(agg.as("value"))
@@ -885,6 +944,7 @@ object PromQL {
           case "/" => (a, b) => when(b =!= 0, a / b)
           case "%" => (a, b) => when(b =!= 0, a % b)
           case "^" => pow(_, _)
+          case "atan2" => atan2(_, _)
           case o => throw new ParseException(s"$o not valid with group_left/right")
         }
         val f: (Column, Column) => Column =
@@ -926,6 +986,7 @@ object PromQL {
               case "/" => when(b =!= 0, a / b)
               case "%" => when(b =!= 0, a % b)
               case "^" => pow(a, b)
+              case "atan2" => atan2(a, b)
             })
           }
           out.drop("_sc")
@@ -962,6 +1023,8 @@ object PromQL {
               case "%" =>
                 j.select(keys :+ when(rv =!= 0, lv % rv).as("value"): _*)
               case "^" => j.select(keys :+ pow(lv, rv).as("value"): _*)
+              case "atan2" =>
+                j.select(keys :+ atan2(lv, rv).as("value"): _*)
               case other => throw new ParseException(s"unknown vector op $other")
             }
           }
@@ -993,6 +1056,7 @@ object PromQL {
         case "/" => in.withColumn("value", when(r =!= 0, l / r))
         case "%" => in.withColumn("value", when(r =!= 0, l % r))
         case "^" => in.withColumn("value", pow(l, r))
+        case "atan2" => in.withColumn("value", atan2(l, r))
         // comparisons filter, keeping the vector's values
         // (binary/comparison.go:50)
         case ">"  => in.where(l > r)

@@ -139,6 +139,48 @@ object Transform {
       .drop("_ord", "_shard", "_offset")
   }
 
+  /** sort_by_label / sort_by_label_desc (upstream prometheus
+    * functions.go funcSortByLabel(Desc) — m3 reaches it through the
+    * embedded engine, reference src/query/server/query.go:1380):
+    * order the vector by the given labels compared AS STRINGS
+    * ("10" < "2"), remaining labels breaking ties.
+    *
+    * Rendering: `sort_rank` is the series' dense position in the
+    * label ordering — constant across instants (labels don't vary by
+    * time), so within any instant ascending `sort_rank` IS the
+    * sorted vector.
+    *
+    * Distributed shape: ranks are computed on the DISTINCT series
+    * tuples — series cardinality, not samples — range-partitioned
+    * (Spark samples the key space) so each shard ranks locally, plus
+    * a broadcast shard-count prefix; the `shards`-row prefix window
+    * is bounded by construction. The rank frame joins back on the
+    * label key. */
+  def sortByLabel(instant: DataFrame, sortLabels: Seq[String],
+                  desc: Boolean, allLabels: Seq[String],
+                  shards: Int = 32): DataFrame = {
+    require(sortLabels.nonEmpty, "sort_by_label needs at least one label")
+    val ordCols = sortLabels ++ allLabels.filterNot(sortLabels.contains)
+    val ord = ordCols.map(c =>
+      if (desc) col(c).cast("string").desc else col(c).cast("string").asc)
+    val tuples = instant.select(allLabels.map(col): _*).distinct()
+      .repartitionByRange(shards, ord: _*)
+      .withColumn("_pid", spark_partition_id())
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy("_pid").orderBy(ord: _*)
+    val wPrefix = org.apache.spark.sql.expressions.Window
+      .orderBy("_pid")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = tuples.groupBy("_pid").agg(count(lit(1)).as("_cnt"))
+      .withColumn("_off", coalesce(sum("_cnt").over(wPrefix), lit(0L)))
+      .drop("_cnt")
+    val ranked = tuples.join(broadcast(offsets), "_pid")
+      .withColumn("sort_rank",
+        (col("_off") + row_number().over(wLocal)).cast("long"))
+      .drop("_pid", "_off")
+    instant.join(ranked, allLabels)
+  }
+
   /** histogram_quantile(q) (linear/histogram_quantile.go): build
     * cumulative le-buckets from raw sample values, then PromQL's
     * linear interpolation within the target bucket:

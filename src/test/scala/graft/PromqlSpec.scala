@@ -184,6 +184,73 @@ class PromqlSpec extends SparkSpec {
     assert(mq.limit(1).count() >= 0)
   }
 
+  test("upstream-engine tail: parse forms, folding, arity errors") {
+    // pi() folds to a scalar literal; atan2 folds between literals
+    assert(PromQL.parse("""{name="x"} * pi()""") match {
+      case BinOp("*", _, s, false, false) => s == math.Pi
+      case _ => false
+    })
+    assert(PromQL.parse("""{name="x"} atan2 2""") match {
+      case BinOp("atan2", _, 2.0, false, false) => true
+      case _ => false
+    })
+    // atan2 sits at multiplicative precedence: a + b atan2 c parses
+    // as a + (b atan2 c)
+    assert(PromQL.parse("""{name="a"} + {name="b"} atan2 2""") match {
+      case VecBin("+", _, BinOp("atan2", _, 2.0, _, _), _, _, _, _, _) => true
+      case _ => false
+    })
+    intercept[ParseException](PromQL.parse("""clamp({name="x"}, 1)"""))
+    intercept[ParseException](
+      PromQL.parse("""sort_by_label({name="x"})""")) // needs >=1 label
+    intercept[ParseException](
+      PromQL.parse("""absent_over_time({name="x"})""")) // needs a range
+    // group parses as an aggregation with clauses
+    assert(PromQL.parse("""group by (name) ({name=~"a|b"})""") match {
+      case Agg("group", Some(Seq("name")), None, _, None, None) => true
+      case _ => false
+    })
+  }
+
+  test("upstream-engine tail: evaluation semantics") {
+    import org.apache.spark.sql.functions._
+    val samples = tsdb.Vectors.samples(Tables.events(spark, sf))
+    // hyperbolics + inverses round-trip (no DuckDB hyperbolics, so
+    // oracle-free exact check here): atanh(tanh(x)) == x to 9dp and
+    // asinh(sinh(x)) == x to 9dp over real sample values scaled small
+    val roundtrip = PromQL.query(samples,
+      """atanh(tanh({name="click"} / 1000)) - {name="click"} / 1000""")
+      .agg(max(abs(col("value")))).collect()(0).getDouble(0)
+    assert(roundtrip < 1e-9, s"atanh∘tanh drift $roundtrip")
+    val roundtrip2 = PromQL.query(samples,
+      """asinh(sinh({name="click"} / 1000)) - {name="click"} / 1000""")
+      .agg(max(abs(col("value")))).collect()(0).getDouble(0)
+    assert(roundtrip2 < 1e-9, s"asinh∘sinh drift $roundtrip2")
+    // acosh(cosh(x)) == |x|
+    val roundtrip3 = PromQL.query(samples,
+      """acosh(cosh({name="click"} / 1000)) - {name="click"} / 1000""")
+      .agg(max(abs(col("value")))).collect()(0).getDouble(0)
+    assert(roundtrip3 < 1e-6, s"acosh∘cosh drift $roundtrip3")
+    // two-sided clamp: min > max yields the empty vector (upstream
+    // functions.go funcClamp)
+    assert(PromQL.query(samples,
+      """clamp({name="click"}, 5, 1)""").count() == 0)
+    // sort_by_label compares labels AS STRINGS: "10" < "2"
+    val ranked = PromQL.query(samples,
+      """sort_by_label(sum by (user_id) ({name="purchase"}), "user_id")""")
+      .select("user_id", "sort_rank").distinct().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    if (ranked.contains(10L) && ranked.contains(2L))
+      assert(ranked(10L) < ranked(2L), "string ordering: '10' < '2'")
+    // group emits 1.0 per present group
+    val g = PromQL.query(samples, """group by (name) ({name="purchase"})""")
+      .select("value").distinct().collect().map(_.getDouble(0)).toSeq
+    assert(g == Seq(1.0))
+    // absent_over_time of an always-present selector is empty
+    assert(PromQL.query(samples,
+      """absent_over_time({name="purchase"}[1d])""").count() == 0)
+  }
+
   test("end-to-end: rate sum equals API composition") {
     val samples = tsdb.Vectors.samples(Tables.events(spark, sf))
     val viaPql = PromQL.query(samples,
