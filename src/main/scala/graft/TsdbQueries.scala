@@ -220,7 +220,7 @@ object TsdbQueries {
        | CAST(sum(nmultupd) AS BIGINT) AS n_mult_update,
        | CAST(max(mmseen) AS BIGINT) AS max_mult,
        | CAST(sum(bits) AS BIGINT) AS total_bits,
-       | CAST(sum(nfloat) AS BIGINT) AS n_unconvertible,
+       | CAST(sum(nfloat) AS BIGINT) AS n_float_mode,
        | CAST(sum(ntrans) AS BIGINT) AS n_float_transition,
        | round(sum(bits)::DOUBLE / sum(idx), 6) AS bits_per_sample,
        | round(64.0 * sum(idx) / sum(bits), 6) AS vs_raw64

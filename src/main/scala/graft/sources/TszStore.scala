@@ -386,6 +386,105 @@ object Tsz {
     }
     out
   }
+
+  /** Per-block census of the VALUE-encoder cost card — the encoder
+    * state machine of [[encodeBlock]]'s value half run for its
+    * CONTROL-BIT ACCOUNTING only (no byte stream), in imperative
+    * Scala so the card avoids the interpreted `aggregate()` fold it
+    * previously ran as (Catalyst's ArrayAggregate is
+    * CodegenFallback). Semantics are the card's, branch for branch —
+    * NOT always the codec's real bit count: non-repeat float-XOR
+    * writes are modeled at the worst case 1+2+6+6+64 = 79 bits
+    * (float_encoder_iterator.go:85 uncontained, 64 meaningful bits),
+    * so on float corpora `bits` upper-bounds [[encodeBlock]]'s
+    * actual stream; TszSpec pins card == codec when nFloatMode = 0
+    * and card ≥ codec otherwise. Float repeats compare via
+    * `java.lang.Double.compare == 0` — all NaNs equal, ±0.0 distinct
+    * — the imperative twin of the card's `v = prev AND 1/v = 1/prev`
+    * engine-portable bit-equality restatement. */
+  final case class ValueCostStats(nRepeat: Long, nSigUpdate: Long,
+    nMultUpdate: Long, maxMultSeen: Long, bits: Long,
+    nFloatMode: Long, nFloatTransition: Long)
+
+  def valueCostStats(values: Array[Double]): ValueCostStats = {
+    var started = false; var isFloat = false
+    var prevV = 0.0
+    var maxMult = 0; var mmSeen = 0
+    var sigT = 0; var curHi = 0; var nLower = 0
+    var intVal = 0L
+    var bits = 0L; var nRep = 0L; var nSigUpd = 0L; var nMultUpd = 0L
+    var nFloat = 0L; var nTrans = 0L
+    var i = 0
+    while (i < values.length) {
+      val v = values(i)
+      // conversion probe at the current maxMult (m3tsz.go:78
+      // convertToIntFloat; each m checked independently like the
+      // card's 7-bit mask — the ≥1e13 cap only grows with m, so the
+      // outcomes agree with the codec's early abort)
+      var m = maxMult; var found = -1; var cv = 0L
+      while (found < 0 && m <= MaxMult) {
+        val scaled = v * math.pow(10, m)
+        if (math.abs(scaled) < MaxOptInt) {
+          val r = math.rint(scaled)
+          if (math.abs(scaled - r) < 1e-6 && (v == 0.0 || r != 0.0)) {
+            found = m; cv = r.toLong
+          }
+        }
+        m += 1
+      }
+      if (found < 0) {
+        // float-XOR mode (encoder.go:169 writeFloatVal)
+        val fRepeat = isFloat && java.lang.Double.compare(v, prevV) == 0
+        if (!started) { bits += 65; nTrans += 1 }          // 1 + full float
+        else if (fRepeat) { bits += 2; nRep += 1 }          // upd + repeat
+        else if (!isFloat) { bits += 67; nTrans += 1 }      // 3 + full float
+        else bits += 79                                     // worst-case XOR
+        nFloat += 1
+        if (!fRepeat) prevV = v
+        if (!isFloat) maxMult = 0 // a float resets the multiplier state
+        isFloat = true; started = true
+      } else if (!started) {
+        // writeFirstValue (encoder.go:112), int mode
+        val sig0 = numSig(math.abs(cv))
+        bits += 1L + (if (sig0 > 0) 8 else 1) +
+          (if (found > 0) 4 else 1) + 1 + sig0
+        if (sig0 > 0) nSigUpd += 1
+        if (found > 0) nMultUpd += 1
+        sigT = sig0; maxMult = found
+        mmSeen = math.max(mmSeen, found)
+        intVal = cv; isFloat = false; started = true
+      } else if (!isFloat && intVal == cv && found == maxMult) {
+        bits += 2; nRep += 1 // opcodeUpdate + opcodeRepeat
+      } else {
+        // writeIntVal (encoder.go:199) + TrackNewSig hysteresis
+        val nsig = numSig(math.abs(intVal - cv))
+        val growing = nsig > sigT
+        val dropping = !growing && (sigT - nsig >= 3)
+        if (dropping)
+          curHi = if (nLower == 0) nsig else math.max(curHi, nsig)
+        val nlower1 =
+          if (growing) nLower else if (dropping) nLower + 1 else 0
+        val collapse = dropping && nlower1 >= 5
+        val newSig =
+          if (growing) nsig else if (collapse) curHi else sigT
+        nLower = if (collapse) 0 else nlower1
+        val sigChanged = sigT != newSig
+        val multWrite = found > maxMult || isFloat
+        bits += (if (multWrite || sigChanged)
+          3L + (if (sigChanged) { if (newSig == 0) 2 else 8 } else 1) +
+            (if (multWrite) 4 else 1) + 1 + newSig
+        else 2L + sigT)
+        if (sigChanged) nSigUpd += 1
+        if (multWrite) nMultUpd += 1
+        maxMult = math.max(maxMult, found)
+        mmSeen = math.max(mmSeen, found)
+        sigT = newSig; intVal = cv; isFloat = false
+      }
+      i += 1
+    }
+    ValueCostStats(nRep, nSigUpd, nMultUpd, mmSeen.toLong, bits,
+      nFloat, nTrans)
+  }
 }
 
 /** At-rest m3tsz block store: events → one encoded binary blob per

@@ -559,15 +559,6 @@ object Temporal {
         round(lit(64.0) * col("n_samples") / col("total_bits"), 6))
   }
 
-  /** Exact bit length of a non-negative long via the binary-string
-    * length — integer-exact in both engines (no floor(log2) ulp
-    * risk), and a CONSTANT-size expression tree: the or-smear +
-    * popcount alternative doubles the operand subtree 6 times, which
-    * inside the tszValueCost fold ballooned the serialized plan to
-    * 155 MB task binaries. */
-  private def bitLen(x: Column): Column =
-    when(x === 0L, 0L).otherwise(length(bin(x)).cast("long"))
-
   /** m3tsz VALUE-compression cost model — the full value-encoder
     * state machine's control-bit stream accounting
     * (src/dbnode/encoding/m3tsz/encoder.go:112-260,
@@ -600,182 +591,53 @@ object Temporal {
     * bits (float_encoder_iterator.go:85 uncontained with 64
     * meaningful bits — IEEE bit patterns are not visible to SQL, so
     * the card upper-bounds them; TszSpec pins card == codec when
-    * n_unconvertible = 0 and card ≥ codec otherwise). A later
+    * n_float_mode = 0 and card ≥ codec otherwise). A later
     * convertible value flips back through the update arm with the
     * forced 4-bit mult rewrite (encoder.go:236). Encoding is per
     * (series, UTC-day block) — m3 encodes per block, so state resets
     * at block boundaries and blocks encode independently (the
     * property that makes the at-rest format seekable).
     *
-    * Scale: one per-(series, block) hash aggregation into sorted
-    * arrays of (ts, event_id, v), and ONE `aggregate()` fold carrying
-    * the full encoder state (mode, mult, sig tracker, int val, prev
-    * float) — the truly sequential piece, constant expression size
-    * per element. aggregate() is CodegenFallback (interpreted per
-    * element), so the fold tree stays flat column algebra: ~1-2 s at
-    * sf0.1. */
+    * Scale: ONE shuffle on the (series, block) key into `mapGroups`,
+    * where the census runs as imperative Scala
+    * ([[graft.sources.Tsz.valueCostStats]] — the codec's own state
+    * machine restated for control-bit accounting); per-group state is
+    * one block's points. The fold previously ran as a Catalyst
+    * `aggregate()`, which is CodegenFallback (interpreted per
+    * element) and was the suite's #3 steady cost — the imperative
+    * form is ~3× cheaper at identical output. */
   def tszValueCost(samples: DataFrame): DataFrame = {
-    val block = floor(unix_timestamp(col("ts")).cast("double") / 86400.0)
-      .cast("long")
-    // everything that depends only on v precomputes in this
-    // codegen'd projection, keeping the interpreted fold tiny: bit m
-    // of `mask` = "v converts at multiplier m" (tolerance + 1e13 cap
-    // + nonzero guard, checked at each m independently), `vals[m+1]`
-    // = round(v·10^m) — the fold just picks the lowest set bit ≥ its
-    // maxMult state
-    val v = col("value")
-    val mask = (0 to 6).map { mi =>
-      val scaled = v * math.pow(10, mi)
-      when(abs(scaled) < 1e13 &&
-        abs(scaled - round(scaled, 0)) < 1e-6 &&
-        (v === 0.0 || round(scaled, 0) =!= 0.0),
-        lit(1L << mi)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    val vals = array((0 to 6).map { mi =>
-      val scaled = v * math.pow(10, mi)
-      // bounded before the ANSI cast: a float-mode value (NaN/Inf/
-      // ≥1e13) must not throw in this eager projection — its slot is
-      // never read (the mask bit is clear)
-      when(abs(scaled) < 1e13, round(scaled, 0).cast("long"))
-        .otherwise(lit(0L))
-    }: _*)
-    val perBlock = samples.where(col("value").isNotNull)
-      .withColumn("block", block)
-      .groupBy("name", "user_id", "block")
-      .agg(count(lit(1)).as("n"),
-        array_sort(collect_list(struct(col("ts"), col("event_id"),
-          v.as("v"), mask.as("mask"), vals.as("vals")))).as("pts"))
-
-    val zero = struct(
-      lit(0L).as("started"), lit(0L).as("isfloat"),
-      lit(0.0).as("prevv"), lit(0L).as("maxmult"), lit(0L).as("mmseen"),
-      lit(0L).as("numsig"), lit(0L).as("curhi"), lit(0L).as("nlower"),
-      lit(0L).as("intval"), lit(0L).as("bits"), lit(0L).as("nrep"),
-      lit(0L).as("nsigupd"), lit(0L).as("nmultupd"),
-      lit(0L).as("nfloat"), lit(0L).as("ntrans"))
-
-    // one encoder step (encoder.go:144 writeNextValue, branch for
-    // branch); each CASE arm is constant-size column algebra
-    def step(acc: Column, x: Column): Column = {
-      val v = x.getField("v")
-      val st = (f: String) => acc.getField(f)
-      // convertToIntFloat at the CURRENT maxMult state: the lowest
-      // mask bit ≥ maxmult (bit trick: avail & -avail isolates it;
-      // its bit length - 1 is the offset), avail = 0 → float mode.
-      // Division stands in for a variable shift (shiftright takes
-      // only literal counts); exact for these 7-bit masks
-      val avail = (x.getField("mask").cast("double") /
-        pow(lit(2.0), st("maxmult").cast("double"))).cast("long")
-      val isF = avail === 0L
-      val m = st("maxmult") + bitLen(avail.bitwiseAND(-avail)) - 1L
-      val vl = element_at(x.getField("vals"),
-        greatest(m + 1L, lit(1L)).cast("int"))
-      val keep = (f: String) => st(f).as(f)
-
-      // ---- float-mode arms ----
-      // repeat: value bit-equality restated engine-portably (1/x
-      // distinguishes ±0.0; NaN = NaN is true in Spark and DuckDB)
-      val fRepeat = st("isfloat") === 1L && v === st("prevv") &&
-        (lit(1.0) / v) === (lit(1.0) / st("prevv"))
-      val floatSt = struct(
-        lit(1L).as("started"), lit(1L).as("isfloat"),
-        when(fRepeat, st("prevv")).otherwise(v).as("prevv"),
-        when(st("isfloat") === 1L, st("maxmult")).otherwise(0L)
-          .as("maxmult"),
-        keep("mmseen"), keep("numsig"), keep("curhi"), keep("nlower"),
-        keep("intval"),
-        (st("bits") + when(st("started") === 0L, 65L) // 1 + full float
-          .when(fRepeat, 2L)                          // upd + repeat
-          .when(st("isfloat") === 0L, 67L)            // 3 + full float
-          .otherwise(79L)).as("bits"),                // worst-case XOR
-        (st("nrep") + when(fRepeat, 1L).otherwise(0L)).as("nrep"),
-        keep("nsigupd"), keep("nmultupd"),
-        (st("nfloat") + 1L).as("nfloat"), // every float-mode value
-        (st("ntrans") + when(st("started") === 0L || st("isfloat") === 0L,
-          1L).otherwise(0L)).as("ntrans"))
-
-      // ---- int-mode arms ----
-      val sig0 = bitLen(abs(vl))
-      val firstSt = struct(
-        lit(1L).as("started"), lit(0L).as("isfloat"),
-        lit(0.0).as("prevv"), m.as("maxmult"), m.as("mmseen"),
-        sig0.as("numsig"), lit(0L).as("curhi"), lit(0L).as("nlower"),
-        vl.as("intval"),
-        (st("bits") + lit(1L) + when(sig0 > 0, 8L).otherwise(1L) +
-          when(m > 0, 4L).otherwise(1L) + 1L + sig0).as("bits"),
-        keep("nrep"),
-        (st("nsigupd") + when(sig0 > 0, 1L).otherwise(0L)).as("nsigupd"),
-        (st("nmultupd") + when(m > 0, 1L).otherwise(0L)).as("nmultupd"),
-        keep("nfloat"), keep("ntrans"))
-      val isRep = st("isfloat") === 0L && st("intval") === vl &&
-        m === st("maxmult")
-      val repSt = struct(
-        lit(1L).as("started"), keep("isfloat"), keep("prevv"),
-        keep("maxmult"), keep("mmseen"), keep("numsig"), keep("curhi"),
-        keep("nlower"), keep("intval"),
-        (st("bits") + 2L).as("bits"),
-        (st("nrep") + 1L).as("nrep"),
-        keep("nsigupd"), keep("nmultupd"), keep("nfloat"), keep("ntrans"))
-      // the sig-tracker step (int_sig_bits_tracker.go TrackNewSig):
-      // growth is immediate; a run of ≥5 diffs ≥3 bits below
-      // collapses to the run's highest; NumLowerSig survives a
-      // growth step untouched (the reference quirk)
-      val nsig = bitLen(abs(st("intval") - vl))
-      val growing = nsig > st("numsig")
-      val dropping = !growing && (st("numsig") - nsig >= 3L)
-      val curhi2 = when(dropping,
-        when(st("nlower") === 0, nsig)
-          .otherwise(greatest(st("curhi"), nsig)))
-        .otherwise(st("curhi"))
-      val nlower1 = when(growing, st("nlower"))
-        .when(dropping, st("nlower") + 1L).otherwise(lit(0L))
-      val collapse = dropping && nlower1 >= 5L
-      val newSig = when(growing, nsig)
-        .when(collapse, curhi2).otherwise(st("numsig"))
-      val nlower2 = when(collapse, 0L).otherwise(nlower1)
-      val sigChanged = st("numsig") =!= newSig
-      val floatChanged = st("isfloat") === 1L
-      val multUp = m > st("maxmult")
-      // float→int always rewrites the mult (encoder.go:236's forced
-      // arm fires whenever mult didn't grow, since WriteIntSig has
-      // already set NumSig = sig)
-      val multWrite = multUp || floatChanged
-      val stepBits = when(multWrite || sigChanged,
-        lit(3L) + when(sigChanged, when(newSig === 0, 2L).otherwise(8L))
-          .otherwise(1L) + when(multWrite, 4L).otherwise(1L) +
-          1L + newSig)
-        .otherwise(lit(2L) + st("numsig"))
-      val stepSt = struct(
-        lit(1L).as("started"), lit(0L).as("isfloat"), keep("prevv"),
-        greatest(st("maxmult"), m).as("maxmult"),
-        greatest(st("mmseen"), m).as("mmseen"),
-        newSig.as("numsig"), curhi2.as("curhi"), nlower2.as("nlower"),
-        vl.as("intval"),
-        (st("bits") + stepBits).as("bits"),
-        keep("nrep"),
-        (st("nsigupd") + when(sigChanged, 1L).otherwise(0L)).as("nsigupd"),
-        (st("nmultupd") + when(multWrite, 1L).otherwise(0L))
-          .as("nmultupd"),
-        keep("nfloat"), keep("ntrans"))
-      when(isF, floatSt)
-        .when(st("started") === 0L, firstSt)
-        .when(isRep, repSt)
-        .otherwise(stepSt)
-    }
-
+    import samples.sparkSession.implicits._
+    val rows = samples.where(col("value").isNotNull)
+      .select(col("name"), col("user_id").cast("long"),
+        floor(unix_timestamp(col("ts")).cast("double") / 86400.0)
+          .cast("long").as("block"),
+        unix_micros(col("ts")).as("tsu"),
+        col("event_id").cast("long"), col("value"))
+      .as[(String, Long, Long, Long, Long, Double)]
+    val perBlock = rows
+      .groupByKey(r => (r._1, r._2, r._3))
+      .mapGroups { (key, it) =>
+        val pts = it.toArray.sortBy(r => (r._4, r._5))
+        val st = graft.sources.Tsz.valueCostStats(pts.map(_._6))
+        (key._1, key._2, key._3, pts.length.toLong, st.nRepeat,
+          st.nSigUpdate, st.nMultUpdate, st.maxMultSeen, st.bits,
+          st.nFloatMode, st.nFloatTransition)
+      }
+      .toDF("name", "user_id", "block", "n", "nrep", "nsigupd",
+        "nmultupd", "mmseen", "bits", "nfloat", "ntrans")
     perBlock
-      .withColumn("st", aggregate(col("pts"), zero, step))
       .groupBy("name", "user_id")
       .agg(
         sum("n").as("n_samples"),
         count(lit(1)).as("n_blocks"),
-        sum(col("st.nrep")).as("n_repeat"),
-        sum(col("st.nsigupd")).as("n_sig_update"),
-        sum(col("st.nmultupd")).as("n_mult_update"),
-        max(col("st.mmseen")).as("max_mult"),
-        sum(col("st.bits")).as("total_bits"),
-        sum(col("st.nfloat")).as("n_unconvertible"),
-        sum(col("st.ntrans")).as("n_float_transition"))
+        sum(col("nrep")).as("n_repeat"),
+        sum(col("nsigupd")).as("n_sig_update"),
+        sum(col("nmultupd")).as("n_mult_update"),
+        max(col("mmseen")).as("max_mult"),
+        sum(col("bits")).as("total_bits"),
+        sum(col("nfloat")).as("n_float_mode"),
+        sum(col("ntrans")).as("n_float_transition"))
       .withColumn("bits_per_sample",
         round(col("total_bits").cast("double") / col("n_samples"), 6))
       .withColumn("vs_raw64",

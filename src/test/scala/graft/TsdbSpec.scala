@@ -224,7 +224,7 @@ class TsdbSpec extends SparkSpec {
     assert(r.getAs[Long]("n_mult_update") == 1)
     assert(r.getAs[Long]("max_mult") == 2)
     assert(r.getAs[Long]("total_bits") == 138)
-    assert(r.getAs[Long]("n_unconvertible") == 0)
+    assert(r.getAs[Long]("n_float_mode") == 0)
     assert(r.getAs[Double]("bits_per_sample") == 13.8)
   }
 

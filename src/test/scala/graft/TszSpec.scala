@@ -101,7 +101,7 @@ class TszSpec extends SparkSpec {
         when(col("event_id") % 7 === 0, col("value") + math.Pi)
           .otherwise(col("value")))
     val cards = Temporal.tszValueCost(salted)
-      .select("name", "user_id", "total_bits", "n_unconvertible")
+      .select("name", "user_id", "total_bits", "n_float_mode")
       .collect()
       .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
       .toMap
