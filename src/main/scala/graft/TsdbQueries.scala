@@ -451,6 +451,19 @@ object TsdbQueries {
         .select(col("name"), col("user_id"),
           unix_timestamp(col("ts")).as("ts_s"), col("value"), col("event_id"))
         .orderBy("event_id")),
+    // the same fetch resolved through the PERSISTED block-segmented
+    // index: day partitions outside the time bounds prune at
+    // planning time, the matched series semi-join the bounded scan —
+    // byte-equal to ts_index_fetch and the direct scan route
+    "store_index_fetch" -> ((s, dir) =>
+      Index.boundedFetch(samples(s, dir), s.table(idxTable(s, dir)),
+        Seq(Fetch.Matcher("name", Fetch.Re, "(pur|cli).*"),
+          Fetch.Matcher("user_id", Fetch.Re, "[0-9]*[13579]")),
+        Seq("name", "user_id"),
+        startS = 1704067200L, endS = 1705276800L)
+        .select(col("name"), col("user_id"),
+          unix_timestamp(col("ts")).as("ts_s"), col("value"), col("event_id"))
+        .orderBy("event_id")),
     "ts_cardinality" -> ((s, dir) =>
       Index.cardinality(samples(s, dir), Seq("name", "user_id"))),
     "ts_index_tags" -> ((s, dir) =>
@@ -1521,6 +1534,15 @@ object TsdbQueries {
          | WHERE tag_value IS NOT NULL
          | ORDER BY tag_name, tag_value""".stripMargin.replace("\n", " "),
     "ts_index_fetch" ->
+      s"""SELECT name, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, value, event_id
+         | FROM ($S) AS s
+         | WHERE regexp_full_match(name, '(pur|cli).*')
+         |  AND regexp_full_match(CAST(user_id AS VARCHAR), '[0-9]*[13579]')
+         |  AND floor(epoch(ts)) >= 1704067200 AND floor(epoch(ts)) < 1705276800
+         | ORDER BY event_id""".stripMargin.replace("\n", " "),
+    // byte-equal to ts_index_fetch: the store route must reproduce
+    // the scan route exactly over the same bounds
+    "store_index_fetch" ->
       s"""SELECT name, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, value, event_id
          | FROM ($S) AS s
          | WHERE regexp_full_match(name, '(pur|cli).*')

@@ -238,7 +238,15 @@ object Index {
     * prunes the sample scan to those series. Same result as pushing
     * the predicates into the scan ([[Fetch]]), but the regex work
     * never touches a sample row and the scan-side predicate is an
-    * equi-join a bucketed layout satisfies without a shuffle. */
+    * equi-join a bucketed layout satisfies without a shuffle.
+    *
+    * No forced broadcast hint on the series set: a loose matcher
+    * (`.+`) resolves to the FULL series set, which at cluster scale
+    * can exceed the broadcast ceiling and fail a query the direct
+    * scan route would serve — AQE picks the strategy at runtime from
+    * the ACTUAL resolved size instead (small sids → runtime
+    * broadcast join, loose sids → shuffle semi-join; PlanSpec pins
+    * the absence of the hint). */
   def indexFetch(samples: DataFrame, matchers: Seq[Fetch.Matcher],
                  labelCols: Seq[String], startS: Option[Long] = None,
                  endS: Option[Long] = None): DataFrame = {
@@ -251,6 +259,32 @@ object Index {
         .getOrElse(lit(true)))
       .where(endS.map(e => unix_timestamp(col("ts")) < e)
         .getOrElse(lit(true)))
-    bounded.join(broadcast(sids), joinCond, "leftsemi")
+    bounded.join(sids, joinCond, "leftsemi")
+  }
+
+  /** Store-backed index fetch — the time-bounded FETCH resolved
+    * through the PERSISTED block-segmented index
+    * ([[writeBlockSegments]]), the read path an m3 dbnode actually
+    * runs: matchers resolve via [[boundedMatch]] against pruned
+    * at-rest segment partitions (planning-time block pruning — no
+    * out-of-range segment opens; PlanSpec audits the
+    * PartitionFilters), then ONE semi-join prunes the bounded sample
+    * scan to the matched series. Byte-equal to the direct scan route
+    * over the same bounds. Like [[indexFetch]], no forced broadcast
+    * — AQE sizes the resolved series set at runtime. */
+  def boundedFetch(samples: DataFrame, post: DataFrame,
+                   matchers: Seq[Fetch.Matcher], labelCols: Seq[String],
+                   startS: Long, endS: Long): DataFrame = {
+    val fromBlock = startS / 86400L
+    val untilBlock = (endS + 86399L) / 86400L
+    val sids = boundedMatch(post, matchers, labelCols,
+      fromBlock, untilBlock)
+      .select(labelCols.map(c => col(c).as(s"_i_$c")): _*)
+    val joinCond = labelCols.map(c =>
+      col(c).cast("string") === col(s"_i_$c")).reduce(_ && _)
+    samples
+      .where(unix_timestamp(col("ts")) >= startS &&
+        unix_timestamp(col("ts")) < endS)
+      .join(sids, joinCond, "leftsemi")
   }
 }

@@ -694,10 +694,41 @@ class PlanSpec extends SparkSpec {
     assert(cartesians <= 1, s"$cartesians cartesians:\n$p")
   }
 
-  test("index fetch prunes the scan with a broadcast semi-join") {
+  test("index fetch prunes the scan with a semi-join, hint-free") {
     val p = plan("ts_index_fetch")
-    assert(p.contains("LeftSemi") && p.contains("Broadcast"), p)
-    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("LeftSemi"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // r9 verdict item 4: no FORCED broadcast on the resolved series
+    // set — a loose matcher resolves the full series set, which at
+    // cluster scale can exceed the broadcast ceiling; AQE must pick
+    // from the runtime size instead. The logical plan carries no
+    // join hint anywhere (the terms-dictionary broadcasts inside
+    // indexMatch are bounded |matched terms| frames and keep theirs).
+    import graft.tsdb.{Fetch, Index}
+    val loose = Index.indexFetch(
+      tsdb.Vectors.samples(Tables.events(spark, sf)),
+      Seq(Fetch.Matcher("name", Fetch.Re, ".+")), Seq("name", "user_id"))
+    val lp = loose.queryExecution.executedPlan.toString
+    assert(lp.contains("LeftSemi"), lp.take(2000))
+    val analyzed = loose.queryExecution.analyzed.toString
+    val semiHinted = analyzed.linesIterator
+      .filter(_.contains("ResolvedHint")).mkString("\n")
+    assert(!semiHinted.contains("_i_name"),
+      "forced hint on the resolved series set:\n" + semiHinted)
+  }
+
+  test("store-backed index fetch prunes blocks AND semi-joins the scan") {
+    // the persisted block-segment route: the segment scan must carry
+    // the block bounds as PartitionFilters (planning-time pruning),
+    // and the sample scan must be pruned by a LeftSemi on the
+    // resolved series — byte-equal to the scan route by oracle
+    val p = plan("store_index_fetch")
+    assert(p.contains("LeftSemi"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("PartitionFilters: [") &&
+      p.replaceAll("(?s).*PartitionFilters: \\[", "").take(200)
+        .contains("block"),
+      "expected block bounds as partition filters:\n" + p.take(3000))
   }
 
   test("dedup_winnow pair join is hash-keyed, never cartesian") {
@@ -803,17 +834,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
 
-  test("tsz value cost: one block-keyed hash agg + fold, no window, no cartesian") {
+  test("tsz value cost: one block-keyed mapGroups, no window, no cartesian") {
     val p = plan("ts_tsz_value_cost")
     assert(!p.contains("CartesianProduct"), p.take(2000))
-    // the r9 stateful rewrite (float fallback) dropped the window
-    // stage: the whole encoder folds per block inside aggregate(),
-    // fed by ONE collect_list hash aggregation — a window here would
-    // mean the prefix-max shortcut crept back (wrong once a float
-    // transition can reset curMax)
+    // the r10 de-interpretation: the encoder census runs imperatively
+    // (Tsz.valueCostStats) inside ONE (series, block) MapGroups — a
+    // window here would mean the prefix-max shortcut crept back
+    // (wrong once a float transition can reset curMax); a
+    // collect_list + aggregate() fold would mean the interpreted
+    // CodegenFallback form returned
     assert(!p.contains("windowspecdefinition"),
       "unexpected window stage:\n" + p.take(2000))
-    assert(p.contains("collect_list"), p.take(2000))
+    assert(!p.contains("aggregate("), p.take(2000))
+    assert(p.contains("MapGroups"), p.take(2000))
+    // exactly one exchange below the final (name, user_id) agg pair:
+    // the block-key shuffle feeding MapGroups
+    val ex = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(ex <= 2, s"expected <=2 hash exchanges, got $ex:\n" + p.take(2500))
   }
 
   test("ts_interpolate emits shard coordinates — no global sort of the spine") {
@@ -828,6 +865,17 @@ class PlanSpec extends SparkSpec {
       "expected the shard-local sort:\n" + p.take(2000))
     assert(!p.contains("global=true"),
       "sort must be partition-local:\n" + p.take(2000))
+    // r9 advice: the oracle replays the dump as exactly 32 hash
+    // partitions concatenated in index order — pin the exchange's
+    // PARTITION COUNT and that no later exchange sits above it
+    // (executedPlan prints root-first, so the first Exchange line is
+    // the topmost): drift fails here, not at the oracle gate
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toList
+    assert(exchanges.nonEmpty, p.take(2000))
+    assert(exchanges.head.contains("hashpartitioning(shard") &&
+      exchanges.head.contains(", 32)"),
+      "topmost exchange must be hashpartitioning(shard, 32):\n" +
+        exchanges.mkString("\n"))
   }
 
   test("interpolate dump order: md5 shard → murmur partition permutation") {
