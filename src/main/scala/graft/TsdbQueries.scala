@@ -2440,6 +2440,7 @@ object TsdbQueries {
     "ts_datetime" ->
       s"""SELECT name, user_id, event_id,
          | dayofmonth(ts) AS day_of_month_v, dayofweek(ts) AS day_of_week_v,
+         | dayofyear(ts) AS day_of_year_v,
          | dayofmonth(last_day(ts)) AS days_in_month_v, hour(ts) AS hour_v,
          | minute(ts) AS minute_v, month(ts) AS month_v, year(ts) AS year_v
          | FROM ($S) AS s ORDER BY event_id""".stripMargin.replace("\n", " "),

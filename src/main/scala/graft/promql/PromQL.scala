@@ -118,8 +118,10 @@ object PromQL {
   /** vector(n) — a constant one-series vector over the grid. */
   final case class VectorFn(v: Double) extends Expr
 
+  // `var` is the m3-native registry name, `stdvar` the upstream
+  // aggregator it restates — both accepted, one evaluation
   private val aggOps = Set("sum", "avg", "min", "max", "count", "stddev",
-    "var", "topk", "bottomk", "quantile", "count_values", "group")
+    "var", "stdvar", "topk", "bottomk", "quantile", "count_values", "group")
   private val paramAggs = Set("topk", "bottomk", "quantile")
   private val temporalFns = Set(
     "rate", "increase", "delta", "irate", "idelta", "resets", "changes", "deriv",
@@ -146,8 +148,8 @@ object PromQL {
     "clamp_min", "clamp_max", "clamp", "round", "label_replace",
     "label_join", "sort", "sort_desc", "sort_by_label",
     "sort_by_label_desc", "timestamp", "histogram_quantile", "absent",
-    "scalar", "day_of_month", "day_of_week", "days_in_month", "hour",
-    "minute", "month", "year",
+    "scalar", "day_of_month", "day_of_week", "day_of_year",
+    "days_in_month", "hour", "minute", "month", "year",
     // upstream-engine trig family (m3 reaches the full upstream
     // function set through its embedded prometheus engine —
     // src/query/server/query.go:1380)
@@ -846,6 +848,7 @@ object PromQL {
           round(v / lit(m), 0) * lit(m)
         case "day_of_month"  => dayofmonth(asTs).cast("double")
         case "day_of_week"   => (dayofweek(asTs) - lit(1)).cast("double")
+        case "day_of_year"   => dayofyear(asTs).cast("double")
         case "days_in_month" => dayofmonth(last_day(asTs)).cast("double")
         case "hour"          => hour(asTs).cast("double")
         case "minute"        => minute(asTs).cast("double")
@@ -915,8 +918,8 @@ object PromQL {
           case "min"      => min("value")
           case "max"      => max("value")
           case "count"    => count(lit(1)).cast("double")
-          case "stddev"   => stddev_pop("value")
-          case "var"      => var_pop("value")
+          case "stddev"            => stddev_pop("value")
+          case "var" | "stdvar"    => var_pop("value")
           case "quantile" => percentile(col("value"), lit(param.get))
           // upstream `group` aggregator: 1.0 per present group
           // (prometheus aggregations; m3 reaches it via the embedded

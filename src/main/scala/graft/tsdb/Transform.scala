@@ -49,6 +49,7 @@ object Transform {
       col("name"), col("user_id"), col("event_id"),
       dayofmonth(col("ts")).cast("long").as("day_of_month_v"),
       (dayofweek(col("ts")) - lit(1)).cast("long").as("day_of_week_v"),
+      dayofyear(col("ts")).cast("long").as("day_of_year_v"),
       dayofmonth(last_day(col("ts"))).cast("long").as("days_in_month_v"),
       hour(col("ts")).cast("long").as("hour_v"),
       minute(col("ts")).cast("long").as("minute_v"),

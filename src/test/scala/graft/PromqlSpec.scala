@@ -184,6 +184,55 @@ class PromqlSpec extends SparkSpec {
     assert(mq.limit(1).count() >= 0)
   }
 
+  test("vendored-upstream-engine registry diff: every function reachable") {
+    // m3 embeds the upstream prometheus engine
+    // (reference src/query/server/query.go:1380, vendored at
+    // go.mod:50 = prometheus@2021-11-10 ≈ v2.31), so its FULL
+    // function registry is reachable from an m3 deployment in
+    // prom-engine mode. Diff: every v2.31 FunctionCalls name must
+    // parse here in a minimal valid form. Names we expose BEYOND the
+    // vendored engine (added upstream later): sort_by_label,
+    // sort_by_label_desc (v2.46), day_of_year (v2.33).
+    val v = """{name="x"}"""
+    val r = s"$v[1d]"
+    val calls = Seq(
+      s"abs($v)", s"absent($v)", s"absent_over_time($r)",
+      s"acos($v)", s"acosh($v)", s"asin($v)", s"asinh($v)",
+      s"atan($v)", s"atanh($v)", s"avg_over_time($r)", s"ceil($v)",
+      s"changes($r)", s"clamp($v, 1, 2)", s"clamp_max($v, 2)",
+      s"clamp_min($v, 1)", s"cos($v)", s"cosh($v)",
+      s"count_over_time($r)", s"days_in_month($v)",
+      s"day_of_month($v)", s"day_of_week($v)", s"deg($v)",
+      s"delta($r)", s"deriv($r)", s"exp($v)", s"floor($v)",
+      s"histogram_quantile(0.9, $v)", s"holt_winters($r, 0.5, 0.5)",
+      s"hour($v)", s"idelta($r)", s"increase($r)", s"irate($r)",
+      s"""label_join($v, "dst", "-", "name")""",
+      s"""label_replace($v, "dst", "$$1", "name", "(.*)")""",
+      s"last_over_time($r)", s"ln($v)", s"log10($v)", s"log2($v)",
+      s"max_over_time($r)", s"min_over_time($r)", s"minute($v)",
+      s"month($v)", s"$v * pi()", s"predict_linear($r, 3600)",
+      s"present_over_time($r)", s"quantile_over_time(0.9, $r)",
+      s"rad($v)", s"rate($r)", s"resets($r)", s"round($v)",
+      s"round($v, 5)", s"scalar($v)", s"sgn($v)", s"sin($v)",
+      s"sinh($v)", s"sort($v)", s"sort_desc($v)", s"sqrt($v)",
+      s"stddev_over_time($r)", s"stdvar_over_time($r)",
+      s"sum_over_time($r)", s"tan($v)", s"tanh($v)", "time()",
+      s"timestamp($v)", "vector(1)", s"year($v)",
+      // aggregators (incl. the upstream stdvar name) + atan2 infix
+      s"sum($v)", s"avg($v)", s"min($v)", s"max($v)", s"count($v)",
+      s"group($v)", s"stddev($v)", s"stdvar($v)",
+      s"topk(3, $v)", s"bottomk(3, $v)", s"quantile(0.9, $v)",
+      s"""count_values("l", $v)""", s"$v atan2 2",
+      // the beyond-vendored extras
+      s"""sort_by_label($v, "name")""",
+      s"""sort_by_label_desc($v, "name")""", s"day_of_year($v)")
+    val failed = calls.flatMap { q =>
+      try { PromQL.parse(q); None }
+      catch { case e: Exception => Some(s"$q -> ${e.getMessage}") }
+    }
+    assert(failed.isEmpty, failed.mkString("\n"))
+  }
+
   test("upstream-engine tail: parse forms, folding, arity errors") {
     // pi() folds to a scalar literal; atan2 folds between literals
     assert(PromQL.parse("""{name="x"} * pi()""") match {
