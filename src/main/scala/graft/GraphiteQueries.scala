@@ -251,6 +251,17 @@ object GraphiteQueries {
     // every node assumed expandable
     "gq_find_matchall" -> ((s, dir) =>
       Graphite.metricsFind(frame(s, dir), "events.**").orderBy("id")),
+    // the render API's from/until window (render_parser.go:114 +
+    // timespec.go ParseTime): absolute YYYYMMDD from, relative -12d
+    // until against a fixed now — the bound restricts the fetch
+    // before consolidation
+    "gq_render" -> ((s, dir) =>
+      graphite.GraphiteParser.render(
+        Vectors.samples(Tables.events(s, dir)),
+        """summarize(events.purchase.*, "1d", "sum")""",
+        from = "20240105", until = "-12d", nowS = 1705795200L)
+        .select(col("path"), col("bucket_s"), round(col("value"), 6).as("value"))
+        .orderBy("path", "bucket_s")),
     // carbon line-protocol roundtrip: render every event as a
     // plaintext `path value epoch` line, parse through the Carbon
     // source, consolidate hourly — the oracle computes the same
@@ -628,6 +639,16 @@ object GraphiteQueries {
     "gq_glob_range" ->
       s"""SELECT path, bucket_s, round(value, 6) AS value FROM ($PF) AS p
          | WHERE regexp_matches(path, '^events\\.[^.]*\\.user[0-2][^.]$$')
+         | ORDER BY path, bucket_s""".stripMargin.replace("\n", " "),
+    // [from=2024-01-05, until=now-12d=2024-01-09) — midnight-aligned
+    // bounds, so filtering the hourly frame on bucket_s equals
+    // filtering raw ts before consolidation
+    "gq_render" ->
+      s"""SELECT path, CAST(floor(bucket_s / 86400) * 86400 AS BIGINT) AS bucket_s,
+         | round(sum(value), 6) AS value FROM ($PF) AS p
+         | WHERE regexp_matches(path, '^events\\.purchase\\.[^.]*$$')
+         |  AND bucket_s >= 1704412800 AND bucket_s < 1704758400
+         | GROUP BY path, CAST(floor(bucket_s / 86400) * 86400 AS BIGINT)
          | ORDER BY path, bucket_s""".stripMargin.replace("\n", " "),
     "gq_find_matchall" ->
       s"""SELECT DISTINCT seg AS id, seg AS text, CAST(0 AS INT) AS is_leaf,

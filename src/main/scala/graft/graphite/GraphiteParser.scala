@@ -164,6 +164,21 @@ object GraphiteParser {
             unit: String = "hour"): DataFrame =
     eval(parse(target), Graphite.seriesFrame(samples, unit), samples, unit)
 
+  /** The render-API entry (api/v1/handler/graphite/render.go:114
+    * from/until form values → graphite.ParseTime → fetch bounds):
+    * evaluate `target` over samples restricted to [from, until) —
+    * the bound is a plain ts predicate on the INPUT scan, applied
+    * before consolidation, so it pushes down to the parquet read
+    * like every Fetch time bound. */
+  def render(samples: DataFrame, target: String, from: String,
+             until: String, nowS: Long,
+             unit: String = "hour"): DataFrame = {
+    val f = GraphiteTime.parseTime(from, nowS)
+    val u = GraphiteTime.parseTime(until, nowS)
+    query(samples.where(unix_timestamp(col("ts")) >= f &&
+      unix_timestamp(col("ts")) < u), target, unit)
+  }
+
   private def one(fn: String, args: Seq[Arg], base: DataFrame,
                   samples: DataFrame, unit: String): DataFrame =
     args match {

@@ -117,4 +117,47 @@ class GlobSpec extends SparkSpec {
     def toMap2: Map[String, (Int, Int)] =
       rows.map { case (id, l, c) => id -> ((l, c)) }.toMap
   }
+
+  test("graphite from/until time specs parse like timespec.go") {
+    import graft.graphite.GraphiteTime.parseTime
+    val now = 1705795200L // 2024-01-21 00:00:00 UTC
+    assert(parseTime("now", now) == now)
+    assert(parseTime("-1h", now) == now - 3600)
+    assert(parseTime("-3days", now) == now - 3 * 86400) // trailing letters
+    assert(parseTime("-2min", now) == now - 120)
+    assert(parseTime("-1mon", now) == now - 30 * 86400)
+    assert(parseTime("-1y", now) == now - 365 * 86400)
+    assert(parseTime("20240105", now) == 1704412800L)
+    assert(parseTime("240105", now) == 1704412800L)   // YYMMDD
+    assert(parseTime("14:38_20240105", now) == 1704412800L + 14 * 3600 + 38 * 60)
+    assert(parseTime("01/05/2024", now) == 1704412800L) // MM/DD/YYYY
+    assert(parseTime("05.01.24", now) == 1704412800L)   // DD.MM.YY
+    assert(parseTime("1704412800", now) == 1704412800L) // epoch passthrough
+    // the handler's absolute offset applies to absolute forms only
+    assert(parseTime("20240105", now, absOffsetS = 3600) == 1704412800L + 3600)
+    assert(parseTime("-1h", now, absOffsetS = 3600) == now - 3600)
+    import graft.graphite.GraphiteParser.ParseException
+    intercept[ParseException](parseTime("", now))
+    intercept[ParseException](parseTime("lastweekish", now))
+    assert(graft.graphite.GraphiteTime.formatTime(1704412800L) ==
+      "00:00_240105")
+  }
+
+  test("render bounds restrict the fetch and push to the scan") {
+    val s = spark
+    import s.implicits._
+    val samples = Seq(
+      ("a", 1L, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1704412800L)), 1.0, 1L),
+      ("a", 1L, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1704758400L)), 2.0, 2L))
+      .toDF("name", "user_id", "ts", "value", "event_id")
+    // [from, until) keeps the first sample only
+    val out = graft.graphite.GraphiteParser.render(samples,
+      "events.*.*", from = "20240105", until = "-12d",
+      nowS = 1705795200L)
+    // the [from, until) predicate pruned the second sample before
+    // consolidation (on a LocalRelation Catalyst folds the filter
+    // into the scan itself — on parquet it pushes down like every
+    // Fetch bound, same mechanism ts_fetch_eq's PlanSpec pin audits)
+    assert(out.select("value").collect().map(_.getDouble(0)).toSeq == Seq(1.0))
+  }
 }
