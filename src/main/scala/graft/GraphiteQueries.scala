@@ -275,6 +275,51 @@ object GraphiteQueries {
       graft.sources.Carbon.toPathFrame(graft.sources.Carbon.parse(lines))
         .select(col("path"), col("bucket_s"), round(col("value"), 6).as("value"))
         .orderBy("path", "bucket_s")
+    }),
+    // the ingester's opt-in path cleanup (rewrite.go copyAndRewrite):
+    // dirty rendered paths — leading dot, doubled dots, an invalid
+    // '@', a trailing dot — sanitize to the canonical form before
+    // consolidation
+    "gr_carbon_rewrite" -> ((s, dir) => {
+      val lines = Vectors.samples(Tables.events(s, dir)).select(
+        format_string("%s %s %d",
+          concat(lit(".events."), col("name"), lit("..user@"),
+            col("user_id"), lit(".")),
+          col("value"),
+          unix_timestamp(col("ts"))).as("line"))
+      val parsed = graft.sources.Carbon.parse(lines)
+        .withColumn("path", graft.sources.Carbon.rewrite(col("path")))
+      graft.sources.Carbon.toPathFrame(parsed)
+        .select(col("path"), col("bucket_s"), round(col("value"), 6).as("value"))
+        .orderBy("path", "bucket_s")
+    }),
+    // the ingester RULESET (ingest.go:336 write): error metrics hit a
+    // raw-write continue rule THEN the match-all; purchase/signup
+    // stop at their sum rule (two policies); click/view fall through
+    // to the match-all mean — with each policy's retention floored
+    // against a fixed now
+    "gr_carbon_rules" -> ((s, dir) => {
+      import graft.sources.Carbon
+      val lines = Vectors.samples(Tables.events(s, dir)).select(
+        format_string("%s %s %d",
+          concat(lit("events."), col("name"), lit(".user"), col("user_id")),
+          col("value"),
+          unix_timestamp(col("ts"))).as("line"))
+      val rules = Seq(
+        Carbon.CarbonRule(contains = Some("error"),
+          aggregationEnabled = false, policies = Seq((60L, 604800L)),
+          continueMatching = true),
+        Carbon.CarbonRule(
+          pattern = Some("events\\.(purchase|signup)\\..*"),
+          aggregationType = "sum",
+          policies = Seq((3600L, 2592000L), (86400L, 7776000L))),
+        Carbon.CarbonRule(pattern = Some(".*"),
+          aggregationType = "mean", policies = Seq((86400L, 2592000L))))
+      Carbon.route(Carbon.parse(lines), rules, nowS = 1706745600L)
+        .select(col("path"), col("rule"), col("agg_type"),
+          col("resolution_s"), col("retention_s"), col("bucket_s"),
+          round(col("value"), 6).as("value"))
+        .orderBy("rule", "resolution_s", "path", "bucket_s")
     })
   )
 
@@ -666,6 +711,51 @@ object GraphiteQueries {
          | FROM events
          | GROUP BY path, CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT)
          | ORDER BY path, bucket_s""".stripMargin.replace("\n", " "),
+    // rewrite(.events.<t>..user@<id>.) = events.<t>.user_<id>
+    "gr_carbon_rewrite" ->
+      s"""SELECT 'events.' || event_type || '.user_' || CAST(user_id AS VARCHAR) AS path,
+         | CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_s,
+         | round(avg(value), 6) AS value
+         | FROM events
+         | GROUP BY path, CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT)
+         | ORDER BY path, bucket_s""".stripMargin.replace("\n", " "),
+    // rule replay: applied(0)=contains error (continue), applied(1)=
+    // purchase|signup (stop), applied(2)=NOT matched-by-1; retention
+    // floors against now=1706745600
+    "gr_carbon_rules" ->
+      s"""WITH p AS (
+         | SELECT 'events.' || event_type || '.user' || CAST(user_id AS VARCHAR) AS path,
+         |  CAST(floor(epoch(ts)) AS BIGINT) AS es, value FROM events),
+         |m AS (SELECT path, es, value,
+         |  (position('error' IN path) > 0) AS m0,
+         |  regexp_matches(path, 'events\\.(purchase|signup)\\..*') AS m1
+         | FROM p)
+         |SELECT * FROM (
+         | SELECT path, CAST(0 AS INT) AS rule, 'raw' AS agg_type,
+         |  CAST(60 AS BIGINT) AS resolution_s,
+         |  CAST(604800 AS BIGINT) AS retention_s,
+         |  es AS bucket_s, round(value, 6) AS value FROM m WHERE m0
+         | UNION ALL
+         | SELECT path, CAST(1 AS INT), 'sum', CAST(3600 AS BIGINT),
+         |  CAST(2592000 AS BIGINT),
+         |  CAST(floor(es / 3600) * 3600 AS BIGINT), round(sum(value), 6)
+         |  FROM m WHERE m1
+         |  GROUP BY path, CAST(floor(es / 3600) * 3600 AS BIGINT)
+         | UNION ALL
+         | SELECT path, CAST(1 AS INT), 'sum', CAST(86400 AS BIGINT),
+         |  CAST(7776000 AS BIGINT),
+         |  CAST(floor(es / 86400) * 86400 AS BIGINT), round(sum(value), 6)
+         |  FROM m WHERE m1
+         |  GROUP BY path, CAST(floor(es / 86400) * 86400 AS BIGINT)
+         | UNION ALL
+         | SELECT path, CAST(2 AS INT), 'mean', CAST(86400 AS BIGINT),
+         |  CAST(2592000 AS BIGINT),
+         |  CAST(floor(es / 86400) * 86400 AS BIGINT), round(avg(value), 6)
+         |  FROM m WHERE NOT m1
+         |  GROUP BY path, CAST(floor(es / 86400) * 86400 AS BIGINT)
+         |) AS u WHERE bucket_s >= 1706745600 - retention_s
+         |ORDER BY rule, resolution_s, path, bucket_s"""
+        .stripMargin.replace("\n", " "),
     "gq_expr2" ->
       s"""WITH m AS (SELECT path, bucket_s,
          |  avg(value) OVER (PARTITION BY path ORDER BY bucket_s

@@ -80,4 +80,129 @@ object Carbon {
         graft.tsdb.Vectors.bucketS(unit).as("bucket_s"))
       .agg(agg.as("value"))
   }
+
+  /** The carbon ingester's opt-in path cleanup (ingest/carbon/
+    * rewrite.go:28 copyAndRewrite, cfg.Cleanup): strip leading dots,
+    * collapse runs of dots to one, replace runs of invalid characters
+    * (anything outside `[A-Za-z0-9.\-_:#]`) with ONE `_` — and with
+    * nothing at all when the preceding kept character is already an
+    * underscore — then strip trailing dots. Pure column algebra, so
+    * it runs identically on the batch and streaming ingest paths. */
+  def rewrite(path: Column): Column = {
+    val inv = "[^A-Za-z0-9.\\-_:#]"
+    val step1 = regexp_replace(path, "^\\.+", "")
+    val step2 = regexp_replace(step1, s"(_)$inv+", "$1")
+    val step3 = regexp_replace(step2, s"$inv+", "_")
+    val step4 = regexp_replace(step3, "\\.{2,}", ".")
+    regexp_replace(step4, "\\.+$", "")
+  }
+
+  /** One carbon ingestion rule (ingest/carbon/ingest.go:560
+    * compileRulesWithLock + config.CarbonIngesterRuleConfiguration):
+    * match by raw UNANCHORED regex `pattern` (the reference compiles
+    * the config string with regexp.Compile and calls Match; the `.*`
+    * MatchAllPattern short-circuits) XOR `contains` substring;
+    * `aggregationEnabled=true` downsamples matched metrics with
+    * `aggregationType` into each storage policy's resolution,
+    * `false` writes RAW datapoints tagged with the policy; policies
+    * are (resolutionS, retentionS) pairs; `continueMatching` lets
+    * later rules also fire (ingest.go:408 rule.rule.Continue),
+    * otherwise the first matching rule wins. */
+  final case class CarbonRule(
+    pattern: Option[String] = None,
+    contains: Option[String] = None,
+    aggregationEnabled: Boolean = true,
+    aggregationType: String = "mean",
+    policies: Seq[(Long, Long)],
+    continueMatching: Boolean = false)
+
+  /** Route parsed carbon metrics through an ordered ruleset
+    * (ingest.go:336 write): per metric, rules apply in order up to
+    * and including the first matching rule with continueMatching =
+    * false; each applied rule emits one series per storage policy —
+    * aggregated into the policy's resolution buckets with the rule's
+    * type, or raw datapoints when aggregation is disabled — with the
+    * policy's retention as a time floor against `nowS`.
+    *
+    * Output: (path, rule, agg_type, resolution_s, retention_s,
+    * bucket_s, value).
+    *
+    * Scale: matching is one codegen'd projection (no rule join — the
+    * applied-rule set is a filtered literal array, exploded);
+    * aggregation is ONE hash aggregation over all enabled
+    * rule-policies (the policy table is a broadcast literal frame);
+    * the raw branch is map-only. `Last` aggregation ties on equal
+    * timestamps break by value (carbon lines carry no arrival
+    * order — documented deviation from m3's arrival-order Last). */
+  def route(parsed: DataFrame, rules: Seq[CarbonRule],
+            nowS: Long): DataFrame = {
+    require(rules.nonEmpty, "carbon ingester needs at least one rule")
+    rules.foreach { r =>
+      require(r.pattern.isEmpty ^ r.contains.isEmpty,
+        s"rule must set exactly one of pattern/contains: $r")
+    }
+    val spark = parsed.sparkSession
+    val matchCols: Seq[Column] = rules.map { r =>
+      r.pattern.map {
+        case ".*" => lit(true) // graphite.MatchAllPattern (tags.go:47)
+        case p    => col("path").rlike(p)
+      }.getOrElse(col("path").contains(r.contains.get))
+    }
+    val applied: Seq[Column] = rules.indices.map { k =>
+      val stopBefore = (0 until k)
+        .map(j => matchCols(j) && lit(!rules(j).continueMatching))
+        .reduceOption(_ || _).getOrElse(lit(false))
+      matchCols(k) && !stopBefore
+    }
+    val appliedArr = filter(
+      array(rules.indices.map(k =>
+        when(applied(k), lit(k)).otherwise(lit(-1))): _*),
+      _ >= 0)
+    // the aggregated and raw branches both read the parsed frame —
+    // checkpoint it so the line-parse regexes run ONCE, not once per
+    // branch (the multi-consumer rule from the kn3 type tables)
+    val base = parsed.where(!col("malformed"))
+      .withColumn("es", unix_timestamp(col("ts")))
+      .localCheckpoint(false)
+      .withColumn("rule", explode(appliedArr))
+
+    import spark.implicits._
+    val polRows = rules.zipWithIndex.flatMap { case (r, k) =>
+      r.policies.map { case (res, ret) =>
+        (k, if (r.aggregationEnabled) r.aggregationType else "raw",
+          res, ret)
+      }
+    }
+    val pol = polRows
+      .toDF("rule", "agg_type", "resolution_s", "retention_s")
+
+    val joined = base.join(broadcast(pol), "rule")
+    val keys = Seq(col("path"), col("rule"), col("agg_type"),
+      col("resolution_s"), col("retention_s"))
+
+    val aggB = joined.where(col("agg_type") =!= "raw")
+      .withColumn("bucket_s",
+        (floor(col("es").cast("double") / col("resolution_s"))
+          .cast("long") * col("resolution_s")).cast("long"))
+      .groupBy(keys :+ col("bucket_s"): _*)
+      .agg(
+        avg("value").as("_mean"), sum("value").as("_sum"),
+        min("value").as("_min"), max("value").as("_max"),
+        count(lit(1)).cast("double").as("_count"),
+        max_by(col("value"), struct(col("es"), col("value"))).as("_last"))
+      .withColumn("value",
+        when(col("agg_type") === "mean", col("_mean"))
+          .when(col("agg_type") === "sum", col("_sum"))
+          .when(col("agg_type") === "min", col("_min"))
+          .when(col("agg_type") === "max", col("_max"))
+          .when(col("agg_type") === "count", col("_count"))
+          .when(col("agg_type") === "last", col("_last")))
+      .drop("_mean", "_sum", "_min", "_max", "_count", "_last")
+
+    val rawB = joined.where(col("agg_type") === "raw")
+      .select(keys :+ col("es").as("bucket_s") :+ col("value"): _*)
+
+    aggB.unionByName(rawB)
+      .where(col("bucket_s") >= lit(nowS) - col("retention_s"))
+  }
 }
