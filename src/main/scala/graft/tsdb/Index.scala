@@ -79,17 +79,22 @@ object Index {
     * posting-list lengths: series-cardinality work against the index
     * frames, ONE bounded job (|matchers| result rows), never a
     * sample-row read. */
-  private[graft] def matcherOrder(post: DataFrame, terms: DataFrame,
-                                  matchers: Seq[Fetch.Matcher]): Seq[Int] = {
+  private[graft] def matcherSizes(post: DataFrame, terms: DataFrame,
+                                  matchers: Seq[Fetch.Matcher]): Map[Int, Long] = {
     val matched = matchers.zipWithIndex.map { case (m, i) =>
       val label = if (m.label == "__name__") "name" else m.label
       terms.where(col("label") === label && termPredicate(m))
         .select(lit(i).as("mi"), col("label"), col("value"))
     }.reduce(_ unionByName _)
-    val sizes: Map[Int, Long] = post
+    post
       .join(broadcast(matched), Seq("label", "value"))
       .groupBy("mi").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+  }
+
+  private[graft] def matcherOrder(post: DataFrame, terms: DataFrame,
+                                  matchers: Seq[Fetch.Matcher]): Seq[Int] = {
+    val sizes = matcherSizes(post, terms, matchers)
     matchers.indices.sortBy(i => (sizes.getOrElse(i, 0L), i))
   }
 
@@ -103,7 +108,19 @@ object Index {
     * is order-insensitive; ordering only shapes the plan), without
     * reading a single sample row. */
   def indexMatch(samples: DataFrame, matchers: Seq[Fetch.Matcher],
-                 labelCols: Seq[String]): DataFrame = {
+                 labelCols: Seq[String]): DataFrame =
+    indexMatchWithBound(samples, matchers, labelCols,
+      wantBound = false)._1
+
+  /** [[indexMatch]] plus the plan-time |result| bound the postings
+    * stats give for free: the intersection is a subset of EVERY
+    * matched postings list, so the smallest matched size bounds the
+    * resolved series count (None when stats were not collected —
+    * single matcher, bound not requested). */
+  private def indexMatchWithBound(
+      samples: DataFrame, matchers: Seq[Fetch.Matcher],
+      labelCols: Seq[String],
+      wantBound: Boolean): (DataFrame, Option[Long]) = {
     require(matchers.nonEmpty, "index route needs at least one matcher")
     val series = samples
       .select(labelCols.map(c => col(c).cast("string").as(c)): _*)
@@ -115,9 +132,15 @@ object Index {
           struct(labelCols.map(col): _*).as("sid"))
     }.reduce(_ unionByName _)
     val terms = post.select("label", "value").distinct()
-    val ordered =
-      if (matchers.size > 1) matcherOrder(post, terms, matchers).map(matchers)
-      else matchers
+    val sizes: Option[Map[Int, Long]] =
+      if (matchers.size > 1 || wantBound)
+        Some(matcherSizes(post, terms, matchers))
+      else None
+    val ordered = sizes match {
+      case Some(sz) =>
+        matchers.indices.sortBy(i => (sz.getOrElse(i, 0L), i)).map(matchers)
+      case None => matchers
+    }
     val perMatcher = ordered.map { m =>
       val label = if (m.label == "__name__") "name" else m.label
       val matchedTerms = terms
@@ -125,9 +148,11 @@ object Index {
       post.join(broadcast(matchedTerms), Seq("label", "value"), "leftsemi")
         .select("sid")
     }
-    perMatcher.reduce(_ intersect _)
+    val resolved = perMatcher.reduce(_ intersect _)
       .select(col("sid.*"))
       .orderBy(labelCols.map(col): _*)
+    (resolved,
+      sizes.map(sz => matchers.indices.map(i => sz.getOrElse(i, 0L)).min))
   }
 
   /** Index-served tag completion — m3 answers CompleteTags FROM the
@@ -197,16 +222,27 @@ object Index {
     * intersect-over-the-bounded-union — the cheaper form. */
   def boundedMatch(post0: DataFrame, matchers: Seq[Fetch.Matcher],
                    labelCols: Seq[String],
-                   fromBlock: Long, untilBlock: Long): DataFrame = {
+                   fromBlock: Long, untilBlock: Long): DataFrame =
+    boundedMatchWithBound(post0, matchers, labelCols, fromBlock,
+      untilBlock, wantBound = false)._1
+
+  private def boundedMatchWithBound(
+      post0: DataFrame, matchers: Seq[Fetch.Matcher],
+      labelCols: Seq[String], fromBlock: Long, untilBlock: Long,
+      wantBound: Boolean): (DataFrame, Option[Long]) = {
     require(matchers.nonEmpty, "index route needs at least one matcher")
     val post = post0
       .where(col("block") >= fromBlock && col("block") < untilBlock)
     val terms = post.select("label", "value").distinct()
-    val ordered =
-      if (matchers.size > 1)
-        matcherOrder(post.select("label", "value"), terms, matchers)
-          .map(matchers)
-      else matchers
+    val sizes: Option[Map[Int, Long]] =
+      if (matchers.size > 1 || wantBound)
+        Some(matcherSizes(post.select("label", "value"), terms, matchers))
+      else None
+    val ordered = sizes match {
+      case Some(sz) =>
+        matchers.indices.sortBy(i => (sz.getOrElse(i, 0L), i)).map(matchers)
+      case None => matchers
+    }
     val perMatcher = ordered.map { m =>
       val label = if (m.label == "__name__") "name" else m.label
       val matchedTerms = terms
@@ -214,7 +250,8 @@ object Index {
       post.join(broadcast(matchedTerms), Seq("label", "value"), "leftsemi")
         .select("sid")
     }
-    perMatcher.reduce(_ intersect _).select(col("sid.*"))
+    (perMatcher.reduce(_ intersect _).select(col("sid.*")),
+      sizes.map(sz => matchers.indices.map(i => sz.getOrElse(i, 0L)).min))
   }
 
   /** Time-bounded tag completion from the block-segmented index —
@@ -240,18 +277,28 @@ object Index {
     * never touches a sample row and the scan-side predicate is an
     * equi-join a bucketed layout satisfies without a shuffle.
     *
-    * No forced broadcast hint on the series set: a loose matcher
-    * (`.+`) resolves to the FULL series set, which at cluster scale
-    * can exceed the broadcast ceiling and fail a query the direct
-    * scan route would serve — AQE picks the strategy at runtime from
-    * the ACTUAL resolved size instead (small sids → runtime
-    * broadcast join, loose sids → shuffle semi-join; PlanSpec pins
-    * the absence of the hint). */
+    * STATS-GATED broadcast on the series set (no blind hint): the
+    * postings sizes the matcher planner already collects bound the
+    * resolved series count — the intersection is a subset of every
+    * matched postings list — so the hint is applied ONLY when the
+    * plan-time bound proves the set fits under
+    * `broadcastSeriesLimit`. A loose matcher (`.+`) resolves the
+    * full series set, exceeds the bound at scale, and stays
+    * hint-free for AQE to size at runtime (a forced hint there is a
+    * hard query error the direct scan route would not have — the
+    * same stats-consulting discipline m3ninx plans with; PlanSpec
+    * pins both gate outcomes). */
   def indexFetch(samples: DataFrame, matchers: Seq[Fetch.Matcher],
                  labelCols: Seq[String], startS: Option[Long] = None,
-                 endS: Option[Long] = None): DataFrame = {
-    val sids = indexMatch(samples, matchers, labelCols)
+                 endS: Option[Long] = None,
+                 broadcastSeriesLimit: Long = 100000L): DataFrame = {
+    val (resolved, bound) =
+      indexMatchWithBound(samples, matchers, labelCols, wantBound = true)
+    val sids0 = resolved
       .select(labelCols.map(c => col(c).as(s"_i_$c")): _*)
+    val sids =
+      if (bound.exists(_ <= broadcastSeriesLimit)) broadcast(sids0)
+      else sids0
     val joinCond = labelCols.map(c =>
       col(c).cast("string") === col(s"_i_$c")).reduce(_ && _)
     val bounded = samples
@@ -274,12 +321,19 @@ object Index {
     * — AQE sizes the resolved series set at runtime. */
   def boundedFetch(samples: DataFrame, post: DataFrame,
                    matchers: Seq[Fetch.Matcher], labelCols: Seq[String],
-                   startS: Long, endS: Long): DataFrame = {
+                   startS: Long, endS: Long,
+                   broadcastSeriesLimit: Long = 100000L): DataFrame = {
     val fromBlock = startS / 86400L
     val untilBlock = (endS + 86399L) / 86400L
-    val sids = boundedMatch(post, matchers, labelCols,
-      fromBlock, untilBlock)
+    val (resolved, bound) = boundedMatchWithBound(post, matchers,
+      labelCols, fromBlock, untilBlock, wantBound = true)
+    val sids0 = resolved
       .select(labelCols.map(c => col(c).as(s"_i_$c")): _*)
+    // same stats-gated broadcast as indexFetch: the smallest matched
+    // (pruned-segment) postings list bounds |sids|
+    val sids =
+      if (bound.exists(_ <= broadcastSeriesLimit)) broadcast(sids0)
+      else sids0
     val joinCond = labelCols.map(c =>
       col(c).cast("string") === col(s"_i_$c")).reduce(_ && _)
     samples
