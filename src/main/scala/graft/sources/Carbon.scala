@@ -160,11 +160,15 @@ object Carbon {
       _ >= 0)
     // the aggregated and raw branches both read the parsed frame —
     // checkpoint it so the line-parse regexes run ONCE, not once per
-    // branch (the multi-consumer rule from the kn3 type tables)
-    val base = parsed.where(!col("malformed"))
+    // branch (the multi-consumer rule from the kn3 type tables).
+    // Streaming inputs skip the checkpoint (not legal mid-stream; a
+    // micro-batch re-parse is per-batch-sized) so the SAME routing
+    // runs under foreachBatch — StreamingSpec pins batch parity.
+    val cleaned = parsed.where(!col("malformed"))
       .withColumn("es", unix_timestamp(col("ts")))
-      .localCheckpoint(false)
-      .withColumn("rule", explode(appliedArr))
+    val base =
+      (if (parsed.isStreaming) cleaned else cleaned.localCheckpoint(false))
+        .withColumn("rule", explode(appliedArr))
 
     import spark.implicits._
     val polRows = rules.zipWithIndex.flatMap { case (r, k) =>

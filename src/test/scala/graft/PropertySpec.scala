@@ -574,4 +574,140 @@ class PropertySpec extends SparkSpec {
       out.length >= 0 && nonBlank >= 0 // reaching here = no throw
     })
   }
+
+  // ---- glob translator differential oracle --------------------------
+
+  /** Independent backtracking matcher over the graphite glob dialect
+    * (same SEMANTICS as glob.go, written without regexes so a
+    * translation bug in [[graft.graphite.Glob]] cannot hide in a
+    * mirrored implementation): `.` one-or-more separators, `?` one
+    * non-dot, `*` a non-dot run, `{a,b}` alternatives, `[a-c]`
+    * ranges, `\` escapes. */
+  private object NaiveGlob {
+    sealed trait T
+    case class L(c: Char) extends T
+    case object Star extends T
+    case object Qm extends T
+    case object Dot extends T
+    case class Alt(opts: Seq[Seq[T]]) extends T
+    case class Cls(cs: Set[Char]) extends T
+
+    def parse(g: String): List[T] = {
+      var i = 0
+      val out = List.newBuilder[T]
+      def cls(): T = { // after '['
+        val cs = Set.newBuilder[Char]
+        while (g(i) != ']') {
+          if (i + 2 < g.length && g(i + 1) == '-' && g(i + 2) != ']') {
+            (g(i) to g(i + 2)).foreach(cs += _); i += 3
+          } else { cs += g(i); i += 1 }
+        }
+        i += 1
+        Cls(cs.result())
+      }
+      def alt(): T = { // after '{'
+        val opts = Seq.newBuilder[Seq[T]]
+        val cur = List.newBuilder[T]
+        while (g(i) != '}') {
+          if (g(i) == ',') { opts += cur.result(); cur.clear(); i += 1 }
+          else { cur += one() }
+        }
+        i += 1
+        opts += cur.result()
+        Alt(opts.result())
+      }
+      def one(): T = {
+        val c = g(i); i += 1
+        c match {
+          case '\\' => val l = L(g(i)); i += 1; l
+          case '.'  => Dot
+          case '?'  => Qm
+          case '*'  => Star
+          case '['  => cls()
+          case '{'  => alt()
+          case o    => L(o)
+        }
+      }
+      while (i < g.length) out += one()
+      out.result()
+    }
+
+    def matches(ts: List[T], s: String, i: Int = 0): Boolean = ts match {
+      case Nil => i == s.length
+      case L(c) :: r  => i < s.length && s(i) == c && matches(r, s, i + 1)
+      case Qm :: r    => i < s.length && s(i) != '.' && matches(r, s, i + 1)
+      case Cls(cs) :: r => i < s.length && cs(s(i)) && matches(r, s, i + 1)
+      case Dot :: r =>
+        (i until s.length).takeWhile(s(_) == '.')
+          .exists(j => matches(r, s, j + 1))
+      case Star :: r =>
+        (i to s.length).takeWhile(j => j == i || s(j - 1) != '.')
+          .exists(j => matches(r, s, j))
+      case Alt(opts) :: r => opts.exists(o => matches(o.toList ++ r, s, i))
+    }
+  }
+
+  test("property: glob regex translation equals the naive matcher") {
+    val litChar = Gen.oneOf(Gen.alphaLowerChar, Gen.numChar)
+    val litSeg: Gen[String] = Gen.chooseNum(1, 3)
+      .flatMap(n => Gen.listOfN(n, litChar).map(_.mkString))
+    val atom: Gen[String] = Gen.frequency(
+      5 -> litSeg,
+      2 -> Gen.const("*"),
+      2 -> Gen.const("?"),
+      2 -> (for { a <- litSeg; b <- litSeg } yield s"{$a,$b}"),
+      2 -> (for {
+        lo <- Gen.choose('a', 'w'); hi <- Gen.choose(lo, 'z')
+      } yield s"[$lo-$hi]"),
+      1 -> litChar.map(c => s"\\$c"))
+    val segment: Gen[String] =
+      Gen.chooseNum(1, 3).flatMap(n => Gen.listOfN(n, atom).map(_.mkString))
+    val glob: Gen[String] = Gen.chooseNum(1, 3)
+      .flatMap(n => Gen.listOfN(n, segment).map(_.mkString(".")))
+    // candidate paths: random short strings over a glob-adjacent
+    // alphabet PLUS an instantiation-biased expansion of the glob
+    val pathChar = Gen.frequency(8 -> litChar, 2 -> Gen.const('.'))
+    val randomPath: Gen[String] = Gen.chooseNum(0, 10)
+      .flatMap(n => Gen.listOfN(n, pathChar).map(_.mkString))
+    def expand(g: String): Gen[String] = {
+      import NaiveGlob._
+      def go(ts: List[T]): Gen[String] = ts match {
+        case Nil => Gen.const("")
+        case L(c) :: r => go(r).map(c +: _)
+        case Qm :: r => for { c <- litChar; t <- go(r) } yield c +: t
+        case Cls(cs) :: r =>
+          for { c <- Gen.oneOf(cs.toSeq); t <- go(r) } yield c +: t
+        case Dot :: r =>
+          for { n <- Gen.chooseNum(1, 2); t <- go(r) }
+            yield ("." * n) + t
+        case Star :: r =>
+          for {
+            n <- Gen.chooseNum(0, 3)
+            cs <- Gen.listOfN(n, litChar)
+            t <- go(r)
+          } yield cs.mkString + t
+        case Alt(opts) :: r =>
+          Gen.oneOf(opts).flatMap(o => go(o.toList ++ r))
+      }
+      go(parse(g))
+    }
+    val genCase: Gen[(String, Seq[String])] = for {
+      g <- glob
+      rps <- Gen.listOfN(4, randomPath)
+      eps <- Gen.listOfN(4, expand(g))
+      // mutate one expansion so near-misses are exercised
+      mut <- Gen.oneOf(eps).map(p => if (p.isEmpty) "x" else p.tail)
+    } yield (g, rps ++ eps :+ mut)
+    check(Prop.forAll(genCase) { case (g, paths) =>
+      val re = graft.graphite.Glob.anchored(g)
+      val toks = NaiveGlob.parse(g)
+      paths.forall { p =>
+        val got = p.matches(re)
+        val want = NaiveGlob.matches(toks, p)
+        if (got != want)
+          println(s"MISMATCH glob=$g path=$p regex=$re got=$got want=$want")
+        got == want
+      }
+    })
+  }
 }

@@ -253,6 +253,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("carbon ruleset routing runs under foreachBatch, batch-parity") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import graft.sources.Carbon
+    val rules = Seq(
+      Carbon.CarbonRule(contains = Some("error"),
+        aggregationEnabled = false, policies = Seq((60L, 86400L)),
+        continueMatching = true),
+      Carbon.CarbonRule(pattern = Some(".*"),
+        aggregationType = "sum", policies = Seq((3600L, 86400L))))
+    val lines = Seq(
+      "svc.error.count 5 1704067200",
+      "svc.ok.count 10 1704067200",
+      "svc.ok.count 20 1704067800")
+    // the streaming ingester: per micro-batch, the SAME route()
+    // column algebra (checkpoint-free on streams), collected via
+    // foreachBatch — the per-datapoint downsampled increments the
+    // reference's ingester hands its DownsamplerAndWriter
+    val got = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Long, Double)]
+    val mem = MemoryStream[String]
+    val q = Carbon.parse(mem.toDF().toDF("line"))
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= Carbon.route(b, rules, nowS = 1704067200L).collect()
+          .map(r => (r.getString(0), r.getInt(1),
+            r.getAs[Long]("bucket_s"), r.getAs[Double]("value")))
+        ()
+      }.start()
+    try {
+      mem.addData(lines: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val batch = Carbon.route(Carbon.parse(lines.toDF("line")),
+        rules, nowS = 1704067200L).collect()
+      .map(r => (r.getString(0), r.getInt(1),
+        r.getAs[Long]("bucket_s"), r.getAs[Double]("value")))
+    assert(got.toSet == batch.toSet,
+      s"stream ${got.toSet} != batch ${batch.toSet}")
+    assert(batch.nonEmpty)
+  }
+
   test("exposition scrape lines parse + consolidate under readStream") {
     val s = spark
     import s.implicits._
