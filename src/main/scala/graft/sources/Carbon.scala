@@ -137,9 +137,12 @@ object Carbon {
   def route(parsed: DataFrame, rules: Seq[CarbonRule],
             nowS: Long): DataFrame = {
     require(rules.nonEmpty, "carbon ingester needs at least one rule")
+    val knownAggs = Set("mean", "sum", "min", "max", "count", "last")
     rules.foreach { r =>
       require(r.pattern.isEmpty ^ r.contains.isEmpty,
         s"rule must set exactly one of pattern/contains: $r")
+      require(!r.aggregationEnabled || knownAggs(r.aggregationType),
+        s"unknown aggregation type ${r.aggregationType}")
     }
     val spark = parsed.sparkSession
     val matchCols: Seq[Column] = rules.map { r =>
