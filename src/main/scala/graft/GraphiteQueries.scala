@@ -696,7 +696,8 @@ object GraphiteQueries {
          | GROUP BY path, CAST(floor(bucket_s / 86400) * 86400 AS BIGINT)
          | ORDER BY path, bucket_s""".stripMargin.replace("\n", " "),
     "gq_find_matchall" ->
-      s"""SELECT DISTINCT seg AS id, seg AS text, CAST(0 AS INT) AS is_leaf,
+      s"""SELECT DISTINCT 'events.' || seg AS id, seg AS text,
+         | CAST(0 AS INT) AS is_leaf,
          | CAST(1 AS INT) AS has_children FROM (
          |  SELECT string_split(path, '.')[2] AS seg
          |   FROM (SELECT DISTINCT path FROM ($PF) AS f) AS p

@@ -1289,6 +1289,15 @@ object Graphite {
     * the matcher cloned with MatchField on the last component). Both
     * flags can be 1 (graphite's includeBothExpandableAndLeaf).
     *
+    * Documented deviation on the terminated route: nodes here are
+    * keyed by the matched path's ACTUAL N-segment prefix (graphite-
+    * web's tree semantics), while the reference keys its tagMap by
+    * the last segment's VALUE alone and prefixes ids with the raw
+    * query text (find.go:119-125, :211) — so a glob in a NON-last
+    * segment merges different parents into one node there and the id
+    * contains the glob. Identical for the common glob-in-last-segment
+    * queries; the tree-correct form is deliberate here.
+    *
     * Scale: glob filter is a pushdown-friendly rlike over the path
     * column; the only shuffle is the distinct-prefix aggregation,
     * carrying tree-node cardinality, not samples. */
@@ -1301,14 +1310,22 @@ object Graphite {
       // the distinct path segments at the last query level OR DEEPER
       // of every matching series; every node is assumed expandable
       // (is_leaf=0/has_children=1 — the reference skips the per-node
-      // leaf check for `**`, find_parser.go comment at :110).
-      val n = Glob.splitSegments(query).length
+      // leaf check for `**`, find_parser.go comment at :110), and the
+      // node id is the RAW QUERY's prefix + the segment name
+      // (find.go:211 DropLastMetricPart(raw) + "." + name — the
+      // reference keys nodes by segment VALUE and prefixes with the
+      // query text, not the matched path).
+      val segs = Glob.splitSegments(query)
+      val n = segs.length
+      val prefix =
+        if (n > 1) segs.dropRight(1).mkString("", ".", ".") else ""
       val re = Glob.anchored(query, allowMatchAll = true)
       df.select("path").distinct()
         .where(col("path").rlike(re))
         .select(posexplode(seg))
         .where(col("pos") >= lit(n - 1))
-        .select(col("col").as("id"), col("col").as("text"),
+        .select(concat(lit(prefix), col("col")).as("id"),
+          col("col").as("text"),
           lit(0).as("is_leaf"), lit(1).as("has_children"))
         .distinct()
     } else {

@@ -99,10 +99,14 @@ class GlobSpec extends SparkSpec {
 
   test("metricsFind ** returns mixed-depth nodes, all expandable") {
     val rows = Graphite.metricsFind(pathFrame, "root.**").collect()
-      .map(r => (r.getString(0), r.getInt(2), r.getInt(3))).toSet
-    // segments at the last query level (2) or deeper of matched paths
-    assert(rows == Set(("a", 0, 1), ("x", 0, 1), ("b", 0, 1),
-      ("y", 0, 1), ("z", 0, 1)))
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getInt(3)))
+      .toSet
+    // segments at the last query level (2) or deeper of matched
+    // paths; ids carry the RAW query prefix (find.go:211
+    // DropLastMetricPart + "."), not the matched path's own prefix
+    assert(rows == Set(("root.a", "a", 0, 1), ("root.x", "x", 0, 1),
+      ("root.b", "b", 0, 1), ("root.y", "y", 0, 1),
+      ("root.z", "z", 0, 1)))
   }
 
   test("metricsFind brace query keeps the leaf/children census") {
