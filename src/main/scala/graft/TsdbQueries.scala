@@ -1202,6 +1202,16 @@ object TsdbQueries {
         """summarize(events.purchase.*, "1d", "sum")""")
         .select(col("path"), col("bucket_s"), round(col("value"), 6).as("value"))
         .orderBy("path", "bucket_s")),
+    // the extended glob dialect end-to-end over the bucketed store:
+    // brace alternation resolved against the physical layout,
+    // byte-identical to the direct-path gq_glob_brace (same oracle
+    // shape)
+    "store_glob" -> ((s, dir) =>
+      graft.graphite.GraphiteParser.query(
+        graft.sources.SeriesStore.read(s, storeTable(s, dir)).drop("dt"),
+        """summarize(events.{purchase,signup}.*, "1d", "sum")""")
+        .select(col("path"), col("bucket_s"), round(col("value"), 6).as("value"))
+        .orderBy("path", "bucket_s")),
     // ...and M3QL, closing the set: every query front end the engine
     // carries (matcher fetch, PromQL, Graphite, M3QL) runs over the
     // physical layout, byte-identical to its direct path
@@ -1678,6 +1688,21 @@ object TsdbQueries {
         |    row_number() OVER (PARTITION BY event_type, user_id,
         |      date_trunc('hour', ts) ORDER BY ts DESC, event_id DESC) AS rn
         |   FROM events WHERE event_type = 'purchase') AS t WHERE rn = 1) AS i)
+        | SELECT path, CAST(floor(bucket_s / 86400) * 86400 AS BIGINT) AS bucket_s,
+        |  round(sum(value), 6) AS value FROM pf
+        | GROUP BY path, CAST(floor(bucket_s / 86400) * 86400 AS BIGINT)
+        | ORDER BY path, bucket_s""".stripMargin.replace("\n", " "),
+    "store_glob" ->
+      """WITH pf AS (
+        | SELECT 'events.' || name || '.user' || CAST(user_id AS VARCHAR) AS path,
+        |  bucket_s, value FROM (
+        |  SELECT name, user_id, bucket_s, value FROM (
+        |   SELECT event_type AS name, user_id, value,
+        |    CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_s,
+        |    row_number() OVER (PARTITION BY event_type, user_id,
+        |      date_trunc('hour', ts) ORDER BY ts DESC, event_id DESC) AS rn
+        |   FROM events WHERE event_type IN ('purchase', 'signup')) AS t
+        |   WHERE rn = 1) AS i)
         | SELECT path, CAST(floor(bucket_s / 86400) * 86400 AS BIGINT) AS bucket_s,
         |  round(sum(value), 6) AS value FROM pf
         | GROUP BY path, CAST(floor(bucket_s / 86400) * 86400 AS BIGINT)
