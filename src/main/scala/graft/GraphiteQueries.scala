@@ -24,6 +24,102 @@ object GraphiteQueries {
       |     date_trunc('hour', ts) ORDER BY ts DESC, event_id DESC) AS rn
       |  FROM events) AS t WHERE rn = 1) AS i""".stripMargin.replace("\n", " ")
 
+  /** gq_render_lttb constants + its fully-unrolled DuckDB oracle.
+    * LTTB's bucket walk is sequential (bucket i's pick anchors
+    * bucket i+1), so the oracle unrolls the `threshold - 2` rounds
+    * as a CTE chain — the corpus_bpe_train convention for
+    * sequential training loops. Ranges restate lttb.go:55-113;
+    * the branch rules restate lttb.go:100-110 and :127 (maxArea
+    * starts at -1, so an all-zero-area bucket yields its FIRST
+    * index). */
+  private object LttbQ {
+    val start = 1704412800L // 20240105 UTC
+    val step = 3600L
+    val len = 144 // 6 days hourly
+    val maxDp = 10
+    val every: Int = math.ceil(len.toDouble / maxDp).toInt // 15
+    val threshold: Int = math.ceil(len.toDouble / every).toInt // 10
+
+    def sql: String = {
+      val end = start + len * step
+      val head =
+        s"""WITH pu AS (
+           | SELECT event_type AS path, user_id,
+           |  CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_s,
+           |  CAST(round(value * 1000000, 0) AS BIGINT) AS mv,
+           |  row_number() OVER (PARTITION BY event_type, user_id,
+           |    date_trunc('hour', ts) ORDER BY ts DESC, event_id DESC) AS rn
+           | FROM events
+           | WHERE CAST(floor(epoch(ts)) AS BIGINT) >= $start
+           |  AND CAST(floor(epoch(ts)) AS BIGINT) < $end),
+           |pts AS (
+           | SELECT path, CAST((bucket_s - $start) / $step AS INT) AS idx,
+           |  CAST(sum(mv) AS DOUBLE) AS value
+           | FROM pu WHERE rn = 1 GROUP BY 1, 2),
+           |s0 AS (SELECT path, 0 AS a_idx,
+           |  max(CASE WHEN idx = 0 THEN value END) AS a_val FROM pts GROUP BY 1),
+           |ed AS (SELECT path,
+           |  max(CASE WHEN idx = ${len - 1} THEN value END) AS v_last
+           |  FROM pts GROUP BY 1)""".stripMargin
+      val roundCtes = (0 until threshold - 2).map { r =>
+        val cs = if (r == 0) 1 else r * every + 2
+        val ce = (r + 1) * every + 2
+        val aS = ce
+        val aE = math.min((r + 2) * every + 2, len)
+        val aLen = aE - aS
+        val avgCte =
+          if (aLen <= 0)
+            s"""a$r AS (SELECT path, CAST(NULL AS DOUBLE) AS avg_x,
+               | CAST(NULL AS DOUBLE) AS avg_y FROM s$r)""".stripMargin
+          else
+            s"""a$r AS (SELECT path, sum(idx) / $aLen.0 AS avg_x,
+               | sum(value) / $aLen.0 AS avg_y
+               | FROM pts WHERE idx >= $aS AND idx < $aE GROUP BY 1)""".stripMargin
+        s"""$avgCte,
+           |v$r AS (SELECT path, avg(value) AS cavg
+           | FROM pts WHERE idx >= $cs AND idx < $ce GROUP BY 1),
+           |c$r AS (SELECT c.path,
+           |  max(CASE WHEN s.a_val IS NOT NULL AND a.avg_y IS NOT NULL THEN
+           |   struct_pack(area := coalesce(abs(
+           |     (s.a_idx - a.avg_x) * (c.value - s.a_val)
+           |     - (s.a_idx - c.idx) * (a.avg_y - s.a_val)), 0.0),
+           |    negidx := -c.idx, idx := c.idx, val := c.value) END) AS best,
+           |  min(CASE WHEN c.value IS NOT NULL THEN
+           |   struct_pack(d := abs(v.cavg - c.value), idx := c.idx,
+           |    val := c.value) END) AS close,
+           |  max(CASE WHEN c.idx = $cs THEN c.value END) AS v_cs
+           | FROM pts c JOIN s$r s USING (path)
+           |  LEFT JOIN a$r a USING (path) JOIN v$r v USING (path)
+           | WHERE c.idx >= $cs AND c.idx < $ce GROUP BY 1),
+           |s${r + 1} AS (SELECT s.path,
+           |  CASE WHEN s.a_val IS NOT NULL AND a.avg_y IS NOT NULL THEN
+           |   CASE WHEN c.best IS NULL OR struct_extract(c.best, 'area') <= 0
+           |    THEN $cs ELSE struct_extract(c.best, 'idx') END
+           |  ELSE CASE WHEN c.close IS NULL THEN $cs
+           |   ELSE struct_extract(c.close, 'idx') END END AS a_idx,
+           |  CASE WHEN s.a_val IS NOT NULL AND a.avg_y IS NOT NULL THEN
+           |   CASE WHEN c.best IS NULL OR struct_extract(c.best, 'area') <= 0
+           |    THEN c.v_cs ELSE struct_extract(c.best, 'val') END
+           |  ELSE CASE WHEN c.close IS NULL THEN c.v_cs
+           |   ELSE struct_extract(c.close, 'val') END END AS a_val
+           | FROM s$r s LEFT JOIN a$r a USING (path)
+           |  LEFT JOIN c$r c USING (path))""".stripMargin
+      }
+      val picks =
+        Seq("SELECT path, 0 AS k, a_val AS value FROM s0") ++
+          (1 until threshold - 1).map(k =>
+            s"SELECT path, $k AS k, a_val AS value FROM s$k") ++
+          Seq(s"SELECT path, ${threshold - 1} AS k, v_last AS value FROM ed")
+      val tail =
+        s"""SELECT path,
+           | CAST($start + k * ${every * step} AS BIGINT) AS bucket_s,
+           | round(value / 1000000.0, 6) AS value
+           |FROM (${picks.mkString(" UNION ALL ")}) AS o
+           |ORDER BY path, bucket_s""".stripMargin
+      (Seq(head) ++ roundCtes).mkString(",\n") + "\n" + tail
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gr_summarize" -> ((s, dir) =>
       Graphite.summarize(frame(s, dir), 86400L, "sum")
@@ -262,6 +358,28 @@ object GraphiteQueries {
         from = "20240105", until = "-12d", nowS = 1705795200L)
         .select(col("path"), col("bucket_s"), round(col("value"), 6).as("value"))
         .orderBy("path", "bucket_s")),
+    // the render API's maxDataPoints path (render_parser.go:169-177
+    // → render.go:171-178): per-name hourly series over a 6-day
+    // window (144 points) LTTB-downsampled to 10 — every=15,
+    // threshold=10, 8 triangle rounds. Per-user consolidated values
+    // quantize to integer micro-units BEFORE the cross-user sum so
+    // every triangle area both engines compare derives from exact
+    // integers (argmax determinism; the Similarity micro-unit
+    // convention)
+    "gq_render_lttb" -> ((s, dir) => {
+      val f = LttbQ.start
+      val u = LttbQ.start + LttbQ.len * LttbQ.step
+      val bounded = Vectors.samples(Tables.events(s, dir))
+        .where(unix_timestamp(col("ts")) >= f &&
+          unix_timestamp(col("ts")) < u)
+      val perUser = Graphite.seriesFrame(bounded)
+        .withColumn("value", round(col("value") * lit(1e6), 0).cast("long"))
+      val byName = Graphite.groupByNode(perUser, 1, "sum")
+      graphite.Lttb.downsample(byName, f, u, LttbQ.step, LttbQ.maxDp)
+        .select(col("path"), col("bucket_s"),
+          round(col("value") / lit(1e6), 6).as("value"))
+        .orderBy("path", "bucket_s")
+    }),
     // carbon line-protocol roundtrip: render every event as a
     // plaintext `path value epoch` line, parse through the Carbon
     // source, consolidate hourly — the oracle computes the same
@@ -695,6 +813,7 @@ object GraphiteQueries {
          |  AND bucket_s >= 1704412800 AND bucket_s < 1704758400
          | GROUP BY path, CAST(floor(bucket_s / 86400) * 86400 AS BIGINT)
          | ORDER BY path, bucket_s""".stripMargin.replace("\n", " "),
+    "gq_render_lttb" -> LttbQ.sql.replace("\n", " "),
     "gq_find_matchall" ->
       s"""SELECT DISTINCT 'events.' || seg AS id, seg AS text,
          | CAST(0 AS INT) AS is_leaf,

@@ -179,6 +179,29 @@ object GraphiteParser {
       unix_timestamp(col("ts")) < u), target, unit)
   }
 
+  /** [[render]] plus the API's `maxDataPoints` form value
+    * (render_parser.go:169-177): series still larger than the point
+    * budget after evaluation are LTTB-downsampled to the resized
+    * step (render.go:171-178 → [[Lttb.downsample]]). The resize grid
+    * is the render window quantized to the consolidation unit —
+    * `[floor(from/step)·step, ceil(until/step)·step)` — the step the
+    * evaluated frame's buckets actually sit on. Targets that
+    * re-step their series (summarize, hitcount) should instead size
+    * their own buckets, same as the reference's consolidateBy
+    * carve-out (render.go:170 comment). */
+  def renderMaxDataPoints(samples: DataFrame, target: String,
+                          from: String, until: String, nowS: Long,
+                          maxDataPoints: Int,
+                          unit: String = "hour"): DataFrame = {
+    val f = GraphiteTime.parseTime(from, nowS)
+    val u = GraphiteTime.parseTime(until, nowS)
+    val step = stepOf(unit)
+    val start = math.floorDiv(f, step) * step
+    val end = ((u + step - 1) / step) * step
+    Lttb.downsample(render(samples, target, from, until, nowS, unit),
+      start, end, step, maxDataPoints)
+  }
+
   private def one(fn: String, args: Seq[Arg], base: DataFrame,
                   samples: DataFrame, unit: String): DataFrame =
     args match {
