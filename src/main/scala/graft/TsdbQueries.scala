@@ -71,6 +71,22 @@ object TsdbQueries {
       t
     })
 
+  /** Annotated tsz block frame for the two store_tsz_ann queries
+    * (built once per (session, dir) and localCheckpointed — the
+    * decode query and the cost card share one encode pass).
+    * Annotation: the hour label from 06:00 on, null before — each
+    * block-day opens unannotated, then writes on hour change only. */
+  private val annBlockFrames =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def annBlocks(s: SparkSession, dir: String): DataFrame =
+    annBlockFrames.getOrElseUpdate((s, dir), {
+      val ann = when(hour(col("ts")) >= 6,
+        concat(lit("h"), lpad(hour(col("ts")).cast("string"), 2, "0")))
+      graft.sources.TszStore.annotatedBlockFrame(
+        samples(s, dir).withColumn("annotation", ann))
+        .localCheckpoint(eager = false)
+    })
+
   /** Once-per-(session, sf dir) block-segmented m3ninx index table
     * (Index.writeBlockSegments): postings partitioned by UTC-day
     * block, so time-bounded index queries prune segments at planning
@@ -1131,6 +1147,29 @@ object TsdbQueries {
           max(cents).as("max_c"))
         .orderBy("name", "user_id", "bucket_s")
     }),
+    // per-datapoint annotations through the tsz stream
+    // (timestamp_encoder.go:161-195 write-on-change markers): decode
+    // returns the PREVAILING annotation per point (the iterator's
+    // PrevAnt) — null until a block's first marker, carried across
+    // unannotated points after it. Annotation = hour label from
+    // 06:00 on, so each block-day opens unannotated and rewrites
+    // only at hour boundaries
+    "store_tsz_ann" -> ((s, dir) => {
+      graft.sources.TszStore.decodeAnnotated(annBlocks(s, dir))
+        .select(col("name"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          round(col("value"), 6).as("value"), col("annotation"))
+        .orderBy("name", "user_id", "ts_us", "value", "annotation")
+    }),
+    // the annotation cost card: ant_bits per block = one 11-bit
+    // marker + varint(len−1) + raw bytes per CHANGE, nothing for
+    // repeats — the oracle replays the change rule with a lag over
+    // the prevailing annotation
+    "store_tsz_ann_cost" -> ((s, dir) =>
+      annBlocks(s, dir)
+        .select(col("name"), col("user_id"), col("block"), col("n"),
+          col("ant_bits"))
+        .orderBy("name", "user_id", "block")),
     // the float-salted store: decode must return the exact salted
     // doubles through the XOR path (micro-units keep the census
     // integer-exact on both engines)
@@ -1639,6 +1678,52 @@ object TsdbQueries {
          | max(CAST(round(value * 100) AS BIGINT)) AS max_c
          | FROM ($S) AS s WHERE value IS NOT NULL GROUP BY 1, 2, 3
          | ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),
+    // annotation round trip: decoded prevailing annotation per point
+    // == last non-null annotation at-or-before the point within its
+    // block (ROWS frame — ties on ts_us disambiguate by event_id,
+    // the encoder's intra-block sort)
+    "store_tsz_ann" ->
+      s"""WITH s AS (SELECT event_type AS name, user_id,
+         |  epoch_us(ts) AS ts_us, event_id, value,
+         |  CAST(floor(epoch(ts) / 86400) AS BIGINT) AS block,
+         |  CASE WHEN hour(ts) >= 6
+         |   THEN 'h' || lpad(CAST(hour(ts) AS VARCHAR), 2, '0') END AS ann
+         |  FROM events WHERE value IS NOT NULL)
+         | SELECT name, user_id, ts_us, round(value, 6) AS value,
+         |  last_value(ann IGNORE NULLS) OVER (
+         |   PARTITION BY name, user_id, block ORDER BY ts_us, event_id
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS annotation
+         | FROM s ORDER BY name, user_id, ts_us, value, annotation""".stripMargin
+        .replace("\n", " "),
+    // annotation bit accounting: a write at every row whose non-null
+    // annotation differs from the prevailing one BEFORE it (first
+    // non-null in a block always writes); each write costs the 9+2
+    // marker + a varint of len−1 (1 byte through len 64, 2 through
+    // 8256 — zigzag 7-bit groups) + 8·len payload bits
+    "store_tsz_ann_cost" ->
+      s"""WITH s AS (SELECT event_type AS name, user_id,
+         |  epoch_us(ts) AS ts_us, event_id, value,
+         |  CAST(floor(epoch(ts) / 86400) AS BIGINT) AS block,
+         |  CASE WHEN hour(ts) >= 6
+         |   THEN 'h' || lpad(CAST(hour(ts) AS VARCHAR), 2, '0') END AS ann
+         |  FROM events WHERE value IS NOT NULL),
+         | w AS (SELECT name, user_id, block, ann,
+         |   last_value(ann IGNORE NULLS) OVER (
+         |    PARTITION BY name, user_id, block ORDER BY ts_us, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pb
+         |  FROM s),
+         | wr AS (SELECT name, user_id, block,
+         |   sum(11 + 8 * (CASE WHEN length(ann) <= 64 THEN 1
+         |     WHEN length(ann) <= 8256 THEN 2 ELSE 3 END)
+         |     + 8 * length(ann)) AS ant_bits
+         |  FROM w WHERE ann IS NOT NULL AND (pb IS NULL OR ann <> pb)
+         |  GROUP BY 1, 2, 3),
+         | b AS (SELECT name, user_id, block, count(*) AS n
+         |  FROM s GROUP BY 1, 2, 3)
+         | SELECT b.name, b.user_id, b.block, b.n,
+         |  CAST(coalesce(wr.ant_bits, 0) AS BIGINT) AS ant_bits
+         | FROM b LEFT JOIN wr USING (name, user_id, block)
+         | ORDER BY name, user_id, block""".stripMargin.replace("\n", " "),
     // the float-salted blocks decode to the exact salted doubles —
     // micro-unit census over raw salted events (null filter matches
     // blockFrame's input filter)

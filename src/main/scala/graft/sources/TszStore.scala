@@ -80,6 +80,16 @@ object Tsz {
       while (i < n) { v = (v << 1) | readBit(); i += 1 }
       v
     }
+    /** bits left in the backing array (stream bits + byte padding). */
+    def remaining: Long = bytes.length.toLong * 8 - pos
+    /** non-consuming read — the iterator's PeekBits
+      * (timestamp_iterator.go:179), used to spot special markers. */
+    def peekBits(n: Int): Long = {
+      val save = pos
+      val v = readBits(n)
+      pos = save
+      v
+    }
   }
 
   private val MaxMult = 6
@@ -127,6 +137,41 @@ object Tsz {
     * float-XOR path (bit-exact round trip incl. NaN payloads, ±Inf,
     * subnormals, −0.0 — raw IEEE bits throughout). */
   def encodeBlock(pts: Array[(Long, Double)]): (Array[Byte], Long, Long) = {
+    val (b, t, v, _) = encodeCore(pts, null, firstDodSlot = false)
+    (b, t, v)
+  }
+
+  /** Encode with per-datapoint annotations (timestamp_encoder.go:
+    * 161-195 writeAnnotation): an annotation is written only when
+    * non-empty AND different from the previous one — 9-bit marker
+    * opcode 0x100 + 2-bit Annotation marker (scheme.go:30-37), a
+    * signed varint of len−1 (binary.PutVarint, "subtract 1 for
+    * possible varint encoding savings"), then the raw bytes — all
+    * unaligned in the bit stream. Change detection compares the
+    * bytes directly where the reference compares xxhash64 checksums
+    * (timestamp_encoder.go:164-169) — same decision on every input,
+    * minus the hash-collision false-negative.
+    *
+    * Markers sit in front of a delta-of-delta slot, where the 9-bit
+    * opcode is unambiguous (dod==0 always takes the 1-bit opcode, so
+    * `10 0000000` can never open a genuine dod). To give the FIRST
+    * point a marker-safe slot too, this layout restates the
+    * reference's block shape exactly: 64-bit start time, then every
+    * point — including the first — carries [markers?][dod]
+    * (timestamp_encoder.go:95-101 WriteFirstTime writes the start
+    * then delegates to WriteNextTime; the first dod is 0 here since
+    * the start IS the first timestamp). [[encodeBlock]] keeps the
+    * original first-dod-free layout, so its at-rest bits and cost
+    * cards are unchanged.
+    *
+    * Returns (bytes, tsBits, valBits, antBits). */
+  def encodeBlockAnnotated(pts: Array[(Long, Double)],
+                           ants: Array[Array[Byte]]): (Array[Byte], Long, Long, Long) =
+    encodeCore(pts, ants, firstDodSlot = true)
+
+  private def encodeCore(pts: Array[(Long, Double)],
+                         ants: Array[Array[Byte]],
+                         firstDodSlot: Boolean): (Array[Byte], Long, Long, Long) = {
     val w = new BitWriter(math.max(64, pts.length * 4))
     var tsBits = 0L
     var valBits = 0L
@@ -140,6 +185,27 @@ object Tsz {
     var isFloat = false
     var prevFloatBits = 0L
     var prevXOR = 0L
+    var prevAnt: Array[Byte] = null
+    var antBits = 0L
+
+    // timestamp_encoder.go:172-195 writeAnnotation (on change only)
+    def writeAnnotation(ant: Array[Byte]): Unit = {
+      if (ant == null || ant.length == 0) return
+      if (prevAnt != null && java.util.Arrays.equals(prevAnt, ant)) return
+      val a0 = w.bits
+      w.writeBits(0x100L, 9) // defaultMarkerOpcode, 9 bits (scheme.go:35)
+      w.writeBits(1L, 2) // defaultAnnotationMarker (scheme.go:31)
+      // binary.PutVarint(len-1): zigzag, 7-bit groups LSB-first
+      var ux = ((ant.length - 1).toLong << 1) ^ ((ant.length - 1).toLong >> 63)
+      while ((ux & ~0x7fL) != 0L) {
+        w.writeBits((ux & 0x7fL) | 0x80L, 8); ux >>>= 7
+      }
+      w.writeBits(ux, 8)
+      var j = 0
+      while (j < ant.length) { w.writeBits(ant(j) & 0xffL, 8); j += 1 }
+      prevAnt = ant
+      antBits += w.bits - a0
+    }
 
     // float_encoder_iterator.go:70 writeFullFloat
     def writeFullFloat(bits: Long): Unit = {
@@ -219,9 +285,19 @@ object Tsz {
     while (i < pts.length) {
       val (ts, v) = pts(i)
       // ---- timestamp half (micros dod buckets) ----
-      val t0 = w.bits
-      if (i == 0) w.writeBits(ts, 64)
-      else {
+      // annotations precede the dod slot (WriteNextTime order,
+      // timestamp_encoder.go:110); for the first point the raw
+      // 64-bit time comes first (WriteFirstTime), then markers, then
+      // its zero dod when this layout carries one
+      if (i == 0) {
+        val t0 = w.bits
+        w.writeBits(ts, 64)
+        tsBits += w.bits - t0
+        if (ants != null) writeAnnotation(ants(0))
+        if (firstDodSlot) { val t1 = w.bits; w.writeBit(0); tsBits += w.bits - t1 }
+      } else {
+        if (ants != null) writeAnnotation(ants(i))
+        val t0 = w.bits
         val d = ts - prevTs
         val dod = d - prevDelta
         if (dod == 0L) w.writeBit(0)
@@ -235,9 +311,9 @@ object Tsz {
           w.writeBits(0xf, 4); w.writeBits(dod, 64)
         }
         prevDelta = d
+        tsBits += w.bits - t0
       }
       prevTs = ts
-      tsBits += w.bits - t0
 
       // ---- value half (int-optimized encoder with float fallback) ----
       val v0 = w.bits
@@ -294,7 +370,7 @@ object Tsz {
       valBits += w.bits - v0
       i += 1
     }
-    (w.toBytes, tsBits, valBits)
+    (w.toBytes, tsBits, valBits, antBits)
   }
 
   /** Decode a block of `n` points — the exact mirror of
@@ -304,8 +380,28 @@ object Tsz {
     * readNextFloat). Raw IEEE bits flow through float mode, so NaN
     * payloads and −0.0 survive. */
   def decodeBlock(bytes: Array[Byte], n: Int): Array[(Long, Double)] = {
+    val (pts, _) = decodeCore(bytes, n, markers = false)
+    pts
+  }
+
+  /** Decode an [[encodeBlockAnnotated]] block: each point reports
+    * the PREVAILING annotation — the latest one seen in the stream
+    * (the iterator's PrevAnt, timestamp_iterator.go:44), null until
+    * the first marker. Mirrors tryReadMarker
+    * (timestamp_iterator.go:175-233): peek 11 bits at every dod
+    * slot, consume annotation markers, fall through to the dod. */
+  def decodeBlockAnnotated(bytes: Array[Byte],
+                           n: Int): Array[(Long, Double, Array[Byte])] = {
+    val (pts, ants) = decodeCore(bytes, n, markers = true)
+    Array.tabulate(n)(i => (pts(i)._1, pts(i)._2, ants(i)))
+  }
+
+  private def decodeCore(bytes: Array[Byte], n: Int,
+                         markers: Boolean): (Array[(Long, Double)], Array[Array[Byte]]) = {
     val r = new BitReader(bytes)
     val out = new Array[(Long, Double)](n)
+    val ants: Array[Array[Byte]] = if (markers) new Array(n) else null
+    var curAnt: Array[Byte] = null
     var prevTs = 0L
     var prevDelta = 0L
     var mult = 0
@@ -349,20 +445,50 @@ object Tsz {
       }
     }
 
+    // tryReadMarker: 11-bit peek for the 9-bit 0x100 opcode + 2-bit
+    // marker value at a dod slot; consume annotation markers (varint
+    // len−1 + bytes). We emit no EndOfStream/TimeUnit markers.
+    def readMarkers(): Unit = {
+      var go = true
+      while (go && r.remaining >= 11 && r.peekBits(9) == 0x100L) {
+        r.readBits(9)
+        val mv = r.readBits(2)
+        if (mv == 1L) {
+          var ux = 0L; var shift = 0; var b = 0L
+          do {
+            b = r.readBits(8); ux |= (b & 0x7fL) << shift; shift += 7
+          } while ((b & 0x80L) != 0L)
+          val len = (((ux >>> 1) ^ -(ux & 1L)) + 1).toInt
+          val a = new Array[Byte](len)
+          var j = 0
+          while (j < len) { a(j) = r.readBits(8).toByte; j += 1 }
+          curAnt = a
+        } else go = false
+      }
+    }
+
+    def readDod(): Unit = {
+      val dod =
+        if (r.readBit() == 0L) 0L
+        else if (r.readBit() == 0L) signExtend(r.readBits(7), 7)
+        else if (r.readBit() == 0L) signExtend(r.readBits(9), 9)
+        else if (r.readBit() == 0L) signExtend(r.readBits(12), 12)
+        else r.readBits(64)
+      prevDelta += dod
+      prevTs += prevDelta
+    }
+
     var i = 0
     while (i < n) {
       // ---- timestamp ----
-      if (i == 0) prevTs = r.readBits(64)
-      else {
-        val dod =
-          if (r.readBit() == 0L) 0L
-          else if (r.readBit() == 0L) signExtend(r.readBits(7), 7)
-          else if (r.readBit() == 0L) signExtend(r.readBits(9), 9)
-          else if (r.readBit() == 0L) signExtend(r.readBits(12), 12)
-          else r.readBits(64)
-        prevDelta += dod
-        prevTs += prevDelta
+      if (i == 0) {
+        prevTs = r.readBits(64)
+        if (markers) { readMarkers(); readDod() } // annotated layout's zero first dod
+      } else {
+        if (markers) readMarkers()
+        readDod()
       }
+      if (markers) ants(i) = curAnt
       // ---- value ----
       if (i == 0) {
         if (r.readBit() == 1L) { readFullFloat(); isFloat = true }
@@ -384,7 +510,7 @@ object Tsz {
       out(i) = (prevTs, value)
       i += 1
     }
-    out
+    (out, ants)
   }
 
   /** Per-block census of the VALUE-encoder cost card — the encoder
@@ -528,6 +654,59 @@ object TszStore {
         (key._1, key._2, key._3, pts.length, tsBits, valBits, bytes)
       }
       .toDF("name", "user_id", "block", "n", "ts_bits", "val_bits", "blk")
+  }
+
+  /** [[blockFrame]] with per-datapoint annotations: expects an
+    * `annotation` string column (m3's ts.Annotation bytes — UTF-8
+    * here; null/empty = unannotated); encodes through
+    * [[Tsz.encodeBlockAnnotated]]'s write-on-change marker scheme,
+    * so a block whose annotation never changes pays ONE marker.
+    * Output adds `ant_bits` to the per-block card. */
+  def annotatedBlockFrame(samples0: DataFrame): DataFrame = {
+    val spark = samples0.sparkSession
+    import spark.implicits._
+    val samples =
+      if (samples0.columns.contains("event_id")) samples0
+      else samples0.withColumn("event_id", lit(0L))
+    val ds = samples.where(col("value").isNotNull)
+      .select(col("name"), col("user_id"),
+        floor(unix_timestamp(col("ts")).cast("double") / 86400.0)
+          .cast("long").as("block"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("value"), col("annotation"))
+      .as[(String, Long, Long, Long, Long, Double, String)]
+    ds.groupByKey(t => (t._1, t._2, t._3))
+      .mapGroups { (key: (String, Long, Long),
+                    it: Iterator[(String, Long, Long, Long, Long, Double, String)]) =>
+        val rows = it.toArray.sortBy(t => (t._4, t._5))
+        val pts = rows.map(t => (t._4, t._6))
+        val ants = rows.map(t =>
+          if (t._7 == null) null
+          else t._7.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val (bytes, tsBits, valBits, antBits) =
+          Tsz.encodeBlockAnnotated(pts, ants)
+        (key._1, key._2, key._3, pts.length, tsBits, valBits, antBits, bytes)
+      }
+      .toDF("name", "user_id", "block", "n", "ts_bits", "val_bits",
+        "ant_bits", "blk")
+  }
+
+  /** Decode an [[annotatedBlockFrame]] back to samples with the
+    * prevailing annotation per point (the iterator's PrevAnt). */
+  def decodeAnnotated(blocks: DataFrame): DataFrame = {
+    val spark = blocks.sparkSession
+    import spark.implicits._
+    blocks.select(col("name"), col("user_id"), col("n"), col("blk"))
+      .as[(String, Long, Int, Array[Byte])]
+      .flatMap { case (n, u, cnt, bytes) =>
+        Tsz.decodeBlockAnnotated(bytes, cnt).iterator.map(p =>
+          (n, u, p._1, p._2,
+            if (p._3 == null) null
+            else new String(p._3, java.nio.charset.StandardCharsets.UTF_8)))
+      }
+      .toDF("name", "user_id", "ts_us", "value", "annotation")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .drop("ts_us")
   }
 
   /** Persist the block frame, bucketed by series (idempotent —

@@ -188,4 +188,74 @@ class TszSpec extends SparkSpec {
       assert(pruned.count() == direct.count())
     }
   }
+
+  test("annotations: write-on-change markers, prevailing decode, bit costs") {
+    val pts = Array.tabulate(8)(i => (1700000000000000L + i * 500000L, i * 1.0))
+    def ann(s: String): Array[Byte] = if (s == null) null else s.getBytes("UTF-8")
+    // null → "a" (write) → "a" repeat (skip) → null gap (carries) →
+    // "bb" (write) → "" empty (skip, carries) → "a" again (write —
+    // change detection is vs PREVIOUS, not a seen-set) → long 100-byte
+    // annotation (2-byte varint: zigzag(99) = 198 ≥ 128)
+    val long100 = "x" * 100
+    val ants = Array(null, "a", "a", null, "bb", "", "a", long100).map(ann)
+    val (bytes, tsBits, valBits, antBits) = Tsz.encodeBlockAnnotated(pts, ants)
+    // 4 writes: "a"=11+8+8, "bb"=11+8+16, "a"=11+8+8, 100B=11+16+800
+    assert(antBits == 27L + 35 + 27 + 827, s"antBits $antBits")
+    val back = Tsz.decodeBlockAnnotated(bytes, pts.length)
+    assert(back.map(p => (p._1, p._2)).toSeq == pts.toSeq)
+    val prevailing = back.map(p => if (p._3 == null) null else new String(p._3, "UTF-8"))
+    assert(prevailing.toSeq ==
+      Seq(null, "a", "a", "a", "bb", "bb", "a", long100))
+    // total accounting: stream = ts + val + ant bits exactly
+    assert(bytes.length.toLong * 8 - (tsBits + valBits + antBits) < 8,
+      "only byte padding beyond the three accounted halves")
+  }
+
+  test("annotations: first-point marker sits in the first dod slot") {
+    val pts = Array((1700000000000000L, 1.5), (1700000000500000L, 2.5))
+    val (bytes, _, _, antBits) =
+      Tsz.encodeBlockAnnotated(pts, Array("unit=ms", "unit=ms").map(_.getBytes("UTF-8")))
+    assert(antBits == 11L + 8 + 7 * 8) // one write, repeat skipped
+    val back = Tsz.decodeBlockAnnotated(bytes, 2)
+    assert(back.forall(p => new String(p._3, "UTF-8") == "unit=ms"))
+    assert(back.map(p => (p._1, p._2)).toSeq == pts.toSeq)
+  }
+
+  test("annotated layout with no annotations differs only by the zero first dod") {
+    val pts = Array(
+      (1700000000000000L, 5.0), (1700000000000001L, 5.5),
+      (1700000001500000L, -5.0), (1700000002000000L, 81.1))
+    val (b0, t0, v0) = Tsz.encodeBlock(pts)
+    val (b1, t1, v1, a1) = Tsz.encodeBlockAnnotated(pts, null)
+    assert(a1 == 0L)
+    assert(t1 == t0 + 1, "the annotated layout carries a zero first dod")
+    assert(v1 == v0)
+    assert(Tsz.decodeBlock(b0, 4).toSeq == pts.toSeq)
+    assert(Tsz.decodeBlockAnnotated(b1, 4).map(p => (p._1, p._2)).toSeq == pts.toSeq)
+    // unannotated arrays of nulls behave identically to ants = null
+    val (b2, _, _, a2) = Tsz.encodeBlockAnnotated(pts, Array(null, null, null, null))
+    assert(a2 == 0L && b2.toSeq == b1.toSeq)
+  }
+
+  test("annotated store frame round-trips prevailing annotations at sf") {
+    val samples = graft.tsdb.Vectors.samples(Tables.events(spark, sf))
+      .withColumn("annotation",
+        when(hour(col("ts")) >= 12, concat(lit("h"), hour(col("ts")).cast("string"))))
+    val blocks = TszStore.annotatedBlockFrame(samples)
+    val back = TszStore.decodeAnnotated(blocks)
+    // decoded point census matches; every non-null decoded annotation
+    // is a legal hour label and count matches the prevailing replay
+    assert(back.count() == samples.where(col("value").isNotNull).count())
+    val expect = samples.where(col("value").isNotNull)
+      .withColumn("block",
+        floor(unix_timestamp(col("ts")).cast("double") / 86400.0).cast("long"))
+      .withColumn("prev", last(col("annotation"), ignoreNulls = true).over {
+        val w = org.apache.spark.sql.expressions.Window
+        w.partitionBy("name", "user_id", "block")
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(w.unboundedPreceding, w.currentRow)
+      })
+    assert(back.where(col("annotation").isNotNull).count() ==
+      expect.where(col("prev").isNotNull).count())
+  }
 }
