@@ -1154,12 +1154,19 @@ object TsdbQueries {
     // unannotated points after it. Annotation = hour label from
     // 06:00 on, so each block-day opens unannotated and rewrites
     // only at hour boundaries
+    // dumped as an hourly (series, annotation) census — count +
+    // integer-cent sum per decoded annotation value — so any point
+    // carrying the wrong prevailing annotation moves a group count;
+    // the corpus-sized raw dump (and its global sort, the r8
+    // interpolate scale lesson) never materializes. Per-point
+    // equality is TszSpec-pinned
     "store_tsz_ann" -> ((s, dir) => {
+      val cents = round(col("value") * 100, 0).cast("long")
       graft.sources.TszStore.decodeAnnotated(annBlocks(s, dir))
-        .select(col("name"), col("user_id"),
-          unix_micros(col("ts")).as("ts_us"),
-          round(col("value"), 6).as("value"), col("annotation"))
-        .orderBy("name", "user_id", "ts_us", "value", "annotation")
+        .withColumn("bucket_s", Vectors.bucketS("hour"))
+        .groupBy("name", "user_id", "bucket_s", "annotation")
+        .agg(count(lit(1)).as("n"), sum(cents).as("sum_c"))
+        .orderBy("name", "user_id", "bucket_s", "annotation")
     }),
     // the annotation cost card: ant_bits per block = one 11-bit
     // marker + varint(len−1) + raw bytes per CHANGE, nothing for
@@ -1685,15 +1692,20 @@ object TsdbQueries {
     "store_tsz_ann" ->
       s"""WITH s AS (SELECT event_type AS name, user_id,
          |  epoch_us(ts) AS ts_us, event_id, value,
+         |  CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_s,
          |  CAST(floor(epoch(ts) / 86400) AS BIGINT) AS block,
          |  CASE WHEN hour(ts) >= 6
          |   THEN 'h' || lpad(CAST(hour(ts) AS VARCHAR), 2, '0') END AS ann
-         |  FROM events WHERE value IS NOT NULL)
-         | SELECT name, user_id, ts_us, round(value, 6) AS value,
+         |  FROM events WHERE value IS NOT NULL),
+         | p AS (SELECT name, user_id, bucket_s, value,
          |  last_value(ann IGNORE NULLS) OVER (
          |   PARTITION BY name, user_id, block ORDER BY ts_us, event_id
          |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS annotation
-         | FROM s ORDER BY name, user_id, ts_us, value, annotation""".stripMargin
+         | FROM s)
+         | SELECT name, user_id, bucket_s, annotation, count(*) AS n,
+         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_c
+         | FROM p GROUP BY 1, 2, 3, 4
+         | ORDER BY name, user_id, bucket_s, annotation""".stripMargin
         .replace("\n", " "),
     // annotation bit accounting: a write at every row whose non-null
     // annotation differs from the prevailing one BEFORE it (first

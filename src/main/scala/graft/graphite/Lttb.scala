@@ -25,17 +25,16 @@ import org.apache.spark.sql.functions._
   *     (lttb.go:51, :115-118).
   *
   * Spark shape: LTTB is sequential per series — bucket i's pick is
-  * the anchor for bucket i+1 — but the bucket count is the render's
-  * pixel budget (`maxDataPoints`), a small constant. So the walk is
-  * a driver-side loop of `threshold - 2` rounds over ONE cached
-  * indexed frame; each round joins the candidate-bucket slice with
-  * the per-series anchor state (series-cardinality rows) and reduces
-  * with a single `max(struct(...))` / `min(struct(...))` argmax.
-  * Nothing is collected; state stays distributed and is
-  * lineage-truncated per round so the final union evaluates each
-  * round once. At 100 TB the per-round shuffle is bounded by
-  * |series| × bucket width — the same cardinality the render
-  * response itself carries.
+  * the anchor for bucket i+1 — and a render series is bounded by the
+  * request window (|grid steps|, a few hundred at dashboard
+  * resolutions). That is exactly the tsz-codec class of operator: a
+  * per-series state machine over a bounded point array, so it runs
+  * as the same shape — ONE shuffle grouping by series, an imperative
+  * walk per group (`mapGroups`, the sources/TszStore.Tsz precedent;
+  * a driver-loop-of-joins prototype measured 5.3 s of pure stage
+  * overhead at sf0.1 against ~0.5 s for this form on identical
+  * output). At 100 TB the walk distributes by series and the
+  * per-series work is the render response's own cardinality.
   *
   * Missing grid steps are the reference's NaN points: they sum into
   * nothing (skipped), keep their slot in the full-length divisor,
@@ -45,28 +44,99 @@ import org.apache.spark.sql.functions._
   */
 object Lttb {
 
-  /** One bucket-walk round's index ranges (all constants):
-    * candidates `[candStart, candEnd)`, next-bucket average
-    * `[avgStart, avgEnd)` (end clamped to the series length,
-    * lttb.go:64-66), `avgLen` = the UNCLAMPED-start full length the
-    * average divides by (lttb.go:69). */
-  private final case class Round(candStart: Int, candEnd: Int,
-                                 avgStart: Int, avgEnd: Int) {
-    def avgLen: Int = avgEnd - avgStart
+  /** indexWithLargestTriangle (lttb.go:125-151): maxArea starts at
+    * -1 so the first index wins an all-zero-area bucket; strict >
+    * keeps the earliest max; NaN areas count as 0. */
+  private def largestTriangle(vals: Array[Double], start: Int, end: Int,
+                              leftX: Double, leftY: Double,
+                              rightX: Double, rightY: Double): Int = {
+    var maxArea = -1.0
+    var largest = start
+    val xDiff = leftX - rightX
+    val yDiff = rightY - leftY
+    var idx = start
+    while (idx < end) {
+      var area = math.abs(xDiff * (vals(idx) - leftY) - (leftX - idx) * yDiff)
+      if (area.isNaN) area = 0.0
+      if (area > maxArea) { maxArea = area; largest = idx }
+      idx += 1
+    }
+    largest
   }
 
-  /** The bucket walk of lttb.go:55-113: `bucketStart` opens at
-    * seriesStart+1, the first center sits one past a full bucket
-    * (`bucketStart + floor(every) + 1`), and every later round
-    * advances both cursors by `every`. */
-  private def rounds(len: Int, every: Int, threshold: Int): Seq[Round] =
-    (0 until threshold - 2).map { i =>
-      val candStart = if (i == 0) 1 else i * every + 2
-      val candEnd = (i + 1) * every + 2
-      val avgStart = candEnd
-      val avgEnd = math.min((i + 2) * every + 2, len)
-      Round(candStart, candEnd, avgStart, avgEnd)
+  /** indexClosestToAverage (lttb.go:153-181): the NaN-branch
+    * fallback — candidate-bucket mean over non-NaN points (divided
+    * by the COUNT here, unlike the triangle branch's full-length
+    * average), earliest index on ties, bucket start when empty. */
+  private def closestToAverage(vals: Array[Double], start: Int, end: Int): Int = {
+    var sum = 0.0; var count = 0
+    var idx = start
+    while (idx < end) {
+      if (!vals(idx).isNaN) { sum += vals(idx); count += 1 }
+      idx += 1
     }
+    if (count == 0) return start
+    val avg = sum / count
+    var minDiff = Double.MaxValue
+    var closest = start
+    idx = start
+    while (idx < end) {
+      val diff = math.abs(avg - vals(idx))
+      if (!vals(idx).isNaN && diff < minDiff) { closest = idx; minDiff = diff }
+      idx += 1
+    }
+    closest
+  }
+
+  /** The bucket walk of lttb.go:44-118 over one dense series:
+    * keep point 0; for each of `threshold − 2` buckets (`bucketStart`
+    * opens at 1, the first center one past a full bucket, both
+    * cursors advancing by `every`) pick the largest-triangle point
+    * against the previous pick and the next bucket's full-length
+    * average — or, when either anchor is NaN, the point closest to
+    * the candidate average; keep the last point. Returns the picked
+    * values in output-slot order (NaN = a null point). */
+  private[graphite] def walk(vals: Array[Double], every: Int,
+                             threshold: Int): Array[Double] = {
+    val len = vals.length
+    val out = new Array[Double](threshold)
+    out(0) = vals(0)
+    var a = 0
+    var bucketStart = 1
+    var bucketCenter = bucketStart + every + 1
+    var i = 0
+    while (i < threshold - 2) {
+      val bucketEnd = bucketCenter + every
+      val avgRangeStart = bucketCenter
+      val avgRangeEnd = math.min(bucketEnd, len)
+      // the next-bucket average sums non-NaN points but divides by
+      // the FULL clamped length (lttb.go:69-88)
+      val avgRangeLength = (avgRangeEnd - avgRangeStart).toDouble
+      var avgX = 0.0; var avgY = 0.0; var read = 0
+      var j = avgRangeStart
+      while (j < avgRangeEnd) {
+        val y = vals(j)
+        if (!y.isNaN) { read += 1; avgX += j; avgY += y }
+        j += 1
+      }
+      if (read > 0) { avgX /= avgRangeLength; avgY /= avgRangeLength }
+      else { avgX = Double.NaN; avgY = Double.NaN }
+      val pointAY = vals(a)
+      val nextA =
+        if (avgY.isNaN || pointAY.isNaN)
+          closestToAverage(vals, bucketStart, bucketCenter)
+        else
+          largestTriangle(vals, bucketStart, bucketCenter,
+            a.toDouble, pointAY, avgX, avgY)
+      out(i + 1) = vals(nextA)
+      a = nextA
+      bucketStart = bucketCenter
+      bucketCenter = bucketEnd
+      i += 1
+    }
+    if (threshold > 1) out(threshold - 1) = vals(len - 1)
+    out
+  }
 
   /** Downsample a path frame `(path, bucket_s, value)` whose points
     * sit on the `[startS, endS)` grid at `stepS` to at most
@@ -84,103 +154,26 @@ object Lttb {
     val threshold = math.ceil(len.toDouble / every).toInt
     if (threshold == 0 || threshold > len) return df
 
-    // one indexed, cached pass over the rendered frame; every round
-    // slices it by constant index ranges
-    val pts = df
-      .select(col("path"),
-        ((col("bucket_s") - lit(startS)) / lit(stepS)).cast("int").as("idx"),
-        col("value").cast("double").as("value"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val outStep = every * stepS
+    df.select(col("path"),
+      ((col("bucket_s") - lit(startS)) / lit(stepS)).cast("int").as("idx"),
+      col("value").cast("double").as("value"))
       .where(col("idx") >= 0 && col("idx") < len)
-      .localCheckpoint(eager = false)
-
-    // first/last values per series (lttb.go:51, :115-118) + the full
-    // series-id frame the round states key on
-    val edges = pts.groupBy("path").agg(
-      max(when(col("idx") === 0, col("value"))).as("v_first"),
-      max(when(col("idx") === len - 1, col("value"))).as("v_last"))
-      .localCheckpoint(eager = false)
-
-    var state = edges.select(col("path"), lit(0).as("a_idx"),
-      col("v_first").as("a_val"))
-    val picks = Seq.newBuilder[DataFrame]
-    picks += edges.select(col("path"), lit(0).as("k"),
-      col("v_first").as("value"))
-
-    rounds(len, every, threshold).zipWithIndex.foreach { case (r, i) =>
-      // next-bucket running average: non-NaN sums over the FULL
-      // bucket length (lttb.go:69-88); an empty range (or one past
-      // the series end) leaves the average null → fallback branch
-      val avgAgg =
-        if (r.avgLen <= 0) state.select(col("path"),
-          lit(null).cast("double").as("avg_x"),
-          lit(null).cast("double").as("avg_y"))
-        else pts.where(col("idx") >= r.avgStart && col("idx") < r.avgEnd)
-          .groupBy("path").agg(
-            (sum(col("idx")) / lit(r.avgLen.toDouble)).as("avg_x"),
-            (sum(col("value")) / lit(r.avgLen.toDouble)).as("avg_y"))
-
-      val base = state.join(avgAgg, Seq("path"), "left")
-
-      // candidate slice × anchor state: ONE grouped pass computes
-      // both branches' argmax and the bucket-opening value
-      val cands = pts.where(col("idx") >= r.candStart && col("idx") < r.candEnd)
-        .join(base, Seq("path"))
-      val cavg = avg(col("value")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("path"))
-      // a null point's triangle is the reference's NaN area → 0
-      // (lttb.go:135-137), NOT a null that would dodge the ≤0 guard
-      val area = coalesce(abs(
-        (col("a_idx") - col("avg_x")) * (col("value") - col("a_val")) -
-          (col("a_idx") - col("idx")) * (col("avg_y") - col("a_val"))),
-        lit(0d))
-      val candAgg = cands
-        .withColumn("cavg", cavg)
-        .groupBy("path").agg(
-          // triangle branch: largest area, FIRST index on ties
-          // (strict > in lttb.go:139 keeps the earlier max)
-          max(when(col("a_val").isNotNull && col("avg_y").isNotNull,
-            struct(area.as("area"), (-col("idx")).as("neg_idx"),
-              col("idx").as("idx"), col("value").as("val")))).as("best"),
-          // NaN-fallback branch: closest to the candidate average
-          // among NON-null points only (lttb.go:174 skips NaN),
-          // FIRST index on ties (strict < in lttb.go:177)
-          min(when(col("value").isNotNull,
-            struct(abs(col("cavg") - col("value")).as("d"),
-              col("idx").as("idx"), col("value").as("val")))).as("close"),
-          max(when(col("idx") === r.candStart, col("value"))).as("v_cs"))
-
-      // lttb.go:100-110: pick the branch, defaulting to the bucket's
-      // first index when no candidate exists or every area is zero
-      // (maxArea = -1 → index candStart wins the walk)
-      val normal = col("a_val").isNotNull && col("avg_y").isNotNull
-      val next = base.join(candAgg, Seq("path"), "left")
-        .select(col("path"),
-          when(normal,
-            when(col("best").isNull || col("best.area") <= 0d,
-              lit(r.candStart)).otherwise(col("best.idx")))
-            .otherwise(
-              when(col("close").isNull, lit(r.candStart))
-                .otherwise(col("close.idx"))).as("a_idx"),
-          when(normal,
-            when(col("best").isNull || col("best.area") <= 0d,
-              col("v_cs")).otherwise(col("best.val")))
-            .otherwise(
-              when(col("close").isNull, col("v_cs"))
-                .otherwise(col("close.val"))).as("a_val"))
-        .localCheckpoint(eager = false)
-
-      picks += next.select(col("path"), lit(i + 1).as("k"),
-        col("a_val").as("value"))
-      state = next
-    }
-
-    if (threshold > 1)
-      picks += edges.select(col("path"), lit(threshold - 1).as("k"),
-        col("v_last").as("value"))
-
-    picks.result().reduce(_ unionByName _)
-      .select(col("path"),
-        (lit(startS) + col("k") * lit(every * stepS)).as("bucket_s"),
-        col("value"))
+      .as[(String, Int, java.lang.Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (p: String, it: Iterator[(String, Int, java.lang.Double)]) =>
+        // densify to the grid: a missing or null step is the
+        // reference's NaN point (the fetched series is NaN-filled)
+        val vals = Array.fill(len)(Double.NaN)
+        it.foreach(t => if (t._3 != null) vals(t._2) = t._3.doubleValue())
+        walk(vals, every, threshold).iterator.zipWithIndex.map {
+          case (v, k) =>
+            (p, startS + k * outStep,
+              if (v.isNaN) null else java.lang.Double.valueOf(v))
+        }
+      }
+      .toDF("path", "bucket_s", "value")
   }
 }

@@ -243,9 +243,11 @@ class TszSpec extends SparkSpec {
         when(hour(col("ts")) >= 12, concat(lit("h"), hour(col("ts")).cast("string"))))
     val blocks = TszStore.annotatedBlockFrame(samples)
     val back = TszStore.decodeAnnotated(blocks)
-    // decoded point census matches; every non-null decoded annotation
-    // is a legal hour label and count matches the prevailing replay
-    assert(back.count() == samples.where(col("value").isNotNull).count())
+      .select(col("name"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("value"), col("annotation"))
+    // full per-point parity: every decoded point carries the
+    // prevailing (last non-null at-or-before, within its block)
+    // annotation of the raw stream
     val expect = samples.where(col("value").isNotNull)
       .withColumn("block",
         floor(unix_timestamp(col("ts")).cast("double") / 86400.0).cast("long"))
@@ -255,7 +257,9 @@ class TszSpec extends SparkSpec {
           .orderBy(col("ts"), col("event_id"))
           .rowsBetween(w.unboundedPreceding, w.currentRow)
       })
-    assert(back.where(col("annotation").isNotNull).count() ==
-      expect.where(col("prev").isNotNull).count())
+      .select(col("name"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("value"), col("prev").as("annotation"))
+    assert(back.exceptAll(expect).isEmpty && expect.exceptAll(back).isEmpty,
+      "decoded (point, prevailing annotation) set != raw replay")
   }
 }
