@@ -87,6 +87,29 @@ object TsdbQueries {
         .localCheckpoint(eager = false)
     })
 
+  /** Proto structured-message block frame for the two store_proto
+    * queries (one encode pass shared via localCheckpoint). Message
+    * per event: amount=value (XOR double), qty=floor(value/10)
+    * (significant-digit int64), label=quarter-of-day (LRU-dictionary
+    * bytes — ≤4 distinct per block-day, so the default size-4 LRU
+    * never evicts and the dictionary census is lag-replayable),
+    * flag=event_id%3==0 (bool bit). */
+  private val protoBlockFrames =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def protoBlocks(s: SparkSession, dir: String): DataFrame =
+    protoBlockFrames.getOrElseUpdate((s, dir), {
+      val msgs = samples(s, dir)
+        .where(col("value").isNotNull)
+        .select(col("name"), col("user_id"), col("ts"), col("event_id"),
+          col("value").as("amount"),
+          floor(col("value") / 10).cast("long").as("qty"),
+          concat(lit("q"), floor(hour(col("ts")) / 6).cast("int")
+            .cast("string")).as("label"),
+          (col("event_id") % 3 === 0).as("flag"))
+      graft.sources.ProtoStore.blockFrame(msgs)
+        .localCheckpoint(eager = false)
+    })
+
   /** Once-per-(session, sf dir) block-segmented m3ninx index table
     * (Index.writeBlockSegments): postings partitioned by UTC-day
     * block, so time-bounded index queries prune segments at planning
@@ -1177,6 +1200,31 @@ object TsdbQueries {
         .select(col("name"), col("user_id"), col("block"), col("n"),
           col("ant_bits"))
         .orderBy("name", "user_id", "block")),
+    // the proto structured-message codec end to end: encode the
+    // 4-field message stream per (series, day), decode, and census
+    // hourly — integer cents + qty/flag sums + label cardinality are
+    // exact on both engines, so any drift in any of the four field
+    // decoders moves a group
+    "store_proto" -> ((s, dir) => {
+      val cents = round(col("amount") * 100, 0).cast("long")
+      graft.sources.ProtoStore.decode(protoBlocks(s, dir))
+        .withColumn("bucket_s", Vectors.bucketS("hour"))
+        .groupBy("name", "user_id", "bucket_s")
+        .agg(count(lit(1)).as("n"), sum(cents).as("sum_c"),
+          sum(col("qty")).as("sum_qty"),
+          sum(when(col("flag"), 1L).otherwise(0L)).as("n_flag"),
+          countDistinct(col("label")).as("n_labels"))
+        .orderBy("name", "user_id", "bucket_s")
+    }),
+    // the LRU-dictionary + int-tracker census per block: new-entry /
+    // index-hit / no-change write counts are lag-replayable because
+    // the label never exceeds the LRU capacity (no evictions)
+    "store_proto_cost" -> ((s, dir) =>
+      protoBlocks(s, dir)
+        .select(col("name"), col("user_id"), col("block"), col("n"),
+          col("bytes_new"), col("bytes_idx_hits"), col("bytes_nochange"),
+          col("int_nochange"))
+        .orderBy("name", "user_id", "block")),
     // the float-salted store: decode must return the exact salted
     // doubles through the XOR path (micro-units keep the census
     // integer-exact on both engines)
@@ -1735,6 +1783,52 @@ object TsdbQueries {
          | SELECT b.name, b.user_id, b.block, b.n,
          |  CAST(coalesce(wr.ant_bits, 0) AS BIGINT) AS ant_bits
          | FROM b LEFT JOIN wr USING (name, user_id, block)
+         | ORDER BY name, user_id, block""".stripMargin.replace("\n", " "),
+    // proto codec round trip: the hourly 4-field census over decoded
+    // messages equals the same census over the raw construction
+    "store_proto" ->
+      s"""WITH s AS (SELECT event_type AS name, user_id, ts,
+         |  value AS amount,
+         |  CAST(floor(value / 10) AS BIGINT) AS qty,
+         |  'q' || CAST(CAST(floor(hour(ts) / 6) AS INT) AS VARCHAR) AS label,
+         |  (event_id % 3 = 0) AS flag
+         |  FROM events WHERE value IS NOT NULL)
+         | SELECT name, user_id,
+         |  CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_s,
+         |  count(*) AS n,
+         |  CAST(sum(CAST(round(amount * 100) AS BIGINT)) AS BIGINT) AS sum_c,
+         |  CAST(sum(qty) AS BIGINT) AS sum_qty,
+         |  CAST(sum(CASE WHEN flag THEN 1 ELSE 0 END) AS BIGINT) AS n_flag,
+         |  count(DISTINCT label) AS n_labels
+         | FROM s GROUP BY 1, 2, 3
+         | ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),
+    // dictionary/tracker write census: first occurrence per (block,
+    // label) = full write, later occurrences behind a change = LRU
+    // index hit, equal-to-previous = the single no-change bit;
+    // int no-change = zero qty delta
+    "store_proto_cost" ->
+      s"""WITH s AS (SELECT event_type AS name, user_id,
+         |  epoch_us(ts) AS ts_us, event_id,
+         |  CAST(floor(value / 10) AS BIGINT) AS qty,
+         |  'q' || CAST(CAST(floor(hour(ts) / 6) AS INT) AS VARCHAR) AS label,
+         |  CAST(floor(epoch(ts) / 86400) AS BIGINT) AS block
+         |  FROM events WHERE value IS NOT NULL),
+         | w AS (SELECT name, user_id, block, label, qty,
+         |   lag(label) OVER win AS pl, lag(qty) OVER win AS pq,
+         |   row_number() OVER (PARTITION BY name, user_id, block, label
+         |     ORDER BY ts_us, event_id) AS occ
+         |  FROM s WINDOW win AS (
+         |   PARTITION BY name, user_id, block ORDER BY ts_us, event_id))
+         | SELECT name, user_id, block, count(*) AS n,
+         |  CAST(sum(CASE WHEN occ = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS bytes_new,
+         |  CAST(sum(CASE WHEN occ > 1 AND (pl IS NULL OR label <> pl)
+         |   THEN 1 ELSE 0 END) AS BIGINT) AS bytes_idx_hits,
+         |  CAST(sum(CASE WHEN label = pl THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS bytes_nochange,
+         |  CAST(sum(CASE WHEN qty = pq THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS int_nochange
+         | FROM w GROUP BY 1, 2, 3
          | ORDER BY name, user_id, block""".stripMargin.replace("\n", " "),
     // the float-salted blocks decode to the exact salted doubles —
     // micro-unit census over raw salted events (null filter matches

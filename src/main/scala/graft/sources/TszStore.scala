@@ -82,6 +82,8 @@ object Tsz {
     }
     /** bits left in the backing array (stream bits + byte padding). */
     def remaining: Long = bytes.length.toLong * 8 - pos
+    /** bits consumed so far (the proto codec's byte-alignment pad). */
+    def consumed: Long = pos
     /** non-consuming read — the iterator's PeekBits
       * (timestamp_iterator.go:179), used to spot special markers. */
     def peekBits(n: Int): Long = {
