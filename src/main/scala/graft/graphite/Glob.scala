@@ -67,12 +67,20 @@ object Glob {
       val prevEval = eval
       eval = r
       if (escaping) {
-        write(r.toString)
+        // the escaped rune is a LITERAL. Quote punctuation with a
+        // backslash (always safe in Java regex) but emit
+        // alphanumerics bare — `\2` would be a backreference and
+        // `\d` a character class here, where the reference's raw
+        // `\`+rune passthrough (glob.go:116) feeds RE2, for which
+        // `\2` is a parse error (documented deviation: we define the
+        // escaped-alnum case the property oracle expects instead of
+        // erroring)
+        if (r.isLetterOrDigit || r == '_') write(r.toString)
+        else write("\\" + r)
         escaping = false
       } else r match {
         case '\\' =>
           escaping = true
-          write("\\")
         case '.' =>
           if (!prevMatchAll) { write("\\.+"); regexed = true }
         case '?' =>

@@ -21,6 +21,12 @@ class GlobSpec extends SparkSpec {
     // escapes pass the next rune through verbatim
     assert(Glob.toRegex("""a\*b""") == "a\\*b")
     assert(Glob.toRegex("""a\{b""") == "a\\{b")
+    // an escaped ALPHANUMERIC emits bare — `\2` would be a Java
+    // backreference and `\d` a character class (property-test find;
+    // the reference's raw passthrough is an RE2 parse error there)
+    assert(Glob.toRegex("""7.35g\20""") == "7\\.+35g20")
+    assert(Glob.toRegex("""a\db""") == "adb")
+    assert("7.35g20".matches(Glob.anchored("""7.35g\20""")))
   }
 
   test("regexed flag is false only for plain literals") {
