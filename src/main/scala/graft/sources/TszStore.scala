@@ -451,8 +451,7 @@ object Tsz {
     // marker value at a dod slot; consume annotation markers (varint
     // len−1 + bytes). We emit no EndOfStream/TimeUnit markers.
     def readMarkers(): Unit = {
-      var go = true
-      while (go && r.remaining >= 11 && r.peekBits(9) == 0x100L) {
+      while (r.remaining >= 11 && r.peekBits(9) == 0x100L) {
         r.readBits(9)
         val mv = r.readBits(2)
         if (mv == 1L) {
@@ -465,7 +464,12 @@ object Tsz {
           var j = 0
           while (j < len) { a(j) = r.readBits(8).toByte; j += 1 }
           curAnt = a
-        } else go = false
+        } else
+          // EndOfStream/TimeUnit markers are never written by
+          // encodeBlockAnnotated — the 11 consumed bits can't be
+          // un-read, so fail loudly instead of desyncing the stream
+          throw new IllegalStateException(
+            s"unexpected special marker $mv in annotated tsz stream")
       }
     }
 
@@ -726,6 +730,74 @@ object TszStore {
       .sortBy("name", "user_id", "block")
       .format("parquet")
       .saveAsTable(table)
+  }
+
+  /** Persist an [[annotatedBlockFrame]] (same discipline as
+    * [[write]]). */
+  def writeAnnotated(samples: DataFrame, table: String,
+                     buckets: Int = 8): Unit = {
+    val spark = samples.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    annotatedBlockFrame(samples)
+      .write.mode("overwrite")
+      .bucketBy(buckets, "name", "user_id")
+      .sortBy("name", "user_id", "block")
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** Append one annotated micro-batch (the [[appendBatch]] twin). */
+  def appendBatchAnnotated(batch: DataFrame, table: String,
+                           buckets: Int = 8): Unit = {
+    val spark = batch.sparkSession
+    val exists = spark.catalog.tableExists(table)
+    if (!exists) {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+    val mode = if (exists) "append" else "errorifexists"
+    annotatedBlockFrame(batch).write.mode(mode)
+      .bucketBy(buckets, "name", "user_id")
+      .sortBy("name", "user_id", "block")
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** [[compact]] for annotated tables: each decoded point carries
+    * its prevailing annotation into the merge, and the re-encode's
+    * write-on-change detection re-deduplicates markers across the
+    * folded blobs — the plain [[compact]] would silently DROP
+    * annotations. Same-timestamp points merge in (ts, value) order
+    * like the unannotated path. */
+  def compactAnnotated(spark: SparkSession, table: String,
+                       buckets: Int = 8): Unit = {
+    import spark.implicits._
+    val merged = spark.table(table)
+      .select(col("name"), col("user_id"), col("block"), col("n"),
+        col("blk"))
+      .as[(String, Long, Long, Int, Array[Byte])]
+      .groupByKey(t => (t._1, t._2, t._3))
+      .mapGroups { (key: (String, Long, Long),
+                    it: Iterator[(String, Long, Long, Int, Array[Byte])]) =>
+        val pts = it.flatMap(t => Tsz.decodeBlockAnnotated(t._5, t._4))
+          .toArray.sortBy(p => (p._1, p._2))
+        val (bytes, tsBits, valBits, antBits) =
+          Tsz.encodeBlockAnnotated(pts.map(p => (p._1, p._2)), pts.map(_._3))
+        (key._1, key._2, key._3, pts.length, tsBits, valBits, antBits, bytes)
+      }
+      .toDF("name", "user_id", "block", "n", "ts_bits", "val_bits",
+        "ant_bits", "blk")
+      .localCheckpoint(true)
+    val cols = spark.table(table).columns
+    merged.repartition(buckets, col("name"), col("user_id"))
+      .select(cols.map(col): _*)
+      .write.mode("overwrite").insertInto(table)
   }
 
   /** Append one micro-batch as encoded blocks. A (series, day) split

@@ -262,4 +262,30 @@ class TszSpec extends SparkSpec {
     assert(back.exceptAll(expect).isEmpty && expect.exceptAll(back).isEmpty,
       "decoded (point, prevailing annotation) set != raw replay")
   }
+
+  test("annotated blocks: split ingest compacts to one blob, annotations kept") {
+    val t = "graft_tsz_ann_compact_spec"
+    spark.sql(s"DROP TABLE IF EXISTS `$t`")
+    // every point annotated → per-blob prevailing == per-point label,
+    // so compaction must preserve the (point, annotation) set exactly
+    val samples = graft.tsdb.Vectors.samples(Tables.events(spark, sf))
+      .withColumn("annotation",
+        concat(lit("h"), hour(col("ts")).cast("string")))
+    TszStore.appendBatchAnnotated(samples.where(col("event_id") % 2 === 0), t)
+    TszStore.appendBatchAnnotated(samples.where(col("event_id") % 2 === 1), t)
+    val key = Seq("name", "user_id", "ts", "value", "annotation")
+    val before = TszStore.decodeAnnotated(spark.table(t))
+      .select(key.map(col): _*)
+    val nKeysMulti = spark.table(t)
+      .groupBy("name", "user_id", "block").count()
+      .where(col("count") > 1).count()
+    assert(nKeysMulti > 0, "split ingest should produce multi-blob keys")
+    TszStore.compactAnnotated(spark, t)
+    assert(spark.table(t).groupBy("name", "user_id", "block").count()
+      .where(col("count") > 1).isEmpty, "compaction must fold to one blob")
+    val after = TszStore.decodeAnnotated(spark.table(t))
+      .select(key.map(col): _*)
+    assert(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty,
+      "compaction changed the (point, annotation) set")
+  }
 }
