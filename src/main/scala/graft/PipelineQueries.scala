@@ -1154,6 +1154,13 @@ object PipelineQueries {
       Corpus.decontaminate(docs, docs.where(col("doc_id") < 25), 0.5)
         .orderBy("doc_id")
     }),
+    // exact-substring decontamination (the GPT-3/Lee-et-al.
+    // precision form): verbatim ≥{8,16,32,64}-char overlap with the
+    // doc_id<25 eval split, per train doc, over the shared suffix
+    // doubling chain
+    "corpus_decontam_exact" -> ((s, dir) =>
+      Dedup.exactDecontam(Tables.documents(s, dir), col("doc_id") < 25)
+        .orderBy("doc_id", "prefix_len")),
     "dedup_spans" -> ((s, dir) =>
       Dedup.spanDedup(Tables.documents(s, dir)).orderBy("doc_id")),
     "corpus_chunks" -> ((s, dir) =>
@@ -3156,6 +3163,27 @@ object PipelineQueries {
          | SELECT * FROM ($stats) s ORDER BY prefix_len"""
         .stripMargin.replace("\n", " ")
     },
+    // the suffix chain's depth columns p3/p4/p5/p6 = prefix lengths
+    // 8/16/32/64; bench groups from the eval split, train positions
+    // semi-joined per depth
+    "corpus_decontam_exact" ->
+      s"""WITH $SUFFIX_ROUNDS,
+         | m AS (SELECT doc_id, CAST(8 AS BIGINT) AS prefix_len, g FROM p3
+         |  UNION ALL SELECT doc_id, 16, g FROM p4
+         |  UNION ALL SELECT doc_id, 32, g FROM p5
+         |  UNION ALL SELECT doc_id, 64, g FROM p6),
+         | bg AS (SELECT DISTINCT prefix_len, g FROM m WHERE doc_id < 25),
+         | h AS (SELECT m.doc_id, m.prefix_len, count(*) AS n_hits
+         |  FROM m JOIN bg USING (prefix_len, g)
+         |  WHERE m.doc_id >= 25 GROUP BY 1, 2),
+         | grid AS (SELECT doc_id,
+         |   CAST(unnest([8, 16, 32, 64]) AS BIGINT) AS prefix_len
+         |  FROM documents WHERE doc_id >= 25)
+         | SELECT g.doc_id, g.prefix_len,
+         |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  CAST(coalesce(h.n_hits, 0) > 0 AS INT) AS contaminated
+         | FROM grid g LEFT JOIN h USING (doc_id, prefix_len)
+         | ORDER BY doc_id, prefix_len""".stripMargin.replace("\n", " "),
     "dedup_suffix_repeats" ->
       s"""WITH $SUFFIX_ROUNDS,
          | g1 AS (SELECT g, count(*) AS grp_size,

@@ -822,6 +822,48 @@ object Dedup {
       .orderBy("rk")
   }
 
+  /** Exact-substring decontamination — the GPT-3/Lee-et-al. form of
+    * benchmark leakage detection: a training doc is contaminated
+    * when it shares a VERBATIM substring of length ≥ L with any
+    * eval-split doc (the n-gram-overlap `Corpus.decontaminate` is
+    * the recall-oriented fuzzy sibling; this is the precision form
+    * span-removal rules act on). Rides [[suffixChain]]: the doubling
+    * group ids are content-derived, so two positions in DIFFERENT
+    * docs share a depth-d id ⟺ they open the same min(d, 64)-char
+    * substring (END-padded at doc tails, the spectrum's convention).
+    * Per train doc and depth d ∈ {8, 16, 32, 64}: the count of
+    * positions whose depth-d group also occurs in the eval split,
+    * and a contaminated flag.
+    *
+    * Scale: ONE stacked projection of the chain (map-side), ONE
+    * (depth, group) aggregation carrying an any-bench flag, a
+    * semi-join back on the same (depth, group) keys (exchange
+    * reused), and a per-doc count. At 100 TB the bench side is a
+    * benchmark corpus — its group set is broadcast-sized — while
+    * the train side stays partition-local; like the rest of the
+    * suffix family the audit is additive over train-doc shards. */
+  def exactDecontam(docs: DataFrame, bench: Column): DataFrame = {
+    val stacked = suffixChain(docs).selectExpr("doc_id",
+      "stack(4, 8L, g8, 16L, g16, 32L, g32, 64L, g64) AS (prefix_len, g)")
+    val benchGroups = stacked
+      .groupBy("prefix_len", "g")
+      .agg(max(when(bench, 1).otherwise(0)).as("b"))
+      .where(col("b") === 1)
+      .select("prefix_len", "g")
+    val hits = stacked.where(!bench)
+      .join(benchGroups, Seq("prefix_len", "g"), "left_semi")
+      .groupBy("doc_id", "prefix_len")
+      .agg(count(lit(1)).as("n_hits"))
+    val grid = docs.where(!bench).select(col("doc_id"))
+      .select(col("doc_id"), explode(array(
+        lit(8L), lit(16L), lit(32L), lit(64L))).as("prefix_len"))
+    grid.join(hits, Seq("doc_id", "prefix_len"), "left")
+      .select(col("doc_id"), col("prefix_len"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).cast("int")
+          .as("contaminated"))
+  }
+
   /** MinHash-LSH parameter design table — the S-curve analysis
     * (Leskovec/Rajaraman/Ullman, MMDS ch.3) that picks (bands, rows)
     * BEFORE building the index the other calibration ops audit after

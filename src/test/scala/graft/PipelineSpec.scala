@@ -3149,4 +3149,35 @@ class PipelineSpec extends SparkSpec {
         r.getAs[Double]("mean_ppl") <= r.getAs[Double]("max_ppl"))
     }
   }
+
+  test("exactDecontam flags verbatim >=L-char overlap with the eval split") {
+    val s = spark
+    import s.implicits._
+    import graft.pipeline.Dedup
+    val banner = "the quick brown fox jumps over the lazy dog 0123456789"
+    val docs = Seq(
+      (0L, "EVAL " + banner + " TAIL OF THE EVAL DOCUMENT"),
+      // a 40-char verbatim copy: contaminated at 8/16/32, clean at 64
+      (10L, "zzz " + banner.take(40) + " qqq"),
+      // symbol alphabet disjoint from the eval text: clean everywhere
+      (11L, "@@@@-####-!!!!-%%%%-&&&&-@@@@-####-!!!!")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactDecontam(docs, col("doc_id") < 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getInt(3)))).toMap
+    assert(out((10L, 8L))._1 > 0 && out((10L, 8L))._2 == 1)
+    assert(out((10L, 16L))._2 == 1 && out((10L, 32L))._2 == 1)
+    assert(out((10L, 64L)) == ((0L, 0)), "no 64-char verbatim run exists")
+    Seq(8L, 16L, 32L, 64L).foreach { l =>
+      assert(out((11L, l)) == ((0L, 0)), s"clean doc flagged at $l")
+    }
+    // eval docs never appear in the output
+    assert(!out.keySet.exists(_._1 == 0L))
+    // depth-32 hit count: the 40-char copy opens 40-32+1 = 9 aligned
+    // windows, plus the space BEFORE the copy ("zzz " + banner) whose
+    // 32-char window equals the eval side's space-before-banner
+    // ("EVAL " + banner) — 10 total, a nice reminder that verbatim
+    // matching sees through intended span boundaries
+    assert(out((10L, 32L))._1 == 10L)
+  }
 }
