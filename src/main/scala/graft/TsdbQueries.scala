@@ -94,19 +94,20 @@ object TsdbQueries {
     * bytes — ≤4 distinct per block-day, so the default size-4 LRU
     * never evicts and the dictionary census is lag-replayable),
     * flag=event_id%3==0 (bool bit). */
+  private def protoMsgs(s: SparkSession, dir: String): DataFrame =
+    samples(s, dir)
+      .where(col("value").isNotNull)
+      .select(col("name"), col("user_id"), col("ts"), col("event_id"),
+        col("value").as("amount"),
+        floor(col("value") / 10).cast("long").as("qty"),
+        concat(lit("q"), floor(hour(col("ts")) / 6).cast("int")
+          .cast("string")).as("label"),
+        (col("event_id") % 3 === 0).as("flag"))
   private val protoBlockFrames =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def protoBlocks(s: SparkSession, dir: String): DataFrame =
     protoBlockFrames.getOrElseUpdate((s, dir), {
-      val msgs = samples(s, dir)
-        .where(col("value").isNotNull)
-        .select(col("name"), col("user_id"), col("ts"), col("event_id"),
-          col("value").as("amount"),
-          floor(col("value") / 10).cast("long").as("qty"),
-          concat(lit("q"), floor(hour(col("ts")) / 6).cast("int")
-            .cast("string")).as("label"),
-          (col("event_id") % 3 === 0).as("flag"))
-      graft.sources.ProtoStore.blockFrame(msgs)
+      graft.sources.ProtoStore.blockFrame(protoMsgs(s, dir))
         .localCheckpoint(eager = false)
     })
 
@@ -1216,6 +1217,25 @@ object TsdbQueries {
           countDistinct(col("label")).as("n_labels"))
         .orderBy("name", "user_id", "bucket_s")
     }),
+    // mid-stream SCHEMA CHANGE (per-write combination 0101 + schema
+    // re-encode + full field-state reset): one stream per series,
+    // the flag field dropped from 2024-01-15 on — decode surfaces
+    // null flags for the 3-field segment, non-null before it
+    "store_proto_schema" -> ((s, dir) => {
+      val blocks = graft.sources.ProtoStore.schemaChangeBlockFrame(
+        protoMsgs(s, dir), 1705276800L)
+      val cents = round(col("amount") * 100, 0).cast("long")
+      graft.sources.ProtoStore.decodeSchemaChange(blocks)
+        .withColumn("bucket_s", Vectors.bucketS("hour"))
+        .groupBy("name", "user_id", "bucket_s")
+        .agg(count(lit(1)).as("n"), sum(cents).as("sum_c"),
+          sum(col("qty")).as("sum_qty"),
+          sum(when(col("flag").isNotNull, 1L).otherwise(0L)).as("n_flag"),
+          sum(when(col("flag") === true, 1L).otherwise(0L))
+            .as("n_flag_true"),
+          countDistinct(col("label")).as("n_labels"))
+        .orderBy("name", "user_id", "bucket_s")
+    }),
     // the LRU-dictionary + int-tracker census per block: new-entry /
     // index-hit / no-change write counts are lag-replayable because
     // the label never exceeds the LRU capacity (no evictions)
@@ -1799,6 +1819,28 @@ object TsdbQueries {
          |  CAST(sum(CAST(round(amount * 100) AS BIGINT)) AS BIGINT) AS sum_c,
          |  CAST(sum(qty) AS BIGINT) AS sum_qty,
          |  CAST(sum(CASE WHEN flag THEN 1 ELSE 0 END) AS BIGINT) AS n_flag,
+         |  count(DISTINCT label) AS n_labels
+         | FROM s GROUP BY 1, 2, 3
+         | ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),
+    // schema-change round trip: flag is non-null exactly for writes
+    // encoded before the split (the 4-field segment), null after
+    "store_proto_schema" ->
+      s"""WITH s AS (SELECT event_type AS name, user_id, ts,
+         |  value AS amount,
+         |  CAST(floor(value / 10) AS BIGINT) AS qty,
+         |  'q' || CAST(CAST(floor(hour(ts) / 6) AS INT) AS VARCHAR) AS label,
+         |  CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) < 1705276800
+         |   THEN (event_id % 3 = 0) END AS flag
+         |  FROM events WHERE value IS NOT NULL)
+         | SELECT name, user_id,
+         |  CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_s,
+         |  count(*) AS n,
+         |  CAST(sum(CAST(round(amount * 100) AS BIGINT)) AS BIGINT) AS sum_c,
+         |  CAST(sum(qty) AS BIGINT) AS sum_qty,
+         |  CAST(sum(CASE WHEN flag IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_flag,
+         |  CAST(sum(CASE WHEN flag THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_flag_true,
          |  count(DISTINCT label) AS n_labels
          | FROM s GROUP BY 1, 2, 3
          | ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),

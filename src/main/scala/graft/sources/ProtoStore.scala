@@ -130,54 +130,85 @@ object ProtoTsz {
     * `values(i)` aligns with `schema.fields(i)`: Double / Long /
     * Array[Byte] / Boolean. */
   def encodeStream(schema: Schema, pts: Array[(Long, Array[Any])],
-                   lruSize: Int = 4): (Array[Byte], ProtoStats) = {
-    val w = new Tsz.BitWriter(math.max(64, pts.length * 8))
+                   lruSize: Int = 4): (Array[Byte], ProtoStats) =
+    encodeSegments(Seq((schema, pts)), lruSize)
+
+  /** Encode a stream whose schema CHANGES mid-stream — the format's
+    * headline feature (docs/encoding.md "Changing Protobuf message
+    * schemas mid-stream"; per-write control combination 3 `0101` =
+    * more data + schema change, encoder.go:176-215). Each segment's
+    * first write carries the re-encoded schema, and — matching
+    * resetSchema → customAndNonCustomFields (encoder.go:520,
+    * common.go:199-258, which zero every customFieldState) — ALL
+    * per-field state restarts: fresh first-value encodings, empty
+    * dictionaries. The timestamp encoder's state persists across the
+    * change (only the schema flag is raised, not the time unit). */
+  def encodeSegments(segments: Seq[(Schema, Array[(Long, Array[Any])])],
+                     lruSize: Int = 4): (Array[Byte], ProtoStats) = {
+    val total = segments.map(_._2.length).sum
+    val w = new Tsz.BitWriter(math.max(64, total * 8))
     val lruIdxBits = bitsForNumUpToN(lruSize)
     var tsBits = 0L; var dblBits = 0L; var intBits = 0L
     var bytesBits = 0L; var boolBits = 0L
     var bytesNew = 0L; var bytesIdxHits = 0L; var bytesNoChange = 0L
     var intNoChange = 0L
+    var headBits = 0L
 
     // stream header (byte-aligned at bit 0)
     writeUvarint(w, Version)
     writeUvarint(w, lruSize.toLong)
-    // first-write header: more data + time unit AND schema changed
-    w.writeBit(0); w.writeBit(1); w.writeBit(1); w.writeBit(1)
-    w.writeBits(3L, 8) // xtime.Microsecond
-    // schema: uvarint(maxFieldNum) + 4 bits per 1-indexed slot
-    writeUvarint(w, schema.maxFieldNum.toLong)
-    (1 to schema.maxFieldNum).foreach { fn =>
-      val t = schema.fields.find(_._1 == fn).map(_._2).getOrElse(0)
-      w.writeBits(t.toLong, 4)
-    }
-    val headBits = w.bits
+    headBits = w.bits
 
-    // per-field states
-    val nFields = schema.fields.length
-    val fNotFirst = new Array[Boolean](nFields)
-    val fPrevFloat = new Array[Long](nFields)
-    val fPrevXOR = new Array[Long](nFields)
-    val fPrevInt = new Array[Long](nFields)
-    val fTracker = Array.fill(nFields)(new IntSigTracker)
-    val fDict = Array.fill(nFields)(
-      scala.collection.mutable.ArrayBuffer.empty[Array[Byte]])
+    def writeSchema(schema: Schema): Unit = {
+      writeUvarint(w, schema.maxFieldNum.toLong)
+      (1 to schema.maxFieldNum).foreach { fn =>
+        val t = schema.fields.find(_._1 == fn).map(_._2).getOrElse(0)
+        w.writeBits(t.toLong, 4)
+      }
+    }
 
     var prevTs = 0L; var prevDelta = 0L
+    var globalIdx = 0
 
-    def writeIntValDiff(t: IntSigTracker, mag: Long, neg: Boolean): Unit = {
-      w.writeBit(if (neg) 1L else 0L)
-      w.writeBits(mag, t.sig)
-    }
+    for ((schema, pts) <- segments) {
+      // per-field states — rebuilt fresh at every schema change
+      val nFields = schema.fields.length
+      val fNotFirst = new Array[Boolean](nFields)
+      val fPrevFloat = new Array[Long](nFields)
+      val fPrevXOR = new Array[Long](nFields)
+      val fPrevInt = new Array[Long](nFields)
+      val fTracker = Array.fill(nFields)(new IntSigTracker)
+      val fDict = Array.fill(nFields)(
+        scala.collection.mutable.ArrayBuffer.empty[Array[Byte]])
+
+      def writeIntValDiff(t: IntSigTracker, mag: Long, neg: Boolean): Unit = {
+        w.writeBit(if (neg) 1L else 0L)
+        w.writeBits(mag, t.sig)
+      }
 
     var i = 0
     while (i < pts.length) {
       val (ts, vals) = pts(i)
-      val t0 = w.bits
       if (i == 0) {
+        val h0 = w.bits
+        if (globalIdx == 0) {
+          // stream-opening header: time unit AND schema changed
+          w.writeBit(0); w.writeBit(1); w.writeBit(1); w.writeBit(1)
+          w.writeBits(3L, 8) // xtime.Microsecond
+          writeSchema(schema)
+        } else {
+          // combination 3: more data + schema change only
+          w.writeBit(0); w.writeBit(1); w.writeBit(0); w.writeBit(1)
+          writeSchema(schema)
+        }
+        headBits += w.bits - h0
+      }
+      val t0 = w.bits
+      if (globalIdx == 0) {
         w.writeBits(ts, 64) // first timestamp raw
         w.writeBits(0L, 64) // time-unit-changed zero dod (64-bit form)
       } else {
-        w.writeBit(1) // more data, nothing changed
+        if (i > 0) w.writeBit(1) // more data, nothing changed
         val d = ts - prevTs
         val dod = d - prevDelta
         if (dod == 0L) w.writeBit(0)
@@ -283,10 +314,11 @@ object ProtoTsz {
       }
       w.writeBit(0) // non-custom section: fast-path no fields
       i += 1
+      globalIdx += 1
+    }
     }
     w.writeBit(0); w.writeBit(0) // end of stream
-    val total = w.bits
-    val head = headBits + pts.length /* fast-path bits */ + 2
+    val head = headBits + total /* fast-path bits */ + 2
     (w.toBytes, ProtoStats(tsBits, dblBits, intBits, bytesBits, boolBits,
       head, bytesNew, bytesIdxHits, bytesNoChange, intNoChange))
   }
@@ -296,43 +328,70 @@ object ProtoTsz {
     * int_encoder_iterator.go read paths). */
   def decodeStream(schema: Schema, bytes: Array[Byte],
                    n: Int): Array[(Long, Array[Any])] = {
+    decodeSegments(bytes, n).map { case (ts, sch, vals) =>
+      require(sch == schema,
+        s"stream schema ${sch.fields} != expected ${schema.fields}")
+      (ts, vals)
+    }
+  }
+
+  /** Decode `n` writes of a possibly-schema-changing stream; each
+    * write returns the schema it was encoded under (reconstructed
+    * from the stream's 4-bit type slots — the stream carries exactly
+    * the custom types). Mirrors the per-write control-bit table
+    * (docs/encoding.md: `1` = plain write, `0101` = write with a
+    * schema change) and resets every per-field state at a change. */
+  def decodeSegments(bytes: Array[Byte],
+                     n: Int): Array[(Long, Schema, Array[Any])] = {
     val r = new Tsz.BitReader(bytes)
-    val out = new Array[(Long, Array[Any])](n)
+    val out = new Array[(Long, Schema, Array[Any])](n)
     val version = readUvarint(r)
     require(version == Version, s"unsupported stream version $version")
     val lruSize = readUvarint(r).toInt
     val lruIdxBits = bitsForNumUpToN(lruSize)
-    // first-write header: 0,1 tu+schema flags
-    require(r.readBits(2) == 1L, "expected first-write change header")
-    val tuChanged = r.readBit() == 1L
-    val schemaChanged = r.readBit() == 1L
-    if (tuChanged) require(r.readBits(8) == 3L, "expected micros unit")
-    if (schemaChanged) {
+
+    var schema: Schema = null
+    var nFields = 0
+    var fNotFirst: Array[Boolean] = null
+    var fPrevFloat: Array[Long] = null
+    var fPrevXOR: Array[Long] = null
+    var fPrevInt: Array[Long] = null
+    var fTracker: Array[IntSigTracker] = null
+    var fDict: Array[scala.collection.mutable.ArrayBuffer[Array[Byte]]] = null
+
+    def readSchema(): Unit = {
       val maxField = readUvarint(r).toInt
-      val decoded = (1 to maxField).map(fn => (fn, r.readBits(4).toInt))
-        .filter(_._2 != 0)
-      require(decoded == schema.fields,
-        s"stream schema $decoded != expected ${schema.fields}")
+      schema = Schema((1 to maxField).map(fn => (fn, r.readBits(4).toInt))
+        .filter(_._2 != 0))
+      nFields = schema.fields.length
+      fNotFirst = new Array[Boolean](nFields)
+      fPrevFloat = new Array[Long](nFields)
+      fPrevXOR = new Array[Long](nFields)
+      fPrevInt = new Array[Long](nFields)
+      fTracker = Array.fill(nFields)(new IntSigTracker)
+      fDict = Array.fill(nFields)(
+        scala.collection.mutable.ArrayBuffer.empty[Array[Byte]])
     }
 
-    val nFields = schema.fields.length
-    val fNotFirst = new Array[Boolean](nFields)
-    val fPrevFloat = new Array[Long](nFields)
-    val fPrevXOR = new Array[Long](nFields)
-    val fPrevInt = new Array[Long](nFields)
-    val fTracker = Array.fill(nFields)(new IntSigTracker)
-    val fDict = Array.fill(nFields)(
-      scala.collection.mutable.ArrayBuffer.empty[Array[Byte]])
     var prevTs = 0L; var prevDelta = 0L
 
     var i = 0
     while (i < n) {
+      // per-write control bits (the encoding.md combination table)
+      val plain = r.readBit() == 1L
+      if (!plain) {
+        require(r.readBit() == 1L, "unexpected end of stream mid-decode")
+        val tuChanged = r.readBit() == 1L
+        val schemaChanged = r.readBit() == 1L
+        if (tuChanged) require(r.readBits(8) == 3L, "expected micros unit")
+        if (schemaChanged) readSchema()
+      }
+      require(schema != null, "no schema before the first write")
       if (i == 0) {
         prevTs = r.readBits(64)
         prevDelta = r.readBits(64) // the zero first dod
         prevTs += prevDelta
       } else {
-        require(r.readBit() == 1L, "expected more-data control bit")
         val dod =
           if (r.readBit() == 0L) 0L
           else if (r.readBit() == 0L) (r.readBits(7) << 57) >> 57
@@ -407,7 +466,7 @@ object ProtoTsz {
         f += 1
       }
       require(r.readBit() == 0L, "expected empty non-custom section")
-      out(i) = (prevTs, vals)
+      out(i) = (prevTs, schema, vals)
       i += 1
     }
     require(r.readBits(2) == 0L, "expected end-of-stream marker")
@@ -453,6 +512,67 @@ object ProtoStore {
       .toDF("name", "user_id", "block", "n", "blk",
         "ts_bits", "dbl_bits", "int_bits", "bytes_bits", "bool_bits",
         "bytes_new", "bytes_idx_hits", "bytes_nochange", "int_nochange")
+  }
+
+  /** The 3-field schema the mid-stream change drops `flag` to. */
+  val schemaNoFlag: ProtoTsz.Schema = ProtoTsz.Schema(Seq(
+    1 -> ProtoTsz.Float64, 2 -> ProtoTsz.SignedInt64,
+    3 -> ProtoTsz.Bytes))
+
+  /** One stream per SERIES whose schema CHANGES at `splitTsS`: the
+    * 4-field message before it, the flag-less 3-field message from
+    * it on (the format's mid-stream schema change — combination
+    * `0101` + re-encoded schema + full per-field state reset). */
+  def schemaChangeBlockFrame(samples: DataFrame, splitTsS: Long): DataFrame = {
+    val spark = samples.sparkSession
+    import spark.implicits._
+    val ds = samples
+      .select(col("name"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("amount"), col("qty"), col("label"), col("flag"))
+      .as[(String, Long, Long, Long, Double, Long, String, Boolean)]
+    val splitUs = splitTsS * 1000000L
+    ds.groupByKey(t => (t._1, t._2))
+      .mapGroups { (key: (String, Long),
+                    it: Iterator[(String, Long, Long, Long, Double, Long, String, Boolean)]) =>
+        val rows = it.toArray.sortBy(t => (t._3, t._4))
+        val (before, after) = rows.partition(_._3 < splitUs)
+        def pts4(rs: Array[(String, Long, Long, Long, Double, Long, String, Boolean)]) =
+          rs.map(t => (t._3, Array[Any](t._5, t._6,
+            t._7.getBytes(java.nio.charset.StandardCharsets.UTF_8), t._8)))
+        def pts3(rs: Array[(String, Long, Long, Long, Double, Long, String, Boolean)]) =
+          rs.map(t => (t._3, Array[Any](t._5, t._6,
+            t._7.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+        val segments = Seq(
+          (schema, pts4(before)), (schemaNoFlag, pts3(after)))
+          .filter(_._2.nonEmpty)
+        val (bytes, _) = ProtoTsz.encodeSegments(segments)
+        (key._1, key._2, rows.length, bytes)
+      }
+      .toDF("name", "user_id", "n", "blk")
+  }
+
+  /** Decode a [[schemaChangeBlockFrame]]: the schema travels in the
+    * stream, so `flag` is null for writes encoded under the 3-field
+    * schema. */
+  def decodeSchemaChange(blocks: DataFrame): DataFrame = {
+    val spark = blocks.sparkSession
+    import spark.implicits._
+    blocks.select(col("name"), col("user_id"), col("n"), col("blk"))
+      .as[(String, Long, Int, Array[Byte])]
+      .flatMap { case (n, u, cnt, bytes) =>
+        ProtoTsz.decodeSegments(bytes, cnt).iterator.map { case (ts, sch, v) =>
+          val hasFlag = sch.fields.exists(_._1 == 4)
+          (n, u, ts, v(0).asInstanceOf[Double], v(1).asInstanceOf[Long],
+            new String(v(2).asInstanceOf[Array[Byte]],
+              java.nio.charset.StandardCharsets.UTF_8),
+            if (hasFlag) java.lang.Boolean.valueOf(v(3).asInstanceOf[Boolean])
+            else null.asInstanceOf[java.lang.Boolean])
+        }
+      }
+      .toDF("name", "user_id", "ts_us", "amount", "qty", "label", "flag")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .drop("ts_us")
   }
 
   /** Decode back to (name, user_id, ts, amount, qty, label, flag). */

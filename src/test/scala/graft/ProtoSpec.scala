@@ -92,6 +92,40 @@ class ProtoSpec extends SparkSpec {
     roundTrip(pts)
   }
 
+  test("mid-stream schema change: 0101 header, state reset, null flags") {
+    val t0 = 1700000000000000L
+    val seg1 = Array(
+      msg(t0, 1.5, 3, "alpha", flag = true),
+      msg(t0 + 1000000L, 2.5, 4, "alpha", flag = false))
+    // the 3-field schema drops flag; "alpha" must be a FULL
+    // dictionary write again (state reset, common.go:199-258)
+    val seg2 = Array(
+      (t0 + 2000000L, Array[Any](3.5, 5L, "alpha".getBytes("UTF-8"))),
+      (t0 + 3000000L, Array[Any](3.5, 5L, "beta".getBytes("UTF-8"))))
+    val (bytes, st) = ProtoTsz.encodeSegments(Seq(
+      (schema, seg1), (ProtoStore.schemaNoFlag, seg2)))
+    // "alpha" full-writes twice (once per segment) + "beta" once
+    assert(st.bytesNew == 3 && st.bytesNoChange == 1 && st.bytesIdxHits == 0)
+    val back = ProtoTsz.decodeSegments(bytes, 4)
+    assert(back.map(_._2.fields.length).toSeq == Seq(4, 4, 3, 3))
+    assert(back.map(_._1).toSeq ==
+      Seq(t0, t0 + 1000000L, t0 + 2000000L, t0 + 3000000L))
+    assert(back(2)._3(0) == 3.5 && back(2)._3(1) == 5L)
+    assert(new String(back(3)._3(2).asInstanceOf[Array[Byte]], "UTF-8") == "beta")
+    // decodeStream under a single expected schema must reject it
+    intercept[IllegalArgumentException] {
+      ProtoTsz.decodeStream(schema, bytes, 4)
+    }
+    // doubles/ints also restart: segment 2's first write is a raw
+    // 64-bit float + first-value int (not XOR/diff against segment 1)
+    val (bytesSame, stSame) = ProtoTsz.encodeSegments(Seq(
+      (schema, seg1),
+      (schema, seg1.map(p => (p._1 + 5000000L, p._2)))))
+    assert(stSame.bytesNew == 2, "same schema re-sent still resets the dict")
+    val back2 = ProtoTsz.decodeSegments(bytesSame, 4)
+    assert(back2.map(_._3(0)).toSeq == Seq(1.5, 2.5, 1.5, 2.5))
+  }
+
   test("store blocks round-trip the sf message stream") {
     val msgs = graft.tsdb.Vectors.samples(Tables.events(spark, sf))
       .where(col("value").isNotNull)
