@@ -328,6 +328,15 @@ object GraphiteQueries {
       // expanding the leaf level under one subtree: user1/10..19
       Graphite.metricsFind(frame(s, dir), "events.purchase.user1?")
         .orderBy("id")),
+    // /metrics/find with the API's from/until window
+    // (find_parser.go:73-97): only users who PURCHASED inside the
+    // two-day window appear as leaves
+    "gq_find_range" -> ((s, dir) =>
+      graphite.GraphiteParser.findRange(
+        Vectors.samples(Tables.events(s, dir)),
+        "events.purchase.*",
+        from = "20240105", until = "20240107", nowS = 1705795200L)
+        .orderBy("id")),
     // extended glob dialect (glob.go:94-180) through the target
     // parser: {a,b} alternation and [0-9] character ranges
     "gq_glob_brace" -> ((s, dir) =>
@@ -783,6 +792,19 @@ object GraphiteQueries {
          |  CASE WHEN len(string_split(path, '.')) = 2 THEN 1 ELSE 0 END AS leaf
          | FROM (SELECT DISTINCT path FROM ($PF) AS f) AS p
          | WHERE regexp_matches(path, '^events\\.[^.]*(\\..*)?$$')
+         | ) AS u GROUP BY id, text ORDER BY id""".stripMargin.replace("\n", " "),
+    "gq_find_range" ->
+      s"""SELECT id, text, CAST(max(leaf) AS INT) AS is_leaf,
+         | CAST(max(1 - leaf) AS INT) AS has_children FROM (
+         | SELECT array_to_string(string_split(path, '.')[1:3], '.') AS id,
+         |  string_split(path, '.')[3] AS text,
+         |  CASE WHEN len(string_split(path, '.')) = 3 THEN 1 ELSE 0 END AS leaf
+         | FROM (SELECT DISTINCT 'events.' || event_type || '.user' ||
+         |   CAST(user_id AS VARCHAR) AS path FROM events
+         |  WHERE CAST(floor(epoch(ts)) AS BIGINT) >= 1704412800
+         |   AND CAST(floor(epoch(ts)) AS BIGINT) < 1704585600) AS p
+         | WHERE regexp_matches(path,
+         |  '^events\\.+purchase\\.+[^.]*(\\..*)?$$')
          | ) AS u GROUP BY id, text ORDER BY id""".stripMargin.replace("\n", " "),
     "gq_find_leaf" ->
       s"""SELECT id, text, CAST(max(leaf) AS INT) AS is_leaf,

@@ -189,6 +189,22 @@ object GraphiteParser {
     * re-step their series (summarize, hitcount) should instead size
     * their own buckets, same as the reference's consolidateBy
     * carve-out (render.go:170 comment). */
+  /** /metrics/find with the API's from/until bounds
+    * (find_parser.go:73-97 — defaults `0`/`now`, both through
+    * graphite.ParseTime): the tree expands only over series that
+    * have data IN THE WINDOW. The bound restricts the fetch before
+    * the path frame is built — a plain pushed ts predicate, the
+    * render mechanism. */
+  def findRange(samples: DataFrame, query: String, from: String,
+                until: String, nowS: Long,
+                unit: String = "hour"): DataFrame = {
+    val f = GraphiteTime.parseTime(from, nowS)
+    val u = GraphiteTime.parseTime(until, nowS)
+    Graphite.metricsFind(Graphite.seriesFrame(
+      samples.where(unix_timestamp(col("ts")) >= f &&
+        unix_timestamp(col("ts")) < u), unit), query)
+  }
+
   def renderMaxDataPoints(samples: DataFrame, target: String,
                           from: String, until: String, nowS: Long,
                           maxDataPoints: Int,

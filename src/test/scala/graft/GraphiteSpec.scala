@@ -638,4 +638,20 @@ class GraphiteSpec extends SparkSpec {
     val one = graft.graphite.Graphite.metricsFind(mixed, "svc.a*").collect()
     assert(one.map(_.getAs[String]("text")).toSeq == Seq("api"))
   }
+
+  test("findRange bounds the tree to series with data in the window") {
+    val samples = graft.tsdb.Vectors.samples(Tables.events(spark, sf))
+    val now = 1705795200L
+    val all = graft.graphite.GraphiteParser
+      .findRange(samples, "events.purchase.*", "0", "now", now)
+      .collect().map(_.getAs[String]("id")).toSet
+    val windowed = graft.graphite.GraphiteParser
+      .findRange(samples, "events.purchase.*", "20240105", "20240107", now)
+      .collect().map(_.getAs[String]("id")).toSet
+    // find_parser.go defaults (0, now) expand the full tree; a tight
+    // window expands a strict subset of it
+    assert(windowed.subsetOf(all))
+    assert(windowed.size < all.size, "two days should drop some leaves")
+    assert(windowed.nonEmpty)
+  }
 }
