@@ -126,15 +126,35 @@ class ProtoSpec extends SparkSpec {
     assert(back2.map(_._3(0)).toSeq == Seq(1.5, 2.5, 1.5, 2.5))
   }
 
+  private def sfMsgs = graft.tsdb.Vectors.samples(Tables.events(spark, sf))
+    .where(col("value").isNotNull)
+    .select(col("name"), col("user_id"), col("ts"), col("event_id"),
+      col("value").as("amount"),
+      floor(col("value") / 10).cast("long").as("qty"),
+      concat(lit("q"), floor(hour(col("ts")) / 6).cast("int")
+        .cast("string")).as("label"),
+      (col("event_id") % 3 === 0).as("flag"))
+
+  test("split ingest compacts to one blob per key, message set kept") {
+    val t = "graft_proto_compact_spec"
+    spark.sql(s"DROP TABLE IF EXISTS `$t`")
+    val msgs = sfMsgs
+    ProtoStore.appendBatch(msgs.where(col("event_id") % 2 === 0), t)
+    ProtoStore.appendBatch(msgs.where(col("event_id") % 2 === 1), t)
+    assert(spark.table(t).groupBy("name", "user_id", "block").count()
+      .where(col("count") > 1).count() > 0, "split should multi-blob")
+    val key = Seq("name", "user_id", "ts", "amount", "qty", "label", "flag")
+    val before = ProtoStore.decode(spark.table(t)).select(key.map(col): _*)
+    ProtoStore.compact(spark, t)
+    assert(spark.table(t).groupBy("name", "user_id", "block").count()
+      .where(col("count") > 1).isEmpty, "compaction must fold to one blob")
+    val after = ProtoStore.decode(spark.table(t)).select(key.map(col): _*)
+    assert(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty,
+      "compaction changed the message set")
+  }
+
   test("store blocks round-trip the sf message stream") {
-    val msgs = graft.tsdb.Vectors.samples(Tables.events(spark, sf))
-      .where(col("value").isNotNull)
-      .select(col("name"), col("user_id"), col("ts"), col("event_id"),
-        col("value").as("amount"),
-        floor(col("value") / 10).cast("long").as("qty"),
-        concat(lit("q"), floor(hour(col("ts")) / 6).cast("int")
-          .cast("string")).as("label"),
-        (col("event_id") % 3 === 0).as("flag"))
+    val msgs = sfMsgs
     val back = ProtoStore.decode(ProtoStore.blockFrame(msgs))
       .select(col("name"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
         col("amount"), col("qty"), col("label"), col("flag"))
