@@ -710,4 +710,98 @@ class PropertySpec extends SparkSpec {
       }
     })
   }
+
+  test("property: annotated tsz round-trips arbitrary annotation sequences") {
+    import graft.sources.Tsz
+    // a pool forcing repeats, nulls, empties and a multi-byte-varint
+    // long annotation; prevailing model: last non-empty value seen
+    val pool: Seq[String] = Seq(null, "", "a", "a", "bb", "unit=ms",
+      "x" * 100, "h07")
+    val genCase = for {
+      n <- Gen.chooseNum(1, 40)
+      deltas <- Gen.listOfN(n, Gen.chooseNum(1L, 2000000L))
+      vals <- Gen.listOfN(n, Gen.oneOf(
+        Gen.chooseNum(-100000L, 100000L).map(_ / 100.0),
+        Gen.oneOf(Double.NaN, Double.PositiveInfinity, -0.0, 1.0e18)))
+      ants <- Gen.listOfN(n, Gen.oneOf(pool))
+    } yield (deltas, vals, ants)
+    val codecParams = SCTest.Parameters.default.withMinSuccessfulTests(50)
+    val r = SCTest.check(codecParams, Prop.forAll(genCase) {
+      case (deltas, vals, ants)
+        // scalacheck shrinking does not respect the generators —
+        // discard structurally invalid shrunk inputs
+        if deltas.length == vals.length && vals.length == ants.length &&
+          deltas.forall(_ >= 1L) =>
+        var ts = 1700000000000000L
+        val pts = deltas.zip(vals).map { case (d, v) =>
+          ts += d; (ts, v)
+        }.toArray
+        val antBytes = ants.map(a =>
+          if (a == null) null else a.getBytes("UTF-8")).toArray
+        val (bytes, _, _, _) = Tsz.encodeBlockAnnotated(pts, antBytes)
+        val back = Tsz.decodeBlockAnnotated(bytes, pts.length)
+        var prevailing: String = null
+        back.zipWithIndex.forall { case ((bts, bv, bant), i) =>
+          val a = ants(i)
+          if (a != null && a.nonEmpty) prevailing = a
+          val want = prevailing
+          val got = if (bant == null) null else new String(bant, "UTF-8")
+          // NaN payloads survive bit-exactly (float mode); every
+          // other value numeric-exactly — int mode normalizes −0.0
+          // to 0.0 exactly like the reference (m3tsz.go:79-84 Modf
+          // int-converts −0.0 and the diff chain cannot carry the
+          // sign), so ±0 compare as equal
+          val v = pts(i)._2
+          val valOk =
+            if (v.isNaN) java.lang.Double.doubleToRawLongBits(bv) ==
+              java.lang.Double.doubleToRawLongBits(v)
+            else bv == v
+          val ok = bts == pts(i)._1 && valOk && got == want
+          if (!ok) println(s"ANN MISMATCH at $i: ts $bts vs ${pts(i)._1}, " +
+            s"val $bv vs ${pts(i)._2}, ant $got vs $want (in ${ants(i)})")
+          ok
+        }
+    })
+    assert(r.passed, r.status.toString)
+  }
+
+  test("property: proto codec round-trips random messages exactly") {
+    import graft.sources.{ProtoStore, ProtoTsz}
+    // 6 labels against the size-4 LRU: evictions and re-encodes are
+    // the common case, not the edge
+    val labels = Seq("", "alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val genCase = for {
+      n <- Gen.chooseNum(1, 40)
+      deltas <- Gen.listOfN(n, Gen.chooseNum(1L, 5000000L))
+      amounts <- Gen.listOfN(n, Gen.oneOf(
+        Gen.chooseNum(-100000L, 100000L).map(_ / 100.0),
+        Gen.oneOf(Double.NaN, Double.NegativeInfinity, -0.0)))
+      qtys <- Gen.listOfN(n, Gen.chooseNum(-1000000000L, 1000000000L))
+      ls <- Gen.listOfN(n, Gen.oneOf(labels))
+      fs <- Gen.listOfN(n, Gen.oneOf(true, false))
+    } yield (deltas, amounts, qtys, ls, fs)
+    val codecParams = SCTest.Parameters.default.withMinSuccessfulTests(50)
+    val r = SCTest.check(codecParams, Prop.forAll(genCase) {
+      case (deltas, amounts, qtys, ls, fs) =>
+        var ts = 1700000000000000L
+        val pts = deltas.indices.map { i =>
+          ts += deltas(i)
+          (ts, Array[Any](amounts(i), qtys(i),
+            ls(i).getBytes("UTF-8"), fs(i)))
+        }.toArray
+        val (bytes, _) = ProtoTsz.encodeStream(ProtoStore.schema, pts)
+        val back = ProtoTsz.decodeStream(ProtoStore.schema, bytes, pts.length)
+        back.zipWithIndex.forall { case ((bts, bv), i) =>
+          bts == pts(i)._1 &&
+            java.lang.Double.doubleToRawLongBits(
+              bv(0).asInstanceOf[Double]) ==
+              java.lang.Double.doubleToRawLongBits(amounts(i)) &&
+            bv(1) == qtys(i) &&
+            java.util.Arrays.equals(bv(2).asInstanceOf[Array[Byte]],
+              ls(i).getBytes("UTF-8")) &&
+            bv(3) == fs(i)
+        }
+    })
+    assert(r.passed, r.status.toString)
+  }
 }
