@@ -522,7 +522,13 @@ object ProtoStore {
   /** One stream per SERIES whose schema CHANGES at `splitTsS`: the
     * 4-field message before it, the flag-less 3-field message from
     * it on (the format's mid-stream schema change — combination
-    * `0101` + re-encoded schema + full per-field state reset). */
+    * `0101` + re-encoded schema + full per-field state reset).
+    * This demo frame deliberately spans the series' whole range in
+    * one stream to put the change mid-stream; a production layout
+    * keeps the (series, day) block bound of [[blockFrame]] and lands
+    * the change in whichever block contains it — per-group memory
+    * stays block-bounded either way since [[ProtoTsz.encodeSegments]]
+    * streams a sorted array. */
   def schemaChangeBlockFrame(samples: DataFrame, splitTsS: Long): DataFrame = {
     val spark = samples.sparkSession
     import spark.implicits._
