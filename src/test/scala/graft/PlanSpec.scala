@@ -962,4 +962,35 @@ class PlanSpec extends SparkSpec {
       "cluster stats recomputed label propagation instead of reading " +
         "the shared cached frame:\n" + p.take(2000))
   }
+
+  test("exact decontam joins the bench side ONLY as broadcasts") {
+    // the training chain must stream map-side through the four
+    // depth joins — a sort-merge join would shuffle corpus-character
+    // rows un-reduced
+    val p = plan("corpus_decontam_exact")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "train-side char rows crossed a shuffle join:\n" + p.take(2000))
+  }
+
+  test("lttb render walk shuffles once by series") {
+    // mapGroups: ONE exchange partitioning by path feeds the walk;
+    // the consolidated input's own window exchange is upstream of it
+    val df = SparkEntry.queries("gq_render_lttb")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("MapGroups") || p.contains("mapGroups"), p.take(1500))
+    // no join anywhere in the walk
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+  }
+
+  test("proto and annotated stores decode without joins or windows") {
+    // decode is flatMap over blob rows: scan → deserialize → agg
+    Seq("store_proto", "store_tsz_ann").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin") && !p.contains("Window"),
+        s"$q decode path grew a join/window:\n" + p.take(2000))
+    }
+  }
 }
