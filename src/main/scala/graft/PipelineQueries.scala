@@ -1161,6 +1161,12 @@ object PipelineQueries {
     "corpus_decontam_exact" -> ((s, dir) =>
       Dedup.exactDecontam(Tables.documents(s, dir), col("doc_id") < 25)
         .orderBy("doc_id", "prefix_len")),
+    // the removal card: every 32-char window shared verbatim with the
+    // eval split is cut; covered chars = union of hit windows capped
+    // at the doc tail
+    "corpus_decontam_remove" -> ((s, dir) =>
+      Dedup.exactDecontamRemove(Tables.documents(s, dir),
+        col("doc_id") < 25).orderBy("doc_id")),
     "dedup_spans" -> ((s, dir) =>
       Dedup.spanDedup(Tables.documents(s, dir)).orderBy("doc_id")),
     "corpus_chunks" -> ((s, dir) =>
@@ -3184,6 +3190,25 @@ object PipelineQueries {
          |  CAST(coalesce(h.n_hits, 0) > 0 AS INT) AS contaminated
          | FROM grid g LEFT JOIN h USING (doc_id, prefix_len)
          | ORDER BY doc_id, prefix_len""".stripMargin.replace("\n", " "),
+    // depth-32 hit windows unioned per doc (range() caps at the doc
+    // tail like the engine's least())
+    "corpus_decontam_remove" ->
+      s"""WITH $SUFFIX_ROUNDS,
+         | bg AS (SELECT DISTINCT g FROM p5 WHERE doc_id < 25),
+         | h AS (SELECT p5.doc_id, p5.pos FROM p5 JOIN bg USING (g)
+         |  WHERE p5.doc_id >= 25),
+         | l AS (SELECT doc_id, CAST(len(text) AS BIGINT) AS len
+         |  FROM documents WHERE doc_id >= 25),
+         | cov AS (SELECT doc_id, count(DISTINCT cpos) AS n_removed FROM (
+         |  SELECT h.doc_id,
+         |   unnest([i for i in range(pos, least(pos + 32, len + 1))]) AS cpos
+         |  FROM h JOIN l USING (doc_id)) AS e GROUP BY 1),
+         | nh AS (SELECT doc_id, count(*) AS n_hits FROM h GROUP BY 1)
+         | SELECT l.doc_id, CAST(coalesce(nh.n_hits, 0) AS BIGINT) AS n_hits,
+         |  CAST(coalesce(cov.n_removed, 0) AS BIGINT) AS n_removed,
+         |  CAST(l.len - coalesce(cov.n_removed, 0) AS BIGINT) AS n_kept
+         | FROM l LEFT JOIN nh USING (doc_id) LEFT JOIN cov USING (doc_id)
+         | ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "dedup_suffix_repeats" ->
       s"""WITH $SUFFIX_ROUNDS,
          | g1 AS (SELECT g, count(*) AS grp_size,

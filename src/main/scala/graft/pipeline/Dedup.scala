@@ -872,6 +872,46 @@ object Dedup {
           .as("contaminated"))
   }
 
+  /** The removal companion to [[exactDecontam]] — the action Lee et
+    * al. take on exact matches: every depth-`L` window a train doc
+    * shares verbatim with the eval split is cut, and the card
+    * reports how much text survives. Covered characters are the
+    * union of `[pos, min(pos+L, len+1))` over hit positions (a hit
+    * whose window runs past the doc tail matched through END
+    * padding; removal caps at the text that exists).
+    *
+    * Scale: hit positions are the CONTAMINATED subset — orders below
+    * corpus characters — so the 32× cover expansion and the
+    * distinct-position count are hit-bounded; doc lengths join onto
+    * the hit summary (hit-doc cardinality), and the final frame is
+    * one row per train doc. */
+  def exactDecontamRemove(docs: DataFrame, bench: Column,
+                          depth: Int = 32): DataFrame = {
+    require(Seq(8, 16, 32, 64).contains(depth), s"depth $depth not in chain")
+    val g = s"g$depth"
+    val benchGroups = broadcast(
+      suffixChain(docs.where(bench)).select(col(g)).distinct())
+    val hits = suffixChain(docs.where(!bench))
+      .select(col("doc_id"), col("pos"), col(g))
+      .join(benchGroups, Seq(g), "left_semi")
+    val lens = docs.where(!bench)
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+    val covered = hits
+      .join(lens, "doc_id")
+      .select(col("doc_id"), col("len"),
+        explode(sequence(col("pos"),
+          least(col("pos") + lit(depth - 1), col("len")))).as("cpos"))
+      .groupBy("doc_id")
+      .agg(count_distinct(col("cpos")).as("n_removed"))
+    val perDoc = hits.groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    lens.join(perDoc, Seq("doc_id"), "left")
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        (col("len") - coalesce(col("n_removed"), lit(0L))).as("n_kept"))
+  }
+
   /** MinHash-LSH parameter design table — the S-curve analysis
     * (Leskovec/Rajaraman/Ullman, MMDS ch.3) that picks (bands, rows)
     * BEFORE building the index the other calibration ops audit after

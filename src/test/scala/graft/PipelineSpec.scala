@@ -3179,5 +3179,14 @@ class PipelineSpec extends SparkSpec {
     // ("EVAL " + banner) — 10 total, a nice reminder that verbatim
     // matching sees through intended span boundaries
     assert(out((10L, 32L))._1 == 10L)
+
+    // the removal card: hit positions 4..13 cover the union
+    // [4, 44] = 41 chars of the 48-char doc → 7 kept
+    val rem = Dedup.exactDecontamRemove(docs, col("doc_id") < 5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(rem(10L) == ((10L, 41L, 7L)), s"got ${rem(10L)}")
+    assert(rem(11L)._2 == 0L && rem(11L)._3 == 39L)
+    assert(!rem.contains(0L))
   }
 }
