@@ -1255,6 +1255,12 @@ object PipelineQueries {
       Dedup.winnowPairs(Tables.documents(s, dir))),
     "sketch_quantile" -> ((s, dir) =>
       Sketches.quantileSketch(Tables.events(s, dir))),
+    "sketch_dd" -> ((s, dir) =>
+      Sketches.ddSketch(Tables.events(s, dir))),
+    "corpus_softdedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Corpus.softDedup(docs, verifiedPairs(docs))
+    }),
     "sim_rrf" -> ((s, dir) =>
       Similarity.rrfFusion(Tables.documents(s, dir),
         Tables.embeddings(s, dir))),
@@ -3303,6 +3309,84 @@ object PipelineQueries {
          |   bands ASC) AS rk
          | FROM a ORDER BY rk""".stripMargin.replace("\n", " ")
     },
+    "sketch_dd" -> {
+      // the exact γ / ln γ doubles the engine evaluates with
+      val (g, lnG) = graft.pipeline.Sketches.ddConstants()
+      s"""WITH pos AS (SELECT event_type, value FROM events WHERE value > 0),
+         | b AS (SELECT event_type,
+         |  CAST(ceil(round(ln(value) / $lnG, 9)) AS BIGINT) AS i FROM pos),
+         | cnt AS (SELECT event_type, i, count(*) AS c FROM b GROUP BY 1, 2),
+         | mx AS (SELECT event_type, max(i) AS max_i, count(*) AS nb_raw
+         |  FROM cnt GROUP BY 1),
+         | col2 AS (SELECT cnt.event_type,
+         |   greatest(cnt.i, mx.max_i - 255) AS i, sum(cnt.c) AS c
+         |  FROM cnt JOIN mx USING (event_type) GROUP BY 1, 2),
+         | st AS (SELECT event_type, count(*) AS n_buckets, sum(c) AS n
+         |  FROM col2 GROUP BY 1),
+         | z AS (SELECT event_type,
+         |   sum(CASE WHEN value <= 0 THEN 1 ELSE 0 END) AS n_zero
+         |  FROM events GROUP BY 1),
+         | cum AS (SELECT event_type, i, c, sum(c) OVER (
+         |   PARTITION BY event_type ORDER BY i
+         |   ROWS UNBOUNDED PRECEDING) AS cum FROM col2),
+         | ps AS (SELECT p FROM (VALUES (0.5::DOUBLE), (0.9::DOUBLE),
+         |  (0.95::DOUBLE), (0.99::DOUBLE)) AS t(p)),
+         | tgt AS (SELECT st.event_type, ps.p, st.n, st.n_buckets,
+         |   mx.nb_raw - st.n_buckets AS n_collapsed, z.n_zero,
+         |   CAST(floor(ps.p * (st.n - 1)) AS BIGINT) AS r
+         |  FROM st JOIN mx USING (event_type) JOIN z USING (event_type)
+         |   CROSS JOIN ps),
+         | pick AS (SELECT tgt.*, cum.i FROM tgt JOIN cum
+         |  ON cum.event_type = tgt.event_type AND cum.cum > tgt.r
+         |   AND cum.cum - cum.c <= tgt.r),
+         | rkv AS (SELECT event_type, value, row_number() OVER (
+         |   PARTITION BY event_type ORDER BY value) AS rk FROM pos)
+         | SELECT pick.event_type, pick.p, CAST(pick.n AS BIGINT) AS n,
+         |  CAST(pick.n_buckets AS BIGINT) AS n_buckets,
+         |  CAST(pick.n_collapsed AS BIGINT) AS n_collapsed,
+         |  CAST(pick.n_zero AS BIGINT) AS n_zero,
+         |  round(2 * power($g, pick.i) / ($g + 1), 6) AS est_q,
+         |  round(rkv.value, 6) AS exact_v,
+         |  round(abs(2 * power($g, pick.i) / ($g + 1) - rkv.value)
+         |   / rkv.value, 6) AS rel_err
+         | FROM pick JOIN rkv ON rkv.event_type = pick.event_type
+         |  AND rkv.rk = pick.r + 1
+         | ORDER BY pick.event_type, pick.p""".stripMargin.replace("\n", " ")
+    },
+    "corpus_softdedup" ->
+      s"""WITH RECURSIVE sig AS ($SIG), banded AS ($BANDED),
+         | capped AS (SELECT doc_id, band, bucket FROM (
+         |  SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz FROM banded) AS z
+         |  WHERE bsz <= $MAX_BUCKET),
+         | p AS ($PAIRS), v AS ($VERIFIED),
+         | edges AS (SELECT doc_a AS src, doc_b AS dst FROM v
+         |  UNION SELECT doc_b AS src, doc_a AS dst FROM v),
+         | reach(node, root) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.root FROM reach AS r JOIN edges AS e ON e.src = r.node),
+         | cl AS (SELECT node AS doc_id, min(root) AS cluster_id
+         |  FROM reach GROUP BY node),
+         | cs AS (SELECT cluster_id, count(*) AS csz FROM cl GROUP BY cluster_id),
+         | w AS (SELECT cl.doc_id, cs.csz,
+         |   CAST(1000000 // cs.csz AS BIGINT) AS ppm
+         |  FROM cl JOIN cs USING (cluster_id)),
+         | tk AS (SELECT doc_id, CAST(list_sum(list_transform(
+         |   string_split_regex(lower(text), '\\s+'),
+         |   t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS tok
+         |  FROM documents)
+         | SELECT d.source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN w.csz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_discounted,
+         |  CAST(sum(tk.tok) AS BIGINT) AS tokens_raw,
+         |  round(sum(tk.tok * w.ppm)::DOUBLE / 1e6, 6) AS tokens_eff,
+         |  round(sum(tk.tok * w.ppm)::DOUBLE / (sum(tk.tok)::DOUBLE * 1e6), 6)
+         |   AS discount,
+         |  round(sum(w.ppm)::DOUBLE / (count(*)::DOUBLE * 1e6), 6)
+         |   AS mean_weight
+         | FROM documents AS d JOIN w ON w.doc_id = d.doc_id
+         |  JOIN tk ON tk.doc_id = d.doc_id
+         | GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "),
     "sketch_quantile" ->
       """WITH st AS (SELECT min(value) AS lo, max(value) AS hi,
         |  count(*) AS n,

@@ -1332,6 +1332,53 @@ object Corpus {
           .as("token_frac"))
   }
 
+  /** Soft-dedup reweighting card — the down-weight-don't-delete
+    * alternative to canonical-only dedup (SoftDeDup, Xue et al.
+    * ACL 2024: duplicated documents keep a sampling weight inversely
+    * proportional to their commonness instead of being dropped).
+    * Weight = 1/cluster_size over the shared near-dup cluster frame,
+    * so each cluster contributes exactly one copy's worth of mass in
+    * expectation while every surface form stays available to the
+    * sampler. Per source: how many docs carry a discount, the raw
+    * vs effective token mass, and the mean weight — the numbers that
+    * decide between this and [[dedupSavings]]' hard removal.
+    *
+    * Cross-engine determinism: weights are integer micro-units
+    * (ppm = 1000000 / cluster_size, integer division — the repo's
+    * micro-unit discipline), so every sum is exact integer algebra
+    * and only the final single divisions are floating.
+    *
+    * Scale: rides the shared cluster-label frame (cached across the
+    * cluster family); cluster sizes come from a bounded per-cluster
+    * window on the doc-cardinality label frame; one doc_id join +
+    * a per-source aggregation. */
+  def softDedup(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val szW = Window.partitionBy("cluster_id")
+    val weights = dupClusters(docs.select("doc_id"), pairs)
+      .withColumn("_csz", count(lit(1)).over(szW))
+      .select(col("doc_id"), col("_csz"),
+        floor(lit(1000000L) / col("_csz")).cast("long").as("_ppm"))
+    docs.select(col("doc_id"), col("source"),
+        TextAnalysis.bpeTokensCol(col("text")).as("_tok"))
+      .join(weights, "doc_id")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("_csz") > 1, 1L).otherwise(0L)).as("n_discounted"),
+        sum("_tok").cast("long").as("tokens_raw"),
+        sum(col("_tok") * col("_ppm")).cast("long").as("_eff_ppm"),
+        sum("_ppm").cast("long").as("_w_ppm"))
+      .select(col("source"), col("n_docs"), col("n_discounted"),
+        col("tokens_raw"),
+        round(col("_eff_ppm").cast("double") / 1e6, 6).as("tokens_eff"),
+        round(col("_eff_ppm").cast("double") /
+          (col("tokens_raw").cast("double") * 1e6), 6).as("discount"),
+        round(col("_w_ppm").cast("double") /
+          (col("n_docs").cast("double") * 1e6), 6).as("mean_weight"))
+      .orderBy("source")
+  }
+
   /** Log₂ token-length histogram — the sequence-length planning
     * card (context-window choice, packing efficiency and truncation
     * loss all read off this shape; percentile buckets answer "where

@@ -298,4 +298,105 @@ object Sketches {
         row_number().over(rk).cast("long").as("rk"))
       .orderBy("rk")
   }
+
+  /** DDSketch quantile estimates per event type — the RELATIVE-error
+    * quantile sketch (Masson, Rim & Lee, VLDB 2019): bucket
+    * `i = ⌈log_γ v⌉` with `γ = (1+α)/(1−α)` holds `(γ^(i−1), γ^i]`,
+    * so the midpoint estimate `2γ^i/(γ+1)` is within α of ANY value
+    * in the bucket — a guarantee uniform across the value range,
+    * where [[quantileSketch]]'s equi-width bins give absolute error
+    * scaled to (hi−lo). The collapsing form bounds memory: when a
+    * key exceeds `maxBuckets` buckets, the LOWEST buckets fold into
+    * the floor bucket (the paper's collapse rule — low quantiles
+    * degrade first, high quantiles keep the guarantee; `n_collapsed`
+    * makes the fold visible per row). Values ≤ 0 go to the zero
+    * store (`n_zero`), exactly like the reference sketch.
+    *
+    * Complements the histogram-bucket family: the reference's timer
+    * aggregations quantile over buckets configured up front
+    * (src/aggregator quantile gauges — the streaming twins here),
+    * while DDSketch needs no bounds declared and merges by adding
+    * bucket counts.
+    *
+    * Cross-engine determinism: the bucket index rounds `ln v / ln γ`
+    * to 9 dp before the ceil (the repo's libm-rounding absorber — a
+    * flip would need the two engines' `ln` to disagree by > 1e-9
+    * relative), and `ln γ` itself is computed once here and embedded
+    * verbatim in the oracle SQL so both engines divide by the same
+    * double.
+    *
+    * Scale: bucket assignment is a map-side expression; the sketch is
+    * a (type, bucket) hash aggregation — map-side combined, the
+    * shuffle carries ≤ maxBuckets keys per type, and merging shards
+    * IS the aggregation's associativity. Collapse, the cumulative
+    * walk and the rank pick all run on bucket-cardinality frames.
+    * The exact column is the calibration target (per-type rank
+    * window — the documented approx swap for unbounded deployments,
+    * as in [[quantileSketch]]). */
+  def ddSketch(events: DataFrame, alpha: Double = 0.01,
+               maxBuckets: Int = 256): DataFrame = {
+    val gamma = (1 + alpha) / (1 - alpha)
+    val lnG = math.log(gamma)
+    val ps = Seq(0.5, 0.9, 0.95, 0.99)
+    val pos = events.select(col("event_type"), col("value"))
+      .where(col("value") > 0)
+    // ONE events scan builds the sketch: non-positives land in the
+    // null bucket (the zero store), positives in their log_γ bucket;
+    // the result is bucket-cardinality, so it checkpoints for the
+    // collapse / stats / cumulative branches below
+    val binned = events
+      .select(col("event_type"),
+        when(col("value") > 0,
+          ceil(round(log(col("value")) / lit(lnG), 9)).cast("long"))
+          .as("i"))
+      .groupBy("event_type", "i").agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = true)
+    val counts = binned.where(col("i").isNotNull)
+    val zeros = binned.where(col("i").isNull)
+      .select(col("event_type"), col("c").as("n_zero"))
+    val raw = counts.groupBy("event_type")
+      .agg(max("i").as("_max_i"), count(lit(1)).as("_nb_raw"))
+    val collapsed = counts.join(raw, "event_type")
+      .select(col("event_type"),
+        greatest(col("i"), col("_max_i") - lit(maxBuckets - 1)).as("i"),
+        col("c"))
+      .groupBy("event_type", "i").agg(sum("c").as("c"))
+    val st = collapsed.groupBy("event_type")
+      .agg(count(lit(1)).as("n_buckets"), sum("c").as("n"))
+      .join(raw, "event_type")
+      .select(col("event_type"), col("n_buckets"), col("n"),
+        (col("_nb_raw") - col("n_buckets")).as("n_collapsed"))
+    val cumW = Window.partitionBy("event_type").orderBy("i")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow) // ≤maxBuckets rows
+    val cum = collapsed.withColumn("cum", sum("c").over(cumW))
+    val tgt = st.join(zeros, Seq("event_type"), "left")
+      .withColumn("n_zero", coalesce(col("n_zero"), lit(0L)))
+      .select(col("event_type"), col("n"), col("n_buckets"),
+        col("n_collapsed"), col("n_zero"),
+        explode(array(ps.map(lit): _*)).as("p"))
+      .withColumn("r", floor(col("p") * (col("n") - 1)).cast("long"))
+    val est = lit(2d) * pow(lit(gamma), col("i")) / lit(gamma + 1)
+    val rankW = Window.partitionBy("event_type").orderBy("value")
+    val exact = pos
+      .withColumn("rk", row_number().over(rankW).cast("long"))
+      .select(col("event_type").as("_etype"), col("value"), col("rk"))
+    tgt.join(cum, Seq("event_type"))
+      .where(col("cum") > col("r") && col("cum") - col("c") <= col("r"))
+      .join(exact, col("event_type") === col("_etype") &&
+        col("rk") === col("r") + 1)
+      .select(col("event_type"), col("p"), col("n"), col("n_buckets"),
+        col("n_collapsed"), col("n_zero"),
+        round(est, 6).as("est_q"),
+        round(col("value"), 6).as("exact_v"),
+        round(abs(est - col("value")) / col("value"), 6).as("rel_err"))
+      .orderBy("event_type", "p")
+  }
+
+  /** The exact `ln γ` / `γ` literals [[ddSketch]] evaluates with,
+    * rendered for the oracle SQL (shortest round-trip repr — DuckDB
+    * parses back the identical double). */
+  def ddConstants(alpha: Double = 0.01): (String, String) = {
+    val gamma = (1 + alpha) / (1 - alpha)
+    (gamma.toString, math.log(gamma).toString)
+  }
 }

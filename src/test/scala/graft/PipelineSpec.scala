@@ -3189,4 +3189,79 @@ class PipelineSpec extends SparkSpec {
     assert(rem(11L)._2 == 0L && rem(11L)._3 == 39L)
     assert(!rem.contains(0L))
   }
+
+  test("DDSketch: α-guarantee, merge invariance, zero store") {
+    val s = spark
+    import s.implicits._
+    // 100 linear values: ~92 occupied buckets, no collapse — the
+    // paper's relative-error bound must hold at every probed p
+    val events = (1 to 100).map(i => (i.toLong, "t", i.toDouble))
+      .toDF("event_id", "event_type", "value")
+    val r = Sketches.ddSketch(events).collect()
+    assert(r.length == 4)
+    r.foreach { row =>
+      assert(row.getAs[Double]("rel_err") <= 0.01 + 1e-6,
+        s"p=${row.getAs[Double]("p")} rel_err=${row.getAs[Double]("rel_err")}")
+    }
+    assert(r.head.getAs[Long]("n_collapsed") == 0L)
+    assert(r.head.getAs[Long]("n_zero") == 0L)
+    // merge = bucket addition: the sketch is partition-invariant
+    val r32 = Sketches.ddSketch(events.repartition(32)).collect()
+    assert(r.map(_.toSeq).toSeq == r32.map(_.toSeq).toSeq)
+    // zero/negative store: non-positives counted, never bucketed
+    val z = Sketches.ddSketch(events.union(
+      Seq((900L, "t", 0.0), (901L, "t", -3.0))
+        .toDF("event_id", "event_type", "value"))).collect()
+    assert(z.head.getAs[Long]("n_zero") == 2L)
+    assert(z.head.getAs[Long]("n") == 100L)
+  }
+
+  test("DDSketch: collapse folds lowest buckets, high quantiles keep α") {
+    val s = spark
+    import s.implicits._
+    // 300 points spread over (0.001, 1] + 700 over [10, 500]: ~490
+    // occupied buckets fold to the 256-cap index range; every probed
+    // p ≥ 0.5 ranks in the high group, above the collapse cutoff
+    val low = (0 until 300).map(i =>
+      (i.toLong, "t", math.pow(10.0, -3.0 + 3.0 * i / 300.0)))
+    val high = (0 until 700).map(i =>
+      (1000L + i, "t", 10.0 + (490.0 * i) / 699.0))
+    val r = Sketches.ddSketch((low ++ high).toDF(
+      "event_id", "event_type", "value")).collect()
+    assert(r.head.getAs[Long]("n_collapsed") > 100L)
+    assert(r.head.getAs[Long]("n_buckets") <= 256L)
+    r.foreach { row =>
+      assert(row.getAs[Double]("rel_err") <= 0.01 + 1e-6,
+        s"p=${row.getAs[Double]("p")} rel_err=${row.getAs[Double]("rel_err")}")
+    }
+  }
+
+  test("soft dedup: cluster mass conserved, singletons keep full weight") {
+    val s = spark
+    import s.implicits._
+    // cluster {1,2,3} spans s1/s2; doc 4 is a singleton. Tokens:
+    // "aaaa bbbb" → 2, "cccc" → 1. Weight 1/3 → ppm 333333.
+    val docs = Seq(
+      (1L, "aaaa bbbb", "s1"), (2L, "aaaa bbbb", "s1"),
+      (3L, "aaaa bbbb", "s2"), (4L, "cccc", "s2"))
+      .toDF("doc_id", "text", "source")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val r = Corpus.softDedup(docs, pairs).collect()
+      .map(x => x.getAs[String]("source") -> x).toMap
+    assert(r("s1").getAs[Long]("n_docs") == 2L)
+    assert(r("s1").getAs[Long]("n_discounted") == 2L)
+    assert(r("s1").getAs[Long]("tokens_raw") == 4L)
+    assert(math.abs(r("s1").getAs[Double]("tokens_eff") - 1.333332) < 2e-6)
+    assert(math.abs(r("s1").getAs[Double]("mean_weight") - 1.0 / 3) < 2e-6)
+    assert(r("s2").getAs[Long]("n_discounted") == 1L)
+    assert(math.abs(r("s2").getAs[Double]("tokens_eff") -
+      (2 * 0.333333 + 1.0)) < 2e-6)
+    assert(math.abs(r("s2").getAs[Double]("mean_weight") -
+      (0.333333 + 1.0) / 2) < 2e-6)
+    // mass conservation: the cluster's three members sum to ≤ one
+    // copy's weight (ppm floor), singletons keep exactly 1.0
+    val eff = r.values.map(_.getAs[Double]("tokens_eff")).sum
+    val raw = r.values.map(_.getAs[Long]("tokens_raw")).sum
+    assert(eff <= raw.toDouble && eff > 0)
+  }
 }

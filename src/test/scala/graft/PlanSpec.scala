@@ -993,4 +993,24 @@ class PlanSpec extends SparkSpec {
         s"$q decode path grew a join/window:\n" + p.take(2000))
     }
   }
+
+  test("dd sketch: bucket frames broadcast, one scan beyond the checkpoint") {
+    // the sketch itself materializes at the eager checkpoint (one
+    // events scan); the composed card must join the bucket-cardinality
+    // frames only as broadcasts, leaving the calibration rank scan as
+    // the single remaining parquet read
+    val p = plan("sketch_dd")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected 1 in-plan scan, got $scans:\n" + p.take(1500))
+  }
+
+  test("soft dedup rides the shared cluster frame and joins on doc_id") {
+    val p = plan("corpus_softdedup")
+    // the cluster-label lineage is the family's cached frame
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      "cluster labels not served from the family cache:\n" + p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
 }
