@@ -333,24 +333,35 @@ object Sketches {
     * The exact column is the calibration target (per-type rank
     * window — the documented approx swap for unbounded deployments,
     * as in [[quantileSketch]]). */
-  def ddSketch(events: DataFrame, alpha: Double = 0.01,
-               maxBuckets: Int = 256): DataFrame = {
-    val gamma = (1 + alpha) / (1 - alpha)
-    val lnG = math.log(gamma)
-    val ps = Seq(0.5, 0.9, 0.95, 0.99)
-    val pos = events.select(col("event_type"), col("value"))
-      .where(col("value") > 0)
-    // ONE events scan builds the sketch: non-positives land in the
-    // null bucket (the zero store), positives in their log_γ bucket;
-    // the result is bucket-cardinality, so it checkpoints for the
-    // collapse / stats / cumulative branches below
-    val binned = events
+  /** The DDSketch's maintained state: (event_type, bucket, count)
+    * cells with non-positive values in the NULL bucket (the zero
+    * store). Streaming-safe BY CONSTRUCTION — on an unbounded input
+    * the same groupBy runs as a stateful count in complete/update
+    * mode, maintaining exactly these cells with no bounds declared
+    * up front (the advantage over [[histogram]]'s fixed-bounds
+    * cells); [[ddSketch]]'s collapse + read-back then run batch-side
+    * on the tiny maintained table. Cell parity between the streamed
+    * and batch forms is spec-pinned. */
+  def ddBuckets(events: DataFrame, alpha: Double = 0.01): DataFrame = {
+    val lnG = math.log((1 + alpha) / (1 - alpha))
+    events
       .select(col("event_type"),
         when(col("value") > 0,
           ceil(round(log(col("value")) / lit(lnG), 9)).cast("long"))
           .as("i"))
       .groupBy("event_type", "i").agg(count(lit(1)).as("c"))
-      .localCheckpoint(eager = true)
+  }
+
+  def ddSketch(events: DataFrame, alpha: Double = 0.01,
+               maxBuckets: Int = 256): DataFrame = {
+    val gamma = (1 + alpha) / (1 - alpha)
+    val ps = Seq(0.5, 0.9, 0.95, 0.99)
+    val pos = events.select(col("event_type"), col("value"))
+      .where(col("value") > 0)
+    // ONE events scan builds the sketch ([[ddBuckets]]); the result
+    // is bucket-cardinality, so it checkpoints for the collapse /
+    // stats / cumulative branches below
+    val binned = ddBuckets(events, alpha).localCheckpoint(eager = true)
     val counts = binned.where(col("i").isNotNull)
     val zeros = binned.where(col("i").isNull)
       .select(col("event_type"), col("c").as("n_zero"))

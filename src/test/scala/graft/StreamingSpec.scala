@@ -704,6 +704,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dd-sketch cells equal the batch buckets of all arrived data") {
+    // ddBuckets is streaming-safe BY CONSTRUCTION: the (type, bucket)
+    // count runs as a stateful aggregation in complete mode; no value
+    // bounds are declared up front (the DDSketch advantage over the
+    // fixed-bounds histogram), and non-positives land in the null
+    // bucket — the zero store — instead of being dropped
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Double)]
+    val vals = mem.toDF().toDF("event_type", "value")
+    val q = graft.pipeline.Sketches.ddBuckets(vals)
+      .writeStream.format("memory").queryName("dd_cells")
+      .outputMode("complete").start()
+    try {
+      mem.addData(("a", 5.0), ("a", 5.001), ("b", 900.0))
+      q.processAllAvailable()
+      // a later batch widens the range with no re-configuration and
+      // sends a non-positive into the zero store
+      mem.addData(("a", 1e-4), ("a", 4e8), ("b", -1.0))
+      q.processAllAvailable()
+      val streamed = s.sql("SELECT event_type, i, c FROM dd_cells")
+        .collect().map(_.toSeq).toSet
+      val batch = graft.pipeline.Sketches.ddBuckets(
+        Seq(("a", 5.0), ("a", 5.001), ("b", 900.0),
+          ("a", 1e-4), ("a", 4e8), ("b", -1.0))
+          .toDF("event_type", "value")).collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      // 5.0 and 5.001 share a 1%-γ bucket; the zero store holds −1.0
+      val cells = streamed.map(r => (r.head, r(1)) -> r(2)).toMap
+      assert(cells.exists { case ((t, _), c) => t == "a" && c == 2L })
+      assert(cells(("b", null)) == 1L)
+    } finally q.stop()
+  }
+
   test("streaming hll registers equal the batch sketch of all arrived data") {
     // the batch register build (explode → md5 → groupBy max) is
     // streaming-safe BY CONSTRUCTION — the same operator runs as a
