@@ -1399,6 +1399,8 @@ object PipelineQueries {
       Corpus.doremiWeights(Tables.documents(s, dir)).orderBy("source")),
     "corpus_temperature" -> ((s, dir) =>
       Corpus.temperatureMixture(Tables.documents(s, dir)).orderBy("source")),
+    "corpus_epochs" -> ((s, dir) =>
+      Corpus.dataConstrainedEpochs(Tables.documents(s, dir))),
     // CCNet head/middle/tail perplexity terciles per language
     "corpus_ccnet" -> ((s, dir) =>
       Corpus.ccnetBuckets(Tables.documents(s, dir)).orderBy("doc_id")),
@@ -4176,6 +4178,29 @@ object PipelineQueries {
         |  CAST(row_number() OVER (PARTITION BY stage, rnd % 8
         |   ORDER BY rnd, doc_id) - 1 AS BIGINT) AS position
         | FROM s ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "corpus_epochs" ->
+      s"""WITH tk AS (SELECT source, CAST(sum(doctok) AS BIGINT)
+         |   AS unique_tokens FROM (SELECT source,
+         |   list_sum(list_transform(string_split_regex(lower(text), '\\s+'),
+         |    t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS doctok
+         |  FROM documents) AS d GROUP BY source),
+         | n AS (SELECT CAST(sum(unique_tokens) AS BIGINT) AS total,
+         |  sum(sqrt(unique_tokens::DOUBLE)) AS psum FROM tk),
+         | a AS (SELECT tk.source, tk.unique_tokens,
+         |   CAST(floor(sqrt(tk.unique_tokens::DOUBLE) / n.psum * n.total
+         |    * 4.0) AS BIGINT) AS alloc_tokens
+         |  FROM tk, n),
+         | e AS (SELECT source, unique_tokens, alloc_tokens,
+         |   alloc_tokens::DOUBLE / unique_tokens AS epochs FROM a)
+         | SELECT source, unique_tokens, alloc_tokens,
+         |  round(epochs, 6) AS epochs,
+         |  round(CASE WHEN epochs <= 1 THEN alloc_tokens::DOUBLE
+         |   ELSE unique_tokens * (1 + 15.39 * (1 - exp((1 - epochs)
+         |    / 15.39))) END, 6) AS eff_tokens,
+         |  round(CASE WHEN epochs <= 1 THEN alloc_tokens::DOUBLE
+         |   ELSE unique_tokens * (1 + 15.39 * (1 - exp((1 - epochs)
+         |    / 15.39))) END / alloc_tokens, 6) AS eff_frac
+         | FROM e ORDER BY source""".stripMargin.replace("\n", " "),
     "corpus_temperature" ->
       """WITH s AS (SELECT source,
         |  CAST(sum(len(string_split_regex(lower(text), '\s+'))) AS BIGINT)

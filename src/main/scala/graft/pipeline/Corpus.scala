@@ -416,6 +416,51 @@ object Corpus {
           col("total") / col("tokens"), 6).as("epochs"))
   }
 
+  /** Data-constrained scaling card (Muennighoff et al. 2023,
+    * "Scaling Data-Constrained Language Models"): when a token
+    * budget exceeds the corpus, sources get REPEATED, and repeated
+    * tokens decay in value — the paper's fit gives effective data
+    * `D' = U·(1 + R*·(1 − e^(−R_D/R*)))` with `R_D = epochs − 1`
+    * repetitions and decay constant `R* = 15.39`. The card allocates
+    * a `budgetMult`× corpus budget by the τ=0.5 temperature share
+    * (the [[temperatureMixture]] rule — small sources upsample, so
+    * they hit MORE epochs and decay first) and reports per source:
+    * available tokens, allocated tokens, epochs, effective tokens
+    * under the decay, and the effective fraction — the number that
+    * says whether upsampling a small source is still buying anything
+    * or just re-reading it.
+    *
+    * Cross-engine determinism: allocations floor to whole tokens, so
+    * epochs and the decay chain evaluate from exact integers in both
+    * engines; only the sqrt-share normalizer carries a float sum
+    * (through a floor, where a flip needs ~1e-10 proximity to an
+    * integer).
+    *
+    * Scale: a per-source aggregation + two one-row broadcasts —
+    * sources-sized everywhere after the token-count scan. */
+  def dataConstrainedEpochs(docs: DataFrame, budgetMult: Double = 4.0,
+                            rStar: Double = 15.39): DataFrame = {
+    val perSrc = docs
+      .select(col("source"), TextAnalysis.bpeTokensCol(col("text")).as("tok"))
+      .groupBy("source").agg(sum("tok").as("unique_tokens"))
+    val norms = perSrc.agg(sum("unique_tokens").as("total"),
+      sum(sqrt(col("unique_tokens").cast("double"))).as("psum"))
+    val alloc = perSrc.crossJoin(broadcast(norms))
+      .withColumn("alloc_tokens",
+        floor(sqrt(col("unique_tokens").cast("double")) / col("psum") *
+          col("total") * lit(budgetMult)).cast("long"))
+      .withColumn("epochs",
+        col("alloc_tokens").cast("double") / col("unique_tokens"))
+    val eff = when(col("epochs") <= 1d, col("alloc_tokens").cast("double"))
+      .otherwise(col("unique_tokens") * (lit(1d) + lit(rStar) *
+        (lit(1d) - exp((lit(1d) - col("epochs")) / lit(rStar)))))
+    alloc.select(col("source"), col("unique_tokens"), col("alloc_tokens"),
+      round(col("epochs"), 6).as("epochs"),
+      round(eff, 6).as("eff_tokens"),
+      round(eff / col("alloc_tokens"), 6).as("eff_frac"))
+      .orderBy("source")
+  }
+
   /** DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi:
     * Optimizing Data Mixtures Speeds Up Language Model Pretraining")
     * restated with the engine's own LMs: DoReMi weights domains by

@@ -3236,6 +3236,37 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("data-constrained epochs: allocation floors, decay bounds hold") {
+    val s = spark
+    import s.implicits._
+    // s1: 4 tokens, s2: 16 tokens → psum = 2+4 = 6, total 20, budget
+    // 80 → alloc ⌊2/6·80⌋ = 26 and ⌊4/6·80⌋ = 53 (floored, integer)
+    val docs = (Seq((1L, "aaaa bbbb cccc dddd", "s1")) ++
+      (2 to 5).map(i => (i.toLong, "aaaa bbbb cccc dddd", "s2")))
+      .toDF("doc_id", "text", "source")
+    val r = Corpus.dataConstrainedEpochs(docs).collect()
+      .map(x => x.getAs[String]("source") -> x).toMap
+    assert(r("s1").getAs[Long]("unique_tokens") == 4L)
+    assert(r("s2").getAs[Long]("unique_tokens") == 16L)
+    assert(r("s1").getAs[Long]("alloc_tokens") == 26L)
+    assert(r("s2").getAs[Long]("alloc_tokens") == 53L)
+    assert(r("s1").getAs[Double]("epochs") == 6.5)
+    // the decay formula, replayed: D' = U(1 + R*(1 − e^((1−epochs)/R*)))
+    def eff(u: Double, ep: Double) =
+      u * (1 + 15.39 * (1 - math.exp((1 - ep) / 15.39)))
+    assert(math.abs(r("s1").getAs[Double]("eff_tokens") - eff(4, 6.5)) < 1e-5)
+    assert(math.abs(r("s2").getAs[Double]("eff_tokens") -
+      eff(16, 53.0 / 16)) < 1e-5)
+    // monotone sanity: repetition always loses mass, and the smaller
+    // (more-upsampled) source loses a larger fraction
+    r.values.foreach { row =>
+      assert(row.getAs[Double]("eff_tokens") <=
+        row.getAs[Long]("alloc_tokens").toDouble)
+      assert(row.getAs[Double]("eff_frac") <= 1.0)
+    }
+    assert(r("s1").getAs[Double]("eff_frac") < r("s2").getAs[Double]("eff_frac"))
+  }
+
   test("soft dedup: cluster mass conserved, singletons keep full weight") {
     val s = spark
     import s.implicits._
