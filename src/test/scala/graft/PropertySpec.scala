@@ -804,4 +804,27 @@ class PropertySpec extends SparkSpec {
     })
     assert(r.passed, r.status.toString)
   }
+
+  test("property: dd-sketch keeps the α bound across magnitudes") {
+    val s = spark
+    import s.implicits._
+    // each case = one event_type: values span ≤1.5 decades at a random
+    // magnitude 1e-6..1e6 (≈175 occupied buckets, under the collapse
+    // cap), so the paper's relative-error guarantee must hold exactly
+    val genCase = for {
+      l <- Gen.chooseNum(-6.0, 6.0)
+      n <- Gen.chooseNum(5, 150)
+      ds <- Gen.listOfN(n, Gen.chooseNum(0.0, 1.5))
+    } yield ds.map(d => math.pow(10.0, l + d))
+    check(Prop.forAll(Gen.listOfN(6, genCase)) { cases =>
+      val rows = cases.zipWithIndex.flatMap { case (vs, i) =>
+        vs.map(v => (s"c$i", v))
+      }.toDF("event_type", "value")
+      val r = pipeline.Sketches.ddSketch(rows).collect()
+      r.nonEmpty && r.forall { row =>
+        row.getAs[Double]("rel_err") <= 0.01 + 1e-6 &&
+          row.getAs[Long]("n_collapsed") == 0L
+      }
+    })
+  }
 }
