@@ -322,6 +322,23 @@ object PipelineQueries {
       t
     })
 
+  /** Once-per-(session, sf dir) DDSketch cell table over the events
+    * — TWO halves via build + append so the stored path always
+    * exercises the read-time sum-merge. */
+  private val ddTables =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def ddTable(s: SparkSession, dir: String): String =
+    ddTables.getOrElseUpdate((s, dir), {
+      val t = "graft_dd_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+      val events = Tables.events(s, dir)
+      graft.sources.SketchStore.buildDd(
+        events.where(col("event_id") % 2 === 0), t)
+      graft.sources.SketchStore.appendDd(
+        events.where(col("event_id") % 2 =!= 0), t)
+      t
+    })
+
   /** LSH bucket id SQL — regenerates the identical hyperplane family
     * as [[Similarity.lshBucket]] (same mixing, same literal ±1
     * weights), so the oracle replays the bucketing exactly. */
@@ -1284,6 +1301,9 @@ object PipelineQueries {
     "store_hll" -> ((s, dir) =>
       graft.sources.SketchStore.estimate(s, sketchTable(s, dir),
         Tables.documents(s, dir))),
+    "store_dd" -> ((s, dir) =>
+      graft.sources.SketchStore.ddEstimate(s, ddTable(s, dir),
+        Tables.events(s, dir))),
     "text_bm25" -> ((s, dir) =>
       TextAnalysis.bm25(Tables.documents(s, dir), BM25_TERMS)
         .orderBy("doc_id")),
@@ -1514,7 +1534,8 @@ object PipelineQueries {
   lazy val oracles: Map[String, String] = oracleBase ++ Map(
     "store_ann" -> oracleBase("sim_ivf_ann"),
     "store_ivfpq" -> oracleBase("sim_ivfpq_ann"),
-    "store_hll" -> oracleBase("corpus_hll"))
+    "store_hll" -> oracleBase("corpus_hll"),
+    "store_dd" -> oracleBase("sketch_dd"))
 
   private val oracleBase: Map[String, String] = Map(
     "dedup_exact" ->

@@ -353,15 +353,24 @@ object Sketches {
   }
 
   def ddSketch(events: DataFrame, alpha: Double = 0.01,
-               maxBuckets: Int = 256): DataFrame = {
+               maxBuckets: Int = 256): DataFrame =
+    // ONE events scan builds the sketch ([[ddBuckets]]); the result
+    // is bucket-cardinality, so it checkpoints for the collapse /
+    // stats / cumulative branches of the read-back
+    ddReadback(ddBuckets(events, alpha).localCheckpoint(eager = true),
+      events, alpha, maxBuckets)
+
+  /** Quantile read-back from an already-built bucket frame — the
+    * piece [[graft.sources.SketchStore]]'s persisted cells share
+    * with the direct path, so stored and direct answers are
+    * byte-identical. `events` supplies only the exact-rank
+    * calibration column. */
+  private[graft] def ddReadback(binned: DataFrame, events: DataFrame,
+                                alpha: Double, maxBuckets: Int): DataFrame = {
     val gamma = (1 + alpha) / (1 - alpha)
     val ps = Seq(0.5, 0.9, 0.95, 0.99)
     val pos = events.select(col("event_type"), col("value"))
       .where(col("value") > 0)
-    // ONE events scan builds the sketch ([[ddBuckets]]); the result
-    // is bucket-cardinality, so it checkpoints for the collapse /
-    // stats / cumulative branches below
-    val binned = ddBuckets(events, alpha).localCheckpoint(eager = true)
     val counts = binned.where(col("i").isNotNull)
     val zeros = binned.where(col("i").isNull)
       .select(col("event_type"), col("c").as("n_zero"))

@@ -68,4 +68,49 @@ object SketchStore {
     folded.write.mode("overwrite").partitionBy("source")
       .format("parquet").saveAsTable(table)
   }
+
+  // ---- persisted DDSketch cells (the SUM-mergeable sibling) ----
+  //
+  // Same lifecycle with the other merge algebra: HLL registers fold
+  // by max (idempotent — re-appending history is harmless), DDSketch
+  // bucket counts fold by SUM (additive — an append is a NEW batch
+  // of events, exactly a counter's semantics). Appends stay blind
+  // row appends; reads sum; compaction folds to ≤cap rows per type.
+
+  /** Build the DDSketch cell table from an event batch. */
+  def buildDd(events: DataFrame, table: String): Unit = {
+    val spark = events.sparkSession
+    dropTable(spark, table)
+    Sketches.ddBuckets(events)
+      .write.mode("overwrite").partitionBy("event_type")
+      .format("parquet").saveAsTable(table)
+  }
+
+  /** Fold a new event batch in: a blind row append — counts
+    * sum-merge at read, so appending never reads history. */
+  def appendDd(events: DataFrame, table: String): Unit =
+    Sketches.ddBuckets(events)
+      .write.mode("append").partitionBy("event_type")
+      .format("parquet").saveAsTable(table)
+
+  /** The merged cell view (sum over appended rows). */
+  def ddCells(spark: SparkSession, table: String): DataFrame =
+    spark.table(table).groupBy("event_type", "i").agg(sum("c").as("c"))
+
+  /** Quantiles from the STORED cells — byte-identical to the direct
+    * [[Sketches.ddSketch]] when the table holds the same events
+    * (shared read-back), with the exact calibration column still
+    * computed from the live events frame. */
+  def ddEstimate(spark: SparkSession, table: String,
+                 events: DataFrame): DataFrame =
+    Sketches.ddReadback(ddCells(spark, table), events,
+      alpha = 0.01, maxBuckets = 256)
+
+  /** In-place compaction: fold appended duplicate cells back to one
+    * row per (type, bucket). */
+  def compactDd(spark: SparkSession, table: String): Unit = {
+    val folded = ddCells(spark, table).localCheckpoint(eager = true)
+    folded.write.mode("overwrite").partitionBy("event_type")
+      .format("parquet").saveAsTable(table)
+  }
 }

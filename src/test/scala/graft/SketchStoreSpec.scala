@@ -56,4 +56,46 @@ class SketchStoreSpec extends SparkSpec {
       "source filter did not reach the partition pruning:\n" +
         plan.take(2000))
   }
+
+  private def ddEvents = {
+    val s = spark
+    import s.implicits._
+    (1 to 200).map(i => (i.toLong, if (i % 2 == 0) "a" else "b", i * 0.5))
+      .toDF("event_id", "event_type", "value")
+  }
+
+  test("stored dd quantiles are byte-equal to the direct sketch") {
+    val events = ddEvents
+    val t = "graft_dd_spec"
+    // two appended halves: the read-time sum-merge is on the path
+    SketchStore.buildDd(events.where(col("event_id") <= 100), t)
+    SketchStore.appendDd(events.where(col("event_id") > 100), t)
+    val stored = SketchStore.ddEstimate(spark, t, events)
+      .collect().map(_.toSeq)
+    val direct = Sketches.ddSketch(events).collect().map(_.toSeq)
+    assert(stored.toSeq == direct.toSeq)
+  }
+
+  test("dd cells sum-merge: re-appending a batch doubles its counts") {
+    val events = ddEvents
+    val t = "graft_dd_spec_a"
+    SketchStore.buildDd(events, t)
+    val once = SketchStore.ddCells(spark, t).collect()
+      .map(r => (r.get(0), r.get(1)) -> r.getAs[Long]("c")).toMap
+    // counts are ADDITIVE (counter algebra): appending the same batch
+    // again is new data and doubles every cell — unlike the HLL
+    // registers, where re-appending history is a no-op under max
+    SketchStore.appendDd(events, t)
+    val twice = SketchStore.ddCells(spark, t).collect()
+      .map(r => (r.get(0), r.get(1)) -> r.getAs[Long]("c")).toMap
+    assert(twice.keySet == once.keySet)
+    once.foreach { case (k, c) => assert(twice(k) == 2 * c) }
+    // compaction folds back to one row per cell, counts unchanged
+    val rawRows = spark.table(t).count()
+    SketchStore.compactDd(spark, t)
+    assert(spark.table(t).count() < rawRows)
+    val after = SketchStore.ddCells(spark, t).collect()
+      .map(r => (r.get(0), r.get(1)) -> r.getAs[Long]("c")).toMap
+    assert(after == twice)
+  }
 }
