@@ -1384,6 +1384,8 @@ object PipelineQueries {
       val docs = Tables.documents(s, dir)
       Corpus.canonicalPick(docs, verifiedPairs(docs)).orderBy("doc_id")
     }),
+    "corpus_pack_fold" -> ((s, dir) =>
+      Corpus.packFold(Tables.documents(s, dir))),
     "corpus_pack" -> ((s, dir) =>
       Corpus.packSequences(Tables.documents(s, dir)).orderBy("doc_id")),
     "dedup_incremental" -> ((s, dir) =>
@@ -4100,6 +4102,37 @@ object PipelineQueries {
          |  CAST(rn = 1 AS INT) AS keep_best
          | FROM r ORDER BY doc_id""".stripMargin.replace("\n", " ")
     },
+    "corpus_pack_fold" ->
+      """WITH toks AS (SELECT doc_id,
+        |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 8
+        |    AS shard,
+        |  CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        | fit AS (SELECT * FROM toks WHERE n_tokens <= 512),
+        | ov AS (SELECT shard, count(*) AS n_oversize FROM toks
+        |  WHERE n_tokens > 512 GROUP BY shard),
+        | rk AS (SELECT shard, doc_id, n_tokens,
+        |   CAST(row_number() OVER (PARTITION BY shard
+        |     ORDER BY n_tokens DESC, doc_id ASC) AS BIGINT) AS r,
+        |   count(*) OVER (PARTITION BY shard) AS n FROM fit),
+        | b AS (SELECT l.shard, l.n_tokens,
+        |   CASE WHEN l.r <> m.r AND l.n_tokens + m.n_tokens <= 512
+        |    THEN least(l.r, m.r) ELSE l.r END AS bin
+        |  FROM rk AS l JOIN rk AS m
+        |   ON m.shard = l.shard AND m.r = l.n + 1 - l.r),
+        | ps AS (SELECT shard, count(*) AS n_docs, sum(n_tokens) AS tokens,
+        |   count(DISTINCT bin) AS n_bins,
+        |   count(*) - count(DISTINCT bin) AS n_pairs
+        |  FROM b GROUP BY shard)
+        | SELECT ps.shard, CAST(ps.n_docs AS BIGINT) AS n_docs,
+        |  CAST(coalesce(ov.n_oversize, 0) AS BIGINT) AS n_oversize,
+        |  CAST(ps.tokens AS BIGINT) AS tokens,
+        |  CAST(ps.n_bins AS BIGINT) AS n_bins,
+        |  CAST(ps.n_pairs AS BIGINT) AS n_pairs,
+        |  round(ps.tokens::DOUBLE / (ps.n_bins * 512), 6) AS fill_ratio,
+        |  CAST(ceil(ps.tokens::DOUBLE / 512) AS BIGINT) AS lower_bound
+        | FROM ps LEFT JOIN ov ON ov.shard = ps.shard
+        | ORDER BY ps.shard""".stripMargin.replace("\n", " "),
     "corpus_pack" ->
       """WITH toks AS (SELECT doc_id,
         |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 8

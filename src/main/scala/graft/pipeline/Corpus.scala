@@ -1118,6 +1118,72 @@ object Corpus {
           .cast("long").as("last_seq"))
   }
 
+  /** Fold-pairing sequence packer — the zero-straddler alternative
+    * to [[packSequences]]' concat-and-chunk: within each shard, docs
+    * sort by length (desc) and the r-th longest pairs with the r-th
+    * shortest (its mirror rank) when the two fit one context window —
+    * the classic sorted-folding bin-packing heuristic, the
+    * window-only special case of the first-fit/histogram packers
+    * (Graphcore's packedBERT SPFHP family) that a plain SQL replay
+    * can pin exactly. No document ever straddles a bin boundary
+    * (attention contamination = 0 by construction, where concat
+    * packing trades that for a perfect fill), at the cost of padding
+    * in bins that don't fill. Docs longer than the context window
+    * route to the chunker ([[chunkDocs]]) and are counted, not
+    * silently dropped.
+    *
+    * Per shard: doc/oversize counts, token mass, bins and packed
+    * pairs, fill ratio, and the ⌈tokens/ctx⌉ lower bound — the
+    * concat-vs-fold decision next to [[packStats]]' straddler count.
+    *
+    * Scale: one shard-partitioned rank window (the packSequences
+    * shuffle) + a mirror-rank self-join ON THE RANK FRAME (doc
+    * cardinality, equi-join on (shard, rank) — no expansion) + a
+    * shards-sized aggregation. */
+  def packFold(docs: DataFrame, ctxTokens: Int = 512,
+               nShards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"),
+      pmod(Dedup.md5Int(col("doc_id").cast("string")), lit(nShards.toLong))
+        .as("shard"),
+      size(org.apache.spark.sql.functions.split(lower(col("text")), "\\s+"))
+        .cast("long").as("n_tokens"))
+    val fit = toks.where(col("n_tokens") <= ctxTokens)
+    val over = toks.where(col("n_tokens") > ctxTokens)
+      .groupBy("shard").agg(count(lit(1)).as("n_oversize"),
+        sum("n_tokens").as("oversize_tokens"))
+    val rkW = Window.partitionBy("shard")
+      .orderBy(col("n_tokens").desc, col("doc_id").asc)
+    val ranked = fit
+      .withColumn("r", row_number().over(rkW).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("shard")))
+    val mirror = ranked.select(col("shard").as("_m_shard"),
+      col("r").as("_m_r"), col("n_tokens").as("_m_tokens"))
+    val binned = ranked.join(mirror,
+        col("shard") === col("_m_shard") &&
+          col("_m_r") === col("n") + 1 - col("r"))
+      .select(col("shard"), col("n_tokens"), col("r"),
+        // a mirror pair packs iff both fit one window; the head rank
+        // names the bin, the middle element (odd n: r = mirror) and
+        // unpackable pairs sit alone
+        when(col("r") =!= col("_m_r") &&
+          col("n_tokens") + col("_m_tokens") <= ctxTokens,
+          least(col("r"), col("_m_r"))).otherwise(col("r")).as("bin"))
+    val perShard = binned.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens"),
+        countDistinct("bin").as("n_bins"),
+        (count(lit(1)) - countDistinct("bin")).as("n_pairs"))
+    perShard.join(over, Seq("shard"), "left")
+      .select(col("shard"), col("n_docs"),
+        coalesce(col("n_oversize"), lit(0L)).as("n_oversize"),
+        col("tokens"), col("n_bins"), col("n_pairs"),
+        round(col("tokens").cast("double") /
+          (col("n_bins") * lit(ctxTokens.toLong)), 6).as("fill_ratio"),
+        ceil(col("tokens").cast("double") / ctxTokens).cast("long")
+          .as("lower_bound"))
+      .orderBy("shard")
+  }
+
   /** Packing-efficiency report — the operational readout of
     * [[packSequences]] pipelines: per shard, how many fixed-size
     * training sequences the token mass fills, the fill ratio (concat

@@ -3267,6 +3267,32 @@ class PipelineSpec extends SparkSpec {
     assert(r("s1").getAs[Double]("eff_frac") < r("s2").getAs[Double]("eff_frac"))
   }
 
+  test("fold packing: mirror pairs fit, odd middle and misfits sit alone") {
+    val s = spark
+    import s.implicits._
+    def doc(id: Long, words: Int) = (id, (1 to words).map(i => "w").mkString(" "))
+    // lengths 10,9,5,2,1 at ctx=12: (10,1) and (9,2) pack, 5 sits
+    // alone → 3 bins, 2 pairs, fill 27/36
+    val docs = Seq(doc(1, 10), doc(2, 9), doc(3, 5), doc(4, 2), doc(5, 1),
+      doc(6, 15)) // oversize → chunker route
+      .toDF("doc_id", "text")
+    val r = Corpus.packFold(docs, ctxTokens = 12, nShards = 1).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_docs") == 5L)
+    assert(row.getAs[Long]("n_oversize") == 1L)
+    assert(row.getAs[Long]("tokens") == 27L)
+    assert(row.getAs[Long]("n_bins") == 3L)
+    assert(row.getAs[Long]("n_pairs") == 2L)
+    assert(math.abs(row.getAs[Double]("fill_ratio") - 27.0 / 36) < 1e-6)
+    assert(row.getAs[Long]("lower_bound") == 3L)
+    // misfit mirrors stay separate: 8+7 > 12 → two singleton bins
+    val misfit = Seq(doc(1, 8), doc(2, 7)).toDF("doc_id", "text")
+    val m = Corpus.packFold(misfit, ctxTokens = 12, nShards = 1)
+      .collect().head
+    assert(m.getAs[Long]("n_bins") == 2L && m.getAs[Long]("n_pairs") == 0L)
+  }
+
   test("soft dedup: cluster mass conserved, singletons keep full weight") {
     val s = spark
     import s.implicits._
