@@ -653,33 +653,35 @@ object Dedup {
     * fixed word-window [[spanDedup]] shifts by one token and misses.
     * Output: doc pairs ranked by shared fingerprint count.
     *
-    * Scale: gram formation and hashing are map-side over the
-    * pre-projected normalized string; min-selection is a per-doc
-    * ordered window (partitioned by doc_id — the sessionize shuffle
-    * shape, bounded frames of `win` rows); the pair join runs over
-    * fingerprint HASHES with the same hot-key cap as the LSH bucket
-    * joins (a boilerplate fingerprint shared by >`maxDocsPerFp` docs
-    * is dropped and counted against recall, never joined N²). The
-    * rightmost-min rule rides a lexicographic struct max ((−h, pos)),
-    * one window pass, no self-join. */
+    * Scale: gram hashing and min-selection are a per-doc sequential
+    * walk, so they run in the suffix-chain shape — one cheap
+    * exchange of DOC rows (pinned-count repartition; the gram hash
+    * work is ~k× the input bytes) and an imperative flatMap: gram
+    * md5s stream through a monotonic deque (rightmost-on-ties pop
+    * rule — exactly the lexicographic struct-max ((−h, pos)) the r4
+    * declarative form window-scanned; a differential spec pins the
+    * two forms equal), and each doc emits its DISTINCT fingerprint
+    * set directly — the char-row exchange, the win-row frame window
+    * and the post-hoc `.distinct()` all disappear. The pair join
+    * runs over fingerprint HASHES with the same hot-key cap as the
+    * LSH bucket joins (a boilerplate fingerprint shared by
+    * >`maxDocsPerFp` docs is dropped and counted against recall,
+    * never joined N²). */
   def winnowPairs(docs: DataFrame, k: Int = 5, win: Int = 4,
                   maxDocsPerFp: Int = 50, topK: Int = 20): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val base = docs.select(col("doc_id"),
       regexp_replace(lower(col("text")), "\\s+", "").as("t"))
-      .withColumn("np", length(col("t")) - (k - 1))
-      .where(col("np") >= win) // need ≥1 full window
-    val grams = base.select(col("doc_id"), col("np"),
-      posexplode(transform(sequence(lit(1), col("np")),
-        i => conv(substring(md5(col("t").substr(i, lit(k))), 1, 8), 16, 10)
-          .cast("long"))).as(Seq("p0", "h")))
-      .select(col("doc_id"), col("np"), (col("p0") + 1).as("pos"), col("h"))
-    val wW = Window.partitionBy("doc_id").orderBy("pos")
-      .rowsBetween(Window.currentRow, win - 1)
-    val fps = grams
-      .withColumn("pick", max(struct((-col("h")).as("nh"),
-        col("pos").as("p"))).over(wW))
-      .where(col("pos") <= col("np") - (win - 1)) // full windows only
-      .select(col("doc_id"), (-col("pick.nh")).as("fp_h")).distinct()
+      .where(length(col("t")) - (k - 1) >= win) // need ≥1 full window
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        col("doc_id"))
+    val fps = base.as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, t) => winnowFps(md, t, k, win).map(id -> _) }
+      }
+      .toDF("doc_id", "fp_h")
     val hot = fps.groupBy("fp_h").agg(count(lit(1)).as("nd"))
       .where(col("nd") <= maxDocsPerFp)
     val capped = fps.join(hot.select("fp_h"), "fp_h")
@@ -725,41 +727,148 @@ object Dedup {
     * shard-independent), so the 100 TB form shards the corpus and
     * adds. Char codes project inside the scan stage — the text column
     * never crosses a shuffle. */
-  /** Level-0 suffix frame: one row per (doc, char position), group
-    * id = the char's code point. Text never leaves the scan stage. */
-  private def suffixBase(docs: DataFrame): DataFrame = docs
-    .select(col("doc_id"),
-      posexplode(transform(sequence(lit(1), length(col("text"))),
-        i => ascii(col("text").substr(i, lit(1))).cast("long")))
-        .as(Seq("_p0", "g")))
-    .select(col("doc_id"), (col("_p0") + 1).as("pos"), col("g"))
+  /** 60-bit doubling-round hash, bit-identical to the declarative
+    * `conv(substring(md5(concat(g, ':', next-or-END)), 1, 15), 16,
+    * 10)` the ORACLES replay in DuckDB: decimal-formatted operands,
+    * md5 over UTF-8, first 15 hex nibbles = bytes 0..6 plus the high
+    * nibble of byte 7. Pinned against the expression form by a
+    * differential spec (`PipelineSpec`). */
+  /** Per-doc robust winnowing (Schleimer/Wilkerson/Aiken §3.2): md5
+    * char-`k`-gram hashes (first 8 hex nibbles, the declarative
+    * `conv(substring(md5(gram), 1, 8), 16, 10)`), sliding minimum
+    * per `win`-window via a monotonic deque whose pop-on-`>=` rule
+    * keeps the RIGHTMOST index among equal minima — bit-identical to
+    * the lexicographic struct-max ((−h, pos)) window the oracle
+    * replays. Returns the doc's distinct fingerprint set in first-
+    * selection order. */
+  private[graft] def winnowFps(md: java.security.MessageDigest,
+                               t: String, k: Int, win: Int): Iterator[Long] = {
+    val cps = t.codePoints().toArray
+    val np = cps.length - (k - 1)
+    val h = new Array[Long](np)
+    var i = 0
+    while (i < np) {
+      md.reset()
+      val d = md.digest(new String(cps, i, k)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      h(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      i += 1
+    }
+    val sel = new java.util.LinkedHashSet[java.lang.Long]()
+    val dq = new java.util.ArrayDeque[Int]()
+    var j = 0
+    while (j < np) {
+      while (!dq.isEmpty && dq.peekFirst() <= j - win) dq.pollFirst()
+      while (!dq.isEmpty && h(dq.peekLast()) >= h(j)) dq.pollLast()
+      dq.addLast(j)
+      if (j >= win - 1) sel.add(h(dq.peekFirst()))
+      j += 1
+    }
+    val out = new Array[Long](sel.size())
+    val sit = sel.iterator()
+    var o = 0
+    while (sit.hasNext) { out(o) = sit.next(); o += 1 }
+    out.iterator
+  }
 
-  /** All doubling depths in ONE lineage — columns g1..g64, each
-    * round g' = md5₆₀(g : g[pos+step]) with an END sentinel past the
-    * doc tail. The six lead() windows share one partitioning and one
-    * ordering, so the whole chain plans as ONE exchange + ONE sort +
-    * six codegen'd window stages (the r9 rewrite: the per-round
-    * localCheckpoint chain re-sorted 7 corpus-character-sized frames
-    * and ran 1099 s at the 100× probe; this shape sorts once).
+  private[graft] def roundHash(md: java.security.MessageDigest,
+                                  g: Long, next: String): Long = {
+    md.reset()
+    val d = md.digest((java.lang.Long.toString(g) + ":" + next)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var b = 0
+    while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+    (v << 4) | ((d(7) & 0xf0L) >>> 4)
+  }
+
+  /** All doubling depths per doc in ONE imperative walk — columns
+    * g1..g64, each round g'[p] = md5₆₀(g[p] : g[p+step]) with an END
+    * sentinel past the doc tail, g1 = the code point at p (the
+    * `ascii`/`substr` convention of the declarative form). The chain
+    * is a per-doc sequential state machine, so it runs in the
+    * tsz-codec shape: ONE cheap exchange of DOC rows (repartition by
+    * doc_id — ~KBs of text per row, never the ~90 B × corpus-chars
+    * frame), then a flatMap that computes all six rounds in plain
+    * Scala and emits the char rows map-side. The r9 window form (six
+    * stacked lead() windows over one sort) was declarative-optimal —
+    * one exchange + one sort of the CHAR frame — but measured 4.2 s
+    * steady at sf0.1 where this form measures ~1 s: WindowExec
+    * buffers and copies every char row six times, and the base
+    * explode's interpreted `transform` lambda alone cost 1.9 s. The
+    * imperative walk also removes the char-row shuffle entirely —
+    * the family's dominant 100× cost. Downstream stats remain
+    * map-side-combining aggregations; spectra over disjoint doc
+    * shards stay additive (group ids are content-derived,
+    * shard-independent).
+    *
     * Group ids are 60-bit md5 truncations carried as LONGs —
     * collisions at 10⁸ suffixes are birthday-negligible over 2^61
-    * and md5-deterministic, so both engines would agree even on
-    * one. */
+    * and md5-deterministic, so both engines would agree even on one.
+    * Memory: the walk holds 7 long arrays per doc (56 B/char —
+    * ~56 MB transient for a 1 M-char doc); the window form buffered
+    * the same doc's rows in WindowExec with spill, so the practical
+    * doc-size bound is unchanged. */
+
+  /** Test/diagnostic hook: the raw doubling chain. */
+  private[graft] def chainForTest(docs: DataFrame): DataFrame =
+    suffixChain(docs)
+
   private def suffixChain(docs: DataFrame): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    def next(g: Column, step: Int): Column =
-      conv(substring(md5(concat(g.cast("string"), lit(":"),
-        coalesce(lead(g, step).over(w).cast("string"), lit("END")))),
-        1, 15), 16, 10).cast("long")
-    suffixBase(docs)
-      .withColumn("g1", col("g"))
-      .withColumn("g2", next(col("g1"), 1))
-      .withColumn("g4", next(col("g2"), 2))
-      .withColumn("g8", next(col("g4"), 4))
-      .withColumn("g16", next(col("g8"), 8))
-      .withColumn("g32", next(col("g16"), 16))
-      .withColumn("g64", next(col("g32"), 32))
-      .drop("g")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text"))
+      // explicit count: REPARTITION_BY_COL is AQE-coalescable, and
+      // the doc frame is ~KBs/row — AQE folds it to ONE partition and
+      // the md5 walk (600× the input bytes in work) runs single-core.
+      // REPARTITION_BY_NUM pins the fan-out; the exchange moves 1×
+      // doc bytes to balance ~600× hash work, the right trade at any
+      // scale.
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        col("doc_id"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def round(prev: Array[Long], step: Int): Array[Long] = {
+          val n = prev.length
+          val out = new Array[Long](n)
+          var i = 0
+          while (i < n) {
+            val next =
+              if (i + step < n) java.lang.Long.toString(prev(i + step))
+              else "END"
+            out(i) = roundHash(md, prev(i), next)
+            i += 1
+          }
+          out
+        }
+        it.flatMap { case (id, text) =>
+          val cps = text.codePoints().toArray
+          val n = cps.length
+          if (n == 0) Iterator.empty
+          else {
+            val g1 = new Array[Long](n)
+            var i = 0
+            while (i < n) { g1(i) = cps(i).toLong; i += 1 }
+            val g2 = round(g1, 1); val g4 = round(g2, 2)
+            val g8 = round(g4, 4); val g16 = round(g8, 8)
+            val g32 = round(g16, 16); val g64 = round(g32, 32)
+            Iterator.single((id, g1, g2, g4, g8, g16, g32, g64))
+          }
+        }
+      }
+      // one row per DOC with seven primitive long arrays (fast
+      // unsafe-array encode, no per-char boxing), exploded by a
+      // codegen'd Generate — a per-char tuple9 emit measured 2-4×
+      // slower on allocator pressure alone
+      .toDF("doc_id", "g1", "g2", "g4", "g8", "g16", "g32", "g64")
+      .select(col("doc_id"), posexplode(arrays_zip(col("g1"), col("g2"),
+        col("g4"), col("g8"), col("g16"), col("g32"), col("g64")))
+        .as(Seq("_p0", "_z")))
+      .select(Seq(col("doc_id"), (col("_p0") + 1).as("pos")) ++
+        Seq(1, 2, 4, 8, 16, 32, 64).map(l =>
+          col(s"_z.g$l").as(s"g$l")): _*)
   }
 
   def suffixSpectrum(docs: DataFrame): DataFrame = {
@@ -881,31 +990,42 @@ object Dedup {
     * padding; removal caps at the text that exists).
     *
     * Scale: hit positions are the CONTAMINATED subset — orders below
-    * corpus characters — so the 32× cover expansion and the
-    * distinct-position count are hit-bounded; doc lengths join onto
-    * the hit summary (hit-doc cardinality), and the final frame is
-    * one row per train doc. */
+    * corpus characters. Covered characters are the classic
+    * interval-union sweep over the hit windows, NOT a per-position
+    * expansion: hits sort by pos inside each doc (one hit-bounded
+    * window), each window's contribution is `end − max(start−1,
+    * running-max of previous ends)` clipped at 0, and ONE
+    * aggregation yields both the hit count and the union length —
+    * identical to counting distinct covered positions (the oracle
+    * keeps the count-distinct form), but a boilerplate-heavy corpus
+    * where hits approach corpus size costs |hits| window rows, not
+    * 32×|hits| exploded ones. Single-branch on purpose: a first cut
+    * fed `hits` to two consumers (cover expansion + hit count),
+    * which re-evaluated the whole train-side doubling chain and the
+    * bench broadcast once per branch — 20.2 s isolated at sf0.1 vs
+    * 6.0 s for this form. Doc lengths broadcast onto the hits (doc
+    * cardinality); the final frame is one row per train doc. */
   def exactDecontamRemove(docs: DataFrame, bench: Column,
                           depth: Int = 32): DataFrame = {
     require(Seq(8, 16, 32, 64).contains(depth), s"depth $depth not in chain")
     val g = s"g$depth"
     val benchGroups = broadcast(
       suffixChain(docs.where(bench)).select(col(g)).distinct())
+    val lens = docs.where(!bench)
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
     val hits = suffixChain(docs.where(!bench))
       .select(col("doc_id"), col("pos"), col(g))
       .join(benchGroups, Seq(g), "left_semi")
-    val lens = docs.where(!bench)
-      .select(col("doc_id"), length(col("text")).cast("long").as("len"))
-    val covered = hits
-      .join(lens, "doc_id")
-      .select(col("doc_id"), col("len"),
-        explode(sequence(col("pos"),
-          least(col("pos") + lit(depth - 1), col("len")))).as("cpos"))
-      .groupBy("doc_id")
-      .agg(count_distinct(col("cpos")).as("n_removed"))
-    val perDoc = hits.groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      .join(broadcast(lens), "doc_id")
+      .withColumn("_end", least(col("pos") + lit(depth - 1), col("len")))
+      .withColumn("_floor", greatest(col("pos") - 1,
+        coalesce(max(col("_end")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), col("pos") - 1)))
+    val perDoc = hits.groupBy("doc_id").agg(
+      count(lit(1)).as("n_hits"),
+      sum(greatest(lit(0L), col("_end") - col("_floor"))).as("n_removed"))
     lens.join(perDoc, Seq("doc_id"), "left")
-      .join(covered, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         coalesce(col("n_removed"), lit(0L)).as("n_removed"),

@@ -2684,6 +2684,84 @@ class PipelineSpec extends SparkSpec {
       "unrelated doc must not pair")
   }
 
+  test("imperative suffix chain matches the declarative window form bit-for-bit") {
+    // the r10 de-interpretation: the doubling rounds run in plain
+    // Scala (roundHash) inside a flatMap; this differential pins them
+    // to the expression form the ORACLES replay — conv(substring(
+    // md5(concat(g, ':', lead-or-END)), 1, 15), 16, 10) over six
+    // stacked lead() windows — on a corpus with repeats, short docs
+    // (< every step) and a 1-char doc
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7)
+    val docs = (1L to 12L).map { id =>
+      val n = Seq(1, 3, 17, 70, 200)(rnd.nextInt(5))
+      id -> (0 until n).map(_ => "ab x,".charAt(rnd.nextInt(5))).mkString
+    }.toDF("doc_id", "text")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    def nxt(g: org.apache.spark.sql.Column, step: Int) =
+      conv(substring(md5(concat(g.cast("string"), lit(":"),
+        coalesce(lead(g, step).over(w).cast("string"), lit("END")))),
+        1, 15), 16, 10).cast("long")
+    val decl = docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "")).as(Seq("_p0", "ch")))
+      .select(col("doc_id"), (col("_p0") + 1).as("pos"),
+        ascii(col("ch")).cast("long").as("g1"))
+      .withColumn("g2", nxt(col("g1"), 1))
+      .withColumn("g4", nxt(col("g2"), 2))
+      .withColumn("g8", nxt(col("g4"), 4))
+      .withColumn("g16", nxt(col("g8"), 8))
+      .withColumn("g32", nxt(col("g16"), 16))
+      .withColumn("g64", nxt(col("g32"), 32))
+    val imp = Dedup.chainForTest(docs)
+    assert(imp.exceptAll(decl).isEmpty && decl.exceptAll(imp).isEmpty,
+      "imperative and declarative chains diverge")
+  }
+
+  test("imperative winnowing matches the declarative struct-max window form") {
+    // same differential for winnowFps: md5 k-gram hashes + the
+    // rightmost-min-per-window deque vs the lexicographic struct-max
+    // ((-h, pos)) window + distinct — including hash-tie windows
+    // (planted identical grams) where the rightmost rule decides
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val k = 5; val win = 4
+    val rnd = new scala.util.Random(11)
+    val docs = (1L to 10L).map { id =>
+      val n = 8 + rnd.nextInt(120)
+      // tiny alphabet → repeated grams → real tie exercise
+      id -> (0 until n).map(_ => "abc".charAt(rnd.nextInt(3))).mkString
+    }.toDF("doc_id", "text")
+    val base = docs.select(col("doc_id"),
+      regexp_replace(lower(col("text")), "\\s+", "").as("t"))
+      .withColumn("np", length(col("t")) - (k - 1))
+      .where(col("np") >= win)
+    val wW = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, win - 1)
+    val decl = base.select(col("doc_id"), col("np"),
+      posexplode(transform(sequence(lit(1), col("np")),
+        i => conv(substring(md5(col("t").substr(i, lit(k))), 1, 8), 16, 10)
+          .cast("long"))).as(Seq("p0", "h")))
+      .select(col("doc_id"), col("np"), (col("p0") + 1).as("pos"), col("h"))
+      .withColumn("pick", max(struct((-col("h")).as("nh"),
+        col("pos").as("p"))).over(wW))
+      .where(col("pos") <= col("np") - (win - 1))
+      .select(col("doc_id"), (-col("pick.nh")).as("fp_h")).distinct()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val imp = docs.collect().flatMap { r =>
+      val t = r.getAs[String]("text").toLowerCase.replaceAll("\\s+", "")
+      if (t.length - (k - 1) >= win)
+        Dedup.winnowFps(md, t, k, win).map(r.getAs[Long]("doc_id") -> _)
+      else Iterator.empty
+    }.toSet
+    val want = decl.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("fp_h")).toSet
+    assert(imp == want, s"fp sets diverge: extra=${imp -- want} missing=${want -- imp}")
+  }
+
   test("hll sketch: estimate tracks exact, duplication-invariant, max-merge") {
     val s = spark
     import s.implicits._

@@ -900,17 +900,28 @@ class PlanSpec extends SparkSpec {
     assert(got == want, s"permutation drifted: $got vs $want")
   }
 
-  test("suffix chain sorts the char stream once — stacked windows share it") {
-    // the r9 rewrite: six lead() windows on one (doc, pos)
-    // partitioning+ordering plan as ONE exchange + ONE sort + six
-    // window stages; a per-round re-sort chain is what ran 1099 s at
-    // the 100x probe
+  test("suffix chain never sorts or windows the char stream") {
+    // the r10 rewrite: the doubling rounds run imperatively per doc
+    // (the tsz-codec shape), so the plan must show NO sort and NO
+    // window over the char frame — the only pre-aggregation exchange
+    // is the pinned-count DOC repartition feeding the flatMap. (The
+    // r9 window form — one sort + six stacked lead() windows — was
+    // declarative-optimal but buffered every char row six times; a
+    // per-round re-sort chain before that ran 1099 s at the 100x
+    // probe.)
     val p = plan("dedup_suffix_repeats")
     val sorts = "Sort \\[doc_id".r.findAllIn(p).length
-    assert(sorts == 1,
-      s"expected ONE (doc, pos) sort, got $sorts:\n" + p.take(2500))
-    val wins = "Window \\[".r.findAllIn(p).length
-    assert(wins >= 6, s"expected the 6 stacked windows, got $wins")
+    assert(sorts == 0,
+      s"expected NO (doc, pos) sort in the chain, got $sorts:\n" + p.take(2500))
+    assert(!p.contains("Window [lead"),
+      "expected no lead() windows over the char frame:\n" + p.take(2500))
+    assert(p.contains("MapPartitions") || p.contains("SerializeFromObject"),
+      "expected the imperative chain stage:\n" + p.take(2500))
+    // the doc repartition is pinned-count (REPARTITION_BY_NUM) so AQE
+    // cannot coalesce the 600x-work flatMap onto one core
+    assert("Exchange hashpartitioning\\(doc_id#\\d+L?, \\d+\\), REPARTITION_BY_NUM"
+      .r.findFirstIn(p).isDefined,
+      "expected the pinned-count doc repartition:\n" + p.take(2500))
   }
 
   test("bounded index route prunes day-block partitions at planning time") {
