@@ -727,12 +727,6 @@ object Dedup {
     * shard-independent), so the 100 TB form shards the corpus and
     * adds. Char codes project inside the scan stage — the text column
     * never crosses a shuffle. */
-  /** 60-bit doubling-round hash, bit-identical to the declarative
-    * `conv(substring(md5(concat(g, ':', next-or-END)), 1, 15), 16,
-    * 10)` the ORACLES replay in DuckDB: decimal-formatted operands,
-    * md5 over UTF-8, first 15 hex nibbles = bytes 0..6 plus the high
-    * nibble of byte 7. Pinned against the expression form by a
-    * differential spec (`PipelineSpec`). */
   /** Per-doc robust winnowing (Schleimer/Wilkerson/Aiken §3.2): md5
     * char-`k`-gram hashes (first 8 hex nibbles, the declarative
     * `conv(substring(md5(gram), 1, 8), 16, 10)`), sliding minimum
@@ -772,6 +766,12 @@ object Dedup {
     out.iterator
   }
 
+  /** 60-bit doubling-round hash, bit-identical to the declarative
+    * `conv(substring(md5(concat(g, ':', next-or-END)), 1, 15), 16,
+    * 10)` the ORACLES replay in DuckDB: decimal-formatted operands,
+    * md5 over UTF-8, first 15 hex nibbles = bytes 0..6 plus the high
+    * nibble of byte 7. Pinned against the expression form by a
+    * differential spec (`PipelineSpec`). */
   private[graft] def roundHash(md: java.security.MessageDigest,
                                   g: Long, next: String): Long = {
     md.reset()
