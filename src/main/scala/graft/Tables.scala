@@ -51,6 +51,21 @@ object Tables {
   def region(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "region")
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
 
+  /** Pinned-count fan-out for SYNTHESIZED frames whose downstream
+    * map work is a large multiple of their bytes — the line-protocol
+    * roundtrips: the rendered `lines` frame inherits the events
+    * scan's 1-2 file splits, so the whole regex parse chain runs on
+    * 1-2 cores while the other 30 idle (measured ~2× on ts_influx
+    * even under load; the suffix-chain rewrite found the same class
+    * of starvation). REPARTITION_BY_NUM on purpose: a column-less
+    * `repartition(col)` or AQE-advisory exchange would be coalesced
+    * right back to one partition at this byte size. At 100 TB real
+    * ingest arrives across thousands of splits and the exchange
+    * moves 1× line bytes to balance ~20× parse work — still the
+    * right trade wherever a single hot split feeds a parser. */
+  def fan(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+
   /** Same drift insurance as [[events]]: the generator has shipped
     * `embedding` as list<float>; if a regeneration ever widens it to
     * list<double>, normalize back so every sim_/dedup_ operator (and

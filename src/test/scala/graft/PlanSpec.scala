@@ -580,6 +580,13 @@ class PlanSpec extends SparkSpec {
       assert(hashEx == 1,
         s"$q: parsing must be a pure map stage feeding ONE " +
           s"consolidation shuffle, got $hashEx exchanges:\n" + p.take(2000))
+      // the rendered lines fan out through a pinned-count round-robin
+      // exchange before the parse chain — the events scan is 1-2
+      // splits and would otherwise run the whole parser on 1-2 cores
+      // (Tables.fan; AQE must not be able to coalesce it)
+      assert(p.contains("Exchange RoundRobinPartitioning") &&
+        p.contains("REPARTITION_BY_NUM"),
+        s"$q: expected the pinned-count line fan-out:\n" + p.take(2000))
     }
   }
 
