@@ -37,6 +37,13 @@ object Dedup {
   def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
     val ws = col("ws")
     docs
+      // pinned-count doc fan-out (graft.Tables.fan rationale): the
+      // shingle explode + md5 is ~20× the doc bytes in work and the
+      // documents scan is 1-2 splits at test scale — without this
+      // the build (paid once per session, but 100×-corpus-sized at
+      // the probes) runs on 1-2 cores
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("doc_id"))
       .select(col("doc_id"), split(lower(col("text")), "\\s+").as("ws"))
       .select(
         col("doc_id"),

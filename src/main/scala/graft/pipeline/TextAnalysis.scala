@@ -21,6 +21,15 @@ object TextAnalysis {
 
   private[pipeline] def words(c: Column): Column = split(lower(c), "\\s+")
 
+  /** Pinned-count doc fan-out (graft.Tables.fan rationale) for the
+    * n-gram explode paths: the interpreted transform lambdas are
+    * many× the doc bytes in work, the documents scan is 1-2 splits
+    * at test scale, and a key shuffle follows anyway; the identical
+    * exchange subtree is REUSED across a function's branches
+    * (ReusedExchange), so multi-consumer bases also stop re-scanning. */
+  private def fanned(docs: DataFrame): DataFrame =
+    docs.repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
+
   /** The composite quality score of [[quality]] as a bare column
     * expression over a `text` column — exposed so selection operators
     * (e.g. [[Corpus.budgetSelect]]) can evaluate it in the SAME map
@@ -337,7 +346,7 @@ object TextAnalysis {
     // element_at(split(text), i) inside the transform lambda would
     // re-split the document for every bigram element — O(n²) per doc
     // (measured 10× on the bench corpus)
-    val base = docs.select(col("doc_id"), words(col("text")).as("ws"))
+    val base = fanned(docs).select(col("doc_id"), words(col("text")).as("ws"))
     val n = size(col("ws"))
     val bigrams = when(n >= 2,
       transform(sequence(lit(1), n - 1),
@@ -465,7 +474,7 @@ object TextAnalysis {
     * Reference anchor: the m3 quality path has no LM, this is a
     * training-data addition (CCNet §4.3 perplexity filtering). */
   def knBigramCrossEntropy(docs: DataFrame, discount: Double = 0.75): DataFrame = {
-    val base = docs.select(col("doc_id"), words(col("text")).as("ws"))
+    val base = fanned(docs).select(col("doc_id"), words(col("text")).as("ws"))
     val n = size(col("ws"))
     val bigrams = when(n >= 2,
       transform(sequence(lit(1), n - 1),
@@ -731,7 +740,7 @@ object TextAnalysis {
     * survivors. */
   def pmiCollocations(docs: DataFrame, minCount: Int = 5,
                       topK: Int = 20): DataFrame = {
-    val base = docs.select(col("doc_id"), words(col("text")).as("ws"))
+    val base = fanned(docs).select(col("doc_id"), words(col("text")).as("ws"))
     val n = size(col("ws"))
     val bigrams = when(n >= 2,
       transform(sequence(lit(1), n - 1),
@@ -1328,7 +1337,7 @@ object TextAnalysis {
     // project the word array once before indexing (same O(n²) trap
     // as bigramCrossEntropy: element_at(split(...), i) in a lambda
     // would re-split the doc per element)
-    val base = docs.select(col("doc_id"), words(col("text")).as("ws"))
+    val base = fanned(docs).select(col("doc_id"), words(col("text")).as("ws"))
     val n = size(col("ws"))
     def grams(k: Int) =
       when(n >= k, transform(sequence(lit(1), n - (k - 1)),
