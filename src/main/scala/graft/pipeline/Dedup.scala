@@ -879,10 +879,14 @@ object Dedup {
   }
 
   def suffixSpectrum(docs: DataFrame): DataFrame = {
-    // one materialization of the whole depth family (~90 B/row),
-    // then each depth's stats is a map-side-combining scan of it;
-    // freed once the 7-row union is pinned
-    val f = suffixChain(docs).localCheckpoint(eager = true)
+    // one materialization of the whole depth family — g columns ONLY
+    // (the stats never read doc_id/pos; dropping them cuts the
+    // checkpoint by ~2/9) — then each depth's stats is a
+    // map-side-combining scan of it; freed once the 7-row union is
+    // pinned
+    val f = suffixChain(docs)
+      .select(Seq(1, 2, 4, 8, 16, 32, 64).map(l => col(s"g$l")): _*)
+      .localCheckpoint(eager = true)
     def stats(len: Int, gcol: String): DataFrame =
       f.groupBy(col(gcol).as("g")).agg(count(lit(1)).as("cnt"))
         .agg(sum("cnt").as("n_suffixes"),
