@@ -822,9 +822,22 @@ object Dedup {
   private[graft] def chainForTest(docs: DataFrame): DataFrame =
     suffixChain(docs)
 
-  private def suffixChain(docs: DataFrame): DataFrame = {
+  private val allDepths = Seq(1, 2, 4, 8, 16, 32, 64)
+
+  /** @param depths which g columns to EMIT — every level up to 64 is
+    *               still computed (each is the next one's input), but
+    *               unrequested levels serialize as empty arrays and
+    *               never enter the explode, so a one-depth consumer
+    *               (repeats: g64; the removal card: g32) moves ~1/7
+    *               of the char volume through Generate/Project. */
+  private def suffixChain(docs: DataFrame,
+                          depths: Seq[Int] = allDepths): DataFrame = {
+    require(depths.nonEmpty && depths.forall(allDepths.contains),
+      s"depths $depths not in $allDepths")
     val spark = docs.sparkSession
     import spark.implicits._
+    val emit = allDepths.map(depths.contains)
+    val topIdx = allDepths.indexOf(depths.max)
     docs.select(col("doc_id"), col("text"))
       // explicit count: REPARTITION_BY_COL is AQE-coalescable, and
       // the doc frame is ~KBs/row — AQE folds it to ONE partition and
@@ -837,6 +850,7 @@ object Dedup {
       .as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
+        val none = Array.empty[Long]
         def round(prev: Array[Long], step: Int): Array[Long] = {
           val n = prev.length
           val out = new Array[Long](n)
@@ -858,24 +872,26 @@ object Dedup {
             val g1 = new Array[Long](n)
             var i = 0
             while (i < n) { g1(i) = cps(i).toLong; i += 1 }
-            val g2 = round(g1, 1); val g4 = round(g2, 2)
-            val g8 = round(g4, 4); val g16 = round(g8, 8)
-            val g32 = round(g16, 16); val g64 = round(g32, 32)
-            Iterator.single((id, g1, g2, g4, g8, g16, g32, g64))
+            // compute only up to the deepest requested level (each
+            // level is the next one's input)
+            val gs = Array.iterate((g1, 1), topIdx + 1) { case (g, d) =>
+              (round(g, d), d * 2)
+            }.map(_._1)
+            def sel(j: Int) = if (j <= topIdx && emit(j)) gs(j) else none
+            Iterator.single((id, sel(0), sel(1), sel(2), sel(3),
+              sel(4), sel(5), sel(6)))
           }
         }
       }
-      // one row per DOC with seven primitive long arrays (fast
-      // unsafe-array encode, no per-char boxing), exploded by a
-      // codegen'd Generate — a per-char tuple9 emit measured 2-4×
-      // slower on allocator pressure alone
-      .toDF("doc_id", "g1", "g2", "g4", "g8", "g16", "g32", "g64")
-      .select(col("doc_id"), posexplode(arrays_zip(col("g1"), col("g2"),
-        col("g4"), col("g8"), col("g16"), col("g32"), col("g64")))
-        .as(Seq("_p0", "_z")))
+      // one row per DOC with primitive long arrays (fast unsafe-array
+      // encode, no per-char boxing), exploded by a codegen'd
+      // Generate — a per-char tuple9 emit measured 2-4× slower on
+      // allocator pressure alone
+      .toDF(("doc_id" +: allDepths.map(l => s"g$l")): _*)
+      .select(col("doc_id"), posexplode(arrays_zip(
+        depths.map(l => col(s"g$l")): _*)).as(Seq("_p0", "_z")))
       .select(Seq(col("doc_id"), (col("_p0") + 1).as("pos")) ++
-        Seq(1, 2, 4, 8, 16, 32, 64).map(l =>
-          col(s"_z.g$l").as(s"g$l")): _*)
+        depths.map(l => col(s"_z.g$l").as(s"g$l")): _*)
   }
 
   def suffixSpectrum(docs: DataFrame): DataFrame = {
@@ -920,7 +936,7 @@ object Dedup {
     * group), a TakeOrdered top-k, and a ≤topK-row join back to the
     * text. */
   def suffixRepeats(docs: DataFrame, topK: Int = 10): DataFrame = {
-    val groups = suffixChain(docs)
+    val groups = suffixChain(docs, Seq(64))
       .select(col("doc_id"), col("pos"), col("g64").as("g"))
       .groupBy("g")
       .agg(count(lit(1)).as("grp_size"),
@@ -969,10 +985,10 @@ object Dedup {
     * over train-doc shards like the rest of the suffix family. */
   def exactDecontam(docs: DataFrame, bench: Column): DataFrame = {
     val depths = Seq(8, 16, 32, 64)
-    val benchChain = suffixChain(docs.where(bench))
+    val benchChain = suffixChain(docs.where(bench), depths)
       .select(depths.map(l => col(s"g$l")): _*)
       .localCheckpoint(eager = true) // benchmark-sized, reused 4×
-    val joined = depths.foldLeft(suffixChain(docs.where(!bench))) {
+    val joined = depths.foldLeft(suffixChain(docs.where(!bench), depths)) {
       case (df, l) =>
         val bg = broadcast(benchChain.select(col(s"g$l").as(s"_b$l")).distinct())
         df.join(bg, col(s"g$l") === col(s"_b$l"), "left")
@@ -1021,11 +1037,11 @@ object Dedup {
     require(Seq(8, 16, 32, 64).contains(depth), s"depth $depth not in chain")
     val g = s"g$depth"
     val benchGroups = broadcast(
-      suffixChain(docs.where(bench)).select(col(g)).distinct())
+      suffixChain(docs.where(bench), Seq(depth)).select(col(g)).distinct())
     val lens = docs.where(!bench)
       .select(col("doc_id"), length(col("text")).cast("long").as("len"))
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    val hits = suffixChain(docs.where(!bench))
+    val hits = suffixChain(docs.where(!bench), Seq(depth))
       .select(col("doc_id"), col("pos"), col(g))
       .join(benchGroups, Seq(g), "left_semi")
       .join(broadcast(lens), "doc_id")
