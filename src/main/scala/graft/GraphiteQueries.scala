@@ -399,7 +399,7 @@ object GraphiteQueries {
           concat(lit("events."), col("name"), lit(".user"), col("user_id")),
           col("value"),
           unix_timestamp(col("ts"))).as("line"))
-      graft.sources.Carbon.toPathFrame(graft.sources.Carbon.parse(Tables.fan(lines)))
+      graft.sources.Carbon.toPathFrame(graft.sources.Carbon.parse(Tables.fan(lines, col("line"))))
         .select(col("path"), col("bucket_s"), round(col("value"), 6).as("value"))
         .orderBy("path", "bucket_s")
     }),
@@ -414,7 +414,7 @@ object GraphiteQueries {
             col("user_id"), lit(".")),
           col("value"),
           unix_timestamp(col("ts"))).as("line"))
-      val parsed = graft.sources.Carbon.parse(Tables.fan(lines))
+      val parsed = graft.sources.Carbon.parse(Tables.fan(lines, col("line")))
         .withColumn("path", graft.sources.Carbon.rewrite(col("path")))
       graft.sources.Carbon.toPathFrame(parsed)
         .select(col("path"), col("bucket_s"), round(col("value"), 6).as("value"))
@@ -442,7 +442,7 @@ object GraphiteQueries {
           policies = Seq((3600L, 2592000L), (86400L, 7776000L))),
         Carbon.CarbonRule(pattern = Some(".*"),
           aggregationType = "mean", policies = Seq((86400L, 2592000L))))
-      Carbon.route(Carbon.parse(Tables.fan(lines)), rules, nowS = 1706745600L)
+      Carbon.route(Carbon.parse(Tables.fan(lines, col("line"))), rules, nowS = 1706745600L)
         .select(col("path"), col("rule"), col("agg_type"),
           col("resolution_s"), col("retention_s"), col("bucket_s"),
           round(col("value"), 6).as("value"))

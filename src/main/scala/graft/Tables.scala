@@ -54,17 +54,27 @@ object Tables {
   /** Pinned-count fan-out for SYNTHESIZED frames whose downstream
     * map work is a large multiple of their bytes — the line-protocol
     * roundtrips: the rendered `lines` frame inherits the events
-    * scan's 1-2 file splits, so the whole regex parse chain runs on
-    * 1-2 cores while the other 30 idle (measured ~2× on ts_influx
-    * even under load; the suffix-chain rewrite found the same class
-    * of starvation). REPARTITION_BY_NUM on purpose: a column-less
-    * `repartition(col)` or AQE-advisory exchange would be coalesced
-    * right back to one partition at this byte size. At 100 TB real
-    * ingest arrives across thousands of splits and the exchange
-    * moves 1× line bytes to balance ~20× parse work — still the
-    * right trade wherever a single hot split feeds a parser. */
-  def fan(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+    * scan's 1-2 file splits at test scale, so the whole regex parse
+    * chain runs on 1-2 cores while the other 30 idle (measured ~2× on
+    * ts_influx; the suffix-chain rewrite found the same class of
+    * starvation). Three deliberate choices, each measured:
+    *  - CONDITIONAL: when the input already carries ≥ the session's
+    *    shuffle parallelism (the 100 TB case — thousands of splits),
+    *    the exchange is pure overhead (sf10 A/B: +5% on ts_influx)
+    *    and is skipped. The partition probe plans the frame but runs
+    *    no job.
+    *  - KEYED, not round-robin: RoundRobinPartitioning sorts each
+    *    partition by ALL columns first (retry determinism,
+    *    sortBeforeRepartition) — hashing the given key costs one
+    *    hash per row instead and is deterministic by construction.
+    *  - REPARTITION_BY_NUM: a column-only `repartition(col)` or
+    *    AQE-advisory exchange would be coalesced right back to one
+    *    partition at ~MB sizes (measured: the whole md5 chain on one
+    *    core). The pinned count is not coalescable. */
+  def fan(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions >= n) df else df.repartition(n, key)
+  }
 
   /** Same drift insurance as [[events]]: the generator has shipped
     * `embedding` as list<float>; if a regeneration ever widens it to

@@ -159,7 +159,7 @@ object TsdbQueries {
             .as("line")))
         .unionAll(ev.limit(2).select(
           lit("bad_line{user=} oops").as("line")))
-      val parsed = graft.sources.Exposition.parse(Tables.fan(lines))
+      val parsed = graft.sources.Exposition.parse(Tables.fan(lines, col("line")))
         .where(!col("malformed") && col("ts").isNotNull)
         .withColumn("_kv", filter(col("tags"),
           x => x.getField("tag_name") === "user"))
@@ -1541,7 +1541,7 @@ object TsdbQueries {
           col("name"), col("user_id"), col("value"),
           unix_micros(col("ts")) * 1000).as("line"))
       graft.sources.InfluxLine
-        .toSampleFrame(graft.sources.InfluxLine.parse(Tables.fan(lines)), Seq("user_id"))
+        .toSampleFrame(graft.sources.InfluxLine.parse(Tables.fan(lines, col("line"))), Seq("user_id"))
         .select(col("name"), col("user_id").cast("long").as("user_id"),
           col("bucket_s"), round(col("value"), 6).as("value"))
         .orderBy("name", "user_id", "bucket_s")
@@ -1563,7 +1563,7 @@ object TsdbQueries {
         .unionAll(ev.limit(2).select(
           lit("bad_line{user=} oops").as("line")))
       graft.sources.Exposition
-        .toSeriesFrame(graft.sources.Exposition.parse(Tables.fan(lines)), "user")
+        .toSeriesFrame(graft.sources.Exposition.parse(Tables.fan(lines, col("line"))), "user")
         .select(col("name"), col("user").cast("long").as("user_id"),
           col("bucket_s"), round(col("value"), 6).as("value"))
         .orderBy("name", "user_id", "bucket_s")
@@ -1601,7 +1601,7 @@ object TsdbQueries {
             .as("timestamp"),
           col("value"))).as("line"))
       graft.sources.JsonWrite
-        .toSampleFrame(graft.sources.JsonWrite.parse(Tables.fan(lines)), Seq("user_id"))
+        .toSampleFrame(graft.sources.JsonWrite.parse(Tables.fan(lines, col("line"))), Seq("user_id"))
         .select(col("name"), col("user_id").cast("long").as("user_id"),
           col("bucket_s"), round(col("value"), 6).as("value"))
         .orderBy("name", "user_id", "bucket_s")
@@ -1626,7 +1626,7 @@ object TsdbQueries {
       val mapped = graft.sources.PromWrite.mapTags(req,
         Seq(graft.sources.PromWrite.WriteTag("dc", "east")))
       graft.sources.PromWrite
-        .toSampleFrame(graft.sources.PromWrite.parse(Tables.fan(mapped)),
+        .toSampleFrame(graft.sources.PromWrite.parse(Tables.fan(mapped, col("ts"))),
           Seq("user_id", "dc"))
         .select(col("name"), col("user_id").cast("long").as("user_id"),
           col("dc"), col("bucket_s"), round(col("value"), 6).as("value"))

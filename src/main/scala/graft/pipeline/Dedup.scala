@@ -36,14 +36,12 @@ object Dedup {
     * profiled 17× slower at sf0.1 (10.8 s → 0.6 s). */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
     val ws = col("ws")
-    docs
-      // pinned-count doc fan-out (graft.Tables.fan rationale): the
-      // shingle explode + md5 is ~20× the doc bytes in work and the
-      // documents scan is 1-2 splits at test scale — without this
+    graft.Tables.fan(docs, col("doc_id"))
+      // conditional pinned-count doc fan-out (Tables.fan rationale):
+      // the shingle explode + md5 is ~20× the doc bytes in work and
+      // the documents scan is 1-2 splits at test scale — without it
       // the build (paid once per session, but 100×-corpus-sized at
       // the probes) runs on 1-2 cores
-      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
-        col("doc_id"))
       .select(col("doc_id"), split(lower(col("text")), "\\s+").as("ws"))
       .select(
         col("doc_id"),
@@ -681,9 +679,7 @@ object Dedup {
     val base = docs.select(col("doc_id"),
       regexp_replace(lower(col("text")), "\\s+", "").as("t"))
       .where(length(col("t")) - (k - 1) >= win) // need ≥1 full window
-      .repartition(spark.sessionState.conf.numShufflePartitions,
-        col("doc_id"))
-    val fps = base.as[(Long, String)]
+    val fps = graft.Tables.fan(base, col("doc_id")).as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.flatMap { case (id, t) => winnowFps(md, t, k, win).map(id -> _) }
@@ -838,15 +834,13 @@ object Dedup {
     import spark.implicits._
     val emit = allDepths.map(depths.contains)
     val topIdx = allDepths.indexOf(depths.max)
-    docs.select(col("doc_id"), col("text"))
-      // explicit count: REPARTITION_BY_COL is AQE-coalescable, and
-      // the doc frame is ~KBs/row — AQE folds it to ONE partition and
-      // the md5 walk (600× the input bytes in work) runs single-core.
-      // REPARTITION_BY_NUM pins the fan-out; the exchange moves 1×
-      // doc bytes to balance ~600× hash work, the right trade at any
-      // scale.
-      .repartition(spark.sessionState.conf.numShufflePartitions,
+    graft.Tables.fan(docs.select(col("doc_id"), col("text")),
         col("doc_id"))
+      // conditional pinned-count fan-out (Tables.fan): the md5 walk
+      // is ~600× the input bytes in work, the doc frame is ~KBs/row
+      // (AQE would coalesce any advisory exchange of it to ONE
+      // partition and the walk would run single-core — measured),
+      // and at ≥32 input splits the exchange skips entirely
       .as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")

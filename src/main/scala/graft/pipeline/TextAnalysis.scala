@@ -28,7 +28,7 @@ object TextAnalysis {
     * exchange subtree is REUSED across a function's branches
     * (ReusedExchange), so multi-consumer bases also stop re-scanning. */
   private def fanned(docs: DataFrame): DataFrame =
-    docs.repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
+    graft.Tables.fan(docs, col("doc_id"))
 
   /** The composite quality score of [[quality]] as a bare column
     * expression over a `text` column — exposed so selection operators

@@ -575,17 +575,21 @@ class PlanSpec extends SparkSpec {
   test("ingest roundtrips parse map-side: one hash exchange each") {
     for (q <- Seq("ts_influx", "ts_json_write")) {
       val p = plan(q)
+      // the pinned-count fan-out (REPARTITION_BY_NUM) is the line
+      // rebalance, not a consolidation shuffle — count it separately
       val hashEx = p.linesIterator
-        .count(_.contains("Exchange hashpartitioning"))
+        .count(l => l.contains("Exchange hashpartitioning") &&
+          !l.contains("REPARTITION_BY_NUM"))
       assert(hashEx == 1,
         s"$q: parsing must be a pure map stage feeding ONE " +
           s"consolidation shuffle, got $hashEx exchanges:\n" + p.take(2000))
-      // the rendered lines fan out through a pinned-count round-robin
+      // the rendered lines fan out through a pinned-count KEYED
       // exchange before the parse chain — the events scan is 1-2
-      // splits and would otherwise run the whole parser on 1-2 cores
-      // (Tables.fan; AQE must not be able to coalesce it)
-      assert(p.contains("Exchange RoundRobinPartitioning") &&
-        p.contains("REPARTITION_BY_NUM"),
+      // splits at this SF and would otherwise run the whole parser
+      // on 1-2 cores (Tables.fan: hash-keyed, not round-robin, so no
+      // sortBeforeRepartition pass; REPARTITION_BY_NUM so AQE cannot
+      // coalesce it; skipped entirely when the scan is already wide)
+      assert(p.contains("REPARTITION_BY_NUM"),
         s"$q: expected the pinned-count line fan-out:\n" + p.take(2000))
     }
   }
