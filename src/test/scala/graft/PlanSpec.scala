@@ -594,6 +594,31 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("Tables.fan: exchanges narrow inputs, passes wide ones through") {
+    import org.apache.spark.sql.functions.col
+    val s = spark
+    import s.implicits._
+    val n = s.sessionState.conf.numShufflePartitions
+    // narrow input (1 partition) → pinned-count keyed exchange
+    val narrow = (1L to 100L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+      .coalesce(1)
+    val fanned = Tables.fan(narrow, col("doc_id"))
+    assert(fanned.rdd.getNumPartitions == n,
+      s"expected $n partitions, got ${fanned.rdd.getNumPartitions}")
+    val p = fanned.queryExecution.executedPlan.toString
+    assert(p.contains("REPARTITION_BY_NUM"),
+      "fan must pin the count (AQE-coalescable otherwise):\n" + p.take(1200))
+    assert(!p.contains("RoundRobinPartitioning"),
+      "fan must hash the key, not round-robin (sortBeforeRepartition):\n" +
+        p.take(1200))
+    // wide input (≥ n partitions) → untouched, no exchange
+    val wide = (1L to 100L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+      .repartition(n + 1)
+    val skipped = Tables.fan(wide, col("doc_id"))
+    assert(skipped.rdd.getNumPartitions == n + 1,
+      "fan must pass an already-wide input through unchanged")
+  }
+
   test("q15 argmax broadcasts the one-row max — no rank window") {
     val p = plan("q15_top_supplier")
     assert(!p.contains("WindowExec"), p.take(2000))
