@@ -61,8 +61,18 @@ object Tables {
     *  - CONDITIONAL: when the input already carries ≥ the session's
     *    shuffle parallelism (the 100 TB case — thousands of splits),
     *    the exchange is pure overhead (sf10 A/B: +5% on ts_influx)
-    *    and is skipped. The partition probe plans the frame but runs
-    *    no job.
+    *    and is skipped. The width probe is STATIC ([[staticWidth]]):
+    *    it inspects the unexecuted physical plan and never submits a
+    *    job — an earlier `df.rdd.getNumPartitions` probe would, under
+    *    AQE, execute every shuffle stage in the input's lineage and
+    *    throw the results away (the probe's QueryExecution shares no
+    *    shuffle reuse with the real run). Inputs whose width is not
+    *    statically knowable (anything behind a planner-inserted or
+    *    AQE-coalescable exchange) are fanned: AQE coalesces such
+    *    exchanges to one partition at ~MB sizes, which is exactly
+    *    the starvation this exists to prevent, and the extra keyed
+    *    exchange is noise next to the heavy map work every caller
+    *    attaches.
     *  - KEYED, not round-robin: RoundRobinPartitioning sorts each
     *    partition by ALL columns first (retry determinism,
     *    sortBeforeRepartition) — hashing the given key costs one
@@ -73,7 +83,49 @@ object Tables {
     *    core). The pinned count is not coalescable. */
   def fan(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
     val n = df.sparkSession.sessionState.conf.numShufflePartitions
-    if (df.rdd.getNumPartitions >= n) df else df.repartition(n, key)
+    staticWidth(df) match {
+      case Some(w) if w >= n => df
+      case _ => df.repartition(n, key)
+    }
+  }
+
+  /** Output-partition width of `df` derived from the UNEXECUTED
+    * physical plan — plan compilation only, no job. `None` means the
+    * width is decided at runtime (a planner-inserted or AQE-advisory
+    * exchange sits on the lineage, whose final count the coalescer
+    * picks from live statistics). Rules, top-down:
+    *  - user `repartition(n, …)` pins its count (REPARTITION_BY_NUM
+    *    is AQE-exempt); every other shuffle origin is coalescable
+    *    → unknown;
+    *  - leaf scans know their split/partition counts statically
+    *    (file listing is driver-side metadata, not a job);
+    *  - `coalesce(n)` caps its child;
+    *  - unary operators that demand no distribution pass their
+    *    child's width through; anything that demands one (final
+    *    aggregates, joins, windows, limits) gets an exchange from
+    *    EnsureRequirements later — sparkPlan predates that rule, so
+    *    the demand itself marks the width unknown. */
+  private[graft] def staticWidth(df: DataFrame): Option[Int] = {
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.exchange.{REPARTITION_BY_NUM, ShuffleExchangeLike}
+    import org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution
+    def width(p: SparkPlan): Option[Int] = p match {
+      case s: ShuffleExchangeLike =>
+        if (s.shuffleOrigin == REPARTITION_BY_NUM) Some(s.numPartitions)
+        else None
+      case c: CoalesceExec => width(c.child).map(math.min(_, c.numPartitions))
+      case f: FileSourceScanExec => Some(f.inputRDD.getNumPartitions)
+      case r: RDDScanExec => Some(r.rdd.getNumPartitions)
+      case _: LocalTableScanExec => Some(1)
+      case u: UnionExec =>
+        val ws = u.children.map(width)
+        if (ws.forall(_.isDefined)) Some(ws.flatten.sum) else None
+      case o if o.children.size == 1 &&
+          o.requiredChildDistribution.forall(_ == UnspecifiedDistribution) =>
+        width(o.children.head)
+      case _ => None
+    }
+    width(df.queryExecution.sparkPlan)
   }
 
   /** Same drift insurance as [[events]]: the generator has shipped

@@ -1625,8 +1625,14 @@ object TsdbQueries {
         col("ts"), col("value"))
       val mapped = graft.sources.PromWrite.mapTags(req,
         Seq(graft.sources.PromWrite.WriteTag("dc", "east")))
+      // fan key: the whole request row, not `ts` — a bucket-aligned
+      // or repeated-timestamp write batch would concentrate a
+      // ts-keyed hash on a few partitions and defeat the fan-out;
+      // (labels, ts) is near-unique by construction like the other
+      // parsers' `line`/`doc_id` keys
       graft.sources.PromWrite
-        .toSampleFrame(graft.sources.PromWrite.parse(Tables.fan(mapped, col("ts"))),
+        .toSampleFrame(graft.sources.PromWrite.parse(
+          Tables.fan(mapped, struct(col("labels"), col("ts")))),
           Seq("user_id", "dc"))
         .select(col("name"), col("user_id").cast("long").as("user_id"),
           col("dc"), col("bucket_s"), round(col("value"), 6).as("value"))

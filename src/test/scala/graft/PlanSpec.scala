@@ -611,12 +611,52 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("RoundRobinPartitioning"),
       "fan must hash the key, not round-robin (sortBeforeRepartition):\n" +
         p.take(1200))
-    // wide input (≥ n partitions) → untouched, no exchange
+    // wide input (≥ n partitions) → untouched, no exchange; the
+    // user repartition's REPARTITION_BY_NUM count is statically
+    // knowable (AQE-exempt), so no execution is needed to skip
     val wide = (1L to 100L).map(i => (i, s"t$i")).toDF("doc_id", "text")
       .repartition(n + 1)
     val skipped = Tables.fan(wide, col("doc_id"))
     assert(skipped.rdd.getNumPartitions == n + 1,
       "fan must pass an already-wide input through unchanged")
+  }
+
+  test("Tables.fan probes width statically — no job on the build path") {
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    val s = spark
+    import s.implicits._
+    // an input with a shuffle in its lineage: the old .rdd probe
+    // would EXECUTE that aggregation as a throwaway job under AQE;
+    // the static probe must submit nothing
+    // doc_id is COMPUTED, not an alias of the grouping key — a key
+    // that aliased `k` would let EnsureRequirements elide the fan
+    // exchange as redundant (child already hash-partitioned on it)
+    val aggregated = (1L to 1000L).map(i => (i % 7, i)).toDF("k", "v")
+      .groupBy("k").agg(fsum("v").as("v"))
+      .select((col("k") * 1000000L + col("v")).as("doc_id"),
+        col("v").cast("string").as("text"))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    s.sparkContext.addSparkListener(listener)
+    try {
+      val fanned = Tables.fan(aggregated, col("doc_id"))
+      // listener delivery is async — bound a short drain wait; a
+      // submitted job's start event lands well inside it
+      val deadline = System.nanoTime() + 3000000000L
+      while (jobs.get() == 0 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(jobs.get() == 0,
+        s"fan submitted ${jobs.get()} job(s) while building the plan")
+      // post-exchange width is runtime-decided (AQE-coalescable) →
+      // fan must pin the count so the heavy map work spreads
+      val p = fanned.queryExecution.executedPlan.toString
+      assert(p.contains("REPARTITION_BY_NUM"),
+        "aggregated (width-unknown) input must be fanned:\n" + p.take(1200))
+    } finally s.sparkContext.removeSparkListener(listener)
   }
 
   test("q15 argmax broadcasts the one-row max — no rank window") {
