@@ -1290,6 +1290,10 @@ object PipelineQueries {
       Dedup.suffixSpectrum(Tables.documents(s, dir))),
     "dedup_suffix_repeats" -> ((s, dir) =>
       Dedup.suffixRepeats(Tables.documents(s, dir))),
+    "dedup_suffix_spectrum_sketch" -> ((s, dir) =>
+      Dedup.suffixSpectrumSketch(Tables.documents(s, dir))),
+    "dedup_suffix_repeats_sketch" -> ((s, dir) =>
+      Dedup.suffixRepeatsSketch(Tables.documents(s, dir))),
     "dedup_lsh_design" -> ((s, _) => Dedup.lshDesign(s)),
     "sim_retrieval_eval" -> ((s, dir) =>
       Similarity.retrievalEval(Tables.embeddings(s, dir))),
@@ -3200,6 +3204,113 @@ object PipelineQueries {
          | SELECT * FROM ($stats) s ORDER BY prefix_len"""
         .stripMargin.replace("\n", " ")
     },
+    // sketch-mode spectrum: same chain, estimators replayed from the
+    // same md5 hex ranges the engine carves (chars 1-2 HLL idx, 3-15
+    // rank, 17-18 sample gate < 4, 19-30 three CMS rows); depths 1-2
+    // exact (bounded alphabet census), 4+ sketched
+    "dedup_suffix_spectrum_sketch" -> {
+      val rank = """CASE WHEN length(regexp_replace(substr(h, 3, 13), '^0+', '')) = 0
+        | THEN 53
+        | ELSE (13 - length(regexp_replace(substr(h, 3, 13), '^0+', ''))) * 4
+        |  + (CASE substr(regexp_replace(substr(h, 3, 13), '^0+', ''), 1, 1)
+        |     WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+        |     WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+        |     WHEN '7' THEN 1 ELSE 0 END) + 1 END""".stripMargin.replace("\n", " ")
+      s"""WITH $SUFFIX_ROUNDS,
+         | m AS MATERIALIZED (
+         |  SELECT CAST(1 AS BIGINT) AS prefix_len, g FROM p0
+         |  UNION ALL SELECT 2, g FROM p1 UNION ALL SELECT 4, g FROM p2
+         |  UNION ALL SELECT 8, g FROM p3 UNION ALL SELECT 16, g FROM p4
+         |  UNION ALL SELECT 32, g FROM p5 UNION ALL SELECT 64, g FROM p6),
+         | nn AS (SELECT CAST(count(*) AS BIGINT) AS n_suffixes FROM p0),
+         | h AS MATERIALIZED (SELECT prefix_len, g, md5(g::VARCHAR) AS h
+         |  FROM m),
+         | hreg AS (SELECT prefix_len,
+         |  CAST('0x' || substr(h, 1, 2) AS BIGINT) AS idx,
+         |  max($rank) AS mj FROM h GROUP BY 1, 2),
+         | hper AS (SELECT prefix_len, count(*) AS used,
+         |  sum(1::BIGINT << CAST(53 - mj AS INT)) AS s_int
+         |  FROM hreg GROUP BY 1),
+         | hest AS (SELECT prefix_len,
+         |  round(CASE WHEN raw <= 2.5 * 256.0 AND v_zero > 0
+         |   THEN 256.0 * ln(256.0 / v_zero) ELSE raw END, 6)
+         |   AS n_groups_hll
+         |  FROM (SELECT prefix_len, 256 - used AS v_zero,
+         |   0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 9007199254740992.0
+         |    / (s_int + (256 - used) * 9007199254740992::BIGINT) AS raw
+         |   FROM hper) t),
+         | ex AS (SELECT prefix_len,
+         |  CAST(count(*) AS BIGINT) AS n_groups_est,
+         |  CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)
+         |   AS n_dup_suffixes_est,
+         |  CAST(max(cnt) AS BIGINT) AS max_group_est
+         |  FROM (SELECT prefix_len, g, count(*) AS cnt FROM m
+         |   WHERE prefix_len <= 2 GROUP BY 1, 2) c GROUP BY 1),
+         | sg AS (SELECT prefix_len, g, count(*) AS cnt FROM h
+         |  WHERE prefix_len >= 4
+         |   AND CAST('0x' || substr(h, 17, 2) AS BIGINT) < 4
+         |  GROUP BY 1, 2),
+         | samp AS (SELECT prefix_len,
+         |  CAST(64 * count(*) AS BIGINT) AS n_groups_est,
+         |  CAST(64 * sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_singl FROM sg GROUP BY 1),
+         | cmsc AS (SELECT prefix_len, r, bucket, count(*) AS c FROM (
+         |  SELECT prefix_len, 0 AS r,
+         |   CAST('0x' || substr(h, 19, 4) AS BIGINT) AS bucket FROM h
+         |   WHERE prefix_len >= 4
+         |  UNION ALL SELECT prefix_len, 1,
+         |   CAST('0x' || substr(h, 23, 4) AS BIGINT) FROM h
+         |   WHERE prefix_len >= 4
+         |  UNION ALL SELECT prefix_len, 2,
+         |   CAST('0x' || substr(h, 27, 4) AS BIGINT) FROM h
+         |   WHERE prefix_len >= 4) z GROUP BY 1, 2, 3),
+         | cms AS (SELECT prefix_len,
+         |  CAST(min(rowmax) AS BIGINT) AS max_group_est FROM
+         |  (SELECT prefix_len, r, max(c) AS rowmax FROM cmsc
+         |   GROUP BY 1, 2) t GROUP BY 1),
+         | uni AS (
+         |  SELECT prefix_len, 'exact' AS mode, n_groups_est,
+         |   n_dup_suffixes_est, max_group_est FROM ex
+         |  UNION ALL
+         |  SELECT c.prefix_len, 'sketch',
+         |   coalesce(s.n_groups_est, 0),
+         |   CAST(greatest(0, nn.n_suffixes - coalesce(s.n_singl, 0))
+         |    AS BIGINT),
+         |   c.max_group_est
+         |  FROM cms c LEFT JOIN samp s USING (prefix_len), nn)
+         | SELECT u.prefix_len, u.mode, nn.n_suffixes,
+         |  CAST(u.n_groups_est AS BIGINT) AS n_groups_est,
+         |  CAST(u.n_dup_suffixes_est AS BIGINT) AS n_dup_suffixes_est,
+         |  CAST(u.max_group_est AS BIGINT) AS max_group_est,
+         |  hest.n_groups_hll
+         | FROM uni u JOIN hest USING (prefix_len), nn
+         | ORDER BY prefix_len""".stripMargin.replace("\n", " ")
+    },
+    // sketch-mode repeats: position-space 1/16 sample
+    // (md5(doc:pos) byte < 16), exact census of the sampled rows,
+    // unbiased 16× size estimate
+    "dedup_suffix_repeats_sketch" ->
+      s"""WITH $SUFFIX_ROUNDS,
+         | sp AS MATERIALIZED (SELECT doc_id, pos, g FROM p6
+         |  WHERE CAST('0x' || substr(md5(doc_id::VARCHAR || ':' ||
+         |   pos::VARCHAR), 1, 2) AS BIGINT) < 16),
+         | g1 AS (SELECT g, count(*) AS samp_size,
+         |  count(DISTINCT doc_id) AS n_docs_samp, min(doc_id) AS doc_id
+         |  FROM sp GROUP BY g HAVING count(*) > 1),
+         | g2 AS (SELECT g1.g, g1.samp_size, g1.n_docs_samp, g1.doc_id,
+         |  min(sp.pos) AS pos FROM g1 JOIN sp ON sp.g = g1.g
+         |   AND sp.doc_id = g1.doc_id GROUP BY 1, 2, 3, 4),
+         | t AS (SELECT samp_size, n_docs_samp, doc_id, pos FROM g2
+         |  ORDER BY samp_size DESC, doc_id, pos LIMIT 10)
+         | SELECT CAST(t.samp_size * 16 AS BIGINT) AS est_grp_size,
+         |  CAST(t.samp_size AS BIGINT) AS samp_size,
+         |  CAST(t.n_docs_samp AS BIGINT) AS n_docs_samp,
+         |  t.doc_id, CAST(t.pos AS BIGINT) AS pos,
+         |  substr(d.text, t.pos::INT, 64) AS snippet,
+         |  row_number() OVER (ORDER BY t.samp_size DESC, t.doc_id, t.pos)
+         |   AS rk
+         | FROM t JOIN documents d ON d.doc_id = t.doc_id ORDER BY rk"""
+        .stripMargin.replace("\n", " "),
     // the suffix chain's depth columns p3/p4/p5/p6 = prefix lengths
     // 8/16/32/64; bench groups from the eval split, train positions
     // semi-joined per depth

@@ -818,6 +818,41 @@ object Dedup {
   private[graft] def chainForTest(docs: DataFrame): DataFrame =
     suffixChain(docs)
 
+  /** One doc's full doubling chain as primitive arrays: level 0 is
+    * the code points, level j is `roundHash(g, g[+2^(j-1)])` over
+    * level j−1, up to `topIdx` (≤ 6 ⇒ depth 64). Shared by the
+    * chain emitter ([[suffixChain]]) and the one-pass sketch walk
+    * ([[suffixSpectrumSketch]]) so the two can never diverge on the
+    * group-id family. */
+  private def docChainArrays(md: java.security.MessageDigest,
+                             cps: Array[Int],
+                             topIdx: Int): Array[Array[Long]] = {
+    val n = cps.length
+    val out = new Array[Array[Long]](topIdx + 1)
+    val g1 = new Array[Long](n)
+    var i = 0
+    while (i < n) { g1(i) = cps(i).toLong; i += 1 }
+    out(0) = g1
+    var j = 1
+    var step = 1
+    while (j <= topIdx) {
+      val prev = out(j - 1)
+      val nx = new Array[Long](n)
+      var p = 0
+      while (p < n) {
+        val next =
+          if (p + step < n) java.lang.Long.toString(prev(p + step))
+          else "END"
+        nx(p) = roundHash(md, prev(p), next)
+        p += 1
+      }
+      out(j) = nx
+      j += 1
+      step *= 2
+    }
+    out
+  }
+
   private val allDepths = Seq(1, 2, 4, 8, 16, 32, 64)
 
   /** @param depths which g columns to EMIT — every level up to 64 is
@@ -845,32 +880,13 @@ object Dedup {
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         val none = Array.empty[Long]
-        def round(prev: Array[Long], step: Int): Array[Long] = {
-          val n = prev.length
-          val out = new Array[Long](n)
-          var i = 0
-          while (i < n) {
-            val next =
-              if (i + step < n) java.lang.Long.toString(prev(i + step))
-              else "END"
-            out(i) = roundHash(md, prev(i), next)
-            i += 1
-          }
-          out
-        }
         it.flatMap { case (id, text) =>
           val cps = text.codePoints().toArray
-          val n = cps.length
-          if (n == 0) Iterator.empty
+          if (cps.isEmpty) Iterator.empty
           else {
-            val g1 = new Array[Long](n)
-            var i = 0
-            while (i < n) { g1(i) = cps(i).toLong; i += 1 }
             // compute only up to the deepest requested level (each
             // level is the next one's input)
-            val gs = Array.iterate((g1, 1), topIdx + 1) { case (g, d) =>
-              (round(g, d), d * 2)
-            }.map(_._1)
+            val gs = docChainArrays(md, cps, topIdx)
             def sel(j: Int) = if (j <= topIdx && emit(j)) gs(j) else none
             Iterator.single((id, sel(0), sel(1), sel(2), sel(3),
               sel(4), sel(5), sel(6)))
@@ -913,6 +929,266 @@ object Dedup {
       .localCheckpoint(eager = true) // 7 rows
     Corpus.freeCheckpoint(f)
     out
+  }
+
+  /** Sketch-mode repetition spectrum — the 100 TB default next to
+    * [[suffixSpectrum]]'s exact audit form. The exact census
+    * shuffles one (group, count) partial per corpus character and
+    * the deep-depth ids are mostly unique, so map-side combine
+    * cannot shrink the exchange (measured super-linear past sf1:
+    * 24.6 → 545.7 s for sf1 → sf10). This form folds the SAME
+    * doubling chain ([[docChainArrays]] — the group-id family is
+    * shared, not restated) into fixed-size mergeable state inside
+    * the one per-doc walk, so nothing char-scale ever crosses a
+    * shuffle:
+    *
+    *  - depths 1 and 2 stay EXACT: their cardinality is a-priori
+    *    bounded (alphabet, alphabet pairs), the per-doc census rows
+    *    collapse under map-side combine, and key-space sampling is
+    *    meaningless at ~10² groups;
+    *  - depths 4..64 are sketched from one md5 per (depth, group
+    *    occurrence), its hex ranges carved into the estimators —
+    *    chars 1-2 HyperLogLog register index + 3-15 rank (m = 256,
+    *    [[Sketches]]' exact-integer harmonic sum / estimator,
+    *    spelled identically in the oracle), char 17-18 < 4 the
+    *    1/64 KEY-SPACE sample gate (a group is in or out wholesale,
+    *    so within-sample counts are exact and any group-sum
+    *    statistic scales unbiased by 64; duplicated mass is
+    *    estimated from the LOW-variance side as
+    *    n − 64·|sampled singletons| — singleton groups contribute
+    *    ±1 each, where scaling the heavy side would ride the
+    *    largest groups' 1/64 inclusion lottery), and chars
+    *    19-22/23-26/27-30 three independent 65536-bucket
+    *    count-min rows whose min-over-rows row-maximum upper-bounds
+    *    the largest group within ~n/65536 (tight exactly in the
+    *    heavy-repetition regime the spectrum exists to flag; the
+    *    deep-depth "what exactly repeats" readout belongs to
+    *    [[suffixRepeatsSketch]]).
+    *
+    * Every partial merges by max (HLL registers) or sum (census,
+    * CMS cells, sampled counts), so the result is independent of
+    * partitioning and doc order — the DuckDB oracle replays it
+    * bit-for-bit from the same md5 ranges. Per-partition state is
+    * 7×256 register bytes + 5×3×65536 CMS longs (~8 MB) + per-doc
+    * bounded maps; the merge exchange carries CMS cells (≤ 983 k
+    * rows however large the corpus), HLL registers, sampled-group
+    * partials (~7/64 of distinct groups) and per-doc alphabet
+    * censuses. sf0.1→sf1→sf10 measured sub-linear per decade where
+    * the exact form was 8×/22×. */
+  def suffixSpectrumSketch(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val depthsL = Array(1L, 2L, 4L, 8L, 16L, 32L, 64L)
+    val partials = graft.Tables.fan(
+        docs.select(col("doc_id"), col("text")), col("doc_id"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hll = Array.ofDim[Byte](7, 256)
+        val cms = Array.ofDim[Long](5, 3 * 65536)
+        var nChars = 0L
+        // packed md5-derived info per group id, depth-independent:
+        // idx(8) | rank(6) | sampleGate(1) | b0(16) | b1(16) | b2(16)
+        val memo = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+        def info(g: Long): Long = {
+          val cached = memo.get(g)
+          if (cached != null) cached.longValue()
+          else {
+            md.reset()
+            val d = md.digest(java.lang.Long.toString(g)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            val idx = (d(0) & 0xffL)
+            // 52-bit value of hex chars 3..15 = bytes 1..6 + the
+            // high nibble of byte 7; rank = leading-zero bits + 1
+            // (53 when zero) — bit-identical to Sketches.hexRank
+            var v52 = 0L
+            var b = 1
+            while (b < 7) { v52 = (v52 << 8) | (d(b) & 0xffL); b += 1 }
+            v52 = (v52 << 4) | ((d(7) & 0xf0L) >>> 4)
+            val rank =
+              if (v52 == 0L) 53L
+              else java.lang.Long.numberOfLeadingZeros(v52) - 11L
+            val gate = if ((d(8) & 0xff) < 4) 1L else 0L
+            val b0 = ((d(9) & 0xffL) << 8) | (d(10) & 0xffL)
+            val b1 = ((d(11) & 0xffL) << 8) | (d(12) & 0xffL)
+            val b2 = ((d(13) & 0xffL) << 8) | (d(14) & 0xffL)
+            val packed = idx | (rank << 8) | (gate << 14) |
+              (b0 << 15) | (b1 << 31) | (b2 << 47)
+            memo.put(g, packed)
+            packed
+          }
+        }
+        def bump(li: Int, inf: Long): Unit = {
+          val idx = (inf & 0xffL).toInt
+          val rank = ((inf >> 8) & 0x3fL).toByte
+          if (rank > hll(li)(idx)) hll(li)(idx) = rank
+        }
+        val perDoc = it.flatMap { case (_, text) =>
+          val cps = text.codePoints().toArray
+          val n = cps.length
+          if (n == 0) Iterator.empty
+          else {
+            nChars += n
+            memo.clear() // per-doc: bounded by 7×doc length
+            val gs = docChainArrays(md, cps, 6)
+            val out = new scala.collection.mutable.ArrayBuffer[
+              (Int, Long, Long, Long)](16 + 7 * n / 64)
+            // depths 1, 2: exact per-doc census rows (kind 4) +
+            // HLL from the distinct keys (register max over the
+            // doc's distinct set = max over all its occurrences)
+            var li = 0
+            while (li < 2) {
+              val cen = new java.util.HashMap[java.lang.Long, Array[Long]]()
+              val g = gs(li)
+              var i = 0
+              while (i < n) {
+                val slot = cen.get(g(i))
+                if (slot == null) cen.put(g(i), Array(1L))
+                else slot(0) += 1L
+                i += 1
+              }
+              val eit = cen.entrySet().iterator()
+              while (eit.hasNext) {
+                val e = eit.next()
+                bump(li, info(e.getKey.longValue()))
+                out += ((4, depthsL(li), e.getKey.longValue(), e.getValue()(0)))
+              }
+              li += 1
+            }
+            // depths 4..64: HLL + CMS + gated sample rows (kind 2)
+            li = 2
+            while (li < 7) {
+              val g = gs(li)
+              var i = 0
+              while (i < n) {
+                val inf = info(g(i))
+                bump(li, inf)
+                val si = li - 2
+                cms(si)(((inf >> 15) & 0xffffL).toInt) += 1L
+                cms(si)(65536 + ((inf >> 31) & 0xffffL).toInt) += 1L
+                cms(si)(131072 + ((inf >> 47) & 0xffffL).toInt) += 1L
+                if (((inf >> 14) & 1L) == 1L)
+                  out += ((2, depthsL(li), g(i), 1L))
+                i += 1
+              }
+              li += 1
+            }
+            out.iterator
+          }
+        }
+        // accumulator flush AFTER the doc iterator exhausts (lazy ++)
+        perDoc ++ Iterator.single(()).flatMap { _ =>
+          val hllIt = for {
+            li <- Iterator.range(0, 7)
+            idx <- Iterator.range(0, 256)
+            if hll(li)(idx) > 0
+          } yield (0, depthsL(li), idx.toLong, hll(li)(idx).toLong)
+          val cmsIt = for {
+            si <- Iterator.range(0, 5)
+            cell <- Iterator.range(0, 3 * 65536)
+            if cms(si)(cell) > 0L
+          } yield (1, depthsL(si + 2), cell.toLong, cms(si)(cell))
+          hllIt ++ cmsIt ++ Iterator.single((3, 0L, 0L, nChars))
+        }
+      }
+      .toDF("kind", "depth", "k", "v")
+    // ONE exchange merges every estimator's partials (max for HLL
+    // registers, sum for everything else — picked per kind below);
+    // the merged frame is sketch-sized, checkpointed once for its
+    // five consumers
+    val merged = partials.groupBy("kind", "depth", "k")
+      .agg(max("v").as("vmax"), sum("v").as("vsum"))
+      .localCheckpoint(eager = true)
+    val nRow = merged.where(col("kind") === 3)
+      .agg(sum("vsum").as("n_suffixes"))
+    val hllLeg = merged.where(col("kind") === 0)
+      .select(col("depth"), col("vmax").as("mj"))
+      .groupBy("depth")
+      .agg(count(lit(1)).as("used"), sum(Sketches.sIntTerm).as("s_int"))
+    val hllE = hllLeg.select(col("depth"),
+      round(Sketches.hllEst(col("used"), col("s_int"))._2, 6)
+        .as("n_groups_hll"))
+    val exactLeg = merged.where(col("kind") === 4)
+      .select(col("depth"), col("vsum").as("cnt"))
+      .groupBy("depth").agg(
+        count(lit(1)).as("n_groups_est"),
+        sum(when(col("cnt") > 1, col("cnt")).otherwise(0L))
+          .as("n_dup_suffixes_est"),
+        max("cnt").as("max_group_est"))
+    val sampLeg = merged.where(col("kind") === 2)
+      .select(col("depth"), col("vsum").as("cnt"))
+      .groupBy("depth").agg(
+        (count(lit(1)) * 64).as("n_groups_est"),
+        (count(when(col("cnt") === 1, 1)) * 64).as("n_singl"))
+    val cmsLeg = merged.where(col("kind") === 1)
+      .select(col("depth"), expr("k div 65536").as("r"),
+        col("vsum").as("c"))
+      .groupBy("depth", "r").agg(max("c").as("rowmax"))
+      .groupBy("depth").agg(min("rowmax").as("max_group_est"))
+    val exact = exactLeg.crossJoin(broadcast(nRow))
+      .select(col("depth"), lit("exact").as("mode"), col("n_suffixes"),
+        col("n_groups_est"), col("n_dup_suffixes_est"),
+        col("max_group_est"))
+    val sketch = cmsLeg.join(sampLeg, Seq("depth"), "left")
+      .crossJoin(broadcast(nRow))
+      .select(col("depth"), lit("sketch").as("mode"), col("n_suffixes"),
+        coalesce(col("n_groups_est"), lit(0L)).as("n_groups_est"),
+        greatest(lit(0L), col("n_suffixes") -
+          coalesce(col("n_singl"), lit(0L))).as("n_dup_suffixes_est"),
+        col("max_group_est"))
+    val out = exact.unionByName(sketch)
+      .join(hllE, "depth")
+      .select(col("depth").as("prefix_len"), col("mode"),
+        col("n_suffixes"), col("n_groups_est"),
+        col("n_dup_suffixes_est"), col("max_group_est"),
+        col("n_groups_hll"))
+      .orderBy("prefix_len")
+      .localCheckpoint(eager = true) // 7 rows
+    Corpus.freeCheckpoint(merged)
+    out
+  }
+
+  /** Sketch-mode deep-repeat attribution — the scale companion to
+    * [[suffixRepeats]], whose exact census pays the same
+    * mostly-unique depth-64 exchange as the exact spectrum
+    * (357.4 s at sf10). POSITION-space sampling this time, not
+    * key-space: every big group keeps ~size/16 sampled members
+    * (md5(doc:pos) byte < 16), so the census runs on 1/16 of the
+    * char volume, the surviving groups are exactly the ≥~16-member
+    * ones a top-k of verbatim boilerplate cares about, ranks are
+    * preserved up to sampling noise (±√(size/16) relative), and the
+    * reported `est_grp_size = 16 × sampled` is unbiased. Key-space
+    * sampling would be wrong here — the one heaviest group would be
+    * in the candidate set with probability 1/64. Attribution
+    * (exemplar doc/pos, snippet) joins back through REAL sampled
+    * positions, so snippets are always genuine corpus text. */
+  def suffixRepeatsSketch(docs: DataFrame, topK: Int = 10): DataFrame = {
+    val sampled = suffixChain(docs, Seq(64))
+      .select(col("doc_id"), col("pos"), col("g64").as("g"))
+      .where(conv(substring(md5(concat_ws(":",
+        col("doc_id"), col("pos"))), 1, 2), 16, 10).cast("long") < 16)
+    val groups = sampled
+      .groupBy("g")
+      .agg(count(lit(1)).as("samp_size"),
+        count_distinct(col("doc_id")).as("n_docs_samp"),
+        min(struct(col("doc_id"), col("pos"))).as("ex"))
+      .where(col("samp_size") > 1)
+    val top = groups
+      .orderBy(col("samp_size").desc, col("ex.doc_id").asc,
+        col("ex.pos").asc)
+      .limit(topK)
+      .select((col("samp_size") * 16).as("est_grp_size"),
+        col("samp_size"), col("n_docs_samp"),
+        col("ex.doc_id").as("doc_id"),
+        col("ex.pos").cast("long").as("pos"))
+    val rkW = Window.orderBy(col("samp_size").desc, col("doc_id").asc,
+      col("pos").asc) // ≤topK rows
+    top.join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .select(col("est_grp_size"), col("samp_size"), col("n_docs_samp"),
+        col("doc_id"), col("pos"),
+        col("text").substr(col("pos").cast("int"), lit(64)).as("snippet"),
+        row_number().over(rkW).cast("long").as("rk"))
+      .orderBy("rk")
   }
 
   /** Top-`topK` deepest repeated substrings with attribution — the

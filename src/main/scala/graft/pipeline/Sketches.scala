@@ -153,14 +153,14 @@ object Sketches {
     * path, so the two cannot drift (same byte-for-byte output). */
   /** The exact-integer harmonic-sum term per register row — summed
     * per sketch into `s_int`. */
-  private def sIntTerm: Column =
+  private[graft] def sIntTerm: Column =
     expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - mj AS INT))")
 
   /** The bias-corrected estimator over (used_registers, s_int) —
     * (raw, corrected) columns; shared by the per-source estimate,
     * the stored-sketch path and the pair-union overlap so the
     * expression (spelled identically in every oracle) cannot drift. */
-  private def hllEst(used: Column, sInt: Column): (Column, Column) = {
+  private[graft] def hllEst(used: Column, sInt: Column): (Column, Column) = {
     // empty registers hold value 0 and contribute 2^(-0)=1 each to
     // the harmonic sum — i.e. 2^53 in the integer scaling
     val vZero = lit(HLL_M) - used

@@ -3399,4 +3399,72 @@ class PipelineSpec extends SparkSpec {
     val raw = r.values.map(_.getAs[Long]("tokens_raw")).sum
     assert(eff <= raw.toDouble && eff > 0)
   }
+
+  test("spectrum sketch tracks the exact census within its bounds") {
+    val docs = Tables.documents(spark, sf)
+    val exact = Dedup.suffixSpectrum(docs).collect()
+      .map(r => r.getAs[Long]("prefix_len") -> r).toMap
+    val sk = Dedup.suffixSpectrumSketch(docs).collect()
+      .map(r => r.getAs[Long]("prefix_len") -> r).toMap
+    assert(sk.keySet == Set(1L, 2L, 4L, 8L, 16L, 32L, 64L))
+    val n = exact(1L).getAs[Long]("n_suffixes")
+    for (d <- Seq(1L, 2L, 4L, 8L, 16L, 32L, 64L)) {
+      val e = exact(d); val s = sk(d)
+      assert(s.getAs[Long]("n_suffixes") == n, s"depth $d n")
+      val exG = e.getAs[Long]("n_groups").toDouble
+      val exD = e.getAs[Long]("n_dup_suffixes").toDouble
+      val exM = e.getAs[Long]("max_group")
+      if (d <= 2) {
+        // exact mode: the hybrid must REPRODUCE the census, not
+        // estimate it (a-priori bounded alphabet cardinality)
+        assert(s.getAs[String]("mode") == "exact")
+        assert(s.getAs[Long]("n_groups_est").toDouble == exG, s"depth $d")
+        assert(s.getAs[Long]("n_dup_suffixes_est").toDouble == exD)
+        assert(s.getAs[Long]("max_group_est") == exM)
+      } else {
+        assert(s.getAs[String]("mode") == "sketch")
+        // 1/64 key-space sample: unbiased group counts; depth 4 has
+        // only ~1k groups (≈16 sampled) so its band is wide
+        val gTol = if (d == 4L) 0.6 else 0.25
+        assert(math.abs(s.getAs[Long]("n_groups_est") / exG - 1) <= gTol,
+          s"depth $d n_groups ${s.getAs[Long]("n_groups_est")} vs $exG")
+        // dup mass via the low-variance singleton side
+        assert(math.abs(s.getAs[Long]("n_dup_suffixes_est") - exD)
+          <= math.max(0.35 * math.max(exD, 1.0), 0.05 * n),
+          s"depth $d dup ${s.getAs[Long]("n_dup_suffixes_est")} vs $exD")
+        // CMS min-over-rows row max: a true upper bound, within the
+        // ~n/65536 collision mass
+        val cm = s.getAs[Long]("max_group_est")
+        assert(cm >= exM, s"depth $d CMS $cm below exact max $exM")
+        assert(cm <= exM + 20L * (n / 65536L + 1L),
+          s"depth $d CMS $cm too loose vs $exM")
+      }
+      // HLL runs at every depth (m=256 → ±~7% typical; generous band)
+      assert(math.abs(s.getAs[Double]("n_groups_hll") / exG - 1) <= 0.25,
+        s"depth $d hll ${s.getAs[Double]("n_groups_hll")} vs $exG")
+    }
+  }
+
+  test("repeats sketch surfaces a genuinely heavy depth-64 group") {
+    val s0 = spark
+    import s0.implicits._
+    val docs = Tables.documents(spark, sf)
+    val exactTop = Dedup.suffixRepeats(docs, 1).collect()(0)
+      .getAs[Long]("grp_size")
+    val sk = Dedup.suffixRepeatsSketch(docs).collect()
+    assert(sk.nonEmpty, "sampled census found no repeated group")
+    // every reported row is a real sampled census hit with an
+    // unbiased 16× size estimate
+    for (r <- sk) {
+      assert(r.getAs[Long]("est_grp_size") ==
+        16L * r.getAs[Long]("samp_size"))
+      assert(r.getAs[Long]("samp_size") > 1L)
+      assert(r.getAs[String]("snippet") != null)
+    }
+    // the sketch's top estimate lands within sampling noise of the
+    // exact top group (position sampling preserves heavy ranks)
+    val estTop = sk(0).getAs[Long]("est_grp_size").toDouble
+    assert(estTop >= 0.2 * exactTop && estTop <= 5.0 * exactTop,
+      s"sketch top $estTop vs exact top $exactTop")
+  }
 }
