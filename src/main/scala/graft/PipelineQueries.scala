@@ -1467,6 +1467,19 @@ object PipelineQueries {
       Multimodal.channelStats(
         Multimodal.syntheticBmpMedia(Tables.documents(s, dir)))
         .orderBy("media_id")),
+    // REAL-format decode: PNG through javax.imageio (lossless, so the
+    // decoded channel sums replay the generator's xorshift stream
+    // bit-for-bit in the oracle)
+    "mm_png" -> ((s, dir) =>
+      Multimodal.imageChannelStats(
+        Multimodal.syntheticPngMedia(Tables.documents(s, dir)))
+        .orderBy("media_id")),
+    // REAL-format decode: JPEG (lossy — the oracle pins exact
+    // geometry and the bounded-drift contract flag)
+    "mm_jpeg" -> ((s, dir) =>
+      Multimodal.jpegDrift(
+        Multimodal.syntheticJpegMedia(Tables.documents(s, dir)))
+        .orderBy("media_id")),
     "mm_blur" -> ((s, dir) =>
       Multimodal.blurStats(
         Multimodal.syntheticBmpMedia(Tables.documents(s, dir)))
@@ -4741,6 +4754,47 @@ object PipelineQueries {
         |  round(s.sum_r::DOUBLE / (lim.w * lim.h), 6) AS mean_r
         | FROM sums AS s JOIN lim ON lim.media_id = s.media_id
         | ORDER BY lim.media_id""".stripMargin.replace("\n", " "),
+    // PNG real-format decode: same xorshift replay as
+    // mm_channel_stats minus the BMP padding/bottom-up complications
+    // (PNG pixel k's channels are stream bytes 3k..3k+2 verbatim —
+    // lossless codec, so the engine's ImageIO.read returns them)
+    "mm_png" ->
+      """WITH RECURSIVE sz AS (SELECT doc_id AS media_id,
+        |  CAST(8 + doc_id % 24 AS INT) AS w,
+        |  CAST(8 + doc_id % 16 AS INT) AS h
+        | FROM documents),
+        | lim AS (SELECT *, w * h * 3 AS data_size FROM sz),
+        | chain(media_id, k, s) AS (
+        |  SELECT media_id, 0, CAST(media_id AS UBIGINT) | 1 FROM lim
+        |  UNION ALL
+        |  SELECT c.media_id, c.k + 1,
+        |   (SELECT xor(xor(b, b >> 7), CAST((CAST(xor(b, b >> 7) AS HUGEINT)
+        |      * 131072) % 18446744073709551616 AS UBIGINT))
+        |    FROM (SELECT xor(c.s, CAST((CAST(c.s AS HUGEINT) * 8192)
+        |      % 18446744073709551616 AS UBIGINT)) AS b) AS t)
+        |  FROM chain AS c JOIN lim ON lim.media_id = c.media_id
+        |  WHERE c.k < lim.data_size),
+        | bytes AS (SELECT media_id, k - 1 AS pos,
+        |   CAST(s >> 56 AS BIGINT) AS b FROM chain WHERE k >= 1),
+        | sums AS (SELECT media_id,
+        |   CAST(sum(CASE WHEN pos % 3 = 0 THEN b END) AS BIGINT) AS sum_r,
+        |   CAST(sum(CASE WHEN pos % 3 = 1 THEN b END) AS BIGINT) AS sum_g,
+        |   CAST(sum(CASE WHEN pos % 3 = 2 THEN b END) AS BIGINT) AS sum_b
+        |  FROM bytes GROUP BY media_id)
+        | SELECT lim.media_id, lim.w AS width, lim.h AS height,
+        |  s.sum_r, s.sum_g, s.sum_b,
+        |  round(s.sum_r::DOUBLE / (lim.w * lim.h), 6) AS mean_r,
+        |  round(s.sum_g::DOUBLE / (lim.w * lim.h), 6) AS mean_g,
+        |  round(s.sum_b::DOUBLE / (lim.w * lim.h), 6) AS mean_b
+        | FROM sums AS s JOIN lim ON lim.media_id = s.media_id
+        | ORDER BY lim.media_id""".stripMargin.replace("\n", " "),
+    // JPEG is lossy: the oracle pins the exactly-preserved geometry
+    // and the drift_ok contract (a codec regression flips the flag
+    // and fails the hash, instead of hiding inside a tolerance)
+    "mm_jpeg" ->
+      """SELECT doc_id AS media_id, CAST(8 + doc_id % 24 AS INT) AS width,
+        | CAST(8 + doc_id % 16 AS INT) AS height, TRUE AS drift_ok
+        | FROM documents ORDER BY media_id""".stripMargin.replace("\n", " "),
     // exact replay of Multimodal.encodeBmp + aHash: xorshift64 with
     // wrapping << emulated via HUGEINT multiply mod 2^64; byte k of the
     // pixel array = state_k >> 56; padded bottom-up rows; integer cell

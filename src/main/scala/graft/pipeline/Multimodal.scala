@@ -949,4 +949,186 @@ object Multimodal {
     features.where(col("kind") === "video")
       .select(col("media_id"), col("n_frames"),
         sequence(lit(0), col("n_frames") - 1, lit(stride)).as("frame_idx"))
+
+  // ---- real-FORMAT image kernels: PNG + JPEG via javax.imageio ----
+  // (pure JDK — the codecs every real crawl's images actually use,
+  // plugged into the same typed-mapPartitions boundary as the
+  // synthetic BMP/WAV/AVI kernels)
+
+  /** Encode the xorshift pixel stream as a REAL PNG through
+    * `javax.imageio` — the first standard container on the media
+    * path. Pixel (x, y)'s (r, g, b) are bytes 3(y·w+x)+0..2 of the
+    * xorshift64 stream seeded `seed|1` (the BMP generator's stream
+    * minus padding and bottom-up rows: PNG has neither, so the
+    * byte→pixel map is the identity and the oracle replay is
+    * simpler than the BMP one). PNG is lossless, so
+    * [[decodeImage]] returns these exact bytes and channel sums
+    * replay bit-for-bit in DuckDB. The container bytes themselves
+    * are encoder-version-dependent and are never asserted on —
+    * only the decoded pixels are. */
+  def encodePng(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var s = seed | 1L
+    def nb(): Int = {
+      s ^= s << 13; s ^= s >>> 7; s ^= s << 17
+      ((s >>> 56) & 0xffL).toInt
+    }
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val r = nb(); val g = nb(); val b = nb()
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** REAL standard-container decode (PNG, JPEG, GIF, BMP — whatever
+    * the JDK's ImageIO registry recognizes). Malformed or truncated
+    * payloads throw loudly (ImageIO signals them as null).
+    * `setUseCache(false)` keeps the reader on heap buffers — the
+    * default FILE-backed stream cache would write every payload to
+    * executor temp disk, a silent 2× I/O tax at 100 TB. */
+  def decodeImage(payload: Array[Byte]): java.awt.image.BufferedImage = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    require(img != null, "unrecognized or corrupt image container")
+    img
+  }
+
+  /** Deterministic PNG media table (mirrors [[syntheticBmpMedia]];
+    * smaller geometry keeps the oracle's per-byte xorshift replay
+    * cheap). Encode runs in the map stage — at 100 TB the payloads
+    * arrive from storage instead and this synthesizer disappears. */
+  def syntheticPngMedia(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val w = 8 + (id % 24).toInt
+      val h = 8 + (id % 16).toInt
+      val payload = encodePng(w, h, id)
+      (id, "image", payload, "png", payload.length.toLong)
+    }.toDF("media_id", "kind", "payload", "meta_codec", "meta_bytes")
+  }
+
+  /** Channel statistics over REAL-container images (PNG or anything
+    * ImageIO reads): decode, walk getRGB, integer channel sums —
+    * the [[channelStats]] card with the production codec in place
+    * of the synthetic BMP parser. Same scale posture: payloads
+    * never shuffle, only the tiny stats rows do. */
+  def imageChannelStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .map { case (id, payload) =>
+        val img = decodeImage(payload)
+        val w = img.getWidth; val h = img.getHeight
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sr += (rgb >> 16) & 0xff
+            sg += (rgb >> 8) & 0xff
+            sb += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        (id, w, h, sr, sg, sb)
+      }
+      .toDF("media_id", "width", "height", "sum_r", "sum_g", "sum_b")
+      .withColumn("_n", (col("width") * col("height")).cast("double"))
+      .select(col("media_id"), col("width"), col("height"),
+        col("sum_r"), col("sum_g"), col("sum_b"),
+        round(col("sum_r") / col("_n"), 6).as("mean_r"),
+        round(col("sum_g") / col("_n"), 6).as("mean_g"),
+        round(col("sum_b") / col("_n"), 6).as("mean_b"))
+  }
+
+  /** Encode a smooth deterministic gradient as a REAL JPEG (r ramps
+    * with x, g with y, b constant — low-frequency content keeps
+    * codec error small and version-stable). JPEG is lossy, so no
+    * bit-exact pixel oracle exists; the contract [[jpegDrift]]
+    * checks is geometry (preserved exactly) plus bounded channel
+    * drift. */
+  def encodeJpeg(width: Int, height: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val r = if (width == 1) 0 else x * 255 / (width - 1)
+        val g = if (height == 1) 0 else y * 255 / (height - 1)
+        img.setRGB(x, y, (r << 16) | (g << 8) | 128)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", baos)
+    baos.toByteArray
+  }
+
+  /** Deterministic JPEG media table (geometry family as
+    * [[syntheticPngMedia]]). */
+  def syntheticJpegMedia(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val w = 8 + (id % 24).toInt
+      val h = 8 + (id % 16).toInt
+      val payload = encodeJpeg(w, h)
+      (id, "image", payload, "jpeg", payload.length.toLong)
+    }.toDF("media_id", "kind", "payload", "meta_codec", "meta_bytes")
+  }
+
+  /** The lossy-codec contract card: decode each JPEG through the
+    * real codec, recompute the encoder's expected channel sums from
+    * the geometry (the gradient is a function of (w, h) alone) and
+    * flag whether every channel's mean drifted less than `tol`
+    * levels. Geometry is asserted through the OUTPUT (the oracle
+    * pins width/height exactly and `drift_ok = true`, so a codec
+    * regression fails the gate rather than hiding in a tolerance
+    * column). */
+  def jpegDrift(media: DataFrame, tol: Double = 8.0): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .map { case (id, payload) =>
+        val img = decodeImage(payload)
+        val w = img.getWidth; val h = img.getHeight
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var er = 0L; var eg = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sr += (rgb >> 16) & 0xff
+            sg += (rgb >> 8) & 0xff
+            sb += rgb & 0xff
+            er += (if (w == 1) 0 else x * 255 / (w - 1))
+            eg += (if (h == 1) 0 else y * 255 / (h - 1))
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w * h).toDouble
+        val ok = math.abs(sr - er) / n <= tol &&
+          math.abs(sg - eg) / n <= tol &&
+          math.abs(sb - 128L * w * h) / n <= tol
+        (id, w, h, ok)
+      }
+      .toDF("media_id", "width", "height", "drift_ok")
+  }
 }

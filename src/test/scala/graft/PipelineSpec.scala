@@ -3445,6 +3445,75 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("PNG kernel: real ImageIO roundtrip is bit-exact to the stream") {
+    for ((w, h, seed) <- Seq((8, 8, 1L), (31, 23, 42L), (1, 5, 7L))) {
+      val png = Multimodal.encodePng(w, h, seed)
+      // a real PNG container, not a renamed bitmap
+      assert((png(1) & 0xff) == 'P'.toInt && (png(2) & 0xff) == 'N'.toInt &&
+        (png(3) & 0xff) == 'G'.toInt, "missing PNG signature")
+      val img = Multimodal.decodeImage(png)
+      assert(img.getWidth == w && img.getHeight == h)
+      // decoded pixels must BE the xorshift stream (lossless codec)
+      var s = seed | 1L
+      def nb(): Int = {
+        s ^= s << 13; s ^= s >>> 7; s ^= s << 17
+        ((s >>> 56) & 0xffL).toInt
+      }
+      for (y <- 0 until h; x <- 0 until w) {
+        val (er, eg, eb) = (nb(), nb(), nb())
+        val rgb = img.getRGB(x, y)
+        assert(((rgb >> 16) & 0xff) == er && ((rgb >> 8) & 0xff) == eg &&
+          (rgb & 0xff) == eb, s"pixel ($x,$y) of ${w}x$h seed $seed")
+      }
+    }
+  }
+
+  test("image decode rejects corrupt and truncated payloads loudly") {
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeImage("not an image at all".getBytes)
+    }
+    // ImageIO recognizes the signature of a truncated PNG but must
+    // not return a phantom image for it
+    val whole = Multimodal.encodePng(16, 16, 3L)
+    val truncated = whole.take(whole.length / 2)
+    intercept[Exception] { Multimodal.decodeImage(truncated) }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeImage(Array.empty[Byte])
+    }
+  }
+
+  test("JPEG kernel: real lossy codec, geometry exact, drift bounded") {
+    val s0 = spark
+    import s0.implicits._
+    val media = Multimodal.syntheticJpegMedia(
+      Tables.documents(spark, sf).limit(30))
+    val r = Multimodal.jpegDrift(media).collect()
+    assert(r.length == 30)
+    assert(r.forall(_.getAs[Boolean]("drift_ok")), "channel drift > tol")
+    // geometry preserved exactly through the codec
+    for (row <- r) {
+      val id = row.getAs[Long]("media_id")
+      assert(row.getAs[Int]("width") == 8 + (id % 24).toInt)
+      assert(row.getAs[Int]("height") == 8 + (id % 16).toInt)
+    }
+    // prove a genuinely lossy codec ran: at least one image's decoded
+    // bytes differ from the encoder's input (a pass-through fake
+    // would be bit-exact everywhere)
+    val anyLoss = media.select("media_id", "payload")
+      .as[(Long, Array[Byte])].collect().exists { case (id, p) =>
+        val img = Multimodal.decodeImage(p)
+        val w = img.getWidth; val h = img.getHeight
+        (0 until h).exists(y => (0 until w).exists { x =>
+          val rgb = img.getRGB(x, y)
+          val er = if (w == 1) 0 else x * 255 / (w - 1)
+          val eg = if (h == 1) 0 else y * 255 / (h - 1)
+          ((rgb >> 16) & 0xff) != er || ((rgb >> 8) & 0xff) != eg ||
+            (rgb & 0xff) != 128
+        })
+      }
+    assert(anyLoss, "JPEG decode was bit-exact — codec not exercised?")
+  }
+
   test("repeats sketch surfaces a genuinely heavy depth-64 group") {
     val s0 = spark
     import s0.implicits._
