@@ -908,6 +908,24 @@ object TsdbQueries {
         """sum by (name) (rate({name=~"(pur|cli).*"}[1d]))""")
         .select(col("name"), col("bucket_s"), round(col("value"), 9).as("value"))
         .orderBy("name", "bucket_s")),
+    // the step-instant RANGE-QUERY front door (temporal/base.go:133,
+    // 166): a Grafana-panel-shaped request — explicit (start, end,
+    // step) instant grid, right-closed (T−6h, T] windows, rate per
+    // series then sum by name at every instant
+    "pql_range" -> ((s, dir) =>
+      graft.promql.PromQL.rangeQuery(samples(s, dir),
+        """sum by (name) (rate({name=~"(pur|cli).*"}[6h]))""",
+        1704240000L, 1706313600L, 10800L)
+        .select(col("name"), col("bucket_s"), round(col("value"), 9).as("value"))
+        .orderBy("name", "bucket_s")),
+    // instant-vector leg of the range front door: bare selector =
+    // LAST sample in the (T−lookback, T] staleness window per series
+    "pql_range_instant" -> ((s, dir) =>
+      graft.promql.PromQL.rangeQuery(samples(s, dir),
+        """avg by (name) ({name=~"(pur|sig).*"})""",
+        1704240000L, 1706313600L, 21600L, lookbackS = 7200L)
+        .select(col("name"), col("bucket_s"), round(col("value"), 6).as("value"))
+        .orderBy("name", "bucket_s")),
     "pql_abs_avg" -> ((s, dir) =>
       graft.promql.PromQL.query(samples(s, dir), "avg by (name) (abs(purchase))")
         .select(col("name"), col("bucket_s"), round(col("value"), 6).as("value"))
@@ -2805,6 +2823,56 @@ object TsdbQueries {
             rateAggDay("WHERE regexp_full_match(name, '(pur|cli).*')"),
             "name, user_id, bucket_s", 86400)} AS t) AS r
          | GROUP BY name, bucket_s ORDER BY name, bucket_s""".stripMargin.replace("\n", " "),
+    // the (start, end, step) grid joined on exact right-closed µs
+    // bounds; per-(series, instant) extrapolated rate (the shared
+    // extrapSql), then the by-name sum — the engine's rangeQuery
+    // evaluates the identical windows via integer-µs index expansion
+    "pql_range" ->
+      s"""WITH grid AS (SELECT unnest(generate_series(
+         |   1704240000, 1706313600, 10800)) AS bucket_s),
+         | sl AS (SELECT *, lag(value) OVER w AS prev_v,
+         |   lag(ts) OVER w AS prev_ts
+         |  FROM (SELECT * FROM ($S) AS s0
+         |   WHERE regexp_full_match(name, '(pur|cli).*')) AS s
+         |  WINDOW w AS (PARTITION BY name, user_id ORDER BY ts, event_id)),
+         | j AS (SELECT sl.name, sl.user_id, sl.ts, sl.event_id, sl.value,
+         |   sl.prev_v, sl.prev_ts, g.bucket_s AS e
+         |  FROM sl JOIN grid AS g
+         |   ON epoch_us(sl.ts) > (g.bucket_s - 21600) * 1000000
+         |   AND epoch_us(sl.ts) <= g.bucket_s * 1000000),
+         | ag AS (SELECT name, user_id, e AS bucket_s,
+         |   CAST(e - 21600 AS DOUBLE) AS rs, CAST(e AS DOUBLE) AS re,
+         |   first(value ORDER BY ts, event_id) AS first_v,
+         |   last(value ORDER BY ts, event_id) AS last_v,
+         |   epoch_us(min(ts)) AS first_us, epoch_us(max(ts)) AS last_us,
+         |   count(*) AS n_s,
+         |   sum(CASE WHEN epoch_us(prev_ts) > (e - 21600) * 1000000
+         |       AND prev_v > value THEN prev_v ELSE 0 END) AS corr
+         |  FROM j GROUP BY name, user_id, e),
+         | r AS (SELECT name, user_id, bucket_s, round(rate_r, 9) AS rate_v
+         |  FROM ${extrapSql("ag", "name, user_id, bucket_s", 21600)} AS x
+         |  WHERE rate_r IS NOT NULL)
+         | SELECT name, bucket_s, round(sum(rate_v), 9) AS value
+         | FROM r GROUP BY name, bucket_s
+         | ORDER BY name, bucket_s""".stripMargin.replace("\n", " "),
+    // instant-vector grid: arg_max over the right-closed staleness
+    // window = the engine's last_over_time leaf
+    "pql_range_instant" ->
+      s"""WITH grid AS (SELECT unnest(generate_series(
+         |   1704240000, 1706313600, 21600)) AS bucket_s),
+         | j AS (SELECT s.name, s.user_id, s.ts, s.event_id, s.value,
+         |   g.bucket_s AS e
+         |  FROM (SELECT * FROM ($S) AS s0
+         |   WHERE regexp_full_match(name, '(pur|sig).*')) AS s
+         |  JOIN grid AS g
+         |   ON epoch_us(s.ts) > (g.bucket_s - 7200) * 1000000
+         |   AND epoch_us(s.ts) <= g.bucket_s * 1000000),
+         | lastv AS (SELECT name, user_id, e AS bucket_s,
+         |   last(value ORDER BY ts, event_id) AS value
+         |  FROM j GROUP BY name, user_id, e)
+         | SELECT name, bucket_s, round(avg(value), 6) AS value
+         | FROM lastv GROUP BY name, bucket_s
+         | ORDER BY name, bucket_s""".stripMargin.replace("\n", " "),
     "pql_abs_avg" ->
       s"""SELECT name, bucket_s, round(avg(abs(value)), 6) AS value
          | FROM ($INST) AS i WHERE name = 'purchase'

@@ -605,6 +605,128 @@ object PromQL {
   def query(samples: DataFrame, q: String): DataFrame =
     evalExpr(parse(q), samples)
 
+  /** The step-instant RANGE-QUERY front door — the shape every
+    * Grafana panel issues and the reference evaluates in
+    * src/query/functions/temporal/base.go:133,166: the parsed query
+    * evaluates at every instant T = start, start+step, …, end; a
+    * temporal function with range R reads the samples in the
+    * right-closed window (T−R, T]; a bare selector is the instant
+    * vector — the LAST sample within (T−lookback, T] (staleness
+    * window, 5 m default like upstream); everything above the leaves
+    * (aggregations, instant transforms, scalar/vector binary ops) is
+    * instant-keyed frame algebra and reuses the instant-query
+    * evaluator unchanged.
+    *
+    * Scale: each sample expands to at most ⌈R/step⌉ (window, sample)
+    * rows computed from integer µs arithmetic (no instant×sample
+    * cross join), and every window reduces in ONE map-side-combining
+    * aggregation keyed (series, T) — the same posture as the
+    * epoch-aligned sliding operators, generalized to an arbitrary
+    * grid origin. */
+  def rangeQuery(samples: DataFrame, q: String, startS: Long, endS: Long,
+                 stepS: Long, lookbackS: Long = 300L): DataFrame = {
+    require(stepS > 0, s"step must be positive, got $stepS")
+    require(endS >= startS, s"empty range [$startS, $endS]")
+    require(lookbackS > 0, s"lookback must be positive, got $lookbackS")
+    evalExpr(parse(q), samples,
+      Some(RangeCtx(startS, endS, stepS, lookbackS)))
+  }
+
+  /** Range-query evaluation context: the instant grid. */
+  private final case class RangeCtx(startS: Long, endS: Long,
+                                    stepS: Long, lookbackS: Long) {
+    def nMax: Long = (endS - startS) / stepS
+  }
+
+  /** The instant grid as a frame (≤ (end−start)/step + 1 rows). */
+  private def rangeGrid(rc: RangeCtx, samples: DataFrame): DataFrame =
+    samples.sparkSession.range(0L, rc.nMax + 1)
+      .select((lit(rc.startS) + col("id") * rc.stepS).as("bucket_s"))
+
+  /** Expand each sample to the grid instants whose (T−R, T] window
+    * contains it: T ∈ [ts, ts+R) ⇒ k ∈ [⌈(ts−start)/step⌉,
+    * ⌈(ts+R−start)/step⌉−1], clipped to the grid — exact integer µs
+    * arithmetic (floor/ceil division via pmod, no doubles at the
+    * boundaries), ≤ ⌈R/step⌉ rows per sample. */
+  private def gridExpand(in: DataFrame, rangeS: Long,
+                         rc: RangeCtx): DataFrame = {
+    val stepUs = rc.stepS * 1000000L
+    def ceilDiv(a: Column): Column = {
+      val neg = -a
+      -((neg - pmod(neg, lit(stepUs))) / lit(stepUs)).cast("long")
+    }
+    val rel = unix_micros(col("ts")) - lit(rc.startS * 1000000L)
+    val kLo = greatest(lit(0L), ceilDiv(rel))
+    val kHi = least(lit(rc.nMax),
+      ceilDiv(rel + lit(rangeS * 1000000L)) - 1)
+    in.where(kLo <= kHi)
+      .select(col("*"), explode(sequence(kLo, kHi)).as("_k"))
+      .withColumn("bucket_s", lit(rc.startS) + col("_k") * rc.stepS)
+      .drop("_k")
+  }
+
+  /** One temporal function over the grid windows — the range-mode
+    * leaf. Output (labels…, bucket_s, value); instants whose window
+    * holds no samples are absent (PromQL's empty vector). */
+  private def gridWindowEval(fn: String, in: DataFrame, rangeS: Long,
+                             rc: RangeCtx, ps: Seq[Double]): DataFrame = {
+    val keys = (Vectors.labels :+ "bucket_s").map(col)
+    // packed in-window ordering key (Vectors.lastKey convention):
+    // keeps the aggregate hash-aggregable where a struct key would
+    // demote it to SortAggregate
+    def ordKey = (unix_micros(col("ts")) -
+      (col("bucket_s") - rangeS) * 1000000L) * lit(1L << 26) +
+      pmod(col("event_id"), lit(1L << 26))
+    fn match {
+      case "rate" | "increase" | "delta" =>
+        val wSeries = Window.partitionBy(Vectors.labels.map(col): _*)
+          .orderBy(col("ts"), col("event_id"))
+        val withPrev = in
+          .withColumn("prev_v", lag("value", 1).over(wSeries))
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(wSeries))
+        val agg = gridExpand(withPrev, rangeS, rc)
+          .withColumn("corr_term",
+            // rate.go:183 — a reset whose predecessor is inside the
+            // window contributes the whole previous value
+            when(col("prev_us") > (col("bucket_s") - rangeS) * 1000000L &&
+              col("prev_v") > col("value"), col("prev_v")).otherwise(lit(0.0)))
+          .groupBy(keys: _*)
+          .agg(
+            min_by(col("value"), ordKey).as("first_v"),
+            max_by(col("value"), ordKey).as("last_v"),
+            min(unix_micros(col("ts"))).as("first_us"),
+            max(unix_micros(col("ts"))).as("last_us"),
+            count(lit(1)).as("n_samples"),
+            sum(col("corr_term")).as("corr"))
+        val (d, i, r) = Temporal.extrapolatedRate(
+          col("bucket_s") - rangeS, col("bucket_s"), rangeS)
+        val v = fn match {
+          case "rate"     => round(r, 9)
+          case "increase" => round(i, 6)
+          case "delta"    => round(d, 6)
+        }
+        agg.select(keys :+ v.as("value"): _*).where(col("value").isNotNull)
+      case _ =>
+        val ex = gridExpand(in, rangeS, rc)
+        val v: Column = fn match {
+          case "sum_over_time"     => round(sum("value"), 6)
+          case "avg_over_time"     => round(avg("value"), 6)
+          case "min_over_time"     => min("value")
+          case "max_over_time"     => max("value")
+          case "count_over_time"   => count(lit(1)).cast("double")
+          case "last_over_time"    => max_by(col("value"), ordKey)
+          case "present_over_time" => max(lit(1.0))
+          case "stddev_over_time"  => round(stddev_pop("value"), 6)
+          case "stdvar_over_time"  => round(var_pop("value"), 6)
+          case "quantile_over_time" =>
+            round(percentile(col("value"), lit(ps.head)), 6)
+          case other => throw new ParseException(
+            s"$other is not supported in range-query mode")
+        }
+        ex.groupBy(keys: _*).agg(v.as("value"))
+    }
+  }
+
   private def labelsOf(df: DataFrame): Seq[String] =
     df.columns.toSeq.filterNot(Set("bucket_s", "value", "ts", "event_id"))
 
@@ -668,14 +790,38 @@ object PromQL {
         df.join(broadcast(b), col("bucket_s") === col("_at_b")).drop("_at_b")
     }
 
-  private def evalExpr(e: Expr, samples: DataFrame): DataFrame = e match {
+  private def evalExpr(e: Expr, samples: DataFrame,
+                       rc: Option[RangeCtx] = None): DataFrame = e match {
     case NumLit(v) =>
       throw new ParseException(s"bare scalar $v is not a vector query")
     case TimeFn =>
-      grid(samples).select(col("bucket_s"),
-        graft.tsdb.Scalar.timeCol.as("value"))
+      rc.fold(grid(samples))(c => rangeGrid(c, samples))
+        .select(col("bucket_s"), graft.tsdb.Scalar.timeCol.as("value"))
     case VectorFn(v) =>
-      grid(samples).select(col("bucket_s"), lit(v).as("value"))
+      rc.fold(grid(samples))(c => rangeGrid(c, samples))
+        .select(col("bucket_s"), lit(v).as("value"))
+
+    // ---- range-mode leaves: the grid-window evaluation ------------
+    case sel: Selector if rc.isDefined =>
+      // instant vector: the LAST sample in (T−lookback, T] per series
+      if (sel.at.isDefined) throw new ParseException(
+        "@ modifier is not supported in range-query mode")
+      gridWindowEval("last_over_time", fetchFor(sel, samples),
+        rc.get.lookbackS, rc.get, Nil)
+    case Func(fn, sel: Selector, ps, _) if rc.isDefined && temporalFns(fn) =>
+      if (sel.at.isDefined) throw new ParseException(
+        "@ modifier is not supported in range-query mode")
+      val r = sel.rangeUnit.map(unitSecs).orElse(sel.sliding.map(_._1))
+        .getOrElse(throw new ParseException(
+          s"$fn requires a range selector in range-query mode"))
+      gridWindowEval(fn, fetchFor(sel, samples), r, rc.get, ps)
+    case Func("absent", arg, _, _) if rc.isDefined =>
+      val in = evalExpr(arg, samples, rc)
+      rangeGrid(rc.get, samples)
+        .join(in.select("bucket_s").distinct(), Seq("bucket_s"), "left_anti")
+        .select(col("bucket_s"), lit(1.0).as("value"))
+    case Subquery(_, _, _) if rc.isDefined =>
+      throw new ParseException("subqueries are not supported in range-query mode")
 
     case sel: Selector =>
       // bare selector: consolidate to the instant frame at the
@@ -714,7 +860,7 @@ object PromQL {
         case Agg(op, by, wo, Func(ifn, sel: Selector, ips, isps), p, sp) =>
           val slid = sel.copy(rangeUnit = None,
             sliding = Some((innerLbOf(ifn, sel), st)))
-          evalExpr(Agg(op, by, wo, Func(ifn, slid, ips, isps), p, sp), samples)
+          evalExpr(Agg(op, by, wo, Func(ifn, slid, ips, isps), p, sp), samples, rc)
         case other => throw new ParseException(
           s"unsupported subquery body $other")
       }
@@ -795,7 +941,7 @@ object PromQL {
         .withColumnRenamed("hq_v", "value")
 
     case Func(fn, arg, ps, sps) =>
-      val in = evalExpr(arg, samples)
+      val in = evalExpr(arg, samples, rc)
       fn match {
         case "label_replace" =>
           return graft.tsdb.Tags.labelReplace(in, sps(0), sps(1), sps(2), sps(3))
@@ -877,7 +1023,7 @@ object PromQL {
     case Agg("count_values", by, without, arg, _, Some(lbl)) =>
       // count_values("lbl", x): per-(labels, instant) count of each
       // distinct value rendering (aggregation/count_values.go:37)
-      val in = evalExpr(arg, samples)
+      val in = evalExpr(arg, samples, rc)
       val labels = labelsOf(in)
       val kept = (by, without) match {
         case (Some(b), _) => labels.filter(b.contains)
@@ -890,7 +1036,7 @@ object PromQL {
         .drop("count_v")
 
     case Agg(op, by, without, arg, param, _) =>
-      val in = evalExpr(arg, samples)
+      val in = evalExpr(arg, samples, rc)
       val labels = labelsOf(in)
       val kept = (by, without) match {
         case (Some(b), _) => labels.filter(b.contains)
@@ -931,8 +1077,8 @@ object PromQL {
       }
 
     case VecBin(op, lhsE, rhsE, onOpt, igOpt, gl, gr, boolMod) =>
-      val l = evalExpr(lhsE, samples)
-      val r = evalExpr(rhsE, samples)
+      val l = evalExpr(lhsE, samples, rc)
+      val r = evalExpr(rhsE, samples, rc)
       val shared = labelsOf(l).toSet.intersect(labelsOf(r).toSet)
       val on: Seq[String] = onOpt.getOrElse(
         (igOpt.map(ig => shared -- ig).getOrElse(shared)).toSeq.sorted)
@@ -1034,7 +1180,7 @@ object PromQL {
       }
 
     case BinOp(op, arg, s, scalarLeft, boolMod) =>
-      val in = evalExpr(arg, samples)
+      val in = evalExpr(arg, samples, rc)
       val v = col("value")
       val sc = lit(s)
       val (l, r) = if (scalarLeft) (sc, v) else (v, sc)

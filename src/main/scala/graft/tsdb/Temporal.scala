@@ -114,8 +114,8 @@ object Temporal {
     * projected zero point, and windows with fewer than two samples
     * (or a zero sampled interval) yield null — rate.go's NaN.
     * Returns (delta, increase, rate) columns. */
-  private def extrapolatedRate(rangeStart: Column, rangeEnd: Column,
-                               winSecs: Long): (Column, Column, Column) = {
+  private[graft] def extrapolatedRate(rangeStart: Column, rangeEnd: Column,
+                                      winSecs: Long): (Column, Column, Column) = {
     val firstS = col("first_us").cast("double") / 1e6
     val lastS = col("last_us").cast("double") / 1e6
     // (last−first)/1e6, NOT last/1e6 − first/1e6: the oracle computes

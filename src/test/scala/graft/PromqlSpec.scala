@@ -300,6 +300,64 @@ class PromqlSpec extends SparkSpec {
       """absent_over_time({name="purchase"}[1d])""").count() == 0)
   }
 
+  test("rangeQuery parity: epoch-aligned grid reproduces the sliding op") {
+    import org.apache.spark.sql.functions.col
+    val samples = tsdb.Vectors.samples(Tables.events(spark, sf))
+    // grid aligned with rateSliding's epoch-aligned window ends
+    // (lb 1d, step 6h): the two evaluations must agree EXACTLY —
+    // same right-closed µs bounds, same extrapolation, same rounding
+    val (startS, endS, stepS) = (1704240000L, 1706313600L, 21600L)
+    val viaRange = PromQL.rangeQuery(samples,
+      """rate({name=~".*"}[1d])""", startS, endS, stepS)
+      .collect()
+      .map(r => (r.getAs[String]("name"), r.getAs[Long]("user_id"),
+        r.getAs[Long]("bucket_s")) -> r.getAs[Double]("value")).toMap
+    assert(viaRange.nonEmpty)
+    val viaSliding = tsdb.Temporal.rateSliding(samples, rightClosed = true)
+      .where(col("bucket_s").between(startS, endS) &&
+        col("rate_v").isNotNull)
+      .collect()
+      .map(r => (r.getAs[String]("name"), r.getAs[Long]("user_id"),
+        r.getAs[Long]("bucket_s")) -> r.getAs[Double]("rate_v")).toMap
+    assert(viaRange.keySet == viaSliding.keySet,
+      s"instant sets differ: ${viaRange.keySet.diff(viaSliding.keySet).take(3)}" +
+        s" / ${viaSliding.keySet.diff(viaRange.keySet).take(3)}")
+    for ((k, v) <- viaRange)
+      assert(v == viaSliding(k), s"$k: range $v vs sliding ${viaSliding(k)}")
+  }
+
+  test("rangeQuery: instant-vector staleness and grid clipping") {
+    val s0 = spark
+    import s0.implicits._
+    import org.apache.spark.sql.functions.col
+    // two series; one goes stale after t=100
+    val samples = Seq(
+      ("m", 1L, 95L, 1.0, 1L), ("m", 1L, 205L, 2.0, 2L),
+      ("m", 2L, 95L, 10.0, 3L)
+    ).toDF("name", "user_id", "tss", "value", "event_id")
+      .select(col("name"), col("user_id"),
+        org.apache.spark.sql.functions.timestamp_seconds(col("tss")).as("ts"),
+        col("value"), col("event_id"))
+    val r = PromQL.rangeQuery(samples, "{name=\"m\"}", 100L, 300L, 100L,
+      lookbackS = 60L)
+      .collect()
+      .map(x => (x.getAs[Long]("user_id"), x.getAs[Long]("bucket_s")) ->
+        x.getAs[Double]("value")).toMap
+    // T=100: both series fresh (95 ∈ (40,100]); T=200: both stale;
+    // T=300: only series 1's 205 is... stale too (205 ∉ (240,300])
+    assert(r == Map((1L, 100L) -> 1.0, (2L, 100L) -> 10.0))
+    // wider lookback picks up the late point at the right instants
+    val r2 = PromQL.rangeQuery(samples, "{name=\"m\"}", 100L, 300L, 100L,
+      lookbackS = 120L)
+      .collect()
+      .map(x => (x.getAs[Long]("user_id"), x.getAs[Long]("bucket_s")) ->
+        x.getAs[Double]("value")).toMap
+    // T=200 window (80, 200] now holds both ts=95 points; T=300
+    // window (180, 300] holds only series 1's 205
+    assert(r2 == Map((1L, 100L) -> 1.0, (2L, 100L) -> 10.0,
+      (1L, 200L) -> 1.0, (2L, 200L) -> 10.0, (1L, 300L) -> 2.0))
+  }
+
   test("end-to-end: rate sum equals API composition") {
     val samples = tsdb.Vectors.samples(Tables.events(spark, sf))
     val viaPql = PromQL.query(samples,
