@@ -133,6 +133,69 @@ object Tsz {
     else (java.lang.Long.numberOfLeadingZeros(v),
       java.lang.Long.numberOfTrailingZeros(v))
 
+  /** One delta-of-delta slot — the 7/9/12-bit buckets behind
+    * 10/110/1110 opcodes with the 64-bit default behind 1111
+    * (scheme.go:41 defaultNumValueBitsForBuckets; the bucket table
+    * is unit-independent, only the default bucket width varies —
+    * 64 for the Microsecond scheme this codec stores, 32 for
+    * Second/Millisecond). Wire-checked byte-for-byte against the
+    * reference's encoder_test.go golden vectors in TszSpec. */
+  private[graft] def writeDod(w: BitWriter, dod: Long): Unit = {
+    if (dod == 0L) w.writeBit(0)
+    else if (dod >= -64 && dod <= 63) {
+      w.writeBits(0x2, 2); w.writeBits(dod & 0x7fL, 7)
+    } else if (dod >= -256 && dod <= 255) {
+      w.writeBits(0x6, 3); w.writeBits(dod & 0x1ffL, 9)
+    } else if (dod >= -2048 && dod <= 2047) {
+      w.writeBits(0xe, 4); w.writeBits(dod & 0xfffL, 12)
+    } else {
+      w.writeBits(0xf, 4); w.writeBits(dod, 64)
+    }
+  }
+
+  /** One XOR write given the running previous XOR
+    * (float_encoder_iterator.go:82-105 writeXOR: zero / contained /
+    * uncontained arms). Wire-checked against TestWriteValue's golden
+    * vectors in TszSpec. */
+  private[graft] def writeXorBits(w: BitWriter, prevXOR: Long,
+                                  xor: Long): Unit = {
+    if (xor == 0L) w.writeBit(0) // opcodeZeroValueXOR
+    else {
+      val (pl, pt) = leadTrail(prevXOR)
+      val cl = java.lang.Long.numberOfLeadingZeros(xor)
+      val ct = java.lang.Long.numberOfTrailingZeros(xor)
+      if (cl >= pl && ct >= pt) {
+        w.writeBits(0x2, 2) // opcodeContainedValueXOR
+        w.writeBits(xor >>> pt, 64 - pl - pt)
+      } else {
+        w.writeBits(0x3, 2) // opcodeUncontainedValueXOR
+        w.writeBits(cl.toLong, 6)
+        val nm = 64 - cl - ct
+        w.writeBits((nm - 1).toLong, 6)
+        w.writeBits(xor >>> ct, nm)
+      }
+    }
+  }
+
+  /** One annotation record: 9-bit marker opcode + 2-bit annotation
+    * marker + signed varint of len−1 + raw bytes
+    * (timestamp_encoder.go:172-195; scheme.go markers). Pure write —
+    * the encoder's change-detection sits at the call site.
+    * Wire-checked against TestWriteAnnotation's golden vectors. */
+  private[graft] def writeAnnotationBits(w: BitWriter,
+                                         ant: Array[Byte]): Unit = {
+    w.writeBits(0x100L, 9) // defaultMarkerOpcode, 9 bits (scheme.go:35)
+    w.writeBits(1L, 2) // defaultAnnotationMarker (scheme.go:31)
+    // binary.PutVarint(len-1): zigzag, 7-bit groups LSB-first
+    var ux = ((ant.length - 1).toLong << 1) ^ ((ant.length - 1).toLong >> 63)
+    while ((ux & ~0x7fL) != 0L) {
+      w.writeBits((ux & 0x7fL) | 0x80L, 8); ux >>>= 7
+    }
+    w.writeBits(ux, 8)
+    var j = 0
+    while (j < ant.length) { w.writeBits(ant(j) & 0xffL, 8); j += 1 }
+  }
+
   /** Encode one block. `pts` = (tsMicros, value) in time order.
     * Returns (bytes, tsBits, valBits); tsBits + valBits = total
     * stream bits. Values that fail int conversion encode through the
@@ -195,16 +258,7 @@ object Tsz {
       if (ant == null || ant.length == 0) return
       if (prevAnt != null && java.util.Arrays.equals(prevAnt, ant)) return
       val a0 = w.bits
-      w.writeBits(0x100L, 9) // defaultMarkerOpcode, 9 bits (scheme.go:35)
-      w.writeBits(1L, 2) // defaultAnnotationMarker (scheme.go:31)
-      // binary.PutVarint(len-1): zigzag, 7-bit groups LSB-first
-      var ux = ((ant.length - 1).toLong << 1) ^ ((ant.length - 1).toLong >> 63)
-      while ((ux & ~0x7fL) != 0L) {
-        w.writeBits((ux & 0x7fL) | 0x80L, 8); ux >>>= 7
-      }
-      w.writeBits(ux, 8)
-      var j = 0
-      while (j < ant.length) { w.writeBits(ant(j) & 0xffL, 8); j += 1 }
+      writeAnnotationBits(w, ant)
       prevAnt = ant
       antBits += w.bits - a0
     }
@@ -216,22 +270,7 @@ object Tsz {
     // float_encoder_iterator.go:77-105 writeNextFloat + writeXOR
     def writeNextFloat(bits: Long): Unit = {
       val xor = prevFloatBits ^ bits
-      if (xor == 0L) w.writeBit(0) // opcodeZeroValueXOR
-      else {
-        val (pl, pt) = leadTrail(prevXOR)
-        val cl = java.lang.Long.numberOfLeadingZeros(xor)
-        val ct = java.lang.Long.numberOfTrailingZeros(xor)
-        if (cl >= pl && ct >= pt) {
-          w.writeBits(0x2, 2) // opcodeContainedValueXOR
-          w.writeBits(xor >>> pt, 64 - pl - pt)
-        } else {
-          w.writeBits(0x3, 2) // opcodeUncontainedValueXOR
-          w.writeBits(cl.toLong, 6)
-          val nm = 64 - cl - ct
-          w.writeBits((nm - 1).toLong, 6)
-          w.writeBits(xor >>> ct, nm)
-        }
-      }
+      writeXorBits(w, prevXOR, xor)
       prevXOR = xor; prevFloatBits = bits
     }
 
@@ -302,16 +341,7 @@ object Tsz {
         val t0 = w.bits
         val d = ts - prevTs
         val dod = d - prevDelta
-        if (dod == 0L) w.writeBit(0)
-        else if (dod >= -64 && dod <= 63) {
-          w.writeBits(0x2, 2); w.writeBits(dod & 0x7fL, 7)
-        } else if (dod >= -256 && dod <= 255) {
-          w.writeBits(0x6, 3); w.writeBits(dod & 0x1ffL, 9)
-        } else if (dod >= -2048 && dod <= 2047) {
-          w.writeBits(0xe, 4); w.writeBits(dod & 0xfffL, 12)
-        } else {
-          w.writeBits(0xf, 4); w.writeBits(dod, 64)
-        }
+        writeDod(w, dod)
         prevDelta = d
         tsBits += w.bits - t0
       }
