@@ -603,6 +603,35 @@ object TsdbQueries {
         labelCols = Seq("name", "user_id"),
         startS = Some(1704067200L), endS = Some(1706745600L))
         .orderBy("name", "user_id")),
+    // SeriesLimit/DocsLimit on the TAG-SEARCH surfaces (FetchOptions,
+    // types.go:113-128): tag completion capped at 8 results with the
+    // {total_results, limited} response signals
+    "ts_complete_tags_limit" -> ((s, dir) =>
+      Fetch.withMetadataLimit(
+        Fetch.completeTags(samples(s, dir),
+          Seq(Fetch.Matcher("name", Fetch.Re, "(pur|si).*")),
+          labelCols = Seq("name", "user_id"),
+          startS = Some(1704067200L), endS = Some(1706745600L)),
+        Seq("tag_name", "tag_value"), 8)
+        .orderBy("tag_name", "tag_value")),
+    "ts_series_match_limit" -> ((s, dir) =>
+      Fetch.withMetadataLimit(
+        Fetch.seriesMatch(samples(s, dir),
+          Seq(
+            Seq(Fetch.Matcher("name", Fetch.Eq, "purchase")),
+            Seq(Fetch.Matcher("name", Fetch.Re, "cl.*"),
+              Fetch.Matcher("user_id", Fetch.Re, "[0-9]*[02468]"))),
+          labelCols = Seq("name", "user_id"),
+          startS = Some(1704067200L), endS = Some(1706745600L)),
+        Seq("name", "user_id"), 10)
+        .orderBy("name", "user_id")),
+    "ts_index_tags_limit" -> ((s, dir) =>
+      Fetch.withMetadataLimit(
+        Index.indexCompleteTags(samples(s, dir),
+          Seq(Fetch.Matcher("name", Fetch.Re, "(pur|si).*")),
+          labelCols = Seq("name", "user_id")),
+        Seq("tag_name", "tag_value"), 6)
+        .orderBy("tag_name", "tag_value")),
 
     // ---- §2A across-series aggregation --------------------------------
     "ts_agg_by" -> ((s, dir) =>
@@ -2030,6 +2059,53 @@ object TsdbQueries {
       s"""SELECT DISTINCT 'name' AS tag_name, name AS tag_value FROM ($S) AS s
          | WHERE regexp_full_match(CAST(user_id AS VARCHAR), '[0-9]')
          |  AND name IS NOT NULL
+         | ORDER BY tag_name, tag_value""".stripMargin.replace("\n", " "),
+    // limited tag-search surfaces: sorted-key truncation + the
+    // {total_results, limited} broadcast stats on every row
+    "ts_complete_tags_limit" ->
+      s"""WITH u AS (SELECT DISTINCT tag_name, tag_value FROM (
+         |  SELECT 'name' AS tag_name, name AS tag_value FROM ($S) AS s1
+         |   WHERE regexp_full_match(name, '(pur|si).*')
+         |    AND floor(epoch(ts)) >= 1704067200 AND floor(epoch(ts)) < 1706745600
+         |  UNION ALL
+         |  SELECT 'user_id' AS tag_name, CAST(user_id AS VARCHAR) AS tag_value
+         |   FROM ($S) AS s2
+         |   WHERE regexp_full_match(name, '(pur|si).*')
+         |    AND floor(epoch(ts)) >= 1704067200 AND floor(epoch(ts)) < 1706745600
+         |  ) AS z WHERE tag_value IS NOT NULL),
+         | t AS (SELECT CAST(count(*) AS BIGINT) AS total_results FROM u)
+         | SELECT k.tag_name, k.tag_value, t.total_results,
+         |  CAST(t.total_results > 8 AS INT) AS limited
+         | FROM (SELECT * FROM u ORDER BY tag_name, tag_value LIMIT 8) AS k, t
+         | ORDER BY tag_name, tag_value""".stripMargin.replace("\n", " "),
+    "ts_series_match_limit" ->
+      s"""WITH u AS (SELECT DISTINCT name, user_id FROM (
+         |  SELECT name, user_id FROM ($S) AS s1
+         |   WHERE name = 'purchase'
+         |    AND floor(epoch(ts)) >= 1704067200 AND floor(epoch(ts)) < 1706745600
+         |  UNION ALL
+         |  SELECT name, user_id FROM ($S) AS s2
+         |   WHERE regexp_full_match(name, 'cl.*')
+         |    AND regexp_full_match(CAST(user_id AS VARCHAR), '[0-9]*[02468]')
+         |    AND floor(epoch(ts)) >= 1704067200 AND floor(epoch(ts)) < 1706745600
+         |  ) AS z),
+         | t AS (SELECT CAST(count(*) AS BIGINT) AS total_results FROM u)
+         | SELECT k.name, k.user_id, t.total_results,
+         |  CAST(t.total_results > 10 AS INT) AS limited
+         | FROM (SELECT * FROM u ORDER BY name, user_id LIMIT 10) AS k, t
+         | ORDER BY name, user_id""".stripMargin.replace("\n", " "),
+    "ts_index_tags_limit" ->
+      s"""WITH m AS (SELECT DISTINCT name, CAST(user_id AS VARCHAR) AS user_id
+         |  FROM ($S) AS s WHERE regexp_full_match(name, '(pur|si).*')),
+         | u AS (SELECT DISTINCT tag_name, tag_value FROM (
+         |  SELECT 'name' AS tag_name, name AS tag_value FROM m
+         |  UNION ALL
+         |  SELECT 'user_id' AS tag_name, user_id AS tag_value FROM m) AS z
+         |  WHERE tag_value IS NOT NULL),
+         | t AS (SELECT CAST(count(*) AS BIGINT) AS total_results FROM u)
+         | SELECT k.tag_name, k.tag_value, t.total_results,
+         |  CAST(t.total_results > 6 AS INT) AS limited
+         | FROM (SELECT * FROM u ORDER BY tag_name, tag_value LIMIT 6) AS k, t
          | ORDER BY tag_name, tag_value""".stripMargin.replace("\n", " "),
     "ts_postings" ->
       s"""WITH series AS (SELECT DISTINCT name,

@@ -284,6 +284,39 @@ object Fetch {
     * top-N (TakeOrdered — no global sort, no unpartitioned window)
     * that semi-joins back onto the samples; total/limited ride a
     * one-row broadcast crossJoin. */
+  /** Metadata limit for the TAG-SEARCH surfaces — SeriesLimit /
+    * DocsLimit / ReturnedSeriesMetadataLimit applied to tag
+    * completion, series match and index-tags results (reference:
+    * src/query/storage/types.go:113-128 FetchOptions; the
+    * coordinator caps these exact endpoints because metadata
+    * queries are where cardinality explosions hurt — a label-values
+    * request against a million-series namespace must not stream a
+    * million rows to the client). `meta` is any distinct metadata
+    * frame (completeTags pairs, seriesMatch label sets, index tag
+    * pairs); the kept set is the first `limit` rows by the sorted
+    * key — the engine's deterministic stand-in for m3's
+    * arrival-order truncation — and every returned row carries
+    * {total_results, limited} (handleroptions.ReturnedDataLimited).
+    * `requireExhaustive` raises LAZILY through the same one-row
+    * gate as [[withSeriesLimit]] — one scan, fail at sink.
+    *
+    * Scale: the metadata frame is already tag/series cardinality
+    * (the underlying fetch collapsed the samples map-side); the cap
+    * is a distributed TakeOrdered over it — no global sort — and
+    * the stats ride a one-row broadcast. */
+  def withMetadataLimit(meta: DataFrame, keyCols: Seq[String], limit: Int,
+                        requireExhaustive: Boolean = false): DataFrame = {
+    val kept = meta.orderBy(keyCols.map(col): _*).limit(limit)
+    val stats = exhaustiveGate(
+      meta.agg(count(lit(1)).as("total_results"))
+        .withColumn("limited", (col("total_results") > limit).cast("int")),
+      requireExhaustive,
+      concat(lit(s"query exceeds SeriesMetadataLimit=$limit (total "),
+        col("total_results").cast("string"),
+        lit(" results) with RequireExhaustive set")))
+    kept.crossJoin(broadcast(stats))
+  }
+
   def withSeriesLimit(fetched: DataFrame, limit: Int,
                       requireExhaustive: Boolean = false): DataFrame = {
     val ident = fetched.select("name", "user_id").distinct()

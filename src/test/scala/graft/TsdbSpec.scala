@@ -1246,6 +1246,45 @@ class TsdbSpec extends SparkSpec {
     assert(ok.select("limited").distinct().collect()(0).getInt(0) == 0)
   }
 
+  test("metadata limit caps the tag-search surfaces; exhaustive gate fires") {
+    val s = Vectors.samples(Tables.events(spark, sf))
+    val tags = Fetch.completeTags(s,
+      Seq(Fetch.Matcher("name", Fetch.Re, ".*")),
+      labelCols = Seq("name", "user_id"))
+    val total = tags.count()
+    assert(total > 4) // the cap below must bite
+    val lim = Fetch.withMetadataLimit(tags, Seq("tag_name", "tag_value"), 4)
+    val rows = lim.collect()
+    assert(rows.length == 4)
+    // the kept set is the first 4 by sorted key
+    val expect = tags.collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted.take(4).toSeq
+    assert(rows.map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+      == expect)
+    // every row carries the response signals
+    assert(rows.forall(r => r.getAs[Long]("total_results") == total &&
+      r.getAs[Int]("limited") == 1))
+    // RequireExhaustive refuses the truncated metadata lazily
+    val ex = intercept[Throwable] {
+      Fetch.withMetadataLimit(tags, Seq("tag_name", "tag_value"), 4,
+        requireExhaustive = true).collect()
+    }
+    assert(messageChain(ex).exists(_.contains("SeriesMetadataLimit=4")),
+      s"expected the RequireExhaustive raise, got: $ex")
+    // …and passes untruncated with limited = 0
+    val ok = Fetch.withMetadataLimit(tags, Seq("tag_name", "tag_value"),
+      total.toInt + 1, requireExhaustive = true)
+    assert(ok.count() == total &&
+      ok.select("limited").distinct().collect()(0).getInt(0) == 0)
+    // the same cap composes with seriesMatch (the /series surface)
+    val sm = Fetch.seriesMatch(s,
+      Seq(Seq(Fetch.Matcher("name", Fetch.Re, ".*"))),
+      labelCols = Seq("name", "user_id"))
+    val smLim = Fetch.withMetadataLimit(sm, Seq("name", "user_id"), 3)
+    assert(smLim.count() == 3 &&
+      smLim.select("limited").distinct().collect()(0).getInt(0) == 1)
+  }
+
   test("datapoints limit keeps the longest whole-series prefix in budget") {
     val s = Vectors.samples(Tables.events(spark, sf))
     val fetched = Fetch(s, Seq(Fetch.Matcher("name", Fetch.Re, ".*")))
