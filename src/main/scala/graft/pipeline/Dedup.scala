@@ -788,8 +788,13 @@ object Dedup {
 
   /** All doubling depths per doc in ONE imperative walk — columns
     * g1..g64, each round g'[p] = md5₆₀(g[p] : g[p+step]) with an END
-    * sentinel past the doc tail, g1 = the code point at p (the
-    * `ascii`/`substr` convention of the declarative form). The chain
+    * sentinel past the doc tail, g1 = the full Unicode CODE POINT at
+    * p — the shared convention of DuckDB's `ascii()` (the oracles)
+    * AND Spark 4's `ascii()` (the declarative differential twin),
+    * verified to agree on all of ASCII, BMP and astral text
+    * (ascii('😀') = 128512 on both engines; spec-pinned with a
+    * surrogate-pair doc so a Spark behavior change cannot silently
+    * re-scope the equivalence). The chain
     * is a per-doc sequential state machine, so it runs in the
     * tsz-codec shape: ONE cheap exchange of DOC rows (repartition by
     * doc_id — ~KBs of text per row, never the ~90 B × corpus-chars

@@ -2718,6 +2718,34 @@ class PipelineSpec extends SparkSpec {
     val imp = Dedup.chainForTest(docs)
     assert(imp.exceptAll(decl).isEmpty && decl.exceptAll(imp).isEmpty,
       "imperative and declarative chains diverge")
+    // non-ASCII scope (ADVICE r10 adjudicated): Spark 4's ascii() is
+    // CODE-POINT-valued — ascii('á')=225, ascii('日')=26085, astral
+    // ascii('😀')=128512 — exactly DuckDB's ascii() and the
+    // imperative walk's codePoints(), so the three conventions agree
+    // on ALL text, not just ASCII. Pin that agreement (incl. an
+    // astral surrogate-pair doc, where a UTF-16-char-based reading
+    // would diverge) so a Spark behavior change cannot silently
+    // un-scope the differential.
+    val uniDocs = Seq((1L, "áé€x"), (2L, "日本語"),
+      (3L, "a" + new String(Character.toChars(0x1F600)) + "b"))
+    val uni = uniDocs.toDF("doc_id", "text")
+    val g1 = Dedup.chainForTest(uni).select("doc_id", "pos", "g1")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    for ((id, text) <- uniDocs;
+         (cp, i) <- text.codePoints().toArray.zipWithIndex)
+      assert(g1((id, i + 1)) == cp.toLong,
+        s"doc $id pos ${i + 1}: engine must carry the code point " +
+          s"(the oracle's ascii convention), got ${g1((id, i + 1))} vs $cp")
+    val declUni = uni
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "")).as(Seq("_p0", "ch")))
+      .select(col("doc_id"), (col("_p0") + 1).as("pos"),
+        ascii(col("ch")).cast("long").as("g1"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(declUni == g1,
+      "Spark ascii()/split('') diverged from the code-point convention")
   }
 
   test("imperative winnowing matches the declarative struct-max window form") {
