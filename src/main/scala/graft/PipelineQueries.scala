@@ -1480,6 +1480,12 @@ object PipelineQueries {
       Multimodal.jpegDrift(
         Multimodal.syntheticJpegMedia(Tables.documents(s, dir)))
         .orderBy("media_id")),
+    // REAL-format decode: GIF (palette-indexed grayscale — lossless
+    // roundtrip, one stream byte per pixel in the oracle replay)
+    "mm_gif" -> ((s, dir) =>
+      Multimodal.grayStats(
+        Multimodal.syntheticGifMedia(Tables.documents(s, dir)))
+        .orderBy("media_id")),
     "mm_blur" -> ((s, dir) =>
       Multimodal.blurStats(
         Multimodal.syntheticBmpMedia(Tables.documents(s, dir)))
@@ -4786,6 +4792,30 @@ object PipelineQueries {
         |  round(s.sum_r::DOUBLE / (lim.w * lim.h), 6) AS mean_r,
         |  round(s.sum_g::DOUBLE / (lim.w * lim.h), 6) AS mean_g,
         |  round(s.sum_b::DOUBLE / (lim.w * lim.h), 6) AS mean_b
+        | FROM sums AS s JOIN lim ON lim.media_id = s.media_id
+        | ORDER BY lim.media_id""".stripMargin.replace("\n", " "),
+    // GIF real-format decode: one xorshift byte per pixel (grayscale
+    // palette — no channel interleave, no padding)
+    "mm_gif" ->
+      """WITH RECURSIVE sz AS (SELECT doc_id AS media_id,
+        |  CAST(8 + doc_id % 24 AS INT) AS w,
+        |  CAST(8 + doc_id % 16 AS INT) AS h
+        | FROM documents),
+        | lim AS (SELECT *, w * h AS data_size FROM sz),
+        | chain(media_id, k, s) AS (
+        |  SELECT media_id, 0, CAST(media_id AS UBIGINT) | 1 FROM lim
+        |  UNION ALL
+        |  SELECT c.media_id, c.k + 1,
+        |   (SELECT xor(xor(b, b >> 7), CAST((CAST(xor(b, b >> 7) AS HUGEINT)
+        |      * 131072) % 18446744073709551616 AS UBIGINT))
+        |    FROM (SELECT xor(c.s, CAST((CAST(c.s AS HUGEINT) * 8192)
+        |      % 18446744073709551616 AS UBIGINT)) AS b) AS t)
+        |  FROM chain AS c JOIN lim ON lim.media_id = c.media_id
+        |  WHERE c.k < lim.data_size),
+        | sums AS (SELECT media_id, CAST(sum(s >> 56) AS BIGINT) AS sum_gray
+        |  FROM chain WHERE k >= 1 GROUP BY media_id)
+        | SELECT lim.media_id, lim.w AS width, lim.h AS height, s.sum_gray,
+        |  round(s.sum_gray::DOUBLE / (lim.w * lim.h), 6) AS mean_gray
         | FROM sums AS s JOIN lim ON lim.media_id = s.media_id
         | ORDER BY lim.media_id""".stripMargin.replace("\n", " "),
     // JPEG is lossy: the oracle pins the exactly-preserved geometry

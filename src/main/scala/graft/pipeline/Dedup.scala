@@ -980,10 +980,181 @@ object Dedup {
     * partials (~7/64 of distinct groups) and per-doc alphabet
     * censuses. sf0.1→sf1→sf10 measured sub-linear per decade where
     * the exact form was 8×/22×. */
+  /** md5-derived estimator info for one group id, packed
+    * idx(8) | rank(6) | sampleGate(1) | b0(16) | b1(16) | b2(16):
+    * HLL register index = hex chars 1-2, rank = leading-zero bits
+    * of the 52-bit value in chars 3-15 plus 1 (bit-identical to
+    * Sketches.hexRank), 1/64 key-space sample gate = byte 8 < 4,
+    * three 16-bit CMS buckets = bytes 9-14. Shared by the batch
+    * walk and the streaming maintainer
+    * ([[graft.streaming.StreamSpectrum]]) so the hash family cannot
+    * drift between the two paths. */
+  private[graft] def md5Info(md: java.security.MessageDigest,
+                             g: Long): Long = {
+    md.reset()
+    val d = md.digest(java.lang.Long.toString(g)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val idx = (d(0) & 0xffL)
+    var v52 = 0L
+    var b = 1
+    while (b < 7) { v52 = (v52 << 8) | (d(b) & 0xffL); b += 1 }
+    v52 = (v52 << 4) | ((d(7) & 0xf0L) >>> 4)
+    val rank =
+      if (v52 == 0L) 53L
+      else java.lang.Long.numberOfLeadingZeros(v52) - 11L
+    val gate = if ((d(8) & 0xff) < 4) 1L else 0L
+    val b0 = ((d(9) & 0xffL) << 8) | (d(10) & 0xffL)
+    val b1 = ((d(11) & 0xffL) << 8) | (d(12) & 0xffL)
+    val b2 = ((d(13) & 0xffL) << 8) | (d(14) & 0xffL)
+    idx | (rank << 8) | (gate << 14) | (b0 << 15) | (b1 << 31) | (b2 << 47)
+  }
+
+  private[graft] val spectrumDepths = Array(1L, 2L, 4L, 8L, 16L, 32L, 64L)
+
+  /** PER-DOC sketch partials for the STREAMING maintainer — the same
+    * (kind, depth, k, v) rows the batch walk accumulates per
+    * partition, emitted per doc instead (HLL register maxes over the
+    * doc, CMS cell counts over the doc, sampled census rows, exact
+    * alphabet census, char count). Every kind merges by max (0) or
+    * sum (1/2/3/4), so folding per-doc partials across any
+    * micro-batch split yields BIT-IDENTICAL cells to the batch
+    * walk's per-partition accumulation — the parity the streaming
+    * spec pins. Per-doc state is bounded by the doc length. */
+  private[graft] def spectrumDocPartials(md: java.security.MessageDigest,
+      text: String): Iterator[(Int, Long, Long, Long)] = {
+    val cps = text.codePoints().toArray
+    val n = cps.length
+    if (n == 0) return Iterator.empty
+    val gs = docChainArrays(md, cps, 6)
+    val memo = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+    def info(g: Long): Long = {
+      val cached = memo.get(g)
+      if (cached != null) cached.longValue()
+      else { val p = md5Info(md, g); memo.put(g, p); p }
+    }
+    val hll = Array.ofDim[Byte](7, 256)
+    def bump(li: Int, inf: Long): Unit = {
+      val idx = (inf & 0xffL).toInt
+      val rank = ((inf >> 8) & 0x3fL).toByte
+      if (rank > hll(li)(idx)) hll(li)(idx) = rank
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[
+      (Int, Long, Long, Long)](64 + 7 * n / 16)
+    var li = 0
+    while (li < 2) {
+      val cen = new java.util.HashMap[java.lang.Long, Array[Long]]()
+      val g = gs(li)
+      var i = 0
+      while (i < n) {
+        val slot = cen.get(g(i))
+        if (slot == null) cen.put(g(i), Array(1L)) else slot(0) += 1L
+        i += 1
+      }
+      val eit = cen.entrySet().iterator()
+      while (eit.hasNext) {
+        val e = eit.next()
+        bump(li, info(e.getKey.longValue()))
+        out += ((4, spectrumDepths(li), e.getKey.longValue(),
+          e.getValue()(0)))
+      }
+      li += 1
+    }
+    li = 2
+    while (li < 7) {
+      val cms = new java.util.HashMap[java.lang.Long, Array[Long]]()
+      val g = gs(li)
+      var i = 0
+      while (i < n) {
+        val inf = info(g(i))
+        bump(li, inf)
+        var r = 0
+        while (r < 3) {
+          val cell = r * 65536L + ((inf >> (15 + 16 * r)) & 0xffffL)
+          val slot = cms.get(cell)
+          if (slot == null) cms.put(cell, Array(1L)) else slot(0) += 1L
+          r += 1
+        }
+        if (((inf >> 14) & 1L) == 1L)
+          out += ((2, spectrumDepths(li), g(i), 1L))
+        i += 1
+      }
+      val cit = cms.entrySet().iterator()
+      while (cit.hasNext) {
+        val e = cit.next()
+        out += ((1, spectrumDepths(li), e.getKey.longValue(),
+          e.getValue()(0)))
+      }
+      li += 1
+    }
+    li = 0
+    while (li < 7) {
+      var idx = 0
+      while (idx < 256) {
+        if (hll(li)(idx) > 0)
+          out += ((0, spectrumDepths(li), idx.toLong, hll(li)(idx).toLong))
+        idx += 1
+      }
+      li += 1
+    }
+    out += ((3, 0L, 0L, n.toLong))
+    out.iterator
+  }
+
+  /** The 7-row spectrum readout over MERGED sketch cells
+    * (kind, depth, k, vmax, vsum) — shared by the batch form and the
+    * streaming maintainer so the estimator expressions cannot
+    * drift. */
+  private[graft] def spectrumFromCells(merged: DataFrame): DataFrame = {
+    val nRow = merged.where(col("kind") === 3)
+      .agg(sum("vsum").as("n_suffixes"))
+    val hllLeg = merged.where(col("kind") === 0)
+      .select(col("depth"), col("vmax").as("mj"))
+      .groupBy("depth")
+      .agg(count(lit(1)).as("used"), sum(Sketches.sIntTerm).as("s_int"))
+    val hllE = hllLeg.select(col("depth"),
+      round(Sketches.hllEst(col("used"), col("s_int"))._2, 6)
+        .as("n_groups_hll"))
+    val exactLeg = merged.where(col("kind") === 4)
+      .select(col("depth"), col("vsum").as("cnt"))
+      .groupBy("depth").agg(
+        count(lit(1)).as("n_groups_est"),
+        sum(when(col("cnt") > 1, col("cnt")).otherwise(0L))
+          .as("n_dup_suffixes_est"),
+        max("cnt").as("max_group_est"))
+    val sampLeg = merged.where(col("kind") === 2)
+      .select(col("depth"), col("vsum").as("cnt"))
+      .groupBy("depth").agg(
+        (count(lit(1)) * 64).as("n_groups_est"),
+        (count(when(col("cnt") === 1, 1)) * 64).as("n_singl"))
+    val cmsLeg = merged.where(col("kind") === 1)
+      .select(col("depth"), expr("k div 65536").as("r"),
+        col("vsum").as("c"))
+      .groupBy("depth", "r").agg(max("c").as("rowmax"))
+      .groupBy("depth").agg(min("rowmax").as("max_group_est"))
+    val exact = exactLeg.crossJoin(broadcast(nRow))
+      .select(col("depth"), lit("exact").as("mode"), col("n_suffixes"),
+        col("n_groups_est"), col("n_dup_suffixes_est"),
+        col("max_group_est"))
+    val sketch = cmsLeg.join(sampLeg, Seq("depth"), "left")
+      .crossJoin(broadcast(nRow))
+      .select(col("depth"), lit("sketch").as("mode"), col("n_suffixes"),
+        coalesce(col("n_groups_est"), lit(0L)).as("n_groups_est"),
+        greatest(lit(0L), col("n_suffixes") -
+          coalesce(col("n_singl"), lit(0L))).as("n_dup_suffixes_est"),
+        col("max_group_est"))
+    exact.unionByName(sketch)
+      .join(hllE, "depth")
+      .select(col("depth").as("prefix_len"), col("mode"),
+        col("n_suffixes"), col("n_groups_est"),
+        col("n_dup_suffixes_est"), col("max_group_est"),
+        col("n_groups_hll"))
+      .orderBy("prefix_len")
+  }
+
   def suffixSpectrumSketch(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val depthsL = Array(1L, 2L, 4L, 8L, 16L, 32L, 64L)
+    val depthsL = spectrumDepths
     val partials = graft.Tables.fan(
         docs.select(col("doc_id"), col("text")), col("doc_id"))
       .as[(Long, String)]
@@ -992,33 +1163,14 @@ object Dedup {
         val hll = Array.ofDim[Byte](7, 256)
         val cms = Array.ofDim[Long](5, 3 * 65536)
         var nChars = 0L
-        // packed md5-derived info per group id, depth-independent:
-        // idx(8) | rank(6) | sampleGate(1) | b0(16) | b1(16) | b2(16)
+        // packed md5-derived info per group id, depth-independent
+        // ([[md5Info]]), memoized per doc
         val memo = new java.util.HashMap[java.lang.Long, java.lang.Long]()
         def info(g: Long): Long = {
           val cached = memo.get(g)
           if (cached != null) cached.longValue()
           else {
-            md.reset()
-            val d = md.digest(java.lang.Long.toString(g)
-              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            val idx = (d(0) & 0xffL)
-            // 52-bit value of hex chars 3..15 = bytes 1..6 + the
-            // high nibble of byte 7; rank = leading-zero bits + 1
-            // (53 when zero) — bit-identical to Sketches.hexRank
-            var v52 = 0L
-            var b = 1
-            while (b < 7) { v52 = (v52 << 8) | (d(b) & 0xffL); b += 1 }
-            v52 = (v52 << 4) | ((d(7) & 0xf0L) >>> 4)
-            val rank =
-              if (v52 == 0L) 53L
-              else java.lang.Long.numberOfLeadingZeros(v52) - 11L
-            val gate = if ((d(8) & 0xff) < 4) 1L else 0L
-            val b0 = ((d(9) & 0xffL) << 8) | (d(10) & 0xffL)
-            val b1 = ((d(11) & 0xffL) << 8) | (d(12) & 0xffL)
-            val b2 = ((d(13) & 0xffL) << 8) | (d(14) & 0xffL)
-            val packed = idx | (rank << 8) | (gate << 14) |
-              (b0 << 15) | (b1 << 31) | (b2 << 47)
+            val packed = md5Info(md, g)
             memo.put(g, packed)
             packed
           }
@@ -1104,50 +1256,7 @@ object Dedup {
     val merged = partials.groupBy("kind", "depth", "k")
       .agg(max("v").as("vmax"), sum("v").as("vsum"))
       .localCheckpoint(eager = true)
-    val nRow = merged.where(col("kind") === 3)
-      .agg(sum("vsum").as("n_suffixes"))
-    val hllLeg = merged.where(col("kind") === 0)
-      .select(col("depth"), col("vmax").as("mj"))
-      .groupBy("depth")
-      .agg(count(lit(1)).as("used"), sum(Sketches.sIntTerm).as("s_int"))
-    val hllE = hllLeg.select(col("depth"),
-      round(Sketches.hllEst(col("used"), col("s_int"))._2, 6)
-        .as("n_groups_hll"))
-    val exactLeg = merged.where(col("kind") === 4)
-      .select(col("depth"), col("vsum").as("cnt"))
-      .groupBy("depth").agg(
-        count(lit(1)).as("n_groups_est"),
-        sum(when(col("cnt") > 1, col("cnt")).otherwise(0L))
-          .as("n_dup_suffixes_est"),
-        max("cnt").as("max_group_est"))
-    val sampLeg = merged.where(col("kind") === 2)
-      .select(col("depth"), col("vsum").as("cnt"))
-      .groupBy("depth").agg(
-        (count(lit(1)) * 64).as("n_groups_est"),
-        (count(when(col("cnt") === 1, 1)) * 64).as("n_singl"))
-    val cmsLeg = merged.where(col("kind") === 1)
-      .select(col("depth"), expr("k div 65536").as("r"),
-        col("vsum").as("c"))
-      .groupBy("depth", "r").agg(max("c").as("rowmax"))
-      .groupBy("depth").agg(min("rowmax").as("max_group_est"))
-    val exact = exactLeg.crossJoin(broadcast(nRow))
-      .select(col("depth"), lit("exact").as("mode"), col("n_suffixes"),
-        col("n_groups_est"), col("n_dup_suffixes_est"),
-        col("max_group_est"))
-    val sketch = cmsLeg.join(sampLeg, Seq("depth"), "left")
-      .crossJoin(broadcast(nRow))
-      .select(col("depth"), lit("sketch").as("mode"), col("n_suffixes"),
-        coalesce(col("n_groups_est"), lit(0L)).as("n_groups_est"),
-        greatest(lit(0L), col("n_suffixes") -
-          coalesce(col("n_singl"), lit(0L))).as("n_dup_suffixes_est"),
-        col("max_group_est"))
-    val out = exact.unionByName(sketch)
-      .join(hllE, "depth")
-      .select(col("depth").as("prefix_len"), col("mode"),
-        col("n_suffixes"), col("n_groups_est"),
-        col("n_dup_suffixes_est"), col("max_group_est"),
-        col("n_groups_hll"))
-      .orderBy("prefix_len")
+    val out = spectrumFromCells(merged)
       .localCheckpoint(eager = true) // 7 rows
     Corpus.freeCheckpoint(merged)
     out

@@ -1054,6 +1054,79 @@ object Multimodal {
         round(col("sum_b") / col("_n"), 6).as("mean_b"))
   }
 
+  /** Encode the xorshift byte stream as a REAL GIF through
+    * `javax.imageio` — the third standard container. GIF is
+    * palette-indexed (≤256 colors), so the deterministic image is
+    * 8-bit GRAYSCALE: pixel (x, y) = stream byte y·w+x painted
+    * through an explicit 256-gray IndexColorModel. Indexed-in,
+    * indexed-out makes the roundtrip lossless (no quantizer runs),
+    * so decoded gray sums replay the xorshift chain bit-for-bit in
+    * the oracle — one byte per pixel this time, no channel
+    * interleave. */
+  def encodeGif(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val grays = new Array[Byte](256)
+    var i = 0
+    while (i < 256) { grays(i) = i.toByte; i += 1 }
+    val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+    val raster = img.getRaster
+    var s = seed | 1L
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        s ^= s << 13; s ^= s >>> 7; s ^= s << 17
+        raster.setSample(x, y, 0, ((s >>> 56) & 0xffL).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "gif", baos)
+    baos.toByteArray
+  }
+
+  /** Deterministic GIF media table (the PNG table's geometry). */
+  def syntheticGifMedia(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val w = 8 + (id % 24).toInt
+      val h = 8 + (id % 16).toInt
+      val payload = encodeGif(w, h, id)
+      (id, "image", payload, "gif", payload.length.toLong)
+    }.toDF("media_id", "kind", "payload", "meta_codec", "meta_bytes")
+  }
+
+  /** Grayscale statistics over REAL-container images — the GIF leg
+    * of [[imageChannelStats]]: decode through the real codec, sum
+    * the (equal) channel values once. */
+  def grayStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .map { case (id, payload) =>
+        val img = decodeImage(payload)
+        val w = img.getWidth; val h = img.getHeight
+        var sg = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            sg += img.getRGB(x, y) & 0xff // gray: r = g = b
+            x += 1
+          }
+          y += 1
+        }
+        (id, w, h, sg)
+      }
+      .toDF("media_id", "width", "height", "sum_gray")
+      .select(col("media_id"), col("width"), col("height"), col("sum_gray"),
+        round(col("sum_gray") /
+          (col("width") * col("height")).cast("double"), 6).as("mean_gray"))
+  }
+
   /** Encode a smooth deterministic gradient as a REAL JPEG (r ramps
     * with x, g with y, b constant — low-frequency content keeps
     * codec error small and version-stable). JPEG is lossy, so no

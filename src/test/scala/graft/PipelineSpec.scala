@@ -3496,6 +3496,25 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("GIF kernel: indexed grayscale roundtrip is bit-exact") {
+    for ((w, h, seed) <- Seq((8, 8, 2L), (31, 23, 17L), (2, 9, 5L))) {
+      val gif = Multimodal.encodeGif(w, h, seed)
+      assert((gif(0) & 0xff) == 'G'.toInt && (gif(1) & 0xff) == 'I'.toInt &&
+        (gif(2) & 0xff) == 'F'.toInt, "missing GIF signature")
+      val img = Multimodal.decodeImage(gif)
+      assert(img.getWidth == w && img.getHeight == h)
+      var s = seed | 1L
+      for (y <- 0 until h; x <- 0 until w) {
+        s ^= s << 13; s ^= s >>> 7; s ^= s << 17
+        val expect = ((s >>> 56) & 0xffL).toInt
+        val rgb = img.getRGB(x, y)
+        assert((rgb & 0xff) == expect && ((rgb >> 8) & 0xff) == expect &&
+          ((rgb >> 16) & 0xff) == expect,
+          s"pixel ($x,$y) of ${w}x$h seed $seed")
+      }
+    }
+  }
+
   test("image decode rejects corrupt and truncated payloads loudly") {
     intercept[IllegalArgumentException] {
       Multimodal.decodeImage("not an image at all".getBytes)
