@@ -659,6 +659,56 @@ class PlanSpec extends SparkSpec {
     } finally s.sparkContext.removeSparkListener(listener)
   }
 
+  test("pql_range expands windows by index arithmetic — no grid join") {
+    for (q <- Seq("pql_range", "pql_range_instant")) {
+      val p = plan(q)
+      // each sample computes its own instant-index range and
+      // explodes — the instant grid must never join against samples
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: grid×samples join shape:\n" + p.take(2000))
+      assert(p.contains("Generate explode"),
+        s"$q: expected the index-range explode:\n" + p.take(2000))
+    }
+  }
+
+  test("metadata limits cap via TakeOrdered, not a global sort") {
+    for (q <- Seq("ts_complete_tags_limit", "ts_series_match_limit",
+        "ts_index_tags_limit")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$q: expected a distributed top-N:\n" + p.take(2000))
+      // the one-row stats frame broadcasts onto the kept rows
+      assert(p.contains("BroadcastNestedLoopJoin") ||
+        p.contains("BroadcastExchange"),
+        s"$q: stats must ride a broadcast:\n" + p.take(2000))
+    }
+  }
+
+  test("sketch spectrum: one pinned fan, one partial-merge exchange") {
+    // the registered query eagerly checkpoints its 7-row result, so
+    // audit the walk+merge plan the batch form executes internally:
+    // the batch fan + mapPartitions walk feed ONE groupBy merge of
+    // sketch-sized partials — no char-volume census exchange, no
+    // window, no sort of char rows (the exact form's scale killers)
+    val docs = Tables.documents(spark, sf)
+    val fanned = Tables.fan(
+      docs.select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text")),
+      org.apache.spark.sql.functions.col("doc_id"))
+    val p = graft.streaming.StreamSpectrum.cells(fanned)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("REPARTITION_BY_NUM"),
+      "expected the pinned-count doc fan:\n" + p.take(2000))
+    assert(!p.contains("WindowExec") && !p.contains("Sort "),
+      "no window/sort may touch the partial rows:\n" + p.take(2000))
+    val hashEx = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") &&
+        !l.contains("REPARTITION_BY_NUM"))
+    assert(hashEx == 1,
+      s"expected ONE partial-merge exchange, got $hashEx:\n" + p.take(2000))
+  }
+
   test("q15 argmax broadcasts the one-row max — no rank window") {
     val p = plan("q15_top_supplier")
     assert(!p.contains("WindowExec"), p.take(2000))
