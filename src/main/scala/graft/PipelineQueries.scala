@@ -322,6 +322,24 @@ object PipelineQueries {
       t
     })
 
+  /** Once-per-(session, sf dir) spectrum cell table — TWO halves via
+    * build + append so the stored path always exercises the mixed
+    * max/sum read-time merge (the incremental-corpus-audit shape:
+    * the second half folds in WITHOUT rescanning the first). */
+  private val spectrumTables =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def spectrumTable(s: SparkSession, dir: String): String =
+    spectrumTables.getOrElseUpdate((s, dir), {
+      val t = "graft_spec_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+      val docs = Tables.documents(s, dir)
+      graft.sources.SketchStore.buildSpectrum(
+        docs.where(col("doc_id") < 250), t)
+      graft.sources.SketchStore.appendSpectrum(
+        docs.where(col("doc_id") >= 250), t)
+      t
+    })
+
   /** Once-per-(session, sf dir) DDSketch cell table over the events
     * — TWO halves via build + append so the stored path always
     * exercises the read-time sum-merge. */
@@ -1308,6 +1326,12 @@ object PipelineQueries {
     "store_dd" -> ((s, dir) =>
       graft.sources.SketchStore.ddEstimate(s, ddTable(s, dir),
         Tables.events(s, dir))),
+    // 7-row spectrum served from the PERSISTED cell table (two
+    // appended halves — the mixed max/sum read-merge is always on
+    // the path); byte-identical to dedup_suffix_spectrum_sketch,
+    // same oracle
+    "store_spectrum" -> ((s, dir) =>
+      graft.sources.SketchStore.spectrum(s, spectrumTable(s, dir))),
     "text_bm25" -> ((s, dir) =>
       TextAnalysis.bm25(Tables.documents(s, dir), BM25_TERMS)
         .orderBy("doc_id")),
@@ -1558,6 +1582,7 @@ object PipelineQueries {
     * gate can check. */
   lazy val oracles: Map[String, String] = oracleBase ++ Map(
     "store_ann" -> oracleBase("sim_ivf_ann"),
+    "store_spectrum" -> oracleBase("dedup_suffix_spectrum_sketch"),
     "store_ivfpq" -> oracleBase("sim_ivfpq_ann"),
     "store_hll" -> oracleBase("corpus_hll"),
     "store_dd" -> oracleBase("sketch_dd"))

@@ -14,7 +14,7 @@ object Corpus {
     * frame (the checkpoint plan is a [[org.apache.spark.sql.execution.LogicalRDD]]
     * wrapping the persisted rows). Safe only once nothing will read
     * the frame again — the RDD is unrecoverable after this. */
-  private[pipeline] def freeCheckpoint(df: DataFrame): Unit =
+  private[graft] def freeCheckpoint(df: DataFrame): Unit =
     df.queryExecution.logical.collect {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }.foreach(_.unpersist(blocking = false))

@@ -1152,6 +1152,19 @@ object Dedup {
   }
 
   def suffixSpectrumSketch(docs: DataFrame): DataFrame = {
+    val merged = spectrumCells(docs).localCheckpoint(eager = true)
+    val out = spectrumFromCells(merged)
+      .localCheckpoint(eager = true) // 7 rows
+    Corpus.freeCheckpoint(merged)
+    out
+  }
+
+  /** The batch walk's MERGED sketch cells (kind, depth, k, vmax,
+    * vsum) — the persistable form ([[graft.sources.SketchStore]]'s
+    * spectrum table stores exactly these rows; cells merge with
+    * cells by the same max/sum algebra, so append-then-merge equals
+    * one-shot bit-for-bit). */
+  def spectrumCells(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val depthsL = spectrumDepths
@@ -1253,13 +1266,8 @@ object Dedup {
     // registers, sum for everything else — picked per kind below);
     // the merged frame is sketch-sized, checkpointed once for its
     // five consumers
-    val merged = partials.groupBy("kind", "depth", "k")
+    partials.groupBy("kind", "depth", "k")
       .agg(max("v").as("vmax"), sum("v").as("vsum"))
-      .localCheckpoint(eager = true)
-    val out = spectrumFromCells(merged)
-      .localCheckpoint(eager = true) // 7 rows
-    Corpus.freeCheckpoint(merged)
-    out
   }
 
   /** Sketch-mode deep-repeat attribution — the scale companion to

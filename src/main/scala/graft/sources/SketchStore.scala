@@ -113,4 +113,63 @@ object SketchStore {
     folded.write.mode("overwrite").partitionBy("event_type")
       .format("parquet").saveAsTable(table)
   }
+
+  // ---- persisted repetition-spectrum sketch cells ----
+  //
+  // The incremental form of the corpus repetition audit: each doc
+  // batch folds into (kind, depth, k, vmax, vsum) cells
+  // (Dedup.spectrumCells — HLL registers max-merge, CMS / sampled
+  // census / alphabet census / char counts sum-merge), appends stay
+  // blind row appends, and the 7-row spectrum reads back from the
+  // merged cells WITHOUT ever rescanning corpus history — the same
+  // lifecycle as the HLL and DDSketch tables, with the MIXED merge
+  // algebra (max for kind 0, sum otherwise) resolved at read.
+  // Partitioned by `kind`, so each readout leg prunes to its own
+  // partition. Appending the same docs twice double-counts the
+  // sum-merged kinds (batch semantics, like the DD cells) — dedup
+  // of batches belongs to the ingest layer.
+
+  /** Build the spectrum cell table from a corpus batch. */
+  def buildSpectrum(docs: DataFrame, table: String): Unit = {
+    val spark = docs.sparkSession
+    dropTable(spark, table)
+    graft.pipeline.Dedup.spectrumCells(docs)
+      .write.mode("overwrite").partitionBy("kind")
+      .format("parquet").saveAsTable(table)
+  }
+
+  /** Fold a new doc batch in: blind row append, merge at read. */
+  def appendSpectrum(docs: DataFrame, table: String): Unit =
+    graft.pipeline.Dedup.spectrumCells(docs)
+      .write.mode("append").partitionBy("kind")
+      .format("parquet").saveAsTable(table)
+
+  /** The merged cell view: cells merge with cells by the same
+    * per-kind algebra the builders use — associative, so
+    * append-then-merge equals the one-shot batch walk
+    * bit-for-bit. */
+  def spectrumCells(spark: SparkSession, table: String): DataFrame =
+    spark.table(table).groupBy("kind", "depth", "k")
+      .agg(max("vmax").as("vmax"), sum("vsum").as("vsum"))
+
+  /** The 7-row spectrum from the STORED cells — byte-identical to
+    * the direct [[graft.pipeline.Dedup.suffixSpectrumSketch]] when
+    * the table holds the same corpus (shared readout), so the
+    * `store_spectrum` gate entry reuses the direct oracle SQL
+    * verbatim. */
+  def spectrum(spark: SparkSession, table: String): DataFrame = {
+    val cells = spectrumCells(spark, table).localCheckpoint(eager = true)
+    val out = graft.pipeline.Dedup.spectrumFromCells(cells)
+      .localCheckpoint(eager = true) // 7 rows
+    graft.pipeline.Corpus.freeCheckpoint(cells)
+    out
+  }
+
+  /** In-place compaction: fold appended duplicate cells back to one
+    * row per (kind, depth, k). */
+  def compactSpectrum(spark: SparkSession, table: String): Unit = {
+    val folded = spectrumCells(spark, table).localCheckpoint(eager = true)
+    folded.write.mode("overwrite").partitionBy("kind")
+      .format("parquet").saveAsTable(table)
+  }
 }

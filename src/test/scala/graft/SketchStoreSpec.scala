@@ -76,6 +76,33 @@ class SketchStoreSpec extends SparkSpec {
     assert(stored.toSeq == direct.toSeq)
   }
 
+  test("stored spectrum is byte-equal to the direct sketch") {
+    val docs = corpus
+    val t = "graft_spec_spec"
+    // two appended halves: the MIXED max/sum read-merge is on the
+    // path (HLL registers must max, everything else must sum)
+    SketchStore.buildSpectrum(docs.where(col("doc_id") < 20), t)
+    SketchStore.appendSpectrum(docs.where(col("doc_id") >= 20), t)
+    val stored = SketchStore.spectrum(spark, t).collect().map(_.toSeq)
+    val direct = graft.pipeline.Dedup.suffixSpectrumSketch(docs)
+      .collect().map(_.toSeq)
+    assert(stored.toSeq == direct.toSeq,
+      s"stored:\n${stored.toSeq}\nvs direct:\n${direct.toSeq}")
+    // compaction folds the appended rows; answers unchanged
+    val rawRows = spark.table(t).count()
+    SketchStore.compactSpectrum(spark, t)
+    assert(spark.table(t).count() < rawRows)
+    val after = SketchStore.spectrum(spark, t).collect().map(_.toSeq)
+    assert(after.toSeq == direct.toSeq)
+    // the readout legs prune to their kind partitions: a single-kind
+    // scan must not read the others (partition pruning on kind=)
+    val leg = SketchStore.spectrumCells(spark, t)
+      .where(col("kind") === 0)
+    val scan = leg.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("kind"),
+      "kind partition filter missing:\n" + scan.take(1500))
+  }
+
   test("dd cells sum-merge: re-appending a batch doubles its counts") {
     val events = ddEvents
     val t = "graft_dd_spec_a"
