@@ -1504,6 +1504,13 @@ object PipelineQueries {
       Multimodal.jpegDrift(
         Multimodal.syntheticJpegMedia(Tables.documents(s, dir)))
         .orderBy("media_id")),
+    // REAL-format decode: TIFF carrying the SAME pixels as mm_png —
+    // the cross-container check (identical decoded stats, oracle
+    // reused verbatim)
+    "mm_tiff" -> ((s, dir) =>
+      Multimodal.imageChannelStats(
+        Multimodal.syntheticTiffMedia(Tables.documents(s, dir)))
+        .orderBy("media_id")),
     // REAL-format decode: GIF (palette-indexed grayscale — lossless
     // roundtrip, one stream byte per pixel in the oracle replay)
     "mm_gif" -> ((s, dir) =>
@@ -1583,6 +1590,7 @@ object PipelineQueries {
   lazy val oracles: Map[String, String] = oracleBase ++ Map(
     "store_ann" -> oracleBase("sim_ivf_ann"),
     "store_spectrum" -> oracleBase("dedup_suffix_spectrum_sketch"),
+    "mm_tiff" -> oracleBase("mm_png"),
     "store_ivfpq" -> oracleBase("sim_ivfpq_ann"),
     "store_hll" -> oracleBase("corpus_hll"),
     "store_dd" -> oracleBase("sketch_dd"))

@@ -606,6 +606,15 @@ object TsdbQueries {
     // SeriesLimit/DocsLimit on the TAG-SEARCH surfaces (FetchOptions,
     // types.go:113-128): tag completion capped at 8 results with the
     // {total_results, limited} response signals
+    // MaxMetricMetadataStats (prom_converter.go:152): per-name
+    // WithSamples/NoSamples over a two-week window — series that
+    // match the query but are empty in range are the NoSamples
+    // diagnostic; capped at the 4 heaviest names
+    "ts_metadata_stats" -> ((s, dir) =>
+      Fetch.metricMetadataStats(samples(s, dir),
+        Seq(Fetch.Matcher("user_id", Fetch.Re, "[0-9]*[0-5]")),
+        startS = 1704067200L, endS = 1704844800L, maxNames = 4)
+        .orderBy("name")),
     "ts_complete_tags_limit" -> ((s, dir) =>
       Fetch.withMetadataLimit(
         Fetch.completeTags(samples(s, dir),
@@ -2060,6 +2069,22 @@ object TsdbQueries {
          | WHERE regexp_full_match(CAST(user_id AS VARCHAR), '[0-9]')
          |  AND name IS NOT NULL
          | ORDER BY tag_name, tag_value""".stripMargin.replace("\n", " "),
+    "ts_metadata_stats" ->
+      s"""WITH ident AS (SELECT DISTINCT name, user_id FROM ($S) AS s
+         |  WHERE regexp_full_match(CAST(user_id AS VARCHAR), '[0-9]*[0-5]')),
+         | hit AS (SELECT DISTINCT name, user_id FROM ($S) AS s
+         |  WHERE regexp_full_match(CAST(user_id AS VARCHAR), '[0-9]*[0-5]')
+         |   AND floor(epoch(ts)) >= 1704067200
+         |   AND floor(epoch(ts)) < 1704844800),
+         | st AS (SELECT i.name,
+         |   CAST(count(h.user_id) AS BIGINT) AS with_samples,
+         |   CAST(count(*) - count(h.user_id) AS BIGINT) AS no_samples
+         |  FROM ident i LEFT JOIN hit h
+         |   ON h.name = i.name AND h.user_id = i.user_id
+         |  GROUP BY i.name)
+         | SELECT name, with_samples, no_samples FROM st
+         | ORDER BY (with_samples + no_samples) DESC, name ASC LIMIT 4"""
+        .stripMargin.replace("\n", " "),
     // limited tag-search surfaces: sorted-key truncation + the
     // {total_results, limited} broadcast stats on every row
     "ts_complete_tags_limit" ->

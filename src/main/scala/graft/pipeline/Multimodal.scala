@@ -1127,6 +1127,50 @@ object Multimodal {
           (col("width") * col("height")).cast("double"), 6).as("mean_gray"))
   }
 
+  /** Encode the SAME xorshift pixel stream as [[encodePng]] into a
+    * REAL TIFF container (the JDK ships a TIFF plugin since 9) —
+    * lossless like PNG, so two different containers carrying the
+    * same image must decode to identical channel statistics, and
+    * the `mm_tiff` gate entry reuses the `mm_png` oracle VERBATIM:
+    * the strongest cross-container check available (any
+    * container-specific decode defect breaks the shared replay). */
+  def encodeTiff(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var s = seed | 1L
+    def nb(): Int = {
+      s ^= s << 13; s ^= s >>> 7; s ^= s << 17
+      ((s >>> 56) & 0xffL).toInt
+    }
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val r = nb(); val g = nb(); val b = nb()
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    val ok = javax.imageio.ImageIO.write(img, "tiff", baos)
+    require(ok, "no TIFF writer registered in this JVM")
+    baos.toByteArray
+  }
+
+  /** Deterministic TIFF media table (the PNG table's geometry and
+    * pixels, different container). */
+  def syntheticTiffMedia(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val w = 8 + (id % 24).toInt
+      val h = 8 + (id % 16).toInt
+      val payload = encodeTiff(w, h, id)
+      (id, "image", payload, "tiff", payload.length.toLong)
+    }.toDF("media_id", "kind", "payload", "meta_codec", "meta_bytes")
+  }
+
   /** Encode a smooth deterministic gradient as a REAL JPEG (r ramps
     * with x, g with y, b constant — low-frequency content keeps
     * codec error small and version-stable). JPEG is lossy, so no

@@ -317,6 +317,39 @@ object Fetch {
     kept.crossJoin(broadcast(stats))
   }
 
+  /** Per-metric-name result metadata stats — FetchOptions'
+    * MaxMetricMetadataStats (reference:
+    * src/query/storage/prom_converter.go:152 and
+    * src/query/block/meta.go:58 ResultMetricMetadata): for every
+    * series the fetch TOUCHED, the coordinator counts per metric
+    * name whether it contributed samples to the result range
+    * (WithSamples) or matched the query but was empty there
+    * (NoSamples — the "why is my panel sparse" diagnostic), capped
+    * at the heaviest `maxNames` names. Series identity comes from
+    * the matcher conjunction alone; range membership from the
+    * [startS, endS) bounds.
+    *
+    * Scale: two distinct frames at series cardinality (map-side
+    * combined), one left anti-ish flag join on identity, a per-name
+    * count and a TakeOrdered cap — nothing sample-sized crosses a
+    * shuffle. */
+  def metricMetadataStats(samples: DataFrame, matchers: Seq[Matcher],
+                          startS: Long, endS: Long,
+                          maxNames: Int): DataFrame = {
+    val ident = apply(samples, matchers)
+      .select("name", "user_id").distinct()
+    val inRange = apply(samples, matchers, Some(startS), Some(endS))
+      .select("name", "user_id").distinct()
+      .withColumn("_hit", lit(1))
+    ident.join(inRange, Seq("name", "user_id"), "left")
+      .groupBy("name").agg(
+        count(when(col("_hit").isNotNull, 1)).as("with_samples"),
+        count(when(col("_hit").isNull, 1)).as("no_samples"))
+      .orderBy((col("with_samples") + col("no_samples")).desc,
+        col("name").asc)
+      .limit(maxNames)
+  }
+
   def withSeriesLimit(fetched: DataFrame, limit: Int,
                       requireExhaustive: Boolean = false): DataFrame = {
     val ident = fetched.select("name", "user_id").distinct()

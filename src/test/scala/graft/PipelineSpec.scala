@@ -3496,6 +3496,17 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("TIFF kernel: cross-container parity with PNG on the same image") {
+    for ((w, h, seed) <- Seq((8, 8, 4L), (31, 23, 9L))) {
+      val png = Multimodal.decodeImage(Multimodal.encodePng(w, h, seed))
+      val tif = Multimodal.decodeImage(Multimodal.encodeTiff(w, h, seed))
+      assert(tif.getWidth == w && tif.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(png.getRGB(x, y) == tif.getRGB(x, y),
+          s"containers disagree at ($x,$y) for ${w}x$h seed $seed")
+    }
+  }
+
   test("GIF kernel: indexed grayscale roundtrip is bit-exact") {
     for ((w, h, seed) <- Seq((8, 8, 2L), (31, 23, 17L), (2, 9, 5L))) {
       val gif = Multimodal.encodeGif(w, h, seed)
