@@ -606,6 +606,18 @@ object TsdbQueries {
     // SeriesLimit/DocsLimit on the TAG-SEARCH surfaces (FetchOptions,
     // types.go:113-128): tag completion capped at 8 results with the
     // {total_results, limited} response signals
+    // the namespace halves of ResultMetricMetadata (block/meta.go:
+    // 66-71): per name, distinct series served from the aggregated
+    // vs unaggregated namespace under ds_fanout's latency-split
+    // stitch (a series stitched from both branches counts in both)
+    "ds_metadata_stats" -> ((s, dir) =>
+      Downsample.fanoutMetadataStats(samples(s, dir), 7L * 86400L, Seq(
+        Downsample.Policy("10m", 14L * 86400L),
+        Downsample.Policy("1h", 30L * 86400L),
+        Downsample.Policy("1d", 365L * 86400L)),
+        nowS = 1706745600L, startS = 1704931200L,
+        aggLatencyS = 2L * 86400L)
+        .orderBy("name")),
     // MaxMetricMetadataStats (prom_converter.go:152): per-name
     // WithSamples/NoSamples over a two-week window — series that
     // match the query but are empty in range are the NoSamples
@@ -2069,6 +2081,38 @@ object TsdbQueries {
          | WHERE regexp_full_match(CAST(user_id AS VARCHAR), '[0-9]')
          |  AND name IS NOT NULL
          | ORDER BY tag_name, tag_value""".stripMargin.replace("\n", " "),
+    // namespace halves: distinct series per branch under the same
+    // 1h-tier/raw latency-split windows as the ds_fanout oracle
+    "ds_metadata_stats" -> {
+      val f10 =
+        """SELECT event_type AS name, user_id,
+          | CAST(floor(epoch(ts) / 600) AS BIGINT) * 600 AS bucket_s,
+          | sum(value) AS sum_v, count(*) AS count_v
+          | FROM events GROUP BY 1, 2, 3""".stripMargin.replace("\n", " ")
+      s"""WITH a AS (SELECT DISTINCT name, user_id FROM (
+         |  SELECT name, user_id,
+         |   CAST(floor(bucket_s / 3600) AS BIGINT) * 3600 AS b
+         |  FROM ($f10) AS f10
+         |  GROUP BY 1, 2, 3
+         |  HAVING b >= 1706745600 - 30 * 86400
+         |   AND b >= 1704931200 AND b < 1706572800) AS az),
+         | r AS (SELECT DISTINCT event_type AS name, user_id FROM events
+         |  WHERE epoch(ts) >= 1706572800 AND epoch(ts) < 1706745600),
+         | u AS (SELECT name, user_id, 'aggregated' AS tier FROM a
+         |  UNION ALL
+         |  SELECT name, user_id, 'unaggregated' AS tier FROM r),
+         | st AS (SELECT name,
+         |  CAST(count(DISTINCT CASE WHEN tier = 'aggregated'
+         |   THEN user_id END) AS BIGINT) AS aggregated,
+         |  CAST(count(DISTINCT CASE WHEN tier = 'unaggregated'
+         |   THEN user_id END) AS BIGINT) AS unaggregated
+         |  FROM u GROUP BY name)
+         | SELECT * FROM (
+         |  SELECT name, aggregated, unaggregated FROM st
+         |  ORDER BY (aggregated + unaggregated) DESC, name ASC
+         |  LIMIT 10) AS capped
+         | ORDER BY name""".stripMargin.replace("\n", " ")
+    },
     "ts_metadata_stats" ->
       s"""WITH ident AS (SELECT DISTINCT name, user_id FROM ($S) AS s
          |  WHERE regexp_full_match(CAST(user_id AS VARCHAR), '[0-9]*[0-5]')),
@@ -2082,9 +2126,11 @@ object TsdbQueries {
          |  FROM ident i LEFT JOIN hit h
          |   ON h.name = i.name AND h.user_id = i.user_id
          |  GROUP BY i.name)
-         | SELECT name, with_samples, no_samples FROM st
-         | ORDER BY (with_samples + no_samples) DESC, name ASC LIMIT 4"""
-        .stripMargin.replace("\n", " "),
+         | SELECT * FROM (
+         |  SELECT name, with_samples, no_samples FROM st
+         |  ORDER BY (with_samples + no_samples) DESC, name ASC LIMIT 4)
+         |  AS capped
+         | ORDER BY name""".stripMargin.replace("\n", " "),
     // limited tag-search surfaces: sorted-key truncation + the
     // {total_results, limited} broadcast stats on every row
     "ts_complete_tags_limit" ->

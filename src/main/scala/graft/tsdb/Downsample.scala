@@ -755,6 +755,19 @@ object Downsample {
                         aggLatencyS: Long = 0L, aggType: String = "mean",
                         labelCols: Seq[String] = Vectors.labels,
                         relatedStartsS: Seq[Long] = Nil): DataFrame =
+    fetchFanoutTagged(samples, unaggRetentionS, policies, nowS, startS,
+      aggLatencyS, aggType, labelCols, relatedStartsS).drop("_tier")
+
+  /** The fanout fetch with every row tagged by its SERVING namespace
+    * kind — shared by [[fetchFanoutSeries]] (drops the tag) and
+    * [[fanoutMetadataStats]] (counts it), so the stats can never
+    * disagree with the fetch about which branch served a row. */
+  private def fetchFanoutTagged(samples: DataFrame, unaggRetentionS: Long,
+                                policies: Seq[Policy], nowS: Long,
+                                startS: Long, aggLatencyS: Long,
+                                aggType: String,
+                                labelCols: Seq[String],
+                                relatedStartsS: Seq[Long]): DataFrame =
     resolveTier(unaggRetentionS, policies, nowS, startS, relatedStartsS) match {
       case (agg: Aggregated, _) if aggLatencyS > 0 &&
           ((nowS - aggLatencyS) / resolutionS(agg.resolution)) *
@@ -766,6 +779,7 @@ object Downsample {
           .where(col("bucket_s") >= lit(startS) && col("bucket_s") < lit(availS))
           .select(cols :+ timestamp_seconds(col("bucket_s")).as("ts") :+
             tierValue(aggType).as("value"): _*)
+          .withColumn("_tier", lit("aggregated"))
         val rawStartS = Seq(availS, startS,
           if (unaggRetentionS == Long.MaxValue) Long.MinValue
           else nowS - unaggRetentionS).max
@@ -773,9 +787,45 @@ object Downsample {
           .where(col("ts") >= timestamp_seconds(lit(rawStartS)) &&
             col("ts") < timestamp_seconds(lit(nowS)))
           .select(cols :+ col("ts") :+ col("value"): _*)
+          .withColumn("_tier", lit("unaggregated"))
         aggSeries.unionByName(raw)
-      case _ =>
+      case (tier, _) =>
         fetchAutoSeries(samples, unaggRetentionS, policies, nowS, startS,
           aggType, labelCols, relatedStartsS)
+          .withColumn("_tier", lit(tier match {
+            case Unaggregated => "unaggregated"
+            case _: Aggregated => "aggregated"
+          }))
     }
+
+  /** ResultMetricMetadata's namespace halves (block/meta.go:66-71
+    * Aggregated/Unaggregated): per metric name, how many distinct
+    * series the fanout fetch served from the aggregated vs the
+    * unaggregated namespace — a series stitched from BOTH branches
+    * (the latency split) counts in both, exactly as the coordinator
+    * increments per fetched series per namespace. Capped at the
+    * heaviest `maxNames` names like [[Fetch.metricMetadataStats]],
+    * whose WithSamples/NoSamples columns complete the struct.
+    *
+    * Scale: the tagged fanout collapses to per-(name, tier) distinct
+    * series counts — map-side combined, nothing sample-sized
+    * shuffles beyond the fetch itself. */
+  def fanoutMetadataStats(samples: DataFrame, unaggRetentionS: Long,
+                          policies: Seq[Policy], nowS: Long, startS: Long,
+                          aggLatencyS: Long = 0L,
+                          labelCols: Seq[String] = Vectors.labels,
+                          maxNames: Int = 10): DataFrame = {
+    val rest = labelCols.filterNot(_ == "name")
+    val series = struct(rest.map(col): _*)
+    fetchFanoutTagged(samples, unaggRetentionS, policies, nowS, startS,
+      aggLatencyS, "mean", labelCols, Nil)
+      .groupBy("name").agg(
+        count_distinct(when(col("_tier") === "aggregated", series))
+          .as("aggregated"),
+        count_distinct(when(col("_tier") === "unaggregated", series))
+          .as("unaggregated"))
+      .orderBy((col("aggregated") + col("unaggregated")).desc,
+        col("name").asc)
+      .limit(maxNames)
+  }
 }
