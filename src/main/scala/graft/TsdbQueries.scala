@@ -968,6 +968,15 @@ object TsdbQueries {
         1704240000L, 1706313600L, 10800L)
         .select(col("name"), col("bucket_s"), round(col("value"), 9).as("value"))
         .orderBy("name", "bucket_s")),
+    // `@ end()` in range mode: the leaf evaluates ONCE at the query
+    // range's end (exact bound semantics, upstream StepInvariantExpr)
+    // and the pinned value repeats at every grid instant
+    "pql_range_at" -> ((s, dir) =>
+      graft.promql.PromQL.rangeQuery(samples(s, dir),
+        """avg by (name) (sum_over_time({name=~"(pur|cli).*"}[1d] @ end()))""",
+        1704240000L, 1704672000L, 21600L)
+        .select(col("name"), col("bucket_s"), round(col("value"), 6).as("value"))
+        .orderBy("name", "bucket_s")),
     // instant-vector leg of the range front door: bare selector =
     // LAST sample in the (T−lookback, T] staleness window per series
     "pql_range_instant" -> ((s, dir) =>
@@ -3001,6 +3010,21 @@ object TsdbQueries {
          |  WHERE rate_r IS NOT NULL)
          | SELECT name, bucket_s, round(sum(rate_v), 9) AS value
          | FROM r GROUP BY name, bucket_s
+         | ORDER BY name, bucket_s""".stripMargin.replace("\n", " "),
+    // pinned-instant leg: one right-closed window at end(), series
+    // sums averaged by name, replicated across the grid
+    "pql_range_at" ->
+      s"""WITH grid AS (SELECT unnest(generate_series(
+         |   1704240000, 1704672000, 21600)) AS bucket_s),
+         | pin AS (SELECT name, user_id, round(sum(value), 6) AS v
+         |  FROM ($S) AS s
+         |  WHERE regexp_full_match(name, '(pur|cli).*')
+         |   AND epoch_us(ts) > (1704672000::BIGINT - 86400) * 1000000
+         |   AND epoch_us(ts) <= 1704672000::BIGINT * 1000000
+         |  GROUP BY 1, 2),
+         | a AS (SELECT name, round(avg(v), 6) AS value FROM pin GROUP BY 1)
+         | SELECT a.name, g.bucket_s, a.value
+         | FROM a CROSS JOIN grid AS g
          | ORDER BY name, bucket_s""".stripMargin.replace("\n", " "),
     // instant-vector grid: arg_max over the right-closed staleness
     // window = the engine's last_over_time leaf

@@ -216,8 +216,6 @@ object PromQL {
       if (s.sliding.isDefined && !slidingFns(fn))
         throw new ParseException(
           s"$fn does not support [lookback:step] / compound-duration windows")
-      if (s.sliding.isDefined && s.at.isDefined)
-        throw new ParseException("@ is not supported on sliding windows")
       if (!fnParams(fn).contains(ps.length) || !fnSParams(fn).contains(sps.length))
         throw new ParseException(s"$fn: wrong arity (${ps.length} nums, ${sps.length} strings)")
     case Func(fn, sq: Subquery, ps, sps) =>
@@ -665,6 +663,28 @@ object PromQL {
       .drop("_k")
   }
 
+  /** Range-mode `@` handling around a leaf evaluation: without the
+    * modifier, evaluate over the full grid; with it, evaluate on the
+    * single-instant grid {T} (same window machinery, nMax = 0) and
+    * replicate the step-invariant result to every instant via a
+    * broadcast of the tiny pinned frame. */
+  private def rangeAtPin(sel: Selector, rc: RangeCtx, samples: DataFrame)
+      (eval: (DataFrame, RangeCtx) => DataFrame): DataFrame = {
+    val in = fetchFor(sel, samples)
+    sel.at match {
+      case None => eval(in, rc)
+      case Some(at) =>
+        val t = at match {
+          case AtEpoch(e) => e
+          case AtStart => rc.startS
+          case AtEnd => rc.endS
+        }
+        val pinned = eval(in, rc.copy(startS = t, endS = t))
+          .drop("bucket_s")
+        rangeGrid(rc, samples).crossJoin(broadcast(pinned))
+    }
+  }
+
   /** One temporal function over the grid windows — the range-mode
     * leaf. Output (labels…, bucket_s, value); instants whose window
     * holds no samples are absent (PromQL's empty vector). */
@@ -802,19 +822,23 @@ object PromQL {
         .select(col("bucket_s"), lit(v).as("value"))
 
     // ---- range-mode leaves: the grid-window evaluation ------------
+    // `@ T` pins the leaf's evaluation timestamp (upstream
+    // parser.ast StepInvariantExpr): the window evaluates ONCE at T
+    // — where `start()`/`end()` now mean the query range bounds
+    // EXACTLY, not the batch mode's dataset approximation — and the
+    // pinned value repeats at every grid instant.
     case sel: Selector if rc.isDefined =>
       // instant vector: the LAST sample in (T−lookback, T] per series
-      if (sel.at.isDefined) throw new ParseException(
-        "@ modifier is not supported in range-query mode")
-      gridWindowEval("last_over_time", fetchFor(sel, samples),
-        rc.get.lookbackS, rc.get, Nil)
+      rangeAtPin(sel, rc.get, samples) { (in, c) =>
+        gridWindowEval("last_over_time", in, c.lookbackS, c, Nil)
+      }
     case Func(fn, sel: Selector, ps, _) if rc.isDefined && temporalFns(fn) =>
-      if (sel.at.isDefined) throw new ParseException(
-        "@ modifier is not supported in range-query mode")
       val r = sel.rangeUnit.map(unitSecs).orElse(sel.sliding.map(_._1))
         .getOrElse(throw new ParseException(
           s"$fn requires a range selector in range-query mode"))
-      gridWindowEval(fn, fetchFor(sel, samples), r, rc.get, ps)
+      rangeAtPin(sel, rc.get, samples) { (in, c) =>
+        gridWindowEval(fn, in, r, c, ps)
+      }
     case Func("absent", arg, _, _) if rc.isDefined =>
       val in = evalExpr(arg, samples, rc)
       rangeGrid(rc.get, samples)
@@ -835,7 +859,11 @@ object PromQL {
     case Func(fn, sel: Selector, ps, _)
         if temporalFns(fn) && sel.sliding.isDefined =>
       // [lookback:step] → the m3 range-query sliding evaluation
-      // (temporal/base.go:133,166) via the Expand-based operators
+      // (temporal/base.go:133,166) via the Expand-based operators.
+      // `@` has no meaning on the epoch-aligned batch windows (range
+      // mode pins it against the explicit grid instead)
+      if (sel.at.isDefined) throw new ParseException(
+        "@ is not supported on sliding windows outside range-query mode")
       val (lb, st) = sel.sliding.get
       slidingEval(fn, fetchFor(sel, samples), lb, st)
 

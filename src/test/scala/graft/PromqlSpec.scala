@@ -358,6 +358,45 @@ class PromqlSpec extends SparkSpec {
       (1L, 200L) -> 1.0, (2L, 200L) -> 10.0, (1L, 300L) -> 2.0))
   }
 
+  test("rangeQuery @: step-invariant pin repeats across the grid") {
+    val s0 = spark
+    import s0.implicits._
+    import org.apache.spark.sql.functions.col
+    val samples = Seq(
+      ("m", 1L, 50L, 1.0, 1L), ("m", 1L, 150L, 3.0, 2L),
+      ("m", 1L, 250L, 5.0, 3L)
+    ).toDF("name", "user_id", "tss", "value", "event_id")
+      .select(col("name"), col("user_id"),
+        org.apache.spark.sql.functions.timestamp_seconds(col("tss")).as("ts"),
+        col("value"), col("event_id"))
+    // @ end(): sum over (200, 300] = 5.0, repeated at EVERY instant
+    val r = PromQL.rangeQuery(samples,
+      """sum_over_time({name="m"}[100s] @ end())""", 100L, 300L, 100L)
+      .collect()
+      .map(x => x.getAs[Long]("bucket_s") -> x.getAs[Double]("value"))
+      .toMap
+    assert(r == Map(100L -> 5.0, 200L -> 5.0, 300L -> 5.0), r.toString)
+    // @ start(): (0, 100] = 1.0 everywhere
+    val r2 = PromQL.rangeQuery(samples,
+      """sum_over_time({name="m"}[100s] @ start())""", 100L, 300L, 100L)
+      .collect()
+      .map(x => x.getAs[Long]("bucket_s") -> x.getAs[Double]("value"))
+      .toMap
+    assert(r2 == Map(100L -> 1.0, 200L -> 1.0, 300L -> 1.0), r2.toString)
+    // @ epoch pins an arbitrary instant; the unpinned form still
+    // varies by instant ((0,100]=1, (100,200]=3, (200,300]=5)
+    val r3 = PromQL.rangeQuery(samples,
+      """sum_over_time({name="m"}[100s] @ 200)""", 100L, 300L, 100L)
+      .collect().map(_.getAs[Double]("value")).distinct.toSeq
+    assert(r3 == Seq(3.0), r3.toString)
+    val free = PromQL.rangeQuery(samples,
+      """sum_over_time({name="m"}[100s])""", 100L, 300L, 100L)
+      .collect()
+      .map(x => x.getAs[Long]("bucket_s") -> x.getAs[Double]("value"))
+      .toMap
+    assert(free == Map(100L -> 1.0, 200L -> 3.0, 300L -> 5.0), free.toString)
+  }
+
   test("end-to-end: rate sum equals API composition") {
     val samples = tsdb.Vectors.samples(Tables.events(spark, sf))
     val viaPql = PromQL.query(samples,
