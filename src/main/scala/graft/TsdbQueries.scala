@@ -1382,6 +1382,17 @@ object TsdbQueries {
         """sum by (name) (rate({name=~"(pur|cli).*"}[1d]))""")
         .select(col("name"), col("bucket_s"), round(col("value"), 9).as("value"))
         .orderBy("name", "bucket_s")),
+    // the RANGE front door against the at-rest layout: the identical
+    // Grafana-shaped request as pql_range, reading the bucketed
+    // dt-partitioned store — byte-identical to the direct path, same
+    // oracle (the physical layout changes nothing but the plan)
+    "store_pql_range" -> ((s, dir) =>
+      graft.promql.PromQL.rangeQuery(
+        graft.sources.SeriesStore.read(s, storeTable(s, dir)).drop("dt"),
+        """sum by (name) (rate({name=~"(pur|cli).*"}[6h]))""",
+        1704240000L, 1706313600L, 10800L)
+        .select(col("name"), col("bucket_s"), round(col("value"), 9).as("value"))
+        .orderBy("name", "bucket_s")),
     // Graphite target text evaluated END-TO-END over the bucketed
     // store — the third front door over the physical layout
     // (store_fetch = matchers, store_pql = PromQL, this = graphite):
@@ -3717,6 +3728,7 @@ object TsdbQueries {
     * but the plan. */
   private def withSharedOracles(m: Map[String, String]): Map[String, String] =
     m + ("store_pql" -> m("pql_rate_sum"),
+      "store_pql_range" -> m("pql_range"),
       "store_fanout" -> m("ds_fanout"),
       "store_scrape" -> m("ts_exposition"))
 }
