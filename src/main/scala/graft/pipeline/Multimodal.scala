@@ -111,6 +111,19 @@ object Multimodal {
     payload.length >= 54 &&
       payload(0) == 'B'.toByte && payload(1) == 'M'.toByte
 
+  /** Cheap magic-byte sniff for the standard containers ImageIO
+    * decodes here (PNG/JPEG/GIF/TIFF) — gate before [[decodeImage]]
+    * in generic dispatch so arbitrary non-image payloads keep
+    * falling to [[decodeStub]] instead of paying an ImageIO reader
+    * probe per row. */
+  private def imageIoSniffs(p: Array[Byte]): Boolean =
+    p.length >= 8 && (
+      ((p(0) & 0xff) == 0x89 && p(1) == 'P'.toByte && p(2) == 'N'.toByte) ||
+      ((p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8) || // JPEG SOI
+      (p(0) == 'G'.toByte && p(1) == 'I'.toByte && p(2) == 'F'.toByte) ||
+      (p(0) == 'I'.toByte && p(1) == 'I'.toByte && (p(2) & 0xff) == 42) ||
+      (p(0) == 'M'.toByte && p(1) == 'M'.toByte && (p(3) & 0xff) == 42))
+
   /** Average-hash (aHash) perceptual fingerprint over the DECODED
     * pixel array of a 24-bit BMP: the image maps onto an 8×8 cell
     * grid, bit c = "cell c is at least as bright as the image
@@ -918,6 +931,12 @@ object Multimodal {
               // is one frame
               val (bw, bh, _) = decodeBmp(m.payload)
               (bw, bh, 1)
+            } else if (m.kind == "image" && imageIoSniffs(m.payload)) {
+              // real STANDARD containers (PNG/JPEG/GIF/TIFF — r11):
+              // whatever the ImageIO registry recognizes decodes for
+              // real; only unrecognized bytes fall to the stub
+              val img = decodeImage(m.payload)
+              (img.getWidth, img.getHeight, 1)
             } else decodeStub(m.payload)
           MediaFeatures(m.media_id, m.kind, w, h, f, m.meta_bytes)
         }

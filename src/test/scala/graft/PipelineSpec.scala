@@ -3496,6 +3496,49 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("generic decode dispatch: real containers get real geometry") {
+    val s0 = spark
+    import s0.implicits._
+    val docs = Tables.documents(spark, sf).limit(12)
+    for (media <- Seq(Multimodal.syntheticPngMedia(docs),
+        Multimodal.syntheticGifMedia(docs),
+        Multimodal.syntheticTiffMedia(docs),
+        Multimodal.syntheticJpegMedia(docs))) {
+      val feats = Multimodal.extractFeatures(media).collect()
+      for (r <- feats) {
+        val id = r.getAs[Long]("media_id")
+        assert(r.getAs[Int]("width") == 8 + (id % 24).toInt &&
+          r.getAs[Int]("height") == 8 + (id % 16).toInt,
+          s"dispatch fell to the stub for media $id")
+      }
+    }
+    // unrecognized bytes still fall to the deterministic stub
+    val stubbed = Multimodal.extractFeatures(
+      Multimodal.syntheticMedia(docs)).collect()
+    assert(stubbed.nonEmpty && stubbed.forall(_.getAs[Int]("width") >= 64))
+  }
+
+  test("WAV kernel: cross-decoder parity with javax.sound.sampled") {
+    // the JDK's own WAV reader decodes the hand-written RIFF/PCM16
+    // container to the same header fields and the same samples —
+    // the TIFF↔PNG cross-check idea applied to the audio kernel
+    for ((ch, rate, n, seed) <- Seq((1, 8000, 64, 5L), (2, 44100, 333, 9L))) {
+      val wav = Multimodal.encodeWav(ch, rate, n, seed)
+      val (dch, drate, dn) = Multimodal.decodeWav(wav)
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav))
+      val fmt = ais.getFormat
+      assert(fmt.getChannels == ch && dch == ch)
+      assert(fmt.getSampleRate.toInt == rate && drate == rate)
+      assert(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian)
+      assert(ais.getFrameLength == n && dn == n.toLong)
+      // sample bytes byte-identical through the JDK reader
+      val jdk = ais.readAllBytes()
+      val ours = wav.takeRight(jdk.length)
+      assert(java.util.Arrays.equals(jdk, ours), "PCM payload differs")
+    }
+  }
+
   test("TIFF kernel: cross-container parity with PNG on the same image") {
     for ((w, h, seed) <- Seq((8, 8, 4L), (31, 23, 9L))) {
       val png = Multimodal.decodeImage(Multimodal.encodePng(w, h, seed))
