@@ -375,6 +375,31 @@ object GraphiteQueries {
     // every triangle area both engines compare derives from exact
     // integers (argmax determinism; the Similarity micro-unit
     // convention)
+    // the render API's `offset` form value (render_parser.go:156-166
+    // → timespec.go:323 ParseDuration, `-N<unit>` only): the SAME
+    // request as gq_render shifted one day into the past — the
+    // time-shifted comparison panel idiom
+    "gq_render_offset" -> ((s, dir) =>
+      graphite.GraphiteParser.renderOffset(
+        Vectors.samples(Tables.events(s, dir)),
+        """summarize(events.purchase.*, "1d", "sum")""",
+        from = "20240105", until = "-12d", nowS = 1705795200L,
+        offset = "-1d")
+        .select(col("path"), col("bucket_s"), round(col("value"), 6).as("value"))
+        .orderBy("path", "bucket_s")),
+    // multi-target render (render.go:109-135 request-order targets +
+    // :196-207 stable by-name series sort): the response ordering is
+    // part of the result — target_idx = request position,
+    // series_order = per-target by-path rank
+    "gq_render_multi" -> ((s, dir) =>
+      graphite.GraphiteParser.renderMulti(
+        Vectors.samples(Tables.events(s, dir)),
+        Seq("""summarize(events.purchase.*, "1d", "sum")""",
+          """events.{click,signup}.*"""),
+        from = "20240105", until = "-12d", nowS = 1705795200L)
+        .select(col("target_idx"), col("series_order"), col("path"),
+          col("bucket_s"), round(col("value"), 6).as("value"))
+        .orderBy("target_idx", "series_order", "bucket_s")),
     "gq_render_lttb" -> ((s, dir) => {
       val f = LttbQ.start
       val u = LttbQ.start + LttbQ.len * LttbQ.step
@@ -835,6 +860,36 @@ object GraphiteQueries {
          |  AND bucket_s >= 1704412800 AND bucket_s < 1704758400
          | GROUP BY path, CAST(floor(bucket_s / 86400) * 86400 AS BIGINT)
          | ORDER BY path, bucket_s""".stripMargin.replace("\n", " "),
+    // gq_render's window shifted −1d: [2024-01-04, 2024-01-08)
+    "gq_render_offset" ->
+      s"""SELECT path, CAST(floor(bucket_s / 86400) * 86400 AS BIGINT) AS bucket_s,
+         | round(sum(value), 6) AS value FROM ($PF) AS p
+         | WHERE regexp_matches(path, '^events\\.purchase\\.[^.]*$$')
+         |  AND bucket_s >= 1704326400 AND bucket_s < 1704672000
+         | GROUP BY path, CAST(floor(bucket_s / 86400) * 86400 AS BIGINT)
+         | ORDER BY path, bucket_s""".stripMargin.replace("\n", " "),
+    // two targets in request order; dense by-path rank within each
+    "gq_render_multi" ->
+      s"""WITH t0 AS (
+         |  SELECT 0 AS target_idx, path,
+         |   CAST(floor(bucket_s / 86400) * 86400 AS BIGINT) AS bucket_s,
+         |   round(sum(value), 6) AS value FROM ($PF) AS p
+         |  WHERE regexp_matches(path, '^events\\.purchase\\.[^.]*$$')
+         |   AND bucket_s >= 1704412800 AND bucket_s < 1704758400
+         |  GROUP BY path, CAST(floor(bucket_s / 86400) * 86400 AS BIGINT)),
+         | t1 AS (
+         |  SELECT 1 AS target_idx, path, bucket_s, round(value, 6) AS value
+         |  FROM ($PF) AS p
+         |  WHERE regexp_matches(path, '^events\\.(click|signup)\\.[^.]*$$')
+         |   AND bucket_s >= 1704412800 AND bucket_s < 1704758400),
+         | u AS (SELECT * FROM t0 UNION ALL SELECT * FROM t1),
+         | o AS (SELECT target_idx, path,
+         |   dense_rank() OVER (PARTITION BY target_idx ORDER BY path)
+         |    AS series_order
+         |  FROM (SELECT DISTINCT target_idx, path FROM u) AS d)
+         | SELECT u.target_idx, o.series_order, u.path, u.bucket_s, u.value
+         | FROM u JOIN o ON u.target_idx = o.target_idx AND u.path = o.path
+         | ORDER BY u.target_idx, o.series_order, u.bucket_s""".stripMargin.replace("\n", " "),
     "gq_render_lttb" -> LttbQ.sql.replace("\n", " "),
     "gq_find_matchall" ->
       s"""SELECT DISTINCT 'events.' || seg AS id, seg AS text,

@@ -471,6 +471,36 @@ object TsdbQueries {
        | FROM ${extrapSql("ag", "name, user_id, bucket_s", 86400)} AS x)""".stripMargin.replace("\n", " ")
   }
 
+  /** Per-(series, grid instant) extrapolated rate over the explicit
+    * (start, end, step) range-query grid with right-closed
+    * (T−range, T] windows — the stage shared by the range-mode
+    * oracles (mirror of PromQL.gridWindowEval's rate leaf). */
+  private def rangeRateRel(srcFilter: String, startS: Long, endS: Long,
+                           stepS: Long, rangeS: Long): String =
+    s"""(WITH grid AS (SELECT unnest(generate_series(
+       |   $startS, $endS, $stepS)) AS bucket_s),
+       | sl AS (SELECT *, lag(value) OVER w AS prev_v,
+       |   lag(ts) OVER w AS prev_ts
+       |  FROM (SELECT * FROM ($S) AS s0 $srcFilter) AS s
+       |  WINDOW w AS (PARTITION BY name, user_id ORDER BY ts, event_id)),
+       | j AS (SELECT sl.name, sl.user_id, sl.ts, sl.event_id, sl.value,
+       |   sl.prev_v, sl.prev_ts, g.bucket_s AS e
+       |  FROM sl JOIN grid AS g
+       |   ON epoch_us(sl.ts) > (g.bucket_s - $rangeS) * 1000000
+       |   AND epoch_us(sl.ts) <= g.bucket_s * 1000000),
+       | ag AS (SELECT name, user_id, e AS bucket_s,
+       |   CAST(e - $rangeS AS DOUBLE) AS rs, CAST(e AS DOUBLE) AS re,
+       |   first(value ORDER BY ts, event_id) AS first_v,
+       |   last(value ORDER BY ts, event_id) AS last_v,
+       |   epoch_us(min(ts)) AS first_us, epoch_us(max(ts)) AS last_us,
+       |   count(*) AS n_s,
+       |   sum(CASE WHEN epoch_us(prev_ts) > (e - $rangeS) * 1000000
+       |       AND prev_v > value THEN prev_v ELSE 0 END) AS corr
+       |  FROM j GROUP BY name, user_id, e)
+       | SELECT name, user_id, bucket_s, round(rate_r, 9) AS rate_v
+       | FROM ${extrapSql("ag", "name, user_id, bucket_s", rangeS)} AS x
+       | WHERE rate_r IS NOT NULL)""".stripMargin.replace("\n", " ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- fetch / series selection (the front door) --------------------
     "ts_postings" -> ((s, dir) =>
@@ -984,6 +1014,49 @@ object TsdbQueries {
         """avg by (name) ({name=~"(pur|sig).*"})""",
         1704240000L, 1706313600L, 21600L, lookbackS = 7200L)
         .select(col("name"), col("bucket_s"), round(col("value"), 6).as("value"))
+        .orderBy("name", "bucket_s")),
+    // range-mode SUBQUERY (the Grafana alert-preview idiom issued as
+    // a range query): the inner per-name summed rate evaluates on its
+    // own epoch-aligned 6h step grid (upstream SubqueryExpr), the
+    // outer max windows each trailing 3d of steps at every grid T
+    "pql_range_subquery" -> ((s, dir) =>
+      graft.promql.PromQL.rangeQuery(samples(s, dir),
+        """max_over_time(sum by (name) (rate({name=~"(pur|cli).*"}[1d]))[3d:6h])""",
+        1704240000L, 1706313600L, 10800L)
+        .select(col("name"), col("bucket_s"), round(col("value"), 9).as("value"))
+        .orderBy("name", "bucket_s")),
+    // range-mode recursive paths under the gate: per-instant topk
+    // over grid rate leaves (rank per (name, T), user_id tiebreak)
+    "pql_range_topk" -> ((s, dir) =>
+      graft.promql.PromQL.rangeQuery(samples(s, dir),
+        """topk by (name) (2, rate({name=~"(pur|cli).*"}[6h]))""",
+        1704240000L, 1706313600L, 10800L)
+        .select(col("name"), col("user_id"), col("bucket_s"),
+          round(col("value"), 9).as("value"))
+        .orderBy("name", "bucket_s", "user_id")),
+    // …and a vector∘vector binary op over two grid rate leaves
+    "pql_range_mix" -> ((s, dir) =>
+      graft.promql.PromQL.rangeQuery(samples(s, dir),
+        """rate({name="purchase"}[1d]) / on (user_id) rate({name="click"}[1d])""",
+        1704240000L, 1706313600L, 10800L)
+        .select(col("user_id"), col("bucket_s"), round(col("value"), 9).as("value"))
+        .orderBy("user_id", "bucket_s")),
+    // grid-correct timestamp(): the instant-vector sample's epoch
+    // seconds per grid T (closes the r11 silent batch-shape
+    // fallthrough — unconsolidated/timestamp.go:38 over the grid)
+    "pql_range_ts" -> ((s, dir) =>
+      graft.promql.PromQL.rangeQuery(samples(s, dir),
+        """timestamp({name=~"(pur|sig).*"})""",
+        1704240000L, 1706313600L, 21600L, lookbackS = 7200L)
+        .select(col("name"), col("user_id"), col("bucket_s"),
+          round(col("value"), 6).as("value"))
+        .orderBy("name", "user_id", "bucket_s")),
+    // grid-correct histogram_quantile() over the staleness-window
+    // instant vector (the other half of the fallthrough fix)
+    "pql_range_hq" -> ((s, dir) =>
+      graft.promql.PromQL.rangeQuery(samples(s, dir),
+        """histogram_quantile(0.9, {name="purchase"})""",
+        1704240000L, 1706313600L, 21600L, lookbackS = 7200L)
         .orderBy("name", "bucket_s")),
     "pql_abs_avg" -> ((s, dir) =>
       graft.promql.PromQL.query(samples(s, dir), "avg by (name) (abs(purchase))")
@@ -2995,33 +3068,98 @@ object TsdbQueries {
     // extrapSql), then the by-name sum — the engine's rangeQuery
     // evaluates the identical windows via integer-µs index expansion
     "pql_range" ->
-      s"""WITH grid AS (SELECT unnest(generate_series(
-         |   1704240000, 1706313600, 10800)) AS bucket_s),
-         | sl AS (SELECT *, lag(value) OVER w AS prev_v,
-         |   lag(ts) OVER w AS prev_ts
-         |  FROM (SELECT * FROM ($S) AS s0
-         |   WHERE regexp_full_match(name, '(pur|cli).*')) AS s
-         |  WINDOW w AS (PARTITION BY name, user_id ORDER BY ts, event_id)),
-         | j AS (SELECT sl.name, sl.user_id, sl.ts, sl.event_id, sl.value,
-         |   sl.prev_v, sl.prev_ts, g.bucket_s AS e
-         |  FROM sl JOIN grid AS g
-         |   ON epoch_us(sl.ts) > (g.bucket_s - 21600) * 1000000
-         |   AND epoch_us(sl.ts) <= g.bucket_s * 1000000),
-         | ag AS (SELECT name, user_id, e AS bucket_s,
-         |   CAST(e - 21600 AS DOUBLE) AS rs, CAST(e AS DOUBLE) AS re,
-         |   first(value ORDER BY ts, event_id) AS first_v,
-         |   last(value ORDER BY ts, event_id) AS last_v,
-         |   epoch_us(min(ts)) AS first_us, epoch_us(max(ts)) AS last_us,
-         |   count(*) AS n_s,
-         |   sum(CASE WHEN epoch_us(prev_ts) > (e - 21600) * 1000000
-         |       AND prev_v > value THEN prev_v ELSE 0 END) AS corr
-         |  FROM j GROUP BY name, user_id, e),
-         | r AS (SELECT name, user_id, bucket_s, round(rate_r, 9) AS rate_v
-         |  FROM ${extrapSql("ag", "name, user_id, bucket_s", 21600)} AS x
-         |  WHERE rate_r IS NOT NULL)
-         | SELECT name, bucket_s, round(sum(rate_v), 9) AS value
-         | FROM r GROUP BY name, bucket_s
+      s"""SELECT name, bucket_s, round(sum(rate_v), 9) AS value
+         | FROM ${rangeRateRel("WHERE regexp_full_match(name, '(pur|cli).*')",
+              1704240000L, 1706313600L, 10800L, 21600L)} AS r
+         | GROUP BY name, bucket_s
          | ORDER BY name, bucket_s""".stripMargin.replace("\n", " "),
+    // range-mode subquery: the inner summed rate on its epoch-aligned
+    // 6h step grid (the SAME rv/sm stages as pql_subquery_agg), each
+    // outer grid instant aggregating the steps in its right-closed
+    // trailing-3d window
+    "pql_range_subquery" ->
+      s"""WITH rv AS (SELECT name, user_id, bucket_s,
+         |  round(rate_r, 9) + 0.0 AS value
+         | FROM ${slidingRateRel(
+            "WHERE regexp_full_match(name, '(pur|cli).*')")} AS r),
+         | sm AS (SELECT name, bucket_s, sum(value) AS value
+         |  FROM rv GROUP BY name, bucket_s),
+         | grid AS (SELECT unnest(generate_series(
+         |   1704240000, 1706313600, 10800)) AS bucket_s)
+         | SELECT sm.name, g.bucket_s, round(max(sm.value), 9) AS value
+         | FROM sm JOIN grid AS g
+         |  ON sm.bucket_s > g.bucket_s - 259200
+         |  AND sm.bucket_s <= g.bucket_s
+         | GROUP BY sm.name, g.bucket_s
+         | ORDER BY sm.name, g.bucket_s""".stripMargin.replace("\n", " "),
+    // per-instant topk over the grid rate leaves, user_id tiebreak
+    "pql_range_topk" ->
+      s"""SELECT name, user_id, bucket_s, rate_v AS value FROM (
+         | SELECT *, row_number() OVER (PARTITION BY name, bucket_s
+         |   ORDER BY rate_v DESC, user_id ASC) AS rk
+         | FROM ${rangeRateRel("WHERE regexp_full_match(name, '(pur|cli).*')",
+              1704240000L, 1706313600L, 10800L, 21600L)} AS r) AS t
+         | WHERE rk <= 2
+         | ORDER BY name, bucket_s, user_id""".stripMargin.replace("\n", " "),
+    // vector∘vector / on (user_id) over two grid rate leaves
+    "pql_range_mix" ->
+      s"""SELECT l.user_id, l.bucket_s,
+         | round(CASE WHEN r.rate_v <> 0 THEN l.rate_v / r.rate_v END, 9) AS value
+         | FROM ${rangeRateRel("WHERE name = 'purchase'",
+              1704240000L, 1706313600L, 10800L, 86400L)} AS l
+         | JOIN ${rangeRateRel("WHERE name = 'click'",
+              1704240000L, 1706313600L, 10800L, 86400L)} AS r
+         |  ON l.user_id = r.user_id AND l.bucket_s = r.bucket_s
+         | ORDER BY l.user_id, l.bucket_s""".stripMargin.replace("\n", " "),
+    // grid timestamp(): epoch seconds of the last sample in each
+    // right-closed staleness window
+    "pql_range_ts" ->
+      s"""WITH grid AS (SELECT unnest(generate_series(
+         |   1704240000, 1706313600, 21600)) AS bucket_s),
+         | j AS (SELECT s.name, s.user_id, s.ts, g.bucket_s AS e
+         |  FROM (SELECT * FROM ($S) AS s0
+         |   WHERE regexp_full_match(name, '(pur|sig).*')) AS s
+         |  JOIN grid AS g
+         |   ON epoch_us(s.ts) > (g.bucket_s - 7200) * 1000000
+         |   AND epoch_us(s.ts) <= g.bucket_s * 1000000)
+         | SELECT name, user_id, e AS bucket_s,
+         |  round(epoch_us(max(ts)) / 1000000.0, 6) AS value
+         | FROM j GROUP BY name, user_id, e
+         | ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),
+    // grid histogram_quantile(): synthesized-le interpolation over
+    // the staleness-window instant vector, keyed per grid instant
+    "pql_range_hq" -> {
+      val le = "CASE WHEN value <= 10 THEN 10.0 WHEN value <= 25 THEN 25.0 " +
+        "WHEN value <= 50 THEN 50.0 WHEN value <= 100 THEN 100.0 " +
+        "WHEN value <= 150 THEN 150.0 WHEN value <= 200 THEN 200.0 " +
+        "ELSE CAST('infinity' AS DOUBLE) END"
+      s"""WITH grid AS (SELECT unnest(generate_series(
+         |   1704240000, 1706313600, 21600)) AS bucket_s),
+         | j AS (SELECT s.name, s.user_id, s.ts, s.event_id, s.value,
+         |   g.bucket_s AS e
+         |  FROM (SELECT * FROM ($S) AS s0 WHERE name = 'purchase') AS s
+         |  JOIN grid AS g
+         |   ON epoch_us(s.ts) > (g.bucket_s - 7200) * 1000000
+         |   AND epoch_us(s.ts) <= g.bucket_s * 1000000),
+         | lastv AS (SELECT name, user_id, e AS bucket_s,
+         |   last(value ORDER BY ts, event_id) AS value
+         |  FROM j GROUP BY name, user_id, e)
+         | SELECT name, bucket_s,
+         | round(CASE WHEN isinf(le) THEN lo
+         |   ELSE lo + (le - lo) * (q_rank - cum_prev) / (cum - cum_prev) END, 6) AS value
+         | FROM (
+         |  SELECT *, 0.9 * total AS q_rank FROM (
+         |   SELECT name, bucket_s, le, c,
+         |    sum(c) OVER (PARTITION BY name, bucket_s ORDER BY le) AS cum,
+         |    coalesce(sum(c) OVER (PARTITION BY name, bucket_s ORDER BY le
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev,
+         |    coalesce(lag(le) OVER (PARTITION BY name, bucket_s ORDER BY le), 0.0) AS lo,
+         |    sum(c) OVER (PARTITION BY name, bucket_s) AS total
+         |   FROM (SELECT name, bucket_s, $le AS le, count(*) AS c FROM lastv
+         |         GROUP BY name, bucket_s, le) AS cnt) AS cm) AS r
+         | WHERE cum >= q_rank AND cum_prev < q_rank
+         | ORDER BY name, bucket_s""".stripMargin.replace("\n", " ")
+    },
     // pinned-instant leg: one right-closed window at end(), series
     // sums averaged by name, replicated across the grid
     "pql_range_at" ->

@@ -205,6 +205,60 @@ object GraphiteParser {
         unix_timestamp(col("ts")) < u), unit), query)
   }
 
+  /** [[render]] plus the API's `offset` form value
+    * (render_parser.go:156-166 → timespec.go:323 ParseDuration — the
+    * `-N<unit>` form only, so the shift is always into the PAST):
+    * both resolved bounds move by the offset before the pushed ts
+    * predicate, rendering an earlier copy of the same window (the
+    * time-shifted comparison panel idiom). */
+  def renderOffset(samples: DataFrame, target: String, from: String,
+                   until: String, nowS: Long, offset: String,
+                   unit: String = "hour"): DataFrame = {
+    val d = GraphiteTime.parseDuration(offset)
+    val f = GraphiteTime.parseTime(from, nowS) + d
+    val u = GraphiteTime.parseTime(until, nowS) + d
+    query(samples.where(unix_timestamp(col("ts")) >= f &&
+      unix_timestamp(col("ts")) < u), target, unit)
+  }
+
+  /** Multi-target render (render.go:109-135: every `target` form
+    * value compiles and executes, results concatenated in REQUEST
+    * order; render.go:196-207 applies a STABLE by-name series sort
+    * within each target unless the expression sorted already — the
+    * deterministic stacking order dashboards depend on). The order is
+    * part of the result here: `target_idx` is the request position
+    * and `series_order` the per-target by-path rank, computed on the
+    * DISTINCT path set and broadcast back (the sortByLabel
+    * discipline — no unpartitioned window over data rows).
+    *
+    * All-NaN series are OMITTED unless `renderSeriesAllNaNs`
+    * (render.go:224 renderResultsJSON writes their datapoints only
+    * when the server option is set; in frame form the omitted series
+    * has no rows at all — value-null rows of PARTIALLY-null series
+    * always survive). */
+  def renderMulti(samples: DataFrame, targets: Seq[String], from: String,
+                  until: String, nowS: Long,
+                  renderSeriesAllNaNs: Boolean = false,
+                  unit: String = "hour"): DataFrame = {
+    if (targets.isEmpty) throw new ParseException("no target specified")
+    val all = targets.zipWithIndex.map { case (t, i) =>
+      render(samples, t, from, until, nowS, unit)
+        .withColumn("target_idx", lit(i))
+    }.reduce(_.unionByName(_))
+    val kept =
+      if (renderSeriesAllNaNs) all
+      else all.join(
+        all.groupBy("target_idx", "path")
+          .agg(count(col("value")).as("_nn")).where(col("_nn") > 0)
+          .select("target_idx", "path"),
+        Seq("target_idx", "path"), "left_semi")
+    val order = kept.select("target_idx", "path").distinct()
+      .withColumn("series_order",
+        dense_rank().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("target_idx").orderBy("path")))
+    kept.join(broadcast(order), Seq("target_idx", "path"))
+  }
+
   def renderMaxDataPoints(samples: DataFrame, target: String,
                           from: String, until: String, nowS: Long,
                           maxDataPoints: Int,

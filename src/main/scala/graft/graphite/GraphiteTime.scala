@@ -68,6 +68,15 @@ object GraphiteTime {
     }
   }
 
+  /** ParseDuration (timespec.go:323): accepts ONLY the `-N<unit>`
+    * relative form and yields NEGATIVE seconds — the render API's
+    * `offset` param (render_parser.go:156) therefore always shifts
+    * the window into the past. */
+  def parseDuration(s: String): Long = s.trim match {
+    case relRe(n, unit) => -n.toLong * periodS(unit.toLowerCase)
+    case other => throw new ParseException(s"invalid relative time $other")
+  }
+
   /** FormatTime (timespec.go:123): the canonical `HH:MM_YYMMDD`. */
   def formatTime(epochS: Long): String =
     LocalDateTime.ofInstant(Instant.ofEpochSecond(epochS), ZoneOffset.UTC)

@@ -778,20 +778,139 @@ object Multimodal {
                                  duration_ms: Long, meta_bytes: Long)
 
   /** Audio feature extraction: the same per-partition iterator shape
-    * as [[extractFeatures]], with the REAL WAV kernel; duration is
-    * derived feature math (floor ms) on the decoded geometry. */
+    * as [[extractFeatures]], dispatching on the container magic
+    * (r12): WAV through the byte-exact parser, AIFF/AU through the
+    * JDK's javax.sound readers, and MP3/FLAC/OGG — recognized but
+    * with NO JVM decoder — through the DOCUMENTED deterministic stub
+    * (the seam a real deployment plugs a codec library into; the gap
+    * is explicit at [[audioContainer]], never a silent wrong decode).
+    * Duration is derived feature math (floor ms) on the decoded
+    * geometry. */
   def extractAudioFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select("media_id", "kind", "payload", "meta_bytes").as[MediaIn]
       .mapPartitions { rows =>
         rows.map { m =>
-          val (nCh, rate, n) = decodeWav(m.payload)
+          val (nCh, rate, n) = audioContainer(m.payload) match {
+            case "wav" | "aiff" | "au" => decodeAudio(m.payload)
+            case _ =>
+              // STUB fall-through (documented): fake-but-deterministic
+              // geometry keeps the pipeline plumbing real and testable
+              // for the out-of-JVM-scope codecs
+              val (w, h, f) = decodeStub(m.payload)
+              (1 + w % 2, 8000 * (1 + h % 4), f.toLong * 160L)
+          }
           AudioFeatures(m.media_id, nCh, rate, n,
             n * 1000L / rate, m.meta_bytes)
         }
       }
       .toDF()
+  }
+
+  // ---- real-CONTAINER audio dispatch: WAV/AIFF/AU via javax.sound --
+  // (r12: the audio analogue of the r11 image-container dispatch)
+
+  /** Magic-byte sniff for audio containers at the dispatch point.
+    * "wav"/"aiff"/"au" are decodable inside the JVM (javax.sound's
+    * WAVE/AIFF/AU readers). "mp3" (ID3 tag or MPEG frame sync),
+    * "flac" ("fLaC") and "ogg" ("OggS") are RECOGNIZED but have NO
+    * JDK decoder — the real crawl formats a deployment must plug an
+    * external codec library in for, at the same [[decodeStub]] seam;
+    * they fall to the stub EXPLICITLY here (a documented gap, never
+    * a silent wrong decode). */
+  def audioContainer(p: Array[Byte]): String = {
+    def ascii(off: Int, s: String): Boolean = p.length >= off + s.length &&
+      s.indices.forall(i => p(off + i) == s.charAt(i).toByte)
+    if (ascii(0, "RIFF") && ascii(8, "WAVE")) "wav"
+    else if (ascii(0, "FORM") && (ascii(8, "AIFF") || ascii(8, "AIFC"))) "aiff"
+    else if (ascii(0, ".snd")) "au"
+    else if (ascii(0, "ID3") ||
+      (p.length >= 2 && (p(0) & 0xff) == 0xff && (p(1) & 0xe0) == 0xe0)) "mp3"
+    else if (ascii(0, "fLaC")) "flac"
+    else if (ascii(0, "OggS")) "ogg"
+    else "unknown"
+  }
+
+  /** Decode WAV/AIFF/AU to (nChannels, sampleRate, nFrames): WAV
+    * through the byte-exact [[decodeWav]] parser, AIFF/AU through
+    * `javax.sound.sampled.AudioSystem` — the same cross-decoder
+    * discipline as the image containers (one synthetic PCM stream
+    * encoded into every container decodes to the same samples,
+    * asserted in PipelineSpec). MP3/FLAC/OGG throw the documented
+    * no-JVM-decoder error; generic dispatch catches the gap at
+    * [[audioContainer]] and falls to the stub instead. */
+  def decodeAudio(payload: Array[Byte]): (Int, Int, Long) =
+    audioContainer(payload) match {
+      case "wav" => decodeWav(payload)
+      case "aiff" | "au" =>
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val f = in.getFormat
+          require(f.getSampleSizeInBits == 16, "bad audio geometry")
+          (f.getChannels, math.round(f.getSampleRate),
+            in.getFrameLength)
+        } finally in.close()
+      case other => throw new IllegalArgumentException(
+        s"no JVM decoder for audio container '$other' " +
+          "(MP3/FLAC/OGG need an external codec library)")
+    }
+
+  /** Encode the SAME xorshift PCM16 sample stream as [[encodeWav]]
+    * into a real AIFF or AU container via javax.sound (sample bytes
+    * are big-endian inside those containers; sample VALUES are
+    * identical to the WAV's — exactly what the cross-decoder spec
+    * asserts). `fileType` ∈ {"aiff", "au"}. */
+  def encodeViaJavaSound(nChannels: Int, sampleRate: Int, nSamples: Int,
+                         seed: Long, fileType: String): Array[Byte] = {
+    val dataSize = nSamples * nChannels * 2
+    // the WAV generator's byte stream, then LE pairs → BE pairs so
+    // the 16-bit sample values match across containers
+    val le = new Array[Byte](dataSize)
+    var s = seed | 1L
+    var i = 0
+    while (i < dataSize) {
+      s ^= s << 13; s ^= s >>> 7; s ^= s << 17
+      le(i) = (s >>> 56).toByte
+      i += 1
+    }
+    val be = new Array[Byte](dataSize)
+    i = 0
+    while (i < dataSize) { be(i) = le(i + 1); be(i + 1) = le(i); i += 2 }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      sampleRate.toFloat, 16, nChannels, nChannels * 2,
+      sampleRate.toFloat, true)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(be), fmt, nSamples.toLong)
+    val tpe = fileType match {
+      case "aiff" => javax.sound.sampled.AudioFileFormat.Type.AIFF
+      case "au"   => javax.sound.sampled.AudioFileFormat.Type.AU
+      case t => throw new IllegalArgumentException(s"bad container $t")
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais, tpe, baos)
+    baos.toByteArray
+  }
+
+  /** PCM16 sample values of a WAV/AIFF/AU payload, interleaved, via
+    * the JDK decoder — the cross-decoder comparison surface (WAV
+    * additionally cross-checks the hand parser vs the JDK reader). */
+  def pcmSamples(payload: Array[Byte]): Array[Short] = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val f = in.getFormat
+      val bytes = in.readAllBytes()
+      val out = new Array[Short]((bytes.length / 2).toInt)
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(
+        if (f.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+        else java.nio.ByteOrder.LITTLE_ENDIAN)
+      var i = 0
+      while (i < out.length) { out(i) = bb.getShort(); i += 1 }
+      out
+    } finally in.close()
   }
 
   // ---- real video kernel: RIFF/AVI + raw RGB24 frames (pure JVM) ----

@@ -5,9 +5,11 @@ import org.apache.spark.sql.functions._
 
 /** m3tsz block codec — the reference's at-rest compression, made
   * real: each (series, UTC-day block) encodes to ONE binary blob,
-  * timestamps as delta-of-delta in MICROSECONDS (scheme.go:47
-  * defaultTimeEncodingSchemes[Microsecond]: the 7/9/12-bit dod
-  * buckets behind 10/110/1110 opcodes with a 64-bit default behind
+  * timestamps as delta-of-delta in the scheme's TIME UNIT
+  * (scheme.go:47 defaultTimeEncodingSchemes — Second / Millisecond /
+  * Microsecond / Nanosecond, a [[TszTimeUnit]] parameter with the
+  * Microsecond default: the 7/9/12-bit dod buckets behind
+  * 10/110/1110 opcodes with the scheme's default bucket behind
   * 1111 — micros keep the round trip exact where the seconds scheme
   * would truncate), values through the full int-optimized encoder
   * state machine (encoder.go:112-260, int_sig_bits_tracker.go)
@@ -43,6 +45,46 @@ import org.apache.spark.sql.functions._
   * declarative form); it runs per (series, block) inside mapGroups,
   * the block being m3db's own bounded working set.
   */
+/** m3tsz time-unit encoding scheme (scheme.go:47
+  * defaultTimeEncodingSchemes): timestamps encode as delta-of-delta
+  * in the UNIT's resolution. The 7/9/12-bit dod bucket table is
+  * unit-independent (scheme.go:41 defaultNumValueBitsForBuckets);
+  * only the catch-all default bucket width varies — 32 bits for
+  * Second/Millisecond, 64 for Microsecond/Nanosecond. The reference
+  * configures the unit per namespace; here it is a codec/store
+  * parameter, persisted as a table property and read back like the
+  * dt granularity (SeriesStore.GranularityProp pattern). */
+sealed abstract class TszTimeUnit(val name: String, val defaultBits: Int)
+    extends Serializable {
+  /** epoch-µs → unit ticks. The Second/Millisecond schemes floor —
+    * the same sub-unit truncation as the reference's xtime unit
+    * conversion; round trips are exact for unit-aligned data. */
+  def fromMicros(us: Long): Long
+  /** unit ticks → epoch-µs. */
+  def toMicros(t: Long): Long
+}
+object TszTimeUnit {
+  case object Second extends TszTimeUnit("second", 32) {
+    def fromMicros(us: Long): Long = Math.floorDiv(us, 1000000L)
+    def toMicros(t: Long): Long = t * 1000000L
+  }
+  case object Millisecond extends TszTimeUnit("millisecond", 32) {
+    def fromMicros(us: Long): Long = Math.floorDiv(us, 1000L)
+    def toMicros(t: Long): Long = t * 1000L
+  }
+  case object Microsecond extends TszTimeUnit("microsecond", 64) {
+    def fromMicros(us: Long): Long = us
+    def toMicros(t: Long): Long = t
+  }
+  case object Nanosecond extends TszTimeUnit("nanosecond", 64) {
+    def fromMicros(us: Long): Long = us * 1000L
+    def toMicros(t: Long): Long = Math.floorDiv(t, 1000L)
+  }
+  val all: Seq[TszTimeUnit] = Seq(Second, Millisecond, Microsecond, Nanosecond)
+  def of(name: String): TszTimeUnit = all.find(_.name == name).getOrElse(
+    throw new IllegalArgumentException(s"unknown tsz time unit: $name"))
+}
+
 object Tsz {
 
   final class BitWriter(initialBytes: Int = 256) {
@@ -134,13 +176,16 @@ object Tsz {
       java.lang.Long.numberOfTrailingZeros(v))
 
   /** One delta-of-delta slot — the 7/9/12-bit buckets behind
-    * 10/110/1110 opcodes with the 64-bit default behind 1111
+    * 10/110/1110 opcodes with the scheme's default bucket behind 1111
     * (scheme.go:41 defaultNumValueBitsForBuckets; the bucket table
     * is unit-independent, only the default bucket width varies —
-    * 64 for the Microsecond scheme this codec stores, 32 for
-    * Second/Millisecond). Wire-checked byte-for-byte against the
-    * reference's encoder_test.go golden vectors in TszSpec. */
-  private[graft] def writeDod(w: BitWriter, dod: Long): Unit = {
+    * 64 bits for the Microsecond/Nanosecond schemes, 32 for
+    * Second/Millisecond, scheme.go:47). Wire-checked byte-for-byte
+    * against the reference's encoder_test.go golden vectors in
+    * TszSpec — incl. the Second scheme's 32-bit default bucket
+    * (encoder_test.go:68-69) and the shared Nanosecond 64-bit one. */
+  private[graft] def writeDod(w: BitWriter, dod: Long,
+                              defaultBits: Int = 64): Unit = {
     if (dod == 0L) w.writeBit(0)
     else if (dod >= -64 && dod <= 63) {
       w.writeBits(0x2, 2); w.writeBits(dod & 0x7fL, 7)
@@ -149,7 +194,7 @@ object Tsz {
     } else if (dod >= -2048 && dod <= 2047) {
       w.writeBits(0xe, 4); w.writeBits(dod & 0xfffL, 12)
     } else {
-      w.writeBits(0xf, 4); w.writeBits(dod, 64)
+      w.writeBits(0xf, 4); w.writeBits(dod, defaultBits)
     }
   }
 
@@ -201,8 +246,9 @@ object Tsz {
     * stream bits. Values that fail int conversion encode through the
     * float-XOR path (bit-exact round trip incl. NaN payloads, ±Inf,
     * subnormals, −0.0 — raw IEEE bits throughout). */
-  def encodeBlock(pts: Array[(Long, Double)]): (Array[Byte], Long, Long) = {
-    val (b, t, v, _) = encodeCore(pts, null, firstDodSlot = false)
+  def encodeBlock(pts: Array[(Long, Double)],
+                  unit: TszTimeUnit = TszTimeUnit.Microsecond): (Array[Byte], Long, Long) = {
+    val (b, t, v, _) = encodeCore(pts, null, firstDodSlot = false, unit)
     (b, t, v)
   }
 
@@ -236,7 +282,8 @@ object Tsz {
 
   private def encodeCore(pts: Array[(Long, Double)],
                          ants: Array[Array[Byte]],
-                         firstDodSlot: Boolean): (Array[Byte], Long, Long, Long) = {
+                         firstDodSlot: Boolean,
+                         unit: TszTimeUnit = TszTimeUnit.Microsecond): (Array[Byte], Long, Long, Long) = {
     val w = new BitWriter(math.max(64, pts.length * 4))
     var tsBits = 0L
     var valBits = 0L
@@ -324,12 +371,13 @@ object Tsz {
 
     var i = 0
     while (i < pts.length) {
-      val (ts, v) = pts(i)
-      // ---- timestamp half (micros dod buckets) ----
+      val (tsUs, v) = pts(i)
+      // ---- timestamp half (dod buckets in the scheme's unit) ----
       // annotations precede the dod slot (WriteNextTime order,
       // timestamp_encoder.go:110); for the first point the raw
       // 64-bit time comes first (WriteFirstTime), then markers, then
       // its zero dod when this layout carries one
+      val ts = unit.fromMicros(tsUs)
       if (i == 0) {
         val t0 = w.bits
         w.writeBits(ts, 64)
@@ -341,7 +389,7 @@ object Tsz {
         val t0 = w.bits
         val d = ts - prevTs
         val dod = d - prevDelta
-        writeDod(w, dod)
+        writeDod(w, dod, unit.defaultBits)
         prevDelta = d
         tsBits += w.bits - t0
       }
@@ -411,8 +459,9 @@ object Tsz {
     * float_encoder_iterator.go:107-170 readFullFloat /
     * readNextFloat). Raw IEEE bits flow through float mode, so NaN
     * payloads and −0.0 survive. */
-  def decodeBlock(bytes: Array[Byte], n: Int): Array[(Long, Double)] = {
-    val (pts, _) = decodeCore(bytes, n, markers = false)
+  def decodeBlock(bytes: Array[Byte], n: Int,
+                  unit: TszTimeUnit = TszTimeUnit.Microsecond): Array[(Long, Double)] = {
+    val (pts, _) = decodeCore(bytes, n, markers = false, unit)
     pts
   }
 
@@ -429,7 +478,8 @@ object Tsz {
   }
 
   private def decodeCore(bytes: Array[Byte], n: Int,
-                         markers: Boolean): (Array[(Long, Double)], Array[Array[Byte]]) = {
+                         markers: Boolean,
+                         unit: TszTimeUnit = TszTimeUnit.Microsecond): (Array[(Long, Double)], Array[Array[Byte]]) = {
     val r = new BitReader(bytes)
     val out = new Array[(Long, Double)](n)
     val ants: Array[Array[Byte]] = if (markers) new Array(n) else null
@@ -509,7 +559,9 @@ object Tsz {
         else if (r.readBit() == 0L) signExtend(r.readBits(7), 7)
         else if (r.readBit() == 0L) signExtend(r.readBits(9), 9)
         else if (r.readBit() == 0L) signExtend(r.readBits(12), 12)
-        else r.readBits(64)
+        // the scheme's default bucket: sign-extend its width (a no-op
+        // at 64, the 32-bit Second/Millisecond two's complement else)
+        else signExtend(r.readBits(unit.defaultBits), unit.defaultBits)
       prevDelta += dod
       prevTs += prevDelta
     }
@@ -543,7 +595,7 @@ object Tsz {
         if (isFloat) java.lang.Double.longBitsToDouble(prevFloatBits)
         else if (mult == 0) intVal
         else intVal / math.pow(10, mult)
-      out(i) = (prevTs, value)
+      out(i) = (unit.toMicros(prevTs), value)
       i += 1
     }
     (out, ants)
@@ -665,9 +717,15 @@ object Tsz {
   * flatMap over pruned block rows. */
 object TszStore {
 
+  /** Table property recording the m3tsz time unit for [[readDecoded]]
+    * (scheme.go per-namespace unit config, the SeriesStore
+    * GranularityProp pattern). */
+  private val TimeUnitProp = "graft.tsz.unit"
+
   /** (name, user_id, block, n, ts_bits, val_bits, blk) — one encoded
     * row per (series, UTC-day). */
-  def blockFrame(samples0: DataFrame): DataFrame = {
+  def blockFrame(samples0: DataFrame,
+                 unit: TszTimeUnit = TszTimeUnit.Microsecond): DataFrame = {
     val spark = samples0.sparkSession
     import spark.implicits._
     // streamed frames (Ingest.Sample) carry no event_id; the
@@ -686,7 +744,7 @@ object TszStore {
       .mapGroups { (key: (String, Long, Long),
                     it: Iterator[(String, Long, Long, Long, Long, Double)]) =>
         val pts = it.toArray.sortBy(t => (t._4, t._5)).map(t => (t._4, t._6))
-        val (bytes, tsBits, valBits) = Tsz.encodeBlock(pts)
+        val (bytes, tsBits, valBits) = Tsz.encodeBlock(pts, unit)
         (key._1, key._2, key._3, pts.length, tsBits, valBits, bytes)
       }
       .toDF("name", "user_id", "block", "n", "ts_bits", "val_bits", "blk")
@@ -746,20 +804,25 @@ object TszStore {
   }
 
   /** Persist the block frame, bucketed by series (idempotent —
-    * SeriesStore's drop-table-and-location discipline). */
-  def write(samples: DataFrame, table: String, buckets: Int = 8): Unit = {
+    * SeriesStore's drop-table-and-location discipline). The time
+    * unit rides as a table property so readers pick the scheme up
+    * without out-of-band state. */
+  def write(samples: DataFrame, table: String, buckets: Int = 8,
+            unit: TszTimeUnit = TszTimeUnit.Microsecond): Unit = {
     val spark = samples.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val loc = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), table)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
-    blockFrame(samples)
+    blockFrame(samples, unit)
       .write.mode("overwrite")
       .bucketBy(buckets, "name", "user_id")
       .sortBy("name", "user_id", "block")
       .format("parquet")
       .saveAsTable(table)
+    spark.sql(
+      s"ALTER TABLE `$table` SET TBLPROPERTIES('$TimeUnitProp'='${unit.name}')")
   }
 
   /** Persist an [[annotatedBlockFrame]] (same discipline as
@@ -835,9 +898,19 @@ object TszStore {
     * m3db's pre-compaction block versions; [[readDecoded]] decodes
     * and unions all of them, [[compact]] folds each key back to one
     * blob. */
+  /** The table's persisted scheme, or the Microsecond default when
+    * the table (or property) doesn't exist yet. */
+  private def tableUnit(spark: SparkSession, table: String): TszTimeUnit =
+    if (!spark.catalog.tableExists(table)) TszTimeUnit.Microsecond
+    else TszTimeUnit.of(spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .properties.getOrElse(TimeUnitProp, TszTimeUnit.Microsecond.name))
+
   def appendBatch(batch: DataFrame, table: String, buckets: Int = 8): Unit = {
     val spark = batch.sparkSession
     val exists = spark.catalog.tableExists(table)
+    // appended blocks must use the TABLE's scheme, not a caller guess
+    val unit = tableUnit(spark, table)
     if (!exists) {
       val loc = new org.apache.hadoop.fs.Path(
         spark.conf.get("spark.sql.warehouse.dir"), table)
@@ -845,7 +918,7 @@ object TszStore {
       if (fs.exists(loc)) fs.delete(loc, true)
     }
     val mode = if (exists) "append" else "errorifexists"
-    blockFrame(batch).write.mode(mode)
+    blockFrame(batch, unit).write.mode(mode)
       .bucketBy(buckets, "name", "user_id")
       .sortBy("name", "user_id", "block")
       .format("parquet")
@@ -875,6 +948,7 @@ object TszStore {
     * be overwritten. */
   def compact(spark: SparkSession, table: String, buckets: Int = 8): Unit = {
     import spark.implicits._
+    val unit = tableUnit(spark, table)
     val merged = spark.table(table)
       .select(col("name"), col("user_id"), col("block"), col("n"),
         col("blk"))
@@ -882,9 +956,9 @@ object TszStore {
       .groupByKey(t => (t._1, t._2, t._3))
       .mapGroups { (key: (String, Long, Long),
                     it: Iterator[(String, Long, Long, Int, Array[Byte])]) =>
-        val pts = it.flatMap(t => Tsz.decodeBlock(t._5, t._4))
+        val pts = it.flatMap(t => Tsz.decodeBlock(t._5, t._4, unit))
           .toArray.sortBy(p => (p._1, p._2))
-        val (bytes, tsBits, valBits) = Tsz.encodeBlock(pts)
+        val (bytes, tsBits, valBits) = Tsz.encodeBlock(pts, unit)
         (key._1, key._2, key._3, pts.length, tsBits, valBits, bytes)
       }
       .toDF("name", "user_id", "block", "n", "ts_bits", "val_bits", "blk")
@@ -902,6 +976,12 @@ object TszStore {
                   fromBlock: Option[Long] = None,
                   untilBlock: Option[Long] = None): DataFrame = {
     import spark.implicits._
+    // the scheme rides with the table (write() stamps it); absent
+    // property = the pre-r12 Microsecond default
+    val unit = TszTimeUnit.of(spark.sessionState.catalog
+      .getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .properties.getOrElse(TimeUnitProp, TszTimeUnit.Microsecond.name))
     val t = spark.table(table)
     val bounded = Seq(
       fromBlock.map(b => col("block") >= b),
@@ -910,7 +990,7 @@ object TszStore {
     bounded.select(col("name"), col("user_id"), col("n"), col("blk"))
       .as[(String, Long, Int, Array[Byte])]
       .flatMap { case (n, u, cnt, bytes) =>
-        Tsz.decodeBlock(bytes, cnt).iterator.map(p => (n, u, p._1, p._2))
+        Tsz.decodeBlock(bytes, cnt, unit).iterator.map(p => (n, u, p._1, p._2))
       }
       .toDF("name", "user_id", "ts_us", "value")
       .withColumn("ts", timestamp_micros(col("ts_us")))

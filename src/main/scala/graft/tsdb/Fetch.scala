@@ -306,9 +306,13 @@ object Fetch {
     * the stats ride a one-row broadcast. */
   def withMetadataLimit(meta: DataFrame, keyCols: Seq[String], limit: Int,
                         requireExhaustive: Boolean = false): DataFrame = {
-    val kept = meta.orderBy(keyCols.map(col): _*).limit(limit)
+    // the kept set and the total both read `meta` — materialize the
+    // (metadata-cardinality, tiny) frame once instead of replaying
+    // a potentially expensive upstream twice (ADVICE r11)
+    val m = meta.localCheckpoint(eager = false)
+    val kept = m.orderBy(keyCols.map(col): _*).limit(limit)
     val stats = exhaustiveGate(
-      meta.agg(count(lit(1)).as("total_results"))
+      m.agg(count(lit(1)).as("total_results"))
         .withColumn("limited", (col("total_results") > limit).cast("int")),
       requireExhaustive,
       concat(lit(s"query exceeds SeriesMetadataLimit=$limit (total "),
@@ -329,19 +333,20 @@ object Fetch {
     * the matcher conjunction alone; range membership from the
     * [startS, endS) bounds.
     *
-    * Scale: two distinct frames at series cardinality (map-side
-    * combined), one left anti-ish flag join on identity, a per-name
-    * count and a TakeOrdered cap — nothing sample-sized crosses a
-    * shuffle. */
+    * Scale: ONE matcher scan (ADVICE r11 — the earlier form scanned
+    * twice, once unbounded for identity and once bounded for range
+    * membership): the per-series in-range flag is a map-side-combined
+    * max(when(ts ∈ bounds)) in the same identity aggregation, then a
+    * per-name count and a TakeOrdered cap — nothing sample-sized
+    * crosses a shuffle. */
   def metricMetadataStats(samples: DataFrame, matchers: Seq[Matcher],
                           startS: Long, endS: Long,
                           maxNames: Int): DataFrame = {
-    val ident = apply(samples, matchers)
-      .select("name", "user_id").distinct()
-    val inRange = apply(samples, matchers, Some(startS), Some(endS))
-      .select("name", "user_id").distinct()
-      .withColumn("_hit", lit(1))
-    ident.join(inRange, Seq("name", "user_id"), "left")
+    val inRange = col("ts") >= timestamp_seconds(lit(startS)) &&
+      col("ts") < timestamp_seconds(lit(endS))
+    apply(samples, matchers)
+      .groupBy("name", "user_id")
+      .agg(max(when(inRange, 1)).as("_hit"))
       .groupBy("name").agg(
         count(when(col("_hit").isNotNull, 1)).as("with_samples"),
         count(when(col("_hit").isNull, 1)).as("no_samples"))

@@ -308,12 +308,21 @@ object Temporal {
         window(windowTs(rightClosed), s"$lookbackS seconds",
           s"$stepS seconds").as("w"))
       .withColumn("bucket_s", unix_timestamp(col("w.end")))
-      .withColumn("ord_key",
-        (unix_micros(windowTs(rightClosed)) - unix_micros(col("w.start"))) *
-          lit(1L << 26) +
-          pmod(col("event_id"), lit(1L << 26)))
+      .withColumn("ord_key", packedOrdKey(windowTs(rightClosed), lookbackS))
       .groupBy((labelCols :+ "bucket_s").map(col): _*)
       .agg(max_by(col("value"), col("ord_key")).as("value"))
+
+  /** Packed in-window ordering key (µs offset in window · 2²⁶ +
+    * event_id — Vectors.lastKey convention, hash-aggregable). Exact
+    * only while lookback < 2³⁷ µs ≈ 38 h: wider windows would
+    * silently overflow and mis-order min_by/max_by, so they fall back
+    * to a struct key — still correct, at SortAggregate cost, on the
+    * rare wide-window query (ADVICE r11). */
+  private def packedOrdKey(tsw: Column, lookbackS: Long): Column =
+    if (lookbackS * 1000000L < (1L << 37))
+      (unix_micros(tsw) - unix_micros(col("w.start"))) * lit(1L << 26) +
+        pmod(col("event_id"), lit(1L << 26))
+    else struct(unix_micros(tsw), col("event_id"))
 
   /** rate/increase/delta over sliding lookback windows (the PromQL
     * range-vector form of [[rateFrame]]). The per-series lag is
@@ -341,11 +350,9 @@ object Temporal {
       .select(col("*"),
         window(col("tsw"), s"$lookbackS seconds", s"$stepS seconds").as("w"))
       .withColumn("bucket_s", unix_timestamp(col("w.end")))
-      // packed in-window ordering key (see Vectors.lastKey): exact
-      // while lookback < ~2^37 µs-offsets · 2^26 event_ids
-      .withColumn("ord_key",
-        (unix_micros(col("tsw")) - unix_micros(col("w.start"))) * lit(1L << 26) +
-          pmod(col("event_id"), lit(1L << 26)))
+      // packed in-window ordering key with the wide-window struct
+      // fallback (see packedOrdKey)
+      .withColumn("ord_key", packedOrdKey(col("tsw"), lookbackS))
       .withColumn("reset_in_w",
         // rate.go:183 — a reset contributes the whole previous value;
         // membership uses the same assignment timestamp as the window

@@ -196,8 +196,16 @@ object Transform {
     */
   def histogramQuantile(samples: DataFrame, q: Double,
                         bounds: Seq[Double] = Seq(10, 25, 50, 100, 150, 200),
-                        unit: String = "day"): DataFrame = {
-    val bucketed = samples.withColumn("bucket_s", Vectors.bucketS(unit))
+                        unit: String = "day"): DataFrame =
+    histogramQuantileInstant(
+      samples.withColumn("bucket_s", Vectors.bucketS(unit)), q, bounds)
+
+  /** [[histogramQuantile]] over an ALREADY-instant frame
+    * (…, bucket_s, value) — the range-query-mode form, where the
+    * instant vector per grid T is the last sample in the staleness
+    * window rather than a calendar bucket (PromQL.rangeQuery). */
+  def histogramQuantileInstant(bucketed: DataFrame, q: Double,
+                               bounds: Seq[Double] = Seq(10, 25, 50, 100, 150, 200)): DataFrame = {
     // assign each sample its le bucket upper bound (+Inf for overflow)
     val withLe = bucketed.withColumn("le",
       bounds.reverse.foldLeft(lit(Double.PositiveInfinity)) { (acc, b) =>

@@ -654,4 +654,52 @@ class GraphiteSpec extends SparkSpec {
     assert(windowed.size < all.size, "two days should drop some leaves")
     assert(windowed.nonEmpty)
   }
+
+  test("render offset: ParseDuration form and past-shifted window") {
+    import graft.graphite.{GraphiteParser, GraphiteTime}
+    // timespec.go:323 — only the -N<unit> form parses, always negative
+    assert(GraphiteTime.parseDuration("-1d") == -86400L)
+    assert(GraphiteTime.parseDuration("-30min") == -1800L)
+    intercept[GraphiteParser.ParseException](GraphiteTime.parseDuration("1h"))
+    intercept[GraphiteParser.ParseException](GraphiteTime.parseDuration("now"))
+    // renderOffset(-1d) ≡ render with both bounds shifted a day back
+    val samples = graft.tsdb.Vectors.samples(Tables.events(spark, sf))
+    val now = 1705795200L
+    val shifted = GraphiteParser.renderOffset(samples,
+      "events.purchase.*", "20240105", "20240107", now, "-1d")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val direct = GraphiteParser.render(samples,
+      "events.purchase.*", "20240104", "20240106", now)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(shifted == direct && shifted.nonEmpty)
+  }
+
+  test("renderMulti: request order, name sort, all-NaN omission") {
+    import graft.graphite.GraphiteParser
+    val samples = graft.tsdb.Vectors.samples(Tables.events(spark, sf))
+    val now = 1705795200L
+    // removeBelowValue(…, 1e9) nulls EVERY point → all-NaN series,
+    // omitted by default (render.go:224 renderResultsJSON)
+    val targets = Seq("events.purchase.*",
+      "removeBelowValue(events.purchase.*, 1000000000)")
+    val dropped = GraphiteParser.renderMulti(samples, targets,
+      "20240105", "20240107", now)
+    val byTarget = dropped.groupBy("target_idx").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byTarget.getOrElse(1, 0L) == 0L, "all-NaN series must vanish")
+    assert(byTarget(0) > 0)
+    // the server option keeps them (empty-datapoints rendering)
+    val kept = GraphiteParser.renderMulti(samples, targets,
+      "20240105", "20240107", now, renderSeriesAllNaNs = true)
+      .groupBy("target_idx").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(kept.getOrElse(1, 0L) > 0L)
+    // series_order is the stable per-target by-path rank
+    val order = dropped.where(col("target_idx") === 0)
+      .select("path", "series_order").distinct()
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val sorted = order.keys.toSeq.sorted
+    assert(sorted.zipWithIndex.forall { case (p, i) => order(p) == i + 1 },
+      s"rank must follow path order: $order")
+  }
 }

@@ -397,6 +397,97 @@ class PromqlSpec extends SparkSpec {
     assert(free == Map(100L -> 1.0, 200L -> 3.0, 300L -> 5.0), free.toString)
   }
 
+  test("rangeQuery subquery parity: aligned grid reproduces the batch form") {
+    import org.apache.spark.sql.functions.col
+    val samples = tsdb.Vectors.samples(Tables.events(spark, sf))
+    val q = """max_over_time(sum by (name) (rate({name=~"(pur|cli).*"}[1d]))[3d:6h])"""
+    // the batch subquery evaluates the outer window at every inner
+    // step instant; a range query whose grid IS those step instants
+    // (start aligned to the 6h step) must agree exactly — same inner
+    // stepped frame, same right-closed trailing-3d window
+    val (startS, endS, stepS) = (1704240000L, 1706313600L, 21600L)
+    require(startS % 21600 == 0)
+    val viaRange = PromQL.rangeQuery(samples, q, startS, endS, stepS)
+      .collect()
+      .map(r => (r.getAs[String]("name"), r.getAs[Long]("bucket_s")) ->
+        r.getAs[Double]("value")).toMap
+    assert(viaRange.nonEmpty)
+    val viaBatch = PromQL.query(samples, q)
+      .where(col("bucket_s").between(startS, endS))
+      .collect()
+      .map(r => (r.getAs[String]("name"), r.getAs[Long]("bucket_s")) ->
+        r.getAs[Double]("value")).toMap
+    assert(viaRange.keySet == viaBatch.keySet,
+      s"instant sets differ: ${viaRange.keySet.diff(viaBatch.keySet).take(3)}" +
+        s" / ${viaBatch.keySet.diff(viaRange.keySet).take(3)}")
+    for ((k, v) <- viaRange)
+      assert(v == viaBatch(k), s"$k: range $v vs batch ${viaBatch(k)}")
+  }
+
+  test("rangeQuery: grid-correct timestamp and histogram_quantile") {
+    val s0 = spark
+    import s0.implicits._
+    import org.apache.spark.sql.functions.col
+    val mk = (rows: Seq[(String, Long, Long, Double, Long)]) =>
+      rows.toDF("name", "user_id", "tss", "value", "event_id")
+        .select(col("name"), col("user_id"),
+          org.apache.spark.sql.functions.timestamp_seconds(col("tss")).as("ts"),
+          col("value"), col("event_id"))
+    // timestamp(): the LAST in-window sample's epoch seconds per T —
+    // NOT the batch per-sample shape (the r11 fallthrough)
+    val tsFrame = mk(Seq(
+      ("m", 1L, 95L, 1.0, 1L), ("m", 1L, 180L, 2.0, 2L)))
+    val r = PromQL.rangeQuery(tsFrame, """timestamp({name="m"})""",
+      100L, 300L, 100L, lookbackS = 120L)
+      .collect()
+      .map(x => x.getAs[Long]("bucket_s") -> x.getAs[Double]("value")).toMap
+    // T=100 window (−20,100] → last ts 95; T=200 (80,200] → 180;
+    // T=300 (180,300] → empty (180 excluded: right-closed lower bound)
+    assert(r == Map(100L -> 95.0, 200L -> 180.0), r.toString)
+    // histogram_quantile(): synthesized-le interpolation over the
+    // staleness-window instant vector, per grid instant
+    val hq = mk(Seq(
+      ("m", 1L, 95L, 5.0, 1L), ("m", 2L, 95L, 20.0, 2L),
+      ("m", 3L, 95L, 40.0, 3L), ("m", 4L, 95L, 120.0, 4L)))
+    val r2 = PromQL.rangeQuery(hq, """histogram_quantile(0.5, {name="m"})""",
+      100L, 200L, 100L, lookbackS = 60L)
+      .collect()
+      .map(x => x.getAs[Long]("bucket_s") -> x.getAs[Double]("value")).toMap
+    // T=100: values {5,20,40,120} → cum le-buckets (10:1)(25:2)(50:3)
+    // (150:4), q_rank=2 → le=25: 10 + 15·(2−1)/(2−1) = 25; T=200 stale
+    assert(r2 == Map(100L -> 25.0), r2.toString)
+    // a top-level range selector is rejected in range mode (upstream
+    // "expression type range vector"), not silently de-ranged
+    intercept[ParseException](
+      PromQL.rangeQuery(tsFrame, """{name="m"}[1d]""", 100L, 300L, 100L))
+  }
+
+  test("rangeQuery wide windows: struct ordering key past the packed bound") {
+    val s0 = spark
+    import s0.implicits._
+    import org.apache.spark.sql.functions.col
+    // 2d range > 2^37 µs: the packed ordKey would overflow and could
+    // mis-order first/last; the struct fallback must stay exact
+    val samples = Seq(
+      ("m", 1L, 100L, 5.0, 1L), ("m", 1L, 86400L, 3.0, 2L),
+      ("m", 1L, 172700L, 9.0, 3L)
+    ).toDF("name", "user_id", "tss", "value", "event_id")
+      .select(col("name"), col("user_id"),
+        org.apache.spark.sql.functions.timestamp_seconds(col("tss")).as("ts"),
+        col("value"), col("event_id"))
+    val last = PromQL.rangeQuery(samples,
+      """last_over_time({name="m"}[2d])""", 172800L, 172800L, 100L)
+      .collect().map(_.getAs[Double]("value")).toSeq
+    assert(last == Seq(9.0), last.toString)
+    // delta uses min_by/max_by over the same key: last−first
+    // extrapolated; with full-window coverage ≈ (9−5)·extrap — just
+    // pin that first/last resolve in timestamp order (positive delta)
+    val d = PromQL.rangeQuery(samples,
+      """delta({name="m"}[2d])""", 172800L, 172800L, 100L)
+      .collect().map(_.getAs[Double]("value")).toSeq
+    assert(d.length == 1 && d.head > 0, d.toString)
+  }
+
   test("end-to-end: rate sum equals API composition") {
     val samples = tsdb.Vectors.samples(Tables.events(spark, sf))
     val viaPql = PromQL.query(samples,

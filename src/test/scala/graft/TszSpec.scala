@@ -289,6 +289,79 @@ class TszSpec extends SparkSpec {
       "compaction changed the (point, annotation) set")
   }
 
+  test("time-unit schemes: per-scheme round trips and default-bucket widths") {
+    import graft.sources.TszTimeUnit
+    // unit-aligned cadences with a dod large enough to force the
+    // DEFAULT bucket in every scheme (> 2047 unit ticks between
+    // deltas) plus in-bucket steps; values exercise both halves
+    def pts(unitUs: Long) = Array(
+      (1700000000000000L, 5.0),
+      (1700000000000000L + 1L * unitUs, 5.0),
+      (1700000000000000L + 2L * unitUs, 7.25),
+      (1700000000000000L + 5000L * unitUs, -3.0), // default bucket dod
+      (1700000000000000L + 5001L * unitUs, math.Pi))
+    val unitUsOf = Map[TszTimeUnit, Long](
+      TszTimeUnit.Second -> 1000000L, TszTimeUnit.Millisecond -> 1000L,
+      TszTimeUnit.Microsecond -> 1L, TszTimeUnit.Nanosecond -> 1L)
+    for (u <- TszTimeUnit.all) {
+      val p = pts(unitUsOf(u))
+      val (bytes, tsBits, valBits) = Tsz.encodeBlock(p, u)
+      val back = Tsz.decodeBlock(bytes, p.length, u)
+      assert(back.toSeq == p.toSeq, s"${u.name}: unit-aligned round trip")
+      assert(tsBits > 0 && valBits > 0)
+    }
+    // the 32-bit default bucket is 32 bits NARROWER per out-of-bucket
+    // dod than the 64-bit schemes on the same instants
+    val p = pts(1000000L)
+    val (_, tsSec, _) = Tsz.encodeBlock(p, TszTimeUnit.Second)
+    // the same SECOND-tick dods through a 64-bit-default scheme:
+    // nanosecond ticks shrink no in-bucket dod here, they only widen
+    // the default slot, so the delta is exactly the two widths
+    val pNsAligned = p.map { case (us, v) => (us, v) }
+    val (_, tsNs, _) = Tsz.encodeBlock(pNsAligned, TszTimeUnit.Nanosecond)
+    assert(tsSec < tsNs, s"32-bit default bucket must be narrower: $tsSec vs $tsNs")
+    // sub-unit truncation is the documented Second-scheme semantics
+    // (xtime truncation): a 500ms offset floors to the second
+    val trunc = Array((1700000000000000L, 1.0), (1700000001500000L, 2.0))
+    val (b2, _, _) = Tsz.encodeBlock(trunc, TszTimeUnit.Second)
+    val back2 = Tsz.decodeBlock(b2, 2, TszTimeUnit.Second)
+    assert(back2.toSeq == Seq((1700000000000000L, 1.0),
+      (1700000001000000L, 2.0)), back2.toSeq.toString)
+  }
+
+  test("time-unit store: table property drives the reader scheme") {
+    import graft.sources.TszTimeUnit
+    val s0 = spark
+    import s0.implicits._
+    // second-aligned synthetic samples through a Second-scheme store:
+    // write stamps the property, readDecoded picks it up, round trip
+    // is exact; compact preserves the scheme
+    val samples = (0 until 50).map { i =>
+      ("m", (i % 3).toLong,
+        new java.sql.Timestamp(1700000000000L + i.toLong * 7000L),
+        i.toDouble / 4, i.toLong)
+    }.toDF("name", "user_id", "ts", "value", "event_id")
+    TszStore.write(samples, "tsz_unit_spec", buckets = 2,
+      unit = TszTimeUnit.Second)
+    val back = TszStore.readDecoded(spark, "tsz_unit_spec")
+      .select(col("name"), col("user_id"), unix_micros(col("ts")).as("us"),
+        col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val expected = (0 until 50).map { i =>
+      ("m", (i % 3).toLong, (1700000000L + i.toLong * 7) * 1000000L,
+        i.toDouble / 4)
+    }.toSet
+    assert(back == expected)
+    TszStore.compact(spark, "tsz_unit_spec", buckets = 2)
+    val afterCompact = TszStore.readDecoded(spark, "tsz_unit_spec")
+      .select(col("name"), col("user_id"), unix_micros(col("ts")).as("us"),
+        col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(afterCompact == expected, "compact must keep the table scheme")
+  }
+
   test("golden wire vectors: reference encoder_test.go byte equality") {
     // the reference ships byte-level fixtures
     // (src/dbnode/encoding/m3tsz/encoder_test.go:58-66 dod table,
@@ -328,6 +401,16 @@ class TszSpec extends SparkSpec {
     val (bNsNeg, _) = bytesOf(w => Tsz.writeDod(w, -4096L * 1000000000L))
     assert(bNsNeg == Seq(0xff, 0xff, 0xff, 0xc4, 0x65, 0x36, 0x0, 0x0, 0x0),
       s"ns -4096s vector: $bNsNeg")
+    // the Second scheme's 32-bit default bucket (encoder_test.go:68-69
+    // {4096s → f0 00 01 00 00} / {−4096s → ff ff ff 00 00}) — the
+    // r12 TszTimeUnit parameter's wire divergence from the 64-bit
+    // schemes, byte-for-byte
+    val (bS, bitsS) = bytesOf(w => Tsz.writeDod(w, 4096L, defaultBits = 32))
+    assert(bS == Seq(0xf0, 0x0, 0x1, 0x0, 0x0) && bitsS == 36L,
+      s"second +4096s vector: $bS/$bitsS")
+    val (bSNeg, _) = bytesOf(w => Tsz.writeDod(w, -4096L, defaultBits = 32))
+    assert(bSNeg == Seq(0xff, 0xff, 0xff, 0x0, 0x0),
+      s"second -4096s vector: $bSNeg")
     // TestWriteValue: writeXOR zero / contained / uncontained arms
     val xorVectors = Seq(
       (0x4028000000000000L, 0L,
