@@ -1041,6 +1041,30 @@ object TsdbQueries {
         1704240000L, 1706313600L, 10800L)
         .select(col("user_id"), col("bucket_s"), round(col("value"), 9).as("value"))
         .orderBy("user_id", "bucket_s")),
+    // range-mode temporal tail (r12): resets over right-closed grid
+    // windows — a consecutive pair counts iff BOTH ends are in-window
+    "pql_range_resets" -> ((s, dir) =>
+      graft.promql.PromQL.rangeQuery(samples(s, dir),
+        """resets({name="purchase"}[1d])""",
+        1704240000L, 1706313600L, 21600L)
+        .orderBy("name", "user_id", "bucket_s")),
+    // …irate from the window's final two samples (the last sample's
+    // global predecessor, membership-checked against the window)
+    "pql_range_irate" -> ((s, dir) =>
+      graft.promql.PromQL.rangeQuery(samples(s, dir),
+        """irate({name="purchase"}[1d])""",
+        1704240000L, 1706313600L, 21600L)
+        .select(col("name"), col("user_id"), col("bucket_s"),
+          round(col("value"), 9).as("value"))
+        .orderBy("name", "user_id", "bucket_s")),
+    // …and the least-squares deriv over window-relative seconds
+    "pql_range_deriv" -> ((s, dir) =>
+      graft.promql.PromQL.rangeQuery(samples(s, dir),
+        """deriv({name="purchase"}[1d])""",
+        1704240000L, 1706313600L, 21600L)
+        .select(col("name"), col("user_id"), col("bucket_s"),
+          round(col("value"), 9).as("value"))
+        .orderBy("name", "user_id", "bucket_s")),
     // grid-correct timestamp(): the instant-vector sample's epoch
     // seconds per grid T (closes the r11 silent batch-shape
     // fallthrough — unconsolidated/timestamp.go:38 over the grid)
@@ -3111,6 +3135,62 @@ object TsdbQueries {
               1704240000L, 1706313600L, 10800L, 86400L)} AS r
          |  ON l.user_id = r.user_id AND l.bucket_s = r.bucket_s
          | ORDER BY l.user_id, l.bucket_s""".stripMargin.replace("\n", " "),
+    // consecutive pairs with both ends in the right-closed grid window
+    "pql_range_resets" ->
+      s"""WITH grid AS (SELECT unnest(generate_series(
+         |   1704240000, 1706313600, 21600)) AS bucket_s),
+         | sl AS (SELECT *, lag(value) OVER w AS prev_v,
+         |   lag(ts) OVER w AS prev_ts
+         |  FROM (SELECT * FROM ($S) AS s0 WHERE name = 'purchase') AS s
+         |  WINDOW w AS (PARTITION BY name, user_id ORDER BY ts, event_id)),
+         | j AS (SELECT sl.*, g.bucket_s AS e FROM sl JOIN grid AS g
+         |   ON epoch_us(sl.ts) > (g.bucket_s - 86400) * 1000000
+         |   AND epoch_us(sl.ts) <= g.bucket_s * 1000000)
+         | SELECT name, user_id, e AS bucket_s,
+         |  CAST(sum(CASE WHEN epoch_us(prev_ts) > (e - 86400) * 1000000
+         |    AND prev_v > value THEN 1 ELSE 0 END) AS DOUBLE) AS value
+         | FROM j GROUP BY name, user_id, e
+         | ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),
+    // the window's final two samples; dt second-truncated like the
+    // batch irateFrame
+    "pql_range_irate" ->
+      s"""WITH grid AS (SELECT unnest(generate_series(
+         |   1704240000, 1706313600, 21600)) AS bucket_s),
+         | sl AS (SELECT *, lag(value) OVER w AS prev_v,
+         |   lag(ts) OVER w AS prev_ts
+         |  FROM (SELECT * FROM ($S) AS s0 WHERE name = 'purchase') AS s
+         |  WINDOW w AS (PARTITION BY name, user_id ORDER BY ts, event_id)),
+         | j AS (SELECT sl.*, g.bucket_s AS e FROM sl JOIN grid AS g
+         |   ON epoch_us(sl.ts) > (g.bucket_s - 86400) * 1000000
+         |   AND epoch_us(sl.ts) <= g.bucket_s * 1000000),
+         | lastrow AS (SELECT name, user_id, e AS bucket_s,
+         |   last(value ORDER BY ts, event_id) AS v,
+         |   last(prev_v ORDER BY ts, event_id) AS pv,
+         |   last(epoch_us(prev_ts) ORDER BY ts, event_id) AS pus,
+         |   last(floor(epoch(ts)) ORDER BY ts, event_id) AS ts_s,
+         |   last(floor(epoch(prev_ts)) ORDER BY ts, event_id) AS pts_s
+         |  FROM j GROUP BY name, user_id, e)
+         | SELECT name, user_id, bucket_s,
+         |  round((v - pv) / (ts_s - pts_s), 9) AS value
+         | FROM lastrow
+         | WHERE pv IS NOT NULL AND pus > (bucket_s - 86400) * 1000000
+         | ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),
+    // least-squares slope over window-relative seconds
+    "pql_range_deriv" ->
+      s"""WITH grid AS (SELECT unnest(generate_series(
+         |   1704240000, 1706313600, 21600)) AS bucket_s),
+         | j AS (SELECT s.name, s.user_id, s.value,
+         |   floor(epoch(s.ts)) - (g.bucket_s - 86400) AS t,
+         |   g.bucket_s AS e
+         |  FROM (SELECT * FROM ($S) AS s0 WHERE name = 'purchase') AS s
+         |  JOIN grid AS g
+         |   ON epoch_us(s.ts) > (g.bucket_s - 86400) * 1000000
+         |   AND epoch_us(s.ts) <= g.bucket_s * 1000000)
+         | SELECT name, user_id, e AS bucket_s,
+         |  round(covar_pop(t, value) / var_pop(t), 9) AS value
+         | FROM j GROUP BY name, user_id, e
+         | HAVING var_pop(t) > 0
+         | ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),
     // grid timestamp(): epoch seconds of the last sample in each
     // right-closed staleness window
     "pql_range_ts" ->

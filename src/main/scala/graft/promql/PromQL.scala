@@ -751,6 +751,96 @@ object PromQL {
           case "delta"    => round(d, 6)
         }
         agg.select(keys :+ v.as("value"): _*).where(col("value").isNotNull)
+
+      // irate/idelta (temporal/rate.go:36,40): the window's final two
+      // samples. The last sample's GLOBAL predecessor is the window's
+      // second-to-last iff it lies inside the window — in-window
+      // adjacency equals global adjacency on a contiguous time range
+      // (the rateSliding argument). dt is second-truncated like the
+      // batch irateFrame, so the two modes agree on aligned windows.
+      case "irate" | "idelta" =>
+        val wSeries = Window.partitionBy(Vectors.labels.map(col): _*)
+          .orderBy(col("ts"), col("event_id"))
+        val withPrev = in
+          .withColumn("prev_v", lag("value", 1).over(wSeries))
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(wSeries))
+          .withColumn("prev_s", lag(unix_timestamp(col("ts")), 1).over(wSeries))
+        val agg = gridExpand(withPrev, rangeS, rc)
+          .groupBy(keys: _*)
+          .agg(max_by(struct(col("value"), col("prev_v"), col("prev_us"),
+            col("prev_s"), unix_timestamp(col("ts")).as("ts_s")), ordKey)
+            .as("last"))
+        val prevIn = col("last.prev_us") >
+          (col("bucket_s") - rangeS) * 1000000L
+        val dv = col("last.value") - col("last.prev_v")
+        val v = fn match {
+          case "idelta" => round(dv, 6)
+          case "irate" =>
+            round(dv / (col("last.ts_s") - col("last.prev_s")).cast("double"), 9)
+        }
+        agg.where(prevIn && col("last.prev_v").isNotNull)
+          .select(keys :+ v.as("value"): _*)
+
+      // resets/changes (temporal/functions.go:37,41): consecutive
+      // pairs with BOTH ends in the window, via the same global lag
+      case "resets" | "changes" =>
+        val wSeries = Window.partitionBy(Vectors.labels.map(col): _*)
+          .orderBy(col("ts"), col("event_id"))
+        val withPrev = in
+          .withColumn("prev_v", lag("value", 1).over(wSeries))
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(wSeries))
+        val prevIn = col("prev_us") > (col("bucket_s") - rangeS) * 1000000L
+        val pred = fn match {
+          case "resets"  => col("prev_v") > col("value")
+          case "changes" => col("prev_v") =!= col("value")
+        }
+        gridExpand(withPrev, rangeS, rc)
+          .groupBy(keys: _*)
+          .agg(sum(when(prevIn && pred, 1).otherwise(0))
+            .cast("double").as("value"))
+
+      // deriv/predict_linear (temporal/linear_regression.go): least
+      // squares over window-relative seconds; prediction at window
+      // end + horizon — the batch linearRegression conventions
+      case "deriv" | "predict_linear" =>
+        val ex = gridExpand(in, rangeS, rc).withColumn("t",
+          (unix_timestamp(col("ts")) - (col("bucket_s") - rangeS))
+            .cast("double"))
+        val agg = ex.groupBy(keys: _*).agg(
+          covar_pop(col("t"), col("value")).as("cov_tv"),
+          var_pop(col("t")).as("var_t"),
+          avg(col("t")).as("avg_t"),
+          avg(col("value")).as("avg_v"))
+        val slope = when(col("var_t") > 0, col("cov_tv") / col("var_t"))
+        val v = fn match {
+          case "deriv" => round(slope, 9)
+          case "predict_linear" =>
+            round(col("avg_v") + slope *
+              (lit((rangeS + ps.head.toLong).toDouble) - col("avg_t")), 6)
+        }
+        agg.select(keys :+ v.as("value"): _*).where(col("value").isNotNull)
+
+      // holt_winters (temporal/holt_winters.go): the batch fold over
+      // the in-window sample array, per grid instant
+      case "holt_winters" =>
+        val collected = gridExpand(in, rangeS, rc)
+          .groupBy(keys: _*)
+          .agg(array_sort(collect_list(
+            struct(col("ts"), col("event_id"), col("value")))).as("pts"))
+          .where(size(col("pts")) >= 2)
+        val vals = expr("transform(pts, p -> p.value)")
+        val smoothed = aggregate(
+          expr("slice(transform(pts, p -> p.value), 3, size(pts) - 2)"),
+          struct(
+            element_at(vals, 2).as("s"),
+            (element_at(vals, 2) - element_at(vals, 1)).as("b")),
+          (acc, v) => {
+            val s1 = lit(ps(0)) * v + (lit(1.0) - lit(ps(0))) * (acc("s") + acc("b"))
+            val b1 = lit(ps(1)) * (s1 - acc("s")) + (lit(1.0) - lit(ps(1))) * acc("b")
+            struct(s1.as("s"), b1.as("b"))
+          },
+          acc => acc("s"))
+        collected.select(keys :+ round(smoothed, 6).as("value"): _*)
       case _ =>
         val ex = gridExpand(in, rangeS, rc)
         val v: Column = fn match {
@@ -886,6 +976,19 @@ object PromQL {
       // instant vector: the LAST sample in (T−lookback, T] per series
       rangeAtPin(sel, rc.get, samples) { (in, c) =>
         gridWindowEval("last_over_time", in, c.lookbackS, c, Nil)
+      }
+    // absent_over_time over the grid: the instants whose (T−R, T]
+    // window holds NO samples of the selector (label-less, like
+    // absent) — must precede the generic temporal leaf below
+    case Func("absent_over_time", sel: Selector, _, _) if rc.isDefined =>
+      val r = sel.rangeUnit.map(unitSecs).orElse(sel.sliding.map(_._1))
+        .getOrElse(throw new ParseException(
+          "absent_over_time requires a range selector in range-query mode"))
+      rangeAtPin(sel, rc.get, samples) { (in, c) =>
+        rangeGrid(c, samples)
+          .join(gridExpand(in, r, c).select("bucket_s").distinct(),
+            Seq("bucket_s"), "left_anti")
+          .select(col("bucket_s"), lit(1.0).as("value"))
       }
     case Func(fn, sel: Selector, ps, _) if rc.isDefined && temporalFns(fn) =>
       val r = sel.rangeUnit.map(unitSecs).orElse(sel.sliding.map(_._1))

@@ -488,6 +488,65 @@ class PromqlSpec extends SparkSpec {
     assert(d.length == 1 && d.head > 0, d.toString)
   }
 
+  test("rangeQuery temporal tail: irate/idelta, resets/changes, linreg, HW, absent_over_time") {
+    val s0 = spark
+    import s0.implicits._
+    import org.apache.spark.sql.functions.col
+    val samples = Seq(
+      ("m", 1L, 100L, 1.0, 1L), ("m", 1L, 200L, 3.0, 2L),
+      ("m", 1L, 250L, 2.0, 3L)
+    ).toDF("name", "user_id", "tss", "value", "event_id")
+      .select(col("name"), col("user_id"),
+        org.apache.spark.sql.functions.timestamp_seconds(col("tss")).as("ts"),
+        col("value"), col("event_id"))
+    def one(q: String, startS: Long = 300L, endS: Long = 300L,
+            stepS: Long = 100L): Map[Long, Double] =
+      PromQL.rangeQuery(samples, q, startS, endS, stepS)
+        .collect()
+        .map(x => x.getAs[Long]("bucket_s") -> x.getAs[Double]("value"))
+        .toMap
+    // window (0, 300]: last two samples are (200, 3.0) and (250, 2.0)
+    assert(one("""idelta({name="m"}[300s])""") == Map(300L -> -1.0))
+    assert(one("""irate({name="m"}[300s])""") == Map(300L -> -0.02))
+    // window (240, 300]: only 250 inside; its predecessor (200) is
+    // OUT of the window → empty vector, not a cross-window pair
+    assert(one("""irate({name="m"}[1m])""").isEmpty)
+    // pairs with both ends in-window: (100→200 change), (200→250
+    // reset+change) in (0,300]; only the reset pair in (190,300]
+    assert(one("""resets({name="m"}[300s])""") == Map(300L -> 1.0))
+    assert(one("""changes({name="m"}[300s])""") == Map(300L -> 2.0))
+    assert(one("""resets({name="m"}[110s])""") == Map(300L -> 1.0))
+    assert(one("""changes({name="m"}[110s])""") == Map(300L -> 1.0))
+    // least squares over window-relative t ∈ {100, 200, 250}:
+    // slope = covar/var; predict at rangeS + horizon
+    val xs = Seq(100.0, 200.0, 250.0); val ys = Seq(1.0, 3.0, 2.0)
+    val (mx, my) = (xs.sum / 3, ys.sum / 3)
+    val slope = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
+      xs.map(x => (x - mx) * (x - mx)).sum
+    val d = one("""deriv({name="m"}[300s])""")
+    assert(math.abs(d(300L) - slope) < 1e-9, s"deriv ${d(300L)} vs $slope")
+    val p = one("""predict_linear({name="m"}[300s], 60)""")
+    val expectP = my + slope * ((300.0 + 60.0) - mx)
+    assert(math.abs(p(300L) - expectP) < 1e-6, s"predict ${p(300L)} vs $expectP")
+    // holt_winters over the same window equals the batch fold on the
+    // same three points: s0=v1=3, b0=v1−v0=2;
+    // s1=.5·2+.5·(3+2)=3.5, b1=.3·(3.5−3)+.7·2=1.55 → value 3.5
+    val hw = one("""holt_winters({name="m"}[300s], 0.5, 0.3)""")
+    assert(hw == Map(300L -> 3.5), hw.toString)
+    // absent_over_time: (40,100] has a sample → no row at 100;
+    // (140,200] is empty… wait, 200 has one — use a name that
+    // matches nothing for the always-absent case
+    val a = PromQL.rangeQuery(samples,
+      """absent_over_time({name="nope"}[1m])""", 100L, 300L, 100L)
+      .collect().map(_.getAs[Long]("bucket_s")).toSet
+    assert(a == Set(100L, 200L, 300L))
+    val a2 = PromQL.rangeQuery(samples,
+      """absent_over_time({name="m"}[1m])""", 100L, 300L, 100L)
+      .collect().map(_.getAs[Long]("bucket_s")).toSet
+    // (40,100] holds 100; (140,200] holds 200; (240,300] holds 250
+    assert(a2.isEmpty, a2.toString)
+  }
+
   test("end-to-end: rate sum equals API composition") {
     val samples = tsdb.Vectors.samples(Tables.events(spark, sf))
     val viaPql = PromQL.query(samples,
