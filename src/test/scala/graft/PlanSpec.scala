@@ -1150,4 +1150,29 @@ class PlanSpec extends SparkSpec {
       "cluster labels not served from the family cache:\n" + p.take(1500))
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
+
+  test("range-mode subquery: one scan, Generate expansion, no grid join") {
+    // the outer window is an integer-µs index expansion (Generate of
+    // an explode(sequence(...))), NOT a join against a grid relation,
+    // and every aggregation stays a map-side-combining HashAggregate
+    // (the packed ordKey keeps min_by/max_by off SortAggregate)
+    val p = plan("pql_range_subquery")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("Generate explode(sequence"),
+      "grid windows must expand map-locally:\n" + p.take(2000))
+    assert(!p.contains("SortAggregate"),
+      "window reductions must hash-aggregate:\n" + p.take(2000))
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected 1 events scan, got $scans:\n" + p.take(1500))
+  }
+
+  test("range-mode temporal leaves expand map-locally too") {
+    Seq("pql_range_irate", "pql_range_deriv", "pql_range_resets").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        p.contains("Generate explode(sequence"),
+        s"$q lost the index-expansion shape:\n" + p.take(2000))
+    }
+  }
 }
