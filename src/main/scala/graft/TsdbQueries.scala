@@ -1041,6 +1041,28 @@ object TsdbQueries {
         1704240000L, 1706313600L, 10800L)
         .select(col("user_id"), col("bucket_s"), round(col("value"), 9).as("value"))
         .orderBy("user_id", "bucket_s")),
+    // DENSE range requests (r12): a 24-windows-per-day [1d]@1h sum
+    // through the direct narrow-row expansion (the measured-fastest
+    // form for plain aggregates — see PromQL.cellFns)
+    "pql_range_dense" -> ((s, dir) =>
+      graft.promql.PromQL.rangeQuery(samples(s, dir),
+        """sum_over_time({name="purchase"}[1d])""",
+        1704240000L, 1706313600L, 3600L)
+        .orderBy("name", "user_id", "bucket_s")),
+    // …and the rate family through the two-phase CELL path —
+    // per-(series, step-cell) partials composed per window instead of
+    // per-sample × R/step expansion of the lag-widened rows (the
+    // 100 TB dense-dashboard path, measured ~2.4× on the A/B probe);
+    // the counter correction composes from in-cell pre-sums +
+    // membership-checked boundary pairs. The oracle replays the
+    // per-sample form, so the gate proves the decomposition exact.
+    "pql_range_rate_dense" -> ((s, dir) =>
+      graft.promql.PromQL.rangeQuery(samples(s, dir),
+        """rate({name="purchase"}[1d])""",
+        1704240000L, 1706313600L, 3600L)
+        .select(col("name"), col("user_id"), col("bucket_s"),
+          round(col("value"), 9).as("value"))
+        .orderBy("name", "user_id", "bucket_s")),
     // range-mode temporal tail (r12): resets over right-closed grid
     // windows — a consecutive pair counts iff BOTH ends are in-window
     "pql_range_resets" -> ((s, dir) =>
@@ -3135,6 +3157,23 @@ object TsdbQueries {
               1704240000L, 1706313600L, 10800L, 86400L)} AS r
          |  ON l.user_id = r.user_id AND l.bucket_s = r.bucket_s
          | ORDER BY l.user_id, l.bucket_s""".stripMargin.replace("\n", " "),
+    // the per-sample replay of the cell-composed dense request
+    "pql_range_dense" ->
+      s"""WITH grid AS (SELECT unnest(generate_series(
+         |   1704240000, 1706313600, 3600)) AS bucket_s)
+         | SELECT s.name, s.user_id, g.bucket_s,
+         |  round(sum(s.value), 6) AS value
+         | FROM (SELECT * FROM ($S) AS s0 WHERE name = 'purchase') AS s
+         | JOIN grid AS g
+         |  ON epoch_us(s.ts) > (g.bucket_s - 86400) * 1000000
+         |  AND epoch_us(s.ts) <= g.bucket_s * 1000000
+         | GROUP BY s.name, s.user_id, g.bucket_s
+         | ORDER BY s.name, s.user_id, g.bucket_s""".stripMargin.replace("\n", " "),
+    "pql_range_rate_dense" ->
+      s"""SELECT name, user_id, bucket_s, rate_v AS value
+         | FROM ${rangeRateRel("WHERE name = 'purchase'",
+              1704240000L, 1706313600L, 3600L, 86400L)} AS r
+         | ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),
     // consecutive pairs with both ends in the right-closed grid window
     "pql_range_resets" ->
       s"""WITH grid AS (SELECT unnest(generate_series(

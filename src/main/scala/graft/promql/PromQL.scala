@@ -648,8 +648,8 @@ object PromQL {
   }
 
   /** Range-query evaluation context: the instant grid. */
-  private final case class RangeCtx(startS: Long, endS: Long,
-                                    stepS: Long, lookbackS: Long) {
+  private[graft] final case class RangeCtx(startS: Long, endS: Long,
+                                           stepS: Long, lookbackS: Long) {
     def nMax: Long = (endS - startS) / stepS
   }
 
@@ -658,22 +658,24 @@ object PromQL {
     samples.sparkSession.range(0L, rc.nMax + 1)
       .select((lit(rc.startS) + col("id") * rc.stepS).as("bucket_s"))
 
+  /** Exact integer ceil-division of a µs column by a positive step
+    * (floor/ceil via pmod, no doubles at the boundaries). */
+  private def ceilDivUs(a: Column, stepUs: Long): Column = {
+    val neg = -a
+    -((neg - pmod(neg, lit(stepUs))) / lit(stepUs)).cast("long")
+  }
+
   /** Expand each sample to the grid instants whose (T−R, T] window
     * contains it: T ∈ [ts, ts+R) ⇒ k ∈ [⌈(ts−start)/step⌉,
     * ⌈(ts+R−start)/step⌉−1], clipped to the grid — exact integer µs
-    * arithmetic (floor/ceil division via pmod, no doubles at the
-    * boundaries), ≤ ⌈R/step⌉ rows per sample. */
+    * arithmetic, ≤ ⌈R/step⌉ rows per sample. */
   private def gridExpand(in: DataFrame, rangeS: Long,
                          rc: RangeCtx): DataFrame = {
     val stepUs = rc.stepS * 1000000L
-    def ceilDiv(a: Column): Column = {
-      val neg = -a
-      -((neg - pmod(neg, lit(stepUs))) / lit(stepUs)).cast("long")
-    }
     val rel = unix_micros(col("ts")) - lit(rc.startS * 1000000L)
-    val kLo = greatest(lit(0L), ceilDiv(rel))
+    val kLo = greatest(lit(0L), ceilDivUs(rel, stepUs))
     val kHi = least(lit(rc.nMax),
-      ceilDiv(rel + lit(rangeS * 1000000L)) - 1)
+      ceilDivUs(rel + lit(rangeS * 1000000L), stepUs) - 1)
     in.where(kLo <= kHi)
       .select(col("*"), explode(sequence(kLo, kHi)).as("_k"))
       .withColumn("bucket_s", lit(rc.startS) + col("_k") * rc.stepS)
@@ -702,11 +704,40 @@ object PromQL {
     }
   }
 
+  /** The functions routed to the two-phase cell evaluation when the
+    * range divides by the step: the extrapolated-rate family only.
+    * The A/B probe (Profile, SPARK_GRAFT_RANGE_AB) measured the
+    * decision: rate's expansion rows carry the lag-derived state
+    * (prev value/µs, reset term) and the packed first/last keys, so
+    * composing per-cell partials instead wins ~2.4× at rate(x[1d])
+    * @ 30 s; the plain *_over_time aggregates expand a NARROW row
+    * (one value) that whole-stage codegen chews at ~90 M rows/s —
+    * for them the cell path's two extra exchanges cost more than the
+    * expansion saves until per-cell density gets extreme, so they
+    * stay on the direct form. [[gridWindowCells]] still implements
+    * every decomposable aggregate (parity-spec'd) for that regime. */
+  private val cellFns = Set("rate", "increase", "delta")
+
   /** One temporal function over the grid windows — the range-mode
-    * leaf. Output (labels…, bucket_s, value); instants whose window
-    * holds no samples are absent (PromQL's empty vector). */
+    * leaf. Dispatches to the two-phase cell evaluation when the range
+    * is a whole multiple of the step at a dense-enough factor (the
+    * 100 TB path — see [[gridWindowCells]]); otherwise the direct
+    * per-sample expansion. Output (labels…, bucket_s, value);
+    * instants whose window holds no samples are absent (PromQL's
+    * empty vector). */
   private def gridWindowEval(fn: String, in: DataFrame, rangeS: Long,
-                             rc: RangeCtx, ps: Seq[Double]): DataFrame = {
+                             rc: RangeCtx, ps: Seq[Double]): DataFrame =
+    if (cellFns(fn) && rangeS % rc.stepS == 0 && rangeS / rc.stepS >= 8)
+      gridWindowCells(fn, in, rangeS, rc)
+    else gridWindowDirect(fn, in, rangeS, rc, ps)
+
+  /** Direct per-sample grid-window evaluation: each sample expands to
+    * ≤ ⌈R/step⌉ instant rows (map-local, partial-aggregated). CPU is
+    * samples × R/step — fine at modest factors and the only exact
+    * form when R doesn't divide by step or the aggregate isn't
+    * decomposable (quantile). */
+  private[graft] def gridWindowDirect(fn: String, in: DataFrame, rangeS: Long,
+                                      rc: RangeCtx, ps: Seq[Double]): DataFrame = {
     val keys = (Vectors.labels :+ "bucket_s").map(col)
     // packed in-window ordering key (Vectors.lastKey convention):
     // keeps the aggregate hash-aggregable where a struct key would
@@ -859,6 +890,144 @@ object PromQL {
             s"$other is not supported in range-query mode")
         }
         ex.groupBy(keys: _*).agg(v.as("value"))
+    }
+  }
+
+  /** Two-phase grid-window evaluation for step-divisible ranges —
+    * the dense-data scale path (r12). The direct form expands EVERY
+    * SAMPLE to R/step instant rows: map-local and partial-aggregated,
+    * but its CPU is samples × R/step — at a dense dashboard request
+    * (rate(x[1d]) at a 30 s step ⇒ 2880×) that multiplier IS the cost
+    * at 100 TB. When R is a whole multiple of step, the window
+    * (T−R, T] is exactly R/step step-aligned CELLS
+    * (start+(c−1)·step, start+c·step]: phase 1 reduces samples to
+    * per-(series, cell) partials in one map-side-combining
+    * aggregation (sample cardinality in, cell cardinality out);
+    * phase 2 expands only the CELL rows by R/step and composes the
+    * partials — total work O(samples + cells·R/step), independent of
+    * per-cell density. The counter correction composes exactly:
+    * in-cell reset pairs pre-sum per cell (a non-first sample's
+    * predecessor is always its own cell's previous sample), and each
+    * cell's single BOUNDARY pair — its first sample against the
+    * previous cell's last — carries its predecessor's cell index so
+    * the assembly counts it only when that predecessor also lies
+    * inside the window. Results are identical to the direct path
+    * (same aggregates, same extrapolation; float sums associate
+    * differently, which distributed sums never guaranteed anyway —
+    * the engine's rounding conventions absorb it, parity spec in
+    * PromqlSpec). */
+  private[graft] def gridWindowCells(fn: String, in: DataFrame,
+                                     rangeS: Long, rc: RangeCtx): DataFrame = {
+    val m = rangeS / rc.stepS
+    val stepUs = rc.stepS * 1000000L
+    val startUs = rc.startS * 1000000L
+    val rel = unix_micros(col("ts")) - lit(startUs)
+    // within-cell ordering key (packed while step < 2³⁷ µs ≈ 38 h,
+    // struct beyond — the gridWindowDirect guard)
+    def cellOrd: Column =
+      if (stepUs < (1L << 37))
+        (pmod(rel - 1, lit(stepUs)) + 1) * lit(1L << 26) +
+          pmod(col("event_id"), lit(1L << 26))
+      else struct(unix_micros(col("ts")), col("event_id"))
+    val needRate = Set("rate", "increase", "delta")(fn)
+    val withCell0 =
+      if (!needRate) in
+      else {
+        val wSeries = Window.partitionBy(Vectors.labels.map(col): _*)
+          .orderBy(col("ts"), col("event_id"))
+        in.withColumn("prev_v", lag("value", 1).over(wSeries))
+          .withColumn("_prev_c", ceilDivUs(
+            lag(unix_micros(col("ts")), 1).over(wSeries) - startUs, stepUs))
+      }
+    val withCell = withCell0.withColumn("_c", ceilDivUs(rel, stepUs))
+    // phase 1: per-(series, cell) partials — ONLY the columns this
+    // function's phase 2 composes (a sparse corpus degenerates to
+    // cells ≈ samples, so carrying unused partials would make the
+    // expansion rows wider than the direct path's)
+    val cellKeys = (Vectors.labels :+ "_c").map(col)
+    val cellAggs: Seq[Column] =
+      if (needRate) Seq(
+        min_by(col("value"), cellOrd).as("first_v"),
+        max_by(col("value"), cellOrd).as("last_v"),
+        min(unix_micros(col("ts"))).as("first_us"),
+        max(unix_micros(col("ts"))).as("last_us"),
+        count(lit(1)).as("n"),
+        // rate.go:183 — in-cell reset pairs pre-sum; the boundary
+        // pair (the cell's FIRST sample vs the previous cell's last)
+        // rides along with its predecessor's cell index
+        sum(when(col("_prev_c") === col("_c") &&
+          col("prev_v") > col("value"), col("prev_v")).otherwise(lit(0.0)))
+          .as("corr_in"),
+        min_by(col("_prev_c"), cellOrd).as("bd_prev_c"),
+        min_by(when(col("prev_v") > col("value"), col("prev_v"))
+          .otherwise(lit(0.0)), cellOrd).as("bd_term"))
+      else fn match {
+        case "sum_over_time"     => Seq(sum("value").as("sum_v"))
+        case "avg_over_time"     => Seq(sum("value").as("sum_v"),
+          count(lit(1)).as("n"))
+        case "min_over_time"     => Seq(min("value").as("min_v"))
+        case "max_over_time"     => Seq(max("value").as("max_v"))
+        case "count_over_time"   => Seq(count(lit(1)).as("n"))
+        case "last_over_time"    => Seq(max_by(col("value"), cellOrd).as("last_v"))
+        case "present_over_time" => Seq(max(lit(1.0)).as("p"))
+        case other => throw new ParseException(
+          s"$other has no cell-composable form")
+      }
+    val cells0 = withCell.groupBy(cellKeys: _*)
+      .agg(cellAggs.head, cellAggs.tail: _*)
+    // the cell frame is tiny in BYTES (that's the whole point), so
+    // AQE coalesces the phase-1 exchange to one or two partitions —
+    // and the ×(R/step) expansion below would then run on one core
+    // (measured 6× on the A/B probe). An explicit round-robin
+    // repartition with a fixed width survives both the redundant-
+    // exchange elimination (hash-partitioned output would subsume a
+    // same-key repartition) and AQE coalescing (user-specified
+    // partition counts are left alone), so the expansion stays as
+    // parallel as the session's shuffle width; the re-exchange moves
+    // only cell-cardinality rows.
+    val shufflePartitions =
+      in.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val cells = cells0.repartition(shufflePartitions)
+    // phase 2: expand cells to the windows they belong to
+    val kLo = greatest(lit(0L), col("_c"))
+    val kHi = least(lit(rc.nMax), col("_c") + (m - 1))
+    val ex = cells.where(kLo <= kHi)
+      .select(col("*"), explode(sequence(kLo, kHi)).as("_k"))
+      .withColumn("bucket_s", lit(rc.startS) + col("_k") * rc.stepS)
+    val keys = (Vectors.labels :+ "bucket_s").map(col)
+    if (needRate) {
+      val agg = ex.groupBy(keys: _*).agg(
+        min_by(col("first_v"), col("_c")).as("first_v"),
+        max_by(col("last_v"), col("_c")).as("last_v"),
+        min(col("first_us")).as("first_us"),
+        max(col("last_us")).as("last_us"),
+        sum(col("n")).as("n_samples"),
+        sum(col("corr_in") +
+          when(col("bd_prev_c").isNotNull &&
+            col("bd_prev_c") > col("_k") - m,
+            coalesce(col("bd_term"), lit(0.0))).otherwise(lit(0.0)))
+          .as("corr"))
+      val (d, i, r) = Temporal.extrapolatedRate(
+        col("bucket_s") - rangeS, col("bucket_s"), rangeS)
+      val v = fn match {
+        case "rate"     => round(r, 9)
+        case "increase" => round(i, 6)
+        case "delta"    => round(d, 6)
+      }
+      agg.select(keys :+ v.as("value"): _*).where(col("value").isNotNull)
+    } else {
+      val v: Column = fn match {
+        case "sum_over_time"     => round(sum("sum_v"), 6)
+        case "avg_over_time"     => round(sum("sum_v") / sum("n"), 6)
+        case "min_over_time"     => min("min_v")
+        case "max_over_time"     => max("max_v")
+        case "count_over_time"   => sum("n").cast("double")
+        case "last_over_time"    => max_by(col("last_v"), col("_c"))
+        case "present_over_time" => max(lit(1.0))
+        case other => throw new ParseException(
+          s"$other has no cell-composable form")
+      }
+      ex.groupBy(keys: _*).agg(v.as("value"))
     }
   }
 

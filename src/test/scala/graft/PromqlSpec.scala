@@ -547,6 +547,57 @@ class PromqlSpec extends SparkSpec {
     assert(a2.isEmpty, a2.toString)
   }
 
+  test("two-phase cell windows equal the direct per-sample expansion") {
+    import org.apache.spark.sql.functions.col
+    import graft.promql.PromQL.{RangeCtx, gridWindowCells, gridWindowDirect}
+    val in = Fetch(tsdb.Vectors.samples(Tables.events(spark, sf)),
+      Seq(Fetch.Matcher("name", Fetch.Eq, "purchase")))
+    // [1d] at a 1h step: 24 cells per window — the dense shape the
+    // dispatcher routes to the cell path
+    val rc = RangeCtx(1704240000L, 1706313600L, 3600L, 300L)
+    val fns = Seq("rate", "increase", "delta", "sum_over_time",
+      "avg_over_time", "min_over_time", "max_over_time",
+      "count_over_time", "last_over_time", "present_over_time")
+    for (fn <- fns) {
+      def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[String]("name"), r.getAs[Long]("user_id"),
+          r.getAs[Long]("bucket_s")) -> r.getAs[Double]("value")).toMap
+      val direct = toMap(gridWindowDirect(fn, in, 86400L, rc, Nil))
+      val cells = toMap(gridWindowCells(fn, in, 86400L, rc))
+      assert(direct.keySet == cells.keySet,
+        s"$fn instant sets differ: ${direct.keySet.diff(cells.keySet).take(3)}" +
+          s" / ${cells.keySet.diff(direct.keySet).take(3)}")
+      assert(direct.nonEmpty, s"$fn produced nothing")
+      for ((k, v) <- direct) {
+        val c = cells(k)
+        // min/max/last/count/present pick identical values; the
+        // summing forms may differ by association order inside their
+        // rounding guard
+        assert(math.abs(v - c) <= 1e-6, s"$fn $k: direct $v vs cells $c")
+      }
+    }
+    // boundary-pair correctness on a crafted counter: resets straddle
+    // cell boundaries, and the pair vanishes exactly when the
+    // predecessor's cell leaves the window
+    val s0 = spark
+    import s0.implicits._
+    val cross = Seq(
+      ("m", 1L, 3599L, 10.0, 1L),  // cell 1 (window boundary - 1s)
+      ("m", 1L, 3601L, 4.0, 2L),   // cell 2: boundary reset pair 10→4
+      ("m", 1L, 7300L, 6.0, 3L),   // cell 3: in..no, boundary 4→6 no reset
+      ("m", 1L, 7400L, 5.0, 4L)    // cell 3: in-cell reset 6→5
+    ).toDF("name", "user_id", "tss", "value", "event_id")
+      .select(col("name"), col("user_id"),
+        org.apache.spark.sql.functions.timestamp_seconds(col("tss")).as("ts"),
+        col("value"), col("event_id"))
+    val rc2 = RangeCtx(28800L, 36000L, 3600L, 300L)
+    val d2 = gridWindowDirect("increase", cross, 28800L, rc2, Nil).collect()
+      .map(r => r.getAs[Long]("bucket_s") -> r.getAs[Double]("value")).toMap
+    val c2 = gridWindowCells("increase", cross, 28800L, rc2).collect()
+      .map(r => r.getAs[Long]("bucket_s") -> r.getAs[Double]("value")).toMap
+    assert(d2 == c2 && d2.nonEmpty, s"direct $d2 vs cells $c2")
+  }
+
   test("end-to-end: rate sum equals API composition") {
     val samples = tsdb.Vectors.samples(Tables.events(spark, sf))
     val viaPql = PromQL.query(samples,
