@@ -1181,6 +1181,24 @@ object TsdbQueries {
       graft.promql.PromQL.query(samples(s, dir),
         """quantile_over_time(0.9, rate({name="purchase"}[1d])[3d:6h])""")
         .orderBy("name", "user_id", "bucket_s")),
+    // the subquery's OWN offset modifier (r12, upstream SubqueryExpr
+    // offset): instant T reads the steps of (T−1d−3d, T−1d] — the
+    // time-shifted alerting comparison
+    "pql_subquery_offset" -> ((s, dir) =>
+      graft.promql.PromQL.query(samples(s, dir),
+        """max_over_time(sum by (name) (rate({name=~"(pur|cli).*"}[1d]))[3d:6h] offset 1d)""")
+        .select(col("name"), col("bucket_s"),
+          round(col("value"), 9).as("value"))
+        .orderBy("name", "bucket_s")),
+    // …and the subquery's own @ in range mode: ONE pinned trailing-3d
+    // window at end(), replicated across the grid
+    "pql_range_subquery_at" -> ((s, dir) =>
+      graft.promql.PromQL.rangeQuery(samples(s, dir),
+        """max_over_time(sum by (name) (rate({name=~"(pur|cli).*"}[1d]))[3d:6h] @ end())""",
+        1704240000L, 1706313600L, 10800L)
+        .select(col("name"), col("bucket_s"),
+          round(col("value"), 9).as("value"))
+        .orderBy("name", "bucket_s")),
     "pql_count_values" -> ((s, dir) =>
       graft.promql.PromQL.query(samples(s, dir),
         """count_values("val", {name="purchase"})""")
@@ -3435,6 +3453,37 @@ object TsdbQueries {
          |   RANGE BETWEEN 259199 PRECEDING AND CURRENT ROW), 9) AS value
          | FROM sm
          | ORDER BY name, bucket_s""".stripMargin.replace("\n", " "),
+    // the unshifted trailing window re-stamped one day forward
+    "pql_subquery_offset" ->
+      s"""WITH rv AS (SELECT name, user_id, bucket_s,
+         |  round(rate_r, 9) + 0.0 AS value
+         | FROM ${slidingRateRel(
+            "WHERE regexp_full_match(name, '(pur|cli).*')")} AS r),
+         | sm AS (SELECT name, bucket_s, sum(value) AS value
+         |  FROM rv GROUP BY name, bucket_s),
+         | wv AS (SELECT name, bucket_s,
+         |  round(max(value) OVER (PARTITION BY name ORDER BY bucket_s
+         |   RANGE BETWEEN 259199 PRECEDING AND CURRENT ROW), 9) AS value
+         | FROM sm)
+         | SELECT name, bucket_s + 86400 AS bucket_s, value FROM wv
+         | ORDER BY name, bucket_s""".stripMargin.replace("\n", " "),
+    // one pinned window (end−3d, end] of the summed-rate steps,
+    // replicated across the grid
+    "pql_range_subquery_at" ->
+      s"""WITH rv AS (SELECT name, user_id, bucket_s,
+         |  round(rate_r, 9) + 0.0 AS value
+         | FROM ${slidingRateRel(
+            "WHERE regexp_full_match(name, '(pur|cli).*')")} AS r),
+         | sm AS (SELECT name, bucket_s, sum(value) AS value
+         |  FROM rv GROUP BY name, bucket_s),
+         | grid AS (SELECT unnest(generate_series(
+         |   1704240000, 1706313600, 10800)) AS bucket_s),
+         | pin AS (SELECT name, round(max(value), 9) AS value FROM sm
+         |  WHERE bucket_s > 1706313600 - 259200
+         |   AND bucket_s <= 1706313600 GROUP BY name)
+         | SELECT pin.name, g.bucket_s, pin.value
+         | FROM pin CROSS JOIN grid AS g
+         | ORDER BY pin.name, g.bucket_s""".stripMargin.replace("\n", " "),
     "pql_count_values" ->
       s"""SELECT name, user_id, bucket_s,
          | CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS val,

@@ -107,9 +107,15 @@ object PromQL {
     * expression (upstream promql/parser SubqueryExpr, which m3's
     * embedded parser accepts): the inner expression is evaluated on
     * the step grid, and the enclosing `*_over_time` function then
-    * aggregates each trailing `lookback` of those step values. */
+    * aggregates each trailing `lookback` of those step values.
+    * `offsetS`/`at` are the subquery's OWN trailing modifiers
+    * (`rate(x[1d])[3d:6h] offset 1d @ end()` — upstream attaches
+    * them to the SubqueryExpr node): offset shifts the whole
+    * evaluation window into the past, @ pins the evaluation
+    * timestamp. */
   final case class Subquery(arg: Expr, lookbackS: Long,
-                            stepS: Long) extends Expr
+                            stepS: Long, offsetS: Long = 0L,
+                            at: Option[At] = None) extends Expr
   /** scalar literal (folds during parsing; a bare scalar query or a
     * scalar func param consumes it). */
   final case class NumLit(v: Double) extends Expr
@@ -358,9 +364,34 @@ object PromQL {
       case (le, re) => VecBin(op, le, re, on, ig, gl, gr, boolMod)
     }
 
+  /** Trailing `offset <dur>` / `@ <target>` modifiers in either
+    * order (PromQL allows both orders) — shared by selectors and
+    * subquery postfixes. */
+  private def parseModifiers(ts0: List[String]): (Long, Option[At], List[String]) = {
+    var rest = ts0
+    var offsetS = 0L
+    var at: Option[At] = None
+    var more = true
+    while (more) rest match {
+      case "offset" :: (d :: _) if d.matches("""[0-9]+[smhdw]""") =>
+        val (s, r) = parseDur(rest.tail); offsetS = s; rest = r
+      // negative offset looks FORWARD (upstream parse.go accepts it:
+      // parse_test.go `up offset -2m` parses without error)
+      case "offset" :: "-" :: (d :: _) if d.matches("""[0-9]+[smhdw]""") =>
+        val (s, r) = parseDur(rest.tail.tail); offsetS = -s; rest = r
+      case "@" :: n :: r if isNumber(n) =>
+        at = Some(AtEpoch(n.toDouble.toLong)); rest = r
+      case "@" :: "start" :: "(" :: ")" :: r => at = Some(AtStart); rest = r
+      case "@" :: "end" :: "(" :: ")" :: r => at = Some(AtEnd); rest = r
+      case _ => more = false
+    }
+    (offsetS, at, rest)
+  }
+
   /** Postfix `[lookback:step]` after a non-selector operand → a
     * [[Subquery]] (selector ranges parse inside [[parseSelector]];
-    * this handles `rate(x[1d])[3d:6h]` and `( … )[3d:6h]`). */
+    * this handles `rate(x[1d])[3d:6h]` and `( … )[3d:6h]`), with the
+    * subquery's own trailing offset/@ modifiers. */
   private def subqueryPostfix(e: Expr,
                               ts: List[String]): (Expr, List[String]) =
     ts match {
@@ -370,7 +401,9 @@ object PromQL {
           case ":" :: r2 =>
             val (st, r3) = parseDur(r2)
             r3 match {
-              case "]" :: r4 => (Subquery(e, lb, st), r4)
+              case "]" :: r4 =>
+                val (off, at, r5) = parseModifiers(r4)
+                (Subquery(e, lb, st, off, at), r5)
               case other =>
                 throw new ParseException(s"expected ] at $other")
             }
@@ -552,24 +585,8 @@ object PromQL {
         }
       case _ =>
     }
-    var offsetS = 0L
-    var at: Option[At] = None
-    // offset and @ accepted in either order (PromQL allows both)
-    var more = true
-    while (more) rest match {
-      case "offset" :: (d :: _) if d.matches("""[0-9]+[smhdw]""") =>
-        val (s, r) = parseDur(rest.tail); offsetS = s; rest = r
-      // negative offset looks FORWARD (upstream parse.go accepts it:
-      // parse_test.go `up offset -2m` parses without error)
-      case "offset" :: "-" :: (d :: _) if d.matches("""[0-9]+[smhdw]""") =>
-        val (s, r) = parseDur(rest.tail.tail); offsetS = -s; rest = r
-      case "@" :: n :: r if isNumber(n) =>
-        at = Some(AtEpoch(n.toDouble.toLong)); rest = r
-      case "@" :: "start" :: "(" :: ")" :: r => at = Some(AtStart); rest = r
-      case "@" :: "end" :: "(" :: ")" :: r => at = Some(AtEnd); rest = r
-      case _ => more = false
-    }
-    (Selector(metric, matchers, rangeUnit, offsetS, sliding, at), rest)
+    val (offsetS, at, rest2) = parseModifiers(rest)
+    (Selector(metric, matchers, rangeUnit, offsetS, sliding, at), rest2)
   }
 
   /** one-or-more duration tokens summed: `1h30m` tokenizes as
@@ -1206,30 +1223,52 @@ object PromQL {
     // right-closed (T−lb, T] window contains it, via the same
     // integer-µs gridExpand as every range-mode leaf, then ONE
     // map-side-combining aggregation per (labels, T).
-    case Func(fn, Subquery(body, lb, st), ps, _) if rc.isDefined =>
-      val stepped = subquerySteps(body, st, samples)
-      val stepLabels = labelsOf(stepped)
-      val withTs = stepped
-        .withColumn("ts", timestamp_seconds(col("bucket_s")))
-        .drop("bucket_s")
-      val keys = (stepLabels :+ "bucket_s").map(col)
-      val v: Column = fn match {
-        case "sum_over_time"     => round(sum("value"), 6)
-        case "avg_over_time"     => round(avg("value"), 6)
-        case "min_over_time"     => min("value")
-        case "max_over_time"     => max("value")
-        case "count_over_time"   => count(lit(1)).cast("double")
-        case "stddev_over_time"  => round(stddev_pop("value"), 6)
-        case "stdvar_over_time"  => round(var_pop("value"), 6)
-        case "quantile_over_time" =>
-          round(percentile(col("value"), lit(ps.head)), 6)
-        // steps are strictly ordered by their instant — no tiebreak
-        case "last_over_time"    => max_by(col("value"), unix_micros(col("ts")))
-        case "present_over_time" => max(lit(1.0))
-        case other =>
-          throw new ParseException(s"$other does not accept a subquery")
+    case Func(fn, Subquery(body, lb, st, off, at), ps, _) if rc.isDefined =>
+      val c0 = rc.get
+      def evalGrid(c: RangeCtx): DataFrame = {
+        val stepped = subquerySteps(body, st, samples)
+        val stepLabels = labelsOf(stepped)
+        // the subquery's own `offset` shifts the whole evaluation
+        // window into the past: instant T reads steps in
+        // (T−off−lb, T−off] ⇔ each step value serves the windows of
+        // its RE-STAMPED instant t+off
+        val withTs = stepped
+          .withColumn("ts", timestamp_seconds(col("bucket_s") + off))
+          .drop("bucket_s")
+        val keys = (stepLabels :+ "bucket_s").map(col)
+        val v: Column = fn match {
+          case "sum_over_time"     => round(sum("value"), 6)
+          case "avg_over_time"     => round(avg("value"), 6)
+          case "min_over_time"     => min("value")
+          case "max_over_time"     => max("value")
+          case "count_over_time"   => count(lit(1)).cast("double")
+          case "stddev_over_time"  => round(stddev_pop("value"), 6)
+          case "stdvar_over_time"  => round(var_pop("value"), 6)
+          case "quantile_over_time" =>
+            round(percentile(col("value"), lit(ps.head)), 6)
+          // steps are strictly ordered by their instant — no tiebreak
+          case "last_over_time"    => max_by(col("value"), unix_micros(col("ts")))
+          case "present_over_time" => max(lit(1.0))
+          case other =>
+            throw new ParseException(s"$other does not accept a subquery")
+        }
+        gridExpand(withTs, lb, c).groupBy(keys: _*).agg(v.as("value"))
       }
-      gridExpand(withTs, lb, rc.get).groupBy(keys: _*).agg(v.as("value"))
+      // the subquery's own `@` pins the evaluation timestamp — one
+      // single-instant evaluation, replicated across the grid
+      // (upstream StepInvariantExpr, the rangeAtPin convention)
+      at match {
+        case None => evalGrid(c0)
+        case Some(a) =>
+          val t = a match {
+            case AtEpoch(e) => e
+            case AtStart => c0.startS
+            case AtEnd => c0.endS
+          }
+          val pinned = evalGrid(c0.copy(startS = t, endS = t))
+            .drop("bucket_s")
+          rangeGrid(c0, samples).crossJoin(broadcast(pinned))
+      }
 
     case sel: Selector =>
       // bare selector: consolidate to the instant frame at the
@@ -1251,7 +1290,7 @@ object PromQL {
       val (lb, st) = sel.sliding.get
       slidingEval(fn, fetchFor(sel, samples), lb, st)
 
-    case Func(fn, Subquery(body, lb, st), ps, _) =>
+    case Func(fn, Subquery(body, lb, st, off, at), ps, _) =>
       // subquery: the inner temporal fn evaluates at every `st` step
       // using ITS OWN range — exactly the sliding machinery with
       // (inner range, subquery step), optionally re-aggregated by an
@@ -1281,9 +1320,32 @@ object PromQL {
         case other =>
           throw new ParseException(s"$other does not accept a subquery")
       }
-      stepped.withColumn("_sq_v", outer)
+      val base = stepped.withColumn("_sq_v", outer)
         .select((labels :+ "bucket_s").map(col) :+
           col("_sq_v").as("value"): _*)
+      // the subquery's own `offset`: instant T reads the steps of
+      // (T−off−lb, T−off] — the unshifted window re-stamped to t+off
+      val shifted =
+        if (off == 0L) base
+        else base.withColumn("bucket_s", col("bucket_s") + off)
+      // the subquery's own `@` in batch mode: keep the pinned step
+      // instant — the last (offset-shifted) step-aligned instant ≤ T,
+      // start()/end() resolving to the dataset bounds (the atFilter
+      // convention) via a one-row broadcast, nothing driver-side
+      at.fold(shifted) { a =>
+        def pin(tc: Column): Column = tc - pmod(tc - off, lit(st))
+        a match {
+          case AtEpoch(t) =>
+            shifted.where(col("bucket_s") === pin(lit(t)))
+          case bound =>
+            val b = samples.agg(
+              (if (bound == AtStart) min(unix_timestamp(col("ts")))
+               else max(unix_timestamp(col("ts")))).as("_t"))
+              .select(pin(col("_t")).as("_at_b"))
+            shifted.join(broadcast(b), col("bucket_s") === col("_at_b"))
+              .drop("_at_b")
+        }
+      }
 
     // absent_over_time (upstream functions.go funcAbsentOverTime,
     // reachable from m3 via the embedded engine): the instants of the
@@ -1620,7 +1682,7 @@ object PromQL {
     // instant query too ("expression type range vector"); the parser
     // only builds Subquery under an *_over_time Func, so this arm is
     // reachable only from a malformed top-level like `x[3d:6h]`
-    case Subquery(_, _, _) =>
+    case _: Subquery =>
       throw new ParseException(
         "bare subquery is a range vector; wrap it in an *_over_time function")
   }

@@ -547,6 +547,56 @@ class PromqlSpec extends SparkSpec {
     assert(a2.isEmpty, a2.toString)
   }
 
+  test("subquery offset/@ modifiers: parse, shift, and pin") {
+    import org.apache.spark.sql.functions.col
+    // upstream SubqueryExpr carries its own offset/@ (either order)
+    val e = PromQL.parse(
+      """max_over_time(rate(x[1d])[3d:6h] offset 1d @ end())""")
+    assert(e == Func("max_over_time",
+      Subquery(Func("rate", Selector(Some("x"), Nil, Some("day"), 0L)),
+        259200L, 21600L, 86400L, Some(AtEnd))))
+    val samples = tsdb.Vectors.samples(Tables.events(spark, sf))
+    val q = """max_over_time(sum by (name) (rate({name=~"(pur|cli).*"}[1d]))[3d:6h]"""
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("name"), r.getAs[Long]("bucket_s")) ->
+        r.getAs[Double]("value")).toMap
+    // two separate jobs may associate the cross-series sum
+    // differently — compare at the gate's 1e-9 rounding, not raw ulps
+    def assertShifted(a: Map[(String, Long), Double],
+                      b: Map[(String, Long), Double], offS: Long): Unit = {
+      val bShift = b.map { case ((n, t), v) => (n, t + offS) -> v }
+      assert(a.nonEmpty && a.keySet == bShift.keySet,
+        s"keys: ${a.keySet.diff(bShift.keySet).take(3)} / " +
+          s"${bShift.keySet.diff(a.keySet).take(3)}")
+      for ((k, v) <- a)
+        assert(math.abs(v - bShift(k)) < 1e-9, s"$k: $v vs ${bShift(k)}")
+    }
+    // batch offset ≡ the unshifted result re-stamped one day forward
+    assertShifted(toMap(PromQL.query(samples, q + " offset 1d)")),
+      toMap(PromQL.query(samples, q + ")")), 86400L)
+    // range-mode offset: instant T equals the unshifted T−1d
+    val (startS, endS, stepS) = (1704412800L, 1706313600L, 21600L)
+    assertShifted(
+      toMap(PromQL.rangeQuery(samples, q + " offset 1d)", startS, endS, stepS)),
+      toMap(PromQL.rangeQuery(samples, q + ")",
+        startS - 86400L, endS - 86400L, stepS)), 86400L)
+    // range-mode @ end(): one pinned window repeated at every instant
+    val rAt = PromQL.rangeQuery(samples, q + " @ end())",
+      startS, endS, stepS)
+    val perName = rAt.groupBy("name")
+      .agg(org.apache.spark.sql.functions.countDistinct(col("value")).as("nv"),
+        org.apache.spark.sql.functions.count(col("value")).as("n"))
+      .collect().map(r => (r.getAs[Long]("nv"), r.getAs[Long]("n")))
+    val nGrid = (endS - startS) / stepS + 1
+    assert(perName.nonEmpty &&
+      perName.forall { case (nv, n) => nv == 1 && n == nGrid }, perName.toSeq)
+    // batch @ pins the last step-aligned instant ≤ T
+    val bAt = PromQL.query(samples, q + " @ 1705000000)")
+      .select("bucket_s").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    assert(bAt == Seq(1705000000L - 1705000000L % 21600L), bAt.toString)
+  }
+
   test("two-phase cell windows equal the direct per-sample expansion") {
     import org.apache.spark.sql.functions.col
     import graft.promql.PromQL.{RangeCtx, gridWindowCells, gridWindowDirect}
