@@ -62,6 +62,20 @@ object M3QL {
   private def labelsOf(df: DataFrame): Seq[String] =
     df.columns.toSeq.filterNot(Set("bucket_s", "value", "ts", "event_id"))
 
+  /** Numeric stage arguments reject through the parser's own error
+    * type — the reference grammar validates number tokens in its PEG
+    * rules (grammar.peg.go's numericLiteral), so a malformed `< 00<`
+    * is a parse error there, never a runtime panic. */
+  private def numArg(s: String): Double =
+    try s.toDouble catch { case _: NumberFormatException =>
+      throw new ParseException(s"expected a number, got '$s'") }
+  private def intArg(s: String): Int =
+    try s.toInt catch { case _: NumberFormatException =>
+      throw new ParseException(s"expected an integer, got '$s'") }
+  private def longArg(s: String): Long =
+    try s.toLong catch { case _: NumberFormatException =>
+      throw new ParseException(s"expected an integer, got '$s'") }
+
   def query(samples: DataFrame, q: String): DataFrame = {
     // macro definitions: `name = pipeline ; … ; main-pipeline`
     val parts = splitTop(q, ';')
@@ -198,8 +212,15 @@ object M3QL {
               // passed unanchored; a non-regexed pattern stays an Eq
               // matcher unless it carries escapes (then the regex body
               // holds the unescaped literal semantics).
+              // an invalid glob is a parse error here (the reference's
+              // PEG pattern rule rejects it in the grammar), unlike the
+              // graphite route where GlobException mirrors that API's
+              // invalid-params response
               val (body, regexed) =
-                graft.graphite.Glob.toRegexFlagged(pattern)
+                try graft.graphite.Glob.toRegexFlagged(pattern)
+                catch { case e: graft.graphite.Glob.GlobException =>
+                  throw new ParseException(s"bad pattern '$pattern': ${e.getMessage}")
+                }
               if (regexed || pattern.contains('\\'))
                 Fetch.Matcher(label, Fetch.Re, body)
               else Fetch.Matcher(label, Fetch.Eq, pattern)
@@ -213,7 +234,7 @@ object M3QL {
         in // the flag is read by query(); the stage itself is a no-op
       case ("percentile" :: qstr :: by, Some(in)) =>
         in.groupBy((by :+ "bucket_s").map(col): _*)
-          .agg(percentile(col("value"), lit(qstr.toDouble / 100.0)).as("value"))
+          .agg(percentile(col("value"), lit(numArg(qstr) / 100.0)).as("value"))
       case (("top" | "bottom") :: k :: by, Some(in)) =>
         val rest = labelsOf(in).filterNot(by.contains)
         val ord =
@@ -221,7 +242,7 @@ object M3QL {
             rest.map(col(_).asc)
         val w = Window.partitionBy((by :+ "bucket_s").map(col): _*).orderBy(ord: _*)
         in.withColumn("_rk", row_number().over(w))
-          .where(col("_rk") <= k.toInt).drop("_rk")
+          .where(col("_rk") <= intArg(k)).drop("_rk")
       case (op :: by, Some(in)) if aggOps(op) =>
         val agg: Column = op match {
           case "sum"    => sum("value")
@@ -235,24 +256,24 @@ object M3QL {
         in.groupBy((by :+ "bucket_s").map(col): _*).agg(agg.as("value"))
       case (op :: n :: Nil, Some(in)) if cmpOps(op) =>
         val v = col("value")
-        val s = lit(n.toDouble)
+        val s = lit(numArg(n))
         in.where(op match {
           case "<" => v < s;  case "<=" => v <= s
           case ">" => v > s;  case ">=" => v >= s
           case "==" => v === s; case "!=" => v =!= s
         })
       case ("scale" :: k :: Nil, Some(in)) =>
-        in.withColumn("value", col("value") * lit(k.toDouble))
+        in.withColumn("value", col("value") * lit(numArg(k)))
       case ("offset" :: k :: Nil, Some(in)) =>
-        in.withColumn("value", col("value") + lit(k.toDouble))
+        in.withColumn("value", col("value") + lit(numArg(k)))
       case ("transformNull" :: rest, Some(in)) if rest.length <= 1 =>
         in.withColumn("value",
-          coalesce(col("value"), lit(rest.headOption.map(_.toDouble).getOrElse(0.0))))
+          coalesce(col("value"), lit(rest.headOption.map(numArg).getOrElse(0.0))))
       case ("clamp" :: args, Some(in)) =>
         val (kw, pos) = kwArgs(args)
         if (pos.nonEmpty) throw new ParseException(s"clamp takes min:/max: args, got $pos")
-        val lo = kw.get("min").map(_.toDouble)
-        val hi = kw.get("max").map(_.toDouble)
+        val lo = kw.get("min").map(numArg)
+        val hi = kw.get("max").map(numArg)
         val clamped = (lo, hi) match {
           case (Some(a), Some(b)) => least(greatest(col("value"), lit(a)), lit(b))
           case (Some(a), None) => greatest(col("value"), lit(a))
@@ -261,7 +282,7 @@ object M3QL {
         }
         in.withColumn("value", clamped)
       case ("timeshift" :: s :: Nil, Some(in)) =>
-        in.withColumn("bucket_s", col("bucket_s") + lit(s.toLong))
+        in.withColumn("bucket_s", col("bucket_s") + lit(longArg(s)))
       case (fn :: Nil, Some(in)) if fns(fn) =>
         val v = col("value")
         in.withColumn("value", fn match {
