@@ -1181,6 +1181,15 @@ object TsdbQueries {
       graft.promql.PromQL.query(samples(s, dir),
         """quantile_over_time(0.9, rate({name="purchase"}[1d])[3d:6h])""")
         .orderBy("name", "user_id", "bucket_s")),
+    "pql_subquery_sparse" -> ((s, dir) =>
+      // sparse subquery — the r12 fuzz find: an inner window SHORTER
+      // than the subquery step (1h sampled every 6h) leaves GAPS
+      // between windows; Spark's window() can't express slide >
+      // duration, so Temporal.withSlidingW tiles tumbling step cells
+      // and keeps each cell's trailing lookback
+      graft.promql.PromQL.query(samples(s, dir),
+        """max_over_time(sum_over_time({name="purchase"}[1h])[2d:6h])""")
+        .orderBy("name", "user_id", "bucket_s")),
     // the subquery's OWN offset modifier (r12, upstream SubqueryExpr
     // offset): instant T reads the steps of (T−1d−3d, T−1d] — the
     // time-shifted alerting comparison
@@ -3440,6 +3449,22 @@ object TsdbQueries {
          |   ORDER BY bucket_s
          |   RANGE BETWEEN 259199 PRECEDING AND CURRENT ROW), 6) AS value
          | FROM rv
+         | ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),
+    // gap windows: inner 1h window joined to the 6h step grid (the
+    // same membership bounds work for ANY lookback/step ratio), then
+    // the right-closed trailing-2d range window over the steps
+    "pql_subquery_sparse" ->
+      s"""WITH iv AS (SELECT s.name, s.user_id, g.bucket_s,
+         |  round(sum(s.value), 6) AS value
+         | FROM (SELECT * FROM ($S) AS s0 WHERE name = 'purchase') AS s
+         | JOIN ($GRID) AS g
+         |  ON floor(epoch(s.ts)) >= g.bucket_s - 3600
+         |  AND floor(epoch(s.ts)) < g.bucket_s
+         | GROUP BY 1, 2, 3)
+         | SELECT name, user_id, bucket_s,
+         |  max(value) OVER (PARTITION BY name, user_id ORDER BY bucket_s
+         |   RANGE BETWEEN 172799 PRECEDING AND CURRENT ROW) AS value
+         | FROM iv
          | ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),
     "pql_subquery_agg" ->
       s"""WITH rv AS (SELECT name, user_id, bucket_s,

@@ -264,10 +264,8 @@ object Temporal {
                           stepS: Long = 21600L,
                           labelCols: Seq[String] = labels,
                           rightClosed: Boolean = false): DataFrame =
-    samples
-      .groupBy(labelCols.map(col) :+
-        window(windowTs(rightClosed), s"$lookbackS seconds",
-          s"$stepS seconds").as("w"): _*)
+    withSlidingW(samples, windowTs(rightClosed), lookbackS, stepS)
+      .groupBy((labelCols :+ "w").map(col): _*)
       .agg(
         round(sum("value"), 6).as("sum_v"),
         round(avg("value"), 6).as("avg_v"),
@@ -291,6 +289,34 @@ object Temporal {
     if (rightClosed) col("ts") - expr("INTERVAL 1 MICROSECOND")
     else col("ts")
 
+  /** Sliding-window assignment valid for ANY (lookback, step) pair,
+    * emitting the same `w` struct (start = end − lookback, end = the
+    * step-aligned instant) the downstream aggregations key on.
+    *
+    * Spark's `window(ts, lookback, step)` requires slide ≤ duration;
+    * PromQL doesn't — a subquery like `rate(x[1h])[12h:6h]` samples a
+    * 1h window every 6h, leaving GAPS between windows (vendored
+    * upstream promql/engine.go evaluates each step independently, so
+    * any lookback/step combination is legal). For step > lookback the
+    * step-aligned instants tile as tumbling cells of width step; a
+    * sample contributes to its cell's instant iff it lies in the
+    * trailing lookback of that cell, so assignment is one tumbling
+    * window + a filter — still map-local, no extra shuffle, and the
+    * expansion factor is at most 1 (each sample reaches at most one
+    * instant, vs lookback/step copies in the overlapping case). */
+  private def withSlidingW(df: DataFrame, tsw: Column,
+                           lookbackS: Long, stepS: Long): DataFrame =
+    if (stepS <= lookbackS)
+      df.withColumn("w", window(tsw, s"$lookbackS seconds", s"$stepS seconds"))
+    else
+      df.withColumn("_wt", window(tsw, s"$stepS seconds"))
+        .where(unix_micros(tsw) >=
+          unix_micros(col("_wt.end")) - lookbackS * 1000000L)
+        .withColumn("w", struct(
+          (col("_wt.end") - expr(s"INTERVAL $lookbackS SECOND")).as("start"),
+          col("_wt.end").as("end")))
+        .drop("_wt")
+
   /** As-of instant vectors — m3's consolidated instant evaluation
     * (src/query/ts/values.go: the value AT each step-aligned instant
     * is the most recent sample within the lookback window, not a
@@ -303,10 +329,7 @@ object Temporal {
                   stepS: Long = 21600L,
                   labelCols: Seq[String] = labels,
                   rightClosed: Boolean = false): DataFrame =
-    samples
-      .select(col("*"),
-        window(windowTs(rightClosed), s"$lookbackS seconds",
-          s"$stepS seconds").as("w"))
+    withSlidingW(samples, windowTs(rightClosed), lookbackS, stepS)
       .withColumn("bucket_s", unix_timestamp(col("w.end")))
       .withColumn("ord_key", packedOrdKey(windowTs(rightClosed), lookbackS))
       .groupBy((labelCols :+ "bucket_s").map(col): _*)
@@ -346,9 +369,7 @@ object Temporal {
       .withColumn("tsw", windowTs(rightClosed))
       .withColumn("prev_v", lag("value", 1).over(wSeries))
       .withColumn("prev_tsw", lag("tsw", 1).over(wSeries))
-    val expanded = withPrev
-      .select(col("*"),
-        window(col("tsw"), s"$lookbackS seconds", s"$stepS seconds").as("w"))
+    val expanded = withSlidingW(withPrev, col("tsw"), lookbackS, stepS)
       .withColumn("bucket_s", unix_timestamp(col("w.end")))
       // packed in-window ordering key with the wide-window struct
       // fallback (see packedOrdKey)

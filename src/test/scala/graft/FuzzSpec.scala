@@ -84,17 +84,32 @@ class FuzzSpec extends SparkSpec {
 
   // ---------------- PromQL ----------------
 
-  private val pqlMatcher: Gen[String] = for {
-    k <- ident
-    op <- Gen.oneOf("=", "!=", "=~", "!~")
-    v <- Gen.oneOf(ident, Gen.const("a.*"), Gen.const(""))
-  } yield s"""$k$op"$v""""
+  /** `real=true` confines label references to the sample frame's
+    * actual tag columns (name/user_id) so a generated expression not
+    * only parses but also BUILDS its plan — evaluation resolves
+    * matcher/by labels against the schema. Parse-only tests use
+    * arbitrary idents for broader lexer coverage. */
+  private def pqlMatcher(real: Boolean): Gen[String] =
+    if (real) for {
+      op <- Gen.oneOf("=", "!=", "=~", "!~")
+      v <- Gen.oneOf(ident, Gen.const("a.*"), Gen.const("purchase"))
+    } yield s"""name$op"$v""""
+    else for {
+      k <- ident
+      op <- Gen.oneOf("=", "!=", "=~", "!~")
+      v <- Gen.oneOf(ident, Gen.const("a.*"), Gen.const(""))
+    } yield s"""$k$op"$v""""
 
   /** Plain instant-vector selector, optionally with offset / @. */
-  private val pqlSelector: Gen[String] = for {
-    m <- ident
-    nm <- Gen.chooseNum(0, 2)
-    ms <- Gen.listOfN(nm, pqlMatcher)
+  private def pqlSelector(real: Boolean): Gen[String] = for {
+    m <- if (real)
+      // bias toward the testdata's live series so evaluated fuzz
+      // cases exercise non-empty frames, with a miss now and then
+      Gen.frequency(5 -> Gen.oneOf("click", "purchase", "error",
+        "signup", "view"), 1 -> ident)
+    else ident
+    nm <- Gen.chooseNum(0, if (real) 1 else 2)
+    ms <- Gen.listOfN(nm, pqlMatcher(real))
     off <- Gen.frequency(
       4 -> Gen.const(""),
       1 -> dur.map(d => s" offset $d"),
@@ -119,9 +134,15 @@ class FuzzSpec extends SparkSpec {
   /** Vector-typed expressions only: scalar leaves (numbers, time())
     * are legal solely as binop operands — `sqrt(1)` is a type error
     * upstream and here, so the generator never feeds a scalar where
-    * a function or aggregation expects an instant vector. */
-  private def pqlExpr(depth: Int): Gen[String] =
-    if (depth <= 0) pqlSelector
+    * a function or aggregation expects an instant vector.
+    *
+    * `real` → schema-resolvable labels (see [[pqlMatcher]]);
+    * `ranked` → include the per-instant ranking forms (topk/bottomk,
+    * sort) whose tie-breaking is legitimate to exclude from exact
+    * cross-run differentials. */
+  private def pqlExpr(depth: Int, real: Boolean = false,
+                      ranked: Boolean = true): Gen[String] =
+    if (depth <= 0) pqlSelector(real)
     else Gen.frequency(
       // temporal fn over a range selector. Batch mode evaluates
       // non-sliding-capable temporal fns on calendar windows only
@@ -129,7 +150,7 @@ class FuzzSpec extends SparkSpec {
       // duration — mirror that contract in the generator.
       3 -> (for {
         fn <- pqlTemporal
-        s <- pqlSelector
+        s <- pqlSelector(real)
         slidingOk = Set("rate", "increase", "delta", "sum_over_time",
           "avg_over_time", "min_over_time", "max_over_time",
           "count_over_time")(fn)
@@ -140,31 +161,35 @@ class FuzzSpec extends SparkSpec {
       } yield s"$fn($base[$d]$tail)"),
       // transform over a sub-expression
       2 -> (for {
-        fn <- pqlTransform; a <- pqlExpr(depth - 1)
+        fn <- if (ranked) pqlTransform
+              else Gen.oneOf("abs", "ceil", "floor", "exp", "sqrt",
+                "sgn", "sin", "cos", "atan", "absent")
+        a <- pqlExpr(depth - 1, real, ranked)
       } yield s"$fn($a)"),
       // aggregation, with optional by/without
       2 -> (for {
-        op <- pqlAgg; a <- pqlExpr(depth - 1)
-        lbl <- ident
+        op <- pqlAgg; a <- pqlExpr(depth - 1, real, ranked)
+        lbl <- if (real) Gen.oneOf("name", "user_id") else ident
         by <- Gen.oneOf("", s" by ($lbl)", s" without ($lbl)")
       } yield s"$op$by($a)"),
       // parameterized aggs
-      1 -> (for {
-        a <- pqlExpr(depth - 1)
+      (if (ranked) 1 else 0) -> (for {
+        a <- pqlExpr(depth - 1, real, ranked)
         k <- Gen.chooseNum(1, 9)
         form <- Gen.oneOf(s"topk($k, $a)", s"bottomk($k, $a)",
           s"quantile(0.9, $a)")
       } yield form),
       // scalar binop on either side
       2 -> (for {
-        a <- pqlExpr(depth - 1)
+        a <- pqlExpr(depth - 1, real, ranked)
         op <- Gen.oneOf("+", "-", "*", "/", "^")
         n <- Gen.chooseNum(1, 99)
         flip <- Gen.oneOf(true, false)
       } yield if (flip) s"$a $op $n" else s"$n $op $a"),
       // vector-vector set/arith op between two sub-expressions
       1 -> (for {
-        a <- pqlExpr(depth - 1); b <- pqlExpr(depth - 1)
+        a <- pqlExpr(depth - 1, real, ranked)
+        b <- pqlExpr(depth - 1, real, ranked)
         op <- Gen.oneOf("+", "and", "or", "unless")
       } yield s"($a) $op ($b)"),
       // subquery: outer *_over_time over sliding-capable inner
@@ -178,7 +203,7 @@ class FuzzSpec extends SparkSpec {
       } yield s"$outer($q$inner($m[$d])[${steps * 6}h:6h])"))
 
   test("fuzz: generated PromQL expressions parse") {
-    check(Prop.forAllNoShrink(Gen.chooseNum(0, 3).flatMap(pqlExpr)) { q =>
+    check(Prop.forAllNoShrink(Gen.chooseNum(0, 3).flatMap(d => pqlExpr(d))) { q =>
       try { PromQL.parse(q); Prop.passed } catch {
         case e: Throwable => Prop.falsified :| s"$q -> ${e.getMessage}"
       }
@@ -188,12 +213,96 @@ class FuzzSpec extends SparkSpec {
   test("fuzz: mutated PromQL rejects only with ParseException") {
     val alphabet = """()[]{}:,@^*/+-=~!"_ .0123456789aZsmhd"""
     val gen = for {
-      q <- Gen.chooseNum(0, 3).flatMap(pqlExpr)
+      q <- Gen.chooseNum(0, 3).flatMap(d => pqlExpr(d))
       m <- mutate(q, alphabet)
     } yield m
     check(Prop.forAllNoShrink(gen) { q =>
       total(() => PromQL.parse(q), classOf[PromQL.ParseException], q)
     }, 500)
+  }
+
+  // ---------------- PromQL range-query door ----------------
+
+  test("fuzz: generated expressions build at the range-query door") {
+    // every batch-valid expression the generator emits must also be
+    // accepted by rangeQuery — range mode is a window superset (any
+    // duration, subqueries, @) and must not regress batch forms
+    val (startS, endS, stepS) = (1704240000L, 1704412800L, 21600L)
+    check(Prop.forAllNoShrink(
+      Gen.chooseNum(0, 3).flatMap(d => pqlExpr(d, real = true))) { q =>
+      try { PromQL.rangeQuery(samples, q, startS, endS, stepS); Prop.passed }
+      catch { case e: Throwable =>
+        Prop.falsified :| s"$q -> ${e.getClass.getSimpleName}: ${e.getMessage}"
+      }
+    }, 150)
+  }
+
+  test("fuzz: mutated range-mode inputs reject as parse/analysis errors") {
+    val alphabet = """()[]{}:,@^*/+-=~!"_ .0123456789aZsmhd"""
+    val (startS, endS, stepS) = (1704240000L, 1704412800L, 21600L)
+    val gen = for {
+      q <- Gen.chooseNum(0, 3).flatMap(d => pqlExpr(d, real = true))
+      m <- mutate(q, alphabet)
+    } yield m
+    check(Prop.forAllNoShrink(gen) { q =>
+      // the fused build path has two controlled-rejection classes:
+      // the parser's own errors, and Catalyst analysis for mutants
+      // that stay grammatical but name a label the frame lacks
+      try { PromQL.rangeQuery(samples, q, startS, endS, stepS); Prop.passed }
+      catch {
+        case _: PromQL.ParseException => Prop.passed
+        case _: org.apache.spark.sql.AnalysisException => Prop.passed
+        case e: Throwable => Prop.falsified :| {
+          s"uncontrolled ${e.getClass.getSimpleName}: ${e.getMessage} on <$q>"
+        }
+      }
+    }, 300)
+  }
+
+  test("property: range-query values are step-invariant") {
+    // A grid instant's value depends only on T, never on the grid it
+    // sits in (Prometheus evaluates each step independently): the
+    // 12h-step run must reproduce the 6h-step run exactly at every
+    // shared instant, for ANY generated expression. Ranking forms
+    // (topk/sort) are excluded — their per-instant tie-breaking is a
+    // legitimate cross-run difference.
+    val (startS, endS) = (1704240000L, 1704672000L)
+    def rows(q: String, stepS: Long): Map[(Long, String), Double] =
+      PromQL.rangeQuery(samples, q, startS, endS, stepS).collect().map { r =>
+        val labels = r.schema.fieldNames.sorted
+          .filterNot(f => f == "value" || f == "bucket_s")
+          .map(f => f + "=" + String.valueOf(r.getAs[Any](f))).mkString(",")
+        val v = r.getAs[Any]("value") match {
+          case null => Double.NaN
+          case d: java.lang.Double => d.doubleValue()
+          case x => x.toString.toDouble
+        }
+        (r.getAs[Long]("bucket_s"), labels) -> v
+      }.toMap
+    def close(a: Double, b: Double): Boolean =
+      (a.isNaN && b.isNaN) || a == b ||
+        math.abs(a - b) <= 1e-9 * math.max(math.abs(a), math.abs(b))
+    check(Prop.forAllNoShrink(
+      Gen.chooseNum(1, 3).flatMap(d =>
+        pqlExpr(d, real = true, ranked = false))) { q =>
+      try {
+        val fine = rows(q, 21600L)
+        val coarse = rows(q, 43200L)
+        val fineAtCoarse = fine.filter { case ((b, _), _) =>
+          (b - startS) % 43200L == 0 }
+        if (fineAtCoarse.keySet != coarse.keySet)
+          Prop.falsified :| s"instant sets differ for <$q>: " +
+            s"${fineAtCoarse.keySet.diff(coarse.keySet).take(2)} / " +
+            s"${coarse.keySet.diff(fineAtCoarse.keySet).take(2)}"
+        else coarse.find { case (k, v) => !close(v, fineAtCoarse(k)) } match {
+          case Some((k, v)) =>
+            Prop.falsified :| s"$k: coarse $v vs fine ${fineAtCoarse(k)} for <$q>"
+          case None => Prop.passed
+        }
+      } catch { case e: Throwable =>
+        Prop.falsified :| s"$q -> ${e.getClass.getSimpleName}: ${e.getMessage}"
+      }
+    }, 8)
   }
 
   // ---------------- Graphite targets ----------------
@@ -251,8 +360,12 @@ class FuzzSpec extends SparkSpec {
 
   // ---------------- M3QL pipelines ----------------
 
+  // NOT cached: the suites share one SparkSession, and caching this
+  // frame would make Catalyst substitute the InMemoryRelation into
+  // every other suite's plans — PlanSpec's pushdown assertions then
+  // see no parquet scan to push into
   private lazy val samples =
-    tsdb.Vectors.samples(Tables.events(spark, sf)).cache()
+    tsdb.Vectors.samples(Tables.events(spark, sf))
 
   /** Stage list generator threading the schema: an aggregation keeps
     * only its BY labels, so later aggregations must draw from the

@@ -648,6 +648,51 @@ class PromqlSpec extends SparkSpec {
     assert(d2 == c2 && d2.nonEmpty, s"direct $d2 vs cells $c2")
   }
 
+  test("gap windows: sliding evaluation with step > lookback") {
+    // Spark's window() can't express slide > duration, but PromQL
+    // can: rate(x[1h])[12h:6h] samples a 1h window every 6h with
+    // gaps between windows. The generalized assignment (Temporal
+    // .withSlidingW: tumbling step cells + trailing-lookback filter)
+    // must keep ONLY the samples in the last hour before each
+    // step-aligned instant.
+    val s0 = spark
+    import s0.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    val samples = Seq(
+      ("m", 1L, 3000L, 16.0, 1L),   // cell 1, outside trailing hour
+      ("m", 1L, 17999L, 8.0, 2L),   // 1 s before the trailing hour
+      ("m", 1L, 18001L, 1.0, 3L),   // inside (18000, 21600]
+      ("m", 1L, 21599L, 2.0, 4L),   // inside
+      ("m", 1L, 21600L, 4.0, 5L)    // ON the instant: right-closed in
+    ).toDF("name", "user_id", "tss", "value", "event_id")
+      .select(col("name"), col("user_id"),
+        timestamp_seconds(col("tss")).as("ts"), col("value"),
+        col("event_id"))
+    // primitive: right-closed (T−1h, T] at 6h instants
+    val agg = tsdb.Temporal.overTimeAggsSliding(samples,
+      lookbackS = 3600L, stepS = 21600L, rightClosed = true)
+      .collect().map(r => r.getAs[Long]("bucket_s") ->
+        (r.getAs[Double]("sum_v"), r.getAs[Long]("count_v"))).toMap
+    assert(agg == Map(21600L -> ((7.0, 3L))),
+      s"expected only instant 21600 with the trailing-hour samples: $agg")
+    // end-to-end at the range door: the sparse subquery. The inner
+    // evaluation uses the engine's CANONICAL left-closed bound
+    // [T−1h, T) (the oracle-mirrored default; rightClosed is the
+    // opt-in Prometheus bound-parity mode), so
+    // count_over_time(m[1h]) at epoch-aligned 6h steps emits only
+    // (21600 → 2): samples 18001 and 21599; the sample ON the
+    // instant falls to the NEXT cell and ages past its trailing
+    // hour. The outer *_over_time windows the inner step frame with
+    // the right-closed (T−12h, T] subquery bound, so the step shows
+    // at T = 21600 and 43200, then ages out at 64800.
+    val r = PromQL.rangeQuery(samples,
+      "max_over_time(count_over_time(m[1h])[12h:6h])",
+      21600L, 86400L, 21600L)
+      .collect().map(x => x.getAs[Long]("bucket_s") ->
+        x.getAs[Double]("value")).toMap
+    assert(r == Map(21600L -> 2.0, 43200L -> 2.0), s"got $r")
+  }
+
   test("end-to-end: rate sum equals API composition") {
     val samples = tsdb.Vectors.samples(Tables.events(spark, sf))
     val viaPql = PromQL.query(samples,
