@@ -240,8 +240,10 @@ object PromQL {
         throw new ParseException(s"$fn does not accept a subquery argument")
       if (!fnParams(fn).contains(ps.length) || !fnSParams(fn).contains(sps.length))
         throw new ParseException(s"$fn: wrong arity over a subquery")
-      if (sq.lookbackS < sq.stepS)
-        throw new ParseException("subquery lookback must be >= step")
+      // any lookback/step ratio is legal (upstream SubqueryExpr):
+      // lookback < step (x[5m:1h]) means most windows hold at most
+      // the current step — batch mode's trailing RANGE frame and the
+      // range door's gridExpand both degrade to that naturally
       def checkInner(ifn: String, s: Selector): Unit = {
         if (!temporalFns(ifn) || !slidingFns(ifn))
           throw new ParseException(

@@ -144,8 +144,12 @@ class PromqlSpec extends SparkSpec {
     // nested subqueries unsupported
     intercept[ParseException](
       PromQL.parse("max_over_time(rate(x[1d:6h])[3d:6h])"))
-    // lookback must cover at least one step
-    intercept[ParseException](PromQL.parse("max_over_time(rate(x[1d])[1h:6h])"))
+    // lookback < step is LEGAL upstream (x[1h:6h]: each trailing 1h
+    // window holds at most the current 6h step) — accepted since r12
+    assert(PromQL.parse("max_over_time(rate(x[1d])[1h:6h])") ==
+      Func("max_over_time",
+        Subquery(Func("rate",
+          Selector(Some("x"), Nil, Some("day"), 0L)), 3600L, 21600L)))
     // a subquery range without :step stays an error (not a selector range)
     intercept[ParseException](PromQL.parse("max_over_time(rate(x[1d])[3d])"))
     // aggregated body: sum(rate(...)) steps then windows
@@ -691,6 +695,17 @@ class PromqlSpec extends SparkSpec {
       .collect().map(x => x.getAs[Long]("bucket_s") ->
         x.getAs[Double]("value")).toMap
     assert(r == Map(21600L -> 2.0, 43200L -> 2.0), s"got $r")
+    // the inverse ratio — subquery lookback SHORTER than its step
+    // ([1h:6h], legal upstream, accepted since r12): each trailing
+    // (T−1h, T] window over the 6h step grid holds exactly the
+    // current step, so the outer max is the identity on the stepped
+    // inner values. Inner sum_over_time(m[6h]) at 6h steps:
+    // [0, 21600) → 16+8+1+2 = 27, [21600, 43200) → 4.
+    val inv = PromQL.query(samples,
+      "max_over_time(sum_over_time(m[6h])[1h:6h])")
+      .collect().map(x => x.getAs[Long]("bucket_s") ->
+        x.getAs[Double]("value")).toMap
+    assert(inv == Map(21600L -> 27.0, 43200L -> 4.0), s"got $inv")
   }
 
   test("end-to-end: rate sum equals API composition") {
