@@ -144,9 +144,12 @@ object GraphiteQueries {
           col("sort_rank").cast("long").as("sort_rank"))
         .orderBy("sort_rank", "bucket_s")),
     "gr_npercentile" -> ((s, dir) =>
+      // constant series over the original buckets, renamed
+      // nPercentile(name, 95.000) — the reference NPercentile shape
       Graphite.nPercentile(Graphite.averageAbove(frame(s, dir), 100.0), 95.0)
-        .select(col("path"), round(col("value"), 6).as("value"))
-        .orderBy("path")),
+        .select(col("path"), col("bucket_s"),
+          round(col("value"), 6).as("value"))
+        .orderBy("path", "bucket_s")),
     "gr_group_sum" -> ((s, dir) =>
       Graphite.groupByNode(frame(s, dir), 1, "sum")
         .select(col("path"), col("bucket_s"), round(col("value"), 6).as("value"))
@@ -529,11 +532,14 @@ object GraphiteQueries {
     "gr_npercentile" ->
       s"""WITH s AS (SELECT path, list_sort(list(value)) AS l,
          |   count(value) AS n, avg(value) AS m
-         |  FROM ($PF) AS p GROUP BY path)
-         | SELECT path, round(l[CAST(GREATEST(LEAST(
+         |  FROM ($PF) AS p GROUP BY path),
+         | pv AS (SELECT path, round(l[CAST(GREATEST(LEAST(
          |   ceil(0.95 * (n + 1)), n), 1) AS INT)], 6) AS value
-         | FROM s WHERE m > 100.0
-         | ORDER BY path""".stripMargin.replace("\n", " "),
+         |  FROM s WHERE m > 100.0)
+         | SELECT 'nPercentile(' || p.path || ', 95.000)' AS path,
+         |  p.bucket_s, pv.value
+         | FROM ($PF) AS p JOIN pv ON p.path = pv.path
+         | ORDER BY path, bucket_s""".stripMargin.replace("\n", " "),
     "gr_group_sum" ->
       s"""SELECT string_split(path, '.')[2] AS path, bucket_s,
          | round(sum(value), 6) AS value FROM ($PF) AS p

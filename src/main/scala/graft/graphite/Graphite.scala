@@ -520,14 +520,31 @@ object Graphite {
     when(n > 0, out)
   }
 
-  /** nPercentile(series, p) (builtin_functions.go:1556): each series
-    * flattened to its p-th percentile value (GetPercentile with
-    * interpolate=false — NOT the interpolated quantile). The
-    * aggregation array is one series' non-null points, the same
-    * bound the reference holds in memory per series. */
-  def nPercentile(df: DataFrame, p: Double): DataFrame =
-    df.groupBy("path")
-      .agg(getPercentile(sort_array(collect_list(col("value"))), p).as("value"))
+  /** nPercentile(series, p) (builtin_functions.go:1556 →
+    * common/percentiles.go NPercentile): each series becomes a
+    * CONSTANT series over its own time range — every point carries
+    * the p-th percentile value (GetPercentile with
+    * interpolate=false, NOT the interpolated quantile) and the
+    * series renames to `nPercentile(name, p)` with the %.3f
+    * percentile format (percentiles.go FloatingPointFormat).
+    * Keeping the time axis is what lets the result compose under
+    * further functions (maxSeries(nPercentile(...)) — the r12 fuzz
+    * find: the old flattened one-row-per-path shape broke every
+    * downstream consumer expecting bucket_s). Series with no
+    * non-null points drop (SafeValues: the NaN-percentile guard).
+    * The per-path percentile frame is one row per series →
+    * broadcast back onto the buckets. */
+  def nPercentile(df: DataFrame, p: Double): DataFrame = {
+    val pct = df.groupBy("path")
+      .agg(getPercentile(sort_array(collect_list(col("value"))), p).as("_pv"))
+      .where(col("_pv").isNotNull)
+    df.select("path", "bucket_s")
+      .join(broadcast(pct), Seq("path"))
+      .select(
+        concat(lit("nPercentile("), col("path"),
+          lit(", " + f"$p%.3f" + ")")).as("path"),
+        col("bucket_s"), col("_pv").as("value"))
+  }
 
   /** alias(series, name) (builtin_functions.go alias): rename every
     * series to a constant display name. */

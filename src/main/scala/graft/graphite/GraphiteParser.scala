@@ -132,7 +132,13 @@ object GraphiteParser {
         case "mon"       => 2592000L
         case "y"         => 31536000L
       }
-      m.group(1).toLong * mult
+      // regex-matched digits can still overflow Long past 19 digits —
+      // reject as a parse error, not a NumberFormat escape
+      val n = try m.group(1).toLong catch {
+        case _: NumberFormatException =>
+          throw new ParseException(s"duration out of range: ${m.group(0)}")
+      }
+      n * mult
     }.sum
   }
 
@@ -241,10 +247,13 @@ object GraphiteParser {
                   renderSeriesAllNaNs: Boolean = false,
                   unit: String = "hour"): DataFrame = {
     if (targets.isEmpty) throw new ParseException("no target specified")
+    // allowMissingColumns: a ranked target (sortByMaxima) carries
+    // sort_rank, a plain one doesn't — the union keeps it where
+    // present, null elsewhere
     val all = targets.zipWithIndex.map { case (t, i) =>
       render(samples, t, from, until, nowS, unit)
         .withColumn("target_idx", lit(i))
-    }.reduce(_.unionByName(_))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
     val kept =
       if (renderSeriesAllNaNs) all
       else all.join(
@@ -278,13 +287,17 @@ object GraphiteParser {
       case Seq(T(n), _*) => eval(n, base, samples, unit)
       case other => throw new ParseException(s"$fn needs a series argument, got $other")
     }
-  private def num(fn: String, args: Seq[Arg], i: Int): Double = args(i) match {
-    case N(d) => d
-    case other => throw new ParseException(s"$fn arg $i must be a number, got $other")
+  // required-argument access goes through lift: a missing argument is
+  // the parser's own error, never an index escape (the r12 fuzz find)
+  private def num(fn: String, args: Seq[Arg], i: Int): Double = args.lift(i) match {
+    case Some(N(d)) => d
+    case other => throw new ParseException(
+      s"$fn arg $i must be a number, got ${other.getOrElse("nothing")}")
   }
-  private def str(fn: String, args: Seq[Arg], i: Int): String = args(i) match {
-    case S(s) => s
-    case other => throw new ParseException(s"$fn arg $i must be a string, got $other")
+  private def str(fn: String, args: Seq[Arg], i: Int): String = args.lift(i) match {
+    case Some(S(s)) => s
+    case other => throw new ParseException(
+      s"$fn arg $i must be a string, got ${other.getOrElse("nothing")}")
   }
   /** moving-family window: a point count (`3`) or a duration string
     * (`"5h"`), converted via the frame's actual consolidation step —
@@ -294,11 +307,11 @@ object GraphiteParser {
     * floor-then-min(1). */
   private def windowPoints(fn: String, args: Seq[Arg], i: Int,
                            unit: String): Int =
-    args(i) match {
-      case N(d) => d.toInt
-      case S(s) => math.max(1, (durSeconds(s) / stepOf(unit)).toInt)
-      case other =>
-        throw new ParseException(s"$fn arg $i must be a number or duration, got $other")
+    args.lift(i) match {
+      case Some(N(d)) => d.toInt
+      case Some(S(s)) => math.max(1, (durSeconds(s) / stepOf(unit)).toInt)
+      case other => throw new ParseException(
+        s"$fn arg $i must be a number or duration, got ${other.getOrElse("nothing")}")
     }
   private def optNum(args: Seq[Arg], i: Int, default: Double): Double =
     args.lift(i).collect { case N(d) => d }.getOrElse(default)
@@ -323,13 +336,22 @@ object GraphiteParser {
     "multiplySeries", "diffSeries", "rangeOfSeries", "stddevSeries",
     "countSeries", "group", "powSeries")
 
+  /** A frame consumed where series ORDER is meaningless (multi-series
+    * aggregation unions, the two-series combinators): shed the
+    * ranked family's sort_rank column so differently-shaped
+    * sub-results union cleanly — sumSeries(sortByMaxima(x), y) is
+    * legal graphite (the r12 fuzz find). Rank-consuming chains
+    * (limit∘sortByMaxima) evaluate through `one()` and keep it. */
+  private def unordered(df: DataFrame): DataFrame =
+    if (df.columns.contains("sort_rank")) df.drop("sort_rank") else df
+
   def eval(node: Node, base: DataFrame,
            samples: DataFrame = null,
            unit: String = "hour"): DataFrame = node match {
     case Path(glob) => base.where(col("path").rlike(globRe(glob)))
     case Call(fn, args) if multiSeriesFns(fn) && args.nonEmpty =>
       val frames = args.map {
-        case T(n) => eval(n, base, samples, unit)
+        case T(n) => unordered(eval(n, base, samples, unit))
         case other => throw new ParseException(s"$fn takes series args, got $other")
       }
       val in = frames.reduce(_.unionByName(_))
@@ -361,9 +383,10 @@ object GraphiteParser {
       }
     case Call(fn @ ("divideSeries" | "divideSeriesLists" |
                     "fallbackSeries" | "weightedAverage"), args) =>
-      val (a, b) = (args(0), args(1)) match {
-        case (T(x), T(y)) =>
-          (eval(x, base, samples, unit), eval(y, base, samples, unit))
+      val (a, b) = (args.lift(0), args.lift(1)) match {
+        case (Some(T(x)), Some(T(y))) =>
+          (unordered(eval(x, base, samples, unit)),
+            unordered(eval(y, base, samples, unit)))
         case other => throw new ParseException(s"$fn needs two series args: $other")
       }
       fn match {
@@ -394,15 +417,15 @@ object GraphiteParser {
         case "average" => "avg"
         case h => h
       }
-      eval(args(0) match {
-        case T(n) => n
+      eval(args.lift(0) match {
+        case Some(T(n)) => n
         case other => throw new ParseException(s"consolidateBy needs a series arg: $other")
       }, Graphite.seriesFrame(samples, unit, how), samples, unit)
     case Call("cumulative", args) =>
       if (samples == null)
         throw new ParseException("cumulative needs a sample frame")
-      eval(args(0) match {
-        case T(n) => n
+      eval(args.lift(0) match {
+        case Some(T(n)) => n
         case other => throw new ParseException(s"cumulative needs a series arg: $other")
       }, Graphite.seriesFrame(samples, unit, "sum"), samples, unit)
     // sub-target template evaluation: one evaluated target per
@@ -428,7 +451,8 @@ object GraphiteParser {
       if (prefixes.isEmpty)
         throw new ParseException("applyByNode: no matching prefixes")
       prefixes.map { p =>
-        val sub = eval(parse(template.replace("%", p)), base, samples, unit)
+        val sub = unordered(
+          eval(parse(template.replace("%", p)), base, samples, unit))
         if (newName.isEmpty) sub
         else sub.withColumn("path", lit(newName.replace("%", p)))
       }.reduce(_ unionByName _)

@@ -358,6 +358,65 @@ class FuzzSpec extends SparkSpec {
     }, 500)
   }
 
+  /** Render-target generator with REAL dot-paths so the evaluated
+    * fuzz exercises the dispatch over non-empty frames. */
+  private def gEvalTarget(depth: Int): Gen[String] = {
+    val path = Gen.oneOf("events.purchase.*", "events.*.7",
+      "events.{click,view}.*", "events.error.1?", "events.*.*")
+    if (depth <= 0) path
+    else Gen.frequency(
+      2 -> path,
+      2 -> (for {
+        fn <- Gen.oneOf("sumSeries", "averageSeries", "maxSeries",
+          "absolute", "derivative", "perSecond", "sortByMaxima")
+        a <- gEvalTarget(depth - 1)
+      } yield s"$fn($a)"),
+      1 -> (for {
+        a <- gEvalTarget(depth - 1)
+        n <- Gen.chooseNum(1, 10)
+        form <- Gen.oneOf(s"scale($a, $n.5)", s"offset($a, -$n)",
+          s"highestMax($a, $n)", s"movingAverage($a, \"${n}min\")",
+          s"alias($a, \"x$n\")", s"summarize($a, \"${n}h\", \"sum\")",
+          s"keepLastValue($a)", s"nPercentile($a, 9$n)")
+      } yield form),
+      1 -> (for {
+        a <- gEvalTarget(depth - 1); b <- gEvalTarget(depth - 1)
+      } yield s"sumSeries($a, $b)"))
+  }
+
+  test("fuzz: generated graphite targets evaluate (lazy plan build)") {
+    check(Prop.forAllNoShrink(
+      Gen.chooseNum(0, 3).flatMap(gEvalTarget)) { t =>
+      try { GraphiteParser.query(samples, t); Prop.passed } catch {
+        case e: Throwable =>
+          Prop.falsified :| s"$t -> ${e.getClass.getSimpleName}: ${e.getMessage}"
+      }
+    }, 120)
+  }
+
+  test("fuzz: mutated graphite targets reject as typed render errors") {
+    // the render dispatch's controlled-rejection classes mirror the
+    // reference's typed render-API errors: the parser's own
+    // ParseException for malformed targets/args, GlobException for
+    // invalid path patterns (the invalid-params response), and
+    // Catalyst analysis for schema-level failures
+    val alphabet = """(),.*{}"' -_0123456789aZ"""
+    val gen = for {
+      t <- Gen.chooseNum(0, 3).flatMap(gEvalTarget)
+      m <- mutate(t, alphabet)
+    } yield m
+    check(Prop.forAllNoShrink(gen) { t =>
+      try { GraphiteParser.query(samples, t); Prop.passed } catch {
+        case _: GraphiteParser.ParseException => Prop.passed
+        case _: graft.graphite.Glob.GlobException => Prop.passed
+        case _: org.apache.spark.sql.AnalysisException => Prop.passed
+        case e: Throwable => Prop.falsified :| {
+          s"uncontrolled ${e.getClass.getSimpleName}: ${e.getMessage} on <$t>"
+        }
+      }
+    }, 250)
+  }
+
   // ---------------- M3QL pipelines ----------------
 
   // NOT cached: the suites share one SparkSession, and caching this

@@ -528,11 +528,19 @@ class GraphiteSpec extends SparkSpec {
     // ceil(p/100·(n+1)) clamped to [1,n], no interpolation):
     // a=(10,12,15): p30 → rank ceil(1.2)=2 → 12; p95 → rank 4→clamp 3 → 15
     // b=(50,100):   p30 → rank ceil(0.9)=1 → 50; p95 → rank 3→clamp 2 → 100
+    // nPercentile returns a CONSTANT series per input series (same
+    // buckets, renamed with the %.3f percentile — NPercentile's
+    // NewConstantValues shape), so distinct (path → value) collapses
+    // to one entry per series
     def np(p: Int): Map[String, Double] =
       eval(parse(s"nPercentile(events.*.*, $p)"), frame)
-        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    assert(np(30) == Map("events.a.user1" -> 12.0, "events.b.user2" -> 50.0))
-    assert(np(95) == Map("events.a.user1" -> 15.0, "events.b.user2" -> 100.0))
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toSet.toMap
+    assert(np(30) == Map(
+      "nPercentile(events.a.user1, 30.000)" -> 12.0,
+      "nPercentile(events.b.user2, 30.000)" -> 50.0))
+    assert(np(95) == Map(
+      "nPercentile(events.a.user1, 95.000)" -> 15.0,
+      "nPercentile(events.b.user2, 95.000)" -> 100.0))
     // movingMedian upper-median: window of (100,50) → sorted[k/2]=100
     val mm = eval(parse("movingMedian(events.b.user2, 2)"), frame)
       .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
