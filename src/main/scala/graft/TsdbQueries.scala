@@ -1270,6 +1270,14 @@ object TsdbQueries {
       graft.promql.PromQL.query(samples(s, dir),
         """absent_over_time({name="signup", user_id="3"}[1d])""")
         .orderBy("bucket_s")),
+    "pql_present_ot" -> ((s, dir) =>
+      // present_over_time COMPOSED under an aggregation (the r12
+      // batch-door fuzz find: the leaf leaked its internal present_v
+      // column name, breaking any enclosing operator) — per-day
+      // count of purchase series present
+      graft.promql.PromQL.query(samples(s, dir),
+        """sum by (name) (present_over_time({name="purchase"}[1d]))""")
+        .orderBy("name", "bucket_s")),
     "pql_group" -> ((s, dir) =>
       graft.promql.PromQL.query(samples(s, dir),
         """group by (name) ({name=~"purchase|view"})""")
@@ -3584,6 +3592,13 @@ object TsdbQueries {
          |   SELECT DISTINCT bucket_s FROM ($S) AS s2
          |   WHERE name = 'signup' AND user_id = 3)
          | ORDER BY d.bucket_s""".stripMargin.replace("\n", " "),
+    // sum of per-series presence 1.0s = distinct series present
+    "pql_present_ot" ->
+      s"""SELECT name, bucket_s,
+         |  CAST(count(DISTINCT user_id) AS DOUBLE) AS value
+         | FROM ($S) AS s WHERE name = 'purchase'
+         | GROUP BY name, bucket_s
+         | ORDER BY name, bucket_s""".stripMargin.replace("\n", " "),
     "pql_group" ->
       s"""SELECT name, bucket_s, 1.0 AS value FROM ($INST) AS i
          | WHERE regexp_full_match(name, 'purchase|view')

@@ -1392,7 +1392,11 @@ object PromQL {
         case "last_over_time"  => Temporal.lastOverTime(in, unit)
         case "stddev_over_time" => Temporal.overTimeStddev(in, unit).select(keep("stddev_v"): _*)
         case "stdvar_over_time" => Temporal.overTimeStddev(in, unit).select(keep("stdvar_v"): _*)
-        case "present_over_time" => Temporal.presentOverTime(in, unit)
+        // keep() renames to `value` like every other temporal leaf —
+        // without it, any composition over present_over_time failed
+        // to resolve the value column (r12 batch-door fuzz find)
+        case "present_over_time" =>
+          Temporal.presentOverTime(in, unit).select(keep("present_v"): _*)
         case other => throw new ParseException(s"unknown temporal fn $other")
       }, unit, samples)
 

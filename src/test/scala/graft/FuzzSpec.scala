@@ -157,7 +157,12 @@ class FuzzSpec extends SparkSpec {
         d <- if (slidingOk) dur else Gen.oneOf("1m", "1h", "1d", "1w")
         // offset/@ already live on the selector; range goes before them
         base = s.takeWhile(c => c != ' ')
-        tail = s.dropWhile(c => c != ' ')
+        tail0 = s.dropWhile(c => c != ' ')
+        // @ on a SLIDING window (non-calendar duration) is a batch-
+        // mode rejection by design — range mode pins against the
+        // explicit grid instead; keep offset, drop @ there
+        calendar = Set("1m", "1h", "1d", "1w")(d)
+        tail = if (calendar || !tail0.contains("@")) tail0 else ""
       } yield s"$fn($base[$d]$tail)"),
       // transform over a sub-expression
       2 -> (for {
@@ -219,6 +224,19 @@ class FuzzSpec extends SparkSpec {
     check(Prop.forAllNoShrink(gen) { q =>
       total(() => PromQL.parse(q), classOf[PromQL.ParseException], q)
     }, 500)
+  }
+
+  test("fuzz: generated expressions build at the batch door") {
+    // parse-valid must imply build-valid when labels resolve: the
+    // batch evaluator may not reject (or crash on) any expression
+    // the grammar accepts over the frame's real schema
+    check(Prop.forAllNoShrink(
+      Gen.chooseNum(0, 3).flatMap(d => pqlExpr(d, real = true))) { q =>
+      try { PromQL.query(samples, q); Prop.passed }
+      catch { case e: Throwable =>
+        Prop.falsified :| s"$q -> ${e.getClass.getSimpleName}: ${e.getMessage}"
+      }
+    }, 150)
   }
 
   // ---------------- PromQL range-query door ----------------
