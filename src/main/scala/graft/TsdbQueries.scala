@@ -1278,6 +1278,14 @@ object TsdbQueries {
       graft.promql.PromQL.query(samples(s, dir),
         """sum by (name) (present_over_time({name="purchase"}[1d]))""")
         .orderBy("name", "bucket_s")),
+    "pql_timestamp" -> ((s, dir) =>
+      // timestamp() at the PromQL door: instant-consolidated (the
+      // as-of sample's epoch seconds per series-day), composed under
+      // an aggregation to pin the standard frame shape (r12 fuzz
+      // find: the old per-sample shape broke every composition)
+      graft.promql.PromQL.query(samples(s, dir),
+        """max by (name) (timestamp({name=~"purchase|view"}))""")
+        .orderBy("name", "bucket_s")),
     "pql_group" -> ((s, dir) =>
       graft.promql.PromQL.query(samples(s, dir),
         """group by (name) ({name=~"purchase|view"})""")
@@ -3597,6 +3605,19 @@ object TsdbQueries {
       s"""SELECT name, bucket_s,
          |  CAST(count(DISTINCT user_id) AS DOUBLE) AS value
          | FROM ($S) AS s WHERE name = 'purchase'
+         | GROUP BY name, bucket_s
+         | ORDER BY name, bucket_s""".stripMargin.replace("\n", " "),
+    // per-series as-of sample timestamp (floor-second like Spark's
+    // unix_timestamp), then the max over series per (name, day)
+    "pql_timestamp" ->
+      s"""WITH t AS (SELECT name, user_id, bucket_s,
+         |   CAST(floor(epoch(ts)) AS DOUBLE) AS value,
+         |   row_number() OVER (PARTITION BY name, user_id, bucket_s
+         |     ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM ($S) AS s
+         |  WHERE regexp_full_match(name, 'purchase|view'))
+         | SELECT name, bucket_s, max(value) AS value
+         | FROM t WHERE rn = 1
          | GROUP BY name, bucket_s
          | ORDER BY name, bucket_s""".stripMargin.replace("\n", " "),
     "pql_group" ->

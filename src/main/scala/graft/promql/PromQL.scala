@@ -1402,7 +1402,23 @@ object PromQL {
 
     // selector-consuming transforms (need samples, not an instant frame)
     case Func("timestamp", sel: Selector, _, _) =>
-      Temporal.timestampOp(fetchFor(sel, samples))
+      // instant-consolidated: per (series, instant) the epoch seconds
+      // of the as-of sample (upstream timestamp() returns the LAST
+      // sample's timestamp at each evaluation step; the batch grid is
+      // the bare-selector dataset-grid convention). The unconsolidated
+      // per-sample form stays available as Temporal.timestampOp
+      // (ts_timestamp). Substituting value = ts before the instant
+      // consolidation makes max_by pick the same as-of sample and
+      // expose its timestamp — and the standard (labels, bucket_s,
+      // value) shape is what lets timestamp() compose under binops
+      // (the r12 batch-door fuzz find: the per-sample shape carried
+      // event_id and no bucket_s)
+      atFilter(sel,
+        Vectors.instant(
+          fetchFor(sel, samples).withColumn("value",
+            unix_timestamp(col("ts")).cast("double")),
+          sel.rangeUnit.getOrElse("day")),
+        sel.rangeUnit.getOrElse("day"), samples)
     case Func("histogram_quantile", sel: Selector, ps, _) =>
       graft.tsdb.Transform.histogramQuantile(fetchFor(sel, samples), ps.head)
         .withColumnRenamed("hq_v", "value")

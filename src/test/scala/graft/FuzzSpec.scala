@@ -205,7 +205,25 @@ class FuzzSpec extends SparkSpec {
         m <- ident; d <- dur
         steps <- Gen.chooseNum(2, 8)
         q = if (outer == "quantile_over_time") "0.5, " else ""
-      } yield s"$outer($q$inner($m[$d])[${steps * 6}h:6h])"))
+      } yield s"$outer($q$inner($m[$d])[${steps * 6}h:6h])"),
+      // the parameterized/selector-consuming tail: histogram_quantile
+      // and timestamp (plain-selector args), label_replace/label_join
+      // (string params), clamp/round, comparison binops with and
+      // without bool, count_values
+      1 -> (for {
+        a <- pqlExpr(depth - 1, real, ranked)
+        sel <- pqlSelector(real)
+        n <- Gen.chooseNum(1, 99)
+        cmp <- Gen.oneOf("==", "!=", "<", "<=", ">", ">=")
+        form <- Gen.oneOf(
+          s"histogram_quantile(0.9, ${sel.takeWhile(_ != ' ')})",
+          s"timestamp(${sel.takeWhile(_ != ' ')})",
+          s"""label_replace($a, "dst", "$$1", "name", "(.*)")""",
+          s"""label_join($a, "dst", "-", "name")""",
+          s"clamp($a, 1, 9$n)", s"round($a)", s"round($a, 10)",
+          s"$a $cmp $n", s"$a $cmp bool $n",
+          s"""count_values("v", $a)""")
+      } yield form))
 
   test("fuzz: generated PromQL expressions parse") {
     check(Prop.forAllNoShrink(Gen.chooseNum(0, 3).flatMap(d => pqlExpr(d))) { q =>
@@ -463,8 +481,23 @@ class FuzzSpec extends SparkSpec {
         op <- Gen.oneOf("<", "<=", ">", ">=", "==", "!=")
         v <- Gen.chooseNum(0, 500)
       } yield (s"$op $v", avail)
+      val misc: Gen[(String, List[String])] = for {
+        k <- Gen.chooseNum(1, 5)
+        keep <- Gen.someOf(avail)
+        form <- Gen.oneOf(
+          (s"percentile 9$k" + keep.toList.sorted.map(" " + _).mkString,
+            keep.toList.sorted),
+          (s"top $k" + keep.toList.sorted.map(" " + _).mkString, avail),
+          (s"scale $k.5", avail), (s"offset -$k", avail),
+          (s"transformNull", avail), (s"clamp min:$k max:${k * 100}", avail),
+          (s"timeshift ${k * 3600}", avail),
+          // nested sub-pipeline argument (grammar.peg Nesting)
+          (s"divide (fetch name:* | sum${keep.toList.sorted.map(" " + _).mkString})",
+            avail))
+      } yield form
       for {
-        (stage, left) <- Gen.frequency(3 -> agg, 2 -> pointwise, 1 -> cmp)
+        (stage, left) <- Gen.frequency(3 -> agg, 2 -> pointwise, 1 -> cmp,
+          1 -> misc)
         rest <- mStages(left, n - 1)
       } yield stage :: rest
     }
