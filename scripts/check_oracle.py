@@ -16,6 +16,15 @@ for t in ["region","nation","customer","supplier","part","orders",
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 names = sorted(d for d in os.listdir(outdir) if os.path.isdir(f"{outdir}/{d}"))
 fails = []
+# a query that THREW inside Verify writes no dump dir at all — without
+# this check it would silently vanish from the gate instead of failing
+# it (how the r12 pql_time_fns regression briefly hid). Verify dumps
+# the FULL oracle map even on name-filtered dev runs, so only treat
+# missing dirs as failures when this looks like a full-suite run.
+if len(names) >= 0.9 * len(oracle):
+    for m in sorted(set(oracle) - set(names)):
+        print(f"{m:24s} NO SPARK DUMP (query failed inside Verify?)")
+        fails.append(m)
 for name in names:
     files = glob.glob(f"{outdir}/{name}/*.parquet")
     spark_df = pd.concat([pq.read_table(f).to_pandas() for f in sorted(files)]) \

@@ -1231,9 +1231,11 @@ object TsdbQueries {
           round(col("value"), 6).as("value"))
         .orderBy("user_id", "bucket_s")),
     "pql_time_fns" -> ((s, dir) =>
+      // hour of the as-of sample's timestamp per (series, day) —
+      // timestamp() consolidates to the instant frame since r12
       graft.promql.PromQL.query(samples(s, dir),
         """hour(timestamp({name="purchase"}))""")
-        .orderBy("event_id")),
+        .orderBy("name", "user_id", "bucket_s")),
     "pql_at" -> ((s, dir) =>
       graft.promql.PromQL.query(samples(s, dir),
         """{name="purchase"} @ 1704855600""")
@@ -3554,10 +3556,14 @@ object TsdbQueries {
          | FROM ($INST) AS i WHERE name = 'purchase'
          | ORDER BY user_id, bucket_s""".stripMargin.replace("\n", " "),
     "pql_time_fns" ->
-      s"""SELECT event_type AS name, user_id, event_id,
-         | CAST(hour(ts) AS DOUBLE) AS value
-         | FROM events WHERE event_type = 'purchase'
-         | ORDER BY event_id""".stripMargin.replace("\n", " "),
+      s"""WITH t AS (SELECT name, user_id, bucket_s, ts,
+         |   row_number() OVER (PARTITION BY name, user_id, bucket_s
+         |     ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM ($S) AS s WHERE name = 'purchase')
+         | SELECT name, user_id, bucket_s,
+         |  CAST(hour(ts) AS DOUBLE) AS value
+         | FROM t WHERE rn = 1
+         | ORDER BY name, user_id, bucket_s""".stripMargin.replace("\n", " "),
     "pql_at" ->
       s"""SELECT name, user_id, bucket_s, value FROM ($INST) AS i
          | WHERE name = 'purchase' AND bucket_s = 1704844800
