@@ -516,17 +516,39 @@ object Corpus {
     * charset); this card joins their per-doc outputs (doc-sized,
     * id-keyed) and reduces per language. */
   def tokenizerFertility(docs: DataFrame): DataFrame = {
-    val bpe = TextAnalysis.bpeEncode(docs)
-      .select(col("doc_id"), col("n_words"), col("bpe_tokens"))
-    val uni = Unigram.encode(docs)
-      .select(col("doc_id"), col("unigram_tokens"))
-    docs.select("doc_id", "lang")
-      .join(bpe, "doc_id").join(uni, "doc_id")
+    // ONE checkpointed word-frequency frame feeds BOTH trainers and
+    // both per-word cost columns, and ONE doc-side explode attaches
+    // them — the earlier form ran bpeEncode + Unigram.encode end to
+    // end (two corpus explodes, two per-doc aggregations, two
+    // doc-keyed joins) just to re-aggregate per language
+    val wf = Unigram.wordFreq(docs)
+    val merges = TextAnalysis
+      .bpeMerges(wf.select(col("word").as("w"), col("freq")), rounds = 8)
+      .sortBy(_._1).map(t => (t._2, t._3))
+    val chars = transform(sequence(lit(1), length(col("word"))),
+      i => col("word").substr(i, lit(1)))
+    val repr0 = concat(lit(" "), concat_ws("  ", chars), lit(" "))
+    val reprN = merges.foldLeft(repr0) { case (c, (a, b)) =>
+      org.apache.spark.sql.functions.replace(
+        c, lit(s" $a  $b "), lit(s" $a$b "))
+    }
+    val vocab = Unigram.trainVocab(wf, seedMulti = 16, pieceMax = 4,
+      rounds = 3, prunePerRound = 3, maxSteps = 24)
+    val perWord = wf.select(col("word"),
+      size(org.apache.spark.sql.functions.split(trim(reprN), "  "))
+        .cast("long").as("bpe_pieces"),
+      Unigram.pieceCount(vocab, 4, col("word")).as("uni_pieces"))
+    docs
+      .select(col("doc_id"), col("lang"),
+        explode(org.apache.spark.sql.functions.split(
+          lower(col("text")), "\\s+")).as("word"))
+      .where(length(col("word")) > 0)
+      .join(broadcast(perWord), Seq("word"))
       .groupBy("lang")
-      .agg(count(lit(1)).as("n_docs"),
-        sum("n_words").as("words"),
-        sum("bpe_tokens").as("bpe_tokens"),
-        sum("unigram_tokens").as("unigram_tokens"))
+      .agg(count_distinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("words"),
+        sum("bpe_pieces").as("bpe_tokens"),
+        sum("uni_pieces").as("unigram_tokens"))
       .select(col("lang"), col("n_docs"), col("words"),
         col("bpe_tokens"), col("unigram_tokens"),
         round(col("bpe_tokens").cast("double") / col("words"), 6)
@@ -697,8 +719,10 @@ object Corpus {
     * one 4-value global aggregate (n₁/n₂/types), and broadcast
     * joins of the tiny stat frames onto the top-N rows. */
   def knBigramLm(docs: DataFrame, topN: Int = 100): DataFrame = {
+    // four consumers (perU, perW, glob, top) read the count table:
+    // lazily checkpoint so the corpus explode+count runs once
     val cuw = bigramPairs(docs).groupBy("u", "w")
-      .agg(count(lit(1)).as("c_uw"))
+      .agg(count(lit(1)).as("c_uw")).localCheckpoint(false)
     val perU = cuw.groupBy("u").agg(sum("c_uw").as("c_u"),
       count(lit(1)).as("nplus_u"))
     val perW = cuw.groupBy("w").agg(count(lit(1)).as("nplus_w"))

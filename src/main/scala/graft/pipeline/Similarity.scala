@@ -1809,71 +1809,93 @@ object Similarity {
     * Scale: O(n·d²) flops in one pass — the irreducible covariance
     * cost — with d²-bounded shuffle and driver state; the iteration
     * is d²-row joins with d-row broadcast sides, corpus-free. */
-  /** The PCA machinery shared by [[pcaPower]] and [[allButTop]]:
-    * per-dim means (rounded 6dp), the checkpointed d²-row covariance,
-    * and the top component after `rounds` power-iteration rounds. */
-  private def pcaParts(corpus: DataFrame, rounds: Int,
-                       dim: Int): (DataFrame, DataFrame, DataFrame) = {
-    val spark = corpus.sparkSession
+  /** Spark-identical HALF_UP rounding (the Round expression's double
+    * path: BigDecimal.valueOf → setScale → toDouble), for driver-side
+    * arithmetic that must land on the same decimals as the former
+    * in-plan round() calls. */
+  private def roundAt(x: Double, scale: Int): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** The PCA machinery shared by [[pcaPower]], [[pcaSpectrum]] and
+    * [[allButTop]]: per-dim means (rounded 6dp), the 6dp-rounded
+    * dense d×d covariance, and the top component after `rounds`
+    * power-iteration rounds. The corpus is touched exactly twice
+    * (mean pass + outer-product pass — as before); the d²-cell
+    * covariance is a BOUNDED model artifact (d=64 → 4096 doubles,
+    * the same driver-state class as the k-means seeds and PQ
+    * codebooks), so the power iteration runs on the driver instead
+    * of as `rounds` broadcast-join jobs over a 4096-row frame — the
+    * per-round 9dp normalization pins the iterate exactly as before
+    * (aggregation-order ulps are 1e-15 relative, nine decimals is
+    * far coarser). */
+  private def pcaParts(corpus: DataFrame, rounds: Int, dim: Int)
+      : (Array[Double], Array[Array[Double]], Array[Double]) = {
     val emb = corpus.select(col("vec_id"),
       col("embedding").cast("array<double>").as("e"))
-    val mu = emb.select(posexplode(col("e")).as(Seq("k", "v")))
+    val muRows = emb.select(posexplode(col("e")).as(Seq("k", "v")))
       .groupBy("k")
       .agg(round(avg("v"), 6).as("m"), count(lit(1)).as("n"))
-    val cov = emb
+      .collect()
+    val mu = Array.ofDim[Double](dim)
+    var n = 0L
+    muRows.foreach { r =>
+      mu(r.getInt(0)) = r.getDouble(1); n = r.getLong(2)
+    }
+    val cov = Array.ofDim[Double](dim, dim)
+    emb
       .select(posexplode(flatten(transform(col("e"),
         vi => transform(col("e"), vj => vi * vj)))).as(Seq("idx", "p")))
       .groupBy(expr(s"idx div $dim").cast("int").as("i"),
         pmod(col("idx"), lit(dim)).cast("int").as("j"))
       .agg(sum("p").as("s"))
-      .join(broadcast(mu.toDF("i", "mi", "n")), "i")
-      .join(broadcast(mu.select(col("k").as("j"), col("m").as("mj"))), "j")
-      .select(col("i"), col("j"),
-        round(col("s") / col("n") - col("mi") * col("mj"), 6).as("c"))
-      .localCheckpoint(eager = true)
+      .collect()
+      .foreach { r =>
+        val (i, j) = (r.getInt(0), r.getInt(1))
+        cov(i)(j) = roundAt(r.getDouble(2) / n - mu(i) * mu(j), 6)
+      }
     (mu, cov, powerIterate(cov, rounds, dim))
   }
 
-  /** `rounds` power-iteration rounds on a (i, j, c) matrix frame from
-    * the uniform 1/√d start, per-round 9dp normalization. */
-  private def powerIterate(cov: DataFrame, rounds: Int,
-                           dim: Int): DataFrame = {
-    val spark = cov.sparkSession
-    var v: DataFrame = spark.range(dim)
-      .select(col("id").cast("int").as("j"),
-        round(lit(1.0 / math.sqrt(dim)), 9).as("vj"))
+  /** `rounds` power-iteration rounds on the dense covariance from
+    * the uniform 1/√d start, per-round 9dp normalization — driver
+    * arithmetic over the bounded d×d artifact, summing in ascending
+    * index order. */
+  private def powerIterate(cov: Array[Array[Double]], rounds: Int,
+                           dim: Int): Array[Double] = {
+    var v = Array.fill(dim)(roundAt(1.0 / math.sqrt(dim), 9))
     for (_ <- 1 to rounds) {
-      val w = cov.join(broadcast(v), "j")
-        .groupBy("i").agg(sum(col("c") * col("vj")).as("w"))
-      val nrm = w.agg(sqrt(sum(col("w") * col("w"))).as("nw"))
-      v = w.crossJoin(broadcast(nrm))
-        .select(col("i").as("j"), round(col("w") / col("nw"), 9).as("vj"))
-        .localCheckpoint(eager = true)
+      val w = Array.tabulate(dim) { i =>
+        var s = 0.0
+        var j = 0
+        while (j < dim) { s += cov(i)(j) * v(j); j += 1 }
+        s
+      }
+      val nw = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(x => roundAt(x / nw, 9))
     }
     v
   }
 
-  /** Rounded Rayleigh quotient vᵀMv of a component against a matrix
-    * frame. */
-  private def rayleigh(mat: DataFrame, v: DataFrame,
-                       as: String): DataFrame =
-    mat.join(broadcast(v.toDF("i", "vi")), "i")
-      .join(broadcast(v.toDF("j", "vjj")), "j")
-      .agg(round(sum(col("c") * col("vi") * col("vjj")), 6).as(as))
+  /** Raw (unrounded) Rayleigh quotient vᵀMv, ascending-index sum. */
+  private def rayleighRaw(mat: Array[Array[Double]],
+                          v: Array[Double]): Double = {
+    var s = 0.0
+    for (i <- v.indices; j <- v.indices) s += mat(i)(j) * v(i) * v(j)
+    s
+  }
 
   def pcaPower(corpus: DataFrame, rounds: Int = 8,
                dim: Int = 64): DataFrame = {
     val (_, cov, v) = pcaParts(corpus, rounds, dim)
-    val scal = cov
-      .join(broadcast(v.toDF("i", "vi")), "i")
-      .join(broadcast(v.toDF("j", "vjj")), "j")
-      .agg(sum(col("c") * col("vi") * col("vjj")).as("lam"))
-      .crossJoin(broadcast(
-        cov.where(col("i") === col("j")).agg(sum("c").as("tr"))))
-      .select(round(col("lam"), 6).as("eigenvalue"),
-        round(col("lam") / col("tr"), 6).as("var_explained"))
-    v.select(col("j").cast("long").as("pos"), col("vj").as("loading"))
-      .crossJoin(broadcast(scal))
+    val lam = rayleighRaw(cov, v)
+    val tr = (0 until dim).map(i => cov(i)(i)).sum
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    v.zipWithIndex.toSeq
+      .map { case (l, j) =>
+        (j.toLong, l, roundAt(lam, 6), roundAt(lam / tr, 6)) }
+      .toDF("pos", "loading", "eigenvalue", "var_explained")
   }
 
   /** Second principal component by Hotelling deflation — the
@@ -1894,26 +1916,20 @@ object Similarity {
   def pcaSpectrum(corpus: DataFrame, rounds: Int = 8,
                   dim: Int = 64): DataFrame = {
     val (_, cov, v1) = pcaParts(corpus, rounds, dim)
-    val lam1 = rayleigh(cov, v1, "l1")
-    val cov2 = cov
-      .join(broadcast(v1.toDF("i", "vi")), "i")
-      .join(broadcast(v1.toDF("j", "vjj")), "j")
-      .crossJoin(broadcast(lam1))
-      .select(col("i"), col("j"),
-        round(col("c") - col("l1") * col("vi") * col("vjj"), 6).as("c"))
-      .localCheckpoint(eager = true)
+    val l1 = roundAt(rayleighRaw(cov, v1), 6)
+    val cov2 = Array.tabulate(dim, dim)((i, j) =>
+      roundAt(cov(i)(j) - l1 * v1(i) * v1(j), 6))
     val v2 = powerIterate(cov2, rounds, dim)
-    val lam2 = rayleigh(cov2, v2, "l2")
-    val orth = v1.toDF("j", "v1j")
-      .join(v2.toDF("j", "v2j"), "j")
-      .agg(round(abs(sum(col("v1j") * col("v2j"))), 6).as("orthogonality"))
-    v2.select(col("j").cast("long").as("pos"), col("vj").as("loading2"))
-      .crossJoin(broadcast(lam1)).crossJoin(broadcast(lam2))
-      .crossJoin(broadcast(orth))
-      .select(col("pos"), col("loading2"),
-        col("l1").as("eigenvalue1"), col("l2").as("eigenvalue2"),
-        round(col("l2") / col("l1"), 6).as("gap_ratio"),
-        col("orthogonality"))
+    val l2 = roundAt(rayleighRaw(cov2, v2), 6)
+    val orth = roundAt(math.abs(
+      (0 until dim).map(j => v1(j) * v2(j)).sum), 6)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    v2.zipWithIndex.toSeq
+      .map { case (l, j) =>
+        (j.toLong, l, l1, l2, roundAt(l2 / l1, 6), orth) }
+      .toDF("pos", "loading2", "eigenvalue1", "eigenvalue2",
+        "gap_ratio", "orthogonality")
   }
 
   /** All-but-the-Top embedding correction (Mu & Viswanath 2018):
@@ -1933,15 +1949,12 @@ object Similarity {
   def allButTop(corpus: DataFrame, rounds: Int = 8,
                 dim: Int = 64): DataFrame = {
     val (mu, _, v) = pcaParts(corpus, rounds, dim)
-    val muRow = mu.groupBy().agg(
-      transform(array_sort(collect_list(struct(col("k"), col("m")))),
-        s => s.getField("m")).as("mu"))
-    val vRow = v.groupBy().agg(
-      transform(array_sort(collect_list(struct(col("j"), col("vj")))),
-        s => s.getField("vj")).as("top"))
+    // μ and v ship as LITERAL arrays in the plan (the broadcast-as-
+    // literal rewrite the LSH planes use) — no crossJoin stage
     corpus.select(col("vec_id"),
       col("embedding").cast("array<double>").as("e"))
-      .crossJoin(broadcast(muRow)).crossJoin(broadcast(vRow))
+      .withColumn("mu", typedLit(mu.toSeq))
+      .withColumn("top", typedLit(v.toSeq))
       .withColumn("xc", zip_with(col("e"), col("mu"), (x, m) => x - m))
       .select(col("vec_id"),
         dotNative(col("xc"), col("top")).as("proj"),

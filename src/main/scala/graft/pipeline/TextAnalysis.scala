@@ -313,6 +313,10 @@ object TextAnalysis {
     // over distinct (doc, word) rows, never the raw token stream
     val tfd = docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      // LM build + scoring join both read the tf table: lazily
+      // checkpoint so the corpus explode+count runs once per query
+      // (the kn3Tables pattern)
+      .localCheckpoint(false)
     val counts = tfd.groupBy("w").agg(sum("tf").as("c"))
     val totals = counts.agg(sum("c").as("n_total"), count(lit(1)).as("vocab"))
     val lm = counts.crossJoin(broadcast(totals))
@@ -359,7 +363,10 @@ object TextAnalysis {
     // a shuffle, and the groupBy partial-combines it map-side
     val tfd = base.select(col("doc_id"), explode(bigrams).as("bg"))
       .groupBy("doc_id", "bg").agg(count(lit(1)).as("tf"))
+      // LM build + scoring join both read the tf table (kn3 pattern)
+      .localCheckpoint(false)
     val c12 = tfd.groupBy("bg").agg(sum("tf").as("c12"))
+      .localCheckpoint(false) // c1 + the LM projection both read it
     val c1 = c12.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
       .agg(sum("c12").as("c1"))
     val vocab = docs.select(explode(words(col("text"))).as("w")).agg(
@@ -483,12 +490,16 @@ object TextAnalysis {
       .otherwise(array().cast("array<string>"))
     val tfd = base.select(col("doc_id"), explode(bigrams).as("bg"))
       .groupBy("doc_id", "bg").agg(count(lit(1)).as("tf"))
+      // LM build + scoring join both read the tf table (kn3 pattern)
+      .localCheckpoint(false)
     // one row per distinct bigram TYPE — so count(*) by w1 is exactly
     // N1+(w1·) and count(*) by w2 is N1+(·w2), for free next to the
-    // token-count sums the discounted term needs
+    // token-count sums the discounted term needs; FOUR consumers
+    // (fwd, bwd, types, the LM projection) read it — checkpoint
     val c12 = tfd.groupBy("bg").agg(sum("tf").as("c12"))
       .withColumn("w1", substring_index(col("bg"), " ", 1))
       .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .localCheckpoint(false)
     val fwd = c12.groupBy("w1")
       .agg(sum("c12").as("c1"), count(lit(1)).as("n_fwd"))
     val bwd = c12.groupBy("w2").agg(count(lit(1)).as("n_bwd"))
@@ -886,12 +897,30 @@ object TextAnalysis {
     * checkpointed rewrite so plans stay flat across rounds. */
   def bpeTrain(docs: DataFrame, rounds: Int = 8): DataFrame = {
     val spark = docs.sparkSession
-    val chars = transform(sequence(lit(1), length(col("w"))),
-      i => col("w").substr(i, lit(1)))
-    var vocab = docs
+    import spark.implicits._
+    bpeMerges(docsWordFreq(docs), rounds)
+      .toDF("round", "sym_a", "sym_b", "merged", "pair_freq")
+      .orderBy("round")
+  }
+
+  /** The distinct word-frequency table the tokenizer trainers count
+    * over — (w, freq). [[Corpus.tokenizerFertility]] shares ONE
+    * checkpointed copy of this frame between both trainers. */
+  private[pipeline] def docsWordFreq(docs: DataFrame): DataFrame =
+    docs
       .select(explode(words(col("text"))).as("w"))
       .where(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("freq"))
+
+  /** The BPE merge loop proper over a (w, freq) word table — the
+    * collected merge table is the bounded trained artifact. Factored
+    * from [[bpeTrain]] so the fertility card can train over a SHARED
+    * word-frequency frame instead of re-exploding the corpus. */
+  private[pipeline] def bpeMerges(wordFreq: DataFrame, rounds: Int)
+      : Seq[(Long, String, String, String, Long)] = {
+    val chars = transform(sequence(lit(1), length(col("w"))),
+      i => col("w").substr(i, lit(1)))
+    var vocab = wordFreq
       .select(col("freq"),
         concat(lit(" "), concat_ws("  ", chars), lit(" ")).as("repr"))
       .localCheckpoint(true)
@@ -916,15 +945,17 @@ object TextAnalysis {
         val (a, b) = (top(0).getAs[String]("a"), top(0).getAs[String]("b"))
         val pf = top(0).getAs[Long]("pfreq")
         merges += ((round.toLong, a, b, a + b, pf))
+        // LAZY checkpoint: still truncates the plan (flat across
+        // rounds), but the rewrite materializes inside the NEXT
+        // round's collect instead of as its own job — and the last
+        // round's rewrite, which nothing reads, never runs at all
         vocab = vocab.withColumn("repr",
           replace(col("repr"), lit(s" $a  $b "), lit(s" $a$b ")))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         round += 1
       }
     }
-    import spark.implicits._
-    merges.toSeq.toDF("round", "sym_a", "sym_b", "merged", "pair_freq")
-      .orderBy("round")
+    merges.toSeq
   }
 
   /** Multi-round WordPiece tokenizer training — the third trained
@@ -990,9 +1021,11 @@ object TextAnalysis {
         val (a, b) = (top(0).getAs[String]("a"), top(0).getAs[String]("b"))
         merges += ((round.toLong, a, b, a + b,
           top(0).getAs[Long]("pfreq"), top(0).getAs[Double]("score")))
+        // lazy checkpoint — see bpeTrain: flat plans, no per-round
+        // materialization job, final unused rewrite never runs
         vocab = vocab.withColumn("repr",
           replace(col("repr"), lit(s" $a  $b "), lit(s" $a$b ")))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         round += 1
       }
     }
@@ -1018,9 +1051,8 @@ object TextAnalysis {
     * + one per-doc aggregation — the merge table rides the plan as
     * literals, no join. */
   def bpeEncode(docs: DataFrame, rounds: Int = 8): DataFrame = {
-    val merges = bpeTrain(docs, rounds).collect()
-      .sortBy(_.getAs[Long]("round"))
-      .map(r => (r.getAs[String]("sym_a"), r.getAs[String]("sym_b")))
+    val merges = bpeMerges(docsWordFreq(docs), rounds)
+      .sortBy(_._1).map(t => (t._2, t._3))
     val chars = transform(sequence(lit(1), length(col("w"))),
       i => col("w").substr(i, lit(1)))
     val repr0 = concat(lit(" "), concat_ws("  ", chars), lit(" "))

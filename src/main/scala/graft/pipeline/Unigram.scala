@@ -34,58 +34,71 @@ object Unigram {
     * the bounded vocab literals. A length-l candidate only equals a
     * length-l piece, so a truncated end-of-word substr can never
     * false-match. */
-  private def longestMatch(vocab: Seq[String], pieceMax: Int): Column = {
+  private def longestMatchAt(vocab: Seq[String], pieceMax: Int,
+                             word: Column, pos: Column): Column = {
     val byLen = vocab.groupBy(_.length)
     val cands = (pieceMax to 1 by -1).flatMap { l =>
       byLen.get(l).map { ps =>
-        val c = col("word").substr(col("pos"), lit(l))
+        val c = word.substr(pos, lit(l))
         when(c.isin(ps: _*), c)
       }
     }
     coalesce(cands: _*)
   }
 
+  /** The full greedy longest-match walk over one word as a SINGLE
+    * runtime-iterated expression: `aggregate` over sequence(1, len)
+    * carries (pos, pieces, stop) and applies [[longestMatchAt]] per
+    * step. Each step consumes ≥1 character, so len iterations always
+    * complete — steps past the end are `when`-guarded no-ops. This
+    * replaces the former per-step localCheckpoint unroll (one Spark
+    * job per step, ~20 jobs per pass; the checkpoint existed only to
+    * stop CollapseProject inlining the symbolic pos/piece chain
+    * exponentially — runtime iteration sidesteps that entirely) with
+    * zero extra jobs, and drops the former maxSteps truncation bound:
+    * the walk is exact for ANY word length. An unmatched position
+    * (impossible while every corpus char is in the vocab) stops the
+    * walk without emitting, exactly like the old
+    * `where(piece.isNotNull)` filter. */
+  private def segmentPieces(vocab: Seq[String], pieceMax: Int,
+                            word: Column): Column = {
+    val zero = struct(lit(1).as("pos"),
+      array().cast("array<string>").as("ps"), lit(false).as("stop"))
+    aggregate(
+      sequence(lit(1), length(word)),
+      zero,
+      (acc, _) => {
+        val piece = longestMatchAt(vocab, pieceMax, word, acc.getField("pos"))
+        when(acc.getField("stop") || acc.getField("pos") > length(word), acc)
+          .otherwise(when(piece.isNull,
+            struct(acc.getField("pos").as("pos"),
+              acc.getField("ps").as("ps"), lit(true).as("stop")))
+            .otherwise(struct(
+              (acc.getField("pos") + length(piece)).as("pos"),
+              concat(acc.getField("ps"), array(piece)).as("ps"),
+              lit(false).as("stop"))))
+      },
+      acc => acc.getField("ps"))
+  }
+
   /** One greedy segmentation pass of the word table under `vocab`:
     * returns (piece, usage) — usage summed over word frequencies.
-    * `maxSteps` bounds the unroll (≥ the longest word; asserted by
-    * the caller). */
+    * One explode + one hash aggregation; the walk itself is the
+    * [[segmentPieces]] runtime fold, no per-step jobs. */
   private def segmentCounts(wf: DataFrame, vocab: Seq[String],
-                            pieceMax: Int, maxSteps: Int): DataFrame = {
-    var cur = wf.withColumn("pos", lit(1))
-    var emitted: Option[DataFrame] = None
-    for (_ <- 1 to maxSteps) {
-      // eager checkpoint per step: pos_{i+1} references piece_i which
-      // references pos_i — left symbolic, CollapseProject inlines the
-      // chain into every use and the expression tree grows
-      // exponentially with the unroll depth (the OOM trap). The
-      // frame is word-vocabulary-sized, so materializing it is the
-      // cheap side of the trade.
-      val m = cur.withColumn("piece", longestMatch(vocab, pieceMax))
-        .where(col("piece").isNotNull)
-        .localCheckpoint(true)
-      val e = m.select(col("freq"), col("piece"))
-      emitted = Some(emitted.map(_.unionAll(e)).getOrElse(e))
-      cur = m.where(col("pos") + length(col("piece")) <= length(col("word")))
-        .select(col("word"), col("freq"),
-          (col("pos") + length(col("piece"))).as("pos"))
-    }
-    emitted.get.groupBy("piece").agg(sum("freq").as("usage"))
-  }
+                            pieceMax: Int): DataFrame =
+    wf.select(col("freq"),
+        explode(segmentPieces(vocab, pieceMax, col("word"))).as("piece"))
+      .groupBy("piece").agg(sum("freq").as("usage"))
 
-  /** Segmentation steps actually needed: every step consumes at
-    * least one character, so maxLen steps always complete — running
-    * the full declared unroll would spend (maxSteps − maxLen) empty
-    * jobs per pass (the oracle's extra unrolled CTEs are free; Spark
-    * jobs are not). One bounded aggregate. */
-  private def effectiveSteps(wf: DataFrame, maxSteps: Int): Int = {
-    val maxLen = wf.agg(max(length(col("word")))).head().getInt(0)
-    require(maxLen <= maxSteps,
-      s"word length $maxLen exceeds the $maxSteps-step segmentation unroll")
-    maxLen
-  }
+  /** Per-word piece count column under `vocab` — the [[segmentPieces]]
+    * fold's size, shared by [[encode]] and the fertility card. */
+  private[pipeline] def pieceCount(vocab: Seq[String], pieceMax: Int,
+                                   word: Column): Column =
+    size(segmentPieces(vocab, pieceMax, word)).cast("long")
 
   /** The distinct word-frequency table every stage counts over. */
-  private def wordFreq(docs: DataFrame): DataFrame =
+  private[pipeline] def wordFreq(docs: DataFrame): DataFrame =
     docs
       .select(explode(split(lower(col("text")), "\\s+")).as("word"))
       .where(length(col("word")) > 0)
@@ -100,7 +113,6 @@ object Unigram {
                                 pieceMax: Int, rounds: Int,
                                 prunePerRound: Int,
                                 maxSteps: Int): Seq[String] = {
-    val steps = effectiveSteps(wf, maxSteps)
     // substring seed frequencies: every start position of every
     // length ≤ pieceMax, weighted by word frequency
     val subs = (1 to pieceMax).map { l =>
@@ -118,7 +130,7 @@ object Unigram {
       .select("piece").collect().map(_.getString(0)).toSeq
     var vocab: Seq[String] = chars ++ seed
     for (_ <- 1 to rounds) {
-      val counts = segmentCounts(wf, vocab, pieceMax, steps)
+      val counts = segmentCounts(wf, vocab, pieceMax)
       // bounded collect: |vocab| rows — unused pieces count 0
       val usage: Map[String, Long] = counts.collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -144,8 +156,7 @@ object Unigram {
     val wf = wordFreq(docs)
     val vocab = trainVocab(wf, seedMulti, pieceMax, rounds, prunePerRound,
       maxSteps)
-    val finalCounts = segmentCounts(wf, vocab, pieceMax,
-      effectiveSteps(wf, maxSteps))
+    val finalCounts = segmentCounts(wf, vocab, pieceMax)
     val spark = docs.sparkSession
     import spark.implicits._
     val vdf = vocab.toDF("piece")
@@ -180,21 +191,16 @@ object Unigram {
     val wf = wordFreq(docs)
     val vocab = trainVocab(wf, seedMulti, pieceMax, rounds, prunePerRound,
       maxSteps)
-    // per-word piece count under the final vocab: same unrolled
-    // greedy walk, grouped by word
-    var cur = wf.select(col("word")).withColumn("pos", lit(1))
-    var emitted: Option[DataFrame] = None
-    for (_ <- 1 to effectiveSteps(wf, maxSteps)) {
-      val m = cur.withColumn("piece", longestMatch(vocab, pieceMax))
-        .where(col("piece").isNotNull)
-        .localCheckpoint(true)
-      val e = m.select(col("word"))
-      emitted = Some(emitted.map(_.unionAll(e)).getOrElse(e))
-      cur = m.where(col("pos") + length(col("piece")) <= length(col("word")))
-        .select(col("word"), (col("pos") + length(col("piece"))).as("pos"))
-    }
-    val perWord = emitted.get.groupBy("word")
-      .agg(count(lit(1)).as("word_pieces"))
+    // per-word piece count under the final vocab: the same greedy
+    // walk as [[segmentCounts]], but only the piece COUNT per word is
+    // needed — size of the runtime-fold result, no explode at all
+    // no `where(word_pieces > 0)` guard: every character of every
+    // corpus word is in the vocab (chars are never pruned), so the
+    // walk always emits ≥1 piece — and a filter on the computed
+    // column would be pushed below the projection, evaluating the
+    // fold TWICE per word (measured 1.4x on the bench)
+    val perWord = wf.select(col("word"),
+      pieceCount(vocab, pieceMax, col("word")).as("word_pieces"))
     docs
       .select(col("doc_id"),
         explode(split(lower(col("text")), "\\s+")).as("word"))

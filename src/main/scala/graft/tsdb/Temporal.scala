@@ -503,6 +503,8 @@ object Temporal {
       .groupBy((labels :+ "bucket_s").map(col): _*).agg(avg("value").as("v"))
       .withColumn("hod",
         floor((col("bucket_s") % 86400) / 3600).cast("long"))
+      // profile + join both read the consolidation: materialize once
+      .localCheckpoint(true)
     val keys = labels :+ "hod"
     val prof = cons.groupBy(keys.map(col): _*)
       .agg(avg("v").as("prof_raw"), stddev_pop("v").as("std_raw"),
@@ -1032,9 +1034,12 @@ object Temporal {
     * series-keyed, co-located with the consolidation shuffle; the
     * moment frame is a per-series row joined back on the same key. */
   def acfFrame(samples: DataFrame, maxLag: Int = 8): DataFrame = {
+    // three plan references (moments + both sides of the lag join):
+    // materialize the consolidation once
     val cons = samples
       .withColumn("bucket_s", Vectors.bucketS("hour"))
       .groupBy((labels :+ "bucket_s").map(col): _*).agg(avg("value").as("v"))
+      .localCheckpoint(true)
     val st = cons.groupBy(labels.map(col): _*)
       .agg(avg("v").as("mu"), var_pop("v").as("varp"),
         count(lit(1)).as("n_b"))
@@ -1067,9 +1072,12 @@ object Temporal {
     * (2·maxLag+1) lag set and |names| pair fan, still nowhere near
     * corpus size. No windows, no driver state. */
   def xcorrFrame(samples: DataFrame, maxLag: Int = 6): DataFrame = {
+    // both sides of the pair-lag join read the consolidation:
+    // materialize it once
     val cons = samples
       .withColumn("bucket_s", Vectors.bucketS("hour"))
       .groupBy("name", "bucket_s").agg(sum("value").as("v"))
+      .localCheckpoint(true)
     val fanned = cons
       .withColumn("lag_k",
         explode(sequence(lit(-maxLag), lit(maxLag))))
@@ -1115,9 +1123,13 @@ object Temporal {
     * swap percentile_approx here if series grow unbounded), joined
     * back on the series key, co-located throughout. */
   def madFrame(samples: DataFrame, thresh: Double = 3.5): DataFrame = {
+    // the consolidation feeds med, withMed (twice, via mad and the
+    // final select): materialize it once — the before-plan scanned
+    // the corpus four times for one logical frame
     val cons = samples
       .withColumn("bucket_s", Vectors.bucketS("hour"))
       .groupBy((labels :+ "bucket_s").map(col): _*).agg(avg("value").as("v"))
+      .localCheckpoint(true)
     val med = cons.groupBy(labels.map(col): _*)
       .agg(percentile(col("v"), lit(0.5)).as("med"))
     val withMed = cons.join(med, labels)
@@ -1382,10 +1394,15 @@ object Temporal {
     * bounded by span²/2 per series); two exact grouped medians over
     * bounded frames. No windows, no driver state. */
   def theilSenFrame(samples: DataFrame): DataFrame = {
+    // the consolidated frame feeds THREE plan references (the pair
+    // self-join's both sides + the intercept join); materialize it
+    // once — without this the corpus scan + consolidation aggregate
+    // run three times (guide: remove repeated subtree computation)
     val cons = samples
       .withColumn("bucket_s", Vectors.bucketS("day"))
       .groupBy((labels :+ "bucket_s").map(col): _*).agg(avg("value").as("v"))
       .withColumn("d", (col("bucket_s") / 86400L).cast("long"))
+      .localCheckpoint(true)
     val r = cons.select(labels.map(col) :+ col("d").as("d_r") :+
       col("v").as("v_r"): _*)
     val sl = cons.join(r, labels).where(col("d_r") > col("d"))
@@ -1426,9 +1443,12 @@ object Temporal {
     * self-equi-joins of the bounded consolidated frame (co-located
     * on the series key), one unpivot + one aggregation. */
   def forecastEvalFrame(samples: DataFrame): DataFrame = {
+    // four plan references (base + three calendar lags): materialize
+    // the consolidation once instead of re-scanning the corpus 4x
     val cons = samples
       .withColumn("bucket_s", Vectors.bucketS("hour"))
       .groupBy((labels :+ "bucket_s").map(col): _*).agg(avg("value").as("v"))
+      .localCheckpoint(true)
     def lagged(off: Long, as: String) =
       cons.select(labels.map(col) :+ (col("bucket_s") + off).as("bucket_s") :+
         col("v").as(as): _*)
