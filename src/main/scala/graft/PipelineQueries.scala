@@ -158,7 +158,7 @@ object PipelineQueries {
   private def verifiedPairs(docs: org.apache.spark.sql.DataFrame) = {
     val sigs = Dedup.minhashSignatureCached(docs, K)
     Dedup.verifyCandidates(sigs,
-      Dedup.minhashCandidates(sigs, BANDS, ROWS), MIN_AGREE, K)
+      Dedup.minhashCandidatesCached(sigs, BANDS, ROWS), MIN_AGREE, K)
   }
   private val PAIRS =
     s"""SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b

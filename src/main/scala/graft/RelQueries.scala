@@ -1354,10 +1354,15 @@ object RelQueries {
       val bounds = df.agg(
         approx_percentile(key.cast("double"), typedlit(qs), lit(1000))
           .as("_bs"))
+      // offsets + the final join BOTH read `sharded`, and each score
+      // level nests the previous one's whole plan — without a
+      // checkpoint the innermost subplan re-expands ~2x per level
+      // (8 copies at level 3). The frame is users-sized.
       val sharded = df.crossJoin(broadcast(bounds))
         .withColumn("_key", key.cast("double"))
         .withColumn("_rshard", size(filter(col("_bs"), b => b < col("_key"))))
         .drop("_bs")
+        .localCheckpoint(false)
       val wLocal = Window.partitionBy("_rshard")
         .orderBy(col("_key"), col("user_id"))
       val wPrefix = Window.orderBy("_rshard")

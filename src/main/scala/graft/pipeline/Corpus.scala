@@ -1730,7 +1730,12 @@ object Corpus {
     import org.apache.spark.sql.expressions.Window
     val ppl = TextAnalysis.bigramCrossEntropy(docs)
       .select(col("doc_id"), col("ppl"))
+    // bounds + sharded both read `base` (the full bigram-LM scoring
+    // join), and offsets + the final join both read `sharded`:
+    // checkpoint each once — without this the LM scoring subplan
+    // evaluates up to four times
     val base = docs.select(col("doc_id"), col("lang")).join(ppl, "doc_id")
+      .localCheckpoint(false)
     val qs = (1 until rankShards).map(_.toDouble / rankShards)
     val bounds = base.groupBy("lang").agg(
       approx_percentile(col("ppl"), typedlit(qs), lit(1000)).as("_bs"),
@@ -1738,6 +1743,7 @@ object Corpus {
     val sharded = base.join(broadcast(bounds), "lang")
       .withColumn("_rshard", size(filter(col("_bs"), b => b < col("ppl"))))
       .drop("_bs")
+      .localCheckpoint(false)
     val wLocal = Window.partitionBy("lang", "_rshard").orderBy("ppl", "doc_id")
     val wPrefix = Window.partitionBy("lang").orderBy("_rshard")
       .rowsBetween(Window.unboundedPreceding, -1)

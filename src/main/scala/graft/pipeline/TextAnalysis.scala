@@ -1263,18 +1263,36 @@ object TextAnalysis {
                       lr: Double = 1.0,
                       label: Column = col("lang") === "en"): DataFrame = {
     val spark = docs.sparkSession
+    val (w, _) = trainedWeights(docs, dim, rounds, lr, label)
+    import spark.implicits._
+    // HALF_UP to match both engines' round-half-away-from-zero
+    w.toSeq.zipWithIndex.map { case (v, j) =>
+      (j, BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toDF("j", "weight").orderBy("j")
+  }
+
+  /** The GD loop proper: returns the RAW trained weights plus the
+    * checkpointed feature frame, so a scoring caller
+    * ([[pruningScores]]) reuses the features instead of re-exploding
+    * the corpus. `extraCols` ride the feature key (functionally
+    * dependent on doc_id — e.g. `source` — so training math is
+    * unchanged). */
+  private def trainedWeights(docs: DataFrame, dim: Int, rounds: Int,
+                             lr: Double, label: Column,
+                             extraCols: Seq[String] = Nil)
+      : (Array[Double], DataFrame) = {
     val bucket = (t: Column) =>
       (conv(substring(md5(t), 1, 8), 16, 10).cast("long") % dim).cast("int")
-    val base = docs.select(col("doc_id"),
-      label.cast("double").as("y"),
-      words(col("text")).as("ws"))
+    val base = docs.select(col("doc_id") +: extraCols.map(col) :+
+      label.cast("double").as("y") :+ words(col("text")).as("ws"): _*)
+    val keyCols = Seq(col("doc_id")) ++ extraCols.map(col) :+ col("y")
     val feats = base
-      .select(col("doc_id"), col("y"),
-        size(col("ws")).cast("double").as("n"), explode(col("ws")).as("t"))
-      .groupBy(col("doc_id"), col("y"), col("n"), bucket(col("t")).as("j"))
+      .select(keyCols :+ size(col("ws")).cast("double").as("n") :+
+        explode(col("ws")).as("t"): _*)
+      .groupBy(keyCols :+ col("n") :+ bucket(col("t")).as("j"): _*)
       .agg(count(lit(1)).as("c"))
-      .select(col("doc_id"), col("y"), col("j"),
-        (col("c").cast("double") / col("n")).as("x"))
+      .select(keyCols :+ col("j") :+
+        (col("c").cast("double") / col("n")).as("x"): _*)
       .localCheckpoint(true)
     val nDocs = docs.count().toDouble
     val w = Array.fill(dim)(0.0)
@@ -1293,11 +1311,7 @@ object TextAnalysis {
         w(j) -= lr * r.getAs[Double]("g") / nDocs
       }
     }
-    import spark.implicits._
-    // HALF_UP to match both engines' round-half-away-from-zero
-    w.toSeq.zipWithIndex.map { case (v, j) =>
-      (j, BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-    }.toDF("j", "weight").orderBy("j")
+    (w, feats)
   }
 
   /** EL2N-style data-pruning scores (Paul et al. 2021, "Deep
@@ -1317,26 +1331,21 @@ object TextAnalysis {
     * no windows. */
   def pruningScores(docs: DataFrame, dim: Int = 64, rounds: Int = 3,
                     label: Column = col("lang") === "en"): DataFrame = {
-    val wRows = trainClassifier(docs, dim, rounds, label = label).collect()
-    val w = Array.fill(dim)(0.0)
-    wRows.foreach(r => w(r.getAs[Int]("j")) = r.getAs[Double]("weight"))
+    // train with `source` riding the feature key: the checkpointed
+    // training features then serve the scoring pass too — the
+    // corpus text is exploded ONCE for train + score
+    val (wRaw, feats) = trainedWeights(docs, dim, rounds, lr = 1.0,
+      label = label, extraCols = Seq("source"))
+    // score with the ROUNDED published weights, exactly as before
+    val w = wRaw.map(v =>
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     val wl = typedlit(w.toSeq)
-    val bucket = (t: Column) =>
-      (conv(substring(md5(t), 1, 8), 16, 10).cast("long") % dim).cast("int")
-    val feats = docs.select(col("doc_id"), col("source"),
-        label.cast("double").as("y"), words(col("text")).as("ws"))
-      .select(col("doc_id"), col("source"), col("y"),
-        size(col("ws")).cast("double").as("n"), explode(col("ws")).as("t"))
-      .groupBy(col("doc_id"), col("source"), col("y"), col("n"),
-        bucket(col("t")).as("j"))
-      .agg(count(lit(1)).as("c"))
     val el2n = abs(lit(1.0) / (lit(1.0) + exp(-col("z"))) - col("y"))
     // integer micro-units: exact cross-engine sums regardless of
     // per-group addition order (a rounded-double avg split a midpoint)
     feats
       .groupBy("doc_id", "source", "y")
-      .agg(sum(col("c").cast("double") / col("n") *
-        element_at(wl, col("j") + 1)).as("z"))
+      .agg(sum(col("x") * element_at(wl, col("j") + 1)).as("z"))
       .select(col("source"),
         round(el2n * 1000000, 0).cast("long").as("e6"))
       .withColumn("bucket",
