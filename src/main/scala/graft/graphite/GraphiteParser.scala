@@ -165,10 +165,21 @@ object GraphiteParser {
       throw new ParseException(s"unknown consolidation unit $unit"))
 
   /** Parse + evaluate `target` against a sample frame, consolidated
-    * on the `unit` grid (default hourly). */
+    * on the `unit` grid (default hourly). Builtin argument
+    * validation (e.g. an unknown summarize/consolidation function
+    * name) raises IllegalArgumentException during plan construction;
+    * at this front door that is an invalid RENDER PARAMETER — the
+    * reference's typed render-API error — so it maps to
+    * ParseException rather than escaping as an engine error (the
+    * fuzz suite pins this contract). */
   def query(samples: DataFrame, target: String,
             unit: String = "hour"): DataFrame =
-    eval(parse(target), Graphite.seriesFrame(samples, unit), samples, unit)
+    try eval(parse(target), Graphite.seriesFrame(samples, unit), samples, unit)
+    catch {
+      case e: ParseException => throw e
+      case e: IllegalArgumentException =>
+        throw new ParseException(e.getMessage)
+    }
 
   /** The render-API entry (api/v1/handler/graphite/render.go:114
     * from/until form values → graphite.ParseTime → fetch bounds):

@@ -223,9 +223,12 @@ object Corpus {
     * number hundreds, not millions); totals broadcast back onto the
     * (≤ sources²)-row matrix. */
   def sourceOverlap(docs: DataFrame, n: Int = 3): DataFrame = {
+    // totals + BOTH sides of the intersection self-join read the
+    // distinct frame: materialize it once
     val sh = Dedup.shingleHashes(docs, n)
       .join(docs.select("doc_id", "source"), "doc_id")
       .select("source", "h").distinct()
+      .localCheckpoint(true)
     val totals = sh.groupBy("source").agg(count(lit(1)).as("total"))
     val shared = sh.toDF("src_a", "h").join(sh.toDF("src_b", "h"), "h")
       .where(col("src_a") < col("src_b"))

@@ -180,11 +180,14 @@ object Dedup {
     * hash row. */
   private[graft] def bandedBuckets(sigs: DataFrame, bands: Int,
                                    rows: Int): DataFrame =
-    (0 until bands).map { b =>
-      val bandCols = (0 until rows).map(r => col(s"mh${b * rows + r}"))
-      sigs.select(col("doc_id"), lit(b).as("band"),
-        md5(concat_ws(",", bandCols: _*)).as("bucket"))
-    }.reduce(_ unionByName _)
+    // one posexplode projection instead of a bands-way union: the
+    // union read the (DISK_ONLY-cached) signature frame once per
+    // band — same (doc_id, band, bucket) rows, one scan
+    sigs.select(col("doc_id"),
+        posexplode(array((0 until bands).map { b =>
+          val bandCols = (0 until rows).map(r => col(s"mh${b * rows + r}"))
+          md5(concat_ws(",", bandCols: _*))
+        }: _*)).as(Seq("band", "bucket")))
 
   /** LSH index-health report — per band: bucket count, docs, the
     * largest bucket, docs in candidate-producing (≥2) buckets, and

@@ -725,12 +725,14 @@ object Similarity {
           lit(2.0) * dotNative(col("e"), lc)
       }
       val md = chosen.map(c => d2(c._2)).reduce(least(_, _))
-      val top = base.select(col("vec_id"), md.as("md"))
+      // carry e through the TakeOrdered so the chosen vector comes
+      // back in the SAME 1-row collect (was: a second filter job per
+      // round just to fetch the winner's embedding)
+      val top = base.select(col("vec_id"), md.as("md"), col("e"))
         .orderBy(col("md").desc, col("vec_id").asc).limit(1).collect()(0)
       val id = top.getLong(0)
       out += ((r.toLong, id, Some(top.getDouble(1))))
-      chosen = chosen :+ ((id,
-        base.where(col("vec_id") === id).collect()(0).getSeq[Double](1)))
+      chosen = chosen :+ ((id, top.getSeq[Double](2)))
     }
     import spark.implicits._
     out.toSeq.toDF("rk", "vec_id", "min_d2_raw")
@@ -1059,8 +1061,12 @@ object Similarity {
         .groupBy("cluster")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
           s => s.getField("mv")).as("memb"))
+      // checkpoint the k-row centroid frame: left symbolic, iteration
+      // t's broadcast re-evaluates all prior iterations' mean passes
+      // (quadratic in iters)
       cents = cents.join(means, cents("ci") === means("cluster"), "left")
         .select(col("ci"), coalesce(col("memb"), col("cemb")).as("cemb"))
+        .localCheckpoint(true)
     }
     cents
   }
@@ -1156,8 +1162,11 @@ object Similarity {
           .groupBy("cluster")
           .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
             s => s.getField("mv")).as("memb"))
+        // k-row checkpoint — see kmeansCentroids: without it each
+        // iteration re-evaluates every prior mean pass
         cents = cents.join(means, cents("ci") === means("cluster"), "left")
           .select(col("ci"), coalesce(col("memb"), col("cemb")).as("cemb"))
+          .localCheckpoint(true)
       }
     }
     import spark.implicits._

@@ -279,9 +279,13 @@ object TextAnalysis {
   def tfidfKeywords(docs: DataFrame, topK: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = docs.select(col("doc_id"), explode(words(col("text"))).as("word"))
+    // tf IS one row per distinct (doc, word): derive df from it —
+    // the old form re-exploded the corpus a second time and paid a
+    // distinct for rows tf already had (two scans → one); the lazy
+    // checkpoint shares the tf build between df and the scoring join
     val tf = w.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val df = w.select("doc_id", "word").distinct()
-      .groupBy("word").agg(count(lit(1)).as("df"))
+      .localCheckpoint(false)
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(df, "word").crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
