@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the bench's one-line JSON from stdout: route the
+// forked program's output STRAIGHT to stdout (no [info] logger
+// prefix) and drop sbt's trailing "[success] Total time" line so the
+// JSON is the genuinely last stdout line (r12: both rounds' bench
+// parses failed on the trailer).
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not a task —
+// lintUnused can't see that
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -286,7 +286,7 @@ object PipelineQueries {
   private val vecTables =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
   private def vecTable(s: SparkSession, dir: String): String =
-    vecTables.getOrElseUpdate((s, dir), {
+    graft.Memo.once(vecTables, (s, dir))({
       val t = "graft_vec_" + java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
       graft.sources.VectorStore.build(Tables.embeddings(s, dir), t)
@@ -298,7 +298,7 @@ object PipelineQueries {
   private val mhTables =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
   private def mhTable(s: SparkSession, dir: String): String =
-    mhTables.getOrElseUpdate((s, dir), {
+    graft.Memo.once(mhTables, (s, dir))({
       val t = "graft_mh_" + java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
       graft.sources.MinHashStore.build(
@@ -313,7 +313,7 @@ object PipelineQueries {
   private val sketchTables =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
   private def sketchTable(s: SparkSession, dir: String): String =
-    sketchTables.getOrElseUpdate((s, dir), {
+    graft.Memo.once(sketchTables, (s, dir))({
       val t = "graft_hll_" + java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
       val docs = Tables.documents(s, dir)
@@ -329,7 +329,7 @@ object PipelineQueries {
   private val spectrumTables =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
   private def spectrumTable(s: SparkSession, dir: String): String =
-    spectrumTables.getOrElseUpdate((s, dir), {
+    graft.Memo.once(spectrumTables, (s, dir))({
       val t = "graft_spec_" + java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
       val docs = Tables.documents(s, dir)
@@ -346,7 +346,7 @@ object PipelineQueries {
   private val ddTables =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
   private def ddTable(s: SparkSession, dir: String): String =
-    ddTables.getOrElseUpdate((s, dir), {
+    graft.Memo.once(ddTables, (s, dir))({
       val t = "graft_dd_" + java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
       val events = Tables.events(s, dir)

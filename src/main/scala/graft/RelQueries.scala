@@ -1,5 +1,7 @@
 package graft
 
+import graft.Materialize.MatOps
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -782,7 +784,7 @@ object RelQueries {
     val per = events.groupBy("user_id")
       .agg(sum(col("value").cast("decimal(18,2)")).as("vd"))
       .withColumn("v", col("vd").cast("double"))
-      .localCheckpoint(eager = true)
+      .materialize(true)
     val n = per.agg(count(lit(1)).as("_n"))
     val grand = per.agg(sum("vd").cast("double").as("_g"))
     val qs = (1 until rankShards).map(_.toDouble / rankShards)
@@ -969,12 +971,12 @@ object RelQueries {
       .withColumn("dst", lead("src", 1).over(w))
       .where(col("dst").isNotNull)
       .groupBy("src", "dst").agg(count(lit(1)).as("n"))
-      .localCheckpoint(eager = true)
+      .materialize(true)
     val out = edges.groupBy("src").agg(sum("n").as("out_n"))
     val nodes = events.select(col("event_type").as("node")).distinct()
-      .localCheckpoint(eager = true)
+      .materialize(true)
     val nCnt = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
-      .localCheckpoint(eager = true)
+      .materialize(true)
     val d = lit(damping)
     var pr = nodes.crossJoin(broadcast(nCnt))
       .select(col("node"), (lit(1.0) / col("n_nodes")).as("pr"))
@@ -995,7 +997,7 @@ object RelQueries {
           ((lit(1.0) - d) / col("n_nodes") +
             d * (coalesce(col("c"), lit(0.0)) + col("dm") / col("n_nodes")))
             .as("pr"))
-        .localCheckpoint(eager = true)
+        .materialize(true)
     }
     pr.select(col("node"), round(col("pr"), 6).as("pr"))
       .orderBy(col("pr").desc, col("node").asc)
@@ -1236,7 +1238,7 @@ object RelQueries {
   def giniCard(events: DataFrame, rankShards: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val per = events.groupBy("user_id").agg(count(lit(1)).as("x"))
-      .localCheckpoint(eager = true)
+      .materialize(true)
     val qs = (1 until rankShards).map(_.toDouble / rankShards)
     val bounds = per.agg(
       approx_percentile(col("x").cast("double"), typedlit(qs), lit(1000))
@@ -1346,7 +1348,7 @@ object RelQueries {
         floor((unix_timestamp(col("mx")) - unix_timestamp(col("last_ts")))
           / lit(86400.0)).cast("long").as("recency_days"),
         col("frequency"), col("monetary"))
-      .localCheckpoint(eager = true)
+      .materialize(true)
     val nUsers = per.agg(count(lit(1)).as("_n"))
     def score(df: DataFrame, key: org.apache.spark.sql.Column,
               as: String): DataFrame = {
@@ -1362,7 +1364,7 @@ object RelQueries {
         .withColumn("_key", key.cast("double"))
         .withColumn("_rshard", size(filter(col("_bs"), b => b < col("_key"))))
         .drop("_bs")
-        .localCheckpoint(false)
+        .materialize(false)
       val wLocal = Window.partitionBy("_rshard")
         .orderBy(col("_key"), col("user_id"))
       val wPrefix = Window.orderBy("_rshard")

@@ -1,5 +1,7 @@
 package graft
 
+import graft.Materialize.MatOps
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.tsdb._
@@ -33,7 +35,7 @@ object TsdbQueries {
   private val zorderTables =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
   private def zorderTable(s: SparkSession, dir: String): String =
-    zorderTables.getOrElseUpdate((s, dir), {
+    graft.Memo.once(zorderTables, (s, dir))({
       val t = "graft_zstore_" + java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
       val ev = Tables.events(s, dir)
@@ -48,7 +50,7 @@ object TsdbQueries {
   private val storeTables =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
   private def storeTable(s: SparkSession, dir: String): String =
-    storeTables.getOrElseUpdate((s, dir), {
+    graft.Memo.once(storeTables, (s, dir))({
       // md5-derived name: String.hashCode collides easily across sf
       // dirs, and a name clash would silently serve another dir's data
       val t = "graft_store_" + java.security.MessageDigest.getInstance("MD5")
@@ -64,7 +66,7 @@ object TsdbQueries {
   private val tszTables =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
   private def tszTable(s: SparkSession, dir: String): String =
-    tszTables.getOrElseUpdate((s, dir), {
+    graft.Memo.once(tszTables, (s, dir))({
       val t = "graft_tsz_" + java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
       graft.sources.TszStore.write(samples(s, dir), t)
@@ -79,12 +81,12 @@ object TsdbQueries {
   private val annBlockFrames =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def annBlocks(s: SparkSession, dir: String): DataFrame =
-    annBlockFrames.getOrElseUpdate((s, dir), {
+    graft.Memo.once(annBlockFrames, (s, dir))({
       val ann = when(hour(col("ts")) >= 6,
         concat(lit("h"), lpad(hour(col("ts")).cast("string"), 2, "0")))
       graft.sources.TszStore.annotatedBlockFrame(
         samples(s, dir).withColumn("annotation", ann))
-        .localCheckpoint(eager = false)
+        .materialize(false)
     })
 
   /** Proto structured-message block frame for the two store_proto
@@ -106,9 +108,9 @@ object TsdbQueries {
   private val protoBlockFrames =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def protoBlocks(s: SparkSession, dir: String): DataFrame =
-    protoBlockFrames.getOrElseUpdate((s, dir), {
+    graft.Memo.once(protoBlockFrames, (s, dir))({
       graft.sources.ProtoStore.blockFrame(protoMsgs(s, dir))
-        .localCheckpoint(eager = false)
+        .materialize(false)
     })
 
   /** Once-per-(session, sf dir) block-segmented m3ninx index table
@@ -118,7 +120,7 @@ object TsdbQueries {
   private val idxTables =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
   private def idxTable(s: SparkSession, dir: String): String =
-    idxTables.getOrElseUpdate((s, dir), {
+    graft.Memo.once(idxTables, (s, dir))({
       val t = "graft_idx_" + java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
       Index.writeBlockSegments(samples(s, dir), t, Seq("name", "user_id"))
@@ -130,7 +132,7 @@ object TsdbQueries {
   private val tszFloatTables =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
   private def tszFloatTable(s: SparkSession, dir: String): String =
-    tszFloatTables.getOrElseUpdate((s, dir), {
+    graft.Memo.once(tszFloatTables, (s, dir))({
       val t = "graft_tszf_" + java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
       graft.sources.TszStore.write(saltedSamples(s, dir), t)
@@ -145,7 +147,7 @@ object TsdbQueries {
   private val scrapeStoreTables =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
   private def scrapeStoreTable(s: SparkSession, dir: String): String =
-    scrapeStoreTables.getOrElseUpdate((s, dir), {
+    graft.Memo.once(scrapeStoreTables, (s, dir))({
       val t = "graft_scrape_" + java.security.MessageDigest
         .getInstance("MD5").digest(dir.getBytes("UTF-8"))
         .take(6).map("%02x".format(_)).mkString

@@ -13,15 +13,34 @@ object Verify {
     val spark = Sessions.builder(cpus).getOrCreate()
     Sessions.tune(spark)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    // Overlap independent queries from a small thread pool (guide
+    // §2.6): each sf0.01 dump is latency-bound (planning + job
+    // dispatch + a 1-file write), so a strictly sequential loop left
+    // the box mostly idle and the full 450+-query dump risked the
+    // driver's time budget (r12's CORRECTNESS came back empty).
+    // Every builder memo the queries share is single-flight
+    // (graft.Memo), so concurrent first callers cannot double-build
+    // a table; Spark's FIFO scheduler back-fills executor slots from
+    // the next query's tasks while the previous one drains.
+    val threads = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "8").toInt)
+    val work = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val tasks = work.map { case (name, fn) =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          spark.sparkContext.setJobDescription(s"verify: $name")
+          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          catch { case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          }
+        }
+      })
     }
+    tasks.foreach(_.get())
+    pool.shutdown()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -1,5 +1,7 @@
 package graft.pipeline
 
+import graft.Materialize.MatOps
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -15,9 +17,7 @@ object Corpus {
     * wrapping the persisted rows). Safe only once nothing will read
     * the frame again — the RDD is unrecoverable after this. */
   private[graft] def freeCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.logical.collect {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-    }.foreach(_.unpersist(blocking = false))
+    graft.Materialize.free(df)
 
   /** Connected components over an undirected dup-pair list
     * (doc_a, doc_b) — groups transitive near-duplicates into
@@ -47,7 +47,7 @@ object Corpus {
     val key = (ids.sparkSession,
       ids.queryExecution.analyzed.canonicalized,
       pairs.queryExecution.analyzed.canonicalized)
-    clusterCache.getOrElseUpdate(key,
+    graft.Memo.once(clusterCache, key)(
       computeDupClusters(ids, pairs, maxIter)
         .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
   }
@@ -73,13 +73,13 @@ object Corpus {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
-      .localCheckpoint(eager = true)
+      .materialize(true)
     // only docs that appear in some pair participate in propagation —
     // the iteration cost scales with the dup GRAPH, not the corpus;
     // the (vast) singleton majority joins back once at the end
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
-      .localCheckpoint(eager = true)
+      .materialize(true)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -107,7 +107,7 @@ object Corpus {
             .as("cluster_id"),
           (least(col("_cand"), coalesce(col("_cand_lbl"), col("_cand"))) <
             col("_old")).cast("int").as("_changed"))
-        .localCheckpoint(eager = true)
+        .materialize(true)
       converged = next.where(col("_changed") === 1).limit(1).count() == 0
       // `next` is materialized — the previous round's checkpoint
       // blocks are dead weight from here on; free them instead of
@@ -224,11 +224,14 @@ object Corpus {
     * (≤ sources²)-row matrix. */
   def sourceOverlap(docs: DataFrame, n: Int = 3): DataFrame = {
     // totals + BOTH sides of the intersection self-join read the
-    // distinct frame: materialize it once
+    // distinct frame: materialize it once — DISK_ONLY, because the
+    // distinct (source, h) set is corpus-scale and must not squat on
+    // unified execution memory for the rest of the session (repo
+    // policy since the r8 dedup_winnow incident; ADVICE r12)
     val sh = Dedup.shingleHashes(docs, n)
       .join(docs.select("doc_id", "source"), "doc_id")
       .select("source", "h").distinct()
-      .localCheckpoint(true)
+      .materializeDisk(true)
     val totals = sh.groupBy("source").agg(count(lit(1)).as("total"))
     val shared = sh.toDF("src_a", "h").join(sh.toDF("src_b", "h"), "h")
       .where(col("src_a") < col("src_b"))
@@ -482,11 +485,16 @@ object Corpus {
     * aggregate-join-aggregate shapes; everything after is a
     * sources-sized aggregation with two one-row broadcasts. */
   def doremiWeights(docs: DataFrame, smoothing: Double = 0.2): DataFrame = {
-    val uni = TextAnalysis.unigramCrossEntropy(docs)
+    // ONE tokenized corpus frame feeds both LM scorings and the
+    // doc→source keys — the old form ran three independent corpus
+    // splits (unigram tf, bigram tf, bigram vocab) plus a fourth
+    // corpus scan for the source join (guide §2.4)
+    val base = TextAnalysis.tokenizedBase(docs)
+    val uni = TextAnalysis.unigramCrossEntropyWs(base)
       .select(col("doc_id"), col("n_words"), col("cross_entropy").as("xu"))
-    val bi = TextAnalysis.bigramCrossEntropy(docs)
+    val bi = TextAnalysis.bigramCrossEntropyWs(base)
       .select(col("doc_id"), col("cross_entropy").as("xb"))
-    val agg = docs.select("doc_id", "source")
+    val agg = base.select("doc_id", "source")
       .join(uni, "doc_id").join(bi, "doc_id")
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("n_words").as("tokens"),
@@ -546,7 +554,13 @@ object Corpus {
         explode(org.apache.spark.sql.functions.split(
           lower(col("text")), "\\s+")).as("word"))
       .where(length(col("word")) > 0)
-      .join(broadcast(perWord), Seq("word"))
+      // NO broadcast hint: perWord is the corpus's distinct-word
+      // vocabulary — tens of millions of heavy-tailed strings at
+      // 100 TB, over the 8 GB broadcast hard cap. Let AQE pick the
+      // strategy from runtime stats (it still broadcasts at bench
+      // scale, where the vocab is tiny); word is an equi-key either
+      // way (VERDICT r12 item 3).
+      .join(perWord, Seq("word"))
       .groupBy("lang")
       .agg(count_distinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("words"),
@@ -725,7 +739,7 @@ object Corpus {
     // four consumers (perU, perW, glob, top) read the count table:
     // lazily checkpoint so the corpus explode+count runs once
     val cuw = bigramPairs(docs).groupBy("u", "w")
-      .agg(count(lit(1)).as("c_uw")).localCheckpoint(false)
+      .agg(count(lit(1)).as("c_uw")).materialize(false)
     val perU = cuw.groupBy("u").agg(sum("c_uw").as("c_u"),
       count(lit(1)).as("nplus_u"))
     val perW = cuw.groupBy("w").agg(count(lit(1)).as("nplus_w"))
@@ -840,7 +854,7 @@ object Corpus {
     // A caller that already materialized the occurrence stream (the
     // perplexity scorer) passes it in, saving one more corpus pass.
     val c3 = occ.getOrElse(trigramTriples(docs)).groupBy("u", "v", "w")
-      .agg(count(lit(1)).as("c_uvw")).localCheckpoint(false)
+      .agg(count(lit(1)).as("c_uvw")).materialize(false)
     // per-context stats over the FULL count table: true denominator,
     // retained-type count, and the pruned mass that moves to λ₃
     val hist = c3.groupBy("u", "v").agg(sum("c_uvw").as("c_uv"),
@@ -856,7 +870,7 @@ object Corpus {
       count(lit(1)).as("nplus_v"))
     // bigram continuation for the unigram layer: N1+(·w), ‖bigram types‖
     val bg = bigramPairs(docs).groupBy("u", "w")
-      .agg(count(lit(1)).as("c_uw")).localCheckpoint(false)
+      .agg(count(lit(1)).as("c_uw")).materialize(false)
     val perW = bg.groupBy("w").agg(count(lit(1)).as("nplus_w"))
     val nTypes = bg.agg(count(lit(1)).as("n_types"))
     // discounts from RAW counts-of-counts (KenLM computes D before
@@ -895,7 +909,7 @@ object Corpus {
     * stream shuffles once into that join, then one per-doc
     * aggregate. */
   def knTrigramPerplexity(docs: DataFrame, minCount: Int = 2): DataFrame = {
-    val occ = trigramTriples(docs).localCheckpoint(false)
+    val occ = trigramTriples(docs).materialize(false)
     val t = kn3Tables(docs, minCount, occ = Some(occ.drop("doc_id")))
     // self-evaluation with a PRUNED model: every test trigram has a
     // context row in `hist` (built from the full count table), but a
@@ -1738,7 +1752,7 @@ object Corpus {
     // checkpoint each once — without this the LM scoring subplan
     // evaluates up to four times
     val base = docs.select(col("doc_id"), col("lang")).join(ppl, "doc_id")
-      .localCheckpoint(false)
+      .materialize(false)
     val qs = (1 until rankShards).map(_.toDouble / rankShards)
     val bounds = base.groupBy("lang").agg(
       approx_percentile(col("ppl"), typedlit(qs), lit(1000)).as("_bs"),
@@ -1746,7 +1760,7 @@ object Corpus {
     val sharded = base.join(broadcast(bounds), "lang")
       .withColumn("_rshard", size(filter(col("_bs"), b => b < col("ppl"))))
       .drop("_bs")
-      .localCheckpoint(false)
+      .materialize(false)
     val wLocal = Window.partitionBy("lang", "_rshard").orderBy("ppl", "doc_id")
     val wPrefix = Window.partitionBy("lang").orderBy("_rshard")
       .rowsBetween(Window.unboundedPreceding, -1)

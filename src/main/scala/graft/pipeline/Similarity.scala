@@ -1,5 +1,7 @@
 package graft.pipeline
 
+import graft.Materialize.MatOps
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -713,7 +715,7 @@ object Similarity {
     val spark = corpus.sparkSession
     val base = corpus.select(col("vec_id"),
       col("embedding").cast("array<double>").as("e"))
-      .localCheckpoint(eager = true)
+      .materialize(true)
     val first = base.orderBy("vec_id").limit(1).collect()(0)
     var chosen = Seq((first.getLong(0), first.getSeq[Double](1)))
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Option[Double])]
@@ -788,10 +790,10 @@ object Similarity {
     val scored = cand.join(broadcast(q), "q_id").join(c, "c_id")
       .select(col("q_id"), col("c_id"), col("entry"),
         scoreCos("q_emb", "c_emb", "q_norm", "c_norm").as("cos"))
-      .localCheckpoint(eager = true)
+      .materialize(true)
     val exact = cosineTopK(corpus, queries, k)
       .select(col("q_id"), col("c_id")).withColumn("_ex", lit(1))
-      .localCheckpoint(eager = true)
+      .materialize(true)
     val nq = queries.count()
     (0 to maxProbes).map { p =>
       val w = Window.partitionBy("q_id")
@@ -1066,7 +1068,7 @@ object Similarity {
       // (quadratic in iters)
       cents = cents.join(means, cents("ci") === means("cluster"), "left")
         .select(col("ci"), coalesce(col("memb"), col("cemb")).as("cemb"))
-        .localCheckpoint(true)
+        .materialize(true)
     }
     cents
   }
@@ -1148,7 +1150,7 @@ object Similarity {
           struct(col("d2"), col("ci"))).as("best"))
         .select(col("vec_id"), col("best.c").as("cluster"),
           col("best.d").as("d2"))
-        .localCheckpoint(true)
+        .materialize(true)
       val inertia = labels.agg(sum("d2")).head.getDouble(0)
       val moved = prev.map(p => labels
         .join(p.select(col("vec_id"), col("cluster").as("_pc")), "vec_id")
@@ -1166,7 +1168,7 @@ object Similarity {
         // iteration re-evaluates every prior mean pass
         cents = cents.join(means, cents("ci") === means("cluster"), "left")
           .select(col("ci"), coalesce(col("memb"), col("cemb")).as("cemb"))
-          .localCheckpoint(true)
+          .materialize(true)
       }
     }
     import spark.implicits._
@@ -1350,14 +1352,37 @@ object Similarity {
                m: Int = 8, ks: Int = 32): DataFrame = {
     val sub = dim / m
     val spark = corpus.sparkSession
-    val cents = seedCentroids(corpus, cells)
+    // ONE bounded collect covers both driver artifacts — the first
+    // `cells` vectors are the coarse centroids AND the first `ks`
+    // vectors seed the codebooks. The old form ran a second FULL
+    // corpus pass (scan + cellAssign map + centroid join +
+    // TakeOrdered) just to collect seed residuals that driver
+    // arithmetic derives exactly from rows already on the driver —
+    // the same bounded-model-artifact inversion as the r12 PCA move.
+    val head: Array[Seq[Double]] = corpus
+      .orderBy("vec_id").limit(math.max(cells, ks))
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq)
+    val cents = head.take(cells)
     val centsDf = centroidFrame(spark, cents)
     val cb = residualFrame(corpus, cents, centsDf)
-    // codebooks: residuals of the first ks vectors (bounded collect)
-    val seedRes: Array[Seq[Double]] = cb
-      .orderBy("c_id").limit(ks)
-      .select("r").collect()
-      .map(_.getSeq[Double](0))
+    // seed residuals replayed in driver arithmetic, bit-identical to
+    // the plan expressions they replace: d_c = ‖c‖² − 2·v·c with
+    // dotNative's left-to-right sum, cell = FIRST minimum
+    // (array_position semantics), r = v − c element-wise. IEEE
+    // doubles make the replication exact; the oracle re-verifies it.
+    val seedRes: Array[Seq[Double]] = head.take(ks).map { v =>
+      val ds = cents.map { c =>
+        val cc = c.map(x => x * x).sum
+        var dot = 0.0
+        var i = 0
+        val n = math.min(v.length, c.length)
+        while (i < n) { dot += v(i) * c(i); i += 1 }
+        cc - 2.0 * dot
+      }
+      val cell = ds.indexOf(ds.min)
+      v.zip(cents(cell)).map { case (a, b) => a - b }
+    }
     val bdf = pqCodebookFrame(spark, seedRes, m, sub)
     val codes = pqEncode(cb, bdf, m, sub)
     ivfpqScore(codes, queries, cents, centsDf, bdf, k, m, sub, nprobe)
@@ -1475,7 +1500,12 @@ object Similarity {
         .select(col(idAs),
           posexplode(array((0 until m).map(j =>
             slice(col("_e"), j * sub + 1, sub)): _*)).as(Seq("j", "s")))
-    val cs = subvecs(corpus, "c_id")
+    // with refinement on, every Lloyd round's assignment AND the
+    // final encode re-evaluate the corpus subvector explode — share
+    // one materialization across them (refine=0 stays single-consumer
+    // and unmaterialized)
+    val cs0 = subvecs(corpus, "c_id")
+    val cs = if (refine > 0) cs0.materialize(false) else cs0
     // encode: argmin_c ‖x_j − c‖² = argmin_c (c·c − 2 x_j·c);
     // min_by over (d, c) breaks ties to the lowest codeword
     def assign(extra: Column*): DataFrame =
@@ -1673,7 +1703,7 @@ object Similarity {
     val cand = cosineTopK(corpus, queries, poolK)
       .select(col("q_id"), col("c_id"), col("cos_v").as("rel_v"),
         micro(col("cos_v")).as("rel_i"))
-      .localCheckpoint(eager = true)
+      .materialize(true)
     val ca = withNorm(corpus, "a_id", "a_emb", "a_norm")
     val cb = withNorm(corpus, "b_id", "b_emb", "b_norm")
     val sims = cand.select(col("q_id"), col("c_id").as("a_id"))
@@ -1683,7 +1713,7 @@ object Similarity {
       .select(col("q_id"), col("a_id"), col("b_id"),
         micro(round(scoreCos("a_emb", "b_emb", "a_norm", "b_norm"), 6))
           .as("sim_i"))
-      .localCheckpoint(eager = true)
+      .materialize(true)
     val w1 = Window.partitionBy("q_id")
       .orderBy(col("rel_i").desc, col("c_id").asc)
     var selected = cand.withColumn("_r", row_number().over(w1))
@@ -1708,7 +1738,7 @@ object Similarity {
         .select(col("q_id"), col("c_id"), col("rel_v"),
           (col("mmr_i") / lit(1e7)).as("mmr_v"),
           lit(step.toLong).as("step"))
-      selected = selected.unionByName(pick).localCheckpoint(eager = true)
+      selected = selected.unionByName(pick).materialize(true)
     }
     selected
   }

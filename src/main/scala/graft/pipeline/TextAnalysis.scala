@@ -1,5 +1,7 @@
 package graft.pipeline
 
+import graft.Materialize.MatOps
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -284,7 +286,7 @@ object TextAnalysis {
     // distinct for rows tf already had (two scans → one); the lazy
     // checkpoint shares the tf build between df and the scoring join
     val tf = w.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(false)
+      .materialize(false)
     val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(df, "word").crossJoin(broadcast(nDocs))
@@ -312,15 +314,33 @@ object TextAnalysis {
     * vocab fits) followed by a per-doc hash aggregation. No window,
     * no driver state — at 100 TB the LM is itself a distributed
     * frame, never collected. */
-  def unigramCrossEntropy(docs: DataFrame): DataFrame = {
+  def unigramCrossEntropy(docs: DataFrame): DataFrame =
+    unigramCrossEntropyWs(
+      docs.select(col("doc_id"), words(col("text")).as("ws")))
+
+  /** (doc_id, source, ws) — ONE tokenized corpus pass, lazily
+    * materialized, for consumers that score several LMs over the
+    * same corpus ([[Corpus.doremiWeights]]: unigram CE + bigram CE +
+    * the doc→source keys previously cost three corpus splits and a
+    * fourth scan). */
+  private[pipeline] def tokenizedBase(docs: DataFrame): DataFrame =
+    fanned(docs)
+      .select(col("doc_id"), col("source"), words(col("text")).as("ws"))
+      .materialize(false)
+
+  /** [[unigramCrossEntropy]] over a pre-split (doc_id, ws) frame —
+    * multi-LM consumers ([[Corpus.doremiWeights]]) share ONE
+    * tokenized corpus pass across both LMs instead of re-splitting
+    * the corpus per model (guide §2.4). */
+  private[pipeline] def unigramCrossEntropyWs(base: DataFrame): DataFrame = {
     // per-doc tf first (see bigramCrossEntropy): downstream stages run
     // over distinct (doc, word) rows, never the raw token stream
-    val tfd = docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
+    val tfd = base.select(col("doc_id"), explode(col("ws")).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
       // LM build + scoring join both read the tf table: lazily
       // checkpoint so the corpus explode+count runs once per query
       // (the kn3Tables pattern)
-      .localCheckpoint(false)
+      .materialize(false)
     val counts = tfd.groupBy("w").agg(sum("tf").as("c"))
     val totals = counts.agg(sum("c").as("n_total"), count(lit(1)).as("vocab"))
     val lm = counts.crossJoin(broadcast(totals))
@@ -349,12 +369,18 @@ object TextAnalysis {
     * aggregate-join-aggregate shape as the unigram LM, all keyed by
     * bigram string. Documents with fewer than two words drop out (no
     * transitions to score). */
-  def bigramCrossEntropy(docs: DataFrame): DataFrame = {
+  def bigramCrossEntropy(docs: DataFrame): DataFrame =
     // project the word array ONCE before indexing into it: writing
     // element_at(split(text), i) inside the transform lambda would
     // re-split the document for every bigram element — O(n²) per doc
     // (measured 10× on the bench corpus)
-    val base = fanned(docs).select(col("doc_id"), words(col("text")).as("ws"))
+    bigramCrossEntropyWs(
+      fanned(docs).select(col("doc_id"), words(col("text")).as("ws")))
+
+  /** [[bigramCrossEntropy]] over a pre-split (doc_id, ws) frame (see
+    * [[unigramCrossEntropyWs]]); the vocab count also derives from
+    * `ws`, so a shared caller tokenizes exactly once. */
+  private[pipeline] def bigramCrossEntropyWs(base: DataFrame): DataFrame = {
     val n = size(col("ws"))
     val bigrams = when(n >= 2,
       transform(sequence(lit(1), n - 1),
@@ -368,12 +394,12 @@ object TextAnalysis {
     val tfd = base.select(col("doc_id"), explode(bigrams).as("bg"))
       .groupBy("doc_id", "bg").agg(count(lit(1)).as("tf"))
       // LM build + scoring join both read the tf table (kn3 pattern)
-      .localCheckpoint(false)
+      .materialize(false)
     val c12 = tfd.groupBy("bg").agg(sum("tf").as("c12"))
-      .localCheckpoint(false) // c1 + the LM projection both read it
+      .materialize(false) // c1 + the LM projection both read it
     val c1 = c12.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
       .agg(sum("c12").as("c1"))
-    val vocab = docs.select(explode(words(col("text"))).as("w")).agg(
+    val vocab = base.select(explode(col("ws")).as("w")).agg(
       count_distinct(col("w")).as("vocab"))
     val lm = c12.withColumn("w1", substring_index(col("bg"), " ", 1))
       .join(c1, "w1").crossJoin(broadcast(vocab))
@@ -495,7 +521,7 @@ object TextAnalysis {
     val tfd = base.select(col("doc_id"), explode(bigrams).as("bg"))
       .groupBy("doc_id", "bg").agg(count(lit(1)).as("tf"))
       // LM build + scoring join both read the tf table (kn3 pattern)
-      .localCheckpoint(false)
+      .materialize(false)
     // one row per distinct bigram TYPE — so count(*) by w1 is exactly
     // N1+(w1·) and count(*) by w2 is N1+(·w2), for free next to the
     // token-count sums the discounted term needs; FOUR consumers
@@ -503,7 +529,7 @@ object TextAnalysis {
     val c12 = tfd.groupBy("bg").agg(sum("tf").as("c12"))
       .withColumn("w1", substring_index(col("bg"), " ", 1))
       .withColumn("w2", substring_index(col("bg"), " ", -1))
-      .localCheckpoint(false)
+      .materialize(false)
     val fwd = c12.groupBy("w1")
       .agg(sum("c12").as("c1"), count(lit(1)).as("n_fwd"))
     val bwd = c12.groupBy("w2").agg(count(lit(1)).as("n_bwd"))
@@ -550,7 +576,7 @@ object TextAnalysis {
                    topK: Int = 20): DataFrame = {
     val tf = docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(eager = true)
+      .materialize(true)
     val dl = docs.select(col("doc_id"),
       size(words(col("text"))).cast("long").as("dl"))
     val st = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
@@ -608,7 +634,7 @@ object TextAnalysis {
                       mu: Double = 2000.0, topK: Int = 20): DataFrame = {
     val tf = docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(eager = true)
+      .materialize(true)
     val dl = docs.select(col("doc_id"),
       size(words(col("text"))).cast("long").as("dl"))
     val tot = tf.agg(sum("tf").as("n_tok"))
@@ -656,7 +682,7 @@ object TextAnalysis {
                        fbDocs: Int = 10, expandK: Int = 5): DataFrame = {
     val tf = docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(eager = true)
+      .materialize(true)
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
     val fb = moreLikeThis(docs, isQuery, fbDocs)
@@ -702,7 +728,7 @@ object TextAnalysis {
                        dfCapFrac: Double = 0.1): DataFrame = {
     val tf = docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(eager = true)
+      .materialize(true)
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val kept = tf.groupBy("w").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
@@ -711,7 +737,7 @@ object TextAnalysis {
       .select(col("doc_id"), col("w"),
         (col("tf") * log(col("n_docs").cast("double") / col("df")))
           .as("wt"))
-      .localCheckpoint(eager = true)
+      .materialize(true)
     val norms = wts.groupBy("doc_id")
       .agg(sqrt(sum(col("wt") * col("wt"))).as("nrm"))
     val qw = wts.where(isQuery)
@@ -927,7 +953,7 @@ object TextAnalysis {
     var vocab = wordFreq
       .select(col("freq"),
         concat(lit(" "), concat_ws("  ", chars), lit(" ")).as("repr"))
-      .localCheckpoint(true)
+      .materialize(true)
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, String, Long)]
     var round = 1
@@ -955,7 +981,7 @@ object TextAnalysis {
         // round's rewrite, which nothing reads, never runs at all
         vocab = vocab.withColumn("repr",
           replace(col("repr"), lit(s" $a  $b "), lit(s" $a$b ")))
-          .localCheckpoint(false)
+          .materialize(false)
         round += 1
       }
     }
@@ -996,7 +1022,7 @@ object TextAnalysis {
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .select(col("freq"),
         concat(lit(" "), concat_ws("  ", chars), lit(" ")).as("repr"))
-      .localCheckpoint(true)
+      .materialize(true)
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, String, Long, Double)]
     var round = 1
@@ -1029,7 +1055,7 @@ object TextAnalysis {
         // materialization job, final unused rewrite never runs
         vocab = vocab.withColumn("repr",
           replace(col("repr"), lit(s" $a  $b "), lit(s" $a$b ")))
-          .localCheckpoint(false)
+          .materialize(false)
         round += 1
       }
     }
@@ -1297,7 +1323,7 @@ object TextAnalysis {
       .agg(count(lit(1)).as("c"))
       .select(keyCols :+ col("j") :+
         (col("c").cast("double") / col("n")).as("x"): _*)
-      .localCheckpoint(true)
+      .materialize(true)
     val nDocs = docs.count().toDouble
     val w = Array.fill(dim)(0.0)
     for (_ <- 1 to rounds) {

@@ -1,5 +1,7 @@
 package graft.pipeline
 
+import graft.Materialize.MatOps
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -103,7 +105,7 @@ object Unigram {
       .select(explode(split(lower(col("text")), "\\s+")).as("word"))
       .where(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("freq"))
-      .localCheckpoint(true)
+      .materialize(true)
 
   /** The prune-loop proper: returns the FINAL vocabulary (the
     * bounded model artifact — collected once per round, ≤ seedMulti

@@ -1,5 +1,7 @@
 package graft.sources
 
+import graft.Materialize.MatOps
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -59,7 +61,7 @@ object MinHashStore {
             rows: Int = 2, n: Int = 3, buckets: Int = 8): Unit = {
     val spark = docs.sparkSession
     dropTable(spark, table); dropTable(spark, table + "_sigs")
-    val sigs = Dedup.minhashSignature(docs, k, n).localCheckpoint(true)
+    val sigs = Dedup.minhashSignature(docs, k, n).materialize(true)
     sigs.write.mode("overwrite")
       .bucketBy(buckets, "doc_id")
       .format("parquet").saveAsTable(table + "_sigs")
@@ -92,7 +94,7 @@ object MinHashStore {
   def probe(spark: SparkSession, table: String, batch: DataFrame,
             minAgree: Int = 8, maxBucket: Int = 1000): DataFrame = {
     val (k, bands, rows, n, _) = props(spark, table)
-    val bsigs = Dedup.minhashSignature(batch, k, n).localCheckpoint(true)
+    val bsigs = Dedup.minhashSignature(batch, k, n).materialize(true)
     val bbuk = Dedup.bandedBuckets(bsigs, bands, rows)
       .withColumnRenamed("doc_id", "doc_b")
     val cands = spark.table(table)
@@ -122,7 +124,7 @@ object MinHashStore {
   def append(batch: DataFrame, table: String): Unit = {
     val spark = batch.sparkSession
     val (k, bands, rows, n, buckets) = props(spark, table)
-    val sigs = Dedup.minhashSignature(batch, k, n).localCheckpoint(true)
+    val sigs = Dedup.minhashSignature(batch, k, n).materialize(true)
     // bucketBy + saveAsTable(append): the bucketed-append path
     // SeriesStore.appendBatch uses — readers keep the bucket
     // distribution across appended files

@@ -1,5 +1,7 @@
 package graft.sources
 
+import graft.Materialize.MatOps
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -642,7 +644,7 @@ object ProtoStore {
       .toDF("name", "user_id", "block", "n", "blk",
         "ts_bits", "dbl_bits", "int_bits", "bytes_bits", "bool_bits",
         "bytes_new", "bytes_idx_hits", "bytes_nochange", "int_nochange")
-      .localCheckpoint(true)
+      .materialize(true)
     val cols = spark.table(table).columns
     merged.repartition(buckets, col("name"), col("user_id"))
       .select(cols.map(col): _*)

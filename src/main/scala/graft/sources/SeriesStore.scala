@@ -1,5 +1,7 @@
 package graft.sources
 
+import graft.Materialize.MatOps
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -137,7 +139,7 @@ object SeriesStore {
               fromDt: Option[String] = None,
               untilDt: Option[String] = None,
               buckets: Int = 8): Unit = {
-    val snap = read(spark, table, fromDt, untilDt).localCheckpoint(true)
+    val snap = read(spark, table, fromDt, untilDt).materialize(true)
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {

@@ -1,5 +1,7 @@
 package graft.sources
 
+import graft.Materialize.MatOps
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.pipeline.Sketches
@@ -64,7 +66,7 @@ object SketchStore {
   /** In-place compaction: fold appended duplicate registers back to
     * ≤m rows per source. */
   def compact(spark: SparkSession, table: String): Unit = {
-    val folded = registers(spark, table).localCheckpoint(eager = true)
+    val folded = registers(spark, table).materialize(true)
     folded.write.mode("overwrite").partitionBy("source")
       .format("parquet").saveAsTable(table)
   }
@@ -109,7 +111,7 @@ object SketchStore {
   /** In-place compaction: fold appended duplicate cells back to one
     * row per (type, bucket). */
   def compactDd(spark: SparkSession, table: String): Unit = {
-    val folded = ddCells(spark, table).localCheckpoint(eager = true)
+    val folded = ddCells(spark, table).materialize(true)
     folded.write.mode("overwrite").partitionBy("event_type")
       .format("parquet").saveAsTable(table)
   }
@@ -158,9 +160,9 @@ object SketchStore {
     * `store_spectrum` gate entry reuses the direct oracle SQL
     * verbatim. */
   def spectrum(spark: SparkSession, table: String): DataFrame = {
-    val cells = spectrumCells(spark, table).localCheckpoint(eager = true)
+    val cells = spectrumCells(spark, table).materialize(true)
     val out = graft.pipeline.Dedup.spectrumFromCells(cells)
-      .localCheckpoint(eager = true) // 7 rows
+      .materialize(true) // 7 rows
     graft.pipeline.Corpus.freeCheckpoint(cells)
     out
   }
@@ -168,7 +170,7 @@ object SketchStore {
   /** In-place compaction: fold appended duplicate cells back to one
     * row per (kind, depth, k). */
   def compactSpectrum(spark: SparkSession, table: String): Unit = {
-    val folded = spectrumCells(spark, table).localCheckpoint(eager = true)
+    val folded = spectrumCells(spark, table).materialize(true)
     folded.write.mode("overwrite").partitionBy("kind")
       .format("parquet").saveAsTable(table)
   }

@@ -1,5 +1,7 @@
 package graft.sources
 
+import graft.Materialize.MatOps
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -886,7 +888,7 @@ object TszStore {
       }
       .toDF("name", "user_id", "block", "n", "ts_bits", "val_bits",
         "ant_bits", "blk")
-      .localCheckpoint(true)
+      .materialize(true)
     val cols = spark.table(table).columns
     merged.repartition(buckets, col("name"), col("user_id"))
       .select(cols.map(col): _*)
@@ -962,7 +964,7 @@ object TszStore {
         (key._1, key._2, key._3, pts.length, tsBits, valBits, bytes)
       }
       .toDF("name", "user_id", "block", "n", "ts_bits", "val_bits", "blk")
-      .localCheckpoint(true)
+      .materialize(true)
     val cols = spark.table(table).columns
     merged.repartition(buckets, col("name"), col("user_id"))
       .select(cols.map(col): _*)

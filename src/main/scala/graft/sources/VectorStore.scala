@@ -1,5 +1,7 @@
 package graft.sources
 
+import graft.Materialize.MatOps
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.pipeline.Similarity
@@ -174,7 +176,7 @@ object VectorStore {
     * one file — and dynamic-overwrite only the touched partitions.
     * Row set byte-identical; searches keep their pruned plans. */
   def compact(spark: SparkSession, table: String): Unit = {
-    val snap = spark.table(table).localCheckpoint(true)
+    val snap = spark.table(table).materialize(true)
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {

@@ -511,7 +511,7 @@ object Downsample {
     * persisted copy instead of pinning a fresh partial per call. */
   private def tierMemo(df: DataFrame): DataFrame = {
     val key = (df.sparkSession, df.queryExecution.analyzed.canonicalized)
-    tierCache.getOrElseUpdate(key,
+    graft.Memo.once(tierCache, key)(
       df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
   }
 

@@ -1,5 +1,7 @@
 package graft.tsdb
 
+import graft.Materialize.MatOps
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -309,7 +311,7 @@ object Fetch {
     // the kept set and the total both read `meta` — materialize the
     // (metadata-cardinality, tiny) frame once instead of replaying
     // a potentially expensive upstream twice (ADVICE r11)
-    val m = meta.localCheckpoint(eager = false)
+    val m = meta.materialize(false)
     val kept = m.orderBy(keyCols.map(col): _*).limit(limit)
     val stats = exhaustiveGate(
       m.agg(count(lit(1)).as("total_results"))

@@ -1,5 +1,7 @@
 package graft.tsdb
 
+import graft.Materialize.MatOps
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -504,7 +506,7 @@ object Temporal {
       .withColumn("hod",
         floor((col("bucket_s") % 86400) / 3600).cast("long"))
       // profile + join both read the consolidation: materialize once
-      .localCheckpoint(true)
+      .materialize(true)
     val keys = labels :+ "hod"
     val prof = cons.groupBy(keys.map(col): _*)
       .agg(avg("v").as("prof_raw"), stddev_pop("v").as("std_raw"),
@@ -1039,7 +1041,7 @@ object Temporal {
     val cons = samples
       .withColumn("bucket_s", Vectors.bucketS("hour"))
       .groupBy((labels :+ "bucket_s").map(col): _*).agg(avg("value").as("v"))
-      .localCheckpoint(true)
+      .materialize(true)
     val st = cons.groupBy(labels.map(col): _*)
       .agg(avg("v").as("mu"), var_pop("v").as("varp"),
         count(lit(1)).as("n_b"))
@@ -1077,7 +1079,7 @@ object Temporal {
     val cons = samples
       .withColumn("bucket_s", Vectors.bucketS("hour"))
       .groupBy("name", "bucket_s").agg(sum("value").as("v"))
-      .localCheckpoint(true)
+      .materialize(true)
     val fanned = cons
       .withColumn("lag_k",
         explode(sequence(lit(-maxLag), lit(maxLag))))
@@ -1129,7 +1131,7 @@ object Temporal {
     val cons = samples
       .withColumn("bucket_s", Vectors.bucketS("hour"))
       .groupBy((labels :+ "bucket_s").map(col): _*).agg(avg("value").as("v"))
-      .localCheckpoint(true)
+      .materialize(true)
     val med = cons.groupBy(labels.map(col): _*)
       .agg(percentile(col("v"), lit(0.5)).as("med"))
     val withMed = cons.join(med, labels)
@@ -1402,7 +1404,7 @@ object Temporal {
       .withColumn("bucket_s", Vectors.bucketS("day"))
       .groupBy((labels :+ "bucket_s").map(col): _*).agg(avg("value").as("v"))
       .withColumn("d", (col("bucket_s") / 86400L).cast("long"))
-      .localCheckpoint(true)
+      .materialize(true)
     val r = cons.select(labels.map(col) :+ col("d").as("d_r") :+
       col("v").as("v_r"): _*)
     val sl = cons.join(r, labels).where(col("d_r") > col("d"))
@@ -1448,7 +1450,7 @@ object Temporal {
     val cons = samples
       .withColumn("bucket_s", Vectors.bucketS("hour"))
       .groupBy((labels :+ "bucket_s").map(col): _*).agg(avg("value").as("v"))
-      .localCheckpoint(true)
+      .materialize(true)
     def lagged(off: Long, as: String) =
       cons.select(labels.map(col) :+ (col("bucket_s") + off).as("bucket_s") :+
         col("v").as(as): _*)
