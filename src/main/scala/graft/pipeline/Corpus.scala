@@ -233,8 +233,19 @@ object Corpus {
       .select("source", "h").distinct()
       .materializeDisk(true)
     val totals = sh.groupBy("source").agg(count(lit(1)).as("total"))
-    val shared = sh.toDF("src_a", "h").join(sh.toDF("src_b", "h"), "h")
-      .where(col("src_a") < col("src_b"))
+    // intersection counts WITHOUT the h-keyed self-join (r13): one
+    // aggregation collects each shingle's (bounded, ≤|sources|)
+    // source set, ordered pairs explode from the sorted set map-side
+    // — identical pair multiplicities to the join's (h, a<b) rows at
+    // ONE exchange of the distinct frame instead of two plus a join
+    // probe (guide §2.1/§3.4)
+    val bySrc = sh.groupBy("h")
+      .agg(sort_array(collect_set(col("source"))).as("_ss"))
+    val shared = bySrc
+      .select(explode(flatten(transform(col("_ss"), (a, i) =>
+        transform(slice(col("_ss"), i + 2, size(col("_ss"))),
+          b => struct(a.as("src_a"), b.as("src_b")))))).as("_p"))
+      .select(col("_p.src_a"), col("_p.src_b"))
       .groupBy("src_a", "src_b").agg(count(lit(1)).as("shared"))
     shared
       .join(broadcast(totals.toDF("src_a", "total_a")), "src_a")
@@ -485,16 +496,17 @@ object Corpus {
     * aggregate-join-aggregate shapes; everything after is a
     * sources-sized aggregation with two one-row broadcasts. */
   def doremiWeights(docs: DataFrame, smoothing: Double = 0.2): DataFrame = {
-    // ONE tokenized corpus frame feeds both LM scorings and the
-    // doc→source keys — the old form ran three independent corpus
-    // splits (unigram tf, bigram tf, bigram vocab) plus a fourth
-    // corpus scan for the source join (guide §2.4)
-    val base = TextAnalysis.tokenizedBase(docs)
-    val uni = TextAnalysis.unigramCrossEntropyWs(base)
+    // Sharing ONE CHECKPOINTED tokenized frame across both LM
+    // scorings was tried in r13 and REGRESSED 1.7× (3.2 s → 5.6 s at
+    // sf0.1): serializing the word-array corpus through the
+    // materialization costs far more than the codegen'd re-splits it
+    // saves, at this scale and at 100 TB alike. The three independent
+    // corpus passes stay (each is one scan + a map-side tf collapse).
+    val uni = TextAnalysis.unigramCrossEntropy(docs)
       .select(col("doc_id"), col("n_words"), col("cross_entropy").as("xu"))
-    val bi = TextAnalysis.bigramCrossEntropyWs(base)
+    val bi = TextAnalysis.bigramCrossEntropy(docs)
       .select(col("doc_id"), col("cross_entropy").as("xb"))
-    val agg = base.select("doc_id", "source")
+    val agg = docs.select("doc_id", "source")
       .join(uni, "doc_id").join(bi, "doc_id")
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("n_words").as("tokens"),

@@ -1,5 +1,7 @@
 package graft.pipeline
 
+import graft.Materialize.MatOps
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -74,7 +76,7 @@ object Dedup {
     // different sources can collide in a hash, and a collision here
     // would silently serve one source's shingles for the other
     val key = (docs.sparkSession, docs.queryExecution.analyzed.canonicalized, n)
-    Dedup.shingleCache.getOrElseUpdate(key,
+    graft.Memo.once(Dedup.shingleCache, key)(
       shingles(docs, n)
         .select(col("doc_id"), md5(col("shingle")).as("m"))
         .select(col("doc_id"),
@@ -95,7 +97,12 @@ object Dedup {
   def clearShingleCache(): Unit = {
     shingleCache.values.foreach(_.unpersist(blocking = false))
     shingleCache.clear()
-    candidatesCache.values.foreach(_.unpersist(blocking = false))
+    // candidate entries are CHECKPOINTED, not persisted:
+    // Dataset.unpersist is a no-op for checkpoint RDD blocks (it only
+    // unregisters CacheManager plans), so free the underlying RDD
+    // explicitly or the blocks linger until ContextCleaner GC
+    // (ADVICE r12)
+    candidatesCache.values.foreach(graft.Materialize.free)
     candidatesCache.clear()
     simhashCache.values.foreach(_.unpersist(blocking = false))
     simhashCache.clear()
@@ -127,7 +134,7 @@ object Dedup {
                              n: Int = 3): DataFrame = {
     val key = (docs.sparkSession,
       docs.queryExecution.analyzed.canonicalized, k, n)
-    minhashSigCache.getOrElseUpdate(key,
+    graft.Memo.once(minhashSigCache, key)(
       minhashSignature(docs, k, n).persist(StorageLevel.DISK_ONLY))
   }
 
@@ -234,7 +241,7 @@ object Dedup {
     val ids = docs.where(probe).select("doc_id")
     val pairs = ids.toDF("doc_a").crossJoin(ids.toDF("doc_b"))
       .where(col("doc_a") < col("doc_b"))
-      .localCheckpoint(eager = true)
+      .materialize(true)
     val jac = jaccardPairs(docs, pairs, n)
     val tl = docs.sparkSession.range(1)
       .select(explode(typedlit(taus)).as("threshold"))
@@ -269,9 +276,9 @@ object Dedup {
     // lazy cache lets each recompute the window+self-join subtree
     // before any block lands (measured 4x on the tuning trio) — the
     // eager job materializes once, every later read is an RDD scan
-    candidatesCache.getOrElseUpdate(key,
+    graft.Memo.once(candidatesCache, key)(
       minhashCandidates(sigs, bands, rows, maxBucket)
-        .localCheckpoint(true))
+        .materialize(true))
   }
 
   private val candidatesCache = scala.collection.concurrent.TrieMap.empty[
@@ -315,7 +322,7 @@ object Dedup {
     // pairs, multi-index pairs) — share it per (docs, n) lineage,
     // same contract as the shingle cache (cleared with it)
     val key = (docs.sparkSession, docs.queryExecution.analyzed.canonicalized, n)
-    simhashCache.getOrElseUpdate(key,
+    graft.Memo.once(simhashCache, key)(
       simhashUncached(docs, n).persist(StorageLevel.DISK_ONLY))
   }
 
@@ -478,7 +485,7 @@ object Dedup {
     val cands = minhashCandidatesCached(sigs, bands, rows)
     // scored pairs feed two aggregations — materialize the (tiny,
     // LSH-bounded) frame once, same rationale as the cands cut
-    val jac = jaccardPairs(docs, cands, n).localCheckpoint(eager = true)
+    val jac = jaccardPairs(docs, cands, n).materialize(true)
     val tl = docs.sparkSession.range(1)
       .select(explode(typedlit(taus)).as("threshold"))
     val byTau = jac.crossJoin(broadcast(tl))
@@ -813,6 +820,53 @@ object Dedup {
     (v << 4) | ((d(7) & 0xf0L) >>> 4)
   }
 
+  /** Zero-allocation twin of [[roundHash]] for the per-position hot
+    * loop ([[docChainArrays]]: 6 md5s PER CHARACTER): the operands
+    * are decimal ASCII, so writing the digits straight into a reused
+    * input buffer and digesting into a reused output buffer is
+    * byte-identical to the String/getBytes form — it just skips the
+    * 3 allocations per call (builder, String, byte[]). Differential
+    * spec: `chain digits` in PipelineSpec pins the two forms equal. */
+  private[graft] def writeLongAscii(buf: Array[Byte], off: Int, v0: Long): Int = {
+    // group ids are non-negative (code points / 60-bit truncations),
+    // but mirror Long.toString for any input so the twin can never
+    // diverge from the pinned form
+    var o = off
+    var v = v0
+    if (v < 0) { buf(o) = '-'; o += 1 } else v = -v
+    // digits computed in NEGATIVE space (holds Long.MinValue), then
+    // reversed in place
+    val d0 = o
+    while (v <= -10) { buf(o) = ('0' - (v % 10)).toByte; v /= 10; o += 1 }
+    buf(o) = ('0' - v).toByte; o += 1
+    var a = d0; var b = o - 1
+    while (a < b) {
+      val t = buf(a); buf(a) = buf(b); buf(b) = t; a += 1; b -= 1
+    }
+    o
+  }
+
+  private def fold60(d: Array[Byte]): Long = {
+    var v = 0L
+    var b = 0
+    while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+    (v << 4) | ((d(7) & 0xf0L) >>> 4)
+  }
+
+  private[graft] def roundHashFast(md: java.security.MessageDigest,
+                            in: Array[Byte], out: Array[Byte],
+                            g: Long, next: Long, end: Boolean): Long = {
+    md.reset()
+    var o = writeLongAscii(in, 0, g)
+    in(o) = ':'; o += 1
+    if (end) {
+      in(o) = 'E'; in(o + 1) = 'N'; in(o + 2) = 'D'; o += 3
+    } else o = writeLongAscii(in, o, next)
+    md.update(in, 0, o)
+    md.digest(out, 0, 16)
+    fold60(out)
+  }
+
   /** All doubling depths per doc in ONE imperative walk — columns
     * g1..g64, each round g'[p] = md5₆₀(g[p] : g[p+step]) with an END
     * sentinel past the doc tail, g1 = the full Unicode CODE POINT at
@@ -865,6 +919,10 @@ object Dedup {
     var i = 0
     while (i < n) { g1(i) = cps(i).toLong; i += 1 }
     out(0) = g1
+    // reused hash scratch: the loop below runs 6 md5s per character —
+    // the String-building form spent ~half its time allocating
+    val ibuf = new Array[Byte](48) // 20 digits + ':' + 20 digits
+    val obuf = new Array[Byte](16)
     var j = 1
     var step = 1
     while (j <= topIdx) {
@@ -872,10 +930,9 @@ object Dedup {
       val nx = new Array[Long](n)
       var p = 0
       while (p < n) {
-        val next =
-          if (p + step < n) java.lang.Long.toString(prev(p + step))
-          else "END"
-        nx(p) = roundHash(md, prev(p), next)
+        val end = p + step >= n
+        nx(p) = roundHashFast(md, ibuf, obuf, prev(p),
+          if (end) 0L else prev(p + step), end)
         p += 1
       }
       out(j) = nx
@@ -944,7 +1001,7 @@ object Dedup {
     // pinned
     val f = suffixChain(docs)
       .select(Seq(1, 2, 4, 8, 16, 32, 64).map(l => col(s"g$l")): _*)
-      .localCheckpoint(eager = true)
+      .materialize(true)
     def stats(len: Int, gcol: String): DataFrame =
       f.groupBy(col(gcol).as("g")).agg(count(lit(1)).as("cnt"))
         .agg(sum("cnt").as("n_suffixes"),
@@ -958,7 +1015,7 @@ object Dedup {
       16 -> "g16", 32 -> "g32", 64 -> "g64")
       .map { case (l, c) => stats(l, c) }
       .reduce(_ union _).orderBy("prefix_len")
-      .localCheckpoint(eager = true) // 7 rows
+      .materialize(true) // 7 rows
     Corpus.freeCheckpoint(f)
     out
   }
@@ -1016,11 +1073,19 @@ object Dedup {
     * walk and the streaming maintainer
     * ([[graft.streaming.StreamSpectrum]]) so the hash family cannot
     * drift between the two paths. */
-  private[graft] def md5Info(md: java.security.MessageDigest,
-                             g: Long): Long = {
+  /** Zero-allocation twin of [[md5Info]] (same rationale as
+    * [[roundHashFast]]; StreamSpectrumSpec pins batch/stream parity
+    * and the oracle replays the hash family bit-for-bit). */
+  private[graft] def md5InfoFast(md: java.security.MessageDigest,
+                          in: Array[Byte], out: Array[Byte],
+                          g: Long): Long = {
     md.reset()
-    val d = md.digest(java.lang.Long.toString(g)
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md.update(in, 0, writeLongAscii(in, 0, g))
+    md.digest(out, 0, 16)
+    md5InfoFold(out)
+  }
+
+  private def md5InfoFold(d: Array[Byte]): Long = {
     val idx = (d(0) & 0xffL)
     var v52 = 0L
     var b = 1
@@ -1034,6 +1099,13 @@ object Dedup {
     val b1 = ((d(11) & 0xffL) << 8) | (d(12) & 0xffL)
     val b2 = ((d(13) & 0xffL) << 8) | (d(14) & 0xffL)
     idx | (rank << 8) | (gate << 14) | (b0 << 15) | (b1 << 31) | (b2 << 47)
+  }
+
+  private[graft] def md5Info(md: java.security.MessageDigest,
+                             g: Long): Long = {
+    md.reset()
+    md5InfoFold(md.digest(java.lang.Long.toString(g)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
   }
 
   private[graft] val spectrumDepths = Array(1L, 2L, 4L, 8L, 16L, 32L, 64L)
@@ -1054,10 +1126,12 @@ object Dedup {
     if (n == 0) return Iterator.empty
     val gs = docChainArrays(md, cps, 6)
     val memo = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+    val ibuf = new Array[Byte](48)
+    val obuf = new Array[Byte](16)
     def info(g: Long): Long = {
       val cached = memo.get(g)
       if (cached != null) cached.longValue()
-      else { val p = md5Info(md, g); memo.put(g, p); p }
+      else { val p = md5InfoFast(md, ibuf, obuf, g); memo.put(g, p); p }
     }
     val hll = Array.ofDim[Byte](7, 256)
     def bump(li: Int, inf: Long): Unit = {
@@ -1179,9 +1253,9 @@ object Dedup {
   }
 
   def suffixSpectrumSketch(docs: DataFrame): DataFrame = {
-    val merged = spectrumCells(docs).localCheckpoint(eager = true)
+    val merged = spectrumCells(docs).materialize(true)
     val out = spectrumFromCells(merged)
-      .localCheckpoint(eager = true) // 7 rows
+      .materialize(true) // 7 rows
     Corpus.freeCheckpoint(merged)
     out
   }
@@ -1206,11 +1280,13 @@ object Dedup {
         // packed md5-derived info per group id, depth-independent
         // ([[md5Info]]), memoized per doc
         val memo = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+        val ibuf = new Array[Byte](48)
+        val obuf = new Array[Byte](16)
         def info(g: Long): Long = {
           val cached = memo.get(g)
           if (cached != null) cached.longValue()
           else {
-            val packed = md5Info(md, g)
+            val packed = md5InfoFast(md, ibuf, obuf, g)
             memo.put(g, packed)
             packed
           }
@@ -1406,7 +1482,7 @@ object Dedup {
     val depths = Seq(8, 16, 32, 64)
     val benchChain = suffixChain(docs.where(bench), depths)
       .select(depths.map(l => col(s"g$l")): _*)
-      .localCheckpoint(eager = true) // benchmark-sized, reused 4×
+      .materialize(true) // benchmark-sized, reused 4×
     val joined = depths.foldLeft(suffixChain(docs.where(!bench), depths)) {
       case (df, l) =>
         val bg = broadcast(benchChain.select(col(s"g$l").as(s"_b$l")).distinct())
@@ -1657,13 +1733,13 @@ object Dedup {
     // pipelines each re-hashed the corpus)
     val hashed = docs.select(col("doc_id"), md5(col("text")).as("h"),
       isNew.cast("int").as("is_new"))
-      .localCheckpoint(eager = true)
+      .materialize(true)
     val hist = hashed.where(col("is_new") === 0).select("h").distinct()
-      .localCheckpoint(eager = true)
+      .materialize(true)
     val nHist = hist.agg(count(lit(1)).as("n_history"))
     val probesBase = hashed.where(col("is_new") === 1)
       .join(hist.withColumn("_seen", lit(1)), Seq("h"), "left")
-      .localCheckpoint(eager = true)
+      .materialize(true)
     sizes.map { m =>
       val bloom = hist
         .select(explode(array((0 until k).map(i =>

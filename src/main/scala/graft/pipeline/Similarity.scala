@@ -1881,6 +1881,12 @@ object Similarity {
     muRows.foreach { r =>
       mu(r.getInt(0)) = r.getDouble(1); n = r.getLong(2)
     }
+    // one corpus count n normalizes every covariance cell — valid
+    // only when all embeddings carry all `dim` elements. Surface a
+    // ragged corpus instead of silently normalizing every cell by
+    // whichever dim's count was collected last (ADVICE r12).
+    require(muRows.forall(_.getLong(2) == n),
+      s"pca: ragged embeddings (per-dim counts differ; expected $n everywhere)")
     val cov = Array.ofDim[Double](dim, dim)
     emb
       .select(posexplode(flatten(transform(col("e"),

@@ -1,5 +1,7 @@
 package graft.pipeline
 
+import graft.Materialize.MatOps
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -210,7 +212,7 @@ object Sketches {
       count(lit(1)).as("n"),
       percentile(col("value"),
         array(lit(0.5), lit(0.9), lit(0.95), lit(0.99))).as("exact"))
-      .localCheckpoint(eager = true)
+      .materialize(true)
     val width = (col("hi") - col("lo")) / lit(bins.toDouble)
     val binned = events.crossJoin(broadcast(st))
       .select(when(col("hi") === col("lo"), lit(0)).otherwise(
@@ -274,17 +276,28 @@ object Sketches {
     * is the calibration target (TakeOrdered, no full sort); a pure
     * production path would keep only the sketch. */
   def cmsHeavyHitters(docs: DataFrame, topK: Int = 20): DataFrame = {
-    val tok = docs.select(
+    // per-word counts FIRST (one shuffle with map-side combine), then
+    // every downstream estimator runs per DISTINCT word: the sketch
+    // adds each word's count to its (salt, bucket) cells — identical
+    // cell totals to hashing every occurrence (sum over words landing
+    // in a cell of their counts = count of occurrences landing there)
+    // at 4 md5s per distinct word instead of 4 per TOKEN, and the
+    // corpus-scale token checkpoint disappears (r13; guide §4/§6 —
+    // at 100 TB the word table is millions of rows, the token stream
+    // trillions)
+    val tf = docs.select(
       explode(TextAnalysis.words(col("text"))).as("w"))
-      .localCheckpoint(eager = true)
+      .groupBy("w").agg(count(lit(1)).as("exact_c"))
+      .materialize(true)
     val salts = explode(sequence(lit(0), lit(3))).as("salt")
     def bucket(w: Column, salt: Column): Column =
       conv(substring(md5(concat(salt.cast("string"), lit(":"), w)), 1, 8),
         16, 10).cast("long") % 256
-    val sketch = tok.select(col("w"), salts)
-      .select(col("salt"), bucket(col("w"), col("salt")).as("bucket"))
-      .groupBy("salt", "bucket").agg(count(lit(1)).as("c"))
-    val top = tok.groupBy("w").agg(count(lit(1)).as("exact_c"))
+    val sketch = tf.select(col("w"), col("exact_c"), salts)
+      .select(col("salt"), bucket(col("w"), col("salt")).as("bucket"),
+        col("exact_c"))
+      .groupBy("salt", "bucket").agg(sum("exact_c").as("c"))
+    val top = tf
       .orderBy(col("exact_c").desc, col("w").asc).limit(topK)
     val probed = top.select(col("w"), col("exact_c"), salts)
       .select(col("w"), col("exact_c"), col("salt"),
@@ -357,7 +370,7 @@ object Sketches {
     // ONE events scan builds the sketch ([[ddBuckets]]); the result
     // is bucket-cardinality, so it checkpoints for the collapse /
     // stats / cumulative branches of the read-back
-    ddReadback(ddBuckets(events, alpha).localCheckpoint(eager = true),
+    ddReadback(ddBuckets(events, alpha).materialize(true),
       events, alpha, maxBuckets)
 
   /** Quantile read-back from an already-built bucket frame — the

@@ -318,20 +318,11 @@ object TextAnalysis {
     unigramCrossEntropyWs(
       docs.select(col("doc_id"), words(col("text")).as("ws")))
 
-  /** (doc_id, source, ws) — ONE tokenized corpus pass, lazily
-    * materialized, for consumers that score several LMs over the
-    * same corpus ([[Corpus.doremiWeights]]: unigram CE + bigram CE +
-    * the doc→source keys previously cost three corpus splits and a
-    * fourth scan). */
-  private[pipeline] def tokenizedBase(docs: DataFrame): DataFrame =
-    fanned(docs)
-      .select(col("doc_id"), col("source"), words(col("text")).as("ws"))
-      .materialize(false)
-
-  /** [[unigramCrossEntropy]] over a pre-split (doc_id, ws) frame —
-    * multi-LM consumers ([[Corpus.doremiWeights]]) share ONE
-    * tokenized corpus pass across both LMs instead of re-splitting
-    * the corpus per model (guide §2.4). */
+  /** [[unigramCrossEntropy]] over a pre-split (doc_id, ws) frame.
+    * (Materializing one shared tokenized frame for multi-LM
+    * consumers was tried in r13 and regressed 1.7× — serializing the
+    * word-array corpus costs more than re-splitting — so callers
+    * pass an unmaterialized projection.) */
   private[pipeline] def unigramCrossEntropyWs(base: DataFrame): DataFrame = {
     // per-doc tf first (see bigramCrossEntropy): downstream stages run
     // over distinct (doc, word) rows, never the raw token stream

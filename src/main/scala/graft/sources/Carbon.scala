@@ -1,5 +1,7 @@
 package graft.sources
 
+import graft.Materialize.MatOps
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -35,27 +37,54 @@ object Carbon {
     * malformed counter). */
   def parse(lines: DataFrame, lineCol: String = "line"): DataFrame = {
     val l = col(lineCol)
-    val name = regexp_extract(l, lineRe, 1)
-    val valS = regexp_extract(l, lineRe, 2)
-    val tsS = regexp_extract(l, lineRe, 3)
-    val valOk = lower(valS).isin("nan", "-nan") || valS.rlike(floatRe)
-    val tsOk = tsS.rlike(intRe)
-    val matched = l.rlike(lineRe)
-    lines
+    // lineRe is exactly "three space-separated non-empty runs":
+    // split(" +") with a non-empty first and last segment is the same
+    // predicate (split keeps a leading/trailing empty segment when
+    // the line starts/ends with a space, so those reject identically)
+    // — a codegen'd string scan per line instead of FIVE executions
+    // of the anchored regex (rlike + 3 extracts evaluated twice each
+    // through the value/malformed branches; profiled in r13)
+    // stage 0: the split, evaluated ONCE and staged as an attribute
+    // (inlined, it would re-run per consuming column); stage 1: the
+    // match; stage 2: the segments (regexp_extract returned "" on a
+    // non-matching line — the otherwise("") keeps every downstream
+    // branch byte-identical). CollapseProject keeps the stages apart:
+    // the aliases are referenced more than once and are not cheap.
+    val staged0 = lines
       .where(length(l) > 1) // parsePacket skips empty/1-char lines
-      .select(
-        name.as("path"),
-        when(tsOk, timestamp_seconds(tsS.cast("long"))).as("ts"),
-        when(lower(valS).isin("nan", "-nan"), lit(Double.NaN))
-          .when(valS.rlike(floatRe), valS.cast("double"))
-          .as("value"),
-        // always-true non-deterministic guard: stops downstream
-        // filter pushdown from substituting the parse regexes into
-        // consumers' conditions (the plan-tree blow-up documented in
-        // [[InfluxLine]] — here defensive: toPathFrame is the only
-        // in-repo consumer and its filter stays above this projection)
-        when(spark_partition_id() >= 0, !matched || !valOk || !tsOk)
-          .as("malformed"))
+      .select(split(l, " +").as("_segs"))
+    val sg = col("_segs")
+    val staged1 = staged0.select(sg,
+      (size(sg) === 3 &&
+        get(sg, lit(0)) =!= "" && get(sg, lit(2)) =!= "").as("_m"))
+    val staged = staged1.select(
+      col("_m"),
+      when(col("_m"), get(sg, lit(0))).otherwise(lit("")).as("_name"),
+      when(col("_m"), get(sg, lit(1))).otherwise(lit("")).as("_valS"),
+      when(col("_m"), get(sg, lit(2))).otherwise(lit("")).as("_tsS"))
+    val isNan = lower(col("_valS")).isin("nan", "-nan")
+    val scanned = staged.select(
+      col("_m"), col("_name"), col("_valS"), col("_tsS"),
+      isNan.as("_isnan"),
+      // the float/int regexes run ONCE per line here instead of once
+      // per consuming branch
+      col("_valS").rlike(floatRe).as("_vOk"),
+      col("_tsS").rlike(intRe).as("_tsOk"))
+    scanned.select(
+      col("_name").as("path"),
+      when(col("_tsOk"), timestamp_seconds(col("_tsS").cast("long")))
+        .as("ts"),
+      when(col("_isnan"), lit(Double.NaN))
+        .when(col("_vOk"), col("_valS").cast("double"))
+        .as("value"),
+      // always-true non-deterministic guard: stops downstream
+      // filter pushdown from substituting the parse regexes into
+      // consumers' conditions (the plan-tree blow-up documented in
+      // [[InfluxLine]] — here defensive: toPathFrame is the only
+      // in-repo consumer and its filter stays above this projection)
+      when(spark_partition_id() >= 0,
+        !col("_m") || !(col("_isnan") || col("_vOk")) || !col("_tsOk"))
+        .as("malformed"))
   }
 
   /** Well-formed lines consolidated to an hourly graphite path frame
@@ -170,7 +199,7 @@ object Carbon {
     val cleaned = parsed.where(!col("malformed"))
       .withColumn("es", unix_timestamp(col("ts")))
     val base =
-      (if (parsed.isStreaming) cleaned else cleaned.localCheckpoint(false))
+      (if (parsed.isStreaming) cleaned else cleaned.materialize(false))
         .withColumn("rule", explode(appliedArr))
 
     import spark.implicits._

@@ -77,35 +77,104 @@ object Exposition {
     * `where(col("malformed"))`.count meters true parse failures only. */
   def parse(lines: DataFrame, lineCol: String = "line"): DataFrame = {
     val l = trim(col(lineCol))
-    val matched = l.rlike(LINE)
-    val name = regexp_extract(l, LINE, 1)
-    val body = mask(regexp_extract(l, LINE, 2))
-    val valS = regexp_extract(l, LINE, 3)
-    val tsS = regexp_extract(l, LINE, 4)
-    val segs = filter(split(body, COMMA), s => trim(s) =!= "")
-    val labelsOk = forall(segs, s => trim(s).rlike(LABEL))
-    val valOk = lower(valS).isin("nan", "inf", "+inf", "-inf") ||
-      valS.rlike(FLOAT)
-    val tags = transform(segs, s => struct(
-      regexp_extract(trim(s), LABEL, 1).as("tag_name"),
-      unescape(regexp_extract(trim(s), LABEL, 2)).as("tag_value")))
-    lines
+    // ---- single-execution line match (r13) ----
+    // rlike + 4 regexp_extract each re-ran the anchored LINE regex —
+    // five executions per line. One regexp_replace run emits every
+    // group NUL-joined instead (an anchored match consumes the whole
+    // line, a non-participating optional group substitutes "", and an
+    // unmatched line comes back unchanged — so `4 parts` ⟺ matched,
+    // exactly rlike). NUL can't collide with content on the guarded
+    // path: a line CONTAINING a NUL byte (not printable exposition
+    // text, same stance as the U+0001/U+0002 masks) falls back to the
+    // original per-group extraction.
+    val SEP = "\u0000"
+    // stage 0: the ONE regex execution per line, staged as its own
+    // attribute — inlining it into the five consumers would re-run
+    // it per consumer (the exact duplication this replaces; explicit
+    // staging instead of trusting conditional-branch subexpression
+    // elimination). CollapseProject keeps the stages apart: the
+    // aliases are referenced more than once and are not cheap.
+    val staged0 = lines
       .where(length(l) > 0 && !l.startsWith("#"))
       .select(
-        name.as("name"),
-        tags.as("tags"),
-        when(lower(valS) === "nan", lit(Double.NaN))
-          .when(lower(valS).isin("inf", "+inf"),
-            lit(Double.PositiveInfinity))
-          .when(lower(valS) === "-inf", lit(Double.NegativeInfinity))
-          .when(valS.rlike(FLOAT), valS.cast("double"))
-          .as("value"),
-        when(tsS =!= "", timestamp_millis(tsS.cast("long"))).as("ts"),
-        // non-deterministic guard: keeps the parse regexes from being
-        // substituted into downstream filters (the [[InfluxLine]]
-        // plan-blow-up defense)
-        when(spark_partition_id() >= 0, !matched || !valOk || !labelsOk)
-          .as("malformed"))
+        l.as("_l"),
+        split(regexp_replace(l, LINE, s"$$1$SEP$$2$SEP$$3$SEP$$4"),
+          SEP, -1).as("_parts"),
+        l.contains(SEP).as("_hasSep"))
+    val staged1 = staged0.select(
+      col("_l"), col("_parts"), col("_hasSep"),
+      when(col("_hasSep"), col("_l").rlike(LINE))
+        .otherwise(size(col("_parts")) === 4).as("_m"))
+    def part(i: Int): Column =
+      when(col("_hasSep"), regexp_extract(col("_l"), LINE, i + 1))
+        .otherwise(when(col("_m"), get(col("_parts"), lit(i)))
+          .otherwise(lit("")))
+    val staged = staged1.select(
+      col("_m"),
+      part(0).as("_name"),
+      mask(part(1)).as("_body"),
+      part(2).as("_valS"),
+      part(3).as("_tsS"))
+    // ---- labels: ONE LABEL-regex execution per segment (r13) ----
+    // rlike (in the forall) + 2 regexp_extract ran the LABEL regex
+    // three times per segment; the same NUL-join trick runs it once,
+    // with the per-segment match carried as a third struct field so
+    // labelsOk derives from the already-built array. The masked body
+    // cannot contain NUL (only U+0001/U+0002 masks), so SEP is safe.
+    val segs = filter(split(col("_body"), COMMA), s => trim(s) =!= "")
+    // chain two transforms so the replaced string binds ONCE per
+    // segment (a lambda has no aliasing — referencing the
+    // regexp_replace from three consumers would re-run it three
+    // times, i.e. exactly the cost this removes)
+    val withRep = transform(segs, s => {
+      val t0 = trim(s)
+      struct(t0.as("t"),
+        regexp_replace(t0, LABEL, s"$$1$SEP$$2").as("r"))
+    })
+    val tagged = transform(withRep, e => {
+      val t0 = e.getField("t")
+      val lrep = e.getField("r")
+      // a segment carrying a raw NUL (possible only on the line-level
+      // fallback path) keeps the original per-group extraction — the
+      // join trick's separator would split inside the value
+      val segHasSep = t0.contains(SEP)
+      val okFast = lrep.contains(SEP)
+      val ok = when(segHasSep, t0.rlike(LABEL)).otherwise(okFast)
+      struct(
+        when(segHasSep, regexp_extract(t0, LABEL, 1))
+          .otherwise(when(okFast, substring_index(lrep, SEP, 1))
+            .otherwise(lit(""))).as("tag_name"),
+        unescape(when(segHasSep, regexp_extract(t0, LABEL, 2))
+          .otherwise(when(okFast, substring_index(lrep, SEP, -1))
+            .otherwise(lit("")))).as("tag_value"),
+        ok.as("_ok"))
+    })
+    val scanned = staged.select(
+      col("_m"), col("_name"), col("_valS"), col("_tsS"),
+      tagged.as("_tagged"),
+      lower(col("_valS")).as("_lv"),
+      // FLOAT runs once per line instead of once per consuming branch
+      col("_valS").rlike(FLOAT).as("_vOk"))
+    val labelsOk = forall(col("_tagged"), _.getField("_ok"))
+    val valOk = col("_lv").isin("nan", "inf", "+inf", "-inf") ||
+      col("_vOk")
+    scanned.select(
+      col("_name").as("name"),
+      transform(col("_tagged"), t => struct(
+        t.getField("tag_name").as("tag_name"),
+        t.getField("tag_value").as("tag_value"))).as("tags"),
+      when(col("_lv") === "nan", lit(Double.NaN))
+        .when(col("_lv").isin("inf", "+inf"), lit(Double.PositiveInfinity))
+        .when(col("_lv") === "-inf", lit(Double.NegativeInfinity))
+        .when(col("_vOk"), col("_valS").cast("double"))
+        .as("value"),
+      when(col("_tsS") =!= "", timestamp_millis(col("_tsS").cast("long")))
+        .as("ts"),
+      // non-deterministic guard: keeps the parse regexes from being
+      // substituted into downstream filters (the [[InfluxLine]]
+      // plan-blow-up defense)
+      when(spark_partition_id() >= 0, !col("_m") || !valOk || !labelsOk)
+        .as("malformed"))
   }
 
   /** Well-formed, timestamped samples consolidated to an hourly

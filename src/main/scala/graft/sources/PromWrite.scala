@@ -161,16 +161,22 @@ object PromWrite {
     // octet_length, not character length — a multi-byte UTF-8 value
     // must fail at the same point the wire format would
     val nonEmpty = size(ls) > 0
-    val namesOk = forall(ls, l =>
+    // ONE traversal checks names and values together (the AND over
+    // elements of a conjunction equals the conjunction of the two
+    // foralls, including three-valued-logic nulls)
+    val entriesOk = forall(ls, l =>
       length(nameOf(l)) > 0 &&
-        octet_length(nameOf(l)) <= maxTagLiteralLength)
-    val valuesOk = forall(ls, l =>
-      (if (allowTagValueEmpty) lit(true) else length(valueOf(l)) > 0) &&
+        octet_length(nameOf(l)) <= maxTagLiteralLength &&
+        (if (allowTagValueEmpty) lit(true) else length(valueOf(l)) > 0) &&
         octet_length(valueOf(l)) <= maxTagLiteralLength)
     val dupOk =
       if (allowTagNameDuplicates) lit(true)
       else size(array_distinct(transform(ls, nameOf(_)))) === size(ls)
-    val ok = nonEmpty && namesOk && valuesOk && dupOk
+    // staged: the map guard AND the malformed flag both read the
+    // verdict — inline, the whole validation tree (interpreted
+    // higher-order functions) would evaluate twice per row (r13)
+    val staged = req.withColumn("_ok", nonEmpty && entriesOk && dupOk)
+    val ok = col("_ok")
 
     // the map is only built for valid label sets — map_from_entries
     // errors on duplicate keys, and a dup-labeled series must FLAG,
@@ -181,7 +187,7 @@ object PromWrite {
     val nameCol =
       get(filter(ls, l => nameOf(l) === NameLabel), lit(0)).getField("value")
     val keep = req.columns.filter(c => c != labelsCol).map(col).toSeq
-    req.select(
+    staged.select(
       (nameCol.as("name") +:
         map_filter(m, (k, _) => k =!= NameLabel).as("tags") +:
         keep) :+ (!ok).as("malformed"): _*)

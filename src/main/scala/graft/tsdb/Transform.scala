@@ -1,5 +1,7 @@
 package graft.tsdb
 
+import graft.Materialize.MatOps
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -124,6 +126,13 @@ object Transform {
         when(col("_ord").isNull, lit(shards))
           .otherwise(size(filter(col("_bs"), b => b < col("_ord")))))
       .drop("_bs")
+      // the shard-count offsets AND the final ranked join both read
+      // this frame — without the lazy checkpoint the whole
+      // input+bounds subtree evaluates twice (r13 plan: ts_sort ran
+      // the instant consolidation and the percentile sketch 2×; the
+      // q_rfm/ppl-rank sharded-rank siblings already materialize
+      // here)
+      .materialize(false)
     val wLocal = org.apache.spark.sql.expressions.Window
       .partitionBy(col("bucket_s"), col("_shard"))
       .orderBy(col("_ord").asc_nulls_last +: tiebreak.map(col(_).asc): _*)

@@ -2734,6 +2734,29 @@ class PipelineSpec extends SparkSpec {
       "unrelated doc must not pair")
   }
 
+  test("zero-alloc hash twins match the String forms on edge values") {
+    // r13: the per-character hot loop writes decimal ASCII into a
+    // reused buffer instead of building Strings; this pins the twin
+    // to the original (itself oracle-pinned) across digit-count
+    // boundaries, zero, negatives and Long.MinValue
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val in = new Array[Byte](48)
+    val out = new Array[Byte](16)
+    val edges = Seq(0L, 1L, 9L, 10L, 99L, 100L, 1L << 52, (1L << 60) - 1,
+      Long.MaxValue, -1L, -10L, Long.MinValue, 128512L)
+    for (g <- edges) {
+      assert(Dedup.md5InfoFast(md, in, out, g) == Dedup.md5Info(md, g),
+        s"md5Info twin diverges at $g")
+      for (n <- edges) {
+        assert(Dedup.roundHashFast(md, in, out, g, n, end = false) ==
+          Dedup.roundHash(md, g, java.lang.Long.toString(n)),
+          s"roundHash twin diverges at ($g, $n)")
+      }
+      assert(Dedup.roundHashFast(md, in, out, g, 0L, end = true) ==
+        Dedup.roundHash(md, g, "END"), s"END twin diverges at $g")
+    }
+  }
+
   test("imperative suffix chain matches the declarative window form bit-for-bit") {
     // the r10 de-interpretation: the doubling rounds run in plain
     // Scala (roundHash) inside a flatMap; this differential pins them
