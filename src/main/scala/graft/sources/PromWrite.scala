@@ -180,16 +180,20 @@ object PromWrite {
 
     // the map is only built for valid label sets — map_from_entries
     // errors on duplicate keys, and a dup-labeled series must FLAG,
-    // not fail the batch. The name reads the FIRST __name__ entry
-    // via get() (0-based, null out of bounds — never an ANSI error),
-    // so it stays extractable even from a flagged set.
-    val m = when(ok, map_from_entries(ls))
+    // not fail the batch. Filtering the ENTRIES and building the map
+    // once replaces build-then-map_filter (one map construction per
+    // row instead of two; same entries in the same order, and the
+    // dup guard is unchanged because dupOk checked ALL names). The
+    // name reads the FIRST __name__ entry via get() (0-based, null
+    // out of bounds — never an ANSI error), so it stays extractable
+    // even from a flagged set.
+    val tagsCol = when(ok,
+      map_from_entries(filter(ls, l => nameOf(l) =!= NameLabel)))
     val nameCol =
       get(filter(ls, l => nameOf(l) === NameLabel), lit(0)).getField("value")
     val keep = req.columns.filter(c => c != labelsCol).map(col).toSeq
     staged.select(
-      (nameCol.as("name") +:
-        map_filter(m, (k, _) => k =!= NameLabel).as("tags") +:
+      (nameCol.as("name") +: tagsCol.as("tags") +:
         keep) :+ (!ok).as("malformed"): _*)
   }
 
